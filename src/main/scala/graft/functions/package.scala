@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.{shims => ExpressionUtils}
+
+/** Column-level API over the graft Catalyst expressions, plus SQL
+  * registration. Mirrors the reference's query surface: distance
+  * metrics euclidean/cosine with `simd_*` aliases
+  * (vfs/src/vfs/rank.rs:61-67) and quantize/dequantize
+  * (vfs/src/vfs/vector.rs:94-154).
+  */
+package object functions {
+  private def col(e: Expression): Column = ExpressionUtils.column(e)
+  private def ex(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def vfs_euclidean(a: Column, b: Column): Column =
+    col(EuclideanDistance(ex(a), ex(b)))
+  def vfs_cosine(a: Column, b: Column): Column =
+    col(CosineDistance(ex(a), ex(b)))
+  def vfs_dot(a: Column, b: Column): Column =
+    col(DotProduct(ex(a), ex(b)))
+  def vfs_norm(a: Column): Column = col(L2Norm(ex(a)))
+
+  /** storage-path quantization: scale given explicitly, no clamp
+    * (vfs/src/vfs/vector.rs:188 always passes Some(127.0)) */
+  def vfs_quantize(v: Column, scale: Column): Column =
+    col(QuantizeVec(ex(v), ex(scale), clamp = false))
+  /** user-path quantization with default scale: clamp to [-1,1], scale 127
+    * (vfs/src/vfs/vector.rs:104-106) */
+  def vfs_quantize_default(v: Column): Column =
+    col(QuantizeVec(ex(v),
+      org.apache.spark.sql.catalyst.expressions.Literal(127.0f), clamp = true))
+  def vfs_dequantize(q: Column, scale: Column): Column =
+    col(DequantizeVec(ex(q), ex(scale)))
+
+  /** Registers all functions for SQL use, including the `simd_*`
+    * aliases (numerically identical — the reference's SIMD kernels
+    * compute the same formula, vfs/src/vfs/rank.rs:14-56; Spark's
+    * analog of SIMD is whole-stage codegen, which these use). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def r1(name: String, b: Seq[Expression] => Expression): Unit =
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    r1("vfs_euclidean", es => EuclideanDistance(es(0), es(1)))
+    r1("vfs_cosine", es => CosineDistance(es(0), es(1)))
+    r1("simd_euclidean", es => EuclideanDistance(es(0), es(1)))
+    r1("simd_cosine", es => CosineDistance(es(0), es(1)))
+    r1("vfs_dot", es => DotProduct(es(0), es(1)))
+    r1("vfs_norm", es => L2Norm(es(0)))
+    r1("vfs_quantize", es => QuantizeVec(es(0), es(1), clamp = false))
+    r1("vfs_dequantize", es => DequantizeVec(es(0), es(1)))
+  }
+}

@@ -1,0 +1,327 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{vfs_dequantize, vfs_quantize}
+
+/** Error taxonomy mirroring the reference's `VFSError`
+  * (vfs/src/vfs/err.rs:10-17): Io / Memtable / InvalidVector /
+  * IdGeneration / Serialization. */
+sealed abstract class VfsException(msg: String) extends RuntimeException(msg)
+final class InvalidVectorException(msg: String) extends VfsException(msg)
+final class StoreStateException(msg: String) extends VfsException(msg)
+final class NotFoundException(msg: String) extends VfsException(msg)
+
+/** One ingested record (dense form). Schema per SURVEY §1.1. */
+case class VfsRecord(id: Long, values: Array[Float], name: String,
+    tags: Seq[String], created_at: java.sql.Timestamp)
+
+/** Engine state persisted per commit — the analog of the reference's
+  * `VFSState {name, next_id, current_offset, index_map, quantize}`
+  * (vfs/src/vfs/storage_manager.rs:18-26). `commits` (the list of
+  * committed data directories) plays the role of
+  * `current_offset`+`index_map`: it defines exactly which bytes are
+  * visible, so snapshot/restore get true isolation on an append-only
+  * store. */
+case class VfsManifest(name: String, dim: Int, quantize: Boolean,
+    nextId: Long, commits: Seq[String]) {
+  def toJson: String = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    s"""{"name":${q(name)},"dim":$dim,"quantize":$quantize,"nextId":$nextId,""" +
+      s""""commits":[${commits.map(q).mkString(",")}]}"""
+  }
+}
+
+object VfsManifest {
+  // minimal flat-JSON parser (no deps); format is engine-controlled
+  def fromJson(s: String): VfsManifest = {
+    def str(k: String): String = {
+      val m = ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
+        .findFirstMatchIn(s).getOrElse(throw new StoreStateException(s"bad manifest: $k"))
+      m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+    }
+    def num(k: String): Long = ("\"" + k + "\":(-?\\d+)").r
+      .findFirstMatchIn(s).get.group(1).toLong
+    def bool(k: String): Boolean = ("\"" + k + "\":(true|false)").r
+      .findFirstMatchIn(s).get.group(1).toBoolean
+    val commits = "\"commits\":\\[([^\\]]*)\\]".r.findFirstMatchIn(s).get.group(1)
+    val dirs = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(commits)
+      .map(_.group(1)).toSeq
+    VfsManifest(str("name"), num("dim").toInt, bool("quantize"),
+      num("nextId"), dirs)
+  }
+}
+
+/** Spark-native vector store with the reference's storage semantics
+  * (vfs/src/vfs/storage_manager.rs):
+  *
+  *   - memtable ingest with auto-flush at `flushThreshold` records
+  *     (storage_manager.rs:12, 306-314)
+  *   - monotonic contiguous id assignment from 1 (storage_manager.rs:126-130)
+  *   - quantize-on-write / dequantize-on-read when `quantize` is set
+  *     (storage_manager.rs:143-149, 202-210), with the name/tag mangling
+  *     of vector.rs:115-123 / 145-151
+  *   - read-your-writes: reads union the unflushed memtable (storage_manager.rs:236-240)
+  *   - snapshot/restore of engine state (storage_manager.rs:367-427)
+  *
+  * Physical layout (all under `root`):
+  *   manifest.json            — current VfsManifest
+  *   data/c<epoch>-<n>/ (parquet) — one directory per committed batch
+  *   snapshots/<name>.json    — saved manifests
+  *
+  * Scale notes: data is plain parquet readable by any engine; a commit
+  * is one atomic manifest swap (rename), so a 1000-executor write is
+  * one `df.write.parquet` + one tiny driver-side rename. Reads prune
+  * columns/predicates through to parquet. The driver-side memtable is
+  * an API-parity device for record-at-a-time inserts (bounded at
+  * `flushThreshold` rows); bulk ingest goes through `appendBatch`.
+  */
+class VfsStore private (val spark: SparkSession, val root: String,
+    @volatile private var manifest: VfsManifest,
+    val flushThreshold: Int = VfsStore.DefaultFlushThreshold) {
+
+  import VfsStore._
+
+  // insertion-ordered write buffer — the memtable analog
+  // (IndexMap<u64, VFSVector>, storage_manager.rs:64)
+  private val memtable = mutable.LinkedHashMap.empty[Long, VfsRecord]
+
+  def name: String = manifest.name
+  def dim: Int = manifest.dim
+  def quantized: Boolean = manifest.quantize
+  /** `next_id - 1` count estimate (storage_manager.rs:302-304). */
+  def countEstimate: Long = manifest.nextId - 1
+
+  private def manifestPath = Paths.get(root, "manifest.json")
+
+  private def commitManifest(m: VfsManifest): Unit = synchronized {
+    val tmp = Paths.get(root, "manifest.json.tmp")
+    Files.write(tmp, m.toJson.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    manifest = m
+  }
+
+  /** Validation guards F1/F3 (tcp.rs:307-312, storage_manager.rs:319-321). */
+  private def validate(values: Array[Float]): Unit = {
+    if (values.isEmpty)
+      throw new InvalidVectorException("[GRAFT] vector cannot be empty")
+    if (values.length != manifest.dim)
+      throw new InvalidVectorException(
+        s"[GRAFT] vector dimension mismatch: expected ${manifest.dim}, got ${values.length}")
+  }
+
+  /** Record-at-a-time ingest (the `/vectors` POST path, tcp.rs:301-363):
+    * allocates the next contiguous id, stamps created_at, buffers in the
+    * memtable, auto-flushes at the threshold. Returns the assigned id. */
+  def insert(values: Array[Float], name: String, tags: Seq[String]): Long =
+    synchronized {
+      validate(values)
+      val id = manifest.nextId
+      // bump nextId durably so ids never repeat even if the memtable is lost
+      commitManifest(manifest.copy(nextId = id + 1))
+      memtable.put(id, VfsRecord(id, values, name, tags,
+        new java.sql.Timestamp(System.currentTimeMillis())))
+      if (memtable.size >= flushThreshold) flush()
+      id
+    }
+
+  /** Drain the memtable to a parquet commit (storage_manager.rs:139-162). */
+  def flush(): Unit = synchronized {
+    if (memtable.nonEmpty) {
+      val rows = memtable.values.toSeq
+      memtable.clear()
+      val df = spark.createDataFrame(rows)
+        .select(col("id"), col("values"), col("name"), col("tags"),
+          col("created_at"))
+      writeCommit(df)
+    }
+  }
+
+  /** Bulk distributed ingest: assigns contiguous ids [nextId, nextId+n)
+    * without a global shuffle (zipWithIndex is a narrow per-partition
+    * offset), stamps created_at, quantizes if configured, commits.
+    * Input schema: values ARRAY<FLOAT>, name STRING, tags ARRAY<STRING>. */
+  def appendBatch(input: DataFrame): Long = synchronized {
+    val base = manifest.nextId
+    val spk = spark
+    val withDim = input.select(
+      col("values").cast(ArrayType(FloatType)), col("name"),
+      col("tags").cast(ArrayType(StringType)))
+    val d = manifest.dim
+    // F1/F3 enforced distributed-side: any bad row fails the commit
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("values", ArrayType(FloatType), nullable = true),
+      StructField("name", StringType, nullable = true),
+      StructField("tags", ArrayType(StringType), nullable = true)))
+    val indexed = spk.createDataFrame(
+      withDim.rdd.zipWithIndex().map { case (r, i) =>
+        val vs = r.getSeq[Float](0)
+        if (vs == null || vs.isEmpty)
+          throw new InvalidVectorException("[GRAFT] vector cannot be empty")
+        if (vs.length != d)
+          throw new InvalidVectorException(
+            s"[GRAFT] vector dimension mismatch: expected $d, got ${vs.length}")
+        Row(base + i, vs, r.getString(1), r.getSeq[String](2))
+      }, schema)
+    val df = indexed.withColumn("created_at", current_timestamp())
+    val n = writeCommit(df)
+    commitManifest(manifest.copy(nextId = base + n))
+    base
+  }
+
+  /** Quantize-on-write (storage_manager.rs:143-149 + vector.rs:115-123:
+    * name suffix `_quantized`, tag `"quantized"`, scale 127, no clamp). */
+  private def writeCommit(df: DataFrame): Long = {
+    val out =
+      if (manifest.quantize)
+        df.select(col("id"),
+          vfs_quantize(col("values"), lit(QuantScale)).as("qvalues"),
+          lit(QuantScale).as("scale_factor"),
+          concat(col("name"), lit("_quantized")).as("name"),
+          array_union(col("tags"), array(lit("quantized"))).as("tags"),
+          col("created_at"))
+      else df
+    val dir = f"c${System.currentTimeMillis()}%013d-${manifest.commits.size}%05d"
+    val target = s"$root/data/$dir"
+    out.write.mode("overwrite").parquet(target)
+    // row count comes from the freshly written footers (metadata-only scan),
+    // avoiding a second computation of the input pipeline
+    val cnt = spark.read.parquet(target).count()
+    commitManifest(manifest.copy(commits = manifest.commits :+ dir))
+    cnt
+  }
+
+  /** Dense logical view (dequantize-on-read, storage_manager.rs:202-210;
+    * strips the quantized name/tag mangling, vector.rs:145-151), unioned
+    * with the unflushed memtable for read-your-writes
+    * (storage_manager.rs:236-240). */
+  def read(): DataFrame = synchronized {
+    val committed: DataFrame =
+      if (manifest.commits.isEmpty) emptyDense(spark)
+      else {
+        val raw = spark.read
+          .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
+        if (manifest.quantize)
+          raw.select(col("id"),
+            vfs_dequantize(col("qvalues"), col("scale_factor")).as("values"),
+            regexp_replace(col("name"), "_quantized$", "").as("name"),
+            array_remove(col("tags"), "quantized").as("tags"),
+            col("created_at"))
+        else raw
+      }
+    if (memtable.isEmpty) committed
+    else committed.unionByName(
+      spark.createDataFrame(memtable.values.toSeq)
+        .select(col("id"), col("values"), col("name"), col("tags"),
+          col("created_at")))
+  }
+
+  /** Raw physical view (quantized columns when quantize=true). */
+  def readRaw(): DataFrame = synchronized {
+    if (manifest.commits.isEmpty) {
+      if (manifest.quantize) emptyQuant(spark) else emptyDense(spark)
+    } else spark.read.parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
+  }
+
+  /** Point lookup P1 (storage_manager.rs:235-296): memtable probe, then
+    * pushed-down parquet filter (the B-tree tier maps to row-group
+    * min/max pruning on id). */
+  def getById(id: Long): Option[VfsRecord] = synchronized {
+    memtable.get(id).orElse {
+      import org.apache.spark.sql.Encoders
+      read().filter(col("id") === id)
+        .as(Encoders.product[VfsRecord]).collect().headOption
+    }
+  }
+
+  /** Snapshot: flush + persist current state under `snapshots/<name>`
+    * (storage_manager.rs:367-410 — snapshot also flushes the memtable). */
+  def snapshot(snapName: String = "vfs_state"): Unit = synchronized {
+    flush()
+    val p = Paths.get(root, "snapshots")
+    Files.createDirectories(p)
+    Files.write(p.resolve(s"$snapName.json"),
+      manifest.toJson.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Restore: overwrite live state from a snapshot
+    * (storage_manager.rs:412-427). Data committed after the snapshot
+    * becomes invisible (its directories are simply not in the restored
+    * commit list); the memtable is discarded. */
+  def restore(snapName: String = "vfs_state"): Unit = synchronized {
+    val p = Paths.get(root, "snapshots", s"$snapName.json")
+    if (!Files.exists(p))
+      throw new StoreStateException(s"[GRAFT] no snapshot named $snapName")
+    memtable.clear()
+    commitManifest(VfsManifest.fromJson(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+  }
+
+  /** Reset per ResetOptions (storage_manager.rs:30-57, 83-124). */
+  def reset(truncateData: Boolean = true, resetIds: Boolean = true): Unit =
+    synchronized {
+      memtable.clear()
+      commitManifest(manifest.copy(
+        commits = if (truncateData) Seq.empty else manifest.commits,
+        nextId = if (resetIds) 1L else manifest.nextId))
+    }
+}
+
+object VfsStore {
+  /** FLUSH_THRESHOLD = 10 (vfs/src/vfs/storage_manager.rs:12) */
+  val DefaultFlushThreshold = 10
+  /** storage-path quantization scale (vfs/src/vfs/vector.rs:188) */
+  val QuantScale = 127.0f
+
+  def denseSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("values", ArrayType(FloatType), nullable = true),
+    StructField("name", StringType, nullable = true),
+    StructField("tags", ArrayType(StringType), nullable = true),
+    StructField("created_at", TimestampType, nullable = true)))
+
+  def quantSchema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("qvalues", ArrayType(ByteType), nullable = true),
+    StructField("scale_factor", FloatType, nullable = true),
+    StructField("name", StringType, nullable = true),
+    StructField("tags", ArrayType(StringType), nullable = true),
+    StructField("created_at", TimestampType, nullable = true)))
+
+  private def emptyDense(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], denseSchema)
+  private def emptyQuant(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], quantSchema)
+
+  /** `/init` (tcp.rs:270-299): create or re-create a store. */
+  def create(spark: SparkSession, root: String, name: String, dim: Int,
+      quantize: Boolean = false,
+      flushThreshold: Int = DefaultFlushThreshold): VfsStore = {
+    if (dim <= 0)
+      throw new InvalidVectorException(s"[GRAFT] invalid dimension $dim")
+    Files.createDirectories(Paths.get(root, "data"))
+    val store = new VfsStore(spark, root,
+      VfsManifest(name, dim, quantize, nextId = 1L, commits = Seq.empty),
+      flushThreshold)
+    store.commitManifest(store.manifest)
+    store
+  }
+
+  def open(spark: SparkSession, root: String,
+      flushThreshold: Int = DefaultFlushThreshold): VfsStore = {
+    val p = Paths.get(root, "manifest.json")
+    if (!Files.exists(p))
+      throw new StoreStateException(s"[GRAFT] no store at $root")
+    new VfsStore(spark, root, VfsManifest.fromJson(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)),
+      flushThreshold)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.store.VfsStore
+
+/** Runnable end-to-end example of the public API:
+  * `sbt "runMain graft.tools.QuickStart"`.
+  * Creates a quantized store, ingests the sf0.001 embeddings table,
+  * and runs an exact cosine top-5 against a stored vector — the
+  * reference's `/init` → `POST /vectors` → `POST /search` flow as a
+  * Spark program.
+  */
+object QuickStart {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-quickstart")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.registerAll(spark)
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft-qs").toString
+    println(s"[quickstart] store at $root")
+
+    // /init with dim=64, quantized storage
+    val store = VfsStore.create(spark, root, "quickstart", dim = 64,
+      quantize = true)
+
+    // bulk ingest the embeddings table (appendBatch = distributed path)
+    val emb = spark.read.parquet(args.headOption.getOrElse(
+      "/root/testdata/sf0.001/embeddings.parquet"))
+    store.appendBatch(emb.select($"embedding".as("values"),
+      concat(lit("vec_"), $"vec_id").as("name"),
+      array($"label".cast("string")).as("tags")))
+    println(s"[quickstart] ingested ${store.countEstimate} vectors (quantized at rest)")
+
+    // record-at-a-time insert + read-your-writes
+    val newId = store.insert(Array.fill(64)(0.01f), "probe", Seq("demo"))
+    println(s"[quickstart] inserted probe id=$newId, visible pre-flush: " +
+      store.getById(newId).map(_.name).getOrElse("MISSING"))
+
+    // exact top-5 cosine kNN around stored vector id=1
+    val q = store.getById(1L).get.values
+    val top = store.read()
+      .select($"id", $"name", vfs_cosine($"values", typedLit(q)).as("distance"))
+      .orderBy($"distance".asc, $"id".asc)
+      .limit(5)
+    top.show(truncate = false)
+
+    // snapshot / restore isolation
+    store.snapshot("demo")
+    store.insert(Array.fill(64)(0.5f), "post-snapshot", Nil)
+    store.flush()
+    val before = store.read().count()
+    store.restore("demo")
+    println(s"[quickstart] rows before restore=$before after=${store.read().count()}")
+
+    // error taxonomy probes
+    try store.insert(Array(1f, 2f), "bad-dim", Nil)
+    catch { case e: Exception => println(s"[quickstart] expected: ${e.getMessage}") }
+    try store.restore("nope")
+    catch { case e: Exception => println(s"[quickstart] expected: ${e.getMessage}") }
+
+    spark.stop()
+    println("[quickstart] OK")
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+  import spark.implicits._
+
+  private def refEuclid(a: Seq[Float], b: Seq[Float]): Double =
+    math.sqrt(a.zip(b).map { case (x, y) =>
+      val d = x.toDouble - y.toDouble; d * d }.sum)
+
+  private def refCosine(a: Seq[Float], b: Seq[Float]): Double = {
+    val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+    val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+    1.0 - dot / (na * nb)
+  }
+
+  test("euclidean/cosine match scalar reference on real embeddings") {
+    val rows = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+      .limit(20).select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect()
+    val q = rows.head._2
+    val df = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+      .limit(20)
+      .select($"vec_id",
+        vfs_euclidean($"embedding", typedLit(q)).as("e"),
+        vfs_cosine($"embedding", typedLit(q)).as("c"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (id, v) =>
+      assert(math.abs(df(id)._1 - refEuclid(v, q)) < 1e-9, s"euclid id=$id")
+      assert(math.abs(df(id)._2 - refCosine(v, q)) < 1e-9, s"cosine id=$id")
+    }
+  }
+
+  test("distance expressions work via SQL registration incl. simd aliases") {
+    val r = spark.sql(
+      """SELECT vfs_euclidean(array(1.0F,2.0F), array(4.0F,6.0F)) e,
+        |       simd_euclidean(array(1.0F,2.0F), array(4.0F,6.0F)) se,
+        |       vfs_cosine(array(1.0F,0.0F), array(0.0F,1.0F)) c,
+        |       simd_cosine(array(1.0F,0.0F), array(1.0F,0.0F)) sc,
+        |       vfs_dot(array(1.0F,2.0F), array(3.0F,4.0F)) d,
+        |       vfs_norm(array(3.0F,4.0F)) n
+        |""".stripMargin).head()
+    assert(r.getDouble(0) === 5.0)
+    assert(r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === 1.0)
+    assert(math.abs(r.getDouble(3)) < 1e-12)
+    assert(r.getDouble(4) === 11.0)
+    assert(r.getDouble(5) === 5.0)
+  }
+
+  test("dimension mismatch throws") {
+    val ex = intercept[Exception] {
+      spark.sql("SELECT vfs_euclidean(array(1.0F), array(1.0F,2.0F))").collect()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("dimension mismatch"))
+  }
+
+  test("quantize: round half away from zero, saturate, storage path no clamp") {
+    // storage path: scale 127, no clamp (vector.rs:188)
+    val df = Seq((Seq(0.5f, -0.5f, 1.0f, -1.0f, 2.0f, -2.0f, 0.0037f), 127.0f))
+      .toDF("v", "s")
+      .select(vfs_quantize($"v", $"s").as("q"))
+    val q = df.as[Seq[Byte]].head()
+    // 0.5*127=63.5 → away from zero → 64; -63.5 → -64
+    assert(q(0) === 64.toByte)
+    assert(q(1) === (-64).toByte)
+    assert(q(2) === 127.toByte)
+    assert(q(3) === (-127).toByte)
+    // 2*127=254 saturates to 127; -254 → -128
+    assert(q(4) === 127.toByte)
+    assert(q(5) === (-128).toByte)
+    // 0.3f*127=0.4699 → 0
+    assert(q(6) === 0.toByte)
+  }
+
+  test("quantize default path clamps to [-1,1] first") {
+    val df = Seq(Tuple1(Seq(2.0f, -3.0f, 0.5f)))
+      .toDF("v").select(vfs_quantize_default($"v").as("q"))
+    val q = df.as[Seq[Byte]].head()
+    assert(q(0) === 127.toByte)
+    assert(q(1) === (-127).toByte) // clamped to -1 BEFORE scaling → -127, not -128
+    assert(q(2) === 64.toByte)
+  }
+
+  test("dequantize inverts quantize within 1/254 per lane") {
+    val vals = Seq(0.9f, -0.7f, 0.001f, 0.42f)
+    val df = Seq(Tuple1(vals)).toDF("v")
+      .select(vfs_dequantize(vfs_quantize($"v", lit(127.0f)), lit(127.0f)).as("r"))
+    val r = df.as[Seq[Float]].head()
+    vals.zip(r).foreach { case (orig, rt) =>
+      assert(math.abs(orig - rt) <= 0.5f / 127.0f + 1e-6f)
+    }
+  }
+
+  test("distance runs inside whole-stage codegen") {
+    val df = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+      .select(vfs_euclidean($"embedding", $"embedding").as("d"))
+    // "*(n)" prefixes mark operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vfs_euclidean"), plan)
+  }
+}

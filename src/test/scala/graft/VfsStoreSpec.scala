@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.store._
+
+class VfsStoreSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("vfsstore").toString
+
+  test("insert assigns contiguous ids from 1 and read sees unflushed rows") {
+    val s = VfsStore.create(spark, tmp(), "t1", dim = 3)
+    val id1 = s.insert(Array(1f, 2f, 3f), "a", Seq("x"))
+    val id2 = s.insert(Array(4f, 5f, 6f), "b", Seq())
+    assert(id1 === 1L && id2 === 2L)
+    // read-your-writes: nothing flushed yet (threshold 10)
+    assert(s.read().count() === 2L)
+    assert(s.getById(1L).map(_.name) === Some("a"))
+    assert(s.countEstimate === 2L)
+  }
+
+  test("auto-flush at threshold 10, and manual flush") {
+    val s = VfsStore.create(spark, tmp(), "t2", dim = 2, flushThreshold = 10)
+    (1 to 9).foreach(i => s.insert(Array(i.toFloat, 0f), s"v$i", Nil))
+    assert(s.readRaw().count() === 0L) // all in memtable
+    s.insert(Array(10f, 0f), "v10", Nil) // 10th triggers flush
+    assert(s.readRaw().count() === 10L)
+    s.insert(Array(11f, 0f), "v11", Nil)
+    s.flush()
+    assert(s.readRaw().count() === 11L)
+  }
+
+  test("dimension and empty guards") {
+    val s = VfsStore.create(spark, tmp(), "t3", dim = 4)
+    intercept[InvalidVectorException](s.insert(Array(1f, 2f), "bad", Nil))
+    intercept[InvalidVectorException](s.insert(Array[Float](), "empty", Nil))
+  }
+
+  test("quantized store: mangled at rest, dense+clean on read") {
+    val s = VfsStore.create(spark, tmp(), "tq", dim = 2, quantize = true)
+    s.insert(Array(0.5f, -0.25f), "vec", Seq("t1"))
+    s.flush()
+    val raw = s.readRaw().collect().head
+    assert(raw.getAs[String]("name") === "vec_quantized")
+    assert(raw.getSeq[String](raw.fieldIndex("tags")).toSeq.contains("quantized"))
+    assert(raw.getSeq[Byte](raw.fieldIndex("qvalues")).toSeq ===
+      Seq(64.toByte, (-32).toByte))
+    val dense = s.read().collect().head
+    assert(dense.getAs[String]("name") === "vec")
+    assert(!dense.getSeq[String](dense.fieldIndex("tags")).toSeq.contains("quantized"))
+    val vs = dense.getSeq[Float](dense.fieldIndex("values")).toSeq
+    assert(math.abs(vs(0) - 0.5f) < 0.005f)
+    assert(math.abs(vs(1) + 0.25f) < 0.005f)
+  }
+
+  test("appendBatch assigns contiguous id range without global shuffle") {
+    val s = VfsStore.create(spark, tmp(), "tb", dim = 2)
+    val in = Seq((Seq(1f, 1f), "a", Seq("t")), (Seq(2f, 2f), "b", Seq[String]()))
+      .toDF("values", "name", "tags")
+    val base = s.appendBatch(in)
+    assert(base === 1L)
+    val ids = s.read().select("id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L))
+    val base2 = s.appendBatch(in)
+    assert(base2 === 3L)
+    assert(s.read().count() === 4L)
+  }
+
+  test("snapshot/restore isolates later appends; reset truncates") {
+    val root = tmp()
+    val s = VfsStore.create(spark, root, "ts", dim = 2)
+    s.insert(Array(1f, 1f), "a", Nil)
+    s.snapshot("snap1")
+    s.insert(Array(2f, 2f), "b", Nil)
+    s.flush()
+    assert(s.read().count() === 2L)
+    s.restore("snap1")
+    assert(s.read().count() === 1L) // post-snapshot commit invisible
+    assert(s.countEstimate === 1L)
+    // reopen from disk sees restored state
+    val s2 = VfsStore.open(spark, root)
+    assert(s2.read().count() === 1L)
+    s2.reset()
+    assert(s2.read().count() === 0L && s2.countEstimate === 0L)
+  }
+
+  test("point lookup pushes id predicate to parquet") {
+    val s = VfsStore.create(spark, tmp(), "tp", dim = 2)
+    (1 to 10).foreach(i => s.insert(Array(i.toFloat, 0f), s"v$i", Nil))
+    val plan = s.read().filter($"id" === 5L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,5)]"), plan)
+    assert(s.getById(5L).map(_.name) === Some("v5"))
+    assert(s.getById(99L) === None)
+  }
+}
