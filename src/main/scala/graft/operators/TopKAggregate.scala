@@ -1,0 +1,123 @@
+package graft.operators
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer: keeps the k smallest (distance, id) pairs,
+  * ties broken by id asc. A max-heap on (distance, id) so the current
+  * worst is evicted in O(log k). */
+final class TopKBuffer(val k: Int) {
+  private implicit val ord: Ordering[(Double, Long)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+  val heap: mutable.PriorityQueue[(Double, Long)] =
+    mutable.PriorityQueue.empty[(Double, Long)] // max-first
+
+  def add(dist: Double, id: Long): Unit = {
+    if (heap.size < k) heap.enqueue((dist, id))
+    else if (ord.lt((dist, id), heap.head)) {
+      heap.dequeue(); heap.enqueue((dist, id))
+    }
+  }
+
+  def merge(other: TopKBuffer): Unit =
+    other.heap.foreach { case (d, i) => add(d, i) }
+
+  /** ascending (distance, id) */
+  def sorted: Array[(Double, Long)] = heap.toArray.sorted
+}
+
+/** Distributed exact top-k as an aggregate: the reference's streaming
+  * cross-batch top-k prune (vfs/src/vfs/rank.rs:147-182, W3) re-expressed
+  * as partial aggregation — each task keeps at most k candidates per
+  * group (map-side combine), so a grouped k-NN over Q queries shuffles
+  * only Q × partitions × k rows instead of Q × N scored rows. This is
+  * the piece that makes multi-query k-NN viable at 100 TB.
+  *
+  * Input: (distance DOUBLE, id LONG); output:
+  * ARRAY<STRUCT<id LONG, distance DOUBLE>> ascending by (distance, id).
+  * NaN distances sort last under total ordering and are dropped unless
+  * fewer than k finite candidates exist (documented divergence from the
+  * reference's NaN==equal sort, SURVEY §2.8 W1).
+  */
+case class TopKByDistance(
+    distance: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(distance, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("distance", DoubleType, nullable = false))))
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val d = distance.eval(input)
+    val i = id.eval(input)
+    if (d != null && i != null)
+      buf.add(d.asInstanceOf[Double], i.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: TopKBuffer): Any = {
+    val rows = buf.sorted.filterNot { case (d, _) => d.isNaN }
+    val out = (if (rows.nonEmpty) rows else buf.sorted).map { case (d, i) =>
+      InternalRow(i, d)
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.heap.size)
+    buf.heap.foreach { case (d, i) => out.writeDouble(d); out.writeLong(i) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val kk = in.readInt()
+    val n = in.readInt()
+    val buf = new TopKBuffer(kk)
+    var j = 0
+    while (j < n) { buf.add(in.readDouble(), in.readLong()); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByDistance =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByDistance =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): Expression =
+    copy(distance = cs(0), id = cs(1))
+  override def prettyName: String = "vfs_topk"
+}
+
+object TopKByDistance {
+  /** Column API: `df.groupBy("qid").agg(topk($"distance", $"id", 5))` */
+  def topk(distance: Column, id: Column, k: Int): Column =
+    shims.column(TopKByDistance(shims.expression(distance),
+      shims.expression(id), k).toAggregateExpression())
+}

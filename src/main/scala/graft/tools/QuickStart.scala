@@ -62,6 +62,22 @@ object QuickStart {
     store.restore("demo")
     println(s"[quickstart] rows before restore=$before after=${store.read().count()}")
 
+    // operator surface: single-query search, batch search, IVF probe
+    val knnTop = graft.operators.Knn.search(store, q, 5,
+      graft.operators.Metric.Cosine)
+    println(s"[quickstart] Knn.search top ids: " +
+      knnTop.select("id").as[Long].collect().mkString(","))
+    val queries = Seq((1L, q)).toDF("qid", "qvalues")
+    val batch = graft.operators.Knn.exactBatch(store.read(), queries, 5,
+      graft.operators.Metric.Cosine)
+    println(s"[quickstart] exactBatch rows: ${batch.count()}")
+    val ivfDir = s"$root/ivf"
+    graft.operators.IvfIndex.build(store.read(), ivfDir, 8,
+      graft.operators.Metric.Cosine)
+    val approx = graft.operators.IvfIndex.search(spark, ivfDir, q, 5)
+      .select("id").as[Long].collect()
+    println(s"[quickstart] IVF top ids: ${approx.mkString(",")}")
+
     // error taxonomy probes
     try store.insert(Array(1f, 2f), "bad-dim", Nil)
     catch { case e: Exception => println(s"[quickstart] expected: ${e.getMessage}") }

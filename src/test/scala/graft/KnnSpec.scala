@@ -1,0 +1,115 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+class KnnSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+  import spark.implicits._
+
+  private lazy val emb = spark.read
+    .parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+    .select($"vec_id".as("id"), $"embedding".as("values"))
+
+  private lazy val all: Array[(Long, Array[Float])] =
+    emb.as[(Long, Array[Float])].collect()
+
+  private def bruteTopK(q: Array[Float], k: Int): Seq[Long] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    all.map { case (id, v) => (cos(v, q), id) }.sorted.take(k).map(_._2).toSeq
+  }
+
+  test("exact knn matches brute force") {
+    val q = all(7)._2
+    val got = Knn.exact(emb, q, 10, Metric.Cosine)
+      .select("id").as[Long].collect().toSeq
+    assert(got === bruteTopK(q, 10))
+  }
+
+  test("exactBatch matches per-query exact, via TopKByDistance partial agg") {
+    val queries = all.take(5).map { case (id, v) => (id, v) }.toSeq
+      .toDF("qid", "qvalues")
+    val got = Knn.exactBatch(emb, queries, 7, Metric.Cosine)
+      .orderBy($"qid", $"rank")
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    all.take(5).foreach { case (qid, qv) =>
+      assert(got(qid) === bruteTopK(qv, 7), s"qid=$qid")
+    }
+  }
+
+  test("exactBatch plan: broadcast join + partial topk aggregation") {
+    val queries = all.take(2).toSeq.toDF("qid", "qvalues")
+    val plan = Knn.exactBatch(emb, queries, 5, Metric.Cosine)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_vfs_topk"), plan)
+  }
+
+  test("IVF index: recall@10 >= 0.9 on clustered data, with partition pruning") {
+    // IVF's contract assumes cluster structure; build a corpus of 16
+    // well-separated clusters and expect near-perfect recall at 25% probe.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(16)(Array.fill(64)(rnd.nextFloat() * 2 - 1))
+    val points = (0 until 800).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.05f))
+    }
+    val clustered = points.toDF("id", "values")
+    val dirC = Files.createTempDirectory("ivfc").toString
+    IvfIndex.build(clustered, dirC, nCentroids = 16, Metric.Cosine)
+    def cosTop(q: Array[Float], k: Int): Set[Long] = {
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        a.indices.foreach { i =>
+          dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i)
+        }
+        1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      points.map { case (id, v) => (cos(v, q), id) }
+        .sorted.take(k).map(_._2).toSet
+    }
+    val recallC = points.take(20).map { case (_, q) =>
+      val approx = IvfIndex.search(spark, dirC, q, 10, nProbe = 4)
+        .select("id").as[Long].collect().toSet
+      (approx & cosTop(q, 10)).size / 10.0
+    }.sum / 20
+    assert(recallC >= 0.9, s"clustered recall@10 = $recallC")
+
+    // uniform random corpus (worst case for any IVF): recall tracks the
+    // probed fraction; at 50% probed demand >= 0.8
+    val dir = Files.createTempDirectory("ivf").toString
+    IvfIndex.build(emb, dir, nCentroids = 16, Metric.Cosine)
+    val hits = all.take(20).map { case (_, q) =>
+      val approx = IvfIndex.search(spark, dir, q, 10, nProbe = 8)
+        .select("id").as[Long].collect().toSet
+      val exact = bruteTopK(q, 10).toSet
+      (approx & exact).size.toDouble / exact.size
+    }
+    val recall = hits.sum / hits.length
+    assert(recall >= 0.8, s"uniform recall@10 = $recall")
+    // partition pruning visible in the physical plan
+    val plan = IvfIndex.search(spark, dir, all.head._2, 10, nProbe = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster"), plan)
+  }
+
+  test("search validates dimension at the API boundary") {
+    val dir = Files.createTempDirectory("store").toString
+    val s = graft.store.VfsStore.create(spark, dir, "knn", dim = 4)
+    s.insert(Array(1f, 0f, 0f, 0f), "a", Nil)
+    intercept[graft.store.InvalidVectorException] {
+      Knn.search(s, Array(1f, 0f), 5)
+    }
+  }
+}
