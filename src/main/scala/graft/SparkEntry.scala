@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
-import graft.operators.{Knn, Metric}
+import graft.operators.{Dedup, Knn, Metric, TextAnalysis}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, with DuckDB-equivalent `oracleSql` where SQL can
@@ -40,7 +40,9 @@ object SparkEntry {
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+        // integer `div`, NOT `/`: `/` is double division and loses
+        // microsecond precision beyond 2^53 ns
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }
@@ -185,6 +187,99 @@ object SparkEntry {
         .distinct()
       days("click").except(days("purchase"))
         .orderBy(col("user_id").asc, col("day").asc)
+    }),
+
+    // ======== LLM-pipeline operators (north-star additions) ========
+
+    // ---- exact dedup: hash-groupBy keep-first ----
+    "dedup_exact_groups" -> ((s, dir) => {
+      Dedup.exactGroups(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("keeper"), col("cnt"))
+        .orderBy(col("keeper").asc)
+    }),
+
+    // ---- near-dup by word-set jaccard, exact within source group ----
+    "dedup_jaccard_source" -> ((s, dir) => {
+      Dedup.jaccardPairsWithin(
+          s.read.parquet(s"$dir/documents.parquet"), "source", 0.8)
+        .orderBy(col("a").asc, col("b").asc)
+    }),
+
+    // ---- embedding near-dup, exact within label group ----
+    "dedup_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingPairsWithin(
+          s.read.parquet(s"$dir/embeddings.parquet"), "label", 0.6)
+        .orderBy(col("a").asc, col("b").asc)
+    }),
+
+    // ---- token counting ----
+    "text_tokens" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          graft.operators.TextAnalysis.tokenCountBpeIsh(col("text"))
+            .as("n_subwords"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- quality scoring ----
+    "text_quality" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+          graft.operators.TextAnalysis.qualityMilli(col("text"))
+            .as("quality_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- language identification (deterministic heuristic) ----
+    "text_langid" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+          graft.operators.TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- multimodal column plumbing (binary payload + metadata) ----
+    "multimodal_meta" -> ((s, dir) => {
+      graft.operators.Multimodal
+        .mediaFromDocs(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), col("format"), col("n_bytes"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- batched multi-query similarity search (TopKByDistance) ----
+    "similarity_batch_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val queries = e.filter(col("vec_id").isin(1L, 2L, 3L, 4L, 5L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvalues"))
+      Knn.exactBatch(
+          e.select(col("vec_id").as("id"), col("embedding").as("values")),
+          queries, 3, Metric.Cosine)
+        .select(col("qid"), col("id").as("vec_id"),
+          milli(col("distance")).as("dist_milli"), col("rank"))
+        .orderBy(col("qid").asc, col("rank").asc)
+    }),
+
+    // ---- event-time windowed aggregation (streaming shape, batch run) ----
+    "stream_window_agg" -> ((s, dir) => {
+      graft.streaming.Ingest
+        .windowedEventCounts(events(s, dir), batchMode = true)
+        .orderBy(col("ws").asc, col("event_type").asc)
+    }),
+
+    // ---- sessionization: gap > 30 min starts a new session ----
+    "w_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
+      val gap = when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
+        .otherwise(when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))
+      ev.withColumn("new_s", gap)
+        .withColumn("session_id", sum(col("new_s")).over(w).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("us")).as("start_us"))
+        .orderBy(col("user_id").asc, col("session_id").asc)
     })
   )
 
@@ -274,6 +369,124 @@ object SparkEntry {
         |EXCEPT
         |SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
         |FROM events WHERE event_type = 'purchase'
-        |ORDER BY user_id ASC, day ASC""".stripMargin
+        |ORDER BY user_id ASC, day ASC""".stripMargin,
+
+    "dedup_exact_groups" ->
+      """SELECT min(doc_id) AS keeper, count(*) AS cnt
+        |FROM documents GROUP BY text
+        |ORDER BY keeper ASC""".stripMargin,
+
+    "dedup_jaccard_source" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) * 1000.0
+        |    / len(list_distinct(a.w || b.w))) AS BIGINT) AS jaccard_milli
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) * 1000.0
+        |    / len(list_distinct(a.w || b.w))) AS BIGINT) >= 800
+        |ORDER BY a ASC, b ASC""".stripMargin,
+
+    "dedup_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  CAST(round((1 - list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))) * 1000) AS BIGINT) AS dist_milli
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE CAST(round((1 - list_inner_product(a.v, b.v)
+        |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))) * 1000) AS BIGINT) < 600
+        |ORDER BY a ASC, b ASC""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(string_split_regex(trim(text), '[\s[:punct:]]+')) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+
+    "text_quality" -> textQualityOracle,
+
+    "text_langid" -> textLangIdOracle,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, 'text/plain' AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+
+    "similarity_batch_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (1,2,3,4,5)),
+        |scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    (1 - list_inner_product(e.v, q.qv)
+        |      / (sqrt(list_inner_product(e.v, e.v)) * sqrt(list_inner_product(q.qv, q.qv)))) AS d
+        |  FROM e CROSS JOIN q)
+        |SELECT qid, vec_id, CAST(round(d * 1000) AS BIGINT) AS dist_milli,
+        |  CAST(row_number() OVER (PARTITION BY qid ORDER BY d ASC, vec_id ASC) AS BIGINT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 3
+        |ORDER BY qid ASC, rank ASC""".stripMargin,
+
+    "stream_window_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  event_type, count(*) AS n,
+        |  CAST(round(sum(value) * 100) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1, 2
+        |ORDER BY ws ASC, event_type ASC""".stripMargin,
+
+    "w_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, us,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS session_id FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(us) AS start_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id ASC, session_id ASC""".stripMargin
   )
+
+  // ---- oracle SQL generated from the same constants the Spark
+  // implementation uses (TextAnalysis.LangProfiles) ----
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  private def textQualityOracle: String = {
+    val stops = TextAnalysis.LangProfiles.flatMap(_._2).distinct
+    s"""WITH t AS (SELECT doc_id, text,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS toks,
+       |  CAST(length(text) AS DOUBLE) AS n_chars FROM documents)
+       |SELECT doc_id, CAST(round(
+       |    least(len(toks) / 100.0, 1.0) * 250
+       |  + (CASE WHEN n_chars > 0 THEN length(regexp_replace(text, '[^[:alpha:]]', '', 'g')) / n_chars ELSE 0.0 END) * 250
+       |  + least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ${inList(stops)})) AS DOUBLE) / len(toks) ELSE 0.0 END) * 5.0, 1.0) * 250
+       |  + (1.0 - (CASE WHEN n_chars > 0 THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / n_chars ELSE 0.0 END)) * 250
+       |  ) AS BIGINT) AS quality_milli
+       |FROM t ORDER BY doc_id ASC""".stripMargin
+  }
+
+  private def textLangIdOracle: String = {
+    val scores = TextAnalysis.LangProfiles.map { case (lang, words) =>
+      s"len(list_filter(toks, x -> x IN ${inList(words)})) AS s_$lang"
+    }.mkString(",\n  ")
+    // argmax with ties broken by profile order (de < en < es < fr)
+    s"""WITH t AS (SELECT doc_id, text,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+       |sc AS (SELECT doc_id, text,
+       |  $scores
+       |  FROM t)
+       |SELECT doc_id, CASE
+       |  WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > length(text) * 0.3 THEN 'zh'
+       |  WHEN greatest(s_de, s_en, s_es, s_fr) > 0 THEN (
+       |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_fr THEN 'es'
+       |         ELSE 'fr' END)
+       |  ELSE 'und' END AS lang_pred
+       |FROM sc ORDER BY doc_id ASC""".stripMargin
+  }
 }

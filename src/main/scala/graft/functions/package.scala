@@ -34,6 +34,13 @@ package object functions {
   def vfs_dequantize(q: Column, scale: Column): Column =
     col(DequantizeVec(ex(q), ex(scale)))
 
+  /** FNV-1a 64 content fingerprint (dedup hash key) */
+  def vfs_fingerprint(text: Column): Column = col(Fingerprint(ex(text)))
+  /** min FNV-1a over k-byte shingles (near-dup signature) */
+  def vfs_min_shingle(text: Column, k: Int): Column =
+    col(MinShingleHash(ex(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
   /** Registers all functions for SQL use, including the `simd_*`
     * aliases (numerically identical — the reference's SIMD kernels
     * compute the same formula, vfs/src/vfs/rank.rs:14-56; Spark's
@@ -50,5 +57,7 @@ package object functions {
     r1("vfs_norm", es => L2Norm(es(0)))
     r1("vfs_quantize", es => QuantizeVec(es(0), es(1), clamp = false))
     r1("vfs_dequantize", es => DequantizeVec(es(0), es(1)))
+    r1("vfs_fingerprint", es => Fingerprint(es(0)))
+    r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
   }
 }

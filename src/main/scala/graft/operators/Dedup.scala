@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{vfs_cosine, vfs_fingerprint}
+
+/** Deduplication operators for training-data pipelines, each designed
+  * as a shuffle-minimal DataFrame program:
+  *
+  *   - exact: one hash-groupBy (map-side partial agg)
+  *   - MinHash-LSH: per-row signature (no shuffle) → band explode →
+  *     bucket self-join (shuffle carries only (band, sig, id) triples)
+  *     → exact-jaccard verification of candidates only
+  *   - SimHash: per-row 64-bit signature → 4×16-bit band blocking
+  *     (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bands equal)
+  *   - embedding near-dup: cosine LSH via seeded random hyperplanes
+  *
+  * The reference has no dedup surface (SURVEY §2.9 N/A); these are the
+  * north-star LLM-pipeline additions.
+  */
+object Dedup {
+
+  /** Exact dedup on content hash: one row per distinct content with the
+    * minimal id as keeper and the duplicate count. */
+  def exactGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(vfs_fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("cnt"))
+
+  /** Survivors of exact dedup (keep-first-by-id). */
+  def exactSurvivors(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(vfs_fingerprint(col(textCol)))
+      .orderBy(col(idCol).asc)
+    docs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  private def wordSet(textCol: Column): Column =
+    array_distinct(split(trim(lower(textCol)), "\\s+"))
+
+  /** MinHash signature: sig[i] = min over distinct words of
+    * murmur3(word, seed=i), i < numHashes. Pure projection. */
+  def minHashSignature(textCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(wordSet(textCol), w => hash(w, i))))
+
+  /** MinHash-LSH near-dup pairs over word sets.
+    * numHashes = bands × rowsPerBand; candidates whose signatures agree
+    * on ≥ 1 band are verified with exact jaccard ≥ `threshold`.
+    * Output: (a, b, jaccard_milli) with a < b.
+    *
+    * `maxBucket` caps pathological buckets (e.g. all-identical corpora)
+    * to bound the self-join blowup; capped buckets are all true dup
+    * groups anyway and surface through `exactGroups`. */
+  def minHashLsh(docs: DataFrame, threshold: Double = 0.8,
+      textCol: String = "text", idCol: String = "doc_id",
+      bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = docs.select(col(idCol).as("id"),
+      wordSet(col(textCol)).as("words"),
+      minHashSignature(col(textCol), numHashes).as("sig"))
+    val exploded = withSig.select(col("id"), col("words"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band", "bsig")))
+    val bucketW = Window.partitionBy(col("band"), col("bsig"))
+    val banded = exploded
+      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        col("a.words").as("wa"), col("b.words").as("wb"))
+      .dropDuplicates("a", "b")
+    candidates
+      .withColumn("jaccard_milli", jaccardMilli(col("wa"), col("wb")))
+      .filter(col("jaccard_milli") >= math.round(threshold * 1000))
+      .select(col("a"), col("b"), col("jaccard_milli"))
+  }
+
+  /** round(1000·|a∩b| / |a∪b|) over two distinct-element arrays */
+  def jaccardMilli(wa: Column, wb: Column): Column =
+    round(size(array_intersect(wa, wb)).cast("double") * 1000.0 /
+      size(array_union(wa, wb))).cast("long")
+
+  /** Exact within-group near-dup pairs by word-set jaccard — the
+    * oracle-checkable twin of [[minHashLsh]]: an equi-join on
+    * `groupCol` bounds the O(n²) to each group (e.g. same source).
+    * Output: (a, b, jaccard_milli), a < b. */
+  def jaccardPairsWithin(docs: DataFrame, groupCol: String,
+      threshold: Double, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = docs.select(col(groupCol).as("g"), col(idCol).as("id"),
+      wordSet(col(textCol)).as("words"))
+    val a = t.as("a")
+    val b = t.as("b")
+    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        jaccardMilli(col("a.words"), col("b.words")).as("jaccard_milli"))
+      .filter(col("jaccard_milli") >= math.round(threshold * 1000))
+  }
+
+  /** 64-bit SimHash per document: bit j of the signature is the sign of
+    * Σ_tokens (bit j of xxhash64(token) ? +1 : −1). Pure projection via
+    * higher-order functions — no shuffle, no UDF. */
+  def simHash64(textCol: Column): Column = {
+    val counts = aggregate(
+      wordSet(textCol),
+      array_repeat(lit(0), 64),
+      (acc, w) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          j => when(call_function("shiftright", xxhash64(w), j).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)),
+        (x, y) => x + y))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 16):
+    * 4×16-bit band blocking guarantees no false negatives for
+    * maxHamming ≤ 3. Output: (a, b, hamming). */
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking covers hamming <= 3")
+    val sigs = docs.select(col(idCol).as("id"),
+      simHash64(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xffffL)))
+        .as(Seq("band", "bval")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bval") === col("b.bval") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup, exact within a blocking group (oracle-checkable
+    * twin): pairs with cosine distance < tau. */
+  def embeddingPairsWithin(emb: DataFrame, groupCol: String, tau: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val t = emb.select(col(groupCol).as("g"), col(idCol).as("id"),
+      col(vecCol).as("v"))
+    val a = t.as("a")
+    val b = t.as("b")
+    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        round(vfs_cosine(col("a.v"), col("b.v")) * 1000).cast("long")
+          .as("dist_milli"))
+      .filter(col("dist_milli") < math.round(tau * 1000))
+  }
+
+  /** Embedding near-dup at scale: cosine LSH — `nBits` seeded random
+    * hyperplanes give a signature; candidates share a signature, then
+    * exact cosine verifies < tau. Deterministic via seed (the U2 RNG
+    * determinism hook, ann.rs:245-248). */
+  def embeddingNearDupLsh(emb: DataFrame, tau: Double, nBits: Int = 16,
+      seed: Long = 42L, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nBits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+    val sigCol = planes.zipWithIndex.map { case (p, i) =>
+      when(graft.functions.vfs_dot(col("v"), typedLit(p)) > 0,
+        shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce[Column]((x, y) => x.bitwiseOR(y))
+    val t = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("sig", sigCol)
+    val a = t.as("a")
+    val b = t.as("b")
+    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        round(vfs_cosine(col("a.v"), col("b.v")) * 1000).cast("long")
+          .as("dist_milli"))
+      .filter(col("dist_milli") < math.round(tau * 1000))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One multimodal asset: an opaque binary payload + typed metadata.
+  * Image/audio/video are all carried this way (SURVEY north-star:
+  * multimodal columns for training-data pipelines). */
+case class MediaRecord(doc_id: Long, media: Array[Byte], format: String,
+    n_bytes: Long)
+
+/** Decoded/derived features for one asset. */
+case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
+    feature: Array[Float])
+
+/** Multimodal-column plumbing: schema, partition-friendly batch decode,
+  * and feature extraction. The *decode kernel itself is a stub* — the
+  * real image/audio codecs are not available in this environment — but
+  * everything Spark-side (binary columns, typed Datasets, mapPartitions
+  * batch shape, deterministic output) is real and tested. Swap
+  * [[decodeStub]] for a JNI/codec call and nothing else changes.
+  */
+object Multimodal {
+
+  /** Build a media table from the documents table: the text payload is
+    * UTF-8-encoded as the stand-in binary blob. */
+  def mediaFromDocs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("media"),
+      lit("text/plain").as("format"),
+      octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"))
+
+  /** STUB decode: a real implementation would decode image/audio bytes
+    * here (e.g. via a codec library) and emit pixel/sample buffers.
+    * This deterministic stand-in derives an 8-dim feature from byte
+    * content so the full pipeline (schema, batching, downstream joins,
+    * similarity search over features) is exercised end-to-end. */
+  private[operators] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    // ??? <- real codec goes here; deterministic fake below
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < bytes.length) {
+      out(i % dim) += (bytes(i) & 0xff) / 255.0f
+      i += 1
+    }
+    val n = math.max(1, bytes.length / dim)
+    out.map(_ / n)
+  }
+
+  /** Batch feature extraction over partitions — the Scala analog of a
+    * pandas-UDF/mapInPandas batch kernel: one JVM-side loop per
+    * partition, no per-row closure dispatch, constant memory. */
+  def extractFeatures(spark: SparkSession, media: DataFrame,
+      dim: Int = 8): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("format"), col("n_bytes"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          MediaFeatures(r.doc_id, r.format, r.n_bytes,
+            decodeStub(r.media, dim))
+        }
+      }
+  }
+
+  /** "Resize"/re-sample stub shaped like the real thing: deterministic
+    * truncation/padding of the feature vector. */
+  def resampleFeatures(spark: SparkSession, feats: Dataset[MediaFeatures],
+      newDim: Int): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    feats.map { f =>
+      val v = f.feature.take(newDim) ++
+        Array.fill(math.max(0, newDim - f.feature.length))(0.0f)
+      MediaFeatures(f.doc_id, f.format, f.n_bytes, v)
+    }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language identification, content fingerprinting.
+  * All are pure per-row column expressions (no shuffle) so they scale
+  * linearly and stay inside whole-stage codegen.
+  *
+  * Beyond the reference's surface (it has no text ops) — added per the
+  * north-star LLM-pipeline scope.
+  */
+object TextAnalysis {
+
+  /** whitespace tokenization, the baseline token model */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count upper bound: words + punctuation marks are
+    * split points (a cheap, deterministic token-count proxy when no
+    * tokenizer model is loadable). */
+  def tokenCountBpeIsh(text: Column): Column =
+    size(split(trim(text), "[\\s\\p{Punct}]+")).cast("long")
+
+  /** Language stopword profiles (public-knowledge function-word lists). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "mit", "den", "von"),
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"))
+
+  /** Deterministic language-ID heuristic:
+    *   1. CJK codepoint ratio > 0.3 → "zh"
+    *   2. otherwise argmax over stopword-profile hit counts (ties break
+    *      by language code asc — profiles are pre-sorted)
+    *   3. zero hits everywhere → "und"
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val cjk = length(regexp_replace(text, "[^\\u4e00-\\u9fff]", ""))
+    val scores = LangProfiles.map { case (lang, words) =>
+      (lang, size(filter(toks, t => t.isInCollection(words))))
+    }
+    val best = scores.tail.foldLeft(
+      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))) {
+      case (acc, (lang, score)) =>
+        when(score > acc.getField("score"),
+          struct(score.as("score"), lit(lang).as("lang"))).otherwise(acc)
+    }
+    when(cjk > length(text) * 0.3, lit("zh"))
+      .when(best.getField("score") > 0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** Quality score in [0, 1000] (milli-units, integer output):
+    * 250·min(tokens/100,1) + 250·alpha_ratio + 250·min(5·stop_ratio,1)
+    * + 250·(1 − punct_ratio). Standard length/alpha/stopword/punct
+    * heuristics (cf. C4/Gopher-style quality filters, re-derived). */
+  def qualityMilli(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = tokens(lower(text))
+    val nTok = size(toks).cast("double")
+    val alpha = length(regexp_replace(text, "[^\\p{L}]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double")
+    val stops = LangProfiles.flatMap(_._2).distinct
+    val nStop = size(filter(toks, t => t.isInCollection(stops))).cast("double")
+    val lenScore = least(nTok / 100.0, lit(1.0))
+    val alphaRatio = when(nChars > 0, alpha / nChars).otherwise(0.0)
+    val stopScore = least(when(nTok > 0, nStop / nTok).otherwise(0.0) * 5.0, lit(1.0))
+    val punctRatio = when(nChars > 0, punct / nChars).otherwise(0.0)
+    round((lenScore * 250 + alphaRatio * 250 + stopScore * 250 +
+      (lit(1.0) - punctRatio) * 250)).cast("long")
+  }
+
+  /** Full per-document analysis projection. */
+  def analyze(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol), tokenCount(t).as("n_tokens"),
+      tokenCountBpeIsh(t).as("n_subwords"),
+      length(t).cast("long").as("n_chars"),
+      langId(t).as("lang_pred"),
+      qualityMilli(t).as("quality_milli"),
+      graft.functions.vfs_fingerprint(t).as("fingerprint"))
+  }
+}

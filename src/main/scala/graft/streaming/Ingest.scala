@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.store.VfsStore
+
+/** Streaming ingest — the memtable/flush cycle (SURVEY §2.11: S4/S5)
+  * as Structured Streaming: each micro-batch is appended to the store
+  * through the same guarded `appendBatch` commit path (id assignment,
+  * dimension checks, quantize-on-write), so continuous insert workloads
+  * are first-class instead of the reference's bursty
+  * flush-every-10-records pattern (storage_manager.rs:12, 306-314).
+  */
+object Ingest {
+
+  /** Attach a streaming source (schema: values ARRAY<FLOAT>,
+    * name STRING, tags ARRAY<STRING>) to a store. Exactly-once per
+    * micro-batch via the streaming checkpoint + the store's atomic
+    * manifest commit. */
+  def intoStore(stream: DataFrame, store: VfsStore,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) { store.appendBatch(batch); () }
+      }
+      .start()
+
+  /** Event-time windowed aggregation with watermark — the standard
+    * streaming analytics shape (count/sum per event_type per window).
+    * Works identically over a batch DataFrame (run with
+    * `batchMode = true` for oracle-checkable semantics). */
+  def windowedEventCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "10 minutes", batchMode: Boolean = false): DataFrame = {
+    val src = if (batchMode) events else events.withWatermark("ts", watermark)
+    src.groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * 100).cast("long").as("value_c"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("ws"),
+        col("event_type"), col("n"), col("value_c"))
+  }
+}

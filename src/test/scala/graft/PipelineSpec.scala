@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet(s"${GraftTest.sf001}/documents.parquet")
+
+  test("minhash LSH finds all high-jaccard pairs found by exact search") {
+    // ground truth: exact within-source jaccard >= 0.9 pairs
+    val exact = Dedup.jaccardPairsWithin(docs, "source", 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "calibration: expected some >=0.9 pairs")
+    val lsh = Dedup.minHashLsh(docs, threshold = 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    // LSH searches globally, so it must find at least the within-source set
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed ${missed.size} of ${exact.size}")
+    // and every reported pair genuinely clears the threshold (verified step)
+    assert(lsh.size >= exact.size)
+  }
+
+  test("simhash: identical docs collide, hamming pairs are symmetric-free") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different document about spark engines"),
+      (4L, "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(d, maxHamming = 3)
+      .select($"a", $"b", $"hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1 && b == 2 && h == 0 })
+    assert(pairs.forall { case (a, b, _) => a < b })
+  }
+
+  test("exact dedup groups: synthetic duplicates collapse to keeper") {
+    val d = Seq((10L, "same text"), (11L, "same text"), (12L, "other"))
+      .toDF("doc_id", "text")
+    val g = Dedup.exactGroups(d).select($"keeper", $"cnt")
+      .as[(Long, Long)].collect().toMap
+    assert(g(10L) === 2L && g(12L) === 1L)
+    val survivors = Dedup.exactSurvivors(d).select($"doc_id")
+      .as[Long].collect().toSet
+    assert(survivors === Set(10L, 12L))
+  }
+
+  test("embedding near-dup LSH agrees with exact pairs on clustered data") {
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(64)(rnd.nextFloat())
+    val rows = Seq(
+      (1L, 0, base),
+      (2L, 0, base.map(x => x + 0.001f)), // near-dup of 1
+      (3L, 0, Array.fill(64)(rnd.nextFloat() - 0.5f))
+    ).toDF("vec_id", "label", "embedding")
+    val exact = Dedup.embeddingPairsWithin(rows, "label", 0.1)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(exact === Set((1L, 2L)))
+    val lsh = Dedup.embeddingNearDupLsh(rows, 0.1, nBits = 8)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(lsh === Set((1L, 2L)))
+  }
+
+  test("text analysis: fingerprint equality iff text equality; langid sane") {
+    val d = Seq((1L, "the cat and the dog"), (2L, "the cat and the dog"),
+      (3L, "el perro y el gato que no se va"))
+      .toDF("doc_id", "text")
+    val a = TextAnalysis.analyze(d).collect().map(r =>
+      r.getLong(0) -> (r.getLong(6), r.getString(4))).toMap
+    assert(a(1L)._1 === a(2L)._1)
+    assert(a(1L)._1 !== a(3L)._1)
+    assert(a(1L)._2 === "en")
+    assert(a(3L)._2 === "es")
+  }
+
+  test("multimodal: batch feature extraction is deterministic plumbing") {
+    val media = Multimodal.mediaFromDocs(docs.limit(50))
+    assert(media.schema("media").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val feats = Multimodal.extractFeatures(spark, media, dim = 8)
+    val rows = feats.collect()
+    assert(rows.length === 50)
+    assert(rows.forall(_.feature.length === 8))
+    // deterministic: run twice, same features
+    val again = Multimodal.extractFeatures(spark, media, dim = 8).collect()
+    assert(rows.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
+    val res = Multimodal.resampleFeatures(spark, feats, 4).collect()
+    assert(res.forall(_.feature.length === 4))
+  }
+
+  test("streaming ingest: micro-batches append to store exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Seq[Float], String, Seq[String])]
+    val root = Files.createTempDirectory("stream-store").toString
+    val store = graft.store.VfsStore.create(spark, root, "stream", dim = 3)
+    val q = graft.streaming.Ingest.intoStore(
+      stream.toDF().toDF("values", "name", "tags"), store,
+      s"$root/checkpoint",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    try {
+      stream.addData((Seq(1f, 2f, 3f), "a", Seq("t")))
+      stream.addData((Seq(4f, 5f, 6f), "b", Seq[String]()))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = store.read().select($"id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L))
+  }
+
+  test("windowed event counts run in streaming mode with watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = graft.streaming.Ingest.windowedEventCounts(
+      stream.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("winagg").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:15:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 11:20:00")
+      val late = java.sql.Timestamp.valueOf("2024-01-01 13:00:00")
+      stream.addData((t0, "click", 1.0), (t0, "click", 2.0), (t1, "view", 3.0))
+      q.processAllAvailable()
+      stream.addData((late, "click", 1.0)) // advances watermark past 10:00 window
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM winagg").collect()
+      assert(out.exists(r => r.getString(0) == "2024-01-01 10:00:00" &&
+        r.getString(1) == "click" && r.getLong(2) == 2L))
+    } finally q.stop()
+  }
+}
