@@ -84,6 +84,15 @@ object QuickStart {
     try store.restore("nope")
     catch { case e: Exception => println(s"[quickstart] expected: ${e.getMessage}") }
 
+    // API-parity surface: the reference's 7 endpoints as library calls
+    val api = new graft.api.VfsApi(spark,
+      java.nio.file.Files.createTempDirectory("graft-api").toString)
+    api.init("""{"vector_dimension": 4, "quantize": true}""")
+    val ins = api.register("""{"values":[0.1,0.2,0.3,0.4],"name":"n1","tags":["t"]}""")
+    val srch = api.search("""{"values":[0.1,0.2,0.3,0.4],"top_k":1,"search_type":"exact"}""")
+    println(s"[quickstart] api insert=${ins.status} search=${srch.status} " +
+      s"hit=${srch.body.path("results").get(0).path("id").asLong()}")
+
     spark.stop()
     println("[quickstart] OK")
   }
