@@ -60,27 +60,34 @@ object Dedup {
       bands: Int = 16, rowsPerBand: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = docs.select(col(idCol).as("id"),
-      wordSet(col(textCol)).as("words"),
+    // SCALE NOTE: the banded relation stays SLIM — (id, band, bsig)
+    // triples only. Carrying word arrays through the ×bands explode and
+    // the bucket self-join would multiply shuffle volume by
+    // bands × |words|; instead the word sets are joined back for just
+    // the deduplicated candidate pairs.
+    val sigs = docs.select(col(idCol).as("id"),
       minHashSignature(col(textCol), numHashes).as("sig"))
-    val exploded = withSig.select(col("id"), col("words"),
+    val banded = sigs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
           .as(Seq("band", "bsig")))
     val bucketW = Window.partitionBy(col("band"), col("bsig"))
-    val banded = exploded
+    val capped = banded
       .withColumn("bucket_n", count(lit(1)).over(bucketW))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
-    val a = banded.as("a")
-    val b = banded.as("b")
+    val a = capped.as("a")
+    val b = capped.as("b")
     val candidates = a.join(b,
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"),
-        col("a.words").as("wa"), col("b.words").as("wb"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
       .dropDuplicates("a", "b")
+    val words = docs.select(col(idCol).as("id"),
+      wordSet(col(textCol)).as("words"))
     candidates
+      .join(words.select(col("id").as("a"), col("words").as("wa")), Seq("a"))
+      .join(words.select(col("id").as("b"), col("words").as("wb")), Seq("b"))
       .withColumn("jaccard_milli", jaccardMilli(col("wa"), col("wb")))
       .filter(col("jaccard_milli") >= math.round(threshold * 1000))
       .select(col("a"), col("b"), col("jaccard_milli"))
