@@ -47,13 +47,17 @@ object Knn {
 
   /** Single-query exact k-NN over any DataFrame with an id + vector
     * column. Ties break by id asc (deterministic; reproduces the
-    * reference's file-order for its sequential ids, SURVEY §7.3). */
+    * reference's file-order for its sequential ids, SURVEY §7.3).
+    * NaN distances (zero-norm cosine) sort LAST under Spark's double
+    * ordering, so they never reach the top-k unless fewer than k finite
+    * candidates exist — same contract as [[TopKByDistance]]; an
+    * explicit isnan filter would make Catalyst evaluate the distance
+    * twice per row (once in Filter, once in Project). */
   def exact(base: DataFrame, query: Array[Float], k: Int,
       metric: Metric = Metric.Euclidean, vecCol: String = "values",
       idCol: String = "id"): DataFrame = {
     base
       .withColumn("distance", metric.dist(col(vecCol), typedLit(query)))
-      .filter(!isnan(col("distance")))
       .orderBy(col("distance").asc, col(idCol).asc)
       .limit(k)
   }

@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Knn, Metric}
+
+/** Prints formatted physical plans for the engine's key operators so
+  * plan regressions (lost pushdown, missing broadcast, codegen breaks)
+  * are visible: `sbt "runMain graft.tools.Explain"`. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("values"))
+    val q = emb.filter(col("id") === 1L).head().getSeq[Float](1).toArray
+
+    def show(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n========== $name ==========")
+      df.explain("formatted")
+    }
+
+    show("exact knn (expect: scan->project->TakeOrderedAndProject, codegen)") {
+      Knn.exact(emb, q, 5, Metric.Cosine)
+    }
+    show("point lookup (expect: PushedFilters EqualTo(id..))") {
+      emb.filter(col("id") === 42L)
+    }
+    show("column pruning (expect: ReadSchema id only)") {
+      emb.select(col("id")).filter(col("id") < 10)
+    }
+    show("batch knn (expect: broadcast join + partial vfs_topk)") {
+      val queries = emb.limit(3).select(col("id").as("qid"),
+        col("values").as("qvalues"))
+      Knn.exactBatch(emb, queries, 5, Metric.Cosine)
+    }
+    show("q1_agg (expect: partial+final hashagg)") {
+      graft.SparkEntry.queries("q1_agg")(spark, dir)
+    }
+    show("join topk (expect: hash join, partial agg, TakeOrdered)") {
+      graft.SparkEntry.queries("q3_join_topk")(spark, dir)
+    }
+    show("minhash lsh (expect: slim exchange on band/bsig)") {
+      Dedup.minHashLsh(spark.read.parquet(s"$dir/documents.parquet"), 0.8)
+    }
+    spark.stop()
+  }
+}
