@@ -267,6 +267,30 @@ object SparkEntry {
         .orderBy(col("ws").asc, col("event_type").asc)
     }),
 
+    // ---- M5: predicate-filtered search (filter pushed under score) ----
+    "q_filtered_knn" -> ((s, dir) => {
+      val q = queryVec(s, dir, 1L)
+      emb(s, dir)
+        .filter(col("label") === 3)
+        .select(col("vec_id"),
+          milli(vfs_cosine(col("embedding"), typedLit(q))).as("dist_milli"))
+        .orderBy(col("dist_milli").asc, col("vec_id").asc)
+        .limit(5)
+    }),
+
+    // ---- M5: search over a quantized store's dense read view
+    // (dequantize-on-read path, storage_manager.rs:202-210) ----
+    "q_quantized_knn" -> ((s, dir) => {
+      val q = queryVec(s, dir, 1L)
+      val dq = vfs_dequantize(
+        vfs_quantize(col("embedding"), lit(127.0f)), lit(127.0f))
+      emb(s, dir)
+        .select(col("vec_id"),
+          milli(vfs_cosine(dq, typedLit(q))).as("dist_milli"))
+        .orderBy(col("dist_milli").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // ---- sessionization: gap > 30 min starts a new session ----
     "w_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -370,6 +394,25 @@ object SparkEntry {
         |SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id ASC, day ASC""".stripMargin,
+
+    "q_filtered_knn" ->
+      s"""SELECT vec_id,
+         |       CAST(round(${duckCos("CAST(embedding AS DOUBLE[])", qSub)} * 1000) AS BIGINT) AS dist_milli
+         |FROM embeddings
+         |WHERE label = 3
+         |ORDER BY dist_milli ASC, vec_id ASC
+         |LIMIT 5""".stripMargin,
+
+    "q_quantized_knn" ->
+      s"""WITH dq AS (SELECT vec_id,
+         |  list_transform(embedding,
+         |    x -> CAST(CAST(LEAST(GREATEST(round(CAST(x AS DOUBLE) * 127), -128), 127) AS FLOAT) / CAST(127.0 AS FLOAT) AS DOUBLE)) AS v
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |       CAST(round(${duckCos("v", qSub)} * 1000) AS BIGINT) AS dist_milli
+         |FROM dq
+         |ORDER BY dist_milli ASC, vec_id ASC
+         |LIMIT 10""".stripMargin,
 
     "dedup_exact_groups" ->
       """SELECT min(doc_id) AS keeper, count(*) AS cnt
