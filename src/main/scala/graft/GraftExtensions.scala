@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+import graft.operators.TopKByDistance
+
+/** Session-extension hook: registers every graft function at session
+  * build time, so a cluster deploy needs only
+  * `--conf spark.sql.extensions=graft.GraftExtensions` — no driver code.
+  * (`functions.registerAll(spark)` remains the programmatic twin for an
+  * already-built session.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    inject("vfs_euclidean", es => EuclideanDistance(es(0), es(1)))
+    inject("vfs_cosine", es => CosineDistance(es(0), es(1)))
+    inject("simd_euclidean", es => EuclideanDistance(es(0), es(1)))
+    inject("simd_cosine", es => CosineDistance(es(0), es(1)))
+    inject("vfs_dot", es => DotProduct(es(0), es(1)))
+    inject("vfs_norm", es => L2Norm(es(0)))
+    inject("vfs_quantize", es => QuantizeVec(es(0), es(1), clamp = false))
+    inject("vfs_dequantize", es => DequantizeVec(es(0), es(1)))
+    inject("vfs_fingerprint", es => Fingerprint(es(0)))
+    inject("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
+    inject("vfs_topk", es => TopKByDistance(es(0), es(1),
+      es(2).eval().asInstanceOf[Int]).toAggregateExpression())
+  }
+}

@@ -267,6 +267,21 @@ object SparkEntry {
         .orderBy(col("ws").asc, col("event_type").asc)
     }),
 
+    // ---- C7: JSON decode surface (from_json over event props) ----
+    "c7_json_props" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).cast("long").as("k_sum"),
+          count(col("k")).as("n"))
+        .orderBy(col("event_type").asc)
+    }),
+
     // ---- M5: predicate-filtered search (filter pushed under score) ----
     "q_filtered_knn" -> ((s, dir) => {
       val q = queryVec(s, dir, 1L)
@@ -394,6 +409,13 @@ object SparkEntry {
         |SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id ASC, day ASC""".stripMargin,
+
+    "c7_json_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(json_extract_string(props, '$.k')) AS n
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
 
     "q_filtered_knn" ->
       s"""SELECT vec_id,

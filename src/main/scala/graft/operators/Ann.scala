@@ -40,10 +40,17 @@ object IvfIndex {
 
   /** Build the index from (idCol, vecCol) rows and persist at `path`:
     * `centroids/` (cluster INT, centroid ARRAY<FLOAT>),
-    * `assignments/cluster=<c>/` (id, values), `ivf.json`. */
+    * `assignments/cluster=<c>/` (id, values), `ivf.json`.
+    *
+    * Scale design: k-means trains on a bounded SAMPLE (`trainCap` rows
+    * — centroid quality converges long before that), then every row is
+    * assigned in one broadcast-centroid pass. Training cost is O(cap),
+    * independent of corpus size; assignment is a single map over the
+    * data. */
   def build(base: DataFrame, path: String, nCentroids: Int,
       metric: Metric = Metric.Cosine, seed: Long = 42L,
-      vecCol: String = "values", idCol: String = "id"): Unit = {
+      vecCol: String = "values", idCol: String = "id",
+      trainCap: Long = 100000L, maxIter: Int = 10): Unit = {
     val spark = base.sparkSession
     val prepared = metric match {
       case Metric.Cosine =>
@@ -54,12 +61,17 @@ object IvfIndex {
         base.select(col(idCol).as("id"),
           col(vecCol).cast("array<float>").as("values"))
     }
-    val withVec = prepared.withColumn("features",
-      array_to_vector(col("values")))
+    val n = prepared.count()
+    val trainSet =
+      if (n <= trainCap) prepared
+      else prepared.sample(withReplacement = false,
+        math.min(1.0, trainCap.toDouble / n * 1.05), seed)
     val model = new KMeans().setK(nCentroids).setSeed(seed)
+      .setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(withVec)
-    val assigned = model.transform(withVec)
+      .fit(trainSet.withColumn("features", array_to_vector(col("values"))))
+    val assigned = model.transform(
+        prepared.withColumn("features", array_to_vector(col("values"))))
       .select(col("id"), col("values"), col("cluster"))
     assigned.write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assignments")

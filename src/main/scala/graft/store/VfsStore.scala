@@ -191,7 +191,9 @@ class VfsStore private (val spark: SparkSession, val root: String,
       else df
     val dir = f"c${System.currentTimeMillis()}%013d-${manifest.commits.size}%05d"
     val target = s"$root/data/$dir"
-    out.write.mode("overwrite").parquet(target)
+    // sort by id within partitions: parquet row-group min/max stats then
+    // prune point lookups — the B-tree-index analog (SURVEY §1.5)
+    out.sortWithinPartitions("id").write.mode("overwrite").parquet(target)
     // row count comes from the freshly written footers (metadata-only scan),
     // avoiding a second computation of the input pipeline
     val cnt = spark.read.parquet(target).count()

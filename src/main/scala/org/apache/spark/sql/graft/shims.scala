@@ -18,4 +18,25 @@ object shims {
 
   /** Extract the Catalyst Expression from a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a session with the given extensions on an EXISTING
+    * SparkContext. `spark.sql.extensions` is a static conf, so the
+    * builder path ignores it once a context is running — tests (and
+    * embedded deployments) need this hook. */
+  def sessionWithExtensions(sc: org.apache.spark.SparkContext,
+      f: org.apache.spark.sql.SparkSessionExtensions => Unit): org.apache.spark.sql.SparkSession = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    f(ext)
+    // the 6-arg primary constructor is private; this hook exists for
+    // embedded/test use, so reflective access is acceptable here
+    val ctor = classOf[org.apache.spark.sql.classic.SparkSession]
+      .getDeclaredConstructors
+      .find(_.getParameterCount == 6)
+      .getOrElse(throw new IllegalStateException(
+        "SparkSession 6-arg constructor not found"))
+    ctor.setAccessible(true)
+    ctor.newInstance(sc, None, None, ext,
+      Map.empty[String, String], Map.empty[String, String])
+      .asInstanceOf[org.apache.spark.sql.SparkSession]
+  }
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Verifies the cluster-deploy registration path:
+  * spark.sql.extensions=graft.GraftExtensions makes every graft
+  * function SQL-available with no driver code. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions injects functions at session build") {
+    val shared = GraftTest.spark // materialize the shared session first
+    // spark.sql.extensions is a STATIC conf — the builder ignores it on
+    // an existing SparkContext, so construct the session via the shim
+    // (same code path Spark uses for a fresh context).
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      val r = s.sql(
+        """SELECT vfs_euclidean(array(3.0F, 0.0F), array(0.0F, 4.0F)) AS e,
+          |       vfs_fingerprint('abc') AS fp,
+          |       vfs_quantize(array(0.5F), CAST(127.0 AS FLOAT)) AS q
+          |""".stripMargin).head()
+      assert(r.getDouble(0) === 5.0)
+      assert(r.getLong(1) === graft.functions.TextHash.fnv1a("abc".getBytes))
+      assert(r.getSeq[Byte](2).head === 64.toByte)
+      // the custom aggregate comes only from the extension (registerAll
+      // does not add vfs_topk), proving this session used the injector
+      val agg = s.sql(
+        """SELECT vfs_topk(d, id, 2) AS t FROM VALUES
+          |  (3.0D, 1L), (1.0D, 2L), (2.0D, 3L) AS v(d, id)""".stripMargin)
+        .head().getSeq[org.apache.spark.sql.Row](0)
+      assert(agg.map(_.getLong(0)) === Seq(2L, 3L))
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{QuantizeMath, TextHash}
+import graft.operators.TopKBuffer
+
+/** Property tests for the scalar kernels (SURVEY §5 upgrade plan):
+  * quantize/dequantize bounds, top-k invariants, fingerprint behavior.
+  * Uses scalacheck directly (the scalatest bridge isn't in the offline
+  * dependency cache). These exercise the exact code the Catalyst
+  * expressions call from both interpreted and generated paths. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String)(p: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(500), p)
+    assert(r.passed, s"$name: ${r.status}")
+  }
+
+  test("quantize: output within [-128,127]; nearest for in-range") {
+    check("bounds")(Prop.forAll(Gen.chooseNum(-10.0f, 10.0f,
+        0.0f, 0.5f / 127, -0.5f / 127)) { v =>
+      val q = QuantizeMath.quantizeLane(v, 127.0f, clamp = false)
+      val scaled = v.toDouble * 127.0
+      q >= -128 && q <= 127 &&
+        (scaled.abs >= 127 || math.abs(scaled - q) <= 0.5 + 1e-9)
+    })
+  }
+
+  test("quantize with clamp never exceeds [-127, 127]") {
+    check("clamp")(Prop.forAll(Gen.chooseNum(-1e30f, 1e30f)) { v =>
+      val q = QuantizeMath.quantizeLane(v, 127.0f, clamp = true)
+      q >= -127 && q <= 127
+    })
+  }
+
+  test("quantize saturates (never wraps) without clamp") {
+    check("saturate")(Prop.forAll(Gen.chooseNum(1.01f, 1e30f)) { v =>
+      QuantizeMath.quantizeLane(v, 127.0f, clamp = false) == 127.toByte &&
+        QuantizeMath.quantizeLane(-v, 127.0f, clamp = false) == (-128).toByte
+    })
+  }
+
+  test("dequantize(quantize(v)) within half-step for |v| <= 1") {
+    check("roundtrip")(Prop.forAll(Gen.chooseNum(-1.0f, 1.0f)) { v =>
+      val rt = QuantizeMath.dequantizeLane(
+        QuantizeMath.quantizeLane(v, 127.0f, clamp = false), 127.0f)
+      math.abs(v - rt) <= 0.5f / 127.0f + 1e-6f
+    })
+  }
+
+  test("NaN quantizes to 0 (Rust `as i8` semantics)") {
+    assert(QuantizeMath.quantizeLane(Float.NaN, 127.0f, clamp = false) === 0.toByte)
+  }
+
+  test("TopKBuffer equals sorted-take-k of the stream, any order") {
+    val gen = for {
+      k <- Gen.choose(1, 8)
+      xs <- Gen.listOf(Gen.zip(Gen.chooseNum(0.0, 100.0), Gen.choose(0L, 50L)))
+    } yield (k, xs)
+    check("topk")(Prop.forAll(gen) { case (k, xs) =>
+      val buf = new TopKBuffer(k)
+      xs.foreach { case (d, i) => buf.add(d, i) }
+      buf.sorted.toList == xs.sorted.take(k)
+    })
+  }
+
+  test("TopKBuffer merge == single buffer over concatenation") {
+    val pairs = Gen.listOf(Gen.zip(Gen.chooseNum(0.0, 10.0), Gen.choose(0L, 20L)))
+    check("merge")(Prop.forAll(Gen.choose(1, 6), pairs, pairs) { (k, xs, ys) =>
+      val a = new TopKBuffer(k)
+      xs.foreach { case (d, i) => a.add(d, i) }
+      val b = new TopKBuffer(k)
+      ys.foreach { case (d, i) => b.add(d, i) }
+      a.merge(b)
+      val all = new TopKBuffer(k)
+      (xs ++ ys).foreach { case (d, i) => all.add(d, i) }
+      a.sorted.toList == all.sorted.toList
+    })
+  }
+
+  test("TopK serialization round-trips") {
+    check("serde")(Prop.forAll(
+        Gen.listOf(Gen.zip(Gen.chooseNum(0.0, 10.0), Gen.choose(0L, 99L)))) { xs =>
+      val agg = graft.operators.TopKByDistance(null, null, 5)
+      val buf = new TopKBuffer(5)
+      xs.foreach { case (d, i) => buf.add(d, i) }
+      val back = agg.deserialize(agg.serialize(buf))
+      back.sorted.toList == buf.sorted.toList
+    })
+  }
+
+  test("fingerprint: deterministic and content-sensitive") {
+    check("fnv")(Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a, b) =>
+      val fa = TextHash.fnv1a(a.getBytes("UTF-8"))
+      fa == TextHash.fnv1a(a.getBytes("UTF-8")) &&
+        (a == b || fa != TextHash.fnv1a(b.getBytes("UTF-8")))
+    })
+  }
+
+  test("minShingle falls back to whole-string hash under k") {
+    assert(TextHash.minShingle("xy".getBytes, 4) ===
+      TextHash.fnv1a("xy".getBytes))
+    // min over shingles: adding content can only lower-or-keep the min
+    val base = "abcdefgh"
+    val more = base + "zzzz"
+    assert(TextHash.minShingle(more.getBytes, 4) <=
+      TextHash.minShingle(base.getBytes, 4))
+  }
+}
