@@ -66,10 +66,16 @@ object IvfIndex {
       if (n <= trainCap) prepared
       else prepared.sample(withReplacement = false,
         math.min(1.0, trainCap.toDouble / n * 1.05), seed)
-    val model = new KMeans().setK(nCentroids).setSeed(seed)
-      .setMaxIter(maxIter)
-      .setFeaturesCol("features").setPredictionCol("cluster")
-      .fit(trainSet.withColumn("features", array_to_vector(col("values"))))
+    // cache the featurized training set: k-means is iterative and would
+    // otherwise recompute scan+normalize+vectorize every iteration
+    val featurized = trainSet
+      .withColumn("features", array_to_vector(col("values"))).cache()
+    val model = try {
+      new KMeans().setK(nCentroids).setSeed(seed)
+        .setMaxIter(maxIter)
+        .setFeaturesCol("features").setPredictionCol("cluster")
+        .fit(featurized)
+    } finally featurized.unpersist(blocking = false)
     val assigned = model.transform(
         prepared.withColumn("features", array_to_vector(col("values"))))
       .select(col("id"), col("values"), col("cluster"))
