@@ -30,6 +30,56 @@ object Ingest {
       }
       .start()
 
+  /** Stateful streaming sessionization via flatMapGroupsWithState:
+    * per-user sessions close after `gapMinutes` of event-time silence
+    * (tracked with an event-time timeout against the watermark).
+    * Emits (user_id, session_start_us, n_events) when a session closes.
+    * The custom-state analog of the batch `w_sessionize` query. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    case class SessionState(startUs: Long, lastUs: Long, n: Long)
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            val (start, _, n) = state.get
+            state.remove()
+            Iterator((user, start, n))
+          } else {
+            val sorted = rows.map(_._2.getTime * 1000).toSeq.sorted
+            var closed = List.empty[(Long, Long, Long)]
+            var cur = state.getOption
+            sorted.foreach { us =>
+              cur match {
+                case Some((start, last, n)) if us - last <= gapUs =>
+                  cur = Some((start, us, n + 1))
+                case Some((start, _, n)) =>
+                  closed ::= ((user, start, n))
+                  cur = Some((us, us, 1L))
+                case None =>
+                  cur = Some((us, us, 1L))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c._2 / 1000 + gapMinutes.toLong * 60000)
+            }
+            closed.reverseIterator
+          }
+      }
+      .toDF("user_id", "session_start_us", "n_events")
+  }
+
   /** Event-time windowed aggregation with watermark — the standard
     * streaming analytics shape (count/sum per event_type per window).
     * Works identically over a batch DataFrame (run with

@@ -112,6 +112,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids === Array(1L, 2L))
   }
 
+  test("stateful streaming sessionization closes sessions on gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = graft.streaming.Ingest.sessionizeStream(spark,
+      stream.toDF().toDF("user_id", "ts"), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // user 1: two events 10 min apart (one session), then a 2h gap event
+      stream.addData((1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      stream.addData((1L, ts("2024-01-01 12:30:00"))) // gap > 30 min
+      q.processAllAvailable()
+      // late driver event to push the watermark forward past the timeout
+      stream.addData((2L, ts("2024-01-01 20:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      // the first session of user 1 (2 events) must have closed
+      assert(rows.contains((1L, 2L)), rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("windowed event counts run in streaming mode with watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
