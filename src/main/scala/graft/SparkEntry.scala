@@ -306,6 +306,55 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ======== rows-only queries (no SQL-expressible oracle; the
+    // driver records the weaker rows>0/schema check; semantics are
+    // covered by ScalaTest against brute-force ground truth) ========
+
+    // ---- Q3: approximate kNN over a persisted IVF index ----
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("values"))
+      val idx = java.nio.file.Files.createTempDirectory("verify-ivf").toString
+      graft.operators.IvfIndex.build(e, idx, nCentroids = 16, Metric.Cosine)
+      val q = queryVec(s, dir, 1L)
+      graft.operators.IvfIndex.search(s, idx, q, 10, nProbe = 8)
+        .select(col("id").as("vec_id"), milli(col("distance")).as("dist_milli"))
+        .orderBy(col("dist_milli").asc, col("vec_id").asc)
+    }),
+
+    // ---- MinHash-LSH global near-dup (murmur sigs, not in DuckDB) ----
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLsh(s.read.parquet(s"$dir/documents.parquet"),
+          threshold = 0.9)
+        .orderBy(col("a").asc, col("b").asc)
+    }),
+
+    // ---- SimHash near-dup pairs ----
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
+          maxHamming = 3)
+        .orderBy(col("a").asc, col("b").asc)
+    }),
+
+    // ---- content fingerprints (FNV-1a + min-shingle expressions) ----
+    "text_fingerprint" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), vfs_fingerprint(col("text")).as("fp"),
+          vfs_min_shingle(col("text"), 8).as("shingle_min"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- multimodal batch feature extraction (stubbed decode) ----
+    "multimodal_features" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .mediaFromDocs(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.extractFeatures(s, media, dim = 8)
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          round(col("feature")(0) * 1000).cast("long").as("f0_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- sessionization: gap > 30 min starts a new session ----
     "w_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
