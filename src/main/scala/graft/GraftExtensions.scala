@@ -15,6 +15,7 @@ import graft.operators.TopKByDistance
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(_ => graft.plans.ResolveKnnSearch)
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

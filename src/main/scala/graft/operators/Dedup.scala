@@ -88,6 +88,10 @@ object Dedup {
     candidates
       .join(words.select(col("id").as("a"), col("words").as("wa")), Seq("a"))
       .join(words.select(col("id").as("b"), col("words").as("wb")), Seq("b"))
+      // size prefilter: jaccard >= t forces |A| >= t|B| and |B| >= t|A|;
+      // size() is O(1) vs the O(|A|+|B|) intersect it guards
+      .filter(size(col("wa")).cast("double") >= size(col("wb")) * threshold &&
+        size(col("wb")).cast("double") >= size(col("wa")) * threshold)
       .withColumn("jaccard_milli", jaccardMilli(col("wa"), col("wb")))
       .filter(col("jaccard_milli") >= math.round(threshold * 1000))
       .select(col("a"), col("b"), col("jaccard_milli"))

@@ -19,6 +19,12 @@ object shims {
   /** Extract the Catalyst Expression from a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a LogicalPlan as a DataFrame (Dataset.ofRows is private[sql]). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Build a session with the given extensions on an EXISTING
     * SparkContext. `spark.sql.extensions` is a static conf, so the
     * builder path ignores it once a context is running — tests (and

@@ -36,4 +36,30 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(shared)
     }
   }
+
+  test("KnnSearch plan node resolves through the injected rule") {
+    import org.apache.spark.sql.functions.col
+    val shared = GraftTest.spark
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      SparkSession.setActiveSession(s)
+      val emb = s.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("values"))
+      val q = emb.filter(col("id") === 1L).head().getSeq[Float](1).toArray
+      val viaPlan = graft.plans.KnnPlan.knn(emb, q, 5, "cosine")
+      // the rewrite must plan as TakeOrderedAndProject and agree with
+      // the library operator
+      val phys = viaPlan.queryExecution.executedPlan.toString
+      assert(phys.contains("TakeOrderedAndProject"), phys)
+      val ids = viaPlan.select("id").collect().map(_.getLong(0)).toSeq
+      val expect = graft.operators.Knn
+        .exact(emb, q, 5, graft.operators.Metric.Cosine)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids === expect)
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
 }
