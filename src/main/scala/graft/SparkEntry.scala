@@ -306,6 +306,25 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- as-of join: each click joined to the user's most recent
+    // prior-or-simultaneous purchase (operator Spark lacks natively;
+    // DuckDB oracle uses its built-in ASOF JOIN) ----
+    "asof_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsOfJoin.backward(clicks, purchases,
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
+          payload = Seq("pval"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(round(col("pval") * 100).cast("long"), lit(-1L))
+            .as("pval_c"))
+        .orderBy(col("event_id").asc)
+    }),
+
     // ======== rows-only queries (no SQL-expressible oracle; the
     // driver records the weaker rows>0/schema check; semantics are
     // covered by ScalaTest against brute-force ground truth) ========
@@ -548,6 +567,15 @@ object SparkEntry {
         |  CAST(round(sum(value) * 100) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2
         |ORDER BY ws ASC, event_type ASC""".stripMargin,
+
+    "asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id,
+        |  COALESCE(CAST(round(r.pval * 100) AS BIGINT), -1) AS pval_c
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id ASC""".stripMargin,
 
     "w_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
