@@ -306,6 +306,37 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // ---- grouping sets surface: ROLLUP with NULL keys normalized ----
+    "q_rollup" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("rf").asc, col("ls").asc)
+    }),
+
+    // ---- semi join surface ----
+    "q_semi_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment").asc)
+    }),
+
+    // ---- distinct aggregation surface ----
+    "q_distinct_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy(col("l_returnflag").asc)
+    }),
+
     // ---- as-of join: each click joined to the user's most recent
     // prior-or-simultaneous purchase (operator Spark lacks natively;
     // DuckDB oracle uses its built-in ASOF JOIN) ----
@@ -567,6 +598,30 @@ object SparkEntry {
         |  CAST(round(sum(value) * 100) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2
         |ORDER BY ws ASC, event_type ASC""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf ASC, ls ASC""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
 
     "asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
