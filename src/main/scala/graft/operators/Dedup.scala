@@ -175,27 +175,42 @@ object Dedup {
       .filter(col("dist_milli") < math.round(tau * 1000))
   }
 
-  /** Embedding near-dup at scale: cosine LSH — `nBits` seeded random
-    * hyperplanes give a signature; candidates share a signature, then
-    * exact cosine verifies < tau. Deterministic via seed (the U2 RNG
-    * determinism hook, ann.rs:245-248). */
-  def embeddingNearDupLsh(emb: DataFrame, tau: Double, nBits: Int = 16,
-      seed: Long = 42L, vecCol: String = "embedding",
+  /** Embedding near-dup at scale: cosine LSH — `bands × bitsPerBand`
+    * seeded random hyperplanes; candidates agree on ≥ 1 band of bits
+    * (banding, not whole-signature equality, so near-misses on a few
+    * bits still collide), then exact cosine verifies < tau.
+    * Deterministic via seed (the U2 RNG determinism hook,
+    * ann.rs:245-248). Shuffle carries slim (id, band, bits) triples;
+    * vectors join back only for deduplicated candidates. */
+  def embeddingNearDupLsh(emb: DataFrame, tau: Double, bands: Int = 4,
+      bitsPerBand: Int = 8, seed: Long = 42L, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val rnd = new scala.util.Random(seed)
+    val nBits = bands * bitsPerBand
     val planes = Array.fill(nBits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
-    val sigCol = planes.zipWithIndex.map { case (p, i) =>
-      when(graft.functions.vfs_dot(col("v"), typedLit(p)) > 0,
-        shiftleft(lit(1L), i)).otherwise(0L)
-    }.reduce[Column]((x, y) => x.bitwiseOR(y))
-    val t = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("sig", sigCol)
-    val a = t.as("a")
-    val b = t.as("b")
-    a.join(b, col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"),
-        round(vfs_cosine(col("a.v"), col("b.v")) * 1000).cast("long")
+    def bandSig(b: Int): Column =
+      (0 until bitsPerBand).map { j =>
+        when(graft.functions.vfs_dot(col("v"),
+          typedLit(planes(b * bitsPerBand + j))) > 0,
+          shiftleft(lit(1L), j)).otherwise(0L)
+      }.reduce[Column]((x, y) => x.bitwiseOR(y))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = base.select(col("id"),
+      posexplode(array((0 until bands).map(bandSig): _*))
+        .as(Seq("band", "bits")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .dropDuplicates("a", "b")
+    candidates
+      .join(base.select(col("id").as("a"), col("v").as("va")), Seq("a"))
+      .join(base.select(col("id").as("b"), col("v").as("vb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(vfs_cosine(col("va"), col("vb")) * 1000).cast("long")
           .as("dist_milli"))
       .filter(col("dist_milli") < math.round(tau * 1000))
   }

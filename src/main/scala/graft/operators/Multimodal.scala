@@ -64,6 +64,29 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling stub — the 1→N batch shape (video → every-Nth
+    * frame). The "frame" here is a fixed-size byte window; a real
+    * implementation would emit decoded frames. Output one row per
+    * sampled frame with its index. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 64, everyN: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("format"), col("n_bytes"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        // ??? <- real frame decode goes here; windowed bytes below
+        val nFrames = math.max(1, r.media.length / frameBytes)
+        (0 until nFrames by everyN).map { f =>
+          val start = f * frameBytes
+          val frame = r.media.slice(start,
+            math.min(start + frameBytes, r.media.length))
+          (r.doc_id, f.toLong, frame.length.toLong,
+            decodeStub(frame, 4))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_bytes", "frame_feature")
+  }
+
   /** "Resize"/re-sample stub shaped like the real thing: deterministic
     * truncation/padding of the feature vector. */
   def resampleFeatures(spark: SparkSession, feats: Dataset[MediaFeatures],

@@ -61,7 +61,7 @@ class PipelineSpec extends AnyFunSuite {
     val exact = Dedup.embeddingPairsWithin(rows, "label", 0.1)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(exact === Set((1L, 2L)))
-    val lsh = Dedup.embeddingNearDupLsh(rows, 0.1, nBits = 8)
+    val lsh = Dedup.embeddingNearDupLsh(rows, 0.1, bands = 2, bitsPerBand = 4)
       .select($"a", $"b").as[(Long, Long)].collect().toSet
     assert(lsh === Set((1L, 2L)))
   }
@@ -91,6 +91,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
     val res = Multimodal.resampleFeatures(spark, feats, 4).collect()
     assert(res.forall(_.feature.length === 4))
+    // 1->N frame sampling: every 4th 64-byte window becomes a row
+    val frames = Multimodal.sampleFrames(spark, media).collect()
+    assert(frames.length > rows.length) // multiple frames per doc
+    assert(frames.forall(_.getLong(1) % 4 === 0))
   }
 
   test("streaming ingest: micro-batches append to store exactly once") {
