@@ -239,6 +239,16 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- text normalization + n-grams (dedup preprocessing) ----
+    "text_normalize" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+          TextAnalysis.normalizeText(col("text")).as("norm"),
+          size(TextAnalysis.wordNGrams(col("text"), 3)).cast("long")
+            .as("n_3grams"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- multimodal column plumbing (binary payload + metadata) ----
     "multimodal_meta" -> ((s, dir) => {
       graft.operators.Multimodal
@@ -572,6 +582,15 @@ object SparkEntry {
     "text_quality" -> textQualityOracle,
 
     "text_langid" -> textLangIdOracle,
+
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm,
+        |  CAST(len(list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |    for i in range(1, len(s) - 1)])) AS BIGINT) AS n_3grams
+        |FROM (SELECT doc_id, text,
+        |      string_split_regex(trim(lower(text)), '\s+') AS s FROM documents)
+        |ORDER BY doc_id ASC""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS format,

@@ -175,14 +175,22 @@ class VfsApi(spark: SparkSession, rootDir: String) {
     }
   }
 
+  /** Error taxonomy parity with the reference's `VFSError` kinds
+    * (vfs/src/vfs/err.rs:10-17) and their HTTP mapping
+    * (tcp.rs:328-351). */
   private def guard(f: => ApiResponse): ApiResponse =
     try f catch {
-      case e: InvalidVectorException => badRequest(e.getMessage)
-      case e: IllegalStateException => badRequest(e.getMessage)
-      case e: IllegalArgumentException => badRequest(e.getMessage)
-      case e: graft.store.StoreStateException => badRequest(e.getMessage)
+      case e: InvalidVectorException => badRequest(e.getMessage, "InvalidVector")
+      case e: IllegalStateException => badRequest(e.getMessage, "Memtable")
+      case e: IllegalArgumentException => badRequest(e.getMessage, "InvalidVector")
+      case e: graft.store.StoreStateException =>
+        badRequest(e.getMessage, "Serialization")
+      case e: java.io.IOException =>
+        ApiResponse(500, obj(o => { o.put("error", String.valueOf(e.getMessage))
+          o.put("error_kind", "Io") }))
       case e: Exception =>
-        ApiResponse(500, obj(_.put("error", String.valueOf(e.getMessage))))
+        ApiResponse(500, obj(o => { o.put("error", String.valueOf(e.getMessage))
+          o.put("error_kind", "Io") }))
     }
 }
 
@@ -195,8 +203,8 @@ object VfsApi {
     o
   }
   private def ok(body: JsonNode) = ApiResponse(200, body)
-  private def badRequest(msg: String) =
-    ApiResponse(400, obj(_.put("error", msg)))
+  private def badRequest(msg: String, kind: String = "InvalidVector") =
+    ApiResponse(400, obj(o => { o.put("error", msg); o.put("error_kind", kind) }))
 
   private def floats(n: JsonNode): Array[Float] = n match {
     case a: ArrayNode =>

@@ -74,6 +74,26 @@ object TextAnalysis {
       (lit(1.0) - punctRatio) * 250)).cast("long")
   }
 
+  /** Canonical text normalization for dedup pipelines: lowercase,
+    * strip punctuation, collapse whitespace, trim. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[\\p{Punct}]+", " "),
+      "\\s+", " "))
+
+  /** Distinct word n-grams (n >= 1) as an array column. */
+  def wordNGrams(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    if (n == 1) array_distinct(toks)
+    else {
+      // guard: sequence(0, negative) would generate a DESCENDING range
+      val idx = sequence(lit(0), size(toks) - n)
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(idx,
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+    }
+  }
+
   /** Full per-document analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

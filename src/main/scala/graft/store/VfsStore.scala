@@ -267,6 +267,27 @@ class VfsStore private (val spark: SparkSession, val root: String,
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
   }
 
+  /** Time-travel read: the dense view AS OF a named snapshot, without
+    * mutating live state (restore() is the mutating twin). */
+  def readSnapshot(snapName: String): DataFrame = synchronized {
+    val p = Paths.get(root, "snapshots", s"$snapName.json")
+    if (!Files.exists(p))
+      throw new StoreStateException(s"[GRAFT] no snapshot named $snapName")
+    val snap = VfsManifest.fromJson(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    if (snap.commits.isEmpty) VfsStore.emptyDense(spark)
+    else {
+      val raw = spark.read.parquet(snap.commits.map(c => s"$root/data/$c"): _*)
+      if (snap.quantize)
+        raw.select(col("id"),
+          vfs_dequantize(col("qvalues"), col("scale_factor")).as("values"),
+          regexp_replace(col("name"), "_quantized$", "").as("name"),
+          array_remove(col("tags"), "quantized").as("tags"),
+          col("created_at"))
+      else raw
+    }
+  }
+
   /** Reset per ResetOptions (storage_manager.rs:30-57, 83-124). */
   def reset(truncateData: Boolean = true, resetIds: Boolean = true): Unit =
     synchronized {

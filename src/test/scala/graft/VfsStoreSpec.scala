@@ -4,6 +4,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.store._
+import scala.collection.parallel.CollectionConverters._
 
 class VfsStoreSpec extends AnyFunSuite {
   lazy val spark = GraftTest.spark
@@ -86,6 +87,27 @@ class VfsStoreSpec extends AnyFunSuite {
     assert(s2.read().count() === 1L)
     s2.reset()
     assert(s2.read().count() === 0L && s2.countEstimate === 0L)
+  }
+
+  test("readSnapshot time-travels without mutating live state") {
+    val s = VfsStore.create(spark, tmp(), "tt", dim = 2)
+    s.insert(Array(1f, 1f), "a", Nil)
+    s.snapshot("s1")
+    s.insert(Array(2f, 2f), "b", Nil)
+    s.flush()
+    assert(s.readSnapshot("s1").count() === 1L)
+    assert(s.read().count() === 2L) // live state untouched
+    intercept[StoreStateException](s.readSnapshot("nope"))
+  }
+
+  test("concurrent inserts assign unique contiguous ids (C6 single-writer)") {
+    val s = VfsStore.create(spark, tmp(), "cc", dim = 2, flushThreshold = 1000)
+    val ids = (1 to 40).par.map { i =>
+      s.insert(Array(i.toFloat, 0f), s"v$i", Nil)
+    }.seq.toSet
+    assert(ids === (1L to 40L).toSet)
+    s.flush()
+    assert(s.read().count() === 40L)
   }
 
   test("point lookup pushes id predicate to parquet") {
