@@ -65,6 +65,13 @@ object Bench {
     results("search_exact_simd") = time {
       Knn.search(store, q, 5, Metric.Cosine).collect()
     }
+    // fused int8 scoring (store is quantized and flushed)
+    results("search_exact_quantized_fused") = time {
+      Knn.search(store, q, 5, Metric.Cosine).collect()
+    }
+    results("search_exact_dense_view") = time {
+      Knn.exact(store.read(), q, 5, Metric.Cosine).collect()
+    }
     val ivfDir = s"$storeRoot/ivf"
     results("index_build") = time {
       IvfIndex.build(emb, ivfDir,

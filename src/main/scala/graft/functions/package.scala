@@ -34,6 +34,12 @@ package object functions {
   def vfs_dequantize(q: Column, scale: Column): Column =
     col(DequantizeVec(ex(q), ex(scale)))
 
+  /** fused dequantize+distance over a quantized store's raw columns */
+  def vfs_qeuclidean(q: Column, scale: Column, query: Column): Column =
+    col(QuantizedEuclideanDistance(ex(q), ex(scale), ex(query)))
+  def vfs_qcosine(q: Column, scale: Column, query: Column): Column =
+    col(QuantizedCosineDistance(ex(q), ex(scale), ex(query)))
+
   /** FNV-1a 64 content fingerprint (dedup hash key) */
   def vfs_fingerprint(text: Column): Column = col(Fingerprint(ex(text)))
   /** min FNV-1a over k-byte shingles (near-dup signature) */

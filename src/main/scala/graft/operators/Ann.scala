@@ -126,6 +126,29 @@ object IvfIndex {
       .select(col("id"), col("distance"))
   }
 
+  /** Approximate all-pairs similarity JOIN over a built index: vectors
+    * sharing an IVF cluster are candidate pairs; exact distance
+    * verifies < tau. The cluster partitioning bounds the self-join to
+    * within-cluster blocks (the embedding analog of LSH banding);
+    * recall follows cluster quality — pairs straddling a centroid
+    * boundary need the complementary [[Dedup.embeddingNearDupLsh]]
+    * route or a multiprobe assignment. Output: (a, b, dist_milli). */
+  def similarityJoin(spark: SparkSession, path: String,
+      tau: Double): DataFrame = {
+    val meta = parseMeta(new String(
+      Files.readAllBytes(Paths.get(path, "ivf.json")), StandardCharsets.UTF_8))
+    val metric = Metric.parse(meta.metric)
+    val t = spark.read.parquet(s"$path/assignments")
+    val a = t.as("a")
+    val b = t.as("b")
+    a.join(b, col("a.cluster") === col("b.cluster") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        round(metric.dist(col("a.values"), col("b.values")) * 1000)
+          .cast("long").as("dist_milli"))
+      .filter(col("dist_milli") < math.round(tau * 1000))
+  }
+
   private def normalized(v: org.apache.spark.sql.Column) = {
     val norm = sqrt(aggregate(transform(v,
       x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x))

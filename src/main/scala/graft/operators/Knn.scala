@@ -64,13 +64,35 @@ object Knn {
 
   /** Store-level search with result hydration (J1: the top-k ids carry
     * their full records — free here because scoring projects over the
-    * full row, tcp.rs:408-427). */
+    * full row, tcp.rs:408-427).
+    *
+    * Quantized stores score on the raw int8 columns via the fused
+    * dequantize+distance expressions (no float-array materialization in
+    * the scan loop) and dequantize only the k winners. Falls back to
+    * the dense view when unflushed memtable rows exist. */
   def search(store: VfsStore, query: Array[Float], k: Int,
       metric: Metric = Metric.Euclidean): DataFrame = {
     if (query.length != store.dim)
       throw new graft.store.InvalidVectorException(
         s"[GRAFT] vector dimension mismatch: expected ${store.dim}, got ${query.length}")
-    exact(store.read(), query, k, metric)
+    if (store.quantized && !store.hasUnflushed) {
+      val raw = store.readRaw()
+      import graft.functions.{vfs_dequantize, vfs_qcosine, vfs_qeuclidean}
+      val fused = metric match {
+        case Metric.Euclidean =>
+          vfs_qeuclidean(col("qvalues"), col("scale_factor"), typedLit(query))
+        case Metric.Cosine =>
+          vfs_qcosine(col("qvalues"), col("scale_factor"), typedLit(query))
+      }
+      raw.withColumn("distance", fused)
+        .orderBy(col("distance").asc, col("id").asc)
+        .limit(k)
+        .select(col("id"),
+          vfs_dequantize(col("qvalues"), col("scale_factor")).as("values"),
+          regexp_replace(col("name"), "_quantized$", "").as("name"),
+          array_remove(col("tags"), "quantized").as("tags"),
+          col("created_at"), col("distance"))
+    } else exact(store.read(), query, k, metric)
   }
 
   /** Multi-query exact k-NN: queries (qidCol, qvecCol) × base.

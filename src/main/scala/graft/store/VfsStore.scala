@@ -98,6 +98,9 @@ class VfsStore private (val spark: SparkSession, val root: String,
   /** `next_id - 1` count estimate (storage_manager.rs:302-304). */
   def countEstimate: Long = manifest.nextId - 1
 
+  /** true iff unflushed memtable rows exist (read() unions them) */
+  def hasUnflushed: Boolean = synchronized(memtable.nonEmpty)
+
   private def manifestPath = Paths.get(root, "manifest.json")
 
   private def commitManifest(m: VfsManifest): Unit = synchronized {

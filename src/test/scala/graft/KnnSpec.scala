@@ -104,6 +104,41 @@ class KnnSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [cluster"), plan)
   }
 
+  test("quantized store search: fused int8 scoring == dequantize-then-score") {
+    val dir = Files.createTempDirectory("qstore").toString
+    val s = graft.store.VfsStore.create(spark, dir, "q", dim = 64,
+      quantize = true)
+    s.appendBatch(emb.limit(100).select($"values",
+      concat(lit("v"), $"id").as("name"), array(lit("t")).as("tags")))
+    val q = all.head._2
+    val fused = Knn.search(s, q, 10, Metric.Cosine)
+      .select($"id", $"distance").as[(Long, Double)].collect()
+    // reference path: dense view scoring
+    val dense = Knn.exact(s.read(), q, 10, Metric.Cosine)
+      .select($"id", $"distance").as[(Long, Double)].collect()
+    assert(fused.map(_._1).toSeq === dense.map(_._1).toSeq)
+    fused.zip(dense).foreach { case ((_, df), (_, dd)) =>
+      assert(df === dd) // bit-identical lane math
+    }
+    // hydration: values dequantized, mangling stripped
+    val row = Knn.search(s, q, 1, Metric.Cosine).head()
+    assert(row.getAs[String]("name").startsWith("v"))
+    assert(!row.getSeq[String](row.fieldIndex("tags")).toSeq.contains("quantized"))
+  }
+
+  test("IVF similarityJoin finds within-cluster near pairs") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextFloat())
+    val rows = ((1L, base) :: (2L, base.map(_ + 0.001f)) ::
+      List.tabulate(60)(i => (10L + i, Array.fill(64)(rnd.nextFloat() - 0.5f))))
+      .toDF("id", "values")
+    val dir = Files.createTempDirectory("simjoin").toString
+    IvfIndex.build(rows, dir, nCentroids = 4, Metric.Cosine)
+    val pairs = IvfIndex.similarityJoin(spark, dir, tau = 0.05)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("search validates dimension at the API boundary") {
     val dir = Files.createTempDirectory("store").toString
     val s = graft.store.VfsStore.create(spark, dir, "knn", dim = 4)
