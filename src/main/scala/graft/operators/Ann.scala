@@ -79,7 +79,11 @@ object IvfIndex {
     val assigned = model.transform(
         prepared.withColumn("features", array_to_vector(col("values"))))
       .select(col("id"), col("values"), col("cluster"))
-    assigned.write.mode("overwrite").partitionBy("cluster")
+    // repartition by cluster BEFORE partitionBy: otherwise every shuffle
+    // partition writes a sliver into every cluster directory
+    // (partitions × clusters small files — 22k files at 500k rows)
+    assigned.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assignments")
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray.map(_.toFloat))
@@ -118,8 +122,11 @@ object IvfIndex {
       .orderBy(col("d").asc, col("cluster").asc)
       .limit(nProbe)
       .collect().map(_.getInt(0))
-    val pruned = spark.read.parquet(s"$path/assignments")
-      .filter(col("cluster").isin(cents.map(Integer.valueOf): _*))
+    // read ONLY the probed cluster directories — skips the full
+    // partition-discovery listing (O(nProbe) paths instead of
+    // O(nCentroids) at probe time)
+    val pruned = spark.read.parquet(
+      cents.map(c => s"$path/assignments/cluster=$c").toIndexedSeq: _*)
     // on normalized vectors euclidean order == cosine order; report the
     // requested metric's distance values
     Knn.exact(pruned, q, k, metric)

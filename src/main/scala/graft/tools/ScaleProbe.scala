@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IvfIndex, Knn, Metric}
+
+/** Scale probe: synthesizes a 500k × 64-dim vector corpus (outside the
+  * oracle path — driver test tables stay authoritative for
+  * correctness) and measures the hot operators at ~250× the sf0.1
+  * vector count. Run: `sbt "runMain graft.tools.ScaleProbe [nRows]"`. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(500000)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scale-probe] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // deterministic synthetic corpus: 64-dim, mild cluster structure
+    val dim = 64
+    val base = time(s"materialize $n x $dim corpus") {
+      val df = spark.range(n).select($"id",
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => (sin(($"id" % 997 + j * 131).cast("double")) +
+            sin(($"id" + j).cast("double")) * 0.1).cast("float"))
+          .as("values"))
+      val p = java.nio.file.Files.createTempDirectory("scale").toString
+      df.write.mode("overwrite").parquet(s"$p/emb")
+      spark.read.parquet(s"$p/emb")
+    }
+    val q = base.filter($"id" === 12345L).head().getSeq[Float](1).toArray
+
+    time("exact cosine top-10 (full scan)") {
+      Knn.exact(base, q, 10, Metric.Cosine).collect()
+    }
+    val queries = base.limit(64).select($"id".as("qid"), $"values".as("qvalues"))
+    time("batch kNN: 64 queries x corpus, top-10 each") {
+      Knn.exactBatch(base, queries, 10, Metric.Cosine).count()
+    }
+    val ivfDir = java.nio.file.Files.createTempDirectory("scale-ivf").toString
+    time(s"IVF build (sample-trained, ${math.sqrt(n).toInt} centroids)") {
+      IvfIndex.build(base, ivfDir, nCentroids = math.sqrt(n.toDouble).toInt,
+        Metric.Cosine)
+    }
+    time("IVF probe top-10 (nProbe=8)") {
+      IvfIndex.search(spark, ivfDir, q, 10, nProbe = 8).collect()
+    }
+    spark.stop()
+  }
+}

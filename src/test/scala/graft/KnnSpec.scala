@@ -98,10 +98,11 @@ class KnnSpec extends AnyFunSuite {
     }
     val recall = hits.sum / hits.length
     assert(recall >= 0.8, s"uniform recall@10 = $recall")
-    // partition pruning visible in the physical plan
+    // pruning happens at path level: the probe scan lists only the
+    // nProbe cluster directories, not the whole index
     val plan = IvfIndex.search(spark, dir, all.head._2, 10, nProbe = 8)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [cluster"), plan)
+    assert(plan.contains("InMemoryFileIndex(8 paths)"), plan)
   }
 
   test("quantized store search: fused int8 scoring == dequantize-then-score") {
