@@ -205,6 +205,22 @@ object SparkEntry {
         .orderBy(col("a").asc, col("b").asc)
     }),
 
+    // ---- near-dup by word-BIGRAM jaccard (n-gram variant; order
+    // sensitivity makes it far stricter than word sets) ----
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val t = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source").as("g"), col("doc_id").as("id"),
+          TextAnalysis.wordNGrams(col("text"), 2).as("grams"))
+      val a = t.as("a")
+      val b = t.as("b")
+      a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("a"), col("b.id").as("b"),
+          Dedup.jaccardMilli(col("a.grams"), col("b.grams"))
+            .as("jaccard_milli"))
+        .filter(col("jaccard_milli") >= 300)
+        .orderBy(col("a").asc, col("b").asc)
+    }),
+
     // ---- embedding near-dup, exact within label group ----
     "dedup_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingPairsWithin(
@@ -560,6 +576,19 @@ object SparkEntry {
         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE CAST(round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) * 1000.0
         |    / len(list_distinct(a.w || b.w))) AS BIGINT) >= 800
+        |ORDER BY a ASC, b ASC""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_distinct([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS g
+        |  FROM (SELECT doc_id, source,
+        |        string_split_regex(trim(lower(text)), '\s+') AS s FROM documents))
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  CAST(round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) * 1000.0
+        |    / len(list_distinct(a.g || b.g))) AS BIGINT) AS jaccard_milli
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE CAST(round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) * 1000.0
+        |    / len(list_distinct(a.g || b.g))) AS BIGINT) >= 300
         |ORDER BY a ASC, b ASC""".stripMargin,
 
     "dedup_embedding_neardup" ->
