@@ -105,8 +105,15 @@ class VfsApi(spark: SparkSession, rootDir: String) {
     val searchType = req.path("search_type").asText("approximate")
     val metric = Metric.parse(req.path("distance_method").asText("euclidean"))
     val efSearch = req.path("ef_search").asInt(6)
+    // extension beyond the reference API: optional tag pre-filter
+    // (pushed under the distance scoring)
+    val filterTags = strings(req.path("filter_tags"))
     val t0 = System.nanoTime()
     val results = searchType match {
+      case "exact" if filterTags.nonEmpty =>
+        import org.apache.spark.sql.functions.{array, arrays_overlap, col, lit, typedLit}
+        Knn.exact(s.read().filter(
+          arrays_overlap(col("tags"), typedLit(filterTags))), q, topK, metric)
       case "exact" => Knn.search(s, q, topK, metric)
       case "approximate" =>
         val idx = ensureAnnIndex(s, metric)

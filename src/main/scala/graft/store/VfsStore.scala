@@ -270,6 +270,24 @@ class VfsStore private (val spark: SparkSession, val root: String,
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
   }
 
+  /** Compact all committed data into a single commit directory (the
+    * small-file remedy for streaming ingest's one-commit-per-batch
+    * pattern). Atomic: readers before the manifest swap see the old
+    * commit list; after, the single compacted directory. Old
+    * directories are left on disk so open snapshots remain readable
+    * (a vacuum step may remove unreferenced dirs later). */
+  def compact(): Unit = synchronized {
+    flush()
+    if (manifest.commits.size > 1) {
+      val all = spark.read
+        .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
+      val dir = f"c${System.currentTimeMillis()}%013d-compact"
+      all.sortWithinPartitions("id").write.mode("overwrite")
+        .parquet(s"$root/data/$dir")
+      commitManifest(manifest.copy(commits = Seq(dir)))
+    }
+  }
+
   /** Time-travel read: the dense view AS OF a named snapshot, without
     * mutating live state (restore() is the mutating twin). */
   def readSnapshot(snapName: String): DataFrame = synchronized {

@@ -82,6 +82,16 @@ class VfsApiSpec extends AnyFunSuite {
       b.body.path("results").toString)
   }
 
+  test("tag-filtered exact search restricts candidates") {
+    val r = api.search(
+      """{"values": [0.1, 0.2, 0.3, 0.4], "top_k": 10,
+        |"search_type": "exact", "filter_tags": ["test"]}""".stripMargin)
+    assert(r.status === 200, r.bodyString)
+    // only vector id=1 carries the "test" tag (inserted in case 2)
+    assert(r.body.path("results").size() === 1, r.bodyString)
+    assert(r.body.path("results").get(0).path("id").asLong() === 1L)
+  }
+
   test("error taxonomy: search before init, bad search_type, missing id") {
     val fresh = new VfsApi(spark,
       Files.createTempDirectory("vfs-api2").toString)

@@ -110,6 +110,21 @@ class VfsStoreSpec extends AnyFunSuite {
     assert(s.read().count() === 40L)
   }
 
+  test("compact merges commits into one dir, snapshots stay readable") {
+    val s = VfsStore.create(spark, tmp(), "cp", dim = 2, flushThreshold = 1)
+    (1 to 5).foreach(i => s.insert(Array(i.toFloat, 0f), s"v$i", Nil))
+    s.snapshot("preCompact")
+    assert(s.read().count() === 5L)
+    s.compact()
+    assert(s.read().count() === 5L)
+    assert(s.getById(3L).map(_.name) === Some("v3"))
+    // pre-compaction snapshot still resolves its original commit dirs
+    assert(s.readSnapshot("preCompact").count() === 5L)
+    // further inserts append after compaction
+    s.insert(Array(6f, 0f), "v6", Nil)
+    assert(s.read().count() === 6L)
+  }
+
   test("point lookup pushes id predicate to parquet") {
     val s = VfsStore.create(spark, tmp(), "tp", dim = 2)
     (1 to 10).foreach(i => s.insert(Array(i.toFloat, 0f), s"v$i", Nil))
