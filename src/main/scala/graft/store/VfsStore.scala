@@ -288,6 +288,34 @@ class VfsStore private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** Delete commit directories referenced by neither the live manifest
+    * nor any snapshot (the cleanup step after [[compact]]/[[restore]]).
+    * Returns the number of directories removed. */
+  def vacuum(): Int = synchronized {
+    val snapDir = Paths.get(root, "snapshots")
+    val snapshotRefs: Set[String] =
+      if (!Files.exists(snapDir)) Set.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.list(snapDir).iterator().asScala
+          .filter(_.toString.endsWith(".json"))
+          .flatMap(p => VfsManifest.fromJson(
+            new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).commits)
+          .toSet
+      }
+    val live = manifest.commits.toSet ++ snapshotRefs
+    val dataDir = Paths.get(root, "data")
+    if (!Files.exists(dataDir)) return 0
+    import scala.jdk.CollectionConverters._
+    val doomed = Files.list(dataDir).iterator().asScala
+      .filter(p => !live.contains(p.getFileName.toString)).toList
+    doomed.foreach { p =>
+      Files.walk(p).iterator().asScala.toList.reverse
+        .foreach(Files.deleteIfExists(_))
+    }
+    doomed.size
+  }
+
   /** Time-travel read: the dense view AS OF a named snapshot, without
     * mutating live state (restore() is the mutating twin). */
   def readSnapshot(snapName: String): DataFrame = synchronized {

@@ -125,6 +125,23 @@ class VfsStoreSpec extends AnyFunSuite {
     assert(s.read().count() === 6L)
   }
 
+  test("vacuum removes only unreferenced commit dirs") {
+    val root = tmp()
+    val s = VfsStore.create(spark, root, "vc", dim = 2, flushThreshold = 1)
+    (1 to 4).foreach(i => s.insert(Array(i.toFloat, 0f), s"v$i", Nil))
+    s.snapshot("keepme")
+    s.compact()
+    // live manifest references the compacted dir; snapshot references
+    // the 4 originals -> nothing is vacuumable yet
+    assert(s.vacuum() === 0)
+    assert(s.readSnapshot("keepme").count() === 4L)
+    // drop the snapshot -> the 4 pre-compaction dirs become garbage
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "snapshots", "keepme.json"))
+    assert(s.vacuum() === 4)
+    assert(s.read().count() === 4L) // live data intact
+  }
+
   test("point lookup pushes id predicate to parquet") {
     val s = VfsStore.create(spark, tmp(), "tp", dim = 2)
     (1 to 10).foreach(i => s.insert(Array(i.toFloat, 0f), s"v$i", Nil))
