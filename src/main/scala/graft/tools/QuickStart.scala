@@ -84,6 +84,15 @@ object QuickStart {
     try store.restore("nope")
     catch { case e: Exception => println(s"[quickstart] expected: ${e.getMessage}") }
 
+    // LLM-pipeline surface: text analysis + dedup on the documents table
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val analyzed = graft.operators.TextAnalysis.analyze(docs)
+    println(s"[quickstart] analyzed ${analyzed.count()} docs; sample: " +
+      analyzed.select("doc_id", "n_tokens", "lang_pred", "quality_milli")
+        .head().toString)
+    val nearDups = graft.operators.Dedup.minHashLsh(docs, threshold = 0.9)
+    println(s"[quickstart] minhash near-dup pairs (j>=0.9): ${nearDups.count()}")
+
     // API-parity surface: the reference's 7 endpoints as library calls
     val api = new graft.api.VfsApi(spark,
       java.nio.file.Files.createTempDirectory("graft-api").toString)
