@@ -293,6 +293,18 @@ object SparkEntry {
         .orderBy(col("ws").asc, col("event_type").asc)
     }),
 
+    // ---- exact percentile aggregation (sort-based, deterministic) ----
+    "q_percentile" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)") * 100).cast("long")
+            .as("p50_c"),
+          round(expr("percentile(value, 0.95)") * 100).cast("long")
+            .as("p95_c"))
+        .orderBy(col("event_type").asc)
+    }),
+
     // ---- C7: JSON decode surface (from_json over event props) ----
     "c7_json_props" -> ((s, dir) => {
       events(s, dir)
@@ -534,6 +546,13 @@ object SparkEntry {
         |SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
         |FROM events WHERE event_type = 'purchase'
         |ORDER BY user_id ASC, day ASC""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |  CAST(round(quantile_cont(value, 0.5) * 100) AS BIGINT) AS p50_c,
+        |  CAST(round(quantile_cont(value, 0.95) * 100) AS BIGINT) AS p95_c
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin,
 
     "c7_json_props" ->
       """SELECT event_type,
