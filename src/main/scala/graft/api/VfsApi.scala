@@ -45,20 +45,36 @@ class VfsApi(spark: SparkSession, rootDir: String) {
   private def requireStore(): VfsStore = store.getOrElse(
     throw new IllegalStateException("storage not initialized"))
 
-  /** POST /init {vector_dimension, quantize?, truncate_data?} */
+  /** POST /init {vector_dimension, quantize?, truncate_data?}.
+    * truncate_data=false (the reference's keep-data ResetOptions mode,
+    * storage_manager.rs:30-57) re-opens an existing store — data, ids,
+    * and snapshots survive; truncate_data=true (default) starts clean. */
   def init(json: String): ApiResponse = guard {
     val req = mapper.readTree(json)
     val dim = req.path("vector_dimension").asInt(-1)
     if (dim <= 0) return badRequest("vector_dimension must be positive")
     val quantize = req.path("quantize").asBoolean(false)
-    val s = VfsStore.create(spark, rootDir, "vfs", dim, quantize)
-    if (req.path("truncate_data").asBoolean(true)) s.reset()
+    val truncate = req.path("truncate_data").asBoolean(true)
+    val existing = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(rootDir, "manifest.json"))
+    val s =
+      if (!truncate && existing) {
+        val opened = VfsStore.open(spark, rootDir)
+        if (opened.dim != dim)
+          return badRequest(s"existing store has dimension ${opened.dim}, " +
+            s"cannot re-init with $dim without truncate_data")
+        opened
+      } else {
+        val created = VfsStore.create(spark, rootDir, "vfs", dim, quantize)
+        created.reset()
+        created
+      }
     store = Some(s)
     annState = None
     ok(obj(o => {
       o.put("status", "success")
-      o.put("vector_dimension", dim)
-      o.put("quantize", quantize)
+      o.put("vector_dimension", s.dim)
+      o.put("quantize", s.quantized)
     }))
   }
 

@@ -124,9 +124,18 @@ object IvfIndex {
       .collect().map(_.getInt(0))
     // read ONLY the probed cluster directories — skips the full
     // partition-discovery listing (O(nProbe) paths instead of
-    // O(nCentroids) at probe time)
-    val pruned = spark.read.parquet(
-      cents.map(c => s"$path/assignments/cluster=$c").toIndexedSeq: _*)
+    // O(nCentroids) at probe time). Empty k-means clusters have no
+    // directory at all; reading them would fail with PATH_NOT_FOUND.
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val existing = cents.map(c => s"$path/assignments/cluster=$c")
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hadoopConf).exists(hp)
+      }
+    if (existing.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("id"), lit(0.0).as("distance")).limit(0)
+    val pruned = spark.read.parquet(existing.toIndexedSeq: _*)
     // on normalized vectors euclidean order == cosine order; report the
     // requested metric's distance values
     Knn.exact(pruned, q, k, metric)

@@ -35,23 +35,29 @@ object AsOfJoin {
       leftTsCol: String, rightTsCol: String,
       payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // the payload rides in ONE struct that is non-null exactly for right
+    // rows: last(_, ignoreNulls) then tracks the latest right ROW, not
+    // the latest non-null value per field — a right row whose payload
+    // field is legitimately NULL still wins over an older row
+    val structType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
     val lTagged = left.select(
       (col(keyCol).as("__key") +: col(leftTsCol).as("__ts") +:
         lit(1).as("__side") +:
         leftCols.map(c => col(c)) ++:
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"__p_$p"))): _*)
+        Seq(lit(null).cast(structType).as("__p"))): _*)
     val rTagged = right.select(
       (col(keyCol).as("__key") +: col(rightTsCol).as("__ts") +:
         lit(0).as("__side") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        payload.map(p => col(p).as(s"__p_$p"))): _*)
+        Seq(struct(payload.map(col): _*).as("__p"))): _*)
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
-      .select((col("__side") +: leftCols.map(c => col(c)) ++:
-        payload.map(p =>
-          last(col(s"__p_$p"), ignoreNulls = true).over(w).as(p))): _*)
-    carried.filter(col("__side") === 1).drop("__side")
+      .withColumn("__latest", last(col("__p"), ignoreNulls = true).over(w))
+    carried.filter(col("__side") === 1)
+      .select((leftCols.map(col) ++:
+        payload.map(p => col(s"__latest.$p").as(p))): _*)
   }
 }

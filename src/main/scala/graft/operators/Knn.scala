@@ -84,14 +84,11 @@ object Knn {
         case Metric.Cosine =>
           vfs_qcosine(col("qvalues"), col("scale_factor"), typedLit(query))
       }
-      raw.withColumn("distance", fused)
-        .orderBy(col("distance").asc, col("id").asc)
-        .limit(k)
-        .select(col("id"),
-          vfs_dequantize(col("qvalues"), col("scale_factor")).as("values"),
-          regexp_replace(col("name"), "_quantized$", "").as("name"),
-          array_remove(col("tags"), "quantized").as("tags"),
-          col("created_at"), col("distance"))
+      VfsStore.denseView(
+        raw.withColumn("distance", fused)
+          .orderBy(col("distance").asc, col("id").asc)
+          .limit(k),
+        quantized = true)
     } else exact(store.read(), query, k, metric)
   }
 

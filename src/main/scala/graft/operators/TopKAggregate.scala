@@ -42,9 +42,9 @@ final class TopKBuffer(val k: Int) {
   * the piece that makes multi-query k-NN viable at 100 TB.
   *
   * Input: (distance DOUBLE, id LONG); output:
-  * ARRAY<STRUCT<id LONG, distance DOUBLE>> ascending by (distance, id).
-  * NaN distances sort last under total ordering and are dropped unless
-  * fewer than k finite candidates exist (documented divergence from the
+  * ARRAY<STRUCT<id LONG, distance DOUBLE>> ascending by (distance, id),
+  * with NaN distances last — identical to `orderBy(distance, id)`
+  * semantics in [[Knn.exact]] (documented divergence from the
   * reference's NaN==equal sort, SURVEY §2.8 W1).
   */
 case class TopKByDistance(
@@ -78,10 +78,12 @@ case class TopKByDistance(
   }
 
   override def eval(buf: TopKBuffer): Any = {
-    val rows = buf.sorted.filterNot { case (d, _) => d.isNaN }
-    val out = (if (rows.nonEmpty) rows else buf.sorted).map { case (d, i) =>
-      InternalRow(i, d)
-    }
+    // NaN candidates sort LAST (total ordering), matching Knn.exact's
+    // orderBy semantics: they appear only when fewer than k finite
+    // candidates exist. The heap's eviction already prefers finite
+    // values, so ordering finite-then-NaN here is sufficient.
+    val (finite, nan) = buf.sorted.partition { case (d, _) => !d.isNaN }
+    val out = (finite ++ nan).map { case (d, i) => InternalRow(i, d) }
     new GenericArrayData(out.asInstanceOf[Array[Any]])
   }
 

@@ -47,7 +47,10 @@ object ResolveKnnSearch extends Rule[LogicalPlan] {
         ArrayType(FloatType, containsNull = false))
       val distExpr = metric match {
         case "cosine" | "simd_cosine" => CosineDistance(vecAttr, qLit)
-        case _ => EuclideanDistance(vecAttr, qLit)
+        case "euclidean" | "simd_euclidean" | "" =>
+          EuclideanDistance(vecAttr, qLit)
+        case other => throw new IllegalArgumentException(
+          s"[GRAFT] unknown distance method: $other")
       }
       val alias = Alias(distExpr, "distance")(exprId = distAttr.exprId)
       val proj = Project(child.output :+ alias, child)

@@ -143,13 +143,17 @@ class VfsStore private (val spark: SparkSession, val root: String,
       val df = spark.createDataFrame(rows)
         .select(col("id"), col("values"), col("name"), col("tags"),
           col("created_at"))
-      writeCommit(df)
+      val (dir, _) = writeCommitDir(df)
+      commitManifest(manifest.copy(commits = manifest.commits :+ dir))
     }
   }
 
   /** Bulk distributed ingest: assigns contiguous ids [nextId, nextId+n)
     * without a global shuffle (zipWithIndex is a narrow per-partition
     * offset), stamps created_at, quantizes if configured, commits.
+    * The commit-list update and the nextId bump land in ONE atomic
+    * manifest swap, so a crash mid-append can orphan a data directory
+    * (invisible, vacuumable) but can never double-assign ids.
     * Input schema: values ARRAY<FLOAT>, name STRING, tags ARRAY<STRING>. */
   def appendBatch(input: DataFrame): Long = synchronized {
     val base = manifest.nextId
@@ -175,14 +179,18 @@ class VfsStore private (val spark: SparkSession, val root: String,
         Row(base + i, vs, r.getString(1), r.getSeq[String](2))
       }, schema)
     val df = indexed.withColumn("created_at", current_timestamp())
-    val n = writeCommit(df)
-    commitManifest(manifest.copy(nextId = base + n))
+    val (dir, n) = writeCommitDir(df)
+    commitManifest(manifest.copy(commits = manifest.commits :+ dir,
+      nextId = base + n))
     base
   }
 
   /** Quantize-on-write (storage_manager.rs:143-149 + vector.rs:115-123:
-    * name suffix `_quantized`, tag `"quantized"`, scale 127, no clamp). */
-  private def writeCommit(df: DataFrame): Long = {
+    * name suffix `_quantized`, tag `"quantized"`, scale 127, no clamp).
+    * Writes the data directory and returns (dir, rowCount) WITHOUT
+    * touching the manifest — callers fold the new dir plus any other
+    * state change into one atomic manifest swap. */
+  private def writeCommitDir(df: DataFrame): (String, Long) = {
     val out =
       if (manifest.quantize)
         df.select(col("id"),
@@ -200,8 +208,7 @@ class VfsStore private (val spark: SparkSession, val root: String,
     // row count comes from the freshly written footers (metadata-only scan),
     // avoiding a second computation of the input pipeline
     val cnt = spark.read.parquet(target).count()
-    commitManifest(manifest.copy(commits = manifest.commits :+ dir))
-    cnt
+    (dir, cnt)
   }
 
   /** Dense logical view (dequantize-on-read, storage_manager.rs:202-210;
@@ -211,17 +218,9 @@ class VfsStore private (val spark: SparkSession, val root: String,
   def read(): DataFrame = synchronized {
     val committed: DataFrame =
       if (manifest.commits.isEmpty) emptyDense(spark)
-      else {
-        val raw = spark.read
-          .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
-        if (manifest.quantize)
-          raw.select(col("id"),
-            vfs_dequantize(col("qvalues"), col("scale_factor")).as("values"),
-            regexp_replace(col("name"), "_quantized$", "").as("name"),
-            array_remove(col("tags"), "quantized").as("tags"),
-            col("created_at"))
-        else raw
-      }
+      else VfsStore.denseView(spark.read
+        .parquet(manifest.commits.map(c => s"$root/data/$c"): _*),
+        manifest.quantize)
     if (memtable.isEmpty) committed
     else committed.unionByName(
       spark.createDataFrame(memtable.values.toSeq)
@@ -292,26 +291,28 @@ class VfsStore private (val spark: SparkSession, val root: String,
     * nor any snapshot (the cleanup step after [[compact]]/[[restore]]).
     * Returns the number of directories removed. */
   def vacuum(): Int = synchronized {
+    import scala.jdk.CollectionConverters._
+    def listDir(p: java.nio.file.Path): List[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
     val snapDir = Paths.get(root, "snapshots")
     val snapshotRefs: Set[String] =
       if (!Files.exists(snapDir)) Set.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        Files.list(snapDir).iterator().asScala
-          .filter(_.toString.endsWith(".json"))
-          .flatMap(p => VfsManifest.fromJson(
-            new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).commits)
-          .toSet
-      }
+      else listDir(snapDir)
+        .filter(_.toString.endsWith(".json"))
+        .flatMap(p => VfsManifest.fromJson(
+          new String(Files.readAllBytes(p), StandardCharsets.UTF_8)).commits)
+        .toSet
     val live = manifest.commits.toSet ++ snapshotRefs
     val dataDir = Paths.get(root, "data")
     if (!Files.exists(dataDir)) return 0
-    import scala.jdk.CollectionConverters._
-    val doomed = Files.list(dataDir).iterator().asScala
-      .filter(p => !live.contains(p.getFileName.toString)).toList
+    val doomed = listDir(dataDir)
+      .filterNot(p => live.contains(p.getFileName.toString))
     doomed.foreach { p =>
-      Files.walk(p).iterator().asScala.toList.reverse
-        .foreach(Files.deleteIfExists(_))
+      val w = Files.walk(p)
+      val all = try w.iterator().asScala.toList finally w.close()
+      all.reverse.foreach(Files.deleteIfExists(_))
     }
     doomed.size
   }
@@ -325,16 +326,9 @@ class VfsStore private (val spark: SparkSession, val root: String,
     val snap = VfsManifest.fromJson(
       new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
     if (snap.commits.isEmpty) VfsStore.emptyDense(spark)
-    else {
-      val raw = spark.read.parquet(snap.commits.map(c => s"$root/data/$c"): _*)
-      if (snap.quantize)
-        raw.select(col("id"),
-          vfs_dequantize(col("qvalues"), col("scale_factor")).as("values"),
-          regexp_replace(col("name"), "_quantized$", "").as("name"),
-          array_remove(col("tags"), "quantized").as("tags"),
-          col("created_at"))
-      else raw
-    }
+    else VfsStore.denseView(
+      spark.read.parquet(snap.commits.map(c => s"$root/data/$c"): _*),
+      snap.quantize)
   }
 
   /** Reset per ResetOptions (storage_manager.rs:30-57, 83-124). */
@@ -372,6 +366,23 @@ object VfsStore {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], denseSchema)
   private def emptyQuant(spark: SparkSession): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], quantSchema)
+
+  /** Dequantize-on-read projection (storage_manager.rs:202-210) with
+    * the name/tag de-mangling of vector.rs:145-151 — the ONE place the
+    * quantized→dense mapping is defined. Extra columns (e.g. a computed
+    * distance) pass through untouched. */
+  def denseView(raw: DataFrame, quantized: Boolean): DataFrame =
+    if (!quantized) raw
+    else {
+      val core = Set("qvalues", "scale_factor", "name", "tags")
+      val passthrough = raw.columns.filterNot(c => core(c) || c == "id")
+        .map(col).toSeq
+      raw.select((col("id") +:
+        vfs_dequantize(col("qvalues"), col("scale_factor")).as("values") +:
+        regexp_replace(col("name"), "_quantized$", "").as("name") +:
+        array_remove(col("tags"), "quantized").as("tags") +:
+        passthrough): _*)
+    }
 
   /** `/init` (tcp.rs:270-299): create or re-create a store. */
   def create(spark: SparkSession, root: String, name: String, dim: Int,

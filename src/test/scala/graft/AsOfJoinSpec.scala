@@ -27,6 +27,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(4L) === Some(9.0))  // other key
   }
 
+  test("a matching right row with NULL payload beats an older non-null row") {
+    val left = Seq((1L, 100L, 90L)).toDF("lid", "user", "lts")
+    val right = Seq((100L, 10L, Some(5.0)), (100L, 50L, None))
+      .toDF("user", "rts", "pval")
+    val out = AsOfJoin.backward(left, right, "user", "lts", "rts",
+        Seq("pval"))
+      .select($"lid", $"pval").as[(Long, Option[Double])].collect().toMap
+    // latest right row at ts=50 has NULL payload — that row (not the
+    // older 5.0) is the as-of match
+    assert(out(1L) === None)
+  }
+
   test("plan: one shuffle by key + window, no broadcast of either side") {
     val left = Seq((1L, 100L, 10L)).toDF("lid", "user", "lts")
     val right = Seq((100L, 5L, 1.0)).toDF("user", "rts", "pval")

@@ -140,6 +140,33 @@ class KnnSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("IVF probe tolerates empty k-means clusters") {
+    // duplicate-heavy corpus: far fewer distinct points than centroids
+    // guarantees some clusters get no assignments
+    val rows = (0 until 100).map(i => (i.toLong,
+      Array.fill(8)((i % 3).toFloat + 1f))).toDF("id", "values")
+    val dir = Files.createTempDirectory("ivf-empty").toString
+    IvfIndex.build(rows, dir, nCentroids = 20, Metric.Euclidean)
+    val got = IvfIndex.search(spark, dir, Array.fill(8)(1.0f), 5,
+      nProbe = 20) // probe everything incl. empty clusters
+    assert(got.count() === 5L)
+  }
+
+  test("TopK agg and exact agree on NaN handling (NaN last, fills underfull k)") {
+    val rows = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
+      (3L, Array(0f, 0f)) // zero-norm -> NaN cosine distance
+    ).toDF("id", "values")
+    val q = Array(1f, 0f)
+    val exact = Knn.exact(rows, q, 3, Metric.Cosine)
+      .select("id").as[Long].collect().toSeq
+    val queries = Seq((0L, q)).toDF("qid", "qvalues")
+    val batch = Knn.exactBatch(rows, queries, 3, Metric.Cosine)
+      .orderBy($"rank").select("id").as[Long].collect().toSeq
+    assert(exact === Seq(1L, 2L, 3L)) // NaN row last, still returned
+    assert(batch === exact)
+  }
+
   test("search validates dimension at the API boundary") {
     val dir = Files.createTempDirectory("store").toString
     val s = graft.store.VfsStore.create(spark, dir, "knn", dim = 4)

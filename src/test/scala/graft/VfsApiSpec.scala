@@ -92,6 +92,24 @@ class VfsApiSpec extends AnyFunSuite {
     assert(r.body.path("results").get(0).path("id").asLong() === 1L)
   }
 
+  test("re-init with truncate_data=false keeps existing data and ids") {
+    val root = Files.createTempDirectory("vfs-reinit").toString
+    val a1 = new VfsApi(spark, root)
+    a1.init("""{"vector_dimension": 2}""")
+    a1.register("""{"values": [1.0, 2.0], "name": "keep", "tags": []}""")
+    a1.flush()
+    // fresh handle, keep-data init (the reference's ResetOptions mode)
+    val a2 = new VfsApi(spark, root)
+    val r = a2.init("""{"vector_dimension": 2, "truncate_data": false}""")
+    assert(r.status === 200, r.bodyString)
+    assert(a2.getVector(1L).status === 200)
+    val ins = a2.register("""{"values": [3.0, 4.0], "name": "new", "tags": []}""")
+    assert(ins.body.path("id").asLong() === 2L) // ids continue, not reset
+    // dimension conflict without truncate is rejected
+    assert(new VfsApi(spark, root)
+      .init("""{"vector_dimension": 5, "truncate_data": false}""").status === 400)
+  }
+
   test("error taxonomy: search before init, bad search_type, missing id") {
     val fresh = new VfsApi(spark,
       Files.createTempDirectory("vfs-api2").toString)
