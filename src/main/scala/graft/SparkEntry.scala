@@ -394,9 +394,40 @@ object SparkEntry {
         .orderBy(col("event_id").asc)
     }),
 
-    // ======== rows-only queries (no SQL-expressible oracle; the
-    // driver records the weaker rows>0/schema check; semantics are
-    // covered by ScalaTest against brute-force ground truth) ========
+    // ---- portable minhash signatures: sig[i] = min over the word set
+    // of (a_i·x + b_i) mod P with x = md5-derived 60-bit word hash —
+    // hash-matches the DuckDB oracle's fold over the same constants ----
+    "dedup_minhash_sig" -> ((s, dir) => {
+      val params = Dedup.minHashParams(32)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          Dedup.minHashPortableSig(col("text"), params).as("sig"))
+        .select(col("doc_id"),
+          aggregate(col("sig"), lit(0L), (a, x) => a + x).as("sig_sum"),
+          array_min(col("sig")).as("sig_min"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- Q3 (verifiable twin): IVF probe with nProbe = nCentroids
+    // degenerates to exact top-k — exercises the full index path
+    // (build, centroid routing, partition-pruned read) against the
+    // brute-force oracle ----
+    "ann_ivf_fullprobe" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("values"))
+      val idx = java.nio.file.Files.createTempDirectory("verify-ivf-full").toString
+      graft.operators.IvfIndex.build(e, idx, nCentroids = 8, Metric.Euclidean)
+      val q = queryVec(s, dir, 7L)
+      graft.operators.IvfIndex.search(s, idx, q, 10, nProbe = 8)
+        .select(col("id").as("vec_id"), milli(col("distance")).as("dist_milli"))
+        .orderBy(col("dist_milli").asc, col("vec_id").asc)
+    }),
+
+    // ======== rows-only queries — only ann_ivf_topk (approximate by
+    // design; its exact twin ann_ivf_fullprobe is oracle-checked) and
+    // dedup_minhash_lsh (murmur band-bucketing; its signature math is
+    // oracle-checked via dedup_minhash_sig) lack oracles; both are
+    // covered by ScalaTest against brute-force ground truth ========
 
     // ---- Q3: approximate kNN over a persisted IVF index ----
     "ann_ivf_topk" -> ((s, dir) => {
@@ -417,14 +448,19 @@ object SparkEntry {
         .orderBy(col("a").asc, col("b").asc)
     }),
 
-    // ---- SimHash near-dup pairs ----
+    // ---- SimHash near-dup pairs (portable 60-bit sigs; the 4×15-bit
+    // band LSH output provably equals the all-pairs hamming ≤ 3 result
+    // the oracle computes — no false negatives by pigeonhole, no false
+    // positives after the hamming filter) ----
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashPairs(s.read.parquet(s"$dir/documents.parquet"),
+      Dedup.simHashPairsPortable(s.read.parquet(s"$dir/documents.parquet"),
           maxHamming = 3)
         .orderBy(col("a").asc, col("b").asc)
     }),
 
-    // ---- content fingerprints (FNV-1a + min-shingle expressions) ----
+    // ---- content fingerprints (FNV-1a + min-shingle expressions;
+    // oracle folds the same FNV-1a over arithmetically-derived UTF-8
+    // bytes in HUGEINT mod 2^64) ----
     "text_fingerprint" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), vfs_fingerprint(col("text")).as("fp"),
@@ -432,14 +468,16 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
-    // ---- multimodal batch feature extraction (stubbed decode) ----
+    // ---- multimodal batch feature extraction (stubbed decode with
+    // integer accumulation — bit-reproducible by the oracle) ----
     "multimodal_features" -> ((s, dir) => {
       val media = graft.operators.Multimodal
         .mediaFromDocs(s.read.parquet(s"$dir/documents.parquet"))
       graft.operators.Multimodal.extractFeatures(s, media, dim = 8)
         .toDF()
         .select(col("doc_id"), col("n_bytes"),
-          round(col("feature")(0) * 1000).cast("long").as("f0_milli"))
+          round(col("feature")(0).cast("double") * 1000).cast("long")
+            .as("f0_milli"))
         .orderBy(col("doc_id").asc)
     }),
 
@@ -699,6 +737,26 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id ASC""".stripMargin,
 
+    "text_fingerprint" -> textFingerprintOracle,
+
+    "dedup_simhash" -> simHashOracle,
+
+    "dedup_minhash_sig" -> minHashSigOracle,
+
+    "ann_ivf_fullprobe" ->
+      """WITH top AS (
+        |  SELECT vec_id,
+        |         list_distance(CAST(embedding AS DOUBLE[]),
+        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7)) AS d
+        |  FROM embeddings
+        |  ORDER BY d ASC, vec_id ASC
+        |  LIMIT 10)
+        |SELECT vec_id, CAST(round(d * 1000) AS BIGINT) AS dist_milli
+        |FROM top
+        |ORDER BY dist_milli ASC, vec_id ASC""".stripMargin,
+
+    "multimodal_features" -> multimodalFeaturesOracle,
+
     "w_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |m AS (SELECT user_id, us,
@@ -712,6 +770,91 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id ASC, session_id ASC""".stripMargin
   )
+
+  // ---- portable-hash oracle building blocks: DuckDB expressions that
+  // reproduce the engine's integer hash kernels bit-exactly ----
+
+  /** UTF-8 bytes of `text`, derived arithmetically from code points
+    * (DuckDB has no direct blob-byte iteration). */
+  private val duckUtf8Bytes: String =
+    """flatten(list_transform(
+      |    list_transform(range(1, length(text) + 1), i -> unicode(text[i])),
+      |    cp -> CASE
+      |      WHEN cp < 128 THEN [cp]
+      |      WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
+      |      WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
+      |      ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64]
+      |    END))""".stripMargin
+
+  /** FNV-1a 64 fold over a byte-list expression, in HUGEINT mod 2^64
+    * (list_reduce uses the first element as the init, so the offset
+    * basis is prepended). */
+  private def duckFnvFold(lst: String): String =
+    s"""(list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform($lst, x -> CAST(x AS HUGEINT))),
+       |      (a, b) -> (xor(a, b) * 1099511628211) % 18446744073709551616))""".stripMargin
+
+  /** reinterpret an unsigned-64 HUGEINT value as signed BIGINT (the
+    * engine's Long semantics, incl. min-shingle's SIGNED comparison) */
+  private def duckSigned(h: String): String =
+    s"""CAST(CASE WHEN $h >= 9223372036854775808
+       |      THEN $h - 18446744073709551616 ELSE $h END AS BIGINT)""".stripMargin
+
+  /** Dedup.portableWordHash twin: first 15 hex chars of md5 parsed
+    * base-16 via a digit fold. */
+  private def duckHex15(w: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
+       |      i -> CAST(CASE WHEN ascii(md5($w)[i]) >= 97 THEN ascii(md5($w)[i]) - 87
+       |           ELSE ascii(md5($w)[i]) - 48 END AS BIGINT))), (a, d) -> a * 16 + d)""".stripMargin
+
+  private def textFingerprintOracle: String =
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents)
+       |SELECT doc_id, ${duckSigned(duckFnvFold("bs"))} AS fp,
+       |  CASE WHEN len(bs) < 8 THEN ${duckSigned(duckFnvFold("bs"))}
+       |       ELSE list_min(list_transform(range(1, len(bs) - 6),
+       |         s -> ${duckSigned(duckFnvFold("bs[s:s+7]"))})) END AS shingle_min
+       |FROM b ORDER BY doc_id ASC""".stripMargin
+
+  private def simHashOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS toks
+       |  FROM documents),
+       |h AS (SELECT doc_id, list_transform(toks, w -> ${duckHex15("w")}) AS hs FROM t),
+       |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+       |    j -> CASE WHEN 2 * len(list_filter(hs, x -> ((x >> j) & 1) = 1)) > len(hs)
+       |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+       |  FROM h)
+       |SELECT a.doc_id AS a, b.doc_id AS b,
+       |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= 3
+       |ORDER BY a ASC, b ASC""".stripMargin
+
+  private def minHashSigOracle: String = {
+    val params = operators.Dedup.minHashParams(32)
+    val paramsList = params.map { case (a, b) => s"[$a, $b]" }
+      .mkString("[", ", ", "]")
+    s"""WITH t AS (SELECT doc_id, list_transform(
+       |    list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+       |    w -> ${duckHex15("w")} % 2147483647) AS xs FROM documents),
+       |s AS (SELECT doc_id, list_transform($paramsList,
+       |    p -> list_min(list_transform(xs, x -> (p[1] * x + p[2]) % 2147483647))) AS sig
+       |  FROM t)
+       |SELECT doc_id, CAST(list_sum(sig) AS BIGINT) AS sig_sum,
+       |  CAST(list_min(sig) AS BIGINT) AS sig_min
+       |FROM s ORDER BY doc_id ASC""".stripMargin
+  }
+
+  private def multimodalFeaturesOracle: String =
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+       |f AS (SELECT doc_id, len(bs) AS nb,
+       |  CAST(CAST(COALESCE(list_sum(list_transform(range(1, len(bs) + 1),
+       |      i -> CASE WHEN (i - 1) % 8 = 0 THEN bs[i] ELSE 0 END)), 0) AS DOUBLE)
+       |    / (255.0 * greatest(1, len(bs) // 8)) AS FLOAT) AS f0
+       |  FROM b)
+       |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+       |  CAST(round(CAST(f0 AS DOUBLE) * 1000) AS BIGINT) AS f0_milli
+       |FROM f ORDER BY doc_id ASC""".stripMargin
 
   // ---- oracle SQL generated from the same constants the Spark
   // implementation uses (TextAnalysis.LangProfiles) ----

@@ -41,6 +41,42 @@ object Dedup {
   private def wordSet(textCol: Column): Column =
     array_distinct(split(trim(lower(textCol)), "\\s+"))
 
+  /** Engine-portable 60-bit word hash: the first 15 hex chars of md5,
+    * parsed base-16. Strictly slower than murmur/xxhash but computable
+    * bit-identically by any engine with md5 (the DuckDB oracle
+    * reproduces it with a hex-digit fold), which makes signature-level
+    * hash-matching possible. Use the murmur/xxhash variants when only
+    * Spark-side reproducibility is needed. */
+  def portableWordHash(w: Column): Column =
+    conv(substring(md5(w.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Mersenne prime 2^31−1: the modulus of the portable minhash family
+    * h_i(x) = (a_i·x + b_i) mod P. With x < P and a_i < P the product
+    * stays under 2^62 — exact in 64-bit integer arithmetic in every
+    * engine. */
+  val MinHashP: Long = 2147483647L
+
+  /** Deterministic (a_i, b_i) coefficients for [[minHashPortableSig]] —
+    * the same seed must generate the oracle SQL's literals. */
+  def minHashParams(numHashes: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(numHashes)(
+      (1L + r.nextInt((MinHashP - 1).toInt), r.nextInt(MinHashP.toInt).toLong))
+  }
+
+  /** Portable minhash signature as ARRAY<BIGINT>: sig[i] = min over the
+    * word set of (a_i·portableWordHash(w) mod P + b_i) mod P. The word
+    * hashes are computed ONCE (single inner transform) and the
+    * coefficient pairs ride in as an array literal — not one lambda per
+    * hash function, which would recompute the word set numHashes times. */
+  def minHashPortableSig(textCol: Column, params: Seq[(Long, Long)]): Column = {
+    val xs = transform(wordSet(textCol),
+      w => portableWordHash(w) % MinHashP)
+    transform(typedLit(params.map { case (a, b) => Seq(a, b) }),
+      p => array_min(transform(xs,
+        x => (element_at(p, 1) * x + element_at(p, 2)) % MinHashP)))
+  }
+
   /** MinHash signature: sig[i] = min over distinct words of
     * murmur3(word, seed=i), i < numHashes. Pure projection. */
   def minHashSignature(textCol: Column, numHashes: Int): Column =
@@ -119,22 +155,59 @@ object Dedup {
       .filter(col("jaccard_milli") >= math.round(threshold * 1000))
   }
 
-  /** 64-bit SimHash per document: bit j of the signature is the sign of
-    * Σ_tokens (bit j of xxhash64(token) ? +1 : −1). Pure projection via
-    * higher-order functions — no shuffle, no UDF. */
-  def simHash64(textCol: Column): Column = {
+  /** SimHash signature over the low `nBits` bits of `hashFn(token)`:
+    * bit j of the signature is the sign of Σ_tokens (bit j set ? +1 :
+    * −1). Pure projection via higher-order functions — no shuffle, no
+    * UDF. */
+  def simHashSig(textCol: Column, nBits: Int,
+      hashFn: Column => Column): Column = {
     val counts = aggregate(
       wordSet(textCol),
-      array_repeat(lit(0), 64),
+      array_repeat(lit(0), nBits),
       (acc, w) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", xxhash64(w), j).bitwiseAND(1) === 1, 1)
+        transform(sequence(lit(0), lit(nBits - 1)),
+          j => when(call_function("shiftright", hashFn(w), j).bitwiseAND(1) === 1, 1)
             .otherwise(-1)),
         (x, y) => x + y))
     aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
+      zip_with(counts, sequence(lit(0), lit(nBits - 1)),
         (c, j) => when(c > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** 64-bit SimHash per document (xxhash64 token hashes — the fast
+    * Spark-native variant). */
+  def simHash64(textCol: Column): Column =
+    simHashSig(textCol, 64, w => xxhash64(w))
+
+  /** 60-bit SimHash on the portable md5-derived token hash — same
+    * algorithm, but every bit is reproducible by the DuckDB oracle. */
+  def simHash60Portable(textCol: Column): Column =
+    simHashSig(textCol, 60, portableWordHash)
+
+  /** Portable-simhash near-dup pairs with hamming ≤ maxHamming (≤ 3):
+    * 4×15-bit band blocking over the 60-bit signature — pigeonhole
+    * guarantees no false negatives, and the hamming filter removes all
+    * false positives, so the output EQUALS the all-pairs result (which
+    * is what the oracle computes). Output: (a, b, hamming). */
+  def simHashPairsPortable(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming <= 3, "4-band blocking covers hamming <= 3")
+    val sigs = docs.select(col(idCol).as("id"),
+      simHash60Portable(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sig"), b * 15).bitwiseAND(0x7fffL)))
+        .as(Seq("band", "bval")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bval") === col("b.bval") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 16):

@@ -37,15 +37,18 @@ object Multimodal {
     * content so the full pipeline (schema, batching, downstream joins,
     * similarity search over features) is exercised end-to-end. */
   private[operators] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake below
-    val out = new Array[Float](dim)
+    // ??? <- real codec goes here; deterministic fake below.
+    // Integer accumulation + ONE final double division keeps the fake
+    // bit-reproducible by any engine (a float += loop would make the
+    // result depend on f32 rounding at every step).
+    val sums = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) {
-      out(i % dim) += (bytes(i) & 0xff) / 255.0f
+      sums(i % dim) += (bytes(i) & 0xff)
       i += 1
     }
     val n = math.max(1, bytes.length / dim)
-    out.map(_ / n)
+    sums.map(s => (s / (255.0 * n)).toFloat)
   }
 
   /** Batch feature extraction over partitions — the Scala analog of a
