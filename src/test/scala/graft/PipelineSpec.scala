@@ -39,6 +39,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, _) => a < b })
   }
 
+  test("portable word hash = low 60 bits of md5 (JVM reference)") {
+    def ref(w: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    val words = Seq("hello", "wörld", "中文", "", "a b")
+    val got = words.toDF("w")
+      .select(Dedup.portableWordHash($"w")).as[Long].collect()
+    assert(got.toSeq === words.map(ref))
+  }
+
+  test("portable simhash pairs = brute-force all-pairs hamming") {
+    val d = docs.limit(120)
+    val sigs = d.select($"doc_id",
+        Dedup.simHash60Portable($"text").as("sig"))
+      .as[(Long, Long)].collect()
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val lsh = Dedup.simHashPairsPortable(d, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(lsh === brute)
+  }
+
+  test("portable minhash signature matches per-row scala reference") {
+    val params = Dedup.minHashParams(8)
+    val texts = Seq((1L, "the cat and the cat"), (2L, "El Perro  y gato"))
+    def ref(t: String): Seq[Long] = {
+      val words = t.trim.toLowerCase.split("\\s+").distinct
+      def h15(w: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+      }
+      params.map { case (a, b) =>
+        words.map(w => (a * (h15(w) % Dedup.MinHashP) + b) % Dedup.MinHashP).min
+      }
+    }
+    val got = texts.toDF("doc_id", "text")
+      .select($"doc_id", Dedup.minHashPortableSig($"text", params))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(1L) === ref(texts(0)._2))
+    assert(got(2L) === ref(texts(1)._2))
+  }
+
   test("exact dedup groups: synthetic duplicates collapse to keeper") {
     val d = Seq((10L, "same text"), (11L, "same text"), (12L, "other"))
       .toDF("doc_id", "text")
