@@ -65,23 +65,38 @@ object Dedup {
   }
 
   /** Portable minhash signature as ARRAY<BIGINT>: sig[i] = min over the
-    * word set of (a_i·portableWordHash(w) mod P + b_i) mod P. The word
-    * hashes are computed ONCE (single inner transform) and the
-    * coefficient pairs ride in as an array literal — not one lambda per
-    * hash function, which would recompute the word set numHashes times. */
+    * word set of (a_i·portableWordHash(w) mod P + b_i) mod P. One fold
+    * over the word hashes with the coefficient pairs riding in as an
+    * array literal — the same single-pass shape as
+    * [[minHashSignature]] (a per-coefficient lambda would recompute the
+    * md5 word hashes |params| times). */
   def minHashPortableSig(textCol: Column, params: Seq[(Long, Long)]): Column = {
-    val xs = transform(wordSet(textCol),
-      w => portableWordHash(w) % MinHashP)
-    transform(typedLit(params.map { case (a, b) => Seq(a, b) }),
-      p => array_min(transform(xs,
-        x => (element_at(p, 1) * x + element_at(p, 2)) % MinHashP)))
+    val paramLit = typedLit(params.map { case (a, b) => Seq(a, b) })
+    aggregate(
+      transform(wordSet(textCol), w => portableWordHash(w) % MinHashP),
+      array_repeat(lit(MinHashP), params.size),
+      (acc, x) => zip_with(acc,
+        transform(paramLit,
+          p => (element_at(p, 1) * x + element_at(p, 2)) % MinHashP),
+        (m, h) => least(m, h)))
   }
 
   /** MinHash signature: sig[i] = min over distinct words of
-    * murmur3(word, seed=i), i < numHashes. Pure projection. */
+    * murmur3(word, i), i < numHashes. Pure projection.
+    *
+    * Shaped as ONE fold over the word set (per word: all numHashes
+    * hashes, elementwise min into the accumulator) rather than
+    * `transform(hashIdx, i -> min over words)`: higher-order-function
+    * lambdas are interpreted without subexpression elimination, so the
+    * word set (split + distinct over the whole text) would be
+    * recomputed numHashes times per document (measured 15× slower). */
   def minHashSignature(textCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(wordSet(textCol), w => hash(w, i))))
+    aggregate(
+      wordSet(textCol),
+      array_repeat(lit(Int.MaxValue), numHashes),
+      (acc, w) => zip_with(acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => hash(w, i)),
+        (m, h) => least(m, h)))
 
   /** MinHash-LSH near-dup pairs over word sets.
     * numHashes = bands × rowsPerBand; candidates whose signatures agree
@@ -103,10 +118,17 @@ object Dedup {
     // the deduplicated candidate pairs.
     val sigs = docs.select(col(idCol).as("id"),
       minHashSignature(col(textCol), numHashes).as("sig"))
-    val banded = sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-          .as(Seq("band", "bsig")))
+    // Explode literal band indices FIRST, then slice the signature from
+    // the Generate output attribute: if the band signature were computed
+    // inside the explode lambda, CollapseProject would inline the whole
+    // minhash signature expression into every band — recomputing the
+    // word set numHashes × bands times per doc (measured 16× slower).
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("band"),
+        hash(slice(col("sig"), col("band") * rowsPerBand + 1,
+          lit(rowsPerBand))).as("bsig"))
     val bucketW = Window.partitionBy(col("band"), col("bsig"))
     val capped = banded
       .withColumn("bucket_n", count(lit(1)).over(bucketW))
@@ -195,10 +217,14 @@ object Dedup {
     require(maxHamming <= 3, "4-band blocking covers hamming <= 3")
     val sigs = docs.select(col(idCol).as("id"),
       simHash60Portable(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sig"), b * 15).bitwiseAND(0x7fffL)))
-        .as(Seq("band", "bval")))
+    // band values computed AFTER the explode from the materialized sig
+    // attribute (see minHashLsh: lambda-inlined sigs recompute ×bands)
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("id"), col("sig"), col("band"),
+        call_function("shiftright", col("sig"), col("band") * 15)
+          .bitwiseAND(0x7fffL).as("bval"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -218,10 +244,12 @@ object Dedup {
     require(maxHamming <= 3, "4-band blocking covers hamming <= 3")
     val sigs = docs.select(col(idCol).as("id"),
       simHash64(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xffffL)))
-        .as(Seq("band", "bval")))
+    val banded = sigs
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col("id"), col("sig"), col("band"),
+        call_function("shiftright", col("sig"), col("band") * 16)
+          .bitwiseAND(0xffffL).as("bval"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
