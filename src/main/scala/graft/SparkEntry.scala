@@ -356,6 +356,106 @@ object SparkEntry {
         .orderBy(col("rf").asc, col("ls").asc)
     }),
 
+    // ---- CUBE: all grouping-set combinations with NULLs normalized ----
+    "q_cube" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("rf").asc, col("ls").asc)
+    }),
+
+    // ---- range join: events binned into value intervals via the
+    // bin-decomposed equi-join (no BroadcastNestedLoopJoin) ----
+    "q_range_join_bins" -> ((s, dir) => {
+      import s.implicits._
+      val bins = (0 until 10).map(i => (i.toLong, i * 50.0, (i + 1) * 50.0))
+        .toDF("bin_id", "lo", "hi")
+      val ev = events(s, dir).select(col("event_id"), col("value"))
+      graft.operators.RangeJoin
+        .pointInInterval(ev, bins, "value", "lo", "hi", binWidth = 20.0)
+        .groupBy(col("bin_id"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")) * 100).cast("long").as("value_c"))
+        .orderBy(col("bin_id").asc)
+    }),
+
+    // ---- skew-salted join: result must equal the plain equi-join ----
+    "q_salted_join" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.salted(li, o, "l_orderkey", "o_orderkey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("long").as("revenue"), count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderpriority").asc)
+    }),
+
+    // ---- dedup with deterministic survivors (streaming twin:
+    // Ingest.dedupStream / dropDuplicatesWithinWatermark) ----
+    "q_dedup_events" -> ((s, dir) => {
+      graft.streaming.Ingest.dedupSurvivors(events(s, dir))
+        .select(col("user_id"), col("event_type"),
+          date_format(col("minute"), "yyyy-MM-dd HH:mm:ss").as("minute"),
+          col("keeper_event"), col("n_dups"))
+        .orderBy(col("user_id").asc, col("event_type").asc, col("minute").asc)
+    }),
+
+    // ---- co-located bucketed join (layout written, then joined with
+    // no shuffle on either side — plan asserted in BucketedLayoutSpec;
+    // the oracle checks the join RESULT equals the plain join) ----
+    "q_bucketed_join" -> ((s, dir) => {
+      import graft.store.BucketedLayout
+      BucketedLayout.writeBucketed(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "graft_bl_lineitem", "l_orderkey", 8)
+      BucketedLayout.writeBucketed(
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_bl_orders", "o_orderkey", 8)
+      BucketedLayout.coLocatedJoin(s, "graft_bl_lineitem", "graft_bl_orders",
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("long").as("revenue"), count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderpriority").asc)
+    }),
+
+    // ---- deterministic hash sampling: same rows selected on any
+    // cluster/partitioning/engine (vs RNG .sample()) ----
+    "q_sample_hash" -> ((s, dir) => {
+      graft.operators.Sampling.hashSample(
+          s.read.parquet(s"$dir/documents.parquet"), col("text"), 10)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- append-stable train/val/test split assignment ----
+    "q_split_assign" -> ((s, dir) => {
+      graft.operators.Sampling.splitAssign(
+          s.read.parquet(s"$dir/documents.parquet"), col("text"),
+          Seq(("train", 80), ("val", 90), ("test", 100)))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split").asc, col("lang").asc)
+    }),
+
+    // ---- deterministic stratified sample: smallest-hash n per lang ----
+    "q_stratified_sample" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedTopN(
+          s.read.parquet(s"$dir/documents.parquet"),
+          col("lang"), col("text"), col("doc_id"), 3)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang").asc, col("doc_id").asc)
+    }),
+
     // ---- semi join surface ----
     "q_semi_join" -> ((s, dir) => {
       val c = s.read.parquet(s"$dir/customer.parquet")
@@ -713,6 +813,57 @@ object SparkEntry {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf ASC, ls ASC""".stripMargin,
 
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf ASC, ls ASC""".stripMargin,
+
+    "q_range_join_bins" ->
+      """WITH bins(bin_id, lo, hi) AS (VALUES
+        |  (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0),
+        |  (3, 150.0, 200.0), (4, 200.0, 250.0), (5, 250.0, 300.0),
+        |  (6, 300.0, 350.0), (7, 350.0, 400.0), (8, 400.0, 450.0),
+        |  (9, 450.0, 500.0))
+        |SELECT CAST(bin_id AS BIGINT) AS bin_id, count(*) AS n,
+        |  CAST(round(sum(value) * 100) AS BIGINT) AS value_c
+        |FROM events JOIN bins ON value >= lo AND value < hi
+        |GROUP BY bin_id
+        |ORDER BY bin_id ASC""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(round(sum(l_extendedprice * (1.0 - l_discount))) AS BIGINT) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
+
+    "q_dedup_events" ->
+      """SELECT user_id, event_type,
+        |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+        |  min(event_id) AS keeper_event, count(*) AS n_dups
+        |FROM events
+        |GROUP BY user_id, event_type, date_trunc('minute', ts)
+        |ORDER BY user_id ASC, event_type ASC, minute ASC""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(round(sum(l_extendedprice * (1.0 - l_discount))) AS BIGINT) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority ASC""".stripMargin,
+
+    "q_sample_hash" -> sampleHashOracle,
+
+    "q_split_assign" -> splitAssignOracle,
+
+    "q_stratified_sample" -> stratifiedSampleOracle,
+
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
@@ -806,6 +957,42 @@ object SparkEntry {
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
        |      i -> CAST(CASE WHEN ascii(md5($w)[i]) >= 97 THEN ascii(md5($w)[i]) - 87
        |           ELSE ascii(md5($w)[i]) - 48 END AS BIGINT))), (a, d) -> a * 16 + d)""".stripMargin
+
+  /** pmod(signed FNV hash of `text`, 100) — Spark's pmod on the SIGNED
+    * BIGINT, reproduced from the unsigned HUGEINT fold: sign-fold
+    * first, then ((x % 100) + 100) % 100 (2^64 % 100 = 16, so an
+    * unsigned mod would NOT match). */
+  private def duckHashBucket100: String =
+    s"((${duckSigned(duckFnvFold("bs"))} % 100) + 100) % 100"
+
+  private def sampleHashOracle: String =
+    s"""WITH b AS (SELECT doc_id, lang, n_chars, $duckUtf8Bytes AS bs
+       |           FROM documents)
+       |SELECT doc_id, lang, n_chars FROM b
+       |WHERE $duckHashBucket100 < 10
+       |ORDER BY doc_id ASC""".stripMargin
+
+  private def splitAssignOracle: String =
+    s"""WITH b AS (SELECT lang, n_chars, $duckUtf8Bytes AS bs
+       |           FROM documents),
+       |s AS (SELECT lang, n_chars,
+       |  CASE WHEN $duckHashBucket100 < 80 THEN 'train'
+       |       WHEN $duckHashBucket100 < 90 THEN 'val'
+       |       ELSE 'test' END AS split FROM b)
+       |SELECT split, lang, count(*) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM s GROUP BY split, lang
+       |ORDER BY split ASC, lang ASC""".stripMargin
+
+  private def stratifiedSampleOracle: String =
+    s"""WITH b AS (SELECT doc_id, lang, n_chars, $duckUtf8Bytes AS bs
+       |           FROM documents),
+       |r AS (SELECT doc_id, lang, n_chars,
+       |  row_number() OVER (PARTITION BY lang
+       |    ORDER BY ${duckSigned(duckFnvFold("bs"))} ASC, doc_id ASC) AS rn
+       |  FROM b)
+       |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 3
+       |ORDER BY lang ASC, doc_id ASC""".stripMargin
 
   private def textFingerprintOracle: String =
     s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents)

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) join — an operator Spark has no native physical
+  * strategy for: a plain `l.join(r, point >= lo && point < hi)` theta
+  * join plans as BroadcastNestedLoopJoin, which is O(|L|·|R|) work and
+  * requires one side to fit in memory — a non-starter at 100 TB.
+  *
+  * Scale design (the standard bin/bucket decomposition, cf. interval
+  * joins in streaming engines): pick a bin width, explode each interval
+  * into the fixed-width bins it covers, and equi-join on the bin id
+  * with a residual range filter. Shuffle volume is |L| + Σ interval
+  * spans/binWidth, both sides hash-partition cleanly, and AQE handles
+  * bin skew like any other equi-join key. Bin width tunes the explode
+  * factor vs bucket selectivity trade (≈ median interval length is a
+  * good default).
+  *
+  * The reference has no join surface at all (SURVEY §2.6: only the
+  * hydration lookup join J1); this is a north-star general-surface
+  * addition alongside [[AsOfJoin]].
+  */
+object RangeJoin {
+
+  /** Join left rows carrying scalar `pointCol` to right rows carrying
+    * [`loCol`, `hiCol`) half-open intervals, on point ∈ interval.
+    * Output: left columns ++ right columns. Each qualifying (row,
+    * interval) pair appears exactly once (the pair meets only in the
+    * point's own bin — no post-join dedup needed). */
+  def pointInInterval(left: DataFrame, right: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val bin = (c: Column) => floor(c / binWidth).cast("long")
+    val l = left.withColumn("__bin", bin(col(pointCol)))
+    // a [lo, hi) interval covers bins floor(lo/w) .. floor(hi/w), the
+    // last one only when hi is not exactly on a bin edge — harmless to
+    // include (the residual filter rejects point == hi)
+    val r = right.withColumn("__bin",
+      explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+    l.join(r, Seq("__bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vfs_fingerprint
+
+/** Deterministic sampling and dataset splitting for training-data
+  * pipelines. `df.sample()` draws from a per-partition RNG stream, so
+  * the selected rows change with partitioning, task retries, and
+  * cluster size — useless for reproducible train/val/test membership
+  * at 100 TB where stragglers WILL be retried. Hash-based sampling
+  * decides membership per ROW from a content/key hash (FNV-1a via
+  * [[graft.functions.Fingerprint]]): the same row lands in the same
+  * split on any cluster, any partitioning, any engine (the DuckDB
+  * oracle reproduces the hash bit-exactly), and membership is stable
+  * under appends — new data never reshuffles old rows between splits.
+  *
+  * All three operators are narrow (filter / project) — zero shuffle,
+  * fully pushed into the scan stage — except the stratified variant,
+  * which shuffles once on the stratum key like any windowed top-n.
+  */
+object Sampling {
+
+  /** Hash of `key` mapped uniformly onto buckets 0..nBuckets-1.
+    * pmod (not %) so the signed hash still lands in [0, n). */
+  def hashBucket(key: Column, nBuckets: Int): Column =
+    pmod(vfs_fingerprint(key), lit(nBuckets)).cast("int")
+
+  /** Keep rows whose key hashes into the first `pct` of 100 buckets —
+    * a deterministic ~pct% sample (exact fraction depends on the key
+    * distribution over buckets, not on an RNG). */
+  def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct must be in [0, 100]")
+    df.filter(hashBucket(key, 100) < pct)
+  }
+
+  /** Assign each row a split label by hash bucket: cuts are
+    * cumulative upper bounds in percent, e.g. Seq(("train", 80),
+    * ("val", 90), ("test", 100)). A row's split never changes as the
+    * dataset grows — the property random splits can't give you. */
+  def splitAssign(df: DataFrame, key: Column,
+      cuts: Seq[(String, Int)], as: String = "split"): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 100,
+      "cuts must end at 100 (cumulative percents)")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted,
+      "cuts must be non-decreasing")
+    val b = hashBucket(key, 100)
+    val expr = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, hi), rest) => when(b < hi, name).otherwise(rest)
+    }
+    df.withColumn(as, expr)
+  }
+
+  /** Deterministic stratified sample: the `n` rows of each stratum
+    * with the smallest (hash, tiebreak) — every engine picks the same
+    * rows. One shuffle on the stratum key; the window keeps only
+    * row_number ≤ n so the post-shuffle state is a streaming top-n per
+    * group, not a full sort of the stratum. */
+  def stratifiedTopN(df: DataFrame, stratum: Column, key: Column,
+      tiebreak: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(vfs_fingerprint(key).asc, tiebreak.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

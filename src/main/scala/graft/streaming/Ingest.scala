@@ -80,6 +80,29 @@ object Ingest {
       .toDF("user_id", "session_start_us", "n_events")
   }
 
+  /** Streaming deduplication: drop repeated (user_id, event_type,
+    * minute-bucket) keys, keeping state only within the watermark
+    * horizon (`dropDuplicatesWithinWatermark` — bounded state at any
+    * stream length, unlike a global dropDuplicates whose state grows
+    * forever). The batch twin with deterministic survivor choice is
+    * [[dedupSurvivors]]. */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+
+  /** Batch dedup with DETERMINISTIC survivors (min event_id per key) —
+    * dropDuplicates keeps an arbitrary row, which can't hash-match an
+    * oracle; a min-aggregate names the keeper explicitly. One
+    * hash-groupBy with map-side partial agg, same scale shape as
+    * [[graft.operators.Dedup.exactGroups]]. */
+  def dedupSurvivors(events: DataFrame): DataFrame =
+    events
+      .withColumn("minute", date_trunc("minute", col("ts")))
+      .groupBy(col("user_id"), col("event_type"), col("minute"))
+      .agg(min(col("event_id")).as("keeper_event"), count(lit(1)).as("n_dups"))
+
   /** Event-time windowed aggregation with watermark — the standard
     * streaming analytics shape (count/sum per event_type per window).
     * Works identically over a batch DataFrame (run with

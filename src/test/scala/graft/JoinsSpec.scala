@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{RangeJoin, SkewJoin}
+import graft.store.BucketedLayout
+
+class JoinsSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+  import spark.implicits._
+
+  test("range join equals brute-force theta join, incl. multi-bin spans") {
+    val points = Seq((1L, 0.0), (2L, 4.9), (3L, 5.0), (4L, 17.3),
+      (5L, 25.0), (6L, 99.9)).toDF("pid", "p")
+    // overlapping intervals, spans much wider than the bin width
+    val ivs = Seq((10L, 0.0, 5.0), (11L, 3.0, 30.0), (12L, 5.0, 6.0),
+      (13L, 0.0, 100.0), (14L, 40.0, 41.0)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, ivs, "p", "lo", "hi",
+        binWidth = 7.0)
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    val want = points.as("l").join(ivs.as("r"),
+        $"p" >= $"lo" && $"p" < $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+    assert(want.contains((2L, 10L)) && !want.exists(_ == ((3L, 10L))),
+      "half-open boundary: 4.9 in [0,5), 5.0 not")
+  }
+
+  test("range join plans as an equi-join on the bin, not a nested loop") {
+    val points = Seq((1L, 1.0)).toDF("pid", "p")
+    val ivs = Seq((10L, 0.0, 5.0)).toDF("iid", "lo", "hi")
+    val plan = RangeJoin.pointInInterval(points, ivs, "p", "lo", "hi", 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("salted join result equals the plain equi-join") {
+    val li = spark.read.parquet(s"${GraftTest.sf001}/lineitem.parquet")
+      .select($"l_orderkey", $"l_extendedprice")
+    val o = spark.read.parquet(s"${GraftTest.sf001}/orders.parquet")
+      .select($"o_orderkey", $"o_orderpriority")
+    val salted = SkewJoin.salted(li, o, "l_orderkey", "o_orderkey", 8)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice")).cast("long"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val plain = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum($"l_extendedprice")).cast("long"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(salted === plain)
+  }
+
+  test("co-bucketed join runs with no shuffle on either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      BucketedLayout.writeBucketed(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+        "graft_test_bl_left", "k", 4)
+      BucketedLayout.writeBucketed(
+        Seq((1L, 10.0), (2L, 20.0), (9L, 90.0)).toDF("j", "w"),
+        "graft_test_bl_right", "j", 4)
+      val joined = BucketedLayout.coLocatedJoin(spark,
+        "graft_test_bl_left", "graft_test_bl_right", "k", "j")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+      assert(joined.count() === 2)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -165,6 +165,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids === Array(1L, 2L))
   }
 
+  test("streaming dedup drops in-watermark duplicates, keeps distinct keys") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val deduped = graft.streaming.Ingest.dedupStream(
+      stream.toDF().toDF("ts", "user_id", "event_type"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      stream.addData(
+        (ts("2024-01-01 10:00:01"), 1L, "click"),
+        (ts("2024-01-01 10:00:40"), 1L, "click"), // same minute: dup
+        (ts("2024-01-01 10:01:05"), 1L, "click"), // next minute: kept
+        (ts("2024-01-01 10:00:10"), 2L, "view"))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedup").head().getLong(0)
+      assert(n === 3, spark.sql("SELECT * FROM dedup").collect().mkString(","))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

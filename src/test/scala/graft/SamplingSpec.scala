@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet(s"${GraftTest.sf001}/documents.parquet")
+
+  test("hash sample is invariant under repartitioning (no RNG)") {
+    val a = Sampling.hashSample(docs, col("text"), 10)
+      .select($"doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(7, $"lang"), col("text"), 10)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(a === b)
+    val n = docs.count()
+    assert(a.size > n / 20 && a.size < n / 5,
+      s"~10% expected, got ${a.size} of $n")
+  }
+
+  test("split assignment is a disjoint total cover and append-stable") {
+    val s = Sampling.splitAssign(docs, col("text"),
+      Seq(("train", 80), ("val", 90), ("test", 100)))
+    val byId = s.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    assert(byId.size === docs.count(), "every row labeled exactly once")
+    // append-stability: labels computed on a subset agree with the full run
+    val subset = Sampling.splitAssign(
+        docs.filter($"doc_id" % 3 === 0), col("text"),
+        Seq(("train", 80), ("val", 90), ("test", 100)))
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+    subset.foreach { case (id, sp) => assert(byId(id) === sp) }
+    val frac = byId.values.count(_ == "train").toDouble / byId.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
+  test("stratified top-n picks exactly n per stratum, deterministically") {
+    val got = Sampling.stratifiedTopN(docs, col("lang"), col("text"),
+        col("doc_id"), 3)
+      .groupBy($"lang").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val strata = docs.select($"lang").distinct().as[String].collect()
+    assert(got.keySet === strata.toSet)
+    got.values.foreach(n => assert(n <= 3))
+    val again = Sampling.stratifiedTopN(docs.repartition(5), col("lang"),
+        col("text"), col("doc_id"), 3)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    val first = Sampling.stratifiedTopN(docs, col("lang"), col("text"),
+        col("doc_id"), 3)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
+    assert(again === first)
+  }
+}
