@@ -221,6 +221,18 @@ object SparkEntry {
         .orderBy(col("a").asc, col("b").asc)
     }),
 
+    // ---- benchmark decontamination: probe docs (src0) sharing >= 5
+    // distinct trigrams with any other-source doc, hot grams capped ----
+    "contamination_ngram" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Contamination.ngramOverlap(
+          corpus = docs.filter(col("source") =!= "src0"),
+          probe = docs.filter(col("source") === "src0"),
+          idCol = "doc_id", textCol = "text", n = 3,
+          minShared = 5, maxDf = 50L)
+        .orderBy(col("probe_id").asc, col("corpus_id").asc)
+    }),
+
     // ---- embedding near-dup, exact within label group ----
     "dedup_embedding_neardup" -> ((s, dir) => {
       Dedup.embeddingPairsWithin(
@@ -494,6 +506,78 @@ object SparkEntry {
         .orderBy(col("event_id").asc)
     }),
 
+    // ---- KMV distinct sketch: deterministic (portable FNV hash), so
+    // the estimate itself oracle-matches — no HLL can do that ----
+    "q_kmv_distinct" -> ((s, dir) => {
+      graft.operators.Sketches.kmvDistinct(
+        s.read.parquet(s"$dir/documents.parquet"), col("text"), 64)
+    }),
+
+    // ---- interval join (stream-stream shape run on batch frames):
+    // purchases within 30 min after each click, per user ----
+    "q_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("pts"), col("value"))
+      graft.streaming.Ingest.intervalJoinStream(clicks, purchases)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_purchases"),
+          round(sum(col("value")) * 100).cast("long").as("value_c"))
+        .orderBy(col("event_id").asc)
+    }),
+
+    // ---- GROUPING SETS: explicit grouping-set list (vs rollup/cube) ----
+    "q_grouping_sets" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .createOrReplaceTempView("graft_gs_lineitem")
+      s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |  count(1) AS n_rows
+        |FROM graft_gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        |ORDER BY rf ASC, ls ASC""".stripMargin)
+    }),
+
+    // ---- forward as-of: next purchase at-or-after each click ----
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsOfJoin.forward(clicks, purchases,
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
+          payload = Seq("pval"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(round(col("pval") * 100).cast("long"), lit(-1L))
+            .as("pval_c"))
+        .orderBy(col("event_id").asc)
+    }),
+
+    // ---- tolerance as-of: backward match only counts within 1 hour ----
+    "asof_join_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsOfJoin.backward(clicks, purchases,
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
+          payload = Seq("pval"), matchedTsAs = Some("mts"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(
+            when(unix_micros(col("ts")) - unix_micros(col("mts"))
+                <= 3600L * 1000000L,
+              round(col("pval") * 100).cast("long")),
+            lit(-1L)).as("pval_c"))
+        .orderBy(col("event_id").asc)
+    }),
+
     // ---- portable minhash signatures: sig[i] = min over the word set
     // of (a_i·x + b_i) mod P with x = md5-derived 60-bit word hash —
     // hash-matches the DuckDB oracle's fold over the same constants ----
@@ -748,6 +832,24 @@ object SparkEntry {
         |    / len(list_distinct(a.g || b.g))) AS BIGINT) >= 300
         |ORDER BY a ASC, b ASC""".stripMargin,
 
+    "contamination_ngram" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  list_distinct([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |                 for i in range(1, len(s) - 1)]) AS g
+        |  FROM (SELECT doc_id, source,
+        |        string_split_regex(trim(lower(text)), '\s+') AS s FROM documents)),
+        |cg AS (SELECT doc_id AS corpus_id, unnest(g) AS gram FROM t
+        |       WHERE source <> 'src0'),
+        |pg AS (SELECT doc_id AS probe_id, unnest(g) AS gram FROM t
+        |       WHERE source = 'src0'),
+        |kept AS (SELECT * FROM cg WHERE gram NOT IN
+        |  (SELECT gram FROM cg GROUP BY gram HAVING count(*) > 50))
+        |SELECT pg.probe_id, kept.corpus_id, count(*) AS n_shared
+        |FROM pg JOIN kept USING (gram)
+        |GROUP BY pg.probe_id, kept.corpus_id
+        |HAVING count(*) >= 5
+        |ORDER BY probe_id ASC, corpus_id ASC""".stripMargin,
+
     "dedup_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |  FROM embeddings)
@@ -888,6 +990,46 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id ASC""".stripMargin,
 
+    "q_kmv_distinct" -> kmvDistinctOracle,
+
+    "q_interval_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS pts, value FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, count(*) AS n_purchases,
+        |  CAST(round(sum(p.value) * 100) AS BIGINT) AS value_c
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.pts >= c.ts AND p.pts <= c.ts + INTERVAL 30 MINUTE
+        |GROUP BY c.event_id
+        |ORDER BY c.event_id ASC""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        |ORDER BY rf ASC, ls ASC""".stripMargin,
+
+    "asof_join_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id,
+        |  COALESCE(CAST(round(r.pval * 100) AS BIGINT), -1) AS pval_c
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+        |ORDER BY l.event_id ASC""".stripMargin,
+
+    "asof_join_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts)
+        |SELECT l.event_id, l.user_id,
+        |  COALESCE(CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+        |    THEN CAST(round(r.pval * 100) AS BIGINT) END, -1) AS pval_c
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id ASC""".stripMargin,
+
     "text_fingerprint" -> textFingerprintOracle,
 
     "dedup_simhash" -> simHashOracle,
@@ -964,6 +1106,19 @@ object SparkEntry {
     * unsigned mod would NOT match). */
   private def duckHashBucket100: String =
     s"((${duckSigned(duckFnvFold("bs"))} % 100) + 100) % 100"
+
+  /** KMV distinct estimate over the signed FNV hash — same float
+    * arithmetic as the Spark side (DOUBLE division + round), exact
+    * when fewer than k distinct hashes exist. */
+  private def kmvDistinctOracle: String =
+    s"""WITH b AS (SELECT DISTINCT $duckUtf8Bytes AS bs FROM documents),
+       |h AS (SELECT DISTINCT ${duckSigned(duckFnvFold("bs"))} AS h FROM b),
+       |t AS (SELECT h FROM h ORDER BY h ASC LIMIT 64)
+       |SELECT CASE WHEN count(*) < 64 THEN count(*)
+       |  ELSE CAST(round(63.0 /
+       |    (CAST(max(h) AS DOUBLE) / 1.8446744073709552e19 + 0.5)) AS BIGINT)
+       |  END AS est
+       |FROM t""".stripMargin
 
   private def sampleHashOracle: String =
     s"""WITH b AS (SELECT doc_id, lang, n_chars, $duckUtf8Bytes AS bs

@@ -4,42 +4,59 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (backward) join — for each left row, attach the latest right
-  * row with `rightTs <= leftTs` within the same key. Spark has no
-  * built-in as-of join (pandas-on-Spark's merge_asof exists, but not in
-  * the Scala DataFrame API); the idiomatic distributed shape is the
-  * union + windowed last_value trick:
+/** As-of joins — for each left row, attach the nearest right row at or
+  * before (backward) / at or after (forward) its timestamp within the
+  * same key. Spark has no built-in as-of join (pandas-on-Spark's
+  * merge_asof exists, but not in the Scala DataFrame API); the
+  * idiomatic distributed shape is the union + windowed last_value
+  * trick:
   *
   *   1. tag both sides and union (right sorts before left on ts ties,
   *      so an exactly-simultaneous right row IS visible to the left row)
-  *   2. one shuffle: window partitioned by key, ordered by (ts, side)
+  *   2. one shuffle: window partitioned by key, ordered by (ts, side) —
+  *      ascending for backward, descending ts for forward
   *   3. `last(value, ignoreNulls)` over the unbounded-preceding frame
-  *      carries the most recent right payload forward
+  *      carries the nearest right payload to each left row
   *   4. keep only left rows
   *
   * Cost: a single hash shuffle of |L|+|R| rows + a per-partition sort —
   * no per-key loops, no broadcast of either side; AQE handles key skew.
   * Right-side (key, ts) duplicates should be pre-aggregated by the
   * caller for deterministic results.
+  *
+  * Tolerance joins ("within 1 hour") compose on top: pass
+  * `matchedTsAs` to surface the matched right timestamp and null out
+  * payloads whose gap exceeds the bound (see `asof_join_tolerance` in
+  * [[graft.SparkEntry]]).
   */
 object AsOfJoin {
 
-  /** @param left       left rows (kept)
-    * @param right      right rows (payload lookup)
-    * @param keyCol     equality key present on both sides
-    * @param leftTsCol  left event-time column
-    * @param rightTsCol right event-time column
-    * @param payload    right-side columns to attach (renamed as given)
-    */
+  /** Latest right row with `rightTs <= leftTs` per key. */
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
-      leftTsCol: String, rightTsCol: String,
-      payload: Seq[String]): DataFrame = {
+      leftTsCol: String, rightTsCol: String, payload: Seq[String],
+      matchedTsAs: Option[String] = None): DataFrame =
+    carry(left, right, keyCol, leftTsCol, rightTsCol, payload,
+      matchedTsAs, descending = false)
+
+  /** Earliest right row with `rightTs >= leftTs` per key. */
+  def forward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, payload: Seq[String],
+      matchedTsAs: Option[String] = None): DataFrame =
+    carry(left, right, keyCol, leftTsCol, rightTsCol, payload,
+      matchedTsAs, descending = true)
+
+  private def carry(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, payload: Seq[String],
+      matchedTsAs: Option[String], descending: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     // the payload rides in ONE struct that is non-null exactly for right
-    // rows: last(_, ignoreNulls) then tracks the latest right ROW, not
-    // the latest non-null value per field — a right row whose payload
-    // field is legitimately NULL still wins over an older row
+    // rows: last(_, ignoreNulls) then tracks the nearest right ROW, not
+    // the nearest non-null value per field — a right row whose payload
+    // field is legitimately NULL still wins over a farther row. The
+    // matched right ts always rides along for tolerance composition.
     val structType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__rts",
+        right.schema(rightTsCol).dataType) +:
       payload.map(p => right.schema(p)))
     val lTagged = left.select(
       (col(keyCol).as("__key") +: col(leftTsCol).as("__ts") +:
@@ -50,14 +67,17 @@ object AsOfJoin {
       (col(keyCol).as("__key") +: col(rightTsCol).as("__ts") +:
         lit(0).as("__side") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        Seq(struct(payload.map(col): _*).as("__p"))): _*)
+        Seq(struct((col(rightTsCol).as("__rts") +:
+          payload.map(col)): _*).as("__p"))): _*)
+    val tsOrder = if (descending) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = lTagged.unionByName(rTagged)
       .withColumn("__latest", last(col("__p"), ignoreNulls = true).over(w))
     carried.filter(col("__side") === 1)
       .select((leftCols.map(col) ++:
+        matchedTsAs.map(a => col("__latest.__rts").as(a)).toSeq ++:
         payload.map(p => col(s"__latest.$p").as(p))): _*)
   }
 }

@@ -103,6 +103,28 @@ object Ingest {
       .groupBy(col("user_id"), col("event_type"), col("minute"))
       .agg(min(col("event_id")).as("keeper_event"), count(lit(1)).as("n_dups"))
 
+  /** Stream-stream interval join: each click joined to the purchases
+    * of the same user landing within `[click.ts, click.ts + horizon]`.
+    * Both sides carry watermarks and the join condition bounds event
+    * time in BOTH directions, so Spark can size the join state buffer
+    * and evict rows as the watermark advances — without the time bound
+    * the state grows forever. The batch twin (`q_interval_join`
+    * oracle) runs the same plan over static frames.
+    *
+    * Inputs must expose: clicks(event_id, user_id, ts),
+    * purchases(user_id, pts, value). */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame,
+      horizon: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark).alias("c")
+    val p = purchases.withWatermark("pts", watermark).alias("p")
+    c.join(p, expr(
+      s"""c.user_id = p.user_id AND
+         |p.pts >= c.ts AND p.pts <= c.ts + interval $horizon""".stripMargin))
+      .select(col("c.event_id"), col("c.user_id"), col("c.ts"),
+        col("p.pts"), col("p.value"))
+  }
+
   /** Event-time windowed aggregation with watermark — the standard
     * streaming analytics shape (count/sum per event_type per window).
     * Works identically over a batch DataFrame (run with

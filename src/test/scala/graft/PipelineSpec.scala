@@ -186,6 +186,31 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches purchases within the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = graft.streaming.Ingest.intervalJoinStream(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("user_id", "pts", "value"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ivj").start()
+    try {
+      clicks.addData((1L, 7L, ts("2024-01-01 10:00:00")),
+        (2L, 7L, ts("2024-01-01 12:00:00")),
+        (3L, 8L, ts("2024-01-01 10:05:00")))
+      purchases.addData((7L, ts("2024-01-01 10:10:00"), 5.0), // in horizon of 1
+        (7L, ts("2024-01-01 11:00:00"), 9.0), // outside both click horizons
+        (9L, ts("2024-01-01 10:10:00"), 4.0)) // no matching user
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, value FROM ivj").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got === Set((1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
