@@ -15,6 +15,9 @@ import graft.operators.TopKByDistance
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // routing first: an indexed KnnSearch becomes an IVF probe; only
+    // unrouted nodes reach the exact rewrite
+    ext.injectResolutionRule(_ => graft.plans.RouteKnnToIvf)
     ext.injectResolutionRule(_ => graft.plans.ResolveKnnSearch)
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),

@@ -114,7 +114,15 @@ object IvfIndex {
     * (id, distance) — distances in the *original* metric space.
     * `.explain` shows PartitionFilters pruning the unprobed clusters. */
   def search(spark: SparkSession, path: String, query: Array[Float],
-      k: Int, nProbe: Int = 4): DataFrame = {
+      k: Int, nProbe: Int = 4): DataFrame =
+    searchHydrated(spark, path, query, k, nProbe)
+      .select(col("id"), col("distance"))
+
+  /** [[search]] keeping the stored vector alongside — the shape the
+    * [[graft.plans.RouteKnnToIvf]] optimizer rewrite needs, since a
+    * routed KnnSearch node must keep producing its child's columns. */
+  def searchHydrated(spark: SparkSession, path: String,
+      query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
     val meta = parseMeta(new String(
       Files.readAllBytes(Paths.get(path, "ivf.json")), StandardCharsets.UTF_8))
     val metric = Metric.parse(meta.metric)
@@ -146,13 +154,19 @@ object IvfIndex {
       }
     if (existing.isEmpty)
       return spark.emptyDataFrame
-        .select(lit(0L).as("id"), lit(0.0).as("distance")).limit(0)
+        .select(lit(0L).as("id"),
+          typedLit(Array.empty[Float]).as("values"),
+          lit(0.0).as("distance")).limit(0)
     val pruned = spark.read.parquet(existing.toIndexedSeq: _*)
     // on normalized vectors euclidean order == cosine order; report the
     // requested metric's distance values
     Knn.exact(pruned, q, k, metric)
-      .select(col("id"), col("distance"))
   }
+
+  /** Metric string of a persisted index (for routing guards). */
+  def metricOf(path: String): String =
+    parseMeta(new String(Files.readAllBytes(Paths.get(path, "ivf.json")),
+      StandardCharsets.UTF_8)).metric
 
   /** Approximate all-pairs similarity JOIN over a built index: vectors
     * sharing an IVF cluster are candidate pairs; exact distance

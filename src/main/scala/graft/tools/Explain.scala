@@ -51,6 +51,36 @@ object Explain {
     show("minhash lsh (expect: slim exchange on band/bsig)") {
       Dedup.minHashLsh(spark.read.parquet(s"$dir/documents.parquet"), 0.8)
     }
+    show("range join (expect: equi-join on bin, NO BroadcastNestedLoop)") {
+      import spark.implicits._
+      val bins = (0 until 10).map(i => (i.toLong, i * 50.0, (i + 1) * 50.0))
+        .toDF("bin_id", "lo", "hi")
+      val ev = graft.SparkEntry.events(spark, dir)
+        .select(col("event_id"), col("value"))
+      graft.operators.RangeJoin
+        .pointInInterval(ev, bins, "value", "lo", "hi", 20.0)
+    }
+    show("as-of join (expect: ONE exchange by key + Window, no broadcast)") {
+      val ev = graft.SparkEntry.events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsOfJoin.backward(clicks, purchases,
+        "user_id", "ts", "ts", Seq("pval"))
+    }
+    show("hash sample (expect: filter pushed into scan stage, no shuffle)") {
+      graft.operators.Sampling.hashSample(
+        spark.read.parquet(s"$dir/documents.parquet"), col("text"), 10)
+    }
+    show("contamination (expect: inverted-index SortMerge/ShuffledHash join)") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Contamination.ngramOverlap(
+        docs.filter(col("source") =!= "src0"),
+        docs.filter(col("source") === "src0"),
+        "doc_id", "text", 3, 5, 50L)
+    }
     spark.stop()
   }
 }

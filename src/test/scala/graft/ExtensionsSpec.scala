@@ -37,6 +37,49 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("registered index routes KnnSearch to an IVF probe, pruned scan") {
+    import org.apache.spark.sql.functions.col
+    val shared = GraftTest.spark
+    val dataPath = s"${GraftTest.sf0001}/embeddings.parquet"
+    val ivfPath = java.nio.file.Files
+      .createTempDirectory("graft_route_ivf").toString
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      SparkSession.setActiveSession(s)
+      val emb = s.read.parquet(dataPath)
+        .select(col("vec_id").as("id"), col("embedding").as("values"))
+      graft.operators.IvfIndex.build(emb, ivfPath, nCentroids = 8,
+        metric = graft.operators.Metric.Cosine)
+      val q = emb.filter(col("id") === 1L).head().getSeq[Float](1).toArray
+
+      graft.plans.IndexRegistry.register(dataPath, ivfPath)
+      s.conf.set("spark.graft.knn.nprobe", "8") // full probe: exact ids
+      val routed = graft.plans.KnnPlan.knn(emb, q, 5, "cosine")
+      // routed: no global sort of the base table; scan reads only the
+      // probed cluster dirs (pruned parquet paths), still top-k shaped
+      val phys = routed.queryExecution.executedPlan.toString
+      assert(phys.contains("TakeOrderedAndProject"), phys)
+      assert(phys.contains("cluster="), phys) // probe path made it in
+      val ids = routed.select("id").collect().map(_.getLong(0)).toSeq
+      val expect = graft.operators.Knn
+        .exact(emb, q, 5, graft.operators.Metric.Cosine)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(ids === expect) // full probe == exact result
+      // unregistered -> exact path again (scans the base location)
+      graft.plans.IndexRegistry.unregister(dataPath)
+      val unrouted = graft.plans.KnnPlan.knn(emb, q, 5, "cosine")
+      assert(!unrouted.queryExecution.executedPlan.toString
+        .contains("cluster="))
+    } finally {
+      graft.plans.IndexRegistry.clear()
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(ivfPath))
+    }
+  }
+
   test("KnnSearch plan node resolves through the injected rule") {
     import org.apache.spark.sql.functions.col
     val shared = GraftTest.spark
