@@ -168,6 +168,45 @@ object IvfIndex {
     parseMeta(new String(Files.readAllBytes(Paths.get(path, "ivf.json")),
       StandardCharsets.UTF_8)).metric
 
+  /** Incremental index maintenance: assign NEW vectors to the nearest
+    * EXISTING centroid and append them to the cluster partitions — no
+    * re-clustering, no rewrite of existing data. This is how an IVF
+    * index absorbs streaming/batch ingest at 100 TB: one broadcast of
+    * the (tiny) centroid table, a map-side argmin per row, one
+    * partitioned append. Centroid drift from skewed appends is the
+    * documented trade — rebuild when recall degrades (the standard IVF
+    * operating practice).
+    *
+    * Works as a `foreachBatch` body for Structured Streaming ingest. */
+  def append(newRows: DataFrame, path: String,
+      vecCol: String = "values", idCol: String = "id"): Unit = {
+    val spark = newRows.sparkSession
+    val meta = parseMeta(new String(
+      Files.readAllBytes(Paths.get(path, "ivf.json")), StandardCharsets.UTF_8))
+    val metric = Metric.parse(meta.metric)
+    val prepared = metric match {
+      case Metric.Cosine => newRows.select(col(idCol).as("id"),
+        normalized(col(vecCol)).as("values"))
+      case Metric.Euclidean => newRows.select(col(idCol).as("id"),
+        col(vecCol).cast("array<float>").as("values"))
+    }
+    val cents = spark.read.parquet(s"$path/centroids")
+    // broadcast the centroid table; per row take the (dist, cluster)
+    // minimum as a map-side partial aggregate — ties break to the
+    // lowest cluster id deterministically via the struct ordering
+    val assigned = prepared
+      .join(broadcast(cents))
+      .select(col("id"), col("values"), col("cluster"),
+        Metric.Euclidean.dist(col("values"), col("centroid")).as("d"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("d"), col("cluster"), col("values"))).as("m"))
+      .select(col("id"), col("m.values").as("values"),
+        col("m.cluster").as("cluster"))
+    assigned.repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$path/assignments")
+  }
+
   /** Approximate all-pairs similarity JOIN over a built index: vectors
     * sharing an IVF cluster are candidate pairs; exact distance
     * verifies < tau. The cluster partitioning bounds the self-join to

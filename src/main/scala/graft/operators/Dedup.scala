@@ -155,6 +155,51 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard_milli"))
   }
 
+  /** Incremental (cross-corpus) MinHash-LSH: near-dups of `probe` docs
+    * AGAINST `corpus` docs — the shape every growing training corpus
+    * needs nightly: LSH-join only the new batch against the existing
+    * data instead of re-running the full self-join. Within-batch pairs
+    * come from [[minHashLsh]](probe); corpus-internal pairs are assumed
+    * already handled. Cost scales with |probe| bands + the matched
+    * buckets of the corpus, not with |corpus|².
+    *
+    * Same banding/verify pipeline as [[minHashLsh]]; `maxBucket` caps
+    * the CORPUS side (a hot bucket there multiplies every probe hit).
+    * Output: (probe_id, corpus_id, jaccard_milli). */
+  def minHashLshJoin(probe: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.8, textCol: String = "text",
+      idCol: String = "doc_id", bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    def banded(docs: DataFrame, as: String) = docs
+      .select(col(idCol).as(as),
+        minHashSignature(col(textCol), numHashes).as("sig"))
+      .select(col(as), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col(as), col("band"),
+        hash(slice(col("sig"), col("band") * rowsPerBand + 1,
+          lit(rowsPerBand))).as("bsig"))
+    val bucketW = Window.partitionBy(col("band"), col("bsig"))
+    val cb = banded(corpus, "corpus_id")
+      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val candidates = banded(probe, "probe_id")
+      .join(cb, Seq("band", "bsig"))
+      .select(col("probe_id"), col("corpus_id"))
+      .dropDuplicates("probe_id", "corpus_id")
+    def words(docs: DataFrame, as: String, w: String) = docs
+      .select(col(idCol).as(as), wordSet(col(textCol)).as(w))
+    candidates
+      .join(words(probe, "probe_id", "wp"), Seq("probe_id"))
+      .join(words(corpus, "corpus_id", "wc"), Seq("corpus_id"))
+      .filter(size(col("wp")).cast("double") >= size(col("wc")) * threshold &&
+        size(col("wc")).cast("double") >= size(col("wp")) * threshold)
+      .withColumn("jaccard_milli", jaccardMilli(col("wp"), col("wc")))
+      .filter(col("jaccard_milli") >= math.round(threshold * 1000))
+      .select(col("probe_id"), col("corpus_id"), col("jaccard_milli"))
+  }
+
   /** round(1000·|a∩b| / |a∪b|) over two distinct-element arrays */
   def jaccardMilli(wa: Column, wb: Column): Column =
     round(size(array_intersect(wa, wb)).cast("double") * 1000.0 /

@@ -140,6 +140,31 @@ class KnnSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("IVF append assigns new vectors to existing centroids, searchable") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    def near(c: Array[Float]) = c.map(x => x + rnd.nextFloat() * 0.05f)
+    val initial = (0 until 200).map(i => (i.toLong, near(centers(i % 8))))
+    val dir = Files.createTempDirectory("ivf_append").toString
+    IvfIndex.build(initial.toDF("id", "values"), dir, nCentroids = 8,
+      Metric.Cosine)
+    // append rows clustered around the SAME structure, new ids
+    val extra = (1000 until 1100).map(i => (i.toLong, near(centers(i % 8))))
+    IvfIndex.append(extra.toDF("id", "values"), dir)
+    // an appended vector's own near-copy must come back as its neighbor
+    val (qid, qv) = extra.head
+    val got = IvfIndex.search(spark, dir, qv, 3, nProbe = 2)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(qid), s"appended id $qid not found in $got")
+    // appended rows landed inside the existing cluster layout (no new
+    // top-level dirs beyond the built cluster= partitions)
+    val dirs = new java.io.File(s"$dir/assignments").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.forall(_.startsWith("cluster=")), dirs.mkString(","))
+    val total = spark.read.parquet(s"$dir/assignments").count()
+    assert(total === 300L)
+  }
+
   test("IVF probe tolerates empty k-means clusters") {
     // duplicate-heavy corpus: far fewer distinct points than centroids
     // guarantees some clusters get no assignments

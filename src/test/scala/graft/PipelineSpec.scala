@@ -26,6 +26,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.size >= exact.size)
   }
 
+  test("incremental LSH join finds probe-vs-corpus near-dups only") {
+    // corpus split: probe = first 100 docs, corpus = the rest; ground
+    // truth from the exact within-source jaccard pairs crossing the cut
+    val probe = docs.filter($"doc_id" < 100)
+    val corpus = docs.filter($"doc_id" >= 100)
+    val exact = Dedup.jaccardPairsWithin(docs, "source", 0.9)
+      .select($"a", $"b").as[(Long, Long)].collect()
+      .filter { case (a, b) => (a < 100) != (b < 100) }
+      .map { case (a, b) => if (a < 100) (a, b) else (b, a) }.toSet
+    assert(exact.nonEmpty, "calibration: expected cross-cut pairs")
+    val got = Dedup.minHashLshJoin(probe, corpus, threshold = 0.9)
+      .select($"probe_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    val missed = exact -- got
+    assert(missed.isEmpty, s"missed ${missed.size} of ${exact.size}")
+    // one-sided: every probe id is from the probe cut
+    got.foreach { case (p, c) => assert(p < 100 && c >= 100) }
+  }
+
   test("simhash: identical docs collide, hamming pairs are symmetric-free") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
