@@ -177,6 +177,14 @@ object IvfIndex {
     * documented trade — rebuild when recall degrades (the standard IVF
     * operating practice).
     *
+    * Caller contract (same as [[build]]): `idCol` is unique within the
+    * batch AND against ids already indexed. Duplicate ids within a
+    * batch collapse to one row (the argmin keeps the nearest-centroid
+    * assignment deterministically); re-appending an existing id is NOT
+    * detected and yields two index entries — route ingest through
+    * [[graft.store.VfsStore]] (which owns id uniqueness) or dedupe
+    * upstream.
+    *
     * Works as a `foreachBatch` body for Structured Streaming ingest. */
   def append(newRows: DataFrame, path: String,
       vecCol: String = "values", idCol: String = "id"): Unit = {

@@ -110,30 +110,9 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       bands: Int = 16, rowsPerBand: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // SCALE NOTE: the banded relation stays SLIM — (id, band, bsig)
-    // triples only. Carrying word arrays through the ×bands explode and
-    // the bucket self-join would multiply shuffle volume by
-    // bands × |words|; instead the word sets are joined back for just
-    // the deduplicated candidate pairs.
-    val sigs = docs.select(col(idCol).as("id"),
-      minHashSignature(col(textCol), numHashes).as("sig"))
-    // Explode literal band indices FIRST, then slice the signature from
-    // the Generate output attribute: if the band signature were computed
-    // inside the explode lambda, CollapseProject would inline the whole
-    // minhash signature expression into every band — recomputing the
-    // word set numHashes × bands times per doc (measured 16× slower).
-    val banded = sigs
-      .select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"), col("band"),
-        hash(slice(col("sig"), col("band") * rowsPerBand + 1,
-          lit(rowsPerBand))).as("bsig"))
-    val bucketW = Window.partitionBy(col("band"), col("bsig"))
-    val capped = banded
-      .withColumn("bucket_n", count(lit(1)).over(bucketW))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    val banded = bandedRelation(docs, "id", textCol, idCol,
+      bands, rowsPerBand)
+    val capped = capBuckets(banded, maxBucket)
     val a = capped.as("a")
     val b = capped.as("b")
     val candidates = a.join(b,
@@ -141,18 +120,60 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a"), col("b.id").as("b"))
       .dropDuplicates("a", "b")
-    val words = docs.select(col(idCol).as("id"),
-      wordSet(col(textCol)).as("words"))
+    verifyJaccard(candidates, docs, docs, "a", "b", textCol, idCol,
+      threshold)
+  }
+
+  /** SLIM banded LSH relation: (idAlias, band, bsig) triples only.
+    * Carrying word arrays through the ×bands explode and the bucket
+    * join would multiply shuffle volume by bands × |words|; word sets
+    * are joined back for just the deduplicated candidate pairs
+    * ([[verifyJaccard]]).
+    *
+    * Explodes literal band indices FIRST, then slices the signature
+    * from the Generate output attribute: if the band signature were
+    * computed inside the explode lambda, CollapseProject would inline
+    * the whole minhash signature expression into every band —
+    * recomputing the word set numHashes × bands times per doc
+    * (measured 16× slower). */
+  private def bandedRelation(docs: DataFrame, idAlias: String,
+      textCol: String, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame =
+    docs.select(col(idCol).as(idAlias),
+        minHashSignature(col(textCol), bands * rowsPerBand).as("sig"))
+      .select(col(idAlias), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col(idAlias), col("band"),
+        hash(slice(col("sig"), col("band") * rowsPerBand + 1,
+          lit(rowsPerBand))).as("bsig"))
+
+  /** Drop rows of (band, bsig) buckets larger than `maxBucket` —
+    * bounds the worst-case join blowup on pathological corpora. */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val bucketW = Window.partitionBy(col("band"), col("bsig"))
+    banded.withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .filter(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+  }
+
+  /** Exact-jaccard verification of candidate id pairs: join the word
+    * sets back per side, apply the O(1) size prefilter (jaccard >= t
+    * forces |A| >= t|B| and |B| >= t|A|) before the O(|A|+|B|)
+    * intersect, keep pairs clearing `threshold`. Output:
+    * (aCol, bCol, jaccard_milli). */
+  private def verifyJaccard(candidates: DataFrame, aDocs: DataFrame,
+      bDocs: DataFrame, aCol: String, bCol: String, textCol: String,
+      idCol: String, threshold: Double): DataFrame = {
+    def words(docs: DataFrame, as: String, w: String) = docs
+      .select(col(idCol).as(as), wordSet(col(textCol)).as(w))
     candidates
-      .join(words.select(col("id").as("a"), col("words").as("wa")), Seq("a"))
-      .join(words.select(col("id").as("b"), col("words").as("wb")), Seq("b"))
-      // size prefilter: jaccard >= t forces |A| >= t|B| and |B| >= t|A|;
-      // size() is O(1) vs the O(|A|+|B|) intersect it guards
+      .join(words(aDocs, aCol, "wa"), Seq(aCol))
+      .join(words(bDocs, bCol, "wb"), Seq(bCol))
       .filter(size(col("wa")).cast("double") >= size(col("wb")) * threshold &&
         size(col("wb")).cast("double") >= size(col("wa")) * threshold)
       .withColumn("jaccard_milli", jaccardMilli(col("wa"), col("wb")))
       .filter(col("jaccard_milli") >= math.round(threshold * 1000))
-      .select(col("a"), col("b"), col("jaccard_milli"))
+      .select(col(aCol), col(bCol), col("jaccard_milli"))
   }
 
   /** Incremental (cross-corpus) MinHash-LSH: near-dups of `probe` docs
@@ -170,34 +191,16 @@ object Dedup {
       threshold: Double = 0.8, textCol: String = "text",
       idCol: String = "doc_id", bands: Int = 16, rowsPerBand: Int = 4,
       maxBucket: Int = 1000): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    def banded(docs: DataFrame, as: String) = docs
-      .select(col(idCol).as(as),
-        minHashSignature(col(textCol), numHashes).as("sig"))
-      .select(col(as), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col(as), col("band"),
-        hash(slice(col("sig"), col("band") * rowsPerBand + 1,
-          lit(rowsPerBand))).as("bsig"))
-    val bucketW = Window.partitionBy(col("band"), col("bsig"))
-    val cb = banded(corpus, "corpus_id")
-      .withColumn("bucket_n", count(lit(1)).over(bucketW))
-      .filter(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
-    val candidates = banded(probe, "probe_id")
+    val cb = capBuckets(
+      bandedRelation(corpus, "corpus_id", textCol, idCol, bands,
+        rowsPerBand), maxBucket)
+    val candidates = bandedRelation(probe, "probe_id", textCol, idCol,
+        bands, rowsPerBand)
       .join(cb, Seq("band", "bsig"))
       .select(col("probe_id"), col("corpus_id"))
       .dropDuplicates("probe_id", "corpus_id")
-    def words(docs: DataFrame, as: String, w: String) = docs
-      .select(col(idCol).as(as), wordSet(col(textCol)).as(w))
-    candidates
-      .join(words(probe, "probe_id", "wp"), Seq("probe_id"))
-      .join(words(corpus, "corpus_id", "wc"), Seq("corpus_id"))
-      .filter(size(col("wp")).cast("double") >= size(col("wc")) * threshold &&
-        size(col("wc")).cast("double") >= size(col("wp")) * threshold)
-      .withColumn("jaccard_milli", jaccardMilli(col("wp"), col("wc")))
-      .filter(col("jaccard_milli") >= math.round(threshold * 1000))
-      .select(col("probe_id"), col("corpus_id"), col("jaccard_milli"))
+    verifyJaccard(candidates, probe, corpus, "probe_id", "corpus_id",
+      textCol, idCol, threshold)
   }
 
   /** round(1000·|a∩b| / |a∪b|) over two distinct-element arrays */

@@ -43,7 +43,11 @@ object Sketches {
     * uniforms". */
   def kmvDistinct(df: DataFrame, key: Column, k: Int = 64): DataFrame = {
     require(k >= 2, "k must be >= 2")
+    // NULL keys hash to NULL, which sorts FIRST under asc — it would
+    // consume a top-k slot (inflating n, biasing hk) and diverge from
+    // the oracle's nulls-last; a null key is "no value", not a value
     val tops = df.select(vfs_fingerprint(key).as("h"))
+      .filter(col("h").isNotNull)
       .distinct()
       .orderBy(col("h").asc).limit(k)
     tops.agg(count(lit(1)).as("n"), max(col("h")).as("hk"))

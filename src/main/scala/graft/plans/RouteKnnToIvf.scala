@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -17,8 +17,15 @@ object IndexRegistry {
   private val reg =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def normalize(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  /** Fully-qualified URI string — scheme and authority INCLUDED, so
+    * `/tables/emb` on two different filesystems/buckets cannot collide
+    * in the registry. Relative/bare paths qualify against the session's
+    * Hadoop default FS (same resolution the scan itself uses). */
+  private def normalize(p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    path.getFileSystem(conf).makeQualified(path).toString
+  }
 
   def register(dataPath: String, indexPath: String): Unit =
     reg.put(normalize(dataPath), indexPath)
@@ -26,14 +33,15 @@ object IndexRegistry {
   def unregister(dataPath: String): Unit = reg.remove(normalize(dataPath))
   def clear(): Unit = reg.clear()
 
-  /** Index path if SOME leaf relation of `plan` scans a registered
+  /** Index path if the single leaf relation `scan` reads a registered
     * location. */
-  def lookupFor(plan: LogicalPlan): Option[String] =
-    plan.collectLeaves().flatMap {
-      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+  private[plans] def lookupFor(scan: LogicalRelation): Option[String] =
+    scan.relation match {
+      case fs: HadoopFsRelation =>
         fs.location.rootPaths.flatMap(p => reg.get(normalize(p.toString)))
-      case _ => Nil
-    }.headOption
+          .headOption
+      case _ => None
+    }
 }
 
 /** Optimizer routing: rewrite [[KnnSearch]] into an IVF index probe
@@ -45,8 +53,11 @@ object IndexRegistry {
   * through to the exact rewrite.
   *
   * Routing guards (all must hold, otherwise exact semantics win):
-  *  - the node's child is exactly an (idCol, vecCol) projection — any
-  *    extra column could not be served from the index layout
+  *  - the node's child is the bare registered scan, or a pure
+  *    column-selection/rename Project directly over it — a Filter,
+  *    Limit, join, or computed column between scan and node makes the
+  *    child NOT index-servable, and the node falls through to exact
+  *    (routing there would silently drop the intermediate operators)
   *  - the index metric equals the node's metric (simd_* aliases fold)
   *
   * Routed output is APPROXIMATE top-k (recall follows nProbe — set
@@ -54,6 +65,11 @@ object IndexRegistry {
   * returned vector is the index's stored representation (normalized).
   * The rewrite projects the probe plan's columns onto the node's
   * original exprIds, so references above the node stay valid.
+  *
+  * The probe's cluster choice (a centroid scan + driver-side top-k)
+  * runs at ANALYSIS time — routed analysis does real (small) work, and
+  * the probed directory list is frozen into the plan: re-analyze (or
+  * re-run `knn`) to see clusters appended after the plan was built.
   */
 object RouteKnnToIvf extends Rule[LogicalPlan] {
 
@@ -63,11 +79,27 @@ object RouteKnnToIvf extends Rule[LogicalPlan] {
     case other => other
   }
 
+  /** The scan under `child` iff child is the scan itself or one pure
+    * attribute-only Project over it (column pruning / renames). */
+  private def servableScan(child: LogicalPlan): Option[LogicalRelation] =
+    child match {
+      case r: LogicalRelation => Some(r)
+      case Project(projectList, r: LogicalRelation)
+          if projectList.forall(isAttributeOnly) => Some(r)
+      case _ => None
+    }
+
+  private def isAttributeOnly(e: NamedExpression): Boolean = e match {
+    case _: Attribute => true
+    case Alias(_: AttributeReference, _) => true
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case node @ KnnSearch(child, query, k, metric, vecCol, idCol, _)
         if child.resolved &&
           child.output.map(_.name).toSet == Set(idCol, vecCol) =>
-      IndexRegistry.lookupFor(child) match {
+      servableScan(child).flatMap(IndexRegistry.lookupFor) match {
         case Some(ivfPath)
             if IvfIndex.metricOf(ivfPath) == canonMetric(metric) =>
           val spark = SparkSession.active

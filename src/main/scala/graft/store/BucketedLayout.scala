@@ -28,22 +28,28 @@ object BucketedLayout {
   def writeBucketed(df: DataFrame, table: String, key: String,
       nBuckets: Int): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val warehouse = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
-    val fs = warehouse.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(warehouse)) fs.delete(warehouse, true)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // the catalog's own default location handles the current database
+    // and db-qualified names (<warehouse>/<db>.db/<tbl>) — deriving it
+    // by string concat from warehouse.dir would miss both
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(ident))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)
   }
 
-  /** Equi-join two co-bucketed tables. With matching bucket counts the
+  /** Equi-join two co-bucketed tables (key columns may share a name —
+    * both sides are qualified). With matching bucket counts the
     * physical plan contains no ShuffleExchange (asserted in
     * BucketedLayoutSpec). */
   def coLocatedJoin(spark: SparkSession, leftTable: String,
-      rightTable: String, leftKey: String, rightKey: String): DataFrame =
-    spark.table(leftTable)
-      .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+      rightTable: String, leftKey: String, rightKey: String): DataFrame = {
+    val l = spark.table(leftTable)
+    val r = spark.table(rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

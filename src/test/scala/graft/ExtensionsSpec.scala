@@ -66,6 +66,15 @@ class ExtensionsSpec extends AnyFunSuite {
         .exact(emb, q, 5, graft.operators.Metric.Cosine)
         .select("id").collect().map(_.getLong(0)).toSeq
       assert(ids === expect) // full probe == exact result
+      // a Filter between scan and knn makes the child non-servable:
+      // the node must fall through to EXACT over the filtered subset,
+      // never route (routing would silently drop the filter)
+      val filtered = graft.plans.KnnPlan.knn(
+        emb.filter(col("id") > 250L), q, 5, "cosine")
+      assert(!filtered.queryExecution.executedPlan.toString
+        .contains("cluster="))
+      val fids = filtered.select("id").collect().map(_.getLong(0))
+      assert(fids.forall(_ > 250L), fids.mkString(","))
       // unregistered -> exact path again (scans the base location)
       graft.plans.IndexRegistry.unregister(dataPath)
       val unrouted = graft.plans.KnnPlan.knn(emb, q, 5, "cosine")

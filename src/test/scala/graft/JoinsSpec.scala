@@ -51,6 +51,32 @@ class JoinsSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("salted join works when both keys share a name; dups still spread") {
+    val facts = Seq.fill(100)((42L, 1.0)).toDF("user_id", "m") // identical rows
+    val dims = Seq((42L, "hot"), (7L, "cold")).toDF("user_id", "tag")
+      .select($"user_id".as("uid"), $"tag")
+      .withColumnRenamed("uid", "user_id")
+    val out = SkewJoin.salted(facts, dims, "user_id", "user_id", 4)
+    assert(out.count() === 100)
+    // identical duplicate rows of the hot key must not all share a salt
+    val salts = facts.withColumn("__salt",
+        pmod(xxhash64($"user_id", monotonically_increasing_id()), lit(4)))
+      .select($"__salt").distinct().count()
+    assert(salts > 1, "identical hot-key rows collapsed to one salt")
+  }
+
+  test("co-bucketed join works when both keys share a name") {
+    BucketedLayout.writeBucketed(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "graft_test_bl_same_l",
+      "k", 4)
+    BucketedLayout.writeBucketed(
+      Seq((1L, 10.0), (3L, 30.0)).toDF("k", "w"), "graft_test_bl_same_r",
+      "k", 4)
+    val joined = BucketedLayout.coLocatedJoin(spark,
+      "graft_test_bl_same_l", "graft_test_bl_same_r", "k", "k")
+    assert(joined.count() === 1)
+  }
+
   test("co-bucketed join runs with no shuffle on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

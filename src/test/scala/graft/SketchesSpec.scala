@@ -53,4 +53,11 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.kmvDistinct(small, col("t"), 64)
       .head().getLong(0) === 3L)
   }
+
+  test("KMV ignores NULL keys (no slot consumed, no estimate bias)") {
+    val withNulls = Seq(Some("a"), None, Some("b"), None, Some("c"))
+      .toDF("t")
+    assert(Sketches.kmvDistinct(withNulls, col("t"), 64)
+      .head().getLong(0) === 3L)
+  }
 }
