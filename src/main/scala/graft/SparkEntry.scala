@@ -177,6 +177,60 @@ object SparkEntry {
         .orderBy(col("o_custkey").asc, col("rn").asc)
     }),
 
+    // ---- analytic window suite: lag/lead/ntile/percent_rank ----
+    "w3_analytics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("price_c").asc, col("o_orderkey").asc)
+      o.select(col("o_custkey"), col("o_orderkey"), col("price_c"),
+          coalesce(lag(col("price_c"), 1).over(w), lit(-1L)).as("prev_c"),
+          coalesce(lead(col("price_c"), 1).over(w), lit(-1L)).as("next_c"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w) * 1000).cast("long").as("prank_milli"))
+        .orderBy(col("o_custkey").asc, col("price_c").asc,
+          col("o_orderkey").asc)
+    }),
+
+    // ---- pivot: long -> wide with explicit value list ----
+    "q_pivot" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity"))).cast("long"))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("qty_f"),
+          coalesce(col("O"), lit(0L)).as("qty_o"))
+        .orderBy(col("l_returnflag").asc)
+    }),
+
+    // ---- unpivot (melt): wide -> long ----
+    "q_unpivot" -> ((s, dir) => {
+      val wide = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
+          round(sum(col("l_extendedprice"))).cast("long").as("sum_price"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")),
+          "measure", "value")
+        .orderBy(col("l_returnflag").asc, col("measure").asc)
+    }),
+
+    // ---- anti join: customers with no URGENT order (every customer
+    // has SOME order in the synthetic data, so the unfiltered variant
+    // would be a vacuous 0-row check) ----
+    "q_anti_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment").asc)
+    }),
+
     // ---- set op surface (SURVEY §2.9): user-days with clicks but no
     // purchases — EXCEPT over distinct composite keys ----
     "set_except" -> ((s, dir) => {
@@ -989,6 +1043,45 @@ object SparkEntry {
         |  COALESCE(CAST(round(r.pval * 100) AS BIGINT), -1) AS pval_c
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
         |ORDER BY l.event_id ASC""".stripMargin,
+
+    "w3_analytics" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders)
+        |SELECT o_custkey, o_orderkey, price_c,
+        |  COALESCE(lag(price_c, 1) OVER w, -1) AS prev_c,
+        |  COALESCE(lead(price_c, 1) OVER w, -1) AS next_c,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  CAST(round(percent_rank() OVER w * 1000) AS BIGINT) AS prank_milli
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY price_c ASC, o_orderkey ASC)
+        |ORDER BY o_custkey ASC, price_c ASC, o_orderkey ASC""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  COALESCE(CAST(round(sum(CASE WHEN l_linestatus = 'F'
+        |    THEN l_quantity END)) AS BIGINT), 0) AS qty_f,
+        |  COALESCE(CAST(round(sum(CASE WHEN l_linestatus = 'O'
+        |    THEN l_quantity END)) AS BIGINT), 0) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (SELECT l_returnflag,
+        |  CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+        |  CAST(round(sum(l_extendedprice)) AS BIGINT) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM wide
+        |ORDER BY l_returnflag ASC, measure ASC""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC""".stripMargin,
 
     "q_kmv_distinct" -> kmvDistinctOracle,
 
