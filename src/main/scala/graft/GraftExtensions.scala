@@ -34,5 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     inject("vfs_topk", es => TopKByDistance(es(0), es(1),
       es(2).eval().asInstanceOf[Int]).toAggregateExpression())
+    inject("vfs_vec_mean", es =>
+      graft.operators.VectorMean(es(0)).toAggregateExpression())
   }
 }

@@ -560,6 +560,39 @@ object SparkEntry {
         .orderBy(col("event_id").asc)
     }),
 
+    // ---- grouped vector mean (class centroids) via the VectorMean
+    // partial aggregate: one dim-sized buffer per group per partition
+    // crosses the shuffle, not the vectors ----
+    "q_vec_mean" -> ((s, dir) => {
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .groupBy(col("label"))
+        .agg(graft.operators.VectorMean.vecMean(col("embedding")).as("m"))
+        .select(col("label"), posexplode(col("m")).as(Seq("dim_idx", "mean")))
+        .select(col("label").cast("long").as("label"),
+          col("dim_idx").cast("long").as("dim_idx"),
+          round(col("mean") * 1000).cast("long").as("mean_milli"))
+        .orderBy(col("label").asc, col("dim_idx").asc)
+    }),
+
+    // ---- grouped kNN through the custom vfs_topk aggregate: per-label
+    // top-3 neighbors of a fixed query, shuffling <= k rows per label
+    // per partition ----
+    "q_grouped_knn" -> ((s, dir) => {
+      val q = queryVec(s, dir, 7)
+      val scored = emb(s, dir)
+        .select(col("label"), col("vec_id"),
+          vfs_cosine(col("embedding"), typedLit(q)).as("d"))
+      scored.groupBy(col("label"))
+        .agg(graft.operators.TopKByDistance
+          .topk(col("d"), col("vec_id"), 3).as("t"))
+        .select(col("label").cast("long").as("label"),
+          explode(col("t")).as("s"))
+        .select(col("label"), col("s.id").as("vec_id"),
+          round(col("s.distance") * 1000).cast("long").as("dist_milli"))
+        .orderBy(col("label").asc, col("dist_milli").asc,
+          col("vec_id").asc)
+    }),
+
     // ---- KMV distinct sketch: deterministic (portable FNV hash), so
     // the estimate itself oracle-matches — no HLL can do that ----
     "q_kmv_distinct" -> ((s, dir) => {
@@ -1082,6 +1115,31 @@ object SparkEntry {
         |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment ASC""".stripMargin,
+
+    "q_vec_mean" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT label, unnest(range(0, len(v))) AS dim_idx,
+        |             unnest(v) AS x FROM e)
+        |SELECT CAST(label AS BIGINT) AS label, dim_idx,
+        |  CAST(round(avg(x) * 1000) AS BIGINT) AS mean_milli
+        |FROM u GROUP BY label, dim_idx
+        |ORDER BY label ASC, dim_idx ASC""".stripMargin,
+
+    "q_grouped_knn" ->
+      """WITH e AS (SELECT label, vec_id,
+        |  (1 - list_inner_product(CAST(embedding AS DOUBLE[]), q.v)
+        |     / (sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                CAST(embedding AS DOUBLE[])))
+        |        * sqrt(list_inner_product(q.v, q.v)))) AS d
+        |  FROM embeddings,
+        |    (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |     WHERE vec_id = 7) q),
+        |r AS (SELECT label, vec_id, d, row_number() OVER
+        |  (PARTITION BY label ORDER BY d ASC, vec_id ASC) AS rn FROM e)
+        |SELECT CAST(label AS BIGINT) AS label, vec_id,
+        |  CAST(round(d * 1000) AS BIGINT) AS dist_milli
+        |FROM r WHERE rn <= 3
+        |ORDER BY label ASC, dist_milli ASC, vec_id ASC""".stripMargin,
 
     "q_kmv_distinct" -> kmvDistinctOracle,
 

@@ -65,5 +65,7 @@ package object functions {
     r1("vfs_dequantize", es => DequantizeVec(es(0), es(1)))
     r1("vfs_fingerprint", es => Fingerprint(es(0)))
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
+    r1("vfs_vec_mean", es =>
+      graft.operators.VectorMean(es(0)).toAggregateExpression())
   }
 }

@@ -177,6 +177,40 @@ class KnnSpec extends AnyFunSuite {
     assert(got.count() === 5L)
   }
 
+  test("VectorMean aggregate equals per-lane scala mean; SQL-registered") {
+    import graft.operators.VectorMean.vecMean
+    val rows = Seq(
+      (0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)),
+      (1, Array(10.0f, 0.0f))
+    ).toDF("g", "v")
+    val got = rows.groupBy($"g").agg(vecMean($"v").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(got(0) === Seq(2.0, 4.0))
+    assert(got(1) === Seq(10.0, 0.0))
+    // null vectors are skipped; an all-null group is NULL
+    val withNull = Seq((0, Some(Array(4.0f))), (0, None), (1, None))
+      .toDF("g", "v")
+    val n = withNull.groupBy($"g").agg(vecMean($"v").as("m"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1).toSeq)).toMap
+    assert(n(0) === Seq(4.0))
+    assert(n(1) === null)
+    // dimension mismatch inside a group -> the engine's dim guard
+    val bad = Seq((0, Array(1.0f)), (0, Array(1.0f, 2.0f))).toDF("g", "v")
+    val e = intercept[org.apache.spark.SparkException] {
+      bad.groupBy($"g").agg(vecMean($"v")).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      e.getCause.getMessage.contains("dimension mismatch"))
+    // SQL registration
+    graft.functions.registerAll(spark)
+    rows.createOrReplaceTempView("vm_rows")
+    val viaSql = spark.sql(
+      "SELECT g, vfs_vec_mean(v) AS m FROM vm_rows GROUP BY g")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(viaSql(0) === Seq(2.0, 4.0))
+  }
+
   test("TopK agg and exact agree on NaN handling (NaN last, fills underfull k)") {
     val rows = Seq(
       (1L, Array(1f, 0f)), (2L, Array(0f, 1f)),
