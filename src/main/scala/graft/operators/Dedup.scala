@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graft.shims
+
 import graft.functions.{vfs_cosine, vfs_fingerprint}
 
 /** Deduplication operators for training-data pipelines, each designed
@@ -140,7 +142,8 @@ object Dedup {
       textCol: String, idCol: String, bands: Int,
       rowsPerBand: Int): DataFrame =
     docs.select(col(idCol).as(idAlias),
-        minHashSignature(col(textCol), bands * rowsPerBand).as("sig"))
+        shims.column(graft.functions.MinHashSig(
+          shims.expression(col(textCol)), bands * rowsPerBand)).as("sig"))
       .select(col(idAlias), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .select(col(idAlias), col("band"),

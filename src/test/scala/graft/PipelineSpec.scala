@@ -57,6 +57,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, _) => a < b })
   }
 
+  test("native minhash signature: deterministic, case-folded, word-order-free") {
+    import org.apache.spark.sql.graft.shims
+    def sigOf(t: String): Seq[Long] = {
+      val df = Seq(t).toDF("text").select(shims.column(
+        graft.functions.MinHashSig(
+          shims.expression(col("text")), 16)).as("s"))
+      df.head().getSeq[Long](0).toSeq
+    }
+    assert(sigOf("hello world") === sigOf("world  hello")) // set semantics
+    assert(sigOf("Hello WORLD") === sigOf("hello world"))  // case folded
+    assert(sigOf("hello world") !== sigOf("hello there"))
+    assert(sigOf("") === sigOf("   "))                     // empty-token twin
+    // identical docs -> identical signatures in a distributed run
+    val many = Seq.fill(50)("the same doc").toDF("text")
+      .repartition(7)
+      .select(shims.column(graft.functions.MinHashSig(
+        shims.expression(col("text")), 16)).as("s"))
+      .distinct().count()
+    assert(many === 1L)
+  }
+
   test("portable word hash = low 60 bits of md5 (JVM reference)") {
     def ref(w: String): Long = {
       val d = java.security.MessageDigest.getInstance("MD5")
