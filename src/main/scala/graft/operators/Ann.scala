@@ -72,9 +72,12 @@ object IvfIndex {
     // cluster default: k-means|| init + every Lloyd iteration is a
     // full-pass job, and at small n the per-task overhead of 32
     // near-empty partitions dominates build time (measured 6.2s for
-    // 2000 rows; ~25k rows per task amortizes scheduling at any scale).
+    // 2000 rows). ~3k rows per task: small corpora still coalesce to
+    // one task, while a full 100k training sample uses every core —
+    // dividing by 25k left Lloyd on 4 of 32 threads at the cap
+    // (measured 96s for the 500k probe; ~40s at full parallelism).
     val trainN = math.min(n, trainCap)
-    val trainParts = math.max(1, math.min(32, (trainN / 25000L).toInt))
+    val trainParts = math.max(1, math.min(32, (trainN / 3125L).toInt))
     val featurized = trainSet
       .withColumn("features", array_to_vector(col("values")))
       .coalesce(trainParts).cache()
@@ -198,18 +201,39 @@ object IvfIndex {
       case Metric.Euclidean => newRows.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("values"))
     }
-    val cents = spark.read.parquet(s"$path/centroids")
-    // broadcast the centroid table; per row take the (dist, cluster)
-    // minimum as a map-side partial aggregate — ties break to the
-    // lowest cluster id deterministically via the struct ordering
-    val assigned = prepared
-      .join(broadcast(cents))
-      .select(col("id"), col("values"), col("cluster"),
-        Metric.Euclidean.dist(col("values"), col("centroid")).as("d"))
-      .groupBy(col("id"))
-      .agg(min(struct(col("d"), col("cluster"), col("values"))).as("m"))
-      .select(col("id"), col("m.values").as("values"),
-        col("m.cluster").as("cluster"))
+    // centroid table is tiny (nCentroids × dim floats) — broadcast the
+    // raw arrays and argmin per row in one tight partition loop, the
+    // same shape MLlib's own transform uses. A relational phrasing
+    // (cross join with the centroid table + min aggregate) materializes
+    // |batch| × nCentroids joined rows first — measured 18-27s for a
+    // 10k-row append vs ~1s here. Ties break to the lowest cluster id
+    // (strict < scan in ascending order), deterministically.
+    val centArr = spark.read.parquet(s"$path/centroids")
+      .select(col("cluster"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(centArr)
+    import spark.implicits._
+    val assigned = prepared.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var best = -1; var bestD = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            val cent = cs(c)._2
+            var d = 0.0; var i = 0
+            while (i < v.length) {
+              val diff = v(i).toDouble - cent(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = cs(c)._1 }
+            c += 1
+          }
+          (id, v, best)
+        }
+      }
+      .toDF("id", "values", "cluster")
     assigned.repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$path/assignments")

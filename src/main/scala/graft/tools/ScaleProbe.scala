@@ -56,6 +56,41 @@ object ScaleProbe {
     time("IVF probe top-10 (nProbe=8)") {
       IvfIndex.search(spark, ivfDir, q, 10, nProbe = 8).collect()
     }
+    time("IVF append 10k new vectors (broadcast argmin, no re-cluster)") {
+      IvfIndex.append(base.filter($"id" < 10000)
+        .select(($"id" + n).as("id"), $"values"), ivfDir)
+    }
+    time("VectorMean: 1000-group centroids over the corpus (partial agg)") {
+      base.groupBy(($"id" % 1000).as("g"))
+        .agg(graft.operators.VectorMean.vecMean($"values").as("m"))
+        .count()
+    }
+
+    // 10M-row scalar table for the relational-operator probes
+    val wide = time("materialize 10M-row event-like table") {
+      val df = spark.range(10000000L).select($"id",
+        ($"id" % 100000).as("key"),
+        (pmod(hash($"id"), lit(100000)) / lit(200.0)).as("value"),
+        concat(lit("user"), $"id" % 9973).as("text"))
+      val p = java.nio.file.Files.createTempDirectory("scale-wide").toString
+      df.write.mode("overwrite").parquet(s"$p/t")
+      spark.read.parquet(s"$p/t")
+    }
+    time("hash sample 10% of 10M rows (no shuffle, scan-stage filter)") {
+      graft.operators.Sampling.hashSample(wide, $"text", 10).count()
+    }
+    time("range join: 10M points into 100 bins (bin equi-join)") {
+      import spark.implicits._
+      val bins = (0 until 100).map(i => (i.toLong, i * 5.0, (i + 1) * 5.0))
+        .toDF("bin_id", "lo", "hi")
+      graft.operators.RangeJoin
+        .pointInInterval(wide.select($"id", $"value"), bins,
+          "value", "lo", "hi", binWidth = 5.0)
+        .count()
+    }
+    time("KMV distinct sketch over 10M rows (k=256)") {
+      graft.operators.Sketches.kmvDistinct(wide, $"text", 256).collect()
+    }
     spark.stop()
   }
 }
