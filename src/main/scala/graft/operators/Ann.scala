@@ -239,6 +239,34 @@ object IvfIndex {
       .parquet(s"$path/assignments")
   }
 
+  /** Compact the assignments layout after a run of [[append]]s: each
+    * append adds one file per touched cluster directory, and at
+    * nCentroids in the hundreds that is the classic small-files
+    * problem — probe latency grows with files listed, not bytes read.
+    * Rewrites every cluster partition into one file per shuffle
+    * partition, staged in a sibling directory and swapped in with two
+    * renames (crash before the second rename leaves the old layout
+    * intact; the stage directory is overwritten by the next compact). */
+  def compactAssignments(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/assignments_stage")
+    val old = new org.apache.hadoop.fs.Path(s"$path/assignments_old")
+    spark.read.parquet(live.toString)
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(stage.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"[GRAFT] compact: cannot move $live")
+    if (!fs.rename(stage, live)) {
+      fs.rename(old, live) // roll back
+      throw new java.io.IOException(s"[GRAFT] compact: cannot move $stage")
+    }
+    fs.delete(old, true)
+  }
+
   /** Approximate all-pairs similarity JOIN over a built index: vectors
     * sharing an IVF cluster are candidate pairs; exact distance
     * verifies < tau. The cluster partitioning bounds the self-join to

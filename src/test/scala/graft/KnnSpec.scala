@@ -165,6 +165,33 @@ class KnnSpec extends AnyFunSuite {
     assert(total === 300L)
   }
 
+  test("IVF compact merges append files; search results unchanged") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    def near(c: Array[Float]) = c.map(x => x + rnd.nextFloat() * 0.05f)
+    val dir = Files.createTempDirectory("ivf_compact").toString
+    IvfIndex.build(
+      (0 until 80).map(i => (i.toLong, near(centers(i % 4))))
+        .toDF("id", "values"), dir, nCentroids = 4, Metric.Cosine)
+    (0 until 3).foreach { b =>
+      IvfIndex.append((0 until 20).map(i =>
+        ((1000 + b * 100 + i).toLong, near(centers(i % 4))))
+        .toDF("id", "values"), dir)
+    }
+    def files() = new java.io.File(s"$dir/assignments").listFiles()
+      .filter(_.isDirectory)
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).sum
+    def top(): Seq[Long] = IvfIndex.search(spark, dir, centers(0), 10,
+      nProbe = 4).select("id").as[Long].collect().toSeq
+    val before = (files(), top())
+    IvfIndex.compactAssignments(spark, dir)
+    val after = (files(), top())
+    assert(after._1 < before._1,
+      s"expected fewer files, ${before._1} -> ${after._1}")
+    assert(after._2 === before._2, "search results changed by compact")
+    assert(spark.read.parquet(s"$dir/assignments").count() === 140L)
+  }
+
   test("IVF probe tolerates empty k-means clusters") {
     // duplicate-heavy corpus: far fewer distinct points than centroids
     // guarantees some clusters get no assignments
