@@ -560,6 +560,20 @@ object SparkEntry {
         .orderBy(col("event_id").asc)
     }),
 
+    // ---- RAG-style chunking: 200-char windows, 50-char overlap;
+    // output integer stats per chunk (chars + whitespace tokens) ----
+    "text_chunks" -> ((s, dir) => {
+      val chunked = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          posexplode(graft.operators.TextAnalysis
+            .chunkText(col("text"), 200, 50)).as(Seq("chunk_idx", "chunk")))
+      chunked.select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          length(col("chunk")).cast("long").as("chunk_chars"),
+          graft.operators.TextAnalysis.tokenCount(col("chunk"))
+            .as("chunk_tokens"))
+        .orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    }),
+
     // ---- grouped vector mean (class centroids) via the VectorMean
     // partial aggregate: one dim-sized buffer per group per partition
     // crosses the shuffle, not the vectors ----
@@ -1115,6 +1129,21 @@ object SparkEntry {
         |  (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment ASC""".stripMargin,
+
+    "text_chunks" ->
+      """WITH c AS (SELECT doc_id, text, length(text) AS L FROM documents),
+        |x AS (SELECT doc_id, text,
+        |  unnest(range(0, CASE WHEN L <= 200 THEN 1
+        |    ELSE CAST(ceil((L - 50) / 150.0) AS BIGINT) END)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)) AS BIGINT)
+        |    AS chunk_chars,
+        |  CAST(len(string_split_regex(
+        |    trim(substr(text, CAST(chunk_idx * 150 + 1 AS INT), 200)), '\s+'))
+        |    AS BIGINT) AS chunk_tokens
+        |FROM x
+        |ORDER BY doc_id ASC, chunk_idx ASC""".stripMargin,
 
     "q_vec_mean" ->
       """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

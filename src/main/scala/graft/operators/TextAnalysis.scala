@@ -18,6 +18,23 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Fixed-size character chunks with overlap — the RAG / context-
+    * window preprocessing shape: chunk i covers
+    * [i·(size−overlap), i·(size−overlap)+size). The final chunk may be
+    * shorter; a text within one window yields exactly one chunk. Pure
+    * projection (transform over a start-offset sequence) — zero
+    * shuffle, explodes downstream only if the caller asks. */
+  def chunkText(text: Column, size: Int, overlap: Int): Column = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need size > 0 and 0 <= overlap < size")
+    val step = size - overlap
+    val n = when(length(text) <= size, lit(1))
+      .otherwise(ceil((length(text) - lit(overlap)).cast("double") / step))
+      .cast("int")
+    transform(sequence(lit(0), n - 1),
+      i => text.substr(i * step + 1, lit(size)))
+  }
+
   /** BPE-ish subword count upper bound: words + punctuation marks are
     * split points (a cheap, deterministic token-count proxy when no
     * tokenizer model is loadable). */

@@ -57,6 +57,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, _) => a < b })
   }
 
+  test("chunkText: window/overlap boundaries, short-text single chunk") {
+    import graft.operators.TextAnalysis.chunkText
+    def chunksOf(t: String, size: Int, overlap: Int): Seq[String] =
+      Seq(t).toDF("text")
+        .select(chunkText(col("text"), size, overlap).as("c"))
+        .head().getSeq[String](0).toSeq
+    assert(chunksOf("abcdefghij", 4, 1) ===
+      Seq("abcd", "defg", "ghij")) // step 3, full cover, 1-char overlap
+    assert(chunksOf("abc", 10, 2) === Seq("abc")) // within one window
+    assert(chunksOf("abcdefghijk", 4, 1) ===
+      Seq("abcd", "defg", "ghij", "jk")) // short tail chunk
+    // every adjacent pair overlaps by exactly `overlap` chars
+    val cs = chunksOf("x" * 1000, 200, 50)
+    cs.sliding(2).foreach {
+      case Seq(a, b) => assert(a.takeRight(50) === b.take(50))
+      case _ =>
+    }
+  }
+
   test("native minhash signature: deterministic, case-folded, word-order-free") {
     import org.apache.spark.sql.graft.shims
     def sigOf(t: String): Seq[Long] = {
