@@ -269,6 +269,39 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest maintains the IVF index via foreachBatch append") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    def near(c: Array[Float]) = c.map(x => x + rnd.nextFloat() * 0.05f)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_stream").toString
+    operators.IvfIndex.build(
+      (0 until 100).map(i => (i.toLong, near(centers(i % 4))))
+        .toDF("id", "values"), dir, nCentroids = 4,
+      operators.Metric.Cosine)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = stream.toDF().toDF("id", "values").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        operators.IvfIndex.append(batch, dir)
+      }
+      .start()
+    try {
+      val v502 = near(centers(3))
+      stream.addData((500L, near(centers(1))), (501L, near(centers(2))))
+      q.processAllAvailable()
+      stream.addData((502L, v502))
+      q.processAllAvailable()
+      // query the exact streamed vector: it must be its own nearest hit
+      val got = operators.IvfIndex
+        .search(spark, dir, v502, 1, nProbe = 4)
+        .select("id").as[Long].collect().toSeq
+      assert(got === Seq(502L), s"streamed vector not indexed: $got")
+      assert(spark.read.parquet(s"$dir/assignments").count() === 103L)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
