@@ -275,6 +275,16 @@ object SparkEntry {
         .orderBy(col("a").asc, col("b").asc)
     }),
 
+    // ---- duplicate CLUSTERS: connected components over the >= 0.9
+    // jaccard pair graph; component = canonical (min) doc id ----
+    "dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsWithin(
+        s.read.parquet(s"$dir/documents.parquet"), "source", 0.9)
+      Dedup.connectedComponents(pairs.select(col("a"), col("b")))
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- benchmark decontamination: probe docs (src0) sharing >= 5
     // distinct trigrams with any other-source doc, hot grams capped ----
     "contamination_ngram" -> ((s, dir) => {
@@ -907,6 +917,23 @@ object SparkEntry {
       """SELECT min(doc_id) AS keeper, count(*) AS cnt
         |FROM documents GROUP BY text
         |ORDER BY keeper ASC""".stripMargin,
+
+    "dedup_components" ->
+      """WITH RECURSIVE t AS (SELECT doc_id, source,
+        |  list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) * 1000.0
+        |    / len(list_distinct(a.w || b.w))) AS BIGINT) >= 900),
+        |und AS (SELECT a AS s, b AS d FROM e UNION SELECT b, a FROM e),
+        |walk(n, lbl) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+        |  UNION
+        |  SELECT u.d, w.lbl FROM walk w JOIN und u ON u.s = w.n)
+        |SELECT n AS doc_id, min(lbl) AS component
+        |FROM walk GROUP BY n
+        |ORDER BY doc_id ASC""".stripMargin,
 
     "dedup_jaccard_source" ->
       """WITH t AS (SELECT doc_id, source,

@@ -206,6 +206,55 @@ object Dedup {
       textCol, idCol, threshold)
   }
 
+  /** Connected components over a near-dup pair list — pairs name
+    * EDGES, but dedup acts on GROUPS: every doc in a component keeps /
+    * drops together, with the minimum id as the canonical survivor.
+    * Iterative minimum-label propagation on DataFrames (the standard
+    * shuffle-based CC, cf. GraphX/GraphFrames' algorithm): each round
+    * every node adopts the smallest label among itself and its
+    * neighbors; rounds needed ≈ component diameter, and near-dup
+    * components are dense (diameter 2-3), so convergence is fast. The
+    * loop is driver-side CONTROL only — each iteration is one
+    * distributed join+aggregate, and the convergence check is an
+    * aggregate count, not a collect of the data.
+    *
+    * Input: edges (a, b); output: (node, component) with component =
+    * min node id in the component. Isolated nodes don't appear (no
+    * edge → no dedup decision needed). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val und = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = und.select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = und
+        .join(labels, und("dst") === labels("node"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin,
+          labels("node") === neighborMin("src"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .cache()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    und.unpersist(blocking = false)
+    labels.select(col("node"), col("label").as("component"))
+  }
+
   /** round(1000·|a∩b| / |a∪b|) over two distinct-element arrays */
   def jaccardMilli(wa: Column, wb: Column): Column =
     round(size(array_intersect(wa, wb)).cast("double") * 1000.0 /

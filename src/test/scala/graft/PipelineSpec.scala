@@ -57,6 +57,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, _) => a < b })
   }
 
+  test("connected components: multi-hop chains collapse to min label") {
+    // components: {1,2,3,4} via chain 1-2-3-4, {10,11}, isolated via
+    // no edges never appears
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // randomized larger graph vs scala union-find
+    val rnd = new scala.util.Random(5)
+    val es = (0 until 300).map(_ => (rnd.nextInt(100).toLong,
+      rnd.nextInt(100).toLong)).filter(p => p._1 != p._2)
+    val parent = Array.tabulate(100)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0 until 100).map(i => i.toLong -> find(i).toLong).toMap
+    val cc = Dedup.connectedComponents(es.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    cc.foreach { case (n, c) => assert(c === want(n.toInt), s"node $n") }
+  }
+
   test("chunkText: window/overlap boundaries, short-text single chunk") {
     import graft.operators.TextAnalysis.chunkText
     def chunksOf(t: String, size: Int, overlap: Int): Seq[String] =
