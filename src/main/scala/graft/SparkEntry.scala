@@ -1243,6 +1243,8 @@ object SparkEntry {
 
     "dedup_minhash_sig" -> minHashSigOracle,
 
+    "dedup_minhash_lsh" -> minHashLshOracle,
+
     "ann_ivf_fullprobe" ->
       """WITH top AS (
         |  SELECT vec_id,
@@ -1276,15 +1278,17 @@ object SparkEntry {
 
   /** UTF-8 bytes of `text`, derived arithmetically from code points
     * (DuckDB has no direct blob-byte iteration). */
-  private val duckUtf8Bytes: String =
-    """flatten(list_transform(
-      |    list_transform(range(1, length(text) + 1), i -> unicode(text[i])),
+  private def duckUtf8BytesOf(e: String): String =
+    s"""flatten(list_transform(
+      |    list_transform(range(1, length($e) + 1), i -> unicode($e[i])),
       |    cp -> CASE
       |      WHEN cp < 128 THEN [cp]
       |      WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64]
       |      WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64]
       |      ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64]
       |    END))""".stripMargin
+
+  private val duckUtf8Bytes: String = duckUtf8BytesOf("text")
 
   /** FNV-1a 64 fold over a byte-list expression, in HUGEINT mod 2^64
     * (list_reduce uses the first element as the init, so the offset
@@ -1378,6 +1382,51 @@ object SparkEntry {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.s, b.s)) <= 3
        |ORDER BY a ASC, b ASC""".stripMargin
+
+  /** Full MinHash-LSH dedup reproduced in DuckDB: FNV-1a word hashes
+    * (mod-2^64 via HUGEINT with 32-bit-split modular multiplication —
+    * a_u·h overflows int128 otherwise), the engine's EXACT affine
+    * coefficients embedded as literals, signed-compare lane minima,
+    * slice banding, bucket cap, candidate join, and exact-jaccard
+    * verify. Matching this end-to-end is only possible because the
+    * Spark side bands on the raw signature slice (array equality), not
+    * an engine-specific hash of it. */
+  private def minHashLshOracle: String = {
+    val M = "18446744073709551616"
+    val mask = (BigInt(1) << 64) - 1
+    val params = graft.functions.MinHashSig.coefficients(64)
+      .map { case (a, b) =>
+        val au = BigInt(a) & mask
+        val bu = BigInt(b) & mask
+        s"[${au >> 32}, ${au & 0xFFFFFFFFL}, $bu]"
+      }.mkString("[", ",\n|    ", "]")
+    val g = s"((((p[1] * x) % $M) * 4294967296) % $M" +
+      s" + (p[2] * x) % $M + p[3]) % $M"
+    s"""WITH w AS (SELECT doc_id,
+       |  list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS ws
+       |  FROM documents),
+       |h AS (SELECT doc_id, list_transform(ws,
+       |    wd -> ${duckFnvFold(duckUtf8BytesOf("wd"))}) AS hs FROM w),
+       |s AS (SELECT doc_id, list_transform(
+       |    $params,
+       |    p -> list_min(list_transform(hs, x -> ${duckSigned(g)}))) AS sig
+       |  FROM h),
+       |bb AS (SELECT doc_id, band, sig[band*4+1 : band*4+4] AS bsig
+       |  FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS band FROM s)),
+       |capped AS (SELECT doc_id, band, bsig FROM bb
+       |  QUALIFY count(*) OVER (PARTITION BY band, bsig) <= 1000),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |v AS (SELECT cand.a, cand.b,
+       |    CAST(round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) * 1000.0
+       |      / len(list_distinct(wa.ws || wb.ws))) AS BIGINT) AS jaccard_milli
+       |  FROM cand JOIN w wa ON wa.doc_id = cand.a
+       |            JOIN w wb ON wb.doc_id = cand.b)
+       |SELECT a, b, jaccard_milli FROM v
+       |WHERE jaccard_milli >= 900
+       |ORDER BY a ASC, b ASC""".stripMargin
+  }
 
   private def minHashSigOracle: String = {
     val params = operators.Dedup.minHashParams(32)

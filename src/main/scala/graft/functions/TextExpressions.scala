@@ -133,6 +133,13 @@ object MinHashSig {
       Array.fill(MaxHashes)(r.nextLong()))
   }
 
+  /** The affine coefficients (a_i, b_i), exposed so an oracle can
+    * reproduce the signatures bit-exactly in another engine. */
+  def coefficients(n: Int): Seq[(Long, Long)] = {
+    require(n <= MaxHashes)
+    (0 until n).map(i => (as(i), bs(i)))
+  }
+
   /** static entry for codegen */
   def sig(text: UTF8String, numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     require(numHashes <= MaxHashes, s"numHashes > $MaxHashes")

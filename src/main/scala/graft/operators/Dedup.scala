@@ -146,9 +146,13 @@ object Dedup {
           shims.expression(col(textCol)), bands * rowsPerBand)).as("sig"))
       .select(col(idAlias), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      // the band key is the raw signature slice (array<long> equality),
+      // not a murmur of it: rowsPerBand longs cost little more shuffle
+      // than one int, and the whole pipeline stays engine-portable —
+      // the DuckDB oracle reproduces candidates exactly
       .select(col(idAlias), col("band"),
-        hash(slice(col("sig"), col("band") * rowsPerBand + 1,
-          lit(rowsPerBand))).as("bsig"))
+        slice(col("sig"), col("band") * rowsPerBand + 1,
+          lit(rowsPerBand)).as("bsig"))
 
   /** Drop rows of (band, bsig) buckets larger than `maxBucket` —
     * bounds the worst-case join blowup on pathological corpora. */
