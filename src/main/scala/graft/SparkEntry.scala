@@ -718,11 +718,10 @@ object SparkEntry {
         .orderBy(col("dist_milli").asc, col("vec_id").asc)
     }),
 
-    // ======== rows-only queries — only ann_ivf_topk (approximate by
-    // design; its exact twin ann_ivf_fullprobe is oracle-checked) and
-    // dedup_minhash_lsh (murmur band-bucketing; its signature math is
-    // oracle-checked via dedup_minhash_sig) lack oracles; both are
-    // covered by ScalaTest against brute-force ground truth ========
+    // ======== ann_ivf_topk is the single rows-only query: its result
+    // depends on the trained k-means centroids (approximate by design);
+    // the exact twin ann_ivf_fullprobe is oracle-checked and KnnSpec
+    // bounds its recall ========
 
     // ---- Q3: approximate kNN over a persisted IVF index ----
     "ann_ivf_topk" -> ((s, dir) => {
@@ -736,7 +735,9 @@ object SparkEntry {
         .orderBy(col("dist_milli").asc, col("vec_id").asc)
     }),
 
-    // ---- MinHash-LSH global near-dup (murmur sigs, not in DuckDB) ----
+    // ---- MinHash-LSH global near-dup: the FULL pipeline (portable
+    // FNV+affine signatures, slice banding, cap, jaccard verify) is
+    // reproduced by minHashLshOracle and hash-matches ----
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minHashLsh(s.read.parquet(s"$dir/documents.parquet"),
           threshold = 0.9)

@@ -144,22 +144,19 @@ object MinHashSig {
   def sig(text: UTF8String, numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     require(numHashes <= MaxHashes, s"numHashes > $MaxHashes")
     val words = new java.util.HashSet[String]()
-    // lower + trim + split on \s+ — same token model as Dedup.wordSet
-    // (lowercasing must match: the verify step lowercases, so a
-    // case-divergent near-dup pair must still collide in banding);
-    // "" yields the single empty token like String.split does
-    val s = text.toString.toLowerCase(java.util.Locale.ROOT).trim
-    var start = 0
-    var i = 0
-    val n = s.length
-    if (n == 0) words.add("")
-    while (i <= n) {
-      if (i == n || Character.isWhitespace(s.charAt(i))) {
-        if (i > start) words.add(s.substring(start, i))
-        start = i + 1
-      }
-      i += 1
-    }
+    // EXACTLY Dedup.wordSet's token model — lower, trim SPACES ONLY
+    // (Spark's trim strips U+0020, not \t/\n; Java String.trim would
+    // strip more and change the token set), then regex \s+ split with
+    // limit -1 (keeps the leading/trailing empty tokens Spark's split
+    // produces). Divergence here would band on different tokens than
+    // the jaccard verify step and break the DuckDB oracle match.
+    val lowered = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var lo = 0
+    var hi = lowered.length
+    while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
+    while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
+    val s = lowered.substring(lo, hi)
+    s.split("\\s+", -1).foreach(words.add)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val it = words.iterator()
     while (it.hasNext) {

@@ -182,9 +182,9 @@ object IvfIndex {
     *
     * Caller contract (same as [[build]]): `idCol` is unique within the
     * batch AND against ids already indexed. Duplicate ids within a
-    * batch collapse to one row (the argmin keeps the nearest-centroid
-    * assignment deterministically); re-appending an existing id is NOT
-    * detected and yields two index entries — route ingest through
+    * batch collapse to one row (the lexicographically smallest vector,
+    * deterministically); re-appending an existing id is NOT detected
+    * and yields two index entries — route ingest through
     * [[graft.store.VfsStore]] (which owns id uniqueness) or dedupe
     * upstream.
     *
@@ -195,12 +195,18 @@ object IvfIndex {
     val meta = parseMeta(new String(
       Files.readAllBytes(Paths.get(path, "ivf.json")), StandardCharsets.UTF_8))
     val metric = Metric.parse(meta.metric)
-    val prepared = metric match {
+    val raw = metric match {
       case Metric.Cosine => newRows.select(col(idCol).as("id"),
         normalized(col(vecCol)).as("values"))
       case Metric.Euclidean => newRows.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("values"))
     }
+    // collapse duplicate ids within the batch DETERMINISTICALLY (the
+    // lexicographically smallest vector wins) — the documented caller
+    // contract; without this each duplicate would write an index entry
+    // and shrink effective k at probe time
+    val prepared = raw.groupBy(col("id"))
+      .agg(min(col("values")).as("values"))
     // centroid table is tiny (nCentroids × dim floats) — broadcast the
     // raw arrays and argmin per row in one tight partition loop, the
     // same shape MLlib's own transform uses. A relational phrasing
@@ -245,8 +251,15 @@ object IvfIndex {
     * problem — probe latency grows with files listed, not bytes read.
     * Rewrites every cluster partition into one file per shuffle
     * partition, staged in a sibling directory and swapped in with two
-    * renames (crash before the second rename leaves the old layout
-    * intact; the stage directory is overwritten by the next compact). */
+    * renames.
+    *
+    * SINGLE-WRITER maintenance op (the same stance as the reference's
+    * global write mutex): appends racing a compact can land between
+    * the stage read and the swap and be deleted with the old layout —
+    * stop streaming ingest for the swap window. Crash recovery: a
+    * crash between the two renames leaves `assignments_old` complete
+    * and `assignments` absent; rename `assignments_old` back to
+    * recover (the stage directory is overwritten by the next run). */
   def compactAssignments(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())

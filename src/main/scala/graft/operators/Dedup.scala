@@ -138,7 +138,7 @@ object Dedup {
     * the whole minhash signature expression into every band —
     * recomputing the word set numHashes × bands times per doc
     * (measured 16× slower). */
-  private def bandedRelation(docs: DataFrame, idAlias: String,
+  private[graft] def bandedRelation(docs: DataFrame, idAlias: String,
       textCol: String, idCol: String, bands: Int,
       rowsPerBand: Int): DataFrame =
     docs.select(col(idCol).as(idAlias),
@@ -156,7 +156,7 @@ object Dedup {
 
   /** Drop rows of (band, bsig) buckets larger than `maxBucket` —
     * bounds the worst-case join blowup on pathological corpora. */
-  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+  private[graft] def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
     val bucketW = Window.partitionBy(col("band"), col("bsig"))
     banded.withColumn("bucket_n", count(lit(1)).over(bucketW))
       .filter(col("bucket_n") <= maxBucket)
@@ -173,11 +173,16 @@ object Dedup {
       idCol: String, threshold: Double): DataFrame = {
     def words(docs: DataFrame, as: String, w: String) = docs
       .select(col(idCol).as(as), wordSet(col(textCol)).as(w))
+    // the kept set is rounded-milli >= round(t·1000), which admits
+    // jaccard down to t − 0.0005 (round-half-up) — the prefilter must
+    // use that loosened bound or it drops boundary pairs the milli
+    // filter (and the oracle, which has no prefilter) keeps
+    val tLoose = threshold - 0.0005
     candidates
       .join(words(aDocs, aCol, "wa"), Seq(aCol))
       .join(words(bDocs, bCol, "wb"), Seq(bCol))
-      .filter(size(col("wa")).cast("double") >= size(col("wb")) * threshold &&
-        size(col("wb")).cast("double") >= size(col("wa")) * threshold)
+      .filter(size(col("wa")).cast("double") >= size(col("wb")) * tLoose &&
+        size(col("wb")).cast("double") >= size(col("wa")) * tLoose)
       .withColumn("jaccard_milli", jaccardMilli(col("wa"), col("wb")))
       .filter(col("jaccard_milli") >= math.round(threshold * 1000))
       .select(col(aCol), col(bCol), col("jaccard_milli"))
@@ -224,8 +229,11 @@ object Dedup {
     *
     * Input: edges (a, b); output: (node, component) with component =
     * min node id in the component. Isolated nodes don't appear (no
-    * edge → no dedup decision needed). */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * edge → no dedup decision needed). Throws if `maxIter` rounds
+    * don't converge (a path-graph component of diameter > maxIter —
+    * returning the intermediate labels would silently split one true
+    * component into several). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val und = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .distinct()
@@ -240,22 +248,30 @@ object Dedup {
         .join(labels, und("dst") === labels("node"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nlabel"))
+      // localCheckpoint BREAKS LINEAGE each round: labels feeds the
+      // next plan twice (neighbor join + carry-forward join), so
+      // without truncation the logical plan doubles per iteration —
+      // 2^rounds plan nodes, analyzer OOM near round 10. With it every
+      // round plans against a materialized leaf of constant size.
       val next = labels.join(neighborMin,
           labels("node") === neighborMin("src"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"))
-        .cache()
+        .localCheckpoint(true)
       val changed = next.alias("n")
         .join(labels.alias("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label"))
         .count()
-      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0L
       i += 1
     }
     und.unpersist(blocking = false)
+    if (!converged)
+      throw new IllegalStateException(
+        s"[GRAFT] connectedComponents did not converge in $maxIter rounds" +
+          " — a component with diameter > maxIter exists; raise maxIter")
     labels.select(col("node"), col("label").as("component"))
   }
 

@@ -19,7 +19,14 @@ final class VecMeanBuffer(var sums: Array[Double], var n: Long) {
       throw new graft.store.InvalidVectorException(
         s"[GRAFT] vector dimension mismatch: expected ${sums.length}, got $d")
     var i = 0
-    while (i < d) { sums(i) += arr.getFloat(i); i += 1 }
+    while (i < d) {
+      // a null LANE is data corruption, not a missing vector — reading
+      // it as 0 would silently bias the mean
+      if (arr.isNullAt(i))
+        throw new graft.store.InvalidVectorException(
+          s"[GRAFT] null element at lane $i in vector input")
+      sums(i) += arr.getFloat(i); i += 1
+    }
     n += 1
   }
 
@@ -50,7 +57,13 @@ case class VectorMean(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[VecMeanBuffer] {
+  extends TypedImperativeAggregate[VecMeanBuffer]
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+
+  // declares ARRAY<FLOAT> so a mistyped input (e.g. array<double>) is
+  // an analysis error instead of getFloat reading garbage bytes
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(ArrayType(FloatType))
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true

@@ -1,35 +1,30 @@
 package graft.tools
-import org.apache.spark.sql.SparkSession
 
 /** Dev tool: stage-split timing of the MinHash-LSH dedup pipeline
-  * (signatures -> banding -> bucket join -> dedup -> exact verify).
+  * (signatures -> banding -> bucket join -> dedup -> exact verify),
+  * built from the SAME Dedup building blocks as production so the
+  * stage numbers decompose the real pipeline (a drifted copy here once
+  * measured a murmur-bucketed shape the code no longer runs).
   * Run: `sbt "runMain graft.tools.LshProbe [sfDir]"`. */
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.shims
+
 object LshProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet(args.headOption.getOrElse("/root/testdata/sf0.1") + "/documents.parquet")
+    val docs = spark.read.parquet(
+      args.headOption.getOrElse("/root/testdata/sf0.1") + "/documents.parquet")
     def time[T](n: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[lsh-probe] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val bands = 16; val rpb = 4
-    val banded = docs.select(col("doc_id").as("id"),
-        shims.column(graft.functions.MinHashSig(
-          shims.expression(col("text")), bands * rpb)).as("sig"))
-      .select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"), col("band"),
-        hash(slice(col("sig"), col("band") * rpb + 1, lit(rpb))).as("bsig"))
+    val banded = graft.operators.Dedup
+      .bandedRelation(docs, "id", "text", "doc_id", 16, 4)
     time("signatures+banding only")(banded.count())
-    val w = Window.partitionBy(col("band"), col("bsig"))
-    val capped = banded.withColumn("n", count(lit(1)).over(w))
-      .filter(col("n") <= 1000).drop("n")
+    val capped = graft.operators.Dedup.capBuckets(banded, 1000)
     val a = capped.as("a"); val b = capped.as("b")
     val cand = a.join(b, col("a.band") === col("b.band") &&
         col("a.bsig") === col("b.bsig") && col("a.id") < col("b.id"))

@@ -163,6 +163,12 @@ class KnnSpec extends AnyFunSuite {
     assert(dirs.forall(_.startsWith("cluster=")), dirs.mkString(","))
     val total = spark.read.parquet(s"$dir/assignments").count()
     assert(total === 300L)
+    // duplicate ids within a batch collapse to ONE entry (documented
+    // contract) — not one entry per duplicate
+    IvfIndex.append(Seq((5000L, near(centers(0))), (5000L, near(centers(1))))
+      .toDF("id", "values"), dir)
+    assert(spark.read.parquet(s"$dir/assignments")
+      .filter($"id" === 5000L).count() === 1L)
   }
 
   test("IVF compact merges append files; search results unchanged") {
@@ -229,13 +235,27 @@ class KnnSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("dimension mismatch") ||
       e.getCause.getMessage.contains("dimension mismatch"))
-    // SQL registration
+    // SQL registration; a non-float array is an ANALYSIS error via
+    // inputTypes (before this guard, getFloat on double slots read
+    // garbage bytes silently)
     graft.functions.registerAll(spark)
     rows.createOrReplaceTempView("vm_rows")
     val viaSql = spark.sql(
       "SELECT g, vfs_vec_mean(v) AS m FROM vm_rows GROUP BY g")
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
     assert(viaSql(0) === Seq(2.0, 4.0))
+    val typeErr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("""SELECT vfs_vec_mean(v) FROM VALUES (array(1.0D, 3.0D)),
+        |  (array(3.0D, 5.0D)) AS t(v)""".stripMargin).collect()
+    }
+    assert(typeErr.getMessage.contains("ARRAY<FLOAT>"))
+    // a null LANE is rejected, not read as zero
+    val nullLane = Seq((0, Seq(Some(1.0f), None))).toDF("g", "v")
+    val err = intercept[org.apache.spark.SparkException] {
+      nullLane.groupBy($"g").agg(vecMean($"v")).collect()
+    }
+    assert(err.getMessage.contains("null element") ||
+      err.getCause.getMessage.contains("null element"))
   }
 
   test("TopK agg and exact agree on NaN handling (NaN last, fills underfull k)") {

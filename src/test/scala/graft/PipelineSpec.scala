@@ -81,6 +81,14 @@ class PipelineSpec extends AnyFunSuite {
     val cc = Dedup.connectedComponents(es.toDF("a", "b"))
       .as[(Long, Long)].collect().toMap
     cc.foreach { case (n, c) => assert(c === want(n.toInt), s"node $n") }
+    // refusing to return wrong labels: a path graph of diameter 9
+    // cannot converge in 3 rounds -> throw, never silently split
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3).collect()
+    }
+    assert(Dedup.connectedComponents(chain).as[(Long, Long)]
+      .collect().toMap.values.toSet === Set(0L))
   }
 
   test("chunkText: window/overlap boundaries, short-text single chunk") {
@@ -114,6 +122,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(sigOf("Hello WORLD") === sigOf("hello world"))  // case folded
     assert(sigOf("hello world") !== sigOf("hello there"))
     assert(sigOf("") === sigOf("   "))                     // empty-token twin
+    // token model == Dedup.wordSet EXACTLY: trim strips spaces only, a
+    // surviving leading tab yields the leading "" token Spark's split
+    // keeps — a hand-rolled trim/isWhitespace loop would diverge
+    assert(sigOf("\thello world") === sigOf("\tworld hello"))
+    assert(sigOf("\thello world") !== sigOf("hello world"))
+    assert(sigOf(" hello world ") === sigOf("hello world"))
     // identical docs -> identical signatures in a distributed run
     val many = Seq.fill(50)("the same doc").toDF("text")
       .repartition(7)
