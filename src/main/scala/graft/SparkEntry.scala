@@ -523,6 +523,18 @@ object SparkEntry {
         .orderBy(col("split").asc, col("lang").asc)
     }),
 
+    // ---- deterministic weighted sampling: longer docs kept with
+    // higher probability (quality-weighted corpus subsampling) ----
+    "q_weighted_sample" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Sampling.weightedHashSample(docs, col("text"),
+          least(lit(1.0), col("n_chars").cast("double") / 500.0))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy(col("lang").asc)
+    }),
+
     // ---- deterministic stratified sample: smallest-hash n per lang ----
     "q_stratified_sample" -> ((s, dir) => {
       graft.operators.Sampling.stratifiedTopN(
@@ -1095,6 +1107,8 @@ object SparkEntry {
 
     "q_stratified_sample" -> stratifiedSampleOracle,
 
+    "q_weighted_sample" -> weightedSampleOracle,
+
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
         |FROM customer
@@ -1350,6 +1364,18 @@ object SparkEntry {
        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM s GROUP BY split, lang
        |ORDER BY split ASC, lang ASC""".stripMargin
+
+  private def weightedSampleOracle: String =
+    s"""WITH b AS (SELECT lang, n_chars, $duckUtf8Bytes AS bs
+       |           FROM documents)
+       |SELECT lang, count(*) AS n_kept,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM b
+       |WHERE CAST(${duckSigned(duckFnvFold("bs"))} AS DOUBLE)
+       |    / 1.8446744073709552e19 + 0.5
+       |  < least(1.0, CAST(n_chars AS DOUBLE) / 500.0)
+       |GROUP BY lang
+       |ORDER BY lang ASC""".stripMargin
 
   private def stratifiedSampleOracle: String =
     s"""WITH b AS (SELECT doc_id, lang, n_chars, $duckUtf8Bytes AS bs

@@ -53,6 +53,24 @@ object Sampling {
     df.withColumn(as, expr)
   }
 
+  /** Signed hash mapped monotonically onto [0, 1): h/2^64 + 1/2 —
+    * the per-row uniform deviate every deterministic sampler shares
+    * (cf. [[Sketches.kmvDistinct]]'s k-minimum ordering). */
+  def hashUniform(key: Column): Column =
+    vfs_fingerprint(key).cast("double") / lit(1.8446744073709552e19) +
+      lit(0.5)
+
+  /** Deterministic WEIGHTED Bernoulli sample: keep a row iff its
+    * uniform hash deviate < `weight` (a [0,1] column) — e.g. sample
+    * documents proportionally to a quality score, the standard
+    * quality-weighted corpus subsampling. Same properties as
+    * [[hashSample]]: zero shuffle, reproducible on any cluster, and
+    * membership is stable under appends and under weight changes of
+    * OTHER rows. */
+  def weightedHashSample(df: DataFrame, key: Column,
+      weight: Column): DataFrame =
+    df.filter(hashUniform(key) < weight)
+
   /** Deterministic stratified sample: the `n` rows of each stratum
     * with the smallest (hash, tiebreak) — every engine picks the same
     * rows. One shuffle on the stratum key; the window keeps only

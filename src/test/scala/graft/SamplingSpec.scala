@@ -39,6 +39,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
   }
 
+  test("weighted sample keeps rows proportionally to weight, reproducibly") {
+    import org.apache.spark.sql.functions.lit
+    // weight 1.0 keeps everything; weight 0.0 keeps nothing
+    assert(Sampling.weightedHashSample(docs, col("text"), lit(1.0))
+      .count() === docs.count())
+    assert(Sampling.weightedHashSample(docs, col("text"), lit(0.0))
+      .count() === 0L)
+    // constant weight w keeps ~w of rows; repartition-invariant
+    val w03 = Sampling.weightedHashSample(docs, col("text"), lit(0.3))
+      .select($"doc_id").as[Long].collect().toSet
+    val frac = w03.size.toDouble / docs.count()
+    assert(frac > 0.2 && frac < 0.4, s"~30% expected, got $frac")
+    val again = Sampling.weightedHashSample(
+        docs.repartition(9), col("text"), lit(0.3))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again === w03)
+    // monotone: a higher weight keeps a superset of a lower weight
+    val w06 = Sampling.weightedHashSample(docs, col("text"), lit(0.6))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(w03.subsetOf(w06))
+  }
+
   test("stratified top-n picks exactly n per stratum, deterministically") {
     val got = Sampling.stratifiedTopN(docs, col("lang"), col("text"),
         col("doc_id"), 3)
