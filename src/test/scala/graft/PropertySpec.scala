@@ -109,4 +109,41 @@ class PropertySpec extends AnyFunSuite {
     assert(TextHash.minShingle(more.getBytes, 4) <=
       TextHash.minShingle(base.getBytes, 4))
   }
+
+  test("MinHashSig.sig == reference over wordSet's exact token model") {
+    // the oracle-parity claim: the native signature kernel tokenizes
+    // EXACTLY like Dedup.wordSet (lower, trim spaces only, regex \s+
+    // split keeping leading/trailing empties) and takes signed minima
+    // of a_i*h+b_i. Reference implementation built independently here.
+    val coeffs = graft.functions.MinHashSig.coefficients(16)
+    def reference(text: String): Seq[Long] = {
+      val lowered = text.toLowerCase(java.util.Locale.ROOT)
+      val trimmed = {
+        var lo = 0; var hi = lowered.length
+        while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
+        while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
+        lowered.substring(lo, hi)
+      }
+      val toks = trimmed.split("\\s+", -1).toSet
+      coeffs.map { case (a, b) =>
+        toks.foldLeft(Long.MaxValue) { (m, w) =>
+          val h = TextHash.fnv1a(
+            w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          math.min(m, a * h + b)
+        }
+      }
+    }
+    val wsChars = Gen.oneOf(' ', '\t', '\n', '\r', '\u000B', '\f')
+    val token = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('é', 'ü', '中', 'A', 'Z')))
+      .map(_.mkString)
+    val text = for {
+      parts <- Gen.listOf(Gen.oneOf(token, wsChars.map(_.toString)))
+    } yield parts.mkString
+    check("sig parity")(Prop.forAll(text) { t =>
+      graft.functions.MinHashSig
+        .sig(org.apache.spark.unsafe.types.UTF8String.fromString(t), 16)
+        .toLongArray().toSeq == reference(t)
+    })
+  }
 }
