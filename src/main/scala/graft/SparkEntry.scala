@@ -523,6 +523,18 @@ object SparkEntry {
         .orderBy(col("split").asc, col("lang").asc)
     }),
 
+    // ---- Z-order (Morton) clustering key: the multi-dimensional
+    // layout code verified against DuckDB bit math ----
+    "q_zorder_code" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(pmod(col("l_orderkey"), lit(1024)).as("x"),
+          pmod(col("l_partkey"), lit(1024)).as("y"))
+        .distinct()
+        .select(col("x"), col("y"),
+          graft.store.ZOrderLayout.zorder(col("x"), col("y")).as("z"))
+        .orderBy(col("x").asc, col("y").asc)
+    }),
+
     // ---- deterministic weighted sampling: longer docs kept with
     // higher probability (quality-weighted corpus subsampling) ----
     "q_weighted_sample" -> ((s, dir) => {
@@ -1108,6 +1120,16 @@ object SparkEntry {
     "q_stratified_sample" -> stratifiedSampleOracle,
 
     "q_weighted_sample" -> weightedSampleOracle,
+
+    "q_zorder_code" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey % 1024 AS x,
+        |  l_partkey % 1024 AS y FROM lineitem)
+        |SELECT x, y,
+        |  CAST(list_sum(list_transform(range(0, 10), i ->
+        |    (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))))
+        |    AS BIGINT) AS z
+        |FROM p
+        |ORDER BY x ASC, y ASC""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_mktsegment, count(*) AS n_customers
