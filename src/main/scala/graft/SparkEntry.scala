@@ -523,6 +523,21 @@ object SparkEntry {
         .orderBy(col("split").asc, col("lang").asc)
     }),
 
+    // ---- count-min sketch: deterministic portable-hash cells, so the
+    // sketch AND the estimates oracle-match; est >= true by design ----
+    "q_count_min" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val ev = events(s, dir).select(col("event_type"))
+      val sketch = Sketches.countMinSketch(ev, col("event_type"), 4, 64)
+      val est = Sketches.countMinEstimate(sketch, ev.distinct(),
+          col("event_type"), 4, 64)
+        .select(col("__k").as("event_type"), col("est"))
+      val truth = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_true"))
+      est.join(truth, Seq("event_type"))
+        .orderBy(col("event_type").asc)
+    }),
+
     // ---- Z-order (Morton) clustering key: the multi-dimensional
     // layout code verified against DuckDB bit math ----
     "q_zorder_code" -> ((s, dir) => {
@@ -1121,6 +1136,8 @@ object SparkEntry {
 
     "q_weighted_sample" -> weightedSampleOracle,
 
+    "q_count_min" -> countMinOracle,
+
     "q_zorder_code" ->
       """WITH p AS (SELECT DISTINCT l_orderkey % 1024 AS x,
         |  l_partkey % 1024 AS y FROM lineitem)
@@ -1386,6 +1403,30 @@ object SparkEntry {
        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
        |FROM s GROUP BY split, lang
        |ORDER BY split ASC, lang ASC""".stripMargin
+
+  /** Count-min cells and estimates recomputed in DuckDB over the same
+    * salted portable hash (`key#r`). */
+  private def countMinOracle: String = {
+    val salted = "(event_type || '#' || CAST(r AS VARCHAR))"
+    val cExpr = s"((${duckSigned(duckFnvFold(duckUtf8BytesOf(salted)))}" +
+      " % 64) + 64) % 64"
+    s"""WITH ev AS (SELECT event_type FROM events),
+       |rows_r AS (SELECT event_type, unnest(range(0, 4)) AS r FROM ev),
+       |cells AS (SELECT r, $cExpr AS c, count(*) AS cnt
+       |          FROM rows_r GROUP BY r, c),
+       |probes AS (SELECT DISTINCT event_type FROM ev),
+       |pr AS (SELECT event_type, unnest(range(0, 4)) AS r FROM probes),
+       |pc AS (SELECT event_type, r, $cExpr AS c FROM pr),
+       |est AS (SELECT event_type,
+       |          min(COALESCE(cells.cnt, 0)) AS est
+       |        FROM pc LEFT JOIN cells USING (r, c)
+       |        GROUP BY event_type),
+       |truth AS (SELECT event_type, count(*) AS n_true FROM ev
+       |          GROUP BY event_type)
+       |SELECT est.event_type, est.est, truth.n_true
+       |FROM est JOIN truth USING (event_type)
+       |ORDER BY event_type ASC""".stripMargin
+  }
 
   private def weightedSampleOracle: String =
     s"""WITH b AS (SELECT lang, n_chars, $duckUtf8Bytes AS bs

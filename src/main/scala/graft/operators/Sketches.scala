@@ -36,6 +36,45 @@ object Sketches {
     df.agg(percentile_approx(value,
       array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
 
+  /** Deterministic count-min sketch of `key` frequencies: a depth×width
+    * count matrix where row r increments cell (r, h_r(key)), with
+    * h_r = portable FNV of the key salted by r. Build is ONE
+    * hash-groupBy over (r, c) — d·|rows| slim pairs shuffle, the
+    * result is d·w cells regardless of data size, and two sketches
+    * merge by adding cells (the streaming/heavy-hitter workhorse).
+    * Estimate = min over rows of the key's cells — always ≥ the true
+    * count (collisions only inflate), within ~2N/w with probability
+    * 1−2^−d. Deterministic given the hash, so the DuckDB oracle
+    * reproduces the whole sketch AND the estimates bit-for-bit.
+    * Output: (r, c, cnt). */
+  def countMinSketch(df: DataFrame, key: Column, depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    df.select(key.as("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("r"),
+        pmod(vfs_fingerprint(concat_ws("#", col("__k"), col("r"))),
+          lit(width)).cast("int").as("c"))
+      .groupBy(col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Frequency estimates for `keys` (one column named like `key`)
+    * against a built sketch: min over depth rows of the matching
+    * cells. Output: key column ++ (est BIGINT). */
+  def countMinEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    val probes = keys.select(key.as("__k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("__k"), col("r"),
+        pmod(vfs_fingerprint(concat_ws("#", col("__k"), col("r"))),
+          lit(width)).cast("int").as("c"))
+    probes.join(sketch, Seq("r", "c"), "left")
+      .groupBy(col("__k"))
+      // a missing cell means count 0 (key never hashed there)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
   /** Deterministic KMV distinct-count estimate of `key` (a string
     * column). Returns one row `(est BIGINT)`. Exact below k distinct
     * values, (k-1)/U(k) above; signed hashes map monotonically onto

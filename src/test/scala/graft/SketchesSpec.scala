@@ -54,6 +54,37 @@ class SketchesSpec extends AnyFunSuite {
       .head().getLong(0) === 3L)
   }
 
+  test("count-min: est >= true always, exact absent collisions, mergeable") {
+    val ev = spark.read.parquet(s"${GraftTest.sf001}/events.parquet")
+      .select($"event_type", $"event_id")
+    val sketch = Sketches.countMinSketch(ev, col("event_type"), 4, 64)
+    val truth = ev.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    val est = Sketches.countMinEstimate(sketch,
+        ev.select($"event_type").distinct(), col("event_type"), 4, 64)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (k, t) =>
+      assert(est(k) >= t, s"$k: est ${est(k)} < true $t")
+      assert(est(k) <= t + 2L * ev.count() / 64, s"$k grossly over")
+    }
+    // estimate for a never-seen key is 0
+    val unseen = Sketches.countMinEstimate(sketch,
+        Seq("no_such_type").toDF("event_type"), col("event_type"), 4, 64)
+      .as[(String, Long)].collect().head._2
+    assert(unseen === 0L)
+    // mergeability: sketches of two halves sum to the full sketch
+    val h1 = Sketches.countMinSketch(ev.filter($"event_id" % 2 === 0),
+      col("event_type"), 4, 64)
+    val h2 = Sketches.countMinSketch(ev.filter($"event_id" % 2 === 1),
+      col("event_type"), 4, 64)
+    val mergedMap = h1.union(h2).groupBy($"r", $"c")
+      .agg(sum($"cnt").as("cnt"))
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> x.getLong(2)).toMap
+    val fullMap = sketch.collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> x.getLong(2)).toMap
+    assert(mergedMap === fullMap)
+  }
+
   test("KMV ignores NULL keys (no slot consumed, no estimate bias)") {
     val withNulls = Seq(Some("a"), None, Some("b"), None, Some("c"))
       .toDF("t")
