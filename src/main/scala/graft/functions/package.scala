@@ -42,6 +42,17 @@ package object functions {
 
   /** FNV-1a 64 content fingerprint (dedup hash key) */
   def vfs_fingerprint(text: Column): Column = col(Fingerprint(ex(text)))
+
+  /** Signed 64-bit hash value mapped monotonically onto the unit
+    * interval: h/2^64 + 1/2. Shared by every deterministic sampler and
+    * sketch (one copy of the 2^64 constant — divergent copies would
+    * silently break oracle parity). NOTE: double rounding maps the top
+    * ~512 hash values to exactly 1.0, so the range is [0, 1] with
+    * P(=1.0) ≈ 2.8e-17 — callers comparing `< w` at w = 1.0 can in
+    * principle drop such a row. */
+  def vfs_hash_uniform(h: Column): Column =
+    h.cast("double") / org.apache.spark.sql.functions.lit(1.8446744073709552e19) +
+      org.apache.spark.sql.functions.lit(0.5)
   /** min FNV-1a over k-byte shingles (near-dup signature) */
   def vfs_min_shingle(text: Column, k: Int): Column =
     col(MinShingleHash(ex(text),

@@ -53,12 +53,11 @@ object Sampling {
     df.withColumn(as, expr)
   }
 
-  /** Signed hash mapped monotonically onto [0, 1): h/2^64 + 1/2 —
-    * the per-row uniform deviate every deterministic sampler shares
-    * (cf. [[Sketches.kmvDistinct]]'s k-minimum ordering). */
+  /** Per-row uniform deviate of `key` — the shared hash-to-unit-
+    * interval mapping ([[graft.functions.vfs_hash_uniform]]; see its
+    * note on the 1.0 boundary under double rounding). */
   def hashUniform(key: Column): Column =
-    vfs_fingerprint(key).cast("double") / lit(1.8446744073709552e19) +
-      lit(0.5)
+    graft.functions.vfs_hash_uniform(vfs_fingerprint(key))
 
   /** Deterministic WEIGHTED Bernoulli sample: keep a row iff its
     * uniform hash deviate < `weight` (a [0,1] column) — e.g. sample

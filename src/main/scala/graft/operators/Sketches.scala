@@ -50,13 +50,23 @@ object Sketches {
   def countMinSketch(df: DataFrame, key: Column, depth: Int = 4,
       width: Int = 64): DataFrame = {
     require(depth > 0 && width > 0, "depth and width must be positive")
-    df.select(key.as("__k"),
+    // NULL keys are "no value", same stance as [[kmvDistinct]] —
+    // concat_ws would otherwise silently fold them into the phantom
+    // key "r", inflating real cells and diverging from the oracle
+    df.select(key.as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("__k"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("r"),
         pmod(vfs_fingerprint(concat_ws("#", col("__k"), col("r"))),
           lit(width)).cast("int").as("c"))
       .groupBy(col("r"), col("c"))
       .agg(count(lit(1)).as("cnt"))
+      // build parameters ride WITH the sketch so an estimate against
+      // mismatched (depth, width) fails loudly instead of silently
+      // underestimating (probes would hash to absent cells -> est 0)
+      .withColumn("depth", lit(depth))
+      .withColumn("width", lit(width))
   }
 
   /** Frequency estimates for `keys` (one column named like `key`)
@@ -64,12 +74,19 @@ object Sketches {
     * cells. Output: key column ++ (est BIGINT). */
   def countMinEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
       depth: Int = 4, width: Int = 64): DataFrame = {
-    val probes = keys.select(key.as("__k"),
+    val dims = sketch.select(col("depth"), col("width")).head()
+    require(dims.getInt(0) == depth && dims.getInt(1) == width,
+      s"[GRAFT] sketch was built with (depth=${dims.getInt(0)}, " +
+        s"width=${dims.getInt(1)}), estimate called with ($depth, $width)")
+    val probes = keys.select(key.as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("__k"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col("__k"), col("r"),
         pmod(vfs_fingerprint(concat_ws("#", col("__k"), col("r"))),
           lit(width)).cast("int").as("c"))
-    probes.join(sketch, Seq("r", "c"), "left")
+    probes.join(sketch.select(col("r"), col("c"), col("cnt")),
+        Seq("r", "c"), "left")
       .groupBy(col("__k"))
       // a missing cell means count 0 (key never hashed there)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
@@ -93,7 +110,7 @@ object Sketches {
       .select(
         when(col("n") < k, col("n"))
           .otherwise(round(lit(k - 1.0) /
-            (col("hk").cast("double") / lit(1.8446744073709552e19) + 0.5))
+            graft.functions.vfs_hash_uniform(col("hk")))
             .cast("long"))
           .as("est"))
   }

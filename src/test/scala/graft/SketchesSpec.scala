@@ -63,9 +63,10 @@ class SketchesSpec extends AnyFunSuite {
     val est = Sketches.countMinEstimate(sketch,
         ev.select($"event_type").distinct(), col("event_type"), 4, 64)
       .as[(String, Long)].collect().toMap
+    val n = ev.count()
     truth.foreach { case (k, t) =>
       assert(est(k) >= t, s"$k: est ${est(k)} < true $t")
-      assert(est(k) <= t + 2L * ev.count() / 64, s"$k grossly over")
+      assert(est(k) <= t + 2L * n / 64, s"$k grossly over")
     }
     // estimate for a never-seen key is 0
     val unseen = Sketches.countMinEstimate(sketch,
@@ -83,6 +84,16 @@ class SketchesSpec extends AnyFunSuite {
     val fullMap = sketch.collect()
       .map(x => (x.getInt(0), x.getInt(1)) -> x.getLong(2)).toMap
     assert(mergedMap === fullMap)
+    // estimating against mismatched build dimensions fails loudly
+    // (silently it would underestimate -> est 0 for present keys)
+    intercept[IllegalArgumentException] {
+      Sketches.countMinEstimate(sketch,
+        ev.select($"event_type").distinct(), col("event_type"), 4, 128)
+    }
+    // NULL keys are ignored on both build and probe (KMV convention)
+    val withNull = Seq(Some("a"), None, Some("a")).toDF("k")
+    val skN = Sketches.countMinSketch(withNull, col("k"), 4, 64)
+    assert(skN.agg(sum($"cnt")).head().getLong(0) === 8L) // 2 rows x 4
   }
 
   test("KMV ignores NULL keys (no slot consumed, no estimate bias)") {
