@@ -77,6 +77,35 @@ class JoinsSpec extends AnyFunSuite {
     assert(joined.count() === 1)
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // the AQE-era runtime row-filter: a selective dimension filter
+    // plants a bloom filter on the fact side's scan, pruning shuffle
+    // input before the join — the 100 TB "semi-join pushdown" Spark
+    // does automatically when the thresholds say it pays off
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"${GraftTest.sf001}/lineitem.parquet")
+        .select($"l_orderkey", $"l_extendedprice")
+      val o = spark.read.parquet(s"${GraftTest.sf001}/orders.parquet")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey")
+      val joined = li.join(o, $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") &&
+        plan.contains("bloom_filter_agg"), plan)
+      assert(joined.count() > 0)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("co-bucketed join runs with no shuffle on either side") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

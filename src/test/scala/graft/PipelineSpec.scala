@@ -309,6 +309,25 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join broadcasts the dimension side") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Long)]
+    val enriched = stream.toDF().toDF("event_id", "user_id")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"),
+        "left")
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich").start()
+    try {
+      stream.addData((1L, 7L), (2L, 9L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, tier FROM enrich").collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+      assert(got === Map(1L -> Some("gold"), 2L -> None))
+    } finally q.stop()
+  }
+
   test("streaming ingest maintains the IVF index via foreachBatch append") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
