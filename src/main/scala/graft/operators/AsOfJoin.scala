@@ -48,6 +48,8 @@ object AsOfJoin {
   private def carry(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, payload: Seq[String],
       matchedTsAs: Option[String], descending: Boolean): DataFrame = {
+    WorkCols.requireFree(left, "__key", "__ts", "__side", "__p", "__latest")
+    WorkCols.requireFree(right, "__key", "__ts", "__side", "__p", "__latest")
     val leftCols = left.columns.toSeq
     // the payload rides in ONE struct that is non-null exactly for right
     // rows: last(_, ignoreNulls) then tracks the nearest right ROW, not

@@ -34,10 +34,11 @@ object Dedup {
   /** Survivors of exact dedup (keep-first-by-id). */
   def exactSurvivors(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    WorkCols.requireFree(docs, "__rn")
     val w = Window.partitionBy(vfs_fingerprint(col(textCol)))
       .orderBy(col(idCol).asc)
-    docs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
+    docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
   }
 
   private def wordSet(textCol: Column): Column =
@@ -154,10 +155,11 @@ object Dedup {
         slice(col("sig"), col("band") * rowsPerBand + 1,
           lit(rowsPerBand)).as("bsig"))
 
-  /** Drop rows of (band, bsig) buckets larger than `maxBucket` —
-    * bounds the worst-case join blowup on pathological corpora. */
-  private[graft] def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val bucketW = Window.partitionBy(col("band"), col("bsig"))
+  /** Drop rows of band-key buckets larger than `maxBucket` — bounds
+    * the worst-case self-join blowup on pathological corpora. */
+  private[graft] def capBuckets(banded: DataFrame, maxBucket: Int,
+      keys: Seq[String] = Seq("band", "bsig")): DataFrame = {
+    val bucketW = Window.partitionBy(keys.map(col): _*)
     banded.withColumn("bucket_n", count(lit(1)).over(bucketW))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
@@ -331,20 +333,28 @@ object Dedup {
     * 4×15-bit band blocking over the 60-bit signature — pigeonhole
     * guarantees no false negatives, and the hamming filter removes all
     * false positives, so the output EQUALS the all-pairs result (which
-    * is what the oracle computes). Output: (a, b, hamming). */
+    * is what the oracle computes) PROVIDED no band bucket exceeds
+    * `maxBucket`: like [[minHashLsh]], buckets above the cap are
+    * dropped to bound the self-join blowup on pathological corpora
+    * (boilerplate/identical docs sharing band values). Capped buckets
+    * are dominated by identical docs, which [[exactGroups]] surfaces;
+    * pass `maxBucket = Int.MaxValue` to recover the unconditional
+    * all-pairs guarantee. Output: (a, b, hamming). */
   def simHashPairsPortable(docs: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-band blocking covers hamming <= 3")
     val sigs = docs.select(col(idCol).as("id"),
       simHash60Portable(col(textCol)).as("sig"))
     // band values computed AFTER the explode from the materialized sig
     // attribute (see minHashLsh: lambda-inlined sigs recompute ×bands)
-    val banded = sigs
+    val banded = capBuckets(sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("id"), col("sig"), col("band"),
         call_function("shiftright", col("sig"), col("band") * 15)
-          .bitwiseAND(0x7fffL).as("bval"))
+          .bitwiseAND(0x7fffL).as("bval")),
+      maxBucket, keys = Seq("band", "bval"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&
@@ -358,18 +368,22 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 16):
     * 4×16-bit band blocking guarantees no false negatives for
-    * maxHamming ≤ 3. Output: (a, b, hamming). */
+    * maxHamming ≤ 3, subject to the same `maxBucket` cap (and the same
+    * escape hatch) as [[simHashPairsPortable]]. Output: (a, b,
+    * hamming). */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-band blocking covers hamming <= 3")
     val sigs = docs.select(col(idCol).as("id"),
       simHash64(col(textCol)).as("sig"))
-    val banded = sigs
+    val banded = capBuckets(sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("id"), col("sig"), col("band"),
         call_function("shiftright", col("sig"), col("band") * 16)
-          .bitwiseAND(0xffffL).as("bval"))
+          .bitwiseAND(0xffffL).as("bval")),
+      maxBucket, keys = Seq("band", "bval"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") &&

@@ -32,6 +32,8 @@ object RangeJoin {
       pointCol: String, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    WorkCols.requireFree(left, "__bin")
+    WorkCols.requireFree(right, "__bin")
     val bin = (c: Column) => floor(c / binWidth).cast("long")
     val l = left.withColumn("__bin", bin(col(pointCol)))
     // a [lo, hi) interval covers bins floor(lo/w) .. floor(hi/w), the

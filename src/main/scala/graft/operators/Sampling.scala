@@ -77,6 +77,7 @@ object Sampling {
     * group, not a full sort of the stratum. */
   def stratifiedTopN(df: DataFrame, stratum: Column, key: Column,
       tiebreak: Column, n: Int): DataFrame = {
+    WorkCols.requireFree(df, "__rn")
     val w = Window.partitionBy(stratum)
       .orderBy(vfs_fingerprint(key).asc, tiebreak.asc)
     df.withColumn("__rn", row_number().over(w))

@@ -74,10 +74,21 @@ object Sketches {
     * cells. Output: key column ++ (est BIGINT). */
   def countMinEstimate(sketch: DataFrame, keys: DataFrame, key: Column,
       depth: Int = 4, width: Int = 64): DataFrame = {
-    val dims = sketch.select(col("depth"), col("width")).head()
-    require(dims.getInt(0) == depth && dims.getInt(1) == width,
-      s"[GRAFT] sketch was built with (depth=${dims.getInt(0)}, " +
-        s"width=${dims.getInt(1)}), estimate called with ($depth, $width)")
+    // a sketch built from empty/all-null input has zero cells: every
+    // count is genuinely 0 — return 0-estimates instead of letting a
+    // bare head() throw (and skip the dims check: there is no row to
+    // carry the build parameters)
+    sketch.select(col("depth"), col("width")).take(1).headOption match {
+      case None =>
+        return keys.select(key.as("__k"))
+          .filter(col("__k").isNotNull)
+          .distinct()
+          .withColumn("est", lit(0L))
+      case Some(dims) =>
+        require(dims.getInt(0) == depth && dims.getInt(1) == width,
+          s"[GRAFT] sketch was built with (depth=${dims.getInt(0)}, " +
+            s"width=${dims.getInt(1)}), estimate called with ($depth, $width)")
+    }
     val probes = keys.select(key.as("__k"))
       .filter(col("__k").isNotNull)
       .select(col("__k"),

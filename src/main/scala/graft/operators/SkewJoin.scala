@@ -33,6 +33,8 @@ object SkewJoin {
   def salted(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, nSalts: Int): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
+    WorkCols.requireFree(left, "__salt")
+    WorkCols.requireFree(right, "__salt")
     val l = left.withColumn("__salt",
       pmod(xxhash64(col(leftKey), monotonically_increasing_id()),
         lit(nSalts)).cast("int"))

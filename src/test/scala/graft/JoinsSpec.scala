@@ -35,6 +35,30 @@ class JoinsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("operators reject inputs that carry reserved __ working columns") {
+    // a silent overwrite would both corrupt the bin/salt computation and
+    // drop the user's column from the output — must fail loudly
+    val points = Seq((1L, 1.0, 9L)).toDF("pid", "p", "__bin")
+    val ivs = Seq((10L, 0.0, 5.0)).toDF("iid", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(points, ivs, "p", "lo", "hi", 5.0)
+    }
+    val withSalt = Seq((1L, 2L)).toDF("k", "__salt")
+    intercept[IllegalArgumentException] {
+      SkewJoin.salted(withSalt, Seq(1L).toDF("k"), "k", "k", 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.stratifiedTopN(
+        Seq((1L, "a", 7L)).toDF("id", "g", "__rn"), col("g"), col("id"),
+        col("id"), 2)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.backward(
+        Seq((1L, 1L, 0)).toDF("k", "ts", "__side"),
+        Seq((1L, 1L, 1.0)).toDF("k", "ts", "v"), "k", "ts", "ts", Seq("v"))
+    }
+  }
+
   test("salted join result equals the plain equi-join") {
     val li = spark.read.parquet(s"${GraftTest.sf001}/lineitem.parquet")
       .select($"l_orderkey", $"l_extendedprice")

@@ -57,6 +57,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b, _) => a < b })
   }
 
+  test("simhash: pathological identical corpus is bucket-capped, not O(n^2)") {
+    // 10k identical docs share every band value: uncapped, the band
+    // self-join would materialize 4 * C(10k,2) ≈ 200M rows. The default
+    // maxBucket drops the hot buckets, so the join completes in bounded
+    // time with zero pairs — the dup group itself surfaces via
+    // exactGroups, which is the documented division of labor.
+    val n = 10000
+    val d = spark.range(n).select($"id".as("doc_id"),
+      lit("boilerplate header repeated verbatim across the corpus").as("text"))
+    assert(Dedup.simHashPairs(d).count() === 0L)
+    assert(Dedup.simHashPairsPortable(d).count() === 0L)
+    val groups = Dedup.exactGroups(d).as[(Long, Long, Long)].collect()
+    assert(groups.length === 1 && groups.head._3 === n.toLong)
+    // sub-cap corpora keep the exact all-pairs guarantee: 50 identical
+    // docs -> C(50,2) hamming-0 pairs
+    val small = spark.range(50).select($"id".as("doc_id"),
+      lit("same text").as("text"))
+    assert(Dedup.simHashPairs(small).count() === 50L * 49 / 2)
+  }
+
   test("connected components: multi-hop chains collapse to min label") {
     // components: {1,2,3,4} via chain 1-2-3-4, {10,11}, isolated via
     // no edges never appears

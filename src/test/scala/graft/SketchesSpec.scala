@@ -94,6 +94,14 @@ class SketchesSpec extends AnyFunSuite {
     val withNull = Seq(Some("a"), None, Some("a")).toDF("k")
     val skN = Sketches.countMinSketch(withNull, col("k"), 4, 64)
     assert(skN.agg(sum($"cnt")).head().getLong(0) === 8L) // 2 rows x 4
+    // an EMPTY sketch (built from all-null input) estimates 0 for every
+    // probe key instead of throwing on the missing dims row
+    val skEmpty = Sketches.countMinSketch(
+      Seq(Option.empty[String]).toDF("k"), col("k"), 4, 64)
+    val zeroEsts = Sketches.countMinEstimate(skEmpty,
+        Seq("a", "b").toDF("k"), col("k"), 4, 64)
+      .as[(String, Long)].collect().toMap
+    assert(zeroEsts === Map("a" -> 0L, "b" -> 0L))
   }
 
   test("KMV ignores NULL keys (no slot consumed, no estimate bias)") {
