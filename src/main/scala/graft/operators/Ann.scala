@@ -3,11 +3,8 @@ package graft.operators
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.FloatType
 
 /** Approximate k-NN as a *persisted, reusable* index artifact — the
   * deliberate replacement for the reference's per-query HNSW rebuild
@@ -28,89 +25,378 @@ import org.apache.spark.sql.types.FloatType
   * k-means): euclidean NN on the unit sphere = cosine NN.
   */
 object IvfIndex {
-  case class Meta(nCentroids: Int, metric: String, dim: Int, seed: Long)
+  case class Meta(nCentroids: Int, metric: String, dim: Int, seed: Long,
+      nAssign: Int = 1)
 
   private def metaJson(m: Meta): String =
-    s"""{"nCentroids":${m.nCentroids},"metric":"${m.metric}","dim":${m.dim},"seed":${m.seed}}"""
+    s"""{"nCentroids":${m.nCentroids},"metric":"${m.metric}","dim":${m.dim},"seed":${m.seed},"nAssign":${m.nAssign}}"""
   private def parseMeta(s: String): Meta = {
     def num(k: String) = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toLong
+    def opt(k: String, default: Long) =
+      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(default)
     val metric = "\"metric\":\"(\\w+)\"".r.findFirstMatchIn(s).get.group(1)
-    Meta(num("nCentroids").toInt, metric, num("dim").toInt, num("seed"))
+    Meta(num("nCentroids").toInt, metric, num("dim").toInt, num("seed"),
+      opt("nAssign", 1L).toInt)
+  }
+
+  private def readMeta(path: String): Meta = parseMeta(new String(
+    Files.readAllBytes(Paths.get(path, "ivf.json")), StandardCharsets.UTF_8))
+
+  /** splitmix64 finalizer — the deterministic per-row "random" priority
+    * used for sampling and init (the U2 RNG-determinism hook: no RNG
+    * stream, so the draw is independent of row order and task retries
+    * within a partition). */
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def loadCentroids(spark: SparkSession,
+      path: String): Array[(Int, Array[Float])] =
+    spark.read.parquet(s"$path/centroids")
+      .select(col("cluster"), col("centroid"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+
+  /** In-place-free L2 normalization on the JVM side. Normalization as
+    * a Catalyst higher-order function (`transform(v, x -> x / norm)`)
+    * is interpreted per ELEMENT with the norm sub-expression inlined
+    * into the lambda — ~4k boxed lambda invocations per 64-dim row,
+    * measured 50 s PER PASS over a 500k corpus; this loop is
+    * millisecond-scale. Zero vectors pass through unchanged (matching
+    * the query-side guard in [[searchHydrated]]). */
+  private def l2normalize(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+    if (s == 0.0) v
+    else {
+      val n = math.sqrt(s)
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+
+  /** Broadcast-argmin cluster assignment: one tight partition loop per
+    * row against the (tiny) centroid array — the same shape MLlib's
+    * transform uses. A relational phrasing (cross join + min aggregate)
+    * materializes |rows| × nCentroids joined rows first — measured
+    * 18-27× slower for a 10k-row batch. With `nAssign` > 1 each row is
+    * emitted once per its nAssign nearest centroids (multiprobe /
+    * SOAR-style double assignment — closes the centroid-boundary blind
+    * spot of single-assignment similarity joins at nAssign× storage).
+    * Ties break to the lowest cluster id (strict < scan in ascending
+    * order), deterministically. `normalize` = spherical (cosine) mode:
+    * rows are L2-normalized in the kernel and STORED normalized.
+    * Output: (id, values, cluster). */
+  private[operators] def assignRows(prepared: DataFrame,
+      centArr: Array[(Int, Array[Float])], nAssign: Int,
+      normalize: Boolean): DataFrame = {
+    val spark = prepared.sparkSession
+    val bc = spark.sparkContext.broadcast(centArr)
+    import spark.implicits._
+    prepared.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        val n = math.min(nAssign, cs.length)
+        if (n == 1) {
+          // zero-allocation hot path: direct argmin per row
+          it.map { case (id, v0) =>
+            val v = if (normalize) l2normalize(v0) else v0
+            var best = -1; var bestD = Double.MaxValue
+            var c = 0
+            while (c < cs.length) {
+              val cent = cs(c)._2
+              var d = 0.0; var i = 0
+              while (i < v.length) {
+                val diff = v(i).toDouble - cent(i); d += diff * diff; i += 1
+              }
+              if (d < bestD) { bestD = d; best = cs(c)._1 }
+              c += 1
+            }
+            (id, v, best)
+          }
+        } else {
+          // per-PARTITION scratch buffers (per-row allocation of a
+          // |centroids|-sized array is GBs of churn at 500k rows)
+          val ds = new Array[Double](cs.length)
+          val used = new Array[Boolean](cs.length)
+          it.flatMap { case (id, v0) =>
+            val v = if (normalize) l2normalize(v0) else v0
+            var c = 0
+            while (c < cs.length) {
+              val cent = cs(c)._2
+              var d = 0.0; var i = 0
+              while (i < v.length) {
+                val diff = v(i).toDouble - cent(i); d += diff * diff; i += 1
+              }
+              ds(c) = d; used(c) = false; c += 1
+            }
+            // n smallest; ascending cluster-id scan + strict < keeps
+            // ties deterministic. Rows are BUILT EAGERLY before the
+            // next input row reuses the scratch buffers.
+            val out = new Array[(Long, Array[Float], Int)](n)
+            var s = 0
+            while (s < n) {
+              var best = -1; var bestD = Double.MaxValue
+              var j = 0
+              while (j < cs.length) {
+                if (!used(j) && ds(j) < bestD) { bestD = ds(j); best = j }
+                j += 1
+              }
+              used(best) = true; out(s) = (id, v, cs(best)._1); s += 1
+            }
+            out
+          }
+        }
+      }
+      .toDF("id", "values", "cluster")
   }
 
   /** Build the index from (idCol, vecCol) rows and persist at `path`:
     * `centroids/` (cluster INT, centroid ARRAY<FLOAT>),
     * `assignments/cluster=<c>/` (id, values), `ivf.json`.
     *
-    * Scale design: k-means trains on a bounded SAMPLE (`trainCap` rows
-    * — centroid quality converges long before that), then every row is
-    * assigned in one broadcast-centroid pass. Training cost is O(cap),
-    * independent of corpus size; assignment is a single map over the
-    * data. */
+    * Scale design — exactly TWO passes over the corpus, each a single
+    * narrow job, regardless of corpus size:
+    *
+    *   1. SAMPLE: one mapPartitions pass keeps the `trainCap` rows with
+    *      the smallest deterministic id-hash priority (a bounded heap
+    *      per partition — no `count()` pre-pass, no RNG stream). The
+    *      collected sample is ≤ trainCap × dim floats (25 MB at the
+    *      defaults), driver-safe by construction.
+    *   2. TRAIN driver-local: Lloyd iterations over the in-memory
+    *      sample on all driver cores. Hand-rolled rather than MLlib
+    *      KMeans: centroid quality converges on a bounded sample long
+    *      before trainCap, and the per-iteration Spark job launches +
+    *      the netlib-java BLAS fallback dominated build time (measured
+    *      ~6 s for a 2k corpus; sub-second here). Init is the
+    *      nCentroids smallest-hash sample rows (the deterministic
+    *      analog of random init — the standard IVF trade, cf. faiss).
+    *   3. ASSIGN: one broadcast-argmin pass over the full corpus
+    *      ([[assignRows]]), written partitioned by cluster.
+    *
+    * `nAssign` > 1 writes each vector to its nAssign nearest clusters
+    * (multiprobe storage — see [[assignRows]] and [[similarityJoin]]).
+    * Deterministic given the input's partition layout (the sample is a
+    * per-partition top-m; same files + same read ⇒ same index). */
   def build(base: DataFrame, path: String, nCentroids: Int,
       metric: Metric = Metric.Cosine, seed: Long = 42L,
       vecCol: String = "values", idCol: String = "id",
-      trainCap: Long = 100000L, maxIter: Int = 10): Unit = {
+      trainCap: Long = 100000L, maxIter: Int = 10,
+      nAssign: Int = 1): Unit = {
+    require(nCentroids > 0, "nCentroids must be positive")
+    require(nAssign >= 1, "nAssign must be >= 1")
     val spark = base.sparkSession
-    val prepared = metric match {
-      case Metric.Cosine =>
-        // spherical k-means: normalize, cluster on the unit sphere
-        base.select(col(idCol).as("id"),
-          normalized(col(vecCol)).as("values"))
-      case Metric.Euclidean =>
-        base.select(col(idCol).as("id"),
-          col(vecCol).cast("array<float>").as("values"))
+    import spark.implicits._
+    // spherical k-means for cosine: vectors are L2-normalized INSIDE
+    // the sample/assign kernels ([[l2normalize]] — not as a Catalyst
+    // HOF, see its scaladoc) and stored normalized; euclidean NN on
+    // the unit sphere = cosine NN. The scan itself is a codegen'd cast.
+    val spherical = metric == Metric.Cosine
+    val prepared = base.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("values"))
+    // ---- pass 1: count-free bounded sample (per-partition top-m by
+    // hash priority; the global trainCap smallest hashes are always a
+    // subset of the union as long as m >= min(trainCap, needed)) ----
+    val dbg = sys.env.contains("GRAFT_BUILD_DEBUG")
+    var t0 = System.nanoTime()
+    def lap(name: String): Unit = if (dbg) {
+      println(f"[build-debug] $name%-20s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      t0 = System.nanoTime()
     }
-    val n = prepared.count()
-    val trainSet =
-      if (n <= trainCap) prepared
-      else prepared.sample(withReplacement = false,
-        math.min(1.0, trainCap.toDouble / n * 1.05), seed)
-    // cache the featurized training set: k-means is iterative and would
-    // otherwise recompute scan+normalize+vectorize every iteration.
-    // Size the partition count to the TRAINING SET (≤ trainCap), not the
-    // cluster default: k-means|| init + every Lloyd iteration is a
-    // full-pass job, and at small n the per-task overhead of 32
-    // near-empty partitions dominates build time (measured 6.2s for
-    // 2000 rows). ~3k rows per task: small corpora still coalesce to
-    // one task, while a full 100k training sample uses every core —
-    // dividing by 25k left Lloyd on 4 of 32 threads at the cap
-    // (measured 96s for the 500k probe; ~40s at full parallelism).
-    val trainN = math.min(n, trainCap)
-    val trainParts = math.max(1, math.min(32, (trainN / 3125L).toInt))
-    val featurized = trainSet
-      .withColumn("features", array_to_vector(col("values")))
-      .coalesce(trainParts).cache()
-    val model = try {
-      // random init, not k-means||: the parallel init costs extra full
-      // passes over the training set, and IVF routing quality (recall
-      // at fixed nProbe) converges to the same place under Lloyd
-      // iterations — the standard IVF trade (cf. faiss random init).
-      new KMeans().setK(nCentroids).setSeed(seed)
-        .setMaxIter(maxIter).setInitMode("random")
-        .setFeaturesCol("features").setPredictionCol("cluster")
-        .fit(featurized)
-    } finally featurized.unpersist(blocking = false)
-    val assigned = model.transform(
-        prepared.withColumn("features", array_to_vector(col("values"))))
-      .select(col("id"), col("values"), col("cluster"))
-    // repartition by cluster BEFORE partitionBy: otherwise every shuffle
-    // partition writes a sliver into every cluster directory
-    // (partitions × clusters small files — 22k files at 500k rows)
-    assigned.repartition(col("cluster"))
+    val ds = prepared.as[(Long, Array[Float])]
+    val parts = math.max(1, ds.rdd.getNumPartitions)
+    lap("plan+parts")
+    val perPart = math.max(nCentroids,
+      math.max(1L, trainCap / parts).toInt)
+    val seedLocal = seed
+    val sampled = ds.mapPartitions { it =>
+      // bounded MAX-heap on the hash: evict the largest, keep the
+      // perPart smallest seen in this partition
+      val pq = new scala.collection.mutable.PriorityQueue[
+        (Long, Array[Float])]()(Ordering.by(_._1))
+      it.foreach { case (id, v0) =>
+        val h = mix64(id ^ seedLocal)
+        if (pq.size < perPart) {
+          pq.enqueue((h, if (spherical) l2normalize(v0) else v0))
+        } else if (h < pq.head._1) {
+          pq.dequeue()
+          pq.enqueue((h, if (spherical) l2normalize(v0) else v0))
+        }
+      }
+      pq.iterator
+    }.collect()
+    if (sampled.isEmpty)
+      throw new graft.store.InvalidVectorException(
+        "[GRAFT] cannot build an IVF index over an empty corpus")
+    lap("sample")
+    val train: Array[Array[Float]] = sampled.sortBy(_._1)
+      .take(math.min(trainCap, Int.MaxValue.toLong).toInt).map(_._2)
+    val dim = train.head.length
+    // ---- pass 2 (driver-local): Lloyd on the sample, all cores ----
+    val centsD = lloyd(train, nCentroids, maxIter, seed)
+    lap("lloyd")
+    val centArr = centsD.zipWithIndex.map { case (c, i) =>
+      (i, c.map(_.toFloat))
+    }
+    // ---- pass 3: assign every row, write partitioned by cluster.
+    // The argmin pass is compute-bound (|rows|·k·dim muladds): a corpus
+    // read as a few large files would run it on as few cores (measured
+    // 100 s vs 12 s for 500k rows in one file) — spread to all cores
+    // first. repartition by cluster BEFORE partitionBy: otherwise every
+    // shuffle partition writes a sliver into every cluster directory
+    // (partitions × clusters small files — 22k files at 500k rows) ----
+    val assignInput =
+      if (parts < spark.sparkContext.defaultParallelism)
+        prepared.repartition(spark.sparkContext.defaultParallelism)
+      else prepared
+    assignRows(assignInput, centArr, math.min(nAssign, nCentroids),
+      normalize = spherical)
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assignments")
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }
-    spark.createDataFrame(centroids.toSeq).toDF("cluster", "centroid")
+    lap("assign+write")
+    spark.createDataFrame(centArr.toSeq).toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    val dim = centroids.head._2.length
     Files.write(Paths.get(path, "ivf.json"),
       metaJson(Meta(nCentroids, metric match {
         case Metric.Cosine => "cosine"
         case Metric.Euclidean => "euclidean"
-      }, dim, seed)).getBytes(StandardCharsets.UTF_8))
+      }, dim, seed, math.min(nAssign, nCentroids)))
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Deterministic k-means++ init (seeded D²-sampling) over a bounded
+    * prefix of the hash-ordered sample — the prefix IS a uniform
+    * subsample, and the cap keeps the sequential O(|init|·k·dim) cost
+    * flat in k (uniform-corpus recall regressed to 0.75 under naive
+    * first-k init; ++ spreads centroids and restored it). A corpus
+    * with fewer distinct vectors than nCentroids yields duplicate
+    * centroids, whose clusters simply stay empty — assignment ties
+    * break to the lowest cluster id. */
+  private def kppInit(train: Array[Array[Float]], nCentroids: Int,
+      seed: Long): Array[Array[Double]] = {
+    val n = math.min(train.length, math.max(4 * nCentroids, 2048))
+    val pts = train
+    val rnd = new scala.util.Random(seed)
+    val centers = new Array[Array[Double]](nCentroids)
+    centers(0) = pts(0).map(_.toDouble)
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < nCentroids) {
+      val prev = centers(c - 1)
+      var total = 0.0
+      var i = 0
+      while (i < n) {
+        val v = pts(i)
+        var d = 0.0; var j = 0
+        while (j < v.length) {
+          val t = v(j).toDouble - prev(j); d += t * t; j += 1
+        }
+        if (d < minD(i)) minD(i) = d
+        total += minD(i)
+        i += 1
+      }
+      if (total <= 0.0) {
+        // all remaining points coincide with a center: duplicate one
+        centers(c) = pts(c % n).map(_.toDouble)
+      } else {
+        var r = rnd.nextDouble() * total
+        var idx = 0
+        while (idx < n - 1 && r > minD(idx)) { r -= minD(idx); idx += 1 }
+        centers(c) = pts(idx).map(_.toDouble)
+      }
+      c += 1
+    }
+    centers
+  }
+
+  /** Driver-local Lloyd iterations, parallel over sample chunks on all
+    * cores, seeded-deterministic init via [[kppInit]]. Empty clusters
+    * keep their previous centroid. Early-exits when no centroid
+    * moves. */
+  private def lloyd(train: Array[Array[Float]], nCentroids: Int,
+      maxIter: Int, seed: Long): Array[Array[Double]] = {
+    val n = train.length
+    val dim = train.head.length
+    var cents = kppInit(train, nCentroids, seed)
+    val nThreads = math.max(1, Runtime.getRuntime.availableProcessors())
+    val nChunks = math.min(n, nThreads)
+    val chunkSize = (n + nChunks - 1) / nChunks
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      // argmin via  |v-c|^2 = |v|^2 + |c|^2 - 2 v·c : the |v|^2 term is
+      // constant per row, so score = |c|^2 - 2 v·c (one fused dot loop)
+      val cn2 = cents.map(c => { var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+      val sums = Array.fill(nChunks)(
+        Array.ofDim[Double](nCentroids, dim))
+      val counts = Array.fill(nChunks)(new Array[Long](nCentroids))
+      val threads = (0 until nChunks).map { ci =>
+        val t = new Thread(() => {
+          val lo = ci * chunkSize
+          val hi = math.min(n, lo + chunkSize)
+          val s = sums(ci); val cnt = counts(ci)
+          var p = lo
+          while (p < hi) {
+            val v = train(p)
+            var best = -1; var bestScore = Double.MaxValue
+            var c = 0
+            while (c < nCentroids) {
+              val cent = cents(c)
+              var dot = 0.0; var i = 0
+              while (i < dim) { dot += v(i) * cent(i); i += 1 }
+              val score = cn2(c) - 2.0 * dot
+              if (score < bestScore) { bestScore = score; best = c }
+              c += 1
+            }
+            val sb = s(best)
+            var i = 0
+            while (i < dim) { sb(i) += v(i); i += 1 }
+            cnt(best) += 1
+            p += 1
+          }
+        })
+        t.start(); t
+      }
+      threads.foreach(_.join())
+      moved = false
+      val next = Array.tabulate(nCentroids) { c =>
+        var total = 0L
+        var ci = 0
+        while (ci < nChunks) { total += counts(ci)(c); ci += 1 }
+        if (total == 0L) cents(c) // empty cluster keeps its centroid
+        else {
+          val m = new Array[Double](dim)
+          ci = 0
+          while (ci < nChunks) {
+            val s = sums(ci)(c)
+            var i = 0
+            while (i < dim) { m(i) += s(i); i += 1 }
+            ci += 1
+          }
+          var i = 0
+          var delta = 0.0
+          while (i < dim) {
+            m(i) /= total
+            val d = m(i) - cents(c)(i); delta += d * d
+            i += 1
+          }
+          if (delta > 1e-12) moved = true
+          m
+        }
+      }
+      cents = next
+      iter += 1
+    }
+    cents
   }
 
   /** Probe: exact top-k within the nProbe nearest clusters. Returns
@@ -126,8 +412,7 @@ object IvfIndex {
     * routed KnnSearch node must keep producing its child's columns. */
   def searchHydrated(spark: SparkSession, path: String,
       query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
-    val meta = parseMeta(new String(
-      Files.readAllBytes(Paths.get(path, "ivf.json")), StandardCharsets.UTF_8))
+    val meta = readMeta(path)
     val metric = Metric.parse(meta.metric)
     if (query.length != meta.dim)
       throw new graft.store.InvalidVectorException(
@@ -160,16 +445,20 @@ object IvfIndex {
         .select(lit(0L).as("id"),
           typedLit(Array.empty[Float]).as("values"),
           lit(0.0).as("distance")).limit(0)
-    val pruned = spark.read.parquet(existing.toIndexedSeq: _*)
+    val pruned0 = spark.read.parquet(existing.toIndexedSeq: _*)
+    // a multiprobe index stores each vector in nAssign clusters: two
+    // probed clusters can both contain an id — dedup before top-k so
+    // duplicates don't shrink effective k (single-assignment indexes
+    // skip the extra shuffle)
+    val pruned = if (meta.nAssign > 1) pruned0.dropDuplicates("id")
+      else pruned0
     // on normalized vectors euclidean order == cosine order; report the
     // requested metric's distance values
     Knn.exact(pruned, q, k, metric)
   }
 
   /** Metric string of a persisted index (for routing guards). */
-  def metricOf(path: String): String =
-    parseMeta(new String(Files.readAllBytes(Paths.get(path, "ivf.json")),
-      StandardCharsets.UTF_8)).metric
+  def metricOf(path: String): String = readMeta(path).metric
 
   /** Incremental index maintenance: assign NEW vectors to the nearest
     * EXISTING centroid and append them to the cluster partitions — no
@@ -192,55 +481,23 @@ object IvfIndex {
   def append(newRows: DataFrame, path: String,
       vecCol: String = "values", idCol: String = "id"): Unit = {
     val spark = newRows.sparkSession
-    val meta = parseMeta(new String(
-      Files.readAllBytes(Paths.get(path, "ivf.json")), StandardCharsets.UTF_8))
+    val meta = readMeta(path)
     val metric = Metric.parse(meta.metric)
-    val raw = metric match {
-      case Metric.Cosine => newRows.select(col(idCol).as("id"),
-        normalized(col(vecCol)).as("values"))
-      case Metric.Euclidean => newRows.select(col(idCol).as("id"),
-        col(vecCol).cast("array<float>").as("values"))
-    }
+    val raw = newRows.select(col(idCol).as("id"),
+      col(vecCol).cast("array<float>").as("values"))
     // collapse duplicate ids within the batch DETERMINISTICALLY (the
-    // lexicographically smallest vector wins) — the documented caller
-    // contract; without this each duplicate would write an index entry
-    // and shrink effective k at probe time
+    // lexicographically smallest RAW vector wins) — the documented
+    // caller contract; without this each duplicate would write an
+    // index entry and shrink effective k at probe time
     val prepared = raw.groupBy(col("id"))
       .agg(min(col("values")).as("values"))
-    // centroid table is tiny (nCentroids × dim floats) — broadcast the
-    // raw arrays and argmin per row in one tight partition loop, the
-    // same shape MLlib's own transform uses. A relational phrasing
-    // (cross join with the centroid table + min aggregate) materializes
-    // |batch| × nCentroids joined rows first — measured 18-27s for a
-    // 10k-row append vs ~1s here. Ties break to the lowest cluster id
-    // (strict < scan in ascending order), deterministically.
-    val centArr = spark.read.parquet(s"$path/centroids")
-      .select(col("cluster"), col("centroid"))
-      .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(centArr)
-    import spark.implicits._
-    val assigned = prepared.as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (id, v) =>
-          var best = -1; var bestD = Double.MaxValue
-          var c = 0
-          while (c < cs.length) {
-            val cent = cs(c)._2
-            var d = 0.0; var i = 0
-            while (i < v.length) {
-              val diff = v(i).toDouble - cent(i); d += diff * diff; i += 1
-            }
-            if (d < bestD) { bestD = d; best = cs(c)._1 }
-            c += 1
-          }
-          (id, v, best)
-        }
-      }
-      .toDF("id", "values", "cluster")
-    assigned.repartition(col("cluster"))
+    // same broadcast-argmin kernel as build's assignment pass (incl.
+    // kernel-side normalization for cosine indexes), honoring the
+    // index's multiprobe factor so appended rows keep the
+    // boundary-coverage guarantee of the original build
+    assignRows(prepared, loadCentroids(spark, path), meta.nAssign,
+      normalize = metric == Metric.Cosine)
+      .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$path/assignments")
   }
@@ -283,29 +540,30 @@ object IvfIndex {
   /** Approximate all-pairs similarity JOIN over a built index: vectors
     * sharing an IVF cluster are candidate pairs; exact distance
     * verifies < tau. The cluster partitioning bounds the self-join to
-    * within-cluster blocks (the embedding analog of LSH banding);
-    * recall follows cluster quality — pairs straddling a centroid
-    * boundary need the complementary [[Dedup.embeddingNearDupLsh]]
-    * route or a multiprobe assignment. Output: (a, b, dist_milli). */
+    * within-cluster blocks (the embedding analog of LSH banding).
+    * Recall follows cluster quality: with a single-assignment index
+    * (nAssign = 1) pairs straddling a centroid boundary are blind
+    * spots; build with `nAssign = 2` (multiprobe storage) and a pair is
+    * missed only if the two vectors share NONE of their 2×2 nearest
+    * clusters — the KnnSpec boundary-recall spec measures the gap
+    * closing. Duplicate candidate pairs from multi-assignment are
+    * deduped before output. Output: (a, b, dist_milli). */
   def similarityJoin(spark: SparkSession, path: String,
       tau: Double): DataFrame = {
-    val meta = parseMeta(new String(
-      Files.readAllBytes(Paths.get(path, "ivf.json")), StandardCharsets.UTF_8))
+    val meta = readMeta(path)
     val metric = Metric.parse(meta.metric)
     val t = spark.read.parquet(s"$path/assignments")
     val a = t.as("a")
     val b = t.as("b")
-    a.join(b, col("a.cluster") === col("b.cluster") &&
+    val pairs = a.join(b, col("a.cluster") === col("b.cluster") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("a"), col("b.id").as("b"),
         round(metric.dist(col("a.values"), col("b.values")) * 1000)
           .cast("long").as("dist_milli"))
       .filter(col("dist_milli") < math.round(tau * 1000))
+    // only a multiprobe index can produce the same pair in two shared
+    // clusters; skip the dedup shuffle for single-assignment indexes
+    if (meta.nAssign > 1) pairs.dropDuplicates("a", "b") else pairs
   }
 
-  private def normalized(v: org.apache.spark.sql.Column) = {
-    val norm = sqrt(aggregate(transform(v,
-      x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x))
-    transform(v, x => (x.cast("double") / norm).cast(FloatType))
-  }
 }

@@ -14,8 +14,15 @@ import graft.operators.IvfIndex
   * a [[KnnSearch]] over that parquet location into an index probe, the
   * way a B-tree turns a table scan into an index scan. */
 object IndexRegistry {
+  /** One registered index: where it lives, plus WHICH source columns
+    * (names in the data files) it was built from — required so that on
+    * a table with several vector (or id) columns, `SELECT other_vec AS
+    * values` over the registered location cannot silently route to an
+    * index built on a different column (it falls through to exact). */
+  case class IndexEntry(indexPath: String, idCol: String, vecCol: String)
+
   private val reg =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, IndexEntry]
 
   /** Fully-qualified URI string — scheme and authority INCLUDED, so
     * `/tables/emb` on two different filesystems/buckets cannot collide
@@ -27,15 +34,18 @@ object IndexRegistry {
     path.getFileSystem(conf).makeQualified(path).toString
   }
 
-  def register(dataPath: String, indexPath: String): Unit =
-    reg.put(normalize(dataPath), indexPath)
+  /** `idCol`/`vecCol` name the columns OF THE DATA FILES the index was
+    * built over (before any query-side renames). */
+  def register(dataPath: String, indexPath: String,
+      idCol: String = "id", vecCol: String = "values"): Unit =
+    reg.put(normalize(dataPath), IndexEntry(indexPath, idCol, vecCol))
 
   def unregister(dataPath: String): Unit = reg.remove(normalize(dataPath))
   def clear(): Unit = reg.clear()
 
-  /** Index path if the single leaf relation `scan` reads a registered
-    * location. */
-  private[plans] def lookupFor(scan: LogicalRelation): Option[String] =
+  /** Registry entry if the single leaf relation `scan` reads a
+    * registered location. */
+  private[plans] def lookupFor(scan: LogicalRelation): Option[IndexEntry] =
     scan.relation match {
       case fs: HadoopFsRelation =>
         fs.location.rootPaths.flatMap(p => reg.get(normalize(p.toString)))
@@ -79,13 +89,23 @@ object RouteKnnToIvf extends Rule[LogicalPlan] {
     case other => other
   }
 
-  /** The scan under `child` iff child is the scan itself or one pure
-    * attribute-only Project over it (column pruning / renames). */
-  private def servableScan(child: LogicalPlan): Option[LogicalRelation] =
+  /** The scan under `child` — iff child is the scan itself or one pure
+    * attribute-only Project over it (column pruning / renames) — plus
+    * the output-name → scan-column-name mapping, so the caller can
+    * check that the node's id/vec columns actually come from the
+    * SOURCE columns the index was built on (a rename of a *different*
+    * vector column to "values" must not route). */
+  private def servableScan(
+      child: LogicalPlan): Option[(LogicalRelation, Map[String, String])] =
     child match {
-      case r: LogicalRelation => Some(r)
+      case r: LogicalRelation =>
+        Some((r, r.output.map(a => a.name -> a.name).toMap))
       case Project(projectList, r: LogicalRelation)
-          if projectList.forall(isAttributeOnly) => Some(r)
+          if projectList.forall(isAttributeOnly) =>
+        Some((r, projectList.map {
+          case Alias(src: AttributeReference, name) => name -> src.name
+          case a: Attribute => a.name -> a.name
+        }.toMap))
       case _ => None
     }
 
@@ -99,9 +119,14 @@ object RouteKnnToIvf extends Rule[LogicalPlan] {
     case node @ KnnSearch(child, query, k, metric, vecCol, idCol, _)
         if child.resolved &&
           child.output.map(_.name).toSet == Set(idCol, vecCol) =>
-      servableScan(child).flatMap(IndexRegistry.lookupFor) match {
-        case Some(ivfPath)
-            if IvfIndex.metricOf(ivfPath) == canonMetric(metric) =>
+      servableScan(child).flatMap { case (scan, nameMap) =>
+        IndexRegistry.lookupFor(scan).filter(e =>
+          nameMap.get(idCol).contains(e.idCol) &&
+            nameMap.get(vecCol).contains(e.vecCol))
+      } match {
+        case Some(entry)
+            if IvfIndex.metricOf(entry.indexPath) == canonMetric(metric) =>
+          val ivfPath = entry.indexPath
           val spark = SparkSession.active
           val nProbe = spark.conf
             .get("spark.graft.knn.nprobe", "4").toInt

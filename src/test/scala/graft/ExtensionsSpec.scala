@@ -53,7 +53,8 @@ class ExtensionsSpec extends AnyFunSuite {
         metric = graft.operators.Metric.Cosine)
       val q = emb.filter(col("id") === 1L).head().getSeq[Float](1).toArray
 
-      graft.plans.IndexRegistry.register(dataPath, ivfPath)
+      graft.plans.IndexRegistry.register(dataPath, ivfPath,
+        idCol = "vec_id", vecCol = "embedding")
       s.conf.set("spark.graft.knn.nprobe", "8") // full probe: exact ids
       val routed = graft.plans.KnnPlan.knn(emb, q, 5, "cosine")
       // routed: no global sort of the base table; scan reads only the
@@ -75,6 +76,17 @@ class ExtensionsSpec extends AnyFunSuite {
         .contains("cluster="))
       val fids = filtered.select("id").collect().map(_.getLong(0))
       assert(fids.forall(_ > 250L), fids.mkString(","))
+      // a bare rename of a DIFFERENT source column must NOT route: the
+      // index was built on (vec_id, embedding), so a query aliasing
+      // `label` to "id" would be served silently wrong ids from the
+      // index — the registry's recorded source columns force the exact
+      // path instead. (Single attribute-only Project, so only the
+      // column-name check can reject it.)
+      val wrongId = s.read.parquet(dataPath)
+        .select(col("label").as("id"), col("embedding").as("values"))
+      val wrongPlan = graft.plans.KnnPlan.knn(wrongId, q, 5, "cosine")
+      assert(!wrongPlan.queryExecution.executedPlan.toString
+        .contains("cluster="))
       // unregistered -> exact path again (scans the base location)
       graft.plans.IndexRegistry.unregister(dataPath)
       val unrouted = graft.plans.KnnPlan.knn(emb, q, 5, "cosine")

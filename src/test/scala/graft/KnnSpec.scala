@@ -127,6 +127,45 @@ class KnnSpec extends AnyFunSuite {
     assert(!row.getSeq[String](row.fieldIndex("tags")).toSeq.contains("quantized"))
   }
 
+  test("multiprobe (nAssign=2) closes similarityJoin's boundary blind spot") {
+    // pairs of near-identical vectors dropped at random points of a
+    // uniform corpus: single-assignment IVF misses every pair whose two
+    // members land on opposite sides of a centroid boundary; double
+    // assignment recovers a pair unless the two vectors share NONE of
+    // their 2x2 nearest clusters
+    val rnd = new scala.util.Random(23)
+    val basePts = (0 until 400).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    // 60 planted near-dup twins of the first 60 points
+    val twins = (0 until 60).map(i => (1000L + i,
+      basePts(i)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)))
+    val corpus = (basePts ++ twins).toDF("id", "values")
+    val wantPairs = (0 until 60).map(i => (i.toLong, 1000L + i)).toSet
+
+    def recallAt(nAssign: Int): (Double, Long) = {
+      val dir = Files.createTempDirectory(s"ivf_mp$nAssign").toString
+      IvfIndex.build(corpus, dir, nCentroids = 24, Metric.Cosine,
+        nAssign = nAssign)
+      val got = IvfIndex.similarityJoin(spark, dir, tau = 0.02)
+      val pairs = got.select($"a", $"b").as[(Long, Long)].collect().toSet
+      val rows = spark.read.parquet(s"$dir/assignments").count()
+      ((wantPairs & pairs).size.toDouble / wantPairs.size, rows)
+    }
+    val (r1, rows1) = recallAt(1)
+    val (r2, rows2) = recallAt(2)
+    assert(r2 >= 0.95, s"multiprobe recall = $r2 (single was $r1)")
+    assert(r2 >= r1, s"multiprobe must not lose pairs: $r2 < $r1")
+    // the price is bounded: exactly 2x storage, so <= ~4x join cost
+    assert(rows2 === 2 * rows1, s"expected doubled storage: $rows1 -> $rows2")
+    // multiprobe search must not return duplicate ids even when two
+    // probed clusters both hold the same vector
+    val dir2 = Files.createTempDirectory("ivf_mp_search").toString
+    IvfIndex.build(corpus, dir2, nCentroids = 8, Metric.Cosine, nAssign = 2)
+    val ids = IvfIndex.search(spark, dir2, basePts.head._2, 20, nProbe = 8)
+      .select("id").as[Long].collect()
+    assert(ids.distinct.length === ids.length, ids.mkString(","))
+  }
+
   test("IVF similarityJoin finds within-cluster near pairs") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(64)(rnd.nextFloat())
