@@ -37,6 +37,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // median-of-3: single runs at this scale have a measured 20-25%
+    // run-to-run variance band (JIT, GC, first-use codegen), which made
+    // round-over-round deltas unreadable; the median kills the outlier
+    // without hiding a real regression
+    val Reps = 3
+    def median(f: => Unit): Double = {
+      val ts = Seq.fill(Reps)(time(f)).sorted
+      ts(ts.length / 2)
+    }
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     // warm up the JVM/codegen/parquet paths before measuring
@@ -49,66 +59,73 @@ object Bench {
       .head().getSeq[Float](1).toArray
 
     // ---- reference-shape benchmarks ----
-    val storeRoot = Files.createTempDirectory("bench-store").toString
-    val store = VfsStore.create(spark, storeRoot, "bench", dim = q.length,
-      quantize = true)
-    results("insert_bulk") = time {
-      store.appendBatch(emb.select(col("values"),
-        concat(lit("v"), col("id")).as("name"),
-        array(lit("bench")).as("tags")))
-    }
-    results("get_by_id") = time { store.getById(100L) }
-    results("search_exact") = time {
+    // insert_bulk is STATEFUL (append grows the store): median over 3
+    // fresh stores, then the LAST one serves the read-only entries
+    val storeDirs = Seq.fill(Reps)(
+      Files.createTempDirectory("bench-store").toString)
+    val stores = storeDirs.map(d =>
+      VfsStore.create(spark, d, "bench", dim = q.length, quantize = true))
+    val insertTimes = stores.map { st =>
+      time {
+        st.appendBatch(emb.select(col("values"),
+          concat(lit("v"), col("id")).as("name"),
+          array(lit("bench")).as("tags")))
+      }
+    }.sorted
+    results("insert_bulk") = insertTimes(insertTimes.length / 2)
+    val store = stores.last
+    results("get_by_id") = median { store.getById(100L) }
+    results("search_exact") = median {
       Knn.search(store, q, 5, Metric.Cosine).collect()
     }
     // SIMD twin: identical expression (codegen IS the vectorization)
-    results("search_exact_simd") = time {
+    results("search_exact_simd") = median {
       Knn.search(store, q, 5, Metric.Cosine).collect()
     }
     // fused int8 scoring (store is quantized and flushed)
-    results("search_exact_quantized_fused") = time {
+    results("search_exact_quantized_fused") = median {
       Knn.search(store, q, 5, Metric.Cosine).collect()
     }
-    results("search_exact_dense_view") = time {
+    results("search_exact_dense_view") = median {
       Knn.exact(store.read(), q, 5, Metric.Cosine).collect()
     }
-    val ivfDir = s"$storeRoot/ivf"
-    results("index_build") = time {
-      IvfIndex.build(emb, ivfDir,
-        nCentroids = math.max(2, math.sqrt(emb.count().toDouble).toInt),
-        Metric.Cosine)
+    val ivfDir = s"${storeDirs.last}/ivf"
+    val nCent = math.max(2, math.sqrt(emb.count().toDouble).toInt)
+    // overwrite-mode build is idempotent: a plain median-of-3 works
+    results("index_build") = median {
+      IvfIndex.build(emb, ivfDir, nCent, Metric.Cosine)
     }
-    results("search_approx") = time {
+    results("search_approx") = median {
       IvfIndex.search(spark, ivfDir, q, 5, nProbe = 4).collect()
     }
 
     // ---- scale headliners ----
-    results("knn_batch_100") = time {
+    results("knn_batch_100") = median {
       val queries = emb.limit(100)
         .select(col("id").as("qid"), col("values").as("qvalues"))
       Knn.exactBatch(emb, queries, 10, Metric.Cosine).count()
     }
-    results("q1_agg") = time {
+    results("q1_agg") = median {
       SparkEntry.queries("q1_agg")(spark, sfDir).collect()
     }
-    results("join_topk") = time {
+    results("join_topk") = median {
       SparkEntry.queries("q3_join_topk")(spark, sfDir).collect()
     }
-    results("minhash_dedup") = time {
+    results("minhash_dedup") = median {
       Dedup.minHashLsh(spark.read.parquet(s"$sfDir/documents.parquet"),
         threshold = 0.8).count()
     }
-    results("sessionize") = time {
+    results("sessionize") = median {
       SparkEntry.queries("w_sessionize")(spark, sfDir).count()
     }
-    results("window_agg") = time {
+    results("window_agg") = median {
       SparkEntry.queries("stream_window_agg")(spark, sfDir).count()
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"agg":"median"}""")
     spark.stop()
   }
 }

@@ -15,10 +15,16 @@ import graft.operators.TopKByDistance
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // routing first: an indexed KnnSearch becomes an IVF probe; only
-    // unrouted nodes reach the exact rewrite
+    // routing first: an indexed KnnSearch becomes a deferred IVF probe
+    // leaf; only unrouted nodes reach the exact rewrite
     ext.injectResolutionRule(_ => graft.plans.RouteKnnToIvf)
     ext.injectResolutionRule(_ => graft.plans.ResolveKnnSearch)
+    // plans the deferred probe leaf (execution-time cluster selection)
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    // SQL-text surface: SELECT * FROM vfs_knn(path, k, metric, query)
+    ext.injectTableFunction((FunctionIdentifier("vfs_knn"),
+      new ExpressionInfo("graft", "vfs_knn"),
+      graft.plans.SqlSurface.vfsKnnBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

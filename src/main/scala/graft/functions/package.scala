@@ -78,5 +78,16 @@ package object functions {
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     r1("vfs_vec_mean", es =>
       graft.operators.VectorMean(es(0)).toAggregateExpression())
+    // table-level SQL surface: SELECT * FROM vfs_knn(path, k, metric,
+    // query[, vecCol, idCol]) — same registration GraftExtensions does
+    // at session build, available here for already-built sessions. The
+    // builder pre-applies routing + the exact rewrite, so the plan
+    // resolves in sessions without the injected rules; the deferred
+    // IVF probe leaf still needs its strategy, added idempotently.
+    ExpressionUtils.registerTableFunction(spark, "vfs_knn",
+      graft.plans.SqlSurface.vfsKnnBuilder _)
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy
   }
 }

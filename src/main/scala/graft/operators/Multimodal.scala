@@ -90,15 +90,41 @@ object Multimodal {
       .toDF("doc_id", "frame_idx", "frame_bytes", "frame_feature")
   }
 
-  /** "Resize"/re-sample stub shaped like the real thing: deterministic
-    * truncation/padding of the feature vector. */
+  /** Deterministic LINEAR-INTERPOLATION resample of a feature vector to
+    * `newDim` lanes — the 1-D analog of an image resize kernel, so the
+    * resize stub is algorithmically real even without codecs. Each
+    * output lane j samples position j·(d−1)/(newDim−1) of the input and
+    * lerps its two neighbors. Properties (PipelineSpec): identity at
+    * the same dim, exact on linear ramps at any dim, output bounded by
+    * the input's [min, max], endpoints preserved. */
+  private[graft] def lerpResample(v: Array[Float], newDim: Int): Array[Float] = {
+    require(newDim > 0, "newDim must be positive")
+    if (v.isEmpty) new Array[Float](newDim)
+    else if (v.length == 1 || newDim == 1) Array.fill(newDim)(v(0))
+    else {
+      val out = new Array[Float](newDim)
+      val scale = (v.length - 1).toDouble / (newDim - 1)
+      var j = 0
+      while (j < newDim) {
+        val x = j * scale
+        val lo = math.min(v.length - 2, x.toInt)
+        val frac = x - lo
+        out(j) = (v(lo) * (1.0 - frac) + v(lo + 1) * frac).toFloat
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** "Resize"/re-sample with a real interpolation kernel (see
+    * [[lerpResample]]); swap the kernel for a codec-backed resize and
+    * the plumbing is unchanged. */
   def resampleFeatures(spark: SparkSession, feats: Dataset[MediaFeatures],
       newDim: Int): Dataset[MediaFeatures] = {
     import spark.implicits._
     feats.map { f =>
-      val v = f.feature.take(newDim) ++
-        Array.fill(math.max(0, newDim - f.feature.length))(0.0f)
-      MediaFeatures(f.doc_id, f.format, f.n_bytes, v)
+      MediaFeatures(f.doc_id, f.format, f.n_bytes,
+        lerpResample(f.feature, newDim))
     }
   }
 }

@@ -126,24 +126,14 @@ object RouteKnnToIvf extends Rule[LogicalPlan] {
       } match {
         case Some(entry)
             if IvfIndex.metricOf(entry.indexPath) == canonMetric(metric) =>
-          val ivfPath = entry.indexPath
-          val spark = SparkSession.active
-          val nProbe = spark.conf
+          val nProbe = SparkSession.active.conf
             .get("spark.graft.knn.nprobe", "4").toInt
-          val probed = IvfIndex.searchHydrated(spark, ivfPath,
-            query.toArray, k, nProbe).queryExecution.analyzed
-          val byName = probed.output.map(a => a.name -> a).toMap
-          // stitch: same column names, the node's original exprIds
-          val projList = node.output.map { o =>
-            val src = byName.getOrElse(
-              if (o.name == "distance") "distance"
-              else if (o.name == idCol) "id"
-              else "values",
-              throw new IllegalStateException(
-                s"[GRAFT] index probe lacks column for ${o.name}"))
-            Alias(src, o.name)(exprId = o.exprId)
-          }
-          Project(projList, probed)
+          // plant the DEFERRED probe leaf carrying the node's own
+          // output attributes: the centroid top-k and directory listing
+          // run at execution time (IvfProbeExec), so a cached plan sees
+          // post-analysis appends
+          IvfProbe(entry.indexPath, query, k, nProbe, idCol, vecCol,
+            node.output)
         case _ => node
       }
   }

@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Pure-SQL surface: the reference exposes its whole API over one
+  * endpoint (vfs/src/vfs/tcp.rs:107-150); here the analog is making
+  * every operator reachable from `spark.sql` text. Scalar functions
+  * are registered by [[graft.GraftExtensions]] / `functions
+  * .registerAll`; this object adds the TABLE-level surface:
+  *
+  *   - `vfs_knn(path, k, metric, query[, vecCol, idCol])` — a
+  *     table-valued function producing the top-k rows, planned through
+  *     [[KnnSearch]] so the IVF routing rule applies to SQL text
+  *     exactly as it does to the DataFrame API:
+  *     {{{ SELECT id, distance FROM vfs_knn('/data/emb', 5, 'cosine',
+  *         array(0.1F, ...)) }}}
+  *   - [[registerStore]] / [[registerIndex]] — temp views over a
+  *     store's live table and an IVF index's internals.
+  */
+object SqlSurface {
+
+  /** TVF builder for `vfs_knn`. All arguments must be literals (SQL
+    * table arguments are resolved before any row exists). The scanned
+    * table must carry `idCol` (default "id") and `vecCol` (default
+    * "values"); the output appends `distance`. */
+  private[graft] def vfsKnnBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_knn(path, k, metric, query[, vecCol, idCol]): $msg")
+    if (es.length < 4 || es.length > 6)
+      fail(s"expected 4-6 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    val path = es(0).eval().toString
+    val k = es(1).eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => fail(s"k must be an integer literal, got $other")
+    }
+    val metric = es(2).eval().toString
+    val q: Array[Float] = es(3).dataType match {
+      case ArrayType(et, _) =>
+        val arr = es(3).eval().asInstanceOf[ArrayData]
+        et match {
+          case FloatType => arr.toFloatArray()
+          case DoubleType => arr.toDoubleArray().map(_.toFloat)
+          case IntegerType => arr.toIntArray().map(_.toFloat)
+          case LongType => arr.toLongArray().map(_.toFloat)
+          case dt: DecimalType =>
+            (0 until arr.numElements()).map(i =>
+              arr.get(i, dt).asInstanceOf[Decimal].toFloat).toArray
+          case other => fail(s"unsupported query element type $other")
+        }
+      case other => fail(s"query must be an array literal, got $other")
+    }
+    val vecCol = if (es.length >= 5) es(4).eval().toString else "values"
+    val idCol = if (es.length >= 6) es(5).eval().toString else "id"
+    // project to exactly (idCol, vecCol): the routing rule only serves
+    // bare two-column scans, so an indexed location registered for
+    // these columns routes — unindexed paths fall through to exact
+    val rel = SparkSession.active.read.parquet(path)
+      .select(col(idCol), col(vecCol))
+      .queryExecution.analyzed
+    val node = KnnSearch(rel, q.toIndexedSeq, k, metric, vecCol, idCol)
+    // pre-apply routing + the exact rewrite: the returned plan is fully
+    // resolved, so the TVF works in sessions WITHOUT the injected
+    // resolution rules (functions.registerAll path) and identically in
+    // extension sessions (their rules see no KnnSearch left to touch)
+    ResolveKnnSearch(RouteKnnToIvf(node))
+  }
+
+  /** Expose a store's live table (memtable ∪ flushed, dequantized) as
+    * a temp view. */
+  def registerStore(store: graft.store.VfsStore, name: String): Unit =
+    store.read().createOrReplaceTempView(name)
+
+  /** Expose an IVF index's internals as temp views:
+    * `<name>_assignments` (id, values, cluster) and `<name>_centroids`
+    * (cluster, centroid) — the SQL route to cluster-bounded similarity
+    * joins and centroid analytics. */
+  def registerIndex(spark: SparkSession, indexPath: String,
+      name: String): Unit = {
+    spark.read.parquet(s"$indexPath/assignments")
+      .createOrReplaceTempView(s"${name}_assignments")
+    spark.read.parquet(s"$indexPath/centroids")
+      .createOrReplaceTempView(s"${name}_centroids")
+  }
+}

@@ -81,6 +81,24 @@ object Explain {
         docs.filter(col("source") === "src0"),
         "doc_id", "text", 3, 5, 50L)
     }
+    // SQL TVF + index routing: the whole plan collapses to the deferred
+    // IvfProbe leaf (cluster selection happens at execution time)
+    graft.functions.registerAll(spark)
+    val ivfDir = java.nio.file.Files.createTempDirectory("explain-ivf").toString
+    graft.operators.IvfIndex.build(emb, ivfDir, nCentroids = 8,
+      graft.operators.Metric.Cosine)
+    graft.plans.IndexRegistry.register(s"$dir/embeddings.parquet", ivfDir,
+      idCol = "vec_id", vecCol = "embedding")
+    val qLit = q.map(x => s"CAST('$x' AS FLOAT)").mkString("array(", ",", ")")
+    show("SQL vfs_knn over a REGISTERED index (expect: IvfProbe leaf)") {
+      spark.sql(s"SELECT vec_id, distance FROM vfs_knn(" +
+        s"'$dir/embeddings.parquet', 5, 'cosine', $qLit, 'embedding', 'vec_id')")
+    }
+    graft.plans.IndexRegistry.clear()
+    show("SQL vfs_knn unindexed (expect: exact TakeOrderedAndProject)") {
+      spark.sql(s"SELECT vec_id, distance FROM vfs_knn(" +
+        s"'$dir/embeddings.parquet', 5, 'cosine', $qLit, 'embedding', 'vec_id')")
+    }
     spark.stop()
   }
 }

@@ -25,6 +25,14 @@ object shims {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Register a table-valued function on an existing session
+    * (TableFunctionRegistry is private[sql]). */
+  def registerTableFunction(spark: org.apache.spark.sql.SparkSession,
+      name: String,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+
   /** Build a session with the given extensions on an EXISTING
     * SparkContext. `spark.sql.extensions` is a static conf, so the
     * builder path ignores it once a context is running — tests (and

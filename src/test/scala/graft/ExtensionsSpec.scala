@@ -57,11 +57,11 @@ class ExtensionsSpec extends AnyFunSuite {
         idCol = "vec_id", vecCol = "embedding")
       s.conf.set("spark.graft.knn.nprobe", "8") // full probe: exact ids
       val routed = graft.plans.KnnPlan.knn(emb, q, 5, "cosine")
-      // routed: no global sort of the base table; scan reads only the
-      // probed cluster dirs (pruned parquet paths), still top-k shaped
+      // routed: the plan is the DEFERRED probe leaf (cluster selection
+      // at execution time), not a global sort of the base table
       val phys = routed.queryExecution.executedPlan.toString
-      assert(phys.contains("TakeOrderedAndProject"), phys)
-      assert(phys.contains("cluster="), phys) // probe path made it in
+      assert(phys.contains("IvfProbe"), phys)
+      assert(!phys.contains("Sort"), phys)
       val ids = routed.select("id").collect().map(_.getLong(0)).toSeq
       val expect = graft.operators.Knn
         .exact(emb, q, 5, graft.operators.Metric.Cosine)
@@ -73,9 +73,19 @@ class ExtensionsSpec extends AnyFunSuite {
       val filtered = graft.plans.KnnPlan.knn(
         emb.filter(col("id") > 250L), q, 5, "cosine")
       assert(!filtered.queryExecution.executedPlan.toString
-        .contains("cluster="))
+        .contains("IvfProbe"))
       val fids = filtered.select("id").collect().map(_.getLong(0))
       assert(fids.forall(_ > 250L), fids.mkString(","))
+      // EXECUTION-TIME probing: append a perfect match for the query
+      // AFTER the routed Dataset was analyzed — re-running the SAME
+      // Dataset must surface it (the analysis-time expansion froze the
+      // directory list and could not)
+      import s.implicits._
+      graft.operators.IvfIndex.append(
+        Seq((9999L, q)).toDF("id", "values"), ivfPath)
+      val again = routed.select("id").collect().map(_.getLong(0)).toSeq
+      assert(again.contains(9999L),
+        s"appended vector invisible to cached plan: $again")
       // a bare rename of a DIFFERENT source column must NOT route: the
       // index was built on (vec_id, embedding), so a query aliasing
       // `label` to "id" would be served silently wrong ids from the
@@ -98,6 +108,53 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setDefaultSession(shared)
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(ivfPath))
+    }
+  }
+
+  test("vfs_knn table-valued function: whole search surface from SQL text") {
+    import org.apache.spark.sql.functions.col
+    val shared = GraftTest.spark
+    val dataPath = s"${GraftTest.sf0001}/embeddings.parquet"
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      SparkSession.setActiveSession(s)
+      val emb = s.read.parquet(dataPath)
+        .select(col("vec_id").as("id"), col("embedding").as("values"))
+      val q = emb.filter(col("id") === 1L).head().getSeq[Float](1).toArray
+      // float-exact literal array: CAST each printed value back to FLOAT
+      val qLit = q.map(x => s"CAST('$x' AS FLOAT)")
+        .mkString("array(", ", ", ")")
+      val sql =
+        s"""SELECT vec_id, distance
+           |FROM vfs_knn('$dataPath', 5, 'cosine', $qLit,
+           |             'embedding', 'vec_id')""".stripMargin
+      val got = s.sql(sql).select("vec_id").collect().map(_.getLong(0)).toSeq
+      val expect = graft.operators.Knn
+        .exact(emb, q, 5, graft.operators.Metric.Cosine)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got === expect)
+      // non-literal args fail loudly, not silently
+      val err = intercept[Exception] {
+        s.sql(s"SELECT * FROM vfs_knn('$dataPath', 5, 'cosine', " +
+          "array(rand()))").collect()
+      }
+      assert(err.getMessage.contains("[GRAFT]") ||
+        err.getMessage.contains("literal"), err.getMessage)
+      // index internals as temp views: SQL reaches cluster layout
+      val ivfPath = java.nio.file.Files
+        .createTempDirectory("graft_sql_ivf").toString
+      graft.operators.IvfIndex.build(emb, ivfPath, nCentroids = 4,
+        graft.operators.Metric.Cosine)
+      graft.plans.SqlSurface.registerIndex(s, ivfPath, "vx")
+      val nClusters = s.sql(
+        "SELECT count(DISTINCT cluster) FROM vx_assignments")
+        .head().getLong(0)
+      assert(nClusters >= 2L)
+      assert(s.sql("SELECT count(*) FROM vx_centroids").head().getLong(0) === 4L)
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
     }
   }
 

@@ -264,6 +264,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.forall(_.getLong(1) % 4 === 0))
   }
 
+  test("multimodal resample: linear interpolation, not truncation") {
+    def lerp(v: Array[Float], d: Int) = Multimodal.lerpResample(v, d)
+    // identity at the same dim (every sample position is integral)
+    val v = Array(0.9f, 0.1f, 0.5f, 0.3f, 0.7f)
+    assert(lerp(v, 5).toSeq === v.toSeq)
+    // EXACT on linear ramps at any dim: linear interpolation preserves
+    // affine signals (this is what truncation/padding violated)
+    def ramp(d: Int) = Array.tabulate(d)(i => 1.0f + 2.0f * i / (d - 1))
+    for (d <- Seq(2, 3, 7, 16)) {
+      val got = lerp(ramp(9), d)
+      ramp(d).zip(got).foreach { case (want, g) =>
+        assert(math.abs(want - g) < 1e-6, s"d=$d want=$want got=$g")
+      }
+    }
+    // endpoints preserved; output bounded by input range
+    val r = new scala.util.Random(3)
+    val u = Array.fill(11)(r.nextFloat())
+    for (d <- Seq(2, 5, 23)) {
+      val g = lerp(u, d)
+      assert(g.head === u.head && g.last === u.last)
+      assert(g.forall(x => x >= u.min - 1e-6 && x <= u.max + 1e-6))
+    }
+    // up-then-down round trip stays within the local variation bound
+    val back = lerp(lerp(u, 22), 11)
+    u.zip(back).foreach { case (a, b) =>
+      assert(math.abs(a - b) <= 0.5f, s"round-trip drift $a -> $b")
+    }
+    // degenerate shapes
+    assert(lerp(Array(0.4f), 3).toSeq === Seq(0.4f, 0.4f, 0.4f))
+    assert(lerp(Array.empty[Float], 2).toSeq === Seq(0f, 0f))
+    // Dataset-level path keeps schema/ids
+    val media = Multimodal.mediaFromDocs(docs.limit(5))
+    val feats = Multimodal.extractFeatures(spark, media, dim = 8)
+    val res = Multimodal.resampleFeatures(spark, feats, 16).collect()
+    assert(res.forall(_.feature.length === 16))
+  }
+
   test("streaming ingest: micro-batches append to store exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
