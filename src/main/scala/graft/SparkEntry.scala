@@ -887,10 +887,20 @@ object SparkEntry {
          |ORDER BY dist_milli ASC, vec_id ASC
          |LIMIT 10""".stripMargin,
 
+    // two-stage like the Spark side: the TVF truncates at k=20 by RAW
+    // distance, the outer query re-ranks by rounded millis — the oracle
+    // must replicate the raw-distance cut, or a row ranked >20 raw that
+    // shares the 10th result's rounded bucket would make the compare
+    // data-dependently flaky
     "sql_tvf_knn" ->
-      s"""SELECT vec_id,
-         |       CAST(round(${duckCos("CAST(embedding AS DOUBLE[])", qSub)} * 1000) AS BIGINT) AS dist_milli
-         |FROM embeddings
+      s"""WITH top AS (
+         |  SELECT vec_id,
+         |         ${duckCos("CAST(embedding AS DOUBLE[])", qSub)} AS d
+         |  FROM embeddings
+         |  ORDER BY d ASC, vec_id ASC
+         |  LIMIT 20)
+         |SELECT vec_id, CAST(round(d * 1000) AS BIGINT) AS dist_milli
+         |FROM top
          |ORDER BY dist_milli ASC, vec_id ASC
          |LIMIT 10""".stripMargin,
 

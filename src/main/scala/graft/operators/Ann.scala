@@ -105,7 +105,11 @@ object IvfIndex {
         val cs = bc.value
         val n = math.min(nAssign, cs.length)
         if (n == 1) {
-          // zero-allocation hot path: direct argmin per row
+          // zero-allocation hot path: direct argmin per row. `best ==
+          // -1 ||` guards the all-NaN row (NaN compares false against
+          // everything): it deterministically lands in the lowest
+          // cluster id instead of a phantom cluster=-1 directory no
+          // probe would ever read.
           it.map { case (id, v0) =>
             val v = if (normalize) l2normalize(v0) else v0
             var best = -1; var bestD = Double.MaxValue
@@ -116,7 +120,7 @@ object IvfIndex {
               while (i < v.length) {
                 val diff = v(i).toDouble - cent(i); d += diff * diff; i += 1
               }
-              if (d < bestD) { bestD = d; best = cs(c)._1 }
+              if (best == -1 || d < bestD) { bestD = d; best = cs(c)._1 }
               c += 1
             }
             (id, v, best)
@@ -146,7 +150,9 @@ object IvfIndex {
               var best = -1; var bestD = Double.MaxValue
               var j = 0
               while (j < cs.length) {
-                if (!used(j) && ds(j) < bestD) { bestD = ds(j); best = j }
+                if (!used(j) && (best == -1 || ds(j) < bestD)) {
+                  bestD = ds(j); best = j // best == -1 case: NaN rows
+                }
                 j += 1
               }
               used(best) = true; out(s) = (id, v, cs(best)._1); s += 1
@@ -339,34 +345,50 @@ object IvfIndex {
       val sums = Array.fill(nChunks)(
         Array.ofDim[Double](nCentroids, dim))
       val counts = Array.fill(nChunks)(new Array[Long](nCentroids))
+      // a worker failure (e.g. a ragged-dimension vector) must FAIL the
+      // build, not silently zero that chunk's contribution — collect
+      // and rethrow (plain Thread.join returns normally after an
+      // uncaught throw)
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
       val threads = (0 until nChunks).map { ci =>
         val t = new Thread(() => {
-          val lo = ci * chunkSize
-          val hi = math.min(n, lo + chunkSize)
-          val s = sums(ci); val cnt = counts(ci)
-          var p = lo
-          while (p < hi) {
-            val v = train(p)
-            var best = -1; var bestScore = Double.MaxValue
-            var c = 0
-            while (c < nCentroids) {
-              val cent = cents(c)
-              var dot = 0.0; var i = 0
-              while (i < dim) { dot += v(i) * cent(i); i += 1 }
-              val score = cn2(c) - 2.0 * dot
-              if (score < bestScore) { bestScore = score; best = c }
-              c += 1
+          try {
+            val lo = ci * chunkSize
+            val hi = math.min(n, lo + chunkSize)
+            val s = sums(ci); val cnt = counts(ci)
+            var p = lo
+            while (p < hi) {
+              val v = train(p)
+              if (v.length != dim)
+                throw new graft.store.InvalidVectorException(
+                  s"[GRAFT] vector dimension mismatch in training sample:" +
+                    s" expected $dim, got ${v.length}")
+              var best = -1; var bestScore = Double.MaxValue
+              var c = 0
+              while (c < nCentroids) {
+                val cent = cents(c)
+                var dot = 0.0; var i = 0
+                while (i < dim) { dot += v(i) * cent(i); i += 1 }
+                val score = cn2(c) - 2.0 * dot
+                if (best == -1 || score < bestScore) { // -1: NaN rows
+                  bestScore = score; best = c
+                }
+                c += 1
+              }
+              val sb = s(best)
+              var i = 0
+              while (i < dim) { sb(i) += v(i); i += 1 }
+              cnt(best) += 1
+              p += 1
             }
-            val sb = s(best)
-            var i = 0
-            while (i < dim) { sb(i) += v(i); i += 1 }
-            cnt(best) += 1
-            p += 1
+          } catch {
+            case e: Throwable => failure.compareAndSet(null, e)
           }
         })
         t.start(); t
       }
       threads.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
       moved = false
       val next = Array.tabulate(nCentroids) { c =>
         var total = 0L

@@ -80,12 +80,23 @@ object SqlSurface {
   /** Expose an IVF index's internals as temp views:
     * `<name>_assignments` (id, values, cluster) and `<name>_centroids`
     * (cluster, centroid) — the SQL route to cluster-bounded similarity
-    * joins and centroid analytics. */
+    * joins and centroid analytics.
+    *
+    * Registered as SQL-defined views over `parquet.`…`` (NOT a
+    * snapshotted DataFrame): the path re-resolves on every query, so
+    * the views track [[graft.operators.IvfIndex.append]] /
+    * `compactAssignments` instead of freezing the registration-time
+    * file listing — the same staleness class the deferred [[IvfProbe]]
+    * eliminates for the routed path. */
   def registerIndex(spark: SparkSession, indexPath: String,
       name: String): Unit = {
-    spark.read.parquet(s"$indexPath/assignments")
-      .createOrReplaceTempView(s"${name}_assignments")
-    spark.read.parquet(s"$indexPath/centroids")
-      .createOrReplaceTempView(s"${name}_centroids")
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"[GRAFT] view name must be a bare SQL identifier: $name")
+    require(!indexPath.contains("`"),
+      s"[GRAFT] index path must not contain backquotes: $indexPath")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${name}_assignments " +
+      s"AS SELECT * FROM parquet.`$indexPath/assignments`")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW ${name}_centroids " +
+      s"AS SELECT * FROM parquet.`$indexPath/centroids`")
   }
 }

@@ -96,12 +96,12 @@ class ExtensionsSpec extends AnyFunSuite {
         .select(col("label").as("id"), col("embedding").as("values"))
       val wrongPlan = graft.plans.KnnPlan.knn(wrongId, q, 5, "cosine")
       assert(!wrongPlan.queryExecution.executedPlan.toString
-        .contains("cluster="))
+        .contains("IvfProbe"))
       // unregistered -> exact path again (scans the base location)
       graft.plans.IndexRegistry.unregister(dataPath)
       val unrouted = graft.plans.KnnPlan.knn(emb, q, 5, "cosine")
       assert(!unrouted.queryExecution.executedPlan.toString
-        .contains("cluster="))
+        .contains("IvfProbe"))
     } finally {
       graft.plans.IndexRegistry.clear()
       SparkSession.setActiveSession(shared)
@@ -152,6 +152,20 @@ class ExtensionsSpec extends AnyFunSuite {
         .head().getLong(0)
       assert(nClusters >= 2L)
       assert(s.sql("SELECT count(*) FROM vx_centroids").head().getLong(0) === 4L)
+      // the views are PATH-defined, not listing-snapshots: rows appended
+      // AFTER registration must be visible without re-registering
+      val before = s.sql("SELECT count(*) FROM vx_assignments")
+        .head().getLong(0)
+      import s.implicits._
+      graft.operators.IvfIndex.append(
+        Seq((5000L, q)).toDF("id", "values"), ivfPath)
+      val after = s.sql("SELECT count(*) FROM vx_assignments")
+        .head().getLong(0)
+      assert(after === before + 1, s"stale view: $before -> $after")
+      // malformed names/paths fail loudly (SQL-injection guard)
+      intercept[IllegalArgumentException] {
+        graft.plans.SqlSurface.registerIndex(s, ivfPath, "bad name")
+      }
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)

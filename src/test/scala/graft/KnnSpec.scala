@@ -166,6 +166,28 @@ class KnnSpec extends AnyFunSuite {
     assert(ids.distinct.length === ids.length, ids.mkString(","))
   }
 
+  test("IVF build tolerates NaN vectors: deterministic cluster, no -1 dir") {
+    // a NaN lane makes every centroid distance NaN, which compares
+    // false against everything — the argmin must still pick a REAL
+    // cluster (lowest id), not write a phantom cluster=-1 partition or
+    // crash the multiprobe path with used(-1)
+    val rnd = new scala.util.Random(31)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat()))) :+
+      (999L, Array(Float.NaN, 1f, 1f, 1f, 1f, 1f, 1f, 1f))
+    for (nAssign <- Seq(1, 2)) {
+      val dir = Files.createTempDirectory(s"ivf_nan$nAssign").toString
+      IvfIndex.build(rows.toDF("id", "values"), dir, nCentroids = 4,
+        Metric.Euclidean, nAssign = nAssign)
+      val assigned = spark.read.parquet(s"$dir/assignments")
+      assert(assigned.filter($"cluster" < 0).count() === 0L)
+      assert(assigned.filter($"id" === 999L).count() === nAssign.toLong)
+      // probing every cluster still returns k real rows
+      assert(IvfIndex.search(spark, dir, Array.fill(8)(0.5f), 5,
+        nProbe = 4).count() === 5L)
+    }
+  }
+
   test("IVF similarityJoin finds within-cluster near pairs") {
     val rnd = new scala.util.Random(11)
     val base = Array.fill(64)(rnd.nextFloat())
