@@ -802,6 +802,30 @@ object SparkEntry {
         lit(if (hits >= 9L) 1L else 0L).as("pass"))
     }),
 
+    // ---- product quantization (compressed ANN): like ann_ivf_topk,
+    // an ACCEPTANCE row — ADC codes are approximate by construction,
+    // so the gate is two-stage recall (ADC overfetch + exact refine)
+    // against the exact top-k, which must clear 0.9 ----
+    "ann_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("values"))
+      val idx = java.nio.file.Files.createTempDirectory("verify-pq").toString
+      // uniform-random embeddings are PQ's worst case; m=32 subspaces
+      // of 2 lanes (8x compression) holds measured recall at 1.0 with
+      // margin across sf0.01 and sf0.1 — coarser settings sat on the
+      // 0.9 boundary
+      graft.operators.PqIndex.build(e, idx, m = 32, ks = 64, Metric.Cosine)
+      val q = queryVec(s, dir, 1L)
+      val approx = graft.operators.PqIndex
+        .searchRefined(s, idx, e, q, 10, overfetch = 8)
+        .select(col("id"))
+      val exact = graft.operators.Knn.exact(e, q, 10, Metric.Cosine)
+        .select(col("id"))
+      val hits = approx.intersect(exact).count()
+      s.range(1).select(lit(10L).as("k"),
+        lit(if (hits >= 9L) 1L else 0L).as("pass"))
+    }),
+
     // ---- MinHash-LSH global near-dup: the FULL pipeline (portable
     // FNV+affine signatures, slice banding, cap, jaccard verify) is
     // reproduced by minHashLshOracle and hash-matches ----
@@ -1348,6 +1372,10 @@ object SparkEntry {
     // of the IVF top-k against the exact top-k and emits pass=1 iff it
     // clears 0.9 — the oracle pins the expected acceptance values
     "ann_ivf_topk" ->
+      "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
+
+    // acceptance row (see ann_ivf_topk): PQ two-stage recall bound
+    "ann_pq_recall" ->
       "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
 
     "ann_ivf_fullprobe" ->

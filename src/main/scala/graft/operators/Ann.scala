@@ -54,6 +54,41 @@ object IvfIndex {
     z ^ (z >>> 31)
   }
 
+  /** One-pass, count-free, bounded training sample: per partition keep
+    * the `cap/parts` rows with the smallest deterministic id-hash
+    * priority (bounded max-heap), union, sort by hash, truncate to
+    * `cap`. Shared by IVF and PQ training. Returns hash-ordered
+    * vectors (a uniform deterministic draw given the partition
+    * layout); throws on an empty corpus. */
+  private[operators] def sampleVectors(prepared: DataFrame, cap: Long,
+      seed: Long, minPerPart: Int, normalize: Boolean): Array[Array[Float]] = {
+    import prepared.sparkSession.implicits._
+    val ds = prepared.as[(Long, Array[Float])]
+    val parts = math.max(1, ds.rdd.getNumPartitions)
+    val perPart = math.max(minPerPart, math.max(1L, cap / parts).toInt)
+    val sampled = ds.mapPartitions { it =>
+      // bounded MAX-heap on the hash: evict the largest, keep the
+      // perPart smallest seen in this partition
+      val pq = new scala.collection.mutable.PriorityQueue[
+        (Long, Array[Float])]()(Ordering.by(_._1))
+      it.foreach { case (id, v0) =>
+        val h = mix64(id ^ seed)
+        if (pq.size < perPart) {
+          pq.enqueue((h, if (normalize) l2normalize(v0) else v0))
+        } else if (h < pq.head._1) {
+          pq.dequeue()
+          pq.enqueue((h, if (normalize) l2normalize(v0) else v0))
+        }
+      }
+      pq.iterator
+    }.collect()
+    if (sampled.isEmpty)
+      throw new graft.store.InvalidVectorException(
+        "[GRAFT] cannot build an index over an empty corpus")
+    sampled.sortBy(_._1)
+      .take(math.min(cap, Int.MaxValue.toLong).toInt).map(_._2)
+  }
+
   private def loadCentroids(spark: SparkSession,
       path: String): Array[(Int, Array[Float])] =
     spark.read.parquet(s"$path/centroids")
@@ -69,7 +104,7 @@ object IvfIndex {
     * measured 50 s PER PASS over a 500k corpus; this loop is
     * millisecond-scale. Zero vectors pass through unchanged (matching
     * the query-side guard in [[searchHydrated]]). */
-  private def l2normalize(v: Array[Float]): Array[Float] = {
+  private[operators] def l2normalize(v: Array[Float]): Array[Float] = {
     var s = 0.0; var i = 0
     while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
     if (s == 0.0) v
@@ -216,34 +251,11 @@ object IvfIndex {
       println(f"[build-debug] $name%-20s ${(System.nanoTime() - t0) / 1e9}%.3f s")
       t0 = System.nanoTime()
     }
-    val ds = prepared.as[(Long, Array[Float])]
-    val parts = math.max(1, ds.rdd.getNumPartitions)
+    val parts = math.max(1, prepared.rdd.getNumPartitions)
     lap("plan+parts")
-    val perPart = math.max(nCentroids,
-      math.max(1L, trainCap / parts).toInt)
-    val seedLocal = seed
-    val sampled = ds.mapPartitions { it =>
-      // bounded MAX-heap on the hash: evict the largest, keep the
-      // perPart smallest seen in this partition
-      val pq = new scala.collection.mutable.PriorityQueue[
-        (Long, Array[Float])]()(Ordering.by(_._1))
-      it.foreach { case (id, v0) =>
-        val h = mix64(id ^ seedLocal)
-        if (pq.size < perPart) {
-          pq.enqueue((h, if (spherical) l2normalize(v0) else v0))
-        } else if (h < pq.head._1) {
-          pq.dequeue()
-          pq.enqueue((h, if (spherical) l2normalize(v0) else v0))
-        }
-      }
-      pq.iterator
-    }.collect()
-    if (sampled.isEmpty)
-      throw new graft.store.InvalidVectorException(
-        "[GRAFT] cannot build an IVF index over an empty corpus")
+    val train = sampleVectors(prepared, trainCap, seed,
+      minPerPart = nCentroids, normalize = spherical)
     lap("sample")
-    val train: Array[Array[Float]] = sampled.sortBy(_._1)
-      .take(math.min(trainCap, Int.MaxValue.toLong).toInt).map(_._2)
     val dim = train.head.length
     // ---- pass 2 (driver-local): Lloyd on the sample, all cores ----
     val centsD = lloyd(train, nCentroids, maxIter, seed)
@@ -327,7 +339,7 @@ object IvfIndex {
     * cores, seeded-deterministic init via [[kppInit]]. Empty clusters
     * keep their previous centroid. Early-exits when no centroid
     * moves. */
-  private def lloyd(train: Array[Array[Float]], nCentroids: Int,
+  private[operators] def lloyd(train: Array[Array[Float]], nCentroids: Int,
       maxIter: Int, seed: Long): Array[Array[Double]] = {
     val n = train.length
     val dim = train.head.length

@@ -44,6 +44,17 @@ object Dedup {
   private def wordSet(textCol: Column): Column =
     array_distinct(split(trim(lower(textCol)), "\\s+"))
 
+  /** Signature computation is compute-bound (64 hashes × |words| per
+    * doc): a corpus read as a few big files would run it on as few
+    * cores — measured 2.2 s single-threaded vs 0.3 s spread for 5k
+    * docs. The tiny up-front shuffle is irrelevant at any scale where
+    * it triggers (real 100 TB inputs arrive in many files and skip
+    * this branch). */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Engine-portable 60-bit word hash: the first 15 hex chars of md5,
     * parsed base-16. Strictly slower than murmur/xxhash but computable
     * bit-identically by any engine with md5 (the DuckDB oracle
@@ -142,7 +153,7 @@ object Dedup {
   private[graft] def bandedRelation(docs: DataFrame, idAlias: String,
       textCol: String, idCol: String, bands: Int,
       rowsPerBand: Int): DataFrame =
-    docs.select(col(idCol).as(idAlias),
+    spread(docs).select(col(idCol).as(idAlias),
         shims.column(graft.functions.MinHashSig(
           shims.expression(col(textCol)), bands * rowsPerBand)).as("sig"))
       .select(col(idAlias), col("sig"),
@@ -344,7 +355,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-band blocking covers hamming <= 3")
-    val sigs = docs.select(col(idCol).as("id"),
+    val sigs = spread(docs).select(col(idCol).as("id"),
       simHash60Portable(col(textCol)).as("sig"))
     // band values computed AFTER the explode from the materialized sig
     // attribute (see minHashLsh: lambda-inlined sigs recompute ×bands)
@@ -375,7 +386,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-band blocking covers hamming <= 3")
-    val sigs = docs.select(col(idCol).as("id"),
+    val sigs = spread(docs).select(col(idCol).as("id"),
       simHash64(col(textCol)).as("sig"))
     val banded = capBuckets(sigs
       .select(col("id"), col("sig"),
