@@ -826,6 +826,27 @@ object SparkEntry {
         lit(if (hits >= 9L) 1L else 0L).as("pass"))
     }),
 
+    // ---- IVF-PQ (cluster-partitioned residual codes): ACCEPTANCE row
+    // like ann_pq_recall — full-probe ADC + refine recall vs the exact
+    // top-k must clear 0.9 ----
+    "ann_ivfpq_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("values"))
+      val ivf = java.nio.file.Files.createTempDirectory("verify-ivfpq-i").toString
+      val pq = java.nio.file.Files.createTempDirectory("verify-ivfpq-p").toString
+      graft.operators.IvfIndex.build(e, ivf, nCentroids = 8, Metric.Cosine)
+      graft.operators.IvfPq.build(s, ivf, pq, m = 32, ks = 64)
+      val q = queryVec(s, dir, 1L)
+      val approx = graft.operators.IvfPq
+        .searchRefined(s, ivf, pq, q, 10, nProbe = 8, overfetch = 8)
+        .select(col("id"))
+      val exact = graft.operators.Knn.exact(e, q, 10, Metric.Cosine)
+        .select(col("id"))
+      val hits = approx.intersect(exact).count()
+      s.range(1).select(lit(10L).as("k"),
+        lit(if (hits >= 9L) 1L else 0L).as("pass"))
+    }),
+
     // ---- MinHash-LSH global near-dup: the FULL pipeline (portable
     // FNV+affine signatures, slice banding, cap, jaccard verify) is
     // reproduced by minHashLshOracle and hash-matches ----
@@ -1376,6 +1397,10 @@ object SparkEntry {
 
     // acceptance row (see ann_ivf_topk): PQ two-stage recall bound
     "ann_pq_recall" ->
+      "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
+
+    // acceptance row: IVF-PQ full-probe refined recall bound
+    "ann_ivfpq_recall" ->
       "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
 
     "ann_ivf_fullprobe" ->

@@ -55,13 +55,13 @@ object PqIndex {
     Files.readAllBytes(Paths.get(path, "pq.json")), StandardCharsets.UTF_8))
 
   /** codebooks(j)(k) = centroid k of subspace j (dim/m floats). */
-  private def loadCodebooks(spark: SparkSession, path: String,
-      meta: Meta): Array[Array[Array[Float]]] = {
+  private[operators] def loadCodebooks(spark: SparkSession, path: String,
+      m: Int, ks: Int): Array[Array[Array[Float]]] = {
     val rows = spark.read.parquet(s"$path/codebooks")
       .select(col("subspace"), col("centroid_id"), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2).toArray))
-    val books = Array.ofDim[Array[Float]](meta.m, meta.ks)
+    val books = Array.ofDim[Array[Float]](m, ks)
     rows.foreach { case (j, k, c) => books(j)(k) = c }
     books
   }
@@ -128,8 +128,8 @@ object PqIndex {
   /** One vector → m bytes (argmin per subspace; `best == -1 ||` guards
     * all-NaN subvectors, which land deterministically in centroid 0 —
     * same stance as [[IvfIndex.assignRows]]). */
-  private def encodeOne(v: Array[Float], books: Array[Array[Array[Float]]],
-      dsub: Int): Array[Byte] = {
+  private[operators] def encodeOne(v: Array[Float],
+      books: Array[Array[Array[Float]]], dsub: Int): Array[Byte] = {
     val m = books.length
     val code = new Array[Byte](m)
     var j = 0
@@ -166,6 +166,21 @@ object PqIndex {
     out
   }
 
+  /** The ADC lookup table: exact subspace distances query↔centroid —
+    * table(j)(k) = ||q_j − c_{j,k}||². m × ks doubles, kilobytes. */
+  private[operators] def adcTable(q: Array[Float],
+      books: Array[Array[Array[Float]]], dsub: Int): Array[Array[Double]] =
+    Array.tabulate(books.length) { j =>
+      val off = j * dsub
+      books(j).map { c =>
+        var d = 0.0; var i = 0
+        while (i < dsub) {
+          val diff = q(off + i).toDouble - c(i); d += diff * diff; i += 1
+        }
+        d
+      }
+    }
+
   /** ADC top-k over the encoded corpus: (id, adist) ascending. `adist`
     * is the table-lookup approximation of the (unit-sphere, for
     * cosine) squared euclidean distance. */
@@ -179,18 +194,8 @@ object PqIndex {
     val dsub = meta.dim / meta.m
     val q = if (meta.metric == "cosine") IvfIndex.l2normalize(query)
       else query
-    val books = loadCodebooks(spark, path, meta)
-    // the ADC lookup table: exact subspace distances query↔centroid
-    val table: Array[Array[Double]] = Array.tabulate(meta.m) { j =>
-      val off = j * dsub
-      books(j).map { c =>
-        var d = 0.0; var i = 0
-        while (i < dsub) {
-          val diff = q(off + i).toDouble - c(i); d += diff * diff; i += 1
-        }
-        d
-      }
-    }
+    val books = loadCodebooks(spark, path, meta.m, meta.ks)
+    val table = adcTable(q, books, dsub)
     val bt = spark.sparkContext.broadcast(table)
     spark.read.parquet(s"$path/codes")
       .select(col("id"), col("code"))
@@ -225,5 +230,220 @@ object PqIndex {
         col(vecCol).cast("array<float>").as("values"))
       .join(candidates.hint("broadcast"), Seq("id"), "left_semi")
     Knn.exact(pruned, query, k, metric).select(col("id"), col("distance"))
+  }
+}
+
+/** IVF-PQ — the composed 100 TB vector-search layout (faiss IVFPQ;
+  * Jégou et al. 2011 §IV): PQ codes partitioned by the clusters of an
+  * existing [[IvfIndex]], with RESIDUAL encoding (code `v − centroid`,
+  * not `v`: residuals concentrate near 0, so the same codebook budget
+  * spends its resolution where the data is — the standard accuracy
+  * win over flat PQ).
+  *
+  * Why the composition matters at scale: flat PQ still ADC-scans
+  * EVERY code at query time (cheap per row, but 100 TB of corpus is
+  * ~3 TB of codes at 32×); IVF-PQ prunes to nProbe cluster partitions
+  * first — `.explain` shows the same `cluster=` file-level pruning as
+  * [[IvfIndex.search]] — then ADC-scans only those. Search cost is
+  * O(corpus × nProbe / nCentroids) table lookups, and the refine
+  * stage reads k·overfetch raw vectors from the probed partitions of
+  * the SAME ivf assignments (no second copy of the corpus).
+  *
+  * Build reads the ivf index's own cluster-partitioned assignments —
+  * vectors arrive pre-normalized (cosine indexes store unit vectors)
+  * and pre-clustered, so training and encoding are two narrow passes
+  * with a broadcast centroid map and no extra shuffle; codes are
+  * written `partitionBy(cluster)` mirroring the parent layout.
+  * Deterministic given the parent index (hash-priority sample +
+  * seeded Lloyd per subspace, the U2 determinism stance). */
+object IvfPq {
+  private def centroidMap(spark: SparkSession,
+      ivfPath: String): Map[Int, Array[Float]] =
+    spark.read.parquet(s"$ivfPath/centroids")
+      .select(col("cluster"), col("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def sub(v: Array[Float], c: Array[Float]): Array[Float] = {
+    val out = new Array[Float](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = v(i) - c(i); i += 1 }
+    out
+  }
+
+  /** nProbe nearest clusters to q, ties to the lowest cluster id. */
+  private def probeClusters(cents: Map[Int, Array[Float]],
+      q: Array[Float], nProbe: Int): Seq[Int] =
+    cents.toSeq
+      .map { case (c, cent) =>
+        var d = 0.0; var i = 0
+        while (i < q.length) {
+          val diff = q(i).toDouble - cent(i); d += diff * diff; i += 1
+        }
+        (d, c)
+      }
+      .sorted.take(nProbe).map(_._2)
+
+  /** The probed `cluster=<c>` directories that exist under `base`
+    * (empty k-means clusters have none; reading them would fail with
+    * PATH_NOT_FOUND) — O(nProbe) paths listed, never O(nCentroids). */
+  private def existingDirs(spark: SparkSession, base: String,
+      clusters: Seq[Int]): Seq[String] = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    clusters.map(c => s"$base/cluster=$c").filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hadoopConf).exists(hp)
+    }
+  }
+
+  /** Train residual codebooks over `ivfPath`'s assignments and encode
+    * every indexed vector at `path`: `codebooks/`, `codes/cluster=<c>/`
+    * (id, code BINARY), `ivfpq.json`. The parent index is read-only
+    * input; rebuild the codes after heavy [[IvfIndex.append]] traffic
+    * (same operating practice as centroid-drift rebuilds). */
+  def build(spark: SparkSession, ivfPath: String, path: String,
+      m: Int = 8, ks: Int = 256, seed: Long = 42L,
+      trainCap: Long = 100000L, maxIter: Int = 10): Unit = {
+    require(m > 0 && ks > 1 && ks <= 256,
+      "[GRAFT] PQ needs 0 < m and 1 < ks <= 256 (one byte per code)")
+    import spark.implicits._
+    val cents = centroidMap(spark, ivfPath)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val assign = spark.read.parquet(s"$ivfPath/assignments")
+      .select(col("id"), col("values"), col("cluster"))
+    // compute-bound passes (ks·dim muladds per row): spread a
+    // few-partition layout across the cores first, same stance as
+    // [[IvfIndex.build]]'s assignment pass
+    val parts = math.max(1, assign.rdd.getNumPartitions)
+    val spreadAssign =
+      if (parts < spark.sparkContext.defaultParallelism)
+        assign.repartition(spark.sparkContext.defaultParallelism)
+      else assign
+    // residual stream (id, v − centroid): the training distribution
+    val residuals = spreadAssign.as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val cm = bcCents.value
+        it.map { case (id, v, c) => (id, sub(v, cm(c))) }
+      }.toDF("id", "values")
+    val train = IvfIndex.sampleVectors(residuals, trainCap, seed,
+      minPerPart = ks, normalize = false)
+    val dim = train.head.length
+    require(dim % m == 0,
+      s"[GRAFT] dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val books: Array[Array[Array[Float]]] = Array.tabulate(m) { j =>
+      val subTrain = train.map(v => java.util.Arrays.copyOfRange(v,
+        j * dsub, (j + 1) * dsub))
+      IvfIndex.lloyd(subTrain, ks, maxIter, seed + j).map(_.map(_.toFloat))
+    }
+    val bookRows = for (j <- 0 until m; k <- 0 until ks)
+      yield (j, k, books(j)(k))
+    spark.createDataFrame(bookRows).toDF("subspace", "centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    val bcBooks = spark.sparkContext.broadcast(books)
+    spreadAssign.as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val cm = bcCents.value; val bks = bcBooks.value
+        it.map { case (id, v, c) =>
+          (id, PqIndex.encodeOne(sub(v, cm(c)), bks, dsub), c)
+        }
+      }
+      .toDF("id", "code", "cluster")
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/codes")
+    Files.write(Paths.get(path, "ivfpq.json"),
+      s"""{"m":$m,"ks":$ks,"dim":$dim,"seed":$seed}"""
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def readMeta(path: String): (Int, Int, Int) = {
+    val s = new String(Files.readAllBytes(Paths.get(path, "ivfpq.json")),
+      StandardCharsets.UTF_8)
+    def num(k: String) = ("\"" + k + "\":(-?\\d+)").r
+      .findFirstMatchIn(s).get.group(1).toInt
+    (num("m"), num("ks"), num("dim"))
+  }
+
+  /** ADC top-k over the nProbe nearest clusters only: (id, adist)
+    * ascending. Per probed cluster the lookup table is built from the
+    * RESIDUAL query `q − centroid_c` (asymmetric distance in residual
+    * space — exact for the query side, quantized for the data side).
+    * Reads only existing `codes/cluster=<c>/` directories (empty
+    * k-means clusters have none), O(nProbe) paths listed. A vector
+    * stored in several clusters by a multiprobe parent index scores
+    * once per shared probed cluster; the min wins before top-k. */
+  def search(spark: SparkSession, ivfPath: String, path: String,
+      query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val (m, ks, dim) = readMeta(path)
+    if (query.length != dim)
+      throw new graft.store.InvalidVectorException(
+        s"[GRAFT] vector dimension mismatch: expected $dim, got ${query.length}")
+    val metric = Metric.parse(IvfIndex.metricOf(ivfPath))
+    val q = if (metric == Metric.Cosine) IvfIndex.l2normalize(query)
+      else query
+    val dsub = dim / m
+    val cents = centroidMap(spark, ivfPath)
+    val probed = probeClusters(cents, q, nProbe)
+    val books = PqIndex.loadCodebooks(spark, path, m, ks)
+    // per-probed-cluster ADC tables in residual space — nProbe × m ×
+    // ks doubles, broadcast as one map
+    val tables: Map[Int, Array[Array[Double]]] = probed.map { c =>
+      c -> PqIndex.adcTable(sub(q, cents(c)), books, dsub)
+    }.toMap
+    val existing = existingDirs(spark, s"$path/codes", probed)
+    if (existing.isEmpty)
+      return spark.range(0).select(col("id"), lit(0.0).as("adist"))
+    val bt = spark.sparkContext.broadcast(tables)
+    spark.read.option("basePath", s"$path/codes")
+      .parquet(existing: _*)
+      .select(col("id"), col("code"), col("cluster"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        val ts = bt.value
+        it.map { case (id, code, c) =>
+          val t = ts(c)
+          var d = 0.0; var j = 0
+          while (j < t.length) { d += t(j)(code(j) & 0xff); j += 1 }
+          (id, d)
+        }
+      }
+      .toDF("id", "adist")
+      .groupBy(col("id")).agg(min(col("adist")).as("adist"))
+      .orderBy(col("adist").asc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Two-stage IVF-PQ search: ADC top-(k·overfetch) within the probed
+    * clusters, then exact re-rank reading raw vectors ONLY for those
+    * candidates — the candidate ids (k·overfetch, driver-safe by
+    * construction) become a pushed-down `id IN (…)` parquet filter
+    * over the probed partitions of the parent index, so the refine
+    * stage touches row groups containing candidates instead of
+    * rescanning the probe set's floats. Output: (id, distance) in the
+    * parent index's metric, ascending, k rows. */
+  def searchRefined(spark: SparkSession, ivfPath: String, path: String,
+      query: Array[Float], k: Int, nProbe: Int = 4,
+      overfetch: Int = 4): DataFrame = {
+    import spark.implicits._
+    val metric = Metric.parse(IvfIndex.metricOf(ivfPath))
+    val candIds = search(spark, ivfPath, path, query, k * overfetch,
+      nProbe).select(col("id")).as[Long].collect()
+    val q = if (metric == Metric.Cosine) IvfIndex.l2normalize(query)
+      else query
+    val probed = probeClusters(centroidMap(spark, ivfPath), q, nProbe)
+    val existing = existingDirs(spark, s"$ivfPath/assignments", probed)
+    if (existing.isEmpty || candIds.isEmpty)
+      return spark.range(0).select(col("id"), lit(0.0).as("distance"))
+    val pruned = spark.read
+      .option("basePath", s"$ivfPath/assignments")
+      .parquet(existing: _*)
+      .filter(col("id").isin(candIds.toIndexedSeq: _*))
+      // a multiprobe parent stores a vector once per assigned cluster;
+      // identical copies, so the id-dedup is deterministic
+      .dropDuplicates("id")
+      .select(col("id"), col("values"))
+    Knn.exact(pruned, q, k, metric)
   }
 }

@@ -70,4 +70,69 @@ class PqSpec extends AnyFunSuite {
       overfetch = 8).as[(Long, Double)].collect()
     assert(one.map(_._2).toSeq === one.map(_._2).sorted.toSeq)
   }
+
+  test("IVF-PQ: residual codes partitioned by cluster, pruned probe, " +
+      "refined recall@10 >= 0.9") {
+    val ivfDir = Files.createTempDirectory("ivfpq_ivf").toString
+    val pqDir = Files.createTempDirectory("ivfpq_pq").toString
+    IvfIndex.build(emb, ivfDir, nCentroids = 8, Metric.Cosine)
+    IvfPq.build(spark, ivfDir, pqDir, m = 32, ks = 64)
+    // codes mirror the parent layout: one dir per non-empty cluster,
+    // m bytes per vector, every indexed id coded exactly once
+    val codes = spark.read.parquet(s"$pqDir/codes")
+    assert(codes.count() === all.length)
+    assert(codes.select("id").distinct().count() === all.length)
+    assert(codes.as[(Long, Array[Byte], Int)].head()._2.length === 32)
+    // ADC scan reads ONLY the probed cluster directories (file-level
+    // pruning: every input file sits under a probed cluster= dir, and
+    // fewer dirs are touched than the index has non-empty clusters)
+    val scored = IvfPq.search(spark, ivfDir, pqDir, all.head._2, 10,
+      nProbe = 2)
+    assert(scored.count() === 10)
+    val scanned = scored.inputFiles.map(f =>
+      f.split("/cluster=")(1).split("/")(0).toInt).toSet
+    assert(scanned.size <= 2, s"probed dirs read: $scanned")
+    // the refine stage's raw-vector read pushes the candidate ids down
+    // to parquet (row-group pruning), it does not rescan the probe set
+    val refined = IvfPq.searchRefined(spark, ivfDir, pqDir, all.head._2,
+      10, nProbe = 2, overfetch = 4)
+    val plan = refined.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(id"),
+      s"refine scan must push id IN (...):\n$plan")
+    // full probe (every cluster) + refine == exact top-k recall bound;
+    // uniform embeddings are the PQ worst case, residual coding +
+    // overfetch must still keep the true neighbors in the window
+    val queries = all.take(15)
+    val recalls = queries.map { case (_, q) =>
+      val got = IvfPq.searchRefined(spark, ivfDir, pqDir, q, 10,
+          nProbe = 8, overfetch = 8)
+        .select("id").as[Long].collect().toSet
+      (got & bruteTopK(q, 10).toSet).size / 10.0
+    }
+    val recall = recalls.sum / recalls.length
+    assert(recall >= 0.9, s"ivfpq full-probe refined recall@10 = $recall")
+    // pruned probe trades recall for cost but stays useful
+    val prunedRecalls = queries.map { case (_, q) =>
+      val got = IvfPq.searchRefined(spark, ivfDir, pqDir, q, 10,
+          nProbe = 4, overfetch = 8)
+        .select("id").as[Long].collect().toSet
+      (got & bruteTopK(q, 10).toSet).size / 10.0
+    }
+    assert(prunedRecalls.sum / prunedRecalls.length >= 0.6,
+      s"ivfpq nProbe=4/8 recall@10 = ${prunedRecalls.sum / prunedRecalls.length}")
+    // deterministic: rebuild produces byte-identical codes
+    val pqDir2 = Files.createTempDirectory("ivfpq_pq2").toString
+    IvfPq.build(spark, ivfDir, pqDir2, m = 32, ks = 64)
+    val c1 = spark.read.parquet(s"$pqDir/codes")
+      .as[(Long, Array[Byte], Int)].collect()
+      .map(r => (r._1, r._2.toSeq, r._3)).sortBy(_._1).toSeq
+    val c2 = spark.read.parquet(s"$pqDir2/codes")
+      .as[(Long, Array[Byte], Int)].collect()
+      .map(r => (r._1, r._2.toSeq, r._3)).sortBy(_._1).toSeq
+    assert(c1 === c2)
+    // dimension guard
+    intercept[graft.store.InvalidVectorException] {
+      IvfPq.search(spark, ivfDir, pqDir, Array(1f, 2f), 5)
+    }
+  }
 }
