@@ -40,7 +40,7 @@ object IvfIndex {
       opt("nAssign", 1L).toInt)
   }
 
-  private def readMeta(path: String): Meta = parseMeta(new String(
+  private[operators] def readMeta(path: String): Meta = parseMeta(new String(
     Files.readAllBytes(Paths.get(path, "ivf.json")), StandardCharsets.UTF_8))
 
   /** splitmix64 finalizer — the deterministic per-row "random" priority
@@ -87,6 +87,29 @@ object IvfIndex {
         "[GRAFT] cannot build an index over an empty corpus")
     sampled.sortBy(_._1)
       .take(math.min(cap, Int.MaxValue.toLong).toInt).map(_._2)
+  }
+
+  private[operators] def isFiniteVec(v: Array[Float]): Boolean = {
+    var i = 0
+    var ok = true
+    while (ok && i < v.length) {
+      if (!java.lang.Float.isFinite(v(i))) ok = false
+      i += 1
+    }
+    ok
+  }
+
+  /** The `cluster=<c>` directories that exist under `base` (empty
+    * k-means clusters have none; reading them would fail with
+    * PATH_NOT_FOUND) — O(|clusters|) paths listed, never
+    * O(nCentroids). Shared by the IVF probe and IVF-PQ. */
+  private[operators] def existingClusterDirs(spark: SparkSession,
+      base: String, clusters: Seq[Int]): Seq[String] = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    clusters.map(c => s"$base/cluster=$c").filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hadoopConf).exists(hp)
+    }
   }
 
   private def loadCentroids(spark: SparkSession,
@@ -138,6 +161,17 @@ object IvfIndex {
     prepared.as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
+        val dim = cs(0)._2.length
+        // ragged rows must fail HERE, not later: a wrong-dimension
+        // vector that escaped the bounded training sample would
+        // otherwise be indexed with a truncated distance (shorter) or
+        // crash the argmin loop (longer), and then break every future
+        // search of its cluster at query time
+        def checkDim(id: Long, v: Array[Float]): Unit =
+          if (v.length != dim)
+            throw new graft.store.InvalidVectorException(
+              s"[GRAFT] vector dimension mismatch at id=$id:" +
+                s" expected $dim, got ${v.length}")
         val n = math.min(nAssign, cs.length)
         if (n == 1) {
           // zero-allocation hot path: direct argmin per row. `best ==
@@ -146,6 +180,7 @@ object IvfIndex {
           // cluster id instead of a phantom cluster=-1 directory no
           // probe would ever read.
           it.map { case (id, v0) =>
+            checkDim(id, v0)
             val v = if (normalize) l2normalize(v0) else v0
             var best = -1; var bestD = Double.MaxValue
             var c = 0
@@ -166,6 +201,7 @@ object IvfIndex {
           val ds = new Array[Double](cs.length)
           val used = new Array[Boolean](cs.length)
           it.flatMap { case (id, v0) =>
+            checkDim(id, v0)
             val v = if (normalize) l2normalize(v0) else v0
             var c = 0
             while (c < cs.length) {
@@ -339,8 +375,21 @@ object IvfIndex {
     * cores, seeded-deterministic init via [[kppInit]]. Empty clusters
     * keep their previous centroid. Early-exits when no centroid
     * moves. */
-  private[operators] def lloyd(train: Array[Array[Float]], nCentroids: Int,
+  private[operators] def lloyd(train0: Array[Array[Float]], nCentroids: Int,
       maxIter: Int, seed: Long): Array[Array[Double]] = {
+    // non-finite vectors are EXCLUDED from training: one NaN lane
+    // accumulated into a centroid sum poisons every later compare
+    // (NaN < x is false), collapsing ALL points into that centroid and
+    // freezing the loop (NaN > eps is also false) — the index would
+    // degenerate to one giant cluster plus empty ones, and k-means++
+    // would pick the NaN point as a center with probability ~1 (its
+    // minD never shrinks). Such rows are still INDEXED —
+    // [[assignRows]] sends them deterministically to the lowest
+    // cluster id — they just don't steer centroids.
+    val train = train0.filter(isFiniteVec)
+    if (train.isEmpty)
+      throw new graft.store.InvalidVectorException(
+        "[GRAFT] training sample has no finite vectors")
     val n = train.length
     val dim = train.head.length
     var cents = kppInit(train, nCentroids, seed)
@@ -466,14 +515,9 @@ object IvfIndex {
       .collect().map(_.getInt(0))
     // read ONLY the probed cluster directories — skips the full
     // partition-discovery listing (O(nProbe) paths instead of
-    // O(nCentroids) at probe time). Empty k-means clusters have no
-    // directory at all; reading them would fail with PATH_NOT_FOUND.
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    val existing = cents.map(c => s"$path/assignments/cluster=$c")
-      .filter { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(hadoopConf).exists(hp)
-      }
+    // O(nCentroids) at probe time)
+    val existing = existingClusterDirs(spark, s"$path/assignments",
+      cents.toIndexedSeq)
     if (existing.isEmpty)
       return spark.emptyDataFrame
         .select(lit(0L).as("id"),

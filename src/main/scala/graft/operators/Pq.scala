@@ -112,6 +112,12 @@ object PqIndex {
       .mapPartitions { it =>
         val bks = bc.value
         it.map { case (id, v0) =>
+          // ragged rows that escaped the bounded sample must fail
+          // loudly here, not crash the argmin or truncate silently
+          if (v0.length != dim)
+            throw new graft.store.InvalidVectorException(
+              s"[GRAFT] vector dimension mismatch at id=$id:" +
+                s" expected $dim, got ${v0.length}")
           val v = if (spherical) IvfIndex.l2normalize(v0) else v0
           (id, encodeOne(v, bks, dsub))
         }
@@ -284,18 +290,6 @@ object IvfPq {
       }
       .sorted.take(nProbe).map(_._2)
 
-  /** The probed `cluster=<c>` directories that exist under `base`
-    * (empty k-means clusters have none; reading them would fail with
-    * PATH_NOT_FOUND) — O(nProbe) paths listed, never O(nCentroids). */
-  private def existingDirs(spark: SparkSession, base: String,
-      clusters: Seq[Int]): Seq[String] = {
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    clusters.map(c => s"$base/cluster=$c").filter { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hadoopConf).exists(hp)
-    }
-  }
-
   /** Train residual codebooks over `ivfPath`'s assignments and encode
     * every indexed vector at `path`: `codebooks/`, `codes/cluster=<c>/`
     * (id, code BINARY), `ivfpq.json`. The parent index is read-only
@@ -352,17 +346,44 @@ object IvfPq {
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/codes")
+    // record the parent's nAssign: a single-assignment parent can
+    // never produce duplicate ids across probed partitions, so search
+    // skips the dedup shuffle entirely (same distinction
+    // [[IvfIndex.searchHydrated]] makes)
+    val nAssign = IvfIndex.readMeta(ivfPath).nAssign
     Files.write(Paths.get(path, "ivfpq.json"),
-      s"""{"m":$m,"ks":$ks,"dim":$dim,"seed":$seed}"""
+      s"""{"m":$m,"ks":$ks,"dim":$dim,"seed":$seed,"nAssign":$nAssign}"""
         .getBytes(StandardCharsets.UTF_8))
   }
 
-  private def readMeta(path: String): (Int, Int, Int) = {
+  private def readMeta(path: String): (Int, Int, Int, Int) = {
     val s = new String(Files.readAllBytes(Paths.get(path, "ivfpq.json")),
       StandardCharsets.UTF_8)
     def num(k: String) = ("\"" + k + "\":(-?\\d+)").r
       .findFirstMatchIn(s).get.group(1).toInt
-    (num("m"), num("ks"), num("dim"))
+    def opt(k: String, default: Int) = ("\"" + k + "\":(-?\\d+)").r
+      .findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(default)
+    (num("m"), num("ks"), num("dim"), opt("nAssign", 1))
+  }
+
+  /** Everything both search stages need, computed ONCE per query:
+    * normalized query, parent centroids, probed cluster ids. */
+  private case class Probe(m: Int, ks: Int, dim: Int, nAssign: Int,
+      metric: Metric, q: Array[Float], cents: Map[Int, Array[Float]],
+      probed: Seq[Int])
+
+  private def probe(spark: SparkSession, ivfPath: String, path: String,
+      query: Array[Float], nProbe: Int): Probe = {
+    val (m, ks, dim, nAssign) = readMeta(path)
+    if (query.length != dim)
+      throw new graft.store.InvalidVectorException(
+        s"[GRAFT] vector dimension mismatch: expected $dim, got ${query.length}")
+    val metric = Metric.parse(IvfIndex.metricOf(ivfPath))
+    val q = if (metric == Metric.Cosine) IvfIndex.l2normalize(query)
+      else query
+    val cents = centroidMap(spark, ivfPath)
+    Probe(m, ks, dim, nAssign, metric, q, cents,
+      probeClusters(cents, q, nProbe))
   }
 
   /** ADC top-k over the nProbe nearest clusters only: (id, adist)
@@ -374,29 +395,25 @@ object IvfPq {
     * stored in several clusters by a multiprobe parent index scores
     * once per shared probed cluster; the min wins before top-k. */
   def search(spark: SparkSession, ivfPath: String, path: String,
-      query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+      query: Array[Float], k: Int, nProbe: Int = 4): DataFrame =
+    adcTopK(spark, path, probe(spark, ivfPath, path, query, nProbe), k)
+
+  private def adcTopK(spark: SparkSession, path: String, p: Probe,
+      k: Int): DataFrame = {
     import spark.implicits._
-    val (m, ks, dim) = readMeta(path)
-    if (query.length != dim)
-      throw new graft.store.InvalidVectorException(
-        s"[GRAFT] vector dimension mismatch: expected $dim, got ${query.length}")
-    val metric = Metric.parse(IvfIndex.metricOf(ivfPath))
-    val q = if (metric == Metric.Cosine) IvfIndex.l2normalize(query)
-      else query
-    val dsub = dim / m
-    val cents = centroidMap(spark, ivfPath)
-    val probed = probeClusters(cents, q, nProbe)
-    val books = PqIndex.loadCodebooks(spark, path, m, ks)
+    val dsub = p.dim / p.m
+    val books = PqIndex.loadCodebooks(spark, path, p.m, p.ks)
     // per-probed-cluster ADC tables in residual space — nProbe × m ×
     // ks doubles, broadcast as one map
-    val tables: Map[Int, Array[Array[Double]]] = probed.map { c =>
-      c -> PqIndex.adcTable(sub(q, cents(c)), books, dsub)
+    val tables: Map[Int, Array[Array[Double]]] = p.probed.map { c =>
+      c -> PqIndex.adcTable(sub(p.q, p.cents(c)), books, dsub)
     }.toMap
-    val existing = existingDirs(spark, s"$path/codes", probed)
+    val existing = IvfIndex.existingClusterDirs(spark, s"$path/codes",
+      p.probed)
     if (existing.isEmpty)
       return spark.range(0).select(col("id"), lit(0.0).as("adist"))
     val bt = spark.sparkContext.broadcast(tables)
-    spark.read.option("basePath", s"$path/codes")
+    val scored = spark.read.option("basePath", s"$path/codes")
       .parquet(existing: _*)
       .select(col("id"), col("code"), col("cluster"))
       .as[(Long, Array[Byte], Int)]
@@ -410,9 +427,14 @@ object IvfPq {
         }
       }
       .toDF("id", "adist")
-      .groupBy(col("id")).agg(min(col("adist")).as("adist"))
-      .orderBy(col("adist").asc, col("id").asc)
-      .limit(k)
+    // single-assignment parent ⇒ ids are unique across partitions:
+    // plain orderBy+limit compiles to TakeOrderedAndProject (k rows
+    // per partition shuffled); only a multiprobe parent needs the
+    // min-per-id combine first
+    val deduped = if (p.nAssign > 1)
+      scored.groupBy(col("id")).agg(min(col("adist")).as("adist"))
+    else scored
+    deduped.orderBy(col("adist").asc, col("id").asc).limit(k)
   }
 
   /** Two-stage IVF-PQ search: ADC top-(k·overfetch) within the probed
@@ -427,13 +449,13 @@ object IvfPq {
       query: Array[Float], k: Int, nProbe: Int = 4,
       overfetch: Int = 4): DataFrame = {
     import spark.implicits._
-    val metric = Metric.parse(IvfIndex.metricOf(ivfPath))
-    val candIds = search(spark, ivfPath, path, query, k * overfetch,
-      nProbe).select(col("id")).as[Long].collect()
-    val q = if (metric == Metric.Cosine) IvfIndex.l2normalize(query)
-      else query
-    val probed = probeClusters(centroidMap(spark, ivfPath), q, nProbe)
-    val existing = existingDirs(spark, s"$ivfPath/assignments", probed)
+    // probe state (centroid read + top-k + dir listing) is computed
+    // once and shared by both stages
+    val p = probe(spark, ivfPath, path, query, nProbe)
+    val candIds = adcTopK(spark, path, p, k * overfetch)
+      .select(col("id")).as[Long].collect()
+    val existing = IvfIndex.existingClusterDirs(spark,
+      s"$ivfPath/assignments", p.probed)
     if (existing.isEmpty || candIds.isEmpty)
       return spark.range(0).select(col("id"), lit(0.0).as("distance"))
     val pruned = spark.read
@@ -444,6 +466,6 @@ object IvfPq {
       // identical copies, so the id-dedup is deterministic
       .dropDuplicates("id")
       .select(col("id"), col("values"))
-    Knn.exact(pruned, q, k, metric)
+    Knn.exact(pruned, p.q, k, p.metric).select(col("id"), col("distance"))
   }
 }

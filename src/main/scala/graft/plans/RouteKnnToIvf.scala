@@ -76,10 +76,11 @@ object IndexRegistry {
   * The rewrite projects the probe plan's columns onto the node's
   * original exprIds, so references above the node stay valid.
   *
-  * The probe's cluster choice (a centroid scan + driver-side top-k)
-  * runs at ANALYSIS time — routed analysis does real (small) work, and
-  * the probed directory list is frozen into the plan: re-analyze (or
-  * re-run `knn`) to see clusters appended after the plan was built.
+  * The rewrite plants a DEFERRED [[IvfProbe]] leaf: the centroid
+  * top-k and probed-directory listing run at EXECUTION time
+  * (IvfProbeExec), so a cached/reused plan sees clusters appended
+  * after analysis — nothing about the probe set is frozen into the
+  * plan.
   */
 object RouteKnnToIvf extends Rule[LogicalPlan] {
 

@@ -34,16 +34,23 @@ object SqlSurface {
     if (es.length < 4 || es.length > 6)
       fail(s"expected 4-6 arguments, got ${es.length}")
     if (!es.forall(_.foldable)) fail("all arguments must be literals")
-    val path = es(0).eval().toString
-    val k = es(1).eval() match {
+    // NULL literals are foldable — they must hit the [GRAFT] error,
+    // not a bare NullPointerException downstream
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val path = evalNonNull(0, "path").toString
+    val k = evalNonNull(1, "k") match {
       case i: Int => i
       case l: Long => l.toInt
       case other => fail(s"k must be an integer literal, got $other")
     }
-    val metric = es(2).eval().toString
+    val metric = evalNonNull(2, "metric").toString
     val q: Array[Float] = es(3).dataType match {
       case ArrayType(et, _) =>
-        val arr = es(3).eval().asInstanceOf[ArrayData]
+        val arr = evalNonNull(3, "query").asInstanceOf[ArrayData]
         et match {
           case FloatType => arr.toFloatArray()
           case DoubleType => arr.toDoubleArray().map(_.toFloat)
@@ -56,8 +63,10 @@ object SqlSurface {
         }
       case other => fail(s"query must be an array literal, got $other")
     }
-    val vecCol = if (es.length >= 5) es(4).eval().toString else "values"
-    val idCol = if (es.length >= 6) es(5).eval().toString else "id"
+    val vecCol = if (es.length >= 5) evalNonNull(4, "vecCol").toString
+      else "values"
+    val idCol = if (es.length >= 6) evalNonNull(5, "idCol").toString
+      else "id"
     // project to exactly (idCol, vecCol): the routing rule only serves
     // bare two-column scans, so an indexed location registered for
     // these columns routes — unindexed paths fall through to exact

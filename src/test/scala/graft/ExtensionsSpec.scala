@@ -141,6 +141,18 @@ class ExtensionsSpec extends AnyFunSuite {
       }
       assert(err.getMessage.contains("[GRAFT]") ||
         err.getMessage.contains("literal"), err.getMessage)
+      // NULL literals are foldable — they must hit the [GRAFT] error,
+      // not a bare NullPointerException
+      val nullPath = intercept[Exception] {
+        s.sql(s"SELECT * FROM vfs_knn(NULL, 5, 'cosine', " +
+          "array(CAST('0.1' AS FLOAT)))").collect()
+      }
+      assert(nullPath.getMessage.contains("[GRAFT]"), nullPath.getMessage)
+      val nullQuery = intercept[Exception] {
+        s.sql(s"SELECT * FROM vfs_knn('$dataPath', 5, 'cosine', " +
+          "CAST(NULL AS ARRAY<FLOAT>))").collect()
+      }
+      assert(nullQuery.getMessage.contains("[GRAFT]"), nullQuery.getMessage)
       // index internals as temp views: SQL reaches cluster layout
       val ivfPath = java.nio.file.Files
         .createTempDirectory("graft_sql_ivf").toString

@@ -175,17 +175,43 @@ class KnnSpec extends AnyFunSuite {
     val rows = (0 until 60).map(i =>
       (i.toLong, Array.fill(8)(rnd.nextFloat()))) :+
       (999L, Array(Float.NaN, 1f, 1f, 1f, 1f, 1f, 1f, 1f))
+    // nCentroids > nProbe: if the NaN row poisoned a centroid sum in
+    // training, ALL points would collapse into that cluster, the other
+    // clusters would be empty-but-finite, and a PARTIAL probe would
+    // pick only empty clusters and return zero rows — the degenerate
+    // mode the training-side finite filter prevents
     for (nAssign <- Seq(1, 2)) {
       val dir = Files.createTempDirectory(s"ivf_nan$nAssign").toString
-      IvfIndex.build(rows.toDF("id", "values"), dir, nCentroids = 4,
+      IvfIndex.build(rows.toDF("id", "values"), dir, nCentroids = 8,
         Metric.Euclidean, nAssign = nAssign)
       val assigned = spark.read.parquet(s"$dir/assignments")
       assert(assigned.filter($"cluster" < 0).count() === 0L)
       assert(assigned.filter($"id" === 999L).count() === nAssign.toLong)
-      // probing every cluster still returns k real rows
+      // centroids stayed finite and spread: no one-giant-cluster collapse
+      assert(assigned.select("cluster").distinct().count() > 1L,
+        "index collapsed into a single cluster")
+      // a PARTIAL probe (4 of 8) still returns k real rows
       assert(IvfIndex.search(spark, dir, Array.fill(8)(0.5f), 5,
         nProbe = 4).count() === 5L)
     }
+  }
+
+  test("ragged vector in the assignment pass fails the build loudly") {
+    // a wrong-dimension vector that ESCAPES the bounded training
+    // sample must not be silently indexed with a truncated distance;
+    // append exercises the same assignRows kernel directly
+    val dir = Files.createTempDirectory("ivf_ragged").toString
+    val rnd = new scala.util.Random(7)
+    IvfIndex.build((0 until 40).map(i => (i.toLong,
+      Array.fill(8)(rnd.nextFloat()))).toDF("id", "values"), dir,
+      nCentroids = 4, Metric.Euclidean)
+    val e = intercept[Exception] {
+      IvfIndex.append(Seq((500L, Array(1f, 2f))).toDF("id", "values"), dir)
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(e).exists(m => m != null && m.contains("dimension mismatch")),
+      chain(e).mkString(" | "))
   }
 
   test("IVF similarityJoin finds within-cluster near pairs") {

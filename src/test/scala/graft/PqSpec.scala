@@ -96,6 +96,9 @@ class PqSpec extends AnyFunSuite {
     // to parquet (row-group pruning), it does not rescan the probe set
     val refined = IvfPq.searchRefined(spark, ivfDir, pqDir, all.head._2,
       10, nProbe = 2, overfetch = 4)
+    // documented contract: (id, distance) — the empty-probe branch and
+    // the normal branch must agree on the schema
+    assert(refined.columns.toSeq === Seq("id", "distance"))
     val plan = refined.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("In(id"),
       s"refine scan must push id IN (...):\n$plan")
