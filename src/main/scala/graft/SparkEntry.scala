@@ -359,6 +359,32 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- Gopher-style repetition signals (quality filtering) ----
+    "text_repetition" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.TextAnalysis.repetitionSignals(d)
+    }),
+
+    // ---- PII detection + redaction (privacy pass). The corpus is
+    // synthetic word salad with no PII, so deterministic per-row PII
+    // is INJECTED first (same construction in the oracle) — the scan
+    // and redaction then run over realistic mixed text ----
+    "text_pii" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val injected = d.select(col("doc_id"), concat(
+        substring(col("text"), 1, 40),
+        lit(" user"), col("doc_id").cast("string"),
+        lit("@ex.com via 10."),
+        pmod(col("doc_id"), lit(200)).cast("string"), lit(".0."),
+        pmod(col("doc_id") * 3, lit(250)).cast("string"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" alt x.y@z.org"))
+          .otherwise(lit("")),
+        lit(" acct 90000000"),
+        pmod(col("doc_id"), lit(10)).cast("string")).as("text"))
+      graft.operators.TextAnalysis.piiStats(injected)
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- multimodal column plumbing (binary payload + metadata) ----
     "multimodal_meta" -> ((s, dir) => {
       graft.operators.Multimodal
@@ -1137,6 +1163,67 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |      string_split_regex(trim(lower(text)), '\s+') AS s FROM documents)
         |ORDER BY doc_id ASC""".stripMargin,
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS s
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, 2 AS n,
+        |    unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) AS gram
+        |  FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n,
+        |    unnest([s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+        |            for i in range(1, len(s) - 1)]) AS gram
+        |  FROM toks),
+        |cnt AS (SELECT doc_id, n, gram, count(*) AS c
+        |  FROM grams GROUP BY doc_id, n, gram),
+        |pern AS (SELECT doc_id, n, max(c) AS maxc, sum(c) AS total,
+        |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc
+        |  FROM cnt GROUP BY doc_id, n),
+        |perid AS (SELECT doc_id,
+        |  max(CASE WHEN n = 2 THEN CAST(floor(1000.0 * maxc / total) AS BIGINT) END) AS top2_milli,
+        |  max(CASE WHEN n = 2 THEN CAST(floor(1000.0 * dupc / total) AS BIGINT) END) AS dup2_milli,
+        |  max(CASE WHEN n = 3 THEN CAST(floor(1000.0 * maxc / total) AS BIGINT) END) AS top3_milli,
+        |  max(CASE WHEN n = 3 THEN CAST(floor(1000.0 * dupc / total) AS BIGINT) END) AS dup3_milli
+        |  FROM pern GROUP BY doc_id),
+        |lp AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\n'),
+        |                x -> len(trim(x)) > 0) AS l,
+        |    list_filter(string_split_regex(text, '\n{2,}'),
+        |                x -> len(trim(x)) > 0) AS p
+        |  FROM documents)
+        |SELECT lp.doc_id,
+        |  CAST(CASE WHEN len(l) > 0 THEN floor(1000.0 * (len(l) - len(list_distinct(l))) / len(l)) ELSE 0 END AS BIGINT) AS dup_line_milli,
+        |  CAST(CASE WHEN len(p) > 0 THEN floor(1000.0 * (len(p) - len(list_distinct(p))) / len(p)) ELSE 0 END AS BIGINT) AS dup_para_milli,
+        |  COALESCE(top2_milli, 0) AS top2_milli,
+        |  COALESCE(dup2_milli, 0) AS dup2_milli,
+        |  COALESCE(top3_milli, 0) AS top3_milli,
+        |  COALESCE(dup3_milli, 0) AS dup3_milli
+        |FROM lp LEFT JOIN perid USING (doc_id)
+        |ORDER BY doc_id ASC""".stripMargin,
+
+    "text_pii" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    substring(text, 1, 40) || ' user' || doc_id ||
+        |    '@ex.com via 10.' || (doc_id % 200) || '.0.' ||
+        |    ((doc_id * 3) % 250) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' alt x.y@z.org' ELSE '' END ||
+        |    ' acct 90000000' || (doc_id % 10) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS BIGINT) AS n_longnum,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{9,}\b', '<NUM>', 'g') AS redacted
+        |FROM inj ORDER BY doc_id ASC""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS format,

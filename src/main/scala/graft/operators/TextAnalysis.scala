@@ -111,6 +111,107 @@ object TextAnalysis {
     }
   }
 
+  /** Word n-grams WITHOUT dedup — occurrence counts matter for
+    * repetition signals, unlike [[wordNGrams]]'s set view. */
+  private def wordNGramsAll(text: Column, n: Int): Column = {
+    val toks = tokens(lower(text))
+    val idx = sequence(lit(0), size(toks) - n)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** `floor(1000·x/y)` as BIGINT, 0 when y = 0 — the repo's exact
+    * integer-milli convention (floor of a correctly-rounded IEEE
+    * quotient of exact integers is engine-portable). */
+  private def milli(x: Column, y: Column): Column =
+    when(y > 0, floor(lit(1000.0) * x / y)).otherwise(lit(0)).cast("long")
+
+  /** Gopher-style repetition signals (Rae et al. 2021, table A1 —
+    * re-derived): per document,
+    *
+    *   - `dup_line_milli` / `dup_para_milli` — fraction of non-blank
+    *     lines/paragraphs that are copies of an earlier one (boiler-
+    *     plate and templated pages). Pure per-row projection.
+    *   - `top{n}_milli` — fraction of n-gram occurrences taken by the
+    *     single most frequent n-gram (`n` ∈ `ns`).
+    *   - `dup{n}_milli` — fraction of n-gram occurrences whose n-gram
+    *     appears more than once.
+    *
+    * All in exact integer milli-units. 100 TB shape: the n-gram pass
+    * is explode → two hash aggregations keyed by (doc, n[, gram]) —
+    * map-side partial aggregation applies, cost linear in token count,
+    * no driver-side state. Docs shorter than n get 0 (not dropped). */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct == ns,
+      "[GRAFT] repetitionSignals needs distinct n-gram sizes >= 1")
+    val t = col(textCol)
+    def dupArrMilli(arr: Column): Column =
+      milli(size(arr) - size(array_distinct(arr)), size(arr))
+    val lines = filter(split(t, "\n"), s => length(trim(s)) > 0)
+    val paras = filter(split(t, "\n{2,}"), s => length(trim(s)) > 0)
+    val perRow = docs.select(col(idCol),
+      dupArrMilli(lines).as("dup_line_milli"),
+      dupArrMilli(paras).as("dup_para_milli"))
+    // explode_outer keeps zero-gram docs as a NULL-gram row, so every
+    // doc survives to the final join with 0 metrics
+    val gramRows = ns.map { n =>
+      docs.select(col(idCol).as("__rid"), lit(n).as("n"),
+        explode_outer(wordNGramsAll(t, n)).as("gram"))
+    }.reduce(_ union _)
+    val perN = gramRows
+      .groupBy(col("__rid"), col("n"), col("gram")).count()
+      .groupBy(col("__rid"), col("n")).agg(
+        max(when(col("gram").isNotNull, col("count"))).as("maxc"),
+        sum(when(col("gram").isNotNull, col("count")).otherwise(0L))
+          .as("total"),
+        sum(when(col("gram").isNotNull && col("count") > 1, col("count"))
+          .otherwise(0L)).as("dupc"))
+    val aggs = ns.flatMap { n =>
+      Seq(
+        max(when(col("n") === n, milli(col("maxc"), col("total"))))
+          .as(s"top${n}_milli"),
+        max(when(col("n") === n, milli(col("dupc"), col("total"))))
+          .as(s"dup${n}_milli"))
+    }
+    val perId = perN.groupBy(col("__rid")).agg(aggs.head, aggs.tail: _*)
+    perRow.join(perId, perRow(idCol) === perId("__rid"), "left")
+      .drop("__rid")
+      .na.fill(0L)
+      .orderBy(col(idCol).asc)
+  }
+
+  /** PII detection patterns — deliberately in the portable regex
+    * subset (no backreferences/lookaround) so the same pattern runs
+    * under Java regex (Spark codegen) and RE2-family engines. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** 9+ digit runs: account/card/SSN-like identifiers. */
+  val LongNumberPattern = "\\b\\d{9,}\\b"
+
+  /** Redact PII in place: email → `<EMAIL>`, then IPv4 → `<IP>`, then
+    * long digit runs → `<NUM>`. Email first so its local-part digits
+    * can't be re-matched; order is part of the contract. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      LongNumberPattern, "<NUM>")
+
+  /** Per-document PII scan: match counts per category plus the
+    * redacted text. Pure projection (codegen'd regex), no shuffle —
+    * the standard pre-training privacy pass at corpus scale. */
+  def piiStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      regexp_count(t, lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(t, lit(Ipv4Pattern)).cast("long").as("n_ipv4"),
+      regexp_count(t, lit(LongNumberPattern)).cast("long").as("n_longnum"),
+      redactPii(t).as("redacted"))
+  }
+
   /** Full per-document analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

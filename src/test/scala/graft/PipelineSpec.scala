@@ -245,6 +245,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(a(3L)._2 === "es")
   }
 
+  test("repetition signals: line/paragraph/n-gram duplication fractions") {
+    val d = Seq(
+      // 3 lines, one duplicated -> dup_line 333; 3 paras, one dup -> 333
+      (1L, "copy me\nunique line\ncopy me"),
+      (2L, "para one\n\npara one\n\npara two"),
+      // "a a a a": 3 bigrams all "a a" -> top2 = dup2 = 1000;
+      // 2 trigrams both "a a a" -> top3 = dup3 = 1000
+      (3L, "a a a a"),
+      // all-distinct grams: top2 = floor(1000/3) = 333, dup2 = 0
+      (4L, "w x y z"),
+      // shorter than n: zero grams must yield 0s, not drop the doc
+      (5L, "solo"),
+      (6L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(d).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got(1L)._1 === 333L) // dup_line_milli
+    assert(got(2L)._2 === 333L) // dup_para_milli
+    assert(got(3L) === ((0L, 0L, 1000L, 1000L, 1000L, 1000L)))
+    assert(got(4L)._3 === 333L && got(4L)._4 === 0L)
+    assert(got(5L) === ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(6L) === ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got.size === 6)
+  }
+
+  test("pii scan: counts per category, redaction order, clean text intact") {
+    val d = Seq(
+      (1L, "reach me at jo.doe+x@mail-host.co.uk or 192.168.0.1"),
+      (2L, "card 4111111111111111 ssn-ish 123456789 ip 10.0.0.254"),
+      (3L, "no pii here, just words and the number 42"),
+      (4L, "two mails a@b.io c@d.org")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiStats(d).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toMap
+    assert(got(1L)._1 === 1L && got(1L)._2 === 1L && got(1L)._3 === 0L)
+    assert(got(1L)._4 === "reach me at <EMAIL> or <IP>")
+    assert(got(2L) === ((0L, 1L, 2L,
+      "card <NUM> ssn-ish <NUM> ip <IP>")))
+    assert(got(3L) === ((0L, 0L, 0L,
+      "no pii here, just words and the number 42")))
+    assert(got(4L)._1 === 2L)
+  }
+
   test("multimodal: batch feature extraction is deterministic plumbing") {
     val media = Multimodal.mediaFromDocs(docs.limit(50))
     assert(media.schema("media").dataType ===
