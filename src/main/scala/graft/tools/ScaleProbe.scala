@@ -60,6 +60,14 @@ object ScaleProbe {
       IvfIndex.append(base.filter($"id" < 10000)
         .select(($"id" + n).as("id"), $"values"), ivfDir)
     }
+    val pqDir = java.nio.file.Files.createTempDirectory("scale-pq").toString
+    time("IVF-PQ build (residual codes over the IVF layout, m=8 ks=256)") {
+      graft.operators.IvfPq.build(spark, ivfDir, pqDir, m = 8, ks = 256)
+    }
+    time("IVF-PQ ADC+refine top-10 (nProbe=8, overfetch=4)") {
+      graft.operators.IvfPq
+        .searchRefined(spark, ivfDir, pqDir, q, 10, nProbe = 8).collect()
+    }
     time("VectorMean: 1000-group centroids over the corpus (partial agg)") {
       base.groupBy(($"id" % 1000).as("g"))
         .agg(graft.operators.VectorMean.vecMean($"values").as("m"))
