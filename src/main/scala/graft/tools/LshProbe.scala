@@ -5,7 +5,19 @@ package graft.tools
   * built from the SAME Dedup building blocks as production so the
   * stage numbers decompose the real pipeline (a drifted copy here once
   * measured a murmur-bucketed shape the code no longer runs).
-  * Run: `sbt "runMain graft.tools.LshProbe [sfDir]"`. */
+  * Run: `sbt "runMain graft.tools.LshProbe [sfDir]"`.
+  *
+  * Also times two REJECTED variants (measured sf0.1, round 3 — kept
+  * here so they aren't re-tried):
+  *   A. verify-then-dedup (skip the candidate dropDuplicates): 20.2 s
+  *      vs 5.1 s — per-pair intersect work dominates the pipeline, so
+  *      verifying the ~1.4× duplicated candidates costs far more than
+  *      the 3M-row dedup shuffle it saves.
+  *   B. signature-estimated-jaccard prefilter before exact verify:
+  *      the prefilter join+zip_with alone costs ~4 s (≈ the whole
+  *      verify), cuts only 2.1M→1.3M candidates on this corpus, AND
+  *      a 3σ slack at numHashes=64 still dropped 3 true boundary
+  *      pairs — unsound for an oracle-matched operator. */
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -35,5 +47,57 @@ object LshProbe {
     val v = time("full minHashLsh")(
       graft.operators.Dedup.minHashLsh(docs, 0.8).count())
     println(s"[lsh-probe] verified pairs = $v")
+
+    // ---- experiment A: defer the pair-dedup until AFTER verify ----
+    // (swap the 3M-row candidate shuffle for a smaller verified one;
+    // verify work grows by the duplicate factor)
+    def wordsFor(as: String, w: String) = docs
+      .select(col("doc_id").as(as),
+        array_distinct(split(trim(lower(col("text"))), "\\s+")).as(w))
+    val tLoose = 0.8 - 0.0005
+    val vLate = time("A: verify all, dedup after") {
+      cand
+        .join(wordsFor("a", "wa"), Seq("a"))
+        .join(wordsFor("b", "wb"), Seq("b"))
+        .filter(size(col("wa")).cast("double") >= size(col("wb")) * tLoose &&
+          size(col("wb")).cast("double") >= size(col("wa")) * tLoose)
+        .withColumn("jaccard_milli",
+          graft.operators.Dedup.jaccardMilli(col("wa"), col("wb")))
+        .filter(col("jaccard_milli") >= 800)
+        .select(col("a"), col("b"), col("jaccard_milli"))
+        .dropDuplicates("a", "b")
+        .count()
+    }
+    println(s"[lsh-probe] A verified pairs = $vLate")
+
+    // ---- experiment B: signature-estimated jaccard prefilter ----
+    // (matches/numHashes estimates jaccard; 3-sigma slack at n=64 over
+    // the loosened bound keeps every pair the exact filter keeps)
+    val sigs = graft.operators.Dedup
+      .bandedRelation(docs, "sid", "text", "doc_id", 1, 64)
+      .select(col("sid"), col("bsig").as("fsig"))
+    val est = {
+      val sigma = math.sqrt(0.8 * 0.2 / 64)
+      val cut = (tLoose - 3 * sigma) * 64
+      cand.dropDuplicates("a", "b")
+        .join(sigs.select(col("sid").as("a"), col("fsig").as("sa")), Seq("a"))
+        .join(sigs.select(col("sid").as("b"), col("fsig").as("sb")), Seq("b"))
+        .filter(size(filter(zip_with(col("sa"), col("sb"),
+          (x, y) => (x === y).cast("int")), e => e === 1)) >= cut)
+        .select(col("a"), col("b"))
+    }
+    val estKept = time("B: est-jaccard prefilter (post-dedup)")(est.count())
+    println(s"[lsh-probe] B candidates kept = $estKept of $cd")
+    val vB = time("B: verify prefiltered") {
+      est.join(wordsFor("a", "wa"), Seq("a"))
+        .join(wordsFor("b", "wb"), Seq("b"))
+        .filter(size(col("wa")).cast("double") >= size(col("wb")) * tLoose &&
+          size(col("wb")).cast("double") >= size(col("wa")) * tLoose)
+        .withColumn("jaccard_milli",
+          graft.operators.Dedup.jaccardMilli(col("wa"), col("wb")))
+        .filter(col("jaccard_milli") >= 800)
+        .count()
+    }
+    println(s"[lsh-probe] B verified pairs = $vB")
   }
 }
