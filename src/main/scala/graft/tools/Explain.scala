@@ -81,6 +81,28 @@ object Explain {
         docs.filter(col("source") === "src0"),
         "doc_id", "text", 3, 5, 50L)
     }
+    show("repetition signals (expect: explode + 2 partial hashaggs, " +
+        "1 broadcast/shuffle join back)") {
+      graft.operators.TextAnalysis.repetitionSignals(
+        spark.read.parquet(s"$dir/documents.parquet"))
+    }
+    show("pii scan (expect: single codegen'd project, no shuffle)") {
+      graft.operators.TextAnalysis.piiStats(
+        spark.read.parquet(s"$dir/documents.parquet"))
+    }
+    val pqIvf = java.nio.file.Files.createTempDirectory("explain-ivfpq-i").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("explain-ivfpq-p").toString
+    graft.operators.IvfIndex.build(emb, pqIvf, nCentroids = 8,
+      graft.operators.Metric.Cosine)
+    graft.operators.IvfPq.build(spark, pqIvf, pqDir, m = 32, ks = 64)
+    show("ivf-pq adc scan (expect: scan of ONLY probed cluster= dirs + " +
+        "TakeOrderedAndProject, no groupBy for nAssign=1)") {
+      graft.operators.IvfPq.search(spark, pqIvf, pqDir, q, 10, nProbe = 2)
+    }
+    show("ivf-pq refine (expect: PushedFilters In(id,..) over probed dirs)") {
+      graft.operators.IvfPq.searchRefined(spark, pqIvf, pqDir, q, 10,
+        nProbe = 2)
+    }
     // SQL TVF + index routing: the whole plan collapses to the deferred
     // IvfProbe leaf (cluster selection happens at execution time)
     graft.functions.registerAll(spark)
