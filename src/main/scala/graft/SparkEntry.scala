@@ -385,6 +385,35 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- sequence packing (concat-and-chop batch prep) ----
+    "text_packing" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Packing.packSequences(d,
+          shard = pmod(col("doc_id"), lit(8L)),
+          orderBy = col("doc_id"),
+          nTokens = graft.operators.TextAnalysis.tokenCount(col("text")),
+          seqLen = 512)
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- composed curation: exact-dup keeper ∩ quality band ∩
+    // token-length band — the end-to-end "what goes into training"
+    // filter, each leg of which is also oracle-checked alone ----
+    "text_curation" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val enriched = d.select(col("doc_id"),
+        graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        graft.operators.TextAnalysis.qualityMilli(col("text"))
+          .as("quality_milli"))
+      val keepers = d.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+        .select(col("keeper_id").as("doc_id"))
+      enriched.join(keepers, Seq("doc_id"), "left_semi")
+        .filter(col("quality_milli") >= 650 &&
+          col("n_tokens").between(20, 90))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- multimodal column plumbing (binary payload + metadata) ----
     "multimodal_meta" -> ((s, dir) => {
       graft.operators.Multimodal
@@ -1225,6 +1254,23 @@ object SparkEntry {
         |    '\b\d{9,}\b', '<NUM>', 'g') AS redacted
         |FROM inj ORDER BY doc_id ASC""".stripMargin,
 
+    "text_packing" ->
+      """WITH t AS (SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |o AS (SELECT doc_id, shard, n,
+        |    CAST(COALESCE(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS toff
+        |  FROM t)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n AS n_tokens,
+        |  toff AS tok_offset,
+        |  toff // 512 AS seq_id,
+        |  toff % 512 AS seq_off,
+        |  (toff + greatest(n - 1, 0)) // 512 AS seq_id_last
+        |FROM o ORDER BY doc_id ASC""".stripMargin,
+
+    "text_curation" -> textCurationOracle,
+
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -1757,19 +1803,38 @@ object SparkEntry {
   private def inList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  private def textQualityOracle: String = {
+  /** The quality_milli scalar over a relation exposing (text, toks,
+    * n_chars) — shared by the standalone and composed-curation
+    * oracles so the two can't drift. */
+  private def qualityExprSql: String = {
     val stops = TextAnalysis.LangProfiles.flatMap(_._2).distinct
-    s"""WITH t AS (SELECT doc_id, text,
-       |  string_split_regex(trim(lower(text)), '\\s+') AS toks,
-       |  CAST(length(text) AS DOUBLE) AS n_chars FROM documents)
-       |SELECT doc_id, CAST(round(
+    s"""CAST(round(
        |    least(len(toks) / 100.0, 1.0) * 250
        |  + (CASE WHEN n_chars > 0 THEN length(regexp_replace(text, '[^[:alpha:]]', '', 'g')) / n_chars ELSE 0.0 END) * 250
        |  + least((CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ${inList(stops)})) AS DOUBLE) / len(toks) ELSE 0.0 END) * 5.0, 1.0) * 250
        |  + (1.0 - (CASE WHEN n_chars > 0 THEN length(regexp_replace(text, '[^[:punct:]]', '', 'g')) / n_chars ELSE 0.0 END)) * 250
-       |  ) AS BIGINT) AS quality_milli
-       |FROM t ORDER BY doc_id ASC""".stripMargin
+       |  ) AS BIGINT)""".stripMargin
   }
+
+  private def textQualityOracle: String =
+    s"""WITH t AS (SELECT doc_id, text,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS toks,
+       |  CAST(length(text) AS DOUBLE) AS n_chars FROM documents)
+       |SELECT doc_id, $qualityExprSql AS quality_milli
+       |FROM t ORDER BY doc_id ASC""".stripMargin
+
+  private def textCurationOracle: String =
+    s"""WITH t AS (SELECT doc_id, text,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS toks,
+       |  CAST(length(text) AS DOUBLE) AS n_chars,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |q AS (SELECT doc_id, n_tokens, $qualityExprSql AS quality_milli
+       |  FROM t)
+       |SELECT doc_id, n_tokens, quality_milli FROM q
+       |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+       |  AND quality_milli >= 650 AND n_tokens BETWEEN 20 AND 90
+       |ORDER BY doc_id ASC""".stripMargin
 
   private def textLangIdOracle: String = {
     val scores = TextAnalysis.LangProfiles.map { case (lang, words) =>

@@ -288,6 +288,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(4L)._1 === 2L)
   }
 
+  test("sequence packing: per-shard running offsets, straddle, guard") {
+    import graft.operators.Packing
+    val d = Seq(
+      (0L, 0L, 300L), (2L, 0L, 300L), (4L, 0L, 100L), // shard 0
+      (1L, 1L, 600L), (3L, 1L, 50L))                  // shard 1
+      .toDF("doc_id", "sh", "n")
+    val got = Packing.packSequences(d, col("sh"), col("doc_id"),
+        col("n"), seqLen = 512)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))).toMap
+    // shard 0 stream: doc0 @0, doc2 @300 (straddles the 512 cut:
+    // spans seqs 0..1), doc4 @600 (seq 1)
+    assert(got(0L) === ((0L, 0L, 0L, 0L, 0L)))
+    assert(got(2L) === ((0L, 300L, 0L, 300L, 1L)))
+    assert(got(4L) === ((0L, 600L, 1L, 88L, 1L)))
+    // shard 1 is an independent stream: doc1 @0 spans seqs 0..1,
+    // doc3 @600
+    assert(got(1L) === ((1L, 0L, 0L, 0L, 1L)))
+    assert(got(3L) === ((1L, 600L, 1L, 88L, 1L)))
+    // deterministic under repartitioning (no RNG, no task-order dep)
+    val re = Packing.packSequences(d.repartition(7), col("sh"),
+        col("doc_id"), col("n"), seqLen = 512)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(re === got.map { case (k, v) => (k, v._2) }.toSet)
+    // reserved working-column guard
+    intercept[IllegalArgumentException] {
+      Packing.packSequences(d.withColumn("__shard", lit(1)), col("sh"),
+        col("doc_id"), col("n"), 512)
+    }
+  }
+
   test("multimodal: batch feature extraction is deterministic plumbing") {
     val media = Multimodal.mediaFromDocs(docs.limit(50))
     assert(media.schema("media").dataType ===
