@@ -92,6 +92,17 @@ object QuickStart {
         .head().toString)
     val nearDups = graft.operators.Dedup.minHashLsh(docs, threshold = 0.9)
     println(s"[quickstart] minhash near-dup pairs (j>=0.9): ${nearDups.count()}")
+    val rep = graft.operators.TextAnalysis.repetitionSignals(docs)
+    println(s"[quickstart] repetition signals: " +
+      rep.select("doc_id", "top2_milli", "dup2_milli").head().toString)
+    val packed = graft.operators.Packing.packSequences(docs,
+      shard = pmod(col("doc_id"), lit(4L)), orderBy = col("doc_id"),
+      nTokens = graft.operators.TextAnalysis.tokenCount(col("text")),
+      seqLen = 512)
+    val nSeqs = packed.agg(countDistinct(col("shard"), col("seq_id")))
+      .head().getLong(0)
+    println(s"[quickstart] packed ${packed.count()} docs into " +
+      s"$nSeqs training sequences (4 shards, seqLen=512)")
 
     // API-parity surface: the reference's 7 endpoints as library calls
     val api = new graft.api.VfsApi(spark,
