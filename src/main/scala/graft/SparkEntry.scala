@@ -363,6 +363,7 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
       graft.operators.TextAnalysis.repetitionSignals(d)
+        .orderBy(col("doc_id").asc)
     }),
 
     // ---- PII detection + redaction (privacy pass). The corpus is

@@ -99,20 +99,14 @@ object TextAnalysis {
       "\\s+", " "))
 
   /** Distinct word n-grams (n >= 1) as an array column. */
-  def wordNGrams(text: Column, n: Int): Column = {
-    val toks = tokens(lower(text))
-    if (n == 1) array_distinct(toks)
-    else {
-      // guard: sequence(0, negative) would generate a DESCENDING range
-      val idx = sequence(lit(0), size(toks) - n)
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(array_distinct(transform(idx,
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-    }
-  }
+  def wordNGrams(text: Column, n: Int): Column =
+    if (n == 1) array_distinct(tokens(lower(text)))
+    else array_distinct(wordNGramsAll(text, n))
 
   /** Word n-grams WITHOUT dedup — occurrence counts matter for
-    * repetition signals, unlike [[wordNGrams]]'s set view. */
+    * repetition signals; [[wordNGrams]] is the distinct view of this.
+    * The `when` guards `sequence(0, negative)`, which would generate a
+    * DESCENDING range. */
   private def wordNGramsAll(text: Column, n: Int): Column = {
     val toks = tokens(lower(text))
     val idx = sequence(lit(0), size(toks) - n)
@@ -175,10 +169,12 @@ object TextAnalysis {
           .as(s"dup${n}_milli"))
     }
     val perId = perN.groupBy(col("__rid")).agg(aggs.head, aggs.tail: _*)
+    // no ORDER BY here: a library operator must not bake a global sort
+    // into every composition (callers that need a deterministic order
+    // add their own — the oracle wrapper does)
     perRow.join(perId, perRow(idCol) === perId("__rid"), "left")
       .drop("__rid")
       .na.fill(0L)
-      .orderBy(col(idCol).asc)
   }
 
   /** PII detection patterns — deliberately in the portable regex

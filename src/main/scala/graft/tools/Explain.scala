@@ -104,12 +104,11 @@ object Explain {
         nProbe = 2)
     }
     // SQL TVF + index routing: the whole plan collapses to the deferred
-    // IvfProbe leaf (cluster selection happens at execution time)
+    // IvfProbe leaf (cluster selection happens at execution time).
+    // Reuses the IVF index built for the IVF-PQ section above — same
+    // corpus, same parameters.
     graft.functions.registerAll(spark)
-    val ivfDir = java.nio.file.Files.createTempDirectory("explain-ivf").toString
-    graft.operators.IvfIndex.build(emb, ivfDir, nCentroids = 8,
-      graft.operators.Metric.Cosine)
-    graft.plans.IndexRegistry.register(s"$dir/embeddings.parquet", ivfDir,
+    graft.plans.IndexRegistry.register(s"$dir/embeddings.parquet", pqIvf,
       idCol = "vec_id", vecCol = "embedding")
     val qLit = q.map(x => s"CAST('$x' AS FLOAT)").mkString("array(", ",", ")")
     show("SQL vfs_knn over a REGISTERED index (expect: IvfProbe leaf)") {

@@ -9,15 +9,17 @@ package graft.tools
   *
   * Also times two REJECTED variants (measured sf0.1, round 3 — kept
   * here so they aren't re-tried):
-  *   A. verify-then-dedup (skip the candidate dropDuplicates): 20.2 s
-  *      vs 5.1 s — per-pair intersect work dominates the pipeline, so
+  *   A. verify-then-dedup (skip the candidate dropDuplicates): 18.5 s
+  *      vs 4.2 s — per-pair intersect work dominates the pipeline, so
   *      verifying the ~1.4× duplicated candidates costs far more than
   *      the 3M-row dedup shuffle it saves.
-  *   B. signature-estimated-jaccard prefilter before exact verify:
-  *      the prefilter join+zip_with alone costs ~4 s (≈ the whole
-  *      verify), cuts only 2.1M→1.3M candidates on this corpus, AND
-  *      a 3σ slack at numHashes=64 still dropped 3 true boundary
-  *      pairs — unsound for an oracle-matched operator. */
+  *   B. signature-estimated-jaccard prefilter before exact verify
+  *      (persisted, so the stages are measured separately): the
+  *      prefilter join+zip_with costs 3.5 s to cut 2.1M→1.3M
+  *      candidates, then verify still takes 1.2 s — ~4.7 s beyond the
+  *      shared banding/join/dedup vs ~1 s for plain verify. AND a 3σ
+  *      slack at numHashes=64 still dropped 3 true boundary pairs —
+  *      unsound for an oracle-matched operator. */
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -85,6 +87,9 @@ object LshProbe {
         .filter(size(filter(zip_with(col("sa"), col("sb"),
           (x, y) => (x === y).cast("int")), e => e === 1)) >= cut)
         .select(col("a"), col("b"))
+        // persist so the verify timing below measures ONLY the verify
+        // stage, not a silent re-execution of this prefilter
+        .persist()
     }
     val estKept = time("B: est-jaccard prefilter (post-dedup)")(est.count())
     println(s"[lsh-probe] B candidates kept = $estKept of $cd")

@@ -99,8 +99,11 @@ object QuickStart {
       shard = pmod(col("doc_id"), lit(4L)), orderBy = col("doc_id"),
       nTokens = graft.operators.TextAnalysis.tokenCount(col("text")),
       seqLen = 512)
-    val nSeqs = packed.agg(countDistinct(col("shard"), col("seq_id")))
-      .head().getLong(0)
+    // sequences per shard = max(seq_id_last)+1 (counting distinct
+    // seq_id would miss middle sequences of multi-sequence docs)
+    val nSeqs = packed.groupBy(col("shard"))
+      .agg(max(col("seq_id_last")).as("m"))
+      .agg(sum(col("m") + 1)).head().getLong(0)
     println(s"[quickstart] packed ${packed.count()} docs into " +
       s"$nSeqs training sequences (4 shards, seqLen=512)")
 
