@@ -356,6 +356,51 @@ object IvfPq {
         .getBytes(StandardCharsets.UTF_8))
   }
 
+  /** Incremental maintenance after [[IvfIndex.append]] traffic: encode
+    * every indexed vector that does NOT yet have a code, with the
+    * EXISTING codebooks, and append the new codes to the cluster
+    * partitions. One anti-join of the parent's assignments against the
+    * code table's ids (the code side is scanned id-only), then the
+    * same broadcast encode kernel as [[build]]. Codebook drift from
+    * heavy appends is the documented
+    * trade (same stance as the parent's centroid drift): refresh keeps
+    * the index LIVE, rebuild restores codebook quality. Returns the
+    * number of newly encoded rows. */
+  def refresh(spark: SparkSession, ivfPath: String,
+      path: String): Long = {
+    import spark.implicits._
+    val (m, ks, dim, _) = readMeta(path)
+    val dsub = dim / m
+    val cents = centroidMap(spark, ivfPath)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val assign = spark.read.parquet(s"$ivfPath/assignments")
+      .select(col("id"), col("values"), col("cluster"))
+    val coded = spark.read.parquet(s"$path/codes").select(col("id"))
+    val missing = assign.join(coded, Seq("id"), "left_anti")
+    val books = PqIndex.loadCodebooks(spark, path, m, ks)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val newCodes = missing.as[(Long, Array[Float], Int)]
+      .mapPartitions { it =>
+        val cm = bcCents.value; val bks = bcBooks.value
+        it.map { case (id, v, c) =>
+          if (v.length != dim)
+            throw new graft.store.InvalidVectorException(
+              s"[GRAFT] vector dimension mismatch at id=$id:" +
+                s" expected $dim, got ${v.length}")
+          (id, PqIndex.encodeOne(sub(v, cm(c)), bks, dsub), c)
+        }
+      }
+      .toDF("id", "code", "cluster")
+      .persist()
+    val n = newCodes.count()
+    if (n > 0)
+      newCodes.repartition(col("cluster"))
+        .write.mode("append").partitionBy("cluster")
+        .parquet(s"$path/codes")
+    newCodes.unpersist()
+    n
+  }
+
   private def readMeta(path: String): (Int, Int, Int, Int) = {
     val s = new String(Files.readAllBytes(Paths.get(path, "ivfpq.json")),
       StandardCharsets.UTF_8)

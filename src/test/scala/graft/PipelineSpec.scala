@@ -320,6 +320,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("packing matches a driver-side reference on random instances") {
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { _ =>
+      val n = 50 + rnd.nextInt(100)
+      val rows = (0 until n).map(i =>
+        (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(700).toLong))
+      val seqLen = 128
+      val expected: Map[Long, (Long, Long, Long, Long, Long, Long)] =
+        rows.groupBy(_._2).flatMap { case (sh, rs) =>
+          var off = 0L
+          rs.sortBy(_._1).map { case (id, _, nt) =>
+            val o = off; off += nt
+            id -> ((sh, nt, o, o / seqLen, o % seqLen,
+              (o + math.max(nt - 1, 0)) / seqLen))
+          }
+        }
+      val got = Packing.packSequences(rows.toDF("doc_id", "sh", "n"),
+          col("sh"), col("doc_id"), col("n"), seqLen)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      assert(got === expected)
+    }
+  }
+
   test("multimodal: batch feature extraction is deterministic plumbing") {
     val media = Multimodal.mediaFromDocs(docs.limit(50))
     assert(media.schema("media").dataType ===

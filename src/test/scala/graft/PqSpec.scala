@@ -138,4 +138,28 @@ class PqSpec extends AnyFunSuite {
       IvfPq.search(spark, ivfDir, pqDir, Array(1f, 2f), 5)
     }
   }
+
+  test("IVF-PQ refresh: appended vectors become searchable, idempotent") {
+    val ivfDir = Files.createTempDirectory("ivfpq_ref_i").toString
+    val pqDir = Files.createTempDirectory("ivfpq_ref_p").toString
+    IvfIndex.build(emb, ivfDir, nCentroids = 4, Metric.Cosine)
+    IvfPq.build(spark, ivfDir, pqDir, m = 32, ks = 64)
+    // append a vector IDENTICAL to an existing one (id 10_000) — after
+    // refresh it must be encoded and show up next to its twin
+    val twin = all.head._2
+    IvfIndex.append(Seq((10000L, twin)).toDF("id", "values"), ivfDir)
+    // stale codes: the appended id is invisible to the ADC scan
+    val before = IvfPq.search(spark, ivfDir, pqDir, twin, all.length + 1,
+      nProbe = 4).select("id").as[Long].collect()
+    assert(!before.contains(10000L))
+    assert(IvfPq.refresh(spark, ivfDir, pqDir) === 1L)
+    val after = IvfPq.search(spark, ivfDir, pqDir, twin, 5, nProbe = 4)
+      .select("id").as[Long].collect()
+    assert(after.contains(10000L), after.mkString(","))
+    // every indexed id is coded exactly once; refresh is idempotent
+    assert(IvfPq.refresh(spark, ivfDir, pqDir) === 0L)
+    val codes = spark.read.parquet(s"$pqDir/codes")
+    assert(codes.count() === (all.length + 1).toLong)
+    assert(codes.select("id").distinct().count() === (all.length + 1).toLong)
+  }
 }
