@@ -415,6 +415,19 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- deterministic source-mixture sampling (domain reweighting):
+    // src0's weight binds (quota = its full 25 rows at sf0.01), the
+    // others are hash-subsampled to the target proportions ----
+    "q_mixture_sample" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Sampling.mixtureSample(d, col("source"),
+          col("text"), col("doc_id"),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
+            "src3" -> 0.10))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- multimodal column plumbing (binary payload + metadata) ----
     "multimodal_meta" -> ((s, dir) => {
       graft.operators.Multimodal
@@ -1352,6 +1365,8 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC""".stripMargin,
 
+    "q_mixture_sample" -> mixtureSampleOracle,
+
     "q_sample_hash" -> sampleHashOracle,
 
     "q_split_assign" -> splitAssignOracle,
@@ -1687,6 +1702,32 @@ object SparkEntry {
        |  FROM b)
        |SELECT lang, doc_id, n_chars FROM r WHERE rn <= 3
        |ORDER BY lang ASC, doc_id ASC""".stripMargin
+
+  /** Mixture quotas recomputed with the SAME double math as the
+    * Scala driver (CAST AS DOUBLE — DuckDB would otherwise parse the
+    * weight literals as DECIMAL and round differently):
+    * N* = min ⌊n_s/w_s⌋, quota_s = ⌊w_s·N*⌋, then the per-source
+    * smallest-(fingerprint, doc_id) rows. */
+  private def mixtureSampleOracle: String =
+    s"""WITH w AS (SELECT * FROM (VALUES
+       |    ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+       |    ('src2', CAST(0.15 AS DOUBLE)), ('src3', CAST(0.10 AS DOUBLE)))
+       |  AS t(s, wt)),
+       |c AS (SELECT source, count(*) AS n FROM documents
+       |      WHERE source IN (SELECT s FROM w) GROUP BY source),
+       |q AS (SELECT w.s, CAST(floor(w.wt *
+       |    (SELECT min(floor(c2.n / w2.wt))
+       |     FROM c c2 JOIN w w2 ON c2.source = w2.s)) AS BIGINT) AS quota
+       |  FROM w),
+       |b AS (SELECT doc_id, source, $duckUtf8Bytes AS bs FROM documents
+       |      WHERE source IN (SELECT s FROM w)),
+       |r AS (SELECT doc_id, source,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY ${duckSigned(duckFnvFold("bs"))} ASC, doc_id ASC) AS rn
+       |  FROM b)
+       |SELECT r.doc_id, r.source FROM r JOIN q ON r.source = q.s
+       |WHERE r.rn <= q.quota
+       |ORDER BY r.doc_id ASC""".stripMargin
 
   private def textFingerprintOracle: String =
     s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents)

@@ -84,4 +84,43 @@ object Sampling {
       .filter(col("__rn") <= n)
       .drop("__rn")
   }
+
+  /** Deterministic source-mixture sampling — domain reweighting for a
+    * training mix: keep the LARGEST subsample whose per-source
+    * composition matches the target `weights` (normalized). The
+    * binding source is the one with the least data relative to its
+    * weight: N* = min_s ⌊n_s / w_s⌋, quota_s = ⌊w_s · N*⌋; each
+    * source keeps its quota rows with the smallest (hash, tiebreak),
+    * so the pick is engine-portable and append-stable in the same
+    * sense as [[stratifiedTopN]].
+    *
+    * Cost: one count aggregation (|sources| rows to the driver — a
+    * mixture spec is always human-sized) + one stratified window
+    * pass. Sources absent from `weights` are dropped — the mixture
+    * defines the corpus. */
+  def mixtureSample(df: DataFrame, source: Column, key: Column,
+      tiebreak: Column, weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "[GRAFT] mixture weights must be positive")
+    WorkCols.requireFree(df, "__rn")
+    val norm = weights.values.sum
+    val w = weights.map { case (s, x) => s -> x / norm }
+    val counts = df.filter(source.isInCollection(w.keys.toSeq))
+      .groupBy(source.as("__src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nStar = w.map { case (s, ws) =>
+      math.floor(counts.getOrElse(s, 0L) / ws).toLong
+    }.min
+    val quotas = w.map { case (s, ws) =>
+      s -> math.floor(ws * nStar).toLong }
+    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (s, q)) =>
+      when(source === s, lit(q)).otherwise(acc)
+    }
+    val win = Window.partitionBy(source)
+      .orderBy(vfs_fingerprint(key).asc, tiebreak.asc)
+    df.filter(source.isInCollection(w.keys.toSeq))
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= quotaCol)
+      .drop("__rn")
+  }
 }

@@ -61,6 +61,38 @@ class SamplingSpec extends AnyFunSuite {
     assert(w03.subsetOf(w06))
   }
 
+  test("mixture sample hits target proportions, binding source intact") {
+    // 40/20/10 rows of a/b/c with target 0.25/0.25/0.5 → c binds:
+    // N* = min(160, 80, 20) = 20, quotas 5/5/10
+    val rows = ((0 until 40).map(i => (i.toLong, "a")) ++
+      (100 until 120).map(i => (i.toLong, "b")) ++
+      (200 until 210).map(i => (i.toLong, "c")))
+      .toDF("id", "src")
+    val got = Sampling.mixtureSample(rows, col("src"),
+        col("id").cast("string"), col("id"),
+        Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.5))
+      .groupBy($"src").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 5L, "b" -> 5L, "c" -> 10L))
+    // a source missing from the weights is dropped entirely
+    val withX = rows.union(Seq((900L, "x")).toDF("id", "src"))
+    val gotX = Sampling.mixtureSample(withX, col("src"),
+        col("id").cast("string"), col("id"),
+        Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.5))
+      .filter($"src" === "x").count()
+    assert(gotX === 0L)
+    // deterministic under repartitioning
+    val a = Sampling.mixtureSample(rows.repartition(7), col("src"),
+        col("id").cast("string"), col("id"),
+        Map("a" -> 0.5, "b" -> 0.5))
+      .select($"id").as[Long].collect().toSet
+    val b = Sampling.mixtureSample(rows, col("src"),
+        col("id").cast("string"), col("id"),
+        Map("a" -> 0.5, "b" -> 0.5))
+      .select($"id").as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("stratified top-n picks exactly n per stratum, deterministically") {
     val got = Sampling.stratifiedTopN(docs, col("lang"), col("text"),
         col("doc_id"), 3)
