@@ -428,6 +428,17 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- heavy hitters (Misra-Gries): top tokens over the corpus.
+    // capacity 4096 >> distinct words here, so the mergeable sketch is
+    // EXACT and the DuckDB group-count oracle pins it bit-for-bit ----
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(graft.operators.TextAnalysis
+          .tokens(lower(col("text")))).as("item"))
+      graft.operators.HeavyHitters.topK(toks, col("item"), 10,
+        capacity = 4096)
+    }),
+
     // ---- multimodal column plumbing (binary payload + metadata) ----
     "multimodal_meta" -> ((s, dir) => {
       graft.operators.Multimodal
@@ -1364,6 +1375,12 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority ASC""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)),
+        |    '\s+')) AS item FROM documents)
+        |SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM t
+        |GROUP BY item ORDER BY cnt DESC, item ASC LIMIT 10""".stripMargin,
 
     "q_mixture_sample" -> mixtureSampleOracle,
 

@@ -104,6 +104,38 @@ class SketchesSpec extends AnyFunSuite {
     assert(zeroEsts === Map("a" -> 0L, "b" -> 0L))
   }
 
+  test("heavy hitters: exact when distinct fits, bounded when it doesn't") {
+    import graft.operators.HeavyHitters
+    // skewed stream: item "hot_i" appears (20-i)*50 times, tail of
+    // 500 singletons
+    val rows = ((0 until 20).flatMap(i =>
+      Seq.fill((20 - i) * 50)(s"hot_$i")) ++
+      (0 until 500).map(i => s"tail_$i"))
+    val df = rows.toDF("item").repartition(13)
+    val n = rows.length.toLong
+    val exact = rows.groupBy(identity).map { case (k, v) =>
+      k -> v.length.toLong }
+    // capacity >= distinct -> exact counts, deterministic top-k
+    val big = HeavyHitters.topK(df, $"item", 5, capacity = 4096)
+      .as[(String, Long)].collect()
+    assert(big.toSeq === (0 until 5).map(i =>
+      s"hot_$i" -> (20 - i) * 50L))
+    // small capacity: every estimate is a lower bound within
+    // n/(capacity+1), and items above that frequency are present
+    val cap = 32
+    val small = HeavyHitters.topK(df, $"item", 20, capacity = cap)
+      .as[(String, Long)].collect().toMap
+    val slack = n / (cap + 1)
+    small.foreach { case (k, est) =>
+      val truth = exact(k)
+      assert(est <= truth && est >= truth - slack,
+        s"$k: est=$est truth=$truth slack=$slack")
+    }
+    (0 until 20).filter(i => (20 - i) * 50L > slack).foreach { i =>
+      assert(small.contains(s"hot_$i"), s"guaranteed hitter hot_$i missing")
+    }
+  }
+
   test("KMV ignores NULL keys (no slot consumed, no estimate bias)") {
     val withNulls = Seq(Some("a"), None, Some("b"), None, Some("c"))
       .toDF("t")
