@@ -78,6 +78,15 @@ package object functions {
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     r1("vfs_vec_mean", es =>
       graft.operators.VectorMean(es(0)).toAggregateExpression())
+    r1("vfs_heavy_hitters", es => {
+      val cap = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"[GRAFT] vfs_heavy_hitters(col, capacity): capacity must be" +
+            s" an integer literal, got $other")
+      }
+      graft.operators.HeavyHitters(es(0), cap).toAggregateExpression()
+    })
     // table-level SQL surface: SELECT * FROM vfs_knn(path, k, metric,
     // query[, vecCol, idCol]) — same registration GraftExtensions does
     // at session build, available here for already-built sessions. The

@@ -134,6 +134,15 @@ class SketchesSpec extends AnyFunSuite {
     (0 until 20).filter(i => (20 - i) * 50L > slack).foreach { i =>
       assert(small.contains(s"hot_$i"), s"guaranteed hitter hot_$i missing")
     }
+    // SQL-registered aggregate reaches the same summary
+    graft.functions.registerAll(spark)
+    df.createOrReplaceTempView("hh_in")
+    val viaSql = spark.sql(
+      "SELECT vfs_heavy_hitters(item, 4096) AS s FROM hh_in")
+      .selectExpr("inline(s)")
+      .orderBy($"cnt".desc, $"item".asc).limit(5)
+      .as[(String, Long)].collect()
+    assert(viaSql.toSeq === big.toSeq)
   }
 
   test("KMV ignores NULL keys (no slot consumed, no estimate bias)") {
