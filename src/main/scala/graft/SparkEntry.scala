@@ -270,6 +270,14 @@ object SparkEntry {
         .orderBy(col("keeper").asc)
     }),
 
+    // ---- C4-style passage-level global dedup: 3-word windows so the
+    // small-vocab testdata actually produces cross-doc duplicates ----
+    "dedup_passages" -> ((s, dir) => {
+      Dedup.passageDedup(s.read.parquet(s"$dir/documents.parquet"),
+          windowWords = 3)
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- near-dup by word-set jaccard, exact within source group ----
     "dedup_jaccard_source" -> ((s, dir) => {
       Dedup.jaccardPairsWithin(
@@ -1127,6 +1135,25 @@ object SparkEntry {
       """SELECT min(doc_id) AS keeper, count(*) AS cnt
         |FROM documents GROUP BY text
         |ORDER BY keeper ASC""".stripMargin,
+
+    "dedup_passages" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id, w,
+        |  CAST(ceil(len(w) / 3.0) AS BIGINT) AS np FROM t),
+        |o AS (SELECT doc_id, np, unnest(range(0, np)) AS idx, w FROM n),
+        |p AS (SELECT doc_id, np, idx,
+        |  array_to_string(w[CAST(idx*3+1 AS INT):CAST(idx*3+3 AS INT)], ' ')
+        |    AS passage FROM o),
+        |s AS (SELECT doc_id, np, idx, passage,
+        |  row_number() OVER (PARTITION BY passage
+        |                     ORDER BY doc_id ASC, idx ASC) AS rn FROM p)
+        |SELECT doc_id, max(np) AS n_passages,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_passages,
+        |  coalesce(string_agg(passage, ' ' ORDER BY idx)
+        |    FILTER (WHERE rn = 1), '') AS new_text
+        |FROM s GROUP BY doc_id
+        |ORDER BY doc_id ASC""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE t AS (SELECT doc_id, source,

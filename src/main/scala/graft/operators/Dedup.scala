@@ -41,6 +41,56 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** C4-style passage-level global deduplication (Raffel et al. 2020
+    * §2.2 deduplicates three-sentence spans corpus-wide — re-derived
+    * here over fixed-width word windows, the deterministic analog for
+    * unsegmented text): each document is cut into non-overlapping
+    * `windowWords`-word passages; a passage occurrence survives iff it
+    * is the corpus-wide FIRST occurrence of that exact passage text
+    * (order: (id, position-in-doc) ascending); documents are then
+    * reassembled from their surviving passages in original order.
+    *
+    * Output: one row per input document —
+    * (idCol, n_passages, kept_passages, new_text), with new_text = ""
+    * when every passage was a duplicate. A NULL text yields
+    * n_passages NULL, kept_passages 0.
+    *
+    * 100 TB shape: the keeper table is a hash aggregation keyed by
+    * passage text (map-side partial combine collapses hyper-duplicated
+    * boilerplate before the shuffle); the verdict is a shuffle join of
+    * occurrences on the same key (AQE skew-join splits residual hot
+    * passages); reassembly is one aggregation keyed by document id.
+    * Deliberately NOT a window over the passage key: a window has no
+    * partial-combine escape, so one viral passage would pull all its
+    * occurrences into a single task.
+    */
+  def passageDedup(docs: DataFrame, windowWords: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(windowWords > 0, "[GRAFT] windowWords must be positive")
+    WorkCols.requireFree(docs, "__idx", "__passage", "__k")
+    val w = split(trim(col(textCol)), "\\s+")
+    val nPass = ceil(size(w).cast("double") / windowWords).cast("int")
+    val passages = transform(sequence(lit(0), nPass - 1),
+      i => concat_ws(" ", slice(w, i * windowWords + 1, lit(windowWords))))
+    val occ = docs.select(col(idCol).as("__id"),
+      posexplode(passages).as(Seq("__idx", "__passage")))
+    val keepers = occ.groupBy(col("__passage"))
+      .agg(min(struct(col("__id"), col("__idx"))).as("__k"))
+    val survivors = occ.join(keepers, Seq("__passage"))
+      .filter(col("__id") === col("__k")("__id") &&
+        col("__idx") === col("__k")("__idx"))
+    val rebuilt = survivors.groupBy(col("__id"))
+      .agg(count(lit(1)).as("kept_passages"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__idx"), col("__passage")))),
+          s => s("__passage")), " ").as("new_text"))
+    docs.select(col(idCol).as("__id"), size(passages).cast("long").as("n_passages"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_passages"),
+        coalesce(col("kept_passages"), lit(0L)).as("kept_passages"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
   private def wordSet(textCol: Column): Column =
     array_distinct(split(trim(lower(textCol)), "\\s+"))
 

@@ -217,6 +217,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(survivors === Set(10L, 12L))
   }
 
+  test("passage dedup: global first occurrence survives, docs reassemble") {
+    val d = Seq(
+      (1L, "a b c d e f"),          // ["a b c", "d e f"] both first
+      (2L, "a b c x y z"),          // "a b c" dup of doc1 → kept "x y z"
+      (3L, "d e f"),                // fully duplicated → empty
+      (4L, "q q q w w w q q q"),    // intra-doc dup: 3rd passage drops
+      (5L, "x y z a b"))            // "x y z" dup of doc2; short tail kept
+      .toDF("doc_id", "text")
+    val r = Dedup.passageDedup(d, windowWords = 3)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect()
+    assert(r(0) === ((1L, 2L, 2L, "a b c d e f")))
+    assert(r(1) === ((2L, 2L, 1L, "x y z")))
+    assert(r(2) === ((3L, 1L, 0L, "")))
+    assert(r(3) === ((4L, 3L, 2L, "q q q w w w")))
+    assert(r(4) === ((5L, 2L, 1L, "a b")))
+    // reserved working columns are guarded
+    intercept[IllegalArgumentException] {
+      Dedup.passageDedup(d.withColumn("__idx", lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.passageDedup(d, windowWords = 0)
+    }
+  }
+
   test("embedding near-dup LSH agrees with exact pairs on clustered data") {
     val rnd = new scala.util.Random(3)
     val base = Array.fill(64)(rnd.nextFloat())
