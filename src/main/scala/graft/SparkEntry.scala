@@ -964,6 +964,21 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- TF-IDF keywords: exact-integer rarity weight tf·1000·N/df,
+    // top-3 per doc ----
+    "text_tfidf" -> ((s, dir) => {
+      TextAnalysis.tfIdfKeywords(
+          s.read.parquet(s"$dir/documents.parquet"), k = 3)
+        .orderBy(col("doc_id").asc, col("rank").asc)
+    }),
+
+    // ---- vocabulary build: global counts, rank, cumulative coverage ----
+    "text_vocab" -> ((s, dir) => {
+      TextAnalysis.vocabulary(
+          s.read.parquet(s"$dir/documents.parquet"), v = 50)
+        .orderBy(col("rank").asc)
+    }),
+
     // ---- multimodal batch feature extraction (stubbed decode with
     // integer accumulation — bit-reproducible by the oracle) ----
     "multimodal_features" -> ((s, dir) => {
@@ -1575,6 +1590,39 @@ object SparkEntry {
         |ORDER BY l.event_id ASC""".stripMargin,
 
     "text_fingerprint" -> textFingerprintOracle,
+
+    "text_tfidf" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT tf.doc_id, tf.word,
+        |    CAST(floor(tf.tf * 1000.0 * n.n / df.df) AS BIGINT) AS score
+        |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+        |r AS (SELECT doc_id, word, score,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, word ASC) AS BIGINT) AS rank FROM s)
+        |SELECT doc_id, word, score, rank FROM r WHERE rank <= 3
+        |ORDER BY doc_id ASC, rank ASC""".stripMargin,
+
+    "text_vocab" ->
+      """WITH w AS (SELECT
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+        |r AS (SELECT word, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT)
+        |      AS rank,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, word ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS total
+        |  FROM c)
+        |SELECT word, cnt, rank,
+        |  CAST(floor(1000.0 * cum / total) AS BIGINT) AS cov_milli
+        |FROM r WHERE rank <= 50
+        |ORDER BY rank ASC""".stripMargin,
 
     "dedup_simhash" -> simHashOracle,
 

@@ -208,6 +208,80 @@ object TextAnalysis {
       redactPii(t).as("redacted"))
   }
 
+  /** TF-IDF keyword extraction, exact-integer scored: per document the
+    * top-`k` words by `floor(tf · 1000 · N / df)` where `tf` is the
+    * in-document occurrence count, `df` the number of documents
+    * containing the word, and `N` the corpus size (ties break word-
+    * ascending). The linear `N/df` rarity weight replaces the usual
+    * `log(N/df)`: monotone-identical ranking per fixed tf, but exact
+    * integer arithmetic (floor of one IEEE quotient of exact ints) so
+    * results are engine-portable bit-for-bit. Exact while
+    * tf·1000·N ≤ 2⁵³.
+    *
+    * 100 TB shape: explode → (doc,word) hash agg (map-side partial) →
+    * word-keyed df agg → shuffle join on word (AQE broadcasts the df
+    * side when the vocabulary is small); N arrives via a broadcast
+    * 1-row cross join, never a driver-side count. The final top-k is a
+    * window keyed by document — per-partition work bounded by document
+    * vocabulary, no global sort.
+    */
+  def tfIdfKeywords(docs: DataFrame, k: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "[GRAFT] k must be positive")
+    WorkCols.requireFree(docs, "__w", "__tf", "__df", "__n", "__rn", "__id")
+    val words = docs.select(col(idCol).as("__id"),
+      explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
+    val tf = words.groupBy(col("__id"), col("__w"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__w")).agg(count(lit(1)).as("__df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, Seq("__w")).crossJoin(broadcast(n))
+      .select(col("__id"), col("__w"),
+        floor(col("__tf") * lit(1000.0) * col("__n") / col("__df"))
+          .cast("long").as("score"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id"))
+      .orderBy(col("score").desc, col("__w").asc)
+    scored.withColumn("__rn", row_number().over(byDoc))
+      .filter(col("__rn") <= k)
+      .select(col("__id").as(idCol), col("__w").as("word"), col("score"),
+        col("__rn").cast("long").as("rank"))
+  }
+
+  /** Corpus vocabulary for tokenizer training: the top-`v` words by
+    * global occurrence count (ties word-ascending) with rank and
+    * cumulative corpus-coverage in milli-units — the curve that tells
+    * you what vocabulary size buys what coverage.
+    *
+    * 100 TB shape: explode → one word-keyed hash agg (map-side partial
+    * combine collapses each partition to its local vocabulary before
+    * the shuffle); the rank/coverage window then runs over VOCABULARY-
+    * sized data, not corpus-sized — a global sort of the word-count
+    * table is the one unavoidable single-partition step and it is
+    * vocab-bounded.
+    */
+  def vocabulary(docs: DataFrame, v: Int = 1000, textCol: String = "text")
+      : DataFrame = {
+    require(v > 0, "[GRAFT] v must be positive")
+    WorkCols.requireFree(docs, "__w", "__cnt", "__total", "__cum")
+    val counts = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+    val total = counts.agg(sum(col("__cnt")).as("__total"))
+    val ordered = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__cnt").desc, col("__w").asc)
+    counts.crossJoin(broadcast(total))
+      .withColumn("__cum", sum(col("__cnt")).over(
+        ordered.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .withColumn("rank", row_number().over(ordered).cast("long"))
+      .filter(col("rank") <= v)
+      .select(col("__w").as("word"), col("__cnt").as("cnt"), col("rank"),
+        floor(lit(1000.0) * col("__cum") / col("__total")).cast("long")
+          .as("cov_milli"))
+  }
+
   /** Full per-document analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

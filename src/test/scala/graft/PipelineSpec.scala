@@ -241,6 +241,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("tf-idf keywords: rare words outrank common, exact integer score") {
+    val d = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common common"),
+      (3L, "cherry common"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.tfIdfKeywords(d, k = 2)
+      .orderBy($"doc_id", $"rank")
+      .as[(Long, String, Long, Long)].collect()
+    // N=3; doc1: apple tf=2 df=1 → 6000; banana tf=1 df=2 → 1500
+    assert(r(0) === ((1L, "apple", 6000L, 1L)))
+    assert(r(1) === ((1L, "banana", 1500L, 2L)))
+    // doc2: common tf=2 df=3 → 2000 beats banana tf=1 df=2 → 1500
+    assert(r(2) === ((2L, "common", 2000L, 1L)))
+    assert(r(3) === ((2L, "banana", 1500L, 2L)))
+    // doc3: cherry tf=1 df=1 → 3000 beats common tf=1 df=3 → 1000
+    assert(r(4) === ((3L, "cherry", 3000L, 1L)))
+    assert(r(5) === ((3L, "common", 1000L, 2L)))
+    intercept[IllegalArgumentException] { TextAnalysis.tfIdfKeywords(d, 0) }
+  }
+
+  test("vocabulary: global counts ranked, coverage curve reaches 1000") {
+    val d = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabulary(d, v = 10)
+      .orderBy($"rank").as[(String, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq(
+      ("a", 3L, 1L, 500L),   // 3/6
+      ("b", 2L, 2L, 833L),   // 5/6
+      ("c", 1L, 3L, 1000L))) // 6/6
+    // v truncates
+    assert(TextAnalysis.vocabulary(d, v = 2).count() === 2)
+  }
+
   test("embedding near-dup LSH agrees with exact pairs on clustered data") {
     val rnd = new scala.util.Random(3)
     val base = Array.fill(64)(rnd.nextFloat())
