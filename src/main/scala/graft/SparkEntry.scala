@@ -123,6 +123,19 @@ object SparkEntry {
            |LIMIT 10""".stripMargin)
     }),
 
+    // ---- pure-SQL text analysis: the pipeline functions reached
+    // entirely through spark.sql over a temp view ----
+    "sql_text_analyze" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .createOrReplaceTempView("graft_docs")
+      s.sql("""SELECT doc_id,
+              |  vfs_token_count(text) AS n_tokens,
+              |  vfs_lang_id(text) AS lang_pred,
+              |  vfs_quality_milli(text) AS quality_milli
+              |FROM graft_docs ORDER BY doc_id ASC""".stripMargin)
+    }),
+
     // ---- C1: quantize (vector.rs:94-125; storage path scale 127) ----
     "c1_quantize_checksum" -> ((s, dir) => {
       emb(s, dir)
@@ -1251,6 +1264,8 @@ object SparkEntry {
 
     "text_langid" -> textLangIdOracle,
 
+    "sql_text_analyze" -> sqlTextAnalyzeOracle,
+
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[[:punct:]]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm,
@@ -1969,6 +1984,34 @@ object SparkEntry {
        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
        |  AND quality_milli >= 650 AND n_tokens BETWEEN 20 AND 90
        |ORDER BY doc_id ASC""".stripMargin
+
+  /** token count + langid + quality in one pass — the DuckDB mirror of
+    * the pure-SQL `sql_text_analyze` query (same building blocks as the
+    * single-signal oracles above). */
+  private def sqlTextAnalyzeOracle: String = {
+    val scores = TextAnalysis.LangProfiles.map { case (lang, words) =>
+      s"len(list_filter(toks, x -> x IN ${inList(words)})) AS s_$lang"
+    }.mkString(",\n  ")
+    s"""WITH t AS (SELECT doc_id, text,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS toks,
+       |  CAST(length(text) AS DOUBLE) AS n_chars FROM documents),
+       |sc AS (SELECT doc_id, text, toks, n_chars,
+       |  $scores
+       |  FROM t)
+       |SELECT doc_id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |    AS n_tokens,
+       |  CASE
+       |  WHEN length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > length(text) * 0.3 THEN 'zh'
+       |  WHEN greatest(s_de, s_en, s_es, s_fr) > 0 THEN (
+       |    CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+       |         WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+       |         WHEN s_es >= s_fr THEN 'es'
+       |         ELSE 'fr' END)
+       |  ELSE 'und' END AS lang_pred,
+       |  $qualityExprSql AS quality_milli
+       |FROM sc ORDER BY doc_id ASC""".stripMargin
+  }
 
   private def textLangIdOracle: String = {
     val scores = TextAnalysis.LangProfiles.map { case (lang, words) =>

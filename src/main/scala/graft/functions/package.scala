@@ -78,15 +78,31 @@ package object functions {
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     r1("vfs_vec_mean", es =>
       graft.operators.VectorMean(es(0)).toAggregateExpression())
-    r1("vfs_heavy_hitters", es => {
-      val cap = es(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-        case other => throw new IllegalArgumentException(
-          s"[GRAFT] vfs_heavy_hitters(col, capacity): capacity must be" +
-            s" an integer literal, got $other")
-      }
-      graft.operators.HeavyHitters(es(0), cap).toAggregateExpression()
-    })
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"[GRAFT] $what must be an integer literal, got $other")
+    }
+    r1("vfs_heavy_hitters", es =>
+      graft.operators.HeavyHitters(es(0),
+        intLit(es(1), "vfs_heavy_hitters(col, capacity): capacity"))
+        .toAggregateExpression())
+    // text-analysis surface: the pipeline functions reachable from pure
+    // SQL. Each is a composed Column program, converted EAGERLY to an
+    // expression tree (the lazy Column placeholder never resolves when
+    // returned from a registry builder — shims.convertedExpression).
+    import graft.operators.{TextAnalysis => TA}
+    def cx(c: Column): Expression = ExpressionUtils.convertedExpression(c)
+    r1("vfs_tokens", es => cx(TA.tokens(col(es(0)))))
+    r1("vfs_token_count", es => cx(TA.tokenCount(col(es(0)))))
+    r1("vfs_token_count_bpeish", es => cx(TA.tokenCountBpeIsh(col(es(0)))))
+    r1("vfs_lang_id", es => cx(TA.langId(col(es(0)))))
+    r1("vfs_quality_milli", es => cx(TA.qualityMilli(col(es(0)))))
+    r1("vfs_normalize_text", es => cx(TA.normalizeText(col(es(0)))))
+    r1("vfs_redact_pii", es => cx(TA.redactPii(col(es(0)))))
+    r1("vfs_chunk_text", es => cx(TA.chunkText(col(es(0)),
+      intLit(es(1), "vfs_chunk_text(text, size, overlap): size"),
+      intLit(es(2), "vfs_chunk_text(text, size, overlap): overlap"))))
     // table-level SQL surface: SELECT * FROM vfs_knn(path, k, metric,
     // query[, vecCol, idCol]) — same registration GraftExtensions does
     // at session build, available here for already-built sessions. The

@@ -19,6 +19,16 @@ object shims {
   /** Extract the Catalyst Expression from a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eagerly convert a Column's node tree to a Catalyst Expression.
+    * [[expression]] wraps the Column in a LAZY `ColumnNodeExpression`
+    * placeholder, which only the Dataset API's analysis path replaces —
+    * an expression returned from a FunctionRegistry builder keeps the
+    * Unevaluable placeholder and fails at codegen. This converts
+    * upfront; the resulting `UnresolvedFunction` nodes resolve on the
+    * analyzer's next fixed-point pass like any SQL-authored call. */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Wrap a LogicalPlan as a DataFrame (Dataset.ofRows is private[sql]). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =

@@ -274,6 +274,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(TextAnalysis.vocabulary(d, v = 2).count() === 2)
   }
 
+  test("SQL-registered text functions match the Scala column API") {
+    graft.functions.registerAll(spark)
+    val d = docs.limit(50)
+    d.createOrReplaceTempView("tf_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, vfs_token_count(text) AS n_tokens,
+        |  vfs_lang_id(text) AS lang_pred,
+        |  vfs_quality_milli(text) AS quality_milli,
+        |  vfs_normalize_text(text) AS norm,
+        |  size(vfs_chunk_text(text, 200, 50)) AS n_chunks
+        |FROM tf_docs ORDER BY doc_id""".stripMargin).collect()
+    val viaApi = d.select($"doc_id",
+        TextAnalysis.tokenCount($"text").as("n_tokens"),
+        TextAnalysis.langId($"text").as("lang_pred"),
+        TextAnalysis.qualityMilli($"text").as("quality_milli"),
+        TextAnalysis.normalizeText($"text").as("norm"),
+        size(TextAnalysis.chunkText($"text", 200, 50)).as("n_chunks"))
+      .orderBy($"doc_id").collect()
+    assert(viaSql.toSeq === viaApi.toSeq)
+    // non-literal size argument fails loudly, not silently
+    val err = intercept[Exception] {
+      spark.sql("SELECT vfs_chunk_text(text, doc_id, 0) FROM tf_docs")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
   test("embedding near-dup LSH agrees with exact pairs on clustered data") {
     val rnd = new scala.util.Random(3)
     val base = Array.fill(64)(rnd.nextFloat())
