@@ -644,6 +644,27 @@ object SparkEntry {
 
     // ---- count-min sketch: deterministic portable-hash cells, so the
     // sketch AND the estimates oracle-match; est >= true by design ----
+    // ---- relational Bloom filter decontamination: build over src0's
+    // word bigrams (the "benchmark" reference set), probe the whole
+    // corpus; hit=1 ⊇ in_ref=1 (false positives possible, negatives
+    // not — the oracle reproduces both bit-for-bit) ----
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      import graft.operators.Sketches
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .select(explode(TextAnalysis.wordNGrams(col("text"), 2)).as("gram"))
+        .distinct()
+      val ref = grams(d.filter(col("source") === "src0"))
+      val bloom = Sketches.bloomBuild(ref, col("gram"), 4096, 3)
+      val hits = Sketches.bloomMightContain(bloom, grams(d), col("gram"),
+        4096, 3)
+      hits.join(ref.select(col("gram").as("key"), lit(1L).as("in_ref")),
+          Seq("key"), "left")
+        .select(col("key").as("gram"), col("hit"),
+          coalesce(col("in_ref"), lit(0L)).as("in_ref"))
+        .orderBy(col("gram").asc)
+    }),
+
     "q_count_min" -> ((s, dir) => {
       import graft.operators.Sketches
       val ev = events(s, dir).select(col("event_type"))
@@ -1451,6 +1472,8 @@ object SparkEntry {
 
     "q_count_min" -> countMinOracle,
 
+    "q_bloom_decontaminate" -> bloomOracle,
+
     "q_zorder_code" ->
       """WITH p AS (SELECT DISTINCT l_orderkey % 1024 AS x,
         |  l_partkey % 1024 AS y FROM lineitem)
@@ -1786,6 +1809,41 @@ object SparkEntry {
        |SELECT est.event_type, est.est, truth.n_true
        |FROM est JOIN truth USING (event_type)
        |ORDER BY event_type ASC""".stripMargin
+  }
+
+  /** Bloom build + probe recomputed in DuckDB over the same salted
+    * portable hash (`gram#r`), 32-bit words in BIGINT. */
+  private def bloomOracle: String = {
+    val salted = "(gram || '#' || CAST(r AS VARCHAR))"
+    val pos = s"((${duckSigned(duckFnvFold(duckUtf8BytesOf(salted)))}" +
+      " % 4096) + 4096) % 4096"
+    s"""WITH toks AS (SELECT source,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS s
+       |  FROM documents),
+       |g AS (SELECT source,
+       |    unnest(list_distinct([s[i] || ' ' || s[i+1]
+       |      for i in range(1, len(s))])) AS gram
+       |  FROM toks),
+       |ref AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+       |probes AS (SELECT DISTINCT gram FROM g),
+       |bpos AS (SELECT $pos AS pos
+       |  FROM (SELECT gram, unnest(range(0, 3)) AS r FROM ref)),
+       |words AS (SELECT pos // 32 AS w,
+       |    bit_or(CAST(1 AS BIGINT) << (pos % 32)) AS bits
+       |  FROM bpos GROUP BY 1),
+       |ppos AS (SELECT gram, pos // 32 AS w,
+       |    CAST(1 AS BIGINT) << (pos % 32) AS m
+       |  FROM (SELECT gram, $pos AS pos
+       |    FROM (SELECT gram, unnest(range(0, 3)) AS r FROM probes))),
+       |hits AS (SELECT gram,
+       |    min(CASE WHEN (COALESCE(bits, 0) & m) = m THEN 1 ELSE 0 END)
+       |      AS hit
+       |  FROM ppos LEFT JOIN words USING (w) GROUP BY gram)
+       |SELECT hits.gram, CAST(hit AS BIGINT) AS hit,
+       |  CAST(CASE WHEN ref.gram IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS in_ref
+       |FROM hits LEFT JOIN ref ON hits.gram = ref.gram
+       |ORDER BY hits.gram ASC""".stripMargin
   }
 
   private def weightedSampleOracle: String =

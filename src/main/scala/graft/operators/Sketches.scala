@@ -125,4 +125,65 @@ object Sketches {
             .cast("long"))
           .as("est"))
   }
+
+  /** Deterministic RELATIONAL Bloom filter build: `k` salted portable
+    * FNV positions per key over an `nBits`-bit filter, materialized as
+    * `nBits/32` 32-bit words (`(w, bits)` rows, bits in a BIGINT so
+    * both engines shift without sign traps). One hash aggregation with
+    * map-side partial OR — and because the filter is a TABLE, not a
+    * driver-held byte array, a decontamination-scale bloom (GBs for
+    * billions of reference n-grams) shards across executors instead of
+    * dying on the driver; two blooms merge by `bit_or` on `w`.
+    * Deterministic given the hash, so the DuckDB oracle reproduces
+    * every word bit-for-bit. */
+  def bloomBuild(df: DataFrame, key: Column, nBits: Int = 4096,
+      k: Int = 3): DataFrame = {
+    require(k > 0 && nBits > 0 && nBits % 32 == 0,
+      "[GRAFT] need k > 0 and nBits a positive multiple of 32")
+    df.select(key.as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("__k"), explode(sequence(lit(0), lit(k - 1))).as("r"))
+      .select(pmod(vfs_fingerprint(concat_ws("#", col("__k"), col("r"))),
+        lit(nBits)).cast("int").as("pos"))
+      .select((col("pos") / 32).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), pos % 32)").as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("bits"))
+      // build parameters ride with the filter (same stance as
+      // count-min): probing with mismatched dims fails loudly
+      .withColumn("n_bits", lit(nBits))
+      .withColumn("k", lit(k))
+  }
+
+  /** Membership probe against a built bloom: a key MIGHT be present iff
+    * all `k` of its bit positions are set (false positives possible,
+    * false negatives not). Output: (key, hit 0/1). The filter side of
+    * the join is word-keyed and usually tiny relative to the probe
+    * corpus — AQE broadcasts it; at decontamination scale it shuffles
+    * like any co-keyed join. */
+  def bloomMightContain(bloom: DataFrame, keys: DataFrame, key: Column,
+      nBits: Int = 4096, k: Int = 3): DataFrame = {
+    bloom.select(col("n_bits"), col("k")).take(1).headOption match {
+      case None => // empty build input: every probe is a clean miss
+        return keys.select(key.as("key")).filter(col("key").isNotNull)
+          .distinct().withColumn("hit", lit(0L))
+      case Some(dims) =>
+        require(dims.getInt(0) == nBits && dims.getInt(1) == k,
+          s"[GRAFT] bloom was built with (nBits=${dims.getInt(0)}, " +
+            s"k=${dims.getInt(1)}), probed with ($nBits, $k)")
+    }
+    val probes = keys.select(key.as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("__k"), explode(sequence(lit(0), lit(k - 1))).as("r"))
+      .select(col("__k"),
+        pmod(vfs_fingerprint(concat_ws("#", col("__k"), col("r"))),
+          lit(nBits)).cast("int").as("pos"))
+      .select(col("__k"), (col("pos") / 32).cast("int").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), pos % 32)").as("m"))
+    probes.join(bloom.select(col("w"), col("bits")), Seq("w"), "left")
+      .groupBy(col("__k"))
+      .agg(min(when((coalesce(col("bits"), lit(0L))
+        .bitwiseAND(col("m"))) === col("m"), lit(1L)).otherwise(lit(0L)))
+        .as("hit"))
+      .select(col("__k").as("key"), col("hit"))
+  }
 }

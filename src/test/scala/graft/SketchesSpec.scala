@@ -145,6 +145,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(viaSql.toSeq === big.toSeq)
   }
 
+  test("bloom: no false negatives, bounded false positives, dim guard") {
+    val ref = (0 until 200).map(i => s"ref_$i").toDF("key")
+    val bloom = Sketches.bloomBuild(ref, col("key"), nBits = 4096, k = 3)
+    // every inserted key must hit
+    val refHits = Sketches.bloomMightContain(bloom, ref, col("key"), 4096, 3)
+      .as[(String, Long)].collect()
+    assert(refHits.length === 200 && refHits.forall(_._2 === 1L))
+    // unseen keys: mostly misses, false-positive rate well under 50%
+    val other = (0 until 500).map(i => s"other_$i").toDF("key")
+    val fp = Sketches.bloomMightContain(bloom, other, col("key"), 4096, 3)
+      .as[(String, Long)].collect().count(_._2 === 1L)
+    assert(fp < 100, s"false-positive count $fp out of 500 is implausible")
+    // the filter is genuinely sparse words, not a degenerate all-ones
+    val setBits = bloom.select(sum(expr("bit_count(bits)"))).head().getLong(0)
+    assert(setBits > 0 && setBits <= 600)
+    // mismatched probe dims fail loudly
+    intercept[IllegalArgumentException] {
+      Sketches.bloomMightContain(bloom, other, col("key"), 2048, 3)
+    }
+    // empty build input: all probes are clean misses
+    val empty = Sketches.bloomBuild(ref.filter(lit(false)), col("key"))
+    val misses = Sketches.bloomMightContain(empty, other, col("key"))
+      .as[(String, Long)].collect()
+    assert(misses.length === 500 && misses.forall(_._2 === 0L))
+  }
+
   test("KMV ignores NULL keys (no slot consumed, no estimate bias)") {
     val withNulls = Seq(Some("a"), None, Some("b"), None, Some("c"))
       .toDF("t")
