@@ -343,6 +343,43 @@ object SparkEntry {
         .orderBy(col("a").asc, col("b").asc)
     }),
 
+    // ---- SemDeDup: cluster-then-prune semantic dedup (seed centroids
+    // so the assignment is oracle-reproducible; prod passes IVF
+    // centroids) ----
+    "dedup_semantic" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Dedup.semanticDedup(e, Dedup.seedCentroids(e, 8), tauMilli = 600L)
+        .orderBy(col("vec_id").asc)
+    }),
+
+    // ---- Matryoshka-style staged retrieval: rank on the first 16 of
+    // 64 dims (4x cheaper scoring), rerank the surviving 50 at full
+    // dimension — the adaptive-retrieval pattern for cutting exact-scan
+    // cost at corpus scale ----
+    "q_matryoshka_rerank" -> ((s, dir) => {
+      val q = queryVec(s, dir, 1L)
+      val stage1 = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          vfs_cosine(slice(col("embedding"), 1, 16), typedLit(q.take(16)))
+            .as("pd"))
+        .orderBy(col("pd").asc, col("vec_id").asc)
+        .limit(50)
+      stage1
+        .select(col("vec_id"),
+          milli(vfs_cosine(col("embedding"), typedLit(q))).as("dist_milli"))
+        .orderBy(col("dist_milli").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
+    // ---- portable HyperLogLog registers over event users ----
+    "q_hll_registers" -> ((s, dir) => {
+      graft.operators.Sketches.hllRegisters(
+          s.read.parquet(s"$dir/events.parquet"),
+          col("user_id").cast("string"), p = 6)
+        .select(col("bucket"), col("max_rho").cast("long").as("max_rho"))
+        .orderBy(col("bucket").asc)
+    }),
+
     // ---- token counting ----
     "text_tokens" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -1274,6 +1311,55 @@ object SparkEntry {
         |WHERE CAST(round((1 - list_inner_product(a.v, b.v)
         |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v)))) * 1000) AS BIGINT) < 600
         |ORDER BY a ASC, b ASC""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e
+         |      ORDER BY vec_id ASC LIMIT 8),
+         |d AS (SELECT e.vec_id, c.cid,
+         |        CAST(round(${duckCos("e.v", "c.cv")} * 1000) AS BIGINT) AS dm
+         |      FROM e CROSS JOIN c),
+         |asg AS (SELECT vec_id, cid AS cluster FROM
+         |          (SELECT vec_id, cid, row_number() OVER
+         |             (PARTITION BY vec_id ORDER BY dm ASC, cid ASC) AS rn
+         |           FROM d)
+         |        WHERE rn = 1),
+         |t AS (SELECT asg.vec_id, asg.cluster, e.v
+         |      FROM asg JOIN e USING (vec_id)),
+         |p AS (SELECT b.vec_id AS vec_id, a.vec_id AS neighbor, b.cluster,
+         |        CAST(round(${duckCos("a.v", "b.v")} * 1000) AS BIGINT) AS dm
+         |      FROM t a JOIN t b
+         |        ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+         |SELECT vec_id, min(neighbor) AS canonical, cluster,
+         |       min_by(dm, neighbor) AS dist_milli
+         |FROM p WHERE dm < 600
+         |GROUP BY vec_id, cluster
+         |ORDER BY vec_id ASC""".stripMargin,
+
+    // stage-1 cut is by RAW prefix distance with a vec_id tiebreak (same
+    // double accumulation order both engines), mirroring sql_tvf_knn's
+    // raw-cut discipline; only the final 10 are rounded to millis
+    "q_matryoshka_rerank" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |s1 AS (SELECT vec_id, v,
+         |         ${duckCos("v[1:16]", s"list_slice($qSub, 1, 16)")} AS pd
+         |       FROM e ORDER BY pd ASC, vec_id ASC LIMIT 50)
+         |SELECT vec_id,
+         |       CAST(round(${duckCos("v", qSub)} * 1000) AS BIGINT) AS dist_milli
+         |FROM s1 ORDER BY dist_milli ASC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    "q_hll_registers" ->
+      s"""WITH h AS (SELECT ${duckHex15("CAST(user_id AS VARCHAR)")} AS h
+         |           FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT h % 64 AS bucket,
+         |             (h >> 6) & 4294967295 AS w FROM h)
+         |SELECT bucket,
+         |       CAST(max(CASE WHEN w = 0 THEN 33
+         |                ELSE 33 - length(bin(w)) END) AS BIGINT) AS max_rho
+         |FROM r GROUP BY bucket ORDER BY bucket ASC""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

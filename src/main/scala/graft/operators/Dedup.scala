@@ -510,4 +510,70 @@ object Dedup {
           .as("dist_milli"))
       .filter(col("dist_milli") < math.round(tau * 1000))
   }
+
+  /** Deterministic seed centroids for [[semanticDedup]]: the `k`
+    * lowest-id vectors. No Lloyd iterations, so any engine (and the
+    * DuckDB oracle) reproduces the exact same centroid set; production
+    * pipelines pass `IvfIndex` centroids instead. */
+  def seedCentroids(emb: DataFrame, k: Int, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    emb.orderBy(col(idCol).asc).limit(k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings to `centroids`, then inside
+    * each cluster drop every vector that has a near-identical neighbor
+    * (cosine distance-milli < `tauMilli`) with a lower id. Comparisons
+    * never cross clusters, so pair cost is Σ|cluster|² — the whole
+    * point of the method at corpus scale — and the only shuffles are
+    * the cluster-keyed self-join (assignment itself is a pure
+    * projection: the k centroids ride along as literals and
+    * `array_min` over (dist_milli, cid) structs picks the argmin with
+    * an integer tiebreak, exact in any engine).
+    *
+    * `maxCluster > 0` additionally caps cluster size via the same
+    * guard as [[minHashLsh]]'s `capBuckets` — opt-in, since capping
+    * trades completeness inside oversized clusters for a bounded
+    * worst case on pathological (collapsed-embedding) corpora.
+    *
+    * Returns the DROPPED rows: (idCol, canonical, cluster, dist_milli)
+    * where `canonical` is the lowest-id near-dup neighbor in the same
+    * cluster and `dist_milli` the distance to it. Survivors = input
+    * anti-join output. */
+  def semanticDedup(emb: DataFrame, centroids: DataFrame, tauMilli: Long,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxCluster: Int = 0): DataFrame = {
+    val cents: Array[(Long, Seq[Float])] = centroids
+      .select(col("cid").cast("long"), col("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "[GRAFT] semanticDedup: empty centroid set")
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val dcs = cents.map { case (cid, cv) =>
+      struct(
+        round(vfs_cosine(col("v"), typedLit(cv)) * 1000).cast("long")
+          .as("dm"),
+        lit(cid).as("cid"))
+    }
+    val best = array_min(array(dcs.toIndexedSeq: _*))
+    val assigned0 = e.select(col("id"), col("v"),
+      best.getField("cid").as("cluster"))
+    val assigned =
+      if (maxCluster > 0) capBuckets(assigned0, maxCluster, Seq("cluster"))
+      else assigned0
+    val a = assigned.as("a")
+    val b = assigned.as("b")
+    a.join(b, col("a.cluster") === col("b.cluster") &&
+        col("a.id") < col("b.id"))
+      .select(col("b.id").as("id"), col("a.id").as("neighbor"),
+        col("b.cluster").as("cluster"),
+        round(vfs_cosine(col("a.v"), col("b.v")) * 1000).cast("long")
+          .as("dm"))
+      .filter(col("dm") < tauMilli)
+      .groupBy(col("id"), col("cluster"))
+      .agg(min(struct(col("neighbor"), col("dm"))).as("nd"))
+      .select(col("id").as(idCol), col("nd.neighbor").as("canonical"),
+        col("cluster"), col("nd.dm").as("dist_milli"))
+  }
 }

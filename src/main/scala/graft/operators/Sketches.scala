@@ -126,6 +126,55 @@ object Sketches {
           .as("est"))
   }
 
+  /** PORTABLE HyperLogLog register table (Flajolet et al. 2007): the
+    * deterministic twin of [[approxDistinct]]'s engine-opaque HLL++.
+    * Hash = the 60-bit md5-derived [[Dedup.portableWordHash]]; bucket =
+    * low `p` bits; rho = position of the highest set bit of the next
+    * 32 bits (1-based from the MSB of that 32-bit window, 33 when the
+    * window is zero) — all integer/string ops (`bin` + length) that
+    * any engine computes bit-identically, so the DuckDB oracle pins
+    * every register. Build is one hash-groupBy of slim (bucket, rho)
+    * pairs with map-side partial `max` — O(2^p) result regardless of
+    * input size — and two register tables merge by `max` per bucket
+    * (the HLL merge). Output: (bucket, max_rho), observed buckets
+    * only; [[hllEstimate]] treats absent buckets as rho 0. */
+  def hllRegisters(df: DataFrame, key: Column, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, "[GRAFT] hllRegisters: p must be in [4,16]")
+    val h = Dedup.portableWordHash(key)
+    val bucket = pmod(h, lit(1L << p)).as("bucket")
+    val w = shiftright(h, p).bitwiseAND(lit(4294967295L))
+    val rho = when(w === 0L, lit(33))
+      .otherwise(lit(33) - length(bin(w))).cast("int")
+    df.filter(key.isNotNull)
+      .select(bucket, rho.as("rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("rho")).as("max_rho"))
+  }
+
+  /** Standard HLL estimate from a [[hllRegisters]] table: alpha_m ·
+    * m² / Σ 2^−rho (absent buckets contribute 2^0), with the
+    * small-range linear-counting correction when E ≤ 2.5m and empty
+    * buckets exist. Register table is ≤ 2^p rows — driver-side math
+    * on the collected registers, same stance as the k-sized collects
+    * elsewhere. */
+  def hllEstimate(registers: DataFrame, p: Int): Double = {
+    val m = 1 << p
+    val regs = registers.select(col("bucket").cast("long"),
+        col("max_rho").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val sum = (0 until m).map(b =>
+      math.pow(2.0, -regs.getOrElse(b.toLong, 0).toDouble)).sum
+    val e = alpha * m * m / sum
+    val zeros = m - regs.size
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
+
   /** Deterministic RELATIONAL Bloom filter build: `k` salted portable
     * FNV positions per key over an `nBits`-bit filter, materialized as
     * `nBits/32` 32-bit words (`(w, bits)` rows, bits in a BIGINT so

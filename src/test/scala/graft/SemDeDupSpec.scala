@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** SemDeDup-style semantic dedup (Dedup.semanticDedup): cluster-scoped
+  * near-identical pruning with deterministic seed centroids. */
+class SemDeDupSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+  import spark.implicits._
+
+  private def mkEmb(rows: Seq[(Long, Seq[Float])]) =
+    rows.toDF("vec_id", "embedding")
+
+  test("drops exact/near duplicates within a cluster, keeps lowest id") {
+    // seed centroids = ids 1 (cluster A) and 2 (cluster B), orthogonal;
+    // ids 3,4 duplicate id 1; id 12 duplicates id 2; id 20 is a
+    // B-cluster singleton
+    val e = mkEmb(Seq(
+      1L  -> Seq(1f, 0f, 0f, 0f),
+      2L  -> Seq(0f, 0f, 1f, 0f),
+      3L  -> Seq(1f, 0f, 0f, 0f),
+      4L  -> Seq(0.999f, 0.001f, 0f, 0f),
+      12L -> Seq(0f, 0f, 1f, 0f),
+      20L -> Seq(0f, 0f, 0.7f, 0.7f)))
+    val dropped = Dedup.semanticDedup(e, Dedup.seedCentroids(e, 2),
+        tauMilli = 100L)
+      .orderBy($"vec_id").collect()
+    assert(dropped.map(_.getLong(0)).toSeq == Seq(3L, 4L, 12L))
+    // canonical is the lowest-id near-dup neighbor
+    assert(dropped.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(3L -> 1L, 4L -> 1L, 12L -> 2L))
+    // survivors = anti-join on the dropped set
+    val survivors = e.join(
+        Dedup.semanticDedup(e, Dedup.seedCentroids(e, 2), 100L),
+        Seq("vec_id"), "left_anti")
+      .select($"vec_id").as[Long].collect().sorted
+    assert(survivors.toSeq == Seq(1L, 2L, 20L))
+  }
+
+  test("comparisons never cross clusters: a near-dup pair straddling the " +
+      "cluster boundary is not compared (the method's documented trade)") {
+    // seed centroids = ids 1,2 (orthogonal); 3 and 4 are near-identical
+    // to EACH OTHER (dist < 1 milli) but each lands in a different
+    // cluster, and neither is within tau of anything in its own cluster
+    val e = mkEmb(Seq(
+      1L -> Seq(1f, 0f),
+      2L -> Seq(0f, 1f),
+      3L -> Seq(0.72f, 0.69f),
+      4L -> Seq(0.69f, 0.72f)))
+    val dropped = Dedup.semanticDedup(e, Dedup.seedCentroids(e, 2), 50L)
+    assert(dropped.count() == 0L)
+  }
+
+  test("maxCluster cap bounds a collapsed-embedding corpus") {
+    // pathological: 500 identical vectors -> one cluster, O(n^2) pairs
+    // uncapped; the cap drops the oversized cluster entirely (bounded
+    // cost, documented completeness trade)
+    val e = mkEmb((1L to 500L).map(i => i -> Seq(1f, 0f, 0f, 0f)))
+    val capped = Dedup.semanticDedup(e, Dedup.seedCentroids(e, 2), 100L,
+      maxCluster = 50)
+    assert(capped.count() == 0L)
+    val uncapped = Dedup.semanticDedup(e, Dedup.seedCentroids(e, 2), 100L)
+    assert(uncapped.count() == 499L) // all but id 1 dropped
+  }
+
+  test("matryoshka staged rerank: prefix-scored candidates recover the " +
+      "exact full-dimension top-10") {
+    val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+    val q = emb.filter($"vec_id" === 1L).head().getSeq[Float](1).toArray
+    import graft.functions.vfs_cosine
+    val exact = emb.select($"vec_id",
+        vfs_cosine($"embedding", typedLit(q)).as("d"))
+      .orderBy($"d".asc, $"vec_id".asc).limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    def staged(candidates: Int): Set[Long] =
+      emb.select($"vec_id", $"embedding",
+          vfs_cosine(slice($"embedding", 1, 16), typedLit(q.take(16)))
+            .as("pd"))
+        .orderBy($"pd".asc, $"vec_id".asc).limit(candidates)
+        .select($"vec_id", vfs_cosine($"embedding", typedLit(q)).as("d"))
+        .orderBy($"d".asc, $"vec_id".asc).limit(10)
+        .select($"vec_id").as[Long].collect().toSet
+    def recall(s: Set[Long]) = (exact intersect s).size.toDouble / exact.size
+    // degenerate equality: candidate pool = whole corpus -> exact top-10
+    assert(staged(500) == exact)
+    // recall is monotone in the candidate budget, and a 10% budget
+    // already recovers a usable fraction on weakly-aligned prefixes
+    val r50 = recall(staged(50))
+    assert(recall(staged(200)) >= r50)
+    assert(r50 >= 0.3, s"staged recall@50=$r50")
+  }
+}

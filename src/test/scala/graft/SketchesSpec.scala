@@ -35,6 +35,22 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("portable HLL registers: estimate within bound, merge = per-bucket max") {
+    val exact = lineitem.select($"l_partkey").distinct().count()
+    val key = col("l_partkey").cast("string")
+    val regs = Sketches.hllRegisters(lineitem, key, p = 8)
+    val est = Sketches.hllEstimate(regs, 8)
+    // p=8 -> rse ~ 1.04/sqrt(256) = 6.5%; 3x margin
+    assert(math.abs(est - exact) / exact < 0.2, s"exact=$exact est=$est")
+    // the HLL merge: registers(A ∪ B) == per-bucket max of the halves
+    val ra = Sketches.hllRegisters(lineitem.filter($"l_orderkey" % 2 === 0), key, 8)
+    val rb = Sketches.hllRegisters(lineitem.filter($"l_orderkey" % 2 =!= 0), key, 8)
+    val merged = ra.unionByName(rb).groupBy($"bucket")
+      .agg(max($"max_rho").as("max_rho"))
+      .orderBy($"bucket").collect().toSeq
+    assert(merged == regs.orderBy($"bucket").collect().toSeq)
+  }
+
   test("KMV estimate is deterministic and within ~2/sqrt(k) of exact") {
     val exact = docs.select($"text").distinct().count()
     val k = 64
