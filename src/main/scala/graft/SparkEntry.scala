@@ -473,6 +473,18 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- curriculum interleave: per-source quality rank + round-robin
+    // source order — any prefix of the stream is quality-leaning AND
+    // source-balanced ----
+    "text_curriculum" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val scored = d.select(col("doc_id"), col("source"),
+        graft.operators.TextAnalysis.qualityMilli(col("text"))
+          .as("quality_milli"))
+      graft.operators.Sampling.curriculumInterleave(scored,
+        col("source"), col("quality_milli"), col("doc_id"))
+    }),
+
     // ---- deterministic source-mixture sampling (domain reweighting):
     // src0's weight binds (quota = its full 25 rows at sf0.01), the
     // others are hash-subsampled to the target proportions ----
@@ -1460,6 +1472,8 @@ object SparkEntry {
 
     "text_curation" -> textCurationOracle,
 
+    "text_curriculum" -> textCurriculumOracle,
+
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -2128,6 +2142,19 @@ object SparkEntry {
        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
        |  AND quality_milli >= 650 AND n_tokens BETWEEN 20 AND 90
        |ORDER BY doc_id ASC""".stripMargin
+
+  private def textCurriculumOracle: String =
+    s"""WITH t AS (SELECT doc_id, source, text,
+       |  string_split_regex(trim(lower(text)), '\\s+') AS toks,
+       |  CAST(length(text) AS DOUBLE) AS n_chars FROM documents),
+       |q AS (SELECT doc_id, source, $qualityExprSql AS quality_milli
+       |  FROM t),
+       |r AS (SELECT doc_id, source, quality_milli,
+       |  CAST(row_number() OVER (PARTITION BY source
+       |    ORDER BY quality_milli DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM q)
+       |SELECT doc_id, source, quality_milli, rank FROM r
+       |ORDER BY rank ASC, source ASC, doc_id ASC""".stripMargin
 
   /** token count + langid + quality in one pass — the DuckDB mirror of
     * the pure-SQL `sql_text_analyze` query (same building blocks as the

@@ -511,6 +511,54 @@ object Dedup {
       .filter(col("dist_milli") < math.round(tau * 1000))
   }
 
+  /** Probe-vs-corpus embedding near-dup JOIN — the incremental /
+    * cross-corpus twin of [[embeddingNearDupLsh]] (the embedding
+    * analogue of [[minHashLshJoin]]): band both sides with the SAME
+    * seeded hyperplane family, candidates agree on ≥ 1 band, exact
+    * cosine verifies < `tau`. Cost ∝ probe batch, not corpus² — the
+    * shape for "is anything in this new crawl a semantic dup of the
+    * standing corpus". Corpus buckets are capped at `maxBucket`
+    * (pathological boilerplate embeddings would otherwise make one
+    * bucket O(corpus)). Dimensions are read from the PROBE (one
+    * 1-row head), and the two frames must share `vecCol` dimension —
+    * the verify expression throws the usual dim guard otherwise.
+    * Output: (probe_id, corpus_id, dist_milli). */
+  def embeddingNearDupJoin(probe: DataFrame, corpus: DataFrame,
+      tau: Double, bands: Int = 4, bitsPerBand: Int = 8, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxBucket: Int = 1000): DataFrame = {
+    val dim = probe.select(size(col(vecCol))).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val nBits = bands * bitsPerBand
+    val planes = Array.fill(nBits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+    def bandSig(b: Int): Column =
+      (0 until bitsPerBand).map { j =>
+        when(graft.functions.vfs_dot(col("v"),
+          typedLit(planes(b * bitsPerBand + j))) > 0,
+          shiftleft(lit(1L), j)).otherwise(0L)
+      }.reduce[Column]((x, y) => x.bitwiseOR(y))
+    def banded(df: DataFrame, as: String): DataFrame =
+      df.select(col(idCol).as(as), col(vecCol).as("v"))
+        .select(col(as),
+          posexplode(array((0 until bands).map(bandSig): _*))
+            .as(Seq("band", "bits")))
+    val cb = capBuckets(banded(corpus, "corpus_id"), maxBucket,
+      Seq("band", "bits"))
+    val candidates = banded(probe, "probe_id")
+      .join(cb, Seq("band", "bits"))
+      .select(col("probe_id"), col("corpus_id"))
+      .dropDuplicates("probe_id", "corpus_id")
+    candidates
+      .join(probe.select(col(idCol).as("probe_id"), col(vecCol).as("vp")),
+        Seq("probe_id"))
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("vc")),
+        Seq("corpus_id"))
+      .select(col("probe_id"), col("corpus_id"),
+        round(vfs_cosine(col("vp"), col("vc")) * 1000).cast("long")
+          .as("dist_milli"))
+      .filter(col("dist_milli") < math.round(tau * 1000))
+  }
+
   /** Deterministic seed centroids for [[semanticDedup]]: the `k`
     * lowest-id vectors. No Lloyd iterations, so any engine (and the
     * DuckDB oracle) reproduces the exact same centroid set; production

@@ -123,4 +123,22 @@ object Sampling {
       .filter(col("__rn") <= quotaCol)
       .drop("__rn")
   }
+
+  /** Deterministic curriculum interleave for a training order: within
+    * each source, rows rank by `score` DESC (best first, `tiebreak`
+    * ASC breaks exactly); the output sorts by (rank, source,
+    * tiebreak), so ANY prefix of the training stream is
+    * simultaneously quality-leaning and source-balanced — the usual
+    * curriculum + domain-mixing requirement. Deliberately NO global
+    * row_number: a global window is a single-partition cliff, while
+    * the (rank, source) sort is a range-partitioned global sort —
+    * exactly the shuffle the output ordering requires and nothing
+    * more. Output: input columns + `rank` (1-based within source). */
+  def curriculumInterleave(df: DataFrame, source: Column, score: Column,
+      tiebreak: Column): DataFrame = {
+    WorkCols.requireFree(df, "rank")
+    val w = Window.partitionBy(source).orderBy(score.desc, tiebreak.asc)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(col("rank").asc, source.asc, tiebreak.asc)
+  }
 }

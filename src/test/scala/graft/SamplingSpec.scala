@@ -109,4 +109,21 @@ class SamplingSpec extends AnyFunSuite {
       .select($"lang", $"doc_id").as[(String, Long)].collect().toSet
     assert(again === first)
   }
+
+  test("curriculum interleave: best-first within source, sources " +
+      "alternate, prefix is balanced") {
+    val df = Seq(
+      (1L, "a", 900L), (2L, "a", 800L), (5L, "a", 100L),
+      (4L, "b", 950L), (3L, "b", 700L))
+      .toDF("id", "src", "score")
+    val out = Sampling.curriculumInterleave(df, $"src", $"score", $"id")
+      .select($"id", $"src", $"rank").collect()
+    // rank 1: a's best (id 1) then b's best (id 4); rank 2: ids 2, 3;
+    // rank 3: a's leftover
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 4L, 2L, 3L, 5L))
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L, 2L, 2L, 3L))
+    // any even prefix holds an equal share of each source
+    val prefix = out.take(4).map(_.getString(1))
+    assert(prefix.count(_ == "a") == 2 && prefix.count(_ == "b") == 2)
+  }
 }

@@ -66,6 +66,26 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(uncapped.count() == 499L) // all but id 1 dropped
   }
 
+  test("probe-vs-corpus embedding near-dup join: finds cross-corpus dups, " +
+      "cost scoped to the probe batch") {
+    val corpus = mkEmb(Seq(
+      1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f),
+      3L -> Seq(0f, 0f, 1f, 0f)))
+    val probe = mkEmb(Seq(
+      101L -> Seq(1f, 0f, 0f, 0f),      // dup of corpus 1
+      102L -> Seq(0f, 0.001f, 0f, 1f))) // near-orthogonal to everything
+    val hits = Dedup.embeddingNearDupJoin(probe, corpus, tau = 0.1,
+        bands = 2, bitsPerBand = 4)
+      .select($"probe_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((101L, 1L)))
+    // corpus-side bucket cap bounds a boilerplate corpus: every corpus
+    // vector identical -> one bucket of size 3 > cap 2 -> no candidates
+    val boiler = mkEmb((1L to 3L).map(_ -> Seq(1f, 0f, 0f, 0f)))
+    assert(Dedup.embeddingNearDupJoin(probe, boiler, 0.1,
+      bands = 2, bitsPerBand = 4, maxBucket = 2).count() == 0L)
+  }
+
   test("matryoshka staged rerank: prefix-scored candidates recover the " +
       "exact full-dimension top-10") {
     val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
