@@ -115,6 +115,16 @@ object Bench {
       Dedup.minHashLsh(spark.read.parquet(s"$sfDir/documents.parquet"),
         threshold = 0.8).count()
     }
+    results("semantic_dedup") = median {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      Dedup.semanticDedup(e, Dedup.seedCentroids(e, 8), tauMilli = 600L)
+        .count()
+    }
+    results("hll_distinct") = median {
+      graft.operators.Sketches.hllRegisters(
+        spark.read.parquet(s"$sfDir/events.parquet"),
+        col("user_id").cast("string"), p = 12).count()
+    }
     results("sessionize") = median {
       SparkEntry.queries("w_sessionize")(spark, sfDir).count()
     }

@@ -120,6 +120,21 @@ object Explain {
       spark.sql(s"SELECT vec_id, distance FROM vfs_knn(" +
         s"'$dir/embeddings.parquet', 5, 'cosine', $qLit, 'embedding', 'vec_id')")
     }
+    show("semantic dedup (expect: ZERO-shuffle argmin assignment " +
+        "projection; one exchange on cluster for the scoped self-join)") {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      Dedup.semanticDedup(e, Dedup.seedCentroids(e, 8), tauMilli = 600L)
+    }
+    show("matryoshka rerank (expect: TWO TakeOrderedAndProject stages, " +
+        "prefix scoring inside codegen)") {
+      graft.SparkEntry.queries("q_matryoshka_rerank")(spark, dir)
+    }
+    show("hll registers (expect: partial+final hashagg over slim " +
+        "(bucket, rho) pairs, O(2^p) result)") {
+      graft.operators.Sketches.hllRegisters(
+        graft.SparkEntry.events(spark, dir).select(col("user_id")),
+        col("user_id").cast("string"), p = 6)
+    }
     spark.stop()
   }
 }

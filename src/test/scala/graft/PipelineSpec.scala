@@ -603,6 +603,36 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming micro-batches dedup against a standing corpus via the " +
+      "embedding LSH join (incremental semantic dedup)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val hits = scala.collection.mutable.Set.empty[(Long, Long)]
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = stream.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        hits ++= Dedup.embeddingNearDupJoin(batch, corpus, tau = 0.1,
+            bands = 2, bitsPerBand = 4)
+          .select($"probe_id", $"corpus_id").as[(Long, Long)]
+          .collect()
+        ()
+      }
+      .start()
+    try {
+      stream.addData((101L, Array(1f, 0f, 0f, 0f)),
+        (102L, Array(0f, 0f, 0f, 1f)))
+      q.processAllAvailable()
+      stream.addData((103L, Array(0f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+      // each micro-batch probes ONLY itself against the corpus — the
+      // dup of corpus 1 and (next batch) of corpus 2 are both caught,
+      // the novel vector 102 is not flagged
+      assert(hits.toSet == Set((101L, 1L), (103L, 2L)))
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
