@@ -584,13 +584,20 @@ object Dedup {
     * trades completeness inside oversized clusters for a bounded
     * worst case on pathological (collapsed-embedding) corpora.
     *
+    * `nAssign > 1` assigns every vector to its n nearest centroids
+    * (SOAR-style double assignment, the same fix as the IVF
+    * multiprobe): a near-dup pair straddling one cluster boundary
+    * still shares the neighbor cluster, closing single-assignment's
+    * documented blind spot for ~n× pair cost.
+    *
     * Returns the DROPPED rows: (idCol, canonical, cluster, dist_milli)
-    * where `canonical` is the lowest-id near-dup neighbor in the same
+    * where `canonical` is the lowest-id near-dup neighbor sharing a
     * cluster and `dist_milli` the distance to it. Survivors = input
     * anti-join output. */
   def semanticDedup(emb: DataFrame, centroids: DataFrame, tauMilli: Long,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      maxCluster: Int = 0): DataFrame = {
+      maxCluster: Int = 0, nAssign: Int = 1): DataFrame = {
+    require(nAssign >= 1, "[GRAFT] semanticDedup: nAssign must be >= 1")
     val cents: Array[(Long, Seq[Float])] = centroids
       .select(col("cid").cast("long"), col("cv"))
       .collect()
@@ -604,9 +611,19 @@ object Dedup {
           .as("dm"),
         lit(cid).as("cid"))
     }
-    val best = array_min(array(dcs.toIndexedSeq: _*))
-    val assigned0 = e.select(col("id"), col("v"),
-      best.getField("cid").as("cluster"))
+    // argmin (or arg-top-n) over centroid literals: a pure projection,
+    // no shuffle — struct ordering is (dm, cid), an integer tiebreak
+    // every engine agrees on
+    val assigned0 =
+      if (nAssign == 1) {
+        val best = array_min(array(dcs.toIndexedSeq: _*))
+        e.select(col("id"), col("v"), best.getField("cid").as("cluster"))
+      } else {
+        val ranked = slice(array_sort(array(dcs.toIndexedSeq: _*)), 1,
+          math.min(nAssign, cents.length))
+        e.select(col("id"), col("v"),
+          explode(ranked.getField("cid")).as("cluster"))
+      }
     val assigned =
       if (maxCluster > 0) capBuckets(assigned0, maxCluster, Seq("cluster"))
       else assigned0
@@ -619,9 +636,9 @@ object Dedup {
         round(vfs_cosine(col("a.v"), col("b.v")) * 1000).cast("long")
           .as("dm"))
       .filter(col("dm") < tauMilli)
-      .groupBy(col("id"), col("cluster"))
-      .agg(min(struct(col("neighbor"), col("dm"))).as("nd"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("neighbor"), col("dm"), col("cluster"))).as("nd"))
       .select(col("id").as(idCol), col("nd.neighbor").as("canonical"),
-        col("cluster"), col("nd.dm").as("dist_milli"))
+        col("nd.cluster").as("cluster"), col("nd.dm").as("dist_milli"))
   }
 }

@@ -52,6 +52,12 @@ class SemDeDupSpec extends AnyFunSuite {
       4L -> Seq(0.69f, 0.72f)))
     val dropped = Dedup.semanticDedup(e, Dedup.seedCentroids(e, 2), 50L)
     assert(dropped.count() == 0L)
+    // SOAR-style double assignment (nAssign=2) closes the blind spot:
+    // 3 and 4 now share both clusters, the pair is compared, 4 drops
+    val multi = Dedup.semanticDedup(e, Dedup.seedCentroids(e, 2), 50L,
+      nAssign = 2).collect()
+    assert(multi.map(r => r.getLong(0) -> r.getLong(1)).toSeq ==
+      Seq(4L -> 3L))
   }
 
   test("maxCluster cap bounds a collapsed-embedding corpus") {
@@ -64,6 +70,32 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(capped.count() == 0L)
     val uncapped = Dedup.semanticDedup(e, Dedup.seedCentroids(e, 2), 100L)
     assert(uncapped.count() == 499L) // all but id 1 dropped
+  }
+
+  test("semanticDedup composes with IVF-trained centroids (production " +
+      "path) and multi-assignment only widens the dropped set") {
+    val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+    val dir = java.nio.file.Files
+      .createTempDirectory("semdedup_ivf").toString
+    graft.operators.IvfIndex.build(
+      emb.select($"vec_id".as("id"), $"embedding".as("values")),
+      dir, nCentroids = 8, graft.operators.Metric.Cosine)
+    val cents = spark.read.parquet(s"$dir/centroids")
+      .select($"cluster".cast("long").as("cid"), $"centroid".as("cv"))
+    val d1 = Dedup.semanticDedup(emb, cents, tauMilli = 600L).collect()
+    // invariants: canonical is a lower id, distance under tau
+    assert(d1.forall(r => r.getLong(1) < r.getLong(0)))
+    assert(d1.forall(r => r.getLong(3) < 600L))
+    // every drop is a TRUE near-dup per the exact all-pairs check
+    val truePairs = Dedup.embeddingPairsWithin(
+        emb.withColumn("g", lit(1)), "g", 0.6)
+      .select($"a", $"b").as[(Long, Long)].collect().toSet
+    assert(d1.forall(r => truePairs.contains((r.getLong(1), r.getLong(0)))))
+    // double assignment can only ADD boundary pairs, never lose drops
+    val ids1 = d1.map(_.getLong(0)).toSet
+    val ids2 = Dedup.semanticDedup(emb, cents, 600L, nAssign = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1.subsetOf(ids2))
   }
 
   test("probe-vs-corpus embedding near-dup join: finds cross-corpus dups, " +
