@@ -68,6 +68,17 @@ object ScaleProbe {
       graft.operators.IvfPq
         .searchRefined(spark, ivfDir, pqDir, q, 10, nProbe = 8).collect()
     }
+    time("SemDeDup: 707 IVF centroids, cluster-scoped prune (tau=.05)") {
+      val cents = spark.read.parquet(s"$ivfDir/centroids")
+        .select($"cluster".cast("long").as("cid"), $"centroid".as("cv"))
+      graft.operators.Dedup.semanticDedup(
+        base.select($"id".as("vec_id"), $"values".as("embedding")),
+        cents, tauMilli = 50L, maxCluster = 5000).count()
+    }
+    time("HLL registers p=12 over the corpus ids (partial max agg)") {
+      graft.operators.Sketches.hllRegisters(base,
+        $"id".cast("string"), p = 12).count()
+    }
     time("VectorMean: 1000-group centroids over the corpus (partial agg)") {
       base.groupBy(($"id" % 1000).as("g"))
         .agg(graft.operators.VectorMean.vecMean($"values").as("m"))

@@ -98,6 +98,16 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(ids1.subsetOf(ids2))
   }
 
+  test("kernel assignment route (big centroid sets) agrees with the " +
+      "literal oracle route") {
+    val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+    val cents = Dedup.seedCentroids(emb, 8)
+    def drops(kt: Int) =
+      Dedup.semanticDedup(emb, cents, 600L, kernelThreshold = kt)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drops(0) == drops(64)) // kernel-forced vs literal route
+  }
+
   test("probe-vs-corpus embedding near-dup join: finds cross-corpus dups, " +
       "cost scoped to the probe batch") {
     val corpus = mkEmb(Seq(
