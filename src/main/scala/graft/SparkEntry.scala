@@ -473,6 +473,31 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- hashed bag-of-words embedding: model-free text
+    // featurization (hashing trick), codegen'd kernel, bit-exact
+    // cross-engine in milli form ----
+    "text_hash_embedding" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.hashEmbeddingMilli(col("text"), 64)
+            .as("emb_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the full text→vector→semantic-dedup composition: raw text
+    // featurized in-engine, then SemDeDup over the derived embeddings —
+    // no external model anywhere, and DuckDB reproduces the whole
+    // pipeline bit-for-bit ----
+    "dedup_semantic_text" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.hashEmbedding(col("text"), 64)
+            .as("embedding"))
+      Dedup.semanticDedup(e, Dedup.seedCentroids(e, 8, idCol = "doc_id"),
+          tauMilli = 100L, idCol = "doc_id")
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- curriculum interleave: per-source quality rank + round-robin
     // source order — any prefix of the stream is quality-leaning AND
     // source-balanced ----
@@ -1474,6 +1499,10 @@ object SparkEntry {
 
     "text_curriculum" -> textCurriculumOracle,
 
+    "text_hash_embedding" -> textHashEmbeddingOracle,
+
+    "dedup_semantic_text" -> dedupSemanticTextOracle,
+
     "multimodal_meta" ->
       """SELECT doc_id, 'text/plain' AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -2141,6 +2170,56 @@ object SparkEntry {
        |SELECT doc_id, n_tokens, quality_milli FROM q
        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
        |  AND quality_milli >= 650 AND n_tokens BETWEEN 20 AND 90
+       |ORDER BY doc_id ASC""".stripMargin
+
+  /** hashed-BoW CTE chain shared by the embedding and composed-dedup
+    * oracles: toks → buckets (md5-fold mod 64) → dense counts → L2
+    * norm (sum of squared integer counts — order-independent exact). */
+  private def hashedBowCtes: String =
+    s"""t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |b AS (SELECT doc_id, list_transform(toks, w -> ${duckHex15("w")} % 64) AS bk
+       |  FROM t),
+       |c AS (SELECT doc_id, list_transform(range(0, 64),
+       |        i -> CAST(len(list_filter(bk, x -> x = i)) AS DOUBLE)) AS cnts
+       |  FROM b),
+       |n AS (SELECT doc_id, cnts,
+       |        sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(cnts, x -> x * x)), (a, v) -> a + v)) AS nrm
+       |  FROM c)""".stripMargin
+
+  private def textHashEmbeddingOracle: String =
+    s"""WITH $hashedBowCtes
+       |SELECT doc_id, list_transform(cnts, x -> CASE WHEN nrm > 0
+       |    THEN CAST(round(x / nrm * 1000) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END) AS emb_milli
+       |FROM n ORDER BY doc_id ASC""".stripMargin
+
+  private def dedupSemanticTextOracle: String =
+    s"""WITH $hashedBowCtes,
+       |e AS (SELECT doc_id, CAST(list_transform(cnts,
+       |        x -> CAST(CASE WHEN nrm > 0 THEN x / nrm ELSE 0 END AS REAL))
+       |        AS DOUBLE[]) AS v FROM n),
+       |cc AS (SELECT doc_id AS cid, v AS cv FROM e
+       |       ORDER BY doc_id ASC LIMIT 8),
+       |dd AS (SELECT e.doc_id, cc.cid,
+       |        CAST(round(${duckCos("e.v", "cc.cv")} * 1000) AS BIGINT) AS dm
+       |      FROM e CROSS JOIN cc),
+       |asg AS (SELECT doc_id, cid AS cluster FROM
+       |          (SELECT doc_id, cid, row_number() OVER
+       |             (PARTITION BY doc_id ORDER BY dm ASC, cid ASC) AS rn
+       |           FROM dd)
+       |        WHERE rn = 1),
+       |tt AS (SELECT asg.doc_id, asg.cluster, e.v
+       |      FROM asg JOIN e USING (doc_id)),
+       |p AS (SELECT bb.doc_id AS doc_id, aa.doc_id AS neighbor, bb.cluster,
+       |        CAST(round(${duckCos("aa.v", "bb.v")} * 1000) AS BIGINT) AS dm
+       |      FROM tt aa JOIN tt bb
+       |        ON aa.cluster = bb.cluster AND aa.doc_id < bb.doc_id)
+       |SELECT doc_id, min(neighbor) AS canonical, cluster,
+       |       min_by(dm, neighbor) AS dist_milli
+       |FROM p WHERE dm < 100
+       |GROUP BY doc_id, cluster
        |ORDER BY doc_id ASC""".stripMargin
 
   private def textCurriculumOracle: String =

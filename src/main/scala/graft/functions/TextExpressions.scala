@@ -89,6 +89,111 @@ case class MinShingleHash(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Hashed bag-of-words kernel shared by interpreted + generated code
+  * (the "hashing trick", Weinberger et al. 2009, as in scikit-learn's
+  * HashingVectorizer): token → bucket `wordHash60(token) mod dim`,
+  * count, L2-normalize. One MD5 per token (reused digest instance),
+  * one pass — the HOF phrasing re-walked the counts array inside
+  * interpreted lambdas (no codegen, no CSE) and recomputed the norm
+  * per element. The hash is the same md5-fold as
+  * [[graft.operators.Dedup.portableWordHash]], so the DuckDB oracle
+  * derives identical vectors. */
+object HashedBow {
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Dedup.portableWordHash twin in the JVM: the first 15 hex chars of
+    * md5 parsed base-16 == the top 60 bits of the digest. */
+  def wordHash60(w: String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var x = 0L
+    var i = 0
+    while (i < 8) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
+    x >>> 4
+  }
+
+  /** EXACTLY the Column-side token model (`tokens(lower(trim(text)))`):
+    * lower via Locale.ROOT, trim U+0020 only, split `\s+` limit -1. */
+  private def tokensOf(text: UTF8String): Array[String] = {
+    val lowered = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var lo = 0
+    var hi = lowered.length
+    while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
+    while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
+    lowered.substring(lo, hi).split("\\s+", -1)
+  }
+
+  private def counts(text: UTF8String, dim: Int): (Array[Double], Double) = {
+    val c = new Array[Double](dim)
+    tokensOf(text).foreach { t =>
+      c((wordHash60(t) % dim).toInt) += 1.0
+    }
+    var ss = 0.0
+    var i = 0
+    while (i < dim) { ss += c(i) * c(i); i += 1 }
+    (c, math.sqrt(ss))
+  }
+
+  /** static entry for codegen: unit-L2 ARRAY<FLOAT> (all-zero when the
+    * text has no tokens). */
+  def unitVec(text: UTF8String, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (c, norm) = counts(text, dim)
+    val out = new Array[Float](dim)
+    if (norm > 0) {
+      var i = 0
+      while (i < dim) { out(i) = (c(i) / norm).toFloat; i += 1 }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  /** static entry for codegen: milli-rounded ARRAY<BIGINT> — the
+    * bit-exact cross-engine form the oracle pins. */
+  def milliVec(text: UTF8String, dim: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val (c, norm) = counts(text, dim)
+    val out = new Array[Long](dim)
+    if (norm > 0) {
+      var i = 0
+      while (i < dim) {
+        out(i) = Math.round(c(i) / norm * 1000.0)
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** STRING → hashed bag-of-words embedding; `milli = false` gives the
+  * unit-L2 ARRAY<FLOAT> that feeds the vector operators (semantic
+  * dedup / kNN / IVF over raw text), `milli = true` the rounded
+  * ARRAY<BIGINT> oracle form. */
+case class HashEmbedding(child: Expression, dim: Int, milli: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(dim > 0 && dim <= 4096,
+    "[GRAFT] vfs_hash_embedding: dim must be in [1, 4096]")
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType =
+    if (milli) ArrayType(LongType, containsNull = false)
+    else ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vfs_hash_embedding"
+
+  override def nullSafeEval(v: Any): Any =
+    if (milli) HashedBow.milliVec(v.asInstanceOf[UTF8String], dim)
+    else HashedBow.unitVec(v.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashedBow.${if (milli) "milliVec" else "unitVec"}($c, $dim)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** STRING → ARRAY<BIGINT> minhash signature computed in one tight JVM
   * pass: tokenize on whitespace, FNV-1a each distinct word ONCE, then
   * derive the `numHashes` hash family affinely (g_i = a_i·h + b_i over

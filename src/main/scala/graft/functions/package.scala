@@ -58,6 +58,11 @@ package object functions {
     col(MinShingleHash(ex(text),
       org.apache.spark.sql.catalyst.expressions.Literal(k)))
 
+  def vfs_hash_embedding(text: Column, dim: Int): Column =
+    col(HashEmbedding(ex(text), dim, milli = false))
+  def vfs_hash_embedding_milli(text: Column, dim: Int): Column =
+    col(HashEmbedding(ex(text), dim, milli = true))
+
   /** Registers all functions for SQL use, including the `simd_*`
     * aliases (numerically identical — the reference's SIMD kernels
     * compute the same formula, vfs/src/vfs/rank.rs:14-56; Spark's
@@ -100,6 +105,11 @@ package object functions {
     r1("vfs_quality_milli", es => cx(TA.qualityMilli(col(es(0)))))
     r1("vfs_normalize_text", es => cx(TA.normalizeText(col(es(0)))))
     r1("vfs_redact_pii", es => cx(TA.redactPii(col(es(0)))))
+    r1("vfs_hash_embedding", es => HashEmbedding(es(0),
+      intLit(es(1), "vfs_hash_embedding(text, dim): dim"), milli = false))
+    r1("vfs_hash_embedding_milli", es => HashEmbedding(es(0),
+      intLit(es(1), "vfs_hash_embedding_milli(text, dim): dim"),
+      milli = true))
     r1("vfs_chunk_text", es => cx(TA.chunkText(col(es(0)),
       intLit(es(1), "vfs_chunk_text(text, size, overlap): size"),
       intLit(es(2), "vfs_chunk_text(text, size, overlap): overlap"))))

@@ -18,6 +18,25 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Deterministic hashed bag-of-words embedding (the "hashing trick",
+    * Weinberger et al. 2009, as in scikit-learn's HashingVectorizer):
+    * token t lands in bucket `portableWordHash(t) mod dim` with weight
+    * 1 per occurrence, and the count vector is L2-normalized. The
+    * model-free featurization that lets raw TEXT flow into every
+    * embedding operator here (semanticDedup / Knn / IVF / near-dup
+    * LSH) without an external model — and because the hash is the
+    * engine-portable md5 fold, any engine derives the identical
+    * vector. A single codegen'd kernel pass per row
+    * ([[graft.functions.HashedBow]]): no shuffle, one md5 per token.
+    * Returns ARRAY<FLOAT> (unit L2 norm; all-zero for no tokens). */
+  def hashEmbedding(text: Column, dim: Int = 64): Column =
+    graft.functions.vfs_hash_embedding(text, dim)
+
+  /** [[hashEmbedding]] rounded to milli units as ARRAY<BIGINT> — the
+    * bit-exact cross-engine form the DuckDB oracle pins. */
+  def hashEmbeddingMilli(text: Column, dim: Int = 64): Column =
+    graft.functions.vfs_hash_embedding_milli(text, dim)
+
   /** Fixed-size character chunks with overlap — the RAG / context-
     * window preprocessing shape: chunk i covers
     * [i·(size−overlap), i·(size−overlap)+size). The final chunk may be

@@ -98,6 +98,45 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("hashed BoW embedding: unit norm, token-order invariance, " +
+      "milli twin, SQL surface, codegen") {
+    val df = Seq((1L, "the cat sat"), (2L, "sat the cat"),
+      (3L, "a dog runs fast"), (4L, "   ")).toDF("id", "t")
+    val got = df.select($"id",
+        vfs_hash_embedding($"t", 16).as("e"),
+        vfs_hash_embedding_milli($"t", 16).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Float](1), r.getSeq[Long](2))).toMap
+    // unit L2 norm for non-empty text
+    val n1 = math.sqrt(got(1L)._1.map(x => x.toDouble * x).sum)
+    assert(math.abs(n1 - 1.0) < 1e-6)
+    // bag-of-words: token order doesn't matter
+    assert(got(1L)._1 == got(2L)._1)
+    // different bags differ
+    assert(got(1L)._1 != got(3L)._1)
+    // milli twin is the rounded unit vector
+    got(1L)._1.zip(got(1L)._2).foreach { case (f, m) =>
+      assert(math.abs(f * 1000 - m) <= 0.51, s"$f vs $m")
+    }
+    // whitespace-only text: the single empty token still lands in one
+    // bucket (split semantics), so the vector is a unit one-hot
+    assert(got(4L)._2.count(_ != 0L) == 1)
+    // SQL registration
+    graft.functions.registerAll(spark)
+    df.createOrReplaceTempView("hbe")
+    val viaSql = spark.sql(
+      "SELECT vfs_hash_embedding_milli(t, 16) FROM hbe WHERE id = 1")
+      .head().getSeq[Long](0)
+    assert(viaSql == got(1L)._2)
+    // stays inside whole-stage codegen (parquet-backed frame — a local
+    // relation folds the projection before planning)
+    val plan = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+      .select(vfs_hash_embedding($"text", 16).as("e"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vfs_hash_embedding"), plan)
+  }
+
   test("distance runs inside whole-stage codegen") {
     val df = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
       .select(vfs_euclidean($"embedding", $"embedding").as("d"))
