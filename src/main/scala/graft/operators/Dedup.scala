@@ -481,10 +481,9 @@ object Dedup {
   def embeddingNearDupLsh(emb: DataFrame, tau: Double, bands: Int = 4,
       bitsPerBand: Int = 8, seed: Long = 42L, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
-    val rnd = new scala.util.Random(seed)
+    val dim = dimOf(vecCol, emb) // empty-safe: empty input → empty output
     val nBits = bands * bitsPerBand
-    val planes = Array.fill(nBits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+    val planes = hyperplanes(dim, nBits, seed)
     def bandSig(b: Int): Column =
       (0 until bitsPerBand).map { j =>
         when(graft.functions.vfs_dot(col("v"),
@@ -511,40 +510,81 @@ object Dedup {
       .filter(col("dist_milli") < math.round(tau * 1000))
   }
 
-  /** Probe-vs-corpus embedding near-dup JOIN — the incremental /
-    * cross-corpus twin of [[embeddingNearDupLsh]] (the embedding
-    * analogue of [[minHashLshJoin]]): band both sides with the SAME
-    * seeded hyperplane family, candidates agree on ≥ 1 band, exact
-    * cosine verifies < `tau`. Cost ∝ probe batch, not corpus² — the
-    * shape for "is anything in this new crawl a semantic dup of the
-    * standing corpus". Corpus buckets are capped at `maxBucket`
-    * (pathological boilerplate embeddings would otherwise make one
-    * bucket O(corpus)). Dimensions are read from the PROBE (one
-    * 1-row head), and the two frames must share `vecCol` dimension —
-    * the verify expression throws the usual dim guard otherwise.
-    * Output: (probe_id, corpus_id, dist_milli). */
-  def embeddingNearDupJoin(probe: DataFrame, corpus: DataFrame,
-      tau: Double, bands: Int = 4, bitsPerBand: Int = 8, seed: Long = 42L,
-      vecCol: String = "embedding", idCol: String = "vec_id",
-      maxBucket: Int = 1000): DataFrame = {
-    val dim = probe.select(size(col(vecCol))).head().getInt(0)
+  /** The seeded hyperplane family used by the cross-corpus embedding
+    * join — derived only from (dim, bands·bitsPerBand, seed), so probe
+    * and corpus sides band identically even when banded in different
+    * jobs. */
+  private def hyperplanes(dim: Int, nBits: Int,
+      seed: Long): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
-    val nBits = bands * bitsPerBand
-    val planes = Array.fill(nBits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+    Array.fill(nBits)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+  }
+
+  private def bandRelation(df: DataFrame, as: String, vecCol: String,
+      idCol: String, planes: Array[Array[Float]], bands: Int,
+      bitsPerBand: Int): DataFrame = {
     def bandSig(b: Int): Column =
       (0 until bitsPerBand).map { j =>
         when(graft.functions.vfs_dot(col("v"),
           typedLit(planes(b * bitsPerBand + j))) > 0,
           shiftleft(lit(1L), j)).otherwise(0L)
       }.reduce[Column]((x, y) => x.bitwiseOR(y))
-    def banded(df: DataFrame, as: String): DataFrame =
-      df.select(col(idCol).as(as), col(vecCol).as("v"))
-        .select(col(as),
-          posexplode(array((0 until bands).map(bandSig): _*))
-            .as(Seq("band", "bits")))
-    val cb = capBuckets(banded(corpus, "corpus_id"), maxBucket,
-      Seq("band", "bits"))
-    val candidates = banded(probe, "probe_id")
+    df.select(col(idCol).as(as), col(vecCol).as("v"))
+      .select(col(as),
+        posexplode(array((0 until bands).map(bandSig): _*))
+          .as(Seq("band", "bits")))
+  }
+
+  /** `vecCol` dimension of the first available row — empty-safe:
+    * falls back across frames, then to 1 (with no rows anywhere the
+    * banding expressions never execute, so the value is moot). */
+  private def dimOf(vecCol: String, dfs: DataFrame*): Int =
+    dfs.iterator
+      .flatMap(_.select(size(col(vecCol))).limit(1).collect().headOption)
+      .map(_.getInt(0))
+      .nextOption().getOrElse(1)
+
+  /** Band + cap a STANDING corpus once — cache/persist the result and
+    * pass it to [[embeddingNearDupJoin]] via `bandedCorpus` so each
+    * probe micro-batch pays only probe-side work (without this, every
+    * batch re-computes all corpus band signatures plus the corpus-wide
+    * bucket-cap window). Output: (corpus_id, band, bits), capped. */
+  def bandCorpus(corpus: DataFrame, bands: Int = 4, bitsPerBand: Int = 8,
+      seed: Long = 42L, vecCol: String = "embedding",
+      idCol: String = "vec_id", maxBucket: Int = 1000): DataFrame = {
+    val planes = hyperplanes(dimOf(vecCol, corpus), bands * bitsPerBand,
+      seed)
+    capBuckets(
+      bandRelation(corpus, "corpus_id", vecCol, idCol, planes, bands,
+        bitsPerBand),
+      maxBucket, Seq("band", "bits"))
+  }
+
+  /** Probe-vs-corpus embedding near-dup JOIN — the incremental /
+    * cross-corpus twin of [[embeddingNearDupLsh]] (the embedding
+    * analogue of [[minHashLshJoin]]): band both sides with the SAME
+    * seeded hyperplane family, candidates agree on ≥ 1 band, exact
+    * cosine verifies < `tau`. Corpus buckets are capped at `maxBucket`
+    * (pathological boilerplate embeddings would otherwise make one
+    * bucket O(corpus)). Pass a cached [[bandCorpus]] result as
+    * `bandedCorpus` in repeated-probe use (foreachBatch streaming) —
+    * then per-call cost really is ∝ the probe batch; without it the
+    * corpus is re-banded per call. An empty probe yields an empty
+    * result (no `head()` crash mid-stream). The two frames must share
+    * `vecCol` dimension — the verify expression throws the usual dim
+    * guard otherwise. Output: (probe_id, corpus_id, dist_milli). */
+  def embeddingNearDupJoin(probe: DataFrame, corpus: DataFrame,
+      tau: Double, bands: Int = 4, bitsPerBand: Int = 8, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxBucket: Int = 1000,
+      bandedCorpus: Option[DataFrame] = None): DataFrame = {
+    val planes = hyperplanes(dimOf(vecCol, probe, corpus),
+      bands * bitsPerBand, seed)
+    val cb = bandedCorpus.getOrElse(
+      bandCorpus(corpus, bands, bitsPerBand, seed, vecCol, idCol,
+        maxBucket))
+    val candidates = bandRelation(probe, "probe_id", vecCol, idCol,
+        planes, bands, bitsPerBand)
       .join(cb, Seq("band", "bits"))
       .select(col("probe_id"), col("corpus_id"))
       .dropDuplicates("probe_id", "corpus_id")
@@ -596,9 +636,12 @@ object Dedup {
     * threshold (real SemDeDup runs want k ≈ √N), codegen over
     * thousands of struct literals degrades, so assignment switches to
     * [[IvfIndex.assignRows]] — the measured-18-27×-faster broadcast
-    * argmin kernel (spherical mode; same nearest-centroid ordering,
-    * raw-double rather than rounded tiebreak, so not bit-pinned to
-    * the oracle route on exact rounding ties).
+    * argmin kernel. Spherical mode: rows AND centroids are
+    * L2-normalized, so Euclidean argmin is exactly cosine argmin
+    * (non-unit centroids — IVF Lloyd means always have norm < 1 —
+    * would otherwise bias toward longer centroids); tiebreaks are
+    * raw-double rather than rounded, so the route is not bit-pinned
+    * to the oracle route on exact rounding ties.
     *
     * Returns the DROPPED rows: (idCol, canonical, cluster, dist_milli)
     * where `canonical` is the lowest-id near-dup neighbor sharing a
@@ -632,8 +675,15 @@ object Dedup {
             s"[GRAFT] semanticDedup kernel route: centroid id $cid " +
               "exceeds Int range")
         }
+        // the kernel argmin is Euclidean over L2-NORMALIZED rows —
+        // centroids must be normalized too, or non-unit centroids
+        // (IVF Lloyd means always have norm < 1) would bias the
+        // assignment toward longer centroids and silently diverge
+        // from the literal route's cosine argmin
         IvfIndex.assignRows(e,
-            cents.map { case (cid, cv) => (cid.toInt, cv.toArray) },
+            cents.map { case (cid, cv) =>
+              (cid.toInt, IvfIndex.l2normalize(cv.toArray))
+            },
             nAssign, normalize = true)
           .select(col("id"), col("values").as("v"),
             col("cluster").cast("long").as("cluster"))

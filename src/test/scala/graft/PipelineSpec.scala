@@ -609,12 +609,16 @@ class PipelineSpec extends AnyFunSuite {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
       .toDF("vec_id", "embedding")
+    // band + cap the standing corpus ONCE; each micro-batch then pays
+    // only probe-side work
+    val banded = Dedup.bandCorpus(corpus, bands = 2, bitsPerBand = 4)
+      .cache()
     val hits = scala.collection.mutable.Set.empty[(Long, Long)]
     val stream = MemoryStream[(Long, Array[Float])]
     val q = stream.toDF().toDF("vec_id", "embedding").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         hits ++= Dedup.embeddingNearDupJoin(batch, corpus, tau = 0.1,
-            bands = 2, bitsPerBand = 4)
+            bands = 2, bitsPerBand = 4, bandedCorpus = Some(banded))
           .select($"probe_id", $"corpus_id").as[(Long, Long)]
           .collect()
         ()

@@ -99,13 +99,20 @@ class SemDeDupSpec extends AnyFunSuite {
   }
 
   test("kernel assignment route (big centroid sets) agrees with the " +
-      "literal oracle route") {
+      "literal oracle route — including for NON-UNIT centroids") {
     val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
     val cents = Dedup.seedCentroids(emb, 8)
-    def drops(kt: Int) =
-      Dedup.semanticDedup(emb, cents, 600L, kernelThreshold = kt)
+    def drops(c: org.apache.spark.sql.DataFrame, kt: Int) =
+      Dedup.semanticDedup(emb, c, 600L, kernelThreshold = kt)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(drops(0) == drops(64)) // kernel-forced vs literal route
+    assert(drops(cents, 0) == drops(cents, 64)) // kernel vs literal
+    // IVF Lloyd centroids are never unit-norm: scale each seed
+    // centroid by a different factor — cosine assignment is
+    // direction-only, so BOTH routes must be invariant and agree
+    val scaled = cents.withColumn("cv",
+      transform($"cv", x => x * (pmod($"cid", lit(3)) + 1).cast("float")))
+    assert(drops(scaled, 0) == drops(cents, 0))
+    assert(drops(scaled, 64) == drops(cents, 64))
   }
 
   test("probe-vs-corpus embedding near-dup join: finds cross-corpus dups, " +
@@ -126,6 +133,15 @@ class SemDeDupSpec extends AnyFunSuite {
     val boiler = mkEmb((1L to 3L).map(_ -> Seq(1f, 0f, 0f, 0f)))
     assert(Dedup.embeddingNearDupJoin(probe, boiler, 0.1,
       bands = 2, bitsPerBand = 4, maxBucket = 2).count() == 0L)
+    // pre-banded corpus path gives identical results
+    val preBanded = Dedup.bandCorpus(corpus, bands = 2, bitsPerBand = 4)
+    val viaBanded = Dedup.embeddingNearDupJoin(probe, corpus, 0.1,
+        bands = 2, bitsPerBand = 4, bandedCorpus = Some(preBanded))
+      .select($"probe_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    assert(viaBanded == hits)
+    // an EMPTY probe micro-batch returns empty instead of crashing
+    assert(Dedup.embeddingNearDupJoin(probe.limit(0), corpus, 0.1,
+      bands = 2, bitsPerBand = 4).count() == 0L)
   }
 
   test("matryoshka staged rerank: prefix-scored candidates recover the " +
