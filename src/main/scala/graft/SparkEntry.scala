@@ -473,6 +473,21 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- deterministic negative-pair mining (contrastive training):
+    // hash-drawn partners over the dense id domain, exact-dup pairs
+    // filtered out (false-negative guard) ----
+    "q_negative_pairs" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Sampling.negativePairs(d, k = 3, n = d.count())
+        .join(d.select(col("doc_id").as("anchor"), col("text").as("__ta")),
+          Seq("anchor"))
+        .join(d.select(col("doc_id").as("negative"),
+          col("text").as("__tb")), Seq("negative"))
+        .filter(col("__ta") =!= col("__tb"))
+        .select(col("anchor"), col("j"), col("negative"))
+        .orderBy(col("anchor").asc, col("j").asc)
+    }),
+
     // ---- hashed bag-of-words embedding: model-free text
     // featurization (hashing trick), codegen'd kernel, bit-exact
     // cross-engine in milli form ----
@@ -1498,6 +1513,18 @@ object SparkEntry {
     "text_curation" -> textCurationOracle,
 
     "text_curriculum" -> textCurriculumOracle,
+
+    "q_negative_pairs" ->
+      s"""WITH a AS (SELECT doc_id AS anchor, text AS ta FROM documents),
+         |cnt AS (SELECT count(*) AS n FROM documents),
+         |p AS (SELECT anchor, ta, unnest(range(0, 3)) AS j FROM a),
+         |q AS (SELECT anchor, j,
+         |  ${duckHex15("concat_ws(':', CAST(anchor AS VARCHAR), CAST(j AS VARCHAR))")}
+         |    % (SELECT n FROM cnt) AS negative, ta FROM p)
+         |SELECT anchor, j, negative
+         |FROM q JOIN documents d ON d.doc_id = q.negative
+         |WHERE negative <> anchor AND d.text <> q.ta
+         |ORDER BY anchor ASC, j ASC""".stripMargin,
 
     "text_hash_embedding" -> textHashEmbeddingOracle,
 

@@ -554,10 +554,12 @@ object Dedup {
       idCol: String = "vec_id", maxBucket: Int = 1000): DataFrame = {
     val planes = hyperplanes(dimOf(vecCol, corpus), bands * bitsPerBand,
       seed)
-    capBuckets(
-      bandRelation(corpus, "corpus_id", vecCol, idCol, planes, bands,
-        bitsPerBand),
-      maxBucket, Seq("band", "bits"))
+    val banded = bandRelation(corpus, "corpus_id", vecCol, idCol, planes,
+      bands, bitsPerBand)
+    // Int.MaxValue = "store uncapped" (cap again at probe time) —
+    // skip the pointless bucket-count window
+    if (maxBucket == Int.MaxValue) banded
+    else capBuckets(banded, maxBucket, Seq("band", "bits"))
   }
 
   /** Probe-vs-corpus embedding near-dup JOIN — the incremental /

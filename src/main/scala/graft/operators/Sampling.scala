@@ -124,6 +124,35 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic negative-pair mining for contrastive training: for
+    * each anchor, up to `k` pseudo-random partner ids drawn as
+    * `portableWordHash(anchor ":" j) mod n` over a DENSE id domain
+    * [0, n) — no RNG, reproducible on any engine/cluster, and a pure
+    * projection (the caller joins partner payloads back by id, which
+    * Catalyst plans as a hash join on the slim pair list). Draws that
+    * hit the anchor itself are dropped (hence "up to" k; callers
+    * needing exactly k over-draw and window-trim), and distinct j's
+    * can collide on the same partner — harmless for contrastive use.
+    * Near-duplicate anchors make FALSE negatives: anti-join the pair
+    * list against a dedup pair list (exactGroups / minHashLsh /
+    * semanticDedup output) before training. Non-dense id spaces:
+    * remap through `row_number() - 1` first. Output:
+    * (anchor, j, negative). */
+  def negativePairs(df: DataFrame, k: Int, n: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1 && n >= 2,
+      "[GRAFT] negativePairs: need k >= 1 and an id domain of >= 2")
+    df.select(col(idCol).as("anchor"))
+      .select(col("anchor"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("j"))
+      .select(col("anchor"), col("j"),
+        pmod(Dedup.portableWordHash(
+            concat_ws(":", col("anchor").cast("string"),
+              col("j").cast("string"))),
+          lit(n)).as("negative"))
+      .filter(col("negative") =!= col("anchor"))
+  }
+
   /** Deterministic curriculum interleave for a training order: within
     * each source, rows rank by `score` DESC (best first, `tiebreak`
     * ASC breaks exactly); the output sorts by (rank, source,

@@ -103,6 +103,67 @@ object Ingest {
       .groupBy(col("user_id"), col("event_type"), col("minute"))
       .agg(min(col("event_id")).as("keeper_event"), count(lit(1)).as("n_dups"))
 
+  /** Self-building streaming semantic dedup — the production ingest
+    * loop for a growing corpus: each micro-batch of
+    * (vec_id, embedding) is (1) deduped WITHIN itself (lowest id
+    * wins), (2) probed against the standing corpus through the
+    * persisted BAND table — band signatures are computed once per
+    * vector EVER, not once per batch, so per-batch cost is ∝ the
+    * batch plus a slim (band, bits) join — and (3) its novel vectors
+    * appended to `corpusDir/vectors` and their bands to
+    * `corpusDir/bands`. Exactly-once per micro-batch via the
+    * streaming checkpoint; an empty or fully-duplicate batch appends
+    * nothing. Layout mirrors [[graft.operators.Dedup.bandCorpus]]'s
+    * output, so batch jobs can probe the same artifact. */
+  def dedupIngestStream(stream: DataFrame, corpusDir: String,
+      checkpoint: String, tau: Double = 0.1, bands: Int = 4,
+      bitsPerBand: Int = 8, seed: Long = 42L, maxBucket: Int = 1000,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.operators.Dedup
+    val vecDir = s"$corpusDir/vectors"
+    val bandDir = s"$corpusDir/bands"
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.select(col("vec_id"), col("embedding"))
+        if (!batch.isEmpty) {
+          // (1) within-batch: drop any row near-dup of a lower id
+          val self = Dedup.embeddingNearDupJoin(batch, batch, tau,
+              bands, bitsPerBand, seed)
+            .filter(col("probe_id") > col("corpus_id"))
+            .select(col("probe_id").as("vec_id")).distinct()
+          val fresh = batch.join(self, Seq("vec_id"), "left_anti")
+          // (2) vs the standing corpus via the persisted band table
+          val survivors =
+            if (new java.io.File(vecDir).exists()) {
+              val corpus = spark.read.parquet(vecDir)
+              // bands are STORED uncapped (capping is probe-time
+              // policy, not a permanent drop) and capped here
+              val banded = Dedup.capBuckets(
+                spark.read.parquet(bandDir), maxBucket,
+                Seq("band", "bits"))
+              val hits = Dedup.embeddingNearDupJoin(fresh, corpus, tau,
+                  bands, bitsPerBand, seed, bandedCorpus = Some(banded))
+                .select(col("probe_id").as("vec_id")).distinct()
+              fresh.join(hits, Seq("vec_id"), "left_anti")
+            } else fresh
+          // (3) append novel vectors + their once-computed bands
+          if (!survivors.isEmpty) {
+            val s = survivors.cache()
+            s.write.mode("append").parquet(vecDir)
+            Dedup.bandCorpus(s, bands, bitsPerBand, seed,
+                maxBucket = Int.MaxValue)
+              .write.mode("append").parquet(bandDir)
+            s.unpersist()
+          }
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: each click joined to the purchases
     * of the same user landing within `[click.ts, click.ts + horizon]`.
     * Both sides carry watermarks and the join condition bounds event

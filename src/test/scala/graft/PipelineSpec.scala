@@ -637,6 +637,40 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("self-building streaming dedup ingest: corpus grows with novel " +
+      "vectors only, bands computed once per vector") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("dedup_ingest").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("dedup_ingest_ck").toString
+    val stream = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.Ingest.dedupIngestStream(
+      stream.toDF().toDF("vec_id", "embedding"), dir, ck,
+      tau = 0.1, bands = 2, bitsPerBand = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      // batch 1: a, dup-of-a, b -> within-batch dedup keeps {a(1), b(3)}
+      stream.addData((1L, Array(1f, 0f, 0f, 0f)),
+        (2L, Array(1f, 0f, 0f, 0f)), (3L, Array(0f, 1f, 0f, 0f)))
+      q.processAllAvailable()
+      // batch 2: dup-of-a (vs CORPUS), novel c -> only c lands
+      stream.addData((4L, Array(1f, 0f, 0f, 0f)),
+        (5L, Array(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      // batch 3: empty-effective (all dups) -> appends nothing
+      stream.addData((6L, Array(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(s"$dir/vectors")
+        .select($"vec_id").as[Long].collect().sorted
+      assert(corpus.toSeq == Seq(1L, 3L, 5L))
+      // one band row per (vector, band): bands were computed once each
+      assert(spark.read.parquet(s"$dir/bands").count() == 3L * 2)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

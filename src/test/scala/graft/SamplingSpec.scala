@@ -110,6 +110,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === first)
   }
 
+  test("negative pairs: deterministic, no self-pairs, partners in the " +
+      "id domain") {
+    val out = Sampling.negativePairs(docs, k = 3, n = 500).collect()
+    assert(out.length > 1400 && out.length <= 1500) // 500x3 minus self-hits
+    assert(out.forall(r => r.getLong(2) != r.getLong(0)))
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(2) < 500))
+    val again = Sampling.negativePairs(docs, k = 3, n = 500).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("curriculum interleave: best-first within source, sources " +
       "alternate, prefix is balanced") {
     val df = Seq(
