@@ -473,6 +473,14 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- fixed-step time resample with dense gap-fill + LOCF ----
+    "q_time_resample" -> ((s, dir) => {
+      graft.operators.TimeSeries.resampleLocf(events(s, dir),
+          col("event_type"), col("ts"), col("value"), stepSec = 300L)
+        .withColumnRenamed("k", "event_type")
+        .orderBy(col("event_type").asc, col("bucket").asc)
+    }),
+
     // ---- deterministic negative-pair mining (contrastive training):
     // hash-drawn partners over the dense id domain, exact-dup pairs
     // filtered out (false-negative guard) ----
@@ -1513,6 +1521,24 @@ object SparkEntry {
     "text_curation" -> textCurationOracle,
 
     "text_curriculum" -> textCurriculumOracle,
+
+    "q_time_resample" ->
+      """WITH e AS (SELECT event_type AS k,
+        |  (epoch_us(ts) - epoch_us(ts) % 300000000) // 1000000 AS bucket,
+        |  value FROM events),
+        |a AS (SELECT k, bucket, count(*) AS n,
+        |        CAST(round(sum(value) * 100) AS BIGINT) AS vc
+        |      FROM e GROUP BY k, bucket),
+        |d AS (SELECT k, unnest(generate_series(lo, hi, 300)) AS bucket
+        |      FROM (SELECT k, min(bucket) AS lo, max(bucket) AS hi
+        |            FROM a GROUP BY k)),
+        |j AS (SELECT d.k, d.bucket, COALESCE(a.n, 0) AS n, a.vc
+        |      FROM d LEFT JOIN a USING (k, bucket))
+        |SELECT k AS event_type, bucket, n,
+        |  last_value(vc IGNORE NULLS) OVER (PARTITION BY k
+        |    ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_c
+        |FROM j ORDER BY event_type ASC, bucket ASC""".stripMargin,
 
     "q_negative_pairs" ->
       s"""WITH a AS (SELECT doc_id AS anchor, text AS ta FROM documents),
