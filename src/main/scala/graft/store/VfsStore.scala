@@ -287,6 +287,33 @@ class VfsStore private (val spark: SparkSession, val root: String,
     }
   }
 
+  /** Predicate delete (the GDPR / takedown shape): rewrite the
+    * committed data WITHOUT the rows matching `cond` into one new
+    * commit directory and swap the manifest atomically — readers see
+    * either the full old state or the full post-delete state, never a
+    * partial delete. The predicate runs against the RAW physical
+    * schema (quantized stores: qvalues/scale_factor and the mangled
+    * name/tags — filter on `id` or metadata, which survive mangling).
+    * Ids of deleted rows are NOT reused (nextId is untouched —
+    * contiguity is an ingest property, not an invariant over deletes,
+    * same stance as the reference's monotonic counter). Old commit
+    * dirs stay on disk for open snapshots; [[vacuum]] reclaims them.
+    * Returns the number of rows deleted. */
+  def deleteWhere(cond: org.apache.spark.sql.Column): Long = synchronized {
+    flush()
+    if (manifest.commits.isEmpty) return 0L
+    val all = spark.read
+      .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
+    val keep = all.filter(!coalesce(cond, lit(false)))
+    val dir = f"c${System.currentTimeMillis()}%013d-delete"
+    keep.sortWithinPartitions("id").write.mode("overwrite")
+      .parquet(s"$root/data/$dir")
+    val kept = spark.read.parquet(s"$root/data/$dir").count()
+    val total = all.count()
+    commitManifest(manifest.copy(commits = Seq(dir)))
+    total - kept
+  }
+
   /** Delete commit directories referenced by neither the live manifest
     * nor any snapshot (the cleanup step after [[compact]]/[[restore]]).
     * Returns the number of directories removed. */

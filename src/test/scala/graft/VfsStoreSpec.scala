@@ -125,6 +125,35 @@ class VfsStoreSpec extends AnyFunSuite {
     assert(s.read().count() === 6L)
   }
 
+  test("deleteWhere removes matching rows atomically; ids not reused; " +
+      "snapshots keep the pre-delete view") {
+    val s = VfsStore.create(spark, tmp(), "dw", dim = 2, flushThreshold = 1)
+    (1 to 6).foreach(i => s.insert(Array(i.toFloat, 0f), s"v$i", Nil))
+    s.snapshot("preDelete")
+    val deleted = s.deleteWhere(col("id") % 2 === 0)
+    assert(deleted === 3L)
+    assert(s.read().select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L, 5L))
+    assert(s.getById(4L).isEmpty)
+    // the snapshot still sees the pre-delete world
+    assert(s.readSnapshot("preDelete").count() === 6L)
+    // nextId untouched: new rows continue after the old high-water mark
+    assert(s.insert(Array(9f, 0f), "v7", Nil) === 7L)
+    // a predicate matching nothing (or evaluating null) deletes nothing
+    assert(s.deleteWhere(col("name") === "absent") === 0L)
+    assert(s.read().count() === 4L)
+  }
+
+  test("deleteWhere on a QUANTIZED store filters the raw schema") {
+    val s = VfsStore.create(spark, tmp(), "dwq", dim = 2, quantize = true,
+      flushThreshold = 1)
+    (1 to 4).foreach(i => s.insert(Array(i / 10f, 0f), s"v$i", Nil))
+    assert(s.deleteWhere(col("id") <= 2L) === 2L)
+    // dense view stays clean post-delete (dequantize + unmangle intact)
+    val names = s.read().select($"name").as[String].collect().sorted
+    assert(names.toSeq == Seq("v3", "v4"))
+  }
+
   test("vacuum removes only unreferenced commit dirs") {
     val root = tmp()
     val s = VfsStore.create(spark, root, "vc", dim = 2, flushThreshold = 1)
