@@ -107,6 +107,16 @@ object QuickStart {
     println(s"[quickstart] packed ${packed.count()} docs into " +
       s"$nSeqs training sequences (4 shards, seqLen=512)")
 
+    // model-free text→vector→semantic-dedup, entirely in-engine
+    val textEmb = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.hashEmbedding(col("text"), 64)
+        .as("embedding"))
+    val semDropped = graft.operators.Dedup.semanticDedup(textEmb,
+      graft.operators.Dedup.seedCentroids(textEmb, 8, idCol = "doc_id"),
+      tauMilli = 100L, idCol = "doc_id")
+    println(s"[quickstart] semantic dedup over hashed-BoW embeddings: " +
+      s"${semDropped.count()} near-dup docs dropped")
+
     // API-parity surface: the reference's 7 endpoints as library calls
     val api = new graft.api.VfsApi(spark,
       java.nio.file.Files.createTempDirectory("graft-api").toString)
