@@ -105,6 +105,11 @@ object Bench {
         .select(col("id").as("qid"), col("values").as("qvalues"))
       Knn.exactBatch(emb, queries, 10, Metric.Cosine).count()
     }
+    results("knn_batch_ivf") = median {
+      val queries = emb.limit(100)
+        .select(col("id").as("qid"), col("values").as("qvalues"))
+      IvfIndex.searchBatch(spark, ivfDir, queries, 10, nProbe = 4).count()
+    }
     results("q1_agg") = median {
       SparkEntry.queries("q1_agg")(spark, sfDir).collect()
     }

@@ -1021,6 +1021,27 @@ object SparkEntry {
         lit(if (hits >= 9L) 1L else 0L).as("pass"))
     }),
 
+    // ---- BATCH IVF probe acceptance: mean recall@10 of searchBatch
+    // vs the exact batch over 20 queries must clear 0.9 (same
+    // worst-case uniform corpus + multiprobe settings as ann_ivf_topk)
+    "ann_ivf_batch" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("values"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-ivfb").toString
+      graft.operators.IvfIndex.build(e, idx, nCentroids = 16,
+        Metric.Cosine, nAssign = 2)
+      val queries = e.orderBy(col("id").asc).limit(20)
+        .select(col("id").as("qid"), col("values").as("qvalues"))
+      val approx = graft.operators.IvfIndex.searchBatch(s, idx, queries,
+        k = 10, nProbe = 12).select(col("qid"), col("id"))
+      val exact = graft.operators.Knn.exactBatch(e, queries, 10,
+        Metric.Cosine).select(col("qid"), col("id"))
+      val hits = approx.intersect(exact).count() // of 200 possible
+      s.range(1).select(lit(10L).as("k"),
+        lit(if (hits >= 180L) 1L else 0L).as("pass"))
+    }),
+
     // ---- product quantization (compressed ANN): like ann_ivf_topk,
     // an ACCEPTANCE row — ADC codes are approximate by construction,
     // so the gate is two-stage recall (ADC overfetch + exact refine)
@@ -1854,6 +1875,10 @@ object SparkEntry {
     // of the IVF top-k against the exact top-k and emits pass=1 iff it
     // clears 0.9 — the oracle pins the expected acceptance values
     "ann_ivf_topk" ->
+      "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
+
+    // acceptance row: batch IVF probe mean recall bound
+    "ann_ivf_batch" ->
       "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
 
     // acceptance row (see ann_ivf_topk): PQ two-stage recall bound

@@ -535,6 +535,73 @@ object IvfIndex {
     Knn.exact(pruned, q, k, metric)
   }
 
+  /** BATCH IVF probe: top-k for EVERY query row in one job — the
+    * scale path for query workloads ([[Knn.exactBatch]]'s approximate
+    * twin). Shape:
+    *
+    *   1. queries are assigned to their `nProbe` nearest clusters with
+    *      the same broadcast-argmin kernel (and the same
+    *      normalize-for-cosine + lowest-cluster tiebreak rules) the
+    *      index itself was built with, so probe selection matches
+    *      [[searchHydrated]] exactly;
+    *   2. the UNION of touched cluster directories is scanned ONCE
+    *      (O(touched) path listing, untouched clusters never read);
+    *   3. each data row joins only the queries probing ITS cluster —
+    *      a broadcast hash join on `cluster`, NOT a full queries×rows
+    *      product;
+    *   4. per-query top-k via the `TopKByDistance` partial aggregate:
+    *      ≤ k rows per query per partition cross the shuffle.
+    *
+    * A multiprobe index (nAssign > 1) can surface one id from two
+    * probed clusters of the same query — deduped on (qid, id) before
+    * the top-k so duplicates don't shrink effective k. Output:
+    * (qid, id, distance, rank), distances in the index metric. */
+  def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nProbe: Int = 4, qidCol: String = "qid",
+      qvecCol: String = "qvalues"): DataFrame = {
+    import TopKByDistance.topk
+    val meta = readMeta(path)
+    val metric = Metric.parse(meta.metric)
+    val cents = loadCentroids(spark, path)
+    // same assignment rule as build/append: kernel normalization for
+    // cosine, euclidean argmin over the raw centroids, ties to the
+    // lowest cluster id
+    val assigned = assignRows(
+      queries.select(col(qidCol).cast("long").as("id"),
+        col(qvecCol).cast("array<float>").as("values")),
+      cents, math.min(nProbe, cents.length),
+      normalize = metric == Metric.Cosine)
+      .select(col("id").as("qid"), col("values").as("qv"),
+        col("cluster"))
+    // touched clusters: ≤ |queries|·nProbe ints — driver-sized
+    val touched = assigned.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0))
+    val existing = existingClusterDirs(spark, s"$path/assignments",
+      touched.toIndexedSeq.sorted)
+    if (existing.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("qid"), lit(0L).as("id"),
+          lit(0.0).as("distance"), lit(0L).as("rank")).limit(0)
+    // basePath keeps the cluster partition column for the scoped join
+    val rows = spark.read.option("basePath", s"$path/assignments")
+      .parquet(existing.toIndexedSeq: _*)
+      .select(col("id"), col("values"), col("cluster"))
+    val scored0 = rows.join(broadcast(assigned), Seq("cluster"))
+      .select(col("qid"), col("id"),
+        metric.dist(col("values"), col("qv")).as("distance"))
+    // nAssign=1 ⇒ each row lives in exactly one cluster ⇒ a (qid, id)
+    // pair can only arise once even under multi-cluster probing — the
+    // dedup shuffle is needed solely for multiprobe indexes
+    val scored = if (meta.nAssign > 1)
+      scored0.dropDuplicates("qid", "id") else scored0
+    scored
+      .groupBy(col("qid"))
+      .agg(topk(col("distance"), col("id"), k).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(col("qid"), col("r.id").as("id"),
+        col("r.distance").as("distance"), (col("pos") + 1).as("rank"))
+  }
+
   /** Metric string of a persisted index (for routing guards). */
   def metricOf(path: String): String = readMeta(path).metric
 

@@ -56,6 +56,9 @@ object ScaleProbe {
     time("IVF probe top-10 (nProbe=8)") {
       IvfIndex.search(spark, ivfDir, q, 10, nProbe = 8).collect()
     }
+    time("batch IVF probe: 64 queries x corpus, top-10 (nProbe=8)") {
+      IvfIndex.searchBatch(spark, ivfDir, queries, 10, nProbe = 8).count()
+    }
     time("IVF append 10k new vectors (broadcast argmin, no re-cluster)") {
       IvfIndex.append(base.filter($"id" < 10000)
         .select(($"id" + n).as("id"), $"values"), ivfDir)

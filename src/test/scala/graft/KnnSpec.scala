@@ -105,6 +105,42 @@ class KnnSpec extends AnyFunSuite {
     assert(plan.contains("InMemoryFileIndex(8 paths)"), plan)
   }
 
+  test("IVF searchBatch: per-query parity with search(), scoped to " +
+      "probed clusters") {
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(8)(Array.fill(32)(rnd.nextFloat() * 2 - 1))
+    val points = (0 until 400).map { i =>
+      (i.toLong, centers(i % 8).map(x => x + rnd.nextFloat() * 0.05f))
+    }
+    val dir = Files.createTempDirectory("ivfb").toString
+    IvfIndex.build(points.toDF("id", "values"), dir, nCentroids = 8,
+      Metric.Cosine)
+    val qs = points.take(6)
+    val queries = qs.map { case (id, v) => (id, v) }
+      .toDF("qid", "qvalues")
+    val batch = IvfIndex.searchBatch(spark, dir, queries, k = 10,
+        nProbe = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (q, rows) => q -> rows.sortBy(_._2).map(_._3).toSeq }
+    qs.foreach { case (qid, v) =>
+      val single = IvfIndex.search(spark, dir, v, 10, nProbe = 3)
+        .select($"id").as[Long].collect().toSeq
+      assert(batch(qid) == single, s"qid=$qid")
+    }
+    // multiprobe index: duplicate (qid, id) candidates collapse
+    val dirM = Files.createTempDirectory("ivfbm").toString
+    IvfIndex.build(points.toDF("id", "values"), dirM, nCentroids = 8,
+      Metric.Cosine, nAssign = 2)
+    val bm = IvfIndex.searchBatch(spark, dirM, queries, k = 10,
+      nProbe = 3).collect()
+    val perQ = bm.groupBy(_.getLong(0))
+    assert(perQ.values.forall(rows =>
+      rows.map(_.getLong(1)).distinct.length == rows.length))
+    assert(perQ.values.forall(_.length == 10))
+  }
+
   test("quantized store search: fused int8 scoring == dequantize-then-score") {
     val dir = Files.createTempDirectory("qstore").toString
     val s = graft.store.VfsStore.create(spark, dir, "q", dim = 64,
