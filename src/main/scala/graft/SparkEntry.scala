@@ -473,6 +473,19 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- JSONL sink + source roundtrip: the interchange format of
+    // text-corpus pipelines — write the documents table as JSON lines,
+    // read it back under the ORIGINAL schema (inference would widen
+    // ints), prove byte-faithful content ----
+    "src_jsonl_roundtrip" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("verify-jsonl").toString
+      d.write.mode("overwrite").json(s"$tmp/docs")
+      s.read.schema(d.schema).json(s"$tmp/docs")
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- fixed-step time resample with dense gap-fill + LOCF ----
     "q_time_resample" -> ((s, dir) => {
       graft.operators.TimeSeries.resampleLocf(events(s, dir),
@@ -1542,6 +1555,9 @@ object SparkEntry {
     "text_curation" -> textCurationOracle,
 
     "text_curriculum" -> textCurriculumOracle,
+
+    "src_jsonl_roundtrip" ->
+      "SELECT * FROM documents ORDER BY doc_id ASC",
 
     "q_time_resample" ->
       """WITH e AS (SELECT event_type AS k,
