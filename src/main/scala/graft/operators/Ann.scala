@@ -581,12 +581,23 @@ object IvfIndex {
     if (existing.isEmpty)
       return spark.emptyDataFrame
         .select(lit(0L).as("qid"), lit(0L).as("id"),
-          lit(0.0).as("distance"), lit(0L).as("rank")).limit(0)
+          lit(0.0).as("distance"), lit(0).as("rank")).limit(0)
     // basePath keeps the cluster partition column for the scoped join
     val rows = spark.read.option("basePath", s"$path/assignments")
       .parquet(existing.toIndexedSeq: _*)
       .select(col("id"), col("values"), col("cluster"))
-    val scored0 = rows.join(broadcast(assigned), Seq("cluster"))
+    // broadcast only query batches that plausibly fit executor memory
+    // (the assignment side is |queries|·nProbe full vectors); above
+    // the gate, leave the strategy to the planner — an unconditional
+    // hint at 1M×nProbe queries is a multi-GB broadcast OOM in
+    // exactly the large-batch regime this method exists for. Counting
+    // the INPUT queries (not `assigned`) avoids an extra run of the
+    // assignment kernel just to size the hint.
+    val qSide =
+      if (queries.count() * math.min(nProbe, cents.length) <= 500000L)
+        broadcast(assigned)
+      else assigned
+    val scored0 = rows.join(qSide, Seq("cluster"))
       .select(col("qid"), col("id"),
         metric.dist(col("values"), col("qv")).as("distance"))
     // nAssign=1 ⇒ each row lives in exactly one cluster ⇒ a (qid, id)

@@ -482,18 +482,10 @@ object Dedup {
       bitsPerBand: Int = 8, seed: Long = 42L, vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame = {
     val dim = dimOf(vecCol, emb) // empty-safe: empty input → empty output
-    val nBits = bands * bitsPerBand
-    val planes = hyperplanes(dim, nBits, seed)
-    def bandSig(b: Int): Column =
-      (0 until bitsPerBand).map { j =>
-        when(graft.functions.vfs_dot(col("v"),
-          typedLit(planes(b * bitsPerBand + j))) > 0,
-          shiftleft(lit(1L), j)).otherwise(0L)
-      }.reduce[Column]((x, y) => x.bitwiseOR(y))
+    val planes = hyperplanes(dim, bands * bitsPerBand, seed)
     val base = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = base.select(col("id"),
-      posexplode(array((0 until bands).map(bandSig): _*))
-        .as(Seq("band", "bits")))
+    val banded = bandRelation(emb, "id", vecCol, idCol, planes, bands,
+      bitsPerBand)
     val a = banded.as("a")
     val b = banded.as("b")
     val candidates = a.join(b,
@@ -580,7 +572,21 @@ object Dedup {
       vecCol: String = "embedding", idCol: String = "vec_id",
       maxBucket: Int = 1000,
       bandedCorpus: Option[DataFrame] = None): DataFrame = {
-    val planes = hyperplanes(dimOf(vecCol, probe, corpus),
+    // dims must agree BEFORE banding: with per-side plane derivation a
+    // probe/corpus dimension mismatch would band both sides with
+    // unrelated plane families and return "no dups" instead of the
+    // documented throw
+    val pDim = probe.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    val cDim = corpus.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    (pDim, cDim) match {
+      case (Some(p), Some(c)) if p != c =>
+        throw new graft.store.InvalidVectorException(
+          s"[GRAFT] vector dimension mismatch: probe dim $p vs corpus dim $c")
+      case _ => ()
+    }
+    val planes = hyperplanes(pDim.orElse(cDim).getOrElse(1),
       bands * bitsPerBand, seed)
     val cb = bandedCorpus.getOrElse(
       bandCorpus(corpus, bands, bitsPerBand, seed, vecCol, idCol,

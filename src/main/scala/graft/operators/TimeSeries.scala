@@ -18,8 +18,12 @@ object TimeSeries {
     * the aggregates back, zero-fill counts, and carry the last
     * observed value forward into empty buckets (`last(..., ignoreNulls)`
     * over an unbounded-preceding window — the first bucket of a span
-    * is always observed, so no leading nulls). All bucket arithmetic
-    * is integer (epoch-micros minus remainder), so any engine lands
+    * is always observed, so no leading nulls). Bucketing is
+    * epoch-micros minus the TRUNCATED remainder (`%`, matching SQL
+    * engines' `%` — pmod's floored semantics would disagree with them
+    * on pre-1970 timestamps), then an exact /1e6: the intermediate is
+    * a whole multiple of 10^6 with |value| < 2^53 for any timestamp
+    * within ±250k years, so the division is exact and engines land
     * rows in identical buckets. Shuffle profile: one hash-agg by
     * (key, bucket) over slim triples, then a span agg + window by key.
     *
@@ -30,7 +34,7 @@ object TimeSeries {
     require(stepSec > 0, "[GRAFT] resampleLocf: stepSec must be positive")
     val stepUs = stepSec * 1000000L
     val us = unix_micros(ts)
-    val bucket = ((us - pmod(us, lit(stepUs))) / 1000000L).cast("long")
+    val bucket = ((us - us % lit(stepUs)) / 1000000L).cast("long")
     val agg = events
       .select(key.as("k"), bucket.as("bucket"), value.as("v"))
       .groupBy(col("k"), col("bucket"))

@@ -111,10 +111,19 @@ object Ingest {
     * vector EVER, not once per batch, so per-batch cost is ∝ the
     * batch plus a slim (band, bits) join — and (3) its novel vectors
     * appended to `corpusDir/vectors` and their bands to
-    * `corpusDir/bands`. Exactly-once per micro-batch via the
-    * streaming checkpoint; an empty or fully-duplicate batch appends
-    * nothing. Layout mirrors [[graft.operators.Dedup.bandCorpus]]'s
-    * output, so batch jobs can probe the same artifact. */
+    * `corpusDir/bands`.
+    *
+    * Failure semantics: `foreachBatch` is AT-LEAST-ONCE, and the
+    * bands/vectors pair is two non-atomic appends — so the loop is
+    * made IDEMPOTENT instead: a replayed batch is first anti-joined
+    * by id against the corpus (already-landed rows drop out), bands
+    * are written BEFORE vectors, and a crash between the two leaves
+    * only harmless residue (duplicate band rows collapse in the
+    * candidate dedup; band rows whose vector never landed fail the
+    * verify join and re-land on replay). An empty or fully-duplicate
+    * batch appends nothing. Layout mirrors
+    * [[graft.operators.Dedup.bandCorpus]]'s output, so batch jobs
+    * can probe the same artifact. */
   def dedupIngestStream(stream: DataFrame, corpusDir: String,
       checkpoint: String, tau: Double = 0.1, bands: Int = 4,
       bitsPerBand: Int = 8, seed: Long = 42L, maxBucket: Int = 1000,
@@ -128,6 +137,14 @@ object Ingest {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val spark = batch0.sparkSession
         val batch = batch0.select(col("vec_id"), col("embedding"))
+        // existence via the Hadoop FS of the target path — a
+        // java.io.File check silently reports false on hdfs://s3a://
+        // and would disable the corpus probe on any remote corpusDir
+        val hadoopConf = spark.sessionState.newHadoopConf()
+        def dirExists(p: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(hadoopConf).exists(hp)
+        }
         if (!batch.isEmpty) {
           // (1) within-batch: drop any row near-dup of a lower id
           val self = Dedup.embeddingNearDupJoin(batch, batch, tau,
@@ -137,7 +154,7 @@ object Ingest {
           val fresh = batch.join(self, Seq("vec_id"), "left_anti")
           // (2) vs the standing corpus via the persisted band table
           val survivors =
-            if (new java.io.File(vecDir).exists()) {
+            if (dirExists(vecDir)) {
               val corpus = spark.read.parquet(vecDir)
               // bands are STORED uncapped (capping is probe-time
               // policy, not a permanent drop) and capped here
@@ -147,17 +164,24 @@ object Ingest {
               val hits = Dedup.embeddingNearDupJoin(fresh, corpus, tau,
                   bands, bitsPerBand, seed, bandedCorpus = Some(banded))
                 .select(col("probe_id").as("vec_id")).distinct()
+              // near-dup prune + REPLAY GUARD: a retried batch's
+              // already-landed ids anti-join away here
               fresh.join(hits, Seq("vec_id"), "left_anti")
+                .join(corpus.select(col("vec_id")), Seq("vec_id"),
+                  "left_anti")
             } else fresh
-          // (3) append novel vectors + their once-computed bands
-          if (!survivors.isEmpty) {
-            val s = survivors.cache()
-            s.write.mode("append").parquet(vecDir)
-            Dedup.bandCorpus(s, bands, bitsPerBand, seed,
-                maxBucket = Int.MaxValue)
-              .write.mode("append").parquet(bandDir)
-            s.unpersist()
-          }
+          // (3) append bands THEN vectors (see failure semantics),
+          // caching BEFORE the emptiness probe so the dedup pipeline
+          // runs once, not once per action
+          val s = survivors.cache()
+          try {
+            if (s.take(1).nonEmpty) {
+              Dedup.bandCorpus(s, bands, bitsPerBand, seed,
+                  maxBucket = Int.MaxValue)
+                .write.mode("append").parquet(bandDir)
+              s.write.mode("append").parquet(vecDir)
+            }
+          } finally s.unpersist()
         }
         ()
       }

@@ -142,6 +142,15 @@ class SemDeDupSpec extends AnyFunSuite {
     // an EMPTY probe micro-batch returns empty instead of crashing
     assert(Dedup.embeddingNearDupJoin(probe.limit(0), corpus, 0.1,
       bands = 2, bitsPerBand = 4).count() == 0L)
+    // probe/corpus dimension mismatch throws up front — per-side plane
+    // derivation would otherwise band with unrelated families and
+    // silently report "no dups"
+    val probe8 = mkEmb(Seq(201L -> Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val e = intercept[Exception] {
+      Dedup.embeddingNearDupJoin(probe8, corpus, 0.1,
+        bands = 2, bitsPerBand = 4)
+    }
+    assert(e.getMessage.contains("dimension mismatch"))
   }
 
   test("matryoshka staged rerank: prefix-scored candidates recover the " +
