@@ -486,6 +486,23 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- CSV sink + source roundtrip: quoted/escaped multiline text
+    // survives; schema pinned on read (inference would widen) ----
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("verify-csv").toString
+      d.write.mode("overwrite")
+        .option("header", "true").option("quoteAll", "true")
+        .option("escape", "\"")
+        .csv(s"$tmp/docs")
+      s.read.schema(d.schema)
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .csv(s"$tmp/docs")
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- fixed-step time resample with dense gap-fill + LOCF ----
     "q_time_resample" -> ((s, dir) => {
       graft.operators.TimeSeries.resampleLocf(events(s, dir),
@@ -1557,6 +1574,9 @@ object SparkEntry {
     "text_curriculum" -> textCurriculumOracle,
 
     "src_jsonl_roundtrip" ->
+      "SELECT * FROM documents ORDER BY doc_id ASC",
+
+    "src_csv_roundtrip" ->
       "SELECT * FROM documents ORDER BY doc_id ASC",
 
     "q_time_resample" ->

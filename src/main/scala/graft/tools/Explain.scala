@@ -120,6 +120,13 @@ object Explain {
       spark.sql(s"SELECT vec_id, distance FROM vfs_knn(" +
         s"'$dir/embeddings.parquet', 5, 'cosine', $qLit, 'embedding', 'vec_id')")
     }
+    show("batch IVF probe (expect: scan of ONLY touched cluster= dirs " +
+        "+ broadcast cluster-scoped join + partial vfs_topk)") {
+      val queries = emb.limit(8).select(col("id").as("qid"),
+        col("values").as("qvalues"))
+      graft.operators.IvfIndex.searchBatch(spark, pqIvf, queries, 5,
+        nProbe = 2)
+    }
     show("semantic dedup (expect: ZERO-shuffle argmin assignment " +
         "projection; one exchange on cluster for the scoped self-join)") {
       val e = spark.read.parquet(s"$dir/embeddings.parquet")
