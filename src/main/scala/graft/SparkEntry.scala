@@ -486,6 +486,16 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- ORC sink + source roundtrip (the other columnar format) ----
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("verify-orc").toString
+      d.write.mode("overwrite").orc(s"$tmp/docs")
+      s.read.schema(d.schema).orc(s"$tmp/docs")
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- CSV sink + source roundtrip: quoted/escaped multiline text
     // survives; schema pinned on read (inference would widen) ----
     "src_csv_roundtrip" -> ((s, dir) => {
@@ -1577,6 +1587,9 @@ object SparkEntry {
       "SELECT * FROM documents ORDER BY doc_id ASC",
 
     "src_csv_roundtrip" ->
+      "SELECT * FROM documents ORDER BY doc_id ASC",
+
+    "src_orc_roundtrip" ->
       "SELECT * FROM documents ORDER BY doc_id ASC",
 
     "q_time_resample" ->

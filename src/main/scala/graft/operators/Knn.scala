@@ -92,6 +92,68 @@ object Knn {
     } else exact(store.read(), query, k, metric)
   }
 
+  /** Scalar twin of [[Metric]] for driver-side math on result-sized
+    * pools ([[mmrRerank]]). Double accumulation, same as the codegen
+    * kernels. */
+  private def scalarDist(metric: Metric, a: Seq[Float],
+      b: Seq[Float]): Double = metric match {
+    case Metric.Euclidean =>
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      math.sqrt(s)
+    case Metric.Cosine =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Maximal-Marginal-Relevance diverse re-rank (Carbonell & Goldstein
+    * 1998) of a FIRST-STAGE candidate pool: greedily pick the
+    * candidate maximizing λ·relevance − (1−λ)·redundancy, i.e. (in
+    * distance form) minimizing λ·d(q,c) − (1−λ)·min over selected s of
+    * d(c,s). λ=1 degenerates to the plain distance order; lower λ
+    * trades relevance for diversity (dedups near-identical hits out
+    * of the visible top-k). The pool is a first-stage RESULT (≤ a few
+    * hundred rows from [[exact]] / `IvfIndex.search*`), so the greedy
+    * O(pool²·dim) loop runs on the collected pool — the same
+    * result-sized-collect stance as the k-sized collects elsewhere;
+    * the first stage stays fully distributed. Ties break on id.
+    * Input needs (id, values, distance); output (id, distance, rank)
+    * with rank = selection order. */
+  def mmrRerank(pool: DataFrame, k: Int, metric: Metric = Metric.Cosine,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0 && lambda <= 1,
+      "[GRAFT] mmrRerank: lambda must be in [0, 1]")
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val cand = pool.select(col("id").cast("long"), col("values"),
+        col("distance").cast("double"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(c => (c._3, c._1)) // deterministic scan order
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[Float], Double)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    while (selected.size < math.min(k, cand.length)) {
+      val best = remaining.minBy { c =>
+        val redundancy =
+          if (selected.isEmpty) 0.0
+          else -selected.map(s => scalarDist(metric, c._2, s._2)).min
+        (lambda * c._3 + (1 - lambda) * redundancy, c._1)
+      }
+      selected += best
+      remaining -= best
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, d), i) => (id, d, i + 1) }
+      .toSeq.toDF("id", "distance", "rank")
+  }
+
   /** Multi-query exact k-NN: queries (qidCol, qvecCol) × base.
     * Physical shape: broadcast nested-loop join (queries are tiny) →
     * codegen'd scoring → TopKByDistance partial agg → explode.

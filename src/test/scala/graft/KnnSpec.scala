@@ -141,6 +141,23 @@ class KnnSpec extends AnyFunSuite {
     assert(perQ.values.forall(_.length == 10))
   }
 
+  test("MMR rerank: lambda=1 is the plain distance order; lower lambda " +
+      "defers an exact duplicate of an already-selected hit") {
+    val q = Array(1f, 0f, 0f)
+    val rows = Seq(
+      (1L, Seq(0.99f, 0.14f, 0f)),
+      (2L, Seq(0.99f, 0.14f, 0f)), // exact dup of id 1
+      (3L, Seq(0.9f, 0f, 0.44f)))
+    val pool = rows.toDF("id", "values")
+      .select($"id", $"values",
+        graft.functions.vfs_cosine($"values", typedLit(q)).as("distance"))
+    def ids(lambda: Double) =
+      Knn.mmrRerank(pool, k = 2, Metric.Cosine, lambda)
+        .orderBy($"rank").select($"id").as[Long].collect().toSeq
+    assert(ids(1.0) == Seq(1L, 2L))  // pure relevance: dup rides along
+    assert(ids(0.3) == Seq(1L, 3L))  // diversity: dup deferred for 3
+  }
+
   test("quantized store search: fused int8 scoring == dequantize-then-score") {
     val dir = Files.createTempDirectory("qstore").toString
     val s = graft.store.VfsStore.create(spark, dir, "q", dim = 64,
