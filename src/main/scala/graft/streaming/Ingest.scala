@@ -188,6 +188,48 @@ object Ingest {
       .start()
   }
 
+  /** Streaming distinct-count maintenance via the portable HLL: each
+    * micro-batch's registers ([[graft.operators.Sketches.hllRegisters]])
+    * merge into a persisted register table by per-bucket max — the HLL
+    * merge law, so the table always equals the registers of the union
+    * of all batches ever seen, in O(2^p) rows regardless of stream
+    * volume. The merged table is ≤ 2^p rows (driver-sized by
+    * construction), so the swap is a collect + overwrite — no
+    * read-while-overwrite conflict, and a replayed batch re-merges
+    * idempotently (max is idempotent). Read the current estimate any
+    * time with [[graft.operators.Sketches.hllEstimate]] on the table. */
+  def hllIngestStream(stream: DataFrame, keyCol: String,
+      registersDir: String, checkpoint: String, p: Int = 12,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.operators.Sketches
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val hadoopConf = spark.sessionState.newHadoopConf()
+        val hp = new org.apache.hadoop.fs.Path(registersDir)
+        val exists = hp.getFileSystem(hadoopConf).exists(hp)
+        val regs = Sketches.hllRegisters(batch,
+          col(keyCol).cast("string"), p)
+        val merged =
+          if (exists)
+            regs.unionByName(spark.read.parquet(registersDir))
+              .groupBy(col("bucket"))
+              .agg(max(col("max_rho")).as("max_rho"))
+          else regs
+        // ≤ 2^p rows: swap through the driver so the overwrite never
+        // reads the path it is replacing
+        val rows = merged.collect().toIndexedSeq
+        import spark.implicits._
+        rows.map(r => (r.getLong(0), r.getInt(1)))
+          .toDF("bucket", "max_rho")
+          .coalesce(1).write.mode("overwrite").parquet(registersDir)
+        ()
+      }
+      .start()
+  }
+
   /** Stream-stream interval join: each click joined to the purchases
     * of the same user landing within `[click.ts, click.ts + horizon]`.
     * Both sides carry watermarks and the join condition bounds event

@@ -671,6 +671,36 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming HLL maintenance: persisted registers equal the " +
+      "batch registers of everything seen") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("hll_stream").toString + "/regs"
+    val ck = java.nio.file.Files
+      .createTempDirectory("hll_stream_ck").toString
+    val stream = MemoryStream[Long]
+    val q = graft.streaming.Ingest.hllIngestStream(
+      stream.toDF().toDF("user_id"), "user_id", dir, ck, p = 8,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      stream.addData(1L to 300L: _*)
+      q.processAllAvailable()
+      stream.addData(200L to 500L: _*) // overlaps the first batch
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(dir)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val whole = graft.operators.Sketches.hllRegisters(
+          (1L to 500L).toDF("user_id"), $"user_id".cast("string"), 8)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(streamed == whole)
+      val est = graft.operators.Sketches.hllEstimate(
+        spark.read.parquet(dir), 8)
+      assert(math.abs(est - 500) / 500.0 < 0.2, s"est=$est")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes sessions on gap") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
