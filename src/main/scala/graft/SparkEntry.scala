@@ -473,6 +473,23 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- temperature (α=0.5) source rebalancing: weights derived
+    // from observed counts, quotas and picks engine-portable. The
+    // test corpus's sources are perfectly balanced (α-smoothing of a
+    // balanced mix correctly keeps everything), so the query first
+    // induces deterministic skew — src0 keeps all rows, the rest
+    // drop every third doc — and the smoothing visibly trims the
+    // now-oversized src0 toward the others' shares ----
+    "q_temperature_sample" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src0" ||
+          pmod(col("doc_id"), lit(3)) =!= 0)
+      graft.operators.Sampling.temperatureSample(d,
+          col("source"), col("text"), col("doc_id"), alpha = 0.5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- JSONL sink + source roundtrip: the interchange format of
     // text-corpus pipelines — write the documents table as JSON lines,
     // read it back under the ORIGINAL schema (inference would widen
@@ -1714,6 +1731,8 @@ object SparkEntry {
 
     "q_mixture_sample" -> mixtureSampleOracle,
 
+    "q_temperature_sample" -> temperatureSampleOracle,
+
     "q_sample_hash" -> sampleHashOracle,
 
     "q_split_assign" -> splitAssignOracle,
@@ -2142,6 +2161,33 @@ object SparkEntry {
        |  FROM w),
        |b AS (SELECT doc_id, source, $duckUtf8Bytes AS bs FROM documents
        |      WHERE source IN (SELECT s FROM w)),
+       |r AS (SELECT doc_id, source,
+       |  row_number() OVER (PARTITION BY source
+       |    ORDER BY ${duckSigned(duckFnvFold("bs"))} ASC, doc_id ASC) AS rn
+       |  FROM b)
+       |SELECT r.doc_id, r.source FROM r JOIN q ON r.source = q.s
+       |WHERE r.rn <= q.quota
+       |ORDER BY r.doc_id ASC""".stripMargin
+
+  /** temperatureSample(α=0.5) mirror: sqrt is correctly-rounded IEEE
+    * in both engines, and the weight normalization folds the sorted
+    * source list from 0.0 exactly like the Scala side's ListMap sum —
+    * from there the quota math is [[mixtureSampleOracle]]'s. */
+  private def temperatureSampleOracle: String =
+    s"""WITH d0 AS (SELECT * FROM documents
+       |      WHERE source = 'src0' OR doc_id % 3 <> 0),
+       |c AS (SELECT source, count(*) AS n FROM d0
+       |      GROUP BY source),
+       |tot AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |    list(sqrt(CAST(n AS DOUBLE)) ORDER BY source)),
+       |    (a, v) -> a + v) AS t FROM c),
+       |w AS (SELECT source AS s,
+       |    sqrt(CAST(n AS DOUBLE)) / (SELECT t FROM tot) AS wt FROM c),
+       |q AS (SELECT w.s, CAST(floor(w.wt *
+       |    (SELECT min(floor(c2.n / w2.wt))
+       |     FROM c c2 JOIN w w2 ON c2.source = w2.s)) AS BIGINT) AS quota
+       |  FROM w),
+       |b AS (SELECT doc_id, source, $duckUtf8Bytes AS bs FROM d0),
        |r AS (SELECT doc_id, source,
        |  row_number() OVER (PARTITION BY source
        |    ORDER BY ${duckSigned(duckFnvFold("bs"))} ASC, doc_id ASC) AS rn

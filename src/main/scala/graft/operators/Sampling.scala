@@ -124,6 +124,33 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Temperature-based source rebalancing (the multilingual α-smoothing
+    * of mBERT/XLM: target share ∝ n_s^α, α ∈ (0,1] — α=1 keeps the
+    * natural skew, α→0 approaches uniform): derive the weights from
+    * the observed per-source counts, then take the largest matching
+    * subsample via [[mixtureSample]]. α = 0.5 (the common default)
+    * goes through `sqrt`, which is CORRECTLY-ROUNDED IEEE in every
+    * engine — and the weight normalization folds in sorted-source
+    * order — so the derived quotas, and therefore the hash-picked
+    * rows, are engine-portable (other α use `pow`, which is only
+    * 1-ulp-accurate and not oracle-pinnable). Count collection is
+    * |sources| rows — a mixture spec is always human-sized. */
+  def temperatureSample(df: DataFrame, source: Column, key: Column,
+      tiebreak: Column, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1,
+      "[GRAFT] temperatureSample: alpha must be in (0, 1]")
+    val counts = df.groupBy(source.as("__src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty, "[GRAFT] temperatureSample: empty input")
+    def powA(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha)
+    // ListMap: normalization inside mixtureSample folds the weights in
+    // THIS (sorted) order — the property the oracle mirror relies on
+    mixtureSample(df, source, key, tiebreak,
+      scala.collection.immutable.ListMap(
+        counts.map { case (s, n) => s -> powA(n.toDouble) }: _*))
+  }
+
   /** Deterministic negative-pair mining for contrastive training: for
     * each anchor, up to `k` pseudo-random partner ids drawn as
     * `portableWordHash(anchor ":" j) mod n` over a DENSE id domain

@@ -110,6 +110,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === first)
   }
 
+  test("temperature sampling: balanced mix is a fixpoint; a skewed " +
+      "source is trimmed toward the others' shares") {
+    // the test corpus is perfectly balanced -> alpha-smoothing keeps all
+    assert(Sampling.temperatureSample(docs, col("source"), col("text"),
+      col("doc_id")).count() === docs.count())
+    // induce skew: src0 keeps 25 rows, every other source drops to ~16
+    val skewed = docs.filter($"source" === "src0" ||
+      pmod($"doc_id", lit(3)) =!= 0)
+    val kept = Sampling.temperatureSample(skewed, col("source"),
+        col("text"), col("doc_id"))
+      .groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val input = skewed.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // oversized source is trimmed by MORE than the floor jitter
+    assert(kept("src0") < input("src0") - 1)
+    // small sources bind: each keeps all its rows up to the standard
+    // double-floor loss (N* and the quota each floor once -> ≤ 1 row)
+    assert(input.filter(_._1 != "src0").forall { case (s, n) =>
+      kept(s) >= n - 1
+    })
+  }
+
   test("negative pairs: deterministic, no self-pairs, partners in the " +
       "id domain") {
     val out = Sampling.negativePairs(docs, k = 3, n = 500).collect()
