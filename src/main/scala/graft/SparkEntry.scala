@@ -555,13 +555,17 @@ object SparkEntry {
 
     // ---- hashed bag-of-words embedding: model-free text
     // featurization (hashing trick), codegen'd kernel, bit-exact
-    // cross-engine in milli form ----
+    // cross-engine in milli form. Output is exploded to scalar
+    // (doc_id, dim, val_milli) rows so the result is checker-portable
+    // (array columns are not hashable downstream) ----
     "text_hash_embedding" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           graft.operators.TextAnalysis.hashEmbeddingMilli(col("text"), 64)
             .as("emb_milli"))
-        .orderBy(col("doc_id").asc)
+        .select(col("doc_id"),
+          posexplode(col("emb_milli")).as(Seq("dim", "val_milli")))
+        .orderBy(col("doc_id").asc, col("dim").asc)
     }),
 
     // ---- the full text→vector→semantic-dedup composition: raw text
@@ -2362,11 +2366,15 @@ object SparkEntry {
        |  FROM c)""".stripMargin
 
   private def textHashEmbeddingOracle: String =
-    s"""WITH $hashedBowCtes
-       |SELECT doc_id, list_transform(cnts, x -> CASE WHEN nrm > 0
+    s"""WITH $hashedBowCtes,
+       |m AS (SELECT doc_id, list_transform(cnts, x -> CASE WHEN nrm > 0
        |    THEN CAST(round(x / nrm * 1000) AS BIGINT)
        |    ELSE CAST(0 AS BIGINT) END) AS emb_milli
-       |FROM n ORDER BY doc_id ASC""".stripMargin
+       |  FROM n)
+       |SELECT doc_id, CAST(r.i AS INT) AS dim,
+       |       emb_milli[CAST(r.i AS INT) + 1] AS val_milli
+       |FROM m CROSS JOIN range(0, 64) r(i)
+       |ORDER BY doc_id ASC, dim ASC""".stripMargin
 
   private def dedupSemanticTextOracle: String =
     s"""WITH $hashedBowCtes,
