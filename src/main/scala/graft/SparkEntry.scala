@@ -484,8 +484,12 @@ object SparkEntry {
       val d = s.read.parquet(s"$dir/documents.parquet")
         .filter(col("source") === "src0" ||
           pmod(col("doc_id"), lit(3)) =!= 0)
+      // bandCap = 16 forces the radix-histogram threshold path even at
+      // this tiny SF, so the oracle hash-match certifies the SCALE
+      // plan, not just the degenerate single-window one
       graft.operators.Sampling.temperatureSample(d,
-          col("source"), col("text"), col("doc_id"), alpha = 0.5)
+          col("source"), col("text"), col("doc_id"), alpha = 0.5,
+          bandCap = 16L)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id").asc)
     }),
@@ -599,10 +603,12 @@ object SparkEntry {
     // others are hash-subsampled to the target proportions ----
     "q_mixture_sample" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
+      // bandCap = 16: exercise the threshold path (see
+      // q_temperature_sample note)
       graft.operators.Sampling.mixtureSample(d, col("source"),
           col("text"), col("doc_id"),
           Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
-            "src3" -> 0.10))
+            "src3" -> 0.10), bandCap = 16L)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id").asc)
     }),
@@ -862,9 +868,10 @@ object SparkEntry {
 
     // ---- deterministic stratified sample: smallest-hash n per lang ----
     "q_stratified_sample" -> ((s, dir) => {
+      // bandCap = 2: even a 3-row quota goes through band refinement
       graft.operators.Sampling.stratifiedTopN(
           s.read.parquet(s"$dir/documents.parquet"),
-          col("lang"), col("text"), col("doc_id"), 3)
+          col("lang"), col("text"), col("doc_id"), 3, bandCap = 2L)
         .select(col("lang"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang").asc, col("doc_id").asc)
     }),

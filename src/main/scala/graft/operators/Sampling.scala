@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.vfs_fingerprint
 
@@ -17,9 +19,14 @@ import graft.functions.vfs_fingerprint
   * oracle reproduces the hash bit-exactly), and membership is stable
   * under appends — new data never reshuffles old rows between splits.
   *
-  * All three operators are narrow (filter / project) — zero shuffle,
-  * fully pushed into the scan stage — except the stratified variant,
-  * which shuffles once on the stratum key like any windowed top-n.
+  * The Bernoulli/split operators are narrow (filter / project) — zero
+  * shuffle, fully pushed into the scan stage. The quota-based
+  * operators (stratified / mixture / temperature) select the exact
+  * n smallest (hash, tiebreak) per stratum via
+  * [[hashThresholdSelect]]: bounded histogram aggregates find the
+  * per-stratum threshold, rows below it pass a pure filter, and only
+  * a ≤ bandCap boundary band is ever windowed — no low-cardinality
+  * single-task sort at any data size.
   */
 object Sampling {
 
@@ -70,19 +77,137 @@ object Sampling {
       weight: Column): DataFrame =
     df.filter(hashUniform(key) < weight)
 
+  /** Per-stratum band state during [[hashThresholdSelect]] refinement:
+    * the quota-th smallest fingerprint lies in [lo, hi); `below` rows
+    * have fp < lo (all selected), `size` rows are in the band, and
+    * `remaining` = quota - below still need picking from the band. */
+  private final case class Band(lo: Long, hi: Option[Long],
+      below: Long, size: Long, remaining: Long)
+
+  /** EXACT "n smallest (fingerprint, tiebreak) rows per stratum"
+    * WITHOUT a per-stratum global sort — the scale-safe core behind
+    * [[stratifiedTopN]] / [[mixtureSample]] / [[temperatureSample]].
+    *
+    * A `row_number() OVER (PARTITION BY stratum ORDER BY fp)` window
+    * puts each stratum in ONE task; with 5-50 sources at 100 TB that
+    * is a multi-TB single-task sort. Instead, locate the quota-th
+    * smallest fingerprint per stratum by adaptive radix histogram:
+    * each pass aggregates counts of the next 12 fingerprint bits
+    * (|strata| × 4096 counters to the driver — human-sized), narrows
+    * each stratum's candidate band 4096×, and stops once every band
+    * holds ≤ `bandCap` rows. Selection is then rows with
+    * `fp < band.lo` (a pure filter, no shuffle beyond the scan) plus
+    * a window over ONLY the bounded band for the exact boundary
+    * (fingerprint ties included). ≤ ceil(64/12) = 6 passes worst
+    * case; in practice 0 passes when strata fit under `bandCap`
+    * (small data degenerates to the plain window) and 1-2 passes at
+    * scale, each a map-side-combined aggregate. Result set is
+    * bit-identical to the window formulation on any pass count —
+    * the oracle queries pin this by forcing a tiny `bandCap`. */
+  private def hashThresholdSelect(df: DataFrame, stratum: Column,
+      key: Column, tiebreak: Column, quotas: Map[Any, Long],
+      counts: Map[Any, Long], bandCap: Long): DataFrame = {
+    require(bandCap >= 1, "[GRAFT] bandCap must be >= 1")
+    WorkCols.requireFree(df, "__rn", "__bk", "__s")
+    val fp = vfs_fingerprint(key)
+    var bands: Map[Any, Band] = quotas.flatMap { case (s, q) =>
+      val n = counts.getOrElse(s, 0L)
+      if (q <= 0 || n == 0L) None
+      else Some(s -> Band(Long.MinValue, None, 0L, n, q))
+    }
+    if (bands.isEmpty) return df.filter(lit(false))
+
+    def bandCond(states: Map[Any, Band]): Column =
+      states.map { case (s, b) =>
+        val base = stratum === lit(s) && fp >= lit(b.lo)
+        b.hi.map(h => base && fp < lit(h)).getOrElse(base)
+      }.reduce(_ || _)
+
+    var shift = 52
+    while (shift >= 0 && bands.values.exists(_.size > bandCap)) {
+      val oversized = bands.filter(_._2.size > bandCap)
+      val hist: Map[Any, Array[(Long, Long)]] = df
+        .filter(bandCond(oversized))
+        .groupBy(stratum.as("__s"),
+          shiftright(fp, shift).as("__bk")).count()
+        .collect()
+        .groupBy(_.get(0))
+        .map { case (s, rows) =>
+          s -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1) }
+      bands = bands.map { case (s, b) =>
+        s -> (hist.get(s).filter(_ => b.size > bandCap) match {
+          case Some(buckets) =>
+            // bucket holding the remaining-th smallest fingerprint
+            val idx = {
+              var cum = 0L; var i = 0; var c = -1
+              while (i < buckets.length) {
+                if (c < 0) {
+                  cum += buckets(i)._2
+                  if (cum >= b.remaining) c = i
+                }
+                i += 1
+              }
+              if (c < 0) buckets.length - 1 else c
+            }
+            val belowAdd = buckets.take(idx).map(_._2).sum
+            val (bk, cnt) = buckets(idx)
+            val hiBig = (BigInt(bk) + 1) << shift
+            val newHi =
+              if (hiBig > BigInt(Long.MaxValue)) b.hi
+              else Some(b.hi.fold(hiBig.toLong)(math.min(_, hiBig.toLong)))
+            Band(math.max(b.lo, bk << shift), newHi,
+              b.below + belowAdd, cnt, b.remaining - belowAdd)
+          case None => b
+        })
+      }
+      shift -= (if (shift == 4) 4 else 12) // 52, 40, 28, 16, 4, 0
+    }
+
+    val remainingCol = bands.foldLeft(lit(0L)) { case (acc, (s, b)) =>
+      when(stratum === lit(s), lit(b.remaining)).otherwise(acc)
+    }
+    val win = Window.partitionBy(stratum).orderBy(fp.asc, tiebreak.asc)
+    val band = df.filter(bandCond(bands))
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= remainingCol)
+      .drop("__rn")
+    if (bands.values.forall(_.lo == Long.MinValue)) band
+    else {
+      val below = bands.map { case (s, b) =>
+        stratum === lit(s) && fp < lit(b.lo)
+      }.reduce(_ || _)
+      df.filter(below).unionByName(band)
+    }
+  }
+
   /** Deterministic stratified sample: the `n` rows of each stratum
     * with the smallest (hash, tiebreak) — every engine picks the same
-    * rows. One shuffle on the stratum key; the window keeps only
-    * row_number ≤ n so the post-shuffle state is a streaming top-n per
-    * group, not a full sort of the stratum. */
+    * rows. Low-cardinality strata (≤ `maxStrata` observed) go through
+    * [[hashThresholdSelect]], so no stratum is ever a single-task
+    * sort; with MORE than `maxStrata` strata the plain per-stratum
+    * window is already many small partitions and is used as-is.
+    * `bandCap` bounds the only windowed row count on the threshold
+    * path. Strata with a null key are dropped on the threshold path
+    * (a training mixture has named sources). */
   def stratifiedTopN(df: DataFrame, stratum: Column, key: Column,
-      tiebreak: Column, n: Int): DataFrame = {
+      tiebreak: Column, n: Int, bandCap: Long = 100000L,
+      maxStrata: Int = 512): DataFrame = {
     WorkCols.requireFree(df, "__rn")
-    val w = Window.partitionBy(stratum)
-      .orderBy(vfs_fingerprint(key).asc, tiebreak.asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    val observed = df.groupBy(stratum.as("__s")).count()
+      .limit(maxStrata + 1).collect()
+    if (observed.length > maxStrata) {
+      val w = Window.partitionBy(stratum)
+        .orderBy(vfs_fingerprint(key).asc, tiebreak.asc)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+        .drop("__rn")
+    } else {
+      val cm: Map[Any, Long] =
+        observed.filter(_.get(0) != null)
+          .map(r => r.get(0) -> r.getLong(1)).toMap
+      hashThresholdSelect(df, stratum, key, tiebreak,
+        cm.map { case (s, _) => s -> n.toLong }, cm, bandCap)
+    }
   }
 
   /** Deterministic source-mixture sampling — domain reweighting for a
@@ -95,11 +220,15 @@ object Sampling {
     * sense as [[stratifiedTopN]].
     *
     * Cost: one count aggregation (|sources| rows to the driver — a
-    * mixture spec is always human-sized) + one stratified window
-    * pass. Sources absent from `weights` are dropped — the mixture
+    * mixture spec is always human-sized) + the
+    * [[hashThresholdSelect]] passes (0 when every source fits under
+    * `bandCap`, so small data is a single window scan; 1-2 bounded
+    * histogram aggregates at scale — never a per-source single-task
+    * sort). Sources absent from `weights` are dropped — the mixture
     * defines the corpus. */
   def mixtureSample(df: DataFrame, source: Column, key: Column,
-      tiebreak: Column, weights: Map[String, Double]): DataFrame = {
+      tiebreak: Column, weights: Map[String, Double],
+      bandCap: Long = 100000L): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "[GRAFT] mixture weights must be positive")
     WorkCols.requireFree(df, "__rn")
@@ -113,15 +242,11 @@ object Sampling {
     }.min
     val quotas = w.map { case (s, ws) =>
       s -> math.floor(ws * nStar).toLong }
-    val quotaCol = quotas.foldLeft(lit(0L)) { case (acc, (s, q)) =>
-      when(source === s, lit(q)).otherwise(acc)
-    }
-    val win = Window.partitionBy(source)
-      .orderBy(vfs_fingerprint(key).asc, tiebreak.asc)
-    df.filter(source.isInCollection(w.keys.toSeq))
-      .withColumn("__rn", row_number().over(win))
-      .filter(col("__rn") <= quotaCol)
-      .drop("__rn")
+    hashThresholdSelect(
+      df.filter(source.isInCollection(w.keys.toSeq)),
+      source, key, tiebreak,
+      quotas.map { case (s, q) => (s: Any) -> q },
+      counts.map { case (s, n) => (s: Any) -> n }, bandCap)
   }
 
   /** Temperature-based source rebalancing (the multilingual α-smoothing
@@ -136,7 +261,8 @@ object Sampling {
     * 1-ulp-accurate and not oracle-pinnable). Count collection is
     * |sources| rows — a mixture spec is always human-sized. */
   def temperatureSample(df: DataFrame, source: Column, key: Column,
-      tiebreak: Column, alpha: Double = 0.5): DataFrame = {
+      tiebreak: Column, alpha: Double = 0.5,
+      bandCap: Long = 100000L): DataFrame = {
     require(alpha > 0 && alpha <= 1,
       "[GRAFT] temperatureSample: alpha must be in (0, 1]")
     val counts = df.groupBy(source.as("__src")).count()
@@ -148,7 +274,8 @@ object Sampling {
     // THIS (sorted) order — the property the oracle mirror relies on
     mixtureSample(df, source, key, tiebreak,
       scala.collection.immutable.ListMap(
-        counts.map { case (s, n) => s -> powA(n.toDouble) }: _*))
+        counts.map { case (s, n) => s -> powA(n.toDouble) }: _*),
+      bandCap)
   }
 
   /** Deterministic negative-pair mining for contrastive training: for
@@ -185,16 +312,68 @@ object Sampling {
     * ASC breaks exactly); the output sorts by (rank, source,
     * tiebreak), so ANY prefix of the training stream is
     * simultaneously quality-leaning and source-balanced — the usual
-    * curriculum + domain-mixing requirement. Deliberately NO global
-    * row_number: a global window is a single-partition cliff, while
-    * the (rank, source) sort is a range-partitioned global sort —
-    * exactly the shuffle the output ordering requires and nothing
-    * more. Output: input columns + `rank` (1-based within source). */
+    * curriculum + domain-mixing requirement.
+    *
+    * NO per-source window anywhere: `row_number() OVER (PARTITION BY
+    * source)` puts each source in one task — a multi-TB single-task
+    * sort for a 5-50-source mixture at 100 TB. Instead the rank uses
+    * the zipWithIndex construction over a RANGE-PARTITIONED global
+    * sort on (source, score DESC, tiebreak): same-source rows land
+    * contiguous and ordered across bounded-size partitions; one small
+    * per-(partition, source-run) count pass (O(partitions + sources)
+    * rows to the driver — runs are contiguous, so at most one extra
+    * entry per partition boundary) yields broadcast start offsets, and
+    * a second pass assigns `rank = offset + local position`. The sort
+    * output is persisted (memory-and-disk) between the two passes —
+    * range boundaries are sampled, so an unpersisted recompute could
+    * repartition differently and corrupt the offsets; this is the same
+    * contract as RDD.zipWithIndex. Cost: one range-partitioned sort +
+    * the final (rank, source) range-partitioned orderBy — no
+    * single-partition exchange anywhere. Output: input columns +
+    * `rank` (1-based within source). */
   def curriculumInterleave(df: DataFrame, source: Column, score: Column,
       tiebreak: Column): DataFrame = {
-    WorkCols.requireFree(df, "rank")
-    val w = Window.partitionBy(source).orderBy(score.desc, tiebreak.asc)
-    df.withColumn("rank", row_number().over(w).cast("long"))
+    WorkCols.requireFree(df, "rank", "__csrc")
+    val spark = df.sparkSession
+    val tagged = df.withColumn("__csrc", source.cast("string"))
+      .sort(col("__csrc").asc, score.desc, tiebreak.asc)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcPos = tagged.schema.fieldIndex("__csrc")
+    // per-partition contiguous (source, count) runs, in row order
+    val runs: Array[(Int, Seq[(String, Long)])] =
+      tagged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { r =>
+          val s = r.getString(srcPos)
+          acc.update(s, acc.getOrElse(s, 0L) + 1L)
+        }
+        Iterator.single(pid -> acc.toSeq)
+      }.collect()
+    val offsets: Map[(Int, String), Long] = {
+      val perSrc = scala.collection.mutable.HashMap.empty[String, Long]
+      val b = Map.newBuilder[(Int, String), Long]
+      runs.sortBy(_._1).foreach { case (pid, rs) =>
+        rs.foreach { case (s, c) =>
+          val off = perSrc.getOrElse(s, 0L)
+          b += ((pid, s) -> off)
+          perSrc.update(s, off + c)
+        }
+      }
+      b.result()
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val outSchema = tagged.schema.add("rank", LongType, nullable = false)
+    val ranked = spark.createDataFrame(
+      tagged.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val local = scala.collection.mutable.HashMap.empty[String, Long]
+        it.map { r =>
+          val s = r.getString(srcPos)
+          val i = local.getOrElse(s, 0L)
+          local.update(s, i + 1L)
+          Row.fromSeq(r.toSeq :+ (bc.value((pid, s)) + i + 1L))
+        }
+      }, outSchema)
+    ranked.drop("__csrc")
       .orderBy(col("rank").asc, source.asc, tiebreak.asc)
   }
 }

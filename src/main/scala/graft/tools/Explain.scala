@@ -142,6 +142,21 @@ object Explain {
         graft.SparkEntry.events(spark, dir).select(col("user_id")),
         col("user_id").cast("string"), p = 6)
     }
+    show("mixture sample via hash-threshold (expect: below-threshold " +
+        "pure Filter branch UNION window over ONLY the <=bandCap band " +
+        "— the per-source Window never sees the full source)") {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Sampling.mixtureSample(d, col("source"),
+        col("text"), col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
+          "src3" -> 0.10), bandCap = 16L)
+    }
+    show("curriculum interleave (expect: range-partitioned global " +
+        "sort + mapPartitions rank — NO per-source Window exchange)") {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Sampling.curriculumInterleave(d, col("source"),
+        col("n_chars"), col("doc_id"))
+    }
     spark.stop()
   }
 }

@@ -113,6 +113,34 @@ object ScaleProbe {
     time("KMV distinct sketch over 10M rows (k=256)") {
       graft.operators.Sketches.kmvDistinct(wide, $"text", 256).collect()
     }
+
+    // mixture sampling at 5M rows / 3 sources: the low-cardinality
+    // case where a per-source row_number window would be three
+    // multi-GB single-task sorts. The threshold path must keep every
+    // windowed partition under bandCap rows.
+    val mix = time("materialize 5M-row 3-source corpus") {
+      val df = spark.range(5000000L).select($"id",
+        when($"id" % 10 < 6, "web")
+          .when($"id" % 10 < 9, "books").otherwise("code").as("src"),
+        concat(lit("doc"), $"id").as("text"))
+      val p = java.nio.file.Files.createTempDirectory("scale-mix").toString
+      df.write.mode("overwrite").parquet(s"$p/t")
+      spark.read.parquet(s"$p/t")
+    }
+    time("mixture sample 5M rows / 3 sources (hash-threshold, " +
+        "bandCap=100k — no single-task source sort)") {
+      graft.operators.Sampling.mixtureSample(mix, $"src", $"text",
+        $"id", Map("web" -> 0.4, "books" -> 0.4, "code" -> 0.2)).count()
+    }
+    time("stratified top-200k per source over 5M rows (hash-threshold)") {
+      graft.operators.Sampling.stratifiedTopN(mix, $"src", $"text",
+        $"id", 200000).count()
+    }
+    time("curriculum interleave 5M rows / 3 sources (sort + offsets, " +
+        "no per-source window)") {
+      graft.operators.Sampling.curriculumInterleave(mix, $"src",
+        length($"text"), $"id").count()
+    }
     spark.stop()
   }
 }

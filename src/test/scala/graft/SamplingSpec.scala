@@ -133,6 +133,36 @@ class SamplingSpec extends AnyFunSuite {
     })
   }
 
+  test("hash-threshold selection matches the window formulation " +
+      "bit-for-bit under forced multi-pass refinement") {
+    // 6,000 rows / 3 skewed sources; bandCap 8 forces several radix
+    // refinement passes, bandCap 10^9 degenerates to the single
+    // window — both must pick the IDENTICAL row set
+    val rows = ((0 until 3000).map(i => (i.toLong, "a")) ++
+      (10000 until 12000).map(i => (i.toLong, "b")) ++
+      (20000 until 21000).map(i => (i.toLong, "c")))
+      .toDF("id", "src").repartition(13)
+    val weights = Map("a" -> 0.5, "b" -> 0.3, "c" -> 0.2)
+    val viaThreshold = Sampling.mixtureSample(rows, col("src"),
+        col("id").cast("string"), col("id"), weights, bandCap = 8L)
+      .select($"id").as[Long].collect().toSet
+    val viaWindow = Sampling.mixtureSample(rows, col("src"),
+        col("id").cast("string"), col("id"), weights,
+        bandCap = 1000000000L)
+      .select($"id").as[Long].collect().toSet
+    assert(viaThreshold === viaWindow)
+    assert(viaThreshold.nonEmpty)
+    // stratifiedTopN: same equivalence, quota larger than bandCap
+    val thr = Sampling.stratifiedTopN(rows, col("src"),
+        col("id").cast("string"), col("id"), 500, bandCap = 4L)
+      .select($"id").as[Long].collect().toSet
+    val win = Sampling.stratifiedTopN(rows, col("src"),
+        col("id").cast("string"), col("id"), 500,
+        bandCap = 1000000000L)
+      .select($"id").as[Long].collect().toSet
+    assert(thr === win && thr.size === 1500)
+  }
+
   test("negative pairs: deterministic, no self-pairs, partners in the " +
       "id domain") {
     val out = Sampling.negativePairs(docs, k = 3, n = 500).collect()
