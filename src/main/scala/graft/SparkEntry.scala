@@ -624,10 +624,14 @@ object SparkEntry {
         capacity = 4096)
     }),
 
-    // ---- multimodal column plumbing (binary payload + metadata) ----
+    // ---- multimodal columns: REAL containers (WAV/BMP/PPM) built
+    // in-engine; n_bytes is the true container size, so the oracle's
+    // header arithmetic (44-byte RIFF, 54+stride*h BMP, ASCII P6)
+    // certifies the encoders byte-for-byte ----
     "multimodal_meta" -> ((s, dir) => {
       graft.operators.Multimodal
-        .mediaFromDocs(s.read.parquet(s"$dir/documents.parquet"))
+        .synthesizeMedia(s.read.parquet(s"$dir/documents.parquet"))
+        .toDF()
         .select(col("doc_id"), col("format"), col("n_bytes"))
         .orderBy(col("doc_id").asc)
     }),
@@ -1199,16 +1203,19 @@ object SparkEntry {
         .orderBy(col("rank").asc)
     }),
 
-    // ---- multimodal batch feature extraction (stubbed decode with
-    // integer accumulation — bit-reproducible by the oracle) ----
+    // ---- multimodal REAL decode: parse the WAV/BMP/PPM containers
+    // (RIFF chunk walk, BMP BGR/bottom-up/stride undo, P6 header) and
+    // derive per-channel stats from the DECODED samples; the oracle
+    // recomputes every stat from the payload bytes, so header parsing,
+    // channel-order normalization and padding must all be exact ----
     "multimodal_features" -> ((s, dir) => {
       val media = graft.operators.Multimodal
-        .mediaFromDocs(s.read.parquet(s"$dir/documents.parquet"))
-      graft.operators.Multimodal.extractFeatures(s, media, dim = 8)
+        .synthesizeMedia(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.decodeStats(s, media)
         .toDF()
-        .select(col("doc_id"), col("n_bytes"),
-          round(col("feature")(0).cast("double") * 1000).cast("long")
-            .as("f0_milli"))
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
         .orderBy(col("doc_id").asc)
     }),
 
@@ -1654,10 +1661,7 @@ object SparkEntry {
 
     "dedup_semantic_text" -> dedupSemanticTextOracle,
 
-    "multimodal_meta" ->
-      """SELECT doc_id, 'text/plain' AS format,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+    "multimodal_meta" -> multimodalMetaOracle,
 
     "similarity_batch_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2306,16 +2310,68 @@ object SparkEntry {
        |FROM s ORDER BY doc_id ASC""".stripMargin
   }
 
+  /** Synthesized container format by doc_id % 3 — mirrors
+    * [[graft.operators.Multimodal.synthesizeMedia]]. */
+  private def duckMediaFormat: String =
+    """CASE doc_id % 3 WHEN 0 THEN 'audio/wav'
+      |  WHEN 1 THEN 'image/bmp' ELSE 'image/ppm' END""".stripMargin
+
+  /** Container sizes from header arithmetic: WAV = 44-byte canonical
+    * RIFF header + n payload bytes; BMP = 54-byte headers + stride*h
+    * (width 4 → stride 12, no padding); PPM = "P6\n4 {h}\n255\n"
+    * (10 + digits(h)) + payload. m = raster payload (whole 12-byte
+    * rows, min one row). */
+  private def multimodalMetaOracle: String =
+    s"""WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n
+       |  FROM documents),
+       |s AS (SELECT doc_id, n, greatest(12, n - (n % 12)) AS m FROM b)
+       |SELECT doc_id, $duckMediaFormat AS format,
+       |  CAST(CASE doc_id % 3
+       |    WHEN 0 THEN 44 + n
+       |    WHEN 1 THEN 54 + m
+       |    ELSE 10 + length(CAST(m // 12 AS VARCHAR)) + m
+       |  END AS BIGINT) AS n_bytes
+       |FROM s ORDER BY doc_id ASC""".stripMargin
+
+  /** Channel-mean milli over the zero-padded raster payload `pb`
+    * (length m): stored byte index (i-1) % 3 == `c`. */
+  private def duckChannelMilli(c: Int): String =
+    s"""round(COALESCE(list_sum(list_transform(range(1, m + 1),
+       |    i -> CASE WHEN (i - 1) % 3 = $c THEN pb[i] ELSE 0 END)), 0)
+       |  * 1000.0 / (255.0 * (m // 3)))""".stripMargin
+
+  /** Mirrors [[graft.operators.Multimodal.decodeStats]] from the raw
+    * payload bytes: the engine must parse real containers (RIFF walk,
+    * BMP bottom-up BGR stride undo, P6 header) to land on these same
+    * numbers. BMP stores BGR → its R channel is stored index 2; PPM
+    * stores RGB → R is stored index 0. Audio c0/c1/c2 =
+    * mean/peak/trough of the PCM samples. */
   private def multimodalFeaturesOracle: String =
     s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
-       |f AS (SELECT doc_id, len(bs) AS nb,
-       |  CAST(CAST(COALESCE(list_sum(list_transform(range(1, len(bs) + 1),
-       |      i -> CASE WHEN (i - 1) % 8 = 0 THEN bs[i] ELSE 0 END)), 0) AS DOUBLE)
-       |    / (255.0 * greatest(1, len(bs) // 8)) AS FLOAT) AS f0
-       |  FROM b)
-       |SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
-       |  CAST(round(CAST(f0 AS DOUBLE) * 1000) AS BIGINT) AS f0_milli
-       |FROM f ORDER BY doc_id ASC""".stripMargin
+       |s AS (SELECT doc_id, bs, len(bs) AS n,
+       |    greatest(12, len(bs) - (len(bs) % 12)) AS m FROM b),
+       |p AS (SELECT doc_id, bs, n, m,
+       |    list_transform(range(1, m + 1),
+       |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
+       |  FROM s)
+       |SELECT doc_id, $duckMediaFormat AS format,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 4 END AS INT) AS width,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE m // 12 END AS INT)
+       |    AS height,
+       |  CAST(CASE WHEN doc_id % 3 = 0 THEN n ELSE m // 3 END AS BIGINT)
+       |    AS n_samples,
+       |  CAST(CASE WHEN doc_id % 3 = 0
+       |      THEN round(COALESCE(list_sum(bs), 0) * 1000.0 / (255.0 * n))
+       |    WHEN doc_id % 3 = 1 THEN ${duckChannelMilli(2)}
+       |    ELSE ${duckChannelMilli(0)} END AS BIGINT) AS c0_milli,
+       |  CAST(CASE WHEN doc_id % 3 = 0
+       |      THEN round(list_max(bs) * 1000.0 / 255.0)
+       |    ELSE ${duckChannelMilli(1)} END AS BIGINT) AS c1_milli,
+       |  CAST(CASE WHEN doc_id % 3 = 0
+       |      THEN round(list_min(bs) * 1000.0 / 255.0)
+       |    WHEN doc_id % 3 = 1 THEN ${duckChannelMilli(0)}
+       |    ELSE ${duckChannelMilli(2)} END AS BIGINT) AS c2_milli
+       |FROM p ORDER BY doc_id ASC""".stripMargin
 
   // ---- oracle SQL generated from the same constants the Spark
   // implementation uses (TextAnalysis.LangProfiles) ----

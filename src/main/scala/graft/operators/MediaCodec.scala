@@ -1,0 +1,242 @@
+package graft.operators
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+
+/** Pure-JVM encoders/decoders for three real container formats —
+  * WAV (RIFF PCM), BMP (BITMAPINFOHEADER, 24-bpp) and PPM (P6) — so
+  * the multimodal decode path parses genuine headers, chunk layouts,
+  * channel orders and row strides instead of a stand-in byte fold.
+  * These cover the in-sandbox-verifiable end of the codec spectrum;
+  * compressed formats (JPEG/MP3/H.264) slot in behind the same
+  * [[Multimodal.decodeStats]] dispatch.
+  *
+  * All decoders validate magic numbers and structure and throw
+  * IllegalArgumentException with a [GRAFT] message on malformed input
+  * (the F1-F3 guard discipline of the store applies to media too).
+  */
+object MediaCodec {
+
+  /** Decoded audio: PCM samples widened to Int (8-bit unsigned →
+    * 0..255; 16-bit signed little-endian → -32768..32767). */
+  final case class Pcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Int])
+
+  /** Decoded raster: pixel bytes in LOGICAL order — row 0 first
+    * (top-down), channels in the format's STORED order per pixel
+    * (BMP stores BGR, PPM stores RGB); `channelOrder` says which. */
+  final case class Raster(width: Int, height: Int, channelOrder: String,
+      pixels: Array[Byte])
+
+  // ---------------------------------------------------------------
+  // WAV / RIFF
+  // ---------------------------------------------------------------
+
+  /** Canonical 44-byte-header PCM WAV: RIFF + fmt(16) + data. The
+    * final data chunk is NOT word-padded (common writer behavior),
+    * so the container is exactly 44 + payload bytes. */
+  def encodeWav(pcm: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val b = ByteBuffer.allocate(44 + pcm.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    b.putInt(36 + pcm.length)
+    b.put("WAVE".getBytes(StandardCharsets.US_ASCII))
+    b.put("fmt ".getBytes(StandardCharsets.US_ASCII))
+    b.putInt(16)          // PCM fmt chunk size
+    b.putShort(1)         // audio format: PCM
+    b.putShort(1)         // channels: mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate)  // byte rate = rate * channels * bits/8
+    b.putShort(1)         // block align
+    b.putShort(8)         // bits per sample
+    b.put("data".getBytes(StandardCharsets.US_ASCII))
+    b.putInt(pcm.length)
+    b.put(pcm)
+    b.array()
+  }
+
+  /** RIFF chunk walker: validates RIFF/WAVE, reads `fmt `, skips
+    * unknown chunks (LIST, fact, …), extracts `data`. Handles 8-bit
+    * unsigned and 16-bit signed PCM, any channel count. */
+  def decodeWav(bytes: Array[Byte]): Pcm = {
+    require(bytes.length >= 44, "[GRAFT] wav: truncated header")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val t = new Array[Byte](4); b.get(t)
+      new String(t, StandardCharsets.US_ASCII)
+    }
+    require(tag4() == "RIFF", "[GRAFT] wav: missing RIFF magic")
+    b.getInt() // declared riff size; trust actual buffer bounds
+    require(tag4() == "WAVE", "[GRAFT] wav: not a WAVE form")
+    var fmtSeen = false
+    var channels = 0; var rate = 0; var bits = 0
+    var data: Array[Byte] = null
+    while (data == null && b.remaining() >= 8) {
+      val id = tag4()
+      val size = b.getInt()
+      require(size >= 0 && size <= b.remaining(),
+        s"[GRAFT] wav: chunk $id overruns buffer")
+      id match {
+        case "fmt " =>
+          require(size >= 16, "[GRAFT] wav: fmt chunk too small")
+          val fmtEnd = b.position() + size
+          val audioFormat = b.getShort()
+          require(audioFormat == 1,
+            s"[GRAFT] wav: only PCM supported, got format $audioFormat")
+          channels = b.getShort()
+          rate = b.getInt()
+          b.getInt(); b.getShort() // byte rate, block align
+          bits = b.getShort()
+          require(bits == 8 || bits == 16,
+            s"[GRAFT] wav: unsupported bit depth $bits")
+          b.position(fmtEnd + (size & 1)) // chunks are word-aligned
+          fmtSeen = true
+        case "data" =>
+          require(fmtSeen, "[GRAFT] wav: data chunk before fmt")
+          data = new Array[Byte](size)
+          b.get(data)
+        case _ => // LIST/fact/cue/...: skip, honoring the pad byte
+          b.position(b.position() + size + (size & 1))
+      }
+    }
+    require(data != null, "[GRAFT] wav: no data chunk")
+    val samples =
+      if (bits == 8) data.map(_ & 0xff)
+      else {
+        require(data.length % 2 == 0, "[GRAFT] wav: odd 16-bit payload")
+        val s = new Array[Int](data.length / 2)
+        var i = 0
+        while (i < s.length) {
+          s(i) = ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        s
+      }
+    Pcm(rate, channels, bits, samples)
+  }
+
+  // ---------------------------------------------------------------
+  // BMP (BITMAPFILEHEADER + BITMAPINFOHEADER, 24 bpp)
+  // ---------------------------------------------------------------
+
+  /** 24-bpp bottom-up BMP. `payload` is stored pixel bytes in logical
+    * top-down row order, BGR per pixel, length == width*height*3; the
+    * encoder lays rows bottom-up with 4-byte-aligned stride as the
+    * format requires. */
+  def encodeBmp(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && payload.length == width * height * 3,
+      "[GRAFT] bmp: payload must be width*height*3 bytes")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val imgSize = stride * height
+    val b = ByteBuffer.allocate(54 + imgSize).order(ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte)
+    b.putInt(54 + imgSize)   // file size
+    b.putInt(0)              // reserved
+    b.putInt(54)             // pixel data offset
+    b.putInt(40)             // BITMAPINFOHEADER size
+    b.putInt(width)
+    b.putInt(height)         // positive: bottom-up
+    b.putShort(1)            // planes
+    b.putShort(24)           // bpp
+    b.putInt(0)              // BI_RGB, uncompressed
+    b.putInt(imgSize)
+    b.putInt(2835).putInt(2835) // 72 DPI
+    b.putInt(0).putInt(0)    // palette
+    var r = height - 1
+    while (r >= 0) {
+      b.put(payload, r * width * 3, width * 3)
+      var pad = stride - width * 3
+      while (pad > 0) { b.put(0: Byte); pad -= 1 }
+      r -= 1
+    }
+    b.array()
+  }
+
+  /** Parses the two headers, validates 24-bpp uncompressed, undoes the
+    * bottom-up row order and stride padding. Negative biHeight
+    * (top-down storage) is honored. */
+  def decodeBmp(bytes: Array[Byte]): Raster = {
+    require(bytes.length >= 54, "[GRAFT] bmp: truncated header")
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(b.get() == 'B'.toByte && b.get() == 'M'.toByte,
+      "[GRAFT] bmp: missing BM magic")
+    b.getInt(); b.getInt()
+    val dataOffset = b.getInt()
+    val headerSize = b.getInt()
+    require(headerSize >= 40, "[GRAFT] bmp: pre-BITMAPINFOHEADER bmp")
+    val width = b.getInt()
+    val rawHeight = b.getInt()
+    val bottomUp = rawHeight > 0
+    val height = math.abs(rawHeight)
+    b.getShort()
+    val bpp = b.getShort()
+    require(bpp == 24, s"[GRAFT] bmp: only 24 bpp supported, got $bpp")
+    val compression = b.getInt()
+    require(compression == 0, "[GRAFT] bmp: compressed bmp unsupported")
+    require(width > 0 && height > 0, "[GRAFT] bmp: bad dimensions")
+    val stride = ((width * 3 + 3) / 4) * 4
+    require(dataOffset.toLong + stride.toLong * height <= bytes.length,
+      "[GRAFT] bmp: pixel array overruns buffer")
+    val out = new Array[Byte](width * height * 3)
+    var r = 0
+    while (r < height) {
+      val srcRow = if (bottomUp) height - 1 - r else r
+      System.arraycopy(bytes, dataOffset + srcRow * stride,
+        out, r * width * 3, width * 3)
+      r += 1
+    }
+    Raster(width, height, "BGR", out)
+  }
+
+  // ---------------------------------------------------------------
+  // PPM (P6, binary, maxval 255)
+  // ---------------------------------------------------------------
+
+  def encodePpm(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && payload.length == width * height * 3,
+      "[GRAFT] ppm: payload must be width*height*3 bytes")
+    val header = s"P6\n$width $height\n255\n"
+      .getBytes(StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + payload.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(payload, 0, out, header.length, payload.length)
+    out
+  }
+
+  /** ASCII header parser with `#` comment support (the part naive
+    * implementations get wrong), then raw RGB triplets. */
+  def decodePpm(bytes: Array[Byte]): Raster = {
+    require(bytes.length >= 2 && bytes(0) == 'P'.toByte &&
+      bytes(1) == '6'.toByte, "[GRAFT] ppm: missing P6 magic")
+    var pos = 2
+    def nextInt(): Int = {
+      // skip whitespace and comments
+      var inComment = false
+      while (pos < bytes.length && {
+        val c = bytes(pos).toChar
+        if (inComment) { if (c == '\n') inComment = false; true }
+        else if (c == '#') { inComment = true; true }
+        else c.isWhitespace
+      }) pos += 1
+      require(pos < bytes.length, "[GRAFT] ppm: truncated header")
+      var v = 0
+      var any = false
+      while (pos < bytes.length && bytes(pos).toChar.isDigit) {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+      }
+      require(any, "[GRAFT] ppm: expected integer in header")
+      v
+    }
+    val width = nextInt()
+    val height = nextInt()
+    val maxval = nextInt()
+    require(maxval == 255, s"[GRAFT] ppm: only maxval 255, got $maxval")
+    require(width > 0 && height > 0, "[GRAFT] ppm: bad dimensions")
+    pos += 1 // exactly one whitespace byte after maxval per spec
+    val n = width * height * 3
+    require(pos + n <= bytes.length, "[GRAFT] ppm: pixel data truncated")
+    val out = new Array[Byte](n)
+    System.arraycopy(bytes, pos, out, 0, n)
+    Raster(width, height, "RGB", out)
+  }
+}

@@ -13,12 +13,25 @@ case class MediaRecord(doc_id: Long, media: Array[Byte], format: String,
 case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
     feature: Array[Float])
 
-/** Multimodal-column plumbing: schema, partition-friendly batch decode,
-  * and feature extraction. The *decode kernel itself is a stub* — the
-  * real image/audio codecs are not available in this environment — but
-  * everything Spark-side (binary columns, typed Datasets, mapPartitions
-  * batch shape, deterministic output) is real and tested. Swap
-  * [[decodeStub]] for a JNI/codec call and nothing else changes.
+/** Decoded per-channel statistics for one asset. For audio, `width`
+  * and `height` are 0, `n_samples` counts PCM samples and c0/c1/c2
+  * are mean/peak/trough in milli (sample ∈ [0,255] → [0,1000]). For
+  * rasters, `n_samples` counts pixels and c0/c1/c2 are the R/G/B
+  * channel means in milli — channel order NORMALIZED from the
+  * format's stored order (BMP stores BGR). */
+case class MediaStats(doc_id: Long, format: String, width: Int,
+    height: Int, n_samples: Long, c0_milli: Long, c1_milli: Long,
+    c2_milli: Long)
+
+/** Multimodal-column plumbing AND a real decode path: binary media
+  * columns with typed metadata, a mapPartitions batch kernel, and
+  * genuine pure-JVM container parsing via [[MediaCodec]] (WAV RIFF
+  * chunk walk, BMP header/stride/BGR/bottom-up, PPM P6 with comment
+  * handling). [[decodeStats]] features are computed from the DECODED
+  * samples, and the DuckDB oracle reproduces them from the payload
+  * byte arithmetic — so the decode is verified end-to-end, not
+  * stubbed. Compressed codecs (JPEG/MP3) are the only thing this
+  * sandbox can't host; they'd slot behind the same format dispatch.
   */
 object Multimodal {
 
@@ -31,16 +44,13 @@ object Multimodal {
       lit("text/plain").as("format"),
       octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"))
 
-  /** STUB decode: a real implementation would decode image/audio bytes
-    * here (e.g. via a codec library) and emit pixel/sample buffers.
-    * This deterministic stand-in derives an 8-dim feature from byte
-    * content so the full pipeline (schema, batching, downstream joins,
-    * similarity search over features) is exercised end-to-end. */
-  private[operators] def decodeStub(bytes: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake below.
-    // Integer accumulation + ONE final double division keeps the fake
-    // bit-reproducible by any engine (a float += loop would make the
-    // result depend on f32 rounding at every step).
+  /** Byte-stripe profile for formats WITHOUT a registered parser — a
+    * model-free content feature (per-stripe byte mass), not a decode.
+    * Formats [[MediaCodec]] understands go through [[decodeStats]]
+    * instead. Integer accumulation + ONE final double division keeps
+    * the profile bit-reproducible by any engine (a float += loop
+    * would depend on f32 rounding at every step). */
+  private[operators] def byteStripeProfile(bytes: Array[Byte], dim: Int): Array[Float] = {
     val sums = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) {
@@ -51,9 +61,96 @@ object Multimodal {
     sums.map(s => (s / (255.0 * n)).toFloat)
   }
 
-  /** Batch feature extraction over partitions — the Scala analog of a
-    * pandas-UDF/mapInPandas batch kernel: one JVM-side loop per
-    * partition, no per-row closure dispatch, constant memory. */
+  /** Wrap each document's UTF-8 payload in a REAL media container —
+    * round-robin WAV (8-bit mono PCM), BMP (24-bpp, width 4) and PPM
+    * (P6) by doc_id % 3 — producing decodable binary media columns
+    * without external assets. Raster payloads are truncated to whole
+    * 4-pixel rows (12 bytes) and zero-padded up to one row minimum;
+    * audio keeps every byte as one sample. The container bytes are
+    * bona fide files (a desktop viewer opens them); container sizes
+    * and decoded features are therefore header-exact and the DuckDB
+    * oracle pins both. */
+  def synthesizeMedia(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          def rasterPayload: Array[Byte] = {
+            val m = math.max(12, payload.length - payload.length % 12)
+            java.util.Arrays.copyOf(payload, m)
+          }
+          val (bytes, fmt) = (id % 3) match {
+            case 0 => (MediaCodec.encodeWav(payload), "audio/wav")
+            case 1 =>
+              val p = rasterPayload
+              (MediaCodec.encodeBmp(p, 4, p.length / 12), "image/bmp")
+            case _ =>
+              val p = rasterPayload
+              (MediaCodec.encodePpm(p, 4, p.length / 12), "image/ppm")
+          }
+          MediaRecord(id, bytes, fmt, bytes.length.toLong)
+        }
+      }
+  }
+
+  private def meanMilli(sum: Long, cnt: Long): Long =
+    if (cnt == 0) 0L else math.round(sum * 1000.0 / (255.0 * cnt))
+
+  /** REAL batch decode: dispatch on format, parse the container with
+    * [[MediaCodec]], and compute per-channel statistics from the
+    * decoded samples. One JVM-side loop per partition (the Scala
+    * analog of a mapInPandas batch kernel) — constant memory, no
+    * per-row closure dispatch. */
+  def decodeStats(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaStats] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        r.format match {
+          case "audio/wav" =>
+            val pcm = MediaCodec.decodeWav(r.media)
+            var sum = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
+            pcm.samples.foreach { s =>
+              sum += s; if (s > mx) mx = s; if (s < mn) mn = s
+            }
+            val n = pcm.samples.length.toLong
+            MediaStats(r.doc_id, r.format, 0, 0, n,
+              meanMilli(sum, n),
+              if (n == 0) 0L else meanMilli(mx * n, n),
+              if (n == 0) 0L else meanMilli(mn * n, n))
+          case "image/bmp" | "image/ppm" =>
+            val ras =
+              if (r.format == "image/bmp") MediaCodec.decodeBmp(r.media)
+              else MediaCodec.decodePpm(r.media)
+            // normalize stored channel order to R,G,B sums
+            val (ri, gi, bi) =
+              if (ras.channelOrder == "BGR") (2, 1, 0) else (0, 1, 2)
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < ras.pixels.length) {
+              sums(i % 3) += (ras.pixels(i) & 0xff)
+              i += 1
+            }
+            val px = (ras.width.toLong * ras.height)
+            MediaStats(r.doc_id, r.format, ras.width, ras.height, px,
+              meanMilli(sums(ri), px), meanMilli(sums(gi), px),
+              meanMilli(sums(bi), px))
+          case other => throw new IllegalArgumentException(
+            s"[GRAFT] no decoder registered for format $other")
+        }
+      }
+    }
+  }
+
+  /** Fixed-dim feature vector per asset — real-decode formats get a
+    * [[lerpResample]]d profile of their DECODED sample stream
+    * (normalized to [0,1]); unregistered formats fall back to the
+    * [[byteStripeProfile]] content feature. Batch kernel shape: one
+    * JVM-side loop per partition, no per-row closure dispatch,
+    * constant memory. */
   def extractFeatures(spark: SparkSession, media: DataFrame,
       dim: Int = 8): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -61,30 +158,42 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions { it =>
         it.map { r =>
-          MediaFeatures(r.doc_id, r.format, r.n_bytes,
-            decodeStub(r.media, dim))
+          val feature = r.format match {
+            case "audio/wav" =>
+              val pcm = MediaCodec.decodeWav(r.media)
+              val denom = if (pcm.bitsPerSample == 8) 255.0f else 32767.0f
+              lerpResample(pcm.samples.map(_ / denom), dim)
+            case "image/bmp" | "image/ppm" =>
+              val ras =
+                if (r.format == "image/bmp") MediaCodec.decodeBmp(r.media)
+                else MediaCodec.decodePpm(r.media)
+              lerpResample(ras.pixels.map(b => (b & 0xff) / 255.0f), dim)
+            case _ => byteStripeProfile(r.media, dim)
+          }
+          MediaFeatures(r.doc_id, r.format, r.n_bytes, feature)
         }
       }
   }
 
-  /** Frame sampling stub — the 1→N batch shape (video → every-Nth
-    * frame). The "frame" here is a fixed-size byte window; a real
-    * implementation would emit decoded frames. Output one row per
-    * sampled frame with its index. */
+  /** Frame sampling — the 1→N batch shape (video → every-Nth frame).
+    * No video codec exists in this sandbox, so the "frame" is a
+    * fixed-size byte window and its feature a [[byteStripeProfile]];
+    * a codec-backed build swaps the slicing for real frame decode
+    * behind the same output schema. Output one row per sampled frame
+    * with its index. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
       frameBytes: Int = 64, everyN: Int = 4): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("media"), col("format"), col("n_bytes"))
       .as[MediaRecord]
       .flatMap { r =>
-        // ??? <- real frame decode goes here; windowed bytes below
         val nFrames = math.max(1, r.media.length / frameBytes)
         (0 until nFrames by everyN).map { f =>
           val start = f * frameBytes
           val frame = r.media.slice(start,
             math.min(start + frameBytes, r.media.length))
           (r.doc_id, f.toLong, frame.length.toLong,
-            decodeStub(frame, 4))
+            byteStripeProfile(frame, 4))
         }
       }
       .toDF("doc_id", "frame_idx", "frame_bytes", "frame_feature")

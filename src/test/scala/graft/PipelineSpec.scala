@@ -449,6 +449,91 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.forall(_.getLong(1) % 4 === 0))
   }
 
+  test("media codecs: real containers round-trip through real parsers") {
+    import graft.operators.MediaCodec
+    // WAV 8-bit: header walk recovers rate/bits and every sample
+    val pcm8 = Array.tabulate(301)(i => ((i * 7) % 256).toByte)
+    val wav = MediaCodec.encodeWav(pcm8, sampleRate = 8000)
+    assert(wav.length === 44 + pcm8.length)
+    val d8 = MediaCodec.decodeWav(wav)
+    assert(d8.sampleRate === 8000 && d8.bitsPerSample === 8 &&
+      d8.channels === 1)
+    assert(d8.samples.toSeq === pcm8.map(_ & 0xff).toSeq)
+    // WAV 16-bit signed little-endian, hand-built with an extra LIST
+    // chunk before data — the chunk walker must skip it
+    val samples16 = Array[Short](-32768, -1, 0, 1, 32767, 12345)
+    val data16 = samples16.flatMap(s =>
+      Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val bb = java.nio.ByteBuffer.allocate(44 + 12 + data16.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + 12 + data16.length)
+    bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(44100)
+    bb.putInt(88200); bb.putShort(2); bb.putShort(16)
+    bb.put("LIST".getBytes); bb.putInt(4); bb.put("INFO".getBytes)
+    bb.put("data".getBytes); bb.putInt(data16.length); bb.put(data16)
+    val d16 = MediaCodec.decodeWav(bb.array())
+    assert(d16.bitsPerSample === 16 && d16.sampleRate === 44100)
+    assert(d16.samples.toSeq === samples16.map(_.toInt).toSeq)
+    // BMP width 3: stride 12 vs row bytes 9 — padding must be undone;
+    // bottom-up storage must come back in logical top-down order
+    val px = Array.tabulate(3 * 2 * 3)(i => (i * 11 % 256).toByte)
+    val bmp = MediaCodec.encodeBmp(px, 3, 2)
+    assert(bmp.length === 54 + 12 * 2)
+    val rb = MediaCodec.decodeBmp(bmp)
+    assert(rb.width === 3 && rb.height === 2 && rb.channelOrder === "BGR")
+    assert(rb.pixels.toSeq === px.toSeq)
+    // PPM with a comment line in the header
+    val ppm = MediaCodec.encodePpm(px, 3, 2)
+    val withComment = new String(ppm.take(3), "US-ASCII") +
+      "# a comment\n" + new String(ppm.drop(3), "ISO-8859-1")
+    val rp = MediaCodec.decodePpm(
+      withComment.getBytes("ISO-8859-1"))
+    assert(rp.width === 3 && rp.height === 2 && rp.channelOrder === "RGB")
+    assert(rp.pixels.toSeq === px.toSeq)
+    // malformed input is rejected, not mis-decoded
+    intercept[IllegalArgumentException](MediaCodec.decodeWav(bmp))
+    intercept[IllegalArgumentException](MediaCodec.decodeBmp(wav))
+    intercept[IllegalArgumentException](MediaCodec.decodePpm(wav))
+  }
+
+  test("multimodal decode: stats come from decoded samples with " +
+      "normalized channel order") {
+    import graft.operators.{MediaCodec, Multimodal}
+    // same pixel payload through BMP (stored BGR) and PPM (stored
+    // RGB): after channel normalization the R/G/B means must swap
+    val pxRgb = Array[Byte](100.toByte, 50.toByte, 200.toByte,
+      100.toByte, 50.toByte, 200.toByte, 100.toByte, 50.toByte,
+      200.toByte, 100.toByte, 50.toByte, 200.toByte)
+    val media = Seq(
+      graft.operators.MediaRecord(1L, MediaCodec.encodePpm(pxRgb, 4, 1),
+        "image/ppm", 0L),
+      graft.operators.MediaRecord(2L, MediaCodec.encodeBmp(pxRgb, 4, 1),
+        "image/bmp", 0L), // same bytes, but BMP stores them as B,G,R
+      graft.operators.MediaRecord(3L,
+        MediaCodec.encodeWav(Array[Byte](0, 51, 102, 255.toByte)),
+        "audio/wav", 0L))
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[graft.operators.MediaRecord])
+    val got = Multimodal.decodeStats(spark, ds).collect()
+      .map(s => s.doc_id -> s).toMap
+    // PPM: stored (100,50,200) = R,G,B directly
+    assert(got(1L).c0_milli === math.round(100 * 1000.0 / 255) &&
+      got(1L).c1_milli === math.round(50 * 1000.0 / 255) &&
+      got(1L).c2_milli === math.round(200 * 1000.0 / 255))
+    // BMP: stored (100,50,200) = B,G,R → R mean is 200's, B is 100's
+    assert(got(2L).c0_milli === math.round(200 * 1000.0 / 255) &&
+      got(2L).c1_milli === math.round(50 * 1000.0 / 255) &&
+      got(2L).c2_milli === math.round(100 * 1000.0 / 255))
+    assert(got(1L).width === 4 && got(1L).height === 1 &&
+      got(1L).n_samples === 4L)
+    // audio: mean/peak/trough of (0, 51, 102, 255)
+    assert(got(3L).n_samples === 4L &&
+      got(3L).c0_milli === math.round(408 * 1000.0 / (255.0 * 4)) &&
+      got(3L).c1_milli === 1000L && got(3L).c2_milli === 0L)
+  }
+
   test("multimodal resample: linear interpolation, not truncation") {
     def lerp(v: Array[Float], d: Int) = Multimodal.lerpResample(v, d)
     // identity at the same dim (every sample position is integral)
