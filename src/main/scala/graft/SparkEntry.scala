@@ -1630,9 +1630,9 @@ object SparkEntry {
     "q_time_resample" ->
       """WITH e AS (SELECT event_type AS k,
         |  (epoch_us(ts) - epoch_us(ts) % 300000000) // 1000000 AS bucket,
-        |  value FROM events),
+        |  CAST(round(value * 100) AS BIGINT) AS value FROM events),
         |a AS (SELECT k, bucket, count(*) AS n,
-        |        CAST(round(sum(value) * 100) AS BIGINT) AS vc
+        |        CAST(sum(value) AS BIGINT) AS vc
         |      FROM e GROUP BY k, bucket),
         |d AS (SELECT k, unnest(generate_series(lo, hi, 300)) AS bucket
         |      FROM (SELECT k, min(bucket) AS lo, max(bucket) AS hi

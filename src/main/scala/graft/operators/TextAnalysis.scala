@@ -28,7 +28,11 @@ object TextAnalysis {
     * engine-portable md5 fold, any engine derives the identical
     * vector. A single codegen'd kernel pass per row
     * ([[graft.functions.HashedBow]]): no shuffle, one md5 per token.
-    * Returns ARRAY<FLOAT> (unit L2 norm; all-zero for no tokens). */
+    * Returns ARRAY<FLOAT> at unit L2 norm. NOTE: empty/whitespace-only
+    * text still tokenizes to one empty-string token (split semantics,
+    * matching the oracle's string_split_regex), so its vector is the
+    * unit one-hot at bucket hash("") mod dim — NOT all-zero; don't use
+    * a zero test to detect empty documents (use length/trim). */
   def hashEmbedding(text: Column, dim: Int = 64): Column =
     graft.functions.vfs_hash_embedding(text, dim)
 

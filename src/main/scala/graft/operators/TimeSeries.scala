@@ -35,11 +35,16 @@ object TimeSeries {
     val stepUs = stepSec * 1000000L
     val us = unix_micros(ts)
     val bucket = ((us - us % lit(stepUs)) / 1000000L).cast("long")
+    // round each value to centi-units BEFORE summing and aggregate
+    // LONGS: a double sum's rounding depends on Spark's partial-agg
+    // accumulation order (partition layout), so round(sum(double))
+    // could flip at a .5 boundary between runs/engines — the integer
+    // sum is associative-commutative-exact and order-independent
     val agg = events
-      .select(key.as("k"), bucket.as("bucket"), value.as("v"))
+      .select(key.as("k"), bucket.as("bucket"),
+        round(value * 100).cast("long").as("v"))
       .groupBy(col("k"), col("bucket"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("v")) * 100).cast("long").as("vc"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("vc"))
     val dense = agg.groupBy(col("k"))
       .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
       .select(col("k"),

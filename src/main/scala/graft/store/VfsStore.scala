@@ -101,6 +101,15 @@ class VfsStore private (val spark: SparkSession, val root: String,
   /** true iff unflushed memtable rows exist (read() unions them) */
   def hasUnflushed: Boolean = synchronized(memtable.nonEmpty)
 
+  /** Per-store monotonic commit-dir disambiguator: a millisecond
+    * timestamp alone collides when two rewrites (delete/compact) land
+    * in the same ms — the second overwrite would then target the very
+    * directory the first commit (and its lazy readers) reference. */
+  private val commitSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def commitDirName(suffix: String): String =
+    f"c${System.currentTimeMillis()}%013d-${commitSeq.incrementAndGet()}%04d-$suffix"
+
   private def manifestPath = Paths.get(root, "manifest.json")
 
   private def commitManifest(m: VfsManifest): Unit = synchronized {
@@ -200,7 +209,7 @@ class VfsStore private (val spark: SparkSession, val root: String,
           array_union(col("tags"), array(lit("quantized"))).as("tags"),
           col("created_at"))
       else df
-    val dir = f"c${System.currentTimeMillis()}%013d-${manifest.commits.size}%05d"
+    val dir = commitDirName(f"${manifest.commits.size}%05d")
     val target = s"$root/data/$dir"
     // sort by id within partitions: parquet row-group min/max stats then
     // prune point lookups — the B-tree-index analog (SURVEY §1.5)
@@ -280,7 +289,7 @@ class VfsStore private (val spark: SparkSession, val root: String,
     if (manifest.commits.size > 1) {
       val all = spark.read
         .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
-      val dir = f"c${System.currentTimeMillis()}%013d-compact"
+      val dir = commitDirName("compact")
       all.sortWithinPartitions("id").write.mode("overwrite")
         .parquet(s"$root/data/$dir")
       commitManifest(manifest.copy(commits = Seq(dir)))
@@ -305,7 +314,7 @@ class VfsStore private (val spark: SparkSession, val root: String,
     val all = spark.read
       .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
     val keep = all.filter(!coalesce(cond, lit(false)))
-    val dir = f"c${System.currentTimeMillis()}%013d-delete"
+    val dir = commitDirName("delete")
     keep.sortWithinPartitions("id").write.mode("overwrite")
       .parquet(s"$root/data/$dir")
     val kept = spark.read.parquet(s"$root/data/$dir").count()

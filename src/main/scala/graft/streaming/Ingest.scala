@@ -157,9 +157,18 @@ object Ingest {
             if (dirExists(vecDir)) {
               val corpus = spark.read.parquet(vecDir)
               // bands are STORED uncapped (capping is probe-time
-              // policy, not a permanent drop) and capped here
-              val banded = Dedup.capBuckets(
-                spark.read.parquet(bandDir), maxBucket,
+              // policy, not a permanent drop). Crash-between-appends
+              // residue is scrubbed BEFORE the cap: a band row whose
+              // vector never landed (bands write first) would
+              // otherwise inflate its bucket count forever, and a
+              // replayed batch's duplicate band rows likewise — either
+              // could push a legitimate bucket over maxBucket and
+              // silently stop candidate generation there.
+              val bandTable = spark.read.parquet(bandDir)
+                .join(corpus.select(col("vec_id").as("corpus_id")),
+                  Seq("corpus_id"), "left_semi")
+                .dropDuplicates("corpus_id", "band", "bits")
+              val banded = Dedup.capBuckets(bandTable, maxBucket,
                 Seq("band", "bits"))
               val hits = Dedup.embeddingNearDupJoin(fresh, corpus, tau,
                   bands, bitsPerBand, seed, bandedCorpus = Some(banded))
@@ -188,16 +197,49 @@ object Ingest {
       .start()
   }
 
+  private val hllCommitMarker = "_commit_v"
+
+  /** Committed register-table versions under `registersDir`, sorted
+    * ascending. A version counts only once its `_commit_v<N>` marker
+    * file exists — marker creation is the atomic commit point. */
+  private def hllCommittedVersions(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(hllCommitMarker) =>
+        n.stripPrefix(hllCommitMarker).toLong }
+      .sorted
+
+  /** The CURRENT committed register table under `registersDir` (see
+    * [[hllIngestStream]]); throws if no version has committed yet. */
+  def hllCurrentRegisters(spark: SparkSession,
+      registersDir: String): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(registersDir)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = hllCommittedVersions(fs, hp)
+    require(versions.nonEmpty,
+      s"[GRAFT] no committed HLL registers under $registersDir")
+    spark.read.parquet(s"$registersDir/v${versions.last}")
+  }
+
   /** Streaming distinct-count maintenance via the portable HLL: each
     * micro-batch's registers ([[graft.operators.Sketches.hllRegisters]])
     * merge into a persisted register table by per-bucket max — the HLL
     * merge law, so the table always equals the registers of the union
     * of all batches ever seen, in O(2^p) rows regardless of stream
-    * volume. The merged table is ≤ 2^p rows (driver-sized by
-    * construction), so the swap is a collect + overwrite — no
-    * read-while-overwrite conflict, and a replayed batch re-merges
-    * idempotently (max is idempotent). Read the current estimate any
-    * time with [[graft.operators.Sketches.hllEstimate]] on the table. */
+    * volume.
+    *
+    * Durability: the merged table is written to a NEW versioned
+    * directory (`v<N>`) and committed by atomically creating a
+    * `_commit_v<N>` marker — never by overwriting the only copy. A
+    * crash between the data write and the marker leaves the previous
+    * version current (the replayed batch re-merges idempotently —
+    * max is idempotent); a concurrent [[hllCurrentRegisters]] reader
+    * always resolves a fully-written immutable version. The previous
+    * version is retained at each commit (readers mid-resolution);
+    * older ones are vacuumed. */
   def hllIngestStream(stream: DataFrame, keyCol: String,
       registersDir: String, checkpoint: String, p: Int = 12,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
@@ -207,24 +249,37 @@ object Ingest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val hadoopConf = spark.sessionState.newHadoopConf()
         val hp = new org.apache.hadoop.fs.Path(registersDir)
-        val exists = hp.getFileSystem(hadoopConf).exists(hp)
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        val versions = hllCommittedVersions(fs, hp)
         val regs = Sketches.hllRegisters(batch,
           col(keyCol).cast("string"), p)
-        val merged =
-          if (exists)
-            regs.unionByName(spark.read.parquet(registersDir))
+        val merged = versions.lastOption match {
+          case Some(cur) =>
+            regs.unionByName(
+                spark.read.parquet(s"$registersDir/v$cur"))
               .groupBy(col("bucket"))
               .agg(max(col("max_rho")).as("max_rho"))
-          else regs
-        // ≤ 2^p rows: swap through the driver so the overwrite never
-        // reads the path it is replacing
+          case None => regs
+        }
+        // ≤ 2^p rows: route through the driver so the version write
+        // doesn't read the table it derives from
         val rows = merged.collect().toIndexedSeq
         import spark.implicits._
+        val newV = versions.lastOption.fold(0L)(_ + 1L)
         rows.map(r => (r.getLong(0), r.getInt(1)))
           .toDF("bucket", "max_rho")
-          .coalesce(1).write.mode("overwrite").parquet(registersDir)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$registersDir/v$newV")
+        // atomic commit point
+        fs.create(new org.apache.hadoop.fs.Path(hp,
+          s"$hllCommitMarker$newV"), true).close()
+        // vacuum all but the new and previous versions
+        versions.dropRight(1).foreach { old =>
+          fs.delete(new org.apache.hadoop.fs.Path(hp, s"v$old"), true)
+          fs.delete(new org.apache.hadoop.fs.Path(hp,
+            s"$hllCommitMarker$old"), false)
+        }
         ()
       }
       .start()

@@ -774,15 +774,23 @@ class PipelineSpec extends AnyFunSuite {
       q.processAllAvailable()
       stream.addData(200L to 500L: _*) // overlaps the first batch
       q.processAllAvailable()
-      val streamed = spark.read.parquet(dir)
+      val current = graft.streaming.Ingest.hllCurrentRegisters(spark, dir)
+      val streamed = current
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       val whole = graft.operators.Sketches.hllRegisters(
           (1L to 500L).toDF("user_id"), $"user_id".cast("string"), 8)
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       assert(streamed == whole)
-      val est = graft.operators.Sketches.hllEstimate(
-        spark.read.parquet(dir), 8)
+      val est = graft.operators.Sketches.hllEstimate(current, 8)
       assert(math.abs(est - 500) / 500.0 < 0.2, s"est=$est")
+      // versioned swap: at most current + previous versions retained,
+      // each committed via its marker — never an in-place overwrite
+      val root = new java.io.File(dir)
+      val markers = root.listFiles().map(_.getName)
+        .filter(_.startsWith("_commit_v")).sorted
+      assert(markers.nonEmpty && markers.length <= 2, markers.toSeq)
+      val dirs = root.listFiles().map(_.getName).filter(_.startsWith("v"))
+      assert(dirs.length === markers.length)
     } finally q.stop()
   }
 
