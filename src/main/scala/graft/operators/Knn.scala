@@ -122,24 +122,33 @@ object Knn {
     * hundred rows from [[exact]] / `IvfIndex.search*`), so the greedy
     * O(pool²·dim) loop runs on the collected pool — the same
     * result-sized-collect stance as the k-sized collects elsewhere;
-    * the first stage stays fully distributed. Ties break on id.
+    * the first stage stays fully distributed — and `maxPool` ENFORCES
+    * that stance (a full-corpus pool would otherwise silently become
+    * a driver-side O(n²) collect). Ties break on id.
     * Input needs (id, values, distance); output (id, distance, rank)
     * with rank = selection order. */
   def mmrRerank(pool: DataFrame, k: Int, metric: Metric = Metric.Cosine,
-      lambda: Double = 0.7): DataFrame = {
+      lambda: Double = 0.7, maxPool: Int = 10000): DataFrame = {
     require(lambda >= 0 && lambda <= 1,
       "[GRAFT] mmrRerank: lambda must be in [0, 1]")
+    require(maxPool >= 1, "[GRAFT] mmrRerank: maxPool must be >= 1")
     val spark = pool.sparkSession
     import spark.implicits._
     val cand = pool.select(col("id").cast("long"), col("values"),
         col("distance").cast("double"))
+      .limit(maxPool + 1)
       .collect()
+    require(cand.length <= maxPool,
+      s"[GRAFT] mmrRerank: candidate pool exceeds maxPool=$maxPool " +
+        "rows — rerank a FIRST-STAGE result (exact/IVF top-n), not a " +
+        "corpus; raise maxPool only with driver memory to match")
+    val pool0 = cand
       .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
       .sortBy(c => (c._3, c._1)) // deterministic scan order
     val selected = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Seq[Float], Double)]
-    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
-    while (selected.size < math.min(k, cand.length)) {
+    val remaining = scala.collection.mutable.ArrayBuffer(pool0: _*)
+    while (selected.size < math.min(k, pool0.length)) {
       val best = remaining.minBy { c =>
         val redundancy =
           if (selected.isEmpty) 0.0

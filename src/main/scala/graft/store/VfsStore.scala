@@ -327,11 +327,6 @@ class VfsStore private (val spark: SparkSession, val root: String,
     * nor any snapshot (the cleanup step after [[compact]]/[[restore]]).
     * Returns the number of directories removed. */
   def vacuum(): Int = synchronized {
-    import scala.jdk.CollectionConverters._
-    def listDir(p: java.nio.file.Path): List[java.nio.file.Path] = {
-      val s = Files.list(p)
-      try s.iterator().asScala.toList finally s.close()
-    }
     val snapDir = Paths.get(root, "snapshots")
     val snapshotRefs: Set[String] =
       if (!Files.exists(snapDir)) Set.empty
@@ -347,10 +342,42 @@ class VfsStore private (val spark: SparkSession, val root: String,
       .filterNot(p => live.contains(p.getFileName.toString))
     doomed.foreach { p =>
       val w = Files.walk(p)
-      val all = try w.iterator().asScala.toList finally w.close()
+      val all = {
+        import scala.jdk.CollectionConverters._
+        try w.iterator().asScala.toList finally w.close()
+      }
       all.reverse.foreach(Files.deleteIfExists(_))
     }
     doomed.size
+  }
+
+  private def listDir(p: java.nio.file.Path): List[java.nio.file.Path] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(p)
+    try s.iterator().asScala.toList finally s.close()
+  }
+
+  /** Retention vacuum — the second half of the GDPR/takedown story:
+    * [[deleteWhere]] rewrites the LIVE view immediately but leaves the
+    * old commit dirs on disk for snapshot readers, so the deleted rows
+    * remain reachable through time travel until retention expires.
+    * Drops every snapshot saved more than `olderThanMs` ago, then
+    * reclaims all now-unreferenced commit dirs. After this, a
+    * [[readSnapshot]] of an expired snapshot fails fast (no snapshot)
+    * instead of resurrecting deleted data. Returns the number of data
+    * directories removed. */
+  def vacuum(olderThanMs: Long): Int = synchronized {
+    require(olderThanMs >= 0,
+      "[GRAFT] vacuum: olderThanMs must be >= 0")
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val snapDir = Paths.get(root, "snapshots")
+    if (Files.exists(snapDir)) {
+      listDir(snapDir)
+        .filter(_.toString.endsWith(".json"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(Files.deleteIfExists(_))
+    }
+    vacuum()
   }
 
   /** Time-travel read: the dense view AS OF a named snapshot, without

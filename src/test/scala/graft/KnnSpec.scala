@@ -156,6 +156,11 @@ class KnnSpec extends AnyFunSuite {
         .orderBy($"rank").select($"id").as[Long].collect().toSeq
     assert(ids(1.0) == Seq(1L, 2L))  // pure relevance: dup rides along
     assert(ids(0.3) == Seq(1L, 3L))  // diversity: dup deferred for 3
+    // the pool contract is ENFORCED: an over-cap pool is rejected
+    // instead of silently becoming a driver-side O(n²) collect
+    val err = intercept[IllegalArgumentException](
+      Knn.mmrRerank(pool, k = 2, Metric.Cosine, 0.5, maxPool = 2))
+    assert(err.getMessage.contains("maxPool"))
   }
 
   test("quantized store search: fused int8 scoring == dequantize-then-score") {

@@ -171,6 +171,28 @@ class VfsStoreSpec extends AnyFunSuite {
     assert(s.read().count() === 4L) // live data intact
   }
 
+  test("retention vacuum: snapshot survives delete, dies only after " +
+      "vacuum(olderThan) — and the deleted rows' dirs leave disk") {
+    val root = tmp()
+    val s = VfsStore.create(spark, root, "rv", dim = 2, flushThreshold = 1)
+    (1 to 4).foreach(i => s.insert(Array(i.toFloat, 0f), s"v$i", Nil))
+    s.snapshot("preDelete")
+    assert(s.deleteWhere(col("id") <= 2L) === 2L)
+    // delete alone must NOT break time travel
+    assert(s.readSnapshot("preDelete").count() === 4L)
+    // a long retention keeps the snapshot (cutoff in the past)
+    assert(s.vacuum(olderThanMs = 3600000L) === 0)
+    assert(s.readSnapshot("preDelete").count() === 4L)
+    // expire it: snapshot dropped, pre-delete dirs reclaimed
+    Thread.sleep(15)
+    val removed = s.vacuum(olderThanMs = 5L)
+    assert(removed >= 4, s"expected >=4 dirs reclaimed, got $removed")
+    intercept[graft.store.StoreStateException](
+      s.readSnapshot("preDelete"))
+    assert(s.read().select($"id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L)) // live post-delete view intact
+  }
+
   test("point lookup pushes id predicate to parquet") {
     val s = VfsStore.create(spark, tmp(), "tp", dim = 2)
     (1 to 10).foreach(i => s.insert(Array(i.toFloat, 0f), s"v$i", Nil))
