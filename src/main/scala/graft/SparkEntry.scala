@@ -123,6 +123,54 @@ object SparkEntry {
            |LIMIT 10""".stripMargin)
     }),
 
+    // ---- the SAME SQL text as sql_tvf_knn, but ROUTED: a registered
+    // IVF index turns the scan into the deferred IvfProbe leaf (the
+    // index-scan analog), asserted on the plan; nProbe = nCentroids
+    // makes the probe exhaustive, so the result must hash-match the
+    // EXACT oracle — certifying the routed executor end-to-end ----
+    "sql_tvf_knn_routed" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("values"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-ivf-route").toString
+      graft.operators.IvfIndex.build(e, idx, nCentroids = 8,
+        Metric.Cosine)
+      val q = queryVec(s, dir, 1L)
+      val qLit = q.map(x => s"CAST('$x' AS FLOAT)")
+        .mkString("array(", ",", ")")
+      graft.plans.IndexRegistry.register(s"$dir/embeddings.parquet",
+        idx, idCol = "vec_id", vecCol = "embedding")
+      val prev = s.conf.getOption("spark.graft.knn.nprobe")
+      s.conf.set("spark.graft.knn.nprobe", "8") // full probe
+      try {
+        val df = s.sql(
+          s"""SELECT vec_id, CAST(round(distance * 1000) AS BIGINT) AS dist_milli
+             |FROM vfs_knn('$dir/embeddings.parquet', 20, 'cosine', $qLit,
+             |             'embedding', 'vec_id')
+             |ORDER BY dist_milli ASC, vec_id ASC
+             |LIMIT 10""".stripMargin)
+        require(df.queryExecution.analyzed.collectFirst {
+            case p: graft.plans.IvfProbe => p
+          }.nonEmpty,
+          "[GRAFT] sql_tvf_knn_routed: KnnSearch was not routed to the " +
+            "registered IVF index")
+        // materialize BEFORE unregistering so the routed plan is the
+        // one that executes, and later queries see a clean registry
+        val rows = df.collect().toSeq
+        s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          df.schema)
+      } finally {
+        graft.plans.IndexRegistry.unregister(s"$dir/embeddings.parquet")
+        prev match {
+          case Some(v) => s.conf.set("spark.graft.knn.nprobe", v)
+          case None => s.conf.unset("spark.graft.knn.nprobe")
+        }
+      }
+    }),
+
     // ---- pure-SQL text analysis: the pipeline functions reached
     // entirely through spark.sql over a temp view ----
     "sql_text_analyze" -> ((s, dir) => {
@@ -1268,6 +1316,20 @@ object SparkEntry {
     // shares the 10th result's rounded bucket would make the compare
     // data-dependently flaky
     "sql_tvf_knn" ->
+      s"""WITH top AS (
+         |  SELECT vec_id,
+         |         ${duckCos("CAST(embedding AS DOUBLE[])", qSub)} AS d
+         |  FROM embeddings
+         |  ORDER BY d ASC, vec_id ASC
+         |  LIMIT 20)
+         |SELECT vec_id, CAST(round(d * 1000) AS BIGINT) AS dist_milli
+         |FROM top
+         |ORDER BY dist_milli ASC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    // routed twin: an EXHAUSTIVE probe must reproduce the exact result,
+    // so the oracle is the same two-stage exact query
+    "sql_tvf_knn_routed" ->
       s"""WITH top AS (
          |  SELECT vec_id,
          |         ${duckCos("CAST(embedding AS DOUBLE[])", qSub)} AS d
