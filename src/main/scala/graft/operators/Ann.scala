@@ -693,6 +693,110 @@ object IvfIndex {
     fs.delete(old, true)
   }
 
+  /** Split every cluster holding more than `maxClusterFraction` of the
+    * corpus by a secondary (seeded, deterministic) k-means over just
+    * that cluster's rows — the skew valve for IVF at scale: a
+    * pathological corpus (boilerplate embeddings, temporal drift under
+    * [[append]]) can concentrate most vectors in one cluster, making
+    * every probe that touches it scan a corpus-sized partition.
+    * Rebalancing restores the bounded-probe-cost invariant
+    * (max cluster ≤ fraction·n, down to k-means quality) WITHOUT
+    * touching the other clusters' data.
+    *
+    * The stored vector SET is unchanged — only the partitioning moves —
+    * so a full probe (nProbe = nCentroids) returns bit-identical
+    * results before and after (KnnSpec pins this). Sequence per
+    * oversized cluster: sample→Lloyd split→assign→write new
+    * `cluster=<fresh-id>` dirs, move them into `assignments/`; then ONE
+    * centroid-table swap covers all splits; old dirs are deleted last,
+    * so a crash leaves either the old routing (centroids not yet
+    * swapped — old dirs still live) or the new one (orphaned old dirs,
+    * ignored by routing and by the next rebalance's centroid-scoped
+    * sizing). Not concurrency-safe against in-flight probes of the
+    * swapped clusters — run as maintenance, like [[compactAssignments]].
+    * Any IVF-PQ artifact built over this index refers to the OLD
+    * cluster ids — rebuild it after a rebalance. Returns the number of
+    * new clusters created (0 = nothing oversized). */
+  def rebalance(spark: SparkSession, path: String,
+      maxClusterFraction: Double = 0.2, trainCap: Long = 100000L,
+      maxIter: Int = 10, seed: Long = 43L): Int = {
+    require(maxClusterFraction > 0 && maxClusterFraction <= 1,
+      "[GRAFT] rebalance: maxClusterFraction must be in (0, 1]")
+    val meta = readMeta(path)
+    val centsOld = loadCentroids(spark, path)
+    val centIds = centsOld.map(_._1).toSet
+    // centroid-scoped sizing: orphan dirs from a crashed prior
+    // rebalance must not count
+    val sizes = spark.read.parquet(s"$path/assignments")
+      .groupBy(col("cluster")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .filter { case (c, _) => centIds.contains(c) }
+    val total = sizes.map(_._2).sum
+    val cap = math.max(1L, (maxClusterFraction * total).toLong)
+    val oversized = sizes.filter(_._2 > cap)
+    if (oversized.isEmpty) return 0
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    var nextId = sizes.map(_._1).max + 1
+    val replaced = scala.collection.mutable.Map.empty[Int, Array[(Int, Array[Float])]]
+    oversized.foreach { case (c, cnt) =>
+      val rows = spark.read
+        .parquet(s"$path/assignments/cluster=$c")
+        .select(col("id"), col("values"))
+      val splitK = math.min(256,
+        math.max(2, math.ceil(cnt.toDouble / cap).toInt))
+      // vectors are STORED normalized for cosine indexes — train and
+      // assign on them as-is (normalize again would be a no-op)
+      val train = sampleVectors(rows, trainCap, seed ^ c,
+        minPerPart = splitK, normalize = false)
+      val centsD = lloyd(train, splitK, maxIter, seed ^ c)
+      val centArr = centsD.zipWithIndex.map { case (cd, i) =>
+        (nextId + i, cd.map(_.toFloat))
+      }
+      val stage = s"$path/assignments_rebalance_$c"
+      assignRows(rows, centArr, 1, normalize = false)
+        .repartition(col("cluster"))
+        .write.mode("overwrite").partitionBy("cluster").parquet(stage)
+      // fresh ids cannot collide with live dirs — plain renames
+      centArr.foreach { case (nc, _) =>
+        val src = new org.apache.hadoop.fs.Path(s"$stage/cluster=$nc")
+        if (fs.exists(src) &&
+            !fs.rename(src,
+              new org.apache.hadoop.fs.Path(s"$path/assignments/cluster=$nc")))
+          throw new java.io.IOException(
+            s"[GRAFT] rebalance: cannot move $src")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      replaced(c) = centArr
+      nextId += splitK
+    }
+    // ONE centroid swap for all splits (stage + double rename, the
+    // compactAssignments pattern), then drop the old dirs
+    val newCents = centsOld.filterNot(e => replaced.contains(e._1)) ++
+      replaced.values.flatten
+    val cLive = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val cStage = new org.apache.hadoop.fs.Path(s"$path/centroids_stage")
+    val cOld = new org.apache.hadoop.fs.Path(s"$path/centroids_old")
+    spark.createDataFrame(newCents.toSeq.sortBy(_._1))
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(cStage.toString)
+    if (fs.exists(cOld)) fs.delete(cOld, true)
+    if (!fs.rename(cLive, cOld))
+      throw new java.io.IOException("[GRAFT] rebalance: cannot move centroids")
+    if (!fs.rename(cStage, cLive)) {
+      fs.rename(cOld, cLive)
+      throw new java.io.IOException("[GRAFT] rebalance: centroid swap failed")
+    }
+    fs.delete(cOld, true)
+    replaced.keys.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assignments/cluster=$c"), true)
+    }
+    Files.write(Paths.get(path, "ivf.json"),
+      metaJson(meta.copy(nCentroids = newCents.length))
+        .getBytes(StandardCharsets.UTF_8))
+    replaced.values.map(_.length).sum
+  }
+
   /** Approximate all-pairs similarity JOIN over a built index: vectors
     * sharing an IVF cluster are candidate pairs; exact distance
     * verifies < tau. The cluster partitioning bounds the self-join to

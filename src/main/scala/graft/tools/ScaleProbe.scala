@@ -114,6 +114,66 @@ object ScaleProbe {
       graft.operators.Sketches.kmvDistinct(wide, $"text", 256).collect()
     }
 
+    // ANN under pathological skew — the APPEND-DRIFT route to a
+    // corpus-sized cluster: build the index on a 50k spread corpus,
+    // then append a 450k near-identical blob (streaming ingest whose
+    // distribution the centroids never saw). append() assigns to the
+    // nearest EXISTING centroid, so the whole blob lands in one
+    // cluster (~90% of the corpus). The batch probe must stay bounded
+    // (parquet-split parallelism inside the giant cluster dir), and
+    // rebalance must restore bounded per-probe cost.
+    val (skewBase, skewBlob) =
+      time("materialize 50k spread + 450k blob corpora") {
+        val spread = spark.range(50000L).select($"id",
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            when(j === pmod($"id", lit(dim - 2)) + 2, lit(1.0f))
+              .when(j === 0, ($"id" % 7).cast("float") / 7f)
+              .otherwise(lit(0.0f))).as("values"))
+        val blob = spark.range(50000L, n.toLong).select($"id",
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            when(j === 0, lit(1.0f))
+              .when(j === 1, ($"id" % 97).cast("float") / 9700f)
+              .otherwise(lit(0.0f))).as("values"))
+        val p = java.nio.file.Files.createTempDirectory("scale-skew").toString
+        spread.write.mode("overwrite").parquet(s"$p/spread")
+        blob.write.mode("overwrite").parquet(s"$p/blob")
+        (spark.read.parquet(s"$p/spread"), spark.read.parquet(s"$p/blob"))
+      }
+    val skewIdx = java.nio.file.Files
+      .createTempDirectory("scale-skew-ivf").toString
+    time("IVF build on the 50k spread corpus (223 centroids)") {
+      IvfIndex.build(skewBase, skewIdx, nCentroids = 223, Metric.Cosine)
+    }
+    time("append the 450k blob (no re-cluster: lands on ONE centroid)") {
+      IvfIndex.append(skewBlob, skewIdx)
+    }
+    val skewSizes = spark.read.parquet(s"$skewIdx/assignments")
+      .groupBy($"cluster").count().collect().map(_.getLong(1))
+    println(f"[scale-probe] skewed cluster sizes: max=${skewSizes.max} " +
+      f"(${100.0 * skewSizes.max / n}%.1f%% of corpus), " +
+      f"clusters=${skewSizes.length}")
+    val skewQueries = skewBase.limit(32)
+      .union(skewBlob.limit(32))
+      .select($"id".as("qid"), $"values".as("qvalues"))
+    time("batch IVF probe x64 on the SKEWED index (nProbe=8)") {
+      IvfIndex.searchBatch(spark, skewIdx, skewQueries, 10, nProbe = 8)
+        .count()
+    }
+    time("rebalance (maxClusterFraction=0.05): secondary k-means split") {
+      val created = IvfIndex.rebalance(spark, skewIdx,
+        maxClusterFraction = 0.05)
+      println(s"[scale-probe] rebalance created $created clusters")
+    }
+    val postSizes = spark.read.parquet(s"$skewIdx/assignments")
+      .groupBy($"cluster").count().collect().map(_.getLong(1))
+    println(f"[scale-probe] post-rebalance: max=${postSizes.max} " +
+      f"(${100.0 * postSizes.max / n}%.1f%% of corpus), " +
+      f"clusters=${postSizes.length}")
+    time("batch IVF probe x64 after rebalance (nProbe=8)") {
+      IvfIndex.searchBatch(spark, skewIdx, skewQueries, 10, nProbe = 8)
+        .count()
+    }
+
     // mixture sampling at 5M rows / 3 sources: the low-cardinality
     // case where a per-source row_number window would be three
     // multi-GB single-task sorts. The threshold path must keep every

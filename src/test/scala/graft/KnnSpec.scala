@@ -343,6 +343,55 @@ class KnnSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/assignments").count() === 140L)
   }
 
+  test("IVF rebalance splits oversized clusters; full probe results " +
+      "are bit-identical before and after") {
+    // pathological skew: ~90% of vectors jammed into one tight blob
+    // around a common direction, 10% spread out — k-means lands the
+    // blob in one giant cluster
+    val dim = 8
+    val rows = (0L until 2000L).map { i =>
+      val v = new Array[Float](dim)
+      if (i < 1800L) { // the blob
+        v(0) = 1f
+        v(1) = (i % 97).toFloat / 9700f // tiny jitter
+      } else {
+        v((i % (dim - 2)).toInt + 2) = 1f
+        v(0) = (i % 7).toFloat / 7f
+      }
+      (i, v.toSeq)
+    }
+    val df = rows.toDF("id", "values")
+    val idx = Files.createTempDirectory("ivf-rebal").toString
+    IvfIndex.build(df, idx, nCentroids = 8, Metric.Cosine, seed = 7L)
+    def clusterSizes: Map[Int, Long] =
+      spark.read.parquet(s"$idx/assignments")
+        .groupBy($"cluster").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val before = clusterSizes
+    assert(before.values.max > (0.5 * 2000).toLong,
+      s"expected a skewed build, got $before")
+    val q = rows(42)._2.toArray
+    def fullProbe(n: Int) =
+      IvfIndex.search(spark, idx, q, 25, nProbe = n)
+        .select($"id", $"distance").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exactBefore = fullProbe(before.size)
+    val created = IvfIndex.rebalance(spark, idx,
+      maxClusterFraction = 0.25, seed = 11L)
+    assert(created >= 2, s"expected splits, got $created")
+    val after = clusterSizes
+    // vector set preserved, skew reduced
+    assert(after.values.sum === 2000L)
+    assert(after.values.max < before.values.max)
+    // meta/centroids consistent: count matches, full probe bit-equal
+    assert(after.size ===
+      spark.read.parquet(s"$idx/centroids").count().toInt)
+    val exactAfter = fullProbe(after.size)
+    assert(exactAfter === exactBefore)
+    // an already-balanced index is a no-op
+    assert(IvfIndex.rebalance(spark, idx, maxClusterFraction = 0.9) === 0)
+  }
+
   test("IVF probe tolerates empty k-means clusters") {
     // duplicate-heavy corpus: far fewer distinct points than centroids
     // guarantees some clusters get no assignments
