@@ -130,6 +130,12 @@ object Bench {
         spark.read.parquet(s"$sfDir/events.parquet"),
         col("user_id").cast("string"), p = 12).count()
     }
+    results("mixture_sample") = median {
+      SparkEntry.queries("q_mixture_sample")(spark, sfDir).count()
+    }
+    results("media_decode") = median {
+      SparkEntry.queries("multimodal_features")(spark, sfDir).count()
+    }
     results("sessionize") = median {
       SparkEntry.queries("w_sessionize")(spark, sfDir).count()
     }
