@@ -117,6 +117,15 @@ object QuickStart {
     println(s"[quickstart] semantic dedup over hashed-BoW embeddings: " +
       s"${semDropped.count()} near-dup docs dropped")
 
+    // real multimodal round trip: wrap doc payloads in genuine
+    // WAV/BMP/PPM containers, parse them back, stats from decoded bytes
+    val media = graft.operators.Multimodal.synthesizeMedia(docs.limit(30))
+    val stats = graft.operators.Multimodal.decodeStats(spark, media)
+      .collect()
+    println(s"[quickstart] decoded ${stats.length} media containers " +
+      s"(${stats.map(_.format).distinct.sorted.mkString(",")}); " +
+      s"sample stats: ${stats.head.productIterator.mkString("[", ",", "]")}")
+
     // API-parity surface: the reference's 7 endpoints as library calls
     val api = new graft.api.VfsApi(spark,
       java.nio.file.Files.createTempDirectory("graft-api").toString)
