@@ -130,8 +130,15 @@ object Bench {
         spark.read.parquet(s"$sfDir/events.parquet"),
         col("user_id").cast("string"), p = 12).count()
     }
+    // DEFAULT bandCap (not the verify query's forced-tiny one, which
+    // exists to drive the multi-pass path under the oracle): the bench
+    // must publish the operator's production cost profile
     results("mixture_sample") = median {
-      SparkEntry.queries("q_mixture_sample")(spark, sfDir).count()
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      graft.operators.Sampling.mixtureSample(d, col("source"),
+        col("text"), col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
+          "src3" -> 0.10)).count()
     }
     results("media_decode") = median {
       SparkEntry.queries("multimodal_features")(spark, sfDir).count()

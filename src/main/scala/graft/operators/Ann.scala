@@ -725,19 +725,28 @@ object IvfIndex {
     val meta = readMeta(path)
     val centsOld = loadCentroids(spark, path)
     val centIds = centsOld.map(_._1).toSet
-    // centroid-scoped sizing: orphan dirs from a crashed prior
-    // rebalance must not count
-    val sizes = spark.read.parquet(s"$path/assignments")
+    val onDisk = spark.read.parquet(s"$path/assignments")
       .groupBy(col("cluster")).count().collect()
       .map(r => r.getInt(0) -> r.getLong(1))
-      .filter { case (c, _) => centIds.contains(c) }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // orphan dirs from a crashed prior rebalance (moved in but never
+    // routed to): excluded from sizing, DELETED here so their ids
+    // cannot collide with the fresh ids this run hands out
+    onDisk.collect { case (c, _) if !centIds.contains(c) => c }
+      .foreach { c =>
+        fs.delete(
+          new org.apache.hadoop.fs.Path(s"$path/assignments/cluster=$c"),
+          true)
+      }
+    val sizes = onDisk.filter { case (c, _) => centIds.contains(c) }
     val total = sizes.map(_._2).sum
     val cap = math.max(1L, (maxClusterFraction * total).toLong)
     val oversized = sizes.filter(_._2 > cap)
     if (oversized.isEmpty) return 0
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    var nextId = sizes.map(_._1).max + 1
+    // fresh ids start past EVERYTHING ever seen on disk, not just the
+    // centroid-listed ids
+    var nextId = onDisk.map(_._1).max + 1
     val replaced = scala.collection.mutable.Map.empty[Int, Array[(Int, Array[Float])]]
     oversized.foreach { case (c, cnt) =>
       val rows = spark.read
@@ -754,7 +763,12 @@ object IvfIndex {
         (nextId + i, cd.map(_.toFloat))
       }
       val stage = s"$path/assignments_rebalance_$c"
-      assignRows(rows, centArr, 1, normalize = false)
+      // honor the index's multiprobe storage: a copy living in the
+      // split cluster keeps nAssign-nearest coverage against the NEW
+      // subcentroids, preserving the boundary-pair visibility that
+      // similarityJoin/probes were built with
+      assignRows(rows, centArr, math.min(meta.nAssign, centArr.length),
+        normalize = false)
         .repartition(col("cluster"))
         .write.mode("overwrite").partitionBy("cluster").parquet(stage)
       // fresh ids cannot collide with live dirs — plain renames

@@ -96,7 +96,10 @@ object MediaCodec {
           data = new Array[Byte](size)
           b.get(data)
         case _ => // LIST/fact/cue/...: skip, honoring the pad byte
-          b.position(b.position() + size + (size & 1))
+          val next = b.position().toLong + size + (size & 1)
+          require(next <= b.limit(),
+            s"[GRAFT] wav: chunk $id padding overruns buffer")
+          b.position(next.toInt)
       }
     }
     require(data != null, "[GRAFT] wav: no data chunk")
@@ -173,8 +176,14 @@ object MediaCodec {
     require(bpp == 24, s"[GRAFT] bmp: only 24 bpp supported, got $bpp")
     val compression = b.getInt()
     require(compression == 0, "[GRAFT] bmp: compressed bmp unsupported")
-    require(width > 0 && height > 0, "[GRAFT] bmp: bad dimensions")
-    val stride = ((width * 3 + 3) / 4) * 4
+    // explicit bounds guard BOTH ends and int overflow: a negative
+    // dataOffset or a width like 0x2AAAAAAB (width*3 wraps) must fail
+    // with the [GRAFT] error, not an ArrayIndexOutOfBounds mid-copy
+    require(width > 0 && height > 0 && width <= (1 << 20) &&
+      height <= (1 << 20), "[GRAFT] bmp: bad dimensions")
+    require(dataOffset >= 54 && dataOffset <= bytes.length,
+      "[GRAFT] bmp: bad pixel data offset")
+    val stride = ((width.toLong * 3 + 3) / 4 * 4).toInt
     require(dataOffset.toLong + stride.toLong * height <= bytes.length,
       "[GRAFT] bmp: pixel array overruns buffer")
     val out = new Array[Byte](width * height * 3)
@@ -223,6 +232,7 @@ object MediaCodec {
       var any = false
       while (pos < bytes.length && bytes(pos).toChar.isDigit) {
         v = v * 10 + (bytes(pos) - '0'); pos += 1; any = true
+        require(v <= (1 << 24), "[GRAFT] ppm: header integer too large")
       }
       require(any, "[GRAFT] ppm: expected integer in header")
       v
@@ -231,10 +241,14 @@ object MediaCodec {
     val height = nextInt()
     val maxval = nextInt()
     require(maxval == 255, s"[GRAFT] ppm: only maxval 255, got $maxval")
-    require(width > 0 && height > 0, "[GRAFT] ppm: bad dimensions")
+    require(width > 0 && height > 0 && width <= (1 << 20) &&
+      height <= (1 << 20), "[GRAFT] ppm: bad dimensions")
     pos += 1 // exactly one whitespace byte after maxval per spec
-    val n = width * height * 3
-    require(pos + n <= bytes.length, "[GRAFT] ppm: pixel data truncated")
+    // long arithmetic: width*height*3 must not wrap negative and
+    // sneak past the truncation check
+    val nL = width.toLong * height * 3
+    require(pos + nL <= bytes.length, "[GRAFT] ppm: pixel data truncated")
+    val n = nL.toInt
     val out = new Array[Byte](n)
     System.arraycopy(bytes, pos, out, 0, n)
     Raster(width, height, "RGB", out)

@@ -103,7 +103,17 @@ object Sampling {
     * (small data degenerates to the plain window) and 1-2 passes at
     * scale, each a map-side-combined aggregate. Result set is
     * bit-identical to the window formulation on any pass count —
-    * the oracle queries pin this by forcing a tiny `bandCap`. */
+    * the oracle queries pin this by forcing a tiny `bandCap`.
+    *
+    * Two contracts callers must know: (1) rows with a NULL sampling
+    * key are never selected (a null fingerprint fails every band
+    * predicate) — callers enforce the same on their fallback paths so
+    * the choice of path can't change the result; (2) thresholds are
+    * computed EAGERLY from the data as of this call and baked into
+    * the returned plan as literals — re-executing the result after
+    * appending to the underlying files can return more than the
+    * quota (re-call to re-snapshot; determinism of the selected set
+    * for FIXED input files is the property the oracle certifies). */
   private def hashThresholdSelect(df: DataFrame, stratum: Column,
       key: Column, tiebreak: Column, quotas: Map[Any, Long],
       counts: Map[Any, Long], bandCap: Long): DataFrame = {
@@ -196,9 +206,13 @@ object Sampling {
     val observed = df.groupBy(stratum.as("__s")).count()
       .limit(maxStrata + 1).collect()
     if (observed.length > maxStrata) {
+      // same null contract as the threshold path: null strata and null
+      // keys are excluded, so crossing maxStrata can never flip a
+      // row's fate
       val w = Window.partitionBy(stratum)
         .orderBy(vfs_fingerprint(key).asc, tiebreak.asc)
-      df.withColumn("__rn", row_number().over(w))
+      df.filter(stratum.isNotNull && key.isNotNull)
+        .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= n)
         .drop("__rn")
     } else {
@@ -327,10 +341,14 @@ object Sampling {
     * output is persisted (memory-and-disk) between the two passes —
     * range boundaries are sampled, so an unpersisted recompute could
     * repartition differently and corrupt the offsets; this is the same
-    * contract as RDD.zipWithIndex. Cost: one range-partitioned sort +
-    * the final (rank, source) range-partitioned orderBy — no
-    * single-partition exchange anywhere. Output: input columns +
-    * `rank` (1-based within source). */
+    * contract as RDD.zipWithIndex. The ranked result is then
+    * local-checkpointed and the intermediate cache + offsets broadcast
+    * released immediately — storage lifetime is the RESULT's
+    * reachability (ContextCleaner), not the session. Cost: one
+    * range-partitioned sort + the final (rank, source)
+    * range-partitioned orderBy — no single-partition exchange
+    * anywhere. Output: input columns + `rank` (1-based within
+    * source). */
   def curriculumInterleave(df: DataFrame, source: Column, score: Column,
       tiebreak: Column): DataFrame = {
     WorkCols.requireFree(df, "rank", "__csrc")
@@ -363,17 +381,30 @@ object Sampling {
     }
     val bc = spark.sparkContext.broadcast(offsets)
     val outSchema = tagged.schema.add("rank", LongType, nullable = false)
-    val ranked = spark.createDataFrame(
-      tagged.rdd.mapPartitionsWithIndex { (pid, it) =>
-        val local = scala.collection.mutable.HashMap.empty[String, Long]
-        it.map { r =>
-          val s = r.getString(srcPos)
-          val i = local.getOrElse(s, 0L)
-          local.update(s, i + 1L)
-          Row.fromSeq(r.toSeq :+ (bc.value((pid, s)) + i + 1L))
-        }
-      }, outSchema)
-    ranked.drop("__csrc")
+    val rankedRdd = tagged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { r =>
+        val s = r.getString(srcPos)
+        val i = local.getOrElse(s, 0L)
+        local.update(s, i + 1L)
+        Row.fromSeq(r.toSeq :+ (bc.value((pid, s)) + i + 1L))
+      }
+    }
+    // pin the RANKED output (lineage truncated) and release the
+    // input-sized intermediate NOW: without this, the sorted input
+    // copy stays cached for the whole session (the result can't
+    // recompute without it, so it could never be freed later). The
+    // checkpointed blocks are freed by the ContextCleaner when the
+    // caller drops the returned DataFrame. The offsets broadcast is
+    // only unpersisted (executor copies dropped, re-broadcastable):
+    // the checkpointed RDD's closure still references it, so destroy()
+    // would poison later task serialization.
+    rankedRdd.localCheckpoint()
+    rankedRdd.count() // materialize the checkpoint
+    tagged.unpersist(blocking = false)
+    bc.unpersist(blocking = false)
+    spark.createDataFrame(rankedRdd, outSchema)
+      .drop("__csrc")
       .orderBy(col("rank").asc, source.asc, tiebreak.asc)
   }
 }

@@ -390,6 +390,24 @@ class KnnSpec extends AnyFunSuite {
     assert(exactAfter === exactBefore)
     // an already-balanced index is a no-op
     assert(IvfIndex.rebalance(spark, idx, maxClusterFraction = 0.9) === 0)
+
+    // a MULTIPROBE index keeps its nAssign coverage through the split:
+    // each split-cluster copy lands in its 2 nearest subclusters, and
+    // the dedup'd full probe still returns the exact result set
+    val idx2 = Files.createTempDirectory("ivf-rebal2").toString
+    IvfIndex.build(df, idx2, nCentroids = 8, Metric.Cosine, seed = 7L,
+      nAssign = 2)
+    val exactB = IvfIndex.search(spark, idx2, q, 25, nProbe = 8)
+      .select($"id").as[Long].collect().toSeq
+    assert(IvfIndex.rebalance(spark, idx2,
+      maxClusterFraction = 0.25, seed = 11L) >= 2)
+    val nClusters2 =
+      spark.read.parquet(s"$idx2/centroids").count().toInt
+    val exactA = IvfIndex.search(spark, idx2, q, 25, nProbe = nClusters2)
+      .select($"id").as[Long].collect().toSeq
+    assert(exactA === exactB)
+    // distinct ids despite multiprobe copies
+    assert(exactA.distinct.length === exactA.length)
   }
 
   test("IVF probe tolerates empty k-means clusters") {

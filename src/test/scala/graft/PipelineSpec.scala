@@ -496,6 +496,20 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MediaCodec.decodeWav(bmp))
     intercept[IllegalArgumentException](MediaCodec.decodeBmp(wav))
     intercept[IllegalArgumentException](MediaCodec.decodePpm(wav))
+    // adversarial headers fail with the [GRAFT] guard, not a raw
+    // ArrayIndexOutOfBounds/NegativeArraySize from overflowed sizes
+    val evilBmp = bmp.clone()
+    evilBmp(10) = -1; evilBmp(11) = -1; evilBmp(12) = -1; evilBmp(13) = -1
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodeBmp(evilBmp)).getMessage.contains("[GRAFT]"))
+    val wideBmp = bmp.clone() // width = 0x2AAAAAAB: width*3 wraps
+    wideBmp(18) = 0xAB.toByte; wideBmp(19) = 0xAA.toByte
+    wideBmp(20) = 0xAA.toByte; wideBmp(21) = 0x2A.toByte
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodeBmp(wideBmp)).getMessage.contains("[GRAFT]"))
+    val evilPpm = "P6\n60000 60000\n255\n".getBytes("US-ASCII")
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodePpm(evilPpm)).getMessage.contains("[GRAFT]"))
   }
 
   test("multimodal decode: stats come from decoded samples with " +
