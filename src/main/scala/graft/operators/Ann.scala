@@ -26,10 +26,10 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
   case class Meta(nCentroids: Int, metric: String, dim: Int, seed: Long,
-      nAssign: Int = 1)
+      nAssign: Int = 1, generation: Int = 1)
 
   private def metaJson(m: Meta): String =
-    s"""{"nCentroids":${m.nCentroids},"metric":"${m.metric}","dim":${m.dim},"seed":${m.seed},"nAssign":${m.nAssign}}"""
+    s"""{"nCentroids":${m.nCentroids},"metric":"${m.metric}","dim":${m.dim},"seed":${m.seed},"nAssign":${m.nAssign},"generation":${m.generation}}"""
   private def parseMeta(s: String): Meta = {
     def num(k: String) = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toLong
     def opt(k: String, default: Long) =
@@ -37,7 +37,7 @@ object IvfIndex {
         .map(_.group(1).toLong).getOrElse(default)
     val metric = "\"metric\":\"(\\w+)\"".r.findFirstMatchIn(s).get.group(1)
     Meta(num("nCentroids").toInt, metric, num("dim").toInt, num("seed"),
-      opt("nAssign", 1L).toInt)
+      opt("nAssign", 1L).toInt, opt("generation", 1L).toInt)
   }
 
   private[operators] def readMeta(path: String): Meta = parseMeta(new String(
@@ -119,6 +119,24 @@ object IvfIndex {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+
+  /** The LIVE assignments scan: only `cluster=<c>` directories whose id
+    * appears in the centroid table. A crashed [[rebalance]] deliberately
+    * leaves orphaned old-cluster dirs behind (cleaned by the NEXT
+    * rebalance); routing ignores them because probes list clusters from
+    * the centroid table — every full-directory reader must do the same,
+    * or a post-crash corpus is double-counted (the oversized cluster's
+    * vectors exist in both the old dir and its split dirs). Keeps the
+    * `cluster` partition column via basePath. */
+  private[operators] def liveAssignments(spark: SparkSession,
+      path: String): DataFrame = {
+    val centIds = spark.read.parquet(s"$path/centroids")
+      .select(col("cluster")).collect().map(_.getInt(0)).sorted
+    val existing = existingClusterDirs(spark, s"$path/assignments",
+      centIds.toIndexedSeq)
+    spark.read.option("basePath", s"$path/assignments")
+      .parquet(existing.toIndexedSeq: _*)
+  }
 
   /** In-place-free L2 normalization on the JVM side. Normalization as
     * a Catalyst higher-order function (`transform(v, x -> x / norm)`)
@@ -318,11 +336,19 @@ object IvfIndex {
     lap("assign+write")
     spark.createDataFrame(centArr.toSeq).toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // a REBUILD over an existing index is a new generation: any PQ /
+    // IVF-PQ artifact derived from the old clustering is stale and its
+    // probes must refuse until refreshed/rebuilt (same stance as
+    // [[rebalance]])
+    val gen =
+      if (Files.exists(Paths.get(path, "ivf.json")))
+        readMeta(path).generation + 1
+      else 1
     Files.write(Paths.get(path, "ivf.json"),
       metaJson(Meta(nCentroids, metric match {
         case Metric.Cosine => "cosine"
         case Metric.Euclidean => "euclidean"
-      }, dim, seed, math.min(nAssign, nCentroids)))
+      }, dim, seed, math.min(nAssign, nCentroids), gen))
         .getBytes(StandardCharsets.UTF_8))
   }
 
@@ -616,6 +642,103 @@ object IvfIndex {
   /** Metric string of a persisted index (for routing guards). */
   def metricOf(path: String): String = readMeta(path).metric
 
+  /** Clustering generation of a persisted index. Bumped by every
+    * operation that invalidates derived artifacts' cluster keying or
+    * content ([[build]] over an existing path, [[rebalance]],
+    * [[deleteIds]]); PQ/IVF-PQ artifacts record the generation they
+    * were built against and refuse stale probes. */
+  def generationOf(path: String): Int = readMeta(path).generation
+
+  /** Cheap drift check — does any live cluster hold more than
+    * `maxClusterFraction` of the stored bytes? Pure filesystem
+    * arithmetic (one content summary per live cluster dir, no Spark
+    * job): bytes are a faithful row proxy because every row in one
+    * index stores the same dim (plus a few-byte id). Wire this after
+    * [[append]] traffic (e.g. every N streaming batches) and call
+    * [[rebalance]] when it fires — the probe-latency drift ScaleProbe
+    * measures (15.3 s → 3.6 s post-rebalance) builds up silently
+    * otherwise. */
+  def needsRebalance(spark: SparkSession, path: String,
+      maxClusterFraction: Double = 0.2): Boolean = {
+    require(maxClusterFraction > 0 && maxClusterFraction <= 1,
+      "[GRAFT] needsRebalance: maxClusterFraction must be in (0, 1]")
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val centIds = spark.read.parquet(s"$path/centroids")
+      .select(col("cluster")).collect().map(_.getInt(0)).sorted
+    val sizes = existingClusterDirs(spark, s"$path/assignments",
+      centIds.toIndexedSeq).map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hadoopConf).getContentSummary(hp).getLength
+    }
+    val total = sizes.sum
+    total > 0L && sizes.max.toDouble > maxClusterFraction * total
+  }
+
+  /** Hard-delete vectors from the index — the GDPR path
+    * ([[graft.store.VfsStore.deleteWhere]]'s index-side twin): rewrite
+    * ONLY the cluster partitions containing a requested id, with the
+    * same stage + rename-swap discipline as [[compactAssignments]]
+    * (a crash mid-cluster leaves either the old dir or the new dir,
+    * never a partial mix; `cluster=<c>_old` left by a crash between
+    * the two renames is recovered by renaming it back). Cost is
+    * O(touched clusters), not O(index): the locate scan prunes to a
+    * pushed-down `id IN` filter and untouched partitions are never
+    * read or written. Derived PQ/IVF-PQ artifacts still hold codes for
+    * the deleted ids — the generation bump makes their probes refuse
+    * until [[IvfPq.refresh]] (which scrubs dead codes) or a rebuild.
+    * Single-writer maintenance op, like compact. Returns the number of
+    * index entries removed (> |ids| on multiprobe indexes, which store
+    * a vector once per assigned cluster). */
+  def deleteIds(spark: SparkSession, path: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    val meta = readMeta(path)
+    val idSeq = ids.distinct
+    // locate pass: which LIVE clusters hold these ids (pushed-down IN
+    // filter; |ids| is a deletion batch, driver-sized by contract)
+    val touched = liveAssignments(spark, path)
+      .filter(col("id").isin(idSeq: _*))
+      .select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return 0L
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    var removed = 0L
+    touched.foreach { c =>
+      val liveDir = s"$path/assignments/cluster=$c"
+      val rows = spark.read.parquet(liveDir)
+        .select(col("id"), col("values"))
+      val kept = rows.filter(!col("id").isin(idSeq: _*))
+      removed += rows.filter(col("id").isin(idSeq: _*)).count()
+      val livePath = new org.apache.hadoop.fs.Path(liveDir)
+      val oldPath = new org.apache.hadoop.fs.Path(liveDir + "_old")
+      if (kept.isEmpty) {
+        // partition emptied: drop the dir — probes skip missing dirs
+        // ([[existingClusterDirs]]), same as an empty k-means cluster
+        fs.delete(livePath, true)
+      } else {
+        val stageDir = s"$path/assignments_delete_$c"
+        // partition-layout files carry no cluster column (the dir name
+        // is the partition value) — write (id, values) only
+        kept.write.mode("overwrite").parquet(stageDir)
+        val stagePath = new org.apache.hadoop.fs.Path(stageDir)
+        if (fs.exists(oldPath)) fs.delete(oldPath, true)
+        if (!fs.rename(livePath, oldPath))
+          throw new java.io.IOException(
+            s"[GRAFT] deleteIds: cannot move $liveDir")
+        if (!fs.rename(stagePath, livePath)) {
+          fs.rename(oldPath, livePath) // roll back
+          throw new java.io.IOException(
+            s"[GRAFT] deleteIds: cannot move $stageDir")
+        }
+        fs.delete(oldPath, true)
+      }
+    }
+    Files.write(Paths.get(path, "ivf.json"),
+      metaJson(meta.copy(generation = meta.generation + 1))
+        .getBytes(StandardCharsets.UTF_8))
+    removed
+  }
+
   /** Incremental index maintenance: assign NEW vectors to the nearest
     * EXISTING centroid and append them to the cluster partitions — no
     * re-clustering, no rewrite of existing data. This is how an IVF
@@ -679,7 +802,10 @@ object IvfIndex {
     val live = new org.apache.hadoop.fs.Path(s"$path/assignments")
     val stage = new org.apache.hadoop.fs.Path(s"$path/assignments_stage")
     val old = new org.apache.hadoop.fs.Path(s"$path/assignments_old")
-    spark.read.parquet(live.toString)
+    // centroid-scoped read: orphan dirs from a crashed rebalance are
+    // NOT copied into the new layout and die with the old dir in the
+    // swap below — compact doubles as the orphan cleaner
+    liveAssignments(spark, path)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(stage.toString)
@@ -715,11 +841,39 @@ object IvfIndex {
     * sizing). Not concurrency-safe against in-flight probes of the
     * swapped clusters — run as maintenance, like [[compactAssignments]].
     * Any IVF-PQ artifact built over this index refers to the OLD
-    * cluster ids — rebuild it after a rebalance. Returns the number of
+    * cluster ids — the index `generation` is bumped so stale PQ probes
+    * REFUSE until [[IvfPq.refresh]] or a rebuild (enforced, not just
+    * documented).
+    *
+    * MULTI-PASS: one k-means split can strand most of an oversized
+    * cluster in a single subcluster — k-means' global objective
+    * prefers isolating far outliers over balancing a tight blob (the
+    * D² init mass concentrates on the outliers), so a drifted-append
+    * blob plus a few stragglers splits into [blob][tiny][tiny].
+    * Passes repeat until no cluster exceeds the cap or a pass creates
+    * nothing new; `maxPasses` bounds the one genuinely unsplittable
+    * case (a cluster of identical vectors can never split — ties all
+    * land in the lowest subcluster id). Returns the total number of
     * new clusters created (0 = nothing oversized). */
   def rebalance(spark: SparkSession, path: String,
       maxClusterFraction: Double = 0.2, trainCap: Long = 100000L,
-      maxIter: Int = 10, seed: Long = 43L): Int = {
+      maxIter: Int = 10, seed: Long = 43L, maxPasses: Int = 6): Int = {
+    require(maxPasses >= 1, "[GRAFT] rebalance: maxPasses must be >= 1")
+    var total = 0
+    var pass = 0
+    var created = -1
+    while (pass < maxPasses && created != 0) {
+      created = rebalancePass(spark, path, maxClusterFraction, trainCap,
+        maxIter, seed + pass)
+      total += created
+      pass += 1
+    }
+    total
+  }
+
+  private def rebalancePass(spark: SparkSession, path: String,
+      maxClusterFraction: Double, trainCap: Long,
+      maxIter: Int, seed: Long): Int = {
     require(maxClusterFraction > 0 && maxClusterFraction <= 1,
       "[GRAFT] rebalance: maxClusterFraction must be in (0, 1]")
     val meta = readMeta(path)
@@ -806,7 +960,8 @@ object IvfIndex {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/assignments/cluster=$c"), true)
     }
     Files.write(Paths.get(path, "ivf.json"),
-      metaJson(meta.copy(nCentroids = newCents.length))
+      metaJson(meta.copy(nCentroids = newCents.length,
+        generation = meta.generation + 1))
         .getBytes(StandardCharsets.UTF_8))
     replaced.values.map(_.length).sum
   }
@@ -826,7 +981,11 @@ object IvfIndex {
       tau: Double): DataFrame = {
     val meta = readMeta(path)
     val metric = Metric.parse(meta.metric)
-    val t = spark.read.parquet(s"$path/assignments")
+    // LIVE dirs only: a crashed rebalance leaves the oversized
+    // cluster's vectors in BOTH the orphaned old dir and the new split
+    // dirs — a full-directory scan would emit duplicated pairs (and
+    // nAssign=1 indexes skip the dedup below)
+    val t = liveAssignments(spark, path)
     val a = t.as("a")
     val b = t.as("b")
     val pairs = a.join(b, col("a.cluster") === col("b.cluster") &&

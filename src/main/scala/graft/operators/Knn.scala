@@ -164,15 +164,23 @@ object Knn {
   }
 
   /** Multi-query exact k-NN: queries (qidCol, qvecCol) × base.
-    * Physical shape: broadcast nested-loop join (queries are tiny) →
-    * codegen'd scoring → TopKByDistance partial agg → explode.
+    * Physical shape: broadcast nested-loop join (when the query batch
+    * plausibly fits executor memory) → codegen'd scoring →
+    * TopKByDistance partial agg → explode. The broadcast hint is
+    * SIZE-GATED like its approximate twin `IvfIndex.searchBatch`
+    * (Ann.scala): a million-query batch is a multi-GB broadcast OOM in
+    * exactly the regime a batch API exists for — above the gate the
+    * join strategy is left to the planner (the scoring is an inherent
+    * |base|×|queries| product either way; only the OOM is avoidable).
     * Output: (qid, id, distance, rank). */
   def exactBatch(base: DataFrame, queries: DataFrame, k: Int,
       metric: Metric = Metric.Euclidean, vecCol: String = "values",
       idCol: String = "id", qidCol: String = "qid",
       qvecCol: String = "qvalues"): DataFrame = {
     import TopKByDistance.topk
-    val scored = base.join(broadcast(queries))
+    val qSide =
+      if (queries.count() <= 500000L) broadcast(queries) else queries
+    val scored = base.join(qSide)
       .select(col(qidCol),
         col(idCol),
         metric.dist(col(vecCol), col(qvecCol)).as("distance"))

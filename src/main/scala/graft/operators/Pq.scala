@@ -303,7 +303,10 @@ object IvfPq {
     import spark.implicits._
     val cents = centroidMap(spark, ivfPath)
     val bcCents = spark.sparkContext.broadcast(cents)
-    val assign = spark.read.parquet(s"$ivfPath/assignments")
+    // centroid-scoped read: orphan dirs from a crashed parent rebalance
+    // hold duplicate copies of split vectors — encoding them would
+    // write duplicate codes
+    val assign = IvfIndex.liveAssignments(spark, ivfPath)
       .select(col("id"), col("values"), col("cluster"))
     // compute-bound passes (ks·dim muladds per row): spread a
     // few-partition layout across the cores first, same stance as
@@ -346,47 +349,112 @@ object IvfPq {
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/codes")
-    // record the parent's nAssign: a single-assignment parent can
+    // record the parent's nAssign (a single-assignment parent can
     // never produce duplicate ids across probed partitions, so search
-    // skips the dedup shuffle entirely (same distinction
-    // [[IvfIndex.searchHydrated]] makes)
-    val nAssign = IvfIndex.readMeta(ivfPath).nAssign
+    // skips the dedup shuffle entirely — same distinction
+    // [[IvfIndex.searchHydrated]] makes) AND the parent's clustering
+    // generation: a later rebalance/rebuild/delete bumps the parent's
+    // generation and every probe of this artifact refuses until
+    // [[refresh]] re-heals + re-stamps
+    val parent = IvfIndex.readMeta(ivfPath)
     Files.write(Paths.get(path, "ivfpq.json"),
-      s"""{"m":$m,"ks":$ks,"dim":$dim,"seed":$seed,"nAssign":$nAssign}"""
-        .getBytes(StandardCharsets.UTF_8))
+      metaJson(PqMeta(m, ks, dim, seed, parent.nAssign,
+        parent.generation)).getBytes(StandardCharsets.UTF_8))
   }
 
-  /** Incremental maintenance after [[IvfIndex.append]] traffic: encode
-    * every indexed vector that does NOT yet have a code, with the
-    * EXISTING codebooks, and append the new codes to the cluster
-    * partitions. One anti-join of the parent's assignments against the
-    * code table's ids (the code side is scanned id-only), then the
-    * same broadcast encode kernel as [[build]]. Codebook drift from
-    * heavy appends is the documented
+  /** Incremental maintenance — heals the artifact against the parent's
+    * CURRENT state, then re-stamps the generation. Three repairs, each
+    * touching only what changed:
+    *
+    *   1. DEAD DIRS: `codes/cluster=<c>/` whose cluster id left the
+    *      parent's centroid table (a rebalance split it) are deleted —
+    *      those vectors now live under new cluster ids and are
+    *      re-encoded by step 3.
+    *   2. DEAD IDS: codes whose id no longer exists in the parent
+    *      ([[IvfIndex.deleteIds]] — the GDPR path): the affected
+    *      cluster partitions are rewritten without them, with the same
+    *      stage + rename-swap discipline as deleteIds itself.
+    *   3. MISSING: every indexed vector without a code ([[
+    *      IvfIndex.append]] traffic, or step 1's evictions) is encoded
+    *      with the EXISTING codebooks (residual vs the CURRENT
+    *      centroid) and appended to its cluster partition.
+    *
+    * Codebook drift from heavy appends/rebalances is the documented
     * trade (same stance as the parent's centroid drift): refresh keeps
-    * the index LIVE, rebuild restores codebook quality. Returns the
-    * number of newly encoded rows. */
+    * the artifact LIVE and probe-legal, rebuild restores codebook
+    * quality. Single-writer maintenance op. Returns the number of
+    * newly encoded rows. */
   def refresh(spark: SparkSession, ivfPath: String,
       path: String): Long = {
     import spark.implicits._
-    val (m, ks, dim, _) = readMeta(path)
-    val dsub = dim / m
+    val meta = readMeta(path)
+    val dsub = meta.dim / meta.m
     val cents = centroidMap(spark, ivfPath)
     val bcCents = spark.sparkContext.broadcast(cents)
-    val assign = spark.read.parquet(s"$ivfPath/assignments")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // ---- 1. drop code dirs keyed by dead cluster ids ----
+    val codesBase = new org.apache.hadoop.fs.Path(s"$path/codes")
+    if (fs.exists(codesBase)) {
+      fs.listStatus(codesBase).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("cluster=") &&
+            !cents.contains(name.stripPrefix("cluster=").toInt))
+          fs.delete(st.getPath, true)
+      }
+    }
+    val assign = IvfIndex.liveAssignments(spark, ivfPath)
       .select(col("id"), col("values"), col("cluster"))
-    val coded = spark.read.parquet(s"$path/codes").select(col("id"))
-    val missing = assign.join(coded, Seq("id"), "left_anti")
-    val books = PqIndex.loadCodebooks(spark, path, m, ks)
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("cluster"))
+    // ---- 2. scrub codes for ids deleted from the parent. Affected
+    // partitions only: a surviving code's vector keeps its cluster key
+    // across deletes (deleteIds moves nothing), so the semi-join can
+    // stay cluster-scoped. ----
+    val deadClusters = codes
+      .join(assign.select(col("id")), Seq("id"), "left_anti")
+      .select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    deadClusters.foreach { c =>
+      val dirC = s"$path/codes/cluster=$c"
+      val keep = spark.read.parquet(dirC)
+        .join(assign.filter(col("cluster") === c).select(col("id")),
+          Seq("id"), "left_semi")
+      val livePath = new org.apache.hadoop.fs.Path(dirC)
+      if (keep.isEmpty) {
+        fs.delete(livePath, true)
+      } else {
+        val stageDir = s"$path/codes_scrub_$c"
+        keep.write.mode("overwrite").parquet(stageDir)
+        val stagePath = new org.apache.hadoop.fs.Path(stageDir)
+        val oldPath = new org.apache.hadoop.fs.Path(dirC + "_old")
+        if (fs.exists(oldPath)) fs.delete(oldPath, true)
+        if (!fs.rename(livePath, oldPath))
+          throw new java.io.IOException(
+            s"[GRAFT] refresh: cannot move $dirC")
+        if (!fs.rename(stagePath, livePath)) {
+          fs.rename(oldPath, livePath) // roll back
+          throw new java.io.IOException(
+            s"[GRAFT] refresh: cannot move $stageDir")
+        }
+        fs.delete(oldPath, true)
+      }
+    }
+    // ---- 3. encode vectors that have no code yet. RE-LIST the code
+    // table: `codes` snapshotted its file listing before step 2's
+    // swaps, so reusing it would chase renamed-away part files ----
+    val codedNow = spark.read.parquet(s"$path/codes").select(col("id"))
+    val missing = assign.join(codedNow, Seq("id"), "left_anti")
+    val books = PqIndex.loadCodebooks(spark, path, meta.m, meta.ks)
     val bcBooks = spark.sparkContext.broadcast(books)
     val newCodes = missing.as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
         val cm = bcCents.value; val bks = bcBooks.value
         it.map { case (id, v, c) =>
-          if (v.length != dim)
+          if (v.length != meta.dim)
             throw new graft.store.InvalidVectorException(
               s"[GRAFT] vector dimension mismatch at id=$id:" +
-                s" expected $dim, got ${v.length}")
+                s" expected ${meta.dim}, got ${v.length}")
           (id, PqIndex.encodeOne(sub(v, cm(c)), bks, dsub), c)
         }
       }
@@ -398,17 +466,44 @@ object IvfPq {
         .write.mode("append").partitionBy("cluster")
         .parquet(s"$path/codes")
     newCodes.unpersist()
+    // ---- healed: re-stamp to the parent's current generation ----
+    val parent = IvfIndex.readMeta(ivfPath)
+    Files.write(Paths.get(path, "ivfpq.json"),
+      metaJson(meta.copy(nAssign = parent.nAssign,
+        gen = parent.generation)).getBytes(StandardCharsets.UTF_8))
     n
   }
 
-  private def readMeta(path: String): (Int, Int, Int, Int) = {
+  private[operators] case class PqMeta(m: Int, ks: Int, dim: Int,
+      seed: Long, nAssign: Int, gen: Int)
+
+  private def metaJson(meta: PqMeta): String =
+    s"""{"m":${meta.m},"ks":${meta.ks},"dim":${meta.dim},"seed":${meta.seed},"nAssign":${meta.nAssign},"gen":${meta.gen}}"""
+
+  private def readMeta(path: String): PqMeta = {
     val s = new String(Files.readAllBytes(Paths.get(path, "ivfpq.json")),
       StandardCharsets.UTF_8)
     def num(k: String) = ("\"" + k + "\":(-?\\d+)").r
-      .findFirstMatchIn(s).get.group(1).toInt
+      .findFirstMatchIn(s).get.group(1).toLong
     def opt(k: String, default: Int) = ("\"" + k + "\":(-?\\d+)").r
       .findFirstMatchIn(s).map(_.group(1).toInt).getOrElse(default)
-    (num("m"), num("ks"), num("dim"), opt("nAssign", 1))
+    PqMeta(num("m").toInt, num("ks").toInt, num("dim").toInt,
+      num("seed"), opt("nAssign", 1), opt("gen", 1))
+  }
+
+  /** Refuse to probe with a stale artifact: the parent's clustering
+    * generation moves on every rebalance / rebuild / deleteIds, and an
+    * out-of-date code table silently returns degraded or deleted
+    * candidates (codes keyed by dead cluster ids are simply never
+    * scanned; deleted vectors still score). Fail loudly instead. */
+  private def requireFresh(meta: PqMeta, ivfPath: String): Unit = {
+    val parentGen = IvfIndex.generationOf(ivfPath)
+    if (meta.gen != parentGen)
+      throw new IllegalStateException(
+        s"[GRAFT] stale IVF-PQ artifact: built against index generation " +
+          s"${meta.gen}, index is now at generation $parentGen " +
+          "(rebalance/rebuild/delete since build) — run IvfPq.refresh " +
+          "or rebuild the artifact")
   }
 
   /** Everything both search stages need, computed ONCE per query:
@@ -419,15 +514,16 @@ object IvfPq {
 
   private def probe(spark: SparkSession, ivfPath: String, path: String,
       query: Array[Float], nProbe: Int): Probe = {
-    val (m, ks, dim, nAssign) = readMeta(path)
-    if (query.length != dim)
+    val meta = readMeta(path)
+    requireFresh(meta, ivfPath)
+    if (query.length != meta.dim)
       throw new graft.store.InvalidVectorException(
-        s"[GRAFT] vector dimension mismatch: expected $dim, got ${query.length}")
+        s"[GRAFT] vector dimension mismatch: expected ${meta.dim}, got ${query.length}")
     val metric = Metric.parse(IvfIndex.metricOf(ivfPath))
     val q = if (metric == Metric.Cosine) IvfIndex.l2normalize(query)
       else query
     val cents = centroidMap(spark, ivfPath)
-    Probe(m, ks, dim, nAssign, metric, q, cents,
+    Probe(meta.m, meta.ks, meta.dim, meta.nAssign, metric, q, cents,
       probeClusters(cents, q, nProbe))
   }
 
@@ -512,5 +608,146 @@ object IvfPq {
       .dropDuplicates("id")
       .select(col("id"), col("values"))
     Knn.exact(pruned, p.q, k, p.metric).select(col("id"), col("distance"))
+  }
+
+  /** BATCH two-stage IVF-PQ search: top-k for EVERY query row in one
+    * job — the compressed twin of [[IvfIndex.searchBatch]] and the
+    * scale path for query workloads over an IVF-PQ artifact
+    * (per-query [[searchRefined]] launches 2 jobs per query). Shape:
+    *
+    *   1. queries are assigned to their nProbe nearest clusters with
+    *      the parent's own broadcast-argmin kernel
+    *      ([[IvfIndex.assignRows]] — same normalization and tiebreak
+    *      rules as build), so probe selection matches [[search]];
+    *   2. the union of touched `codes/cluster=` dirs is scanned ONCE;
+    *      each code row joins only the queries probing ITS cluster
+    *      (size-gated broadcast hash join on `cluster`, the
+    *      searchBatch gate);
+    *   3. ADC scoring per (code, query) pair in one mapPartitions
+    *      kernel, bit-identical to the table path: the residual lane
+    *      `(q − centroid)` is formed in float and accumulated in
+    *      double exactly as [[PqIndex.adcTable]] does, so per-pair
+    *      direct evaluation (O(dim), reading 32×-compressed codes)
+    *      equals a table lookup without materializing |Q|·nProbe
+    *      tables;
+    *   4. per-query ADC top-(k·overfetch) via the [[TopKByDistance]]
+    *      partial aggregate (≤ k·overfetch rows per query per
+    *      partition cross the shuffle);
+    *   5. REFINE: candidate ids join the parent's raw vectors in the
+    *      touched partitions (broadcast the candidate set), exact
+    *      re-rank per query, final top-k.
+    *
+    * Output: (qid, id, distance, rank) in the parent's metric —
+    * per-query rows equal [[searchRefined]]'s (PqSpec pins parity). */
+  def searchBatch(spark: SparkSession, ivfPath: String, path: String,
+      queries: DataFrame, k: Int, nProbe: Int = 4, overfetch: Int = 4,
+      qidCol: String = "qid", qvecCol: String = "qvalues"): DataFrame = {
+    import spark.implicits._
+    import TopKByDistance.topk
+    val meta = readMeta(path)
+    requireFresh(meta, ivfPath)
+    val metric = Metric.parse(IvfIndex.metricOf(ivfPath))
+    val dsub = meta.dim / meta.m
+    val cents = centroidMap(spark, ivfPath)
+    val centArr = cents.toArray.sortBy(_._1)
+    val emptyOut = () => spark.range(0)
+      .select(col("id").as("qid"), col("id"),
+        lit(0.0).as("distance"), lit(0).as("rank"))
+    // same probe-selection rule as the parent (normalize for cosine,
+    // euclidean argmin, ties to the lowest cluster id)
+    val assigned = IvfIndex.assignRows(
+      queries.select(col(qidCol).cast("long").as("id"),
+        col(qvecCol).cast("array<float>").as("values")),
+      centArr, math.min(nProbe, centArr.length),
+      normalize = metric == Metric.Cosine)
+      .select(col("id").as("qid"), col("values").as("qv"),
+        col("cluster"))
+    val touched = assigned.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existingCodes = IvfIndex.existingClusterDirs(spark,
+      s"$path/codes", touched.toIndexedSeq)
+    if (existingCodes.isEmpty) return emptyOut()
+    // one count sizes all three broadcast gates (the searchBatch
+    // stance: hint only what plausibly fits executor memory, leave the
+    // rest to the planner)
+    val qCount = queries.count()
+    val qSide =
+      if (qCount * math.min(nProbe, centArr.length) <= 500000L)
+        broadcast(assigned)
+      else assigned
+    val books = PqIndex.loadCodebooks(spark, path, meta.m, meta.ks)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val codeRows = spark.read.option("basePath", s"$path/codes")
+      .parquet(existingCodes: _*)
+      .select(col("id"), col("code"), col("cluster"))
+    val scored0 = codeRows.join(qSide, Seq("cluster"))
+      .select(col("qid"), col("qv"), col("id"), col("code"),
+        col("cluster"))
+      .as[(Long, Array[Float], Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        val bks = bcBooks.value; val cm = bcCents.value
+        it.map { case (qid, qv, id, code, c) =>
+          // bit-identical to the adcTable(sub(q, centroid)) path: the
+          // residual lane is float-subtracted (like sub()), each
+          // subspace accumulates into its OWN double (like a table
+          // entry), and the per-subspace sums are then added in j
+          // order (like the table scan) — same rounding sequence
+          val cent = cm(c)
+          var d = 0.0; var j = 0
+          while (j < bks.length) {
+            val bc = bks(j)(code(j) & 0xff)
+            val off = j * dsub
+            var s = 0.0
+            var i = 0
+            while (i < dsub) {
+              val r = qv(off + i) - cent(off + i)
+              val diff = r.toDouble - bc(i)
+              s += diff * diff
+              i += 1
+            }
+            d += s
+            j += 1
+          }
+          (qid, id, d)
+        }
+      }
+      .toDF("qid", "id", "adist")
+    // multiprobe parent: one id can score in several probed clusters
+    // of the same query — identical codes, but keep the min like
+    // [[adcTopK]] before the top-k
+    val scored = if (meta.nAssign > 1)
+      scored0.groupBy(col("qid"), col("id"))
+        .agg(min(col("adist")).as("adist"))
+    else scored0
+    val cands = scored
+      .groupBy(col("qid"))
+      .agg(topk(col("adist"), col("id"), k * overfetch).as("topk"))
+      .select(col("qid"), explode(col("topk.id")).as("id"))
+    // ---- refine: raw vectors for candidates only, from the touched
+    // parent partitions (candidates are |Q|·k·overfetch rows — the
+    // broadcast side of the id join by construction) ----
+    val existingAssign = IvfIndex.existingClusterDirs(spark,
+      s"$ivfPath/assignments", touched.toIndexedSeq)
+    if (existingAssign.isEmpty) return emptyOut()
+    val raw0 = spark.read
+      .option("basePath", s"$ivfPath/assignments")
+      .parquet(existingAssign: _*)
+      .select(col("id"), col("values"))
+    val raw = if (meta.nAssign > 1) raw0.dropDuplicates("id") else raw0
+    val qVecs = assigned.select(col("qid"), col("qv"))
+      .dropDuplicates("qid")
+    val qv2 = if (qCount <= 500000L) broadcast(qVecs) else qVecs
+    val candSide =
+      if (qCount * k * overfetch <= 500000L) broadcast(cands) else cands
+    raw.join(candSide, Seq("id"))
+      .join(qv2, Seq("qid"))
+      .select(col("qid"), col("id"),
+        metric.dist(col("values"), col("qv")).as("distance"))
+      .groupBy(col("qid"))
+      .agg(topk(col("distance"), col("id"), k).as("topk"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(col("qid"), col("r.id").as("id"),
+        col("r.distance").as("distance"), (col("pos") + 1).as("rank"))
   }
 }

@@ -30,6 +30,40 @@ object Ingest {
       }
       .start()
 
+  /** Attach a streaming vector source (schema: id LONG, values
+    * ARRAY<FLOAT>) to a persisted [[graft.operators.IvfIndex]]: each
+    * micro-batch runs the broadcast-argmin [[graft.operators.IvfIndex.append]],
+    * and every `driftCheckEvery` batches the cheap filesystem skew
+    * check ([[graft.operators.IvfIndex.needsRebalance]] — one content
+    * summary per cluster dir, no Spark job) runs; when it fires,
+    * `onDrift` is invoked. Skewed appends concentrate in few clusters
+    * and silently degrade probe latency (ScaleProbe measures 15.3 s →
+    * 3.6 s around a rebalance) — this hook surfaces the drift instead
+    * of letting it build up. `rebalance` itself stays a SINGLE-WRITER
+    * maintenance op: stop ingest, rebalance, resume — so the default
+    * hook reports rather than mutates. Caller contract on ids is
+    * [[graft.operators.IvfIndex.append]]'s (unique within the batch
+    * and against the already-indexed set). */
+  def intoIndex(stream: DataFrame, indexPath: String, checkpoint: String,
+      maxClusterFraction: Double = 0.2, driftCheckEvery: Int = 10,
+      onDrift: Long => Unit = bid => println(
+        s"[GRAFT] index drift detected at batch $bid: rebalance advised"),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.IvfIndex.append(batch, indexPath)
+          if (driftCheckEvery > 0 && batchId % driftCheckEvery == 0 &&
+              graft.operators.IvfIndex.needsRebalance(
+                batch.sparkSession, indexPath, maxClusterFraction))
+            onDrift(batchId)
+        }
+        ()
+      }
+      .start()
+
   /** Stateful streaming sessionization via flatMapGroupsWithState:
     * per-user sessions close after `gapMinutes` of event-time silence
     * (tracked with an event-time timeout against the watermark).

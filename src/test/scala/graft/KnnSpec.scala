@@ -55,6 +55,121 @@ class KnnSpec extends AnyFunSuite {
     assert(plan.contains("partial_vfs_topk"), plan)
   }
 
+  test("exactBatch broadcast is size-gated: an over-gate batch plans " +
+      "without the hint, results unchanged at small scale") {
+    // over the 500k-row gate: the hint would be a multi-GB broadcast
+    // OOM at real vector widths — the planner must be left to choose
+    val big = spark.range(500001L)
+      .select($"id".as("qid"),
+        array(lit(0.1f), lit(0.2f)).as("qvalues"))
+    val base2 = Seq((1L, Array(0.1f, 0.2f)), (2L, Array(0.9f, 0.1f)))
+      .toDF("id", "values")
+    val plan = Knn.exactBatch(base2, big, 1, Metric.Euclidean)
+      .queryExecution.executedPlan.toString
+    // ungated, the hint would force the 500k QUERY side into the
+    // broadcast (BuildRight); with the gate the planner is free and
+    // picks the 2-row base (BuildLeft) — the query side must not be
+    // the build side
+    assert(plan.contains("BuildLeft") && !plan.contains("BuildRight"),
+      plan)
+    // under the gate nothing changed: same rows as the broadcast plan
+    val small = all.take(3).toSeq.toDF("qid", "qvalues")
+    val gated = Knn.exactBatch(emb, small, 5, Metric.Cosine)
+      .orderBy($"qid", $"rank").select($"qid", $"id")
+      .as[(Long, Long)].collect().toSeq
+    all.take(3).foreach { case (qid, qv) =>
+      assert(gated.filter(_._1 == qid).map(_._2) === bruteTopK(qv, 5),
+        s"qid=$qid")
+    }
+  }
+
+  test("IVF deleteIds: hard delete across the index (GDPR path), " +
+      "generation bump, partition-scoped rewrite") {
+    val dir = Files.createTempDirectory("ivf-del").toString
+    IvfIndex.build(emb, dir, nCentroids = 8, Metric.Cosine)
+    val genBefore = IvfIndex.generationOf(dir)
+    val victims = all.take(3).map(_._1).toSeq
+    assert(IvfIndex.deleteIds(spark, dir, victims) === 3L)
+    assert(IvfIndex.generationOf(dir) === genBefore + 1)
+    // absent from a FULL probe (every cluster scanned)
+    val got = IvfIndex.search(spark, dir, all.head._2, all.length,
+      nProbe = 8).select("id").as[Long].collect().toSet
+    victims.foreach(v => assert(!got.contains(v), s"id $v survived"))
+    assert(spark.read.parquet(s"$dir/assignments").count() ===
+      (all.length - 3).toLong)
+    // unknown ids are a no-op (no generation churn)
+    val genNow = IvfIndex.generationOf(dir)
+    assert(IvfIndex.deleteIds(spark, dir, Seq(99999999L)) === 0L)
+    assert(IvfIndex.generationOf(dir) === genNow)
+    // multiprobe: EVERY stored copy of a victim goes
+    val dir2 = Files.createTempDirectory("ivf-del2").toString
+    IvfIndex.build(emb, dir2, nCentroids = 8, Metric.Cosine, nAssign = 2)
+    assert(IvfIndex.deleteIds(spark, dir2, victims) === 6L)
+    val got2 = IvfIndex.search(spark, dir2, all.head._2, all.length,
+      nProbe = 8).select("id").as[Long].collect().toSet
+    victims.foreach(v => assert(!got2.contains(v), s"copy of $v survived"))
+  }
+
+  test("needsRebalance: filesystem skew check fires on drifted appends, " +
+      "clears after rebalance") {
+    // euclidean (no normalization) so the unique per-row jitter
+    // survives into storage and defeats parquet dictionary encoding —
+    // bytes track rows for the size proxy
+    val dim = 8
+    val df = (0L until 500L).map { i =>
+      val v = new Array[Float](dim)
+      v((i % 4).toInt) = 1f; v(7) = i / 500f * 0.1f
+      (i, v.toSeq)
+    }.toDF("id", "values")
+    val idx = Files.createTempDirectory("ivf-drift").toString
+    IvfIndex.build(df, idx, nCentroids = 8, Metric.Euclidean, seed = 7L)
+    assert(!IvfIndex.needsRebalance(spark, idx, maxClusterFraction = 0.9))
+    // drifted append: a tight blob 4x the corpus around one point
+    val blob = (10000L until 12000L).map { i =>
+      val v = new Array[Float](dim)
+      v(0) = 2f; v(7) = (i - 10000L) / 2000f * 0.001f
+      (i, v.toSeq)
+    }.toDF("id", "values")
+    IvfIndex.append(blob, idx)
+    assert(IvfIndex.needsRebalance(spark, idx, maxClusterFraction = 0.5))
+    assert(IvfIndex.rebalance(spark, idx, maxClusterFraction = 0.25,
+      seed = 11L) >= 2)
+    assert(!IvfIndex.needsRebalance(spark, idx, maxClusterFraction = 0.5))
+  }
+
+  test("similarityJoin ignores orphan cluster dirs from a crashed " +
+      "rebalance (no duplicated pairs)") {
+    val rnd = new scala.util.Random(11)
+    val base0 = Array.fill(64)(rnd.nextFloat())
+    val rows = ((1L, base0) :: (2L, base0.map(_ + 0.001f)) ::
+      List.tabulate(60)(i => (10L + i, Array.fill(64)(rnd.nextFloat() - 0.5f))))
+      .toDF("id", "values")
+    val dir = Files.createTempDirectory("ivf-orphan").toString
+    IvfIndex.build(rows, dir, nCentroids = 4, Metric.Cosine)
+    val before = IvfIndex.similarityJoin(spark, dir, tau = 0.05)
+      .orderBy($"a", $"b").collect().toSeq
+    assert(before.nonEmpty)
+    // simulate the crash window: an assignments dir whose cluster id
+    // is NOT in the centroid table (vectors duplicated on disk)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val src = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/assignments"))
+      .map(_.getPath).filter(_.getName.startsWith("cluster=")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+      new org.apache.hadoop.fs.Path(s"$dir/assignments/cluster=4242"),
+      false, conf)
+    val after = IvfIndex.similarityJoin(spark, dir, tau = 0.05)
+      .orderBy($"a", $"b").collect().toSeq
+    assert(after === before)
+    // derived artifacts are also orphan-blind: every id coded once
+    val pqDir = Files.createTempDirectory("ivf-orphan-pq").toString
+    IvfPq.build(spark, dir, pqDir, m = 8, ks = 16)
+    val codes = spark.read.parquet(s"$pqDir/codes")
+    assert(codes.count() === 62L)
+    assert(codes.select("id").distinct().count() === 62L)
+  }
+
   test("IVF index: recall@10 >= 0.9 on clustered data, with partition pruning") {
     // IVF's contract assumes cluster structure; build a corpus of 16
     // well-separated clusters and expect near-perfect recall at 25% probe.

@@ -604,6 +604,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids === Array(1L, 2L))
   }
 
+  test("streaming index ingest: appends become searchable; drifted " +
+      "appends fire the needsRebalance hook; rebalance recovers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dim = 8
+    // balanced base corpus, euclidean so the per-row jitter survives
+    // into storage (bytes track rows for the drift check's size proxy)
+    val base = (0L until 400L).map { i =>
+      val v = new Array[Float](dim)
+      v((i % 4).toInt) = 1f; v(7) = i / 400f * 0.1f
+      (i, v.toSeq)
+    }.toDF("id", "values")
+    val idx = Files.createTempDirectory("stream-ivf").toString
+    graft.operators.IvfIndex.build(base, idx, nCentroids = 8,
+      graft.operators.Metric.Euclidean, seed = 7L)
+    val drifts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.Ingest.intoIndex(
+      stream.toDF().toDF("id", "values"), idx,
+      Files.createTempDirectory("stream-ivf-ckpt").toString,
+      maxClusterFraction = 0.5, driftCheckEvery = 1,
+      onDrift = drifts += _,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(100))
+    try {
+      // batch 0: benign append — searchable, no drift
+      stream.addData((10000L, Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0.05f)))
+      q.processAllAvailable()
+      assert(drifts.isEmpty, drifts)
+      val got = graft.operators.IvfIndex.search(spark, idx,
+          Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0.05f), 1, nProbe = 8)
+        .select("id").as[Long].collect()
+      assert(got === Array(10000L))
+      // next batch: a tight blob 4x the corpus — drift must fire
+      stream.addData((20000L until 21600L).map { i =>
+        val v = new Array[Float](dim)
+        v(0) = 2f; v(7) = (i - 20000L) / 1600f * 0.001f
+        (i, v.toSeq)
+      }: _*)
+      q.processAllAvailable()
+      assert(drifts.nonEmpty, "drift hook did not fire")
+    } finally q.stop()
+    // maintenance rebalance (single-writer: stream is stopped) clears
+    // the skew and the full-probe result set is unchanged
+    val before = graft.operators.IvfIndex.search(spark, idx,
+        Array.tabulate(dim)(i => if (i == 0) 2f else 0f), 20,
+        nProbe = spark.read.parquet(s"$idx/centroids").count().toInt)
+      .select("id").as[Long].collect().toSeq
+    assert(graft.operators.IvfIndex.rebalance(spark, idx,
+      maxClusterFraction = 0.25, seed = 11L) >= 2)
+    assert(!graft.operators.IvfIndex.needsRebalance(spark, idx,
+      maxClusterFraction = 0.5))
+    val after = graft.operators.IvfIndex.search(spark, idx,
+        Array.tabulate(dim)(i => if (i == 0) 2f else 0f), 20,
+        nProbe = spark.read.parquet(s"$idx/centroids").count().toInt)
+      .select("id").as[Long].collect().toSeq
+    assert(after === before)
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct keys") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -162,4 +162,102 @@ class PqSpec extends AnyFunSuite {
     assert(codes.count() === (all.length + 1).toLong)
     assert(codes.select("id").distinct().count() === (all.length + 1).toLong)
   }
+
+  test("generation stamp: deleteIds stales the artifact, probes refuse, " +
+      "refresh scrubs dead codes and heals") {
+    val ivfDir = Files.createTempDirectory("ivfpq_gen_i").toString
+    val pqDir = Files.createTempDirectory("ivfpq_gen_p").toString
+    IvfIndex.build(emb, ivfDir, nCentroids = 4, Metric.Cosine)
+    IvfPq.build(spark, ivfDir, pqDir, m = 32, ks = 64)
+    val victim = all.head._1
+    assert(IvfIndex.deleteIds(spark, ivfDir, Seq(victim)) === 1L)
+    // every probe path refuses the stale artifact — a silent probe
+    // would still return the deleted vector from its ADC codes
+    val q = all(1)._2
+    intercept[IllegalStateException] {
+      IvfPq.search(spark, ivfDir, pqDir, q, 5)
+    }
+    intercept[IllegalStateException] {
+      IvfPq.searchRefined(spark, ivfDir, pqDir, q, 5)
+    }
+    intercept[IllegalStateException] {
+      IvfPq.searchBatch(spark, ivfDir, pqDir,
+        Seq((1L, q)).toDF("qid", "qvalues"), 5)
+    }
+    // refresh: nothing new to encode, but the dead code is scrubbed
+    // and the artifact is re-stamped probe-legal
+    assert(IvfPq.refresh(spark, ivfDir, pqDir) === 0L)
+    val codes = spark.read.parquet(s"$pqDir/codes")
+    assert(codes.count() === (all.length - 1).toLong)
+    val ids = IvfPq.search(spark, ivfDir, pqDir, q, all.length,
+      nProbe = 4).select("id").as[Long].collect()
+    assert(!ids.contains(victim))
+  }
+
+  test("generation stamp: rebalance stales the artifact; refresh " +
+      "re-encodes into the new cluster layout") {
+    // skewed corpus so rebalance actually splits (same shape as
+    // KnnSpec's rebalance spec)
+    val dim = 8
+    val rows = (0L until 2000L).map { i =>
+      val v = new Array[Float](dim)
+      if (i < 1800L) { v(0) = 1f; v(1) = (i % 97).toFloat / 9700f }
+      else { v((i % (dim - 2)).toInt + 2) = 1f; v(0) = (i % 7).toFloat / 7f }
+      (i, v.toSeq)
+    }.toDF("id", "values")
+    val ivfDir = Files.createTempDirectory("ivfpq_reb_i").toString
+    val pqDir = Files.createTempDirectory("ivfpq_reb_p").toString
+    IvfIndex.build(rows, ivfDir, nCentroids = 8, Metric.Cosine, seed = 7L)
+    IvfPq.build(spark, ivfDir, pqDir, m = 4, ks = 16)
+    assert(IvfIndex.rebalance(spark, ivfDir, maxClusterFraction = 0.25,
+      seed = 11L) >= 2)
+    // stale: codes for the split cluster are keyed by a dead cluster
+    // id — a probe would silently never scan them
+    intercept[IllegalStateException] {
+      IvfPq.search(spark, ivfDir, pqDir, rows.head.getSeq[Float](1).toArray, 5)
+    }
+    // refresh drops the dead-keyed dirs and re-encodes those vectors
+    // into the new layout with the existing codebooks
+    assert(IvfPq.refresh(spark, ivfDir, pqDir) >= 1700L)
+    val codes = spark.read.parquet(s"$pqDir/codes")
+    assert(codes.count() === 2000L)
+    assert(codes.select("id").distinct().count() === 2000L)
+    // every code dir corresponds to a live centroid
+    val liveClusters = spark.read.parquet(s"$ivfDir/centroids")
+      .select("cluster").as[Int].collect().toSet
+    val codeClusters = codes.select("cluster").distinct()
+      .as[Int].collect().toSet
+    assert(codeClusters.subsetOf(liveClusters))
+    // probe-legal again, full-probe refine returns k rows
+    val nClusters = liveClusters.size
+    val q = Array.tabulate(dim)(i => if (i == 0) 1f else 0f)
+    val got = IvfPq.searchRefined(spark, ivfDir, pqDir, q, 10,
+      nProbe = nClusters, overfetch = 8)
+    assert(got.count() === 10L)
+  }
+
+  test("IvfPq.searchBatch: per-query parity with searchRefined, " +
+      "multiprobe parent included") {
+    val ivfDir = Files.createTempDirectory("ivfpq_batch_i").toString
+    val pqDir = Files.createTempDirectory("ivfpq_batch_p").toString
+    IvfIndex.build(emb, ivfDir, nCentroids = 8, Metric.Cosine,
+      nAssign = 2)
+    IvfPq.build(spark, ivfDir, pqDir, m = 32, ks = 64)
+    val queries = all.take(8).toSeq.toDF("qid", "qvalues")
+    val batch = IvfPq.searchBatch(spark, ivfDir, pqDir, queries,
+        k = 5, nProbe = 4, overfetch = 4)
+      .orderBy($"qid", $"rank")
+      .select($"qid", $"id", $"distance")
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    all.take(8).foreach { case (qid, qv) =>
+      val single = IvfPq.searchRefined(spark, ivfDir, pqDir, qv, 5,
+          nProbe = 4, overfetch = 4)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) === single, s"qid=$qid")
+    }
+    // output shape matches the IVF twin
+    assert(IvfPq.searchBatch(spark, ivfDir, pqDir, queries, 3)
+      .columns.toSeq === Seq("qid", "id", "distance", "rank"))
+  }
 }
