@@ -110,6 +110,16 @@ object Bench {
         .select(col("id").as("qid"), col("values").as("qvalues"))
       IvfIndex.searchBatch(spark, ivfDir, queries, 10, nProbe = 4).count()
     }
+    // batch IVF-PQ (compressed ANN at the documented pruned-probe
+    // operating point): ADC over cluster-scoped codes + exact refine
+    val ivfpqDir = s"${storeDirs.last}/ivfpq"
+    graft.operators.IvfPq.build(spark, ivfDir, ivfpqDir, m = 32, ks = 64)
+    results("knn_batch_ivfpq") = median {
+      val queries = emb.limit(100)
+        .select(col("id").as("qid"), col("values").as("qvalues"))
+      graft.operators.IvfPq.searchBatch(spark, ivfDir, ivfpqDir,
+        queries, 10, nProbe = 16, overfetch = 8).count()
+    }
     results("q1_agg") = median {
       SparkEntry.queries("q1_agg")(spark, sfDir).collect()
     }

@@ -1207,6 +1207,35 @@ object SparkEntry {
         lit(if (hits >= 9L) 1L else 0L).as("pass"))
     }),
 
+    // ---- IVF-PQ at a genuinely PARTIAL probe — the production
+    // operating point (the full-probe row above gates codebook quality
+    // but not probe pruning). 45 centroids, nProbe=16 (36% of
+    // clusters), multiprobe parent, m=32 residual codes, overfetch=8:
+    // the defaults the recall curves in BENCHREPORT.md pick for the
+    // >=0.8 bound (the parent IVF ceiling at this point is ~0.9;
+    // m=32 refine tracks it). Mean recall@10 over 20 queries via the
+    // BATCH search path, which also puts IvfPq.searchBatch itself
+    // under the correctness gate ----
+    "ann_ivfpq_pruned" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("values"))
+      val ivf = java.nio.file.Files.createTempDirectory("verify-ivfpq-pr-i").toString
+      val pq = java.nio.file.Files.createTempDirectory("verify-ivfpq-pr-p").toString
+      graft.operators.IvfIndex.build(e, ivf, nCentroids = 45,
+        Metric.Cosine, nAssign = 2)
+      graft.operators.IvfPq.build(s, ivf, pq, m = 32, ks = 64)
+      val queries = e.orderBy(col("id").asc).limit(20)
+        .select(col("id").as("qid"), col("values").as("qvalues"))
+      val approx = graft.operators.IvfPq.searchBatch(s, ivf, pq,
+        queries, k = 10, nProbe = 16, overfetch = 8)
+        .select(col("qid"), col("id"))
+      val exact = graft.operators.Knn.exactBatch(e, queries, 10,
+        Metric.Cosine).select(col("qid"), col("id"))
+      val hits = approx.intersect(exact).count() // of 200 possible
+      s.range(1).select(lit(10L).as("k"),
+        lit(if (hits >= 160L) 1L else 0L).as("pass"))
+    }),
+
     // ---- MinHash-LSH global near-dup: the FULL pipeline (portable
     // FNV+affine signatures, slice banding, cap, jaccard verify) is
     // reproduced by minHashLshOracle and hash-matches ----
@@ -2034,6 +2063,12 @@ object SparkEntry {
     "ann_ivfpq_recall" ->
       "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
 
+    // acceptance row: IVF-PQ PRUNED-probe (nProbe=16/45) batch mean
+    // recall@10 >= 0.8 — gates the production operating point, not
+    // just the full-probe ceiling
+    "ann_ivfpq_pruned" ->
+      "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
+
     "ann_ivf_fullprobe" ->
       """WITH top AS (
         |  SELECT vec_id,
@@ -2423,14 +2458,17 @@ object SparkEntry {
        |  CAST(CASE WHEN doc_id % 3 = 0 THEN n ELSE m // 3 END AS BIGINT)
        |    AS n_samples,
        |  CAST(CASE WHEN doc_id % 3 = 0
-       |      THEN round(COALESCE(list_sum(bs), 0) * 1000.0 / (255.0 * n))
+       |      THEN CASE WHEN n = 0 THEN 0
+       |        ELSE round(COALESCE(list_sum(bs), 0) * 1000.0 / (255.0 * n)) END
        |    WHEN doc_id % 3 = 1 THEN ${duckChannelMilli(2)}
        |    ELSE ${duckChannelMilli(0)} END AS BIGINT) AS c0_milli,
        |  CAST(CASE WHEN doc_id % 3 = 0
-       |      THEN round(list_max(bs) * 1000.0 / 255.0)
+       |      THEN CASE WHEN n = 0 THEN 0
+       |        ELSE round(list_max(bs) * 1000.0 / 255.0) END
        |    ELSE ${duckChannelMilli(1)} END AS BIGINT) AS c1_milli,
        |  CAST(CASE WHEN doc_id % 3 = 0
-       |      THEN round(list_min(bs) * 1000.0 / 255.0)
+       |      THEN CASE WHEN n = 0 THEN 0
+       |        ELSE round(list_min(bs) * 1000.0 / 255.0) END
        |    WHEN doc_id % 3 = 1 THEN ${duckChannelMilli(0)}
        |    ELSE ${duckChannelMilli(2)} END AS BIGINT) AS c2_milli
        |FROM p ORDER BY doc_id ASC""".stripMargin

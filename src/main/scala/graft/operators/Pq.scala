@@ -536,7 +536,7 @@ object IvfPq {
     * stored in several clusters by a multiprobe parent index scores
     * once per shared probed cluster; the min wins before top-k. */
   def search(spark: SparkSession, ivfPath: String, path: String,
-      query: Array[Float], k: Int, nProbe: Int = 4): DataFrame =
+      query: Array[Float], k: Int, nProbe: Int = 16): DataFrame =
     adcTopK(spark, path, probe(spark, ivfPath, path, query, nProbe), k)
 
   private def adcTopK(spark: SparkSession, path: String, p: Probe,
@@ -585,10 +585,17 @@ object IvfPq {
     * over the probed partitions of the parent index, so the refine
     * stage touches row groups containing candidates instead of
     * rescanning the probe set's floats. Output: (id, distance) in the
-    * parent index's metric, ascending, k rows. */
+    * parent index's metric, ascending, k rows.
+    *
+    * Defaults (nProbe=16, overfetch=8) are the measured >=0.8-recall
+    * operating point on the published curves (BENCHREPORT.md): IVF-PQ
+    * recall is ceiling-bounded by the PARENT probe, so the lever is
+    * nProbe, not m — nProbe=4 of a few dozen centroids is a coin-flip
+    * on uniform corpora. The `ann_ivfpq_pruned` acceptance row gates
+    * exactly this operating point. */
   def searchRefined(spark: SparkSession, ivfPath: String, path: String,
-      query: Array[Float], k: Int, nProbe: Int = 4,
-      overfetch: Int = 4): DataFrame = {
+      query: Array[Float], k: Int, nProbe: Int = 16,
+      overfetch: Int = 8): DataFrame = {
     import spark.implicits._
     // probe state (centroid read + top-k + dir listing) is computed
     // once and shared by both stages
@@ -638,9 +645,10 @@ object IvfPq {
     *      re-rank per query, final top-k.
     *
     * Output: (qid, id, distance, rank) in the parent's metric —
-    * per-query rows equal [[searchRefined]]'s (PqSpec pins parity). */
+    * per-query rows equal [[searchRefined]]'s (PqSpec pins parity).
+    * Defaults follow [[searchRefined]]'s measured operating point. */
   def searchBatch(spark: SparkSession, ivfPath: String, path: String,
-      queries: DataFrame, k: Int, nProbe: Int = 4, overfetch: Int = 4,
+      queries: DataFrame, k: Int, nProbe: Int = 16, overfetch: Int = 8,
       qidCol: String = "qid", qvecCol: String = "qvalues"): DataFrame = {
     import spark.implicits._
     import TopKByDistance.topk

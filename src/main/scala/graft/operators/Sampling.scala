@@ -248,7 +248,12 @@ object Sampling {
     WorkCols.requireFree(df, "__rn")
     val norm = weights.values.sum
     val w = weights.map { case (s, x) => s -> x / norm }
-    val counts = df.filter(source.isInCollection(w.keys.toSeq))
+    // count SELECTABLE rows only: a null sampling key can never be
+    // picked by hashThresholdSelect (null fingerprints fail every band
+    // predicate), so null-key rows in a source would inflate its count
+    // and skew nStar/quotas away from the requested mixture
+    val counts = df.filter(source.isInCollection(w.keys.toSeq) &&
+        key.isNotNull)
       .groupBy(source.as("__src")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val nStar = w.map { case (s, ws) =>
@@ -348,13 +353,23 @@ object Sampling {
     * range-partitioned sort + the final (rank, source)
     * range-partitioned orderBy — no single-partition exchange
     * anywhere. Output: input columns + `rank` (1-based within
-    * source). */
+    * source).
+    *
+    * The caller's `source`/`score`/`tiebreak` columns are applied ONLY
+    * against the input `df` (so resolved references like `df("src")`
+    * are fine); the final orderBy runs on the REBUILT ranked frame
+    * (fresh exprIds after the RDD zip) and therefore orders by the
+    * carried work columns, never by the caller's references. Note the
+    * result is local-checkpointed: executor loss makes it
+    * unrecoverable (recompute-from-source is deliberately severed —
+    * re-call to rebuild). */
   def curriculumInterleave(df: DataFrame, source: Column, score: Column,
       tiebreak: Column): DataFrame = {
-    WorkCols.requireFree(df, "rank", "__csrc")
+    WorkCols.requireFree(df, "rank", "__csrc", "__ctie")
     val spark = df.sparkSession
     val tagged = df.withColumn("__csrc", source.cast("string"))
-      .sort(col("__csrc").asc, score.desc, tiebreak.asc)
+      .withColumn("__ctie", tiebreak)
+      .sort(col("__csrc").asc, score.desc, col("__ctie").asc)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val srcPos = tagged.schema.fieldIndex("__csrc")
     // per-partition contiguous (source, count) runs, in row order
@@ -403,8 +418,12 @@ object Sampling {
     rankedRdd.count() // materialize the checkpoint
     tagged.unpersist(blocking = false)
     bc.unpersist(blocking = false)
+    // order by the CARRIED columns: the rebuilt frame has fresh
+    // exprIds, so a caller-resolved `source`/`tiebreak` (e.g.
+    // df("src")) would fail analysis here — __csrc/__ctie resolve by
+    // name against this frame by construction
     spark.createDataFrame(rankedRdd, outSchema)
-      .drop("__csrc")
-      .orderBy(col("rank").asc, source.asc, tiebreak.asc)
+      .orderBy(col("rank").asc, col("__csrc").asc, col("__ctie").asc)
+      .drop("__csrc", "__ctie")
   }
 }

@@ -80,6 +80,22 @@ object RecallProbe {
         nProbe = 8, overfetch = 4).select("id").as[Long].collect().toSet)
       println(f"| IVF-PQ m=$m ks=64 nProbe=8 overfetch=4 | $r%.3f |")
     }
+
+    // ---- IVF-PQ at the DOCUMENTED defaults (multiprobe parent,
+    // nProbe=16, overfetch=8) — the operating point the
+    // `ann_ivfpq_pruned` acceptance row gates at >= 0.8 ----
+    val ivfMp = java.nio.file.Files
+      .createTempDirectory("recall-ivfmp").toString
+    IvfIndex.build(emb, ivfMp, nCentroids = 45, Metric.Cosine,
+      nAssign = 2)
+    val pqMp = java.nio.file.Files
+      .createTempDirectory("recall-ivfpqmp").toString
+    IvfPq.build(spark, ivfMp, pqMp, m = 32, ks = 64)
+    for ((np, of) <- Seq((8, 8), (16, 8), (16, 16))) {
+      val r = recallOf(q => IvfPq.searchRefined(spark, ivfMp, pqMp, q, k,
+        nProbe = np, overfetch = of).select("id").as[Long].collect().toSet)
+      println(f"| IVF-PQ m=32 ks=64 nAssign=2 nProbe=$np overfetch=$of | $r%.3f |")
+    }
     spark.stop()
   }
 }
