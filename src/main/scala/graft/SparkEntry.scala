@@ -1296,6 +1296,22 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- PNG decode (Inflater + all five scanline filters): every
+    // document wrapped in a real compressed PNG, then decoded back —
+    // the oracle recomputes the channel stats from raw payload
+    // arithmetic, so zlib round-trip and filter inversion must be
+    // byte-exact for the row to hash-match ----
+    "multimodal_png" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizePng(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.decodeStats(s, media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- sessionization: gap > 30 min starts a new session ----
     "w_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2083,6 +2099,8 @@ object SparkEntry {
 
     "multimodal_features" -> multimodalFeaturesOracle,
 
+    "multimodal_png" -> multimodalPngOracle,
+
     "w_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |m AS (SELECT user_id, us,
@@ -2471,6 +2489,28 @@ object SparkEntry {
        |        ELSE round(list_min(bs) * 1000.0 / 255.0) END
        |    WHEN doc_id % 3 = 1 THEN ${duckChannelMilli(0)}
        |    ELSE ${duckChannelMilli(2)} END AS BIGINT) AS c2_milli
+       |FROM p ORDER BY doc_id ASC""".stripMargin
+
+  /** Mirrors [[graft.operators.Multimodal.synthesizePng]] +
+    * `decodeStats`: every doc is a 4-wide RGB raster of its
+    * zero-padded payload bytes, so the decoded channel means are pure
+    * payload arithmetic — the engine only lands on them if the zlib
+    * stream and all five scanline filters round-trip byte-exactly. */
+  private def multimodalPngOracle: String =
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+       |s AS (SELECT doc_id, bs, len(bs) AS n,
+       |    greatest(12, len(bs) - (len(bs) % 12)) AS m FROM b),
+       |p AS (SELECT doc_id, bs, n, m,
+       |    list_transform(range(1, m + 1),
+       |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
+       |  FROM s)
+       |SELECT doc_id, 'image/png' AS format,
+       |  CAST(4 AS INT) AS width,
+       |  CAST(m // 12 AS INT) AS height,
+       |  CAST(m // 3 AS BIGINT) AS n_samples,
+       |  CAST(${duckChannelMilli(0)} AS BIGINT) AS c0_milli,
+       |  CAST(${duckChannelMilli(1)} AS BIGINT) AS c1_milli,
+       |  CAST(${duckChannelMilli(2)} AS BIGINT) AS c2_milli
        |FROM p ORDER BY doc_id ASC""".stripMargin
 
   // ---- oracle SQL generated from the same constants the Spark

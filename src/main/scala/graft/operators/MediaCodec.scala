@@ -212,6 +212,199 @@ object MediaCodec {
     out
   }
 
+  // ---------------------------------------------------------------
+  // PNG (8-bit truecolor RGB, non-interlaced; zlib via java.util.zip)
+  // ---------------------------------------------------------------
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG Paeth predictor (spec §9.4): nearest of left/up/up-left to
+    * the linear estimate, ties broken left, up, up-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.allocate(12 + data.length) // PNG is big-endian
+    b.putInt(data.length)
+    val tb = typ.getBytes(StandardCharsets.US_ASCII)
+    b.put(tb).put(data)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(data)
+    b.putInt(crc.getValue.toInt)
+    b.array()
+  }
+
+  /** 8-bit truecolor (color type 2) non-interlaced PNG. `payload` is
+    * RGB bytes in top-down row order, length == width*height*3. Rows
+    * cycle through ALL FIVE scanline filter types (row % 5 =
+    * None/Sub/Up/Average/Paeth), so any decode of an encoded image
+    * exercises every filter inversion, and IDAT is a genuine zlib
+    * stream (java.util.zip.Deflater) — a desktop viewer opens the
+    * output. */
+  def encodePng(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && payload.length == width * height * 3,
+      "[GRAFT] png: payload must be width*height*3 bytes")
+    val bpp = 3
+    val stride = width * bpp
+    // filtered scanlines: 1 filter-type byte + stride bytes per row;
+    // predictors read the ORIGINAL neighbor bytes (== the decoder's
+    // reconstructed bytes), all arithmetic mod 256
+    val raw = new Array[Byte]((stride + 1) * height)
+    var r = 0
+    while (r < height) {
+      val ft = r % 5
+      raw(r * (stride + 1)) = ft.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = payload(r * stride + x) & 0xff
+        val left = if (x >= bpp) payload(r * stride + x - bpp) & 0xff else 0
+        val up = if (r > 0) payload((r - 1) * stride + x) & 0xff else 0
+        val ul = if (r > 0 && x >= bpp)
+          payload((r - 1) * stride + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - up
+          case 3 => cur - ((left + up) / 2)
+          case _ => cur - paeth(left, up, ul)
+        }
+        raw(r * (stride + 1) + 1 + x) = v.toByte
+        x += 1
+      }
+      r += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zOut.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val ihdr = ByteBuffer.allocate(13)
+    ihdr.putInt(width).putInt(height)
+    ihdr.put(8.toByte)  // bit depth
+    ihdr.put(2.toByte)  // color type: truecolor RGB
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    val parts = Seq(PngSig, pngChunk("IHDR", ihdr.array()),
+      pngChunk("IDAT", zOut.toByteArray),
+      pngChunk("IEND", Array.emptyByteArray))
+    val out = new Array[Byte](parts.map(_.length).sum)
+    var off = 0
+    parts.foreach { p =>
+      System.arraycopy(p, 0, out, off, p.length); off += p.length
+    }
+    out
+  }
+
+  /** Chunk walker + zlib inflate + scanline un-filtering. Validates
+    * the signature, each chunk's CRC32, IHDR sanity (8-bit truecolor,
+    * non-interlaced — the subset [[encodePng]] emits), and that the
+    * inflated stream is exactly (1 + width·3)·height bytes. Multiple
+    * IDAT chunks are concatenated per spec; unknown ancillary chunks
+    * are skipped. */
+  def decodePng(bytes: Array[Byte]): Raster = {
+    require(bytes.length >= 8 + 12 + 13,
+      "[GRAFT] png: truncated file")
+    var i = 0
+    while (i < 8) {
+      require(bytes(i) == PngSig(i), "[GRAFT] png: missing signature")
+      i += 1
+    }
+    val b = ByteBuffer.wrap(bytes) // big-endian by default
+    b.position(8)
+    var width = 0; var height = 0
+    var ihdrSeen = false; var iendSeen = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!iendSeen && b.remaining() >= 12) {
+      val len = b.getInt()
+      require(len >= 0 && len + 4 <= b.remaining(),
+        "[GRAFT] png: chunk overruns buffer")
+      val tb = new Array[Byte](4); b.get(tb)
+      val typ = new String(tb, StandardCharsets.US_ASCII)
+      val data = new Array[Byte](len); b.get(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      require(b.getInt() == crc.getValue.toInt,
+        s"[GRAFT] png: CRC mismatch in $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(!ihdrSeen && len == 13, "[GRAFT] png: bad IHDR")
+          val h = ByteBuffer.wrap(data)
+          width = h.getInt(); height = h.getInt()
+          require(width > 0 && height > 0 && width <= (1 << 20) &&
+            height <= (1 << 20), "[GRAFT] png: bad dimensions")
+          val depth = h.get(); val colorType = h.get()
+          require(depth == 8 && colorType == 2,
+            s"[GRAFT] png: only 8-bit truecolor supported, " +
+              s"got depth=$depth colorType=$colorType")
+          require(h.get() == 0, "[GRAFT] png: bad compression method")
+          require(h.get() == 0, "[GRAFT] png: bad filter method")
+          require(h.get() == 0,
+            "[GRAFT] png: interlaced images unsupported")
+          ihdrSeen = true
+        case "IDAT" =>
+          require(ihdrSeen, "[GRAFT] png: IDAT before IHDR")
+          idat.write(data)
+        case "IEND" => iendSeen = true
+        case _ => // ancillary (tEXt, pHYs, ...): skip
+      }
+    }
+    require(ihdrSeen && iendSeen, "[GRAFT] png: missing IHDR or IEND")
+    val stride = width * 3
+    val rawLen = (stride + 1) * height
+    val raw = new Array[Byte](rawLen)
+    val infl = new java.util.zip.Inflater()
+    infl.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < rawLen && !infl.finished()) {
+        val n =
+          try infl.inflate(raw, got, rawLen - got)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              throw new IllegalArgumentException(
+                s"[GRAFT] png: corrupt zlib stream (${e.getMessage})")
+          }
+        if (n == 0)
+          require(infl.finished(),
+            "[GRAFT] png: truncated or stalled zlib stream")
+        got += n
+      }
+    } finally infl.end()
+    require(got == rawLen,
+      s"[GRAFT] png: inflated $got bytes, expected $rawLen")
+    // un-filter: predictors read RECONSTRUCTED neighbors, mod 256
+    val out = new Array[Byte](stride * height)
+    var r = 0
+    while (r < height) {
+      val ft = raw(r * (stride + 1)) & 0xff
+      require(ft <= 4, s"[GRAFT] png: unknown filter type $ft")
+      var x = 0
+      while (x < stride) {
+        val f = raw(r * (stride + 1) + 1 + x) & 0xff
+        val left = if (x >= 3) out(r * stride + x - 3) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * stride + x) & 0xff else 0
+        val ul = if (r > 0 && x >= 3)
+          out((r - 1) * stride + x - 3) & 0xff else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + ((left + up) / 2)
+          case _ => f + paeth(left, up, ul)
+        }
+        out(r * stride + x) = v.toByte
+        x += 1
+      }
+      r += 1
+    }
+    Raster(width, height, "RGB", out)
+  }
+
   /** ASCII header parser with `#` comment support (the part naive
     * implementations get wrong), then raw RGB triplets. */
   def decodePpm(bytes: Array[Byte]): Raster = {

@@ -97,6 +97,31 @@ object Multimodal {
       }
   }
 
+  /** Wrap EVERY document's UTF-8 payload in a real PNG container —
+    * the COMPRESSED-raster twin of [[synthesizeMedia]]'s PPM branch
+    * (same 4-pixel-wide RGB raster shape, truncated to whole rows and
+    * zero-padded up to one row minimum). The encoder cycles all five
+    * PNG scanline filters and deflates a genuine zlib stream, so
+    * decoding must invert real filters + Inflater to recover the
+    * payload — and the DuckDB oracle pins the decoded channel stats
+    * from payload arithmetic, proving the round trip end-to-end. */
+  def synthesizePng(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val m = math.max(12, payload.length - payload.length % 12)
+          val p = java.util.Arrays.copyOf(payload, m)
+          val bytes = MediaCodec.encodePng(p, 4, p.length / 12)
+          MediaRecord(id, bytes, "image/png", bytes.length.toLong)
+        }
+      }
+  }
+
   private def meanMilli(sum: Long, cnt: Long): Long =
     if (cnt == 0) 0L else math.round(sum * 1000.0 / (255.0 * cnt))
 
@@ -121,10 +146,12 @@ object Multimodal {
               meanMilli(sum, n),
               if (n == 0) 0L else meanMilli(mx * n, n),
               if (n == 0) 0L else meanMilli(mn * n, n))
-          case "image/bmp" | "image/ppm" =>
-            val ras =
-              if (r.format == "image/bmp") MediaCodec.decodeBmp(r.media)
-              else MediaCodec.decodePpm(r.media)
+          case "image/bmp" | "image/ppm" | "image/png" =>
+            val ras = r.format match {
+              case "image/bmp" => MediaCodec.decodeBmp(r.media)
+              case "image/ppm" => MediaCodec.decodePpm(r.media)
+              case _ => MediaCodec.decodePng(r.media)
+            }
             // normalize stored channel order to R,G,B sums
             val (ri, gi, bi) =
               if (ras.channelOrder == "BGR") (2, 1, 0) else (0, 1, 2)
@@ -163,10 +190,12 @@ object Multimodal {
               val pcm = MediaCodec.decodeWav(r.media)
               val denom = if (pcm.bitsPerSample == 8) 255.0f else 32767.0f
               lerpResample(pcm.samples.map(_ / denom), dim)
-            case "image/bmp" | "image/ppm" =>
-              val ras =
-                if (r.format == "image/bmp") MediaCodec.decodeBmp(r.media)
-                else MediaCodec.decodePpm(r.media)
+            case "image/bmp" | "image/ppm" | "image/png" =>
+              val ras = r.format match {
+                case "image/bmp" => MediaCodec.decodeBmp(r.media)
+                case "image/ppm" => MediaCodec.decodePpm(r.media)
+                case _ => MediaCodec.decodePng(r.media)
+              }
               lerpResample(ras.pixels.map(b => (b & 0xff) / 255.0f), dim)
             case _ => byteStripeProfile(r.media, dim)
           }

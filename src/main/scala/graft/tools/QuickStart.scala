@@ -125,6 +125,11 @@ object QuickStart {
     println(s"[quickstart] decoded ${stats.length} media containers " +
       s"(${stats.map(_.format).distinct.sorted.mkString(",")}); " +
       s"sample stats: ${stats.head.productIterator.mkString("[", ",", "]")}")
+    // compressed-raster twin: zlib PNG (Inflater + scanline filters)
+    val pngStats = graft.operators.Multimodal.decodeStats(spark,
+      graft.operators.Multimodal.synthesizePng(docs.limit(10))).collect()
+    println(s"[quickstart] decoded ${pngStats.length} png containers; " +
+      s"sample: ${pngStats.head.productIterator.mkString("[", ",", "]")}")
 
     // API-parity surface: the reference's 7 endpoints as library calls
     val api = new graft.api.VfsApi(spark,

@@ -512,6 +512,86 @@ class PipelineSpec extends AnyFunSuite {
       MediaCodec.decodePpm(evilPpm)).getMessage.contains("[GRAFT]"))
   }
 
+  test("png codec: zlib + all five filters round-trip, JDK interop, " +
+      "adversarial input rejected") {
+    import graft.operators.MediaCodec
+    // height 7 > 5 ⇒ every filter type (row % 5) appears at least once
+    val w = 4; val h = 7
+    val px = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val png = MediaCodec.encodePng(px, w, h)
+    val r = MediaCodec.decodePng(png)
+    assert(r.width === w && r.height === h && r.channelOrder === "RGB")
+    assert(r.pixels.toSeq === px.toSeq)
+    // cross-validate the ENCODER against the JDK's own PNG reader:
+    // javax.imageio must see identical pixels (proves the container is
+    // a real PNG, not merely self-consistent)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth === w && img.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val o = (y * w + x) * 3
+      assert(((rgb >> 16) & 0xff) === (px(o) & 0xff), s"R at ($x,$y)")
+      assert(((rgb >> 8) & 0xff) === (px(o + 1) & 0xff), s"G at ($x,$y)")
+      assert((rgb & 0xff) === (px(o + 2) & 0xff), s"B at ($x,$y)")
+    }
+    // ...and the DECODER against the JDK's writer (different filter
+    // choices, multiple-IDAT layouts etc. must still parse)
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * 3
+      bi.setRGB(x, y, ((px(o) & 0xff) << 16) | ((px(o + 1) & 0xff) << 8)
+        | (px(o + 2) & 0xff))
+    }
+    val jdkOut = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", jdkOut)
+    val rj = MediaCodec.decodePng(jdkOut.toByteArray)
+    assert(rj.width === w && rj.height === h)
+    assert(rj.pixels.toSeq === px.toSeq)
+    // 1-row and 1-col edges (no up / no left neighbors)
+    val one = Array.tabulate(3)(i => (i * 80).toByte)
+    assert(MediaCodec.decodePng(MediaCodec.encodePng(one, 1, 1))
+      .pixels.toSeq === one.toSeq)
+    // adversarial input: wrong magic, corrupt CRC, truncated zlib,
+    // oversized dimensions — all rejected with the [GRAFT] guard
+    intercept[IllegalArgumentException](MediaCodec.decodePng(
+      MediaCodec.encodePpm(px, w, h)))
+    val badCrc = png.clone()
+    badCrc(badCrc.length - 5) = (badCrc(badCrc.length - 5) ^ 0x7f).toByte
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodePng(badCrc)).getMessage.contains("[GRAFT]"))
+    // corrupt a byte INSIDE the IDAT zlib payload and fix up that
+    // chunk's CRC so the failure comes from the inflater, not the CRC
+    val idatStart = {
+      var i = 8
+      var found = -1
+      val bb = java.nio.ByteBuffer.wrap(png)
+      while (found < 0) {
+        val len = bb.getInt(i)
+        val typ = new String(png, i + 4, 4, "US-ASCII")
+        if (typ == "IDAT") found = i else i += 12 + len
+      }
+      found
+    }
+    val idatLen = java.nio.ByteBuffer.wrap(png).getInt(idatStart)
+    val corrupt = png.clone()
+    corrupt(idatStart + 8 + 2) = (corrupt(idatStart + 8 + 2) ^ 0x55).toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(corrupt, idatStart + 4, 4 + idatLen)
+    java.nio.ByteBuffer.wrap(corrupt)
+      .putInt(idatStart + 8 + idatLen, crc.getValue.toInt)
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodePng(corrupt)).getMessage.contains("[GRAFT]"))
+    val evil = png.clone() // IHDR width := 2^30 (data starts at 16)
+    java.nio.ByteBuffer.wrap(evil).putInt(16, 1 << 30)
+    val fixCrc = new java.util.zip.CRC32()
+    fixCrc.update(evil, 12, 4 + 13)
+    java.nio.ByteBuffer.wrap(evil).putInt(29, fixCrc.getValue.toInt)
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodePng(evil)).getMessage.contains("[GRAFT]"))
+  }
+
   test("multimodal decode: stats come from decoded samples with " +
       "normalized channel order") {
     import graft.operators.{MediaCodec, Multimodal}
