@@ -859,14 +859,36 @@ object IvfIndex {
       maxClusterFraction: Double = 0.2, trainCap: Long = 100000L,
       maxIter: Int = 10, seed: Long = 43L, maxPasses: Int = 6): Int = {
     require(maxPasses >= 1, "[GRAFT] rebalance: maxPasses must be >= 1")
+    // cheap FS-level skew reading between passes: if a pass created
+    // clusters but the largest share did not shrink, the oversized
+    // cluster is unsplittable (identical vectors) — stop churning
+    // generations instead of burning the remaining passes
+    def maxShare(): Double = {
+      val hadoopConf = spark.sessionState.newHadoopConf()
+      val centIds = spark.read.parquet(s"$path/centroids")
+        .select(col("cluster")).collect().map(_.getInt(0)).sorted
+      val sizes = existingClusterDirs(spark, s"$path/assignments",
+        centIds.toIndexedSeq).map { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hadoopConf).getContentSummary(hp).getLength
+      }
+      val total = sizes.sum
+      if (total == 0L) 0.0 else sizes.max.toDouble / total
+    }
     var total = 0
     var pass = 0
     var created = -1
+    var share = maxShare()
     while (pass < maxPasses && created != 0) {
       created = rebalancePass(spark, path, maxClusterFraction, trainCap,
         maxIter, seed + pass)
       total += created
       pass += 1
+      if (created > 0) {
+        val next = maxShare()
+        if (next >= share) created = 0 // no progress: stop
+        share = next
+      }
     }
     total
   }

@@ -53,8 +53,8 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          graft.operators.IvfIndex.append(batch, indexPath)
+        if (!batch.isEmpty &&
+            appendBatchIdempotent(batch, indexPath, batchId)) {
           if (driftCheckEvery > 0 && batchId % driftCheckEvery == 0 &&
               graft.operators.IvfIndex.needsRebalance(
                 batch.sparkSession, indexPath, maxClusterFraction))
@@ -63,6 +63,46 @@ object Ingest {
         ()
       }
       .start()
+
+  /** [[intoIndex]]'s append body: skip any batch id at or below the
+    * last COMMITTED one (recorded in `<indexPath>/_ingest_batch`,
+    * written tmp-then-rename after the append lands). `foreachBatch`
+    * is AT-LEAST-ONCE: a restart replays the one batch whose
+    * checkpoint commit didn't land, and `IvfIndex.append` has no id
+    * dedup — without the marker that replay would double-index every
+    * vector of the batch. With it, replays of committed batches are
+    * exact no-ops; only a crash INSIDE the append→marker window can
+    * still duplicate (same documented residual as
+    * [[dedupIngestStream]]'s failure semantics — the index has no
+    * manifest to make multi-directory appends atomic). Returns
+    * whether the batch was applied. */
+  private[graft] def appendBatchIdempotent(batch: DataFrame,
+      indexPath: String, batchId: Long): Boolean = {
+    val conf = batch.sparkSession.sessionState.newHadoopConf()
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_ingest_batch")
+    val fs = marker.getFileSystem(conf)
+    val last =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(marker), java.nio.charset.StandardCharsets.UTF_8))
+        try in.readLine().trim.toLong finally in.close()
+      }
+    if (batchId <= last) return false
+    graft.operators.IvfIndex.append(batch, indexPath)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$indexPath/_ingest_batch.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(
+        s"[GRAFT] intoIndex: cannot commit batch marker $marker")
+    true
+  }
 
   /** Stateful streaming sessionization via flatMapGroupsWithState:
     * per-user sessions close after `gapMinutes` of event-time silence

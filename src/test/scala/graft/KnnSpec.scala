@@ -110,6 +110,32 @@ class KnnSpec extends AnyFunSuite {
     victims.foreach(v => assert(!got2.contains(v), s"copy of $v survived"))
   }
 
+  test("GDPR delete closes end to end: id gone from store reads AND " +
+      "from a full-probe index search") {
+    val root = Files.createTempDirectory("gdpr-e2e").toString
+    val store = graft.store.VfsStore.create(spark, root, "gdpr", dim = 8)
+    val rows = (0 until 40).map(i =>
+      (Array.tabulate(8)(d => (i * 8 + d) / 320f), s"v$i",
+        Seq.empty[String]))
+    store.appendBatch(rows.toDF("values", "name", "tags"))
+    val idx = s"$root/ivf"
+    IvfIndex.build(store.read().select($"id", $"values"), idx,
+      nCentroids = 4, Metric.Euclidean)
+    val victim = store.read().filter($"name" === "v7")
+      .select($"id").as[Long].head()
+    // store-side delete (live view) + index-side delete, then both
+    // surfaces must agree the vector is gone
+    store.deleteWhere($"name" === "v7")
+    assert(IvfIndex.deleteIds(spark, idx, Seq(victim)) === 1L)
+    assert(store.read().filter($"id" === victim).count() === 0L)
+    val probed = IvfIndex.search(spark, idx,
+        Array.tabulate(8)(d => (7 * 8 + d) / 320f), 40, nProbe = 4)
+      .select($"id").as[Long].collect().toSet
+    assert(!probed.contains(victim))
+    // the survivors are all still probe-visible
+    assert(probed.size === 39)
+  }
+
   test("needsRebalance: filesystem skew check fires on drifted appends, " +
       "clears after rebalance") {
     // euclidean (no normalization) so the unique per-row jitter

@@ -742,6 +742,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("index ingest replay: committed batch ids are exact no-ops") {
+    val dim = 8
+    val base = (0L until 100L).map { i =>
+      val v = new Array[Float](dim); v((i % 4).toInt) = 1f
+      (i, v.toSeq)
+    }.toDF("id", "values")
+    val idx = Files.createTempDirectory("ingest-replay").toString
+    graft.operators.IvfIndex.build(base, idx, nCentroids = 4,
+      graft.operators.Metric.Euclidean)
+    val b0 = Seq((1000L, Seq.fill(dim)(0.5f))).toDF("id", "values")
+    assert(graft.streaming.Ingest.appendBatchIdempotent(b0, idx, 0L))
+    val n1 = spark.read.parquet(s"$idx/assignments").count()
+    // a foreachBatch REPLAY of the committed batch must not
+    // double-index its vectors
+    assert(!graft.streaming.Ingest.appendBatchIdempotent(b0, idx, 0L))
+    assert(spark.read.parquet(s"$idx/assignments").count() === n1)
+    // the next batch id applies normally and advances the marker
+    val b1 = Seq((1001L, Seq.fill(dim)(0.25f))).toDF("id", "values")
+    assert(graft.streaming.Ingest.appendBatchIdempotent(b1, idx, 1L))
+    assert(spark.read.parquet(s"$idx/assignments").count() === n1 + 1)
+    assert(!graft.streaming.Ingest.appendBatchIdempotent(b1, idx, 1L))
+  }
+
   test("streaming dedup drops in-watermark duplicates, keeps distinct keys") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
