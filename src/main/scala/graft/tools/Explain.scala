@@ -103,6 +103,14 @@ object Explain {
       graft.operators.IvfPq.searchRefined(spark, pqIvf, pqDir, q, 10,
         nProbe = 2)
     }
+    show("ivf-pq BATCH search (expect: codes scan of touched cluster= " +
+        "dirs only, broadcast hash join on cluster, partial vfs_topk " +
+        "candidates, broadcast id-join refine, partial vfs_topk final)") {
+      val queries = emb.limit(3).select(col("id").as("qid"),
+        col("values").as("qvalues"))
+      graft.operators.IvfPq.searchBatch(spark, pqIvf, pqDir, queries,
+        5, nProbe = 2, overfetch = 4)
+    }
     // SQL TVF + index routing: the whole plan collapses to the deferred
     // IvfProbe leaf (cluster selection happens at execution time).
     // Reuses the IVF index built for the IVF-PQ section above — same
