@@ -1312,6 +1312,41 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- REAL 2-D image resize: every doc's PNG raster decoded,
+    // nearest-neighbor-resized to 2×3, re-encoded as PNG, decoded
+    // AGAIN for stats — the oracle recomputes the resized channel
+    // means from payload arithmetic with the same NN index formula,
+    // so decode → resize → encode → decode must all be exact ----
+    "multimodal_resize" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizePng(s.read.parquet(s"$dir/documents.parquet"))
+      val resized = graft.operators.Multimodal
+        .resizeMedia(s, media, newWidth = 2, newHeight = 3)
+      graft.operators.Multimodal.decodeStats(s, resized)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- REAL video frame sampling: every doc wrapped as a
+    // concatenated-P6 ppm stream (ffmpeg image2pipe format, one
+    // header per frame), every 4th frame parsed out and decoded; the
+    // oracle pins each sampled frame's channel means from the
+    // zero-padded payload slice, so the sequential header walk and
+    // per-frame decode must be byte-exact ----
+    "multimodal_frames" -> ((s, dir) => {
+      val vid = graft.operators.Multimodal
+        .synthesizeVideo(s.read.parquet(s"$dir/documents.parquet"),
+          frameRows = 2)
+      graft.operators.Multimodal.sampleFrames(s, vid, everyN = 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("r_milli"), col("g_milli"), col("b_milli"))
+        .orderBy(col("doc_id").asc, col("frame_idx").asc)
+    }),
+
     // ---- sessionization: gap > 30 min starts a new session ----
     "w_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2100,6 +2135,8 @@ object SparkEntry {
     "multimodal_features" -> multimodalFeaturesOracle,
 
     "multimodal_png" -> multimodalPngOracle,
+    "multimodal_resize" -> multimodalResizeOracle,
+    "multimodal_frames" -> multimodalFramesOracle,
 
     "w_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
@@ -2512,6 +2549,62 @@ object SparkEntry {
        |  CAST(${duckChannelMilli(1)} AS BIGINT) AS c1_milli,
        |  CAST(${duckChannelMilli(2)} AS BIGINT) AS c2_milli
        |FROM p ORDER BY doc_id ASC""".stripMargin
+
+  /** Mirrors synthesizePng → [[graft.operators.Multimodal.resizeMedia]]
+    * (2×3 nearest-neighbor) → `decodeStats`: each doc is a 4-wide RGB
+    * raster of height hh = m/12; resized pixel k (x2 = k%2, y2 = k/2)
+    * samples source pixel (x2·4/2, y2·hh/3) — the same integer-floor
+    * NN formula as `MediaCodec.nnResizeRgb`. The engine only lands on
+    * these means if PNG decode, the resize kernel, PNG re-encode and
+    * the second decode are all byte-exact. */
+  private def multimodalResizeOracle: String = {
+    def chanMilli(c: Int): String =
+      s"""round(list_sum(list_transform(range(0, 6),
+         |    k -> pb[3 * (((k // 2) * hh // 3) * 4 + (k % 2) * 2) + ${c + 1}]))
+         |  * 1000.0 / (255.0 * 6))""".stripMargin
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+       |s AS (SELECT doc_id, bs, len(bs) AS n,
+       |    greatest(12, len(bs) - (len(bs) % 12)) AS m FROM b),
+       |p AS (SELECT doc_id, m // 12 AS hh,
+       |    list_transform(range(1, m + 1),
+       |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
+       |  FROM s)
+       |SELECT doc_id, 'image/png' AS format,
+       |  CAST(2 AS INT) AS width, CAST(3 AS INT) AS height,
+       |  CAST(6 AS BIGINT) AS n_samples,
+       |  CAST(${chanMilli(0)} AS BIGINT) AS c0_milli,
+       |  CAST(${chanMilli(1)} AS BIGINT) AS c1_milli,
+       |  CAST(${chanMilli(2)} AS BIGINT) AS c2_milli
+       |FROM p ORDER BY doc_id ASC""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Multimodal.synthesizeVideo]](frameRows=2)
+    * → `sampleFrames(everyN=4)`: the payload zero-padded to whole
+    * 24-byte frames (4×2 RGB, ≥ 1 frame), every 4th frame's channel
+    * means over its 8 pixels. One output row per (doc, sampled frame)
+    * — the engine must walk one P6 header per frame to slice the same
+    * bytes. */
+  private def multimodalFramesOracle: String = {
+    def chanMilli(c: Int): String =
+      s"""round(list_sum(list_transform(range(0, 8),
+         |    k -> pb[f * 24 + 3 * k + ${c + 1}]))
+         |  * 1000.0 / (255.0 * 8))""".stripMargin
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+       |s AS (SELECT doc_id, bs, len(bs) AS n,
+       |    greatest(1, (len(bs) + 23) // 24) AS nf FROM b),
+       |p AS (SELECT doc_id, nf,
+       |    list_transform(range(1, nf * 24 + 1),
+       |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
+       |  FROM s),
+       |x AS (SELECT doc_id, pb, unnest(range(0, nf)) AS f FROM p)
+       |SELECT doc_id, f AS frame_idx,
+       |  CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+       |  CAST(${chanMilli(0)} AS BIGINT) AS r_milli,
+       |  CAST(${chanMilli(1)} AS BIGINT) AS g_milli,
+       |  CAST(${chanMilli(2)} AS BIGINT) AS b_milli
+       |FROM x WHERE f % 4 = 0
+       |ORDER BY doc_id ASC, frame_idx ASC""".stripMargin
+  }
 
   // ---- oracle SQL generated from the same constants the Spark
   // implementation uses (TextAnalysis.LangProfiles) ----

@@ -406,11 +406,19 @@ object MediaCodec {
   }
 
   /** ASCII header parser with `#` comment support (the part naive
-    * implementations get wrong), then raw RGB triplets. */
-  def decodePpm(bytes: Array[Byte]): Raster = {
-    require(bytes.length >= 2 && bytes(0) == 'P'.toByte &&
-      bytes(1) == '6'.toByte, "[GRAFT] ppm: missing P6 magic")
-    var pos = 2
+    * implementations get wrong), then raw RGB triplets. Trailing
+    * bytes after the pixel data are tolerated (single-image use). */
+  def decodePpm(bytes: Array[Byte]): Raster = decodePpmAt(bytes, 0)._1
+
+  /** Parse ONE P6 frame starting at `offset`; returns the raster and
+    * the offset one past its pixel data. The building block for
+    * concatenated-P6 streams (the `ffmpeg -f image2pipe` ppm video
+    * format: frames are whole P6 files laid back to back). */
+  def decodePpmAt(bytes: Array[Byte], offset: Int): (Raster, Int) = {
+    require(offset >= 0 && offset + 2 <= bytes.length &&
+      bytes(offset) == 'P'.toByte && bytes(offset + 1) == '6'.toByte,
+      "[GRAFT] ppm: missing P6 magic")
+    var pos = offset + 2
     def nextInt(): Int = {
       // skip whitespace and comments
       var inComment = false
@@ -444,6 +452,126 @@ object MediaCodec {
     val n = nL.toInt
     val out = new Array[Byte](n)
     System.arraycopy(bytes, pos, out, 0, n)
-    Raster(width, height, "RGB", out)
+    (Raster(width, height, "RGB", out), pos + n)
+  }
+
+  /** Decode a whole concatenated-P6 stream into its frames. Requires
+    * at least one frame and that the stream ends EXACTLY at a frame
+    * boundary — a truncated final frame or trailing garbage throws
+    * (the decodePpmAt magic/bounds checks), it does not silently
+    * yield fewer frames. */
+  def decodePpmStream(bytes: Array[Byte]): Seq[Raster] = {
+    require(bytes.length >= 2, "[GRAFT] ppm-stream: empty stream")
+    val frames = Seq.newBuilder[Raster]
+    var off = 0
+    while (off < bytes.length) {
+      val (r, next) = decodePpmAt(bytes, off)
+      frames += r
+      off = next
+    }
+    frames.result()
+  }
+
+  // ---------------------------------------------------------------
+  // Raster resize kernels + WAV resample
+  // ---------------------------------------------------------------
+
+  /** Nearest-neighbor 3-channel resize: out(x2, y2) samples
+    * in((x2·w)/w2, (y2·h)/h2) — integer floor, the box-origin NN
+    * grid, exact in 64-bit arithmetic (engine-portable: the DuckDB
+    * oracle reproduces resized stats with the same index formula).
+    * Channel-order agnostic: per-pixel byte order passes through. */
+  def nnResizeRgb(pixels: Array[Byte], w: Int, h: Int,
+      w2: Int, h2: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h * 3,
+      "[GRAFT] resize: pixels must be width*height*3 bytes")
+    require(w2 > 0 && h2 > 0 && w2 <= (1 << 20) && h2 <= (1 << 20),
+      "[GRAFT] resize: bad target dimensions")
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y2 = 0
+    while (y2 < h2) {
+      val sy = (y2.toLong * h / h2).toInt
+      var x2 = 0
+      while (x2 < w2) {
+        val sx = (x2.toLong * w / w2).toInt
+        val src = (sy * w + sx) * 3
+        val dst = (y2 * w2 + x2) * 3
+        out(dst) = pixels(src)
+        out(dst + 1) = pixels(src + 1)
+        out(dst + 2) = pixels(src + 2)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
+  /** Bilinear 3-channel resize with half-pixel centers
+    * (align_corners = false — the OpenCV/PIL convention): source
+    * position (dst + 0.5)·scale − 0.5, clamped to the image, the four
+    * neighbors blended by the fractional offsets, Math.round to a
+    * byte. Deterministic: IEEE double arithmetic in a fixed order. */
+  def bilinearResizeRgb(pixels: Array[Byte], w: Int, h: Int,
+      w2: Int, h2: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && pixels.length == w * h * 3,
+      "[GRAFT] resize: pixels must be width*height*3 bytes")
+    require(w2 > 0 && h2 > 0 && w2 <= (1 << 20) && h2 <= (1 << 20),
+      "[GRAFT] resize: bad target dimensions")
+    val out = new Array[Byte](w2 * h2 * 3)
+    val sxScale = w.toDouble / w2
+    val syScale = h.toDouble / h2
+    var y2 = 0
+    while (y2 < h2) {
+      val fy = math.max(0.0, math.min(h - 1.0, (y2 + 0.5) * syScale - 0.5))
+      val y0 = fy.toInt
+      val y1 = math.min(h - 1, y0 + 1)
+      val wy = fy - y0
+      var x2 = 0
+      while (x2 < w2) {
+        val fx = math.max(0.0, math.min(w - 1.0, (x2 + 0.5) * sxScale - 0.5))
+        val x0 = fx.toInt
+        val x1 = math.min(w - 1, x0 + 1)
+        val wx = fx - x0
+        var c = 0
+        while (c < 3) {
+          val p00 = pixels((y0 * w + x0) * 3 + c) & 0xff
+          val p01 = pixels((y0 * w + x1) * 3 + c) & 0xff
+          val p10 = pixels((y1 * w + x0) * 3 + c) & 0xff
+          val p11 = pixels((y1 * w + x1) * 3 + c) & 0xff
+          val top = p00 * (1.0 - wx) + p01 * wx
+          val bot = p10 * (1.0 - wx) + p11 * wx
+          val v = Math.round(top * (1.0 - wy) + bot * wy).toInt
+          out((y2 * w2 + x2) * 3 + c) = math.max(0, math.min(255, v)).toByte
+          c += 1
+        }
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
+  /** Sample-rate conversion for 8-bit mono PCM WAV: nearest-sample
+    * pick — output length round(n·newRate/rate) (≥ 1 when n > 0),
+    * out[j] = in[(j·n)/newN] (integer floor) — re-encoded at
+    * `newRate`. The audio analog of [[nnResizeRgb]]; a windowed-sinc
+    * kernel would slot behind the same signature. */
+  def resampleWav(bytes: Array[Byte], newRate: Int): Array[Byte] = {
+    require(newRate > 0 && newRate <= 1000000,
+      "[GRAFT] wav-resample: bad target rate")
+    val pcm = decodeWav(bytes)
+    require(pcm.bitsPerSample == 8 && pcm.channels == 1,
+      "[GRAFT] wav-resample: only 8-bit mono input supported")
+    val n = pcm.samples.length
+    if (n == 0) return encodeWav(Array.emptyByteArray, newRate)
+    val newN = math.max(1L,
+      Math.round(n.toDouble * newRate / pcm.sampleRate)).toInt
+    val out = new Array[Byte](newN)
+    var j = 0
+    while (j < newN) {
+      out(j) = pcm.samples((j.toLong * n / newN).toInt).toByte
+      j += 1
+    }
+    encodeWav(out, newRate)
   }
 }

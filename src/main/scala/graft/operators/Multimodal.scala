@@ -13,6 +13,12 @@ case class MediaRecord(doc_id: Long, media: Array[Byte], format: String,
 case class MediaFeatures(doc_id: Long, format: String, n_bytes: Long,
     feature: Array[Float])
 
+/** One sampled video frame with REAL per-channel statistics from the
+  * decoded frame raster (PPM stores RGB, so r/g/b are stored-order
+  * channel means in milli). */
+case class FrameStats(doc_id: Long, frame_idx: Long, width: Int,
+    height: Int, r_milli: Long, g_milli: Long, b_milli: Long)
+
 /** Decoded per-channel statistics for one asset. For audio, `width`
   * and `height` are 0, `n_samples` counts PCM samples and c0/c1/c2
   * are mean/peak/trough in milli (sample ∈ [0,255] → [0,1000]). For
@@ -204,13 +210,123 @@ object Multimodal {
       }
   }
 
-  /** Frame sampling — the 1→N batch shape (video → every-Nth frame).
-    * No video codec exists in this sandbox, so the "frame" is a
-    * fixed-size byte window and its feature a [[byteStripeProfile]];
-    * a codec-backed build swaps the slicing for real frame decode
-    * behind the same output schema. Output one row per sampled frame
-    * with its index. */
-  def sampleFrames(spark: SparkSession, media: DataFrame,
+  /** Wrap each document's UTF-8 payload in a REAL multi-frame video
+    * container: a concatenated-P6 PPM stream (the `ffmpeg -f
+    * image2pipe` ppm video format — whole P6 files laid back to
+    * back). Each frame is a 4-wide RGB raster of `frameRows` rows
+    * (12·frameRows payload bytes); the payload is zero-padded up to
+    * whole frames, minimum one frame. Every frame carries its own
+    * ASCII header, so frame extraction requires genuine sequential
+    * container parsing, not fixed-stride slicing. */
+  def synthesizeVideo(docs: DataFrame, frameRows: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    require(frameRows > 0 && frameRows <= (1 << 20),
+      "[GRAFT] video: bad frameRows")
+    val frameBytes = 12 * frameRows
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val nFrames = math.max(1L,
+            (payload.length.toLong + frameBytes - 1) / frameBytes).toInt
+          val p = java.util.Arrays.copyOf(payload, nFrames * frameBytes)
+          val out = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nFrames) {
+            out.write(MediaCodec.encodePpm(
+              java.util.Arrays.copyOfRange(p, f * frameBytes,
+                (f + 1) * frameBytes), 4, frameRows))
+            f += 1
+          }
+          val bytes = out.toByteArray
+          MediaRecord(id, bytes, "video/ppm-stream", bytes.length.toLong)
+        }
+      }
+  }
+
+  /** REAL frame sampling: walk the concatenated-P6 stream frame by
+    * frame ([[MediaCodec.decodePpmAt]] — each frame's own header is
+    * parsed, a truncated or corrupt stream throws), keep every
+    * `everyN`-th frame, and emit its decoded per-channel means. The
+    * 1→N batch kernel shape: one JVM loop per partition, output rows
+    * ∝ frames kept. */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRecord],
+      everyN: Int = 4): Dataset[FrameStats] = {
+    require(everyN > 0, "[GRAFT] sampleFrames: everyN must be positive")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        require(r.format == "video/ppm-stream",
+          s"[GRAFT] sampleFrames: not a ppm video stream: ${r.format}")
+        MediaCodec.decodePpmStream(r.media).zipWithIndex.collect {
+          case (ras, f) if f % everyN == 0 =>
+            val sums = new Array[Long](3)
+            var i = 0
+            while (i < ras.pixels.length) {
+              sums(i % 3) += (ras.pixels(i) & 0xff)
+              i += 1
+            }
+            val px = ras.width.toLong * ras.height
+            FrameStats(r.doc_id, f.toLong, ras.width, ras.height,
+              meanMilli(sums(0), px), meanMilli(sums(1), px),
+              meanMilli(sums(2), px))
+        }
+      }
+    }
+  }
+
+  /** REAL 2-D image resize: decode the container (BMP/PPM/PNG),
+    * normalize stored channel order to RGB, resize with a genuine
+    * interpolation kernel ([[MediaCodec.nnResizeRgb]] by default,
+    * [[MediaCodec.bilinearResizeRgb]] opt-in — the ML-pipeline
+    * "normalize every image to W×H" shape), and re-encode as PNG.
+    * Composing with [[decodeStats]] therefore exercises decode →
+    * resize → encode → decode end-to-end; the DuckDB oracle pins the
+    * resized stats from payload arithmetic with the same NN index
+    * formula. */
+  def resizeMedia(spark: SparkSession, media: Dataset[MediaRecord],
+      newWidth: Int, newHeight: Int,
+      bilinear: Boolean = false): Dataset[MediaRecord] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val ras = r.format match {
+          case "image/bmp" => MediaCodec.decodeBmp(r.media)
+          case "image/ppm" => MediaCodec.decodePpm(r.media)
+          case "image/png" => MediaCodec.decodePng(r.media)
+          case other => throw new IllegalArgumentException(
+            s"[GRAFT] resizeMedia: no raster decoder for format $other")
+        }
+        val rgb =
+          if (ras.channelOrder == "BGR") {
+            val p = ras.pixels.clone()
+            var i = 0
+            while (i < p.length) {
+              val t = p(i); p(i) = p(i + 2); p(i + 2) = t
+              i += 3
+            }
+            p
+          } else ras.pixels
+        val resized =
+          if (bilinear) MediaCodec.bilinearResizeRgb(rgb, ras.width,
+            ras.height, newWidth, newHeight)
+          else MediaCodec.nnResizeRgb(rgb, ras.width, ras.height,
+            newWidth, newHeight)
+        val bytes = MediaCodec.encodePng(resized, newWidth, newHeight)
+        MediaRecord(r.doc_id, bytes, "image/png", bytes.length.toLong)
+      }
+    }
+  }
+
+  /** Frame sampling over formats WITHOUT a registered container
+    * parser — the "frame" is a fixed-size byte window and its feature
+    * a [[byteStripeProfile]] content profile (NOT a decode; real
+    * video goes through [[sampleFrames]]). Output one row per sampled
+    * window with its index. */
+  def sampleByteFrames(spark: SparkSession, media: DataFrame,
       frameBytes: Int = 64, everyN: Int = 4): DataFrame = {
     import spark.implicits._
     media.select(col("doc_id"), col("media"), col("format"), col("n_bytes"))

@@ -443,8 +443,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.feature.toSeq).toSeq === again.map(_.feature.toSeq).toSeq)
     val res = Multimodal.resampleFeatures(spark, feats, 4).collect()
     assert(res.forall(_.feature.length === 4))
-    // 1->N frame sampling: every 4th 64-byte window becomes a row
-    val frames = Multimodal.sampleFrames(spark, media).collect()
+    // 1->N byte-window sampling (no-parser fallback): every 4th
+    // 64-byte window becomes a row
+    val frames = Multimodal.sampleByteFrames(spark, media).collect()
     assert(frames.length > rows.length) // multiple frames per doc
     assert(frames.forall(_.getLong(1) % 4 === 0))
   }
@@ -663,6 +664,164 @@ class PipelineSpec extends AnyFunSuite {
     val feats = Multimodal.extractFeatures(spark, media, dim = 8)
     val res = Multimodal.resampleFeatures(spark, feats, 16).collect()
     assert(res.forall(_.feature.length === 16))
+  }
+
+  test("raster resize kernels: NN exact index math, bilinear " +
+      "interpolation properties") {
+    import graft.operators.MediaCodec
+    // 2x2 checkerboard, distinct channel values per pixel
+    def px(r: Int, g: Int, b: Int) =
+      Array(r.toByte, g.toByte, b.toByte)
+    val img2x2 = px(10, 20, 30) ++ px(40, 50, 60) ++
+      px(70, 80, 90) ++ px(100, 110, 120)
+    // identity resize: same pixels (sx = x*w/w = x)
+    assert(MediaCodec.nnResizeRgb(img2x2, 2, 2, 2, 2).toSeq ===
+      img2x2.toSeq)
+    // 2x2 -> 1x1: NN floor picks source (0,0)
+    assert(MediaCodec.nnResizeRgb(img2x2, 2, 2, 1, 1).toSeq ===
+      px(10, 20, 30).toSeq)
+    // 2x2 -> 4x4 -> 2x2 round-trips exactly: upscale sx = x2*2/4
+    // duplicates each source pixel, downscale sx = x2*4/2 picks the
+    // even columns/rows — the originals
+    val up = MediaCodec.nnResizeRgb(img2x2, 2, 2, 4, 4)
+    assert(up.length === 48)
+    assert(MediaCodec.nnResizeRgb(up, 4, 4, 2, 2).toSeq === img2x2.toSeq)
+    // hand case: 4x1 -> 2x1 picks columns 0 and 2
+    val img4x1 = px(1, 2, 3) ++ px(4, 5, 6) ++ px(7, 8, 9) ++
+      px(10, 11, 12)
+    assert(MediaCodec.nnResizeRgb(img4x1, 4, 1, 2, 1).toSeq ===
+      (px(1, 2, 3) ++ px(7, 8, 9)).toSeq)
+    // bilinear: constant image is invariant at any size
+    val const = Array.fill(2 * 2 * 3)(77.toByte)
+    assert(MediaCodec.bilinearResizeRgb(const, 2, 2, 5, 3).toSeq ===
+      Array.fill(5 * 3 * 3)(77.toByte).toSeq)
+    // bilinear 2x1 -> 4x1 half-pixel centers: fx = (x2+0.5)/2 - 0.5
+    // = -0.25, 0.25, 0.75, 1.25 -> clamped blends 0, 25%, 75%, 100%
+    val img2x1 = px(0, 0, 0) ++ px(100, 200, 40)
+    val bl = MediaCodec.bilinearResizeRgb(img2x1, 2, 1, 4, 1)
+    assert(bl.map(_ & 0xff).toSeq === Seq(0, 0, 0, 25, 50, 10,
+      75, 150, 30, 100, 200, 40))
+    // output bounded by input range (no overshoot in bilinear)
+    val r = new scala.util.Random(7)
+    val rnd = Array.fill(6 * 4 * 3)(r.nextInt(256).toByte)
+    val blr = MediaCodec.bilinearResizeRgb(rnd, 6, 4, 13, 9)
+    val (lo, hi) = (rnd.map(_ & 0xff).min, rnd.map(_ & 0xff).max)
+    assert(blr.forall(v => (v & 0xff) >= lo && (v & 0xff) <= hi))
+  }
+
+  test("resizeMedia: decode -> resize -> PNG re-encode round-trips " +
+      "with channel-order normalization and JDK interop") {
+    import graft.operators.{MediaCodec, MediaRecord, Multimodal}
+    // BMP input (stored BGR): resize must operate on NORMALIZED RGB
+    val pxRgb = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80, 90,
+      100, 110, 120)
+    val media = Seq(
+      MediaRecord(1L, MediaCodec.encodeBmp(pxRgb, 4, 1), "image/bmp", 0L),
+      MediaRecord(2L, MediaCodec.encodePpm(pxRgb, 4, 1), "image/ppm", 0L),
+      MediaRecord(3L, MediaCodec.encodePng(pxRgb, 4, 1), "image/png", 0L))
+    val ds = spark.createDataset(media)(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val out = Multimodal.resizeMedia(spark, ds, 2, 1).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(out.values.forall(_.format === "image/png"))
+    // BMP stored bytes are B,G,R per pixel: encodeBmp treats the
+    // payload as stored-order bytes, so decode+normalize flips them;
+    // NN 4->2 picks pixels 0 and 2
+    val wantBmp = Array[Byte](30, 20, 10, 90, 80, 70)
+    assert(MediaCodec.decodePng(out(1L).media).pixels.toSeq ===
+      wantBmp.toSeq)
+    // PPM/PNG stored RGB: pixels 0 and 2 unchanged
+    val wantRgb = Array[Byte](10, 20, 30, 70, 80, 90)
+    assert(MediaCodec.decodePng(out(2L).media).pixels.toSeq ===
+      wantRgb.toSeq)
+    assert(MediaCodec.decodePng(out(3L).media).pixels.toSeq ===
+      wantRgb.toSeq)
+    // the re-encoded PNG is a bona fide file: JDK ImageIO reads the
+    // same pixels
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(3L).media))
+    assert(img.getWidth === 2 && img.getHeight === 1)
+    val c0 = new java.awt.Color(img.getRGB(0, 0))
+    assert(Seq(c0.getRed, c0.getGreen, c0.getBlue) === Seq(10, 20, 30))
+    // bilinear path: 2x upscale of a constant image stays constant
+    val const = Array.fill(12)(55.toByte)
+    val cds = spark.createDataset(Seq(
+      MediaRecord(9L, MediaCodec.encodePpm(const, 4, 1), "image/ppm", 0L)))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+    val bl = Multimodal.resizeMedia(spark, cds, 8, 2, bilinear = true)
+      .collect().head
+    assert(MediaCodec.decodePng(bl.media).pixels.forall(_ === 55.toByte))
+  }
+
+  test("video ppm-stream: per-frame headers parsed, every-Nth " +
+      "sampling, corrupt streams rejected") {
+    import graft.operators.{MediaCodec, Multimodal}
+    // 60-byte payload -> 3 frames of 24 bytes (zero-padded last)
+    val text = "x" * 60
+    val vdocs = Seq((7L, text)).toDF("doc_id", "text")
+    val vid = Multimodal.synthesizeVideo(vdocs, frameRows = 2).collect().head
+    assert(vid.format === "video/ppm-stream")
+    // 3 frames, each "P6\n4 2\n255\n" (11 bytes) + 24 payload bytes
+    assert(vid.n_bytes === 3L * (11 + 24))
+    val frames = MediaCodec.decodePpmStream(vid.media)
+    assert(frames.length === 3)
+    assert(frames.forall(f => f.width === 4 && f.height === 2))
+    // frame pixels concatenated == payload zero-padded to 72 bytes
+    val rebuilt = frames.flatMap(_.pixels.toSeq)
+    assert(rebuilt === ("x" * 60).getBytes.padTo(72, 0.toByte).toSeq)
+    // everyN sampling keeps frames 0, N, 2N... with real stats
+    val vid9 = Multimodal.synthesizeVideo(
+      Seq((1L, "ab" * 120)).toDF("doc_id", "text"), frameRows = 2)
+    val sampled = Multimodal.sampleFrames(spark, vid9, everyN = 4)
+      .collect().sortBy(_.frame_idx)
+    // 240 bytes -> 10 frames -> sampled 0, 4, 8
+    assert(sampled.map(_.frame_idx).toSeq === Seq(0L, 4L, 8L))
+    assert(sampled.forall(f => f.width === 4 && f.height === 2))
+    // frame 0 is "abab..." = bytes 97,98 alternating over 24 bytes:
+    // stored offsets 0,3,6,... (R channel) alternate 97/98 -> 4x 97
+    // + 4x 98; offset 1 (G) alternates 98/97
+    val rSum = (0 until 8).map(k => if (k % 2 == 0) 97 else 98).sum
+    val gSum = (0 until 8).map(k => if (k % 2 == 0) 98 else 97).sum
+    assert(sampled.head.r_milli ===
+      math.round(rSum * 1000.0 / (255.0 * 8)))
+    assert(sampled.head.g_milli ===
+      math.round(gSum * 1000.0 / (255.0 * 8)))
+    // multi-digit frame height parses (frameRows = 12 -> "4 12")
+    val tall = Multimodal.synthesizeVideo(
+      Seq((2L, "y" * 200)).toDF("doc_id", "text"), frameRows = 12)
+      .collect().head
+    val tallFrames = MediaCodec.decodePpmStream(tall.media)
+    assert(tallFrames.length === 2 && tallFrames.head.height === 12)
+    // truncated mid-frame: the stream walker throws, it does not
+    // silently yield fewer frames
+    val cut = vid.media.take(vid.media.length - 5)
+    val e1 = intercept[IllegalArgumentException](
+      MediaCodec.decodePpmStream(cut))
+    assert(e1.getMessage.contains("[GRAFT]"))
+    // trailing garbage after the last frame is rejected too
+    val garbage = vid.media ++ Array[Byte](1, 2, 3)
+    val e2 = intercept[IllegalArgumentException](
+      MediaCodec.decodePpmStream(garbage))
+    assert(e2.getMessage.contains("[GRAFT]"))
+  }
+
+  test("wav resample: nearest-sample rate conversion re-encodes a " +
+      "valid container") {
+    import graft.operators.MediaCodec
+    val pcm = Array.tabulate(100)(i => (i * 2).toByte)
+    val wav = MediaCodec.encodeWav(pcm, sampleRate = 8000)
+    // downsample to half rate: 50 samples, every 2nd source sample
+    val down = MediaCodec.decodeWav(MediaCodec.resampleWav(wav, 4000))
+    assert(down.sampleRate === 4000 && down.samples.length === 50)
+    assert(down.samples.toSeq ===
+      (0 until 50).map(j => (j * 2 * 2) & 0xff))
+    // upsample to double rate: 200 samples, each source sample twice
+    val up = MediaCodec.decodeWav(MediaCodec.resampleWav(wav, 16000))
+    assert(up.sampleRate === 16000 && up.samples.length === 200)
+    assert(up.samples.toSeq ===
+      (0 until 200).map(j => ((j / 2) * 2) & 0xff))
+    // identity rate: bit-identical container
+    assert(MediaCodec.resampleWav(wav, 8000).toSeq === wav.toSeq)
   }
 
   test("streaming ingest: micro-batches append to store exactly once") {
