@@ -1347,6 +1347,36 @@ object SparkEntry {
         .orderBy(col("doc_id").asc, col("frame_idx").asc)
     }),
 
+    // ---- incremental (CDC) read: snapshot the store after a base
+    // load, append a second batch, and read ONLY the delta via the
+    // commit-list diff — a pure file-level operation (the scan touches
+    // just the new commit dirs). Rows are keyed by name (= vec_id) so
+    // the check is independent of the store's internal id assignment;
+    // the checksum pins the float payload through the parquet
+    // round trip ----
+    "src_incremental_changes" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-cdc").toString
+      val e = emb(s, dir)
+      val d = e.select(size(col("embedding"))).head().getInt(0)
+      val store = graft.store.VfsStore.create(s, tmp, "cdc", dim = d)
+      def batch(lo: Long, hi: Long) = e
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("embedding").as("values"),
+          col("vec_id").cast("string").as("name"),
+          array().cast("array<string>").as("tags"))
+      store.appendBatch(batch(0L, 300L))
+      store.snapshot("base")
+      store.appendBatch(batch(300L, 450L))
+      store.changesSince("base")
+        .select(col("name"),
+          size(col("values")).cast("long").as("n_lanes"),
+          round(aggregate(col("values").cast("array<double>"),
+            lit(0.0d), (acc, x) => acc + x) * 1000).cast("long")
+            .as("sum_milli"))
+        .orderBy(col("name").asc)
+    }),
+
     // ---- sessionization: gap > 30 min starts a new session ----
     "w_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2137,6 +2167,16 @@ object SparkEntry {
     "multimodal_png" -> multimodalPngOracle,
     "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_frames" -> multimodalFramesOracle,
+
+    // the engine's changesSince must surface exactly the second batch
+    // (vec_id 300..449) regardless of internal id assignment
+    "src_incremental_changes" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS name,
+        |  CAST(len(embedding) AS BIGINT) AS n_lanes,
+        |  CAST(round(list_sum(CAST(embedding AS DOUBLE[])) * 1000)
+        |    AS BIGINT) AS sum_milli
+        |FROM embeddings WHERE vec_id >= 300 AND vec_id < 450
+        |ORDER BY name ASC""".stripMargin,
 
     "w_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),

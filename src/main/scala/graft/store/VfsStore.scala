@@ -380,6 +380,56 @@ class VfsStore private (val spark: SparkSession, val root: String,
     vacuum()
   }
 
+  private def loadSnapshot(snapName: String): VfsManifest = {
+    val p = Paths.get(root, "snapshots", s"$snapName.json")
+    if (!Files.exists(p))
+      throw new StoreStateException(s"[GRAFT] no snapshot named $snapName")
+    VfsManifest.fromJson(
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  /** Incremental (CDC) read: the dense view of ONLY the data committed
+    * since `snapName` was taken — a commit-list diff, so it is a pure
+    * FILE-level operation: no data comparison, no shuffle, and the
+    * scan touches just the new directories. This is the 100 TB
+    * delta-processing shape — a nightly pipeline snapshots after each
+    * run and processes `changesSince(lastRun)` instead of re-scanning
+    * the corpus. Exact for append-only histories (insert/appendBatch/
+    * flush); a rewrite ([[compact]]/[[deleteWhere]]) replaces the
+    * commit list, after which the rewritten directories ARE the
+    * changes — use [[diffSnapshot]] for exact row-level semantics
+    * across rewrites. Flushes first so memtable rows participate. */
+  def changesSince(snapName: String): DataFrame = synchronized {
+    val snap = loadSnapshot(snapName)
+    flush()
+    val old = snap.commits.toSet
+    val newDirs = manifest.commits.filterNot(old)
+    if (newDirs.isEmpty) VfsStore.emptyDense(spark)
+    else VfsStore.denseView(
+      spark.read.parquet(newDirs.map(c => s"$root/data/$c"): _*),
+      manifest.quantize)
+  }
+
+  /** Exact row-level diff vs a snapshot: the dense rows plus a
+    * `change` column, "added" for live rows whose id is not in the
+    * snapshot, "removed" for snapshot rows whose id is no longer
+    * live. Ids are unique and rows immutable (appends + deletes, no
+    * in-place update), so added/removed is the complete delta
+    * algebra. Costs an id-keyed anti-join per side — the exact twin
+    * of the file-level [[changesSince]], for histories that include
+    * rewrites. */
+  def diffSnapshot(snapName: String): DataFrame = synchronized {
+    loadSnapshot(snapName) // fail fast before any Spark work
+    flush()
+    val live = read()
+    val snap = readSnapshot(snapName)
+    live.join(snap.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("change", lit("added"))
+      .unionByName(
+        snap.join(live.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("change", lit("removed")))
+  }
+
   /** Time-travel read: the dense view AS OF a named snapshot, without
     * mutating live state (restore() is the mutating twin). */
   def readSnapshot(snapName: String): DataFrame = synchronized {

@@ -193,6 +193,71 @@ class VfsStoreSpec extends AnyFunSuite {
       Seq(3L, 4L)) // live post-delete view intact
   }
 
+  test("changesSince reads only post-snapshot commits, file-pruned") {
+    val s = VfsStore.create(spark, tmp(), "cdc", dim = 2)
+    s.appendBatch(Seq((Seq(1f, 0f), "a"), (Seq(2f, 0f), "b"))
+      .toDF("values", "name").withColumn("tags", array()))
+    s.snapshot("base")
+    // no changes yet: empty delta with the dense schema
+    assert(s.changesSince("base").count() === 0L)
+    s.appendBatch(Seq((Seq(3f, 0f), "c")).toDF("values", "name")
+      .withColumn("tags", array()))
+    // memtable rows participate (changesSince flushes first)
+    s.insert(Array(4f, 0f), "d", Nil)
+    val delta = s.changesSince("base")
+    assert(delta.select("name").as[String].collect().sorted.toSeq ===
+      Seq("c", "d"))
+    // the delta scan must touch ONLY the new commit dirs: every file
+    // path in the scan's file index is a post-snapshot directory
+    val base = VfsManifest.fromJson(new String(java.nio.file.Files
+      .readAllBytes(java.nio.file.Paths.get(s.root, "snapshots",
+        "base.json"))))
+    val scanned = delta.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.toSeq
+    }.flatten
+    assert(scanned.nonEmpty)
+    assert(scanned.forall(p => !base.commits.exists(p.contains)),
+      s"delta scan touched a pre-snapshot dir: $scanned")
+    // unknown snapshot fails fast
+    val e = intercept[StoreStateException](s.changesSince("nope"))
+    assert(e.getMessage.contains("[GRAFT]"))
+  }
+
+  test("changesSince on a quantized store dequantizes the delta view") {
+    val s = VfsStore.create(spark, tmp(), "cdcq", dim = 2, quantize = true)
+    s.appendBatch(Seq((Seq(1f, 0.5f), "a")).toDF("values", "name")
+      .withColumn("tags", array()))
+    s.snapshot("base")
+    s.appendBatch(Seq((Seq(0.25f, -0.5f), "b")).toDF("values", "name")
+      .withColumn("tags", array()))
+    val rows = s.changesSince("base").collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getAs[String]("name") === "b") // de-mangled
+    val vs = r.getSeq[Float](r.fieldIndex("values"))
+    // quantize(127)/dequantize round trip: within 1/127 per lane
+    assert(math.abs(vs(0) - 0.25f) <= 1.0f / 127 &&
+      math.abs(vs(1) + 0.5f) <= 1.0f / 127)
+  }
+
+  test("diffSnapshot reports row-level added and removed across a " +
+      "rewrite, where the commit-diff resets") {
+    val s = VfsStore.create(spark, tmp(), "diff", dim = 2)
+    s.appendBatch(Seq((Seq(1f, 0f), "a"), (Seq(2f, 0f), "b"),
+      (Seq(3f, 0f), "c")).toDF("values", "name").withColumn("tags", array()))
+    s.snapshot("base")
+    s.appendBatch(Seq((Seq(4f, 0f), "d")).toDF("values", "name")
+      .withColumn("tags", array()))
+    s.deleteWhere(col("name") === "b") // rewrite: commit list replaced
+    val diff = s.diffSnapshot("base")
+      .select("name", "change").as[(String, String)].collect().toSet
+    assert(diff === Set(("d", "added"), ("b", "removed")))
+    // after the rewrite the file-level delta is the whole rewritten
+    // commit (documented reset) — the row-level diff stays exact
+    assert(s.changesSince("base").count() === 3L) // a, c, d rewritten
+  }
+
   test("point lookup pushes id predicate to parquet") {
     val s = VfsStore.create(spark, tmp(), "tp", dim = 2)
     (1 to 10).foreach(i => s.insert(Array(i.toFloat, 0f), s"v$i", Nil))
