@@ -104,6 +104,41 @@ object Ingest {
     true
   }
 
+  /** Continuous ANN serving: a stream of (qid, qvalues) query vectors
+    * answered per micro-batch against the STANDING IVF index
+    * ([[graft.operators.IvfIndex.searchBatch]] — touched clusters
+    * scanned once, size-gated broadcast, TopKByDistance partial agg),
+    * each batch's results written as parquet under `outDir/batch=<id>`.
+    * The per-batch directory is deterministic and written with
+    * overwrite, so foreachBatch's at-least-once replay is idempotent:
+    * a replayed batch overwrites its own directory, never duplicates
+    * result rows. Per-batch cost ∝ batch size — the standing index is
+    * only ever read through its probed cluster directories. */
+  def searchStream(queries: DataFrame, indexPath: String, outDir: String,
+      checkpoint: String, k: Int = 10, nProbe: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    queries.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        searchBatchTo(batch, indexPath, outDir, batchId, k, nProbe)
+      }
+      .start()
+
+  /** [[searchStream]]'s per-batch body, separated so replay
+    * idempotence is testable: results land in the batch-addressed
+    * directory with overwrite semantics. Empty batches write nothing
+    * (no empty-directory churn at the sink). */
+  private[graft] def searchBatchTo(batch: DataFrame, indexPath: String,
+      outDir: String, batchId: Long, k: Int, nProbe: Int): Unit = {
+    if (!batch.isEmpty) {
+      graft.operators.IvfIndex.searchBatch(batch.sparkSession,
+          indexPath, batch, k, nProbe)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    }
+  }
+
   /** Stateful streaming sessionization via flatMapGroupsWithState:
     * per-user sessions close after `gapMinutes` of event-time silence
     * (tracked with an event-time timeout against the watermark).

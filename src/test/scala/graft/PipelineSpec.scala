@@ -1022,6 +1022,61 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming query search answers micro-batches against the " +
+      "standing index; replays overwrite, never duplicate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextFloat() * 2 - 1))
+    def near(c: Array[Float]) = c.map(x => x + rnd.nextFloat() * 0.05f)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf_qserve").toString
+    val vecs = (0 until 120).map(i => (i.toLong, near(centers(i % 4))))
+    operators.IvfIndex.build(vecs.toDF("id", "values"), dir,
+      nCentroids = 4, operators.Metric.Cosine)
+    val outDir = java.nio.file.Files
+      .createTempDirectory("ivf_qserve_out").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("ivf_qserve_ckpt").toString
+    val stream = MemoryStream[(Long, Array[Float])]
+    // continuous trigger: AvailableNow would stop after draining the
+    // first micro-batch, and this scenario feeds two
+    val q = graft.streaming.Ingest.searchStream(
+      stream.toDF().toDF("qid", "qvalues"), dir, outDir, ckpt,
+      k = 3, nProbe = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      // two micro-batches of queries: exact stored vectors, so the
+      // top hit of each query must be itself
+      stream.addData((0L, vecs(0)._2), (1L, vecs(1)._2))
+      q.processAllAvailable()
+      stream.addData((2L, vecs(2)._2))
+      q.processAllAvailable()
+      val res = spark.read.parquet(s"$outDir/batch=*")
+      assert(res.count() === 9L) // 3 queries x k=3
+      val top = res.filter(col("rank") === 1)
+        .select("qid", "id").as[(Long, Long)].collect().toMap
+      assert(top === Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+      // batch-addressed sinks: one directory per non-empty batch
+      assert(res.select("batch_id").distinct().count() === 2L)
+      // parity with the direct batch API
+      val direct = operators.IvfIndex.searchBatch(spark, dir,
+        Seq((2L, vecs(2)._2)).toDF("qid", "qvalues"), 3, nProbe = 4)
+        .select("qid", "id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+      val streamed = res.filter(col("qid") === 2L)
+        .select("qid", "id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+      assert(streamed === direct)
+      // at-least-once replay: re-running a committed batch body
+      // overwrites its own directory — row count unchanged
+      graft.streaming.Ingest.searchBatchTo(
+        Seq((2L, vecs(2)._2)).toDF("qid", "qvalues"), dir, outDir,
+        batchId = 1L, k = 3, nProbe = 4)
+      assert(spark.read.parquet(s"$outDir/batch=*").count() === 9L)
+    } finally q.stop()
+  }
+
   test("streaming micro-batches dedup against a standing corpus via the " +
       "embedding LSH join (incremental semantic dedup)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
