@@ -153,6 +153,15 @@ object Bench {
     results("media_decode") = median {
       SparkEntry.queries("multimodal_features")(spark, sfDir).count()
     }
+    // decode -> NN resize -> PNG re-encode -> decode, the image
+    // normalization shape (per-partition batch kernel, pure scan)
+    results("media_resize") = median {
+      SparkEntry.queries("multimodal_resize")(spark, sfDir).count()
+    }
+    // sequential per-frame container walk, 1->N batch kernel
+    results("frame_sample") = median {
+      SparkEntry.queries("multimodal_frames")(spark, sfDir).count()
+    }
     results("sessionize") = median {
       SparkEntry.queries("w_sessionize")(spark, sfDir).count()
     }

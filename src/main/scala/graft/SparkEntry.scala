@@ -1377,6 +1377,31 @@ object SparkEntry {
         .orderBy(col("name").asc)
     }),
 
+    // ---- incremental dedup, index-accelerated: the CDC delta
+    // (vec_id 300..449) probed as ONE batch against the standing IVF
+    // index over the base corpus; rows whose nearest base neighbor is
+    // farther than τ are novel (kept). Full probe ⇒ exact nearest
+    // distances, so the row hash-matches the oracle's min-distance
+    // cross join; at production nProbe the same pipeline is the
+    // approximate nightly-ingest novelty filter ----
+    "dedup_incremental_index" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") < 300)
+        .select(col("vec_id").as("id"), col("embedding").as("values"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-inc-idx").toString
+      graft.operators.IvfIndex.build(base, idx, nCentroids = 8,
+        Metric.Euclidean)
+      val delta = e.filter(col("vec_id") >= 300 && col("vec_id") < 450)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvalues"))
+      graft.operators.IvfIndex.searchBatch(s, idx, delta, k = 1,
+          nProbe = 8)
+        .select(col("qid").as("vec_id"),
+          milli(col("distance")).as("nn_milli"))
+        .filter(col("nn_milli") > 1140)
+        .orderBy(col("vec_id").asc)
+    }),
+
     // ---- sessionization: gap > 30 min starts a new session ----
     "w_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2167,6 +2192,19 @@ object SparkEntry {
     "multimodal_png" -> multimodalPngOracle,
     "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_frames" -> multimodalFramesOracle,
+
+    // exact nearest-base-neighbor distance per delta vector; novel =
+    // farther than τ = 1.140 from everything already ingested
+    "dedup_incremental_index" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id >= 300 AND vec_id < 450),
+        |nn AS (SELECT d.vec_id, min(list_distance(d.v, base.v)) AS dist
+        |  FROM d, base GROUP BY d.vec_id)
+        |SELECT vec_id, CAST(round(dist * 1000) AS BIGINT) AS nn_milli
+        |FROM nn WHERE round(dist * 1000) > 1140
+        |ORDER BY vec_id ASC""".stripMargin,
 
     // the engine's changesSince must surface exactly the second batch
     // (vec_id 300..449) regardless of internal id assignment
