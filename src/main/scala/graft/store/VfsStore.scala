@@ -430,6 +430,26 @@ class VfsStore private (val spark: SparkSession, val root: String,
           .withColumn("change", lit("removed")))
   }
 
+  /** The store as a STREAMING source: a Structured Streaming file
+    * source watching the data directory, so every committed batch
+    * (insert/flush/appendBatch) streams to downstream pipelines as it
+    * lands — the continuous twin of [[changesSince]]. Returns the
+    * dense view (dequantize-on-read, name/tag de-mangling). The file
+    * source tracks delivered files in the query's checkpoint, so each
+    * committed file is delivered exactly once per query. Rewrites
+    * ([[compact]]/[[deleteWhere]]) write NEW files of surviving rows,
+    * which re-deliver — downstream consumers keyed by id stay exact,
+    * the same stance as [[changesSince]] across rewrites. */
+  def readStream(): DataFrame = {
+    val schema =
+      if (manifest.quantize) VfsStore.quantSchema else VfsStore.denseSchema
+    VfsStore.denseView(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(s"$root/data/*"),
+      manifest.quantize)
+  }
+
   /** Time-travel read: the dense view AS OF a named snapshot, without
     * mutating live state (restore() is the mutating twin). */
   def readSnapshot(snapName: String): DataFrame = synchronized {

@@ -258,6 +258,34 @@ class VfsStoreSpec extends AnyFunSuite {
     assert(s.changesSince("base").count() === 3L) // a, c, d rewritten
   }
 
+  test("readStream delivers committed batches continuously, " +
+      "dequantized, exactly once per file") {
+    val s = VfsStore.create(spark, tmp(), "cdcs", dim = 2, quantize = true)
+    val q = s.readStream().writeStream
+      .format("memory").queryName("store_cdc")
+      .option("checkpointLocation", tmp())
+      .start()
+    try {
+      s.appendBatch(Seq((Seq(1f, 0.5f), "a"), (Seq(0.25f, -1f), "b"))
+        .toDF("values", "name").withColumn("tags", array()))
+      q.processAllAvailable()
+      val first = spark.sql("SELECT name FROM store_cdc")
+        .as[String].collect().sorted.toSeq
+      assert(first === Seq("a", "b")) // de-mangled names
+      // second commit: only the new rows arrive (file-tracked source)
+      s.appendBatch(Seq((Seq(0.5f, 0.5f), "c")).toDF("values", "name")
+        .withColumn("tags", array()))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT name, values FROM store_cdc").collect()
+      assert(all.map(_.getString(0)).sorted.toSeq === Seq("a", "b", "c"))
+      // dense view: dequantized floats within 1/127 per lane
+      val aRow = all.find(_.getString(0) === "a").get
+      val vs = aRow.getSeq[Float](1)
+      assert(math.abs(vs(0) - 1f) <= 1.0f / 127 &&
+        math.abs(vs(1) - 0.5f) <= 1.0f / 127)
+    } finally q.stop()
+  }
+
   test("point lookup pushes id predicate to parquet") {
     val s = VfsStore.create(spark, tmp(), "tp", dim = 2)
     (1 to 10).foreach(i => s.insert(Array(i.toFloat, 0f), s"v$i", Nil))
