@@ -165,6 +165,22 @@ object Explain {
       graft.operators.Sampling.curriculumInterleave(d, col("source"),
         col("n_chars"), col("doc_id"))
     }
+    show("incremental store read via changesSince (expect: ONE parquet " +
+        "scan whose Location lists ONLY the post-snapshot commit dir — " +
+        "the delta is file-pruned, no data comparison)") {
+      val root = java.nio.file.Files
+        .createTempDirectory("explain-cdc").toString
+      val st = graft.store.VfsStore.create(spark, root, "cdc", dim = 4)
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .limit(200)
+        .select(slice(col("embedding"), 1, 4).as("values"),
+          col("vec_id").cast("string").as("name"),
+          array().cast("array<string>").as("tags"))
+      st.appendBatch(e.limit(100))
+      st.snapshot("base")
+      st.appendBatch(e)
+      st.changesSince("base")
+    }
     spark.stop()
   }
 }
