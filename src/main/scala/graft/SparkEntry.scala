@@ -1402,6 +1402,15 @@ object SparkEntry {
         .orderBy(col("vec_id").asc)
     }),
 
+    // ---- one-pass data profile: per-column rows/nulls/distinct/
+    // min/max over the documents table in a single aggregate scan ----
+    "q_profile" -> ((s, dir) => {
+      graft.operators.Profile.profile(
+          s.read.parquet(s"$dir/documents.parquet"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("column").asc)
+    }),
+
     // ---- sessionization: gap > 30 min starts a new session ----
     "w_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2205,6 +2214,19 @@ object SparkEntry {
         |SELECT vec_id, CAST(round(dist * 1000) AS BIGINT) AS nn_milli
         |FROM nn WHERE round(dist * 1000) > 1140
         |ORDER BY vec_id ASC""".stripMargin,
+
+    "q_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM documents""".stripMargin
+      Seq("doc_id", "lang", "source", "n_chars").map(one)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\" ASC")
+    },
 
     // the engine's changesSince must surface exactly the second batch
     // (vec_id 300..449) regardless of internal id assignment

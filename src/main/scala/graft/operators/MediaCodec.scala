@@ -485,7 +485,8 @@ object MediaCodec {
       w2: Int, h2: Int): Array[Byte] = {
     require(w > 0 && h > 0 && pixels.length == w * h * 3,
       "[GRAFT] resize: pixels must be width*height*3 bytes")
-    require(w2 > 0 && h2 > 0 && w2 <= (1 << 20) && h2 <= (1 << 20),
+    require(w2 > 0 && h2 > 0 && w2 <= (1 << 20) && h2 <= (1 << 20) &&
+      w2.toLong * h2 * 3 <= Int.MaxValue,
       "[GRAFT] resize: bad target dimensions")
     val out = new Array[Byte](w2 * h2 * 3)
     var y2 = 0
@@ -515,7 +516,8 @@ object MediaCodec {
       w2: Int, h2: Int): Array[Byte] = {
     require(w > 0 && h > 0 && pixels.length == w * h * 3,
       "[GRAFT] resize: pixels must be width*height*3 bytes")
-    require(w2 > 0 && h2 > 0 && w2 <= (1 << 20) && h2 <= (1 << 20),
+    require(w2 > 0 && h2 > 0 && w2 <= (1 << 20) && h2 <= (1 << 20) &&
+      w2.toLong * h2 * 3 <= Int.MaxValue,
       "[GRAFT] resize: bad target dimensions")
     val out = new Array[Byte](w2 * h2 * 3)
     val sxScale = w.toDouble / w2

@@ -439,7 +439,17 @@ class VfsStore private (val spark: SparkSession, val root: String,
     * committed file is delivered exactly once per query. Rewrites
     * ([[compact]]/[[deleteWhere]]) write NEW files of surviving rows,
     * which re-deliver — downstream consumers keyed by id stay exact,
-    * the same stance as [[changesSince]] across rewrites. */
+    * the same stance as [[changesSince]] across rewrites.
+    *
+    * CAVEAT (crashed appends): the file source watches the DIRECTORY,
+    * not the manifest, so a directory orphaned by a crash between the
+    * parquet write and the manifest swap would be delivered — and
+    * because that crash never advanced nextId, the orphan's ids are
+    * reassigned by the next successful append, so delivered orphan
+    * rows can alias later legitimate ids. Run [[vacuum()]] before
+    * starting a stream to reclaim orphans. Appends racing an ACTIVE
+    * stream are benign: a file listed just before its manifest swap
+    * already carries exactly the ids the swap is about to publish. */
   def readStream(): DataFrame = {
     val schema =
       if (manifest.quantize) VfsStore.quantSchema else VfsStore.denseSchema

@@ -14,6 +14,37 @@ class SketchesSpec extends AnyFunSuite {
   private lazy val lineitem = spark.read
     .parquet(s"${GraftTest.sf001}/lineitem.parquet")
 
+  test("one-pass profile: per-column rows/nulls/distinct/min-max, " +
+      "approx mode within HLL error") {
+    import graft.operators.Profile
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "a"), (2L, "b"), (2L, null), (null, "a"), (3L, "c"))
+      .toDF("k", "s")
+    val got = Profile.profile(df, Seq("k", "s")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("k").getLong(1) === 5L) // n_rows
+    assert(got("k").getLong(2) === 1L) // one null key
+    assert(got("k").getLong(3) === 3L) // 1,2,3
+    assert(got("k").getString(4) === "1" && got("k").getString(5) === "3")
+    assert(got("s").getLong(2) === 1L)
+    assert(got("s").getLong(3) === 3L) // a,b,c
+    assert(got("s").getString(4) === "a" && got("s").getString(5) === "c")
+    // approx mode: HLL++ within its documented ~2-5% envelope on the
+    // real corpus (and exact on tiny cardinalities)
+    val approxTiny = Profile.profile(df, Seq("k"), exact = false)
+      .collect().head
+    assert(approxTiny.getLong(3) === 3L)
+    val exactDocs = Profile.profile(docs, Seq("text")).collect().head
+    val approxDocs = Profile.profile(docs, Seq("text"), exact = false)
+      .collect().head
+    val (e, a) = (exactDocs.getLong(3).toDouble, approxDocs.getLong(3))
+    assert(math.abs(a - e) / e < 0.1, s"approx $a vs exact $e")
+    // unknown column fails fast
+    val err = intercept[IllegalArgumentException](
+      Profile.profile(df, Seq("nope")))
+    assert(err.getMessage.contains("[GRAFT]"))
+  }
+
   test("HLL distinct estimate is within the configured error bound") {
     val exact = lineitem.select($"l_partkey").distinct().count()
     val est = Sketches.approxDistinct(lineitem, col("l_partkey"), 0.02)
