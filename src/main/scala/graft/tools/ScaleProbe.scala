@@ -201,6 +201,40 @@ object ScaleProbe {
       graft.operators.Sampling.curriculumInterleave(mix, $"src",
         length($"text"), $"id").count()
     }
+
+    // media kernels at 500k assets: per-row batch kernels — pure
+    // scans, so cost must stay linear with no shuffle at any width
+    val mediaDocs = time("materialize 500k synthetic documents") {
+      val df = spark.range(500000L).select($"id".as("doc_id"),
+        concat(lit("lorem ipsum dolor sit amet "),
+          $"id".cast("string"),
+          lit(" consectetur adipiscing elit sed do eiusmod tempor"))
+          .as("text"))
+      val p = java.nio.file.Files.createTempDirectory("scale-media").toString
+      df.write.mode("overwrite").parquet(s"$p/t")
+      spark.read.parquet(s"$p/t")
+    }
+    time("decode -> NN-resize 2x3 -> PNG re-encode -> decode, 500k " +
+        "PNG assets (per-partition kernel, no shuffle)") {
+      val media = graft.operators.Multimodal.synthesizePng(mediaDocs)
+      graft.operators.Multimodal.decodeStats(spark,
+        graft.operators.Multimodal.resizeMedia(spark, media, 2, 3))
+        .count()
+    }
+    time("frame-sample every 4th frame of 500k ppm-stream videos " +
+        "(sequential header walk)") {
+      graft.operators.Multimodal.sampleFrames(spark,
+        graft.operators.Multimodal.synthesizeVideo(mediaDocs,
+          frameRows = 2), everyN = 4).count()
+    }
+    time("one-pass profile of the 10M-row table (exact distinct)") {
+      graft.operators.Profile.profile(wide,
+        Seq("key", "text")).count()
+    }
+    time("one-pass profile of the 10M-row table (HLL++ approx)") {
+      graft.operators.Profile.profile(wide,
+        Seq("key", "text"), exact = false).count()
+    }
     spark.stop()
   }
 }
