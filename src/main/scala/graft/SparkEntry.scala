@@ -1402,6 +1402,49 @@ object SparkEntry {
         .orderBy(col("vec_id").asc)
     }),
 
+    // ---- BM25 lexical relevance against a fixed query — the
+    // lexical half of hybrid retrieval; exact-integer milli scores
+    // (linear-rarity idf, per-term LONG contributions summed) so the
+    // oracle hash-matches bit-for-bit ----
+    "text_bm25" -> ((s, dir) => {
+      graft.operators.TextAnalysis.bm25Scores(
+          s.read.parquet(s"$dir/documents.parquet"), Bm25Terms)
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- hybrid retrieval: BM25 lexical top-50 fused with exact
+    // inner-product vector top-50 (hashed-BoW milli embeddings, doc 0
+    // as the query) by reciprocal-rank fusion. Rankings are computed
+    // distributed (TakeOrderedAndProject top-50 each); fusion touches
+    // only the two 50-row results. Exact-integer dots and floor-div
+    // RRF weights keep the whole pipeline hash-matchable ----
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val lexTop = graft.operators.TextAnalysis
+        .bm25Scores(docs, Bm25Terms)
+        .orderBy(col("score_milli").desc, col("doc_id").asc)
+        .limit(50).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      val embM = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.hashEmbeddingMilli(col("text"))
+          .as("v"))
+      val qv = embM.filter(col("doc_id") === 0L)
+        .head().getSeq[Long](1)
+      val dot = aggregate(
+        zip_with(col("v"), typedLit(qv), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val vecTop = embM
+        .filter(col("doc_id") =!= 0L)
+        .select(col("doc_id"), dot.as("dot"))
+        .filter(col("dot") > 0L)
+        .orderBy(col("dot").desc, col("doc_id").asc)
+        .limit(50).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      graft.operators.Knn.rrfFuse(s, Seq(lexTop, vecTop))
+        .select(col("id").as("doc_id"), col("rrf_milli"))
+        .orderBy(col("rrf_milli").desc, col("doc_id").asc)
+    }),
+
     // ---- one-pass data profile: per-column rows/nulls/distinct/
     // min/max over the documents table in a single aggregate scan ----
     "q_profile" -> ((s, dir) => {
@@ -2215,6 +2258,10 @@ object SparkEntry {
         |FROM nn WHERE round(dist * 1000) > 1140
         |ORDER BY vec_id ASC""".stripMargin,
 
+    "text_bm25" -> bm25Oracle,
+
+    "q_hybrid_rrf" -> hybridRrfOracle,
+
     "q_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS "column", count(*) AS n_rows,
@@ -2649,6 +2696,75 @@ object SparkEntry {
        |  CAST(${duckChannelMilli(1)} AS BIGINT) AS c1_milli,
        |  CAST(${duckChannelMilli(2)} AS BIGINT) AS c2_milli
        |FROM p ORDER BY doc_id ASC""".stripMargin
+
+  /** The fixed BM25 query — shared by the engine call and the oracle
+    * generator so the two can't drift. */
+  private val Bm25Terms = Seq("vector", "join", "spark")
+
+  /** The BM25 stats + scores CTEs (requires `t(doc_id, toks)` in
+    * scope), mirroring [[graft.operators.TextAnalysis.bm25Scores]]
+    * term by term: same association order in every double op
+    * (exact-integer inputs, correctly rounded everywhere), per-term
+    * floor to LONG, LONG sum — so the milli scores hash-match. Shared
+    * by the standalone and hybrid-fusion oracles. */
+  private def bm25ScCtes: String = {
+    def contrib(i: Int, w: String): String =
+      s"""CAST(floor(((n - df$i + 0.5) / (df$i + 0.5))
+         |  * ((len(list_filter(toks, x -> x = '$w')) * 2.2)
+         |    / (len(list_filter(toks, x -> x = '$w'))
+         |      + 1.2 * (0.25 + 0.75 * (CAST(len(toks) * n AS DOUBLE) / tl))))
+         |  * 1000.0) AS BIGINT)""".stripMargin
+    val dfs = Bm25Terms.zipWithIndex.map { case (w, i) =>
+      s"""CAST(sum(CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS df$i""".stripMargin
+    }.mkString(",\n")
+    val sum = Bm25Terms.zipWithIndex
+      .map { case (w, i) => contrib(i, w) }.mkString("\n+ ")
+    s"""st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(len(toks)) AS BIGINT) AS tl,
+       |$dfs
+       |  FROM t),
+       |sc AS (SELECT doc_id, $sum AS score_milli FROM t, st)""".stripMargin
+  }
+
+  private def bm25Oracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |$bm25ScCtes
+       |SELECT doc_id, score_milli FROM sc WHERE score_milli > 0
+       |ORDER BY doc_id ASC""".stripMargin
+
+  /** Hybrid retrieval oracle: BM25 top-50 (ltop) ∪ exact milli-dot
+    * vector top-50 vs doc 0 (vtop), fused by floor(10⁶/(60+rank))
+    * weights — every stage exact-integer, so the fusion hash-matches.
+    * `hashedBowCtes` defines the same `t` the bm25 CTEs read. */
+  private def hybridRrfOracle: String =
+    s"""WITH $hashedBowCtes,
+       |m AS (SELECT doc_id, list_transform(cnts, x -> CASE WHEN nrm > 0
+       |    THEN CAST(round(x / nrm * 1000) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END) AS emb_milli
+       |  FROM n),
+       |$bm25ScCtes,
+       |qq AS (SELECT emb_milli AS qv FROM m WHERE doc_id = 0),
+       |dots AS (SELECT m.doc_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> m.emb_milli[i] * qq.qv[i])) AS BIGINT) AS dot
+       |  FROM m, qq WHERE m.doc_id <> 0),
+       |vtop AS (SELECT doc_id, r FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY dot DESC, doc_id ASC) AS r
+       |    FROM dots WHERE dot > 0) WHERE r <= 50),
+       |ltop AS (SELECT doc_id, r FROM (
+       |    SELECT doc_id,
+       |      row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS r
+       |    FROM sc WHERE score_milli > 0) WHERE r <= 50)
+       |SELECT doc_id,
+       |  CAST(COALESCE(floor(1000000.0 / (60 + l.r)), 0)
+       |    + COALESCE(floor(1000000.0 / (60 + v.r)), 0) AS BIGINT)
+       |    AS rrf_milli
+       |FROM ltop l FULL OUTER JOIN vtop v USING (doc_id)
+       |ORDER BY rrf_milli DESC, doc_id ASC""".stripMargin
 
   /** Mirrors synthesizePng → [[graft.operators.Multimodal.resizeMedia]]
     * (2×3 nearest-neighbor) → `decodeStats`: each doc is a 4-wide RGB

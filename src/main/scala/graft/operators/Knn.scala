@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{vfs_cosine, vfs_euclidean}
@@ -190,5 +190,32 @@ object Knn {
       .select(col(qidCol), posexplode(col("topk")).as(Seq("pos", "r")))
       .select(col(qidCol), col("r.id").as(idCol),
         col("r.distance").as("distance"), (col("pos") + 1).as("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) of result lists —
+    * the standard hybrid-retrieval combiner (lexical BM25 ∪ vector
+    * kNN): score(d) = Σ over lists containing d of
+    * floor(10⁶ / (c + rank_d)), exact-integer units so the fusion is
+    * engine-portable and aggregation-order-free. Lists are
+    * driver-sized top-k results in rank order (ids, rank 1-based) —
+    * the same result-sized stance as [[mmrRerank]]: the heavy ranking
+    * stages stay distributed, fusion touches only their top-k.
+    * Output: (id, rrf_milli) sorted by (rrf_milli desc, id asc). */
+  def rrfFuse(spark: SparkSession, lists: Seq[Seq[Long]],
+      c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "[GRAFT] rrfFuse: no result lists")
+    require(c >= 0, "[GRAFT] rrfFuse: c must be >= 0")
+    lists.foreach(l => require(l.distinct == l,
+      "[GRAFT] rrfFuse: duplicate id within one result list"))
+    import spark.implicits._
+    val scores = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    lists.foreach { l =>
+      l.zipWithIndex.foreach { case (id, i) =>
+        val w = math.floor(1000000.0 / (c + i + 1)).toLong
+        scores(id) = scores.getOrElse(id, 0L) + w
+      }
+    }
+    scores.toSeq.toDF("id", "rrf_milli")
+      .orderBy(col("rrf_milli").desc, col("id").asc)
   }
 }

@@ -271,6 +271,59 @@ object TextAnalysis {
         col("__rn").cast("long").as("rank"))
   }
 
+  /** Okapi-BM25 lexical relevance of every document against a fixed
+    * query-term set — the lexical half of hybrid retrieval
+    * (vector kNN is the other half; see the `q_hybrid_rrf` fusion).
+    * Engine-portable exact-integer construction: corpus statistics
+    * (N docs, total tokens TL, per-term document frequency df) come
+    * from ONE aggregate pass; each per-term contribution is then
+    * floor(1000·idf·tfNorm) as a LONG and the document score is the
+    * SUM of those longs — commutative integer addition, immune to the
+    * aggregation-order nondeterminism a double sum would have.
+    *
+    *   idf(t)      = (N − df + 0.5) / (df + 0.5)
+    *   tfNorm(t,D) = tf·(k1+1) / (tf + k1·((1−b) + b·(dl·N / TL)))
+    *
+    * with the standard operating point k1 = 1.2, b = 0.75 fixed as
+    * literals. The classical log-idf is replaced by the same LINEAR
+    * rarity weight as [[tfIdfKeywords]] (monotone-identical ranking
+    * per fixed tf; `ln` is libm-dependent across engines, a division
+    * of exact integers is correctly rounded everywhere). Every double
+    * op has exact-integer inputs in a fixed association order, so the
+    * DuckDB oracle lands on bit-identical milli scores.
+    *
+    * 100 TB shape: one stats aggregate (map-side partial, |terms|
+    * driver-side longs) + one pure-projection scoring scan; terms
+    * ride in as literals, no join, no shuffle.
+    * Output: (idCol, score_milli > 0). */
+  def bm25Scores(docs: DataFrame, terms: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "[GRAFT] bm25: no query terms")
+    require(terms.distinct == terms, "[GRAFT] bm25: duplicate terms")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val statsAggs = count(lit(1)).cast("long").as("__n") +:
+      sum(size(toks).cast("long")).as("__tl") +:
+      terms.zipWithIndex.map { case (w, i) =>
+        sum(when(array_contains(toks, w), 1L).otherwise(0L))
+          .as(s"__df_$i")
+      }
+    val st = docs.agg(statsAggs.head, statsAggs.tail: _*).head()
+    val n = st.getAs[Long]("__n")
+    val tl = math.max(1L, st.getAs[Long]("__tl"))
+    val dlN = (size(toks) * lit(n)).cast("double") / lit(tl.toDouble)
+    val contribs = terms.zipWithIndex.map { case (w, i) =>
+      val df = st.getAs[Long](s"__df_$i")
+      val idf = (n - df + 0.5) / (df + 0.5) // driver double, exact ints in
+      val tf = size(filter(toks, x => x === lit(w)))
+      val tfn = (tf * lit(2.2)) /
+        (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dlN))
+      floor(lit(idf) * tfn * lit(1000.0)).cast("long")
+    }
+    docs.select(col(idCol),
+        contribs.reduce(_ + _).as("score_milli"))
+      .filter(col("score_milli") > 0)
+  }
+
   /** Corpus vocabulary for tokenizer training: the top-`v` words by
     * global occurrence count (ties word-ascending) with rank and
     * cumulative corpus-coverage in milli-units — the curve that tells

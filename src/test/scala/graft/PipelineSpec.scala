@@ -824,6 +824,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaCodec.resampleWav(wav, 8000).toSeq === wav.toSeq)
   }
 
+  test("bm25 + reciprocal-rank fusion: lexical relevance orders by " +
+      "rarity-weighted tf, fusion rewards presence in both lists") {
+    import graft.operators.{Knn, TextAnalysis}
+    val corpus = Seq(
+      (0L, "vector vector vector search"),   // rare term, high tf
+      (1L, "vector search engine"),          // rare term, tf 1
+      (2L, "search search search search"),   // common term only
+      (3L, "search engine"),
+      (4L, "totally unrelated words here"))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.bm25Scores(corpus, Seq("vector", "search"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 4 has no query term: filtered out entirely
+    assert(!scores.contains(4L))
+    // rare "vector" dominates: doc 0 > doc 1 > pure-"search" docs
+    assert(scores(0L) > scores(1L) && scores(1L) > scores(2L))
+    // "search" appears in 4 of 5 docs: low idf, but still positive
+    assert(scores(2L) > 0 && scores(3L) > 0)
+    // duplicate / empty term lists fail fast
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.bm25Scores(corpus, Seq("a", "a")))
+      .getMessage.contains("[GRAFT]"))
+    assert(intercept[IllegalArgumentException](
+      TextAnalysis.bm25Scores(corpus, Nil)).getMessage.contains("[GRAFT]"))
+    // RRF: id 10 is rank 1 in both lists -> 2x the rank-1 weight;
+    // id 11 rank 2 lexical only, id 12 rank 2 vector only (equal)
+    val fused = Knn.rrfFuse(spark, Seq(Seq(10L, 11L), Seq(10L, 12L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = math.floor(1000000.0 / 61).toLong
+    val w2 = math.floor(1000000.0 / 62).toLong
+    assert(fused === Map(10L -> 2 * w1, 11L -> w2, 12L -> w2))
+    // a duplicate WITHIN one list is a caller bug
+    assert(intercept[IllegalArgumentException](
+      Knn.rrfFuse(spark, Seq(Seq(1L, 1L)))).getMessage.contains("[GRAFT]"))
+  }
+
   test("streaming ingest: micro-batches append to store exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
