@@ -162,6 +162,10 @@ object Bench {
     results("frame_sample") = median {
       SparkEntry.queries("multimodal_frames")(spark, sfDir).count()
     }
+    // lexical retrieval: one stats aggregate + one projection scan
+    results("bm25_score") = median {
+      SparkEntry.queries("text_bm25")(spark, sfDir).count()
+    }
     results("sessionize") = median {
       SparkEntry.queries("w_sessionize")(spark, sfDir).count()
     }

@@ -131,6 +131,51 @@ object QuickStart {
     println(s"[quickstart] decoded ${pngStats.length} png containers; " +
       s"sample: ${pngStats.head.productIterator.mkString("[", ",", "]")}")
 
+    // real resize + video frame sampling over the same containers
+    val resized = graft.operators.Multimodal.decodeStats(spark,
+      graft.operators.Multimodal.resizeMedia(spark,
+        graft.operators.Multimodal.synthesizePng(docs.limit(10)), 2, 3))
+      .collect()
+    println(s"[quickstart] resized ${resized.length} rasters to 2x3; " +
+      s"sample: ${resized.head.productIterator.mkString("[", ",", "]")}")
+    val frames = graft.operators.Multimodal.sampleFrames(spark,
+      graft.operators.Multimodal.synthesizeVideo(docs.limit(10)),
+      everyN = 4).collect()
+    println(s"[quickstart] sampled ${frames.length} frames from 10 " +
+      s"ppm-stream videos; sample: " +
+      s"${frames.head.productIterator.mkString("[", ",", "]")}")
+
+    // one-pass profile + lexical/hybrid retrieval
+    val prof = graft.operators.Profile.profile(docs,
+      Seq("doc_id", "lang", "source")).collect()
+    println(s"[quickstart] profile: " + prof.map(r =>
+      s"${r.getString(0)}(distinct=${r.getLong(3)})").mkString(", "))
+    val bmTop = graft.operators.TextAnalysis.bm25Scores(docs,
+        Seq("vector", "join", "spark"))
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+      .limit(10).select("doc_id").collect().map(_.getLong(0)).toSeq
+    val fused = graft.operators.Knn.rrfFuse(spark,
+      Seq(bmTop, bmTop.reverse)).collect()
+    println(s"[quickstart] bm25 top-10 ${bmTop.take(3).mkString(",")}...; " +
+      s"rrf fused ${fused.length} ids, best=${fused.head.getLong(0)}")
+
+    // CDC: snapshot, append, read only the delta (file-pruned)
+    val cdcRoot = java.nio.file.Files
+      .createTempDirectory("graft-cdc-demo").toString
+    val cdcStore = graft.store.VfsStore.create(spark, cdcRoot, "cdc", dim = 4)
+    cdcStore.appendBatch(spark.range(3).select(
+      array(lit(1f), lit(0f), lit(0f), lit(0f)).as("values"),
+      concat(lit("base"), col("id")).as("name"),
+      array().cast("array<string>").as("tags")))
+    cdcStore.snapshot("base")
+    cdcStore.appendBatch(spark.range(2).select(
+      array(lit(0f), lit(1f), lit(0f), lit(0f)).as("values"),
+      concat(lit("delta"), col("id")).as("name"),
+      array().cast("array<string>").as("tags")))
+    println(s"[quickstart] changesSince(base): " +
+      s"${cdcStore.changesSince("base").count()} delta rows of " +
+      s"${cdcStore.read().count()} total")
+
     // API-parity surface: the reference's 7 endpoints as library calls
     val api = new graft.api.VfsApi(spark,
       java.nio.file.Files.createTempDirectory("graft-api").toString)
