@@ -24,8 +24,10 @@ object Profile {
     * (column STRING, n_rows BIGINT, n_null BIGINT, n_distinct BIGINT,
     * min_s STRING, max_s STRING), one row per requested column,
     * ordered as given. */
-  def profile(df: DataFrame, cols: Seq[String],
-      exact: Boolean = true): DataFrame = {
+  /** The single un-executed aggregate [[profile]] runs — one row, all
+    * stats; exposed so plan dumps can show the one-scan shape. */
+  private[graft] def aggFrame(df: DataFrame, cols: Seq[String],
+      exact: Boolean): DataFrame = {
     require(cols.nonEmpty, "[GRAFT] profile: no columns requested")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty,
@@ -38,7 +40,12 @@ object Profile {
         min(col(c)).cast("string").as(s"__min_$c"),
         max(col(c)).cast("string").as(s"__max_$c"))
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def profile(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
+    val r = aggFrame(df, cols, exact).head()
     val spark = df.sparkSession
     val out = cols.map { c =>
       Row(c, r.getAs[Long]("__n"), r.getAs[Long](s"__null_$c"),

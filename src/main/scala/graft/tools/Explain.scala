@@ -165,6 +165,20 @@ object Explain {
       graft.operators.Sampling.curriculumInterleave(d, col("source"),
         col("n_chars"), col("doc_id"))
     }
+    show("bm25 scoring scan (expect: ONE pure projection over the " +
+        "parquet scan — stats already folded in as literals, no join, " +
+        "no shuffle, whole-stage codegen)") {
+      graft.operators.TextAnalysis.bm25Scores(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        Seq("vector", "join", "spark"))
+    }
+    show("one-pass profile (expect: ONE aggregate over one scan; " +
+        "Catalyst's Expand feeds the multiple count-distincts from " +
+        "the same pass)") {
+      graft.operators.Profile.aggFrame(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        Seq("doc_id", "lang", "source", "n_chars"), exact = true)
+    }
     show("incremental store read via changesSince (expect: ONE parquet " +
         "scan whose Location lists ONLY the post-snapshot commit dir — " +
         "the delta is file-pruned, no data comparison)") {
