@@ -117,8 +117,10 @@ object HashedBow {
   }
 
   /** EXACTLY the Column-side token model (`tokens(lower(trim(text)))`):
-    * lower via Locale.ROOT, trim U+0020 only, split `\s+` limit -1. */
-  private def tokensOf(text: UTF8String): Array[String] = {
+    * lower via Locale.ROOT, trim U+0020 only, split `\s+` limit -1.
+    * Shared with [[TermCount]] so the bm25 kernel can't drift from
+    * the hashed-BoW tokenizer. */
+  private[functions] def tokensOf(text: UTF8String): Array[String] = {
     val lowered = text.toString.toLowerCase(java.util.Locale.ROOT)
     var lo = 0
     var hi = lowered.length
@@ -192,6 +194,45 @@ case class HashEmbedding(child: Expression, dim: Int, milli: Boolean)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** (STRING text, STRING term literal) → BIGINT occurrence count of
+  * `term` among the text's whitespace tokens — the BM25 tf kernel.
+  * One tokenizer pass per row inside whole-stage codegen; replaces
+  * the `size(filter(split(...), x -> x = t))` higher-order-function
+  * phrasing, which is interpreted (no codegen, and re-splits the text
+  * once per query term). Token model shared with [[HashedBow]]
+  * (lower via Locale.ROOT, trim U+0020 only, split `\s+` limit -1),
+  * so lexical and vector retrieval tokenize identically. */
+case class TermCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vfs_term_count"
+
+  override def nullSafeEval(text: Any, term: Any): Any =
+    TermCount.count(text.asInstanceOf[UTF8String],
+      term.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) =>
+      s"graft.functions.TermCount.count($t, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object TermCount {
+  /** static entry for codegen */
+  def count(text: UTF8String, term: UTF8String): Long = {
+    val w = term.toString
+    var n = 0L
+    HashedBow.tokensOf(text).foreach { t => if (t == w) n += 1 }
+    n
+  }
 }
 
 /** STRING → ARRAY<BIGINT> minhash signature computed in one tight JVM

@@ -58,6 +58,10 @@ package object functions {
     col(MinShingleHash(ex(text),
       org.apache.spark.sql.catalyst.expressions.Literal(k)))
 
+  /** whitespace-token occurrence count of a term (BM25 tf kernel) */
+  def vfs_term_count(text: Column, term: Column): Column =
+    col(TermCount(ex(text), ex(term)))
+
   def vfs_hash_embedding(text: Column, dim: Int): Column =
     col(HashEmbedding(ex(text), dim, milli = false))
   def vfs_hash_embedding_milli(text: Column, dim: Int): Column =
@@ -81,6 +85,7 @@ package object functions {
     r1("vfs_dequantize", es => DequantizeVec(es(0), es(1)))
     r1("vfs_fingerprint", es => Fingerprint(es(0)))
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
+    r1("vfs_term_count", es => TermCount(es(0), es(1)))
     r1("vfs_vec_mean", es =>
       graft.operators.VectorMean(es(0)).toAggregateExpression())
     def intLit(e: Expression, what: String): Int = e match {

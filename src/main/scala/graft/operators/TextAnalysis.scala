@@ -301,11 +301,16 @@ object TextAnalysis {
     require(terms.nonEmpty, "[GRAFT] bm25: no query terms")
     require(terms.distinct == terms, "[GRAFT] bm25: duplicate terms")
     val toks = split(trim(lower(col(textCol))), "\\s+")
+    // codegen'd one-pass term counter (TermCount) instead of the
+    // interpreted size(filter(split(...))) HOF — the scoring scan
+    // stays inside whole-stage codegen and the text splits once per
+    // term kernel call, not once per lambda evaluation
+    def termCount(w: String) =
+      graft.functions.vfs_term_count(col(textCol), lit(w))
     val statsAggs = count(lit(1)).cast("long").as("__n") +:
       sum(size(toks).cast("long")).as("__tl") +:
       terms.zipWithIndex.map { case (w, i) =>
-        sum(when(array_contains(toks, w), 1L).otherwise(0L))
-          .as(s"__df_$i")
+        sum(when(termCount(w) > 0L, 1L).otherwise(0L)).as(s"__df_$i")
       }
     val st = docs.agg(statsAggs.head, statsAggs.tail: _*).head()
     val n = st.getAs[Long]("__n")
@@ -314,7 +319,7 @@ object TextAnalysis {
     val contribs = terms.zipWithIndex.map { case (w, i) =>
       val df = st.getAs[Long](s"__df_$i")
       val idf = (n - df + 0.5) / (df + 0.5) // driver double, exact ints in
-      val tf = size(filter(toks, x => x === lit(w)))
+      val tf = termCount(w)
       val tfn = (tf * lit(2.2)) /
         (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dlN))
       floor(lit(idf) * tfn * lit(1000.0)).cast("long")

@@ -144,4 +144,31 @@ class FunctionsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [vfs_euclidean"), plan)
   }
+
+  test("term count kernel: HOF parity on the corpus, SQL surface, " +
+      "codegen, edge tokens") {
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+    // bit parity with the Column-side token model on real text
+    val mismatch = docs.select(
+        vfs_term_count($"text", lit("vector")).as("k"),
+        size(filter(split(trim(lower($"text")), "\\s+"),
+          x => x === lit("vector"))).cast("long").as("h"))
+      .filter($"k" =!= $"h").count()
+    assert(mismatch === 0L)
+    // case folding + multiplicity + empty text (split yields [""])
+    val rows = Seq(("Vector VECTOR vector", "vector", 3L),
+      ("", "vector", 0L), ("", "", 1L),
+      ("  spaced   out  ", "out", 1L))
+      .toDF("t", "w", "want")
+    assert(rows.filter(
+      vfs_term_count($"t", $"w") =!= $"want").count() === 0L)
+    // SQL registration
+    assert(spark.sql(
+      "SELECT vfs_term_count('a b a', 'a')").head().getLong(0) === 2L)
+    // stays inside whole-stage codegen
+    val plan = docs.select(vfs_term_count($"text", lit("vector")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vfs_term_count"), plan)
+  }
 }
