@@ -1454,6 +1454,32 @@ object SparkEntry {
         .orderBy(col("column").asc)
     }),
 
+    // ---- exact row-level snapshot diff: base load → snapshot →
+    // append a second batch AND delete every 30th base row → the diff
+    // must report exactly the appended rows as added and the deleted
+    // ones as removed, across the deleteWhere rewrite (where the
+    // file-level commit diff deliberately resets) ----
+    "src_snapshot_diff" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-diff").toString
+      val e = emb(s, dir)
+      val d = e.select(size(col("embedding"))).head().getInt(0)
+      val store = graft.store.VfsStore.create(s, tmp, "diff", dim = d)
+      def batch(lo: Long, hi: Long) = e
+        .filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("embedding").as("values"),
+          col("vec_id").cast("string").as("name"),
+          array().cast("array<string>").as("tags"))
+      store.appendBatch(batch(0L, 300L))
+      store.snapshot("base")
+      store.appendBatch(batch(300L, 450L))
+      val victims = (0L until 300L by 30L).map(_.toString)
+      store.deleteWhere(col("name").isin(victims: _*))
+      store.diffSnapshot("base")
+        .select(col("name"), col("change"))
+        .orderBy(col("change").asc, col("name").asc)
+    }),
+
     // ---- sessionization: gap > 30 min starts a new session ----
     "w_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -2274,6 +2300,16 @@ object SparkEntry {
       Seq("doc_id", "lang", "source", "n_chars").map(one)
         .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\" ASC")
     },
+
+    // added = the appended batch, removed = the deleted base rows;
+    // keyed by name, independent of internal id assignment
+    "src_snapshot_diff" ->
+      """SELECT CAST(vec_id AS VARCHAR) AS name, 'added' AS change
+        |FROM embeddings WHERE vec_id >= 300 AND vec_id < 450
+        |UNION ALL
+        |SELECT CAST(vec_id AS VARCHAR) AS name, 'removed' AS change
+        |FROM embeddings WHERE vec_id < 300 AND vec_id % 30 = 0
+        |ORDER BY change ASC, name ASC""".stripMargin,
 
     // the engine's changesSince must surface exactly the second batch
     // (vec_id 300..449) regardless of internal id assignment
