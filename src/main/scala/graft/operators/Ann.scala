@@ -589,11 +589,15 @@ object IvfIndex {
     val meta = readMeta(path)
     val metric = Metric.parse(meta.metric)
     val cents = loadCentroids(spark, path)
+    // cache once: the batch is read by the sizing count AND the
+    // assignment kernel — caching keeps them consistent for a
+    // nondeterministic source and makes the sizing pass cheap
+    val q = queries.persist()
     // same assignment rule as build/append: kernel normalization for
     // cosine, euclidean argmin over the raw centroids, ties to the
     // lowest cluster id
     val assigned = assignRows(
-      queries.select(col(qidCol).cast("long").as("id"),
+      q.select(col(qidCol).cast("long").as("id"),
         col(qvecCol).cast("array<float>").as("values")),
       cents, math.min(nProbe, cents.length),
       normalize = metric == Metric.Cosine)
@@ -614,15 +618,15 @@ object IvfIndex {
       .select(col("id"), col("values"), col("cluster"))
     // broadcast only query batches that plausibly fit executor memory
     // (the assignment side is |queries|·nProbe full vectors); above
-    // the gate, leave the strategy to the planner — an unconditional
-    // hint at 1M×nProbe queries is a multi-GB broadcast OOM in
-    // exactly the large-batch regime this method exists for. Counting
-    // the INPUT queries (not `assigned`) avoids an extra run of the
-    // assignment kernel just to size the hint.
-    val qSide =
-      if (queries.count() * math.min(nProbe, cents.length) <= 500000L)
-        broadcast(assigned)
-      else assigned
+    // the byte budget, leave the strategy to the planner — an
+    // unconditional hint at 1M×nProbe wide queries is a multi-GB
+    // broadcast OOM in exactly the large-batch regime this method
+    // exists for. Counting the INPUT queries (not `assigned`) avoids
+    // an extra run of the assignment kernel just to size the hint;
+    // dim comes from the index centroids, not the data.
+    val p = math.min(nProbe, cents.length)
+    val dim = if (cents.isEmpty) 0 else cents(0)._2.length
+    val qSide = BroadcastGate.gated(assigned, q.count() * p, dim)
     val scored0 = rows.join(qSide, Seq("cluster"))
       .select(col("qid"), col("id"),
         metric.dist(col("values"), col("qv")).as("distance"))

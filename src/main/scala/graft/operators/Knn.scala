@@ -167,19 +167,25 @@ object Knn {
     * Physical shape: broadcast nested-loop join (when the query batch
     * plausibly fits executor memory) → codegen'd scoring →
     * TopKByDistance partial agg → explode. The broadcast hint is
-    * SIZE-GATED like its approximate twin `IvfIndex.searchBatch`
-    * (Ann.scala): a million-query batch is a multi-GB broadcast OOM in
-    * exactly the regime a batch API exists for — above the gate the
-    * join strategy is left to the planner (the scoring is an inherent
-    * |base|×|queries| product either way; only the OOM is avoidable).
-    * Output: (qid, id, distance, rank). */
+    * BYTE-GATED via [[BroadcastGate]] like its approximate twin
+    * `IvfIndex.searchBatch` (Ann.scala): a wide-vector batch is a
+    * multi-GB broadcast OOM in exactly the regime a batch API exists
+    * for — above the budget the join strategy is left to the planner
+    * (the scoring is an inherent |base|×|queries| product either way;
+    * only the OOM is avoidable). The query batch is cached before the
+    * one sizing aggregate (rows + max dim), so the gate and the join
+    * see the same rows even for a nondeterministic source and the
+    * sizing pass is not a second evaluation of an expensive upstream
+    * plan. Output: (qid, id, distance, rank). */
   def exactBatch(base: DataFrame, queries: DataFrame, k: Int,
       metric: Metric = Metric.Euclidean, vecCol: String = "values",
       idCol: String = "id", qidCol: String = "qid",
       qvecCol: String = "qvalues"): DataFrame = {
     import TopKByDistance.topk
-    val qSide =
-      if (queries.count() <= 500000L) broadcast(queries) else queries
+    val q = queries.persist()
+    val sized = q.agg(count(lit(1)).as("n"),
+      coalesce(max(size(col(qvecCol))), lit(0)).as("dim")).head()
+    val qSide = BroadcastGate.gated(q, sized.getLong(0), sized.getInt(1))
     val scored = base.join(qSide)
       .select(col(qidCol),
         col(idCol),

@@ -661,10 +661,14 @@ object IvfPq {
     val emptyOut = () => spark.range(0)
       .select(col("id").as("qid"), col("id"),
         lit(0.0).as("distance"), lit(0).as("rank"))
+    // cache once: the batch is read by the sizing count AND the
+    // assignment kernel — caching keeps them consistent for a
+    // nondeterministic source and makes the sizing pass cheap
+    val q = queries.persist()
     // same probe-selection rule as the parent (normalize for cosine,
     // euclidean argmin, ties to the lowest cluster id)
     val assigned = IvfIndex.assignRows(
-      queries.select(col(qidCol).cast("long").as("id"),
+      q.select(col(qidCol).cast("long").as("id"),
         col(qvecCol).cast("array<float>").as("values")),
       centArr, math.min(nProbe, centArr.length),
       normalize = metric == Metric.Cosine)
@@ -677,12 +681,12 @@ object IvfPq {
     if (existingCodes.isEmpty) return emptyOut()
     // one count sizes all three broadcast gates (the searchBatch
     // stance: hint only what plausibly fits executor memory, leave the
-    // rest to the planner)
-    val qCount = queries.count()
-    val qSide =
-      if (qCount * math.min(nProbe, centArr.length) <= 500000L)
-        broadcast(assigned)
-      else assigned
+    // rest to the planner); bytes, not rows — dim from the index meta
+    // ([[BroadcastGate]]), so a wide-vector batch can't slip a
+    // multi-GB broadcast past a row-count threshold
+    val qCount = q.count()
+    val qSide = BroadcastGate.gated(assigned,
+      qCount * math.min(nProbe, centArr.length), meta.dim)
     val books = PqIndex.loadCodebooks(spark, path, meta.m, meta.ks)
     val bcBooks = spark.sparkContext.broadcast(books)
     val bcCents = spark.sparkContext.broadcast(cents)
@@ -745,9 +749,10 @@ object IvfPq {
     val raw = if (meta.nAssign > 1) raw0.dropDuplicates("id") else raw0
     val qVecs = assigned.select(col("qid"), col("qv"))
       .dropDuplicates("qid")
-    val qv2 = if (qCount <= 500000L) broadcast(qVecs) else qVecs
-    val candSide =
-      if (qCount * k * overfetch <= 500000L) broadcast(cands) else cands
+    val qv2 = BroadcastGate.gated(qVecs, qCount, meta.dim)
+    // candidate rows are (qid, id) pairs — dim 0, overhead-sized
+    val candSide = BroadcastGate.gated(cands,
+      qCount * k * overfetch, 0)
     raw.join(candSide, Seq("id"))
       .join(qv2, Seq("qid"))
       .select(col("qid"), col("id"),

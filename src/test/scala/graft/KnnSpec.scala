@@ -55,13 +55,15 @@ class KnnSpec extends AnyFunSuite {
     assert(plan.contains("partial_vfs_topk"), plan)
   }
 
-  test("exactBatch broadcast is size-gated: an over-gate batch plans " +
+  test("exactBatch broadcast is byte-gated: an over-budget batch plans " +
       "without the hint, results unchanged at small scale") {
-    // over the 500k-row gate: the hint would be a multi-GB broadcast
-    // OOM at real vector widths — the planner must be left to choose
+    // over the 256 MB byte budget: 500k rows × dim 128 ≈ 288 MB — the
+    // hint would be an executor-memory cliff, the planner must be
+    // left to choose. (The same row count at dim 2 is ~36 MB and
+    // SHOULD broadcast — the gate is bytes, not rows.)
     val big = spark.range(500001L)
       .select($"id".as("qid"),
-        array(lit(0.1f), lit(0.2f)).as("qvalues"))
+        array_repeat(lit(0.1f), 128).as("qvalues"))
     val base2 = Seq((1L, Array(0.1f, 0.2f)), (2L, Array(0.9f, 0.1f)))
       .toDF("id", "values")
     val plan = Knn.exactBatch(base2, big, 1, Metric.Euclidean)

@@ -259,5 +259,27 @@ class PqSpec extends AnyFunSuite {
     // output shape matches the IVF twin
     assert(IvfPq.searchBatch(spark, ivfDir, pqDir, queries, 3)
       .columns.toSeq === Seq("qid", "id", "distance", "rank"))
+
+    // byte-gate off (budget forced to 0 → no broadcast hints on any
+    // of the three gated sides): identical rows — the hint is a
+    // physical-plan nudge, never a correctness dependency
+    val key = "graft.broadcast.budget.bytes"
+    val old = sys.props.get(key)
+    val ungated = try {
+      sys.props(key) = "0"
+      IvfPq.searchBatch(spark, ivfDir, pqDir, queries,
+          k = 5, nProbe = 4, overfetch = 4)
+        .orderBy($"qid", $"rank")
+        .select($"qid", $"id", $"distance")
+        .as[(Long, Long, Double)].collect()
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq)
+        .toMap
+    } finally {
+      old match {
+        case Some(v) => sys.props(key) = v
+        case None => sys.props.remove(key)
+      }
+    }
+    assert(ungated === batch)
   }
 }
