@@ -440,11 +440,19 @@ object IvfPq {
         fs.delete(oldPath, true)
       }
     }
-    // ---- 3. encode vectors that have no code yet. RE-LIST the code
-    // table: `codes` snapshotted its file listing before step 2's
-    // swaps, so reusing it would chase renamed-away part files ----
-    val codedNow = spark.read.parquet(s"$path/codes").select(col("id"))
-    val missing = assign.join(codedNow, Seq("id"), "left_anti")
+    // ---- 3. encode ASSIGNMENT ROWS that have no code yet — keyed on
+    // (id, cluster), not id: a multiprobe vector (nAssign > 1) evicted
+    // from a split cluster can keep a code in a surviving co-assigned
+    // cluster, and an id-only anti-join would then never encode it
+    // into the new clusters — silent recall loss stamped as fresh.
+    // RE-LIST the code table: `codes` snapshotted its file listing
+    // before step 2's swaps, so reusing it would chase renamed-away
+    // part files ----
+    val codedNow = spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("cluster"))
+    val missing = assign.join(codedNow, Seq("id", "cluster"),
+        "left_anti")
+      .select(col("id"), col("values"), col("cluster"))
     val books = PqIndex.loadCodebooks(spark, path, meta.m, meta.ks)
     val bcBooks = spark.sparkContext.broadcast(books)
     val newCodes = missing.as[(Long, Array[Float], Int)]

@@ -236,6 +236,50 @@ class PqSpec extends AnyFunSuite {
     assert(got.count() === 10L)
   }
 
+  test("refresh after rebalance of a MULTIPROBE parent (nAssign=2): " +
+      "every live assignment row gets a code — an id-only anti-join " +
+      "would skip vectors still coded in a surviving co-assigned " +
+      "cluster") {
+    val dim = 8
+    val rows = (0L until 2000L).map { i =>
+      val v = new Array[Float](dim)
+      if (i < 1800L) { v(0) = 1f; v(1) = (i % 97).toFloat / 9700f }
+      else { v((i % (dim - 2)).toInt + 2) = 1f; v(0) = (i % 7).toFloat / 7f }
+      (i, v.toSeq)
+    }.toDF("id", "values")
+    val ivfDir = Files.createTempDirectory("ivfpq_reb2_i").toString
+    val pqDir = Files.createTempDirectory("ivfpq_reb2_p").toString
+    IvfIndex.build(rows, ivfDir, nCentroids = 8, Metric.Cosine,
+      seed = 7L, nAssign = 2)
+    IvfPq.build(spark, ivfDir, pqDir, m = 4, ks = 16)
+    def liveClusters(): Set[Int] = spark.read
+      .parquet(s"$ivfDir/centroids")
+      .select("cluster").as[Int].collect().toSet
+    def liveAssigns() = spark.read.parquet(s"$ivfDir/assignments")
+      .filter($"cluster".isin(liveClusters().toSeq: _*))
+      .select($"id", $"cluster")
+    // build invariant: one code per (id, cluster) assignment row
+    val before = liveAssigns().count()
+    assert(spark.read.parquet(s"$pqDir/codes").count() === before)
+    assert(IvfIndex.rebalance(spark, ivfDir, maxClusterFraction = 0.25,
+      seed = 11L) >= 2)
+    IvfPq.refresh(spark, ivfDir, pqDir)
+    // the invariant the fix restores: codes cover EVERY live
+    // assignment row — including rows whose id kept a code in a
+    // surviving co-assigned cluster while its split-cluster copy
+    // moved to a fresh cluster id
+    val assigns = liveAssigns()
+    val codes = spark.read.parquet(s"$pqDir/codes")
+      .select($"id", $"cluster")
+    assert(codes.count() === assigns.count())
+    assert(codes.except(assigns).count() === 0L)
+    assert(assigns.except(codes).count() === 0L)
+    // probe-legal, full-probe refine returns k rows
+    val q = Array.tabulate(dim)(i => if (i == 0) 1f else 0f)
+    assert(IvfPq.searchRefined(spark, ivfDir, pqDir, q, 10,
+      nProbe = liveClusters().size, overfetch = 8).count() === 10L)
+  }
+
   test("IvfPq.searchBatch: per-query parity with searchRefined, " +
       "multiprobe parent included") {
     val ivfDir = Files.createTempDirectory("ivfpq_batch_i").toString
