@@ -103,12 +103,27 @@ object IvfIndex {
     * k-means clusters have none; reading them would fail with
     * PATH_NOT_FOUND) — O(|clusters|) paths listed, never
     * O(nCentroids). Shared by the IVF probe and IVF-PQ. */
+  /** Existing `cluster=<c>` dirs among `clusters` — and the recovery
+    * point for a crashed rename-swap ([[deleteIds]] / IvfPq.refresh's
+    * scrub): a crash between "live → _old" and "stage → live" leaves
+    * no live dir, only `cluster=<c>_old` holding the data. Silently
+    * skipping the missing dir would drop that entire cluster from
+    * every probe with no error, so when a requested live dir is absent
+    * but its `_old` twin exists, the `_old` dir is renamed back BEFORE
+    * filtering (atomic rename — a racing reader's heal attempt fails
+    * the rename and still sees the healed dir). A leftover `_old`
+    * NEXT TO a live dir is post-swap garbage and is left alone. */
   private[operators] def existingClusterDirs(spark: SparkSession,
       base: String, clusters: Seq[Int]): Seq[String] = {
     val hadoopConf = spark.sessionState.newHadoopConf()
     clusters.map(c => s"$base/cluster=$c").filter { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hadoopConf).exists(hp)
+      val fs = hp.getFileSystem(hadoopConf)
+      if (fs.exists(hp)) true
+      else {
+        val oldP = new org.apache.hadoop.fs.Path(p + "_old")
+        (fs.exists(oldP) && fs.rename(oldP, hp)) || fs.exists(hp)
+      }
     }
   }
 
@@ -684,7 +699,9 @@ object IvfIndex {
     * same stage + rename-swap discipline as [[compactAssignments]]
     * (a crash mid-cluster leaves either the old dir or the new dir,
     * never a partial mix; `cluster=<c>_old` left by a crash between
-    * the two renames is recovered by renaming it back). Cost is
+    * the two renames is auto-healed by [[existingClusterDirs]] on the
+    * next read — renamed back, so no probe ever silently loses the
+    * cluster). Cost is
     * O(touched clusters), not O(index): the locate scan prunes to a
     * pushed-down `id IN` filter and untouched partitions are never
     * read or written. Derived PQ/IVF-PQ artifacts still hold codes for

@@ -441,16 +441,20 @@ class VfsStore private (val spark: SparkSession, val root: String,
     * which re-deliver — downstream consumers keyed by id stay exact,
     * the same stance as [[changesSince]] across rewrites.
     *
-    * CAVEAT (crashed appends): the file source watches the DIRECTORY,
-    * not the manifest, so a directory orphaned by a crash between the
-    * parquet write and the manifest swap would be delivered — and
-    * because that crash never advanced nextId, the orphan's ids are
-    * reassigned by the next successful append, so delivered orphan
-    * rows can alias later legitimate ids. Run [[vacuum()]] before
-    * starting a stream to reclaim orphans. Appends racing an ACTIVE
-    * stream are benign: a file listed just before its manifest swap
-    * already carries exactly the ids the swap is about to publish. */
+    * Crashed appends: the file source watches the DIRECTORY, not the
+    * manifest, so a directory orphaned by a crash between the parquet
+    * write and the manifest swap would be delivered — and because
+    * that crash never advanced nextId, the orphan's ids are reassigned
+    * by the next successful append, so delivered orphan rows could
+    * alias later legitimate ids. ENFORCED here, not just documented:
+    * [[vacuum()]] runs before the source attaches, reclaiming every
+    * directory the manifest (and snapshots) do not reference — a
+    * directory-vs-manifest diff, no data scan. Appends racing an
+    * ACTIVE stream are benign: a file listed just before its manifest
+    * swap already carries exactly the ids the swap is about to
+    * publish. */
   def readStream(): DataFrame = {
+    vacuum()
     val schema =
       if (manifest.quantize) VfsStore.quantSchema else VfsStore.denseSchema
     VfsStore.denseView(

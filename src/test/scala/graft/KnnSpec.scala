@@ -112,6 +112,32 @@ class KnnSpec extends AnyFunSuite {
     victims.foreach(v => assert(!got2.contains(v), s"copy of $v survived"))
   }
 
+  test("crashed deleteIds rename-swap auto-heals: a cluster left " +
+      "only as cluster=<c>_old is renamed back on the next probe " +
+      "instead of silently vanishing from results") {
+    val dir = Files.createTempDirectory("ivf-heal").toString
+    IvfIndex.build(emb, dir, nCentroids = 8, Metric.Cosine)
+    val full = IvfIndex.search(spark, dir, all.head._2, all.length,
+      nProbe = 8).select("id").as[Long].collect().toSet
+    // simulate the crash window between deleteIds' two renames: the
+    // live dir moved to _old, the stage dir never moved in
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = spark.read.parquet(s"$dir/centroids")
+      .select("cluster").as[Int].collect().min
+    val live = new org.apache.hadoop.fs.Path(
+      s"$dir/assignments/cluster=$victim")
+    val old = new org.apache.hadoop.fs.Path(
+      s"$dir/assignments/cluster=${victim}_old")
+    assert(fs.rename(live, old))
+    assert(!fs.exists(live))
+    // a full probe heals the dir and returns the complete id set
+    val healed = IvfIndex.search(spark, dir, all.head._2, all.length,
+      nProbe = 8).select("id").as[Long].collect().toSet
+    assert(healed === full)
+    assert(fs.exists(live) && !fs.exists(old))
+  }
+
   test("GDPR delete closes end to end: id gone from store reads AND " +
       "from a full-probe index search") {
     val root = Files.createTempDirectory("gdpr-e2e").toString

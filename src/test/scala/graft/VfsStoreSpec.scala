@@ -286,6 +286,46 @@ class VfsStoreSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("readStream vacuums crash-orphaned commit dirs before " +
+      "attaching: orphan rows are never delivered, the dir is " +
+      "reclaimed, and later appends reuse the orphan's ids cleanly") {
+    val root = tmp()
+    val s = VfsStore.create(spark, root, "cdco", dim = 2)
+    s.appendBatch(Seq((Seq(1f, 0f), "a")).toDF("values", "name")
+      .withColumn("tags", array()))
+    // simulate a crash between the parquet write and the manifest
+    // swap: a data directory no manifest references, holding ids the
+    // store will hand out again (nextId never advanced)
+    val dataDir = new java.io.File(s"$root/data")
+    val committed = dataDir.listFiles().filter(_.isDirectory)
+    assert(committed.length === 1)
+    val orphanDir = s"$root/data/c9999999999999-9999-append"
+    spark.read.parquet(committed.head.getPath)
+      .withColumn("name", lit("orphan"))
+      .write.parquet(orphanDir)
+    assert(new java.io.File(orphanDir).exists())
+    val q = s.readStream().writeStream
+      .format("memory").queryName("store_orphan")
+      .option("checkpointLocation", tmp())
+      .start()
+    try {
+      q.processAllAvailable()
+      // only the committed row arrives; the orphan was reclaimed
+      // BEFORE the file source listed the directory
+      assert(spark.sql("SELECT name FROM store_orphan")
+        .as[String].collect().toSeq === Seq("a"))
+      assert(!new java.io.File(orphanDir).exists())
+      // the ids the orphan squatted on are reassigned without aliasing
+      // into the stream's delivered set
+      s.appendBatch(Seq((Seq(0f, 1f), "b")).toDF("values", "name")
+        .withColumn("tags", array()))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT id, name FROM store_orphan")
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(rows === Seq((1L, "a"), (2L, "b")))
+    } finally q.stop()
+  }
+
   test("point lookup pushes id predicate to parquet") {
     val s = VfsStore.create(spark, tmp(), "tp", dim = 2)
     (1 to 10).foreach(i => s.insert(Array(i.toFloat, 0f), s"v$i", Nil))
