@@ -1312,6 +1312,37 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- GRAYSCALE PNG (color type 0): same zlib + filter
+    // round-trip, but 1 byte/pixel scanlines — the oracle pins all
+    // three channel means to the payload mean, which only matches if
+    // the bpp-aware filter inversion and GRAY→RGB replication in
+    // toRgb are exact ----
+    "multimodal_png_gray" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizePngGray(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.decodeStats(s, media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- RGBA PNG (color type 6): every 4th payload byte becomes
+    // the alpha lane; stats are alpha-COMPOSITED over white with pure
+    // integer rounding, so the row only hash-matches if the 4-byte
+    // filter stride AND the composite formula are both exact ----
+    "multimodal_png_rgba" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizePngRgba(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.decodeStats(s, media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- REAL 2-D image resize: every doc's PNG raster decoded,
     // nearest-neighbor-resized to 2×3, re-encoded as PNG, decoded
     // AGAIN for stats — the oracle recomputes the resized channel
@@ -2268,6 +2299,8 @@ object SparkEntry {
     "multimodal_features" -> multimodalFeaturesOracle,
 
     "multimodal_png" -> multimodalPngOracle,
+    "multimodal_png_gray" -> multimodalPngGrayOracle,
+    "multimodal_png_rgba" -> multimodalPngRgbaOracle,
     "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_frames" -> multimodalFramesOracle,
 
@@ -2732,6 +2765,56 @@ object SparkEntry {
        |  CAST(${duckChannelMilli(1)} AS BIGINT) AS c1_milli,
        |  CAST(${duckChannelMilli(2)} AS BIGINT) AS c2_milli
        |FROM p ORDER BY doc_id ASC""".stripMargin
+
+  /** Mirrors [[graft.operators.Multimodal.synthesizePngGray]] +
+    * `decodeStats`: a 4-wide GRAYSCALE raster of the zero-padded
+    * payload (4 bytes/row, min one row). GRAY→RGB replication means
+    * every channel mean equals the payload byte mean. */
+  private def multimodalPngGrayOracle: String =
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+       |s AS (SELECT doc_id, bs, len(bs) AS n,
+       |    greatest(4, len(bs) - (len(bs) % 4)) AS m FROM b),
+       |p AS (SELECT doc_id, n, m,
+       |    round(COALESCE(list_sum(list_transform(range(1, m + 1),
+       |        i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END)), 0)
+       |      * 1000.0 / (255.0 * m)) AS gm
+       |  FROM s)
+       |SELECT doc_id, 'image/png' AS format,
+       |  CAST(4 AS INT) AS width,
+       |  CAST(m // 4 AS INT) AS height,
+       |  CAST(m AS BIGINT) AS n_samples,
+       |  CAST(gm AS BIGINT) AS c0_milli,
+       |  CAST(gm AS BIGINT) AS c1_milli,
+       |  CAST(gm AS BIGINT) AS c2_milli
+       |FROM p ORDER BY doc_id ASC""".stripMargin
+
+  /** Mirrors [[graft.operators.Multimodal.synthesizePngRgba]] +
+    * `decodeStats`: a 4-wide RGBA raster of the zero-padded payload
+    * (16 bytes/row, min one row), alpha-composited over white with
+    * the decoder's exact integer rounding —
+    * v = (c·a + 255·(255−a) + 127) // 255 — per channel. */
+  private def multimodalPngRgbaOracle: String = {
+    def chan(c: Int): String =
+      s"""round(COALESCE(list_sum(list_transform(range(0, m // 4),
+         |    j -> (pb[4*j + ${c + 1}] * pb[4*j + 4]
+         |      + 255 * (255 - pb[4*j + 4]) + 127) // 255)), 0)
+         |  * 1000.0 / (255.0 * (m // 4)))""".stripMargin
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+       |s AS (SELECT doc_id, bs, len(bs) AS n,
+       |    greatest(16, len(bs) - (len(bs) % 16)) AS m FROM b),
+       |p AS (SELECT doc_id, n, m,
+       |    list_transform(range(1, m + 1),
+       |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
+       |  FROM s)
+       |SELECT doc_id, 'image/png' AS format,
+       |  CAST(4 AS INT) AS width,
+       |  CAST(m // 16 AS INT) AS height,
+       |  CAST(m // 4 AS BIGINT) AS n_samples,
+       |  CAST(${chan(0)} AS BIGINT) AS c0_milli,
+       |  CAST(${chan(1)} AS BIGINT) AS c1_milli,
+       |  CAST(${chan(2)} AS BIGINT) AS c2_milli
+       |FROM p ORDER BY doc_id ASC""".stripMargin
+  }
 
   /** The fixed BM25 query — shared by the engine call and the oracle
     * generator so the two can't drift. */

@@ -239,6 +239,17 @@ object MediaCodec {
     b.array()
   }
 
+  /** Bytes per pixel for the supported 8-bit color types: 0 =
+    * grayscale, 2 = truecolor RGB, 6 = truecolor + alpha. */
+  private def pngBpp(colorType: Int): Int = colorType match {
+    case 0 => 1
+    case 2 => 3
+    case 6 => 4
+    case other => throw new IllegalArgumentException(
+      s"[GRAFT] png: unsupported color type $other " +
+        "(supported: 0 grayscale, 2 truecolor, 6 truecolor+alpha)")
+  }
+
   /** 8-bit truecolor (color type 2) non-interlaced PNG. `payload` is
     * RGB bytes in top-down row order, length == width*height*3. Rows
     * cycle through ALL FIVE scanline filter types (row % 5 =
@@ -246,10 +257,29 @@ object MediaCodec {
     * exercises every filter inversion, and IDAT is a genuine zlib
     * stream (java.util.zip.Deflater) — a desktop viewer opens the
     * output. */
-  def encodePng(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
-    require(width > 0 && height > 0 && payload.length == width * height * 3,
-      "[GRAFT] png: payload must be width*height*3 bytes")
-    val bpp = 3
+  def encodePng(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+    encodePng(payload, width, height, colorType = 2)
+
+  /** 8-bit grayscale (color type 0) variant of [[encodePng]]:
+    * `payload` is one luma byte per pixel. */
+  def encodePngGray(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+    encodePng(payload, width, height, colorType = 0)
+
+  /** 8-bit RGBA (color type 6) variant of [[encodePng]]: `payload`
+    * is R,G,B,A bytes per pixel. */
+  def encodePngRgba(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
+    encodePng(payload, width, height, colorType = 6)
+
+  /** Shared encoder over the three supported 8-bit color types. The
+    * filter predictors step by the color type's bytes-per-pixel, per
+    * PNG spec §9 (for grayscale the "pixel to the left" is 1 byte
+    * back; for RGBA, 4). */
+  def encodePng(payload: Array[Byte], width: Int, height: Int,
+      colorType: Int): Array[Byte] = {
+    val bpp = pngBpp(colorType)
+    require(width > 0 && height > 0 && payload.length == width * height * bpp,
+      s"[GRAFT] png: payload must be width*height*$bpp bytes for " +
+        s"color type $colorType")
     val stride = width * bpp
     // filtered scanlines: 1 filter-type byte + stride bytes per row;
     // predictors read the ORIGINAL neighbor bytes (== the decoder's
@@ -287,7 +317,7 @@ object MediaCodec {
     val ihdr = ByteBuffer.allocate(13)
     ihdr.putInt(width).putInt(height)
     ihdr.put(8.toByte)  // bit depth
-    ihdr.put(2.toByte)  // color type: truecolor RGB
+    ihdr.put(colorType.toByte)
     ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
     val parts = Seq(PngSig, pngChunk("IHDR", ihdr.array()),
       pngChunk("IDAT", zOut.toByteArray),
@@ -301,11 +331,13 @@ object MediaCodec {
   }
 
   /** Chunk walker + zlib inflate + scanline un-filtering. Validates
-    * the signature, each chunk's CRC32, IHDR sanity (8-bit truecolor,
-    * non-interlaced — the subset [[encodePng]] emits), and that the
-    * inflated stream is exactly (1 + width·3)·height bytes. Multiple
+    * the signature, each chunk's CRC32, IHDR sanity (8-bit grayscale
+    * / truecolor / truecolor+alpha, non-interlaced), and that the
+    * inflated stream is exactly (1 + width·bpp)·height bytes. Multiple
     * IDAT chunks are concatenated per spec; unknown ancillary chunks
-    * are skipped. */
+    * are skipped. `channelOrder` of the result is "GRAY", "RGB", or
+    * "RGBA" by color type — normalize with [[toRgb]] before any
+    * 3-channel kernel. */
   def decodePng(bytes: Array[Byte]): Raster = {
     require(bytes.length >= 8 + 12 + 13,
       "[GRAFT] png: truncated file")
@@ -316,12 +348,15 @@ object MediaCodec {
     }
     val b = ByteBuffer.wrap(bytes) // big-endian by default
     b.position(8)
-    var width = 0; var height = 0
+    var width = 0; var height = 0; var colorType = -1
     var ihdrSeen = false; var iendSeen = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!iendSeen && b.remaining() >= 12) {
       val len = b.getInt()
-      require(len >= 0 && len + 4 <= b.remaining(),
+      // long arithmetic: a crafted len near Int.MaxValue must not
+      // wrap negative and pass; the bound covers type(4) + CRC(4)
+      // so near-boundary truncation errors here, not in b.get
+      require(len >= 0 && len.toLong + 8 <= b.remaining(),
         "[GRAFT] png: chunk overruns buffer")
       val tb = new Array[Byte](4); b.get(tb)
       val typ = new String(tb, StandardCharsets.US_ASCII)
@@ -337,10 +372,11 @@ object MediaCodec {
           width = h.getInt(); height = h.getInt()
           require(width > 0 && height > 0 && width <= (1 << 20) &&
             height <= (1 << 20), "[GRAFT] png: bad dimensions")
-          val depth = h.get(); val colorType = h.get()
-          require(depth == 8 && colorType == 2,
-            s"[GRAFT] png: only 8-bit truecolor supported, " +
-              s"got depth=$depth colorType=$colorType")
+          val depth = h.get(); val ct = h.get()
+          require(depth == 8 && (ct == 0 || ct == 2 || ct == 6),
+            s"[GRAFT] png: only 8-bit grayscale/truecolor/RGBA " +
+              s"supported, got depth=$depth colorType=$ct")
+          colorType = ct
           require(h.get() == 0, "[GRAFT] png: bad compression method")
           require(h.get() == 0, "[GRAFT] png: bad filter method")
           require(h.get() == 0,
@@ -354,7 +390,8 @@ object MediaCodec {
       }
     }
     require(ihdrSeen && iendSeen, "[GRAFT] png: missing IHDR or IEND")
-    val stride = width * 3
+    val bpp = pngBpp(colorType)
+    val stride = width * bpp
     val rawLen = (stride + 1) * height
     val raw = new Array[Byte](rawLen)
     val infl = new java.util.zip.Inflater()
@@ -386,10 +423,10 @@ object MediaCodec {
       var x = 0
       while (x < stride) {
         val f = raw(r * (stride + 1) + 1 + x) & 0xff
-        val left = if (x >= 3) out(r * stride + x - 3) & 0xff else 0
+        val left = if (x >= bpp) out(r * stride + x - bpp) & 0xff else 0
         val up = if (r > 0) out((r - 1) * stride + x) & 0xff else 0
-        val ul = if (r > 0 && x >= 3)
-          out((r - 1) * stride + x - 3) & 0xff else 0
+        val ul = if (r > 0 && x >= bpp)
+          out((r - 1) * stride + x - bpp) & 0xff else 0
         val v = ft match {
           case 0 => f
           case 1 => f + left
@@ -402,7 +439,61 @@ object MediaCodec {
       }
       r += 1
     }
-    Raster(width, height, "RGB", out)
+    val order = colorType match {
+      case 0 => "GRAY"
+      case 2 => "RGB"
+      case _ => "RGBA"
+    }
+    Raster(width, height, order, out)
+  }
+
+  /** Normalize any decoded raster to 3-byte RGB pixels: BGR swaps
+    * channels, GRAY replicates luma, RGBA alpha-composites over an
+    * opaque `background` (default white) with correct rounding —
+    * v = round((c·a + bg·(255−a)) / 255) — so fully transparent
+    * pixels read as the background, not as their hidden color. Pure
+    * integer arithmetic, mirrored by the DuckDB oracle. */
+  def toRgb(ras: Raster, background: Int = 255): Raster = {
+    require(background >= 0 && background <= 255,
+      "[GRAFT] toRgb: background must be a byte value")
+    ras.channelOrder match {
+      case "RGB" => ras
+      case "BGR" =>
+        val p = ras.pixels.clone()
+        var i = 0
+        while (i < p.length) {
+          val t = p(i); p(i) = p(i + 2); p(i + 2) = t
+          i += 3
+        }
+        Raster(ras.width, ras.height, "RGB", p)
+      case "GRAY" =>
+        val p = new Array[Byte](ras.pixels.length * 3)
+        var i = 0
+        while (i < ras.pixels.length) {
+          val g = ras.pixels(i)
+          p(3 * i) = g; p(3 * i + 1) = g; p(3 * i + 2) = g
+          i += 1
+        }
+        Raster(ras.width, ras.height, "RGB", p)
+      case "RGBA" =>
+        val n = ras.pixels.length / 4
+        val p = new Array[Byte](n * 3)
+        var i = 0
+        while (i < n) {
+          val a = ras.pixels(4 * i + 3) & 0xff
+          var c = 0
+          while (c < 3) {
+            val v = ras.pixels(4 * i + c) & 0xff
+            p(3 * i + c) =
+              ((v * a + background * (255 - a) + 127) / 255).toByte
+            c += 1
+          }
+          i += 1
+        }
+        Raster(ras.width, ras.height, "RGB", p)
+      case other => throw new IllegalArgumentException(
+        s"[GRAFT] toRgb: unknown channel order $other")
+    }
   }
 
   /** ASCII header parser with `#` comment support (the part naive

@@ -128,6 +128,52 @@ object Multimodal {
       }
   }
 
+  /** 8-bit GRAYSCALE (color type 0) twin of [[synthesizePng]]: the
+    * payload is one luma byte per pixel on a 4-wide raster (4 bytes
+    * per row), truncated to whole rows and zero-padded up to one row
+    * minimum. Decoding replicates luma into R=G=B via
+    * [[MediaCodec.toRgb]], so the oracle pins all three channel means
+    * to the same payload mean. */
+  def synthesizePngGray(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val m = math.max(4, payload.length - payload.length % 4)
+          val p = java.util.Arrays.copyOf(payload, m)
+          val bytes = MediaCodec.encodePngGray(p, 4, p.length / 4)
+          MediaRecord(id, bytes, "image/png", bytes.length.toLong)
+        }
+      }
+  }
+
+  /** 8-bit RGBA (color type 6) twin of [[synthesizePng]]: the
+    * payload is R,G,B,A bytes per pixel on a 4-wide raster (16 bytes
+    * per row), truncated to whole rows and zero-padded up to one row
+    * minimum. The payload's every 4th byte BECOMES the alpha lane, so
+    * decode stats only match the oracle if [[MediaCodec.toRgb]]'s
+    * integer alpha-composite over white is reproduced exactly. */
+  def synthesizePngRgba(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val m = math.max(16, payload.length - payload.length % 16)
+          val p = java.util.Arrays.copyOf(payload, m)
+          val bytes = MediaCodec.encodePngRgba(p, 4, p.length / 16)
+          MediaRecord(id, bytes, "image/png", bytes.length.toLong)
+        }
+      }
+  }
+
   private def meanMilli(sum: Long, cnt: Long): Long =
     if (cnt == 0) 0L else math.round(sum * 1000.0 / (255.0 * cnt))
 
@@ -158,19 +204,20 @@ object Multimodal {
               case "image/ppm" => MediaCodec.decodePpm(r.media)
               case _ => MediaCodec.decodePng(r.media)
             }
-            // normalize stored channel order to R,G,B sums
-            val (ri, gi, bi) =
-              if (ras.channelOrder == "BGR") (2, 1, 0) else (0, 1, 2)
+            // normalize to RGB first: swaps BGR, replicates GRAY,
+            // alpha-composites RGBA over white (stats are then
+            // alpha-aware — transparent pixels read as background)
+            val rgb = MediaCodec.toRgb(ras)
             val sums = new Array[Long](3)
             var i = 0
-            while (i < ras.pixels.length) {
-              sums(i % 3) += (ras.pixels(i) & 0xff)
+            while (i < rgb.pixels.length) {
+              sums(i % 3) += (rgb.pixels(i) & 0xff)
               i += 1
             }
             val px = (ras.width.toLong * ras.height)
             MediaStats(r.doc_id, r.format, ras.width, ras.height, px,
-              meanMilli(sums(ri), px), meanMilli(sums(gi), px),
-              meanMilli(sums(bi), px))
+              meanMilli(sums(0), px), meanMilli(sums(1), px),
+              meanMilli(sums(2), px))
           case other => throw new IllegalArgumentException(
             s"[GRAFT] no decoder registered for format $other")
         }
@@ -300,16 +347,10 @@ object Multimodal {
           case other => throw new IllegalArgumentException(
             s"[GRAFT] resizeMedia: no raster decoder for format $other")
         }
-        val rgb =
-          if (ras.channelOrder == "BGR") {
-            val p = ras.pixels.clone()
-            var i = 0
-            while (i < p.length) {
-              val t = p(i); p(i) = p(i + 2); p(i + 2) = t
-              i += 3
-            }
-            p
-          } else ras.pixels
+        // BGR swap / GRAY replicate / RGBA composite over white —
+        // the resize kernels are 3-channel, so alpha is resolved
+        // here (alpha-aware resize = composite, then interpolate)
+        val rgb = MediaCodec.toRgb(ras).pixels
         val resized =
           if (bilinear) MediaCodec.bilinearResizeRgb(rgb, ras.width,
             ras.height, newWidth, newHeight)

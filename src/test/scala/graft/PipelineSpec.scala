@@ -593,6 +593,90 @@ class PipelineSpec extends AnyFunSuite {
       MediaCodec.decodePng(evil)).getMessage.contains("[GRAFT]"))
   }
 
+  test("png codec: grayscale + RGBA color types round-trip with " +
+      "bpp-aware filters, toRgb composites, hardened chunk guard") {
+    import graft.operators.MediaCodec
+    val w = 4; val h = 7 // > 5 rows ⇒ all five filters exercised
+    // grayscale (color type 0, 1 byte/pixel)
+    val gpx = Array.tabulate(w * h)(i => ((i * 53 + 7) % 256).toByte)
+    val gpng = MediaCodec.encodePngGray(gpx, w, h)
+    val gr = MediaCodec.decodePng(gpng)
+    assert(gr.channelOrder === "GRAY" && gr.pixels.toSeq === gpx.toSeq)
+    // JDK interop: ImageIO must read the same luma values (raw
+    // raster samples — getRGB would gamma-convert gray to sRGB)
+    val gimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(gpng))
+    for (y <- 0 until h; x <- 0 until w) {
+      val lum = gimg.getRaster.getSample(x, y, 0)
+      assert(lum === (gpx(y * w + x) & 0xff), s"gray at ($x,$y)")
+    }
+    // toRgb replicates luma into all three channels
+    val grgb = MediaCodec.toRgb(gr)
+    assert(grgb.channelOrder === "RGB")
+    assert(grgb.pixels.grouped(3).zip(gpx.iterator).forall {
+      case (trip, g) => trip.forall(_ == g)
+    })
+    // RGBA (color type 6, 4 bytes/pixel)
+    val apx = Array.tabulate(w * h * 4)(i => ((i * 31 + 3) % 256).toByte)
+    val apng = MediaCodec.encodePngRgba(apx, w, h)
+    val ar = MediaCodec.decodePng(apng)
+    assert(ar.channelOrder === "RGBA" && ar.pixels.toSeq === apx.toSeq)
+    // JDK interop: ImageIO must agree on all four channels
+    val aimg = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(apng))
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = aimg.getRGB(x, y)
+      val o = (y * w + x) * 4
+      assert(((argb >> 24) & 0xff) === (apx(o + 3) & 0xff), s"A ($x,$y)")
+      assert(((argb >> 16) & 0xff) === (apx(o) & 0xff), s"R ($x,$y)")
+    }
+    // toRgb alpha-composites over white with exact integer rounding
+    val acomp = MediaCodec.toRgb(ar)
+    assert(acomp.pixels.length === w * h * 3)
+    for (j <- 0 until w * h; c <- 0 until 3) {
+      val v = apx(4 * j + c) & 0xff; val a = apx(4 * j + 3) & 0xff
+      val want = (v * a + 255 * (255 - a) + 127) / 255
+      assert((acomp.pixels(3 * j + c) & 0xff) === want, s"comp $j/$c")
+    }
+    // fully transparent pixel reads as pure background
+    val clear = MediaCodec.toRgb(MediaCodec.Raster(1, 1, "RGBA",
+      Array(200.toByte, 10.toByte, 99.toByte, 0.toByte)), background = 0)
+    assert(clear.pixels.toSeq === Seq[Byte](0, 0, 0))
+    // adversarial: crafted chunk len near Int.MaxValue must be
+    // rejected by the guard (old int arithmetic wrapped negative and
+    // attempted a ~2 GB allocation)
+    val evilLen = gpng.clone()
+    java.nio.ByteBuffer.wrap(evilLen).putInt(8, Int.MaxValue - 2)
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodePng(evilLen)).getMessage
+      .contains("chunk overruns buffer"))
+    // near-boundary truncation (type+data present, CRC cut) must be
+    // the guard's error, not a BufferUnderflowException
+    val idatStart = {
+      var i = 8; var found = -1
+      val bb = java.nio.ByteBuffer.wrap(gpng)
+      while (found < 0) {
+        val len = bb.getInt(i)
+        val typ = new String(gpng, i + 4, 4, "US-ASCII")
+        if (typ == "IDAT") found = i else i += 12 + len
+      }
+      found
+    }
+    val idatLen = java.nio.ByteBuffer.wrap(gpng).getInt(idatStart)
+    val cut = java.util.Arrays.copyOf(gpng, idatStart + 8 + idatLen + 2)
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodePng(cut)).getMessage
+      .contains("chunk overruns buffer"))
+    // palette (3) and gray+alpha (4) still rejected with a clear error
+    val pal = gpng.clone() // colorType byte is at offset 8+4+4+8+1=25
+    pal(25) = 3
+    val fixCrc = new java.util.zip.CRC32()
+    fixCrc.update(pal, 12, 4 + 13)
+    java.nio.ByteBuffer.wrap(pal).putInt(29, fixCrc.getValue.toInt)
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodePng(pal)).getMessage.contains("colorType=3"))
+  }
+
   test("multimodal decode: stats come from decoded samples with " +
       "normalized channel order") {
     import graft.operators.{MediaCodec, Multimodal}
