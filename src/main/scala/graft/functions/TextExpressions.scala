@@ -235,6 +235,77 @@ object TermCount {
   }
 }
 
+/** STRING text → ARRAY<BIGINT> occurrence counts of ALL `terms`
+  * (fixed at plan time) among the text's whitespace tokens, in terms
+  * order — the multi-term BM25 tf kernel. ONE tokenizer pass per row
+  * regardless of |terms| (each token is resolved against a hash map
+  * built once per executor), vs one full [[TermCount]] retokenize per
+  * term — O(|text| + |tokens|) instead of O(|terms|·|text|) per row.
+  * Token model shared with [[HashedBow.tokensOf]], and each count is
+  * bit-identical to the corresponding `TermCount(text, term)`, so
+  * swapping kernels cannot move an oracle hash. */
+case class TermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(terms.nonEmpty, "[GRAFT] vfs_term_counts: no terms")
+  require(terms.distinct == terms,
+    "[GRAFT] vfs_term_counts: duplicate terms")
+  // built on the driver, shipped to executors inside the expression;
+  // the per-executor lazy index makes per-row cost hash-map lookups
+  private val lookup = new TermCounts.Lookup(terms.toArray)
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vfs_term_counts"
+
+  override def nullSafeEval(text: Any): Any =
+    TermCounts.counts(text.asInstanceOf[UTF8String], lookup)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termLookup", lookup,
+      classOf[TermCounts.Lookup].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TermCounts.counts($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object TermCounts {
+  /** Serializable term table with a transient lazily-built index —
+    * deserialization on each executor rebuilds the map once, not per
+    * row. */
+  final class Lookup(val terms: Array[String]) extends Serializable {
+    @transient private var idx: java.util.HashMap[String, Integer] = _
+    private[TermCounts] def index: java.util.HashMap[String, Integer] = {
+      var m = idx
+      if (m == null) {
+        m = new java.util.HashMap[String, Integer](terms.length * 2)
+        var i = 0
+        while (i < terms.length) {
+          m.put(terms(i), Integer.valueOf(i)); i += 1
+        }
+        idx = m
+      }
+      m
+    }
+  }
+
+  /** static entry for codegen: one tokenize, one map probe per token */
+  def counts(text: UTF8String,
+      lk: Lookup): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val out = new Array[Long](lk.terms.length)
+    val ix = lk.index
+    HashedBow.tokensOf(text).foreach { t =>
+      val i = ix.get(t)
+      if (i != null) out(i.intValue()) += 1L
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 /** STRING → ARRAY<BIGINT> minhash signature computed in one tight JVM
   * pass: tokenize on whitespace, FNV-1a each distinct word ONCE, then
   * derive the `numHashes` hash family affinely (g_i = a_i·h + b_i over

@@ -62,6 +62,11 @@ package object functions {
   def vfs_term_count(text: Column, term: Column): Column =
     col(TermCount(ex(text), ex(term)))
 
+  /** one-pass occurrence counts of ALL terms → ARRAY<BIGINT> in terms
+    * order (multi-term BM25 tf kernel; tokenizes once per row) */
+  def vfs_term_counts(text: Column, terms: Seq[String]): Column =
+    col(TermCounts(ex(text), terms))
+
   def vfs_hash_embedding(text: Column, dim: Int): Column =
     col(HashEmbedding(ex(text), dim, milli = false))
   def vfs_hash_embedding_milli(text: Column, dim: Int): Column =
@@ -86,6 +91,17 @@ package object functions {
     r1("vfs_fingerprint", es => Fingerprint(es(0)))
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     r1("vfs_term_count", es => TermCount(es(0), es(1)))
+    // varargs: vfs_term_counts(text, 'a', 'b', ...) — terms must be
+    // string literals (they parameterize the kernel at plan time)
+    r1("vfs_term_counts", es => TermCounts(es(0), es.drop(1).map {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        "[GRAFT] vfs_term_counts(text, term...): terms must be " +
+          s"string literals, got $other")
+    }))
     r1("vfs_vec_mean", es =>
       graft.operators.VectorMean(es(0)).toAggregateExpression())
     def intLit(e: Expression, what: String): Int = e match {

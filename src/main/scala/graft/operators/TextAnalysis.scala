@@ -301,25 +301,28 @@ object TextAnalysis {
     require(terms.nonEmpty, "[GRAFT] bm25: no query terms")
     require(terms.distinct == terms, "[GRAFT] bm25: duplicate terms")
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    // codegen'd one-pass term counter (TermCount) instead of the
-    // interpreted size(filter(split(...))) HOF — the scoring scan
-    // stays inside whole-stage codegen and the text splits once per
-    // term kernel call, not once per lambda evaluation
-    def termCount(w: String) =
-      graft.functions.vfs_term_count(col(textCol), lit(w))
+    // codegen'd ONE-PASS multi-term counter (TermCounts): the text
+    // tokenizes once per row and all |terms| counts come back as one
+    // ARRAY<BIGINT>; whole-stage codegen's subexpression elimination
+    // collapses the repeated element_at(tc, i) references to a single
+    // kernel call per row in both the stats scan and the scoring scan
+    // (each count is bit-identical to the old per-term TermCount, so
+    // the oracle hash cannot move)
+    val tc = graft.functions.vfs_term_counts(col(textCol), terms)
+    def termCount(i: Int) = element_at(tc, i + 1)
     val statsAggs = count(lit(1)).cast("long").as("__n") +:
       sum(size(toks).cast("long")).as("__tl") +:
-      terms.zipWithIndex.map { case (w, i) =>
-        sum(when(termCount(w) > 0L, 1L).otherwise(0L)).as(s"__df_$i")
+      terms.indices.map { i =>
+        sum(when(termCount(i) > 0L, 1L).otherwise(0L)).as(s"__df_$i")
       }
     val st = docs.agg(statsAggs.head, statsAggs.tail: _*).head()
     val n = st.getAs[Long]("__n")
     val tl = math.max(1L, st.getAs[Long]("__tl"))
     val dlN = (size(toks) * lit(n)).cast("double") / lit(tl.toDouble)
-    val contribs = terms.zipWithIndex.map { case (w, i) =>
+    val contribs = terms.indices.map { i =>
       val df = st.getAs[Long](s"__df_$i")
       val idf = (n - df + 0.5) / (df + 0.5) // driver double, exact ints in
-      val tf = termCount(w)
+      val tf = termCount(i)
       val tfn = (tf * lit(2.2)) /
         (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dlN))
       floor(lit(idf) * tfn * lit(1000.0)).cast("long")

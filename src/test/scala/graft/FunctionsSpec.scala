@@ -171,4 +171,39 @@ class FunctionsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [vfs_term_count"), plan)
   }
+
+  test("multi-term counts kernel: per-term parity with vfs_term_count " +
+      "on the corpus, SQL varargs, codegen, guards") {
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+    val terms = Seq("vector", "join", "spark", "the")
+    // the one-pass array must equal the per-term kernel, element-wise,
+    // on every corpus row (the bit-parity bm25's oracle hash rides on)
+    val mismatch = docs.select(
+        vfs_term_counts($"text", terms).as("tc"),
+        array(terms.map(w => vfs_term_count($"text", lit(w))): _*)
+          .as("one"))
+      .filter($"tc" =!= $"one").count()
+    assert(mismatch === 0L)
+    // multiplicity across terms + the empty-token edge
+    val got = Seq("A b a  B", "").toDF("t")
+      .select(vfs_term_counts($"t", Seq("a", "b", "")).as("tc"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(got(0) === Seq(2L, 2L, 0L))
+    assert(got(1) === Seq(0L, 0L, 1L)) // split("") yields [""]
+    // SQL varargs registration; non-literal terms rejected
+    assert(spark.sql("SELECT vfs_term_counts('a b a', 'a', 'b')")
+      .head().getSeq[Long](0).toSeq === Seq(2L, 1L))
+    val err = intercept[Exception](
+      spark.sql("SELECT vfs_term_counts('a', upper('a'))").collect())
+    assert(err.getMessage.contains("string literals"))
+    // duplicate terms rejected (ambiguous count slots)
+    assert(intercept[Exception](
+      docs.select(vfs_term_counts($"text", Seq("a", "a")))
+    ).getMessage.contains("duplicate"))
+    // stays inside whole-stage codegen
+    val plan = docs.select(vfs_term_counts($"text", terms))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [vfs_term_counts"), plan)
+  }
 }
