@@ -1443,6 +1443,19 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- BM25 over a 24-query WORKLOAD table: the inverted-index
+    // formulation (explode → term-filter → posting agg → per-qid
+    // integer sum) that a query workload needs — every (doc, term)
+    // posting scored once no matter how many qids share the term;
+    // per-qid scores bit-identical to the literal-kernel path ----
+    "text_bm25_table" -> ((s, dir) => {
+      import s.implicits._
+      val q = Bm25Workload.toDF("qid", "term")
+      graft.operators.TextAnalysis.bm25ScoresTable(
+          s.read.parquet(s"$dir/documents.parquet"), q)
+        .orderBy(col("qid").asc, col("doc_id").asc)
+    }),
+
     // ---- hybrid retrieval: BM25 lexical top-50 fused with exact
     // inner-product vector top-50 (hashed-BoW milli embeddings, doc 0
     // as the query) by reciprocal-rank fusion. Rankings are computed
@@ -1474,6 +1487,47 @@ object SparkEntry {
       graft.operators.Knn.rrfFuse(s, Seq(lexTop, vecTop))
         .select(col("id").as("doc_id"), col("rrf_milli"))
         .orderBy(col("rrf_milli").desc, col("doc_id").asc)
+    }),
+
+    // ---- BATCH hybrid retrieval: per qid 0..23, workload-BM25
+    // top-50 fused with exact milli-dot vector top-50 (query vector =
+    // doc qid's embedding, self excluded) via rrfFuseBatch — the
+    // whole pipeline is DataFrame-native: inverted-index BM25, one
+    // broadcast batch-dot scan, per-qid window top-k, union + hash
+    // agg fusion. No driver loops anywhere ----
+    "q_hybrid_rrf_batch" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("score_milli").desc, col("doc_id").asc)
+      val lexRanked = graft.operators.TextAnalysis
+        .bm25ScoresTable(docs, Bm25Workload.toDF("qid", "term"))
+        .withColumn("rank", row_number().over(wl))
+        .filter(col("rank") <= 50)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      val embM = docs.select(col("doc_id"),
+        graft.operators.TextAnalysis.hashEmbeddingMilli(col("text"))
+          .as("v"))
+      val queries = embM.filter(col("doc_id") < 24)
+        .select(col("doc_id").as("qid"), col("v").as("qv"))
+      val dot = aggregate(
+        zip_with(col("v"), col("qv"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(col("dot").desc, col("doc_id").asc)
+      val vecRanked = embM.crossJoin(broadcast(queries))
+        .filter(col("doc_id") =!= col("qid"))
+        .select(col("qid"), col("doc_id"), dot.as("dot"))
+        .filter(col("dot") > 0L)
+        .withColumn("rank", row_number().over(wv))
+        .filter(col("rank") <= 50)
+        .select(col("qid"), col("doc_id"), col("rank"))
+      graft.operators.Knn
+        .rrfFuseBatch(Seq(lexRanked, vecRanked), idCol = "doc_id")
+        .orderBy(col("qid").asc, col("rrf_milli").desc,
+          col("doc_id").asc)
     }),
 
     // ---- one-pass data profile: per-column rows/nulls/distinct/
@@ -2318,6 +2372,8 @@ object SparkEntry {
         |ORDER BY vec_id ASC""".stripMargin,
 
     "text_bm25" -> bm25Oracle,
+    "text_bm25_table" -> bm25TableOracle,
+    "q_hybrid_rrf_batch" -> hybridRrfBatchOracle,
 
     "q_hybrid_rrf" -> hybridRrfOracle,
 
@@ -2820,6 +2876,20 @@ object SparkEntry {
     * generator so the two can't drift. */
   private val Bm25Terms = Seq("vector", "join", "spark")
 
+  /** Fixed 24-query × 3-term workload for the batch BM25 / hybrid
+    * rows — a deterministic rotation over common corpus vocabulary,
+    * shared by the engine call and the oracle generator so the two
+    * can't drift. */
+  private val Bm25Vocab = Seq("vector", "join", "spark", "hash",
+    "row", "batch", "scan", "filter", "merge", "window", "stream",
+    "sort", "query", "table", "group", "key", "data", "column",
+    "agg", "order", "fast", "slow", "small", "big")
+  private val Bm25Workload: Seq[(Long, String)] =
+    (0 until 24).flatMap { qid =>
+      Seq(Bm25Vocab(qid), Bm25Vocab((qid + 7) % 24),
+        Bm25Vocab((qid + 13) % 24)).map(t => (qid.toLong, t))
+    }
+
   /** The BM25 stats + scores CTEs (requires `t(doc_id, toks)` in
     * scope), mirroring [[graft.operators.TextAnalysis.bm25Scores]]
     * term by term: same association order in every double op
@@ -2853,6 +2923,83 @@ object SparkEntry {
        |$bm25ScCtes
        |SELECT doc_id, score_milli FROM sc WHERE score_milli > 0
        |ORDER BY doc_id ASC""".stripMargin
+
+  /** The workload VALUES list — one (qid, term) row per
+    * [[Bm25Workload]] entry. */
+  private def bm25WorkloadValues: String =
+    Bm25Workload.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** The workload-BM25 CTEs (requires `t(doc_id, toks)` in scope),
+    * mirroring [[graft.operators.TextAnalysis.bm25ScoresTable]] over
+    * [[Bm25Workload]]: same inverted-index decomposition (postings of
+    * workload terms only, df from posting presence) and the SAME
+    * double-op association order as the single-query CTEs. Produces
+    * `scq(qid, doc_id, score_milli > 0)`. CTE names are q-suffixed so
+    * they compose with `bm25ScCtes`/`hashedBowCtes` in one WITH. */
+  private def bm25TableCtes: String =
+    s"""q AS (SELECT CAST(qid AS BIGINT) AS qid, term
+       |  FROM (VALUES $bm25WorkloadValues) AS v(qid, term)),
+       |stq AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(len(toks)) AS BIGINT) AS tl FROM t),
+       |tokq AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+       |  FROM t),
+       |postq AS (SELECT term, doc_id, dl,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM tokq WHERE term IN (SELECT DISTINCT term FROM q)
+       |  GROUP BY term, doc_id, dl),
+       |dfsq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |  FROM postq GROUP BY term),
+       |cq AS (SELECT q.qid, p.doc_id,
+       |    CAST(floor(((n - df + 0.5) / (df + 0.5))
+       |      * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75
+       |        * (CAST(dl * n AS DOUBLE) / tl))))
+       |      * 1000.0) AS BIGINT) AS contrib
+       |  FROM postq p JOIN dfsq USING (term)
+       |  JOIN q ON q.term = p.term, stq),
+       |scq AS (SELECT qid, doc_id,
+       |    CAST(sum(contrib) AS BIGINT) AS score_milli
+       |  FROM cq GROUP BY qid, doc_id HAVING sum(contrib) > 0)""".stripMargin
+
+  private def bm25TableOracle: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents),
+       |$bm25TableCtes
+       |SELECT qid, doc_id, score_milli FROM scq
+       |ORDER BY qid ASC, doc_id ASC""".stripMargin
+
+  /** Batch hybrid retrieval oracle: per qid 0..23, workload-BM25
+    * top-50 fused with exact milli-dot vector top-50 (query vector =
+    * doc qid's hashed-BoW embedding, self excluded) by the same
+    * floor(10⁶/(60+rank)) weights as the single-query twin — every
+    * stage exact-integer. */
+  private def hybridRrfBatchOracle: String =
+    s"""WITH $hashedBowCtes,
+       |m AS (SELECT doc_id, list_transform(cnts, x -> CASE WHEN nrm > 0
+       |    THEN CAST(round(x / nrm * 1000) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END) AS emb_milli
+       |  FROM n),
+       |$bm25TableCtes,
+       |qq AS (SELECT doc_id AS qid, emb_milli AS qv FROM m
+       |  WHERE doc_id < 24),
+       |dotsq AS (SELECT qq.qid, m.doc_id,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> m.emb_milli[i] * qq.qv[i])) AS BIGINT) AS dot
+       |  FROM m, qq WHERE m.doc_id <> qq.qid),
+       |vtopq AS (SELECT qid, doc_id, r FROM (
+       |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY dot DESC, doc_id ASC) AS r
+       |    FROM dotsq WHERE dot > 0) WHERE r <= 50),
+       |ltopq AS (SELECT qid, doc_id, r FROM (
+       |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score_milli DESC, doc_id ASC) AS r
+       |    FROM scq) WHERE r <= 50)
+       |SELECT qid, doc_id,
+       |  CAST(COALESCE(floor(1000000.0 / (60 + l.r)), 0)
+       |    + COALESCE(floor(1000000.0 / (60 + v.r)), 0) AS BIGINT)
+       |    AS rrf_milli
+       |FROM ltopq l FULL OUTER JOIN vtopq v USING (qid, doc_id)
+       |ORDER BY qid ASC, rrf_milli DESC, doc_id ASC""".stripMargin
 
   /** Hybrid retrieval oracle: BM25 top-50 (ltop) ∪ exact milli-dot
     * vector top-50 vs doc 0 (vtop), fused by floor(10⁶/(60+rank))

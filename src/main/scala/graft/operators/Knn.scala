@@ -224,4 +224,37 @@ object Knn {
     scores.toSeq.toDF("id", "rrf_milli")
       .orderBy(col("rrf_milli").desc, col("id").asc)
   }
+
+  /** DataFrame-native reciprocal-rank fusion over a QUERY WORKLOAD:
+    * each input frame is a per-query ranking (qidCol, idCol, rankCol
+    * — rank 1-based within its qid, at most one row per (qid, id) per
+    * frame), e.g. the outputs of a batch BM25 top-k and a batch
+    * vector top-k. Produces (qidCol, idCol, rrf_milli) with the SAME
+    * exact-integer weights as [[rrfFuse]] — floor(10⁶ / (c + rank))
+    * summed as LONGs — so a single qid's fusion is bit-identical to
+    * the driver-side path (spec-pinned).
+    *
+    * 100 TB shape: where [[rrfFuse]] fuses one query's driver-sized
+    * lists, a Q-query hybrid workload fuses Q·k·|frames| ranking rows
+    * — result-sized, not corpus-sized, but far too big for a driver
+    * loop at large Q. Here it is one no-shuffle union of the ranked
+    * frames + one hash aggregate keyed (qid, id) (map-side partial
+    * combine; integer sum is aggregation-order-free). No driver
+    * materialization, no per-qid loop. */
+  def rrfFuseBatch(ranked: Seq[DataFrame], c: Int = 60,
+      qidCol: String = "qid", idCol: String = "id",
+      rankCol: String = "rank"): DataFrame = {
+    require(ranked.nonEmpty, "[GRAFT] rrfFuseBatch: no ranked frames")
+    require(c >= 0, "[GRAFT] rrfFuseBatch: c must be >= 0")
+    // floor of the same double division rrfFuse does on the driver —
+    // integer add, promote, divide, floor: bit-identical weights
+    val w = floor(lit(1000000.0) / (lit(c) + col(rankCol)))
+      .cast("long")
+    ranked
+      .map(df => df.select(col(qidCol).cast("long").as(qidCol),
+        col(idCol).cast("long").as(idCol), w.as("__w")))
+      .reduce(_ union _)
+      .groupBy(col(qidCol), col(idCol))
+      .agg(sum(col("__w")).as("rrf_milli"))
+  }
 }

@@ -332,6 +332,70 @@ object TextAnalysis {
       .filter(col("score_milli") > 0)
   }
 
+  /** BM25 over a QUERY WORKLOAD: `queries` is a (qid, term) table and
+    * the result is (qid, idCol, score_milli > 0) — per qid, the exact
+    * same milli scores [[bm25Scores]] produces for that qid's term
+    * list (identical token model, stats, and double-op association
+    * order; spec-pinned parity).
+    *
+    * Where [[bm25Scores]] bakes terms in as per-term literal kernels
+    * (right for ONE query), this is the inverted-index formulation a
+    * query workload needs: corpus tokens are exploded once, restricted
+    * to the workload's distinct terms BEFORE the aggregation (the
+    * term-filter join's small side is the query vocabulary — Catalyst
+    * auto-broadcasts it), and each (doc, term) posting is scored once
+    * no matter how many qids share the term; per-query fan-out happens
+    * on the posting-sized table, not the corpus.
+    *
+    * 100 TB shape: one corpus stats scan; one explode + hash agg over
+    * the TERM-FILTERED token stream (map-side partial combine, shuffle
+    * keyed (doc, term) — proportional to matched tokens, not corpus
+    * vocabulary); df from the posting table (term-sized); the final
+    * (qid, doc) sum is an integer hash agg over contribution rows. No
+    * driver-side loops, no per-term scans.
+    * Duplicate (qid, term) pairs are collapsed (a term contributes
+    * once per query, matching [[bm25Scores]]'s distinct-terms guard). */
+  def bm25ScoresTable(docs: DataFrame, queries: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      qidCol: String = "qid", termCol: String = "term"): DataFrame = {
+    WorkCols.requireFree(docs, "__qid", "__term", "__dl", "__tf", "__df")
+    val q = queries
+      .select(col(qidCol).cast("long").as("__qid"),
+        col(termCol).as("__term"))
+      .distinct()
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    // corpus-global stats (same n/tl every qid sees in bm25Scores)
+    val st = docs.agg(count(lit(1)).cast("long").as("__n"),
+      sum(size(toks).cast("long")).as("__tl")).head()
+    val n = st.getLong(0)
+    val tl = math.max(1L, st.getLong(1))
+    val postings = docs
+      .select(col(idCol), size(toks).as("__dl"),
+        explode(toks).as("__term"))
+      .join(q.select(col("__term")).distinct(), "__term")
+      .groupBy(col("__term"), col(idCol), col("__dl"))
+      .agg(count(lit(1)).cast("long").as("__tf"))
+    val dfs = postings.groupBy(col("__term"))
+      .agg(count(lit(1)).cast("long").as("__df"))
+    // EXACTLY bm25Scores' arithmetic: idf's (n − df) is integer math
+    // promoted by + 0.5, dlN is (dl·n) integer-multiplied then cast,
+    // and the contribution association is ((idf · tfn) · 1000) — each
+    // double op has exact-integer inputs in the same order, so per-qid
+    // results are bit-identical to the literal-kernel path
+    val idf = (lit(n) - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))
+    val dlN = (col("__dl") * lit(n)).cast("double") / lit(tl.toDouble)
+    val tf = col("__tf")
+    val tfn = (tf * lit(2.2)) /
+      (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dlN))
+    val contrib = floor(idf * tfn * lit(1000.0)).cast("long")
+    postings.join(dfs, "__term").join(q, "__term")
+      .select(col("__qid"), col(idCol), contrib.as("__c"))
+      .groupBy(col("__qid"), col(idCol))
+      .agg(sum(col("__c")).as("score_milli"))
+      .filter(col("score_milli") > 0)
+      .withColumnRenamed("__qid", qidCol)
+  }
+
   /** Corpus vocabulary for tokenizer training: the top-`v` words by
     * global occurrence count (ties word-ascending) with rank and
     * cumulative corpus-coverage in milli-units — the curve that tells

@@ -944,6 +944,71 @@ class PipelineSpec extends AnyFunSuite {
       Knn.rrfFuse(spark, Seq(Seq(1L, 1L)))).getMessage.contains("[GRAFT]"))
   }
 
+  test("bm25 over a query table: per-qid bit parity with the " +
+      "literal-kernel path, duplicate pairs collapsed") {
+    import graft.operators.TextAnalysis
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+    val workload = Seq(
+      0L -> Seq("vector", "join"),
+      1L -> Seq("spark", "hash", "row"),
+      2L -> Seq("window"),
+      3L -> Seq("zzz-not-in-corpus")) // matches nothing → no rows
+    val q = workload
+      .flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("qid", "term")
+    val got = TextAnalysis.bm25ScoresTable(docs, q)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rs) =>
+        qid -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      }
+    // every qid's scores must equal an independent single-query run
+    workload.foreach { case (qid, ts) =>
+      val want = TextAnalysis.bm25Scores(docs, ts)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.getOrElse(qid, Map.empty) === want, s"qid $qid")
+    }
+    assert(!got.contains(3L))
+    // duplicate (qid, term) pairs count once, like the distinct guard
+    val dup = Seq((0L, "vector"), (0L, "vector"), (0L, "join"))
+      .toDF("qid", "term")
+    val dedup = TextAnalysis.bm25ScoresTable(docs, dup)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(dedup === got(0L))
+  }
+
+  test("rrfFuseBatch: per-qid bit parity with driver-side rrfFuse, " +
+      "one no-shuffle union + one hash aggregate") {
+    import graft.operators.Knn
+    val lex = Seq((7L, 10L, 1), (7L, 11L, 2), (8L, 20L, 1))
+      .toDF("qid", "id", "rank")
+    val vec = Seq((7L, 10L, 1), (7L, 12L, 2), (9L, 30L, 3))
+      .toDF("qid", "id", "rank")
+    val fused = Knn.rrfFuseBatch(Seq(lex, vec))
+    val got = fused.collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      }
+    // qid 7 must equal the driver-side fusion of the same two lists
+    val want7 = Knn.rrfFuse(spark, Seq(Seq(10L, 11L), Seq(10L, 12L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(7L) === want7)
+    // single-frame qids, including a rank that starts past 1
+    assert(got(8L) === Map(20L -> math.floor(1000000.0 / 61).toLong))
+    assert(got(9L) === Map(30L -> math.floor(1000000.0 / 63).toLong))
+    // plan shape: the union must not shuffle — exactly ONE exchange
+    // (the fusion aggregate's), keyed (qid, id); count only the AQE
+    // final plan (the Initial Plan section repeats the same node)
+    val exchanges = fused.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, "union+agg should plan exactly one exchange")
+    assert(intercept[IllegalArgumentException](
+      Knn.rrfFuseBatch(Nil)).getMessage.contains("[GRAFT]"))
+  }
+
   test("streaming ingest: micro-batches append to store exactly once") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
