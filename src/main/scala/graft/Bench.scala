@@ -166,11 +166,25 @@ object Bench {
     results("bm25_score") = median {
       SparkEntry.queries("text_bm25")(spark, sfDir).count()
     }
+    // batch hybrid retrieval: inverted-index BM25 + broadcast batch
+    // dot, per-qid window top-50 each, union + hash-agg RRF fusion
+    results("hybrid_rrf_batch") = median {
+      SparkEntry.queries("q_hybrid_rrf_batch")(spark, sfDir).count()
+    }
     results("sessionize") = median {
       SparkEntry.queries("w_sessionize")(spark, sfDir).count()
     }
     results("window_agg") = median {
       SparkEntry.queries("stream_window_agg")(spark, sfDir).count()
+    }
+    // CDC: row-exact snapshot diff across a delete rewrite (store
+    // build + snapshot + append + delete + diff, end to end)
+    results("snapshot_diff") = median {
+      SparkEntry.queries("src_snapshot_diff")(spark, sfDir).count()
+    }
+    // one-pass per-column profiling (single aggregate scan)
+    results("profile") = median {
+      SparkEntry.queries("q_profile")(spark, sfDir).count()
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
