@@ -1210,19 +1210,25 @@ object SparkEntry {
     // ---- IVF-PQ at a genuinely PARTIAL probe — the production
     // operating point (the full-probe row above gates codebook quality
     // but not probe pruning). 45 centroids, nProbe=16 (36% of
-    // clusters), multiprobe parent, m=32 residual codes, overfetch=8:
-    // the defaults the recall curves in BENCHREPORT.md pick for the
-    // >=0.8 bound (the parent IVF ceiling at this point is ~0.9;
-    // m=32 refine tracks it). Mean recall@10 over 20 queries via the
-    // BATCH search path, which also puts IvfPq.searchBatch itself
-    // under the correctness gate ----
+    // clusters), closure-assigned multiprobe parent (nAssign=3,
+    // assignEps=0.5 — secondary copies only within 1.5× the nearest
+    // squared centroid distance), m=32 residual codes, overfetch=8.
+    // Measured decomposition (PrunedRecallProbe, this corpus): the PQ
+    // refine tracks the parent IVF's exact-scored ceiling EXACTLY at
+    // every operating point (codebooks are not the constraint — probe
+    // pruning is), and closure assignment moves that ceiling:
+    // nAssign=2 unconditional 185/200 @2.0× storage, nAssign=3
+    // eps=0.5 197/200 @2.8×, nAssign=3 unconditional 198/200 @3.0×.
+    // Mean recall@10 over 20 queries via the BATCH search path >= 0.9
+    // (the round-5 bar was 0.8), which also puts IvfPq.searchBatch
+    // itself under the correctness gate ----
     "ann_ivfpq_pruned" -> ((s, dir) => {
       val e = emb(s, dir).select(col("vec_id").as("id"),
         col("embedding").as("values"))
       val ivf = java.nio.file.Files.createTempDirectory("verify-ivfpq-pr-i").toString
       val pq = java.nio.file.Files.createTempDirectory("verify-ivfpq-pr-p").toString
       graft.operators.IvfIndex.build(e, ivf, nCentroids = 45,
-        Metric.Cosine, nAssign = 2)
+        Metric.Cosine, nAssign = 3, assignEps = 0.5)
       graft.operators.IvfPq.build(s, ivf, pq, m = 32, ks = 64)
       val queries = e.orderBy(col("id").asc).limit(20)
         .select(col("id").as("qid"), col("values").as("qvalues"))
@@ -1233,7 +1239,7 @@ object SparkEntry {
         Metric.Cosine).select(col("qid"), col("id"))
       val hits = approx.intersect(exact).count() // of 200 possible
       s.range(1).select(lit(10L).as("k"),
-        lit(if (hits >= 160L) 1L else 0L).as("pass"))
+        lit(if (hits >= 180L) 1L else 0L).as("pass"))
     }),
 
     // ---- MinHash-LSH global near-dup: the FULL pipeline (portable

@@ -25,11 +25,15 @@ import org.apache.spark.sql.functions._
   * k-means): euclidean NN on the unit sphere = cosine NN.
   */
 object IvfIndex {
+  /** `assignEpsMilli` < 0 = unconditional nAssign-nearest replication;
+    * >= 0 = closure assignment — a secondary copy is stored only when
+    * its squared centroid distance is within (1 + eps) of the nearest
+    * (eps = assignEpsMilli/1000). */
   case class Meta(nCentroids: Int, metric: String, dim: Int, seed: Long,
-      nAssign: Int = 1, generation: Int = 1)
+      nAssign: Int = 1, generation: Int = 1, assignEpsMilli: Long = -1L)
 
   private def metaJson(m: Meta): String =
-    s"""{"nCentroids":${m.nCentroids},"metric":"${m.metric}","dim":${m.dim},"seed":${m.seed},"nAssign":${m.nAssign},"generation":${m.generation}}"""
+    s"""{"nCentroids":${m.nCentroids},"metric":"${m.metric}","dim":${m.dim},"seed":${m.seed},"nAssign":${m.nAssign},"generation":${m.generation},"assignEpsMilli":${m.assignEpsMilli}}"""
   private def parseMeta(s: String): Meta = {
     def num(k: String) = ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toLong
     def opt(k: String, default: Long) =
@@ -37,11 +41,17 @@ object IvfIndex {
         .map(_.group(1).toLong).getOrElse(default)
     val metric = "\"metric\":\"(\\w+)\"".r.findFirstMatchIn(s).get.group(1)
     Meta(num("nCentroids").toInt, metric, num("dim").toInt, num("seed"),
-      opt("nAssign", 1L).toInt, opt("generation", 1L).toInt)
+      opt("nAssign", 1L).toInt, opt("generation", 1L).toInt,
+      opt("assignEpsMilli", -1L))
   }
 
   private[operators] def readMeta(path: String): Meta = parseMeta(new String(
     Files.readAllBytes(Paths.get(path, "ivf.json")), StandardCharsets.UTF_8))
+
+  /** The closure-assignment eps an index was built with (< 0 =
+    * unconditional replication), decoded from the persisted milli. */
+  private[operators] def metaEps(meta: Meta): Double =
+    if (meta.assignEpsMilli < 0) -1.0 else meta.assignEpsMilli / 1000.0
 
   /** splitmix64 finalizer — the deterministic per-row "random" priority
     * used for sampling and init (the U2 RNG-determinism hook: no RNG
@@ -181,13 +191,19 @@ object IvfIndex {
     * emitted once per its nAssign nearest centroids (multiprobe /
     * SOAR-style double assignment — closes the centroid-boundary blind
     * spot of single-assignment similarity joins at nAssign× storage).
+    * A finite `eps` >= 0 makes replication CONDITIONAL (SPANN-style
+    * closure assignment): a secondary copy is stored only while its
+    * squared centroid distance is within (1 + eps) × the nearest —
+    * boundary vectors (the ones pruned probes actually miss) replicate,
+    * interior vectors don't, so storage grows with boundary density
+    * instead of a flat nAssign×. eps < 0 (the default) = unconditional.
     * Ties break to the lowest cluster id (strict < scan in ascending
     * order), deterministically. `normalize` = spherical (cosine) mode:
     * rows are L2-normalized in the kernel and STORED normalized.
     * Output: (id, values, cluster). */
   private[operators] def assignRows(prepared: DataFrame,
       centArr: Array[(Int, Array[Float])], nAssign: Int,
-      normalize: Boolean): DataFrame = {
+      normalize: Boolean, eps: Double = -1.0): DataFrame = {
     val spark = prepared.sparkSession
     val bc = spark.sparkContext.broadcast(centArr)
     import spark.implicits._
@@ -250,7 +266,9 @@ object IvfIndex {
             // next input row reuses the scratch buffers.
             val out = new Array[(Long, Array[Float], Int)](n)
             var s = 0
-            while (s < n) {
+            var d1 = Double.NaN // nearest distance, set at s = 0
+            var stop = false
+            while (s < n && !stop) {
               var best = -1; var bestD = Double.MaxValue
               var j = 0
               while (j < cs.length) {
@@ -259,9 +277,18 @@ object IvfIndex {
                 }
                 j += 1
               }
-              used(best) = true; out(s) = (id, v, cs(best)._1); s += 1
+              if (s == 0) d1 = ds(best)
+              // closure cut: secondary copies only inside the epsilon
+              // ball (candidates come out in ascending distance, so
+              // the first miss ends the row; NaN distances compare
+              // false and also stop after the mandatory first copy)
+              if (s > 0 && eps >= 0.0 && !(ds(best) <= (1.0 + eps) * d1))
+                stop = true
+              else {
+                used(best) = true; out(s) = (id, v, cs(best)._1); s += 1
+              }
             }
-            out
+            if (s == n) out else out.take(s)
           }
         }
       }
@@ -292,14 +319,18 @@ object IvfIndex {
     *      ([[assignRows]]), written partitioned by cluster.
     *
     * `nAssign` > 1 writes each vector to its nAssign nearest clusters
-    * (multiprobe storage — see [[assignRows]] and [[similarityJoin]]).
+    * (multiprobe storage — see [[assignRows]] and [[similarityJoin]]);
+    * `assignEps` >= 0 bounds that replication to the boundary (closure
+    * assignment — a secondary copy only when its squared centroid
+    * distance is within (1 + assignEps) of the nearest), persisted in
+    * the meta so append/rebalance honor the same rule.
     * Deterministic given the input's partition layout (the sample is a
     * per-partition top-m; same files + same read ⇒ same index). */
   def build(base: DataFrame, path: String, nCentroids: Int,
       metric: Metric = Metric.Cosine, seed: Long = 42L,
       vecCol: String = "values", idCol: String = "id",
       trainCap: Long = 100000L, maxIter: Int = 10,
-      nAssign: Int = 1): Unit = {
+      nAssign: Int = 1, assignEps: Double = -1.0): Unit = {
     require(nCentroids > 0, "nCentroids must be positive")
     require(nAssign >= 1, "nAssign must be >= 1")
     val spark = base.sparkSession
@@ -344,7 +375,7 @@ object IvfIndex {
         prepared.repartition(spark.sparkContext.defaultParallelism)
       else prepared
     assignRows(assignInput, centArr, math.min(nAssign, nCentroids),
-      normalize = spherical)
+      normalize = spherical, eps = assignEps)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(s"$path/assignments")
@@ -363,7 +394,8 @@ object IvfIndex {
       metaJson(Meta(nCentroids, metric match {
         case Metric.Cosine => "cosine"
         case Metric.Euclidean => "euclidean"
-      }, dim, seed, math.min(nAssign, nCentroids), gen))
+      }, dim, seed, math.min(nAssign, nCentroids), gen,
+        if (assignEps < 0) -1L else math.round(assignEps * 1000.0)))
         .getBytes(StandardCharsets.UTF_8))
   }
 
@@ -796,7 +828,7 @@ object IvfIndex {
     // index's multiprobe factor so appended rows keep the
     // boundary-coverage guarantee of the original build
     assignRows(prepared, loadCentroids(spark, path), meta.nAssign,
-      normalize = metric == Metric.Cosine)
+      normalize = metric == Metric.Cosine, eps = metaEps(meta))
       .repartition(col("cluster"))
       .write.mode("append").partitionBy("cluster")
       .parquet(s"$path/assignments")
@@ -965,7 +997,7 @@ object IvfIndex {
       // subcentroids, preserving the boundary-pair visibility that
       // similarityJoin/probes were built with
       assignRows(rows, centArr, math.min(meta.nAssign, centArr.length),
-        normalize = false)
+        normalize = false, eps = metaEps(meta))
         .repartition(col("cluster"))
         .write.mode("overwrite").partitionBy("cluster").parquet(stage)
       // fresh ids cannot collide with live dirs — plain renames

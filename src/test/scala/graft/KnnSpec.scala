@@ -393,6 +393,45 @@ class KnnSpec extends AnyFunSuite {
     assert(ids.distinct.length === ids.length, ids.mkString(","))
   }
 
+  test("closure assignment (assignEps): replication bounded by the " +
+      "epsilon ball, persisted in meta, honored by append") {
+    val rnd = new scala.util.Random(31)
+    val corpus = (0 until 500).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("id", "values")
+    def storedRows(nAssign: Int, eps: Double): (String, Long) = {
+      val dir = Files.createTempDirectory(s"ivf_eps").toString
+      IvfIndex.build(corpus, dir, nCentroids = 12, Metric.Cosine,
+        nAssign = nAssign, assignEps = eps)
+      (dir, spark.read.parquet(s"$dir/assignments").count())
+    }
+    val (_, uncond) = storedRows(3, -1.0)
+    val (tightDir, tight) = storedRows(3, 0.0)
+    val (_, mid) = storedRows(3, 0.5)
+    val (_, huge) = storedRows(3, 1e9)
+    assert(uncond === 3 * 500L)
+    // eps=0 replicates only exact ties — effectively single-assignment
+    // on continuous data
+    assert(tight === 500L, s"eps=0 should not replicate: $tight")
+    // a finite ball sits strictly between; an enormous ball IS the
+    // unconditional path
+    assert(tight < mid && mid < uncond, s"$tight < $mid < $uncond")
+    assert(huge === uncond)
+    // the eps is persisted (milli) and append honors the same rule:
+    // appending the corpus to the eps=0 index must not replicate
+    import org.apache.spark.sql.functions.{col, lit}
+    val appended = corpus.filter(col("id") < 50)
+      .select((col("id") + 10000L).as("id"), col("values"))
+    IvfIndex.append(appended, tightDir)
+    val after = spark.read.parquet(s"$tightDir/assignments").count()
+    assert(after === 550L, s"append must honor closure eps: $after")
+    // search still dedups ids and finds the appended vectors
+    val probe = corpus.head().getSeq[Float](1).toArray
+    val ids = IvfIndex.search(spark, tightDir, probe, 20, nProbe = 12)
+      .select("id").as[Long].collect()
+    assert(ids.distinct.length === ids.length)
+  }
+
   test("IVF build tolerates NaN vectors: deterministic cluster, no -1 dir") {
     // a NaN lane makes every centroid distance NaN, which compares
     // false against everything — the argmin must still pick a REAL
