@@ -172,6 +172,25 @@ object Explain {
         spark.read.parquet(s"$dir/documents.parquet"),
         Seq("vector", "join", "spark"))
     }
+    show("bm25 over a query TABLE (expect: inverted-index shape — " +
+        "explode feeds a BROADCAST semi-equi join on the workload's " +
+        "term vocabulary BEFORE any aggregation, posting agg keyed " +
+        "(term, doc, dl) with map-side partial, df agg term-sized, " +
+        "final (qid, doc) integer sum)") {
+      import spark.implicits._
+      graft.operators.TextAnalysis.bm25ScoresTable(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        Seq((0L, "vector"), (0L, "join"), (1L, "spark"))
+          .toDF("qid", "term"))
+    }
+    show("batch RRF fusion (expect: no-shuffle Union of the ranked " +
+        "frames -> ONE hash aggregate keyed (qid, id) with map-side " +
+        "partial integer sum)") {
+      import spark.implicits._
+      val lex = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("qid", "id", "rank")
+      val vec = Seq((0L, 10L, 1), (0L, 12L, 2)).toDF("qid", "id", "rank")
+      graft.operators.Knn.rrfFuseBatch(Seq(lex, vec))
+    }
     show("one-pass profile (expect: ONE aggregate over one scan; " +
         "Catalyst's Expand feeds the multiple count-distincts from " +
         "the same pass)") {
