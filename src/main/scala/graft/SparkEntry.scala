@@ -1504,14 +1504,13 @@ object SparkEntry {
     "q_hybrid_rrf_batch" -> ((s, dir) => {
       import s.implicits._
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val wl = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid"))
-        .orderBy(col("score_milli").desc, col("doc_id").asc)
-      val lexRanked = graft.operators.TextAnalysis
-        .bm25ScoresTable(docs, Bm25Workload.toDF("qid", "term"))
-        .withColumn("rank", row_number().over(wl))
-        .filter(col("rank") <= 50)
-        .select(col("qid"), col("doc_id"), col("rank"))
+      // fused workload-BM25 top-50: per-doc kernel scores every qid
+      // locally and pipelines into the bounded-heap partial top-k —
+      // the qid × doc cross never shuffles (bit-identical to
+      // bm25ScoresTable + rankByScore, spec-pinned; the oracle
+      // re-proves it here)
+      val lexRanked = graft.operators.TextAnalysis.bm25TopK(
+        docs, Bm25Workload.toDF("qid", "term"), k = 50)
       val embM = docs.select(col("doc_id"),
         graft.operators.TextAnalysis.hashEmbeddingMilli(col("text"))
           .as("v"))
@@ -1520,16 +1519,12 @@ object SparkEntry {
       val dot = aggregate(
         zip_with(col("v"), col("qv"), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
-      val wv = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("qid"))
-        .orderBy(col("dot").desc, col("doc_id").asc)
-      val vecRanked = embM.crossJoin(broadcast(queries))
-        .filter(col("doc_id") =!= col("qid"))
-        .select(col("qid"), col("doc_id"), dot.as("dot"))
-        .filter(col("dot") > 0L)
-        .withColumn("rank", row_number().over(wv))
-        .filter(col("rank") <= 50)
-        .select(col("qid"), col("doc_id"), col("rank"))
+      val vecRanked = graft.operators.Knn.rankByScore(
+        embM.crossJoin(broadcast(queries))
+          .filter(col("doc_id") =!= col("qid"))
+          .select(col("qid"), col("doc_id"), dot.as("dot"))
+          .filter(col("dot") > 0L),
+        k = 50, idCol = "doc_id", scoreCol = "dot")
       graft.operators.Knn
         .rrfFuseBatch(Seq(lexRanked, vecRanked), idCol = "doc_id")
         .orderBy(col("qid").asc, col("rrf_milli").desc,

@@ -225,6 +225,30 @@ object Knn {
       .orderBy(col("rrf_milli").desc, col("id").asc)
   }
 
+  /** Per-query top-k selection by DESCENDING score (ascending-id
+    * ties) as (qidCol, idCol, rank 1-based) — the ranking half of
+    * batch hybrid retrieval. Runs the [[TopKByDistance]] bounded-heap
+    * partial aggregate on the NEGATED score: map-side combine ships at
+    * most k rows per (partition, qid) to the shuffle, where a
+    * row_number window would sort every candidate row of every query
+    * in |queries| single-task partitions (measured 29.5 s → 2.9 s at
+    * 64 queries × 500k matching docs, ScaleProbe). Output is
+    * bit-identical to `row_number over (score desc, id asc)` — the
+    * aggregate's (value asc, id asc) total order on the negation IS
+    * that order. */
+  def rankByScore(scored: DataFrame, k: Int, qidCol: String = "qid",
+      idCol: String = "id", scoreCol: String = "score"): DataFrame = {
+    require(k > 0, "[GRAFT] rankByScore: k must be positive")
+    import TopKByDistance.topk
+    scored
+      .groupBy(col(qidCol))
+      .agg(topk((-col(scoreCol)).cast("double"),
+        col(idCol).cast("long"), k).as("topk"))
+      .select(col(qidCol), posexplode(col("topk")).as(Seq("pos", "r")))
+      .select(col(qidCol), col("r.id").as(idCol),
+        (col("pos") + 1).as("rank"))
+  }
+
   /** DataFrame-native reciprocal-rank fusion over a QUERY WORKLOAD:
     * each input frame is a per-query ranking (qidCol, idCol, rankCol
     * — rank 1-based within its qid, at most one row per (qid, id) per

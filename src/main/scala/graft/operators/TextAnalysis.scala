@@ -396,6 +396,119 @@ object TextAnalysis {
       .withColumnRenamed("__qid", qidCol)
   }
 
+  /** Workload BM25 fused with per-query top-k: (qid, idCol, rank),
+    * rank 1-based by (score desc, id asc) — BIT-IDENTICAL to
+    * `Knn.rankByScore(bm25ScoresTable(docs, queries), k)` (same
+    * arithmetic, spec-pinned), with the qid × doc cross NEVER
+    * shuffled.
+    *
+    * Why it exists: [[bm25ScoresTable]] materializes one contribution
+    * row per (qid, doc, term) through the final aggregate's exchange.
+    * For a DENSE workload (common terms that match most of the corpus
+    * — the inverted index's worst case) that shuffle carries
+    * |qids with t| × |docs matching t| rows summed over terms
+    * (measured 25 s for 64 queries × 500k all-matching docs). Here
+    * the postings are grouped BY DOC (one slim |postings|-row
+    * shuffle), each doc's term→tf map meets the BROADCAST workload in
+    * one kernel that accumulates every qid's score locally, and the
+    * emitted (qid, doc, score) stream pipelines into the bounded-heap
+    * partial top-k — only ≤ k rows per (partition, qid) ever reach
+    * the final exchange (measured 25 s → ~4 s, ScaleProbe).
+    *
+    * The trade: the workload (qid, term) table is collected and
+    * broadcast (fine up to millions of pairs; stats/df remain
+    * distributed aggs). For workloads too large to broadcast, compose
+    * [[bm25ScoresTable]] + `rankByScore` instead. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      qidCol: String = "qid", termCol: String = "term"): DataFrame = {
+    require(k > 0, "[GRAFT] bm25TopK: k must be positive")
+    WorkCols.requireFree(docs, "__term", "__dl", "__tf", "__tfs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wl = queries
+      .select(col(qidCol).cast("long").as("qid"), col(termCol).as("term"))
+      .distinct().as[(Long, String)].collect()
+    require(wl.nonEmpty, "[GRAFT] bm25TopK: empty query workload")
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val st = docs.agg(count(lit(1)).cast("long").as("__n"),
+      sum(size(toks).cast("long")).as("__tl")).head()
+    val n = st.getLong(0)
+    val tl = math.max(1L, st.getLong(1))
+    val termSet = wl.map(_._2).distinct.sorted
+    val postings = docs
+      .select(col(idCol).cast("long").as("__id"), size(toks).as("__dl"),
+        explode(toks).as("__term"))
+      .join(broadcast(termSet.toSeq.toDF("__term")), "__term")
+      .groupBy(col("__id"), col("__dl"), col("__term"))
+      .agg(count(lit(1)).cast("long").as("__tf"))
+    // df per term: term-sized agg, collected for the driver idf map
+    val dfMap = postings.groupBy(col("__term"))
+      .agg(count(lit(1)).cast("long").as("__df"))
+      .as[(String, Long)].collect().toMap
+    // driver-side literals, EXACTLY bm25ScoresTable's association
+    // order: idf's (n − df) is integer math promoted by + 0.5
+    val termIdx = termSet.zipWithIndex.toMap
+    val idfArr = termSet.map { t =>
+      val df = dfMap.getOrElse(t, 0L)
+      (n - df + 0.5) / (df + 0.5)
+    }
+    // term index → qids that query it (the broadcast inverted
+    // workload); qid ids are dense-encoded for the kernel accumulator
+    val qids = wl.map(_._1).distinct.sorted
+    val qidIdx = qids.zipWithIndex.toMap
+    val termQids: Array[Array[Int]] = {
+      val m = Array.fill(termSet.length)(Vector.newBuilder[Int])
+      wl.foreach { case (q, t) => m(termIdx(t)) += qidIdx(q) }
+      m.map(_.result().toArray)
+    }
+    val bc = spark.sparkContext.broadcast((idfArr, termQids, qids))
+    // one slim shuffle keys postings by doc; the kernel then scores
+    // EVERY qid for the doc locally and streams (qid, id, score) into
+    // the partial top-k — the dense cross exists only as a pipelined
+    // iterator, never as shuffle rows
+    val perDoc = postings
+      .groupBy(col("__id"), col("__dl"))
+      .agg(collect_list(struct(col("__term"), col("__tf"))).as("__tfs"))
+      .select(col("__id"), col("__dl"), col("__tfs"))
+    val scored = perDoc.as[(Long, Int, Seq[(String, Long)])]
+      .mapPartitions { it =>
+        val (idf, tq, qidArr) = bc.value
+        val tIdx = termIdx // serialized with the closure (driver map)
+        val acc = new Array[Long](qidArr.length)
+        val touched = new Array[Boolean](qidArr.length)
+        it.flatMap { case (id, dl, tfs) =>
+          java.util.Arrays.fill(acc, 0L)
+          java.util.Arrays.fill(touched, false)
+          // dlN/tfn/contrib mirror bm25ScoresTable's double ops 1:1:
+          // (dl·n) long-multiplied then toDouble, ((idf·tfn)·1000)
+          val dlN = (dl.toLong * n).toDouble / tl.toDouble
+          tfs.foreach { case (term, tf) =>
+            val ti = tIdx(term)
+            val tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlN))
+            val c = math.floor(idf(ti) * tfn * 1000.0).toLong
+            val qs = tq(ti)
+            var i = 0
+            while (i < qs.length) {
+              acc(qs(i)) += c; touched(qs(i)) = true; i += 1
+            }
+          }
+          val out = Vector.newBuilder[(Long, Long, Long)]
+          var qi = 0
+          while (qi < qidArr.length) {
+            if (touched(qi) && acc(qi) > 0)
+              out += ((qidArr(qi), id, acc(qi)))
+            qi += 1
+          }
+          out.result()
+        }
+      }
+      .toDF("qid", idCol, "score_milli")
+    Knn.rankByScore(scored, k, qidCol = "qid", idCol = idCol,
+      scoreCol = "score_milli")
+      .withColumnRenamed("qid", qidCol)
+  }
+
   /** Corpus vocabulary for tokenizer training: the top-`v` words by
     * global occurrence count (ties word-ascending) with rank and
     * cumulative corpus-coverage in milli-units — the curve that tells

@@ -235,6 +235,48 @@ object ScaleProbe {
       graft.operators.Profile.profile(wide,
         Seq("key", "text"), exact = false).count()
     }
+
+    // workload BM25 + batch hybrid fusion at 500k docs / 64 queries:
+    // the inverted-index shape's cost must be the exploded token
+    // stream (pipelined broadcast term filter, no pre-agg shuffle) +
+    // one (term, doc)-keyed agg, NOT |queries| corpus scans — and the
+    // fusion one union + one (qid, id)-keyed agg over ranking rows
+    val bmWl = (0 until 64).flatMap { qid =>
+      Seq("lorem", "dolor", "tempor", s"${qid % 7}").map(t => (qid.toLong, t))
+    }.toDF("qid", "term")
+    time("workload BM25 scores, UNFUSED path: 64 queries x 500k " +
+        "all-matching docs (dense worst case — the (qid, doc) " +
+        "contribution fan-out shuffles ~96M rows)") {
+      graft.operators.TextAnalysis.bm25ScoresTable(mediaDocs, bmWl)
+        .count()
+    }
+    val lexRanked = time("workload BM25 top-50, FUSED bm25TopK: same " +
+        "64 x 500k dense workload (per-doc kernel + pipelined " +
+        "partial top-k — the qid x doc cross never shuffles)") {
+      val r = graft.operators.TextAnalysis
+        .bm25TopK(mediaDocs, bmWl, k = 50).cache()
+      r.count(); r
+    }
+    time("batch RRF fusion of two 64-query rankings (union + one " +
+        "hash agg)") {
+      graft.operators.Knn.rrfFuseBatch(
+        Seq(lexRanked, lexRanked.withColumn("rank", lit(1))),
+        idCol = "doc_id").count()
+    }
+
+    // closure assignment at 500k vectors: conditional replication must
+    // cost one assignment pass like the unconditional path, and the
+    // stored-row delta IS the boundary fraction
+    val closDir = java.nio.file.Files
+      .createTempDirectory("scale-clos").toString
+    time("IVF build nAssign=3 assignEps=0.5 (closure assignment, " +
+        "500k x 64)") {
+      IvfIndex.build(base, closDir, nCentroids = 128, Metric.Cosine,
+        nAssign = 3, assignEps = 0.5)
+    }
+    val closRows = spark.read.parquet(s"$closDir/assignments").count()
+    println(f"[scale-probe] closure-assigned rows: $closRows " +
+      f"(${closRows.toDouble / n}%.2fx corpus; unconditional would be 3.00x)")
     spark.stop()
   }
 }

@@ -978,6 +978,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(dedup === got(0L))
   }
 
+  test("rankByScore: bit parity with row_number over (score desc, " +
+      "id asc), partial top-k in the plan, k bounds each qid") {
+    import graft.operators.{Knn, TextAnalysis}
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+    val q = Seq((0L, "vector"), (0L, "join"), (1L, "spark"),
+      (2L, "the"), (2L, "hash"))
+      .toDF("qid", "term")
+    val scored = TextAnalysis.bm25ScoresTable(docs, q)
+    val got = Knn.rankByScore(scored, k = 20, idCol = "doc_id",
+      scoreCol = "score_milli")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"qid").orderBy($"score_milli".desc, $"doc_id".asc)
+    val want = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 20).select($"qid", $"doc_id", $"rank")
+    // exact set equality including rank values (ties: id ascending)
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    assert(got.groupBy($"qid").count()
+      .filter($"count" > 20).count() === 0L)
+    // plan: partial top-k aggregate, not a window sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_vfs_topk"), plan)
+    assert(!plan.contains("Window"), "must not plan a window sort")
+  }
+
+  test("bm25TopK: bit parity with bm25ScoresTable + rankByScore, " +
+      "no qid-cross shuffle in the plan") {
+    import graft.operators.{Knn, TextAnalysis}
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+    // dense terms (match most docs) + a selective one + a no-hit one
+    val q = Seq((0L, "vector"), (0L, "join"), (1L, "spark"),
+      (1L, "vector"), (2L, "the"), (3L, "zzz-no-hit"))
+      .toDF("qid", "term")
+    val fused = TextAnalysis.bm25TopK(docs, q, k = 25)
+    val want = Knn.rankByScore(TextAnalysis.bm25ScoresTable(docs, q),
+      k = 25, idCol = "doc_id", scoreCol = "score_milli")
+    assert(fused.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(fused).count() === 0L)
+    // exactly ONE exchange is keyed by qid — the top-k aggregate's,
+    // fed by its map-side partial (≤ k rows per partition × qid); the
+    // raw qid × doc score cross never becomes shuffle rows
+    val plan = fused.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val qidExchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .count(_.contains("qid"))
+    assert(qidExchanges === 1, s"one qid-keyed exchange, got $qidExchanges")
+    assert(plan.contains("partial_vfs_topk"), plan)
+  }
+
   test("rrfFuseBatch: per-qid bit parity with driver-side rrfFuse, " +
       "one no-shuffle union + one hash aggregate") {
     import graft.operators.Knn
