@@ -407,54 +407,60 @@ object TextAnalysis {
     * For a DENSE workload (common terms that match most of the corpus
     * — the inverted index's worst case) that shuffle carries
     * |qids with t| × |docs matching t| rows summed over terms
-    * (measured 25 s for 64 queries × 500k all-matching docs). Here
-    * the postings are grouped BY DOC (one slim |postings|-row
-    * shuffle), each doc's term→tf map meets the BROADCAST workload in
-    * one kernel that accumulates every qid's score locally, and the
-    * emitted (qid, doc, score) stream pipelines into the bounded-heap
-    * partial top-k — only ≤ k rows per (partition, qid) ever reach
-    * the final exchange (measured 25 s → ~4 s, ScaleProbe).
+    * (measured 25 s for 64 queries × 500k all-matching docs). Here the
+    * whole scoring pass is TWO corpus scans and nothing else: one
+    * stats aggregate (n, total length, per-term df — the same
+    * [[graft.functions.vfs_term_counts]] kernel [[bm25Scores]] uses,
+    * so df never needs a postings table), then one projection of
+    * (id, dl, term-count array) feeding a kernel that accumulates
+    * every qid's score locally against the broadcast inverted
+    * workload and streams (qid, id, score) into the bounded-heap
+    * partial top-k — no explode, no posting aggregation, and at most
+    * k rows per (partition, qid) ever reach an exchange
+    * (measured 25 s → ~2 s, ScaleProbe).
     *
     * The trade: the workload (qid, term) table is collected and
-    * broadcast (fine up to millions of pairs; stats/df remain
-    * distributed aggs). For workloads too large to broadcast, compose
-    * [[bm25ScoresTable]] + `rankByScore` instead. */
+    * broadcast, and every doc pays O(|text| + |workload terms|) in the
+    * counting kernel (fine through thousands of distinct terms; the
+    * stats/top-k remain distributed). For workloads whose vocabulary
+    * is too large for that, compose [[bm25ScoresTable]] +
+    * `rankByScore` — its explode path costs per MATCHED token
+    * instead. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       textCol: String = "text", idCol: String = "doc_id",
       qidCol: String = "qid", termCol: String = "term"): DataFrame = {
     require(k > 0, "[GRAFT] bm25TopK: k must be positive")
-    WorkCols.requireFree(docs, "__term", "__dl", "__tf", "__tfs")
     val spark = docs.sparkSession
     import spark.implicits._
     val wl = queries
       .select(col(qidCol).cast("long").as("qid"), col(termCol).as("term"))
       .distinct().as[(Long, String)].collect()
     require(wl.nonEmpty, "[GRAFT] bm25TopK: empty query workload")
+    val termSet = wl.map(_._2).distinct.sorted
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    val st = docs.agg(count(lit(1)).cast("long").as("__n"),
-      sum(size(toks).cast("long")).as("__tl")).head()
+    val tc = graft.functions.vfs_term_counts(col(textCol),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(termSet))
+    // ONE stats scan: n, total token length, and df for every workload
+    // term from the same one-pass counting kernel the scoring scan
+    // uses (df_t = docs with count > 0 — exactly the postings-table df)
+    val statsAggs = count(lit(1)).cast("long").as("__n") +:
+      sum(size(toks).cast("long")).as("__tl") +:
+      termSet.indices.map { i =>
+        sum(when(element_at(tc, i + 1) > 0L, 1L).otherwise(0L))
+          .as(s"__df_$i")
+      }
+    val st = docs.agg(statsAggs.head, statsAggs.tail: _*).head()
     val n = st.getLong(0)
     val tl = math.max(1L, st.getLong(1))
-    val termSet = wl.map(_._2).distinct.sorted
-    val postings = docs
-      .select(col(idCol).cast("long").as("__id"), size(toks).as("__dl"),
-        explode(toks).as("__term"))
-      .join(broadcast(termSet.toSeq.toDF("__term")), "__term")
-      .groupBy(col("__id"), col("__dl"), col("__term"))
-      .agg(count(lit(1)).cast("long").as("__tf"))
-    // df per term: term-sized agg, collected for the driver idf map
-    val dfMap = postings.groupBy(col("__term"))
-      .agg(count(lit(1)).cast("long").as("__df"))
-      .as[(String, Long)].collect().toMap
     // driver-side literals, EXACTLY bm25ScoresTable's association
     // order: idf's (n − df) is integer math promoted by + 0.5
-    val termIdx = termSet.zipWithIndex.toMap
-    val idfArr = termSet.map { t =>
-      val df = dfMap.getOrElse(t, 0L)
+    val idfArr = termSet.indices.map { i =>
+      val df = st.getLong(2 + i)
       (n - df + 0.5) / (df + 0.5)
-    }
+    }.toArray
     // term index → qids that query it (the broadcast inverted
     // workload); qid ids are dense-encoded for the kernel accumulator
+    val termIdx = termSet.zipWithIndex.toMap
     val qids = wl.map(_._1).distinct.sorted
     val qidIdx = qids.zipWithIndex.toMap
     val termQids: Array[Array[Int]] = {
@@ -463,18 +469,16 @@ object TextAnalysis {
       m.map(_.result().toArray)
     }
     val bc = spark.sparkContext.broadcast((idfArr, termQids, qids))
-    // one slim shuffle keys postings by doc; the kernel then scores
-    // EVERY qid for the doc locally and streams (qid, id, score) into
-    // the partial top-k — the dense cross exists only as a pipelined
-    // iterator, never as shuffle rows
-    val perDoc = postings
-      .groupBy(col("__id"), col("__dl"))
-      .agg(collect_list(struct(col("__term"), col("__tf"))).as("__tfs"))
-      .select(col("__id"), col("__dl"), col("__tfs"))
-    val scored = perDoc.as[(Long, Int, Seq[(String, Long)])]
+    // ONE scoring scan: the codegen'd counting kernel hands each doc
+    // its per-term tf array in doc order; the kernel scores EVERY qid
+    // locally and streams (qid, id, score) into the partial top-k —
+    // the qid × doc cross exists only as a pipelined iterator, never
+    // as shuffle rows
+    val perDoc = docs.select(col(idCol).cast("long").as("__id"),
+      size(toks).as("__dl"), tc.as("__tc"))
+    val scored = perDoc.as[(Long, Int, Seq[Long])]
       .mapPartitions { it =>
         val (idf, tq, qidArr) = bc.value
-        val tIdx = termIdx // serialized with the closure (driver map)
         val acc = new Array[Long](qidArr.length)
         val touched = new Array[Boolean](qidArr.length)
         it.flatMap { case (id, dl, tfs) =>
@@ -483,15 +487,19 @@ object TextAnalysis {
           // dlN/tfn/contrib mirror bm25ScoresTable's double ops 1:1:
           // (dl·n) long-multiplied then toDouble, ((idf·tfn)·1000)
           val dlN = (dl.toLong * n).toDouble / tl.toDouble
-          tfs.foreach { case (term, tf) =>
-            val ti = tIdx(term)
-            val tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlN))
-            val c = math.floor(idf(ti) * tfn * 1000.0).toLong
-            val qs = tq(ti)
-            var i = 0
-            while (i < qs.length) {
-              acc(qs(i)) += c; touched(qs(i)) = true; i += 1
+          var ti = 0
+          while (ti < idf.length) {
+            val tf = tfs(ti)
+            if (tf > 0L) {
+              val tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlN))
+              val c = math.floor(idf(ti) * tfn * 1000.0).toLong
+              val qs = tq(ti)
+              var i = 0
+              while (i < qs.length) {
+                acc(qs(i)) += c; touched(qs(i)) = true; i += 1
+              }
             }
+            ti += 1
           }
           val out = Vector.newBuilder[(Long, Long, Long)]
           var qi = 0
