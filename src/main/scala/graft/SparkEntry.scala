@@ -372,6 +372,17 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- leakage-safe split: near-dup components never straddle
+    // train/val/test — the duplicate GROUP's hash decides membership
+    // for every member ----
+    "dedup_leak_safe_split" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.jaccardPairsWithin(docs, "source", 0.9)
+      Dedup.leakSafeSplit(docs, pairs.select(col("a"), col("b")),
+          Seq(("train", 900), ("val", 50), ("test", 50)))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- benchmark decontamination: probe docs (src0) sharing >= 5
     // distinct trigrams with any other-source doc, hot grams capped ----
     "contamination_ngram" -> ((s, dir) => {
@@ -1775,6 +1786,8 @@ object SparkEntry {
         |FROM walk GROUP BY n
         |ORDER BY doc_id ASC""".stripMargin,
 
+    "dedup_leak_safe_split" -> leakSafeSplitOracle,
+
     "dedup_jaccard_source" ->
       """WITH t AS (SELECT doc_id, source,
         |  list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -2462,6 +2475,36 @@ object SparkEntry {
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 16),
        |      i -> CAST(CASE WHEN ascii(md5($w)[i]) >= 97 THEN ascii(md5($w)[i]) - 87
        |           ELSE ascii(md5($w)[i]) - 48 END AS BIGINT))), (a, d) -> a * 16 + d)""".stripMargin
+
+  /** Dedup.leakSafeSplit twin: the dedup_components recursive CTE
+    * feeds each doc's duplicate-group canonical id (singletons are
+    * their own group), then pmod(signed FNV of the group id's decimal
+    * string, 1000) picks the split for the WHOLE group. */
+  private def leakSafeSplitOracle: String = {
+    val fnvG = s"((${duckSigned(duckFnvFold(duckUtf8BytesOf(
+      "CAST(g AS VARCHAR)")))} % 1000) + 1000) % 1000"
+    s"""WITH RECURSIVE t AS (SELECT doc_id, source,
+       |  list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |  FROM documents),
+       |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+       |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE CAST(round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) * 1000.0
+       |    / len(list_distinct(a.w || b.w))) AS BIGINT) >= 900),
+       |und AS (SELECT a AS s, b AS d FROM e UNION SELECT b, a FROM e),
+       |walk(n, lbl) AS (
+       |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+       |  UNION
+       |  SELECT u.d, w.lbl FROM walk w JOIN und u ON u.s = w.n),
+       |comp AS (SELECT n AS doc_id, min(lbl) AS component
+       |  FROM walk GROUP BY n),
+       |c AS (SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS g
+       |  FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id)
+       |SELECT doc_id, g AS group_id,
+       |  CASE WHEN $fnvG < 900 THEN 'train'
+       |       WHEN $fnvG < 950 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM c ORDER BY doc_id ASC""".stripMargin
+  }
 
   /** pmod(signed FNV hash of `text`, 100) — Spark's pmod on the SIGNED
     * BIGINT, reproduced from the unsigned HUGEINT fold: sign-fold

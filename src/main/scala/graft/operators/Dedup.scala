@@ -338,6 +338,55 @@ object Dedup {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Leakage-safe train/val/test split: every doc gets a split label,
+    * and docs connected by a near-dup edge ALWAYS land in the same
+    * split — the standard guard against train/eval contamination
+    * (a held-out doc whose near-duplicate sits in train is not held
+    * out). Assignment hashes each doc's duplicate-GROUP canonical id
+    * (connected component over `pairs`; singleton docs are their own
+    * group), so membership is deterministic, reproducible across runs,
+    * and stable under re-partitioning.
+    *
+    * `splits` are (name, weight-milli) with weights summing to 1000,
+    * e.g. `Seq(("train", 900), ("val", 50), ("test", 50))`. A GROUP is
+    * assigned wholly to the split whose cumulative bucket range
+    * contains pmod(fnv(group), 1000) — realized fractions converge on
+    * the weights in expectation over groups, with deviation bounded by
+    * the largest duplicate cluster (inherent: indivisible groups).
+    *
+    * 100 TB shape: component labels cost ∝ the near-dup PAIR graph
+    * (already banded/capped by the LSH producers), not the corpus; the
+    * assignment itself is one left join against the pair-graph-sized
+    * component table plus a pure hash projection — no corpus shuffle.
+    * Output: (idCol, group_id, split) — group_id is the canonical id,
+    * exposed so audits can verify the invariant directly. */
+  def leakSafeSplit(docs: DataFrame, pairs: DataFrame,
+      splits: Seq[(String, Int)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "[GRAFT] leakSafeSplit: no splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "[GRAFT] leakSafeSplit: duplicate split names")
+    require(splits.forall(_._2 > 0),
+      "[GRAFT] leakSafeSplit: weights must be positive milli-units")
+    require(splits.map(_._2).sum == 1000,
+      s"[GRAFT] leakSafeSplit: weights must sum to 1000 milli, got " +
+        splits.map(_._2).sum)
+    val comp = connectedComponents(pairs.select(col("a"), col("b")))
+      .withColumnRenamed("node", idCol)
+    val grouped = docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("group_id"))
+    val bucket = Sampling.hashBucket(col("group_id").cast("string"), 1000)
+    val bounds = splits.map(_._2).scanLeft(0)(_ + _).tail
+    val label = splits.zip(bounds).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), hi)) =>
+        Some(acc.fold(when(bucket < hi, lit(name)))(
+          _.when(bucket < hi, lit(name))))
+    }.get // last bound is exactly 1000 ⇒ the chain is total
+    grouped.select(col(idCol), col("group_id"), label.as("split"))
+  }
+
   /** round(1000·|a∩b| / |a∪b|) over two distinct-element arrays */
   def jaccardMilli(wa: Column, wb: Column): Column =
     round(size(array_intersect(wa, wb)).cast("double") * 1000.0 /

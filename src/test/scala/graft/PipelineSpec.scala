@@ -978,6 +978,46 @@ class PipelineSpec extends AnyFunSuite {
     assert(dedup === got(0L))
   }
 
+  test("leakSafeSplit: near-dup groups never straddle splits, " +
+      "weights validated, assignment deterministic") {
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+    val pairs = Dedup.jaccardPairsWithin(docs, "source", 0.9)
+      .select($"a", $"b")
+    val splits = Seq(("train", 900), ("val", 50), ("test", 50))
+    val got = Dedup.leakSafeSplit(docs, pairs, splits).cache()
+    // total function: one row per doc, split ∈ declared names
+    assert(got.count() === docs.count())
+    assert(got.select($"split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "val", "test")))
+    // THE invariant: both endpoints of every near-dup edge share a
+    // group, and every group maps to exactly one split
+    val bySplit = got.select($"doc_id", $"split")
+    val straddling = pairs
+      .join(bySplit.withColumnRenamed("doc_id", "a")
+        .withColumnRenamed("split", "sa"), Seq("a"))
+      .join(bySplit.withColumnRenamed("doc_id", "b")
+        .withColumnRenamed("split", "sb"), Seq("b"))
+      .filter($"sa" =!= $"sb")
+    assert(straddling.count() === 0L)
+    assert(got.select($"group_id", $"split").distinct()
+      .groupBy($"group_id").count().filter($"count" > 1)
+      .count() === 0L)
+    // deterministic: a second independent evaluation is identical
+    val again = Dedup.leakSafeSplit(docs, pairs, splits)
+    assert(got.exceptAll(again).count() === 0L)
+    assert(again.exceptAll(got).count() === 0L)
+    got.unpersist()
+    // weight guards
+    intercept[IllegalArgumentException] {
+      Dedup.leakSafeSplit(docs, pairs, Seq(("train", 500)))
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.leakSafeSplit(docs, pairs,
+        Seq(("a", 500), ("a", 500)))
+    }
+  }
+
   test("rankByScore: bit parity with row_number over (score desc, " +
       "id asc), partial top-k in the plan, k bounds each qid") {
     import graft.operators.{Knn, TextAnalysis}
