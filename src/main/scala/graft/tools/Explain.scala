@@ -183,6 +183,17 @@ object Explain {
         Seq((0L, "vector"), (0L, "join"), (1L, "spark"))
           .toDF("qid", "term"))
     }
+    show("FUSED workload bm25 top-k (expect: ONE projection over the " +
+        "parquet scan — id, dl, tf-array from the counting kernel — " +
+        "into the scoring mapPartitions, then partial vfs_topk; the " +
+        "ONLY exchange is the qid-keyed top-k final, fed ≤ k rows per " +
+        "partition × qid)") {
+      import spark.implicits._
+      graft.operators.TextAnalysis.bm25TopK(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        Seq((0L, "vector"), (0L, "join"), (1L, "spark"))
+          .toDF("qid", "term"), k = 20)
+    }
     show("batch RRF fusion (expect: no-shuffle Union of the ranked " +
         "frames -> ONE hash aggregate keyed (qid, id) with map-side " +
         "partial integer sum)") {
