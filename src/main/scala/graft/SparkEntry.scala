@@ -1297,6 +1297,14 @@ object SparkEntry {
         .orderBy(col("rank").asc)
     }),
 
+    // ---- OOV-rate quality signal: fraction of token occurrences
+    // outside the corpus top-50 vocabulary, in milli ----
+    "text_oov_rate" -> ((s, dir) => {
+      TextAnalysis.oovRate(
+          s.read.parquet(s"$dir/documents.parquet"), v = 50)
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- multimodal REAL decode: parse the WAV/BMP/PPM containers
     // (RIFF chunk walk, BMP BGR/bottom-up/stride undo, P6 header) and
     // derive per-channel stats from the DECODED samples; the oracle
@@ -2321,6 +2329,27 @@ object SparkEntry {
         |  CAST(floor(1000.0 * cum / total) AS BIGINT) AS cov_milli
         |FROM r WHERE rank <= 50
         |ORDER BY rank ASC""".stripMargin,
+
+    "text_oov_rate" ->
+      """WITH w AS (SELECT
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+        |r AS (SELECT word,
+        |    row_number() OVER (ORDER BY cnt DESC, word ASC) AS rank
+        |  FROM c),
+        |vocab AS (SELECT word FROM r WHERE rank <= 50),
+        |t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS s
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(s) AS tok FROM t),
+        |o AS (SELECT doc_id, count(*) AS oov FROM tok
+        |  WHERE tok NOT IN (SELECT word FROM vocab) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(floor(1000.0 * COALESCE(o.oov, 0) / len(t.s)) AS BIGINT)
+        |    AS oov_milli
+        |FROM t LEFT JOIN o ON o.doc_id = t.doc_id
+        |ORDER BY t.doc_id ASC""".stripMargin,
 
     "dedup_simhash" -> simHashOracle,
 

@@ -551,6 +551,44 @@ object TextAnalysis {
           .as("cov_milli"))
   }
 
+  /** Out-of-vocabulary rate per doc against the corpus top-`v`
+    * vocabulary — the CCNet/RefinedWeb-style quality signal: a doc
+    * whose tokens mostly fall OUTSIDE the reference vocabulary is
+    * usually noise (boilerplate, code dumps, wrong language) and a
+    * filter threshold on this rate is a standard pretraining-corpus
+    * cleanup stage. oov_milli = ⌊1000·|OOV token occurrences| /
+    * |tokens|⌋ (multiplicity counted; the 1000·x product is exact in
+    * double before the one division, so every engine floors the same
+    * value).
+    *
+    * 100 TB shape: the vocabulary is v-bounded and BROADCAST; scoring
+    * is one explode + broadcast anti join + per-doc count — cost ∝
+    * the token stream, and the only exchange is the idCol-keyed count
+    * with map-side partials. Computing the vocabulary itself is
+    * [[vocabulary]]'s corpus-vocab-bounded aggregation (or pass a
+    * frozen reference vocab from a prior run via `vocabOverride` —
+    * the production stance: score new data against the STANDING
+    * vocabulary instead of re-deriving it per batch). */
+  def oovRate(docs: DataFrame, v: Int = 1000,
+      textCol: String = "text", idCol: String = "doc_id",
+      vocabOverride: Option[DataFrame] = None): DataFrame = {
+    WorkCols.requireFree(docs, "__tok", "__total", "__oov")
+    val vocab = vocabOverride.getOrElse(vocabulary(docs, v, textCol))
+      .select(col("word").as("__tok"))
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val oov = docs
+      .select(col(idCol), explode(toks).as("__tok"))
+      .join(broadcast(vocab), Seq("__tok"), "left_anti")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__oov"))
+    docs.select(col(idCol), size(toks).cast("long").as("__total"))
+      .join(oov, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__total") <= 0L, 0L)
+          .otherwise(floor(lit(1000.0) * coalesce(col("__oov"), lit(0L))
+            / col("__total")).cast("long"))
+          .as("oov_milli"))
+  }
+
   /** Full per-document analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

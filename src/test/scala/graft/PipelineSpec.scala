@@ -978,6 +978,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(dedup === got(0L))
   }
 
+  test("oovRate: hand case, bounds, frozen-vocab override") {
+    import graft.operators.TextAnalysis
+    // vocab top-2 by (count desc, word asc): "a"(4), "b"(3)
+    val docs = Seq(
+      (0L, "a a b c"),   // 1 OOV of 4 → 250
+      (1L, "a b b"),     // 0 OOV      → 0
+      (2L, "c d e"),     // all OOV    → 1000
+      (3L, "a"))         // 0 OOV      → 0
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.oovRate(docs, v = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 250L, 1L -> 0L, 2L -> 1000L, 3L -> 0L))
+    // rates live in [0, 1000] on real data, one row per doc
+    val real = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+    val rates = TextAnalysis.oovRate(real, v = 50).cache()
+    assert(rates.count() === real.count())
+    assert(rates.filter($"oov_milli" < 0 || $"oov_milli" > 1000)
+      .count() === 0L)
+    rates.unpersist()
+    // frozen reference vocabulary: scoring new docs against a STANDING
+    // vocab must not re-derive it from the scored batch
+    val frozen = Seq("x").toDF("word")
+    val overridden = TextAnalysis.oovRate(docs, v = 2,
+        vocabOverride = Some(frozen))
+      .as[(Long, Long)].collect().toMap
+    assert(overridden(1L) === 1000L) // "a b b": nothing matches {x}
+  }
+
   test("leakSafeSplit: near-dup groups never straddle splits, " +
       "weights validated, assignment deterministic") {
     val docs = spark.read
