@@ -482,33 +482,43 @@ object TextAnalysis {
         val acc = new Array[Long](qidArr.length)
         val touched = new Array[Boolean](qidArr.length)
         it.flatMap { case (id, dl, tfs) =>
-          java.util.Arrays.fill(acc, 0L)
-          java.util.Arrays.fill(touched, false)
-          // dlN/tfn/contrib mirror bm25ScoresTable's double ops 1:1:
-          // (dl·n) long-multiplied then toDouble, ((idf·tfn)·1000)
-          val dlN = (dl.toLong * n).toDouble / tl.toDouble
+          // no-match fast path FIRST: most docs of a real corpus match
+          // no workload term, and must cost O(|terms|), not O(|qids|)
+          var any = false
           var ti = 0
-          while (ti < idf.length) {
-            val tf = tfs(ti)
-            if (tf > 0L) {
-              val tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlN))
-              val c = math.floor(idf(ti) * tfn * 1000.0).toLong
-              val qs = tq(ti)
-              var i = 0
-              while (i < qs.length) {
-                acc(qs(i)) += c; touched(qs(i)) = true; i += 1
+          while (ti < idf.length && !any) {
+            any = tfs(ti) > 0L; ti += 1
+          }
+          if (!any) Iterator.empty
+          else {
+            java.util.Arrays.fill(acc, 0L)
+            java.util.Arrays.fill(touched, false)
+            // dlN/tfn/contrib mirror bm25ScoresTable's double ops 1:1:
+            // (dl·n) long-multiplied then toDouble, ((idf·tfn)·1000)
+            val dlN = (dl.toLong * n).toDouble / tl.toDouble
+            ti = 0
+            while (ti < idf.length) {
+              val tf = tfs(ti)
+              if (tf > 0L) {
+                val tfn = (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dlN))
+                val c = math.floor(idf(ti) * tfn * 1000.0).toLong
+                val qs = tq(ti)
+                var i = 0
+                while (i < qs.length) {
+                  acc(qs(i)) += c; touched(qs(i)) = true; i += 1
+                }
               }
+              ti += 1
             }
-            ti += 1
+            val out = Vector.newBuilder[(Long, Long, Long)]
+            var qi = 0
+            while (qi < qidArr.length) {
+              if (touched(qi) && acc(qi) > 0)
+                out += ((qidArr(qi), id, acc(qi)))
+              qi += 1
+            }
+            out.result().iterator
           }
-          val out = Vector.newBuilder[(Long, Long, Long)]
-          var qi = 0
-          while (qi < qidArr.length) {
-            if (touched(qi) && acc(qi) > 0)
-              out += ((qidArr(qi), id, acc(qi)))
-            qi += 1
-          }
-          out.result()
         }
       }
       .toDF("qid", idCol, "score_milli")
