@@ -249,6 +249,34 @@ object Knn {
         (col("pos") + 1).as("rank"))
   }
 
+  /** End-to-end BATCH hybrid retrieval: workload BM25 over `docs` ∪
+    * batch ANN probes of the STANDING IVF index, reciprocal-rank
+    * fused — the one-call production shape for "retrieve top-k by
+    * text AND embedding for Q queries at once". Each half is its own
+    * proven scale path ([[graft.operators.TextAnalysis.bm25TopK]]:
+    * two corpus scans into a pipelined partial top-k;
+    * `IvfIndex.searchBatch`: touched clusters scanned once,
+    * byte-gated broadcast), and the fusion is
+    * [[rrfFuseBatch]]'s no-shuffle union + one (qid, id) hash agg.
+    *
+    * `termWl` is (qid, term); `vecWl` is (qid, qvalues) in the
+    * index's vector space. A qid present in only one workload is
+    * fused from that single ranking (same as [[rrfFuse]] semantics).
+    * Output: (qid, idCol, rrf_milli) — order with
+    * (rrf_milli desc, id asc) per qid for presentation. */
+  def hybridSearchBatch(docs: DataFrame, indexDir: String,
+      termWl: DataFrame, vecWl: DataFrame, kEach: Int = 50,
+      nProbe: Int = 4, c: Int = 60,
+      idCol: String = "doc_id"): DataFrame = {
+    require(kEach > 0, "[GRAFT] hybridSearchBatch: kEach must be positive")
+    val lex = TextAnalysis.bm25TopK(docs, termWl, k = kEach,
+      idCol = idCol)
+    val vec = IvfIndex.searchBatch(docs.sparkSession, indexDir, vecWl,
+        k = kEach, nProbe = nProbe)
+      .select(col("qid"), col("id").as(idCol), col("rank"))
+    rrfFuseBatch(Seq(lex, vec), c = c, idCol = idCol)
+  }
+
   /** DataFrame-native reciprocal-rank fusion over a QUERY WORKLOAD:
     * each input frame is a per-query ranking (qidCol, idCol, rankCol
     * — rank 1-based within its qid, at most one row per (qid, id) per

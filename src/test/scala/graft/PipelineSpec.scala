@@ -978,6 +978,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(dedup === got(0L))
   }
 
+  test("hybridSearchBatch: parity with manual bm25TopK + " +
+      "searchBatch + rrfFuseBatch composition, single-half qids fuse") {
+    import graft.operators.{IvfIndex, Knn, Metric, TextAnalysis}
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+    val emb = spark.read
+      .parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+      .select($"vec_id".as("id"), $"embedding".as("values"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("hybrid-ivf").toString
+    IvfIndex.build(emb, dir, nCentroids = 8, Metric.Cosine)
+    val termWl = Seq((0L, "vector"), (0L, "join"), (1L, "spark"),
+      (7L, "the")).toDF("qid", "term") // qid 7: lexical-only
+    val vecWl = emb.filter($"id" < 3)
+      .select($"id".as("qid"), $"values".as("qvalues")) // qid 2: vector-only
+    val got = Knn.hybridSearchBatch(docs, dir, termWl, vecWl,
+      kEach = 10, nProbe = 8)
+    val lex = TextAnalysis.bm25TopK(docs, termWl, k = 10)
+    val vec = IvfIndex.searchBatch(spark, dir, vecWl, k = 10,
+        nProbe = 8)
+      .select($"qid", $"id".as("doc_id"), $"rank")
+    val want = Knn.rrfFuseBatch(Seq(lex, vec), idCol = "doc_id")
+    assert(got.exceptAll(want).count() === 0L)
+    assert(want.exceptAll(got).count() === 0L)
+    // every workload qid answered, including the single-half ones
+    val qids = got.select($"qid").distinct().as[Long].collect().toSet
+    assert(Set(0L, 1L, 2L, 7L).subsetOf(qids))
+  }
+
   test("oovRate: hand case, bounds, frozen-vocab override") {
     import graft.operators.TextAnalysis
     // vocab top-2 by (count desc, word asc): "a"(4), "b"(3)
