@@ -1458,6 +1458,27 @@ object SparkEntry {
         .orderBy(col("vec_id").asc)
     }),
 
+    // ---- incremental TEXT dedup over the standing LSH band index:
+    // corpus docs (id >= 100) pay the minhash/banding pass ONCE at
+    // build/append; the delta (id < 100) is banded fresh and joined
+    // against the persisted triples, then candidates verify by exact
+    // jaccard. Same verified pairs as a fresh minHashLshJoin
+    // (spec-pinned) — but probe cost ∝ delta, not corpus ----
+    "dedup_incremental_lsh" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(col("doc_id") >= 100)
+      val delta = docs.filter(col("doc_id") < 100)
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-lsh-idx").toString
+      graft.operators.LshTextIndex.build(
+        corpus.filter(col("doc_id") < 300), idx)
+      graft.operators.LshTextIndex.append(
+        corpus.filter(col("doc_id") >= 300), idx)
+      graft.operators.LshTextIndex.probe(s, idx, delta, corpus,
+          threshold = 0.9)
+        .orderBy(col("probe_id").asc, col("corpus_id").asc)
+    }),
+
     // ---- BM25 lexical relevance against a fixed query — the
     // lexical half of hybrid retrieval; exact-integer milli scores
     // (linear-rarity idf, per-term LONG contributions summed) so the
@@ -2414,6 +2435,8 @@ object SparkEntry {
         |FROM nn WHERE round(dist * 1000) > 1140
         |ORDER BY vec_id ASC""".stripMargin,
 
+    "dedup_incremental_lsh" -> minHashLshIncOracle,
+
     "text_bm25" -> bm25Oracle,
     "text_bm25_table" -> bm25TableOracle,
     "q_hybrid_rrf_batch" -> hybridRrfBatchOracle,
@@ -2755,7 +2778,10 @@ object SparkEntry {
     * verify. Matching this end-to-end is only possible because the
     * Spark side bands on the raw signature slice (array equality), not
     * an engine-specific hash of it. */
-  private def minHashLshOracle: String = {
+  /** Shared CTE prologue: per-doc word sets `w`, portable 64-hash
+    * minhash signatures, and the (doc_id, band, bsig) band table `bb`
+    * — the exact pipeline of [[operators.Dedup.bandedRelation]]. */
+  private def minHashBandCtes: String = {
     val M = "18446744073709551616"
     val mask = (BigInt(1) << 64) - 1
     val params = graft.functions.MinHashSig.coefficients(64)
@@ -2763,10 +2789,10 @@ object SparkEntry {
         val au = BigInt(a) & mask
         val bu = BigInt(b) & mask
         s"[${au >> 32}, ${au & 0xFFFFFFFFL}, $bu]"
-      }.mkString("[", ",\n|    ", "]")
+      }.mkString("[", ",\n    ", "]")
     val g = s"((((p[1] * x) % $M) * 4294967296) % $M" +
       s" + (p[2] * x) % $M + p[3]) % $M"
-    s"""WITH w AS (SELECT doc_id,
+    s"""w AS (SELECT doc_id,
        |  list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS ws
        |  FROM documents),
        |h AS (SELECT doc_id, list_transform(ws,
@@ -2776,7 +2802,11 @@ object SparkEntry {
        |    p -> list_min(list_transform(hs, x -> ${duckSigned(g)}))) AS sig
        |  FROM h),
        |bb AS (SELECT doc_id, band, sig[band*4+1 : band*4+4] AS bsig
-       |  FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS band FROM s)),
+       |  FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS band FROM s))""".stripMargin
+  }
+
+  private def minHashLshOracle: String =
+    s"""WITH $minHashBandCtes,
        |capped AS (SELECT doc_id, band, bsig FROM bb
        |  QUALIFY count(*) OVER (PARTITION BY band, bsig) <= 1000),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
@@ -2790,7 +2820,26 @@ object SparkEntry {
        |SELECT a, b, jaccard_milli FROM v
        |WHERE jaccard_milli >= 900
        |ORDER BY a ASC, b ASC""".stripMargin
-  }
+
+  /** Probe-vs-index twin of [[minHashLshOracle]]: the stored (corpus)
+    * side is doc_id >= 100 with the bucket cap applied over ITS band
+    * table only; the delta (doc_id < 100) bands uncapped — exactly
+    * [[operators.LshTextIndex.probe]]'s semantics. */
+  private def minHashLshIncOracle: String =
+    s"""WITH $minHashBandCtes,
+       |capped AS (SELECT doc_id, band, bsig FROM bb WHERE doc_id >= 100
+       |  QUALIFY count(*) OVER (PARTITION BY band, bsig) <= 1000),
+       |cand AS (SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
+       |  FROM (SELECT * FROM bb WHERE doc_id < 100) p JOIN capped c
+       |    ON p.band = c.band AND p.bsig = c.bsig),
+       |v AS (SELECT cand.probe_id, cand.corpus_id,
+       |    CAST(round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) * 1000.0
+       |      / len(list_distinct(wa.ws || wb.ws))) AS BIGINT) AS jaccard_milli
+       |  FROM cand JOIN w wa ON wa.doc_id = cand.probe_id
+       |            JOIN w wb ON wb.doc_id = cand.corpus_id)
+       |SELECT probe_id, corpus_id, jaccard_milli FROM v
+       |WHERE jaccard_milli >= 900
+       |ORDER BY probe_id ASC, corpus_id ASC""".stripMargin
 
   private def minHashSigOracle: String = {
     val params = operators.Dedup.minHashParams(32)

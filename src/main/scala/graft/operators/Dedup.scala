@@ -231,7 +231,7 @@ object Dedup {
     * forces |A| >= t|B| and |B| >= t|A|) before the O(|A|+|B|)
     * intersect, keep pairs clearing `threshold`. Output:
     * (aCol, bCol, jaccard_milli). */
-  private def verifyJaccard(candidates: DataFrame, aDocs: DataFrame,
+  private[graft] def verifyJaccard(candidates: DataFrame, aDocs: DataFrame,
       bDocs: DataFrame, aCol: String, bCol: String, textCol: String,
       idCol: String, threshold: Double): DataFrame = {
     def words(docs: DataFrame, as: String, w: String) = docs

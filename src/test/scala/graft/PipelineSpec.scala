@@ -44,6 +44,36 @@ class PipelineSpec extends AnyFunSuite {
     got.foreach { case (p, c) => assert(p < 100 && c >= 100) }
   }
 
+  test("LSH text index: build+append probe == fresh join; compact/rebuild lifecycle") {
+    val delta = docs.filter($"doc_id" < 100)
+    val corpus = docs.filter($"doc_id" >= 100)
+    val path = Files.createTempDirectory("graft-lsh-idx").toString
+    // build over part of the corpus, append the rest: the probe must
+    // see both slices through one band table
+    LshTextIndex.build(corpus.filter($"doc_id" < 300), path)
+    LshTextIndex.append(corpus.filter($"doc_id" >= 300), path)
+    val fresh = Dedup.minHashLshJoin(delta, corpus, threshold = 0.9)
+      .select($"probe_id", $"corpus_id", $"jaccard_milli")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fresh.nonEmpty, "calibration: expected cross near-dups")
+    val viaIndex = LshTextIndex.probe(spark, path, delta, corpus,
+        threshold = 0.9)
+      .select($"probe_id", $"corpus_id", $"jaccard_milli")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaIndex === fresh)
+    // compact rewrites the appended file sets; results must not move
+    LshTextIndex.compact(spark, path)
+    val afterCompact = LshTextIndex.probe(spark, path, delta, corpus,
+        threshold = 0.9)
+      .select($"probe_id", $"corpus_id", $"jaccard_milli")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(afterCompact === fresh)
+    // rebuild is a new generation (stale-derived-artifact detection)
+    assert(LshTextIndex.readMeta(path).generation === 1)
+    LshTextIndex.build(corpus, path)
+    assert(LshTextIndex.readMeta(path).generation === 2)
+  }
+
   test("simhash: identical docs collide, hamming pairs are symmetric-free") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
