@@ -1305,6 +1305,24 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- model-based filtering: a Bernoulli token-evidence
+    // classifier trained distributed on an 80% slice (label: lang =
+    // 'en'), scoring the held-out 20%. Integer Laplace-posterior
+    // weights (milli) and integer mean-evidence scores — no floats in
+    // train OR inference, so the whole learn-then-score pipeline
+    // hash-matches. vocab=24 of 31 corpus terms makes the top-df
+    // selection (and its term tiebreak) part of the gate; the spec
+    // proves discrimination on a separable corpus ----
+    "text_classifier" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = TextAnalysis.trainTokenClassifier(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        col("lang") === "en", vocab = 24)
+      TextAnalysis.scoreTokenClassifier(
+          docs.filter(col("doc_id") % 5 === 0), model)
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- multimodal REAL decode: parse the WAV/BMP/PPM containers
     // (RIFF chunk walk, BMP BGR/bottom-up/stride undo, P6 header) and
     // derive per-channel stats from the DECODED samples; the oracle
@@ -2370,6 +2388,32 @@ object SparkEntry {
         |  CAST(floor(1000.0 * COALESCE(o.oov, 0) / len(t.s)) AS BIGINT)
         |    AS oov_milli
         |FROM t LEFT JOIN o ON o.doc_id = t.doc_id
+        |ORDER BY t.doc_id ASC""".stripMargin,
+
+    // learn-then-score twin of trainTokenClassifier +
+    // scoreTokenClassifier: integer Laplace-posterior weights over the
+    // 80% train slice, integer mean-evidence scores on the held-out
+    // 20% — `//` is DuckDB's floor division, matching Spark's idiv
+    "text_classifier" ->
+      """WITH toks AS (SELECT doc_id, lang,
+        |    list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS ws
+        |  FROM documents),
+        |cnt AS (SELECT w AS term,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS total
+        |  FROM (SELECT lang, unnest(ws) AS w FROM toks WHERE doc_id % 5 != 0)
+        |  GROUP BY w),
+        |vocab AS (SELECT term, (1000 * (pos + 1)) // (total + 2) AS wm
+        |  FROM cnt ORDER BY total DESC, term ASC LIMIT 24),
+        |held AS (SELECT doc_id, unnest(ws) AS term FROM toks
+        |  WHERE doc_id % 5 = 0),
+        |sc AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS matched,
+        |    CAST(SUM(v.wm) AS BIGINT) AS ev
+        |  FROM held h JOIN vocab v USING (term) GROUP BY h.doc_id)
+        |SELECT t.doc_id, COALESCE(sc.matched, CAST(0 AS BIGINT)) AS matched,
+        |  CAST(COALESCE(sc.ev // sc.matched, 500) AS BIGINT) AS score_milli
+        |FROM (SELECT doc_id FROM toks WHERE doc_id % 5 = 0) t
+        |LEFT JOIN sc ON sc.doc_id = t.doc_id
         |ORDER BY t.doc_id ASC""".stripMargin,
 
     "dedup_simhash" -> simHashOracle,

@@ -599,6 +599,91 @@ object TextAnalysis {
           .as("oov_milli"))
   }
 
+  /** Exact integer floor-division of two non-negative LONG columns —
+    * `(a - a mod b) / b` keeps the double division exact (the
+    * numerator is a multiple of b, magnitudes far under 2^53), so the
+    * result is engine-portable where a bare `/`-then-floor can round
+    * up across the integer boundary. */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Train a model-based document filter — the "quality classifier"
+    * stage of LLM data pipelines (train a cheap classifier on a
+    * labeled slice, score the whole corpus; cf. the GPT-3/CCNet-style
+    * reference-corpus filters) — with NO external ML dependency and
+    * NO floating point in the model:
+    *
+    * Bernoulli (presence-based) token evidence. For each of the top
+    * `vocab` terms by document frequency (ties broken by term — the
+    * selection is fully deterministic):
+    *
+    *   weight_milli(t) = (1000 · (df_pos + 1)) div (df_total + 2)
+    *
+    * — the add-one-smoothed P(label | t present) in integer milli
+    * (Laplace posterior, the linear analog of a Naive-Bayes per-token
+    * posterior; integer division instead of `ln` for the same
+    * portability reason as [[bm25Scores]]' linear-rarity idf).
+    *
+    * 100 TB shape: ONE explode + hash aggregate over the corpus
+    * (map-side partial combine; shuffle keyed by term, ∝ corpus token
+    * volume), then a vocab-sized sort-limit. The model is `vocab`
+    * rows — broadcastable by construction.
+    *
+    * `labelCol` is any BOOLEAN column expression over `docs` (e.g.
+    * `col("lang") === "en"`, or a heuristic gate to distill).
+    * Output: (term, df_pos, df_neg, weight_milli). */
+  def trainTokenClassifier(docs: DataFrame, labelCol: Column,
+      vocab: Int = 4096, textCol: String = "text"): DataFrame = {
+    require(vocab > 0, "[GRAFT] classifier: vocab must be positive")
+    val toks = array_distinct(split(trim(lower(col(textCol))), "\\s+"))
+    docs.select(explode(toks).as("term"),
+        when(labelCol, 1L).otherwise(0L).as("__y"))
+      .groupBy(col("term"))
+      .agg(sum(col("__y")).as("df_pos"),
+        count(lit(1)).cast("long").as("__total"))
+      .orderBy(col("__total").desc, col("term").asc)
+      .limit(vocab)
+      .select(col("term"), col("df_pos"),
+        (col("__total") - col("df_pos")).as("df_neg"),
+        idiv(lit(1000L) * (col("df_pos") + lit(1L)),
+          col("__total") + lit(2L)).as("weight_milli"))
+  }
+
+  /** Score documents under a [[trainTokenClassifier]] model: the mean
+    * evidence of the document's matched vocabulary terms, in milli —
+    *
+    *   score_milli = (Σ weight_milli of matched terms) div matched
+    *
+    * 500 = the neutral prior (also the score when NO term matches —
+    * an all-OOV document carries no evidence either way); >= 500
+    * reads "more positive-class evidence than not". Presence-based to
+    * match training (each distinct term votes once).
+    *
+    * 100 TB shape: explode keeps doc-locality, the model join is an
+    * explicit broadcast (vocab-sized by construction), and the
+    * per-doc aggregate collapses map-side before its exchange — the
+    * only shuffle carries one partial row per document.
+    * Output: (idCol, matched, score_milli). */
+  def scoreTokenClassifier(docs: DataFrame, model: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(Seq("term", "weight_milli").forall(model.columns.contains),
+      "[GRAFT] classifier: model must have (term, weight_milli)")
+    WorkCols.requireFree(docs, "__ev")
+    val toks = array_distinct(split(trim(lower(col(textCol))), "\\s+"))
+    val ev = docs.select(col(idCol), explode(toks).as("term"))
+      .join(broadcast(model.select(col("term"), col("weight_milli"))),
+        Seq("term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("matched"),
+        sum(col("weight_milli")).as("__ev"))
+    docs.select(col(idCol))
+      .join(ev, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        coalesce(idiv(col("__ev"), col("matched")), lit(500L))
+          .as("score_milli"))
+  }
+
   /** Full per-document analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

@@ -938,6 +938,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(MediaCodec.resampleWav(wav, 8000).toSeq === wav.toSeq)
   }
 
+  test("token classifier: learns separable classes, exact integer " +
+      "weights, neutral on all-OOV docs, vocab cap by df") {
+    import graft.operators.TextAnalysis
+    // class-specific vocabulary: positive docs use fruit terms,
+    // negative docs metal terms; "common" and the fillers straddle
+    val docs = (0L until 40L).map { i =>
+      val pos = i % 2 == 0
+      val words =
+        if (pos) s"apple banana cherry common filler${i % 5}"
+        else s"iron copper zinc common filler${i % 5}"
+      (i, words, pos)
+    }.toDF("doc_id", "text", "label")
+    val train = docs.filter($"doc_id" < 30)  // 15 pos, 15 neg
+    val model = TextAnalysis.trainTokenClassifier(train, $"label")
+    val w = model.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(w("apple") === 1000L * 16 / 17)  // pure-pos: (1000·16) div 17
+    assert(w("iron") === 1000L / 17)        // pure-neg: (1000·1) div 17
+    assert(w("common") === 500L)            // perfectly split: neutral
+    // held-out docs separate perfectly around the neutral 500
+    TextAnalysis.scoreTokenClassifier(docs.filter($"doc_id" >= 30), model)
+      .collect().foreach { r =>
+        val (id, matched, s) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        assert(matched > 0)
+        if (id % 2 == 0) assert(s > 500, s"doc $id scored $s")
+        else assert(s < 500, s"doc $id scored $s")
+      }
+    // a fully-OOV doc matches nothing and scores the neutral prior
+    val o = TextAnalysis.scoreTokenClassifier(
+      Seq((99L, "qqq zzz")).toDF("doc_id", "text"), model).head()
+    assert(o.getLong(1) === 0L && o.getLong(2) === 500L)
+    // vocab cap keeps top-df terms, ties broken by term
+    val capped = TextAnalysis.trainTokenClassifier(train, $"label",
+      vocab = 4).select("term").as[String].collect().toSet
+    assert(capped === Set("common", "apple", "banana", "cherry"))
+  }
+
   test("bm25 + reciprocal-rank fusion: lexical relevance orders by " +
       "rarity-weighted tf, fusion rewards presence in both lists") {
     import graft.operators.{Knn, TextAnalysis}
