@@ -130,6 +130,27 @@ object Bench {
       Dedup.minHashLsh(spark.read.parquet(s"$sfDir/documents.parquet"),
         threshold = 0.8).count()
     }
+    // standing-LSH delta probe: the index build (corpus banding) is
+    // paid once outside the timer — the entry publishes the nightly
+    // incremental cost, which is the operator's whole point
+    val lshIdxDir = s"${storeDirs.last}/lshidx"
+    val benchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.operators.LshTextIndex.build(
+      benchDocs.filter(col("doc_id") >= 500), lshIdxDir)
+    results("lsh_index_probe") = median {
+      graft.operators.LshTextIndex.probe(spark, lshIdxDir,
+        benchDocs.filter(col("doc_id") < 500),
+        benchDocs.filter(col("doc_id") >= 500), threshold = 0.9).count()
+    }
+    // model-based filter: distributed train (explode + agg + top-V)
+    // then broadcast-model scoring of the held-out slice
+    results("classifier_train_score") = median {
+      val model = graft.operators.TextAnalysis.trainTokenClassifier(
+        benchDocs.filter(col("doc_id") % 5 =!= 0),
+        col("lang") === "en", vocab = 24)
+      graft.operators.TextAnalysis.scoreTokenClassifier(
+        benchDocs.filter(col("doc_id") % 5 === 0), model).count()
+    }
     results("semantic_dedup") = median {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       Dedup.semanticDedup(e, Dedup.seedCentroids(e, 8), tauMilli = 600L)
