@@ -159,6 +159,34 @@ object QuickStart {
     println(s"[quickstart] bm25 top-10 ${bmTop.take(3).mkString(",")}...; " +
       s"rrf fused ${fused.length} ids, best=${fused.head.getLong(0)}")
 
+    // round-6 surfaces: standing text-LSH index, model-based filter,
+    // workload BM25 + batch hybrid retrieval, leak-safe splits
+    val lshDir = s"$root/lshidx"
+    graft.operators.LshTextIndex.build(
+      docs.filter($"doc_id" >= 20), lshDir)
+    val probeHits = graft.operators.LshTextIndex.probe(spark, lshDir,
+      docs.filter($"doc_id" < 20), docs.filter($"doc_id" >= 20),
+      threshold = 0.9)
+    println(s"[quickstart] standing-LSH delta probe: " +
+      s"${probeHits.count()} near-dup pairs (corpus banded once)")
+    val clfModel = graft.operators.TextAnalysis.trainTokenClassifier(
+      docs.filter($"doc_id" % 5 =!= 0), $"lang" === "en", vocab = 24)
+    val clfScores = graft.operators.TextAnalysis.scoreTokenClassifier(
+      docs.filter($"doc_id" % 5 === 0), clfModel)
+    println(s"[quickstart] token classifier: ${clfModel.count()}-term " +
+      s"model, held-out sample: ${clfScores.head().toString}")
+    val workload = Seq((1L, "vector"), (1L, "join"), (2L, "spark"))
+      .toDF("qid", "term")
+    val wScores = graft.operators.TextAnalysis.bm25ScoresTable(docs, workload)
+    println(s"[quickstart] workload bm25: ${wScores.count()} " +
+      s"(qid, doc) scores from one inverted pass")
+    val split = graft.operators.Dedup.leakSafeSplit(docs, nearDups,
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    println(s"[quickstart] leak-safe split: " +
+      split.groupBy("split").count().orderBy("split")
+        .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+        .mkString(", "))
+
     // CDC: snapshot, append, read only the delta (file-pruned)
     val cdcRoot = java.nio.file.Files
       .createTempDirectory("graft-cdc-demo").toString
