@@ -99,11 +99,16 @@ object LshTextIndex {
   def probe(spark: SparkSession, path: String, delta: DataFrame,
       corpus: DataFrame, threshold: Double = 0.8,
       textCol: String = "text", idCol: String = "doc_id",
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      storedBands: Option[DataFrame] = None): DataFrame = {
     val m = readMeta(path)
+    // storedBands overrides the artifact read — the streaming ingest
+    // loop passes a residue-scrubbed view of the same table (see
+    // Ingest.textDedupIngestStream), mirroring embeddingNearDupJoin's
+    // bandedCorpus hook; the cap still applies here either way
     val stored = Dedup.capBuckets(
-      spark.read.parquet(s"$path/bands")
-        .withColumnRenamed("id", "corpus_id"), maxBucket)
+      storedBands.getOrElse(spark.read.parquet(s"$path/bands")
+        .withColumnRenamed("id", "corpus_id")), maxBucket)
     val candidates = Dedup.bandedRelation(delta, "probe_id", textCol,
         idCol, m.bands, m.rowsPerBand)
       .join(stored, Seq("band", "bsig"))

@@ -306,6 +306,82 @@ object Ingest {
       .start()
   }
 
+  /** Streaming TEXT ingest with standing-LSH near-dup filtering — the
+    * text twin of [[dedupIngestStream]], over
+    * [[graft.operators.LshTextIndex]]'s artifact. Each micro-batch of
+    * (doc_id, text) is (1) self-deduped within the batch (a near-dup
+    * of a lower id drops), (2) probed against the standing corpus
+    * through the persisted band table — minhash signatures are
+    * computed once per document EVER, not once per batch — and (3)
+    * its novel docs appended to `corpusDir/docs` with their band
+    * triples appended to the index at `corpusDir/lsh`.
+    *
+    * Same at-least-once → idempotent design as [[dedupIngestStream]]:
+    * replayed rows anti-join away on doc_id, bands append BEFORE
+    * docs, and probe-time residue scrubbing (band rows whose doc
+    * never landed; duplicate band rows from a replay) keeps crash
+    * residue from inflating a bucket past the cap and silently
+    * stopping candidate generation there. */
+  def textDedupIngestStream(stream: DataFrame, corpusDir: String,
+      checkpoint: String, threshold: Double = 0.9, bands: Int = 16,
+      rowsPerBand: Int = 4, maxBucket: Int = 1000,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import graft.operators.{Dedup, LshTextIndex}
+    val docDir = s"$corpusDir/docs"
+    val idxDir = s"$corpusDir/lsh"
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.select(col("doc_id"), col("text"))
+        val hadoopConf = spark.sessionState.newHadoopConf()
+        def dirExists(p: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(hadoopConf).exists(hp)
+        }
+        if (!batch.isEmpty) {
+          // (1) within-batch: the higher id of each near-dup pair drops
+          val self = Dedup.minHashLsh(batch, threshold, bands = bands,
+              rowsPerBand = rowsPerBand, maxBucket = maxBucket)
+            .select(col("b").as("doc_id")).distinct()
+          val fresh = batch.join(self, Seq("doc_id"), "left_anti")
+          // (2) vs the standing corpus via the persisted band table,
+          // scrubbed of crash/replay residue BEFORE the probe cap
+          val survivors =
+            if (dirExists(docDir)) {
+              val corpus = spark.read.parquet(docDir)
+              val bandTable = spark.read.parquet(s"$idxDir/bands")
+                .withColumnRenamed("id", "corpus_id")
+                .join(corpus.select(col("doc_id").as("corpus_id")),
+                  Seq("corpus_id"), "left_semi")
+                .dropDuplicates("corpus_id", "band", "bsig")
+              val hits = LshTextIndex.probe(spark, idxDir, fresh,
+                  corpus, threshold, maxBucket = maxBucket,
+                  storedBands = Some(bandTable))
+                .select(col("probe_id").as("doc_id")).distinct()
+              // near-dup prune + REPLAY GUARD (already-landed ids)
+              fresh.join(hits, Seq("doc_id"), "left_anti")
+                .join(corpus.select(col("doc_id")), Seq("doc_id"),
+                  "left_anti")
+            } else fresh
+          // (3) bands THEN docs (see failure semantics); cache before
+          // the emptiness probe so the pipeline runs once
+          val s = survivors.cache()
+          try {
+            if (s.take(1).nonEmpty) {
+              if (dirExists(s"$idxDir/lsh.json"))
+                LshTextIndex.append(s, idxDir)
+              else LshTextIndex.build(s, idxDir, bands, rowsPerBand)
+              s.write.mode("append").parquet(docDir)
+            }
+          } finally s.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+
   private val hllCommitMarker = "_commit_v"
 
   /** Committed register-table versions under `registersDir`, sorted

@@ -1547,6 +1547,48 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("self-building streaming TEXT dedup ingest: corpus grows with " +
+      "novel docs only through the standing LSH index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("text_ingest").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("text_ingest_ck").toString
+    val tA = "alpha beta gamma delta epsilon"
+    val tB = "one two three four five"
+    val tC = "six seven eight nine ten"
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.textDedupIngestStream(
+      stream.toDF().toDF("doc_id", "text"), dir, ck,
+      threshold = 0.9, bands = 4, rowsPerBand = 2,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      // batch 1: a, dup-of-a, b -> within-batch dedup keeps {1, 3}
+      stream.addData((1L, tA), (2L, tA), (3L, tB))
+      q.processAllAvailable()
+      // batch 2: dup-of-a (vs CORPUS via the index), novel c
+      stream.addData((4L, tA), (5L, tC))
+      q.processAllAvailable()
+      // batch 3: all-dup -> appends nothing
+      stream.addData((6L, tC))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(s"$dir/docs")
+        .select($"doc_id").as[Long].collect().sorted
+      assert(corpus.toSeq == Seq(1L, 3L, 5L))
+      // one band row per (doc, band): signatures computed once each
+      assert(spark.read.parquet(s"$dir/lsh/bands").count() == 3L * 4)
+      // the artifact is the standard LshTextIndex layout: a batch job
+      // can probe it directly
+      val probed = LshTextIndex.probe(spark, s"$dir/lsh",
+          Seq((99L, tB)).toDF("doc_id", "text"),
+          spark.read.parquet(s"$dir/docs"), threshold = 0.9)
+        .select($"probe_id", $"corpus_id").as[(Long, Long)].collect()
+      assert(probed.toSeq == Seq((99L, 3L)))
+    } finally q.stop()
+  }
+
   test("streaming HLL maintenance: persisted registers equal the " +
       "batch registers of everything seen") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
