@@ -225,6 +225,29 @@ object Explain {
       st.appendBatch(e)
       st.changesSince("base")
     }
+    show("standing-LSH delta probe (expect: MinHashSig projection over " +
+        "the DELTA only; stored side is a slim parquet scan of the " +
+        "band table; candidates join word sets back for verified " +
+        "pairs only)") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val idx = java.nio.file.Files
+        .createTempDirectory("explain-lsh").toString
+      graft.operators.LshTextIndex.build(
+        docs.filter(col("doc_id") >= 100), idx)
+      graft.operators.LshTextIndex.probe(spark, idx,
+        docs.filter(col("doc_id") < 100),
+        docs.filter(col("doc_id") >= 100), threshold = 0.9)
+    }
+    show("token classifier scoring (expect: BroadcastHashJoin against " +
+        "the vocab-sized model, per-doc partial agg collapsing before " +
+        "the exchange)") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.TextAnalysis.trainTokenClassifier(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        col("lang") === "en", vocab = 24)
+      graft.operators.TextAnalysis.scoreTokenClassifier(
+        docs.filter(col("doc_id") % 5 === 0), model)
+    }
     spark.stop()
   }
 }
