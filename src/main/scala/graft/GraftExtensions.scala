@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_knn"),
       new ExpressionInfo("graft", "vfs_knn"),
       graft.plans.SqlSurface.vfsKnnBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_bm25"),
+      new ExpressionInfo("graft", "vfs_bm25"),
+      graft.plans.SqlSurface.vfsBm25Builder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

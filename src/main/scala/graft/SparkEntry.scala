@@ -111,6 +111,18 @@ object SparkEntry {
     // from spark.sql). TVF k=20 then re-rank by rounded millis: the
     // oracle ranks by the ROUNDED value, so the raw-distance top-k is
     // over-fetched to make the rounded top-10 exact. ----
+    // ---- lexical retrieval from pure SQL text: the vfs_bm25 TVF is
+    // the same codegen scoring scan as text_bm25 (identical terms), so
+    // it must land on identical milli scores ----
+    "sql_tvf_bm25" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      s.sql(
+        s"""SELECT doc_id, score_milli
+           |FROM vfs_bm25('$dir/documents.parquet',
+           |              '${Bm25Terms.mkString(" ")}')
+           |ORDER BY doc_id ASC""".stripMargin)
+    }),
+
     "sql_tvf_knn" -> ((s, dir) => {
       graft.functions.registerAll(s)
       val q = queryVec(s, dir, 1L)
@@ -2482,6 +2494,7 @@ object SparkEntry {
     "dedup_incremental_lsh" -> minHashLshIncOracle,
 
     "text_bm25" -> bm25Oracle,
+    "sql_tvf_bm25" -> bm25Oracle,
     "text_bm25_table" -> bm25TableOracle,
     "q_hybrid_rrf_batch" -> hybridRrfBatchOracle,
 

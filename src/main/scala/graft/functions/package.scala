@@ -142,6 +142,9 @@ package object functions {
     // IVF probe leaf still needs its strategy, added idempotently.
     ExpressionUtils.registerTableFunction(spark, "vfs_knn",
       graft.plans.SqlSurface.vfsKnnBuilder _)
+    // SELECT * FROM vfs_bm25(path, 'terms ...'[, textCol, idCol])
+    ExpressionUtils.registerTableFunction(spark, "vfs_bm25",
+      graft.plans.SqlSurface.vfsBm25Builder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

@@ -81,6 +81,40 @@ object SqlSurface {
     ResolveKnnSearch(RouteKnnToIvf(node))
   }
 
+  /** TVF builder for `vfs_bm25(path, terms[, textCol, idCol])` —
+    * `terms` is ONE whitespace-separated literal string (SQL table
+    * arguments are literal-only, same constraint as [[vfsKnnBuilder]]).
+    * Produces (idCol, score_milli > 0) with
+    * [[graft.operators.TextAnalysis.bm25Scores]]' exact-integer milli
+    * scores:
+    * {{{ SELECT * FROM vfs_bm25('/data/docs', 'vector join spark') }}}
+    * The corpus stats aggregate (bm25's one driver-side pass) runs at
+    * analysis time; the returned plan is the pure scoring scan. */
+  private[graft] def vfsBm25Builder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_bm25(path, terms[, textCol, idCol]): $msg")
+    if (es.length < 2 || es.length > 4)
+      fail(s"expected 2-4 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val path = evalNonNull(0, "path").toString
+    val terms = evalNonNull(1, "terms").toString.trim
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+    if (terms.isEmpty) fail("terms must contain at least one token")
+    if (terms.distinct != terms) fail("duplicate terms")
+    val textCol = if (es.length >= 3) evalNonNull(2, "textCol").toString
+      else "text"
+    val idCol = if (es.length >= 4) evalNonNull(3, "idCol").toString
+      else "doc_id"
+    graft.operators.TextAnalysis.bm25Scores(
+        SparkSession.active.read.parquet(path), terms, textCol, idCol)
+      .queryExecution.analyzed
+  }
+
   /** Expose a store's live table (memtable ∪ flushed, dequantized) as
     * a temp view. */
   def registerStore(store: graft.store.VfsStore, name: String): Unit =

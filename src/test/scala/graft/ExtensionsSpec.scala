@@ -184,6 +184,36 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("vfs_bm25 table-valued function: lexical scoring from SQL text") {
+    val shared = GraftTest.spark
+    val dataPath = s"${GraftTest.sf0001}/documents.parquet"
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      SparkSession.setActiveSession(s)
+      val got = s.sql(
+        s"""SELECT doc_id, score_milli
+           |FROM vfs_bm25('$dataPath', 'vector join spark')
+           |ORDER BY doc_id""".stripMargin)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      val expect = graft.operators.TextAnalysis.bm25Scores(
+          s.read.parquet(dataPath), Seq("vector", "join", "spark"))
+        .orderBy("doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      assert(got.nonEmpty && got === expect)
+      // duplicate / empty / NULL term lists fail loudly
+      Seq("'vector vector'", "'  '", "NULL").foreach { bad =>
+        val err = intercept[Exception] {
+          s.sql(s"SELECT * FROM vfs_bm25('$dataPath', $bad)").collect()
+        }
+        assert(err.getMessage.contains("[GRAFT]"), err.getMessage)
+      }
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("KnnSearch plan node resolves through the injected rule") {
     import org.apache.spark.sql.functions.col
     val shared = GraftTest.spark
