@@ -1137,6 +1137,28 @@ object SparkEntry {
         .orderBy(col("dist_milli").asc, col("vec_id").asc)
     }),
 
+    // ---- FILTERED vector search: the index probe semi-joined against
+    // an allowed-id set (label = 3) BEFORE the top-k — predicate +
+    // vector retrieval in one call. Full probe ⇒ exact over the
+    // allowed subset, so the row hash-matches the label-filtered
+    // min-distance oracle ----
+    "ann_ivf_filtered" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("values"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-ivf-filt").toString
+      graft.operators.IvfIndex.build(e, idx, nCentroids = 8,
+        Metric.Euclidean)
+      val q = queryVec(s, dir, 7L)
+      val allowed = emb(s, dir).filter(col("label") === 3)
+        .select(col("vec_id"))
+      graft.operators.IvfIndex.searchFiltered(s, idx, q, 10, allowed,
+          nProbe = 8)
+        .select(col("id").as("vec_id"),
+          milli(col("distance")).as("dist_milli"))
+        .orderBy(col("dist_milli").asc, col("vec_id").asc)
+    }),
+
     // ---- Q3: approximate kNN over a persisted IVF index, emitted as
     // an ACCEPTANCE row: the probe's top-k id set depends on the
     // trained centroids (approximate by design), so a hash of the ids
@@ -2464,6 +2486,20 @@ object SparkEntry {
         |         list_distance(CAST(embedding AS DOUBLE[]),
         |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7)) AS d
         |  FROM embeddings
+        |  ORDER BY d ASC, vec_id ASC
+        |  LIMIT 10)
+        |SELECT vec_id, CAST(round(d * 1000) AS BIGINT) AS dist_milli
+        |FROM top
+        |ORDER BY dist_milli ASC, vec_id ASC""".stripMargin,
+
+    // exact filtered kNN: min distances over the label-filtered subset
+    "ann_ivf_filtered" ->
+      """WITH top AS (
+        |  SELECT vec_id,
+        |         list_distance(CAST(embedding AS DOUBLE[]),
+        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7)) AS d
+        |  FROM embeddings
+        |  WHERE label = 3
         |  ORDER BY d ASC, vec_id ASC
         |  LIMIT 10)
         |SELECT vec_id, CAST(round(d * 1000) AS BIGINT) AS dist_milli

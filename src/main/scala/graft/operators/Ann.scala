@@ -570,15 +570,79 @@ object IvfIndex {
       query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
     val meta = readMeta(path)
     val metric = Metric.parse(meta.metric)
+    val q = normalizeQuery(meta, metric, query)
+    probedCandidates(spark, path, meta, q, nProbe) match {
+      case None =>
+        spark.emptyDataFrame
+          .select(lit(0L).as("id"),
+            typedLit(Array.empty[Float]).as("values"),
+            lit(0.0).as("distance")).limit(0)
+      case Some(pruned) =>
+        // on normalized vectors euclidean order == cosine order; report
+        // the requested metric's distance values
+        Knn.exact(pruned, q, k, metric)
+    }
+  }
+
+  /** Metadata-constrained ("filtered") probe: [[search]] restricted to
+    * an allowed-id set — the predicate + vector query combination
+    * every production retrieval stack needs. PRE-filter semantics:
+    * candidates semi-join `allowed` BEFORE the top-k, so the full k
+    * come back whenever the probed clusters hold ≥ k allowed vectors
+    * (post-filtering an unfiltered top-k under-fills exactly when the
+    * predicate is selective). The filter thins CANDIDATES, not probes:
+    * for very selective predicates raise `nProbe` to keep recall — at
+    * nProbe = nCentroids the result is EXACT over the allowed subset
+    * (the oracle-gated configuration).
+    *
+    * `allowed` is a single-column frame of allowed id values. Pass
+    * `allowedRows` when the caller knows the set size: a fitting set
+    * gets the broadcast hint through the byte gate (id-only rows,
+    * dim 0); unknown (-1) leaves the join strategy to planner + AQE.
+    * Output: (id, distance). */
+  def searchFiltered(spark: SparkSession, path: String,
+      query: Array[Float], k: Int, allowed: DataFrame, nProbe: Int = 4,
+      allowedRows: Long = -1L): DataFrame = {
+    val meta = readMeta(path)
+    val metric = Metric.parse(meta.metric)
+    require(allowed.columns.length == 1,
+      "[GRAFT] searchFiltered: allowed must have exactly one column")
+    val q = normalizeQuery(meta, metric, query)
+    val allowSide0 = allowed.toDF("id")
+    val allowSide =
+      if (allowedRows >= 0L) BroadcastGate.gated(allowSide0, allowedRows, 0)
+      else allowSide0
+    probedCandidates(spark, path, meta, q, nProbe) match {
+      case None =>
+        spark.emptyDataFrame
+          .select(lit(0L).as("id"), lit(0.0).as("distance")).limit(0)
+      case Some(pruned) =>
+        Knn.exact(pruned.join(allowSide, Seq("id"), "left_semi"),
+            q, k, metric)
+          .select(col("id"), col("distance"))
+    }
+  }
+
+  /** Cosine queries are normalized to match the spherically-stored
+    * vectors; a zero vector passes through (NaN distances sort last). */
+  private def normalizeQuery(meta: Meta, metric: Metric,
+      query: Array[Float]): Array[Float] = {
     if (query.length != meta.dim)
       throw new graft.store.InvalidVectorException(
         s"[GRAFT] vector dimension mismatch: expected ${meta.dim}, got ${query.length}")
-    val q = metric match {
+    metric match {
       case Metric.Cosine =>
         val n = math.sqrt(query.map(x => x.toDouble * x).sum)
         if (n == 0.0) query else query.map(x => (x / n).toFloat)
       case Metric.Euclidean => query
     }
+  }
+
+  /** The probed, multiprobe-deduped candidate rows (id, values,
+    * cluster) for one query — None when no probed cluster directory
+    * exists on disk. Shared by [[searchHydrated]] / [[searchFiltered]]. */
+  private def probedCandidates(spark: SparkSession, path: String,
+      meta: Meta, q: Array[Float], nProbe: Int): Option[DataFrame] = {
     // centroid table is tiny: pick probe clusters driver-side
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cluster"),
@@ -591,21 +655,16 @@ object IvfIndex {
     // O(nCentroids) at probe time)
     val existing = existingClusterDirs(spark, s"$path/assignments",
       cents.toIndexedSeq)
-    if (existing.isEmpty)
-      return spark.emptyDataFrame
-        .select(lit(0L).as("id"),
-          typedLit(Array.empty[Float]).as("values"),
-          lit(0.0).as("distance")).limit(0)
-    val pruned0 = spark.read.parquet(existing.toIndexedSeq: _*)
-    // a multiprobe index stores each vector in nAssign clusters: two
-    // probed clusters can both contain an id — dedup before top-k so
-    // duplicates don't shrink effective k (single-assignment indexes
-    // skip the extra shuffle)
-    val pruned = if (meta.nAssign > 1) pruned0.dropDuplicates("id")
-      else pruned0
-    // on normalized vectors euclidean order == cosine order; report the
-    // requested metric's distance values
-    Knn.exact(pruned, q, k, metric)
+    if (existing.isEmpty) None
+    else {
+      val pruned0 = spark.read.parquet(existing.toIndexedSeq: _*)
+      // a multiprobe index stores each vector in nAssign clusters: two
+      // probed clusters can both contain an id — dedup before top-k so
+      // duplicates don't shrink effective k (single-assignment indexes
+      // skip the extra shuffle)
+      Some(if (meta.nAssign > 1) pruned0.dropDuplicates("id")
+      else pruned0)
+    }
   }
 
   /** BATCH IVF probe: top-k for EVERY query row in one job — the

@@ -310,6 +310,47 @@ class KnnSpec extends AnyFunSuite {
     assert(perQ.values.forall(_.length == 10))
   }
 
+  test("searchFiltered: pre-filter semantics fill k where post-filter " +
+      "under-fills; full probe is exact over the allowed subset") {
+    val dir = Files.createTempDirectory("ivf-filt").toString
+    IvfIndex.build(emb, dir, nCentroids = 8, Metric.Cosine)
+    val q = all(7)._2
+    // allowed subset: every 7th id — selective enough that the plain
+    // top-10 contains almost none of it
+    val allowedIds = all.map(_._1).filter(_ % 7 == 0).toSet
+    val allowed = allowedIds.toSeq.toDF("vec_id")
+    val got = IvfIndex.searchFiltered(spark, dir, q, 10, allowed,
+        nProbe = 8, allowedRows = allowedIds.size.toLong)
+      .select($"id").as[Long].collect().toSeq
+    // only allowed ids, and the FULL k despite the selective predicate
+    assert(got.size === 10 && got.forall(allowedIds))
+    // full probe == exact brute force restricted to the allowed set
+    val exact = all.filter(p => allowedIds(p._1))
+      .map { case (id, v) =>
+        def cos(a: Array[Float], b: Array[Float]): Double = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0
+          a.indices.foreach { i =>
+            dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+            nb += b(i).toDouble * b(i)
+          }
+          1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+        }
+        (cos(v, q), id)
+      }.sorted.take(10).map(_._2).toSeq
+    assert(got.toSet === exact.toSet)
+    // post-filtering the unfiltered top-10 would keep almost nothing —
+    // the pre-filter semantics are what fills k
+    val postFiltered = IvfIndex.search(spark, dir, q, 10, nProbe = 8)
+      .select($"id").as[Long].collect().filter(allowedIds)
+    assert(postFiltered.length < 10)
+    // misuse: a multi-column allowed frame fails loudly
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.searchFiltered(spark, dir, q, 5,
+        Seq((1L, "x")).toDF("id", "extra"))
+    }
+    assert(err.getMessage.contains("[GRAFT]"))
+  }
+
   test("MMR rerank: lambda=1 is the plain distance order; lower lambda " +
       "defers an exact duplicate of an already-selected hit") {
     val q = Array(1f, 0f, 0f)
