@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simd_euclidean", es => EuclideanDistance(es(0), es(1)))
     inject("simd_cosine", es => CosineDistance(es(0), es(1)))
     inject("vfs_dot", es => DotProduct(es(0), es(1)))
+    inject("vfs_long_dot", es => LongDot(es(0), es(1)))
     inject("vfs_norm", es => L2Norm(es(0)))
     inject("vfs_quantize", es => QuantizeVec(es(0), es(1), clamp = false))
     inject("vfs_dequantize", es => DequantizeVec(es(0), es(1)))

@@ -1572,9 +1572,9 @@ object SparkEntry {
           .as("v"))
       val qv = embM.filter(col("doc_id") === 0L)
         .head().getSeq[Long](1)
-      val dot = aggregate(
-        zip_with(col("v"), typedLit(qv), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
+      // codegen'd exact-integer dot (vfs_long_dot == the old
+      // aggregate∘zip_with HOF chain bit-for-bit)
+      val dot = vfs_long_dot(col("v"), typedLit(qv))
       val vecTop = embM
         .filter(col("doc_id") =!= 0L)
         .select(col("doc_id"), dot.as("dot"))
@@ -1608,9 +1608,8 @@ object SparkEntry {
           .as("v"))
       val queries = embM.filter(col("doc_id") < 24)
         .select(col("doc_id").as("qid"), col("v").as("qv"))
-      val dot = aggregate(
-        zip_with(col("v"), col("qv"), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
+      // codegen'd exact-integer dot (bit-identical to the HOF chain)
+      val dot = vfs_long_dot(col("v"), col("qv"))
       val vecRanked = graft.operators.Knn.rankByScore(
         embM.crossJoin(broadcast(queries))
           .filter(col("doc_id") =!= col("qid"))

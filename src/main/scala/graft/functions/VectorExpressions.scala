@@ -176,6 +176,66 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact-integer dot product over two ARRAY<BIGINT> columns — the
+  * codegen replacement for `aggregate(zip_with(a, b, _*_), 0L, _+_)`
+  * in the integer-milli retrieval paths (HOFs are interpreted, never
+  * codegen'd; per-row lambda dispatch dominated the hybrid batch
+  * scan). Semantics match that HOF chain EXACTLY so oracle hashes
+  * cannot move: a length mismatch or a null element yields NULL (the
+  * zip_with null-pad / null-propagation behavior), and overflow
+  * throws like ANSI long arithmetic (Spark 4's default; the integer-
+  * milli paths stay ≤ 2^30 per term, far from the edge). */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vfs_long_dot"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(av: Any, bv: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]
+    val y = bv.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      s"""
+         |final int $n = $a.numElements();
+         |long $acc = 0L;
+         |boolean $bad = ($b.numElements() != $n);
+         |if (!$bad) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc = java.lang.Math.addExact($acc,
+         |      java.lang.Math.multiplyExact($a.getLong($i), $b.getLong($i)));
+         |  }
+         |}
+         |${ev.isNull} = $bad;
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** ‖a‖₂ — Σ a² then sqrt (vfs/src/vfs/rank.rs:295-298). */
 case class L2Norm(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {

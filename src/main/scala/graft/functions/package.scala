@@ -20,6 +20,9 @@ package object functions {
     col(CosineDistance(ex(a), ex(b)))
   def vfs_dot(a: Column, b: Column): Column =
     col(DotProduct(ex(a), ex(b)))
+  /** exact-integer dot over ARRAY<BIGINT> (codegen'd HOF replacement) */
+  def vfs_long_dot(a: Column, b: Column): Column =
+    col(LongDot(ex(a), ex(b)))
   def vfs_norm(a: Column): Column = col(L2Norm(ex(a)))
 
   /** storage-path quantization: scale given explicitly, no clamp
@@ -85,6 +88,7 @@ package object functions {
     r1("simd_euclidean", es => EuclideanDistance(es(0), es(1)))
     r1("simd_cosine", es => CosineDistance(es(0), es(1)))
     r1("vfs_dot", es => DotProduct(es(0), es(1)))
+    r1("vfs_long_dot", es => LongDot(es(0), es(1)))
     r1("vfs_norm", es => L2Norm(es(0)))
     r1("vfs_quantize", es => QuantizeVec(es(0), es(1), clamp = false))
     r1("vfs_dequantize", es => DequantizeVec(es(0), es(1)))

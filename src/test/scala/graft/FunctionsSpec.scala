@@ -206,4 +206,42 @@ class FunctionsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project [vfs_term_counts"), plan)
   }
+
+  test("long dot kernel: HOF parity incl. null/mismatch semantics, " +
+      "SQL surface, codegen") {
+    val rows = Seq(
+      (1L, Seq(2L, -3L, 5L), Seq(7L, 11L, -13L)),     // plain
+      (2L, Seq(1000L, -1000L), Seq(1000000L, 999999L)), // milli range
+      (3L, Seq(1L, 2L), Seq(1L, 2L, 3L))              // length mismatch
+    ).toDF("id", "a", "b")
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val got = rows.select($"id", vfs_long_dot($"a", $"b").as("k"),
+        hof.as("h")).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSeq
+    // kernel == HOF on every row, including the null mismatch case
+    got.foreach { case (id, k, h) => assert(k === h, s"row $id") }
+    assert(got.head._2 === 2L * 7 + -3L * 11 + 5L * -13)
+    assert(got(2)._2 === null)
+    // overflow throws (ANSI semantics), matching the HOF under Spark 4
+    assert(intercept[Exception] {
+      Seq((Seq(Long.MaxValue, 2L), Seq(2L, 1L))).toDF("a", "b")
+        .select(vfs_long_dot($"a", $"b")).collect()
+    }.getMessage.toLowerCase.contains("overflow"))
+    // null ELEMENT propagates like the HOF chain
+    val withNullElem = spark.sql(
+      "SELECT vfs_long_dot(array(1L, CAST(NULL AS BIGINT)), array(2L, 3L))")
+    assert(withNullElem.head().isNullAt(0))
+    // codegen: the kernel stays inside whole-stage codegen (a
+    // non-local child; LocalTableScan would constant-fold the project)
+    val plan = spark.range(4)
+      .select(array(lit(1L), $"id").as("a"),
+        array(lit(2L), lit(3L)).as("b"))
+      .select(vfs_long_dot($"a", $"b"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Project [vfs_long_dot") &&
+      plan.contains("*(1)"), plan)
+  }
 }
