@@ -1159,6 +1159,29 @@ object SparkEntry {
         .orderBy(col("dist_milli").asc, col("vec_id").asc)
     }),
 
+    // ---- FILTERED BATCH vector search: searchBatch with an allowed-id
+    // pre-filter (label = 3) — the per-query candidates semi-join the
+    // allowed set BEFORE scoring and top-k. Full probe ⇒ exact over
+    // the allowed subset for every query, so the row hash-matches a
+    // per-qid windowed min-distance oracle ----
+    "ann_ivf_filtered_batch" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("values"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-ivf-filtb").toString
+      graft.operators.IvfIndex.build(e, idx, nCentroids = 8,
+        Metric.Euclidean)
+      val allowed = emb(s, dir).filter(col("label") === 3)
+        .select(col("vec_id"))
+      val queries = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvalues"))
+      graft.operators.IvfIndex.searchBatch(s, idx, queries, k = 10,
+          nProbe = 8, allowed = Some(allowed))
+        .select(col("qid"), col("id").as("vec_id"),
+          milli(col("distance")).as("dist_milli"))
+        .orderBy(col("qid").asc, col("dist_milli").asc, col("vec_id").asc)
+    }),
+
     // ---- Q3: approximate kNN over a persisted IVF index, emitted as
     // an ACCEPTANCE row: the probe's top-k id set depends on the
     // trained centroids (approximate by design), so a hash of the ids
@@ -2504,6 +2527,27 @@ object SparkEntry {
         |SELECT vec_id, CAST(round(d * 1000) AS BIGINT) AS dist_milli
         |FROM top
         |ORDER BY dist_milli ASC, vec_id ASC""".stripMargin,
+
+    // exact filtered BATCH kNN: per-query top-10 over the
+    // label-filtered subset (full probe ⇒ exact per query)
+    "ann_ivf_filtered_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE label = 3),
+        |d AS (
+        |  SELECT q.qid, c.vec_id, list_distance(c.v, q.qv) AS d
+        |  FROM q, c),
+        |r AS (
+        |  SELECT qid, vec_id, d,
+        |         row_number() OVER (PARTITION BY qid
+        |           ORDER BY d ASC, vec_id ASC) AS rn
+        |  FROM d)
+        |SELECT qid, vec_id, CAST(round(d * 1000) AS BIGINT) AS dist_milli
+        |FROM r WHERE rn <= 10
+        |ORDER BY qid ASC, dist_milli ASC, vec_id ASC""".stripMargin,
 
     "multimodal_features" -> multimodalFeaturesOracle,
 

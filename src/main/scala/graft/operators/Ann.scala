@@ -687,10 +687,18 @@ object IvfIndex {
     * A multiprobe index (nAssign > 1) can surface one id from two
     * probed clusters of the same query — deduped on (qid, id) before
     * the top-k so duplicates don't shrink effective k. Output:
-    * (qid, id, distance, rank), distances in the index metric. */
+    * (qid, id, distance, rank), distances in the index metric.
+    *
+    * `allowed` turns this into batch FILTERED search with the same
+    * pre-filter semantics as [[searchFiltered]]: the scanned candidate
+    * rows semi-join the allowed-id set BEFORE scoring and top-k, so
+    * every query fills k whenever its probed clusters hold ≥ k allowed
+    * vectors. Pass `allowedRows` when the set size is known to let the
+    * byte gate hint the broadcast. */
   def searchBatch(spark: SparkSession, path: String, queries: DataFrame,
       k: Int, nProbe: Int = 4, qidCol: String = "qid",
-      qvecCol: String = "qvalues"): DataFrame = {
+      qvecCol: String = "qvalues", allowed: Option[DataFrame] = None,
+      allowedRows: Long = -1L): DataFrame = {
     import TopKByDistance.topk
     val meta = readMeta(path)
     val metric = Metric.parse(meta.metric)
@@ -719,9 +727,21 @@ object IvfIndex {
         .select(lit(0L).as("qid"), lit(0L).as("id"),
           lit(0.0).as("distance"), lit(0).as("rank")).limit(0)
     // basePath keeps the cluster partition column for the scoped join
-    val rows = spark.read.option("basePath", s"$path/assignments")
+    val rows0 = spark.read.option("basePath", s"$path/assignments")
       .parquet(existing.toIndexedSeq: _*)
       .select(col("id"), col("values"), col("cluster"))
+    // pre-filter: thin CANDIDATES before scoring (see scaladoc)
+    val rows = allowed match {
+      case Some(a) =>
+        require(a.columns.length == 1,
+          "[GRAFT] searchBatch: allowed must have exactly one column")
+        val side =
+          if (allowedRows >= 0L)
+            BroadcastGate.gated(a.toDF("id"), allowedRows, 0)
+          else a.toDF("id")
+        rows0.join(side, Seq("id"), "left_semi")
+      case None => rows0
+    }
     // broadcast only query batches that plausibly fit executor memory
     // (the assignment side is |queries|·nProbe full vectors); above
     // the byte budget, leave the strategy to the planner — an

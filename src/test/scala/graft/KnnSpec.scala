@@ -351,6 +351,28 @@ class KnnSpec extends AnyFunSuite {
     assert(err.getMessage.contains("[GRAFT]"))
   }
 
+  test("searchBatch with allowed set: per-query parity with " +
+      "searchFiltered, only allowed ids returned") {
+    val dir = Files.createTempDirectory("ivf-filt-batch").toString
+    IvfIndex.build(emb, dir, nCentroids = 8, Metric.Cosine)
+    val allowedIds = all.map(_._1).filter(_ % 3 == 0).toSet
+    val allowed = allowedIds.toSeq.toDF("vec_id")
+    val queries = all.take(5).map { case (id, v) => (id, v) }
+      .toSeq.toDF("qid", "qvalues")
+    val batch = IvfIndex.searchBatch(spark, dir, queries, k = 5,
+        nProbe = 8, allowed = Some(allowed),
+        allowedRows = allowedIds.size.toLong)
+      .select($"qid", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(batch.values.forall(ids => ids.size == 5 &&
+      ids.forall(allowedIds)))
+    all.take(5).foreach { case (qid, v) =>
+      val single = IvfIndex.searchFiltered(spark, dir, v, 5, allowed,
+        nProbe = 8).select($"id").as[Long].collect().toSet
+      assert(batch(qid) === single, s"qid $qid")
+    }
+  }
+
   test("MMR rerank: lambda=1 is the plain distance order; lower lambda " +
       "defers an exact duplicate of an already-selected hit") {
     val q = Array(1f, 0f, 0f)
