@@ -1159,6 +1159,32 @@ object SparkEntry {
         .orderBy(col("dist_milli").asc, col("vec_id").asc)
     }),
 
+    // ---- FILTERED COMPRESSED vector search: the IVF-PQ two-stage
+    // probe with an allowed-id pre-filter (label = 3) — ADC candidates
+    // semi-join the allowed set before scoring, refine re-ranks only
+    // those. Full probe + exhaustive overfetch ⇒ the refined result IS
+    // the exact filtered top-k, so the row hash-matches the same
+    // label-filtered min-distance oracle as ann_ivf_filtered ----
+    "ann_ivfpq_filtered" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("values"))
+      val ivf = java.nio.file.Files
+        .createTempDirectory("verify-ivfpq-filt-i").toString
+      val pq = java.nio.file.Files
+        .createTempDirectory("verify-ivfpq-filt-p").toString
+      graft.operators.IvfIndex.build(e, ivf, nCentroids = 8,
+        Metric.Euclidean)
+      graft.operators.IvfPq.build(s, ivf, pq, m = 32, ks = 64)
+      val q = queryVec(s, dir, 7L)
+      val allowed = emb(s, dir).filter(col("label") === 3)
+        .select(col("vec_id"))
+      graft.operators.IvfPq.searchRefined(s, ivf, pq, q, 10,
+          nProbe = 8, overfetch = 64, allowed = Some(allowed))
+        .select(col("id").as("vec_id"),
+          milli(col("distance")).as("dist_milli"))
+        .orderBy(col("dist_milli").asc, col("vec_id").asc)
+    }),
+
     // ---- FILTERED BATCH vector search: searchBatch with an allowed-id
     // pre-filter (label = 3) — the per-query candidates semi-join the
     // allowed set BEFORE scoring and top-k. Full probe ⇒ exact over
@@ -2516,6 +2542,22 @@ object SparkEntry {
 
     // exact filtered kNN: min distances over the label-filtered subset
     "ann_ivf_filtered" ->
+      """WITH top AS (
+        |  SELECT vec_id,
+        |         list_distance(CAST(embedding AS DOUBLE[]),
+        |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 7)) AS d
+        |  FROM embeddings
+        |  WHERE label = 3
+        |  ORDER BY d ASC, vec_id ASC
+        |  LIMIT 10)
+        |SELECT vec_id, CAST(round(d * 1000) AS BIGINT) AS dist_milli
+        |FROM top
+        |ORDER BY dist_milli ASC, vec_id ASC""".stripMargin,
+
+    // exact filtered kNN through the compressed path: full probe +
+    // exhaustive overfetch makes the PQ refine exact over the allowed
+    // subset — same twin as ann_ivf_filtered
+    "ann_ivfpq_filtered" ->
       """WITH top AS (
         |  SELECT vec_id,
         |         list_distance(CAST(embedding AS DOUBLE[]),

@@ -605,13 +605,9 @@ object IvfIndex {
       allowedRows: Long = -1L): DataFrame = {
     val meta = readMeta(path)
     val metric = Metric.parse(meta.metric)
-    require(allowed.columns.length == 1,
-      "[GRAFT] searchFiltered: allowed must have exactly one column")
     val q = normalizeQuery(meta, metric, query)
-    val allowSide0 = allowed.toDF("id")
-    val allowSide =
-      if (allowedRows >= 0L) BroadcastGate.gated(allowSide0, allowedRows, 0)
-      else allowSide0
+    val allowSide = BroadcastGate.allowedSide(allowed, allowedRows,
+      "searchFiltered")
     probedCandidates(spark, path, meta, q, nProbe) match {
       case None =>
         spark.emptyDataFrame
@@ -733,13 +729,8 @@ object IvfIndex {
     // pre-filter: thin CANDIDATES before scoring (see scaladoc)
     val rows = allowed match {
       case Some(a) =>
-        require(a.columns.length == 1,
-          "[GRAFT] searchBatch: allowed must have exactly one column")
-        val side =
-          if (allowedRows >= 0L)
-            BroadcastGate.gated(a.toDF("id"), allowedRows, 0)
-          else a.toDF("id")
-        rows0.join(side, Seq("id"), "left_semi")
+        rows0.join(BroadcastGate.allowedSide(a, allowedRows,
+          "searchBatch"), Seq("id"), "left_semi")
       case None => rows0
     }
     // broadcast only query batches that plausibly fit executor memory

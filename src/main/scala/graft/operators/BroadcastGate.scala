@@ -56,4 +56,17 @@ object BroadcastGate {
     * otherwise `df` unchanged (planner's choice). */
   def gated(df: DataFrame, rows: Long, dim: Int): DataFrame =
     if (fits(rows, dim)) broadcast(df) else df
+
+  /** Normalize an allowed-id pre-filter side for the filtered search
+    * paths: exactly one column (loud otherwise), renamed `id` for the
+    * semi-join, broadcast-hinted iff the caller KNOWS the set size and
+    * the id-only rows fit the budget. Unknown size (`allowedRows < 0`)
+    * leaves the strategy to the planner. */
+  def allowedSide(allowed: DataFrame, allowedRows: Long,
+      caller: String): DataFrame = {
+    require(allowed.columns.length == 1,
+      s"[GRAFT] $caller: allowed must have exactly one column")
+    val side = allowed.toDF("id")
+    if (allowedRows >= 0L) gated(side, allowedRows, 0) else side
+  }
 }

@@ -542,13 +542,21 @@ object IvfPq {
     * Reads only existing `codes/cluster=<c>/` directories (empty
     * k-means clusters have none), O(nProbe) paths listed. A vector
     * stored in several clusters by a multiprobe parent index scores
-    * once per shared probed cluster; the min wins before top-k. */
+    * once per shared probed cluster; the min wins before top-k.
+    *
+    * `allowed` pre-filters: code rows semi-join the allowed-id set
+    * BEFORE ADC scoring (same semantics as
+    * [[IvfIndex.searchFiltered]]), so the top-k fills from allowed
+    * vectors whenever the probed clusters hold enough of them. */
   def search(spark: SparkSession, ivfPath: String, path: String,
-      query: Array[Float], k: Int, nProbe: Int = 16): DataFrame =
-    adcTopK(spark, path, probe(spark, ivfPath, path, query, nProbe), k)
+      query: Array[Float], k: Int, nProbe: Int = 16,
+      allowed: Option[DataFrame] = None,
+      allowedRows: Long = -1L): DataFrame =
+    adcTopK(spark, path, probe(spark, ivfPath, path, query, nProbe), k,
+      allowed.map(BroadcastGate.allowedSide(_, allowedRows, "search")))
 
   private def adcTopK(spark: SparkSession, path: String, p: Probe,
-      k: Int): DataFrame = {
+      k: Int, allowSide: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val dsub = p.dim / p.m
     val books = PqIndex.loadCodebooks(spark, path, p.m, p.ks)
@@ -562,9 +570,15 @@ object IvfPq {
     if (existing.isEmpty)
       return spark.range(0).select(col("id"), lit(0.0).as("adist"))
     val bt = spark.sparkContext.broadcast(tables)
-    val scored = spark.read.option("basePath", s"$path/codes")
+    val codeRows0 = spark.read.option("basePath", s"$path/codes")
       .parquet(existing: _*)
       .select(col("id"), col("code"), col("cluster"))
+    // pre-filter: thin code rows before the ADC kernel (see search())
+    val codeRows = allowSide match {
+      case Some(side) => codeRows0.join(side, Seq("id"), "left_semi")
+      case None => codeRows0
+    }
+    val scored = codeRows
       .as[(Long, Array[Byte], Int)]
       .mapPartitions { it =>
         val ts = bt.value
@@ -600,15 +614,23 @@ object IvfPq {
     * recall is ceiling-bounded by the PARENT probe, so the lever is
     * nProbe, not m — nProbe=4 of a few dozen centroids is a coin-flip
     * on uniform corpora. The `ann_ivfpq_pruned` acceptance row gates
-    * exactly this operating point. */
+    * exactly this operating point.
+    *
+    * `allowed` pre-filters BOTH stages: ADC candidates semi-join the
+    * allowed-id set before scoring (so the overfetch pool is all
+    * allowed), and the refine re-ranks only those candidates — the
+    * compressed twin of [[IvfIndex.searchFiltered]]. */
   def searchRefined(spark: SparkSession, ivfPath: String, path: String,
       query: Array[Float], k: Int, nProbe: Int = 16,
-      overfetch: Int = 8): DataFrame = {
+      overfetch: Int = 8, allowed: Option[DataFrame] = None,
+      allowedRows: Long = -1L): DataFrame = {
     import spark.implicits._
     // probe state (centroid read + top-k + dir listing) is computed
     // once and shared by both stages
     val p = probe(spark, ivfPath, path, query, nProbe)
-    val candIds = adcTopK(spark, path, p, k * overfetch)
+    val candIds = adcTopK(spark, path, p, k * overfetch,
+        allowed.map(BroadcastGate.allowedSide(_, allowedRows,
+          "searchRefined")))
       .select(col("id")).as[Long].collect()
     val existing = IvfIndex.existingClusterDirs(spark,
       s"$ivfPath/assignments", p.probed)
@@ -654,10 +676,16 @@ object IvfPq {
     *
     * Output: (qid, id, distance, rank) in the parent's metric —
     * per-query rows equal [[searchRefined]]'s (PqSpec pins parity).
-    * Defaults follow [[searchRefined]]'s measured operating point. */
+    * Defaults follow [[searchRefined]]'s measured operating point.
+    *
+    * `allowed` pre-filters the scanned code rows before ADC scoring
+    * (semantics of [[IvfIndex.searchBatch]]'s filter); the refine
+    * stage re-ranks only the resulting allowed candidates. */
   def searchBatch(spark: SparkSession, ivfPath: String, path: String,
       queries: DataFrame, k: Int, nProbe: Int = 16, overfetch: Int = 8,
-      qidCol: String = "qid", qvecCol: String = "qvalues"): DataFrame = {
+      qidCol: String = "qid", qvecCol: String = "qvalues",
+      allowed: Option[DataFrame] = None,
+      allowedRows: Long = -1L): DataFrame = {
     import spark.implicits._
     import TopKByDistance.topk
     val meta = readMeta(path)
@@ -698,9 +726,16 @@ object IvfPq {
     val books = PqIndex.loadCodebooks(spark, path, meta.m, meta.ks)
     val bcBooks = spark.sparkContext.broadcast(books)
     val bcCents = spark.sparkContext.broadcast(cents)
-    val codeRows = spark.read.option("basePath", s"$path/codes")
+    val codeRows0 = spark.read.option("basePath", s"$path/codes")
       .parquet(existingCodes: _*)
       .select(col("id"), col("code"), col("cluster"))
+    // pre-filter: thin code rows before the query join + ADC kernel
+    val codeRows = allowed match {
+      case Some(a) =>
+        codeRows0.join(BroadcastGate.allowedSide(a, allowedRows,
+          "searchBatch"), Seq("id"), "left_semi")
+      case None => codeRows0
+    }
     val scored0 = codeRows.join(qSide, Seq("cluster"))
       .select(col("qid"), col("qv"), col("id"), col("code"),
         col("cluster"))

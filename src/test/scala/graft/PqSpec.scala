@@ -326,4 +326,59 @@ class PqSpec extends AnyFunSuite {
     }
     assert(ungated === batch)
   }
+
+  test("filtered IVF-PQ: only allowed ids at every stage, full-probe " +
+      "refine parity with exact filtered kNN, batch = single") {
+    val ivfDir = Files.createTempDirectory("ivfpq_filt_i").toString
+    val pqDir = Files.createTempDirectory("ivfpq_filt_p").toString
+    IvfIndex.build(emb, ivfDir, nCentroids = 8, Metric.Cosine)
+    IvfPq.build(spark, ivfDir, pqDir, m = 32, ks = 64)
+    val allowedIds = all.map(_._1).filter(_ % 3 == 0).toSet
+    val allowed = allowedIds.toSeq.toDF("vec_id")
+    val some = Some(allowed)
+    val nAll = allowedIds.size.toLong
+
+    // ADC stage respects the filter
+    val adcIds = IvfPq.search(spark, ivfDir, pqDir, all.head._2, 10,
+        nProbe = 8, allowed = some, allowedRows = nAll)
+      .select($"id").as[Long].collect().toSet
+    assert(adcIds.nonEmpty && adcIds.forall(allowedIds))
+
+    // full probe + wide overfetch ⇒ the refined result IS the exact
+    // filtered top-k (every allowed vector reaches the refine pool)
+    all.take(5).foreach { case (qid, qv) =>
+      val got = IvfPq.searchRefined(spark, ivfDir, pqDir, qv, 5,
+          nProbe = 8, overfetch = all.length, allowed = some,
+          allowedRows = nAll)
+        .select($"id").as[Long].collect().toSeq
+      val want = all.filter(t => allowedIds(t._1))
+        .map { case (id, v) => (cos(v, qv), id) }.sorted.take(5)
+        .map(_._2).toSeq
+      assert(got === want, s"qid=$qid")
+      assert(got.forall(allowedIds))
+    }
+
+    // batch parity with the single-query filtered path
+    val queries = all.take(5).toSeq.toDF("qid", "qvalues")
+    val batch = IvfPq.searchBatch(spark, ivfDir, pqDir, queries,
+        k = 5, nProbe = 8, overfetch = 8, allowed = some,
+        allowedRows = nAll)
+      .orderBy($"qid", $"rank").select($"qid", $"id")
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(batch.values.forall(ids => ids.forall(allowedIds)))
+    all.take(5).foreach { case (qid, qv) =>
+      val single = IvfPq.searchRefined(spark, ivfDir, pqDir, qv, 5,
+          nProbe = 8, overfetch = 8, allowed = some, allowedRows = nAll)
+        .select($"id").as[Long].collect().toSeq
+      assert(batch(qid) === single, s"qid=$qid")
+    }
+
+    // loud misuse: multi-column allowed set
+    val err = intercept[IllegalArgumentException] {
+      IvfPq.searchRefined(spark, ivfDir, pqDir, all.head._2, 5,
+        allowed = Some(allowed.withColumn("x", lit(1))))
+    }
+    assert(err.getMessage.contains("[GRAFT]"))
+  }
 }
