@@ -1388,6 +1388,16 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- bigram LM quality scoring: add-one-smoothed corpus bigram
+    // model, per-doc mean INVERSE probability in integer milli (the
+    // float-free, engine-portable stand-in for a perplexity filter:
+    // cost(a,b) = (1000·(c(a)+V)) div (c(a,b)+1), integer mean) ----
+    "text_lm_score" -> ((s, dir) => {
+      TextAnalysis.lmScore(
+          s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- model-based filtering: a Bernoulli token-evidence
     // classifier trained distributed on an 80% slice (label: lang =
     // 'en'), scoring the held-out 20%. Integer Laplace-posterior
@@ -2417,6 +2427,25 @@ object SparkEntry {
         |ORDER BY l.event_id ASC""".stripMargin,
 
     "text_fingerprint" -> textFingerprintOracle,
+
+    // bigram LM score: same smoothed integer-milli inverse-probability
+    // model derived in SQL — bigrams via list_zip against the tail
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS s
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(s) AS w FROM t),
+        |bg AS (SELECT doc_id, p[1] AS a, p[2] AS b
+        |  FROM (SELECT doc_id, unnest(list_zip(s, s[2:])) AS p FROM t)
+        |  WHERE p[2] IS NOT NULL),
+        |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+        |cost AS (SELECT bg.doc_id, (1000 * (ca.ca + v.v)) // (cab.cab + 1) AS c
+        |  FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(CAST(sum(c) AS BIGINT) // count(*) AS BIGINT) AS mean_invp_milli
+        |FROM cost GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH w AS (SELECT doc_id,

@@ -599,6 +599,71 @@ object TextAnalysis {
           .as("oov_milli"))
   }
 
+  /** Bigram language-model quality score per document — the
+    * "perplexity filter" stage of LLM data pipelines (cf. CCNet's
+    * KenLM perplexity buckets) with NO floating point anywhere, so
+    * the learn-then-score pipeline is bit-portable across engines:
+    *
+    * A document's tokens (lowercased whitespace split, the corpus
+    * tokenizer) are scored by the add-one-smoothed bigram model of
+    * the corpus itself. Instead of the usual `-log p` (whose libm
+    * rounding is engine-specific), each bigram (a,b) costs its
+    * INVERSE smoothed probability in integer milli —
+    *
+    *   cost(a,b) = (1000 · (c(a) + V)) div (c(a,b) + 1)
+    *
+    * where c(a,b) is the corpus bigram count, c(a) = Σ_b c(a,b) the
+    * context count, and V the corpus vocabulary size. The per-doc
+    * score is the integer mean cost — monotone in the arithmetic
+    * mean of 1/p̂, a rank-equivalent stand-in for perplexity's
+    * geometric mean at filter-threshold use, and exact in int64.
+    * Common bigrams cost ≈ 1000·V/c(a,b); unseen bigrams cost
+    * ≈ 1000·(c(a)+V) — rare/garbled text scores high.
+    *
+    * 100 TB shape: bigrams are formed INSIDE the row (array zip +
+    * explode — no window, no per-doc shuffle); counting is two hash
+    * aggregates with map-side partials keyed by (a,b) then a; the
+    * model is one vocab²-bounded (in practice ≈ observed-bigram-
+    * bounded) stats table joined back to the token stream on (a,b);
+    * the final per-doc mean is an idCol-keyed count/sum with
+    * partials. Docs with fewer than two tokens have no bigrams and
+    * are absent from the output (nothing to score).
+    *
+    * Output: (idCol, n_bigrams, mean_invp_milli). */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    WorkCols.requireFree(docs, "__s", "__s2", "__p", "__a", "__b",
+      "__w", "__cab", "__ca", "__c", "__sum")
+    val toks = docs.select(col(idCol),
+      split(trim(lower(col(textCol))), "\\s+").as("__s"))
+    // bigrams without a shuffle: zip the token array against its own
+    // tail (the zip pads the final token's pair with null — dropped)
+    val bg = toks
+      .withColumn("__s2", expr("slice(__s, 2, greatest(size(__s) - 1, 0))"))
+      .select(col(idCol),
+        expr("explode(arrays_zip(__s, __s2))").as("__p"))
+      .select(col(idCol), col("__p.__s").as("__a"),
+        col("__p.__s2").as("__b"))
+      .filter(col("__b").isNotNull)
+    val cab = bg.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__cab"))
+    val ca = cab.groupBy(col("__a")).agg(sum(col("__cab")).as("__ca"))
+    val vocabSize = toks
+      .select(explode(col("__s")).as("__w"))
+      .agg(countDistinct(col("__w"))).first().getLong(0)
+    // one stats table per OBSERVED bigram, joined back once
+    val stats = cab.join(ca, Seq("__a"))
+      .select(col("__a"), col("__b"),
+        idiv(lit(1000L) * (col("__ca") + lit(vocabSize)),
+          col("__cab") + lit(1L)).as("__c"))
+    bg.join(stats, Seq("__a", "__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(col("__c")).as("__sum"))
+      .select(col(idCol), col("n_bigrams"),
+        idiv(col("__sum"), col("n_bigrams")).as("mean_invp_milli"))
+  }
+
   /** Exact integer floor-division of two non-negative LONG columns —
     * `(a - a mod b) / b` keeps the double division exact (the
     * numerator is a multiple of b, magnitudes far under 2^53), so the

@@ -1103,6 +1103,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(overridden(1L) === 1000L) // "a b b": nothing matches {x}
   }
 
+  test("lmScore: hand-computed smoothed bigram costs, short docs " +
+      "absent, gibberish outranks fluent text") {
+    import graft.operators.TextAnalysis
+    // corpus bigrams: (a,b)×2 + (b,a)×1 from doc 0, (z,q)×1 from
+    // doc 1; V = 4; ca: a=2, b=1, z=1
+    //   cost(a,b) = 1000·(2+4) div 3 = 2000
+    //   cost(b,a) = 1000·(1+4) div 2 = 2500
+    //   cost(z,q) = 1000·(1+4) div 2 = 2500
+    val docs = Seq(
+      (0L, "a b a b"),  // n=3, mean = (2000+2500+2000) div 3 = 2166
+      (1L, "z q"),      // n=1, mean = 2500
+      (2L, "a"))        // single token: no bigrams, absent
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(docs)
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got === Map(0L -> ((3L, 2166L)), 1L -> ((1L, 2500L))))
+    // a fluent (repetitive-bigram) doc must score LOWER than unique
+    // gibberish under the corpus model
+    val corpus = Seq(
+      (0L, "the cat sat on the mat the cat sat on the mat"),
+      (1L, "the cat sat on the mat again"),
+      (2L, "qzx vbn wkj plm drt hyu"))
+      .toDF("doc_id", "text")
+    val scores = TextAnalysis.lmScore(corpus)
+      .select($"doc_id", $"mean_invp_milli")
+      .as[(Long, Long)].collect().toMap
+    assert(scores(0L) < scores(2L))
+    assert(scores(1L) < scores(2L))
+  }
+
   test("leakSafeSplit: near-dup groups never straddle splits, " +
       "weights validated, assignment deterministic") {
     val docs = spark.read
