@@ -1388,6 +1388,31 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- BPE tokenizer: train on the corpus word-count aggregate
+    // (the distributed pass), encode every doc with the learned
+    // merges. ACCEPTANCE row — DuckDB cannot run a merge loop, but it
+    // pins the deterministic contract: every doc decodes back to its
+    // normal form (lowercase, single spaces) and the learned subwords
+    // compress vs the char-level baseline (chars + one </w> per word)
+    "text_bpe" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.Bpe.trainBpe(docs, nMerges = 200)
+      val norm = regexp_replace(trim(lower(col("text"))), "\\s+", " ")
+      graft.operators.Bpe.bpeEncode(docs, model)
+        .join(docs.select(col("doc_id"), norm.as("__norm")),
+          Seq("doc_id"))
+        .select(
+          when(graft.operators.Bpe.bpeDecodeCol(col("tokens"))
+            === col("__norm"), 0L).otherwise(1L).as("__fail"),
+          col("n_tokens"),
+          (length(translate(col("__norm"), " ", "")) +
+            size(split(col("__norm"), " "))).cast("long").as("__base"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__fail")).as("roundtrip_fail"),
+          when(sum(col("n_tokens")) < sum(col("__base")), 1L)
+            .otherwise(0L).as("compressed"))
+    }),
+
     // ---- bigram LM quality scoring: add-one-smoothed corpus bigram
     // model, per-doc mean INVERSE probability in integer milli (the
     // float-free, engine-portable stand-in for a perplexity filter:
@@ -2427,6 +2452,14 @@ object SparkEntry {
         |ORDER BY l.event_id ASC""".stripMargin,
 
     "text_fingerprint" -> textFingerprintOracle,
+
+    // acceptance row: BPE train+encode contract — all docs roundtrip
+    // through decode, learned merges compress vs the char baseline
+    "text_bpe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(0 AS BIGINT) AS roundtrip_fail,
+        |       CAST(1 AS BIGINT) AS compressed
+        |FROM documents""".stripMargin,
 
     // bigram LM score: same smoothed integer-milli inverse-probability
     // model derived in SQL — bigrams via list_zip against the tail

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and encoding — the
+  * "train a tokenizer on the corpus" stage of an LLM data pipeline,
+  * with the standard two-level architecture used by production BPE
+  * trainers (GPT-2's trainer, HF `tokenizers`):
+  *
+  *   1. the CORPUS-SCALE part is one distributed word-count
+  *      aggregate (hash agg with map-side partials keyed by word —
+  *      the only pass over the data), optionally capped to the top
+  *      `maxWords` forms by (count desc, word asc);
+  *   2. the MERGE LOOP runs on the driver over that word-count
+  *      dict — the dict is vocabulary-sized (≪ corpus; bounded by
+  *      `maxWords`), which is exactly how reference trainers
+  *      operate: merge selection needs global pair counts, so it is
+  *      inherently sequential, and the input it needs is the
+  *      aggregate, not the corpus.
+  *
+  * Determinism: pair selection breaks count ties by (left, right)
+  * lexicographic order, so the same corpus always yields the same
+  * merge table — no RNG anywhere.
+  *
+  * Word model: lowercased whitespace tokens (the corpus tokenizer
+  * used across `TextAnalysis`), each word split into single-char
+  * symbols with an explicit `</w>` end-of-word symbol appended, so
+  * merges can capture whole words and decoding restores word
+  * boundaries exactly.
+  */
+object Bpe {
+
+  /** End-of-word marker symbol (its own symbol, never merged away
+    * into a cross-word bridge). */
+  val Eow = "</w>"
+
+  /** A trained BPE model: `merges(r)` is the r-th learned pair.
+    * Persist via [[toDF]] / rebuild via [[fromDF]]. */
+  final case class BpeModel(merges: IndexedSeq[(String, String)]) {
+    /** rank lookup used by the encoder: lower rank merges first */
+    lazy val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    def toDF(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "left", "right")
+    }
+  }
+
+  object BpeModel {
+    /** Rebuild a model from its [[BpeModel.toDF]] frame (any row
+      * order — ranks define the sequence). */
+    def fromDF(df: DataFrame): BpeModel = {
+      val rows = df.select(col("rank").cast("long"), col("left"),
+          col("right"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getString(2))))
+        .sortBy(_._1)
+      BpeModel(rows.map(_._2).toIndexedSeq)
+    }
+  }
+
+  private def toSymbols(word: String): Vector[String] =
+    word.map(_.toString).toVector :+ Eow
+
+  /** Train `nMerges` BPE merges on the corpus. One distributed
+    * word-count aggregate (top-`maxWords` forms kept, ties broken by
+    * word), then the driver merge loop described above. Training may
+    * stop early when no pair occurs twice — merges that fire once
+    * generalize to nothing. */
+  def trainBpe(docs: DataFrame, nMerges: Int, maxWords: Int = 65536,
+      textCol: String = "text"): BpeModel = {
+    require(nMerges > 0, "[GRAFT] trainBpe: nMerges must be positive")
+    require(maxWords > 0, "[GRAFT] trainBpe: maxWords must be positive")
+    WorkCols.requireFree(docs, "__w", "__cnt")
+    val counts = docs
+      .select(explode(split(trim(lower(col(textCol))), "\\s+")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__w").asc)
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // driver dict: symbol sequence per surviving word form
+    var words: Array[(Vector[String], Long)] =
+      counts.map { case (w, c) => (toSymbols(w), c) }
+    val merges = Vector.newBuilder[(String, String)]
+    var learned = 0
+    var exhausted = false
+    while (learned < nMerges && !exhausted) {
+      val pairCounts = collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      // a pair seen once compresses nothing it can generalize to
+      val candidates = pairCounts.filter(_._2 >= 2L)
+      if (candidates.isEmpty) exhausted = true
+      else {
+        val best = candidates.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        learned += 1
+        val joined = best._1 + best._2
+        words = words.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == best._1 &&
+                  syms(i + 1) == best._2) {
+                out += joined; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.result(), c)
+          }
+        }
+      }
+    }
+    BpeModel(merges.result())
+  }
+
+  /** Encode one word with the trained merges — the standard
+    * rank-priority greedy: repeatedly merge the LOWEST-rank adjacent
+    * pair present (leftmost occurrence on rank ties by construction
+    * of the scan) until no learned pair remains. */
+  private[graft] def encodeWord(word: String,
+      ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = toSymbols(word)
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestAt = i }
+        i += 1
+      }
+      if (bestAt < 0) done = true
+      else syms = (syms.take(bestAt) :+ (syms(bestAt) + syms(bestAt + 1))) ++
+        syms.drop(bestAt + 2)
+    }
+    syms
+  }
+
+  /** Tokenize every document with a trained model. Embarrassingly
+    * parallel: the merge table is broadcast (model size ∝ nMerges),
+    * each partition memoizes word → tokens (Zipf repetition makes the
+    * cache hit rate high), no shuffle. Output:
+    * (idCol, tokens ARRAY&lt;STRING&gt;, n_tokens). */
+  def bpeEncode(docs: DataFrame, model: BpeModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model.ranks)
+    docs.select(col(idCol).cast("long"),
+        split(trim(lower(col(textCol))), "\\s+").as("__words"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        val memo = collection.mutable.HashMap.empty[String, Vector[String]]
+        it.map { case (id, ws) =>
+          val toks = ws.iterator.filter(_.nonEmpty).flatMap { w =>
+            if (memo.size > 100000) memo.clear()
+            memo.getOrElseUpdate(w, encodeWord(w, ranks))
+          }.toArray
+          (id, toks, toks.length.toLong)
+        }
+      }
+      .toDF(idCol, "tokens", "n_tokens")
+  }
+
+  /** Invert [[bpeEncode]]: concatenate symbols, turn each `</w>`
+    * back into a word boundary. For any input, decode(encode(text))
+    * equals the tokenizer's normal form of `text` (lowercased,
+    * whitespace collapsed to single spaces). */
+  def bpeDecode(tokens: Seq[String]): String =
+    tokens.mkString("").replace(Eow, " ").trim
+
+  /** Column form of [[bpeDecode]] for frame-level roundtrips. */
+  def bpeDecodeCol(tokens: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    trim(regexp_replace(concat_ws("", tokens), java.util.regex.Pattern
+      .quote(Eow), " "))
+}

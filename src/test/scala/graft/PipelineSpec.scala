@@ -1134,6 +1134,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(scores(1L) < scores(2L))
   }
 
+  test("BPE: hand-computed merge sequence, unseen-word encoding, " +
+      "roundtrip, compression, deterministic, model persistence") {
+    import graft.operators.Bpe
+    // the classic BPE corpus: low×5 lower×2 newest×6 widest×3.
+    // weighted pair counts make the first five merges, ties broken
+    // lexicographically: (e,s)9 → (es,t)9 → (est,</w>)9 → (l,o)7 →
+    // (lo,w)7
+    val corpus = Seq(
+      (0L, "low low low low low"),
+      (1L, "lower lower widest"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest"))
+      .toDF("doc_id", "text")
+    val model = Bpe.trainBpe(corpus, nMerges = 5)
+    assert(model.merges === Vector(("e", "s"), ("es", "t"),
+      ("est", Bpe.Eow), ("l", "o"), ("lo", "w")))
+    // deterministic retrain
+    assert(Bpe.trainBpe(corpus, nMerges = 5).merges === model.merges)
+    // UNSEEN word: "lowest" never occurs, yet composes from learned
+    // subwords — the generalization BPE exists for
+    assert(Bpe.encodeWord("lowest", model.ranks) ===
+      Vector("low", "est" + Bpe.Eow))
+    // frame-level encode + decode roundtrip to the normal form
+    val probe = Seq((9L, "  Lowest  LOW newest  "))
+      .toDF("doc_id", "text")
+    val enc = Bpe.bpeEncode(probe, model)
+    val row = enc.select($"tokens", $"n_tokens")
+      .as[(Seq[String], Long)].head()
+    assert(row._1.take(2) === Seq("low", "est" + Bpe.Eow))
+    assert(row._2 === row._1.length.toLong)
+    assert(Bpe.bpeDecode(row._1) === "lowest low newest")
+    assert(enc.select(Bpe.bpeDecodeCol($"tokens")).as[String].head()
+      === "lowest low newest")
+    // model persistence roundtrip
+    val back = Bpe.BpeModel.fromDF(model.toDF(spark))
+    assert(back === model)
+    // real corpus: every doc roundtrips, and the encoding compresses
+    // vs the char-level baseline (chars + one </w> per word)
+    val real = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+    val m2 = Bpe.trainBpe(real, nMerges = 100)
+    val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
+    val stats = Bpe.bpeEncode(real, m2)
+      .join(real.select($"doc_id", norm.as("__norm")), Seq("doc_id"))
+      .select(
+        when(Bpe.bpeDecodeCol($"tokens") === $"__norm", 0L)
+          .otherwise(1L).as("fail"),
+        $"n_tokens",
+        (length(translate($"__norm", " ", "")) +
+          size(split($"__norm", " "))).cast("long").as("baseline"))
+      .agg(sum($"fail"), sum($"n_tokens"), sum($"baseline"))
+      .as[(Long, Long, Long)].head()
+    assert(stats._1 === 0L, "roundtrip failures")
+    assert(stats._2 < stats._3, "no compression vs char baseline")
+  }
+
   test("leakSafeSplit: near-dup groups never straddle splits, " +
       "weights validated, assignment deterministic") {
     val docs = spark.read
