@@ -207,6 +207,26 @@ object Bench {
     results("profile") = median {
       SparkEntry.queries("q_profile")(spark, sfDir).count()
     }
+    // bigram LM scoring: two count aggs + one stats join over the
+    // token stream, integer-exact model
+    results("lm_score") = median {
+      SparkEntry.queries("text_lm_score")(spark, sfDir).count()
+    }
+    // BPE: word-count agg + driver merge loop (train), broadcast
+    // rank-priority encode with per-partition memoization (encode)
+    results("bpe_train_encode") = median {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val model = graft.operators.Bpe.trainBpe(docs, nMerges = 200)
+      graft.operators.Bpe.bpeEncode(docs, model).count()
+    }
+    // filtered compressed search against the STANDING ivfpq artifact:
+    // allowed-id semi-join thins the ADC kernel, refine over allowed
+    // candidates only (build cost excluded — it's index_build's)
+    results("knn_filtered_ivfpq") = median {
+      val allowed = emb.filter(col("id") % 3 === 0).select(col("id"))
+      graft.operators.IvfPq.searchRefined(spark, ivfDir, ivfpqDir, q,
+        10, nProbe = 16, overfetch = 8, allowed = Some(allowed)).count()
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -186,6 +186,17 @@ object QuickStart {
       split.groupBy("split").count().orderBy("split")
         .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
         .mkString(", "))
+    val lm = graft.operators.TextAnalysis.lmScore(docs)
+      .orderBy(col("mean_invp_milli").desc).limit(1)
+      .collect().head
+    println(s"[quickstart] bigram LM: most surprising doc " +
+      s"${lm.getLong(0)} at ${lm.getLong(2)} milli-inv-p over " +
+      s"${lm.getLong(1)} bigrams")
+    val bpe = graft.operators.Bpe.trainBpe(docs, nMerges = 50)
+    val bpeToks = graft.operators.Bpe.bpeEncode(docs, bpe)
+    println(s"[quickstart] bpe: ${bpe.merges.length} merges, " +
+      s"${bpeToks.agg(sum(col("n_tokens"))).collect().head.getLong(0)} " +
+      s"tokens over ${bpeToks.count()} docs")
 
     // CDC: snapshot, append, read only the delta (file-pruned)
     val cdcRoot = java.nio.file.Files
