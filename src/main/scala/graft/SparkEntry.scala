@@ -1423,6 +1423,18 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- CROSS-corpus LM scoring: train the bigram model on the
+    // even-id half (the standing reference), score the odd-id half —
+    // unseen bigrams and unseen contexts cost through the same
+    // coalesced add-one formula, so the scorer generalizes without
+    // special cases (the CCNet train-on-wiki / score-the-crawl shape)
+    "text_lm_cross" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = TextAnalysis.lmModel(docs.filter(col("doc_id") % 2 === 0))
+      TextAnalysis.scoreLm(docs.filter(col("doc_id") % 2 === 1), model)
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- model-based filtering: a Bernoulli token-evidence
     // classifier trained distributed on an 80% slice (label: lang =
     // 'en'), scoring the held-out 20%. Integer Laplace-posterior
@@ -2476,6 +2488,34 @@ object SparkEntry {
         |v AS (SELECT count(DISTINCT w) AS v FROM tok),
         |cost AS (SELECT bg.doc_id, (1000 * (ca.ca + v.v)) // (cab.cab + 1) AS c
         |  FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       CAST(CAST(sum(c) AS BIGINT) // count(*) AS BIGINT) AS mean_invp_milli
+        |FROM cost GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // cross-corpus LM: model from even ids only, left-joined costs
+    // with coalesce for unseen bigrams/contexts
+    "text_lm_cross" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS s
+        |  FROM documents),
+        |tr AS (SELECT * FROM t WHERE doc_id % 2 = 0),
+        |te AS (SELECT * FROM t WHERE doc_id % 2 = 1),
+        |tok AS (SELECT unnest(s) AS w FROM tr),
+        |bgtr AS (SELECT p[1] AS a, p[2] AS b
+        |  FROM (SELECT unnest(list_zip(s, s[2:])) AS p FROM tr)
+        |  WHERE p[2] IS NOT NULL),
+        |cab AS (SELECT a, b, count(*) AS cab FROM bgtr GROUP BY 1, 2),
+        |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+        |bgte AS (SELECT doc_id, p[1] AS a, p[2] AS b
+        |  FROM (SELECT doc_id, unnest(list_zip(s, s[2:])) AS p FROM te)
+        |  WHERE p[2] IS NOT NULL),
+        |cost AS (SELECT bgte.doc_id,
+        |    (1000 * (coalesce(ca.ca, 0) + v.v)) // (coalesce(cab.cab, 0) + 1) AS c
+        |  FROM bgte
+        |  LEFT JOIN cab USING (a, b)
+        |  LEFT JOIN ca USING (a)
+        |  CROSS JOIN v)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
         |       CAST(CAST(sum(c) AS BIGINT) // count(*) AS BIGINT) AS mean_invp_milli
         |FROM cost GROUP BY 1 ORDER BY doc_id""".stripMargin,

@@ -629,11 +629,57 @@ object TextAnalysis {
     * partials. Docs with fewer than two tokens have no bigrams and
     * are absent from the output (nothing to score).
     *
-    * Output: (idCol, n_bigrams, mean_invp_milli). */
+    * Output: (idCol, n_bigrams, mean_invp_milli).
+    *
+    * Equivalent to `scoreLm(docs, lmModel(docs))` — self-scoring, the
+    * corpus is its own reference. The production stance for streams /
+    * new crawls is the split form: train ONCE on the reference corpus
+    * ([[lmModel]]), score every new batch against that STANDING model
+    * ([[scoreLm]]) — CCNet trains its KenLM on Wikipedia, not on the
+    * crawl being filtered. */
   def lmScore(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    scoreLm(docs, lmModel(docs, textCol), idCol, textCol)
+
+  /** A trained bigram LM: observed-bigram counts, context counts, and
+    * the vocabulary size. Both frames are plain (persistable) tables —
+    * write them out to freeze a reference model. */
+  final case class LmModel(bigrams: DataFrame, contexts: DataFrame,
+    vocabSize: Long)
+
+  /** Train the [[lmScore]] bigram model on a reference corpus: one
+    * pass forming bigrams inside the row (array zip + explode, no
+    * window), two hash aggregates with map-side partials. The model
+    * size is bounded by the OBSERVED bigram vocabulary, ≪ corpus. */
+  def lmModel(docs: DataFrame, textCol: String = "text"): LmModel = {
+    WorkCols.requireFree(docs, "__s", "__s2", "__p", "__w")
+    val toks = docs.select(
+      split(trim(lower(col(textCol))), "\\s+").as("__s"))
+    val bg = toks
+      .withColumn("__s2", expr("slice(__s, 2, greatest(size(__s) - 1, 0))"))
+      .select(expr("explode(arrays_zip(__s, __s2))").as("__p"))
+      .select(col("__p.__s").as("w1"), col("__p.__s2").as("w2"))
+      .filter(col("w2").isNotNull)
+    val cab = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val ca = cab.groupBy(col("w1")).agg(sum(col("n")).as("n"))
+    val vocabSize = toks
+      .select(explode(col("__s")).as("__w"))
+      .agg(countDistinct(col("__w"))).first().getLong(0)
+    LmModel(cab, ca, vocabSize)
+  }
+
+  /** Score documents against a STANDING bigram model (add-one
+    * smoothing handles every unseen case: an unseen bigram of a known
+    * context costs ≈ 1000·(c(a)+V), an unseen context costs exactly
+    * 1000·V — both fall out of the same coalesced formula, no special
+    * cases). Two left joins against the model tables (observed-bigram-
+    * bounded, broadcastable for typical reference corpora), one
+    * idCol-keyed mean with partials. Output as [[lmScore]]. */
+  def scoreLm(docs: DataFrame, model: LmModel,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     WorkCols.requireFree(docs, "__s", "__s2", "__p", "__a", "__b",
-      "__w", "__cab", "__ca", "__c", "__sum")
+      "__cab", "__ca", "__c", "__sum")
     val toks = docs.select(col(idCol),
       split(trim(lower(col(textCol))), "\\s+").as("__s"))
     // bigrams without a shuffle: zip the token array against its own
@@ -645,18 +691,16 @@ object TextAnalysis {
       .select(col(idCol), col("__p.__s").as("__a"),
         col("__p.__s2").as("__b"))
       .filter(col("__b").isNotNull)
-    val cab = bg.groupBy(col("__a"), col("__b"))
-      .agg(count(lit(1)).as("__cab"))
-    val ca = cab.groupBy(col("__a")).agg(sum(col("__cab")).as("__ca"))
-    val vocabSize = toks
-      .select(explode(col("__s")).as("__w"))
-      .agg(countDistinct(col("__w"))).first().getLong(0)
-    // one stats table per OBSERVED bigram, joined back once
-    val stats = cab.join(ca, Seq("__a"))
-      .select(col("__a"), col("__b"),
-        idiv(lit(1000L) * (col("__ca") + lit(vocabSize)),
-          col("__cab") + lit(1L)).as("__c"))
-    bg.join(stats, Seq("__a", "__b"))
+    val cab = model.bigrams.select(col("w1").as("__a"),
+      col("w2").as("__b"), col("n").as("__cab"))
+    val ca = model.contexts.select(col("w1").as("__a"),
+      col("n").as("__ca"))
+    bg.join(cab, Seq("__a", "__b"), "left")
+      .join(ca, Seq("__a"), "left")
+      .select(col(idCol),
+        idiv(lit(1000L) * (coalesce(col("__ca"), lit(0L))
+            + lit(model.vocabSize)),
+          coalesce(col("__cab"), lit(0L)) + lit(1L)).as("__c"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum(col("__c")).as("__sum"))

@@ -1134,6 +1134,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(scores(1L) < scores(2L))
   }
 
+  test("scoreLm vs standing model: unseen bigrams and contexts cost " +
+      "through the same coalesced formula; lmScore = self-score") {
+    import graft.operators.TextAnalysis
+    // reference corpus: "a b" → c(a,b)=1, c(a)=1, V=2
+    val ref = Seq((0L, "a b")).toDF("doc_id", "text")
+    val model = TextAnalysis.lmModel(ref)
+    assert(model.vocabSize === 2L)
+    val probe = Seq(
+      (0L, "a b"),   // seen:            1000·(1+2) div 2 = 1500
+      (1L, "a z"),   // unseen bigram:   1000·(1+2) div 1 = 3000
+      (2L, "z q"))   // unseen context:  1000·(0+2) div 1 = 2000
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scoreLm(probe, model)
+      .select($"doc_id", $"mean_invp_milli")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 1500L, 1L -> 3000L, 2L -> 2000L))
+    // the one-call form IS self-scoring with the same corpus
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+    val one = TextAnalysis.lmScore(docs)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    val two = TextAnalysis.scoreLm(docs, TextAnalysis.lmModel(docs))
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(one === two)
+  }
+
   test("BPE: hand-computed merge sequence, unseen-word encoding, " +
       "roundtrip, compression, deterministic, model persistence") {
     import graft.operators.Bpe
