@@ -669,6 +669,32 @@ object TextAnalysis {
     LmModel(cab, ca, vocabSize)
   }
 
+  /** Freeze a trained [[LmModel]] to disk: `bigrams/` + `contexts/`
+    * parquet and `lm.json` carrying the vocabulary size — the
+    * reference-model artifact a scoring fleet (or stream) loads once
+    * and reuses across batches. */
+  def saveLmModel(model: LmModel, path: String): Unit = {
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    model.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "lm.json"),
+      s"""{"vocabSize":${model.vocabSize}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load a [[saveLmModel]] artifact. */
+  def loadLmModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LmModel = {
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "lm.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val v = """"vocabSize":(\d+)""".r.findFirstMatchIn(meta)
+      .getOrElse(throw new IllegalStateException(
+        s"[GRAFT] $path/lm.json has no vocabSize"))
+      .group(1).toLong
+    LmModel(spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"), v)
+  }
+
   /** Score documents against a STANDING bigram model (add-one
     * smoothing handles every unseen case: an unseen bigram of a known
     * context costs ≈ 1000·(c(a)+V), an unseen context costs exactly

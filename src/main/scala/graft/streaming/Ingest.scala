@@ -382,6 +382,36 @@ object Ingest {
       .start()
   }
 
+  /** Stream documents through the STANDING bigram LM
+    * ([[graft.operators.TextAnalysis.saveLmModel]] artifact): each
+    * micro-batch is scored with `scoreLm` against the frozen
+    * reference model — never against itself — and lands
+    * batch-addressed (`outDir/batch=<id>`, overwrite) so at-least-once
+    * replays are idempotent, the [[searchStream]] sink contract. The
+    * model frames are loaded ONCE at stream start; per-batch cost is
+    * the batch's token stream joined to the (broadcastable) model.
+    * Optional `maxMilli` drops docs scoring above the threshold (the
+    * CCNet perplexity-bucket cut) before the sink. */
+  def lmScoreStream(docs: DataFrame, modelPath: String, outDir: String,
+      checkpoint: String, maxMilli: Long = Long.MaxValue,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val model = graft.operators.TextAnalysis
+      .loadLmModel(docs.sparkSession, modelPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.TextAnalysis.scoreLm(batch, model)
+            .filter(col("mean_invp_milli") <= maxMilli)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   private val hllCommitMarker = "_commit_v"
 
   /** Committed register-table versions under `registersDir`, sorted

@@ -277,6 +277,41 @@ object ScaleProbe {
     val closRows = spark.read.parquet(s"$closDir/assignments").count()
     println(f"[scale-probe] closure-assigned rows: $closRows " +
       f"(${closRows.toDouble / n}%.2fx corpus; unconditional would be 3.00x)")
+
+    // bigram LM at 500k docs: the model is observed-bigram-bounded
+    // (tiny here — synthetic vocab), the corpus-sized work is two
+    // hash aggs + one stats join over ~5.5M bigrams
+    val lmModel = time("bigram LM train: 500k docs, ~5.5M bigrams " +
+        "(two hash aggs with partials)") {
+      graft.operators.TextAnalysis.lmModel(mediaDocs)
+    }
+    time("bigram LM score: 500k docs against the standing model " +
+        "(two left joins + per-doc mean, no self-training)") {
+      graft.operators.TextAnalysis.scoreLm(mediaDocs, lmModel).count()
+    }
+
+    // BPE at 500k docs: train cost is ONE word-count agg (the corpus
+    // pass) + a driver loop over the capped dict; encode is a
+    // broadcast map + memoized per-partition kernel, no shuffle
+    val bpeModel = time("BPE train: 500k-doc word-count agg + 200 " +
+        "driver merges over the capped dict") {
+      graft.operators.Bpe.trainBpe(mediaDocs, nMerges = 200)
+    }
+    time("BPE encode: 500k docs, broadcast merge table, memoized " +
+        "rank-priority kernel (no shuffle)") {
+      graft.operators.Bpe.bpeEncode(mediaDocs, bpeModel)
+        .agg(sum($"n_tokens")).collect()
+    }
+
+    // filtered batch ANN: the allowed semi-join must THIN the scan
+    // before scoring — cost tracks the allowed fraction, not the
+    // corpus
+    time("filtered batch IVF probe: 64 queries, allowed = 1/3 of " +
+        "corpus (semi-join before scoring)") {
+      IvfIndex.searchBatch(spark, ivfDir, queries, 10, nProbe = 8,
+        allowed = Some(base.filter($"id" % 3 === 0).select($"id")),
+        allowedRows = n / 3L).count()
+    }
     spark.stop()
   }
 }

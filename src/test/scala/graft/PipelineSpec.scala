@@ -1702,6 +1702,47 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lmScoreStream: batches score against the FROZEN model, " +
+      "threshold filter applies, replays idempotent per batch dir") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val modelDir = java.nio.file.Files
+      .createTempDirectory("lm_model").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("lm_out").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("lm_ck").toString
+    // frozen reference: "a b" → known bigram costs 1500, unseen-ctx
+    // 2000, unseen bigram of known ctx 3000 (scoreLm spec's corpus)
+    val ref = Seq((0L, "a b")).toDF("doc_id", "text")
+    TextAnalysis.saveLmModel(TextAnalysis.lmModel(ref), modelDir)
+    // model roundtrips through disk
+    val loaded = TextAnalysis.loadLmModel(spark, modelDir)
+    assert(loaded.vocabSize === 2L)
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.lmScoreStream(
+      stream.toDF().toDF("doc_id", "text"), modelDir, outDir, ck,
+      maxMilli = 2500L,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      stream.addData((1L, "a b"), (2L, "a z"))  // 1500 keeps, 3000 drops
+      q.processAllAvailable()
+      stream.addData((3L, "z q"))               // 2000 keeps
+      q.processAllAvailable()
+      val rows = spark.read.parquet(outDir)
+        .select($"doc_id", $"mean_invp_milli")
+        .as[(Long, Long)].collect().toMap
+      // the filter dropped doc 2; scores came from the FROZEN model,
+      // not from self-scoring the batch (self-score of "a b" alone
+      // would also be 1500, but "z q" self-scored would be 2000 with
+      // V=2 EITHER way — the cross-batch discriminator is doc 2's
+      // absence: a self-trained batch {a b, a z} would keep it)
+      assert(rows === Map(1L -> 1500L, 3L -> 2000L))
+    } finally q.stop()
+  }
+
   test("streaming HLL maintenance: persisted registers equal the " +
       "batch registers of everything seen") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
