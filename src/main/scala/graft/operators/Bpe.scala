@@ -82,44 +82,84 @@ object Bpe {
       .limit(maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    // driver dict: symbol sequence per surviving word form
-    var words: Array[(Vector[String], Long)] =
-      counts.map { case (w, c) => (toSymbols(w), c) }
+    // driver dict: symbol sequence per surviving word form. Pair
+    // counts are maintained INCREMENTALLY (the classic fast-trainer
+    // structure): a merge touches only the words that contain the
+    // merged pair (tracked by an inverted pair → word-ids index), so
+    // each iteration costs O(affected words · word length) + one
+    // selection scan over the live pairs — not a full dict recount.
+    // Counts after every step equal the naive recount, so the merge
+    // sequence (and its tiebreaks) is unchanged.
+    val syms: Array[Vector[String]] = counts.map(c => toSymbols(c._1))
+    val wcnt: Array[Long] = counts.map(_._2)
+    val pairCounts = collection.mutable.HashMap
+      .empty[(String, String), Long]
+    val pairWords = collection.mutable.HashMap
+      .empty[(String, String), collection.mutable.Set[Int]]
+    def pairsOf(v: Vector[String]): Seq[(String, String)] =
+      if (v.length < 2) Nil
+      else (0 until v.length - 1).map(i => (v(i), v(i + 1)))
+    var w = 0
+    while (w < syms.length) {
+      pairsOf(syms(w)).foreach { p =>
+        pairCounts.update(p, pairCounts.getOrElse(p, 0L) + wcnt(w))
+        pairWords.getOrElseUpdate(p,
+          collection.mutable.Set.empty[Int]) += w
+      }
+      w += 1
+    }
     val merges = Vector.newBuilder[(String, String)]
     var learned = 0
     var exhausted = false
     while (learned < nMerges && !exhausted) {
-      val pairCounts = collection.mutable.HashMap
-        .empty[(String, String), Long]
-      words.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
-          i += 1
+      // a pair seen once compresses nothing it can generalize to
+      var best: (String, String) = null
+      var bestC = 1L
+      pairCounts.foreach { case (p, c) =>
+        if (c > bestC || (c == bestC && best != null &&
+            (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bestC = c
         }
       }
-      // a pair seen once compresses nothing it can generalize to
-      val candidates = pairCounts.filter(_._2 >= 2L)
-      if (candidates.isEmpty) exhausted = true
+      if (best == null) exhausted = true
       else {
-        val best = candidates.toSeq
-          .minBy { case ((a, b), c) => (-c, a, b) }._1
         merges += best
         learned += 1
         val joined = best._1 + best._2
-        words = words.map { case (syms, c) =>
-          if (syms.length < 2) (syms, c)
-          else {
-            val out = Vector.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == best._1 &&
-                  syms(i + 1) == best._2) {
-                out += joined; i += 2
-              } else { out += syms(i); i += 1 }
+        pairWords.getOrElse(best, collection.mutable.Set.empty[Int])
+          .toArray.sorted.foreach { idx =>
+          val before = syms(idx)
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < before.length) {
+            if (i < before.length - 1 && before(i) == best._1 &&
+                before(i + 1) == best._2) {
+              out += joined; i += 2
+            } else { out += before(i); i += 1 }
+          }
+          val after = out.result()
+          syms(idx) = after
+          val c = wcnt(idx)
+          // count diff: retract the old adjacency multiset, add the
+          // new one; membership in the inverted index follows
+          pairsOf(before).foreach { p =>
+            val left = pairCounts(p) - c
+            if (left == 0L) { pairCounts.remove(p); pairWords.remove(p) }
+            else pairCounts(p) = left
+          }
+          pairsOf(after).foreach { p =>
+            pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+            pairWords.getOrElseUpdate(p,
+              collection.mutable.Set.empty[Int]) += idx
+          }
+          // the old pairs may survive in OTHER words; drop this
+          // word's membership only where it no longer holds the pair
+          val afterSet = pairsOf(after).toSet
+          pairsOf(before).toSet.diff(afterSet).foreach { p =>
+            pairWords.get(p).foreach { s =>
+              s -= idx; if (s.isEmpty && !pairCounts.contains(p))
+                pairWords.remove(p)
             }
-            (out.result(), c)
           }
         }
       }
