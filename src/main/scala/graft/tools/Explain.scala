@@ -248,6 +248,38 @@ object Explain {
       graft.operators.TextAnalysis.scoreTokenClassifier(
         docs.filter(col("doc_id") % 5 === 0), model)
     }
+    show("bigram LM scoring vs a standing model (expect: bigrams " +
+        "formed INSIDE the row — Generate over arrays_zip, no window " +
+        "exchange; two joins against the observed-bigram-bounded " +
+        "model, AQE free to broadcast; ONE doc_id-keyed partial agg)") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.TextAnalysis.lmModel(
+        docs.filter(col("doc_id") % 2 === 0))
+      graft.operators.TextAnalysis.scoreLm(
+        docs.filter(col("doc_id") % 2 === 1), model)
+    }
+    show("BPE encode (expect: ONE scan — DeserializeToObject + " +
+        "MapPartitions over the broadcast merge table, no exchange " +
+        "anywhere; train cost is the word-count agg, paid once)") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.Bpe.trainBpe(docs, nMerges = 50)
+      graft.operators.Bpe.bpeEncode(docs, model)
+    }
+    show("filtered batch IVF probe (expect: allowed-id semi-join " +
+        "THINNING the assignment scan BEFORE distance scoring and " +
+        "top-k — a BroadcastHashJoin LeftSemi under the byte gate)") {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("values"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("explain-filt").toString
+      graft.operators.IvfIndex.build(e, idx, nCentroids = 8,
+        graft.operators.Metric.Euclidean)
+      val queries = e.limit(5)
+        .select(col("id").as("qid"), col("values").as("qvalues"))
+      graft.operators.IvfIndex.searchBatch(spark, idx, queries, 10,
+        nProbe = 8, allowed = Some(e.filter(col("id") % 3 === 0)
+          .select(col("id"))), allowedRows = 170L)
+    }
     spark.stop()
   }
 }
