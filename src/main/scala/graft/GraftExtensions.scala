@@ -28,6 +28,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_bm25"),
       new ExpressionInfo("graft", "vfs_bm25"),
       graft.plans.SqlSurface.vfsBm25Builder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_lm_score"),
+      new ExpressionInfo("graft", "vfs_lm_score"),
+      graft.plans.SqlSurface.vfsLmScoreBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

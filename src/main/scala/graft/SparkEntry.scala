@@ -114,6 +114,16 @@ object SparkEntry {
     // ---- lexical retrieval from pure SQL text: the vfs_bm25 TVF is
     // the same codegen scoring scan as text_bm25 (identical terms), so
     // it must land on identical milli scores ----
+    // LM scoring from pure SQL text — the self-scoring TVF form;
+    // shares text_lm_score's oracle (same model, same integers)
+    "sql_tvf_lm" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      s.sql(
+        s"""SELECT doc_id, n_bigrams, mean_invp_milli
+           |FROM vfs_lm_score('$dir/documents.parquet')
+           |ORDER BY doc_id ASC""".stripMargin)
+    }),
+
     "sql_tvf_bm25" -> ((s, dir) => {
       graft.functions.registerAll(s)
       s.sql(
@@ -2475,22 +2485,10 @@ object SparkEntry {
 
     // bigram LM score: same smoothed integer-milli inverse-probability
     // model derived in SQL — bigrams via list_zip against the tail
-    "text_lm_score" ->
-      """WITH t AS (SELECT doc_id,
-        |    string_split_regex(trim(lower(text)), '\s+') AS s
-        |  FROM documents),
-        |tok AS (SELECT doc_id, unnest(s) AS w FROM t),
-        |bg AS (SELECT doc_id, p[1] AS a, p[2] AS b
-        |  FROM (SELECT doc_id, unnest(list_zip(s, s[2:])) AS p FROM t)
-        |  WHERE p[2] IS NOT NULL),
-        |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
-        |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
-        |v AS (SELECT count(DISTINCT w) AS v FROM tok),
-        |cost AS (SELECT bg.doc_id, (1000 * (ca.ca + v.v)) // (cab.cab + 1) AS c
-        |  FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |       CAST(CAST(sum(c) AS BIGINT) // count(*) AS BIGINT) AS mean_invp_milli
-        |FROM cost GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "text_lm_score" -> lmScoreOracle,
+
+    // the TVF form computes the identical self-scored model
+    "sql_tvf_lm" -> lmScoreOracle,
 
     // cross-corpus LM: model from even ids only, left-joined costs
     // with coalesce for unseen bigrams/contexts
@@ -3317,6 +3315,26 @@ object SparkEntry {
        |  FROM t),
        |sc AS (SELECT doc_id, $sum AS score_milli FROM t, st)""".stripMargin
   }
+
+  /** Shared by `text_lm_score` and its TVF twin `sql_tvf_lm`: the
+    * add-one-smoothed integer bigram model in DuckDB SQL (bigrams via
+    * list_zip against the tail, costs in exact int64). */
+  private def lmScoreOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    string_split_regex(trim(lower(text)), '\s+') AS s
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(s) AS w FROM t),
+      |bg AS (SELECT doc_id, p[1] AS a, p[2] AS b
+      |  FROM (SELECT doc_id, unnest(list_zip(s, s[2:])) AS p FROM t)
+      |  WHERE p[2] IS NOT NULL),
+      |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+      |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM tok),
+      |cost AS (SELECT bg.doc_id, (1000 * (ca.ca + v.v)) // (cab.cab + 1) AS c
+      |  FROM bg JOIN cab USING (a, b) JOIN ca USING (a) CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |       CAST(CAST(sum(c) AS BIGINT) // count(*) AS BIGINT) AS mean_invp_milli
+      |FROM cost GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   private def bm25Oracle: String =
     s"""WITH t AS (SELECT doc_id,

@@ -149,6 +149,9 @@ package object functions {
     // SELECT * FROM vfs_bm25(path, 'terms ...'[, textCol, idCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_bm25",
       graft.plans.SqlSurface.vfsBm25Builder _)
+    // SELECT * FROM vfs_lm_score(docsPath[, modelPath, textCol, idCol])
+    ExpressionUtils.registerTableFunction(spark, "vfs_lm_score",
+      graft.plans.SqlSurface.vfsLmScoreBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

@@ -115,6 +115,41 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_lm_score(docsPath[, modelPath, textCol,
+    * idCol])` — bigram LM quality scores
+    * ([[graft.operators.TextAnalysis.scoreLm]], integer milli). With
+    * a `modelPath` the docs are scored against that STANDING
+    * [[graft.operators.TextAnalysis.saveLmModel]] artifact (the
+    * production form); with one argument the corpus self-scores
+    * (model trained on the scored table itself):
+    * {{{ SELECT * FROM vfs_lm_score('/data/docs')
+    *     WHERE mean_invp_milli > 30000 }}} */
+  private[graft] def vfsLmScoreBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_lm_score(docsPath[, modelPath, textCol, idCol]): $msg")
+    if (es.isEmpty || es.length > 4)
+      fail(s"expected 1-4 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val spark = SparkSession.active
+    val docsPath = evalNonNull(0, "docsPath").toString
+    val textCol = if (es.length >= 3) evalNonNull(2, "textCol").toString
+      else "text"
+    val idCol = if (es.length >= 4) evalNonNull(3, "idCol").toString
+      else "doc_id"
+    val docs = spark.read.parquet(docsPath)
+    val model = if (es.length >= 2)
+      graft.operators.TextAnalysis.loadLmModel(spark,
+        evalNonNull(1, "modelPath").toString)
+    else graft.operators.TextAnalysis.lmModel(docs, textCol)
+    graft.operators.TextAnalysis.scoreLm(docs, model, idCol, textCol)
+      .queryExecution.analyzed
+  }
+
   /** Expose a store's live table (memtable ∪ flushed, dequantized) as
     * a temp view. */
   def registerStore(store: graft.store.VfsStore, name: String): Unit =

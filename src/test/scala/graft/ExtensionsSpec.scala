@@ -214,6 +214,54 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("vfs_lm_score table-valued function: self-score and standing " +
+      "model from SQL text, bad arity loud") {
+    val shared = GraftTest.spark
+    val dataPath = s"${GraftTest.sf0001}/documents.parquet"
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      SparkSession.setActiveSession(s)
+      val got = s.sql(
+        s"""SELECT doc_id, n_bigrams, mean_invp_milli
+           |FROM vfs_lm_score('$dataPath')
+           |ORDER BY doc_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      val expect = graft.operators.TextAnalysis.lmScore(
+          s.read.parquet(dataPath))
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(got.nonEmpty && got === expect)
+      // standing model: scores against a FROZEN half-corpus model
+      // differ from self-scoring (proves the path is not ignored)
+      val modelDir = java.nio.file.Files
+        .createTempDirectory("tvf-lm-model").toString
+      graft.operators.TextAnalysis.saveLmModel(
+        graft.operators.TextAnalysis.lmModel(
+          s.read.parquet(dataPath).filter("doc_id % 2 = 0")), modelDir)
+      val cross = s.sql(
+        s"""SELECT doc_id, mean_invp_milli
+           |FROM vfs_lm_score('$dataPath', '$modelDir')
+           |ORDER BY doc_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(cross.size === got.size)
+      assert(cross.map(_._2) !== got.map(_._3))
+      Seq(s"vfs_lm_score()", s"vfs_lm_score('$dataPath', 'x', 'y', 'z', 'w')",
+          s"vfs_lm_score(NULL)").foreach { bad =>
+        val err = intercept[Exception] {
+          s.sql(s"SELECT * FROM $bad").collect()
+        }
+        assert(err.getMessage.contains("[GRAFT]") ||
+          err.getMessage.contains("UNRESOLV"), err.getMessage)
+      }
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("KnnSearch plan node resolves through the injected rule") {
     import org.apache.spark.sql.functions.col
     val shared = GraftTest.spark
