@@ -412,6 +412,63 @@ object Ingest {
       .start()
   }
 
+  /** Monitor a document stream for DRIFT against the standing corpus
+    * artifacts — the signal that a frozen reference model
+    * ([[lmScoreStream]]'s LM, a scoring vocabulary, a BPE merge
+    * table) has gone stale and needs retraining. Per micro-batch,
+    * ONE summary row lands at `outDir/batch=<id>` (overwrite —
+    * replay-idempotent):
+    *
+    *   (batch_id, n_docs, oov_mean_milli, lm_mean_milli, stale)
+    *
+    * where `oov_mean_milli` is the batch mean of
+    * [[graft.operators.TextAnalysis.oovRate]] against the FROZEN
+    * vocabulary at `vocabPath` (a persisted
+    * [[graft.operators.TextAnalysis.vocabulary]] frame),
+    * `lm_mean_milli` the batch mean of
+    * [[graft.operators.TextAnalysis.scoreLm]] against the frozen
+    * model at `modelPath`, and `stale` fires when the OOV mean
+    * exceeds `oovStaleMilli`. Means are exact integer divisions, so
+    * the monitor is engine-portable like the scores it summarizes.
+    * Per-batch cost ∝ batch size (the frozen artifacts are read once
+    * at stream start). */
+  def driftMonitorStream(docs: DataFrame, vocabPath: String,
+      modelPath: String, outDir: String, checkpoint: String,
+      oovStaleMilli: Long = 500L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val spark = docs.sparkSession
+    val vocab = spark.read.parquet(vocabPath)
+      .select(col("word"))
+    val model = graft.operators.TextAnalysis.loadLmModel(spark, modelPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val oov = graft.operators.TextAnalysis
+            .oovRate(batch, vocabOverride = Some(vocab))
+          val lm = graft.operators.TextAnalysis.scoreLm(batch, model)
+          val summary = oov
+            .join(lm.select(col("doc_id"), col("mean_invp_milli")),
+              Seq("doc_id"), "left")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("oov_milli")).as("__oov_sum"),
+              sum(coalesce(col("mean_invp_milli"), lit(0L)))
+                .as("__lm_sum"))
+            .select(lit(batchId).as("batch_id"), col("n_docs"),
+              (col("__oov_sum") - pmod(col("__oov_sum"), col("n_docs")))
+                .divide(col("n_docs")).cast("long").as("oov_mean_milli"),
+              (col("__lm_sum") - pmod(col("__lm_sum"), col("n_docs")))
+                .divide(col("n_docs")).cast("long").as("lm_mean_milli"))
+            .withColumn("stale", col("oov_mean_milli") > oovStaleMilli)
+          summary.write.mode("overwrite")
+            .parquet(s"$outDir/batch=$batchId")
+        }
+        ()
+      }
+      .start()
+  }
+
   private val hllCommitMarker = "_commit_v"
 
   /** Committed register-table versions under `registersDir`, sorted

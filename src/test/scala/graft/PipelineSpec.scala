@@ -1743,6 +1743,44 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("driftMonitorStream: in-vocab batch reads clean, gibberish " +
+      "batch fires the stale signal, means are exact integers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("drift").toString
+    // frozen artifacts from a reference corpus of {a, b}
+    val ref = Seq((0L, "a b a b"), (1L, "b a")).toDF("doc_id", "text")
+    TextAnalysis.vocabulary(ref, v = 10).write
+      .mode("overwrite").parquet(s"$root/vocab")
+    TextAnalysis.saveLmModel(TextAnalysis.lmModel(ref), s"$root/lm")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.driftMonitorStream(
+      stream.toDF().toDF("doc_id", "text"), s"$root/vocab",
+      s"$root/lm", s"$root/out", s"$root/ck", oovStaleMilli = 500L,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      // batch 0: all tokens in vocab -> oov mean 0, no signal
+      stream.addData((10L, "a b"), (11L, "b a b"))
+      q.processAllAvailable()
+      // batch 1: half the docs pure gibberish -> oov mean 500, still
+      // NOT stale (threshold is strict >); batch 2: all gibberish
+      stream.addData((12L, "a b"), (13L, "xq zk"))
+      q.processAllAvailable()
+      stream.addData((14L, "zz qq vv"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(s"$root/out")
+        .select($"batch_id", $"n_docs", $"oov_mean_milli", $"stale")
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(rows(0L) === ((2L, 0L, false)))
+      assert(rows(1L) === ((2L, 500L, false)))
+      assert(rows(2L) === ((1L, 1000L, true)))
+    } finally q.stop()
+  }
+
   test("streaming HLL maintenance: persisted registers equal the " +
       "batch registers of everything seen") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
