@@ -1433,6 +1433,22 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- repetition REMOVAL: dedup lines within each doc, first
+    // occurrence wins, order preserved. The corpus has no multi-line
+    // docs at this sf, so the query derives one deterministically
+    // (text + itself + a prefix, newline-joined): the operator must
+    // drop the exact-duplicate second line and keep the prefix ----
+    "text_strip_repeats" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat_ws("\n", col("text"), col("text"),
+            substring(col("text"), 1, 50)).as("text"))
+      TextAnalysis.stripRepeatedLines(docs)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("lines_kept"), col("lines_total"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- CROSS-corpus LM scoring: train the bigram model on the
     // even-id half (the standing reference), score the odd-id half —
     // unseen bigrams and unseen contexts cost through the same
@@ -2482,6 +2498,24 @@ object SparkEntry {
         |       CAST(0 AS BIGINT) AS roundtrip_fail,
         |       CAST(1 AS BIGINT) AS compressed
         |FROM documents""".stripMargin,
+
+    // repetition removal: same derived multi-line corpus, first
+    // occurrence kept in order (string_agg ORDER BY min pos)
+    "text_strip_repeats" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || chr(10) || text || chr(10) || substr(text, 1, 50) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM d),
+        |f AS (SELECT doc_id, line, min(pos) AS pos, count(*) AS cnt
+        |  FROM l GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       md5(string_agg(line, chr(10) ORDER BY pos)) AS text_md5,
+        |       CAST(count(*) AS BIGINT) AS lines_kept,
+        |       CAST(sum(cnt) AS BIGINT) AS lines_total
+        |FROM f GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // bigram LM score: same smoothed integer-milli inverse-probability
     // model derived in SQL — bigrams via list_zip against the tail

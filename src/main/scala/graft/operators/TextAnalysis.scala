@@ -734,6 +734,41 @@ object TextAnalysis {
         idiv(col("__sum"), col("n_bigrams")).as("mean_invp_milli"))
   }
 
+  /** Remove REPEATED lines within each document, keeping the first
+    * occurrence in original order — the removal stage behind
+    * [[repetitionSignals]] (Gopher/CCNet drop or trim docs with high
+    * duplicate-line fractions; this operator repairs instead of
+    * dropping: boilerplate headers, repeated navigation, chorus
+    * lines). Deterministic: first occurrence wins, order preserved,
+    * so the rebuilt text is engine-portable and hash-exact.
+    *
+    * 100 TB shape: explode lines → ONE (id, line)-keyed hash agg
+    * (min position + multiplicity, map-side partials) → ONE id-keyed
+    * rebuild agg (sort-by-position inside the row, no window). Cost ∝
+    * the line stream; no self-join.
+    *
+    * Output: (idCol, textCol rebuilt, lines_kept, lines_total). */
+  def stripRepeatedLines(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", sep: String = "\n"): DataFrame = {
+    WorkCols.requireFree(docs, "__pos", "__line", "__cnt", "__arr")
+    docs
+      .select(col(idCol), posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep), -1))
+        .as(Seq("__pos", "__line")))
+      .groupBy(col(idCol), col("__line"))
+      .agg(min(col("__pos")).as("__pos"), count(lit(1)).as("__cnt"))
+      .groupBy(col(idCol))
+      .agg(
+        array_sort(collect_list(struct(col("__pos"), col("__line"))))
+          .as("__arr"),
+        count(lit(1)).cast("long").as("lines_kept"),
+        sum(col("__cnt")).cast("long").as("lines_total"))
+      .select(col(idCol),
+        concat_ws(sep, expr("transform(__arr, x -> x.__line)"))
+          .as(textCol),
+        col("lines_kept"), col("lines_total"))
+  }
+
   /** Exact integer floor-division of two non-negative LONG columns —
     * `(a - a mod b) / b` keeps the double division exact (the
     * numerator is a multiple of b, magnitudes far under 2^53), so the

@@ -1103,6 +1103,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(overridden(1L) === 1000L) // "a b b": nothing matches {x}
   }
 
+  test("stripRepeatedLines: first occurrence wins in order, counts " +
+      "exact, custom separator, no-repeat docs unchanged") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, "head\nbody\nhead\ntail\nbody"),  // drops 2 repeats
+      (1L, "only line"),                      // unchanged
+      (2L, "x\nx\nx\nx"))                     // collapses to one
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.stripRepeatedLines(docs)
+      .as[(Long, String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(0L) === (("head\nbody\ntail", 3L, 5L)))
+    assert(got(1L) === (("only line", 1L, 1L)))
+    assert(got(2L) === (("x", 1L, 4L)))
+    // custom separator: sentence-ish unit
+    val s2 = TextAnalysis.stripRepeatedLines(
+        Seq((0L, "a. b. a. c.")).toDF("doc_id", "text"), sep = ". ")
+      .as[(Long, String, Long, Long)].head()
+    assert(s2._2 === "a. b. c." && s2._3 === 3L && s2._4 === 4L)
+  }
+
   test("lmScore: hand-computed smoothed bigram costs, short docs " +
       "absent, gibberish outranks fluent text") {
     import graft.operators.TextAnalysis
