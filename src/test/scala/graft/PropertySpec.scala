@@ -146,4 +146,42 @@ class PropertySpec extends AnyFunSuite {
         .toLongArray().toSeq == reference(t)
     })
   }
+
+  test("BPE encodeWord: decode inverts for arbitrary words under " +
+      "arbitrary learned merges; output never empty") {
+    import graft.operators.Bpe
+    val word = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaLowerChar, Gen.oneOf('é', 'ß', '中', '7')))
+      .map(_.mkString).suchThat(_.nonEmpty)
+    // arbitrary merge tables: pairs of short lowercase fragments with
+    // sequential ranks — encodeWord must stay total and invertible
+    // whether or not the pairs ever apply
+    val frag = Gen.choose(1, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val merges = Gen.listOf(Gen.zip(frag, frag)).map(_.distinct)
+    check("bpe roundtrip")(Prop.forAll(word, merges) { (w, ms) =>
+      val ranks = ms.zipWithIndex.toMap
+      val toks = Bpe.encodeWord(w, ranks)
+      toks.nonEmpty && Bpe.bpeDecode(toks) == w
+    })
+  }
+
+  test("stripRepeatedLines kernel properties: idempotent, kept line " +
+      "set preserved, first-occurrence order") {
+    // the per-doc semantics as a scala reference (the operator's
+    // distributed agg must agree — PipelineSpec pins that; here the
+    // reference itself is property-checked so the pin means something)
+    def strip(text: String): String =
+      text.split("\n", -1).distinct.mkString("\n")
+    val line = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
+    val text = Gen.listOf(line).map(_.mkString("\n"))
+    check("strip idempotent")(Prop.forAll(text) { t =>
+      strip(strip(t)) == strip(t)
+    })
+    check("strip set + order")(Prop.forAll(text) { t =>
+      val kept = strip(t).split("\n", -1).toSeq
+      val orig = t.split("\n", -1).toSeq
+      kept.toSet == orig.toSet && kept == orig.distinct
+    })
+  }
 }
