@@ -1124,6 +1124,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(s2._2 === "a. b. c." && s2._3 === 3L && s2._4 === 4L)
   }
 
+  test("BPE incremental trainer == naive full-recount reference on " +
+      "randomized corpora (merge sequences identical)") {
+    import graft.operators.Bpe
+    // naive reference: recount EVERY pair each iteration from the
+    // word-count dict — the textbook trainer the incremental
+    // structure must reproduce exactly, tiebreaks included
+    def naive(counts: Seq[(String, Long)], nMerges: Int)
+        : Vector[(String, String)] = {
+      var words = counts.map { case (w, c) =>
+        (w.map(_.toString).toVector :+ Bpe.Eow, c) }
+      val out = Vector.newBuilder[(String, String)]
+      var k = 0
+      var stop = false
+      while (k < nMerges && !stop) {
+        val pc = collection.mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (s, c) =>
+          (0 until s.length - 1).foreach { i =>
+            val p = (s(i), s(i + 1))
+            pc.update(p, pc.getOrElse(p, 0L) + c)
+          }
+        }
+        val cand = pc.filter(_._2 >= 2L)
+        if (cand.isEmpty) stop = true
+        else {
+          val best = cand.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          out += best
+          k += 1
+          val j = best._1 + best._2
+          words = words.map { case (s, c) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == best._1 &&
+                  s(i + 1) == best._2) { b += j; i += 2 }
+              else { b += s(i); i += 1 }
+            }
+            (b.result(), c)
+          }
+        }
+      }
+      out.result()
+    }
+    (1 to 8).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val alphabet = "abcdef"
+      def word = (0 until 1 + r.nextInt(5))
+        .map(_ => alphabet(r.nextInt(alphabet.length))).mkString
+      val vocabList = (0 until 12).map(_ => word)
+      val docs = (0 until 30).map { i =>
+        (i.toLong, (0 until 3 + r.nextInt(8))
+          .map(_ => vocabList(r.nextInt(vocabList.length)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val wc = docs.as[(Long, String)].collect()
+        .flatMap(_._2.toLowerCase.trim.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+        .toSeq.sortBy { case (w, c) => (-c, w) }
+      val got = Bpe.trainBpe(docs, nMerges = 15).merges
+      val want = naive(wc, 15)
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
   test("lmScore: hand-computed smoothed bigram costs, short docs " +
       "absent, gibberish outranks fluent text") {
     import graft.operators.TextAnalysis
