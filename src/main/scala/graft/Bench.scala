@@ -11,8 +11,18 @@ import graft.store.VfsStore
 /** Benchmark main — mirrors the reference's benchmark shapes
   * (benchmarks/benchmarks.py: insert latency, GET by id, exact vs
   * approximate search, SISD vs SIMD) plus the Spark-scale headliners
-  * (bulk agg, batched kNN, LSH dedup, sessionization). Emits ONE JSON
-  * line: {"metric","value","unit","queries",{...},"sf"}.
+  * (bulk agg, batched kNN, LSH dedup, sessionize). Emits ONE JSON
+  * line: {"metric","value","unit","queries",{...},"errors",{...},"sf"}.
+  *
+  * Crash isolation: every entry runs under its own try/catch and a
+  * failure is published as `errors[name]` = exception class + message
+  * head — the JSON line ALWAYS prints. (Round 6: one analysis error in
+  * `sessionize` aborted the whole main before the JSON line, zeroing
+  * the round's entire perf signal; and the driver's captured stderr
+  * tail held only stack frames, so the artifact did not even show the
+  * exception class.) Shared fixtures are `lazy val`s: if one fails to
+  * build, each dependent entry records the same root cause and the
+  * rest of the suite still runs.
   *
   * Reference baseline for the same shapes (SURVEY §6): exact search
   * 3545 ms and approximate 21136 ms per query at N=3155, dim=16.
@@ -48,190 +58,237 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // exception HEAD (class + first message lines), not the stack tail:
+    // the published artifact must self-evidence the root cause
+    def errMsg(e: Throwable): String = e.getClass.getName + ": " +
+      Option(e.getMessage).getOrElse("").linesIterator
+        .take(3).mkString(" / ").take(400)
+    def entry(name: String)(f: => Double): Unit =
+      try results(name) = f
+      catch { case e: Throwable =>
+        errors(name) = errMsg(e)
+        System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+      }
 
-    // warm up the JVM/codegen/parquet paths before measuring
-    spark.read.parquet(s"$sfDir/embeddings.parquet").count()
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // warm up the JVM/codegen/parquet paths before measuring (failure
+    // here is non-fatal: the entries re-surface it individually)
+    try {
+      spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup FAILED: ${errMsg(e)}")
+    }
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("values"))
-    val q: Array[Float] = emb.filter(col("id") === 1L)
+    lazy val q: Array[Float] = emb.filter(col("id") === 1L)
       .head().getSeq[Float](1).toArray
 
     // ---- reference-shape benchmarks ----
     // insert_bulk is STATEFUL (append grows the store): median over 3
-    // fresh stores, then the LAST one serves the read-only entries
-    val storeDirs = Seq.fill(Reps)(
+    // fresh stores, then the LAST one serves the read-only entries.
+    // Store creation happens inside the entry (untimed: only
+    // appendBatch sits under the timer) so a creation failure is
+    // recorded, not fatal.
+    lazy val storeDirs = Seq.fill(Reps)(
       Files.createTempDirectory("bench-store").toString)
-    val stores = storeDirs.map(d =>
+    lazy val stores = storeDirs.map(d =>
       VfsStore.create(spark, d, "bench", dim = q.length, quantize = true))
-    val insertTimes = stores.map { st =>
-      time {
-        st.appendBatch(emb.select(col("values"),
-          concat(lit("v"), col("id")).as("name"),
-          array(lit("bench")).as("tags")))
-      }
-    }.sorted
-    results("insert_bulk") = insertTimes(insertTimes.length / 2)
-    val store = stores.last
-    results("get_by_id") = median { store.getById(100L) }
-    results("search_exact") = median {
-      Knn.search(store, q, 5, Metric.Cosine).collect()
+    entry("insert_bulk") {
+      val insertTimes = stores.map { st =>
+        time {
+          st.appendBatch(emb.select(col("values"),
+            concat(lit("v"), col("id")).as("name"),
+            array(lit("bench")).as("tags")))
+        }
+      }.sorted
+      insertTimes(insertTimes.length / 2)
     }
+    lazy val store = stores.last
+    entry("get_by_id") { median { store.getById(100L) } }
+    entry("search_exact") { median {
+      Knn.search(store, q, 5, Metric.Cosine).collect()
+    } }
     // SIMD twin: identical expression (codegen IS the vectorization)
-    results("search_exact_simd") = median {
+    entry("search_exact_simd") { median {
       Knn.search(store, q, 5, Metric.Cosine).collect()
-    }
+    } }
     // fused int8 scoring (store is quantized and flushed)
-    results("search_exact_quantized_fused") = median {
+    entry("search_exact_quantized_fused") { median {
       Knn.search(store, q, 5, Metric.Cosine).collect()
-    }
-    results("search_exact_dense_view") = median {
+    } }
+    entry("search_exact_dense_view") { median {
       Knn.exact(store.read(), q, 5, Metric.Cosine).collect()
-    }
-    val ivfDir = s"${storeDirs.last}/ivf"
-    val nCent = math.max(2, math.sqrt(emb.count().toDouble).toInt)
+    } }
+    lazy val ivfDir = s"${storeDirs.last}/ivf"
+    lazy val nCent = math.max(2, math.sqrt(emb.count().toDouble).toInt)
     // overwrite-mode build is idempotent: a plain median-of-3 works
-    results("index_build") = median {
+    entry("index_build") { median {
       IvfIndex.build(emb, ivfDir, nCent, Metric.Cosine)
-    }
-    results("search_approx") = median {
+    } }
+    entry("search_approx") { median {
       IvfIndex.search(spark, ivfDir, q, 5, nProbe = 4).collect()
-    }
+    } }
 
     // ---- scale headliners ----
-    results("knn_batch_100") = median {
+    entry("knn_batch_100") { median {
       val queries = emb.limit(100)
         .select(col("id").as("qid"), col("values").as("qvalues"))
       Knn.exactBatch(emb, queries, 10, Metric.Cosine).count()
-    }
-    results("knn_batch_ivf") = median {
+    } }
+    entry("knn_batch_ivf") { median {
       val queries = emb.limit(100)
         .select(col("id").as("qid"), col("values").as("qvalues"))
       IvfIndex.searchBatch(spark, ivfDir, queries, 10, nProbe = 4).count()
-    }
+    } }
     // batch IVF-PQ (compressed ANN at the documented pruned-probe
     // operating point): ADC over cluster-scoped codes + exact refine
-    val ivfpqDir = s"${storeDirs.last}/ivfpq"
-    graft.operators.IvfPq.build(spark, ivfDir, ivfpqDir, m = 32, ks = 64)
-    results("knn_batch_ivfpq") = median {
+    lazy val ivfpqDir = {
+      val d = s"${storeDirs.last}/ivfpq"
+      graft.operators.IvfPq.build(spark, ivfDir, d, m = 32, ks = 64)
+      d
+    }
+    entry("knn_batch_ivfpq") { median {
       val queries = emb.limit(100)
         .select(col("id").as("qid"), col("values").as("qvalues"))
       graft.operators.IvfPq.searchBatch(spark, ivfDir, ivfpqDir,
         queries, 10, nProbe = 16, overfetch = 8).count()
-    }
-    results("q1_agg") = median {
+    } }
+    entry("q1_agg") { median {
       SparkEntry.queries("q1_agg")(spark, sfDir).collect()
-    }
-    results("join_topk") = median {
+    } }
+    entry("join_topk") { median {
       SparkEntry.queries("q3_join_topk")(spark, sfDir).collect()
-    }
-    results("minhash_dedup") = median {
+    } }
+    entry("minhash_dedup") { median {
       Dedup.minHashLsh(spark.read.parquet(s"$sfDir/documents.parquet"),
         threshold = 0.8).count()
-    }
+    } }
     // standing-LSH delta probe: the index build (corpus banding) is
     // paid once outside the timer — the entry publishes the nightly
     // incremental cost, which is the operator's whole point
-    val lshIdxDir = s"${storeDirs.last}/lshidx"
-    val benchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
-    graft.operators.LshTextIndex.build(
-      benchDocs.filter(col("doc_id") >= 500), lshIdxDir)
-    results("lsh_index_probe") = median {
+    lazy val benchDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+    lazy val lshIdxDir = {
+      val d = s"${storeDirs.last}/lshidx"
+      graft.operators.LshTextIndex.build(
+        benchDocs.filter(col("doc_id") >= 500), d)
+      d
+    }
+    entry("lsh_index_probe") { median {
       graft.operators.LshTextIndex.probe(spark, lshIdxDir,
         benchDocs.filter(col("doc_id") < 500),
         benchDocs.filter(col("doc_id") >= 500), threshold = 0.9).count()
+    } }
+    // standing-LSH delta APPEND — the other half of the nightly-ingest
+    // cost story (band the delta with frozen params, write triples;
+    // the standing table is never read, so cost ∝ |delta|). Appends
+    // into a dedicated index copy: repeated appends would otherwise
+    // leave probe's corpus polluted with probe-side ids.
+    entry("lsh_index_append") {
+      val d = s"${storeDirs.last}/lshappend"
+      graft.operators.LshTextIndex.build(
+        benchDocs.filter(col("doc_id") >= 500), d)
+      median {
+        graft.operators.LshTextIndex.append(
+          benchDocs.filter(col("doc_id") < 500), d)
+      }
     }
     // model-based filter: distributed train (explode + agg + top-V)
     // then broadcast-model scoring of the held-out slice
-    results("classifier_train_score") = median {
+    entry("classifier_train_score") { median {
       val model = graft.operators.TextAnalysis.trainTokenClassifier(
         benchDocs.filter(col("doc_id") % 5 =!= 0),
         col("lang") === "en", vocab = 24)
       graft.operators.TextAnalysis.scoreTokenClassifier(
         benchDocs.filter(col("doc_id") % 5 === 0), model).count()
-    }
-    results("semantic_dedup") = median {
+    } }
+    entry("semantic_dedup") { median {
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       Dedup.semanticDedup(e, Dedup.seedCentroids(e, 8), tauMilli = 600L)
         .count()
-    }
-    results("hll_distinct") = median {
+    } }
+    entry("hll_distinct") { median {
       graft.operators.Sketches.hllRegisters(
         spark.read.parquet(s"$sfDir/events.parquet"),
         col("user_id").cast("string"), p = 12).count()
-    }
+    } }
     // DEFAULT bandCap (not the verify query's forced-tiny one, which
     // exists to drive the multi-pass path under the oracle): the bench
     // must publish the operator's production cost profile
-    results("mixture_sample") = median {
+    entry("mixture_sample") { median {
       val d = spark.read.parquet(s"$sfDir/documents.parquet")
       graft.operators.Sampling.mixtureSample(d, col("source"),
         col("text"), col("doc_id"),
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
           "src3" -> 0.10)).count()
-    }
-    results("media_decode") = median {
+    } }
+    entry("media_decode") { median {
       SparkEntry.queries("multimodal_features")(spark, sfDir).count()
-    }
+    } }
     // decode -> NN resize -> PNG re-encode -> decode, the image
     // normalization shape (per-partition batch kernel, pure scan)
-    results("media_resize") = median {
+    entry("media_resize") { median {
       SparkEntry.queries("multimodal_resize")(spark, sfDir).count()
-    }
+    } }
     // sequential per-frame container walk, 1->N batch kernel
-    results("frame_sample") = median {
+    entry("frame_sample") { median {
       SparkEntry.queries("multimodal_frames")(spark, sfDir).count()
-    }
+    } }
     // lexical retrieval: one stats aggregate + one projection scan
-    results("bm25_score") = median {
+    entry("bm25_score") { median {
       SparkEntry.queries("text_bm25")(spark, sfDir).count()
-    }
+    } }
     // batch hybrid retrieval: inverted-index BM25 + broadcast batch
     // dot, per-qid window top-50 each, union + hash-agg RRF fusion
-    results("hybrid_rrf_batch") = median {
+    entry("hybrid_rrf_batch") { median {
       SparkEntry.queries("q_hybrid_rrf_batch")(spark, sfDir).count()
-    }
-    results("sessionize") = median {
+    } }
+    entry("sessionize") { median {
       SparkEntry.queries("w_sessionize")(spark, sfDir).count()
-    }
-    results("window_agg") = median {
+    } }
+    entry("window_agg") { median {
       SparkEntry.queries("stream_window_agg")(spark, sfDir).count()
-    }
+    } }
     // CDC: row-exact snapshot diff across a delete rewrite (store
     // build + snapshot + append + delete + diff, end to end)
-    results("snapshot_diff") = median {
+    entry("snapshot_diff") { median {
       SparkEntry.queries("src_snapshot_diff")(spark, sfDir).count()
-    }
+    } }
     // one-pass per-column profiling (single aggregate scan)
-    results("profile") = median {
+    entry("profile") { median {
       SparkEntry.queries("q_profile")(spark, sfDir).count()
-    }
+    } }
     // bigram LM scoring: two count aggs + one stats join over the
     // token stream, integer-exact model
-    results("lm_score") = median {
+    entry("lm_score") { median {
       SparkEntry.queries("text_lm_score")(spark, sfDir).count()
-    }
+    } }
     // BPE: word-count agg + driver merge loop (train), broadcast
     // rank-priority encode with per-partition memoization (encode)
-    results("bpe_train_encode") = median {
+    entry("bpe_train_encode") { median {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val model = graft.operators.Bpe.trainBpe(docs, nMerges = 200)
       graft.operators.Bpe.bpeEncode(docs, model).count()
-    }
+    } }
     // filtered compressed search against the STANDING ivfpq artifact:
     // allowed-id semi-join thins the ADC kernel, refine over allowed
     // candidates only (build cost excluded — it's index_build's)
-    results("knn_filtered_ivfpq") = median {
+    entry("knn_filtered_ivfpq") { median {
       val allowed = emb.filter(col("id") % 3 === 0).select(col("id"))
       graft.operators.IvfPq.searchRefined(spark, ivfDir, ivfpqDir, q,
         10, nProbe = 16, overfetch = 8, allowed = Some(allowed)).count()
-    }
+    } }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) =>
+      Verify.jsonStr(k) + ":" + Verify.jsonStr(v) }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$Reps,"agg":"median"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$Reps,"agg":"median"}""")
+    // exit 0 even with failed entries: the `errors` field carries the
+    // signal — a non-zero rc would make the driver discard the whole
+    // published line (round 6 failure mode)
     spark.stop()
   }
 }

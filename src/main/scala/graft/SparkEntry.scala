@@ -33,19 +33,13 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 only reads
-    * as LONG (spark.sql.legacy.parquet.nanosAsLong=true, set in
-    * Verify/Bench); normalize to a proper timestamp column here. */
-  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        // integer `div`, NOT `/`: `/` is double division and loses
-        // microsecond precision beyond 2^53 ns
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => raw
-    }
-  }
+  /** events.parquet's time column has shifted logical type between
+    * rounds (TIMESTAMP(NANOS)-as-LONG, then TIMESTAMP(MICROS) NTZ);
+    * normalize every flavor to a plain TIMESTAMP here so downstream
+    * operators see one type (see [[graft.operators.TimeNorm]]). */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TimeNorm.normalize(
+      s.read.parquet(s"$dir/events.parquet"), "ts")
 
   private def queryVec(s: SparkSession, dir: String, id: Long): Array[Float] =
     emb(s, dir).filter(col("vec_id") === id)
@@ -1111,7 +1105,8 @@ object SparkEntry {
           payload = Seq("pval"), matchedTsAs = Some("mts"))
         .select(col("event_id"), col("user_id"),
           coalesce(
-            when(unix_micros(col("ts")) - unix_micros(col("mts"))
+            when(graft.operators.TimeNorm.epochMicros(col("ts"))
+                - graft.operators.TimeNorm.epochMicros(col("mts"))
                 <= 3600L * 1000000L,
               round(col("pval") * 100).cast("long")),
             lit(-1L)).as("pval_c"))
@@ -1783,7 +1778,8 @@ object SparkEntry {
     "w_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val ev = events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .select(col("user_id"),
+          graft.operators.TimeNorm.epochMicros(col("ts")).as("us"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
       val gap = when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1)
         .otherwise(when(lag(col("us"), 1).over(w).isNull, 1).otherwise(0))

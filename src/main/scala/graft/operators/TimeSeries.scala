@@ -33,7 +33,8 @@ object TimeSeries {
       value: Column, stepSec: Long = 60L): DataFrame = {
     require(stepSec > 0, "[GRAFT] resampleLocf: stepSec must be positive")
     val stepUs = stepSec * 1000000L
-    val us = unix_micros(ts)
+    // epochMicros, not bare unix_micros: accepts TIMESTAMP_NTZ inputs
+    val us = TimeNorm.epochMicros(ts)
     val bucket = ((us - us % lit(stepUs)) / 1000000L).cast("long")
     // round each value to centi-units BEFORE summing and aggregate
     // LONGS: a double sum's rounding depends on Spark's partial-agg
