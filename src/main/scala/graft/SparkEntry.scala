@@ -1739,6 +1739,34 @@ object SparkEntry {
           col("doc_id").asc)
     }),
 
+    // ---- END-TO-END batch hybrid search through the ONE public call
+    // (Knn.hybridSearchBatch): workload-BM25 top-50 + FULL-PROBE IVF
+    // top-50 over a standing hashed-BoW index, RRF-fused inside the
+    // operator. Full probe (nProbe = nCentroids) degenerates the ANN
+    // half to exact top-k, and the milli embeddings are integer-valued
+    // so euclidean distances are exact in double in both engines —
+    // every rank, and therefore every fused weight, is hash-matchable.
+    // (q_hybrid_rrf_batch proves the composed halves; this row proves
+    // the single packaged call a user would actually invoke.) ----
+    "q_hybrid_search_batch" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val embM = docs.select(col("doc_id").as("id"),
+        graft.operators.TextAnalysis.hashEmbeddingMilli(col("text"))
+          .cast("array<float>").as("values"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-hybrid-ivf").toString
+      graft.operators.IvfIndex.build(embM, idx, nCentroids = 4,
+        Metric.Euclidean)
+      val termWl = Bm25Workload.toDF("qid", "term")
+      val vecWl = embM.filter(col("id") < 24)
+        .select(col("id").as("qid"), col("values").as("qvalues"))
+      graft.operators.Knn.hybridSearchBatch(docs, idx, termWl, vecWl,
+          kEach = 50, nProbe = 4)
+        .orderBy(col("qid").asc, col("rrf_milli").desc,
+          col("doc_id").asc)
+    }),
+
     // ---- one-pass data profile: per-column rows/nulls/distinct/
     // min/max over the documents table in a single aggregate scan ----
     "q_profile" -> ((s, dir) => {
@@ -2748,6 +2776,7 @@ object SparkEntry {
     "sql_tvf_bm25" -> bm25Oracle,
     "text_bm25_table" -> bm25TableOracle,
     "q_hybrid_rrf_batch" -> hybridRrfBatchOracle,
+    "q_hybrid_search_batch" -> hybridSearchBatchOracle,
 
     "q_hybrid_rrf" -> hybridRrfOracle,
 
@@ -3440,6 +3469,41 @@ object SparkEntry {
        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
        |      ORDER BY dot DESC, doc_id ASC) AS r
        |    FROM dotsq WHERE dot > 0) WHERE r <= 50),
+       |ltopq AS (SELECT qid, doc_id, r FROM (
+       |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY score_milli DESC, doc_id ASC) AS r
+       |    FROM scq) WHERE r <= 50)
+       |SELECT qid, doc_id,
+       |  CAST(COALESCE(floor(1000000.0 / (60 + l.r)), 0)
+       |    + COALESCE(floor(1000000.0 / (60 + v.r)), 0) AS BIGINT)
+       |    AS rrf_milli
+       |FROM ltopq l FULL OUTER JOIN vtopq v USING (qid, doc_id)
+       |ORDER BY qid ASC, rrf_milli DESC, doc_id ASC""".stripMargin
+
+  /** Twin of [[hybridRrfBatchOracle]] for the PACKAGED
+    * `Knn.hybridSearchBatch` call: the vector half ranks by euclidean
+    * DISTANCE over the integer milli embeddings (the IVF index's
+    * metric, full probe ⇒ exact, self included at rank 1) instead of
+    * dot-product, so `row_number() ORDER BY d ASC, doc_id ASC` mirrors
+    * the index's ascending (distance, id) top-k exactly — integer
+    * inputs make the doubles identical in both engines. */
+  private def hybridSearchBatchOracle: String =
+    s"""WITH $hashedBowCtes,
+       |m AS (SELECT doc_id, list_transform(cnts, x -> CASE WHEN nrm > 0
+       |    THEN CAST(round(x / nrm * 1000) AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END) AS emb_milli
+       |  FROM n),
+       |$bm25TableCtes,
+       |qq AS (SELECT doc_id AS qid, emb_milli AS qv FROM m
+       |  WHERE doc_id < 24),
+       |distq AS (SELECT qq.qid, m.doc_id,
+       |    list_distance(CAST(m.emb_milli AS DOUBLE[]),
+       |      CAST(qq.qv AS DOUBLE[])) AS d
+       |  FROM m, qq),
+       |vtopq AS (SELECT qid, doc_id, r FROM (
+       |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY d ASC, doc_id ASC) AS r
+       |    FROM distq) WHERE r <= 50),
        |ltopq AS (SELECT qid, doc_id, r FROM (
        |    SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
        |      ORDER BY score_milli DESC, doc_id ASC) AS r

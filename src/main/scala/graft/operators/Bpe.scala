@@ -194,10 +194,17 @@ object Bpe {
   /** Tokenize every document with a trained model. Embarrassingly
     * parallel: the merge table is broadcast (model size ∝ nMerges),
     * each partition memoizes word → tokens (Zipf repetition makes the
-    * cache hit rate high), no shuffle. Output:
+    * cache hit rate high), no shuffle. The memo is a true LRU
+    * (access-ordered LinkedHashMap, one eviction per insert past
+    * `memoCap`) — a clear-the-world flush would give Zipf-heavy
+    * partitions periodic cold restarts on exactly the words that
+    * repeat most. The memo is pure caching: eviction can never change
+    * output (PropertySpec pins cap=2 ≡ unbounded). Output:
     * (idCol, tokens ARRAY&lt;STRING&gt;, n_tokens). */
   def bpeEncode(docs: DataFrame, model: BpeModel,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      memoCap: Int = 100000): DataFrame = {
+    require(memoCap > 0, "[GRAFT] bpeEncode: memoCap must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model.ranks)
@@ -206,11 +213,21 @@ object Bpe {
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val ranks = bc.value
-        val memo = collection.mutable.HashMap.empty[String, Vector[String]]
+        val memo = new java.util.LinkedHashMap[String, Vector[String]](
+            1024, 0.75f, /* accessOrder = */ true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Vector[String]]): Boolean =
+            size() > memoCap
+        }
         it.map { case (id, ws) =>
           val toks = ws.iterator.filter(_.nonEmpty).flatMap { w =>
-            if (memo.size > 100000) memo.clear()
-            memo.getOrElseUpdate(w, encodeWord(w, ranks))
+            val hit = memo.get(w)
+            if (hit != null) hit
+            else {
+              val t = encodeWord(w, ranks)
+              memo.put(w, t)
+              t
+            }
           }.toArray
           (id, toks, toks.length.toLong)
         }

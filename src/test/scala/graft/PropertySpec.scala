@@ -166,6 +166,29 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("bpeEncode LRU memo: eviction never changes output " +
+      "(cap=2 ≡ effectively-unbounded over repeating Zipf-ish docs)") {
+    import graft.operators.Bpe
+    import graft.operators.Bpe.BpeModel
+    val spark = GraftTest.spark
+    import spark.implicits._
+    // repetitive vocabulary so a tiny cap actually evicts and re-admits
+    // hot words many times per partition
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "ep")
+    val docs = (0L until 40L).map { i =>
+      val words = (0 until 30).map(j => vocab(((i + j) % 5).toInt))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text").repartition(2)
+    val model = BpeModel(Vector(("a", "l"), ("al", "p"), ("b", "e"),
+      ("g", "a"), ("d", "e")))
+    def run(cap: Int) =
+      Bpe.bpeEncode(docs, model, memoCap = cap)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toSeq))
+        .toSeq
+    assert(run(2) == run(1 << 20))
+  }
+
   test("stripRepeatedLines kernel properties: idempotent, kept line " +
       "set preserved, first-occurrence order") {
     // the per-doc semantics as a scala reference (the operator's
