@@ -265,6 +265,26 @@ object Explain {
       val model = graft.operators.Bpe.trainBpe(docs, nMerges = 50)
       graft.operators.Bpe.bpeEncode(docs, model)
     }
+    show("PACKAGED hybrid batch search (expect: the BM25 half's fused " +
+        "top-k scan and the IVF half's cluster-scoped probe UNIONed " +
+        "with NO extra shuffle into ONE (qid, doc_id) hash aggregate " +
+        "— integer RRF weights summed map-side)") {
+      import spark.implicits._
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val embM = docs.select(col("doc_id").as("id"),
+        graft.operators.TextAnalysis.hashEmbeddingMilli(col("text"))
+          .cast("array<float>").as("values"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("explain-hybrid").toString
+      graft.operators.IvfIndex.build(embM, idx, nCentroids = 4,
+        graft.operators.Metric.Euclidean)
+      val termWl = Seq((0L, "vector"), (0L, "join"), (1L, "spark"))
+        .toDF("qid", "term")
+      val vecWl = embM.filter(col("id") < 2)
+        .select(col("id").as("qid"), col("values").as("qvalues"))
+      graft.operators.Knn.hybridSearchBatch(docs, idx, termWl, vecWl,
+        kEach = 20, nProbe = 4)
+    }
     show("filtered batch IVF probe (expect: allowed-id semi-join " +
         "THINNING the assignment scan BEFORE distance scoring and " +
         "top-k — a BroadcastHashJoin LeftSemi under the byte gate)") {
