@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.operators.TimeNorm
 import graft.store.VfsStore
 
 /** Streaming ingest — the memtable/flush cycle (SURVEY §2.11: S4/S5)
@@ -150,7 +151,9 @@ object Ingest {
     import spark.implicits._
     case class SessionState(startUs: Long, lastUs: Long, n: Long)
     val gapUs = gapMinutes.toLong * 60 * 1000000
-    val typed = events
+    // TimeNorm first: an NTZ `ts` would otherwise fail the
+    // java.sql.Timestamp encoder below (NTZ maps to LocalDateTime)
+    val typed = TimeNorm.normalize(events, "ts")
       .withWatermark("ts", watermark)
       .select(col("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
@@ -196,7 +199,7 @@ object Ingest {
     * forever). The batch twin with deterministic survivor choice is
     * [[dedupSurvivors]]. */
   def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
-    events
+    TimeNorm.normalize(events, "ts")
       .withWatermark("ts", watermark)
       .withColumn("minute", date_trunc("minute", col("ts")))
       .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
@@ -207,7 +210,7 @@ object Ingest {
     * hash-groupBy with map-side partial agg, same scale shape as
     * [[graft.operators.Dedup.exactGroups]]. */
   def dedupSurvivors(events: DataFrame): DataFrame =
-    events
+    TimeNorm.normalize(events, "ts")
       .withColumn("minute", date_trunc("minute", col("ts")))
       .groupBy(col("user_id"), col("event_type"), col("minute"))
       .agg(min(col("event_id")).as("keeper_event"), count(lit(1)).as("n_dups"))
@@ -570,8 +573,12 @@ object Ingest {
   def intervalJoinStream(clicks: DataFrame, purchases: DataFrame,
       horizon: String = "30 minutes",
       watermark: String = "1 hour"): DataFrame = {
-    val c = clicks.withWatermark("ts", watermark).alias("c")
-    val p = purchases.withWatermark("pts", watermark).alias("p")
+    // both sides normalized so a mixed NTZ/LTZ pair still joins on
+    // one timestamp flavor
+    val c = TimeNorm.normalize(clicks, "ts")
+      .withWatermark("ts", watermark).alias("c")
+    val p = TimeNorm.normalize(purchases, "pts")
+      .withWatermark("pts", watermark).alias("p")
     c.join(p, expr(
       s"""c.user_id = p.user_id AND
          |p.pts >= c.ts AND p.pts <= c.ts + interval $horizon""".stripMargin))
@@ -585,7 +592,8 @@ object Ingest {
     * `batchMode = true` for oracle-checkable semantics). */
   def windowedEventCounts(events: DataFrame, window_ : String = "1 hour",
       watermark: String = "10 minutes", batchMode: Boolean = false): DataFrame = {
-    val src = if (batchMode) events else events.withWatermark("ts", watermark)
+    val evN = TimeNorm.normalize(events, "ts")
+    val src = if (batchMode) evN else evN.withWatermark("ts", watermark)
     src.groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(sum(col("value")) * 100).cast("long").as("value_c"))

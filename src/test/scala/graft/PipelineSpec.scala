@@ -1929,6 +1929,42 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful sessionization accepts a TIMESTAMP_NTZ event-time " +
+      "stream (TimeNorm at the operator head)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // LocalDateTime encodes as TIMESTAMP_NTZ — the flavor the round-6
+    // harness parquet shipped; without normalization the
+    // java.sql.Timestamp encoder inside sessionizeStream would throw
+    val stream = MemoryStream[(Long, java.time.LocalDateTime)]
+    val src = stream.toDF().toDF("user_id", "ts")
+    assert(src.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val sessions = graft.streaming.Ingest.sessionizeStream(spark,
+      src, gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_ntz").start()
+    try {
+      def ts(s: String) = java.time.LocalDateTime.parse(s)
+      stream.addData((1L, ts("2024-01-01T10:00:00")),
+        (1L, ts("2024-01-01T10:10:00")))
+      q.processAllAvailable()
+      stream.addData((1L, ts("2024-01-01T12:30:00"))) // gap > 30 min
+      q.processAllAvailable()
+      stream.addData((2L, ts("2024-01-01T20:00:00"))) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM sess_ntz").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      assert(rows.contains((1L, 2L)), rows.mkString(","))
+      // the session start must be the same instant the LTZ twin
+      // would record (session TZ pinned UTC)
+      val startUs = spark.sql(
+        "SELECT session_start_us FROM sess_ntz").head().getLong(0)
+      assert(startUs ==
+        java.time.Instant.parse("2024-01-01T10:00:00Z").toEpochMilli * 1000)
+    } finally q.stop()
+  }
+
   test("windowed event counts run in streaming mode with watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
