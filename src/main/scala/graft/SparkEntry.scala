@@ -617,6 +617,25 @@ object SparkEntry {
         .orderBy(col("event_type").asc, col("bucket").asc)
     }),
 
+    // ---- OHLC bucketed downsample: one hash agg, struct-min/max
+    // open/close (deterministic under timestamp ties) ----
+    "q_time_ohlc" -> ((s, dir) => {
+      graft.operators.TimeSeries.ohlc(events(s, dir),
+          col("event_type"), col("ts"), col("value"), stepSec = 3600L)
+        .withColumnRenamed("k", "event_type")
+        .orderBy(col("event_type").asc, col("bucket").asc)
+    }),
+
+    // ---- per-key event-time gap detection (monitoring twin of
+    // sessionize: every reported gap is a session boundary) ----
+    "q_time_gaps" -> ((s, dir) => {
+      graft.operators.TimeSeries.gaps(events(s, dir),
+          col("user_id"), col("ts"), minGapSec = 7200L)
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("user_id").asc, col("gap_start_us").asc,
+          col("gap_end_us").asc)
+    }),
+
     // ---- deterministic negative-pair mining (contrastive training):
     // hash-drawn partners over the dense id domain, exact-dup pairs
     // filtered out (false-negative guard) ----
@@ -2244,6 +2263,30 @@ object SparkEntry {
         |    ORDER BY bucket
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_c
         |FROM j ORDER BY event_type ASC, bucket ASC""".stripMargin,
+
+    // struct-min/max open/close — same lexicographic (us, v) ordering
+    // as the Spark min(struct(...)), so timestamp ties agree
+    "q_time_ohlc" ->
+      """WITH e AS (SELECT event_type AS k,
+        |  (epoch_us(ts) - epoch_us(ts) % 3600000000) // 1000000 AS bucket,
+        |  epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT k AS event_type, bucket, count(*) AS n,
+        |  (min(struct_pack(us := us, v := v))).v AS open_c,
+        |  max(v) AS high_c, min(v) AS low_c,
+        |  (max(struct_pack(us := us, v := v))).v AS close_c
+        |FROM e GROUP BY k, bucket
+        |ORDER BY event_type ASC, bucket ASC""".stripMargin,
+
+    "q_time_gaps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, us,
+        |  lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+        |  FROM e)
+        |SELECT user_id, prev_us AS gap_start_us, us AS gap_end_us,
+        |  (us - prev_us) // 1000000 AS gap_sec
+        |FROM g WHERE us - prev_us > 7200000000
+        |ORDER BY user_id ASC, gap_start_us ASC, gap_end_us ASC""".stripMargin,
 
     "q_negative_pairs" ->
       s"""WITH a AS (SELECT doc_id AS anchor, text AS ta FROM documents),

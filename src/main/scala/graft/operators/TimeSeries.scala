@@ -58,4 +58,76 @@ object TimeSeries {
         coalesce(col("n"), lit(0L)).as("n"),
         last(col("vc"), ignoreNulls = true).over(w).as("value_c"))
   }
+
+  /** OHLC bucketed downsample — per (key, bucket): count, open (value
+    * at the earliest event), high, low, close (value at the latest
+    * event). The financial-bar shape, and the right lossy summary for
+    * any metric stream before long-horizon storage.
+    *
+    * Determinism: open/close are `min`/`max` over `struct(us, v)` —
+    * lexicographic struct ordering, so a timestamp tie resolves to the
+    * smallest (open) / largest (close) centi-value rather than an
+    * arbitrary row; engines agree bit-for-bit (DuckDB's
+    * `min(struct_pack(...))` orders the same way, unlike `arg_min`,
+    * whose tie choice is unspecified). Values are rounded to
+    * centi-units BEFORE aggregating — min/max/struct-min over longs
+    * are order-independent, so the result is partition-layout-free.
+    *
+    * 100 TB shape: ONE hash aggregate keyed (key, bucket) over slim
+    * (k, bucket, us, v) quadruples, map-side partials (min/max of
+    * structs combine associatively) — no window, no join, no second
+    * exchange. Accepts TIMESTAMP / TIMESTAMP_NTZ time columns
+    * ([[TimeNorm.epochMicros]]).
+    *
+    * Output: (key, bucket BIGINT epoch-seconds, n, open_c, high_c,
+    * low_c, close_c — BIGINT centi-units). */
+  def ohlc(events: DataFrame, key: Column, ts: Column, value: Column,
+      stepSec: Long = 60L): DataFrame = {
+    require(stepSec > 0, "[GRAFT] ohlc: stepSec must be positive")
+    val stepUs = stepSec * 1000000L
+    val us = TimeNorm.epochMicros(ts)
+    val bucket = ((us - us % lit(stepUs)) / 1000000L).cast("long")
+    events
+      .select(key.as("k"), bucket.as("bucket"), us.as("us"),
+        round(value * 100).cast("long").as("v"))
+      .groupBy(col("k"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("us"), col("v"))).getField("v").as("open_c"),
+        max(col("v")).as("high_c"),
+        min(col("v")).as("low_c"),
+        max(struct(col("us"), col("v"))).getField("v").as("close_c"))
+  }
+
+  /** Per-key event-time gap detection: every consecutive pair within a
+    * key whose silence exceeds `minGapSec` — the monitoring twin of
+    * sessionization (a session BOUNDARY is exactly a reported gap).
+    *
+    * `gap_sec` uses the remainder-subtract-then-divide trick (exact
+    * integer division — the numerator is a whole multiple of 10^6
+    * under 2^53, see [[resampleLocf]]'s bucket note) so engines agree.
+    * Duplicate timestamps within a key are harmless: the lag pair has
+    * gap 0 and is filtered, and rows after a tie see the same `us`
+    * value whichever tied row the window order picked — values, not
+    * row identities, determine the output.
+    *
+    * 100 TB shape: one exchange (hash by key) + per-partition sort for
+    * the lag window over slim (k, us) pairs; the filter drops
+    * everything below threshold before any further stage. Accepts
+    * TIMESTAMP / TIMESTAMP_NTZ ([[TimeNorm.epochMicros]]).
+    *
+    * Output: (key, gap_start_us, gap_end_us, gap_sec — BIGINT). */
+  def gaps(events: DataFrame, key: Column, ts: Column,
+      minGapSec: Long): DataFrame = {
+    require(minGapSec > 0, "[GRAFT] gaps: minGapSec must be positive")
+    val us = TimeNorm.epochMicros(ts)
+    val w = Window.partitionBy(col("k")).orderBy(col("us").asc)
+    val diff = col("us") - col("prev_us")
+    events.select(key.as("k"), us.as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .filter(col("prev_us").isNotNull &&
+        diff > minGapSec * 1000000L)
+      .select(col("k"), col("prev_us").as("gap_start_us"),
+        col("us").as("gap_end_us"),
+        ((diff - diff % 1000000L) / 1000000L).cast("long").as("gap_sec"))
+  }
 }

@@ -28,4 +28,50 @@ class TimeSeriesSpec extends AnyFunSuite {
       ("a", 600L, 1L, 400L),
       ("b", 900L, 1L, 750L))) // b's span does not bleed into a's
   }
+
+  test("ohlc: open/close from earliest/latest event, timestamp ties " +
+      "resolve deterministically (min/max centi-value)") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      ("a", ts(10), 5.0), ("a", ts(5), 2.0),   // open = 200 (earliest)
+      ("a", ts(50), 9.0), ("a", ts(50), 3.0),  // close tie at 50 → max v = 900
+      ("a", ts(5), 4.0),                        // open tie at 5 → min v = 200
+      ("b", ts(70), 1.0))                       // next bucket, other key
+      .toDF("k0", "ts0", "v0")
+    val out = TimeSeries.ohlc(ev, $"k0", $"ts0", $"v0", stepSec = 60L)
+      .orderBy($"k", $"bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 5L, 200L, 900L, 200L, 900L),
+      ("b", 60L, 1L, 100L, 100L, 100L, 100L)))
+  }
+
+  test("gaps: only silences beyond the threshold, exact gap seconds, " +
+      "duplicate timestamps do not fabricate gaps") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(100)), (1L, ts(100)),  // dup ts, gap 0
+      (1L, ts(4000)),                              // gap 3900 > 3600
+      (2L, ts(0)), (2L, ts(3599)))                 // below threshold
+      .toDF("u", "ts0")
+    val out = TimeSeries.gaps(ev, $"u", $"ts0", minGapSec = 3600L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 100000000L, 4000000000L, 3900L)))
+  }
+
+  test("ohlc and gaps accept TIMESTAMP_NTZ time columns") {
+    val ntz = Seq((1L, "2024-01-01T10:00:00"), (1L, "2024-01-01T13:00:00"))
+      .toDF("u", "s")
+      .select(col("u"), to_timestamp_ntz(col("s"),
+        lit("yyyy-MM-dd'T'HH:mm:ss")).as("tsn"), lit(1.5).as("v"))
+    assert(ntz.schema("tsn").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val g = TimeSeries.gaps(ntz, $"u", $"tsn", minGapSec = 3600L).collect()
+    assert(g.length == 1 && g(0).getLong(3) == 10800L)
+    val o = TimeSeries.ohlc(ntz, $"u", $"tsn", $"v", stepSec = 3600L)
+      .collect()
+    assert(o.length == 2 && o.forall(_.getLong(3) == 150L))
+  }
 }
