@@ -1111,6 +1111,24 @@ object SparkEntry {
         .orderBy(col("event_id").asc)
     }),
 
+    // ---- nearest as-of: closer of the backward/forward purchase,
+    // exact ties resolve backward (AsOfJoin.nearest) ----
+    "asof_join_nearest" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsOfJoin.nearest(clicks, purchases,
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
+          payload = Seq("pval"))
+        .select(col("event_id"), col("user_id"),
+          coalesce(round(col("pval") * 100).cast("long"), lit(-1L))
+            .as("pval_c"))
+        .orderBy(col("event_id").asc)
+    }),
+
     // ---- tolerance as-of: backward match only counts within 1 hour ----
     "asof_join_tolerance" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -2554,6 +2572,28 @@ object SparkEntry {
         |  COALESCE(CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
         |    THEN CAST(round(r.pval * 100) AS BIGINT) END, -1) AS pval_c
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id ASC""".stripMargin,
+
+    // two native ASOF joins (backward and forward) composed; the tie
+    // rule (equidistant → backward) mirrors AsOfJoin.nearest's `<=`
+    "asof_join_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |b AS (SELECT l.event_id, r.ts AS bts, r.pval AS bval
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.ts AS fts, r.pval AS fval
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts)
+        |SELECT l.event_id, l.user_id,
+        |  CAST(COALESCE(CASE
+        |    WHEN f.fts IS NULL AND b.bts IS NULL THEN NULL
+        |    WHEN f.fts IS NULL THEN round(b.bval * 100)
+        |    WHEN b.bts IS NULL THEN round(f.fval * 100)
+        |    WHEN epoch_us(l.ts) - epoch_us(b.bts)
+        |         <= epoch_us(f.fts) - epoch_us(l.ts)
+        |      THEN round(b.bval * 100)
+        |    ELSE round(f.fval * 100) END, -1) AS BIGINT) AS pval_c
+        |FROM l JOIN b USING (event_id) JOIN f USING (event_id)
         |ORDER BY l.event_id ASC""".stripMargin,
 
     "text_fingerprint" -> textFingerprintOracle,

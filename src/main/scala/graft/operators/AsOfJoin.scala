@@ -45,6 +45,49 @@ object AsOfJoin {
     carry(left, right, keyCol, leftTsCol, rightTsCol, payload,
       matchedTsAs, descending = true)
 
+  /** Nearest right row in EITHER direction per key (pandas
+    * `merge_asof(direction='nearest')`): the backward and forward
+    * carries compose — two single-shuffle passes — and each left row
+    * keeps whichever matched right row is closer in time; an exact
+    * tie (equidistant matches, or a simultaneous right row visible to
+    * both passes) resolves to the BACKWARD match, and a row with only
+    * one side matched keeps that side. Time columns may be TIMESTAMP,
+    * TIMESTAMP_NTZ (compared via [[TimeNorm.epochMicros]]) or any
+    * numeric type (compared raw — as-of over sequence numbers works).
+    *
+    * Cost: exactly the two carries' shuffles (2 hash exchanges of
+    * |L|+|R| slim rows + per-partition sorts); the choice between
+    * sides is a pure projection. */
+  def nearest(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, payload: Seq[String],
+      matchedTsAs: Option[String] = None): DataFrame = {
+    val work = "__bts" +: "__fts" +: payload.flatMap(p =>
+      Seq(s"__b_$p", s"__f_$p"))
+    WorkCols.requireFree(left, work: _*)
+    val leftCols = left.columns.toSeq
+    def renamed(df: DataFrame, tag: String): DataFrame =
+      payload.foldLeft(df)((d, p) => d.withColumnRenamed(p, s"__${tag}_$p"))
+    val b = renamed(backward(left, right, keyCol, leftTsCol, rightTsCol,
+      payload, Some("__bts")), "b")
+    val f = renamed(forward(b, right, keyCol, leftTsCol, rightTsCol,
+      payload, Some("__fts")), "f")
+    // numeric epoch for gap comparison; raw for numeric ts columns
+    def t(c: Column): Column = left.schema(leftTsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        TimeNorm.epochMicros(c)
+      case _ => c
+    }
+    val lts = t(col(leftTsCol))
+    val useBackward = col("__fts").isNull || (col("__bts").isNotNull &&
+      lts - t(col("__bts")) <= t(col("__fts")) - lts)
+    f.select((leftCols.map(col) ++:
+      matchedTsAs.map(a => when(useBackward, col("__bts"))
+        .otherwise(col("__fts")).as(a)).toSeq ++:
+      payload.map(p => when(useBackward, col(s"__b_$p"))
+        .otherwise(col(s"__f_$p")).as(p))): _*)
+  }
+
   private def carry(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, payload: Seq[String],
       matchedTsAs: Option[String], descending: Boolean): DataFrame = {

@@ -39,6 +39,53 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(1L) === None)
   }
 
+  test("nearest as-of join picks the closer side; ties and one-sided " +
+      "matches resolve backward/available; numeric ts supported") {
+    val left = Seq(
+      (1L, 100L, 12L),  // bwd 10 (gap 2) vs fwd 20 (gap 8) -> bwd 1.0
+      (2L, 100L, 19L),  // bwd 10 (gap 9) vs fwd 20 (gap 1) -> fwd 2.0
+      (3L, 100L, 15L),  // equidistant (5 both) -> BACKWARD 1.0
+      (4L, 100L, 5L),   // nothing before -> fwd 1.0
+      (5L, 100L, 99L),  // nothing after -> bwd 2.0
+      (6L, 300L, 50L)   // key with no right rows at all -> null
+    ).toDF("lid", "user", "lts")
+    val right = Seq(
+      (100L, 10L, 1.0), (100L, 20L, 2.0)
+    ).toDF("user", "rts", "pval")
+    val out = AsOfJoin.nearest(left, right, "user", "lts", "rts",
+        Seq("pval"), matchedTsAs = Some("mts"))
+      .select($"lid", $"pval", $"mts")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((Some(1.0), Some(10L))))
+    assert(out(2L) === ((Some(2.0), Some(20L))))
+    assert(out(3L) === ((Some(1.0), Some(10L)))) // tie -> backward
+    assert(out(4L) === ((Some(1.0), Some(10L))))
+    assert(out(5L) === ((Some(2.0), Some(20L))))
+    assert(out(6L) === ((None, None)))
+  }
+
+  test("nearest as-of join over timestamp columns (incl. NTZ)") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = Seq((1L, 7L, ts(100)), (2L, 7L, ts(260)))
+      .toDF("lid", "user", "lts")
+    val right = Seq((7L, ts(90), 1.0), (7L, ts(300), 2.0))
+      .toDF("user", "rts", "pval")
+    val out = AsOfJoin.nearest(left, right, "user", "lts", "rts",
+        Seq("pval"))
+      .select($"lid", $"pval").as[(Long, Option[Double])].collect().toMap
+    assert(out(1L) === Some(1.0)) // gap 10 back vs 200 fwd
+    assert(out(2L) === Some(2.0)) // gap 170 back vs 40 fwd
+    // NTZ flavor: same instants, cast to TIMESTAMP_NTZ on both sides
+    import org.apache.spark.sql.types.TimestampNTZType
+    val leftN = left.withColumn("lts", $"lts".cast(TimestampNTZType))
+    val rightN = right.withColumn("rts", $"rts".cast(TimestampNTZType))
+    val outN = AsOfJoin.nearest(leftN, rightN, "user", "lts", "rts",
+        Seq("pval"))
+      .select($"lid", $"pval").as[(Long, Option[Double])].collect().toMap
+    assert(outN === out)
+  }
+
   test("forward as-of join picks earliest right row >= left ts, per key") {
     val left = Seq(
       (1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 21L),
