@@ -626,6 +626,17 @@ object SparkEntry {
         .orderBy(col("event_type").asc, col("bucket").asc)
     }),
 
+    // ---- rolling trailing-window aggregate: every event's 1h-back
+    // exposure (RANGE frame — timestamp peers share the frame) ----
+    "q_time_rolling" -> ((s, dir) => {
+      graft.operators.TimeSeries.rolling(events(s, dir),
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          windowSec = 3600L)
+        .withColumnRenamed("id", "event_id")
+        .withColumnRenamed("k", "user_id")
+        .orderBy(col("event_id").asc)
+    }),
+
     // ---- per-key event-time gap detection (monitoring twin of
     // sessionize: every reported gap is a session boundary) ----
     "q_time_gaps" -> ((s, dir) => {
@@ -2295,6 +2306,17 @@ object SparkEntry {
         |  (max(struct_pack(us := us, v := v))).v AS close_c
         |FROM e GROUP BY k, bucket
         |ORDER BY event_type ASC, bucket ASC""".stripMargin,
+
+    "q_time_rolling" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT event_id, user_id,
+        |  count(*) OVER w AS n_win,
+        |  CAST(sum(v) OVER w AS BIGINT) AS sum_win_c
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id ASC""".stripMargin,
 
     "q_time_gaps" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),

@@ -98,6 +98,36 @@ object TimeSeries {
         max(struct(col("us"), col("v"))).getField("v").as("close_c"))
   }
 
+  /** Rolling event-time window aggregate: for EVERY event, the count
+    * and centi-unit sum of the same key's events inside the trailing
+    * `windowSec` (inclusive of the current row and its timestamp
+    * peers). The per-event trailing-exposure shape ("purchases in the
+    * hour before this click") that bucketed aggregation can't express.
+    *
+    * Determinism under duplicate timestamps: the frame is RANGE-based
+    * on epoch-micros, so tied rows are PEERS and share one frame —
+    * unlike a ROWS frame, whose tie order would leak into results.
+    * Values are centi-rounded before the integer sum (order-free).
+    *
+    * 100 TB shape: one hash exchange by key + per-partition sort; the
+    * running frame is computed in a single pass per partition. Accepts
+    * TIMESTAMP / TIMESTAMP_NTZ ([[TimeNorm.epochMicros]]).
+    *
+    * Output: (id, key, n_win, sum_win_c). */
+  def rolling(events: DataFrame, id: Column, key: Column, ts: Column,
+      value: Column, windowSec: Long): DataFrame = {
+    require(windowSec > 0, "[GRAFT] rolling: windowSec must be positive")
+    val us = TimeNorm.epochMicros(ts)
+    val w = Window.partitionBy(col("k")).orderBy(col("us").asc)
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    events
+      .select(id.as("id"), key.as("k"), us.as("us"),
+        round(value * 100).cast("long").as("v"))
+      .select(col("id"), col("k"),
+        count(lit(1)).over(w).as("n_win"),
+        sum(col("v")).over(w).as("sum_win_c"))
+  }
+
   /** Per-key event-time gap detection: every consecutive pair within a
     * key whose silence exceeds `minGapSec` — the monitoring twin of
     * sessionization (a session BOUNDARY is exactly a reported gap).

@@ -61,6 +61,28 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 100000000L, 4000000000L, 3900L)))
   }
 
+  test("rolling: trailing-window count/sum per event, timestamp peers " +
+      "share one frame (RANGE, not ROWS)") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      (1L, "a", ts(0), 1.0),
+      (2L, "a", ts(30), 2.0),   // window [−30, 30]: rows 1,2
+      (3L, "a", ts(30), 3.0),   // PEER of row 2: same frame {1,2,3}
+      (4L, "a", ts(100), 4.0),  // window [40, 100]: row 4 only
+      (5L, "b", ts(30), 9.0))   // other key
+      .toDF("eid", "k0", "ts0", "v0")
+    val out = TimeSeries.rolling(ev, $"eid", $"k0", $"ts0", $"v0",
+        windowSec = 60L)
+      .orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 100L),
+      (2L, 3L, 600L), // peers: rows 2 and 3 see identical frames
+      (3L, 3L, 600L),
+      (4L, 1L, 400L),
+      (5L, 1L, 900L)))
+  }
+
   test("ohlc and gaps accept TIMESTAMP_NTZ time columns") {
     val ntz = Seq((1L, "2024-01-01T10:00:00"), (1L, "2024-01-01T13:00:00"))
       .toDF("u", "s")
