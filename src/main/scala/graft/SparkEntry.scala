@@ -626,6 +626,14 @@ object SparkEntry {
         .orderBy(col("event_type").asc, col("bucket").asc)
     }),
 
+    // ---- cohort retention: daily buckets, users keyed to their
+    // first-active day, distinct-user counts per (cohort, offset) ----
+    "q_retention" -> ((s, dir) => {
+      graft.operators.TimeSeries.retention(events(s, dir),
+          col("user_id"), col("ts"), bucketSec = 86400L)
+        .orderBy(col("cohort").asc, col("bucket_offset").asc)
+    }),
+
     // ---- rolling trailing-window aggregate: every event's 1h-back
     // exposure (RANGE frame — timestamp peers share the frame) ----
     "q_time_rolling" -> ((s, dir) => {
@@ -2306,6 +2314,17 @@ object SparkEntry {
         |  (max(struct_pack(us := us, v := v))).v AS close_c
         |FROM e GROUP BY k, bucket
         |ORDER BY event_type ASC, bucket ASC""".stripMargin,
+
+    "q_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 1000000 AS bucket
+        |  FROM events),
+        |c AS (SELECT user_id, min(bucket) AS cohort FROM e GROUP BY user_id)
+        |SELECT c.cohort, (e.bucket - c.cohort) // 86400 AS bucket_offset,
+        |  count(*) AS n_keys
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort ASC, bucket_offset ASC""".stripMargin,
 
     "q_time_rolling" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,

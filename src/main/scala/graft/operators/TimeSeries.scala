@@ -98,6 +98,39 @@ object TimeSeries {
         max(struct(col("us"), col("v"))).getField("v").as("close_c"))
   }
 
+  /** Cohort retention: bucket time into `bucketSec` periods, assign
+    * each key (user) to the cohort of its FIRST active bucket, and
+    * count distinct keys per (cohort, offset) — the "of users who
+    * arrived in week W, how many were back N weeks later" table.
+    *
+    * 100 TB shape: (1) one hash agg to distinct (key, bucket) pairs —
+    * the only pass over the raw events; (2) a key-grouped min for the
+    * cohort (slim pairs); (3) a broadcast-friendly join back and one
+    * final count agg keyed (cohort, offset). Everything downstream of
+    * step 1 is bounded by |keys| · |active buckets per key|, not by
+    * event volume. All-integer outputs. Accepts TIMESTAMP /
+    * TIMESTAMP_NTZ ([[TimeNorm.epochMicros]]).
+    *
+    * Output: (cohort BIGINT epoch-sec bucket, bucket_offset BIGINT
+    * buckets since cohort, n_keys BIGINT); bucket_offset 0 rows give
+    * cohort sizes. ("offset" itself is an ANSI reserved word.) */
+  def retention(events: DataFrame, key: Column, ts: Column,
+      bucketSec: Long): DataFrame = {
+    require(bucketSec > 0, "[GRAFT] retention: bucketSec must be positive")
+    val stepUs = bucketSec * 1000000L
+    val us = TimeNorm.epochMicros(ts)
+    val bucket = ((us - us % lit(stepUs)) / 1000000L).cast("long")
+    val active = events.select(key.as("k"), bucket.as("bucket")).distinct()
+    val cohorts = active.groupBy(col("k"))
+      .agg(min(col("bucket")).as("cohort"))
+    active.join(cohorts, Seq("k"))
+      .groupBy(col("cohort"),
+        (((col("bucket") - col("cohort"))
+          - (col("bucket") - col("cohort")) % bucketSec)
+          / bucketSec).cast("long").as("bucket_offset"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   /** Rolling event-time window aggregate: for EVERY event, the count
     * and centi-unit sum of the same key's events inside the trailing
     * `windowSec` (inclusive of the current row and its timestamp

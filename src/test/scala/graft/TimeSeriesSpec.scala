@@ -83,6 +83,26 @@ class TimeSeriesSpec extends AnyFunSuite {
       (5L, 1L, 900L)))
   }
 
+  test("retention: keys cohorted to first active bucket, distinct " +
+      "counts per offset, repeat events in a bucket count once") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val day = 86400L
+    val ev = Seq(
+      (1L, ts(10)), (1L, ts(20)),          // u1 cohort day 0 (once)
+      (1L, ts(day + 5)),                    // u1 back on day 1
+      (2L, ts(50)),                         // u2 cohort day 0, never back
+      (3L, ts(day + 100)), (3L, ts(3 * day))) // u3 cohort day 1, back day 3 (offset 2)
+      .toDF("u", "ts0")
+    val out = TimeSeries.retention(ev, $"u", $"ts0", bucketSec = day)
+      .orderBy($"cohort", $"bucket_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 2L),        // day-0 cohort: u1, u2
+      (0L, 1L, 1L),        // u1 back next day
+      (day, 0L, 1L),       // day-1 cohort: u3
+      (day, 2L, 1L)))      // u3 back two buckets later
+  }
+
   test("ohlc and gaps accept TIMESTAMP_NTZ time columns") {
     val ntz = Seq((1L, "2024-01-01T10:00:00"), (1L, "2024-01-01T13:00:00"))
       .toDF("u", "s")
