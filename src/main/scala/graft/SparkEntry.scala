@@ -626,6 +626,15 @@ object SparkEntry {
         .orderBy(col("event_type").asc, col("bucket").asc)
     }),
 
+    // ---- ordered funnel: signup → view → click → purchase, each
+    // step at-or-after the user's earliest prior-step completion ----
+    "q_funnel" -> ((s, dir) => {
+      graft.operators.TimeSeries.funnel(events(s, dir),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("step").asc)
+    }),
+
     // ---- cohort retention: daily buckets, users keyed to their
     // first-active day, distinct-user counts per (cohort, offset) ----
     "q_retention" -> ((s, dir) => {
@@ -2314,6 +2323,28 @@ object SparkEntry {
         |  (max(struct_pack(us := us, v := v))).v AS close_c
         |FROM e GROUP BY k, bucket
         |ORDER BY event_type ASC, bucket ASC""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id AS k, min(epoch_us(ts)) AS su
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS k, min(epoch_us(e.ts)) AS su
+        |  FROM events e JOIN s0 ON e.user_id = s0.k
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) >= s0.su
+        |  GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS k, min(epoch_us(e.ts)) AS su
+        |  FROM events e JOIN s1 ON e.user_id = s1.k
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.su
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS k, min(epoch_us(e.ts)) AS su
+        |  FROM events e JOIN s2 ON e.user_id = s2.k
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.su
+        |  GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS step, 'signup' AS event_type,
+        |  count(*) AS n_keys FROM s0
+        |UNION ALL SELECT 1, 'view', count(*) FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY step ASC""".stripMargin,
 
     "q_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,

@@ -131,6 +131,49 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_keys"))
   }
 
+  /** Ordered funnel: how many keys (users) complete each PREFIX of
+    * `steps` in order — step i counts only events at-or-after the
+    * key's earliest completion of step i-1 (simultaneous events
+    * count; "signup at the same instant as the view" is a
+    * completion). Completion times are `min` aggregates, so the
+    * result is tie-order-free.
+    *
+    * 100 TB shape: the raw events are touched once per step but each
+    * pass is a FILTERED scan (one event type) into a key-grouped min;
+    * the step-to-step joins are over key-sized slim frames that
+    * shrink monotonically (AQE broadcasts them as they fall under the
+    * threshold). No windows, no per-key sequence materialization —
+    * the classic alternative (collect events per key and walk the
+    * sequence) ships the whole event log through one shuffle.
+    * Accepts TIMESTAMP / TIMESTAMP_NTZ ([[TimeNorm.epochMicros]]).
+    *
+    * Output: (step BIGINT 0-based, event_type STRING, n_keys BIGINT)
+    * — one row per step, n_keys non-increasing. */
+  def funnel(events: DataFrame, key: Column, ts: Column,
+      stepCol: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "[GRAFT] funnel: steps must be non-empty")
+    require(steps.distinct.length == steps.length,
+      "[GRAFT] funnel: steps must be distinct")
+    val base = events.select(key.as("k"),
+      TimeNorm.epochMicros(ts).as("us"), stepCol.as("t"))
+    def countOf(reached: DataFrame, idx: Int, name: String): DataFrame =
+      reached.agg(count(lit(1)).as("n_keys"))
+        .select(lit(idx.toLong).as("step"), lit(name).as("event_type"),
+          col("n_keys"))
+    var reached = base.filter(col("t") === steps.head)
+      .groupBy(col("k")).agg(min(col("us")).as("su"))
+    val out = Seq.newBuilder[DataFrame]
+    out += countOf(reached, 0, steps.head)
+    for ((s, i) <- steps.tail.zipWithIndex) {
+      reached = base.filter(col("t") === s)
+        .join(reached.select(col("k"), col("su")), Seq("k"))
+        .filter(col("us") >= col("su"))
+        .groupBy(col("k")).agg(min(col("us")).as("su"))
+      out += countOf(reached, i + 1, s)
+    }
+    out.result().reduce(_ unionByName _)
+  }
+
   /** Rolling event-time window aggregate: for EVERY event, the count
     * and centi-unit sum of the same key's events inside the trailing
     * `windowSec` (inclusive of the current row and its timestamp

@@ -103,6 +103,29 @@ class TimeSeriesSpec extends AnyFunSuite {
       (day, 2L, 1L)))      // u3 back two buckets later
   }
 
+  test("funnel: prefix completion in order, out-of-order steps don't " +
+      "count, simultaneous events do") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, "signup", ts(0)), (1L, "view", ts(10)), (1L, "buy", ts(20)),
+      // u2: view BEFORE signup (doesn't count), no view after
+      (2L, "view", ts(0)), (2L, "signup", ts(5)), (2L, "buy", ts(9)),
+      // u3: signup and view SIMULTANEOUS (counts), then nothing
+      (3L, "signup", ts(7)), (3L, "view", ts(7)),
+      // u4: never signs up
+      (4L, "view", ts(1)), (4L, "buy", ts(2)))
+      .toDF("u", "et", "ts0")
+    val out = TimeSeries.funnel(ev, $"u", $"ts0", $"et",
+        Seq("signup", "view", "buy"))
+      .orderBy($"step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, "signup", 3L),  // u1, u2, u3
+      (1L, "view", 2L),    // u1, u3 (u2's view precedes signup)
+      (2L, "buy", 1L)))    // u1 only
+  }
+
   test("ohlc and gaps accept TIMESTAMP_NTZ time columns") {
     val ntz = Seq((1L, "2024-01-01T10:00:00"), (1L, "2024-01-01T13:00:00"))
       .toDF("u", "s")
