@@ -247,6 +247,11 @@ object Bench {
     entry("sessionize") { median {
       SparkEntry.queries("w_sessionize")(spark, sfDir).count()
     } }
+    // per-event trailing-window aggregate (RANGE frame on epoch-micros
+    // — one key exchange + sort over the whole event log)
+    entry("time_rolling") { median {
+      SparkEntry.queries("q_time_rolling")(spark, sfDir).count()
+    } }
     entry("window_agg") { median {
       SparkEntry.queries("stream_window_agg")(spark, sfDir).count()
     } }

@@ -626,6 +626,22 @@ object SparkEntry {
         .orderBy(col("event_type").asc, col("bucket").asc)
     }),
 
+    // ---- interval × interval overlap join (binned, first-shared-bin
+    // dedup — no BroadcastNestedLoop, no dropDuplicates shuffle) ----
+    "q_interval_overlap" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("value").as("lo1"),
+          (col("value") + 0.5).as("hi1"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("value").as("lo2"), (col("value") + 0.3).as("hi2"))
+      graft.operators.RangeJoin.intervalOverlap(l, r,
+          "lo1", "hi1", "lo2", "hi2", binWidth = 0.5)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_overlaps"))
+        .orderBy(col("event_id").asc)
+    }),
+
     // ---- ordered funnel: signup → view → click → purchase, each
     // step at-or-after the user's earliest prior-step completion ----
     "q_funnel" -> ((s, dir) => {
@@ -2323,6 +2339,16 @@ object SparkEntry {
         |  (max(struct_pack(us := us, v := v))).v AS close_c
         |FROM e GROUP BY k, bucket
         |ORDER BY event_type ASC, bucket ASC""".stripMargin,
+
+    "q_interval_overlap" ->
+      """WITH l AS (SELECT event_id, value AS lo1, value + 0.5 AS hi1
+        |  FROM events WHERE event_type = 'click'),
+        |r AS (SELECT value AS lo2, value + 0.3 AS hi2
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, count(*) AS n_overlaps
+        |FROM l JOIN r ON l.lo1 < r.hi2 AND r.lo2 < l.hi1
+        |GROUP BY 1
+        |ORDER BY event_id ASC""".stripMargin,
 
     "q_funnel" ->
       """WITH s0 AS (SELECT user_id AS k, min(epoch_us(ts)) AS su

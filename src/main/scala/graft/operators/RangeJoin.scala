@@ -45,4 +45,36 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval × interval OVERLAP join: left [lo1, hi1) rows joined to
+    * right [lo2, hi2) rows iff the half-open intervals intersect
+    * (`lo1 < hi2 && lo2 < hi1` — touching endpoints do NOT overlap).
+    * Same bin decomposition as [[pointInInterval]], with BOTH sides
+    * exploded; a pair that shares several bins is emitted exactly once
+    * WITHOUT a dedup shuffle — it is kept only in the FIRST bin the
+    * two intervals share, `max(bin(lo1), bin(lo2))` (every overlapping
+    * pair shares that bin by construction). Degenerate (empty)
+    * intervals are dropped up front: they can't overlap anything, and
+    * a reversed `sequence(bin(hi)..bin(lo))` would mis-bin them.
+    *
+    * Shuffle volume: Σ span/binWidth per side, hash-partitioned on the
+    * bin id — no BroadcastNestedLoopJoin, no |L|·|R| blow-up; AQE
+    * handles hot bins. Output: left columns ++ right columns (caller
+    * disambiguates shared names). */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      lo1: String, hi1: String, lo2: String, hi2: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    WorkCols.requireFree(left, "__bin")
+    WorkCols.requireFree(right, "__bin")
+    val bin = (c: Column) => floor(c / binWidth).cast("long")
+    val l = left.filter(col(hi1) > col(lo1))
+      .withColumn("__bin", explode(sequence(bin(col(lo1)), bin(col(hi1)))))
+    val r = right.filter(col(hi2) > col(lo2))
+      .withColumn("__bin", explode(sequence(bin(col(lo2)), bin(col(hi2)))))
+    l.join(r, Seq("__bin"))
+      .filter(col(lo1) < col(hi2) && col(lo2) < col(hi1))
+      .filter(col("__bin") === greatest(bin(col(lo1)), bin(col(lo2))))
+      .drop("__bin")
+  }
 }

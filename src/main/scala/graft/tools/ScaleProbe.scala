@@ -312,6 +312,53 @@ object ScaleProbe {
         allowed = Some(base.filter($"id" % 3 === 0).select($"id")),
         allowedRows = n / 3L).count()
     }
+
+    // time-series family at 10M events, 100k keys: every operator is
+    // one exchange (hash agg or key-sorted window) over slim rows —
+    // the shapes that must hold when "events" is a 100 TB log
+    val nEv = 10000000L
+    val tsEvents = time(s"materialize $nEv synthetic events " +
+        "(100k keys, ~6 days)") {
+      val df = spark.range(nEv).select(
+        ($"id" % 100000L).as("user_id"),
+        timestamp_micros(lit(1700000000000000L) +
+          ($"id" % 997L) * 500000000L + $"id" % 86400000000L).as("ts"),
+        (($"id" % 13L) + 1L).cast("double").as("value"),
+        element_at(typedLit(Seq("signup", "view", "click", "purchase")),
+          ($"id" % 4L).cast("int") + 1).as("event_type"),
+        $"id".as("event_id"))
+      val p = java.nio.file.Files.createTempDirectory("scale-ts").toString
+      df.write.mode("overwrite").parquet(s"$p/ev")
+      spark.read.parquet(s"$p/ev")
+    }
+    // sum the result columns, not count(): count alone would let
+    // Catalyst prune the window/agg expressions and time nothing
+    time("OHLC downsample: 10M events -> hourly bars (ONE hash agg, " +
+        "struct-min/max partials)") {
+      graft.operators.TimeSeries.ohlc(tsEvents, $"user_id", $"ts",
+        $"value", stepSec = 3600L).agg(sum($"close_c")).collect()
+    }
+    time("rolling 1h trailing window: 10M events (one key exchange + " +
+        "sort, RANGE frame)") {
+      graft.operators.TimeSeries.rolling(tsEvents, $"event_id",
+        $"user_id", $"ts", $"value", windowSec = 3600L)
+        .agg(sum($"sum_win_c")).collect()
+    }
+    time("gap detection >2h: 10M events (one key exchange + lag)") {
+      graft.operators.TimeSeries.gaps(tsEvents, $"user_id", $"ts",
+        minGapSec = 7200L).count()
+    }
+    time("cohort retention, daily buckets: 10M events -> distinct " +
+        "(key, day) then key-sized joins") {
+      graft.operators.TimeSeries.retention(tsEvents, $"user_id",
+        $"ts", bucketSec = 86400L).count()
+    }
+    time("4-step funnel: 10M events (filtered scans into key-grouped " +
+        "mins, shrinking joins)") {
+      graft.operators.TimeSeries.funnel(tsEvents, $"user_id", $"ts",
+        $"event_type", Seq("signup", "view", "click", "purchase"))
+        .collect()
+    }
     spark.stop()
   }
 }

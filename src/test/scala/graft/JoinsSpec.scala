@@ -27,6 +27,41 @@ class JoinsSpec extends AnyFunSuite {
       "half-open boundary: 4.9 in [0,5), 5.0 not")
   }
 
+  test("interval overlap join equals brute-force theta join; pairs " +
+      "sharing many bins emitted once; touching endpoints excluded") {
+    val l = Seq((1L, 0.0, 50.0),   // spans many bins, overlaps most
+      (2L, 4.0, 5.0), (3L, 10.0, 11.0), (4L, 90.0, 91.0))
+      .toDF("lid", "lo1", "hi1")
+    val r = Seq((10L, 3.0, 40.0),  // also multi-bin
+      (11L, 5.0, 6.0),             // touches l2 at 5.0 — NOT overlap
+      (12L, 10.5, 10.7),           // nested inside l3
+      (13L, 200.0, 201.0),
+      (14L, 7.0, 7.0))             // degenerate: never matches
+      .toDF("rid", "lo2", "hi2")
+    val got = RangeJoin.intervalOverlap(l, r, "lo1", "hi1", "lo2",
+        "hi2", binWidth = 7.0)
+      .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    // brute force mirrors the operator's semantics: an EMPTY interval
+    // overlaps nothing, even though the bare predicate would admit it
+    val want = l.as("a").join(r.as("b"),
+        $"lo1" < $"hi2" && $"lo2" < $"hi1" &&
+          $"hi1" > $"lo1" && $"hi2" > $"lo2")
+      .select($"lid", $"rid").as[(Long, Long)].collect().sorted.toSeq
+    assert(got === want)
+    // (1, 10) share bins 0..5 — exactly one output row proves the
+    // first-shared-bin dedup
+    assert(got.count(_ == ((1L, 10L))) === 1)
+    assert(!got.contains((2L, 11L)), "touching endpoints must not join")
+  }
+
+  test("interval overlap join plans as an equi-join on the bin") {
+    val l = Seq((1L, 0.0, 5.0)).toDF("lid", "lo1", "hi1")
+    val r = Seq((10L, 3.0, 4.0)).toDF("rid", "lo2", "hi2")
+    val plan = RangeJoin.intervalOverlap(l, r, "lo1", "hi1", "lo2",
+        "hi2", 5.0).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("range join plans as an equi-join on the bin, not a nested loop") {
     val points = Seq((1L, 1.0)).toDF("pid", "p")
     val ivs = Seq((10L, 0.0, 5.0)).toDF("iid", "lo", "hi")
