@@ -1603,6 +1603,21 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- PALETTED PNG (color type 3): payload bytes are palette
+    // indices against a deterministic 256-entry PLTE; stats are over
+    // the EXPANDED RGB, so the row only hash-matches if the PLTE
+    // chunk, 1-byte filter stride, and index→RGB lookup are exact ----
+    "multimodal_png_palette" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizePngPaletted(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.decodeStats(s, media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- RGBA PNG (color type 6): every 4th payload byte becomes
     // the alpha lane; stats are alpha-COMPOSITED over white with pure
     // integer rounding, so the row only hash-matches if the 4-byte
@@ -2934,6 +2949,7 @@ object SparkEntry {
 
     "multimodal_png" -> multimodalPngOracle,
     "multimodal_png_gray" -> multimodalPngGrayOracle,
+    "multimodal_png_palette" -> multimodalPngPaletteOracle,
     "multimodal_png_rgba" -> multimodalPngRgbaOracle,
     "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_frames" -> multimodalFramesOracle,
@@ -3483,6 +3499,33 @@ object SparkEntry {
        |  CAST(gm AS BIGINT) AS c1_milli,
        |  CAST(gm AS BIGINT) AS c2_milli
        |FROM p ORDER BY doc_id ASC""".stripMargin
+
+  /** Mirrors [[graft.operators.Multimodal.synthesizePngPaletted]] +
+    * `decodeStats`: payload bytes are palette indices on a 4-wide
+    * raster; decoded channel c of a pixel with index b is
+    * (b·mult_c) mod 256 for mult = (7, 13, 29) — the deterministic
+    * palette formula — so the channel means are pure modular
+    * arithmetic over the zero-padded bytes. */
+  private def multimodalPngPaletteOracle: String = {
+    def chan(mult: Int): String =
+      s"""round(COALESCE(list_sum(list_transform(pb,
+         |    x -> (x * $mult) % 256)), 0) * 1000.0 / (255.0 * m))""".stripMargin
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+       |s AS (SELECT doc_id, bs, len(bs) AS n,
+       |    greatest(4, len(bs) - (len(bs) % 4)) AS m FROM b),
+       |p AS (SELECT doc_id, n, m,
+       |    list_transform(range(1, m + 1),
+       |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
+       |  FROM s)
+       |SELECT doc_id, 'image/png' AS format,
+       |  CAST(4 AS INT) AS width,
+       |  CAST(m // 4 AS INT) AS height,
+       |  CAST(m AS BIGINT) AS n_samples,
+       |  CAST(${chan(7)} AS BIGINT) AS c0_milli,
+       |  CAST(${chan(13)} AS BIGINT) AS c1_milli,
+       |  CAST(${chan(29)} AS BIGINT) AS c2_milli
+       |FROM p ORDER BY doc_id ASC""".stripMargin
+  }
 
   /** Mirrors [[graft.operators.Multimodal.synthesizePngRgba]] +
     * `decodeStats`: a 4-wide RGBA raster of the zero-padded payload

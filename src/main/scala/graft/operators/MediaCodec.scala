@@ -244,10 +244,12 @@ object MediaCodec {
   private def pngBpp(colorType: Int): Int = colorType match {
     case 0 => 1
     case 2 => 3
+    case 3 => 1 // palette INDEX per pixel; PLTE holds the RGB triples
     case 6 => 4
     case other => throw new IllegalArgumentException(
       s"[GRAFT] png: unsupported color type $other " +
-        "(supported: 0 grayscale, 2 truecolor, 6 truecolor+alpha)")
+        "(supported: 0 grayscale, 2 truecolor, 3 paletted, " +
+        "6 truecolor+alpha)")
   }
 
   /** 8-bit truecolor (color type 2) non-interlaced PNG. `payload` is
@@ -270,16 +272,41 @@ object MediaCodec {
   def encodePngRgba(payload: Array[Byte], width: Int, height: Int): Array[Byte] =
     encodePng(payload, width, height, colorType = 6)
 
-  /** Shared encoder over the three supported 8-bit color types. The
+  /** PALETTED (color type 3) variant of [[encodePng]]: `indices` is
+    * one palette index per pixel, `palette` is up-to-256 RGB triples
+    * written as a PLTE chunk between IHDR and IDAT. Every index must
+    * address a palette entry — an out-of-range index would decode to
+    * garbage colors silently, so it is rejected at encode. */
+  def encodePngPaletted(indices: Array[Byte], width: Int, height: Int,
+      palette: Array[Byte]): Array[Byte] =
+    encodePng(indices, width, height, colorType = 3, palette = palette)
+
+  /** Shared encoder over the four supported 8-bit color types. The
     * filter predictors step by the color type's bytes-per-pixel, per
-    * PNG spec §9 (for grayscale the "pixel to the left" is 1 byte
-    * back; for RGBA, 4). */
+    * PNG spec §9 (for grayscale and paletted the "pixel to the left"
+    * is 1 byte back; for RGBA, 4). `palette` is required exactly for
+    * color type 3. */
   def encodePng(payload: Array[Byte], width: Int, height: Int,
-      colorType: Int): Array[Byte] = {
+      colorType: Int, palette: Array[Byte] = null): Array[Byte] = {
     val bpp = pngBpp(colorType)
     require(width > 0 && height > 0 && payload.length == width * height * bpp,
       s"[GRAFT] png: payload must be width*height*$bpp bytes for " +
         s"color type $colorType")
+    require((colorType == 3) == (palette != null),
+      "[GRAFT] png: palette required iff color type 3")
+    if (colorType == 3) {
+      require(palette.length >= 3 && palette.length <= 768 &&
+        palette.length % 3 == 0,
+        "[GRAFT] png: palette must be 1..256 RGB triples")
+      val n = palette.length / 3
+      var i = 0
+      while (i < payload.length) {
+        require((payload(i) & 0xff) < n,
+          s"[GRAFT] png: palette index ${payload(i) & 0xff} out of " +
+            s"range (palette has $n entries)")
+        i += 1
+      }
+    }
     val stride = width * bpp
     // filtered scanlines: 1 filter-type byte + stride bytes per row;
     // predictors read the ORIGINAL neighbor bytes (== the decoder's
@@ -319,9 +346,10 @@ object MediaCodec {
     ihdr.put(8.toByte)  // bit depth
     ihdr.put(colorType.toByte)
     ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
-    val parts = Seq(PngSig, pngChunk("IHDR", ihdr.array()),
-      pngChunk("IDAT", zOut.toByteArray),
-      pngChunk("IEND", Array.emptyByteArray))
+    val parts = Seq(PngSig, pngChunk("IHDR", ihdr.array())) ++
+      (if (colorType == 3) Seq(pngChunk("PLTE", palette)) else Nil) ++
+      Seq(pngChunk("IDAT", zOut.toByteArray),
+        pngChunk("IEND", Array.emptyByteArray))
     val out = new Array[Byte](parts.map(_.length).sum)
     var off = 0
     parts.foreach { p =>
@@ -350,6 +378,7 @@ object MediaCodec {
     b.position(8)
     var width = 0; var height = 0; var colorType = -1
     var ihdrSeen = false; var iendSeen = false
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     while (!iendSeen && b.remaining() >= 12) {
       val len = b.getInt()
@@ -373,15 +402,21 @@ object MediaCodec {
           require(width > 0 && height > 0 && width <= (1 << 20) &&
             height <= (1 << 20), "[GRAFT] png: bad dimensions")
           val depth = h.get(); val ct = h.get()
-          require(depth == 8 && (ct == 0 || ct == 2 || ct == 6),
-            s"[GRAFT] png: only 8-bit grayscale/truecolor/RGBA " +
-              s"supported, got depth=$depth colorType=$ct")
+          require(depth == 8 && (ct == 0 || ct == 2 || ct == 3 || ct == 6),
+            s"[GRAFT] png: only 8-bit grayscale/truecolor/paletted/" +
+              s"RGBA supported, got depth=$depth colorType=$ct")
           colorType = ct
           require(h.get() == 0, "[GRAFT] png: bad compression method")
           require(h.get() == 0, "[GRAFT] png: bad filter method")
           require(h.get() == 0,
             "[GRAFT] png: interlaced images unsupported")
           ihdrSeen = true
+        case "PLTE" =>
+          require(ihdrSeen && plte == null && idat.size() == 0,
+            "[GRAFT] png: PLTE must appear once, after IHDR, before IDAT")
+          require(len >= 3 && len <= 768 && len % 3 == 0,
+            "[GRAFT] png: PLTE must hold 1..256 RGB triples")
+          plte = data
         case "IDAT" =>
           require(ihdrSeen, "[GRAFT] png: IDAT before IHDR")
           idat.write(data)
@@ -438,6 +473,24 @@ object MediaCodec {
         x += 1
       }
       r += 1
+    }
+    // paletted: expand indices through PLTE at decode — downstream
+    // kernels see plain RGB, exactly like truecolor
+    if (colorType == 3) {
+      require(plte != null, "[GRAFT] png: paletted image missing PLTE")
+      val n = plte.length / 3
+      val rgb = new Array[Byte](out.length * 3)
+      var i = 0
+      while (i < out.length) {
+        val idx = out(i) & 0xff
+        require(idx < n,
+          s"[GRAFT] png: palette index $idx out of range ($n entries)")
+        rgb(3 * i) = plte(3 * idx)
+        rgb(3 * i + 1) = plte(3 * idx + 1)
+        rgb(3 * i + 2) = plte(3 * idx + 2)
+        i += 1
+      }
+      return Raster(width, height, "RGB", rgb)
     }
     val order = colorType match {
       case 0 => "GRAY"

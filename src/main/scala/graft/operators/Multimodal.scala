@@ -174,6 +174,41 @@ object Multimodal {
       }
   }
 
+  /** PALETTED (color type 3) twin of [[synthesizePng]]: the payload
+    * bytes become palette INDICES on a 4-wide raster (4 bytes/row,
+    * truncated to whole rows, zero-padded to one row minimum) against
+    * a deterministic 256-entry palette — entry i is
+    * ((i·7) mod 256, (i·13) mod 256, (i·29) mod 256) — so the oracle
+    * can recompute the decoded RGB channel means from the raw bytes
+    * with pure modular arithmetic. Round-trip proves the PLTE chunk,
+    * the 1-byte-per-pixel filter stride, and the index→RGB expansion
+    * are all exact. */
+  def synthesizePngPaletted(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val palette = Array.tabulate(768) { j =>
+      val i = j / 3
+      (j % 3 match {
+        case 0 => i * 7 % 256
+        case 1 => i * 13 % 256
+        case _ => i * 29 % 256
+      }).toByte
+    }
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val m = math.max(4, payload.length - payload.length % 4)
+          val p = java.util.Arrays.copyOf(payload, m)
+          val bytes = MediaCodec.encodePngPaletted(p, 4, p.length / 4,
+            palette)
+          MediaRecord(id, bytes, "image/png", bytes.length.toLong)
+        }
+      }
+  }
+
   private def meanMilli(sum: Long, cnt: Long): Long =
     if (cnt == 0) 0L else math.round(sum * 1000.0 / (255.0 * cnt))
 

@@ -623,6 +623,43 @@ class PipelineSpec extends AnyFunSuite {
       MediaCodec.decodePng(evil)).getMessage.contains("[GRAFT]"))
   }
 
+  test("png codec: PALETTED (color type 3) round-trips through PLTE, " +
+      "JDK interop agrees, guards reject bad palettes/indices") {
+    import graft.operators.MediaCodec
+    val w = 4; val h = 7 // > 5 rows ⇒ all five filters exercised
+    val nPal = 16
+    val palette = Array.tabulate(nPal * 3)(j =>
+      ((j * 37 + 11) % 256).toByte)
+    val idx = Array.tabulate(w * h)(i => (i % nPal).toByte)
+    val png = MediaCodec.encodePngPaletted(idx, w, h, palette)
+    // decode expands indices through the palette to plain RGB
+    val r = MediaCodec.decodePng(png)
+    assert(r.channelOrder === "RGB" && r.width === w && r.height === h)
+    for (j <- 0 until w * h; c <- 0 until 3)
+      assert(r.pixels(3 * j + c) === palette(3 * (idx(j) & 0xff) + c),
+        s"pixel $j channel $c")
+    // JDK interop: ImageIO resolves the same palette colors
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val o = 3 * (idx(y * w + x) & 0xff)
+      assert(((rgb >> 16) & 0xff) === (palette(o) & 0xff), s"R ($x,$y)")
+      assert((rgb & 0xff) === (palette(o + 2) & 0xff), s"B ($x,$y)")
+    }
+    // guards: out-of-range index at encode, bad palette sizes,
+    // missing palette for ct3 / palette given for truecolor
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.encodePngPaletted(Array(nPal.toByte), 1, 1, palette))
+      .getMessage.contains("out of range"))
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.encodePngPaletted(Array(0.toByte), 1, 1,
+        new Array[Byte](4))).getMessage.contains("RGB triples"))
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.encodePng(Array[Byte](1, 2, 3), 1, 1, colorType = 2,
+        palette = palette)).getMessage.contains("palette required iff"))
+  }
+
   test("png codec: grayscale + RGBA color types round-trip with " +
       "bpp-aware filters, toRgb composites, hardened chunk guard") {
     import graft.operators.MediaCodec
@@ -697,14 +734,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       MediaCodec.decodePng(cut)).getMessage
       .contains("chunk overruns buffer"))
-    // palette (3) and gray+alpha (4) still rejected with a clear error
+    // paletted (3) is SUPPORTED since round 7, but a ct-3 image with
+    // no PLTE chunk must fail loudly, not decode indices as colors
     val pal = gpng.clone() // colorType byte is at offset 8+4+4+8+1=25
     pal(25) = 3
     val fixCrc = new java.util.zip.CRC32()
     fixCrc.update(pal, 12, 4 + 13)
     java.nio.ByteBuffer.wrap(pal).putInt(29, fixCrc.getValue.toInt)
     assert(intercept[IllegalArgumentException](
-      MediaCodec.decodePng(pal)).getMessage.contains("colorType=3"))
+      MediaCodec.decodePng(pal)).getMessage.contains("missing PLTE"))
+    // gray+alpha (4) still rejected with a clear error
+    val ga = gpng.clone()
+    ga(25) = 4
+    val gaCrc = new java.util.zip.CRC32()
+    gaCrc.update(ga, 12, 4 + 13)
+    java.nio.ByteBuffer.wrap(ga).putInt(29, gaCrc.getValue.toInt)
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodePng(ga)).getMessage.contains("colorType=4"))
   }
 
   test("multimodal decode: stats come from decoded samples with " +
