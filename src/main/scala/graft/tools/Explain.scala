@@ -265,6 +265,34 @@ object Explain {
       val model = graft.operators.Bpe.trainBpe(docs, nMerges = 50)
       graft.operators.Bpe.bpeEncode(docs, model)
     }
+    show("OHLC downsample (expect: ONE partial+final hash aggregate " +
+        "keyed (k, bucket), struct min/max partials, no window)") {
+      graft.operators.TimeSeries.ohlc(graft.SparkEntry.events(spark, dir),
+        col("event_type"), col("ts"), col("value"), stepSec = 3600L)
+    }
+    show("rolling trailing window (expect: ONE Exchange by key + Sort " +
+        "+ Window with a RANGE frame — no join, no second exchange)") {
+      graft.operators.TimeSeries.rolling(graft.SparkEntry.events(spark, dir),
+        col("event_id"), col("user_id"), col("ts"), col("value"), 3600L)
+    }
+    show("cohort retention (expect: distinct hash agg over slim " +
+        "(k, bucket) pairs feeding key-sized aggregates + ONE join — " +
+        "raw events scanned once)") {
+      graft.operators.TimeSeries.retention(graft.SparkEntry.events(spark, dir),
+        col("user_id"), col("ts"), bucketSec = 86400L)
+    }
+    show("interval overlap join (expect: equi-join on the bin with " +
+        "NO BroadcastNestedLoop and NO dedup exchange — the " +
+        "first-shared-bin filter replaces dropDuplicates)") {
+      val ev = graft.SparkEntry.events(spark, dir)
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("value").as("lo1"),
+          (col("value") + 0.5).as("hi1"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("value").as("lo2"), (col("value") + 0.3).as("hi2"))
+      graft.operators.RangeJoin.intervalOverlap(l, r, "lo1", "hi1",
+        "lo2", "hi2", binWidth = 0.5)
+    }
     show("PACKAGED hybrid batch search (expect: the BM25 half's fused " +
         "top-k scan and the IVF half's cluster-scoped probe UNIONed " +
         "with NO extra shuffle into ONE (qid, doc_id) hash aggregate " +
