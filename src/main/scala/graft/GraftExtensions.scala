@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_lm_score"),
       new ExpressionInfo("graft", "vfs_lm_score"),
       graft.plans.SqlSurface.vfsLmScoreBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_ohlc"),
+      new ExpressionInfo("graft", "vfs_ohlc"),
+      graft.plans.SqlSurface.vfsOhlcBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

@@ -659,6 +659,17 @@ object SparkEntry {
         .orderBy(col("cohort").asc, col("bucket_offset").asc)
     }),
 
+    // ---- the OHLC TVF from pure SQL text: same operator, same
+    // oracle — the SQL surface extends to the time-series family ----
+    "sql_tvf_ohlc" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      s.sql(
+        s"""SELECT k AS event_type, bucket, n, open_c, high_c, low_c,
+           |       close_c
+           |FROM vfs_ohlc('$dir/events.parquet', 3600)
+           |ORDER BY event_type ASC, bucket ASC""".stripMargin)
+    }),
+
     // ---- rolling trailing-window aggregate: every event's 1h-back
     // exposure (RANGE frame — timestamp peers share the frame) ----
     "q_time_rolling" -> ((s, dir) => {
@@ -2343,17 +2354,9 @@ object SparkEntry {
 
     // struct-min/max open/close — same lexicographic (us, v) ordering
     // as the Spark min(struct(...)), so timestamp ties agree
-    "q_time_ohlc" ->
-      """WITH e AS (SELECT event_type AS k,
-        |  (epoch_us(ts) - epoch_us(ts) % 3600000000) // 1000000 AS bucket,
-        |  epoch_us(ts) AS us,
-        |  CAST(round(value * 100) AS BIGINT) AS v FROM events)
-        |SELECT k AS event_type, bucket, count(*) AS n,
-        |  (min(struct_pack(us := us, v := v))).v AS open_c,
-        |  max(v) AS high_c, min(v) AS low_c,
-        |  (max(struct_pack(us := us, v := v))).v AS close_c
-        |FROM e GROUP BY k, bucket
-        |ORDER BY event_type ASC, bucket ASC""".stripMargin,
+    "q_time_ohlc" -> timeOhlcOracle,
+    // the TVF is the same operator from SQL text: same oracle
+    "sql_tvf_ohlc" -> timeOhlcOracle,
 
     "q_interval_overlap" ->
       """WITH l AS (SELECT event_id, value AS lo1, value + 0.5 AS hi1
@@ -3412,6 +3415,21 @@ object SparkEntry {
        |    ELSE 10 + length(CAST(m // 12 AS VARCHAR)) + m
        |  END AS BIGINT) AS n_bytes
        |FROM s ORDER BY doc_id ASC""".stripMargin
+
+  /** OHLC oracle (shared by the DataFrame query and the vfs_ohlc
+    * TVF): struct-min/max open/close — same lexicographic (us, v)
+    * ordering as Spark's min(struct(...)), so timestamp ties agree. */
+  private def timeOhlcOracle: String =
+    """WITH e AS (SELECT event_type AS k,
+      |  (epoch_us(ts) - epoch_us(ts) % 3600000000) // 1000000 AS bucket,
+      |  epoch_us(ts) AS us,
+      |  CAST(round(value * 100) AS BIGINT) AS v FROM events)
+      |SELECT k AS event_type, bucket, count(*) AS n,
+      |  (min(struct_pack(us := us, v := v))).v AS open_c,
+      |  max(v) AS high_c, min(v) AS low_c,
+      |  (max(struct_pack(us := us, v := v))).v AS close_c
+      |FROM e GROUP BY k, bucket
+      |ORDER BY event_type ASC, bucket ASC""".stripMargin
 
   /** Channel-mean milli over the zero-padded raster payload `pb`
     * (length m): stored byte index (i-1) % 3 == `c`. */

@@ -152,6 +152,9 @@ package object functions {
     // SELECT * FROM vfs_lm_score(docsPath[, modelPath, textCol, idCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_lm_score",
       graft.plans.SqlSurface.vfsLmScoreBuilder _)
+    // SELECT * FROM vfs_ohlc(path, stepSec[, keyCol, tsCol, valueCol])
+    ExpressionUtils.registerTableFunction(spark, "vfs_ohlc",
+      graft.plans.SqlSurface.vfsOhlcBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

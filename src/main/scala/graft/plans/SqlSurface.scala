@@ -150,6 +150,46 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_ohlc(path, stepSec[, keyCol, tsCol,
+    * valueCol])` — bucketed OHLC bars
+    * ([[graft.operators.TimeSeries.ohlc]]) from pure SQL text:
+    * {{{ SELECT k, bucket, open_c, close_c
+    *     FROM vfs_ohlc('/data/events', 3600) }}}
+    * The scanned table's time column may be TIMESTAMP, TIMESTAMP_NTZ,
+    * or LONG epoch-nanos — normalized via
+    * [[graft.operators.TimeNorm]] like every time-taking operator. */
+  private[graft] def vfsOhlcBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_ohlc(path, stepSec[, keyCol, tsCol, valueCol]): $msg")
+    if (es.length < 2 || es.length > 5)
+      fail(s"expected 2-5 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val path = evalNonNull(0, "path").toString
+    val stepSec = evalNonNull(1, "stepSec") match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => fail(s"stepSec must be an integer literal, got $other")
+    }
+    val keyCol = if (es.length >= 3) evalNonNull(2, "keyCol").toString
+      else "event_type"
+    val tsCol = if (es.length >= 4) evalNonNull(3, "tsCol").toString
+      else "ts"
+    val valueCol = if (es.length >= 5) evalNonNull(4, "valueCol").toString
+      else "value"
+    val events = SparkSession.active.read.parquet(path)
+    // normalize BEFORE the operator so the TVF also serves the
+    // LONG-nanos flavor (epochMicros alone can't see a long's unit)
+    graft.operators.TimeSeries.ohlc(
+        graft.operators.TimeNorm.normalize(events, tsCol),
+        col(keyCol), col(tsCol), col(valueCol), stepSec)
+      .queryExecution.analyzed
+  }
+
   /** Expose a store's live table (memtable ∪ flushed, dequantized) as
     * a temp view. */
   def registerStore(store: graft.store.VfsStore, name: String): Unit =

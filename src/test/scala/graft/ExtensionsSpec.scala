@@ -214,6 +214,37 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("vfs_ohlc table-valued function: OHLC bars from SQL text, " +
+      "NTZ-tolerant, bad args loud") {
+    val shared = GraftTest.spark
+    val dataPath = s"${GraftTest.sf0001}/events.parquet"
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      SparkSession.setActiveSession(s)
+      val got = s.sql(
+        s"""SELECT k, bucket, n, open_c, high_c, low_c, close_c
+           |FROM vfs_ohlc('$dataPath', 3600)
+           |ORDER BY k, bucket""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      import org.apache.spark.sql.functions.col
+      val expect = graft.operators.TimeSeries.ohlc(
+          graft.operators.TimeNorm.normalize(
+            s.read.parquet(dataPath), "ts"),
+          col("event_type"), col("ts"), col("value"), stepSec = 3600L)
+        .orderBy(col("k"), col("bucket"))
+        .collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got === expect)
+      val e = intercept[Exception] {
+        s.sql(s"SELECT * FROM vfs_ohlc('$dataPath')").collect()
+      }
+      assert(e.getMessage.contains("expected 2-5 arguments"))
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("vfs_lm_score table-valued function: self-score and standing " +
       "model from SQL text, bad arity loud") {
     val shared = GraftTest.spark
