@@ -805,6 +805,14 @@ object SparkEntry {
         .orderBy(col("ws").asc, col("event_type").asc)
     }),
 
+    // ---- streaming OHLC bars (batch-mode twin of ohlcStream: same
+    // plan Structured Streaming runs, oracle-checkable) ----
+    "stream_ohlc" -> ((s, dir) => {
+      graft.streaming.Ingest
+        .ohlcStream(events(s, dir), batchMode = true)
+        .orderBy(col("ws").asc, col("k").asc)
+    }),
+
     // ---- exact percentile aggregation (sort-based, deterministic) ----
     "q_percentile" -> ((s, dir) => {
       events(s, dir)
@@ -2357,6 +2365,20 @@ object SparkEntry {
     "q_time_ohlc" -> timeOhlcOracle,
     // the TVF is the same operator from SQL text: same oracle
     "sql_tvf_ohlc" -> timeOhlcOracle,
+
+    // streaming twin: hour windows as formatted strings (the window()
+    // tumbling bucket == date_trunc for epoch-aligned hour windows)
+    "stream_ohlc" ->
+      """WITH e AS (SELECT event_type AS k,
+        |  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+        |  epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events)
+        |SELECT ws, k, count(*) AS n,
+        |  (min(struct_pack(us := us, v := v))).v AS open_c,
+        |  max(v) AS high_c, min(v) AS low_c,
+        |  (max(struct_pack(us := us, v := v))).v AS close_c
+        |FROM e GROUP BY ws, k
+        |ORDER BY ws ASC, k ASC""".stripMargin,
 
     "q_interval_overlap" ->
       """WITH l AS (SELECT event_id, value AS lo1, value + 0.5 AS hi1

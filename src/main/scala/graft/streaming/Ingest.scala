@@ -586,6 +586,37 @@ object Ingest {
         col("p.pts"), col("p.value"))
   }
 
+  /** Streaming OHLC bars: the watermarked tumbling-window twin of
+    * [[graft.operators.TimeSeries.ohlc]] — per (key, window) count,
+    * open/high/low/close over centi-rounded values, with the SAME
+    * deterministic struct-min/max open/close rule (a timestamp tie
+    * resolves to the smallest/largest centi-value, so replays and
+    * partition order can't change emitted bars). Append-mode safe:
+    * bars emit once their window falls behind the watermark. Works
+    * identically over a batch frame (`batchMode = true`) for
+    * oracle-checkable semantics. Accepts TIMESTAMP / TIMESTAMP_NTZ /
+    * LONG-nanos time columns ([[TimeNorm]]). */
+  def ohlcStream(events: DataFrame, keyCol: String = "event_type",
+      window_ : String = "1 hour", watermark: String = "10 minutes",
+      batchMode: Boolean = false): DataFrame = {
+    val evN = TimeNorm.normalize(events, "ts")
+    val src = if (batchMode) evN else evN.withWatermark("ts", watermark)
+    src
+      .select(col(keyCol).as("k"), col("ts"),
+        TimeNorm.epochMicros(col("ts")).as("__us"),
+        round(col("value") * 100).cast("long").as("__v"))
+      .groupBy(window(col("ts"), window_), col("k"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("__us"), col("__v"))).getField("__v").as("open_c"),
+        max(col("__v")).as("high_c"),
+        min(col("__v")).as("low_c"),
+        max(struct(col("__us"), col("__v"))).getField("__v").as("close_c"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("ws"),
+        col("k"), col("n"), col("open_c"), col("high_c"), col("low_c"),
+        col("close_c"))
+  }
+
   /** Event-time windowed aggregation with watermark — the standard
     * streaming analytics shape (count/sum per event_type per window).
     * Works identically over a batch DataFrame (run with

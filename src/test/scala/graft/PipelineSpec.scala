@@ -2011,6 +2011,33 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming OHLC bars emit once per closed window with " +
+      "deterministic open/close under timestamp ties") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val bars = graft.streaming.Ingest.ohlcStream(
+      stream.toDF().toDF("ts", "event_type", "value"))
+    val q = bars.writeStream.outputMode("append")
+      .format("memory").queryName("ohlcbars").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      stream.addData(
+        (ts("2024-01-01 10:05:00"), "click", 3.0),
+        (ts("2024-01-01 10:05:00"), "click", 1.0), // tie: open = min v
+        (ts("2024-01-01 10:40:00"), "click", 9.0),
+        (ts("2024-01-01 10:40:00"), "click", 5.0)) // tie: close = max v
+      q.processAllAvailable()
+      stream.addData((ts("2024-01-01 13:00:00"), "click", 2.0))
+      q.processAllAvailable() // watermark passes 11:00 -> bar emits
+      val rows = spark.sql(
+        "SELECT * FROM ohlcbars WHERE ws = '2024-01-01 10:00:00'")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+      assert(rows.toSeq == Seq(("click", 4L, 100L, 900L, 100L, 900L)))
+    } finally q.stop()
+  }
+
   test("windowed event counts run in streaming mode with watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
