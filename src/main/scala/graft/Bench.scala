@@ -59,11 +59,9 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // exception HEAD (class + first message lines), not the stack tail:
-    // the published artifact must self-evidence the root cause
-    def errMsg(e: Throwable): String = e.getClass.getName + ": " +
-      Option(e.getMessage).getOrElse("").linesIterator
-        .take(3).mkString(" / ").take(400)
+    // exception HEAD, shared with Verify so both artifacts describe a
+    // failure identically
+    def errMsg(e: Throwable): String = Verify.errHead(e)
     def entry(name: String)(f: => Double): Unit =
       try results(name) = f
       catch { case e: Throwable =>
@@ -248,9 +246,12 @@ object Bench {
       SparkEntry.queries("w_sessionize")(spark, sfDir).count()
     } }
     // per-event trailing-window aggregate (RANGE frame on epoch-micros
-    // — one key exchange + sort over the whole event log)
+    // — one key exchange + sort over the whole event log). Sum a
+    // window OUTPUT column, not count(): count alone lets Catalyst
+    // prune the Window operator and time a bare scan.
     entry("time_rolling") { median {
-      SparkEntry.queries("q_time_rolling")(spark, sfDir).count()
+      SparkEntry.queries("q_time_rolling")(spark, sfDir)
+        .agg(sum(col("sum_win_c"))).collect()
     } }
     entry("window_agg") { median {
       SparkEntry.queries("stream_window_agg")(spark, sfDir).count()

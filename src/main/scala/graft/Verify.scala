@@ -26,6 +26,16 @@ object Verify {
     m.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
       .mkString("{", ",", "}")
 
+  /** Head of a failure (class + first message lines, bounded) — the
+    * published artifact must self-evidence the root cause, not the
+    * stack tail. Shared by Verify's `_errors.json` and Bench's
+    * `errors` field so the two artifacts describe a failure
+    * identically. */
+  private[graft] def errHead(e: Throwable): String =
+    e.getClass.getName + ": " +
+      Option(e.getMessage).getOrElse("").linesIterator
+        .take(4).mkString(" / ").take(500)
+
   /** Run each query, dump its result under `outDir/<name>`, and ALWAYS
     * write `_errors.json` (empty object when all green). Returns the
     * failures. Factored out of `main` so the harness spec can prove a
@@ -43,11 +53,7 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          // head of the failure (class + first message line), not the
-          // stack tail: the artifact must self-evidence the root cause
-          val msg = e.getClass.getName + ": " +
-            Option(e.getMessage).getOrElse("").linesIterator
-              .take(4).mkString(" / ").take(500)
+          val msg = errHead(e)
           System.err.println(s"[verify] $name failed: $msg")
           errors(name) = msg
         }

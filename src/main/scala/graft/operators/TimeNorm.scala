@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType, TimestampType}
 
 /** Time-column normalization shared by every operator that takes a
   * timestamp input ([[AsOfJoin]], [[TimeSeries]], sessionization, the
@@ -27,22 +27,28 @@ object TimeNorm {
     *  - TIMESTAMP_NTZ is reinterpreted in the session time zone —
     *    Verify/Bench/tests pin it to UTC, so the instant the writer
     *    encoded is preserved exactly.
-    *  - TIMESTAMP passes through.
+    *  - TIMESTAMP passes through; DATE becomes that day's midnight in
+    *    the session time zone (the cast's standard meaning).
     *
-    * Any other type is a hard error: silently treating e.g. an INT
-    * seconds column as one of the above would corrupt results. */
+    * Any other type — including STRING — is a hard error: silently
+    * treating e.g. an INT seconds column as one of the above would
+    * corrupt results, and a string's format is anybody's guess. This
+    * is deliberately STRICTER than the implicit casts `date_trunc`/
+    * `window` would perform; operators funneling through here trade
+    * string leniency for a loud error. Callers with string time
+    * columns should `to_timestamp` them explicitly first. */
   def normalize(df: DataFrame, colName: String): DataFrame =
     df.schema(colName).dataType match {
       case LongType =>
         df.withColumn(colName,
           timestamp_micros(expr(s"`$colName` div 1000")))
-      case TimestampNTZType =>
+      case TimestampNTZType | DateType =>
         df.withColumn(colName, col(colName).cast(TimestampType))
       case TimestampType => df
       case other => throw new IllegalArgumentException(
         s"[GRAFT] TimeNorm: unsupported time column type $other for " +
-          s"`$colName` (expected TIMESTAMP, TIMESTAMP_NTZ, or LONG " +
-          "epoch-nanos)")
+          s"`$colName` (expected TIMESTAMP, TIMESTAMP_NTZ, DATE, or " +
+          "LONG epoch-nanos; cast strings with to_timestamp first)")
     }
 
   /** Epoch-micros of a timestamp column, accepting BOTH timestamp

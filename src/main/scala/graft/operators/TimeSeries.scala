@@ -123,11 +123,12 @@ object TimeSeries {
     val active = events.select(key.as("k"), bucket.as("bucket")).distinct()
     val cohorts = active.groupBy(col("k"))
       .agg(min(col("bucket")).as("cohort"))
+    // bucket and cohort are both multiples of bucketSec by
+    // construction, so the division is exact as-is
     active.join(cohorts, Seq("k"))
       .groupBy(col("cohort"),
-        (((col("bucket") - col("cohort"))
-          - (col("bucket") - col("cohort")) % bucketSec)
-          / bucketSec).cast("long").as("bucket_offset"))
+        ((col("bucket") - col("cohort")) / bucketSec).cast("long")
+          .as("bucket_offset"))
       .agg(count(lit(1)).as("n_keys"))
   }
 

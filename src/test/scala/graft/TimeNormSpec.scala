@@ -85,6 +85,15 @@ class TimeNormSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported time column type"))
   }
 
+  test("normalize accepts DATE as that day's UTC midnight") {
+    val df = Seq(1L).toDF("id").select(col("id"),
+      to_date(lit("2024-03-05")).as("ts"))
+    val n = TimeNorm.normalize(df, "ts")
+    assert(n.schema("ts").dataType == TimestampType)
+    assert(n.select(unix_micros(col("ts"))).head().getLong(0) ==
+      java.time.Instant.parse("2024-03-05T00:00:00Z").toEpochMilli * 1000)
+  }
+
   test("epochMicros accepts both timestamp flavors") {
     val df = Seq(1700000000000000L).toDF("us").select(
       timestamp_micros(col("us")).as("ltz"),
