@@ -651,6 +651,25 @@ object SparkEntry {
         .orderBy(col("step").asc)
     }),
 
+    // ---- trending: per hourly bucket, the top-3 event types by
+    // count (rank ties broken by name — fully deterministic). Two
+    // hash aggs + a rank window over bucket-sized grouped rows ----
+    "q_trending" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val us = graft.operators.TimeNorm.epochMicros(col("ts"))
+      val bucket = ((us - us % lit(3600000000L)) / 1000000L)
+        .cast("long")
+      val counts = events(s, dir)
+        .select(bucket.as("bucket"), col("event_type"))
+        .groupBy(col("bucket"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("bucket"))
+        .orderBy(col("n").desc, col("event_type").asc)
+      counts.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .orderBy(col("bucket").asc, col("rank").asc)
+    }),
+
     // ---- cohort retention: daily buckets, users keyed to their
     // first-active day, distinct-user counts per (cohort, offset) ----
     "q_retention" -> ((s, dir) => {
@@ -2411,6 +2430,19 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'click', count(*) FROM s2
         |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         |ORDER BY step ASC""".stripMargin,
+
+    "q_trending" ->
+      """WITH c AS (SELECT
+        |    (epoch_us(ts) - epoch_us(ts) % 3600000000) // 1000000 AS bucket,
+        |    event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT bucket, event_type, n,
+        |    row_number() OVER (PARTITION BY bucket
+        |      ORDER BY n DESC, event_type ASC) AS rank
+        |  FROM c)
+        |SELECT bucket, event_type, n, rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY bucket ASC, rank ASC""".stripMargin,
 
     "q_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
