@@ -651,6 +651,15 @@ object SparkEntry {
         .orderBy(col("step").asc)
     }),
 
+    // ---- funnel conversion latency: per step, converters + median
+    // centi-seconds from funnel start to step completion ----
+    "q_funnel_latency" -> ((s, dir) => {
+      graft.operators.TimeSeries.funnelLatency(events(s, dir),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("step").asc)
+    }),
+
     // ---- trending: per hourly bucket, the top-3 event types by
     // count (rank ties broken by name — fully deterministic). Two
     // hash aggs + a rank window over bucket-sized grouped rows ----
@@ -2429,6 +2438,39 @@ object SparkEntry {
         |UNION ALL SELECT 1, 'view', count(*) FROM s1
         |UNION ALL SELECT 2, 'click', count(*) FROM s2
         |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY step ASC""".stripMargin,
+
+    // same prefix CTEs as q_funnel + per-step median lag vs s0
+    // (quantile_cont ↔ Spark percentile, the q_percentile pairing)
+    "q_funnel_latency" ->
+      """WITH s0 AS (SELECT user_id AS k, min(epoch_us(ts)) AS su
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS k, min(epoch_us(e.ts)) AS su
+        |  FROM events e JOIN s0 ON e.user_id = s0.k
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) >= s0.su
+        |  GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS k, min(epoch_us(e.ts)) AS su
+        |  FROM events e JOIN s1 ON e.user_id = s1.k
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.su
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS k, min(epoch_us(e.ts)) AS su
+        |  FROM events e JOIN s2 ON e.user_id = s2.k
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.su
+        |  GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS step, 'signup' AS event_type,
+        |  count(*) AS n_keys, CAST(0 AS BIGINT) AS p50_lag_c FROM s0
+        |UNION ALL SELECT 1, 'view', count(*),
+        |  CAST(COALESCE(round(quantile_cont((s1.su - s0.su) / 1000000.0, 0.5)
+        |    * 100), 0) AS BIGINT)
+        |  FROM s1 JOIN s0 USING (k)
+        |UNION ALL SELECT 2, 'click', count(*),
+        |  CAST(COALESCE(round(quantile_cont((s2.su - s0.su) / 1000000.0, 0.5)
+        |    * 100), 0) AS BIGINT)
+        |  FROM s2 JOIN s0 USING (k)
+        |UNION ALL SELECT 3, 'purchase', count(*),
+        |  CAST(COALESCE(round(quantile_cont((s3.su - s0.su) / 1000000.0, 0.5)
+        |    * 100), 0) AS BIGINT)
+        |  FROM s3 JOIN s0 USING (k)
         |ORDER BY step ASC""".stripMargin,
 
     "q_trending" ->

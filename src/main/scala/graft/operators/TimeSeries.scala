@@ -151,28 +151,60 @@ object TimeSeries {
     * Output: (step BIGINT 0-based, event_type STRING, n_keys BIGINT)
     * — one row per step, n_keys non-increasing. */
   def funnel(events: DataFrame, key: Column, ts: Column,
-      stepCol: Column, steps: Seq[String]): DataFrame = {
+      stepCol: Column, steps: Seq[String]): DataFrame =
+    funnelFrames(events, key, ts, stepCol, steps).zipWithIndex.map {
+      case ((name, reached), i) =>
+        reached.agg(count(lit(1)).as("n_keys"))
+          .select(lit(i.toLong).as("step"), lit(name).as("event_type"),
+            col("n_keys"))
+    }.reduce(_ unionByName _)
+
+  /** [[funnel]] plus CONVERSION LATENCY: for each step, the median
+    * seconds (centi-rounded) from the key's funnel START (its step-0
+    * completion) to that step's completion, over the keys that
+    * reached it. Same scale shape as [[funnel]] — the per-step
+    * percentile runs over the key-sized reached frame, never the raw
+    * events.
+    *
+    * Output: (step, event_type, n_keys, p50_lag_c BIGINT centi-sec);
+    * step 0's lag is 0 by definition. */
+  def funnelLatency(events: DataFrame, key: Column, ts: Column,
+      stepCol: Column, steps: Seq[String]): DataFrame =
+    funnelFrames(events, key, ts, stepCol, steps).zipWithIndex.map {
+      case ((name, reached), i) =>
+        reached.agg(count(lit(1)).as("n_keys"),
+            coalesce(round(expr(
+              "percentile((su - su0) / 1000000.0, 0.5) * 100"))
+              .cast("long"), lit(0L)).as("p50_lag_c"))
+          .select(lit(i.toLong).as("step"), lit(name).as("event_type"),
+            col("n_keys"), col("p50_lag_c"))
+    }.reduce(_ unionByName _)
+
+  /** Shared step iteration: for each funnel prefix, the frame of keys
+    * that completed it — (k, su = this step's earliest in-order
+    * completion micros, su0 = the key's step-0 completion micros). */
+  private def funnelFrames(events: DataFrame, key: Column, ts: Column,
+      stepCol: Column, steps: Seq[String]): Seq[(String, DataFrame)] = {
     require(steps.nonEmpty, "[GRAFT] funnel: steps must be non-empty")
     require(steps.distinct.length == steps.length,
       "[GRAFT] funnel: steps must be distinct")
     val base = events.select(key.as("k"),
       TimeNorm.epochMicros(ts).as("us"), stepCol.as("t"))
-    def countOf(reached: DataFrame, idx: Int, name: String): DataFrame =
-      reached.agg(count(lit(1)).as("n_keys"))
-        .select(lit(idx.toLong).as("step"), lit(name).as("event_type"),
-          col("n_keys"))
     var reached = base.filter(col("t") === steps.head)
       .groupBy(col("k")).agg(min(col("us")).as("su"))
-    val out = Seq.newBuilder[DataFrame]
-    out += countOf(reached, 0, steps.head)
-    for ((s, i) <- steps.tail.zipWithIndex) {
+      .withColumn("su0", col("su"))
+    val out = Seq.newBuilder[(String, DataFrame)]
+    out += steps.head -> reached
+    for (s <- steps.tail) {
+      // min(su0) is exact: su0 is unique per key by construction
       reached = base.filter(col("t") === s)
-        .join(reached.select(col("k"), col("su")), Seq("k"))
+        .join(reached.select(col("k"), col("su"), col("su0")), Seq("k"))
         .filter(col("us") >= col("su"))
-        .groupBy(col("k")).agg(min(col("us")).as("su"))
-      out += countOf(reached, i + 1, s)
+        .groupBy(col("k"))
+        .agg(min(col("us")).as("su"), min(col("su0")).as("su0"))
+      out += s -> reached
     }
-    out.result().reduce(_ unionByName _)
+    out.result()
   }
 
   /** Rolling event-time window aggregate: for EVERY event, the count

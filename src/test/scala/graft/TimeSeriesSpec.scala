@@ -126,6 +126,26 @@ class TimeSeriesSpec extends AnyFunSuite {
       (2L, "buy", 1L)))    // u1 only
   }
 
+  test("funnelLatency: median centi-seconds from funnel start per " +
+      "step, interpolated across converters, step 0 lag is 0") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      (1L, "signup", ts(0)), (1L, "view", ts(10)), (1L, "buy", ts(20)),
+      (2L, "view", ts(0)), (2L, "signup", ts(5)), (2L, "buy", ts(9)),
+      (3L, "signup", ts(7)), (3L, "view", ts(7)),
+      (4L, "view", ts(1)), (4L, "buy", ts(2)))
+      .toDF("u", "et", "ts0")
+    val out = TimeSeries.funnelLatency(ev, $"u", $"ts0", $"et",
+        Seq("signup", "view", "buy"))
+      .orderBy($"step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, "signup", 3L, 0L),
+      // converters u1 (10 s) and u3 (0 s) → median 5 s = 500 centi-s
+      (1L, "view", 2L, 500L),
+      (2L, "buy", 1L, 2000L))) // u1 only: 20 s after signup
+  }
+
   test("ohlc and gaps accept TIMESTAMP_NTZ time columns") {
     val ntz = Seq((1L, "2024-01-01T10:00:00"), (1L, "2024-01-01T13:00:00"))
       .toDF("u", "s")
