@@ -652,11 +652,25 @@ object SparkEntry {
     }),
 
     // ---- funnel conversion latency: per step, converters + median
-    // centi-seconds from funnel start to step completion ----
+    // lag from funnel start (half-centi-second units — the doubled
+    // interpolated median of centi-bucketed lags is integer-exact,
+    // and the bucketing bounds the percentile's aggregation state by
+    // the funnel's time range instead of key cardinality) ----
     "q_funnel_latency" -> ((s, dir) => {
       graft.operators.TimeSeries.funnelLatency(events(s, dir),
           col("user_id"), col("ts"), col("event_type"),
           Seq("signup", "view", "click", "purchase"))
+        .orderBy(col("step").asc)
+    }),
+
+    // ---- windowed funnel: each step must land within 24 h of the
+    // previous step's completion (inclusive edge) — the
+    // conversion-window shape real funnels use ----
+    "q_funnel_windowed" -> ((s, dir) => {
+      graft.operators.TimeSeries.funnelWindowed(events(s, dir),
+          col("user_id"), col("ts"), col("event_type"),
+          Seq("signup", "view", "click", "purchase"),
+          maxStepGapSec = 86400L)
         .orderBy(col("step").asc)
     }),
 
@@ -839,6 +853,18 @@ object SparkEntry {
       graft.streaming.Ingest
         .ohlcStream(events(s, dir), batchMode = true)
         .orderBy(col("ws").asc, col("k").asc)
+    }),
+
+    // ---- streaming cohort retention (batch-mode run of the
+    // flatMapGroupsWithState increment stream + the downstream count
+    // rollup — hash-matches the batch retention twin) ----
+    "stream_retention" -> ((s, dir) => {
+      graft.streaming.Ingest
+        .retentionStream(events(s, dir), keyCol = "user_id",
+          tsCol = "ts", bucketSec = 86400L, batchMode = true)
+        .groupBy(col("cohort"), col("bucket_offset"))
+        .agg(count(lit(1)).as("n_keys"))
+        .orderBy(col("cohort").asc, col("bucket_offset").asc)
     }),
 
     // ---- exact percentile aggregation (sort-based, deterministic) ----
@@ -1238,6 +1264,26 @@ object SparkEntry {
                 <= 3600L * 1000000L,
               round(col("pval") * 100).cast("long")),
             lit(-1L)).as("pval_c"))
+        .orderBy(col("event_id").asc)
+    }),
+
+    // ---- nearest as-of with a tolerance bound: only matches within
+    // 1 hour on EITHER side count; equidistant in-tolerance ties
+    // resolve backward; neither side in tolerance → -1 sentinel ----
+    "asof_join_nearest_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsOfJoin.nearest(clicks, purchases,
+          keyCol = "user_id", leftTsCol = "ts", rightTsCol = "ts",
+          payload = Seq("pval"),
+          toleranceUs = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          coalesce(round(col("pval") * 100).cast("long"), lit(-1L))
+            .as("pval_c"))
         .orderBy(col("event_id").asc)
     }),
 
@@ -2408,6 +2454,12 @@ object SparkEntry {
         |FROM e GROUP BY ws, k
         |ORDER BY ws ASC, k ASC""".stripMargin,
 
+    // the degenerate-interval predicates (hi > lo) match the
+    // operator's empty-set semantics for zero-width intervals: a
+    // [x, x) interval overlaps NOTHING, but the raw predicate alone
+    // would count one strictly inside the other side (no-op on these
+    // fixtures — widths are fixed positive — but keeps operator and
+    // oracle agreeing on degenerate inputs)
     "q_interval_overlap" ->
       """WITH l AS (SELECT event_id, value AS lo1, value + 0.5 AS hi1
         |  FROM events WHERE event_type = 'click'),
@@ -2415,6 +2467,7 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase')
         |SELECT l.event_id, count(*) AS n_overlaps
         |FROM l JOIN r ON l.lo1 < r.hi2 AND r.lo2 < l.hi1
+        |  AND l.hi1 > l.lo1 AND r.hi2 > r.lo2
         |GROUP BY 1
         |ORDER BY event_id ASC""".stripMargin,
 
@@ -2440,8 +2493,13 @@ object SparkEntry {
         |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         |ORDER BY step ASC""".stripMargin,
 
-    // same prefix CTEs as q_funnel + per-step median lag vs s0
-    // (quantile_cont ↔ Spark percentile, the q_percentile pairing)
+    // same prefix CTEs as q_funnel + per-step median lag vs s0.
+    // (su - s0.su) // 10000 is DuckDB floor division over non-negative
+    // BIGINTs == Spark's remainder-subtract bucket; quantile_cont over
+    // integers interpolates to a whole- or half-integer, so × 2 is an
+    // exact integer in both engines — no CAST-rounding divergence
+    // (Spark truncates double→long, DuckDB rounds; here there is
+    // never a fractional part to disagree on)
     "q_funnel_latency" ->
       """WITH s0 AS (SELECT user_id AS k, min(epoch_us(ts)) AS su
         |  FROM events WHERE event_type = 'signup' GROUP BY 1),
@@ -2458,19 +2516,47 @@ object SparkEntry {
         |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.su
         |  GROUP BY 1)
         |SELECT CAST(0 AS BIGINT) AS step, 'signup' AS event_type,
-        |  count(*) AS n_keys, CAST(0 AS BIGINT) AS p50_lag_c FROM s0
+        |  count(*) AS n_keys, CAST(0 AS BIGINT) AS p50_lag_c2 FROM s0
         |UNION ALL SELECT 1, 'view', count(*),
-        |  CAST(COALESCE(round(quantile_cont((s1.su - s0.su) / 1000000.0, 0.5)
-        |    * 100), 0) AS BIGINT)
+        |  CAST(COALESCE(quantile_cont((s1.su - s0.su) // 10000, 0.5)
+        |    * 2, 0) AS BIGINT)
         |  FROM s1 JOIN s0 USING (k)
         |UNION ALL SELECT 2, 'click', count(*),
-        |  CAST(COALESCE(round(quantile_cont((s2.su - s0.su) / 1000000.0, 0.5)
-        |    * 100), 0) AS BIGINT)
+        |  CAST(COALESCE(quantile_cont((s2.su - s0.su) // 10000, 0.5)
+        |    * 2, 0) AS BIGINT)
         |  FROM s2 JOIN s0 USING (k)
         |UNION ALL SELECT 3, 'purchase', count(*),
-        |  CAST(COALESCE(round(quantile_cont((s3.su - s0.su) / 1000000.0, 0.5)
-        |    * 100), 0) AS BIGINT)
+        |  CAST(COALESCE(quantile_cont((s3.su - s0.su) // 10000, 0.5)
+        |    * 2, 0) AS BIGINT)
         |  FROM s3 JOIN s0 USING (k)
+        |ORDER BY step ASC""".stripMargin,
+
+    // q_funnel's CTEs with the per-step conversion window: step i
+    // events must land within 24 h of step i-1's completion
+    // (inclusive <= — an event at exactly su + T converts)
+    "q_funnel_windowed" ->
+      """WITH s0 AS (SELECT user_id AS k, min(epoch_us(ts)) AS su
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS k, min(epoch_us(e.ts)) AS su
+        |  FROM events e JOIN s0 ON e.user_id = s0.k
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) >= s0.su
+        |    AND epoch_us(e.ts) <= s0.su + 86400000000
+        |  GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS k, min(epoch_us(e.ts)) AS su
+        |  FROM events e JOIN s1 ON e.user_id = s1.k
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.su
+        |    AND epoch_us(e.ts) <= s1.su + 86400000000
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS k, min(epoch_us(e.ts)) AS su
+        |  FROM events e JOIN s2 ON e.user_id = s2.k
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.su
+        |    AND epoch_us(e.ts) <= s2.su + 86400000000
+        |  GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS step, 'signup' AS event_type,
+        |  count(*) AS n_keys FROM s0
+        |UNION ALL SELECT 1, 'view', count(*) FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         |ORDER BY step ASC""".stripMargin,
 
     "q_trending" ->
@@ -2487,6 +2573,19 @@ object SparkEntry {
         |ORDER BY bucket ASC, rank ASC""".stripMargin,
 
     "q_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 1000000 AS bucket
+        |  FROM events),
+        |c AS (SELECT user_id, min(bucket) AS cohort FROM e GROUP BY user_id)
+        |SELECT c.cohort, (e.bucket - c.cohort) // 86400 AS bucket_offset,
+        |  count(*) AS n_keys
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort ASC, bucket_offset ASC""".stripMargin,
+
+    // the streaming increments, rolled up, equal the batch retention
+    // table — same oracle derivation
+    "stream_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |    (epoch_us(ts) - epoch_us(ts) % 86400000000) // 1000000 AS bucket
         |  FROM events),
@@ -2807,6 +2906,33 @@ object SparkEntry {
         |    ELSE round(f.fval * 100) END, -1) AS BIGINT) AS pval_c
         |FROM l JOIN b USING (event_id) JOIN f USING (event_id)
         |ORDER BY l.event_id ASC""".stripMargin,
+
+    // the composed-ASOF nearest oracle with a validity bound per
+    // side: a match only counts within 1 h (inclusive); backward wins
+    // in-tolerance ties, mirroring AsOfJoin.nearest's `<=`
+    "asof_join_nearest_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, max(value) AS pval FROM events
+        |      WHERE event_type = 'purchase' GROUP BY user_id, ts),
+        |b AS (SELECT l.event_id, r.ts AS bts, r.pval AS bval
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |f AS (SELECT l.event_id, r.ts AS fts, r.pval AS fval
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts),
+        |g AS (SELECT l.event_id, l.user_id,
+        |        b.bval, f.fval,
+        |        (b.bts IS NOT NULL AND
+        |         epoch_us(l.ts) - epoch_us(b.bts) <= 3600000000) AS vb,
+        |        (f.fts IS NOT NULL AND
+        |         epoch_us(f.fts) - epoch_us(l.ts) <= 3600000000) AS vf,
+        |        epoch_us(l.ts) - epoch_us(b.bts) AS bgap,
+        |        epoch_us(f.fts) - epoch_us(l.ts) AS fgap
+        |      FROM l JOIN b USING (event_id) JOIN f USING (event_id))
+        |SELECT event_id, user_id,
+        |  CAST(COALESCE(CASE
+        |    WHEN vb AND (NOT vf OR bgap <= fgap) THEN round(bval * 100)
+        |    WHEN vf THEN round(fval * 100) END, -1) AS BIGINT) AS pval_c
+        |FROM g
+        |ORDER BY event_id ASC""".stripMargin,
 
     "text_fingerprint" -> textFingerprintOracle,
 

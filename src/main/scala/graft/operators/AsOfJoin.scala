@@ -53,17 +53,44 @@ object AsOfJoin {
     * both passes) resolves to the BACKWARD match, and a row with only
     * one side matched keeps that side. Time columns may be TIMESTAMP,
     * TIMESTAMP_NTZ (compared via [[TimeNorm.epochMicros]]) or any
-    * numeric type (compared raw — as-of over sequence numbers works).
+    * numeric type (compared raw — as-of over sequence numbers works),
+    * but BOTH sides must use the same flavor (both time-like or both
+    * numeric): the gap arithmetic compares the left ts against the
+    * matched RIGHT ts, and a mixed pair (say left TIMESTAMP, right
+    * LONG sequence numbers) has no meaningful distance.
+    *
+    * `toleranceUs`: a side's match only counts when its gap is within
+    * the bound (inclusive) — pandas `merge_asof(tolerance=...)`. For
+    * numeric ts columns the bound is in the column's own units. A
+    * left row with neither side in tolerance gets NULL payload (and
+    * NULL `matchedTsAs`).
     *
     * Cost: exactly the two carries' shuffles (2 hash exchanges of
     * |L|+|R| slim rows + per-partition sorts); the choice between
     * sides is a pure projection. */
   def nearest(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsCol: String, rightTsCol: String, payload: Seq[String],
-      matchedTsAs: Option[String] = None): DataFrame = {
+      matchedTsAs: Option[String] = None,
+      toleranceUs: Option[Long] = None): DataFrame = {
     val work = "__bts" +: "__fts" +: payload.flatMap(p =>
       Seq(s"__b_$p", s"__f_$p"))
     WorkCols.requireFree(left, work: _*)
+    def isTime(dt: org.apache.spark.sql.types.DataType): Boolean =
+      dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType
+    val lTime = isTime(left.schema(leftTsCol).dataType)
+    val rTime = isTime(right.schema(rightTsCol).dataType)
+    // a mixed pair would silently mis-convert: __bts/__fts carry the
+    // RIGHT frame's type, and casting a LONG sequence number through
+    // epochMicros reads it as epoch-seconds
+    require(lTime == rTime,
+      s"[GRAFT] AsOfJoin.nearest: left `$leftTsCol` " +
+        s"(${left.schema(leftTsCol).dataType.simpleString}) and right " +
+        s"`$rightTsCol` (${right.schema(rightTsCol).dataType.simpleString}) " +
+        "must both be timestamps or both numeric — the nearest-side " +
+        "choice compares their distance")
+    toleranceUs.foreach(t => require(t >= 0,
+      "[GRAFT] AsOfJoin.nearest: tolerance must be non-negative"))
     val leftCols = left.columns.toSeq
     def renamed(df: DataFrame, tag: String): DataFrame =
       payload.foldLeft(df)((d, p) => d.withColumnRenamed(p, s"__${tag}_$p"))
@@ -71,21 +98,23 @@ object AsOfJoin {
       payload, Some("__bts")), "b")
     val f = renamed(forward(b, right, keyCol, leftTsCol, rightTsCol,
       payload, Some("__fts")), "f")
-    // numeric epoch for gap comparison; raw for numeric ts columns
-    def t(c: Column): Column = left.schema(leftTsCol).dataType match {
-      case org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType =>
-        TimeNorm.epochMicros(c)
-      case _ => c
-    }
-    val lts = t(col(leftTsCol))
-    val useBackward = col("__fts").isNull || (col("__bts").isNotNull &&
-      lts - t(col("__bts")) <= t(col("__fts")) - lts)
+    // numeric epoch for gap comparison; raw for numeric ts columns.
+    // __bts/__fts carry the RIGHT frame's ts type — convert per side.
+    def tl(c: Column): Column = if (lTime) TimeNorm.epochMicros(c) else c
+    def tr(c: Column): Column = if (rTime) TimeNorm.epochMicros(c) else c
+    val lts = tl(col(leftTsCol))
+    val bGap = lts - tr(col("__bts"))
+    val fGap = tr(col("__fts")) - lts
+    def inTol(gap: Column): Column =
+      toleranceUs.map(t => gap <= t).getOrElse(lit(true))
+    val bValid = col("__bts").isNotNull && inTol(bGap)
+    val fValid = col("__fts").isNotNull && inTol(fGap)
+    val useBackward = bValid && (!fValid || bGap <= fGap)
     f.select((leftCols.map(col) ++:
       matchedTsAs.map(a => when(useBackward, col("__bts"))
-        .otherwise(col("__fts")).as(a)).toSeq ++:
+        .when(fValid, col("__fts")).as(a)).toSeq ++:
       payload.map(p => when(useBackward, col(s"__b_$p"))
-        .otherwise(col(s"__f_$p")).as(p))): _*)
+        .when(fValid, col(s"__f_$p")).as(p))): _*)
   }
 
   private def carry(left: DataFrame, right: DataFrame, keyCol: String,

@@ -23,11 +23,34 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** Per-row explode-factor cap: one interval whose span is huge
+    * relative to `binWidth` would generate span/binWidth bin ids —
+    * silently OOMing or hitting Spark's max array length deep inside
+    * a shuffle. Fail loudly at the offending ROW instead, naming the
+    * fix (a larger binWidth / a saner interval). 2^16 bins ≈ a 64k×
+    * span-to-bin ratio — far past the point where the bin join has
+    * stopped being selective, so a legitimate workload never hits it. */
+  val MaxBinsPerRow: Long = 65536L
+
+  /** `sequence(binLo, binHi)` with the [[MaxBinsPerRow]] guard: rows
+    * within the cap explode normally; a wider row raises a runtime
+    * error carrying the offending span and the remedy. */
+  private def guardedBins(binLo: Column, binHi: Column,
+      op: String): Column = {
+    val span = binHi - binLo + 1L
+    explode(sequence(binLo,
+      when(span <= MaxBinsPerRow, binHi).otherwise(raise_error(concat(
+        lit(s"[GRAFT] $op: an interval spans "), span.cast("string"),
+        lit(s" bins (cap $MaxBinsPerRow) — use a larger binWidth or " +
+          "filter outlier intervals"))))))
+  }
+
   /** Join left rows carrying scalar `pointCol` to right rows carrying
     * [`loCol`, `hiCol`) half-open intervals, on point ∈ interval.
     * Output: left columns ++ right columns. Each qualifying (row,
     * interval) pair appears exactly once (the pair meets only in the
-    * point's own bin — no post-join dedup needed). */
+    * point's own bin — no post-join dedup needed). Intervals wider
+    * than [[MaxBinsPerRow]] bins fail loudly (see above). */
   def pointInInterval(left: DataFrame, right: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
@@ -40,7 +63,7 @@ object RangeJoin {
     // last one only when hi is not exactly on a bin edge — harmless to
     // include (the residual filter rejects point == hi)
     val r = right.withColumn("__bin",
-      explode(sequence(bin(col(loCol)), bin(col(hiCol)))))
+      guardedBins(bin(col(loCol)), bin(col(hiCol)), "pointInInterval"))
     l.join(r, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bin")
@@ -69,9 +92,11 @@ object RangeJoin {
     WorkCols.requireFree(right, "__bin")
     val bin = (c: Column) => floor(c / binWidth).cast("long")
     val l = left.filter(col(hi1) > col(lo1))
-      .withColumn("__bin", explode(sequence(bin(col(lo1)), bin(col(hi1)))))
+      .withColumn("__bin",
+        guardedBins(bin(col(lo1)), bin(col(hi1)), "intervalOverlap"))
     val r = right.filter(col(hi2) > col(lo2))
-      .withColumn("__bin", explode(sequence(bin(col(lo2)), bin(col(hi2)))))
+      .withColumn("__bin",
+        guardedBins(bin(col(lo2)), bin(col(hi2)), "intervalOverlap"))
     l.join(r, Seq("__bin"))
       .filter(col(lo1) < col(hi2) && col(lo2) < col(hi1))
       .filter(col("__bin") === greatest(bin(col(lo1)), bin(col(lo2))))

@@ -152,39 +152,84 @@ object TimeSeries {
     * — one row per step, n_keys non-increasing. */
   def funnel(events: DataFrame, key: Column, ts: Column,
       stepCol: Column, steps: Seq[String]): DataFrame =
-    funnelFrames(events, key, ts, stepCol, steps).zipWithIndex.map {
-      case ((name, reached), i) =>
-        reached.agg(count(lit(1)).as("n_keys"))
-          .select(lit(i.toLong).as("step"), lit(name).as("event_type"),
-            col("n_keys"))
-    }.reduce(_ unionByName _)
+    countFrames(funnelFrames(events, key, ts, stepCol, steps))
+
+  /** [[funnel]] with a CONVERSION WINDOW: step i counts only events
+    * within `maxStepGapSec` of the key's step-(i−1) completion — the
+    * real-world funnel shape ("purchase within 24 h of the click"),
+    * where an eventual-but-stale completion is a non-conversion. The
+    * bound is INCLUSIVE: an event at exactly `su + maxStepGapSec`
+    * converts (simultaneity already counts at gap 0, so the window
+    * edge behaves the same way). Step 0 has no predecessor and is
+    * unbounded. Same scale shape as [[funnel]] — the window is one
+    * extra filter on the already-joined (us, su) pair, no new
+    * shuffle. Output: (step, event_type, n_keys). */
+  def funnelWindowed(events: DataFrame, key: Column, ts: Column,
+      stepCol: Column, steps: Seq[String],
+      maxStepGapSec: Long): DataFrame = {
+    require(maxStepGapSec > 0,
+      "[GRAFT] funnelWindowed: maxStepGapSec must be positive")
+    countFrames(funnelFrames(events, key, ts, stepCol, steps,
+      maxStepGapUs = Some(maxStepGapSec * 1000000L)))
+  }
 
   /** [[funnel]] plus CONVERSION LATENCY: for each step, the median
-    * seconds (centi-rounded) from the key's funnel START (its step-0
-    * completion) to that step's completion, over the keys that
-    * reached it. Same scale shape as [[funnel]] — the per-step
-    * percentile runs over the key-sized reached frame, never the raw
-    * events.
+    * lag from the key's funnel START (its step-0 completion) to that
+    * step's completion, over the keys that reached it.
     *
-    * Output: (step, event_type, n_keys, p50_lag_c BIGINT centi-sec);
-    * step 0's lag is 0 by definition. */
+    * The lag is FLOOR-BUCKETED to centi-seconds BEFORE the
+    * percentile — that is what bounds the aggregation state. An exact
+    * percentile buffers every distinct input value; micros-resolution
+    * lags are nearly all distinct, so the unbucketed buffer grows
+    * with reached-KEY cardinality (unbounded at billions of users).
+    * Centi-bucketed lags have at most `funnel duration in
+    * centi-seconds` distinct values (≤ 7.8M for a 90-day funnel, a
+    * few MB of buffer) — the state is bounded by the TIME RANGE, a
+    * constant of the analysis, not by the data volume.
+    *
+    * The reported median is `2 × percentile(lag_c, 0.5)` cast to
+    * BIGINT: over integer inputs the 0.5-interpolated percentile is
+    * always a whole- or half-integer, so the doubled value is exactly
+    * representable and the cast never sees a fractional part — no
+    * round-half-up vs round-half-even divergence between engines at a
+    * `.5` boundary.
+    *
+    * Output: (step, event_type, n_keys, p50_lag_c2 BIGINT — median
+    * lag in HALF-centi-seconds, units of 5 ms; divide by 2.0 for
+    * centi-seconds); step 0's lag is 0 by definition. */
   def funnelLatency(events: DataFrame, key: Column, ts: Column,
       stepCol: Column, steps: Seq[String]): DataFrame =
     funnelFrames(events, key, ts, stepCol, steps).zipWithIndex.map {
       case ((name, reached), i) =>
-        reached.agg(count(lit(1)).as("n_keys"),
-            coalesce(round(expr(
-              "percentile((su - su0) / 1000000.0, 0.5) * 100"))
-              .cast("long"), lit(0L)).as("p50_lag_c"))
+        val lagUs = col("su") - col("su0")
+        // floor to centi-seconds: su >= su0 so the truncating % IS
+        // floor, and the division is exact (whole multiple of 10^4
+        // below 2^53)
+        val lagC = ((lagUs - lagUs % 10000L) / 10000L).cast("long")
+        reached.select(lagC.as("lag_c"))
+          .agg(count(lit(1)).as("n_keys"),
+            coalesce((expr("percentile(lag_c, 0.5)") * 2).cast("long"),
+              lit(0L)).as("p50_lag_c2"))
           .select(lit(i.toLong).as("step"), lit(name).as("event_type"),
-            col("n_keys"), col("p50_lag_c"))
+            col("n_keys"), col("p50_lag_c2"))
+    }.reduce(_ unionByName _)
+
+  private def countFrames(
+      frames: Seq[(String, DataFrame)]): DataFrame =
+    frames.zipWithIndex.map { case ((name, reached), i) =>
+      reached.agg(count(lit(1)).as("n_keys"))
+        .select(lit(i.toLong).as("step"), lit(name).as("event_type"),
+          col("n_keys"))
     }.reduce(_ unionByName _)
 
   /** Shared step iteration: for each funnel prefix, the frame of keys
     * that completed it — (k, su = this step's earliest in-order
-    * completion micros, su0 = the key's step-0 completion micros). */
+    * completion micros, su0 = the key's step-0 completion micros).
+    * `maxStepGapUs` bounds each step to within that many micros of
+    * the previous step's completion (inclusive). */
   private def funnelFrames(events: DataFrame, key: Column, ts: Column,
-      stepCol: Column, steps: Seq[String]): Seq[(String, DataFrame)] = {
+      stepCol: Column, steps: Seq[String],
+      maxStepGapUs: Option[Long] = None): Seq[(String, DataFrame)] = {
     require(steps.nonEmpty, "[GRAFT] funnel: steps must be non-empty")
     require(steps.distinct.length == steps.length,
       "[GRAFT] funnel: steps must be distinct")
@@ -199,7 +244,9 @@ object TimeSeries {
       // min(su0) is exact: su0 is unique per key by construction
       reached = base.filter(col("t") === s)
         .join(reached.select(col("k"), col("su"), col("su0")), Seq("k"))
-        .filter(col("us") >= col("su"))
+        .filter(col("us") >= col("su") &&
+          maxStepGapUs.map(g => col("us") <= col("su") + g)
+            .getOrElse(lit(true)))
         .groupBy(col("k"))
         .agg(min(col("us")).as("su"), min(col("su0")).as("su0"))
       out += s -> reached

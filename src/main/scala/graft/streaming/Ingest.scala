@@ -617,6 +617,67 @@ object Ingest {
         col("close_c"))
   }
 
+  /** Streaming cohort-retention increments — the watermarked
+    * incremental twin of [[graft.operators.TimeSeries.retention]].
+    * Per-key state is (cohort, seen buckets); each micro-batch emits
+    * one (cohort, bucket_offset) row per NEWLY seen distinct (key,
+    * bucket) pair, so a `count(*)` per (cohort, bucket_offset) over
+    * the appended sink equals the batch retention table. The state is
+    * exactly the distinct-(key, bucket) set — bounded by
+    * |keys| · active-buckets-per-key, the same floor the batch
+    * operator's first hash-agg pays and the minimum ANY exact
+    * retention needs; per-batch work is ∝ the batch.
+    *
+    * Replay-idempotent at the row level: an already-seen (key,
+    * bucket) emits nothing, so a replayed micro-batch contributes no
+    * duplicate increments (state updates are transactional with the
+    * streaming checkpoint).
+    *
+    * Documented divergence under out-of-order arrival: cohort = min
+    * bucket seen SO FAR. An earlier-than-cohort event arriving in a
+    * LATER micro-batch re-anchors the key's cohort for subsequent
+    * emissions, but append mode cannot retract rows already emitted
+    * under the old cohort. In `batchMode` (one pass over a static
+    * frame — how the oracle runs it) every key is processed once with
+    * its full bucket set, the cohort is the true min, and the result
+    * matches [[graft.operators.TimeSeries.retention]] exactly. */
+  def retentionStream(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", bucketSec: Long = 86400L,
+      watermark: String = "1 day", batchMode: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(bucketSec > 0,
+      "[GRAFT] retentionStream: bucketSec must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val evN = TimeNorm.normalize(events, tsCol)
+    val src = if (batchMode) evN else evN.withWatermark(tsCol, watermark)
+    val stepUs = bucketSec * 1000000L
+    val us = TimeNorm.epochMicros(col(tsCol))
+    val typed = src.select(col(keyCol).cast("long").as("k"),
+        ((us - us % lit(stepUs)) / 1000000L).cast("long").as("bucket"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long)],
+            state: GroupState[(Long, Seq[Long])]) =>
+          val incoming = rows.map(_._2).toSet
+          val (oldCohort, seenSeq) = state.getOption
+            .getOrElse((Long.MaxValue, Seq.empty[Long]))
+          val seen = seenSeq.toSet
+          val fresh = incoming -- seen
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            val cohort = math.min(oldCohort, fresh.min)
+            state.update((cohort, (seen ++ fresh).toSeq))
+            // sorted: deterministic emission order within a key
+            fresh.toSeq.sorted.iterator
+              .map(b => (cohort, (b - cohort) / bucketSec))
+          }
+      }
+      .toDF("cohort", "bucket_offset")
+  }
+
   /** Event-time windowed aggregation with watermark — the standard
     * streaming analytics shape (count/sum per event_type per window).
     * Works identically over a batch DataFrame (run with

@@ -359,6 +359,13 @@ object ScaleProbe {
         $"event_type", Seq("signup", "view", "click", "purchase"))
         .collect()
     }
+    time("4-step funnel latency: 10M events (exact percentile over " +
+        "CENTI-BUCKETED lags — buffer bounded by the funnel's time " +
+        "range, not the 100k reached keys)") {
+      graft.operators.TimeSeries.funnelLatency(tsEvents, $"user_id",
+        $"ts", $"event_type", Seq("signup", "view", "click", "purchase"))
+        .collect()
+    }
     spark.stop()
   }
 }

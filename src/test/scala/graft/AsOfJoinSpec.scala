@@ -86,6 +86,43 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(outN === out)
   }
 
+  test("nearest as-of with tolerance: out-of-bound sides fall back to " +
+      "the in-bound side; neither in bound -> null; edge is inclusive") {
+    val left = Seq(
+      (1L, 100L, 12L),  // bwd gap 2 in-tol, fwd gap 8 in-tol -> bwd 1.0
+      (2L, 100L, 14L),  // bwd gap 4 in-tol; fwd gap 6 OUT (tol 5) -> bwd
+      (3L, 100L, 17L),  // bwd gap 7 OUT; fwd gap 3 in-tol -> fwd 2.0
+      (4L, 100L, 40L),  // bwd gap 20 OUT, no fwd -> null
+      (5L, 100L, 15L),  // both gaps exactly 5 = tol (inclusive) -> bwd
+      (6L, 200L, 25L)   // only a fwd match, gap exactly 5 = tol -> fwd
+    ).toDF("lid", "user", "lts")
+    val right = Seq(
+      (100L, 10L, 1.0), (100L, 20L, 2.0), (200L, 30L, 2.0)
+    ).toDF("user", "rts", "pval")
+    val out = AsOfJoin.nearest(left, right, "user", "lts", "rts",
+        Seq("pval"), matchedTsAs = Some("mts"), toleranceUs = Some(5L))
+      .select($"lid", $"pval", $"mts")
+      .as[(Long, Option[Double], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((Some(1.0), Some(10L))))
+    assert(out(2L) === ((Some(1.0), Some(10L))))
+    assert(out(3L) === ((Some(2.0), Some(20L))))
+    assert(out(4L) === ((None, None))) // matched ts nulled too
+    assert(out(5L) === ((Some(1.0), Some(10L)))) // tie at the edge -> bwd
+    assert(out(6L) === ((Some(2.0), Some(30L)))) // fwd inclusive edge
+  }
+
+  test("nearest rejects a mixed time-flavor pair (timestamp left, " +
+      "numeric right) instead of silently mis-converting") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val left = Seq((1L, 7L, ts(100))).toDF("lid", "user", "lts")
+    val right = Seq((7L, 90L, 1.0)).toDF("user", "rts", "pval")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.nearest(left, right, "user", "lts", "rts", Seq("pval"))
+    }
+    assert(e.getMessage.contains("both be timestamps or both numeric"))
+  }
+
   test("forward as-of join picks earliest right row >= left ts, per key") {
     val left = Seq(
       (1L, 100L, 10L), (2L, 100L, 25L), (3L, 100L, 21L),

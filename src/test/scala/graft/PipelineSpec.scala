@@ -1590,6 +1590,55 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming retention emits one increment per newly seen " +
+      "(key, bucket) across micro-batches; rollup matches the batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val inc = graft.streaming.Ingest.retentionStream(
+      stream.toDF().toDF("user_id", "ts"), bucketSec = 86400L)
+    val q = inc.writeStream.outputMode("append")
+      .format("memory").queryName("ret").start()
+    val rows = Seq(
+      // batch 1: u1 and u2 arrive on day 0; u1 twice in the bucket
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+      (2L, ts("2024-01-01 09:00:00")),
+      // batch 2: u1 returns day 1; u1's day-0 repeat emits NOTHING
+      // (state already has the bucket); u3 starts a day-1 cohort
+      (1L, ts("2024-01-02 08:00:00")), (1L, ts("2024-01-01 23:00:00")),
+      (3L, ts("2024-01-02 12:00:00")))
+    try {
+      stream.addData(rows.take(3))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM ret").head().getLong(0) === 2)
+      stream.addData(rows.drop(3))
+      q.processAllAvailable()
+      val day0 = ts("2024-01-01 00:00:00").getTime / 1000
+      val day1 = day0 + 86400L
+      val got = spark.sql(
+        """SELECT cohort, bucket_offset, count(*) AS n FROM ret
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq === Seq(
+        (day0, 0L, 2L),   // u1, u2 day-0 cohort
+        (day0, 1L, 1L),   // u1 back on day 1
+        (day1, 0L, 1L)))  // u3 day-1 cohort
+      // the same operator in batch mode equals the batch twin exactly
+      val ev = rows.toDF("user_id", "ts")
+      val streamed = graft.streaming.Ingest
+        .retentionStream(ev, batchMode = true)
+        .groupBy($"cohort", $"bucket_offset").count()
+        .orderBy($"cohort", $"bucket_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val batch = graft.operators.TimeSeries
+        .retention(ev, $"user_id", $"ts", bucketSec = 86400L)
+        .orderBy($"cohort", $"bucket_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches purchases within the horizon") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -126,8 +126,8 @@ class TimeSeriesSpec extends AnyFunSuite {
       (2L, "buy", 1L)))    // u1 only
   }
 
-  test("funnelLatency: median centi-seconds from funnel start per " +
-      "step, interpolated across converters, step 0 lag is 0") {
+  test("funnelLatency: median half-centi-seconds from funnel start " +
+      "per step, interpolated across converters, step 0 lag is 0") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
     val ev = Seq(
       (1L, "signup", ts(0)), (1L, "view", ts(10)), (1L, "buy", ts(20)),
@@ -141,9 +141,70 @@ class TimeSeriesSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq(
       (0L, "signup", 3L, 0L),
-      // converters u1 (10 s) and u3 (0 s) → median 5 s = 500 centi-s
-      (1L, "view", 2L, 500L),
-      (2L, "buy", 1L, 2000L))) // u1 only: 20 s after signup
+      // converters u1 (10 s = 1000 centi) and u3 (0) → median 500
+      // centi-s, reported doubled = 1000
+      (1L, "view", 2L, 1000L),
+      (2L, "buy", 1L, 4000L))) // u1 only: 2000 centi-s, doubled
+  }
+
+  test("funnelLatency: percentile state is bounded by the funnel's " +
+      "time range (centi-bucketed lags), not by key cardinality") {
+    import org.apache.spark.sql.functions._
+    // 20k keys, every lag micros-distinct inside a 60-second funnel:
+    // unbucketed, the percentile buffer would hold ~20k distinct
+    // values (∝ keys); centi-bucketed it holds at most 6001
+    val nKeys = 20000L
+    val ev = spark.range(nKeys).select($"id".as("u"),
+        timestamp_micros(lit(0L)).as("ts0"), lit("signup").as("et"))
+      .unionByName(spark.range(nKeys).select($"id".as("u"),
+        // lag = 3 µs · id: 20k distinct micro-lags, all within 60 s
+        timestamp_micros($"id" * 3L).as("ts0"), lit("view").as("et")))
+    val lagsUs = ev.filter($"et" === "view")
+      .select((unix_micros($"ts0") - 0L).as("lag"))
+    assert(lagsUs.distinct().count() == nKeys) // raw lags: all distinct
+    val bucketed = lagsUs
+      .select((($"lag" - $"lag" % 10000L) / 10000L).cast("long").as("c"))
+      .distinct().count()
+    assert(bucketed <= 6001L) // the state bound: funnel span in centi-s
+    val out = TimeSeries.funnelLatency(ev, $"u", $"ts0", $"et",
+        Seq("signup", "view"))
+      .orderBy($"step").collect()
+    // the aggregate the operator actually runs consumes the BUCKETED
+    // long, never the raw micro lag: its input plan carries the
+    // % 10000 floor-bucket projection
+    val plan = TimeSeries.funnelLatency(ev, $"u", $"ts0", $"et",
+        Seq("signup", "view"))
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("% 10000"))
+    // median lag over ids 0..19999 at 3 µs/id: ids 9999/10000 → ~3 cs
+    // → bucketed values 2 and 3 → percentile 2.5 → doubled 5
+    assert(out(1).getLong(2) == nKeys && out(1).getLong(3) == 5L)
+  }
+
+  test("funnelWindowed: step events beyond the conversion window " +
+      "don't count; an event at exactly su + T does (inclusive edge)") {
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      // u1: view exactly AT the 100 s window edge — converts
+      (1L, "signup", ts(0)), (1L, "view", ts(100)),
+      // u2: view 1 s past the edge — does NOT convert
+      (2L, "signup", ts(0)), (2L, "view", ts(101)),
+      // u3: in-window view, then buy within 100 s of the VIEW (the
+      // window is per-step, anchored at the previous step, not at
+      // the funnel start)
+      (3L, "signup", ts(0)), (3L, "view", ts(90)), (3L, "buy", ts(185)),
+      // u4: buy 150 s after its view — out of the step window even
+      // though only 160 s after signup
+      (4L, "signup", ts(0)), (4L, "view", ts(10)), (4L, "buy", ts(160)))
+      .toDF("u", "et", "ts0")
+    val out = TimeSeries.funnelWindowed(ev, $"u", $"ts0", $"et",
+        Seq("signup", "view", "buy"), maxStepGapSec = 100L)
+      .orderBy($"step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (0L, "signup", 4L),
+      (1L, "view", 3L),   // u1 (edge), u3, u4 — not u2
+      (2L, "buy", 1L)))   // u3 only — u4's buy is 150 s after its view
   }
 
   test("ohlc and gaps accept TIMESTAMP_NTZ time columns") {
