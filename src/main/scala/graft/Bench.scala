@@ -291,7 +291,11 @@ object Bench {
     val errs = errors.map { case (k, v) =>
       Verify.jsonStr(k) + ":" + Verify.jsonStr(v) }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","reps":$Reps,"agg":"median"}""")
+    // n_ok/n_failed make partial runs self-describing: with per-entry
+    // crash isolation, "total" sums only the entries that succeeded —
+    // a consumer comparing totals across rounds must not read a
+    // partial (smaller) total as a speedup
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${results.size},"n_failed":${errors.size},"sf":"$sfDir","reps":$Reps,"agg":"median"}""")
     // exit 0 even with failed entries: the `errors` field carries the
     // signal — a non-zero rc would make the driver discard the whole
     // published line (round 6 failure mode)

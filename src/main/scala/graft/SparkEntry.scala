@@ -49,6 +49,38 @@ object SparkEntry {
   private def milli(c: org.apache.spark.sql.Column) =
     round(c * 1000).cast("long")
 
+  /** Resolve a sibling scale-factor directory of `dir` (e.g. the
+    * sf0.1 twin of .../sf0.01); falls back to `dir` itself when the
+    * sibling is absent so the query still runs standalone. */
+  private def siblingSf(dir: String, sf: String): String = {
+    val sib = java.nio.file.Paths.get(dir).toAbsolutePath
+      .resolveSibling(sf)
+    if (java.nio.file.Files.isDirectory(sib)) sib.toString else dir
+  }
+
+  /** The IVF-PQ pruned-probe production gate (see `ann_ivfpq_pruned`'s
+    * operating-point rationale): mean recall@10 over 20 batch queries
+    * at nProbe=16/45 with closure assignment must clear 0.9. */
+  private def ivfpqPrunedGate(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"),
+      col("embedding").as("values"))
+    val ivf = java.nio.file.Files.createTempDirectory("verify-ivfpq-pr-i").toString
+    val pq = java.nio.file.Files.createTempDirectory("verify-ivfpq-pr-p").toString
+    graft.operators.IvfIndex.build(e, ivf, nCentroids = 45,
+      Metric.Cosine, nAssign = 3, assignEps = 0.5)
+    graft.operators.IvfPq.build(s, ivf, pq, m = 32, ks = 64)
+    val queries = e.orderBy(col("id").asc).limit(20)
+      .select(col("id").as("qid"), col("values").as("qvalues"))
+    val approx = graft.operators.IvfPq.searchBatch(s, ivf, pq,
+      queries, k = 10, nProbe = 16, overfetch = 8)
+      .select(col("qid"), col("id"))
+    val exact = graft.operators.Knn.exactBatch(e, queries, 10,
+      Metric.Cosine).select(col("qid"), col("id"))
+    val hits = approx.intersect(exact).count() // of 200 possible
+    s.range(1).select(lit(10L).as("k"),
+      lit(if (hits >= 180L) 1L else 0L).as("pass"))
+  }
+
   // DuckDB fragments: cast FLOAT[] to DOUBLE[] so accumulation is in
   // double, matching the Spark expressions
   private val qSub =
@@ -1495,25 +1527,17 @@ object SparkEntry {
     // Mean recall@10 over 20 queries via the BATCH search path >= 0.9
     // (the round-5 bar was 0.8), which also puts IvfPq.searchBatch
     // itself under the correctness gate ----
-    "ann_ivfpq_pruned" -> ((s, dir) => {
-      val e = emb(s, dir).select(col("vec_id").as("id"),
-        col("embedding").as("values"))
-      val ivf = java.nio.file.Files.createTempDirectory("verify-ivfpq-pr-i").toString
-      val pq = java.nio.file.Files.createTempDirectory("verify-ivfpq-pr-p").toString
-      graft.operators.IvfIndex.build(e, ivf, nCentroids = 45,
-        Metric.Cosine, nAssign = 3, assignEps = 0.5)
-      graft.operators.IvfPq.build(s, ivf, pq, m = 32, ks = 64)
-      val queries = e.orderBy(col("id").asc).limit(20)
-        .select(col("id").as("qid"), col("values").as("qvalues"))
-      val approx = graft.operators.IvfPq.searchBatch(s, ivf, pq,
-        queries, k = 10, nProbe = 16, overfetch = 8)
-        .select(col("qid"), col("id"))
-      val exact = graft.operators.Knn.exactBatch(e, queries, 10,
-        Metric.Cosine).select(col("qid"), col("id"))
-      val hits = approx.intersect(exact).count() // of 200 possible
-      s.range(1).select(lit(10L).as("k"),
-        lit(if (hits >= 180L) 1L else 0L).as("pass"))
-    }),
+    "ann_ivfpq_pruned" -> ((s, dir) => ivfpqPrunedGate(s, dir)),
+
+    // ---- the SAME production operating point pinned at sf0.1 (10×
+    // the Verify corpus, 2,000 vectors): the sweep runs at sf0.01, so
+    // this row resolves the sf0.1 SIBLING of the given data dir —
+    // recall gates that only ever see the small corpus can silently
+    // regress at scale (centroid count vs corpus size is a ratio).
+    // Falls back to the given dir when no sibling exists (standalone
+    // runs outside the driver's testdata layout) ----
+    "ann_ivfpq_pruned_sf01" -> ((s, dir) =>
+      ivfpqPrunedGate(s, siblingSf(dir, "sf0.1"))),
 
     // ---- MinHash-LSH global near-dup: the FULL pipeline (portable
     // FNV+affine signatures, slice banding, cap, jaccard verify) is
@@ -3105,6 +3129,12 @@ object SparkEntry {
     // recall@10 >= 0.8 — gates the production operating point, not
     // just the full-probe ceiling
     "ann_ivfpq_pruned" ->
+      "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
+
+    // acceptance row: the same pruned-probe gate against the sf0.1
+    // sibling corpus (10× the sweep's data) — pins recall at scale
+    // every round, not just in ad-hoc probes
+    "ann_ivfpq_pruned_sf01" ->
       "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
 
     "ann_ivf_fullprobe" ->

@@ -158,8 +158,14 @@ class VfsStore private (val spark: SparkSession, val root: String,
   }
 
   /** Bulk distributed ingest: assigns contiguous ids [nextId, nextId+n)
-    * without a global shuffle (zipWithIndex is a narrow per-partition
-    * offset), stamps created_at, quantizes if configured, commits.
+    * without a global shuffle, stamps created_at, quantizes if
+    * configured, commits. Two-phase id assignment (the
+    * `curriculumInterleave` pattern): phase 1 counts rows per
+    * partition (one narrow job, which also yields the commit's total
+    * row count up front), phase 2 tags each row with
+    * `base + partitionOffset + localIndex` INSIDE the write job — vs
+    * `zipWithIndex`, which runs the same counting job but leaves the
+    * total unknown, forcing a third footer-count job per append.
     * The commit-list update and the nextId bump land in ONE atomic
     * manifest swap, so a crash mid-append can orphan a data directory
     * (invisible, vacuumable) but can never double-assign ids.
@@ -177,18 +183,39 @@ class VfsStore private (val spark: SparkSession, val root: String,
       StructField("values", ArrayType(FloatType), nullable = true),
       StructField("name", StringType, nullable = true),
       StructField("tags", ArrayType(StringType), nullable = true)))
+    val rdd = withDim.rdd
+    // phase 1: per-partition counts → prefix-sum offsets (driver-side
+    // array, bounded by partition count). Both phases recompute the
+    // input pipeline, exactly as zipWithIndex would; partition row
+    // order is deterministic between them (no shuffle in between)
+    val counts = rdd.mapPartitionsWithIndex((pid, it) =>
+      Iterator.single(pid -> it.size.toLong), preservesPartitioning = true)
+      .collect().toMap
+    val offsets = new Array[Long](rdd.getNumPartitions)
+    var acc = 0L
+    offsets.indices.foreach { pid =>
+      offsets(pid) = acc
+      acc += counts.getOrElse(pid, 0L)
+    }
+    val n = acc
+    val bcOff = spk.sparkContext.broadcast(offsets)
     val indexed = spk.createDataFrame(
-      withDim.rdd.zipWithIndex().map { case (r, i) =>
-        val vs = r.getSeq[Float](0)
-        if (vs == null || vs.isEmpty)
-          throw new InvalidVectorException("[GRAFT] vector cannot be empty")
-        if (vs.length != d)
-          throw new InvalidVectorException(
-            s"[GRAFT] vector dimension mismatch: expected $d, got ${vs.length}")
-        Row(base + i, vs, r.getString(1), r.getSeq[String](2))
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        var i = bcOff.value(pid)
+        it.map { r =>
+          val vs = r.getSeq[Float](0)
+          if (vs == null || vs.isEmpty)
+            throw new InvalidVectorException("[GRAFT] vector cannot be empty")
+          if (vs.length != d)
+            throw new InvalidVectorException(
+              s"[GRAFT] vector dimension mismatch: expected $d, got ${vs.length}")
+          val row = Row(base + i, vs, r.getString(1), r.getSeq[String](2))
+          i += 1
+          row
+        }
       }, schema)
     val df = indexed.withColumn("created_at", current_timestamp())
-    val (dir, n) = writeCommitDir(df)
+    val (dir, _) = writeCommitDir(df, knownCount = Some(n))
     commitManifest(manifest.copy(commits = manifest.commits :+ dir,
       nextId = base + n))
     base
@@ -199,7 +226,8 @@ class VfsStore private (val spark: SparkSession, val root: String,
     * Writes the data directory and returns (dir, rowCount) WITHOUT
     * touching the manifest — callers fold the new dir plus any other
     * state change into one atomic manifest swap. */
-  private def writeCommitDir(df: DataFrame): (String, Long) = {
+  private def writeCommitDir(df: DataFrame,
+      knownCount: Option[Long] = None): (String, Long) = {
     val out =
       if (manifest.quantize)
         df.select(col("id"),
@@ -214,9 +242,10 @@ class VfsStore private (val spark: SparkSession, val root: String,
     // sort by id within partitions: parquet row-group min/max stats then
     // prune point lookups — the B-tree-index analog (SURVEY §1.5)
     out.sortWithinPartitions("id").write.mode("overwrite").parquet(target)
-    // row count comes from the freshly written footers (metadata-only scan),
-    // avoiding a second computation of the input pipeline
-    val cnt = spark.read.parquet(target).count()
+    // row count: callers that already know it (appendBatch's phase-1
+    // counts) skip the footer scan; otherwise read it from the freshly
+    // written footers (metadata-only, avoids recomputing the input)
+    val cnt = knownCount.getOrElse(spark.read.parquet(target).count())
     (dir, cnt)
   }
 

@@ -39,6 +39,31 @@ class VerifySpec extends AnyFunSuite {
     assert(Files.readString(Paths.get(out, "_errors.json")) == "{}")
   }
 
+  test("every declared query has an oracle, and the docs' declared-" +
+      "query counts DERIVE from SparkEntry.queries.size (no drift)") {
+    val n = SparkEntry.queries.size
+    // the driver records a weaker rows-only check for oracle-less
+    // queries; this repo's contract is stronger — every declared query
+    // is oracle-gated, and a dangling oracle would silently never run
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      "queries and oracleSql must declare the same keys; diff: " +
+        (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet) +
+        " / " + (SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet))
+    // round 7's verdict found a hand-maintained "132/132" against 131
+    // real keys — pin every doc statement of the count to the source
+    // of truth (docs state it as "<n> declared queries")
+    val stmt = raw"(\d+) declared queries".r
+    for (doc <- Seq("COVERAGE.md", "TESTRUN.md", "README.md")) {
+      val p = Paths.get(doc)
+      if (Files.exists(p)) {
+        val txt = Files.readString(p)
+        stmt.findAllMatchIn(txt).foreach(m =>
+          assert(m.group(1).toInt == n,
+            s"$doc states '${m.matched}' but SparkEntry declares $n"))
+      }
+    }
+  }
+
   test("an ANALYSIS-time failure (lazy plan) is still caught and recorded") {
     val out = Files.createTempDirectory("verify-spec-lazy").toString
     val errors = Verify.runAll(spark, GraftTest.sf0001, out, Map(
