@@ -328,6 +328,43 @@ object Explain {
         nProbe = 8, allowed = Some(e.filter(col("id") % 3 === 0)
           .select(col("id"))), allowedRows = 170L)
     }
+    show("funnel latency (expect: per-step key-sized aggregates whose " +
+        "percentile input is the CENTI-BUCKETED lag — `% 10000` " +
+        "projection feeding the agg, state bounded by the funnel's " +
+        "time range, not key cardinality)") {
+      graft.operators.TimeSeries.funnelLatency(
+        graft.SparkEntry.events(spark, dir), col("user_id"), col("ts"),
+        col("event_type"), Seq("signup", "view", "purchase"))
+    }
+    show("windowed funnel (expect: q_funnel's shrinking key-sized " +
+        "joins with the conversion-window bound FUSED into each " +
+        "step's join filter — no extra stage)") {
+      graft.operators.TimeSeries.funnelWindowed(
+        graft.SparkEntry.events(spark, dir), col("user_id"), col("ts"),
+        col("event_type"), Seq("signup", "view", "purchase"),
+        maxStepGapSec = 86400L)
+    }
+    show("nearest as-of with tolerance (expect: exactly TWO " +
+        "exchange+sort+Window carries — backward then forward — and " +
+        "a pure projection choosing the in-tolerance closer side; " +
+        "the tolerance adds NO stage)") {
+      val ev = graft.SparkEntry.events(spark, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("pval"))
+      graft.operators.AsOfJoin.nearest(clicks, purchases,
+        "user_id", "ts", "ts", Seq("pval"),
+        toleranceUs = Some(3600L * 1000000L))
+    }
+    show("streaming retention increments, batch-mode plan (expect: " +
+        "ONE exchange by key into FlatMapGroupsWithState over slim " +
+        "(k, bucket) pairs — state is the distinct bucket set per " +
+        "key; the count rollup is a normal hash agg downstream)") {
+      graft.streaming.Ingest.retentionStream(
+        graft.SparkEntry.events(spark, dir), batchMode = true)
+    }
     spark.stop()
   }
 }
