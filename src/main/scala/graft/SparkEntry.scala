@@ -887,6 +887,25 @@ object SparkEntry {
         .orderBy(col("ws").asc, col("k").asc)
     }),
 
+    // ---- streaming ordered funnel (batch-mode run of the
+    // flatMapGroupsWithState completion stream + count rollup,
+    // zero-filled from the static step list — hash-matches q_funnel's
+    // oracle) ----
+    "stream_funnel" -> ((s, dir) => {
+      val steps = Seq("signup", "view", "click", "purchase")
+      val completions = graft.streaming.Ingest.funnelStream(
+        events(s, dir), steps, batchMode = true)
+      import s.implicits._
+      steps.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+        .toDF("step", "event_type")
+        .join(completions.groupBy(col("step"), col("event_type"))
+            .agg(count(lit(1)).as("n_keys")),
+          Seq("step", "event_type"), "left")
+        .select(col("step"), col("event_type"),
+          coalesce(col("n_keys"), lit(0L)).as("n_keys"))
+        .orderBy(col("step").asc)
+    }),
+
     // ---- streaming cohort retention (batch-mode run of the
     // flatMapGroupsWithState increment stream + the downstream count
     // rollup — hash-matches the batch retention twin) ----
@@ -2553,6 +2572,30 @@ object SparkEntry {
         |  CAST(COALESCE(quantile_cont((s3.su - s0.su) // 10000, 0.5)
         |    * 2, 0) AS BIGINT)
         |  FROM s3 JOIN s0 USING (k)
+        |ORDER BY step ASC""".stripMargin,
+
+    // the streaming completions, rolled up and zero-filled, equal the
+    // batch funnel — same oracle derivation as q_funnel
+    "stream_funnel" ->
+      """WITH s0 AS (SELECT user_id AS k, min(epoch_us(ts)) AS su
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS k, min(epoch_us(e.ts)) AS su
+        |  FROM events e JOIN s0 ON e.user_id = s0.k
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) >= s0.su
+        |  GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS k, min(epoch_us(e.ts)) AS su
+        |  FROM events e JOIN s1 ON e.user_id = s1.k
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.su
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS k, min(epoch_us(e.ts)) AS su
+        |  FROM events e JOIN s2 ON e.user_id = s2.k
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.su
+        |  GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS step, 'signup' AS event_type,
+        |  count(*) AS n_keys FROM s0
+        |UNION ALL SELECT 1, 'view', count(*) FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
         |ORDER BY step ASC""".stripMargin,
 
     // q_funnel's CTEs with the per-step conversion window: step i

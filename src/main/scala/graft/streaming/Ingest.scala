@@ -678,6 +678,81 @@ object Ingest {
       .toDF("cohort", "bucket_offset")
   }
 
+  /** Streaming ordered-funnel completions — the incremental twin of
+    * [[graft.operators.TimeSeries.funnel]] (and, with
+    * `maxStepGapSec`, of `funnelWindowed`). Per-key state is just
+    * (next step index, previous step's completion micros) — O(1) per
+    * key, the smallest state any exact funnel can carry. Each
+    * micro-batch advances the key's pointer greedily over its events
+    * in (ts, step-index) order and emits one (step, event_type) row
+    * per step completed, so `count(*)` per step over the appended
+    * sink equals the batch funnel's n_keys column (steps nobody
+    * completed need a zero-fill join — see `stream_funnel` in
+    * [[graft.SparkEntry]]).
+    *
+    * The greedy scan IS the batch semantics: processing events in
+    * (us, stepIdx) order with a forward-only pointer yields exactly
+    * "step i's earliest event at-or-after step i−1's completion" —
+    * ties process lower steps first, so simultaneous events complete
+    * multiple steps, matching the batch operator's `>=` filter.
+    *
+    * Documented divergence under out-of-order arrival: the pointer
+    * only moves forward, so an out-of-order event landing in a LATER
+    * micro-batch cannot retroactively complete an earlier step
+    * (append mode cannot retract). In `batchMode` every key's full
+    * history is processed in one sorted pass and the result matches
+    * [[graft.operators.TimeSeries.funnel]] / `funnelWindowed`
+    * exactly. */
+  def funnelStream(events: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      stepCol: String = "event_type", watermark: String = "1 hour",
+      maxStepGapSec: Option[Long] = None,
+      batchMode: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty, "[GRAFT] funnelStream: steps must be non-empty")
+    require(steps.distinct.length == steps.length,
+      "[GRAFT] funnelStream: steps must be distinct")
+    maxStepGapSec.foreach(g => require(g > 0,
+      "[GRAFT] funnelStream: maxStepGapSec must be positive"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val evN = TimeNorm.normalize(events, tsCol)
+    val src = if (batchMode) evN else evN.withWatermark(tsCol, watermark)
+    val stepIdx = steps.zipWithIndex.toMap
+    val gapUs = maxStepGapSec.map(_ * 1000000L)
+    val names = steps.toArray
+    val typed = src
+      .select(col(keyCol).cast("long").as("k"),
+        TimeNorm.epochMicros(col(tsCol)).as("us"),
+        col(stepCol).cast("string").as("t"))
+      .as[(Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long), (Int, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, Long, String)],
+            state: GroupState[(Int, Long)]) =>
+          var (next, su) = state.getOption.getOrElse((0, Long.MinValue))
+          val relevant = rows
+            .flatMap(r => stepIdx.get(r._3).map(i => (r._2, i)))
+            .toArray.sorted // (us, stepIdx): ties process lower steps first
+          val completed = Array.newBuilder[(Int, String)]
+          relevant.foreach { case (us0, i) =>
+            if (next < names.length && i == next &&
+                (next == 0 || (us0 >= su &&
+                  gapUs.forall(g => us0 <= su + g)))) {
+              completed += ((next, names(next)))
+              su = us0
+              next += 1
+            }
+          }
+          val out = completed.result()
+          if (out.nonEmpty) state.update((next, su))
+          out.iterator
+      }
+      .toDF("step", "event_type")
+      .select(col("step").cast("long").as("step"), col("event_type"))
+  }
+
   /** Event-time windowed aggregation with watermark — the standard
     * streaming analytics shape (count/sum per event_type per window).
     * Works identically over a batch DataFrame (run with

@@ -112,6 +112,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out(6L) === ((Some(2.0), Some(30L)))) // fwd inclusive edge
   }
 
+  test("nearest with a tolerance wider than every gap equals the " +
+      "untolerated nearest (tolerance only ever removes matches)") {
+    val left = Seq(
+      (1L, 100L, 12L), (2L, 100L, 19L), (3L, 100L, 15L),
+      (4L, 100L, 5L), (5L, 100L, 99L), (6L, 300L, 50L)
+    ).toDF("lid", "user", "lts")
+    val right = Seq(
+      (100L, 10L, 1.0), (100L, 20L, 2.0)
+    ).toDF("user", "rts", "pval")
+    def run(tol: Option[Long]) =
+      AsOfJoin.nearest(left, right, "user", "lts", "rts", Seq("pval"),
+          matchedTsAs = Some("mts"), toleranceUs = tol)
+        .select($"lid", $"pval", $"mts")
+        .as[(Long, Option[Double], Option[Long])].collect().sortBy(_._1)
+        .toSeq
+    assert(run(Some(Long.MaxValue / 4)) === run(None))
+  }
+
   test("nearest rejects a mixed time-flavor pair (timestamp left, " +
       "numeric right) instead of silently mis-converting") {
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)

@@ -1639,6 +1639,71 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel advances a per-key pointer across micro-" +
+      "batches, out-of-order prior steps can't retro-complete, ties " +
+      "complete multiple steps; batch mode equals the batch funnel") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val steps = Seq("signup", "view", "buy")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val fun = graft.streaming.Ingest.funnelStream(
+      stream.toDF().toDF("user_id", "ts", "event_type"), steps)
+    val q = fun.writeStream.outputMode("append")
+      .format("memory").queryName("fun").start()
+    try {
+      // batch 1: u1 signs up and views (2 completions); u2's view
+      // precedes any signup (0 completions — pointer at signup)
+      stream.addData(
+        (1L, ts("2024-01-01 10:00:00"), "signup"),
+        (1L, ts("2024-01-01 10:05:00"), "view"),
+        (2L, ts("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM fun").head().getLong(0) === 2)
+      // batch 2: u1 buys (1 more); u2 signs up AFTER its view — the
+      // view landed in an earlier batch, so it cannot retro-complete
+      // (documented divergence); u3 signs up and views SIMULTANEOUSLY
+      // (tie completes both steps)
+      stream.addData(
+        (1L, ts("2024-01-01 10:30:00"), "buy"),
+        (2L, ts("2024-01-01 10:10:00"), "signup"),
+        (3L, ts("2024-01-01 10:20:00"), "signup"),
+        (3L, ts("2024-01-01 10:20:00"), "view"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT step, event_type, count(*) AS n FROM fun
+          |GROUP BY 1, 2 ORDER BY 1""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(got.toSeq === Seq(
+        (0L, "signup", 3L),  // u1, u2, u3
+        (1L, "view", 2L),    // u1, u3 (u2's view was pre-signup)
+        (2L, "buy", 1L)))    // u1
+    } finally q.stop()
+    // batch mode over the REAL events table: the greedy pointer scan
+    // equals TimeSeries.funnel exactly, windowed and unwindowed
+    val ev = SparkEntry.events(spark, GraftTest.sf0001)
+    val real = Seq("signup", "view", "click", "purchase")
+    def rollup(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"step", $"event_type").count()
+        .orderBy($"step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val streamed = rollup(graft.streaming.Ingest.funnelStream(
+      ev, real, batchMode = true))
+    val batch = graft.operators.TimeSeries.funnel(
+        ev, $"user_id", $"ts", $"event_type", real)
+      .filter($"n_keys" > 0).orderBy($"step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed === batch)
+    val streamedW = rollup(graft.streaming.Ingest.funnelStream(
+      ev, real, maxStepGapSec = Some(86400L), batchMode = true))
+    val batchW = graft.operators.TimeSeries.funnelWindowed(
+        ev, $"user_id", $"ts", $"event_type", real,
+        maxStepGapSec = 86400L)
+      .filter($"n_keys" > 0).orderBy($"step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamedW === batchW)
+  }
+
   test("stream-stream interval join matches purchases within the horizon") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -207,6 +207,28 @@ class TimeSeriesSpec extends AnyFunSuite {
       (2L, "buy", 1L)))   // u3 only — u4's buy is 150 s after its view
   }
 
+  test("funnelWindowed with a window wider than the data span equals " +
+      "the unwindowed funnel (real events table)") {
+    val ev = SparkEntry.events(spark, GraftTest.sf0001)
+    val steps = Seq("signup", "view", "click", "purchase")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"step").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val plain = run(TimeSeries.funnel(ev, col("user_id"), col("ts"),
+      col("event_type"), steps))
+    val wide = run(TimeSeries.funnelWindowed(ev, col("user_id"),
+      col("ts"), col("event_type"), steps,
+      maxStepGapSec = 100L * 365 * 86400))
+    assert(wide === plain)
+    // and a 1-second window strictly tightens every later step
+    val tight = run(TimeSeries.funnelWindowed(ev, col("user_id"),
+      col("ts"), col("event_type"), steps, maxStepGapSec = 1L))
+    tight.zip(plain).foreach { case ((_, _, t), (_, _, p)) =>
+      assert(t <= p)
+    }
+    assert(tight.head._3 == plain.head._3) // step 0 is unbounded
+  }
+
   test("ohlc and gaps accept TIMESTAMP_NTZ time columns") {
     val ntz = Seq((1L, "2024-01-01T10:00:00"), (1L, "2024-01-01T13:00:00"))
       .toDF("u", "s")
