@@ -206,6 +206,32 @@ object Bench {
       Dedup.semanticDedup(e, Dedup.seedCentroids(e, 8), tauMilli = 600L)
         .count()
     } }
+    // ExactSubstr sliding-window span dedup (hash-keyed k-gram
+    // occurrence join + per-doc span fold) — force the strip path so
+    // the whole pipeline incl. reassembly runs
+    entry("substring_dedup") { median {
+      Dedup.stripDuplicateSpans(
+          spark.read.parquet(s"$sfDir/documents.parquet"), k = 4)
+        .agg(sum(col("dup_tokens"))).collect()
+    } }
+    // binary sign-bit prefilter + exact re-rank over the full
+    // embeddings table (the 32x-compression coarse tier)
+    entry("binary_hamming_knn") { median {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = e.filter(col("vec_id") === 1L)
+        .select(col("embedding")).head().getSeq[Float](0)
+      val qp = graft.functions.vfs_binary_quantize(typedLit(q))
+      e.select(col("vec_id"), col("embedding"),
+          graft.functions.vfs_hamming(
+            graft.functions.vfs_binary_quantize(col("embedding")), qp)
+            .as("ham"))
+        .orderBy(col("ham").asc, col("vec_id").asc).limit(50)
+        .select(col("vec_id"),
+          graft.functions.vfs_euclidean(col("embedding"), typedLit(q))
+            .as("d"))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+        .collect()
+    } }
     entry("hll_distinct") { median {
       graft.operators.Sketches.hllRegisters(
         spark.read.parquet(s"$sfDir/events.parquet"),

@@ -131,6 +131,27 @@ object SparkEntry {
            |LIMIT 10""".stripMargin)
     }),
 
+    // ---- binary (1-bit sign) quantization prefilter + exact re-rank:
+    // candidates by XOR+popcount Hamming over 64-dim-per-word packed
+    // embeddings (deterministic (ham, id) tie order), then exact
+    // euclidean on the 5x-oversampled survivors. The 32x-compression
+    // coarse tier below the store's int8 codec (C1/C2). ----
+    "q_binary_hamming_knn" -> ((s, dir) => {
+      val q = queryVec(s, dir, 1L)
+      val qPacked = vfs_binary_quantize(typedLit(q))
+      emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          vfs_hamming(vfs_binary_quantize(col("embedding")), qPacked)
+            .as("ham"))
+        .orderBy(col("ham").asc, col("vec_id").asc)
+        .limit(50)
+        .select(col("vec_id"), col("ham"),
+          milli(vfs_euclidean(col("embedding"), typedLit(q)))
+            .as("dist_milli"))
+        .orderBy(col("dist_milli").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // ---- pure-SQL surface: the vfs_knn TABLE-valued function end to
     // end from SQL text (tcp.rs:107-150 exposes the reference's whole
     // API over one endpoint; the Spark analog is everything reachable
@@ -384,6 +405,21 @@ object SparkEntry {
     "dedup_passages" -> ((s, dir) => {
       Dedup.passageDedup(s.read.parquet(s"$dir/documents.parquet"),
           windowWords = 3)
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- ExactSubstr (Lee et al. 2022): sliding 4-gram duplicate
+    // detection merged into maximal keep-first spans — catches
+    // duplication at ANY alignment, unlike the fixed passage blocks ----
+    "dedup_substring_spans" -> ((s, dir) => {
+      Dedup.duplicateSpans(s.read.parquet(s"$dir/documents.parquet"), k = 4)
+        .orderBy(col("doc_id").asc, col("span_start").asc)
+    }),
+
+    // ---- the applied form: cut every duplicated span out of the text ----
+    "dedup_substring_strip" -> ((s, dir) => {
+      Dedup.stripDuplicateSpans(
+          s.read.parquet(s"$dir/documents.parquet"), k = 4)
         .orderBy(col("doc_id").asc)
     }),
 
@@ -916,6 +952,17 @@ object SparkEntry {
         .groupBy(col("cohort"), col("bucket_offset"))
         .agg(count(lit(1)).as("n_keys"))
         .orderBy(col("cohort").asc, col("bucket_offset").asc)
+    }),
+
+    // ---- streaming gap sessionization (batch-mode run of the
+    // flatMapGroupsWithState session stream — O(1) state per key,
+    // sessions emit the instant they become unclosable; hash-matches
+    // the batch w_sessionize window exactly) ----
+    "stream_sessionize" -> ((s, dir) => {
+      graft.streaming.Ingest
+        .sessionizeStream(events(s, dir), keyCol = "user_id",
+          tsCol = "ts", gapSec = 1800L, batchMode = true)
+        .orderBy(col("user_id").asc, col("session_id").asc)
     }),
 
     // ---- exact percentile aggregation (sort-based, deterministic) ----
@@ -1834,6 +1881,38 @@ object SparkEntry {
         .orderBy(col("name").asc)
     }),
 
+    // ---- store MERGE surface: batch upsert-by-name in ONE atomic
+    // manifest swap — replaced names carry the NEW payload, survivors
+    // keep theirs, inserts appear. Keyed by name (like the CDC row
+    // above) so the check is independent of internal id assignment;
+    // the negated-vector checksum pins WHICH payload won ----
+    "src_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ups").toString
+      val e = emb(s, dir)
+      val d = e.select(size(col("embedding"))).head().getInt(0)
+      val store = graft.store.VfsStore.create(s, tmp, "ups", dim = d)
+      def asBatch(df: DataFrame) = df
+        .select(col("values"), col("vec_id").cast("string").as("name"),
+          array().cast("array<string>").as("tags"))
+      store.appendBatch(asBatch(e.filter(col("vec_id") < 400L)
+        .withColumn("values", col("embedding"))))
+      val replace = asBatch(e
+        .filter(col("vec_id") < 400L && col("vec_id") % 5 === 0)
+        .withColumn("values", transform(col("embedding"), x => -x)))
+      val insert = asBatch(e
+        .filter(col("vec_id") >= 400L && col("vec_id") < 410L)
+        .withColumn("values", col("embedding")))
+      store.upsertBatch(replace.unionByName(insert))
+      store.read()
+        .select(col("name"),
+          size(col("values")).cast("long").as("n_lanes"),
+          round(aggregate(col("values").cast("array<double>"),
+            lit(0.0d), (acc, x) => acc + x) * 1000).cast("long")
+            .as("sum_milli"))
+        .orderBy(col("name").asc)
+    }),
+
     // ---- incremental dedup, index-accelerated: the CDC delta
     // (vec_id 300..449) probed as ONE batch against the standing IVF
     // index over the base corpus; rows whose nearest base neighbor is
@@ -2078,6 +2157,25 @@ object SparkEntry {
          |ORDER BY dist_milli ASC, vec_id ASC
          |LIMIT 10""".stripMargin,
 
+    // binary-sign Hamming computed dimension-wise ((a>0) != (b>0) —
+    // the definitional form of the engine's XOR+popcount over packed
+    // words), identical (ham, id) prefilter order, then the exact
+    // euclidean re-rank on the survivors
+    "q_binary_hamming_knn" ->
+      s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 1),
+         |h AS (SELECT vec_id, embedding,
+         |  CAST(len(list_filter(range(1, len(embedding) + 1),
+         |    i -> (embedding[i] > 0) != (q[i] > 0))) AS BIGINT) AS ham
+         |  FROM embeddings, qv),
+         |c AS (SELECT vec_id, embedding, ham FROM h
+         |  ORDER BY ham ASC, vec_id ASC LIMIT 50)
+         |SELECT vec_id, ham,
+         |  CAST(round(list_distance(CAST(embedding AS DOUBLE[]), $qSub)
+         |    * 1000) AS BIGINT) AS dist_milli
+         |FROM c
+         |ORDER BY dist_milli ASC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
     // two-stage like the Spark side: the TVF truncates at k=20 by RAW
     // distance, the outer query re-ranks by rounded millis — the oracle
     // must replicate the raw-distance cut, or a row ranked >20 raw that
@@ -2226,6 +2324,67 @@ object SparkEntry {
         |    FILTER (WHERE rn = 1), '') AS new_text
         |FROM s GROUP BY doc_id
         |ORDER BY doc_id ASC""".stripMargin,
+
+    "dedup_substring_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS idx, w
+        |  FROM t WHERE len(w) >= 4),
+        |g2 AS (SELECT doc_id, idx,
+        |  array_to_string(w[CAST(idx + 1 AS INT):CAST(idx + 4 AS INT)], ' ')
+        |    AS gram FROM g),
+        |r AS (SELECT doc_id, idx, row_number() OVER (PARTITION BY gram
+        |  ORDER BY doc_id, idx) AS rn FROM g2),
+        |d AS (SELECT doc_id, idx FROM r WHERE rn > 1),
+        |m AS (SELECT doc_id, idx, CASE WHEN idx <= coalesce(
+        |  max(idx + 4) OVER (PARTITION BY doc_id ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |  THEN 0 ELSE 1 END AS brk FROM d),
+        |i AS (SELECT doc_id, idx,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS grp FROM m)
+        |SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
+        |  CAST(max(idx) + 4 AS BIGINT) AS span_end,
+        |  CAST(max(idx) + 4 - min(idx) AS BIGINT) AS span_tokens
+        |FROM i GROUP BY doc_id, grp
+        |ORDER BY doc_id ASC, span_start ASC""".stripMargin,
+
+    "dedup_substring_strip" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS idx, w
+        |  FROM t WHERE len(w) >= 4),
+        |g2 AS (SELECT doc_id, idx,
+        |  array_to_string(w[CAST(idx + 1 AS INT):CAST(idx + 4 AS INT)], ' ')
+        |    AS gram FROM g),
+        |r AS (SELECT doc_id, idx, row_number() OVER (PARTITION BY gram
+        |  ORDER BY doc_id, idx) AS rn FROM g2),
+        |d AS (SELECT doc_id, idx FROM r WHERE rn > 1),
+        |m AS (SELECT doc_id, idx, CASE WHEN idx <= coalesce(
+        |  max(idx + 4) OVER (PARTITION BY doc_id ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |  THEN 0 ELSE 1 END AS brk FROM d),
+        |i AS (SELECT doc_id, idx,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS grp FROM m),
+        |sp AS (SELECT doc_id, min(idx) AS ss, max(idx) + 4 AS se
+        |  FROM i GROUP BY doc_id, grp),
+        |dt AS (SELECT doc_id, CAST(sum(se - ss) AS BIGINT) AS dup_tokens
+        |  FROM sp GROUP BY doc_id),
+        |p AS (SELECT doc_id, unnest(range(0, len(w))) AS pos, w FROM t),
+        |tok AS (SELECT p.doc_id, p.pos, p.w[CAST(p.pos + 1 AS INT)] AS tk,
+        |  cv.pos IS NOT NULL AS covered
+        |  FROM p LEFT JOIN (SELECT p2.doc_id, p2.pos
+        |    FROM (SELECT doc_id, unnest(range(0, len(w))) AS pos FROM t) p2
+        |    JOIN sp ON p2.doc_id = sp.doc_id
+        |      AND p2.pos >= sp.ss AND p2.pos < sp.se) cv
+        |    ON p.doc_id = cv.doc_id AND p.pos = cv.pos),
+        |k AS (SELECT doc_id, coalesce(string_agg(tk, ' ' ORDER BY pos)
+        |    FILTER (WHERE NOT covered), '') AS new_text
+        |  FROM tok GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  coalesce(dt.dup_tokens, 0) AS dup_tokens, k.new_text
+        |FROM t JOIN k ON t.doc_id = k.doc_id
+        |LEFT JOIN dt ON t.doc_id = dt.doc_id
+        |ORDER BY t.doc_id ASC""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE t AS (SELECT doc_id, source,
@@ -2662,6 +2821,21 @@ object SparkEntry {
         |FROM e JOIN c USING (user_id)
         |GROUP BY 1, 2
         |ORDER BY cohort ASC, bucket_offset ASC""".stripMargin,
+
+    // the emitted session rows equal the batch gap-sessionization —
+    // same oracle derivation as w_sessionize
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, us,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS session_id FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(us) AS start_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id ASC, session_id ASC""".stripMargin,
 
     "q_time_rolling" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
@@ -3307,6 +3481,24 @@ object SparkEntry {
         |    AS BIGINT) AS sum_milli
         |FROM embeddings WHERE vec_id >= 300 AND vec_id < 450
         |ORDER BY name ASC""".stripMargin,
+
+    // post-upsert corpus: survivors keep the original payload, every
+    // fifth name carries the NEGATED vector, 400..409 are inserted
+    "src_upsert" ->
+      """WITH u AS (
+        |  SELECT CAST(vec_id AS VARCHAR) AS name, embedding
+        |  FROM embeddings WHERE vec_id < 400 AND vec_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT CAST(vec_id AS VARCHAR) AS name,
+        |    list_transform(embedding, x -> -x) AS embedding
+        |  FROM embeddings WHERE vec_id < 400 AND vec_id % 5 = 0
+        |  UNION ALL
+        |  SELECT CAST(vec_id AS VARCHAR) AS name, embedding
+        |  FROM embeddings WHERE vec_id >= 400 AND vec_id < 410)
+        |SELECT name, CAST(len(embedding) AS BIGINT) AS n_lanes,
+        |  CAST(round(list_sum(CAST(embedding AS DOUBLE[])) * 1000)
+        |    AS BIGINT) AS sum_milli
+        |FROM u ORDER BY name ASC""".stripMargin,
 
     "w_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),

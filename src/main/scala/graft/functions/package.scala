@@ -43,6 +43,13 @@ package object functions {
   def vfs_qcosine(q: Column, scale: Column, query: Column): Column =
     col(QuantizedCosineDistance(ex(q), ex(scale), ex(query)))
 
+  /** 1-bit sign quantization: ARRAY<FLOAT> → packed ARRAY<BIGINT>
+    * (64 dims per word) — the 32x-compression binary-embedding codec */
+  def vfs_binary_quantize(v: Column): Column = col(BinaryQuantizeVec(ex(v)))
+  /** Hamming distance over packed sign-bit words (XOR + popcount) */
+  def vfs_hamming(a: Column, b: Column): Column =
+    col(HammingDist(ex(a), ex(b)))
+
   /** FNV-1a 64 content fingerprint (dedup hash key) */
   def vfs_fingerprint(text: Column): Column = col(Fingerprint(ex(text)))
 
@@ -92,6 +99,8 @@ package object functions {
     r1("vfs_norm", es => L2Norm(es(0)))
     r1("vfs_quantize", es => QuantizeVec(es(0), es(1), clamp = false))
     r1("vfs_dequantize", es => DequantizeVec(es(0), es(1)))
+    r1("vfs_binary_quantize", es => BinaryQuantizeVec(es(0)))
+    r1("vfs_hamming", es => HammingDist(es(0), es(1)))
     r1("vfs_fingerprint", es => Fingerprint(es(0)))
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     r1("vfs_term_count", es => TermCount(es(0), es(1)))

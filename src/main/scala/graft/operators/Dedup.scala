@@ -91,6 +91,119 @@ object Dedup {
         coalesce(col("new_text"), lit("")).as("new_text"))
   }
 
+  /** Exact-substring duplicate spans — the ExactSubstr technique of
+    * "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al., ACL 2022), which the suffix-array formulation computes on
+    * one big machine, re-derived here as a shuffle-minimal distributed
+    * program over a k-token sliding window: a token position belongs
+    * to a duplicated span iff some k-gram covering its start position
+    * occurs elsewhere in the corpus AND this occurrence is not the
+    * corpus-wide first (keep-first by (id, position), the same
+    * survivor rule as [[passageDedup]]). Overlapping/adjacent
+    * duplicated windows are merged into MAXIMAL spans, so the output
+    * is one row per maximal span: (idCol, span_start, span_end,
+    * span_tokens), token positions 0-based, end exclusive.
+    *
+    * vs [[passageDedup]]: passages are non-overlapping fixed blocks
+    * (a duplicate shifted by one word escapes); the sliding window
+    * catches duplication at ANY alignment, which is why ExactSubstr
+    * removes ~4x more text than NearDup alone in the paper.
+    *
+    * 100 TB shape: the shuffle carries only (gram-hash:64, id, idx)
+    * triples — the gram TEXT never shuffles (xxhash64 key; a
+    * collision can only flag a unique gram as duplicated, at ~2^-64
+    * per pair — the standard trade the paper's own Bloom-filter
+    * variant makes). Duplicate detection is one hash aggregation with
+    * map-side partial combine (count + min are both algebraic, so
+    * hyper-duplicated boilerplate collapses before the exchange); the
+    * verdict is a shuffle join of occurrences on the hash (AQE
+    * skew-join splits residual viral grams); span merging is one
+    * per-document fold over that document's own duplicated starts —
+    * bounded by document length, never by corpus size. */
+  def duplicateSpans(docs: DataFrame, k: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "[GRAFT] duplicateSpans: k must be positive")
+    WorkCols.requireFree(docs, "__idx", "__g", "__k", "__starts", "__spans")
+    val spans = mergedSpans(docs, k, textCol, idCol)
+    spans.select(col("__id").as(idCol),
+        posexplode(col("__spans")).as(Seq("__n", "__sp")))
+      .select(col(idCol), col("__sp")("s").cast("long").as("span_start"),
+        col("__sp")("e").cast("long").as("span_end"),
+        (col("__sp")("e") - col("__sp")("s")).cast("long").as("span_tokens"))
+  }
+
+  /** [[duplicateSpans]] applied: per-document token accounting and the
+    * text with every maximal duplicated span cut out. Output: one row
+    * per input document — (idCol, n_tokens, dup_tokens, new_text);
+    * documents with no duplicated span keep their (whitespace-
+    * normalized) text verbatim and dup_tokens = 0.
+    *
+    * The cut is positional (token j survives iff no span covers it),
+    * evaluated per document against that document's own merged spans
+    * — O(n_tokens x n_spans) per doc, no further shuffle beyond the
+    * one left join of documents to their span lists. */
+  def stripDuplicateSpans(docs: DataFrame, k: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "[GRAFT] stripDuplicateSpans: k must be positive")
+    WorkCols.requireFree(docs, "__idx", "__g", "__k", "__starts", "__spans",
+      "__w")
+    val spans = mergedSpans(docs, k, textCol, idCol)
+    val w = split(trim(col(textCol)), "\\s+")
+    docs.select(col(idCol).as("__id"), w.as("__w"))
+      .join(spans, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        coalesce(aggregate(col("__spans"), lit(0),
+          (acc, sp) => acc + (sp("e") - sp("s"))), lit(0))
+          .cast("long").as("dup_tokens"),
+        when(col("__spans").isNull, array_join(col("__w"), " "))
+          .otherwise(array_join(transform(
+            filter(sequence(lit(0), size(col("__w")) - 1), j =>
+              !exists(col("__spans"), sp => j >= sp("s") && j < sp("e"))),
+            j => element_at(col("__w"), j + 1)), " "))
+          .as("new_text"))
+  }
+
+  /** Shared core of [[duplicateSpans]]/[[stripDuplicateSpans]]: one
+    * row per document that HAS duplicated spans — (__id,
+    * __spans: array<struct<s:int, e:int>>), spans sorted, disjoint,
+    * maximal (adjacent windows merge: a start exactly at the previous
+    * span's end extends it — the covered region is contiguous). */
+  private def mergedSpans(docs: DataFrame, k: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val w = split(trim(col(textCol)), "\\s+")
+    // k-gram start positions 0..n-k; shorter docs emit none. The
+    // hash leaves the scan task — only 8-byte keys ever shuffle.
+    val grams = when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(k))))))
+      .otherwise(array().cast("array<long>"))
+    val occ = docs.select(col(idCol).as("__id"),
+      posexplode(grams).as(Seq("__idx", "__g")))
+    // corpus-wide verdict per gram: how often, and who was first
+    val dups = occ.groupBy(col("__g"))
+      .agg(min(struct(col("__id"), col("__idx"))).as("__k"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2)
+      .select(col("__g"), col("__k"))
+    val dupStarts = occ.join(dups, Seq("__g"))
+      .filter(col("__id") =!= col("__k")("__id") ||
+        col("__idx") =!= col("__k")("__idx"))
+    // fold each doc's sorted duplicated starts into maximal spans:
+    // window [x, x+k) merges into the running span iff x <= its end
+    dupStarts.groupBy(col("__id"))
+      .agg(array_sort(collect_list(col("__idx"))).as("__starts"))
+      .select(col("__id"), aggregate(col("__starts"),
+        array().cast("array<struct<s:int,e:int>>"),
+        (acc, x) => when(size(acc) === 0 ||
+            x > element_at(acc, -1)("e"),
+          concat(acc, array(struct(x.as("s"), (x + k).as("e")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(element_at(acc, -1)("s").as("s"),
+              greatest(element_at(acc, -1)("e"), x + k).as("e"))))))
+        .as("__spans"))
+  }
+
   private def wordSet(textCol: Column): Column =
     array_distinct(split(trim(lower(textCol)), "\\s+"))
 

@@ -172,6 +172,64 @@ class VfsStore private (val spark: SparkSession, val root: String,
     * Input schema: values ARRAY<FLOAT>, name STRING, tags ARRAY<STRING>. */
   def appendBatch(input: DataFrame): Long = synchronized {
     val base = manifest.nextId
+    val (df, n) = encodeBatch(input, base)
+    val (dir, _) = writeCommitDir(df, knownCount = Some(n))
+    commitManifest(manifest.copy(commits = manifest.commits :+ dir,
+      nextId = base + n))
+    base
+  }
+
+  /** Upsert by `name` — replace-or-insert, the MERGE shape: committed
+    * rows whose name collides with an incoming row are dropped
+    * (mangling-aware on quantized stores), the incoming batch is
+    * appended with FRESH contiguous ids (delete+insert identity
+    * semantics — replaced names get new ids, same stance as
+    * [[deleteWhere]] on the monotonic counter), and BOTH the rewritten
+    * survivor directory and the new commit land in ONE atomic manifest
+    * swap: readers see either the full pre-upsert or the full
+    * post-upsert state, never the deleted-but-not-yet-inserted middle.
+    *
+    * The collision check is an anti-join against the incoming names —
+    * no driver-side name list at any batch size (AQE broadcasts the
+    * small side). Like [[deleteWhere]], the survivor rewrite copies
+    * the committed data once per call; batch upserts amortize exactly
+    * like batch deletes, and high-frequency single-row upserts should
+    * buffer upstream first (the same guidance the reference's
+    * append-only counter implies). Returns the first id assigned to
+    * the incoming batch. */
+  def upsertBatch(input: DataFrame): Long = synchronized {
+    flush()
+    val base = manifest.nextId
+    val (df, n) = encodeBatch(input, base)
+    // stored names on quantized stores carry the `_quantized` suffix
+    // (C3) — mangle the incoming names the same way before comparing
+    val inNames = input.select(
+      (if (manifest.quantize) concat(col("name"), lit("_quantized"))
+       else col("name")).as("name")).distinct()
+    val survivorDir =
+      if (manifest.commits.isEmpty) None
+      else {
+        val all = spark.read
+          .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
+        val keep = all.join(inNames, Seq("name"), "left_anti")
+        val dir = commitDirName("upsert-keep")
+        keep.sortWithinPartitions("id").write.mode("overwrite")
+          .parquet(s"$root/data/$dir")
+        Some(dir)
+      }
+    val (dir, _) = writeCommitDir(df, knownCount = Some(n))
+    commitManifest(manifest.copy(
+      commits = survivorDir.toSeq :+ dir, nextId = base + n))
+    base
+  }
+
+  /** Shared ingest encoder: validates dimensions distributed-side,
+    * assigns contiguous ids from `base` via the two-phase
+    * offset scheme (per-partition counts → prefix sums — no
+    * zipWithIndex extra job), stamps created_at. Returns the encoded
+    * frame and its row count WITHOUT writing anything — callers fold
+    * the write plus any other state change into one manifest swap. */
+  private def encodeBatch(input: DataFrame, base: Long): (DataFrame, Long) = {
     val spk = spark
     val withDim = input.select(
       col("values").cast(ArrayType(FloatType)), col("name"),
@@ -214,11 +272,7 @@ class VfsStore private (val spark: SparkSession, val root: String,
           row
         }
       }, schema)
-    val df = indexed.withColumn("created_at", current_timestamp())
-    val (dir, _) = writeCommitDir(df, knownCount = Some(n))
-    commitManifest(manifest.copy(commits = manifest.commits :+ dir,
-      nextId = base + n))
-    base
+    (indexed.withColumn("created_at", current_timestamp()), n)
   }
 
   /** Quantize-on-write (storage_manager.rs:143-149 + vector.rs:115-123:

@@ -140,58 +140,6 @@ object Ingest {
     }
   }
 
-  /** Stateful streaming sessionization via flatMapGroupsWithState:
-    * per-user sessions close after `gapMinutes` of event-time silence
-    * (tracked with an event-time timeout against the watermark).
-    * Emits (user_id, session_start_us, n_events) when a session closes.
-    * The custom-state analog of the batch `w_sessionize` query. */
-  def sessionizeStream(spark: SparkSession, events: DataFrame,
-      gapMinutes: Int = 30, watermark: String = "1 hour"): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import spark.implicits._
-    case class SessionState(startUs: Long, lastUs: Long, n: Long)
-    val gapUs = gapMinutes.toLong * 60 * 1000000
-    // TimeNorm first: an NTZ `ts` would otherwise fail the
-    // java.sql.Timestamp encoder below (NTZ maps to LocalDateTime)
-    val typed = TimeNorm.normalize(events, "ts")
-      .withWatermark("ts", watermark)
-      .select(col("user_id"), col("ts"))
-      .as[(Long, java.sql.Timestamp)]
-    typed
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)],
-            state: GroupState[(Long, Long, Long)]) =>
-          if (state.hasTimedOut) {
-            val (start, _, n) = state.get
-            state.remove()
-            Iterator((user, start, n))
-          } else {
-            val sorted = rows.map(_._2.getTime * 1000).toSeq.sorted
-            var closed = List.empty[(Long, Long, Long)]
-            var cur = state.getOption
-            sorted.foreach { us =>
-              cur match {
-                case Some((start, last, n)) if us - last <= gapUs =>
-                  cur = Some((start, us, n + 1))
-                case Some((start, _, n)) =>
-                  closed ::= ((user, start, n))
-                  cur = Some((us, us, 1L))
-                case None =>
-                  cur = Some((us, us, 1L))
-              }
-            }
-            cur.foreach { c =>
-              state.update(c)
-              state.setTimeoutTimestamp(c._2 / 1000 + gapMinutes.toLong * 60000)
-            }
-            closed.reverseIterator
-          }
-      }
-      .toDF("user_id", "session_start_us", "n_events")
-  }
-
   /** Streaming deduplication: drop repeated (user_id, event_type,
     * minute-bucket) keys, keeping state only within the watermark
     * horizon (`dropDuplicatesWithinWatermark` — bounded state at any
@@ -751,6 +699,85 @@ object Ingest {
       }
       .toDF("step", "event_type")
       .select(col("step").cast("long").as("step"), col("event_type"))
+  }
+
+  /** Streaming sessionization — the incremental twin of the batch
+    * `w_sessionize` query (gap-based sessions: a silence longer than
+    * `gapSec` closes the session). Per-key state is one OPEN session:
+    * (session ordinal, start micros, last-event micros, event count)
+    * — O(1) per key, the smallest state gap sessionization can carry.
+    * A session row (key, session_id, n_events, start_us) is emitted
+    * when the session CLOSES: either a later event arrives past the
+    * gap, or (streaming mode) the event-time timeout fires once the
+    * watermark passes last-event + gap — the same instant the session
+    * became unclosable, so results are as prompt as correctness
+    * allows. Session ordinals count 1, 2, … per key in event-time
+    * order, matching the batch window's running sum of gap breaks.
+    *
+    * Documented divergence under out-of-order arrival: events inside
+    * one micro-batch are sorted before folding, but an event arriving
+    * in a LATER micro-batch with an EARLIER timestamp than the open
+    * session's last event cannot retroactively split or reorder
+    * already-closed sessions (append mode cannot retract). In
+    * `batchMode` (one pass over a static frame — how the oracle runs
+    * it) each key's full history folds in one sorted pass, open
+    * sessions flush at the end, and the result matches the batch
+    * window exactly. */
+  def sessionizeStream(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", gapSec: Long = 1800L,
+      watermark: String = "1 hour", batchMode: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(gapSec > 0, "[GRAFT] sessionizeStream: gapSec must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val evN = TimeNorm.normalize(events, tsCol)
+    val src = if (batchMode) evN else evN.withWatermark(tsCol, watermark)
+    val gapUs = gapSec * 1000000L
+    // the watermarked event-time column must itself reach the
+    // stateful operator (EventTimeTimeout resolves against it), so
+    // `ts` rides along next to its micros projection
+    val typed = src.select(col(keyCol).cast("long").as("k"),
+        col(tsCol).as("ts"), TimeNorm.epochMicros(col(tsCol)).as("us"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    // state: (sessionId, startUs, lastUs, nEvents) of the OPEN session
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long),
+          (Long, Long, Long, Long)](
+        OutputMode.Append,
+        if (batchMode) GroupStateTimeout.NoTimeout
+        else GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[(Long, Long, Long, Long)]) =>
+          if (state.hasTimedOut) {
+            // watermark passed lastUs + gap: the open session closed
+            val (sid, su, _, n) = state.get
+            state.remove()
+            Iterator.single((k, sid, n, su))
+          } else {
+            val closed = Array.newBuilder[(Long, Long, Long, Long)]
+            var open = state.getOption
+            rows.map(_._3).toArray.sorted.foreach { us =>
+              open match {
+                case Some((sid, su, lastUs, n)) =>
+                  if (us - lastUs > gapUs) {
+                    closed += ((k, sid, n, su))
+                    open = Some((sid + 1, us, us, 1L))
+                  } else open = Some((sid, su, math.max(lastUs, us), n + 1))
+                case None => open = Some((1L, us, us, 1L))
+              }
+            }
+            if (batchMode) {
+              // static frame: this key never reappears — flush the
+              // open session too (matches the batch window exactly)
+              open.foreach { case (sid, su, _, n) => closed += ((k, sid, n, su)) }
+            } else open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(o._3 / 1000L + gapSec * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+      .toDF(keyCol, "session_id", "n_events", "start_us")
   }
 
   /** Event-time windowed aggregation with watermark — the standard

@@ -365,6 +365,35 @@ object Explain {
       graft.streaming.Ingest.retentionStream(
         graft.SparkEntry.events(spark, dir), batchMode = true)
     }
+    show("ExactSubstr duplicate spans (expect: the shuffle carries " +
+        "only (xxhash64, id, idx) triples — gram TEXT never leaves " +
+        "the scan stage; ONE partial+final hash agg for the " +
+        "keep-first verdict, ONE shuffle join back to occurrences, " +
+        "then a per-doc objectagg fold — no window over the gram key)") {
+      Dedup.duplicateSpans(
+        spark.read.parquet(s"$dir/documents.parquet"), k = 4)
+    }
+    show("binary-hamming prefilter + exact re-rank (expect: pack+" +
+        "popcount inside ONE WholeStageCodegen project over the scan, " +
+        "TakeOrderedAndProject for the candidate cut, then the exact " +
+        "distance only over the 50 survivors)") {
+      val qp = graft.functions.vfs_binary_quantize(typedLit(q.toSeq))
+      emb.select(col("id"), col("values"),
+          graft.functions.vfs_hamming(
+            graft.functions.vfs_binary_quantize(col("values")), qp)
+            .as("ham"))
+        .orderBy(col("ham").asc, col("id").asc).limit(50)
+        .select(col("id"),
+          graft.functions.vfs_euclidean(col("values"), typedLit(q.toSeq))
+            .as("d"))
+        .orderBy(col("d").asc, col("id").asc).limit(10)
+    }
+    show("streaming gap sessionization, batch-mode plan (expect: ONE " +
+        "exchange by key into FlatMapGroupsWithState carrying (k, ts, " +
+        "us) — O(1) open-session state per key)") {
+      graft.streaming.Ingest.sessionizeStream(
+        graft.SparkEntry.events(spark, dir), batchMode = true)
+    }
     spark.stop()
   }
 }

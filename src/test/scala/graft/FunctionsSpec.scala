@@ -244,4 +244,49 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.contains("Project [vfs_long_dot") &&
       plan.contains("*(1)"), plan)
   }
+
+  test("binary quantize: sign-bit packing, word boundaries, zero/NaN as 0") {
+    // dim 3 → one word; bits for strictly-positive lanes only
+    val r1 = Seq(Tuple1(Seq(1.5f, -2f, 0.25f))).toDF("v")
+      .select(vfs_binary_quantize($"v")).as[Seq[Long]].head()
+    assert(r1 === Seq(1L | (1L << 2)))
+    // zero and NaN pack as 0 (the SQL predicate v > 0 in any engine)
+    val r2 = Seq(Tuple1(Seq(0f, Float.NaN, 3f))).toDF("v")
+      .select(vfs_binary_quantize($"v")).as[Seq[Long]].head()
+    assert(r2 === Seq(1L << 2))
+    // dim 70 → two words; bit 64+5 lands in word 1 bit 5
+    val v70 = Seq.tabulate(70)(i => if (i == 3 || i == 69) 1f else -1f)
+    val r3 = Seq(Tuple1(v70)).toDF("v")
+      .select(vfs_binary_quantize($"v")).as[Seq[Long]].head()
+    assert(r3 === Seq(1L << 3, 1L << 5))
+  }
+
+  test("hamming distance: equals dimension-wise sign-mismatch count") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(25)((Seq.fill(70)(rnd.nextFloat() - 0.5f),
+      Seq.fill(70)(rnd.nextFloat() - 0.5f)))
+    val got = pairs.toDF("a", "b")
+      .select(vfs_hamming(vfs_binary_quantize($"a"),
+        vfs_binary_quantize($"b"))).as[Long].collect()
+    val want = pairs.map { case (a, b) =>
+      a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }.toLong }
+    assert(got.toSeq === want)
+    // word-count mismatch throws the shared dimension guard
+    assert(intercept[Exception] {
+      Seq((Seq(1L), Seq(1L, 2L))).toDF("a", "b")
+        .select(vfs_hamming($"a", $"b")).collect()
+    }.getMessage.contains("dimension mismatch"))
+    // SQL registration + whole-stage codegen over a non-local child
+    val sqlRes = spark.sql(
+      """SELECT vfs_hamming(vfs_binary_quantize(array(1.0F, -1.0F)),
+        |                   vfs_binary_quantize(array(-1.0F, -1.0F)))
+        |""".stripMargin).as[Long].head()
+    assert(sqlRes === 1L)
+    val plan = spark.range(4)
+      .select(array($"id".cast("float"), lit(-1f)).as("a"))
+      .select(vfs_hamming(vfs_binary_quantize($"a"),
+        vfs_binary_quantize($"a")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("vfs_hamming") && plan.contains("*(1)"), plan)
+  }
 }

@@ -271,6 +271,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate spans: sliding k-grams merge to maximal keep-first spans") {
+    val d = Seq(
+      (1L, "a b c d e f g"),      // all grams canonical → no spans
+      (2L, "x x a b c d x"),      // "a b c","b c d" dup of doc1 → [2,6)
+      (3L, "a b c z z z a b c"),  // two disjoint spans [0,3) [6,9)
+      (4L, "a b c"),              // wholly duplicated
+      (5L, "short"))              // shorter than k → no grams
+      .toDF("doc_id", "text")
+    val r = Dedup.duplicateSpans(d, k = 3)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSeq === Seq(
+      (2L, 2L, 6L, 4L),
+      (3L, 0L, 3L, 3L), (3L, 6L, 9L, 3L),
+      (4L, 0L, 3L, 3L)))
+    val s = Dedup.stripDuplicateSpans(d, k = 3)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect()
+    assert(s.toSeq === Seq(
+      (1L, 7L, 0L, "a b c d e f g"),
+      (2L, 7L, 4L, "x x x"),
+      (3L, 9L, 6L, "z z z"),
+      (4L, 3L, 3L, ""),
+      (5L, 1L, 0L, "short")))
+    intercept[IllegalArgumentException] { Dedup.duplicateSpans(d, k = 0) }
+    intercept[IllegalArgumentException] {
+      Dedup.stripDuplicateSpans(d.withColumn("__spans", lit(1)))
+    }
+  }
+
   test("tf-idf keywords: rare words outrank common, exact integer score") {
     val d = Seq(
       (1L, "apple apple banana common"),
@@ -1704,6 +1733,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(streamedW === batchW)
   }
 
+  test("streaming sessionization: sessions close on gap or event-time " +
+      "timeout, O(1) state per key; batch mode equals the batch window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000L
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val ses = graft.streaming.Ingest.sessionizeStream(
+      stream.toDF().toDF("user_id", "ts"), gapSec = 1800L,
+      watermark = "1 hour")
+    val q = ses.writeStream.outputMode("append")
+      .format("memory").queryName("ses").start()
+    try {
+      // batch 1: u1 two events 10 min apart, u2 one — all sessions
+      // still open, nothing may emit yet
+      stream.addData((1L, ts("2024-01-01 10:00:00")),
+        (1L, ts("2024-01-01 10:10:00")), (2L, ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM ses").head().getLong(0) === 0)
+      // batch 2: u1 returns 2 h later — the gap closes session 1
+      // (2 events) and opens session 2. The watermark then advances
+      // to 12:10 − 1 h = 11:10, past u2's timeout (09:00 + 30 min),
+      // so u2's open session flushes via event-time timeout in the
+      // no-data batch processAllAvailable drains
+      stream.addData((1L, ts("2024-01-01 12:10:00")))
+      q.processAllAvailable()
+      val afterGap = spark.sql(
+        """SELECT user_id, session_id, n_events, start_us FROM ses
+          |ORDER BY user_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(afterGap.toSeq === Seq(
+        (1L, 1L, 2L, us("2024-01-01 10:00:00")),
+        (2L, 1L, 1L, us("2024-01-01 09:00:00"))))
+      // batch 3: a fresh key; u1's open session 2 (timeout 12:40 >
+      // watermark 13:00 − 1 h) and u3's fresh session stay open —
+      // nothing new emits
+      stream.addData((3L, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT user_id, session_id, n_events, start_us FROM ses
+          |ORDER BY user_id""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.toSeq === Seq(
+        (1L, 1L, 2L, us("2024-01-01 10:00:00")),
+        (2L, 1L, 1L, us("2024-01-01 09:00:00"))))
+    } finally q.stop()
+    // batch mode over the REAL events table equals the batch
+    // w_sessionize window derivation exactly
+    val ev = SparkEntry.events(spark, GraftTest.sf0001)
+    val streamed = graft.streaming.Ingest
+      .sessionizeStream(ev, batchMode = true)
+      .orderBy($"user_id", $"session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"us")
+    val e = ev.select($"user_id",
+      graft.operators.TimeNorm.epochMicros($"ts").as("us"))
+    val batch = e.withColumn("new_s",
+        when(lag($"us", 1).over(w).isNull ||
+          $"us" - lag($"us", 1).over(w) > 1800000000L, 1).otherwise(0))
+      .withColumn("session_id", sum($"new_s").over(w).cast("long"))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"), min($"us").as("start_us"))
+      .orderBy($"user_id", $"session_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(streamed === batch)
+  }
+
   test("stream-stream interval join matches purchases within the horizon") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -2067,8 +2167,8 @@ class PipelineSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, java.sql.Timestamp)]
-    val sessions = graft.streaming.Ingest.sessionizeStream(spark,
-      stream.toDF().toDF("user_id", "ts"), gapMinutes = 30)
+    val sessions = graft.streaming.Ingest.sessionizeStream(
+      stream.toDF().toDF("user_id", "ts"), gapSec = 1800L)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sess").start()
     try {
@@ -2100,8 +2200,8 @@ class PipelineSpec extends AnyFunSuite {
     val src = stream.toDF().toDF("user_id", "ts")
     assert(src.schema("ts").dataType ==
       org.apache.spark.sql.types.TimestampNTZType)
-    val sessions = graft.streaming.Ingest.sessionizeStream(spark,
-      src, gapMinutes = 30)
+    val sessions = graft.streaming.Ingest.sessionizeStream(
+      src, gapSec = 1800L)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("sess_ntz").start()
     try {
@@ -2119,7 +2219,7 @@ class PipelineSpec extends AnyFunSuite {
       // the session start must be the same instant the LTZ twin
       // would record (session TZ pinned UTC)
       val startUs = spark.sql(
-        "SELECT session_start_us FROM sess_ntz").head().getLong(0)
+        "SELECT start_us FROM sess_ntz").head().getLong(0)
       assert(startUs ==
         java.time.Instant.parse("2024-01-01T10:00:00Z").toEpochMilli * 1000)
     } finally q.stop()

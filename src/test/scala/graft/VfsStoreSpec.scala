@@ -71,6 +71,48 @@ class VfsStoreSpec extends AnyFunSuite {
     assert(s.read().count() === 4L)
   }
 
+  test("upsertBatch replaces by name atomically, keeps others, fresh ids") {
+    val s = VfsStore.create(spark, tmp(), "tu", dim = 2)
+    s.appendBatch(Seq(
+      (Seq(1f, 1f), "a", Seq("t")), (Seq(2f, 2f), "b", Seq[String]()),
+      (Seq(3f, 3f), "c", Seq[String]())).toDF("values", "name", "tags"))
+    // replace a and b, insert d — c untouched
+    val base = s.upsertBatch(Seq(
+      (Seq(10f, 10f), "a", Seq("new")), (Seq(20f, 20f), "b", Seq[String]()),
+      (Seq(40f, 40f), "d", Seq[String]())).toDF("values", "name", "tags"))
+    assert(base === 4L) // fresh contiguous ids, counter never reused
+    val rows = s.read().select($"id", $"name", $"values")
+      .as[(Long, String, Seq[Float])].collect().sortBy(_._1)
+    assert(rows.map(r => (r._2, r._3)).toSeq === Seq(
+      ("c", Seq(3f, 3f)),        // survivor keeps its id (3)
+      ("a", Seq(10f, 10f)), ("b", Seq(20f, 20f)), ("d", Seq(40f, 40f))))
+    assert(rows.map(_._1).toSeq === Seq(3L, 4L, 5L, 6L))
+    // ONE atomic swap: live manifest points at exactly 2 dirs
+    // (survivor rewrite + new commit)
+    assert(s.read().count() === 4L)
+    // upsert into an EMPTY store degenerates to an append
+    val s2 = VfsStore.create(spark, tmp(), "tu2", dim = 2)
+    assert(s2.upsertBatch(Seq((Seq(1f, 1f), "x", Seq[String]()))
+      .toDF("values", "name", "tags")) === 1L)
+    assert(s2.read().count() === 1L)
+  }
+
+  test("upsertBatch on a QUANTIZED store matches the mangled names") {
+    val s = VfsStore.create(spark, tmp(), "tuq", dim = 2, quantize = true)
+    s.appendBatch(Seq((Seq(0.5f, -0.5f), "a", Seq[String]()),
+      (Seq(0.25f, 0.25f), "b", Seq[String]())).toDF("values", "name", "tags"))
+    s.upsertBatch(Seq((Seq(1f, 1f), "a", Seq[String]()))
+      .toDF("values", "name", "tags"))
+    // the dense view shows exactly one "a" (the new one) and "b"
+    val got = s.read().select($"name", $"values")
+      .as[(String, Seq[Float])].collect().toMap
+    assert(got.keySet === Set("a", "b"))
+    assert(got("a").map(math.round) === Seq(1, 1))
+    // at rest, every row still carries the quantized mangling (C3/C4)
+    val raw = s.readRaw().select($"name").as[String].collect()
+    assert(raw.forall(_.endsWith("_quantized")))
+  }
+
   test("snapshot/restore isolates later appends; reset truncates") {
     val root = tmp()
     val s = VfsStore.create(spark, root, "ts", dim = 2)
