@@ -1614,6 +1614,16 @@ object SparkEntry {
         .orderBy(col("a").asc, col("b").asc)
     }),
 
+    // ---- containment near-dup: the SAME 64-hash signatures resliced
+    // into 32x2 low-threshold bands, verified with
+    // |A∩B|/min(|A|,|B|) — catches a doc swallowed by a longer one
+    // where symmetric jaccard goes arbitrarily small ----
+    "dedup_containment" -> ((s, dir) => {
+      Dedup.containmentPairs(s.read.parquet(s"$dir/documents.parquet"),
+          threshold = 0.9)
+        .orderBy(col("a").asc, col("b").asc)
+    }),
+
     // ---- SimHash near-dup pairs (portable 60-bit sigs; the 4×15-bit
     // band LSH output provably equals the all-pairs hamming ≤ 3 result
     // the oracle computes — no false negatives by pigeonhole, no false
@@ -3323,6 +3333,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> minHashSigOracle,
 
     "dedup_minhash_lsh" -> minHashLshOracle,
+    "dedup_containment" -> containmentOracle,
 
     // acceptance row, not a result hash: the Spark side computes recall
     // of the IVF top-k against the exact top-k and emits pass=1 iff it
@@ -3805,7 +3816,7 @@ object SparkEntry {
   /** Shared CTE prologue: per-doc word sets `w`, portable 64-hash
     * minhash signatures, and the (doc_id, band, bsig) band table `bb`
     * — the exact pipeline of [[operators.Dedup.bandedRelation]]. */
-  private def minHashBandCtes: String = {
+  private def minHashSigCtes: String = {
     val M = "18446744073709551616"
     val mask = (BigInt(1) << 64) - 1
     val params = graft.functions.MinHashSig.coefficients(64)
@@ -3824,10 +3835,13 @@ object SparkEntry {
        |s AS (SELECT doc_id, list_transform(
        |    $params,
        |    p -> list_min(list_transform(hs, x -> ${duckSigned(g)}))) AS sig
-       |  FROM h),
+       |  FROM h)""".stripMargin
+  }
+
+  private def minHashBandCtes: String =
+    s"""$minHashSigCtes,
        |bb AS (SELECT doc_id, band, sig[band*4+1 : band*4+4] AS bsig
        |  FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS band FROM s))""".stripMargin
-  }
 
   private def minHashLshOracle: String =
     s"""WITH $minHashBandCtes,
@@ -3843,6 +3857,27 @@ object SparkEntry {
        |            JOIN w wb ON wb.doc_id = cand.b)
        |SELECT a, b, jaccard_milli FROM v
        |WHERE jaccard_milli >= 900
+       |ORDER BY a ASC, b ASC""".stripMargin
+
+  /** Containment twin of [[minHashLshOracle]]: the SAME 64-hash
+    * signatures resliced into 32 bands x 2 rows (the low-threshold
+    * banding), verified with 1000·|A∩B|/min(|A|,|B|) ≥ 900. */
+  private def containmentOracle: String =
+    s"""WITH $minHashSigCtes,
+       |bb AS (SELECT doc_id, band, sig[band*2+1 : band*2+2] AS bsig
+       |  FROM (SELECT doc_id, sig, unnest(range(0, 32)) AS band FROM s)),
+       |capped AS (SELECT doc_id, band, bsig FROM bb
+       |  QUALIFY count(*) OVER (PARTITION BY band, bsig) <= 1000),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |v AS (SELECT cand.a, cand.b,
+       |    CAST(round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) * 1000.0
+       |      / least(len(wa.ws), len(wb.ws))) AS BIGINT) AS containment_milli
+       |  FROM cand JOIN w wa ON wa.doc_id = cand.a
+       |            JOIN w wb ON wb.doc_id = cand.b)
+       |SELECT a, b, containment_milli FROM v
+       |WHERE containment_milli >= 900
        |ORDER BY a ASC, b ASC""".stripMargin
 
   /** Probe-vs-index twin of [[minHashLshOracle]]: the stored (corpus)

@@ -505,6 +505,55 @@ object Dedup {
     round(size(array_intersect(wa, wb)).cast("double") * 1000.0 /
       size(array_union(wa, wb))).cast("long")
 
+  /** Containment in milli: 1000·|A∩B| / min(|A|,|B|) — 1000 when the
+    * smaller word set is a subset of the larger. */
+  def containmentMilli(wa: Column, wb: Column): Column =
+    round(size(array_intersect(wa, wb)).cast("double") * 1000.0 /
+      least(size(wa), size(wb))).cast("long")
+
+  /** Containment near-dup pairs: flags a document swallowed by a
+    * longer one — the case symmetric Jaccard structurally misses
+    * (A ⊆ B gives J = |A|/|B|, arbitrarily small as B grows, while
+    * containment stays 1.0). The news-wire / quote-inflation shape.
+    *
+    * Candidates come from the SAME banded MinHash relation as
+    * [[minHashLsh]] but at a LOW band threshold (default 32 bands x 2
+    * rows over the shared 64-hash signature: ~95% catch probability
+    * at Jaccard 0.3), then exact containment verifies. DOCUMENTED
+    * DETECTION ENVELOPE: a fully-contained doc has J = |A|/|B|, so
+    * the banding reliably surfaces containment only while the size
+    * ratio |B|/|A| stays under ~3; a needle-in-a-book case needs the
+    * chunked variant ([[passageDedup]] / [[duplicateSpans]], which
+    * catch shared passages at any length ratio).
+    *
+    * 100 TB shape: identical to [[minHashLsh]] — slim (id, band,
+    * bsig) triples, bucket cap, exact verify on candidates only. No
+    * size prefilter (containment admits any size ratio by design).
+    * Output: (a, b, containment_milli), a < b. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9,
+      textCol: String = "text", idCol: String = "doc_id",
+      bands: Int = 32, rowsPerBand: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedRelation(docs, "id", textCol, idCol,
+      bands, rowsPerBand)
+    val capped = capBuckets(banded, maxBucket)
+    val a = capped.as("a")
+    val b = capped.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .dropDuplicates("a", "b")
+    def words(as: String, w: String) = docs
+      .select(col(idCol).as(as), wordSet(col(textCol)).as(w))
+    candidates
+      .join(words("a", "wa"), Seq("a"))
+      .join(words("b", "wb"), Seq("b"))
+      .withColumn("containment_milli", containmentMilli(col("wa"), col("wb")))
+      .filter(col("containment_milli") >= math.round(threshold * 1000))
+      .select(col("a"), col("b"), col("containment_milli"))
+  }
+
   /** Exact within-group near-dup pairs by word-set jaccard — the
     * oracle-checkable twin of [[minHashLsh]]: an equi-join on
     * `groupCol` bounds the O(n²) to each group (e.g. same source).

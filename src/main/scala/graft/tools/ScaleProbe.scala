@@ -227,6 +227,15 @@ object ScaleProbe {
         graft.operators.Multimodal.synthesizeVideo(mediaDocs,
           frameRows = 2), everyN = 4).count()
     }
+    // ExactSubstr at 500k near-identical docs: every 4-gram outside
+    // the unique id token is duplicated corpus-wide — the worst case
+    // for the keep-first verdict. Cost must be ONE partial-combined
+    // hash agg over slim (hash, id, idx) triples + one shuffle join +
+    // a per-doc fold; the gram text itself never shuffles.
+    time("ExactSubstr duplicate spans over 500k hyper-duplicated docs") {
+      graft.operators.Dedup.duplicateSpans(mediaDocs, k = 4)
+        .agg(sum($"span_tokens")).collect()
+    }
     time("one-pass profile of the 10M-row table (exact distinct)") {
       graft.operators.Profile.profile(wide,
         Seq("key", "text")).count()

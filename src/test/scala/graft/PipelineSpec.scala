@@ -300,6 +300,62 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("containment pairs: a swallowed doc surfaces where symmetric " +
+      "jaccard misses it; sub-threshold overlap stays out") {
+    // doc 2's words ⊆ doc 1's: jaccard = 8/16 = 0.5 (far below the
+    // 0.9 LSH operating point) but containment = 1.0
+    val big = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi"
+    val d = Seq(
+      (1L, big),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta unrelated1 unrelated2 unrelated3 unrelated4 " +
+        "unrelated5 unrelated6"))  // containment 2/8 = 0.25 → out
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, threshold = 0.9)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1000L)))
+    // the symmetric pipeline at the same threshold finds NOTHING —
+    // that asymmetry is this operator's reason to exist
+    assert(Dedup.minHashLsh(d, threshold = 0.9).count() === 0L)
+  }
+
+  test("duplicate spans on the real corpus: spans sorted, disjoint, " +
+      "in bounds; strip accounting is exactly the span total") {
+    val docs = spark.read.parquet(s"${GraftTest.sf0001}/documents.parquet")
+    val k = 3
+    val spans = Dedup.duplicateSpans(docs, k)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(spans.nonEmpty) // the corpus genuinely has duplication
+    val nTok = docs.select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    spans.foreach { case (doc, ss) =>
+      ss.foreach { case (_, s, e, len) =>
+        assert(s >= 0 && e <= nTok(doc) && len == e - s && len >= k,
+          s"doc $doc span [$s,$e)")
+      }
+      // sorted + disjoint + maximal (no two spans touch: an adjacent
+      // pair would have merged)
+      ss.sliding(2).foreach {
+        case Array((_, _, e1, _), (_, s2, _, _)) => assert(s2 > e1)
+        case _ =>
+      }
+    }
+    // strip accounting: dup_tokens == the doc's span total, and the
+    // kept text carries exactly n_tokens - dup_tokens tokens
+    val strip = Dedup.stripDuplicateSpans(docs, k)
+      .as[(Long, Long, Long, String)].collect()
+    strip.foreach { case (doc, n, dup, txt) =>
+      assert(n === nTok(doc))
+      assert(dup === spans.get(doc).map(_.map(_._4).sum).getOrElse(0L))
+      val keptTokens =
+        if (txt.isEmpty) 0L else txt.split("\\s+", -1).length.toLong
+      assert(keptTokens === n - dup, s"doc $doc")
+    }
+  }
+
   test("tf-idf keywords: rare words outrank common, exact integer score") {
     val d = Seq(
       (1L, "apple apple banana common"),

@@ -207,4 +207,45 @@ class PropertySpec extends AnyFunSuite {
       kept.toSet == orig.toSet && kept == orig.distinct
     })
   }
+
+  test("binary sign packing: bit i == v(i) > 0, padding zero, word count") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.BinaryQuantMath
+    val vec = Gen.chooseNum(0, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-2.0f, 2.0f, 0.0f, Float.NaN)))
+    check("pack bits")(Prop.forAll(vec) { v =>
+      val w = BinaryQuantMath.pack(new GenericArrayData(v.toArray))
+      val nWords = (v.length + 63) / 64
+      w.length == nWords &&
+        v.indices.forall(i =>
+          ((w(i >>> 6) >>> (i & 63)) & 1L) == (if (v(i) > 0f) 1L else 0L)) &&
+        // padding bits beyond n stay zero (same-dim vectors always
+        // compare over identical padding)
+        (v.length until nWords * 64).forall(i =>
+          ((w(i >>> 6) >>> (i & 63)) & 1L) == 0L)
+    })
+  }
+
+  test("hamming over packed words: sign-mismatch count, metric axioms") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.BinaryQuantMath
+    def packed(v: Seq[Float]) =
+      new GenericArrayData(BinaryQuantMath.pack(
+        new GenericArrayData(v.toArray)))
+    val pair = for {
+      n <- Gen.chooseNum(0, 150)
+      a <- Gen.listOfN(n, Gen.chooseNum(-2.0f, 2.0f, 0.0f))
+      b <- Gen.listOfN(n, Gen.chooseNum(-2.0f, 2.0f, 0.0f))
+      c <- Gen.listOfN(n, Gen.chooseNum(-2.0f, 2.0f, 0.0f))
+    } yield (a, b, c)
+    check("mismatch count + axioms")(Prop.forAll(pair) { case (a, b, c) =>
+      def h(x: Seq[Float], y: Seq[Float]) =
+        BinaryQuantMath.hamming(packed(x), packed(y))
+      val want = a.zip(b).count { case (x, y) => (x > 0f) != (y > 0f) }
+      h(a, b) == want.toLong &&
+        h(a, a) == 0L &&
+        h(a, b) == h(b, a) &&
+        h(a, c) <= h(a, b) + h(b, c) // triangle inequality
+    })
+  }
 }
