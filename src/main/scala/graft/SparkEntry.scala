@@ -423,6 +423,22 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- incremental ExactSubstr: the corpus (doc_id >= 100) pays
+    // its gram pass ONCE into a standing hash-set artifact; the delta
+    // (doc_id < 100) is vetted by one semi-join against it plus its
+    // own within-delta keep-first verdict — corpus text never
+    // touched at probe time ----
+    "dedup_incremental_substring" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-gramidx").toString
+      graft.operators.GramIndex.build(
+        d.filter(col("doc_id") >= 100L), idx, k = 4)
+      graft.operators.GramIndex.probeSpans(s, idx,
+          d.filter(col("doc_id") < 100L))
+        .orderBy(col("doc_id").asc, col("span_start").asc)
+    }),
+
     // ---- near-dup by word-set jaccard, exact within source group ----
     "dedup_jaccard_source" -> ((s, dir) => {
       Dedup.jaccardPairsWithin(
@@ -2346,6 +2362,37 @@ object SparkEntry {
         |r AS (SELECT doc_id, idx, row_number() OVER (PARTITION BY gram
         |  ORDER BY doc_id, idx) AS rn FROM g2),
         |d AS (SELECT doc_id, idx FROM r WHERE rn > 1),
+        |m AS (SELECT doc_id, idx, CASE WHEN idx <= coalesce(
+        |  max(idx + 4) OVER (PARTITION BY doc_id ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |  THEN 0 ELSE 1 END AS brk FROM d),
+        |i AS (SELECT doc_id, idx,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS grp FROM m)
+        |SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
+        |  CAST(max(idx) + 4 AS BIGINT) AS span_end,
+        |  CAST(max(idx) + 4 - min(idx) AS BIGINT) AS span_tokens
+        |FROM i GROUP BY doc_id, grp
+        |ORDER BY doc_id ASC, span_start ASC""".stripMargin,
+
+    // delta (doc_id < 100) vs corpus (>= 100): corpus presence alone
+    // duplicates a delta occurrence; delta-only grams fall back to
+    // within-delta keep-first — then the same maximal-span islands
+    "dedup_incremental_substring" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS idx, w
+        |  FROM t WHERE len(w) >= 4),
+        |g2 AS (SELECT doc_id, idx,
+        |  array_to_string(w[CAST(idx + 1 AS INT):CAST(idx + 4 AS INT)], ' ')
+        |    AS gram FROM g),
+        |cg AS (SELECT DISTINCT gram FROM g2 WHERE doc_id >= 100),
+        |de AS (SELECT doc_id, idx, gram FROM g2 WHERE doc_id < 100),
+        |dd AS (SELECT doc_id, idx FROM (SELECT doc_id, idx,
+        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, idx)
+        |      AS rn FROM de) WHERE rn > 1),
+        |d AS (SELECT doc_id, idx FROM de
+        |    WHERE gram IN (SELECT gram FROM cg)
+        |  UNION SELECT doc_id, idx FROM dd),
         |m AS (SELECT doc_id, idx, CASE WHEN idx <= coalesce(
         |  max(idx + 4) OVER (PARTITION BY doc_id ORDER BY idx
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)

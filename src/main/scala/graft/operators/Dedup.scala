@@ -171,15 +171,7 @@ object Dedup {
     * span's end extends it — the covered region is contiguous). */
   private def mergedSpans(docs: DataFrame, k: Int,
       textCol: String, idCol: String): DataFrame = {
-    val w = split(trim(col(textCol)), "\\s+")
-    // k-gram start positions 0..n-k; shorter docs emit none. The
-    // hash leaves the scan task — only 8-byte keys ever shuffle.
-    val grams = when(size(w) >= k,
-      transform(sequence(lit(0), size(w) - k),
-        i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(k))))))
-      .otherwise(array().cast("array<long>"))
-    val occ = docs.select(col(idCol).as("__id"),
-      posexplode(grams).as(Seq("__idx", "__g")))
+    val occ = gramOccurrences(docs, k, textCol, idCol)
     // corpus-wide verdict per gram: how often, and who was first
     val dups = occ.groupBy(col("__g"))
       .agg(min(struct(col("__id"), col("__idx"))).as("__k"),
@@ -189,8 +181,28 @@ object Dedup {
     val dupStarts = occ.join(dups, Seq("__g"))
       .filter(col("__id") =!= col("__k")("__id") ||
         col("__idx") =!= col("__k")("__idx"))
-    // fold each doc's sorted duplicated starts into maximal spans:
-    // window [x, x+k) merges into the running span iff x <= its end
+    foldSpans(dupStarts, k)
+  }
+
+  /** Slim k-gram occurrence stream (__id, __idx, __g): gram hashed to
+    * 64 bits inside the scan task — only 8-byte keys ever shuffle.
+    * Starts 0..n−k; docs shorter than k emit none. */
+  private[graft] def gramOccurrences(docs: DataFrame, k: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val w = split(trim(col(textCol)), "\\s+")
+    val grams = when(size(w) >= k,
+      transform(sequence(lit(0), size(w) - k),
+        i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(k))))))
+      .otherwise(array().cast("array<long>"))
+    docs.select(col(idCol).as("__id"),
+      posexplode(grams).as(Seq("__idx", "__g")))
+  }
+
+  /** Fold duplicated start positions (__id, __idx) into maximal spans
+    * (__id, __spans): per-doc sorted collect + one expression fold —
+    * window [x, x+k) merges into the running span iff x <= its end.
+    * State bounded by document length, never corpus size. */
+  private[graft] def foldSpans(dupStarts: DataFrame, k: Int): DataFrame =
     dupStarts.groupBy(col("__id"))
       .agg(array_sort(collect_list(col("__idx"))).as("__starts"))
       .select(col("__id"), aggregate(col("__starts"),
@@ -202,7 +214,15 @@ object Dedup {
             array(struct(element_at(acc, -1)("s").as("s"),
               greatest(element_at(acc, -1)("e"), x + k).as("e"))))))
         .as("__spans"))
-  }
+
+  /** Explode a (__id, __spans) frame into the public span rows. */
+  private[graft] def explodeSpans(spans: DataFrame,
+      idCol: String): DataFrame =
+    spans.select(col("__id").as(idCol),
+        posexplode(col("__spans")).as(Seq("__n", "__sp")))
+      .select(col(idCol), col("__sp")("s").cast("long").as("span_start"),
+        col("__sp")("e").cast("long").as("span_end"),
+        (col("__sp")("e") - col("__sp")("s")).cast("long").as("span_tokens"))
 
   private def wordSet(textCol: Column): Column =
     array_distinct(split(trim(lower(textCol)), "\\s+"))

@@ -1,0 +1,138 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted k-gram hash set for INCREMENTAL exact-substring dedup —
+  * the ExactSubstr twin of [[LshTextIndex]]'s standing-artifact story.
+  * [[Dedup.duplicateSpans]] answers "which spans are duplicated?" over
+  * a whole corpus, but a growing corpus would re-tokenize and re-hash
+  * EVERY document every night to vet each day's delta — at 100 TB the
+  * corpus-side gram pass dwarfs the delta. Here the corpus pays it
+  * once, at build:
+  *
+  *   - build: distinct gram hashes of the corpus → `grams/` parquet
+  *     (8 bytes per DISTINCT gram — presence is the whole verdict, so
+  *     nothing else is stored) + `gram.json` (k, generation).
+  *   - append: distinct gram hashes of the new batch appended — cost
+  *     ∝ batch; the standing table is not read (duplicate hashes
+  *     across file sets are harmless under presence semantics, and
+  *     [[compact]] folds them away).
+  *   - probeSpans: gram-hash the DELTA only, semi-join its occurrence
+  *     stream against the stored set, add the delta's own internal
+  *     keep-first duplicates, and fold per-doc maximal spans — the
+  *     exact output shape of [[Dedup.duplicateSpans]].
+  *
+  * SEMANTICS: the corpus is canonical — any delta occurrence of a
+  * corpus gram is duplicated (the corpus copy came first); delta-only
+  * grams fall back to within-delta keep-first by (id, idx). This
+  * equals a batch [[Dedup.duplicateSpans]] over corpus ∪ delta
+  * restricted to delta documents whenever corpus ids precede delta
+  * ids (the ingest-order contract [[LshTextIndex.append]] also
+  * assumes) — spec-pinned parity.
+  *
+  * `k` is frozen in the artifact: a probe or append never silently
+  * mixes window widths; `generation` bumps on rebuild, mirroring
+  * [[IvfIndex]] / [[LshTextIndex]]. */
+object GramIndex {
+  case class Meta(k: Int, generation: Int)
+
+  private def metaJson(m: Meta): String =
+    s"""{"k":${m.k},"generation":${m.generation}}"""
+
+  private[graft] def readMeta(path: String): Meta = {
+    val p = Paths.get(path, "gram.json")
+    require(Files.exists(p), s"[GRAFT] no gram index at $path")
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    def num(key: String) =
+      ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
+    Meta(num("k"), num("generation"))
+  }
+
+  /** Build (or REBUILD — generation bumps) the gram set at `path`.
+    * One pass: tokenize → slide → hash → distinct. The distinct is a
+    * hash agg with map-side partials, so hyper-duplicated boilerplate
+    * collapses before the exchange. */
+  def build(docs: DataFrame, path: String, k: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    require(k > 0, "[GRAFT] gram index: k must be positive")
+    Dedup.gramOccurrences(docs, k, textCol, idCol)
+      .select(col("__g").as("g")).distinct()
+      .write.mode("overwrite").parquet(s"$path/grams")
+    val gen =
+      if (Files.exists(Paths.get(path, "gram.json")))
+        readMeta(path).generation + 1
+      else 1
+    Files.write(Paths.get(path, "gram.json"),
+      metaJson(Meta(k, gen)).getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Hash the batch with the index's frozen k and append its distinct
+    * grams. Cost ∝ |docs|; the standing table is not read. */
+  def append(docs: DataFrame, path: String, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val m = readMeta(path)
+    Dedup.gramOccurrences(docs, m.k, textCol, idCol)
+      .select(col("__g").as("g")).distinct()
+      .write.mode("append").parquet(s"$path/grams")
+  }
+
+  /** Maximal duplicated spans of `delta` documents against the indexed
+    * corpus plus the delta's own internal duplication — output shape
+    * identical to [[Dedup.duplicateSpans]]: (idCol, span_start,
+    * span_end, span_tokens).
+    *
+    * Cost ∝ delta grams: one semi-join of the delta's slim occurrence
+    * triples against the stored hash set (AQE broadcasts the delta
+    * side of the verdict agg; the stored side streams), one
+    * within-delta verdict agg, one per-doc fold. The corpus text is
+    * NEVER touched. */
+  def probeSpans(spark: SparkSession, path: String, delta: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val m = readMeta(path)
+    WorkCols.requireFree(delta, "__idx", "__g", "__k", "__starts",
+      "__spans")
+    val occ = Dedup.gramOccurrences(delta, m.k, textCol, idCol)
+    val stored = spark.read.parquet(s"$path/grams")
+      .select(col("g").as("__g"))
+    // corpus verdict: presence alone — the corpus copy is canonical
+    val vsCorpus = occ.join(stored, Seq("__g"), "left_semi")
+    // delta-internal verdict: keep-first by (id, idx) among the
+    // delta's own occurrences (same rule as duplicateSpans)
+    val dups = occ.groupBy(col("__g"))
+      .agg(min(struct(col("__id"), col("__idx"))).as("__k"),
+        count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") >= 2)
+      .select(col("__g"), col("__k"))
+    val withinDelta = occ.join(dups, Seq("__g"))
+      .filter(col("__id") =!= col("__k")("__id") ||
+        col("__idx") =!= col("__k")("__idx"))
+      .select(col("__id"), col("__idx"), col("__g"))
+    val dupStarts = vsCorpus.select(col("__id"), col("__idx"))
+      .union(withinDelta.select(col("__id"), col("__idx")))
+      .distinct()
+    Dedup.explodeSpans(Dedup.foldSpans(dupStarts, m.k), idCol)
+  }
+
+  /** Fold duplicate hashes from appended file sets into one compact
+    * table — same staged two-rename swap and single-writer stance as
+    * [[LshTextIndex.compact]]; crash between the renames leaves
+    * `grams_old` complete — rename back to recover. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(s"$path/grams")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/grams_stage")
+    val old = new org.apache.hadoop.fs.Path(s"$path/grams_old")
+    spark.read.parquet(live.toString).distinct()
+      .write.mode("overwrite").parquet(stage.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(live, old), s"[GRAFT] compact: cannot stage $live")
+    require(fs.rename(stage, live),
+      s"[GRAFT] compact: swap failed — recover by renaming $old back")
+    fs.delete(old, true)
+  }
+}

@@ -320,6 +320,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.minHashLsh(d, threshold = 0.9).count() === 0L)
   }
 
+  test("gram index: corpus grams are canonical, delta-internal " +
+      "keep-first, append extends, frozen k; batch parity holds") {
+    val dir = java.nio.file.Files.createTempDirectory("gramidx").toString
+    val corpus = Seq(
+      (100L, "a b c d e f"),
+      (101L, "p q r s t u v")).toDF("doc_id", "text")
+    Dedup // touch to keep import used
+    graft.operators.GramIndex.build(corpus, dir, k = 3)
+    val delta = Seq(
+      (1L, "a b c d x y"),        // corpus grams at 0,1 → span [0,4)
+      (2L, "m m m n n n m m m"),  // delta-internal: 3rd trigram run
+      (3L, "z z1 z2 z3"))         // novel → no spans
+      .toDF("doc_id", "text")
+    val got = graft.operators.GramIndex.probeSpans(spark, dir, delta)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc2: grams m m m(0), m m n(1)... only (6)"m m m" repeats gram 0
+    assert(got === Seq((1L, 0L, 4L, 4L), (2L, 6L, 9L, 3L)))
+    // batch parity: corpus ids precede delta ids → probe == the batch
+    // operator over corpus ∪ delta restricted to delta docs
+    val shifted = delta.withColumn("doc_id", $"doc_id" + 1000L)
+    val batch = Dedup.duplicateSpans(corpus.unionByName(shifted), k = 3)
+      .filter($"doc_id" >= 1000L)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .map(r => (r._1 - 1000L, r._2, r._3, r._4))
+    assert(batch === got)
+    // append: doc3's text enters the corpus → now fully duplicated
+    graft.operators.GramIndex.append(
+      Seq((200L, "z z1 z2 z3")).toDF("doc_id", "text"), dir)
+    val after = graft.operators.GramIndex.probeSpans(spark, dir,
+        delta.filter($"doc_id" === 3L))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(after === Seq((3L, 0L, 4L, 4L)))
+    // compact folds duplicate hashes, results unchanged
+    graft.operators.GramIndex.compact(spark, dir)
+    val afterCompact = graft.operators.GramIndex.probeSpans(spark, dir,
+        delta).orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(afterCompact ===
+      Seq((1L, 0L, 4L, 4L), (2L, 6L, 9L, 3L), (3L, 0L, 4L, 4L)))
+    // k is frozen in the artifact
+    assert(graft.operators.GramIndex.readMeta(dir).k === 3)
+  }
+
   test("duplicate spans on the real corpus: spans sorted, disjoint, " +
       "in bounds; strip accounting is exactly the span total") {
     val docs = spark.read.parquet(s"${GraftTest.sf0001}/documents.parquet")
