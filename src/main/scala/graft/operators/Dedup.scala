@@ -186,7 +186,11 @@ object Dedup {
 
   /** Slim k-gram occurrence stream (__id, __idx, __g): gram hashed to
     * 64 bits inside the scan task — only 8-byte keys ever shuffle.
-    * Starts 0..n−k; docs shorter than k emit none. */
+    * Starts 0..n−k; docs shorter than k emit none. [[spread]] first:
+    * the tokenize+hash kernel is compute-bound like the minhash
+    * signature pass, and a corpus read as a few big files would run
+    * it on as few cores (the same trade documented there — real
+    * many-file inputs skip the branch). */
   private[graft] def gramOccurrences(docs: DataFrame, k: Int,
       textCol: String, idCol: String): DataFrame = {
     val w = split(trim(col(textCol)), "\\s+")
@@ -194,7 +198,7 @@ object Dedup {
       transform(sequence(lit(0), size(w) - k),
         i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(k))))))
       .otherwise(array().cast("array<long>"))
-    docs.select(col(idCol).as("__id"),
+    spread(docs).select(col(idCol).as("__id"),
       posexplode(grams).as(Seq("__idx", "__g")))
   }
 
