@@ -124,12 +124,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(k > 0, "[GRAFT] duplicateSpans: k must be positive")
     WorkCols.requireFree(docs, "__idx", "__g", "__k", "__starts", "__spans")
-    val spans = mergedSpans(docs, k, textCol, idCol)
-    spans.select(col("__id").as(idCol),
-        posexplode(col("__spans")).as(Seq("__n", "__sp")))
-      .select(col(idCol), col("__sp")("s").cast("long").as("span_start"),
-        col("__sp")("e").cast("long").as("span_end"),
-        (col("__sp")("e") - col("__sp")("s")).cast("long").as("span_tokens"))
+    explodeSpans(mergedSpans(docs, k, textCol, idCol), idCol)
   }
 
   /** [[duplicateSpans]] applied: per-document token accounting and the
@@ -170,18 +165,28 @@ object Dedup {
     * maximal (adjacent windows merge: a start exactly at the previous
     * span's end extends it — the covered region is contiguous). */
   private def mergedSpans(docs: DataFrame, k: Int,
-      textCol: String, idCol: String): DataFrame = {
-    val occ = gramOccurrences(docs, k, textCol, idCol)
-    // corpus-wide verdict per gram: how often, and who was first
+      textCol: String, idCol: String): DataFrame =
+    foldSpans(keepFirstDupStarts(
+      gramOccurrences(docs, k, textCol, idCol)), k)
+
+  /** The keep-first duplicate verdict over an occurrence stream
+    * (__id, __idx, __g): every occurrence of a gram seen >= 2 times
+    * EXCEPT its (id, idx)-minimal canonical copy. This rule is the
+    * central spec-pinned invariant shared by [[duplicateSpans]] and
+    * [[GramIndex.probeSpans]]'s within-delta verdict — one
+    * implementation so they cannot diverge. One hash agg with
+    * map-side partial combine (count + min both algebraic) + one
+    * shuffle join of occurrences back on the 8-byte gram hash. */
+  private[graft] def keepFirstDupStarts(occ: DataFrame): DataFrame = {
     val dups = occ.groupBy(col("__g"))
       .agg(min(struct(col("__id"), col("__idx"))).as("__k"),
         count(lit(1)).as("__cnt"))
       .filter(col("__cnt") >= 2)
       .select(col("__g"), col("__k"))
-    val dupStarts = occ.join(dups, Seq("__g"))
+    occ.join(dups, Seq("__g"))
       .filter(col("__id") =!= col("__k")("__id") ||
         col("__idx") =!= col("__k")("__idx"))
-    foldSpans(dupStarts, k)
+      .select(col("__id"), col("__idx"), col("__g"))
   }
 
   /** Slim k-gram occurrence stream (__id, __idx, __g): gram hashed to

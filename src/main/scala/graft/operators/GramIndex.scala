@@ -55,19 +55,48 @@ object GramIndex {
   /** Build (or REBUILD — generation bumps) the gram set at `path`.
     * One pass: tokenize → slide → hash → distinct. The distinct is a
     * hash agg with map-side partials, so hyper-duplicated boilerplate
-    * collapses before the exchange. */
+    * collapses before the exchange.
+    *
+    * A REBUILD over an existing artifact goes through the same staged
+    * two-rename swap as [[compact]] (write `grams_stage`, swap): an
+    * in-place overwrite would first DELETE the standing table, so a
+    * crash mid-rebuild would leave a partial gram set under the old
+    * metadata and probes would silently under-report duplicates.
+    * `gram.json` then moves into place atomically. Residual window: a
+    * rebuild that CHANGES k can crash between the data swap and the
+    * metadata move, leaving new-k hashes under old-k metadata —
+    * same-k rebuilds (the common compaction-style refresh) have no
+    * such window. Single-writer is the caller contract, as everywhere
+    * else in the artifact family. */
   def build(docs: DataFrame, path: String, k: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     require(k > 0, "[GRAFT] gram index: k must be positive")
-    Dedup.gramOccurrences(docs, k, textCol, idCol)
+    val grams = Dedup.gramOccurrences(docs, k, textCol, idCol)
       .select(col("__g").as("g")).distinct()
-      .write.mode("overwrite").parquet(s"$path/grams")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(s"$path/grams")
+    if (!fs.exists(live)) {
+      grams.write.mode("overwrite").parquet(live.toString)
+    } else {
+      val stage = new org.apache.hadoop.fs.Path(s"$path/grams_stage")
+      val old = new org.apache.hadoop.fs.Path(s"$path/grams_old")
+      grams.write.mode("overwrite").parquet(stage.toString)
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(live, old), s"[GRAFT] build: cannot stage $live")
+      require(fs.rename(stage, live),
+        s"[GRAFT] build: swap failed — recover by renaming $old back")
+      fs.delete(old, true)
+    }
     val gen =
       if (Files.exists(Paths.get(path, "gram.json")))
         readMeta(path).generation + 1
       else 1
-    Files.write(Paths.get(path, "gram.json"),
-      metaJson(Meta(k, gen)).getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(path, "gram.json.tmp")
+    Files.write(tmp, metaJson(Meta(k, gen)).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, "gram.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Hash the batch with the index's frozen k and append its distinct
@@ -100,17 +129,10 @@ object GramIndex {
       .select(col("g").as("__g"))
     // corpus verdict: presence alone — the corpus copy is canonical
     val vsCorpus = occ.join(stored, Seq("__g"), "left_semi")
-    // delta-internal verdict: keep-first by (id, idx) among the
-    // delta's own occurrences (same rule as duplicateSpans)
-    val dups = occ.groupBy(col("__g"))
-      .agg(min(struct(col("__id"), col("__idx"))).as("__k"),
-        count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= 2)
-      .select(col("__g"), col("__k"))
-    val withinDelta = occ.join(dups, Seq("__g"))
-      .filter(col("__id") =!= col("__k")("__id") ||
-        col("__idx") =!= col("__k")("__idx"))
-      .select(col("__id"), col("__idx"), col("__g"))
+    // delta-internal verdict: the SHARED keep-first rule
+    // ([[Dedup.keepFirstDupStarts]] — one implementation, so the
+    // batch operator and this probe cannot diverge)
+    val withinDelta = Dedup.keepFirstDupStarts(occ)
     val dupStarts = vsCorpus.select(col("__id"), col("__idx"))
       .union(withinDelta.select(col("__id"), col("__idx")))
       .distinct()

@@ -50,7 +50,12 @@ object RangeJoin {
     * Output: left columns ++ right columns. Each qualifying (row,
     * interval) pair appears exactly once (the pair meets only in the
     * point's own bin — no post-join dedup needed). Intervals wider
-    * than [[MaxBinsPerRow]] bins fail loudly (see above). */
+    * than [[MaxBinsPerRow]] bins fail loudly (see above); degenerate
+    * or inverted intervals (hi <= lo) are dropped up front — they
+    * contain no point under half-open semantics, and an inverted pair
+    * would otherwise slip past the span guard as a NEGATIVE span and
+    * make `sequence` descend through ~|span| bins (the exact silent
+    * blowup the guard exists to prevent). */
   def pointInInterval(left: DataFrame, right: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
@@ -62,7 +67,7 @@ object RangeJoin {
     // a [lo, hi) interval covers bins floor(lo/w) .. floor(hi/w), the
     // last one only when hi is not exactly on a bin edge — harmless to
     // include (the residual filter rejects point == hi)
-    val r = right.withColumn("__bin",
+    val r = right.filter(col(hiCol) > col(loCol)).withColumn("__bin",
       guardedBins(bin(col(loCol)), bin(col(hiCol)), "pointInInterval"))
     l.join(r, Seq("__bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))

@@ -199,6 +199,17 @@ class VfsStore private (val spark: SparkSession, val root: String,
     * the incoming batch. */
   def upsertBatch(input: DataFrame): Long = synchronized {
     flush()
+    // MERGE-by-name has no defined winner for duplicate names within
+    // one batch (both copies would be appended and a by-name reader
+    // would see a nondeterministic one) — fail loudly instead of
+    // silently keeping both
+    val maxRow = input.groupBy(col("name"))
+      .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
+    val maxPerName = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    require(maxPerName <= 1L,
+      "[GRAFT] upsertBatch: incoming names must be unique within the " +
+        s"batch (a name occurs $maxPerName times) — dedup the batch " +
+        "first to define which payload wins")
     val base = manifest.nextId
     val (df, n) = encodeBatch(input, base)
     // stored names on quantized stores carry the `_quantized` suffix

@@ -601,6 +601,7 @@ object Ingest {
     val src = if (batchMode) evN else evN.withWatermark(tsCol, watermark)
     val stepUs = bucketSec * 1000000L
     val us = TimeNorm.epochMicros(col(tsCol))
+    requireIntegralKey(src, keyCol, "retentionStream")
     val typed = src.select(col(keyCol).cast("long").as("k"),
         ((us - us % lit(stepUs)) / 1000000L).cast("long").as("bucket"))
       .as[(Long, Long)]
@@ -669,6 +670,7 @@ object Ingest {
     val stepIdx = steps.zipWithIndex.toMap
     val gapUs = maxStepGapSec.map(_ * 1000000L)
     val names = steps.toArray
+    requireIntegralKey(src, keyCol, "funnelStream")
     val typed = src
       .select(col(keyCol).cast("long").as("k"),
         TimeNorm.epochMicros(col(tsCol)).as("us"),
@@ -736,10 +738,16 @@ object Ingest {
     // the watermarked event-time column must itself reach the
     // stateful operator (EventTimeTimeout resolves against it), so
     // `ts` rides along next to its micros projection
+    requireIntegralKey(src, keyCol, "sessionizeStream")
     val typed = src.select(col(keyCol).cast("long").as("k"),
         col(tsCol).as("ts"), TimeNorm.epochMicros(col(tsCol)).as("us"))
       .as[(Long, java.sql.Timestamp, Long)]
-    // state: (sessionId, startUs, lastUs, nEvents) of the OPEN session
+    // state: (sessionId, startUs, lastUs, nEvents). nEvents > 0 = an
+    // OPEN session with ordinal sessionId; nEvents == 0 = a TOMBSTONE
+    // left by a timeout close, holding the NEXT ordinal so a later
+    // event cannot reuse an already-emitted session_id. The tombstone
+    // is one small tuple per key — the same per-key floor retention's
+    // state pays — and carries no timeout.
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long, Long),
           (Long, Long, Long, Long)](
@@ -751,18 +759,20 @@ object Ingest {
           if (state.hasTimedOut) {
             // watermark passed lastUs + gap: the open session closed
             val (sid, su, _, n) = state.get
-            state.remove()
+            state.update((sid + 1, 0L, 0L, 0L))
             Iterator.single((k, sid, n, su))
           } else {
             val closed = Array.newBuilder[(Long, Long, Long, Long)]
             var open = state.getOption
             rows.map(_._3).toArray.sorted.foreach { us =>
               open match {
-                case Some((sid, su, lastUs, n)) =>
+                case Some((sid, su, lastUs, n)) if n > 0 =>
                   if (us - lastUs > gapUs) {
                     closed += ((k, sid, n, su))
                     open = Some((sid + 1, us, us, 1L))
                   } else open = Some((sid, su, math.max(lastUs, us), n + 1))
+                case Some((nextSid, _, _, _)) => // tombstone: resume ordinal
+                  open = Some((nextSid, us, us, 1L))
                 case None => open = Some((1L, us, us, 1L))
               }
             }
@@ -772,12 +782,29 @@ object Ingest {
               open.foreach { case (sid, su, _, n) => closed += ((k, sid, n, su)) }
             } else open.foreach { o =>
               state.update(o)
-              state.setTimeoutTimestamp(o._3 / 1000L + gapSec * 1000L)
+              if (o._4 > 0)
+                state.setTimeoutTimestamp(o._3 / 1000L + gapSec * 1000L)
             }
             closed.result().iterator
           }
       }
       .toDF(keyCol, "session_id", "n_events", "start_us")
+  }
+
+  /** Guard shared by the long-keyed stateful operators: a
+    * `cast("long")` on a non-numeric key (UUID strings, say) yields
+    * NULL for every row under non-ANSI semantics, silently collapsing
+    * ALL keys into one group — retention would count one giant user,
+    * a funnel would complete each step at most once globally. Fail
+    * loudly at plan time instead. */
+  private def requireIntegralKey(df: DataFrame, keyCol: String,
+      op: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"[GRAFT] $op: key column `$keyCol` must be an integral type, " +
+        s"got ${dt.simpleString} — a lossy cast('long') would " +
+        "silently collapse non-numeric keys to NULL")
   }
 
   /** Event-time windowed aggregation with watermark — the standard

@@ -25,6 +25,14 @@ class JoinsSpec extends AnyFunSuite {
     assert(got === want)
     assert(want.contains((2L, 10L)) && !want.exists(_ == ((3L, 10L))),
       "half-open boundary: 4.9 in [0,5), 5.0 not")
+    // an INVERTED interval (hi < lo) contains no point under
+    // half-open semantics and must be dropped up front — a negative
+    // span would slip past the bins-per-row cap and make sequence()
+    // DESCEND through ~|span| bins (the silent blowup the guard
+    // exists to stop)
+    val inverted = Seq((20L, 1.0e9, 0.0)).toDF("iid", "lo", "hi")
+    assert(RangeJoin.pointInInterval(points, inverted, "p", "lo", "hi",
+      binWidth = 1.0).count() === 0L)
   }
 
   test("interval overlap join equals brute-force theta join; pairs " +

@@ -1880,7 +1880,40 @@ class PipelineSpec extends AnyFunSuite {
       assert(got.toSeq === Seq(
         (1L, 1L, 2L, us("2024-01-01 10:00:00")),
         (2L, 1L, 1L, us("2024-01-01 09:00:00"))))
+      // u2 returns AFTER its timeout-closed session 1: the tombstone
+      // keeps the ordinal, so the new session is session_id 2 — NOT a
+      // duplicate session_id 1 (which a downstream groupBy(key,
+      // session_id) would silently merge). Close it via an in-batch
+      // gap so the assertion doesn't depend on further watermarks.
+      stream.addData((2L, ts("2024-01-01 13:30:00")),
+        (2L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      val u2 = spark.sql(
+        """SELECT session_id, n_events, start_us FROM ses
+          |WHERE user_id = 2 ORDER BY session_id""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(u2.toSeq === Seq(
+        (1L, 1L, us("2024-01-01 09:00:00")),
+        (2L, 1L, us("2024-01-01 13:30:00"))))
     } finally q.stop()
+    // a non-integral key must fail loudly at plan time — cast("long")
+    // would silently collapse every UUID key to NULL
+    intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.sessionizeStream(
+        Seq(("u-1", ts("2024-01-01 10:00:00"))).toDF("user_id", "ts"),
+        batchMode = true)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.retentionStream(
+        Seq(("u-1", ts("2024-01-01 10:00:00"))).toDF("user_id", "ts"),
+        batchMode = true)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.funnelStream(
+        Seq(("u-1", ts("2024-01-01 10:00:00"), "signup"))
+          .toDF("user_id", "ts", "event_type"), Seq("signup"),
+        batchMode = true)
+    }
     // batch mode over the REAL events table equals the batch
     // w_sessionize window derivation exactly
     val ev = SparkEntry.events(spark, GraftTest.sf0001)

@@ -95,6 +95,15 @@ class VfsStoreSpec extends AnyFunSuite {
     assert(s2.upsertBatch(Seq((Seq(1f, 1f), "x", Seq[String]()))
       .toDF("values", "name", "tags")) === 1L)
     assert(s2.read().count() === 1L)
+    // duplicate names WITHIN one batch have no defined winner — loud
+    // error, not two surviving rows under the same name
+    val err = intercept[IllegalArgumentException] {
+      s2.upsertBatch(Seq(
+        (Seq(1f, 1f), "dup", Seq[String]()),
+        (Seq(2f, 2f), "dup", Seq[String]())).toDF("values", "name", "tags"))
+    }
+    assert(err.getMessage.contains("unique"))
+    assert(s2.read().count() === 1L) // store untouched by the rejected batch
   }
 
   test("upsertBatch on a QUANTIZED store matches the mangled names") {
