@@ -122,11 +122,23 @@ object GramIndex {
   def probeSpans(spark: SparkSession, path: String, delta: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val m = readMeta(path)
+    probeSpansAgainst(delta,
+      spark.read.parquet(s"$path/grams").select(col("g")), m.k,
+      textCol, idCol)
+  }
+
+  /** [[probeSpans]] against an explicit gram-hash frame (one `g`
+    * LONG column) instead of the artifact layout — the hook the
+    * streaming ingest loop uses with its batch-addressed gram
+    * directory (mirroring [[LshTextIndex.probe]]'s `storedBands`). */
+  def probeSpansAgainst(delta: DataFrame, storedGrams: DataFrame,
+      k: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "[GRAFT] gram index: k must be positive")
     WorkCols.requireFree(delta, "__idx", "__g", "__k", "__starts",
       "__spans")
-    val occ = Dedup.gramOccurrences(delta, m.k, textCol, idCol)
-    val stored = spark.read.parquet(s"$path/grams")
-      .select(col("g").as("__g"))
+    val occ = Dedup.gramOccurrences(delta, k, textCol, idCol)
+    val stored = storedGrams.select(col("g").as("__g"))
     // corpus verdict: presence alone — the corpus copy is canonical
     val vsCorpus = occ.join(stored, Seq("__g"), "left_semi")
     // delta-internal verdict: the SHARED keep-first rule
@@ -136,7 +148,7 @@ object GramIndex {
     val dupStarts = vsCorpus.select(col("__id"), col("__idx"))
       .union(withinDelta.select(col("__id"), col("__idx")))
       .distinct()
-    Dedup.explodeSpans(Dedup.foldSpans(dupStarts, m.k), idCol)
+    Dedup.explodeSpans(Dedup.foldSpans(dupStarts, k), idCol)
   }
 
   /** Fold duplicate hashes from appended file sets into one compact

@@ -333,6 +333,84 @@ object Ingest {
       .start()
   }
 
+  /** Streaming ingest with EXACT-SUBSTRING decontamination — the
+    * ExactSubstr twin of [[textDedupIngestStream]]: each micro-batch
+    * is vetted against the standing gram set PLUS its own within-batch
+    * keep-first verdict ([[graft.operators.GramIndex.probeSpansAgainst]]),
+    * a document drops when its duplicated-token fraction exceeds
+    * `maxDupFrac`, and survivors land in BATCH-ADDRESSED directories
+    * (`docs/batch=<id>`, `grams/batch=<id>`, overwrite) so
+    * at-least-once replays are bit-idempotent: the probe PRUNES the
+    * current batch's own partition out of the standing gram read
+    * (crash residue from a failed attempt would otherwise make the
+    * replayed batch look fully duplicated against itself), recomputes
+    * the same survivors, and rewrites the same two directories.
+    * Consumers read the corpus as `docs/` (the `batch` partition
+    * column rides along). `k` is frozen by the stream definition
+    * (changing it against an existing corpus dir mixes window widths
+    * — rebuild instead). Per-batch cost ∝ batch grams + one semi-join
+    * against the standing set; the corpus TEXT is never reread. */
+  def substringDedupIngestStream(stream: DataFrame, corpusDir: String,
+      checkpoint: String, k: Int = 5, maxDupFrac: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(k > 0, "[GRAFT] substringDedupIngestStream: k must be positive")
+    require(maxDupFrac >= 0.0 && maxDupFrac <= 1.0,
+      "[GRAFT] substringDedupIngestStream: maxDupFrac must be in [0,1]")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        substringDedupBatch(batch, batchId, corpusDir, k, maxDupFrac)
+      }
+      .start()
+  }
+
+  /** [[substringDedupIngestStream]]'s per-batch body, separated so
+    * replay idempotence is testable (the [[searchBatchTo]] pattern). */
+  private[graft] def substringDedupBatch(batch0: DataFrame,
+      batchId: Long, corpusDir: String, k: Int,
+      maxDupFrac: Double): Unit = {
+    import graft.operators.{Dedup, GramIndex}
+    val spark = batch0.sparkSession
+    val batch = batch0.select(col("doc_id"), col("text"))
+    if (batch.isEmpty) return
+    val gramDir = s"$corpusDir/grams"
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    def dirExists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hadoopConf).exists(hp)
+    }
+    // prune THIS batch's partition: a crashed earlier attempt of the
+    // same batch may have landed grams already — replaying against
+    // them would flag every replayed doc as a corpus duplicate
+    val stored =
+      if (dirExists(gramDir))
+        spark.read.parquet(gramDir)
+          .filter(col("batch") =!= batchId).select(col("g"))
+      else spark.range(0).select(col("id").as("g"))
+    val dupPerDoc = GramIndex.probeSpansAgainst(batch, stored, k)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("__dup"))
+    val survivors = batch
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .filter(coalesce(col("__dup"), lit(0L)).cast("double") <=
+        size(split(trim(col("text")), "\\s+")) * maxDupFrac)
+      .select(col("doc_id"), col("text"))
+      .cache()
+    try {
+      if (survivors.take(1).nonEmpty) {
+        // overwrite-idempotent sinks: a replay rewrites BOTH batch
+        // directories; write order therefore doesn't matter
+        survivors.write.mode("overwrite")
+          .parquet(s"$corpusDir/docs/batch=$batchId")
+        Dedup.gramOccurrences(survivors, k, "text", "doc_id")
+          .select(col("__g").as("g")).distinct()
+          .write.mode("overwrite").parquet(s"$gramDir/batch=$batchId")
+      }
+    } finally survivors.unpersist()
+    ()
+  }
+
   /** Stream documents through the STANDING bigram LM
     * ([[graft.operators.TextAnalysis.saveLmModel]] artifact): each
     * micro-batch is scored with `scoreLm` against the frozen

@@ -2180,6 +2180,61 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming substring-dedup ingest: batch-addressed corpus " +
+      "grows with low-duplication docs; replays are idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("substr_ingest").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("substr_ingest_ck").toString
+    val tA = "alpha beta gamma delta epsilon"
+    val tB = "one two three four five"
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.substringDedupIngestStream(
+      stream.toDF().toDF("doc_id", "text"), dir, ck,
+      k = 3, maxDupFrac = 0.5,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      // batch 1: a, verbatim-copy-of-a, b — within-batch keep-first:
+      // the canonical copy (lowest (id, idx)) survives, the copy is
+      // 100% duplicated tokens -> dropped
+      stream.addData((1L, tA), (2L, tA), (3L, tB))
+      q.processAllAvailable()
+      // batch 2: copy of a (vs STANDING grams), half-dup doc (3 of 10
+      // tokens covered -> frac 0.3 <= 0.5 keeps), novel doc
+      stream.addData((4L, tA),
+        (5L, "alpha beta gamma fresh1 fresh2 fresh3 fresh4 fresh5 fresh6 fresh7"))
+      q.processAllAvailable()
+      val corpus = spark.read.parquet(s"$dir/docs")
+        .select($"doc_id").as[Long].collect().sorted
+      assert(corpus.toSeq === Seq(1L, 3L, 5L))
+    } finally q.stop()
+    // replaying a batch body with the SAME batch id is bit-idempotent:
+    // its own residue grams are pruned from the standing read, so the
+    // same survivors land (not zero of them). Discover the real id
+    // from the partition column (empty trigger ticks consume ids).
+    val realBatch = spark.read.parquet(s"$dir/docs")
+      .filter($"doc_id" === 5L).select($"batch".cast("long"))
+      .as[Long].head()
+    val before = spark.read.parquet(s"$dir/docs")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    graft.streaming.Ingest.substringDedupBatch(
+      Seq((4L, tA),
+        (5L, "alpha beta gamma fresh1 fresh2 fresh3 fresh4 fresh5 fresh6 fresh7"))
+        .toDF("doc_id", "text"),
+      batchId = realBatch, corpusDir = dir, k = 3, maxDupFrac = 0.5)
+    val after = spark.read.parquet(s"$dir/docs")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(after === before)
+    // guards are loud
+    intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.substringDedupIngestStream(
+        stream.toDF().toDF("doc_id", "text"), dir, ck, k = 0)
+    }
+  }
+
   test("lmScoreStream: batches score against the FROZEN model, " +
       "threshold filter applies, replays idempotent per batch dir") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
