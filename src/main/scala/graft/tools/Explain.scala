@@ -394,6 +394,18 @@ object Explain {
       graft.streaming.Ingest.sessionizeStream(
         graft.SparkEntry.events(spark, dir), batchMode = true)
     }
+    show("incremental ExactSubstr probe vs standing gram set (expect: " +
+        "delta-only gram kernel, LeftSemi against the stored 8-byte " +
+        "hashes, the shared keep-first agg+join, one per-doc fold — " +
+        "corpus text nowhere in the plan)") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val idx = java.nio.file.Files
+        .createTempDirectory("explain-gramidx").toString
+      graft.operators.GramIndex.build(
+        docs.filter(col("doc_id") >= 100L), idx, k = 4)
+      graft.operators.GramIndex.probeSpans(spark, idx,
+        docs.filter(col("doc_id") < 100L))
+    }
     spark.stop()
   }
 }

@@ -236,6 +236,20 @@ object ScaleProbe {
       graft.operators.Dedup.duplicateSpans(mediaDocs, k = 4)
         .agg(sum($"span_tokens")).collect()
     }
+    // incremental ExactSubstr: the 500k-doc corpus pays its gram pass
+    // once into the standing artifact; vetting a 5k delta must cost
+    // ∝ delta grams + one semi-join against the stored set
+    val gramIdxDir = java.nio.file.Files
+      .createTempDirectory("scale-gramidx").toString
+    time("GramIndex build over the 500k-doc corpus (one distinct pass)") {
+      graft.operators.GramIndex.build(mediaDocs, gramIdxDir, k = 4)
+    }
+    time("GramIndex probe: 5k delta vs the standing 500k-doc gram set") {
+      val delta = mediaDocs.filter($"doc_id" < 5000L)
+        .withColumn("doc_id", $"doc_id" + 1000000L)
+      graft.operators.GramIndex.probeSpans(spark, gramIdxDir, delta)
+        .agg(sum($"span_tokens")).collect()
+    }
     time("one-pass profile of the 10M-row table (exact distinct)") {
       graft.operators.Profile.profile(wide,
         Seq("key", "text")).count()
