@@ -52,13 +52,67 @@ object GramIndex {
     Meta(num("k"), num("generation"))
   }
 
+  private def writeMeta(path: String, m: Meta): Unit = {
+    val tmp = Paths.get(path, "gram.json.tmp")
+    Files.createDirectories(Paths.get(path))
+    Files.write(tmp, metaJson(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, "gram.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Pin `k` against an existing artifact dir, or stamp it on a fresh
+    * one (generation 1). The loud-failure half of the frozen-k
+    * contract for callers that manage their own gram LAYOUT but reuse
+    * this metadata — the streaming ingest loop: restarting a stream
+    * with a different k against an accumulated corpus would otherwise
+    * silently match nothing and mix window widths forever. */
+  def ensureMeta(path: String, k: Int): Unit = {
+    require(k > 0, "[GRAFT] gram index: k must be positive")
+    if (Files.exists(Paths.get(path, "gram.json"))) {
+      val m = readMeta(path)
+      require(m.k == k,
+        s"[GRAFT] gram index at $path is frozen at k=${m.k}; " +
+          s"got k=$k — mixing window widths silently matches nothing. " +
+          "Rebuild the artifact to change k.")
+    } else writeMeta(path, Meta(k, generation = 1))
+  }
+
+  /** The standing table's row shape: distinct 64-bit gram hashes of
+    * `docs` — ONE derivation shared by [[build]], [[append]], and the
+    * streaming ingest loop, so the stored set can never silently
+    * diverge from the probe's hashing. */
+  def distinctGrams(docs: DataFrame, k: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    Dedup.gramOccurrences(docs, k, textCol, idCol)
+      .select(col("__g").as("g")).distinct()
+
+  /** Staged two-rename swap shared by [[build]] rebuilds and
+    * [[compact]]: write the replacement under `_stage`, park the live
+    * dir at `_old`, move the stage in, drop `_old`. A crash between
+    * the renames leaves `_old` complete — rename back to recover.
+    * Single-writer is the caller contract. */
+  private def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, what: String)(
+      writeStage: String => Unit): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/grams")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/grams_stage")
+    val old = new org.apache.hadoop.fs.Path(s"$path/grams_old")
+    writeStage(stage.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(live, old), s"[GRAFT] $what: cannot stage $live")
+    require(fs.rename(stage, live),
+      s"[GRAFT] $what: swap failed — recover by renaming $old back")
+    fs.delete(old, true)
+  }
+
   /** Build (or REBUILD — generation bumps) the gram set at `path`.
     * One pass: tokenize → slide → hash → distinct. The distinct is a
     * hash agg with map-side partials, so hyper-duplicated boilerplate
     * collapses before the exchange.
     *
-    * A REBUILD over an existing artifact goes through the same staged
-    * two-rename swap as [[compact]] (write `grams_stage`, swap): an
+    * A REBUILD over an existing artifact goes through the staged
+    * two-rename swap ([[stagedSwap]], shared with [[compact]]): an
     * in-place overwrite would first DELETE the standing table, so a
     * crash mid-rebuild would leave a partial gram set under the old
     * metadata and probes would silently under-report duplicates.
@@ -66,37 +120,23 @@ object GramIndex {
     * rebuild that CHANGES k can crash between the data swap and the
     * metadata move, leaving new-k hashes under old-k metadata —
     * same-k rebuilds (the common compaction-style refresh) have no
-    * such window. Single-writer is the caller contract, as everywhere
-    * else in the artifact family. */
+    * such window. */
   def build(docs: DataFrame, path: String, k: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     require(k > 0, "[GRAFT] gram index: k must be positive")
-    val grams = Dedup.gramOccurrences(docs, k, textCol, idCol)
-      .select(col("__g").as("g")).distinct()
+    val grams = distinctGrams(docs, k, textCol, idCol)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
     val live = new org.apache.hadoop.fs.Path(s"$path/grams")
-    if (!fs.exists(live)) {
+    if (!fs.exists(live))
       grams.write.mode("overwrite").parquet(live.toString)
-    } else {
-      val stage = new org.apache.hadoop.fs.Path(s"$path/grams_stage")
-      val old = new org.apache.hadoop.fs.Path(s"$path/grams_old")
-      grams.write.mode("overwrite").parquet(stage.toString)
-      if (fs.exists(old)) fs.delete(old, true)
-      require(fs.rename(live, old), s"[GRAFT] build: cannot stage $live")
-      require(fs.rename(stage, live),
-        s"[GRAFT] build: swap failed — recover by renaming $old back")
-      fs.delete(old, true)
-    }
+    else stagedSwap(fs, path, "build")(stage =>
+      grams.write.mode("overwrite").parquet(stage))
     val gen =
       if (Files.exists(Paths.get(path, "gram.json")))
         readMeta(path).generation + 1
       else 1
-    val tmp = Paths.get(path, "gram.json.tmp")
-    Files.write(tmp, metaJson(Meta(k, gen)).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(path, "gram.json"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeMeta(path, Meta(k, gen))
   }
 
   /** Hash the batch with the index's frozen k and append its distinct
@@ -104,8 +144,7 @@ object GramIndex {
   def append(docs: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
     val m = readMeta(path)
-    Dedup.gramOccurrences(docs, m.k, textCol, idCol)
-      .select(col("__g").as("g")).distinct()
+    distinctGrams(docs, m.k, textCol, idCol)
       .write.mode("append").parquet(s"$path/grams")
   }
 
@@ -137,7 +176,16 @@ object GramIndex {
     require(k > 0, "[GRAFT] gram index: k must be positive")
     WorkCols.requireFree(delta, "__idx", "__g", "__k", "__starts",
       "__spans")
-    val occ = Dedup.gramOccurrences(delta, k, textCol, idCol)
+    spansFromOcc(Dedup.gramOccurrences(delta, k, textCol, idCol),
+      storedGrams, k, idCol)
+  }
+
+  /** Probe core over a PRE-BUILT occurrence stream — callers that
+    * need the occurrences again afterwards (the streaming ingest loop
+    * derives the sink grams from them) cache `occ` once instead of
+    * re-running the compute-bound tokenize+hash kernel per use. */
+  private[graft] def spansFromOcc(occ: DataFrame,
+      storedGrams: DataFrame, k: Int, idCol: String): DataFrame = {
     val stored = storedGrams.select(col("g").as("__g"))
     // corpus verdict: presence alone — the corpus copy is canonical
     val vsCorpus = occ.join(stored, Seq("__g"), "left_semi")
@@ -152,21 +200,13 @@ object GramIndex {
   }
 
   /** Fold duplicate hashes from appended file sets into one compact
-    * table — same staged two-rename swap and single-writer stance as
-    * [[LshTextIndex.compact]]; crash between the renames leaves
-    * `grams_old` complete — rename back to recover. */
+    * table — the [[stagedSwap]] path, mirroring
+    * [[LshTextIndex.compact]]. */
   def compact(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val live = new org.apache.hadoop.fs.Path(s"$path/grams")
-    val stage = new org.apache.hadoop.fs.Path(s"$path/grams_stage")
-    val old = new org.apache.hadoop.fs.Path(s"$path/grams_old")
-    spark.read.parquet(live.toString).distinct()
-      .write.mode("overwrite").parquet(stage.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(live, old), s"[GRAFT] compact: cannot stage $live")
-    require(fs.rename(stage, live),
-      s"[GRAFT] compact: swap failed — recover by renaming $old back")
-    fs.delete(old, true)
+    val grams = spark.read.parquet(s"$path/grams").distinct()
+    stagedSwap(fs, path, "compact")(stage =>
+      grams.write.mode("overwrite").parquet(stage))
   }
 }

@@ -200,11 +200,7 @@ object Ingest {
         // existence via the Hadoop FS of the target path — a
         // java.io.File check silently reports false on hdfs://s3a://
         // and would disable the corpus probe on any remote corpusDir
-        val hadoopConf = spark.sessionState.newHadoopConf()
-        def dirExists(p: String): Boolean = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(hadoopConf).exists(hp)
-        }
+        def dirExists(p: String): Boolean = Ingest.dirExists(spark, p)
         if (!batch.isEmpty) {
           // (1) within-batch: drop any row near-dup of a lower id
           val self = Dedup.embeddingNearDupJoin(batch, batch, tau,
@@ -286,11 +282,7 @@ object Ingest {
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val spark = batch0.sparkSession
         val batch = batch0.select(col("doc_id"), col("text"))
-        val hadoopConf = spark.sessionState.newHadoopConf()
-        def dirExists(p: String): Boolean = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(hadoopConf).exists(hp)
-        }
+        def dirExists(p: String): Boolean = Ingest.dirExists(spark, p)
         if (!batch.isEmpty) {
           // (1) within-batch: the higher id of each near-dup pair drops
           val self = Dedup.minHashLsh(batch, threshold, bands = bands,
@@ -374,41 +366,67 @@ object Ingest {
     val spark = batch0.sparkSession
     val batch = batch0.select(col("doc_id"), col("text"))
     if (batch.isEmpty) return
+    // frozen-k contract: restarting the stream with a different k
+    // against an accumulated corpus would hash delta grams that match
+    // NOTHING stored — decontamination silently off, window widths
+    // permanently mixed. ensureMeta stamps k on first use and fails
+    // loudly on a mismatch ever after.
+    GramIndex.ensureMeta(corpusDir, k)
     val gramDir = s"$corpusDir/grams"
-    val hadoopConf = spark.sessionState.newHadoopConf()
-    def dirExists(p: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hadoopConf).exists(hp)
-    }
-    // prune THIS batch's partition: a crashed earlier attempt of the
-    // same batch may have landed grams already — replaying against
-    // them would flag every replayed doc as a corpus duplicate
+    // Explicit schema: crash residue from a failed FIRST grams write
+    // can leave the dir present but without one readable parquet
+    // footer — schema inference would then throw on every replay and
+    // wedge the stream. With the schema given, a zero-data-file read
+    // is just empty. Prune THIS batch's partition: a crashed earlier
+    // attempt of the same batch may have landed grams already —
+    // replaying against them would flag every replayed doc as a
+    // corpus duplicate.
     val stored =
-      if (dirExists(gramDir))
-        spark.read.parquet(gramDir)
+      if (dirExists(spark, gramDir))
+        spark.read
+          .schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("g",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("batch",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(gramDir)
           .filter(col("batch") =!= batchId).select(col("g"))
       else spark.range(0).select(col("id").as("g"))
-    val dupPerDoc = GramIndex.probeSpansAgainst(batch, stored, k)
-      .groupBy(col("doc_id"))
-      .agg(sum(col("span_tokens")).as("__dup"))
-    val survivors = batch
-      .join(dupPerDoc, Seq("doc_id"), "left")
-      .filter(coalesce(col("__dup"), lit(0L)).cast("double") <=
-        size(split(trim(col("text")), "\\s+")) * maxDupFrac)
-      .select(col("doc_id"), col("text"))
-      .cache()
+    // ONE run of the compute-bound tokenize+hash kernel: the cached
+    // occurrence stream feeds the probe AND the sink grams
+    val occ = Dedup.gramOccurrences(batch, k, "text", "doc_id").cache()
     try {
-      if (survivors.take(1).nonEmpty) {
-        // overwrite-idempotent sinks: a replay rewrites BOTH batch
-        // directories; write order therefore doesn't matter
-        survivors.write.mode("overwrite")
-          .parquet(s"$corpusDir/docs/batch=$batchId")
-        Dedup.gramOccurrences(survivors, k, "text", "doc_id")
-          .select(col("__g").as("g")).distinct()
-          .write.mode("overwrite").parquet(s"$gramDir/batch=$batchId")
-      }
-    } finally survivors.unpersist()
+      val dupPerDoc = GramIndex.spansFromOcc(occ, stored, k, "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_tokens")).as("__dup"))
+      val survivors = batch
+        .join(dupPerDoc, Seq("doc_id"), "left")
+        .filter(coalesce(col("__dup"), lit(0L)).cast("double") <=
+          size(split(trim(col("text")), "\\s+")) * maxDupFrac)
+        .select(col("doc_id"), col("text"))
+        .cache()
+      try {
+        if (survivors.take(1).nonEmpty) {
+          // overwrite-idempotent sinks: a replay rewrites BOTH batch
+          // directories; write order therefore doesn't matter
+          survivors.write.mode("overwrite")
+            .parquet(s"$corpusDir/docs/batch=$batchId")
+          // sink grams from the CACHED occurrences (no third kernel
+          // run), restricted to survivor docs
+          occ.join(survivors.select(col("doc_id").as("__id")),
+              Seq("__id"), "left_semi")
+            .select(col("__g").as("g")).distinct()
+            .write.mode("overwrite").parquet(s"$gramDir/batch=$batchId")
+        }
+      } finally survivors.unpersist()
+    } finally occ.unpersist()
     ()
+  }
+
+  /** Shared filesystem-existence probe for the ingest loops. */
+  private def dirExists(spark: SparkSession, p: String): Boolean = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
   }
 
   /** Stream documents through the STANDING bigram LM
@@ -792,7 +810,12 @@ object Ingest {
     * watermark passes last-event + gap — the same instant the session
     * became unclosable, so results are as prompt as correctness
     * allows. Session ordinals count 1, 2, … per key in event-time
-    * order, matching the batch window's running sum of gap breaks.
+    * order, matching the batch window's running sum of gap breaks; a
+    * timeout close leaves an ordinal-holding tombstone so the next
+    * session cannot reuse an emitted session_id, and the tombstone
+    * itself expires after `tombstoneRetentionSec` of further silence
+    * (state stays bounded to recently-active keys; a key silent past
+    * the horizon restarts at ordinal 1 — documented trade).
     *
     * Documented divergence under out-of-order arrival: events inside
     * one micro-batch are sorted before folding, but an event arriving
@@ -805,9 +828,12 @@ object Ingest {
     * window exactly. */
   def sessionizeStream(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts", gapSec: Long = 1800L,
-      watermark: String = "1 hour", batchMode: Boolean = false): DataFrame = {
+      watermark: String = "1 hour", batchMode: Boolean = false,
+      tombstoneRetentionSec: Long = 30L * 86400L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(gapSec > 0, "[GRAFT] sessionizeStream: gapSec must be positive")
+    require(tombstoneRetentionSec > 0,
+      "[GRAFT] sessionizeStream: tombstoneRetentionSec must be positive")
     val spark = events.sparkSession
     import spark.implicits._
     val evN = TimeNorm.normalize(events, tsCol)
@@ -824,8 +850,11 @@ object Ingest {
     // OPEN session with ordinal sessionId; nEvents == 0 = a TOMBSTONE
     // left by a timeout close, holding the NEXT ordinal so a later
     // event cannot reuse an already-emitted session_id. The tombstone
-    // is one small tuple per key — the same per-key floor retention's
-    // state pays — and carries no timeout.
+    // itself expires after `tombstoneRetentionSec` of further silence
+    // (event-time), bounding state to RECENTLY-active keys rather
+    // than every key ever seen — the documented trade: a key silent
+    // longer than the retention restarts its ordinals at 1 (same
+    // horizon-bounding stance as dropDuplicatesWithinWatermark).
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long, Long, Long),
           (Long, Long, Long, Long)](
@@ -835,10 +864,21 @@ object Ingest {
         (k: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
             state: GroupState[(Long, Long, Long, Long)]) =>
           if (state.hasTimedOut) {
-            // watermark passed lastUs + gap: the open session closed
-            val (sid, su, _, n) = state.get
-            state.update((sid + 1, 0L, 0L, 0L))
-            Iterator.single((k, sid, n, su))
+            val (sid, su, lastUs, n) = state.get
+            if (n == 0L) {
+              // the TOMBSTONE expired: the key has been silent past
+              // the retention horizon — drop its state entirely
+              state.remove()
+              Iterator.empty
+            } else {
+              // watermark passed lastUs + gap: the open session
+              // closed; leave the ordinal-holding tombstone with its
+              // own retention deadline
+              state.update((sid + 1, 0L, lastUs, 0L))
+              state.setTimeoutTimestamp(
+                lastUs / 1000L + tombstoneRetentionSec * 1000L)
+              Iterator.single((k, sid, n, su))
+            }
           } else {
             val closed = Array.newBuilder[(Long, Long, Long, Long)]
             var open = state.getOption
@@ -874,15 +914,23 @@ object Ingest {
     * NULL for every row under non-ANSI semantics, silently collapsing
     * ALL keys into one group — retention would count one giant user,
     * a funnel would complete each step at most once globally. Fail
-    * loudly at plan time instead. */
+    * loudly at plan time instead. Scale-0 decimals up to 18 digits
+    * (the common JDBC/warehouse export type for ids) cast losslessly
+    * and are accepted; wider or fractional numerics are not — their
+    * cast rounds or overflows silently. */
   private def requireIntegralKey(df: DataFrame, keyCol: String,
       op: String): Unit = {
     import org.apache.spark.sql.types._
-    val dt = df.schema(keyCol).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"[GRAFT] $op: key column `$keyCol` must be an integral type, " +
-        s"got ${dt.simpleString} — a lossy cast('long') would " +
-        "silently collapse non-numeric keys to NULL")
+    val ok = df.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0 && d.precision <= 18
+      case _ => false
+    }
+    require(ok,
+      s"[GRAFT] $op: key column `$keyCol` must be an integral type " +
+        "(or a scale-0 decimal up to 18 digits), got " +
+        s"${df.schema(keyCol).dataType.simpleString} — a lossy " +
+        "cast('long') would silently collapse or corrupt keys")
   }
 
   /** Event-time windowed aggregation with watermark — the standard

@@ -2233,6 +2233,54 @@ class PipelineSpec extends AnyFunSuite {
       graft.streaming.Ingest.substringDedupIngestStream(
         stream.toDF().toDF("doc_id", "text"), dir, ck, k = 0)
     }
+    // frozen-k: the corpus dir was stamped k=3 on first use —
+    // restarting with k=4 would silently match nothing stored and
+    // mix window widths forever, so it must fail loudly instead
+    val kErr = intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.substringDedupBatch(
+        Seq((9L, tB)).toDF("doc_id", "text"),
+        batchId = 99L, corpusDir = dir, k = 4, maxDupFrac = 0.5)
+    }
+    assert(kErr.getMessage.contains("frozen at k=3"))
+  }
+
+  test("sessionize tombstone expires past the retention horizon: " +
+      "state stays bounded, ordinals restart (documented trade)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000L
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val ses = graft.streaming.Ingest.sessionizeStream(
+      stream.toDF().toDF("user_id", "ts"), gapSec = 1800L,
+      watermark = "1 hour", tombstoneRetentionSec = 7200L)
+    val q = ses.writeStream.outputMode("append")
+      .format("memory").queryName("sestomb").start()
+    try {
+      stream.addData((1L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // driver key pushes the watermark past u1's session timeout
+      // (10:30): session 1 emits, tombstone holds ordinal 2 with a
+      // retention deadline of 10:00 + 2 h = 12:00
+      stream.addData((9L, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      // watermark passes the tombstone deadline: state drops silently
+      stream.addData((9L, ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      // u1 returns AFTER the horizon: ordinals restart at 1 — the
+      // bounded-state trade, pinned; close it via the next watermark
+      stream.addData((1L, ts("2024-01-01 15:00:00")))
+      q.processAllAvailable()
+      stream.addData((9L, ts("2024-01-01 18:00:00")))
+      q.processAllAvailable()
+      val u1 = spark.sql(
+        """SELECT session_id, n_events, start_us FROM sestomb
+          |WHERE user_id = 1 ORDER BY start_us""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(u1.toSeq === Seq(
+        (1L, 1L, us("2024-01-01 10:00:00")),
+        (1L, 1L, us("2024-01-01 15:00:00"))))
+    } finally q.stop()
   }
 
   test("lmScoreStream: batches score against the FROZEN model, " +
