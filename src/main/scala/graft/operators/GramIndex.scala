@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -43,22 +42,48 @@ object GramIndex {
   private def metaJson(m: Meta): String =
     s"""{"k":${m.k},"generation":${m.generation}}"""
 
+  // Metadata I/O goes through the Hadoop FileSystem of the artifact
+  // path (NOT java.nio): a remote hdfs:// or s3a:// artifact would
+  // otherwise resolve gram.json against the driver's LOCAL cwd — the
+  // frozen-k guard would silently re-stamp k per driver node, the
+  // exact silent window-width mixing it exists to prevent.
+  private def fsOf(path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
+  private def metaExists(path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path, "gram.json")
+    fsOf(path).exists(p)
+  }
+
   private[graft] def readMeta(path: String): Meta = {
-    val p = Paths.get(path, "gram.json")
-    require(Files.exists(p), s"[GRAFT] no gram index at $path")
-    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val fs = fsOf(path)
+    val p = new org.apache.hadoop.fs.Path(path, "gram.json")
+    require(fs.exists(p), s"[GRAFT] no gram index at $path")
+    val in = fs.open(p)
+    val s =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
     def num(key: String) =
       ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
     Meta(num("k"), num("generation"))
   }
 
+  /** Staged write + rename. Hadoop rename does not replace an
+    * existing destination, so the old file is deleted first — a tiny
+    * non-atomic metadata window, covered by the single-writer caller
+    * contract (the DATA swap stays two-rename-staged regardless). */
   private def writeMeta(path: String, m: Meta): Unit = {
-    val tmp = Paths.get(path, "gram.json.tmp")
-    Files.createDirectories(Paths.get(path))
-    Files.write(tmp, metaJson(m).getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(path, "gram.json"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val fs = fsOf(path)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    val tmp = new org.apache.hadoop.fs.Path(path, "gram.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(metaJson(m).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(path, "gram.json")
+    if (fs.exists(dst)) fs.delete(dst, false)
+    require(fs.rename(tmp, dst),
+      s"[GRAFT] gram index: cannot move metadata into place at $path")
   }
 
   /** Pin `k` against an existing artifact dir, or stamp it on a fresh
@@ -69,7 +94,7 @@ object GramIndex {
     * silently match nothing and mix window widths forever. */
   def ensureMeta(path: String, k: Int): Unit = {
     require(k > 0, "[GRAFT] gram index: k must be positive")
-    if (Files.exists(Paths.get(path, "gram.json"))) {
+    if (metaExists(path)) {
       val m = readMeta(path)
       require(m.k == k,
         s"[GRAFT] gram index at $path is frozen at k=${m.k}; " +
@@ -133,8 +158,7 @@ object GramIndex {
     else stagedSwap(fs, path, "build")(stage =>
       grams.write.mode("overwrite").parquet(stage))
     val gen =
-      if (Files.exists(Paths.get(path, "gram.json")))
-        readMeta(path).generation + 1
+      if (metaExists(path)) readMeta(path).generation + 1
       else 1
     writeMeta(path, Meta(k, gen))
   }

@@ -199,44 +199,42 @@ class VfsStore private (val spark: SparkSession, val root: String,
     * the incoming batch. */
   def upsertBatch(input: DataFrame): Long = synchronized {
     flush()
-    val base = manifest.nextId
-    val (df, n) = encodeBatch(input, base)
-    // write the incoming commit dir FIRST, then validate and anti-join
-    // against what was actually WRITTEN (already name-mangled on
-    // quantized stores): one evaluation of the input pipeline, and no
-    // check-then-write window for nondeterministic inputs — the rows
-    // the uniqueness verdict saw ARE the rows that would land
-    val (dir, _) = writeCommitDir(df, knownCount = Some(n))
-    val written = spark.read.parquet(s"$root/data/$dir")
     // MERGE-by-name has no defined winner for duplicate names within
     // one batch (both copies would land and a by-name reader would
-    // see a nondeterministic one) — fail loudly; the orphaned dir is
-    // removed and the manifest never referenced it, so the store is
-    // untouched
-    val maxRow = written.groupBy(col("name"))
+    // see a nondeterministic one) — fail loudly BEFORE anything
+    // touches data/: an active readStream() must never observe rows
+    // of a rejected batch whose ids would then be reassigned (the
+    // id-aliasing hazard its contract rules out). The extra input
+    // evaluation rides on the same deterministic-input contract the
+    // two-phase id encoder already documents.
+    val maxRow = input.groupBy(col("name"))
       .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
     val maxPerName = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    if (maxPerName > 1L) {
-      val hp = new org.apache.hadoop.fs.Path(s"$root/data/$dir")
-      hp.getFileSystem(spark.sessionState.newHadoopConf())
-        .delete(hp, true)
-      throw new IllegalArgumentException(
-        "[GRAFT] upsertBatch: incoming names must be unique within " +
-          s"the batch (a name occurs $maxPerName times) — dedup the " +
-          "batch first to define which payload wins")
-    }
+    require(maxPerName <= 1L,
+      "[GRAFT] upsertBatch: incoming names must be unique within the " +
+        s"batch (a name occurs $maxPerName times) — dedup the batch " +
+        "first to define which payload wins")
+    val base = manifest.nextId
+    val (df, n) = encodeBatch(input, base)
+    // stored names on quantized stores carry the `_quantized` suffix
+    // (C3) — mangle the incoming names the same way before comparing
+    val inNames = input.select(
+      (if (manifest.quantize) concat(col("name"), lit("_quantized"))
+       else col("name")).as("name")).distinct()
+    // pre-swap dirs in data/ are the same crash-orphan story as
+    // deleteWhere/compact rewrites — readStream vacuums them at attach
     val survivorDir =
       if (manifest.commits.isEmpty) None
       else {
         val all = spark.read
           .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
-        val keep = all.join(written.select(col("name")).distinct(),
-          Seq("name"), "left_anti")
+        val keep = all.join(inNames, Seq("name"), "left_anti")
         val keepDir = commitDirName("upsert-keep")
         keep.sortWithinPartitions("id").write.mode("overwrite")
           .parquet(s"$root/data/$keepDir")
         Some(keepDir)
       }
+    val (dir, _) = writeCommitDir(df, knownCount = Some(n))
     commitManifest(manifest.copy(
       commits = survivorDir.toSeq :+ dir, nextId = base + n))
     base

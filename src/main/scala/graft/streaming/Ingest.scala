@@ -832,8 +832,11 @@ object Ingest {
       tombstoneRetentionSec: Long = 30L * 86400L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     require(gapSec > 0, "[GRAFT] sessionizeStream: gapSec must be positive")
-    require(tombstoneRetentionSec > 0,
-      "[GRAFT] sessionizeStream: tombstoneRetentionSec must be positive")
+    require(tombstoneRetentionSec > gapSec,
+      "[GRAFT] sessionizeStream: tombstoneRetentionSec must exceed " +
+        "gapSec — the session timeout fires only once the watermark " +
+        "passes last-event + gap, so a shorter retention would place " +
+        "the tombstone deadline behind the watermark")
     val spark = events.sparkSession
     import spark.implicits._
     val evN = TimeNorm.normalize(events, tsCol)
@@ -872,11 +875,21 @@ object Ingest {
               Iterator.empty
             } else {
               // watermark passed lastUs + gap: the open session
-              // closed; leave the ordinal-holding tombstone with its
-              // own retention deadline
-              state.update((sid + 1, 0L, lastUs, 0L))
-              state.setTimeoutTimestamp(
-                lastUs / 1000L + tombstoneRetentionSec * 1000L)
+              // closed. Leave the ordinal-holding tombstone with its
+              // own retention deadline — UNLESS the watermark has
+              // already passed it (stream downtime / backfill can
+              // advance it arbitrarily far, and Spark rejects a
+              // timeout behind the watermark): then the tombstone
+              // would expire this instant anyway, so drop the state
+              // directly (the same ordinal-restart trade).
+              val deadlineMs =
+                lastUs / 1000L + tombstoneRetentionSec * 1000L
+              if (state.getCurrentWatermarkMs() >= deadlineMs)
+                state.remove()
+              else {
+                state.update((sid + 1, 0L, lastUs, 0L))
+                state.setTimeoutTimestamp(deadlineMs)
+              }
               Iterator.single((k, sid, n, su))
             }
           } else {
