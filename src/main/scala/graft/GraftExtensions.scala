@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_ohlc"),
       new ExpressionInfo("graft", "vfs_ohlc"),
       graft.plans.SqlSurface.vfsOhlcBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_dup_spans"),
+      new ExpressionInfo("graft", "vfs_dup_spans"),
+      graft.plans.SqlSurface.vfsDupSpansBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

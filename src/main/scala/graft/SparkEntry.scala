@@ -423,6 +423,16 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the SQL-text surface of duplicateSpans: same scan via the
+    // vfs_dup_spans TABLE-valued function — shares the spans oracle ----
+    "sql_tvf_dup_spans" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      s.sql(
+        s"""SELECT doc_id, span_start, span_end, span_tokens
+           |FROM vfs_dup_spans('$dir/documents.parquet', 4)
+           |ORDER BY doc_id ASC, span_start ASC""".stripMargin)
+    }),
+
     // ---- incremental ExactSubstr: the corpus (doc_id >= 100) pays
     // its gram pass ONCE into a standing hash-set artifact; the delta
     // (doc_id < 100) is vetted by one semi-join against it plus its
@@ -2351,28 +2361,10 @@ object SparkEntry {
         |FROM s GROUP BY doc_id
         |ORDER BY doc_id ASC""".stripMargin,
 
-    "dedup_substring_spans" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS idx, w
-        |  FROM t WHERE len(w) >= 4),
-        |g2 AS (SELECT doc_id, idx,
-        |  array_to_string(w[CAST(idx + 1 AS INT):CAST(idx + 4 AS INT)], ' ')
-        |    AS gram FROM g),
-        |r AS (SELECT doc_id, idx, row_number() OVER (PARTITION BY gram
-        |  ORDER BY doc_id, idx) AS rn FROM g2),
-        |d AS (SELECT doc_id, idx FROM r WHERE rn > 1),
-        |m AS (SELECT doc_id, idx, CASE WHEN idx <= coalesce(
-        |  max(idx + 4) OVER (PARTITION BY doc_id ORDER BY idx
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |  THEN 0 ELSE 1 END AS brk FROM d),
-        |i AS (SELECT doc_id, idx,
-        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS grp FROM m)
-        |SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
-        |  CAST(max(idx) + 4 AS BIGINT) AS span_end,
-        |  CAST(max(idx) + 4 - min(idx) AS BIGINT) AS span_tokens
-        |FROM i GROUP BY doc_id, grp
-        |ORDER BY doc_id ASC, span_start ASC""".stripMargin,
+    "dedup_substring_spans" -> substringSpansOracle,
+
+    // the TVF form is the same scan — shares the oracle
+    "sql_tvf_dup_spans" -> substringSpansOracle,
 
     // delta (doc_id < 100) vs corpus (>= 100): corpus presence alone
     // duplicates a delta occurrence; delta-only grams fall back to
@@ -3905,6 +3897,32 @@ object SparkEntry {
        |SELECT a, b, jaccard_milli FROM v
        |WHERE jaccard_milli >= 900
        |ORDER BY a ASC, b ASC""".stripMargin
+
+  /** ExactSubstr spans oracle (shared by the DataFrame query and the
+    * vfs_dup_spans TVF): sliding 4-grams, keep-first rn > 1 verdict,
+    * islands fold into maximal spans. */
+  private def substringSpansOracle: String =
+    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS idx, w
+      |  FROM t WHERE len(w) >= 4),
+      |g2 AS (SELECT doc_id, idx,
+      |  array_to_string(w[CAST(idx + 1 AS INT):CAST(idx + 4 AS INT)], ' ')
+      |    AS gram FROM g),
+      |r AS (SELECT doc_id, idx, row_number() OVER (PARTITION BY gram
+      |  ORDER BY doc_id, idx) AS rn FROM g2),
+      |d AS (SELECT doc_id, idx FROM r WHERE rn > 1),
+      |m AS (SELECT doc_id, idx, CASE WHEN idx <= coalesce(
+      |  max(idx + 4) OVER (PARTITION BY doc_id ORDER BY idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |  THEN 0 ELSE 1 END AS brk FROM d),
+      |i AS (SELECT doc_id, idx,
+      |  sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS grp FROM m)
+      |SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
+      |  CAST(max(idx) + 4 AS BIGINT) AS span_end,
+      |  CAST(max(idx) + 4 - min(idx) AS BIGINT) AS span_tokens
+      |FROM i GROUP BY doc_id, grp
+      |ORDER BY doc_id ASC, span_start ASC""".stripMargin
 
   /** Containment twin of [[minHashLshOracle]]: the SAME 64-hash
     * signatures resliced into 32 bands x 2 rows (the low-threshold

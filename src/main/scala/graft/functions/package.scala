@@ -164,6 +164,9 @@ package object functions {
     // SELECT * FROM vfs_ohlc(path, stepSec[, keyCol, tsCol, valueCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_ohlc",
       graft.plans.SqlSurface.vfsOhlcBuilder _)
+    // SELECT * FROM vfs_dup_spans(path, k[, textCol, idCol])
+    ExpressionUtils.registerTableFunction(spark, "vfs_dup_spans",
+      graft.plans.SqlSurface.vfsDupSpansBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

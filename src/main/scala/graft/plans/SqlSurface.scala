@@ -190,6 +190,38 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_dup_spans(path, k[, textCol, idCol])` —
+    * ExactSubstr maximal duplicated spans
+    * ([[graft.operators.Dedup.duplicateSpans]]) from pure SQL text:
+    * {{{ SELECT doc_id, span_start, span_tokens
+    *     FROM vfs_dup_spans('/data/docs', 5)
+    *     WHERE span_tokens >= 50 }}} */
+  private[graft] def vfsDupSpansBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_dup_spans(path, k[, textCol, idCol]): $msg")
+    if (es.length < 2 || es.length > 4)
+      fail(s"expected 2-4 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val path = evalNonNull(0, "path").toString
+    val k = evalNonNull(1, "k") match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => fail(s"k must be an integer literal, got $other")
+    }
+    val textCol = if (es.length >= 3) evalNonNull(2, "textCol").toString
+      else "text"
+    val idCol = if (es.length >= 4) evalNonNull(3, "idCol").toString
+      else "doc_id"
+    graft.operators.Dedup.duplicateSpans(
+        SparkSession.active.read.parquet(path), k, textCol, idCol)
+      .queryExecution.analyzed
+  }
+
   /** Expose a store's live table (memtable ∪ flushed, dequantized) as
     * a temp view. */
   def registerStore(store: graft.store.VfsStore, name: String): Unit =

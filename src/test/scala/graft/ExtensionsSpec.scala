@@ -245,6 +245,35 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("vfs_dup_spans table-valued function: ExactSubstr spans from " +
+      "SQL text, parity with the DataFrame operator, bad args loud") {
+    val shared = GraftTest.spark
+    val dataPath = s"${GraftTest.sf0001}/documents.parquet"
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      SparkSession.setActiveSession(s)
+      val got = s.sql(
+        s"""SELECT doc_id, span_start, span_end, span_tokens
+           |FROM vfs_dup_spans('$dataPath', 3)
+           |ORDER BY doc_id, span_start""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      import org.apache.spark.sql.functions.col
+      val expect = graft.operators.Dedup.duplicateSpans(
+          s.read.parquet(dataPath), k = 3)
+        .orderBy(col("doc_id"), col("span_start"))
+        .collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got === expect)
+      val e = intercept[Exception] {
+        s.sql(s"SELECT * FROM vfs_dup_spans('$dataPath')").collect()
+      }
+      assert(e.getMessage.contains("expected 2-4 arguments"))
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("vfs_lm_score table-valued function: self-score and standing " +
       "model from SQL text, bad arity loud") {
     val shared = GraftTest.spark
