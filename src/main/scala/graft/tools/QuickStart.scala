@@ -215,6 +215,42 @@ object QuickStart {
       s"${cdcStore.changesSince("base").count()} delta rows of " +
       s"${cdcStore.read().count()} total")
 
+    // MERGE-by-name upsert: replace one base row, insert one new —
+    // survivors untouched, one atomic manifest swap
+    cdcStore.upsertBatch(Seq(
+      (Seq(0f, 0f, 1f, 0f), "base1", Seq[String]()),
+      (Seq(0f, 0f, 0f, 1f), "new0", Seq[String]()))
+      .toDF("values", "name", "tags"))
+    println(s"[quickstart] upsert: ${cdcStore.read().count()} rows, " +
+      "base1 replaced, new0 inserted")
+
+    // ExactSubstr: maximal duplicated spans + the standing gram index
+    // vetting a delta against the corpus
+    val spans = graft.operators.Dedup.stripDuplicateSpans(docs, k = 4)
+    println(s"[quickstart] substring dedup: " +
+      s"${spans.agg(sum($"dup_tokens")).head.getLong(0)} duplicated " +
+      s"tokens across ${spans.count()} docs")
+    val gramDir = java.nio.file.Files
+      .createTempDirectory("graft-gramidx").toString
+    graft.operators.GramIndex.build(
+      docs.filter($"doc_id" >= 100), gramDir, k = 4)
+    val probed = graft.operators.GramIndex.probeSpans(spark, gramDir,
+      docs.filter($"doc_id" < 100))
+    println(s"[quickstart] gram-index probe: ${probed.count()} dup " +
+      "spans in the delta, corpus text untouched")
+
+    // binary (1-bit) quantization tier: Hamming prefilter then exact
+    val qv = emb.filter($"vec_id" === 1L)
+      .select($"embedding").head.getSeq[Float](0)
+    val qp = graft.functions.vfs_binary_quantize(typedLit(qv))
+    val bh = emb.select($"vec_id",
+        graft.functions.vfs_hamming(
+          graft.functions.vfs_binary_quantize($"embedding"), qp).as("h"))
+      .orderBy($"h".asc, $"vec_id".asc).limit(5)
+      .collect().map(r => s"${r.getLong(0)}(${r.getLong(1)})")
+    println(s"[quickstart] binary-hamming prefilter top-5: " +
+      bh.mkString(", "))
+
     // API-parity surface: the reference's 7 endpoints as library calls
     val api = new graft.api.VfsApi(spark,
       java.nio.file.Files.createTempDirectory("graft-api").toString)
