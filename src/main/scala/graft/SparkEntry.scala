@@ -423,6 +423,22 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the streaming decontamination loop, single-batch run (how
+    // the oracle can see it): docs whose duplicated-token fraction
+    // exceeds 0.5 drop, survivors land batch-addressed ----
+    "stream_substring_dedup" -> ((s, dir) => {
+      val corpus = java.nio.file.Files
+        .createTempDirectory("verify-substr-ing").toString
+      graft.streaming.Ingest.substringDedupBatch(
+        s.read.parquet(s"$dir/documents.parquet"), batchId = 0L,
+        corpusDir = corpus, k = 4, maxDupFrac = 0.5)
+      s.read.parquet(s"$corpus/docs")
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long")
+            .as("n_tokens"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- the SQL-text surface of duplicateSpans: same scan via the
     // vfs_dup_spans TABLE-valued function — shares the spans oracle ----
     "sql_tvf_dup_spans" -> ((s, dir) => {
@@ -2433,6 +2449,34 @@ object SparkEntry {
         |  coalesce(dt.dup_tokens, 0) AS dup_tokens, k.new_text
         |FROM t JOIN k ON t.doc_id = k.doc_id
         |LEFT JOIN dt ON t.doc_id = dt.doc_id
+        |ORDER BY t.doc_id ASC""".stripMargin,
+
+    // survivors of the single-batch streaming decontamination loop:
+    // keep iff duplicated tokens <= half the doc (same span CTEs)
+    "stream_substring_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS idx, w
+        |  FROM t WHERE len(w) >= 4),
+        |g2 AS (SELECT doc_id, idx,
+        |  array_to_string(w[CAST(idx + 1 AS INT):CAST(idx + 4 AS INT)], ' ')
+        |    AS gram FROM g),
+        |r AS (SELECT doc_id, idx, row_number() OVER (PARTITION BY gram
+        |  ORDER BY doc_id, idx) AS rn FROM g2),
+        |d AS (SELECT doc_id, idx FROM r WHERE rn > 1),
+        |m AS (SELECT doc_id, idx, CASE WHEN idx <= coalesce(
+        |  max(idx + 4) OVER (PARTITION BY doc_id ORDER BY idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |  THEN 0 ELSE 1 END AS brk FROM d),
+        |i AS (SELECT doc_id, idx,
+        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS grp FROM m),
+        |sp AS (SELECT doc_id, min(idx) AS ss, max(idx) + 4 AS se
+        |  FROM i GROUP BY doc_id, grp),
+        |dt AS (SELECT doc_id, CAST(sum(se - ss) AS BIGINT) AS dup_tokens
+        |  FROM sp GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens
+        |FROM t LEFT JOIN dt ON t.doc_id = dt.doc_id
+        |WHERE coalesce(dt.dup_tokens, 0) <= len(t.w) * 0.5
         |ORDER BY t.doc_id ASC""".stripMargin,
 
     "dedup_components" ->
