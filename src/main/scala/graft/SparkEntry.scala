@@ -2384,34 +2384,23 @@ object SparkEntry {
 
     // delta (doc_id < 100) vs corpus (>= 100): corpus presence alone
     // duplicates a delta occurrence; delta-only grams fall back to
-    // within-delta keep-first — then the same maximal-span islands
+    // within-delta keep-first — the shared islands fold over an
+    // overridden duplicated-start set `d`
     "dedup_incremental_substring" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS idx, w
-        |  FROM t WHERE len(w) >= 4),
-        |g2 AS (SELECT doc_id, idx,
-        |  array_to_string(w[CAST(idx + 1 AS INT):CAST(idx + 4 AS INT)], ' ')
-        |    AS gram FROM g),
-        |cg AS (SELECT DISTINCT gram FROM g2 WHERE doc_id >= 100),
-        |de AS (SELECT doc_id, idx, gram FROM g2 WHERE doc_id < 100),
-        |dd AS (SELECT doc_id, idx FROM (SELECT doc_id, idx,
-        |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, idx)
-        |      AS rn FROM de) WHERE rn > 1),
-        |d AS (SELECT doc_id, idx FROM de
-        |    WHERE gram IN (SELECT gram FROM cg)
-        |  UNION SELECT doc_id, idx FROM dd),
-        |m AS (SELECT doc_id, idx, CASE WHEN idx <= coalesce(
-        |  max(idx + 4) OVER (PARTITION BY doc_id ORDER BY idx
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |  THEN 0 ELSE 1 END AS brk FROM d),
-        |i AS (SELECT doc_id, idx,
-        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS grp FROM m)
-        |SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
-        |  CAST(max(idx) + 4 AS BIGINT) AS span_end,
-        |  CAST(max(idx) + 4 - min(idx) AS BIGINT) AS span_tokens
-        |FROM i GROUP BY doc_id, grp
-        |ORDER BY doc_id ASC, span_start ASC""".stripMargin,
+      s"""WITH ${substringSpanCtes(
+            """cg AS (SELECT DISTINCT gram FROM g2 WHERE doc_id >= 100),
+              |de AS (SELECT doc_id, idx, gram FROM g2 WHERE doc_id < 100),
+              |dd AS (SELECT doc_id, idx FROM (SELECT doc_id, idx,
+              |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, idx)
+              |      AS rn FROM de) WHERE rn > 1),
+              |d AS (SELECT doc_id, idx FROM de
+              |    WHERE gram IN (SELECT gram FROM cg)
+              |  UNION SELECT doc_id, idx FROM dd)""".stripMargin)}
+         |SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
+         |  CAST(max(idx) + 4 AS BIGINT) AS span_end,
+         |  CAST(max(idx) + 4 - min(idx) AS BIGINT) AS span_tokens
+         |FROM i GROUP BY doc_id, grp
+         |ORDER BY doc_id ASC, span_start ASC""".stripMargin,
 
     "dedup_substring_strip" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
@@ -2452,32 +2441,17 @@ object SparkEntry {
         |ORDER BY t.doc_id ASC""".stripMargin,
 
     // survivors of the single-batch streaming decontamination loop:
-    // keep iff duplicated tokens <= half the doc (same span CTEs)
+    // keep iff duplicated tokens <= half the doc (shared span CTEs)
     "stream_substring_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS idx, w
-        |  FROM t WHERE len(w) >= 4),
-        |g2 AS (SELECT doc_id, idx,
-        |  array_to_string(w[CAST(idx + 1 AS INT):CAST(idx + 4 AS INT)], ' ')
-        |    AS gram FROM g),
-        |r AS (SELECT doc_id, idx, row_number() OVER (PARTITION BY gram
-        |  ORDER BY doc_id, idx) AS rn FROM g2),
-        |d AS (SELECT doc_id, idx FROM r WHERE rn > 1),
-        |m AS (SELECT doc_id, idx, CASE WHEN idx <= coalesce(
-        |  max(idx + 4) OVER (PARTITION BY doc_id ORDER BY idx
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |  THEN 0 ELSE 1 END AS brk FROM d),
-        |i AS (SELECT doc_id, idx,
-        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS grp FROM m),
-        |sp AS (SELECT doc_id, min(idx) AS ss, max(idx) + 4 AS se
-        |  FROM i GROUP BY doc_id, grp),
-        |dt AS (SELECT doc_id, CAST(sum(se - ss) AS BIGINT) AS dup_tokens
-        |  FROM sp GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens
-        |FROM t LEFT JOIN dt ON t.doc_id = dt.doc_id
-        |WHERE coalesce(dt.dup_tokens, 0) <= len(t.w) * 0.5
-        |ORDER BY t.doc_id ASC""".stripMargin,
+      s"""WITH ${substringSpanCtes(substringKeepFirstDu)},
+         |sp AS (SELECT doc_id, min(idx) AS ss, max(idx) + 4 AS se
+         |  FROM i GROUP BY doc_id, grp),
+         |dt AS (SELECT doc_id, CAST(sum(se - ss) AS BIGINT) AS dup_tokens
+         |  FROM sp GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens
+         |FROM t LEFT JOIN dt ON t.doc_id = dt.doc_id
+         |WHERE coalesce(dt.dup_tokens, 0) <= len(t.w) * 0.5
+         |ORDER BY t.doc_id ASC""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE t AS (SELECT doc_id, source,
@@ -3942,31 +3916,43 @@ object SparkEntry {
        |WHERE jaccard_milli >= 900
        |ORDER BY a ASC, b ASC""".stripMargin
 
-  /** ExactSubstr spans oracle (shared by the DataFrame query and the
-    * vfs_dup_spans TVF): sliding 4-grams, keep-first rn > 1 verdict,
-    * islands fold into maximal spans. */
-  private def substringSpansOracle: String =
-    """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-      |  FROM documents),
-      |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS idx, w
-      |  FROM t WHERE len(w) >= 4),
-      |g2 AS (SELECT doc_id, idx,
-      |  array_to_string(w[CAST(idx + 1 AS INT):CAST(idx + 4 AS INT)], ' ')
-      |    AS gram FROM g),
-      |r AS (SELECT doc_id, idx, row_number() OVER (PARTITION BY gram
+  /** Shared ExactSubstr CTE prefix (sliding 4-grams `t`..`g2`, the
+    * keep-first `rn > 1` verdict `d` over duplicated-start set `du`,
+    * and the islands fold to maximal spans `i`) — ONE copy for the
+    * three oracles that re-derive spans (DataFrame, TVF, incremental,
+    * streaming survivor set), so a span-semantics fix cannot leave a
+    * stale twin. `du` is the hook the incremental oracle overrides. */
+  private def substringSpanCtes(duCte: String): String =
+    s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM documents),
+       |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS idx, w
+       |  FROM t WHERE len(w) >= 4),
+       |g2 AS (SELECT doc_id, idx,
+       |  array_to_string(w[CAST(idx + 1 AS INT):CAST(idx + 4 AS INT)], ' ')
+       |    AS gram FROM g),
+       |$duCte,
+       |m AS (SELECT doc_id, idx, CASE WHEN idx <= coalesce(
+       |  max(idx + 4) OVER (PARTITION BY doc_id ORDER BY idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+       |  THEN 0 ELSE 1 END AS brk FROM d),
+       |i AS (SELECT doc_id, idx,
+       |  sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS grp FROM m)""".stripMargin
+
+  /** The whole-corpus keep-first duplicated-start set. */
+  private def substringKeepFirstDu: String =
+    """r AS (SELECT doc_id, idx, row_number() OVER (PARTITION BY gram
       |  ORDER BY doc_id, idx) AS rn FROM g2),
-      |d AS (SELECT doc_id, idx FROM r WHERE rn > 1),
-      |m AS (SELECT doc_id, idx, CASE WHEN idx <= coalesce(
-      |  max(idx + 4) OVER (PARTITION BY doc_id ORDER BY idx
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-      |  THEN 0 ELSE 1 END AS brk FROM d),
-      |i AS (SELECT doc_id, idx,
-      |  sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS grp FROM m)
-      |SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
-      |  CAST(max(idx) + 4 AS BIGINT) AS span_end,
-      |  CAST(max(idx) + 4 - min(idx) AS BIGINT) AS span_tokens
-      |FROM i GROUP BY doc_id, grp
-      |ORDER BY doc_id ASC, span_start ASC""".stripMargin
+      |d AS (SELECT doc_id, idx FROM r WHERE rn > 1)""".stripMargin
+
+  /** ExactSubstr spans oracle (shared by the DataFrame query and the
+    * vfs_dup_spans TVF). */
+  private def substringSpansOracle: String =
+    s"""WITH ${substringSpanCtes(substringKeepFirstDu)}
+       |SELECT doc_id, CAST(min(idx) AS BIGINT) AS span_start,
+       |  CAST(max(idx) + 4 AS BIGINT) AS span_end,
+       |  CAST(max(idx) + 4 - min(idx) AS BIGINT) AS span_tokens
+       |FROM i GROUP BY doc_id, grp
+       |ORDER BY doc_id ASC, span_start ASC""".stripMargin
 
   /** Containment twin of [[minHashLshOracle]]: the SAME 64-hash
     * signatures resliced into 32 bands x 2 rows (the low-threshold

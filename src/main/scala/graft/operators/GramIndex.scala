@@ -46,10 +46,18 @@ object GramIndex {
   // path (NOT java.nio): a remote hdfs:// or s3a:// artifact would
   // otherwise resolve gram.json against the driver's LOCAL cwd — the
   // frozen-k guard would silently re-stamp k per driver node, the
-  // exact silent window-width mixing it exists to prevent.
+  // exact silent window-width mixing it exists to prevent. The conf
+  // comes from the active-or-default session when one exists (every
+  // production call site) with a plain-Configuration fallback, so a
+  // sessionless thread still resolves local paths.
+  private def hconf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   private def fsOf(path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path).getFileSystem(
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    new org.apache.hadoop.fs.Path(path).getFileSystem(hconf())
 
   private def metaExists(path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path, "gram.json")
@@ -69,10 +77,13 @@ object GramIndex {
     Meta(num("k"), num("generation"))
   }
 
-  /** Staged write + rename. Hadoop rename does not replace an
-    * existing destination, so the old file is deleted first — a tiny
-    * non-atomic metadata window, covered by the single-writer caller
-    * contract (the DATA swap stays two-rename-staged regardless). */
+  /** Staged write + ATOMIC overwrite-rename (FileContext supports
+    * Rename.OVERWRITE where plain FileSystem.rename does not): there
+    * is never an instant with no gram.json on disk — a
+    * delete-then-rename window would let a crash erase the frozen-k
+    * record over a live gram table, and the next ensureMeta would
+    * silently re-stamp a different k (the exact hazard the guard
+    * exists to prevent). */
   private def writeMeta(path: String, m: Meta): Unit = {
     val fs = fsOf(path)
     fs.mkdirs(new org.apache.hadoop.fs.Path(path))
@@ -81,9 +92,9 @@ object GramIndex {
     try out.write(metaJson(m).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(path, "gram.json")
-    if (fs.exists(dst)) fs.delete(dst, false)
-    require(fs.rename(tmp, dst),
-      s"[GRAFT] gram index: cannot move metadata into place at $path")
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hconf())
+      .rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Pin `k` against an existing artifact dir, or stamp it on a fresh

@@ -44,7 +44,10 @@ object SqlSurface {
     val path = evalNonNull(0, "path").toString
     val k = evalNonNull(1, "k") match {
       case i: Int => i
-      case l: Long => l.toInt
+      // a BIGINT literal narrows — reject out-of-range instead of
+      // silently truncating to a different k
+      case l: Long if l == l.toInt => l.toInt
+      case l: Long => fail(s"k out of int range: $l")
       case other => fail(s"k must be an integer literal, got $other")
     }
     val metric = evalNonNull(2, "metric").toString
@@ -210,7 +213,10 @@ object SqlSurface {
     val path = evalNonNull(0, "path").toString
     val k = evalNonNull(1, "k") match {
       case i: Int => i
-      case l: Long => l.toInt
+      // a BIGINT literal narrows — reject out-of-range instead of
+      // silently truncating to a different k
+      case l: Long if l == l.toInt => l.toInt
+      case l: Long => fail(s"k out of int range: $l")
       case other => fail(s"k must be an integer literal, got $other")
     }
     val textCol = if (es.length >= 3) evalNonNull(2, "textCol").toString

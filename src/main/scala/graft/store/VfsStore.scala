@@ -199,45 +199,51 @@ class VfsStore private (val spark: SparkSession, val root: String,
     * the incoming batch. */
   def upsertBatch(input: DataFrame): Long = synchronized {
     flush()
-    // MERGE-by-name has no defined winner for duplicate names within
-    // one batch (both copies would land and a by-name reader would
-    // see a nondeterministic one) — fail loudly BEFORE anything
-    // touches data/: an active readStream() must never observe rows
-    // of a rejected batch whose ids would then be reassigned (the
-    // id-aliasing hazard its contract rules out). The extra input
-    // evaluation rides on the same deterministic-input contract the
-    // two-phase id encoder already documents.
-    val maxRow = input.groupBy(col("name"))
-      .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
-    val maxPerName = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
-    require(maxPerName <= 1L,
-      "[GRAFT] upsertBatch: incoming names must be unique within the " +
-        s"batch (a name occurs $maxPerName times) — dedup the batch " +
-        "first to define which payload wins")
-    val base = manifest.nextId
-    val (df, n) = encodeBatch(input, base)
-    // stored names on quantized stores carry the `_quantized` suffix
-    // (C3) — mangle the incoming names the same way before comparing
-    val inNames = input.select(
-      (if (manifest.quantize) concat(col("name"), lit("_quantized"))
-       else col("name")).as("name")).distinct()
-    // pre-swap dirs in data/ are the same crash-orphan story as
-    // deleteWhere/compact rewrites — readStream vacuums them at attach
-    val survivorDir =
-      if (manifest.commits.isEmpty) None
-      else {
-        val all = spark.read
-          .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
-        val keep = all.join(inNames, Seq("name"), "left_anti")
-        val keepDir = commitDirName("upsert-keep")
-        keep.sortWithinPartitions("id").write.mode("overwrite")
-          .parquet(s"$root/data/$keepDir")
-        Some(keepDir)
-      }
-    val (dir, _) = writeCommitDir(df, knownCount = Some(n))
-    commitManifest(manifest.copy(
-      commits = survivorDir.toSeq :+ dir, nextId = base + n))
-    base
+    // ONE cached evaluation of the input pipeline feeds everything
+    // below (uniqueness verdict, both id-encoder phases, anti-join
+    // names, commit write): the verdict sees the same rows that land
+    // even for nondeterministic inputs, and an expensive upstream
+    // frame computes once, not four times.
+    val in = input.select(col("values"), col("name"), col("tags")).cache()
+    try {
+      // MERGE-by-name has no defined winner for duplicate names
+      // within one batch (both copies would land and a by-name reader
+      // would see a nondeterministic one) — fail loudly BEFORE
+      // anything touches data/: an active readStream() must never
+      // observe rows of a rejected batch whose ids would then be
+      // reassigned (the id-aliasing hazard its contract rules out).
+      val maxRow = in.groupBy(col("name"))
+        .agg(count(lit(1)).as("__n")).agg(max(col("__n"))).head()
+      val maxPerName = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+      require(maxPerName <= 1L,
+        "[GRAFT] upsertBatch: incoming names must be unique within " +
+          s"the batch (a name occurs $maxPerName times) — dedup the " +
+          "batch first to define which payload wins")
+      val base = manifest.nextId
+      val (df, n) = encodeBatch(in, base)
+      // stored names on quantized stores carry the `_quantized` suffix
+      // (C3) — mangle the incoming names the same way before comparing
+      val inNames = in.select(
+        (if (manifest.quantize) concat(col("name"), lit("_quantized"))
+         else col("name")).as("name")).distinct()
+      // pre-swap dirs in data/ are the same crash-orphan story as
+      // deleteWhere/compact rewrites — readStream vacuums at attach
+      val survivorDir =
+        if (manifest.commits.isEmpty) None
+        else {
+          val all = spark.read
+            .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
+          val keep = all.join(inNames, Seq("name"), "left_anti")
+          val keepDir = commitDirName("upsert-keep")
+          keep.sortWithinPartitions("id").write.mode("overwrite")
+            .parquet(s"$root/data/$keepDir")
+          Some(keepDir)
+        }
+      val (dir, _) = writeCommitDir(df, knownCount = Some(n))
+      commitManifest(manifest.copy(
+        commits = survivorDir.toSeq :+ dir, nextId = base + n))
+      base
+    } finally in.unpersist()
   }
 
   /** Shared ingest encoder: validates dimensions distributed-side,

@@ -229,7 +229,8 @@ object QuickStart {
     val spans = graft.operators.Dedup.stripDuplicateSpans(docs, k = 4)
     println(s"[quickstart] substring dedup: " +
       s"${spans.agg(sum($"dup_tokens")).head.getLong(0)} duplicated " +
-      s"tokens across ${spans.count()} docs")
+      s"tokens across ${spans.filter($"dup_tokens" > 0).count()} " +
+      s"of ${spans.count()} docs")
     val gramDir = java.nio.file.Files
       .createTempDirectory("graft-gramidx").toString
     graft.operators.GramIndex.build(
