@@ -191,12 +191,25 @@ class VfsStore private (val spark: SparkSession, val root: String,
     *
     * The collision check is an anti-join against the incoming names —
     * no driver-side name list at any batch size (AQE broadcasts the
-    * small side). Like [[deleteWhere]], the survivor rewrite copies
-    * the committed data once per call; batch upserts amortize exactly
-    * like batch deletes, and high-frequency single-row upserts should
-    * buffer upstream first (the same guidance the reference's
-    * append-only counter implies). Returns the first id assigned to
-    * the incoming batch. */
+    * small side). The survivor rewrite is COLLISION-PRUNED: one
+    * name-column scan over the committed dirs (with file provenance)
+    * finds which commit directories actually contain a colliding
+    * name; only those are rewritten — every other directory carries
+    * into the new manifest verbatim, so upsert cost is ∝ colliding
+    * data, not corpus size, and a zero-collision upsert (a pure
+    * insert) rewrites nothing at all. The detection scan itself reads
+    * just the `name` column (parquet column pruning) and semi-joins
+    * against the broadcast incoming names; the driver collects only a
+    * set of directory names, bounded by the commit count.
+    *
+    * CDC interaction: [[changesSince]] is file-level, so after an
+    * upsert it reports the new commit plus the rewritten survivor
+    * directories (the untouched dirs, being carried verbatim, do NOT
+    * re-report — a benefit of the pruning). CDC consumers that need
+    * exact row-level semantics across upserts should use
+    * [[diffSnapshot]], the same guidance as for [[deleteWhere]]/
+    * [[compact]] rewrites. Returns the first id assigned to the
+    * incoming batch. */
   def upsertBatch(input: DataFrame): Long = synchronized {
     flush()
     // ONE cached evaluation of the input pipeline feeds everything
@@ -227,21 +240,37 @@ class VfsStore private (val spark: SparkSession, val root: String,
         (if (manifest.quantize) concat(col("name"), lit("_quantized"))
          else col("name")).as("name")).distinct()
       // pre-swap dirs in data/ are the same crash-orphan story as
-      // deleteWhere/compact rewrites — readStream vacuums at attach
-      val survivorDir =
-        if (manifest.commits.isEmpty) None
+      // deleteWhere/compact rewrites — readStream vacuums at attach.
+      // Pruning: provenance scan (name column only) → set of commit
+      // dirs holding at least one colliding name → rewrite ONLY those.
+      val (untouched, survivorDir) =
+        if (manifest.commits.isEmpty) (Seq.empty[String], None)
         else {
-          val all = spark.read
+          // immediate parent dir of each row's file IS its commit dir
+          val dirOf = regexp_extract(input_file_name(),
+            "/([^/]+)/[^/]*$", 1)
+          val colliding: Set[String] = spark.read
             .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
-          val keep = all.join(inNames, Seq("name"), "left_anti")
-          val keepDir = commitDirName("upsert-keep")
-          keep.sortWithinPartitions("id").write.mode("overwrite")
-            .parquet(s"$root/data/$keepDir")
-          Some(keepDir)
+            .select(col("name"), dirOf.as("__dir"))
+            .join(inNames, Seq("name"), "left_semi")
+            .select(col("__dir")).distinct()
+            .collect().map(_.getString(0)).toSet
+          if (colliding.isEmpty) (manifest.commits, None)
+          else {
+            val hit = manifest.commits.filter(colliding)
+            val keep = spark.read
+              .parquet(hit.map(c => s"$root/data/$c"): _*)
+              .join(inNames, Seq("name"), "left_anti")
+            val keepDir = commitDirName("upsert-keep")
+            keep.sortWithinPartitions("id").write.mode("overwrite")
+              .parquet(s"$root/data/$keepDir")
+            (manifest.commits.filterNot(colliding), Some(keepDir))
+          }
         }
       val (dir, _) = writeCommitDir(df, knownCount = Some(n))
       commitManifest(manifest.copy(
-        commits = survivorDir.toSeq :+ dir, nextId = base + n))
+        commits = (untouched ++ survivorDir.toSeq) :+ dir,
+        nextId = base + n))
       base
     } finally in.unpersist()
   }
@@ -546,6 +575,12 @@ class VfsStore private (val spark: SparkSession, val root: String,
     * ([[compact]]/[[deleteWhere]]) write NEW files of surviving rows,
     * which re-deliver — downstream consumers keyed by id stay exact,
     * the same stance as [[changesSince]] across rewrites.
+    * [[upsertBatch]] re-delivers ONLY the survivors of commit dirs
+    * that held a colliding name (untouched dirs carry verbatim — no
+    * re-delivery), plus the new rows; survivor ids are stable across
+    * the rewrite and replaced names appear again under a fresh higher
+    * id, so max-id-per-name over the delivered rows reconstructs the
+    * live post-upsert state (spec-pinned in VfsStoreSpec).
     *
     * Crashed appends: the file source watches the DIRECTORY, not the
     * manifest, so a directory orphaned by a crash between the parquet

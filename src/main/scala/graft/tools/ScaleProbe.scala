@@ -389,6 +389,41 @@ object ScaleProbe {
         $"ts", $"event_type", Seq("signup", "view", "click", "purchase"))
         .collect()
     }
+    // upsert pruning at a 500k-row / 20-commit store: a 1k-name
+    // upsert whose collisions all live in ONE commit dir must rewrite
+    // ~1/20 of the corpus, and a zero-collision upsert must rewrite
+    // NOTHING — the collision-detection scan (name column only) is
+    // the only corpus-wide cost either way
+    val upRoot = java.nio.file.Files
+      .createTempDirectory("scale-upsert").toString
+    val upStore = time("vfs store: 20 x 25k-row commits (500k rows, " +
+        "dim 8)") {
+      val st = graft.store.VfsStore.create(spark, upRoot, "up", dim = 8)
+      (0 until 20).foreach { cidx =>
+        st.appendBatch(spark.range(25000L).select(
+          transform(sequence(lit(0), lit(7)),
+            j => ($"id" + j).cast("float")).as("values"),
+          concat(lit(s"n-$cidx-"), $"id").as("name"),
+          array().cast("array<string>").as("tags")))
+      }
+      st
+    }
+    time("zero-collision upsert of 1k fresh names (NO survivor " +
+        "rewrite — detection scan only)") {
+      upStore.upsertBatch(spark.range(1000L).select(
+        transform(sequence(lit(0), lit(7)),
+          j => ($"id" + j).cast("float")).as("values"),
+        concat(lit("fresh-"), $"id").as("name"),
+        array().cast("array<string>").as("tags")))
+    }
+    time("1k-collision upsert, all collisions in ONE commit dir " +
+        "(rewrite ∝ 1/20 of corpus)") {
+      upStore.upsertBatch(spark.range(1000L).select(
+        transform(sequence(lit(0), lit(7)),
+          j => ($"id" + j + 100).cast("float")).as("values"),
+        concat(lit("n-7-"), $"id").as("name"),
+        array().cast("array<string>").as("tags")))
+    }
     spark.stop()
   }
 }

@@ -106,6 +106,64 @@ class VfsStoreSpec extends AnyFunSuite {
     assert(s2.read().count() === 1L) // store untouched by the rejected batch
   }
 
+  test("upsertBatch rewrites ONLY colliding commit dirs (cost ∝ collisions)") {
+    val root = tmp()
+    val s = VfsStore.create(spark, root, "tuprune", dim = 2)
+    // three separate commits, so the manifest tracks three dirs
+    s.appendBatch(Seq((Seq(1f, 1f), "a", Seq[String]()))
+      .toDF("values", "name", "tags"))
+    s.appendBatch(Seq((Seq(2f, 2f), "b", Seq[String]()),
+      (Seq(5f, 5f), "e", Seq[String]())).toDF("values", "name", "tags"))
+    s.appendBatch(Seq((Seq(3f, 3f), "c", Seq[String]()))
+      .toDF("values", "name", "tags"))
+    def commits(): Seq[String] = VfsManifest.fromJson(new String(
+      Files.readAllBytes(java.nio.file.Paths.get(root, "manifest.json")),
+      java.nio.charset.StandardCharsets.UTF_8)).commits
+    val before = commits()
+    assert(before.size === 3)
+    // zero-collision upsert (pure insert): NO dir rewritten — all
+    // three originals carried into the new manifest verbatim
+    s.upsertBatch(Seq((Seq(4f, 4f), "d", Seq[String]()))
+      .toDF("values", "name", "tags"))
+    val afterInsert = commits()
+    assert(afterInsert.size === 4)
+    assert(afterInsert.take(3) === before)
+    assert(!afterInsert.exists(_.contains("upsert-keep")))
+    // collide with "b" only: the SECOND commit is rewritten (its
+    // survivor "e" moves to an upsert-keep dir); commits 1 and 3 and
+    // the pure-insert commit carry verbatim
+    s.upsertBatch(Seq((Seq(20f, 20f), "b", Seq("v2")))
+      .toDF("values", "name", "tags"))
+    val afterUpsert = commits()
+    assert(afterUpsert.contains(before(0)) && afterUpsert.contains(before(2)))
+    assert(afterUpsert.contains(afterInsert(3)))
+    assert(!afterUpsert.contains(before(1)))
+    assert(afterUpsert.count(_.contains("upsert-keep")) === 1)
+    // row-level state is exactly the MERGE result
+    val got = s.read().select($"name", $"values")
+      .as[(String, Seq[Float])].collect().toMap
+    assert(got === Map("a" -> Seq(1f, 1f), "b" -> Seq(20f, 20f),
+      "c" -> Seq(3f, 3f), "d" -> Seq(4f, 4f), "e" -> Seq(5f, 5f)))
+    // survivor ids preserved; replaced name got a fresh id
+    val idOfE = s.read().filter($"name" === "e")
+      .select($"id").as[Long].head()
+    assert(idOfE === 3L) // e kept its original id through the rewrite
+  }
+
+  test("upsertBatch: fully-collided commit leaves a readable empty keep dir") {
+    val root = tmp()
+    val s = VfsStore.create(spark, root, "tupall", dim = 2)
+    s.appendBatch(Seq((Seq(1f, 1f), "only", Seq[String]()))
+      .toDF("values", "name", "tags"))
+    // the single committed row collides — the keep frame is EMPTY;
+    // the store must stay readable (schema-bearing empty parquet)
+    s.upsertBatch(Seq((Seq(9f, 9f), "only", Seq[String]()))
+      .toDF("values", "name", "tags"))
+    val rows = s.read().select($"name", $"values")
+      .as[(String, Seq[Float])].collect()
+    assert(rows.toSeq === Seq(("only", Seq(9f, 9f))))
+  }
+
   test("upsertBatch on a QUANTIZED store matches the mangled names") {
     val s = VfsStore.create(spark, tmp(), "tuq", dim = 2, quantize = true)
     s.appendBatch(Seq((Seq(0.5f, -0.5f), "a", Seq[String]()),
@@ -334,6 +392,47 @@ class VfsStoreSpec extends AnyFunSuite {
       val vs = aRow.getSeq[Float](1)
       assert(math.abs(vs(0) - 1f) <= 1.0f / 127 &&
         math.abs(vs(1) - 0.5f) <= 1.0f / 127)
+    } finally q.stop()
+  }
+
+  test("readStream across an upsertBatch: untouched commits are NOT " +
+      "re-delivered; survivors of rewritten dirs re-deliver with " +
+      "stable ids; max-id-per-name reconstructs the post-upsert state") {
+    val s = VfsStore.create(spark, tmp(), "cdcu", dim = 2)
+    // two separate commits: one that will collide, one untouched
+    s.appendBatch(Seq((Seq(1f, 1f), "a"), (Seq(2f, 2f), "b"))
+      .toDF("values", "name").withColumn("tags", array()))
+    s.appendBatch(Seq((Seq(3f, 3f), "c")).toDF("values", "name")
+      .withColumn("tags", array()))
+    val q = s.readStream().writeStream
+      .format("memory").queryName("store_up")
+      .option("checkpointLocation", tmp())
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM store_up").count() === 3L)
+      // upsert replacing "a" (lives in commit 1) — commit 2 untouched
+      s.upsertBatch(Seq((Seq(10f, 10f), "a")).toDF("values", "name")
+        .withColumn("tags", array()))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT id, name, values FROM store_up")
+        .as[(Long, String, Seq[Float])].collect()
+      // delivered: the 3 initial rows + the keep-dir survivor "b"
+      // (its dir was rewritten, so its file re-delivers) + the new
+      // "a". "c" does NOT re-deliver: its dir carried verbatim.
+      assert(all.length === 5)
+      assert(all.count(_._2 == "c") === 1)
+      // the survivor's id is STABLE across the rewrite — re-delivery
+      // is idempotent for id-keyed consumers
+      assert(all.filter(_._2 == "b").map(_._1).distinct.length === 1)
+      // replaced rows are superseded (fresh higher id), never
+      // retracted: max-id-per-name over the delivered rows equals
+      // the store's live view — the documented consumer contract
+      val reconstructed = all.groupBy(_._2).map { case (n, rs) =>
+        val latest = rs.maxBy(_._1); (n, latest._3) }
+      val live = s.read().select($"name", $"values")
+        .as[(String, Seq[Float])].collect().toMap
+      assert(reconstructed === live)
     } finally q.stop()
   }
 
