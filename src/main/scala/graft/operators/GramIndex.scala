@@ -59,15 +59,31 @@ object GramIndex {
   private def fsOf(path: String): org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(path).getFileSystem(hconf())
 
+  /** Metadata lives at ONE of two locations. Artifacts written by
+    * [[build]]/[[compact]] keep it INSIDE the grams directory as
+    * `_gram.json` (underscore-prefixed, so Spark's file index skips
+    * it like `_SUCCESS`): the staged-swap rename then publishes data
+    * and metadata in the SAME atomic step — a k-changing rebuild has
+    * no instant where new-k hashes sit under old-k metadata. Layouts
+    * that manage their own gram files but reuse this metadata via
+    * [[ensureMeta]] (the streaming ingest loop's batch-addressed
+    * dirs) keep the original path-level `gram.json` — they never
+    * swap, so they never had the window. Readers check the
+    * grams-internal location first. */
+  private def metaPaths(path: String): Seq[org.apache.hadoop.fs.Path] =
+    Seq(new org.apache.hadoop.fs.Path(s"$path/grams", "_gram.json"),
+      new org.apache.hadoop.fs.Path(path, "gram.json"))
+
   private def metaExists(path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path, "gram.json")
-    fsOf(path).exists(p)
+    val fs = fsOf(path)
+    metaPaths(path).exists(fs.exists)
   }
 
   private[graft] def readMeta(path: String): Meta = {
     val fs = fsOf(path)
-    val p = new org.apache.hadoop.fs.Path(path, "gram.json")
-    require(fs.exists(p), s"[GRAFT] no gram index at $path")
+    val p = metaPaths(path).find(fs.exists)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: [GRAFT] no gram index at $path"))
     val in = fs.open(p)
     val s =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -77,7 +93,20 @@ object GramIndex {
     Meta(num("k"), num("generation"))
   }
 
-  /** Staged write + ATOMIC overwrite-rename (FileContext supports
+  /** Write `_gram.json` INTO a directory (a stage dir about to be
+    * swapped live, or a fresh live dir) — the metadata travels with
+    * the data through the rename. */
+  private def writeMetaInto(dir: String, m: Meta): Unit = {
+    val fs = fsOf(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val p = new org.apache.hadoop.fs.Path(dir, "_gram.json")
+    val out = fs.create(p, true)
+    try out.write(metaJson(m).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Path-level metadata write for [[ensureMeta]]-managed layouts.
+    * Staged write + ATOMIC overwrite-rename (FileContext supports
     * Rename.OVERWRITE where plain FileSystem.rename does not): there
     * is never an instant with no gram.json on disk — a
     * delete-then-rename window would let a crash erase the frozen-k
@@ -147,31 +176,43 @@ object GramIndex {
     * hash agg with map-side partials, so hyper-duplicated boilerplate
     * collapses before the exchange.
     *
-    * A REBUILD over an existing artifact goes through the staged
-    * two-rename swap ([[stagedSwap]], shared with [[compact]]): an
-    * in-place overwrite would first DELETE the standing table, so a
-    * crash mid-rebuild would leave a partial gram set under the old
-    * metadata and probes would silently under-report duplicates.
-    * `gram.json` then moves into place atomically. Residual window: a
-    * rebuild that CHANGES k can crash between the data swap and the
-    * metadata move, leaving new-k hashes under old-k metadata —
-    * same-k rebuilds (the common compaction-style refresh) have no
-    * such window. */
+    * Both fresh builds and rebuilds write the gram parquet AND its
+    * `_gram.json` metadata into a stage directory first, then publish
+    * with a rename ([[stagedSwap]] for rebuilds, one stage→live
+    * rename for fresh builds): data and metadata move in the SAME
+    * atomic step, so a rebuild that CHANGES k has no crash window
+    * where new-k hashes sit under old-k metadata (spec-pinned crash
+    * simulation in PipelineSpec). A crash mid-rebuild leaves either
+    * the complete old artifact or — between the two swap renames —
+    * no live dir at all with the complete old one parked at
+    * `grams_old` (recover by renaming back); never a mixed state. */
   def build(docs: DataFrame, path: String, k: Int = 5,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     require(k > 0, "[GRAFT] gram index: k must be positive")
     val grams = distinctGrams(docs, k, textCol, idCol)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
-    val live = new org.apache.hadoop.fs.Path(s"$path/grams")
-    if (!fs.exists(live))
-      grams.write.mode("overwrite").parquet(live.toString)
-    else stagedSwap(fs, path, "build")(stage =>
-      grams.write.mode("overwrite").parquet(stage))
     val gen =
       if (metaExists(path)) readMeta(path).generation + 1
       else 1
-    writeMeta(path, Meta(k, gen))
+    val live = new org.apache.hadoop.fs.Path(s"$path/grams")
+    if (!fs.exists(live)) {
+      // fresh build: stage parquet + metadata, publish with ONE rename
+      val stage = new org.apache.hadoop.fs.Path(s"$path/grams_stage")
+      grams.write.mode("overwrite").parquet(stage.toString)
+      writeMetaInto(stage.toString, Meta(k, gen))
+      require(fs.rename(stage, live),
+        s"[GRAFT] build: cannot publish $stage")
+    } else {
+      stagedSwap(fs, path, "build") { stage =>
+        grams.write.mode("overwrite").parquet(stage)
+        writeMetaInto(stage, Meta(k, gen))
+      }
+      // retire a legacy path-level gram.json AFTER the swap (the
+      // grams-internal copy wins reads from the instant of the swap,
+      // so a crash before this delete is benign)
+      fs.delete(new org.apache.hadoop.fs.Path(path, "gram.json"), false)
+    }
   }
 
   /** Hash the batch with the index's frozen k and append its distinct
@@ -236,12 +277,59 @@ object GramIndex {
 
   /** Fold duplicate hashes from appended file sets into one compact
     * table — the [[stagedSwap]] path, mirroring
-    * [[LshTextIndex.compact]]. */
+    * [[LshTextIndex.compact]]. The unchanged metadata rides INSIDE
+    * the stage dir (same k, same generation — compaction is a
+    * physical rewrite, not a semantic change), which also migrates a
+    * legacy path-level gram.json into the swap-safe layout. */
   def compact(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    val m = readMeta(path)
     val grams = spark.read.parquet(s"$path/grams").distinct()
-    stagedSwap(fs, path, "compact")(stage =>
-      grams.write.mode("overwrite").parquet(stage))
+    stagedSwap(fs, path, "compact") { stage =>
+      grams.write.mode("overwrite").parquet(stage)
+      writeMetaInto(stage, m)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path, "gram.json"), false)
+  }
+
+  /** Compaction for the BATCH-ADDRESSED streaming layout
+    * (`grams/batch=<id>` —
+    * [[graft.streaming.Ingest.substringDedupIngestStream]]'s sink,
+    * which otherwise accumulates one directory per micro-batch
+    * forever): folds the per-batch file sets into ONE row per
+    * distinct gram while PRESERVING the replay-prune semantics —
+    * each gram keeps its EARLIEST batch id, and the output stays
+    * partitioned by `batch`. Only the LAST (uncommitted) batch can
+    * ever replay, so pruning `batch != B` against the min-batch
+    * table removes exactly the grams whose first occurrence was B
+    * and keeps everything older — the same stored set the replay
+    * saw pre-compaction. Later stream batches append their
+    * `batch=<id>` partitions next to the compacted ones untouched.
+    *
+    * SAFE-POINT PROTOCOL (single-writer, like [[compact]]): STOP the
+    * stream, compact, RESTART — a batch landing between the
+    * compactor's read and its swap would be silently dropped from
+    * the standing set. Replays after the restart stay correct: the
+    * replayed batch's recomputed grams overwrite its own partition;
+    * grams it shares with older batches become presence-duplicates
+    * (harmless — presence is the whole verdict) that the next
+    * compaction folds away. Crash-safe via the same [[stagedSwap]]
+    * two-rename recovery as [[build]] rebuilds. */
+  def compactBatched(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val m = readMeta(path)
+    val grams = spark.read.parquet(s"$path/grams")
+    require(grams.columns.contains("batch"),
+      "[GRAFT] compactBatched: no batch partition column — this is a " +
+        "flat-layout artifact; use compact() instead")
+    val folded = grams.groupBy(col("g"))
+      .agg(min(col("batch")).as("batch"))
+    stagedSwap(fs, path, "compactBatched") { stage =>
+      folded.write.mode("overwrite").partitionBy("batch").parquet(stage)
+      writeMetaInto(stage, m)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path, "gram.json"), false)
   }
 }

@@ -240,6 +240,27 @@ object QuickStart {
     println(s"[quickstart] gram-index probe: ${probed.count()} dup " +
       "spans in the delta, corpus text untouched")
 
+    // streaming gram sink + safe-point compaction: three ingest
+    // batches accumulate batch=<id> gram dirs, then compactBatched
+    // folds them (earliest-batch provenance kept, replay semantics
+    // intact) while the stream is stopped
+    val ingDir = java.nio.file.Files
+      .createTempDirectory("graft-substr-ing").toString
+    (0L to 2L).foreach { b =>
+      graft.streaming.Ingest.substringDedupBatch(
+        docs.filter($"doc_id" < 90 && pmod($"doc_id", lit(3)) === b)
+          .select($"doc_id", $"text"), b, ingDir, k = 4,
+        maxDupFrac = 0.5)
+    }
+    val preDirs = new java.io.File(s"$ingDir/grams").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("batch="))
+    val preDocs = spark.read.parquet(s"$ingDir/docs").count()
+    graft.operators.GramIndex.compactBatched(spark, ingDir)
+    val postRows = spark.read.parquet(s"$ingDir/grams").count()
+    println(s"[quickstart] streaming gram compaction: $preDirs batch " +
+      s"dirs -> $postRows folded gram rows, $preDocs survivor docs, " +
+      s"k frozen at ${graft.operators.GramIndex.readMeta(ingDir).k}")
+
     // binary (1-bit) quantization tier: Hamming prefilter then exact
     val qv = emb.filter($"vec_id" === 1L)
       .select($"embedding").head.getSeq[Float](0)

@@ -2244,6 +2244,138 @@ class PipelineSpec extends AnyFunSuite {
     assert(kErr.getMessage.contains("frozen at k=3"))
   }
 
+  test("gram index k-change rebuild: every crash state is the complete " +
+      "old artifact, the complete new one, or a loud failure — never " +
+      "old-k metadata over new-k hashes") {
+    import graft.operators.GramIndex
+    val dir = java.nio.file.Files.createTempDirectory("gramcrash").toString
+    val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    GramIndex.build(corpus, dir, k = 3)
+    val delta = Seq((9L, "a b c d zz")).toDF("doc_id", "text")
+    val oldProbe = GramIndex.probeSpans(spark, dir, delta)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(oldProbe === Seq((9L, 0L, 4L, 4L)))
+    assert(GramIndex.readMeta(dir) === GramIndex.Meta(3, 1))
+    // metadata lives INSIDE grams/ (underscore-prefixed, so the scan
+    // skips it): the swap rename moves data + metadata TOGETHER
+    assert(new java.io.File(s"$dir/grams/_gram.json").exists())
+    assert(!new java.io.File(s"$dir/gram.json").exists())
+
+    // CRASH STATE A — k=4 rebuild died after writing its stage
+    // (parquet + staged metadata), live untouched: readers still see
+    // the complete OLD artifact
+    GramIndex.distinctGrams(corpus, 4).write.mode("overwrite")
+      .parquet(s"$dir/grams_stage")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/grams_stage/_gram.json"),
+      """{"k":4,"generation":2}""".getBytes("UTF-8"))
+    assert(GramIndex.readMeta(dir) === GramIndex.Meta(3, 1))
+    assert(GramIndex.probeSpans(spark, dir, delta)
+      .as[(Long, Long, Long, Long)].collect().toSeq === oldProbe)
+
+    // CRASH STATE B — died between the two swap renames (live parked
+    // at grams_old, stage not yet moved): NO live artifact — loud
+    // failure, never a mixed state
+    val live = java.nio.file.Paths.get(s"$dir/grams")
+    val parked = java.nio.file.Paths.get(s"$dir/grams_old")
+    java.nio.file.Files.move(live, parked)
+    intercept[IllegalArgumentException] { GramIndex.readMeta(dir) }
+    // documented recovery: rename grams_old back — old artifact whole
+    java.nio.file.Files.move(parked, live)
+    assert(GramIndex.readMeta(dir) === GramIndex.Meta(3, 1))
+
+    // CRASH STATE C — died right after the stage moved in: new-k
+    // hashes arrive WITH new-k metadata in the same rename (the
+    // leftover grams_old is cleanup debt, not a correctness state)
+    java.nio.file.Files.move(live, parked)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/grams_stage"), live)
+    assert(GramIndex.readMeta(dir) === GramIndex.Meta(4, 2))
+    val k4Probe = GramIndex.probeSpans(spark, dir, delta)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(k4Probe === Seq((9L, 0L, 4L, 4L))) // 4-grams: "a b c d"
+
+    // and the REAL end-to-end k-change rebuild lands the same state
+    // (generation keeps climbing), with legacy-layout migration: an
+    // old artifact carrying path-level gram.json reads fine and is
+    // migrated into grams/ by the next rebuild
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$dir/grams/_gram.json"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/gram.json"),
+      """{"k":4,"generation":2}""".getBytes("UTF-8"))
+    assert(GramIndex.readMeta(dir) === GramIndex.Meta(4, 2)) // fallback
+    GramIndex.build(corpus, dir, k = 5)
+    assert(GramIndex.readMeta(dir) === GramIndex.Meta(5, 3))
+    assert(new java.io.File(s"$dir/grams/_gram.json").exists())
+    assert(!new java.io.File(s"$dir/gram.json").exists()) // migrated
+  }
+
+  test("streaming gram sink compaction: compactBatched folds the " +
+      "per-batch dirs at a safe point — stored set unchanged, replay " +
+      "of the last batch stays idempotent, new batches append cleanly") {
+    import graft.operators.{Dedup, GramIndex}
+    import graft.streaming.Ingest
+    val dir = java.nio.file.Files
+      .createTempDirectory("substr_compact").toString
+    val tA = "alpha beta gamma delta epsilon"
+    val t5 = "alpha beta gamma f1 f2 f3 f4 f5 f6 f7"
+    Ingest.substringDedupBatch(
+      Seq((1L, tA), (2L, "one two three four five"))
+        .toDF("doc_id", "text"), 0L, dir, k = 3, maxDupFrac = 0.5)
+    Ingest.substringDedupBatch(
+      Seq((3L, tA), (4L, "six seven eight nine ten"))
+        .toDF("doc_id", "text"), 1L, dir, k = 3, maxDupFrac = 0.5)
+    Ingest.substringDedupBatch(
+      Seq((5L, t5)).toDF("doc_id", "text"), 2L, dir, k = 3,
+      maxDupFrac = 0.5)
+    def docIds() = spark.read.parquet(s"$dir/docs")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    def storedGrams() = spark.read.parquet(s"$dir/grams")
+      .select($"g").distinct().as[Long].collect().sorted.toSeq
+    assert(docIds() === Seq(1L, 2L, 4L, 5L)) // 3 dropped as corpus dup
+    val gramsBefore = storedGrams()
+    def batchDirs() = new java.io.File(s"$dir/grams").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).sorted.toSeq
+    assert(batchDirs() === Seq("batch=0", "batch=1", "batch=2"))
+
+    // SAFE POINT (stream stopped, last batch committed) → compact
+    GramIndex.compactBatched(spark, dir)
+    // one row per distinct gram, same stored set, layout preserved
+    val folded = spark.read.parquet(s"$dir/grams")
+    assert(folded.count() === gramsBefore.size.toLong)
+    assert(storedGrams() === gramsBefore)
+    // each gram keeps its EARLIEST batch: the "alpha beta gamma"
+    // trigram (batches 0 and 2) must live in batch=0
+    val abg = Dedup.gramOccurrences(
+      Seq((0L, "alpha beta gamma")).toDF("doc_id", "text"), 3,
+      "text", "doc_id").select($"__g").as[Long].head()
+    assert(folded.filter($"g" === abg)
+      .select($"batch".cast("long")).as[Long].head() === 0L)
+    // metadata migrated into the swapped dir; frozen-k still enforced
+    assert(GramIndex.readMeta(dir) === GramIndex.Meta(3, 1))
+    intercept[IllegalArgumentException] {
+      Ingest.substringDedupBatch(Seq((9L, "x y z w")).toDF("doc_id",
+        "text"), 99L, dir, k = 4, maxDupFrac = 0.5)
+    }
+
+    // REPLAY of the last batch after compaction: its own grams (now
+    // folded under batch=2 — they first appeared there) are still
+    // pruned from the standing read, so the same survivors land
+    Ingest.substringDedupBatch(
+      Seq((5L, t5)).toDF("doc_id", "text"), 2L, dir, k = 3,
+      maxDupFrac = 0.5)
+    assert(docIds() === Seq(1L, 2L, 4L, 5L))
+
+    // new post-compaction batch: corpus duplicates still detected
+    // (the folded set is the same stored set), novel docs land
+    Ingest.substringDedupBatch(
+      Seq((6L, tA), (7L, "novel w1 w2 w3 w4"))
+        .toDF("doc_id", "text"), 3L, dir, k = 3, maxDupFrac = 0.5)
+    assert(docIds() === Seq(1L, 2L, 4L, 5L, 7L))
+  }
+
   test("sessionize tombstone expires past the retention horizon: " +
       "state stays bounded, ordinals restart (documented trade)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
