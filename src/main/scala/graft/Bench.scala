@@ -246,6 +246,23 @@ object Bench {
         .orderBy(col("d").asc, col("vec_id").asc).limit(10)
         .collect()
     } }
+    // same tier probing the PERSISTED packed sidecar: the pack pass
+    // is paid once outside the timer, the coarse scan reads 1-bit
+    // words instead of re-packing floats per query
+    lazy val binIdxDir = {
+      val d = s"${storeDirs.last}/binidx"
+      graft.operators.BinaryIndex.build(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), d)
+      d
+    }
+    entry("binary_hamming_knn_indexed") { median {
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val q = e.filter(col("vec_id") === 1L)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.operators.BinaryIndex
+        .search(spark, binIdxDir, e, q, k = 10, nCandidates = 50)
+        .collect()
+    } }
     entry("hll_distinct") { median {
       graft.operators.Sketches.hllRegisters(
         spark.read.parquet(s"$sfDir/events.parquet"),

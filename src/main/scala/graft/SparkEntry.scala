@@ -151,6 +151,24 @@ object SparkEntry {
         .orderBy(col("dist_milli").asc, col("vec_id").asc)
         .limit(10)
     }),
+    // PERSISTED twin: the same coarse tier probing a standing packed
+    // sidecar ([[graft.operators.BinaryIndex]]) — the scan reads the
+    // 1-bit words (32x fewer bytes), never re-packs the floats, and
+    // must land on the identical result (same oracle SQL)
+    "q_binary_hamming_indexed" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-binidx").toString
+      graft.operators.BinaryIndex.build(emb(s, dir), idx)
+      val q = queryVec(s, dir, 1L)
+      graft.operators.BinaryIndex
+        .candidates(s, idx, q.toArray, n = 50)
+        .join(emb(s, dir), col("id") === col("vec_id"))
+        .select(col("vec_id"), col("ham"),
+          milli(vfs_euclidean(col("embedding"), typedLit(q)))
+            .as("dist_milli"))
+        .orderBy(col("dist_milli").asc, col("vec_id").asc)
+        .limit(10)
+    }),
 
     // ---- pure-SQL surface: the vfs_knn TABLE-valued function end to
     // end from SQL text (tcp.rs:107-150 exposes the reference's whole
@@ -1004,6 +1022,18 @@ object SparkEntry {
       graft.streaming.Ingest
         .sessionizeStream(events(s, dir), keyCol = "user_id",
           tsCol = "ts", gapSec = 1800L, batchMode = true)
+        .orderBy(col("user_id").asc, col("session_id").asc)
+    }),
+    // string-keyed twin: UUID-style keys group by the string itself
+    // (no lossy cast); the prefixed key is a bijection of user_id so
+    // DuckDB re-derives the same sessions under the same string keys
+    "stream_sessionize_strkey" -> ((s, dir) => {
+      graft.streaming.Ingest
+        .sessionizeStream(
+          events(s, dir).withColumn("user_id",
+            concat(lit("u-"), col("user_id").cast("string"))),
+          keyCol = "user_id", tsCol = "ts", gapSec = 1800L,
+          batchMode = true)
         .orderBy(col("user_id").asc, col("session_id").asc)
     }),
 
@@ -2228,6 +2258,23 @@ object SparkEntry {
          |ORDER BY dist_milli ASC, vec_id ASC
          |LIMIT 10""".stripMargin,
 
+    // the persisted sidecar probes the SAME packing — identical result,
+    // identical oracle derivation
+    "q_binary_hamming_indexed" ->
+      s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 1),
+         |h AS (SELECT vec_id, embedding,
+         |  CAST(len(list_filter(range(1, len(embedding) + 1),
+         |    i -> (embedding[i] > 0) != (q[i] > 0))) AS BIGINT) AS ham
+         |  FROM embeddings, qv),
+         |c AS (SELECT vec_id, embedding, ham FROM h
+         |  ORDER BY ham ASC, vec_id ASC LIMIT 50)
+         |SELECT vec_id, ham,
+         |  CAST(round(list_distance(CAST(embedding AS DOUBLE[]), $qSub)
+         |    * 1000) AS BIGINT) AS dist_milli
+         |FROM c
+         |ORDER BY dist_milli ASC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
     // two-stage like the Spark side: the TVF truncates at k=20 by RAW
     // distance, the outer query re-ranks by rounded millis — the oracle
     // must replicate the raw-distance cut, or a row ranked >20 raw that
@@ -2403,22 +2450,7 @@ object SparkEntry {
          |ORDER BY doc_id ASC, span_start ASC""".stripMargin,
 
     "dedup_substring_strip" ->
-      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |  FROM documents),
-        |g AS (SELECT doc_id, unnest(range(0, len(w) - 3)) AS idx, w
-        |  FROM t WHERE len(w) >= 4),
-        |g2 AS (SELECT doc_id, idx,
-        |  array_to_string(w[CAST(idx + 1 AS INT):CAST(idx + 4 AS INT)], ' ')
-        |    AS gram FROM g),
-        |r AS (SELECT doc_id, idx, row_number() OVER (PARTITION BY gram
-        |  ORDER BY doc_id, idx) AS rn FROM g2),
-        |d AS (SELECT doc_id, idx FROM r WHERE rn > 1),
-        |m AS (SELECT doc_id, idx, CASE WHEN idx <= coalesce(
-        |  max(idx + 4) OVER (PARTITION BY doc_id ORDER BY idx
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |  THEN 0 ELSE 1 END AS brk FROM d),
-        |i AS (SELECT doc_id, idx,
-        |  sum(brk) OVER (PARTITION BY doc_id ORDER BY idx) AS grp FROM m),
+      s"""WITH ${substringSpanCtes(substringKeepFirstDu)},
         |sp AS (SELECT doc_id, min(idx) AS ss, max(idx) + 4 AS se
         |  FROM i GROUP BY doc_id, grp),
         |dt AS (SELECT doc_id, CAST(sum(se - ss) AS BIGINT) AS dup_tokens
@@ -2893,6 +2925,20 @@ object SparkEntry {
     // same oracle derivation as w_sessionize
     "stream_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |m AS (SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |       THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT user_id, us,
+        |  sum(new_s) OVER (PARTITION BY user_id ORDER BY us) AS session_id FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(us) AS start_us
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id ASC, session_id ASC""".stripMargin,
+
+    "stream_sessionize_strkey" ->
+      """WITH e AS (SELECT concat('u-', CAST(user_id AS VARCHAR)) AS user_id,
+        |  epoch_us(ts) AS us FROM events),
         |m AS (SELECT user_id, us,
         |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
         |         OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
@@ -3918,10 +3964,11 @@ object SparkEntry {
 
   /** Shared ExactSubstr CTE prefix (sliding 4-grams `t`..`g2`, the
     * keep-first `rn > 1` verdict `d` over duplicated-start set `du`,
-    * and the islands fold to maximal spans `i`) — ONE copy for the
-    * three oracles that re-derive spans (DataFrame, TVF, incremental,
-    * streaming survivor set), so a span-semantics fix cannot leave a
-    * stale twin. `du` is the hook the incremental oracle overrides. */
+    * and the islands fold to maximal spans `i`) — ONE copy for every
+    * oracle that re-derives spans (DataFrame spans, TVF, incremental,
+    * streaming survivor set, strip), so a span-semantics fix cannot
+    * leave a stale twin. `du` is the hook the incremental oracle
+    * overrides. */
   private def substringSpanCtes(duCte: String): String =
     s"""t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
        |  FROM documents),

@@ -1,0 +1,174 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{vfs_binary_quantize, vfs_euclidean, vfs_hamming}
+
+/** Persisted 1-bit (sign-quantized) sidecar — the binary Hamming
+  * coarse tier as a STANDING artifact. The scan form
+  * (`q_binary_hamming_knn` in [[graft.SparkEntry]]) re-packs the full
+  * float embedding column on every query; at 100 TB that pack is
+  * wasted per-query compute and the scan reads 32× more bytes than
+  * the tier needs (4 bytes/dim of float vs 1 bit/dim packed). Here
+  * the corpus pays the pack once:
+  *
+  *   - build: (id, packed ARRAY<BIGINT>) parquet under `packed/` —
+  *     1 bit per dimension, 64 dims per word — with `_binary.json`
+  *     (dim, generation) RIDING INSIDE the directory so the staged
+  *     publish/swap moves data and metadata in one atomic rename
+  *     (the [[GramIndex]] crash-atomicity stance: a dim-changing
+  *     rebuild can never leave new-dim words under old-dim metadata).
+  *   - append: pack the delta only — cost ∝ delta.
+  *   - candidates: scan ONLY the sidecar (id + packed columns, one
+  *     XOR+popcount per 64 dims inside whole-stage codegen, the same
+  *     [[graft.functions.HammingDist]] kernel), TakeOrdered the
+  *     (ham, id) top-n — the 32×-cheaper coarse cut.
+  *   - search: broadcast the tiny candidate set back into the
+  *     full-vector table and re-rank the survivors exactly — the
+  *     full floats are read for n rows' worth of join hits, never
+  *     distance-scored corpus-wide.
+  *
+  * Extends the reference's storage-codec family (int8 quantize,
+  * vfs/src/vfs/vector.rs:94-154) one level coarser, as a standing
+  * index artifact like [[IvfIndex]]. `dim` is frozen in the artifact:
+  * a query of the wrong dimension fails loudly (Q7 stance). */
+object BinaryIndex {
+  case class Meta(dim: Int, generation: Int)
+
+  private def metaJson(m: Meta): String =
+    s"""{"dim":${m.dim},"generation":${m.generation}}"""
+
+  private def hconf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(hconf())
+
+  private[graft] def readMeta(path: String): Meta = {
+    val fs = fsOf(path)
+    val p = new org.apache.hadoop.fs.Path(s"$path/packed", "_binary.json")
+    require(fs.exists(p), s"[GRAFT] no binary index at $path")
+    val in = fs.open(p)
+    val s =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def num(key: String) =
+      ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
+    Meta(num("dim"), num("generation"))
+  }
+
+  private def writeMetaInto(dir: String, m: Meta): Unit = {
+    val fs = fsOf(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "_binary.json"), true)
+    try out.write(metaJson(m).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The sidecar row shape — ONE derivation shared by [[build]] and
+    * [[append]], so stored words can never diverge from the probe's
+    * packing (the query side packs with the same
+    * [[graft.functions.BinaryQuantizeVec]] kernel). */
+  private def packedRows(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      vfs_binary_quantize(col(vecCol)).as("packed"))
+
+  /** Build (or REBUILD — generation bumps) the sidecar at `path`.
+    * One distributed pack pass; `dim` is probed with one min/max agg
+    * and frozen in the artifact (non-uniform input dims fail the
+    * build — mixed-dim Hamming would compare different paddings). */
+  def build(df: DataFrame, path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = df.sparkSession
+    val fs = fsOf(path)
+    val d = df.agg(min(size(col(vecCol))).as("lo"),
+      max(size(col(vecCol))).as("hi")).head()
+    require(!d.isNullAt(0), "[GRAFT] binary index: empty input")
+    require(d.getInt(0) == d.getInt(1),
+      s"[GRAFT] binary index: non-uniform dims ${d.getInt(0)}..${d.getInt(1)}")
+    val dim = d.getInt(0)
+    require(dim > 0, "[GRAFT] binary index: empty vectors")
+    val gen = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/packed")
+      if (fs.exists(new org.apache.hadoop.fs.Path(live, "_binary.json")))
+        readMeta(path).generation + 1
+      else 1
+    }
+    val live = new org.apache.hadoop.fs.Path(s"$path/packed")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/packed_stage")
+    val old = new org.apache.hadoop.fs.Path(s"$path/packed_old")
+    packedRows(df, idCol, vecCol).write.mode("overwrite")
+      .parquet(stage.toString)
+    writeMetaInto(stage.toString, Meta(dim, gen))
+    if (fs.exists(live)) {
+      if (fs.exists(old)) fs.delete(old, true)
+      require(fs.rename(live, old),
+        s"[GRAFT] binary index build: cannot stage $live")
+    }
+    require(fs.rename(stage, live),
+      s"[GRAFT] binary index build: swap failed — recover by renaming " +
+        s"$old back")
+    fs.delete(old, true)
+  }
+
+  /** Pack and append the delta's rows — cost ∝ delta; the standing
+    * table is not read. Dims are guarded against the frozen `dim`
+    * distributed-side by the packing kernel's downstream Hamming
+    * (word-count mismatch throws), and loudly here for the common
+    * whole-batch case via one agg. */
+  def append(df: DataFrame, path: String, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val m = readMeta(path)
+    val bad = df.filter(size(col(vecCol)) =!= m.dim).limit(1).count()
+    require(bad == 0L,
+      s"[GRAFT] binary index append: a vector's dim != frozen ${m.dim}")
+    packedRows(df, idCol, vecCol)
+      .write.mode("append").parquet(s"$path/packed")
+  }
+
+  /** Coarse tier: (id, ham) of the `n` nearest sidecar rows by
+    * (Hamming, id) — reads ONLY the packed words (column-pruned
+    * scan, 32× fewer bytes than the float column), scores inside
+    * whole-stage codegen, cuts with TakeOrderedAndProject. */
+  def candidates(spark: SparkSession, path: String, q: Array[Float],
+      n: Int = 50): DataFrame = {
+    val m = readMeta(path)
+    require(q.length == m.dim,
+      s"[GRAFT] binary index: query dim ${q.length} != frozen ${m.dim}")
+    require(n > 0, "[GRAFT] binary index: n must be positive")
+    val qPacked = graft.functions.BinaryQuantMath.packFloats(q)
+    spark.read.parquet(s"$path/packed")
+      .select(col("id"),
+        vfs_hamming(col("packed"), typedLit(qPacked.toSeq)).as("ham"))
+      .orderBy(col("ham").asc, col("id").asc)
+      .limit(n)
+  }
+
+  /** Full two-tier probe: coarse Hamming candidates from the sidecar,
+    * exact euclidean re-rank of the survivors against `full` (the
+    * float-vector table). The candidate set broadcasts (n rows), so
+    * the full table contributes one hash-probe per row and computes
+    * exact distances for n rows only. Returns (idCol, ham, dist)
+    * ordered by (dist, id), k rows. */
+  def search(spark: SparkSession, path: String, full: DataFrame,
+      q: Array[Float], k: Int, nCandidates: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0 && k <= nCandidates,
+      s"[GRAFT] binary index: need 0 < k <= nCandidates, got k=$k, " +
+        s"nCandidates=$nCandidates")
+    val cand = candidates(spark, path, q, nCandidates)
+    full.join(broadcast(cand), full(idCol) === cand("id"))
+      .select(full(idCol), col("ham"),
+        vfs_euclidean(col(vecCol), typedLit(q.toSeq)).as("dist"))
+      .orderBy(col("dist").asc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -697,30 +697,56 @@ object Ingest {
     val src = if (batchMode) evN else evN.withWatermark(tsCol, watermark)
     val stepUs = bucketSec * 1000000L
     val us = TimeNorm.epochMicros(col(tsCol))
-    requireIntegralKey(src, keyCol, "retentionStream")
-    val typed = src.select(col(keyCol).cast("long").as("k"),
-        ((us - us % lit(stepUs)) / 1000000L).cast("long").as("bucket"))
-      .as[(Long, Long)]
-    typed.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[(Long, Long)],
-            state: GroupState[(Long, Seq[Long])]) =>
-          val incoming = rows.map(_._2).toSet
-          val (oldCohort, seenSeq) = state.getOption
-            .getOrElse((Long.MaxValue, Seq.empty[Long]))
-          val seen = seenSeq.toSet
-          val fresh = incoming -- seen
-          if (fresh.isEmpty) Iterator.empty
-          else {
-            val cohort = math.min(oldCohort, fresh.min)
-            state.update((cohort, (seen ++ fresh).toSeq))
-            // sorted: deterministic emission order within a key
-            fresh.toSeq.sorted.iterator
-              .map(b => (cohort, (b - cohort) / bucketSec))
+    val bucket = ((us - us % lit(stepUs)) / 1000000L).cast("long")
+      .as("bucket")
+    // the emitted rows never contain the key, so string and integral
+    // keys share ONE fold and differ only in the grouping encoder —
+    // the string path groups by the string itself (no lossy hash)
+    src.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        val typed = src.select(col(keyCol).as("k"), bucket)
+          .as[(String, Long)]
+        typed.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (_: String, rows: Iterator[(String, Long)],
+                state: GroupState[(Long, Seq[Long])]) =>
+              retentionFold(rows.map(_._2).toSet, state, bucketSec)
           }
-      }
-      .toDF("cohort", "bucket_offset")
+          .toDF("cohort", "bucket_offset")
+      case _ =>
+        requireStatefulKey(src, keyCol, "retentionStream")
+        val typed = src.select(col(keyCol).cast("long").as("k"), bucket)
+          .as[(Long, Long)]
+        typed.groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Long)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (_: Long, rows: Iterator[(Long, Long)],
+                state: GroupState[(Long, Seq[Long])]) =>
+              retentionFold(rows.map(_._2).toSet, state, bucketSec)
+          }
+          .toDF("cohort", "bucket_offset")
+    }
+  }
+
+  /** [[retentionStream]]'s per-key fold, shared by the long- and
+    * string-keyed groupings (the key shapes only the grouping, never
+    * the computation). Emission order is sorted — deterministic
+    * within a key. */
+  private def retentionFold(incoming: Set[Long],
+      state: org.apache.spark.sql.streaming.GroupState[(Long, Seq[Long])],
+      bucketSec: Long): Iterator[(Long, Long)] = {
+    val (oldCohort, seenSeq) = state.getOption
+      .getOrElse((Long.MaxValue, Seq.empty[Long]))
+    val seen = seenSeq.toSet
+    val fresh = incoming -- seen
+    if (fresh.isEmpty) Iterator.empty
+    else {
+      val cohort = math.min(oldCohort, fresh.min)
+      state.update((cohort, (seen ++ fresh).toSeq))
+      fresh.toSeq.sorted.iterator
+        .map(b => (cohort, (b - cohort) / bucketSec))
+    }
   }
 
   /** Streaming ordered-funnel completions — the incremental twin of
@@ -766,37 +792,66 @@ object Ingest {
     val stepIdx = steps.zipWithIndex.toMap
     val gapUs = maxStepGapSec.map(_ * 1000000L)
     val names = steps.toArray
-    requireIntegralKey(src, keyCol, "funnelStream")
-    val typed = src
-      .select(col(keyCol).cast("long").as("k"),
-        TimeNorm.epochMicros(col(tsCol)).as("us"),
-        col(stepCol).cast("string").as("t"))
-      .as[(Long, Long, String)]
-    typed.groupByKey(_._1)
-      .flatMapGroupsWithState[(Int, Long), (Int, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: Long, rows: Iterator[(Long, Long, String)],
-            state: GroupState[(Int, Long)]) =>
-          var (next, su) = state.getOption.getOrElse((0, Long.MinValue))
-          val relevant = rows
-            .flatMap(r => stepIdx.get(r._3).map(i => (r._2, i)))
-            .toArray.sorted // (us, stepIdx): ties process lower steps first
-          val completed = Array.newBuilder[(Int, String)]
-          relevant.foreach { case (us0, i) =>
-            if (next < names.length && i == next &&
-                (next == 0 || (us0 >= su &&
-                  gapUs.forall(g => us0 <= su + g)))) {
-              completed += ((next, names(next)))
-              su = us0
-              next += 1
-            }
+    // key-free emissions: one fold, two grouping encoders (see
+    // [[retentionStream]])
+    val folded = src.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        src.select(col(keyCol).as("k"),
+            TimeNorm.epochMicros(col(tsCol)).as("us"),
+            col(stepCol).cast("string").as("t"))
+          .as[(String, Long, String)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Int, Long), (Int, String)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (_: String, rows: Iterator[(String, Long, String)],
+                state: GroupState[(Int, Long)]) =>
+              funnelFold(rows
+                .flatMap(r => stepIdx.get(r._3).map(i => (r._2, i)))
+                .toArray.sorted, state, names, gapUs)
           }
-          val out = completed.result()
-          if (out.nonEmpty) state.update((next, su))
-          out.iterator
-      }
+      case _ =>
+        requireStatefulKey(src, keyCol, "funnelStream")
+        src.select(col(keyCol).cast("long").as("k"),
+            TimeNorm.epochMicros(col(tsCol)).as("us"),
+            col(stepCol).cast("string").as("t"))
+          .as[(Long, Long, String)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Int, Long), (Int, String)](
+            OutputMode.Append, GroupStateTimeout.NoTimeout) {
+            (_: Long, rows: Iterator[(Long, Long, String)],
+                state: GroupState[(Int, Long)]) =>
+              funnelFold(rows
+                .flatMap(r => stepIdx.get(r._3).map(i => (r._2, i)))
+                .toArray.sorted, state, names, gapUs)
+          }
+    }
+    folded
       .toDF("step", "event_type")
       .select(col("step").cast("long").as("step"), col("event_type"))
+  }
+
+  /** [[funnelStream]]'s per-key fold over the (us, stepIdx)-sorted
+    * relevant events — ties process lower steps first, so
+    * simultaneous events complete multiple steps, matching the batch
+    * operator's `>=` filter. */
+  private def funnelFold(relevant: Array[(Long, Int)],
+      state: org.apache.spark.sql.streaming.GroupState[(Int, Long)],
+      names: Array[String],
+      gapUs: Option[Long]): Iterator[(Int, String)] = {
+    var (next, su) = state.getOption.getOrElse((0, Long.MinValue))
+    val completed = Array.newBuilder[(Int, String)]
+    relevant.foreach { case (us0, i) =>
+      if (next < names.length && i == next &&
+          (next == 0 || (us0 >= su &&
+            gapUs.forall(g => us0 <= su + g)))) {
+        completed += ((next, names(next)))
+        su = us0
+        next += 1
+      }
+    }
+    val out = completed.result()
+    if (out.nonEmpty) state.update((next, su))
+    out.iterator
   }
 
   /** Streaming sessionization — the incremental twin of the batch
@@ -844,94 +899,127 @@ object Ingest {
     val gapUs = gapSec * 1000000L
     // the watermarked event-time column must itself reach the
     // stateful operator (EventTimeTimeout resolves against it), so
-    // `ts` rides along next to its micros projection
-    requireIntegralKey(src, keyCol, "sessionizeStream")
-    val typed = src.select(col(keyCol).cast("long").as("k"),
-        col(tsCol).as("ts"), TimeNorm.epochMicros(col(tsCol)).as("us"))
-      .as[(Long, java.sql.Timestamp, Long)]
-    // state: (sessionId, startUs, lastUs, nEvents). nEvents > 0 = an
-    // OPEN session with ordinal sessionId; nEvents == 0 = a TOMBSTONE
-    // left by a timeout close, holding the NEXT ordinal so a later
-    // event cannot reuse an already-emitted session_id. The tombstone
-    // itself expires after `tombstoneRetentionSec` of further silence
-    // (event-time), bounding state to RECENTLY-active keys rather
-    // than every key ever seen — the documented trade: a key silent
-    // longer than the retention restarts its ordinals at 1 (same
-    // horizon-bounding stance as dropDuplicatesWithinWatermark).
-    typed.groupByKey(_._1)
-      .flatMapGroupsWithState[(Long, Long, Long, Long),
-          (Long, Long, Long, Long)](
-        OutputMode.Append,
-        if (batchMode) GroupStateTimeout.NoTimeout
-        else GroupStateTimeout.EventTimeTimeout) {
-        (k: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
-            state: GroupState[(Long, Long, Long, Long)]) =>
-          if (state.hasTimedOut) {
-            val (sid, su, lastUs, n) = state.get
-            if (n == 0L) {
-              // the TOMBSTONE expired: the key has been silent past
-              // the retention horizon — drop its state entirely
-              state.remove()
-              Iterator.empty
-            } else {
-              // watermark passed lastUs + gap: the open session
-              // closed. Leave the ordinal-holding tombstone with its
-              // own retention deadline — UNLESS the watermark has
-              // already passed it (stream downtime / backfill can
-              // advance it arbitrarily far, and Spark rejects a
-              // timeout behind the watermark): then the tombstone
-              // would expire this instant anyway, so drop the state
-              // directly (the same ordinal-restart trade).
-              val deadlineMs =
-                lastUs / 1000L + tombstoneRetentionSec * 1000L
-              if (state.getCurrentWatermarkMs() >= deadlineMs)
-                state.remove()
-              else {
-                state.update((sid + 1, 0L, lastUs, 0L))
-                state.setTimeoutTimestamp(deadlineMs)
-              }
-              Iterator.single((k, sid, n, su))
-            }
-          } else {
-            val closed = Array.newBuilder[(Long, Long, Long, Long)]
-            var open = state.getOption
-            rows.map(_._3).toArray.sorted.foreach { us =>
-              open match {
-                case Some((sid, su, lastUs, n)) if n > 0 =>
-                  if (us - lastUs > gapUs) {
-                    closed += ((k, sid, n, su))
-                    open = Some((sid + 1, us, us, 1L))
-                  } else open = Some((sid, su, math.max(lastUs, us), n + 1))
-                case Some((nextSid, _, _, _)) => // tombstone: resume ordinal
-                  open = Some((nextSid, us, us, 1L))
-                case None => open = Some((1L, us, us, 1L))
-              }
-            }
-            if (batchMode) {
-              // static frame: this key never reappears — flush the
-              // open session too (matches the batch window exactly)
-              open.foreach { case (sid, su, _, n) => closed += ((k, sid, n, su)) }
-            } else open.foreach { o =>
-              state.update(o)
-              if (o._4 > 0)
-                state.setTimeoutTimestamp(o._3 / 1000L + gapSec * 1000L)
-            }
-            closed.result().iterator
+    // `ts` rides along next to its micros projection. The key column
+    // shapes only the grouping and the first output column — string
+    // keys (UUID user ids, the common real shape) group by the
+    // string itself; everything else goes through the lossless-long
+    // guard. One fold serves both paths.
+    val timeout =
+      if (batchMode) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.EventTimeTimeout
+    src.schema(keyCol).dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        src.select(col(keyCol).as("k"), col(tsCol).as("ts"),
+            TimeNorm.epochMicros(col(tsCol)).as("us"))
+          .as[(String, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long, Long, Long),
+              (String, Long, Long, Long)](OutputMode.Append, timeout) {
+            (k: String,
+                rows: Iterator[(String, java.sql.Timestamp, Long)],
+                state: GroupState[(Long, Long, Long, Long)]) =>
+              sessionizeFold(rows.map(_._3).toArray, state, gapUs,
+                gapSec, tombstoneRetentionSec, batchMode)
+                .map { case (sid, n, su) => (k, sid, n, su) }
           }
-      }
-      .toDF(keyCol, "session_id", "n_events", "start_us")
+          .toDF(keyCol, "session_id", "n_events", "start_us")
+      case _ =>
+        requireStatefulKey(src, keyCol, "sessionizeStream")
+        src.select(col(keyCol).cast("long").as("k"), col(tsCol).as("ts"),
+            TimeNorm.epochMicros(col(tsCol)).as("us"))
+          .as[(Long, java.sql.Timestamp, Long)]
+          .groupByKey(_._1)
+          .flatMapGroupsWithState[(Long, Long, Long, Long),
+              (Long, Long, Long, Long)](OutputMode.Append, timeout) {
+            (k: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+                state: GroupState[(Long, Long, Long, Long)]) =>
+              sessionizeFold(rows.map(_._3).toArray, state, gapUs,
+                gapSec, tombstoneRetentionSec, batchMode)
+                .map { case (sid, n, su) => (k, sid, n, su) }
+          }
+          .toDF(keyCol, "session_id", "n_events", "start_us")
+    }
   }
 
-  /** Guard shared by the long-keyed stateful operators: a
-    * `cast("long")` on a non-numeric key (UUID strings, say) yields
-    * NULL for every row under non-ANSI semantics, silently collapsing
-    * ALL keys into one group — retention would count one giant user,
-    * a funnel would complete each step at most once globally. Fail
-    * loudly at plan time instead. Scale-0 decimals up to 18 digits
-    * (the common JDBC/warehouse export type for ids) cast losslessly
-    * and are accepted; wider or fractional numerics are not — their
-    * cast rounds or overflows silently. */
-  private def requireIntegralKey(df: DataFrame, keyCol: String,
+  /** [[sessionizeStream]]'s per-key fold, key-free — emits
+    * (session_id, n_events, start_us) triples; the caller prepends
+    * its key. State: (sessionId, startUs, lastUs, nEvents).
+    * nEvents > 0 = an OPEN session with ordinal sessionId;
+    * nEvents == 0 = a TOMBSTONE left by a timeout close, holding the
+    * NEXT ordinal so a later event cannot reuse an already-emitted
+    * session_id. The tombstone itself expires after
+    * `tombstoneRetentionSec` of further silence (event-time),
+    * bounding state to RECENTLY-active keys rather than every key
+    * ever seen — the documented trade: a key silent longer than the
+    * retention restarts its ordinals at 1 (same horizon-bounding
+    * stance as dropDuplicatesWithinWatermark). */
+  private def sessionizeFold(usArr: Array[Long],
+      state: org.apache.spark.sql.streaming.GroupState[(Long, Long, Long, Long)],
+      gapUs: Long, gapSec: Long, tombstoneRetentionSec: Long,
+      batchMode: Boolean): Iterator[(Long, Long, Long)] = {
+    if (state.hasTimedOut) {
+      val (sid, su, lastUs, n) = state.get
+      if (n == 0L) {
+        // the TOMBSTONE expired: the key has been silent past the
+        // retention horizon — drop its state entirely
+        state.remove()
+        Iterator.empty
+      } else {
+        // watermark passed lastUs + gap: the open session closed.
+        // Leave the ordinal-holding tombstone with its own retention
+        // deadline — UNLESS the watermark has already passed it
+        // (stream downtime / backfill can advance it arbitrarily
+        // far, and Spark rejects a timeout behind the watermark):
+        // then the tombstone would expire this instant anyway, so
+        // drop the state directly (the same ordinal-restart trade).
+        val deadlineMs =
+          lastUs / 1000L + tombstoneRetentionSec * 1000L
+        if (state.getCurrentWatermarkMs() >= deadlineMs)
+          state.remove()
+        else {
+          state.update((sid + 1, 0L, lastUs, 0L))
+          state.setTimeoutTimestamp(deadlineMs)
+        }
+        Iterator.single((sid, n, su))
+      }
+    } else {
+      val closed = Array.newBuilder[(Long, Long, Long)]
+      var open = state.getOption
+      usArr.sorted.foreach { us =>
+        open match {
+          case Some((sid, su, lastUs, n)) if n > 0 =>
+            if (us - lastUs > gapUs) {
+              closed += ((sid, n, su))
+              open = Some((sid + 1, us, us, 1L))
+            } else open = Some((sid, su, math.max(lastUs, us), n + 1))
+          case Some((nextSid, _, _, _)) => // tombstone: resume ordinal
+            open = Some((nextSid, us, us, 1L))
+          case None => open = Some((1L, us, us, 1L))
+        }
+      }
+      if (batchMode) {
+        // static frame: this key never reappears — flush the open
+        // session too (matches the batch window exactly)
+        open.foreach { case (sid, su, _, n) => closed += ((sid, n, su)) }
+      } else open.foreach { o =>
+        state.update(o)
+        if (o._4 > 0)
+          state.setTimeoutTimestamp(o._3 / 1000L + gapSec * 1000L)
+      }
+      closed.result().iterator
+    }
+  }
+
+  /** Guard for the non-string keys of the stateful operators: a
+    * `cast("long")` on an unsupported key type (a DOUBLE id, say)
+    * silently rounds or overflows — and before string keys were
+    * grouped natively, a UUID key would cast to NULL for every row,
+    * collapsing ALL keys into one group. STRING keys never reach
+    * this guard (they group by the string itself); scale-0 decimals
+    * up to 18 digits (the common JDBC/warehouse export type for ids)
+    * cast losslessly and are accepted; wider or fractional numerics
+    * fail loudly at plan time. */
+  private def requireStatefulKey(df: DataFrame, keyCol: String,
       op: String): Unit = {
     import org.apache.spark.sql.types._
     val ok = df.schema(keyCol).dataType match {
@@ -940,8 +1028,8 @@ object Ingest {
       case _ => false
     }
     require(ok,
-      s"[GRAFT] $op: key column `$keyCol` must be an integral type " +
-        "(or a scale-0 decimal up to 18 digits), got " +
+      s"[GRAFT] $op: key column `$keyCol` must be a string, an " +
+        "integral type, or a scale-0 decimal up to 18 digits, got " +
         s"${df.schema(keyCol).dataType.simpleString} — a lossy " +
         "cast('long') would silently collapse or corrupt keys")
   }

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{vfs_binary_quantize, vfs_hamming, BinaryQuantMath}
+import graft.operators.BinaryIndex
+
+class BinaryIndexSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("binidx").toString
+
+  test("persisted sidecar: candidates match the scan-form prefilter " +
+      "bit-for-bit; search re-ranks exactly; coarse scan never touches " +
+      "the float column") {
+    val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+    val dir = tmp()
+    BinaryIndex.build(emb, dir)
+    // metadata rides INSIDE the packed dir (swap-atomic with the data)
+    assert(new java.io.File(s"$dir/packed/_binary.json").exists())
+    val q = emb.filter($"vec_id" === 1L).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val qp = BinaryQuantMath.packFloats(q).toSeq
+    val scanForm = emb.select($"vec_id".as("id"),
+        vfs_hamming(vfs_binary_quantize($"embedding"), typedLit(qp))
+          .as("ham"))
+      .orderBy($"ham".asc, $"id".asc).limit(50)
+      .as[(Long, Long)].collect().toSeq
+    val cand = BinaryIndex.candidates(spark, dir, q, n = 50)
+    assert(cand.as[(Long, Long)].collect().toSeq === scanForm)
+    // the coarse cut reads ONLY the sidecar: its scan schema carries
+    // the packed words, never the float embedding column
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("packed") && !plan.contains("embedding"), plan)
+    // search: exact euclidean re-rank over the candidate ids only,
+    // ordered (dist, id)
+    val res = BinaryIndex.search(spark, dir, emb, q, k = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(res.size === 10)
+    assert(res.head._1 === 1L && res.head._3 === 0.0) // self is nearest
+    assert(res.map(_._3) === res.map(_._3).sorted)
+    assert(res.map(_._1).toSet.subsetOf(scanForm.map(_._1).toSet))
+  }
+
+  test("dim frozen in the artifact; append is delta-only; rebuild " +
+      "bumps generation; malformed inputs fail loudly") {
+    val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+    val n = emb.count()
+    val dir = tmp()
+    BinaryIndex.build(emb, dir)
+    assert(BinaryIndex.readMeta(dir).generation === 1)
+    val q = emb.filter($"vec_id" === 1L).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    // wrong-dim query fails loudly (Q7 stance)
+    val err = intercept[IllegalArgumentException] {
+      BinaryIndex.candidates(spark, dir, q ++ Array(1f), 10)
+    }
+    assert(err.getMessage.contains("dim"))
+    // append five re-identified rows: the sidecar grows by exactly
+    // the delta, and the new ids are probe-visible
+    BinaryIndex.append(
+      emb.limit(5).select(($"vec_id" + 100000L).as("vec_id"),
+        $"embedding"), dir)
+    assert(spark.read.parquet(s"$dir/packed").count() === n + 5)
+    val all = BinaryIndex.candidates(spark, dir, q, (n + 5).toInt)
+    assert(all.filter($"id" >= 100000L).count() === 5L)
+    // a wrong-dim append batch fails before touching the artifact
+    intercept[IllegalArgumentException] {
+      BinaryIndex.append(
+        Seq((999999L, Seq(1f, 2f))).toDF("vec_id", "embedding"), dir)
+    }
+    assert(spark.read.parquet(s"$dir/packed").count() === n + 5)
+    // rebuild folds back to the corpus and bumps the generation
+    BinaryIndex.build(emb, dir)
+    assert(BinaryIndex.readMeta(dir).generation === 2)
+    assert(spark.read.parquet(s"$dir/packed").count() === n)
+    // non-uniform dims cannot build (mixed paddings would compare)
+    intercept[IllegalArgumentException] {
+      BinaryIndex.build(
+        Seq((1L, Seq(1f, 2f)), (2L, Seq(1f, 2f, 3f)))
+          .toDF("vec_id", "embedding"), tmp())
+    }
+    // k > nCandidates is a contradiction, not a silent truncation
+    intercept[IllegalArgumentException] {
+      BinaryIndex.search(spark, dir, emb, q, k = 60, nCandidates = 50)
+    }
+  }
+}

@@ -259,6 +259,11 @@ class FunctionsSpec extends AnyFunSuite {
     val r3 = Seq(Tuple1(v70)).toDF("v")
       .select(vfs_binary_quantize($"v")).as[Seq[Long]].head()
     assert(r3 === Seq(1L << 3, 1L << 5))
+    // a NULL element propagates NULL (the vfs_long_dot stance) —
+    // unboxing would silently pack a 0 bit
+    val rn = Seq(Tuple1(Seq(Option(1f), None, Option(3f)))).toDF("v")
+      .select(vfs_binary_quantize($"v")).collect().head
+    assert(rn.isNullAt(0))
   }
 
   test("hamming distance: equals dimension-wise sign-mismatch count") {
@@ -276,6 +281,10 @@ class FunctionsSpec extends AnyFunSuite {
       Seq((Seq(1L), Seq(1L, 2L))).toDF("a", "b")
         .select(vfs_hamming($"a", $"b")).collect()
     }.getMessage.contains("dimension mismatch"))
+    // a NULL word propagates NULL, never a silent partial count
+    val hn = Seq((Seq(Option(1L), None), Seq(Option(1L), Option(2L))))
+      .toDF("a", "b").select(vfs_hamming($"a", $"b")).collect().head
+    assert(hn.isNullAt(0))
     // SQL registration + whole-stage codegen over a non-local child
     val sqlRes = spark.sql(
       """SELECT vfs_hamming(vfs_binary_quantize(array(1.0F, -1.0F)),

@@ -1896,21 +1896,22 @@ class PipelineSpec extends AnyFunSuite {
         (1L, 1L, us("2024-01-01 09:00:00")),
         (2L, 1L, us("2024-01-01 13:30:00"))))
     } finally q.stop()
-    // a non-integral key must fail loudly at plan time — cast("long")
-    // would silently collapse every UUID key to NULL
+    // string keys group NATIVELY (no lossy cast — see the dedicated
+    // string-key spec); a genuinely lossy key type (fractional
+    // double) must still fail loudly at plan time
     intercept[IllegalArgumentException] {
       graft.streaming.Ingest.sessionizeStream(
-        Seq(("u-1", ts("2024-01-01 10:00:00"))).toDF("user_id", "ts"),
+        Seq((1.5d, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts"),
         batchMode = true)
     }
     intercept[IllegalArgumentException] {
       graft.streaming.Ingest.retentionStream(
-        Seq(("u-1", ts("2024-01-01 10:00:00"))).toDF("user_id", "ts"),
+        Seq((1.5d, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts"),
         batchMode = true)
     }
     intercept[IllegalArgumentException] {
       graft.streaming.Ingest.funnelStream(
-        Seq(("u-1", ts("2024-01-01 10:00:00"), "signup"))
+        Seq((1.5d, ts("2024-01-01 10:00:00"), "signup"))
           .toDF("user_id", "ts", "event_type"), Seq("signup"),
         batchMode = true)
     }
@@ -1936,6 +1937,73 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq
     assert(streamed === batch)
+  }
+
+  test("string-keyed stateful streaming: sessionize groups UUID-ish " +
+      "keys natively across micro-batches; retention and funnel " +
+      "match their long-keyed runs on the same data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def us(s: String) = ts(s).getTime * 1000L
+    val stream = MemoryStream[(String, java.sql.Timestamp)]
+    val ses = graft.streaming.Ingest.sessionizeStream(
+      stream.toDF().toDF("user_id", "ts"), gapSec = 1800L,
+      watermark = "1 hour")
+    assert(ses.schema("user_id").dataType ===
+      org.apache.spark.sql.types.StringType) // key type carried through
+    val q = ses.writeStream.outputMode("append")
+      .format("memory").queryName("ses_str").start()
+    try {
+      // batch 1: two keys, sessions open — nothing emits
+      stream.addData(("u-aa", ts("2024-01-01 10:00:00")),
+        ("u-aa", ts("2024-01-01 10:10:00")),
+        ("u-bb", ts("2024-01-01 09:00:00")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM ses_str").head()
+        .getLong(0) === 0)
+      // batch 2: u-aa returns past the gap → session 1 closes; the
+      // watermark (12:10 − 1 h) passes u-bb's timeout → its session
+      // flushes too. Distinct string keys stay distinct groups (the
+      // old lossy cast would have collapsed them into one NULL key).
+      stream.addData(("u-aa", ts("2024-01-01 12:10:00")))
+      q.processAllAvailable()
+      val got = spark.sql(
+        """SELECT user_id, session_id, n_events, start_us FROM ses_str
+          |ORDER BY user_id""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(got.toSeq === Seq(
+        ("u-aa", 1L, 2L, us("2024-01-01 10:00:00")),
+        ("u-bb", 1L, 1L, us("2024-01-01 09:00:00"))))
+    } finally q.stop()
+    // batch-mode parity on the REAL events table: prefixing the key
+    // ("u-<id>") is a bijection, so the string-keyed run must equal
+    // the long-keyed run key-for-key (sessionize) and row-for-row
+    // (retention/funnel — their outputs are key-free)
+    val ev = SparkEntry.events(spark, GraftTest.sf0001)
+    val evStr = ev.withColumn("user_id",
+      concat(lit("u-"), $"user_id".cast("string")))
+    val sesStr = graft.streaming.Ingest
+      .sessionizeStream(evStr, batchMode = true)
+      .select(regexp_replace($"user_id", "^u-", "").cast("long")
+        .as("user_id"), $"session_id", $"n_events", $"start_us")
+      .orderBy($"user_id", $"session_id").collect().toSeq
+    val sesLong = graft.streaming.Ingest
+      .sessionizeStream(ev, batchMode = true)
+      .orderBy($"user_id", $"session_id").collect().toSeq
+    assert(sesStr === sesLong)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(sortedRows(graft.streaming.Ingest
+        .retentionStream(evStr, batchMode = true)) ===
+      sortedRows(graft.streaming.Ingest
+        .retentionStream(ev, batchMode = true)))
+    val steps = Seq("signup", "view", "click", "purchase")
+    assert(sortedRows(graft.streaming.Ingest
+        .funnelStream(evStr, steps, batchMode = true)) ===
+      sortedRows(graft.streaming.Ingest
+        .funnelStream(ev, steps, batchMode = true)))
   }
 
   test("stream-stream interval join matches purchases within the horizon") {
