@@ -388,6 +388,18 @@ object Explain {
             .as("d"))
         .orderBy(col("d").asc, col("id").asc).limit(10)
     }
+    show("PERSISTED binary sidecar probe + exact re-rank (expect: the " +
+        "coarse scan reads ONLY (id, packed) — ReadSchema without the " +
+        "float column — popcount in codegen, TakeOrderedAndProject " +
+        "cut, then a BroadcastHashJoin of the 50 candidates into the " +
+        "full-vector table for the exact distance)") {
+      val bidx = java.nio.file.Files
+        .createTempDirectory("explain-binidx").toString
+      graft.operators.BinaryIndex.build(
+        spark.read.parquet(s"$dir/embeddings.parquet"), bidx)
+      graft.operators.BinaryIndex.search(spark, bidx,
+        spark.read.parquet(s"$dir/embeddings.parquet"), q, k = 10)
+    }
     show("streaming gap sessionization, batch-mode plan (expect: ONE " +
         "exchange by key into FlatMapGroupsWithState carrying (k, ts, " +
         "us) — O(1) open-session state per key)") {

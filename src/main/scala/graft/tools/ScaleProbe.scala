@@ -389,6 +389,37 @@ object ScaleProbe {
         $"ts", $"event_type", Seq("signup", "view", "click", "purchase"))
         .collect()
     }
+    // binary Hamming tier at 500k x 64: the scan form re-packs the
+    // float column per query (reads ~128 MB of floats); the persisted
+    // sidecar reads the 1-bit words (~4 MB). At sf0.1 (2k rows) the
+    // extra candidate job's fixed overhead hides the 32x byte cut
+    // (BENCHREPORT: 0.15 vs 0.23 s) — at 500k the cut must dominate.
+    time("binary hamming top-50 + exact re-rank, SCAN form " +
+        "(re-packs 500k float vectors per query)") {
+      val qp = graft.functions.vfs_binary_quantize(typedLit(q.toSeq))
+      base.select($"id", $"values",
+          graft.functions.vfs_hamming(
+            graft.functions.vfs_binary_quantize($"values"), qp)
+            .as("ham"))
+        .orderBy($"ham".asc, $"id".asc).limit(50)
+        .select($"id",
+          graft.functions.vfs_euclidean($"values", typedLit(q.toSeq))
+            .as("d"))
+        .orderBy($"d".asc, $"id".asc).limit(10).collect()
+    }
+    val binDir = java.nio.file.Files
+      .createTempDirectory("scale-bin").toString
+    val baseAsEmb = base.select($"id".as("vec_id"),
+      $"values".as("embedding"))
+    time("BinaryIndex build: 500k x 64 -> packed sidecar (one pass)") {
+      graft.operators.BinaryIndex.build(baseAsEmb, binDir)
+    }
+    time("BinaryIndex search: sidecar coarse scan + broadcast-join " +
+        "exact re-rank (32x fewer coarse bytes)") {
+      graft.operators.BinaryIndex
+        .search(spark, binDir, baseAsEmb, q, k = 10).collect()
+    }
+
     // upsert pruning at a 500k-row / 20-commit store: a 1k-name
     // upsert whose collisions all live in ONE commit dir must rewrite
     // ~1/20 of the corpus, and a zero-collision upsert must rewrite
