@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   - build: [[Dedup.bandedRelation]] over the corpus → `bands/`
   *     parquet of SLIM (id, band, bsig) triples (the signature slices
   *     only — ~bands × rowsPerBand longs per doc, independent of
-  *     document length) + `lsh.json` banding params.
+  *     document length) + `_lsh.json` banding params.
   *   - append: band ONLY the new docs with the persisted params and
   *     append their triples — cost ∝ batch, corpus untouched.
   *   - probe: band ONLY the delta, hash-join it against the stored
@@ -36,7 +35,18 @@ import org.apache.spark.sql.functions._
   * Banding params are frozen in the artifact: a probe or append never
   * silently mixes band families (the failure mode of recomputing
   * params at call sites). `generation` bumps on rebuild so derived
-  * artifacts can detect staleness, mirroring [[IvfIndex]].
+  * artifacts can detect staleness, mirroring [[IvfIndex]]. Metadata
+  * rides INSIDE `bands/` as `_lsh.json` (underscore-prefixed, skipped
+  * by scans like `_SUCCESS`) and goes through the Hadoop FileSystem
+  * of the artifact path (NOT java.nio — a remote hdfs:// or s3a://
+  * artifact would otherwise resolve against the driver's local cwd),
+  * so every publish — fresh build, params-changing rebuild, compact —
+  * moves data and its frozen params in ONE atomic rename: there is no
+  * crash state with new-params triples under old-params metadata, and
+  * no in-place overwrite that could leave a PARTIAL band table under
+  * live metadata (the [[GramIndex]] crash-atomicity stance). A legacy
+  * path-level `lsh.json` is read as a fallback and migrated into the
+  * swap-safe layout by the next rebuild/compact.
   *
   * Reference anchor: the reference has no incremental text dedup at
   * all (vfs/src/vfs has no text pipeline) — this is part of the
@@ -47,33 +57,102 @@ object LshTextIndex {
   private def metaJson(m: Meta): String =
     s"""{"bands":${m.bands},"rowsPerBand":${m.rowsPerBand},"generation":${m.generation}}"""
 
+  private def hconf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(hconf())
+
+  private def metaPaths(path: String): Seq[org.apache.hadoop.fs.Path] =
+    Seq(new org.apache.hadoop.fs.Path(s"$path/bands", "_lsh.json"),
+      new org.apache.hadoop.fs.Path(path, "lsh.json"))
+
+  /** Does an index artifact exist at `path`? The hook callers use to
+    * pick build-vs-append (the streaming ingest loop) — location-
+    * agnostic, so the swap-safe and legacy layouts both answer. */
+  def exists(path: String): Boolean = {
+    val fs = fsOf(path)
+    metaPaths(path).exists(fs.exists)
+  }
+
   private[graft] def readMeta(path: String): Meta = {
-    val p = Paths.get(path, "lsh.json")
-    require(Files.exists(p), s"[GRAFT] no LSH index at $path")
-    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val fs = fsOf(path)
+    val p = metaPaths(path).find(fs.exists)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: [GRAFT] no LSH index at $path"))
+    val in = fs.open(p)
+    val s =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
     def num(k: String) =
       ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
     Meta(num("bands"), num("rowsPerBand"), num("generation"))
   }
 
+  private def writeMetaInto(dir: String, m: Meta): Unit = {
+    val fs = fsOf(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_lsh.json"),
+      true)
+    try out.write(metaJson(m).getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Staged two-rename swap shared by rebuilds and [[compact]] (the
+    * [[GramIndex]] shape): write the replacement (parquet + staged
+    * `_lsh.json`) under `_stage`, park the live dir at `_old`, move
+    * the stage in, drop `_old`. A crash between the renames leaves
+    * `_old` complete — rename back to recover. Single-writer is the
+    * caller contract. */
+  private def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, what: String)(
+      writeStage: String => Unit): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/bands_stage")
+    val old = new org.apache.hadoop.fs.Path(s"$path/bands_old")
+    writeStage(stage.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(live, old), s"[GRAFT] $what: cannot stage $live")
+    require(fs.rename(stage, live),
+      s"[GRAFT] $what: swap failed — recover by renaming $old back")
+    fs.delete(old, true)
+  }
+
   /** Build (or REBUILD — generation bumps) the band table at `path`.
     * One pass over the corpus: tokenize → portable minhash signature →
     * explode to (id, band, bsig) triples ([[Dedup.bandedRelation]];
-    * slim by construction — word sets never enter the shuffle). */
+    * slim by construction — word sets never enter the shuffle). Both
+    * fresh builds and rebuilds stage parquet + metadata together and
+    * publish with a rename — see the class doc's atomicity stance. */
   def build(docs: DataFrame, path: String, bands: Int = 16,
       rowsPerBand: Int = 4, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
     require(bands > 0 && rowsPerBand > 0,
       "[GRAFT] lsh index: bands and rowsPerBand must be positive")
-    Dedup.bandedRelation(docs, "id", textCol, idCol, bands, rowsPerBand)
-      .write.mode("overwrite").parquet(s"$path/bands")
-    val gen =
-      if (Files.exists(Paths.get(path, "lsh.json")))
-        readMeta(path).generation + 1
-      else 1
-    Files.write(Paths.get(path, "lsh.json"),
-      metaJson(Meta(bands, rowsPerBand, gen))
-        .getBytes(StandardCharsets.UTF_8))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+    val gen = if (exists(path)) readMeta(path).generation + 1 else 1
+    val banded = Dedup.bandedRelation(docs, "id", textCol, idCol,
+      bands, rowsPerBand)
+    val live = new org.apache.hadoop.fs.Path(s"$path/bands")
+    if (!fs.exists(live)) {
+      val stage = new org.apache.hadoop.fs.Path(s"$path/bands_stage")
+      banded.write.mode("overwrite").parquet(stage.toString)
+      writeMetaInto(stage.toString, Meta(bands, rowsPerBand, gen))
+      require(fs.rename(stage, live),
+        s"[GRAFT] lsh build: cannot publish $stage")
+    } else {
+      stagedSwap(fs, path, "lsh build") { stage =>
+        banded.write.mode("overwrite").parquet(stage)
+        writeMetaInto(stage, Meta(bands, rowsPerBand, gen))
+      }
+    }
+    // retire a legacy path-level lsh.json AFTER the publish (the
+    // bands-internal copy wins reads from the instant of the rename)
+    fs.delete(new org.apache.hadoop.fs.Path(path, "lsh.json"), false)
   }
 
   /** Band `docs` with the index's frozen params and append their
@@ -120,23 +199,22 @@ object LshTextIndex {
 
   /** Rewrite the band table into one file per shuffle partition —
     * each [[append]] adds a file set, and probe latency grows with
-    * files listed (the classic small-files problem). Same staged
+    * files listed (the classic small-files problem). The unchanged
+    * metadata rides INSIDE the stage dir (compaction is a physical
+    * rewrite, not a semantic change), which also migrates a legacy
+    * path-level lsh.json into the swap-safe layout. Same staged
     * two-rename swap and single-writer stance as
-    * [[IvfIndex.compactAssignments]]; crash between the renames
-    * leaves `bands_old` complete — rename back to recover. */
+    * [[IvfIndex.compactAssignments]]. */
   def compact(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val live = new org.apache.hadoop.fs.Path(s"$path/bands")
-    val stage = new org.apache.hadoop.fs.Path(s"$path/bands_stage")
-    val old = new org.apache.hadoop.fs.Path(s"$path/bands_old")
-    spark.read.parquet(live.toString)
+    val m = readMeta(path)
+    val folded = spark.read.parquet(s"$path/bands")
       .repartition(col("band"))
-      .write.mode("overwrite").parquet(stage.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(live, old), s"[GRAFT] compact: cannot stage $live")
-    require(fs.rename(stage, live),
-      s"[GRAFT] compact: swap failed — recover by renaming $old back")
-    fs.delete(old, true)
+    stagedSwap(fs, path, "lsh compact") { stage =>
+      folded.write.mode("overwrite").parquet(stage)
+      writeMetaInto(stage, m)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path, "lsh.json"), false)
   }
 }

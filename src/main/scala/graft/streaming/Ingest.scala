@@ -313,7 +313,7 @@ object Ingest {
           val s = survivors.cache()
           try {
             if (s.take(1).nonEmpty) {
-              if (dirExists(s"$idxDir/lsh.json"))
+              if (LshTextIndex.exists(idxDir))
                 LshTextIndex.append(s, idxDir)
               else LshTextIndex.build(s, idxDir, bands, rowsPerBand)
               s.write.mode("append").parquet(docDir)

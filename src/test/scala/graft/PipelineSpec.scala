@@ -74,6 +74,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(LshTextIndex.readMeta(path).generation === 2)
   }
 
+  test("LSH index params-change rebuild: crash states are the complete " +
+      "old artifact, the complete new one, or a loud failure — and a " +
+      "legacy path-level lsh.json reads and migrates") {
+    import graft.operators.LshTextIndex
+    val path = Files.createTempDirectory("graft-lsh-crash").toString
+    val corpus = docs.filter($"doc_id" >= 100 && $"doc_id" < 200)
+    LshTextIndex.build(corpus, path, bands = 16, rowsPerBand = 4)
+    // metadata rides INSIDE bands/ — one rename publishes both
+    assert(new java.io.File(s"$path/bands/_lsh.json").exists())
+    assert(!new java.io.File(s"$path/lsh.json").exists())
+    val bandCount = spark.read.parquet(s"$path/bands").count()
+    assert(bandCount === corpus.count() * 16)
+
+    // CRASH STATE A — a bands=8 rebuild died after writing its stage:
+    // live untouched, readers still see the 16-band artifact
+    graft.operators.Dedup.bandedRelation(corpus, "id", "text",
+        "doc_id", 8, 4)
+      .write.mode("overwrite").parquet(s"$path/bands_stage")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/bands_stage/_lsh.json"),
+      """{"bands":8,"rowsPerBand":4,"generation":2}""".getBytes("UTF-8"))
+    assert(LshTextIndex.readMeta(path) === LshTextIndex.Meta(16, 4, 1))
+    assert(spark.read.parquet(s"$path/bands").count() === bandCount)
+
+    // CRASH STATE B — between the two swap renames: no live artifact,
+    // loud failure (never 16-band metadata over 8-band triples);
+    // recovery = rename bands_old back
+    val live = java.nio.file.Paths.get(s"$path/bands")
+    val parked = java.nio.file.Paths.get(s"$path/bands_old")
+    java.nio.file.Files.move(live, parked)
+    intercept[IllegalArgumentException] { LshTextIndex.readMeta(path) }
+    assert(!LshTextIndex.exists(path))
+    java.nio.file.Files.move(parked, live)
+    assert(LshTextIndex.readMeta(path) === LshTextIndex.Meta(16, 4, 1))
+
+    // CRASH STATE C — stage moved in: 8-band triples arrive WITH their
+    // 8-band metadata in the same rename
+    java.nio.file.Files.move(live, parked)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$path/bands_stage"), live)
+    assert(LshTextIndex.readMeta(path) === LshTextIndex.Meta(8, 4, 2))
+    assert(spark.read.parquet(s"$path/bands").count() ===
+      corpus.count() * 8)
+
+    // LEGACY layout: path-level lsh.json (pre-round-9 artifacts)
+    // reads via the fallback and is migrated by the next rebuild
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$path/bands/_lsh.json"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/lsh.json"),
+      """{"bands":8,"rowsPerBand":4,"generation":2}""".getBytes("UTF-8"))
+    assert(LshTextIndex.exists(path))
+    assert(LshTextIndex.readMeta(path) === LshTextIndex.Meta(8, 4, 2))
+    LshTextIndex.build(corpus, path, bands = 16, rowsPerBand = 4)
+    assert(LshTextIndex.readMeta(path) === LshTextIndex.Meta(16, 4, 3))
+    assert(new java.io.File(s"$path/bands/_lsh.json").exists())
+    assert(!new java.io.File(s"$path/lsh.json").exists()) // migrated
+  }
+
   test("simhash: identical docs collide, hamming pairs are symmetric-free") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
