@@ -45,7 +45,29 @@ object IvfIndex {
       opt("assignEpsMilli", -1L))
   }
 
-  private[operators] def readMeta(path: String): Meta = parseMeta(new String(
+  /** Sentinel marking a REBUILD's live-mutation window ([[build]]'s
+    * dir swaps + meta write). Present = an in-progress or crashed
+    * rebuild: any probe could silently mix the old and new clustering
+    * (partial assignments under live metadata — the hazard class the
+    * staged artifacts eliminate by construction), so every operation
+    * that goes through [[readMeta]] refuses LOUDLY instead. The index
+    * is DERIVED data, so the honest crash contract is loud-fail +
+    * rerun-build (which clears the sentinel), not store-grade
+    * multi-directory atomicity. */
+  private def rebuildSentinel(path: String): java.nio.file.Path =
+    Paths.get(path, "ivf.rebuilding")
+
+  private[operators] def readMeta(path: String): Meta = {
+    require(!Files.exists(rebuildSentinel(path)),
+      s"[GRAFT] IVF index at $path has an in-progress or crashed " +
+        "REBUILD (ivf.rebuilding present) — rerun IvfIndex.build to " +
+        "complete it; probing now could mix the old and new clustering")
+    readMetaRaw(path)
+  }
+
+  /** Sentinel-blind read — [[build]]'s own recovery path needs the
+    * old generation even while the sentinel stands. */
+  private def readMetaRaw(path: String): Meta = parseMeta(new String(
     Files.readAllBytes(Paths.get(path, "ivf.json")), StandardCharsets.UTF_8))
 
   /** The closure-assignment eps an index was built with (< 0 =
@@ -374,22 +396,38 @@ object IvfIndex {
       if (parts < spark.sparkContext.defaultParallelism)
         prepared.repartition(spark.sparkContext.defaultParallelism)
       else prepared
+    // a REBUILD over an existing index is a new generation: any PQ /
+    // IVF-PQ artifact derived from the old clustering is stale and its
+    // probes must refuse until refreshed/rebuilt (same stance as
+    // [[rebalance]]). Rebuilds must never overwrite the live dirs in
+    // place (a crash would leave a PARTIAL index under live metadata,
+    // silently wrong): both dirs are staged first — the live index
+    // stays fully consistent while the expensive writes run — and the
+    // live mutation (two dir swaps + the meta write) happens inside
+    // the [[rebuildSentinel]] window, where any crash turns every
+    // probe into a loud refusal until build is rerun.
+    val rebuilding = Files.exists(Paths.get(path, "ivf.json"))
+    val gen = if (rebuilding) readMetaRaw(path).generation + 1 else 1
+    val assignTarget =
+      if (rebuilding) s"$path/assignments_stage" else s"$path/assignments"
+    val centTarget =
+      if (rebuilding) s"$path/centroids_stage" else s"$path/centroids"
     assignRows(assignInput, centArr, math.min(nAssign, nCentroids),
       normalize = spherical, eps = assignEps)
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$path/assignments")
+      .parquet(assignTarget)
     lap("assign+write")
     spark.createDataFrame(centArr.toSeq).toDF("cluster", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    // a REBUILD over an existing index is a new generation: any PQ /
-    // IVF-PQ artifact derived from the old clustering is stale and its
-    // probes must refuse until refreshed/rebuilt (same stance as
-    // [[rebalance]])
-    val gen =
-      if (Files.exists(Paths.get(path, "ivf.json")))
-        readMeta(path).generation + 1
-      else 1
+      .coalesce(1).write.mode("overwrite").parquet(centTarget)
+    if (rebuilding) {
+      Files.write(rebuildSentinel(path),
+        gen.toString.getBytes(StandardCharsets.UTF_8))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      swapLive(fs, path, "assignments")
+      swapLive(fs, path, "centroids")
+    }
     Files.write(Paths.get(path, "ivf.json"),
       metaJson(Meta(nCentroids, metric match {
         case Metric.Cosine => "cosine"
@@ -397,6 +435,25 @@ object IvfIndex {
       }, dim, seed, math.min(nAssign, nCentroids), gen,
         if (assignEps < 0) -1L else math.round(assignEps * 1000.0)))
         .getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(rebuildSentinel(path))
+  }
+
+  /** Move `<what>_stage` into place, parking any live dir at
+    * `<what>_old` first. Rerun-tolerant: after a crash a live dir may
+    * already be gone (parked but never replaced) — the stage then
+    * just moves in. Runs only inside the [[rebuildSentinel]] window. */
+  private[operators] def swapLive(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, what: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$what")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/${what}_stage")
+    val old = new org.apache.hadoop.fs.Path(s"$path/${what}_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live))
+      require(fs.rename(live, old),
+        s"[GRAFT] rebuild: cannot stage $live")
+    require(fs.rename(stage, live),
+      s"[GRAFT] rebuild: cannot move $stage in — rerun build to recover")
+    fs.delete(old, true)
   }
 
   /** Deterministic k-means++ init (seeded D²-sampling) over a bounded

@@ -51,8 +51,22 @@ object PqIndex {
     Meta(num("m").toInt, num("ks").toInt, num("dim").toInt, metric,
       num("seed"))
   }
-  private def readMeta(path: String): Meta = parseMeta(new String(
-    Files.readAllBytes(Paths.get(path, "pq.json")), StandardCharsets.UTF_8))
+  /** Same rebuild-sentinel contract as [[IvfIndex]]: a rebuild's
+    * live-mutation window (dir swaps + meta write) is marked; a crash
+    * inside it makes every probe refuse loudly (derived data — the
+    * recovery is rerunning build) instead of silently scoring against
+    * a partial code table. */
+  private def rebuildSentinel(path: String): java.nio.file.Path =
+    Paths.get(path, "pq.rebuilding")
+
+  private def readMeta(path: String): Meta = {
+    require(!Files.exists(rebuildSentinel(path)),
+      s"[GRAFT] PQ artifact at $path has an in-progress or crashed " +
+        "rebuild (pq.rebuilding present) — rerun PqIndex.build")
+    parseMeta(new String(
+      Files.readAllBytes(Paths.get(path, "pq.json")),
+      StandardCharsets.UTF_8))
+  }
 
   /** codebooks(j)(k) = centroid k of subspace j (dim/m floats). */
   private[operators] def loadCodebooks(spark: SparkSession, path: String,
@@ -98,8 +112,16 @@ object PqIndex {
     }
     val bookRows = for (j <- 0 until m; k <- 0 until ks)
       yield (j, k, books(j)(k))
+    // rebuilds stage both dirs and swap inside the sentinel window
+    // (the [[IvfIndex.build]] discipline) — never an in-place
+    // overwrite of a live artifact
+    val rebuilding = Files.exists(Paths.get(path, "pq.json"))
+    val bookTarget =
+      if (rebuilding) s"$path/codebooks_stage" else s"$path/codebooks"
+    val codesTarget =
+      if (rebuilding) s"$path/codes_stage" else s"$path/codes"
     spark.createDataFrame(bookRows).toDF("subspace", "centroid_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(bookTarget)
     // ---- encode pass: broadcast codebooks, argmin per subspace.
     // Compute-bound (|rows|·ks·dim muladds) — spread like IvfIndex's
     // assignment pass when the scan has too few partitions.
@@ -123,12 +145,21 @@ object PqIndex {
         }
       }
       .toDF("id", "code")
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .write.mode("overwrite").parquet(codesTarget)
+    if (rebuilding) {
+      Files.write(rebuildSentinel(path),
+        "1".getBytes(StandardCharsets.UTF_8))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      IvfIndex.swapLive(fs, path, "codebooks")
+      IvfIndex.swapLive(fs, path, "codes")
+    }
     Files.write(Paths.get(path, "pq.json"),
       metaJson(Meta(m, ks, dim, metric match {
         case Metric.Cosine => "cosine"
         case Metric.Euclidean => "euclidean"
       }, seed)).getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(rebuildSentinel(path))
   }
 
   /** One vector → m bytes (argmin per subspace; `best == -1 ||` guards
@@ -335,8 +366,14 @@ object IvfPq {
     }
     val bookRows = for (j <- 0 until m; k <- 0 until ks)
       yield (j, k, books(j)(k))
+    // same staged-rebuild + sentinel discipline as [[PqIndex.build]]
+    val rebuilding = Files.exists(Paths.get(path, "ivfpq.json"))
+    val bookTarget =
+      if (rebuilding) s"$path/codebooks_stage" else s"$path/codebooks"
+    val codesTarget =
+      if (rebuilding) s"$path/codes_stage" else s"$path/codes"
     spark.createDataFrame(bookRows).toDF("subspace", "centroid_id", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(bookTarget)
     val bcBooks = spark.sparkContext.broadcast(books)
     spreadAssign.as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
@@ -348,7 +385,15 @@ object IvfPq {
       .toDF("id", "code", "cluster")
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster")
-      .parquet(s"$path/codes")
+      .parquet(codesTarget)
+    if (rebuilding) {
+      Files.write(rebuildSentinel(path),
+        "1".getBytes(StandardCharsets.UTF_8))
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      IvfIndex.swapLive(fs, path, "codebooks")
+      IvfIndex.swapLive(fs, path, "codes")
+    }
     // record the parent's nAssign (a single-assignment parent can
     // never produce duplicate ids across probed partitions, so search
     // skips the dedup shuffle entirely — same distinction
@@ -360,7 +405,14 @@ object IvfPq {
     Files.write(Paths.get(path, "ivfpq.json"),
       metaJson(PqMeta(m, ks, dim, seed, parent.nAssign,
         parent.generation)).getBytes(StandardCharsets.UTF_8))
+    Files.deleteIfExists(rebuildSentinel(path))
   }
+
+  /** Same rebuild-sentinel contract as [[IvfIndex]]/[[PqIndex]] —
+    * present = an in-progress or crashed rebuild; probes and refresh
+    * refuse loudly until [[build]] is rerun. */
+  private def rebuildSentinel(path: String): java.nio.file.Path =
+    Paths.get(path, "ivfpq.rebuilding")
 
   /** Incremental maintenance — heals the artifact against the parent's
     * CURRENT state, then re-stamps the generation. Three repairs, each
@@ -489,6 +541,10 @@ object IvfPq {
     s"""{"m":${meta.m},"ks":${meta.ks},"dim":${meta.dim},"seed":${meta.seed},"nAssign":${meta.nAssign},"gen":${meta.gen}}"""
 
   private def readMeta(path: String): PqMeta = {
+    require(!Files.exists(rebuildSentinel(path)),
+      s"[GRAFT] IVF-PQ artifact at $path has an in-progress or " +
+        "crashed rebuild (ivfpq.rebuilding present) — rerun " +
+        "IvfPq.build")
     val s = new String(Files.readAllBytes(Paths.get(path, "ivfpq.json")),
       StandardCharsets.UTF_8)
     def num(k: String) = ("\"" + k + "\":(-?\\d+)").r

@@ -112,6 +112,48 @@ class KnnSpec extends AnyFunSuite {
     victims.foreach(v => assert(!got2.contains(v), s"copy of $v survived"))
   }
 
+  test("IVF rebuild is staged: live index stays consistent until the " +
+      "sentinel window; a crashed rebuild refuses loudly and a rerun " +
+      "recovers") {
+    val dir = Files.createTempDirectory("ivf-rebuild").toString
+    IvfIndex.build(emb, dir, nCentroids = 8, Metric.Cosine)
+    val beforeIds = IvfIndex.search(spark, dir, all.head._2, 5,
+      nProbe = 8).select("id").as[Long].collect().toSeq
+    // CRASH STATE A — rebuild died after writing its stages, before
+    // the sentinel: live dirs untouched, probes see the OLD index
+    spark.read.parquet(s"$dir/assignments").limit(5)
+      .write.mode("overwrite").parquet(s"$dir/assignments_stage")
+    spark.read.parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(s"$dir/centroids_stage")
+    assert(IvfIndex.search(spark, dir, all.head._2, 5, nProbe = 8)
+      .select("id").as[Long].collect().toSeq === beforeIds)
+    // CRASH STATE B — died inside the live-mutation window (sentinel
+    // present): EVERY readMeta-gated operation refuses loudly instead
+    // of silently probing a possibly-mixed clustering
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "ivf.rebuilding"),
+      "2".getBytes("UTF-8"))
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.search(spark, dir, all.head._2, 5, nProbe = 8)
+    }
+    assert(err.getMessage.contains("rebuild"))
+    intercept[IllegalArgumentException] {
+      IvfIndex.append(emb.limit(1), dir)
+    }
+    // RECOVERY — rerunning build completes the rebuild, clears the
+    // sentinel, bumps the generation, and probes work again
+    IvfIndex.build(emb, dir, nCentroids = 8, Metric.Cosine)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "ivf.rebuilding")))
+    assert(IvfIndex.generationOf(dir) === 2)
+    assert(IvfIndex.search(spark, dir, all.head._2, 5, nProbe = 8)
+      .select("id").as[Long].collect().toSeq === beforeIds)
+    // no stage/old debris after a clean rebuild
+    assert(!new java.io.File(s"$dir/assignments_stage").exists())
+    assert(!new java.io.File(s"$dir/assignments_old").exists())
+    assert(!new java.io.File(s"$dir/centroids_stage").exists())
+  }
+
   test("crashed deleteIds rename-swap auto-heals: a cluster left " +
       "only as cluster=<c>_old is renamed back on the next probe " +
       "instead of silently vanishing from results") {

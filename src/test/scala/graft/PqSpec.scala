@@ -139,6 +139,50 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ/IVF-PQ rebuilds are staged with a crash sentinel: probes " +
+      "refuse loudly mid-rebuild, rerunning build recovers") {
+    val q = all.head._2
+    // plain PQ
+    val pqDir = Files.createTempDirectory("pq-rebuild").toString
+    PqIndex.build(emb, pqDir, m = 8, ks = 16)
+    val before = PqIndex.searchRefined(spark, pqDir, emb, q, 5)
+      .select("id").as[Long].collect().toSeq
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(pqDir, "pq.rebuilding"),
+      "1".getBytes("UTF-8"))
+    val err = intercept[IllegalArgumentException] {
+      PqIndex.searchRefined(spark, pqDir, emb, q, 5)
+    }
+    assert(err.getMessage.contains("rebuild"))
+    PqIndex.build(emb, pqDir, m = 8, ks = 16) // recovery
+    assert(PqIndex.searchRefined(spark, pqDir, emb, q, 5)
+      .select("id").as[Long].collect().toSeq === before)
+    assert(!new java.io.File(s"$pqDir/pq.rebuilding").exists())
+    assert(!new java.io.File(s"$pqDir/codes_stage").exists())
+    assert(!new java.io.File(s"$pqDir/codebooks_old").exists())
+    // IVF-PQ over a parent index
+    val ivfDir = Files.createTempDirectory("ivf-for-pq-rb").toString
+    IvfIndex.build(emb, ivfDir, nCentroids = 8, Metric.Cosine)
+    val ipqDir = Files.createTempDirectory("ivfpq-rebuild").toString
+    IvfPq.build(spark, ivfDir, ipqDir, m = 8, ks = 16)
+    val ibefore = IvfPq.searchRefined(spark, ivfDir, ipqDir, q, 5,
+      nProbe = 8).select("id").as[Long].collect().toSeq
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ipqDir, "ivfpq.rebuilding"),
+      "1".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      IvfPq.searchRefined(spark, ivfDir, ipqDir, q, 5, nProbe = 8)
+    }
+    intercept[IllegalArgumentException] {
+      IvfPq.refresh(spark, ivfDir, ipqDir)
+    }
+    IvfPq.build(spark, ivfDir, ipqDir, m = 8, ks = 16) // recovery
+    assert(IvfPq.searchRefined(spark, ivfDir, ipqDir, q, 5, nProbe = 8)
+      .select("id").as[Long].collect().toSeq === ibefore)
+    assert(!new java.io.File(s"$ipqDir/ivfpq.rebuilding").exists())
+    assert(!new java.io.File(s"$ipqDir/codes_stage").exists())
+  }
+
   test("IVF-PQ refresh: appended vectors become searchable, idempotent") {
     val ivfDir = Files.createTempDirectory("ivfpq_ref_i").toString
     val pqDir = Files.createTempDirectory("ivfpq_ref_p").toString
