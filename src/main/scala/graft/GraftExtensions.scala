@@ -37,6 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_dup_spans"),
       new ExpressionInfo("graft", "vfs_dup_spans"),
       graft.plans.SqlSurface.vfsDupSpansBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_binary_knn"),
+      new ExpressionInfo("graft", "vfs_binary_knn"),
+      graft.plans.SqlSurface.vfsBinaryKnnBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

@@ -210,6 +210,23 @@ object SparkEntry {
            |LIMIT 10""".stripMargin)
     }),
 
+    // the binary coarse tier from pure SQL text: the TVF returns the
+    // 50-candidate set (id, ham, exact distance) and the outer query
+    // applies the same milli re-rank the DataFrame form uses — shares
+    // q_binary_hamming_knn's oracle derivation
+    "sql_tvf_binary_knn" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      val q = queryVec(s, dir, 1L)
+      val qLit = q.map(x => s"CAST('$x' AS FLOAT)").mkString("array(", ",", ")")
+      s.sql(
+        s"""SELECT vec_id, ham,
+           |  CAST(round(distance * 1000) AS BIGINT) AS dist_milli
+           |FROM vfs_binary_knn('$dir/embeddings.parquet', $qLit, 50,
+           |                    'embedding', 'vec_id')
+           |ORDER BY dist_milli ASC, vec_id ASC
+           |LIMIT 10""".stripMargin)
+    }),
+
     // ---- the SAME SQL text as sql_tvf_knn, but ROUTED: a registered
     // IVF index turns the scan into the deferred IvfProbe leaf (the
     // index-scan analog), asserted on the plan; nProbe = nCentroids
@@ -2244,6 +2261,22 @@ object SparkEntry {
     // words), identical (ham, id) prefilter order, then the exact
     // euclidean re-rank on the survivors
     "q_binary_hamming_knn" ->
+      s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 1),
+         |h AS (SELECT vec_id, embedding,
+         |  CAST(len(list_filter(range(1, len(embedding) + 1),
+         |    i -> (embedding[i] > 0) != (q[i] > 0))) AS BIGINT) AS ham
+         |  FROM embeddings, qv),
+         |c AS (SELECT vec_id, embedding, ham FROM h
+         |  ORDER BY ham ASC, vec_id ASC LIMIT 50)
+         |SELECT vec_id, ham,
+         |  CAST(round(list_distance(CAST(embedding AS DOUBLE[]), $qSub)
+         |    * 1000) AS BIGINT) AS dist_milli
+         |FROM c
+         |ORDER BY dist_milli ASC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+
+    // the TVF form is the same candidate set + the same milli re-rank
+    "sql_tvf_binary_knn" ->
       s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 1),
          |h AS (SELECT vec_id, embedding,
          |  CAST(len(list_filter(range(1, len(embedding) + 1),

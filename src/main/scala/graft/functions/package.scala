@@ -167,6 +167,9 @@ package object functions {
     // SELECT * FROM vfs_dup_spans(path, k[, textCol, idCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_dup_spans",
       graft.plans.SqlSurface.vfsDupSpansBuilder _)
+    // SELECT * FROM vfs_binary_knn(path, query, candidates[, vecCol, idCol])
+    ExpressionUtils.registerTableFunction(spark, "vfs_binary_knn",
+      graft.plans.SqlSurface.vfsBinaryKnnBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

@@ -228,6 +228,71 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_binary_knn(path, query, candidates[,
+    * vecCol, idCol])` — the 1-bit binary-quantization coarse tier
+    * from pure SQL text: packs the query's sign bits once, scores the
+    * table by codegen'd XOR+popcount Hamming, returns the
+    * `candidates` nearest rows by (ham, id) WITH their exact
+    * euclidean distance, so the outer query re-ranks/limits however
+    * it wants (the composable candidate-set form — the same two-stage
+    * shape `q_binary_hamming_knn` uses):
+    * {{{ SELECT id, ham, distance
+    *     FROM vfs_binary_knn('/data/emb', array(0.1F, ...), 50)
+    *     ORDER BY distance LIMIT 10 }}} */
+  private[graft] def vfsBinaryKnnBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_binary_knn(path, query, candidates[, vecCol, idCol]): $msg")
+    if (es.length < 3 || es.length > 5)
+      fail(s"expected 3-5 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val path = evalNonNull(0, "path").toString
+    val q: Array[Float] = es(1).dataType match {
+      case ArrayType(et, _) =>
+        val arr = evalNonNull(1, "query").asInstanceOf[ArrayData]
+        et match {
+          case FloatType => arr.toFloatArray()
+          case DoubleType => arr.toDoubleArray().map(_.toFloat)
+          case IntegerType => arr.toIntArray().map(_.toFloat)
+          case LongType => arr.toLongArray().map(_.toFloat)
+          case dt: DecimalType =>
+            (0 until arr.numElements()).map(i =>
+              arr.get(i, dt).asInstanceOf[Decimal].toFloat).toArray
+          case other => fail(s"unsupported query element type $other")
+        }
+      case other => fail(s"query must be an array literal, got $other")
+    }
+    if (q.isEmpty) fail("query must not be empty")
+    val candidates = evalNonNull(2, "candidates") match {
+      case i: Int => i
+      case l: Long if l == l.toInt => l.toInt
+      case l: Long => fail(s"candidates out of int range: $l")
+      case other => fail(s"candidates must be an integer literal, got $other")
+    }
+    if (candidates <= 0) fail("candidates must be positive")
+    val vecCol = if (es.length >= 4) evalNonNull(3, "vecCol").toString
+      else "values"
+    val idCol = if (es.length >= 5) evalNonNull(4, "idCol").toString
+      else "id"
+    import org.apache.spark.sql.functions.typedLit
+    val packed = graft.functions.BinaryQuantMath.packFloats(q).toSeq
+    SparkSession.active.read.parquet(path)
+      .select(col(idCol), col(vecCol),
+        graft.functions.vfs_hamming(
+          graft.functions.vfs_binary_quantize(col(vecCol)),
+          typedLit(packed)).as("ham"))
+      .orderBy(col("ham").asc, col(idCol).asc)
+      .limit(candidates)
+      .select(col(idCol), col("ham"),
+        graft.functions.vfs_euclidean(col(vecCol), typedLit(q.toSeq))
+          .as("distance"))
+      .queryExecution.analyzed
+  }
+
   /** Expose a store's live table (memtable ∪ flushed, dequantized) as
     * a temp view. */
   def registerStore(store: graft.store.VfsStore, name: String): Unit =

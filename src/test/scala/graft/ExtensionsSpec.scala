@@ -274,6 +274,54 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("vfs_binary_knn table-valued function: binary coarse tier from " +
+      "SQL text, parity with the expression pipeline, bad args loud") {
+    val shared = GraftTest.spark
+    val dataPath = s"${GraftTest.sf0001}/embeddings.parquet"
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      SparkSession.setActiveSession(s)
+      import org.apache.spark.sql.functions.{col, typedLit}
+      val q = s.read.parquet(dataPath)
+        .filter(col("vec_id") === 1L).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val qLit = q.map(x => s"CAST('$x' AS FLOAT)")
+        .mkString("array(", ",", ")")
+      val got = s.sql(
+        s"""SELECT vec_id, ham, distance
+           |FROM vfs_binary_knn('$dataPath', $qLit, 25,
+           |                    'embedding', 'vec_id')
+           |ORDER BY ham, vec_id""".stripMargin)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // parity with the expression-composed DataFrame pipeline
+      val qp = graft.functions.vfs_binary_quantize(typedLit(q))
+      val expect = s.read.parquet(dataPath)
+        .select(col("vec_id"),
+          graft.functions.vfs_hamming(
+            graft.functions.vfs_binary_quantize(col("embedding")), qp)
+            .as("ham"))
+        .orderBy(col("ham").asc, col("vec_id").asc).limit(25)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got.size === 25 && got === expect)
+      // self is the nearest candidate at Hamming 0
+      assert(got.head === ((1L, 0L)))
+      // guards are loud
+      val e = intercept[Exception] {
+        s.sql(s"SELECT * FROM vfs_binary_knn('$dataPath')").collect()
+      }
+      assert(e.getMessage.contains("expected 3-5 arguments"))
+      val e2 = intercept[Exception] {
+        s.sql(s"SELECT * FROM vfs_binary_knn('$dataPath', $qLit, 0)")
+          .collect()
+      }
+      assert(e2.getMessage.contains("positive"))
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("vfs_lm_score table-valued function: self-score and standing " +
       "model from SQL text, bad arity loud") {
     val shared = GraftTest.spark
