@@ -2305,6 +2305,20 @@ class PipelineSpec extends AnyFunSuite {
         .select($"probe_id", $"corpus_id").as[(Long, Long)].collect()
       assert(probed.toSeq == Seq((99L, 3L)))
     } finally q.stop()
+    // SAFE POINT (stream stopped): compact folds the per-batch band
+    // file sets; probe results must not move, and the index stays a
+    // valid append target for the loop's next restart
+    LshTextIndex.compact(spark, s"$dir/lsh")
+    assert(spark.read.parquet(s"$dir/lsh/bands").count() == 3L * 4)
+    val probedAfter = LshTextIndex.probe(spark, s"$dir/lsh",
+        Seq((99L, tB)).toDF("doc_id", "text"),
+        spark.read.parquet(s"$dir/docs"), threshold = 0.9)
+      .select($"probe_id", $"corpus_id").as[(Long, Long)].collect()
+    assert(probedAfter.toSeq == Seq((99L, 3L)))
+    LshTextIndex.append(
+      Seq((7L, "eleven twelve thirteen fourteen fifteen"))
+        .toDF("doc_id", "text"), s"$dir/lsh")
+    assert(spark.read.parquet(s"$dir/lsh/bands").count() == 4L * 4)
   }
 
   test("streaming substring-dedup ingest: batch-addressed corpus " +
