@@ -143,6 +143,10 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"),
           vfs_hamming(vfs_binary_quantize(col("embedding")), qPacked)
             .as("ham"))
+        // null-element rows pack to NULL ham — exclude them, or the
+        // default NULLS FIRST ascending sort would park them at the
+        // top of every candidate list
+        .filter(col("ham").isNotNull)
         .orderBy(col("ham").asc, col("vec_id").asc)
         .limit(50)
         .select(col("vec_id"), col("ham"),

@@ -1,0 +1,117 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+
+/** Shared filesystem machinery for the standing artifacts that keep
+  * their metadata INSIDE the swapped data directory ([[GramIndex]]'s
+  * `grams/_gram.json`, [[LshTextIndex]]'s `bands/_lsh.json`,
+  * [[BinaryIndex]]'s `packed/_binary.json`): Hadoop-FS metadata I/O
+  * (java.nio would resolve remote hdfs:// / s3a:// artifacts against
+  * the driver's local cwd), the staged two-rename publish, and the
+  * PARKED-crash detection. ONE copy — a crash-contract fix applied
+  * here reaches every artifact, instead of silently missing one of
+  * three near-identical twins (the stale-twin hazard the oracle CTE
+  * helpers already guard against on the SQL side).
+  *
+  * PARKED state: a crash between the swap's two renames leaves the
+  * live directory ABSENT with the complete old artifact at
+  * `<live>_old`. Readers must never mistake that for "no artifact"
+  * (a streaming loop would silently rebuild from one micro-batch, or
+  * re-stamp different params at generation 1) — [[requireNotParked]]
+  * turns it into a loud failure with the recovery instruction.
+  * WRITERS hold the single-writer contract, so [[healParked]] lets
+  * build/compact rename the old dir back and continue — generation
+  * counters never reset. Readers never heal (a reader renaming dirs
+  * would race the writer mid-swap). */
+private[operators] object ArtifactIo {
+  def hconf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  def fsOf(path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(hconf())
+
+  def readFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** Write a small file into `dir` (creating it) — used for the
+    * `_<name>.json` metadata that rides inside a stage directory, so
+    * the publish rename moves data and metadata together. */
+  def writeFileInto(dir: String, name: String, content: String): Unit = {
+    val fs = fsOf(dir)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, name), true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Crash residue check: live dir gone, complete old parked. */
+  def isParked(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      liveDir: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$liveDir")
+    val old = new org.apache.hadoop.fs.Path(s"$path/${liveDir}_old")
+    !fs.exists(live) && fs.exists(old)
+  }
+
+  /** Reader-side guard: fail loudly on the parked state instead of
+    * reporting "no artifact" (which callers would treat as a
+    * build-from-scratch invitation). */
+  def requireNotParked(path: String, liveDir: String,
+      what: String): Unit = {
+    if (isParked(fsOf(path), path, liveDir))
+      throw new IllegalArgumentException(
+        s"requirement failed: [GRAFT] $what at $path has a CRASHED " +
+          s"compact/rebuild: $liveDir/ is missing but ${liveDir}_old " +
+          s"holds the complete artifact — rename ${liveDir}_old back " +
+          s"(or rerun the build/compact, which auto-heals) before " +
+          "reading")
+  }
+
+  /** Writer-side recovery (single-writer contract): rename the parked
+    * old dir back so the operation proceeds against the complete
+    * pre-crash artifact — generation counters never reset. */
+  def healParked(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      liveDir: String, what: String): Unit = {
+    if (isParked(fs, path, liveDir)) {
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$path/${liveDir}_old"),
+        new org.apache.hadoop.fs.Path(s"$path/$liveDir")),
+        s"[GRAFT] $what: cannot heal parked ${liveDir}_old at $path")
+    }
+  }
+
+  /** Staged two-rename publish: `writeStage` fills `<liveDir>_stage`
+    * (parquet + its `_*.json` metadata), the live dir parks at
+    * `<liveDir>_old`, the stage moves in, `_old` is dropped. A crash
+    * between the renames leaves the PARKED state (see class doc). */
+  def stagedSwap(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      liveDir: String, what: String)(
+      writeStage: String => Unit): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$liveDir")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/${liveDir}_stage")
+    val old = new org.apache.hadoop.fs.Path(s"$path/${liveDir}_old")
+    writeStage(stage.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(live, old), s"[GRAFT] $what: cannot stage $live")
+    require(fs.rename(stage, live),
+      s"[GRAFT] $what: swap failed — recover by renaming $old back")
+    fs.delete(old, true)
+  }
+
+  /** Fresh publish: stage → one rename to live (no existing dir). */
+  def publishFresh(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      liveDir: String, what: String)(
+      writeStage: String => Unit): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$liveDir")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/${liveDir}_stage")
+    writeStage(stage.toString)
+    require(fs.rename(stage, live),
+      s"[GRAFT] $what: cannot publish $stage")
+  }
+}

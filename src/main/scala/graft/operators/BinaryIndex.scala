@@ -41,45 +41,41 @@ object BinaryIndex {
   private def metaJson(m: Meta): String =
     s"""{"dim":${m.dim},"generation":${m.generation}}"""
 
-  private def hconf(): org.apache.hadoop.conf.Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-
   private def fsOf(path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path).getFileSystem(hconf())
+    ArtifactIo.fsOf(path)
 
   private[graft] def readMeta(path: String): Meta = {
+    ArtifactIo.requireNotParked(path, "packed", "binary index")
     val fs = fsOf(path)
     val p = new org.apache.hadoop.fs.Path(s"$path/packed", "_binary.json")
     require(fs.exists(p), s"[GRAFT] no binary index at $path")
-    val in = fs.open(p)
-    val s =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val s = ArtifactIo.readFile(fs, p)
     def num(key: String) =
       ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
     Meta(num("dim"), num("generation"))
   }
 
-  private def writeMetaInto(dir: String, m: Meta): Unit = {
-    val fs = fsOf(dir)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(dir, "_binary.json"), true)
-    try out.write(metaJson(m).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeMetaInto(dir: String, m: Meta): Unit =
+    ArtifactIo.writeFileInto(dir, "_binary.json", metaJson(m))
 
   /** The sidecar row shape — ONE derivation shared by [[build]] and
     * [[append]], so stored words can never diverge from the probe's
     * packing (the query side packs with the same
-    * [[graft.functions.BinaryQuantizeVec]] kernel). */
+    * [[graft.functions.BinaryQuantizeVec]] kernel). The frozen-dim
+    * guard rides INSIDE the pack projection (`raise_error` branch),
+    * so enforcement costs zero extra passes over the input — dims
+    * differing by less than a 64-bit word would otherwise pack to
+    * the SAME word count and never trip the probe-time Hamming
+    * check. */
   private def packedRows(df: DataFrame, idCol: String,
-      vecCol: String): DataFrame =
+      vecCol: String, dim: Int): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-      vfs_binary_quantize(col(vecCol)).as("packed"))
+      when(size(col(vecCol)) === lit(dim),
+        vfs_binary_quantize(col(vecCol)))
+        .otherwise(raise_error(concat(
+          lit("[GRAFT] binary index: vector dim "),
+          size(col(vecCol)).cast("string"),
+          lit(s" != frozen $dim")))).as("packed"))
 
   /** Build (or REBUILD — generation bumps) the sidecar at `path`.
     * One distributed pack pass; `dim` is probed with one min/max agg
@@ -96,41 +92,35 @@ object BinaryIndex {
       s"[GRAFT] binary index: non-uniform dims ${d.getInt(0)}..${d.getInt(1)}")
     val dim = d.getInt(0)
     require(dim > 0, "[GRAFT] binary index: empty vectors")
-    val gen = {
-      val live = new org.apache.hadoop.fs.Path(s"$path/packed")
+    // writer-side recovery: heal a parked crash state first, so the
+    // generation read sees the old artifact and never resets to 1
+    ArtifactIo.healParked(fs, path, "packed", "binary index build")
+    val live = new org.apache.hadoop.fs.Path(s"$path/packed")
+    val gen =
       if (fs.exists(new org.apache.hadoop.fs.Path(live, "_binary.json")))
         readMeta(path).generation + 1
       else 1
+    def writeStage(stage: String): Unit = {
+      packedRows(df, idCol, vecCol, dim).write.mode("overwrite")
+        .parquet(stage)
+      writeMetaInto(stage, Meta(dim, gen))
     }
-    val live = new org.apache.hadoop.fs.Path(s"$path/packed")
-    val stage = new org.apache.hadoop.fs.Path(s"$path/packed_stage")
-    val old = new org.apache.hadoop.fs.Path(s"$path/packed_old")
-    packedRows(df, idCol, vecCol).write.mode("overwrite")
-      .parquet(stage.toString)
-    writeMetaInto(stage.toString, Meta(dim, gen))
-    if (fs.exists(live)) {
-      if (fs.exists(old)) fs.delete(old, true)
-      require(fs.rename(live, old),
-        s"[GRAFT] binary index build: cannot stage $live")
-    }
-    require(fs.rename(stage, live),
-      s"[GRAFT] binary index build: swap failed — recover by renaming " +
-        s"$old back")
-    fs.delete(old, true)
+    if (!fs.exists(live))
+      ArtifactIo.publishFresh(fs, path, "packed",
+        "binary index build")(writeStage)
+    else
+      ArtifactIo.stagedSwap(fs, path, "packed",
+        "binary index build")(writeStage)
   }
 
-  /** Pack and append the delta's rows — cost ∝ delta; the standing
-    * table is not read. Dims are guarded against the frozen `dim`
-    * distributed-side by the packing kernel's downstream Hamming
-    * (word-count mismatch throws), and loudly here for the common
-    * whole-batch case via one agg. */
+  /** Pack and append the delta's rows — ONE pass, cost ∝ delta; the
+    * standing table is not read. The frozen-dim guard runs inside
+    * the pack projection ([[packedRows]]) and fails the whole append
+    * job loudly before any file commits. */
   def append(df: DataFrame, path: String, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val m = readMeta(path)
-    val bad = df.filter(size(col(vecCol)) =!= m.dim).limit(1).count()
-    require(bad == 0L,
-      s"[GRAFT] binary index append: a vector's dim != frozen ${m.dim}")
-    packedRows(df, idCol, vecCol)
+    packedRows(df, idCol, vecCol, m.dim)
       .write.mode("append").parquet(s"$path/packed")
   }
 
@@ -145,9 +135,14 @@ object BinaryIndex {
       s"[GRAFT] binary index: query dim ${q.length} != frozen ${m.dim}")
     require(n > 0, "[GRAFT] binary index: n must be positive")
     val qPacked = graft.functions.BinaryQuantMath.packFloats(q)
+    // NULL-safe: a row whose packing was NULL (null vector element)
+    // can never be a candidate — and Spark's default ascending sort
+    // is NULLS FIRST, which would otherwise park such rows at the
+    // TOP of every candidate list
     spark.read.parquet(s"$path/packed")
       .select(col("id"),
         vfs_hamming(col("packed"), typedLit(qPacked.toSeq)).as("ham"))
+      .filter(col("ham").isNotNull)
       .orderBy(col("ham").asc, col("id").asc)
       .limit(n)
   }

@@ -42,22 +42,12 @@ object GramIndex {
   private def metaJson(m: Meta): String =
     s"""{"k":${m.k},"generation":${m.generation}}"""
 
-  // Metadata I/O goes through the Hadoop FileSystem of the artifact
-  // path (NOT java.nio): a remote hdfs:// or s3a:// artifact would
-  // otherwise resolve gram.json against the driver's LOCAL cwd — the
-  // frozen-k guard would silently re-stamp k per driver node, the
-  // exact silent window-width mixing it exists to prevent. The conf
-  // comes from the active-or-default session when one exists (every
-  // production call site) with a plain-Configuration fallback, so a
-  // sessionless thread still resolves local paths.
-  private def hconf(): org.apache.hadoop.conf.Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-
+  // Metadata I/O goes through [[ArtifactIo]] (Hadoop FileSystem, NOT
+  // java.nio — a remote hdfs:// or s3a:// artifact would otherwise
+  // resolve gram.json against the driver's LOCAL cwd, and the
+  // frozen-k guard would silently re-stamp k per driver node).
   private def fsOf(path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path).getFileSystem(hconf())
+    ArtifactIo.fsOf(path)
 
   /** Metadata lives at ONE of two locations. Artifacts written by
     * [[build]]/[[compact]] keep it INSIDE the grams directory as
@@ -74,36 +64,30 @@ object GramIndex {
     Seq(new org.apache.hadoop.fs.Path(s"$path/grams", "_gram.json"),
       new org.apache.hadoop.fs.Path(path, "gram.json"))
 
+  // Readers refuse loudly on the PARKED crash state (grams/ absent,
+  // grams_old complete): reporting "no gram index" there would invite
+  // a silent rebuild-from-one-batch or a fresh-k re-stamp — exactly
+  // the states the frozen-k contract forbids ([[ArtifactIo]] doc).
   private def metaExists(path: String): Boolean = {
+    ArtifactIo.requireNotParked(path, "grams", "gram index")
     val fs = fsOf(path)
     metaPaths(path).exists(fs.exists)
   }
 
   private[graft] def readMeta(path: String): Meta = {
+    ArtifactIo.requireNotParked(path, "grams", "gram index")
     val fs = fsOf(path)
     val p = metaPaths(path).find(fs.exists)
       .getOrElse(throw new IllegalArgumentException(
         s"requirement failed: [GRAFT] no gram index at $path"))
-    val in = fs.open(p)
-    val s =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val s = ArtifactIo.readFile(fs, p)
     def num(key: String) =
       ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
     Meta(num("k"), num("generation"))
   }
 
-  /** Write `_gram.json` INTO a directory (a stage dir about to be
-    * swapped live, or a fresh live dir) — the metadata travels with
-    * the data through the rename. */
-  private def writeMetaInto(dir: String, m: Meta): Unit = {
-    val fs = fsOf(dir)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    val p = new org.apache.hadoop.fs.Path(dir, "_gram.json")
-    val out = fs.create(p, true)
-    try out.write(metaJson(m).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeMetaInto(dir: String, m: Meta): Unit =
+    ArtifactIo.writeFileInto(dir, "_gram.json", metaJson(m))
 
   /** Path-level metadata write for [[ensureMeta]]-managed layouts.
     * Staged write + ATOMIC overwrite-rename (FileContext supports
@@ -121,7 +105,7 @@ object GramIndex {
     try out.write(metaJson(m).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = new org.apache.hadoop.fs.Path(path, "gram.json")
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hconf())
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, ArtifactIo.hconf())
       .rename(fs.makeQualified(tmp), fs.makeQualified(dst),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
@@ -153,23 +137,14 @@ object GramIndex {
       .select(col("__g").as("g")).distinct()
 
   /** Staged two-rename swap shared by [[build]] rebuilds and
-    * [[compact]]: write the replacement under `_stage`, park the live
-    * dir at `_old`, move the stage in, drop `_old`. A crash between
-    * the renames leaves `_old` complete — rename back to recover.
-    * Single-writer is the caller contract. */
+    * [[compact]] — [[ArtifactIo.stagedSwap]] over `grams/`. A crash
+    * between the renames leaves the PARKED state: readers refuse,
+    * the next build/compact auto-heals. Single-writer is the caller
+    * contract. */
   private def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
       path: String, what: String)(
-      writeStage: String => Unit): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/grams")
-    val stage = new org.apache.hadoop.fs.Path(s"$path/grams_stage")
-    val old = new org.apache.hadoop.fs.Path(s"$path/grams_old")
-    writeStage(stage.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(live, old), s"[GRAFT] $what: cannot stage $live")
-    require(fs.rename(stage, live),
-      s"[GRAFT] $what: swap failed — recover by renaming $old back")
-    fs.delete(old, true)
-  }
+      writeStage: String => Unit): Unit =
+    ArtifactIo.stagedSwap(fs, path, "grams", what)(writeStage)
 
   /** Build (or REBUILD — generation bumps) the gram set at `path`.
     * One pass: tokenize → slide → hash → distinct. The distinct is a
@@ -192,6 +167,10 @@ object GramIndex {
     val grams = distinctGrams(docs, k, textCol, idCol)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+    // writer-side recovery: a parked crash state heals here (rename
+    // grams_old back), so the generation read below sees the old
+    // artifact and the counter never resets
+    ArtifactIo.healParked(fs, path, "grams", "gram index build")
     val gen =
       if (metaExists(path)) readMeta(path).generation + 1
       else 1
@@ -284,10 +263,17 @@ object GramIndex {
   def compact(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    ArtifactIo.healParked(fs, path, "grams", "gram index compact")
     val m = readMeta(path)
-    val grams = spark.read.parquet(s"$path/grams").distinct()
+    val grams = spark.read.parquet(s"$path/grams")
+    require(!grams.columns.contains("batch"),
+      "[GRAFT] compact: this is a BATCH-ADDRESSED streaming layout " +
+        "(grams/batch=<id>) — use compactBatched(), which preserves " +
+        "the replay-prune provenance; a flat rewrite here would mix " +
+        "bare files with partition dirs and wedge the stream")
+    val folded = grams.distinct()
     stagedSwap(fs, path, "compact") { stage =>
-      grams.write.mode("overwrite").parquet(stage)
+      folded.write.mode("overwrite").parquet(stage)
       writeMetaInto(stage, m)
     }
     fs.delete(new org.apache.hadoop.fs.Path(path, "gram.json"), false)
@@ -319,6 +305,7 @@ object GramIndex {
   def compactBatched(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    ArtifactIo.healParked(fs, path, "grams", "gram index compactBatched")
     val m = readMeta(path)
     val grams = spark.read.parquet(s"$path/grams")
     require(grams.columns.contains("batch"),

@@ -57,14 +57,8 @@ object LshTextIndex {
   private def metaJson(m: Meta): String =
     s"""{"bands":${m.bands},"rowsPerBand":${m.rowsPerBand},"generation":${m.generation}}"""
 
-  private def hconf(): org.apache.hadoop.conf.Configuration =
-    org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-
   private def fsOf(path: String): org.apache.hadoop.fs.FileSystem =
-    new org.apache.hadoop.fs.Path(path).getFileSystem(hconf())
+    ArtifactIo.fsOf(path)
 
   private def metaPaths(path: String): Seq[org.apache.hadoop.fs.Path] =
     Seq(new org.apache.hadoop.fs.Path(s"$path/bands", "_lsh.json"),
@@ -72,34 +66,31 @@ object LshTextIndex {
 
   /** Does an index artifact exist at `path`? The hook callers use to
     * pick build-vs-append (the streaming ingest loop) — location-
-    * agnostic, so the swap-safe and legacy layouts both answer. */
+    * agnostic, so the swap-safe and legacy layouts both answer. A
+    * PARKED crash state (bands/ absent, bands_old complete) throws
+    * instead of answering false: "false" would invite the ingest
+    * loop to silently REBUILD from one micro-batch, discarding the
+    * whole corpus band table ([[ArtifactIo]] doc). */
   def exists(path: String): Boolean = {
+    ArtifactIo.requireNotParked(path, "bands", "LSH index")
     val fs = fsOf(path)
     metaPaths(path).exists(fs.exists)
   }
 
   private[graft] def readMeta(path: String): Meta = {
+    ArtifactIo.requireNotParked(path, "bands", "LSH index")
     val fs = fsOf(path)
     val p = metaPaths(path).find(fs.exists)
       .getOrElse(throw new IllegalArgumentException(
         s"requirement failed: [GRAFT] no LSH index at $path"))
-    val in = fs.open(p)
-    val s =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val s = ArtifactIo.readFile(fs, p)
     def num(k: String) =
       ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
     Meta(num("bands"), num("rowsPerBand"), num("generation"))
   }
 
-  private def writeMetaInto(dir: String, m: Meta): Unit = {
-    val fs = fsOf(dir)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_lsh.json"),
-      true)
-    try out.write(metaJson(m).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeMetaInto(dir: String, m: Meta): Unit =
+    ArtifactIo.writeFileInto(dir, "_lsh.json", metaJson(m))
 
   /** Staged two-rename swap shared by rebuilds and [[compact]] (the
     * [[GramIndex]] shape): write the replacement (parquet + staged
@@ -109,17 +100,8 @@ object LshTextIndex {
     * caller contract. */
   private def stagedSwap(fs: org.apache.hadoop.fs.FileSystem,
       path: String, what: String)(
-      writeStage: String => Unit): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/bands")
-    val stage = new org.apache.hadoop.fs.Path(s"$path/bands_stage")
-    val old = new org.apache.hadoop.fs.Path(s"$path/bands_old")
-    writeStage(stage.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(live, old), s"[GRAFT] $what: cannot stage $live")
-    require(fs.rename(stage, live),
-      s"[GRAFT] $what: swap failed — recover by renaming $old back")
-    fs.delete(old, true)
-  }
+      writeStage: String => Unit): Unit =
+    ArtifactIo.stagedSwap(fs, path, "bands", what)(writeStage)
 
   /** Build (or REBUILD — generation bumps) the band table at `path`.
     * One pass over the corpus: tokenize → portable minhash signature →
@@ -134,16 +116,18 @@ object LshTextIndex {
       "[GRAFT] lsh index: bands and rowsPerBand must be positive")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(docs.sparkSession.sessionState.newHadoopConf())
+    // writer-side recovery: heal a parked crash state first, so the
+    // generation read sees the old artifact and never resets to 1
+    ArtifactIo.healParked(fs, path, "bands", "lsh build")
     val gen = if (exists(path)) readMeta(path).generation + 1 else 1
     val banded = Dedup.bandedRelation(docs, "id", textCol, idCol,
       bands, rowsPerBand)
     val live = new org.apache.hadoop.fs.Path(s"$path/bands")
     if (!fs.exists(live)) {
-      val stage = new org.apache.hadoop.fs.Path(s"$path/bands_stage")
-      banded.write.mode("overwrite").parquet(stage.toString)
-      writeMetaInto(stage.toString, Meta(bands, rowsPerBand, gen))
-      require(fs.rename(stage, live),
-        s"[GRAFT] lsh build: cannot publish $stage")
+      ArtifactIo.publishFresh(fs, path, "bands", "lsh build") { stage =>
+        banded.write.mode("overwrite").parquet(stage)
+        writeMetaInto(stage, Meta(bands, rowsPerBand, gen))
+      }
     } else {
       stagedSwap(fs, path, "lsh build") { stage =>
         banded.write.mode("overwrite").parquet(stage)
@@ -208,6 +192,7 @@ object LshTextIndex {
   def compact(spark: SparkSession, path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
+    ArtifactIo.healParked(fs, path, "bands", "lsh compact")
     val m = readMeta(path)
     val folded = spark.read.parquet(s"$path/bands")
       .repartition(col("band"))

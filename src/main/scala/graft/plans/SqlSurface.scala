@@ -285,6 +285,7 @@ object SqlSurface {
         graft.functions.vfs_hamming(
           graft.functions.vfs_binary_quantize(col(vecCol)),
           typedLit(packed)).as("ham"))
+      .filter(col("ham").isNotNull) // null-element rows: never candidates
       .orderBy(col("ham").asc, col(idCol).asc)
       .limit(candidates)
       .select(col(idCol), col("ham"),

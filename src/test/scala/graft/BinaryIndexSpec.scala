@@ -67,11 +67,17 @@ class BinaryIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/packed").count() === n + 5)
     val all = BinaryIndex.candidates(spark, dir, q, (n + 5).toInt)
     assert(all.filter($"id" >= 100000L).count() === 5L)
-    // a wrong-dim append batch fails before touching the artifact
-    intercept[IllegalArgumentException] {
+    // a wrong-dim append batch fails the job loudly (the frozen-dim
+    // guard rides inside the pack projection — one pass, no silent
+    // same-word-count packing) and commits nothing
+    val dimErr = intercept[Exception] {
       BinaryIndex.append(
         Seq((999999L, Seq(1f, 2f))).toDF("vec_id", "embedding"), dir)
     }
+    def chainMsg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(chainMsg(dimErr).contains("!= frozen"))
     assert(spark.read.parquet(s"$dir/packed").count() === n + 5)
     // rebuild folds back to the corpus and bumps the generation
     BinaryIndex.build(emb, dir)
@@ -87,5 +93,49 @@ class BinaryIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       BinaryIndex.search(spark, dir, emb, q, k = 60, nCandidates = 50)
     }
+  }
+
+  test("null-element vectors never become candidates (NULLS FIRST " +
+      "would otherwise park them at the top of every candidate list)") {
+    val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+    val dim = emb.select($"embedding").head().getSeq[Float](0).length
+    // one corrupt row: right dim, but a null element → packs to NULL
+    val corrupt = Seq((900000L,
+      Option(1f) +: Seq.fill(dim - 1)(Option.empty[Float])))
+      .toDF("vec_id", "embedding")
+    val dir = tmp()
+    BinaryIndex.build(
+      emb.select($"vec_id", $"embedding").unionByName(corrupt), dir)
+    // its sidecar row exists with a NULL packing...
+    val packedRow = spark.read.parquet(s"$dir/packed")
+      .filter($"id" === 900000L).collect()
+    assert(packedRow.length === 1 && packedRow.head.isNullAt(1))
+    // ...but it can never displace a real candidate
+    val q = emb.filter($"vec_id" === 1L).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val cand = BinaryIndex.candidates(spark, dir, q, n = 50)
+      .select($"id").as[Long].collect()
+    assert(cand.length === 50 && !cand.contains(900000L))
+    assert(cand.head === 1L) // the true self-match still leads
+  }
+
+  test("parked crash state (packed/ gone, packed_old complete): " +
+      "readers refuse loudly; a build rerun heals with generation " +
+      "continuity") {
+    val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+    val dir = tmp()
+    BinaryIndex.build(emb, dir)
+    BinaryIndex.build(emb, dir) // generation 2
+    assert(BinaryIndex.readMeta(dir).generation === 2)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/packed"),
+      java.nio.file.Paths.get(s"$dir/packed_old"))
+    val err = intercept[IllegalArgumentException] {
+      BinaryIndex.readMeta(dir)
+    }
+    assert(err.getMessage.contains("CRASHED"))
+    BinaryIndex.build(emb, dir) // auto-heal + rebuild
+    assert(BinaryIndex.readMeta(dir).generation === 3) // never reset
+    assert(!new java.io.File(s"$dir/packed_old").exists())
   }
 }

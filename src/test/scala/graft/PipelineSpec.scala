@@ -105,7 +105,13 @@ class PipelineSpec extends AnyFunSuite {
     val parked = java.nio.file.Paths.get(s"$path/bands_old")
     java.nio.file.Files.move(live, parked)
     intercept[IllegalArgumentException] { LshTextIndex.readMeta(path) }
-    assert(!LshTextIndex.exists(path))
+    // exists() must ALSO refuse — answering "false" would invite the
+    // streaming ingest loop to silently REBUILD from one micro-batch,
+    // discarding the whole corpus band table
+    val parkedErr = intercept[IllegalArgumentException] {
+      LshTextIndex.exists(path)
+    }
+    assert(parkedErr.getMessage.contains("CRASHED"))
     java.nio.file.Files.move(parked, live)
     assert(LshTextIndex.readMeta(path) === LshTextIndex.Meta(16, 4, 1))
 
@@ -131,6 +137,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(LshTextIndex.readMeta(path) === LshTextIndex.Meta(16, 4, 3))
     assert(new java.io.File(s"$path/bands/_lsh.json").exists())
     assert(!new java.io.File(s"$path/lsh.json").exists()) // migrated
+
+    // WRITER auto-heal: park the live dir again (crash state B), then
+    // rerun build — the single-writer heals (renames bands_old back)
+    // and the generation CONTINUES instead of resetting to 1, so
+    // derived artifacts stamped against an earlier generation can
+    // never equality-match a post-crash rebuild by accident
+    java.nio.file.Files.move(live, parked)
+    LshTextIndex.build(corpus, path, bands = 16, rowsPerBand = 4)
+    assert(LshTextIndex.readMeta(path) === LshTextIndex.Meta(16, 4, 4))
+    assert(!java.nio.file.Files.exists(parked))
   }
 
   test("simhash: identical docs collide, hamming pairs are symmetric-free") {
@@ -2421,6 +2437,14 @@ class PipelineSpec extends AnyFunSuite {
     val parked = java.nio.file.Paths.get(s"$dir/grams_old")
     java.nio.file.Files.move(live, parked)
     intercept[IllegalArgumentException] { GramIndex.readMeta(dir) }
+    // ensureMeta must ALSO refuse in the parked state: metaExists
+    // answering "false" there would let the streaming loop silently
+    // RE-STAMP a fresh k at generation 1 — the exact silent
+    // window-width mixing the frozen-k contract forbids
+    val parkedErr = intercept[IllegalArgumentException] {
+      GramIndex.ensureMeta(dir, 4)
+    }
+    assert(parkedErr.getMessage.contains("CRASHED"))
     // documented recovery: rename grams_old back — old artifact whole
     java.nio.file.Files.move(parked, live)
     assert(GramIndex.readMeta(dir) === GramIndex.Meta(3, 1))
@@ -2450,6 +2474,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(GramIndex.readMeta(dir) === GramIndex.Meta(5, 3))
     assert(new java.io.File(s"$dir/grams/_gram.json").exists())
     assert(!new java.io.File(s"$dir/gram.json").exists()) // migrated
+
+    // WRITER auto-heal: park the live dir (crash state B) and rerun
+    // build — it heals and the generation CONTINUES, never resets
+    java.nio.file.Files.move(live, parked)
+    GramIndex.build(corpus, dir, k = 5)
+    assert(GramIndex.readMeta(dir) === GramIndex.Meta(5, 4))
+    assert(!java.nio.file.Files.exists(parked))
   }
 
   test("streaming gram sink compaction: compactBatched folds the " +
@@ -2514,6 +2545,26 @@ class PipelineSpec extends AnyFunSuite {
     Ingest.substringDedupBatch(
       Seq((6L, tA), (7L, "novel w1 w2 w3 w4"))
         .toDF("doc_id", "text"), 3L, dir, k = 3, maxDupFrac = 0.5)
+    assert(docIds() === Seq(1L, 2L, 4L, 5L, 7L))
+
+    // CRASHED compactBatched (between the two swap renames): the
+    // loop's next batch must fail LOUDLY — treating the parked corpus
+    // as empty would admit every contaminated doc AND re-stamp k
+    val gramsSet = storedGrams()
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$dir/grams"),
+      java.nio.file.Paths.get(s"$dir/grams_old"))
+    intercept[IllegalArgumentException] {
+      Ingest.substringDedupBatch(Seq((8L, tA)).toDF("doc_id", "text"),
+        4L, dir, k = 3, maxDupFrac = 0.5)
+    }
+    // writer-side recovery: rerunning compactBatched heals the parked
+    // dir and completes — the stored set survives intact
+    GramIndex.compactBatched(spark, dir)
+    assert(storedGrams() === gramsSet)
+    // and the loop continues: the corpus duplicate still drops
+    Ingest.substringDedupBatch(Seq((8L, tA)).toDF("doc_id", "text"),
+      4L, dir, k = 3, maxDupFrac = 0.5)
     assert(docIds() === Seq(1L, 2L, 4L, 5L, 7L))
   }
 
