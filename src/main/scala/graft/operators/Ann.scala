@@ -1,8 +1,5 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -54,11 +51,10 @@ object IvfIndex {
     * is DERIVED data, so the honest crash contract is loud-fail +
     * rerun-build (which clears the sentinel), not store-grade
     * multi-directory atomicity. */
-  private def rebuildSentinel(path: String): java.nio.file.Path =
-    Paths.get(path, "ivf.rebuilding")
+  private val RebuildSentinel = "ivf.rebuilding"
 
   private[operators] def readMeta(path: String): Meta = {
-    require(!Files.exists(rebuildSentinel(path)),
+    require(!ArtifactIo.fileExists(path, RebuildSentinel),
       s"[GRAFT] IVF index at $path has an in-progress or crashed " +
         "REBUILD (ivf.rebuilding present) — rerun IvfIndex.build to " +
         "complete it; probing now could mix the old and new clustering")
@@ -67,8 +63,8 @@ object IvfIndex {
 
   /** Sentinel-blind read — [[build]]'s own recovery path needs the
     * old generation even while the sentinel stands. */
-  private def readMetaRaw(path: String): Meta = parseMeta(new String(
-    Files.readAllBytes(Paths.get(path, "ivf.json")), StandardCharsets.UTF_8))
+  private def readMetaRaw(path: String): Meta =
+    parseMeta(ArtifactIo.readSmallFile(path, "ivf.json"))
 
   /** The closure-assignment eps an index was built with (< 0 =
     * unconditional replication), decoded from the persisted milli. */
@@ -406,7 +402,7 @@ object IvfIndex {
     // live mutation (two dir swaps + the meta write) happens inside
     // the [[rebuildSentinel]] window, where any crash turns every
     // probe into a loud refusal until build is rerun.
-    val rebuilding = Files.exists(Paths.get(path, "ivf.json"))
+    val rebuilding = ArtifactIo.fileExists(path, "ivf.json")
     val gen = if (rebuilding) readMetaRaw(path).generation + 1 else 1
     val assignTarget =
       if (rebuilding) s"$path/assignments_stage" else s"$path/assignments"
@@ -421,21 +417,20 @@ object IvfIndex {
     spark.createDataFrame(centArr.toSeq).toDF("cluster", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(centTarget)
     if (rebuilding) {
-      Files.write(rebuildSentinel(path),
-        gen.toString.getBytes(StandardCharsets.UTF_8))
+      ArtifactIo.writeSmallFileAtomic(path, RebuildSentinel,
+        gen.toString)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
       swapLive(fs, path, "assignments")
       swapLive(fs, path, "centroids")
     }
-    Files.write(Paths.get(path, "ivf.json"),
+    ArtifactIo.writeSmallFileAtomic(path, "ivf.json",
       metaJson(Meta(nCentroids, metric match {
         case Metric.Cosine => "cosine"
         case Metric.Euclidean => "euclidean"
       }, dim, seed, math.min(nAssign, nCentroids), gen,
-        if (assignEps < 0) -1L else math.round(assignEps * 1000.0)))
-        .getBytes(StandardCharsets.UTF_8))
-    Files.deleteIfExists(rebuildSentinel(path))
+        if (assignEps < 0) -1L else math.round(assignEps * 1000.0))))
+    ArtifactIo.deleteFile(path, RebuildSentinel)
   }
 
   /** Move `<what>_stage` into place, parking any live dir at
@@ -913,9 +908,8 @@ object IvfIndex {
         fs.delete(oldPath, true)
       }
     }
-    Files.write(Paths.get(path, "ivf.json"),
-      metaJson(meta.copy(generation = meta.generation + 1))
-        .getBytes(StandardCharsets.UTF_8))
+    ArtifactIo.writeSmallFileAtomic(path, "ivf.json",
+      metaJson(meta.copy(generation = meta.generation + 1)))
     removed
   }
 
@@ -1161,10 +1155,9 @@ object IvfIndex {
     replaced.keys.foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/assignments/cluster=$c"), true)
     }
-    Files.write(Paths.get(path, "ivf.json"),
+    ArtifactIo.writeSmallFileAtomic(path, "ivf.json",
       metaJson(meta.copy(nCentroids = newCents.length,
-        generation = meta.generation + 1))
-        .getBytes(StandardCharsets.UTF_8))
+        generation = meta.generation + 1)))
     replaced.values.map(_.length).sum
   }
 

@@ -51,6 +51,38 @@ private[operators] object ArtifactIo {
     finally out.close()
   }
 
+  /** Small-file helpers for PATH-LEVEL metadata and sentinel files
+    * (the IVF/PQ family's ivf.json/pq.json/ivfpq.json + rebuild
+    * sentinels, the LM model's lm.json) — Hadoop FS for the same
+    * remote-path reason as the dir-internal metadata: java.nio would
+    * resolve an hdfs:// or s3a:// artifact's metadata against the
+    * driver's LOCAL cwd. Writes go through tmp + atomic
+    * overwrite-rename, so a crash never leaves a truncated file. */
+  def fileExists(path: String, name: String): Boolean =
+    fsOf(path).exists(new org.apache.hadoop.fs.Path(path, name))
+
+  def readSmallFile(path: String, name: String): String =
+    readFile(fsOf(path), new org.apache.hadoop.fs.Path(path, name))
+
+  def writeSmallFileAtomic(path: String, name: String,
+      content: String): Unit = {
+    val fs = fsOf(path)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
+    val tmp = new org.apache.hadoop.fs.Path(path, name + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(path, name)
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, hconf())
+      .rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  def deleteFile(path: String, name: String): Unit = {
+    fsOf(path).delete(new org.apache.hadoop.fs.Path(path, name), false)
+    ()
+  }
+
   /** Crash residue check: live dir gone, complete old parked. */
   def isParked(fs: org.apache.hadoop.fs.FileSystem, path: String,
       liveDir: String): Boolean = {

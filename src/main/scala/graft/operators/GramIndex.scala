@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -97,18 +95,8 @@ object GramIndex {
     * record over a live gram table, and the next ensureMeta would
     * silently re-stamp a different k (the exact hazard the guard
     * exists to prevent). */
-  private def writeMeta(path: String, m: Meta): Unit = {
-    val fs = fsOf(path)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(path))
-    val tmp = new org.apache.hadoop.fs.Path(path, "gram.json.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(metaJson(m).getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(path, "gram.json")
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, ArtifactIo.hconf())
-      .rename(fs.makeQualified(tmp), fs.makeQualified(dst),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-  }
+  private def writeMeta(path: String, m: Meta): Unit =
+    ArtifactIo.writeSmallFileAtomic(path, "gram.json", metaJson(m))
 
   /** Pin `k` against an existing artifact dir, or stamp it on a fresh
     * one (generation 1). The loud-failure half of the frozen-k

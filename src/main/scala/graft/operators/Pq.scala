@@ -1,8 +1,5 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -56,16 +53,13 @@ object PqIndex {
     * inside it makes every probe refuse loudly (derived data — the
     * recovery is rerunning build) instead of silently scoring against
     * a partial code table. */
-  private def rebuildSentinel(path: String): java.nio.file.Path =
-    Paths.get(path, "pq.rebuilding")
+  private val RebuildSentinel = "pq.rebuilding"
 
   private def readMeta(path: String): Meta = {
-    require(!Files.exists(rebuildSentinel(path)),
+    require(!ArtifactIo.fileExists(path, RebuildSentinel),
       s"[GRAFT] PQ artifact at $path has an in-progress or crashed " +
         "rebuild (pq.rebuilding present) — rerun PqIndex.build")
-    parseMeta(new String(
-      Files.readAllBytes(Paths.get(path, "pq.json")),
-      StandardCharsets.UTF_8))
+    parseMeta(ArtifactIo.readSmallFile(path, "pq.json"))
   }
 
   /** codebooks(j)(k) = centroid k of subspace j (dim/m floats). */
@@ -115,7 +109,7 @@ object PqIndex {
     // rebuilds stage both dirs and swap inside the sentinel window
     // (the [[IvfIndex.build]] discipline) — never an in-place
     // overwrite of a live artifact
-    val rebuilding = Files.exists(Paths.get(path, "pq.json"))
+    val rebuilding = ArtifactIo.fileExists(path, "pq.json")
     val bookTarget =
       if (rebuilding) s"$path/codebooks_stage" else s"$path/codebooks"
     val codesTarget =
@@ -147,19 +141,18 @@ object PqIndex {
       .toDF("id", "code")
       .write.mode("overwrite").parquet(codesTarget)
     if (rebuilding) {
-      Files.write(rebuildSentinel(path),
-        "1".getBytes(StandardCharsets.UTF_8))
+      ArtifactIo.writeSmallFileAtomic(path, RebuildSentinel, "1")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
       IvfIndex.swapLive(fs, path, "codebooks")
       IvfIndex.swapLive(fs, path, "codes")
     }
-    Files.write(Paths.get(path, "pq.json"),
+    ArtifactIo.writeSmallFileAtomic(path, "pq.json",
       metaJson(Meta(m, ks, dim, metric match {
         case Metric.Cosine => "cosine"
         case Metric.Euclidean => "euclidean"
-      }, seed)).getBytes(StandardCharsets.UTF_8))
-    Files.deleteIfExists(rebuildSentinel(path))
+      }, seed)))
+    ArtifactIo.deleteFile(path, RebuildSentinel)
   }
 
   /** One vector → m bytes (argmin per subspace; `best == -1 ||` guards
@@ -367,7 +360,7 @@ object IvfPq {
     val bookRows = for (j <- 0 until m; k <- 0 until ks)
       yield (j, k, books(j)(k))
     // same staged-rebuild + sentinel discipline as [[PqIndex.build]]
-    val rebuilding = Files.exists(Paths.get(path, "ivfpq.json"))
+    val rebuilding = ArtifactIo.fileExists(path, "ivfpq.json")
     val bookTarget =
       if (rebuilding) s"$path/codebooks_stage" else s"$path/codebooks"
     val codesTarget =
@@ -387,8 +380,7 @@ object IvfPq {
       .write.mode("overwrite").partitionBy("cluster")
       .parquet(codesTarget)
     if (rebuilding) {
-      Files.write(rebuildSentinel(path),
-        "1".getBytes(StandardCharsets.UTF_8))
+      ArtifactIo.writeSmallFileAtomic(path, RebuildSentinel, "1")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
       IvfIndex.swapLive(fs, path, "codebooks")
@@ -402,17 +394,16 @@ object IvfPq {
     // generation and every probe of this artifact refuses until
     // [[refresh]] re-heals + re-stamps
     val parent = IvfIndex.readMeta(ivfPath)
-    Files.write(Paths.get(path, "ivfpq.json"),
+    ArtifactIo.writeSmallFileAtomic(path, "ivfpq.json",
       metaJson(PqMeta(m, ks, dim, seed, parent.nAssign,
-        parent.generation)).getBytes(StandardCharsets.UTF_8))
-    Files.deleteIfExists(rebuildSentinel(path))
+        parent.generation)))
+    ArtifactIo.deleteFile(path, RebuildSentinel)
   }
 
   /** Same rebuild-sentinel contract as [[IvfIndex]]/[[PqIndex]] —
     * present = an in-progress or crashed rebuild; probes and refresh
     * refuse loudly until [[build]] is rerun. */
-  private def rebuildSentinel(path: String): java.nio.file.Path =
-    Paths.get(path, "ivfpq.rebuilding")
+  private val RebuildSentinel = "ivfpq.rebuilding"
 
   /** Incremental maintenance — heals the artifact against the parent's
     * CURRENT state, then re-stamps the generation. Three repairs, each
@@ -528,9 +519,9 @@ object IvfPq {
     newCodes.unpersist()
     // ---- healed: re-stamp to the parent's current generation ----
     val parent = IvfIndex.readMeta(ivfPath)
-    Files.write(Paths.get(path, "ivfpq.json"),
+    ArtifactIo.writeSmallFileAtomic(path, "ivfpq.json",
       metaJson(meta.copy(nAssign = parent.nAssign,
-        gen = parent.generation)).getBytes(StandardCharsets.UTF_8))
+        gen = parent.generation)))
     n
   }
 
@@ -541,12 +532,11 @@ object IvfPq {
     s"""{"m":${meta.m},"ks":${meta.ks},"dim":${meta.dim},"seed":${meta.seed},"nAssign":${meta.nAssign},"gen":${meta.gen}}"""
 
   private def readMeta(path: String): PqMeta = {
-    require(!Files.exists(rebuildSentinel(path)),
+    require(!ArtifactIo.fileExists(path, RebuildSentinel),
       s"[GRAFT] IVF-PQ artifact at $path has an in-progress or " +
         "crashed rebuild (ivfpq.rebuilding present) — rerun " +
         "IvfPq.build")
-    val s = new String(Files.readAllBytes(Paths.get(path, "ivfpq.json")),
-      StandardCharsets.UTF_8)
+    val s = ArtifactIo.readSmallFile(path, "ivfpq.json")
     def num(k: String) = ("\"" + k + "\":(-?\\d+)").r
       .findFirstMatchIn(s).get.group(1).toLong
     def opt(k: String, default: Int) = ("\"" + k + "\":(-?\\d+)").r

@@ -676,17 +676,16 @@ object TextAnalysis {
   def saveLmModel(model: LmModel, path: String): Unit = {
     model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
     model.contexts.write.mode("overwrite").parquet(s"$path/contexts")
-    java.nio.file.Files.write(java.nio.file.Paths.get(path, "lm.json"),
-      s"""{"vocabSize":${model.vocabSize}}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ArtifactIo: Hadoop-FS metadata write (a remote artifact path
+    // would otherwise land lm.json on the driver's local disk)
+    ArtifactIo.writeSmallFileAtomic(path, "lm.json",
+      s"""{"vocabSize":${model.vocabSize}}""")
   }
 
   /** Load a [[saveLmModel]] artifact. */
   def loadLmModel(spark: org.apache.spark.sql.SparkSession,
       path: String): LmModel = {
-    val meta = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path, "lm.json")),
-      java.nio.charset.StandardCharsets.UTF_8)
+    val meta = ArtifactIo.readSmallFile(path, "lm.json")
     val v = """"vocabSize":(\d+)""".r.findFirstMatchIn(meta)
       .getOrElse(throw new IllegalStateException(
         s"[GRAFT] $path/lm.json has no vocabSize"))
