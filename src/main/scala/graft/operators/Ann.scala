@@ -433,23 +433,11 @@ object IvfIndex {
     ArtifactIo.deleteFile(path, RebuildSentinel)
   }
 
-  /** Move `<what>_stage` into place, parking any live dir at
-    * `<what>_old` first. Rerun-tolerant: after a crash a live dir may
-    * already be gone (parked but never replaced) — the stage then
-    * just moves in. Runs only inside the [[rebuildSentinel]] window. */
+  /** Rerun-tolerant stage swap-in — [[ArtifactIo.swapIn]] (one copy
+    * for the whole sentinel-guarded rebuild family). */
   private[operators] def swapLive(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, what: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$path/$what")
-    val stage = new org.apache.hadoop.fs.Path(s"$path/${what}_stage")
-    val old = new org.apache.hadoop.fs.Path(s"$path/${what}_old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live))
-      require(fs.rename(live, old),
-        s"[GRAFT] rebuild: cannot stage $live")
-    require(fs.rename(stage, live),
-      s"[GRAFT] rebuild: cannot move $stage in — rerun build to recover")
-    fs.delete(old, true)
-  }
+      path: String, what: String): Unit =
+    ArtifactIo.swapIn(fs, path, what)
 
   /** Deterministic k-means++ init (seeded D²-sampling) over a bounded
     * prefix of the hash-ordered sample — the prefix IS a uniform

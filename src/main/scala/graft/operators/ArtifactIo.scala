@@ -136,6 +136,27 @@ private[operators] object ArtifactIo {
     fs.delete(old, true)
   }
 
+  /** Rerun-tolerant swap-in for sentinel-guarded rebuilds
+    * ([[IvfIndex]]/[[PqIndex]]/IvfPq): move `<what>_stage` into
+    * place, parking any live dir at `<what>_old` first. After a
+    * crash the live dir may already be gone (parked but never
+    * replaced) — the stage then just moves in. Runs only inside a
+    * rebuild-sentinel window (the caller's readMeta refuses while it
+    * stands). */
+  def swapIn(fs: org.apache.hadoop.fs.FileSystem, path: String,
+      what: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$path/$what")
+    val stage = new org.apache.hadoop.fs.Path(s"$path/${what}_stage")
+    val old = new org.apache.hadoop.fs.Path(s"$path/${what}_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(live))
+      require(fs.rename(live, old),
+        s"[GRAFT] rebuild: cannot stage $live")
+    require(fs.rename(stage, live),
+      s"[GRAFT] rebuild: cannot move $stage in — rerun build to recover")
+    fs.delete(old, true)
+  }
+
   /** Fresh publish: stage → one rename to live (no existing dir). */
   def publishFresh(fs: org.apache.hadoop.fs.FileSystem, path: String,
       liveDir: String, what: String)(
