@@ -421,8 +421,8 @@ object IvfIndex {
         gen.toString)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      swapLive(fs, path, "assignments")
-      swapLive(fs, path, "centroids")
+      ArtifactIo.swapIn(fs, path, "assignments")
+      ArtifactIo.swapIn(fs, path, "centroids")
     }
     ArtifactIo.writeSmallFileAtomic(path, "ivf.json",
       metaJson(Meta(nCentroids, metric match {
@@ -432,12 +432,6 @@ object IvfIndex {
         if (assignEps < 0) -1L else math.round(assignEps * 1000.0))))
     ArtifactIo.deleteFile(path, RebuildSentinel)
   }
-
-  /** Rerun-tolerant stage swap-in — [[ArtifactIo.swapIn]] (one copy
-    * for the whole sentinel-guarded rebuild family). */
-  private[operators] def swapLive(fs: org.apache.hadoop.fs.FileSystem,
-      path: String, what: String): Unit =
-    ArtifactIo.swapIn(fs, path, what)
 
   /** Deterministic k-means++ init (seeded D²-sampling) over a bounded
     * prefix of the hash-ordered sample — the prefix IS a uniform

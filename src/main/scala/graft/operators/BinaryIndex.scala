@@ -70,8 +70,14 @@ object BinaryIndex {
   private def packedRows(df: DataFrame, idCol: String,
       vecCol: String, dim: Int): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
-      when(size(col(vecCol)) === lit(dim),
-        vfs_binary_quantize(col(vecCol)))
+      // a whole-NULL vector stores packed=NULL (tolerated — the
+      // candidates() NULL filter keeps it out of every probe), it
+      // must NOT fall into the raise_error branch: size(NULL) is
+      // NULL, so without this branch the row would throw with a
+      // NULL-concat (message-less) error
+      when(col(vecCol).isNull, lit(null).cast("array<bigint>"))
+        .when(size(col(vecCol)) === lit(dim),
+          vfs_binary_quantize(col(vecCol)))
         .otherwise(raise_error(concat(
           lit("[GRAFT] binary index: vector dim "),
           size(col(vecCol)).cast("string"),

@@ -66,23 +66,24 @@ object GramIndex {
   // grams_old complete): reporting "no gram index" there would invite
   // a silent rebuild-from-one-batch or a fresh-k re-stamp — exactly
   // the states the frozen-k contract forbids ([[ArtifactIo]] doc).
-  private def metaExists(path: String): Boolean = {
+  /** ONE guarded probe chain (parked check → locate → read), shared
+    * by every reader so an s3a:// artifact pays one round of metadata
+    * RPCs, not two back-to-back (metaExists-then-readMeta would
+    * re-run the guard and the location probes). */
+  private def readMetaOpt(path: String): Option[Meta] = {
     ArtifactIo.requireNotParked(path, "grams", "gram index")
     val fs = fsOf(path)
-    metaPaths(path).exists(fs.exists)
+    metaPaths(path).find(fs.exists).map { p =>
+      val s = ArtifactIo.readFile(fs, p)
+      def num(key: String) =
+        ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
+      Meta(num("k"), num("generation"))
+    }
   }
 
-  private[graft] def readMeta(path: String): Meta = {
-    ArtifactIo.requireNotParked(path, "grams", "gram index")
-    val fs = fsOf(path)
-    val p = metaPaths(path).find(fs.exists)
-      .getOrElse(throw new IllegalArgumentException(
-        s"requirement failed: [GRAFT] no gram index at $path"))
-    val s = ArtifactIo.readFile(fs, p)
-    def num(key: String) =
-      ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
-    Meta(num("k"), num("generation"))
-  }
+  private[graft] def readMeta(path: String): Meta =
+    readMetaOpt(path).getOrElse(throw new IllegalArgumentException(
+      s"requirement failed: [GRAFT] no gram index at $path"))
 
   private def writeMetaInto(dir: String, m: Meta): Unit =
     ArtifactIo.writeFileInto(dir, "_gram.json", metaJson(m))
@@ -106,13 +107,14 @@ object GramIndex {
     * silently match nothing and mix window widths forever. */
   def ensureMeta(path: String, k: Int): Unit = {
     require(k > 0, "[GRAFT] gram index: k must be positive")
-    if (metaExists(path)) {
-      val m = readMeta(path)
-      require(m.k == k,
-        s"[GRAFT] gram index at $path is frozen at k=${m.k}; " +
-          s"got k=$k — mixing window widths silently matches nothing. " +
-          "Rebuild the artifact to change k.")
-    } else writeMeta(path, Meta(k, generation = 1))
+    readMetaOpt(path) match {
+      case Some(m) =>
+        require(m.k == k,
+          s"[GRAFT] gram index at $path is frozen at k=${m.k}; " +
+            s"got k=$k — mixing window widths silently matches nothing. " +
+            "Rebuild the artifact to change k.")
+      case None => writeMeta(path, Meta(k, generation = 1))
+    }
   }
 
   /** The standing table's row shape: distinct 64-bit gram hashes of
@@ -159,17 +161,14 @@ object GramIndex {
     // grams_old back), so the generation read below sees the old
     // artifact and the counter never resets
     ArtifactIo.healParked(fs, path, "grams", "gram index build")
-    val gen =
-      if (metaExists(path)) readMeta(path).generation + 1
-      else 1
+    val gen = readMetaOpt(path).map(_.generation + 1).getOrElse(1)
     val live = new org.apache.hadoop.fs.Path(s"$path/grams")
     if (!fs.exists(live)) {
       // fresh build: stage parquet + metadata, publish with ONE rename
-      val stage = new org.apache.hadoop.fs.Path(s"$path/grams_stage")
-      grams.write.mode("overwrite").parquet(stage.toString)
-      writeMetaInto(stage.toString, Meta(k, gen))
-      require(fs.rename(stage, live),
-        s"[GRAFT] build: cannot publish $stage")
+      ArtifactIo.publishFresh(fs, path, "grams", "gram build") { stage =>
+        grams.write.mode("overwrite").parquet(stage)
+        writeMetaInto(stage, Meta(k, gen))
+      }
     } else {
       stagedSwap(fs, path, "build") { stage =>
         grams.write.mode("overwrite").parquet(stage)

@@ -77,17 +77,22 @@ object LshTextIndex {
     metaPaths(path).exists(fs.exists)
   }
 
-  private[graft] def readMeta(path: String): Meta = {
+  /** ONE guarded probe chain (parked check → locate → read) — see
+    * [[GramIndex]]'s readMetaOpt for the remote-RPC rationale. */
+  private def readMetaOpt(path: String): Option[Meta] = {
     ArtifactIo.requireNotParked(path, "bands", "LSH index")
     val fs = fsOf(path)
-    val p = metaPaths(path).find(fs.exists)
-      .getOrElse(throw new IllegalArgumentException(
-        s"requirement failed: [GRAFT] no LSH index at $path"))
-    val s = ArtifactIo.readFile(fs, p)
-    def num(k: String) =
-      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
-    Meta(num("bands"), num("rowsPerBand"), num("generation"))
+    metaPaths(path).find(fs.exists).map { p =>
+      val s = ArtifactIo.readFile(fs, p)
+      def num(k: String) =
+        ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(s).get.group(1).toInt
+      Meta(num("bands"), num("rowsPerBand"), num("generation"))
+    }
   }
+
+  private[graft] def readMeta(path: String): Meta =
+    readMetaOpt(path).getOrElse(throw new IllegalArgumentException(
+      s"requirement failed: [GRAFT] no LSH index at $path"))
 
   private def writeMetaInto(dir: String, m: Meta): Unit =
     ArtifactIo.writeFileInto(dir, "_lsh.json", metaJson(m))
@@ -119,7 +124,7 @@ object LshTextIndex {
     // writer-side recovery: heal a parked crash state first, so the
     // generation read sees the old artifact and never resets to 1
     ArtifactIo.healParked(fs, path, "bands", "lsh build")
-    val gen = if (exists(path)) readMeta(path).generation + 1 else 1
+    val gen = readMetaOpt(path).map(_.generation + 1).getOrElse(1)
     val banded = Dedup.bandedRelation(docs, "id", textCol, idCol,
       bands, rowsPerBand)
     val live = new org.apache.hadoop.fs.Path(s"$path/bands")

@@ -144,8 +144,8 @@ object PqIndex {
       ArtifactIo.writeSmallFileAtomic(path, RebuildSentinel, "1")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      IvfIndex.swapLive(fs, path, "codebooks")
-      IvfIndex.swapLive(fs, path, "codes")
+      ArtifactIo.swapIn(fs, path, "codebooks")
+      ArtifactIo.swapIn(fs, path, "codes")
     }
     ArtifactIo.writeSmallFileAtomic(path, "pq.json",
       metaJson(Meta(m, ks, dim, metric match {
@@ -383,8 +383,8 @@ object IvfPq {
       ArtifactIo.writeSmallFileAtomic(path, RebuildSentinel, "1")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      IvfIndex.swapLive(fs, path, "codebooks")
-      IvfIndex.swapLive(fs, path, "codes")
+      ArtifactIo.swapIn(fs, path, "codebooks")
+      ArtifactIo.swapIn(fs, path, "codes")
     }
     // record the parent's nAssign (a single-assignment parent can
     // never produce duplicate ids across probed partitions, so search

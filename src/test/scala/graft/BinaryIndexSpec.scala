@@ -119,6 +119,28 @@ class BinaryIndexSpec extends AnyFunSuite {
     assert(cand.head === 1L) // the true self-match still leads
   }
 
+  test("whole-NULL vectors store packed=NULL (tolerated, probe-" +
+      "invisible) — they must NOT trip the frozen-dim raise_error") {
+    val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val nullRow = Seq((910000L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val dir = tmp()
+    BinaryIndex.build(emb.unionByName(nullRow), dir) // no throw
+    val stored = spark.read.parquet(s"$dir/packed")
+      .filter($"id" === 910000L).collect()
+    assert(stored.length === 1 && stored.head.isNullAt(1))
+    // append tolerates them identically
+    BinaryIndex.append(
+      Seq((910001L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding"),
+      dir)
+    val q = emb.filter($"vec_id" === 1L).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val cand = BinaryIndex.candidates(spark, dir, q, n = 2000)
+      .select($"id").as[Long].collect().toSet
+    assert(!cand.contains(910000L) && !cand.contains(910001L))
+  }
+
   test("parked crash state (packed/ gone, packed_old complete): " +
       "readers refuse loudly; a build rerun heals with generation " +
       "continuity") {
