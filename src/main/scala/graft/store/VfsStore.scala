@@ -432,29 +432,46 @@ class VfsStore private (val spark: SparkSession, val root: String,
   }
 
   /** Predicate delete (the GDPR / takedown shape): rewrite the
-    * committed data WITHOUT the rows matching `cond` into one new
-    * commit directory and swap the manifest atomically — readers see
-    * either the full old state or the full post-delete state, never a
-    * partial delete. The predicate runs against the RAW physical
-    * schema (quantized stores: qvalues/scale_factor and the mangled
-    * name/tags — filter on `id` or metadata, which survive mangling).
-    * Ids of deleted rows are NOT reused (nextId is untouched —
-    * contiguity is an ingest property, not an invariant over deletes,
-    * same stance as the reference's monotonic counter). Old commit
-    * dirs stay on disk for open snapshots; [[vacuum]] reclaims them.
+    * committed data WITHOUT the rows matching `cond` and swap the
+    * manifest atomically — readers see either the full old state or
+    * the full post-delete state, never a partial delete. The rewrite
+    * is MATCH-PRUNED (the [[upsertBatch]] discipline): one
+    * provenance scan finds which commit directories actually hold a
+    * matching row — the scan reads only the columns `cond`
+    * references — and only those are rewritten; every other
+    * directory carries into the new manifest verbatim, so delete
+    * cost is ∝ matching data, not corpus size, and a no-match
+    * predicate rewrites nothing. The predicate runs against the RAW
+    * physical schema (quantized stores: qvalues/scale_factor and the
+    * mangled name/tags — filter on `id` or metadata, which survive
+    * mangling). Ids of deleted rows are NOT reused (nextId is
+    * untouched — contiguity is an ingest property, not an invariant
+    * over deletes, same stance as the reference's monotonic
+    * counter). Old commit dirs stay on disk for open snapshots;
+    * [[vacuum]] reclaims them. CDC consumers: [[changesSince]]
+    * re-reports only the rewritten survivors (untouched dirs carry
+    * verbatim); use [[diffSnapshot]] for exact row-level deltas.
     * Returns the number of rows deleted. */
   def deleteWhere(cond: org.apache.spark.sql.Column): Long = synchronized {
     flush()
     if (manifest.commits.isEmpty) return 0L
-    val all = spark.read
+    val dirOf = regexp_extract(input_file_name(), "/([^/]+)/[^/]*$", 1)
+    val matching: Set[String] = spark.read
       .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
-    val keep = all.filter(!coalesce(cond, lit(false)))
+      .filter(coalesce(cond, lit(false)))
+      .select(dirOf.as("__dir")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (matching.isEmpty) return 0L
+    val hit = manifest.commits.filter(matching)
+    val hitData = spark.read.parquet(hit.map(c => s"$root/data/$c"): _*)
+    val keep = hitData.filter(!coalesce(cond, lit(false)))
     val dir = commitDirName("delete")
     keep.sortWithinPartitions("id").write.mode("overwrite")
       .parquet(s"$root/data/$dir")
     val kept = spark.read.parquet(s"$root/data/$dir").count()
-    val total = all.count()
-    commitManifest(manifest.copy(commits = Seq(dir)))
+    val total = hitData.count()
+    commitManifest(manifest.copy(
+      commits = manifest.commits.filterNot(matching) :+ dir))
     total - kept
   }
 

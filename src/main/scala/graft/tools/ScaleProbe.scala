@@ -455,6 +455,18 @@ object ScaleProbe {
         concat(lit("n-7-"), $"id").as("name"),
         array().cast("array<string>").as("tags")))
     }
+    // deleteWhere shares the match-pruned rewrite discipline
+    time("no-match deleteWhere (detection scan only, NO rewrite)") {
+      val n = upStore.deleteWhere(col("name") === "never-existed")
+      require(n == 0L)
+    }
+    time("1k-row deleteWhere, all matches in ONE commit dir " +
+        "(rewrite ∝ 1/20 of corpus)") {
+      val n = upStore.deleteWhere(
+        col("name").startsWith("n-3-") &&
+          col("name").substr(lit(5), lit(10)).cast("long") < 1000L)
+      require(n == 1000L, s"expected 1000 deleted, got $n")
+    }
     spark.stop()
   }
 }

@@ -263,6 +263,40 @@ class VfsStoreSpec extends AnyFunSuite {
     assert(names.toSeq == Seq("v3", "v4"))
   }
 
+  test("deleteWhere rewrites ONLY commit dirs holding a matching row " +
+      "(cost ∝ matching data); a no-match predicate rewrites nothing") {
+    val root = tmp()
+    val s = VfsStore.create(spark, root, "delprune", dim = 2)
+    s.appendBatch(Seq((Seq(1f, 1f), "a", Seq[String]()))
+      .toDF("values", "name", "tags"))
+    s.appendBatch(Seq((Seq(2f, 2f), "b", Seq[String]()),
+      (Seq(5f, 5f), "e", Seq[String]())).toDF("values", "name", "tags"))
+    s.appendBatch(Seq((Seq(3f, 3f), "c", Seq[String]()))
+      .toDF("values", "name", "tags"))
+    def commits(): Seq[String] = VfsManifest.fromJson(new String(
+      Files.readAllBytes(java.nio.file.Paths.get(root, "manifest.json")),
+      java.nio.charset.StandardCharsets.UTF_8)).commits
+    val before = commits()
+    assert(before.size === 3)
+    // no-match predicate: NO rewrite, manifest byte-identical
+    assert(s.deleteWhere($"name" === "zzz") === 0L)
+    assert(commits() === before)
+    // match only "b" (second commit): that dir is rewritten with its
+    // survivor "e"; commits 1 and 3 carry verbatim
+    assert(s.deleteWhere($"name" === "b") === 1L)
+    val after = commits()
+    assert(after.contains(before(0)) && after.contains(before(2)))
+    assert(!after.contains(before(1)))
+    assert(after.count(_.contains("delete")) === 1)
+    val got = s.read().select($"name", $"values")
+      .as[(String, Seq[Float])].collect().toMap
+    assert(got === Map("a" -> Seq(1f, 1f), "c" -> Seq(3f, 3f),
+      "e" -> Seq(5f, 5f)))
+    // the survivor kept its id through the rewrite
+    assert(s.read().filter($"name" === "e")
+      .select($"id").as[Long].head() === 3L)
+  }
+
   test("vacuum removes only unreferenced commit dirs") {
     val root = tmp()
     val s = VfsStore.create(spark, root, "vc", dim = 2, flushThreshold = 1)
@@ -292,10 +326,13 @@ class VfsStoreSpec extends AnyFunSuite {
     // a long retention keeps the snapshot (cutoff in the past)
     assert(s.vacuum(olderThanMs = 3600000L) === 0)
     assert(s.readSnapshot("preDelete").count() === 4L)
-    // expire it: snapshot dropped, pre-delete dirs reclaimed
+    // expire it: snapshot dropped, pre-delete dirs reclaimed. The
+    // MATCH-PRUNED rewrite replaced only the two dirs that held a
+    // matching row — dirs 3 and 4 stayed LIVE in the manifest, so
+    // exactly the two deleted rows' dirs become garbage
     Thread.sleep(15)
     val removed = s.vacuum(olderThanMs = 5L)
-    assert(removed >= 4, s"expected >=4 dirs reclaimed, got $removed")
+    assert(removed === 2, s"expected the 2 matching dirs reclaimed, got $removed")
     intercept[graft.store.StoreStateException](
       s.readSnapshot("preDelete"))
     assert(s.read().select($"id").as[Long].collect().sorted.toSeq ==
