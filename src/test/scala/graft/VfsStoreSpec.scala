@@ -263,6 +263,38 @@ class VfsStoreSpec extends AnyFunSuite {
     assert(names.toSeq == Seq("v3", "v4"))
   }
 
+  test("randomized upsert/delete sequence matches a by-name model — " +
+      "the pruned rewrites preserve exact MERGE semantics") {
+    val rnd = new scala.util.Random(20260814L)
+    val s = VfsStore.create(spark, tmp(), "model", dim = 2)
+    val model = scala.collection.mutable.Map.empty[String, Seq[Float]]
+    val names = (0 until 30).map(i => s"n$i")
+    def readState(): Map[String, Seq[Float]] = {
+      val rows = s.read().select($"name", $"values")
+        .as[(String, Seq[Float])].collect()
+      // by-name MERGE invariant: never two live rows under one name
+      assert(rows.map(_._1).distinct.length === rows.length)
+      rows.toMap
+    }
+    (1 to 12).foreach { step =>
+      if (rnd.nextInt(3) < 2 || model.isEmpty) {
+        // upsert a random batch of distinct names with fresh payloads
+        val batch = rnd.shuffle(names).take(1 + rnd.nextInt(8))
+          .map(n => (Seq(rnd.nextInt(100).toFloat, step.toFloat), n,
+            Seq.empty[String]))
+        s.upsertBatch(batch.toDF("values", "name", "tags"))
+        batch.foreach { case (v, n, _) => model(n) = v }
+      } else {
+        // delete a random name subset (possibly including misses)
+        val doomed = rnd.shuffle(names).take(1 + rnd.nextInt(5))
+        val n = s.deleteWhere($"name".isin(doomed: _*))
+        assert(n === doomed.count(model.contains).toLong)
+        doomed.foreach(model.remove)
+      }
+      assert(readState() === model.toMap, s"diverged at step $step")
+    }
+  }
+
   test("deleteWhere rewrites ONLY commit dirs holding a matching row " +
       "(cost ∝ matching data); a no-match predicate rewrites nothing") {
     val root = tmp()
