@@ -13,6 +13,12 @@ class VerifySpec extends AnyFunSuite {
   private val spark = GraftTest.spark
   import spark.implicits._
 
+  test("the driver's flagship entry() smoke contract returns rows") {
+    // the ONE driver call no other spec or Verify run exercises —
+    // if entry() breaks, the driver's smoke check fails the round
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("a throwing query is recorded in _errors.json, green ones dump parquet") {
     val out = Files.createTempDirectory("verify-spec").toString
     val errors = Verify.runAll(spark, GraftTest.sf0001, out, Map(
