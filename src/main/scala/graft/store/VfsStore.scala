@@ -112,6 +112,23 @@ class VfsStore private (val spark: SparkSession, val root: String,
 
   private def manifestPath = Paths.get(root, "manifest.json")
 
+  /** The raw physical frame over every committed directory. */
+  private def committedRaw(): DataFrame = spark.read
+    .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
+
+  /** Provenance: the immediate parent dir of each row's file IS its
+    * commit dir (commit names are engine-generated, slash-free). ONE
+    * copy shared by the match-pruned rewrites ([[upsertBatch]],
+    * [[deleteWhere]]) so the extraction cannot silently diverge. */
+  private def commitDirCol: org.apache.spark.sql.Column =
+    regexp_extract(input_file_name(), "/([^/]+)/[^/]*$", 1)
+
+  /** Driver-side dir-name set of a frame carrying a `__dir` column —
+    * bounded by the commit count. */
+  private def collectCommitDirs(rows: DataFrame): Set[String] =
+    rows.select(col("__dir")).distinct()
+      .collect().map(_.getString(0)).toSet
+
   private def commitManifest(m: VfsManifest): Unit = synchronized {
     val tmp = Paths.get(root, "manifest.json.tmp")
     Files.write(tmp, m.toJson.getBytes(StandardCharsets.UTF_8))
@@ -246,15 +263,9 @@ class VfsStore private (val spark: SparkSession, val root: String,
       val (untouched, survivorDir) =
         if (manifest.commits.isEmpty) (Seq.empty[String], None)
         else {
-          // immediate parent dir of each row's file IS its commit dir
-          val dirOf = regexp_extract(input_file_name(),
-            "/([^/]+)/[^/]*$", 1)
-          val colliding: Set[String] = spark.read
-            .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
-            .select(col("name"), dirOf.as("__dir"))
-            .join(inNames, Seq("name"), "left_semi")
-            .select(col("__dir")).distinct()
-            .collect().map(_.getString(0)).toSet
+          val colliding: Set[String] = collectCommitDirs(
+            committedRaw().select(col("name"), commitDirCol.as("__dir"))
+              .join(inNames, Seq("name"), "left_semi"))
           if (colliding.isEmpty) (manifest.commits, None)
           else {
             val hit = manifest.commits.filter(colliding)
@@ -451,28 +462,57 @@ class VfsStore private (val spark: SparkSession, val root: String,
     * [[vacuum]] reclaims them. CDC consumers: [[changesSince]]
     * re-reports only the rewritten survivors (untouched dirs carry
     * verbatim); use [[diffSnapshot]] for exact row-level deltas.
-    * Returns the number of rows deleted. */
+    *
+    * The predicate MUST be deterministic and stable across jobs: it
+    * is evaluated in the detection pass and again in the rewrite.
+    * Catalyst-nondeterministic expressions (`rand()`) fail loudly
+    * here; time-dependent ones (`current_timestamp()`) re-resolve
+    * per job and could classify a dir non-matching at detection yet
+    * match rows at rewrite — compute cutoffs driver-side and pass
+    * them as literals. Returns the number of rows deleted (counted
+    * in the detection pass — the one evaluation that also chose the
+    * rewrite set). */
   def deleteWhere(cond: org.apache.spark.sql.Column): Long = synchronized {
     flush()
     if (manifest.commits.isEmpty) return 0L
-    val dirOf = regexp_extract(input_file_name(), "/([^/]+)/[^/]*$", 1)
-    val matching: Set[String] = spark.read
-      .parquet(manifest.commits.map(c => s"$root/data/$c"): _*)
-      .filter(coalesce(cond, lit(false)))
-      .select(dirOf.as("__dir")).distinct()
-      .collect().map(_.getString(0)).toSet
-    if (matching.isEmpty) return 0L
+    // the RESOLVED condition decides determinism (the raw Column
+    // wraps unresolved function nodes whose default is deterministic)
+    val detection = committedRaw().filter(coalesce(cond, lit(false)))
+    val resolvedCond = detection.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition
+    }
+    require(resolvedCond.forall(_.deterministic),
+      "[GRAFT] deleteWhere: the predicate must be deterministic — a " +
+        "nondeterministic one would delete a different row set than " +
+        "the detection pass counted")
+    // ONE detection evaluation yields the matching dirs AND the
+    // deleted-row count (no separate total/kept corpus jobs)
+    val matchedPerDir = detection
+      .groupBy(commitDirCol.as("__dir"))
+      .agg(count(lit(1)).as("__n")).collect()
+    if (matchedPerDir.isEmpty) return 0L
+    val matching = matchedPerDir.map(_.getString(0)).toSet
+    val deleted = matchedPerDir.map(_.getLong(1)).sum
     val hit = manifest.commits.filter(matching)
-    val hitData = spark.read.parquet(hit.map(c => s"$root/data/$c"): _*)
-    val keep = hitData.filter(!coalesce(cond, lit(false)))
+    val keep = spark.read.parquet(hit.map(c => s"$root/data/$c"): _*)
+      .filter(!coalesce(cond, lit(false)))
     val dir = commitDirName("delete")
     keep.sortWithinPartitions("id").write.mode("overwrite")
       .parquet(s"$root/data/$dir")
+    // fully-matched hit set → no zero-row commit: the empty dir is
+    // removed outright (it was never referenced), so it neither
+    // lives in the manifest forever nor pollutes vacuum accounting
     val kept = spark.read.parquet(s"$root/data/$dir").count()
-    val total = hitData.count()
+    if (kept == 0L) {
+      val hp = new org.apache.hadoop.fs.Path(s"$root/data/$dir")
+      hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(hp, true)
+    }
     commitManifest(manifest.copy(
-      commits = manifest.commits.filterNot(matching) :+ dir))
-    total - kept
+      commits = manifest.commits.filterNot(matching) ++
+        (if (kept == 0L) Nil else Seq(dir))))
+    deleted
   }
 
   /** Delete commit directories referenced by neither the live manifest
@@ -547,10 +587,15 @@ class VfsStore private (val spark: SparkSession, val root: String,
     * delta-processing shape — a nightly pipeline snapshots after each
     * run and processes `changesSince(lastRun)` instead of re-scanning
     * the corpus. Exact for append-only histories (insert/appendBatch/
-    * flush); a rewrite ([[compact]]/[[deleteWhere]]) replaces the
-    * commit list, after which the rewritten directories ARE the
-    * changes — use [[diffSnapshot]] for exact row-level semantics
-    * across rewrites. Flushes first so memtable rows participate. */
+    * flush); a rewrite re-reports exactly the directories it
+    * replaced — [[compact]] replaces the whole commit list, while
+    * the MATCH-PRUNED [[deleteWhere]]/[[upsertBatch]] replace only
+    * the dirs that held a matching/colliding row (untouched dirs
+    * carry verbatim and never re-report). Either way the delta is
+    * the rewritten survivors plus genuinely new commits, NOT a
+    * row-level change set — use [[diffSnapshot]] for exact
+    * row-level semantics across rewrites. Flushes first so memtable
+    * rows participate. */
   def changesSince(snapName: String): DataFrame = synchronized {
     val snap = loadSnapshot(snapName)
     flush()

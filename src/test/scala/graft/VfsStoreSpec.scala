@@ -327,6 +327,22 @@ class VfsStoreSpec extends AnyFunSuite {
     // the survivor kept its id through the rewrite
     assert(s.read().filter($"name" === "e")
       .select($"id").as[Long].head() === 3L)
+    // FULL-match delete of one dir: no zero-row commit lands and the
+    // empty rewrite dir leaves disk (it would otherwise be permanent
+    // manifest residue or instant vacuum garbage)
+    def deleteDirsOnDisk() = new java.io.File(s"$root/data")
+      .listFiles().count(f => f.isDirectory && f.getName.contains("delete"))
+    val beforeFull = commits()
+    val dirsBefore = deleteDirsOnDisk()
+    assert(s.deleteWhere($"name" === "e") === 1L)
+    assert(commits() === beforeFull.filterNot(_.contains("delete")))
+    assert(deleteDirsOnDisk() === dirsBefore) // empty dir removed
+    // nondeterministic predicates are a loud error (the detection
+    // pass and the rewrite would evaluate different row sets)
+    val ndErr = intercept[IllegalArgumentException] {
+      s.deleteWhere(rand() < 0.5)
+    }
+    assert(ndErr.getMessage.contains("deterministic"))
   }
 
   test("vacuum removes only unreferenced commit dirs") {
@@ -427,13 +443,15 @@ class VfsStoreSpec extends AnyFunSuite {
     s.snapshot("base")
     s.appendBatch(Seq((Seq(4f, 0f), "d")).toDF("values", "name")
       .withColumn("tags", array()))
-    s.deleteWhere(col("name") === "b") // rewrite: commit list replaced
+    s.deleteWhere(col("name") === "b") // match-pruned rewrite
     val diff = s.diffSnapshot("base")
       .select("name", "change").as[(String, String)].collect().toSet
     assert(diff === Set(("d", "added"), ("b", "removed")))
-    // after the rewrite the file-level delta is the whole rewritten
-    // commit (documented reset) — the row-level diff stays exact
-    assert(s.changesSince("base").count() === 3L) // a, c, d rewritten
+    // file-level delta after the pruned rewrite: the ONE rewritten
+    // commit's survivors (a, c — b's dir held the match) plus the
+    // genuinely new post-snapshot commit (d); the row-level diff
+    // above stays exact either way
+    assert(s.changesSince("base").count() === 3L) // a, c survivors + d
   }
 
   test("readStream delivers committed batches continuously, " +
