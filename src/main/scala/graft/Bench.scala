@@ -73,7 +73,8 @@ object Bench {
     // swallowed here — the entry's own access re-attempts the lazy
     // init and records the root cause, preserving crash isolation
     def preBuild(fixture: => Any): Unit =
-      try { fixture; () } catch { case _: Throwable => () }
+      try { fixture; () }
+      catch { case scala.util.control.NonFatal(_) => () }
 
     // warm up the JVM/codegen/parquet paths before measuring (failure
     // here is non-fatal: the entries re-surface it individually)

@@ -91,9 +91,15 @@ object BinaryIndex {
       vecCol: String = "embedding"): Unit = {
     val spark = df.sparkSession
     val fs = fsOf(path)
-    val d = df.agg(min(size(col(vecCol))).as("lo"),
-      max(size(col(vecCol))).as("hi")).head()
-    require(!d.isNullAt(0), "[GRAFT] binary index: empty input")
+    // probe dims over NON-NULL vectors only: packedRows deliberately
+    // stores packed=NULL for whole-NULL vectors, and under
+    // spark.sql.legacy.sizeOfNull=true size(NULL) is -1, which would
+    // fail the uniform-dims check for a corpus this layer tolerates
+    val d = df.filter(col(vecCol).isNotNull)
+      .agg(min(size(col(vecCol))).as("lo"),
+        max(size(col(vecCol))).as("hi")).head()
+    require(!d.isNullAt(0),
+      "[GRAFT] binary index: empty input (no non-null vectors)")
     require(d.getInt(0) == d.getInt(1),
       s"[GRAFT] binary index: non-uniform dims ${d.getInt(0)}..${d.getInt(1)}")
     val dim = d.getInt(0)
@@ -117,17 +123,57 @@ object BinaryIndex {
     else
       ArtifactIo.stagedSwap(fs, path, "packed",
         "binary index build")(writeStage)
+    // a rebuilt artifact starts a fresh appendIdempotent sequence
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_append_batch"), false)
   }
 
   /** Pack and append the delta's rows — ONE pass, cost ∝ delta; the
     * standing table is not read. The frozen-dim guard runs inside
     * the pack projection ([[packedRows]]) and fails the whole append
-    * job loudly before any file commits. */
+    * job loudly before any file commits.
+    *
+    * AT-LEAST-ONCE hazard: this plain append has no replay marker —
+    * a retried/replayed call stores the same id twice. [[candidates]]
+    * collapses duplicates post-cut (an id can never occupy two top-n
+    * slots), but each stored duplicate can shrink the DISTINCT
+    * candidate count below `n`. Replay-prone callers (streaming
+    * foreachBatch, retried jobs) should use [[appendIdempotent]]. */
   def append(df: DataFrame, path: String, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
     val m = readMeta(path)
     packedRows(df, idCol, vecCol, m.dim)
       .write.mode("append").parquet(s"$path/packed")
+  }
+
+  /** [[append]] guarded by a monotonic batch marker
+    * (`<path>/_append_batch`, tmp-then-rename — the
+    * [[graft.streaming.Ingest.appendBatchIdempotent]] protocol):
+    * a replay of an already-committed `batchId` is an exact no-op, so
+    * at-least-once drivers never double-store a vector. Only a crash
+    * INSIDE the append→marker window can still duplicate (and
+    * [[candidates]]' post-cut collapse keeps even that from
+    * corrupting results). [[build]] retires the marker — a rebuilt
+    * artifact starts a fresh batch sequence. Returns whether the
+    * batch was applied. */
+  def appendIdempotent(df: DataFrame, path: String, batchId: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
+    val fs = fsOf(path)
+    val marker = new org.apache.hadoop.fs.Path(path, "_append_batch")
+    val last =
+      if (!fs.exists(marker)) -1L
+      else ArtifactIo.readFile(fs, marker).trim.toLong
+    if (batchId <= last) return false
+    append(df, path, idCol, vecCol)
+    val tmp = new org.apache.hadoop.fs.Path(path, "_append_batch.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(batchId.toString
+      .getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(
+        s"[GRAFT] binary index: cannot commit batch marker $marker")
+    true
   }
 
   /** Coarse tier: (id, ham) of the `n` nearest sidecar rows by
@@ -145,12 +191,20 @@ object BinaryIndex {
     // can never be a candidate — and Spark's default ascending sort
     // is NULLS FIRST, which would otherwise park such rows at the
     // TOP of every candidate list
+    // the corpus-wide cut stays a TakeOrderedAndProject; the
+    // duplicate collapse below touches only its <= n survivors. A
+    // replayed plain append() can store an id twice — without the
+    // collapse the same id could occupy several top-n slots. With
+    // it, each stored duplicate can only shrink the distinct
+    // candidate count below n (documented on [[append]]).
     spark.read.parquet(s"$path/packed")
       .select(col("id"),
         vfs_hamming(col("packed"), typedLit(qPacked.toSeq)).as("ham"))
       .filter(col("ham").isNotNull)
       .orderBy(col("ham").asc, col("id").asc)
       .limit(n)
+      .groupBy(col("id")).agg(min(col("ham")).as("ham"))
+      .orderBy(col("ham").asc, col("id").asc)
   }
 
   /** Full two-tier probe: coarse Hamming candidates from the sidecar,

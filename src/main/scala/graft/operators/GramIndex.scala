@@ -169,6 +169,12 @@ object GramIndex {
         grams.write.mode("overwrite").parquet(stage)
         writeMetaInto(stage, Meta(k, gen))
       }
+      // retire a legacy path-level gram.json even on the fresh-publish
+      // branch: ensureMeta may have stamped it without any batch ever
+      // landing, and its k can differ from the new grams/_gram.json —
+      // readers prefer the internal copy, but a stale shadowed file
+      // must not outlive the publish
+      fs.delete(new org.apache.hadoop.fs.Path(path, "gram.json"), false)
     } else {
       stagedSwap(fs, path, "build") { stage =>
         grams.write.mode("overwrite").parquet(stage)

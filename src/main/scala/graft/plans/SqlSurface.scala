@@ -254,6 +254,10 @@ object SqlSurface {
     val q: Array[Float] = es(1).dataType match {
       case ArrayType(et, _) =>
         val arr = evalNonNull(1, "query").asInstanceOf[ArrayData]
+        // a NULL element would make toFloatArray()/the typed twins
+        // throw an opaque NPE — route it through the clean contract
+        if ((0 until arr.numElements()).exists(arr.isNullAt(_)))
+          fail("query must not contain NULL elements")
         et match {
           case FloatType => arr.toFloatArray()
           case DoubleType => arr.toDoubleArray().map(_.toFloat)

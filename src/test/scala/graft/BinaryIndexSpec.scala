@@ -141,6 +141,67 @@ class BinaryIndexSpec extends AnyFunSuite {
     assert(!cand.contains(910000L) && !cand.contains(910001L))
   }
 
+  test("replayed appends: appendIdempotent no-ops on a committed " +
+      "batch id; a plain-append duplicate never occupies two top-n " +
+      "slots (post-cut collapse)") {
+    val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+    val dir = tmp()
+    BinaryIndex.build(emb, dir)
+    val q = emb.filter($"vec_id" === 1L).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val baseline = BinaryIndex.candidates(spark, dir, q, n = 50)
+      .as[(Long, Long)].collect().toSeq
+    val delta = emb.filter($"vec_id" === 2L)
+      .withColumn("vec_id", lit(920000L))
+    // idempotent path: first apply lands, replay of the same id no-ops
+    assert(BinaryIndex.appendIdempotent(delta, dir, batchId = 0L))
+    assert(!BinaryIndex.appendIdempotent(delta, dir, batchId = 0L))
+    val stored = spark.read.parquet(s"$dir/packed")
+      .filter($"id" === 920000L).count()
+    assert(stored === 1L)
+    // plain append replay DOES duplicate the stored row...
+    BinaryIndex.append(delta, dir)
+    assert(spark.read.parquet(s"$dir/packed")
+      .filter($"id" === 920000L).count() === 2L)
+    // ...but candidates() collapses it: the id appears at most once
+    val cand = BinaryIndex.candidates(spark, dir, q, n = 2000)
+      .select($"id").as[Long].collect()
+    assert(cand.length === cand.distinct.length)
+    assert(cand.count(_ == 920000L) === 1)
+    // and the original top-50 is unchanged by the dup (920000 packs
+    // identically to vec 2 — dedup keeps one slot for it)
+    val top = BinaryIndex.candidates(spark, dir, q, n = 50)
+      .as[(Long, Long)].collect().toSeq
+    assert(top.filterNot(_._1 == 920000L) ===
+      baseline.filterNot(_._1 == 920000L).take(top.count(_._1 != 920000L)))
+    // a rebuild retires the marker: batch 0 applies again
+    BinaryIndex.build(emb, dir)
+    assert(BinaryIndex.appendIdempotent(delta, dir, batchId = 0L))
+  }
+
+  test("dim probe ignores whole-NULL vectors even under " +
+      "spark.sql.legacy.sizeOfNull=true (size(NULL) = -1 must not " +
+      "fail the uniform-dims check)") {
+    val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val nullRow = Seq((930000L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val dir = tmp()
+    val key = "spark.sql.legacy.sizeOfNull"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try BinaryIndex.build(emb.unionByName(nullRow), dir) // no throw
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+    assert(BinaryIndex.readMeta(dir).dim ===
+      emb.select($"embedding").head().getSeq[Float](0).length)
+    val stored = spark.read.parquet(s"$dir/packed")
+      .filter($"id" === 930000L).collect()
+    assert(stored.length === 1 && stored.head.isNullAt(1))
+  }
+
   test("parked crash state (packed/ gone, packed_old complete): " +
       "readers refuse loudly; a build rerun heals with generation " +
       "continuity") {

@@ -2401,6 +2401,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(kErr.getMessage.contains("frozen at k=3"))
   }
 
+  test("gram index fresh publish retires a pre-stamped legacy " +
+      "gram.json (ensureMeta stamped, first batch never landed)") {
+    import graft.operators.GramIndex
+    val dir = java.nio.file.Files.createTempDirectory("gramstamp").toString
+    // ensureMeta stamps path-level metadata with NO grams/ yet — the
+    // streaming loop's crash-before-first-batch shape
+    GramIndex.ensureMeta(dir, k = 3)
+    assert(new java.io.File(s"$dir/gram.json").exists())
+    assert(!new java.io.File(s"$dir/grams").exists())
+    // a fresh build (different k) takes the publishFresh branch; the
+    // stale stamped file must not survive to shadow grams/_gram.json
+    GramIndex.build(Seq((1L, "a b c d e f")).toDF("doc_id", "text"),
+      dir, k = 5)
+    assert(new java.io.File(s"$dir/grams/_gram.json").exists())
+    assert(!new java.io.File(s"$dir/gram.json").exists())
+    // generation continued from the stamped metadata, never reset
+    assert(GramIndex.readMeta(dir).k === 5)
+    assert(GramIndex.readMeta(dir).generation === 2)
+  }
+
   test("gram index k-change rebuild: every crash state is the complete " +
       "old artifact, the complete new one, or a loud failure — never " +
       "old-k metadata over new-k hashes") {
