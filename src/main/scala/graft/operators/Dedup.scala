@@ -318,13 +318,35 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val banded = bandedRelation(docs, "id", textCol, idCol,
       bands, rowsPerBand)
-    val capped = capBuckets(banded, maxBucket)
-    val a = capped.as("a")
-    val b = capped.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"))
+    // Bucket-fold pair generation: ONE shuffle of the slim band
+    // triples into (band, bsig) buckets, pairs emitted by a pipelined
+    // double-explode over each bucket's sorted id list. This replaces
+    // the earlier self-join shape — which shuffled/recomputed the
+    // signature pipeline on BOTH sides and needed a separate window
+    // pass for the bucket cap — with a single hash agg; the cap
+    // becomes a free size() filter on the folded list (identical
+    // semantics: capBuckets drops every row of a bucket over the
+    // cap). The sorted list makes (ids[i], ids[j > i]) pairs satisfy
+    // a < b by construction, so the candidate set is bit-identical
+    // to the join form's. A bucket at the cap folds to `maxBucket`
+    // longs (8 KB at the default 1000) — bounded row width.
+    val buckets = banded.groupBy(col("band"), col("bsig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val rawPairs = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("b"))
+    // Pin the dedup exchange's partition count (REPARTITION_BY_NUM —
+    // AQE never coalesces it): the pair stream is byte-small but the
+    // stages stacked on top of it (final dedup agg + the exact
+    // jaccard verify's array intersections) are COMPUTE-bound, and
+    // AQE's byte-based advisory would fold them onto a handful of
+    // cores (measured 2× on the whole operator at sf0.1).
+    val candidates = rawPairs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("a"), col("b"))
       .dropDuplicates("a", "b")
     verifyJaccard(candidates, docs, docs, "a", "b", textCol, idCol,
       threshold)
@@ -366,6 +388,26 @@ object Dedup {
     banded.withColumn("bucket_n", count(lit(1)).over(bucketW))
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
+  }
+
+  /** [[capBuckets]] semantics without shuffling the banded rows:
+    * bucket sizes come from one partial-agged count pass, and rows of
+    * over-cap buckets are removed by an anti-join against that
+    * hot-bucket list (tiny on any non-pathological corpus — AQE
+    * broadcasts it at runtime when it is, and falls back to a shuffled
+    * join when it is not, so the worst case degrades to
+    * [[capBuckets]]' cost, never breaks). The trade: `banded` is
+    * EVALUATED TWICE (counts + rows), so this fits inputs that are
+    * cheap to rescan — a persisted band table ([[LshTextIndex]]) —
+    * while [[capBuckets]] fits derived inputs whose recompute (a
+    * corpus-wide signature pass) costs more than its shuffle. */
+  private[graft] def capBucketsAnti(banded: DataFrame, maxBucket: Int,
+      keys: Seq[String] = Seq("band", "bsig")): DataFrame = {
+    val hot = banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+      .select(keys.map(col): _*)
+    banded.join(hot, keys, "left_anti")
   }
 
   /** Exact-jaccard verification of candidate id pairs: join the word
@@ -415,6 +457,11 @@ object Dedup {
         bands, rowsPerBand)
       .join(cb, Seq("band", "bsig"))
       .select(col("probe_id"), col("corpus_id"))
+      // pinned width before the compute-bound dedup + verify stages
+      // (see minHashLsh — AQE's byte-based coalescing would fold the
+      // jaccard intersections onto a handful of cores)
+      .repartition(probe.sparkSession.sparkContext.defaultParallelism,
+        col("probe_id"), col("corpus_id"))
       .dropDuplicates("probe_id", "corpus_id")
     verifyJaccard(candidates, probe, corpus, "probe_id", "corpus_id",
       textCol, idCol, threshold)
@@ -565,13 +612,21 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val banded = bandedRelation(docs, "id", textCol, idCol,
       bands, rowsPerBand)
-    val capped = capBuckets(banded, maxBucket)
-    val a = capped.as("a")
-    val b = capped.as("b")
-    val candidates = a.join(b,
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"))
+    // bucket-fold pair generation + pinned dedup width — the same
+    // shape (and the same bit-identical-candidates argument) as
+    // [[minHashLsh]]; at this operator's LOW band threshold the
+    // candidate flood is even denser, so the single-agg form and the
+    // AQE-proof verify width matter more, not less
+    val buckets = banded.groupBy(col("band"), col("bsig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val candidates = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("b"))
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("a"), col("b"))
       .dropDuplicates("a", "b")
     def words(as: String, w: String) = docs
       .select(col(idCol).as(as), wordSet(col(textCol)).as(w))

@@ -174,13 +174,25 @@ object LshTextIndex {
     // loop passes a residue-scrubbed view of the same table (see
     // Ingest.textDedupIngestStream), mirroring embeddingNearDupJoin's
     // bandedCorpus hook; the cap still applies here either way
-    val stored = Dedup.capBuckets(
+    // anti-join cap (capBucketsAnti): the stored band table is cheap
+    // to rescan (it's parquet on disk), so the cap costs one
+    // partial-agged count pass + an AQE-sized anti-join instead of
+    // shuffling and sorting EVERY stored triple through a window —
+    // the stored side stays unshuffled, which is the whole point of
+    // probing ∝ delta
+    val stored = Dedup.capBucketsAnti(
       storedBands.getOrElse(spark.read.parquet(s"$path/bands")
         .withColumnRenamed("id", "corpus_id")), maxBucket)
     val candidates = Dedup.bandedRelation(delta, "probe_id", textCol,
         idCol, m.bands, m.rowsPerBand)
       .join(stored, Seq("band", "bsig"))
       .select(col("probe_id"), col("corpus_id"))
+      // pin the dedup exchange's width (REPARTITION_BY_NUM): the
+      // verify's array intersections stack on top of it and are
+      // compute-bound — AQE's byte-based coalescing must not fold
+      // them onto a handful of cores (same stance as minHashLsh)
+      .repartition(spark.sparkContext.defaultParallelism,
+        col("probe_id"), col("corpus_id"))
       .dropDuplicates("probe_id", "corpus_id")
     Dedup.verifyJaccard(candidates, delta, corpus, "probe_id",
       "corpus_id", textCol, idCol, threshold)
