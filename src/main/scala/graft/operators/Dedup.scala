@@ -318,36 +318,13 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val banded = bandedRelation(docs, "id", textCol, idCol,
       bands, rowsPerBand)
-    // Bucket-fold pair generation: ONE shuffle of the slim band
-    // triples into (band, bsig) buckets, pairs emitted by a pipelined
-    // double-explode over each bucket's sorted id list. This replaces
-    // the earlier self-join shape — which shuffled/recomputed the
+    // bucket-fold pair generation ([[foldBucketPairs]]): replaces the
+    // earlier window-capped self-join — which shuffled/recomputed the
     // signature pipeline on BOTH sides and needed a separate window
-    // pass for the bucket cap — with a single hash agg; the cap
-    // becomes a free size() filter on the folded list (identical
-    // semantics: capBuckets drops every row of a bucket over the
-    // cap). The sorted list makes (ids[i], ids[j > i]) pairs satisfy
-    // a < b by construction, so the candidate set is bit-identical
-    // to the join form's. A bucket at the cap folds to `maxBucket`
-    // longs (8 KB at the default 1000) — bounded row width.
-    val buckets = banded.groupBy(col("band"), col("bsig"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    val rawPairs = buckets
-      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
-      .select(col("a"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
-          .as("b"))
-    // Pin the dedup exchange's partition count (REPARTITION_BY_NUM —
-    // AQE never coalesces it): the pair stream is byte-small but the
-    // stages stacked on top of it (final dedup agg + the exact
-    // jaccard verify's array intersections) are COMPUTE-bound, and
-    // AQE's byte-based advisory would fold them onto a handful of
-    // cores (measured 2× on the whole operator at sf0.1).
-    val candidates = rawPairs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col("a"), col("b"))
-      .dropDuplicates("a", "b")
+    // pass for the bucket cap — with a single hash agg, and pins the
+    // verify width against AQE's byte-based coalescing
+    val candidates = foldBucketPairs(banded, Seq("band", "bsig"), "id",
+      maxBucket)
     verifyJaccard(candidates, docs, docs, "a", "b", textCol, idCol,
       threshold)
   }
@@ -389,6 +366,33 @@ object Dedup {
       .filter(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
   }
+
+  /** Bucket-fold candidate-pair generation, shared by the self-pair
+    * LSH operators ([[minHashLsh]], [[containmentPairs]]): ONE shuffle
+    * of the slim banded triples into `keys` buckets, each folded to a
+    * sorted id list (the `maxBucket` cap becomes a free size() filter
+    * — identical drop semantics to [[capBuckets]]), pairs emitted by a
+    * pipelined double-explode (a < b by construction from the sorted
+    * list — the candidate set is bit-identical to a capped
+    * self-join's). The dedup exchange width is pinned
+    * (REPARTITION_BY_NUM): the pair stream is byte-small but the
+    * stages stacked on top (final dedup agg + each caller's exact
+    * verify) are COMPUTE-bound, and AQE's byte-based coalescing would
+    * fold them onto a handful of cores (measured 2× on whole-operator
+    * time at sf0.1). A bucket at the cap folds to `maxBucket` longs
+    * (8 KB at the default 1000) — bounded row width. */
+  private def foldBucketPairs(banded: DataFrame, keys: Seq[String],
+      idC: String, maxBucket: Int): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(idC))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
+          .as("b"))
+      .repartition(banded.sparkSession.sparkContext.defaultParallelism,
+        col("a"), col("b"))
+      .dropDuplicates("a", "b")
 
   /** [[capBuckets]] semantics without shuffling the banded rows:
     * bucket sizes come from one partial-agged count pass, and rows of
@@ -612,22 +616,13 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val banded = bandedRelation(docs, "id", textCol, idCol,
       bands, rowsPerBand)
-    // bucket-fold pair generation + pinned dedup width — the same
-    // shape (and the same bit-identical-candidates argument) as
-    // [[minHashLsh]]; at this operator's LOW band threshold the
-    // candidate flood is even denser, so the single-agg form and the
-    // AQE-proof verify width matter more, not less
-    val buckets = banded.groupBy(col("band"), col("bsig"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-    val candidates = buckets
-      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
-      .select(col("a"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
-          .as("b"))
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col("a"), col("b"))
-      .dropDuplicates("a", "b")
+    // bucket-fold pair generation + pinned dedup width
+    // ([[foldBucketPairs]]) — at this operator's LOW band threshold
+    // the candidate flood is even denser than [[minHashLsh]]'s, so
+    // the single-agg form and the AQE-proof verify width matter
+    // more, not less
+    val candidates = foldBucketPairs(banded, Seq("band", "bsig"), "id",
+      maxBucket)
     def words(as: String, w: String) = docs
       .select(col(idCol).as(as), wordSet(col(textCol)).as(w))
     candidates
@@ -704,22 +699,13 @@ object Dedup {
       simHash60Portable(col(textCol)).as("sig"))
     // band values computed AFTER the explode from the materialized sig
     // attribute (see minHashLsh: lambda-inlined sigs recompute ×bands)
-    val banded = capBuckets(sigs
+    val banded = sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("id"), col("sig"), col("band"),
         call_function("shiftright", col("sig"), col("band") * 15)
-          .bitwiseAND(0x7fffL).as("bval")),
-      maxBucket, keys = Seq("band", "bval"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.bval") === col("b.bval") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
-          .as("hamming"))
-      .dropDuplicates("a", "b")
-      .filter(col("hamming") <= maxHamming)
+          .bitwiseAND(0x7fffL).as("bval"))
+    simHashFoldPairs(banded, maxBucket, maxHamming)
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 16):
@@ -733,23 +719,40 @@ object Dedup {
     require(maxHamming <= 3, "4-band blocking covers hamming <= 3")
     val sigs = spread(docs).select(col(idCol).as("id"),
       simHash64(col(textCol)).as("sig"))
-    val banded = capBuckets(sigs
+    val banded = sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .select(col("id"), col("sig"), col("band"),
         call_function("shiftright", col("sig"), col("band") * 16)
-          .bitwiseAND(0xffffL).as("bval")),
-      maxBucket, keys = Seq("band", "bval"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") &&
-        col("a.bval") === col("b.bval") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a"), col("b.id").as("b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .bitwiseAND(0xffffL).as("bval"))
+    simHashFoldPairs(banded, maxBucket, maxHamming)
+  }
+
+  /** [[foldBucketPairs]]' simhash twin: the fold carries struct(id,
+    * sig) — 16 bytes per row — so each pair's hamming distance
+    * computes INLINE from the folded structs (no verify join back;
+    * sort_array orders by the struct's leading id field, so a < b by
+    * construction and the pair set matches the capped self-join
+    * form's bit-for-bit). Cap semantics and pinned dedup width as in
+    * [[foldBucketPairs]]; hamming is identical for a pair whichever
+    * band emits it, so filtering after the dedup is sound. */
+  private def simHashFoldPairs(banded: DataFrame, maxBucket: Int,
+      maxHamming: Int): DataFrame =
+    banded.groupBy(col("band"), col("bval"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig"))))
+        .as("xs"))
+      .filter(size(col("xs")).between(2, maxBucket))
+      .select(posexplode(col("xs")).as(Seq("i", "x")), col("xs"))
+      .select(col("x"),
+        explode(slice(col("xs"), col("i") + lit(2), size(col("xs"))))
+          .as("y"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long")
           .as("hamming"))
+      .repartition(banded.sparkSession.sparkContext.defaultParallelism,
+        col("a"), col("b"))
       .dropDuplicates("a", "b")
       .filter(col("hamming") <= maxHamming)
-  }
 
   /** Embedding near-dup, exact within a blocking group (oracle-checkable
     * twin): pairs with cosine distance < tau. */
@@ -787,6 +790,13 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("a"), col("b.id").as("b"))
+      // pinned width before the compute-bound dedup + cosine verify
+      // (see foldBucketPairs' AQE argument); this operator keeps the
+      // self-join form because it is deliberately UNCAPPED — folding
+      // an unbounded bucket into one collect_list row would trade the
+      // join's streaming behavior for a memory hazard
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism,
+        col("a"), col("b"))
       .dropDuplicates("a", "b")
     candidates
       .join(base.select(col("id").as("a"), col("v").as("va")), Seq("a"))
