@@ -648,6 +648,33 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- Gopher document-level quality rules (Rae et al. 2021) ----
+    "text_gopher" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.TextAnalysis.gopherSignals(d)
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- C4 line-level cleaning (Raffel et al. 2020). The corpus is
+    // single-line word salad, so a deterministic multi-line page is
+    // BUILT per row first (same construction in the oracle): a
+    // punctuation-terminated keeper, a too-short line, a javascript
+    // notice, a raw salad line (no terminal punct), a second keeper,
+    // and — every 7th doc — a "lorem ipsum {" page-drop trigger ----
+    "text_c4_clean" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val page = d.select(col("doc_id"), concat(
+        lit("Alpha section about "), substring(col("text"), 1, 40),
+        lit(" ends well.\nToo short.\n"),
+        lit("Please enable JavaScript to continue reading this page.\n"),
+        substring(col("text"), 41, 60),
+        lit("\nThis sentence is long enough to satisfy the filter."),
+        when(col("doc_id") % 7 === 0, lit("\nlorem ipsum {"))
+          .otherwise(lit(""))).as("text"))
+      graft.operators.TextAnalysis.c4CleanLines(page)
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- PII detection + redaction (privacy pass). The corpus is
     // synthetic word salad with no PII, so deterministic per-row PII
     // is INJECTED first (same construction in the oracle) — the scan
@@ -2664,6 +2691,90 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |      string_split_regex(trim(lower(text)), '\s+') AS s FROM documents)
         |ORDER BY doc_id ASC""".stripMargin,
+
+    "text_gopher" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> len(trim(l)) > 0) AS lines
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
+        |      AS sum_len,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((len(text) - len(replace(text, '...', ''))) // 3
+        |          AS BIGINT) AS symbols,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+        |      AS BIGINT) AS ell,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bul,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      g -> list_contains(list_transform(toks, w -> lower(w)), g)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM t),
+        |m AS (SELECT doc_id, n_words,
+        |    CAST(CASE WHEN n_words > 0
+        |      THEN floor(1000.0 * sum_len / n_words) ELSE 0 END AS BIGINT)
+        |      AS mean_word_len_milli,
+        |    CAST(CASE WHEN n_words > 0
+        |      THEN floor(1000.0 * symbols / n_words) ELSE 0 END AS BIGINT)
+        |      AS symbol_word_milli,
+        |    CAST(CASE WHEN n_lines > 0
+        |      THEN floor(1000.0 * ell / n_lines) ELSE 0 END AS BIGINT)
+        |      AS ellipsis_line_milli,
+        |    CAST(CASE WHEN n_lines > 0
+        |      THEN floor(1000.0 * bul / n_lines) ELSE 0 END AS BIGINT)
+        |      AS bullet_line_milli,
+        |    CAST(CASE WHEN n_words > 0
+        |      THEN floor(1000.0 * alpha / n_words) ELSE 0 END AS BIGINT)
+        |      AS alpha_word_milli,
+        |    stop_hits
+        |  FROM s)
+        |SELECT doc_id, n_words, mean_word_len_milli, symbol_word_milli,
+        |  ellipsis_line_milli, bullet_line_milli, alpha_word_milli,
+        |  stop_hits,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len_milli BETWEEN 3000 AND 10000
+        |    AND symbol_word_milli <= 100 AND ellipsis_line_milli <= 300
+        |    AND bullet_line_milli <= 900 AND alpha_word_milli >= 800
+        |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+        |FROM m ORDER BY doc_id ASC""".stripMargin,
+
+    "text_c4_clean" ->
+      """WITH i AS (SELECT doc_id,
+        |    'Alpha section about ' || substr(text, 1, 40) ||
+        |    ' ends well.' || chr(10) || 'Too short.' || chr(10) ||
+        |    'Please enable JavaScript to continue reading this page.' ||
+        |    chr(10) || substr(text, 41, 60) || chr(10) ||
+        |    'This sentence is long enough to satisfy the filter.' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum {'
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, text,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> len(trim(l)) > 0) AS lines,
+        |    CAST(CASE WHEN contains(text, '{')
+        |      OR contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+        |      AS BIGINT) AS page_drop
+        |  FROM i),
+        |k AS (SELECT doc_id, page_drop, lines,
+        |    list_filter(lines, l ->
+        |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        |        OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+        |  FROM c)
+        |SELECT doc_id, page_drop,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CASE WHEN page_drop = 0 THEN array_to_string(kept, chr(10))
+        |       END AS clean_text
+        |FROM k ORDER BY doc_id ASC""".stripMargin,
 
     "text_repetition" ->
       """WITH toks AS (SELECT doc_id,

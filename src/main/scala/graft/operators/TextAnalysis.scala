@@ -200,6 +200,112 @@ object TextAnalysis {
       .na.fill(0L)
   }
 
+  /** The eight Gopher "required words" (Rae et al. 2021, table A1 —
+    * re-derived): a document must contain at least two to pass the
+    * stop-word rule. */
+  val GopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-level quality RULES (Rae et al. 2021, table A1 —
+    * re-derived): the named boolean filter cascade production corpora
+    * run BEFORE model-based scoring, complementing [[qualityMilli]]
+    * (one blended score) and [[repetitionSignals]] (the repetition
+    * half of the same table). Per document, exact integer signals:
+    *
+    *   - `n_words` — whitespace tokens; rule: 50 ≤ n ≤ 100 000.
+    *   - `mean_word_len_milli` — floor(1000·chars/words);
+    *     rule: 3 000 ≤ m ≤ 10 000 (3–10 chars).
+    *   - `symbol_word_milli` — (`#` + `...` occurrences)·1000/words;
+    *     rule: ≤ 100 (0.1 symbols per word).
+    *   - `ellipsis_line_milli` — fraction of non-blank lines ending
+    *     in `...`; rule: ≤ 300.
+    *   - `bullet_line_milli` — fraction of non-blank lines starting
+    *     with a bullet (`-`, `*`, `•`); rule: ≤ 900.
+    *   - `alpha_word_milli` — fraction of words containing at least
+    *     one ASCII letter; rule: ≥ 800.
+    *   - `stop_hits` — how many of [[GopherStopWords]] occur as
+    *     tokens; rule: ≥ 2.
+    *   - `gopher_pass` — 1 iff every rule holds.
+    *
+    * All thresholds are the paper's defaults. Pure per-row projection
+    * (one codegen'd scan, no shuffle, no UDF) — the 100 TB cost is
+    * exactly one read of the text column. Integer milli-units via the
+    * repo's floor convention, so the DuckDB oracle reproduces every
+    * signal bit-for-bit. */
+  def gopherSignals(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
+    val meanLen = milli(sumLen, nWords)
+    def occurrences(needle: String, width: Int): Column =
+      ((length(t) - length(replace(t, lit(needle), lit("")))) / width)
+        .cast("long")
+    val symbols = occurrences("#", 1) + occurrences("...", 3)
+    val symbolMilli = milli(symbols, nWords)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val ellipsisLines = size(filter(lines,
+      l => endswith(trim(l), lit("...")))).cast("long")
+    val bulletLines = size(filter(lines,
+      l => trim(l).rlike("^[-*•]"))).cast("long")
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
+      .cast("long")
+    val lowerToks = transform(toks, lower(_))
+    val stopHits = size(filter(typedLit(GopherStopWords),
+      s => array_contains(lowerToks, s))).cast("long")
+    docs.select(col(idCol), nWords.as("n_words"),
+        meanLen.as("mean_word_len_milli"),
+        symbolMilli.as("symbol_word_milli"),
+        milli(ellipsisLines, nLines).as("ellipsis_line_milli"),
+        milli(bulletLines, nLines).as("bullet_line_milli"),
+        milli(alphaWords, nWords).as("alpha_word_milli"),
+        stopHits.as("stop_hits"))
+      .withColumn("gopher_pass",
+        (col("n_words").between(50L, 100000L) &&
+          col("mean_word_len_milli").between(3000L, 10000L) &&
+          col("symbol_word_milli") <= 100L &&
+          col("ellipsis_line_milli") <= 300L &&
+          col("bullet_line_milli") <= 900L &&
+          col("alpha_word_milli") >= 800L &&
+          col("stop_hits") >= 2L).cast("long"))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2 — re-derived):
+    * the other canonical pre-training filter cascade. Lines are kept
+    * only if, after trimming, they end in terminal punctuation
+    * (`.`, `!`, `?`, `"`), have at least `minWords` whitespace words,
+    * and do not mention "javascript" (case-insensitive); pages
+    * containing `{` (code) or "lorem ipsum" (boilerplate) are flagged
+    * dropped wholesale. Output per document: `page_drop` (1/0),
+    * `n_lines` (non-blank), `n_kept`, and `clean_text` (kept lines
+    * re-joined with `\n`; NULL when the page drops — the flag is the
+    * verdict, the NULL keeps accidental downstream use loud).
+    *
+    * Pure per-row projection (one codegen'd scan, no shuffle, no
+    * UDF); the curse-word list of the paper is out of scope (corpus-
+    * specific policy, not engine semantics). */
+  def c4CleanLines(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minWords: Int = 5): DataFrame = {
+    require(minWords >= 1, "[GRAFT] c4CleanLines: minWords must be >= 1")
+    val t = col(textCol)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val kept = filter(lines, l => {
+      val lt = trim(l)
+      (endswith(lt, lit(".")) || endswith(lt, lit("!")) ||
+        endswith(lt, lit("?")) || endswith(lt, lit("\""))) &&
+        size(split(lt, "\\s+")) >= minWords &&
+        !contains(lower(lt), lit("javascript"))
+    })
+    val pageDrop = (contains(t, lit("{")) ||
+      contains(lower(t), lit("lorem ipsum"))).cast("long")
+    docs.select(col(idCol), pageDrop.as("page_drop"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      when(pageDrop === 0L, array_join(kept, "\n")).as("clean_text"))
+  }
+
   /** PII detection patterns — deliberately in the portable regex
     * subset (no backreferences/lookaround) so the same pattern runs
     * under Java regex (Spark codegen) and RE2-family engines. */

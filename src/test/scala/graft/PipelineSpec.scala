@@ -590,6 +590,66 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.size === 6)
   }
 
+  test("gopher rules: a clean page passes; each rule trips on its " +
+      "crafted violator") {
+    // 52 words, sane lengths, stopwords present, no symbols/bullets
+    val good = (("the quick brown fox jumps over lazy dogs and cats " * 5)
+      .trim + " an end")
+    val d = Seq(
+      (1L, good),
+      (2L, "the and of short text"), // 5 words -> n_words rule
+      (3L, ("the and " + "ab " * 50).trim), // mean len 2460 -> length rule
+      (4L, ("the and " + "#tag " * 50).trim), // symbols ~961 -> symbol rule
+      (5L, "the first line goes on...\nthe second one too..."), // ellipsis
+      (6L, "- the one\n- and two\n* item three\n• item four"), // bullets
+      (7L, ("the and " + "42 17 " * 30).trim), // alpha 2/62 words = 32
+      (8L, good.replace("the ", "xx ").replace("and ", "yy "))) // stopwords
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherSignals(d).collect().map(r =>
+      r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("gopher_pass") === 1L)
+    assert(got(1L).getAs[Long]("n_words") === 52L)
+    assert(got(1L).getAs[Long]("stop_hits") === 2L) // the, and
+    for (id <- 2L to 8L)
+      assert(got(id).getAs[Long]("gopher_pass") === 0L, s"doc $id")
+    assert(got(2L).getAs[Long]("n_words") === 5L)
+    assert(got(3L).getAs[Long]("mean_word_len_milli") < 3000L)
+    assert(got(4L).getAs[Long]("symbol_word_milli") > 100L)
+    assert(got(5L).getAs[Long]("ellipsis_line_milli") === 1000L)
+    assert(got(6L).getAs[Long]("bullet_line_milli") === 1000L)
+    assert(got(7L).getAs[Long]("alpha_word_milli") < 800L)
+    assert(got(8L).getAs[Long]("stop_hits") < 2L)
+  }
+
+  test("c4 line cleaning: terminal-punct keep, short/javascript drops, " +
+      "page-level lorem-ipsum/brace drop") {
+    val d = Seq(
+      (1L, "This line has enough words to survive here.\n" +
+        "Too short.\n" +
+        "Enable JavaScript to continue reading this page now.\n" +
+        "no terminal punctuation on this long enough line\n" +
+        "Ends with a question mark and enough words too?"),
+      (2L, "A fine page with code inside { dropped wholesale."),
+      (3L, "Nothing here but Lorem Ipsum filler text follows."),
+      (4L, "   \n\nOnly blank lines above this one survive filters.\n"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.c4CleanLines(d).collect().map(r =>
+      r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("page_drop") === 0L)
+    assert(got(1L).getAs[Long]("n_lines") === 5L)
+    assert(got(1L).getAs[Long]("n_kept") === 2L)
+    assert(got(1L).getAs[String]("clean_text") ===
+      "This line has enough words to survive here.\n" +
+        "Ends with a question mark and enough words too?")
+    assert(got(2L).getAs[Long]("page_drop") === 1L)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("clean_text")))
+    // "Lorem Ipsum" matches case-insensitively
+    assert(got(3L).getAs[Long]("page_drop") === 1L)
+    assert(got(4L).getAs[Long]("page_drop") === 0L)
+    assert(got(4L).getAs[Long]("n_lines") === 1L)
+    assert(got(4L).getAs[Long]("n_kept") === 1L)
+  }
+
   test("pii scan: counts per category, redaction order, clean text intact") {
     val d = Seq(
       (1L, "reach me at jo.doe+x@mail-host.co.uk or 192.168.0.1"),
