@@ -537,6 +537,17 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- survivor selection: keep the highest-quality member of
+    // each near-dup component (tie -> smallest id); singletons
+    // survive trivially — the verdict step after pair detection ----
+    "dedup_survivors" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val pairs = Dedup.jaccardPairsWithin(docs, "source", 0.9)
+      Dedup.nearDupSurvivors(docs, pairs,
+          graft.operators.TextAnalysis.qualityMilli(col("text")))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- leakage-safe split: near-dup components never straddle
     // train/val/test — the duplicate GROUP's hash decides membership
     // for every member ----
@@ -2565,6 +2576,35 @@ object SparkEntry {
         |SELECT n AS doc_id, min(lbl) AS component
         |FROM walk GROUP BY n
         |ORDER BY doc_id ASC""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id, source, text,
+        |  list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS w,
+        |  string_split_regex(trim(lower(text)), '\\s+') AS toks,
+        |  CAST(length(text) AS DOUBLE) AS n_chars
+        |  FROM documents),
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE CAST(round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE) * 1000.0
+        |    / len(list_distinct(a.w || b.w))) AS BIGINT) >= 900),
+        |und AS (SELECT a AS s, b AS d FROM e UNION SELECT b, a FROM e),
+        |walk(n, lbl) AS (
+        |  SELECT s, s FROM (SELECT DISTINCT s FROM und)
+        |  UNION
+        |  SELECT u.d, w.lbl FROM walk w JOIN und u ON u.s = w.n),
+        |comp AS (SELECT n AS doc_id, min(lbl) AS component
+        |  FROM walk GROUP BY n),
+        |sc AS (SELECT t.doc_id,
+        |    COALESCE(c.component, t.doc_id) AS component,
+        |    $qualityExprSql AS score
+        |  FROM t LEFT JOIN comp c ON c.doc_id = t.doc_id),
+        |b AS (SELECT component,
+        |    min(struct_pack(neg := -score, bid := doc_id)) AS best,
+        |    CAST(count(*) AS BIGINT) AS n_members
+        |  FROM sc GROUP BY component)
+        |SELECT best.bid AS doc_id, component, n_members,
+        |  -best.neg AS score
+        |FROM b ORDER BY doc_id ASC""".stripMargin,
 
     "dedup_leak_safe_split" -> leakSafeSplitOracle,
 

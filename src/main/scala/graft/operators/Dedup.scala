@@ -580,6 +580,41 @@ object Dedup {
     grouped.select(col(idCol), col("group_id"), label.as("split"))
   }
 
+  /** Canonical survivor per near-dup CLUSTER — the step production
+    * pipelines run after pair detection: connected components over
+    * `pairs` (a, b), then keep the best-scoring member of each
+    * component (ties broken by smallest id — deterministic). Docs in
+    * no pair are their own singleton component and survive trivially.
+    * `score` is any integer-valued column expression over `docs`
+    * (e.g. [[TextAnalysis.qualityMilli]] — "keep the highest-quality
+    * copy"); pass `lit(0)` for plain keep-first semantics.
+    *
+    * Output: one row per component — (idCol = the survivor,
+    * `component`, `n_members`, `score`).
+    *
+    * 100 TB shape: component labels cost ∝ the near-dup PAIR graph
+    * (already banded/capped by the LSH producers), not the corpus;
+    * scoring is one projection, membership one left join against the
+    * pair-graph-sized component table, and the verdict one hash agg
+    * keyed by component with a min(struct) argmin — a single
+    * corpus-sized shuffle, no window, no driver state. */
+  def nearDupSurvivors(docs: DataFrame, pairs: DataFrame, score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = connectedComponents(pairs.select(col("a"), col("b")))
+      .withColumnRenamed("node", idCol)
+    docs.select(col(idCol), score.cast("long").as("score"))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"),
+        col("score"))
+      .groupBy(col("component"))
+      .agg(min(struct((-col("score")).as("neg"), col(idCol).as("bid")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("best.bid").as(idCol), col("component"),
+        col("n_members"), (-col("best.neg")).as("score"))
+  }
+
   /** round(1000·|a∩b| / |a∪b|) over two distinct-element arrays */
   def jaccardMilli(wa: Column, wb: Column): Column =
     round(size(array_intersect(wa, wb)).cast("double") * 1000.0 /

@@ -216,6 +216,24 @@ class PipelineSpec extends AnyFunSuite {
       .collect().toMap.values.toSet === Set(0L))
   }
 
+  test("near-dup survivors: best score per component, ties -> min id, " +
+      "singletons survive trivially") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L), (5L, 1L),
+      (6L, 1L)).toDF("doc_id", "q")
+    // components: {1,2,3} via 1-2, 2-3; {5,6}; 4 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = Dedup.nearDupSurvivors(docs, pairs, $"q")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (2L, 1L, 3L, 9L), // max q = 9 tied between 2 and 3 -> min id 2
+      (4L, 4L, 1L, 7L), // singleton: own component, survives
+      (5L, 5L, 2L, 1L))) // tie at q = 1 -> min id 5
+    // keep-first semantics via a constant score
+    val first = Dedup.nearDupSurvivors(docs, pairs, lit(0))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(first === Set(1L, 4L, 5L))
+  }
+
   test("chunkText: window/overlap boundaries, short-text single chunk") {
     import graft.operators.TextAnalysis.chunkText
     def chunksOf(t: String, size: Int, overlap: Int): Seq[String] =
