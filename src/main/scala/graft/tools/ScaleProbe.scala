@@ -250,6 +250,28 @@ object ScaleProbe {
       graft.operators.GramIndex.probeSpans(spark, gramIdxDir, delta)
         .agg(sum($"span_tokens")).collect()
     }
+    // MinHash-LSH at 500k docs with REALISTIC near-dup density (the
+    // hyper-duplicated corpus above all caps out): 125k clusters of
+    // 4, each member sharing 28 of 30 words (jaccard ≈ 0.87 > 0.8)
+    // — exercises the full fold shape end to end: one signature
+    // pass, the bucket-fold pair generation, the pinned-width dedup,
+    // and ~750k exact-jaccard verifications.
+    val lshDocs = time("materialize 500k docs / 125k near-dup clusters") {
+      val d = spark.range(500000L).select($"id".as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(29)), i =>
+          concat(lit("w"), when(i < 28,
+            pmod(hash(($"id" / lit(4L)).cast("long"), i), lit(50000)))
+            .otherwise(pmod(hash($"id", i), lit(50000)))
+            .cast("string")))).as("text"))
+        .repartition(64).cache()
+      d.count(); d
+    }
+    time("MinHash-LSH pairs over 500k docs (fold + pinned verify)") {
+      val r = graft.operators.Dedup.minHashLsh(lshDocs, threshold = 0.8)
+        .agg(count(lit(1)), sum($"jaccard_milli")).collect()
+      println(s"[scale-probe]   verified pairs: ${r.head.getLong(0)}")
+    }
+    lshDocs.unpersist()
     time("one-pass profile of the 10M-row table (exact distinct)") {
       graft.operators.Profile.profile(wide,
         Seq("key", "text")).count()
