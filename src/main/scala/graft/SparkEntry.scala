@@ -717,6 +717,18 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- no-straddle bin packing (SFT batch prep): whole docs into
+    // fixed-capacity bins, next-fit in deterministic stream order ----
+    "text_packing_bins" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Packing.packBinsNextFit(d,
+          shard = pmod(col("doc_id"), lit(8L)),
+          orderBy = col("doc_id"),
+          nTokens = graft.operators.TextAnalysis.tokenCount(col("text")),
+          binCapacity = 256)
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- composed curation: exact-dup keeper ∩ quality band ∩
     // token-length band — the end-to-end "what goes into training"
     // filter, each leg of which is also oracle-checked alone ----
@@ -2891,6 +2903,31 @@ object SparkEntry {
         |  toff % 512 AS seq_off,
         |  (toff + greatest(n - 1, 0)) // 512 AS seq_id_last
         |FROM o ORDER BY doc_id ASC""".stripMargin,
+
+    "text_packing_bins" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |    ((doc_id % 8) + 8) % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY ((doc_id % 8) + 8) % 8
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |f(shard, rn, doc_id, n, bin_id, bin_off, used_after) AS (
+        |  SELECT shard, rn, doc_id, n, CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), n
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.shard, t.rn, t.doc_id, t.n,
+        |    CASE WHEN f.used_after + t.n <= 256 THEN f.bin_id
+        |         ELSE f.bin_id + 1 END,
+        |    CASE WHEN f.used_after + t.n <= 256 THEN f.used_after
+        |         ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN f.used_after + t.n <= 256 THEN f.used_after + t.n
+        |         ELSE t.n END
+        |  FROM f JOIN t ON t.shard = f.shard AND t.rn = f.rn + 1)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n AS n_tokens,
+        |  bin_id, bin_off,
+        |  CAST(CASE WHEN n > 256 THEN 1 ELSE 0 END AS BIGINT) AS overflow
+        |FROM f ORDER BY doc_id ASC""".stripMargin,
 
     "text_curation" -> textCurationOracle,
 

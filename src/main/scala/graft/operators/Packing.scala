@@ -59,4 +59,71 @@ object Packing {
         expr(s"(tok_offset + greatest(__n - 1, 0)) div $seqLen")
           .as("seq_id_last"))
   }
+
+  /** NO-STRADDLE packing — the SFT/fine-tuning variant of
+    * [[packSequences]]: documents are placed whole into fixed-capacity
+    * bins (training sequences), never cut at a boundary. Placement is
+    * NEXT-FIT in the same deterministic per-shard stream order: if the
+    * document fits in the shard's current bin it goes there, otherwise
+    * a new bin opens. Next-fit (not first-fit-decreasing) is the
+    * deliberate choice at scale: it needs O(1) state per shard and
+    * preserves the caller's curriculum/order, where FFD's global sort
+    * by length both reorders the stream and needs an open-bin search
+    * structure; its worst-case waste (2× bins) is the textbook bound,
+    * and real corpora sit far inside it.
+    *
+    * A document LONGER than `binCapacity` gets a bin of its own with
+    * `overflow = 1` (the caller truncates or drops — a 100 TB job
+    * must not crash on one long document), and the next document
+    * always opens a fresh bin after it.
+    *
+    * Output: (idCol, `shard`, `n_tokens`, `bin_id` 0-based per shard,
+    * `bin_off` token offset inside the bin, `overflow`). `idCol` must
+    * be integral (it rides through the typed per-partition pass as a
+    * long; a non-castable id fails the plan loudly).
+    *
+    * 100 TB shape: one hash shuffle by shard + one within-partition
+    * sort, then a single sequential pass with one counter — the same
+    * shard-parallel stance as [[packSequences]] (shard count scales
+    * with the cluster; a global packing order would serialize). The
+    * pass is mapPartitions (not a window): next-fit's bin boundary is
+    * a running RECURRENCE (reset on overflow), which no window frame
+    * expresses. */
+  def packBinsNextFit(docs: DataFrame, shard: Column, orderBy: Column,
+      nTokens: Column, binCapacity: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(binCapacity > 0, "[GRAFT] binCapacity must be positive")
+    WorkCols.requireFree(docs, "__shard", "__ord", "__n")
+    val cap = binCapacity.toLong
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val packed = docs
+      .select(shard.cast("long").as("__shard"), orderBy.as("__ord"),
+        col(idCol).cast("long").as("__id"),
+        nTokens.cast("long").as("__n"))
+      .repartition(col("__shard"))
+      .sortWithinPartitions(col("__shard"), col("__ord"), col("__id"))
+      .select(col("__shard"), col("__id"), col("__n"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { rows =>
+        // several shards share a partition (hash-partitioned, sorted
+        // by shard first) — counters reset at each shard change
+        var curShard = 0L
+        var started = false
+        var used = 0L
+        var bin = -1L
+        rows.map { case (sh, id, n) =>
+          if (!started || sh != curShard) {
+            curShard = sh; started = true; used = 0L; bin = -1L
+          }
+          val fits = bin >= 0L && used + n <= cap
+          if (!fits) { bin += 1L; used = 0L }
+          val off = used
+          used += n
+          (id, sh, n, bin, off, if (n > cap) 1L else 0L)
+        }
+      }
+      .toDF(idCol, "shard", "n_tokens", "bin_id", "bin_off", "overflow")
+    packed
+  }
 }

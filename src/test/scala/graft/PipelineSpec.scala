@@ -718,6 +718,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("no-straddle bin packing: next-fit per shard, overflow bins, " +
+      "deterministic under repartitioning") {
+    import graft.operators.Packing
+    val d = Seq(
+      (1L, 0L, 100L), (2L, 0L, 100L), (3L, 0L, 100L), // bin0: 1,2 | bin1: 3
+      (4L, 0L, 300L),                                 // oversized -> own bin
+      (5L, 0L, 50L), (6L, 0L, 200L), (7L, 0L, 60L),   // bin3: 5,6 | bin4: 7
+      (8L, 1L, 10L), (9L, 1L, 0L))                    // shard 1 resets
+      .toDF("doc_id", "sh", "n")
+    val got = Packing.packBinsNextFit(d, col("sh"), col("doc_id"),
+        col("n"), binCapacity = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(1L) === ((0L, 0L, 0L, 0L)))
+    assert(got(2L) === ((0L, 0L, 100L, 0L))) // fits after doc 1
+    assert(got(3L) === ((0L, 1L, 0L, 0L)))   // 300 > 256 -> new bin
+    assert(got(4L) === ((0L, 2L, 0L, 1L)))   // oversized: own bin, flagged
+    assert(got(5L) === ((0L, 3L, 0L, 0L)))   // bin after overflow is fresh
+    assert(got(6L) === ((0L, 3L, 50L, 0L)))  // 50+200 <= 256
+    assert(got(7L) === ((0L, 4L, 0L, 0L)))
+    assert(got(8L) === ((1L, 0L, 0L, 0L)))   // shard 1: counters reset
+    assert(got(9L) === ((1L, 0L, 10L, 0L)))  // zero-token doc keeps slot
+    // deterministic under repartitioning (no task-order dependence)
+    val re = Packing.packBinsNextFit(d.repartition(7), col("sh"),
+        col("doc_id"), col("n"), binCapacity = 256)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(re === got)
+    // next-fit never splits a doc and never overfills a bin: property
+    // over a random instance vs a driver-side reference
+    val rnd = new scala.util.Random(11)
+    val big = (1L to 400L).map(i =>
+      (i, rnd.nextInt(4).toLong, rnd.nextInt(300).toLong))
+    val res = Packing.packBinsNextFit(big.toDF("doc_id", "sh", "n"),
+        col("sh"), col("doc_id"), col("n"), binCapacity = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val want = big.groupBy(_._2).flatMap { case (sh, ds) =>
+      var used = 0L; var bin = -1L
+      ds.sortBy(_._1).map { case (id, _, n) =>
+        if (bin < 0 || used + n > 256) { bin += 1; used = 0L }
+        val off = used; used += n
+        (id, sh, n, bin, off, if (n > 256) 1L else 0L)
+      }
+    }.toSet
+    assert(res.toSet === want)
+  }
+
   test("packing matches a driver-side reference on random instances") {
     import graft.operators.Packing
     val rnd = new scala.util.Random(11)
