@@ -333,6 +333,16 @@ object Bench {
     entry("profile") { median {
       SparkEntry.queries("q_profile")(spark, sfDir).count()
     } }
+    // the Gopher + C4 filter cascades: two codegen'd per-row scans
+    // (doc-level rules + line-level cleaning), forced through an agg
+    // so column pruning can't skip the rule expressions
+    entry("quality_filter") { median {
+      val g = SparkEntry.queries("text_gopher")(spark, sfDir)
+        .agg(sum(col("gopher_pass"))).collect()
+      val c = SparkEntry.queries("text_c4_clean")(spark, sfDir)
+        .agg(sum(col("n_kept"))).collect()
+      g.head.getLong(0) + c.head.getLong(0)
+    } }
     // bigram LM scoring: two count aggs + one stats join over the
     // token stream, integer-exact model
     entry("lm_score") { median {

@@ -242,10 +242,7 @@ object Dedup {
     * docs. The tiny up-front shuffle is irrelevant at any scale where
     * it triggers (real 100 TB inputs arrive in many files and skip
     * this branch). */
-  private def spread(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-  }
+  private def spread(df: DataFrame): DataFrame = WorkCols.spread(df)
 
   /** Engine-portable 60-bit word hash: the first 15 hex chars of md5,
     * parsed base-16. Strictly slower than murmur/xxhash but computable

@@ -228,10 +228,11 @@ object TextAnalysis {
     *   - `gopher_pass` — 1 iff every rule holds.
     *
     * All thresholds are the paper's defaults. Pure per-row projection
-    * (one codegen'd scan, no shuffle, no UDF) — the 100 TB cost is
-    * exactly one read of the text column. Integer milli-units via the
-    * repo's floor convention, so the DuckDB oracle reproduces every
-    * signal bit-for-bit. */
+    * (one scan, no UDF; few-file inputs spread first — the standing
+    * compute-bound-kernel convention, a no-op on real many-file
+    * corpora) — the 100 TB cost is one read of the text column.
+    * Integer milli-units via the repo's floor convention, so the
+    * DuckDB oracle reproduces every signal bit-for-bit. */
   def gopherSignals(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val t = col(textCol)
@@ -255,7 +256,10 @@ object TextAnalysis {
     val lowerToks = transform(toks, lower(_))
     val stopHits = size(filter(typedLit(GopherStopWords),
       s => array_contains(lowerToks, s))).cast("long")
-    docs.select(col(idCol), nWords.as("n_words"),
+    // per-row rule evaluation is compute-bound (regex + HOF lambdas
+    // per token/line) — spread a few-file input first (the repo's
+    // standing kernel convention; no-op on many-file corpora)
+    WorkCols.spread(docs).select(col(idCol), nWords.as("n_words"),
         meanLen.as("mean_word_len_milli"),
         symbolMilli.as("symbol_word_milli"),
         milli(ellipsisLines, nLines).as("ellipsis_line_milli"),
@@ -283,9 +287,10 @@ object TextAnalysis {
     * re-joined with `\n`; NULL when the page drops — the flag is the
     * verdict, the NULL keeps accidental downstream use loud).
     *
-    * Pure per-row projection (one codegen'd scan, no shuffle, no
-    * UDF); the curse-word list of the paper is out of scope (corpus-
-    * specific policy, not engine semantics). */
+    * Pure per-row projection (one scan, no UDF; few-file inputs
+    * spread first, as in [[gopherSignals]]); the curse-word list of
+    * the paper is out of scope (corpus-specific policy, not engine
+    * semantics). */
   def c4CleanLines(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minWords: Int = 5): DataFrame = {
     require(minWords >= 1, "[GRAFT] c4CleanLines: minWords must be >= 1")
@@ -300,7 +305,7 @@ object TextAnalysis {
     })
     val pageDrop = (contains(t, lit("{")) ||
       contains(lower(t), lit("lorem ipsum"))).cast("long")
-    docs.select(col(idCol), pageDrop.as("page_drop"),
+    WorkCols.spread(docs).select(col(idCol), pageDrop.as("page_drop"),
       size(lines).cast("long").as("n_lines"),
       size(kept).cast("long").as("n_kept"),
       when(pageDrop === 0L, array_join(kept, "\n")).as("clean_text"))

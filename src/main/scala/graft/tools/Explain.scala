@@ -48,8 +48,27 @@ object Explain {
     show("join topk (expect: hash join, partial agg, TakeOrdered)") {
       graft.SparkEntry.queries("q3_join_topk")(spark, dir)
     }
-    show("minhash lsh (expect: slim exchange on band/bsig)") {
+    show("minhash lsh (expect: ONE slim exchange on band/bsig into the " +
+        "bucket fold, double-Generate pair emit, pinned REPARTITION_BY_NUM " +
+        "width under dedup+verify)") {
       Dedup.minHashLsh(spark.read.parquet(s"$dir/documents.parquet"), 0.8)
+    }
+    show("gopher rules (expect: spread + one codegen'd projection, no agg)") {
+      graft.operators.TextAnalysis.gopherSignals(
+        spark.read.parquet(s"$dir/documents.parquet"))
+    }
+    show("c4 line cleaning (expect: spread + one codegen'd projection, " +
+        "no agg)") {
+      graft.operators.TextAnalysis.c4CleanLines(
+        spark.read.parquet(s"$dir/documents.parquet"))
+    }
+    show("no-straddle bin packing (expect: one exchange by shard + " +
+        "within-partition sort + a single mapPartitions pass)") {
+      graft.operators.Packing.packBinsNextFit(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        shard = pmod(col("doc_id"), lit(8L)), orderBy = col("doc_id"),
+        nTokens = graft.operators.TextAnalysis.tokenCount(col("text")),
+        binCapacity = 256)
     }
     show("range join (expect: equi-join on bin, NO BroadcastNestedLoop)") {
       import spark.implicits._
