@@ -273,6 +273,27 @@ object QuickStart {
     println(s"[quickstart] binary-hamming prefilter top-5: " +
       bh.mkString(", "))
 
+    // the two paper filter cascades + survivor selection + packing
+    val gp = graft.operators.TextAnalysis.gopherSignals(docs)
+      .agg(sum($"gopher_pass"), count(lit(1))).head
+    val c4 = graft.operators.TextAnalysis.c4CleanLines(docs)
+      .agg(sum($"n_kept"), sum($"page_drop")).head
+    println(s"[quickstart] filters: gopher pass ${gp.getLong(0)}/" +
+      s"${gp.getLong(1)}, c4 kept ${c4.getLong(0)} lines, " +
+      s"${c4.getLong(1)} page drops")
+    val surv = graft.operators.Dedup.nearDupSurvivors(docs,
+      graft.operators.Dedup.jaccardPairsWithin(docs, "source", 0.9),
+      graft.operators.TextAnalysis.qualityMilli($"text"))
+    println(s"[quickstart] near-dup survivors: ${surv.count()} of " +
+      s"${docs.count()} docs keep their cluster's best copy")
+    val bins = graft.operators.Packing.packBinsNextFit(docs,
+      shard = pmod($"doc_id", lit(4L)), orderBy = $"doc_id",
+      nTokens = graft.operators.TextAnalysis.tokenCount($"text"),
+      binCapacity = 256)
+    println(s"[quickstart] no-straddle packing: ${docs.count()} docs " +
+      s"into ${bins.select($"shard", $"bin_id").distinct().count()} " +
+      "bins of 256 tokens, zero straddles by construction")
+
     // API-parity surface: the reference's 7 endpoints as library calls
     val api = new graft.api.VfsApi(spark,
       java.nio.file.Files.createTempDirectory("graft-api").toString)

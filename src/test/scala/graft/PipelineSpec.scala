@@ -182,6 +182,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.simHashPairs(small).count() === 50L * 49 / 2)
   }
 
+  test("bucket-fold pair generation is bit-identical to the window-" +
+      "capped self-join reference, cap interplay included") {
+    // clustered corpus: 75 clusters of 4 (shared prefix + per-doc
+    // jitter) plus 40 IDENTICAL blob docs whose buckets (40 rows)
+    // exceed maxBucket = 30 — the cap must drop them in BOTH forms
+    val rows = (0 until 300).map { i =>
+      val cl = i / 4
+      val words = (0 until 12).map(j =>
+        if (j < 11) s"c${cl}w${(cl * 31 + j) % 97}" else s"d${i}j$j")
+      (i.toLong, words.mkString(" "))
+    } ++ (1000 until 1040).map(i =>
+      (i.toLong, "blob same text for everyone here"))
+    val docs = rows.toDF("doc_id", "text")
+    val got = Dedup.minHashLsh(docs, threshold = 0.8, maxBucket = 30)
+      .as[(Long, Long, Long)].collect().toSet
+    // reference: the join form reconstructed from the same blocks
+    val banded = Dedup.bandedRelation(docs, "id", "text", "doc_id", 16, 4)
+    val capped = Dedup.capBuckets(banded, 30)
+    val cand = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bsig") === col("b.bsig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .dropDuplicates("a", "b")
+    val ref = Dedup.verifyJaccard(cand, docs, docs, "a", "b", "text",
+        "doc_id", 0.8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === ref)
+    assert(got.nonEmpty && got.forall { case (a, b, _) => a < 1000L && b < 1000L })
+    // and the blob really was cap-dropped, not just absent
+    assert(Dedup.minHashLsh(docs, 0.8, maxBucket = 50)
+      .filter($"a" >= 1000L).count() === 40L * 39 / 2)
+
+    // simhash twin: fold form vs reconstructed capped self-join
+    val sGot = Dedup.simHashPairs(docs, maxHamming = 3, maxBucket = 30)
+      .as[(Long, Long, Long)].collect().toSet
+    val sigs = docs.select($"doc_id".as("id"),
+      Dedup.simHash64($"text").as("sig"))
+    val sBanded = Dedup.capBuckets(sigs
+      .select($"id", $"sig",
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select($"id", $"sig", $"band",
+        call_function("shiftright", $"sig", $"band" * 16)
+          .bitwiseAND(0xffffL).as("bval")),
+      30, keys = Seq("band", "bval"))
+    val sRef = sBanded.as("a").join(sBanded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bval") === col("b.bval") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long")
+          .as("hamming"))
+      .dropDuplicates("a", "b")
+      .filter($"hamming" <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sGot === sRef)
+  }
+
   test("connected components: multi-hop chains collapse to min label") {
     // components: {1,2,3,4} via chain 1-2-3-4, {10,11}, isolated via
     // no edges never appears
