@@ -40,6 +40,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_binary_knn"),
       new ExpressionInfo("graft", "vfs_binary_knn"),
       graft.plans.SqlSurface.vfsBinaryKnnBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_minhash_pairs"),
+      new ExpressionInfo("graft", "vfs_minhash_pairs"),
+      graft.plans.SqlSurface.vfsMinhashPairsBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

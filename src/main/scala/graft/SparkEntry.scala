@@ -1757,6 +1757,16 @@ object SparkEntry {
         .orderBy(col("a").asc, col("b").asc)
     }),
 
+    // ---- the LSH dedup family from pure SQL text: same pipeline,
+    // same oracle as dedup_minhash_lsh ----
+    "sql_tvf_minhash_pairs" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      s.sql(
+        s"""SELECT a, b, jaccard_milli
+           |FROM vfs_minhash_pairs('$dir/documents.parquet', 0.9)
+           |ORDER BY a ASC, b ASC""".stripMargin)
+    }),
+
     // ---- containment near-dup: the SAME 64-hash signatures resliced
     // into 32x2 low-threshold bands, verified with
     // |A∩B|/min(|A|,|B|) — catches a doc swallowed by a longer one
@@ -3661,6 +3671,7 @@ object SparkEntry {
     "dedup_minhash_sig" -> minHashSigOracle,
 
     "dedup_minhash_lsh" -> minHashLshOracle,
+    "sql_tvf_minhash_pairs" -> minHashLshOracle,
     "dedup_containment" -> containmentOracle,
 
     // acceptance row, not a result hash: the Spark side computes recall

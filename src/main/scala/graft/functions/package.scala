@@ -170,6 +170,9 @@ package object functions {
     // SELECT * FROM vfs_binary_knn(path, query, candidates[, vecCol, idCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_binary_knn",
       graft.plans.SqlSurface.vfsBinaryKnnBuilder _)
+    // SELECT * FROM vfs_minhash_pairs(path, threshold[, textCol, idCol])
+    ExpressionUtils.registerTableFunction(spark, "vfs_minhash_pairs",
+      graft.plans.SqlSurface.vfsMinhashPairsBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

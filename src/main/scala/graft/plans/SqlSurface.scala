@@ -228,6 +228,46 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_minhash_pairs(path, threshold[, textCol,
+    * idCol])` — MinHash-LSH near-dup pairs
+    * ([[graft.operators.Dedup.minHashLsh]]: bucket-fold candidates +
+    * exact-jaccard verify) from pure SQL text:
+    * {{{ SELECT a, b, jaccard_milli
+    *     FROM vfs_minhash_pairs('/data/docs', 0.9)
+    *     WHERE jaccard_milli < 1000 }}} */
+  private[graft] def vfsMinhashPairsBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_minhash_pairs(path, threshold[, textCol, idCol]): $msg")
+    if (es.length < 2 || es.length > 4)
+      fail(s"expected 2-4 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val path = evalNonNull(0, "path").toString
+    // SQL numeric literals arrive as DECIMAL (0.9), DOUBLE (0.9D) or
+    // integers — accept them all, reject anything outside (0, 1]
+    val threshold = evalNonNull(1, "threshold") match {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case d: Decimal => d.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case other => fail(s"threshold must be a numeric literal, got $other")
+    }
+    if (threshold <= 0.0 || threshold > 1.0)
+      fail(s"threshold must be in (0, 1], got $threshold")
+    val textCol = if (es.length >= 3) evalNonNull(2, "textCol").toString
+      else "text"
+    val idCol = if (es.length >= 4) evalNonNull(3, "idCol").toString
+      else "doc_id"
+    graft.operators.Dedup.minHashLsh(
+        SparkSession.active.read.parquet(path), threshold, textCol, idCol)
+      .queryExecution.analyzed
+  }
+
   /** TVF builder for `vfs_binary_knn(path, query, candidates[,
     * vecCol, idCol])` — the 1-bit binary-quantization coarse tier
     * from pure SQL text: packs the query's sign bits once, scores the

@@ -274,6 +274,47 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("vfs_minhash_pairs table-valued function: LSH near-dup pairs " +
+      "from SQL text, parity with the DataFrame operator, bad args loud") {
+    val shared = GraftTest.spark
+    val dataPath = s"${GraftTest.sf0001}/documents.parquet"
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      SparkSession.setActiveSession(s)
+      val got = s.sql(
+        s"""SELECT a, b, jaccard_milli
+           |FROM vfs_minhash_pairs('$dataPath', 0.9)
+           |ORDER BY a, b""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      import org.apache.spark.sql.functions.col
+      val expect = graft.operators.Dedup.minHashLsh(
+          s.read.parquet(dataPath), threshold = 0.9)
+        .orderBy(col("a"), col("b"))
+        .collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got === expect)
+      // DOUBLE-typed literal resolves identically to the DECIMAL one
+      val gotD = s.sql(
+        s"""SELECT a, b, jaccard_milli
+           |FROM vfs_minhash_pairs('$dataPath', CAST(0.9 AS DOUBLE))
+           |ORDER BY a, b""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      assert(gotD === got)
+      val e = intercept[Exception] {
+        s.sql(s"SELECT * FROM vfs_minhash_pairs('$dataPath')").collect()
+      }
+      assert(e.getMessage.contains("expected 2-4 arguments"))
+      val e2 = intercept[Exception] {
+        s.sql(s"SELECT * FROM vfs_minhash_pairs('$dataPath', 1.5)")
+          .collect()
+      }
+      assert(e2.getMessage.contains("(0, 1]"))
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("vfs_binary_knn table-valued function: binary coarse tier from " +
       "SQL text, parity with the expression pipeline, bad args loud") {
     val shared = GraftTest.spark
