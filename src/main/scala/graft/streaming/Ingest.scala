@@ -429,6 +429,56 @@ object Ingest {
     hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
   }
 
+  /** Streaming QUALITY GATE — filter-before-store for a live document
+    * feed: each micro-batch runs the Gopher document rules
+    * ([[graft.operators.TextAnalysis.gopherSignals]]) and C4 line
+    * cleaning ([[graft.operators.TextAnalysis.c4CleanLines]]); a doc
+    * survives iff `gopher_pass = 1`, the page is not C4-dropped, and
+    * at least `minKeptLines` lines survive the line filter. Survivors
+    * land as parquet under `outDir/batch=<id>` carrying the CLEANED
+    * text plus headline signals (`n_words`, `stop_hits`, `n_kept`).
+    *
+    * Both cascades are stateless per-row projections, so the only
+    * streaming concern is replay: the per-batch directory is
+    * deterministic and written with overwrite — an at-least-once
+    * replay rewrites its own directory, never duplicates (the
+    * [[searchStream]] sink contract). Doc ids are assumed unique
+    * within a batch (the shared ingest-loop assumption). */
+  def qualityIngestStream(stream: DataFrame, outDir: String,
+      checkpoint: String, minWords: Int = 5, minKeptLines: Int = 1,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(minKeptLines >= 0,
+      "[GRAFT] qualityIngestStream: minKeptLines must be >= 0")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        qualityGateBatch(batch, batchId, outDir, minWords, minKeptLines)
+      }
+      .start()
+  }
+
+  /** [[qualityIngestStream]]'s per-batch body, separated so replay
+    * idempotence and batch parity are testable. */
+  private[graft] def qualityGateBatch(batch0: DataFrame, batchId: Long,
+      outDir: String, minWords: Int, minKeptLines: Int): Unit = {
+    import graft.operators.TextAnalysis
+    val batch = batch0.select(col("doc_id"), col("text"))
+    if (batch.isEmpty) return
+    val g = TextAnalysis.gopherSignals(batch)
+      .select(col("doc_id"), col("gopher_pass"), col("n_words"),
+        col("stop_hits"))
+    val c = TextAnalysis.c4CleanLines(batch, minWords = minWords)
+      .select(col("doc_id"), col("page_drop"), col("n_kept"),
+        col("clean_text"))
+    g.join(c, Seq("doc_id"))
+      .filter(col("gopher_pass") === 1L && col("page_drop") === 0L &&
+        col("n_kept") >= minKeptLines.toLong)
+      .select(col("doc_id"), col("clean_text").as("text"),
+        col("n_words"), col("stop_hits"), col("n_kept"))
+      .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+  }
+
   /** Stream documents through the STANDING bigram LM
     * ([[graft.operators.TextAnalysis.saveLmModel]] artifact): each
     * micro-batch is scored with `scoreLm` against the frozen

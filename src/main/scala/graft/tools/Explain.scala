@@ -53,6 +53,19 @@ object Explain {
         "width under dedup+verify)") {
       Dedup.minHashLsh(spark.read.parquet(s"$dir/documents.parquet"), 0.8)
     }
+    val lshIdxDir = java.nio.file.Files
+      .createTempDirectory("explain-lshidx").toString
+    graft.operators.LshTextIndex.build(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") >= 100), lshIdxDir)
+    show("lsh index probe (expect: stored band table UNSHUFFLED — " +
+        "partial-agged hot-bucket count + anti-join cap, delta-side " +
+        "banding only, pinned width under dedup+verify)") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      graft.operators.LshTextIndex.probe(spark, lshIdxDir,
+        docs.filter(col("doc_id") < 100),
+        docs.filter(col("doc_id") >= 100))
+    }
     show("gopher rules (expect: spread + one codegen'd projection, no agg)") {
       graft.operators.TextAnalysis.gopherSignals(
         spark.read.parquet(s"$dir/documents.parquet"))

@@ -74,6 +74,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(LshTextIndex.readMeta(path).generation === 2)
   }
 
+  test("capBucketsAnti drops exactly capBuckets' rows (hot identical " +
+      "bucket over the cap, mid bucket at it, singles under it)") {
+    val rows = (0 until 60).map(i => (i.toLong, "same hot text here")) ++
+      (100 until 150).map(i => (i.toLong, "mid warm text block")) ++
+      (200 until 230).map(i => (i.toLong, s"unique doc number $i"))
+    val banded = Dedup.bandedRelation(rows.toDF("doc_id", "text"),
+      "id", "text", "doc_id", 16, 4)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"band", $"bsig")
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getSeq[Long](2).toList)).toSet
+    val viaWindow = norm(Dedup.capBuckets(banded, 50))
+    val viaAnti = norm(Dedup.capBucketsAnti(banded, 50))
+    assert(viaAnti === viaWindow)
+    // the hot 60-doc bucket really was dropped, the at-cap 50-doc
+    // bucket kept whole, singles untouched
+    assert(!viaAnti.exists(_._1 < 60))
+    assert(viaAnti.count(t => t._1 >= 100 && t._1 < 150) === 50 * 16)
+    assert(viaAnti.count(_._1 >= 200) === 30 * 16)
+  }
+
   test("LSH index params-change rebuild: crash states are the complete " +
       "old artifact, the complete new one, or a loud failure — and a " +
       "legacy path-level lsh.json reads and migrates") {
@@ -2517,6 +2538,63 @@ class PipelineSpec extends AnyFunSuite {
       Seq((7L, "eleven twelve thirteen fourteen fifteen"))
         .toDF("doc_id", "text"), s"$dir/lsh")
     assert(spark.read.parquet(s"$dir/lsh/bands").count() == 4L * 4)
+  }
+
+  test("streaming quality gate: gopher + c4 survivors land batch-" +
+      "addressed with cleaned text; replays are idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("quality_ingest").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("quality_ingest_ck").toString
+    // a page that passes both cascades: > 50 words, stopwords, two
+    // clean keeper lines around droppable ones
+    val good = ("The quick brown fox jumps over the lazy dog of ours " +
+      "and it keeps going with a steady pace to the very end of it.\n" +
+      "short one.\n" +
+      "Please enable javascript to see this content now or else.\n" +
+      "A second fine sentence with plenty of ordinary words arrives " +
+      "here and closes the paragraph cleanly enough for anyone.")
+    val salad = "no stopwords here just salad words " * 9 // stop_hits 0
+    val pageDropped = good + "\nlorem ipsum {"
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.qualityIngestStream(
+      stream.toDF().toDF("doc_id", "text"), dir, ck,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      stream.addData((1L, good), (2L, salad), (3L, pageDropped))
+      q.processAllAvailable()
+      stream.addData((4L, good))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir)
+      assert(out.select($"doc_id").as[Long].collect().sorted.toSeq ===
+        Seq(1L, 4L))
+      val r = out.filter($"doc_id" === 1L).head()
+      // cleaned text: the two keeper lines only, in order
+      val clean = r.getAs[String]("text")
+      assert(clean.linesIterator.size === 2)
+      assert(clean.startsWith("The quick brown fox") &&
+        clean.endsWith("for anyone."))
+      assert(r.getAs[Long]("n_kept") === 2L)
+      assert(r.getAs[Long]("stop_hits") >= 2L)
+    } finally q.stop()
+    // replaying a batch body with the same id overwrites its own
+    // directory — no duplicates, same survivors. Discover the real
+    // id from the partition column (empty trigger ticks consume ids).
+    val realBatch = spark.read.parquet(dir)
+      .filter($"doc_id" === 1L).select($"batch".cast("long"))
+      .as[Long].head()
+    val before = spark.read.parquet(dir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    graft.streaming.Ingest.qualityGateBatch(
+      Seq((1L, good), (2L, salad), (3L, pageDropped))
+        .toDF("doc_id", "text"),
+      batchId = realBatch, outDir = dir, minWords = 5, minKeptLines = 1)
+    val after = spark.read.parquet(dir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(after === before)
   }
 
   test("streaming substring-dedup ingest: batch-addressed corpus " +
