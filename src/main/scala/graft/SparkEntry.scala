@@ -2046,6 +2046,20 @@ object SparkEntry {
         .orderBy(col("doc_id").asc, col("frame_idx").asc)
     }),
 
+    // ---- windowed audio energy/peak over decoded WAV PCM: exact
+    // integer fold per 64-sample window (8-bit samples centered at
+    // 128) — the oracle reproduces every value from the payload
+    // characters, pinning the container round trip too ----
+    "multimodal_audio_energy" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizeMedia(s.read.parquet(s"$dir/documents.parquet"))
+        .filter(col("format") === "audio/wav")
+        .as[graft.operators.MediaRecord](
+          org.apache.spark.sql.Encoders.product[graft.operators.MediaRecord])
+      graft.operators.Multimodal.audioEnergyWindows(s, media, window = 64)
+        .orderBy(col("doc_id").asc, col("win").asc)
+    }),
+
     // ---- incremental (CDC) read: snapshot the store after a base
     // load, append a second batch, and read ONLY the delta via the
     // commit-list diff — a pure file-level operation (the scan touches
@@ -3871,6 +3885,19 @@ object SparkEntry {
         |ORDER BY qid ASC, dist_milli ASC, vec_id ASC""".stripMargin,
 
     "multimodal_features" -> multimodalFeaturesOracle,
+    "multimodal_audio_energy" ->
+      """WITH s AS (SELECT doc_id, text,
+        |    unnest(range(1, len(text) + 1)) AS i
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, CAST((i - 1) // 64 AS BIGINT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum((ord(substr(text, CAST(i AS INT), 1)) - 128)
+        |    * (ord(substr(text, CAST(i AS INT), 1)) - 128)) AS BIGINT)
+        |    AS energy,
+        |  CAST(max(abs(ord(substr(text, CAST(i AS INT), 1)) - 128))
+        |    AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id, win
+        |ORDER BY doc_id ASC, win ASC""".stripMargin,
 
     "multimodal_png" -> multimodalPngOracle,
     "multimodal_png_gray" -> multimodalPngGrayOracle,

@@ -360,6 +360,44 @@ object Multimodal {
     }
   }
 
+  /** Windowed audio ENERGY/PEAK extraction — the DSP-lite feature
+    * pass of an audio-curation pipeline (silence trimming, clipping
+    * detection, loudness bucketing all key off it): decode the WAV
+    * container, center the PCM samples (8-bit unsigned centers at
+    * 128; 16-bit is already signed), and fold each window of
+    * `window` samples to `energy` = Σ centered² and `peak` =
+    * max |centered| — EXACT integer arithmetic, so the DuckDB oracle
+    * reproduces every value from payload bytes. The trailing partial
+    * window is emitted with its true `n_samples` (callers decide
+    * whether to keep it). Per-partition kernel over the asset bytes —
+    * zero shuffle, the [[sampleFrames]] 100 TB shape. Non-WAV assets
+    * fail loudly (same stance as [[sampleFrames]]). */
+  def audioEnergyWindows(spark: SparkSession, media: Dataset[MediaRecord],
+      window: Int = 64): DataFrame = {
+    require(window > 0, "[GRAFT] audioEnergyWindows: window must be positive")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        require(r.format == "audio/wav",
+          s"[GRAFT] audioEnergyWindows: not a wav asset: ${r.format}")
+        val pcm = MediaCodec.decodeWav(r.media)
+        val center = if (pcm.bitsPerSample == 8) 128 else 0
+        pcm.samples.grouped(window).zipWithIndex.map { case (w, i) =>
+          var e = 0L
+          var p = 0L
+          var j = 0
+          while (j < w.length) {
+            val c = (w(j) - center).toLong
+            e += c * c
+            if (math.abs(c) > p) p = math.abs(c)
+            j += 1
+          }
+          (r.doc_id, i.toLong, w.length.toLong, e, p)
+        }
+      }
+    }.toDF("doc_id", "win", "n_samples", "energy", "peak")
+  }
+
   /** REAL 2-D image resize: decode the container (BMP/PPM/PNG),
     * normalize stored channel order to RGB, resize with a genuine
     * interpolation kernel ([[MediaCodec.nnResizeRgb]] by default,

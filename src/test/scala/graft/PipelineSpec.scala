@@ -888,6 +888,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(frames.forall(_.getLong(1) % 4 === 0))
   }
 
+  test("audio energy windows: exact integer fold, partial tail, " +
+      "16-bit centering, non-wav loud") {
+    import graft.operators.{MediaCodec, Multimodal, MediaRecord}
+    // 8-bit unsigned centers at 128: bytes [128,130,126,128,255] at
+    // window 2 -> centered [0,2],[−2,0],[127]
+    val wav8 = MediaCodec.encodeWav(Array[Byte](128.toByte, 130.toByte,
+      126.toByte, 128.toByte, 255.toByte))
+    val ds8 = Seq(MediaRecord(1L, wav8, "audio/wav", wav8.length.toLong))
+      .toDS()
+    val got = Multimodal.audioEnergyWindows(spark, ds8, window = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got === Seq(
+      (1L, 0L, 2L, 4L, 2L),
+      (1L, 1L, 2L, 4L, 2L),
+      (1L, 2L, 1L, 127L * 127L, 127L))) // partial tail kept, true n
+    // 16-bit is already signed — center 0: [-3, 4] -> e=25 p=4
+    val s16 = Array[Short](-3, 4)
+    val d16 = s16.flatMap(s =>
+      Array((s & 0xff).toByte, ((s >> 8) & 0xff).toByte))
+    val bb = java.nio.ByteBuffer.allocate(44 + d16.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + d16.length)
+    bb.put("WAVE".getBytes); bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000)
+    bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(d16.length); bb.put(d16)
+    val ds16 = Seq(MediaRecord(2L, bb.array(), "audio/wav",
+      bb.array().length.toLong)).toDS()
+    val got16 = Multimodal.audioEnergyWindows(spark, ds16, window = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got16 === Seq((2L, 0L, 2L, 25L, 4L)))
+    // non-wav assets fail loudly
+    val bmp = MediaCodec.encodeBmp(Array.fill(12)(0.toByte), 4, 1)
+    val bad = Seq(MediaRecord(3L, bmp, "image/bmp", bmp.length.toLong))
+      .toDS()
+    val err = intercept[Exception] {
+      Multimodal.audioEnergyWindows(spark, bad).collect()
+    }
+    assert(err.getMessage.contains("not a wav asset") ||
+      err.getCause.getMessage.contains("not a wav asset"))
+  }
+
   test("media codecs: real containers round-trip through real parsers") {
     import graft.operators.MediaCodec
     // WAV 8-bit: header walk recovers rate/bits and every sample
