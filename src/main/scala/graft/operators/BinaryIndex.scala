@@ -117,14 +117,21 @@ object BinaryIndex {
         .parquet(stage)
       writeMetaInto(stage, Meta(dim, gen))
     }
+    // retire the appendIdempotent marker BEFORE publishing: a rebuilt
+    // artifact starts a fresh batch sequence, and the delete must not
+    // sit after the swap — a crash in that window would leave the NEW
+    // artifact under the OLD sequence's high-watermark, making every
+    // replayed/fresh batch id at or below it a silent no-op (data
+    // loss). Deleting first, the worst crash outcome is the OLD
+    // artifact without its marker: replays then re-append (duplicate
+    // rows), which candidates()' post-cut collapse already tolerates.
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_append_batch"), false)
     if (!fs.exists(live))
       ArtifactIo.publishFresh(fs, path, "packed",
         "binary index build")(writeStage)
     else
       ArtifactIo.stagedSwap(fs, path, "packed",
         "binary index build")(writeStage)
-    // a rebuilt artifact starts a fresh appendIdempotent sequence
-    fs.delete(new org.apache.hadoop.fs.Path(path, "_append_batch"), false)
   }
 
   /** Pack and append the delta's rows — ONE pass, cost ∝ delta; the

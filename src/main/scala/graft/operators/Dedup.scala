@@ -320,8 +320,7 @@ object Dedup {
     // signature pipeline on BOTH sides and needed a separate window
     // pass for the bucket cap — with a single hash agg, and pins the
     // verify width against AQE's byte-based coalescing
-    val candidates = foldBucketPairs(banded, Seq("band", "bsig"), "id",
-      maxBucket)
+    val candidates = foldBucketPairs(banded, "id", maxBucket)
     verifyJaccard(candidates, docs, docs, "a", "b", textCol, idCol,
       threshold)
   }
@@ -364,32 +363,77 @@ object Dedup {
       .drop("bucket_n")
   }
 
+  /** Streaming per-bucket pair emission with O(`maxBucket`) state:
+    * consume key-sorted (key, id) rows, buffer each bucket's ids up
+    * to `maxBucket` + 1 (one element past the cap proves the bucket
+    * is over it — the buffer clears and the rest of the bucket skips,
+    * so a pathological bucket costs O(1) memory, not O(bucket)), then
+    * emit the sorted bucket's strict a < b pairs lazily. Duplicate
+    * ids inside a bucket never self-pair (the strict inequality —
+    * the same exclusion the capped self-join's `a.id < b.id` gave).
+    * Drop semantics match [[capBuckets]] exactly: a bucket with MORE
+    * than `maxBucket` rows contributes nothing. */
+  private def emitBucketPairs[K](rows: Iterator[(K, Long)],
+      maxBucket: Int): Iterator[(Long, Long)] = {
+    val bi = rows.buffered
+    new Iterator[(Long, Long)] {
+      private var out: Iterator[(Long, Long)] = Iterator.empty
+      private def advance(): Unit =
+        while (!out.hasNext && bi.hasNext) {
+          val key = bi.head._1
+          val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+          var overflow = false
+          while (bi.hasNext && bi.head._1 == key) {
+            val id = bi.next()._2
+            if (!overflow) {
+              buf += id
+              if (buf.length > maxBucket) { overflow = true; buf.clear() }
+            }
+          }
+          if (!overflow && buf.length >= 2) {
+            val ids = buf.toArray
+            java.util.Arrays.sort(ids)
+            out = Iterator.range(0, ids.length - 1).flatMap(i =>
+              Iterator.range(i + 1, ids.length)
+                .filter(j => ids(j) != ids(i))
+                .map(j => (ids(i), ids(j))))
+          }
+        }
+      def hasNext: Boolean = { advance(); out.hasNext }
+      def next(): (Long, Long) = { advance(); out.next() }
+    }
+  }
+
   /** Bucket-fold candidate-pair generation, shared by the self-pair
-    * LSH operators ([[minHashLsh]], [[containmentPairs]]): ONE shuffle
-    * of the slim banded triples into `keys` buckets, each folded to a
-    * sorted id list (the `maxBucket` cap becomes a free size() filter
-    * — identical drop semantics to [[capBuckets]]), pairs emitted by a
-    * pipelined double-explode (a < b by construction from the sorted
-    * list — the candidate set is bit-identical to a capped
-    * self-join's). The dedup exchange width is pinned
-    * (REPARTITION_BY_NUM): the pair stream is byte-small but the
-    * stages stacked on top (final dedup agg + each caller's exact
-    * verify) are COMPUTE-bound, and AQE's byte-based coalescing would
-    * fold them onto a handful of cores (measured 2× on whole-operator
-    * time at sf0.1). A bucket at the cap folds to `maxBucket` longs
-    * (8 KB at the default 1000) — bounded row width. */
-  private def foldBucketPairs(banded: DataFrame, keys: Seq[String],
-      idC: String, maxBucket: Int): DataFrame =
-    banded.groupBy(keys.map(col): _*)
-      .agg(sort_array(collect_list(col(idC))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
-      .select(col("a"),
-        explode(slice(col("ids"), col("i") + lit(2), size(col("ids"))))
-          .as("b"))
-      .repartition(banded.sparkSession.sparkContext.defaultParallelism,
-        col("a"), col("b"))
+    * LSH operators ([[minHashLsh]], [[containmentPairs]]): ONE pinned
+    * hash shuffle of the slim banded triples by (band, bsig) + a
+    * within-partition sort (spillable), then a single streaming pass
+    * ([[emitBucketPairs]]) that applies the `maxBucket` cap with
+    * O(maxBucket) state and emits each bucket's strict a < b pairs —
+    * the candidate set is bit-identical to a [[capBuckets]]-capped
+    * self-join's, without the window pass, the both-sides signature
+    * recompute, or an unbounded per-bucket collect buffer. The dedup
+    * exchange width is pinned too (REPARTITION_BY_NUM): the pair
+    * stream is byte-small but the stages stacked on top (final dedup
+    * agg + each caller's exact verify) are COMPUTE-bound, and AQE's
+    * byte-based coalescing would fold them onto a handful of cores
+    * (measured 2× on whole-operator time at sf0.1). */
+  private def foldBucketPairs(banded: DataFrame, idC: String,
+      maxBucket: Int): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val np = spark.sparkContext.defaultParallelism
+    banded
+      .select(col("band"), col("bsig"), col(idC).cast("long").as("__id"))
+      .repartition(np, col("band"), col("bsig"))
+      .sortWithinPartitions(col("band"), col("bsig"))
+      .as[(Int, Seq[Long], Long)]
+      .mapPartitions(it => emitBucketPairs(
+        it.map { case (band, bsig, id) => ((band, bsig), id) }, maxBucket))
+      .toDF("a", "b")
+      .repartition(np, col("a"), col("b"))
       .dropDuplicates("a", "b")
+  }
 
   /** [[capBuckets]] semantics without shuffling the banded rows:
     * bucket sizes come from one partial-agged count pass, and rows of
@@ -653,8 +697,7 @@ object Dedup {
     // the candidate flood is even denser than [[minHashLsh]]'s, so
     // the single-agg form and the AQE-proof verify width matter
     // more, not less
-    val candidates = foldBucketPairs(banded, Seq("band", "bsig"), "id",
-      maxBucket)
+    val candidates = foldBucketPairs(banded, "id", maxBucket)
     def words(as: String, w: String) = docs
       .select(col(idCol).as(as), wordSet(col(textCol)).as(w))
     candidates
@@ -760,31 +803,69 @@ object Dedup {
     simHashFoldPairs(banded, maxBucket, maxHamming)
   }
 
-  /** [[foldBucketPairs]]' simhash twin: the fold carries struct(id,
-    * sig) — 16 bytes per row — so each pair's hamming distance
-    * computes INLINE from the folded structs (no verify join back;
-    * sort_array orders by the struct's leading id field, so a < b by
-    * construction and the pair set matches the capped self-join
-    * form's bit-for-bit). Cap semantics and pinned dedup width as in
-    * [[foldBucketPairs]]; hamming is identical for a pair whichever
-    * band emits it, so filtering after the dedup is sound. */
+  /** [[emitBucketPairs]]' simhash twin: the buffer carries (id, sig)
+    * — 16 bytes per row, still O(`maxBucket`) per bucket — so each
+    * pair's hamming computes INLINE during emission (no verify join
+    * back). Strict id inequality as in [[emitBucketPairs]]. */
+  private def emitBucketSigPairs[K](rows: Iterator[(K, Long, Long)],
+      maxBucket: Int): Iterator[(Long, Long, Long)] = {
+    val bi = rows.buffered
+    new Iterator[(Long, Long, Long)] {
+      private var out: Iterator[(Long, Long, Long)] = Iterator.empty
+      private def advance(): Unit =
+        while (!out.hasNext && bi.hasNext) {
+          val key = bi.head._1
+          val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          var overflow = false
+          while (bi.hasNext && bi.head._1 == key) {
+            val r = bi.next()
+            if (!overflow) {
+              buf += ((r._2, r._3))
+              if (buf.length > maxBucket) { overflow = true; buf.clear() }
+            }
+          }
+          if (!overflow && buf.length >= 2) {
+            val xs = buf.toArray
+            java.util.Arrays.sort(xs,
+              Ordering.by((p: (Long, Long)) => p._1))
+            out = Iterator.range(0, xs.length - 1).flatMap(i =>
+              Iterator.range(i + 1, xs.length)
+                .filter(j => xs(j)._1 != xs(i)._1)
+                .map { j =>
+                  (xs(i)._1, xs(j)._1,
+                    java.lang.Long.bitCount(xs(i)._2 ^ xs(j)._2).toLong)
+                })
+          }
+        }
+      def hasNext: Boolean = { advance(); out.hasNext }
+      def next(): (Long, Long, Long) = { advance(); out.next() }
+    }
+  }
+
+  /** [[foldBucketPairs]]' simhash twin — same pinned-shuffle + sorted
+    * streaming pass, with the signature riding along so hamming
+    * computes inline ([[emitBucketSigPairs]]); hamming is identical
+    * for a pair whichever band emits it, so filtering after the
+    * dedup is sound. */
   private def simHashFoldPairs(banded: DataFrame, maxBucket: Int,
-      maxHamming: Int): DataFrame =
-    banded.groupBy(col("band"), col("bval"))
-      .agg(sort_array(collect_list(struct(col("id"), col("sig"))))
-        .as("xs"))
-      .filter(size(col("xs")).between(2, maxBucket))
-      .select(posexplode(col("xs")).as(Seq("i", "x")), col("xs"))
-      .select(col("x"),
-        explode(slice(col("xs"), col("i") + lit(2), size(col("xs"))))
-          .as("y"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long")
-          .as("hamming"))
-      .repartition(banded.sparkSession.sparkContext.defaultParallelism,
-        col("a"), col("b"))
+      maxHamming: Int): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val np = spark.sparkContext.defaultParallelism
+    banded
+      .select(col("band"), col("bval"), col("id").cast("long").as("__id"),
+        col("sig"))
+      .repartition(np, col("band"), col("bval"))
+      .sortWithinPartitions(col("band"), col("bval"))
+      .as[(Int, Long, Long, Long)]
+      .mapPartitions(it => emitBucketSigPairs(
+        it.map { case (band, bval, id, sig) => ((band, bval), id, sig) },
+        maxBucket))
+      .toDF("a", "b", "hamming")
+      .repartition(np, col("a"), col("b"))
       .dropDuplicates("a", "b")
       .filter(col("hamming") <= maxHamming)
+  }
 
   /** Embedding near-dup, exact within a blocking group (oracle-checkable
     * twin): pairs with cosine distance < tau. */

@@ -174,15 +174,21 @@ object LshTextIndex {
     // loop passes a residue-scrubbed view of the same table (see
     // Ingest.textDedupIngestStream), mirroring embeddingNearDupJoin's
     // bandedCorpus hook; the cap still applies here either way
-    // anti-join cap (capBucketsAnti): the stored band table is cheap
-    // to rescan (it's parquet on disk), so the cap costs one
-    // partial-agged count pass + an AQE-sized anti-join instead of
-    // shuffling and sorting EVERY stored triple through a window —
-    // the stored side stays unshuffled, which is the whole point of
-    // probing ∝ delta
-    val stored = Dedup.capBucketsAnti(
-      storedBands.getOrElse(spark.read.parquet(s"$path/bands")
-        .withColumnRenamed("id", "corpus_id")), maxBucket)
+    // Cap strategy follows capBucketsAnti's own rescan rule: the
+    // anti-join form evaluates its input TWICE (hot-bucket counts +
+    // rows), which is the right trade only for the parquet-backed
+    // artifact read — two cheap scans instead of shuffling and
+    // sorting EVERY stored triple through a window, so the stored
+    // side stays unshuffled (the whole point of probing ∝ delta). A
+    // caller-supplied storedBands view (the streaming loop passes a
+    // residue-scrub DERIVED from joins) would pay its derivation
+    // twice there — it keeps the single-pass window cap instead.
+    val stored = storedBands match {
+      case Some(view) => Dedup.capBuckets(view, maxBucket)
+      case None => Dedup.capBucketsAnti(
+        spark.read.parquet(s"$path/bands")
+          .withColumnRenamed("id", "corpus_id"), maxBucket)
+    }
     val candidates = Dedup.bandedRelation(delta, "probe_id", textCol,
         idCol, m.bands, m.rowsPerBand)
       .join(stored, Seq("band", "bsig"))

@@ -233,9 +233,11 @@ object TextAnalysis {
     * corpora) — the 100 TB cost is one read of the text column.
     * Integer milli-units via the repo's floor convention, so the
     * DuckDB oracle reproduces every signal bit-for-bit. */
-  def gopherSignals(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val t = col(textCol)
+  /** The Gopher rule signals as named column expressions over a text
+    * column — shared by [[gopherSignals]] and the one-scan
+    * [[qualityGate]] (whole-stage codegen's subexpression elimination
+    * dedupes the repeated sub-terms inside the pass conjunction). */
+  private def gopherExprs(t: Column): Seq[(String, Column)] = {
     val toks = tokens(t)
     val nWords = size(toks).cast("long")
     val sumLen = aggregate(toks, lit(0L), (acc, w) => acc + length(w))
@@ -247,34 +249,34 @@ object TextAnalysis {
     val symbolMilli = milli(symbols, nWords)
     val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
     val nLines = size(lines).cast("long")
-    val ellipsisLines = size(filter(lines,
-      l => endswith(trim(l), lit("...")))).cast("long")
-    val bulletLines = size(filter(lines,
-      l => trim(l).rlike("^[-*•]"))).cast("long")
-    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]")))
-      .cast("long")
+    val ellipsisMilli = milli(size(filter(lines,
+      l => endswith(trim(l), lit("...")))).cast("long"), nLines)
+    val bulletMilli = milli(size(filter(lines,
+      l => trim(l).rlike("^[-*•]"))).cast("long"), nLines)
+    val alphaMilli = milli(size(filter(toks, w => w.rlike("[A-Za-z]")))
+      .cast("long"), nWords)
     val lowerToks = transform(toks, lower(_))
     val stopHits = size(filter(typedLit(GopherStopWords),
       s => array_contains(lowerToks, s))).cast("long")
+    val pass = (nWords.between(50L, 100000L) &&
+      meanLen.between(3000L, 10000L) && symbolMilli <= 100L &&
+      ellipsisMilli <= 300L && bulletMilli <= 900L &&
+      alphaMilli >= 800L && stopHits >= 2L).cast("long")
+    Seq("n_words" -> nWords, "mean_word_len_milli" -> meanLen,
+      "symbol_word_milli" -> symbolMilli,
+      "ellipsis_line_milli" -> ellipsisMilli,
+      "bullet_line_milli" -> bulletMilli,
+      "alpha_word_milli" -> alphaMilli,
+      "stop_hits" -> stopHits, "gopher_pass" -> pass)
+  }
+
+  def gopherSignals(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
     // per-row rule evaluation is compute-bound (regex + HOF lambdas
     // per token/line) — spread a few-file input first (the repo's
     // standing kernel convention; no-op on many-file corpora)
-    WorkCols.spread(docs).select(col(idCol), nWords.as("n_words"),
-        meanLen.as("mean_word_len_milli"),
-        symbolMilli.as("symbol_word_milli"),
-        milli(ellipsisLines, nLines).as("ellipsis_line_milli"),
-        milli(bulletLines, nLines).as("bullet_line_milli"),
-        milli(alphaWords, nWords).as("alpha_word_milli"),
-        stopHits.as("stop_hits"))
-      .withColumn("gopher_pass",
-        (col("n_words").between(50L, 100000L) &&
-          col("mean_word_len_milli").between(3000L, 10000L) &&
-          col("symbol_word_milli") <= 100L &&
-          col("ellipsis_line_milli") <= 300L &&
-          col("bullet_line_milli") <= 900L &&
-          col("alpha_word_milli") >= 800L &&
-          col("stop_hits") >= 2L).cast("long"))
-  }
+    WorkCols.spread(docs).select(col(idCol) +:
+      gopherExprs(col(textCol)).map { case (n, c) => c.as(n) }: _*)
 
   /** C4 line-level cleaning (Raffel et al. 2020 §2.2 — re-derived):
     * the other canonical pre-training filter cascade. Lines are kept
@@ -291,10 +293,9 @@ object TextAnalysis {
     * spread first, as in [[gopherSignals]]); the curse-word list of
     * the paper is out of scope (corpus-specific policy, not engine
     * semantics). */
-  def c4CleanLines(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", minWords: Int = 5): DataFrame = {
-    require(minWords >= 1, "[GRAFT] c4CleanLines: minWords must be >= 1")
-    val t = col(textCol)
+  /** The C4 cleaning outputs as named column expressions — shared by
+    * [[c4CleanLines]] and [[qualityGate]]. */
+  private def c4Exprs(t: Column, minWords: Int): Seq[(String, Column)] = {
     val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
     val kept = filter(lines, l => {
       val lt = trim(l)
@@ -305,10 +306,32 @@ object TextAnalysis {
     })
     val pageDrop = (contains(t, lit("{")) ||
       contains(lower(t), lit("lorem ipsum"))).cast("long")
-    WorkCols.spread(docs).select(col(idCol), pageDrop.as("page_drop"),
-      size(lines).cast("long").as("n_lines"),
-      size(kept).cast("long").as("n_kept"),
-      when(pageDrop === 0L, array_join(kept, "\n")).as("clean_text"))
+    Seq("page_drop" -> pageDrop,
+      "n_lines" -> size(lines).cast("long"),
+      "n_kept" -> size(kept).cast("long"),
+      "clean_text" -> when(pageDrop === 0L, array_join(kept, "\n")))
+  }
+
+  def c4CleanLines(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minWords: Int = 5): DataFrame = {
+    require(minWords >= 1, "[GRAFT] c4CleanLines: minWords must be >= 1")
+    WorkCols.spread(docs).select(col(idCol) +:
+      c4Exprs(col(textCol), minWords).map { case (n, c) => c.as(n) }: _*)
+  }
+
+  /** Both filter cascades in ONE per-row projection — the streaming
+    * quality gate's per-batch shape ([[graft.streaming.Ingest
+    * .qualityIngestStream]]): every [[gopherSignals]] column plus
+    * every [[c4CleanLines]] column from a single scan of the text,
+    * no join back on the id (which would also silently depend on id
+    * uniqueness). */
+  def qualityGate(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minWords: Int = 5): DataFrame = {
+    require(minWords >= 1, "[GRAFT] qualityGate: minWords must be >= 1")
+    val t = col(textCol)
+    WorkCols.spread(docs).select(col(idCol) +:
+      (gopherExprs(t) ++ c4Exprs(t, minWords))
+        .map { case (n, c) => c.as(n) }: _*)
   }
 
   /** PII detection patterns — deliberately in the portable regex

@@ -462,16 +462,12 @@ object Ingest {
     * idempotence and batch parity are testable. */
   private[graft] def qualityGateBatch(batch0: DataFrame, batchId: Long,
       outDir: String, minWords: Int, minKeptLines: Int): Unit = {
-    import graft.operators.TextAnalysis
     val batch = batch0.select(col("doc_id"), col("text"))
     if (batch.isEmpty) return
-    val g = TextAnalysis.gopherSignals(batch)
-      .select(col("doc_id"), col("gopher_pass"), col("n_words"),
-        col("stop_hits"))
-    val c = TextAnalysis.c4CleanLines(batch, minWords = minWords)
-      .select(col("doc_id"), col("page_drop"), col("n_kept"),
-        col("clean_text"))
-    g.join(c, Seq("doc_id"))
+    // ONE per-row projection computes both cascades (no second scan,
+    // no join back on doc_id — which would also silently depend on
+    // id uniqueness within the batch)
+    graft.operators.TextAnalysis.qualityGate(batch, minWords = minWords)
       .filter(col("gopher_pass") === 1L && col("page_drop") === 0L &&
         col("n_kept") >= minKeptLines.toLong)
       .select(col("doc_id"), col("clean_text").as("text"),

@@ -221,6 +221,27 @@ object ScaleProbe {
         graft.operators.Multimodal.resizeMedia(spark, media, 2, 3))
         .count()
     }
+    time("windowed audio energy/peak: 167k wav assets (1/3 of the " +
+        "500k docs) decoded + folded (per-partition kernel, no shuffle)") {
+      import org.apache.spark.sql.Encoders
+      val wav = graft.operators.Multimodal.synthesizeMedia(mediaDocs)
+        .filter(col("format") === "audio/wav")
+        .as[graft.operators.MediaRecord](
+          Encoders.product[graft.operators.MediaRecord])
+      graft.operators.Multimodal.audioEnergyWindows(spark, wav, 64)
+        .agg(sum($"energy")).collect()
+    }
+    // the cascade corpus must NOT be mediaDocs verbatim: its text
+    // starts with "lorem ipsum", which would trip the C4 page drop on
+    // 100% of rows — a degenerate short-circuit, not a filter pass
+    time("combined gopher + c4 quality gate over 500k docs (ONE " +
+        "codegen'd projection scan)") {
+      val cascadeDocs = mediaDocs.select($"doc_id",
+        regexp_replace($"text", "lorem ipsum", "steady prose").as("text"))
+      graft.operators.TextAnalysis.qualityGate(cascadeDocs)
+        .agg(sum($"gopher_pass"), sum($"n_kept"), sum($"page_drop"))
+        .collect()
+    }
     time("frame-sample every 4th frame of 500k ppm-stream videos " +
         "(sequential header walk)") {
       graft.operators.Multimodal.sampleFrames(spark,

@@ -716,6 +716,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(8L).getAs[Long]("stop_hits") < 2L)
   }
 
+  test("qualityGate: the one-scan combined projection matches " +
+      "gopherSignals joined with c4CleanLines column-for-column") {
+    val docs = spark.read.parquet(s"${GraftTest.sf0001}/documents.parquet")
+    val gate = TextAnalysis.qualityGate(docs)
+    val combined = gate.orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    val joined = TextAnalysis.gopherSignals(docs)
+      .join(TextAnalysis.c4CleanLines(docs), Seq("doc_id"))
+      .select(gate.columns.map(col).toIndexedSeq: _*)
+      .orderBy($"doc_id").collect().map(_.toSeq).toSeq
+    assert(combined.nonEmpty && combined === joined)
+  }
+
   test("c4 line cleaning: terminal-punct keep, short/javascript drops, " +
       "page-level lorem-ipsum/brace drop") {
     val d = Seq(
