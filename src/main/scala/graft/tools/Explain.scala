@@ -48,8 +48,9 @@ object Explain {
     show("join topk (expect: hash join, partial agg, TakeOrdered)") {
       graft.SparkEntry.queries("q3_join_topk")(spark, dir)
     }
-    show("minhash lsh (expect: ONE slim exchange on band/bsig into the " +
-        "bucket fold, double-Generate pair emit, pinned REPARTITION_BY_NUM " +
+    show("minhash lsh (expect: ONE slim pinned exchange on band/bsig + " +
+        "within-partition sort into the streaming bucket-pair scan " +
+        "(MapPartitions, O(maxBucket) state), pinned REPARTITION_BY_NUM " +
         "width under dedup+verify)") {
       Dedup.minHashLsh(spark.read.parquet(s"$dir/documents.parquet"), 0.8)
     }
