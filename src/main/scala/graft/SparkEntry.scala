@@ -3885,17 +3885,20 @@ object SparkEntry {
         |ORDER BY qid ASC, dist_milli ASC, vec_id ASC""".stripMargin,
 
     "multimodal_features" -> multimodalFeaturesOracle,
+    // sample values derive from the UTF-8 BYTES of the payload (the
+    // duckUtf8Bytes convention every byte-level multimodal/hash
+    // oracle uses) — codepoint arithmetic would silently diverge from
+    // the WAV byte stream on any non-ASCII corpus text
     "multimodal_audio_energy" ->
-      """WITH s AS (SELECT doc_id, text,
-        |    unnest(range(1, len(text) + 1)) AS i
-        |  FROM documents WHERE doc_id % 3 = 0)
+      s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (SELECT doc_id, unnest(bs) AS v,
+        |    unnest(range(1, len(bs) + 1)) AS i
+        |  FROM b)
         |SELECT doc_id, CAST((i - 1) // 64 AS BIGINT) AS win,
         |  CAST(count(*) AS BIGINT) AS n_samples,
-        |  CAST(sum((ord(substr(text, CAST(i AS INT), 1)) - 128)
-        |    * (ord(substr(text, CAST(i AS INT), 1)) - 128)) AS BIGINT)
-        |    AS energy,
-        |  CAST(max(abs(ord(substr(text, CAST(i AS INT), 1)) - 128))
-        |    AS BIGINT) AS peak
+        |  CAST(sum((v - 128) * (v - 128)) AS BIGINT) AS energy,
+        |  CAST(max(abs(v - 128)) AS BIGINT) AS peak
         |FROM s GROUP BY doc_id, win
         |ORDER BY doc_id ASC, win ASC""".stripMargin,
 

@@ -116,16 +116,19 @@ object BinaryIndex {
       packedRows(df, idCol, vecCol, dim).write.mode("overwrite")
         .parquet(stage)
       writeMetaInto(stage, Meta(dim, gen))
+      // retire the appendIdempotent marker HERE — after the (long,
+      // failure-prone) distributed stage write succeeded, before the
+      // publish rename. The delete must not sit after the swap: a
+      // crash in that window would leave the NEW artifact under the
+      // OLD sequence's high-watermark, silently no-op'ing every
+      // subsequent batch (data loss). And it must not run before the
+      // stage write either: a FAILED rebuild (executor loss, bad-dim
+      // row) would strip replay protection from the still-live old
+      // artifact. In this window the worst crash outcome is the OLD
+      // artifact without its marker: replays then re-append duplicate
+      // rows, which candidates()' post-cut collapse already tolerates.
+      fs.delete(new org.apache.hadoop.fs.Path(path, "_append_batch"), false)
     }
-    // retire the appendIdempotent marker BEFORE publishing: a rebuilt
-    // artifact starts a fresh batch sequence, and the delete must not
-    // sit after the swap — a crash in that window would leave the NEW
-    // artifact under the OLD sequence's high-watermark, making every
-    // replayed/fresh batch id at or below it a silent no-op (data
-    // loss). Deleting first, the worst crash outcome is the OLD
-    // artifact without its marker: replays then re-append (duplicate
-    // rows), which candidates()' post-cut collapse already tolerates.
-    fs.delete(new org.apache.hadoop.fs.Path(path, "_append_batch"), false)
     if (!fs.exists(live))
       ArtifactIo.publishFresh(fs, path, "packed",
         "binary index build")(writeStage)

@@ -363,45 +363,66 @@ object Dedup {
       .drop("bucket_n")
   }
 
-  /** Streaming per-bucket pair emission with O(`maxBucket`) state:
-    * consume key-sorted (key, id) rows, buffer each bucket's ids up
-    * to `maxBucket` + 1 (one element past the cap proves the bucket
+  /** Streaming per-bucket group fold with O(`maxBucket`) state — the
+    * ONE place cap semantics live for every pair emitter (minhash/
+    * containment ids in both integral and string flavors, simhash
+    * (id, sig) payloads), so they can never diverge: consume
+    * key-sorted (key, row) pairs, buffer each bucket up to
+    * `maxBucket` + 1 rows (one element past the cap proves the bucket
     * is over it — the buffer clears and the rest of the bucket skips,
-    * so a pathological bucket costs O(1) memory, not O(bucket)), then
-    * emit the sorted bucket's strict a < b pairs lazily. Duplicate
-    * ids inside a bucket never self-pair (the strict inequality —
-    * the same exclusion the capped self-join's `a.id < b.id` gave).
-    * Drop semantics match [[capBuckets]] exactly: a bucket with MORE
-    * than `maxBucket` rows contributes nothing. */
-  private def emitBucketPairs[K](rows: Iterator[(K, Long)],
-      maxBucket: Int): Iterator[(Long, Long)] = {
+    * so a pathological bucket costs O(1) memory, not O(bucket)), and
+    * hand each surviving bucket's buffer to `emit` for lazy pair
+    * generation. Drop semantics match [[capBuckets]] exactly: a
+    * bucket with MORE than `maxBucket` rows contributes nothing. */
+  private def emitBucketGroups[K, T, R](rows: Iterator[(K, T)],
+      maxBucket: Int)(
+      emit: scala.collection.mutable.ArrayBuffer[T] => Iterator[R])
+      : Iterator[R] = {
     val bi = rows.buffered
-    new Iterator[(Long, Long)] {
-      private var out: Iterator[(Long, Long)] = Iterator.empty
+    new Iterator[R] {
+      private var out: Iterator[R] = Iterator.empty
       private def advance(): Unit =
         while (!out.hasNext && bi.hasNext) {
           val key = bi.head._1
-          val buf = new scala.collection.mutable.ArrayBuffer[Long]()
+          val buf = new scala.collection.mutable.ArrayBuffer[T]()
           var overflow = false
           while (bi.hasNext && bi.head._1 == key) {
-            val id = bi.next()._2
+            val t = bi.next()._2
             if (!overflow) {
-              buf += id
+              buf += t
               if (buf.length > maxBucket) { overflow = true; buf.clear() }
             }
           }
-          if (!overflow && buf.length >= 2) {
-            val ids = buf.toArray
-            java.util.Arrays.sort(ids)
-            out = Iterator.range(0, ids.length - 1).flatMap(i =>
-              Iterator.range(i + 1, ids.length)
-                .filter(j => ids(j) != ids(i))
-                .map(j => (ids(i), ids(j))))
-          }
+          if (!overflow && buf.length >= 2) out = emit(buf)
         }
       def hasNext: Boolean = { advance(); out.hasNext }
-      def next(): (Long, Long) = { advance(); out.next() }
+      def next(): R = { advance(); out.next() }
     }
+  }
+
+  /** Sorted strict a < b pair emission for one surviving bucket —
+    * the capped self-join's `a.id < b.id` exclusion (duplicate ids
+    * never self-pair), lazy so a cap-sized bucket's ~maxBucket²/2
+    * pairs never materialize at once. */
+  private def idPairs[T](buf: scala.collection.mutable.ArrayBuffer[T])(
+      implicit ord: Ordering[T]): Iterator[(T, T)] = {
+    val ids = buf.sorted
+    Iterator.range(0, ids.length - 1).flatMap(i =>
+      Iterator.range(i + 1, ids.length)
+        .filter(j => ids(j) != ids(i))
+        .map(j => (ids(i), ids(j))))
+  }
+
+  /** [[idPairs]] with a signature riding along, hamming computed
+    * inline during emission. */
+  private def sigPairs[T](buf: scala.collection.mutable.ArrayBuffer[(T, Long)])(
+      implicit ord: Ordering[T]): Iterator[(T, T, Long)] = {
+    val xs = buf.sortBy(_._1)
+    Iterator.range(0, xs.length - 1).flatMap(i =>
+      Iterator.range(i + 1, xs.length)
+        .filter(j => xs(j)._1 != xs(i)._1)
+        .map(j => (xs(i)._1, xs(j)._1,
+          java.lang.Long.bitCount(xs(i)._2 ^ xs(j)._2).toLong)))
   }
 
   /** Bucket-fold candidate-pair generation, shared by the self-pair
@@ -422,15 +443,36 @@ object Dedup {
       maxBucket: Int): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types._
     val np = spark.sparkContext.defaultParallelism
-    banded
-      .select(col("band"), col("bsig"), col(idC).cast("long").as("__id"))
+    def keyed(id: Column) = banded
+      .select(col("band"), col("bsig"), id.as("__id"))
       .repartition(np, col("band"), col("bsig"))
       .sortWithinPartitions(col("band"), col("bsig"))
-      .as[(Int, Seq[Long], Long)]
-      .mapPartitions(it => emitBucketPairs(
-        it.map { case (band, bsig, id) => ((band, bsig), id) }, maxBucket))
-      .toDF("a", "b")
+    // the id rides through a typed per-partition pass: integral ids
+    // widen to BIGINT a/b, string ids stay strings (a < b then means
+    // Java string order); anything else fails loudly at plan time
+    // rather than as a NULL-decode crash mid-job
+    val pairs = banded.schema(idC).dataType match {
+      case StringType =>
+        keyed(col(idC))
+          .as[(Int, Seq[Long], String)]
+          .mapPartitions(it => emitBucketGroups(
+            it.map { case (band, bsig, id) => ((band, bsig), id) },
+            maxBucket)(idPairs[String]))
+          .toDF("a", "b")
+      case ByteType | ShortType | IntegerType | LongType =>
+        keyed(col(idC).cast("long"))
+          .as[(Int, Seq[Long], Long)]
+          .mapPartitions(it => emitBucketGroups(
+            it.map { case (band, bsig, id) => ((band, bsig), id) },
+            maxBucket)(idPairs[Long]))
+          .toDF("a", "b")
+      case other => throw new IllegalArgumentException(
+        s"[GRAFT] LSH pair id column must be integral or string, " +
+          s"got $other")
+    }
+    pairs
       .repartition(np, col("a"), col("b"))
       .dropDuplicates("a", "b")
   }
@@ -803,69 +845,46 @@ object Dedup {
     simHashFoldPairs(banded, maxBucket, maxHamming)
   }
 
-  /** [[emitBucketPairs]]' simhash twin: the buffer carries (id, sig)
-    * — 16 bytes per row, still O(`maxBucket`) per bucket — so each
-    * pair's hamming computes INLINE during emission (no verify join
-    * back). Strict id inequality as in [[emitBucketPairs]]. */
-  private def emitBucketSigPairs[K](rows: Iterator[(K, Long, Long)],
-      maxBucket: Int): Iterator[(Long, Long, Long)] = {
-    val bi = rows.buffered
-    new Iterator[(Long, Long, Long)] {
-      private var out: Iterator[(Long, Long, Long)] = Iterator.empty
-      private def advance(): Unit =
-        while (!out.hasNext && bi.hasNext) {
-          val key = bi.head._1
-          val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-          var overflow = false
-          while (bi.hasNext && bi.head._1 == key) {
-            val r = bi.next()
-            if (!overflow) {
-              buf += ((r._2, r._3))
-              if (buf.length > maxBucket) { overflow = true; buf.clear() }
-            }
-          }
-          if (!overflow && buf.length >= 2) {
-            val xs = buf.toArray
-            java.util.Arrays.sort(xs,
-              Ordering.by((p: (Long, Long)) => p._1))
-            out = Iterator.range(0, xs.length - 1).flatMap(i =>
-              Iterator.range(i + 1, xs.length)
-                .filter(j => xs(j)._1 != xs(i)._1)
-                .map { j =>
-                  (xs(i)._1, xs(j)._1,
-                    java.lang.Long.bitCount(xs(i)._2 ^ xs(j)._2).toLong)
-                })
-          }
-        }
-      def hasNext: Boolean = { advance(); out.hasNext }
-      def next(): (Long, Long, Long) = { advance(); out.next() }
-    }
-  }
-
   /** [[foldBucketPairs]]' simhash twin — same pinned-shuffle + sorted
     * streaming pass, with the signature riding along so hamming
-    * computes inline ([[emitBucketSigPairs]]); hamming is identical
+    * computes inline ([[sigPairs]]); hamming is identical
     * for a pair whichever band emits it, so filtering after the
     * dedup is sound. */
   private def simHashFoldPairs(banded: DataFrame, maxBucket: Int,
       maxHamming: Int): DataFrame = {
     val spark = banded.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types._
     val np = spark.sparkContext.defaultParallelism
-    banded
-      .select(col("band"), col("bval"), col("id").cast("long").as("__id"),
-        col("sig"))
+    def keyed(id: Column) = banded
+      .select(col("band"), col("bval"), id.as("__id"), col("sig"))
       .repartition(np, col("band"), col("bval"))
       .sortWithinPartitions(col("band"), col("bval"))
-      .as[(Int, Long, Long, Long)]
-      .mapPartitions(it => emitBucketSigPairs(
-        it.map { case (band, bval, id, sig) => ((band, bval), id, sig) },
-        maxBucket))
-      .toDF("a", "b", "hamming")
+    val pairs = banded.schema("id").dataType match {
+      case StringType =>
+        keyed(col("id"))
+          .as[(Int, Long, String, Long)]
+          .mapPartitions(it => emitBucketGroups(
+            it.map { case (band, bval, id, sig) => ((band, bval), (id, sig)) },
+            maxBucket)(sigPairs[String]))
+          .toDF("a", "b", "hamming")
+      case ByteType | ShortType | IntegerType | LongType =>
+        keyed(col("id").cast("long"))
+          .as[(Int, Long, Long, Long)]
+          .mapPartitions(it => emitBucketGroups(
+            it.map { case (band, bval, id, sig) => ((band, bval), (id, sig)) },
+            maxBucket)(sigPairs[Long]))
+          .toDF("a", "b", "hamming")
+      case other => throw new IllegalArgumentException(
+        s"[GRAFT] simhash pair id column must be integral or string, " +
+          s"got $other")
+    }
+    pairs
       .repartition(np, col("a"), col("b"))
       .dropDuplicates("a", "b")
       .filter(col("hamming") <= maxHamming)
   }
+
 
   /** Embedding near-dup, exact within a blocking group (oracle-checkable
     * twin): pairs with cosine distance < tau. */

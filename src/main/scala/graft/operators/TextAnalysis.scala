@@ -206,33 +206,6 @@ object TextAnalysis {
   val GopherStopWords: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  /** Gopher document-level quality RULES (Rae et al. 2021, table A1 —
-    * re-derived): the named boolean filter cascade production corpora
-    * run BEFORE model-based scoring, complementing [[qualityMilli]]
-    * (one blended score) and [[repetitionSignals]] (the repetition
-    * half of the same table). Per document, exact integer signals:
-    *
-    *   - `n_words` — whitespace tokens; rule: 50 ≤ n ≤ 100 000.
-    *   - `mean_word_len_milli` — floor(1000·chars/words);
-    *     rule: 3 000 ≤ m ≤ 10 000 (3–10 chars).
-    *   - `symbol_word_milli` — (`#` + `...` occurrences)·1000/words;
-    *     rule: ≤ 100 (0.1 symbols per word).
-    *   - `ellipsis_line_milli` — fraction of non-blank lines ending
-    *     in `...`; rule: ≤ 300.
-    *   - `bullet_line_milli` — fraction of non-blank lines starting
-    *     with a bullet (`-`, `*`, `•`); rule: ≤ 900.
-    *   - `alpha_word_milli` — fraction of words containing at least
-    *     one ASCII letter; rule: ≥ 800.
-    *   - `stop_hits` — how many of [[GopherStopWords]] occur as
-    *     tokens; rule: ≥ 2.
-    *   - `gopher_pass` — 1 iff every rule holds.
-    *
-    * All thresholds are the paper's defaults. Pure per-row projection
-    * (one scan, no UDF; few-file inputs spread first — the standing
-    * compute-bound-kernel convention, a no-op on real many-file
-    * corpora) — the 100 TB cost is one read of the text column.
-    * Integer milli-units via the repo's floor convention, so the
-    * DuckDB oracle reproduces every signal bit-for-bit. */
   /** The Gopher rule signals as named column expressions over a text
     * column — shared by [[gopherSignals]] and the one-scan
     * [[qualityGate]] (whole-stage codegen's subexpression elimination
@@ -270,6 +243,33 @@ object TextAnalysis {
       "stop_hits" -> stopHits, "gopher_pass" -> pass)
   }
 
+  /** Gopher document-level quality RULES (Rae et al. 2021, table A1 —
+    * re-derived): the named boolean filter cascade production corpora
+    * run BEFORE model-based scoring, complementing [[qualityMilli]]
+    * (one blended score) and [[repetitionSignals]] (the repetition
+    * half of the same table). Per document, exact integer signals:
+    *
+    *   - `n_words` — whitespace tokens; rule: 50 ≤ n ≤ 100 000.
+    *   - `mean_word_len_milli` — floor(1000·chars/words);
+    *     rule: 3 000 ≤ m ≤ 10 000 (3–10 chars).
+    *   - `symbol_word_milli` — (`#` + `...` occurrences)·1000/words;
+    *     rule: ≤ 100 (0.1 symbols per word).
+    *   - `ellipsis_line_milli` — fraction of non-blank lines ending
+    *     in `...`; rule: ≤ 300.
+    *   - `bullet_line_milli` — fraction of non-blank lines starting
+    *     with a bullet (`-`, `*`, `•`); rule: ≤ 900.
+    *   - `alpha_word_milli` — fraction of words containing at least
+    *     one ASCII letter; rule: ≥ 800.
+    *   - `stop_hits` — how many of [[GopherStopWords]] occur as
+    *     tokens; rule: ≥ 2.
+    *   - `gopher_pass` — 1 iff every rule holds.
+    *
+    * All thresholds are the paper's defaults. Pure per-row projection
+    * (one scan, no UDF; few-file inputs spread first — the standing
+    * compute-bound-kernel convention, a no-op on real many-file
+    * corpora) — the 100 TB cost is one read of the text column.
+    * Integer milli-units via the repo's floor convention, so the
+    * DuckDB oracle reproduces every signal bit-for-bit. */
   def gopherSignals(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
     // per-row rule evaluation is compute-bound (regex + HOF lambdas
@@ -278,21 +278,6 @@ object TextAnalysis {
     WorkCols.spread(docs).select(col(idCol) +:
       gopherExprs(col(textCol)).map { case (n, c) => c.as(n) }: _*)
 
-  /** C4 line-level cleaning (Raffel et al. 2020 §2.2 — re-derived):
-    * the other canonical pre-training filter cascade. Lines are kept
-    * only if, after trimming, they end in terminal punctuation
-    * (`.`, `!`, `?`, `"`), have at least `minWords` whitespace words,
-    * and do not mention "javascript" (case-insensitive); pages
-    * containing `{` (code) or "lorem ipsum" (boilerplate) are flagged
-    * dropped wholesale. Output per document: `page_drop` (1/0),
-    * `n_lines` (non-blank), `n_kept`, and `clean_text` (kept lines
-    * re-joined with `\n`; NULL when the page drops — the flag is the
-    * verdict, the NULL keeps accidental downstream use loud).
-    *
-    * Pure per-row projection (one scan, no UDF; few-file inputs
-    * spread first, as in [[gopherSignals]]); the curse-word list of
-    * the paper is out of scope (corpus-specific policy, not engine
-    * semantics). */
   /** The C4 cleaning outputs as named column expressions — shared by
     * [[c4CleanLines]] and [[qualityGate]]. */
   private def c4Exprs(t: Column, minWords: Int): Seq[(String, Column)] = {
@@ -312,6 +297,21 @@ object TextAnalysis {
       "clean_text" -> when(pageDrop === 0L, array_join(kept, "\n")))
   }
 
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2 — re-derived):
+    * the other canonical pre-training filter cascade. Lines are kept
+    * only if, after trimming, they end in terminal punctuation
+    * (`.`, `!`, `?`, `"`), have at least `minWords` whitespace words,
+    * and do not mention "javascript" (case-insensitive); pages
+    * containing `{` (code) or "lorem ipsum" (boilerplate) are flagged
+    * dropped wholesale. Output per document: `page_drop` (1/0),
+    * `n_lines` (non-blank), `n_kept`, and `clean_text` (kept lines
+    * re-joined with `\n`; NULL when the page drops — the flag is the
+    * verdict, the NULL keeps accidental downstream use loud).
+    *
+    * Pure per-row projection (one scan, no UDF; few-file inputs
+    * spread first, as in [[gopherSignals]]); the curse-word list of
+    * the paper is out of scope (corpus-specific policy, not engine
+    * semantics). */
   def c4CleanLines(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minWords: Int = 5): DataFrame = {
     require(minWords >= 1, "[GRAFT] c4CleanLines: minWords must be >= 1")

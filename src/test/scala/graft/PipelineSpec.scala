@@ -259,6 +259,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(sGot === sRef)
   }
 
+  test("LSH pair operators accept STRING doc ids (UUID-style corpora) " +
+      "and reject unsupported id types loudly") {
+    val base = Seq(
+      ("doc-a", "alpha beta gamma delta epsilon zeta"),
+      ("doc-b", "alpha beta gamma delta epsilon zeta"),
+      ("doc-c", "one two three four five six"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minHashLsh(base, threshold = 0.9)
+      .as[(String, String, Long)].collect().toSeq
+    assert(got === Seq(("doc-a", "doc-b", 1000L)))
+    val sh = Dedup.simHashPairs(base)
+      .as[(String, String, Long)].collect().toSeq
+    assert(sh === Seq(("doc-a", "doc-b", 0L)))
+    val err = intercept[IllegalArgumentException] {
+      Dedup.minHashLsh(base.withColumn("doc_id", lit(1.5)), 0.9).collect()
+    }
+    assert(err.getMessage.contains("integral or string"))
+  }
+
   test("connected components: multi-hop chains collapse to min label") {
     // components: {1,2,3,4} via chain 1-2-3-4, {10,11}, isolated via
     // no edges never appears
