@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -156,11 +154,17 @@ object BinaryIndex {
   }
 
   /** [[append]] guarded by a monotonic batch marker
-    * (`<path>/_append_batch`, tmp-then-rename — the
+    * (`<path>/_append_batch`, tmp + ATOMIC overwrite-rename via
+    * [[ArtifactIo.writeSmallFileAtomic]] — the
     * [[graft.streaming.Ingest.appendBatchIdempotent]] protocol):
     * a replay of an already-committed `batchId` is an exact no-op, so
-    * at-least-once drivers never double-store a vector. Only a crash
-    * INSIDE the append→marker window can still duplicate (and
+    * at-least-once drivers never double-store a vector. The
+    * FileContext Rename.OVERWRITE commit means there is NEVER an
+    * instant without a marker on disk — a delete-then-rename commit
+    * would let a crash in between erase the high-watermark and replay
+    * EVERY previously committed batch as duplicate appends, a far
+    * wider hazard than the documented append→marker window. Only a
+    * crash INSIDE that append→marker window can still duplicate (and
     * [[candidates]]' post-cut collapse keeps even that from
     * corrupting results). [[build]] retires the marker — a rebuilt
     * artifact starts a fresh batch sequence. Returns whether the
@@ -174,15 +178,8 @@ object BinaryIndex {
       else ArtifactIo.readFile(fs, marker).trim.toLong
     if (batchId <= last) return false
     append(df, path, idCol, vecCol)
-    val tmp = new org.apache.hadoop.fs.Path(path, "_append_batch.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(batchId.toString
-      .getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(marker)) fs.delete(marker, false)
-    if (!fs.rename(tmp, marker))
-      throw new java.io.IOException(
-        s"[GRAFT] binary index: cannot commit batch marker $marker")
+    ArtifactIo.writeSmallFileAtomic(path, "_append_batch",
+      batchId.toString)
     true
   }
 
@@ -201,20 +198,26 @@ object BinaryIndex {
     // can never be a candidate — and Spark's default ascending sort
     // is NULLS FIRST, which would otherwise park such rows at the
     // TOP of every candidate list
-    // the corpus-wide cut stays a TakeOrderedAndProject; the
-    // duplicate collapse below touches only its <= n survivors. A
-    // replayed plain append() can store an id twice — without the
-    // collapse the same id could occupy several top-n slots. With
-    // it, each stored duplicate can only shrink the distinct
-    // candidate count below n (documented on [[append]]).
+    // the corpus-wide cut stays a TakeOrderedAndProject, OVER-FETCHED
+    // to 2n slots: a replayed plain append() can store an id twice,
+    // and with a bare n-cut each stored duplicate would evict one
+    // DISTINCT candidate (silently shrinking two-tier probe recall —
+    // callers of probe()/search() cannot compensate). Fetching 2n,
+    // collapsing duplicates, and re-cutting to n returns n distinct
+    // ids unless more than HALF the top-2n slots are duplicates (a
+    // store that degraded is past compaction anyway, and a rebuild
+    // resets it). Duplicate-free stores are unchanged: top-2n
+    // distinct re-cut to n ≡ top-n.
+    val overFetch = math.min(2L * n, Int.MaxValue.toLong).toInt
     spark.read.parquet(s"$path/packed")
       .select(col("id"),
         vfs_hamming(col("packed"), typedLit(qPacked.toSeq)).as("ham"))
       .filter(col("ham").isNotNull)
       .orderBy(col("ham").asc, col("id").asc)
-      .limit(n)
+      .limit(overFetch)
       .groupBy(col("id")).agg(min(col("ham")).as("ham"))
       .orderBy(col("ham").asc, col("id").asc)
+      .limit(n)
   }
 
   /** Full two-tier probe: coarse Hamming candidates from the sidecar,

@@ -400,6 +400,32 @@ object Dedup {
     }
   }
 
+  /** String ordering by UTF-8 BYTES (unsigned lexicographic) — the
+    * order Spark's `a.id < b.id` join condition applies to StringType
+    * (UTF8String.binaryCompare). Java's natural Ordering[String]
+    * compares UTF-16 code units instead, which diverges for
+    * supplementary (non-BMP) code points: they encode as surrogates
+    * (0xD800–0xDFFF), which sort BELOW U+E000–U+FFFF chars in UTF-16
+    * order but ABOVE them in code-point/UTF-8 order. The typed pair
+    * folds sort with THIS ordering so their a/b orientation stays
+    * bit-identical to the capped self-join on any id, not just
+    * BMP/ASCII ones. */
+  private[operators] val utf8ByteOrdering: Ordering[String] =
+    new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val n = math.min(ab.length, bb.length)
+        var i = 0
+        while (i < n) {
+          val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        ab.length - bb.length
+      }
+    }
+
   /** Sorted strict a < b pair emission for one surviving bucket —
     * the capped self-join's `a.id < b.id` exclusion (duplicate ids
     * never self-pair), lazy so a cap-sized bucket's ~maxBucket²/2
@@ -445,21 +471,32 @@ object Dedup {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val np = spark.sparkContext.defaultParallelism
+    // NULL ids are excluded BEFORE the typed pass — the replaced
+    // self-join's `a.id < b.id` silently dropped them (NULL compare),
+    // and buf.sorted over a null element would instead throw an
+    // opaque NPE mid-job. NULL keys (a NULL-text doc's sig slices)
+    // are excluded for the same join-parity reason: an equi-join
+    // never matches NULL = NULL, but tuple grouping WOULD bucket
+    // them together.
     def keyed(id: Column) = banded
+      .filter(col(idC).isNotNull && col("band").isNotNull &&
+        col("bsig").isNotNull)
       .select(col("band"), col("bsig"), id.as("__id"))
       .repartition(np, col("band"), col("bsig"))
       .sortWithinPartitions(col("band"), col("bsig"))
     // the id rides through a typed per-partition pass: integral ids
-    // widen to BIGINT a/b, string ids stay strings (a < b then means
-    // Java string order); anything else fails loudly at plan time
-    // rather than as a NULL-decode crash mid-job
+    // widen to BIGINT a/b, string ids sort by UTF-8 bytes
+    // ([[utf8ByteOrdering]] — a < b matches the self-join's
+    // UTF8String compare on every id, incl. non-BMP); anything else
+    // fails loudly at plan time rather than as a NULL-decode crash
+    // mid-job
     val pairs = banded.schema(idC).dataType match {
       case StringType =>
         keyed(col(idC))
           .as[(Int, Seq[Long], String)]
           .mapPartitions(it => emitBucketGroups(
             it.map { case (band, bsig, id) => ((band, bsig), id) },
-            maxBucket)(idPairs[String]))
+            maxBucket)(idPairs[String](_)(utf8ByteOrdering)))
           .toDF("a", "b")
       case ByteType | ShortType | IntegerType | LongType =>
         keyed(col(idC).cast("long"))
@@ -856,7 +893,10 @@ object Dedup {
     import spark.implicits._
     import org.apache.spark.sql.types._
     val np = spark.sparkContext.defaultParallelism
+    // NULL exclusion + UTF-8 byte ordering: the same self-join-parity
+    // stance as [[foldBucketPairs]] (see the comment there)
     def keyed(id: Column) = banded
+      .filter(col("id").isNotNull && col("sig").isNotNull)
       .select(col("band"), col("bval"), id.as("__id"), col("sig"))
       .repartition(np, col("band"), col("bval"))
       .sortWithinPartitions(col("band"), col("bval"))
@@ -866,7 +906,7 @@ object Dedup {
           .as[(Int, Long, String, Long)]
           .mapPartitions(it => emitBucketGroups(
             it.map { case (band, bval, id, sig) => ((band, bval), (id, sig)) },
-            maxBucket)(sigPairs[String]))
+            maxBucket)(sigPairs[String](_)(utf8ByteOrdering)))
           .toDF("a", "b", "hamming")
       case ByteType | ShortType | IntegerType | LongType =>
         keyed(col("id").cast("long"))

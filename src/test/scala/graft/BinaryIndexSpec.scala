@@ -179,6 +179,25 @@ class BinaryIndexSpec extends AnyFunSuite {
     assert(BinaryIndex.appendIdempotent(delta, dir, batchId = 0L))
   }
 
+  test("over-fetched coarse cut: plain-append duplicates occupying " +
+      "top-n slots do not shrink the DISTINCT candidate count below n") {
+    val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+    val dir = tmp()
+    BinaryIndex.build(emb, dir)
+    val q = emb.filter($"vec_id" === 1L).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val baseline = BinaryIndex.candidates(spark, dir, q, n = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(baseline.size === 10)
+    // replay-append the 5 NEAREST ids: each now occupies two of the
+    // raw top-10 slots — a bare n-cut would return only 5 distinct
+    val top5 = baseline.take(5).map(_._1)
+    BinaryIndex.append(emb.filter($"vec_id".isin(top5: _*)), dir)
+    val cand = BinaryIndex.candidates(spark, dir, q, n = 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(cand === baseline) // n distinct ids, order and hams intact
+  }
+
   test("dim probe ignores whole-NULL vectors even under " +
       "spark.sql.legacy.sizeOfNull=true (size(NULL) = -1 must not " +
       "fail the uniform-dims check)") {

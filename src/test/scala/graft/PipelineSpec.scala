@@ -278,6 +278,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(err.getMessage.contains("integral or string"))
   }
 
+  test("string-id pair folds: non-BMP ids orient by UTF-8 bytes " +
+      "(self-join parity) and NULL ids are excluded, not an NPE") {
+    // U+1F600 (non-BMP) encodes as UTF-16 surrogates 0xD83D 0xDE00,
+    // which sort BELOW U+FFFF in Java string order but ABOVE it in
+    // code-point/UTF-8 order — the exact divergence the typed pass
+    // must not introduce vs the self-join's UTF8String compare
+    val idLo = "z￿"        // code point U+FFFF
+    val idHi = "z😀"  // code point U+1F600 > U+FFFF
+    assert(idHi.compareTo(idLo) < 0) // Java order says hi < lo...
+    val base = Seq(
+      (Option(idLo), "alpha beta gamma delta epsilon zeta"),
+      (Option(idHi), "alpha beta gamma delta epsilon zeta"),
+      (Option.empty[String], "alpha beta gamma delta epsilon zeta"),
+      (Option("plain"), "one two three four five six"))
+      .toDF("doc_id", "text")
+    // ...but the emitted pair must orient (a, b) = (idLo, idHi), the
+    // UTF-8 byte order; the NULL-id row shares the bucket and must be
+    // silently dropped (the self-join's NULL-compare exclusion)
+    val mh = Dedup.minHashLsh(base, threshold = 0.9)
+      .as[(String, String, Long)].collect().toSeq
+    assert(mh === Seq((idLo, idHi, 1000L)))
+    val sh = Dedup.simHashPairs(base)
+      .as[(String, String, Long)].collect().toSeq
+    assert(sh === Seq((idLo, idHi, 0L)))
+    // and the self-join reference agrees on the orientation
+    val joined = base.as("x").join(base.as("y"),
+        col("x.text") === col("y.text") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .as[(String, String)].collect().toSeq
+    assert(joined === Seq((idLo, idHi)))
+  }
+
   test("connected components: multi-hop chains collapse to min label") {
     // components: {1,2,3,4} via chain 1-2-3-4, {10,11}, isolated via
     // no edges never appears
