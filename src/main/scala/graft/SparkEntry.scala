@@ -2168,6 +2168,29 @@ object SparkEntry {
         .orderBy(col("probe_id").asc, col("corpus_id").asc)
     }),
 
+    // ---- the takedown twin: same build+append lifecycle, then ids
+    // 300-349 are HARD-DELETED from the standing band table before
+    // the probe — deleted docs must never reappear as candidates,
+    // and the bucket cap applies to the post-delete table (current
+    // buckets, exactly as a fresh join would see them) ----
+    "dedup_lsh_takedown" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val corpus = docs.filter(col("doc_id") >= 100)
+      val delta = docs.filter(col("doc_id") < 100)
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-lsh-del").toString
+      graft.operators.LshTextIndex.build(
+        corpus.filter(col("doc_id") < 300), idx)
+      graft.operators.LshTextIndex.append(
+        corpus.filter(col("doc_id") >= 300), idx)
+      val removed = graft.operators.LshTextIndex.deleteIds(s, idx,
+        (300L until 350L).map(v => v: Any))
+      require(removed > 0L, "[GRAFT] takedown removed no band rows")
+      graft.operators.LshTextIndex.probe(s, idx, delta, corpus,
+          threshold = 0.9)
+        .orderBy(col("probe_id").asc, col("corpus_id").asc)
+    }),
+
     // ---- BM25 lexical relevance against a fixed query — the
     // lexical half of hybrid retrieval; exact-integer milli scores
     // (linear-rarity idf, per-term LONG contributions summed) so the
@@ -3923,6 +3946,10 @@ object SparkEntry {
         |ORDER BY vec_id ASC""".stripMargin,
 
     "dedup_incremental_lsh" -> minHashLshIncOracle,
+    // takedown twin: the stored side excludes the hard-deleted ids,
+    // and the bucket cap re-evaluates over the post-delete table
+    "dedup_lsh_takedown" -> minHashLshIncOracleWhere(
+      "doc_id >= 100 AND doc_id NOT BETWEEN 300 AND 349"),
 
     "text_bm25" -> bm25Oracle,
     "sql_tvf_bm25" -> bm25Oracle,
@@ -4396,8 +4423,15 @@ object SparkEntry {
     * table only; the delta (doc_id < 100) bands uncapped — exactly
     * [[operators.LshTextIndex.probe]]'s semantics. */
   private def minHashLshIncOracle: String =
+    minHashLshIncOracleWhere("doc_id >= 100")
+
+  /** [[minHashLshIncOracle]] with a caller-chosen stored-side
+    * predicate — the takedown twin restricts the corpus to the
+    * post-delete survivors (and the bucket cap re-evaluates over
+    * exactly that table, the artifact's probe-time-cap contract). */
+  private def minHashLshIncOracleWhere(storedWhere: String): String =
     s"""WITH $minHashBandCtes,
-       |capped AS (SELECT doc_id, band, bsig FROM bb WHERE doc_id >= 100
+       |capped AS (SELECT doc_id, band, bsig FROM bb WHERE $storedWhere
        |  QUALIFY count(*) OVER (PARTITION BY band, bsig) <= 1000),
        |cand AS (SELECT DISTINCT p.doc_id AS probe_id, c.doc_id AS corpus_id
        |  FROM (SELECT * FROM bb WHERE doc_id < 100) p JOIN capped c

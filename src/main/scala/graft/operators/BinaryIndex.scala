@@ -183,6 +183,40 @@ object BinaryIndex {
     true
   }
 
+  /** Hard-delete vectors from the sidecar — the takedown/GDPR path
+    * ([[IvfIndex.deleteIds]]'s binary-tier twin): a deleted vector's
+    * packed signs must never surface it as a Hamming candidate again.
+    * One anti-join rewrite against the (driver-sized, by contract)
+    * deletion batch, republished with the staged two-rename swap
+    * ([[ArtifactIo.stagedSwap]]) so a crash leaves either the old
+    * sidecar or the new one, never a partial mix. The sidecar is one
+    * flat table (not id-partitioned — it exists to be scanned whole
+    * by every coarse cut), so a delete is a full physical rewrite;
+    * batch deletions amortize like compactions. `generation` bumps
+    * and `dim` stays frozen. The `_append_batch` high-watermark is
+    * deliberately NOT retired: it is monotonic, so replays of
+    * already-committed batches still no-op and can never resurrect a
+    * deleted id. Single-writer maintenance op. Returns the number of
+    * sidecar rows removed (can exceed |ids| after plain-append
+    * replays — every stored duplicate goes). */
+  def deleteIds(spark: SparkSession, path: String,
+      ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    val fs = fsOf(path)
+    ArtifactIo.healParked(fs, path, "packed", "binary index delete")
+    val m = readMeta(path)
+    val idSeq = ids.distinct
+    val packed = spark.read.parquet(s"$path/packed")
+    val removed = packed.filter(col("id").isin(idSeq: _*)).count()
+    val kept = packed.filter(!col("id").isin(idSeq: _*))
+    ArtifactIo.stagedSwap(fs, path, "packed",
+      "binary index delete") { stage =>
+      kept.write.mode("overwrite").parquet(stage)
+      writeMetaInto(stage, Meta(m.dim, m.generation + 1))
+    }
+    removed
+  }
+
   /** Coarse tier: (id, ham) of the `n` nearest sidecar rows by
     * (Hamming, id) — reads ONLY the packed words (column-pruned
     * scan, 32× fewer bytes than the float column), scores inside

@@ -247,6 +247,49 @@ object GramIndex {
     Dedup.explodeSpans(Dedup.foldSpans(dupStarts, k), idCol)
   }
 
+  /** Takedown for the presence set: REBUILD the gram table from the
+    * surviving corpus — the gram-index leg of the takedown story
+    * ([[IvfIndex.deleteIds]] / [[LshTextIndex.deleteIds]] /
+    * [[BinaryIndex.deleteIds]]).
+    *
+    * WHY rebuild, not subtract: the artifact stores 8 bytes per
+    * DISTINCT gram and nothing else — presence is the whole verdict,
+    * which is exactly what makes build/append/probe ∝ |input|. A
+    * gram of a deleted document usually also occurs in documents
+    * that survive, and the set records no per-document provenance,
+    * so subtraction is UNDEFINED on this layout. The alternative —
+    * per-gram refcounts maintained at build/append — would double
+    * the standing row width, turn every blind `mode("append")` into
+    * a read-modify-write merge (the cost model the whole artifact
+    * exists to avoid), and still rewrite the table on delete.
+    * Takedowns are rare, batched compliance events; pricing them as
+    * one corpus pass (exactly a [[build]]) keeps the hot paths
+    * untouched. Callers on a RELATIVE-cost budget can batch retires
+    * the way they batch [[compact]]s.
+    *
+    * `survivors` is the post-takedown corpus (the system of record —
+    * same source [[build]] read). `k` stays frozen from the
+    * artifact; `generation` bumps (via [[build]]'s rebuild path), so
+    * derived artifacts can detect the change. Crash-safe via the
+    * same staged two-rename swap as every rebuild. The
+    * batch-addressed streaming layout refuses loudly — its standing
+    * set is owned by the stream's replay protocol
+    * ([[compactBatched]]); stop the stream and rebuild through its
+    * own sink if a takedown must hit it. */
+  def retire(spark: SparkSession, path: String, survivors: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val fs = fsOf(path)
+    ArtifactIo.healParked(fs, path, "grams", "gram index retire")
+    val m = readMeta(path)
+    require(!spark.read.parquet(s"$path/grams").columns
+        .contains("batch"),
+      "[GRAFT] retire: this is a BATCH-ADDRESSED streaming layout " +
+        "(grams/batch=<id>) — its standing set is owned by the " +
+        "stream's replay protocol; stop the stream and rebuild " +
+        "through its own sink instead")
+    build(survivors, path, m.k, textCol, idCol)
+  }
+
   /** Fold duplicate hashes from appended file sets into one compact
     * table — the [[stagedSwap]] path, mirroring
     * [[LshTextIndex.compact]]. The unchanged metadata rides INSIDE

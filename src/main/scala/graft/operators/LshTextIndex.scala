@@ -204,6 +204,42 @@ object LshTextIndex {
       "corpus_id", textCol, idCol, threshold)
   }
 
+  /** Hard-delete documents from the band table — the takedown/GDPR
+    * path ([[IvfIndex.deleteIds]]'s text twin): a deleted document's
+    * band triples must never surface it as a probe candidate again.
+    * One anti-join of the stored triples against the (driver-sized,
+    * by contract) deletion batch, republished with the same staged
+    * two-rename swap as [[compact]] — a crash leaves either the old
+    * table or the new one, never a partial mix. Unlike the IVF
+    * artifact (partitioned by cluster, so deletes rewrite only
+    * touched partitions) the band table is not partitioned by id —
+    * a delete is a full physical rewrite, i.e. a [[compact]] with
+    * survivors only; batch deletions amortize exactly like
+    * compactions do. `generation` bumps (a semantic change, same
+    * stance as IVF deleteIds). `ids` match the band table's id
+    * column by equality after Spark's usual implicit cast (pass
+    * strings for string-keyed corpora). Single-writer maintenance
+    * op. Returns the number of band triples removed. */
+  def deleteIds(spark: SparkSession, path: String,
+      ids: Seq[Any]): Long = {
+    if (ids.isEmpty) return 0L
+    val fs = fsOf(path)
+    ArtifactIo.healParked(fs, path, "bands", "lsh delete")
+    val m = readMeta(path)
+    val bands = spark.read.parquet(s"$path/bands")
+    // removed count from a pushed-down IN scan (tiny), priced before
+    // the swap so the rewrite itself stays a single pass
+    val removed = bands.filter(col("id").isin(ids: _*)).count()
+    val kept = bands.filter(!col("id").isin(ids: _*))
+      .repartition(col("band"))
+    stagedSwap(fs, path, "lsh delete") { stage =>
+      kept.write.mode("overwrite").parquet(stage)
+      writeMetaInto(stage, m.copy(generation = m.generation + 1))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(path, "lsh.json"), false)
+    removed
+  }
+
   /** Rewrite the band table into one file per shuffle partition —
     * each [[append]] adds a file set, and probe latency grows with
     * files listed (the classic small-files problem). The unchanged

@@ -74,6 +74,116 @@ class PipelineSpec extends AnyFunSuite {
     assert(LshTextIndex.readMeta(path).generation === 2)
   }
 
+  test("LSH index takedown: a deleted corpus doc never reappears as a " +
+      "probe candidate; unrelated pairs survive; generation bumps") {
+    val delta = docs.filter($"doc_id" < 100)
+    val corpus = docs.filter($"doc_id" >= 100)
+    val path = Files.createTempDirectory("graft-lsh-del").toString
+    LshTextIndex.build(corpus.filter($"doc_id" < 300), path)
+    LshTextIndex.append(corpus.filter($"doc_id" >= 300), path)
+    val before = LshTextIndex.probe(spark, path, delta, corpus,
+        threshold = 0.9)
+      .select($"probe_id", $"corpus_id", $"jaccard_milli")
+      .as[(Long, Long, Long)].collect().toSet
+    val victims = before.map(_._2).take(3)
+    assert(victims.nonEmpty, "calibration: expected corpus-side hits")
+    val gen0 = LshTextIndex.readMeta(path).generation
+    val removed = LshTextIndex.deleteIds(spark, path,
+      victims.toSeq.map(v => v: Any))
+    assert(removed > 0L)
+    assert(LshTextIndex.readMeta(path).generation === gen0 + 1)
+    // the band table holds NO residue of the victims at all
+    assert(spark.read.parquet(s"$path/bands")
+      .filter($"id".isin(victims.toSeq: _*)).count() === 0L)
+    val after = LshTextIndex.probe(spark, path, delta, corpus,
+        threshold = 0.9)
+      .select($"probe_id", $"corpus_id", $"jaccard_milli")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after.forall { case (_, c, _) => !victims.contains(c) })
+    assert(after === before.filterNot { case (_, c, _) =>
+      victims.contains(c) })
+    // empty batch is a no-op
+    assert(LshTextIndex.deleteIds(spark, path, Seq.empty) === 0L)
+    assert(LshTextIndex.readMeta(path).generation === gen0 + 1)
+  }
+
+  test("binary sidecar takedown: deleted ids vanish from every coarse " +
+      "cut, duplicates included; dim stays frozen; generation bumps") {
+    import graft.operators.BinaryIndex
+    val emb = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+    val dir = Files.createTempDirectory("graft-bin-del").toString
+    BinaryIndex.build(emb, dir)
+    val q = emb.filter($"vec_id" === 1L).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val before = BinaryIndex.candidates(spark, dir, q, n = 20)
+      .as[(Long, Long)].collect().toSeq
+    val victims = before.take(3).map(_._1)
+    // plain-append one victim again: the delete must remove BOTH
+    // stored rows, not one
+    BinaryIndex.append(emb.filter($"vec_id" === victims.head), dir)
+    val meta0 = BinaryIndex.readMeta(dir)
+    val removed = BinaryIndex.deleteIds(spark, dir, victims)
+    assert(removed === victims.length + 1L)
+    val meta1 = BinaryIndex.readMeta(dir)
+    assert(meta1.generation === meta0.generation + 1)
+    assert(meta1.dim === meta0.dim)
+    val after = BinaryIndex.candidates(spark, dir, q,
+      n = emb.count().toInt)
+      .select($"id").as[Long].collect().toSet
+    assert(victims.forall(v => !after.contains(v)))
+    assert((before.map(_._1).toSet -- victims).subsetOf(after))
+    // search() can no longer hydrate them either
+    val res = BinaryIndex.search(spark, dir, emb, q, k = 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(victims.forall(v => !res.contains(v)))
+    // the monotonic append marker survives a delete: committed batch
+    // ids still no-op (a replay can never resurrect a deleted id)
+    assert(BinaryIndex.appendIdempotent(
+      emb.filter($"vec_id" === 2L), dir, batchId = 7L))
+    assert(!BinaryIndex.appendIdempotent(
+      emb.filter($"vec_id" === victims.head), dir, batchId = 7L))
+    assert(spark.read.parquet(s"$dir/packed")
+      .filter($"id" === victims.head).count() === 0L)
+  }
+
+  test("gram index takedown: retire() rebuilds from survivors — a " +
+      "retired doc's unique grams stop matching, shared grams stay; " +
+      "k frozen, generation bumps; batch layout refuses") {
+    import graft.operators.GramIndex
+    val corpus = Seq(
+      (1L, "shared alpha beta gamma delta epsilon common tail"),
+      (2L, "shared alpha beta gamma delta epsilon common tail"),
+      (3L, "victim unique secret phrase nobody else repeats ever"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-gram-del").toString
+    GramIndex.build(corpus, dir, k = 3)
+    // a delta echoing the victim's text: flagged before the takedown
+    val delta = Seq(
+      (10L, "victim unique secret phrase nobody else repeats ever"),
+      (11L, "shared alpha beta gamma delta epsilon common tail"))
+      .toDF("doc_id", "text")
+    val before = GramIndex.probeSpans(spark, dir, delta)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(before === Set(10L, 11L))
+    val gen0 = GramIndex.readMeta(dir).generation
+    GramIndex.retire(spark, dir, corpus.filter($"doc_id" =!= 3L))
+    assert(GramIndex.readMeta(dir).k === 3)
+    assert(GramIndex.readMeta(dir).generation === gen0 + 1)
+    val after = GramIndex.probeSpans(spark, dir, delta)
+      .select($"doc_id").as[Long].collect().toSet
+    // the victim's text no longer matches; the shared text still does
+    assert(after === Set(11L))
+    // batch-addressed streaming layout: loud refusal
+    val streamDir = Files.createTempDirectory("graft-gram-batch").toString
+    GramIndex.ensureMeta(streamDir, k = 3)
+    GramIndex.distinctGrams(corpus, 3).withColumn("batch", lit(0L))
+      .write.partitionBy("batch").parquet(s"$streamDir/grams")
+    val err = intercept[IllegalArgumentException] {
+      GramIndex.retire(spark, streamDir, corpus)
+    }
+    assert(err.getMessage.contains("BATCH-ADDRESSED"))
+  }
+
   test("capBucketsAnti drops exactly capBuckets' rows (hot identical " +
       "bucket over the cap, mid bucket at it, singles under it)") {
     val rows = (0 until 60).map(i => (i.toLong, "same hot text here")) ++
