@@ -2060,6 +2060,27 @@ object SparkEntry {
         .orderBy(col("doc_id").asc, col("win").asc)
     }),
 
+    // ---- audio near-dup: energy-delta sign fingerprints (64-bit,
+    // exact integer pipeline from payload bytes) banded 4×16 through
+    // the shared bucket fold — the audio twin of dedup_simhash. The
+    // corpus is an all-WAV mapping of the documents table (ids ×3 so
+    // every asset lands on the WAV branch) plus an identical-payload
+    // twin for every 10th doc, so crafted duplicates guarantee
+    // hamming-0 pairs and the corpus's own near-collisions keep the
+    // banding honest ----
+    "multimodal_audio_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val aud = docs.select((col("doc_id") * 3).as("doc_id"),
+          col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") * 3 + lit(900000L)).as("doc_id"),
+            col("text")))
+      val media = graft.operators.Multimodal.synthesizeMedia(aud)
+      graft.operators.Multimodal.audioNearDupPairs(s, media,
+          maxHamming = 3, window = 4)
+        .orderBy(col("a").asc, col("b").asc)
+    }),
+
     // ---- incremental (CDC) read: snapshot the store after a base
     // load, append a second batch, and read ONLY the delta via the
     // commit-list diff — a pure file-level operation (the scan touches
@@ -3924,6 +3945,49 @@ object SparkEntry {
         |  CAST(max(abs(v - 128)) AS BIGINT) AS peak
         |FROM s GROUP BY doc_id, win
         |ORDER BY doc_id ASC, win ASC""".stripMargin,
+
+    // audio near-dup: window energies from payload bytes (the same
+    // integer fold as multimodal_audio_energy), per-doc energy list
+    // ordered by window, sign-of-delta 63-bit signature, 4×16-bit
+    // band blocking with the 1000-cap, all-pairs hamming <= 3 —
+    // pigeonhole makes the banded result EQUAL the all-pairs result,
+    // which is what this computes
+    "multimodal_audio_neardup" ->
+      s"""WITH d AS (SELECT doc_id * 3 AS doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id * 3 + 900000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |b AS (SELECT doc_id, ${duckUtf8BytesOf("text")} AS bs FROM d),
+        |st AS (SELECT doc_id, unnest(bs) AS v,
+        |    unnest(range(1, len(bs) + 1)) AS i
+        |  FROM b),
+        |e AS (SELECT doc_id, (i - 1) // 4 AS win,
+        |    sum((v - 128) * (v - 128)) AS en
+        |  FROM st GROUP BY doc_id, win),
+        |el AS (SELECT doc_id, list(en ORDER BY win) AS es
+        |  FROM e GROUP BY doc_id),
+        |sig AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+        |    range(0, least(len(es) - 1, 63)),
+        |    j -> CASE WHEN es[CAST(j + 2 AS INTEGER)] > es[CAST(j + 1 AS INTEGER)]
+        |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+        |         ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS s
+        |  FROM el),
+        |banded AS (SELECT doc_id, s, r.j AS band,
+        |    (s >> (CAST(r.j AS INTEGER) * 16)) & 65535 AS bval
+        |  FROM sig, range(0, 4) r(j)),
+        |capped AS (SELECT doc_id, s, band, bval FROM (
+        |    SELECT doc_id, s, band, bval,
+        |           count(*) OVER (PARTITION BY band, bval) AS bn
+        |    FROM banded) WHERE bn <= 1000),
+        |pairs AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb,
+        |    a.s AS sa, b.s AS sb
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT pa AS a, pb AS b,
+        |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM pairs
+        |WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY a ASC, b ASC""".stripMargin,
 
     "multimodal_png" -> multimodalPngOracle,
     "multimodal_png_gray" -> multimodalPngGrayOracle,

@@ -869,10 +869,23 @@ object Dedup {
     * hamming). */
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
       textCol: String = "text", idCol: String = "doc_id",
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    sigBandFoldPairs(spread(docs).select(col(idCol).as("id"),
+      simHash64(col(textCol)).as("sig")), maxHamming, maxBucket)
+
+  /** 4×16-bit band blocking + bucket fold over CALLER-SUPPLIED 64-bit
+    * signatures — the signature-agnostic core of [[simHashPairs]],
+    * shared by every operator whose per-item fingerprint is one LONG
+    * (text simhash, audio energy-delta prints
+    * [[graft.operators.Multimodal.audioNearDupPairs]]). Input: (id,
+    * sig). Pigeonhole over 4 bands guarantees no false negatives for
+    * maxHamming ≤ 3; the inline hamming filter removes all false
+    * positives, so the output EQUALS the all-pairs result subject to
+    * the [[capBuckets]]-semantics `maxBucket` drop. Output: (a, b,
+    * hamming). */
+  private[graft] def sigBandFoldPairs(sigs: DataFrame,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming <= 3, "4-band blocking covers hamming <= 3")
-    val sigs = spread(docs).select(col(idCol).as("id"),
-      simHash64(col(textCol)).as("sig"))
     val banded = sigs
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(3))).as("band"))

@@ -398,6 +398,75 @@ object Multimodal {
     }.toDF("doc_id", "win", "n_samples", "energy", "peak")
   }
 
+  /** Per-asset 64-bit audio fingerprint from the energy-delta SIGNS
+    * of the [[audioEnergyWindows]] sequence — the audio twin of
+    * [[Dedup.simHash64]]'s text signature (cf. Haitsma & Kalker's
+    * sign-of-difference audio fingerprints, re-derived over window
+    * energy instead of per-band spectral energy): bit j (0 ≤ j < 63)
+    * is set iff energy(window j+1) > energy(window j), windows of
+    * `window` samples each. The signature covers the first 64
+    * windows (63 deltas — bit 63 stays clear, keeping the LONG
+    * non-negative and the DuckDB oracle's `<<` fold overflow-free);
+    * a longer `window` widens the fingerprinted prefix. EXACT
+    * integer arithmetic end-to-end (decode → center → Σc² → compare)
+    * so the oracle reproduces every bit from payload bytes. Assets
+    * with zero samples are omitted (no windows → no fingerprint).
+    * Per-partition kernel, zero shuffle. Output: (doc_id, sig,
+    * n_windows). */
+  def audioFingerprint(spark: SparkSession, media: Dataset[MediaRecord],
+      window: Int = 64): DataFrame = {
+    require(window > 0, "[GRAFT] audioFingerprint: window must be positive")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        require(r.format == "audio/wav",
+          s"[GRAFT] audioFingerprint: not a wav asset: ${r.format}")
+        val pcm = MediaCodec.decodeWav(r.media)
+        val center = if (pcm.bitsPerSample == 8) 128 else 0
+        val energies = pcm.samples.grouped(window).map { w =>
+          var e = 0L
+          var j = 0
+          while (j < w.length) {
+            val c = (w(j) - center).toLong
+            e += c * c
+            j += 1
+          }
+          e
+        }.toArray
+        if (energies.isEmpty) Iterator.empty
+        else {
+          var sig = 0L
+          var j = 0
+          val nBits = math.min(energies.length - 1, 63)
+          while (j < nBits) {
+            if (energies(j + 1) > energies(j)) sig |= (1L << j)
+            j += 1
+          }
+          Iterator.single((r.doc_id, sig, energies.length.toLong))
+        }
+      }
+    }.toDF("doc_id", "sig", "n_windows")
+  }
+
+  /** Audio near-dup pairs with fingerprint hamming ≤ `maxHamming` —
+    * [[Dedup.simHashPairs]]' audio twin, and the same 100 TB shape:
+    * the per-partition [[audioFingerprint]] kernel collapses each
+    * asset to 8 bytes BEFORE anything shuffles, then the shared
+    * 4×16-bit band fold ([[Dedup.sigBandFoldPairs]]: one pinned slim
+    * shuffle + streaming O(maxBucket) bucket fold) emits candidate
+    * pairs with the hamming computed inline. No false negatives for
+    * maxHamming ≤ 3 (pigeonhole), no false positives (inline
+    * filter), subject to the documented `maxBucket` drop on
+    * pathological corpora (identical silence/boilerplate audio —
+    * surfaced by exact dedup instead). Output: (a, b, hamming). */
+  def audioNearDupPairs(spark: SparkSession, media: Dataset[MediaRecord],
+      maxHamming: Int = 3, window: Int = 64,
+      maxBucket: Int = 1000): DataFrame =
+    Dedup.sigBandFoldPairs(
+      audioFingerprint(spark, media, window)
+        .select(col("doc_id").as("id"), col("sig")),
+      maxHamming, maxBucket)
+
   /** REAL 2-D image resize: decode the container (BMP/PPM/PNG),
     * normalize stored channel order to RGB, resize with a genuine
     * interpolation kernel ([[MediaCodec.nnResizeRgb]] by default,

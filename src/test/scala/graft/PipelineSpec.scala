@@ -1104,6 +1104,45 @@ class PipelineSpec extends AnyFunSuite {
       err.getCause.getMessage.contains("not a wav asset"))
   }
 
+  test("audio near-dup: energy-delta fingerprints pair crafted " +
+      "duplicates at the expected hammings; zero-sample assets are " +
+      "omitted; >3 hamming never pairs") {
+    import graft.operators.{MediaCodec, Multimodal, MediaRecord}
+    def wav(bytes: Int*): Array[Byte] =
+      MediaCodec.encodeWav(bytes.map(_.toByte).toArray)
+    // window=1 energies are centered² per sample; sig bit j = 1 iff
+    // e[j+1] > e[j]. Hand-computed: A/B rising (sig 0b1111 = 15),
+    // C rising-then-fall (sig 7), D falling (sig 0)
+    val a = wav(129, 130, 131, 132, 133)
+    val c = wav(129, 130, 131, 132, 131)
+    val d = wav(133, 132, 131, 130, 129)
+    val media = Seq(
+      MediaRecord(1L, a, "audio/wav", a.length.toLong),
+      MediaRecord(2L, a, "audio/wav", a.length.toLong),
+      MediaRecord(3L, c, "audio/wav", c.length.toLong),
+      MediaRecord(4L, d, "audio/wav", d.length.toLong),
+      MediaRecord(5L, MediaCodec.encodeWav(Array.emptyByteArray),
+        "audio/wav", 44L)).toDS()
+    val fp = Multimodal.audioFingerprint(spark, media, window = 1)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fp === Seq((1L, 15L, 5L), (2L, 15L, 5L), (3L, 7L, 5L),
+      (4L, 0L, 5L))) // id 5: zero samples -> no fingerprint
+    val pairs = Multimodal.audioNearDupPairs(spark, media,
+        maxHamming = 3, window = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // hamming(15,0) = 4: A/B never pair with D; hamming(7,0) = 3: C
+    // does — exactly the all-pairs <= 3 result
+    assert(pairs === Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 3L)))
+    // a signature past 63 windows saturates the print, not the LONG:
+    // 70 rising windows -> bits 0..62 set, bit 63 clear (sig >= 0)
+    val long = wav((0 until 70).map(i => 128 + (i % 120) + 1): _*)
+    val fpl = Multimodal.audioFingerprint(spark,
+      Seq(MediaRecord(9L, long, "audio/wav", long.length.toLong)).toDS(),
+      window = 1).as[(Long, Long, Long)].collect().head
+    assert(fpl._2 >= 0L && fpl._3 === 70L)
+  }
+
   test("media codecs: real containers round-trip through real parsers") {
     import graft.operators.MediaCodec
     // WAV 8-bit: header walk recovers rate/bits and every sample
