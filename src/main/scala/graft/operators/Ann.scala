@@ -155,13 +155,38 @@ object IvfIndex {
     }
   }
 
+  /** Centroid table → driver memory, BYTE-GATED. The whole IVF design
+    * leans on the centroid table being tiny relative to the corpus
+    * (class doc: "tiny, driver-side"), and every probe/append/
+    * rebalance scores against this collected copy — but "tiny" was
+    * previously unchecked: an index built with an absurd nCentroids
+    * (say 10M × dim 1536 ≈ 60 GB) would OOM the DRIVER here, the one
+    * process whose death takes the whole job. The gate prices
+    * nCentroids × dim from the metadata (two numbers, no scan — the
+    * same dim-aware estimate as [[BroadcastGate]], whose Catalyst
+    * size statistics under-count array columns 1000×) against the
+    * broadcast budget BEFORE collecting, and fails loudly naming the
+    * escape hatches. 100 TB stance: at the documented √N sizing
+    * (SURVEY §7.3) even a trillion-row corpus wants ~1M centroids ≈
+    * dim 128 × 4 B × 1M = 512 MB — within one budget bump; an index
+    * past the gate needs TWO-LEVEL ROUTING (a coarse quantizer over
+    * the centroid table itself, so the driver holds √nCentroids) —
+    * out of scope here, and silently OOMing instead of saying so is
+    * the failure mode this gate removes. */
   private def loadCentroids(spark: SparkSession,
-      path: String): Array[(Int, Array[Float])] =
+      path: String): Array[(Int, Array[Float])] = {
+    val m = readMetaRaw(path)
+    BroadcastGate.requireCollectFits(m.nCentroids.toLong, m.dim,
+      s"centroid table of IVF index at $path",
+      "An index this wide needs two-level routing (a coarse " +
+        "quantizer over the centroid table); rebuild with fewer " +
+        "centroids.")
     spark.read.parquet(s"$path/centroids")
       .select(col("cluster"), col("centroid"))
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
+  }
 
   /** The LIVE assignments scan: only `cluster=<c>` directories whose id
     * appears in the centroid table. A crashed [[rebalance]] deliberately

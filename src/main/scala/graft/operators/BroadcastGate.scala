@@ -57,6 +57,21 @@ object BroadcastGate {
   def gated(df: DataFrame, rows: Long, dim: Int): DataFrame =
     if (fits(rows, dim)) broadcast(df) else df
 
+  /** LOUD variant for driver-side collects that have no planner
+    * fallback (a collected centroid table lives or OOMs with the
+    * driver): fail with the caller's sizing story and escape hatch
+    * instead of letting the collect kill the one process whose death
+    * takes the whole job. */
+  def requireCollectFits(rows: Long, dim: Int, what: String,
+      hint: String): Unit = {
+    val est = vectorBatchBytes(rows, dim)
+    require(est <= budgetBytes,
+      s"[GRAFT] $what is ~$est bytes ($rows rows × dim $dim) — too " +
+        s"large to collect driver-side (budget $budgetBytes). $hint " +
+        "Raise -Dgraft.broadcast.budget.bytes only if driver memory " +
+        "truly allows.")
+  }
+
   /** Normalize an allowed-id pre-filter side for the filtered search
     * paths: exactly one column (loud otherwise), renamed `id` for the
     * semi-join, broadcast-hinted iff the caller KNOWS the set size and

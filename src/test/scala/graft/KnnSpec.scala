@@ -112,6 +112,39 @@ class KnnSpec extends AnyFunSuite {
     victims.foreach(v => assert(!got2.contains(v), s"copy of $v survived"))
   }
 
+  test("centroid collect is byte-gated: an index whose centroid table " +
+      "cannot fit the driver budget fails LOUDLY naming two-level " +
+      "routing, instead of a driver OOM") {
+    val dir = Files.createTempDirectory("ivf-centgate").toString
+    IvfIndex.build(emb, dir, nCentroids = 8, Metric.Cosine)
+    val queries = all.take(3).toSeq.toDF("qid", "qvalues")
+    val key = "graft.broadcast.budget.bytes"
+    val old = sys.props.get(key)
+    // shrink the budget below even 8 centroids' bytes — the absurd-
+    // nCentroids index in miniature (the estimate, not the collect,
+    // must trip: no driver allocation happens first)
+    sys.props(key) = "64"
+    try {
+      val err = intercept[IllegalArgumentException] {
+        IvfIndex.searchBatch(spark, dir, queries, k = 5)
+      }
+      assert(err.getMessage.contains("two-level routing"), err.getMessage)
+      assert(err.getMessage.contains("centroid table"), err.getMessage)
+      // the derived-artifact path (IVF-PQ build) hits the same gate
+      val pqErr = intercept[IllegalArgumentException] {
+        IvfPq.build(spark, dir,
+          Files.createTempDirectory("ivfpq-centgate").toString, m = 8)
+      }
+      assert(pqErr.getMessage.contains("two-level routing"))
+    } finally old match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props.remove(key)
+    }
+    // with the budget restored, the same probe serves
+    assert(IvfIndex.searchBatch(spark, dir, queries, k = 5)
+      .count() === 15L)
+  }
+
   test("IVF rebuild is staged: live index stays consistent until the " +
       "sentinel window; a crashed rebuild refuses loudly and a rerun " +
       "recovers") {
