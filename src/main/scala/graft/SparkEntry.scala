@@ -674,6 +674,21 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- model-based language ID: char-trigram naive Bayes trained
+    // IN-ENGINE on the seeded multilingual fixture, scored over the
+    // corpus — integer milli weights and scores end-to-end, so train
+    // AND inference hash-match the DuckDB re-derivation (which
+    // rebuilds the same model from the same VALUES literals) ----
+    "text_langid_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val fixture = graft.operators.TextAnalysis.LangIdSeedCorpus
+        .toDF("lang", "text")
+      val model = graft.operators.TextAnalysis.trainLangId(fixture)
+      graft.operators.TextAnalysis.scoreLangId(
+          s.read.parquet(s"$dir/documents.parquet"), model)
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- text normalization + n-grams (dedup preprocessing) ----
     "text_normalize" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2903,6 +2918,10 @@ object SparkEntry {
     "text_quality" -> textQualityOracle,
 
     "text_langid" -> textLangIdOracle,
+    // model-based twin: the oracle REBUILDS the trigram model from
+    // the same fixture literals (shared Scala constant -> generated
+    // VALUES, so the two derivations cannot drift) and re-scores
+    "text_langid_ngram" -> langIdNgramOracle,
 
     "sql_text_analyze" -> sqlTextAnalyzeOracle,
 
@@ -4486,6 +4505,57 @@ object SparkEntry {
     * side is doc_id >= 100 with the bucket cap applied over ITS band
     * table only; the delta (doc_id < 100) bands uncapped — exactly
     * [[operators.LshTextIndex.probe]]'s semantics. */
+  /** Char-trigram language ID, re-derived end-to-end in DuckDB: the
+    * SAME fixture (generated VALUES from
+    * [[operators.TextAnalysis.LangIdSeedCorpus]]), the same distinct-
+    * trigram extraction, add-one integer-milli weights, dense
+    * gram × lang model, per-doc mean evidence, min-struct argmax. */
+  private def langIdNgramOracle: String = {
+    val values = operators.TextAnalysis.LangIdSeedCorpus
+      .map { case (l, t) => s"('$l', '${t.replace("'", "''")}')" }
+      .mkString(",\n    ")
+    s"""WITH fx(lang, txt) AS (VALUES
+       |    $values),
+       |ft AS (SELECT lang, list_distinct(list_transform(
+       |    range(1, greatest(length(lower(txt)) - 2, 0) + 1),
+       |    i -> substr(lower(txt), CAST(i AS INTEGER), 3))) AS gs
+       |  FROM fx),
+       |g AS (SELECT lang, unnest(gs) AS gram FROM ft),
+       |df AS (SELECT gram, lang, CAST(count(*) AS BIGINT) AS df
+       |  FROM g GROUP BY 1, 2),
+       |tot AS (SELECT gram, CAST(sum(df) AS BIGINT) AS df_total
+       |  FROM df GROUP BY 1
+       |  ORDER BY df_total DESC, gram ASC LIMIT 4096),
+       |langs AS (SELECT DISTINCT lang FROM fx),
+       |nl AS (SELECT count(*) AS l FROM langs),
+       |dense AS (SELECT t.gram, l.lang,
+       |    (1000 * (coalesce(d.df, 0) + 1)) // (t.df_total + nl.l) AS w
+       |  FROM tot t CROSS JOIN langs l CROSS JOIN nl
+       |  LEFT JOIN df d ON d.gram = t.gram AND d.lang = l.lang),
+       |dg AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(length(lower(text)) - 2, 0) + 1),
+       |    i -> substr(lower(text), CAST(i AS INTEGER), 3)))) AS gram
+       |  FROM documents),
+       |ev AS (SELECT dg.doc_id, dense.lang,
+       |    CAST(count(*) AS BIGINT) AS matched,
+       |    CAST(sum(dense.w) AS BIGINT) // CAST(count(*) AS BIGINT)
+       |      AS score_milli
+       |  FROM dg JOIN dense ON dg.gram = dense.gram
+       |  GROUP BY 1, 2),
+       |best AS (SELECT doc_id,
+       |    min(struct_pack(neg := -score_milli, lang := lang,
+       |      matched := matched, score := score_milli)) AS b
+       |  FROM ev GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(struct_extract(b.b, 'lang'), 'und') AS lang_pred,
+       |  CAST(coalesce(struct_extract(b.b, 'matched'), 0) AS BIGINT)
+       |    AS matched,
+       |  CAST(coalesce(struct_extract(b.b, 'score'), 500) AS BIGINT)
+       |    AS score_milli
+       |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
+       |ORDER BY d.doc_id ASC""".stripMargin
+  }
+
   private def minHashLshIncOracle: String =
     minHashLshIncOracleWhere("doc_id >= 100")
 

@@ -987,6 +987,132 @@ object TextAnalysis {
           .as("score_milli"))
   }
 
+  /** Distinct character n-grams of the LOWERCASED text, windows over
+    * the raw string including spaces (word-boundary grams carry much
+    * of the language signal: "the", "er ", " de"). Pure projection;
+    * `when` guards the short-text case BEFORE building the sequence —
+    * `sequence(1, len-2)` DESCENDS for len < 3 (the round-8 gotcha)
+    * and would emit phantom grams. */
+  def charNGrams(text: Column, n: Int): Column = {
+    require(n > 0, "[GRAFT] charNGrams: n must be positive")
+    val t = lower(text)
+    when(length(t) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(t) - (n - 1)),
+        i => call_function("substr", t, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Seeded multilingual training fixture for [[trainLangId]] — a few
+    * plain-ASCII sentences of common function words per language
+    * (public-knowledge vocabulary, the same stance as
+    * [[LangProfiles]]). Deliberately tiny: it demonstrates the
+    * train-in-engine path and covers short texts the stopword
+    * heuristic ([[langId]]) cannot see; production callers train on
+    * their own labeled corpus with the same two calls. */
+  val LangIdSeedCorpus: Seq[(String, String)] = Seq(
+    "en" -> "the quick brown fox jumps over the lazy dog and runs away with the ball",
+    "en" -> "this is a house and that is a garden where children play all day long",
+    "en" -> "we should think about what the people want and need every single day",
+    "de" -> "der schnelle braune fuchs springt ueber den faulen hund und laeuft davon",
+    "de" -> "das ist ein haus und dort ist ein garten wo kinder jeden tag spielen",
+    "de" -> "wir sollten darueber nachdenken was die menschen wollen und brauchen",
+    "es" -> "el rapido zorro marron salta sobre el perro perezoso y corre lejos",
+    "es" -> "esta es una casa y ese es un jardin donde los ninos juegan todo el dia",
+    "es" -> "debemos pensar en lo que la gente quiere y necesita cada dia entera",
+    "fr" -> "le renard brun rapide saute par dessus le chien paresseux et court loin",
+    "fr" -> "bonjour tout le monde ceci est une maison et voici un jardin pour les enfants",
+    "fr" -> "nous devrions penser a ce que les gens veulent et ont besoin chaque jour")
+
+  /** Train a character-TRIGRAM language-ID model — the model-based
+    * upgrade of the [[langId]] stopword heuristic (char n-gram
+    * profiles à la Cavnar & Trenkle 1994 / fastText's char-ngram
+    * features, re-derived on the [[trainTokenClassifier]] integer
+    * pattern): trigrams see INSIDE words, so a short text with no
+    * function word at all ("bonjour") still scores.
+    *
+    * Per gram × language, add-one-smoothed presence evidence in
+    * integer milli (no floating point in the model — the
+    * [[trainTokenClassifier]] portability stance):
+    *
+    *   weight_milli(g, l) = (1000 · (df_{g,l} + 1)) div (df_g + L)
+    *
+    * where df_{g,l} counts training docs of language l containing g,
+    * df_g = Σ_l df_{g,l}, and L = |languages|. The model is DENSE —
+    * every vocab gram carries a row for every language — so a scored
+    * document's matched-gram count is language-independent and
+    * argmax-by-mean equals argmax-by-sum.
+    *
+    * 100 TB shape: one explode + hash aggregate over the training
+    * corpus (map-side combine, shuffle keyed by gram), a vocab-sized
+    * sort-limit, and a vocab × L dense join — the model is
+    * broadcastable by construction. `labeled` needs (langCol,
+    * textCol); languages are collected driver-side (|languages| is
+    * tens, by nature of the task). Output: (gram, lang, df,
+    * weight_milli). */
+  def trainLangId(labeled: DataFrame, langCol: String = "lang",
+      textCol: String = "text", vocab: Int = 4096): DataFrame = {
+    require(vocab > 0, "[GRAFT] trainLangId: vocab must be positive")
+    val grams = labeled.select(col(langCol).as("lang"),
+        explode(charNGrams(col(textCol), 3)).as("gram"))
+      .groupBy(col("gram"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val langs = labeled.select(col(langCol).as("lang")).distinct()
+    val nLangs = langs.count()
+    require(nLangs > 0, "[GRAFT] trainLangId: empty training corpus")
+    val top = grams.groupBy(col("gram"))
+      .agg(sum(col("df")).as("df_total"))
+      .orderBy(col("df_total").desc, col("gram").asc)
+      .limit(vocab)
+    top.crossJoin(langs)
+      .join(grams, Seq("gram", "lang"), "left")
+      .select(col("gram"), col("lang"),
+        coalesce(col("df"), lit(0L)).as("df"),
+        idiv(lit(1000L) * (coalesce(col("df"), lit(0L)) + lit(1L)),
+          col("df_total") + lit(nLangs)).as("weight_milli"))
+  }
+
+  /** Score documents under a [[trainLangId]] model: per (doc, lang),
+    * the mean trigram evidence in milli; the prediction is the
+    * argmax language (ties break by language code asc — fully
+    * deterministic), "und" with the neutral 500 when NO model gram
+    * matches (the all-OOV stance of [[scoreTokenClassifier]]).
+    *
+    * 100 TB shape: explode keeps doc-locality, the model join is an
+    * explicit broadcast (vocab × L rows by construction), the
+    * per-(doc, lang) aggregate collapses map-side, and the argmax is
+    * a `min(struct(-score, lang, ...))` partial aggregate — no
+    * window, no second shuffle beyond the per-doc agg. Output:
+    * (idCol, lang_pred, matched, score_milli). */
+  def scoreLangId(docs: DataFrame, model: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(Seq("gram", "lang", "weight_milli")
+        .forall(model.columns.contains),
+      "[GRAFT] scoreLangId: model must have (gram, lang, weight_milli)")
+    WorkCols.requireFree(docs, "__ev", "__neg")
+    val ev = docs.select(col(idCol),
+        explode(charNGrams(col(textCol), 3)).as("gram"))
+      .join(broadcast(model.select(col("gram"), col("lang"),
+        col("weight_milli"))), Seq("gram"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).cast("long").as("matched"),
+        sum(col("weight_milli")).as("__ev"))
+      .select(col(idCol), col("lang"), col("matched"),
+        idiv(col("__ev"), col("matched")).as("score_milli"))
+    val best = ev.groupBy(col(idCol))
+      .agg(min(struct((-col("score_milli")).as("__neg"),
+        col("lang").as("lang"), col("matched").as("matched"),
+        col("score_milli").as("score_milli"))).as("b"))
+      .select(col(idCol), col("b.lang").as("lang_pred"),
+        col("b.matched").as("matched"),
+        col("b.score_milli").as("score_milli"))
+    docs.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        coalesce(col("score_milli"), lit(500L)).as("score_milli"))
+  }
+
   /** Full per-document analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

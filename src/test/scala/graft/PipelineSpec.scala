@@ -1684,6 +1684,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(capped === Set("common", "apple", "banana", "cherry"))
   }
 
+  test("trigram language ID: classifies short texts the stopword " +
+      "heuristic cannot see; dense model; deterministic tie-break; " +
+      "all-OOV falls back to und") {
+    import graft.operators.TextAnalysis
+    val fixture = TextAnalysis.LangIdSeedCorpus.toDF("lang", "text")
+    val model = TextAnalysis.trainLangId(fixture)
+    // dense: every vocab gram carries one row PER language
+    val langs = model.select($"lang").distinct().as[String]
+      .collect().toSet
+    assert(langs === Set("en", "de", "es", "fr"))
+    val perGram = model.groupBy($"gram").count()
+      .select($"count").distinct().as[Long].collect().toSeq
+    assert(perGram === Seq(4L))
+    // short texts with NO function word: the stopword heuristic says
+    // und, the trigram model sees inside the words
+    val shorts = Seq(
+      (1L, "bonjour"),            // fr fixture word, no fr stopword
+      (2L, "nachdenken"),         // de fixture word
+      (3L, "children playing"),   // en-ish, no en stopword token
+      (4L, "qqqq zzzz xxxx"))     // all-OOV
+      .toDF("doc_id", "text")
+    val heur = shorts.select($"doc_id",
+        TextAnalysis.langId($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(heur(1L) === "und" && heur(2L) === "und")
+    val got = TextAnalysis.scoreLangId(shorts, model)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._1 === "fr", got(1L))
+    assert(got(2L)._1 === "de", got(2L))
+    assert(got(3L)._1 === "en", got(3L))
+    assert(got(4L) === (("und", 0L, 500L))) // no gram matched
+    // weights are the exact integer Laplace posterior: a gram seen
+    // only in one fr doc scores (1000·(1+1)) div (1+4) = 400 for fr
+    // and (1000·(0+1)) div 5 = 200 elsewhere
+    val bon = model.filter($"gram" === "onj")
+      .select($"lang", $"weight_milli").as[(String, Long)]
+      .collect().toMap
+    assert(bon("fr") === 400L)
+    assert(Set("en", "de", "es").forall(bon(_) === 200L))
+    // determinism: two trainings agree bit-for-bit
+    val again = TextAnalysis.trainLangId(fixture)
+    assert(model.orderBy($"gram", $"lang").collect().toSeq ===
+      again.orderBy($"gram", $"lang").collect().toSeq)
+  }
+
   test("bm25 + reciprocal-rank fusion: lexical relevance orders by " +
       "rarity-weighted tf, fusion rewards presence in both lists") {
     import graft.operators.{Knn, TextAnalysis}
