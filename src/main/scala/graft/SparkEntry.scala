@@ -776,6 +776,52 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- tokenizer-TRUE packing: train BPE in-engine, encode the
+    // corpus, pack the REAL token counts (not a caller-supplied
+    // proxy) — the end-to-end SFT-prep composition. BPE counts are
+    // not DuckDB-derivable, so the gate is the text_bpe property
+    // pattern: structural invariants of the packed output, each
+    // computed distributed and pinned to exact constants ----
+    "text_packing_bpe" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.Bpe.trainBpe(docs, nMerges = 200)
+      val enc = graft.operators.Bpe.bpeEncode(docs, model)
+        .select(col("doc_id"), col("n_tokens")).cache()
+      val packed = graft.operators.Packing.packBinsNextFit(enc,
+          shard = pmod(col("doc_id"), lit(8L)),
+          orderBy = col("doc_id"),
+          nTokens = col("n_tokens"), binCapacity = 256).cache()
+      val nDocs = packed.count()
+      val encTotal = enc.agg(sum(col("n_tokens"))).head().getLong(0)
+      val packedTotal = packed.agg(sum(col("n_tokens"))).head().getLong(0)
+      // non-overflow bins never exceed capacity
+      val bins = packed.groupBy(col("shard"), col("bin_id"))
+        .agg(sum(col("n_tokens")).as("load"),
+          max(col("overflow")).as("ovf"))
+      val capViol = bins.filter(col("ovf") === 0 && col("load") > 256)
+        .count()
+      // bin ids are contiguous 0..max per shard
+      val gaps = packed.groupBy(col("shard"))
+        .agg((max(col("bin_id")) + 1 -
+          countDistinct(col("bin_id"))).as("gap"))
+        .agg(sum(col("gap"))).head().getLong(0)
+      // stream order: bin ids never decrease along doc order
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+      val orderViol = packed
+        .withColumn("prev", lag(col("bin_id"), 1).over(w))
+        .filter(col("prev") > col("bin_id")).count()
+      // the overflow flag is exactly (n_tokens > capacity)
+      val flagViol = packed
+        .filter((col("overflow") === 1L) =!= (col("n_tokens") > 256L))
+        .count()
+      Seq((nDocs, if (packedTotal == encTotal) 1L else 0L, capViol,
+        gaps, orderViol, flagViol))
+        .toDF("n_docs", "token_total_match", "cap_violations",
+          "bin_gaps", "order_violations", "flag_violations")
+    }),
+
     // ---- composed curation: exact-dup keeper ∩ quality band ∩
     // token-length band — the end-to-end "what goes into training"
     // filter, each leg of which is also oracle-checked alone ----
@@ -3093,6 +3139,19 @@ object SparkEntry {
         |  toff % 512 AS seq_off,
         |  (toff + greatest(n - 1, 0)) // 512 AS seq_id_last
         |FROM o ORDER BY doc_id ASC""".stripMargin,
+
+    // tokenizer-true packing: BPE counts are not SQL-derivable, so
+    // this is the text_bpe property pattern — structural invariants
+    // pinned to exact constants (n_docs stays dynamic so the row
+    // tracks the corpus)
+    "text_packing_bpe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(1 AS BIGINT) AS token_total_match,
+        |       CAST(0 AS BIGINT) AS cap_violations,
+        |       CAST(0 AS BIGINT) AS bin_gaps,
+        |       CAST(0 AS BIGINT) AS order_violations,
+        |       CAST(0 AS BIGINT) AS flag_violations
+        |FROM documents""".stripMargin,
 
     "text_packing_bins" ->
       """WITH RECURSIVE t AS (SELECT doc_id,

@@ -72,10 +72,16 @@ object Packing {
     * structure; its worst-case waste (2× bins) is the textbook bound,
     * and real corpora sit far inside it.
     *
-    * A document LONGER than `binCapacity` gets a bin of its own with
+    * A document LONGER than `binCapacity` is handled per
+    * `onOversize`: `"flag"` (default) gives it a bin of its own with
     * `overflow = 1` (the caller truncates or drops — a 100 TB job
     * must not crash on one long document), and the next document
-    * always opens a fresh bin after it.
+    * always opens a fresh bin after it; `"fail"` throws LOUDLY with
+    * the offending document's id and size — for pipelines where a
+    * sequence that silently exceeds the model's context would be
+    * truncated into corrupt training data (the repo's fail-loud
+    * stance, opt-in because the right default at scale is to keep
+    * the job alive and let the flag drive policy).
     *
     * Output: (idCol, `shard`, `n_tokens`, `bin_id` 0-based per shard,
     * `bin_off` token offset inside the bin, `overflow`). `idCol` must
@@ -91,8 +97,11 @@ object Packing {
     * expresses. */
   def packBinsNextFit(docs: DataFrame, shard: Column, orderBy: Column,
       nTokens: Column, binCapacity: Int,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", onOversize: String = "flag"): DataFrame = {
     require(binCapacity > 0, "[GRAFT] binCapacity must be positive")
+    require(onOversize == "flag" || onOversize == "fail",
+      s"[GRAFT] onOversize must be 'flag' or 'fail', got '$onOversize'")
+    val failOnOversize = onOversize == "fail"
     WorkCols.requireFree(docs, "__shard", "__ord", "__n")
     val cap = binCapacity.toLong
     val spark = docs.sparkSession
@@ -113,6 +122,12 @@ object Packing {
         var used = 0L
         var bin = -1L
         rows.map { case (sh, id, n) =>
+          if (failOnOversize && n > cap)
+            throw new IllegalArgumentException(
+              s"[GRAFT] packBinsNextFit(onOversize=fail): document " +
+                s"$idCol=$id has $n tokens > binCapacity $cap — it " +
+                "cannot be placed whole; truncate/split it upstream " +
+                "or use onOversize=flag to keep the job alive")
           if (!started || sh != curShard) {
             curShard = sh; started = true; used = 0L; bin = -1L
           }

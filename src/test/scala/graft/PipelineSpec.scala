@@ -997,6 +997,29 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
     assert(re === got)
+    // strict mode: an oversized doc fails the JOB loudly, naming the
+    // doc — for pipelines where truncation means corrupt training data
+    val strictErr = intercept[org.apache.spark.SparkException] {
+      Packing.packBinsNextFit(d, col("sh"), col("doc_id"), col("n"),
+        binCapacity = 256, onOversize = "fail").collect()
+    }
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(strictErr).contains("doc_id=4 has 300 tokens"))
+    // without the oversized doc, strict == flag output exactly
+    val strictOk = Packing.packBinsNextFit(d.filter($"doc_id" =!= 4L),
+        col("sh"), col("doc_id"), col("n"), binCapacity = 256,
+        onOversize = "fail")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(strictOk.keySet === got.keySet - 4L)
+    assert(strictOk.values.forall(_._4 == 0L)) // nothing to flag
+    // unknown mode rejected at plan time
+    intercept[IllegalArgumentException] {
+      Packing.packBinsNextFit(d, col("sh"), col("doc_id"), col("n"),
+        256, onOversize = "truncate")
+    }
     // next-fit never splits a doc and never overfills a bin: property
     // over a random instance vs a driver-side reference
     val rnd = new scala.util.Random(11)
