@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_minhash_pairs"),
       new ExpressionInfo("graft", "vfs_minhash_pairs"),
       graft.plans.SqlSurface.vfsMinhashPairsBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_quality_gate"),
+      new ExpressionInfo("graft", "vfs_quality_gate"),
+      graft.plans.SqlSurface.vfsQualityGateBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

@@ -510,6 +510,38 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the SQL-text surface of the quality gate: the same
+    // synthetic multi-line corpus goes to parquet, the
+    // vfs_quality_gate TVF computes both cascades in one scan, and
+    // the POLICY (gopher_pass ∧ ¬page_drop ∧ n_kept ≥ 1) composes as
+    // a plain WHERE — output identical to the streaming gate, so the
+    // row shares its oracle ----
+    "sql_tvf_quality" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      val page = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          lit("The quick section about "), substring(col("text"), 1, 40),
+          lit(" ends well here.\nToo short.\n"),
+          lit("Please enable JavaScript to continue reading now.\n"),
+          substring(col("text"), 41, 80),
+          lit("\nThis sentence is long enough to satisfy the filter.\n"),
+          lit("We keep that pace and write of many decent things " +
+            "here to finish."),
+          when(col("doc_id") % 7 === 0, lit("\nlorem ipsum {"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nwait for it...\nand more to come...\nstill going on..."))
+            .otherwise(lit(""))).as("text"))
+      val in = java.nio.file.Files
+        .createTempDirectory("verify-quality-tvf").toString
+      page.write.mode("overwrite").parquet(s"$in/pages")
+      s.sql(
+        s"""SELECT doc_id, clean_text AS text, n_words, stop_hits, n_kept
+           |FROM vfs_quality_gate('$in/pages', 5)
+           |WHERE gopher_pass = 1 AND page_drop = 0 AND n_kept >= 1
+           |ORDER BY doc_id ASC""".stripMargin)
+    }),
+
     // ---- the SQL-text surface of duplicateSpans: same scan via the
     // vfs_dup_spans TABLE-valued function — shares the spans oracle ----
     "sql_tvf_dup_spans" -> ((s, dir) => {
@@ -2720,76 +2752,9 @@ object SparkEntry {
         |LEFT JOIN dt ON t.doc_id = dt.doc_id
         |ORDER BY t.doc_id ASC""".stripMargin,
 
-    "stream_quality_filter" ->
-      """WITH i AS (SELECT doc_id,
-        |    'The quick section about ' || substr(text, 1, 40) ||
-        |    ' ends well here.' || chr(10) || 'Too short.' || chr(10) ||
-        |    'Please enable JavaScript to continue reading now.' ||
-        |    chr(10) || substr(text, 41, 80) || chr(10) ||
-        |    'This sentence is long enough to satisfy the filter.' ||
-        |    chr(10) ||
-        |    'We keep that pace and write of many decent things here to finish.' ||
-        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum {'
-        |         ELSE '' END ||
-        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'wait for it...' ||
-        |      chr(10) || 'and more to come...' || chr(10) ||
-        |      'still going on...' ELSE '' END AS text
-        |  FROM documents),
-        |t AS (SELECT doc_id, text,
-        |    string_split_regex(trim(text), '\s+') AS toks,
-        |    list_filter(string_split(text, chr(10)),
-        |      l -> len(trim(l)) > 0) AS lines
-        |  FROM i),
-        |s AS (SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_words,
-        |    CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
-        |      AS sum_len,
-        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
-        |      + CAST((len(text) - len(replace(text, '...', ''))) // 3
-        |          AS BIGINT) AS symbols,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')))
-        |      AS BIGINT) AS ell,
-        |    CAST(len(list_filter(lines,
-        |      l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bul,
-        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
-        |      AS BIGINT) AS alpha,
-        |    CAST(len(list_filter(
-        |      ['the','be','to','of','and','that','have','with'],
-        |      g -> list_contains(list_transform(toks, w -> lower(w)), g)))
-        |      AS BIGINT) AS stop_hits
-        |  FROM t),
-        |gp AS (SELECT doc_id, n_words, stop_hits,
-        |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000
-        |      AND (CASE WHEN n_words > 0
-        |        THEN floor(1000.0 * sum_len / n_words) ELSE 0 END)
-        |        BETWEEN 3000 AND 10000
-        |      AND (CASE WHEN n_words > 0
-        |        THEN floor(1000.0 * symbols / n_words) ELSE 0 END) <= 100
-        |      AND (CASE WHEN n_lines > 0
-        |        THEN floor(1000.0 * ell / n_lines) ELSE 0 END) <= 300
-        |      AND (CASE WHEN n_lines > 0
-        |        THEN floor(1000.0 * bul / n_lines) ELSE 0 END) <= 900
-        |      AND (CASE WHEN n_words > 0
-        |        THEN floor(1000.0 * alpha / n_words) ELSE 0 END) >= 800
-        |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT)
-        |      AS gopher_pass
-        |  FROM s),
-        |c AS (SELECT doc_id,
-        |    CAST(CASE WHEN contains(text, '{')
-        |      OR contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
-        |      AS BIGINT) AS page_drop,
-        |    list_filter(lines, l ->
-        |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
-        |        OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
-        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
-        |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
-        |  FROM t)
-        |SELECT gp.doc_id, array_to_string(c.kept, chr(10)) AS text,
-        |  gp.n_words, gp.stop_hits, CAST(len(c.kept) AS BIGINT) AS n_kept
-        |FROM gp JOIN c ON c.doc_id = gp.doc_id
-        |WHERE gp.gopher_pass = 1 AND c.page_drop = 0 AND len(c.kept) >= 1
-        |ORDER BY gp.doc_id ASC""".stripMargin,
+    "stream_quality_filter" -> qualityFilterOracle,
+    // the TVF form computes the identical one-scan cascade + policy
+    "sql_tvf_quality" -> qualityFilterOracle,
 
     // survivors of the single-batch streaming decontamination loop:
     // keep iff duplicated tokens <= half the doc (shared span CTEs)
@@ -4564,6 +4529,80 @@ object SparkEntry {
     * side is doc_id >= 100 with the bucket cap applied over ITS band
     * table only; the delta (doc_id < 100) bands uncapped — exactly
     * [[operators.LshTextIndex.probe]]'s semantics. */
+  /** The synthetic-page Gopher+C4 gate, re-derived in DuckDB —
+    * shared verbatim by the streaming gate row and its TVF twin
+    * (same corpus construction, same cascades, same policy). */
+  private def qualityFilterOracle: String =
+"""WITH i AS (SELECT doc_id,
+        |    'The quick section about ' || substr(text, 1, 40) ||
+        |    ' ends well here.' || chr(10) || 'Too short.' || chr(10) ||
+        |    'Please enable JavaScript to continue reading now.' ||
+        |    chr(10) || substr(text, 41, 80) || chr(10) ||
+        |    'This sentence is long enough to satisfy the filter.' ||
+        |    chr(10) ||
+        |    'We keep that pace and write of many decent things here to finish.' ||
+        |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'lorem ipsum {'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'wait for it...' ||
+        |      chr(10) || 'and more to come...' || chr(10) ||
+        |      'still going on...' ELSE '' END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> len(trim(l)) > 0) AS lines
+        |  FROM i),
+        |s AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(toks, w -> len(w))) AS BIGINT)
+        |      AS sum_len,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+        |      + CAST((len(text) - len(replace(text, '...', ''))) // 3
+        |          AS BIGINT) AS symbols,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')))
+        |      AS BIGINT) AS ell,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(trim(l), '^[-*•]'))) AS BIGINT) AS bul,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      g -> list_contains(list_transform(toks, w -> lower(w)), g)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM t),
+        |gp AS (SELECT doc_id, n_words, stop_hits,
+        |    CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |      AND (CASE WHEN n_words > 0
+        |        THEN floor(1000.0 * sum_len / n_words) ELSE 0 END)
+        |        BETWEEN 3000 AND 10000
+        |      AND (CASE WHEN n_words > 0
+        |        THEN floor(1000.0 * symbols / n_words) ELSE 0 END) <= 100
+        |      AND (CASE WHEN n_lines > 0
+        |        THEN floor(1000.0 * ell / n_lines) ELSE 0 END) <= 300
+        |      AND (CASE WHEN n_lines > 0
+        |        THEN floor(1000.0 * bul / n_lines) ELSE 0 END) <= 900
+        |      AND (CASE WHEN n_words > 0
+        |        THEN floor(1000.0 * alpha / n_words) ELSE 0 END) >= 800
+        |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS gopher_pass
+        |  FROM s),
+        |c AS (SELECT doc_id,
+        |    CAST(CASE WHEN contains(text, '{')
+        |      OR contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END
+        |      AS BIGINT) AS page_drop,
+        |    list_filter(lines, l ->
+        |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+        |        OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+        |      AND len(string_split_regex(trim(l), '\s+')) >= 5
+        |      AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+        |  FROM t)
+        |SELECT gp.doc_id, array_to_string(c.kept, chr(10)) AS text,
+        |  gp.n_words, gp.stop_hits, CAST(len(c.kept) AS BIGINT) AS n_kept
+        |FROM gp JOIN c ON c.doc_id = gp.doc_id
+        |WHERE gp.gopher_pass = 1 AND c.page_drop = 0 AND len(c.kept) >= 1
+        |ORDER BY gp.doc_id ASC""".stripMargin
+
   /** Char-trigram language ID, re-derived end-to-end in DuckDB: the
     * SAME fixture (generated VALUES from
     * [[operators.TextAnalysis.LangIdSeedCorpus]]), the same distinct-

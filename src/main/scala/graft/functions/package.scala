@@ -173,6 +173,9 @@ package object functions {
     // SELECT * FROM vfs_minhash_pairs(path, threshold[, textCol, idCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_minhash_pairs",
       graft.plans.SqlSurface.vfsMinhashPairsBuilder _)
+    // SELECT * FROM vfs_quality_gate(path[, minWords, textCol, idCol])
+    ExpressionUtils.registerTableFunction(spark, "vfs_quality_gate",
+      graft.plans.SqlSurface.vfsQualityGateBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

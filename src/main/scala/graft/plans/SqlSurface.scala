@@ -338,6 +338,45 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_quality_gate(path[, minWords, textCol,
+    * idCol])` — the one-scan Gopher + C4 filter cascade
+    * ([[graft.operators.TextAnalysis.qualityGate]]: every gopher
+    * signal column plus every C4 cleaning column from ONE projection
+    * over the text) from pure SQL text, completing the TVF family:
+    * {{{ SELECT doc_id, clean_text FROM
+    *     vfs_quality_gate('/data/docs')
+    *     WHERE gopher_pass = 1 AND page_drop = 0 AND n_kept >= 1 }}}
+    * The WHERE stays with the caller — the gate computes signals,
+    * policy composes in SQL (exactly the streaming ingest loop's
+    * split of labor). */
+  private[graft] def vfsQualityGateBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_quality_gate(path[, minWords, textCol, idCol]): $msg")
+    if (es.isEmpty || es.length > 4)
+      fail(s"expected 1-4 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val path = evalNonNull(0, "path").toString
+    val minWords = if (es.length >= 2) evalNonNull(1, "minWords") match {
+      case i: Int => i
+      case l: Long if l == l.toInt => l.toInt
+      case l: Long => fail(s"minWords out of int range: $l")
+      case other => fail(s"minWords must be an integer literal, got $other")
+    } else 5
+    if (minWords < 1) fail(s"minWords must be >= 1, got $minWords")
+    val textCol = if (es.length >= 3) evalNonNull(2, "textCol").toString
+      else "text"
+    val idCol = if (es.length >= 4) evalNonNull(3, "idCol").toString
+      else "doc_id"
+    graft.operators.TextAnalysis.qualityGate(
+        SparkSession.active.read.parquet(path), textCol, idCol, minWords)
+      .queryExecution.analyzed
+  }
+
   /** Expose a store's live table (memtable ∪ flushed, dequantized) as
     * a temp view. */
   def registerStore(store: graft.store.VfsStore, name: String): Unit =

@@ -315,6 +315,58 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("vfs_quality_gate table-valued function: one-scan Gopher+C4 " +
+      "cascade from SQL text, parity with the DataFrame operator, " +
+      "bad args loud") {
+    val shared = GraftTest.spark
+    val dataPath = s"${GraftTest.sf0001}/documents.parquet"
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      SparkSession.setActiveSession(s)
+      import org.apache.spark.sql.functions.col
+      val got = s.sql(
+        s"""SELECT doc_id, n_words, stop_hits, gopher_pass, page_drop,
+           |       n_kept, clean_text
+           |FROM vfs_quality_gate('$dataPath', 5)
+           |ORDER BY doc_id""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      val expect = graft.operators.TextAnalysis.qualityGate(
+          s.read.parquet(dataPath), minWords = 5)
+        .select(col("doc_id"), col("n_words"), col("stop_hits"),
+          col("gopher_pass"), col("page_drop"), col("n_kept"),
+          col("clean_text"))
+        .orderBy(col("doc_id"))
+        .collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got === expect)
+      // the default minWords is 5 — one-argument form is identical
+      val gotDefault = s.sql(
+        s"""SELECT doc_id, n_words, stop_hits, gopher_pass, page_drop,
+           |       n_kept, clean_text
+           |FROM vfs_quality_gate('$dataPath')
+           |ORDER BY doc_id""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      assert(gotDefault === got)
+      // policy composes as plain SQL over the signal columns
+      val kept = s.sql(
+        s"""SELECT count(*) FROM vfs_quality_gate('$dataPath')
+           |WHERE gopher_pass = 1 AND page_drop = 0""".stripMargin)
+        .head().getLong(0)
+      assert(kept <= got.length)
+      val e = intercept[Exception] {
+        s.sql("SELECT * FROM vfs_quality_gate()").collect()
+      }
+      assert(e.getMessage.contains("expected 1-4 arguments"))
+      val e2 = intercept[Exception] {
+        s.sql(s"SELECT * FROM vfs_quality_gate('$dataPath', 0)").collect()
+      }
+      assert(e2.getMessage.contains("minWords must be >= 1"))
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("vfs_binary_knn table-valued function: binary coarse tier from " +
       "SQL text, parity with the expression pipeline, bad args loud") {
     val shared = GraftTest.spark
