@@ -165,7 +165,7 @@ object IvfIndex {
     * nCentroids × dim from the metadata (two numbers, no scan — the
     * same dim-aware estimate as [[BroadcastGate]], whose Catalyst
     * size statistics under-count array columns 1000×) against the
-    * broadcast budget BEFORE collecting, and fails loudly naming the
+    * collect budget BEFORE collecting, and fails loudly naming the
     * escape hatches. 100 TB stance: at the documented √N sizing
     * (SURVEY §7.3) even a trillion-row corpus wants ~1M centroids ≈
     * dim 128 × 4 B × 1M = 512 MB — within one budget bump; an index

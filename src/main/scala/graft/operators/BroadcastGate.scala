@@ -57,7 +57,18 @@ object BroadcastGate {
   def gated(df: DataFrame, rows: Long, dim: Int): DataFrame =
     if (fits(rows, dim)) broadcast(df) else df
 
-  /** LOUD variant for driver-side collects that have no planner
+  /** Budget for one driver-side COLLECT — deliberately a SEPARATE
+    * knob from [[budgetBytes]]: zeroing the broadcast budget is a
+    * legitimate way to strip every hint and hand join strategy to
+    * the planner (spec-pinned as a pure physical-plan nudge), and
+    * that must not disable or trip the collect gate, whose failure
+    * IS a correctness/availability verdict (no planner fallback
+    * exists for a driver OOM). */
+  def collectBudgetBytes: Long =
+    sys.props.get("graft.collect.budget.bytes").map(_.toLong)
+      .getOrElse(256L * 1024L * 1024L)
+
+  /** LOUD gate for driver-side collects that have no planner
     * fallback (a collected centroid table lives or OOMs with the
     * driver): fail with the caller's sizing story and escape hatch
     * instead of letting the collect kill the one process whose death
@@ -65,10 +76,11 @@ object BroadcastGate {
   def requireCollectFits(rows: Long, dim: Int, what: String,
       hint: String): Unit = {
     val est = vectorBatchBytes(rows, dim)
-    require(est <= budgetBytes,
+    require(est <= collectBudgetBytes,
       s"[GRAFT] $what is ~$est bytes ($rows rows × dim $dim) — too " +
-        s"large to collect driver-side (budget $budgetBytes). $hint " +
-        "Raise -Dgraft.broadcast.budget.bytes only if driver memory " +
+        s"large to collect driver-side (budget $collectBudgetBytes). " +
+        s"$hint " +
+        "Raise -Dgraft.collect.budget.bytes only if driver memory " +
         "truly allows.")
   }
 

@@ -118,7 +118,10 @@ class KnnSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("ivf-centgate").toString
     IvfIndex.build(emb, dir, nCentroids = 8, Metric.Cosine)
     val queries = all.take(3).toSeq.toDF("qid", "qvalues")
-    val key = "graft.broadcast.budget.bytes"
+    // the COLLECT budget, not the broadcast one: zeroing broadcast
+    // hints must never trip this gate (PqSpec pins that), so the
+    // knobs are separate
+    val key = "graft.collect.budget.bytes"
     val old = sys.props.get(key)
     // shrink the budget below even 8 centroids' bytes — the absurd-
     // nCentroids index in miniature (the estimate, not the collect,
