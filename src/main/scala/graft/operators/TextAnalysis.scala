@@ -987,20 +987,32 @@ object TextAnalysis {
           .as("score_milli"))
   }
 
-  /** Distinct character n-grams of the LOWERCASED text, windows over
-    * the raw string including spaces (word-boundary grams carry much
-    * of the language signal: "the", "er ", " de"). Pure projection;
-    * `when` guards the short-text case BEFORE building the sequence —
+  /** N-gram windows over an ALREADY-NORMALIZED string column — the
+    * lambda references `t` once per window, so callers must pass an
+    * ATTRIBUTE (a pre-materialized projection), not an expression:
+    * an inline `lower(text)` would be re-evaluated at every window
+    * position inside the higher-order lambda (no CSE in interpreted
+    * HOF evaluation — the [[graft.operators.Dedup]] minhash-inlining
+    * lesson), turning a linear scan O(len²). `when` guards the
+    * short-text case BEFORE building the sequence —
     * `sequence(1, len-2)` DESCENDS for len < 3 (the round-8 gotcha)
     * and would emit phantom grams. */
-  def charNGrams(text: Column, n: Int): Column = {
-    require(n > 0, "[GRAFT] charNGrams: n must be positive")
-    val t = lower(text)
+  private def charNGramsOf(t: Column, n: Int): Column =
     when(length(t) >= n,
       array_distinct(transform(
         sequence(lit(1), length(t) - (n - 1)),
         i => call_function("substr", t, i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+
+  /** Distinct character n-grams of the LOWERCASED text, windows over
+    * the raw string including spaces (word-boundary grams carry much
+    * of the language signal: "the", "er ", " de"). Pure projection.
+    * Convenience form for ad-hoc use; the train/score operators
+    * stage `lower(text)` into a materialized work column first (see
+    * [[charNGramsOf]]'s O(len²) note). */
+  def charNGrams(text: Column, n: Int): Column = {
+    require(n > 0, "[GRAFT] charNGrams: n must be positive")
+    charNGramsOf(lower(text), n)
   }
 
   /** Seeded multilingual training fixture for [[trainLangId]] — a few
@@ -1053,8 +1065,12 @@ object TextAnalysis {
   def trainLangId(labeled: DataFrame, langCol: String = "lang",
       textCol: String = "text", vocab: Int = 4096): DataFrame = {
     require(vocab > 0, "[GRAFT] trainLangId: vocab must be positive")
-    val grams = labeled.select(col(langCol).as("lang"),
-        explode(charNGrams(col(textCol), 3)).as("gram"))
+    WorkCols.requireFree(labeled, "__t")
+    // stage lower(text) as an attribute BEFORE the gram lambda — the
+    // Generate's transform then reads it per row, not per window
+    val grams = labeled
+      .select(col(langCol).as("lang"), lower(col(textCol)).as("__t"))
+      .select(col("lang"), explode(charNGramsOf(col("__t"), 3)).as("gram"))
       .groupBy(col("gram"), col("lang"))
       .agg(count(lit(1)).cast("long").as("df"))
     val langs = labeled.select(col(langCol).as("lang")).distinct()
@@ -1089,9 +1105,10 @@ object TextAnalysis {
     require(Seq("gram", "lang", "weight_milli")
         .forall(model.columns.contains),
       "[GRAFT] scoreLangId: model must have (gram, lang, weight_milli)")
-    WorkCols.requireFree(docs, "__ev", "__neg")
-    val ev = docs.select(col(idCol),
-        explode(charNGrams(col(textCol), 3)).as("gram"))
+    WorkCols.requireFree(docs, "__ev", "__neg", "__t")
+    val ev = docs
+      .select(col(idCol), lower(col(textCol)).as("__t"))
+      .select(col(idCol), explode(charNGramsOf(col("__t"), 3)).as("gram"))
       .join(broadcast(model.select(col("gram"), col("lang"),
         col("weight_milli"))), Seq("gram"))
       .groupBy(col(idCol), col("lang"))
