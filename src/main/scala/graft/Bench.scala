@@ -343,6 +343,30 @@ object Bench {
         .agg(sum(col("n_kept"))).collect()
       g.head.getLong(0) + c.head.getLong(0)
     } }
+    // trigram langid: vocab×L broadcast model (trained once outside
+    // the timed block — the fixture is constant), Generate + join +
+    // two partial aggs per scoring pass
+    val langIdModel = {
+      import spark.implicits._
+      graft.operators.TextAnalysis.trainLangId(
+        graft.operators.TextAnalysis.LangIdSeedCorpus
+          .toDF("lang", "text"))
+    }
+    preBuild(langIdModel.count())
+    entry("langid_score") { median {
+      graft.operators.TextAnalysis.scoreLangId(
+          spark.read.parquet(s"$sfDir/documents.parquet"), langIdModel)
+        .agg(sum(col("score_milli"))).collect()
+    } }
+    // audio near-dup: per-partition decode+fingerprint kernel into
+    // the shared banded bucket fold (8 bytes per asset shuffle)
+    entry("audio_neardup") { median {
+      val aud = graft.operators.Multimodal.synthesizeMedia(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select((col("doc_id") * 3).as("doc_id"), col("text")))
+      graft.operators.Multimodal.audioNearDupPairs(spark, aud,
+        maxHamming = 3, window = 4).count()
+    } }
     // bigram LM scoring: two count aggs + one stats join over the
     // token stream, integer-exact model
     entry("lm_score") { median {

@@ -451,6 +451,46 @@ object Explain {
       graft.operators.GramIndex.probeSpans(spark, idx,
         docs.filter(col("doc_id") < 100L))
     }
+    show("trigram langid scoring (expect: lower(text) materialized " +
+        "ONCE in the Project under Generate — a single lower( in the " +
+        "whole plan — BroadcastHashJoin against the vocab×L model, " +
+        "per-(doc,lang) partial agg, then the min-struct argmax " +
+        "partial agg; no window)") {
+      import spark.implicits._
+      val fixture = graft.operators.TextAnalysis.LangIdSeedCorpus
+        .toDF("lang", "text")
+      graft.operators.TextAnalysis.scoreLangId(
+        spark.read.parquet(s"$dir/documents.parquet"),
+        graft.operators.TextAnalysis.trainLangId(fixture))
+    }
+    show("audio near-dup pairs (expect: per-partition decode+" +
+        "fingerprint kernel (MapPartitions) collapsing each asset to " +
+        "8 bytes BEFORE the one pinned band/bval exchange; the same " +
+        "streaming bucket-fold scan as text simhash; pinned " +
+        "REPARTITION_BY_NUM dedup width)") {
+      graft.operators.Multimodal.audioNearDupPairs(spark,
+        graft.operators.Multimodal.synthesizeMedia(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select((col("doc_id") * 3).as("doc_id"), col("text"))),
+        window = 4)
+    }
+    show("binary sidecar coarse cut (expect: ReadSchema (id, packed) " +
+        "only; TakeOrderedAndProject over 2n slots, the duplicate " +
+        "collapse agg touching only those survivors, re-limit n)") {
+      val bidx2 = java.nio.file.Files
+        .createTempDirectory("explain-binidx2").toString
+      graft.operators.BinaryIndex.build(
+        spark.read.parquet(s"$dir/embeddings.parquet"), bidx2)
+      graft.operators.BinaryIndex.candidates(spark, bidx2, q, n = 50)
+    }
+    show("vfs_quality_gate TVF (expect: identical to the DataFrame " +
+        "gate — spread + ONE codegen'd projection computing BOTH " +
+        "cascades, caller's WHERE fused into the same stage)") {
+      spark.sql(
+        s"""SELECT doc_id, n_words, n_kept FROM
+           |vfs_quality_gate('$dir/documents.parquet')
+           |WHERE gopher_pass = 1 AND page_drop = 0""".stripMargin)
+    }
     spark.stop()
   }
 }

@@ -294,6 +294,40 @@ object QuickStart {
       s"into ${bins.select($"shard", $"bin_id").distinct().count()} " +
       "bins of 256 tokens, zero straddles by construction")
 
+    // round-11 surface: takedown, trigram langid, audio near-dup,
+    // quality-gate TVF
+    val lshDelDir = java.nio.file.Files
+      .createTempDirectory("graft-lsh-del").toString
+    graft.operators.LshTextIndex.build(docs, lshDelDir)
+    val victim = docs.select($"doc_id").head.getLong(0)
+    val removedBands = graft.operators.LshTextIndex.deleteIds(spark,
+      lshDelDir, Seq(victim))
+    println(s"[quickstart] takedown: doc $victim -> $removedBands band " +
+      s"triples removed, generation " +
+      s"${graft.operators.LshTextIndex.readMeta(lshDelDir).generation}")
+    val lidModel = graft.operators.TextAnalysis.trainLangId(
+      graft.operators.TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+    val lid = graft.operators.TextAnalysis.scoreLangId(
+        Seq((1L, "bonjour"), (2L, "nachdenken"), (3L, "the cat sat"))
+          .toDF("doc_id", "text"), lidModel)
+      .orderBy($"doc_id").collect()
+      .map(r => s"${r.getLong(0)}=${r.getString(1)}")
+    println(s"[quickstart] trigram langid: ${lid.mkString(", ")}")
+    val aud = graft.operators.Multimodal.synthesizeMedia(
+      docs.select(($"doc_id" * 3).as("doc_id"), $"text"))
+    val audPairs = graft.operators.Multimodal.audioNearDupPairs(spark,
+      aud, window = 4)
+    println(s"[quickstart] audio near-dup: ${audPairs.count()} pairs " +
+      "at hamming <= 3 over energy-delta fingerprints")
+    graft.functions.registerAll(spark)
+    docs.write.mode("overwrite").parquet(s"$lshDelDir/docs")
+    val tvfKept = spark.sql(
+      s"""SELECT count(*) FROM vfs_quality_gate('$lshDelDir/docs')
+         |WHERE gopher_pass = 1 AND page_drop = 0""".stripMargin)
+      .head.getLong(0)
+    println(s"[quickstart] vfs_quality_gate TVF: $tvfKept docs pass " +
+      "both cascades from pure SQL")
+
     // API-parity surface: the reference's 7 endpoints as library calls
     val api = new graft.api.VfsApi(spark,
       java.nio.file.Files.createTempDirectory("graft-api").toString)

@@ -242,6 +242,33 @@ object ScaleProbe {
         .agg(sum($"gopher_pass"), sum($"n_kept"), sum($"page_drop"))
         .collect()
     }
+    // audio near-dup at scale: 167k wav assets collapse to 8-byte
+    // fingerprints INSIDE the per-partition decode kernel; only the
+    // (band, bval, id, sig) quads shuffle — the 100 TB contract is
+    // the fingerprint pass ∝ assets, the pair stage ∝ collisions
+    time("audio near-dup pairs: 167k wav assets (fingerprint kernel " +
+        "+ banded fold)") {
+      import org.apache.spark.sql.Encoders
+      val wav = graft.operators.Multimodal.synthesizeMedia(mediaDocs)
+        .filter(col("format") === "audio/wav")
+        .as[graft.operators.MediaRecord](
+          Encoders.product[graft.operators.MediaRecord])
+      val r = graft.operators.Multimodal.audioNearDupPairs(spark, wav,
+          maxHamming = 3, window = 4)
+        .agg(count(lit(1))).collect()
+      println(s"[scale-probe]   audio near-dup pairs: ${r.head.getLong(0)}")
+    }
+    // trigram langid at scale: the model is vocab×4 rows (broadcast);
+    // scoring is one Generate + broadcast join + two partial aggs —
+    // cost ∝ corpus trigrams, lower() materialized once per row
+    time("trigram langid scoring over 500k docs (broadcast model, " +
+        "min-struct argmax)") {
+      val model = graft.operators.TextAnalysis.trainLangId(
+        graft.operators.TextAnalysis.LangIdSeedCorpus
+          .toDF("lang", "text"))
+      graft.operators.TextAnalysis.scoreLangId(mediaDocs, model)
+        .agg(sum($"score_milli"), count(lit(1))).collect()
+    }
     time("frame-sample every 4th frame of 500k ppm-stream videos " +
         "(sequential header walk)") {
       graft.operators.Multimodal.sampleFrames(spark,
@@ -291,6 +318,22 @@ object ScaleProbe {
       val r = graft.operators.Dedup.minHashLsh(lshDocs, threshold = 0.8)
         .agg(count(lit(1)), sum($"jaccard_milli")).collect()
       println(s"[scale-probe]   verified pairs: ${r.head.getLong(0)}")
+    }
+    // takedown at scale: the delete is an anti-join REWRITE of the
+    // whole band table (it is not id-partitioned — it exists to be
+    // hash-joined whole), so the honest cost model is "a compact":
+    // one pushed-down IN count + one filtered rewrite + two renames.
+    // Batch deletions amortize exactly like compactions do.
+    val lshIdxDir = java.nio.file.Files
+      .createTempDirectory("scale-lshdel").toString
+    time("LshTextIndex build over the 500k-doc corpus") {
+      graft.operators.LshTextIndex.build(lshDocs, lshIdxDir)
+    }
+    time("LshTextIndex takedown: delete 1k docs from the 500k-doc " +
+        "band table (anti-join rewrite + staged swap)") {
+      val removed = graft.operators.LshTextIndex.deleteIds(spark,
+        lshIdxDir, (0L until 1000L).map(v => v: Any))
+      println(s"[scale-probe]   band triples removed: $removed")
     }
     lshDocs.unpersist()
     time("one-pass profile of the 10M-row table (exact distinct)") {
