@@ -42,10 +42,16 @@ case class MediaStats(doc_id: Long, format: String, width: Int,
 object Multimodal {
 
   /** Build a media table from the documents table: the text payload is
-    * UTF-8-encoded as the stand-in binary blob. */
+    * UTF-8-encoded as the stand-in binary blob. Every synthesizer
+    * [[WorkCols.spread]]s its docs input first: the decode/encode
+    * kernels downstream are compute-bound per-partition passes, and a
+    * few-file corpus read would otherwise pin them to as few cores
+    * (no-op on real many-file corpora — the standing kernel
+    * convention). */
   def mediaFromDocs(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
       encode(col(textCol), "UTF-8").as("media"),
       lit("text/plain").as("format"),
       octet_length(encode(col(textCol), "UTF-8")).cast("long").as("n_bytes"))
@@ -80,7 +86,8 @@ object Multimodal {
       idCol: String = "doc_id"): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
         encode(col(textCol), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -115,7 +122,8 @@ object Multimodal {
       idCol: String = "doc_id"): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
         encode(col(textCol), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -138,7 +146,8 @@ object Multimodal {
       idCol: String = "doc_id"): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
         encode(col(textCol), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -161,7 +170,8 @@ object Multimodal {
       idCol: String = "doc_id"): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
         encode(col(textCol), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -195,7 +205,8 @@ object Multimodal {
         case _ => i * 29 % 256
       }).toByte
     }
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
         encode(col(textCol), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
@@ -307,7 +318,8 @@ object Multimodal {
     val frameBytes = 12 * frameRows
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("doc_id"),
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
         encode(col(textCol), "UTF-8").as("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
