@@ -281,12 +281,17 @@ object GramIndex {
     val fs = fsOf(path)
     ArtifactIo.healParked(fs, path, "grams", "gram index retire")
     val m = readMeta(path)
-    require(!spark.read.parquet(s"$path/grams").columns
-        .contains("batch"),
-      "[GRAFT] retire: this is a BATCH-ADDRESSED streaming layout " +
-        "(grams/batch=<id>) — its standing set is owned by the " +
-        "stream's replay protocol; stop the stream and rebuild " +
-        "through its own sink instead")
+    // an ensureMeta-stamped artifact may have no grams/ yet (metadata
+    // stamped, no batch landed): nothing stored means nothing to
+    // retire — the rebuild below just publishes fresh at frozen k
+    val live = new org.apache.hadoop.fs.Path(s"$path/grams")
+    if (fs.exists(live))
+      require(!spark.read.parquet(s"$path/grams").columns
+          .contains("batch"),
+        "[GRAFT] retire: this is a BATCH-ADDRESSED streaming layout " +
+          "(grams/batch=<id>) — its standing set is owned by the " +
+          "stream's replay protocol; stop the stream and rebuild " +
+          "through its own sink instead")
     build(survivors, path, m.k, textCol, idCol)
   }
 

@@ -182,6 +182,15 @@ class PipelineSpec extends AnyFunSuite {
       GramIndex.retire(spark, streamDir, corpus)
     }
     assert(err.getMessage.contains("BATCH-ADDRESSED"))
+    // ensureMeta-stamped artifact with NO grams dir yet: nothing to
+    // retire — the rebuild publishes fresh at the frozen k
+    val emptyDir = Files.createTempDirectory("graft-gram-empty").toString
+    GramIndex.ensureMeta(emptyDir, k = 3)
+    GramIndex.retire(spark, emptyDir,
+      corpus.filter($"doc_id" =!= 3L)) // no throw
+    assert(GramIndex.readMeta(emptyDir).k === 3)
+    assert(GramIndex.probeSpans(spark, emptyDir, delta)
+      .select($"doc_id").as[Long].collect().toSet === Set(11L))
   }
 
   test("capBucketsAnti drops exactly capBuckets' rows (hot identical " +
