@@ -345,12 +345,15 @@ object Bench {
     } }
     // trigram langid: vocab×L broadcast model (trained once outside
     // the timed block — the fixture is constant), Generate + join +
-    // two partial aggs per scoring pass
+    // two partial aggs per scoring pass. The model is CACHED, not
+    // just pre-counted: scoreLangId takes two actions per call (the
+    // lang collect + the pivot), and an uncached lazy model would
+    // re-execute the whole training DAG inside every timed rep.
     val langIdModel = {
       import spark.implicits._
       graft.operators.TextAnalysis.trainLangId(
         graft.operators.TextAnalysis.LangIdSeedCorpus
-          .toDF("lang", "text"))
+          .toDF("lang", "text")).cache()
     }
     preBuild(langIdModel.count())
     entry("langid_score") { median {
@@ -358,6 +361,7 @@ object Bench {
           spark.read.parquet(s"$sfDir/documents.parquet"), langIdModel)
         .agg(sum(col("score_milli"))).collect()
     } }
+    langIdModel.unpersist()
     // audio near-dup: per-partition decode+fingerprint kernel into
     // the shared banded bucket fold (8 bytes per asset shuffle)
     entry("audio_neardup") { median {

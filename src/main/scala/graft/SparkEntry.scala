@@ -510,6 +510,29 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- streaming language routing: the frozen trigram model
+    // scores each micro-batch and docs land PARTITIONED by predicted
+    // language under a batch-addressed dir (per-language downstream
+    // pipelines prune to their partition). The batch body over the
+    // full table IS the batch scoring, so the row shares
+    // text_langid_ngram's oracle derivation ----
+    "stream_langid_route" -> ((s, dir) => {
+      import s.implicits._
+      val model = graft.operators.TextAnalysis.trainLangId(
+        graft.operators.TextAnalysis.LangIdSeedCorpus
+          .toDF("lang", "text"))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val out = java.nio.file.Files
+        .createTempDirectory("verify-langid-route").toString
+      graft.streaming.Ingest.langIdRouteBatch(docs, batchId = 0L,
+        model = model, outDir = out, keepLangs = Nil)
+      s.read.parquet(s"$out/batch=0")
+        .select(col("doc_id"), col("lang_pred"), col("matched"),
+          col("score_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- the SQL-text surface of the quality gate: the same
     // synthetic multi-line corpus goes to parquet, the
     // vfs_quality_gate TVF computes both cascades in one scan, and
@@ -848,6 +871,11 @@ object SparkEntry {
       val flagViol = packed
         .filter((col("overflow") === 1L) =!= (col("n_tokens") > 256L))
         .count()
+      // release the two cache blocks — a verify session runs 300+
+      // specs in one SparkSession and these have served their six
+      // actions
+      enc.unpersist()
+      packed.unpersist()
       Seq((nDocs, if (packedTotal == encTotal) 1L else 0L, capViol,
         gaps, orderViol, flagViol))
         .toDF("n_docs", "token_total_match", "cap_violations",
@@ -2933,6 +2961,9 @@ object SparkEntry {
     // the same fixture literals (shared Scala constant -> generated
     // VALUES, so the two derivations cannot drift) and re-scores
     "text_langid_ngram" -> langIdNgramOracle,
+    // the routed stream's batch body lands the identical scoring,
+    // partitioned by lang_pred (keepLangs = all)
+    "stream_langid_route" -> langIdNgramOracle,
 
     "sql_text_analyze" -> sqlTextAnalyzeOracle,
 

@@ -173,7 +173,7 @@ object IvfIndex {
     * the centroid table itself, so the driver holds √nCentroids) —
     * out of scope here, and silently OOMing instead of saying so is
     * the failure mode this gate removes. */
-  private def loadCentroids(spark: SparkSession,
+  private[operators] def loadCentroids(spark: SparkSession,
       path: String): Array[(Int, Array[Float])] = {
     val m = readMetaRaw(path)
     BroadcastGate.requireCollectFits(m.nCentroids.toLong, m.dim,

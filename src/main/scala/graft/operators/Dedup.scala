@@ -406,25 +406,28 @@ object Dedup {
     * compares UTF-16 code units instead, which diverges for
     * supplementary (non-BMP) code points: they encode as surrogates
     * (0xD800–0xDFFF), which sort BELOW U+E000–U+FFFF chars in UTF-16
-    * order but ABOVE them in code-point/UTF-8 order. The typed pair
-    * folds sort with THIS ordering so their a/b orientation stays
-    * bit-identical to the capped self-join on any id, not just
-    * BMP/ASCII ones. */
+    * order but ABOVE them in code-point/UTF-8 order. This per-compare
+    * form re-encodes both sides on every comparison, so it is for
+    * SMALL driver-side sorts (language labels, test fixtures); the
+    * per-bucket pair folds use [[idPairsUtf8]]/[[sigPairsUtf8]],
+    * which encode each id ONCE and sort the precomputed byte keys —
+    * same order, without O(n log n) encodings per bucket. */
   private[operators] val utf8ByteOrdering: Ordering[String] =
-    new Ordering[String] {
-      def compare(a: String, b: String): Int = {
-        val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val n = math.min(ab.length, bb.length)
-        var i = 0
-        while (i < n) {
-          val c = (ab(i) & 0xff) - (bb(i) & 0xff)
-          if (c != 0) return c
-          i += 1
-        }
-        ab.length - bb.length
-      }
+    Ordering.comparatorToOrdering { (a: String, b: String) =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
+
+  /** Unsigned lexicographic byte order — [[utf8ByteOrdering]] over
+    * keys already encoded by [[utf8Key]]. */
+  private val utf8BytesOrd: Ordering[Array[Byte]] =
+    Ordering.comparatorToOrdering(
+      (a: Array[Byte], b: Array[Byte]) =>
+        java.util.Arrays.compareUnsigned(a, b))
+
+  private def utf8Key(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
 
   /** Sorted strict a < b pair emission for one surviving bucket —
     * the capped self-join's `a.id < b.id` exclusion (duplicate ids
@@ -449,6 +452,34 @@ object Dedup {
         .filter(j => xs(j)._1 != xs(i)._1)
         .map(j => (xs(i)._1, xs(j)._1,
           java.lang.Long.bitCount(xs(i)._2 ^ xs(j)._2).toLong)))
+  }
+
+  /** [[idPairs]] for STRING ids: a Schwartzian transform — each id's
+    * UTF-8 bytes are computed ONCE ([[utf8Key]]) and the sort
+    * compares the precomputed keys, instead of re-encoding both
+    * sides on every comparison inside the hot per-bucket fold. Order
+    * (and therefore pair orientation) is bit-identical to sorting
+    * with [[utf8ByteOrdering]]. */
+  private def idPairsUtf8(
+      buf: scala.collection.mutable.ArrayBuffer[String]): Iterator[(String, String)] = {
+    val ids = buf.map(s => (utf8Key(s), s)).sortInPlaceBy(_._1)(utf8BytesOrd)
+    Iterator.range(0, ids.length - 1).flatMap(i =>
+      Iterator.range(i + 1, ids.length)
+        .filter(j => ids(j)._2 != ids(i)._2)
+        .map(j => (ids(i)._2, ids(j)._2)))
+  }
+
+  /** [[sigPairs]] for STRING ids, same precomputed-key sort as
+    * [[idPairsUtf8]]. */
+  private def sigPairsUtf8(
+      buf: scala.collection.mutable.ArrayBuffer[(String, Long)]): Iterator[(String, String, Long)] = {
+    val xs = buf.map { case (s, sig) => (utf8Key(s), s, sig) }
+      .sortInPlaceBy(_._1)(utf8BytesOrd)
+    Iterator.range(0, xs.length - 1).flatMap(i =>
+      Iterator.range(i + 1, xs.length)
+        .filter(j => xs(j)._2 != xs(i)._2)
+        .map(j => (xs(i)._2, xs(j)._2,
+          java.lang.Long.bitCount(xs(i)._3 ^ xs(j)._3).toLong)))
   }
 
   /** Bucket-fold candidate-pair generation, shared by the self-pair
@@ -486,17 +517,17 @@ object Dedup {
       .sortWithinPartitions(col("band"), col("bsig"))
     // the id rides through a typed per-partition pass: integral ids
     // widen to BIGINT a/b, string ids sort by UTF-8 bytes
-    // ([[utf8ByteOrdering]] — a < b matches the self-join's
-    // UTF8String compare on every id, incl. non-BMP); anything else
-    // fails loudly at plan time rather than as a NULL-decode crash
-    // mid-job
+    // ([[idPairsUtf8]], keys encoded once per element — a < b matches
+    // the self-join's UTF8String compare on every id, incl. non-BMP);
+    // anything else fails loudly at plan time rather than as a
+    // NULL-decode crash mid-job
     val pairs = banded.schema(idC).dataType match {
       case StringType =>
         keyed(col(idC))
           .as[(Int, Seq[Long], String)]
           .mapPartitions(it => emitBucketGroups(
             it.map { case (band, bsig, id) => ((band, bsig), id) },
-            maxBucket)(idPairs[String](_)(utf8ByteOrdering)))
+            maxBucket)(idPairsUtf8))
           .toDF("a", "b")
       case ByteType | ShortType | IntegerType | LongType =>
         keyed(col(idC).cast("long"))
@@ -919,7 +950,7 @@ object Dedup {
           .as[(Int, Long, String, Long)]
           .mapPartitions(it => emitBucketGroups(
             it.map { case (band, bval, id, sig) => ((band, bval), (id, sig)) },
-            maxBucket)(sigPairs[String](_)(utf8ByteOrdering)))
+            maxBucket)(sigPairsUtf8))
           .toDF("a", "b", "hamming")
       case ByteType | ShortType | IntegerType | LongType =>
         keyed(col("id").cast("long"))

@@ -287,22 +287,13 @@ object PqIndex {
   * Deterministic given the parent index (hash-priority sample +
   * seeded Lloyd per subspace, the U2 determinism stance). */
 object IvfPq {
-  /** Parent centroid table → driver map, byte-gated like
-    * [[IvfIndex]]'s loadCentroids (same driver-OOM hazard, same
-    * two-level-routing escape hatch — see that scaladoc). */
+  /** Parent centroid table → driver map, via [[IvfIndex]]'s
+    * byte-gated loadCentroids (same driver-OOM hazard, same
+    * two-level-routing escape hatch — see that scaladoc; one gate,
+    * one collect, one hint string to maintain). */
   private def centroidMap(spark: SparkSession,
-      ivfPath: String): Map[Int, Array[Float]] = {
-    val m = IvfIndex.readMeta(ivfPath)
-    BroadcastGate.requireCollectFits(m.nCentroids.toLong, m.dim,
-      s"centroid table of IVF index at $ivfPath",
-      "An index this wide needs two-level routing (a coarse " +
-        "quantizer over the centroid table); rebuild with fewer " +
-        "centroids.")
-    spark.read.parquet(s"$ivfPath/centroids")
-      .select(col("cluster"), col("centroid"))
-      .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
-  }
+      ivfPath: String): Map[Int, Array[Float]] =
+    IvfIndex.loadCentroids(spark, ivfPath).toMap
 
   private def sub(v: Array[Float], c: Array[Float]): Array[Float] = {
     val out = new Array[Float](v.length)

@@ -1067,9 +1067,11 @@ object TextAnalysis {
     require(vocab > 0, "[GRAFT] trainLangId: vocab must be positive")
     WorkCols.requireFree(labeled, "__t")
     // stage lower(text) as an attribute BEFORE the gram lambda — the
-    // Generate's transform then reads it per row, not per window
-    val grams = labeled
-      .select(col(langCol).as("lang"), lower(col(textCol)).as("__t"))
+    // Generate's transform then reads it per row, not per window —
+    // and SPREAD a few-file corpus first or the per-row gram kernel
+    // runs on as few cores (the WorkCols.spread contract)
+    val grams = WorkCols.spread(labeled
+        .select(col(langCol).as("lang"), lower(col(textCol)).as("__t")))
       .select(col("lang"), explode(charNGramsOf(col("__t"), 3)).as("gram"))
       .groupBy(col("gram"), col("lang"))
       .agg(count(lit(1)).cast("long").as("df"))
@@ -1087,6 +1089,12 @@ object TextAnalysis {
         idiv(lit(1000L) * (coalesce(col("df"), lit(0L)) + lit(1L)),
           col("df_total") + lit(nLangs)).as("weight_milli"))
   }
+
+  /** Lane-design cap for [[scoreLangId]]: one aggregate lane per
+    * language, so L is tens-to-hundreds by nature of the task; past
+    * this the pivoted-lane plan itself is the wrong shape and the
+    * call fails loudly instead of building a 10k-column aggregate. */
+  val MaxLangs: Int = 512
 
   /** Score documents under a [[trainLangId]] model: per language,
     * the mean trigram evidence in milli; the prediction is the
@@ -1111,25 +1119,60 @@ object TextAnalysis {
       "[GRAFT] scoreLangId: model must have (gram, lang, weight_milli)")
     WorkCols.requireFree(docs, "__t", "__w", "__m")
     val spark = docs.sparkSession
-    val langs = model.select(col("lang")).distinct()
-      .collect().map(_.getString(0)).sorted
-    require(langs.nonEmpty, "[GRAFT] scoreLangId: empty model")
+    // ONE bounded driver action fetches everything the pivot needs:
+    // the language labels (limit-collected, so a degenerate model
+    // with millions of "languages" can never OOM the driver — the
+    // lane design holds one aggregate lane per language, so past
+    // MaxLangs the design is wrong for the input and we say so) and
+    // the per-lang row counts, whose max is the vocab size used to
+    // byte-gate the model broadcast below.
+    val langRows = model.groupBy(col("lang"))
+      .agg(count(lit(1)).as("__n")).limit(MaxLangs + 1).collect()
+    require(langRows.nonEmpty, "[GRAFT] scoreLangId: empty model")
+    require(langRows.length <= MaxLangs,
+      s"[GRAFT] scoreLangId: model has > $MaxLangs distinct langs — " +
+        "the pivoted-lane design carries one aggregate lane per " +
+        "language; check the model's lang column")
+    // lanes are ordered by array_sort, which compares the struct's
+    // lang field as UTF8String BYTES — the driver-side list must use
+    // the same order (Java's natural String sort compares UTF-16
+    // code units, which diverges for non-BMP labels; see
+    // [[Dedup.utf8ByteOrdering]])
+    val langs = langRows.map(_.getString(0))
+      .sorted(Dedup.utf8ByteOrdering)
+    val vocabRows = langRows.map(_.getLong(1)).max
     // one POSITIONAL weight array per gram, lanes in sorted-lang
-    // order (dense by construction — every vocab gram carries all L
-    // languages; array_sort on the (lang, weight) structs orders by
-    // lang, matching `langs`): the per-row lane read is then an O(1)
-    // array index, not a map hash probe, × L lanes × every trigram
+    // order: the per-row lane read is then an O(1) array index, not a
+    // map hash probe, × L lanes × every trigram. The model is dense
+    // by [[trainLangId]] construction — every vocab gram carries all
+    // L languages — and the lane layout is VERIFIED per gram against
+    // the expected label array: a filtered/hand-built model with a
+    // missing, duplicate, or extra lane would otherwise silently sum
+    // every language's evidence into its neighbor's lane.
+    val langLit = array(langs.map(lit): _*)
     val wide = model.groupBy(col("gram"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("lang"),
-          col("weight_milli")))),
-        e => e.getField("weight_milli")).as("__w"))
+      .agg(array_sort(collect_list(struct(col("lang"),
+        col("weight_milli")))).as("__s"))
+      .select(col("gram"),
+        when(transform(col("__s"), e => e.getField("lang")) === langLit,
+          transform(col("__s"), e => e.getField("weight_milli")))
+          .otherwise(raise_error(concat(
+            lit("[GRAFT] scoreLangId: model is not dense at gram '"),
+            col("gram"),
+            lit("' — every gram must carry exactly one row per " +
+              "language (trainLangId output is dense by " +
+              "construction; do not filter model rows)"))))
+          .as("__w"))
     def evCol(i: Int) = sum(element_at(col("__w"), lit(i + 1)))
       .as(s"__ev_${langs(i)}")
-    val ev = docs
-      .select(col(idCol), lower(col(textCol)).as("__t"))
+    // byte-gated hint (vocab rows × L longs) — an over-budget model
+    // is left to the planner + AQE rather than force-broadcast
+    val gatedWide = BroadcastGate.gated(wide, vocabRows,
+      2 * langs.length + 2)
+    val ev = WorkCols.spread(docs
+        .select(col(idCol), lower(col(textCol)).as("__t")))
       .select(col(idCol), explode(charNGramsOf(col("__t"), 3)).as("gram"))
-      .join(broadcast(wide), Seq("gram"))
+      .join(gatedWide, Seq("gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("__m"),
         langs.indices.map(evCol): _*)

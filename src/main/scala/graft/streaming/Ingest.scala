@@ -505,6 +505,61 @@ object Ingest {
       .start()
   }
 
+  /** Route a document stream BY PREDICTED LANGUAGE through a frozen
+    * trigram model ([[graft.operators.TextAnalysis.trainLangId]]):
+    * each micro-batch is scored with `scoreLangId` against the model
+    * as trained — never retrained on the stream — and lands
+    * language-PARTITIONED under a batch-addressed dir
+    * (`outDir/batch=<id>/lang_pred=<l>/`), the multilingual-corpus
+    * ingest shape: downstream per-language pipelines read exactly
+    * their partition (partition pruning on `lang_pred`), and
+    * at-least-once replays overwrite their own batch dir (the
+    * [[searchStream]] sink contract). Optional `keepLangs` keeps only
+    * the named languages ("und" noise and out-of-profile languages
+    * never reach the sink). The model is resolved and CACHED once at
+    * stream start; per-batch cost is the batch's trigram stream
+    * against the broadcast pivot. */
+  def langIdRouteStream(docs: DataFrame, model: DataFrame,
+      outDir: String, checkpoint: String,
+      keepLangs: Seq[String] = Nil,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(keepLangs.distinct.length == keepLangs.length,
+      "[GRAFT] langIdRouteStream: keepLangs has duplicates")
+    val frozen = model.cache()
+    frozen.count() // materialize before the first batch
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        langIdRouteBatch(batch, batchId, frozen, outDir, keepLangs)
+      }
+      .start()
+  }
+
+  /** [[langIdRouteStream]]'s per-batch body, separated so replay
+    * idempotence and batch parity are testable. */
+  private[graft] def langIdRouteBatch(batch0: DataFrame, batchId: Long,
+      model: DataFrame, outDir: String, keepLangs: Seq[String]): Unit = {
+    val batch = batch0.select(col("doc_id"), col("text"))
+    if (batch.isEmpty) return
+    // the text rides back via a doc_id join, which depends on id
+    // uniqueness WITHIN the batch (a duplicate would cross-multiply
+    // its rows) — fail loudly instead of silently fanning out
+    require(batch.groupBy(col("doc_id")).count()
+        .filter(col("count") > 1).isEmpty,
+      "[GRAFT] langIdRouteBatch: doc_id must be unique within a batch")
+    val scored = graft.operators.TextAnalysis.scoreLangId(batch, model)
+      .join(batch, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang_pred"),
+        col("matched"), col("score_milli"))
+    val routed =
+      if (keepLangs.isEmpty) scored
+      else scored.filter(col("lang_pred").isin(keepLangs: _*))
+    routed.write.mode("overwrite")
+      .partitionBy("lang_pred")
+      .parquet(s"$outDir/batch=$batchId")
+  }
+
   /** Monitor a document stream for DRIFT against the standing corpus
     * artifacts — the signal that a frozen reference model
     * ([[lmScoreStream]]'s LM, a scoring vocabulary, a BPE merge

@@ -260,15 +260,20 @@ object ScaleProbe {
     }
     // trigram langid at scale: the model is vocab×4 rows (broadcast);
     // scoring is one Generate + broadcast join + two partial aggs —
-    // cost ∝ corpus trigrams, lower() materialized once per row
+    // cost ∝ corpus trigrams, lower() materialized once per row.
+    // Train + cache OUTSIDE the timed block so the probe measures
+    // scoring alone (scoreLangId's lang collect and pivot would
+    // otherwise re-run the training DAG inside the timer).
+    val langIdModel = graft.operators.TextAnalysis.trainLangId(
+      graft.operators.TextAnalysis.LangIdSeedCorpus
+        .toDF("lang", "text")).cache()
+    langIdModel.count()
     time("trigram langid scoring over 500k docs (broadcast model, " +
         "min-struct argmax)") {
-      val model = graft.operators.TextAnalysis.trainLangId(
-        graft.operators.TextAnalysis.LangIdSeedCorpus
-          .toDF("lang", "text"))
-      graft.operators.TextAnalysis.scoreLangId(mediaDocs, model)
+      graft.operators.TextAnalysis.scoreLangId(mediaDocs, langIdModel)
         .agg(sum($"score_milli"), count(lit(1))).collect()
     }
+    langIdModel.unpersist()
     time("frame-sample every 4th frame of 500k ppm-stream videos " +
         "(sequential header walk)") {
       graft.operators.Multimodal.sampleFrames(spark,

@@ -1762,6 +1762,63 @@ class PipelineSpec extends AnyFunSuite {
       again.orderBy($"gram", $"lang").collect().toSeq)
   }
 
+  test("trigram language ID guards: a non-dense model fails loudly " +
+      "instead of misbinding lanes; lang-count cap; un-hinted " +
+      "broadcast path is bit-identical") {
+    import graft.operators.TextAnalysis
+    val fixture = TextAnalysis.LangIdSeedCorpus.toDF("lang", "text")
+    val model = TextAnalysis.trainLangId(fixture)
+    val docs = Seq((1L, "bonjour"), (2L, "nachdenken"))
+      .toDF("doc_id", "text")
+    // a model with dropped rows (a natural "size optimization") used
+    // to silently shift every language's evidence into its
+    // neighbor's lane for the affected grams; now the per-gram lane
+    // check raises with the gram named
+    val filtered = model.filter($"lang" =!= "de" || $"df" > 0)
+    def allMsgs(t: Throwable): String = {
+      val sb = new StringBuilder
+      var cur: Throwable = t
+      while (cur != null) {
+        sb.append(Option(cur.getMessage).getOrElse("")).append('\n')
+        cur = cur.getCause
+      }
+      sb.toString
+    }
+    val e = intercept[Exception](
+      TextAnalysis.scoreLangId(docs, filtered).collect())
+    assert(allMsgs(e).contains("model is not dense"), allMsgs(e).take(500))
+    // so does a model with a duplicate (gram, lang) row
+    val dup = model.unionAll(model.filter($"lang" === "en").limit(1))
+    val e2 = intercept[Exception](
+      TextAnalysis.scoreLangId(docs, dup).collect())
+    assert(allMsgs(e2).contains("model is not dense"))
+    // > MaxLangs distinct languages: the one-lane-per-language design
+    // is the wrong shape, and the limit-collect bounds driver memory
+    // while saying so
+    val absurd = (0 until TextAnalysis.MaxLangs + 1)
+      .map(i => ("abc", f"l$i%04d", 500L))
+      .toDF("gram", "lang", "weight_milli")
+    val e3 = intercept[IllegalArgumentException](
+      TextAnalysis.scoreLangId(docs, absurd))
+    assert(e3.getMessage.contains("[GRAFT]") &&
+      e3.getMessage.contains("distinct langs"))
+    // zeroing the broadcast budget strips the hint (planner's
+    // choice) without changing a single output bit
+    val hinted = TextAnalysis.scoreLangId(docs, model)
+      .orderBy($"doc_id").collect().toSeq
+    val prop = "graft.broadcast.budget.bytes"
+    val old = sys.props.get(prop)
+    try {
+      sys.props(prop) = "1"
+      val unhinted = TextAnalysis.scoreLangId(docs, model)
+        .orderBy($"doc_id").collect().toSeq
+      assert(unhinted === hinted)
+    } finally old match {
+      case Some(v) => sys.props(prop) = v
+      case None => sys.props -= prop
+    }
+  }
+
   test("bm25 + reciprocal-rank fusion: lexical relevance orders by " +
       "rarity-weighted tf, fusion rewards presence in both lists") {
     import graft.operators.{Knn, TextAnalysis}
@@ -2928,6 +2985,67 @@ class PipelineSpec extends AnyFunSuite {
     val after = spark.read.parquet(dir)
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(after === before)
+  }
+
+  test("langid route stream: docs land partitioned by predicted " +
+      "language, keepLangs drops und, replays are idempotent, " +
+      "duplicate ids in a batch are loud") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("langid_route").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("langid_route_ck").toString
+    val model = TextAnalysis.trainLangId(
+      TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.langIdRouteStream(
+      stream.toDF().toDF("doc_id", "text"), model, dir, ck,
+      keepLangs = Seq("en", "de", "fr"),
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      stream.addData((1L, "bonjour"), (2L, "nachdenken"),
+        (3L, "children playing"), (4L, "qqqq zzzz xxxx"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir)
+      // doc 4 is all-OOV -> "und" -> dropped by keepLangs
+      val langs = out.select($"doc_id", $"lang_pred")
+        .as[(Long, String)].collect().toMap
+      assert(langs === Map(1L -> "fr", 2L -> "de", 3L -> "en"))
+      // the document text rides along (routing, not just annotation)
+      assert(out.filter($"doc_id" === 1L).select($"text")
+        .as[String].head() === "bonjour")
+      // languages are real DIRECTORY partitions — downstream
+      // per-language readers prune to their partition
+      val realBatch = out.filter($"doc_id" === 1L)
+        .select($"batch".cast("long")).as[Long].head()
+      assert(new java.io.File(
+        s"$dir/batch=$realBatch/lang_pred=fr").isDirectory)
+      assert(!new java.io.File(
+        s"$dir/batch=$realBatch/lang_pred=und").exists())
+    } finally q.stop()
+    // replaying a batch id overwrites its whole batch dir — same
+    // survivors, no duplicates, even when the replay routes fewer docs
+    val realBatch = spark.read.parquet(dir)
+      .filter($"doc_id" === 1L).select($"batch".cast("long"))
+      .as[Long].head()
+    graft.streaming.Ingest.langIdRouteBatch(
+      Seq((1L, "bonjour"), (2L, "nachdenken"), (3L, "children playing"),
+        (4L, "qqqq zzzz xxxx")).toDF("doc_id", "text"),
+      batchId = realBatch, model = model, outDir = dir,
+      keepLangs = Seq("en", "de", "fr"))
+    assert(spark.read.parquet(dir).select($"doc_id")
+      .as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // a duplicate doc_id within one batch would cross-multiply rows
+    // through the text join — loud, not silent
+    val e = intercept[IllegalArgumentException](
+      graft.streaming.Ingest.langIdRouteBatch(
+        Seq((7L, "bonjour"), (7L, "bonjour")).toDF("doc_id", "text"),
+        batchId = 99L, model = model, outDir = dir, keepLangs = Nil))
+    assert(e.getMessage.contains("[GRAFT]") &&
+      e.getMessage.contains("unique"))
   }
 
   test("streaming substring-dedup ingest: batch-addressed corpus " +
