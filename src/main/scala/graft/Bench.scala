@@ -346,9 +346,10 @@ object Bench {
     // trigram langid: vocab×L broadcast model (trained once outside
     // the timed block — the fixture is constant), Generate + join +
     // two partial aggs per scoring pass. The model is CACHED, not
-    // just pre-counted: scoreLangId takes two actions per call (the
-    // lang collect + the pivot), and an uncached lazy model would
-    // re-execute the whole training DAG inside every timed rep.
+    // just pre-counted: scoreLangId's driver action (the combined
+    // lang collect) plus the pivot under the scoring job would each
+    // re-execute an uncached model's whole training DAG inside every
+    // timed rep.
     val langIdModel = {
       import spark.implicits._
       graft.operators.TextAnalysis.trainLangId(

@@ -46,6 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_quality_gate"),
       new ExpressionInfo("graft", "vfs_quality_gate"),
       graft.plans.SqlSurface.vfsQualityGateBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_langid"),
+      new ExpressionInfo("graft", "vfs_langid"),
+      graft.plans.SqlSurface.vfsLangIdBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

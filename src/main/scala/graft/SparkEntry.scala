@@ -533,6 +533,17 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the SQL-text surface of the trigram language ID: the
+    // zero-setup TVF form trains on the built-in seed fixture, so
+    // the row shares text_langid_ngram's oracle derivation ----
+    "sql_tvf_langid" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      s.sql(
+        s"""SELECT doc_id, lang_pred, matched, score_milli
+           |FROM vfs_langid('$dir/documents.parquet')
+           |ORDER BY doc_id ASC""".stripMargin)
+    }),
+
     // ---- the SQL-text surface of the quality gate: the same
     // synthetic multi-line corpus goes to parquet, the
     // vfs_quality_gate TVF computes both cascades in one scan, and
@@ -2964,6 +2975,8 @@ object SparkEntry {
     // the routed stream's batch body lands the identical scoring,
     // partitioned by lang_pred (keepLangs = all)
     "stream_langid_route" -> langIdNgramOracle,
+    // the TVF's zero-setup form trains on the same seed fixture
+    "sql_tvf_langid" -> langIdNgramOracle,
 
     "sql_text_analyze" -> sqlTextAnalyzeOracle,
 

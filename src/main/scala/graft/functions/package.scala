@@ -176,6 +176,9 @@ package object functions {
     // SELECT * FROM vfs_quality_gate(path[, minWords, textCol, idCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_quality_gate",
       graft.plans.SqlSurface.vfsQualityGateBuilder _)
+    // SELECT * FROM vfs_langid(docsPath[, modelPath, textCol, idCol])
+    ExpressionUtils.registerTableFunction(spark, "vfs_langid",
+      graft.plans.SqlSurface.vfsLangIdBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

@@ -290,10 +290,18 @@ object IvfPq {
   /** Parent centroid table → driver map, via [[IvfIndex]]'s
     * byte-gated loadCentroids (same driver-OOM hazard, same
     * two-level-routing escape hatch — see that scaladoc; one gate,
-    * one collect, one hint string to maintain). */
+    * one collect, one hint string to maintain). The sentinel-checking
+    * readMeta runs FIRST: loadCentroids reads meta sentinel-blind
+    * (probe paths re-check via requireFresh), but build/refresh's
+    * first parent read must refuse a mid-rebuild parent UP FRONT —
+    * otherwise they train/encode against a mix of old and new
+    * clusters and, if the rebuild's sentinel clears before the final
+    * re-stamp, publish codes stamped with the new generation. */
   private def centroidMap(spark: SparkSession,
-      ivfPath: String): Map[Int, Array[Float]] =
+      ivfPath: String): Map[Int, Array[Float]] = {
+    IvfIndex.readMeta(ivfPath)
     IvfIndex.loadCentroids(spark, ivfPath).toMap
+  }
 
   private def sub(v: Array[Float], c: Array[Float]): Array[Float] = {
     val out = new Array[Float](v.length)

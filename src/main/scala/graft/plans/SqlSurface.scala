@@ -153,6 +153,47 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_langid(docsPath[, modelPath, textCol,
+    * idCol])` — trigram language-ID scores
+    * ([[graft.operators.TextAnalysis.scoreLangId]], integer milli,
+    * deterministic argmax). With a `modelPath` the docs are scored
+    * against that STANDING model parquet — any (gram, lang,
+    * weight_milli) frame, e.g. a persisted
+    * [[graft.operators.TextAnalysis.trainLangId]] output (the
+    * production form: train once on a labeled corpus, score
+    * everything). With one argument the model trains in-place on the
+    * built-in seed fixture (the zero-setup form):
+    * {{{ SELECT * FROM vfs_langid('/data/docs')
+    *     WHERE lang_pred = 'en' }}} */
+  private[graft] def vfsLangIdBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_langid(docsPath[, modelPath, textCol, idCol]): $msg")
+    if (es.isEmpty || es.length > 4)
+      fail(s"expected 1-4 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val spark = SparkSession.active
+    val docsPath = evalNonNull(0, "docsPath").toString
+    val textCol = if (es.length >= 3) evalNonNull(2, "textCol").toString
+      else "text"
+    val idCol = if (es.length >= 4) evalNonNull(3, "idCol").toString
+      else "doc_id"
+    val model = if (es.length >= 2)
+      spark.read.parquet(evalNonNull(1, "modelPath").toString)
+    else graft.operators.TextAnalysis.trainLangId(
+      spark.createDataFrame(
+        graft.operators.TextAnalysis.LangIdSeedCorpus)
+        .toDF("lang", "text"))
+    graft.operators.TextAnalysis.scoreLangId(
+        SparkSession.active.read.parquet(docsPath), model,
+        textCol, idCol)
+      .queryExecution.analyzed
+  }
+
   /** TVF builder for `vfs_ohlc(path, stepSec[, keyCol, tsCol,
     * valueCol])` — bucketed OHLC bars
     * ([[graft.operators.TimeSeries.ohlc]]) from pure SQL text:

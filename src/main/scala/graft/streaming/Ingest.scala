@@ -525,39 +525,79 @@ object Ingest {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(keepLangs.distinct.length == keepLangs.length,
       "[GRAFT] langIdRouteStream: keepLangs has duplicates")
+    val spark = docs.sparkSession
     val frozen = model.cache()
     frozen.count() // materialize before the first batch
-    docs.writeStream
+    // release the cached model when THIS query terminates — without
+    // it every started route stream pins one model block for the
+    // session's lifetime. The listener registers BEFORE start (no
+    // missed event) and matches on the query id set just after; the
+    // isActive re-check below closes the set-after-terminate window
+    // (double unpersist is a no-op).
+    val qId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qId.get()) {
+          frozen.unpersist()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    val q = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         langIdRouteBatch(batch, batchId, frozen, outDir, keepLangs)
       }
       .start()
+    qId.set(q.id)
+    if (!q.isActive && qId.get() != null) {
+      frozen.unpersist()
+      spark.streams.removeListener(listener)
+    }
+    q
   }
 
   /** [[langIdRouteStream]]'s per-batch body, separated so replay
     * idempotence and batch parity are testable. */
   private[graft] def langIdRouteBatch(batch0: DataFrame, batchId: Long,
       model: DataFrame, outDir: String, keepLangs: Seq[String]): Unit = {
-    val batch = batch0.select(col("doc_id"), col("text"))
-    if (batch.isEmpty) return
-    // the text rides back via a doc_id join, which depends on id
-    // uniqueness WITHIN the batch (a duplicate would cross-multiply
-    // its rows) — fail loudly instead of silently fanning out
-    require(batch.groupBy(col("doc_id")).count()
-        .filter(col("count") > 1).isEmpty,
-      "[GRAFT] langIdRouteBatch: doc_id must be unique within a batch")
-    val scored = graft.operators.TextAnalysis.scoreLangId(batch, model)
-      .join(batch, Seq("doc_id"))
-      .select(col("doc_id"), col("text"), col("lang_pred"),
-        col("matched"), col("score_milli"))
-    val routed =
-      if (keepLangs.isEmpty) scored
-      else scored.filter(col("lang_pred").isin(keepLangs: _*))
-    routed.write.mode("overwrite")
-      .partitionBy("lang_pred")
-      .parquet(s"$outDir/batch=$batchId")
+    // PERSIST the micro-batch: the body takes five passes over it
+    // (emptiness, the uniqueness check, scoreLangId's explode side
+    // and its per-doc left-join side, and the text join-back) — an
+    // un-persisted source subtree would re-read the batch input for
+    // each
+    val batch = batch0.select(col("doc_id"), col("text")).persist()
+    try {
+      if (batch.isEmpty) return
+      // the text rides back via a doc_id join, which depends on id
+      // uniqueness WITHIN the batch (a duplicate would cross-multiply
+      // its rows) — fail loudly instead of silently fanning out
+      require(batch.groupBy(col("doc_id")).count()
+          .filter(col("count") > 1).isEmpty,
+        "[GRAFT] langIdRouteBatch: doc_id must be unique within a batch")
+      val scored = graft.operators.TextAnalysis.scoreLangId(batch, model)
+        .join(batch, Seq("doc_id"))
+        .select(col("doc_id"), col("text"), col("lang_pred"),
+          col("matched"), col("score_milli"))
+      val routed =
+        if (keepLangs.isEmpty) scored
+        else scored.filter(col("lang_pred").isin(keepLangs: _*))
+      // STATIC overwrite is pinned explicitly: the replay-idempotence
+      // contract is "a replayed batch overwrites its WHOLE batch dir",
+      // and a session-level partitionOverwriteMode=dynamic would
+      // rewrite only the languages present in the replay, leaving
+      // ghost partitions from the first attempt
+      routed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("lang_pred")
+        .parquet(s"$outDir/batch=$batchId")
+    } finally batch.unpersist()
   }
 
   /** Monitor a document stream for DRIFT against the standing corpus

@@ -451,9 +451,12 @@ object Explain {
       graft.operators.GramIndex.probeSpans(spark, idx,
         docs.filter(col("doc_id") < 100L))
     }
-    show("trigram langid scoring (expect: lower(text) materialized " +
-        "ONCE in the Project under Generate — a single lower( in the " +
-        "whole plan — BroadcastHashJoin against the vocab×L model, " +
+    show("trigram langid scoring (expect: a spread Exchange below " +
+        "the Generate — the few-file corpus widens BEFORE the " +
+        "per-row gram kernel — lower(text) materialized ONCE in the " +
+        "Project under it, a single lower( in the whole plan, " +
+        "BroadcastHashJoin against the byte-gated vocab×L model with " +
+        "the per-gram lane-layout guard folded into its projection, " +
         "per-(doc,lang) partial agg, then the min-struct argmax " +
         "partial agg; no window)") {
       import spark.implicits._

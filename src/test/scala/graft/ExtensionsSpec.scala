@@ -367,6 +367,56 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("vfs_langid table-valued function: trigram language ID from " +
+      "SQL text — zero-setup and standing-model forms both match the " +
+      "DataFrame operator, bad args loud") {
+    val shared = GraftTest.spark
+    val dataPath = s"${GraftTest.sf0001}/documents.parquet"
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      SparkSession.setActiveSession(s)
+      import org.apache.spark.sql.functions.col
+      val fixture = s.createDataFrame(
+        graft.operators.TextAnalysis.LangIdSeedCorpus).toDF("lang", "text")
+      val model = graft.operators.TextAnalysis.trainLangId(fixture)
+      val expect = graft.operators.TextAnalysis.scoreLangId(
+          s.read.parquet(dataPath), model)
+        .orderBy(col("doc_id"))
+        .collect().map(_.toSeq).toSeq
+      // zero-setup form trains on the same built-in fixture
+      val got = s.sql(
+        s"""SELECT doc_id, lang_pred, matched, score_milli
+           |FROM vfs_langid('$dataPath')
+           |ORDER BY doc_id""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got === expect)
+      // the production form: persist the model, score against the
+      // standing artifact — identical output
+      val modelPath = java.nio.file.Files
+        .createTempDirectory("langid-tvf-model").toString
+      model.write.mode("overwrite").parquet(modelPath)
+      val gotModel = s.sql(
+        s"""SELECT doc_id, lang_pred, matched, score_milli
+           |FROM vfs_langid('$dataPath', '$modelPath')
+           |ORDER BY doc_id""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      assert(gotModel === expect)
+      // language policy composes as plain SQL
+      val en = s.sql(
+        s"""SELECT count(*) FROM vfs_langid('$dataPath')
+           |WHERE lang_pred = 'en'""".stripMargin).head().getLong(0)
+      assert(en > 0 && en <= got.length)
+      val e = intercept[Exception] {
+        s.sql("SELECT * FROM vfs_langid()").collect()
+      }
+      assert(e.getMessage.contains("expected 1-4 arguments"))
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("vfs_binary_knn table-valued function: binary coarse tier from " +
       "SQL text, parity with the expression pipeline, bad args loud") {
     val shared = GraftTest.spark

@@ -181,6 +181,28 @@ class PqSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSeq === ibefore)
     assert(!new java.io.File(s"$ipqDir/ivfpq.rebuilding").exists())
     assert(!new java.io.File(s"$ipqDir/codes_stage").exists())
+    // a PARENT mid-rebuild refuses IvfPq.build/refresh UP FRONT at
+    // their first parent read (centroidMap's sentinel-checking
+    // readMeta) — training/encoding against a mid-swap mix of old
+    // and new clusters could otherwise publish codes stamped with
+    // the parent's new generation
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ivfDir, "ivf.rebuilding"),
+      "1".getBytes("UTF-8"))
+    val refusedDir = Files.createTempDirectory("ivfpq-parent-rb").toString
+    val perr = intercept[IllegalArgumentException] {
+      IvfPq.build(spark, ivfDir, refusedDir, m = 8, ks = 16)
+    }
+    assert(perr.getMessage.contains("rebuild"))
+    // refused UP FRONT: nothing was trained/encoded/staged
+    assert(new java.io.File(refusedDir).list().isEmpty)
+    intercept[IllegalArgumentException] {
+      IvfPq.refresh(spark, ivfDir, ipqDir)
+    }
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(ivfDir, "ivf.rebuilding"))
+    assert(IvfPq.searchRefined(spark, ivfDir, ipqDir, q, 5, nProbe = 8)
+      .select("id").as[Long].collect().toSeq === ibefore)
   }
 
   test("IVF-PQ refresh: appended vectors become searchable, idempotent") {
