@@ -372,6 +372,15 @@ object Bench {
       graft.operators.Multimodal.audioNearDupPairs(spark, aud,
         maxHamming = 3, window = 4).count()
     } }
+    // video near-dup: real per-frame container walk collapses each
+    // asset to 8 bytes inside the decode kernel, same banded fold
+    entry("video_neardup") { median {
+      val vid = graft.operators.Multimodal.synthesizeVideo(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text")), frameRows = 2)
+      graft.operators.Multimodal.videoNearDupPairs(spark, vid,
+        maxHamming = 3).count()
+    } }
     // bigram LM scoring: two count aggs + one stats join over the
     // token stream, integer-exact model
     entry("lm_score") { median {

@@ -2213,6 +2213,24 @@ object SparkEntry {
         .orderBy(col("a").asc, col("b").asc)
     }),
 
+    // ---- video near-dup: every doc wrapped in a real multi-frame
+    // PPM-stream container (per-frame headers, genuine sequential
+    // parse), collapsed to a 63-bit frame-intensity-delta fingerprint
+    // INSIDE the decode kernel, paired by the shared banded fold;
+    // every tenth doc gets an identical-payload twin, guaranteeing
+    // hamming-0 pairs the oracle must also find ----
+    "multimodal_video_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val vid = docs.select(col("doc_id"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(900000L)).as("doc_id"),
+            col("text")))
+      graft.operators.Multimodal.videoNearDupPairs(s,
+          graft.operators.Multimodal.synthesizeVideo(vid, frameRows = 2),
+          maxHamming = 3)
+        .orderBy(col("a").asc, col("b").asc)
+    }),
+
     // ---- incremental (CDC) read: snapshot the store after a base
     // load, append a second batch, and read ONLY the delta via the
     // commit-list diff — a pure file-level operation (the scan touches
@@ -4052,6 +4070,47 @@ object SparkEntry {
         |    sum((v - 128) * (v - 128)) AS en
         |  FROM st GROUP BY doc_id, win),
         |el AS (SELECT doc_id, list(en ORDER BY win) AS es
+        |  FROM e GROUP BY doc_id),
+        |sig AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+        |    range(0, least(len(es) - 1, 63)),
+        |    j -> CASE WHEN es[CAST(j + 2 AS INTEGER)] > es[CAST(j + 1 AS INTEGER)]
+        |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+        |         ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS s
+        |  FROM el),
+        |banded AS (SELECT doc_id, s, r.j AS band,
+        |    (s >> (CAST(r.j AS INTEGER) * 16)) & 65535 AS bval
+        |  FROM sig, range(0, 4) r(j)),
+        |capped AS (SELECT doc_id, s, band, bval FROM (
+        |    SELECT doc_id, s, band, bval,
+        |           count(*) OVER (PARTITION BY band, bval) AS bn
+        |    FROM banded) WHERE bn <= 1000),
+        |pairs AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb,
+        |    a.s AS sa, b.s AS sb
+        |  FROM capped a JOIN capped b
+        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+        |SELECT pa AS a, pb AS b,
+        |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        |FROM pairs
+        |WHERE bit_count(xor(sa, sb)) <= 3
+        |ORDER BY a ASC, b ASC""".stripMargin,
+
+    // the video twin: per-frame intensity = Σ payload bytes of that
+    // 24-byte frame slice (frameRows=2 ⇒ 4×2 RGB = 24 bytes; the
+    // zero-padded tail contributes nothing, so the partial-frame
+    // group-by reproduces the padded sum exactly)
+    "multimodal_video_neardup" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 900000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |b AS (SELECT doc_id, ${duckUtf8BytesOf("text")} AS bs FROM d),
+        |st AS (SELECT doc_id, unnest(bs) AS v,
+        |    unnest(range(1, len(bs) + 1)) AS i
+        |  FROM b),
+        |e AS (SELECT doc_id, (i - 1) // 24 AS frm,
+        |    CAST(sum(v) AS BIGINT) AS en
+        |  FROM st GROUP BY doc_id, frm),
+        |el AS (SELECT doc_id, list(en ORDER BY frm) AS es
         |  FROM e GROUP BY doc_id),
         |sig AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(
         |    range(0, least(len(es) - 1, 63)),

@@ -479,6 +479,70 @@ object Multimodal {
         .select(col("doc_id").as("id"), col("sig")),
       maxHamming, maxBucket)
 
+  /** Per-asset 64-bit VIDEO fingerprint from the frame-intensity
+    * delta SIGNS of the PPM-stream frame sequence — the TEMPORAL
+    * twin of [[audioFingerprint]] (the same sign-of-difference idea
+    * over per-frame total intensity instead of per-window energy —
+    * the ordinal-measure family of temporal video fingerprints):
+    * each frame is parsed by the real container walk
+    * ([[MediaCodec.decodePpmStream]] — per-frame headers, a corrupt
+    * stream throws) and folds to Σ of its pixel bytes; bit j
+    * (0 ≤ j < 63) is set iff intensity(frame j+1) > intensity(frame
+    * j). Bit 63 stays clear (LONG non-negative, the
+    * [[audioFingerprint]] oracle-portability stance) and the print
+    * covers the first 64 frames. EXACT integer arithmetic
+    * end-to-end, so the DuckDB oracle reproduces every bit from
+    * payload bytes. A valid stream always has ≥ 1 frame (a 1-frame
+    * asset prints sig 0 with n_frames 1). Per-partition kernel, zero
+    * shuffle. Output: (doc_id, sig, n_frames). */
+  def videoFingerprint(spark: SparkSession,
+      media: Dataset[MediaRecord]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        require(r.format == "video/ppm-stream",
+          s"[GRAFT] videoFingerprint: not a ppm video stream: ${r.format}")
+        val sums = MediaCodec.decodePpmStream(r.media).map { ras =>
+          var s = 0L
+          var i = 0
+          while (i < ras.pixels.length) {
+            s += (ras.pixels(i) & 0xff)
+            i += 1
+          }
+          s
+        }.toArray
+        var sig = 0L
+        val nBits = math.min(sums.length - 1, 63)
+        var j = 0
+        while (j < nBits) {
+          if (sums(j + 1) > sums(j)) sig |= (1L << j)
+          j += 1
+        }
+        (r.doc_id, sig, sums.length.toLong)
+      }
+    }.toDF("doc_id", "sig", "n_frames")
+  }
+
+  /** Video near-dup pairs with fingerprint hamming ≤ `maxHamming` —
+    * [[audioNearDupPairs]]' video twin, completing the per-modality
+    * dedup family (text simhash / embedding LSH / audio energy /
+    * video intensity all feed the SAME banded bucket fold): the
+    * per-partition [[videoFingerprint]] kernel collapses each asset
+    * to 8 bytes BEFORE anything shuffles, then
+    * [[Dedup.sigBandFoldPairs]] (one pinned slim shuffle + streaming
+    * O(maxBucket) bucket fold) emits candidate pairs with the
+    * hamming computed inline. No false negatives for maxHamming ≤ 3
+    * (pigeonhole over the 4×16 bands), no false positives (inline
+    * filter), subject to the documented `maxBucket` drop on
+    * pathological corpora (e.g. static/black-frame boilerplate —
+    * surfaced by exact dedup instead). Output: (a, b, hamming). */
+  def videoNearDupPairs(spark: SparkSession, media: Dataset[MediaRecord],
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    Dedup.sigBandFoldPairs(
+      videoFingerprint(spark, media)
+        .select(col("doc_id").as("id"), col("sig")),
+      maxHamming, maxBucket)
+
   /** REAL 2-D image resize: decode the container (BMP/PPM/PNG),
     * normalize stored channel order to RGB, resize with a genuine
     * interpolation kernel ([[MediaCodec.nnResizeRgb]] by default,

@@ -258,6 +258,18 @@ object ScaleProbe {
         .agg(count(lit(1))).collect()
       println(s"[scale-probe]   audio near-dup pairs: ${r.head.getLong(0)}")
     }
+    // video near-dup at scale: 500k ppm-stream assets collapse to
+    // 8-byte fingerprints inside the sequential frame walk; only the
+    // (band, bval, id, sig) quads shuffle — same contract as audio
+    time("video near-dup pairs: 500k ppm-stream assets (frame walk " +
+        "+ banded fold)") {
+      val vid = graft.operators.Multimodal.synthesizeVideo(mediaDocs,
+        frameRows = 2)
+      val r = graft.operators.Multimodal.videoNearDupPairs(spark, vid,
+          maxHamming = 3)
+        .agg(count(lit(1))).collect()
+      println(s"[scale-probe]   video near-dup pairs: ${r.head.getLong(0)}")
+    }
     // trigram langid at scale: the model is vocab×4 rows (broadcast);
     // scoring is one Generate + broadcast join + two partial aggs —
     // cost ∝ corpus trigrams, lower() materialized once per row.

@@ -1175,6 +1175,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(fpl._2 >= 0L && fpl._3 === 70L)
   }
 
+  test("video near-dup: frame-intensity-delta fingerprints pair " +
+      "crafted duplicates at the expected hammings; partial last " +
+      "frame sums only its real bytes; non-video assets are loud") {
+    import graft.operators.Multimodal
+    // frameRows=2 -> 24 bytes per frame; per-frame intensity is the
+    // byte sum of that payload slice, so uniform-letter frames give
+    // hand-computable rising/falling deltas. sig bit j = 1 iff
+    // frame(j+1) > frame(j):
+    //   A/B 'a'*24+'b'*24            -> rising           -> sig 1
+    //   C   'b'*24+'a'*24            -> falling          -> sig 0
+    //   D   'a'*24+'b'*24+'c'*24     -> rising twice     -> sig 3
+    //   E   'z'*24+'a'*6 (30 chars)  -> partial tail 582 -> sig 0
+    //   F   a..e * 24 each           -> rising 4x        -> sig 15
+    val docs = Seq(
+      (1L, "a" * 24 + "b" * 24),
+      (2L, "a" * 24 + "b" * 24),
+      (3L, "b" * 24 + "a" * 24),
+      (4L, "a" * 24 + "b" * 24 + "c" * 24),
+      (5L, "z" * 24 + "a" * 6),
+      (6L, Seq("a", "b", "c", "d", "e").map(_ * 24).mkString))
+      .toDF("doc_id", "text")
+    val vid = Multimodal.synthesizeVideo(docs, frameRows = 2)
+    val fp = Multimodal.videoFingerprint(spark, vid)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fp === Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 0L, 2L),
+      (4L, 3L, 3L), (5L, 0L, 2L), (6L, 15L, 5L)))
+    // all-pairs hamming <= 3 over those sigs, exactly
+    val pairs = Multimodal.videoNearDupPairs(spark, vid, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set(
+      (1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 4L, 1L), (3L, 4L, 2L), (1L, 5L, 1L), (2L, 5L, 1L),
+      (3L, 5L, 0L), (4L, 5L, 2L), (1L, 6L, 3L), (2L, 6L, 3L),
+      (4L, 6L, 2L))) // hamming(15, 0) = 4: F never pairs with C/E
+    // a non-video asset fails loudly, not silently zero
+    val e = intercept[Exception] {
+      Multimodal.videoFingerprint(spark,
+        Multimodal.synthesizeMedia(docs.limit(3))).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("not a ppm video stream"), msgs.take(300))
+  }
+
   test("media codecs: real containers round-trip through real parsers") {
     import graft.operators.MediaCodec
     // WAV 8-bit: header walk recovers rate/bits and every sample
