@@ -755,6 +755,20 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- tokenizer fertility by predicted language: the
+    // multilingual tokenizer-fairness audit (subwords per word by
+    // language), composing the trigram langid prediction with the
+    // token-count projections in one aggregate ----
+    "text_fertility_by_lang" -> ((s, dir) => {
+      import s.implicits._
+      val model = graft.operators.TextAnalysis.trainLangId(
+        graft.operators.TextAnalysis.LangIdSeedCorpus
+          .toDF("lang", "text"))
+      graft.operators.TextAnalysis.tokenizerFertility(
+          s.read.parquet(s"$dir/documents.parquet"), model)
+        .orderBy(col("lang_pred").asc)
+    }),
+
     // ---- text normalization + n-grams (dedup preprocessing) ----
     "text_normalize" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
@@ -2995,6 +3009,8 @@ object SparkEntry {
     "stream_langid_route" -> langIdNgramOracle,
     // the TVF's zero-setup form trains on the same seed fixture
     "sql_tvf_langid" -> langIdNgramOracle,
+    // langid composed with the token counts, one aggregate per lang
+    "text_fertility_by_lang" -> fertilityByLangOracle,
 
     "sql_text_analyze" -> sqlTextAnalyzeOracle,
 
@@ -4711,11 +4727,16 @@ object SparkEntry {
     * [[operators.TextAnalysis.LangIdSeedCorpus]]), the same distinct-
     * trigram extraction, add-one integer-milli weights, dense
     * gram × lang model, per-doc mean evidence, min-struct argmax. */
-  private def langIdNgramOracle: String = {
+  /** Shared CTE chain deriving the per-doc trigram langid argmin
+    * struct (`best`) from the seed fixture — generated off the SAME
+    * Scala constant the engine trains on, so the derivations cannot
+    * drift. Terminal consumers LEFT JOIN `best` to documents (the
+    * all-OOV "und"/500 fallback lives in the consumer's coalesce). */
+  private def langIdCtes: String = {
     val values = operators.TextAnalysis.LangIdSeedCorpus
       .map { case (l, t) => s"('$l', '${t.replace("'", "''")}')" }
       .mkString(",\n    ")
-    s"""WITH fx(lang, txt) AS (VALUES
+    s"""fx(lang, txt) AS (VALUES
        |    $values),
        |ft AS (SELECT lang, list_distinct(list_transform(
        |    range(1, greatest(length(lower(txt)) - 2, 0) + 1),
@@ -4746,7 +4767,11 @@ object SparkEntry {
        |best AS (SELECT doc_id,
        |    min(struct_pack(neg := -score_milli, lang := lang,
        |      matched := matched, score := score_milli)) AS b
-       |  FROM ev GROUP BY 1)
+       |  FROM ev GROUP BY 1)""".stripMargin
+  }
+
+  private def langIdNgramOracle: String =
+    s"""WITH $langIdCtes
        |SELECT d.doc_id,
        |  coalesce(struct_extract(b.b, 'lang'), 'und') AS lang_pred,
        |  CAST(coalesce(struct_extract(b.b, 'matched'), 0) AS BIGINT)
@@ -4755,7 +4780,26 @@ object SparkEntry {
        |    AS score_milli
        |FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id
        |ORDER BY d.doc_id ASC""".stripMargin
-  }
+
+  /** Tokenizer fertility by predicted language: the langid CTE chain
+    * composed with the text_tokens count derivations, grouped by
+    * language — exact floor-division milli. */
+  private def fertilityByLangOracle: String =
+    s"""WITH $langIdCtes,
+       |pred AS (SELECT
+       |    coalesce(struct_extract(b.b, 'lang'), 'und') AS lang_pred,
+       |    CAST(len(string_split_regex(trim(d.text), '\\s+'))
+       |      AS BIGINT) AS nt,
+       |    CAST(len(string_split_regex(trim(d.text), '[\\s[:punct:]]+'))
+       |      AS BIGINT) AS ns
+       |  FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id)
+       |SELECT lang_pred, count(*) AS n_docs,
+       |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(ns) AS BIGINT) AS n_subwords,
+       |  (1000 * CAST(sum(ns) AS BIGINT)) // CAST(sum(nt) AS BIGINT)
+       |    AS fertility_milli
+       |FROM pred GROUP BY 1
+       |ORDER BY lang_pred ASC""".stripMargin
 
   private def minHashLshIncOracle: String =
     minHashLshIncOracleWhere("doc_id >= 100")

@@ -1198,6 +1198,36 @@ object TextAnalysis {
         coalesce(col("score_milli"), lit(500L)).as("score_milli"))
   }
 
+  /** Tokenizer FERTILITY by predicted language — the multilingual
+    * tokenizer-fairness diagnostic (fertility = subwords per word;
+    * a language that fragments into more subwords pays more of the
+    * context window per sentence, the standard multilingual-corpus
+    * audit): composes [[scoreLangId]]'s per-doc prediction with the
+    * per-row token counts ([[tokenCount]] whitespace words,
+    * [[tokenCountBpeIsh]] subword proxy), then one hash aggregate by
+    * language. Exact integer milli (floor division), so the DuckDB
+    * oracle reproduces every value. Per-doc ids are assumed unique
+    * (the [[scoreLangId]] contract). 100 TB shape: the scoring
+    * pipeline's one shuffle + a doc-keyed join of two projections of
+    * the SAME scan + an L-row aggregate. Output: (lang_pred, n_docs,
+    * n_tokens, n_subwords, fertility_milli). */
+  def tokenizerFertility(docs: DataFrame, model: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    WorkCols.requireFree(docs, "__nt", "__ns")
+    val counts = docs.select(col(idCol),
+      tokenCount(col(textCol)).as("__nt"),
+      tokenCountBpeIsh(col(textCol)).as("__ns"))
+    scoreLangId(docs, model, textCol, idCol)
+      .select(col(idCol), col("lang_pred"))
+      .join(counts, Seq(idCol))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(col("__ns")).as("n_subwords"),
+        idiv(lit(1000L) * sum(col("__ns")), sum(col("__nt")))
+          .as("fertility_milli"))
+  }
+
   /** Full per-document analysis projection. */
   def analyze(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

@@ -477,6 +477,16 @@ object Explain {
             .select((col("doc_id") * 3).as("doc_id"), col("text"))),
         window = 4)
     }
+    show("video near-dup pairs (expect: the same shape as audio — " +
+        "per-partition frame-walk+fingerprint kernel (MapPartitions) " +
+        "collapsing each asset to 8 bytes BEFORE the one pinned " +
+        "band/bval exchange; streaming bucket-fold scan; pinned " +
+        "REPARTITION_BY_NUM dedup width)") {
+      graft.operators.Multimodal.videoNearDupPairs(spark,
+        graft.operators.Multimodal.synthesizeVideo(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("text")), frameRows = 2))
+    }
     show("binary sidecar coarse cut (expect: ReadSchema (id, packed) " +
         "only; TakeOrderedAndProject over 2n slots, the duplicate " +
         "collapse agg touching only those survivors, re-limit n)") {

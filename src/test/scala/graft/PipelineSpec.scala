@@ -1864,6 +1864,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenizer fertility by language: hand-computed word/subword " +
+      "sums per predicted language, exact floor-division milli, " +
+      "all-OOV docs land in und") {
+    import graft.operators.TextAnalysis
+    val model = TextAnalysis.trainLangId(
+      TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+    // fixture-substring texts predict their own language with
+    // certainty; d5's hyphen makes subwords (10) > words (9)
+    val docs = Seq(
+      (1L, "bonjour tout le monde"),                              // fr 4/4
+      (2L, "nous devrions penser a ce que les gens veulent"),     // fr 9/9
+      (3L, "der schnelle braune fuchs springt"),                  // de 5/5
+      (4L, "qqqq zzzz xxxx"),                                     // und 3/3
+      (5L, "der schnelle braune fuchs springt ueber den faul-en hund"))
+      .toDF("doc_id", "text")                                     // de 9/10
+    val preds = TextAnalysis.scoreLangId(docs, model)
+      .select($"doc_id", $"lang_pred").as[(Long, String)]
+      .collect().toMap
+    assert(preds === Map(1L -> "fr", 2L -> "fr", 3L -> "de",
+      4L -> "und", 5L -> "de"))
+    val got = TextAnalysis.tokenizerFertility(docs, model)
+      .orderBy($"lang_pred")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // de: 14 words, 15 subwords -> 15000 div 14 = 1071
+    assert(got === Seq(
+      ("de", 2L, 14L, 15L, 1071L),
+      ("fr", 2L, 13L, 13L, 1000L),
+      ("und", 1L, 3L, 3L, 1000L)))
+  }
+
   test("bm25 + reciprocal-rank fusion: lexical relevance orders by " +
       "rarity-weighted tf, fusion rewards presence in both lists") {
     import graft.operators.{Knn, TextAnalysis}
