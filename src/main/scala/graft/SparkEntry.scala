@@ -4093,27 +4093,15 @@ object SparkEntry {
         |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
         |         ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS s
         |  FROM el),
-        |banded AS (SELECT doc_id, s, r.j AS band,
-        |    (s >> (CAST(r.j AS INTEGER) * 16)) & 65535 AS bval
-        |  FROM sig, range(0, 4) r(j)),
-        |capped AS (SELECT doc_id, s, band, bval FROM (
-        |    SELECT doc_id, s, band, bval,
-        |           count(*) OVER (PARTITION BY band, bval) AS bn
-        |    FROM banded) WHERE bn <= 1000),
-        |pairs AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb,
-        |    a.s AS sa, b.s AS sb
-        |  FROM capped a JOIN capped b
-        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
-        |SELECT pa AS a, pb AS b,
-        |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-        |FROM pairs
-        |WHERE bit_count(xor(sa, sb)) <= 3
-        |ORDER BY a ASC, b ASC""".stripMargin,
+        |${sigBandFoldTail(16)}""".stripMargin,
 
     // the video twin: per-frame intensity = Σ payload bytes of that
     // 24-byte frame slice (frameRows=2 ⇒ 4×2 RGB = 24 bytes; the
     // zero-padded tail contributes nothing, so the partial-frame
-    // group-by reproduces the padded sum exactly)
+    // group-by reproduces the padded sum exactly). The sig CTE LEFT
+    // JOINs from d: an EMPTY text still synthesizes one all-zero
+    // frame engine-side (sig 0, n_frames 1), so the oracle must emit
+    // its sig-0 row too, not drop the doc
     "multimodal_video_neardup" ->
       s"""WITH d AS (SELECT doc_id, text FROM documents
         |  UNION ALL
@@ -4128,28 +4116,13 @@ object SparkEntry {
         |  FROM st GROUP BY doc_id, frm),
         |el AS (SELECT doc_id, list(en ORDER BY frm) AS es
         |  FROM e GROUP BY doc_id),
-        |sig AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(
-        |    range(0, least(len(es) - 1, 63)),
-        |    j -> CASE WHEN es[CAST(j + 2 AS INTEGER)] > es[CAST(j + 1 AS INTEGER)]
+        |sig AS (SELECT d.doc_id, CAST(coalesce(list_sum(list_transform(
+        |    range(0, least(coalesce(len(el.es) - 1, 0), 63)),
+        |    j -> CASE WHEN el.es[CAST(j + 2 AS INTEGER)] > el.es[CAST(j + 1 AS INTEGER)]
         |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
         |         ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS s
-        |  FROM el),
-        |banded AS (SELECT doc_id, s, r.j AS band,
-        |    (s >> (CAST(r.j AS INTEGER) * 16)) & 65535 AS bval
-        |  FROM sig, range(0, 4) r(j)),
-        |capped AS (SELECT doc_id, s, band, bval FROM (
-        |    SELECT doc_id, s, band, bval,
-        |           count(*) OVER (PARTITION BY band, bval) AS bn
-        |    FROM banded) WHERE bn <= 1000),
-        |pairs AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb,
-        |    a.s AS sa, b.s AS sb
-        |  FROM capped a JOIN capped b
-        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
-        |SELECT pa AS a, pb AS b,
-        |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-        |FROM pairs
-        |WHERE bit_count(xor(sa, sb)) <= 3
-        |ORDER BY a ASC, b ASC""".stripMargin,
+        |  FROM d LEFT JOIN el ON el.doc_id = d.doc_id),
+        |${sigBandFoldTail(16)}""".stripMargin,
 
     "multimodal_png" -> multimodalPngOracle,
     "multimodal_png_gray" -> multimodalPngGrayOracle,
@@ -4255,6 +4228,31 @@ object SparkEntry {
 
   /** UTF-8 bytes of `text`, derived arithmetically from code points
     * (DuckDB has no direct blob-byte iteration). */
+  /** Shared DuckDB tail reproducing the engine's banded bucket-fold
+    * pair semantics ([[operators.Dedup]] sigBandFoldPairs) over a
+    * `sig(doc_id, s)` CTE: 4 bands of `bandBits` bits, the 1000
+    * bucket cap, DISTINCT strict a < b candidate join, inline
+    * hamming ≤ `maxHamming`. ONE copy serving the simhash, audio,
+    * and video oracles — the banding scheme cannot drift between
+    * them. */
+  private def sigBandFoldTail(bandBits: Int, maxHamming: Int = 3): String =
+    s"""banded AS (SELECT doc_id, s, r.j AS band,
+       |    (s >> (CAST(r.j AS INTEGER) * $bandBits)) & ${(1 << bandBits) - 1} AS bval
+       |  FROM sig, range(0, 4) r(j)),
+       |capped AS (SELECT doc_id, s, band, bval FROM (
+       |    SELECT doc_id, s, band, bval,
+       |           count(*) OVER (PARTITION BY band, bval) AS bn
+       |    FROM banded) WHERE bn <= 1000),
+       |pairs AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb,
+       |    a.s AS sa, b.s AS sb
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT pa AS a, pb AS b,
+       |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM pairs
+       |WHERE bit_count(xor(sa, sb)) <= $maxHamming
+       |ORDER BY a ASC, b ASC""".stripMargin
+
   private def duckUtf8BytesOf(e: String): String =
     s"""flatten(list_transform(
       |    list_transform(range(1, length($e) + 1), i -> unicode($e[i])),
@@ -4513,22 +4511,7 @@ object SparkEntry {
        |    j -> CASE WHEN 2 * len(list_filter(hs, x -> ((x >> j) & 1) = 1)) > len(hs)
        |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
        |  FROM h),
-       |banded AS (SELECT doc_id, s, r.j AS band,
-       |    (s >> (CAST(r.j AS INTEGER) * 15)) & 32767 AS bval
-       |  FROM sig, range(0, 4) r(j)),
-       |capped AS (SELECT doc_id, s, band, bval FROM (
-       |    SELECT doc_id, s, band, bval,
-       |           count(*) OVER (PARTITION BY band, bval) AS bn
-       |    FROM banded) WHERE bn <= 1000),
-       |pairs AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb,
-       |    a.s AS sa, b.s AS sb
-       |  FROM capped a JOIN capped b
-       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
-       |SELECT pa AS a, pb AS b,
-       |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-       |FROM pairs
-       |WHERE bit_count(xor(sa, sb)) <= 3
-       |ORDER BY a ASC, b ASC""".stripMargin
+       |${sigBandFoldTail(15)}""".stripMargin
 
   /** Full MinHash-LSH dedup reproduced in DuckDB: FNV-1a word hashes
     * (mod-2^64 via HUGEINT with 32-bit-split modular multiplication —
@@ -4722,11 +4705,6 @@ object SparkEntry {
         |WHERE gp.gopher_pass = 1 AND c.page_drop = 0 AND len(c.kept) >= 1
         |ORDER BY gp.doc_id ASC""".stripMargin
 
-  /** Char-trigram language ID, re-derived end-to-end in DuckDB: the
-    * SAME fixture (generated VALUES from
-    * [[operators.TextAnalysis.LangIdSeedCorpus]]), the same distinct-
-    * trigram extraction, add-one integer-milli weights, dense
-    * gram × lang model, per-doc mean evidence, min-struct argmax. */
   /** Shared CTE chain deriving the per-doc trigram langid argmin
     * struct (`best`) from the seed fixture — generated off the SAME
     * Scala constant the engine trains on, so the derivations cannot
@@ -4770,6 +4748,11 @@ object SparkEntry {
        |  FROM ev GROUP BY 1)""".stripMargin
   }
 
+  /** Char-trigram language ID, re-derived end-to-end in DuckDB: the
+    * SAME fixture (generated VALUES), the same distinct-trigram
+    * extraction, add-one integer-milli weights, dense gram × lang
+    * model, per-doc mean evidence, min-struct argmax, "und"/500
+    * all-OOV fallback. */
   private def langIdNgramOracle: String =
     s"""WITH $langIdCtes
        |SELECT d.doc_id,

@@ -446,18 +446,27 @@ object Multimodal {
           e
         }.toArray
         if (energies.isEmpty) Iterator.empty
-        else {
-          var sig = 0L
-          var j = 0
-          val nBits = math.min(energies.length - 1, 63)
-          while (j < nBits) {
-            if (energies(j + 1) > energies(j)) sig |= (1L << j)
-            j += 1
-          }
-          Iterator.single((r.doc_id, sig, energies.length.toLong))
-        }
+        else Iterator.single(
+          (r.doc_id, deltaSignSig(energies), energies.length.toLong))
       }
     }.toDF("doc_id", "sig", "n_windows")
+  }
+
+  /** Sign-of-delta 63-bit signature over a value sequence — the ONE
+    * fold both media fingerprints share ([[audioFingerprint]] over
+    * window energies, [[videoFingerprint]] over frame intensities),
+    * so the two oracles reproduce the same bit semantics by
+    * construction: bit j (0 ≤ j < 63) set iff v(j+1) > v(j)
+    * (strict), bit 63 always clear (LONG non-negative). */
+  private def deltaSignSig(vs: Array[Long]): Long = {
+    var sig = 0L
+    val nBits = math.min(vs.length - 1, 63)
+    var j = 0
+    while (j < nBits) {
+      if (vs(j + 1) > vs(j)) sig |= (1L << j)
+      j += 1
+    }
+    sig
   }
 
   /** Audio near-dup pairs with fingerprint hamming ≤ `maxHamming` —
@@ -511,14 +520,7 @@ object Multimodal {
           }
           s
         }.toArray
-        var sig = 0L
-        val nBits = math.min(sums.length - 1, 63)
-        var j = 0
-        while (j < nBits) {
-          if (sums(j + 1) > sums(j)) sig |= (1L << j)
-          j += 1
-        }
-        (r.doc_id, sig, sums.length.toLong)
+        (r.doc_id, deltaSignSig(sums), sums.length.toLong)
       }
     }.toDF("doc_id", "sig", "n_frames")
   }

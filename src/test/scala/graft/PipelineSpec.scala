@@ -1194,21 +1194,25 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "b" * 24 + "a" * 24),
       (4L, "a" * 24 + "b" * 24 + "c" * 24),
       (5L, "z" * 24 + "a" * 6),
-      (6L, Seq("a", "b", "c", "d", "e").map(_ * 24).mkString))
+      (6L, Seq("a", "b", "c", "d", "e").map(_ * 24).mkString),
+      (7L, "")) // empty payload still pads to ONE all-zero frame
       .toDF("doc_id", "text")
     val vid = Multimodal.synthesizeVideo(docs, frameRows = 2)
     val fp = Multimodal.videoFingerprint(spark, vid)
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(fp === Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 0L, 2L),
-      (4L, 3L, 3L), (5L, 0L, 2L), (6L, 15L, 5L)))
-    // all-pairs hamming <= 3 over those sigs, exactly
+      (4L, 3L, 3L), (5L, 0L, 2L), (6L, 15L, 5L), (7L, 0L, 1L)))
+    // all-pairs hamming <= 3 over those sigs, exactly — including
+    // the empty doc's sig-0 print (the oracle's LEFT-JOIN stance)
     val pairs = Multimodal.videoNearDupPairs(spark, vid, maxHamming = 3)
       .as[(Long, Long, Long)].collect().toSet
     assert(pairs === Set(
       (1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L), (1L, 4L, 1L),
       (2L, 4L, 1L), (3L, 4L, 2L), (1L, 5L, 1L), (2L, 5L, 1L),
       (3L, 5L, 0L), (4L, 5L, 2L), (1L, 6L, 3L), (2L, 6L, 3L),
-      (4L, 6L, 2L))) // hamming(15, 0) = 4: F never pairs with C/E
+      (4L, 6L, 2L), // hamming(15, 0) = 4: F never pairs with C/E/G
+      (1L, 7L, 1L), (2L, 7L, 1L), (3L, 7L, 0L), (4L, 7L, 2L),
+      (5L, 7L, 0L)))
     // a non-video asset fails loudly, not silently zero
     val e = intercept[Exception] {
       Multimodal.videoFingerprint(spark,
