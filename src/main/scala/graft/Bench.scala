@@ -201,6 +201,32 @@ object Bench {
           benchDocs.filter(col("doc_id") < 500), d)
       }
     }
+    // standing media-fingerprint probe: the corpus's 8-byte prints
+    // persisted once (built outside the timer), the delta decoded +
+    // fingerprinted + band-joined per rep — cost ∝ |delta|
+    val sigIdxDir = {
+      val d = s"${storeDirs.last}/sigidx"
+      graft.operators.SigIndex.build(
+        graft.operators.Multimodal.audioFingerprint(spark,
+            graft.operators.Multimodal.synthesizeMedia(
+              benchDocs.filter(col("doc_id") >= 500)
+                .select((col("doc_id") * 3).as("doc_id"), col("text"))),
+            window = 4)
+          .select(col("doc_id").as("id"), col("sig")),
+        d, "audio-energy-w4")
+      d
+    }
+    preBuild(sigIdxDir)
+    entry("sig_index_probe") { median {
+      graft.operators.SigIndex.probe(spark, sigIdxDir,
+        graft.operators.Multimodal.audioFingerprint(spark,
+            graft.operators.Multimodal.synthesizeMedia(
+              benchDocs.filter(col("doc_id") < 500)
+                .select((col("doc_id") * 3).as("doc_id"), col("text"))),
+            window = 4)
+          .select(col("doc_id").as("id"), col("sig")),
+        "audio-energy-w4").count()
+    } }
     // model-based filter: distributed train (explode + agg + top-V)
     // then broadcast-model scoring of the held-out slice
     entry("classifier_train_score") { median {

@@ -2227,6 +2227,61 @@ object SparkEntry {
         .orderBy(col("a").asc, col("b").asc)
     }),
 
+    // ---- the standing fingerprint artifact: build the corpus's
+    // (id, sig) prints ONCE (media bytes never stored), append a
+    // late chunk, probe the delta twins against it — the media twin
+    // of the incremental LSH/IVF/gram artifacts. Frozen `family`
+    // guards against mixing fingerprint kernels ----
+    "multimodal_audio_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def prints(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Multimodal.audioFingerprint(s,
+            graft.operators.Multimodal.synthesizeMedia(d), window = 4)
+          .select(col("doc_id").as("id"), col("sig"))
+      val corpus = docs.select((col("doc_id") * 3).as("doc_id"),
+        col("text"))
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") * 3 + lit(900000L)).as("doc_id"),
+          col("text"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-sigidx").toString
+      graft.operators.SigIndex.build(
+        prints(corpus.filter(col("doc_id") < 900)), idx,
+        "audio-energy-w4")
+      graft.operators.SigIndex.append(
+        prints(corpus.filter(col("doc_id") >= 900)), idx,
+        "audio-energy-w4")
+      graft.operators.SigIndex.probe(s, idx, prints(delta),
+          "audio-energy-w4", maxHamming = 3)
+        .orderBy(col("probe_id").asc, col("corpus_id").asc)
+    }),
+
+    // ---- takedown twin: hard-delete the prints of original
+    // doc_id < 50 (ids 0,3,...,147) from the standing artifact and
+    // re-probe — a deleted asset never surfaces as a candidate again,
+    // and the bucket cap re-evaluates over the post-delete table ----
+    "multimodal_audio_takedown" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def prints(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Multimodal.audioFingerprint(s,
+            graft.operators.Multimodal.synthesizeMedia(d), window = 4)
+          .select(col("doc_id").as("id"), col("sig"))
+      val corpus = docs.select((col("doc_id") * 3).as("doc_id"),
+        col("text"))
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") * 3 + lit(900000L)).as("doc_id"),
+          col("text"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-sigidx-td").toString
+      graft.operators.SigIndex.build(prints(corpus), idx,
+        "audio-energy-w4")
+      graft.operators.SigIndex.deleteIds(s, idx,
+        (0L until 50L).map(_ * 3L))
+      graft.operators.SigIndex.probe(s, idx, prints(delta),
+          "audio-energy-w4", maxHamming = 3)
+        .orderBy(col("probe_id").asc, col("corpus_id").asc)
+    }),
+
     // ---- video near-dup: every doc wrapped in a real multi-frame
     // PPM-stream container (per-frame headers, genuine sequential
     // parse), collapsed to a 63-bit frame-intensity-delta fingerprint
@@ -4074,26 +4129,23 @@ object SparkEntry {
     // pigeonhole makes the banded result EQUAL the all-pairs result,
     // which is what this computes
     "multimodal_audio_neardup" ->
-      s"""WITH d AS (SELECT doc_id * 3 AS doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id * 3 + 900000 AS doc_id, text FROM documents
-        |  WHERE doc_id % 10 = 0),
-        |b AS (SELECT doc_id, ${duckUtf8BytesOf("text")} AS bs FROM d),
-        |st AS (SELECT doc_id, unnest(bs) AS v,
-        |    unnest(range(1, len(bs) + 1)) AS i
-        |  FROM b),
-        |e AS (SELECT doc_id, (i - 1) // 4 AS win,
-        |    sum((v - 128) * (v - 128)) AS en
-        |  FROM st GROUP BY doc_id, win),
-        |el AS (SELECT doc_id, list(en ORDER BY win) AS es
-        |  FROM e GROUP BY doc_id),
-        |sig AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(
-        |    range(0, least(len(es) - 1, 63)),
-        |    j -> CASE WHEN es[CAST(j + 2 AS INTEGER)] > es[CAST(j + 1 AS INTEGER)]
-        |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
-        |         ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS s
-        |  FROM el),
+      s"""WITH $audioSigCtes,
         |${sigBandFoldTail(16)}""".stripMargin,
+
+    // the standing sig-index probe: delta prints (the +900000 twins)
+    // vs the indexed corpus prints, stored-side buckets capped at
+    // their CURRENT size, inline hamming — shares the audio sig
+    // derivation verbatim
+    "multimodal_audio_incremental" ->
+      s"""WITH $audioSigCtes,
+        |${sigProbeTail("doc_id < 900000")}""".stripMargin,
+
+    // takedown twin: corpus prints for original doc_id < 50 (ids
+    // 0,3,...,147) hard-deleted — the pairs they anchored vanish and
+    // the bucket cap re-evaluates over the post-delete table
+    "multimodal_audio_takedown" ->
+      s"""WITH $audioSigCtes,
+        |${sigProbeTail("doc_id < 900000 AND doc_id >= 150")}""".stripMargin,
 
     // the video twin: per-frame intensity = Σ payload bytes of that
     // 24-byte frame slice (frameRows=2 ⇒ 4×2 RGB = 24 bytes; the
@@ -4252,6 +4304,58 @@ object SparkEntry {
        |FROM pairs
        |WHERE bit_count(xor(sa, sb)) <= $maxHamming
        |ORDER BY a ASC, b ASC""".stripMargin
+
+  /** Shared CTE chain deriving the audio energy-delta sig table
+    * `sig(doc_id, s)` over the synthesized corpus (originals at
+    * doc_id*3 plus +900000 twins for every tenth doc) — byte-exact
+    * WAV payload arithmetic, window 4, the [[sigBandFoldTail]] /
+    * [[sigProbeTail]] consumers' common head. ONE copy serving the
+    * self-pair, incremental-probe, and takedown oracles. */
+  private def audioSigCtes: String =
+    s"""d AS (SELECT doc_id * 3 AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id * 3 + 900000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |b AS (SELECT doc_id, ${duckUtf8BytesOf("text")} AS bs FROM d),
+       |st AS (SELECT doc_id, unnest(bs) AS v,
+       |    unnest(range(1, len(bs) + 1)) AS i
+       |  FROM b),
+       |e AS (SELECT doc_id, (i - 1) // 4 AS win,
+       |    sum((v - 128) * (v - 128)) AS en
+       |  FROM st GROUP BY doc_id, win),
+       |el AS (SELECT doc_id, list(en ORDER BY win) AS es
+       |  FROM e GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+       |    range(0, least(len(es) - 1, 63)),
+       |    j -> CASE WHEN es[CAST(j + 2 AS INTEGER)] > es[CAST(j + 1 AS INTEGER)]
+       |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+       |         ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS s
+       |  FROM el)""".stripMargin
+
+  /** Shared DuckDB tail reproducing [[operators.SigIndex.probe]]
+    * over a `sig(doc_id, s)` CTE: the stored side is `corpusWhere`
+    * (its CURRENT buckets capped at 1000), the delta side is the
+    * +900000 twins, candidates join on the 4×16 bands, hamming
+    * filters inline. */
+  private def sigProbeTail(corpusWhere: String): String =
+    s"""corpus AS (SELECT doc_id, s FROM sig WHERE $corpusWhere),
+       |delta AS (SELECT doc_id, s FROM sig WHERE doc_id >= 900000),
+       |cb AS (SELECT doc_id, s, band, bval FROM (
+       |    SELECT c.doc_id, c.s, r.j AS band,
+       |        (c.s >> (CAST(r.j AS INTEGER) * 16)) & 65535 AS bval,
+       |        count(*) OVER (PARTITION BY r.j,
+       |          (c.s >> (CAST(r.j AS INTEGER) * 16)) & 65535) AS bn
+       |    FROM corpus c, range(0, 4) r(j)) WHERE bn <= 1000),
+       |db AS (SELECT d2.doc_id, d2.s, r.j AS band,
+       |    (d2.s >> (CAST(r.j AS INTEGER) * 16)) & 65535 AS bval
+       |  FROM delta d2, range(0, 4) r(j)),
+       |cand AS (SELECT DISTINCT db.doc_id AS probe_id,
+       |    cb.doc_id AS corpus_id, db.s AS ps, cb.s AS cs
+       |  FROM db JOIN cb ON db.band = cb.band AND db.bval = cb.bval)
+       |SELECT probe_id, corpus_id,
+       |  CAST(bit_count(xor(ps, cs)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(ps, cs)) <= 3
+       |ORDER BY probe_id ASC, corpus_id ASC""".stripMargin
 
   private def duckUtf8BytesOf(e: String): String =
     s"""flatten(list_transform(

@@ -914,16 +914,23 @@ object Dedup {
     * positives, so the output EQUALS the all-pairs result subject to
     * the [[capBuckets]]-semantics `maxBucket` drop. Output: (a, b,
     * hamming). */
+  /** 4×16-bit band projection over (id, sig) rows — the ONE band
+    * derivation every 64-bit-signature consumer shares
+    * ([[sigBandFoldPairs]] self-pairs, [[SigIndex]]'s standing-
+    * artifact probe): (idAlias, sig, band 0..3, bval = the band's 16
+    * bits). Pure projection, no shuffle. */
+  private[graft] def sigBands(sigs: DataFrame, idAlias: String): DataFrame =
+    sigs
+      .select(col("id").as(idAlias), col("sig"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .select(col(idAlias), col("sig"), col("band"),
+        call_function("shiftright", col("sig"), col("band") * 16)
+          .bitwiseAND(0xffffL).as("bval"))
+
   private[graft] def sigBandFoldPairs(sigs: DataFrame,
       maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming <= 3, "4-band blocking covers hamming <= 3")
-    val banded = sigs
-      .select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(3))).as("band"))
-      .select(col("id"), col("sig"), col("band"),
-        call_function("shiftright", col("sig"), col("band") * 16)
-          .bitwiseAND(0xffffL).as("bval"))
-    simHashFoldPairs(banded, maxBucket, maxHamming)
+    simHashFoldPairs(sigBands(sigs, "id"), maxBucket, maxHamming)
   }
 
   /** [[foldBucketPairs]]' simhash twin — same pinned-shuffle + sorted

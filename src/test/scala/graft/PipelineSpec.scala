@@ -1224,6 +1224,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(msgs.contains("not a ppm video stream"), msgs.take(300))
   }
 
+  test("sig index lifecycle: build+append probe finds exactly the " +
+      "hand-computed delta-vs-corpus pairs; family mismatch is loud; " +
+      "takedown removes a deleted asset's pairs; parked crash " +
+      "states refuse") {
+    import graft.operators.SigIndex
+    val idx = java.nio.file.Files
+      .createTempDirectory("sigidx-spec").toString
+    // hand-crafted sigs: ids 1..4 corpus, 100..101 delta
+    val corpus = Seq((1L, 0L), (2L, 1L), (3L, 15L), (4L, 1L << 20))
+      .toDF("id", "sig")
+    val delta = Seq((100L, 0L), (101L, 14L)).toDF("id", "sig")
+    SigIndex.build(corpus.filter($"id" <= 2), idx, "test-fam")
+    SigIndex.append(corpus.filter($"id" > 2), idx, "test-fam")
+    assert(SigIndex.exists(idx))
+    val got = SigIndex.probe(spark, idx, delta, "test-fam")
+      .as[(Long, Long, Long)].collect().toSet
+    // hand-computed hammings over band-matched candidates:
+    //   (100,1)=popcount(0^0)=0   (100,2)=popcount(0^1)=1
+    //   (100,4)=popcount(0^2^20)=1  (101,1)=popcount(14^0)=3
+    //   (101,3)=popcount(14^15)=1
+    // excluded: (100,3)=popcount(15)=4, (101,2)=popcount(15)=4,
+    //   (101,4)=popcount(14^2^20)=4 — all past maxHamming
+    assert(got === Set((100L, 1L, 0L), (100L, 2L, 1L), (100L, 4L, 1L),
+      (101L, 1L, 3L), (101L, 3L, 1L)))
+    // family guard: probing or appending prints from another kernel
+    // is loud, not a silent apples-to-oranges hamming
+    val e = intercept[IllegalArgumentException](
+      SigIndex.probe(spark, idx, delta, "video-intensity-f2"))
+    assert(e.getMessage.contains("families must not mix"))
+    val e2 = intercept[IllegalArgumentException](
+      SigIndex.append(delta, idx, "other-fam"))
+    assert(e2.getMessage.contains("families must not mix"))
+    // takedown: delete id 2 — its pairs vanish, generation bumps
+    val g0 = SigIndex.readMeta(idx).generation
+    assert(SigIndex.deleteIds(spark, idx, Seq(2L)) === 1L)
+    assert(SigIndex.readMeta(idx).generation === g0 + 1)
+    val after = SigIndex.probe(spark, idx, delta, "test-fam")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(after === got.filterNot(_._2 == 2L))
+    // compact preserves content and metadata
+    SigIndex.compact(spark, idx)
+    assert(SigIndex.readMeta(idx).generation === g0 + 1)
+    assert(SigIndex.probe(spark, idx, delta, "test-fam")
+      .as[(Long, Long, Long)].collect().toSet === after)
+    // parked crash state (sigs/ gone, sigs_old complete): exists()
+    // and probe refuse loudly; a rerun build heals
+    val live = java.nio.file.Paths.get(idx, "sigs")
+    val old = java.nio.file.Paths.get(idx, "sigs_old")
+    java.nio.file.Files.move(live, old)
+    assert(intercept[IllegalArgumentException](SigIndex.exists(idx))
+      .getMessage.contains("[GRAFT]"))
+    SigIndex.build(corpus, idx, "test-fam") // heals + rebuilds
+    assert(SigIndex.readMeta(idx).generation === g0 + 2)
+    assert(SigIndex.probe(spark, idx, delta, "test-fam")
+      .as[(Long, Long, Long)].collect().toSet === got)
+  }
+
   test("media codecs: real containers round-trip through real parsers") {
     import graft.operators.MediaCodec
     // WAV 8-bit: header walk recovers rate/bits and every sample
