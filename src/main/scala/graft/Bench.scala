@@ -204,7 +204,7 @@ object Bench {
     // standing media-fingerprint probe: the corpus's 8-byte prints
     // persisted once (built outside the timer), the delta decoded +
     // fingerprinted + band-joined per rep — cost ∝ |delta|
-    val sigIdxDir = {
+    lazy val sigIdxDir = {
       val d = s"${storeDirs.last}/sigidx"
       graft.operators.SigIndex.build(
         graft.operators.Multimodal.audioFingerprint(spark,

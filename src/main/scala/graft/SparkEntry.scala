@@ -2275,11 +2275,37 @@ object SparkEntry {
         .createTempDirectory("verify-sigidx-td").toString
       graft.operators.SigIndex.build(prints(corpus), idx,
         "audio-energy-w4")
-      graft.operators.SigIndex.deleteIds(s, idx,
+      val removed = graft.operators.SigIndex.deleteIds(s, idx,
         (0L until 50L).map(_ * 3L))
+      require(removed > 0L, "[GRAFT] takedown removed no sig rows")
       graft.operators.SigIndex.probe(s, idx, prints(delta),
           "audio-energy-w4", maxHamming = 3)
         .orderBy(col("probe_id").asc, col("corpus_id").asc)
+    }),
+
+    // ---- streaming media ingest with fingerprint dedup: ONE batch
+    // of (id, sig) prints through the decontamination loop against
+    // an empty standing corpus — within-batch near-dups (the
+    // +900000 twins, hamming 0 of their originals, plus any
+    // original-vs-original pair ≤ 3) drop keep-first, survivors
+    // land in the standing SigIndex ----
+    "stream_media_dedup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val all = docs.select((col("doc_id") * 3).as("doc_id"),
+          col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") * 3 + lit(900000L)).as("doc_id"),
+            col("text")))
+      val prints = graft.operators.Multimodal.audioFingerprint(s,
+          graft.operators.Multimodal.synthesizeMedia(all), window = 4)
+        .select(col("doc_id").as("id"), col("sig"))
+      val cd = java.nio.file.Files
+        .createTempDirectory("verify-mediadedup").toString
+      graft.streaming.Ingest.mediaDedupBatch(prints, cd,
+        "audio-energy-w4", maxHamming = 3, maxBucket = 1000)
+      s.read.parquet(s"$cd/sigidx/sigs")
+        .select(col("id").as("doc_id"), col("sig"))
+        .orderBy(col("doc_id").asc)
     }),
 
     // ---- video near-dup: every doc wrapped in a real multi-frame
@@ -4140,6 +4166,18 @@ object SparkEntry {
       s"""WITH $audioSigCtes,
         |${sigProbeTail("doc_id < 900000")}""".stripMargin,
 
+    // the streaming ingest loop's single-batch run: survivors =
+    // prints that are not the HIGHER id of any capped pair ≤ 3
+    "stream_media_dedup" ->
+      s"""WITH $audioSigCtes,
+        |${sigBandFoldCtes(16)},
+        |drops AS (SELECT DISTINCT pb FROM pairs
+        |  WHERE bit_count(xor(sa, sb)) <= 3)
+        |SELECT s2.doc_id, s2.s AS sig FROM sig s2
+        |LEFT JOIN drops ON drops.pb = s2.doc_id
+        |WHERE drops.pb IS NULL
+        |ORDER BY s2.doc_id ASC""".stripMargin,
+
     // takedown twin: corpus prints for original doc_id < 50 (ids
     // 0,3,...,147) hard-deleted — the pairs they anchored vanish and
     // the bucket cap re-evaluates over the post-delete table
@@ -4287,7 +4325,11 @@ object SparkEntry {
     * hamming ≤ `maxHamming`. ONE copy serving the simhash, audio,
     * and video oracles — the banding scheme cannot drift between
     * them. */
-  private def sigBandFoldTail(bandBits: Int, maxHamming: Int = 3): String =
+  /** The CTE portion of [[sigBandFoldTail]] — `pairs(pa, pb, sa,
+    * sb)` over a `sig(doc_id, s)` CTE; terminal consumers pick their
+    * own projection (the pair list, or the keep-first survivor
+    * anti-join of the streaming ingest oracle). */
+  private def sigBandFoldCtes(bandBits: Int): String =
     s"""banded AS (SELECT doc_id, s, r.j AS band,
        |    (s >> (CAST(r.j AS INTEGER) * $bandBits)) & ${(1 << bandBits) - 1} AS bval
        |  FROM sig, range(0, 4) r(j)),
@@ -4298,7 +4340,10 @@ object SparkEntry {
        |pairs AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb,
        |    a.s AS sa, b.s AS sb
        |  FROM capped a JOIN capped b
-       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id)""".stripMargin
+
+  private def sigBandFoldTail(bandBits: Int, maxHamming: Int = 3): String =
+    s"""${sigBandFoldCtes(bandBits)}
        |SELECT pa AS a, pb AS b,
        |  CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
        |FROM pairs

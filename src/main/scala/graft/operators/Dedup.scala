@@ -904,16 +904,6 @@ object Dedup {
     sigBandFoldPairs(spread(docs).select(col(idCol).as("id"),
       simHash64(col(textCol)).as("sig")), maxHamming, maxBucket)
 
-  /** 4×16-bit band blocking + bucket fold over CALLER-SUPPLIED 64-bit
-    * signatures — the signature-agnostic core of [[simHashPairs]],
-    * shared by every operator whose per-item fingerprint is one LONG
-    * (text simhash, audio energy-delta prints
-    * [[graft.operators.Multimodal.audioNearDupPairs]]). Input: (id,
-    * sig). Pigeonhole over 4 bands guarantees no false negatives for
-    * maxHamming ≤ 3; the inline hamming filter removes all false
-    * positives, so the output EQUALS the all-pairs result subject to
-    * the [[capBuckets]]-semantics `maxBucket` drop. Output: (a, b,
-    * hamming). */
   /** 4×16-bit band projection over (id, sig) rows — the ONE band
     * derivation every 64-bit-signature consumer shares
     * ([[sigBandFoldPairs]] self-pairs, [[SigIndex]]'s standing-
@@ -927,6 +917,16 @@ object Dedup {
         call_function("shiftright", col("sig"), col("band") * 16)
           .bitwiseAND(0xffffL).as("bval"))
 
+  /** 4×16-bit band blocking + bucket fold over CALLER-SUPPLIED 64-bit
+    * signatures — the signature-agnostic core of [[simHashPairs]],
+    * shared by every operator whose per-item fingerprint is one LONG
+    * (text simhash, audio energy-delta prints
+    * [[graft.operators.Multimodal.audioNearDupPairs]]). Input: (id,
+    * sig). Pigeonhole over 4 bands guarantees no false negatives for
+    * maxHamming ≤ 3; the inline hamming filter removes all false
+    * positives, so the output EQUALS the all-pairs result subject to
+    * the [[capBuckets]]-semantics `maxBucket` drop. Output: (a, b,
+    * hamming). */
   private[graft] def sigBandFoldPairs(sigs: DataFrame,
       maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming <= 3, "4-band blocking covers hamming <= 3")

@@ -150,15 +150,29 @@ object SigIndex {
     * the pair, so the post-join dedup is sound. */
   def probe(spark: SparkSession, path: String, delta: DataFrame,
       family: String, maxHamming: Int = 3,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      storedSigs: Option[DataFrame] = None): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "[GRAFT] sig index probe: 4-band blocking covers hamming <= 3")
     requireFamilyToken(family)
     requireFamily(readMeta(path), family, "probe")
-    val stored = Dedup.capBucketsAnti(
-      Dedup.sigBands(spark.read.parquet(s"$path/$Dir"), "corpus_id")
-        .withColumnRenamed("sig", "__cs"),
-      maxBucket, Seq("band", "bval"))
+    // storedSigs overrides the artifact read — the streaming ingest
+    // loop passes a residue-scrubbed view of the same table
+    // (Ingest.mediaDedupIngestStream), mirroring LshTextIndex.probe's
+    // storedBands hook. Cap strategy follows capBucketsAnti's rescan
+    // rule (see that probe's comment): anti-join form for the cheap
+    // parquet artifact read, single-pass window cap for a derived
+    // caller view whose derivation would otherwise run twice.
+    val stored = storedSigs match {
+      case Some(view) => Dedup.capBuckets(
+        Dedup.sigBands(slim(view), "corpus_id")
+          .withColumnRenamed("sig", "__cs"),
+        maxBucket, Seq("band", "bval"))
+      case None => Dedup.capBucketsAnti(
+        Dedup.sigBands(spark.read.parquet(s"$path/$Dir"), "corpus_id")
+          .withColumnRenamed("sig", "__cs"),
+        maxBucket, Seq("band", "bval"))
+    }
     val probes = Dedup.sigBands(slim(delta), "probe_id")
       .withColumnRenamed("sig", "__ps")
     probes.join(stored, Seq("band", "bval"))

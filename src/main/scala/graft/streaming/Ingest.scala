@@ -325,6 +325,82 @@ object Ingest {
       .start()
   }
 
+  /** Streaming MEDIA ingest with fingerprint near-dup
+    * decontamination — [[textDedupIngestStream]]'s twin over the
+    * [[graft.operators.SigIndex]] standing artifact. The stream
+    * carries (id, sig) PRINTS: the caller picks the fingerprint
+    * kernel upstream ([[graft.operators.Multimodal.audioFingerprint]]
+    * / videoFingerprint / text simhash) and names it via `family` —
+    * media bytes never enter the stream or the artifact. Per
+    * micro-batch: (1) within-batch near-dups drop (the higher id of
+    * each pair with hamming ≤ `maxHamming` — the keep-first
+    * verdict); (2) prints within `maxHamming` of the standing corpus
+    * drop (`SigIndex.probe`, the stored side scrubbed of
+    * crash/replay residue by a semi-join against the COMMITTED id
+    * ledger before the cap); (3) survivors append to the index
+    * (built on the first batch), THEN their ids land at
+    * `corpusDir/ids` — index before ledger, so a crash between the
+    * two leaves residue the next attempt scrubs, never a committed
+    * id without its print. Replays are guarded: already-landed ids
+    * never re-append. Per-batch cost ∝ batch prints + one band join
+    * against the standing table. */
+  def mediaDedupIngestStream(stream: DataFrame, corpusDir: String,
+      checkpoint: String, family: String, maxHamming: Int = 3,
+      maxBucket: Int = 1000,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mediaDedupBatch(batch, corpusDir, family, maxHamming, maxBucket)
+      }
+      .start()
+
+  /** [[mediaDedupIngestStream]]'s per-batch body, separated so
+    * replay idempotence, residue scrubbing, and batch parity are
+    * testable. */
+  private[graft] def mediaDedupBatch(batch0: DataFrame,
+      corpusDir: String, family: String, maxHamming: Int,
+      maxBucket: Int): Unit = {
+    import graft.operators.{Dedup, SigIndex}
+    val spark = batch0.sparkSession
+    val batch = batch0.select(col("id"), col("sig"))
+    if (batch.isEmpty) return
+    val idxDir = s"$corpusDir/sigidx"
+    val idsDir = s"$corpusDir/ids"
+    // (1) within-batch: the higher id of each near-dup pair drops
+    val self = Dedup.sigBandFoldPairs(batch, maxHamming, maxBucket)
+      .select(col("b").as("id")).distinct()
+    val fresh = batch.join(self, Seq("id"), "left_anti")
+    // (2) vs the standing corpus, stored side scrubbed of residue
+    // (prints appended by a crashed attempt whose ids never landed)
+    // BEFORE the probe cap
+    val survivors =
+      if (dirExists(spark, idsDir)) {
+        val landed = spark.read.parquet(idsDir)
+        val scrubbed = spark.read.parquet(s"$idxDir/sigs")
+          .join(landed, Seq("id"), "left_semi")
+          .dropDuplicates("id")
+        val hits = SigIndex.probe(spark, idxDir, fresh, family,
+            maxHamming, maxBucket, storedSigs = Some(scrubbed))
+          .select(col("probe_id").as("id")).distinct()
+        // near-dup prune + REPLAY GUARD (already-landed ids)
+        fresh.join(hits, Seq("id"), "left_anti")
+          .join(landed, Seq("id"), "left_anti")
+      } else fresh
+    // (3) index THEN ledger (see failure semantics above); cache
+    // before the emptiness probe so the pipeline runs once
+    val s = survivors.cache()
+    try {
+      if (s.take(1).nonEmpty) {
+        if (SigIndex.exists(idxDir)) SigIndex.append(s, idxDir, family)
+        else SigIndex.build(s, idxDir, family)
+        s.select(col("id")).write.mode("append").parquet(idsDir)
+      }
+    } finally s.unpersist()
+    ()
+  }
+
   /** Streaming ingest with EXACT-SUBSTRING decontamination — the
     * ExactSubstr twin of [[textDedupIngestStream]]: each micro-batch
     * is vetted against the standing gram set PLUS its own within-batch

@@ -1281,6 +1281,62 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet === got)
   }
 
+  test("media dedup ingest stream: within-batch keep-first, standing-" +
+      "corpus prune, replay guard, and crash-residue scrub over the " +
+      "SigIndex artifact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.SigIndex
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("media_ingest").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("media_ingest_ck").toString
+    val fam = "test-fam"
+    val stream = MemoryStream[(Long, Long)]
+    val q = graft.streaming.Ingest.mediaDedupIngestStream(
+      stream.toDF().toDF("id", "sig"), dir, ck, fam,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    def landedIds() = spark.read.parquet(s"$dir/ids")
+      .as[Long].collect().sorted.toSeq
+    try {
+      // batch 1: 4 drops (hamming(1, 15)=3 vs id 2, and hamming 1
+      // vs id 1 — the higher id of each pair); 1..3 are mutually
+      // >= 4 apart and survive
+      stream.addData((1L, 0L), (2L, 15L), (3L, 0xFF00L), (4L, 1L))
+      q.processAllAvailable()
+      assert(landedIds() === Seq(1L, 2L, 3L))
+      // batch 2 vs the standing corpus: 5 (dup of 1) and 7 (exact
+      // dup of 2) drop; 6 is >= 4 from everything and survives
+      stream.addData((5L, 2L), (6L, 0xFF0FL), (7L, 15L))
+      q.processAllAvailable()
+      assert(landedIds() === Seq(1L, 2L, 3L, 6L))
+    } finally q.stop()
+    // REPLAY the second batch body: same drops recompute, the
+    // already-landed id 6 is guarded — nothing duplicates
+    graft.streaming.Ingest.mediaDedupBatch(
+      Seq((5L, 2L), (6L, 0xFF0FL), (7L, 15L)).toDF("id", "sig"),
+      dir, fam, maxHamming = 3, maxBucket = 1000)
+    assert(landedIds() === Seq(1L, 2L, 3L, 6L))
+    assert(spark.read.parquet(s"$dir/sigidx/sigs").count() === 4L)
+    // CRASH RESIDUE: a print appended to the index whose id never
+    // landed (crash between index append and ledger write) must be
+    // scrubbed out of the stored side — the replayed batch still
+    // sees its own print as NEW, processes it, and lands the id
+    Seq((8L, 0x3CL)).toDF("id", "sig")
+      .write.mode("append").parquet(s"$dir/sigidx/sigs")
+    graft.streaming.Ingest.mediaDedupBatch(
+      Seq((8L, 0x3CL)).toDF("id", "sig"),
+      dir, fam, maxHamming = 3, maxBucket = 1000)
+    assert(landedIds() === Seq(1L, 2L, 3L, 6L, 8L))
+    // the standing artifact answers probes with the committed set:
+    // popcount(0x3D^0x3C)=1 (id 8), popcount(0x3D^15)=3 (id 2)
+    val hits = SigIndex.probe(spark, s"$dir/sigidx",
+        Seq((100L, 0x3DL)).toDF("id", "sig"), fam)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits === Set((100L, 8L, 1L), (100L, 2L, 3L)))
+  }
+
   test("media codecs: real containers round-trip through real parsers") {
     import graft.operators.MediaCodec
     // WAV 8-bit: header walk recovers rate/bits and every sample
