@@ -67,6 +67,25 @@ object Explain {
         docs.filter(col("doc_id") < 100),
         docs.filter(col("doc_id") >= 100))
     }
+    show("sig index probe (expect: stored (id, sig) rows read SLIM — " +
+        "band projection is a Generate over the scan, hot-bucket " +
+        "count + anti-join cap on the stored side only, codegen'd " +
+        "XOR+popcount hamming, pinned width under the pair dedup)") {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val idx = java.nio.file.Files
+        .createTempDirectory("explain-sigidx").toString
+      def prints(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Multimodal.audioFingerprint(spark,
+            graft.operators.Multimodal.synthesizeMedia(
+              d.select((col("doc_id") * 3).as("doc_id"), col("text"))),
+            window = 4)
+          .select(col("doc_id").as("id"), col("sig"))
+      graft.operators.SigIndex.build(
+        prints(docs.filter(col("doc_id") >= 100)), idx,
+        "audio-energy-w4")
+      graft.operators.SigIndex.probe(spark, idx,
+        prints(docs.filter(col("doc_id") < 100)), "audio-energy-w4")
+    }
     show("gopher rules (expect: spread + one codegen'd projection, no agg)") {
       graft.operators.TextAnalysis.gopherSignals(
         spark.read.parquet(s"$dir/documents.parquet"))
