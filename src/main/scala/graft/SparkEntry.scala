@@ -925,6 +925,42 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the FULL curation pipeline as ONE declared query — the
+    // training-data-prep flow end to end: quality gate (the
+    // text_curation cuts) → near-dup survivors (portable simhash
+    // keep-first) → language ID (seed model, token counts riding the
+    // carry hook — no extra join) → per-language next-fit bin
+    // packing. Proves the operators COMPOSE without work-column
+    // collisions, and the oracle replays every stage from scratch ----
+    "pipeline_curate_e2e" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val q = d.filter(
+        graft.operators.TextAnalysis.qualityMilli(col("text")) >= 650 &&
+        graft.operators.TextAnalysis.tokenCount(col("text"))
+          .between(20, 90))
+      val drops = Dedup.simHashPairsPortable(q, maxHamming = 3)
+        .select(col("b").as("doc_id")).distinct()
+      val surv = q.join(drops, Seq("doc_id"), "left_anti")
+      val model = graft.operators.TextAnalysis.trainLangId(
+        graft.operators.TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+      val scored = graft.operators.TextAnalysis.scoreLangId(surv, model,
+        carry = Seq("__nt" ->
+          graft.operators.TextAnalysis.tokenCount(col("text"))))
+      val coded = scored.select(col("doc_id"),
+        when(col("lang_pred") === "de", 0L)
+          .when(col("lang_pred") === "en", 1L)
+          .when(col("lang_pred") === "es", 2L)
+          .when(col("lang_pred") === "fr", 3L)
+          .otherwise(4L).as("lang_code"),
+        col("__nt"))
+      graft.operators.Packing.packBinsNextFit(coded, col("lang_code"),
+          col("doc_id"), col("__nt"), binCapacity = 256)
+        .select(col("doc_id"), col("shard").as("lang_code"),
+          col("n_tokens"), col("bin_id"), col("bin_off"), col("overflow"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- temperature (α=0.5) source rebalancing: weights derived
     // from observed counts, quotas and picks engine-portable. The
     // test corpus's sources are perfectly balanced (α-smoothing of a
@@ -2326,6 +2362,100 @@ object SparkEntry {
         .orderBy(col("a").asc, col("b").asc)
     }),
 
+    // ---- the standing VIDEO fingerprint artifact: frame-intensity
+    // prints through the same SigIndex build/append/probe lifecycle
+    // as the audio family, under the frozen "video-intensity-f2" tag —
+    // every modality's near-dup now has an incremental-artifact story ----
+    "multimodal_video_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def prints(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Multimodal.videoFingerprint(s,
+            graft.operators.Multimodal.synthesizeVideo(d, frameRows = 2))
+          .select(col("doc_id").as("id"), col("sig"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(900000L)).as("doc_id"),
+          col("text"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-sigidx-vid").toString
+      graft.operators.SigIndex.build(
+        prints(corpus.filter(col("doc_id") < 300)), idx,
+        "video-intensity-f2")
+      graft.operators.SigIndex.append(
+        prints(corpus.filter(col("doc_id") >= 300)), idx,
+        "video-intensity-f2")
+      graft.operators.SigIndex.probe(s, idx, prints(delta),
+          "video-intensity-f2", maxHamming = 3)
+        .orderBy(col("probe_id").asc, col("corpus_id").asc)
+    }),
+
+    // ---- the vfs_sig_pairs TVF: audio prints PERSISTED as a plain
+    // parquet fingerprint table, paired from pure SQL text — must
+    // hash-match the multimodal_audio_neardup derivation exactly ----
+    "sql_tvf_sig_pairs" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val aud = docs.select((col("doc_id") * 3).as("doc_id"),
+          col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") * 3 + lit(900000L)).as("doc_id"),
+            col("text")))
+      val prints = graft.operators.Multimodal.audioFingerprint(s,
+          graft.operators.Multimodal.synthesizeMedia(aud), window = 4)
+        .select(col("doc_id").as("id"), col("sig"))
+      val pd = java.nio.file.Files
+        .createTempDirectory("verify-sigpairs").toString
+      prints.write.mode("overwrite").parquet(pd)
+      s.sql(s"SELECT a, b, hamming FROM vfs_sig_pairs('$pd', 3) " +
+        "ORDER BY a ASC, b ASC")
+    }),
+
+    // ---- image near-dup: every doc wrapped in a real P6 container
+    // (ids ×3+2 so every asset lands on the PPM branch), decoded and
+    // dHash'd INSIDE the per-partition kernel — real NN downsample to
+    // 9×8, integer BT.601 luma, sign-of-horizontal-delta 63-bit sig —
+    // then paired by the shared banded fold; every tenth doc gets an
+    // identical-payload twin, guaranteeing hamming-0 pairs the oracle
+    // must also find from pure payload-byte arithmetic ----
+    "multimodal_image_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val img = docs.select((col("doc_id") * 3 + 2).as("doc_id"),
+          col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") * 3 + 2 + lit(900000L)).as("doc_id"),
+            col("text")))
+      graft.operators.Multimodal.imageNearDupPairs(s,
+          graft.operators.Multimodal.synthesizeMedia(img), maxHamming = 3)
+        .orderBy(col("a").asc, col("b").asc)
+    }),
+
+    // ---- the standing image artifact: dHash prints through the same
+    // SigIndex build/append/probe lifecycle as the audio family, under
+    // the frozen "image-dhash-9x8" fingerprint-family tag ----
+    "multimodal_image_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def prints(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Multimodal.imageFingerprint(s,
+            graft.operators.Multimodal.synthesizeMedia(d))
+          .select(col("doc_id").as("id"), col("sig"))
+      val corpus = docs.select((col("doc_id") * 3 + 2).as("doc_id"),
+        col("text"))
+      val delta = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") * 3 + 2 + lit(900000L)).as("doc_id"),
+          col("text"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-sigidx-img").toString
+      graft.operators.SigIndex.build(
+        prints(corpus.filter(col("doc_id") < 900)), idx,
+        "image-dhash-9x8")
+      graft.operators.SigIndex.append(
+        prints(corpus.filter(col("doc_id") >= 900)), idx,
+        "image-dhash-9x8")
+      graft.operators.SigIndex.probe(s, idx, prints(delta),
+          "image-dhash-9x8", maxHamming = 3)
+        .orderBy(col("probe_id").asc, col("corpus_id").asc)
+    }),
+
     // ---- incremental (CDC) read: snapshot the store after a base
     // load, append a second batch, and read ONLY the delta via the
     // commit-list diff — a pure file-level operation (the scan touches
@@ -3304,6 +3434,8 @@ object SparkEntry {
 
     "text_curation" -> textCurationOracle,
 
+    "pipeline_curate_e2e" -> pipelineCurateOracle,
+
     "text_curriculum" -> textCurriculumOracle,
 
     "src_jsonl_roundtrip" ->
@@ -4193,26 +4325,38 @@ object SparkEntry {
     // frame engine-side (sig 0, n_frames 1), so the oracle must emit
     // its sig-0 row too, not drop the doc
     "multimodal_video_neardup" ->
-      s"""WITH d AS (SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 900000 AS doc_id, text FROM documents
-        |  WHERE doc_id % 10 = 0),
-        |b AS (SELECT doc_id, ${duckUtf8BytesOf("text")} AS bs FROM d),
-        |st AS (SELECT doc_id, unnest(bs) AS v,
-        |    unnest(range(1, len(bs) + 1)) AS i
-        |  FROM b),
-        |e AS (SELECT doc_id, (i - 1) // 24 AS frm,
-        |    CAST(sum(v) AS BIGINT) AS en
-        |  FROM st GROUP BY doc_id, frm),
-        |el AS (SELECT doc_id, list(en ORDER BY frm) AS es
-        |  FROM e GROUP BY doc_id),
-        |sig AS (SELECT d.doc_id, CAST(coalesce(list_sum(list_transform(
-        |    range(0, least(coalesce(len(el.es) - 1, 0), 63)),
-        |    j -> CASE WHEN el.es[CAST(j + 2 AS INTEGER)] > el.es[CAST(j + 1 AS INTEGER)]
-        |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
-        |         ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS s
-        |  FROM d LEFT JOIN el ON el.doc_id = d.doc_id),
+      s"""WITH $videoSigCtes,
         |${sigBandFoldTail(16)}""".stripMargin,
+
+    // the standing video artifact: delta prints (the +900000 twins)
+    // vs the indexed corpus prints under the "video-intensity-f2"
+    // family — shares the video sig derivation verbatim
+    "multimodal_video_incremental" ->
+      s"""WITH $videoSigCtes,
+        |${sigProbeTail("doc_id < 900000")}""".stripMargin,
+
+    // the vfs_sig_pairs TVF over PERSISTED audio prints: identical
+    // derivation (and identical result) to multimodal_audio_neardup —
+    // the SQL reachability proof for the media near-dup family
+    "sql_tvf_sig_pairs" ->
+      s"""WITH $audioSigCtes,
+        |${sigBandFoldTail(16)}""".stripMargin,
+
+    // image near-dup: dHash from payload bytes (the imageSigCtes
+    // re-derivation of decode → RGB → NN 9×8 → BT.601 luma →
+    // delta-sign), banded 4×16 with the 1000-cap, all-pairs hamming
+    // ≤ 3 — pigeonhole makes the banded result EQUAL the all-pairs
+    // result, which is what this computes
+    "multimodal_image_neardup" ->
+      s"""WITH $imageSigCtes,
+        |${sigBandFoldTail(16)}""".stripMargin,
+
+    // the standing image-dHash sig-index probe: delta prints (the
+    // +900000 twins) vs the indexed corpus prints — shares the image
+    // sig derivation verbatim
+    "multimodal_image_incremental" ->
+      s"""WITH $imageSigCtes,
+        |${sigProbeTail("doc_id < 900000")}""".stripMargin,
 
     "multimodal_png" -> multimodalPngOracle,
     "multimodal_png_gray" -> multimodalPngGrayOracle,
@@ -4376,6 +4520,73 @@ object SparkEntry {
        |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
        |         ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS s
        |  FROM el)""".stripMargin
+
+  /** Shared CTE chain deriving the video frame-intensity sig table
+    * `sig(doc_id, s)` over the synthesized PPM-stream corpus
+    * (originals at doc_id plus +900000 twins for every tenth doc):
+    * per-frame intensity = Σ payload bytes of that 24-byte frame
+    * slice (frameRows=2 ⇒ 4×2 RGB = 24 bytes; the zero-padded tail
+    * contributes nothing, so the partial-frame group-by reproduces
+    * the padded sum exactly), sign-of-delta fold. The sig CTE LEFT
+    * JOINs from d: an EMPTY text still synthesizes one all-zero
+    * frame engine-side (sig 0, n_frames 1), so the oracle must emit
+    * its sig-0 row too, not drop the doc. */
+  private def videoSigCtes: String =
+    s"""d AS (SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 900000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |b AS (SELECT doc_id, ${duckUtf8BytesOf("text")} AS bs FROM d),
+       |st AS (SELECT doc_id, unnest(bs) AS v,
+       |    unnest(range(1, len(bs) + 1)) AS i
+       |  FROM b),
+       |e AS (SELECT doc_id, (i - 1) // 24 AS frm,
+       |    CAST(sum(v) AS BIGINT) AS en
+       |  FROM st GROUP BY doc_id, frm),
+       |el AS (SELECT doc_id, list(en ORDER BY frm) AS es
+       |  FROM e GROUP BY doc_id),
+       |sig AS (SELECT d.doc_id, CAST(coalesce(list_sum(list_transform(
+       |    range(0, least(coalesce(len(el.es) - 1, 0), 63)),
+       |    j -> CASE WHEN el.es[CAST(j + 2 AS INTEGER)] > el.es[CAST(j + 1 AS INTEGER)]
+       |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+       |         ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS s
+       |  FROM d LEFT JOIN el ON el.doc_id = d.doc_id)""".stripMargin
+
+  /** Shared CTE chain deriving the image dHash sig table
+    * `sig(doc_id, s)` over the synthesized PPM corpus (originals at
+    * doc_id*3+2 — the PPM branch of synthesizeMedia — plus
+    * +900000 twins for every tenth doc): payload truncated to whole
+    * 12-byte rows (zero-padded to one row minimum, the rasterPayload
+    * rule), 4-wide RGB raster of h rows, NN-downsample to 9×8 with
+    * the engine's exact index formula (sx = (x·4) div 9,
+    * sy = (y·h) div 8), integer BT.601 luma
+    * ((299r + 587g + 114b) div 1000), sign-of-horizontal-delta fold
+    * (bit j = y·8+x set iff gray(y, x+1) > gray(y, x), 63 bits). */
+  private def imageSigCtes: String =
+    s"""d AS (SELECT doc_id * 3 + 2 AS doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id * 3 + 2 + 900000 AS doc_id, text FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |b AS (SELECT doc_id, ${duckUtf8BytesOf("text")} AS bs0 FROM d),
+       |p AS (SELECT doc_id,
+       |    list_resize(bs0[1:greatest(12, len(bs0) - (len(bs0) % 12))],
+       |      greatest(12, len(bs0) - (len(bs0) % 12)), 0) AS bs,
+       |    greatest(12, len(bs0) - (len(bs0) % 12)) // 12 AS h
+       |  FROM b),
+       |gl AS (SELECT doc_id, list_transform(range(0, 72), k ->
+       |    (299 * bs[CAST(((((k // 9) * h) // 8) * 4
+       |         + ((k % 9) * 4) // 9) * 3 + 1 AS INTEGER)]
+       |   + 587 * bs[CAST(((((k // 9) * h) // 8) * 4
+       |         + ((k % 9) * 4) // 9) * 3 + 2 AS INTEGER)]
+       |   + 114 * bs[CAST(((((k // 9) * h) // 8) * 4
+       |         + ((k % 9) * 4) // 9) * 3 + 3 AS INTEGER)]) // 1000) AS g
+       |  FROM p),
+       |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 63),
+       |    j -> CASE WHEN g[CAST((j // 8) * 9 + (j % 8) + 2 AS INTEGER)]
+       |            > g[CAST((j // 8) * 9 + (j % 8) + 1 AS INTEGER)]
+       |    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+       |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+       |  FROM gl)""".stripMargin
 
   /** Shared DuckDB tail reproducing [[operators.SigIndex.probe]]
     * over a `sig(doc_id, s)` CTE: the stored side is `corpusWhere`
@@ -4859,7 +5070,12 @@ object SparkEntry {
     * Scala constant the engine trains on, so the derivations cannot
     * drift. Terminal consumers LEFT JOIN `best` to documents (the
     * all-OOV "und"/500 fallback lives in the consumer's coalesce). */
-  private def langIdCtes: String = {
+  private def langIdCtes: String = langIdCtesOver("documents")
+
+  /** [[langIdCtes]] with the SCORED table parameterized (any earlier
+    * CTE with (doc_id, text) rows) — the composed-pipeline oracles
+    * score a filtered survivor set, not the whole corpus. */
+  private def langIdCtesOver(docsTable: String): String = {
     val values = operators.TextAnalysis.LangIdSeedCorpus
       .map { case (l, t) => s"('$l', '${t.replace("'", "''")}')" }
       .mkString(",\n    ")
@@ -4884,7 +5100,7 @@ object SparkEntry {
        |dg AS (SELECT doc_id, unnest(list_distinct(list_transform(
        |    range(1, greatest(length(lower(text)) - 2, 0) + 1),
        |    i -> substr(lower(text), CAST(i AS INTEGER), 3)))) AS gram
-       |  FROM documents),
+       |  FROM $docsTable),
        |ev AS (SELECT dg.doc_id, dense.lang,
        |    CAST(count(*) AS BIGINT) AS matched,
        |    CAST(sum(dense.w) AS BIGINT) // CAST(count(*) AS BIGINT)
@@ -4928,8 +5144,9 @@ object SparkEntry {
        |SELECT lang_pred, count(*) AS n_docs,
        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
        |  CAST(sum(ns) AS BIGINT) AS n_subwords,
-       |  (1000 * CAST(sum(ns) AS BIGINT)) // CAST(sum(nt) AS BIGINT)
-       |    AS fertility_milli
+       |  CASE WHEN CAST(sum(nt) AS BIGINT) > 0
+       |    THEN (1000 * CAST(sum(ns) AS BIGINT)) // CAST(sum(nt) AS BIGINT)
+       |    ELSE 0 END AS fertility_milli
        |FROM pred GROUP BY 1
        |ORDER BY lang_pred ASC""".stripMargin
 
@@ -5460,6 +5677,62 @@ object SparkEntry {
        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
        |  AND quality_milli >= 650 AND n_tokens BETWEEN 20 AND 90
        |ORDER BY doc_id ASC""".stripMargin
+
+  /** The FULL curation pipeline re-derived from scratch: quality
+    * gate ([[qualityExprSql]] + token window), portable-simhash
+    * near-dup keep-first (the [[simHashOracle]] sig derivation over
+    * the QUALITY subset + the shared band fold), language ID over the
+    * survivors ([[langIdCtesOver]]), deterministic language coding,
+    * and the next-fit packing recurrence ([[SparkEntry.oracleSql]]'s
+    * text_packing_bins CTE shape) per language shard. */
+  private def pipelineCurateOracle: String =
+    s"""WITH RECURSIVE tq AS (SELECT doc_id, text,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM documents),
+       |q AS (SELECT doc_id, text, n_tokens FROM tq
+       |  WHERE $qualityExprSql >= 650 AND n_tokens BETWEEN 20 AND 90),
+       |h AS (SELECT doc_id, list_transform(
+       |    list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+       |    w -> ${duckHex15("w")}) AS hs FROM q),
+       |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+       |    j -> CASE WHEN 2 * len(list_filter(hs, x -> ((x >> j) & 1) = 1)) > len(hs)
+       |         THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+       |  FROM h),
+       |${sigBandFoldCtes(15)},
+       |drops AS (SELECT DISTINCT pb FROM pairs
+       |  WHERE bit_count(xor(sa, sb)) <= 3),
+       |surv AS (SELECT q.doc_id, q.text, q.n_tokens FROM q
+       |  LEFT JOIN drops ON drops.pb = q.doc_id WHERE drops.pb IS NULL),
+       |${langIdCtesOver("surv")},
+       |pred AS (SELECT s2.doc_id, s2.n_tokens,
+       |    CASE coalesce(struct_extract(b2.b, 'lang'), 'und')
+       |      WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2
+       |      WHEN 'fr' THEN 3 ELSE 4 END AS lang_code
+       |  FROM surv s2 LEFT JOIN best b2 ON b2.doc_id = s2.doc_id),
+       |tp AS (SELECT doc_id, lang_code, n_tokens,
+       |    row_number() OVER (PARTITION BY lang_code ORDER BY doc_id) AS rn
+       |  FROM pred),
+       |f(lang_code, rn, doc_id, n, bin_id, bin_off, used_after) AS (
+       |  SELECT lang_code, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+       |    CAST(0 AS BIGINT), n_tokens
+       |  FROM tp WHERE rn = 1
+       |  UNION ALL
+       |  SELECT tp.lang_code, tp.rn, tp.doc_id, tp.n_tokens,
+       |    CASE WHEN f.used_after + tp.n_tokens <= 256 THEN f.bin_id
+       |         ELSE f.bin_id + 1 END,
+       |    CASE WHEN f.used_after + tp.n_tokens <= 256 THEN f.used_after
+       |         ELSE CAST(0 AS BIGINT) END,
+       |    CASE WHEN f.used_after + tp.n_tokens <= 256
+       |         THEN f.used_after + tp.n_tokens
+       |         ELSE tp.n_tokens END
+       |  FROM f JOIN tp ON tp.lang_code = f.lang_code AND tp.rn = f.rn + 1)
+       |SELECT doc_id, CAST(lang_code AS BIGINT) AS lang_code,
+       |  n AS n_tokens, bin_id, bin_off,
+       |  CAST(CASE WHEN n > 256 THEN 1 ELSE 0 END AS BIGINT) AS overflow
+       |FROM f ORDER BY doc_id ASC""".stripMargin
 
   /** hashed-BoW CTE chain shared by the embedding and composed-dedup
     * oracles: toks → buckets (md5-fold mod 64) → dense counts → L2

@@ -179,6 +179,9 @@ package object functions {
     // SELECT * FROM vfs_langid(docsPath[, modelPath, textCol, idCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_langid",
       graft.plans.SqlSurface.vfsLangIdBuilder _)
+    // SELECT * FROM vfs_sig_pairs(path, maxHamming[, maxBucket, idCol, sigCol])
+    ExpressionUtils.registerTableFunction(spark, "vfs_sig_pairs",
+      graft.plans.SqlSurface.vfsSigPairsBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

@@ -83,6 +83,25 @@ private[operators] object ArtifactIo {
     ()
   }
 
+  /** Number of DATA files under `dir` (recursive; `_`/`.`-prefixed
+    * bookkeeping files excluded) — the signal an append-heavy
+    * artifact's `needsCompaction` keys on: every plain append adds a
+    * file set, and probe latency grows with files listed. One
+    * namenode listing, no data read. A missing dir counts 0. */
+  def dataFileCount(dir: String): Long = {
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(p)) return 0L
+    var n = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) n += 1L
+    }
+    n
+  }
+
   /** Crash residue check: live dir gone, complete old parked. */
   def isParked(fs: org.apache.hadoop.fs.FileSystem, path: String,
       liveDir: String): Boolean = {

@@ -273,4 +273,38 @@ object BinaryIndex {
       .orderBy(col("dist").asc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Rewrite the sidecar into one file set AND collapse plain-append
+    * duplicate ids (keeping one packed row per id — stored duplicates
+    * only ever come from replayed appends of the SAME vector, so any
+    * survivor is correct): every [[append]] adds files and the
+    * coarse cut scans them all. Physical rewrite via the staged
+    * two-rename swap, metadata unchanged ([[SigIndex.compact]]'s
+    * sidecar twin); the `_append_batch` high-watermark survives (it
+    * is monotonic — compaction changes no batch semantics). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(path)
+    ArtifactIo.healParked(fs, path, "packed", "binary index compact")
+    val m = readMeta(path)
+    val folded = spark.read.parquet(s"$path/packed")
+      .groupBy(col("id")).agg(min(col("packed")).as("packed"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    ArtifactIo.stagedSwap(fs, path, "packed",
+      "binary index compact") { stage =>
+      folded.write.mode("overwrite").parquet(stage)
+      writeMetaInto(stage, m)
+    }
+  }
+
+  /** Should an ingest loop schedule [[compact]]? Keys on ONE namenode
+    * listing of the sidecar's data files (no data read), so the check
+    * is cheap enough to run per batch — the
+    * [[IvfIndex.needsRebalance]] self-scheduling pattern applied to
+    * small-files growth. */
+  def needsCompaction(path: String, maxDataFiles: Int = 64): Boolean = {
+    require(maxDataFiles > 0,
+      "[GRAFT] binary index needsCompaction: maxDataFiles must be positive")
+    ArtifactIo.requireNotParked(path, "packed", "binary index")
+    ArtifactIo.dataFileCount(s"$path/packed") > maxDataFiles
+  }
 }

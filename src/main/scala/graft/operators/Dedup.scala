@@ -904,6 +904,26 @@ object Dedup {
     sigBandFoldPairs(spread(docs).select(col(idCol).as("id"),
       simHash64(col(textCol)).as("sig")), maxHamming, maxBucket)
 
+  /** Near-dup pairs over CALLER-SUPPLIED 64-bit fingerprints — the
+    * public face of the banded bucket fold for corpora whose prints
+    * were computed by ANY kernel (a persisted
+    * [[graft.operators.Multimodal.audioFingerprint]] /
+    * videoFingerprint / imageFingerprint table, an external
+    * fingerprinting job): (idCol, sigCol) rows in, (a, b,
+    * hamming ≤ `maxHamming`) out, with [[simHashPairs]]' exact
+    * semantics (pigeonhole over 4×16 bands — no false negatives for
+    * maxHamming ≤ 3, inline filter — no false positives, subject to
+    * the documented `maxBucket` drop). Also the engine behind the
+    * `vfs_sig_pairs` SQL TVF. */
+  def sigPairs(sigs: DataFrame, maxHamming: Int = 3,
+      idCol: String = "id", sigCol: String = "sig",
+      maxBucket: Int = 1000): DataFrame = {
+    require(Seq(idCol, sigCol).forall(sigs.columns.contains),
+      s"[GRAFT] sigPairs: input must have ($idCol, $sigCol)")
+    sigBandFoldPairs(sigs.select(col(idCol).as("id"),
+      col(sigCol).cast("long").as("sig")), maxHamming, maxBucket)
+  }
+
   /** 4×16-bit band projection over (id, sig) rows — the ONE band
     * derivation every 64-bit-signature consumer shares
     * ([[sigBandFoldPairs]] self-pairs, [[SigIndex]]'s standing-
@@ -1188,6 +1208,23 @@ object Dedup {
       maxCluster: Int = 0, nAssign: Int = 1,
       kernelThreshold: Int = 64): DataFrame = {
     require(nAssign >= 1, "[GRAFT] semanticDedup: nAssign must be >= 1")
+    // byte-gate the centroid collect BEFORE pulling it driver-side:
+    // real SemDeDup runs want k ≈ √N, and at corpus scale that
+    // centroid frame can be the exact ungated-collect driver OOM
+    // BroadcastGate documents. One cheap aggregate measures rows and
+    // dim; the failure names the two-level composition that keeps k
+    // bounded (cluster with IvfIndex first, then semanticDedup per
+    // coarse cell with a driver-sized centroid subset).
+    locally {
+      val m = centroids.agg(count(lit(1)).cast("long"),
+        max(size(col("cv"))).cast("int")).head()
+      BroadcastGate.requireCollectFits(m.getLong(0),
+        math.max(0, if (m.isNullAt(1)) 0 else m.getInt(1)),
+        "semanticDedup centroid table",
+        "Route oversized centroid sets through two-level clustering: " +
+          "IvfIndex coarse cells first, then semanticDedup per cell " +
+          "with a bounded per-cell centroid set.")
+    }
     val cents: Array[(Long, Seq[Float])] = centroids
       .select(col("cid").cast("long"), col("cv"))
       .collect()

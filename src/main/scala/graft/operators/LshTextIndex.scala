@@ -261,4 +261,16 @@ object LshTextIndex {
     }
     fs.delete(new org.apache.hadoop.fs.Path(path, "lsh.json"), false)
   }
+
+  /** Should an ingest loop schedule [[compact]]? Keys on ONE namenode
+    * listing of the band table's data files (no data read), so the
+    * check is cheap enough to run per batch — the
+    * [[IvfIndex.needsRebalance]] self-scheduling pattern applied to
+    * small-files growth. */
+  def needsCompaction(path: String, maxDataFiles: Int = 64): Boolean = {
+    require(maxDataFiles > 0,
+      "[GRAFT] lsh needsCompaction: maxDataFiles must be positive")
+    ArtifactIo.requireNotParked(path, "bands", "LSH index")
+    ArtifactIo.dataFileCount(s"$path/bands") > maxDataFiles
+  }
 }

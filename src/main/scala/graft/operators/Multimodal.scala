@@ -525,6 +525,82 @@ object Multimodal {
     }.toDF("doc_id", "sig", "n_frames")
   }
 
+  /** Per-asset 64-bit IMAGE perceptual fingerprint — dHash (the
+    * difference-hash of the perceptual-hash family: gradient
+    * direction survives re-encode/resize/brightness shifts), closing
+    * the one modality without a near-dup fingerprint (text simhash /
+    * embedding LSH / audio energy-delta / video frame-intensity):
+    * decode the real container ([[MediaCodec.decodeBmp]]/Ppm/Png
+    * dispatch), normalize stored channel order to RGB
+    * ([[MediaCodec.toRgb]] — BGR swap, GRAY replicate, RGBA composite
+    * over white), downsample with the REAL resize kernel
+    * ([[MediaCodec.nnResizeRgb]] to 9×8 — NN commutes with the
+    * per-pixel luma, so resize-then-gray is exact), take integer
+    * BT.601 luma per cell (gray = (299·r + 587·g + 114·b) div 1000),
+    * and set bit j (0 ≤ j < 63, j = y·8 + x) iff
+    * gray(y, x+1) > gray(y, x) — each row's 9 cells yield 8
+    * horizontal deltas. The 64th delta (row 7, delta 7) is dropped to
+    * keep bit 63 clear ([[audioFingerprint]]'s LONG-non-negative
+    * oracle-portability stance). EXACT integer arithmetic end-to-end
+    * (decode → RGB → NN index → luma → compare), so the DuckDB oracle
+    * reproduces every bit from payload bytes. Per-partition kernel,
+    * zero shuffle; media bytes collapse to 8 bytes before anything
+    * shuffles. Output: (doc_id, sig, width, height). */
+  def imageFingerprint(spark: SparkSession,
+      media: Dataset[MediaRecord]): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val ras = r.format match {
+          case "image/bmp" => MediaCodec.decodeBmp(r.media)
+          case "image/ppm" => MediaCodec.decodePpm(r.media)
+          case "image/png" => MediaCodec.decodePng(r.media)
+          case other => throw new IllegalArgumentException(
+            s"[GRAFT] imageFingerprint: no raster decoder for " +
+              s"format $other")
+        }
+        val rgb = MediaCodec.toRgb(ras)
+        val small = MediaCodec.nnResizeRgb(rgb.pixels, ras.width,
+          ras.height, 9, 8)
+        val gray = new Array[Int](72)
+        var i = 0
+        while (i < 72) {
+          gray(i) = (299 * (small(3 * i) & 0xff) +
+            587 * (small(3 * i + 1) & 0xff) +
+            114 * (small(3 * i + 2) & 0xff)) / 1000
+          i += 1
+        }
+        var sig = 0L
+        var j = 0
+        while (j < 63) {
+          val y = j / 8
+          val x = j % 8
+          if (gray(y * 9 + x + 1) > gray(y * 9 + x)) sig |= (1L << j)
+          j += 1
+        }
+        (r.doc_id, sig, ras.width, ras.height)
+      }
+    }.toDF("doc_id", "sig", "width", "height")
+  }
+
+  /** Image near-dup pairs with fingerprint hamming ≤ `maxHamming` —
+    * [[audioNearDupPairs]]' image twin, completing the per-modality
+    * dedup family: the per-partition [[imageFingerprint]] kernel
+    * collapses each asset to 8 bytes BEFORE anything shuffles, then
+    * the shared 4×16-bit band fold ([[Dedup.sigBandFoldPairs]]: one
+    * pinned slim shuffle + streaming O(maxBucket) bucket fold) emits
+    * candidate pairs with the hamming computed inline. No false
+    * negatives for maxHamming ≤ 3 (pigeonhole), no false positives
+    * (inline filter), subject to the documented `maxBucket` drop on
+    * pathological corpora (solid-color/boilerplate images — surfaced
+    * by exact dedup instead). Output: (a, b, hamming). */
+  def imageNearDupPairs(spark: SparkSession, media: Dataset[MediaRecord],
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    Dedup.sigBandFoldPairs(
+      imageFingerprint(spark, media)
+        .select(col("doc_id").as("id"), col("sig")),
+      maxHamming, maxBucket)
+
   /** Video near-dup pairs with fingerprint hamming ≤ `maxHamming` —
     * [[audioNearDupPairs]]' video twin, completing the per-modality
     * dedup family (text simhash / embedding LSH / audio energy /

@@ -117,28 +117,79 @@ object SigIndex {
     val gen = readMetaOpt(path).map(_.generation + 1).getOrElse(1)
     val rows = slim(sigs)
     val live = new org.apache.hadoop.fs.Path(s"$path/$Dir")
-    if (!fs.exists(live)) {
-      ArtifactIo.publishFresh(fs, path, Dir, "sig build") { stage =>
-        rows.write.mode("overwrite").parquet(stage)
-        ArtifactIo.writeFileInto(stage, "_sig.json",
-          metaJson(Meta(family, gen)))
-      }
-    } else {
-      ArtifactIo.stagedSwap(fs, path, Dir, "sig build") { stage =>
-        rows.write.mode("overwrite").parquet(stage)
-        ArtifactIo.writeFileInto(stage, "_sig.json",
-          metaJson(Meta(family, gen)))
-      }
+    def writeStage(stage: String): Unit = {
+      rows.write.mode("overwrite").parquet(stage)
+      ArtifactIo.writeFileInto(stage, "_sig.json",
+        metaJson(Meta(family, gen)))
+      // retire the appendIdempotent high-watermark HERE — after the
+      // distributed stage write succeeded, before the publish rename
+      // (the [[BinaryIndex.build]] window analysis verbatim: delete
+      // after the swap risks the NEW artifact under the OLD
+      // sequence's high-watermark → silent batch no-ops/data loss;
+      // delete before the stage write strips replay protection from
+      // a still-live artifact when the rebuild fails). In this window
+      // the worst crash outcome is the OLD artifact without its
+      // marker: replays re-append duplicates, which the probe's
+      // post-join dedup already tolerates.
+      ArtifactIo.deleteFile(path, "_append_batch")
     }
+    if (!fs.exists(live))
+      ArtifactIo.publishFresh(fs, path, Dir, "sig build")(writeStage)
+    else
+      ArtifactIo.stagedSwap(fs, path, Dir, "sig build")(writeStage)
   }
 
   /** Append delta (id, sig) rows. Cost ∝ batch; the standing table is
     * not read. Caller contract (as [[LshTextIndex.append]]): ids not
-    * already indexed, prints from the artifact's `family` kernel. */
+    * already indexed, prints from the artifact's `family` kernel.
+    *
+    * AT-LEAST-ONCE hazard: this plain append has no replay marker — a
+    * retried/replayed call stores the same print twice. Probe results
+    * stay correct (the post-join pair dedup collapses duplicates) but
+    * the duplicate rows inflate their buckets toward `maxBucket` and
+    * [[compact]] never collapses them. Replay-prone callers (retried
+    * jobs, streaming foreachBatch outside
+    * [[graft.streaming.Ingest.mediaDedupIngestStream]]'s own ledger)
+    * should use [[appendIdempotent]]. */
   def append(sigs: DataFrame, path: String, family: String): Unit = {
     requireFamilyToken(family)
     requireFamily(readMeta(path), family, "append")
     slim(sigs).write.mode("append").parquet(s"$path/$Dir")
+  }
+
+  /** [[append]] guarded by a monotonic batch marker
+    * (`<path>/_append_batch`, tmp + ATOMIC overwrite-rename via
+    * [[ArtifactIo.writeSmallFileAtomic]] — the
+    * [[BinaryIndex.appendIdempotent]] protocol verbatim): a replay of
+    * an already-committed `batchId` is an exact no-op, so
+    * at-least-once drivers never double-store a print. Only a crash
+    * INSIDE the append→marker window can still duplicate (and the
+    * probe's post-join dedup keeps even that from corrupting
+    * results). [[build]] retires the marker — a rebuilt artifact
+    * starts a fresh batch sequence. Returns whether the batch was
+    * applied. */
+  def appendIdempotent(sigs: DataFrame, path: String, family: String,
+      batchId: Long): Boolean = {
+    val last =
+      if (!ArtifactIo.fileExists(path, "_append_batch")) -1L
+      else ArtifactIo.readSmallFile(path, "_append_batch").trim.toLong
+    if (batchId <= last) return false
+    append(sigs, path, family)
+    ArtifactIo.writeSmallFileAtomic(path, "_append_batch",
+      batchId.toString)
+    true
+  }
+
+  /** Should an ingest loop schedule [[compact]]? Every [[append]]
+    * adds a file set and probe latency grows with files listed; this
+    * keys on ONE namenode listing (no data read) so the check is
+    * cheap enough to run per batch — the [[IvfIndex.needsRebalance]]
+    * self-scheduling pattern applied to small-files growth. */
+  def needsCompaction(path: String, maxDataFiles: Int = 64): Boolean = {
+    require(maxDataFiles > 0,
+      "[GRAFT] sig index needsCompaction: maxDataFiles must be positive")
+    ArtifactIo.requireNotParked(path, Dir, "sig index")
+    ArtifactIo.dataFileCount(s"$path/$Dir") > maxDataFiles
   }
 
   /** Near-dups of `delta` prints against the indexed corpus:

@@ -566,9 +566,20 @@ object TextAnalysis {
     require(k > 0, "[GRAFT] bm25TopK: k must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
-    val wl = queries
+    val wlDf = queries
       .select(col(qidCol).cast("long").as("qid"), col(termCol).as("term"))
-      .distinct().as[(Long, String)].collect()
+      .distinct()
+    // byte-gate the workload collect: the fused kernel's trade is a
+    // DRIVER-side inverted workload, and a pathological (qid, term)
+    // table must fail loudly with the documented composition instead
+    // of OOMing the driver silently. dim 16 ≈ the qid long + a short
+    // term's bytes per row under the gate's 4-bytes-a-lane estimate.
+    BroadcastGate.requireCollectFits(wlDf.count(), 16,
+      "bm25TopK query workload",
+      "Compose bm25ScoresTable + rankByScore for workloads whose " +
+        "vocabulary exceeds the driver budget — its explode path " +
+        "stays fully distributed.")
+    val wl = wlDf.as[(Long, String)].collect()
     require(wl.nonEmpty, "[GRAFT] bm25TopK: empty query workload")
     val termSet = wl.map(_._2).distinct.sorted
     val toks = split(trim(lower(col(textCol))), "\\s+")
@@ -1111,9 +1122,20 @@ object TextAnalysis {
     * evidence folds as L map-side sum lanes keyed by doc alone, and
     * the argmax is a pure projection over the L lanes — no window,
     * one shuffle total. Output: (idCol, lang_pred, matched,
-    * score_milli). */
+    * score_milli[, carry...]).
+    *
+    * `carry` rides EXTRA per-row projections of the docs scan
+    * (name → column over `docs`) through the final prediction join,
+    * appended to the output in the given order: a composer needing
+    * per-doc signals alongside the prediction
+    * ([[tokenizerFertility]]'s token counts) gets them from the SAME
+    * scan instead of a second doc-keyed join of N slim rows — the
+    * avoidable-shuffle anti-pattern this file otherwise avoids. Carry
+    * columns are per-ROW projections by contract (they evaluate on
+    * the docs scan before any aggregate). */
   def scoreLangId(docs: DataFrame, model: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      carry: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
     require(Seq("gram", "lang", "weight_milli")
         .forall(model.columns.contains),
       "[GRAFT] scoreLangId: model must have (gram, lang, weight_milli)")
@@ -1191,11 +1213,19 @@ object TextAnalysis {
       best.getField("lang").as("lang_pred"),
       col("__m").as("matched"),
       best.getField("score_milli").as("score_milli"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
-      .select(col(idCol),
+    carry.foreach { case (n, _) =>
+      require(n != idCol && !Seq("lang_pred", "matched", "score_milli")
+          .contains(n),
+        s"[GRAFT] scoreLangId: carry name '$n' collides with an " +
+          "output column")
+    }
+    docs.select(col(idCol) +: carry.map { case (n, c) => c.as(n) }: _*)
+      .join(scored, Seq(idCol), "left")
+      .select(Seq(col(idCol),
         coalesce(col("lang_pred"), lit("und")).as("lang_pred"),
         coalesce(col("matched"), lit(0L)).as("matched"),
-        coalesce(col("score_milli"), lit(500L)).as("score_milli"))
+        coalesce(col("score_milli"), lit(500L)).as("score_milli")) ++
+        carry.map { case (n, _) => col(n) }: _*)
   }
 
   /** Tokenizer FERTILITY by predicted language — the multilingual
@@ -1205,27 +1235,30 @@ object TextAnalysis {
     * audit): composes [[scoreLangId]]'s per-doc prediction with the
     * per-row token counts ([[tokenCount]] whitespace words,
     * [[tokenCountBpeIsh]] subword proxy), then one hash aggregate by
-    * language. Exact integer milli (floor division), so the DuckDB
-    * oracle reproduces every value. Per-doc ids are assumed unique
-    * (the [[scoreLangId]] contract). 100 TB shape: the scoring
-    * pipeline's one shuffle + a doc-keyed join of two projections of
-    * the SAME scan + an L-row aggregate. Output: (lang_pred, n_docs,
-    * n_tokens, n_subwords, fertility_milli). */
+    * language. Exact integer milli (floor division; a language group
+    * whose docs all have ZERO whitespace tokens — empty/whitespace-
+    * only texts routed to "und" — reports fertility 0 instead of a
+    * division by zero, which would be NULL under non-ANSI Spark and a
+    * hard error under ansi.enabled, with the oracle pinning the same
+    * CASE). Per-doc ids are assumed unique (the [[scoreLangId]]
+    * contract). 100 TB shape: the token counts ride [[scoreLangId]]'s
+    * carry hook as two extra per-row projections of the SAME scan —
+    * the scoring pipeline's one shuffle + an L-row aggregate, no
+    * second doc-keyed join. Output: (lang_pred, n_docs, n_tokens,
+    * n_subwords, fertility_milli). */
   def tokenizerFertility(docs: DataFrame, model: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     WorkCols.requireFree(docs, "__nt", "__ns")
-    val counts = docs.select(col(idCol),
-      tokenCount(col(textCol)).as("__nt"),
-      tokenCountBpeIsh(col(textCol)).as("__ns"))
-    scoreLangId(docs, model, textCol, idCol)
-      .select(col(idCol), col("lang_pred"))
-      .join(counts, Seq(idCol))
+    scoreLangId(docs, model, textCol, idCol, carry = Seq(
+        "__nt" -> tokenCount(col(textCol)),
+        "__ns" -> tokenCountBpeIsh(col(textCol))))
       .groupBy(col("lang_pred"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(col("__nt")).as("n_tokens"),
         sum(col("__ns")).as("n_subwords"),
-        idiv(lit(1000L) * sum(col("__ns")), sum(col("__nt")))
-          .as("fertility_milli"))
+        when(sum(col("__nt")) > 0L,
+          idiv(lit(1000L) * sum(col("__ns")), sum(col("__nt"))))
+          .otherwise(lit(0L)).as("fertility_milli"))
   }
 
   /** Full per-document analysis projection. */

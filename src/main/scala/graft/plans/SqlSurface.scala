@@ -309,6 +309,52 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_sig_pairs(path, maxHamming[, maxBucket,
+    * idCol, sigCol])` — near-dup pairs over a STORED 64-bit
+    * fingerprint table ([[graft.operators.Dedup.sigPairs]]: the
+    * shared 4×16-band bucket fold with inline hamming), making the
+    * media near-dup family SQL-reachable: persist any fingerprint
+    * kernel's (id, sig) prints (audio energy-delta, video
+    * frame-intensity, image dHash, text simhash — or a
+    * [[graft.operators.SigIndex]] artifact's `sigs/` dir) and pair
+    * them from pure SQL text:
+    * {{{ SELECT a, b, hamming
+    *     FROM vfs_sig_pairs('/data/prints', 3)
+    *     WHERE hamming <= 1 }}} */
+  private[graft] def vfsSigPairsBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_sig_pairs(path, maxHamming[, maxBucket, idCol, " +
+        s"sigCol]): $msg")
+    if (es.length < 2 || es.length > 5)
+      fail(s"expected 2-5 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    def intArg(i: Int, what: String): Int = evalNonNull(i, what) match {
+      case n: Int => n
+      case l: Long if l == l.toInt => l.toInt
+      case l: Long => fail(s"$what out of int range: $l")
+      case other => fail(s"$what must be an integer literal, got $other")
+    }
+    val path = evalNonNull(0, "path").toString
+    val maxHamming = intArg(1, "maxHamming")
+    if (maxHamming < 0 || maxHamming > 3)
+      fail(s"4-band blocking covers maxHamming in [0, 3], got $maxHamming")
+    val maxBucket = if (es.length >= 3) intArg(2, "maxBucket") else 1000
+    if (maxBucket <= 0) fail(s"maxBucket must be positive, got $maxBucket")
+    val idCol = if (es.length >= 4) evalNonNull(3, "idCol").toString
+      else "id"
+    val sigCol = if (es.length >= 5) evalNonNull(4, "sigCol").toString
+      else "sig"
+    graft.operators.Dedup.sigPairs(
+        SparkSession.active.read.parquet(path), maxHamming, idCol,
+        sigCol, maxBucket)
+      .queryExecution.analyzed
+  }
+
   /** TVF builder for `vfs_binary_knn(path, query, candidates[,
     * vecCol, idCol])` — the 1-bit binary-quantization coarse tier
     * from pure SQL text: packs the query's sign bits once, scores the

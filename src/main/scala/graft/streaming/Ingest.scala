@@ -375,8 +375,9 @@ object Ingest {
     // (2) vs the standing corpus, stored side scrubbed of residue
     // (prints appended by a crashed attempt whose ids never landed)
     // BEFORE the probe cap
+    val ledgerExists = dirExists(spark, idsDir)
     val survivors =
-      if (dirExists(spark, idsDir)) {
+      if (ledgerExists) {
         val landed = spark.read.parquet(idsDir)
         val scrubbed = spark.read.parquet(s"$idxDir/sigs")
           .join(landed, Seq("id"), "left_semi")
@@ -389,11 +390,21 @@ object Ingest {
           .join(landed, Seq("id"), "left_anti")
       } else fresh
     // (3) index THEN ledger (see failure semantics above); cache
-    // before the emptiness probe so the pipeline runs once
+    // before the emptiness probe so the pipeline runs once.
+    // Index-without-ledger = a crash on the FIRST batch between
+    // SigIndex.build and the ledger write: the whole stored table is
+    // uncommitted residue (no id ever landed), and the index-before-
+    // ledger order guarantees no committed id can be lost by
+    // discarding it. REBUILD from this batch's survivors instead of
+    // appending — a plain append would double-store every replayed
+    // batch-0 print permanently (physical duplicates that inflate
+    // bucket counts toward maxBucket and that compact() never
+    // collapses).
     val s = survivors.cache()
     try {
       if (s.take(1).nonEmpty) {
-        if (SigIndex.exists(idxDir)) SigIndex.append(s, idxDir, family)
+        if (SigIndex.exists(idxDir) && ledgerExists)
+          SigIndex.append(s, idxDir, family)
         else SigIndex.build(s, idxDir, family)
         s.select(col("id")).write.mode("append").parquet(idsDir)
       }

@@ -1224,6 +1224,78 @@ class PipelineSpec extends AnyFunSuite {
     assert(msgs.contains("not a ppm video stream"), msgs.take(300))
   }
 
+  test("image near-dup: dHash fingerprints pair crafted duplicates " +
+      "at hand-computed hammings; BGR/PNG containers normalize to " +
+      "the same print; non-raster assets are loud") {
+    import graft.operators.{MediaCodec, Multimodal, MediaRecord}
+    // 4×8 rasters of gray pixels (r=g=b=v -> BT.601 luma = v), h=8 so
+    // the NN row map is identity and the col map is
+    // [c0,c0,c0,c1,c1,c2,c2,c3,c3]: per row only deltas at x=2
+    // (c1>c0), x=4 (c2>c1), x=6 (c3>c2) can set bits -> a fully
+    // rising row contributes 0b1010100 = 84 at its byte lane
+    def ppm(rows: Seq[Seq[Int]]): Array[Byte] = {
+      val p = rows.flatMap(r => r.flatMap(v => Seq(v, v, v)))
+        .map(_.toByte).toArray
+      MediaCodec.encodePpm(p, 4, rows.length)
+    }
+    val rising = Seq(10, 20, 30, 40)
+    val flat3 = Seq(10, 20, 30, 29) // c3 > c2 fails
+    val falling = Seq(40, 30, 20, 10)
+    val a = ppm(Seq.fill(8)(rising))
+    val c = ppm(Seq.fill(7)(rising) :+ flat3) // bit 62 cleared
+    val d = ppm(Seq.fill(6)(rising) ++ Seq(flat3, flat3)) // bits 54, 62
+    val e = ppm(Seq.fill(8)(falling)) // sig 0
+    val media = Seq(
+      MediaRecord(1L, a, "image/ppm", a.length.toLong),
+      MediaRecord(2L, a, "image/ppm", a.length.toLong),
+      MediaRecord(3L, c, "image/ppm", c.length.toLong),
+      MediaRecord(4L, d, "image/ppm", d.length.toLong),
+      MediaRecord(5L, e, "image/ppm", e.length.toLong)).toDS()
+    val sigA = 0x5454545454545454L // 84 at every byte lane
+    val fp = Multimodal.imageFingerprint(spark, media)
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(fp === Seq(
+      (1L, sigA, 4, 8), (2L, sigA, 4, 8),
+      (3L, sigA & ~(1L << 62), 4, 8),
+      (4L, sigA & ~(1L << 62) & ~(1L << 54), 4, 8),
+      (5L, 0L, 4, 8)))
+    // all-pairs hamming <= 3, exactly (E is 22-24 bits from all)
+    val pairs = Multimodal.imageNearDupPairs(spark, media, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set(
+      (1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L), (1L, 4L, 2L),
+      (2L, 4L, 2L), (3L, 4L, 1L)))
+    // container normalization with COLORED pixels (lumas 2, 11, 22,
+    // 255 — rising, so sigA again): the same RGB raster as PNG prints
+    // identically, and the BMP stores its bytes in BGR order — only
+    // toRgb's channel swap recovers the same luma raster, so a
+    // missing/wrong swap would flip the 299/114 weights and change
+    // the print
+    val rgbRow = Seq(10, 0, 0, 0, 20, 0, 0, 0, 200, 255, 255, 255)
+    val bgrRow = Seq(0, 0, 10, 0, 20, 0, 200, 0, 0, 255, 255, 255)
+    val rgbBytes = Seq.fill(8)(rgbRow).flatten.map(_.toByte).toArray
+    val bgrBytes = Seq.fill(8)(bgrRow).flatten.map(_.toByte).toArray
+    val png = MediaCodec.encodePng(rgbBytes, 4, 8)
+    val bmp = MediaCodec.encodeBmp(bgrBytes, 4, 8)
+    val cross = Seq(
+      MediaRecord(11L, png, "image/png", png.length.toLong),
+      MediaRecord(12L, bmp, "image/bmp", bmp.length.toLong)).toDS()
+    assert(Multimodal.imageFingerprint(spark, cross)
+      .as[(Long, Long, Int, Int)].collect().map(_._2).toSeq ===
+      Seq(sigA, sigA))
+    // a non-raster asset fails loudly, not silently zero
+    val wav = MediaCodec.encodeWav(Array[Byte](1, 2, 3))
+    val err = intercept[Exception] {
+      Multimodal.imageFingerprint(spark,
+        Seq(MediaRecord(9L, wav, "audio/wav", wav.length.toLong))
+          .toDS()).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](err)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(msgs.contains("no raster decoder"), msgs.take(300))
+  }
+
   test("sig index lifecycle: build+append probe finds exactly the " +
       "hand-computed delta-vs-corpus pairs; family mismatch is loud; " +
       "takedown removes a deleted asset's pairs; parked crash " +
@@ -1335,6 +1407,140 @@ class PipelineSpec extends AnyFunSuite {
         Seq((100L, 0x3DL)).toDF("id", "sig"), fam)
       .as[(Long, Long, Long)].collect().toSet
     assert(hits === Set((100L, 8L, 1L), (100L, 2L, 3L)))
+  }
+
+  test("vfs_sig_pairs TVF: bit parity with Dedup.sigPairs over a " +
+      "persisted fingerprint table; custom columns; bad args loud") {
+    import graft.operators.Dedup
+    val prints = Seq((1L, 0L), (2L, 1L), (3L, 15L), (4L, 1L << 40))
+      .toDF("id", "sig")
+    val pd = java.nio.file.Files
+      .createTempDirectory("sigpairs-tvf").toString
+    prints.write.mode("overwrite").parquet(pd)
+    val got = spark.sql(s"SELECT * FROM vfs_sig_pairs('$pd', 3)")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Dedup.sigPairs(spark.read.parquet(pd), maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    // hand-check: (1,2)=1, (1,4)=1, (2,4)=2, (2,3)=3; (1,3)=4 and
+    // (3,4)=5 are past maxHamming
+    assert(got === Set((1L, 2L, 1L), (1L, 4L, 1L), (2L, 4L, 2L),
+      (2L, 3L, 3L)))
+    // renamed columns route through the optional args
+    val pd2 = java.nio.file.Files
+      .createTempDirectory("sigpairs-tvf2").toString
+    prints.toDF("asset", "print").write.mode("overwrite").parquet(pd2)
+    assert(spark.sql(
+      s"SELECT * FROM vfs_sig_pairs('$pd2', 0, 1000, 'asset', 'print')")
+      .as[(Long, Long, Long)].collect().isEmpty) // no hamming-0 pair
+    // guards: hamming past the 4-band guarantee, NULL args
+    assert(intercept[Exception](
+      spark.sql(s"SELECT * FROM vfs_sig_pairs('$pd', 9)"))
+      .getMessage.contains("[GRAFT]"))
+    assert(intercept[Exception](
+      spark.sql(s"SELECT * FROM vfs_sig_pairs(NULL, 3)"))
+      .getMessage.contains("[GRAFT]"))
+  }
+
+  test("media dedup ingest with VIDEO prints: frame-intensity " +
+      "fingerprints ride the same loop — within-batch keep-first, " +
+      "standing-corpus prune under the video family tag") {
+    import graft.operators.{Multimodal, SigIndex}
+    val dir = java.nio.file.Files
+      .createTempDirectory("media_ingest_vid").toString
+    val fam = "video-intensity-f2"
+    def prints(docs: org.apache.spark.sql.DataFrame) =
+      Multimodal.videoFingerprint(spark,
+          Multimodal.synthesizeVideo(docs, frameRows = 2))
+        .select($"doc_id".as("id"), $"sig")
+    // batch 0: A(1) rising sig 1, its exact twin (2), C(3) falling
+    // sig 0 — hamming(1,0)=1 <= 3, so keep-first leaves ONLY id 1
+    graft.streaming.Ingest.mediaDedupBatch(
+      prints(Seq((1L, "a" * 24 + "b" * 24), (2L, "a" * 24 + "b" * 24),
+        (3L, "b" * 24 + "a" * 24)).toDF("doc_id", "text")),
+      dir, fam, maxHamming = 3, maxBucket = 1000)
+    assert(spark.read.parquet(s"$dir/ids").as[Long].collect()
+      .toSeq.sorted === Seq(1L))
+    // batch 1: another twin of A drops vs the standing corpus; a
+    // 5-frame riser (sig 15, hamming(15,1)=3) also drops; survivors
+    // none — the artifact still holds exactly id 1's print
+    graft.streaming.Ingest.mediaDedupBatch(
+      prints(Seq((9L, "a" * 24 + "b" * 24),
+        (10L, Seq("a", "b", "c", "d", "e").map(_ * 24).mkString))
+        .toDF("doc_id", "text")),
+      dir, fam, maxHamming = 3, maxBucket = 1000)
+    assert(spark.read.parquet(s"$dir/ids").as[Long].collect()
+      .toSeq.sorted === Seq(1L))
+    // the family tag is frozen: audio prints cannot enter this index
+    val e = intercept[IllegalArgumentException](
+      SigIndex.append(Seq((99L, 0L)).toDF("id", "sig"),
+        s"$dir/sigidx", "audio-energy-w4"))
+    assert(e.getMessage.contains("families must not mix"))
+  }
+
+  test("sig index appendIdempotent: a replayed batch id is an exact " +
+      "no-op; build retires the high-watermark; needsCompaction keys " +
+      "on data-file growth") {
+    import graft.operators.SigIndex
+    val idx = java.nio.file.Files
+      .createTempDirectory("sigidx-idem").toString
+    SigIndex.build(Seq((1L, 0L)).toDF("id", "sig"), idx, "test-fam")
+    // batch 1 applies; its REPLAY (same id) is an exact no-op
+    assert(SigIndex.appendIdempotent(
+      Seq((2L, 1L)).toDF("id", "sig"), idx, "test-fam", batchId = 1L))
+    assert(!SigIndex.appendIdempotent(
+      Seq((2L, 1L)).toDF("id", "sig"), idx, "test-fam", batchId = 1L))
+    // a LATE replay of an older batch under a newer watermark no-ops
+    assert(SigIndex.appendIdempotent(
+      Seq((3L, 15L)).toDF("id", "sig"), idx, "test-fam", batchId = 2L))
+    assert(!SigIndex.appendIdempotent(
+      Seq((2L, 1L)).toDF("id", "sig"), idx, "test-fam", batchId = 1L))
+    val stored = spark.read.parquet(s"$idx/sigs")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(stored === Seq((1L, 0L), (2L, 1L), (3L, 15L)))
+    // rebuild retires the marker: batch 1 applies again afresh
+    SigIndex.build(Seq((1L, 0L)).toDF("id", "sig"), idx, "test-fam")
+    assert(SigIndex.appendIdempotent(
+      Seq((9L, 3L)).toDF("id", "sig"), idx, "test-fam", batchId = 1L))
+    assert(spark.read.parquet(s"$idx/sigs").count() === 2L)
+    // needsCompaction: one listing, thresholded on DATA files (the
+    // _sig.json / _SUCCESS bookkeeping never counts)
+    assert(!SigIndex.needsCompaction(idx, maxDataFiles = 1000))
+    assert(SigIndex.needsCompaction(idx, maxDataFiles = 1))
+    SigIndex.compact(spark, idx)
+    assert(!SigIndex.needsCompaction(idx,
+      maxDataFiles = spark.sparkContext.defaultParallelism + 1))
+  }
+
+  test("media dedup batch-0 crash residue: index-without-ledger is " +
+      "rebuilt from the replayed batch, never double-appended") {
+    import graft.operators.SigIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("media_ingest_b0").toString
+    val fam = "test-fam"
+    val batch = Seq((1L, 0L), (2L, 0xF0L), (3L, 0L)).toDF("id", "sig")
+    // simulate the batch-0 crash window: a first attempt died AFTER
+    // SigIndex.build, BEFORE the ids ledger write — the index holds
+    // the survivors (1 drops 3, keep-first), the ledger dir is absent
+    SigIndex.build(Seq((1L, 0L), (2L, 0xF0L)).toDF("id", "sig"),
+      s"$dir/sigidx", fam)
+    assert(!new java.io.File(s"$dir/ids").exists())
+    // the at-least-once replay of batch 0 must REBUILD, not append:
+    // a plain append would store ids 1 and 2 twice permanently
+    graft.streaming.Ingest.mediaDedupBatch(batch, dir, fam,
+      maxHamming = 3, maxBucket = 1000)
+    val stored = spark.read.parquet(s"$dir/sigidx/sigs")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(stored === Seq((1L, 0L), (2L, 0xF0L)))
+    assert(spark.read.parquet(s"$dir/ids").as[Long].collect()
+      .toSeq.sorted === Seq(1L, 2L))
+    // and the NEXT batch appends normally against the healed state
+    graft.streaming.Ingest.mediaDedupBatch(
+      Seq((7L, 0xFF00FFL)).toDF("id", "sig"), dir, fam,
+      maxHamming = 3, maxBucket = 1000)
+    assert(spark.read.parquet(s"$dir/sigidx/sigs").count() === 3L)
+    assert(spark.read.parquet(s"$dir/ids").as[Long].collect()
+      .toSeq.sorted === Seq(1L, 2L, 7L))
   }
 
   test("media codecs: real containers round-trip through real parsers") {
@@ -2426,6 +2632,53 @@ class PipelineSpec extends AnyFunSuite {
       .count(_.contains("qid"))
     assert(qidExchanges === 1, s"one qid-keyed exchange, got $qidExchanges")
     assert(plan.contains("partial_vfs_topk"), plan)
+  }
+
+  test("bm25TopK workload collect is byte-gated: a workload past the " +
+      "driver budget fails LOUDLY naming the bm25ScoresTable " +
+      "composition, before any driver allocation") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "vector search"), (2L, "spark join"))
+      .toDF("doc_id", "text")
+    val q = Seq((0L, "vector"), (1L, "spark")).toDF("qid", "term")
+    val key = "graft.collect.budget.bytes"
+    val old = sys.props.get(key)
+    sys.props(key) = "64" // 2 workload rows estimate past 64 bytes
+    try {
+      val err = intercept[IllegalArgumentException] {
+        TextAnalysis.bm25TopK(docs, q, k = 5)
+      }
+      assert(err.getMessage.contains("bm25ScoresTable"), err.getMessage)
+      assert(err.getMessage.contains("query workload"), err.getMessage)
+    } finally old match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props.remove(key)
+    }
+    // with the budget restored the same call serves
+    assert(TextAnalysis.bm25TopK(docs, q, k = 5).count() === 2L)
+  }
+
+  test("tokenizer fertility zero-token group: all-NULL-text docs land " +
+      "in und with fertility 0, not a division by zero") {
+    import graft.operators.TextAnalysis
+    val model = TextAnalysis.trainLangId(
+      TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+    val docs = Seq[(Long, String)]((1L, null), (2L, null))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenizerFertility(docs, model)
+      .select($"lang_pred", $"n_docs", $"fertility_milli")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("und", 2L, 0L)))
+    // the token counts ride scoreLangId's carry hook: the fertility
+    // plan holds EXACTLY the scoring pipeline's own joins (model
+    // derivation + grams ⨝ model + docs ⨝ scored) — the old extra
+    // doc-keyed counts join is gone
+    def joins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    assert(joins(TextAnalysis.tokenizerFertility(docs, model)) ===
+      joins(TextAnalysis.scoreLangId(docs, model)))
   }
 
   test("rrfFuseBatch: per-qid bit parity with driver-side rrfFuse, " +

@@ -115,6 +115,35 @@ class SemDeDupSpec extends AnyFunSuite {
     assert(drops(scaled, 64) == drops(cents, 64))
   }
 
+  test("centroid collect is byte-gated: a centroid table past the " +
+      "driver budget fails LOUDLY naming two-level clustering, " +
+      "before any driver allocation") {
+    val e = mkEmb(Seq(
+      1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 0f, 1f, 0f),
+      3L -> Seq(1f, 0f, 0f, 0f)))
+    val key = "graft.collect.budget.bytes"
+    val old = sys.props.get(key)
+    // even 2 centroids at dim 4 estimate past a 64-byte budget — the
+    // k ≈ √N SemDeDup regime in miniature (the ESTIMATE must trip:
+    // no collect happens first)
+    sys.props(key) = "64"
+    try {
+      val err = intercept[IllegalArgumentException] {
+        Dedup.semanticDedup(e, Dedup.seedCentroids(e, 2), 100L)
+      }
+      assert(err.getMessage.contains("two-level clustering"),
+        err.getMessage)
+      assert(err.getMessage.contains("centroid table"), err.getMessage)
+    } finally old match {
+      case Some(v) => sys.props(key) = v
+      case None => sys.props.remove(key)
+    }
+    // with the budget restored the same call serves
+    assert(Dedup.semanticDedup(e, Dedup.seedCentroids(e, 2), 100L)
+      .collect().map(_.getLong(0)).toSeq === Seq(3L))
+  }
+
   test("probe-vs-corpus embedding near-dup join: finds cross-corpus dups, " +
       "cost scoped to the probe batch") {
     val corpus = mkEmb(Seq(
