@@ -407,6 +407,22 @@ object Bench {
       graft.operators.Multimodal.videoNearDupPairs(spark, vid,
         maxHamming = 3).count()
     } }
+    // image near-dup: per-partition decode+dHash kernel (real
+    // container parse, RGB normalize, NN 9x8 downsample, luma delta
+    // signs) into the same banded fold — 8 bytes per asset shuffle
+    entry("image_neardup") { median {
+      val img = graft.operators.Multimodal.synthesizeMedia(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select((col("doc_id") * 3 + 2).as("doc_id"), col("text")))
+      graft.operators.Multimodal.imageNearDupPairs(spark, img,
+        maxHamming = 3).count()
+    } }
+    // the full curation pipeline in one query: quality gate ->
+    // simhash near-dup survivors -> langid (carried counts) ->
+    // per-language next-fit packing — the composition cost story
+    entry("pipeline_curate") { median {
+      SparkEntry.queries("pipeline_curate_e2e")(spark, sfDir).count()
+    } }
     // bigram LM scoring: two count aggs + one stats join over the
     // token stream, integer-exact model
     entry("lm_score") { median {

@@ -935,10 +935,14 @@ object SparkEntry {
     "pipeline_curate_e2e" -> ((s, dir) => {
       import s.implicits._
       val d = s.read.parquet(s"$dir/documents.parquet")
+      // persist the gated set: the composition scans it four times
+      // (pair fold, anti-join, langid grams, langid doc list) and the
+      // quality projection's regexes are the expensive part — exactly
+      // the stage boundary a production curation run materializes
       val q = d.filter(
         graft.operators.TextAnalysis.qualityMilli(col("text")) >= 650 &&
         graft.operators.TextAnalysis.tokenCount(col("text"))
-          .between(20, 90))
+          .between(20, 90)).persist()
       val drops = Dedup.simHashPairsPortable(q, maxHamming = 3)
         .select(col("b").as("doc_id")).distinct()
       val surv = q.join(drops, Seq("doc_id"), "left_anti")

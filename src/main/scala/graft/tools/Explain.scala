@@ -523,6 +523,40 @@ object Explain {
            |vfs_quality_gate('$dir/documents.parquet')
            |WHERE gopher_pass = 1 AND page_drop = 0""".stripMargin)
     }
+    show("image near-dup pairs (expect: the same shape as audio/" +
+        "video — per-partition decode+dHash kernel (MapPartitions: " +
+        "container parse, RGB normalize, NN 9x8 downsample, luma " +
+        "delta signs) collapsing each asset to 8 bytes BEFORE the " +
+        "one pinned band/bval exchange; streaming bucket-fold scan; " +
+        "pinned REPARTITION_BY_NUM dedup width)") {
+      graft.operators.Multimodal.imageNearDupPairs(spark,
+        graft.operators.Multimodal.synthesizeMedia(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select((col("doc_id") * 3 + 2).as("doc_id"), col("text"))))
+    }
+    show("vfs_sig_pairs TVF over a persisted print table (expect: " +
+        "ReadSchema (id, sig) only — 16 bytes per asset ever read; " +
+        "band projection, pinned exchange, streaming bucket fold; " +
+        "identical to Dedup.sigPairs on the same frame)") {
+      val pd = java.nio.file.Files
+        .createTempDirectory("explain-sigpairs").toString
+      graft.operators.Multimodal.audioFingerprint(spark,
+          graft.operators.Multimodal.synthesizeMedia(
+            spark.read.parquet(s"$dir/documents.parquet")
+              .select((col("doc_id") * 3).as("doc_id"), col("text"))),
+          window = 4)
+        .select(col("doc_id").as("id"), col("sig"))
+        .write.mode("overwrite").parquet(pd)
+      spark.sql(s"SELECT * FROM vfs_sig_pairs('$pd', 3)")
+    }
+    show("e2e curation pipeline (expect: the four stages pipelined — " +
+        "persisted quality gate (InMemoryRelation reused by the pair " +
+        "fold, anti-join, and langid scans), simhash bucket fold, " +
+        "broadcast langid model join + one doc-keyed aggregate, " +
+        "shard-keyed packing exchange + within-partition sort; NO " +
+        "extra doc-keyed counts join — __nt rides the carry hook)") {
+      graft.SparkEntry.queries("pipeline_curate_e2e")(spark, dir)
+    }
     spark.stop()
   }
 }
