@@ -965,6 +965,29 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the STREAMING curation loop's single-batch run: quality
+    // gate → LSH near-dup keep-first (standing corpus empty, so the
+    // within-batch verdict decides) → langid route of the landed
+    // survivors into language-partitioned shards. The batch twin of
+    // pipeline_curate_e2e's first three stages, exercised through
+    // the actual foreachBatch body ----
+    "stream_curate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.TextAnalysis.trainLangId(
+        graft.operators.TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+      val cd = java.nio.file.Files
+        .createTempDirectory("verify-curate").toString
+      graft.streaming.Ingest.curateBatch(docs, 0L, cd, model,
+        minQualityMilli = 650L, minTokens = 20L, maxTokens = 90L,
+        threshold = 0.9, bands = 16, rowsPerBand = 4, maxBucket = 1000,
+        keepLangs = Nil)
+      s.read.parquet(s"$cd/routed/batch=0")
+        .select(col("doc_id"), col("lang_pred"), col("matched"),
+          col("score_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- temperature (α=0.5) source rebalancing: weights derived
     // from observed counts, quotas and picks engine-portable. The
     // test corpus's sources are perfectly balanced (α-smoothing of a
@@ -3440,6 +3463,8 @@ object SparkEntry {
 
     "pipeline_curate_e2e" -> pipelineCurateOracle,
 
+    "stream_curate" -> streamCurateOracle,
+
     "text_curriculum" -> textCurriculumOracle,
 
     "src_jsonl_roundtrip" ->
@@ -4888,7 +4913,12 @@ object SparkEntry {
   /** Shared CTE prologue: per-doc word sets `w`, portable 64-hash
     * minhash signatures, and the (doc_id, band, bsig) band table `bb`
     * — the exact pipeline of [[operators.Dedup.bandedRelation]]. */
-  private def minHashSigCtes: String = {
+  private def minHashSigCtes: String = minHashSigCtesOver("documents")
+
+  /** [[minHashSigCtes]] with the hashed table parameterized (any
+    * earlier CTE with (doc_id, text) rows) — the composed-pipeline
+    * oracles hash a quality-gated subset, not the whole corpus. */
+  private def minHashSigCtesOver(docsTable: String): String = {
     val M = "18446744073709551616"
     val mask = (BigInt(1) << 64) - 1
     val params = graft.functions.MinHashSig.coefficients(64)
@@ -4901,7 +4931,7 @@ object SparkEntry {
       s" + (p[2] * x) % $M + p[3]) % $M"
     s"""w AS (SELECT doc_id,
        |  list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS ws
-       |  FROM documents),
+       |  FROM $docsTable),
        |h AS (SELECT doc_id, list_transform(ws,
        |    wd -> ${duckFnvFold(duckUtf8BytesOf("wd"))}) AS hs FROM w),
        |s AS (SELECT doc_id, list_transform(
@@ -5737,6 +5767,44 @@ object SparkEntry {
        |  n AS n_tokens, bin_id, bin_off,
        |  CAST(CASE WHEN n > 256 THEN 1 ELSE 0 END AS BIGINT) AS overflow
        |FROM f ORDER BY doc_id ASC""".stripMargin
+
+  /** The streaming curation loop's single-batch run re-derived:
+    * quality gate, MinHash-LSH keep-first over the GATED subset
+    * ([[minHashSigCtesOver]] — full signatures, banding, bucket cap,
+    * exact-jaccard verify at 900 milli), language ID over the landed
+    * survivors ([[langIdCtesOver]]) with the und/500 fallback. */
+  private def streamCurateOracle: String =
+    s"""WITH tq AS (SELECT doc_id, text,
+       |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
+       |    CAST(length(text) AS DOUBLE) AS n_chars
+       |  FROM documents),
+       |q AS (SELECT doc_id, text FROM tq
+       |  WHERE $qualityExprSql >= 650 AND
+       |    len(string_split_regex(trim(text), '\\s+')) BETWEEN 20 AND 90),
+       |${minHashSigCtesOver("q")},
+       |bb AS (SELECT doc_id, band, sig[band*4+1 : band*4+4] AS bsig
+       |  FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS band FROM s)),
+       |capped AS (SELECT doc_id, band, bsig FROM bb
+       |  QUALIFY count(*) OVER (PARTITION BY band, bsig) <= 1000),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id),
+       |drops AS (SELECT DISTINCT cand.b FROM cand
+       |  JOIN w wa ON wa.doc_id = cand.a
+       |  JOIN w wb ON wb.doc_id = cand.b
+       |  WHERE round(CAST(len(list_intersect(wa.ws, wb.ws)) AS DOUBLE) * 1000.0
+       |      / len(list_distinct(wa.ws || wb.ws))) >= 900),
+       |surv AS (SELECT q.doc_id, q.text FROM q
+       |  LEFT JOIN drops ON drops.b = q.doc_id WHERE drops.b IS NULL),
+       |${langIdCtesOver("surv")}
+       |SELECT s2.doc_id,
+       |  coalesce(struct_extract(b2.b, 'lang'), 'und') AS lang_pred,
+       |  CAST(coalesce(struct_extract(b2.b, 'matched'), 0) AS BIGINT)
+       |    AS matched,
+       |  CAST(coalesce(struct_extract(b2.b, 'score'), 500) AS BIGINT)
+       |    AS score_milli
+       |FROM surv s2 LEFT JOIN best b2 ON b2.doc_id = s2.doc_id
+       |ORDER BY s2.doc_id ASC""".stripMargin
 
   /** hashed-BoW CTE chain shared by the embedding and composed-dedup
     * oracles: toks → buckets (md5-fold mod 64) → dense counts → L2

@@ -23,7 +23,7 @@ import java.nio.charset.StandardCharsets
   * build/compact rename the old dir back and continue — generation
   * counters never reset. Readers never heal (a reader renaming dirs
   * would race the writer mid-swap). */
-private[operators] object ArtifactIo {
+private[graft] object ArtifactIo {
   def hconf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
       .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)

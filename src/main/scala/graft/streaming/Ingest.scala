@@ -272,57 +272,184 @@ object Ingest {
   def textDedupIngestStream(stream: DataFrame, corpusDir: String,
       checkpoint: String, threshold: Double = 0.9, bands: Int = 16,
       rowsPerBand: Int = 4, maxBucket: Int = 1000,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    import graft.operators.{Dedup, LshTextIndex}
-    val docDir = s"$corpusDir/docs"
-    val idxDir = s"$corpusDir/lsh"
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val spark = batch0.sparkSession
-        val batch = batch0.select(col("doc_id"), col("text"))
-        def dirExists(p: String): Boolean = Ingest.dirExists(spark, p)
-        if (!batch.isEmpty) {
-          // (1) within-batch: the higher id of each near-dup pair drops
-          val self = Dedup.minHashLsh(batch, threshold, bands = bands,
-              rowsPerBand = rowsPerBand, maxBucket = maxBucket)
-            .select(col("b").as("doc_id")).distinct()
-          val fresh = batch.join(self, Seq("doc_id"), "left_anti")
-          // (2) vs the standing corpus via the persisted band table,
-          // scrubbed of crash/replay residue BEFORE the probe cap
-          val survivors =
-            if (dirExists(docDir)) {
-              val corpus = spark.read.parquet(docDir)
-              val bandTable = spark.read.parquet(s"$idxDir/bands")
-                .withColumnRenamed("id", "corpus_id")
-                .join(corpus.select(col("doc_id").as("corpus_id")),
-                  Seq("corpus_id"), "left_semi")
-                .dropDuplicates("corpus_id", "band", "bsig")
-              val hits = LshTextIndex.probe(spark, idxDir, fresh,
-                  corpus, threshold, maxBucket = maxBucket,
-                  storedBands = Some(bandTable))
-                .select(col("probe_id").as("doc_id")).distinct()
-              // near-dup prune + REPLAY GUARD (already-landed ids)
-              fresh.join(hits, Seq("doc_id"), "left_anti")
-                .join(corpus.select(col("doc_id")), Seq("doc_id"),
-                  "left_anti")
-            } else fresh
-          // (3) bands THEN docs (see failure semantics); cache before
-          // the emptiness probe so the pipeline runs once
-          val s = survivors.cache()
-          try {
-            if (s.take(1).nonEmpty) {
-              if (LshTextIndex.exists(idxDir))
-                LshTextIndex.append(s, idxDir)
-              else LshTextIndex.build(s, idxDir, bands, rowsPerBand)
-              s.write.mode("append").parquet(docDir)
-            }
-          } finally s.unpersist()
-        }
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        textDedupBatch(batch0, corpusDir, threshold, bands, rowsPerBand,
+          maxBucket)
         ()
       }
       .start()
+
+  /** [[textDedupIngestStream]]'s per-batch body, separated so replay
+    * idempotence is testable and so composed loops
+    * ([[curateIngestStream]]) can route what landed: returns the
+    * batch's LANDED survivors (empty frame when everything deduped
+    * away). */
+  private[graft] def textDedupBatch(batch0: DataFrame, corpusDir: String,
+      threshold: Double, bands: Int, rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
+    import graft.operators.{Dedup, LshTextIndex}
+    val docDir = s"$corpusDir/docs"
+    val idxDir = s"$corpusDir/lsh"
+    val spark = batch0.sparkSession
+    val batch = batch0.select(col("doc_id"), col("text"))
+    def dirExists(p: String): Boolean = Ingest.dirExists(spark, p)
+    val empty = batch.limit(0)
+    if (batch.isEmpty) return empty
+    // (1) within-batch: the higher id of each near-dup pair drops
+    val self = Dedup.minHashLsh(batch, threshold, bands = bands,
+        rowsPerBand = rowsPerBand, maxBucket = maxBucket)
+      .select(col("b").as("doc_id")).distinct()
+    val fresh = batch.join(self, Seq("doc_id"), "left_anti")
+    // (2) vs the standing corpus via the persisted band table,
+    // scrubbed of crash/replay residue BEFORE the probe cap
+    val survivors =
+      if (dirExists(docDir)) {
+        val corpus = spark.read.parquet(docDir)
+        val bandTable = spark.read.parquet(s"$idxDir/bands")
+          .withColumnRenamed("id", "corpus_id")
+          .join(corpus.select(col("doc_id").as("corpus_id")),
+            Seq("corpus_id"), "left_semi")
+          .dropDuplicates("corpus_id", "band", "bsig")
+        val hits = LshTextIndex.probe(spark, idxDir, fresh,
+            corpus, threshold, maxBucket = maxBucket,
+            storedBands = Some(bandTable))
+          .select(col("probe_id").as("doc_id")).distinct()
+        // near-dup prune + REPLAY GUARD (already-landed ids)
+        fresh.join(hits, Seq("doc_id"), "left_anti")
+          .join(corpus.select(col("doc_id")), Seq("doc_id"),
+            "left_anti")
+      } else fresh
+    // (3) bands THEN docs (see failure semantics); cache before
+    // the emptiness probe so the pipeline runs once
+    val s = survivors.cache()
+    try {
+      if (s.take(1).nonEmpty) {
+        if (LshTextIndex.exists(idxDir))
+          LshTextIndex.append(s, idxDir)
+        else LshTextIndex.build(s, idxDir, bands, rowsPerBand)
+        s.write.mode("append").parquet(docDir)
+        s
+      } else empty
+    } finally s.unpersist()
+  }
+
+  /** The FULL streaming curation loop — [[graft.SparkEntry]]'s
+    * `pipeline_curate_e2e` batch composition as a continuously-fed
+    * ingest: per micro-batch of (doc_id, text),
+    *
+    *   1. QUALITY GATE: rows below `minQualityMilli`
+    *      ([[graft.operators.TextAnalysis.qualityMilli]]) or outside
+    *      the [`minTokens`, `maxTokens`] window drop — a pure codegen
+    *      projection, no shuffle;
+    *   2. NEAR-DUP: the gated rows run [[textDedupBatch]] — within-
+    *      batch keep-first + standing-corpus prune through the
+    *      persisted [[graft.operators.LshTextIndex]], novel docs
+    *      landing in `corpusDir/docs` + the band table (all of that
+    *      stage's at-least-once/crash discipline applies verbatim);
+    *   3. ROUTE: the batch's landed survivors run
+    *      [[langIdRouteBatch]] against the frozen `model`, landing
+    *      language-partitioned at `corpusDir/routed/batch=<id>`
+    *      (static overwrite — replay-idempotent).
+    *
+    * One loop therefore maintains BOTH standing artifacts a curation
+    * pipeline needs — the dedup corpus and the routed training shards
+    * — with per-batch cost ∝ batch (quality projection + minhash of
+    * the gated rows + one band join + the langid broadcast join).
+    * Replays recompute the same survivors (the dedup stage's replay
+    * guard) and overwrite their own routed batch dir. */
+  def curateIngestStream(stream: DataFrame, corpusDir: String,
+      checkpoint: String, model: DataFrame,
+      minQualityMilli: Long = 650L, minTokens: Long = 20L,
+      maxTokens: Long = 90L, threshold: Double = 0.9,
+      bands: Int = 16, rowsPerBand: Int = 4, maxBucket: Int = 1000,
+      keepLangs: Seq[String] = Nil,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(minTokens <= maxTokens,
+      "[GRAFT] curateIngestStream: minTokens must be <= maxTokens")
+    withFrozenModel(stream.sparkSession, model) { frozen =>
+      stream.writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          curateBatch(batch, batchId, corpusDir, frozen,
+            minQualityMilli, minTokens, maxTokens, threshold, bands,
+            rowsPerBand, maxBucket, keepLangs)
+        }
+        .start()
+    }
+  }
+
+  /** [[curateIngestStream]]'s per-batch body, separated so replay
+    * idempotence and batch parity are testable.
+    *
+    * The route stage deliberately does NOT route [[textDedupBatch]]'s
+    * return value: a crash between the dedup append and the route
+    * write would make the replay's survivors EMPTY (the dedup
+    * stage's replay guard) and silently lose the batch's routed
+    * shard forever. Instead it routes "this batch's gated rows now
+    * in the standing corpus" — stream ids are unique by contract, so
+    * the semi-join picks up exactly the rows landed by this attempt
+    * OR a crashed earlier attempt of the same batch, and a replay
+    * overwrites its batch dir with identical content. */
+  private[graft] def curateBatch(batch0: DataFrame, batchId: Long,
+      corpusDir: String, model: DataFrame, minQualityMilli: Long,
+      minTokens: Long, maxTokens: Long, threshold: Double, bands: Int,
+      rowsPerBand: Int, maxBucket: Int, keepLangs: Seq[String]): Unit = {
+    val spark = batch0.sparkSession
+    val gated = batch0.select(col("doc_id"), col("text"))
+      .filter(
+        graft.operators.TextAnalysis.qualityMilli(col("text")) >=
+          minQualityMilli &&
+        graft.operators.TextAnalysis.tokenCount(col("text"))
+          .between(minTokens, maxTokens))
+    textDedupBatch(gated, corpusDir, threshold, bands,
+      rowsPerBand, maxBucket)
+    val docDir = s"$corpusDir/docs"
+    if (dirExists(spark, docDir)) {
+      val landed = gated.join(
+        spark.read.parquet(docDir).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      langIdRouteBatch(landed, batchId, model,
+        s"$corpusDir/routed", keepLangs)
+    }
+  }
+
+  /** Cache `model`, hand it to `start`, and release the cache when
+    * the started query terminates — the [[langIdRouteStream]]
+    * frozen-model lifecycle, factored for every model-carrying
+    * stream. The listener registers BEFORE start (no missed event);
+    * the isActive re-check closes the set-after-terminate window
+    * (double unpersist is a no-op). */
+  private def withFrozenModel(spark: org.apache.spark.sql.SparkSession,
+      model: DataFrame)(
+      start: DataFrame => StreamingQuery): StreamingQuery = {
+    val frozen = model.cache()
+    frozen.count() // materialize before the first batch
+    val qId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qId.get()) {
+          frozen.unpersist()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    val q = start(frozen)
+    qId.set(q.id)
+    if (!q.isActive && qId.get() != null) {
+      frozen.unpersist()
+      spark.streams.removeListener(listener)
+    }
+    q
   }
 
   /** Streaming MEDIA ingest with fingerprint near-dup
@@ -343,16 +470,27 @@ object Ingest {
     * two leaves residue the next attempt scrubs, never a committed
     * id without its print. Replays are guarded: already-landed ids
     * never re-append. Per-batch cost ∝ batch prints + one band join
-    * against the standing table. */
+    * against the standing table.
+    *
+    * `autoCompactFiles > 0` turns on SELF-SCHEDULED compaction: after
+    * a batch lands, if the artifact's data-file count exceeds the
+    * threshold ([[graft.operators.SigIndex.needsCompaction]] — one
+    * namenode listing, no data read), the loop runs
+    * [[graft.operators.SigIndex.compact]] before the next batch.
+    * Safe here by construction: the foreachBatch body IS the
+    * artifact's single writer, so the compact's staged swap can never
+    * race an append. 0 (the default) leaves compaction manual. */
   def mediaDedupIngestStream(stream: DataFrame, corpusDir: String,
       checkpoint: String, family: String, maxHamming: Int = 3,
       maxBucket: Int = 1000,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      autoCompactFiles: Int = 0): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mediaDedupBatch(batch, corpusDir, family, maxHamming, maxBucket)
+        mediaDedupBatch(batch, corpusDir, family, maxHamming, maxBucket,
+          autoCompactFiles)
       }
       .start()
 
@@ -361,13 +499,20 @@ object Ingest {
     * testable. */
   private[graft] def mediaDedupBatch(batch0: DataFrame,
       corpusDir: String, family: String, maxHamming: Int,
-      maxBucket: Int): Unit = {
+      maxBucket: Int, autoCompactFiles: Int = 0): Unit = {
     import graft.operators.{Dedup, SigIndex}
     val spark = batch0.sparkSession
     val batch = batch0.select(col("id"), col("sig"))
     if (batch.isEmpty) return
     val idxDir = s"$corpusDir/sigidx"
     val idsDir = s"$corpusDir/ids"
+    // writer-side recovery: a crash inside the ledger compact's swap
+    // leaves ids/ parked at ids_old — rename it back BEFORE the
+    // ledger-existence check, or this batch would misread the
+    // standing index as batch-0 residue and rebuild it away
+    graft.operators.ArtifactIo.healParked(
+      graft.operators.ArtifactIo.fsOf(corpusDir), corpusDir, "ids",
+      "media ingest ledger")
     // (1) within-batch: the higher id of each near-dup pair drops
     val self = Dedup.sigBandFoldPairs(batch, maxHamming, maxBucket)
       .select(col("b").as("id")).distinct()
@@ -407,6 +552,25 @@ object Ingest {
           SigIndex.append(s, idxDir, family)
         else SigIndex.build(s, idxDir, family)
         s.select(col("id")).write.mode("append").parquet(idsDir)
+        // self-scheduled compaction (opt-in): the foreachBatch body
+        // is the single writer, so the staged swaps can't race an
+        // append. The ledger (slim id rows, one file set per batch)
+        // compacts on the same trigger — through the SAME parked-
+        // crash discipline as the artifact (ArtifactIo.stagedSwap): a
+        // bare delete+rename would have a window where ids/ is gone
+        // entirely, and the next batch would misread the standing
+        // index as batch-0 crash residue and REBUILD it away.
+        if (autoCompactFiles > 0 &&
+            SigIndex.needsCompaction(idxDir, autoCompactFiles)) {
+          SigIndex.compact(spark, idxDir)
+          val folded = spark.read.parquet(idsDir)
+            .repartition(spark.sparkContext.defaultParallelism)
+          graft.operators.ArtifactIo.stagedSwap(
+            graft.operators.ArtifactIo.fsOf(corpusDir), corpusDir,
+            "ids", "media ingest ledger compact") { stage =>
+            folded.write.mode("overwrite").parquet(stage)
+          }
+        }
       }
     } finally s.unpersist()
     ()
@@ -612,42 +776,17 @@ object Ingest {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(keepLangs.distinct.length == keepLangs.length,
       "[GRAFT] langIdRouteStream: keepLangs has duplicates")
-    val spark = docs.sparkSession
-    val frozen = model.cache()
-    frozen.count() // materialize before the first batch
-    // release the cached model when THIS query terminates — without
-    // it every started route stream pins one model block for the
-    // session's lifetime. The listener registers BEFORE start (no
-    // missed event) and matches on the query id set just after; the
-    // isActive re-check below closes the set-after-terminate window
-    // (double unpersist is a no-op).
-    val qId = new java.util.concurrent.atomic.AtomicReference[java.util.UUID]()
-    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
-      override def onQueryStarted(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
-      override def onQueryProgress(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = ()
-      override def onQueryTerminated(
-          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit =
-        if (e.id == qId.get()) {
-          frozen.unpersist()
-          spark.streams.removeListener(this)
+    // the frozen-model lifecycle (cache, release on termination)
+    // lives in withFrozenModel — shared with curateIngestStream
+    withFrozenModel(docs.sparkSession, model) { frozen =>
+      docs.writeStream
+        .option("checkpointLocation", checkpoint)
+        .trigger(trigger)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          langIdRouteBatch(batch, batchId, frozen, outDir, keepLangs)
         }
+        .start()
     }
-    spark.streams.addListener(listener)
-    val q = docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        langIdRouteBatch(batch, batchId, frozen, outDir, keepLangs)
-      }
-      .start()
-    qId.set(q.id)
-    if (!q.isActive && qId.get() != null) {
-      frozen.unpersist()
-      spark.streams.removeListener(listener)
-    }
-    q
   }
 
   /** [[langIdRouteStream]]'s per-batch body, separated so replay

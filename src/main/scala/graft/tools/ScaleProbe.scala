@@ -270,6 +270,22 @@ object ScaleProbe {
         .agg(count(lit(1))).collect()
       println(s"[scale-probe]   video near-dup pairs: ${r.head.getLong(0)}")
     }
+    // image near-dup at scale: 167k raster assets collapse to 8-byte
+    // dHash prints inside the decode kernel (container parse, RGB
+    // normalize, NN 9x8 downsample, luma delta signs) — same contract
+    // as audio/video: fingerprint pass ∝ assets, pair stage ∝ collisions
+    time("image near-dup pairs: 167k ppm assets (decode+dHash kernel " +
+        "+ banded fold)") {
+      import org.apache.spark.sql.Encoders
+      val img = graft.operators.Multimodal.synthesizeMedia(mediaDocs)
+        .filter(col("format") === "image/ppm")
+        .as[graft.operators.MediaRecord](
+          Encoders.product[graft.operators.MediaRecord])
+      val r = graft.operators.Multimodal.imageNearDupPairs(spark, img,
+          maxHamming = 3)
+        .agg(count(lit(1))).collect()
+      println(s"[scale-probe]   image near-dup pairs: ${r.head.getLong(0)}")
+    }
     // trigram langid at scale: the model is vocab×4 rows (broadcast);
     // scoring is one Generate + broadcast join + two partial aggs —
     // cost ∝ corpus trigrams, lower() materialized once per row.

@@ -1440,6 +1440,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(intercept[Exception](
       spark.sql(s"SELECT * FROM vfs_sig_pairs(NULL, 3)"))
       .getMessage.contains("[GRAFT]"))
+    // a SigIndex artifact's sigs/ dir IS a valid print table for the
+    // TVF (parquet scans skip the underscore-prefixed _sig.json) —
+    // self-pairs over a standing artifact from pure SQL text
+    val idx = java.nio.file.Files
+      .createTempDirectory("sigpairs-tvf-idx").toString
+    graft.operators.SigIndex.build(prints, idx, "test-fam")
+    assert(spark.sql(s"SELECT * FROM vfs_sig_pairs('$idx/sigs', 3)")
+      .as[(Long, Long, Long)].collect().toSet === got)
   }
 
   test("media dedup ingest with VIDEO prints: frame-intensity " +
@@ -1476,6 +1484,111 @@ class PipelineSpec extends AnyFunSuite {
       SigIndex.append(Seq((99L, 0L)).toDF("id", "sig"),
         s"$dir/sigidx", "audio-energy-w4"))
     assert(e.getMessage.contains("families must not mix"))
+  }
+
+  test("curate ingest stream: quality gate -> standing LSH dedup -> " +
+      "langid route per micro-batch; replay overwrites its own " +
+      "routed shard with identical content") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("curate_ingest").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("curate_ingest_ck").toString
+    val model = TextAnalysis.trainLangId(
+      TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+    // quality-passing texts need >= minTokens words and decent
+    // stopword/alpha ratios — build 25-word english/french sentences
+    val en = ("the quick brown fox jumps over the lazy dog and " +
+      "runs away with the ball that the children left in the " +
+      "garden for play")
+    val fr = ("nous devrions penser a ce que les gens veulent et " +
+      "ont besoin chaque jour dans une maison et un jardin pour " +
+      "les enfants du monde")
+    val low = "zz qq xx" // fails minTokens -> quality-gated out
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.curateIngestStream(
+      stream.toDF().toDF("doc_id", "text"), dir, ck, model,
+      minQualityMilli = 500L, minTokens = 20L, maxTokens = 90L,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      // batch 0: 1=en keeper, 2=exact dup of 1 (drops within batch),
+      // 3=fr keeper, 4=quality-gated out
+      stream.addData((1L, en), (2L, en), (3L, fr), (4L, low))
+      q.processAllAvailable()
+      val b0 = spark.read.parquet(s"$dir/routed/batch=0")
+        .select($"doc_id", $"lang_pred").as[(Long, String)]
+        .collect().toMap
+      assert(b0 === Map(1L -> "en", 3L -> "fr"))
+      // batch 1: 5 = dup of the STANDING doc 1 (drops vs corpus),
+      // 6 = novel english keeper
+      stream.addData((5L, en), (6L, en + " extra words here now"))
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(s"$dir/routed/batch=1")
+        .select($"doc_id", $"lang_pred").as[(Long, String)]
+        .collect().toMap
+      assert(b1 === Map(6L -> "en"))
+      assert(spark.read.parquet(s"$dir/docs").select($"doc_id")
+        .as[Long].collect().toSeq.sorted === Seq(1L, 3L, 6L))
+    } finally q.stop()
+    // REPLAY batch 1's body: the dedup stage recomputes the same
+    // survivors via the corpus semi-join and the routed shard
+    // rewrites with identical content
+    graft.streaming.Ingest.curateBatch(
+      Seq((5L, en), (6L, en + " extra words here now"))
+        .toDF("doc_id", "text"),
+      1L, dir, model, 500L, 20L, 90L, 0.9, 16, 4, 1000, Nil)
+    assert(spark.read.parquet(s"$dir/routed/batch=1")
+      .select($"doc_id", $"lang_pred").as[(Long, String)]
+      .collect().toMap === Map(6L -> "en"))
+    assert(spark.read.parquet(s"$dir/docs").count() === 3L)
+  }
+
+  test("media dedup auto-compaction: the ingest loop self-schedules " +
+      "artifact + ledger compaction; a crash parked mid-ledger-swap " +
+      "heals on the next batch instead of rebuilding the corpus away") {
+    import graft.operators.SigIndex
+    val dir = java.nio.file.Files
+      .createTempDirectory("media_ingest_ac").toString
+    val fam = "test-fam"
+    def run(prints: Seq[(Long, Long)]): Unit =
+      graft.streaming.Ingest.mediaDedupBatch(
+        prints.toDF("id", "sig"), dir, fam, maxHamming = 0,
+        maxBucket = 1000, autoCompactFiles = 1)
+    // distant sigs (pairwise hamming > 0) so every print survives
+    run(Seq((1L, 0L)))
+    run(Seq((2L, 0xFFL)))
+    run(Seq((3L, 0xFF0000L)))
+    def files(d: String) =
+      graft.operators.ArtifactIo.dataFileCount(d)
+    // threshold 1: each batch lands then compacts both dirs to one
+    // file set (defaultParallelism files at the spec's tiny core
+    // count may exceed 1, but three UNcompacted batch appends would
+    // strictly exceed one compacted rewrite)
+    assert(files(s"$dir/sigidx/sigs") <=
+      spark.sparkContext.defaultParallelism)
+    assert(files(s"$dir/ids") <= spark.sparkContext.defaultParallelism)
+    assert(spark.read.parquet(s"$dir/ids").as[Long].collect()
+      .toSeq.sorted === Seq(1L, 2L, 3L))
+    assert(spark.read.parquet(s"$dir/sigidx/sigs").count() === 3L)
+    // CRASH SIM: the ledger compact died between its two renames —
+    // ids/ parked at ids_old. The next batch must HEAL (rename back)
+    // and append normally; without the heal it would misread the
+    // standing index as batch-0 residue and rebuild it away.
+    val ids = java.nio.file.Paths.get(dir, "ids")
+    java.nio.file.Files.move(ids, java.nio.file.Paths.get(dir, "ids_old"))
+    run(Seq((9L, 0xF0F0F0F0L)))
+    assert(spark.read.parquet(s"$dir/ids").as[Long].collect()
+      .toSeq.sorted === Seq(1L, 2L, 3L, 9L))
+    assert(spark.read.parquet(s"$dir/sigidx/sigs").count() === 4L)
+    // the standing prints survived intact — the probe still finds a
+    // pre-crash corpus print
+    val hits = SigIndex.probe(spark, s"$dir/sigidx",
+        Seq((100L, 0xFFL)).toDF("id", "sig"), fam, maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits === Set((100L, 2L, 0L)))
   }
 
   test("sig index appendIdempotent: a replayed batch id is an exact " +
