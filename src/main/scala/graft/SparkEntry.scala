@@ -935,17 +935,22 @@ object SparkEntry {
     "pipeline_curate_e2e" -> ((s, dir) => {
       import s.implicits._
       val d = s.read.parquet(s"$dir/documents.parquet")
-      // persist the gated set: the composition scans it four times
-      // (pair fold, anti-join, langid grams, langid doc list) and the
-      // quality projection's regexes are the expensive part — exactly
-      // the stage boundary a production curation run materializes
-      val q = d.filter(
+      // SPREAD the few-file corpus before the regex-heavy quality
+      // projection (the WorkCols.spread kernel convention — a 1-file
+      // read would pin the whole gate to one core) and persist the
+      // gated set: the composition scans it four times (pair fold,
+      // anti-join, langid grams, langid doc list) — exactly the
+      // stage boundary a production curation run materializes
+      val q = graft.operators.WorkCols.spread(d).filter(
         graft.operators.TextAnalysis.qualityMilli(col("text")) >= 650 &&
         graft.operators.TextAnalysis.tokenCount(col("text"))
           .between(20, 90)).persist()
       val drops = Dedup.simHashPairsPortable(q, maxHamming = 3)
         .select(col("b").as("doc_id")).distinct()
-      val surv = q.join(drops, Seq("doc_id"), "left_anti")
+      // persist the survivors too: scoreLangId scans its input twice
+      // (gram explode + the und-fallback doc list), and without the
+      // cache each scan re-runs the whole simhash pair fold
+      val surv = q.join(drops, Seq("doc_id"), "left_anti").persist()
       val model = graft.operators.TextAnalysis.trainLangId(
         graft.operators.TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
       val scored = graft.operators.TextAnalysis.scoreLangId(surv, model,

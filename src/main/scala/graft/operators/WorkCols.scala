@@ -7,7 +7,7 @@ import org.apache.spark.sql.DataFrame
   * carries one of those names the operator would silently overwrite it
   * and drop the user's column from the output — fail loudly instead
   * (same stance as [[graft.store.ZOrderLayout]]'s `__z` guard). */
-private[operators] object WorkCols {
+private[graft] object WorkCols {
   def requireFree(df: DataFrame, names: String*): Unit = {
     val clash = df.columns.toSet.intersect(names.toSet)
     require(clash.isEmpty,

@@ -400,7 +400,10 @@ object Ingest {
       minTokens: Long, maxTokens: Long, threshold: Double, bands: Int,
       rowsPerBand: Int, maxBucket: Int, keepLangs: Seq[String]): Unit = {
     val spark = batch0.sparkSession
-    val gated = batch0.select(col("doc_id"), col("text"))
+    // spread a few-partition batch before the regex-heavy quality
+    // projection (the WorkCols.spread kernel convention)
+    val gated = graft.operators.WorkCols
+      .spread(batch0.select(col("doc_id"), col("text")))
       .filter(
         graft.operators.TextAnalysis.qualityMilli(col("text")) >=
           minQualityMilli &&
