@@ -52,6 +52,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_sig_pairs"),
       new ExpressionInfo("graft", "vfs_sig_pairs"),
       graft.plans.SqlSurface.vfsSigPairsBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_curate"),
+      new ExpressionInfo("graft", "vfs_curate"),
+      graft.plans.SqlSurface.vfsCurateBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

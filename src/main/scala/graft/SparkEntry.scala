@@ -934,40 +934,20 @@ object SparkEntry {
     // collisions, and the oracle replays every stage from scratch ----
     "pipeline_curate_e2e" -> ((s, dir) => {
       import s.implicits._
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      // SPREAD the few-file corpus before the regex-heavy quality
-      // projection (the WorkCols.spread kernel convention — a 1-file
-      // read would pin the whole gate to one core) and persist the
-      // gated set: the composition scans it four times (pair fold,
-      // anti-join, langid grams, langid doc list) — exactly the
-      // stage boundary a production curation run materializes
-      val q = graft.operators.WorkCols.spread(d).filter(
-        graft.operators.TextAnalysis.qualityMilli(col("text")) >= 650 &&
-        graft.operators.TextAnalysis.tokenCount(col("text"))
-          .between(20, 90)).persist()
-      val drops = Dedup.simHashPairsPortable(q, maxHamming = 3)
-        .select(col("b").as("doc_id")).distinct()
-      // persist the survivors too: scoreLangId scans its input twice
-      // (gram explode + the und-fallback doc list), and without the
-      // cache each scan re-runs the whole simhash pair fold
-      val surv = q.join(drops, Seq("doc_id"), "left_anti").persist()
       val model = graft.operators.TextAnalysis.trainLangId(
         graft.operators.TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
-      val scored = graft.operators.TextAnalysis.scoreLangId(surv, model,
-        carry = Seq("__nt" ->
-          graft.operators.TextAnalysis.tokenCount(col("text"))))
-      val coded = scored.select(col("doc_id"),
-        when(col("lang_pred") === "de", 0L)
-          .when(col("lang_pred") === "en", 1L)
-          .when(col("lang_pred") === "es", 2L)
-          .when(col("lang_pred") === "fr", 3L)
-          .otherwise(4L).as("lang_code"),
-        col("__nt"))
-      graft.operators.Packing.packBinsNextFit(coded, col("lang_code"),
-          col("doc_id"), col("__nt"), binCapacity = 256)
-        .select(col("doc_id"), col("shard").as("lang_code"),
-          col("n_tokens"), col("bin_id"), col("bin_off"), col("overflow"))
+      graft.operators.Curation.curateAndPack(
+          s.read.parquet(s"$dir/documents.parquet"), model)
         .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the vfs_curate TVF: the whole curation pipeline from one
+    // SQL call (zero-setup form — trains langid on the seed fixture),
+    // sharing pipeline_curate_e2e's oracle verbatim ----
+    "sql_tvf_curate" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      s.sql(s"SELECT * FROM vfs_curate('$dir/documents.parquet') " +
+        "ORDER BY doc_id ASC")
     }),
 
     // ---- the STREAMING curation loop's single-batch run: quality
@@ -3467,6 +3447,7 @@ object SparkEntry {
     "text_curation" -> textCurationOracle,
 
     "pipeline_curate_e2e" -> pipelineCurateOracle,
+    "sql_tvf_curate" -> pipelineCurateOracle,
 
     "stream_curate" -> streamCurateOracle,
 

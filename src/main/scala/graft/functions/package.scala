@@ -182,6 +182,10 @@ package object functions {
     // SELECT * FROM vfs_sig_pairs(path, maxHamming[, maxBucket, idCol, sigCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_sig_pairs",
       graft.plans.SqlSurface.vfsSigPairsBuilder _)
+    // SELECT * FROM vfs_curate(docsPath[, modelPath, minQuality,
+    //   minTokens, maxTokens, binCapacity])
+    ExpressionUtils.registerTableFunction(spark, "vfs_curate",
+      graft.plans.SqlSurface.vfsCurateBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

@@ -309,6 +309,59 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_curate(docsPath[, modelPath, minQuality,
+    * minTokens, maxTokens, binCapacity])` — the FULL curation
+    * pipeline ([[graft.operators.Curation.curateAndPack]]: quality
+    * gate → simhash near-dup keep-first → language ID →
+    * per-language next-fit packing) from one SQL call:
+    * {{{ SELECT doc_id, lang_code, bin_id
+    *     FROM vfs_curate('/data/docs')
+    *     WHERE overflow = 0 }}}
+    * With a `modelPath` the language scorer uses that STANDING model
+    * parquet (any (gram, lang, weight_milli) frame — the production
+    * form); with one argument it trains on the built-in seed fixture
+    * (the zero-setup form, like `vfs_langid`). */
+  private[graft] def vfsCurateBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_curate(docsPath[, modelPath, minQuality, " +
+        s"minTokens, maxTokens, binCapacity]): $msg")
+    if (es.isEmpty || es.length > 6)
+      fail(s"expected 1-6 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    def longArg(i: Int, what: String): Long = evalNonNull(i, what) match {
+      case n: Int => n.toLong
+      case l: Long => l
+      case other => fail(s"$what must be an integer literal, got $other")
+    }
+    val spark = SparkSession.active
+    val docsPath = evalNonNull(0, "docsPath").toString
+    val model = if (es.length >= 2)
+      spark.read.parquet(evalNonNull(1, "modelPath").toString)
+    else graft.operators.TextAnalysis.trainLangId(
+      spark.createDataFrame(
+        graft.operators.TextAnalysis.LangIdSeedCorpus)
+        .toDF("lang", "text"))
+    val minQuality = if (es.length >= 3) longArg(2, "minQuality")
+      else 650L
+    val minTokens = if (es.length >= 4) longArg(3, "minTokens") else 20L
+    val maxTokens = if (es.length >= 5) longArg(4, "maxTokens") else 90L
+    val binCapacity = if (es.length >= 6) {
+      val c = longArg(5, "binCapacity")
+      if (c <= 0 || c > Int.MaxValue)
+        fail(s"binCapacity out of range: $c")
+      c.toInt
+    } else 256
+    graft.operators.Curation.curateAndPack(
+        spark.read.parquet(docsPath), model, minQuality, minTokens,
+        maxTokens, binCapacity)
+      .queryExecution.analyzed
+  }
+
   /** TVF builder for `vfs_sig_pairs(path, maxHamming[, maxBucket,
     * idCol, sigCol])` — near-dup pairs over a STORED 64-bit
     * fingerprint table ([[graft.operators.Dedup.sigPairs]]: the

@@ -1296,6 +1296,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(msgs.contains("no raster decoder"), msgs.take(300))
   }
 
+  test("dHash is perceptual: an NN-upscaled image keeps a small " +
+      "hamming to its original; unrelated gradients stay far; " +
+      "vfs_curate TVF matches the Curation operator bit-for-bit") {
+    import graft.operators.{MediaCodec, Multimodal, MediaRecord}
+    // a 4x8 colored gradient raster (varied lumas per cell)
+    val px = Array.tabulate(4 * 8 * 3) { i =>
+      ((i * 53 + 17) % 256).toByte
+    }
+    val orig = MediaCodec.encodePng(px, 4, 8)
+    // NN-upscale 3x in both axes — dHash should survive (the 9x8
+    // downsample of the upscaled raster samples near-identical cells)
+    val up = MediaCodec.encodePng(
+      MediaCodec.nnResizeRgb(px, 4, 8, 12, 24), 12, 24)
+    // an unrelated raster: the reversed gradient
+    val rev = MediaCodec.encodePng(px.reverse, 4, 8)
+    val media = Seq(
+      MediaRecord(1L, orig, "image/png", orig.length.toLong),
+      MediaRecord(2L, up, "image/png", up.length.toLong),
+      MediaRecord(3L, rev, "image/png", rev.length.toLong)).toDS()
+    val fp = Multimodal.imageFingerprint(spark, media)
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._1)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0)._2, fp(1)._2) <= 3,
+      s"resize shifted the print by ${ham(fp(0)._2, fp(1)._2)} bits")
+    assert(ham(fp(0)._2, fp(2)._2) > 10,
+      s"unrelated raster too close: ${ham(fp(0)._2, fp(2)._2)}")
+    // the one-call SQL pipeline matches the operator composition
+    import graft.operators.{Curation, TextAnalysis}
+    val model = TextAnalysis.trainLangId(
+      TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+    val want = Curation.curateAndPack(
+        spark.read.parquet(s"${GraftTest.sf0001}/documents.parquet"),
+        model)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val got = spark.sql("SELECT * FROM vfs_curate('" +
+        s"${GraftTest.sf0001}/documents.parquet')")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("sig index lifecycle: build+append probe finds exactly the " +
       "hand-computed delta-vs-corpus pairs; family mismatch is loud; " +
       "takedown removes a deleted asset's pairs; parked crash " +
