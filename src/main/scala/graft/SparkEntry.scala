@@ -941,6 +941,18 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the curation audit report: per-language-shard totals over
+    // the packed output (docs, tokens, bins, overflows) — the one
+    // aggregate every production curation run logs ----
+    "pipeline_curate_report" -> ((s, dir) => {
+      import s.implicits._
+      val model = graft.operators.TextAnalysis.trainLangId(
+        graft.operators.TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+      graft.operators.Curation.curateReport(
+          s.read.parquet(s"$dir/documents.parquet"), model)
+        .orderBy(col("lang_code").asc)
+    }),
+
     // ---- the vfs_curate TVF: the whole curation pipeline from one
     // SQL call (zero-setup form — trains langid on the seed fixture),
     // sharing pipeline_curate_e2e's oracle verbatim ----
@@ -3448,6 +3460,7 @@ object SparkEntry {
 
     "pipeline_curate_e2e" -> pipelineCurateOracle,
     "sql_tvf_curate" -> pipelineCurateOracle,
+    "pipeline_curate_report" -> pipelineCurateReportOracle,
 
     "stream_curate" -> streamCurateOracle,
 
@@ -5706,6 +5719,25 @@ object SparkEntry {
     * and the next-fit packing recurrence ([[SparkEntry.oracleSql]]'s
     * text_packing_bins CTE shape) per language shard. */
   private def pipelineCurateOracle: String =
+    s"""$pipelineCurateCtes
+       |SELECT doc_id, CAST(lang_code AS BIGINT) AS lang_code,
+       |  n AS n_tokens, bin_id, bin_off,
+       |  CAST(CASE WHEN n > 256 THEN 1 ELSE 0 END AS BIGINT) AS overflow
+       |FROM f ORDER BY doc_id ASC""".stripMargin
+
+  /** [[pipelineCurateOracle]] folded to the per-shard audit report —
+    * the `Curation.curateReport` twin (one group-by over the packed
+    * recurrence's output). */
+  private def pipelineCurateReportOracle: String =
+    s"""$pipelineCurateCtes
+       |SELECT CAST(lang_code AS BIGINT) AS lang_code,
+       |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+       |  CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+       |  CAST(sum(CASE WHEN n > 256 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_overflow
+       |FROM f GROUP BY 1 ORDER BY lang_code ASC""".stripMargin
+
+  private def pipelineCurateCtes: String =
     s"""WITH RECURSIVE tq AS (SELECT doc_id, text,
        |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
        |    CAST(length(text) AS DOUBLE) AS n_chars,
@@ -5748,11 +5780,7 @@ object SparkEntry {
        |    CASE WHEN f.used_after + tp.n_tokens <= 256
        |         THEN f.used_after + tp.n_tokens
        |         ELSE tp.n_tokens END
-       |  FROM f JOIN tp ON tp.lang_code = f.lang_code AND tp.rn = f.rn + 1)
-       |SELECT doc_id, CAST(lang_code AS BIGINT) AS lang_code,
-       |  n AS n_tokens, bin_id, bin_off,
-       |  CAST(CASE WHEN n > 256 THEN 1 ELSE 0 END AS BIGINT) AS overflow
-       |FROM f ORDER BY doc_id ASC""".stripMargin
+       |  FROM f JOIN tp ON tp.lang_code = f.lang_code AND tp.rn = f.rn + 1)""".stripMargin
 
   /** The streaming curation loop's single-batch run re-derived:
     * quality gate, MinHash-LSH keep-first over the GATED subset

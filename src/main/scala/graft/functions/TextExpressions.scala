@@ -389,3 +389,71 @@ object MinHashSig {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(mins)
   }
 }
+
+/** Native 64/60-bit SimHash — the codegen replacement for the
+  * HOF-composed [[graft.operators.Dedup.simHashSig]] hot path
+  * (interpreted lambdas allocate two per-word bit arrays and, before
+  * the hash hoist, re-ran the word hash once per BIT; this kernel is
+  * one compiled two-level loop — measured whole-pipeline 96 s → 50 s
+  * from the hoist alone and far past that from the kernel). Token
+  * model is EXACTLY `array_distinct(split(trim(lower(text)), "\s+"))`
+  * (the [[MinHashSig]] note applies verbatim: U+0020-only trim,
+  * limit -1 split). `portable = true` hashes words with the md5-top-60
+  * [[HashedBow.wordHash60]] (bit-for-bit the DuckDB-reproducible
+  * `Dedup.portableWordHash`); `portable = false` uses Spark's own
+  * xxhash64 (seed 42) via [[XxHash64Function]], bit-for-bit the
+  * `xxhash64()` SQL function. Bit j of the signature is the sign of
+  * Σ_words (bit j of hash set ? +1 : −1), over the low `nBits` bits. */
+case class SimHash(child: Expression, nBits: Int, portable: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(nBits > 0 && nBits <= 64, "nBits must be in [1, 64]")
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vfs_simhash"
+
+  override def nullSafeEval(v: Any): Any =
+    SimHash.sig(v.asInstanceOf[UTF8String], nBits, portable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SimHash.sig($c, $nBits, $portable)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object SimHash {
+  /** static entry for codegen */
+  def sig(text: UTF8String, nBits: Int, portable: Boolean): Long = {
+    val words = new java.util.HashSet[String]()
+    val lowered = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var lo = 0
+    var hi = lowered.length
+    while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
+    while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
+    lowered.substring(lo, hi).split("\\s+", -1).foreach(words.add)
+    val counts = new Array[Int](nBits)
+    val it = words.iterator()
+    while (it.hasNext) {
+      val w = it.next()
+      val h =
+        if (portable) HashedBow.wordHash60(w)
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(UTF8String.fromString(w), StringType, 42L)
+      var j = 0
+      while (j < nBits) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+    }
+    var sig = 0L
+    var j = 0
+    while (j < nBits) {
+      if (counts(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}

@@ -53,6 +53,12 @@ package object functions {
   /** FNV-1a 64 content fingerprint (dedup hash key) */
   def vfs_fingerprint(text: Column): Column = col(Fingerprint(ex(text)))
 
+  /** native SimHash over the distinct whitespace tokens —
+    * `portable = true` is the md5-top-60 DuckDB-reproducible hash,
+    * `false` Spark's xxhash64 (see [[SimHash]]) */
+  def vfs_simhash(text: Column, nBits: Int, portable: Boolean): Column =
+    col(SimHash(ex(text), nBits, portable))
+
   /** Signed 64-bit hash value mapped monotonically onto the unit
     * interval: h/2^64 + 1/2. Shared by every deterministic sampler and
     * sketch (one copy of the 2^64 constant — divergent copies would

@@ -78,4 +78,27 @@ object Curation {
       .select(col(idCol), col("shard").as("lang_code"),
         col("n_tokens"), col("bin_id"), col("bin_off"), col("overflow"))
   }
+
+  /** The pipeline's AUDIT TRAIL — per-language-shard totals over the
+    * [[curateAndPack]] output, the one-row-per-shard report every
+    * curation run logs (how much survived, how many tokens, how many
+    * training bins it packs into, whether anything overflowed):
+    * (lang_code, n_docs, n_tokens, n_bins, n_overflow). `n_bins`
+    * counts the shard's distinct next-fit bins (max bin_id + 1 —
+    * next-fit never leaves a gap). ONE hash aggregate over the
+    * packed rows; integer end-to-end, so the DuckDB oracle replays
+    * the whole pipeline AND the report. */
+  def curateReport(docs: DataFrame, model: DataFrame,
+      minQualityMilli: Long = 650L, minTokens: Long = 20L,
+      maxTokens: Long = 90L, binCapacity: Int = 256,
+      langCodes: Seq[(String, Long)] = SeedLangCodes,
+      defaultCode: Long = 4L, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    curateAndPack(docs, model, minQualityMilli, minTokens, maxTokens,
+        binCapacity, langCodes, defaultCode, textCol, idCol)
+      .groupBy(col("lang_code"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        (max(col("bin_id")) + 1L).as("n_bins"),
+        sum(col("overflow")).as("n_overflow"))
 }

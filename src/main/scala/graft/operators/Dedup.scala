@@ -838,15 +838,23 @@ object Dedup {
   /** SimHash signature over the low `nBits` bits of `hashFn(token)`:
     * bit j of the signature is the sign of Σ_tokens (bit j set ? +1 :
     * −1). Pure projection via higher-order functions — no shuffle, no
-    * UDF. */
+    * UDF.
+    *
+    * The word hashes are materialized ONCE via their own transform
+    * BEFORE the per-bit fold: HOF lambdas are interpreted with no
+    * CSE (the langid O(len²) pitfall), so `hashFn(w)` referenced
+    * inside the per-bit lambda would re-run the hash nBits times per
+    * word — for the portable md5 hash that was measured at ~60× the
+    * whole signature cost over a 500k-doc corpus. */
   def simHashSig(textCol: Column, nBits: Int,
       hashFn: Column => Column): Column = {
+    val hashes = transform(wordSet(textCol), w => hashFn(w))
     val counts = aggregate(
-      wordSet(textCol),
+      hashes,
       array_repeat(lit(0), nBits),
-      (acc, w) => zip_with(acc,
+      (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(nBits - 1)),
-          j => when(call_function("shiftright", hashFn(w), j).bitwiseAND(1) === 1, 1)
+          j => when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1)
             .otherwise(-1)),
         (x, y) => x + y))
     aggregate(
@@ -856,14 +864,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash per document (xxhash64 token hashes — the fast
-    * Spark-native variant). */
+    * Spark-native variant). Served by the codegen
+    * [[graft.functions.SimHash]] kernel; [[simHashSig]] remains the
+    * HOF reference implementation and a spec pins them bit-equal. */
   def simHash64(textCol: Column): Column =
-    simHashSig(textCol, 64, w => xxhash64(w))
+    graft.functions.vfs_simhash(textCol, 64, portable = false)
 
   /** 60-bit SimHash on the portable md5-derived token hash — same
-    * algorithm, but every bit is reproducible by the DuckDB oracle. */
+    * algorithm, but every bit is reproducible by the DuckDB oracle.
+    * Served by the codegen [[graft.functions.SimHash]] kernel
+    * (interpreted HOF folds were the curation pipeline's hot spot);
+    * [[simHashSig]] remains the HOF reference and a spec pins them
+    * bit-equal. */
   def simHash60Portable(textCol: Column): Column =
-    simHashSig(textCol, 60, portableWordHash)
+    graft.functions.vfs_simhash(textCol, 60, portable = true)
 
   /** Portable-simhash near-dup pairs with hamming ≤ maxHamming (≤ 3):
     * 4×15-bit band blocking over the 60-bit signature — pigeonhole

@@ -286,6 +286,45 @@ object ScaleProbe {
         .agg(count(lit(1))).collect()
       println(s"[scale-probe]   image near-dup pairs: ${r.head.getLong(0)}")
     }
+    // the composed curation pipeline at scale: 525k docs through
+    // quality gate -> simhash keep-first -> langid -> packing in ONE
+    // call. REALISTIC near-dup density: every doc carries a seed-
+    // language prefix (langid signal) + 15 unique tokens (distinct
+    // word sets -> simhash sigs far apart), and every 20th doc gets
+    // an exact twin — the pair stage's cost tracks the ~25k twins,
+    // not a quadratic blowup. (A boilerplate corpus where EVERYTHING
+    // is a near-dup is the fold's documented worst case — bounded by
+    // maxBucket, surfaced by exact dedup first, and deliberately NOT
+    // what this probe measures.)
+    time("curateAndPack: 525k docs incl 25k exact twins " +
+        "(gate + pair fold + langid + packing, one call)") {
+      val seeds = graft.operators.TextAnalysis.LangIdSeedCorpus
+        .map(_._2).toArray
+      val seedCol = array(seeds.map(lit(_)): _*)
+      def docsOf(ids: org.apache.spark.sql.DataFrame) = ids.select(
+        $"doc_id",
+        concat(
+          element_at(seedCol, ($"base" % seeds.length + 1).cast("int")),
+          lit(" "),
+          concat_ws(" ", transform(sequence(lit(1), lit(15)),
+            j => concat(lit("w"), ($"base" * 15 + j).cast("string")))))
+          .as("text"))
+      val base = spark.range(500000L)
+        .select($"id".as("doc_id"), $"id".as("base"))
+      val twins = spark.range(500000L).filter($"id" % 20 === 0)
+        .select(($"id" + 500000L).as("doc_id"), $"id".as("base"))
+      val corpus = docsOf(base.unionByName(twins))
+      val model = graft.operators.TextAnalysis.trainLangId(
+        graft.operators.TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+      val r = graft.operators.Curation.curateAndPack(corpus, model,
+          minQualityMilli = 500L, minTokens = 10L, maxTokens = 90L)
+        .groupBy($"lang_code").agg(count(lit(1)).as("n"))
+        .orderBy($"lang_code").collect()
+      val total = r.map(_.getLong(1)).sum
+      println("[scale-probe]   curation shards: " + r.map(row =>
+        s"${row.getLong(0)}:${row.getLong(1)}").mkString(" ") +
+        s" (total $total of 525000)")
+    }
     // trigram langid at scale: the model is vocab×4 rows (broadcast);
     // scoring is one Generate + broadcast join + two partial aggs —
     // cost ∝ corpus trigrams, lower() materialized once per row.

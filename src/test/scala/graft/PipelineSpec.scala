@@ -1296,6 +1296,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(msgs.contains("no raster decoder"), msgs.take(300))
   }
 
+  test("native SimHash kernel: bit parity with the HOF reference on " +
+      "both hash families, including empty/whitespace/multi-space " +
+      "and non-ASCII texts") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.xxhash64
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "  leading and   multi  spaces  "),
+      (3L, ""),
+      (4L, "   "),
+      (5L, "Pfad über größe straße ÄÖÜ"),
+      (6L, "日本語 テキスト と spaces"),
+      (7L, "dup dup dup words words"),
+      (8L, "x"))
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        graft.functions.vfs_simhash($"text", 64, portable = false).as("n64"),
+        graft.functions.vfs_simhash($"text", 60, portable = true).as("p60"),
+        Dedup.simHashSig($"text", 64, w => xxhash64(w)).as("h64"),
+        Dedup.simHashSig($"text", 60, Dedup.portableWordHash).as("hp60"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getLong(3),
+        s"xxhash64 simhash diverged for doc ${r.getLong(0)}")
+      assert(r.getLong(2) === r.getLong(4),
+        s"portable simhash diverged for doc ${r.getLong(0)}")
+    }
+  }
+
   test("dHash is perceptual: an NN-upscaled image keeps a small " +
       "hamming to its original; unrelated gradients stay far; " +
       "vfs_curate TVF matches the Curation operator bit-for-bit") {
