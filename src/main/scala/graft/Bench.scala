@@ -417,6 +417,12 @@ object Bench {
       graft.operators.Multimodal.imageNearDupPairs(spark, img,
         maxHamming = 3).count()
     } }
+    // corpus boilerplate-line removal: line-key distinct + count
+    // aggs, one occurrence join, one per-doc reassembly agg
+    entry("boilerplate_strip") { median {
+      SparkEntry.queries("dedup_boilerplate_lines")(spark, sfDir)
+        .agg(sum(col("n_dropped"))).collect()
+    } }
     // the full curation pipeline in one query: quality gate ->
     // simhash near-dup survivors -> langid (carried counts) ->
     // per-language next-fit packing — the composition cost story

@@ -447,6 +447,28 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- RefinedWeb-style corpus boilerplate-line removal: lines in
+    // >= 5 distinct docs drop from ALL of them. The corpus is
+    // single-line salad, so a multi-line page with REAL cross-doc
+    // boilerplate is built per row (same construction in the oracle):
+    // a global nav line, a per-source footer, a subscribe prompt on
+    // every 3rd doc, two unique content lines, a unique doc footer,
+    // and a blank line (dropped silently, counted neither way) ----
+    "dedup_boilerplate_lines" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val page = d.select(col("doc_id"), concat(
+        lit("Home | About | Contact\n(c) "), col("source"),
+        lit(" network syndication.\n"),
+        substring(col("text"), 1, 50), lit("\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("Subscribe to our newsletter today.")).otherwise(lit("")),
+        lit("\n"), substring(col("text"), 51, 45),
+        lit("\nDoc "), col("doc_id").cast("string"),
+        lit(" exclusive content line.")).as("text"))
+      Dedup.stripBoilerplate(page, minDocFreq = 5L)
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- ExactSubstr (Lee et al. 2022): sliding 4-gram duplicate
     // detection merged into maximal keep-first spans — catches
     // duplication at ANY alignment, unlike the fixed passage blocks ----
@@ -3057,6 +3079,40 @@ object SparkEntry {
         |FROM t JOIN k ON t.doc_id = k.doc_id
         |LEFT JOIN dt ON t.doc_id = dt.doc_id
         |ORDER BY t.doc_id ASC""".stripMargin,
+
+    // corpus boilerplate-line removal over the same built page as the
+    // Spark side; the boilerplate list (df >= 5 over distinct docs,
+    // trimmed non-blank lines) is folded to one row and each page is
+    // list_filtered against it in document order
+    "dedup_boilerplate_lines" ->
+      """WITH p AS (SELECT doc_id,
+        |    'Home | About | Contact' || chr(10) ||
+        |    '(c) ' || source || ' network syndication.' || chr(10) ||
+        |    substr(text, 1, 50) || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN 'Subscribe to our newsletter today.'
+        |         ELSE '' END || chr(10) ||
+        |    substr(text, 51, 45) || chr(10) ||
+        |    'Doc ' || doc_id || ' exclusive content line.' AS text
+        |  FROM documents),
+        |occ AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+        |  FROM p),
+        |df AS (SELECT trim(l) AS ln, count(DISTINCT doc_id) AS df
+        |  FROM occ WHERE len(trim(l)) > 0 GROUP BY 1),
+        |bp AS (SELECT coalesce(list(ln), []) AS bl
+        |  FROM df WHERE df >= 5),
+        |o AS (SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      len(trim(l)) > 0 AND NOT list_contains(bp.bl, trim(l)))
+        |      AS kept,
+        |    list_filter(string_split(text, chr(10)), l ->
+        |      len(trim(l)) > 0 AND list_contains(bp.bl, trim(l)))
+        |      AS dropped
+        |  FROM p CROSS JOIN bp)
+        |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(len(dropped) AS BIGINT) AS n_dropped,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM o ORDER BY doc_id ASC""".stripMargin,
 
     "stream_quality_filter" -> qualityFilterOracle,
     // the TVF form computes the identical one-scan cascade + policy

@@ -91,6 +91,79 @@ object Dedup {
         coalesce(col("new_text"), lit("")).as("new_text"))
   }
 
+  /** Corpus-level BOILERPLATE line table — the lines that appear in at
+    * least `minDocFreq` DISTINCT documents (nav bars, footers, cookie
+    * banners, subscribe prompts; the repeated-passage signal of
+    * MassiveText/RefinedWeb line-wise filtering). Lines are keyed by
+    * `trim(line)` (U+0020-only trim, the engine/oracle-portable form);
+    * blank lines never count. Output: (line, df), `line` trimmed.
+    *
+    * vs [[passageDedup]]: passage dedup KEEPS the corpus-wide first
+    * occurrence; boilerplate removal drops EVERY occurrence once the
+    * doc-frequency threshold is met — a line shared by 10k pages is
+    * noise in all 10k, including the first.
+    *
+    * 100 TB shape: one (id, line) distinct + one hash aggregation on
+    * the line key, both with map-side partial combine — viral lines
+    * collapse per-partition before either exchange. */
+  def boilerplateLines(docs: DataFrame, minDocFreq: Long = 5L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minDocFreq >= 2L,
+      "[GRAFT] boilerplateLines: minDocFreq must be >= 2")
+    lineOccurrences(docs, textCol, idCol)
+      .select(col("__id"), col("__ln")).distinct()
+      .groupBy(col("__ln")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocFreq)
+      .select(col("__ln").as("line"), col("df"))
+  }
+
+  /** Strip corpus-level boilerplate lines from every document (the
+    * RefinedWeb line-wise correction pass, Penedo et al. 2023 §3.3,
+    * with the repeated-line criterion made exact): a non-blank line
+    * whose trimmed text appears in ≥ `minDocFreq` distinct documents
+    * ([[boilerplateLines]]) is dropped from ALL of them; blank lines
+    * are dropped silently (not counted); surviving lines are rejoined
+    * with '\n' in original order. Every input document yields exactly
+    * one output row: (idCol, n_kept, n_dropped, clean_text) —
+    * `n_dropped` counts boilerplate occurrences (repeats within one
+    * doc each count), NULL text gives (0, 0, "").
+    *
+    * 100 TB shape: the [[boilerplateLines]] aggregation, then one
+    * shuffle join of line occurrences on the trimmed-line key (AQE
+    * broadcasts the boilerplate side when small and skew-splits viral
+    * lines on the probe side), one reassembly aggregation keyed by
+    * document id, and the all-docs restore join — no window over the
+    * line key, so no single-task hot spot. */
+  def stripBoilerplate(docs: DataFrame, minDocFreq: Long = 5L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    WorkCols.requireFree(docs, "__id", "__pos", "__line", "__ln", "__bp")
+    val occ = lineOccurrences(docs, textCol, idCol)
+    val boiler = boilerplateLines(docs, minDocFreq, textCol, idCol)
+      .select(col("line").as("__ln"), lit(1L).as("__bp"))
+    val flagged = occ.join(boiler, Seq("__ln"), "left")
+    val rebuilt = flagged.groupBy(col("__id")).agg(
+      sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("__bp").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+      array_join(transform(array_sort(collect_list(
+          when(col("__bp").isNull, struct(col("__pos"), col("__line"))))),
+        s => s("__line")), "\n").as("clean_text"))
+    docs.select(col(idCol).as("__id"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Non-blank line occurrences: (__id, __pos, __line, __ln) with
+    * __ln = trim(__line); NULL texts contribute no rows. */
+  private def lineOccurrences(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
+      .withColumn("__ln", trim(col("__line")))
+      .filter(length(col("__ln")) > 0)
+
   /** Exact-substring duplicate spans — the ExactSubstr technique of
     * "Deduplicating Training Data Makes Language Models Better" (Lee
     * et al., ACL 2022), which the suffix-array formulation computes on

@@ -612,6 +612,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate lines: corpus-frequent lines drop from every doc") {
+    // "NAV" reaches doc-frequency 5 (doc 2 only via trim — the key is
+    // the trimmed line), so it drops from ALL docs including repeats
+    // within doc 4; "rare line" (df 2 < 5) survives; blank and
+    // whitespace-only lines drop silently (counted neither way); a
+    // NULL text yields the all-zero row; kept lines keep their
+    // ORIGINAL untrimmed text in original order
+    val d = Seq(
+      (1L, "NAV\nunique one\n\nrare line"),
+      (2L, "  NAV  \n  unique two\nrare line"),
+      (3L, "NAV\nunique three"),
+      (4L, "NAV\nNAV\nunique four"),
+      (5L, "NAV\n   \nunique five"),
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val bp = Dedup.boilerplateLines(d, minDocFreq = 5L)
+      .as[(String, Long)].collect().toMap
+    assert(bp === Map("NAV" -> 5L))
+    val r = Dedup.stripBoilerplate(d, minDocFreq = 5L)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect()
+    assert(r(0) === ((1L, 2L, 1L, "unique one\nrare line")))
+    assert(r(1) === ((2L, 2L, 1L, "  unique two\nrare line")))
+    assert(r(2) === ((3L, 1L, 1L, "unique three")))
+    assert(r(3) === ((4L, 1L, 2L, "unique four")))
+    assert(r(4) === ((5L, 1L, 1L, "unique five")))
+    assert(r(5) === ((6L, 0L, 0L, "")))
+    intercept[IllegalArgumentException] {
+      Dedup.boilerplateLines(d, minDocFreq = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.stripBoilerplate(d.withColumn("__pos", lit(1)))
+    }
+  }
+
   test("duplicate spans: sliding k-grams merge to maximal keep-first spans") {
     val d = Seq(
       (1L, "a b c d e f g"),      // all grams canonical → no spans
