@@ -110,12 +110,16 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(minDocFreq >= 2L,
       "[GRAFT] boilerplateLines: minDocFreq must be >= 2")
-    lineOccurrences(docs, textCol, idCol)
-      .select(col("__id"), col("__ln")).distinct()
+    boilerplateFrom(
+      lineOccurrences(spread(docs), textCol, idCol), minDocFreq)
+  }
+
+  private def boilerplateFrom(occ: DataFrame,
+      minDocFreq: Long): DataFrame =
+    occ.select(col("__id"), col("__ln")).distinct()
       .groupBy(col("__ln")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDocFreq)
       .select(col("__ln").as("line"), col("df"))
-  }
 
   /** Strip corpus-level boilerplate lines from every document (the
     * RefinedWeb line-wise correction pass, Penedo et al. 2023 §3.3,
@@ -136,9 +140,15 @@ object Dedup {
     * line key, so no single-task hot spot. */
   def stripBoilerplate(docs: DataFrame, minDocFreq: Long = 5L,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minDocFreq >= 2L,
+      "[GRAFT] stripBoilerplate: minDocFreq must be >= 2")
     WorkCols.requireFree(docs, "__id", "__pos", "__line", "__ln", "__bp")
-    val occ = lineOccurrences(docs, textCol, idCol)
-    val boiler = boilerplateLines(docs, minDocFreq, textCol, idCol)
+    // both derivations hang off the SAME spread subtree (the line
+    // explode is a compute-bound per-row kernel — the one-file
+    // testdata corpus would otherwise run it on one core), so
+    // ReuseExchange serves the second scan from the first's shuffle
+    val occ = lineOccurrences(spread(docs), textCol, idCol)
+    val boiler = boilerplateFrom(occ, minDocFreq)
       .select(col("line").as("__ln"), lit(1L).as("__bp"))
     val flagged = occ.join(boiler, Seq("__ln"), "left")
     val rebuilt = flagged.groupBy(col("__id")).agg(
