@@ -110,8 +110,7 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(minDocFreq >= 2L,
       "[GRAFT] boilerplateLines: minDocFreq must be >= 2")
-    boilerplateFrom(
-      lineOccurrences(spread(docs), textCol, idCol), minDocFreq)
+    boilerplateFrom(lineOccurrences(docs, textCol, idCol), minDocFreq)
   }
 
   private def boilerplateFrom(occ: DataFrame,
@@ -132,24 +131,39 @@ object Dedup {
     * `n_dropped` counts boilerplate occurrences (repeats within one
     * doc each count), NULL text gives (0, 0, "").
     *
-    * 100 TB shape: the [[boilerplateLines]] aggregation, then one
-    * shuffle join of line occurrences on the trimmed-line key (AQE
-    * broadcasts the boilerplate side when small and skew-splits viral
-    * lines on the probe side), one reassembly aggregation keyed by
-    * document id, and the all-docs restore join — no window over the
-    * line key, so no single-task hot spot. */
+    * 100 TB shape: a count pass ([[boilerplateLines]]) and a strip
+    * pass — the corpus IS scanned twice (the classic two-pass shape;
+    * Spark has no sub-plan sharing without materialization, and
+    * persisting the exploded lines would cache more than the input).
+    * A production run over a standing corpus computes the line table
+    * once and reuses it across batches via the two-argument overload.
+    * The strip pass itself is one shuffle join of line occurrences on
+    * the trimmed-line key (AQE broadcasts the boilerplate side when
+    * small and skew-splits viral lines on the probe side), one
+    * reassembly aggregation keyed by document id, and the all-docs
+    * restore join — no window over the line key, so no single-task
+    * hot spot. */
   def stripBoilerplate(docs: DataFrame, minDocFreq: Long = 5L,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(minDocFreq >= 2L,
       "[GRAFT] stripBoilerplate: minDocFreq must be >= 2")
+    stripBoilerplateWith(docs,
+      boilerplateLines(docs, minDocFreq, textCol, idCol), textCol, idCol)
+  }
+
+  /** [[stripBoilerplate]] against a PRECOMPUTED boilerplate table
+    * (`(line, …)` — e.g. a persisted [[boilerplateLines]] artifact):
+    * the scale path for repeated runs, one corpus scan instead of
+    * two, and the way to strip a fresh batch against a standing
+    * corpus-wide line table. */
+  def stripBoilerplateWith(docs: DataFrame, boilerplate: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     WorkCols.requireFree(docs, "__id", "__pos", "__line", "__ln", "__bp")
-    // both derivations hang off the SAME spread subtree (the line
-    // explode is a compute-bound per-row kernel — the one-file
-    // testdata corpus would otherwise run it on one core), so
-    // ReuseExchange serves the second scan from the first's shuffle
-    val occ = lineOccurrences(spread(docs), textCol, idCol)
-    val boiler = boilerplateFrom(occ, minDocFreq)
-      .select(col("line").as("__ln"), lit(1L).as("__bp"))
+    require(boilerplate.columns.contains("line"),
+      "[GRAFT] stripBoilerplateWith: boilerplate table needs a 'line' column")
+    val occ = lineOccurrences(docs, textCol, idCol)
+    val boiler = boilerplate
+      .select(col("line").as("__ln"), lit(1L).as("__bp")).distinct()
     val flagged = occ.join(boiler, Seq("__ln"), "left")
     val rebuilt = flagged.groupBy(col("__id")).agg(
       sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("n_kept"),
@@ -166,10 +180,17 @@ object Dedup {
   }
 
   /** Non-blank line occurrences: (__id, __pos, __line, __ln) with
-    * __ln = trim(__line); NULL texts contribute no rows. */
+    * __ln = trim(__line); NULL texts and NULL ids contribute no rows.
+    * The id filter sits BEFORE the spread exchange for two reasons: it
+    * matches SQL count-DISTINCT semantics (which skips NULLs — a
+    * Spark distinct-then-count would tally a NULL-id row), and it
+    * makes the df-count and occurrence subtrees byte-identical so
+    * ReuseExchange serves both from one shuffle (the join-side
+    * subtree gets isnotnull inferred on the id anyway). */
   private def lineOccurrences(docs: DataFrame, textCol: String,
       idCol: String): DataFrame =
-    docs.select(col(idCol).as("__id"),
+    spread(docs.filter(col(idCol).isNotNull))
+      .select(col(idCol).as("__id"),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("__pos", "__line")))
       .withColumn("__ln", trim(col("__line")))
       .filter(length(col("__ln")) > 0)

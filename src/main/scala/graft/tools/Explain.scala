@@ -557,6 +557,15 @@ object Explain {
         "extra doc-keyed counts join — __nt rides the carry hook)") {
       graft.SparkEntry.queries("pipeline_curate_e2e")(spark, dir)
     }
+    show("corpus boilerplate-line strip (expect: the two-pass shape — " +
+        "a count pass (distinct + count hash aggs, partial combine on " +
+        "the trimmed-line key) and a strip pass (occurrence join on " +
+        "__ln, per-doc reassembly agg, all-docs restore join), each " +
+        "under its own spread Exchange + Generate; repeated runs " +
+        "precompute the count pass via stripBoilerplateWith)") {
+      Dedup.stripBoilerplate(
+        spark.read.parquet(s"$dir/documents.parquet"), minDocFreq = 5L)
+    }
     spark.stop()
   }
 }

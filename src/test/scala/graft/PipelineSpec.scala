@@ -644,6 +644,16 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.stripBoilerplate(d.withColumn("__pos", lit(1)))
     }
+    // standing-table path: a fresh batch strips against a PRECOMPUTED
+    // line table (one corpus scan, no recount) — the scale shape
+    val batch = Seq((10L, "NAV\nbrand new line")).toDF("doc_id", "text")
+    val r2 = Dedup.stripBoilerplateWith(batch,
+        Dedup.boilerplateLines(d, minDocFreq = 5L))
+      .as[(Long, Long, Long, String)].collect()
+    assert(r2.head === ((10L, 1L, 1L, "brand new line")))
+    intercept[IllegalArgumentException] {
+      Dedup.stripBoilerplateWith(batch, batch.select($"text"))
+    }
   }
 
   test("duplicate spans: sliding k-grams merge to maximal keep-first spans") {
