@@ -120,13 +120,29 @@ object HashedBow {
     * lower via Locale.ROOT, trim U+0020 only, split `\s+` limit -1.
     * Shared with [[TermCount]] so the bm25 kernel can't drift from
     * the hashed-BoW tokenizer. */
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
   private[functions] def tokensOf(text: UTF8String): Array[String] = {
     val lowered = text.toString.toLowerCase(java.util.Locale.ROOT)
     var lo = 0
     var hi = lowered.length
     while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
     while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
-    lowered.substring(lo, hi).split("\\s+", -1)
+    wsPattern.split(lowered.substring(lo, hi), -1)
+  }
+
+  /** The DISTINCT token set under the same model — the one
+    * tokenization every dedup kernel ([[MinHashSig]], [[SimHash]])
+    * shares; a drift here would band on different tokens than the
+    * jaccard verify step and break the DuckDB oracle match, so there
+    * is exactly ONE copy of the lower/trim/split block. */
+  private[functions] def wordSetOf(
+      text: UTF8String): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    val ts = tokensOf(text)
+    var i = 0
+    while (i < ts.length) { set.add(ts(i)); i += 1 }
+    set
   }
 
   private def counts(text: UTF8String, dim: Int): (Array[Double], Double) = {
@@ -360,20 +376,13 @@ object MinHashSig {
   /** static entry for codegen */
   def sig(text: UTF8String, numHashes: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     require(numHashes <= MaxHashes, s"numHashes > $MaxHashes")
-    val words = new java.util.HashSet[String]()
-    // EXACTLY Dedup.wordSet's token model — lower, trim SPACES ONLY
-    // (Spark's trim strips U+0020, not \t/\n; Java String.trim would
-    // strip more and change the token set), then regex \s+ split with
-    // limit -1 (keeps the leading/trailing empty tokens Spark's split
-    // produces). Divergence here would band on different tokens than
-    // the jaccard verify step and break the DuckDB oracle match.
-    val lowered = text.toString.toLowerCase(java.util.Locale.ROOT)
-    var lo = 0
-    var hi = lowered.length
-    while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
-    while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
-    val s = lowered.substring(lo, hi)
-    s.split("\\s+", -1).foreach(words.add)
+    // EXACTLY Dedup.wordSet's token model — lower via Locale.ROOT,
+    // trim SPACES ONLY (Spark's trim strips U+0020, not \t/\n; Java
+    // String.trim would strip more and change the token set), then
+    // regex \s+ split with limit -1 (keeps the leading/trailing empty
+    // tokens Spark's split produces) — one shared copy in
+    // [[HashedBow.wordSetOf]].
+    val words = HashedBow.wordSetOf(text)
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val it = words.iterator()
     while (it.hasNext) {
@@ -427,13 +436,7 @@ case class SimHash(child: Expression, nBits: Int, portable: Boolean)
 object SimHash {
   /** static entry for codegen */
   def sig(text: UTF8String, nBits: Int, portable: Boolean): Long = {
-    val words = new java.util.HashSet[String]()
-    val lowered = text.toString.toLowerCase(java.util.Locale.ROOT)
-    var lo = 0
-    var hi = lowered.length
-    while (lo < hi && lowered.charAt(lo) == ' ') lo += 1
-    while (hi > lo && lowered.charAt(hi - 1) == ' ') hi -= 1
-    lowered.substring(lo, hi).split("\\s+", -1).foreach(words.add)
+    val words = HashedBow.wordSetOf(text)
     val counts = new Array[Int](nBits)
     val it = words.iterator()
     while (it.hasNext) {

@@ -88,18 +88,50 @@ private[graft] object ArtifactIo {
     * artifact's `needsCompaction` keys on: every plain append adds a
     * file set, and probe latency grows with files listed. One
     * namenode listing, no data read. A missing dir counts 0. */
-  def dataFileCount(dir: String): Long = {
+  def dataFileCount(dir: String): Long = dataFileStats(dir)._1
+
+  /** (count, totalBytes) of the DATA files under `dir` — same single
+    * recursive listing as [[dataFileCount]], with sizes summed so
+    * compaction can be sized to DATA rather than to core count. */
+  def dataFileStats(dir: String): (Long, Long) = {
     val fs = fsOf(dir)
     val p = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(p)) return 0L
+    if (!fs.exists(p)) return (0L, 0L)
     var n = 0L
+    var bytes = 0L
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
       val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) n += 1L
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        n += 1L
+        bytes += f.getLen
+      }
     }
-    n
+    (n, bytes)
+  }
+
+  /** How many files a compaction of `dir` should WRITE: data bytes
+    * over a 128 MB target, at least 1 — sized to the data, never to
+    * the core count (a `repartition(defaultParallelism)` rewrite of a
+    * tiny artifact would emit more files than it collapses, so a
+    * file-count compaction trigger below the core count could never
+    * clear and every ingest batch would rewrite the whole artifact). */
+  def compactWidth(dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val (_, bytes) = dataFileStats(dir)
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+  }
+
+  /** Progress-guaranteed compaction trigger: the file count exceeds
+    * the caller's threshold AND a compaction would actually reduce it
+    * (count > [[compactWidth]]). Without the second conjunct a
+    * threshold below the compacted width fires forever. */
+  def shouldCompact(dir: String, maxDataFiles: Int): Boolean = {
+    val (n, bytes) = dataFileStats(dir)
+    val width = math.max(1L,
+      (bytes + 128L * 1024 * 1024 - 1) / (128L * 1024 * 1024))
+    n > maxDataFiles && n > width
   }
 
   /** Crash residue check: live dir gone, complete old parked. */

@@ -288,7 +288,7 @@ object BinaryIndex {
     val m = readMeta(path)
     val folded = spark.read.parquet(s"$path/packed")
       .groupBy(col("id")).agg(min(col("packed")).as("packed"))
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(ArtifactIo.compactWidth(s"$path/packed"))
     ArtifactIo.stagedSwap(fs, path, "packed",
       "binary index compact") { stage =>
       folded.write.mode("overwrite").parquet(stage)
@@ -305,6 +305,6 @@ object BinaryIndex {
     require(maxDataFiles > 0,
       "[GRAFT] binary index needsCompaction: maxDataFiles must be positive")
     ArtifactIo.requireNotParked(path, "packed", "binary index")
-    ArtifactIo.dataFileCount(s"$path/packed") > maxDataFiles
+    ArtifactIo.shouldCompact(s"$path/packed", maxDataFiles)
   }
 }

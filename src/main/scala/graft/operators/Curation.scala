@@ -37,6 +37,15 @@ import org.apache.spark.sql.functions._
   * stage is quadratic and nothing collects driver-side. The
   * streaming twin is [[graft.streaming.Ingest.curateIngestStream]].
   *
+  * Cache lifecycle: the two internal persists (MEMORY_AND_DISK, so
+  * oversized sets spill rather than evict the executors) exist
+  * because the composition itself scans them repeatedly; they cannot
+  * be unpersisted here without recomputing the pipeline under the
+  * caller's eventual action. They are released by Spark's
+  * ContextCleaner once the returned plan becomes unreachable — i.e.
+  * per-statement for the `vfs_curate` TVF — so repeated runs do not
+  * accumulate cache beyond the plans a caller still holds.
+  *
   * Reference anchor: none (the reference is a vector store,
   * vfs/src/vfs) — this is the brief's training-data-pipeline surface
   * built beyond it. */

@@ -1333,21 +1333,27 @@ object Dedup {
     // dim; the failure names the two-level composition that keeps k
     // bounded (cluster with IvfIndex first, then semanticDedup per
     // coarse cell with a driver-sized centroid subset).
-    locally {
-      val m = centroids.agg(count(lit(1)).cast("long"),
-        max(size(col("cv"))).cast("int")).head()
-      BroadcastGate.requireCollectFits(m.getLong(0),
-        math.max(0, if (m.isNullAt(1)) 0 else m.getInt(1)),
-        "semanticDedup centroid table",
-        "Route oversized centroid sets through two-level clustering: " +
-          "IvfIndex coarse cells first, then semanticDedup per cell " +
-          "with a bounded per-cell centroid set.")
-    }
-    val cents: Array[(Long, Seq[Float])] = centroids
-      .select(col("cid").cast("long"), col("cv"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1)
+    // persist before the sizing action: the gate's measuring agg and
+    // the collect would otherwise each execute the caller's full
+    // centroid derivation (at the documented k ≈ √N regime that is a
+    // whole clustering lineage, twice) — the Knn.exactBatch gate
+    // convention
+    val centsSlim = centroids
+      .select(col("cid").cast("long"), col("cv")).persist()
+    val cents: Array[(Long, Seq[Float])] =
+      try {
+        val m = centsSlim.agg(count(lit(1)).cast("long"),
+          max(size(col("cv"))).cast("int")).head()
+        BroadcastGate.requireCollectFits(m.getLong(0),
+          math.max(0, if (m.isNullAt(1)) 0 else m.getInt(1)),
+          "semanticDedup centroid table",
+          "Route oversized centroid sets through two-level clustering: " +
+            "IvfIndex coarse cells first, then semanticDedup per cell " +
+            "with a bounded per-cell centroid set.")
+        centsSlim.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          .sortBy(_._1)
+      } finally centsSlim.unpersist()
     require(cents.nonEmpty, "[GRAFT] semanticDedup: empty centroid set")
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
     lazy val dcs = cents.map { case (cid, cv) =>

@@ -254,7 +254,7 @@ object LshTextIndex {
     ArtifactIo.healParked(fs, path, "bands", "lsh compact")
     val m = readMeta(path)
     val folded = spark.read.parquet(s"$path/bands")
-      .repartition(col("band"))
+      .repartition(ArtifactIo.compactWidth(s"$path/bands"), col("band"))
     stagedSwap(fs, path, "lsh compact") { stage =>
       folded.write.mode("overwrite").parquet(stage)
       writeMetaInto(stage, m)
@@ -271,6 +271,6 @@ object LshTextIndex {
     require(maxDataFiles > 0,
       "[GRAFT] lsh needsCompaction: maxDataFiles must be positive")
     ArtifactIo.requireNotParked(path, "bands", "LSH index")
-    ArtifactIo.dataFileCount(s"$path/bands") > maxDataFiles
+    ArtifactIo.shouldCompact(s"$path/bands", maxDataFiles)
   }
 }

@@ -189,7 +189,7 @@ object SigIndex {
     require(maxDataFiles > 0,
       "[GRAFT] sig index needsCompaction: maxDataFiles must be positive")
     ArtifactIo.requireNotParked(path, Dir, "sig index")
-    ArtifactIo.dataFileCount(s"$path/$Dir") > maxDataFiles
+    ArtifactIo.shouldCompact(s"$path/$Dir", maxDataFiles)
   }
 
   /** Near-dups of `delta` prints against the indexed corpus:
@@ -271,7 +271,7 @@ object SigIndex {
     ArtifactIo.healParked(fs, path, Dir, "sig compact")
     val m = readMeta(path)
     val folded = spark.read.parquet(s"$path/$Dir")
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(ArtifactIo.compactWidth(s"$path/$Dir"))
     ArtifactIo.stagedSwap(fs, path, Dir, "sig compact") { stage =>
       folded.write.mode("overwrite").parquet(stage)
       ArtifactIo.writeFileInto(stage, "_sig.json", metaJson(m))

@@ -566,20 +566,26 @@ object TextAnalysis {
     require(k > 0, "[GRAFT] bm25TopK: k must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
+    // persist the distinct workload before the gate's count: the
+    // sizing action and the collect would otherwise each run the
+    // distinct shuffle (the Knn.exactBatch gate convention)
     val wlDf = queries
       .select(col(qidCol).cast("long").as("qid"), col(termCol).as("term"))
-      .distinct()
+      .distinct().persist()
     // byte-gate the workload collect: the fused kernel's trade is a
     // DRIVER-side inverted workload, and a pathological (qid, term)
     // table must fail loudly with the documented composition instead
     // of OOMing the driver silently. dim 16 ≈ the qid long + a short
     // term's bytes per row under the gate's 4-bytes-a-lane estimate.
-    BroadcastGate.requireCollectFits(wlDf.count(), 16,
-      "bm25TopK query workload",
-      "Compose bm25ScoresTable + rankByScore for workloads whose " +
-        "vocabulary exceeds the driver budget — its explode path " +
-        "stays fully distributed.")
-    val wl = wlDf.as[(Long, String)].collect()
+    val wl =
+      try {
+        BroadcastGate.requireCollectFits(wlDf.count(), 16,
+          "bm25TopK query workload",
+          "Compose bm25ScoresTable + rankByScore for workloads whose " +
+            "vocabulary exceeds the driver budget — its explode path " +
+            "stays fully distributed.")
+        wlDf.as[(Long, String)].collect()
+      } finally wlDf.unpersist()
     require(wl.nonEmpty, "[GRAFT] bm25TopK: empty query workload")
     val termSet = wl.map(_._2).distinct.sorted
     val toks = split(trim(lower(col(textCol))), "\\s+")

@@ -370,6 +370,8 @@ object Ingest {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(minTokens <= maxTokens,
       "[GRAFT] curateIngestStream: minTokens must be <= maxTokens")
+    require(keepLangs.distinct.length == keepLangs.length,
+      "[GRAFT] curateIngestStream: keepLangs has duplicates")
     withFrozenModel(stream.sparkSession, model) { frozen =>
       stream.writeStream
         .option("checkpointLocation", checkpoint)
@@ -401,7 +403,13 @@ object Ingest {
       rowsPerBand: Int, maxBucket: Int, keepLangs: Seq[String]): Unit = {
     val spark = batch0.sparkSession
     // spread a few-partition batch before the regex-heavy quality
-    // projection (the WorkCols.spread kernel convention)
+    // projection (the WorkCols.spread kernel convention), and
+    // persist the gated set for the batch's lifetime: the dedup
+    // stage evaluates its input several times (emptiness probe,
+    // banding, verify join-backs, corpus probe) and the route stage
+    // semi-joins it once more — each uncached scan would re-run the
+    // whole regex cascade (the same reason Curation.curateAndPack
+    // persists its gate)
     val gated = graft.operators.WorkCols
       .spread(batch0.select(col("doc_id"), col("text")))
       .filter(
@@ -409,16 +417,20 @@ object Ingest {
           minQualityMilli &&
         graft.operators.TextAnalysis.tokenCount(col("text"))
           .between(minTokens, maxTokens))
-    textDedupBatch(gated, corpusDir, threshold, bands,
-      rowsPerBand, maxBucket)
-    val docDir = s"$corpusDir/docs"
-    if (dirExists(spark, docDir)) {
-      val landed = gated.join(
-        spark.read.parquet(docDir).select(col("doc_id")),
-        Seq("doc_id"), "left_semi")
-      langIdRouteBatch(landed, batchId, model,
-        s"$corpusDir/routed", keepLangs)
-    }
+      .persist()
+    try {
+      textDedupBatch(gated, corpusDir, threshold, bands,
+        rowsPerBand, maxBucket)
+      val docDir = s"$corpusDir/docs"
+      if (dirExists(spark, docDir)) {
+        val landed = gated.join(
+          spark.read.parquet(docDir).select(col("doc_id")),
+          Seq("doc_id"), "left_semi")
+        langIdRouteBatch(landed, batchId, model,
+          s"$corpusDir/routed", keepLangs)
+      }
+    } finally gated.unpersist()
+    ()
   }
 
   /** Cache `model`, hand it to `start`, and release the cache when
@@ -567,7 +579,7 @@ object Ingest {
             SigIndex.needsCompaction(idxDir, autoCompactFiles)) {
           SigIndex.compact(spark, idxDir)
           val folded = spark.read.parquet(idsDir)
-            .repartition(spark.sparkContext.defaultParallelism)
+            .repartition(graft.operators.ArtifactIo.compactWidth(idsDir))
           graft.operators.ArtifactIo.stagedSwap(
             graft.operators.ArtifactIo.fsOf(corpusDir), corpusDir,
             "ids", "media ingest ledger compact") { stage =>

@@ -242,6 +242,26 @@ object ScaleProbe {
         .agg(sum($"gopher_pass"), sum($"n_kept"), sum($"page_drop"))
         .collect()
     }
+    // corpus boilerplate-line strip at scale: 500k 5-line pages share
+    // one global nav line and 100 per-group footers (5k docs each, all
+    // over the df>=1000 threshold); 1M unique content lines survive.
+    // The 100 TB contract: count pass + strip pass, both shuffles
+    // carry slim (id, line-key) rows, no window over the line key
+    time("boilerplate strip over 500k 5-line pages (count pass + " +
+        "strip pass, 101 boilerplate lines)") {
+      val pages = mediaDocs.select($"doc_id", concat(
+        lit("Home | About | Contact\n(c) group "),
+        ($"doc_id" % 100).cast("string"),
+        lit(" syndication network.\nunique lead "), $"text",
+        lit("\n\nunique tail "), $"doc_id".cast("string")).as("text"))
+      val r = graft.operators.Dedup
+        .stripBoilerplate(pages, minDocFreq = 1000L)
+        .agg(sum($"n_kept"), sum($"n_dropped")).collect().head
+      require(r.getLong(1) == 1000000L,
+        s"expected 2 boilerplate drops per doc, got ${r.getLong(1)}")
+      require(r.getLong(0) == 1000000L,
+        s"expected 2 kept lines per doc, got ${r.getLong(0)}")
+    }
     // audio near-dup at scale: 167k wav assets collapse to 8-byte
     // fingerprints INSIDE the per-partition decode kernel; only the
     // (band, bval, id, sig) quads shuffle — the 100 TB contract is

@@ -1677,13 +1677,12 @@ class PipelineSpec extends AnyFunSuite {
     run(Seq((3L, 0xFF0000L)))
     def files(d: String) =
       graft.operators.ArtifactIo.dataFileCount(d)
-    // threshold 1: each batch lands then compacts both dirs to one
-    // file set (defaultParallelism files at the spec's tiny core
-    // count may exceed 1, but three UNcompacted batch appends would
-    // strictly exceed one compacted rewrite)
-    assert(files(s"$dir/sigidx/sigs") <=
-      spark.sparkContext.defaultParallelism)
-    assert(files(s"$dir/ids") <= spark.sparkContext.defaultParallelism)
+    // threshold 1: once the file count exceeds it AND compaction can
+    // reduce it, both dirs fold to the DATA-sized width (1 file for
+    // these tiny tables — compact no longer emits defaultParallelism
+    // files, which used to leave the trigger permanently armed)
+    assert(files(s"$dir/sigidx/sigs") <= 2)
+    assert(files(s"$dir/ids") <= 2)
     assert(spark.read.parquet(s"$dir/ids").as[Long].collect()
       .toSeq.sorted === Seq(1L, 2L, 3L))
     assert(spark.read.parquet(s"$dir/sigidx/sigs").count() === 3L)
