@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_curate"),
       new ExpressionInfo("graft", "vfs_curate"),
       graft.plans.SqlSurface.vfsCurateBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_boilerplate"),
+      new ExpressionInfo("graft", "vfs_boilerplate"),
+      graft.plans.SqlSurface.vfsBoilerplateBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

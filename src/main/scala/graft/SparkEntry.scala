@@ -469,6 +469,30 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the SQL-text surface of boilerplate removal: the same
+    // built pages go to parquet and the vfs_boilerplate TVF strips
+    // them from pure SQL — shares the operator row's oracle ----
+    "sql_tvf_boilerplate" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      val page = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          lit("Home | About | Contact\n(c) "), col("source"),
+          lit(" network syndication.\n"),
+          substring(col("text"), 1, 50), lit("\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("Subscribe to our newsletter today.")).otherwise(lit("")),
+          lit("\n"), substring(col("text"), 51, 45),
+          lit("\nDoc "), col("doc_id").cast("string"),
+          lit(" exclusive content line.")).as("text"))
+      val in = java.nio.file.Files
+        .createTempDirectory("verify-boiler-tvf").toString
+      page.write.mode("overwrite").parquet(s"$in/pages")
+      s.sql(
+        s"""SELECT doc_id, n_kept, n_dropped, clean_text
+           |FROM vfs_boilerplate('$in/pages', 5)
+           |ORDER BY doc_id ASC""".stripMargin)
+    }),
+
     // ---- ExactSubstr (Lee et al. 2022): sliding 4-gram duplicate
     // detection merged into maximal keep-first spans — catches
     // duplication at ANY alignment, unlike the fixed passage blocks ----
@@ -3084,35 +3108,9 @@ object SparkEntry {
     // Spark side; the boilerplate list (df >= 5 over distinct docs,
     // trimmed non-blank lines) is folded to one row and each page is
     // list_filtered against it in document order
-    "dedup_boilerplate_lines" ->
-      """WITH p AS (SELECT doc_id,
-        |    'Home | About | Contact' || chr(10) ||
-        |    '(c) ' || source || ' network syndication.' || chr(10) ||
-        |    substr(text, 1, 50) || chr(10) ||
-        |    CASE WHEN doc_id % 3 = 0
-        |         THEN 'Subscribe to our newsletter today.'
-        |         ELSE '' END || chr(10) ||
-        |    substr(text, 51, 45) || chr(10) ||
-        |    'Doc ' || doc_id || ' exclusive content line.' AS text
-        |  FROM documents),
-        |occ AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
-        |  FROM p),
-        |df AS (SELECT trim(l) AS ln, count(DISTINCT doc_id) AS df
-        |  FROM occ WHERE len(trim(l)) > 0 GROUP BY 1),
-        |bp AS (SELECT coalesce(list(ln), []) AS bl
-        |  FROM df WHERE df >= 5),
-        |o AS (SELECT doc_id,
-        |    list_filter(string_split(text, chr(10)), l ->
-        |      len(trim(l)) > 0 AND NOT list_contains(bp.bl, trim(l)))
-        |      AS kept,
-        |    list_filter(string_split(text, chr(10)), l ->
-        |      len(trim(l)) > 0 AND list_contains(bp.bl, trim(l)))
-        |      AS dropped
-        |  FROM p CROSS JOIN bp)
-        |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
-        |  CAST(len(dropped) AS BIGINT) AS n_dropped,
-        |  array_to_string(kept, chr(10)) AS clean_text
-        |FROM o ORDER BY doc_id ASC""".stripMargin,
+    "dedup_boilerplate_lines" -> boilerplateOracle,
+    // the TVF form strips the identical pages from pure SQL
+    "sql_tvf_boilerplate" -> boilerplateOracle,
 
     "stream_quality_filter" -> qualityFilterOracle,
     // the TVF form computes the identical one-scan cascade + policy
@@ -5080,6 +5078,41 @@ object SparkEntry {
     * side is doc_id >= 100 with the bucket cap applied over ITS band
     * table only; the delta (doc_id < 100) bands uncapped — exactly
     * [[operators.LshTextIndex.probe]]'s semantics. */
+  /** Corpus boilerplate-line removal over the built pages, re-derived
+    * in DuckDB — shared verbatim by the operator row and its TVF twin:
+    * the df table (count DISTINCT docs per trimmed non-blank line)
+    * folds to ONE boilerplate list and each page is list_filtered
+    * against it in document order. */
+  private def boilerplateOracle: String =
+    """WITH p AS (SELECT doc_id,
+      |    'Home | About | Contact' || chr(10) ||
+      |    '(c) ' || source || ' network syndication.' || chr(10) ||
+      |    substr(text, 1, 50) || chr(10) ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN 'Subscribe to our newsletter today.'
+      |         ELSE '' END || chr(10) ||
+      |    substr(text, 51, 45) || chr(10) ||
+      |    'Doc ' || doc_id || ' exclusive content line.' AS text
+      |  FROM documents),
+      |occ AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+      |  FROM p),
+      |df AS (SELECT trim(l) AS ln, count(DISTINCT doc_id) AS df
+      |  FROM occ WHERE len(trim(l)) > 0 GROUP BY 1),
+      |bp AS (SELECT coalesce(list(ln), []) AS bl
+      |  FROM df WHERE df >= 5),
+      |o AS (SELECT doc_id,
+      |    list_filter(string_split(text, chr(10)), l ->
+      |      len(trim(l)) > 0 AND NOT list_contains(bp.bl, trim(l)))
+      |      AS kept,
+      |    list_filter(string_split(text, chr(10)), l ->
+      |      len(trim(l)) > 0 AND list_contains(bp.bl, trim(l)))
+      |      AS dropped
+      |  FROM p CROSS JOIN bp)
+      |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
+      |  CAST(len(dropped) AS BIGINT) AS n_dropped,
+      |  array_to_string(kept, chr(10)) AS clean_text
+      |FROM o ORDER BY doc_id ASC""".stripMargin
+
   /** The synthetic-page Gopher+C4 gate, re-derived in DuckDB —
     * shared verbatim by the streaming gate row and its TVF twin
     * (same corpus construction, same cascades, same policy). */

@@ -192,6 +192,9 @@ package object functions {
     //   minTokens, maxTokens, binCapacity])
     ExpressionUtils.registerTableFunction(spark, "vfs_curate",
       graft.plans.SqlSurface.vfsCurateBuilder _)
+    // SELECT * FROM vfs_boilerplate(path[, minDocFreq, textCol, idCol])
+    ExpressionUtils.registerTableFunction(spark, "vfs_boilerplate",
+      graft.plans.SqlSurface.vfsBoilerplateBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

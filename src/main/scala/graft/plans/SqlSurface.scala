@@ -517,6 +517,46 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_boilerplate(path[, minDocFreq, textCol,
+    * idCol])` — corpus-level boilerplate-line removal
+    * ([[graft.operators.Dedup.stripBoilerplate]]: a non-blank line
+    * whose trimmed text appears in ≥ minDocFreq distinct documents
+    * drops from ALL of them; survivors rejoin in original order)
+    * from pure SQL text:
+    * {{{ SELECT doc_id, clean_text FROM
+    *     vfs_boilerplate('/data/docs', 1000)
+    *     WHERE n_kept >= 1 }}}
+    * Policy (what to do with fully-boilerplate docs) stays with the
+    * caller, the [[vfsQualityGateBuilder]] split of labor. */
+  private[graft] def vfsBoilerplateBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_boilerplate(path[, minDocFreq, textCol, idCol]): $msg")
+    if (es.isEmpty || es.length > 4)
+      fail(s"expected 1-4 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val path = evalNonNull(0, "path").toString
+    val minDocFreq = if (es.length >= 2)
+      evalNonNull(1, "minDocFreq") match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other =>
+          fail(s"minDocFreq must be an integer literal, got $other")
+      } else 5L
+    if (minDocFreq < 2L) fail(s"minDocFreq must be >= 2, got $minDocFreq")
+    val textCol = if (es.length >= 3) evalNonNull(2, "textCol").toString
+      else "text"
+    val idCol = if (es.length >= 4) evalNonNull(3, "idCol").toString
+      else "doc_id"
+    graft.operators.Dedup.stripBoilerplate(
+        SparkSession.active.read.parquet(path), minDocFreq, textCol, idCol)
+      .queryExecution.analyzed
+  }
+
   /** Expose a store's live table (memtable ∪ flushed, dequantized) as
     * a temp view. */
   def registerStore(store: graft.store.VfsStore, name: String): Unit =

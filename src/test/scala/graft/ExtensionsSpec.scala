@@ -367,6 +367,48 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("vfs_boilerplate table-valued function: corpus boilerplate " +
+      "strip from SQL text, parity with the DataFrame operator, " +
+      "bad args loud") {
+    val shared = GraftTest.spark
+    try {
+      val s = org.apache.spark.sql.graft.shims.sessionWithExtensions(
+        shared.sparkContext, new GraftExtensions())
+      SparkSession.setActiveSession(s)
+      import org.apache.spark.sql.functions.col
+      // a tiny corpus with real cross-doc boilerplate, persisted so
+      // the TVF sees it as a path
+      val dir = java.nio.file.Files
+        .createTempDirectory("tvf-boiler").toString
+      import s.implicits._
+      Seq((1L, "NAV\na one"), (2L, "NAV\nb two"), (3L, "NAV\nc three"))
+        .toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+      val got = s.sql(
+        s"""SELECT doc_id, n_kept, n_dropped, clean_text
+           |FROM vfs_boilerplate('$dir', 3)
+           |ORDER BY doc_id""".stripMargin)
+        .collect().map(_.toSeq).toSeq
+      val expect = graft.operators.Dedup.stripBoilerplate(
+          s.read.parquet(dir), minDocFreq = 3L)
+        .orderBy(col("doc_id"))
+        .collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty && got === expect)
+      assert(got.forall(r => r(3).asInstanceOf[String].contains("NAV")
+        == false))
+      val e = intercept[Exception] {
+        s.sql("SELECT * FROM vfs_boilerplate()").collect()
+      }
+      assert(e.getMessage.contains("expected 1-4 arguments"))
+      val e2 = intercept[Exception] {
+        s.sql(s"SELECT * FROM vfs_boilerplate('$dir', 1)").collect()
+      }
+      assert(e2.getMessage.contains("minDocFreq must be >= 2"))
+    } finally {
+      SparkSession.setActiveSession(shared)
+      SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("vfs_langid table-valued function: trigram language ID from " +
       "SQL text — zero-setup and standing-model forms both match the " +
       "DataFrame operator, bad args loud") {
