@@ -455,17 +455,25 @@ object SparkEntry {
     // every 3rd doc, two unique content lines, a unique doc footer,
     // and a blank line (dropped silently, counted neither way) ----
     "dedup_boilerplate_lines" -> ((s, dir) => {
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      val page = d.select(col("doc_id"), concat(
-        lit("Home | About | Contact\n(c) "), col("source"),
-        lit(" network syndication.\n"),
-        substring(col("text"), 1, 50), lit("\n"),
-        when(col("doc_id") % 3 === 0,
-          lit("Subscribe to our newsletter today.")).otherwise(lit("")),
-        lit("\n"), substring(col("text"), 51, 45),
-        lit("\nDoc "), col("doc_id").cast("string"),
-        lit(" exclusive content line.")).as("text"))
-      Dedup.stripBoilerplate(page, minDocFreq = 5L)
+      Dedup.stripBoilerplate(boilerplatePages(s, dir), minDocFreq = 5L)
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the INCREMENTAL form: the line table is a standing
+    // artifact (LineIndex) — built on the first half of the corpus,
+    // appended with the second (disjoint ids, so per-batch df sums to
+    // the corpus df), then the whole corpus strips against the MERGED
+    // counts; output bit-identical to the one-shot form, so the row
+    // shares its oracle ----
+    "dedup_incremental_boilerplate" -> ((s, dir) => {
+      val page = boilerplatePages(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-lineidx").toString
+      graft.operators.LineIndex.build(
+        page.filter(col("doc_id") < 250), idx)
+      graft.operators.LineIndex.append(
+        page.filter(col("doc_id") >= 250), idx)
+      graft.operators.LineIndex.strip(s, idx, page, minDocFreq = 5L)
         .orderBy(col("doc_id").asc)
     }),
 
@@ -474,16 +482,7 @@ object SparkEntry {
     // them from pure SQL — shares the operator row's oracle ----
     "sql_tvf_boilerplate" -> ((s, dir) => {
       graft.functions.registerAll(s)
-      val page = s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), concat(
-          lit("Home | About | Contact\n(c) "), col("source"),
-          lit(" network syndication.\n"),
-          substring(col("text"), 1, 50), lit("\n"),
-          when(col("doc_id") % 3 === 0,
-            lit("Subscribe to our newsletter today.")).otherwise(lit("")),
-          lit("\n"), substring(col("text"), 51, 45),
-          lit("\nDoc "), col("doc_id").cast("string"),
-          lit(" exclusive content line.")).as("text"))
+      val page = boilerplatePages(s, dir)
       val in = java.nio.file.Files
         .createTempDirectory("verify-boiler-tvf").toString
       page.write.mode("overwrite").parquet(s"$in/pages")
@@ -3111,6 +3110,9 @@ object SparkEntry {
     "dedup_boilerplate_lines" -> boilerplateOracle,
     // the TVF form strips the identical pages from pure SQL
     "sql_tvf_boilerplate" -> boilerplateOracle,
+    // the standing-artifact form: build + append (disjoint halves)
+    // merge to the identical corpus df, so the strip is bit-identical
+    "dedup_incremental_boilerplate" -> boilerplateOracle,
 
     "stream_quality_filter" -> qualityFilterOracle,
     // the TVF form computes the identical one-scan cascade + policy
@@ -5078,6 +5080,23 @@ object SparkEntry {
     * side is doc_id >= 100 with the bucket cap applied over ITS band
     * table only; the delta (doc_id < 100) bands uncapped — exactly
     * [[operators.LshTextIndex.probe]]'s semantics. */
+  /** The synthetic multi-line pages with REAL cross-doc boilerplate
+    * (global nav, per-source footer, every-3rd-doc subscribe prompt,
+    * two unique content lines, a blank line, a unique doc footer) —
+    * ONE construction shared by every boilerplate row; the oracle
+    * builds the identical page in its `p` CTE. */
+  private def boilerplatePages(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), concat(
+        lit("Home | About | Contact\n(c) "), col("source"),
+        lit(" network syndication.\n"),
+        substring(col("text"), 1, 50), lit("\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("Subscribe to our newsletter today.")).otherwise(lit("")),
+        lit("\n"), substring(col("text"), 51, 45),
+        lit("\nDoc "), col("doc_id").cast("string"),
+        lit(" exclusive content line.")).as("text"))
+
   /** Corpus boilerplate-line removal over the built pages, re-derived
     * in DuckDB — shared verbatim by the operator row and its TVF twin:
     * the df table (count DISTINCT docs per trimmed non-blank line)

@@ -110,14 +110,19 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(minDocFreq >= 2L,
       "[GRAFT] boilerplateLines: minDocFreq must be >= 2")
-    boilerplateFrom(lineOccurrences(docs, textCol, idCol), minDocFreq)
+    lineDocFreqs(docs, textCol, idCol).filter(col("df") >= minDocFreq)
   }
 
-  private def boilerplateFrom(occ: DataFrame,
-      minDocFreq: Long): DataFrame =
-    occ.select(col("__id"), col("__ln")).distinct()
+  /** The UNthresholded line → doc-frequency table (line, df) —
+    * [[boilerplateLines]] without the cut, and the partial-count unit
+    * [[LineIndex]] stores per batch (df counts over disjoint batches
+    * sum to the corpus df, so a standing table can accumulate
+    * increments and merge on read). */
+  def lineDocFreqs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    lineOccurrences(docs, textCol, idCol)
+      .select(col("__id"), col("__ln")).distinct()
       .groupBy(col("__ln")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDocFreq)
       .select(col("__ln").as("line"), col("df"))
 
   /** Strip corpus-level boilerplate lines from every document (the

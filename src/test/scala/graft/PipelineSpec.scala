@@ -656,6 +656,59 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("line index: standing df table — build/append merge to the " +
+      "corpus counts, replayed batch is a no-op, compact folds " +
+      "partials, strip matches the one-shot form") {
+    import graft.operators.LineIndex
+    val d = Seq(
+      (1L, "NAV\nunique one"),
+      (2L, "NAV\nunique two"),
+      (3L, "NAV\nunique three"),
+      (4L, "NAV\nunique four"),
+      (5L, "NAV\nunique five"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("line_index").toString
+    // build on the first two docs, append the rest (disjoint ids)
+    LineIndex.build(d.filter($"doc_id" <= 2), idx)
+    assert(LineIndex.exists(idx))
+    assert(LineIndex.appendIdempotent(d.filter($"doc_id" > 2), idx, 0L))
+    // merged counts == a one-shot recount of the full corpus
+    val merged = LineIndex.counts(spark, idx)
+      .as[(String, Long)].collect().toMap
+    val oneShot = Dedup.lineDocFreqs(d)
+      .as[(String, Long)].collect().toMap
+    assert(merged === oneShot && merged("NAV") === 5L)
+    // a REPLAYED batch id is an exact no-op — a double-counted batch
+    // would inflate df and flip clean lines over the threshold
+    assert(!LineIndex.appendIdempotent(d.filter($"doc_id" > 2), idx, 0L))
+    assert(LineIndex.counts(spark, idx)
+      .as[(String, Long)].collect().toMap === merged)
+    // compact folds the partial rows; counts identical after
+    assert(spark.read.parquet(s"$idx/lines").count() >
+      merged.size.toLong) // partials present pre-compact
+    LineIndex.compact(spark, idx)
+    assert(spark.read.parquet(s"$idx/lines").count() ===
+      merged.size.toLong)
+    assert(LineIndex.counts(spark, idx)
+      .as[(String, Long)].collect().toMap === merged)
+    // strip against the standing table == the one-shot strip
+    val viaIndex = LineIndex.strip(spark, idx, d, minDocFreq = 5L)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect()
+    val oneShotStrip = Dedup.stripBoilerplate(d, minDocFreq = 5L)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect()
+    assert(viaIndex.toSeq === oneShotStrip.toSeq)
+    assert(viaIndex.head === ((1L, 1L, 1L, "unique one")))
+    // rebuild retires the watermark: batch 0 applies again
+    LineIndex.build(d.filter($"doc_id" <= 2), idx)
+    assert(LineIndex.appendIdempotent(d.filter($"doc_id" > 2), idx, 0L))
+    // no artifact -> loud
+    intercept[IllegalArgumentException] {
+      LineIndex.counts(spark, java.nio.file.Files
+        .createTempDirectory("line_index_none").toString)
+    }
+  }
+
   test("duplicate spans: sliding k-grams merge to maximal keep-first spans") {
     val d = Seq(
       (1L, "a b c d e f g"),      // all grams canonical → no spans
