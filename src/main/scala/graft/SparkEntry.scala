@@ -492,6 +492,21 @@ object SparkEntry {
            |ORDER BY doc_id ASC""".stripMargin)
     }),
 
+    // ---- the streaming boilerplate loop's single-batch run: batch 0
+    // builds the standing LineIndex from its own counts and strips
+    // itself against them — identical to the one-shot form, so the
+    // row shares its oracle ----
+    "stream_boilerplate" -> ((s, dir) => {
+      val corpus = java.nio.file.Files
+        .createTempDirectory("verify-boiler-ing").toString
+      graft.streaming.Ingest.boilerplateBatch(
+        boilerplatePages(s, dir), 0L, corpus, minDocFreq = 5L)
+      s.read.parquet(s"$corpus/docs/batch=0")
+        .select(col("doc_id"), col("n_kept"), col("n_dropped"),
+          col("clean_text"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- ExactSubstr (Lee et al. 2022): sliding 4-gram duplicate
     // detection merged into maximal keep-first spans — catches
     // duplication at ANY alignment, unlike the fixed passage blocks ----
@@ -3113,6 +3128,8 @@ object SparkEntry {
     // the standing-artifact form: build + append (disjoint halves)
     // merge to the identical corpus df, so the strip is bit-identical
     "dedup_incremental_boilerplate" -> boilerplateOracle,
+    // the streaming loop's batch-0 body: build + self-strip == one-shot
+    "stream_boilerplate" -> boilerplateOracle,
 
     "stream_quality_filter" -> qualityFilterOracle,
     // the TVF form computes the identical one-scan cascade + policy

@@ -591,6 +591,85 @@ object Ingest {
     ()
   }
 
+  /** Streaming ingest with BOILERPLATE-LINE removal — the
+    * [[graft.operators.LineIndex]] loop: each micro-batch (1) folds
+    * its (line, df) partial counts into the standing table
+    * (idempotent-append watermark — a replayed batch must NOT
+    * double-count, since inflated df flips clean lines over the
+    * threshold), (2) strips itself against the MERGED counts
+    * ([[graft.operators.LineIndex.strip]] — one batch scan, no
+    * corpus recount), and (3) lands the cleaned docs batch-addressed
+    * at `corpusDir/docs/batch=<id>` (overwrite — replay-idempotent).
+    *
+    * Count-then-strip order means a batch IS vetted against its own
+    * lines plus everything before it; boilerplate that only emerges
+    * in later batches does not retro-clean earlier ones — re-run
+    * [[graft.operators.LineIndex.strip]] over the corpus for a full
+    * re-clean (the standing table already holds the final counts).
+    *
+    * Crash contract: the first batch writes the watermark ATOMICALLY
+    * right after build; an index WITHOUT a watermark is batch-0 crash
+    * residue and is REBUILT from the replayed batch (the
+    * [[mediaDedupIngestStream]] stance — a plain append would
+    * double-count every line of the replayed batch). The artifact dir
+    * (`corpusDir/lineidx`) is loop-private by layout.
+    *
+    * `autoCompactFiles > 0` self-schedules
+    * [[graft.operators.LineIndex.compact]] (fold partials + fix
+    * small-files growth) under the [[ArtifactIo.shouldCompact]]
+    * convergence contract; the foreachBatch body is the single
+    * writer, so the staged swap cannot race an append. */
+  def boilerplateIngestStream(stream: DataFrame, corpusDir: String,
+      checkpoint: String, minDocFreq: Long = 5L,
+      autoCompactFiles: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(minDocFreq >= 2L,
+      "[GRAFT] boilerplateIngestStream: minDocFreq must be >= 2")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        boilerplateBatch(batch, batchId, corpusDir, minDocFreq,
+          autoCompactFiles)
+      }
+      .start()
+  }
+
+  /** [[boilerplateIngestStream]]'s per-batch body, separated so
+    * replay idempotence, the batch-0 crash rebuild, and one-shot
+    * parity are testable. */
+  private[graft] def boilerplateBatch(batch0: DataFrame, batchId: Long,
+      corpusDir: String, minDocFreq: Long,
+      autoCompactFiles: Int = 0): Unit = {
+    import graft.operators.{ArtifactIo, LineIndex}
+    val spark = batch0.sparkSession
+    val idxDir = s"$corpusDir/lineidx"
+    // persist: the count fold and the strip each scan the batch
+    val batch = batch0.select(col("doc_id"), col("text")).persist()
+    try {
+      if (batch.take(1).isEmpty) return
+      if (LineIndex.exists(idxDir) &&
+          ArtifactIo.fileExists(idxDir, "_append_batch")) {
+        LineIndex.appendIdempotent(batch, idxDir, batchId)
+      } else {
+        // no index, OR an index without its watermark — the latter is
+        // a crash between batch-0's build and the marker write: the
+        // whole table is this batch's uncommitted residue, so REBUILD
+        // (an append would double-count every replayed line)
+        LineIndex.build(batch, idxDir)
+        ArtifactIo.writeSmallFileAtomic(idxDir, "_append_batch",
+          batchId.toString)
+      }
+      LineIndex.strip(spark, idxDir, batch, minDocFreq)
+        .write.mode("overwrite")
+        .parquet(s"$corpusDir/docs/batch=$batchId")
+      if (autoCompactFiles > 0 &&
+          LineIndex.needsCompaction(idxDir, autoCompactFiles))
+        LineIndex.compact(spark, idxDir)
+    } finally batch.unpersist()
+    ()
+  }
+
   /** Streaming ingest with EXACT-SUBSTRING decontamination — the
     * ExactSubstr twin of [[textDedupIngestStream]]: each micro-batch
     * is vetted against the standing gram set PLUS its own within-batch

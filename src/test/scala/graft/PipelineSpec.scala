@@ -1520,6 +1520,67 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet === got)
   }
 
+  test("boilerplate ingest stream: per-batch count fold + strip " +
+      "against the merged table, replay no-op, batch-0 crash rebuild " +
+      "never double-counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{ArtifactIo, LineIndex}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("boiler_ingest").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("boiler_ingest_ck").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.boilerplateIngestStream(
+      stream.toDF().toDF("doc_id", "text"), dir, ck, minDocFreq = 3L,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      // batch 0: NAV df=2 < 3 — kept in batch 0's own output
+      stream.addData((1L, "NAV\nalpha one"), (2L, "NAV\nalpha two"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/docs/batch=0")
+        .select($"doc_id", $"clean_text").as[(Long, String)]
+        .collect().toMap ===
+        Map(1L -> "NAV\nalpha one", 2L -> "NAV\nalpha two"))
+      // batch 1 pushes NAV to df=4 >= 3: batch 1 strips it; batch
+      // 0's landed output is NOT retro-cleaned (documented semantics)
+      stream.addData((3L, "NAV\nbeta three"), (4L, "NAV\nbeta four"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/docs/batch=1")
+        .select($"doc_id", $"clean_text").as[(Long, String)]
+        .collect().toMap ===
+        Map(3L -> "beta three", 4L -> "beta four"))
+      assert(LineIndex.counts(spark, s"$dir/lineidx")
+        .filter($"line" === "NAV").as[(String, Long)].head()._2 === 4L)
+    } finally q.stop()
+    // REPLAY batch 1's body: the watermark no-ops the count fold (a
+    // double count would inflate df), the strip recomputes the same
+    // output, the batch dir rewrites identically
+    graft.streaming.Ingest.boilerplateBatch(
+      Seq((3L, "NAV\nbeta three"), (4L, "NAV\nbeta four"))
+        .toDF("doc_id", "text"), 1L, dir, minDocFreq = 3L)
+    assert(LineIndex.counts(spark, s"$dir/lineidx")
+      .filter($"line" === "NAV").as[(String, Long)].head()._2 === 4L)
+    assert(spark.read.parquet(s"$dir/docs/batch=1")
+      .select($"doc_id", $"clean_text").as[(Long, String)]
+      .collect().toMap === Map(3L -> "beta three", 4L -> "beta four"))
+    // BATCH-0 CRASH SIM on a fresh corpus: build succeeded but the
+    // watermark write did not — the replay must REBUILD from the
+    // batch, not append a second count of every line
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("boiler_ingest_crash").toString
+    graft.streaming.Ingest.boilerplateBatch(
+      Seq((1L, "NAV\nsolo")).toDF("doc_id", "text"), 0L, dir2,
+      minDocFreq = 2L)
+    ArtifactIo.deleteFile(s"$dir2/lineidx", "_append_batch")
+    graft.streaming.Ingest.boilerplateBatch(
+      Seq((1L, "NAV\nsolo")).toDF("doc_id", "text"), 0L, dir2,
+      minDocFreq = 2L)
+    assert(LineIndex.counts(spark, s"$dir2/lineidx")
+      .filter($"line" === "NAV").as[(String, Long)].head()._2 === 1L)
+  }
+
   test("media dedup ingest stream: within-batch keep-first, standing-" +
       "corpus prune, replay guard, and crash-residue scrub over the " +
       "SigIndex artifact") {
