@@ -262,6 +262,31 @@ object ScaleProbe {
       require(r.getLong(0) == 1000000L,
         s"expected 2 kept lines per doc, got ${r.getLong(0)}")
     }
+    // incremental boilerplate: the standing LineIndex pays the 500k-
+    // page count pass once; a 5k-doc nightly delta then costs one
+    // batch count + one batch strip — the ∝-batch contract, measured
+    time("LineIndex build over the 500k pages, then 5k-delta append " +
+        "+ strip (cost ∝ batch, corpus not recounted)") {
+      val pages = mediaDocs.select($"doc_id", concat(
+        lit("Home | About | Contact\n(c) group "),
+        ($"doc_id" % 100).cast("string"),
+        lit(" syndication network.\nunique lead "), $"text",
+        lit("\n\nunique tail "), $"doc_id".cast("string")).as("text"))
+      val idx = java.nio.file.Files
+        .createTempDirectory("scale-lineidx").toString
+      graft.operators.LineIndex.build(pages, idx)
+      val t0 = System.nanoTime()
+      val delta = spark.range(500000L, 505000L).select(
+        $"id".as("doc_id"), concat(lit("Home | About | Contact\n"),
+          lit("delta doc "), $"id".cast("string")).as("text"))
+      graft.operators.LineIndex.appendIdempotent(delta, idx, 1L)
+      val r = graft.operators.LineIndex
+        .strip(spark, idx, delta, minDocFreq = 1000L)
+        .agg(sum($"n_dropped")).collect().head.getLong(0)
+      require(r == 5000L, s"expected 5000 nav drops in the delta, got $r")
+      println(f"[scale-probe]   delta append+strip alone: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     // audio near-dup at scale: 167k wav assets collapse to 8-byte
     // fingerprints INSIDE the per-partition decode kernel; only the
     // (band, bval, id, sig) quads shuffle — the 100 TB contract is
