@@ -471,8 +471,8 @@ object SparkEntry {
         .createTempDirectory("verify-lineidx").toString
       graft.operators.LineIndex.build(
         page.filter(col("doc_id") < 250), idx)
-      graft.operators.LineIndex.append(
-        page.filter(col("doc_id") >= 250), idx)
+      graft.operators.LineIndex.appendIdempotent(
+        page.filter(col("doc_id") >= 250), idx, batchId = 0L)
       graft.operators.LineIndex.strip(s, idx, page, minDocFreq = 5L)
         .orderBy(col("doc_id").asc)
     }),

@@ -117,21 +117,30 @@ private[graft] object ArtifactIo {
     * tiny artifact would emit more files than it collapses, so a
     * file-count compaction trigger below the core count could never
     * clear and every ingest batch would rewrite the whole artifact). */
+  private val DefaultTargetBytes = 128L * 1024 * 1024
+
+  /** The ONE width formula — shared by the [[compactWidth]] writer
+    * side and the [[shouldCompact]] trigger side, so the two can
+    * never drift apart and re-open the fire-forever loop the
+    * convergence contract closes. */
+  private def widthOf(bytes: Long, targetBytes: Long): Long =
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+
   def compactWidth(dir: String,
-      targetBytes: Long = 128L * 1024 * 1024): Int = {
+      targetBytes: Long = DefaultTargetBytes): Int = {
     val (_, bytes) = dataFileStats(dir)
-    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    widthOf(bytes, targetBytes).toInt
   }
 
   /** Progress-guaranteed compaction trigger: the file count exceeds
     * the caller's threshold AND a compaction would actually reduce it
-    * (count > [[compactWidth]]). Without the second conjunct a
-    * threshold below the compacted width fires forever. */
-  def shouldCompact(dir: String, maxDataFiles: Int): Boolean = {
+    * (count > [[compactWidth]] under the SAME `targetBytes`). Without
+    * the second conjunct a threshold below the compacted width fires
+    * forever. */
+  def shouldCompact(dir: String, maxDataFiles: Int,
+      targetBytes: Long = DefaultTargetBytes): Boolean = {
     val (n, bytes) = dataFileStats(dir)
-    val width = math.max(1L,
-      (bytes + 128L * 1024 * 1024 - 1) / (128L * 1024 * 1024))
-    n > maxDataFiles && n > width
+    n > maxDataFiles && n > widthOf(bytes, targetBytes)
   }
 
   /** Crash residue check: live dir gone, complete old parked. */

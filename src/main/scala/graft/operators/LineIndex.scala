@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Persisted line → doc-frequency table for INCREMENTAL boilerplate
   * removal — the standing-artifact story ([[LshTextIndex]] for text
@@ -13,31 +14,45 @@ import org.apache.spark.sql.functions._
   *
   *   - build: persist the corpus's (line, df) rows
   *     ([[Dedup.lineDocFreqs]] — trimmed non-blank lines, distinct
-  *     docs per line).
-  *   - append: add the BATCH's partial (line, df) rows — cost ∝
-  *     batch, the standing table is not read. Doc-frequency is
-  *     additive over batches with DISJOINT document ids (each doc
-  *     counts once per line corpus-wide iff no doc spans batches),
-  *     which is the append contract — same stance as
-  *     [[LshTextIndex.append]]'s "ids not already indexed".
+  *     docs per line) as the BASE partition.
+  *   - appendIdempotent: land the BATCH's partial (line, df) rows at
+  *     `lines/batch=<id>` with OVERWRITE — cost ∝ batch, the standing
+  *     table is not read, and a replay rewrites the same partition
+  *     with identical content instead of double-counting (this
+  *     artifact has NO downstream dedup to absorb a duplicate: an
+  *     inflated df flips clean lines over the boilerplate threshold —
+  *     a wrong answer, not a fatter bucket — so the write itself must
+  *     be idempotent; there is deliberately no plain append).
+  *     Doc-frequency is additive over batches with DISJOINT document
+  *     ids, the append contract (the [[LshTextIndex.append]] "ids not
+  *     already indexed" stance).
   *   - counts/boilerplate: merge the partials on read (one hash
   *     aggregate over slim (line, df) rows — never over the corpus).
   *   - strip: [[Dedup.stripBoilerplateWith]] against the merged
   *     boilerplate list — ONE corpus scan, no recount.
   *
-  * Storage is deliberately PARTIAL-ROW (a line may appear once per
-  * appended batch until [[compact]] folds it): appends stay ∝ batch
+  * Storage is batch-ADDRESSED partial rows (a line may appear once
+  * per landed batch until [[compact]] folds it): appends stay ∝ batch
   * with no read-modify-write of the standing table, the merge is a
-  * read-side aggregate the [[BinaryIndex]] plain-append + compact
-  * pattern already established, and [[compact]] both collapses the
-  * partials and fixes small-files growth (data-sized width via
-  * [[ArtifactIo.compactWidth]]).
+  * read-side aggregate, and [[compact]] folds everything into the
+  * base partition at data-sized width ([[ArtifactIo.compactWidth]]).
+  * The monotonic `_append_batch` watermark makes a STALE replay (an
+  * already-folded batch id re-arriving after a compact) a refused
+  * no-op, so the folded base can never be overwritten; the watermark
+  * lives at the artifact root, OUTSIDE `lines/`, so compaction's
+  * staged swap of the data dir preserves it.
   *
   * Takedown: per-line df carries no per-doc provenance, so
   * SUBTRACTING a document is undefined on this layout (the
   * [[GramIndex.retire]] rationale) — rebuild from the surviving
   * corpus ([[build]] bumps the generation and retires the append
-  * watermark).
+  * watermark, starting a fresh batch sequence). A rebuilt artifact is
+  * indistinguishable from a freshly built one BY DESIGN: incremental
+  * callers ([[graft.streaming.Ingest.boilerplateIngestStream]])
+  * create the artifact EMPTY ([[create]]) and land every batch
+  * through [[appendIdempotent]], so they never need a
+  * residue-vs-rebuilt heuristic that could misread a legitimate
+  * takedown rebuild as batch-0 crash residue.
   *
   * Metadata rides INSIDE `lines/` as `_lines.json`; every rewrite
   * publishes via [[ArtifactIo.stagedSwap]] — no crash state mixes old
@@ -49,6 +64,11 @@ object LineIndex {
   case class Meta(generation: Int)
 
   private val Dir = "lines"
+
+  /** The base partition: [[build]]'s corpus counts and [[compact]]'s
+    * folded rows live here; [[appendIdempotent]] requires batch ids
+    * ≥ 0, so the base can never collide with a landed batch. */
+  private val BaseBatch = -1L
 
   private def metaJson(m: Meta): String =
     s"""{"generation":${m.generation}}"""
@@ -64,6 +84,16 @@ object LineIndex {
   def exists(path: String): Boolean = {
     ArtifactIo.requireNotParked(path, Dir, "line index")
     fsOf(path).exists(metaPath(path))
+  }
+
+  /** Heal a crash parked mid-swap (compact or rebuild died between
+    * its two renames): rename the complete old table back live. The
+    * streaming loop calls this at the top of every batch — without
+    * it, a parked state makes [[exists]] throw on every subsequent
+    * batch and the stream can never recover on its own. */
+  def healParked(path: String): Unit = {
+    ArtifactIo.healParked(fsOf(path), path, Dir, "line index heal")
+    ()
   }
 
   private def readMetaOpt(path: String): Option[Meta] = {
@@ -85,22 +115,18 @@ object LineIndex {
     readMetaOpt(path).getOrElse(throw new IllegalArgumentException(
       s"[GRAFT] no line index at $path (expected $Dir/_lines.json)"))
 
-  /** Build (or REBUILD — generation bumps, append watermark retires)
-    * the line table at `path` from `docs`. */
-  def build(docs: DataFrame, path: String, textCol: String = "text",
-      idCol: String = "doc_id"): Unit = {
+  private def writeBase(rows: DataFrame, path: String,
+      gen: Int): Unit = {
     val fs = fsOf(path)
-    ArtifactIo.healParked(fs, path, Dir, "line build")
-    val gen = readMetaOpt(path).map(_.generation + 1).getOrElse(1)
-    val rows = Dedup.lineDocFreqs(docs, textCol, idCol)
     val live = new org.apache.hadoop.fs.Path(s"$path/$Dir")
     def writeStage(stage: String): Unit = {
-      rows.write.mode("overwrite").parquet(stage)
+      rows.write.mode("overwrite").parquet(s"$stage/batch=$BaseBatch")
       ArtifactIo.writeFileInto(stage, "_lines.json",
         metaJson(Meta(gen)))
-      // retire the appendIdempotent high-watermark after the stage
-      // write succeeds, before the publish rename — the
-      // [[SigIndex.build]] window analysis verbatim
+      // retire the append watermark after the stage write succeeds,
+      // before the publish rename — the [[SigIndex.build]] window
+      // analysis verbatim (a rebuilt artifact starts a fresh batch
+      // sequence)
       ArtifactIo.deleteFile(path, "_append_batch")
     }
     if (!fs.exists(live))
@@ -109,38 +135,58 @@ object LineIndex {
       ArtifactIo.stagedSwap(fs, path, Dir, "line build")(writeStage)
   }
 
-  /** Append the batch's partial (line, df) rows. Cost ∝ batch; the
-    * standing table is not read. Caller contract: the batch's doc ids
-    * are DISJOINT from every doc already counted (df is additive only
-    * over disjoint doc sets). Replay-prone callers should use
-    * [[appendIdempotent]] — a replayed plain append double-counts
-    * every line in the batch. */
-  def append(docs: DataFrame, path: String, textCol: String = "text",
+  /** Build (or REBUILD — generation bumps, append watermark retires)
+    * the line table at `path` from `docs`. */
+  def build(docs: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
-    readMeta(path)
-    Dedup.lineDocFreqs(docs, textCol, idCol)
-      .write.mode("append").parquet(s"$path/$Dir")
+    ArtifactIo.healParked(fsOf(path), path, Dir, "line build")
+    val gen = readMetaOpt(path).map(_.generation + 1).getOrElse(1)
+    writeBase(Dedup.lineDocFreqs(docs, textCol, idCol), path, gen)
   }
 
-  /** [[append]] guarded by the monotonic `_append_batch` marker (the
-    * [[SigIndex.appendIdempotent]] protocol verbatim): a replay of an
-    * already-committed batch is an exact no-op — essential HERE
-    * because a double-counted batch inflates df and can push clean
-    * lines over the boilerplate threshold (a WRONG answer, not just a
-    * fatter bucket). Returns whether the batch was applied. */
+  /** Create an EMPTY artifact (schema-bearing base partition, no
+    * counts) — the incremental entry point: a streaming loop creates
+    * once, then lands EVERY batch through [[appendIdempotent]], so no
+    * crash point can double-count and no heuristic has to guess
+    * whether a standing table is residue or a legitimate rebuild.
+    * Idempotent: an existing artifact is left untouched. */
+  def create(spark: SparkSession, path: String): Unit = {
+    ArtifactIo.healParked(fsOf(path), path, Dir, "line create")
+    if (readMetaOpt(path).isDefined) return
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(Seq(StructField("line", StringType),
+        StructField("df", LongType))))
+    writeBase(empty, path, 1)
+  }
+
+  /** Land the batch's partial (line, df) rows at `lines/batch=<id>`
+    * with OVERWRITE — replay-idempotent by construction: a crash
+    * anywhere between the partition write and the watermark update
+    * just makes the replay rewrite the same partition with identical
+    * content. The monotonic watermark refuses STALE ids (`batchId`
+    * ≤ the last committed one) so an already-[[compact]]ed batch can
+    * never land twice; fresh ids must be ≥ 0 (the base partition is
+    * reserved). Caller contract: the batch's doc ids are DISJOINT
+    * from every doc already counted (df is additive only over
+    * disjoint doc sets). Returns whether the batch was applied. */
   def appendIdempotent(docs: DataFrame, path: String, batchId: Long,
       textCol: String = "text", idCol: String = "doc_id"): Boolean = {
+    require(batchId >= 0L,
+      "[GRAFT] line index append: batchId must be >= 0")
+    readMeta(path)
     val last =
       if (!ArtifactIo.fileExists(path, "_append_batch")) -1L
       else ArtifactIo.readSmallFile(path, "_append_batch").trim.toLong
     if (batchId <= last) return false
-    append(docs, path, textCol, idCol)
+    Dedup.lineDocFreqs(docs, textCol, idCol)
+      .write.mode("overwrite").parquet(s"$path/$Dir/batch=$batchId")
     ArtifactIo.writeSmallFileAtomic(path, "_append_batch",
       batchId.toString)
     true
   }
 
-  /** The MERGED corpus-wide (line, df) view — partial batch rows
+  /** The MERGED corpus-wide (line, df) view — base + batch partials
     * folded by one read-side hash aggregate over slim rows. */
   def counts(spark: SparkSession, path: String): DataFrame = {
     readMeta(path)
@@ -169,7 +215,9 @@ object LineIndex {
       boilerplate(spark, path, minDocFreq), textCol, idCol)
 
   /** Should an ingest loop schedule [[compact]]? One namenode listing
-    * with the [[ArtifactIo.shouldCompact]] convergence contract. */
+    * with the [[ArtifactIo.shouldCompact]] convergence contract. (A
+    * triggering batch lists once here and once inside [[compact]] —
+    * one extra LIST per compaction EVENT, not per batch; accepted.) */
   def needsCompaction(path: String, maxDataFiles: Int = 64): Boolean = {
     require(maxDataFiles > 0,
       "[GRAFT] line index needsCompaction: maxDataFiles must be positive")
@@ -177,10 +225,13 @@ object LineIndex {
     ArtifactIo.shouldCompact(s"$path/$Dir", maxDataFiles)
   }
 
-  /** Fold the partial batch rows into one (line, df) row per line AND
-    * fix small-files growth (data-sized width). Physical rewrite,
-    * metadata unchanged — read results are identical before and after
-    * ([[counts]] merges on read; compaction just pre-folds). */
+  /** Fold base + batch partials into one (line, df) row per line in
+    * the BASE partition AND fix small-files growth (data-sized
+    * width). Physical rewrite, metadata unchanged — read results are
+    * identical before and after ([[counts]] merges on read;
+    * compaction just pre-folds). The watermark survives (it lives at
+    * the artifact root, outside the swapped dir), so a stale replay
+    * of a folded batch is still refused. */
   def compact(spark: SparkSession, path: String): Unit = {
     val fs = fsOf(path)
     ArtifactIo.healParked(fs, path, Dir, "line compact")
@@ -189,7 +240,7 @@ object LineIndex {
       .groupBy(col("line")).agg(sum(col("df")).as("df"))
       .repartition(ArtifactIo.compactWidth(s"$path/$Dir"))
     ArtifactIo.stagedSwap(fs, path, Dir, "line compact") { stage =>
-      folded.write.mode("overwrite").parquet(stage)
+      folded.write.mode("overwrite").parquet(s"$stage/batch=$BaseBatch")
       ArtifactIo.writeFileInto(stage, "_lines.json", metaJson(m))
     }
   }

@@ -607,12 +607,15 @@ object Ingest {
     * [[graft.operators.LineIndex.strip]] over the corpus for a full
     * re-clean (the standing table already holds the final counts).
     *
-    * Crash contract: the first batch writes the watermark ATOMICALLY
-    * right after build; an index WITHOUT a watermark is batch-0 crash
-    * residue and is REBUILT from the replayed batch (the
-    * [[mediaDedupIngestStream]] stance — a plain append would
-    * double-count every line of the replayed batch). The artifact dir
-    * (`corpusDir/lineidx`) is loop-private by layout.
+    * Crash contract: the artifact is created EMPTY
+    * ([[graft.operators.LineIndex.create]]) and EVERY batch lands via
+    * [[graft.operators.LineIndex.appendIdempotent]]'s overwrite-
+    * addressed partition — a replay at ANY crash point rewrites the
+    * same partition with identical content, never double-counts, and
+    * no residue-vs-rebuilt heuristic exists to misread a legitimate
+    * out-of-band takedown rebuild ([[graft.operators.LineIndex]]
+    * scaladoc). A compact parked mid-swap heals at the top of the
+    * next batch ([[graft.operators.LineIndex.healParked]]).
     *
     * `autoCompactFiles > 0` self-schedules
     * [[graft.operators.LineIndex.compact]] (fold partials + fix
@@ -641,25 +644,19 @@ object Ingest {
   private[graft] def boilerplateBatch(batch0: DataFrame, batchId: Long,
       corpusDir: String, minDocFreq: Long,
       autoCompactFiles: Int = 0): Unit = {
-    import graft.operators.{ArtifactIo, LineIndex}
+    import graft.operators.LineIndex
     val spark = batch0.sparkSession
     val idxDir = s"$corpusDir/lineidx"
     // persist: the count fold and the strip each scan the batch
     val batch = batch0.select(col("doc_id"), col("text")).persist()
     try {
       if (batch.take(1).isEmpty) return
-      if (LineIndex.exists(idxDir) &&
-          ArtifactIo.fileExists(idxDir, "_append_batch")) {
-        LineIndex.appendIdempotent(batch, idxDir, batchId)
-      } else {
-        // no index, OR an index without its watermark — the latter is
-        // a crash between batch-0's build and the marker write: the
-        // whole table is this batch's uncommitted residue, so REBUILD
-        // (an append would double-count every replayed line)
-        LineIndex.build(batch, idxDir)
-        ArtifactIo.writeSmallFileAtomic(idxDir, "_append_batch",
-          batchId.toString)
-      }
+      // heal a compact parked mid-swap BEFORE touching the artifact —
+      // exists() throws on a parked state, so without this the
+      // stream could never recover on its own
+      LineIndex.healParked(idxDir)
+      if (!LineIndex.exists(idxDir)) LineIndex.create(spark, idxDir)
+      LineIndex.appendIdempotent(batch, idxDir, batchId)
       LineIndex.strip(spark, idxDir, batch, minDocFreq)
         .write.mode("overwrite")
         .parquet(s"$corpusDir/docs/batch=$batchId")

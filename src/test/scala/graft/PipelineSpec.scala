@@ -684,12 +684,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(!LineIndex.appendIdempotent(d.filter($"doc_id" > 2), idx, 0L))
     assert(LineIndex.counts(spark, idx)
       .as[(String, Long)].collect().toMap === merged)
-    // compact folds the partial rows; counts identical after
+    // compact folds the batch partials into the base; counts
+    // identical after
     assert(spark.read.parquet(s"$idx/lines").count() >
       merged.size.toLong) // partials present pre-compact
     LineIndex.compact(spark, idx)
     assert(spark.read.parquet(s"$idx/lines").count() ===
       merged.size.toLong)
+    // the watermark SURVIVES compaction (it lives outside lines/):
+    // a stale replay of the folded batch is still refused, so the
+    // folded base can never double-count
+    assert(!LineIndex.appendIdempotent(d.filter($"doc_id" > 2), idx, 0L))
     assert(LineIndex.counts(spark, idx)
       .as[(String, Long)].collect().toMap === merged)
     // strip against the standing table == the one-shot strip
@@ -1565,9 +1570,9 @@ class PipelineSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/docs/batch=1")
       .select($"doc_id", $"clean_text").as[(Long, String)]
       .collect().toMap === Map(3L -> "beta three", 4L -> "beta four"))
-    // BATCH-0 CRASH SIM on a fresh corpus: build succeeded but the
-    // watermark write did not — the replay must REBUILD from the
-    // batch, not append a second count of every line
+    // BATCH-0 CRASH SIM on a fresh corpus: the partition landed but
+    // the watermark write did not — the replay OVERWRITES the same
+    // batch partition with identical content, never a second count
     val dir2 = java.nio.file.Files
       .createTempDirectory("boiler_ingest_crash").toString
     graft.streaming.Ingest.boilerplateBatch(
