@@ -1001,6 +1001,22 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- stage 0 + stages 1-4: boilerplate strip feeding the whole
+    // curation pipeline as ONE query — the strip's kept lines become
+    // the gate's input text (docs reduced to nothing drop first),
+    // proving the two compositions share no work columns ----
+    "pipeline_clean_curate" -> ((s, dir) => {
+      import s.implicits._
+      val model = graft.operators.TextAnalysis.trainLangId(
+        graft.operators.TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+      val cleaned = Dedup
+        .stripBoilerplate(boilerplatePages(s, dir), minDocFreq = 5L)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      graft.operators.Curation.curateAndPack(cleaned, model)
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- the curation audit report: per-language-shard totals over
     // the packed output (docs, tokens, bins, overflows) — the one
     // aggregate every production curation run logs ----
@@ -3534,6 +3550,7 @@ object SparkEntry {
     "pipeline_curate_e2e" -> pipelineCurateOracle,
     "sql_tvf_curate" -> pipelineCurateOracle,
     "pipeline_curate_report" -> pipelineCurateReportOracle,
+    "pipeline_clean_curate" -> pipelineCleanCurateOracle,
 
     "stream_curate" -> streamCurateOracle,
 
@@ -5114,13 +5131,13 @@ object SparkEntry {
         lit("\nDoc "), col("doc_id").cast("string"),
         lit(" exclusive content line.")).as("text"))
 
-  /** Corpus boilerplate-line removal over the built pages, re-derived
-    * in DuckDB — shared verbatim by the operator row and its TVF twin:
-    * the df table (count DISTINCT docs per trimmed non-blank line)
-    * folds to ONE boilerplate list and each page is list_filtered
-    * against it in document order. */
-  private def boilerplateOracle: String =
-    """WITH p AS (SELECT doc_id,
+  /** The boilerplate CTE chain over the built pages: the bdf table
+    * (count DISTINCT docs per trimmed non-blank line) folds to ONE
+    * boilerplate list and each page is list_filtered against it in
+    * document order. CTE names are `b`-prefixed so the chain composes
+    * with the curate chain (whose langid stage also defines `df`). */
+  private def boilerplateCtes: String =
+    """bpg AS (SELECT doc_id,
       |    'Home | About | Contact' || chr(10) ||
       |    '(c) ' || source || ' network syndication.' || chr(10) ||
       |    substr(text, 1, 50) || chr(10) ||
@@ -5130,24 +5147,30 @@ object SparkEntry {
       |    substr(text, 51, 45) || chr(10) ||
       |    'Doc ' || doc_id || ' exclusive content line.' AS text
       |  FROM documents),
-      |occ AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
-      |  FROM p),
-      |df AS (SELECT trim(l) AS ln, count(DISTINCT doc_id) AS df
-      |  FROM occ WHERE len(trim(l)) > 0 GROUP BY 1),
-      |bp AS (SELECT coalesce(list(ln), []) AS bl
-      |  FROM df WHERE df >= 5),
-      |o AS (SELECT doc_id,
+      |bocc AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS l
+      |  FROM bpg),
+      |bdf AS (SELECT trim(l) AS ln, count(DISTINCT doc_id) AS df
+      |  FROM bocc WHERE len(trim(l)) > 0 GROUP BY 1),
+      |bbl AS (SELECT coalesce(list(ln), []) AS bl
+      |  FROM bdf WHERE df >= 5),
+      |bout AS (SELECT doc_id,
       |    list_filter(string_split(text, chr(10)), l ->
-      |      len(trim(l)) > 0 AND NOT list_contains(bp.bl, trim(l)))
+      |      len(trim(l)) > 0 AND NOT list_contains(bbl.bl, trim(l)))
       |      AS kept,
       |    list_filter(string_split(text, chr(10)), l ->
-      |      len(trim(l)) > 0 AND list_contains(bp.bl, trim(l)))
+      |      len(trim(l)) > 0 AND list_contains(bbl.bl, trim(l)))
       |      AS dropped
-      |  FROM p CROSS JOIN bp)
+      |  FROM bpg CROSS JOIN bbl)""".stripMargin
+
+  /** [[boilerplateCtes]] + the per-doc projection — shared verbatim
+    * by the operator row, its TVF twin, the standing-artifact row,
+    * and the streaming row. */
+  private def boilerplateOracle: String =
+    s"""WITH $boilerplateCtes
       |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_kept,
       |  CAST(len(dropped) AS BIGINT) AS n_dropped,
       |  array_to_string(kept, chr(10)) AS clean_text
-      |FROM o ORDER BY doc_id ASC""".stripMargin
+      |FROM bout ORDER BY doc_id ASC""".stripMargin
 
   /** The synthetic-page Gopher+C4 gate, re-derived in DuckDB —
     * shared verbatim by the streaming gate row and its TVF twin
@@ -5850,6 +5873,22 @@ object SparkEntry {
        |  CAST(CASE WHEN n > 256 THEN 1 ELSE 0 END AS BIGINT) AS overflow
        |FROM f ORDER BY doc_id ASC""".stripMargin
 
+  /** The CLEAN-then-curate composition: the boilerplate strip's kept
+    * lines become the curate chain's input text — stage 0 of the full
+    * training-data flow feeding stages 1-4, proving the two pipelines
+    * compose without CTE or work-column collisions. Docs whose every
+    * line was boilerplate (or blank) drop before the gate. */
+  private def pipelineCleanCurateOracle: String =
+    s"""WITH RECURSIVE $boilerplateCtes,
+       |cleaned AS (SELECT doc_id,
+       |    array_to_string(kept, chr(10)) AS text
+       |  FROM bout WHERE len(kept) > 0),
+       |${pipelineCurateChain("cleaned")}
+       |SELECT doc_id, CAST(lang_code AS BIGINT) AS lang_code,
+       |  n AS n_tokens, bin_id, bin_off,
+       |  CAST(CASE WHEN n > 256 THEN 1 ELSE 0 END AS BIGINT) AS overflow
+       |FROM f ORDER BY doc_id ASC""".stripMargin
+
   /** [[pipelineCurateOracle]] folded to the per-shard audit report —
     * the `Curation.curateReport` twin (one group-by over the packed
     * recurrence's output). */
@@ -5863,12 +5902,18 @@ object SparkEntry {
        |FROM f GROUP BY 1 ORDER BY lang_code ASC""".stripMargin
 
   private def pipelineCurateCtes: String =
-    s"""WITH RECURSIVE tq AS (SELECT doc_id, text,
+    s"WITH RECURSIVE ${pipelineCurateChain("documents")}"
+
+  /** The curate chain PARAMETERIZED over its input table (doc_id,
+    * text) — `documents` for the plain rows, the boilerplate-cleaned
+    * view for [[pipelineCleanCurateOracle]]. */
+  private def pipelineCurateChain(docsTable: String): String =
+    s"""tq AS (SELECT doc_id, text,
        |    string_split_regex(trim(lower(text)), '\\s+') AS toks,
        |    CAST(length(text) AS DOUBLE) AS n_chars,
        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
        |      AS n_tokens
-       |  FROM documents),
+       |  FROM $docsTable),
        |q AS (SELECT doc_id, text, n_tokens FROM tq
        |  WHERE $qualityExprSql >= 650 AND n_tokens BETWEEN 20 AND 90),
        |h AS (SELECT doc_id, list_transform(
