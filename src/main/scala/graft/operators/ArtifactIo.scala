@@ -78,6 +78,42 @@ private[graft] object ArtifactIo {
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
+  private val WatermarkFile = "_append_batch"
+
+  /** THE append-watermark protocol — one copy shared by every
+    * artifact with idempotent batch appends (SigIndex, BinaryIndex,
+    * LineIndex), GENERATION-BOUND: the value commits as
+    * `<generation>:<batchId>`, and a reader under a different
+    * generation sees -1 (a fresh batch sequence). Binding replaces
+    * the old delete-inside-build-stage retirement, which had a real
+    * crash window: a rebuild that died after the delete but before
+    * the publish rename left the OLD artifact live with its
+    * replay protection GONE, so a stale stream replay re-landed an
+    * already-compacted batch (for LineIndex that double-counts df —
+    * a wrong answer with no downstream dedup to absorb it). With the
+    * binding there is no delete step at all: the stale watermark
+    * invalidates exactly when the new generation PUBLISHES, and
+    * every crash before that leaves the old artifact with its old,
+    * still-matching watermark. A legacy unbound value (plain
+    * `<batchId>`) reads as valid for any generation — the
+    * pre-binding behavior, rewritten on the next commit. */
+  def readWatermark(path: String, generation: Int): Long = {
+    if (!fileExists(path, WatermarkFile)) return -1L
+    val txt = readSmallFile(path, WatermarkFile).trim
+    val i = txt.indexOf(':')
+    if (i < 0) txt.toLong
+    else if (txt.take(i).toInt == generation) txt.drop(i + 1).toLong
+    else -1L
+  }
+
+  /** Commit the watermark for `generation` (tmp + atomic
+    * overwrite-rename — there is never an instant without a marker
+    * on disk, so a crash mid-commit can only leave the previous
+    * value, never none). */
+  def commitWatermark(path: String, generation: Int,
+      batchId: Long): Unit =
+    writeSmallFileAtomic(path, WatermarkFile, s"$generation:$batchId")
+
   def deleteFile(path: String, name: String): Unit = {
     fsOf(path).delete(new org.apache.hadoop.fs.Path(path, name), false)
     ()

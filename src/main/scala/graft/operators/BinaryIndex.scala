@@ -114,18 +114,15 @@ object BinaryIndex {
       packedRows(df, idCol, vecCol, dim).write.mode("overwrite")
         .parquet(stage)
       writeMetaInto(stage, Meta(dim, gen))
-      // retire the appendIdempotent marker HERE — after the (long,
-      // failure-prone) distributed stage write succeeded, before the
-      // publish rename. The delete must not sit after the swap: a
-      // crash in that window would leave the NEW artifact under the
-      // OLD sequence's high-watermark, silently no-op'ing every
-      // subsequent batch (data loss). And it must not run before the
-      // stage write either: a FAILED rebuild (executor loss, bad-dim
-      // row) would strip replay protection from the still-live old
-      // artifact. In this window the worst crash outcome is the OLD
-      // artifact without its marker: replays then re-append duplicate
-      // rows, which candidates()' post-cut collapse already tolerates.
-      fs.delete(new org.apache.hadoop.fs.Path(path, "_append_batch"), false)
+      // NO watermark retirement step: the watermark is bound to the
+      // generation ([[ArtifactIo.readWatermark]]), so the rebuilt
+      // artifact's fresh batch sequence starts exactly when this
+      // stage's bumped generation publishes. The old delete-here
+      // protocol had to thread a needle (delete after swap = data
+      // loss under the old watermark; delete before stage write =
+      // protection stripped on a failed rebuild) and STILL left a
+      // crash window (delete done, rename not) with the old artifact
+      // live and unprotected; the binding removes the needle.
     }
     if (!fs.exists(live))
       ArtifactIo.publishFresh(fs, path, "packed",
@@ -153,33 +150,24 @@ object BinaryIndex {
       .write.mode("append").parquet(s"$path/packed")
   }
 
-  /** [[append]] guarded by a monotonic batch marker
-    * (`<path>/_append_batch`, tmp + ATOMIC overwrite-rename via
-    * [[ArtifactIo.writeSmallFileAtomic]] — the
-    * [[graft.streaming.Ingest.appendBatchIdempotent]] protocol):
-    * a replay of an already-committed `batchId` is an exact no-op, so
-    * at-least-once drivers never double-store a vector. The
-    * FileContext Rename.OVERWRITE commit means there is NEVER an
-    * instant without a marker on disk — a delete-then-rename commit
-    * would let a crash in between erase the high-watermark and replay
-    * EVERY previously committed batch as duplicate appends, a far
-    * wider hazard than the documented append→marker window. Only a
-    * crash INSIDE that append→marker window can still duplicate (and
+  /** [[append]] guarded by the shared generation-bound watermark
+    * ([[ArtifactIo.readWatermark]] — ONE protocol for SigIndex /
+    * BinaryIndex / LineIndex): a replay of an already-committed
+    * `batchId` is an exact no-op, so at-least-once drivers never
+    * double-store a vector. The atomic overwrite-rename commit means
+    * there is NEVER an instant without a marker on disk. Only a crash
+    * INSIDE the append→marker window can still duplicate (and
     * [[candidates]]' post-cut collapse keeps even that from
-    * corrupting results). [[build]] retires the marker — a rebuilt
-    * artifact starts a fresh batch sequence. Returns whether the
-    * batch was applied. */
+    * corrupting results). [[build]] bumps the generation, which
+    * starts a fresh batch sequence at publish time with no
+    * delete-step crash window. Returns whether the batch was
+    * applied. */
   def appendIdempotent(df: DataFrame, path: String, batchId: Long,
       idCol: String = "vec_id", vecCol: String = "embedding"): Boolean = {
-    val fs = fsOf(path)
-    val marker = new org.apache.hadoop.fs.Path(path, "_append_batch")
-    val last =
-      if (!fs.exists(marker)) -1L
-      else ArtifactIo.readFile(fs, marker).trim.toLong
-    if (batchId <= last) return false
+    val gen = readMeta(path).generation
+    if (batchId <= ArtifactIo.readWatermark(path, gen)) return false
     append(df, path, idCol, vecCol)
-    ArtifactIo.writeSmallFileAtomic(path, "_append_batch",
-      batchId.toString)
+    ArtifactIo.commitWatermark(path, gen, batchId)
     true
   }
 
@@ -193,10 +181,10 @@ object BinaryIndex {
     * flat table (not id-partitioned — it exists to be scanned whole
     * by every coarse cut), so a delete is a full physical rewrite;
     * batch deletions amortize like compactions. `generation` bumps
-    * and `dim` stays frozen. The `_append_batch` high-watermark is
-    * deliberately NOT retired: it is monotonic, so replays of
-    * already-committed batches still no-op and can never resurrect a
-    * deleted id. Single-writer maintenance op. Returns the number of
+    * and `dim` stays frozen. The generation-bound watermark is
+    * CARRIED into the new generation, so replays of already-committed
+    * batches still no-op and can never resurrect a deleted id.
+    * Single-writer maintenance op. Returns the number of
     * sidecar rows removed (can exceed |ids| after plain-append
     * replays — every stored duplicate goes). */
   def deleteIds(spark: SparkSession, path: String,
@@ -209,11 +197,16 @@ object BinaryIndex {
     val packed = spark.read.parquet(s"$path/packed")
     val removed = packed.filter(col("id").isin(idSeq: _*)).count()
     val kept = packed.filter(!col("id").isin(idSeq: _*))
+    val last = ArtifactIo.readWatermark(path, m.generation)
     ArtifactIo.stagedSwap(fs, path, "packed",
       "binary index delete") { stage =>
       kept.write.mode("overwrite").parquet(stage)
       writeMetaInto(stage, Meta(m.dim, m.generation + 1))
     }
+    // carry the watermark into the new generation (a crash before
+    // this degrades to duplicate-tolerant re-appends, never loss)
+    if (last >= 0L)
+      ArtifactIo.commitWatermark(path, m.generation + 1, last)
     removed
   }
 

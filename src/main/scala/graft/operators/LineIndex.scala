@@ -45,8 +45,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * Takedown: per-line df carries no per-doc provenance, so
   * SUBTRACTING a document is undefined on this layout (the
   * [[GramIndex.retire]] rationale) — rebuild from the surviving
-  * corpus ([[build]] bumps the generation and retires the append
-  * watermark, starting a fresh batch sequence). A rebuilt artifact is
+  * corpus ([[build]] bumps the generation, which starts a fresh
+  * batch sequence — the watermark is generation-bound, so it
+  * invalidates exactly at publish with no delete-step crash
+  * window). A rebuilt artifact is
   * indistinguishable from a freshly built one BY DESIGN: incremental
   * callers ([[graft.streaming.Ingest.boilerplateIngestStream]])
   * create the artifact EMPTY ([[create]]) and land every batch
@@ -123,11 +125,13 @@ object LineIndex {
       rows.write.mode("overwrite").parquet(s"$stage/batch=$BaseBatch")
       ArtifactIo.writeFileInto(stage, "_lines.json",
         metaJson(Meta(gen)))
-      // retire the append watermark after the stage write succeeds,
-      // before the publish rename — the [[SigIndex.build]] window
-      // analysis verbatim (a rebuilt artifact starts a fresh batch
-      // sequence)
-      ArtifactIo.deleteFile(path, "_append_batch")
+      // NO watermark retirement step: the watermark is bound to the
+      // generation ([[ArtifactIo.readWatermark]]), so it invalidates
+      // exactly when this stage's bumped generation PUBLISHES — a
+      // delete here had a crash window (delete done, rename not)
+      // that left the OLD artifact live with replay protection gone,
+      // letting a stale replay re-land an already-compacted batch
+      // and double-count df
     }
     if (!fs.exists(live))
       ArtifactIo.publishFresh(fs, path, Dir, "line build")(writeStage)
@@ -174,15 +178,11 @@ object LineIndex {
       textCol: String = "text", idCol: String = "doc_id"): Boolean = {
     require(batchId >= 0L,
       "[GRAFT] line index append: batchId must be >= 0")
-    readMeta(path)
-    val last =
-      if (!ArtifactIo.fileExists(path, "_append_batch")) -1L
-      else ArtifactIo.readSmallFile(path, "_append_batch").trim.toLong
-    if (batchId <= last) return false
+    val gen = readMeta(path).generation
+    if (batchId <= ArtifactIo.readWatermark(path, gen)) return false
     Dedup.lineDocFreqs(docs, textCol, idCol)
       .write.mode("overwrite").parquet(s"$path/$Dir/batch=$batchId")
-    ArtifactIo.writeSmallFileAtomic(path, "_append_batch",
-      batchId.toString)
+    ArtifactIo.commitWatermark(path, gen, batchId)
     true
   }
 

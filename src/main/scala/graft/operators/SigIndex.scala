@@ -121,17 +121,12 @@ object SigIndex {
       rows.write.mode("overwrite").parquet(stage)
       ArtifactIo.writeFileInto(stage, "_sig.json",
         metaJson(Meta(family, gen)))
-      // retire the appendIdempotent high-watermark HERE — after the
-      // distributed stage write succeeded, before the publish rename
-      // (the [[BinaryIndex.build]] window analysis verbatim: delete
-      // after the swap risks the NEW artifact under the OLD
-      // sequence's high-watermark → silent batch no-ops/data loss;
-      // delete before the stage write strips replay protection from
-      // a still-live artifact when the rebuild fails). In this window
-      // the worst crash outcome is the OLD artifact without its
-      // marker: replays re-append duplicates, which the probe's
-      // post-join dedup already tolerates.
-      ArtifactIo.deleteFile(path, "_append_batch")
+      // NO watermark retirement step: the watermark is bound to the
+      // generation ([[ArtifactIo.readWatermark]]), so the rebuilt
+      // artifact's fresh batch sequence starts exactly when this
+      // stage's bumped generation publishes — the old delete-here
+      // protocol had a crash window (delete done, rename not) that
+      // left the OLD artifact live without replay protection.
     }
     if (!fs.exists(live))
       ArtifactIo.publishFresh(fs, path, Dir, "sig build")(writeStage)
@@ -157,26 +152,22 @@ object SigIndex {
     slim(sigs).write.mode("append").parquet(s"$path/$Dir")
   }
 
-  /** [[append]] guarded by a monotonic batch marker
-    * (`<path>/_append_batch`, tmp + ATOMIC overwrite-rename via
-    * [[ArtifactIo.writeSmallFileAtomic]] — the
-    * [[BinaryIndex.appendIdempotent]] protocol verbatim): a replay of
-    * an already-committed `batchId` is an exact no-op, so
-    * at-least-once drivers never double-store a print. Only a crash
-    * INSIDE the append→marker window can still duplicate (and the
-    * probe's post-join dedup keeps even that from corrupting
-    * results). [[build]] retires the marker — a rebuilt artifact
-    * starts a fresh batch sequence. Returns whether the batch was
+  /** [[append]] guarded by the shared generation-bound watermark
+    * ([[ArtifactIo.readWatermark]] — ONE protocol for SigIndex /
+    * BinaryIndex / LineIndex): a replay of an already-committed
+    * `batchId` is an exact no-op, so at-least-once drivers never
+    * double-store a print. Only a crash INSIDE the append→marker
+    * window can still duplicate (and the probe's post-join dedup
+    * keeps even that from corrupting results). [[build]] bumps the
+    * generation, which starts a fresh batch sequence at publish time
+    * with no delete-step crash window. Returns whether the batch was
     * applied. */
   def appendIdempotent(sigs: DataFrame, path: String, family: String,
       batchId: Long): Boolean = {
-    val last =
-      if (!ArtifactIo.fileExists(path, "_append_batch")) -1L
-      else ArtifactIo.readSmallFile(path, "_append_batch").trim.toLong
-    if (batchId <= last) return false
+    val gen = readMeta(path).generation
+    if (batchId <= ArtifactIo.readWatermark(path, gen)) return false
     append(sigs, path, family)
-    ArtifactIo.writeSmallFileAtomic(path, "_append_batch",
-      batchId.toString)
+    ArtifactIo.commitWatermark(path, gen, batchId)
     true
   }
 
@@ -255,11 +246,18 @@ object SigIndex {
     val rows = spark.read.parquet(s"$path/$Dir")
     val removed = rows.filter(col("id").isin(ids: _*)).count()
     val kept = rows.filter(!col("id").isin(ids: _*))
+    val last = ArtifactIo.readWatermark(path, m.generation)
     ArtifactIo.stagedSwap(fs, path, Dir, "sig delete") { stage =>
       kept.write.mode("overwrite").parquet(stage)
       ArtifactIo.writeFileInto(stage, "_sig.json",
         metaJson(m.copy(generation = m.generation + 1)))
     }
+    // carry the generation-bound watermark into the new generation: a
+    // takedown must not restart the batch sequence (a stale replay
+    // would re-append). A crash before this rewrite degrades to the
+    // documented duplicate-tolerant behavior, never to data loss.
+    if (last >= 0L)
+      ArtifactIo.commitWatermark(path, m.generation + 1, last)
     removed
   }
 

@@ -704,8 +704,12 @@ class PipelineSpec extends AnyFunSuite {
       .orderBy($"doc_id").as[(Long, Long, Long, String)].collect()
     assert(viaIndex.toSeq === oneShotStrip.toSeq)
     assert(viaIndex.head === ((1L, 1L, 1L, "unique one")))
-    // rebuild retires the watermark: batch 0 applies again
+    // rebuild retires the watermark via the GENERATION BINDING (the
+    // file survives — no delete step, so no crash window where the
+    // OLD artifact is live without replay protection): batch 0
+    // applies again under the new generation
     LineIndex.build(d.filter($"doc_id" <= 2), idx)
+    assert(graft.operators.ArtifactIo.fileExists(idx, "_append_batch"))
     assert(LineIndex.appendIdempotent(d.filter($"doc_id" > 2), idx, 0L))
     // no artifact -> loud
     intercept[IllegalArgumentException] {
@@ -1843,8 +1847,12 @@ class PipelineSpec extends AnyFunSuite {
     val stored = spark.read.parquet(s"$idx/sigs")
       .as[(Long, Long)].collect().toSeq.sorted
     assert(stored === Seq((1L, 0L), (2L, 1L), (3L, 15L)))
-    // rebuild retires the marker: batch 1 applies again afresh
+    // rebuild retires the marker: batch 1 applies again afresh —
+    // via the GENERATION BINDING, not a delete (the file survives;
+    // a delete step had a crash window that left the OLD artifact
+    // live without replay protection)
     SigIndex.build(Seq((1L, 0L)).toDF("id", "sig"), idx, "test-fam")
+    assert(graft.operators.ArtifactIo.fileExists(idx, "_append_batch"))
     assert(SigIndex.appendIdempotent(
       Seq((9L, 3L)).toDF("id", "sig"), idx, "test-fam", batchId = 1L))
     assert(spark.read.parquet(s"$idx/sigs").count() === 2L)
