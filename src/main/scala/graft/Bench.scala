@@ -423,6 +423,28 @@ object Bench {
       SparkEntry.queries("dedup_boilerplate_lines")(spark, sfDir)
         .agg(sum(col("n_dropped"))).collect()
     } }
+    // URL curation over a MATERIALIZED url column (the production
+    // shape — a crawl ships urls as data; the oracle rows' inline
+    // expression fixture is Verify plumbing whose giant synthetic
+    // url tree would bench the optimizer, not the operator):
+    // normalize -> one hash-agg dedup, then the per-domain
+    // rankedTopN cap (rank = -n_chars)
+    lazy val urlFixtureDir = {
+      val d = s"${storeDirs.last}/urls"
+      SparkEntry.queries("web_url_normalize")(spark, sfDir)
+        .join(benchDocs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .select(col("doc_id"), col("n_chars"), col("norm_url").as("url"))
+        .write.mode("overwrite").parquet(d)
+      d
+    }
+    preBuild(urlFixtureDir)
+    entry("url_curation") { median {
+      val urls = spark.read.parquet(urlFixtureDir)
+      graft.operators.WebCuration.urlDedup(urls)
+        .agg(sum(col("cnt"))).collect()
+      graft.operators.WebCuration.capPerDomain(urls, "url",
+        negate(col("n_chars")), col("doc_id"), n = 3).count()
+    } }
     // the full curation pipeline in one query: quality gate ->
     // simhash near-dup survivors -> langid (carried counts) ->
     // per-language next-fit packing — the composition cost story

@@ -1017,6 +1017,51 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ======== URL-level web curation (CCNet/RefinedWeb stage 0) ====
+    // the corpus has no URL column, so a deterministic per-doc URL is
+    // built from (source, doc_id % 6) covering every normalizer rule
+    // — same construction in the oracle's wurl CTE ----
+
+    // ---- canonical URL + host + registered domain per doc ----
+    "web_url_normalize" -> ((s, dir) => {
+      import graft.operators.WebCuration
+      webUrls(s, dir).select(col("doc_id"),
+          WebCuration.normalizeUrl(col("url")).as("norm_url"),
+          WebCuration.urlHost(col("url")).as("host"),
+          WebCuration.urlDomain(col("url")).as("domain"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- URL-keyed exact dedup: two fetch variants of one page
+    // collapse to one normalized key; ONE hash aggregate ----
+    "web_url_dedup" -> ((s, dir) => {
+      graft.operators.WebCuration.urlDedup(webUrls(s, dir))
+        .orderBy(col("keeper").asc)
+    }),
+
+    // ---- head-domain cap: keep each registered domain's 3 LONGEST
+    // docs (rank = -n_chars, ties to smallest doc_id) through the
+    // bounded-histogram rankedTopN path — never a single-task sort ----
+    "web_domain_cap" -> ((s, dir) => {
+      import graft.operators.WebCuration
+      WebCuration.capPerDomain(webUrls(s, dir), "url",
+          negate(col("n_chars")), col("doc_id"), n = 3)
+        .select(col("doc_id"),
+          WebCuration.urlDomain(col("url")).as("domain"))
+        .orderBy(col("domain").asc, col("doc_id").asc)
+    }),
+
+    // ---- domain blocklist: drop five .co.uk publishers, count the
+    // survivors per registered domain ----
+    "web_blocklist_filter" -> ((s, dir) => {
+      import graft.operators.WebCuration
+      WebCuration.blocklistFilter(webUrls(s, dir), "url",
+          (1 to 5).map(k => s"src$k.co.uk"))
+        .groupBy(WebCuration.urlDomain(col("url")).as("domain"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("domain").asc)
+    }),
+
     // ---- the curation audit report: per-language-shard totals over
     // the packed output (docs, tokens, bins, overflows) — the one
     // aggregate every production curation run logs ----
@@ -3552,6 +3597,31 @@ object SparkEntry {
     "pipeline_curate_report" -> pipelineCurateReportOracle,
     "pipeline_clean_curate" -> pipelineCleanCurateOracle,
 
+    "web_url_normalize" ->
+      s"""WITH $webUrlCtes
+         |SELECT doc_id, norm_url, host, domain FROM wn
+         |ORDER BY doc_id ASC""".stripMargin,
+
+    "web_url_dedup" ->
+      s"""WITH $webUrlCtes
+         |SELECT norm_url, min(doc_id) AS keeper, count(*) AS cnt
+         |FROM wn GROUP BY 1 ORDER BY keeper ASC""".stripMargin,
+
+    "web_domain_cap" ->
+      s"""WITH $webUrlCtes,
+         |r AS (SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM wn)
+         |SELECT doc_id, domain FROM r WHERE rn <= 3
+         |ORDER BY domain ASC, doc_id ASC""".stripMargin,
+
+    "web_blocklist_filter" ->
+      s"""WITH $webUrlCtes
+         |SELECT domain, count(*) AS n FROM wn
+         |WHERE domain NOT IN ('src1.co.uk', 'src2.co.uk',
+         |  'src3.co.uk', 'src4.co.uk', 'src5.co.uk')
+         |GROUP BY 1 ORDER BY domain ASC""".stripMargin,
+
     "stream_curate" -> streamCurateOracle,
 
     "text_curriculum" -> textCurriculumOracle,
@@ -5130,6 +5200,86 @@ object SparkEntry {
         lit("\n"), substring(col("text"), 51, 45),
         lit("\nDoc "), col("doc_id").cast("string"),
         lit(" exclusive content line.")).as("text"))
+
+  /** Deterministic per-doc URL fixture for the web-curation rows —
+    * doc_id % 6 picks a construction exercising every
+    * [[operators.WebCuration.normalizeUrl]] rule (case, `www.`,
+    * default ports, tracking params, param sorting, fragments,
+    * trailing slashes, bare hosts) across ~3 registered domains per
+    * source (`srcK.com` collapses four host variants, `srcK.co.uk`
+    * exercises the two-level suffix); the oracle's `wurl` CTE builds
+    * the identical string. */
+  private def webUrls(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val m = pmod(col("doc_id"), lit(6))
+    val url = when(m === 0,
+        concat(lit("HTTP://WWW."), upper(col("source")),
+          lit(".COM:80/Articles/"), id,
+          lit("?utm_source=feed&ref=rss&id="), id, lit("#sec-2")))
+      .when(m === 1,
+        concat(lit("https://news."), col("source"),
+          lit(".co.uk:443/posts/"), id, lit("/")))
+      .when(m === 2,
+        concat(lit("https://"), col("source"),
+          lit(".org/a/b/?fbclid=x"), id))
+      .when(m === 3,
+        concat(lit("http://"), col("source"), lit(".com/landing")))
+      .when(m === 4,
+        concat(lit("https://blog."), col("source"),
+          lit(".com/post?b=2&a=1&utm_medium=email")))
+      .otherwise(concat(lit("https://"), col("source"), lit(".com")))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), url.as("url"))
+  }
+
+  /** The web-curation oracle chain: `wurl` builds the identical URL
+    * fixture, then `wn` mirrors
+    * [[operators.WebCuration.normalizeUrl]] / `urlHost` /
+    * `registeredDomain` with the SAME regexes — the tracking-param
+    * pattern interpolated from
+    * [[operators.WebCuration.TrackingParamRe]] and the two-level
+    * suffix list from [[operators.WebCuration.TwoLevelSuffixes]], so
+    * the two derivations cannot drift. */
+  private def webUrlCtes: String = {
+    val re = graft.operators.WebCuration.TrackingParamRe
+    val (re3, re2) = graft.operators.WebCuration.domainRegexes
+    s"""wurl AS (SELECT doc_id, n_chars,
+       |    CASE doc_id % 6
+       |      WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.COM:80/Articles/' || doc_id || '?utm_source=feed&ref=rss&id=' || doc_id || '#sec-2'
+       |      WHEN 1 THEN 'https://news.' || source || '.co.uk:443/posts/' || doc_id || '/'
+       |      WHEN 2 THEN 'https://' || source || '.org/a/b/?fbclid=x' || doc_id
+       |      WHEN 3 THEN 'http://' || source || '.com/landing'
+       |      WHEN 4 THEN 'https://blog.' || source || '.com/post?b=2&a=1&utm_medium=email'
+       |      ELSE 'https://' || source || '.com' END AS url
+       |  FROM documents),
+       |w1 AS (SELECT doc_id, n_chars, url,
+       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    lower(regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2), '^[^@]*@', '')) AS hp,
+       |    regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^#]*)', 2) AS pathq
+       |  FROM wurl),
+       |w2 AS (SELECT *, regexp_replace(
+       |    CASE WHEN scheme = 'http' THEN regexp_replace(hp, ':80$$', '')
+       |         WHEN scheme = 'https' THEN regexp_replace(hp, ':443$$', '')
+       |         ELSE hp END, '^www\\.', '') AS host0 FROM w1),
+       |w3 AS (SELECT doc_id, n_chars, url, scheme,
+       |    CASE WHEN scheme <> '' AND host0 <> '' THEN host0 END AS host,
+       |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$$', '') AS path,
+       |    regexp_extract(pathq, '\\?(.*)$$', 1) AS rawq
+       |  FROM w2),
+       |w4 AS (SELECT *, array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '$re'))), '&') AS q FROM w3),
+       |wn AS (SELECT doc_id, n_chars, url,
+       |    CASE WHEN host IS NOT NULL THEN scheme || '://' || host || path ||
+       |      CASE WHEN q <> '' THEN '?' || q ELSE '' END END AS norm_url,
+       |    host,
+       |    CASE WHEN host IS NULL THEN NULL
+       |         WHEN regexp_extract(host, '$re3', 1) <> ''
+       |           THEN regexp_extract(host, '$re3', 1)
+       |         WHEN regexp_extract(host, '$re2', 1) <> ''
+       |           THEN regexp_extract(host, '$re2', 1)
+       |         ELSE host END AS domain
+       |  FROM w4)""".stripMargin
+  }
 
   /** The boilerplate CTE chain over the built pages: the bdf table
     * (count DISTINCT docs per trimmed non-blank line) folds to ONE

@@ -145,6 +145,12 @@ package object functions {
     r1("vfs_quality_milli", es => cx(TA.qualityMilli(col(es(0)))))
     r1("vfs_normalize_text", es => cx(TA.normalizeText(col(es(0)))))
     r1("vfs_redact_pii", es => cx(TA.redactPii(col(es(0)))))
+    // URL curation surface (WebCuration): canonical dedup key, host,
+    // registered domain from pure SQL
+    import graft.operators.{WebCuration => WC}
+    r1("vfs_url_normalize", es => cx(WC.normalizeUrl(col(es(0)))))
+    r1("vfs_url_host", es => cx(WC.urlHost(col(es(0)))))
+    r1("vfs_url_domain", es => cx(WC.urlDomain(col(es(0)))))
     r1("vfs_hash_embedding", es => HashEmbedding(es(0),
       intLit(es(1), "vfs_hash_embedding(text, dim): dim"), milli = false))
     r1("vfs_hash_embedding_milli", es => HashEmbedding(es(0),

@@ -116,10 +116,25 @@ object Sampling {
     * for FIXED input files is the property the oracle certifies). */
   private def hashThresholdSelect(df: DataFrame, stratum: Column,
       key: Column, tiebreak: Column, quotas: Map[Any, Long],
+      counts: Map[Any, Long], bandCap: Long): DataFrame =
+    thresholdSelect(df, stratum, vfs_fingerprint(key), tiebreak,
+      quotas, counts, bandCap)
+
+  /** [[hashThresholdSelect]] with the ordering EXPOSED: `rank` is any
+    * LongType column (smaller = preferred) — the radix-histogram
+    * refinement never assumed the rank was a hash, only that it is a
+    * signed 64-bit value. Heavy rank TIES (e.g. a milli-scaled
+    * quality score where thousands of rows share one value) stop the
+    * narrowing at shift 0 with a band wider than `bandCap`; the
+    * boundary window then covers the whole tie group — still correct,
+    * just more windowed rows, and only for strata whose boundary
+    * lands inside a tie. */
+  private def thresholdSelect(df: DataFrame, stratum: Column,
+      rank: Column, tiebreak: Column, quotas: Map[Any, Long],
       counts: Map[Any, Long], bandCap: Long): DataFrame = {
     require(bandCap >= 1, "[GRAFT] bandCap must be >= 1")
     WorkCols.requireFree(df, "__rn", "__bk", "__s")
-    val fp = vfs_fingerprint(key)
+    val fp = rank
     var bands: Map[Any, Band] = quotas.flatMap { case (s, q) =>
       val n = counts.getOrElse(s, 0L)
       if (q <= 0 || n == 0L) None
@@ -127,13 +142,53 @@ object Sampling {
     }
     if (bands.isEmpty) return df.filter(lit(false))
 
-    def bandCond(states: Map[Any, Band]): Column =
-      states.map { case (s, b) =>
-        val base = stratum === lit(s) && fp >= lit(b.lo)
-        b.hi.map(h => base && fp < lit(h)).getOrElse(base)
-      }.reduce(_ || _)
+    // Band predicates go through MAP LITERALS keyed by stratum value,
+    // NOT an OR chain of per-stratum terms: the chain form references
+    // the stratum expression once per stratum, and after the
+    // optimizer inlines work-column aliases (CollapseProject — it
+    // re-expands any staging Project), a DERIVED stratum like
+    // registered-domain-of-URL became 512 copies of a multi-regexp
+    // tree in one Filter (measured: a 46 MiB task binary and a 6×
+    // wall-time blowup on web_domain_cap). element_at on a literal
+    // map keeps exactly ONE stratum occurrence per predicate at any
+    // strata count; a missing key reads NULL, which fails every
+    // comparison — the same "not in bands → not selected" semantics.
+    def litMap(m: Map[Any, Long]): Column =
+      map(m.toSeq.flatMap { case (k, v) =>
+        Seq(lit(k), lit(v)) }: _*)
 
-    var shift = 52
+    def bandCond(states: Map[Any, Band]): Column = {
+      val lo = element_at(litMap(states.map { case (s, b) => s -> b.lo }),
+        stratum)
+      val base = lo.isNotNull && fp >= lo
+      val withHi = states.collect {
+        case (s, b) if b.hi.isDefined => (s: Any) -> b.hi.get }
+      if (withHi.isEmpty) base
+      else {
+        val hi = element_at(litMap(withHi), stratum)
+        base && (hi.isNull || fp < hi)
+      }
+    }
+
+    // Start the radix ladder at the OBSERVED rank range, not at bit
+    // 52: a fingerprint rank spans the full signed-long domain (the
+    // ladder stays 52,40,28,16,4,0), but a VALUE rank (quality
+    // millis, -n_chars) typically spans a few hundred thousand — the
+    // top shifts would put every row in one bucket and burn a full
+    // re-evaluation of (stratum, rank) per no-op pass (measured: the
+    // 5M-url mega-domain cap spent 4 of its 6 passes narrowing
+    // nothing). One slim min/max agg (column-pruned scan) prices the
+    // start so that the first histogram already lands ≤ 4096 buckets.
+    var shift =
+      if (bands.values.forall(_.size <= bandCap)) 52
+      else {
+        val mm = df.select(min(fp), max(fp)).head()
+        if (mm.isNullAt(0)) 52
+        else {
+          val range = BigInt(mm.getLong(1)) - BigInt(mm.getLong(0))
+          math.max(0, math.min(52, range.bitLength - 12))
+        }
+      }
     while (shift >= 0 && bands.values.exists(_.size > bandCap)) {
       val oversized = bands.filter(_._2.size > bandCap)
       val hist: Map[Any, Array[(Long, Long)]] = df
@@ -170,12 +225,14 @@ object Sampling {
           case None => b
         })
       }
-      shift -= (if (shift == 4) 4 else 12) // 52, 40, 28, 16, 4, 0
+      // full-range ladder: 52, 40, 28, 16, 4, 0; a range-priced start
+      // descends the same way and still ends on an exact 0 pass
+      shift = if (shift == 0) -1 else math.max(0, shift - 12)
     }
 
-    val remainingCol = bands.foldLeft(lit(0L)) { case (acc, (s, b)) =>
-      when(stratum === lit(s), lit(b.remaining)).otherwise(acc)
-    }
+    val remainingCol = coalesce(
+      element_at(litMap(bands.map { case (s, b) => s -> b.remaining }),
+        stratum), lit(0L))
     val win = Window.partitionBy(stratum).orderBy(fp.asc, tiebreak.asc)
     val band = df.filter(bandCond(bands))
       .withColumn("__rn", row_number().over(win))
@@ -183,10 +240,9 @@ object Sampling {
       .drop("__rn")
     if (bands.values.forall(_.lo == Long.MinValue)) band
     else {
-      val below = bands.map { case (s, b) =>
-        stratum === lit(s) && fp < lit(b.lo)
-      }.reduce(_ || _)
-      df.filter(below).unionByName(band)
+      val lo = element_at(litMap(bands.map { case (s, b) => s -> b.lo }),
+        stratum)
+      df.filter(lo.isNotNull && fp < lo).unionByName(band)
     }
   }
 
@@ -201,27 +257,66 @@ object Sampling {
     * (a training mixture has named sources). */
   def stratifiedTopN(df: DataFrame, stratum: Column, key: Column,
       tiebreak: Column, n: Int, bandCap: Long = 100000L,
+      maxStrata: Int = 512): DataFrame =
+    // same null contract on both paths: a null key hashes to a null
+    // rank, which rankedTopN never selects
+    rankedTopN(df, stratum, vfs_fingerprint(key), tiebreak, n,
+      bandCap, maxStrata)
+
+  /** Deterministic per-stratum TOP-N BY AN EXPLICIT RANK — e.g. "keep
+    * each domain's 1000 highest-quality pages": the `n` rows of each
+    * stratum with the smallest (rank, tiebreak). Same scale story as
+    * [[stratifiedTopN]] (which is exactly this with rank =
+    * fingerprint): low-cardinality strata go through the
+    * bounded-histogram [[thresholdSelect]] — a mega-stratum never
+    * becomes a single-task window sort — and above `maxStrata`
+    * observed strata the plain window is already many small
+    * partitions and is used as-is. `rank` must be LongType with
+    * smaller preferred (negate for keep-largest); NULL stratum or
+    * NULL rank rows are never selected on either path.
+    *
+    * Each refinement pass re-evaluates `stratum`/`rank` over the
+    * band (the pass only READS those two columns, so parquet column
+    * pruning keeps the scan slim, but a derived stratum's compute —
+    * e.g. registered-domain regexes — runs once per pass). With a
+    * mega-stratum forcing the full 52→0 shift ladder that is ~6
+    * passes: callers capping BY an expensive derived stratum at
+    * extreme scale should materialize it to a column first. */
+  def rankedTopN(df: DataFrame, stratum: Column, rank: Column,
+      tiebreak: Column, n: Int, bandCap: Long = 100000L,
       maxStrata: Int = 512): DataFrame = {
-    WorkCols.requireFree(df, "__rn")
-    val observed = df.groupBy(stratum.as("__s")).count()
+    // STAGE stratum and rank as work-column ATTRIBUTES first:
+    // [[thresholdSelect]]'s band predicate and histogram repeat the
+    // stratum expression once PER STRATUM — for a derived stratum
+    // like registered-domain-of-URL (a multi-regexp tree) that
+    // duplication built a 46 MiB task binary and re-ran the regexes
+    // per comparison; as attributes each band term is two
+    // column reads
+    WorkCols.requireFree(df, "__rn", "__st", "__rk")
+    // rank staged AS LONG: the histogram buckets and the range agg
+    // read it as a long, and an int rank would overflow neither but
+    // type-mismatch both
+    val staged = df.withColumn("__st", stratum)
+      .withColumn("__rk", rank.cast("long"))
+    val st = col("__st")
+    val rk = col("__rk")
+    val observed = staged.groupBy(st.as("__s")).count()
       .limit(maxStrata + 1).collect()
-    if (observed.length > maxStrata) {
-      // same null contract as the threshold path: null strata and null
-      // keys are excluded, so crossing maxStrata can never flip a
-      // row's fate
-      val w = Window.partitionBy(stratum)
-        .orderBy(vfs_fingerprint(key).asc, tiebreak.asc)
-      df.filter(stratum.isNotNull && key.isNotNull)
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= n)
-        .drop("__rn")
-    } else {
-      val cm: Map[Any, Long] =
-        observed.filter(_.get(0) != null)
-          .map(r => r.get(0) -> r.getLong(1)).toMap
-      hashThresholdSelect(df, stratum, key, tiebreak,
-        cm.map { case (s, _) => s -> n.toLong }, cm, bandCap)
-    }
+    val out =
+      if (observed.length > maxStrata) {
+        val w = Window.partitionBy(st).orderBy(rk.asc, tiebreak.asc)
+        staged.filter(st.isNotNull && rk.isNotNull)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n)
+          .drop("__rn")
+      } else {
+        val cm: Map[Any, Long] =
+          observed.filter(_.get(0) != null)
+            .map(r => r.get(0) -> r.getLong(1)).toMap
+        thresholdSelect(staged, st, rk, tiebreak,
+          cm.map { case (s, _) => s -> n.toLong }, cm, bandCap)
+      }
+    out.drop("__st", "__rk")
   }
 
   /** Deterministic source-mixture sampling — domain reweighting for a

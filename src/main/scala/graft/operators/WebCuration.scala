@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL-level curation for web-crawl corpora — the steps every
+  * web-scale training pipeline runs BEFORE any content-based pass
+  * (CCNet, Raffel et al. 2020 §2.2, Penedo et al. 2023 "RefinedWeb"
+  * §3.1: URL filtering and URL-keyed dedup remove whole fetches for
+  * cents before MinHash ever shingles a byte). No counterpart in the
+  * reference (`vfs/src/vfs/vector.rs` — vectors only); this is the
+  * brief's training-data-pipeline surface.
+  *
+  * Everything here is a per-row codegen'd string projection (zero
+  * shuffle) except the two set-level verbs: [[urlDedup]] is one hash
+  * aggregate on the normalized URL, and [[capPerDomain]] rides
+  * [[Sampling.rankedTopN]]'s bounded-histogram threshold path — a
+  * mega-domain (half the crawl is one CDN) never becomes a
+  * single-task window sort.
+  *
+  * Normalization is DETERMINISTIC and engine-portable (the DuckDB
+  * oracle reproduces it with the same regexes): two crawls of the
+  * same page under `HTTP://WWW.Host.com:80/a/?utm_source=x` and
+  * `http://host.com/a` collapse to one key. Canonical form — lowered
+  * scheme and host, userinfo and default port stripped, one leading
+  * `www.` stripped, fragment dropped, tracking params
+  * (`utm_*`/`fbclid`/`gclid`/`msclkid`/`ref`/`mc_eid`) dropped,
+  * surviving query params BYTE-SORTED (ASCII param names sort
+  * identically in Spark's UTF8String order and DuckDB's default list
+  * sort; non-ASCII param NAMES are out of contract), trailing path
+  * slashes stripped. The result is a dedup KEY, not a fetchable URL.
+  */
+object WebCuration {
+
+  /** Query params dropped by [[normalizeUrl]]: click/campaign
+    * trackers that vary per fetch of the same page. Matched against
+    * `name=` and bare `name` forms. */
+  val TrackingParamRe: String =
+    "^(utm_[^=&]*|fbclid|gclid|msclkid|ref|mc_eid)(=.*)?$"
+
+  /** Two-level public suffixes [[registeredDomain]] recognizes — the
+    * high-traffic entries of the public-suffix list, frozen so the
+    * column is a pure function (a full PSL snapshot would ride a
+    * broadcast lookup; these cover the common crawl head). */
+  val TwoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.in", "net.in", "org.in", "co.nz", "org.nz", "net.nz",
+    "com.br", "org.br", "net.br", "com.cn", "org.cn", "net.cn",
+    "com.mx", "com.tr", "com.sg", "com.hk", "com.tw", "com.ar",
+    "co.za", "co.kr", "or.kr", "com.my", "com.ph", "com.vn",
+    "com.pl", "com.ru", "co.th", "co.id", "com.eg", "com.sa")
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Lowercased scheme, or NULL for a string with no `scheme://`
+    * prefix (relative references are not curatable URLs). */
+  def urlScheme(url: Column): Column = {
+    val s = regexp_extract(url, SchemeRe, 1)
+    when(s =!= "", lower(s))
+  }
+
+  /** Canonical host: lowercased, userinfo and the scheme's DEFAULT
+    * port stripped (`:80` under http, `:443` under https — an
+    * explicit non-default port is kept, it addresses a different
+    * origin), one leading `www.` stripped. NULL when [[urlScheme]]
+    * is NULL or the authority is empty. */
+  def urlHost(url: Column): Column = {
+    val hp = lower(regexp_replace(
+      regexp_extract(url, SchemeRe + "([^/?#]*)", 2), "^[^@]*@", ""))
+    val noPort = when(urlScheme(url) === "http",
+        regexp_replace(hp, ":80$", ""))
+      .when(urlScheme(url) === "https",
+        regexp_replace(hp, ":443$", ""))
+      .otherwise(hp)
+    val h = regexp_replace(noPort, "^www\\.", "")
+    when(urlScheme(url).isNotNull && h =!= "", h)
+  }
+
+  /** Anchored extractor for "label + listed two-level suffix" — the
+    * suffix alternation is compiled INTO the regex (one pattern
+    * object per task) instead of a 46-way IN over split-array
+    * gymnastics: the expression-tree form repeated the whole host
+    * derivation per array access and blew up every plan the domain
+    * appears in (filters, window partition keys, group keys). */
+  private val SuffixAltRe: String =
+    "([^.]+\\.(?:" +
+      TwoLevelSuffixes.map(_.replace(".", "\\.")).mkString("|") +
+      "))$"
+
+  /** eTLD+1 under the frozen [[TwoLevelSuffixes]] head: the last two
+    * host labels, or three when the last two are a listed two-level
+    * suffix (`news.bbc.co.uk` → `bbc.co.uk`). Hosts with a single
+    * label (intranet names, IPs stay as-is under the 2-label rule)
+    * pass through whole. */
+  def registeredDomain(host: Column): Column = {
+    val three = regexp_extract(host, SuffixAltRe, 1)
+    val two = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(three =!= "", three).when(two =!= "", two).otherwise(host)
+  }
+
+  /** The two [[registeredDomain]] patterns for the oracle mirror —
+    * interpolated into the DuckDB CTE so the derivations share one
+    * source of truth. */
+  private[graft] def domainRegexes: (String, String) =
+    (SuffixAltRe, "([^.]+\\.[^.]+)$")
+
+  /** [[registeredDomain]] straight off a URL column. */
+  def urlDomain(url: Column): Column = registeredDomain(urlHost(url))
+
+  /** The canonical dedup key (header comment has the full rule list).
+    * NULL for non-URLs — a null key joins nothing and groups apart,
+    * so malformed rows never collapse with real ones. Pure per-row
+    * projection; the query-param lambda runs interpreted (HOF), but
+    * over an already-staged short string, not a re-derived one. */
+  def normalizeUrl(url: Column): Column = {
+    val scheme = urlScheme(url)
+    val host = urlHost(url)
+    // path+query end at the fragment; path ends at the query
+    val pathq = regexp_extract(url, SchemeRe + "[^/?#]*([^#]*)", 2)
+    val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1),
+      "/+$", "")
+    val rawq = regexp_extract(pathq, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(rawq, "&"), p =>
+      p =!= "" && !p.rlike(TrackingParamRe)))
+    val q = array_join(kept, "&")
+    when(scheme.isNotNull && host.isNotNull,
+      concat(scheme, lit("://"), host, path,
+        when(q =!= "", concat(lit("?"), q)).otherwise(lit(""))))
+  }
+
+  /** URL-keyed exact dedup: group the corpus by [[normalizeUrl]],
+    * keep the member with the smallest `idCol` as `keeper` and report
+    * the group size — ONE hash aggregate (map-side combined), the
+    * cheapest whole-fetch dedup a crawl gets. Rows whose URL fails to
+    * normalize (NULL key) are dropped: an unaddressable fetch has no
+    * dedup identity. */
+  def urlDedup(df: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    val key = normalizeUrl(col(urlCol))
+    df.filter(key.isNotNull)
+      .groupBy(key.as("norm_url"))
+      .agg(min(col(idCol)).as("keeper"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Per-registered-domain cap — head-domain downsampling ("no single
+    * domain contributes more than n pages"): keep each domain's `n`
+    * rows with the SMALLEST `rank` (LongType; pass e.g.
+    * `-col("quality_milli")` to keep the highest-quality pages), ties
+    * to the smallest `tiebreak`. Delegates to [[Sampling.rankedTopN]]
+    * — bounded-histogram selection for the low-cardinality-domain
+    * regime, never a single-task sort on a mega-domain. */
+  def capPerDomain(df: DataFrame, urlCol: String, rank: Column,
+      tiebreak: Column, n: Int, bandCap: Long = 100000L,
+      maxStrata: Int = 512): DataFrame =
+    Sampling.rankedTopN(df, urlDomain(col(urlCol)), rank, tiebreak, n,
+      bandCap, maxStrata)
+
+  /** Drop rows whose registered domain is on a literal blocklist —
+    * the inline form for human-sized lists (an `isin` predicate,
+    * pushed into the scan stage, zero shuffle). */
+  def blocklistFilter(df: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame = {
+    require(blocked.nonEmpty, "[GRAFT] blocklistFilter: empty list")
+    val d = urlDomain(col(urlCol))
+    df.filter(d.isNull || !d.isInCollection(blocked))
+  }
+
+  /** Drop rows whose registered domain appears in a blocklist TABLE
+    * (one `domain` string column) — the form for real blocklists
+    * (millions of rows): a LEFT ANTI join, broadcast-hinted iff the
+    * caller KNOWS the list size and it fits the byte budget
+    * ([[BroadcastGate.gated]], the `allowedSide` convention: 32-ish
+    * bytes/domain ≈ dim 0 overhead rows); unknown size (`blockedRows
+    * < 0`, the default) leaves the strategy to the planner/AQE. */
+  def blocklistFilterTable(df: DataFrame, urlCol: String,
+      blocked: DataFrame, blockedRows: Long = -1L): DataFrame = {
+    require(blocked.columns.contains("domain"),
+      "[GRAFT] blocklistFilterTable: need a 'domain' column")
+    val slim = blocked.select(col("domain")).distinct()
+    val side =
+      if (blockedRows >= 0L) BroadcastGate.gated(slim, blockedRows, 0)
+      else slim
+    df.join(side, urlDomain(col(urlCol)) === side("domain"),
+      "left_anti")
+  }
+}

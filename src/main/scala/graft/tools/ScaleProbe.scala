@@ -370,6 +370,52 @@ object ScaleProbe {
         s"${row.getLong(0)}:${row.getLong(1)}").mkString(" ") +
         s" (total $total of 525000)")
     }
+    // URL curation at scale, WITH a mega-domain: 5M URLs over 50
+    // registered domains where ONE domain holds half the corpus (the
+    // CDN-skew shape that makes a per-domain row_number window a
+    // single 2.5M-row task sort). rankedTopN's bounded-histogram path
+    // must hold: the cap is resolved by radix passes over (domain,
+    // rank) counts + a <= bandCap boundary window, never a full
+    // per-domain sort.
+    // 5M-row URL table ON DISK (a crawl ships urls as data — an
+    // expression-generated input would re-run the whole fixture
+    // concat per histogram pass and bench the generator, not the
+    // operator; on parquet, column pruning keeps each refinement
+    // pass a slim (domain, rank) scan)
+    val urlDir = time("materialize 5M-url crawl table " +
+        "(one mega-domain holding 3M)") {
+      // every 10th url is a tracking-param/case variant of id-1's
+      // page -> 500k rows normalize-collapse onto their predecessor
+      // (domain derives from pid so the variant shares its host)
+      val pid = when($"id" % 10 === 9, $"id" - 1).otherwise($"id")
+      val dom = when(pid % 2 === 0, lit("bighost.com"))
+        .otherwise(concat(lit("site"), (pid % 98).cast("string"),
+          lit(".co.uk")))
+      val p = java.nio.file.Files
+        .createTempDirectory("scale-url").toString
+      spark.range(5000000L).select($"id".as("doc_id"),
+        concat(lit("HTTP://WWW."), dom, lit(":80/p/"),
+          pid.cast("string"),
+          lit("?utm_source=probe&x="), (pid % 7).cast("string"))
+          .as("url"),
+        ($"id" % 100000).as("len"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val urls = spark.read.parquet(urlDir)
+    time("URL normalize + dedup over the 5M-url table") {
+      val dedup = graft.operators.WebCuration.urlDedup(urls)
+      println(s"[scale-probe]   distinct normalized urls: " +
+        s"${dedup.count()} of 5000000 (expect 4500000)")
+    }
+    time("per-domain cap of the 5M-url table, mega-domain 3M " +
+        "(rankedTopN threshold path, bandCap 100k)") {
+      val capped = graft.operators.WebCuration.capPerDomain(
+        urls, "url", negate($"len"), $"doc_id", n = 1000,
+        bandCap = 100000L)
+      println(s"[scale-probe]   capped rows: ${capped.count()} " +
+        "(expect 50 domains x 1000)")
+    }
     // trigram langid at scale: the model is vocab×4 rows (broadcast);
     // scoring is one Generate + broadcast join + two partial aggs —
     // cost ∝ corpus trigrams, lower() materialized once per row.

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Sampling, WebCuration}
+
+class WebCurationSpec extends AnyFunSuite {
+  lazy val spark = GraftTest.spark
+  import spark.implicits._
+
+  private def norm(urls: Seq[String]): Seq[Option[String]] =
+    urls.zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .select(col("i"), WebCuration.normalizeUrl(col("url")).as("n"))
+      .orderBy(col("i")).as[(Int, Option[String])].collect()
+      .map(_._2).toSeq
+
+  test("normalizeUrl canonicalizes the documented rule list") {
+    val cases = Seq(
+      // case + www + default port + tracking params + fragment
+      "HTTP://WWW.Example.COM:80/Articles/5?utm_source=feed&ref=rss&id=5#sec"
+        -> Some("http://example.com/Articles/5?id=5"),
+      // https default port + trailing slash
+      "https://news.bbc.co.uk:443/posts/7/"
+        -> Some("https://news.bbc.co.uk/posts/7"),
+      // tracking-only query drops the '?' entirely
+      "https://sub.example.org/a/b/?fbclid=xyz"
+        -> Some("https://sub.example.org/a/b"),
+      // bare host, and root path collapses to bare host
+      "https://example.com" -> Some("https://example.com"),
+      "https://example.com/" -> Some("https://example.com"),
+      // userinfo stripped
+      "https://user:pw@example.com/x" -> Some("https://example.com/x"),
+      // surviving params byte-sorted
+      "https://example.com/post?b=2&a=1&utm_medium=email"
+        -> Some("https://example.com/post?a=1&b=2"),
+      // NON-default port is a different origin — kept
+      "http://example.com:8080/x" -> Some("http://example.com:8080/x"),
+      // path case preserved, only scheme+host lower
+      "FTP://Example.com/Mixed/Case" -> Some("ftp://example.com/Mixed/Case"),
+      // bare tracking param name (no '=') also drops
+      "https://example.com/p?ref&x=1" -> Some("https://example.com/p?x=1"),
+      // not a URL / empty authority -> NULL key
+      "not a url" -> None,
+      "http://:80/x" -> None)
+    assert(norm(cases.map(_._1)) === cases.map(_._2))
+  }
+
+  test("urlHost and registeredDomain: eTLD+1 under the frozen suffix head") {
+    val got = Seq(
+      "https://news.bbc.co.uk/x", "https://WWW.Example.COM/x",
+      "https://a.b.example.com/x", "https://example.co.uk/x",
+      "http://localhost/x", "https://blog.shop.com.au/x")
+      .zipWithIndex.map { case (u, i) => (i, u) }.toDF("i", "url")
+      .select(col("i"),
+        WebCuration.urlHost(col("url")).as("h"),
+        WebCuration.urlDomain(col("url")).as("d"))
+      .orderBy(col("i")).as[(Int, String, String)].collect()
+      .map(r => (r._2, r._3)).toSeq
+    assert(got === Seq(
+      ("news.bbc.co.uk", "bbc.co.uk"),
+      ("example.com", "example.com"),
+      ("a.b.example.com", "example.com"),
+      ("example.co.uk", "example.co.uk"),
+      ("localhost", "localhost"),
+      ("blog.shop.com.au", "shop.com.au")))
+  }
+
+  test("urlDedup collapses normalization variants; malformed rows drop") {
+    val d = Seq(
+      (1L, "HTTP://WWW.Example.COM:80/a?utm_source=x"),
+      (2L, "http://example.com/a"),
+      (3L, "http://example.com/a/"),
+      (4L, "http://example.com/b"),
+      (5L, "garbage")).toDF("doc_id", "url")
+    val got = WebCuration.urlDedup(d)
+      .orderBy(col("keeper")).as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("http://example.com/a", 1L, 3L),
+      ("http://example.com/b", 4L, 1L)))
+  }
+
+  test("capPerDomain keeps top-n by rank per registered domain, both paths agree") {
+    // two domains (hosts differ, registered domain collapses them),
+    // rank = -length (keep LONGEST), tiebreak id
+    val d = Seq(
+      (1L, "https://a.example.com/x", 10L),
+      (2L, "https://b.example.com/y", 30L),
+      (3L, "https://example.com/z", 20L),
+      (4L, "https://example.com/w", 30L), // ties rank with id 2
+      (5L, "https://other.org/q", 5L)).toDF("doc_id", "url", "len")
+    def ids(bandCap: Long) = WebCuration.capPerDomain(
+        d, "url", -col("len"), col("doc_id"), n = 2, bandCap = bandCap)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // keep-longest 2 of example.com = ids 2 and 4 (len 30, 30); other.org all
+    assert(ids(100000L) === Set(2L, 4L, 5L))
+    // bandCap=1 forces the histogram refinement down to shift 0 — the
+    // tie group at rank -30 is windowed whole; same answer
+    assert(ids(1L) === Set(2L, 4L, 5L))
+  }
+
+  test("rankedTopN with a fingerprint rank reproduces stratifiedTopN") {
+    val docs = spark.read.parquet(s"${GraftTest.sf001}/documents.parquet")
+    val key = col("doc_id").cast("string")
+    val a = Sampling.stratifiedTopN(docs, col("source"), key,
+        col("doc_id"), n = 3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val b = Sampling.rankedTopN(docs, col("source"),
+        graft.functions.vfs_fingerprint(key), col("doc_id"), n = 3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("vfs_url_normalize / host / domain are reachable from pure SQL") {
+    graft.functions.registerAll(spark)
+    // the param-filter lambda must survive the eager Column→Expression
+    // conversion the function registry requires
+    val got = spark.sql(
+      "SELECT vfs_url_normalize('HTTP://WWW.Example.COM:80/a?utm_source=x&b=1#f') AS n, " +
+        "vfs_url_host('https://news.bbc.co.uk:443/x') AS h, " +
+        "vfs_url_domain('https://news.bbc.co.uk/x') AS d")
+      .as[(String, String, String)].head()
+    assert(got === (("http://example.com/a?b=1", "news.bbc.co.uk",
+      "bbc.co.uk")))
+  }
+
+  test("blocklist filters match between inline and table forms; unattributable rows survive") {
+    val d = Seq(
+      (1L, "https://news.bbc.co.uk/x"),
+      (2L, "https://example.com/y"),
+      (3L, "https://spam.example.com/z"),
+      (4L, "not a url")).toDF("doc_id", "url")
+    val inline = WebCuration.blocklistFilter(d, "url", Seq("example.com"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val table = WebCuration.blocklistFilterTable(d, "url",
+        Seq("example.com").toDF("domain"), blockedRows = 1L)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // both example.com hosts drop (registered-domain match); the
+    // malformed row has no domain to block on and survives
+    assert(inline === Set(1L, 4L))
+    assert(table === inline)
+  }
+}
