@@ -1127,6 +1127,21 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- weight-budget sampling: fill each source's n_chars budget
+    // in content-hash order, budget-crossing row kept. bandCap = 16
+    // forces the weighted radix refinement (per-bucket count+sum
+    // aggregates) even at this SF; src3's budget exceeds its total at
+    // sf0.01 (whole-stratum pass) and not at sf0.1 — both regimes
+    // certify against the ONE oracle rule `before < budget` ----
+    "q_budget_sample" -> ((s, dir) => {
+      graft.operators.Sampling.budgetSample(
+          s.read.parquet(s"$dir/documents.parquet"),
+          col("source"), col("n_chars"), col("text"), col("doc_id"),
+          budgetSampleBudgets, bandCap = 16L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- JSONL sink + source roundtrip: the interchange format of
     // text-corpus pipelines — write the documents table as JSON lines,
     // read it back under the ORIGINAL schema (inference would widen
@@ -3991,6 +4006,7 @@ object SparkEntry {
     "q_mixture_sample" -> mixtureSampleOracle,
 
     "q_temperature_sample" -> temperatureSampleOracle,
+    "q_budget_sample" -> budgetSampleOracle,
 
     "q_sample_hash" -> sampleHashOracle,
 
@@ -5014,6 +5030,35 @@ object SparkEntry {
     * in both engines, and the weight normalization folds the sorted
     * source list from 0.0 exactly like the Scala side's ListMap sum —
     * from there the quota math is [[mixtureSampleOracle]]'s. */
+  /** q_budget_sample's budgets — ONE constant feeding both the engine
+    * call and the oracle's IN list + CASE, so they cannot drift. */
+  private val budgetSampleBudgets: Map[String, Long] =
+    scala.collection.immutable.ListMap(
+      "src0" -> 3000L, "src1" -> 1500L, "src2" -> 700L,
+      "src3" -> 60000L)
+
+  /** budgetSample mirror: ONE rule — a row keeps iff the running
+    * weight sum strictly before it (fingerprint, tiebreak order,
+    * within its source) is under the source's budget; the engine's
+    * full-stratum / below-threshold / boundary-window paths are all
+    * refinements of this rule. */
+  private def budgetSampleOracle: String = {
+    val srcs = budgetSampleBudgets.keys.map(s => s"'$s'").mkString(", ")
+    val cases = budgetSampleBudgets.map { case (s, b) =>
+      s"WHEN '$s' THEN $b" }.mkString(" ")
+    s"""WITH b AS (SELECT doc_id, source, n_chars, $duckUtf8Bytes AS bs
+       |  FROM documents WHERE source IN ($srcs)),
+       |r AS (SELECT doc_id, source, n_chars,
+       |  coalesce(sum(n_chars) OVER (PARTITION BY source
+       |    ORDER BY ${duckSigned(duckFnvFold("bs"))} ASC, doc_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS before
+       |  FROM b)
+       |SELECT doc_id, source, n_chars FROM r
+       |WHERE before < CASE source $cases END
+       |ORDER BY doc_id ASC""".stripMargin
+  }
+
   private def temperatureSampleOracle: String =
     s"""WITH d0 AS (SELECT * FROM documents
        |      WHERE source = 'src0' OR doc_id % 3 <> 0),

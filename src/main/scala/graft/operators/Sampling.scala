@@ -392,6 +392,168 @@ object Sampling {
       bandCap)
   }
 
+  /** Deterministic per-stratum WEIGHT-BUDGET sampling — "fill a 10B-
+    * token budget from each source": walk each stratum's rows in
+    * (content-hash, tiebreak) order and keep every row whose
+    * cumulative weight BEFORE it is still under the stratum's budget
+    * (so the budget-crossing row is kept — budgets are targets, the
+    * overshoot is at most one document; zero-weight rows ride along
+    * free while their hash position is under the budget). Strata
+    * absent from `budgets` (or with budget ≤ 0) are dropped — the
+    * budget map defines the corpus, the [[mixtureSample]] convention.
+    * Selection is engine-portable and append-stable in the same
+    * sense as [[stratifiedTopN]].
+    *
+    * Scale story: the count-quota operators locate the quota-th
+    * smallest hash; this locates the hash where the RUNNING WEIGHT
+    * SUM crosses the budget. Same adaptive radix refinement, with
+    * per-bucket (row count, weight sum) aggregates — the budget
+    * crossing lands in one bucket per pass, narrowed 4096× per pass
+    * until the candidate band holds ≤ `bandCap` rows; only that band
+    * is ever windowed for the exact running sum. No per-stratum
+    * single-task sort at any data size.
+    *
+    * `weight` must be non-null and ≥ 0 for every in-scope row
+    * (checked in the same slim aggregate that sizes the strata — a
+    * negative weight would un-monotone the running sum and make the
+    * crossing ill-defined; fails loudly naming the stratum). */
+  def budgetSample(df: DataFrame, stratum: Column, weight: Column,
+      key: Column, tiebreak: Column, budgets: Map[String, Long],
+      bandCap: Long = 100000L): DataFrame = {
+    require(budgets.nonEmpty, "[GRAFT] budgetSample: empty budget map")
+    require(bandCap >= 1, "[GRAFT] budgetSample: bandCap must be >= 1")
+    WorkCols.requireFree(df, "__rn", "__st", "__rk", "__wt")
+    val staged = df.withColumn("__st", stratum)
+      .withColumn("__rk", vfs_fingerprint(key))
+      .withColumn("__wt", weight.cast("long"))
+    val st = col("__st")
+    val rk = col("__rk")
+    val wt = col("__wt")
+    val inScope = st.isInCollection(budgets.keys.toSeq)
+
+    def litMap(m: Map[String, Long]): Column =
+      map(m.toSeq.flatMap { case (k, v) =>
+        Seq(lit(k), lit(v)) }: _*)
+
+    // one slim pass: per-stratum row count + total weight + the
+    // weight contract (non-null, >= 0)
+    val obs = staged.filter(inScope)
+      .groupBy(st.as("__s"))
+      .agg(count(lit(1)).as("__n"), sum(wt).as("__w"),
+        min(wt).as("__mn"),
+        sum(when(wt.isNull, 1L).otherwise(0L)).as("__nulls"))
+      .collect()
+    obs.foreach { r =>
+      require(r.getLong(4) == 0L && !r.isNullAt(3) && r.getLong(3) >= 0L,
+        s"[GRAFT] budgetSample: stratum ${r.get(0)} has NULL or " +
+          "negative weights — weights must be non-null and >= 0")
+    }
+
+    // strata whose total weight fits the budget pass WHOLE; the rest
+    // need a hash-threshold cut
+    val totals = obs.map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // STRICT: a stratum whose total exactly equals its budget still
+    // goes through the windowed rule — its trailing zero-weight rows
+    // sit at before == budget and must drop under `before < budget`
+    val full: Map[String, Long] = totals.collect {
+      case (s, (_, w)) if budgets.getOrElse(s, 0L) > 0L &&
+        w < budgets(s) => s -> 1L
+    }
+    // band state per cut stratum: the budget crossing's hash lies in
+    // [lo, hi); `remaining` = budget minus the weight below lo;
+    // `size` = rows currently in the band
+    final case class WBand(lo: Long, hi: Option[Long], size: Long,
+      remaining: Long)
+    var bands: Map[String, WBand] = totals.collect {
+      case (s, (n, w)) if budgets.getOrElse(s, 0L) > 0L &&
+        w >= budgets(s) =>
+        s -> WBand(Long.MinValue, None, n, budgets(s))
+    }
+
+    def bandCond(states: Map[String, WBand]): Column = {
+      if (states.isEmpty) return lit(false)
+      val lo = element_at(litMap(states.map { case (s, b) =>
+        s -> b.lo }), st)
+      val base = lo.isNotNull && rk >= lo
+      val withHi = states.collect {
+        case (s, b) if b.hi.isDefined => s -> b.hi.get }
+      if (withHi.isEmpty) base
+      else {
+        val hi = element_at(litMap(withHi), st)
+        base && (hi.isNull || rk < hi)
+      }
+    }
+
+    var shift = 52
+    while (shift >= 0 && bands.values.exists(_.size > bandCap)) {
+      val oversized = bands.filter(_._2.size > bandCap)
+      val hist: Map[String, Array[(Long, Long, Long)]] = staged
+        .filter(bandCond(oversized))
+        .groupBy(st.as("__s"), shiftright(rk, shift).as("__bk"))
+        .agg(count(lit(1)).as("__c"), sum(wt).as("__bw"))
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (s, rows) => s -> rows.map(r =>
+          (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1) }
+      bands = bands.map { case (s, b) =>
+        s -> (hist.get(s).filter(_ => b.size > bandCap) match {
+          case Some(buckets) =>
+            // bucket where the running weight crosses `remaining`
+            val idx = {
+              var cum = 0L; var i = 0; var c = -1
+              while (i < buckets.length) {
+                if (c < 0) {
+                  cum += buckets(i)._3
+                  if (cum >= b.remaining) c = i
+                }
+                i += 1
+              }
+              if (c < 0) buckets.length - 1 else c
+            }
+            val belowW = buckets.take(idx).map(_._3).sum
+            val (bk, cnt, _) = buckets(idx)
+            val hiBig = (BigInt(bk) + 1) << shift
+            val newHi =
+              if (hiBig > BigInt(Long.MaxValue)) b.hi
+              else Some(b.hi.fold(hiBig.toLong)(math.min(_, hiBig.toLong)))
+            WBand(math.max(b.lo, bk << shift), newHi, cnt,
+              b.remaining - belowW)
+          case None => b
+        })
+      }
+      shift = if (shift == 0) -1 else math.max(0, shift - 12)
+    }
+
+    // everything below a cut band's lo is inside the budget; the band
+    // itself is windowed for the exact running-sum boundary
+    val fullCond =
+      if (full.isEmpty) lit(false)
+      else element_at(litMap(full), st).isNotNull
+    val belowCond =
+      if (bands.isEmpty) lit(false)
+      else {
+        val lo = element_at(litMap(bands.map { case (s, b) =>
+          s -> b.lo }), st)
+        lo.isNotNull && rk < lo
+      }
+    val freePass = staged.filter(fullCond || belowCond)
+    val banded =
+      if (bands.isEmpty) freePass.filter(lit(false))
+      else {
+        val win = Window.partitionBy(st).orderBy(rk.asc, tiebreak.asc)
+        val before = coalesce(sum(wt).over(
+          win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        val rem = element_at(litMap(bands.map { case (s, b) =>
+          s -> b.remaining }), st)
+        staged.filter(bandCond(bands))
+          .withColumn("__rn", before)
+          .filter(col("__rn") < rem)
+          .drop("__rn")
+      }
+    freePass.unionByName(banded).drop("__st", "__rk", "__wt")
+  }
+
   /** Deterministic negative-pair mining for contrastive training: for
     * each anchor, up to `k` pseudo-random partner ids drawn as
     * `portableWordHash(anchor ":" j) mod n` over a DENSE id domain

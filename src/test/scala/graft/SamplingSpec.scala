@@ -189,4 +189,77 @@ class SamplingSpec extends AnyFunSuite {
     val prefix = out.take(4).map(_.getString(1))
     assert(prefix.count(_ == "a") == 2 && prefix.count(_ == "b") == 2)
   }
+
+  /** The budgetSample contract replayed row-by-row: per stratum, in
+    * (fingerprint, tiebreak) order, keep while the running weight
+    * BEFORE the row is under the budget. */
+  private def budgetExpected(rows: Seq[(Long, String, Long, Long)],
+      budgets: Map[String, Long]): Set[Long] =
+    rows.groupBy(_._2).flatMap { case (s, rs) =>
+      val b = budgets.getOrElse(s, 0L)
+      if (b <= 0L) Nil
+      else {
+        var cum = 0L
+        rs.sortBy(r => (r._4, r._1)).flatMap { r =>
+          val keep = cum < b
+          cum += r._3
+          if (keep) Some(r._1) else None
+        }
+      }
+    }.toSet
+
+  test("budgetSample fills per-source weight budgets deterministically, both paths agree") {
+    val base = docs.select($"doc_id", $"source", $"n_chars",
+      graft.functions.vfs_fingerprint($"text").as("fp"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val budgets = Map("src0" -> 3000L, "src1" -> 1500L, "src2" -> 1L)
+    val expect = budgetExpected(base, budgets)
+    assert(expect.nonEmpty && expect.size < base.size)
+    def got(bandCap: Long) = Sampling.budgetSample(docs, $"source",
+        $"n_chars", $"text", $"doc_id", budgets, bandCap)
+      .select($"doc_id").as[Long].collect().toSet
+    // plain path (strata under bandCap) and forced-refinement path
+    // (bandCap=1: the radix ladder narrows to the crossing hash) must
+    // both reproduce the row-by-row replay — incl. src2's budget of 1
+    // keeping exactly the first hash-ordered doc and sources absent
+    // from the map contributing nothing
+    assert(got(100000L) === expect)
+    assert(got(1L) === expect)
+  }
+
+  test("budgetSample: exact-equality stratum drops trailing zero-weight rows; contract violations are loud") {
+    // craft: total weight == budget, with a zero-weight row placed
+    // LAST in hash order — before == budget there, so it must drop
+    val d0 = Seq((1L, "s", 10L), (2L, "s", 20L), (3L, "s", 0L),
+      (4L, "s", 30L)).toDF("id", "src", "w")
+    val fp = d0.select($"id",
+        graft.functions.vfs_fingerprint($"id".cast("string")).as("f"))
+      .as[(Long, Long)].collect().toMap
+    val order = Seq(1L, 2L, 3L, 4L).sortBy(i => (fp(i), i))
+    val weights = Map(1L -> 10L, 2L -> 20L, 3L -> 0L, 4L -> 30L)
+    // budget = total: every row before the last non-zero row keeps
+    val total = 60L
+    val expect = {
+      var cum = 0L
+      order.flatMap { i =>
+        val keep = cum < total
+        cum += weights(i); if (keep) Some(i) else None
+      }.toSet
+    }
+    val out = Sampling.budgetSample(d0, $"src", $"w",
+        $"id".cast("string"), $"id", Map("s" -> total))
+      .select($"id").as[Long].collect().toSet
+    assert(out === expect)
+    // a zero-weight row positioned AFTER the full budget is consumed
+    // must be out — pin that the crafted order actually tests it when
+    // the zero row is not first
+    if (order.last == 3L) assert(!out.contains(3L))
+    // negative weight -> loud, naming the stratum
+    val neg = Seq((1L, "s", -5L)).toDF("id", "src", "w")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.budgetSample(neg, $"src", $"w", $"id".cast("string"),
+        $"id", Map("s" -> 10L))
+    }
+    assert(e.getMessage.contains("negative"))
+  }
 }
