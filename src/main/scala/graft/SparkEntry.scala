@@ -1062,6 +1062,38 @@ object SparkEntry {
         .orderBy(col("domain").asc)
     }),
 
+    // ---- the INCREMENTAL form: the seen set is a standing artifact
+    // (UrlIndex) built on the even-id half (SF-stable split); the
+    // odd-id delta keep-firsts within itself, then one anti-join
+    // against the stored keys decides — cost ∝ delta, the corpus is
+    // never rescanned ----
+    "web_url_incremental" -> ((s, dir) => {
+      import graft.operators.{UrlIndex, WebCuration}
+      val urls = webUrls(s, dir)
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-urlidx").toString
+      UrlIndex.build(urls.filter(pmod(col("doc_id"), lit(2)) === 0),
+        idx)
+      val delta = urls.filter(pmod(col("doc_id"), lit(2)) === 1)
+      UrlIndex.filterNew(s, idx, WebCuration.urlKeepFirst(delta))
+        .select(col("doc_id"),
+          WebCuration.normalizeUrl(col("url")).as("norm_url"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the STREAMING loop's batch-0 run over the whole corpus:
+    // standing seen set empty, so within-batch keep-first decides;
+    // survivors land batch-addressed through the actual foreachBatch
+    // body (replay-idempotent by construction) ----
+    "stream_url_dedup" -> ((s, dir) => {
+      val cd = java.nio.file.Files
+        .createTempDirectory("verify-urlstream").toString
+      graft.streaming.Ingest.urlDedupBatch(webUrls(s, dir), 0L, cd)
+      s.read.parquet(s"$cd/docs/batch=0")
+        .select(col("doc_id"), col("url"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- the curation audit report: per-language-shard totals over
     // the packed output (docs, tokens, bins, overflows) — the one
     // aggregate every production curation run logs ----
@@ -3636,6 +3668,25 @@ object SparkEntry {
          |WHERE domain NOT IN ('src1.co.uk', 'src2.co.uk',
          |  'src3.co.uk', 'src4.co.uk', 'src5.co.uk')
          |GROUP BY 1 ORDER BY domain ASC""".stripMargin,
+
+    "web_url_incremental" ->
+      s"""WITH $webUrlCtes,
+         |k AS (SELECT doc_id, norm_url,
+         |    row_number() OVER (PARTITION BY norm_url
+         |      ORDER BY doc_id ASC) AS rn
+         |  FROM wn WHERE doc_id % 2 = 1)
+         |SELECT doc_id, norm_url FROM k
+         |WHERE rn = 1 AND norm_url NOT IN
+         |  (SELECT DISTINCT norm_url FROM wn WHERE doc_id % 2 = 0)
+         |ORDER BY doc_id ASC""".stripMargin,
+
+    "stream_url_dedup" ->
+      s"""WITH $webUrlCtes,
+         |k AS (SELECT doc_id, url,
+         |    row_number() OVER (PARTITION BY norm_url
+         |      ORDER BY doc_id ASC) AS rn FROM wn)
+         |SELECT doc_id, url FROM k WHERE rn = 1
+         |ORDER BY doc_id ASC""".stripMargin,
 
     "stream_curate" -> streamCurateOracle,
 

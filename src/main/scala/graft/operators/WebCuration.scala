@@ -145,6 +145,27 @@ object WebCuration {
         count(lit(1)).as("cnt"))
   }
 
+  /** URL-keyed keep-first SURVIVORS — the row form of [[urlDedup]]:
+    * within each normalized-URL group only the row with the smallest
+    * `idCol` survives, all columns intact. Unaddressable rows (NULL
+    * key) pass through whole — they duplicate nothing. One window
+    * over the normalized key; group sizes are duplicate
+    * multiplicities (small by nature), so no skewed partition — and
+    * the NULL-key rows are split out BEFORE the window rather than
+    * riding it as one giant all-NULL partition. */
+  def urlKeepFirst(df: DataFrame, urlCol: String = "url",
+      idCol: String = "doc_id"): DataFrame = {
+    WorkCols.requireFree(df, "__nu", "__rn")
+    val staged = df.withColumn("__nu", normalizeUrl(col(urlCol)))
+    val keyed = staged.filter(col("__nu").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__nu")).orderBy(col(idCol).asc)
+    keyed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .unionByName(staged.filter(col("__nu").isNull))
+      .drop("__nu")
+  }
+
   /** Per-registered-domain cap — head-domain downsampling ("no single
     * domain contributes more than n pages"): keep each domain's `n`
     * rows with the SMALLEST `rank` (LongType; pass e.g.

@@ -622,6 +622,66 @@ object Ingest {
     * small-files growth) under the [[ArtifactIo.shouldCompact]]
     * convergence contract; the foreachBatch body is the single
     * writer, so the staged swap cannot race an append. */
+  /** One micro-batch of the URL-dedup ingest loop, REPLAY-IDEMPOTENT
+    * BY CONSTRUCTION (the [[boilerplateBatch]] stance — no crash
+    * point needs a residue heuristic):
+    *
+    *   1. keep-first WITHIN the batch on the normalized URL
+    *      ([[graft.operators.WebCuration.urlKeepFirst]]);
+    *   2. probe the standing seen set EXCLUDING this batch's own
+    *      partition ([[graft.operators.UrlIndex.filterNew]]'s
+    *      `excludeBatch`) — so a replay whose append already landed
+    *      computes the SAME survivors instead of an empty set;
+    *   3. land survivors at `docs/batch=<id>` with OVERWRITE, then
+    *      [[graft.operators.UrlIndex.appendIdempotent]] the batch's
+    *      keys (stale replays refused by the watermark).
+    *
+    * Any crash ordering replays to identical bytes: the probe never
+    * sees its own batch, both writes are overwrites of the same
+    * partition, and the watermark only advances after its partition
+    * is complete. */
+  private[graft] def urlDedupBatch(batch0: DataFrame, batchId: Long,
+      corpusDir: String, urlCol: String = "url",
+      idCol: String = "doc_id", autoCompactFiles: Int = 0): Unit = {
+    import graft.operators.{UrlIndex, WebCuration}
+    val spark = batch0.sparkSession
+    // persist: keep-first, the probe, and the landing scan the batch
+    val batch = batch0.persist()
+    try {
+      if (batch.take(1).isEmpty) return
+      UrlIndex.healParked(s"$corpusDir/urlidx")
+      val idxDir = s"$corpusDir/urlidx"
+      if (!UrlIndex.exists(idxDir)) UrlIndex.create(spark, idxDir)
+      val kept = WebCuration.urlKeepFirst(batch, urlCol, idCol)
+      val fresh = UrlIndex.filterNew(spark, idxDir, kept, urlCol,
+        excludeBatch = batchId)
+      fresh.write.mode("overwrite")
+        .parquet(s"$corpusDir/docs/batch=$batchId")
+      UrlIndex.appendIdempotent(batch, idxDir, batchId, urlCol)
+      if (autoCompactFiles > 0 &&
+          UrlIndex.needsCompaction(idxDir, autoCompactFiles))
+        UrlIndex.compact(spark, idxDir)
+    } finally batch.unpersist()
+    ()
+  }
+
+  /** Continuous URL-keyed dedup ingest: each micro-batch keeps one
+    * row per never-before-seen normalized URL and lands it
+    * batch-addressed under `docs/`; the seen set is the standing
+    * [[graft.operators.UrlIndex]] at `<corpusDir>/urlidx`. */
+  def urlIngestStream(stream: DataFrame, corpusDir: String,
+      checkpoint: String, urlCol: String = "url",
+      idCol: String = "doc_id", autoCompactFiles: Int = 0,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        urlDedupBatch(batch, batchId, corpusDir, urlCol, idCol,
+          autoCompactFiles)
+      }
+      .start()
+
   def boilerplateIngestStream(stream: DataFrame, corpusDir: String,
       checkpoint: String, minDocFreq: Long = 5L,
       autoCompactFiles: Int = 0,

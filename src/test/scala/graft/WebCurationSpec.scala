@@ -124,6 +124,118 @@ class WebCurationSpec extends AnyFunSuite {
       "bbc.co.uk")))
   }
 
+  test("urlKeepFirst keeps the smallest id per normalized url; null-key rows all pass") {
+    val d = Seq(
+      (3L, "HTTP://WWW.Example.COM:80/a?utm_source=x"),
+      (1L, "http://example.com/a/"),
+      (2L, "http://example.com/b"),
+      (7L, "garbage"), (8L, "also garbage")).toDF("doc_id", "url")
+    val got = WebCuration.urlKeepFirst(d)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 7L, 8L))
+  }
+
+  test("UrlIndex lifecycle: append replay no-op, filterNew excl-batch, compact/delete preserve semantics") {
+    import graft.operators.{ArtifactIo, UrlIndex}
+    val idx = java.nio.file.Files
+      .createTempDirectory("urlidx").toString
+    // no artifact -> loud
+    intercept[IllegalArgumentException] {
+      UrlIndex.filterNew(spark,
+        idx, Seq((1L, "http://a.com/x")).toDF("doc_id", "url"))
+    }
+    UrlIndex.create(spark, idx)
+    assert(UrlIndex.exists(idx))
+    def docsOf(rows: (Long, String)*) = rows.toDF("doc_id", "url")
+    assert(UrlIndex.appendIdempotent(
+      docsOf(1L -> "http://a.com/x", 2L -> "HTTP://WWW.A.COM:80/x"),
+      idx, 0L))
+    // one NORMALIZED key stored for the two variants
+    assert(UrlIndex.stored(spark, idx).count() === 1L)
+    // replay refused; stale refused
+    assert(!UrlIndex.appendIdempotent(
+      docsOf(9L -> "http://z.com/q"), idx, 0L))
+    assert(UrlIndex.appendIdempotent(
+      docsOf(3L -> "http://b.com/y"), idx, 1L))
+    // probe: the a.com variant is seen, c.com is new, garbage passes
+    val probe = docsOf(10L -> "http://a.com/x/",
+      11L -> "http://c.com/z", 12L -> "garbage")
+    def newIds(excl: Long = Long.MinValue) =
+      UrlIndex.filterNew(spark, idx, probe, excludeBatch = excl)
+        .select(col("doc_id")).as[Long].collect().toSet
+    assert(newIds() === Set(11L, 12L))
+    // excluding batch 0 masks a.com from the probe
+    assert(newIds(excl = 0L) === Set(10L, 11L, 12L))
+    // compact folds partitions; probe identical; watermark survives
+    // so the stale replay is STILL refused
+    UrlIndex.compact(spark, idx)
+    assert(newIds() === Set(11L, 12L))
+    assert(!UrlIndex.appendIdempotent(
+      docsOf(9L -> "http://z.com/q"), idx, 1L))
+    // takedown: a.com removed -> new again; watermark carried
+    assert(UrlIndex.deleteUrls(spark, idx,
+      Seq("HTTP://WWW.A.COM/x#frag")) === 1L)
+    assert(newIds() === Set(10L, 11L, 12L))
+    assert(!UrlIndex.appendIdempotent(
+      docsOf(9L -> "http://z.com/q"), idx, 1L))
+    // rebuild bumps the generation: the batch sequence restarts via
+    // the binding (the watermark FILE survives, no delete window)
+    UrlIndex.build(docsOf(20L -> "http://d.com/w"), idx)
+    assert(ArtifactIo.fileExists(idx, "_append_batch"))
+    assert(UrlIndex.appendIdempotent(
+      docsOf(21L -> "http://e.com/v"), idx, 0L))
+  }
+
+  test("url ingest stream: keep-first + seen-set probe per batch, replay and crash-sim idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.{ArtifactIo, UrlIndex}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("url_ingest").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("url_ingest_ck").toString
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.urlIngestStream(
+      stream.toDF().toDF("doc_id", "url"), dir, ck,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      // batch 0: two variants of one page + one unique
+      stream.addData((1L, "HTTP://WWW.N.COM:80/p?utm_source=x"),
+        (2L, "http://n.com/p"), (3L, "http://m.com/q"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/docs/batch=0")
+        .select($"doc_id").as[Long].collect().toSet === Set(1L, 3L))
+      // batch 1: a re-fetch of n.com/p drops; a new page lands
+      stream.addData((4L, "http://n.com/p/"), (5L, "http://o.com/r"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$dir/docs/batch=1")
+        .select($"doc_id").as[Long].collect().toSet === Set(5L))
+    } finally q.stop()
+    // REPLAY batch 1's body: identical survivors, no double store
+    graft.streaming.Ingest.urlDedupBatch(
+      Seq((4L, "http://n.com/p/"), (5L, "http://o.com/r"))
+        .toDF("doc_id", "url"), 1L, dir)
+    assert(spark.read.parquet(s"$dir/docs/batch=1")
+      .select($"doc_id").as[Long].collect().toSet === Set(5L))
+    assert(UrlIndex.stored(spark, s"$dir/urlidx")
+      .select($"url").as[String].collect().toSet ===
+      Set("http://n.com/p", "http://m.com/q", "http://o.com/r"))
+    // CRASH SIM: batch 1's append landed but the watermark write did
+    // not — delete the watermark and replay; the probe excludes the
+    // batch's own partition, so survivors are identical and the
+    // partitions rewrite to the same bytes
+    ArtifactIo.deleteFile(s"$dir/urlidx", "_append_batch")
+    graft.streaming.Ingest.urlDedupBatch(
+      Seq((4L, "http://n.com/p/"), (5L, "http://o.com/r"))
+        .toDF("doc_id", "url"), 1L, dir)
+    assert(spark.read.parquet(s"$dir/docs/batch=1")
+      .select($"doc_id").as[Long].collect().toSet === Set(5L))
+    assert(UrlIndex.stored(spark, s"$dir/urlidx")
+      .select($"url").as[String].collect().toSet ===
+      Set("http://n.com/p", "http://m.com/q", "http://o.com/r"))
+  }
+
   test("blocklist filters match between inline and table forms; unattributable rows survive") {
     val d = Seq(
       (1L, "https://news.bbc.co.uk/x"),
