@@ -114,6 +114,27 @@ private[graft] object ArtifactIo {
       batchId: Long): Unit =
     writeSmallFileAtomic(path, WatermarkFile, s"$generation:$batchId")
 
+  /** Rebind a LEGACY unbound watermark (plain `<batchId>`) to
+    * `generation` — called by every artifact's build() BEFORE its
+    * staged swap. Without this, rebuilding a pre-binding artifact
+    * leaves the legacy value live, and since a legacy value reads as
+    * valid for EVERY generation, the rebuilt artifact's fresh batch
+    * sequence is silently refused up to the stale high-watermark
+    * (for LineIndex that's missing counts, for the id-bearing
+    * artifacts missing rows). Rebinding to the CURRENT (pre-bump)
+    * generation is a semantic no-op for the live artifact — same
+    * value, now bound to its own generation — so a crash anywhere
+    * around it changes nothing; after the rebuild publishes its
+    * bumped generation, the bound value invalidates exactly as a
+    * post-binding watermark would. No-op for bound or absent
+    * markers. */
+  def migrateLegacyWatermark(path: String, generation: Int): Unit = {
+    if (!fileExists(path, WatermarkFile)) return
+    val txt = readSmallFile(path, WatermarkFile).trim
+    if (txt.indexOf(':') < 0)
+      commitWatermark(path, generation, txt.toLong)
+  }
+
   def deleteFile(path: String, name: String): Unit = {
     fsOf(path).delete(new org.apache.hadoop.fs.Path(path, name), false)
     ()

@@ -110,6 +110,9 @@ object BinaryIndex {
       if (fs.exists(new org.apache.hadoop.fs.Path(live, "_binary.json")))
         readMeta(path).generation + 1
       else 1
+    // bind a pre-binding (unbound) watermark to the LIVE generation
+    // first ([[ArtifactIo.migrateLegacyWatermark]])
+    ArtifactIo.migrateLegacyWatermark(path, gen - 1)
     def writeStage(stage: String): Unit = {
       packedRows(df, idCol, vecCol, dim).write.mode("overwrite")
         .parquet(stage)
@@ -197,16 +200,20 @@ object BinaryIndex {
     val packed = spark.read.parquet(s"$path/packed")
     val removed = packed.filter(col("id").isin(idSeq: _*)).count()
     val kept = packed.filter(!col("id").isin(idSeq: _*))
+    // carry the watermark into the new generation BEFORE the swap
+    // (the [[SigIndex.deleteIds]] window analysis: carry-then-swap
+    // degrades a crash to duplicate re-appends on the OLD artifact —
+    // absorbed by candidates()' post-cut collapse — while swap-then-
+    // carry could let a stale replay RESURRECT the deleted ids into
+    // the new generation)
     val last = ArtifactIo.readWatermark(path, m.generation)
+    if (last >= 0L)
+      ArtifactIo.commitWatermark(path, m.generation + 1, last)
     ArtifactIo.stagedSwap(fs, path, "packed",
       "binary index delete") { stage =>
       kept.write.mode("overwrite").parquet(stage)
       writeMetaInto(stage, Meta(m.dim, m.generation + 1))
     }
-    // carry the watermark into the new generation (a crash before
-    // this degrades to duplicate-tolerant re-appends, never loss)
-    if (last >= 0L)
-      ArtifactIo.commitWatermark(path, m.generation + 1, last)
     removed
   }
 

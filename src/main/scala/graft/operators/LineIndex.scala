@@ -144,6 +144,10 @@ object LineIndex {
   def build(docs: DataFrame, path: String, textCol: String = "text",
       idCol: String = "doc_id"): Unit = {
     ArtifactIo.healParked(fsOf(path), path, Dir, "line build")
+    // bind a pre-binding (unbound) watermark to the LIVE generation
+    // first ([[ArtifactIo.migrateLegacyWatermark]])
+    ArtifactIo.migrateLegacyWatermark(path,
+      readMetaOpt(path).map(_.generation).getOrElse(0))
     val gen = readMetaOpt(path).map(_.generation + 1).getOrElse(1)
     writeBase(Dedup.lineDocFreqs(docs, textCol, idCol), path, gen)
   }

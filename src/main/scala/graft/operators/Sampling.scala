@@ -77,12 +77,128 @@ object Sampling {
       weight: Column): DataFrame =
     df.filter(hashUniform(key) < weight)
 
-  /** Per-stratum band state during [[hashThresholdSelect]] refinement:
-    * the quota-th smallest fingerprint lies in [lo, hi); `below` rows
-    * have fp < lo (all selected), `size` rows are in the band, and
-    * `remaining` = quota - below still need picking from the band. */
+  /** Per-stratum band state during radix refinement: the crossing
+    * rank (quota-th row for count quotas, budget-crossing hash for
+    * weight budgets) lies in [lo, hi); `size` rows are currently in
+    * the band (it bounds the final window), and `remaining` is the
+    * still-unconsumed quota/budget measured in the selector's own
+    * units — rows for [[thresholdSelect]], weight for
+    * [[budgetSample]]. */
   private final case class Band(lo: Long, hi: Option[Long],
-      below: Long, size: Long, remaining: Long)
+      size: Long, remaining: Long)
+
+  /** Map-literal over stratum values — the ONE way band state reaches
+    * a predicate. An OR chain of per-stratum terms references the
+    * stratum expression once per stratum, and after the optimizer
+    * inlines work-column aliases (CollapseProject re-expands any
+    * staging Project), a DERIVED stratum like registered-domain-of-URL
+    * became 512 copies of a multi-regexp tree in one Filter (measured:
+    * a 46 MiB task binary and a 6× wall-time blowup on
+    * web_domain_cap). element_at on a literal map keeps exactly ONE
+    * stratum occurrence per predicate at any strata count; a missing
+    * key reads NULL, which fails every comparison — the same "not in
+    * bands → not selected" semantics. */
+  private def litMapOf(m: Iterable[(Any, Long)]): Column =
+    map(m.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+
+  /** rank ∈ [lo, hi) of the row's stratum's band (false for strata
+    * not in `states` and for NULL ranks). */
+  private def bandCondOf(stratum: Column, rank: Column,
+      states: Map[Any, Band]): Column = {
+    if (states.isEmpty) return lit(false)
+    val lo = element_at(litMapOf(states.map { case (s, b) => s -> b.lo }),
+      stratum)
+    val base = lo.isNotNull && rank >= lo
+    val withHi = states.collect {
+      case (s, b) if b.hi.isDefined => (s: Any) -> b.hi.get }
+    if (withHi.isEmpty) base
+    else {
+      val hi = element_at(litMapOf(withHi), stratum)
+      base && (hi.isNull || rank < hi)
+    }
+  }
+
+  /** The adaptive radix refinement shared by the count-quota
+    * ([[thresholdSelect]]) and weight-budget ([[budgetSample]])
+    * selectors: narrow each oversized band to the bucket where the
+    * stratum's running MEASURE (rows, or a weight column) crosses its
+    * `remaining`, until every band holds ≤ `bandCap` ROWS. Each pass
+    * aggregates (row count, measure sum) for the next 12 rank bits of
+    * the oversized bands only (|strata| × 4096 pairs to the driver),
+    * narrows 4096×, and re-prices `remaining` by the measure below
+    * the crossing bucket.
+    *
+    * The ladder starts at the OBSERVED rank range of the oversized
+    * bands' own rows, not at bit 52: a fingerprint rank spans the
+    * full signed-long domain (ladder stays 52,40,28,16,4,0), but a
+    * VALUE rank spanning ~100k would burn 4 no-op passes re-running
+    * the stratum/rank expressions (measured on the 5M-url mega-domain
+    * cap); one slim min/max agg prices the first histogram to land
+    * ≤ 4096 buckets. Rank TIES wider than `bandCap` stop the ladder
+    * at shift 0 with a band bigger than `bandCap` — still correct,
+    * the boundary window just covers the tie group. */
+  private def refineBands(df: DataFrame, stratum: Column, rank: Column,
+      measure: Column, bands0: Map[Any, Band],
+      bandCap: Long): Map[Any, Band] = {
+    var bands = bands0
+    var shift =
+      if (bands.values.forall(_.size <= bandCap)) 52
+      else {
+        // price from the OVERSIZED strata's rows only — a global
+        // min/max would let one out-of-band outlier stratum inflate
+        // the range back to ~2^63 and re-buy the no-op passes this
+        // exists to skip
+        val mm = df.filter(bandCondOf(stratum, rank,
+            bands.filter(_._2.size > bandCap)))
+          .select(min(rank), max(rank)).head()
+        if (mm.isNullAt(0)) 52
+        else {
+          val range = BigInt(mm.getLong(1)) - BigInt(mm.getLong(0))
+          math.max(0, math.min(52, range.bitLength - 12))
+        }
+      }
+    while (shift >= 0 && bands.values.exists(_.size > bandCap)) {
+      val oversized = bands.filter(_._2.size > bandCap)
+      val hist: Map[Any, Array[(Long, Long, Long)]] = df
+        .filter(bandCondOf(stratum, rank, oversized))
+        .groupBy(stratum.as("__s"), shiftright(rank, shift).as("__bk"))
+        .agg(count(lit(1)).as("__c"), sum(measure).as("__m"))
+        .collect()
+        .groupBy(_.get(0))
+        .map { case (s, rows) => s -> rows.map(r =>
+          (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1) }
+      bands = bands.map { case (s, b) =>
+        s -> (hist.get(s).filter(_ => b.size > bandCap) match {
+          case Some(buckets) =>
+            // bucket where the running measure crosses `remaining`
+            val idx = {
+              var cum = 0L; var i = 0; var c = -1
+              while (i < buckets.length) {
+                if (c < 0) {
+                  cum += buckets(i)._3
+                  if (cum >= b.remaining) c = i
+                }
+                i += 1
+              }
+              if (c < 0) buckets.length - 1 else c
+            }
+            val belowAdd = buckets.take(idx).map(_._3).sum
+            val (bk, cnt, _) = buckets(idx)
+            val hiBig = (BigInt(bk) + 1) << shift
+            val newHi =
+              if (hiBig > BigInt(Long.MaxValue)) b.hi
+              else Some(b.hi.fold(hiBig.toLong)(math.min(_, hiBig.toLong)))
+            Band(math.max(b.lo, bk << shift), newHi, cnt,
+              b.remaining - belowAdd)
+          case None => b
+        })
+      }
+      // full-range ladder: 52, 40, 28, 16, 4, 0; a range-priced start
+      // descends the same way and still ends on an exact 0 pass
+      shift = if (shift == 0) -1 else math.max(0, shift - 12)
+    }
+    bands
+  }
 
   /** EXACT "n smallest (fingerprint, tiebreak) rows per stratum"
     * WITHOUT a per-stratum global sort — the scale-safe core behind
@@ -135,113 +251,28 @@ object Sampling {
     require(bandCap >= 1, "[GRAFT] bandCap must be >= 1")
     WorkCols.requireFree(df, "__rn", "__bk", "__s")
     val fp = rank
-    var bands: Map[Any, Band] = quotas.flatMap { case (s, q) =>
+    val bands0: Map[Any, Band] = quotas.flatMap { case (s, q) =>
       val n = counts.getOrElse(s, 0L)
       if (q <= 0 || n == 0L) None
-      else Some(s -> Band(Long.MinValue, None, 0L, n, q))
+      else Some(s -> Band(Long.MinValue, None, n, q))
     }
-    if (bands.isEmpty) return df.filter(lit(false))
-
-    // Band predicates go through MAP LITERALS keyed by stratum value,
-    // NOT an OR chain of per-stratum terms: the chain form references
-    // the stratum expression once per stratum, and after the
-    // optimizer inlines work-column aliases (CollapseProject — it
-    // re-expands any staging Project), a DERIVED stratum like
-    // registered-domain-of-URL became 512 copies of a multi-regexp
-    // tree in one Filter (measured: a 46 MiB task binary and a 6×
-    // wall-time blowup on web_domain_cap). element_at on a literal
-    // map keeps exactly ONE stratum occurrence per predicate at any
-    // strata count; a missing key reads NULL, which fails every
-    // comparison — the same "not in bands → not selected" semantics.
-    def litMap(m: Map[Any, Long]): Column =
-      map(m.toSeq.flatMap { case (k, v) =>
-        Seq(lit(k), lit(v)) }: _*)
-
-    def bandCond(states: Map[Any, Band]): Column = {
-      val lo = element_at(litMap(states.map { case (s, b) => s -> b.lo }),
-        stratum)
-      val base = lo.isNotNull && fp >= lo
-      val withHi = states.collect {
-        case (s, b) if b.hi.isDefined => (s: Any) -> b.hi.get }
-      if (withHi.isEmpty) base
-      else {
-        val hi = element_at(litMap(withHi), stratum)
-        base && (hi.isNull || fp < hi)
-      }
-    }
-
-    // Start the radix ladder at the OBSERVED rank range, not at bit
-    // 52: a fingerprint rank spans the full signed-long domain (the
-    // ladder stays 52,40,28,16,4,0), but a VALUE rank (quality
-    // millis, -n_chars) typically spans a few hundred thousand — the
-    // top shifts would put every row in one bucket and burn a full
-    // re-evaluation of (stratum, rank) per no-op pass (measured: the
-    // 5M-url mega-domain cap spent 4 of its 6 passes narrowing
-    // nothing). One slim min/max agg (column-pruned scan) prices the
-    // start so that the first histogram already lands ≤ 4096 buckets.
-    var shift =
-      if (bands.values.forall(_.size <= bandCap)) 52
-      else {
-        val mm = df.select(min(fp), max(fp)).head()
-        if (mm.isNullAt(0)) 52
-        else {
-          val range = BigInt(mm.getLong(1)) - BigInt(mm.getLong(0))
-          math.max(0, math.min(52, range.bitLength - 12))
-        }
-      }
-    while (shift >= 0 && bands.values.exists(_.size > bandCap)) {
-      val oversized = bands.filter(_._2.size > bandCap)
-      val hist: Map[Any, Array[(Long, Long)]] = df
-        .filter(bandCond(oversized))
-        .groupBy(stratum.as("__s"),
-          shiftright(fp, shift).as("__bk")).count()
-        .collect()
-        .groupBy(_.get(0))
-        .map { case (s, rows) =>
-          s -> rows.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1) }
-      bands = bands.map { case (s, b) =>
-        s -> (hist.get(s).filter(_ => b.size > bandCap) match {
-          case Some(buckets) =>
-            // bucket holding the remaining-th smallest fingerprint
-            val idx = {
-              var cum = 0L; var i = 0; var c = -1
-              while (i < buckets.length) {
-                if (c < 0) {
-                  cum += buckets(i)._2
-                  if (cum >= b.remaining) c = i
-                }
-                i += 1
-              }
-              if (c < 0) buckets.length - 1 else c
-            }
-            val belowAdd = buckets.take(idx).map(_._2).sum
-            val (bk, cnt) = buckets(idx)
-            val hiBig = (BigInt(bk) + 1) << shift
-            val newHi =
-              if (hiBig > BigInt(Long.MaxValue)) b.hi
-              else Some(b.hi.fold(hiBig.toLong)(math.min(_, hiBig.toLong)))
-            Band(math.max(b.lo, bk << shift), newHi,
-              b.below + belowAdd, cnt, b.remaining - belowAdd)
-          case None => b
-        })
-      }
-      // full-range ladder: 52, 40, 28, 16, 4, 0; a range-priced start
-      // descends the same way and still ends on an exact 0 pass
-      shift = if (shift == 0) -1 else math.max(0, shift - 12)
-    }
+    if (bands0.isEmpty) return df.filter(lit(false))
+    // the measure IS the row count here; [[budgetSample]] passes its
+    // weight column through the same refinement
+    val bands = refineBands(df, stratum, fp, lit(1L), bands0, bandCap)
 
     val remainingCol = coalesce(
-      element_at(litMap(bands.map { case (s, b) => s -> b.remaining }),
+      element_at(litMapOf(bands.map { case (s, b) => s -> b.remaining }),
         stratum), lit(0L))
     val win = Window.partitionBy(stratum).orderBy(fp.asc, tiebreak.asc)
-    val band = df.filter(bandCond(bands))
+    val band = df.filter(bandCondOf(stratum, fp, bands))
       .withColumn("__rn", row_number().over(win))
       .filter(col("__rn") <= remainingCol)
       .drop("__rn")
     if (bands.values.forall(_.lo == Long.MinValue)) band
     else {
-      val lo = element_at(litMap(bands.map { case (s, b) => s -> b.lo }),
-        stratum)
+      val lo = element_at(
+        litMapOf(bands.map { case (s, b) => s -> b.lo }), stratum)
       df.filter(lo.isNotNull && fp < lo).unionByName(band)
     }
   }
@@ -416,7 +447,10 @@ object Sampling {
     * `weight` must be non-null and ≥ 0 for every in-scope row
     * (checked in the same slim aggregate that sizes the strata — a
     * negative weight would un-monotone the running sum and make the
-    * crossing ill-defined; fails loudly naming the stratum). */
+    * crossing ill-defined; fails loudly naming the stratum). Rows
+    * with a NULL `key` are never selected and their weight never
+    * counts — the [[rankedTopN]] null contract extended to the
+    * budget. */
   def budgetSample(df: DataFrame, stratum: Column, weight: Column,
       key: Column, tiebreak: Column, budgets: Map[String, Long],
       bandCap: Long = 100000L): DataFrame = {
@@ -431,13 +465,15 @@ object Sampling {
     val wt = col("__wt")
     val inScope = st.isInCollection(budgets.keys.toSeq)
 
-    def litMap(m: Map[String, Long]): Column =
-      map(m.toSeq.flatMap { case (k, v) =>
-        Seq(lit(k), lit(v)) }: _*)
-
     // one slim pass: per-stratum row count + total weight + the
-    // weight contract (non-null, >= 0)
-    val obs = staged.filter(inScope)
+    // weight contract (non-null, >= 0). NULL-KEY rows (null
+    // fingerprint) are out of scope EVERYWHERE — never selected on
+    // either path AND their weight never counts toward the total that
+    // picks the path (counting it would let unselectable rows consume
+    // budget on paper, and a row's fate could flip between the full
+    // and banded regimes on unrelated volume — the rankedTopN null
+    // contract, applied to weights too)
+    val obs = staged.filter(inScope && rk.isNotNull)
       .groupBy(st.as("__s"))
       .agg(count(lit(1)).as("__n"), sum(wt).as("__w"),
         min(wt).as("__mn"),
@@ -461,92 +497,41 @@ object Sampling {
         w < budgets(s) => s -> 1L
     }
     // band state per cut stratum: the budget crossing's hash lies in
-    // [lo, hi); `remaining` = budget minus the weight below lo;
-    // `size` = rows currently in the band
-    final case class WBand(lo: Long, hi: Option[Long], size: Long,
-      remaining: Long)
-    var bands: Map[String, WBand] = totals.collect {
+    // [lo, hi); `remaining` = budget minus the weight below lo — the
+    // SAME [[refineBands]] machinery as the count selectors, with the
+    // weight column as the measure
+    val bands0: Map[Any, Band] = totals.collect {
       case (s, (n, w)) if budgets.getOrElse(s, 0L) > 0L &&
         w >= budgets(s) =>
-        s -> WBand(Long.MinValue, None, n, budgets(s))
+        (s: Any) -> Band(Long.MinValue, None, n, budgets(s))
     }
-
-    def bandCond(states: Map[String, WBand]): Column = {
-      if (states.isEmpty) return lit(false)
-      val lo = element_at(litMap(states.map { case (s, b) =>
-        s -> b.lo }), st)
-      val base = lo.isNotNull && rk >= lo
-      val withHi = states.collect {
-        case (s, b) if b.hi.isDefined => s -> b.hi.get }
-      if (withHi.isEmpty) base
-      else {
-        val hi = element_at(litMap(withHi), st)
-        base && (hi.isNull || rk < hi)
-      }
-    }
-
-    var shift = 52
-    while (shift >= 0 && bands.values.exists(_.size > bandCap)) {
-      val oversized = bands.filter(_._2.size > bandCap)
-      val hist: Map[String, Array[(Long, Long, Long)]] = staged
-        .filter(bandCond(oversized))
-        .groupBy(st.as("__s"), shiftright(rk, shift).as("__bk"))
-        .agg(count(lit(1)).as("__c"), sum(wt).as("__bw"))
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (s, rows) => s -> rows.map(r =>
-          (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1) }
-      bands = bands.map { case (s, b) =>
-        s -> (hist.get(s).filter(_ => b.size > bandCap) match {
-          case Some(buckets) =>
-            // bucket where the running weight crosses `remaining`
-            val idx = {
-              var cum = 0L; var i = 0; var c = -1
-              while (i < buckets.length) {
-                if (c < 0) {
-                  cum += buckets(i)._3
-                  if (cum >= b.remaining) c = i
-                }
-                i += 1
-              }
-              if (c < 0) buckets.length - 1 else c
-            }
-            val belowW = buckets.take(idx).map(_._3).sum
-            val (bk, cnt, _) = buckets(idx)
-            val hiBig = (BigInt(bk) + 1) << shift
-            val newHi =
-              if (hiBig > BigInt(Long.MaxValue)) b.hi
-              else Some(b.hi.fold(hiBig.toLong)(math.min(_, hiBig.toLong)))
-            WBand(math.max(b.lo, bk << shift), newHi, cnt,
-              b.remaining - belowW)
-          case None => b
-        })
-      }
-      shift = if (shift == 0) -1 else math.max(0, shift - 12)
-    }
+    val bands = refineBands(staged, st, rk, wt, bands0, bandCap)
 
     // everything below a cut band's lo is inside the budget; the band
     // itself is windowed for the exact running-sum boundary
     val fullCond =
       if (full.isEmpty) lit(false)
-      else element_at(litMap(full), st).isNotNull
+      else element_at(litMapOf(full.map { case (s, v) =>
+        (s: Any) -> v }), st).isNotNull
     val belowCond =
       if (bands.isEmpty) lit(false)
       else {
-        val lo = element_at(litMap(bands.map { case (s, b) =>
+        val lo = element_at(litMapOf(bands.map { case (s, b) =>
           s -> b.lo }), st)
         lo.isNotNull && rk < lo
       }
-    val freePass = staged.filter(fullCond || belowCond)
+    // rk.isNotNull: fullCond tests only the stratum, so without it a
+    // null-key row would pass whole strata but drop in banded ones
+    val freePass = staged.filter(rk.isNotNull && (fullCond || belowCond))
     val banded =
       if (bands.isEmpty) freePass.filter(lit(false))
       else {
         val win = Window.partitionBy(st).orderBy(rk.asc, tiebreak.asc)
         val before = coalesce(sum(wt).over(
           win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-        val rem = element_at(litMap(bands.map { case (s, b) =>
+        val rem = element_at(litMapOf(bands.map { case (s, b) =>
           s -> b.remaining }), st)
-        staged.filter(bandCond(bands))
+        staged.filter(bandCondOf(st, rk, bands))
           .withColumn("__rn", before)
           .filter(col("__rn") < rem)
           .drop("__rn")

@@ -114,6 +114,11 @@ object SigIndex {
     requireFamilyToken(family)
     val fs = fsOf(path)
     ArtifactIo.healParked(fs, path, Dir, "sig build")
+    // bind a pre-binding (unbound) watermark to the LIVE generation
+    // first — otherwise it would stay valid for the rebuilt
+    // generation and silently refuse its fresh batch sequence
+    ArtifactIo.migrateLegacyWatermark(path,
+      readMetaOpt(path).map(_.generation).getOrElse(0))
     val gen = readMetaOpt(path).map(_.generation + 1).getOrElse(1)
     val rows = slim(sigs)
     val live = new org.apache.hadoop.fs.Path(s"$path/$Dir")
@@ -246,18 +251,24 @@ object SigIndex {
     val rows = spark.read.parquet(s"$path/$Dir")
     val removed = rows.filter(col("id").isin(ids: _*)).count()
     val kept = rows.filter(!col("id").isin(ids: _*))
+    // carry the generation-bound watermark into the new generation
+    // BEFORE the swap: a takedown must not restart the batch sequence
+    // (a stale replay would re-append — and could RESURRECT the very
+    // ids this delete removes). Carry-then-swap means a crash in
+    // between leaves the OLD generation live with a mismatched
+    // watermark — stale replays then re-append DUPLICATES to the old
+    // artifact (absorbed by the probe's post-join dedup), never
+    // deleted rows to the new one; and a delete re-run after that
+    // crash publishes a new generation whose watermark is already the
+    // carried value.
     val last = ArtifactIo.readWatermark(path, m.generation)
+    if (last >= 0L)
+      ArtifactIo.commitWatermark(path, m.generation + 1, last)
     ArtifactIo.stagedSwap(fs, path, Dir, "sig delete") { stage =>
       kept.write.mode("overwrite").parquet(stage)
       ArtifactIo.writeFileInto(stage, "_sig.json",
         metaJson(m.copy(generation = m.generation + 1)))
     }
-    // carry the generation-bound watermark into the new generation: a
-    // takedown must not restart the batch sequence (a stale replay
-    // would re-append). A crash before this rewrite degrades to the
-    // documented duplicate-tolerant behavior, never to data loss.
-    if (last >= 0L)
-      ArtifactIo.commitWatermark(path, m.generation + 1, last)
     removed
   }
 

@@ -127,6 +127,10 @@ object UrlIndex {
   def build(docs: DataFrame, path: String,
       urlCol: String = "url"): Unit = {
     ArtifactIo.healParked(fsOf(path), path, Dir, "url build")
+    // bind a pre-binding (unbound) watermark to the LIVE generation
+    // first ([[ArtifactIo.migrateLegacyWatermark]])
+    ArtifactIo.migrateLegacyWatermark(path,
+      readMetaOpt(path).map(_.generation).getOrElse(0))
     val gen = readMetaOpt(path).map(_.generation + 1).getOrElse(1)
     writeBase(keysOf(docs, urlCol), path, gen)
   }
@@ -162,6 +166,18 @@ object UrlIndex {
     ArtifactIo.commitWatermark(path, gen, batchId)
     true
   }
+
+  /** Has `batchId` already been committed under the CURRENT
+    * generation? Ingest loops use this to skip a replayed batch
+    * WHOLESALE: the watermark only advances after the batch's doc
+    * partition landed (commit order), so a committed batch's outputs
+    * are complete — and recomputing them after [[compact]] has folded
+    * the batch's keys into the base partition would probe against the
+    * batch's OWN keys (the `excludeBatch` mask no longer covers them)
+    * and overwrite the landed docs with an empty set. */
+  def isCommitted(path: String, batchId: Long): Boolean =
+    batchId <= ArtifactIo.readWatermark(path,
+      readMeta(path).generation)
 
   /** The stored key set (with its `batch` address column). */
   def stored(spark: SparkSession, path: String): DataFrame = {
@@ -208,14 +224,20 @@ object UrlIndex {
         "left_anti")
       .select(col("url")).distinct()
       .repartition(ArtifactIo.compactWidth(s"$path/$Dir"))
+    // carry the watermark into the new generation BEFORE the swap
+    // (the [[SigIndex.deleteIds]] window analysis: swap-then-carry
+    // could let a stale batch replay RE-SEED the just-deleted keys
+    // into the new generation, silently refusing their re-crawl;
+    // carry-then-swap degrades a crash to presence-absorbed duplicate
+    // keys on the OLD artifact)
     val last = ArtifactIo.readWatermark(path, m.generation)
+    if (last >= 0L)
+      ArtifactIo.commitWatermark(path, m.generation + 1, last)
     ArtifactIo.stagedSwap(fs, path, Dir, "url delete") { stage =>
       kept.write.mode("overwrite").parquet(s"$stage/batch=$BaseBatch")
       ArtifactIo.writeFileInto(stage, "_urls.json",
         metaJson(m.copy(generation = m.generation + 1)))
     }
-    if (last >= 0L)
-      ArtifactIo.commitWatermark(path, m.generation + 1, last)
     removed
   }
 

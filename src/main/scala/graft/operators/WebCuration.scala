@@ -172,12 +172,21 @@ object WebCuration {
     * `-col("quality_milli")` to keep the highest-quality pages), ties
     * to the smallest `tiebreak`. Delegates to [[Sampling.rankedTopN]]
     * — bounded-histogram selection for the low-cardinality-domain
-    * regime, never a single-task sort on a mega-domain. */
+    * regime, never a single-task sort on a mega-domain.
+    * Unattributable rows (URL normalizes to NULL) pass through WHOLE
+    * — no domain means no cap applies, the same stance as
+    * [[urlKeepFirst]] and the blocklist filters (rankedTopN alone
+    * would silently turn the cap into a malformed-URL filter). Rows
+    * with a NULL rank in an attributed domain still drop
+    * (rankedTopN's contract — no rank, no place in a top-n). */
   def capPerDomain(df: DataFrame, urlCol: String, rank: Column,
       tiebreak: Column, n: Int, bandCap: Long = 100000L,
-      maxStrata: Int = 512): DataFrame =
-    Sampling.rankedTopN(df, urlDomain(col(urlCol)), rank, tiebreak, n,
-      bandCap, maxStrata)
+      maxStrata: Int = 512): DataFrame = {
+    val d = urlDomain(col(urlCol))
+    Sampling.rankedTopN(df.filter(d.isNotNull), d, rank, tiebreak, n,
+        bandCap, maxStrata)
+      .unionByName(df.filter(d.isNull))
+  }
 
   /** Drop rows whose registered domain is on a literal blocklist —
     * the inline form for human-sized lists (an `isin` predicate,

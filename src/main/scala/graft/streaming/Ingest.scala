@@ -636,10 +636,13 @@ object Ingest {
     *      [[graft.operators.UrlIndex.appendIdempotent]] the batch's
     *      keys (stale replays refused by the watermark).
     *
-    * Any crash ordering replays to identical bytes: the probe never
-    * sees its own batch, both writes are overwrites of the same
-    * partition, and the watermark only advances after its partition
-    * is complete. */
+    * A replay of an UNcommitted batch recomputes identical bytes (the
+    * probe never sees its own batch; both writes overwrite the same
+    * partitions); a replay of a COMMITTED batch is skipped wholesale
+    * ([[graft.operators.UrlIndex.isCommitted]]) — necessary, not just
+    * cheap, because compact() may since have folded the batch's keys
+    * into the base partition where the `excludeBatch` mask can't
+    * cover them. */
   private[graft] def urlDedupBatch(batch0: DataFrame, batchId: Long,
       corpusDir: String, urlCol: String = "url",
       idCol: String = "doc_id", autoCompactFiles: Int = 0): Unit = {
@@ -652,6 +655,13 @@ object Ingest {
       UrlIndex.healParked(s"$corpusDir/urlidx")
       val idxDir = s"$corpusDir/urlidx"
       if (!UrlIndex.exists(idxDir)) UrlIndex.create(spark, idxDir)
+      // a COMMITTED batch is skipped wholesale: its docs partition is
+      // complete (the watermark commits last), and re-deriving it
+      // after compact() folded this batch's keys into the base would
+      // defeat the excludeBatch mask below — every URL would look
+      // already-seen and the landed survivors would be overwritten
+      // with an empty set
+      if (UrlIndex.isCommitted(idxDir, batchId)) return
       val kept = WebCuration.urlKeepFirst(batch, urlCol, idCol)
       val fresh = UrlIndex.filterNew(spark, idxDir, kept, urlCol,
         excludeBatch = batchId)

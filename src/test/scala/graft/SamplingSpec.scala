@@ -262,4 +262,23 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("negative"))
   }
+
+  test("budgetSample: NULL-key rows are never selected and never consume budget, on both regimes") {
+    // 3 keyed rows of weight 10 + a null-key row of weight 1000; with
+    // the null weight EXCLUDED the total (30) fits budget 40 -> all
+    // keyed rows pass, null row out. Counting the null weight would
+    // flip the stratum into the banded regime.
+    val d = Seq((1L, "s", 10L, Some("a")), (2L, "s", 10L, Some("b")),
+      (3L, "s", 10L, Some("c")), (4L, "s", 1000L, None))
+      .toDF("id", "src", "w", "k")
+    def run(budget: Long) = Sampling.budgetSample(d, $"src", $"w",
+        $"k", $"id", Map("s" -> budget))
+      .select($"id").as[Long].collect().toSet
+    assert(run(40L) === Set(1L, 2L, 3L))
+    // banded regime (budget 15 < 30): crossing cut applies to keyed
+    // rows only; null-key row still out
+    val banded = run(15L)
+    // cum-before: 0, 10, 20 -> exactly two keyed rows clear 15
+    assert(!banded.contains(4L) && banded.size === 2)
+  }
 }

@@ -97,6 +97,15 @@ class WebCurationSpec extends AnyFunSuite {
     // bandCap=1 forces the histogram refinement down to shift 0 — the
     // tie group at rank -30 is windowed whole; same answer
     assert(ids(1L) === Set(2L, 4L, 5L))
+    // unattributable rows pass through WHOLE (no domain -> no cap),
+    // the family-wide stance — the cap must not double as a
+    // malformed-URL filter
+    val withBad = d.unionByName(
+      Seq((9L, "not a url", 999L)).toDF("doc_id", "url", "len"))
+    assert(WebCuration.capPerDomain(withBad, "url", -col("len"),
+        col("doc_id"), n = 2)
+      .select(col("doc_id")).as[Long].collect().toSet ===
+      Set(2L, 4L, 5L, 9L))
   }
 
   test("rankedTopN with a fingerprint rank reproduces stratifiedTopN") {
@@ -234,6 +243,37 @@ class WebCurationSpec extends AnyFunSuite {
     assert(UrlIndex.stored(spark, s"$dir/urlidx")
       .select($"url").as[String].collect().toSet ===
       Set("http://n.com/p", "http://m.com/q", "http://o.com/r"))
+    // COMPACT-THEN-REPLAY: compact folds batch 1's keys into the base
+    // partition, where excludeBatch can no longer mask them — a
+    // replayed COMMITTED batch must be skipped wholesale or the
+    // landed survivors would be overwritten with an empty set
+    UrlIndex.compact(spark, s"$dir/urlidx")
+    graft.streaming.Ingest.urlDedupBatch(
+      Seq((4L, "http://n.com/p/"), (5L, "http://o.com/r"))
+        .toDF("doc_id", "url"), 1L, dir)
+    assert(spark.read.parquet(s"$dir/docs/batch=1")
+      .select($"doc_id").as[Long].collect().toSet === Set(5L))
+  }
+
+  test("legacy unbound watermark: rebuild migrates it, fresh batch sequence is not refused") {
+    import graft.operators.{ArtifactIo, UrlIndex}
+    val idx = java.nio.file.Files
+      .createTempDirectory("urlidx_legacy").toString
+    UrlIndex.create(spark, idx)
+    assert(UrlIndex.appendIdempotent(
+      Seq((1L, "http://a.com/x")).toDF("doc_id", "url"), idx, 7L))
+    // emulate a pre-binding artifact: plain '<batchId>' marker, valid
+    // for EVERY generation under the legacy-compat read
+    graft.operators.ArtifactIo.writeSmallFileAtomic(idx,
+      "_append_batch", "7")
+    // rebuild WITHOUT migration would leave '7' live and silently
+    // refuse batches 0..7 of the fresh sequence
+    UrlIndex.build(Seq((2L, "http://b.com/y")).toDF("doc_id", "url"),
+      idx)
+    assert(UrlIndex.appendIdempotent(
+      Seq((3L, "http://c.com/z")).toDF("doc_id", "url"), idx, 0L),
+      "rebuilt artifact must accept batch 0 — the legacy watermark " +
+        "was not migrated")
   }
 
   test("blocklist filters match between inline and table forms; unattributable rows survive") {
