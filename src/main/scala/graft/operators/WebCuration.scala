@@ -183,8 +183,10 @@ object WebCuration {
       tiebreak: Column, n: Int, bandCap: Long = 100000L,
       maxStrata: Int = 512): DataFrame = {
     val d = urlDomain(col(urlCol))
-    Sampling.rankedTopN(df.filter(d.isNotNull), d, rank, tiebreak, n,
-        bandCap, maxStrata)
+    // no isNotNull pre-filter on the rankedTopN side: it already
+    // excludes NULL strata on both paths, and a pre-filter would ride
+    // every refinement scan as one more full-corpus domain evaluation
+    Sampling.rankedTopN(df, d, rank, tiebreak, n, bandCap, maxStrata)
       .unionByName(df.filter(d.isNull))
   }
 

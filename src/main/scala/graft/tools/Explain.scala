@@ -566,6 +566,39 @@ object Explain {
       Dedup.stripBoilerplate(
         spark.read.parquet(s"$dir/documents.parquet"), minDocFreq = 5L)
     }
+    show("URL-keyed dedup (expect: ONE partial+final hash aggregate " +
+        "on the normalized-url key — the regex canonicalization chain " +
+        "codegen'd into the map-side partial, nothing else)") {
+      graft.SparkEntry.queries("web_url_dedup")(spark, dir)
+    }
+    show("per-domain cap (expect: the rankedTopN threshold path — " +
+        "band Filter via element_at on MAP LITERALS (one domain-" +
+        "expression occurrence per predicate, never an OR chain), " +
+        "window only over the bounded band)") {
+      graft.SparkEntry.queries("web_domain_cap")(spark, dir)
+    }
+    show("weight-budget sample (expect: the same map-literal band " +
+        "shape with a RUNNING-SUM window (rowsBetween preceding) " +
+        "over the band only; whole-budget strata pass as a pure " +
+        "filter union)") {
+      graft.SparkEntry.queries("q_budget_sample")(spark, dir)
+    }
+    val urlIdxDir = java.nio.file.Files
+      .createTempDirectory("explain-urlidx").toString
+    graft.operators.UrlIndex.build(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://"), col("source"), lit(".com/d/"),
+            col("doc_id").cast("string")).as("url")), urlIdxDir)
+    show("incremental URL-dedup probe (expect: LEFT ANTI hash join of " +
+        "the delta against the slim stored key column — ReadSchema " +
+        "url only on the artifact side, no corpus rescan)") {
+      graft.operators.UrlIndex.filterNew(spark, urlIdxDir,
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            concat(lit("https://"), col("source"), lit(".com/d/"),
+              col("doc_id").cast("string")).as("url")))
+    }
     spark.stop()
   }
 }

@@ -416,6 +416,26 @@ object ScaleProbe {
       println(s"[scale-probe]   capped rows: ${capped.count()} " +
         "(expect 50 domains x 1000)")
     }
+    // the documented escape for expensive derived strata at extreme
+    // scale (rankedTopN scaladoc): materialize the stratum ONCE, then
+    // every refinement scan reads an attribute instead of re-running
+    // the domain regexes per pass
+    val domDir = time("materialize the domain column once") {
+      val p = java.nio.file.Files
+        .createTempDirectory("scale-url-dom").toString
+      urls.withColumn("dom",
+          graft.operators.WebCuration.urlDomain($"url"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    time("per-domain cap over the MATERIALIZED domain column " +
+        "(same data, same bands)") {
+      val capped = graft.operators.Sampling.rankedTopN(
+        spark.read.parquet(domDir), $"dom", negate($"len"),
+        $"doc_id", n = 1000, bandCap = 100000L)
+      println(s"[scale-probe]   capped rows: ${capped.count()} " +
+        "(expect 50000)")
+    }
     // trigram langid at scale: the model is vocab×4 rows (broadcast);
     // scoring is one Generate + broadcast join + two partial aggs —
     // cost ∝ corpus trigrams, lower() materialized once per row.
