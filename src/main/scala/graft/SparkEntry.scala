@@ -2289,6 +2289,34 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- DSIR importance resampling (Xie et al. 2023): src0 is the
+    // target corpus, the whole table is the raw pool; integer-exact
+    // unigram importance ratios in milli, every division a true
+    // 64-bit div mirrored by DuckDB's // ----
+    "text_dsir_importance" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val target = TextAnalysis.wordModel(
+        docs.filter(col("source") === "src0"))
+      val raw = TextAnalysis.wordModel(docs)
+      TextAnalysis.importanceMilli(docs, target, raw)
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the RESAMPLING step: deterministic Bernoulli keep with
+    // p = min(1, imp/1500) — hash-stable membership, per-source
+    // keep counts ----
+    "text_dsir_sample" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val target = TextAnalysis.wordModel(
+        docs.filter(col("source") === "src0"))
+      val raw = TextAnalysis.wordModel(docs)
+      TextAnalysis.dsirSample(docs, target, raw, col("text"),
+          alphaMilli = 1500L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source").asc)
+    }),
+
     // ---- model-based filtering: a Bernoulli token-evidence
     // classifier trained distributed on an 80% slice (label: lang =
     // 'en'), scoring the held-out 20%. Integer Laplace-posterior
@@ -4310,6 +4338,22 @@ object SparkEntry {
 
     // cross-corpus LM: model from even ids only, left-joined costs
     // with coalesce for unseen bigrams/contexts
+    "text_dsir_importance" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_words, imp_milli FROM dimp
+         |ORDER BY doc_id ASC""".stripMargin,
+
+    "text_dsir_sample" ->
+      s"""WITH $dsirCtes,
+         |db AS (SELECT d.doc_id, d.source, i.imp_milli,
+         |    $duckUtf8Bytes AS bs
+         |  FROM documents d JOIN dimp i ON d.doc_id = i.doc_id)
+         |SELECT source, count(*) AS n_kept FROM db
+         |WHERE CAST(${duckSigned(duckFnvFold("bs"))} AS DOUBLE)
+         |    / 1.8446744073709552e19 + 0.5
+         |  < least(1.0, CAST(imp_milli AS DOUBLE) / 1500.0)
+         |GROUP BY source ORDER BY source ASC""".stripMargin,
+
     "text_lm_cross" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS s
@@ -5028,6 +5072,36 @@ object SparkEntry {
        |FROM hits LEFT JOIN ref ON hits.gram = ref.gram
        |ORDER BY hits.gram ASC""".stripMargin
   }
+
+  /** The DSIR oracle chain: tokenization mirrors
+    * [[operators.TextAnalysis.wordModel]] (trim → lower → whitespace
+    * split, empty tokens dropped); `dtc`/`drc` are the target/raw
+    * word counts, `dtt`/`drt` the add-one smoothing denominators
+    * (nWords + vocab + 1), and `dr`/`dimp` replay the ppm-truncated
+    * importance ratio with `//` — DuckDB's truncating integer
+    * division, the exact mirror of the engine side's 64-bit `div`
+    * (every operand non-negative). */
+  private def dsirCtes: String =
+    """dtk AS (SELECT doc_id, source,
+      |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      |  FROM documents),
+      |dtw AS (SELECT * FROM dtk WHERE w <> ''),
+      |dtc AS (SELECT w, count(*) AS tn FROM dtw
+      |  WHERE source = 'src0' GROUP BY w),
+      |dtt AS (SELECT count(*) + count(DISTINCT w) + 1 AS den
+      |  FROM dtw WHERE source = 'src0'),
+      |drc AS (SELECT w, count(*) AS rn FROM dtw GROUP BY w),
+      |drt AS (SELECT count(*) + count(DISTINCT w) + 1 AS den
+      |  FROM dtw),
+      |dr AS (SELECT doc_id,
+      |    (1000 * ((1000000 * (coalesce(tn, 0) + 1))
+      |       // (SELECT den FROM dtt)))
+      |      // greatest((1000000 * (coalesce(rn, 0) + 1))
+      |       // (SELECT den FROM drt), 1) AS r
+      |  FROM dtw LEFT JOIN dtc USING (w) LEFT JOIN drc USING (w)),
+      |dimp AS (SELECT doc_id, count(*) AS n_words,
+      |    CAST(sum(r) // count(*) AS BIGINT) AS imp_milli
+      |  FROM dr GROUP BY doc_id)""".stripMargin
 
   private def weightedSampleOracle: String =
     s"""WITH b AS (SELECT lang, n_chars, $duckUtf8Bytes AS bs

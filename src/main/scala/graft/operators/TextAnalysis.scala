@@ -927,6 +927,93 @@ object TextAnalysis {
   private def idiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
+  /** Unigram frequency model for [[importanceMilli]]: slim
+    * (word, n) counts plus the two corpus totals the smoothing needs.
+    * Tokenization matches [[lmModel]] (trim → lower → whitespace
+    * split), empty tokens dropped on BOTH sides of the oracle. */
+  final case class WordModel(counts: DataFrame, nWords: Long,
+    vocab: Long)
+
+  def wordModel(docs: DataFrame, textCol: String = "text"): WordModel = {
+    WorkCols.requireFree(docs, "__s", "__w")
+    val w = docs
+      .select(split(trim(lower(col(textCol))), "\\s+").as("__s"))
+      .select(explode(col("__s")).as("__w"))
+      .filter(col("__w") =!= "")
+    val counts = w.groupBy(col("__w").as("word"))
+      .agg(count(lit(1)).as("n"))
+    val t = counts.agg(sum(col("n")), count(lit(1))).head()
+    WordModel(counts, if (t.isNullAt(0)) 0L else t.getLong(0),
+      t.getLong(1))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"), INTEGER-EXACT
+    * in the repo's no-floats-in-the-model stance: per word,
+    *
+    *   pT_ppm = (10^6 · (cT(w)+1)) div (NT + VT + 1)   add-one target
+    *   pR_ppm = (10^6 · (cR(w)+1)) div (NR + VR + 1)   add-one raw
+    *   r_milli(w) = (1000 · pT_ppm) div max(pR_ppm, 1)
+    *
+    * and a document scores the MEAN of its words' ratios —
+    * `imp_milli` > 1000 means "more target-like than raw". The
+    * divisions are true 64-bit integer `div` (mirrored by DuckDB's
+    * `//`; both truncate, every operand here is non-negative), NOT
+    * the 2^53-bounded double trick — exact at any corpus size.
+    *
+    * Cost: one word explode + two LEFT joins against slim
+    * (word, count) models (broadcastable for typical target corpora,
+    * shuffle-joined by AQE when the raw vocabulary is huge) + one
+    * doc-keyed mean with partials. Docs with no words produce no row
+    * (no importance is defined); the oracle drops them identically. */
+  def importanceMilli(docs: DataFrame, target: WordModel,
+      raw: WordModel, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    WorkCols.requireFree(docs, "__s", "__w", "__ct", "__cr", "__r",
+      "__sum")
+    val words = docs
+      .select(col(idCol),
+        split(trim(lower(col(textCol))), "\\s+").as("__s"))
+      .select(col(idCol), explode(col("__s")).as("__w"))
+      .filter(col("__w") =!= "")
+    val ct = target.counts.select(col("word").as("__w"),
+      col("n").as("__ct"))
+    val cr = raw.counts.select(col("word").as("__w"),
+      col("n").as("__cr"))
+    val tDen = target.nWords + target.vocab + 1L
+    val rDen = raw.nWords + raw.vocab + 1L
+    words.join(ct, Seq("__w"), "left").join(cr, Seq("__w"), "left")
+      .select(col(idCol),
+        expr(s"(1000L * ((1000000L * (coalesce(__ct, 0L) + 1L)) div " +
+          s"${tDen}L)) div greatest((1000000L * (coalesce(__cr, 0L) " +
+          s"+ 1L)) div ${rDen}L, 1L)").as("__r"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__r")).as("__sum"))
+      .select(col(idCol), col("n_words"),
+        expr("__sum div n_words").as("imp_milli"))
+  }
+
+  /** DSIR selection: deterministic Bernoulli keep with probability
+    * min(1, imp_milli / alphaMilli) — importance RESAMPLING with
+    * hash-stable membership ([[Sampling.weightedHashSample]]: same
+    * rows on any cluster, stable under appends). `alphaMilli` is the
+    * importance at which a doc is kept with certainty; docs at the
+    * raw-corpus baseline (imp ≈ 1000) keep with p ≈ 1000/alphaMilli.
+    * One doc-keyed join hydrates the docs' columns back onto the
+    * word-aggregated scores — inherent here (the score IS an
+    * aggregate over the doc's words). */
+  def dsirSample(docs: DataFrame, target: WordModel, raw: WordModel,
+      key: Column, alphaMilli: Long, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(alphaMilli >= 1L,
+      "[GRAFT] dsirSample: alphaMilli must be >= 1")
+    val imp = importanceMilli(docs, target, raw, idCol, textCol)
+      .select(col(idCol), col("imp_milli"))
+    Sampling.weightedHashSample(docs.join(imp, Seq(idCol)), key,
+      least(lit(1.0),
+        col("imp_milli").cast("double") / alphaMilli.toDouble))
+  }
+
   /** Train a model-based document filter — the "quality classifier"
     * stage of LLM data pipelines (train a cheap classifier on a
     * labeled slice, score the whole corpus; cf. the GPT-3/CCNet-style

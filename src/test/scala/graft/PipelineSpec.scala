@@ -2813,6 +2813,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(scores(1L) < scores(2L))
   }
 
+  test("DSIR importance: hand-computed ratios, target-like docs score high, " +
+      "resampling keeps them preferentially") {
+    import graft.operators.TextAnalysis
+    // target corpus: {alpha alpha beta}  (NT=3, VT=2, den=6)
+    // raw corpus:    {alpha beta gamma gamma}  (NR=4, VR=3, den=8)
+    val tgt = TextAnalysis.wordModel(
+      Seq("alpha alpha beta").toDF("text"))
+    val raw = TextAnalysis.wordModel(
+      Seq("alpha beta", "gamma gamma").toDF("text"))
+    assert(tgt.nWords === 3L && tgt.vocab === 2L)
+    assert(raw.nWords === 4L && raw.vocab === 3L)
+    // ppm: pT(alpha)=1e6*3//6=500000, pR(alpha)=1e6*2//8=250000
+    //   -> r=1000*500000//250000=2000
+    // pT(beta)=1e6*2//6=333333, pR(beta)=250000 -> r=1333
+    // pT(gamma)=1e6*1//6=166666, pR(gamma)=1e6*3//8=375000 -> r=444
+    // pT(delta)=166666, pR(delta)=1e6*1//8=125000 -> r=1333 (both unseen)
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma gamma"),
+      (3L, "delta"), (4L, "  ")).toDF("doc_id", "text")
+    val imp = TextAnalysis.importanceMilli(docs, tgt, raw)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    assert(imp(1L) === ((2L, (2000L + 1333L) / 2)))
+    assert(imp(2L) === ((2L, 444L)))
+    assert(imp(3L) === ((1L, 1333L)))
+    // the all-whitespace doc has no words -> no importance row
+    assert(!imp.contains(4L))
+    // resampling: alphaMilli at the target-like score keeps doc 1
+    // with certainty; doc 2's p = 444/1666 — membership is hash-
+    // deterministic either way (same result on a re-run)
+    val kept = TextAnalysis.dsirSample(docs, tgt, raw,
+        col("doc_id").cast("string"), alphaMilli = 1666L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L))
+    val again = TextAnalysis.dsirSample(docs, tgt, raw,
+        col("doc_id").cast("string"), alphaMilli = 1666L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === again)
+  }
+
   test("scoreLm vs standing model: unseen bigrams and contexts cost " +
       "through the same coalesced formula; lmScore = self-score") {
     import graft.operators.TextAnalysis
