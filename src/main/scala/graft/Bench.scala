@@ -451,6 +451,23 @@ object Bench {
     entry("pipeline_curate") { median {
       SparkEntry.queries("pipeline_curate_e2e")(spark, sfDir).count()
     } }
+    // DSIR importance scoring against STANDING word models (trained +
+    // persisted outside the timer — the nightly-scoring shape): word
+    // explode + two slim model joins + one doc-keyed mean
+    lazy val dsirModels = {
+      val t = graft.operators.TextAnalysis.wordModel(
+        benchDocs.filter(col("source") === "src0"))
+      val r = graft.operators.TextAnalysis.wordModel(benchDocs)
+      t.counts.persist().count()
+      r.counts.persist().count()
+      (t, r)
+    }
+    preBuild(dsirModels)
+    entry("dsir_score") { median {
+      graft.operators.TextAnalysis.importanceMilli(benchDocs,
+          dsirModels._1, dsirModels._2)
+        .agg(sum(col("imp_milli"))).collect()
+    } }
     // bigram LM scoring: two count aggs + one stats join over the
     // token stream, integer-exact model
     entry("lm_score") { median {

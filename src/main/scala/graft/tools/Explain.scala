@@ -590,6 +590,12 @@ object Explain {
         .select(col("doc_id"),
           concat(lit("https://"), col("source"), lit(".com/d/"),
             col("doc_id").cast("string")).as("url")), urlIdxDir)
+    show("DSIR importance scoring (expect: one Generate over the " +
+        "token split, TWO left joins against the slim (word, count) " +
+        "models, partial+final doc-keyed mean — the div chain " +
+        "codegen'd, no floats)") {
+      graft.SparkEntry.queries("text_dsir_importance")(spark, dir)
+    }
     show("incremental URL-dedup probe (expect: LEFT ANTI hash join of " +
         "the delta against the slim stored key column — ReadSchema " +
         "url only on the artifact side, no corpus rescan)") {

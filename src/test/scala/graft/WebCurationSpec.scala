@@ -46,6 +46,50 @@ class WebCurationSpec extends AnyFunSuite {
     assert(norm(cases.map(_._1)) === cases.map(_._2))
   }
 
+  test("property: normalizeUrl collapses generated fetch noise onto the canonical key, idempotently") {
+    import org.scalacheck.Gen
+    val label = Gen.nonEmptyListOf(Gen.alphaLowerChar)
+      .map(_.mkString.take(8)).suchThat(l => l.nonEmpty && l != "www")
+    val genCase = for {
+      scheme <- Gen.oneOf("http", "https")
+      labels <- Gen.listOfN(2, label)
+      suffix <- Gen.oneOf("com", "org", "co.uk", "io")
+      segs <- Gen.listOf(label).map(_.take(3))
+      params <- Gen.listOf(Gen.zip(label, Gen.choose(0, 99)))
+        .map(_.take(3))
+      www <- Gen.oneOf(true, false)
+      upcase <- Gen.oneOf(true, false)
+      port <- Gen.oneOf(true, false)
+      frag <- Gen.oneOf("", "#sec-1")
+      slash <- Gen.oneOf("", "/")
+      shuffleSeed <- Gen.choose(0, 5)
+    } yield {
+      val host = labels.mkString(".") + "." + suffix
+      val path = segs.map("/" + _).mkString
+      // the 'q' prefix keeps generated names off the tracking list
+      val kept = params.map { case (k, v) => s"q$k=$v" }
+      val canonical = s"$scheme://$host$path" +
+        (if (kept.nonEmpty) "?" + kept.sorted.mkString("&") else "")
+      val noisyHost = (if (www) "www." else "") +
+        (if (upcase) host.toUpperCase else host) +
+        (if (port) { if (scheme == "http") ":80" else ":443" } else "")
+      val noisyParams = new scala.util.Random(shuffleSeed.toLong)
+        .shuffle(kept ++ Seq("utm_source=prop", "fbclid=x", "ref"))
+      val noisy = (if (upcase) scheme.toUpperCase else scheme) +
+        s"://$noisyHost$path$slash?" + noisyParams.mkString("&") + frag
+      (canonical, noisy)
+    }
+    val cases = Gen.listOfN(300, genCase).sample.get
+    val df = cases.toDF("canonical", "noisy")
+      .select(col("canonical"),
+        WebCuration.normalizeUrl(col("noisy")).as("nn"),
+        WebCuration.normalizeUrl(col("canonical")).as("nc"))
+    val bad = df.filter(col("nn") =!= col("canonical") ||
+      col("nc") =!= col("canonical")).collect()
+    assert(bad.isEmpty, s"${bad.length} mismatches, first: " +
+      bad.headOption.map(_.toString).getOrElse(""))
+  }
+
   test("urlHost and registeredDomain: eTLD+1 under the frozen suffix head") {
     val got = Seq(
       "https://news.bbc.co.uk/x", "https://WWW.Example.COM/x",
