@@ -4336,8 +4336,8 @@ object SparkEntry {
     // the TVF form computes the identical self-scored model
     "sql_tvf_lm" -> lmScoreOracle,
 
-    // cross-corpus LM: model from even ids only, left-joined costs
-    // with coalesce for unseen bigrams/contexts
+    // DSIR importance: the dsirCtes chain replays the double-exact
+    // likelihood ratio; the sample twin adds the hash-uniform keep
     "text_dsir_importance" ->
       s"""WITH $dsirCtes
          |SELECT doc_id, n_words, imp_milli FROM dimp
@@ -4354,6 +4354,8 @@ object SparkEntry {
          |  < least(1.0, CAST(imp_milli AS DOUBLE) / 1500.0)
          |GROUP BY source ORDER BY source ASC""".stripMargin,
 
+    // cross-corpus LM: model from even ids only, left-joined costs
+    // with coalesce for unseen bigrams/contexts
     "text_lm_cross" ->
       """WITH t AS (SELECT doc_id,
         |    string_split_regex(trim(lower(text)), '\s+') AS s
@@ -5077,10 +5079,11 @@ object SparkEntry {
     * [[operators.TextAnalysis.wordModel]] (trim → lower → whitespace
     * split, empty tokens dropped); `dtc`/`drc` are the target/raw
     * word counts, `dtt`/`drt` the add-one smoothing denominators
-    * (nWords + vocab + 1), and `dr`/`dimp` replay the ppm-truncated
-    * importance ratio with `//` — DuckDB's truncating integer
-    * division, the exact mirror of the engine side's 64-bit `div`
-    * (every operand non-negative). */
+    * (nWords + vocab + 1), and `dr` replays the likelihood ratio in
+    * the engine's EXACT double operation order — IEEE multiply and
+    * divide are correctly rounded in both engines, so the floored
+    * milli value is bit-equal; `dimp`'s final mean is `//`, DuckDB's
+    * truncating integer division mirroring Spark's 64-bit `div`. */
   private def dsirCtes: String =
     """dtk AS (SELECT doc_id, source,
       |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
@@ -5094,10 +5097,10 @@ object SparkEntry {
       |drt AS (SELECT count(*) + count(DISTINCT w) + 1 AS den
       |  FROM dtw),
       |dr AS (SELECT doc_id,
-      |    (1000 * ((1000000 * (coalesce(tn, 0) + 1))
-      |       // (SELECT den FROM dtt)))
-      |      // greatest((1000000 * (coalesce(rn, 0) + 1))
-      |       // (SELECT den FROM drt), 1) AS r
+      |    CAST(floor((1000.0 * (coalesce(tn, 0) + 1)
+      |        / (SELECT den FROM dtt))
+      |      * ((SELECT den FROM drt)
+      |        / (coalesce(rn, 0) + 1.0))) AS BIGINT) AS r
       |  FROM dtw LEFT JOIN dtc USING (w) LEFT JOIN drc USING (w)),
       |dimp AS (SELECT doc_id, count(*) AS n_words,
       |    CAST(sum(r) // count(*) AS BIGINT) AS imp_milli

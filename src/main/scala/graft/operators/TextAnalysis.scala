@@ -948,29 +948,39 @@ object TextAnalysis {
   }
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
-    * for Language Models via Importance Resampling"), INTEGER-EXACT
-    * in the repo's no-floats-in-the-model stance: per word,
+    * for Language Models via Importance Resampling"): per word, the
+    * add-one-smoothed target/raw likelihood ratio in milli,
     *
-    *   pT_ppm = (10^6 · (cT(w)+1)) div (NT + VT + 1)   add-one target
-    *   pR_ppm = (10^6 · (cR(w)+1)) div (NR + VR + 1)   add-one raw
-    *   r_milli(w) = (1000 · pT_ppm) div max(pR_ppm, 1)
+    *   r_milli(w) = floor( (1000 · (cT(w)+1) / (NT+VT+1))
+    *                       · ((NR+VR+1) / (cR(w)+1)) )
     *
     * and a document scores the MEAN of its words' ratios —
-    * `imp_milli` > 1000 means "more target-like than raw". The
-    * divisions are true 64-bit integer `div` (mirrored by DuckDB's
-    * `//`; both truncate, every operand here is non-negative), NOT
-    * the 2^53-bounded double trick — exact at any corpus size.
+    * `imp_milli` > 1000 means "more target-like than raw". The MODEL
+    * is pure integers (counts); the per-row ratio is deterministic
+    * IEEE DOUBLE arithmetic in this exact operation order — multiply
+    * and divide are correctly-rounded and engine-portable (unlike
+    * transcendentals), so the DuckDB oracle reproduces every bit. A
+    * fixed-point form was rejected: any single 64-bit scale floors
+    * one side of the ratio to zero once a corpus outgrows it (a
+    * million-fold count spread exhausts a ppm scale at ~10M tokens),
+    * collapsing exactly the rare-word signal DSIR exists to measure;
+    * doubles hold the full 13-orders-of-magnitude range. Count-to-
+    * double conversion is exact below 2^53 ≈ 9·10^15 words per model.
     *
     * Cost: one word explode + two LEFT joins against slim
     * (word, count) models (broadcastable for typical target corpora,
     * shuffle-joined by AQE when the raw vocabulary is huge) + one
     * doc-keyed mean with partials. Docs with no words produce no row
-    * (no importance is defined); the oracle drops them identically. */
+    * (no importance is defined); the oracle drops them identically.
+    * The model `counts` are lazy plans — a scoring fleet should
+    * persist them or go through [[saveWordModel]]/[[loadWordModel]]
+    * (the [[saveLmModel]] standing-artifact stance) so repeated
+    * scoring doesn't re-tokenize the model corpora per action. */
   def importanceMilli(docs: DataFrame, target: WordModel,
       raw: WordModel, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     WorkCols.requireFree(docs, "__s", "__w", "__ct", "__cr", "__r",
-      "__sum")
+      "__sum", "n_words", "imp_milli")
     val words = docs
       .select(col(idCol),
         split(trim(lower(col(textCol))), "\\s+").as("__s"))
@@ -980,17 +990,38 @@ object TextAnalysis {
       col("n").as("__ct"))
     val cr = raw.counts.select(col("word").as("__w"),
       col("n").as("__cr"))
-    val tDen = target.nWords + target.vocab + 1L
-    val rDen = raw.nWords + raw.vocab + 1L
+    val tDen = (target.nWords + target.vocab + 1L).toDouble
+    val rDen = (raw.nWords + raw.vocab + 1L).toDouble
     words.join(ct, Seq("__w"), "left").join(cr, Seq("__w"), "left")
       .select(col(idCol),
-        expr(s"(1000L * ((1000000L * (coalesce(__ct, 0L) + 1L)) div " +
-          s"${tDen}L)) div greatest((1000000L * (coalesce(__cr, 0L) " +
-          s"+ 1L)) div ${rDen}L, 1L)").as("__r"))
+        floor((lit(1000.0) * (coalesce(col("__ct"), lit(0L)) + lit(1L))
+            .cast("double") / lit(tDen)) *
+          (lit(rDen) / (coalesce(col("__cr"), lit(0L)) + lit(1L))
+            .cast("double"))).cast("long").as("__r"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("__r")).as("__sum"))
       .select(col(idCol), col("n_words"),
         expr("__sum div n_words").as("imp_milli"))
+  }
+
+  /** Freeze a trained [[WordModel]] to disk (counts parquet +
+    * totals json) — the standing-model artifact a scoring fleet
+    * loads once, like [[saveLmModel]]. */
+  def saveWordModel(model: WordModel, path: String): Unit = {
+    model.counts.write.mode("overwrite").parquet(s"$path/counts")
+    ArtifactIo.writeSmallFileAtomic(path, "words.json",
+      s"""{"nWords":${model.nWords},"vocab":${model.vocab}}""")
+  }
+
+  /** Load a [[saveWordModel]] artifact. */
+  def loadWordModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): WordModel = {
+    val meta = ArtifactIo.readSmallFile(path, "words.json")
+    def l(k: String): Long = (k + """":(\d+)""").r
+      .findFirstMatchIn(meta).getOrElse(throw new IllegalStateException(
+        s"[GRAFT] $path/words.json has no $k")).group(1).toLong
+    WordModel(spark.read.parquet(s"$path/counts"), l("nWords"),
+      l("vocab"))
   }
 
   /** DSIR selection: deterministic Bernoulli keep with probability
@@ -1007,6 +1038,7 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(alphaMilli >= 1L,
       "[GRAFT] dsirSample: alphaMilli must be >= 1")
+    WorkCols.requireFree(docs, "imp_milli")
     val imp = importanceMilli(docs, target, raw, idCol, textCol)
       .select(col(idCol), col("imp_milli"))
     Sampling.weightedHashSample(docs.join(imp, Seq(idCol)), key,

@@ -2824,11 +2824,11 @@ class PipelineSpec extends AnyFunSuite {
       Seq("alpha beta", "gamma gamma").toDF("text"))
     assert(tgt.nWords === 3L && tgt.vocab === 2L)
     assert(raw.nWords === 4L && raw.vocab === 3L)
-    // ppm: pT(alpha)=1e6*3//6=500000, pR(alpha)=1e6*2//8=250000
-    //   -> r=1000*500000//250000=2000
-    // pT(beta)=1e6*2//6=333333, pR(beta)=250000 -> r=1333
-    // pT(gamma)=1e6*1//6=166666, pR(gamma)=1e6*3//8=375000 -> r=444
-    // pT(delta)=166666, pR(delta)=1e6*1//8=125000 -> r=1333 (both unseen)
+    // r(w) = floor(1000·(cT+1)/6 · 8/(cR+1)):
+    //   alpha: cT=2,cR=1: 1000·3/6 · 8/2 = 2000
+    //   beta:  cT=1,cR=1: 1000·2/6 · 8/2 = 1333.33 -> 1333
+    //   gamma: cT=0,cR=2: 1000·1/6 · 8/3 = 444.44 -> 444
+    //   delta (unseen in both): 1000·1/6 · 8/1 = 1333.33 -> 1333
     val docs = Seq((1L, "alpha beta"), (2L, "gamma gamma"),
       (3L, "delta"), (4L, "  ")).toDF("doc_id", "text")
     val imp = TextAnalysis.importanceMilli(docs, tgt, raw)

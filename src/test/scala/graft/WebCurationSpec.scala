@@ -48,8 +48,10 @@ class WebCurationSpec extends AnyFunSuite {
 
   test("property: normalizeUrl collapses generated fetch noise onto the canonical key, idempotently") {
     import org.scalacheck.Gen
+    // the 'u' prefix keeps labels off "www" WITHOUT suchThat — a
+    // rejected draw would make Gen.sample return None and flake
     val label = Gen.nonEmptyListOf(Gen.alphaLowerChar)
-      .map(_.mkString.take(8)).suchThat(l => l.nonEmpty && l != "www")
+      .map(l => "u" + l.mkString.take(7))
     val genCase = for {
       scheme <- Gen.oneOf("http", "https")
       labels <- Gen.listOfN(2, label)
