@@ -436,6 +436,27 @@ object ScaleProbe {
       println(s"[scale-probe]   capped rows: ${capped.count()} " +
         "(expect 50000)")
     }
+    // DSIR importance at scale: 525k docs (the curation corpus shape)
+    // scored against standing persisted word models — one word
+    // explode + two slim (word, count) joins + a doc-keyed mean; the
+    // double-ratio math is per-row codegen, cost ∝ corpus words
+    time("DSIR importance scoring: 525k docs vs standing " +
+        "target/raw word models") {
+      def corpus(n: Long) = spark.range(n).select($"id".as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(12)),
+          j => concat(lit("w"), pmod($"id" * 7 + j * 13, lit(50000))
+            .cast("string")))).as("text"))
+      val tgt = graft.operators.TextAnalysis.wordModel(corpus(25000L))
+      val raw = graft.operators.TextAnalysis.wordModel(corpus(525000L))
+      tgt.counts.persist().count(); raw.counts.persist().count()
+      try {
+        val r = graft.operators.TextAnalysis.importanceMilli(
+            corpus(525000L), tgt, raw)
+          .agg(sum($"imp_milli"), count(lit(1))).head()
+        println(s"[scale-probe]   scored docs: ${r.getLong(1)} " +
+          s"(expect 525000), mean imp ~${r.getLong(0) / r.getLong(1)}")
+      } finally { tgt.counts.unpersist(); raw.counts.unpersist(); () }
+    }
     // trigram langid at scale: the model is vocab×4 rows (broadcast);
     // scoring is one Generate + broadcast join + two partial aggs —
     // cost ∝ corpus trigrams, lower() materialized once per row.
