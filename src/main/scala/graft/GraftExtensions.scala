@@ -49,6 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_langid"),
       new ExpressionInfo("graft", "vfs_langid"),
       graft.plans.SqlSurface.vfsLangIdBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_dsir"),
+      new ExpressionInfo("graft", "vfs_dsir"),
+      graft.plans.SqlSurface.vfsDsirBuilder _))
     ext.injectTableFunction((FunctionIdentifier("vfs_sig_pairs"),
       new ExpressionInfo("graft", "vfs_sig_pairs"),
       graft.plans.SqlSurface.vfsSigPairsBuilder _))

@@ -2317,6 +2317,22 @@ object SparkEntry {
         .orderBy(col("source").asc)
     }),
 
+    // ---- the vfs_dsir TVF: DSIR importance from pure SQL — target
+    // corpus landed as a parquet path (the builder trains the word
+    // model in place; a saveWordModel artifact is the standing form),
+    // raw defaulting to the scored corpus; shares the operator row's
+    // oracle verbatim ----
+    "sql_tvf_dsir" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      val td = java.nio.file.Files
+        .createTempDirectory("verify-dsir-target").toString
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src0")
+        .write.mode("overwrite").parquet(td)
+      s.sql(s"SELECT * FROM vfs_dsir('$dir/documents.parquet', " +
+        s"'$td') ORDER BY doc_id ASC")
+    }),
+
     // ---- model-based filtering: a Bernoulli token-evidence
     // classifier trained distributed on an 80% slice (label: lang =
     // 'en'), scoring the held-out 20%. Integer Laplace-posterior
@@ -4339,6 +4355,11 @@ object SparkEntry {
     // DSIR importance: the dsirCtes chain replays the double-exact
     // likelihood ratio; the sample twin adds the hash-uniform keep
     "text_dsir_importance" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_words, imp_milli FROM dimp
+         |ORDER BY doc_id ASC""".stripMargin,
+
+    "sql_tvf_dsir" ->
       s"""WITH $dsirCtes
          |SELECT doc_id, n_words, imp_milli FROM dimp
          |ORDER BY doc_id ASC""".stripMargin,

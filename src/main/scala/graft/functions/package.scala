@@ -191,6 +191,11 @@ package object functions {
     // SELECT * FROM vfs_langid(docsPath[, modelPath, textCol, idCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_langid",
       graft.plans.SqlSurface.vfsLangIdBuilder _)
+    // SELECT * FROM vfs_dsir(docsPath, targetPath[, rawPath, textCol,
+    // idCol]) — DSIR importance scores; paths accept docs parquet or
+    // saveWordModel artifacts
+    ExpressionUtils.registerTableFunction(spark, "vfs_dsir",
+      graft.plans.SqlSurface.vfsDsirBuilder _)
     // SELECT * FROM vfs_sig_pairs(path, maxHamming[, maxBucket, idCol, sigCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_sig_pairs",
       graft.plans.SqlSurface.vfsSigPairsBuilder _)

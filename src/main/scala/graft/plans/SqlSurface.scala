@@ -153,6 +153,50 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_dsir(docsPath, targetPath[, rawPath,
+    * textCol, idCol])` — DSIR importance scores
+    * ([[graft.operators.TextAnalysis.importanceMilli]]: add-one-
+    * smoothed target/raw unigram likelihood ratios in milli).
+    * `targetPath` and `rawPath` each accept EITHER a docs parquet (a
+    * word model trains in place) OR a
+    * [[graft.operators.TextAnalysis.saveWordModel]] artifact
+    * (detected by its `words.json` — the standing production form:
+    * train once, score every batch); `rawPath` defaults to the scored
+    * corpus itself.
+    * {{{ SELECT * FROM vfs_dsir('/data/docs', '/models/target_wm')
+    *     WHERE imp_milli >= 1500 }}} */
+  private[graft] def vfsDsirBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      "[GRAFT] vfs_dsir(docsPath, targetPath[, rawPath, textCol, " +
+        s"idCol]): $msg")
+    if (es.length < 2 || es.length > 5)
+      fail(s"expected 2-5 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val spark = SparkSession.active
+    val docsPath = evalNonNull(0, "docsPath").toString
+    val textCol = if (es.length >= 4) evalNonNull(3, "textCol").toString
+      else "text"
+    val idCol = if (es.length >= 5) evalNonNull(4, "idCol").toString
+      else "doc_id"
+    import graft.operators.{ArtifactIo, TextAnalysis => TA}
+    def modelOf(path: String): TA.WordModel =
+      if (ArtifactIo.fileExists(path, "words.json"))
+        TA.loadWordModel(spark, path)
+      else TA.wordModel(spark.read.parquet(path), textCol)
+    val docs = spark.read.parquet(docsPath)
+    val target = modelOf(evalNonNull(1, "targetPath").toString)
+    val raw =
+      if (es.length >= 3) modelOf(evalNonNull(2, "rawPath").toString)
+      else TA.wordModel(docs, textCol)
+    TA.importanceMilli(docs, target, raw, idCol, textCol)
+      .queryExecution.analyzed
+  }
+
   /** TVF builder for `vfs_langid(docsPath[, modelPath, textCol,
     * idCol])` — trigram language-ID scores
     * ([[graft.operators.TextAnalysis.scoreLangId]], integer milli,

@@ -2852,6 +2852,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept === again)
   }
 
+  test("vfs_dsir TVF: in-place and standing-word-model forms agree; bad args loud") {
+    graft.functions.registerAll(spark)
+    val base = java.nio.file.Files
+      .createTempDirectory("tvf-dsir").toString
+    Seq((1L, "alpha beta"), (2L, "gamma gamma"), (3L, "alpha alpha"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/docs")
+    Seq((10L, "alpha alpha beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$base/target")
+    def run(targetPath: String) = spark.sql(
+        s"SELECT * FROM vfs_dsir('$base/docs', '$targetPath') " +
+          "ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    val inPlace = run(s"$base/target")
+    // the standing form loads the SAVED artifact (words.json detected)
+    graft.operators.TextAnalysis.saveWordModel(
+      graft.operators.TextAnalysis.wordModel(
+        spark.read.parquet(s"$base/target")), s"$base/wm")
+    assert(inPlace.nonEmpty && run(s"$base/wm") === inPlace)
+    // alpha-heavy doc must outscore the gamma doc
+    val byId = inPlace.map(r => r._1 -> r._3).toMap
+    assert(byId(3L) > byId(2L))
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM vfs_dsir('x')").collect()
+    }
+    assert(err.getMessage.contains("[GRAFT]"))
+  }
+
   test("scoreLm vs standing model: unseen bigrams and contexts cost " +
       "through the same coalesced formula; lmScore = self-score") {
     import graft.operators.TextAnalysis
