@@ -1062,6 +1062,23 @@ object SparkEntry {
         .orderBy(col("domain").asc)
     }),
 
+    // ---- the web stage-0 pipeline as ONE query: blocklist -> URL
+    // keep-first -> per-domain cap (2 longest per domain) — proves
+    // the family composes with no work-column collisions (keep-first
+    // drops its __nu/__rn before the cap's rankedTopN reserves
+    // __rn/__st/__rk) ----
+    "pipeline_web_curate" -> ((s, dir) => {
+      import graft.operators.WebCuration
+      val gated = WebCuration.blocklistFilter(webUrls(s, dir), "url",
+        (1 to 5).map(k => s"src$k.co.uk"))
+      val kept = WebCuration.urlKeepFirst(gated)
+      WebCuration.capPerDomain(kept, "url", negate(col("n_chars")),
+          col("doc_id"), n = 2)
+        .select(col("doc_id"),
+          WebCuration.urlDomain(col("url")).as("domain"))
+        .orderBy(col("domain").asc, col("doc_id").asc)
+    }),
+
     // ---- the INCREMENTAL form: the seen set is a standing artifact
     // (UrlIndex) built on the even-id half (SF-stable split); the
     // odd-id delta keep-firsts within itself, then one anti-join
@@ -3712,6 +3729,19 @@ object SparkEntry {
          |WHERE domain NOT IN ('src1.co.uk', 'src2.co.uk',
          |  'src3.co.uk', 'src4.co.uk', 'src5.co.uk')
          |GROUP BY 1 ORDER BY domain ASC""".stripMargin,
+
+    "pipeline_web_curate" ->
+      s"""WITH $webUrlCtes,
+         |pg AS (SELECT * FROM wn WHERE domain NOT IN ('src1.co.uk',
+         |  'src2.co.uk', 'src3.co.uk', 'src4.co.uk', 'src5.co.uk')),
+         |pk AS (SELECT *, row_number() OVER (PARTITION BY norm_url
+         |    ORDER BY doc_id ASC) AS krn FROM pg),
+         |pc AS (SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |  FROM pk WHERE krn = 1)
+         |SELECT doc_id, domain FROM pc WHERE rn <= 2
+         |ORDER BY domain ASC, doc_id ASC""".stripMargin,
 
     "web_url_incremental" ->
       s"""WITH $webUrlCtes,
