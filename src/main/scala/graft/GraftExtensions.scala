@@ -61,6 +61,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_boilerplate"),
       new ExpressionInfo("graft", "vfs_boilerplate"),
       graft.plans.SqlSurface.vfsBoilerplateBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_budget_sample"),
+      new ExpressionInfo("graft", "vfs_budget_sample"),
+      graft.plans.SqlSurface.vfsBudgetSampleBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_mixture"),
+      new ExpressionInfo("graft", "vfs_mixture"),
+      graft.plans.SqlSurface.vfsMixtureBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

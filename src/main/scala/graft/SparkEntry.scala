@@ -1111,6 +1111,27 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- PSL-backed per-domain cap: hosting-platform hosts
+    // (userN.github.io, blogN.blogspot.com, appN.netlify.app — all
+    // public-suffix-list entries ABSENT from the frozen 46-entry
+    // head) group as DISTINCT registered domains, so the cap applies
+    // per publisher instead of collapsing thousands of unrelated
+    // sites into one; head-covered hosts (news.srcN.co.uk,
+    // www.srcN.com) derive identically on both forms (spec-pinned
+    // parity). Runs through capPerDomainPsl — the PSL suffix walk
+    // materialized ONCE (rankedTopNMaterialized), survivors
+    // semi-joined back; bandCap = 16 forces the threshold path ----
+    "web_domain_cap_psl" -> ((s, dir) => {
+      import graft.operators.WebCuration
+      WebCuration.capPerDomainPsl(webPslUrls(s, dir), "url",
+          WebCuration.PslSampleSnapshot, negate(col("n_chars")),
+          col("doc_id"), "doc_id", n = 3, bandCap = 16L)
+        .select(col("doc_id"),
+          WebCuration.urlDomainPsl(col("url"),
+            WebCuration.PslSampleSnapshot).as("domain"))
+        .orderBy(col("domain").asc, col("doc_id").asc)
+    }),
+
     // ---- the curation audit report: per-language-shard totals over
     // the packed output (docs, tokens, bins, overflows) — the one
     // aggregate every production curation run logs ----
@@ -1189,6 +1210,31 @@ object SparkEntry {
           budgetSampleBudgets, bandCap = 16L)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the vfs_budget_sample TVF: weight-budget sampling from
+    // pure SQL (budgets as a map literal — the one pipeline family
+    // that had no SQL surface); shares q_budget_sample's derivation
+    // and oracle verbatim, same bandCap-forced threshold path ----
+    "sql_tvf_budget_sample" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      val m = budgetSampleBudgets.map { case (k, v) => s"'$k', ${v}L" }
+        .mkString(", ")
+      s.sql(s"SELECT doc_id, source, n_chars FROM vfs_budget_sample(" +
+        s"'$dir/documents.parquet', 'source', 'n_chars', 'text', " +
+        s"'doc_id', map($m), 16) ORDER BY doc_id ASC")
+    }),
+
+    // ---- the vfs_mixture TVF: source-mixture sampling from pure SQL
+    // — integer weights 50/25/15/10 normalize to exactly the doubles
+    // q_mixture_sample passes (correctly-rounded IEEE division), so
+    // the TVF shares mixtureSampleOracle verbatim ----
+    "sql_tvf_mixture" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      s.sql(s"SELECT doc_id, source FROM vfs_mixture(" +
+        s"'$dir/documents.parquet', 'source', 'text', 'doc_id', " +
+        "map('src0', 50, 'src1', 25, 'src2', 15, 'src3', 10), 16) " +
+        "ORDER BY doc_id ASC")
     }),
 
     // ---- JSONL sink + source roundtrip: the interchange format of
@@ -2348,6 +2394,46 @@ object SparkEntry {
         .write.mode("overwrite").parquet(td)
       s.sql(s"SELECT * FROM vfs_dsir('$dir/documents.parquet', " +
         s"'$td') ORDER BY doc_id ASC")
+    }),
+
+    // ---- DSIR over hashed BIGRAM features — the paper's actual
+    // feature space (Xie et al. 2023 use hashed n-grams, which
+    // separate target-like PHRASING from target-like vocabulary):
+    // consecutive-token bigrams bucketed by the portable md5 word
+    // hash mod 4096, then the same pinned IEEE-double ratio chain
+    // over bucket counts ----
+    "text_dsir_importance_ngram" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val target = TextAnalysis.ngramModel(
+        docs.filter(col("source") === "src0"), n = 2, buckets = 4096)
+      val raw = TextAnalysis.ngramModel(docs, n = 2, buckets = 4096)
+      TextAnalysis.importanceMilliNgram(docs, target, raw,
+          n = 2, buckets = 4096)
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the STREAMING DSIR scoring loop's batch-0 run: word models
+    // frozen to standing saveWordModel artifacts (target = src0, raw
+    // = whole corpus), the batch scored against them through the
+    // actual foreachBatch body and landed batch-addressed
+    // (replay-idempotent by construction) ----
+    "stream_dsir_score" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = java.nio.file.Files
+        .createTempDirectory("verify-dsirstream").toString
+      TextAnalysis.saveWordModel(
+        TextAnalysis.wordModel(docs.filter(col("source") === "src0")),
+        s"$base/target_wm")
+      TextAnalysis.saveWordModel(TextAnalysis.wordModel(docs),
+        s"$base/raw_wm")
+      graft.streaming.Ingest.dsirScoreBatch(docs, 0L,
+        TextAnalysis.loadWordModel(s, s"$base/target_wm"),
+        TextAnalysis.loadWordModel(s, s"$base/raw_wm"),
+        s"$base/out", alphaMilli = 0L, "doc_id", "text")
+      s.read.parquet(s"$base/out/batch=0")
+        .select(col("doc_id"), col("source"), col("n_words"),
+          col("imp_milli"), col("batch_id"))
+        .orderBy(col("doc_id").asc)
     }),
 
     // ---- model-based filtering: a Bernoulli token-evidence
@@ -3762,6 +3848,14 @@ object SparkEntry {
          |SELECT doc_id, url FROM k WHERE rn = 1
          |ORDER BY doc_id ASC""".stripMargin,
 
+    "web_domain_cap_psl" ->
+      s"""WITH $webPslCtes,
+         |pr AS (SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM pd)
+         |SELECT doc_id, domain FROM pr WHERE rn <= 3
+         |ORDER BY domain ASC, doc_id ASC""".stripMargin,
+
     "stream_curate" -> streamCurateOracle,
 
     "text_curriculum" -> textCurriculumOracle,
@@ -4132,6 +4226,9 @@ object SparkEntry {
 
     "q_temperature_sample" -> temperatureSampleOracle,
     "q_budget_sample" -> budgetSampleOracle,
+    // the TVF twins share the operator rows' oracles verbatim
+    "sql_tvf_budget_sample" -> budgetSampleOracle,
+    "sql_tvf_mixture" -> mixtureSampleOracle,
 
     "q_sample_hash" -> sampleHashOracle,
 
@@ -4404,6 +4501,24 @@ object SparkEntry {
          |    / 1.8446744073709552e19 + 0.5
          |  < least(1.0, CAST(imp_milli AS DOUBLE) / 1500.0)
          |GROUP BY source ORDER BY source ASC""".stripMargin,
+
+    // hashed-bigram DSIR: the same pinned ratio chain over md5-hashed
+    // gram BUCKETS (dsirNgramCtes — bigrams of the empty-filtered
+    // token list, bucketed hex15 % 4096)
+    "text_dsir_importance_ngram" ->
+      s"""WITH $dsirNgramCtes
+         |SELECT doc_id, n_words, imp_milli FROM nimp
+         |ORDER BY doc_id ASC""".stripMargin,
+
+    // the streaming DSIR loop's batch-0 run scores against frozen
+    // artifacts trained on the same split — the unigram chain + the
+    // constant batch id
+    "stream_dsir_score" ->
+      s"""WITH $dsirCtes
+         |SELECT d.doc_id, d.source, i.n_words, i.imp_milli,
+         |  CAST(0 AS BIGINT) AS batch_id
+         |FROM documents d JOIN dimp i ON d.doc_id = i.doc_id
+         |ORDER BY d.doc_id ASC""".stripMargin,
 
     // cross-corpus LM: model from even ids only, left-joined costs
     // with coalesce for unseen bigrams/contexts
@@ -5157,6 +5272,42 @@ object SparkEntry {
       |    CAST(sum(r) // count(*) AS BIGINT) AS imp_milli
       |  FROM dr GROUP BY doc_id)""".stripMargin
 
+  /** The hashed-bigram DSIR chain: tokenization as [[dsirCtes]] but
+    * empty tokens are filtered BEFORE gram formation (mirroring
+    * [[graft.functions.NgramBuckets]]); consecutive-token bigrams
+    * join with one space and bucket `hex15(gram) % 4096` (the
+    * portable md5 word hash — non-negative 60-bit, plain % is safe);
+    * from there the ratio chain is [[dsirCtes]]' verbatim with the
+    * bucket as the unit. */
+  private def dsirNgramCtes: String =
+    s"""ntk AS (SELECT doc_id, source,
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      t -> t <> '') AS s
+       |  FROM documents),
+       |ngr AS (SELECT doc_id, source,
+       |    unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))])
+       |      AS gram
+       |  FROM ntk),
+       |ngb AS (SELECT doc_id, source,
+       |    ${duckHex15("gram")} % 4096 AS b
+       |  FROM ngr),
+       |ntc AS (SELECT b, count(*) AS tn FROM ngb
+       |  WHERE source = 'src0' GROUP BY b),
+       |ntt AS (SELECT count(*) + count(DISTINCT b) + 1 AS den
+       |  FROM ngb WHERE source = 'src0'),
+       |nrc AS (SELECT b, count(*) AS rcnt FROM ngb GROUP BY b),
+       |nrt AS (SELECT count(*) + count(DISTINCT b) + 1 AS den
+       |  FROM ngb),
+       |nr AS (SELECT doc_id,
+       |    CAST(floor((1000.0 * (coalesce(tn, 0) + 1)
+       |        / (SELECT den FROM ntt))
+       |      * ((SELECT den FROM nrt)
+       |        / (coalesce(rcnt, 0) + 1.0))) AS BIGINT) AS r
+       |  FROM ngb LEFT JOIN ntc USING (b) LEFT JOIN nrc USING (b)),
+       |nimp AS (SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(r) // count(*) AS BIGINT) AS imp_milli
+       |  FROM nr GROUP BY doc_id)""".stripMargin
+
   private def weightedSampleOracle: String =
     s"""WITH b AS (SELECT lang, n_chars, $duckUtf8Bytes AS bs
        |           FROM documents)
@@ -5205,10 +5356,6 @@ object SparkEntry {
        |WHERE r.rn <= q.quota
        |ORDER BY r.doc_id ASC""".stripMargin
 
-  /** temperatureSample(α=0.5) mirror: sqrt is correctly-rounded IEEE
-    * in both engines, and the weight normalization folds the sorted
-    * source list from 0.0 exactly like the Scala side's ListMap sum —
-    * from there the quota math is [[mixtureSampleOracle]]'s. */
   /** q_budget_sample's budgets — ONE constant feeding both the engine
     * call and the oracle's IN list + CASE, so they cannot drift. */
   private val budgetSampleBudgets: Map[String, Long] =
@@ -5238,6 +5385,10 @@ object SparkEntry {
        |ORDER BY doc_id ASC""".stripMargin
   }
 
+  /** temperatureSample(α=0.5) mirror: sqrt is correctly-rounded IEEE
+    * in both engines, and the weight normalization folds the sorted
+    * source list from 0.0 exactly like the Scala side's ListMap sum —
+    * from there the quota math is [[mixtureSampleOracle]]'s. */
   private def temperatureSampleOracle: String =
     s"""WITH d0 AS (SELECT * FROM documents
        |      WHERE source = 'src0' OR doc_id % 3 <> 0),
@@ -5454,6 +5605,68 @@ object SparkEntry {
       .otherwise(concat(lit("https://"), col("source"), lit(".com")))
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("n_chars"), url.as("url"))
+  }
+
+  /** URL fixture for the PSL rows — hosting-platform hosts whose
+    * suffixes the frozen head is missing (`userN.github.io`,
+    * `blogN.blogspot.com`, `appN.netlify.app` — each N a distinct
+    * publisher the PSL form must keep apart) plus two head-covered
+    * constructions (`news.srcK.co.uk`, `www.srcK.com`) where the two
+    * derivations must agree. The oracle's `pu` CTE builds the
+    * identical string. */
+  private def webPslUrls(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val m = pmod(col("doc_id"), lit(5))
+    val url = when(m === 0,
+        concat(lit("https://user"), pmod(col("doc_id"), lit(97)),
+          lit(".github.io/post/"), id))
+      .when(m === 1,
+        concat(lit("https://blog"), pmod(col("doc_id"), lit(89)),
+          lit(".blogspot.com/"), id))
+      .when(m === 2,
+        concat(lit("https://news."), col("source"),
+          lit(".co.uk/a/"), id))
+      .when(m === 3,
+        concat(lit("https://www."), col("source"), lit(".com/p/"), id))
+      .otherwise(concat(lit("https://app"), pmod(col("doc_id"), lit(7)),
+        lit(".netlify.app/x/"), id))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), url.as("url"))
+  }
+
+  /** The PSL-cap oracle chain: `pu` rebuilds the fixture, `ph`
+    * derives the host exactly as `urlHost` (https only — no ports or
+    * userinfo in this fixture; one leading `www.` stripped), and
+    * `pd` mirrors the longest-match-wins suffix walk with the
+    * [[operators.WebCuration.pslDomainRegexes]] groups (longest
+    * label-count group first, two-label fallback) — regexes
+    * interpolated from the SAME snapshot constant the engine query
+    * passes, so the derivations cannot drift. */
+  private def webPslCtes: String = {
+    val groups = graft.operators.WebCuration.pslDomainRegexes(
+      graft.operators.WebCuration.PslSampleSnapshot)
+    val cases = groups.map(re =>
+      s"WHEN regexp_extract(host, '$re', 1) <> '' " +
+        s"THEN regexp_extract(host, '$re', 1)").mkString("\n|      ")
+    s"""pu AS (SELECT doc_id, n_chars,
+       |    CASE doc_id % 5
+       |      WHEN 0 THEN 'https://user' || (doc_id % 97) || '.github.io/post/' || doc_id
+       |      WHEN 1 THEN 'https://blog' || (doc_id % 89) || '.blogspot.com/' || doc_id
+       |      WHEN 2 THEN 'https://news.' || source || '.co.uk/a/' || doc_id
+       |      WHEN 3 THEN 'https://www.' || source || '.com/p/' || doc_id
+       |      ELSE 'https://app' || (doc_id % 7) || '.netlify.app/x/' || doc_id END AS url
+       |  FROM documents),
+       |ph AS (SELECT doc_id, n_chars,
+       |    regexp_replace(regexp_extract(url,
+       |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2),
+       |      '^www\\.', '') AS host
+       |  FROM pu),
+       |pd AS (SELECT doc_id, n_chars,
+       |    CASE $cases
+       |      WHEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) <> ''
+       |        THEN regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+       |      ELSE host END AS domain
+       |  FROM ph)""".stripMargin
   }
 
   /** The web-curation oracle chain: `wurl` builds the identical URL

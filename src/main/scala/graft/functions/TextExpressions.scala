@@ -184,6 +184,65 @@ object HashedBow {
   }
 }
 
+/** STRING → ARRAY<BIGINT> hashed word-n-gram buckets, one per
+  * CONSECUTIVE n-token window (duplicates kept, text order): tokens
+  * under the shared [[HashedBow.tokensOf]] model with empties
+  * dropped, each n-gram joined with a single space and bucketed
+  * `wordHash60(gram) mod buckets` — the hashed n-gram feature space
+  * of DSIR (Xie et al. 2023 use hashed n-grams, not raw unigrams;
+  * the hash is [[graft.operators.Dedup.portableWordHash]]'s md5
+  * fold, so the DuckDB oracle derives identical buckets). Texts with
+  * fewer than n tokens produce an EMPTY array — exploding callers
+  * drop them, matching the unigram path's "no words, no row" stance.
+  *
+  * One JVM pass per row (tokenize once, one md5 per gram via the
+  * reused digest instance) inside whole-stage codegen. The HOF
+  * phrasing was rejected up front: `transform(sequence(...))` over a
+  * slice/concat lambda runs interpreted with no CSE, and
+  * `sequence(lo, hi)` DESCENDS when hi < lo — the short-text guard
+  * alone has produced two prior rounds of bugs. */
+case class NgramBuckets(child: Expression, n: Int, buckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1 && n <= 8, "[GRAFT] vfs_ngram_buckets: n must be in [1, 8]")
+  require(buckets >= 2 && buckets <= (1 << 24),
+    "[GRAFT] vfs_ngram_buckets: buckets must be in [2, 2^24]")
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vfs_ngram_buckets"
+
+  override def nullSafeEval(v: Any): Any =
+    NgramBuckets.grams(v.asInstanceOf[UTF8String], n, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NgramBuckets.grams($c, $n, $buckets)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NgramBuckets {
+  /** static entry for codegen */
+  def grams(text: UTF8String, n: Int,
+      buckets: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = HashedBow.tokensOf(text).filter(_.nonEmpty)
+    val m = toks.length - n + 1
+    val out = new Array[Long](math.max(0, m))
+    var i = 0
+    while (i < m) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = HashedBow.wordHash60(sb.toString) % buckets
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 /** STRING → hashed bag-of-words embedding; `milli = false` gives the
   * unit-L2 ARRAY<FLOAT> that feeds the vector operators (semantic
   * dedup / kNN / IVF over raw text), `milli = true` the rounded

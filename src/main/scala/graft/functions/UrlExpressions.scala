@@ -1,0 +1,149 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** STRING host → STRING registered domain (eTLD+1) under a
+  * public-suffix SNAPSHOT fixed at plan time — the full-fidelity
+  * variant of [[graft.operators.WebCuration.registeredDomain]], whose
+  * frozen 46-entry head treats every hosting-platform suffix
+  * (`github.io`, `blogspot.com`, `netlify.app` — all public-suffix
+  *-list entries) as an ordinary domain and so collapses thousands of
+  * unrelated sites into one "publisher" for per-domain capping.
+  *
+  * Longest-match-wins over the snapshot, the PSL algorithm:
+  * registered domain = one label + the longest listed suffix of the
+  * host. Plain entries match exactly; wildcard entries (`*.foo`)
+  * match any single label + `foo`. Exception rules (`!bar.foo`) are
+  * NOT supported — pre-resolve them out of the snapshot (they are a
+  * handful in the real list); the constructor fails loudly. Two
+  * deliberate divergences from strict PSL, both keeping rows
+  * attributable for curation: a host that IS a listed suffix returns
+  * itself (strict PSL says "no registrable domain"), and a host whose
+  * TLD is absent from the snapshot falls back to the last-two-labels
+  * rule (the head expression's stance) instead of NULL.
+  *
+  * Scale shape: the snapshot (~10k entries for the full list) ships
+  * INSIDE the expression once per task via `addReferenceObj` and
+  * deserializes into a per-executor hash set — each row costs one
+  * label split + O(labels) hash probes. A `map(...)` literal was
+  * rejected: Catalyst's `GetMapValue` on a literal map is a LINEAR
+  * scan, O(|snapshot|) per candidate per row. `defineCodeGen` keeps
+  * the projection inside whole-stage codegen.
+  */
+case class PslDomain(child: Expression, suffixes: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  PslDomain.validate(suffixes)
+  // built on the driver, shipped inside the expression; the transient
+  // lazy index rebuilds once per executor, not per row (the
+  // [[TermCounts.Lookup]] pattern)
+  private val lookup = new PslDomain.Lookup(suffixes.toArray)
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vfs_psl_domain"
+
+  override def nullSafeEval(h: Any): Any =
+    PslDomain.domain(h.asInstanceOf[UTF8String], lookup)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pslLookup", lookup,
+      classOf[PslDomain.Lookup].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.PslDomain.domain($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object PslDomain {
+
+  private[graft] def validate(suffixes: Seq[String]): Unit = {
+    require(suffixes.nonEmpty, "[GRAFT] vfs_psl_domain: empty snapshot")
+    suffixes.foreach { s =>
+      require(s.nonEmpty && !s.startsWith("!") && !s.contains("/") &&
+          !s.exists(_.isWhitespace) && !s.startsWith(".") &&
+          !s.endsWith(".") &&
+          (!s.contains("*") || (s.startsWith("*.") &&
+            !s.drop(2).contains("*") && s.length > 2)),
+        s"[GRAFT] vfs_psl_domain: bad snapshot entry '$s' — plain " +
+          "suffixes and '*.parent' wildcards only (strip comments, " +
+          "blank lines and '!' exception rules when loading the list)")
+    }
+  }
+
+  /** Serializable snapshot with transient lazily-built hash sets —
+    * one exact-suffix set and one wildcard-PARENT set (`*.foo` is
+    * stored as `foo` and matched against the candidate one label
+    * shorter). Entries are lowercased at build time; hosts arrive
+    * lowercased from `urlHost`. */
+  final class Lookup(val entries: Array[String]) extends Serializable {
+    @transient private var builtExact: java.util.HashSet[String] = _
+    @transient private var builtWild: java.util.HashSet[String] = _
+    @transient private var builtMax: Int = 0
+
+    private def build(): Unit = {
+      val e = new java.util.HashSet[String](entries.length * 2)
+      val w = new java.util.HashSet[String]()
+      var mx = 1
+      var i = 0
+      while (i < entries.length) {
+        val s = entries(i).toLowerCase(java.util.Locale.ROOT)
+        val labels = 1 + s.count(_ == '.')
+        if (s.startsWith("*.")) w.add(s.substring(2)) else e.add(s)
+        if (labels > mx) mx = labels
+        i += 1
+      }
+      builtExact = e; builtWild = w; builtMax = mx
+    }
+    private[PslDomain] def exact: java.util.HashSet[String] = {
+      if (builtExact == null) build(); builtExact
+    }
+    private[PslDomain] def wild: java.util.HashSet[String] = {
+      if (builtWild == null) build(); builtWild
+    }
+    /** Longest suffix (in labels) any rule can match. */
+    private[PslDomain] def maxLabels: Int = {
+      if (builtExact == null) build(); builtMax
+    }
+  }
+
+  /** static entry for codegen: one split, one incremental suffix walk
+    * (longest match wins), O(labels) hash probes. */
+  def domain(host: UTF8String, lk: Lookup): UTF8String = {
+    val h = host.toString
+    val labels = h.split('.')
+    val n = labels.length
+    if (n <= 1) return host
+    // suffix strings of the last k labels, built incrementally
+    val sfx = new Array[String](n + 1)
+    sfx(0) = ""
+    var k = 1
+    while (k <= n) {
+      sfx(k) =
+        if (k == 1) labels(n - 1)
+        else labels(n - k) + "." + sfx(k - 1)
+      k += 1
+    }
+    val ex = lk.exact
+    val wl = lk.wild
+    // a wildcard rule's own match is one label LONGER than its
+    // parent, so depth k can match via wild(sfx(k-1)); cap the walk
+    // at maxLabels + 1 to cover that
+    val kMax = math.min(n, lk.maxLabels + 1)
+    var best = 0
+    k = 1
+    while (k <= kMax) {
+      if (ex.contains(sfx(k)) || (k >= 2 && wl.contains(sfx(k - 1))))
+        best = k
+      k += 1
+    }
+    if (best == 0) UTF8String.fromString(sfx(2)) // unlisted TLD: 2-label rule
+    else if (best == n) host // host IS a suffix — documented divergence
+    else UTF8String.fromString(sfx(best + 1))
+  }
+}

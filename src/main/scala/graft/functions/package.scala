@@ -206,6 +206,14 @@ package object functions {
     // SELECT * FROM vfs_boilerplate(path[, minDocFreq, textCol, idCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_boilerplate",
       graft.plans.SqlSurface.vfsBoilerplateBuilder _)
+    // SELECT * FROM vfs_budget_sample(path, stratumCol, weightCol,
+    //   keyCol, tiebreakCol, map('src', 10000, ...)[, bandCap])
+    ExpressionUtils.registerTableFunction(spark, "vfs_budget_sample",
+      graft.plans.SqlSurface.vfsBudgetSampleBuilder _)
+    // SELECT * FROM vfs_mixture(path, sourceCol, keyCol, tiebreakCol,
+    //   map('src', 7, ...)[, bandCap])
+    ExpressionUtils.registerTableFunction(spark, "vfs_mixture",
+      graft.plans.SqlSurface.vfsMixtureBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

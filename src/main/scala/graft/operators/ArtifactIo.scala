@@ -114,6 +114,27 @@ private[graft] object ArtifactIo {
       batchId: Long): Unit =
     writeSmallFileAtomic(path, WatermarkFile, s"$generation:$batchId")
 
+  /** The generation a BOUND watermark names — 0 for absent or
+    * legacy-unbound markers. Exists for one caller: every build()
+    * derives its new generation as `max(meta.generation, this) + 1`.
+    * A takedown delete commits its carried watermark bound to
+    * generation m+1 BEFORE its staged swap (the carry-then-swap
+    * window analysis); if that delete crashes pre-publish, meta still
+    * says m while the watermark names m+1 — and a build() that
+    * derived m+1 from meta alone would publish under EXACTLY the
+    * generation the stale watermark is bound to, silently refusing
+    * the rebuilt artifact's fresh batches 0..last (the data-loss mode
+    * the binding exists to eliminate; [[migrateLegacyWatermark]] only
+    * rescues UNbound markers). Reading the bound generation lets
+    * build always publish PAST any generation the marker file has
+    * ever named. */
+  def watermarkGeneration(path: String): Int = {
+    if (!fileExists(path, WatermarkFile)) return 0
+    val txt = readSmallFile(path, WatermarkFile).trim
+    val i = txt.indexOf(':')
+    if (i < 0) 0 else txt.take(i).toInt
+  }
+
   /** Rebind a LEGACY unbound watermark (plain `<batchId>`) to
     * `generation` — called by every artifact's build() BEFORE its
     * staged swap. Without this, rebuilding a pre-binding artifact

@@ -106,10 +106,16 @@ object BinaryIndex {
     // generation read sees the old artifact and never resets to 1
     ArtifactIo.healParked(fs, path, "packed", "binary index build")
     val live = new org.apache.hadoop.fs.Path(s"$path/packed")
+    // publish PAST any generation the watermark file names, not just
+    // meta's: a takedown delete parked pre-publish leaves meta at m
+    // with the carried watermark bound to m+1 — a meta-only bump
+    // would publish under that exact generation and silently refuse
+    // the fresh batch sequence ([[ArtifactIo.watermarkGeneration]])
     val gen =
       if (fs.exists(new org.apache.hadoop.fs.Path(live, "_binary.json")))
-        readMeta(path).generation + 1
-      else 1
+        math.max(readMeta(path).generation,
+          ArtifactIo.watermarkGeneration(path)) + 1
+      else ArtifactIo.watermarkGeneration(path) + 1
     // bind a pre-binding (unbound) watermark to the LIVE generation
     // first ([[ArtifactIo.migrateLegacyWatermark]])
     ArtifactIo.migrateLegacyWatermark(path, gen - 1)

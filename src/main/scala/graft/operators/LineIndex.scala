@@ -148,7 +148,12 @@ object LineIndex {
     // first ([[ArtifactIo.migrateLegacyWatermark]])
     ArtifactIo.migrateLegacyWatermark(path,
       readMetaOpt(path).map(_.generation).getOrElse(0))
-    val gen = readMetaOpt(path).map(_.generation + 1).getOrElse(1)
+    // publish PAST any generation the watermark file names (uniform
+    // with the takedown-bearing artifacts — LineIndex has no delete
+    // today, but the protocol is shared; see
+    // [[ArtifactIo.watermarkGeneration]])
+    val gen = math.max(readMetaOpt(path).map(_.generation).getOrElse(0),
+      ArtifactIo.watermarkGeneration(path)) + 1
     writeBase(Dedup.lineDocFreqs(docs, textCol, idCol), path, gen)
   }
 

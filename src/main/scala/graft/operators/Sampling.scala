@@ -134,15 +134,20 @@ object Sampling {
     * VALUE rank spanning ~100k would burn 4 no-op passes re-running
     * the stratum/rank expressions (measured on the 5M-url mega-domain
     * cap); one slim min/max agg prices the first histogram to land
-    * ≤ 4096 buckets. Rank TIES wider than `bandCap` stop the ladder
-    * at shift 0 with a band bigger than `bandCap` — still correct,
-    * the boundary window just covers the tie group. */
+    * ≤ 4096 buckets. Callers whose rank IS a full-domain hash
+    * ([[hashThresholdSelect]], [[budgetSample]]) pass
+    * `fullRangeRank = true` to skip the pricing scan — its answer is
+    * always 52 for a fingerprint, so the pass would be one wasted
+    * full read of (stratum, rank) per selector call. Rank TIES wider
+    * than `bandCap` stop the ladder at shift 0 with a band bigger
+    * than `bandCap` — still correct, the boundary window just covers
+    * the tie group. */
   private def refineBands(df: DataFrame, stratum: Column, rank: Column,
       measure: Column, bands0: Map[Any, Band],
-      bandCap: Long): Map[Any, Band] = {
+      bandCap: Long, fullRangeRank: Boolean = false): Map[Any, Band] = {
     var bands = bands0
     var shift =
-      if (bands.values.forall(_.size <= bandCap)) 52
+      if (fullRangeRank || bands.values.forall(_.size <= bandCap)) 52
       else {
         // price from the OVERSIZED strata's rows only — a global
         // min/max would let one out-of-band outlier stratum inflate
@@ -234,7 +239,7 @@ object Sampling {
       key: Column, tiebreak: Column, quotas: Map[Any, Long],
       counts: Map[Any, Long], bandCap: Long): DataFrame =
     thresholdSelect(df, stratum, vfs_fingerprint(key), tiebreak,
-      quotas, counts, bandCap)
+      quotas, counts, bandCap, fullRangeRank = true)
 
   /** [[hashThresholdSelect]] with the ordering EXPOSED: `rank` is any
     * LongType column (smaller = preferred) — the radix-histogram
@@ -247,7 +252,8 @@ object Sampling {
     * lands inside a tie. */
   private def thresholdSelect(df: DataFrame, stratum: Column,
       rank: Column, tiebreak: Column, quotas: Map[Any, Long],
-      counts: Map[Any, Long], bandCap: Long): DataFrame = {
+      counts: Map[Any, Long], bandCap: Long,
+      fullRangeRank: Boolean = false): DataFrame = {
     require(bandCap >= 1, "[GRAFT] bandCap must be >= 1")
     WorkCols.requireFree(df, "__rn", "__bk", "__s")
     val fp = rank
@@ -259,7 +265,8 @@ object Sampling {
     if (bands0.isEmpty) return df.filter(lit(false))
     // the measure IS the row count here; [[budgetSample]] passes its
     // weight column through the same refinement
-    val bands = refineBands(df, stratum, fp, lit(1L), bands0, bandCap)
+    val bands = refineBands(df, stratum, fp, lit(1L), bands0, bandCap,
+      fullRangeRank)
 
     val remainingCol = coalesce(
       element_at(litMapOf(bands.map { case (s, b) => s -> b.remaining }),
@@ -290,9 +297,10 @@ object Sampling {
       tiebreak: Column, n: Int, bandCap: Long = 100000L,
       maxStrata: Int = 512): DataFrame =
     // same null contract on both paths: a null key hashes to a null
-    // rank, which rankedTopN never selects
-    rankedTopN(df, stratum, vfs_fingerprint(key), tiebreak, n,
-      bandCap, maxStrata)
+    // rank, which rankedTopN never selects; the rank is a fingerprint
+    // (full signed-long domain), so the range-pricing scan is skipped
+    rankedTopNImpl(df, stratum, vfs_fingerprint(key), tiebreak, n,
+      bandCap, maxStrata, fullRangeRank = true)
 
   /** Deterministic per-stratum TOP-N BY AN EXPLICIT RANK — e.g. "keep
     * each domain's 1000 highest-quality pages": the `n` rows of each
@@ -315,7 +323,13 @@ object Sampling {
     * extreme scale should materialize it to a column first. */
   def rankedTopN(df: DataFrame, stratum: Column, rank: Column,
       tiebreak: Column, n: Int, bandCap: Long = 100000L,
-      maxStrata: Int = 512): DataFrame = {
+      maxStrata: Int = 512): DataFrame =
+    rankedTopNImpl(df, stratum, rank, tiebreak, n, bandCap, maxStrata,
+      fullRangeRank = false)
+
+  private def rankedTopNImpl(df: DataFrame, stratum: Column,
+      rank: Column, tiebreak: Column, n: Int, bandCap: Long,
+      maxStrata: Int, fullRangeRank: Boolean): DataFrame = {
     // STAGE stratum and rank as work-column ATTRIBUTES first:
     // [[thresholdSelect]]'s band predicate and histogram repeat the
     // stratum expression once PER STRATUM — for a derived stratum
@@ -345,9 +359,48 @@ object Sampling {
           observed.filter(_.get(0) != null)
             .map(r => r.get(0) -> r.getLong(1)).toMap
         thresholdSelect(staged, st, rk, tiebreak,
-          cm.map { case (s, _) => s -> n.toLong }, cm, bandCap)
+          cm.map { case (s, _) => s -> n.toLong }, cm, bandCap,
+          fullRangeRank)
       }
     out.drop("__st", "__rk")
+  }
+
+  /** [[rankedTopN]] with the expensive-derived-stratum recipe
+    * AUTOMATED: materialize the slim (id, stratum, rank, tiebreak)
+    * frame ONCE (eager `localCheckpoint` — a real barrier
+    * CollapseProject cannot re-inline through), run the whole
+    * selection over those four materialized columns, then LEFT SEMI
+    * join the surviving ids back onto `df`. Exists because the
+    * optimizer re-inlines staged work columns into every refinement
+    * pass's filter/histogram: a mega-stratum forcing the full shift
+    * ladder re-ran a registered-domain regex tree ~6× over the band —
+    * ScaleProbe measured 33.1 s expression-form vs 3.1 s over a
+    * materialized column at 5M URLs, with materialization itself
+    * costing one ~3.3 s pass.
+    *
+    * Contract: `idCol` must be UNIQUE and NON-NULL (the semi join
+    * brings back every row sharing a surviving id — duplicates would
+    * silently widen the selection; checked against the slim frame's
+    * row count only when it is already being counted, i.e. never — a
+    * full uniqueness pass would cost the scan this method exists to
+    * save, so the requirement is documented, not enforced). The
+    * checkpoint blocks free when the result is dropped
+    * (ContextCleaner); executor loss before then makes the result
+    * unrecoverable — re-call to rebuild (selection is deterministic,
+    * the re-run picks the same rows). Use when `stratum`/`rank` are
+    * expensive DERIVED expressions; for plain columns the direct form
+    * avoids the extra join. */
+  def rankedTopNMaterialized(df: DataFrame, stratum: Column,
+      rank: Column, tiebreak: Column, idCol: String, n: Int,
+      bandCap: Long = 100000L, maxStrata: Int = 512): DataFrame = {
+    WorkCols.requireFree(df, "__mid", "__ms", "__mr", "__mtb")
+    val slim = df.select(col(idCol).as("__mid"), stratum.as("__ms"),
+        rank.cast("long").as("__mr"), tiebreak.as("__mtb"))
+      .localCheckpoint()
+    val picked = rankedTopNImpl(slim, col("__ms"), col("__mr"),
+      col("__mtb"), n, bandCap, maxStrata, fullRangeRank = false)
+    df.join(picked.select(col("__mid")), col(idCol) === col("__mid"),
+      "left_semi")
   }
 
   /** Deterministic source-mixture sampling — domain reweighting for a
@@ -505,7 +558,10 @@ object Sampling {
         w >= budgets(s) =>
         (s: Any) -> Band(Long.MinValue, None, n, budgets(s))
     }
-    val bands = refineBands(staged, st, rk, wt, bands0, bandCap)
+    // rk is a fingerprint (full signed-long domain) — skip the
+    // range-pricing scan, its answer is always shift 52
+    val bands = refineBands(staged, st, rk, wt, bands0, bandCap,
+      fullRangeRank = true)
 
     // everything below a cut band's lo is inside the budget; the band
     // itself is windowed for the exact running-sum boundary
@@ -601,13 +657,26 @@ object Sampling {
     * against the input `df` (so resolved references like `df("src")`
     * are fine); the final orderBy runs on the REBUILT ranked frame
     * (fresh exprIds after the RDD zip) and therefore orders by the
-    * carried work columns, never by the caller's references. Note the
-    * result is local-checkpointed: executor loss makes it
-    * unrecoverable (recompute-from-source is deliberately severed —
-    * re-call to rebuild). */
+    * carried work columns, never by the caller's references.
+    *
+    * Durability is the caller's one-line choice: the default
+    * (`reliable = false`) LOCAL-checkpoints the ranked result —
+    * executor loss makes it unrecoverable (recompute-from-source is
+    * deliberately severed), and at 100 TB a routine spot-kill
+    * mid-training-prep means redoing the global sort; re-call to
+    * rebuild. `reliable = true` uses a RELIABLE checkpoint instead
+    * (blocks written to `SparkContext.setCheckpointDir`'s fault-
+    * tolerant storage, so the ordering survives any executor loss) —
+    * fails loudly up front when no checkpoint dir is set. Both modes
+    * produce the identical ordering (spec-pinned). */
   def curriculumInterleave(df: DataFrame, source: Column, score: Column,
-      tiebreak: Column): DataFrame = {
+      tiebreak: Column, reliable: Boolean = false): DataFrame = {
     WorkCols.requireFree(df, "rank", "__csrc", "__ctie")
+    if (reliable) require(
+      df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "[GRAFT] curriculumInterleave(reliable = true) needs " +
+        "SparkContext.setCheckpointDir (fault-tolerant storage) — " +
+        "set it, or drop reliable to accept a localCheckpoint")
     val spark = df.sparkSession
     val tagged = df.withColumn("__csrc", source.cast("string"))
       .withColumn("__ctie", tiebreak)
@@ -656,7 +725,7 @@ object Sampling {
     // only unpersisted (executor copies dropped, re-broadcastable):
     // the checkpointed RDD's closure still references it, so destroy()
     // would poison later task serialization.
-    rankedRdd.localCheckpoint()
+    if (reliable) rankedRdd.checkpoint() else rankedRdd.localCheckpoint()
     rankedRdd.count() // materialize the checkpoint
     tagged.unpersist(blocking = false)
     bc.unpersist(blocking = false)

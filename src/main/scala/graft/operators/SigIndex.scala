@@ -119,7 +119,13 @@ object SigIndex {
     // generation and silently refuse its fresh batch sequence
     ArtifactIo.migrateLegacyWatermark(path,
       readMetaOpt(path).map(_.generation).getOrElse(0))
-    val gen = readMetaOpt(path).map(_.generation + 1).getOrElse(1)
+    // publish PAST any generation the watermark file names, not just
+    // meta's: a takedown delete parked pre-publish leaves meta at m
+    // with the carried watermark bound to m+1 — a meta-only bump
+    // would publish under that exact generation and silently refuse
+    // the fresh batch sequence ([[ArtifactIo.watermarkGeneration]])
+    val gen = math.max(readMetaOpt(path).map(_.generation).getOrElse(0),
+      ArtifactIo.watermarkGeneration(path)) + 1
     val rows = slim(sigs)
     val live = new org.apache.hadoop.fs.Path(s"$path/$Dir")
     def writeStage(stage: String): Unit = {

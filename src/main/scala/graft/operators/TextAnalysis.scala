@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shims
 
 /** Text-analysis operators for training-data pipelines: token counting,
   * quality scoring, language identification, content fingerprinting.
@@ -986,13 +987,24 @@ object TextAnalysis {
         split(trim(lower(col(textCol))), "\\s+").as("__s"))
       .select(col(idCol), explode(col("__s")).as("__w"))
       .filter(col("__w") =!= "")
+    importanceOver(words, target, raw, idCol)
+  }
+
+  /** The shared DSIR scoring tail: per-unit smoothed ratio (the
+    * [[importanceMilli]] IEEE-double chain in its pinned operation
+    * order) over an exploded (id, `__w`) frame — `__w` is a STRING
+    * word on the unigram path and a LONG hashed-gram bucket on the
+    * [[importanceMilliNgram]] path; the joins and the math never
+    * look inside the unit. */
+  private def importanceOver(units: DataFrame, target: WordModel,
+      raw: WordModel, idCol: String): DataFrame = {
     val ct = target.counts.select(col("word").as("__w"),
       col("n").as("__ct"))
     val cr = raw.counts.select(col("word").as("__w"),
       col("n").as("__cr"))
     val tDen = (target.nWords + target.vocab + 1L).toDouble
     val rDen = (raw.nWords + raw.vocab + 1L).toDouble
-    words.join(ct, Seq("__w"), "left").join(cr, Seq("__w"), "left")
+    units.join(ct, Seq("__w"), "left").join(cr, Seq("__w"), "left")
       .select(col(idCol),
         floor((lit(1000.0) * (coalesce(col("__ct"), lit(0L)) + lit(1L))
             .cast("double") / lit(tDen)) *
@@ -1002,6 +1014,52 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum(col("__r")).as("__sum"))
       .select(col(idCol), col("n_words"),
         expr("__sum div n_words").as("imp_milli"))
+  }
+
+  /** Hashed word-n-gram frequency model — the feature space the DSIR
+    * paper actually uses (Xie et al. 2023 §3: hashed n-grams, which
+    * separate "target-like PHRASING" from merely target-like
+    * vocabulary): counts per `wordHash60(gram) mod buckets` bucket
+    * ([[graft.functions.NgramBuckets]] — one codegen'd JVM pass per
+    * doc, engine-portable md5 bucketing). The model reuses
+    * [[WordModel]] with `word` = the LONG bucket id; `nWords` counts
+    * GRAMS, `vocab` counts observed distinct buckets, so the
+    * [[importanceMilli]] smoothing applies verbatim. The model is at
+    * most `buckets` rows — broadcastable by construction, and
+    * [[saveWordModel]]/[[loadWordModel]] freeze it unchanged (parquet
+    * keeps the column type). Docs shorter than n grams contribute
+    * nothing. */
+  def ngramModel(docs: DataFrame, n: Int = 2, buckets: Int = 10000,
+      textCol: String = "text"): WordModel = {
+    WorkCols.requireFree(docs, "__w")
+    val g = docs.select(explode(shims.column(graft.functions
+        .NgramBuckets(shims.expression(col(textCol)), n, buckets)))
+        .as("__w"))
+    val counts = g.groupBy(col("__w").as("word"))
+      .agg(count(lit(1)).as("n"))
+    val t = counts.agg(sum(col("n")), count(lit(1))).head()
+    WordModel(counts, if (t.isNullAt(0)) 0L else t.getLong(0),
+      t.getLong(1))
+  }
+
+  /** [[importanceMilli]] over hashed n-gram features: a document
+    * scores the mean smoothed target/raw ratio of its gram BUCKETS
+    * (same pinned IEEE-double chain, same `imp_milli` semantics —
+    * > 1000 reads "more target-like than raw"). `n`/`buckets` must
+    * match the values the two models were built with — a mismatch is
+    * a silent feature-space change, so score through the same
+    * constants you passed [[ngramModel]]. Docs with fewer than n
+    * tokens produce no row (no grams, no importance), the unigram
+    * path's no-words stance. */
+  def importanceMilliNgram(docs: DataFrame, target: WordModel,
+      raw: WordModel, n: Int = 2, buckets: Int = 10000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    WorkCols.requireFree(docs, "__w", "__ct", "__cr", "__r",
+      "__sum", "n_words", "imp_milli")
+    val grams = docs.select(col(idCol),
+      explode(shims.column(graft.functions.NgramBuckets(
+        shims.expression(col(textCol)), n, buckets))).as("__w"))
+    importanceOver(grams, target, raw, idCol)
   }
 
   /** Freeze a trained [[WordModel]] to disk (counts parquet +

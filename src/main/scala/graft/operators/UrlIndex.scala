@@ -131,7 +131,11 @@ object UrlIndex {
     // first ([[ArtifactIo.migrateLegacyWatermark]])
     ArtifactIo.migrateLegacyWatermark(path,
       readMetaOpt(path).map(_.generation).getOrElse(0))
-    val gen = readMetaOpt(path).map(_.generation + 1).getOrElse(1)
+    // publish PAST any generation the watermark file names — a
+    // takedown delete parked pre-publish binds the carried watermark
+    // to m+1 while meta still says m ([[ArtifactIo.watermarkGeneration]])
+    val gen = math.max(readMetaOpt(path).map(_.generation).getOrElse(0),
+      ArtifactIo.watermarkGeneration(path)) + 1
     writeBase(keysOf(docs, urlCol), path, gen)
   }
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shims
 
 /** URL-level curation for web-crawl corpora — the steps every
   * web-scale training pipeline runs BEFORE any content-based pass
@@ -109,6 +110,80 @@ object WebCuration {
   /** [[registeredDomain]] straight off a URL column. */
   def urlDomain(url: Column): Column = registeredDomain(urlHost(url))
 
+  /** Curated public-suffix snapshot for fixtures and specs: the
+    * frozen [[TwoLevelSuffixes]] head, the TLDs those entries imply,
+    * the generic TLD head, and the hosting-platform suffixes whose
+    * ABSENCE is the head expression's known failure mode (`u1.github
+    * .io` and `u2.github.io` are unrelated publishers; the head
+    * collapses both into "github.io" and [[capPerDomain]] then caps
+    * them as one). Production loads the full list via
+    * [[pslFromTable]]; this constant exists so derivations that must
+    * agree (engine, oracle, spec) share one source of truth. */
+  val PslSampleSnapshot: Seq[String] =
+    TwoLevelSuffixes ++
+      TwoLevelSuffixes.map(_.split('.').last).distinct ++
+      Seq("com", "org", "net", "edu", "gov", "io", "app", "dev",
+        "info", "biz", "co", "me", "us", "ca", "de", "fr", "it", "es",
+        "nl", "se", "no", "fi", "ch", "at") ++
+      Seq("github.io", "blogspot.com", "netlify.app", "pages.dev",
+        "web.app", "firebaseapp.com", "herokuapp.com", "vercel.app",
+        "wordpress.com", "tumblr.com", "neocities.org", "glitch.me")
+
+  /** [[registeredDomain]] under a public-suffix SNAPSHOT — the
+    * full-fidelity eTLD+1 ([[graft.functions.PslDomain]]: longest
+    * listed suffix + one label, `*.parent` wildcards honored,
+    * unlisted TLDs fall back to the head's two-label rule). The
+    * snapshot ships inside the expression and probes a per-executor
+    * hash set — still a pure per-row codegen projection, zero
+    * shuffle, usable as a filter/group/window key like the head
+    * form. On hosts whose suffix the frozen head covers the two
+    * derivations agree (spec-pinned); they diverge exactly on the
+    * entries the head is missing — which is the point. */
+  def registeredDomainPsl(host: Column, psl: Seq[String]): Column =
+    shims.column(graft.functions.PslDomain(shims.expression(host), psl))
+
+  /** [[registeredDomainPsl]] straight off a URL column. */
+  def urlDomainPsl(url: Column, psl: Seq[String]): Column =
+    registeredDomainPsl(urlHost(url), psl)
+
+  /** Load a public-suffix snapshot from a DataFrame (one `suffix`
+    * string column — e.g. the parsed public_suffix_list.dat landed in
+    * parquet) into the plan-time Seq [[registeredDomainPsl]] wants.
+    * The collect is LOUDLY gated ([[BroadcastGate.requireCollectFits]]
+    * — the real list is ~10k entries, far under any budget, but a
+    * caller pointing this at the wrong table must not OOM the
+    * driver); comment lines, blanks and `!` exception rules must be
+    * stripped upstream ([[graft.functions.PslDomain]] validates and
+    * names the first bad entry). Sorted for deterministic plans. */
+  def pslFromTable(df: DataFrame): Seq[String] = {
+    require(df.columns.contains("suffix"),
+      "[GRAFT] pslFromTable: need a 'suffix' column")
+    val slim = df.select(col("suffix")).distinct()
+    val n = slim.count()
+    BroadcastGate.requireCollectFits(n, 0, "public-suffix snapshot",
+      "A public-suffix list is ~10k rows; check the input table.")
+    slim.collect().map(_.getString(0)).sorted.toSeq
+  }
+
+  /** The oracle mirror of [[registeredDomainPsl]] for PLAIN-entry
+    * snapshots: anchored "one label + listed suffix" regexes grouped
+    * by suffix label count, LONGEST group first — a CASE chain over
+    * these, then the two-label fallback, reproduces longest-match-
+    * wins exactly (for fixtures whose hosts are never themselves bare
+    * suffixes; wildcard rules are spec-covered on the Scala side
+    * only). Shared with the DuckDB derivation so the two cannot
+    * drift. */
+  private[graft] def pslDomainRegexes(psl: Seq[String]): Seq[String] = {
+    require(psl.forall(!_.startsWith("*.")),
+      "[GRAFT] pslDomainRegexes: plain-entry snapshots only")
+    psl.groupBy(_.count(_ == '.')).toSeq.sortBy(-_._1).map {
+      case (_, group) =>
+        "([^.]+\\.(?:" +
+          group.sorted.map(_.replace(".", "\\.")).mkString("|") +
+          "))$"
+    }
+  }
+
   /** The canonical dedup key (header comment has the full rule list).
     * NULL for non-URLs — a null key joins nothing and groups apart,
     * so malformed rows never collapse with real ones. Pure per-row
@@ -188,6 +263,28 @@ object WebCuration {
     // every refinement scan as one more full-corpus domain evaluation
     Sampling.rankedTopN(df, d, rank, tiebreak, n, bandCap, maxStrata)
       .unionByName(df.filter(d.isNull))
+  }
+
+  /** [[capPerDomain]] with the full-fidelity PSL domain
+    * ([[urlDomainPsl]]) AND the expensive-stratum recipe automated:
+    * the domain derivation (URL regexes + suffix walk) runs ONCE into
+    * a materialized slim frame ([[Sampling.rankedTopNMaterialized]] —
+    * the optimizer re-inlines a staged work column into every
+    * refinement pass otherwise; ScaleProbe measured the
+    * expression-form cost at ~10× on a 5M-URL mega-domain), survivors
+    * semi-join back by `idCol` (must be unique and non-null — the
+    * rankedTopNMaterialized contract). Unattributable rows pass
+    * through whole, as in [[capPerDomain]]. */
+  def capPerDomainPsl(df: DataFrame, urlCol: String, psl: Seq[String],
+      rank: Column, tiebreak: Column, idCol: String, n: Int,
+      bandCap: Long = 100000L, maxStrata: Int = 512): DataFrame = {
+    val d = urlDomainPsl(col(urlCol), psl)
+    Sampling.rankedTopNMaterialized(df, d, rank, tiebreak, idCol, n,
+        bandCap, maxStrata)
+      // the domain is NULL iff the host is (the suffix walk never
+      // nulls a non-null host), so the pass-through filter re-derives
+      // only the host — not the whole suffix walk — per row
+      .unionByName(df.filter(urlHost(col(urlCol)).isNull))
   }
 
   /** Drop rows whose registered domain is on a literal blocklist —

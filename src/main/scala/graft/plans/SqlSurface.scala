@@ -601,6 +601,115 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** Parse a foldable MAP literal argument (`map('s1', 1000, ...)`)
+    * into string→long pairs — the budget/weight argument shape shared
+    * by [[vfsBudgetSampleBuilder]] and [[vfsMixtureBuilder]]. */
+  private def mapArg(e: Expression, what: String,
+      fail: String => Nothing): Seq[(String, Long)] = e.dataType match {
+    case MapType(_: StringType, vt, _) =>
+      val m = e.eval()
+      if (m == null) fail(s"$what must not be NULL")
+      val md = m.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val ks = md.keyArray()
+      val vs = md.valueArray()
+      (0 until md.numElements()).map { i =>
+        if (vs.isNullAt(i)) fail(s"$what has a NULL value")
+        val v = vt match {
+          case IntegerType => vs.getInt(i).toLong
+          case LongType => vs.getLong(i)
+          case other => fail(s"$what values must be integers, got $other")
+        }
+        ks.getUTF8String(i).toString -> v
+      }
+    case other => fail(s"$what must be a map literal, got $other")
+  }
+
+  /** TVF builder for `vfs_budget_sample(path, stratumCol, weightCol,
+    * keyCol, tiebreakCol, budgets[, bandCap])` — deterministic
+    * per-stratum weight-budget sampling
+    * ([[graft.operators.Sampling.budgetSample]]: walk each stratum in
+    * (content-hash, tiebreak) order, keep rows while the cumulative
+    * weight before them is under the stratum's budget); `budgets` is
+    * a `map('src', 10000, ...)` literal — strata absent from it drop:
+    * {{{ SELECT * FROM vfs_budget_sample('/data/docs', 'source',
+    *     'n_chars', 'text', 'doc_id', map('web', 50000, 'books', 20000)) }}}
+    * Sampling was the one pipeline family without a SQL surface —
+    * boilerplate/URL/DSIR each have their TVF twin; this and
+    * [[vfsMixtureBuilder]] close the gap. */
+  private[graft] def vfsBudgetSampleBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      "[GRAFT] vfs_budget_sample(path, stratumCol, weightCol, keyCol, " +
+        s"tiebreakCol, budgets[, bandCap]): $msg")
+    if (es.length < 6 || es.length > 7)
+      fail(s"expected 6-7 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val path = evalNonNull(0, "path").toString
+    val stratumCol = evalNonNull(1, "stratumCol").toString
+    val weightCol = evalNonNull(2, "weightCol").toString
+    val keyCol = evalNonNull(3, "keyCol").toString
+    val tiebreakCol = evalNonNull(4, "tiebreakCol").toString
+    val budgets = mapArg(es(5), "budgets", fail)
+    if (budgets.isEmpty) fail("budgets must not be empty")
+    val bandCap = if (es.length >= 7) evalNonNull(6, "bandCap") match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => fail(s"bandCap must be an integer literal, got $other")
+    } else 100000L
+    graft.operators.Sampling.budgetSample(
+        SparkSession.active.read.parquet(path), col(stratumCol),
+        col(weightCol), col(keyCol), col(tiebreakCol), budgets.toMap,
+        bandCap)
+      .queryExecution.analyzed
+  }
+
+  /** TVF builder for `vfs_mixture(path, sourceCol, keyCol,
+    * tiebreakCol, weights[, bandCap])` — deterministic source-mixture
+    * sampling ([[graft.operators.Sampling.mixtureSample]]: the
+    * LARGEST subsample whose per-source composition matches the
+    * normalized `weights` map; integer weights express ratios —
+    * `map('web', 7, 'books', 3)` is 70/30):
+    * {{{ SELECT * FROM vfs_mixture('/data/docs', 'source', 'text',
+    *     'doc_id', map('s1', 7, 's2', 3)) }}} */
+  private[graft] def vfsMixtureBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      "[GRAFT] vfs_mixture(path, sourceCol, keyCol, tiebreakCol, " +
+        s"weights[, bandCap]): $msg")
+    if (es.length < 5 || es.length > 6)
+      fail(s"expected 5-6 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val path = evalNonNull(0, "path").toString
+    val sourceCol = evalNonNull(1, "sourceCol").toString
+    val keyCol = evalNonNull(2, "keyCol").toString
+    val tiebreakCol = evalNonNull(3, "tiebreakCol").toString
+    val weights = mapArg(es(4), "weights", fail)
+    if (weights.isEmpty) fail("weights must not be empty")
+    if (weights.exists(_._2 <= 0L)) fail("weights must be positive")
+    val bandCap = if (es.length >= 6) evalNonNull(5, "bandCap") match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => fail(s"bandCap must be an integer literal, got $other")
+    } else 100000L
+    // ListMap: mixtureSample's normalization folds in map order — pin
+    // the SQL argument order so the derivation is reproducible
+    graft.operators.Sampling.mixtureSample(
+        SparkSession.active.read.parquet(path), col(sourceCol),
+        col(keyCol), col(tiebreakCol),
+        scala.collection.immutable.ListMap(
+          weights.map { case (k, v) => k -> v.toDouble }: _*),
+        bandCap)
+      .queryExecution.analyzed
+  }
+
   /** Expose a store's live table (memtable ∪ flushed, dequantized) as
     * a temp view. */
   def registerStore(store: graft.store.VfsStore, name: String): Unit =

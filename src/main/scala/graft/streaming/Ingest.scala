@@ -591,37 +591,6 @@ object Ingest {
     ()
   }
 
-  /** Streaming ingest with BOILERPLATE-LINE removal — the
-    * [[graft.operators.LineIndex]] loop: each micro-batch (1) folds
-    * its (line, df) partial counts into the standing table
-    * (idempotent-append watermark — a replayed batch must NOT
-    * double-count, since inflated df flips clean lines over the
-    * threshold), (2) strips itself against the MERGED counts
-    * ([[graft.operators.LineIndex.strip]] — one batch scan, no
-    * corpus recount), and (3) lands the cleaned docs batch-addressed
-    * at `corpusDir/docs/batch=<id>` (overwrite — replay-idempotent).
-    *
-    * Count-then-strip order means a batch IS vetted against its own
-    * lines plus everything before it; boilerplate that only emerges
-    * in later batches does not retro-clean earlier ones — re-run
-    * [[graft.operators.LineIndex.strip]] over the corpus for a full
-    * re-clean (the standing table already holds the final counts).
-    *
-    * Crash contract: the artifact is created EMPTY
-    * ([[graft.operators.LineIndex.create]]) and EVERY batch lands via
-    * [[graft.operators.LineIndex.appendIdempotent]]'s overwrite-
-    * addressed partition — a replay at ANY crash point rewrites the
-    * same partition with identical content, never double-counts, and
-    * no residue-vs-rebuilt heuristic exists to misread a legitimate
-    * out-of-band takedown rebuild ([[graft.operators.LineIndex]]
-    * scaladoc). A compact parked mid-swap heals at the top of the
-    * next batch ([[graft.operators.LineIndex.healParked]]).
-    *
-    * `autoCompactFiles > 0` self-schedules
-    * [[graft.operators.LineIndex.compact]] (fold partials + fix
-    * small-files growth) under the [[ArtifactIo.shouldCompact]]
-    * convergence contract; the foreachBatch body is the single
-    * writer, so the staged swap cannot race an append. */
   /** One micro-batch of the URL-dedup ingest loop, REPLAY-IDEMPOTENT
     * BY CONSTRUCTION (the [[boilerplateBatch]] stance — no crash
     * point needs a residue heuristic):
@@ -692,6 +661,37 @@ object Ingest {
       }
       .start()
 
+  /** Streaming ingest with BOILERPLATE-LINE removal — the
+    * [[graft.operators.LineIndex]] loop: each micro-batch (1) folds
+    * its (line, df) partial counts into the standing table
+    * (idempotent-append watermark — a replayed batch must NOT
+    * double-count, since inflated df flips clean lines over the
+    * threshold), (2) strips itself against the MERGED counts
+    * ([[graft.operators.LineIndex.strip]] — one batch scan, no
+    * corpus recount), and (3) lands the cleaned docs batch-addressed
+    * at `corpusDir/docs/batch=<id>` (overwrite — replay-idempotent).
+    *
+    * Count-then-strip order means a batch IS vetted against its own
+    * lines plus everything before it; boilerplate that only emerges
+    * in later batches does not retro-clean earlier ones — re-run
+    * [[graft.operators.LineIndex.strip]] over the corpus for a full
+    * re-clean (the standing table already holds the final counts).
+    *
+    * Crash contract: the artifact is created EMPTY
+    * ([[graft.operators.LineIndex.create]]) and EVERY batch lands via
+    * [[graft.operators.LineIndex.appendIdempotent]]'s overwrite-
+    * addressed partition — a replay at ANY crash point rewrites the
+    * same partition with identical content, never double-counts, and
+    * no residue-vs-rebuilt heuristic exists to misread a legitimate
+    * out-of-band takedown rebuild ([[graft.operators.LineIndex]]
+    * scaladoc). A compact parked mid-swap heals at the top of the
+    * next batch ([[graft.operators.LineIndex.healParked]]).
+    *
+    * `autoCompactFiles > 0` self-schedules
+    * [[graft.operators.LineIndex.compact]] (fold partials + fix
+    * small-files growth) under the [[ArtifactIo.shouldCompact]]
+    * convergence contract; the foreachBatch body is the single
+    * writer, so the staged swap cannot race an append. */
   def boilerplateIngestStream(stream: DataFrame, corpusDir: String,
       checkpoint: String, minDocFreq: Long = 5L,
       autoCompactFiles: Int = 0,
@@ -915,6 +915,74 @@ object Ingest {
         ()
       }
       .start()
+  }
+
+  /** Stream documents through STANDING DSIR word models
+    * ([[graft.operators.TextAnalysis.saveWordModel]] artifacts for
+    * the target and raw corpora): each micro-batch is scored with
+    * [[graft.operators.TextAnalysis.importanceMilli]] against the
+    * frozen models — never against itself — and lands batch-addressed
+    * (`outDir/batch=<id>`, overwrite) so at-least-once replays are
+    * idempotent, the [[lmScoreStream]] shape. With `alphaMilli > 0`
+    * the batch is importance-RESAMPLED instead of merely scored
+    * ([[graft.operators.TextAnalysis.dsirSample]] — hash-stable
+    * membership keyed on the doc id, so a replay keeps the identical
+    * rows); `alphaMilli = 0` (default) scores every doc and keeps
+    * them all, the nightly-scoring loop. Models are loaded once at
+    * stream start; per-batch cost is the batch's word stream joined
+    * to the two slim (word, count) models. */
+  def dsirScoreStream(docs: DataFrame, targetModelPath: String,
+      rawModelPath: String, outDir: String, checkpoint: String,
+      alphaMilli: Long = 0L, idCol: String = "doc_id",
+      textCol: String = "text",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(alphaMilli >= 0L,
+      "[GRAFT] dsirScoreStream: alphaMilli must be >= 0 (0 = score only)")
+    val spark = docs.sparkSession
+    val target = graft.operators.TextAnalysis
+      .loadWordModel(spark, targetModelPath)
+    val raw = graft.operators.TextAnalysis
+      .loadWordModel(spark, rawModelPath)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dsirScoreBatch(batch, batchId, target, raw, outDir, alphaMilli,
+          idCol, textCol)
+      }
+      .start()
+  }
+
+  /** [[dsirScoreStream]]'s per-batch body, separated so replay
+    * idempotence and batch parity are testable. */
+  private[graft] def dsirScoreBatch(batch0: DataFrame, batchId: Long,
+      target: graft.operators.TextAnalysis.WordModel,
+      raw: graft.operators.TextAnalysis.WordModel, outDir: String,
+      alphaMilli: Long, idCol: String, textCol: String): Unit = {
+    // PERSIST the micro-batch: the score is an aggregate over the
+    // doc's words, so hydrating the doc columns back is a self-join —
+    // an un-persisted source subtree would re-read the batch per pass
+    val batch = batch0.persist()
+    try {
+      if (batch.isEmpty) return
+      // the join-back depends on id uniqueness WITHIN the batch (a
+      // duplicate would cross-multiply its rows) — fail loudly
+      require(batch.groupBy(col(idCol)).count()
+          .filter(col("count") > 1).isEmpty,
+        s"[GRAFT] dsirScoreBatch: $idCol must be unique within a batch")
+      val out =
+        if (alphaMilli > 0L)
+          graft.operators.TextAnalysis.dsirSample(batch, target, raw,
+            col(idCol).cast("string"), alphaMilli, idCol, textCol)
+        else {
+          val imp = graft.operators.TextAnalysis
+            .importanceMilli(batch, target, raw, idCol, textCol)
+          batch.join(imp, Seq(idCol))
+        }
+      out.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    } finally batch.unpersist()
+    ()
   }
 
   /** Route a document stream BY PREDICTED LANGUAGE through a frozen

@@ -1529,6 +1529,31 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet === got)
   }
 
+  test("parked takedown crash: build publishes PAST the watermark's " +
+      "bound generation, fresh batches are never silently refused") {
+    import graft.operators.{ArtifactIo, SigIndex}
+    val idx = java.nio.file.Files
+      .createTempDirectory("sigidx-parkedgen").toString
+    SigIndex.build(Seq((1L, 0L)).toDF("id", "sig"), idx, "test-fam")
+    assert(SigIndex.appendIdempotent(Seq((2L, 3L)).toDF("id", "sig"),
+      idx, "test-fam", batchId = 5L))
+    val m = SigIndex.readMeta(idx)
+    // EMULATE deleteIds parked between its watermark carry and its
+    // staged swap: the marker is bound to generation m+1 while meta
+    // (and the live dir) still say m — exactly what a crash inside
+    // the distributed rewrite leaves behind
+    ArtifactIo.commitWatermark(idx, m.generation + 1, 5L)
+    // a rebuild that derived its generation from meta alone would
+    // publish under m+1 — the generation the stale marker names —
+    // and refuse batches 0..5 of the fresh sequence forever (the
+    // silent-no-op data-loss mode the binding exists to eliminate)
+    SigIndex.build(Seq((3L, 7L)).toDF("id", "sig"), idx, "test-fam")
+    assert(SigIndex.readMeta(idx).generation === m.generation + 2)
+    assert(SigIndex.appendIdempotent(Seq((4L, 1L)).toDF("id", "sig"),
+      idx, "test-fam", batchId = 0L),
+      "rebuilt artifact refused batch 0 under a stale bound watermark")
+  }
+
   test("boilerplate ingest stream: per-batch count fold + strip " +
       "against the merged table, replay no-op, batch-0 crash rebuild " +
       "never double-counts") {
@@ -2879,6 +2904,130 @@ class PipelineSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM vfs_dsir('x')").collect()
     }
     assert(err.getMessage.contains("[GRAFT]"))
+  }
+
+  test("DSIR hashed bigrams: buckets match an independent md5 " +
+      "derivation; short docs drop; ratios follow the pinned formula") {
+    import graft.operators.TextAnalysis
+    // INDEPENDENT bucket derivation (hex-string md5 parse), not the
+    // engine's byte-fold kernel — a real cross-check
+    def bucketOf(gram: String, buckets: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(gram.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % buckets
+    }
+    def gramsOf(text: String): Seq[String] = {
+      val t = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }
+    val B = 64
+    val tgtDocs = Seq("alpha beta gamma", "alpha beta").toDF("text")
+    val rawDocs = Seq("alpha beta", "beta gamma delta", "solo")
+      .toDF("text")
+    val tgt = TextAnalysis.ngramModel(tgtDocs, n = 2, buckets = B)
+    val raw = TextAnalysis.ngramModel(rawDocs, n = 2, buckets = B)
+    // expected bucket counts from the independent derivation
+    def expCounts(texts: Seq[String]): Map[Long, Long] =
+      texts.flatMap(gramsOf).map(bucketOf(_, B))
+        .groupBy(identity).map { case (b, g) => b -> g.size.toLong }
+    val expT = expCounts(Seq("alpha beta gamma", "alpha beta"))
+    assert(tgt.counts.as[(Long, Long)].collect().toMap === expT)
+    assert(tgt.nWords === expT.values.sum && tgt.vocab === expT.size)
+    // scoring: the pinned double chain over bucket counts; docs with
+    // < 2 tokens produce no row
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"),
+      (3L, "solo"), (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.importanceMilliNgram(docs, tgt, raw,
+        n = 2, buckets = B)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+      .toMap
+    val expR = expCounts(Seq("alpha beta", "beta gamma delta", "solo"))
+    val tDen = (tgt.nWords + tgt.vocab + 1L).toDouble
+    val rDen = (raw.nWords + raw.vocab + 1L).toDouble
+    def rOf(b: Long): Long = math.floor(
+      (1000.0 * (expT.getOrElse(b, 0L) + 1L) / tDen) *
+        (rDen / (expR.getOrElse(b, 0L) + 1L))).toLong
+    def impOf(text: String): (Long, Long) = {
+      val rs = gramsOf(text).map(g => rOf(bucketOf(g, B)))
+      (rs.size.toLong, rs.sum / rs.size)
+    }
+    assert(got === Map(1L -> impOf("alpha beta gamma"),
+      2L -> impOf("beta gamma delta")))
+    // guards
+    intercept[IllegalArgumentException] {
+      graft.functions.NgramBuckets(null, 0, 64)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.NgramBuckets(null, 2, 1)
+    }
+  }
+
+  test("dsirScoreStream: standing word models score each batch, " +
+      "replay idempotent; alpha > 0 resamples hash-deterministically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("dsir-stream").toString
+    TextAnalysis.saveWordModel(TextAnalysis.wordModel(
+      Seq("alpha alpha beta").toDF("text")), s"$base/tgt")
+    TextAnalysis.saveWordModel(TextAnalysis.wordModel(
+      Seq("alpha beta", "gamma gamma").toDF("text")), s"$base/raw")
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.dsirScoreStream(
+      stream.toDF().toDF("doc_id", "text"), s"$base/tgt", s"$base/raw",
+      s"$base/out", s"$base/ck",
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      stream.addData((1L, "alpha beta"), (2L, "gamma gamma"))
+      q.processAllAvailable()
+      stream.addData((3L, "delta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // hand-derived from the importanceMilli spec's corpus: doc1
+    // (2000+1333)/2, doc2 444, doc3 1333
+    val b0 = spark.read.parquet(s"$base/out/batch=0")
+      .select($"doc_id", $"imp_milli", $"batch_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(b0 === Set((1L, (2000L + 1333L) / 2, 0L), (2L, 444L, 0L)))
+    assert(spark.read.parquet(s"$base/out/batch=1")
+      .select($"doc_id", $"imp_milli").as[(Long, Long)].collect()
+      .toSet === Set((3L, 1333L)))
+    // REPLAY batch 0's body against the same frozen models: the dir
+    // rewrites to identical content
+    val tgt = TextAnalysis.loadWordModel(spark, s"$base/tgt")
+    val raw = TextAnalysis.loadWordModel(spark, s"$base/raw")
+    graft.streaming.Ingest.dsirScoreBatch(
+      Seq((1L, "alpha beta"), (2L, "gamma gamma"))
+        .toDF("doc_id", "text"),
+      0L, tgt, raw, s"$base/out", 0L, "doc_id", "text")
+    assert(spark.read.parquet(s"$base/out/batch=0")
+      .select($"doc_id", $"imp_milli", $"batch_id")
+      .as[(Long, Long, Long)].collect().toSet === b0)
+    // alpha > 0: the resampled landing is the score-only landing
+    // filtered by the hash rule — and deterministic across replays
+    graft.streaming.Ingest.dsirScoreBatch(
+      Seq((1L, "alpha beta"), (2L, "gamma gamma"))
+        .toDF("doc_id", "text"),
+      7L, tgt, raw, s"$base/out2", 1666L, "doc_id", "text")
+    val kept = spark.read.parquet(s"$base/out2/batch=7")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept.subsetOf(Set(1L, 2L)) && kept.contains(1L))
+    graft.streaming.Ingest.dsirScoreBatch(
+      Seq((1L, "alpha beta"), (2L, "gamma gamma"))
+        .toDF("doc_id", "text"),
+      7L, tgt, raw, s"$base/out2", 1666L, "doc_id", "text")
+    assert(spark.read.parquet(s"$base/out2/batch=7")
+      .select($"doc_id").as[Long].collect().toSet === kept)
+    // duplicate in-batch ids are loud, not a silent fan-out
+    val dup = intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.dsirScoreBatch(
+        Seq((1L, "a b"), (1L, "c d")).toDF("doc_id", "text"),
+        9L, tgt, raw, s"$base/out3", 0L, "doc_id", "text")
+    }
+    assert(dup.getMessage.contains("unique within a batch"))
   }
 
   test("scoreLm vs standing model: unseen bigrams and contexts cost " +

@@ -190,6 +190,61 @@ class SamplingSpec extends AnyFunSuite {
     assert(prefix.count(_ == "a") == 2 && prefix.count(_ == "b") == 2)
   }
 
+  test("curriculum interleave: reliable mode matches localCheckpoint mode; loud without a checkpoint dir") {
+    val df = Seq(
+      (1L, "a", 900L), (2L, "a", 800L), (5L, "a", 100L),
+      (4L, "b", 950L), (3L, "b", 700L))
+      .toDF("id", "src", "score")
+    // no checkpoint dir set -> the reliable flag must fail UP FRONT,
+    // not after the sort
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        Sampling.curriculumInterleave(df, $"src", $"score", $"id",
+          reliable = true)
+      }
+    }
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("curriculum_ck").toString
+    sc.setCheckpointDir(ckDir)
+    try {
+      val a = Sampling.curriculumInterleave(df, $"src", $"score", $"id")
+        .select($"id", $"rank").as[(Long, Long)].collect().toSeq
+      val b = Sampling.curriculumInterleave(df, $"src", $"score", $"id",
+          reliable = true)
+        .select($"id", $"rank").as[(Long, Long)].collect().toSeq
+      assert(a === b)
+      assert(a.map(_._1) === Seq(1L, 4L, 2L, 3L, 5L))
+      // the reliable run actually wrote checkpoint data to the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0L, "reliable mode must write to the checkpoint dir")
+    } finally {
+      // tests share the session: later suites must not inherit a
+      // checkpoint dir they didn't set
+      sc.setCheckpointDir(null)
+    }
+  }
+
+  test("rankedTopNMaterialized matches rankedTopN on both selection paths") {
+    val base = docs.select($"doc_id", $"source", $"n_chars")
+    def direct(bandCap: Long) = Sampling.rankedTopN(base, $"source",
+        -$"n_chars", $"doc_id", n = 5, bandCap = bandCap)
+      .select($"doc_id").as[Long].collect().toSet
+    def mat2(bandCap: Long) = Sampling.rankedTopNMaterialized(base,
+        $"source", -$"n_chars", $"doc_id", "doc_id",
+        n = 5, bandCap = bandCap)
+      .select($"doc_id").as[Long].collect().toSet
+    // plain window path (big bandCap) and the threshold path (tiny)
+    assert(mat2(100000L) === direct(100000L))
+    assert(mat2(2L) === direct(2L))
+    assert(direct(2L) === direct(100000L) && direct(2L).nonEmpty)
+    // the materialized form returns the INPUT's columns (semi join)
+    val cols = Sampling.rankedTopNMaterialized(base, $"source",
+      -$"n_chars", $"doc_id", "doc_id", n = 2).columns.toSeq
+    assert(cols === base.columns.toSeq)
+  }
+
   /** The budgetSample contract replayed row-by-row: per stratum, in
     * (fingerprint, tiebreak) order, keep while the running weight
     * BEFORE the row is under the budget. */

@@ -322,6 +322,97 @@ class WebCurationSpec extends AnyFunSuite {
         "was not migrated")
   }
 
+  test("registeredDomainPsl: longest match wins, wildcards honored, head parity on head-covered hosts") {
+    val psl = WebCuration.PslSampleSnapshot ++ Seq("*.compute.example")
+    def domains(hosts: Seq[String]): Seq[String] =
+      hosts.zipWithIndex.map { case (h, i) => (i, h) }.toDF("i", "h")
+        .select(col("i"),
+          WebCuration.registeredDomainPsl(col("h"), psl).as("d"))
+        .orderBy(col("i")).as[(Int, String)].collect().map(_._2).toSeq
+    assert(domains(Seq(
+      // the hosting-platform suffixes the head is MISSING: distinct
+      // publishers stay distinct
+      "user1.github.io", "user2.github.io", "deep.user3.github.io",
+      "blog.blogspot.com", "app.netlify.app",
+      // head-covered hosts (two-level + plain suffixes)
+      "news.bbc.co.uk", "a.b.example.com", "example.co.uk",
+      // wildcard rule: *.compute.example matches one extra label
+      "vm7.zone-a.compute.example",
+      // host IS a suffix -> returned whole (documented divergence)
+      "github.io",
+      // unlisted TLD -> two-label fallback; single label passes whole
+      "x.y.weirdtld", "localhost")) === Seq(
+      "user1.github.io", "user2.github.io", "user3.github.io",
+      "blog.blogspot.com", "app.netlify.app",
+      "bbc.co.uk", "example.com", "example.co.uk",
+      "vm7.zone-a.compute.example",
+      "github.io",
+      "y.weirdtld", "localhost"))
+    // head-vs-PSL parity on every head-covered construction: for
+    // hosts whose suffix the frozen head lists (or that fall to the
+    // two-label rule under BOTH forms), the derivations must agree
+    val headHosts = Seq("news.bbc.co.uk", "a.b.shop.com.au",
+      "example.co.uk", "www-ish.example.com", "a.example.org",
+      "x.y.weirdtld", "localhost", "sub.site.co.jp")
+    val both = headHosts.zipWithIndex.map { case (h, i) => (i, h) }
+      .toDF("i", "h")
+      .select(col("i"), WebCuration.registeredDomain(col("h")).as("head"),
+        WebCuration.registeredDomainPsl(col("h"),
+          WebCuration.PslSampleSnapshot).as("psl"))
+      .orderBy(col("i")).as[(Int, String, String)].collect()
+    both.foreach { case (i, head, p) =>
+      assert(head === p, s"head/PSL diverge on ${headHosts(i)}")
+    }
+    // snapshot validation is loud: exception rules and junk entries
+    // must be stripped upstream
+    intercept[IllegalArgumentException] {
+      graft.functions.PslDomain.validate(Seq("!www.ck"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.PslDomain.validate(Seq("// comment"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.PslDomain.validate(Seq(""))
+    }
+  }
+
+  test("capPerDomainPsl: per-publisher caps on hosting platforms; pslFromTable gates the collect") {
+    import graft.operators.BroadcastGate
+    // 4 publishers on github.io, 3 pages each except u1 with 4 — the
+    // head form would collapse all 13 rows into ONE github.io domain
+    // and cap them to n; the PSL form caps per publisher
+    val rows = for {
+      u <- 1 to 4
+      p <- 1 to (if (u == 1) 4 else 3)
+    } yield ((u * 100 + p).toLong, s"https://u$u.github.io/p$p",
+      (10 * p).toLong)
+    val d = rows.toDF("doc_id", "url", "len")
+    val psl = WebCuration.pslFromTable(
+      WebCuration.PslSampleSnapshot.toDF("suffix"))
+    assert(psl === WebCuration.PslSampleSnapshot.distinct.sorted)
+    val kept = WebCuration.capPerDomainPsl(d, "url", psl,
+        -col("len"), col("doc_id"), "doc_id", n = 3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    // u1 drops only its SHORTEST page (101); everyone else keeps all
+    assert(kept === rows.map(_._1).toSet - 101L)
+    // head form for contrast: one mega-domain, 3 survivors total
+    assert(WebCuration.capPerDomain(d, "url", -col("len"),
+        col("doc_id"), n = 3)
+      .count() === 3L)
+    // the gated collect is loud on absurd inputs
+    val old = System.getProperty("graft.collect.budget.bytes")
+    try {
+      System.setProperty("graft.collect.budget.bytes", "64")
+      intercept[IllegalArgumentException] {
+        WebCuration.pslFromTable(
+          WebCuration.PslSampleSnapshot.toDF("suffix"))
+      }
+    } finally {
+      if (old == null) System.clearProperty("graft.collect.budget.bytes")
+      else System.setProperty("graft.collect.budget.bytes", old)
+    }
+  }
+
   test("blocklist filters match between inline and table forms; unattributable rows survive") {
     val d = Seq(
       (1L, "https://news.bbc.co.uk/x"),
