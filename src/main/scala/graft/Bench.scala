@@ -62,12 +62,28 @@ object Bench {
     // exception HEAD, shared with Verify so both artifacts describe a
     // failure identically
     def errMsg(e: Throwable): String = Verify.errHead(e)
-    def entry(name: String)(f: => Double): Unit =
+    def entry(name: String)(f: => Double): Unit = {
+      // SCOPE any cache the entry's operators create to the entry:
+      // composition operators persist internally (curateAndPack's
+      // gated set, by design — released only when the plan becomes
+      // unreachable), so without this the blocks of every measured
+      // plan linger until the ContextCleaner notices, pressuring
+      // later entries and spamming the tail with "Asked to cache
+      // already cached data" on every rep. Deliberate cross-entry
+      // fixtures (the cached langid model, the persisted DSIR counts)
+      // are forced OUTSIDE entry bodies via preBuild, so the diff
+      // never touches them.
+      val before = spark.sparkContext.getPersistentRDDs.keySet
       try results(name) = f
       catch { case e: Throwable =>
         errors(name) = errMsg(e)
         System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+      } finally {
+        spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before.contains(id)) rdd.unpersist(blocking = false)
+        }
       }
+    }
     // pre-force a lazy fixture OUTSIDE the timed block (the first
     // median sample must not pay an index/corpus build); failures are
     // swallowed here — the entry's own access re-attempts the lazy

@@ -2683,6 +2683,30 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the IMAGE twin of the streaming media-dedup loop: dHash
+    // prints (real container decode → RGB → NN 9×8 → luma → delta
+    // signs) through the same decontamination body under the frozen
+    // "image-dhash-9x8" family — all three media modalities now have
+    // the streaming loop ----
+    "stream_media_dedup_image" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val all = docs.select((col("doc_id") * 3 + 2).as("doc_id"),
+          col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") * 3 + 2 + lit(900000L)).as("doc_id"),
+            col("text")))
+      val prints = graft.operators.Multimodal.imageFingerprint(s,
+          graft.operators.Multimodal.synthesizeMedia(all))
+        .select(col("doc_id").as("id"), col("sig"))
+      val cd = java.nio.file.Files
+        .createTempDirectory("verify-mediadedup-img").toString
+      graft.streaming.Ingest.mediaDedupBatch(prints, cd,
+        "image-dhash-9x8", maxHamming = 3, maxBucket = 1000)
+      s.read.parquet(s"$cd/sigidx/sigs")
+        .select(col("id").as("doc_id"), col("sig"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- video near-dup: every doc wrapped in a real multi-frame
     // PPM-stream container (per-frame headers, genuine sequential
     // parse), collapsed to a 63-bit frame-intensity-delta fingerprint
@@ -4769,6 +4793,18 @@ object SparkEntry {
     // prints that are not the HIGHER id of any capped pair ≤ 3
     "stream_media_dedup" ->
       s"""WITH $audioSigCtes,
+        |${sigBandFoldCtes(16)},
+        |drops AS (SELECT DISTINCT pb FROM pairs
+        |  WHERE bit_count(xor(sa, sb)) <= 3)
+        |SELECT s2.doc_id, s2.s AS sig FROM sig s2
+        |LEFT JOIN drops ON drops.pb = s2.doc_id
+        |WHERE drops.pb IS NULL
+        |ORDER BY s2.doc_id ASC""".stripMargin,
+
+    // the image twin: identical survivor rule over the dHash sig
+    // derivation (imageSigCtes) under the shared banded fold
+    "stream_media_dedup_image" ->
+      s"""WITH $imageSigCtes,
         |${sigBandFoldCtes(16)},
         |drops AS (SELECT DISTINCT pb FROM pairs
         |  WHERE bit_count(xor(sa, sb)) <= 3)

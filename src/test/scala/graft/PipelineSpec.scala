@@ -1748,6 +1748,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("families must not mix"))
   }
 
+  test("media dedup ingest with IMAGE prints: dHash fingerprints " +
+      "ride the same loop — within-batch keep-first, standing-corpus " +
+      "prune under the image family tag") {
+    import graft.operators.{Multimodal, SigIndex}
+    val dir = java.nio.file.Files
+      .createTempDirectory("media_ingest_img").toString
+    val fam = "image-dhash-9x8"
+    def prints(docs: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageFingerprint(spark, Multimodal.synthesizeMedia(docs))
+        .select($"doc_id".as("id"), $"sig")
+    // 96-byte texts = 8 exact 12-byte raster rows (h=8: identity NN
+    // row map, only x∈{2,4,6} can set bits). Hand-computed lumas:
+    //   "abcdefghabcd" row → gray [97,97,97,100,100,102,102,98,98]
+    //     → positive deltas at x=2,4 → row byte 0x14
+    //   "hgfedcbahgfe" row → gray [103,103,103,100,100,98,98,102,102]
+    //     → positive delta at x=6 only → row byte 0x40
+    // so A = 0x1414141414141414, B = 0x4040404040404040, hamming 24
+    val textA = "abcdefghabcd" * 8
+    val textB = "hgfedcbahgfe" * 8
+    // ids ≡ 2 (mod 3) hit synthesizeMedia's PPM (image) branch
+    // batch 0: id 2, its exact twin 5 (hamming 0 — drops keep-first),
+    // and the far id 8 (hamming 24 — survives)
+    graft.streaming.Ingest.mediaDedupBatch(
+      prints(Seq((2L, textA), (5L, textA), (8L, textB))
+        .toDF("doc_id", "text")),
+      dir, fam, maxHamming = 3, maxBucket = 1000)
+    assert(spark.read.parquet(s"$dir/ids").as[Long].collect()
+      .toSeq.sorted === Seq(2L, 8L))
+    assert(spark.read.parquet(s"$dir/sigidx/sigs")
+      .as[(Long, Long)].collect().toMap ===
+      Map(2L -> 0x1414141414141414L, 8L -> 0x4040404040404040L))
+    // batch 1: another twin of A drops vs the STANDING corpus
+    graft.streaming.Ingest.mediaDedupBatch(
+      prints(Seq((11L, textA)).toDF("doc_id", "text")),
+      dir, fam, maxHamming = 3, maxBucket = 1000)
+    assert(spark.read.parquet(s"$dir/ids").as[Long].collect()
+      .toSeq.sorted === Seq(2L, 8L))
+    // the family tag is frozen: audio prints cannot enter this index
+    val e = intercept[IllegalArgumentException](
+      SigIndex.append(Seq((99L, 0L)).toDF("id", "sig"),
+        s"$dir/sigidx", "audio-energy-w4"))
+    assert(e.getMessage.contains("families must not mix"))
+  }
+
   test("curate ingest stream: quality gate -> standing LSH dedup -> " +
       "langid route per micro-batch; replay overwrites its own " +
       "routed shard with identical content") {
