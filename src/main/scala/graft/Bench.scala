@@ -461,6 +461,15 @@ object Bench {
       graft.operators.WebCuration.capPerDomain(urls, "url",
         negate(col("n_chars")), col("doc_id"), n = 3).count()
     } }
+    // the PSL cap's production shape: full-fidelity eTLD+1 hash-set
+    // walk materialized once (rankedTopNMaterialized), survivors
+    // semi-joined back — the automated expensive-stratum recipe
+    entry("url_curation_psl") { median {
+      val urls = spark.read.parquet(urlFixtureDir)
+      graft.operators.WebCuration.capPerDomainPsl(urls, "url",
+        graft.operators.WebCuration.PslSampleSnapshot,
+        negate(col("n_chars")), col("doc_id"), "doc_id", n = 3).count()
+    } }
     // the full curation pipeline in one query: quality gate ->
     // simhash near-dup survivors -> langid (carried counts) ->
     // per-language next-fit packing — the composition cost story

@@ -2412,6 +2412,21 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the RESAMPLING step over the n-gram features: hash-stable
+    // Bernoulli keep with p = min(1, imp/1500) on the bigram-bucket
+    // importance — per-source keep counts ----
+    "text_dsir_sample_ngram" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val target = TextAnalysis.ngramModel(
+        docs.filter(col("source") === "src0"), n = 2, buckets = 4096)
+      val raw = TextAnalysis.ngramModel(docs, n = 2, buckets = 4096)
+      TextAnalysis.dsirSampleNgram(docs, target, raw, col("text"),
+          alphaMilli = 1500L, n = 2, buckets = 4096)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("source").asc)
+    }),
+
     // ---- the STREAMING DSIR scoring loop's batch-0 run: word models
     // frozen to standing saveWordModel artifacts (target = src0, raw
     // = whole corpus), the batch scored against them through the
@@ -4533,6 +4548,19 @@ object SparkEntry {
       s"""WITH $dsirNgramCtes
          |SELECT doc_id, n_words, imp_milli FROM nimp
          |ORDER BY doc_id ASC""".stripMargin,
+
+    // the n-gram resample twin: the unigram sample row's hash-uniform
+    // keep rule over the bigram-bucket importance
+    "text_dsir_sample_ngram" ->
+      s"""WITH $dsirNgramCtes,
+         |ndb AS (SELECT d.doc_id, d.source, i.imp_milli,
+         |    $duckUtf8Bytes AS bs
+         |  FROM documents d JOIN nimp i ON d.doc_id = i.doc_id)
+         |SELECT source, count(*) AS n_kept FROM ndb
+         |WHERE CAST(${duckSigned(duckFnvFold("bs"))} AS DOUBLE)
+         |    / 1.8446744073709552e19 + 0.5
+         |  < least(1.0, CAST(imp_milli AS DOUBLE) / 1500.0)
+         |GROUP BY source ORDER BY source ASC""".stripMargin,
 
     // the streaming DSIR loop's batch-0 run scores against frozen
     // artifacts trained on the same split — the unigram chain + the

@@ -151,6 +151,20 @@ package object functions {
     r1("vfs_url_normalize", es => cx(WC.normalizeUrl(col(es(0)))))
     r1("vfs_url_host", es => cx(WC.urlHost(col(es(0)))))
     r1("vfs_url_domain", es => cx(WC.urlDomain(col(es(0)))))
+    // varargs PSL form: vfs_psl_domain(host, 'com', 'co.uk',
+    // 'github.io', ...) — snapshot entries as string literals (they
+    // parameterize the hash-set kernel at plan time, the
+    // vfs_term_counts convention); programmatic callers with a full
+    // 10k-entry list use WebCuration.registeredDomainPsl directly
+    r1("vfs_psl_domain", es => PslDomain(es(0), es.drop(1).map {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        "[GRAFT] vfs_psl_domain(host, suffix...): suffixes must be " +
+          s"string literals, got $other")
+    }))
     r1("vfs_hash_embedding", es => HashEmbedding(es(0),
       intLit(es(1), "vfs_hash_embedding(text, dim): dim"), milli = false))
     r1("vfs_hash_embedding_milli", es => HashEmbedding(es(0),

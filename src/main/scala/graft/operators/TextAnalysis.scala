@@ -1104,6 +1104,27 @@ object TextAnalysis {
         col("imp_milli").cast("double") / alphaMilli.toDouble))
   }
 
+  /** [[dsirSample]] over hashed n-gram features — the resampling
+    * step in the paper's own feature space: score with
+    * [[importanceMilliNgram]], keep with hash-stable probability
+    * min(1, imp_milli / alphaMilli). Docs with fewer than n tokens
+    * have no gram importance and never keep (no score, no sample) —
+    * the unigram form's no-words stance. */
+  def dsirSampleNgram(docs: DataFrame, target: WordModel,
+      raw: WordModel, key: Column, alphaMilli: Long, n: Int = 2,
+      buckets: Int = 10000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(alphaMilli >= 1L,
+      "[GRAFT] dsirSampleNgram: alphaMilli must be >= 1")
+    WorkCols.requireFree(docs, "imp_milli")
+    val imp = importanceMilliNgram(docs, target, raw, n, buckets,
+        idCol, textCol)
+      .select(col(idCol), col("imp_milli"))
+    Sampling.weightedHashSample(docs.join(imp, Seq(idCol)), key,
+      least(lit(1.0),
+        col("imp_milli").cast("double") / alphaMilli.toDouble))
+  }
+
   /** Train a model-based document filter — the "quality classifier"
     * stage of LLM data pipelines (train a cheap classifier on a
     * labeled slice, score the whole corpus; cf. the GPT-3/CCNet-style

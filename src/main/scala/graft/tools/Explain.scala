@@ -605,6 +605,19 @@ object Explain {
             concat(lit("https://"), col("source"), lit(".com/d/"),
               col("doc_id").cast("string")).as("url")))
     }
+    show("PSL per-domain cap (expect: the selection over an eager " +
+        "localCheckpoint barrier — Scan ExistingRDD on the slim " +
+        "(id, stratum, rank, tiebreak) frame, so the vfs_psl_domain " +
+        "suffix walk NEVER re-inlines into a refinement pass — then " +
+        "a LEFT SEMI join of survivors back by doc_id)") {
+      graft.SparkEntry.queries("web_domain_cap_psl")(spark, dir)
+    }
+    show("hashed-bigram DSIR importance (expect: one Generate over " +
+        "the codegen'd vfs_ngram_buckets array, TWO left joins " +
+        "against the slim (bucket, count) models, partial+final " +
+        "doc-keyed mean — identical tail to the unigram plan)") {
+      graft.SparkEntry.queries("text_dsir_importance_ngram")(spark, dir)
+    }
     spark.stop()
   }
 }

@@ -177,6 +177,15 @@ class WebCurationSpec extends AnyFunSuite {
       .as[(String, String, String)].head()
     assert(got === (("http://example.com/a?b=1", "news.bbc.co.uk",
       "bbc.co.uk")))
+    // the PSL form: snapshot entries ride as string literals
+    assert(spark.sql(
+      "SELECT vfs_psl_domain('user7.github.io', 'io', 'github.io') AS d")
+      .as[String].head() === "user7.github.io")
+    val bad = intercept[Exception] {
+      spark.sql("SELECT vfs_psl_domain('a.b.com', upper('com'))")
+        .collect()
+    }
+    assert(bad.getMessage.contains("[GRAFT]"))
   }
 
   test("urlKeepFirst keeps the smallest id per normalized url; null-key rows all pass") {
