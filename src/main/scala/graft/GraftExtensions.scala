@@ -67,6 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_mixture"),
       new ExpressionInfo("graft", "vfs_mixture"),
       graft.plans.SqlSurface.vfsMixtureBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_stratified_sample"),
+      new ExpressionInfo("graft", "vfs_stratified_sample"),
+      graft.plans.SqlSurface.vfsStratifiedSampleBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

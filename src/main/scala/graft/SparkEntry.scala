@@ -2451,6 +2451,38 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the same loop in the hashed-BIGRAM feature space: standing
+    // ngramModel artifacts (saveWordModel keeps the LONG bucket
+    // column), the batch scored through importanceMilliNgram ----
+    "stream_dsir_score_ngram" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = java.nio.file.Files
+        .createTempDirectory("verify-dsirstream-ng").toString
+      TextAnalysis.saveWordModel(
+        TextAnalysis.ngramModel(docs.filter(col("source") === "src0"),
+          n = 2, buckets = 4096), s"$base/target_wm")
+      TextAnalysis.saveWordModel(
+        TextAnalysis.ngramModel(docs, n = 2, buckets = 4096),
+        s"$base/raw_wm")
+      graft.streaming.Ingest.dsirScoreBatch(docs, 0L,
+        TextAnalysis.loadWordModel(s, s"$base/target_wm"),
+        TextAnalysis.loadWordModel(s, s"$base/raw_wm"),
+        s"$base/out", 0L, "doc_id", "text", Some((2, 4096)))
+      s.read.parquet(s"$base/out/batch=0")
+        .select(col("doc_id"), col("source"), col("n_words"),
+          col("imp_milli"), col("batch_id"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the vfs_stratified_sample TVF: stratified top-n from pure
+    // SQL, sharing q_stratified_sample's derivation and oracle ----
+    "sql_tvf_stratified_sample" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      s.sql("SELECT lang, doc_id, n_chars FROM vfs_stratified_sample(" +
+        s"'$dir/documents.parquet', 'lang', 'text', 'doc_id', 3, 2) " +
+        "ORDER BY lang ASC, doc_id ASC")
+    }),
+
     // ---- model-based filtering: a Bernoulli token-evidence
     // classifier trained distributed on an 80% slice (label: lang =
     // 'en'), scoring the held-out 20%. Integer Laplace-posterior
@@ -4274,6 +4306,7 @@ object SparkEntry {
     "q_split_assign" -> splitAssignOracle,
 
     "q_stratified_sample" -> stratifiedSampleOracle,
+    "sql_tvf_stratified_sample" -> stratifiedSampleOracle,
 
     "q_weighted_sample" -> weightedSampleOracle,
 
@@ -4570,6 +4603,14 @@ object SparkEntry {
          |SELECT d.doc_id, d.source, i.n_words, i.imp_milli,
          |  CAST(0 AS BIGINT) AS batch_id
          |FROM documents d JOIN dimp i ON d.doc_id = i.doc_id
+         |ORDER BY d.doc_id ASC""".stripMargin,
+
+    // the bigram-bucket twin of the streaming scorer
+    "stream_dsir_score_ngram" ->
+      s"""WITH $dsirNgramCtes
+         |SELECT d.doc_id, d.source, i.n_words, i.imp_milli,
+         |  CAST(0 AS BIGINT) AS batch_id
+         |FROM documents d JOIN nimp i ON d.doc_id = i.doc_id
          |ORDER BY d.doc_id ASC""".stripMargin,
 
     // cross-corpus LM: model from even ids only, left-joined costs

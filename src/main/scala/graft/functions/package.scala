@@ -228,6 +228,10 @@ package object functions {
     //   map('src', 7, ...)[, bandCap])
     ExpressionUtils.registerTableFunction(spark, "vfs_mixture",
       graft.plans.SqlSurface.vfsMixtureBuilder _)
+    // SELECT * FROM vfs_stratified_sample(path, stratumCol, keyCol,
+    //   tiebreakCol, n[, bandCap])
+    ExpressionUtils.registerTableFunction(spark, "vfs_stratified_sample",
+      graft.plans.SqlSurface.vfsStratifiedSampleBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

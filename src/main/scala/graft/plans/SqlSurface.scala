@@ -710,6 +710,45 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_stratified_sample(path, stratumCol, keyCol,
+    * tiebreakCol, n[, bandCap])` — deterministic stratified top-n
+    * ([[graft.operators.Sampling.stratifiedTopN]]: each stratum's n
+    * rows with the smallest (content-hash, tiebreak), engine-portable
+    * and append-stable):
+    * {{{ SELECT * FROM vfs_stratified_sample('/data/docs', 'lang',
+    *     'text', 'doc_id', 3) }}} */
+  private[graft] def vfsStratifiedSampleBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      "[GRAFT] vfs_stratified_sample(path, stratumCol, keyCol, " +
+        s"tiebreakCol, n[, bandCap]): $msg")
+    if (es.length < 5 || es.length > 6)
+      fail(s"expected 5-6 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val path = evalNonNull(0, "path").toString
+    val stratumCol = evalNonNull(1, "stratumCol").toString
+    val keyCol = evalNonNull(2, "keyCol").toString
+    val tiebreakCol = evalNonNull(3, "tiebreakCol").toString
+    val n = evalNonNull(4, "n") match {
+      case i: Int => i
+      case l: Long if l == l.toInt => l.toInt
+      case other => fail(s"n must be an integer literal, got $other")
+    }
+    val bandCap = if (es.length >= 6) evalNonNull(5, "bandCap") match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => fail(s"bandCap must be an integer literal, got $other")
+    } else 100000L
+    graft.operators.Sampling.stratifiedTopN(
+        SparkSession.active.read.parquet(path), col(stratumCol),
+        col(keyCol), col(tiebreakCol), n, bandCap)
+      .queryExecution.analyzed
+  }
+
   /** Expose a store's live table (memtable ∪ flushed, dequantized) as
     * a temp view. */
   def registerStore(store: graft.store.VfsStore, name: String): Unit =

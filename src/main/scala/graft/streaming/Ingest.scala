@@ -930,11 +930,19 @@ object Ingest {
     * rows); `alphaMilli = 0` (default) scores every doc and keeps
     * them all, the nightly-scoring loop. Models are loaded once at
     * stream start; per-batch cost is the batch's word stream joined
-    * to the two slim (word, count) models. */
+    * to the two slim (word, count) models.
+    *
+    * `ngram = Some((n, buckets))` scores through the hashed n-gram
+    * feature space instead ([[graft.operators.TextAnalysis
+    * .importanceMilliNgram]] — the paper's own features); the
+    * standing models must then be [[graft.operators.TextAnalysis
+    * .ngramModel]] artifacts built with the SAME (n, buckets) — a
+    * mismatch is a silent feature-space change, the batch scorer
+    * cannot detect it. */
   def dsirScoreStream(docs: DataFrame, targetModelPath: String,
       rawModelPath: String, outDir: String, checkpoint: String,
       alphaMilli: Long = 0L, idCol: String = "doc_id",
-      textCol: String = "text",
+      textCol: String = "text", ngram: Option[(Int, Int)] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(alphaMilli >= 0L,
       "[GRAFT] dsirScoreStream: alphaMilli must be >= 0 (0 = score only)")
@@ -948,7 +956,7 @@ object Ingest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         dsirScoreBatch(batch, batchId, target, raw, outDir, alphaMilli,
-          idCol, textCol)
+          idCol, textCol, ngram)
       }
       .start()
   }
@@ -958,7 +966,9 @@ object Ingest {
   private[graft] def dsirScoreBatch(batch0: DataFrame, batchId: Long,
       target: graft.operators.TextAnalysis.WordModel,
       raw: graft.operators.TextAnalysis.WordModel, outDir: String,
-      alphaMilli: Long, idCol: String, textCol: String): Unit = {
+      alphaMilli: Long, idCol: String, textCol: String,
+      ngram: Option[(Int, Int)] = None): Unit = {
+    import graft.operators.{TextAnalysis => TA}
     // PERSIST the micro-batch: the score is an aggregate over the
     // doc's words, so hydrating the doc columns back is a self-join —
     // an un-persisted source subtree would re-read the batch per pass
@@ -970,15 +980,20 @@ object Ingest {
       require(batch.groupBy(col(idCol)).count()
           .filter(col("count") > 1).isEmpty,
         s"[GRAFT] dsirScoreBatch: $idCol must be unique within a batch")
-      val out =
-        if (alphaMilli > 0L)
-          graft.operators.TextAnalysis.dsirSample(batch, target, raw,
+      val out = (alphaMilli > 0L, ngram) match {
+        case (true, None) =>
+          TA.dsirSample(batch, target, raw,
             col(idCol).cast("string"), alphaMilli, idCol, textCol)
-        else {
-          val imp = graft.operators.TextAnalysis
-            .importanceMilli(batch, target, raw, idCol, textCol)
-          batch.join(imp, Seq(idCol))
-        }
+        case (true, Some((n, b))) =>
+          TA.dsirSampleNgram(batch, target, raw,
+            col(idCol).cast("string"), alphaMilli, n, b, idCol, textCol)
+        case (false, None) =>
+          batch.join(TA.importanceMilli(batch, target, raw, idCol,
+            textCol), Seq(idCol))
+        case (false, Some((n, b))) =>
+          batch.join(TA.importanceMilliNgram(batch, target, raw, n, b,
+            idCol, textCol), Seq(idCol))
+      }
       out.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
     } finally batch.unpersist()

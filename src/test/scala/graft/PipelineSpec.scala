@@ -3072,6 +3072,28 @@ class PipelineSpec extends AnyFunSuite {
         9L, tgt, raw, s"$base/out3", 0L, "doc_id", "text")
     }
     assert(dup.getMessage.contains("unique within a batch"))
+    // N-GRAM mode: standing ngramModel artifacts (LONG bucket column
+    // survives the parquet round-trip), scores equal the direct
+    // importanceMilliNgram over the same batch; sub-n-token docs drop
+    TextAnalysis.saveWordModel(TextAnalysis.ngramModel(
+      Seq("alpha beta gamma").toDF("text"), n = 2, buckets = 64),
+      s"$base/tgt2")
+    TextAnalysis.saveWordModel(TextAnalysis.ngramModel(
+      Seq("alpha beta", "beta gamma delta").toDF("text"),
+      n = 2, buckets = 64), s"$base/raw2")
+    val t2 = TextAnalysis.loadWordModel(spark, s"$base/tgt2")
+    val r2 = TextAnalysis.loadWordModel(spark, s"$base/raw2")
+    val ngBatch = Seq((1L, "alpha beta gamma"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    graft.streaming.Ingest.dsirScoreBatch(ngBatch, 3L, t2, r2,
+      s"$base/out4", 0L, "doc_id", "text", Some((2, 64)))
+    val direct = TextAnalysis.importanceMilliNgram(ngBatch, t2, r2,
+        n = 2, buckets = 64)
+      .select($"doc_id", $"imp_milli").as[(Long, Long)].collect().toMap
+    assert(spark.read.parquet(s"$base/out4/batch=3")
+      .select($"doc_id", $"imp_milli").as[(Long, Long)].collect()
+      .toMap === direct)
+    assert(direct.keySet === Set(1L)) // 1-token doc has no grams
   }
 
   test("scoreLm vs standing model: unseen bigrams and contexts cost " +
