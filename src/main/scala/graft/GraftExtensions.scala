@@ -70,6 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_stratified_sample"),
       new ExpressionInfo("graft", "vfs_stratified_sample"),
       graft.plans.SqlSurface.vfsStratifiedSampleBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_temperature_sample"),
+      new ExpressionInfo("graft", "vfs_temperature_sample"),
+      graft.plans.SqlSurface.vfsTemperatureSampleBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

@@ -2483,6 +2483,22 @@ object SparkEntry {
         "ORDER BY lang ASC, doc_id ASC")
     }),
 
+    // ---- the vfs_temperature_sample TVF over the SAME skew-induced
+    // corpus as q_temperature_sample (landed in parquet — TVF inputs
+    // are paths), sharing its oracle verbatim ----
+    "sql_tvf_temperature_sample" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      val td = java.nio.file.Files
+        .createTempDirectory("verify-tvf-temp").toString
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src0" ||
+          pmod(col("doc_id"), lit(3)) =!= 0)
+        .write.mode("overwrite").parquet(td)
+      s.sql(s"SELECT doc_id, source FROM vfs_temperature_sample(" +
+        s"'$td', 'source', 'text', 'doc_id', 0.5, 16) " +
+        "ORDER BY doc_id ASC")
+    }),
+
     // ---- model-based filtering: a Bernoulli token-evidence
     // classifier trained distributed on an 80% slice (label: lang =
     // 'en'), scoring the held-out 20%. Integer Laplace-posterior
@@ -4296,6 +4312,7 @@ object SparkEntry {
     "q_mixture_sample" -> mixtureSampleOracle,
 
     "q_temperature_sample" -> temperatureSampleOracle,
+    "sql_tvf_temperature_sample" -> temperatureSampleOracle,
     "q_budget_sample" -> budgetSampleOracle,
     // the TVF twins share the operator rows' oracles verbatim
     "sql_tvf_budget_sample" -> budgetSampleOracle,

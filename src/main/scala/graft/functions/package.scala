@@ -232,6 +232,10 @@ package object functions {
     //   tiebreakCol, n[, bandCap])
     ExpressionUtils.registerTableFunction(spark, "vfs_stratified_sample",
       graft.plans.SqlSurface.vfsStratifiedSampleBuilder _)
+    // SELECT * FROM vfs_temperature_sample(path, sourceCol, keyCol,
+    //   tiebreakCol[, alpha, bandCap])
+    ExpressionUtils.registerTableFunction(spark, "vfs_temperature_sample",
+      graft.plans.SqlSurface.vfsTemperatureSampleBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

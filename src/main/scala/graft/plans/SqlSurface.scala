@@ -749,6 +749,48 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_temperature_sample(path, sourceCol, keyCol,
+    * tiebreakCol[, alpha, bandCap])` — α-smoothed source rebalancing
+    * ([[graft.operators.Sampling.temperatureSample]]: target share ∝
+    * n_s^α; α = 0.5, the engine-portable default, is also the only
+    * ORACLE-pinnable one — sqrt is correctly-rounded IEEE, pow is
+    * not):
+    * {{{ SELECT * FROM vfs_temperature_sample('/data/docs', 'source',
+    *     'text', 'doc_id') }}} */
+  private[graft] def vfsTemperatureSampleBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String): Nothing = throw new IllegalArgumentException(
+      "[GRAFT] vfs_temperature_sample(path, sourceCol, keyCol, " +
+        s"tiebreakCol[, alpha, bandCap]): $msg")
+    if (es.length < 4 || es.length > 6)
+      fail(s"expected 4-6 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    val path = evalNonNull(0, "path").toString
+    val sourceCol = evalNonNull(1, "sourceCol").toString
+    val keyCol = evalNonNull(2, "keyCol").toString
+    val tiebreakCol = evalNonNull(3, "tiebreakCol").toString
+    val alpha = if (es.length >= 5) evalNonNull(4, "alpha") match {
+      case d: Double => d
+      case d: java.math.BigDecimal => d.doubleValue()
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+      case i: Int => i.toDouble
+      case other => fail(s"alpha must be a numeric literal, got $other")
+    } else 0.5
+    val bandCap = if (es.length >= 6) evalNonNull(5, "bandCap") match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => fail(s"bandCap must be an integer literal, got $other")
+    } else 100000L
+    graft.operators.Sampling.temperatureSample(
+        SparkSession.active.read.parquet(path), col(sourceCol),
+        col(keyCol), col(tiebreakCol), alpha, bandCap)
+      .queryExecution.analyzed
+  }
+
   /** Expose a store's live table (memtable ∪ flushed, dequantized) as
     * a temp view. */
   def registerStore(store: graft.store.VfsStore, name: String): Unit =

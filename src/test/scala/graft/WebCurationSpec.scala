@@ -422,6 +422,26 @@ class WebCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerDomainPsl plan: the suffix walk never re-inlines into the selection (localCheckpoint barrier)") {
+    val d = (1 to 40).map(i =>
+      (i.toLong, s"https://u${i % 7}.github.io/p$i", (i * 3).toLong))
+      .toDF("doc_id", "url", "len")
+    val out = WebCuration.capPerDomainPsl(d, "url",
+      WebCuration.PslSampleSnapshot, -col("len"), col("doc_id"),
+      "doc_id", n = 2)
+    val plan = out.queryExecution.optimizedPlan.toString
+    // the selection side reads the ALREADY-EXECUTED slim frame
+    // (LogicalRDD from the localCheckpoint) — the vfs_psl_domain
+    // walk must appear NOWHERE in the final plan (CollapseProject
+    // re-inlined staged Projects before; the checkpoint is the
+    // barrier that holds). The pass-through branch derives only the
+    // host.
+    assert(!plan.contains("vfs_psl_domain"),
+      s"PSL walk re-inlined into the selection plan:\n$plan")
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"expected the checkpointed slim frame in:\n$plan")
+  }
+
   test("blocklist filters match between inline and table forms; unattributable rows survive") {
     val d = Seq(
       (1L, "https://news.bbc.co.uk/x"),
