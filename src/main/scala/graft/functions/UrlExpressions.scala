@@ -16,14 +16,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * Longest-match-wins over the snapshot, the PSL algorithm:
   * registered domain = one label + the longest listed suffix of the
   * host. Plain entries match exactly; wildcard entries (`*.foo`)
-  * match any single label + `foo`. Exception rules (`!bar.foo`) are
-  * NOT supported — pre-resolve them out of the snapshot (they are a
-  * handful in the real list); the constructor fails loudly. Two
-  * deliberate divergences from strict PSL, both keeping rows
-  * attributable for curation: a host that IS a listed suffix returns
-  * itself (strict PSL says "no registrable domain"), and a host whose
-  * TLD is absent from the snapshot falls back to the last-two-labels
-  * rule (the head expression's stance) instead of NULL.
+  * match any single label + `foo`; exception rules (`!bar.foo`)
+  * override — a host matching an exception (itself or as a suffix)
+  * registers AT the exception's own labels (PSL semantics: the
+  * exception names a registrable domain carved out of a wildcard),
+  * so the full unmodified public_suffix_list.dat loads once comments
+  * and blanks are stripped. Two deliberate divergences from strict
+  * PSL, both keeping rows attributable for curation: a host that IS
+  * a listed suffix returns itself (strict PSL says "no registrable
+  * domain"), and a host whose TLD is absent from the snapshot falls
+  * back to the last-two-labels rule (the head expression's stance)
+  * instead of NULL.
   *
   * Scale shape: the snapshot (~10k entries for the full list) ships
   * INSIDE the expression once per task via `addReferenceObj` and
@@ -64,47 +67,57 @@ object PslDomain {
 
   private[graft] def validate(suffixes: Seq[String]): Unit = {
     require(suffixes.nonEmpty, "[GRAFT] vfs_psl_domain: empty snapshot")
-    suffixes.foreach { s =>
-      require(s.nonEmpty && !s.startsWith("!") && !s.contains("/") &&
+    suffixes.foreach { s0 =>
+      val s = if (s0.startsWith("!")) s0.drop(1) else s0
+      require(s.nonEmpty && !s.contains("/") && !s.contains("!") &&
           !s.exists(_.isWhitespace) && !s.startsWith(".") &&
           !s.endsWith(".") &&
           (!s.contains("*") || (s.startsWith("*.") &&
-            !s.drop(2).contains("*") && s.length > 2)),
-        s"[GRAFT] vfs_psl_domain: bad snapshot entry '$s' — plain " +
-          "suffixes and '*.parent' wildcards only (strip comments, " +
-          "blank lines and '!' exception rules when loading the list)")
+            !s.drop(2).contains("*") && s.length > 2)) &&
+          !(s0.startsWith("!") && s.contains("*")),
+        s"[GRAFT] vfs_psl_domain: bad snapshot entry '$s0' — plain " +
+          "suffixes, '*.parent' wildcards and '!exception' rules " +
+          "only (strip comments and blank lines when loading the list)")
     }
   }
 
   /** Serializable snapshot with transient lazily-built hash sets —
-    * one exact-suffix set and one wildcard-PARENT set (`*.foo` is
+    * one exact-suffix set, one wildcard-PARENT set (`*.foo` is
     * stored as `foo` and matched against the candidate one label
-    * shorter). Entries are lowercased at build time; hosts arrive
+    * shorter), and one exception set (`!bar.foo` stored as
+    * `bar.foo`). Entries are lowercased at build time; hosts arrive
     * lowercased from `urlHost`. */
   final class Lookup(val entries: Array[String]) extends Serializable {
     @transient private var builtExact: java.util.HashSet[String] = _
     @transient private var builtWild: java.util.HashSet[String] = _
+    @transient private var builtExc: java.util.HashSet[String] = _
     @transient private var builtMax: Int = 0
 
     private def build(): Unit = {
       val e = new java.util.HashSet[String](entries.length * 2)
       val w = new java.util.HashSet[String]()
+      val x = new java.util.HashSet[String]()
       var mx = 1
       var i = 0
       while (i < entries.length) {
         val s = entries(i).toLowerCase(java.util.Locale.ROOT)
         val labels = 1 + s.count(_ == '.')
-        if (s.startsWith("*.")) w.add(s.substring(2)) else e.add(s)
+        if (s.startsWith("!")) x.add(s.substring(1))
+        else if (s.startsWith("*.")) w.add(s.substring(2))
+        else e.add(s)
         if (labels > mx) mx = labels
         i += 1
       }
-      builtExact = e; builtWild = w; builtMax = mx
+      builtExact = e; builtWild = w; builtExc = x; builtMax = mx
     }
     private[PslDomain] def exact: java.util.HashSet[String] = {
       if (builtExact == null) build(); builtExact
     }
     private[PslDomain] def wild: java.util.HashSet[String] = {
       if (builtWild == null) build(); builtWild
+    }
+    private[PslDomain] def exceptions: java.util.HashSet[String] = {
+      if (builtExc == null) build(); builtExc
     }
     /** Longest suffix (in labels) any rule can match. */
     private[PslDomain] def maxLabels: Int = {
@@ -131,6 +144,7 @@ object PslDomain {
     }
     val ex = lk.exact
     val wl = lk.wild
+    val xc = lk.exceptions
     // a wildcard rule's own match is one label LONGER than its
     // parent, so depth k can match via wild(sfx(k-1)); cap the walk
     // at maxLabels + 1 to cover that
@@ -138,6 +152,11 @@ object PslDomain {
     var best = 0
     k = 1
     while (k <= kMax) {
+      // an exception names a REGISTRABLE domain carved out of a
+      // wildcard: any host under (or equal to) it registers AT the
+      // exception's own labels — it overrides every suffix rule
+      if (xc.contains(sfx(k)))
+        return if (k == n) host else UTF8String.fromString(sfx(k))
       if (ex.contains(sfx(k)) || (k >= 2 && wl.contains(sfx(k - 1))))
         best = k
       k += 1

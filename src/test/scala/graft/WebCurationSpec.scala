@@ -332,7 +332,8 @@ class WebCurationSpec extends AnyFunSuite {
   }
 
   test("registeredDomainPsl: longest match wins, wildcards honored, head parity on head-covered hosts") {
-    val psl = WebCuration.PslSampleSnapshot ++ Seq("*.compute.example")
+    val psl = WebCuration.PslSampleSnapshot ++
+      Seq("*.compute.example", "ck", "*.ck", "!www.ck")
     def domains(hosts: Seq[String]): Seq[String] =
       hosts.zipWithIndex.map { case (h, i) => (i, h) }.toDF("i", "h")
         .select(col("i"),
@@ -347,6 +348,10 @@ class WebCurationSpec extends AnyFunSuite {
       "news.bbc.co.uk", "a.b.example.com", "example.co.uk",
       // wildcard rule: *.compute.example matches one extra label
       "vm7.zone-a.compute.example",
+      // exception rule: !www.ck carves a registrable domain out of
+      // *.ck — any host at or under it registers AT www.ck, while
+      // other .ck hosts follow the wildcard
+      "www.ck", "a.www.ck", "x.foo.ck",
       // host IS a suffix -> returned whole (documented divergence)
       "github.io",
       // unlisted TLD -> two-label fallback; single label passes whole
@@ -355,6 +360,7 @@ class WebCurationSpec extends AnyFunSuite {
       "blog.blogspot.com", "app.netlify.app",
       "bbc.co.uk", "example.com", "example.co.uk",
       "vm7.zone-a.compute.example",
+      "www.ck", "www.ck", "x.foo.ck",
       "github.io",
       "y.weirdtld", "localhost"))
     // head-vs-PSL parity on every head-covered construction: for
@@ -372,16 +378,18 @@ class WebCurationSpec extends AnyFunSuite {
     both.foreach { case (i, head, p) =>
       assert(head === p, s"head/PSL diverge on ${headHosts(i)}")
     }
-    // snapshot validation is loud: exception rules and junk entries
-    // must be stripped upstream
-    intercept[IllegalArgumentException] {
-      graft.functions.PslDomain.validate(Seq("!www.ck"))
-    }
+    // snapshot validation is loud on junk entries (comments, blanks,
+    // wildcard exceptions) — but plain/wildcard/exception rules all
+    // load, so the real unmodified list ingests
+    graft.functions.PslDomain.validate(Seq("com", "*.ck", "!www.ck"))
     intercept[IllegalArgumentException] {
       graft.functions.PslDomain.validate(Seq("// comment"))
     }
     intercept[IllegalArgumentException] {
       graft.functions.PslDomain.validate(Seq(""))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.PslDomain.validate(Seq("!*.ck"))
     }
   }
 
