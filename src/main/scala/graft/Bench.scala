@@ -493,6 +493,25 @@ object Bench {
           dsirModels._1, dsirModels._2)
         .agg(sum(col("imp_milli"))).collect()
     } }
+    // hashed-bigram DSIR against standing ngram models (the paper's
+    // feature space): one codegen'd md5-per-gram pass (spread) + two
+    // slim (bucket, count) joins + the doc-keyed mean
+    lazy val dsirNgramModels = {
+      val t = graft.operators.TextAnalysis.ngramModel(
+        benchDocs.filter(col("source") === "src0"),
+        n = 2, buckets = 4096)
+      val r = graft.operators.TextAnalysis.ngramModel(benchDocs,
+        n = 2, buckets = 4096)
+      t.counts.persist().count()
+      r.counts.persist().count()
+      (t, r)
+    }
+    preBuild(dsirNgramModels)
+    entry("dsir_score_ngram") { median {
+      graft.operators.TextAnalysis.importanceMilliNgram(benchDocs,
+          dsirNgramModels._1, dsirNgramModels._2, n = 2, buckets = 4096)
+        .agg(sum(col("imp_milli"))).collect()
+    } }
     // bigram LM scoring: two count aggs + one stats join over the
     // token stream, integer-exact model
     entry("lm_score") { median {

@@ -1032,7 +1032,11 @@ object TextAnalysis {
   def ngramModel(docs: DataFrame, n: Int = 2, buckets: Int = 10000,
       textCol: String = "text"): WordModel = {
     WorkCols.requireFree(docs, "__w")
-    val g = docs.select(explode(shims.column(graft.functions
+    // spread BEFORE the Generate: one md5 per gram is compute-bound,
+    // and a one-file corpus would otherwise hash on one core (the
+    // minhash/langid lesson)
+    val g = WorkCols.spread(docs)
+      .select(explode(shims.column(graft.functions
         .NgramBuckets(shims.expression(col(textCol)), n, buckets)))
         .as("__w"))
     val counts = g.groupBy(col("__w").as("word"))
@@ -1056,7 +1060,9 @@ object TextAnalysis {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     WorkCols.requireFree(docs, "__w", "__ct", "__cr", "__r",
       "__sum", "n_words", "imp_milli")
-    val grams = docs.select(col(idCol),
+    // spread before the Generate — the md5-per-gram kernel is
+    // compute-bound (see [[ngramModel]])
+    val grams = WorkCols.spread(docs).select(col(idCol),
       explode(shims.column(graft.functions.NgramBuckets(
         shims.expression(col(textCol)), n, buckets))).as("__w"))
     importanceOver(grams, target, raw, idCol)

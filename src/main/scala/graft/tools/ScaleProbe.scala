@@ -482,6 +482,28 @@ object ScaleProbe {
           s"(expect 525000), mean imp ~${r.getLong(0) / r.getLong(1)}")
       } finally { tgt.counts.unpersist(); raw.counts.unpersist(); () }
     }
+    // hashed-bigram DSIR at scale: one md5 PER GRAM — compute-bound,
+    // so the kernel must spread (one-file corpora would otherwise
+    // hash single-core); the model is ≤ buckets rows by construction
+    time("hashed-bigram DSIR scoring: 525k docs vs standing " +
+        "target/raw ngram models (4096 buckets)") {
+      def corpus(n: Long) = spark.range(n).select($"id".as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(12)),
+          j => concat(lit("w"), pmod($"id" * 7 + j * 13, lit(50000))
+            .cast("string")))).as("text"))
+      val tgt = graft.operators.TextAnalysis.ngramModel(
+        corpus(25000L), n = 2, buckets = 4096)
+      val raw = graft.operators.TextAnalysis.ngramModel(
+        corpus(525000L), n = 2, buckets = 4096)
+      tgt.counts.persist().count(); raw.counts.persist().count()
+      try {
+        val r = graft.operators.TextAnalysis.importanceMilliNgram(
+            corpus(525000L), tgt, raw, n = 2, buckets = 4096)
+          .agg(sum($"imp_milli"), count(lit(1))).head()
+        println(s"[scale-probe]   scored docs: ${r.getLong(1)} " +
+          s"(expect 525000), mean imp ~${r.getLong(0) / r.getLong(1)}")
+      } finally { tgt.counts.unpersist(); raw.counts.unpersist(); () }
+    }
     // trigram langid at scale: the model is vocab×4 rows (broadcast);
     // scoring is one Generate + broadcast join + two partial aggs —
     // cost ∝ corpus trigrams, lower() materialized once per row.
