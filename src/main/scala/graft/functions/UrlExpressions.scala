@@ -125,13 +125,17 @@ object PslDomain {
     }
   }
 
-  /** static entry for codegen: one split, one incremental suffix walk
-    * (longest match wins), O(labels) hash probes. */
+  /** static entry for codegen: lowercase (snapshot entries are
+    * lowercased at build time — a raw mixed-case host column must not
+    * silently miss every rule and fall to the two-label rule), one
+    * split, one incremental suffix walk (longest match wins),
+    * O(labels) hash probes. Output is the canonical lowercase form on
+    * every path. */
   def domain(host: UTF8String, lk: Lookup): UTF8String = {
-    val h = host.toString
+    val h = host.toString.toLowerCase(java.util.Locale.ROOT)
     val labels = h.split('.')
     val n = labels.length
-    if (n <= 1) return host
+    if (n <= 1) return UTF8String.fromString(h)
     // suffix strings of the last k labels, built incrementally
     val sfx = new Array[String](n + 1)
     sfx(0) = ""
@@ -155,14 +159,15 @@ object PslDomain {
       // an exception names a REGISTRABLE domain carved out of a
       // wildcard: any host under (or equal to) it registers AT the
       // exception's own labels — it overrides every suffix rule
-      if (xc.contains(sfx(k)))
-        return if (k == n) host else UTF8String.fromString(sfx(k))
+      if (xc.contains(sfx(k))) return UTF8String.fromString(sfx(k))
       if (ex.contains(sfx(k)) || (k >= 2 && wl.contains(sfx(k - 1))))
         best = k
       k += 1
     }
     if (best == 0) UTF8String.fromString(sfx(2)) // unlisted TLD: 2-label rule
-    else if (best == n) host // host IS a suffix — documented divergence
+    // host IS a suffix — documented divergence (sfx(n) == the
+    // lowercased whole host)
+    else if (best == n) UTF8String.fromString(sfx(n))
     else UTF8String.fromString(sfx(best + 1))
   }
 }

@@ -725,8 +725,16 @@ object Sampling {
     // only unpersisted (executor copies dropped, re-broadcastable):
     // the checkpointed RDD's closure still references it, so destroy()
     // would poison later task serialization.
-    if (reliable) rankedRdd.checkpoint() else rankedRdd.localCheckpoint()
+    // reliable mode persists BEFORE checkpoint(): Spark's checkpoint
+    // writer is a SEPARATE job after the materializing action, and an
+    // unpersisted RDD would recompute every partition for it (the
+    // localCheckpoint branch gets the cache implicitly)
+    if (reliable) {
+      rankedRdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rankedRdd.checkpoint()
+    } else rankedRdd.localCheckpoint()
     rankedRdd.count() // materialize the checkpoint
+    if (reliable) rankedRdd.unpersist(blocking = false)
     tagged.unpersist(blocking = false)
     bc.unpersist(blocking = false)
     // order by the CARRIED columns: the rebuilt frame has fresh

@@ -152,9 +152,12 @@ object WebCuration {
     * The collect is LOUDLY gated ([[BroadcastGate.requireCollectFits]]
     * — the real list is ~10k entries, far under any budget, but a
     * caller pointing this at the wrong table must not OOM the
-    * driver); comment lines, blanks and `!` exception rules must be
-    * stripped upstream ([[graft.functions.PslDomain]] validates and
-    * names the first bad entry). Sorted for deterministic plans. */
+    * driver); only comment lines and blanks must be stripped upstream
+    * — plain suffixes, `*.parent` wildcards AND `!exception` rules
+    * all load ([[graft.functions.PslDomain]] validates and names the
+    * first bad entry; stripping exceptions would silently move
+    * exception-carved hosts onto the wildcard path). Sorted for
+    * deterministic plans. */
   def pslFromTable(df: DataFrame): Seq[String] = {
     require(df.columns.contains("suffix"),
       "[GRAFT] pslFromTable: need a 'suffix' column")
@@ -174,7 +177,11 @@ object WebCuration {
     * only). Shared with the DuckDB derivation so the two cannot
     * drift. */
   private[graft] def pslDomainRegexes(psl: Seq[String]): Seq[String] = {
-    require(psl.forall(!_.startsWith("*.")),
+    // LOUD on both rule kinds the regexes cannot express: a '*.'
+    // entry would need a per-depth wildcard branch and a '!' entry
+    // would compile into an inert alternative that can never match —
+    // either way the oracle would silently diverge from the engine
+    require(psl.forall(s => !s.startsWith("*.") && !s.startsWith("!")),
       "[GRAFT] pslDomainRegexes: plain-entry snapshots only")
     psl.groupBy(_.count(_ == '.')).toSeq.sortBy(-_._1).map {
       case (_, group) =>

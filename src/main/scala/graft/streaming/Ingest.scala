@@ -927,8 +927,12 @@ object Ingest {
     * the batch is importance-RESAMPLED instead of merely scored
     * ([[graft.operators.TextAnalysis.dsirSample]] — hash-stable
     * membership keyed on the doc id, so a replay keeps the identical
-    * rows); `alphaMilli = 0` (default) scores every doc and keeps
-    * them all, the nightly-scoring loop. Models are loaded once at
+    * rows); `alphaMilli = 0` (default) scores without dropping on the
+    * score — the nightly-scoring loop. Either way a doc with NO
+    * scoreable units (empty/whitespace-only text; fewer than n tokens
+    * in ngram mode) lands nothing: no words means no importance is
+    * defined, the [[graft.operators.TextAnalysis.importanceMilli]]
+    * stance. Models are loaded once at
     * stream start; per-batch cost is the batch's word stream joined
     * to the two slim (word, count) models.
     *

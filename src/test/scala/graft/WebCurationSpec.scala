@@ -378,6 +378,11 @@ class WebCurationSpec extends AnyFunSuite {
     both.foreach { case (i, head, p) =>
       assert(head === p, s"head/PSL diverge on ${headHosts(i)}")
     }
+    // a RAW mixed-case host (not urlHost-derived) must not silently
+    // miss every lowercased rule and fall to the two-label fallback:
+    // the kernel lowercases and returns the canonical form
+    assert(domains(Seq("User7.GitHub.IO", "News.BBC.Co.UK")) ===
+      Seq("user7.github.io", "bbc.co.uk"))
     // snapshot validation is loud on junk entries (comments, blanks,
     // wildcard exceptions) — but plain/wildcard/exception rules all
     // load, so the real unmodified list ingests
