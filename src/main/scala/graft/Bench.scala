@@ -12,7 +12,11 @@ import graft.store.VfsStore
   * (benchmarks/benchmarks.py: insert latency, GET by id, exact vs
   * approximate search, SISD vs SIMD) plus the Spark-scale headliners
   * (bulk agg, batched kNN, LSH dedup, sessionize). Emits ONE JSON
-  * line: {"metric","value","unit","queries",{...},"errors",{...},"sf"}.
+  * line: {"metric","value","unit","queries",{...},"errors",{...},"sf",
+  * "rep_times",{...}} — `queries` holds each entry's median,
+  * `rep_times` the raw per-rep wall times in run order (so a reader
+  * can see whether an entry's within-run spread already covers a
+  * cross-round delta before reading it as a regression).
   *
   * Crash isolation: every entry runs under its own try/catch and a
   * failure is published as `errors[name]` = exception class + message
@@ -52,9 +56,19 @@ object Bench {
     // round-over-round deltas unreadable; the median kills the outlier
     // without hiding a real regression
     val Reps = 3
+    // raw per-rep wall times in RUN ORDER, published as "rep_times" in
+    // the JSON line: the medians alone keep forcing whole-round A/B
+    // adjudications of driver-host contention (r09/r11/r12/r13 all
+    // closed driver deltas as environmental) — with the reps visible,
+    // an entry whose within-run spread already covers a cross-round
+    // delta is readable as noise from the artifact itself
+    var curReps = List.empty[Double]
+    val repLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     def median(f: => Unit): Double = {
-      val ts = Seq.fill(Reps)(time(f)).sorted
-      ts(ts.length / 2)
+      val ts = List.fill(Reps)(time(f))
+      curReps = curReps ++ ts
+      val s = ts.sorted
+      s(s.length / 2)
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -74,7 +88,11 @@ object Bench {
       // are forced OUTSIDE entry bodies via preBuild, so the diff
       // never touches them.
       val before = spark.sparkContext.getPersistentRDDs.keySet
-      try results(name) = f
+      curReps = Nil
+      try {
+        results(name) = f
+        if (curReps.nonEmpty) repLog(name) = curReps
+      }
       catch { case e: Throwable =>
         errors(name) = errMsg(e)
         System.err.println(s"[bench] $name FAILED: ${errors(name)}")
@@ -123,8 +141,10 @@ object Bench {
             concat(lit("v"), col("id")).as("name"),
             array(lit("bench")).as("tags")))
         }
-      }.sorted
-      insertTimes(insertTimes.length / 2)
+      }
+      curReps = curReps ++ insertTimes // run order, before the sort
+      val sorted = insertTimes.sorted
+      sorted(sorted.length / 2)
     }
     lazy val store = stores.last
     entry("get_by_id") { median { store.getById(100L) } }
@@ -537,12 +557,15 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       Verify.jsonStr(k) + ":" + Verify.jsonStr(v) }.mkString("{", ",", "}")
+    val repsJson = repLog.map { case (k, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.values.sum
     // n_ok/n_failed make partial runs self-describing: with per-entry
     // crash isolation, "total" sums only the entries that succeeded —
     // a consumer comparing totals across rounds must not read a
     // partial (smaller) total as a speedup
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${results.size},"n_failed":${errors.size},"sf":"$sfDir","reps":$Reps,"agg":"median"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${results.size},"n_failed":${errors.size},"sf":"$sfDir","reps":$Reps,"agg":"median","rep_times":$repsJson}""")
     // exit 0 even with failed entries: the `errors` field carries the
     // signal — a non-zero rc would make the driver discard the whole
     // published line (round 6 failure mode)

@@ -1132,6 +1132,57 @@ object SparkEntry {
         .orderBy(col("domain").asc, col("doc_id").asc)
     }),
 
+    // ---- WILDCARD + EXCEPTION rule semantics through the same cap:
+    // the PslWildSnapshot fixture ('*.ck' makes every <label>.ck a
+    // public suffix; '!portal.ck' carves a registrable domain back
+    // out of it), hosts built so each rule kind decides at least one
+    // branch — hash-matched against a HAND-derived DuckDB CASE (the
+    // regex oracle rightly refuses these rule kinds). checkIds = true
+    // also exercises the slim-frame uniqueness guard in earnest ----
+    "web_domain_cap_psl_wild" -> ((s, dir) => {
+      import graft.operators.WebCuration
+      WebCuration.capPerDomainPsl(webPslWildUrls(s, dir), "url",
+          WebCuration.PslWildSnapshot, negate(col("n_chars")),
+          col("doc_id"), "doc_id", n = 3, bandCap = 16L,
+          checkIds = true)
+        .select(col("doc_id"),
+          WebCuration.urlDomainPsl(col("url"),
+            WebCuration.PslWildSnapshot).as("domain"))
+        .orderBy(col("domain").asc, col("doc_id").asc)
+    }),
+
+    // ---- the TABLE-backed PSL SQL surface: the snapshot lands in a
+    // parquet table (the parsed public_suffix_list.dat shape) and the
+    // eTLD+1 derives from PURE SQL via vfs_psl_domain_table — the
+    // fourth surface for the PSL family (Scala callers already have
+    // pslFromTable); same suffix-walk kernel, loaded once at plan
+    // time through the gated collect ----
+    "sql_psl_domain_table" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.registerAll(s)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("verify-psltab").toString
+      graft.operators.WebCuration.PslSampleSnapshot.toDF("suffix")
+        .write.mode("overwrite").parquet(s"$tmp/psl")
+      webPslUrls(s, dir).createOrReplaceTempView("psl_urls_v")
+      s.sql("SELECT doc_id, vfs_psl_domain_table(vfs_url_host(url), " +
+        s"'$tmp/psl') AS domain FROM psl_urls_v ORDER BY doc_id ASC")
+    }),
+
+    // ---- PSL attribution in the STREAMING URL loop: the landed rows
+    // of a urlDedupBatch carry psl_domain (the per-row projection
+    // rides the landing write — zero extra shuffle), so the streaming
+    // surface stays at parity with the batch cap ----
+    "stream_url_psl" -> ((s, dir) => {
+      val cd = java.nio.file.Files
+        .createTempDirectory("verify-urlpslstream").toString
+      graft.streaming.Ingest.urlDedupBatch(webPslUrls(s, dir), 0L, cd,
+        psl = graft.operators.WebCuration.PslSampleSnapshot)
+      s.read.parquet(s"$cd/docs/batch=0")
+        .select(col("doc_id"), col("url"), col("psl_domain"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- the curation audit report: per-language-shard totals over
     // the packed output (docs, tokens, bins, overflows) — the one
     // aggregate every production curation run logs ----
@@ -2409,6 +2460,20 @@ object SparkEntry {
       val raw = TextAnalysis.ngramModel(docs, n = 2, buckets = 4096)
       TextAnalysis.importanceMilliNgram(docs, target, raw,
           n = 2, buckets = 4096)
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- TRIGRAM twin: NgramBuckets supports n ∈ [1,8] but the
+    // general-n path (gram window length, the <n-token empty stance)
+    // was only bigram-exercised — this row pins n = 3 against the
+    // same DuckDB list-comprehension derivation generalized over n ----
+    "text_dsir_importance_ngram3" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val target = TextAnalysis.ngramModel(
+        docs.filter(col("source") === "src0"), n = 3, buckets = 4096)
+      val raw = TextAnalysis.ngramModel(docs, n = 3, buckets = 4096)
+      TextAnalysis.importanceMilliNgram(docs, target, raw,
+          n = 3, buckets = 4096)
         .orderBy(col("doc_id").asc)
     }),
 
@@ -3943,6 +4008,33 @@ object SparkEntry {
          |SELECT doc_id, domain FROM pr WHERE rn <= 3
          |ORDER BY domain ASC, doc_id ASC""".stripMargin,
 
+    // wildcard + exception rules through the same cap — the
+    // hand-derived CASE chain (webPslWildCtes) instead of the
+    // generated regex groups
+    "web_domain_cap_psl_wild" ->
+      s"""WITH $webPslWildCtes,
+         |pr AS (SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM pd)
+         |SELECT doc_id, domain FROM pr WHERE rn <= 3
+         |ORDER BY domain ASC, doc_id ASC""".stripMargin,
+
+    // the table-backed SQL surface derives the SAME domains as the
+    // plan-time snapshot forms — one oracle derivation, no cap
+    "sql_psl_domain_table" ->
+      s"""WITH $webPslCtes
+         |SELECT doc_id, domain FROM pd
+         |ORDER BY doc_id ASC""".stripMargin,
+
+    // streaming URL loop with PSL attribution: every fixture URL is
+    // unique (doc_id-embedded), so batch 0 lands every row — with its
+    // psl_domain projection
+    "stream_url_psl" ->
+      s"""WITH $webPslCtes
+         |SELECT pu.doc_id, pu.url, pd.domain AS psl_domain
+         |FROM pu JOIN pd ON pu.doc_id = pd.doc_id
+         |ORDER BY pu.doc_id ASC""".stripMargin,
+
     "stream_curate" -> streamCurateOracle,
 
     "text_curriculum" -> textCurriculumOracle,
@@ -4596,6 +4688,13 @@ object SparkEntry {
     // token list, bucketed hex15 % 4096)
     "text_dsir_importance_ngram" ->
       s"""WITH $dsirNgramCtes
+         |SELECT doc_id, n_words, imp_milli FROM nimp
+         |ORDER BY doc_id ASC""".stripMargin,
+
+    // trigram twin: the same chain at n = 3 (three-token window,
+    // range empty under 3 tokens)
+    "text_dsir_importance_ngram3" ->
+      s"""WITH ${dsirNgramCtesN(3)}
          |SELECT doc_id, n_words, imp_milli FROM nimp
          |ORDER BY doc_id ASC""".stripMargin,
 
@@ -5394,20 +5493,26 @@ object SparkEntry {
       |    CAST(sum(r) // count(*) AS BIGINT) AS imp_milli
       |  FROM dr GROUP BY doc_id)""".stripMargin
 
-  /** The hashed-bigram DSIR chain: tokenization as [[dsirCtes]] but
+  /** The hashed-n-gram DSIR chain: tokenization as [[dsirCtes]] but
     * empty tokens are filtered BEFORE gram formation (mirroring
-    * [[graft.functions.NgramBuckets]]); consecutive-token bigrams
+    * [[graft.functions.NgramBuckets]]); consecutive-token n-grams
     * join with one space and bucket `hex15(gram) % 4096` (the
     * portable md5 word hash — non-negative 60-bit, plain % is safe);
     * from there the ratio chain is [[dsirCtes]]' verbatim with the
-    * bucket as the unit. */
-  private def dsirNgramCtes: String =
+    * bucket as the unit. The list comprehension generalizes over `n`:
+    * `range(1, len(s) - (n-2))` is empty for docs under n tokens —
+    * the kernel's empty-array stance at any n. */
+  private def dsirNgramCtes: String = dsirNgramCtesN(2)
+
+  private def dsirNgramCtesN(n: Int): String = {
+    val gram = (0 until n).map(k =>
+      if (k == 0) "s[i]" else s"s[i+$k]").mkString(" || ' ' || ")
     s"""ntk AS (SELECT doc_id, source,
        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |      t -> t <> '') AS s
        |  FROM documents),
        |ngr AS (SELECT doc_id, source,
-       |    unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))])
+       |    unnest([$gram for i in range(1, len(s) - ${n - 2})])
        |      AS gram
        |  FROM ntk),
        |ngb AS (SELECT doc_id, source,
@@ -5429,6 +5534,7 @@ object SparkEntry {
        |nimp AS (SELECT doc_id, count(*) AS n_words,
        |    CAST(sum(r) // count(*) AS BIGINT) AS imp_milli
        |  FROM nr GROUP BY doc_id)""".stripMargin
+  }
 
   private def weightedSampleOracle: String =
     s"""WITH b AS (SELECT lang, n_chars, $duckUtf8Bytes AS bs
@@ -5755,6 +5861,67 @@ object SparkEntry {
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("n_chars"), url.as("url"))
   }
+
+  /** URL fixture for the WILDCARD + EXCEPTION snapshot
+    * ([[operators.WebCuration.PslWildSnapshot]]): five branches, each
+    * decided by a different rule kind — `*.ck` wildcard (3-label
+    * registration), a host UNDER the `!portal.ck` exception, the
+    * exception host itself, a plain `com` entry, and an unlisted TLD
+    * (two-label fallback). */
+  private def webPslWildUrls(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val m = pmod(col("doc_id"), lit(5))
+    val url = when(m === 0,
+        concat(lit("https://shop"), pmod(col("doc_id"), lit(13)),
+          lit(".biz"), pmod(col("doc_id"), lit(5)), lit(".ck/p/"), id))
+      .when(m === 1,
+        concat(lit("https://user"), pmod(col("doc_id"), lit(7)),
+          lit(".portal.ck/x/"), id))
+      .when(m === 2, concat(lit("https://portal.ck/"), id))
+      .when(m === 3,
+        concat(lit("https://blog"), pmod(col("doc_id"), lit(11)),
+          lit(".example"), pmod(col("doc_id"), lit(3)),
+          lit(".com/"), id))
+      .otherwise(concat(lit("https://a.b"), pmod(col("doc_id"), lit(3)),
+        lit(".zz/"), id))
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), url.as("url"))
+  }
+
+  /** HAND-derived oracle chain for the wildcard/exception fixture —
+    * hard-coded CASE rather than [[operators.WebCuration
+    * .pslDomainRegexes]] (which loudly refuses `*.`/`!` entries
+    * because a regex alternation cannot express them): the exception
+    * decides FIRST (a host equal to or under `portal.ck` registers AT
+    * it), then the wildcard's one-label-plus-`<label>.ck` capture,
+    * then the plain-`com` capture, then the two-label fallback. The
+    * branch order IS the longest-match semantics for this fixture
+    * (every `.ck` host has ≤ 3 labels). */
+  private def webPslWildCtes: String =
+    s"""pu AS (SELECT doc_id, n_chars,
+       |    CASE doc_id % 5
+       |      WHEN 0 THEN 'https://shop' || (doc_id % 13) || '.biz' || (doc_id % 5) || '.ck/p/' || doc_id
+       |      WHEN 1 THEN 'https://user' || (doc_id % 7) || '.portal.ck/x/' || doc_id
+       |      WHEN 2 THEN 'https://portal.ck/' || doc_id
+       |      WHEN 3 THEN 'https://blog' || (doc_id % 11) || '.example' || (doc_id % 3) || '.com/' || doc_id
+       |      ELSE 'https://a.b' || (doc_id % 3) || '.zz/' || doc_id END AS url
+       |  FROM documents),
+       |ph AS (SELECT doc_id, n_chars,
+       |    regexp_replace(regexp_extract(url,
+       |      '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2),
+       |      '^www\\.', '') AS host
+       |  FROM pu),
+       |pd AS (SELECT doc_id, n_chars,
+       |    CASE
+       |      WHEN host = 'portal.ck' OR host LIKE '%.portal.ck'
+       |        THEN 'portal.ck'
+       |      WHEN regexp_extract(host, '([^.]+\\.[^.]+\\.ck)$$', 1) <> ''
+       |        THEN regexp_extract(host, '([^.]+\\.[^.]+\\.ck)$$', 1)
+       |      WHEN regexp_extract(host, '([^.]+\\.com)$$', 1) <> ''
+       |        THEN regexp_extract(host, '([^.]+\\.com)$$', 1)
+       |      ELSE regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) END
+       |    AS domain
+       |  FROM ph)""".stripMargin
 
   /** The PSL-cap oracle chain: `pu` rebuilds the fixture, `ph`
     * derives the host exactly as `urlHost` (https only — no ports or

@@ -81,47 +81,54 @@ object PslDomain {
     }
   }
 
-  /** Serializable snapshot with transient lazily-built hash sets —
+  /** The four derived structures, built together and published as ONE
+    * immutable object — see [[Lookup.index]] for why. */
+  private[PslDomain] final class Index(
+      val exact: java.util.HashSet[String],
+      val wild: java.util.HashSet[String],
+      val exceptions: java.util.HashSet[String],
+      val maxLabels: Int)
+
+  /** Serializable snapshot with a transient lazily-built index —
     * one exact-suffix set, one wildcard-PARENT set (`*.foo` is
     * stored as `foo` and matched against the candidate one label
-    * shorter), and one exception set (`!bar.foo` stored as
-    * `bar.foo`). Entries are lowercased at build time; hosts arrive
-    * lowercased from `urlHost`. */
+    * shorter), one exception set (`!bar.foo` stored as `bar.foo`),
+    * and the longest rule's label count. Entries are lowercased at
+    * build time; hosts arrive lowercased from `urlHost`.
+    *
+    * All four fields publish through a SINGLE [[Index]] holder
+    * assigned last: separate lazily-assigned fields would be a
+    * cross-field data race — a thread sharing a built instance could
+    * observe the sets published while the non-volatile `maxLabels`
+    * was still 0, silently capping the suffix walk at two labels.
+    * The holder's final fields are safe to read once the holder
+    * reference is visible (JMM final-field semantics); a racing
+    * reader seeing `null` rebuilds — idempotent, the index is a pure
+    * function of `entries`. */
   final class Lookup(val entries: Array[String]) extends Serializable {
-    @transient private var builtExact: java.util.HashSet[String] = _
-    @transient private var builtWild: java.util.HashSet[String] = _
-    @transient private var builtExc: java.util.HashSet[String] = _
-    @transient private var builtMax: Int = 0
+    @transient private var built: Index = _
 
-    private def build(): Unit = {
-      val e = new java.util.HashSet[String](entries.length * 2)
-      val w = new java.util.HashSet[String]()
-      val x = new java.util.HashSet[String]()
-      var mx = 1
-      var i = 0
-      while (i < entries.length) {
-        val s = entries(i).toLowerCase(java.util.Locale.ROOT)
-        val labels = 1 + s.count(_ == '.')
-        if (s.startsWith("!")) x.add(s.substring(1))
-        else if (s.startsWith("*.")) w.add(s.substring(2))
-        else e.add(s)
-        if (labels > mx) mx = labels
-        i += 1
+    private[PslDomain] def index: Index = {
+      var b = built
+      if (b == null) {
+        val e = new java.util.HashSet[String](entries.length * 2)
+        val w = new java.util.HashSet[String]()
+        val x = new java.util.HashSet[String]()
+        var mx = 1
+        var i = 0
+        while (i < entries.length) {
+          val s = entries(i).toLowerCase(java.util.Locale.ROOT)
+          val labels = 1 + s.count(_ == '.')
+          if (s.startsWith("!")) x.add(s.substring(1))
+          else if (s.startsWith("*.")) w.add(s.substring(2))
+          else e.add(s)
+          if (labels > mx) mx = labels
+          i += 1
+        }
+        b = new Index(e, w, x, mx)
+        built = b
       }
-      builtExact = e; builtWild = w; builtExc = x; builtMax = mx
-    }
-    private[PslDomain] def exact: java.util.HashSet[String] = {
-      if (builtExact == null) build(); builtExact
-    }
-    private[PslDomain] def wild: java.util.HashSet[String] = {
-      if (builtWild == null) build(); builtWild
-    }
-    private[PslDomain] def exceptions: java.util.HashSet[String] = {
-      if (builtExc == null) build(); builtExc
-    }
-    /** Longest suffix (in labels) any rule can match. */
-    private[PslDomain] def maxLabels: Int = {
-      if (builtExact == null) build(); builtMax
+      b
     }
   }
 
@@ -146,13 +153,14 @@ object PslDomain {
         else labels(n - k) + "." + sfx(k - 1)
       k += 1
     }
-    val ex = lk.exact
-    val wl = lk.wild
-    val xc = lk.exceptions
+    val idx = lk.index
+    val ex = idx.exact
+    val wl = idx.wild
+    val xc = idx.exceptions
     // a wildcard rule's own match is one label LONGER than its
     // parent, so depth k can match via wild(sfx(k-1)); cap the walk
     // at maxLabels + 1 to cover that
-    val kMax = math.min(n, lk.maxLabels + 1)
+    val kMax = math.min(n, idx.maxLabels + 1)
     var best = 0
     k = 1
     while (k <= kMax) {

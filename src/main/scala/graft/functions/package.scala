@@ -165,6 +165,30 @@ package object functions {
         "[GRAFT] vfs_psl_domain(host, suffix...): suffixes must be " +
           s"string literals, got $other")
     }))
+    // TABLE-backed PSL form: vfs_psl_domain_table(host, source) —
+    // `source` is a string literal naming either a parquet path
+    // (contains '/') or a registered table, with one `suffix` column
+    // (the parsed public_suffix_list.dat). The snapshot loads ONCE at
+    // plan time through WebCuration.pslFromTable's gated collect, so
+    // the full ~10k-entry list — unreachable through vfs_psl_domain's
+    // literal varargs — is available from pure SQL; the built
+    // expression is the same per-executor hash-set kernel.
+    r1("vfs_psl_domain_table", es => {
+      val src = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+          s: org.apache.spark.unsafe.types.UTF8String,
+          org.apache.spark.sql.types.StringType) =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          "[GRAFT] vfs_psl_domain_table(host, source): source must " +
+            s"be a string literal (parquet path or table name), got $other")
+      }
+      val session = SparkSession.getActiveSession.getOrElse(spark)
+      val df =
+        if (src.contains("/")) session.read.parquet(src)
+        else session.table(src)
+      PslDomain(es(0), graft.operators.WebCuration.pslFromTable(df))
+    })
     r1("vfs_hash_embedding", es => HashEmbedding(es(0),
       intLit(es(1), "vfs_hash_embedding(text, dim): dim"), milli = false))
     r1("vfs_hash_embedding_milli", es => HashEmbedding(es(0),

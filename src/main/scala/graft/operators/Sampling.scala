@@ -380,23 +380,67 @@ object Sampling {
     *
     * Contract: `idCol` must be UNIQUE and NON-NULL (the semi join
     * brings back every row sharing a surviving id — duplicates would
-    * silently widen the selection; checked against the slim frame's
-    * row count only when it is already being counted, i.e. never — a
-    * full uniqueness pass would cost the scan this method exists to
-    * save, so the requirement is documented, not enforced). The
-    * checkpoint blocks free when the result is dropped
-    * (ContextCleaner); executor loss before then makes the result
-    * unrecoverable — re-call to rebuild (selection is deterministic,
-    * the re-run picks the same rows). Use when `stratum`/`rank` are
-    * expensive DERIVED expressions; for plain columns the direct form
-    * avoids the extra join. */
+    * silently widen the selection). `checkIds = true` ENFORCES it
+    * with one count-vs-count-distinct aggregate over the ALREADY
+    * materialized slim frame — an in-memory pass over four slim
+    * columns, not a re-derivation of the expensive stratum — and
+    * fails loudly naming the duplicate count; the default leaves it
+    * off for callers who own the id column (a store's contiguous
+    * ids) and documents the risk instead.
+    *
+    * Durability mirrors [[curriculumInterleave]]'s one-line choice:
+    * the default (`reliable = false`) localCheckpoints the slim frame
+    * — its blocks free when the result is dropped (ContextCleaner),
+    * and executor loss mid-selection discards them, so the caller
+    * redoes the scan (selection is deterministic, the re-run picks
+    * the same rows). `reliable = true` checkpoints the slim frame to
+    * `SparkContext.setCheckpointDir`'s fault-tolerant storage instead
+    * (fails loudly up front when none is set), so a 100 TB cap job
+    * survives executor loss without re-deriving the stratum.
+    * RETENTION: reliable checkpoint files are only auto-deleted when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is enabled —
+    * otherwise each reliable call leaves one slim-frame copy in the
+    * checkpoint dir until the caller cleans it (the
+    * [[curriculumInterleave]] retention story; the slim frame is four
+    * columns, not the corpus, so the copy is small). Use when
+    * `stratum`/`rank` are expensive DERIVED expressions; for plain
+    * columns the direct form avoids the extra join. */
   def rankedTopNMaterialized(df: DataFrame, stratum: Column,
       rank: Column, tiebreak: Column, idCol: String, n: Int,
-      bandCap: Long = 100000L, maxStrata: Int = 512): DataFrame = {
+      bandCap: Long = 100000L, maxStrata: Int = 512,
+      reliable: Boolean = false, checkIds: Boolean = false): DataFrame = {
     WorkCols.requireFree(df, "__mid", "__ms", "__mr", "__mtb")
-    val slim = df.select(col(idCol).as("__mid"), stratum.as("__ms"),
-        rank.cast("long").as("__mr"), tiebreak.as("__mtb"))
-      .localCheckpoint()
+    val spark = df.sparkSession
+    if (reliable) require(
+      spark.sparkContext.getCheckpointDir.isDefined,
+      "[GRAFT] rankedTopNMaterialized(reliable = true) needs " +
+        "SparkContext.setCheckpointDir (fault-tolerant storage) — " +
+        "set it, or drop reliable to accept a localCheckpoint")
+    val slim0 = df.select(col(idCol).as("__mid"), stratum.as("__ms"),
+      rank.cast("long").as("__mr"), tiebreak.as("__mtb"))
+    val slim =
+      if (reliable) {
+        // the curriculumInterleave reliable recipe: persist BEFORE
+        // checkpoint() (the checkpoint writer is a separate job after
+        // the materializing count — unpersisted, it would re-run the
+        // expensive stratum derivation once more), release the cache
+        // once the checkpoint holds the blocks
+        val rdd = slim0.rdd
+        rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+        rdd.count()
+        rdd.unpersist(blocking = false)
+        spark.createDataFrame(rdd, slim0.schema)
+      } else slim0.localCheckpoint()
+    if (checkIds) {
+      val c = slim.agg(count(lit(1)).as("n"),
+        count_distinct(col("__mid")).as("d")).head()
+      val (total, distinct) = (c.getLong(0), c.getLong(1))
+      require(total == distinct,
+        s"[GRAFT] rankedTopNMaterialized: idCol '$idCol' is not " +
+          s"unique/non-null ($total rows, $distinct distinct non-null " +
+          "ids) — the semi join would silently widen the selection")
+    }
     val picked = rankedTopNImpl(slim, col("__ms"), col("__mr"),
       col("__mtb"), n, bandCap, maxStrata, fullRangeRank = false)
     df.join(picked.select(col("__mid")), col(idCol) === col("__mid"),
@@ -667,7 +711,15 @@ object Sampling {
     * rebuild. `reliable = true` uses a RELIABLE checkpoint instead
     * (blocks written to `SparkContext.setCheckpointDir`'s fault-
     * tolerant storage, so the ordering survives any executor loss) —
-    * fails loudly up front when no checkpoint dir is set. Both modes
+    * fails loudly up front when no checkpoint dir is set. RETENTION:
+    * the ContextCleaner only deletes reliable checkpoint data when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is enabled —
+    * without it, every reliable call leaves a full serialized copy of
+    * the ranked frame in the checkpoint dir. At 100 TB that
+    * accumulation is real storage: either enable the conf, or delete
+    * the run's files after the output is consumed (the checkpointed
+    * RDD's path is `rdd.getCheckpointFile`; each run writes under its
+    * own `rdd-<id>` subdirectory of the checkpoint dir). Both modes
     * produce the identical ordering (spec-pinned). */
   def curriculumInterleave(df: DataFrame, source: Column, score: Column,
       tiebreak: Column, reliable: Boolean = false): DataFrame = {

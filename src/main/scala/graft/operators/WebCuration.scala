@@ -129,6 +129,18 @@ object WebCuration {
         "web.app", "firebaseapp.com", "herokuapp.com", "vercel.app",
         "wordpress.com", "tumblr.com", "neocities.org", "glitch.me")
 
+  /** Fixture snapshot exercising the two rule kinds
+    * [[pslDomainRegexes]] loudly refuses to compile — a `*.parent`
+    * wildcard and a `!exception` carve-out (the `*.ck` / `!www.ck`
+    * shape of the real list) — so their longest-match semantics can
+    * be hash-matched against an independent engine via a HAND-derived
+    * oracle CASE (hard-coded for this fixture), not just spec-pinned.
+    * `!portal.ck` rather than `!www.ck` because [[urlHost]] strips
+    * one leading `www.`, which would erase the exception host before
+    * the walk ever saw it. */
+  val PslWildSnapshot: Seq[String] =
+    Seq("com", "ck", "*.ck", "!portal.ck")
+
   /** [[registeredDomain]] under a public-suffix SNAPSHOT — the
     * full-fidelity eTLD+1 ([[graft.functions.PslDomain]]: longest
     * listed suffix + one label, `*.parent` wildcards honored,
@@ -280,14 +292,20 @@ object WebCuration {
     * refinement pass otherwise; ScaleProbe measured the
     * expression-form cost at ~10× on a 5M-URL mega-domain), survivors
     * semi-join back by `idCol` (must be unique and non-null — the
-    * rankedTopNMaterialized contract). Unattributable rows pass
-    * through whole, as in [[capPerDomain]]. */
+    * rankedTopNMaterialized contract; `checkIds = true` enforces it
+    * over the materialized slim frame). `reliable = true` checkpoints
+    * the slim frame to fault-tolerant storage so a 100 TB cap job
+    * survives executor loss — both flags pass straight through to
+    * [[Sampling.rankedTopNMaterialized]], durability/retention story
+    * there. Unattributable rows pass through whole, as in
+    * [[capPerDomain]]. */
   def capPerDomainPsl(df: DataFrame, urlCol: String, psl: Seq[String],
       rank: Column, tiebreak: Column, idCol: String, n: Int,
-      bandCap: Long = 100000L, maxStrata: Int = 512): DataFrame = {
+      bandCap: Long = 100000L, maxStrata: Int = 512,
+      reliable: Boolean = false, checkIds: Boolean = false): DataFrame = {
     val d = urlDomainPsl(col(urlCol), psl)
     Sampling.rankedTopNMaterialized(df, d, rank, tiebreak, idCol, n,
-        bandCap, maxStrata)
+        bandCap, maxStrata, reliable, checkIds)
       // the domain is NULL iff the host is (the suffix walk never
       // nulls a non-null host), so the pass-through filter re-derives
       // only the host — not the whole suffix walk — per row

@@ -614,9 +614,12 @@ object Ingest {
     * cover them. */
   private[graft] def urlDedupBatch(batch0: DataFrame, batchId: Long,
       corpusDir: String, urlCol: String = "url",
-      idCol: String = "doc_id", autoCompactFiles: Int = 0): Unit = {
+      idCol: String = "doc_id", autoCompactFiles: Int = 0,
+      psl: Seq[String] = Nil): Unit = {
     import graft.operators.{UrlIndex, WebCuration}
     val spark = batch0.sparkSession
+    if (psl.nonEmpty) require(!batch0.columns.contains("psl_domain"),
+      "[GRAFT] urlDedupBatch: input already has a psl_domain column")
     // persist: keep-first, the probe, and the landing scan the batch
     val batch = batch0.persist()
     try {
@@ -632,8 +635,17 @@ object Ingest {
       // with an empty set
       if (UrlIndex.isCommitted(idxDir, batchId)) return
       val kept = WebCuration.urlKeepFirst(batch, urlCol, idCol)
-      val fresh = UrlIndex.filterNew(spark, idxDir, kept, urlCol,
+      val fresh0 = UrlIndex.filterNew(spark, idxDir, kept, urlCol,
         excludeBatch = batchId)
+      // PSL attribution rides the LANDED rows (a pure per-row codegen
+      // projection — zero extra shuffle, replay-idempotent because the
+      // column is a function of the row): downstream per-publisher
+      // caps (capPerDomainPsl) read it straight off the corpus instead
+      // of re-walking suffixes over every landed batch
+      val fresh =
+        if (psl.isEmpty) fresh0
+        else fresh0.withColumn("psl_domain",
+          WebCuration.urlDomainPsl(col(urlCol), psl))
       fresh.write.mode("overwrite")
         .parquet(s"$corpusDir/docs/batch=$batchId")
       UrlIndex.appendIdempotent(batch, idxDir, batchId, urlCol)
@@ -647,17 +659,30 @@ object Ingest {
   /** Continuous URL-keyed dedup ingest: each micro-batch keeps one
     * row per never-before-seen normalized URL and lands it
     * batch-addressed under `docs/`; the seen set is the standing
-    * [[graft.operators.UrlIndex]] at `<corpusDir>/urlidx`. */
+    * [[graft.operators.UrlIndex]] at `<corpusDir>/urlidx`.
+    *
+    * A non-empty `psl` snapshot (load the full list once via
+    * [[graft.operators.WebCuration.pslFromTable]]) adds a
+    * `psl_domain` column to every LANDED row —
+    * [[graft.operators.WebCuration.urlDomainPsl]]'s eTLD+1, computed
+    * in the same per-row projection that lands the batch (zero extra
+    * shuffle, replay-idempotent) — keeping the streaming surface at
+    * parity with the batch cap: the nightly `capPerDomainPsl` run
+    * groups by the landed column instead of re-walking suffixes over
+    * the whole corpus. The snapshot is fixed for the stream's
+    * lifetime (it ships in the closure); a list refresh is a stream
+    * restart. */
   def urlIngestStream(stream: DataFrame, corpusDir: String,
       checkpoint: String, urlCol: String = "url",
       idCol: String = "doc_id", autoCompactFiles: Int = 0,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      psl: Seq[String] = Nil): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         urlDedupBatch(batch, batchId, corpusDir, urlCol, idCol,
-          autoCompactFiles)
+          autoCompactFiles, psl)
       }
       .start()
 

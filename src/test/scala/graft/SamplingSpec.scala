@@ -245,6 +245,53 @@ class SamplingSpec extends AnyFunSuite {
     assert(cols === base.columns.toSeq)
   }
 
+  test("rankedTopNMaterialized: reliable mode matches localCheckpoint " +
+      "mode, loud without a checkpoint dir; checkIds rejects duplicate " +
+      "and null ids") {
+    val base = docs.select($"doc_id", $"source", $"n_chars")
+    def pick(reliable: Boolean) = Sampling.rankedTopNMaterialized(base,
+        $"source", -$"n_chars", $"doc_id", "doc_id", n = 5,
+        bandCap = 2L, reliable = reliable, checkIds = true)
+      .select($"doc_id").as[Long].collect().toSet
+    val sc = spark.sparkContext
+    // no checkpoint dir -> reliable fails UP FRONT, before any scan
+    if (sc.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] { pick(reliable = true) }
+    }
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("rankedtopn_ck").toString
+    sc.setCheckpointDir(ckDir)
+    try {
+      val local = pick(reliable = false)
+      val rel = pick(reliable = true)
+      assert(rel === local && rel.nonEmpty)
+      // the reliable run actually wrote checkpoint data to the dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0L, "reliable mode must write to the checkpoint dir")
+    } finally sc.setCheckpointDir(null)
+    // checkIds: a duplicated id fails loudly instead of silently
+    // widening the semi join...
+    val dup = base.unionByName(base.limit(1))
+    val eDup = intercept[IllegalArgumentException] {
+      Sampling.rankedTopNMaterialized(dup, $"source", -$"n_chars",
+        $"doc_id", "doc_id", n = 5, checkIds = true).collect()
+    }
+    assert(eDup.getMessage.contains("not unique"))
+    // ...and so does a NULL id (count_distinct ignores nulls)
+    val withNull = base.unionByName(
+      base.limit(1).withColumn("doc_id", lit(null).cast("long")))
+    val eNull = intercept[IllegalArgumentException] {
+      Sampling.rankedTopNMaterialized(withNull, $"source", -$"n_chars",
+        $"doc_id", "doc_id", n = 5, checkIds = true).collect()
+    }
+    assert(eNull.getMessage.contains("not unique"))
+    // default (checkIds = false) keeps the documented non-enforcing
+    // behavior: the duplicate id row widens, no throw
+    Sampling.rankedTopNMaterialized(dup, $"source", -$"n_chars",
+      $"doc_id", "doc_id", n = 5).collect()
+  }
+
   /** The budgetSample contract replayed row-by-row: per stratum, in
     * (fingerprint, tiebreak) order, keep while the running weight
     * BEFORE the row is under the budget. */

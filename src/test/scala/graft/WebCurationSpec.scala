@@ -310,6 +310,72 @@ class WebCurationSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().toSet === Set(5L))
   }
 
+  test("vfs_psl_domain_table: loads the snapshot from a parquet path or table, non-literal/bad sources loud") {
+    import graft.operators.WebCuration
+    graft.functions.registerAll(spark)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("psl_table").toString
+    WebCuration.PslSampleSnapshot.toDF("suffix")
+      .write.mode("overwrite").parquet(s"$tmp/psl")
+    Seq(("u1.github.io"), ("news.bbc.co.uk"), ("x.example.com"))
+      .toDF("host").createOrReplaceTempView("psl_hosts_v")
+    // parquet-path form
+    val viaPath = spark.sql("SELECT vfs_psl_domain_table(host, " +
+        s"'$tmp/psl') AS d FROM psl_hosts_v ORDER BY host")
+      .as[String].collect().toSeq
+    assert(viaPath === Seq("bbc.co.uk", "u1.github.io", "example.com"))
+    // table-name form resolves through the catalog
+    WebCuration.PslSampleSnapshot.toDF("suffix")
+      .createOrReplaceTempView("psl_snapshot_v")
+    val viaTable = spark.sql("SELECT vfs_psl_domain_table(host, " +
+        "'psl_snapshot_v') AS d FROM psl_hosts_v ORDER BY host")
+      .as[String].collect().toSeq
+    assert(viaTable === viaPath)
+    // a table without the suffix column fails with the pslFromTable
+    // contract error, not a late schema crash
+    Seq("com").toDF("wrong").createOrReplaceTempView("psl_bad_v")
+    val eCol = intercept[Exception] {
+      spark.sql("SELECT vfs_psl_domain_table(host, 'psl_bad_v') " +
+        "FROM psl_hosts_v").collect()
+    }
+    assert(eCol.getMessage.contains("suffix"))
+    // a non-literal source is a plan-time error
+    val eLit = intercept[Exception] {
+      spark.sql("SELECT vfs_psl_domain_table(host, host) " +
+        "FROM psl_hosts_v").collect()
+    }
+    assert(eLit.getMessage.contains("string literal"))
+  }
+
+  test("url ingest with PSL attribution: landed rows carry psl_domain, replay-idempotent, input collision loud") {
+    import graft.operators.WebCuration
+    val dir = java.nio.file.Files
+      .createTempDirectory("url_ingest_psl").toString
+    val psl = WebCuration.PslSampleSnapshot
+    def batch = Seq(
+      (1L, "https://u1.github.io/a"), (2L, "https://u2.github.io/b"),
+      (3L, "https://news.bbc.co.uk/c"), (4L, "https://news.bbc.co.uk/c"))
+      .toDF("doc_id", "url")
+    graft.streaming.Ingest.urlDedupBatch(batch, 0L, dir, psl = psl)
+    def landed = spark.read.parquet(s"$dir/docs/batch=0")
+      .select($"doc_id", $"psl_domain").as[(Long, String)]
+      .collect().toMap
+    // the two github.io users are DISTINCT publishers under the PSL
+    // snapshot; the duplicate bbc fetch deduped within the batch
+    assert(landed === Map(1L -> "u1.github.io", 2L -> "u2.github.io",
+      3L -> "bbc.co.uk"))
+    // replay: same survivors, same attribution
+    graft.streaming.Ingest.urlDedupBatch(batch, 0L, dir, psl = psl)
+    assert(landed.size === 3)
+    // an input already carrying psl_domain fails loudly instead of
+    // silently shadowing the caller's column
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.urlDedupBatch(
+        batch.withColumn("psl_domain", lit("x")), 1L, dir, psl = psl)
+    }
+    assert(e.getMessage.contains("psl_domain"))
+  }
+
   test("legacy unbound watermark: rebuild migrates it, fresh batch sequence is not refused") {
     import graft.operators.{ArtifactIo, UrlIndex}
     val idx = java.nio.file.Files
