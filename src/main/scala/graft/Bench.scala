@@ -354,6 +354,12 @@ object Bench {
     entry("media_decode") { median {
       SparkEntry.queries("multimodal_features")(spark, sfDir).count()
     } }
+    // baseline JPEG encode + entropy-decode + IDCT + YCbCr: the
+    // 4:4:4 constant-block corpus (multimodal_jpeg_color), a pure
+    // per-partition compute kernel — zero shuffle
+    entry("jpeg_decode") { median {
+      SparkEntry.queries("multimodal_jpeg_color")(spark, sfDir).count()
+    } }
     // decode -> NN resize -> PNG re-encode -> decode, the image
     // normalization shape (per-partition batch kernel, pure scan)
     entry("media_resize") { median {

@@ -2660,6 +2660,70 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- baseline JPEG decode (GRAYSCALE): every doc wrapped in a
+    // real JFIF file — one CONSTANT 8×8 block per payload byte, flat
+    // q=8, where the lossy codec is EXACT (DC quantizes losslessly,
+    // ACs are 0) — so the oracle pins the decoded stats from payload
+    // arithmetic: Huffman, DC prediction, marker walk and IDCT must
+    // all round-trip byte-exactly for the row to hash-match ----
+    "multimodal_jpeg" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizeJpeg(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.decodeStats(s, media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- COLOR (4:4:4) JPEG: every 3 payload bytes one constant
+    // (r,g,b) block — the DCT side stays exact, and the decoded
+    // channels are the pinned JFIF RGB→YCbCr→RGB integer chain,
+    // reproduced by the oracle per 3-byte group (floor(x+0.5) double
+    // chains, clamped) ----
+    "multimodal_jpeg_color" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizeJpegColor(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.decodeStats(s, media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- 4:2:0 JPEG: constant 16×16 macroblocks, so the 2×2 chroma
+    // box-average and the replication upsample round-trip exactly —
+    // same oracle chain, 256 pixels per group ----
+    "multimodal_jpeg_420" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizeJpeg420(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.decodeStats(s, media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- JPEG through the resize family: decode the gray JPEG
+    // (exact), GRAY→RGB replicate, NN-resize to 2×3, re-encode PNG,
+    // decode again — the oracle picks the 3 sampled payload bytes
+    // with the same (y·h)//h2 floor formula ----
+    "multimodal_jpeg_resize" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizeJpeg(s.read.parquet(s"$dir/documents.parquet"))
+      val resized = graft.operators.Multimodal
+        .resizeMedia(s, media, newWidth = 2, newHeight = 3)
+      graft.operators.Multimodal.decodeStats(s, resized)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- REAL 2-D image resize: every doc's PNG raster decoded,
     // nearest-neighbor-resized to 2×3, re-encoded as PNG, decoded
     // AGAIN for stats — the oracle recomputes the resized channel
@@ -5050,6 +5114,10 @@ object SparkEntry {
     "multimodal_png_gray" -> multimodalPngGrayOracle,
     "multimodal_png_palette" -> multimodalPngPaletteOracle,
     "multimodal_png_rgba" -> multimodalPngRgbaOracle,
+    "multimodal_jpeg" -> multimodalJpegOracle,
+    "multimodal_jpeg_color" -> multimodalJpegColorOracle(8),
+    "multimodal_jpeg_420" -> multimodalJpegColorOracle(16),
+    "multimodal_jpeg_resize" -> multimodalJpegResizeOracle,
     "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_frames" -> multimodalFramesOracle,
 
@@ -6423,6 +6491,106 @@ object SparkEntry {
        |  CAST(${chan(1)} AS BIGINT) AS c1_milli,
        |  CAST(${chan(2)} AS BIGINT) AS c2_milli
        |FROM p ORDER BY doc_id ASC""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Multimodal.synthesizeJpeg]] +
+    * `decodeStats`: one CONSTANT 8×8 luma block per payload byte, no
+    * color conversion on the grayscale path and flat q=8 makes the
+    * lossy codec exact — every channel mean equals the payload byte
+    * mean (each byte owns the same 64 pixels). */
+  private def multimodalJpegOracle: String =
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+       |s AS (SELECT doc_id, bs, len(bs) AS n,
+       |    greatest(1, len(bs)) AS m FROM b),
+       |p AS (SELECT doc_id, n, m,
+       |    round(COALESCE(list_sum(list_transform(range(1, m + 1),
+       |        i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END)), 0)
+       |      * 1000.0 / (255.0 * m)) AS gm
+       |  FROM s)
+       |SELECT doc_id, 'image/jpeg' AS format,
+       |  CAST(8 AS INT) AS width,
+       |  CAST(8 * m AS INT) AS height,
+       |  CAST(64 * m AS BIGINT) AS n_samples,
+       |  CAST(gm AS BIGINT) AS c0_milli,
+       |  CAST(gm AS BIGINT) AS c1_milli,
+       |  CAST(gm AS BIGINT) AS c2_milli
+       |FROM p ORDER BY doc_id ASC""".stripMargin
+
+  /** The pinned JFIF color chain of `MediaCodec.rgbToYcc`/`yccToRgb`
+    * — floor(x + 0.5) on the same left-to-right double chains, every
+    * literal CAST AS DOUBLE (DuckDB would otherwise run the products
+    * in DECIMAL), clamped to [0, 255] — as SQL over per-group r/g/b
+    * expressions. Returns the decoded (r', g', b') expressions. */
+  private def duckJpegRoundTrip(rE: String, gE: String,
+      bE: String): (String, String, String) = {
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    def cl(x: String) = s"least(255, greatest(0, floor($x + 0.5)))"
+    val y = cl(s"${d("0.299")} * $rE + ${d("0.587")} * $gE + " +
+      s"${d("0.114")} * $bE")
+    val cb = cl(s"${d("-0.168736")} * $rE - ${d("0.331264")} * $gE + " +
+      s"${d("0.5")} * $bE + 128")
+    val cr = cl(s"${d("0.5")} * $rE - ${d("0.418688")} * $gE - " +
+      s"${d("0.081312")} * $bE + 128")
+    (cl(s"($y) + ${d("1.402")} * (($cr) - 128)"),
+      cl(s"($y) - ${d("0.344136")} * (($cb) - 128) - " +
+        s"${d("0.714136")} * (($cr) - 128)"),
+      cl(s"($y) + ${d("1.772")} * (($cb) - 128)"))
+  }
+
+  /** Mirrors `synthesizeJpegColor` (side = 8, 4:4:4) and
+    * `synthesizeJpeg420` (side = 16, 4:2:0) + `decodeStats`: every 3
+    * payload bytes one constant side×side block, DCT exact, decoded
+    * channels = the [[duckJpegRoundTrip]] chain per group (blocks are
+    * equal-sized, so the pixel mean is the group mean). */
+  private def multimodalJpegColorOracle(side: Int): String = {
+    val (r2, g2, b2) = duckJpegRoundTrip("pb[3*j + 1]", "pb[3*j + 2]",
+      "pb[3*j + 3]")
+    def chan(e: String): String =
+      s"""round(COALESCE(list_sum(list_transform(range(0, m // 3),
+         |    j -> $e)), 0) * 1000.0 / (255.0 * (m // 3)))""".stripMargin
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+       |s AS (SELECT doc_id, bs, len(bs) AS n,
+       |    greatest(3, len(bs) - (len(bs) % 3)) AS m FROM b),
+       |p AS (SELECT doc_id, n, m,
+       |    list_transform(range(1, m + 1),
+       |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
+       |  FROM s)
+       |SELECT doc_id, 'image/jpeg' AS format,
+       |  CAST($side AS INT) AS width,
+       |  CAST($side * (m // 3) AS INT) AS height,
+       |  CAST(${side * side} * (m // 3) AS BIGINT) AS n_samples,
+       |  CAST(${chan(r2)} AS BIGINT) AS c0_milli,
+       |  CAST(${chan(g2)} AS BIGINT) AS c1_milli,
+       |  CAST(${chan(b2)} AS BIGINT) AS c2_milli
+       |FROM p ORDER BY doc_id ASC""".stripMargin
+  }
+
+  /** Mirrors `synthesizeJpeg` → `resizeMedia(2, 3)` → `decodeStats`:
+    * the gray JPEG decodes exactly, NN picks source row
+    * (y2·8m) div 3 → payload byte ((y2·8m) div 3) div 8 for
+    * y2 ∈ {0,1,2} (both output pixels of a row are equal), PNG
+    * re-encode is lossless. */
+  private def multimodalJpegResizeOracle: String = {
+    val picks = (0 to 2).map(y2 =>
+      s"pb[(($y2 * 8 * m) // 3) // 8 + 1]").mkString(" + ")
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+       |s AS (SELECT doc_id, bs, len(bs) AS n,
+       |    greatest(1, len(bs)) AS m FROM b),
+       |p AS (SELECT doc_id, n, m,
+       |    list_transform(range(1, m + 1),
+       |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
+       |  FROM s),
+       |r AS (SELECT doc_id,
+       |    round(($picks) * 2 * 1000.0 / (255.0 * 6)) AS gm
+       |  FROM p)
+       |SELECT doc_id, 'image/png' AS format,
+       |  CAST(2 AS INT) AS width,
+       |  CAST(3 AS INT) AS height,
+       |  CAST(6 AS BIGINT) AS n_samples,
+       |  CAST(gm AS BIGINT) AS c0_milli,
+       |  CAST(gm AS BIGINT) AS c1_milli,
+       |  CAST(gm AS BIGINT) AS c2_milli
+       |FROM r ORDER BY doc_id ASC""".stripMargin
   }
 
   /** The fixed BM25 query — shared by the engine call and the oracle

@@ -3,13 +3,23 @@ package graft.operators
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 
-/** Pure-JVM encoders/decoders for three real container formats —
-  * WAV (RIFF PCM), BMP (BITMAPINFOHEADER, 24-bpp) and PPM (P6) — so
-  * the multimodal decode path parses genuine headers, chunk layouts,
-  * channel orders and row strides instead of a stand-in byte fold.
-  * These cover the in-sandbox-verifiable end of the codec spectrum;
-  * compressed formats (JPEG/MP3/H.264) slot in behind the same
-  * [[Multimodal.decodeStats]] dispatch.
+/** Pure-JVM encoders/decoders for real media formats — WAV (RIFF
+  * PCM), BMP (BITMAPINFOHEADER, 24-bpp), PPM (P6), PNG (zlib +
+  * scanline filters, 4 color types) and baseline JPEG (sequential
+  * DCT, Huffman, YCbCr, 4:4:4/4:2:0) — so the multimodal decode path
+  * parses genuine headers, chunk layouts, entropy coding, channel
+  * orders and row strides instead of a stand-in byte fold.
+  *
+  * Codec-scope stance (a decision, not an omission): baseline JPEG
+  * covers the overwhelming majority of real web-image corpora and is
+  * self-contained + deterministic, so it is IN. MP3 and H.264 decode
+  * are OUT of scope by design — both specify the bitstream, not the
+  * decoder's arithmetic (float MDCT/synthesis filterbanks differ
+  * across conformant decoders), so their output is not
+  * oracle-pinnable the way every kernel here must be; audio/video
+  * near-dup runs on the deterministic WAV-PCM and PPM-stream paths
+  * (decode-to-PCM/frames upstream with ffmpeg-class tooling), which
+  * [[Multimodal]] documents as the permanent contract.
   *
   * All decoders validate magic numbers and structure and throw
   * IllegalArgumentException with a [GRAFT] message on malformed input
@@ -614,6 +624,815 @@ object MediaCodec {
       off = next
     }
     frames.result()
+  }
+
+  // ---------------------------------------------------------------
+  // JPEG (baseline sequential DCT, Huffman, YCbCr — ITU-T T.81)
+  // ---------------------------------------------------------------
+
+  /** Zig-zag → natural coefficient order (T.81 Figure A.6). */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  // The typical Huffman tables of T.81 Annex K.3 (the ones every
+  // baseline encoder ships): (bits per code length 1..16, symbol
+  // values). The encoder emits only symbols its content produces; the
+  // decoder always rebuilds tables from the file's own DHT.
+  private val DcLumBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumVals = (0 to 11).toArray
+  private val DcChrBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChrVals = (0 to 11).toArray
+  private val AcLumBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumVals = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+  private val AcChrBits =
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChrVals = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** cos((2x+1)·u·π/16) lookup shared by FDCT and IDCT. */
+  private val DctCos: Array[Array[Double]] = Array.tabulate(8, 8) {
+    (u, x) => math.cos((2 * x + 1) * u * math.Pi / 16)
+  }
+  private val InvSqrt2 = 1.0 / math.sqrt(2.0)
+
+  /** Pinned rounding for every JPEG sample/coefficient decision —
+    * floor(x + 0.5), the form a SQL oracle reproduces verbatim
+    * (Math.round special-cases one boundary double differently). */
+  private def jround(x: Double): Int = math.floor(x + 0.5).toInt
+
+  private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** JFIF RGB→YCbCr, integer in/out: floor(x + 0.5) on the pinned
+    * left-to-right double chain, clamped (Cb/Cr reach 255.5 at the
+    * gamut corners). */
+  private[graft] def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = (
+    clamp255(jround(0.299 * r + 0.587 * g + 0.114 * b)),
+    clamp255(jround(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)),
+    clamp255(jround(0.5 * r - 0.418688 * g - 0.081312 * b + 128)))
+
+  /** JFIF YCbCr→RGB, the decoder's exact chain (mirrored by the
+    * DuckDB oracles): floor(x + 0.5), clamp. */
+  private[graft] def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = (
+    clamp255(jround(y + 1.402 * (cr - 128))),
+    clamp255(jround(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))),
+    clamp255(jround(y + 1.772 * (cb - 128))))
+
+  /** Forward DCT of one level-shifted 8×8 block (row-major ints),
+    * quantized by `q` per coefficient — separable double math. For a
+    * CONSTANT block every AC quantizes to exactly 0 and the DC
+    * round-trips exactly (the synthesizer fixtures' oracle-exactness
+    * lever). */
+  private def fdctQuant(block: Array[Int], qtab: Array[Int]): Array[Int] = {
+    val tmp = new Array[Double](64) // tmp(u, y) = Σ_x s(x,y)·cos_u(x)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += block(y * 8 + x) * DctCos(u)(x); x += 1 }
+        tmp(u * 8 + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    val out = new Array[Int](64)
+    u = 0
+    while (u < 8) {
+      val cu = if (u == 0) InvSqrt2 else 1.0
+      var v = 0
+      while (v < 8) {
+        val cv = if (v == 0) InvSqrt2 else 1.0
+        var s = 0.0
+        var y = 0
+        while (y < 8) { s += tmp(u * 8 + y) * DctCos(v)(y); y += 1 }
+        val f = 0.25 * cu * cv * s
+        out(v * 8 + u) = jround(f / qtab(v * 8 + u))
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Inverse DCT of one dequantized 8×8 block → level-shifted,
+    * clamped samples. */
+  private def idct(coef: Array[Int]): Array[Int] = {
+    val tmp = new Array[Double](64) // tmp(x, v) = Σ_u C(u)·F(u,v)·cos_u(x)
+    var x = 0
+    while (x < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) InvSqrt2 else 1.0
+          s += cu * coef(v * 8 + u) * DctCos(u)(x)
+          u += 1
+        }
+        tmp(x * 8 + v) = s
+        v += 1
+      }
+      x += 1
+    }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x2 = 0
+      while (x2 < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) InvSqrt2 else 1.0
+          s += cv * tmp(x2 * 8 + v) * DctCos(v)(y)
+          v += 1
+        }
+        out(y * 8 + x2) = clamp255(jround(0.25 * s + 128))
+        x2 += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Entropy-coded-segment bit writer with 0xFF byte stuffing. */
+  private final class JpegBitWriter(out: java.io.ByteArrayOutputStream) {
+    private var buf = 0
+    private var cnt = 0
+    def put(bits: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((bits >> i) & 1)
+        cnt += 1
+        if (cnt == 8) {
+          out.write(buf)
+          if (buf == 0xff) out.write(0x00)
+          buf = 0; cnt = 0
+        }
+        i -= 1
+      }
+    }
+    /** Pad the final partial byte with 1-bits (T.81 F.1.2.3). */
+    def flush(): Unit = if (cnt > 0) put((1 << (8 - cnt)) - 1, 8 - cnt)
+  }
+
+  /** Canonical Huffman codes from a (bits, values) table: symbol →
+    * (code, length). */
+  private def huffEncodeTable(bits: Array[Int],
+      vals: Array[Int]): Array[(Int, Int)] = {
+    val codes = new Array[(Int, Int)](256)
+    var code = 0
+    var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        codes(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      len += 1
+    }
+    codes
+  }
+
+  private def bitLen(v: Int): Int = 32 - Integer.numberOfLeadingZeros(v)
+
+  /** Huffman-encode one quantized block (natural order): DC diff
+    * category + bits, AC run/size symbols with ZRL and EOB. Returns
+    * the block's DC for the next prediction. */
+  private def encodeBlock(w: JpegBitWriter, coef: Array[Int], pred: Int,
+      dcCodes: Array[(Int, Int)], acCodes: Array[(Int, Int)]): Int = {
+    def emitSym(codes: Array[(Int, Int)], sym: Int): Unit = {
+      val c = codes(sym)
+      require(c != null, s"[GRAFT] jpeg: symbol $sym not in Huffman table")
+      w.put(c._1, c._2)
+    }
+    val diff = coef(0) - pred
+    val s = if (diff == 0) 0 else bitLen(math.abs(diff))
+    emitSym(dcCodes, s)
+    if (s > 0) w.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    var run = 0
+    var k = 1
+    while (k < 64) {
+      val v = coef(ZigZag(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { emitSym(acCodes, 0xf0); run -= 16 }
+        val sz = bitLen(math.abs(v))
+        emitSym(acCodes, (run << 4) | sz)
+        w.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (run > 0) emitSym(acCodes, 0x00)
+    coef(0)
+  }
+
+  /** Edge-replicated plane extraction: one channel of an
+    * interleaved-RGB image into a padded (pw × ph) plane. */
+  private def padPlane(src: Array[Int], w: Int, h: Int,
+      pw: Int, ph: Int): Array[Int] = {
+    val out = new Array[Int](pw * ph)
+    var y = 0
+    while (y < ph) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < pw) {
+        out(y * pw + x) = src(sy * w + math.min(x, w - 1))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def jpegSeg(out: java.io.ByteArrayOutputStream, marker: Int,
+      body: Array[Byte]): Unit = {
+    out.write(0xff); out.write(marker)
+    val len = body.length + 2
+    out.write((len >> 8) & 0xff); out.write(len & 0xff)
+    out.write(body, 0, body.length)
+  }
+
+  private def dhtBody(tc: Int, th: Int, bits: Array[Int],
+      vals: Array[Int]): Array[Byte] = {
+    val b = new Array[Byte](1 + 16 + vals.length)
+    b(0) = ((tc << 4) | th).toByte
+    var i = 0
+    while (i < 16) { b(1 + i) = bits(i).toByte; i += 1 }
+    i = 0
+    while (i < vals.length) { b(17 + i) = vals(i).toByte; i += 1 }
+    b
+  }
+
+  /** Baseline sequential JPEG encoder — REAL compression: JFIF
+    * RGB→YCbCr (integer, pinned rounding), optional 4:2:0 chroma
+    * subsampling (2×2 box average, `(sum+2)/4`), forward DCT,
+    * FLAT quantization table `q` (all 64 entries — q=8 makes a
+    * block-constant input round-trip EXACTLY: DC = 8·(c−128) is an
+    * exact double, every AC quantizes to 0), zig-zag, and the Annex
+    * K.3 typical Huffman tables with DC-difference and AC run-length
+    * coding. Output is a bona fide JFIF file (SOI, APP0, DQT×2,
+    * SOF0, DHT×4, SOS, stuffed entropy data, EOI) that desktop
+    * decoders open. `payload` is RGB bytes, top-down rows. */
+  def encodeJpeg(payload: Array[Byte], width: Int, height: Int,
+      subsample: Boolean = false, q: Int = 8): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      payload.length == width * height * 3,
+      "[GRAFT] jpeg: payload must be width*height*3 bytes")
+    require(q >= 1 && q <= 255, "[GRAFT] jpeg: q must be in [1, 255]")
+    // full-resolution YCbCr planes
+    val n = width * height
+    val yP = new Array[Int](n); val cbP = new Array[Int](n)
+    val crP = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val (yy, cb, cr) = rgbToYcc(payload(3 * i) & 0xff,
+        payload(3 * i + 1) & 0xff, payload(3 * i + 2) & 0xff)
+      yP(i) = yy; cbP(i) = cb; crP(i) = cr
+      i += 1
+    }
+    val mcu = if (subsample) 16 else 8
+    val pw = (width + mcu - 1) / mcu * mcu
+    val ph = (height + mcu - 1) / mcu * mcu
+    val yPad = padPlane(yP, width, height, pw, ph)
+    val (cbPad, crPad, cw, ch) =
+      if (!subsample)
+        (padPlane(cbP, width, height, pw, ph),
+          padPlane(crP, width, height, pw, ph), pw, ph)
+      else {
+        // 2×2 box average AFTER padding (constant macroblocks stay
+        // exact; edges average replicated samples)
+        val fcb = padPlane(cbP, width, height, pw, ph)
+        val fcr = padPlane(crP, width, height, pw, ph)
+        val w2 = pw / 2; val h2 = ph / 2
+        val scb = new Array[Int](w2 * h2)
+        val scr = new Array[Int](w2 * h2)
+        var yy = 0
+        while (yy < h2) {
+          var xx = 0
+          while (xx < w2) {
+            val o = 2 * yy * pw + 2 * xx
+            scb(yy * w2 + xx) =
+              (fcb(o) + fcb(o + 1) + fcb(o + pw) + fcb(o + pw + 1) + 2) / 4
+            scr(yy * w2 + xx) =
+              (fcr(o) + fcr(o + 1) + fcr(o + pw) + fcr(o + pw + 1) + 2) / 4
+            xx += 1
+          }
+          yy += 1
+        }
+        (scb, scr, w2, h2)
+      }
+    val qtab = Array.fill(64)(q)
+    def blockAt(plane: Array[Int], pwid: Int, bx: Int, by: Int): Array[Int] = {
+      val b = new Array[Int](64)
+      var yy = 0
+      while (yy < 8) {
+        var xx = 0
+        while (xx < 8) {
+          b(yy * 8 + xx) = plane((by * 8 + yy) * pwid + bx * 8 + xx) - 128
+          xx += 1
+        }
+        yy += 1
+      }
+      b
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8) // SOI
+    jpegSeg(out, 0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0,
+      0, 1, 0, 1, 0, 0)) // APP0: JFIF 1.1, no density, no thumbnail
+    val dqt0 = new Array[Byte](65); dqt0(0) = 0
+    val dqt1 = new Array[Byte](65); dqt1(0) = 1
+    var k = 0
+    while (k < 64) { // zig-zag order per spec
+      dqt0(1 + k) = q.toByte; dqt1(1 + k) = q.toByte; k += 1
+    }
+    jpegSeg(out, 0xdb, dqt0)
+    jpegSeg(out, 0xdb, dqt1)
+    val hv1 = if (subsample) 0x22 else 0x11
+    jpegSeg(out, 0xc0, Array[Byte](8,
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      3, 1, hv1.toByte, 0, 2, 0x11, 1, 3, 0x11, 1))
+    jpegSeg(out, 0xc4, dhtBody(0, 0, DcLumBits, DcLumVals))
+    jpegSeg(out, 0xc4, dhtBody(1, 0, AcLumBits, AcLumVals))
+    jpegSeg(out, 0xc4, dhtBody(0, 1, DcChrBits, DcChrVals))
+    jpegSeg(out, 0xc4, dhtBody(1, 1, AcChrBits, AcChrVals))
+    jpegSeg(out, 0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11,
+      0, 63, 0))
+    val w = new JpegBitWriter(out)
+    val dcLum = huffEncodeTable(DcLumBits, DcLumVals)
+    val acLum = huffEncodeTable(AcLumBits, AcLumVals)
+    val dcChr = huffEncodeTable(DcChrBits, DcChrVals)
+    val acChr = huffEncodeTable(AcChrBits, AcChrVals)
+    var predY = 0; var predCb = 0; var predCr = 0
+    val mcusY = ph / mcu
+    val mcusX = pw / mcu
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (subsample) {
+          var by = 0
+          while (by < 2) {
+            var bx = 0
+            while (bx < 2) {
+              predY = encodeBlock(w,
+                fdctQuant(blockAt(yPad, pw, 2 * mx + bx, 2 * my + by),
+                  qtab), predY, dcLum, acLum)
+              bx += 1
+            }
+            by += 1
+          }
+        } else {
+          predY = encodeBlock(w,
+            fdctQuant(blockAt(yPad, pw, mx, my), qtab), predY,
+            dcLum, acLum)
+        }
+        predCb = encodeBlock(w,
+          fdctQuant(blockAt(cbPad, cw, mx, my), qtab), predCb,
+          dcChr, acChr)
+        predCr = encodeBlock(w,
+          fdctQuant(blockAt(crPad, cw, mx, my), qtab), predCr,
+          dcChr, acChr)
+        mx += 1
+      }
+      my += 1
+    }
+    w.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Grayscale (single-component) baseline JPEG: `payload` is one
+    * luma byte per pixel — no color conversion, so a block-constant
+    * input decodes back byte-exactly at q = 8. */
+  def encodeJpegGray(payload: Array[Byte], width: Int, height: Int,
+      q: Int = 8): Array[Byte] = {
+    require(width > 0 && height > 0 && payload.length == width * height,
+      "[GRAFT] jpeg: payload must be width*height bytes")
+    require(q >= 1 && q <= 255, "[GRAFT] jpeg: q must be in [1, 255]")
+    val plane = new Array[Int](payload.length)
+    var i = 0
+    while (i < plane.length) { plane(i) = payload(i) & 0xff; i += 1 }
+    val pw = (width + 7) / 8 * 8
+    val ph = (height + 7) / 8 * 8
+    val pad = padPlane(plane, width, height, pw, ph)
+    val qtab = Array.fill(64)(q)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0xff); out.write(0xd8)
+    jpegSeg(out, 0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0,
+      0, 1, 0, 1, 0, 0))
+    val dqt0 = new Array[Byte](65); dqt0(0) = 0
+    var k = 0
+    while (k < 64) { dqt0(1 + k) = q.toByte; k += 1 }
+    jpegSeg(out, 0xdb, dqt0)
+    jpegSeg(out, 0xc0, Array[Byte](8,
+      ((height >> 8) & 0xff).toByte, (height & 0xff).toByte,
+      ((width >> 8) & 0xff).toByte, (width & 0xff).toByte,
+      1, 1, 0x11, 0))
+    jpegSeg(out, 0xc4, dhtBody(0, 0, DcLumBits, DcLumVals))
+    jpegSeg(out, 0xc4, dhtBody(1, 0, AcLumBits, AcLumVals))
+    jpegSeg(out, 0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    val w = new JpegBitWriter(out)
+    val dcLum = huffEncodeTable(DcLumBits, DcLumVals)
+    val acLum = huffEncodeTable(AcLumBits, AcLumVals)
+    var pred = 0
+    val b = new Array[Int](64)
+    var by = 0
+    while (by < ph / 8) {
+      var bx = 0
+      while (bx < pw / 8) {
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            b(yy * 8 + xx) = pad((by * 8 + yy) * pw + bx * 8 + xx) - 128
+            xx += 1
+          }
+          yy += 1
+        }
+        pred = encodeBlock(w, fdctQuant(b, qtab), pred, dcLum, acLum)
+        bx += 1
+      }
+      by += 1
+    }
+    w.flush()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
+  /** Canonical Huffman DECODE table (T.81 F.2.2.3): per code length,
+    * the min/max code and the index of its first value. */
+  private final class JpegHuffTable(bits: Array[Int], val vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valPtr(l) = k
+          minCode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxCode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** Entropy-coded-segment bit reader: un-stuffs 0xFF 0x00, refuses
+    * markers mid-symbol, resyncs at restart markers. */
+  private final class JpegBitReader(data: Array[Byte], var pos: Int) {
+    private var buf = 0
+    private var cnt = 0
+    def nextBit(): Int = {
+      if (cnt == 0) {
+        require(pos < data.length, "[GRAFT] jpeg: truncated entropy data")
+        var b = data(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          require(pos < data.length, "[GRAFT] jpeg: truncated after 0xFF")
+          val m = data(pos) & 0xff
+          require(m == 0x00,
+            f"[GRAFT] jpeg: marker 0xFF$m%02X inside entropy data")
+          pos += 1
+        }
+        buf = b; cnt = 8
+      }
+      cnt -= 1
+      (buf >> cnt) & 1
+    }
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def decodeHuff(t: JpegHuffTable): Int = {
+      var code = nextBit()
+      var l = 1
+      while (code > t.maxCode(l)) {
+        require(l < 16, "[GRAFT] jpeg: invalid Huffman code")
+        code = (code << 1) | nextBit()
+        l += 1
+      }
+      t.vals(t.valPtr(l) + code - t.minCode(l))
+    }
+    /** Byte-align and consume the expected RSTn marker. */
+    def resync(expect: Int): Unit = {
+      cnt = 0
+      require(pos + 1 < data.length, "[GRAFT] jpeg: truncated at restart")
+      require((data(pos) & 0xff) == 0xff &&
+        (data(pos + 1) & 0xff) == 0xd0 + expect,
+        "[GRAFT] jpeg: missing restart marker")
+      pos += 2
+    }
+  }
+
+  private def extendSign(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  /** Baseline sequential JPEG decoder: marker walk (APPn/COM
+    * skipped), DQT (8- and 16-bit precision), DHT, SOF0 (1- or
+    * 3-component, sampling factors 1–2), DRI/RSTn, one interleaved
+    * SOS; Huffman + DC-prediction + run-length decode per block,
+    * dequantize, de-zigzag, IDCT (separable double, pinned
+    * floor(x+0.5) rounding), REPLICATION chroma upsampling (the
+    * pinned upsample — box/nearest, not fancier interpolation, so
+    * the arithmetic is oracle-reproducible), JFIF YCbCr→RGB integer
+    * conversion. Progressive (SOF2), arithmetic coding and 12-bit
+    * precision are rejected loudly — baseline covers the web-corpus
+    * overwhelming majority. Returns channelOrder "RGB" (3
+    * components) or "GRAY" (1 component). */
+  def decodeJpeg(bytes: Array[Byte]): Raster = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "[GRAFT] jpeg: missing SOI marker")
+    var pos = 2
+    def u8(): Int = {
+      require(pos < bytes.length, "[GRAFT] jpeg: truncated header")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val h = u8(); (h << 8) | u8() }
+    val qtabs = new Array[Array[Int]](4)
+    val dcTabs = new Array[JpegHuffTable](4)
+    val acTabs = new Array[JpegHuffTable](4)
+    var width = 0; var height = 0
+    // per component: id, h, v, qtab id
+    var comps: Array[(Int, Int, Int, Int)] = null
+    var restartInterval = 0
+    var sosSeen = false
+    var scanDc: Array[Int] = null
+    var scanAc: Array[Int] = null
+    while (!sosSeen) {
+      var m = u8()
+      require(m == 0xff,
+        f"[GRAFT] jpeg: expected marker at ${pos - 1}, got 0x$m%02X")
+      m = u8()
+      while (m == 0xff) m = u8() // fill bytes
+      m match {
+        case 0xdb => // DQT: one or more tables
+          // NB: u16() mutates pos — bind the body length FIRST (a
+          // `pos + u16()` would snapshot pos before the side effect)
+          val dqtBody = u16() - 2
+          val end = pos + dqtBody
+          while (pos < end) {
+            val pq = u8()
+            val prec = pq >> 4; val id = pq & 0x0f
+            require(prec <= 1 && id < 4, "[GRAFT] jpeg: bad DQT header")
+            val t = new Array[Int](64)
+            var k = 0
+            while (k < 64) {
+              t(ZigZag(k)) = if (prec == 0) u8() else u16()
+              require(t(ZigZag(k)) > 0, "[GRAFT] jpeg: zero quantizer")
+              k += 1
+            }
+            qtabs(id) = t
+          }
+          require(pos == end, "[GRAFT] jpeg: DQT length mismatch")
+        case 0xc4 => // DHT: one or more tables
+          val dhtBody = u16() - 2
+          val end = pos + dhtBody
+          while (pos < end) {
+            val tc = u8()
+            val cls = tc >> 4; val id = tc & 0x0f
+            require(cls <= 1 && id < 4, "[GRAFT] jpeg: bad DHT header")
+            val bits = Array.fill(16)(u8())
+            val total = bits.sum
+            require(total <= 256, "[GRAFT] jpeg: oversized DHT")
+            val vals = Array.fill(total)(u8())
+            val t = new JpegHuffTable(bits, vals)
+            if (cls == 0) dcTabs(id) = t else acTabs(id) = t
+          }
+          require(pos == end, "[GRAFT] jpeg: DHT length mismatch")
+        case 0xc0 | 0xc1 => // SOF0 baseline (C1: extended sequential,
+          // same entropy coding at 8-bit precision)
+          u16()
+          require(u8() == 8, "[GRAFT] jpeg: only 8-bit precision")
+          height = u16(); width = u16()
+          require(width > 0 && height > 0 && width <= (1 << 20) &&
+            height <= (1 << 20), "[GRAFT] jpeg: bad dimensions")
+          val nc = u8()
+          require(nc == 1 || nc == 3,
+            s"[GRAFT] jpeg: unsupported component count $nc")
+          comps = Array.fill(nc) {
+            val id = u8(); val hv = u8(); val tq = u8()
+            val h = hv >> 4; val v = hv & 0x0f
+            require(h >= 1 && h <= 2 && v >= 1 && v <= 2,
+              "[GRAFT] jpeg: sampling factors beyond 2 unsupported")
+            (id, h, v, tq)
+          }
+        case 0xc2 => throw new IllegalArgumentException(
+          "[GRAFT] jpeg: progressive (SOF2) unsupported — baseline only")
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
+            0xce | 0xcf => throw new IllegalArgumentException(
+          f"[GRAFT] jpeg: unsupported SOF marker 0xFF$m%02X — baseline only")
+        case 0xdd => // DRI
+          require(u16() == 4, "[GRAFT] jpeg: bad DRI length")
+          restartInterval = u16()
+        case 0xda => // SOS
+          require(comps != null, "[GRAFT] jpeg: SOS before SOF")
+          u16()
+          val ns = u8()
+          require(ns == comps.length,
+            "[GRAFT] jpeg: single interleaved scan only")
+          scanDc = new Array[Int](ns); scanAc = new Array[Int](ns)
+          var i = 0
+          while (i < ns) {
+            val cs = u8()
+            val j = comps.indexWhere(_._1 == cs)
+            require(j == i, "[GRAFT] jpeg: scan order must match SOF")
+            val td = u8()
+            scanDc(i) = td >> 4; scanAc(i) = td & 0x0f
+            i += 1
+          }
+          require(u8() == 0 && u8() == 63 && u8() == 0,
+            "[GRAFT] jpeg: non-baseline spectral selection")
+          sosSeen = true
+        case 0xd9 => throw new IllegalArgumentException(
+          "[GRAFT] jpeg: EOI before any scan")
+        case _ if m >= 0xe0 && m <= 0xef => // APPn
+          val skip = u16() - 2
+          pos += skip
+        case 0xfe => // COM
+          val skip = u16() - 2
+          pos += skip
+        case other => throw new IllegalArgumentException(
+          f"[GRAFT] jpeg: unsupported marker 0xFF$other%02X")
+      }
+    }
+    val hMax = comps.map(_._2).max
+    val vMax = comps.map(_._3).max
+    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+    // per-component plane, padded to the MCU grid
+    val planes = comps.map { case (_, h, v, _) =>
+      new Array[Int](mcusX * h * 8 * mcusY * v * 8)
+    }
+    val planeW = comps.map { case (_, h, _, _) => mcusX * h * 8 }
+    comps.zipWithIndex.foreach { case ((_, _, _, tq), i) =>
+      require(qtabs(tq) != null, s"[GRAFT] jpeg: missing DQT $tq")
+      require(dcTabs(scanDc(i)) != null && acTabs(scanAc(i)) != null,
+        "[GRAFT] jpeg: missing DHT")
+    }
+    val r = new JpegBitReader(bytes, pos)
+    val preds = new Array[Int](comps.length)
+    val coef = new Array[Int](64)
+    var mcusDone = 0
+    var rstIdx = 0
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        if (restartInterval > 0 && mcusDone == restartInterval) {
+          r.resync(rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(preds, 0)
+          mcusDone = 0
+        }
+        var ci = 0
+        while (ci < comps.length) {
+          val (_, h, v, tq) = comps(ci)
+          val qt = qtabs(tq)
+          val dcT = dcTabs(scanDc(ci)); val acT = acTabs(scanAc(ci))
+          var by = 0
+          while (by < v) {
+            var bx = 0
+            while (bx < h) {
+              java.util.Arrays.fill(coef, 0)
+              val s = r.decodeHuff(dcT)
+              require(s <= 11, "[GRAFT] jpeg: bad DC size category")
+              preds(ci) += extendSign(r.receive(s), s)
+              coef(0) = preds(ci) * qt(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = r.decodeHuff(acT)
+                val run = rs >> 4; val sz = rs & 0x0f
+                if (sz == 0) {
+                  if (run == 15) k += 16 else eob = true
+                } else {
+                  k += run
+                  require(k < 64, "[GRAFT] jpeg: AC index overrun")
+                  coef(ZigZag(k)) =
+                    extendSign(r.receive(sz), sz) * qt(ZigZag(k))
+                  k += 1
+                }
+              }
+              val px = idct(coef)
+              val pw = planeW(ci)
+              val ox = (mx * h + bx) * 8
+              val oy = (my * v + by) * 8
+              var yy = 0
+              while (yy < 8) {
+                System.arraycopy(px, yy * 8, planes(ci),
+                  (oy + yy) * pw + ox, 8)
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcusDone += 1
+        mx += 1
+      }
+      my += 1
+    }
+    // the scan must end cleanly at EOI (padding bits then FFD9)
+    val tail = r.pos
+    require(tail + 2 <= bytes.length &&
+      (bytes(tail) & 0xff) == 0xff && (bytes(tail + 1) & 0xff) == 0xd9,
+      "[GRAFT] jpeg: missing EOI after scan")
+    if (comps.length == 1) {
+      val out = new Array[Byte](width * height)
+      val pw = planeW(0)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          out(y * width + x) = planes(0)(y * pw + x).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Raster(width, height, "GRAY", out)
+    } else {
+      val out = new Array[Byte](width * height * 3)
+      val (_, h0, v0, _) = comps(0)
+      val (_, h1, v1, _) = comps(1)
+      val (_, h2, v2, _) = comps(2)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val yy = planes(0)((y * v0 / vMax) * planeW(0) + x * h0 / hMax)
+          val cb = planes(1)((y * v1 / vMax) * planeW(1) + x * h1 / hMax)
+          val cr = planes(2)((y * v2 / vMax) * planeW(2) + x * h2 / hMax)
+          val (rr, gg, bb) = yccToRgb(yy, cb, cr)
+          val o = (y * width + x) * 3
+          out(o) = rr.toByte; out(o + 1) = gg.toByte; out(o + 2) = bb.toByte
+          x += 1
+        }
+        y += 1
+      }
+      Raster(width, height, "RGB", out)
+    }
   }
 
   // ---------------------------------------------------------------

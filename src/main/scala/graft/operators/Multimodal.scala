@@ -33,12 +33,22 @@ case class MediaStats(doc_id: Long, format: String, width: Int,
   * columns with typed metadata, a mapPartitions batch kernel, and
   * genuine pure-JVM container parsing via [[MediaCodec]] (WAV RIFF
   * chunk walk, BMP header/stride/BGR/bottom-up, PPM P6 with comment
-  * handling). [[decodeStats]] features are computed from the DECODED
-  * samples, and the DuckDB oracle reproduces them from the payload
-  * byte arithmetic — so the decode is verified end-to-end, not
-  * stubbed. Compressed codecs (JPEG/MP3) are the only thing this
-  * sandbox can't host; they'd slot behind the same format dispatch.
-  */
+  * handling, PNG zlib+filters, baseline JPEG — sequential DCT,
+  * Huffman, YCbCr 4:4:4/4:2:0, the format real web-image corpora are
+  * overwhelmingly made of). [[decodeStats]] features are computed
+  * from the DECODED samples, and the DuckDB oracle reproduces them
+  * from the payload byte arithmetic — so the decode is verified
+  * end-to-end, not stubbed.
+  *
+  * Compressed AUDIO/VIDEO (MP3/H.264) decode is out of scope BY
+  * DESIGN, permanently: those specs define the bitstream but not the
+  * decoder's arithmetic (conformant float filterbanks disagree in
+  * the low bits), so their output can't be oracle-pinned the way
+  * every kernel here is. The contract for those corpora is
+  * decode-to-PCM/PPM-frames upstream (ffmpeg-class tooling) and feed
+  * the deterministic WAV / concatenated-P6 paths — which is also the
+  * shape a 100 TB pipeline wants, since transcode is a separate
+  * embarrassingly-parallel stage. */
 object Multimodal {
 
   /** Build a media table from the documents table: the text payload is
@@ -220,6 +230,94 @@ object Multimodal {
       }
   }
 
+  /** Wrap each document in a REAL baseline JPEG — grayscale, one
+    * CONSTANT 8×8 block per payload byte (width 8, height 8·len,
+    * min one block) at flat quantizer 8. Constant blocks make the
+    * lossy codec EXACT here (DC = 8·(c−128) quantizes losslessly at
+    * q = 8; every AC is 0), so the decoded pixels equal the payload
+    * bytes and the DuckDB oracle pins the channel stats from payload
+    * arithmetic — Huffman coding, the marker walk, DC prediction and
+    * the IDCT must all round-trip byte-exactly for the row to
+    * hash-match. */
+  def synthesizeJpeg(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val m = math.max(1, payload.length)
+          val luma = new Array[Byte](64 * m)
+          var i = 0
+          while (i < m) {
+            val c = if (i < payload.length) payload(i) else 0: Byte
+            java.util.Arrays.fill(luma, 64 * i, 64 * (i + 1), c)
+            i += 1
+          }
+          val bytes = MediaCodec.encodeJpegGray(luma, 8, 8 * m)
+          MediaRecord(id, bytes, "image/jpeg", bytes.length.toLong)
+        }
+      }
+  }
+
+  /** COLOR (4:4:4) twin of [[synthesizeJpeg]]: every 3 payload bytes
+    * become one constant-(r,g,b) 8×8 block (width 8, height
+    * 8·(len div 3), min one block, zero-padded). Constant blocks keep
+    * the DCT exact, but color rides the JFIF RGB→YCbCr→RGB integer
+    * chain, so the decoded channels equal
+    * [[MediaCodec.yccToRgb]]([[MediaCodec.rgbToYcc]](r,g,b)) — the
+    * oracle reproduces exactly that pinned floor(x+0.5) double chain
+    * per 3-byte group. */
+  def synthesizeJpegColor(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[MediaRecord] =
+    synthesizeJpegRgb(docs, textCol, idCol, subsample = false)
+
+  /** 4:2:0 twin of [[synthesizeJpegColor]]: every 3 payload bytes
+    * become one constant-(r,g,b) 16×16 MACROBLOCK (4 luma blocks +
+    * one 2×2-box-averaged chroma block each — averaging a constant is
+    * exact, so subsampling and replication upsampling round-trip
+    * exactly). Width 16, height 16·(len div 3), min one macroblock. */
+  def synthesizeJpeg420(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[MediaRecord] =
+    synthesizeJpegRgb(docs, textCol, idCol, subsample = true)
+
+  private def synthesizeJpegRgb(docs: DataFrame, textCol: String,
+      idCol: String, subsample: Boolean): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val side = if (subsample) 16 else 8
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val m3 = math.max(3, payload.length - payload.length % 3)
+          val p = java.util.Arrays.copyOf(payload, m3)
+          val nb = m3 / 3
+          val px = new Array[Byte](side * side * 3 * nb)
+          var i = 0
+          while (i < nb) {
+            val base = side * side * 3 * i
+            var j = 0
+            while (j < side * side) {
+              px(base + 3 * j) = p(3 * i)
+              px(base + 3 * j + 1) = p(3 * i + 1)
+              px(base + 3 * j + 2) = p(3 * i + 2)
+              j += 1
+            }
+            i += 1
+          }
+          val bytes = MediaCodec.encodeJpeg(px, side, side * nb,
+            subsample = subsample)
+          MediaRecord(id, bytes, "image/jpeg", bytes.length.toLong)
+        }
+      }
+  }
+
   private def meanMilli(sum: Long, cnt: Long): Long =
     if (cnt == 0) 0L else math.round(sum * 1000.0 / (255.0 * cnt))
 
@@ -244,10 +342,11 @@ object Multimodal {
               meanMilli(sum, n),
               if (n == 0) 0L else meanMilli(mx * n, n),
               if (n == 0) 0L else meanMilli(mn * n, n))
-          case "image/bmp" | "image/ppm" | "image/png" =>
+          case "image/bmp" | "image/ppm" | "image/png" | "image/jpeg" =>
             val ras = r.format match {
               case "image/bmp" => MediaCodec.decodeBmp(r.media)
               case "image/ppm" => MediaCodec.decodePpm(r.media)
+              case "image/jpeg" => MediaCodec.decodeJpeg(r.media)
               case _ => MediaCodec.decodePng(r.media)
             }
             // normalize to RGB first: swaps BGR, replicates GRAY,
@@ -289,10 +388,11 @@ object Multimodal {
               val pcm = MediaCodec.decodeWav(r.media)
               val denom = if (pcm.bitsPerSample == 8) 255.0f else 32767.0f
               lerpResample(pcm.samples.map(_ / denom), dim)
-            case "image/bmp" | "image/ppm" | "image/png" =>
+            case "image/bmp" | "image/ppm" | "image/png" | "image/jpeg" =>
               val ras = r.format match {
                 case "image/bmp" => MediaCodec.decodeBmp(r.media)
                 case "image/ppm" => MediaCodec.decodePpm(r.media)
+                case "image/jpeg" => MediaCodec.decodeJpeg(r.media)
                 case _ => MediaCodec.decodePng(r.media)
               }
               lerpResample(ras.pixels.map(b => (b & 0xff) / 255.0f), dim)
@@ -555,6 +655,7 @@ object Multimodal {
           case "image/bmp" => MediaCodec.decodeBmp(r.media)
           case "image/ppm" => MediaCodec.decodePpm(r.media)
           case "image/png" => MediaCodec.decodePng(r.media)
+          case "image/jpeg" => MediaCodec.decodeJpeg(r.media)
           case other => throw new IllegalArgumentException(
             s"[GRAFT] imageFingerprint: no raster decoder for " +
               s"format $other")
@@ -640,6 +741,7 @@ object Multimodal {
           case "image/bmp" => MediaCodec.decodeBmp(r.media)
           case "image/ppm" => MediaCodec.decodePpm(r.media)
           case "image/png" => MediaCodec.decodePng(r.media)
+          case "image/jpeg" => MediaCodec.decodeJpeg(r.media)
           case other => throw new IllegalArgumentException(
             s"[GRAFT] resizeMedia: no raster decoder for format $other")
         }

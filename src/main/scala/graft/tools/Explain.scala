@@ -142,6 +142,13 @@ object Explain {
       graft.operators.TextAnalysis.piiStats(
         spark.read.parquet(s"$dir/documents.parquet"))
     }
+    show("jpeg encode+decode stats (expect: spread exchange then ONE " +
+        "MapPartitions chain over the scan — the whole codec is a " +
+        "per-partition compute kernel, zero data shuffle)") {
+      graft.operators.Multimodal.decodeStats(spark,
+        graft.operators.Multimodal.synthesizeJpegColor(
+          spark.read.parquet(s"$dir/documents.parquet"))).toDF()
+    }
     val pqIvf = java.nio.file.Files.createTempDirectory("explain-ivfpq-i").toString
     val pqDir = java.nio.file.Files.createTempDirectory("explain-ivfpq-p").toString
     graft.operators.IvfIndex.build(emb, pqIvf, nCentroids = 8,
