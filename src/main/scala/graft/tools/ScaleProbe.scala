@@ -221,6 +221,12 @@ object ScaleProbe {
         graft.operators.Multimodal.resizeMedia(spark, media, 2, 3))
         .count()
     }
+    time("baseline JPEG encode + entropy-decode + IDCT + dHash, 500k " +
+        "4:4:4 color assets (per-partition kernel, no shuffle)") {
+      val media = graft.operators.Multimodal.synthesizeJpegColor(mediaDocs)
+      graft.operators.Multimodal.imageFingerprint(spark, media)
+        .agg(sum($"sig")).collect()
+    }
     time("windowed audio energy/peak: 167k wav assets (1/3 of the " +
         "500k docs) decoded + folded (per-partition kernel, no shuffle)") {
       import org.apache.spark.sql.Encoders
