@@ -6501,7 +6501,7 @@ object SparkEntry {
   private def multimodalJpegOracle: String =
     s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
        |s AS (SELECT doc_id, bs, len(bs) AS n,
-       |    greatest(1, len(bs)) AS m FROM b),
+       |    least(greatest(1, len(bs)), 8191) AS m FROM b),
        |p AS (SELECT doc_id, n, m,
        |    round(COALESCE(list_sum(list_transform(range(1, m + 1),
        |        i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END)), 0)
@@ -6545,20 +6545,22 @@ object SparkEntry {
   private def multimodalJpegColorOracle(side: Int): String = {
     val (r2, g2, b2) = duckJpegRoundTrip("pb[3*j + 1]", "pb[3*j + 2]",
       "pb[3*j + 3]")
+    val cap = 65535 / side // the engine's 16-bit-SOF block cap
     def chan(e: String): String =
-      s"""round(COALESCE(list_sum(list_transform(range(0, m // 3),
-         |    j -> $e)), 0) * 1000.0 / (255.0 * (m // 3)))""".stripMargin
+      s"""round(COALESCE(list_sum(list_transform(range(0, nb),
+         |    j -> $e)), 0) * 1000.0 / (255.0 * nb))""".stripMargin
     s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
        |s AS (SELECT doc_id, bs, len(bs) AS n,
-       |    greatest(3, len(bs) - (len(bs) % 3)) AS m FROM b),
-       |p AS (SELECT doc_id, n, m,
-       |    list_transform(range(1, m + 1),
+       |    least(greatest(3, len(bs) - (len(bs) % 3)) // 3, $cap)
+       |      AS nb FROM b),
+       |p AS (SELECT doc_id, n, nb,
+       |    list_transform(range(1, 3 * nb + 1),
        |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
        |  FROM s)
        |SELECT doc_id, 'image/jpeg' AS format,
        |  CAST($side AS INT) AS width,
-       |  CAST($side * (m // 3) AS INT) AS height,
-       |  CAST(${side * side} * (m // 3) AS BIGINT) AS n_samples,
+       |  CAST($side * nb AS INT) AS height,
+       |  CAST(${side * side} * nb AS BIGINT) AS n_samples,
        |  CAST(${chan(r2)} AS BIGINT) AS c0_milli,
        |  CAST(${chan(g2)} AS BIGINT) AS c1_milli,
        |  CAST(${chan(b2)} AS BIGINT) AS c2_milli
@@ -6575,7 +6577,7 @@ object SparkEntry {
       s"pb[(($y2 * 8 * m) // 3) // 8 + 1]").mkString(" + ")
     s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
        |s AS (SELECT doc_id, bs, len(bs) AS n,
-       |    greatest(1, len(bs)) AS m FROM b),
+       |    least(greatest(1, len(bs)), 8191) AS m FROM b),
        |p AS (SELECT doc_id, n, m,
        |    list_transform(range(1, m + 1),
        |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb

@@ -179,3 +179,26 @@ object PslDomain {
     else UTF8String.fromString(sfx(best + 1))
   }
 }
+
+/** Per-JVM cache of table-backed PSL snapshots, keyed by the
+  * `vfs_psl_domain_table` source string: Spark re-invokes a function
+  * builder on every resolution of every occurrence, and each uncached
+  * load is a full read + distinct + gated collect of the snapshot
+  * table. Bounded at 8 sources (cleared wholesale beyond that — a
+  * session uses ~1); a snapshot REFRESH is a new path or a session
+  * restart, which the registry comment documents. */
+private[graft] object PslTableCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  def load(src: String, f: () => Seq[String]): Seq[String] = {
+    val hit = cache.get(src)
+    if (hit != null) return hit
+    // clear OUTSIDE any compute hook: mutating a ConcurrentHashMap
+    // inside computeIfAbsent's mapping function is forbidden
+    if (cache.size >= 8) cache.clear()
+    val v = f()
+    val prev = cache.putIfAbsent(src, v)
+    if (prev != null) prev else v
+  }
+  private[graft] def reset(): Unit = cache.clear()
+}

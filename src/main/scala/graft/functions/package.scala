@@ -168,10 +168,14 @@ package object functions {
     // TABLE-backed PSL form: vfs_psl_domain_table(host, source) —
     // `source` is a string literal naming either a parquet path
     // (contains '/') or a registered table, with one `suffix` column
-    // (the parsed public_suffix_list.dat). The snapshot loads ONCE at
-    // plan time through WebCuration.pslFromTable's gated collect, so
-    // the full ~10k-entry list — unreachable through vfs_psl_domain's
-    // literal varargs — is available from pure SQL; the built
+    // (the parsed public_suffix_list.dat). The snapshot loads through
+    // WebCuration.pslFromTable's gated collect and is CACHED per JVM
+    // by source string — the builder re-runs on every resolution of
+    // every occurrence of the function, and N uncached loads per
+    // planning pass would hammer the driver for the same slow-moving
+    // ~10k-row list (refresh = a new path, or restart the session).
+    // The full list — unreachable through vfs_psl_domain's literal
+    // varargs — is thereby available from pure SQL; the built
     // expression is the same per-executor hash-set kernel.
     r1("vfs_psl_domain_table", es => {
       val src = es(1) match {
@@ -183,11 +187,14 @@ package object functions {
           "[GRAFT] vfs_psl_domain_table(host, source): source must " +
             s"be a string literal (parquet path or table name), got $other")
       }
-      val session = SparkSession.getActiveSession.getOrElse(spark)
-      val df =
-        if (src.contains("/")) session.read.parquet(src)
-        else session.table(src)
-      PslDomain(es(0), graft.operators.WebCuration.pslFromTable(df))
+      val snap = PslTableCache.load(src, () => {
+        val session = SparkSession.getActiveSession.getOrElse(spark)
+        val df =
+          if (src.contains("/")) session.read.parquet(src)
+          else session.table(src)
+        graft.operators.WebCuration.pslFromTable(df)
+      })
+      PslDomain(es(0), snap)
     })
     r1("vfs_hash_embedding", es => HashEmbedding(es(0),
       intLit(es(1), "vfs_hash_embedding(text, dim): dim"), milli = false))

@@ -924,14 +924,24 @@ object MediaCodec {
     * exact double, every AC quantizes to 0), zig-zag, and the Annex
     * K.3 typical Huffman tables with DC-difference and AC run-length
     * coding. Output is a bona fide JFIF file (SOI, APP0, DQT×2,
-    * SOF0, DHT×4, SOS, stuffed entropy data, EOI) that desktop
-    * decoders open. `payload` is RGB bytes, top-down rows. */
+    * SOF0, DHT×4, optional DRI, SOS, stuffed entropy data, EOI) that
+    * desktop decoders open. `payload` is RGB bytes, top-down rows.
+    * `restartInterval > 0` emits DRI + RSTn markers every that many
+    * MCUs (byte-aligned, DC predictors reset) — the resync points a
+    * parallel/fault-tolerant decoder keys on. */
   def encodeJpeg(payload: Array[Byte], width: Int, height: Int,
-      subsample: Boolean = false, q: Int = 8): Array[Byte] = {
+      subsample: Boolean = false, q: Int = 8,
+      restartInterval: Int = 0): Array[Byte] = {
     require(width > 0 && height > 0 &&
       payload.length == width * height * 3,
       "[GRAFT] jpeg: payload must be width*height*3 bytes")
+    // SOF records dimensions in 16-bit fields: anything larger would
+    // silently truncate mod 65536 into a corrupt file
+    require(width <= 65535 && height <= 65535,
+      "[GRAFT] jpeg: dimensions exceed the format's 16-bit SOF fields")
     require(q >= 1 && q <= 255, "[GRAFT] jpeg: q must be in [1, 255]")
+    require(restartInterval >= 0 && restartInterval <= 65535,
+      "[GRAFT] jpeg: restartInterval must be in [0, 65535]")
     // full-resolution YCbCr planes
     val n = width * height
     val yP = new Array[Int](n); val cbP = new Array[Int](n)
@@ -1009,6 +1019,10 @@ object MediaCodec {
     jpegSeg(out, 0xc4, dhtBody(1, 0, AcLumBits, AcLumVals))
     jpegSeg(out, 0xc4, dhtBody(0, 1, DcChrBits, DcChrVals))
     jpegSeg(out, 0xc4, dhtBody(1, 1, AcChrBits, AcChrVals))
+    if (restartInterval > 0)
+      jpegSeg(out, 0xdd, Array[Byte](
+        ((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
     jpegSeg(out, 0xda, Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11,
       0, 63, 0))
     val w = new JpegBitWriter(out)
@@ -1019,10 +1033,22 @@ object MediaCodec {
     var predY = 0; var predCb = 0; var predCr = 0
     val mcusY = ph / mcu
     val mcusX = pw / mcu
+    var mcusDone = 0
+    var rstIdx = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        // restart interval: byte-align (pad bits), emit RSTn, reset
+        // the DC predictors — giving a parallel decoder its resync
+        // points (T.81 F.1.2.3 / E.1.2)
+        if (restartInterval > 0 && mcusDone == restartInterval) {
+          w.flush() // byte-align; the writer is reusable after flush
+          out.write(0xff); out.write(0xd0 + rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          predY = 0; predCb = 0; predCr = 0
+          mcusDone = 0
+        }
         if (subsample) {
           var by = 0
           while (by < 2) {
@@ -1046,6 +1072,7 @@ object MediaCodec {
         predCr = encodeBlock(w,
           fdctQuant(blockAt(crPad, cw, mx, my), qtab), predCr,
           dcChr, acChr)
+        mcusDone += 1
         mx += 1
       }
       my += 1
@@ -1062,6 +1089,8 @@ object MediaCodec {
       q: Int = 8): Array[Byte] = {
     require(width > 0 && height > 0 && payload.length == width * height,
       "[GRAFT] jpeg: payload must be width*height bytes")
+    require(width <= 65535 && height <= 65535,
+      "[GRAFT] jpeg: dimensions exceed the format's 16-bit SOF fields")
     require(q >= 1 && q <= 255, "[GRAFT] jpeg: q must be in [1, 255]")
     val plane = new Array[Int](payload.length)
     var i = 0
@@ -1264,8 +1293,13 @@ object MediaCodec {
           u16()
           require(u8() == 8, "[GRAFT] jpeg: only 8-bit precision")
           height = u16(); width = u16()
-          require(width > 0 && height > 0 && width <= (1 << 20) &&
-            height <= (1 << 20), "[GRAFT] jpeg: bad dimensions")
+          // the per-axis u16 bound alone admits ~2^32-pixel headers: a
+          // 300-byte crafted file would force multi-GB plane
+          // allocations (and the size arithmetic would wrap Int) long
+          // before any entropy data is validated — cap total pixels
+          require(width > 0 && height > 0 &&
+            width.toLong * height <= (1L << 26),
+            "[GRAFT] jpeg: bad dimensions (max 2^26 pixels)")
           val nc = u8()
           require(nc == 1 || nc == 3,
             s"[GRAFT] jpeg: unsupported component count $nc")
@@ -1315,13 +1349,24 @@ object MediaCodec {
           f"[GRAFT] jpeg: unsupported marker 0xFF$other%02X")
       }
     }
+    // T.81 A.2.2: a SINGLE-component scan is NON-interleaved — the
+    // MCU is one 8×8 data unit in raster order over the component's
+    // full resolution, its declared sampling factors notwithstanding
+    // (they only relate components to each other). A grayscale file
+    // that kept 2×2 luma factors (jpegtran -grayscale output) would
+    // otherwise decode with MCU-local block order — scrambled pixels.
+    if (comps.length == 1) comps = Array((comps(0)._1, 1, 1, comps(0)._4))
     val hMax = comps.map(_._2).max
     val vMax = comps.map(_._3).max
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-    // per-component plane, padded to the MCU grid
+    // per-component plane, padded to the MCU grid (long arithmetic:
+    // the 2^26-pixel cap bounds this ≤ ~2^27 ints per plane, but the
+    // intermediate product must not wrap before the check)
     val planes = comps.map { case (_, h, v, _) =>
-      new Array[Int](mcusX * h * 8 * mcusY * v * 8)
+      val n = mcusX.toLong * h * 8 * mcusY * v * 8
+      require(n <= Int.MaxValue, "[GRAFT] jpeg: plane too large")
+      new Array[Int](n.toInt)
     }
     val planeW = comps.map { case (_, h, _, _) => mcusX * h * 8 }
     comps.zipWithIndex.foreach { case ((_, _, _, tq), i) =>

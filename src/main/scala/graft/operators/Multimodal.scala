@@ -232,7 +232,8 @@ object Multimodal {
 
   /** Wrap each document in a REAL baseline JPEG — grayscale, one
     * CONSTANT 8×8 block per payload byte (width 8, height 8·len,
-    * min one block) at flat quantizer 8. Constant blocks make the
+    * min one block, capped at 8191 blocks so the height fits the
+    * format's 16-bit SOF field) at flat quantizer 8. Constant blocks make the
     * lossy codec EXACT here (DC = 8·(c−128) quantizes losslessly at
     * q = 8; every AC is 0), so the decoded pixels equal the payload
     * bytes and the DuckDB oracle pins the channel stats from payload
@@ -249,7 +250,9 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val m = math.max(1, payload.length)
+          // cap at 8191 blocks: height 8·m must fit the format's
+          // 16-bit SOF field (the oracle truncates identically)
+          val m = math.min(math.max(1, payload.length), 8191)
           val luma = new Array[Byte](64 * m)
           var i = 0
           while (i < m) {
@@ -265,7 +268,8 @@ object Multimodal {
 
   /** COLOR (4:4:4) twin of [[synthesizeJpeg]]: every 3 payload bytes
     * become one constant-(r,g,b) 8×8 block (width 8, height
-    * 8·(len div 3), min one block, zero-padded). Constant blocks keep
+    * 8·(len div 3), min one block, zero-padded, capped at 8191
+    * blocks — the 16-bit SOF field). Constant blocks keep
     * the DCT exact, but color rides the JFIF RGB→YCbCr→RGB integer
     * chain, so the decoded channels equal
     * [[MediaCodec.yccToRgb]]([[MediaCodec.rgbToYcc]](r,g,b)) — the
@@ -279,7 +283,8 @@ object Multimodal {
     * become one constant-(r,g,b) 16×16 MACROBLOCK (4 luma blocks +
     * one 2×2-box-averaged chroma block each — averaging a constant is
     * exact, so subsampling and replication upsampling round-trip
-    * exactly). Width 16, height 16·(len div 3), min one macroblock. */
+    * exactly). Width 16, height 16·(len div 3), min one macroblock,
+    * capped at 4095 macroblocks — the 16-bit SOF field. */
   def synthesizeJpeg420(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): Dataset[MediaRecord] =
     synthesizeJpegRgb(docs, textCol, idCol, subsample = true)
@@ -296,8 +301,10 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, payload) =>
           val m3 = math.max(3, payload.length - payload.length % 3)
-          val p = java.util.Arrays.copyOf(payload, m3)
-          val nb = m3 / 3
+          // cap blocks: height side·nb must fit the 16-bit SOF field
+          // (8191 at side 8, 4095 at side 16; oracle mirrors)
+          val nb = math.min(m3 / 3, 65535 / side)
+          val p = java.util.Arrays.copyOf(payload, 3 * nb)
           val px = new Array[Byte](side * side * 3 * nb)
           var i = 0
           while (i < nb) {

@@ -177,7 +177,14 @@ object WebCuration {
     val n = slim.count()
     BroadcastGate.requireCollectFits(n, 0, "public-suffix snapshot",
       "A public-suffix list is ~10k rows; check the input table.")
-    slim.collect().map(_.getString(0)).sorted.toSeq
+    val vals = slim.collect().map(_.getString(0))
+    // a NULL suffix is parse junk (a lenient CSV load's artifact):
+    // fail HERE with the contract error, not with a bare NPE from the
+    // lazy index build on an executor
+    require(!vals.contains(null),
+      "[GRAFT] pslFromTable: NULL suffix row — strip comments, blanks " +
+        "and malformed lines when loading the list")
+    vals.sorted.toSeq
   }
 
   /** The oracle mirror of [[registeredDomainPsl]] for PLAIN-entry

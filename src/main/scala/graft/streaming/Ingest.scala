@@ -618,7 +618,11 @@ object Ingest {
       psl: Seq[String] = Nil): Unit = {
     import graft.operators.{UrlIndex, WebCuration}
     val spark = batch0.sparkSession
-    if (psl.nonEmpty) require(!batch0.columns.contains("psl_domain"),
+    // case-INSENSITIVE check: withColumn resolves case-insensitively,
+    // so a caller's 'PSL_Domain' would otherwise slip past a
+    // case-sensitive guard and be silently overwritten
+    if (psl.nonEmpty) require(
+      !batch0.columns.exists(_.equalsIgnoreCase("psl_domain")),
       "[GRAFT] urlDedupBatch: input already has a psl_domain column")
     // persist: keep-first, the probe, and the landing scan the batch
     val batch = batch0.persist()

@@ -188,6 +188,42 @@ class JpegSpec extends AnyFunSuite {
     assert(r.width === w && r.height === h)
   }
 
+  test("restart markers: our encoder's DRI/RSTn stream round-trips exactly and ImageIO agrees") {
+    val colors = Array((10, 20, 30), (255, 0, 128), (90, 180, 240),
+      (0, 0, 0), (250, 250, 250))
+    val w = 8; val h = 8 * colors.length // 5 MCUs in 4:4:4
+    val px = rgb(w, h)((_, y) => colors(y / 8))
+    val expect = rgb(w, h) { (_, y) =>
+      val (cr, cg, cb) = colors(y / 8)
+      val (yy, ccb, ccr) = MediaCodec.rgbToYcc(cr, cg, cb)
+      MediaCodec.yccToRgb(yy, ccb, ccr)
+    }
+    // interval 1 (an RST after EVERY MCU — max resync density, the
+    // rstIdx cycle wraps nowhere on 5 MCUs) and 2 (partial last group)
+    for (ri <- Seq(1, 2)) {
+      val jpg = MediaCodec.encodeJpeg(px, w, h, subsample = false,
+        q = 8, restartInterval = ri)
+      val r = MediaCodec.decodeJpeg(jpg)
+      assert(r.pixels.toSeq === expect.toSeq, s"restartInterval=$ri")
+      // an independent decoder accepts the DRI/RST stream too
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpg))
+      assert(img != null && img.getWidth === w && img.getHeight === h)
+    }
+    // the rstIdx 0..7 wrap: 10 MCUs at interval 1 crosses RST7→RST0
+    val colors10 = Array.tabulate(10)(i => (i * 25, 255 - i * 25, 128))
+    val px10 = rgb(8, 80)((_, y) => colors10(y / 8))
+    val jpg10 = MediaCodec.encodeJpeg(px10, 8, 80,
+      subsample = false, q = 8, restartInterval = 1)
+    val r10 = MediaCodec.decodeJpeg(jpg10)
+    val expect10 = rgb(8, 80) { (_, y) =>
+      val (cr, cg, cb) = colors10(y / 8)
+      val (yy, ccb, ccr) = MediaCodec.rgbToYcc(cr, cg, cb)
+      MediaCodec.yccToRgb(yy, ccb, ccr)
+    }
+    assert(r10.pixels.toSeq === expect10.toSeq)
+  }
+
   test("adversarial input is rejected with [GRAFT] errors") {
     val good = MediaCodec.encodeJpegGray(gray(8, 8)((_, _) => 100), 8, 8)
     // bad magic
@@ -221,6 +257,37 @@ class JpegSpec extends AnyFunSuite {
       MediaCodec.encodeJpeg(new Array[Byte](12), 2, 2, q = 0))
     intercept[IllegalArgumentException](
       MediaCodec.encodeJpegGray(new Array[Byte](3), 2, 2))
+  }
+
+  test("synthesizers cap at the 16-bit SOF field: a >8191-byte doc truncates to the cap instead of corrupting the header") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    // 10,000 bytes of ASCII — pre-cap this would write height 80000
+    // into the 16-bit SOF field (mod-65536 truncation, corrupt file)
+    val big = "abcdefgh" * 1250
+    val docs = Seq((1L, big)).toDF("doc_id", "text")
+    val media = graft.operators.Multimodal.synthesizeJpeg(docs)
+    val st = graft.operators.Multimodal.decodeStats(spark, media)
+      .collect().head
+    assert(st.height === 8 * 8191 && st.n_samples === 64L * 8191)
+    // decoded mean == mean of the FIRST 8191 payload bytes (the
+    // truncation the oracle mirrors)
+    val bytes = big.getBytes("UTF-8").take(8191)
+    val expect = math.round(
+      bytes.map(_ & 0xff).map(_.toLong).sum * 1000.0 / (255.0 * 8191))
+    assert(st.c0_milli === expect)
+    // color caps fire too: 4:4:4 at 8191 blocks (needs > 24,573
+    // bytes), 4:2:0 at 4095 macroblocks (> 12,285 bytes)
+    val c444 = graft.operators.Multimodal.synthesizeJpegColor(
+      Seq((1L, big * 3)).toDF("doc_id", "text"))
+    val h444 = graft.operators.Multimodal.decodeStats(spark, c444)
+      .collect().head.height
+    assert(h444 === 8 * 8191)
+    val c420 = graft.operators.Multimodal.synthesizeJpeg420(
+      Seq((1L, big * 2)).toDF("doc_id", "text"))
+    val h420 = graft.operators.Multimodal.decodeStats(spark, c420)
+      .collect().head.height
+    assert(h420 === 16 * 4095)
   }
 
   test("dHash is decode-format invariant: the same pixels as PNG and exact-JPEG fingerprint identically") {
