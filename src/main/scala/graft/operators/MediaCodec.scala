@@ -5,14 +5,16 @@ import java.nio.charset.StandardCharsets
 
 /** Pure-JVM encoders/decoders for real media formats — WAV (RIFF
   * PCM), BMP (BITMAPINFOHEADER, 24-bpp), PPM (P6), PNG (zlib +
-  * scanline filters, 4 color types) and baseline JPEG (sequential
-  * DCT, Huffman, YCbCr, 4:4:4/4:2:0) — so the multimodal decode path
-  * parses genuine headers, chunk layouts, entropy coding, channel
-  * orders and row strides instead of a stand-in byte fold.
+  * scanline filters, 4 color types) and JPEG (sequential DCT,
+  * Huffman, YCbCr, 4:4:4/4:2:0; the DECODER handles baseline AND
+  * progressive SOF2 scan sequences, the encoder writes baseline) —
+  * so the multimodal decode path parses genuine headers, chunk
+  * layouts, entropy coding, channel orders and row strides instead
+  * of a stand-in byte fold.
   *
-  * Codec-scope stance (a decision, not an omission): baseline JPEG
-  * covers the overwhelming majority of real web-image corpora and is
-  * self-contained + deterministic, so it is IN. MP3 and H.264 decode
+  * Codec-scope stance (a decision, not an omission): baseline +
+  * progressive Huffman JPEG covers essentially all real web-image
+  * corpora and is self-contained + deterministic, so it is IN. MP3 and H.264 decode
   * are OUT of scope by design — both specify the bitstream, not the
   * decoder's arithmetic (float MDCT/synthesis filterbanks differ
   * across conformant decoders), so their output is not
@@ -1216,18 +1218,25 @@ object MediaCodec {
   private def extendSign(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  /** Baseline sequential JPEG decoder: marker walk (APPn/COM
-    * skipped), DQT (8- and 16-bit precision), DHT, SOF0 (1- or
-    * 3-component, sampling factors 1–2), DRI/RSTn, one interleaved
-    * SOS; Huffman + DC-prediction + run-length decode per block,
-    * dequantize, de-zigzag, IDCT (separable double, pinned
-    * floor(x+0.5) rounding), REPLICATION chroma upsampling (the
-    * pinned upsample — box/nearest, not fancier interpolation, so
-    * the arithmetic is oracle-reproducible), JFIF YCbCr→RGB integer
-    * conversion. Progressive (SOF2), arithmetic coding and 12-bit
-    * precision are rejected loudly — baseline covers the web-corpus
-    * overwhelming majority. Returns channelOrder "RGB" (3
-    * components) or "GRAY" (1 component). */
+  /** JPEG decoder — baseline (SOF0/SOF1) AND progressive (SOF2):
+    * marker walk (APPn/COM skipped), DQT (8/16-bit), DHT (tables may
+    * be redefined between scans), DRI/RSTn, 1- or 3-component frames
+    * with sampling factors 1–2. Baseline decodes its single
+    * interleaved scan streaming (Huffman + DC prediction + AC
+    * run-length → dequantize → IDCT per MCU); progressive
+    * accumulates RAW coefficients across the scan sequence —
+    * interleaved or subset DC scans with successive approximation,
+    * single-component AC band scans with EOB runs and the T.81
+    * G.1.2.3 correction-bit refinement — then dequantizes + IDCTs
+    * once at EOI. A single-component SCAN is non-interleaved per
+    * T.81 A.2.2: one 8×8 block per MCU in raster order over the
+    * component's own block grid, its declared sampling factors
+    * notwithstanding. IDCT is separable double math with the pinned
+    * floor(x+0.5) rounding; chroma upsampling is REPLICATION
+    * (box/nearest — oracle-reproducible); YCbCr→RGB is the pinned
+    * JFIF integer chain. Arithmetic coding, 12-bit precision,
+    * hierarchical and lossless modes are rejected loudly. Returns
+    * channelOrder "RGB" (3 components) or "GRAY" (1 component). */
   def decodeJpeg(bytes: Array[Byte]): Raster = {
     require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8, "[GRAFT] jpeg: missing SOI marker")
@@ -1241,13 +1250,294 @@ object MediaCodec {
     val dcTabs = new Array[JpegHuffTable](4)
     val acTabs = new Array[JpegHuffTable](4)
     var width = 0; var height = 0
+    var progressive = false
     // per component: id, h, v, qtab id
     var comps: Array[(Int, Int, Int, Int)] = null
     var restartInterval = 0
-    var sosSeen = false
-    var scanDc: Array[Int] = null
-    var scanAc: Array[Int] = null
-    while (!sosSeen) {
+    var scanSeen = false
+    var ended = false
+    // frame-derived state, allocated at the FIRST scan
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+    var planeW: Array[Int] = null  // padded plane width per component
+    var planeH: Array[Int] = null
+    var planes: Array[Array[Int]] = null // spatial samples (filled at
+    // scan time for baseline, from the coefficient store at EOI for
+    // progressive)
+    var coefs: Array[Array[Int]] = null  // progressive: raw (un-
+    // dequantized) coefficients, natural order, per padded block
+    var blocksW: Array[Int] = null // padded block grid (mcusX·h)
+    var compBw: Array[Int] = null  // NON-padded grid: ceil(cw/8)
+    var compBh: Array[Int] = null
+
+    def allocFrameState(): Unit = if (planes == null) {
+      // T.81 A.2.2: a SINGLE-component frame's factors only relate
+      // components to each other — normalize to 1×1 so its scan
+      // decodes in raster order, not MCU-local 2×2 order
+      if (comps.length == 1)
+        comps = Array((comps(0)._1, 1, 1, comps(0)._4))
+      hMax = comps.map(_._2).max
+      vMax = comps.map(_._3).max
+      mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      // long arithmetic: the 2^26-pixel cap bounds the result, but
+      // the intermediate product must not wrap before the check
+      planes = comps.map { case (_, h, v, _) =>
+        val n = mcusX.toLong * h * 8 * mcusY * v * 8
+        require(n <= Int.MaxValue, "[GRAFT] jpeg: plane too large")
+        new Array[Int](n.toInt)
+      }
+      planeW = comps.map { case (_, h, _, _) => mcusX * h * 8 }
+      planeH = comps.map { case (_, _, v, _) => mcusY * v * 8 }
+      blocksW = comps.map { case (_, h, _, _) => mcusX * h }
+      compBw = comps.map { case (_, h, _, _) =>
+        ((width.toLong * h + hMax - 1) / hMax + 7).toInt / 8 }
+      compBh = comps.map { case (_, _, v, _) =>
+        ((height.toLong * v + vMax - 1) / vMax + 7).toInt / 8 }
+      if (progressive)
+        coefs = comps.indices.map(i =>
+          new Array[Int](blocksW(i) * (planeH(i) / 8) * 64)).toArray
+    }
+
+    /** One BASELINE interleaved scan: stream blocks straight into the
+      * spatial planes. */
+    def decodeBaselineScan(scanDc: Array[Int], scanAc: Array[Int]): Int = {
+      comps.indices.foreach { i =>
+        require(qtabs(comps(i)._4) != null,
+          s"[GRAFT] jpeg: missing DQT ${comps(i)._4}")
+        require(dcTabs(scanDc(i)) != null && acTabs(scanAc(i)) != null,
+          "[GRAFT] jpeg: missing DHT")
+      }
+      val r = new JpegBitReader(bytes, pos)
+      val preds = new Array[Int](comps.length)
+      val coef = new Array[Int](64)
+      var mcusDone = 0
+      var rstIdx = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          if (restartInterval > 0 && mcusDone == restartInterval) {
+            r.resync(rstIdx)
+            rstIdx = (rstIdx + 1) & 7
+            java.util.Arrays.fill(preds, 0)
+            mcusDone = 0
+          }
+          var ci = 0
+          while (ci < comps.length) {
+            val (_, h, v, tq) = comps(ci)
+            val qt = qtabs(tq)
+            val dcT = dcTabs(scanDc(ci)); val acT = acTabs(scanAc(ci))
+            var by = 0
+            while (by < v) {
+              var bx = 0
+              while (bx < h) {
+                java.util.Arrays.fill(coef, 0)
+                val s = r.decodeHuff(dcT)
+                require(s <= 11, "[GRAFT] jpeg: bad DC size category")
+                preds(ci) += extendSign(r.receive(s), s)
+                coef(0) = preds(ci) * qt(0)
+                var k = 1
+                var eob = false
+                while (k < 64 && !eob) {
+                  val rs = r.decodeHuff(acT)
+                  val run = rs >> 4; val sz = rs & 0x0f
+                  if (sz == 0) {
+                    if (run == 15) k += 16 else eob = true
+                  } else {
+                    k += run
+                    require(k < 64, "[GRAFT] jpeg: AC index overrun")
+                    coef(ZigZag(k)) =
+                      extendSign(r.receive(sz), sz) * qt(ZigZag(k))
+                    k += 1
+                  }
+                }
+                val px = idct(coef)
+                val pw = planeW(ci)
+                val ox = (mx * h + bx) * 8
+                val oy = (my * v + by) * 8
+                var yy = 0
+                while (yy < 8) {
+                  System.arraycopy(px, yy * 8, planes(ci),
+                    (oy + yy) * pw + ox, 8)
+                  yy += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            ci += 1
+          }
+          mcusDone += 1
+          mx += 1
+        }
+        my += 1
+      }
+      r.pos
+    }
+
+    /** One PROGRESSIVE scan into the coefficient store. */
+    def decodeProgressiveScan(scanComp: Array[Int], scanDc: Array[Int],
+        scanAc: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Int = {
+      val r = new JpegBitReader(bytes, pos)
+      var eobrun = 0
+      val preds = new Array[Int](scanComp.length)
+      var mcusDone = 0
+      var rstIdx = 0
+      def maybeRestart(): Unit =
+        if (restartInterval > 0 && mcusDone == restartInterval) {
+          r.resync(rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          java.util.Arrays.fill(preds, 0)
+          eobrun = 0
+          mcusDone = 0
+        }
+      def dcBlock(si: Int, base: Int): Unit = {
+        val c = coefs(scanComp(si))
+        if (ah == 0) {
+          val s = r.decodeHuff(dcTabs(scanDc(si)))
+          require(s <= 11, "[GRAFT] jpeg: bad DC size category")
+          preds(si) += extendSign(r.receive(s), s)
+          c(base) = preds(si) << al
+        } else {
+          // successive approximation: append one magnitude bit (OR on
+          // the two's-complement representation, the T.81 convention)
+          if (r.nextBit() == 1) c(base) |= (1 << al)
+        }
+      }
+      def acFirstBlock(c: Array[Int], base: Int, acT: JpegHuffTable): Unit = {
+        if (eobrun > 0) { eobrun -= 1; return }
+        var k = ss
+        var done = false
+        while (k <= se && !done) {
+          val rs = r.decodeHuff(acT)
+          val run = rs >> 4; val sz = rs & 0x0f
+          if (sz == 0) {
+            if (run == 15) k += 16
+            else {
+              eobrun = (1 << run) - 1
+              if (run > 0) eobrun += r.receive(run)
+              done = true
+            }
+          } else {
+            k += run
+            require(k <= se, "[GRAFT] jpeg: AC band overrun")
+            c(base + ZigZag(k)) = extendSign(r.receive(sz), sz) << al
+            k += 1
+          }
+        }
+      }
+      // T.81 G.1.2.3: the correction-bit pass — every NONZERO
+      // coefficient crossed in the band reads one refinement bit;
+      // `run` counts zero-HISTORY positions before a new ±1·2^al lands
+      def acRefineBlock(c: Array[Int], base: Int, acT: JpegHuffTable): Unit = {
+        val p1 = 1 << al
+        val m1 = -(1 << al)
+        def correct(idx: Int): Unit =
+          if (r.nextBit() == 1 && (c(idx) & p1) == 0)
+            c(idx) += (if (c(idx) >= 0) p1 else m1)
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val rs = r.decodeHuff(acT)
+            var run = rs >> 4; val sz = rs & 0x0f
+            var newVal = 0
+            if (sz == 0) {
+              if (run != 15) { // EOB run begins (ZRL keeps run = 15)
+                eobrun = 1 << run
+                if (run > 0) eobrun += r.receive(run)
+                done = true
+              }
+            } else {
+              require(sz == 1,
+                "[GRAFT] jpeg: refinement size category must be 1")
+              newVal = if (r.nextBit() == 1) p1 else m1
+            }
+            if (!done) {
+              var placed = false
+              while (k <= se && !placed) {
+                val idx = base + ZigZag(k)
+                if (c(idx) != 0) correct(idx)
+                else if (run == 0) {
+                  if (newVal != 0) c(idx) = newVal
+                  placed = true
+                } else run -= 1
+                k += 1
+              }
+              require(placed || k > se,
+                "[GRAFT] jpeg: refinement run overruns the band")
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            val idx = base + ZigZag(k)
+            if (c(idx) != 0) correct(idx)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+      if (ss == 0 && scanComp.length > 1) {
+        // interleaved DC scan over the frame MCU grid
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            maybeRestart()
+            var si = 0
+            while (si < scanComp.length) {
+              val ci = scanComp(si)
+              val (_, h, v, _) = comps(ci)
+              var by = 0
+              while (by < v) {
+                var bx = 0
+                while (bx < h) {
+                  dcBlock(si,
+                    ((my * v + by) * blocksW(ci) + mx * h + bx) * 64)
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            mcusDone += 1
+            mx += 1
+          }
+          my += 1
+        }
+      } else {
+        // non-interleaved: one block per MCU in raster order over the
+        // single component's OWN block grid
+        require(scanComp.length == 1,
+          "[GRAFT] jpeg: progressive AC scans are single-component")
+        val ci = scanComp(0)
+        val c = coefs(ci)
+        val acT = if (ss > 0) {
+          require(acTabs(scanAc(0)) != null, "[GRAFT] jpeg: missing DHT")
+          acTabs(scanAc(0))
+        } else null
+        if (ss == 0 && ah == 0)
+          require(dcTabs(scanDc(0)) != null, "[GRAFT] jpeg: missing DHT")
+        var by = 0
+        while (by < compBh(ci)) {
+          var bx = 0
+          while (bx < compBw(ci)) {
+            maybeRestart()
+            val base = (by * blocksW(ci) + bx) * 64
+            if (ss == 0) dcBlock(0, base)
+            else if (ah == 0) acFirstBlock(c, base, acT)
+            else acRefineBlock(c, base, acT)
+            mcusDone += 1
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      r.pos
+    }
+
+    while (!ended) {
       var m = u8()
       require(m == 0xff,
         f"[GRAFT] jpeg: expected marker at ${pos - 1}, got 0x$m%02X")
@@ -1273,7 +1563,7 @@ object MediaCodec {
             qtabs(id) = t
           }
           require(pos == end, "[GRAFT] jpeg: DQT length mismatch")
-        case 0xc4 => // DHT: one or more tables
+        case 0xc4 => // DHT: one or more tables (redefinable mid-stream)
           val dhtBody = u16() - 2
           val end = pos + dhtBody
           while (pos < end) {
@@ -1288,8 +1578,11 @@ object MediaCodec {
             if (cls == 0) dcTabs(id) = t else acTabs(id) = t
           }
           require(pos == end, "[GRAFT] jpeg: DHT length mismatch")
-        case 0xc0 | 0xc1 => // SOF0 baseline (C1: extended sequential,
-          // same entropy coding at 8-bit precision)
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0 baseline / SOF1 extended
+          // sequential (same entropy coding at 8 bits) / SOF2
+          // progressive
+          require(comps == null, "[GRAFT] jpeg: multiple SOF markers")
+          progressive = m == 0xc2
           u16()
           require(u8() == 8, "[GRAFT] jpeg: only 8-bit precision")
           height = u16(); width = u16()
@@ -1310,35 +1603,61 @@ object MediaCodec {
               "[GRAFT] jpeg: sampling factors beyond 2 unsupported")
             (id, h, v, tq)
           }
-        case 0xc2 => throw new IllegalArgumentException(
-          "[GRAFT] jpeg: progressive (SOF2) unsupported — baseline only")
         case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd |
             0xce | 0xcf => throw new IllegalArgumentException(
-          f"[GRAFT] jpeg: unsupported SOF marker 0xFF$m%02X — baseline only")
+          f"[GRAFT] jpeg: unsupported SOF marker 0xFF$m%02X — baseline " +
+            "and progressive Huffman only")
         case 0xdd => // DRI
           require(u16() == 4, "[GRAFT] jpeg: bad DRI length")
           restartInterval = u16()
         case 0xda => // SOS
           require(comps != null, "[GRAFT] jpeg: SOS before SOF")
+          allocFrameState()
           u16()
           val ns = u8()
-          require(ns == comps.length,
-            "[GRAFT] jpeg: single interleaved scan only")
-          scanDc = new Array[Int](ns); scanAc = new Array[Int](ns)
+          require(ns >= 1 && ns <= comps.length,
+            "[GRAFT] jpeg: bad scan component count")
+          val scanComp = new Array[Int](ns)
+          val scanDc = new Array[Int](ns)
+          val scanAc = new Array[Int](ns)
           var i = 0
           while (i < ns) {
             val cs = u8()
             val j = comps.indexWhere(_._1 == cs)
-            require(j == i, "[GRAFT] jpeg: scan order must match SOF")
+            require(j >= 0, s"[GRAFT] jpeg: unknown scan component $cs")
+            require(!scanComp.take(i).contains(j),
+              "[GRAFT] jpeg: duplicate scan component")
+            scanComp(i) = j
             val td = u8()
             scanDc(i) = td >> 4; scanAc(i) = td & 0x0f
             i += 1
           }
-          require(u8() == 0 && u8() == 63 && u8() == 0,
-            "[GRAFT] jpeg: non-baseline spectral selection")
-          sosSeen = true
-        case 0xd9 => throw new IllegalArgumentException(
-          "[GRAFT] jpeg: EOI before any scan")
+          val ss = u8(); val se = u8()
+          val aa = u8(); val ah = aa >> 4; val al = aa & 0x0f
+          if (!progressive) {
+            require(ns == comps.length &&
+              (0 until ns).forall(i => scanComp(i) == i),
+              "[GRAFT] jpeg: baseline scan must cover all components " +
+                "in SOF order")
+            require(ss == 0 && se == 63 && ah == 0 && al == 0,
+              "[GRAFT] jpeg: non-baseline spectral selection")
+            pos = decodeBaselineScan(scanDc, scanAc)
+          } else {
+            require(al <= 13 && (ah == 0 || ah == al + 1),
+              "[GRAFT] jpeg: bad successive-approximation parameters")
+            if (ss == 0)
+              require(se == 0, "[GRAFT] jpeg: progressive DC scan " +
+                "must have Se = 0")
+            else
+              require(ns == 1 && se >= ss && se <= 63,
+                "[GRAFT] jpeg: bad progressive AC band")
+            pos = decodeProgressiveScan(scanComp, scanDc, scanAc,
+              ss, se, ah, al)
+          }
+          scanSeen = true
+        case 0xd9 =>
+          require(scanSeen, "[GRAFT] jpeg: EOI before any scan")
+          ended = true
         case _ if m >= 0xe0 && m <= 0xef => // APPn
           val skip = u16() - 2
           pos += skip
@@ -1349,101 +1668,35 @@ object MediaCodec {
           f"[GRAFT] jpeg: unsupported marker 0xFF$other%02X")
       }
     }
-    // T.81 A.2.2: a SINGLE-component scan is NON-interleaved — the
-    // MCU is one 8×8 data unit in raster order over the component's
-    // full resolution, its declared sampling factors notwithstanding
-    // (they only relate components to each other). A grayscale file
-    // that kept 2×2 luma factors (jpegtran -grayscale output) would
-    // otherwise decode with MCU-local block order — scrambled pixels.
-    if (comps.length == 1) comps = Array((comps(0)._1, 1, 1, comps(0)._4))
-    val hMax = comps.map(_._2).max
-    val vMax = comps.map(_._3).max
-    val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
-    val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
-    // per-component plane, padded to the MCU grid (long arithmetic:
-    // the 2^26-pixel cap bounds this ≤ ~2^27 ints per plane, but the
-    // intermediate product must not wrap before the check)
-    val planes = comps.map { case (_, h, v, _) =>
-      val n = mcusX.toLong * h * 8 * mcusY * v * 8
-      require(n <= Int.MaxValue, "[GRAFT] jpeg: plane too large")
-      new Array[Int](n.toInt)
-    }
-    val planeW = comps.map { case (_, h, _, _) => mcusX * h * 8 }
-    comps.zipWithIndex.foreach { case ((_, _, _, tq), i) =>
-      require(qtabs(tq) != null, s"[GRAFT] jpeg: missing DQT $tq")
-      require(dcTabs(scanDc(i)) != null && acTabs(scanAc(i)) != null,
-        "[GRAFT] jpeg: missing DHT")
-    }
-    val r = new JpegBitReader(bytes, pos)
-    val preds = new Array[Int](comps.length)
-    val coef = new Array[Int](64)
-    var mcusDone = 0
-    var rstIdx = 0
-    var my = 0
-    while (my < mcusY) {
-      var mx = 0
-      while (mx < mcusX) {
-        if (restartInterval > 0 && mcusDone == restartInterval) {
-          r.resync(rstIdx)
-          rstIdx = (rstIdx + 1) & 7
-          java.util.Arrays.fill(preds, 0)
-          mcusDone = 0
-        }
-        var ci = 0
-        while (ci < comps.length) {
-          val (_, h, v, tq) = comps(ci)
-          val qt = qtabs(tq)
-          val dcT = dcTabs(scanDc(ci)); val acT = acTabs(scanAc(ci))
-          var by = 0
-          while (by < v) {
-            var bx = 0
-            while (bx < h) {
-              java.util.Arrays.fill(coef, 0)
-              val s = r.decodeHuff(dcT)
-              require(s <= 11, "[GRAFT] jpeg: bad DC size category")
-              preds(ci) += extendSign(r.receive(s), s)
-              coef(0) = preds(ci) * qt(0)
-              var k = 1
-              var eob = false
-              while (k < 64 && !eob) {
-                val rs = r.decodeHuff(acT)
-                val run = rs >> 4; val sz = rs & 0x0f
-                if (sz == 0) {
-                  if (run == 15) k += 16 else eob = true
-                } else {
-                  k += run
-                  require(k < 64, "[GRAFT] jpeg: AC index overrun")
-                  coef(ZigZag(k)) =
-                    extendSign(r.receive(sz), sz) * qt(ZigZag(k))
-                  k += 1
-                }
-              }
-              val px = idct(coef)
-              val pw = planeW(ci)
-              val ox = (mx * h + bx) * 8
-              val oy = (my * v + by) * 8
-              var yy = 0
-              while (yy < 8) {
-                System.arraycopy(px, yy * 8, planes(ci),
-                  (oy + yy) * pw + ox, 8)
-                yy += 1
-              }
-              bx += 1
-            }
-            by += 1
+    if (progressive) {
+      // all scans accumulated: dequantize + IDCT every padded block
+      var ci = 0
+      while (ci < comps.length) {
+        val qt = qtabs(comps(ci)._4)
+        require(qt != null, s"[GRAFT] jpeg: missing DQT ${comps(ci)._4}")
+        val c = coefs(ci)
+        val bw = blocksW(ci)
+        val bh = planeH(ci) / 8
+        val pw = planeW(ci)
+        val d = new Array[Int](64)
+        var b = 0
+        while (b < bw * bh) {
+          var k = 0
+          while (k < 64) { d(k) = c(b * 64 + k) * qt(k); k += 1 }
+          val px = idct(d)
+          val ox = (b % bw) * 8
+          val oy = (b / bw) * 8
+          var yy = 0
+          while (yy < 8) {
+            System.arraycopy(px, yy * 8, planes(ci),
+              (oy + yy) * pw + ox, 8)
+            yy += 1
           }
-          ci += 1
+          b += 1
         }
-        mcusDone += 1
-        mx += 1
+        ci += 1
       }
-      my += 1
     }
-    // the scan must end cleanly at EOI (padding bits then FFD9)
-    val tail = r.pos
-    require(tail + 2 <= bytes.length &&
-      (bytes(tail) & 0xff) == 0xff && (bytes(tail + 1) & 0xff) == 0xd9,
-      "[GRAFT] jpeg: missing EOI after scan")
     if (comps.length == 1) {
       val out = new Array[Byte](width * height)
       val pw = planeW(0)

@@ -33,9 +33,9 @@ case class MediaStats(doc_id: Long, format: String, width: Int,
   * columns with typed metadata, a mapPartitions batch kernel, and
   * genuine pure-JVM container parsing via [[MediaCodec]] (WAV RIFF
   * chunk walk, BMP header/stride/BGR/bottom-up, PPM P6 with comment
-  * handling, PNG zlib+filters, baseline JPEG — sequential DCT,
-  * Huffman, YCbCr 4:4:4/4:2:0, the format real web-image corpora are
-  * overwhelmingly made of). [[decodeStats]] features are computed
+  * handling, PNG zlib+filters, JPEG — sequential DCT, Huffman, YCbCr
+  * 4:4:4/4:2:0, baseline AND progressive decode: the format real
+  * web-image corpora are overwhelmingly made of). [[decodeStats]] features are computed
   * from the DECODED samples, and the DuckDB oracle reproduces them
   * from the payload byte arithmetic — so the decode is verified
   * end-to-end, not stubbed.

@@ -224,6 +224,82 @@ class JpegSpec extends AnyFunSuite {
     assert(r10.pixels.toSeq === expect10.toSeq)
   }
 
+  private def imageIoJpeg(img: java.awt.image.BufferedImage,
+      progressive: Boolean): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    if (progressive) param.setProgressiveMode(
+      javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  private def hasSof2(jpg: Array[Byte]): Boolean =
+    jpg.indices.dropRight(1).exists(i =>
+      (jpg(i) & 0xff) == 0xff && (jpg(i + 1) & 0xff) == 0xc2)
+
+  test("interop IN: PROGRESSIVE color (SOF2 multi-scan with successive approximation) decodes to ImageIO's own pixels") {
+    val w = 40; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (x * 6 << 16) | (y * 10 << 8) | ((x + y) * 3))
+    val jpg = imageIoJpeg(img, progressive = true)
+    assert(hasSof2(jpg), "writer must have produced a SOF2 stream")
+    val r = MediaCodec.decodeJpeg(jpg)
+    assert(r.width === w && r.height === h && r.channelOrder === "RGB")
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = ref.getRGB(x, y)
+      val o = (y * w + x) * 3
+      worst = math.max(worst, math.abs(((argb >> 16) & 0xff) -
+        (r.pixels(o) & 0xff)))
+      worst = math.max(worst, math.abs(((argb >> 8) & 0xff) -
+        (r.pixels(o + 1) & 0xff)))
+      worst = math.max(worst,
+        math.abs((argb & 0xff) - (r.pixels(o + 2) & 0xff)))
+    }
+    assert(worst <= 32,
+      s"progressive decode should agree with the reference decoder, " +
+        s"worst channel delta $worst")
+    // and it must agree with the BASELINE encode of the same image to
+    // the same tolerance (the progression changes coding, not content)
+    val base = MediaCodec.decodeJpeg(imageIoJpeg(img, progressive = false))
+    var worstVsBase = 0
+    for (i <- r.pixels.indices)
+      worstVsBase = math.max(worstVsBase,
+        math.abs((r.pixels(i) & 0xff) - (base.pixels(i) & 0xff)))
+    assert(worstVsBase <= 32, s"worst vs baseline $worstVsBase")
+  }
+
+  test("interop IN: PROGRESSIVE grayscale decodes to ImageIO's own pixels exactly-ish") {
+    val w = 32; val h = 16
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 8 + y) % 256)
+    val jpg = imageIoJpeg(img, progressive = true)
+    assert(hasSof2(jpg))
+    val r = MediaCodec.decodeJpeg(jpg)
+    assert(r.width === w && r.height === h && r.channelOrder === "GRAY")
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    var worst = 0
+    for (y <- 0 until h; x <- 0 until w)
+      worst = math.max(worst, math.abs(ref.getRaster.getSample(x, y, 0) -
+        (r.pixels(y * w + x) & 0xff)))
+    // single-component: no color-conversion divergence, only IDCT
+    // rounding differences between conformant decoders
+    assert(worst <= 2, s"gray progressive worst delta $worst")
+  }
+
   test("adversarial input is rejected with [GRAFT] errors") {
     val good = MediaCodec.encodeJpegGray(gray(8, 8)((_, _) => 100), 8, 8)
     // bad magic
@@ -233,7 +309,9 @@ class JpegSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       MediaCodec.decodeJpeg(good.dropRight(8)))
       .getMessage.contains("[GRAFT]"))
-    // progressive SOF2 is refused by marker, not mis-decoded
+    // a BASELINE scan header under a flipped SOF2 marker is invalid
+    // progressive structure (DC scan must have Se = 0) — loud, not
+    // mis-decoded
     val prog = good.clone()
     val sofAt = {
       var i = 2
@@ -243,7 +321,7 @@ class JpegSpec extends AnyFunSuite {
     }
     prog(sofAt + 1) = 0xc2.toByte
     assert(intercept[IllegalArgumentException](
-      MediaCodec.decodeJpeg(prog)).getMessage.contains("progressive"))
+      MediaCodec.decodeJpeg(prog)).getMessage.contains("[GRAFT]"))
     // PNG/BMP bytes are not JPEG
     val png = MediaCodec.encodePng(rgb(4, 3)((_, _) => (1, 2, 3)), 4, 3)
     assert(intercept[IllegalArgumentException](
