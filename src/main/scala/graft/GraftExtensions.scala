@@ -73,6 +73,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_temperature_sample"),
       new ExpressionInfo("graft", "vfs_temperature_sample"),
       graft.plans.SqlSurface.vfsTemperatureSampleBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_domain_cap"),
+      new ExpressionInfo("graft", "vfs_domain_cap"),
+      graft.plans.SqlSurface.vfsDomainCapBuilder _))
     def inject(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))

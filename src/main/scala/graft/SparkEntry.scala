@@ -1151,6 +1151,41 @@ object SparkEntry {
         .orderBy(col("domain").asc, col("doc_id").asc)
     }),
 
+    // ---- the per-domain cap from PURE SQL: vfs_domain_cap over a
+    // landed crawl table (rank column stored negated to keep the
+    // longest) — the TVF delegates to capPerDomain's bounded-
+    // histogram selection, so the SQL surface inherits the
+    // never-a-single-task-sort shape ----
+    "sql_tvf_domain_cap" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("verify-domcap").toString
+      webUrls(s, dir).withColumn("neg_chars", negate(col("n_chars")))
+        .write.mode("overwrite").parquet(s"$tmp/urls")
+      s.sql("SELECT doc_id, vfs_url_domain(url) AS domain FROM " +
+        s"vfs_domain_cap('$tmp/urls', 3, 'neg_chars') " +
+        "ORDER BY domain ASC, doc_id ASC")
+    }),
+
+    // ---- the PSL form of the SQL cap: pslSource names the snapshot
+    // parquet, so the full eTLD+1 per-publisher cap — including the
+    // materialized-stratum recipe — runs from one SQL statement ----
+    "sql_tvf_domain_cap_psl" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.registerAll(s)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("verify-domcappsl").toString
+      webPslUrls(s, dir)
+        .withColumn("neg_chars", negate(col("n_chars")))
+        .write.mode("overwrite").parquet(s"$tmp/urls")
+      graft.operators.WebCuration.PslSampleSnapshot.toDF("suffix")
+        .write.mode("overwrite").parquet(s"$tmp/psl")
+      s.sql("SELECT doc_id, vfs_psl_domain_table(vfs_url_host(url), " +
+        s"'$tmp/psl') AS domain FROM vfs_domain_cap('$tmp/urls', 3, " +
+        s"'neg_chars', 'url', 'doc_id', 16, '$tmp/psl') " +
+        "ORDER BY domain ASC, doc_id ASC")
+    }),
+
     // ---- the TABLE-backed PSL SQL surface: the snapshot lands in a
     // parquet table (the parsed public_suffix_list.dat shape) and the
     // eTLD+1 derives from PURE SQL via vfs_psl_domain_table — the
@@ -4077,6 +4112,25 @@ object SparkEntry {
     // generated regex groups
     "web_domain_cap_psl_wild" ->
       s"""WITH $webPslWildCtes,
+         |pr AS (SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM pd)
+         |SELECT doc_id, domain FROM pr WHERE rn <= 3
+         |ORDER BY domain ASC, doc_id ASC""".stripMargin,
+
+    // the SQL cap selects the SAME rows as the operator form — the
+    // web_domain_cap derivation verbatim
+    "sql_tvf_domain_cap" ->
+      s"""WITH $webUrlCtes,
+         |r AS (SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM wn)
+         |SELECT doc_id, domain FROM r WHERE rn <= 3
+         |ORDER BY domain ASC, doc_id ASC""".stripMargin,
+
+    // the PSL SQL cap shares web_domain_cap_psl's derivation
+    "sql_tvf_domain_cap_psl" ->
+      s"""WITH $webPslCtes,
          |pr AS (SELECT doc_id, domain,
          |    row_number() OVER (PARTITION BY domain
          |      ORDER BY n_chars DESC, doc_id ASC) AS rn FROM pd)

@@ -267,6 +267,11 @@ package object functions {
     //   tiebreakCol[, alpha, bandCap])
     ExpressionUtils.registerTableFunction(spark, "vfs_temperature_sample",
       graft.plans.SqlSurface.vfsTemperatureSampleBuilder _)
+    // SELECT * FROM vfs_domain_cap(path, n, rankCol[, urlCol, idCol,
+    //   bandCap, pslSource]) — per-registered-domain cap; pslSource
+    //   switches to the full public-suffix eTLD+1 (snapshot cached)
+    ExpressionUtils.registerTableFunction(spark, "vfs_domain_cap",
+      graft.plans.SqlSurface.vfsDomainCapBuilder _)
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(graft.plans.GraftStrategy))
       exp.extraStrategies = exp.extraStrategies :+ graft.plans.GraftStrategy

@@ -791,6 +791,67 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_domain_cap(path, n, rankCol[, urlCol,
+    * idCol, bandCap, pslSource])` — the per-registered-domain cap
+    * ("no domain contributes more than n pages") from pure SQL text:
+    * keep each domain's n rows with the SMALLEST `rankCol` (store a
+    * negated quality/length column to keep the best), ties to the
+    * smallest `idCol`. Without `pslSource` the domain is the frozen
+    * two-level head ([[graft.operators.WebCuration.capPerDomain]] —
+    * bounded-histogram selection, never a single-task sort); with
+    * `pslSource` (a parquet path or table with one `suffix` column —
+    * the `vfs_psl_domain_table` convention, snapshot cached per JVM)
+    * it is the full public-suffix eTLD+1 through
+    * [[graft.operators.WebCuration.capPerDomainPsl]]'s materialized
+    * slim frame, where `idCol` must be unique and non-null:
+    * {{{ SELECT * FROM vfs_domain_cap('/data/crawl', 1000,
+    *     'neg_quality', 'url', 'doc_id', 100000, '/data/psl') }}} */
+  private[graft] def vfsDomainCapBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      "[GRAFT] vfs_domain_cap(path, n, rankCol[, urlCol, idCol, " +
+        s"bandCap, pslSource]): $msg")
+    if (es.length < 3 || es.length > 7)
+      fail(s"expected 3-7 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    def intArg(i: Int, what: String): Int = evalNonNull(i, what) match {
+      case n: Int => n
+      case l: Long if l == l.toInt => l.toInt
+      case other => fail(s"$what must be an integer literal, got $other")
+    }
+    val spark = SparkSession.active
+    val path = evalNonNull(0, "path").toString
+    val n = intArg(1, "n")
+    if (n < 1) fail(s"n must be >= 1, got $n")
+    val rankCol = evalNonNull(2, "rankCol").toString
+    val urlCol = if (es.length >= 4) evalNonNull(3, "urlCol").toString
+      else "url"
+    val idCol = if (es.length >= 5) evalNonNull(4, "idCol").toString
+      else "doc_id"
+    val bandCap = if (es.length >= 6) evalNonNull(5, "bandCap") match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => fail(s"bandCap must be an integer literal, got $other")
+    } else 100000L
+    val docs = spark.read.parquet(path)
+    val out = if (es.length >= 7) {
+      val src = evalNonNull(6, "pslSource").toString
+      val psl = graft.functions.PslTableCache.load(src, () => {
+        val df = if (src.contains("/")) spark.read.parquet(src)
+          else spark.table(src)
+        graft.operators.WebCuration.pslFromTable(df)
+      })
+      graft.operators.WebCuration.capPerDomainPsl(docs, urlCol, psl,
+        col(rankCol), col(idCol), idCol, n, bandCap)
+    } else graft.operators.WebCuration.capPerDomain(docs, urlCol,
+      col(rankCol), col(idCol), n, bandCap)
+    out.queryExecution.analyzed
+  }
+
   /** Expose a store's live table (memtable ∪ flushed, dequantized) as
     * a temp view. */
   def registerStore(store: graft.store.VfsStore, name: String): Unit =
