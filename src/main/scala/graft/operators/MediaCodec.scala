@@ -372,8 +372,10 @@ object MediaCodec {
 
   /** Chunk walker + zlib inflate + scanline un-filtering. Validates
     * the signature, each chunk's CRC32, IHDR sanity (8-bit grayscale
-    * / truecolor / truecolor+alpha, non-interlaced), and that the
-    * inflated stream is exactly (1 + width·bpp)·height bytes. Multiple
+    * / truecolor / paletted / truecolor+alpha; interlace 0 or Adam7 —
+    * each of the 7 interlace passes is un-filtered as its own
+    * sub-image and scattered onto the pixel grid), and that the
+    * inflated stream is exactly the expected per-pass total. Multiple
     * IDAT chunks are concatenated per spec; unknown ancillary chunks
     * are skipped. `channelOrder` of the result is "GRAY", "RGB", or
     * "RGBA" by color type — normalize with [[toRgb]] before any
@@ -389,6 +391,7 @@ object MediaCodec {
     val b = ByteBuffer.wrap(bytes) // big-endian by default
     b.position(8)
     var width = 0; var height = 0; var colorType = -1
+    var interlace = 0
     var ihdrSeen = false; var iendSeen = false
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -420,8 +423,9 @@ object MediaCodec {
           colorType = ct
           require(h.get() == 0, "[GRAFT] png: bad compression method")
           require(h.get() == 0, "[GRAFT] png: bad filter method")
-          require(h.get() == 0,
-            "[GRAFT] png: interlaced images unsupported")
+          interlace = h.get()
+          require(interlace == 0 || interlace == 1,
+            s"[GRAFT] png: bad interlace method $interlace")
           ihdrSeen = true
         case "PLTE" =>
           require(ihdrSeen && plte == null && idat.size() == 0,
@@ -439,7 +443,22 @@ object MediaCodec {
     require(ihdrSeen && iendSeen, "[GRAFT] png: missing IHDR or IEND")
     val bpp = pngBpp(colorType)
     val stride = width * bpp
-    val rawLen = (stride + 1) * height
+    // Adam7 pass geometry (spec 4.5.2): (xStart, yStart, xStep, yStep)
+    val passes: Array[(Int, Int, Int, Int)] =
+      if (interlace == 0) Array((0, 0, 1, 1))
+      else Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (x0, y0, dx, dy) = p
+      (if (width > x0) (width - x0 + dx - 1) / dx else 0,
+        if (height > y0) (height - y0 + dy - 1) / dy else 0)
+    }
+    // each pass is its own filtered sub-image; ALL passes share one
+    // zlib stream, empty passes contribute zero bytes
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) (pw * bpp + 1) * ph else 0
+    }.sum
     val raw = new Array[Byte](rawLen)
     val infl = new java.util.zip.Inflater()
     infl.setInput(idat.toByteArray)
@@ -461,30 +480,57 @@ object MediaCodec {
     } finally infl.end()
     require(got == rawLen,
       s"[GRAFT] png: inflated $got bytes, expected $rawLen")
-    // un-filter: predictors read RECONSTRUCTED neighbors, mod 256
-    val out = new Array[Byte](stride * height)
-    var r = 0
-    while (r < height) {
-      val ft = raw(r * (stride + 1)) & 0xff
-      require(ft <= 4, s"[GRAFT] png: unknown filter type $ft")
-      var x = 0
-      while (x < stride) {
-        val f = raw(r * (stride + 1) + 1 + x) & 0xff
-        val left = if (x >= bpp) out(r * stride + x - bpp) & 0xff else 0
-        val up = if (r > 0) out((r - 1) * stride + x) & 0xff else 0
-        val ul = if (r > 0 && x >= bpp)
-          out((r - 1) * stride + x - bpp) & 0xff else 0
-        val v = ft match {
-          case 0 => f
-          case 1 => f + left
-          case 2 => f + up
-          case 3 => f + ((left + up) / 2)
-          case _ => f + paeth(left, up, ul)
+    // un-filter ONE sub-image at `off` in the inflated stream:
+    // predictors read RECONSTRUCTED neighbors, mod 256
+    def unfilter(off: Int, wpx: Int, hpx: Int): Array[Byte] = {
+      val st = wpx * bpp
+      val res = new Array[Byte](st * hpx)
+      var r = 0
+      while (r < hpx) {
+        val ft = raw(off + r * (st + 1)) & 0xff
+        require(ft <= 4, s"[GRAFT] png: unknown filter type $ft")
+        var x = 0
+        while (x < st) {
+          val f = raw(off + r * (st + 1) + 1 + x) & 0xff
+          val left = if (x >= bpp) res(r * st + x - bpp) & 0xff else 0
+          val up = if (r > 0) res((r - 1) * st + x) & 0xff else 0
+          val ul = if (r > 0 && x >= bpp)
+            res((r - 1) * st + x - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => f
+            case 1 => f + left
+            case 2 => f + up
+            case 3 => f + ((left + up) / 2)
+            case _ => f + paeth(left, up, ul)
+          }
+          res(r * st + x) = v.toByte
+          x += 1
         }
-        out(r * stride + x) = v.toByte
-        x += 1
+        r += 1
       }
-      r += 1
+      res
+    }
+    val out = new Array[Byte](stride * height)
+    var off = 0
+    passes.foreach { p =>
+      val (x0, y0, dx, dy) = p
+      val (pw, ph) = passDims(p)
+      if (pw > 0 && ph > 0) {
+        val sub = unfilter(off, pw, ph)
+        off += (pw * bpp + 1) * ph
+        // scatter the pass's pixels onto the Adam7 grid (identity
+        // placement for the non-interlaced single pass)
+        var j = 0
+        while (j < ph) {
+          var i2 = 0
+          while (i2 < pw) {
+            System.arraycopy(sub, (j * pw + i2) * bpp, out,
+              ((y0 + j * dy) * width + (x0 + i2 * dx)) * bpp, bpp)
+            i2 += 1
+          }
+          j += 1
+        }
+      }
     }
     // paletted: expand indices through PLTE at decode — downstream
     // kernels see plain RGB, exactly like truecolor

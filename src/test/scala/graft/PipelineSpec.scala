@@ -2145,6 +2145,55 @@ class PipelineSpec extends AnyFunSuite {
         palette = palette)).getMessage.contains("palette required iff"))
   }
 
+  test("png codec: Adam7 INTERLACED images from an independent " +
+      "encoder decode to the exact pixels") {
+    import graft.operators.MediaCodec
+    def interlacedPng(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("png").next()
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null),
+        param)
+      writer.dispose(); ios.close()
+      val png = bos.toByteArray
+      assert(png(28) === 1, "writer must have produced Adam7") // IHDR
+      png
+    }
+    // odd dims exercise every pass's edge geometry; PNG is lossless,
+    // so the decode must be byte-EXACT against the source pixels
+    for ((w, h) <- Seq((9, 7), (1, 1), (2, 2), (16, 3))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 37 + y) % 256 << 16) |
+          ((y * 91 + x) % 256 << 8) | (x * y + 13) % 256)
+      val r = MediaCodec.decodePng(interlacedPng(img))
+      assert(r.width === w && r.height === h && r.channelOrder === "RGB")
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = img.getRGB(x, y)
+        val o = (y * w + x) * 3
+        assert((r.pixels(o) & 0xff) === ((argb >> 16) & 0xff) &&
+          (r.pixels(o + 1) & 0xff) === ((argb >> 8) & 0xff) &&
+          (r.pixels(o + 2) & 0xff) === (argb & 0xff),
+          s"pixel ($x,$y) of ${w}x$h")
+      }
+    }
+    // grayscale Adam7 (1 byte/pixel sub-image strides)
+    val gimg = new java.awt.image.BufferedImage(11, 5,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 5; x <- 0 until 11)
+      gimg.getRaster.setSample(x, y, 0, (x * 23 + y * 7) % 256)
+    val gr7 = MediaCodec.decodePng(interlacedPng(gimg))
+    assert(gr7.channelOrder === "GRAY")
+    for (y <- 0 until 5; x <- 0 until 11)
+      assert((gr7.pixels(y * 11 + x) & 0xff) ===
+        gimg.getRaster.getSample(x, y, 0))
+  }
+
   test("png codec: grayscale + RGBA color types round-trip with " +
       "bpp-aware filters, toRgb composites, hardened chunk guard") {
     import graft.operators.MediaCodec
