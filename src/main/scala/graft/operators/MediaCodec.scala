@@ -414,8 +414,13 @@ object MediaCodec {
           require(!ihdrSeen && len == 13, "[GRAFT] png: bad IHDR")
           val h = ByteBuffer.wrap(data)
           width = h.getInt(); height = h.getInt()
+          // total-pixel cap (the decodeJpeg stance): per-axis bounds
+          // alone admit 2^40-pixel headers whose Int size arithmetic
+          // wraps (crafted ~70-byte file -> AIOOBE or multi-GB alloc)
           require(width > 0 && height > 0 && width <= (1 << 20) &&
-            height <= (1 << 20), "[GRAFT] png: bad dimensions")
+            height <= (1 << 20) &&
+            width.toLong * height <= (1L << 26),
+            "[GRAFT] png: bad dimensions (max 2^26 pixels)")
           val depth = h.get(); val ct = h.get()
           require(depth == 8 && (ct == 0 || ct == 2 || ct == 3 || ct == 6),
             s"[GRAFT] png: only 8-bit grayscale/truecolor/paletted/" +
@@ -510,27 +515,32 @@ object MediaCodec {
       }
       res
     }
-    val out = new Array[Byte](stride * height)
-    var off = 0
-    passes.foreach { p =>
-      val (x0, y0, dx, dy) = p
-      val (pw, ph) = passDims(p)
-      if (pw > 0 && ph > 0) {
-        val sub = unfilter(off, pw, ph)
-        off += (pw * bpp + 1) * ph
-        // scatter the pass's pixels onto the Adam7 grid (identity
-        // placement for the non-interlaced single pass)
-        var j = 0
-        while (j < ph) {
-          var i2 = 0
-          while (i2 < pw) {
-            System.arraycopy(sub, (j * pw + i2) * bpp, out,
-              ((y0 + j * dy) * width + (x0 + i2 * dx)) * bpp, bpp)
-            i2 += 1
+    // non-interlaced (the overwhelmingly common case): the single
+    // pass IS the image — no scatter pass, no second pixel buffer
+    val out = if (interlace == 0) unfilter(0, width, height)
+    else {
+      val o = new Array[Byte](stride * height)
+      var off = 0
+      passes.foreach { p =>
+        val (x0, y0, dx, dy) = p
+        val (pw, ph) = passDims(p)
+        if (pw > 0 && ph > 0) {
+          val sub = unfilter(off, pw, ph)
+          off += (pw * bpp + 1) * ph
+          // scatter the pass's pixels onto the Adam7 grid
+          var j = 0
+          while (j < ph) {
+            var i2 = 0
+            while (i2 < pw) {
+              System.arraycopy(sub, (j * pw + i2) * bpp, o,
+                ((y0 + j * dy) * width + (x0 + i2 * dx)) * bpp, bpp)
+              i2 += 1
+            }
+            j += 1
           }
-          j += 1
         }
       }
+      o
     }
     // paletted: expand indices through PLTE at decode — downstream
     // kernels see plain RGB, exactly like truecolor
@@ -1510,7 +1520,10 @@ object MediaCodec {
                 } else run -= 1
                 k += 1
               }
-              require(placed || k > se,
+              // a NEW coefficient (sz == 1) must have found its
+              // zero-history slot inside the band; ZRL (sz == 0) may
+              // legitimately run out at the band end
+              require(placed || sz == 0,
                 "[GRAFT] jpeg: refinement run overruns the band")
             }
           }
@@ -1525,7 +1538,11 @@ object MediaCodec {
         }
       }
       if (ss == 0 && scanComp.length > 1) {
-        // interleaved DC scan over the frame MCU grid
+        // interleaved DC scan over the frame MCU grid; check the
+        // tables UP FRONT (every other scan shape does) — a stream
+        // naming an undefined DHT must fail loudly, not NPE
+        if (ah == 0) scanDc.foreach(id =>
+          require(dcTabs(id) != null, "[GRAFT] jpeg: missing DHT"))
         var my = 0
         while (my < mcusY) {
           var mx = 0

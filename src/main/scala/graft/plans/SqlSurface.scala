@@ -624,6 +624,38 @@ object SqlSurface {
     case other => fail(s"$what must be a map literal, got $other")
   }
 
+  /** Shared literal-argument parsing for the TVF builders — each
+    * caller passes its own signature-naming `fail`, so errors keep
+    * the builder's usage string. One copy of the Int|Long coercions:
+    * a literal-handling fix lands once, not per builder. */
+  private object TvfArgs {
+    def evalNonNull(es: Seq[Expression], i: Int, what: String,
+        fail: String => Nothing): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    def intArg(es: Seq[Expression], i: Int, what: String,
+        fail: String => Nothing): Int =
+      evalNonNull(es, i, what, fail) match {
+        case n: Int => n
+        case l: Long if l == l.toInt => l.toInt
+        case other => fail(s"$what must be an integer literal, got $other")
+      }
+    def longArg(es: Seq[Expression], i: Int, what: String,
+        fail: String => Nothing): Long =
+      evalNonNull(es, i, what, fail) match {
+        case n: Int => n.toLong
+        case l: Long => l
+        case other => fail(s"$what must be an integer literal, got $other")
+      }
+    /** Optional trailing bandCap argument, defaulting to the
+      * operators' 100k. */
+    def bandCap(es: Seq[Expression], i: Int,
+        fail: String => Nothing): Long =
+      if (es.length > i) longArg(es, i, "bandCap", fail) else 100000L
+  }
+
   /** TVF builder for `vfs_budget_sample(path, stratumCol, weightCol,
     * keyCol, tiebreakCol, budgets[, bandCap])` — deterministic
     * per-stratum weight-budget sampling
@@ -643,11 +675,8 @@ object SqlSurface {
     if (es.length < 6 || es.length > 7)
       fail(s"expected 6-7 arguments, got ${es.length}")
     if (!es.forall(_.foldable)) fail("all arguments must be literals")
-    def evalNonNull(i: Int, what: String): Any = {
-      val v = es(i).eval()
-      if (v == null) fail(s"$what must not be NULL")
-      v
-    }
+    def evalNonNull(i: Int, what: String): Any =
+      TvfArgs.evalNonNull(es, i, what, fail)
     val path = evalNonNull(0, "path").toString
     val stratumCol = evalNonNull(1, "stratumCol").toString
     val weightCol = evalNonNull(2, "weightCol").toString
@@ -655,11 +684,7 @@ object SqlSurface {
     val tiebreakCol = evalNonNull(4, "tiebreakCol").toString
     val budgets = mapArg(es(5), "budgets", fail)
     if (budgets.isEmpty) fail("budgets must not be empty")
-    val bandCap = if (es.length >= 7) evalNonNull(6, "bandCap") match {
-      case i: Int => i.toLong
-      case l: Long => l
-      case other => fail(s"bandCap must be an integer literal, got $other")
-    } else 100000L
+    val bandCap = TvfArgs.bandCap(es, 6, fail)
     graft.operators.Sampling.budgetSample(
         SparkSession.active.read.parquet(path), col(stratumCol),
         col(weightCol), col(keyCol), col(tiebreakCol), budgets.toMap,
@@ -682,11 +707,8 @@ object SqlSurface {
     if (es.length < 5 || es.length > 6)
       fail(s"expected 5-6 arguments, got ${es.length}")
     if (!es.forall(_.foldable)) fail("all arguments must be literals")
-    def evalNonNull(i: Int, what: String): Any = {
-      val v = es(i).eval()
-      if (v == null) fail(s"$what must not be NULL")
-      v
-    }
+    def evalNonNull(i: Int, what: String): Any =
+      TvfArgs.evalNonNull(es, i, what, fail)
     val path = evalNonNull(0, "path").toString
     val sourceCol = evalNonNull(1, "sourceCol").toString
     val keyCol = evalNonNull(2, "keyCol").toString
@@ -694,11 +716,7 @@ object SqlSurface {
     val weights = mapArg(es(4), "weights", fail)
     if (weights.isEmpty) fail("weights must not be empty")
     if (weights.exists(_._2 <= 0L)) fail("weights must be positive")
-    val bandCap = if (es.length >= 6) evalNonNull(5, "bandCap") match {
-      case i: Int => i.toLong
-      case l: Long => l
-      case other => fail(s"bandCap must be an integer literal, got $other")
-    } else 100000L
+    val bandCap = TvfArgs.bandCap(es, 5, fail)
     // ListMap: mixtureSample's normalization folds in map order — pin
     // the SQL argument order so the derivation is reproducible
     graft.operators.Sampling.mixtureSample(
@@ -724,25 +742,14 @@ object SqlSurface {
     if (es.length < 5 || es.length > 6)
       fail(s"expected 5-6 arguments, got ${es.length}")
     if (!es.forall(_.foldable)) fail("all arguments must be literals")
-    def evalNonNull(i: Int, what: String): Any = {
-      val v = es(i).eval()
-      if (v == null) fail(s"$what must not be NULL")
-      v
-    }
+    def evalNonNull(i: Int, what: String): Any =
+      TvfArgs.evalNonNull(es, i, what, fail)
     val path = evalNonNull(0, "path").toString
     val stratumCol = evalNonNull(1, "stratumCol").toString
     val keyCol = evalNonNull(2, "keyCol").toString
     val tiebreakCol = evalNonNull(3, "tiebreakCol").toString
-    val n = evalNonNull(4, "n") match {
-      case i: Int => i
-      case l: Long if l == l.toInt => l.toInt
-      case other => fail(s"n must be an integer literal, got $other")
-    }
-    val bandCap = if (es.length >= 6) evalNonNull(5, "bandCap") match {
-      case i: Int => i.toLong
-      case l: Long => l
-      case other => fail(s"bandCap must be an integer literal, got $other")
-    } else 100000L
+    val n = TvfArgs.intArg(es, 4, "n", fail)
+    val bandCap = TvfArgs.bandCap(es, 5, fail)
     graft.operators.Sampling.stratifiedTopN(
         SparkSession.active.read.parquet(path), col(stratumCol),
         col(keyCol), col(tiebreakCol), n, bandCap)
@@ -764,11 +771,8 @@ object SqlSurface {
     if (es.length < 4 || es.length > 6)
       fail(s"expected 4-6 arguments, got ${es.length}")
     if (!es.forall(_.foldable)) fail("all arguments must be literals")
-    def evalNonNull(i: Int, what: String): Any = {
-      val v = es(i).eval()
-      if (v == null) fail(s"$what must not be NULL")
-      v
-    }
+    def evalNonNull(i: Int, what: String): Any =
+      TvfArgs.evalNonNull(es, i, what, fail)
     val path = evalNonNull(0, "path").toString
     val sourceCol = evalNonNull(1, "sourceCol").toString
     val keyCol = evalNonNull(2, "keyCol").toString
@@ -780,11 +784,7 @@ object SqlSurface {
       case i: Int => i.toDouble
       case other => fail(s"alpha must be a numeric literal, got $other")
     } else 0.5
-    val bandCap = if (es.length >= 6) evalNonNull(5, "bandCap") match {
-      case i: Int => i.toLong
-      case l: Long => l
-      case other => fail(s"bandCap must be an integer literal, got $other")
-    } else 100000L
+    val bandCap = TvfArgs.bandCap(es, 5, fail)
     graft.operators.Sampling.temperatureSample(
         SparkSession.active.read.parquet(path), col(sourceCol),
         col(keyCol), col(tiebreakCol), alpha, bandCap)
@@ -803,7 +803,9 @@ object SqlSurface {
     * the `vfs_psl_domain_table` convention, snapshot cached per JVM)
     * it is the full public-suffix eTLD+1 through
     * [[graft.operators.WebCuration.capPerDomainPsl]]'s materialized
-    * slim frame, where `idCol` must be unique and non-null:
+    * slim frame, where `idCol` must be unique and non-null — ENFORCED
+    * here (`checkIds = true`: SQL users have no Scala contract to
+    * lean on, and a violation silently widens past the cap):
     * {{{ SELECT * FROM vfs_domain_cap('/data/crawl', 1000,
     *     'neg_quality', 'url', 'doc_id', 100000, '/data/psl') }}} */
   private[graft] def vfsDomainCapBuilder(es: Seq[Expression]): LogicalPlan = {
@@ -813,30 +815,20 @@ object SqlSurface {
     if (es.length < 3 || es.length > 7)
       fail(s"expected 3-7 arguments, got ${es.length}")
     if (!es.forall(_.foldable)) fail("all arguments must be literals")
-    def evalNonNull(i: Int, what: String): Any = {
-      val v = es(i).eval()
-      if (v == null) fail(s"$what must not be NULL")
-      v
-    }
-    def intArg(i: Int, what: String): Int = evalNonNull(i, what) match {
-      case n: Int => n
-      case l: Long if l == l.toInt => l.toInt
-      case other => fail(s"$what must be an integer literal, got $other")
-    }
+    def evalNonNull(i: Int, what: String): Any =
+      TvfArgs.evalNonNull(es, i, what, fail)
     val spark = SparkSession.active
     val path = evalNonNull(0, "path").toString
-    val n = intArg(1, "n")
+    val n = TvfArgs.intArg(es, 1, "n", fail)
     if (n < 1) fail(s"n must be >= 1, got $n")
     val rankCol = evalNonNull(2, "rankCol").toString
     val urlCol = if (es.length >= 4) evalNonNull(3, "urlCol").toString
       else "url"
     val idCol = if (es.length >= 5) evalNonNull(4, "idCol").toString
       else "doc_id"
-    val bandCap = if (es.length >= 6) evalNonNull(5, "bandCap") match {
-      case i: Int => i.toLong
-      case l: Long => l
-      case other => fail(s"bandCap must be an integer literal, got $other")
-    } else 100000L
+    val bandCap =
+      if (es.length >= 6) TvfArgs.longArg(es, 5, "bandCap", fail)
+      else 100000L
     val docs = spark.read.parquet(path)
     val out = if (es.length >= 7) {
       val src = evalNonNull(6, "pslSource").toString
@@ -845,8 +837,15 @@ object SqlSurface {
           else spark.table(src)
         graft.operators.WebCuration.pslFromTable(df)
       })
+      // checkIds = true ALWAYS from the SQL surface: the PSL form's
+      // semi-join silently widens past the cap on duplicate/null ids,
+      // and a SQL user has no Scala-side contract to lean on — the
+      // guard is one in-memory pass over the already-materialized
+      // slim frame (Scala callers who own their id column opt out via
+      // capPerDomainPsl directly)
       graft.operators.WebCuration.capPerDomainPsl(docs, urlCol, psl,
-        col(rankCol), col(idCol), idCol, n, bandCap)
+        col(rankCol), col(idCol), idCol, n, bandCap,
+        checkIds = true)
     } else graft.operators.WebCuration.capPerDomain(docs, urlCol,
       col(rankCol), col(idCol), n, bandCap)
     out.queryExecution.analyzed

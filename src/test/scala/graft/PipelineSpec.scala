@@ -2106,6 +2106,17 @@ class PipelineSpec extends AnyFunSuite {
     java.nio.ByteBuffer.wrap(evil).putInt(29, fixCrc.getValue.toInt)
     assert(intercept[IllegalArgumentException](
       MediaCodec.decodePng(evil)).getMessage.contains("[GRAFT]"))
+    // per-axis-legal but 2^40-pixel header: the total-pixel cap must
+    // refuse it with the [GRAFT] error, not wrap the Int size math
+    // into an AIOOBE or a multi-GB allocation
+    val wide = png.clone()
+    java.nio.ByteBuffer.wrap(wide).putInt(16, 1 << 20)
+    java.nio.ByteBuffer.wrap(wide).putInt(20, 1 << 20)
+    val fixCrc2 = new java.util.zip.CRC32()
+    fixCrc2.update(wide, 12, 4 + 13)
+    java.nio.ByteBuffer.wrap(wide).putInt(29, fixCrc2.getValue.toInt)
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodePng(wide)).getMessage.contains("2^26"))
   }
 
   test("png codec: PALETTED (color type 3) round-trips through PLTE, " +
