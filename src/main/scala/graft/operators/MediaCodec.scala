@@ -372,7 +372,9 @@ object MediaCodec {
 
   /** Chunk walker + zlib inflate + scanline un-filtering. Validates
     * the signature, each chunk's CRC32, IHDR sanity (8-bit grayscale
-    * / truecolor / paletted / truecolor+alpha; interlace 0 or Adam7 —
+    * / truecolor / paletted / truecolor+alpha, 16-bit grayscale /
+    * truecolor / RGBA — samples reduce to their HIGH byte, the
+    * standard 16→8 downconversion; interlace 0 or Adam7 —
     * each of the 7 interlace passes is un-filtered as its own
     * sub-image and scattered onto the pixel grid), and that the
     * inflated stream is exactly the expected per-pass total. Multiple
@@ -391,7 +393,7 @@ object MediaCodec {
     val b = ByteBuffer.wrap(bytes) // big-endian by default
     b.position(8)
     var width = 0; var height = 0; var colorType = -1
-    var interlace = 0
+    var interlace = 0; var bitDepth = 8
     var ihdrSeen = false; var iendSeen = false
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
@@ -422,10 +424,14 @@ object MediaCodec {
             width.toLong * height <= (1L << 26),
             "[GRAFT] png: bad dimensions (max 2^26 pixels)")
           val depth = h.get(); val ct = h.get()
-          require(depth == 8 && (ct == 0 || ct == 2 || ct == 3 || ct == 6),
+          require((depth == 8 &&
+              (ct == 0 || ct == 2 || ct == 3 || ct == 6)) ||
+            (depth == 16 && (ct == 0 || ct == 2 || ct == 6)),
             s"[GRAFT] png: only 8-bit grayscale/truecolor/paletted/" +
-              s"RGBA supported, got depth=$depth colorType=$ct")
+              s"RGBA or 16-bit grayscale/truecolor/RGBA supported, " +
+              s"got depth=$depth colorType=$ct")
           colorType = ct
+          bitDepth = depth
           require(h.get() == 0, "[GRAFT] png: bad compression method")
           require(h.get() == 0, "[GRAFT] png: bad filter method")
           interlace = h.get()
@@ -446,7 +452,10 @@ object MediaCodec {
       }
     }
     require(ihdrSeen && iendSeen, "[GRAFT] png: missing IHDR or IEND")
-    val bpp = pngBpp(colorType)
+    // filter delta in BYTES: spec 9.2 — "the byte to the left" is
+    // channels x bytes-per-sample back, so 16-bit scanlines reuse the
+    // byte-level un-filtering verbatim with a doubled stride
+    val bpp = pngBpp(colorType) * (bitDepth / 8)
     val stride = width * bpp
     // Adam7 pass geometry (spec 4.5.2): (xStart, yStart, xStep, yStep)
     val passes: Array[(Int, Int, Int, Int)] =
@@ -542,15 +551,27 @@ object MediaCodec {
       }
       o
     }
+    // 16-bit samples reduce to their HIGH byte (the standard 16->8
+    // downconversion; v >> 8): every downstream kernel — stats, dHash,
+    // resize — operates on 8-bit rasters, and the high byte is what an
+    // independent decoder's (sample >> 8) reproduces exactly
+    val out8 =
+      if (bitDepth == 8) out
+      else {
+        val o = new Array[Byte](out.length / 2)
+        var i = 0
+        while (i < o.length) { o(i) = out(2 * i); i += 1 }
+        o
+      }
     // paletted: expand indices through PLTE at decode — downstream
     // kernels see plain RGB, exactly like truecolor
     if (colorType == 3) {
       require(plte != null, "[GRAFT] png: paletted image missing PLTE")
       val n = plte.length / 3
-      val rgb = new Array[Byte](out.length * 3)
+      val rgb = new Array[Byte](out8.length * 3)
       var i = 0
-      while (i < out.length) {
-        val idx = out(i) & 0xff
+      while (i < out8.length) {
+        val idx = out8(i) & 0xff
         require(idx < n,
           s"[GRAFT] png: palette index $idx out of range ($n entries)")
         rgb(3 * i) = plte(3 * idx)
@@ -565,7 +586,7 @@ object MediaCodec {
       case 2 => "RGB"
       case _ => "RGBA"
     }
-    Raster(width, height, order, out)
+    Raster(width, height, order, out8)
   }
 
   /** Normalize any decoded raster to 3-byte RGB pixels: BGR swaps

@@ -2156,6 +2156,67 @@ class PipelineSpec extends AnyFunSuite {
         palette = palette)).getMessage.contains("palette required iff"))
   }
 
+  test("png codec: 16-BIT depth decodes to the high byte, exact vs " +
+      "an independent encoder and a hand-built stream") {
+    import graft.operators.MediaCodec
+    // 16-bit grayscale via ImageIO (TYPE_USHORT_GRAY writes depth 16)
+    val w = 7; val h = 5
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 9301 + y * 517) % 65536)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val png = bos.toByteArray
+    assert(png(24) === 16, "writer must have produced depth 16") // IHDR
+    val r = MediaCodec.decodePng(png)
+    assert(r.width === w && r.height === h && r.channelOrder === "GRAY")
+    for (y <- 0 until h; x <- 0 until w)
+      assert((r.pixels(y * w + x) & 0xff) ===
+        (img.getRaster.getSample(x, y, 0) >> 8), s"($x,$y)")
+    // 16-bit TRUECOLOR, hand-built (filter 0 scanlines, known bytes):
+    // pixel (x,y) channel c = 0x(AB)(CD) with high byte the expected
+    // 8-bit output
+    val w2 = 2; val h2 = 2
+    val raw = new java.io.ByteArrayOutputStream()
+    val hi = Array.tabulate(h2, w2, 3)((y, x, c) => y * 80 + x * 30 + c * 7)
+    for (y <- 0 until h2) {
+      raw.write(0) // filter type None
+      for (x <- 0 until w2; c <- 0 until 3) {
+        raw.write(hi(y)(x)(c)); raw.write(0x5a) // low byte arbitrary
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](512)
+    while (!defl.finished()) z.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length)
+      val tb = typ.getBytes("US-ASCII")
+      b.put(tb).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w2).putInt(h2)
+    ihdr.put(16.toByte).put(2.toByte) // depth 16, truecolor
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val hand = sig ++ chunk("IHDR", ihdr.array()) ++
+      chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+    val r2 = MediaCodec.decodePng(hand)
+    assert(r2.channelOrder === "RGB")
+    for (y <- 0 until h2; x <- 0 until w2; c <- 0 until 3)
+      assert((r2.pixels((y * w2 + x) * 3 + c) & 0xff) === hi(y)(x)(c))
+  }
+
   test("png codec: Adam7 INTERLACED images from an independent " +
       "encoder decode to the exact pixels") {
     import graft.operators.MediaCodec
