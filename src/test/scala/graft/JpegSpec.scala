@@ -300,6 +300,60 @@ class JpegSpec extends AnyFunSuite {
     assert(worst <= 2, s"gray progressive worst delta $worst")
   }
 
+  test("progressive vs baseline across sizes: IDENTICAL coefficients decode bit-for-bit the same; gray tracks the reference within 2") {
+    // The sharpest cross-check available: the writer quantizes the
+    // SAME coefficients for both progression modes (same tables, same
+    // quality) — progressive is a lossless reorganization of the
+    // entropy layer — so OUR decode of the progressive bytes must
+    // equal OUR decode of the baseline bytes EXACTLY, at any content.
+    // (A vs-ImageIO pixel comparison on color noise is NOT a valid
+    // oracle at these sizes: conformant decoders legitimately differ
+    // by chroma-upsampling filter — replication here, triangular in
+    // libjpeg-lineage — by far more than any coding effect.)
+    for ((w, h, seed) <- Seq((8, 8, 1), (17, 13, 2), (64, 48, 3),
+        (15, 40, 4), (40, 15, 5))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var st = seed * 2654435761L
+      for (y <- 0 until h; x <- 0 until w) {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((st >>> 40) & 0xffffff).toInt)
+      }
+      val prog = imageIoJpeg(img, progressive = true)
+      assert(hasSof2(prog))
+      val base = imageIoJpeg(img, progressive = false)
+      val rp = MediaCodec.decodeJpeg(prog)
+      val rb = MediaCodec.decodeJpeg(base)
+      assert(rp.width === w && rp.height === h)
+      assert(rp.pixels.toSeq === rb.pixels.toSeq,
+        s"$w x $h: progressive decode must equal baseline bit-for-bit")
+    }
+    // GRAYSCALE noise has no chroma-upsampling ambiguity: our decode
+    // must track the reference decoder within IDCT rounding
+    for ((w, h, seed) <- Seq((17, 13, 7), (40, 15, 8))) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var st = seed * 2654435761L
+      for (y <- 0 until h; x <- 0 until w) {
+        st = st * 6364136223846793005L + 1442695040888963407L
+        img.getRaster.setSample(x, y, 0, ((st >>> 40) & 0xff).toInt)
+      }
+      for (progressive <- Seq(false, true)) {
+        val jpg = imageIoJpeg(img, progressive)
+        val r = MediaCodec.decodeJpeg(jpg)
+        val ref = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(jpg))
+        var worst = 0
+        for (y <- 0 until h; x <- 0 until w)
+          worst = math.max(worst,
+            math.abs(ref.getRaster.getSample(x, y, 0) -
+              (r.pixels(y * w + x) & 0xff)))
+        assert(worst <= 2,
+          s"gray $w x $h progressive=$progressive worst delta $worst")
+      }
+    }
+  }
+
   test("adversarial input is rejected with [GRAFT] errors") {
     val good = MediaCodec.encodeJpegGray(gray(8, 8)((_, _) => 100), 8, 8)
     // bad magic
