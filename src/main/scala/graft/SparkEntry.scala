@@ -2695,6 +2695,41 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- GIF (87a/89a 8-bit LZW): payload bytes are palette indices
+    // against the same deterministic 256-entry table as the paletted
+    // PNG row, so the two formats share one oracle derivation — the
+    // row only hash-matches if the logical-screen header, the global
+    // color table, the variable-width LZW stream, and the index→RGB
+    // expansion all round-trip exactly ----
+    "multimodal_gif" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizeGif(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.decodeStats(s, media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- ANIMATED GIF frame sampling: every doc becomes a real
+    // NETSCAPE2.0 animation (full-canvas 4×2 index frames, disposal
+    // 1), every 4th COMPOSITED frame decoded; full-canvas opaque
+    // frames make compositing the identity, so the oracle reads each
+    // sampled frame's channel means straight off the payload slice
+    // with the palette's modular arithmetic — LZW, the GCE walk, and
+    // the per-frame canvas snapshot must all be exact ----
+    "multimodal_gif_frames" -> ((s, dir) => {
+      val vid = graft.operators.Multimodal
+        .synthesizeGifAnimated(s.read.parquet(s"$dir/documents.parquet"),
+          frameRows = 2)
+      graft.operators.Multimodal.sampleFrames(s, vid, everyN = 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"),
+          col("height"), col("r_milli"), col("g_milli"), col("b_milli"))
+        .orderBy(col("doc_id").asc, col("frame_idx").asc)
+    }),
+
     // ---- baseline JPEG decode (GRAYSCALE): every doc wrapped in a
     // real JFIF file — one CONSTANT 8×8 block per payload byte, flat
     // q=8, where the lossy codec is EXACT (DC quantizes losslessly,
@@ -5168,6 +5203,8 @@ object SparkEntry {
     "multimodal_png_gray" -> multimodalPngGrayOracle,
     "multimodal_png_palette" -> multimodalPngPaletteOracle,
     "multimodal_png_rgba" -> multimodalPngRgbaOracle,
+    "multimodal_gif" -> multimodalPalettedOracle("image/gif"),
+    "multimodal_gif_frames" -> multimodalGifFramesOracle,
     "multimodal_jpeg" -> multimodalJpegOracle,
     "multimodal_jpeg_color" -> multimodalJpegColorOracle(8),
     "multimodal_jpeg_420" -> multimodalJpegColorOracle(16),
@@ -6498,7 +6535,13 @@ object SparkEntry {
     * (b·mult_c) mod 256 for mult = (7, 13, 29) — the deterministic
     * palette formula — so the channel means are pure modular
     * arithmetic over the zero-padded bytes. */
-  private def multimodalPngPaletteOracle: String = {
+  private def multimodalPngPaletteOracle: String =
+    multimodalPalettedOracle("image/png")
+
+  /** Shared by the paletted-PNG and GIF rows — the two synthesizers
+    * use the SAME geometry (4-wide, whole rows, one-row minimum) and
+    * palette formula, so only the declared format differs. */
+  private def multimodalPalettedOracle(format: String): String = {
     def chan(mult: Int): String =
       s"""round(COALESCE(list_sum(list_transform(pb,
          |    x -> (x * $mult) % 256)), 0) * 1000.0 / (255.0 * m))""".stripMargin
@@ -6509,7 +6552,7 @@ object SparkEntry {
        |    list_transform(range(1, m + 1),
        |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
        |  FROM s)
-       |SELECT doc_id, 'image/png' AS format,
+       |SELECT doc_id, '$format' AS format,
        |  CAST(4 AS INT) AS width,
        |  CAST(m // 4 AS INT) AS height,
        |  CAST(m AS BIGINT) AS n_samples,
@@ -6916,6 +6959,36 @@ object SparkEntry {
        |  CAST(${chanMilli(0)} AS BIGINT) AS r_milli,
        |  CAST(${chanMilli(1)} AS BIGINT) AS g_milli,
        |  CAST(${chanMilli(2)} AS BIGINT) AS b_milli
+       |FROM x WHERE f % 4 = 0
+       |ORDER BY doc_id ASC, frame_idx ASC""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Multimodal.synthesizeGifAnimated]]
+    * (frameRows=2) → `sampleFrames(everyN=4)`: the payload
+    * zero-padded to whole 8-byte index frames (4×2, ≥ 1 frame),
+    * every 4th frame's channel means over its 8 PALETTE-MAPPED
+    * pixels — channel c of index b is (b·mult_c) mod 256 for
+    * mult = (7, 13, 29). Full-canvas opaque frames with disposal 1
+    * make GIF compositing the identity, so the engine's composited
+    * frame equals the payload slice. */
+  private def multimodalGifFramesOracle: String = {
+    def chanMilli(mult: Int): String =
+      s"""round(list_sum(list_transform(range(0, 8),
+         |    k -> (pb[f * 8 + k + 1] * $mult) % 256))
+         |  * 1000.0 / (255.0 * 8))""".stripMargin
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+       |s AS (SELECT doc_id, bs, len(bs) AS n,
+       |    greatest(1, (len(bs) + 7) // 8) AS nf FROM b),
+       |p AS (SELECT doc_id, nf,
+       |    list_transform(range(1, nf * 8 + 1),
+       |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
+       |  FROM s),
+       |x AS (SELECT doc_id, pb, unnest(range(0, nf)) AS f FROM p)
+       |SELECT doc_id, f AS frame_idx,
+       |  CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+       |  CAST(${chanMilli(7)} AS BIGINT) AS r_milli,
+       |  CAST(${chanMilli(13)} AS BIGINT) AS g_milli,
+       |  CAST(${chanMilli(29)} AS BIGINT) AS b_milli
        |FROM x WHERE f % 4 = 0
        |ORDER BY doc_id ASC, frame_idx ASC""".stripMargin
   }

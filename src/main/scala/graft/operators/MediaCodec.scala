@@ -1818,6 +1818,420 @@ object MediaCodec {
   }
 
   // ---------------------------------------------------------------
+  // GIF (87a/89a: LZW, global/local color tables, 4-pass interlace,
+  // transparency, multi-frame animation with disposal 0/1/2)
+  // ---------------------------------------------------------------
+
+  /** GIF-variant LZW decode: variable code width starting at
+    * minCode+1, LSB-first bit packing, clear/EOI codes, dictionary
+    * frozen at 4096 until the next clear (the "deferred clear"
+    * convention real encoders rely on). Decodes EXACTLY `expected`
+    * indices — a stream that runs dry or a code whose expansion
+    * crosses the pixel count throws (a wrong pixel count upstream
+    * must not silently truncate or spill). */
+  private[graft] def lzwDecode(data: Array[Byte], minCode: Int,
+      expected: Int): Array[Byte] = {
+    require(minCode >= 2 && minCode <= 8,
+      s"[GRAFT] gif: bad LZW min code size $minCode")
+    require(expected > 0, "[GRAFT] gif: empty LZW target")
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var avail = clear + 2
+    var codeSize = minCode + 1
+    var oldCode = -1
+    var firstByte = 0
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    var acc = 0; var accBits = 0; var pos = 0
+    while (outPos < expected) {
+      while (accBits < codeSize && pos < data.length) {
+        acc |= (data(pos) & 0xff) << accBits
+        accBits += 8; pos += 1
+      }
+      require(accBits >= codeSize, "[GRAFT] gif: LZW stream truncated")
+      val code = acc & ((1 << codeSize) - 1)
+      acc >>>= codeSize; accBits -= codeSize
+      if (code == clear) {
+        codeSize = minCode + 1; avail = clear + 2; oldCode = -1
+      } else if (code == eoi) {
+        // EOI before the raster is full: the outer require catches it
+        require(outPos == expected,
+          s"[GRAFT] gif: LZW EOI after $outPos of $expected pixels")
+      } else {
+        require(code < avail || (code == avail && oldCode != -1),
+          s"[GRAFT] gif: LZW code $code out of range (avail $avail)")
+        var sp = 0
+        var cur = code
+        if (code == avail) { // the KwKwK case: old string + its first char
+          stack(sp) = firstByte.toByte; sp += 1
+          cur = oldCode
+        }
+        while (cur >= clear + 2) {
+          stack(sp) = suffix(cur); sp += 1
+          cur = prefix(cur)
+        }
+        require(cur < clear, "[GRAFT] gif: corrupt LZW chain")
+        firstByte = cur
+        stack(sp) = cur.toByte; sp += 1
+        while (sp > 0) {
+          sp -= 1
+          require(outPos < expected,
+            "[GRAFT] gif: LZW output overruns the raster")
+          out(outPos) = stack(sp); outPos += 1
+        }
+        if (oldCode != -1 && avail < 4096) {
+          prefix(avail) = oldCode
+          suffix(avail) = firstByte.toByte
+          avail += 1
+          if (avail == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        oldCode = code
+      }
+    }
+    out
+  }
+
+  /** GIF-variant LZW encode, the exact dual of [[lzwDecode]]'s width
+    * schedule: the encoder is one emitted code AHEAD of the decoder's
+    * dictionary (it adds entry k at emit k, the decoder at read k+1),
+    * so it bumps the width when `next` EXCEEDS 1<<width where the
+    * decoder bumps at equality — the classic off-by-one that breaks
+    * interop when gotten wrong. A full dictionary emits clear and
+    * resets (deterministic; real encoders may defer). */
+  private[graft] def lzwEncode(indices: Array[Byte], minCode: Int): Array[Byte] = {
+    require(minCode >= 2 && minCode <= 8,
+      s"[GRAFT] gif: bad LZW min code size $minCode")
+    require(indices.nonEmpty, "[GRAFT] gif: nothing to encode")
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0; var codeSize = minCode + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << accBits
+      accBits += codeSize
+      while (accBits >= 8) {
+        out.write((acc & 0xff).toInt); acc >>>= 8; accBits -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    var next = clear + 2
+    emit(clear)
+    var cur = indices(0) & 0xff
+    require(cur < clear, s"[GRAFT] gif: index $cur exceeds code space")
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i) & 0xff
+      require(k < clear, s"[GRAFT] gif: index $k exceeds code space")
+      val key = Integer.valueOf((cur << 8) | k)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        if (next < 4096) {
+          dict.put(key, Integer.valueOf(next)); next += 1
+          if (next > (1 << codeSize) && codeSize < 12) codeSize += 1
+        } else {
+          emit(clear)
+          dict.clear(); next = clear + 2; codeSize = minCode + 1
+        }
+        cur = k
+      }
+      i += 1
+    }
+    emit(cur)
+    emit(eoi)
+    if (accBits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF interlace row schedule (spec appendix E): pass 1 rows
+    * 0,8,16…, pass 2 rows 4,12…, pass 3 rows 2,6,10…, pass 4 odd
+    * rows. `rowOrder(h)(r)` = the CANVAS row holding the r-th row of
+    * the stored (pass-ordered) raster. */
+  private def gifRowOrder(h: Int): Array[Int] = {
+    val order = new Array[Int](h)
+    var r = 0
+    var pass = 0
+    val starts = Array(0, 4, 2, 1)
+    val steps = Array(8, 8, 4, 2)
+    while (pass < 4) {
+      var y = starts(pass)
+      while (y < h) {
+        order(r) = y; r += 1; y += steps(pass)
+      }
+      pass += 1
+    }
+    order
+  }
+
+  /** Pad a 1..256-triple RGB palette to the next power-of-two entry
+    * count (GIF color tables are always 2^(k+1) entries) and return
+    * (paddedTable, entries, lzwMinCodeSize). */
+  private def gifTable(palette: Array[Byte]): (Array[Byte], Int, Int) = {
+    require(palette != null && palette.length >= 3 &&
+      palette.length <= 768 && palette.length % 3 == 0,
+      "[GRAFT] gif: palette must be 1..256 RGB triples")
+    val entries = palette.length / 3
+    var padded = 2
+    while (padded < entries) padded <<= 1
+    val table = java.util.Arrays.copyOf(palette, padded * 3)
+    val bits = Integer.numberOfTrailingZeros(padded) // 1..8
+    (table, entries, math.max(2, bits))
+  }
+
+  private def gifU16(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xff); out.write((v >> 8) & 0xff)
+  }
+
+  /** Header + logical screen descriptor + global color table. */
+  private def gifScreen(out: java.io.ByteArrayOutputStream, width: Int,
+      height: Int, table: Array[Byte]): Unit = {
+    out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
+    gifU16(out, width); gifU16(out, height)
+    val sizeField = Integer.numberOfTrailingZeros(table.length / 3) - 1
+    out.write(0x80 | (7 << 4) | sizeField) // GCT present, 8-bit color res
+    out.write(0)                           // background color index
+    out.write(0)                           // no aspect ratio
+    out.write(table, 0, table.length)
+  }
+
+  /** One image block: descriptor + LZW data in ≤255-byte sub-blocks.
+    * Interlaced frames store rows in pass order — the encoder
+    * permutes, the decoder un-permutes, and a resize afterwards
+    * pins the row placement end-to-end. */
+  private def gifImage(out: java.io.ByteArrayOutputStream,
+      indices: Array[Byte], width: Int, height: Int, entries: Int,
+      minCode: Int, interlaced: Boolean): Unit = {
+    require(width > 0 && height > 0 &&
+      indices.length == width * height,
+      "[GRAFT] gif: indices must be width*height bytes")
+    var i = 0
+    while (i < indices.length) {
+      require((indices(i) & 0xff) < entries,
+        s"[GRAFT] gif: index ${indices(i) & 0xff} out of range " +
+          s"(palette has $entries entries)")
+      i += 1
+    }
+    out.write(0x2c)
+    gifU16(out, 0); gifU16(out, 0)
+    gifU16(out, width); gifU16(out, height)
+    out.write(if (interlaced) 0x40 else 0x00) // no LCT
+    val stored =
+      if (!interlaced) indices
+      else {
+        val order = gifRowOrder(height)
+        val s = new Array[Byte](indices.length)
+        var r = 0
+        while (r < height) {
+          System.arraycopy(indices, order(r) * width, s, r * width, width)
+          r += 1
+        }
+        s
+      }
+    out.write(minCode)
+    val lzw = lzwEncode(stored, minCode)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+  }
+
+  /** Single-frame GIF89a: `indices` are palette indices on a
+    * width×height raster, `palette` 1..256 RGB triples (padded to
+    * the GIF power-of-two table size). `interlaced` stores rows in
+    * the 4-pass order. The output is a bona fide file (desktop
+    * viewers and ImageIO open it). */
+  def encodeGif(indices: Array[Byte], width: Int, height: Int,
+      palette: Array[Byte], interlaced: Boolean = false): Array[Byte] = {
+    val (table, entries, minCode) = gifTable(palette)
+    val out = new java.io.ByteArrayOutputStream(indices.length / 2 + 64)
+    gifScreen(out, width, height, table)
+    gifImage(out, indices, width, height, entries, minCode, interlaced)
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Animated GIF89a: every frame a full-canvas index raster against
+    * one global palette, NETSCAPE2.0 infinite loop, per-frame GCE
+    * with disposal 1 (do not dispose) and `delayCs` centiseconds. */
+  def encodeGifAnimated(frames: Seq[Array[Byte]], width: Int, height: Int,
+      palette: Array[Byte], delayCs: Int = 4): Array[Byte] = {
+    require(frames.nonEmpty, "[GRAFT] gif: no frames")
+    require(delayCs >= 0 && delayCs <= 0xffff, "[GRAFT] gif: bad delay")
+    val (table, entries, minCode) = gifTable(palette)
+    val out = new java.io.ByteArrayOutputStream()
+    gifScreen(out, width, height, table)
+    // NETSCAPE2.0 application extension: loop forever
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes(StandardCharsets.US_ASCII))
+    out.write(3); out.write(1); gifU16(out, 0); out.write(0)
+    frames.foreach { f =>
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0x04) // disposal 1 (do not dispose), no transparency
+      gifU16(out, delayCs)
+      out.write(0)    // transparent index (unused)
+      out.write(0)    // terminator
+      gifImage(out, f, width, height, entries, minCode, interlaced = false)
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** Decode every frame of a GIF87a/89a into full-canvas RGB rasters
+    * — the composited view an animation player shows, which is what
+    * frame sampling and near-dup fingerprinting need. Handles
+    * global/local color tables, the 4-pass interlace, GCE
+    * transparency (transparent pixels leave the canvas unchanged)
+    * and disposal 0/1 (keep) and 2 (restore region to the background
+    * color); disposal 3 (restore-to-previous) is rejected loudly.
+    * The canvas starts at the background-color RGB (white when the
+    * background index has no table entry). Structural damage —
+    * truncated sub-blocks, out-of-range LZW codes or palette
+    * indices, frames exceeding the logical screen — throws. */
+  def decodeGifFrames(bytes: Array[Byte]): Seq[Raster] = {
+    require(bytes.length >= 13, "[GRAFT] gif: truncated file")
+    val sig = new String(bytes, 0, 6, StandardCharsets.US_ASCII)
+    require(sig == "GIF87a" || sig == "GIF89a",
+      "[GRAFT] gif: missing GIF87a/GIF89a signature")
+    var pos = 6
+    def u8(): Int = {
+      require(pos < bytes.length, "[GRAFT] gif: truncated file")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val lo = u8(); lo | (u8() << 8) }
+    def colorTable(sizeField: Int): Array[Byte] = {
+      val n = (2 << sizeField) * 3
+      require(pos + n <= bytes.length, "[GRAFT] gif: color table truncated")
+      val t = new Array[Byte](n)
+      System.arraycopy(bytes, pos, t, 0, n); pos += n
+      t
+    }
+    val sw = u16(); val sh = u16()
+    require(sw > 0 && sh > 0 && sw <= (1 << 20) && sh <= (1 << 20) &&
+      sw.toLong * sh <= (1L << 26),
+      "[GRAFT] gif: bad logical screen (max 2^26 pixels)")
+    val packed = u8()
+    val bgIndex = u8()
+    u8() // aspect ratio: ignored
+    val gct = if ((packed & 0x80) != 0) colorTable(packed & 7) else null
+    val canvas = new Array[Byte](sw * sh * 3)
+    val (bgR, bgG, bgB) =
+      if (gct != null && bgIndex * 3 + 2 < gct.length)
+        (gct(bgIndex * 3), gct(bgIndex * 3 + 1), gct(bgIndex * 3 + 2))
+      else (255.toByte, 255.toByte, 255.toByte)
+    def fillBg(left: Int, top: Int, w: Int, h: Int): Unit = {
+      var y = top
+      while (y < top + h) {
+        var x = left
+        while (x < left + w) {
+          val o = (y * sw + x) * 3
+          canvas(o) = bgR; canvas(o + 1) = bgG; canvas(o + 2) = bgB
+          x += 1
+        }
+        y += 1
+      }
+    }
+    fillBg(0, 0, sw, sh)
+    val frames = Seq.newBuilder[Raster]
+    var nFrames = 0
+    var transparentIdx = -1
+    var disposal = 0
+    var done = false
+    while (!done) {
+      u8() match {
+        case 0x3b => done = true
+        case 0x21 =>
+          val label = u8()
+          if (label == 0xf9) {
+            require(u8() == 4, "[GRAFT] gif: bad GCE block size")
+            val p = u8()
+            disposal = (p >> 2) & 7
+            require(disposal <= 2,
+              s"[GRAFT] gif: unsupported disposal method $disposal")
+            u16() // delay: ignored
+            val t = u8()
+            transparentIdx = if ((p & 1) != 0) t else -1
+            require(u8() == 0, "[GRAFT] gif: GCE missing terminator")
+          } else {
+            // comment / application / plain text: skip sub-blocks
+            var n = u8()
+            while (n != 0) {
+              require(pos + n <= bytes.length,
+                "[GRAFT] gif: extension data truncated")
+              pos += n
+              n = u8()
+            }
+          }
+        case 0x2c =>
+          val left = u16(); val top = u16()
+          val iw = u16(); val ih = u16()
+          require(iw > 0 && ih > 0 && left + iw <= sw && top + ih <= sh,
+            "[GRAFT] gif: image exceeds the logical screen")
+          val ip = u8()
+          val interlaced = (ip & 0x40) != 0
+          val lct = if ((ip & 0x80) != 0) colorTable(ip & 7) else null
+          val table = if (lct != null) lct else gct
+          require(table != null, "[GRAFT] gif: image has no color table")
+          val entries = table.length / 3
+          val minCode = u8()
+          val data = new java.io.ByteArrayOutputStream()
+          var n = u8()
+          while (n != 0) {
+            require(pos + n <= bytes.length,
+              "[GRAFT] gif: image data truncated")
+            data.write(bytes, pos, n); pos += n
+            n = u8()
+          }
+          val indices = lzwDecode(data.toByteArray, minCode, iw * ih)
+          val order =
+            if (interlaced) gifRowOrder(ih)
+            else Array.tabulate(ih)(identity)
+          var r = 0
+          while (r < ih) {
+            val cy = top + order(r)
+            var x = 0
+            while (x < iw) {
+              val idx = indices(r * iw + x) & 0xff
+              require(idx < entries,
+                s"[GRAFT] gif: pixel index $idx out of range " +
+                  s"(table has $entries entries)")
+              if (idx != transparentIdx) {
+                val o = (cy * sw + left + x) * 3
+                canvas(o) = table(3 * idx)
+                canvas(o + 1) = table(3 * idx + 1)
+                canvas(o + 2) = table(3 * idx + 2)
+              }
+              x += 1
+            }
+            r += 1
+          }
+          nFrames += 1
+          require(nFrames.toLong * sw * sh <= (1L << 28),
+            "[GRAFT] gif: animation exceeds 2^28 total pixels")
+          frames += Raster(sw, sh, "RGB", canvas.clone())
+          if (disposal == 2) fillBg(left, top, iw, ih)
+          // a GCE scopes ONE image (spec 23): reset for the next
+          transparentIdx = -1
+          disposal = 0
+        case other => throw new IllegalArgumentException(
+          f"[GRAFT] gif: unknown block introducer 0x$other%02x")
+      }
+    }
+    require(nFrames > 0, "[GRAFT] gif: no image data")
+    frames.result()
+  }
+
+  /** First (or only) frame of a GIF as a full-canvas RGB raster. */
+  def decodeGif(bytes: Array[Byte]): Raster = decodeGifFrames(bytes).head
+
+  // ---------------------------------------------------------------
   // Raster resize kernels + WAV resample
   // ---------------------------------------------------------------
 

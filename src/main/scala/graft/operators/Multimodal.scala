@@ -51,6 +51,24 @@ case class MediaStats(doc_id: Long, format: String, width: Int,
   * embarrassingly-parallel stage. */
 object Multimodal {
 
+  /** Raster formats with a registered [[MediaCodec]] parser, in one
+    * dispatch — every decode site (stats, features, fingerprint,
+    * resize) shares it so a new codec lights up the whole image
+    * family at once. */
+  private[operators] def decodeRaster(format: String,
+      bytes: Array[Byte]): MediaCodec.Raster = format match {
+    case "image/bmp" => MediaCodec.decodeBmp(bytes)
+    case "image/ppm" => MediaCodec.decodePpm(bytes)
+    case "image/png" => MediaCodec.decodePng(bytes)
+    case "image/jpeg" => MediaCodec.decodeJpeg(bytes)
+    case "image/gif" => MediaCodec.decodeGif(bytes)
+    case other => throw new IllegalArgumentException(
+      s"[GRAFT] no raster decoder registered for format $other")
+  }
+
+  private[operators] val RasterFormats: Set[String] =
+    Set("image/bmp", "image/ppm", "image/png", "image/jpeg", "image/gif")
+
   /** Build a media table from the documents table: the text payload is
     * UTF-8-encoded as the stand-in binary blob. Every synthesizer
     * [[WorkCols.spread]]s its docs input first: the decode/encode
@@ -207,14 +225,6 @@ object Multimodal {
       idCol: String = "doc_id"): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val palette = Array.tabulate(768) { j =>
-      val i = j / 3
-      (j % 3 match {
-        case 0 => i * 7 % 256
-        case 1 => i * 13 % 256
-        case _ => i * 29 % 256
-      }).toByte
-    }
     WorkCols.spread(docs)
       .select(col(idCol).cast("long").as("doc_id"),
         encode(col(textCol), "UTF-8").as("payload"))
@@ -224,8 +234,87 @@ object Multimodal {
           val m = math.max(4, payload.length - payload.length % 4)
           val p = java.util.Arrays.copyOf(payload, m)
           val bytes = MediaCodec.encodePngPaletted(p, 4, p.length / 4,
-            palette)
+            SynthPalette)
           MediaRecord(id, bytes, "image/png", bytes.length.toLong)
+        }
+      }
+  }
+
+  /** The deterministic 256-entry palette shared by the paletted PNG
+    * and GIF synthesizers — entry i is ((i·7) mod 256, (i·13) mod
+    * 256, (i·29) mod 256), so an oracle recomputes decoded RGB from
+    * raw index bytes with pure modular arithmetic. */
+  private[operators] val SynthPalette: Array[Byte] =
+    Array.tabulate(768) { j =>
+      val i = j / 3
+      (j % 3 match {
+        case 0 => i * 7 % 256
+        case 1 => i * 13 % 256
+        case _ => i * 29 % 256
+      }).toByte
+    }
+
+  /** GIF twin of [[synthesizePngPaletted]]: the payload bytes become
+    * palette indices on a 4-wide GIF89a raster (4 bytes/row, truncated
+    * to whole rows, zero-padded to one row minimum) against
+    * [[SynthPalette]] — SAME geometry and palette formula, so the two
+    * formats share one oracle derivation. `interlaced = true` stores
+    * rows in the 4-pass order (means are row-order-invariant, so the
+    * de-interlace inversion is pinned by exact-pixel specs, not the
+    * stats oracle). Round-trip proves the logical-screen header, the
+    * global color table, LZW, and the index→RGB expansion are exact. */
+  def synthesizeGif(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id",
+      interlaced: Boolean = false): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val m = math.max(4, payload.length - payload.length % 4)
+          val p = java.util.Arrays.copyOf(payload, m)
+          val bytes = MediaCodec.encodeGif(p, 4, p.length / 4,
+            SynthPalette, interlaced)
+          MediaRecord(id, bytes, "image/gif", bytes.length.toLong)
+        }
+      }
+  }
+
+  /** Animated-GIF twin of [[synthesizeVideo]]: the payload zero-padded
+    * to whole 4×`frameRows` index frames (≥ 1 frame), each frame a
+    * full-canvas image against [[SynthPalette]], disposal 1 (keep).
+    * Because every frame covers the whole canvas with no transparency,
+    * the composited frame k a player (and [[MediaCodec.decodeGifFrames]])
+    * shows is exactly frame k's palette-mapped pixels — so the frames
+    * oracle reads each frame's channel means straight off the payload
+    * slice with the palette's modular arithmetic. */
+  def synthesizeGifAnimated(docs: DataFrame, frameRows: Int = 2,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    require(frameRows > 0 && frameRows <= (1 << 16),
+      "[GRAFT] gif: bad frameRows")
+    val frameBytes = 4 * frameRows
+    val spark = docs.sparkSession
+    import spark.implicits._
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val nFrames = math.max(1L,
+            (payload.length.toLong + frameBytes - 1) / frameBytes).toInt
+          val p = java.util.Arrays.copyOf(payload, nFrames * frameBytes)
+          val frames = Seq.tabulate(nFrames) { f =>
+            java.util.Arrays.copyOfRange(p, f * frameBytes,
+              (f + 1) * frameBytes)
+          }
+          val bytes = MediaCodec.encodeGifAnimated(frames, 4, frameRows,
+            SynthPalette)
+          MediaRecord(id, bytes, "video/gif", bytes.length.toLong)
         }
       }
   }
@@ -349,13 +438,8 @@ object Multimodal {
               meanMilli(sum, n),
               if (n == 0) 0L else meanMilli(mx * n, n),
               if (n == 0) 0L else meanMilli(mn * n, n))
-          case "image/bmp" | "image/ppm" | "image/png" | "image/jpeg" =>
-            val ras = r.format match {
-              case "image/bmp" => MediaCodec.decodeBmp(r.media)
-              case "image/ppm" => MediaCodec.decodePpm(r.media)
-              case "image/jpeg" => MediaCodec.decodeJpeg(r.media)
-              case _ => MediaCodec.decodePng(r.media)
-            }
+          case f if RasterFormats(f) =>
+            val ras = decodeRaster(f, r.media)
             // normalize to RGB first: swaps BGR, replicates GRAY,
             // alpha-composites RGBA over white (stats are then
             // alpha-aware — transparent pixels read as background)
@@ -395,13 +479,8 @@ object Multimodal {
               val pcm = MediaCodec.decodeWav(r.media)
               val denom = if (pcm.bitsPerSample == 8) 255.0f else 32767.0f
               lerpResample(pcm.samples.map(_ / denom), dim)
-            case "image/bmp" | "image/ppm" | "image/png" | "image/jpeg" =>
-              val ras = r.format match {
-                case "image/bmp" => MediaCodec.decodeBmp(r.media)
-                case "image/ppm" => MediaCodec.decodePpm(r.media)
-                case "image/jpeg" => MediaCodec.decodeJpeg(r.media)
-                case _ => MediaCodec.decodePng(r.media)
-              }
+            case f if RasterFormats(f) =>
+              val ras = decodeRaster(f, r.media)
               lerpResample(ras.pixels.map(b => (b & 0xff) / 255.0f), dim)
             case _ => byteStripeProfile(r.media, dim)
           }
@@ -448,21 +527,27 @@ object Multimodal {
       }
   }
 
-  /** REAL frame sampling: walk the concatenated-P6 stream frame by
-    * frame ([[MediaCodec.decodePpmAt]] — each frame's own header is
-    * parsed, a truncated or corrupt stream throws), keep every
-    * `everyN`-th frame, and emit its decoded per-channel means. The
-    * 1→N batch kernel shape: one JVM loop per partition, output rows
-    * ∝ frames kept. */
+  /** REAL frame sampling: walk the container frame by frame —
+    * concatenated-P6 streams via [[MediaCodec.decodePpmAt]] (each
+    * frame's own header is parsed, a truncated or corrupt stream
+    * throws) and animated GIF via [[MediaCodec.decodeGifFrames]]
+    * (LZW + compositing, each frame a full-canvas raster) — keep
+    * every `everyN`-th frame, and emit its decoded per-channel
+    * means. The 1→N batch kernel shape: one JVM loop per partition,
+    * output rows ∝ frames kept. */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRecord],
       everyN: Int = 4): Dataset[FrameStats] = {
     require(everyN > 0, "[GRAFT] sampleFrames: everyN must be positive")
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        require(r.format == "video/ppm-stream",
-          s"[GRAFT] sampleFrames: not a ppm video stream: ${r.format}")
-        MediaCodec.decodePpmStream(r.media).zipWithIndex.collect {
+        val decoded = r.format match {
+          case "video/ppm-stream" => MediaCodec.decodePpmStream(r.media)
+          case "video/gif" => MediaCodec.decodeGifFrames(r.media)
+          case other => throw new IllegalArgumentException(
+            s"[GRAFT] sampleFrames: no frame decoder for format $other")
+        }
+        decoded.zipWithIndex.collect {
           case (ras, f) if f % everyN == 0 =>
             val sums = new Array[Long](3)
             var i = 0
@@ -616,9 +701,14 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        require(r.format == "video/ppm-stream",
-          s"[GRAFT] videoFingerprint: not a ppm video stream: ${r.format}")
-        val sums = MediaCodec.decodePpmStream(r.media).map { ras =>
+        val decoded = r.format match {
+          case "video/ppm-stream" => MediaCodec.decodePpmStream(r.media)
+          case "video/gif" => MediaCodec.decodeGifFrames(r.media)
+          case other => throw new IllegalArgumentException(
+            s"[GRAFT] videoFingerprint: no frame decoder for " +
+              s"format $other")
+        }
+        val sums = decoded.map { ras =>
           var s = 0L
           var i = 0
           while (i < ras.pixels.length) {
@@ -658,15 +748,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val ras = r.format match {
-          case "image/bmp" => MediaCodec.decodeBmp(r.media)
-          case "image/ppm" => MediaCodec.decodePpm(r.media)
-          case "image/png" => MediaCodec.decodePng(r.media)
-          case "image/jpeg" => MediaCodec.decodeJpeg(r.media)
-          case other => throw new IllegalArgumentException(
-            s"[GRAFT] imageFingerprint: no raster decoder for " +
-              s"format $other")
-        }
+        val ras = decodeRaster(r.format, r.media)
         val rgb = MediaCodec.toRgb(ras)
         val small = MediaCodec.nnResizeRgb(rgb.pixels, ras.width,
           ras.height, 9, 8)
@@ -744,14 +826,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val ras = r.format match {
-          case "image/bmp" => MediaCodec.decodeBmp(r.media)
-          case "image/ppm" => MediaCodec.decodePpm(r.media)
-          case "image/png" => MediaCodec.decodePng(r.media)
-          case "image/jpeg" => MediaCodec.decodeJpeg(r.media)
-          case other => throw new IllegalArgumentException(
-            s"[GRAFT] resizeMedia: no raster decoder for format $other")
-        }
+        val ras = decodeRaster(r.format, r.media)
         // BGR swap / GRAY replicate / RGBA composite over white —
         // the resize kernels are 3-channel, so alpha is resolved
         // here (alpha-aware resize = composite, then interpolate)

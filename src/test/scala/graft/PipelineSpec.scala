@@ -1327,7 +1327,7 @@ class PipelineSpec extends AnyFunSuite {
     val msgs = Iterator.iterate[Throwable](e)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString("\n")
-    assert(msgs.contains("not a ppm video stream"), msgs.take(300))
+    assert(msgs.contains("no frame decoder for"), msgs.take(300))
   }
 
   test("image near-dup: dHash fingerprints pair crafted duplicates " +
