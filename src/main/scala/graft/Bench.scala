@@ -559,6 +559,14 @@ object Bench {
         10, nProbe = 16, overfetch = 8, allowed = Some(allowed)).count()
     } }
 
+    // margin-based pair mining over the even/odd halves: two
+    // byte-gated batch top-k passes + integer margin arithmetic
+    entry("margin_mining") { median {
+      graft.operators.Mining.marginPairs(spark,
+        emb.filter(col("id") % 2 === 0),
+        emb.filter(col("id") % 2 === 1), k = 4).count()
+    } }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>

@@ -55,6 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction((FunctionIdentifier("vfs_sig_pairs"),
       new ExpressionInfo("graft", "vfs_sig_pairs"),
       graft.plans.SqlSurface.vfsSigPairsBuilder _))
+    ext.injectTableFunction((FunctionIdentifier("vfs_margin_pairs"),
+      new ExpressionInfo("graft", "vfs_margin_pairs"),
+      graft.plans.SqlSurface.vfsMarginPairsBuilder _))
     ext.injectTableFunction((FunctionIdentifier("vfs_curate"),
       new ExpressionInfo("graft", "vfs_curate"),
       graft.plans.SqlSurface.vfsCurateBuilder _))

@@ -88,6 +88,44 @@ object SparkEntry {
   private def duckCos(a: String, b: String) =
     s"(1 - list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))))"
 
+  /** Mirrors [[graft.operators.Mining.marginCandidates]] over the
+    * even/odd vec_id halves at k=4: brute-force cosine both ways,
+    * rank by raw distance (asc, id asc — the engine's top-k tie
+    * convention), micro-quantize per neighbor BEFORE summing (exact
+    * integer sums, no float order hazard), then the one pinned
+    * margin chain round(2000·k·sim_micro / (fwd_sum + bwd_sum)). */
+  private def miningMarginCtes: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |src AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id % 2 = 0),
+       |tgt AS (SELECT vec_id AS tid, v AS tv FROM e WHERE vec_id % 2 = 1),
+       |fscore AS (SELECT sid, tid, ${duckCos("sv", "tv")} AS d
+       |  FROM src CROSS JOIN tgt),
+       |f4 AS (SELECT sid, tid,
+       |    CAST(round((1 - d) * 1000000) AS BIGINT) AS sim_micro,
+       |    row_number() OVER (PARTITION BY sid ORDER BY d ASC, tid ASC) AS rk
+       |  FROM fscore QUALIFY rk <= 4),
+       |fsum AS (SELECT sid, CAST(sum(sim_micro) AS BIGINT) AS fwd_sum
+       |  FROM f4 GROUP BY sid),
+       |bscore AS (SELECT t.tid, s.sid, ${duckCos("s.sv", "t.tv")} AS d
+       |  FROM (SELECT DISTINCT tid FROM f4) c
+       |  JOIN tgt t USING (tid) CROSS JOIN src s),
+       |b4 AS (SELECT tid,
+       |    CAST(round((1 - d) * 1000000) AS BIGINT) AS sim_micro,
+       |    row_number() OVER (PARTITION BY tid ORDER BY d ASC, sid ASC) AS rk
+       |  FROM bscore QUALIFY rk <= 4),
+       |bsum AS (SELECT tid, CAST(sum(sim_micro) AS BIGINT) AS bwd_sum
+       |  FROM b4 GROUP BY tid),
+       |m AS (SELECT f.sid AS src_id, f.tid AS tgt_id, f.sim_micro,
+       |    CASE WHEN fs.fwd_sum + bs.bwd_sum > 0 THEN
+       |      CAST(round(2000.0 * 4 * f.sim_micro
+       |        / (fs.fwd_sum + bs.bwd_sum)) AS BIGINT)
+       |    END AS margin_milli
+       |  FROM f4 f JOIN fsum fs USING (sid) JOIN bsum bs ON f.tid = bs.tid),
+       |ranked AS (SELECT src_id, tgt_id, sim_micro, margin_milli,
+       |    row_number() OVER (PARTITION BY src_id
+       |      ORDER BY margin_milli DESC, tgt_id ASC) AS cand_rank
+       |  FROM m WHERE margin_milli IS NOT NULL)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- P1: point lookup (storage_manager.rs:235-296) ----
@@ -1592,6 +1630,55 @@ object SparkEntry {
         .select(col("qid"), col("id").as("vec_id"),
           milli(col("distance")).as("dist_milli"), col("rank"))
         .orderBy(col("qid").asc, col("rank").asc)
+    }),
+
+    // ---- margin-based pair mining (Artetxe & Schwenk 2019 ratio
+    // margin — the CCMatrix/LASER bitext-mining criterion): the
+    // even/odd vec_id halves act as the two collections; every
+    // forward top-4 candidate scored by sim relative to BOTH
+    // neighborhood averages. Micro-quantized sims make the k-sums
+    // exact integers, so the margin is one pinned double chain ----
+    "mining_margin_candidates" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Mining.marginCandidates(s,
+          e.filter(col("vec_id") % 2 === 0)
+            .select(col("vec_id").as("id"), col("embedding").as("values")),
+          e.filter(col("vec_id") % 2 === 1)
+            .select(col("vec_id").as("id"), col("embedding").as("values")),
+          k = 4)
+        .orderBy(col("src_id").asc, col("cand_rank").asc)
+    }),
+
+    // ---- the mined pairs: each source's best-margin candidate above
+    // the 1.0 margin floor (margin_milli >= 1000) ----
+    "mining_margin_pairs" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Mining.marginPairs(s,
+          e.filter(col("vec_id") % 2 === 0)
+            .select(col("vec_id").as("id"), col("embedding").as("values")),
+          e.filter(col("vec_id") % 2 === 1)
+            .select(col("vec_id").as("id"), col("embedding").as("values")),
+          k = 4, minMarginMilli = 1000L)
+        .orderBy(col("src_id").asc)
+    }),
+
+    // ---- the same mining from pure SQL text: the TVF reads the two
+    // halves from stored parquet and delegates to marginPairs, so the
+    // row shares the operator row's oracle verbatim ----
+    "sql_tvf_margin_pairs" -> ((s, dir) => {
+      graft.functions.registerAll(s)
+      val e = emb(s, dir)
+      val base = java.nio.file.Files
+        .createTempDirectory("verify-margin").toString
+      e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("values"))
+        .write.mode("overwrite").parquet(s"$base/src")
+      e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id"), col("embedding").as("values"))
+        .write.mode("overwrite").parquet(s"$base/tgt")
+      s.sql("SELECT src_id, tgt_id, sim_micro, margin_milli " +
+        s"FROM vfs_margin_pairs('$base/src', '$base/tgt', 4, 1000) " +
+        "ORDER BY src_id ASC")
     }),
 
     // ---- event-time windowed aggregation (streaming shape, batch run) ----
@@ -4486,6 +4573,27 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rank <= 3
         |ORDER BY qid ASC, rank ASC""".stripMargin,
+
+    "mining_margin_candidates" ->
+      s"""$miningMarginCtes
+         |SELECT src_id, tgt_id, sim_micro, margin_milli,
+         |  CAST(cand_rank AS INT) AS cand_rank
+         |FROM ranked
+         |ORDER BY src_id ASC, cand_rank ASC""".stripMargin,
+
+    "mining_margin_pairs" ->
+      s"""$miningMarginCtes
+         |SELECT src_id, tgt_id, sim_micro, margin_milli
+         |FROM ranked
+         |WHERE cand_rank = 1 AND margin_milli >= 1000
+         |ORDER BY src_id ASC""".stripMargin,
+
+    "sql_tvf_margin_pairs" ->
+      s"""$miningMarginCtes
+         |SELECT src_id, tgt_id, sim_micro, margin_milli
+         |FROM ranked
+         |WHERE cand_rank = 1 AND margin_milli >= 1000
+         |ORDER BY src_id ASC""".stripMargin,
 
     "stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,

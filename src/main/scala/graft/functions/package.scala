@@ -244,6 +244,10 @@ package object functions {
     // SELECT * FROM vfs_sig_pairs(path, maxHamming[, maxBucket, idCol, sigCol])
     ExpressionUtils.registerTableFunction(spark, "vfs_sig_pairs",
       graft.plans.SqlSurface.vfsSigPairsBuilder _)
+    // SELECT * FROM vfs_margin_pairs(srcPath, tgtPath[, k,
+    //   minMarginMilli, idCol, vecCol]) — margin-based pair mining
+    ExpressionUtils.registerTableFunction(spark, "vfs_margin_pairs",
+      graft.plans.SqlSurface.vfsMarginPairsBuilder _)
     // SELECT * FROM vfs_curate(docsPath[, modelPath, minQuality,
     //   minTokens, maxTokens, binCapacity])
     ExpressionUtils.registerTableFunction(spark, "vfs_curate",

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Margin-based embedding pair mining — the standard large-scale
+  * parallel-data construction step (Artetxe & Schwenk 2019, the
+  * CCMatrix/LASER recipe): align two embedding collections by
+  * RELATIVE similarity instead of absolute cosine, which is what
+  * makes mining robust to hubness at corpus scale.
+  *
+  * For a source row x and target row y, the "ratio" margin is
+  *
+  *   margin(x, y) = cos(x, y) / ((avgNNk(x, tgt) + avgNNk(y, src)) / 2)
+  *
+  * where avgNNk(v, C) is the mean cosine of v's k nearest neighbors
+  * in collection C. A pair is mined when y is x's best-margin
+  * forward candidate and the margin clears a threshold.
+  *
+  * ENGINE-PORTABLE ARITHMETIC: per-neighbor similarities are
+  * quantized to MICRO units (round(sim·10⁶) as BIGINT) BEFORE any
+  * aggregation, so the k-neighbor sums are exact integers with no
+  * float summation-order hazard (Spark's partial aggregation and an
+  * oracle's scan order cannot disagree). The margin then reduces to
+  * ONE pinned double chain over integers:
+  *
+  *   margin_milli = round(2000·k·sim_micro / (fwdSum + bwdSum))
+  *
+  * (from margin = 2·sim / (avgF + avgB) with avg = sum/(k·10⁶)).
+  *
+  * SCALE: the exact form rides [[Knn.exactBatch]] — a byte-gated
+  * broadcast of the query side and the bounded partial top-k
+  * aggregate ([[TopKAggregate]]), i.e. one pass over each collection
+  * per direction with no shuffle of the cross product. The backward
+  * pass scores ONLY targets that appear among forward candidates
+  * (≤ k·|src| rows, usually far fewer), not the whole target side.
+  * At 100 TB both directions swap to [[marginPairsIvf]]: the same
+  * margin over the top-k of a persisted partition-pruned IVF
+  * artifact per side — candidate generation touches nProbe clusters
+  * per query instead of the full collection, and with
+  * nProbe = nCentroids it degrades gracefully to the exact result
+  * (spec-pinned parity).
+  */
+object Mining {
+
+  /** Every forward top-k candidate with its margin:
+    * (src_id, tgt_id, sim_micro, margin_milli, cand_rank) where
+    * cand_rank ranks a source's candidates by margin (desc,
+    * tgt_id asc — deterministic). Rows with a non-positive margin
+    * denominator (pathological all-negative neighborhoods) are
+    * dropped rather than given a sign-flipped margin. */
+  def marginCandidates(spark: SparkSession, src: DataFrame,
+      tgt: DataFrame, k: Int = 4, idCol: String = "id",
+      vecCol: String = "values"): DataFrame = {
+    require(k > 0, "[GRAFT] mining: k must be positive")
+    val srcQ = src.select(col(idCol).as("qid"), col(vecCol).as("qvalues"))
+    val tgtBase = tgt.select(col(idCol).as("id"), col(vecCol).as("values"))
+    // forward: each source against the target collection — persisted:
+    // the candidate set feeds the margin join, the per-source sums,
+    // AND the backward query list (3 consumers; the top-k scan must
+    // not rerun per consumer)
+    val fwd = simMicro(
+      Knn.exactBatch(tgtBase, srcQ, k, Metric.Cosine)).persist()
+    val fwdSum = fwd.groupBy(col("qid"))
+      .agg(sum(col("sim_micro")).as("fwd_sum"))
+    // backward: only the targets that appear as forward candidates
+    // need their neighborhood average — at scale this is the slim
+    // candidate set, not the whole target side
+    val candTgt = fwd.select(col("id")).distinct()
+      .join(tgtBase, "id")
+      .select(col("id").as("qid"), col("values").as("qvalues"))
+    val srcBase = src.select(col(idCol).as("id"), col(vecCol).as("values"))
+    val bwdSum = simMicro(
+      Knn.exactBatch(srcBase, candTgt, k, Metric.Cosine))
+      .groupBy(col("qid"))
+      .agg(sum(col("sim_micro")).as("bwd_sum"))
+      .select(col("qid").as("bwd_id"), col("bwd_sum"))
+    withMargin(fwd, fwdSum, bwdSum, k)
+  }
+
+  /** The mined pairs: each source's best-margin candidate, kept when
+    * margin_milli ≥ `minMarginMilli` (1000 = margin 1.0, the paper's
+    * natural "better than your neighborhood average" floor). Output:
+    * (src_id, tgt_id, sim_micro, margin_milli). */
+  def marginPairs(spark: SparkSession, src: DataFrame, tgt: DataFrame,
+      k: Int = 4, minMarginMilli: Long = 1000L, idCol: String = "id",
+      vecCol: String = "values"): DataFrame =
+    bestPairs(
+      marginCandidates(spark, src, tgt, k, idCol, vecCol), minMarginMilli)
+
+  /** IVF-backed twin of [[marginPairs]] for collections too large to
+    * brute-force: `srcPath`/`tgtPath` are persisted [[IvfIndex]] artifacts
+    * built over the SAME (id, values) rows passed here (cosine
+    * metric). Candidate top-k and the neighborhood averages both come
+    * from IVF probes (nProbe clusters per query), so the margin is
+    * approximate in exactly the way the candidates are; with
+    * nProbe = nCentroids it equals the exact result. */
+  def marginPairsIvf(spark: SparkSession, srcPath: String,
+      tgtPath: String, src: DataFrame, tgt: DataFrame, k: Int = 4,
+      nProbe: Int = 4, minMarginMilli: Long = 1000L,
+      idCol: String = "id", vecCol: String = "values"): DataFrame = {
+    require(k > 0, "[GRAFT] mining: k must be positive")
+    val srcQ = src.select(col(idCol).as("qid"), col(vecCol).as("qvalues"))
+    val fwd = simMicro(
+      IvfIndex.searchBatch(spark, tgtPath, srcQ, k, nProbe)).persist()
+    val fwdSum = fwd.groupBy(col("qid"))
+      .agg(sum(col("sim_micro")).as("fwd_sum"))
+    val candTgt = fwd.select(col("id")).distinct()
+      .join(tgt.select(col(idCol).as("id"), col(vecCol).as("values")), "id")
+      .select(col("id").as("qid"), col("values").as("qvalues"))
+    val bwdSum = simMicro(
+      IvfIndex.searchBatch(spark, srcPath, candTgt, k, nProbe))
+      .groupBy(col("qid"))
+      .agg(sum(col("sim_micro")).as("bwd_sum"))
+      .select(col("qid").as("bwd_id"), col("bwd_sum"))
+    bestPairs(withMargin(fwd, fwdSum, bwdSum, k), minMarginMilli)
+  }
+
+  /** sim_micro = round((1 − distance)·10⁶): the one similarity
+    * quantization both directions and the oracle share. The (1 − d)
+    * form matches the engine's cosine DISTANCE convention — the
+    * oracle must reproduce this exact chain, not dot/(‖a‖‖b‖)
+    * directly. */
+  private def simMicro(topk: DataFrame): DataFrame =
+    topk.select(col("qid"), col("id"),
+      round((lit(1.0) - col("distance")) * lit(1000000.0))
+        .cast("long").as("sim_micro"))
+
+  private def withMargin(fwd: DataFrame, fwdSum: DataFrame,
+      bwdSum: DataFrame, k: Int): DataFrame = {
+    val denom = col("fwd_sum") + col("bwd_sum")
+    fwd.join(fwdSum, "qid")
+      .join(bwdSum, col("id") === col("bwd_id"))
+      .select(col("qid").as("src_id"), col("id").as("tgt_id"),
+        col("sim_micro"),
+        when(denom > 0,
+          round(lit(2000.0) * lit(k) * col("sim_micro") / denom)
+            .cast("long"))
+          .as("margin_milli"))
+      .filter(col("margin_milli").isNotNull)
+      .withColumn("cand_rank",
+        row_number().over(Window.partitionBy(col("src_id"))
+          .orderBy(col("margin_milli").desc, col("tgt_id").asc)))
+  }
+
+  private def bestPairs(cands: DataFrame,
+      minMarginMilli: Long): DataFrame =
+    cands.filter(col("cand_rank") === 1 &&
+        col("margin_milli") >= minMarginMilli)
+      .select(col("src_id"), col("tgt_id"), col("sim_micro"),
+        col("margin_milli"))
+}

@@ -452,6 +452,50 @@ object SqlSurface {
       .queryExecution.analyzed
   }
 
+  /** TVF builder for `vfs_margin_pairs(srcPath, tgtPath[, k,
+    * minMarginMilli, idCol, vecCol])` — margin-based embedding pair
+    * mining ([[graft.operators.Mining.marginPairs]]: the Artetxe &
+    * Schwenk ratio margin over brute-force cosine top-k both ways)
+    * from pure SQL text, over two stored (id, vector) tables:
+    * {{{ SELECT src_id, tgt_id, margin_milli
+    *     FROM vfs_margin_pairs('/data/en', '/data/fr', 4, 1050) }}} */
+  private[graft] def vfsMarginPairsBuilder(es: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String) = throw new IllegalArgumentException(
+      s"[GRAFT] vfs_margin_pairs(srcPath, tgtPath[, k, minMarginMilli, " +
+        s"idCol, vecCol]): $msg")
+    if (es.length < 2 || es.length > 6)
+      fail(s"expected 2-6 arguments, got ${es.length}")
+    if (!es.forall(_.foldable)) fail("all arguments must be literals")
+    def evalNonNull(i: Int, what: String): Any = {
+      val v = es(i).eval()
+      if (v == null) fail(s"$what must not be NULL")
+      v
+    }
+    def longArg(i: Int, what: String): Long = evalNonNull(i, what) match {
+      case n: Int => n.toLong
+      case l: Long => l
+      case other => fail(s"$what must be an integer literal, got $other")
+    }
+    val spark = SparkSession.active
+    val srcPath = evalNonNull(0, "srcPath").toString
+    val tgtPath = evalNonNull(1, "tgtPath").toString
+    val k = if (es.length >= 3) {
+      val v = longArg(2, "k")
+      if (v <= 0 || v > 1000) fail(s"k out of range (1..1000): $v")
+      v.toInt
+    } else 4
+    val minMargin = if (es.length >= 4) longArg(3, "minMarginMilli")
+      else 1000L
+    val idCol = if (es.length >= 5) evalNonNull(4, "idCol").toString
+      else "id"
+    val vecCol = if (es.length >= 6) evalNonNull(5, "vecCol").toString
+      else "values"
+    graft.operators.Mining.marginPairs(spark,
+        spark.read.parquet(srcPath), spark.read.parquet(tgtPath),
+        k, minMargin, idCol, vecCol)
+      .queryExecution.analyzed
+  }
+
   /** TVF builder for `vfs_binary_knn(path, query, candidates[,
     * vecCol, idCol])` — the 1-bit binary-quantization coarse tier
     * from pure SQL text: packs the query's sign bits once, scores the
