@@ -625,6 +625,13 @@ object Explain {
         "doc-keyed mean — identical tail to the unigram plan)") {
       graft.SparkEntry.queries("text_dsir_importance_ngram")(spark, dir)
     }
+    show("margin pair mining (expect: TWO broadcast-gated batch " +
+        "top-k passes — vfs_cosine in codegen + bounded TopKByDistance " +
+        "partial aggs, InMemoryTableScan where the persisted forward " +
+        "candidates fan out to the sums and the backward query list — " +
+        "then integer sums and one window row_number; NO cartesian)") {
+      graft.SparkEntry.queries("mining_margin_pairs")(spark, dir)
+    }
     spark.stop()
   }
 }

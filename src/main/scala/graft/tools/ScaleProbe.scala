@@ -71,6 +71,25 @@ object ScaleProbe {
       graft.operators.IvfPq
         .searchRefined(spark, ivfDir, pqDir, q, 10, nProbe = 8).collect()
     }
+    // margin mining at scale: align a 50k shard against the 250k odd
+    // half through per-side IVF artifacts — the marginPairsIvf path
+    // (brute force would be 50k x 250k x 2 directions)
+    val mineSrc = base.filter($"id" % 2 === 0 && $"id" < 100000)
+    val mineTgt = base.filter($"id" % 2 === 1)
+    val mineSrcDir = java.nio.file.Files
+      .createTempDirectory("scale-mine-src").toString
+    val mineTgtDir = java.nio.file.Files
+      .createTempDirectory("scale-mine-tgt").toString
+    time("IVF builds for mining (50k src / 250k tgt sides)") {
+      IvfIndex.build(mineSrc, mineSrcDir, nCentroids = 223, Metric.Cosine)
+      IvfIndex.build(mineTgt, mineTgtDir, nCentroids = 500, Metric.Cosine)
+    }
+    time("margin mining 50k src vs 250k tgt (IVF both ways, k=4, " +
+        "nProbe=2)") {
+      val pairs = graft.operators.Mining.marginPairsIvf(spark,
+        mineSrcDir, mineTgtDir, mineSrc, mineTgt, k = 4, nProbe = 2)
+      println(s"[probe]   mined pairs: ${pairs.count()}")
+    }
     time("SemDeDup: 707 IVF centroids, cluster-scoped prune (tau=.05)") {
       val cents = spark.read.parquet(s"$ivfDir/centroids")
         .select($"cluster".cast("long").as("cid"), $"centroid".as("cv"))
