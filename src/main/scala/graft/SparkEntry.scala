@@ -1681,6 +1681,29 @@ object SparkEntry {
         "ORDER BY src_id ASC")
     }),
 
+    // ---- the alignment loop: the even half arrives as a batch and
+    // mines against a STANDING IVF artifact over the odd half
+    // (marginMineBatch — the foreachBatch body the stream runs).
+    // Full probe width makes the delta path exact, so the row shares
+    // the operator row's oracle with batch_id folded in ----
+    "stream_margin_mining" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val tgt = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id"), col("embedding").as("values"))
+      val base = java.nio.file.Files
+        .createTempDirectory("verify-minestream").toString
+      graft.operators.IvfIndex.build(tgt, s"$base/tgt", nCentroids = 4)
+      graft.streaming.Ingest.marginMineBatch(
+        e.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("id"), col("embedding").as("values")),
+        0L, s"$base/tgt", tgt, s"$base/out", k = 4, nProbe = 4,
+        minMarginMilli = 1000L, idCol = "id", vecCol = "values")
+      s.read.parquet(s"$base/out/batch=0")
+        .select(col("src_id"), col("tgt_id"), col("sim_micro"),
+          col("margin_milli"), col("batch_id"))
+        .orderBy(col("src_id").asc)
+    }),
+
     // ---- event-time windowed aggregation (streaming shape, batch run) ----
     "stream_window_agg" -> ((s, dir) => {
       graft.streaming.Ingest
@@ -4591,6 +4614,14 @@ object SparkEntry {
     "sql_tvf_margin_pairs" ->
       s"""$miningMarginCtes
          |SELECT src_id, tgt_id, sim_micro, margin_milli
+         |FROM ranked
+         |WHERE cand_rank = 1 AND margin_milli >= 1000
+         |ORDER BY src_id ASC""".stripMargin,
+
+    "stream_margin_mining" ->
+      s"""$miningMarginCtes
+         |SELECT src_id, tgt_id, sim_micro, margin_milli,
+         |  CAST(0 AS BIGINT) AS batch_id
          |FROM ranked
          |WHERE cand_rank = 1 AND margin_milli >= 1000
          |ORDER BY src_id ASC""".stripMargin,

@@ -90,27 +90,72 @@ object Mining {
       marginCandidates(spark, src, tgt, k, idCol, vecCol), minMarginMilli)
 
   /** IVF-backed twin of [[marginPairs]] for collections too large to
-    * brute-force: `srcPath`/`tgtPath` are persisted [[IvfIndex]] artifacts
-    * built over the SAME (id, values) rows passed here (cosine
-    * metric). Candidate top-k and the neighborhood averages both come
-    * from IVF probes (nProbe clusters per query), so the margin is
-    * approximate in exactly the way the candidates are; with
-    * nProbe = nCentroids it equals the exact result. */
+    * brute-force: `srcPath`/`tgtPath` are persisted [[IvfIndex]]
+    * artifacts built over the SAME (id, values) rows passed here
+    * (cosine metric). The artifacts generate CANDIDATES only (nProbe
+    * clusters per query); every candidate is then re-scored exactly
+    * against the raw frames — the ADC/refine shape — because for
+    * cosine the artifact stores L2-NORMALIZED vectors, whose
+    * distances ulp-differ from the raw kernel and would leak into
+    * the micro quantization. Which k candidates surface is
+    * approximate in exactly the nProbe way; their scores are exact,
+    * so with nProbe = nCentroids this equals [[marginPairs]]
+    * bit-for-bit BY CONSTRUCTION. */
   def marginPairsIvf(spark: SparkSession, srcPath: String,
       tgtPath: String, src: DataFrame, tgt: DataFrame, k: Int = 4,
       nProbe: Int = 4, minMarginMilli: Long = 1000L,
       idCol: String = "id", vecCol: String = "values"): DataFrame = {
     require(k > 0, "[GRAFT] mining: k must be positive")
     val srcQ = src.select(col(idCol).as("qid"), col(vecCol).as("qvalues"))
-    val fwd = simMicro(
-      IvfIndex.searchBatch(spark, tgtPath, srcQ, k, nProbe)).persist()
+    val tgtBase = tgt.select(col(idCol).as("id"), col(vecCol).as("values"))
+    val srcBase = src.select(col(idCol).as("id"), col(vecCol).as("values"))
+    val fwd = rescore(
+      IvfIndex.searchBatch(spark, tgtPath, srcQ, k, nProbe),
+      tgtBase, srcQ).persist()
     val fwdSum = fwd.groupBy(col("qid"))
       .agg(sum(col("sim_micro")).as("fwd_sum"))
     val candTgt = fwd.select(col("id")).distinct()
-      .join(tgt.select(col(idCol).as("id"), col(vecCol).as("values")), "id")
+      .join(tgtBase, "id")
       .select(col("id").as("qid"), col("values").as("qvalues"))
+    val bwdSum = rescore(
+      IvfIndex.searchBatch(spark, srcPath, candTgt, k, nProbe),
+      srcBase, candTgt)
+      .groupBy(col("qid"))
+      .agg(sum(col("sim_micro")).as("bwd_sum"))
+      .select(col("qid").as("bwd_id"), col("bwd_sum"))
+    bestPairs(withMargin(fwd, fwdSum, bwdSum, k), minMarginMilli)
+  }
+
+  /** Delta form for the nightly-alignment loop: mine an incoming
+    * BATCH of source vectors against a STANDING target IVF artifact
+    * built over `tgt`. Forward candidates probe the artifact (nProbe
+    * clusters per query, cost ∝ batch) and re-score exactly against
+    * the raw `tgt` rows (the artifact stores normalized vectors for
+    * cosine — see [[marginPairsIvf]]); backward neighborhoods are
+    * over the batch itself — source neighborhoods in delta mining
+    * are defined over the arriving shard, and a shard is small
+    * enough to brute-force ([[Knn.exactBatch]] with the batch as the
+    * base side). With nProbe = nCentroids this equals
+    * [[marginPairs]](batch, tgt) bit-for-bit. */
+  def marginPairsDelta(spark: SparkSession, tgtPath: String,
+      tgt: DataFrame, batch: DataFrame, k: Int = 4, nProbe: Int = 4,
+      minMarginMilli: Long = 1000L, idCol: String = "id",
+      vecCol: String = "values"): DataFrame = {
+    require(k > 0, "[GRAFT] mining: k must be positive")
+    val srcQ = batch.select(col(idCol).as("qid"), col(vecCol).as("qvalues"))
+    val tgtBase = tgt.select(col(idCol).as("id"), col(vecCol).as("values"))
+    val fwd = rescore(
+      IvfIndex.searchBatch(spark, tgtPath, srcQ, k, nProbe),
+      tgtBase, srcQ).persist()
+    val fwdSum = fwd.groupBy(col("qid"))
+      .agg(sum(col("sim_micro")).as("fwd_sum"))
+    val candTgt = fwd.select(col("id")).distinct()
+      .join(tgtBase, "id")
+      .select(col("id").as("qid"), col("values").as("qvalues"))
+    val srcBase = batch.select(col(idCol).as("id"),
+      col(vecCol).as("values"))
     val bwdSum = simMicro(
-      IvfIndex.searchBatch(spark, srcPath, candTgt, k, nProbe))
+      Knn.exactBatch(srcBase, candTgt, k, Metric.Cosine))
       .groupBy(col("qid"))
       .agg(sum(col("sim_micro")).as("bwd_sum"))
       .select(col("qid").as("bwd_id"), col("bwd_sum"))
@@ -126,6 +171,20 @@ object Mining {
     topk.select(col("qid"), col("id"),
       round((lit(1.0) - col("distance")) * lit(1000000.0))
         .cast("long").as("sim_micro"))
+
+  /** Exact re-scoring of index-generated candidates: keep only the
+    * (qid, id) pairs and recompute the cosine from the RAW frames
+    * with the same kernel the exact path uses — candidate selection
+    * stays approximate, the scores feeding the margin never are. The
+    * candidate set is k·|queries| slim rows; both joins hash on it. */
+  private def rescore(cand: DataFrame, base: DataFrame,
+      queries: DataFrame): DataFrame =
+    simMicro(cand.select(col("qid"), col("id"))
+      .join(base, "id")
+      .join(queries, "qid")
+      .select(col("qid"), col("id"),
+        Metric.Cosine.dist(col("values"), col("qvalues"))
+          .as("distance")))
 
   private def withMargin(fwd: DataFrame, fwdSum: DataFrame,
       bwdSum: DataFrame, k: Int): DataFrame = {

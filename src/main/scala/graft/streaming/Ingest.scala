@@ -1033,6 +1033,58 @@ object Ingest {
     ()
   }
 
+  /** Continuous margin mining: each micro-batch of source vectors is
+    * aligned against a STANDING target IVF artifact
+    * ([[graft.operators.Mining.marginPairsDelta]] — forward
+    * candidates probe nProbe clusters per query, backward
+    * neighborhoods brute-force the batch itself; candidates re-score
+    * exactly against the raw `tgt` rows the artifact was built
+    * over), and the mined
+    * pairs land batch-addressed (`outDir/batch=<id>`, overwrite) so
+    * at-least-once replays are idempotent — the
+    * [[dsirScoreStream]] shape for the alignment loop: new crawl
+    * shards arrive, pairs against the standing corpus come out. The
+    * artifact is NOT mutated; rebuilds/appends to it are the
+    * separate standing-index lifecycle. */
+  def marginMineStream(vectors: DataFrame, tgtPath: String,
+      tgt: DataFrame, outDir: String, checkpoint: String, k: Int = 4,
+      nProbe: Int = 4, minMarginMilli: Long = 1000L,
+      idCol: String = "id", vecCol: String = "values",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        marginMineBatch(batch, batchId, tgtPath, tgt, outDir, k, nProbe,
+          minMarginMilli, idCol, vecCol)
+      }
+      .start()
+
+  /** [[marginMineStream]]'s per-batch body, separated so replay
+    * idempotence and batch parity are testable. */
+  private[graft] def marginMineBatch(batch0: DataFrame, batchId: Long,
+      tgtPath: String, tgt: DataFrame, outDir: String, k: Int,
+      nProbe: Int, minMarginMilli: Long, idCol: String,
+      vecCol: String): Unit = {
+    // PERSIST the micro-batch: it is both the forward query side and
+    // the backward brute-force base — an un-persisted source subtree
+    // would re-read the batch per pass
+    val batch = batch0.persist()
+    try {
+      if (batch.isEmpty) return
+      // backward neighborhoods fold k rows PER id — a duplicate id
+      // would silently pollute its own neighborhood; fail loudly
+      require(batch.groupBy(col(idCol)).count()
+          .filter(col("count") > 1).isEmpty,
+        s"[GRAFT] marginMineBatch: $idCol must be unique within a batch")
+      graft.operators.Mining.marginPairsDelta(batch.sparkSession,
+          tgtPath, tgt, batch, k, nProbe, minMarginMilli, idCol, vecCol)
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+    } finally batch.unpersist()
+    ()
+  }
+
   /** Route a document stream BY PREDICTED LANGUAGE through a frozen
     * trigram model ([[graft.operators.TextAnalysis.trainLangId]]):
     * each micro-batch is scored with `scoreLangId` against the model

@@ -110,6 +110,58 @@ class MiningSpec extends AnyFunSuite {
       .collect()
     assert(narrow.nonEmpty)
     assert(narrow.forall(_.getAs[Long]("margin_milli") >= 1000L))
+    // the delta form at full probe equals the exact form too (the
+    // arriving-shard shape: batch = the whole source side here)
+    val delta = Mining.marginPairsDelta(spark, s"$dir/tgt", tgt, src,
+        k = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(delta === exact,
+      "full-probe delta mining must equal brute force bit-for-bit")
+  }
+
+  test("marginMineBatch: batch-addressed sink, replay idempotence, duplicate-id and empty-batch stances") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val e = spark.read.parquet(s"${GraftTest.sf0001}/embeddings.parquet")
+    val src = e.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("values"))
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("id"), col("embedding").as("values"))
+    val base = java.nio.file.Files
+      .createTempDirectory("mining-stream").toString
+    graft.operators.IvfIndex.build(tgt, s"$base/tgt", nCentroids = 4)
+    def run(): Unit = graft.streaming.Ingest.marginMineBatch(
+      src, 7L, s"$base/tgt", tgt, s"$base/out", k = 4, nProbe = 4,
+      minMarginMilli = 1000L, idCol = "id", vecCol = "values")
+    run()
+    val first = spark.read.parquet(s"$base/out/batch=7")
+      .orderBy(col("src_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(first.nonEmpty)
+    assert(first.forall(_.last == 7L)) // batch_id rides along
+    run() // an at-least-once replay overwrites with identical rows
+    val second = spark.read.parquet(s"$base/out/batch=7")
+      .orderBy(col("src_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(second === first)
+    // and parity with the direct delta API
+    val direct = graft.operators.Mining.marginPairsDelta(spark,
+        s"$base/tgt", tgt, src, k = 4, nProbe = 4)
+      .orderBy(col("src_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(first.map(_.dropRight(1)) === direct)
+    // duplicate in-batch ids fail loudly (neighborhood pollution)
+    val dup = src.limit(3).union(src.limit(1))
+    assert(intercept[IllegalArgumentException] {
+      graft.streaming.Ingest.marginMineBatch(dup, 8L, s"$base/tgt",
+        tgt, s"$base/out", 4, 4, 1000L, "id", "values")
+    }.getMessage.contains("[GRAFT]"))
+    // an empty batch lands nothing (no empty batch=9 dir)
+    graft.streaming.Ingest.marginMineBatch(src.limit(0), 9L,
+      s"$base/tgt", tgt, s"$base/out", 4, 4, 1000L, "id", "values")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/out/batch=9")))
   }
 
   test("vfs_margin_pairs TVF delegates to marginPairs; bad arguments fail loudly") {
