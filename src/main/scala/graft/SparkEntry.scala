@@ -95,36 +95,44 @@ object SparkEntry {
     * integer sums, no float order hazard), then the one pinned
     * margin chain round(2000·k·sim_micro / (fwd_sum + bwd_sum)). */
   private def miningMarginCtes: String =
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |src AS (SELECT vec_id AS sid, v AS sv FROM e WHERE vec_id % 2 = 0),
-       |tgt AS (SELECT vec_id AS tid, v AS tv FROM e WHERE vec_id % 2 = 1),
-       |fscore AS (SELECT sid, tid, ${duckCos("sv", "tv")} AS d
-       |  FROM src CROSS JOIN tgt),
-       |f4 AS (SELECT sid, tid,
+    s"WITH ${miningMarginCtesDir("", 0, 1)}"
+
+  /** The directional CTE body (no leading WITH): `p` prefixes every
+    * CTE name so the mutual oracle can instantiate BOTH directions in
+    * one query; src/tgt are the vec_id parities of the two halves. */
+  private def miningMarginCtesDir(p: String, srcPar: Int,
+      tgtPar: Int): String =
+    s"""${p}e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${p}src AS (SELECT vec_id AS sid, v AS sv FROM ${p}e WHERE vec_id % 2 = $srcPar),
+       |${p}tgt AS (SELECT vec_id AS tid, v AS tv FROM ${p}e WHERE vec_id % 2 = $tgtPar),
+       |${p}fscore AS (SELECT sid, tid, ${duckCos("sv", "tv")} AS d
+       |  FROM ${p}src CROSS JOIN ${p}tgt),
+       |${p}f4 AS (SELECT sid, tid,
        |    CAST(round((1 - d) * 1000000) AS BIGINT) AS sim_micro,
        |    row_number() OVER (PARTITION BY sid ORDER BY d ASC, tid ASC) AS rk
-       |  FROM fscore QUALIFY rk <= 4),
-       |fsum AS (SELECT sid, CAST(sum(sim_micro) AS BIGINT) AS fwd_sum
-       |  FROM f4 GROUP BY sid),
-       |bscore AS (SELECT t.tid, s.sid, ${duckCos("s.sv", "t.tv")} AS d
-       |  FROM (SELECT DISTINCT tid FROM f4) c
-       |  JOIN tgt t USING (tid) CROSS JOIN src s),
-       |b4 AS (SELECT tid,
+       |  FROM ${p}fscore QUALIFY rk <= 4),
+       |${p}fsum AS (SELECT sid, CAST(sum(sim_micro) AS BIGINT) AS fwd_sum
+       |  FROM ${p}f4 GROUP BY sid),
+       |${p}bscore AS (SELECT t.tid, s.sid, ${duckCos("s.sv", "t.tv")} AS d
+       |  FROM (SELECT DISTINCT tid FROM ${p}f4) c
+       |  JOIN ${p}tgt t USING (tid) CROSS JOIN ${p}src s),
+       |${p}b4 AS (SELECT tid,
        |    CAST(round((1 - d) * 1000000) AS BIGINT) AS sim_micro,
        |    row_number() OVER (PARTITION BY tid ORDER BY d ASC, sid ASC) AS rk
-       |  FROM bscore QUALIFY rk <= 4),
-       |bsum AS (SELECT tid, CAST(sum(sim_micro) AS BIGINT) AS bwd_sum
-       |  FROM b4 GROUP BY tid),
-       |m AS (SELECT f.sid AS src_id, f.tid AS tgt_id, f.sim_micro,
+       |  FROM ${p}bscore QUALIFY rk <= 4),
+       |${p}bsum AS (SELECT tid, CAST(sum(sim_micro) AS BIGINT) AS bwd_sum
+       |  FROM ${p}b4 GROUP BY tid),
+       |${p}m AS (SELECT f.sid AS src_id, f.tid AS tgt_id, f.sim_micro,
        |    CASE WHEN fs.fwd_sum + bs.bwd_sum > 0 THEN
        |      CAST(round(2000.0 * 4 * f.sim_micro
        |        / (fs.fwd_sum + bs.bwd_sum)) AS BIGINT)
        |    END AS margin_milli
-       |  FROM f4 f JOIN fsum fs USING (sid) JOIN bsum bs ON f.tid = bs.tid),
-       |ranked AS (SELECT src_id, tgt_id, sim_micro, margin_milli,
+       |  FROM ${p}f4 f JOIN ${p}fsum fs USING (sid)
+       |    JOIN ${p}bsum bs ON f.tid = bs.tid),
+       |${p}ranked AS (SELECT src_id, tgt_id, sim_micro, margin_milli,
        |    row_number() OVER (PARTITION BY src_id
        |      ORDER BY margin_milli DESC, tgt_id ASC) AS cand_rank
-       |  FROM m WHERE margin_milli IS NOT NULL)""".stripMargin
+       |  FROM ${p}m WHERE margin_milli IS NOT NULL)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1654,6 +1662,21 @@ object SparkEntry {
     "mining_margin_pairs" -> ((s, dir) => {
       val e = emb(s, dir)
       graft.operators.Mining.marginPairs(s,
+          e.filter(col("vec_id") % 2 === 0)
+            .select(col("vec_id").as("id"), col("embedding").as("values")),
+          e.filter(col("vec_id") % 2 === 1)
+            .select(col("vec_id").as("id"), col("embedding").as("values")),
+          k = 4, minMarginMilli = 1000L)
+        .orderBy(col("src_id").asc)
+    }),
+
+    // ---- the INTERSECTION strategy: keep a pair only when each side
+    // is the other's best-margin candidate — the margin itself is
+    // direction-symmetric, so the oracle instantiates the directional
+    // derivation twice and joins on mutuality ----
+    "mining_margin_mutual" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.operators.Mining.marginPairsMutual(s,
           e.filter(col("vec_id") % 2 === 0)
             .select(col("vec_id").as("id"), col("embedding").as("values")),
           e.filter(col("vec_id") % 2 === 1)
@@ -4625,6 +4648,16 @@ object SparkEntry {
          |FROM ranked
          |WHERE cand_rank = 1 AND margin_milli >= 1000
          |ORDER BY src_id ASC""".stripMargin,
+
+    "mining_margin_mutual" ->
+      s"""WITH ${miningMarginCtesDir("a_", 0, 1)},
+         |${miningMarginCtesDir("b_", 1, 0)}
+         |SELECT a.src_id, a.tgt_id, a.sim_micro, a.margin_milli
+         |FROM a_ranked a JOIN b_ranked b
+         |  ON a.src_id = b.tgt_id AND a.tgt_id = b.src_id
+         |WHERE a.cand_rank = 1 AND a.margin_milli >= 1000
+         |  AND b.cand_rank = 1 AND b.margin_milli >= 1000
+         |ORDER BY a.src_id ASC""".stripMargin,
 
     "stream_window_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,

@@ -126,6 +126,27 @@ object Mining {
     bestPairs(withMargin(fwd, fwdSum, bwdSum, k), minMarginMilli)
   }
 
+  /** The INTERSECTION strategy — the paper's highest-precision
+    * variant: keep a pair only when each side is the other's
+    * best-margin candidate (both clearing the floor). The margin is
+    * direction-SYMMETRIC (margin(x,y) = 2k·sim / (avgNNk(x,tgt) +
+    * avgNNk(y,src)) reads the same both ways), so this composes as
+    * the two directional [[marginPairs]] runs joined on mutuality —
+    * no new arithmetic to keep portable. */
+  def marginPairsMutual(spark: SparkSession, src: DataFrame,
+      tgt: DataFrame, k: Int = 4, minMarginMilli: Long = 1000L,
+      idCol: String = "id", vecCol: String = "values"): DataFrame = {
+    val fwd = marginPairs(spark, src, tgt, k, minMarginMilli,
+      idCol, vecCol)
+    val bwd = marginPairs(spark, tgt, src, k, minMarginMilli,
+        idCol, vecCol)
+      .select(col("tgt_id").as("m_src"), col("src_id").as("m_tgt"))
+    fwd.join(bwd, col("src_id") === col("m_src") &&
+        col("tgt_id") === col("m_tgt"))
+      .select(col("src_id"), col("tgt_id"), col("sim_micro"),
+        col("margin_milli"))
+  }
+
   /** Delta form for the nightly-alignment loop: mine an incoming
     * BATCH of source vectors against a STANDING target IVF artifact
     * built over `tgt`. Forward candidates probe the artifact (nProbe

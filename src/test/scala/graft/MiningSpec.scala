@@ -83,6 +83,14 @@ class MiningSpec extends AnyFunSuite {
     val got = cands.map(r => ((r.getAs[Long]("src_id"),
       r.getAs[Long]("tgt_id")), r.getAs[Long]("margin_milli"))).toMap
     assert(got((1L, 900L)) === mHub && got((1L, 101L)) === mSpec)
+    // intersection strategy: the specific pairs are mutual best; the
+    // hub's best source (s_1 by id tiebreak) prefers t_1 back, so no
+    // hub pair survives
+    val mutual = Mining.marginPairsMutual(spark, src, tgt, k = 2,
+        minMarginMilli = 1000L)
+      .collect().map(r => (r.getAs[Long]("src_id"),
+        r.getAs[Long]("tgt_id"))).toMap
+    assert(mutual === Map(1L -> 101L, 2L -> 102L, 3L -> 103L))
   }
 
   test("marginPairsIvf at full probe width equals the exact form; a narrow probe still returns well-formed pairs") {
