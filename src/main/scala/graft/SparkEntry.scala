@@ -5375,7 +5375,8 @@ object SparkEntry {
     "multimodal_png_gray" -> multimodalPngGrayOracle,
     "multimodal_png_palette" -> multimodalPngPaletteOracle,
     "multimodal_png_rgba" -> multimodalPngRgbaOracle,
-    "multimodal_gif" -> multimodalPalettedOracle("image/gif"),
+    "multimodal_gif" ->
+      multimodalPalettedOracle("image/gif", cap = Some(4L * 0xffff)),
     "multimodal_gif_frames" -> multimodalGifFramesOracle,
     "multimodal_jpeg" -> multimodalJpegOracle,
     "multimodal_jpeg_color" -> multimodalJpegColorOracle(8),
@@ -6708,18 +6709,24 @@ object SparkEntry {
     * palette formula — so the channel means are pure modular
     * arithmetic over the zero-padded bytes. */
   private def multimodalPngPaletteOracle: String =
-    multimodalPalettedOracle("image/png")
+    multimodalPalettedOracle("image/png", cap = None)
 
   /** Shared by the paletted-PNG and GIF rows — the two synthesizers
     * use the SAME geometry (4-wide, whole rows, one-row minimum) and
-    * palette formula, so only the declared format differs. */
-  private def multimodalPalettedOracle(format: String): String = {
+    * palette formula, so only the declared format (and GIF's 16-bit
+    * height cap: 4·65535 payload bytes) differs. */
+  private def multimodalPalettedOracle(format: String,
+      cap: Option[Long]): String = {
+    val mExpr = cap match {
+      case Some(c) => s"least(greatest(4, len(bs) - (len(bs) % 4)), $c)"
+      case None => "greatest(4, len(bs) - (len(bs) % 4))"
+    }
     def chan(mult: Int): String =
       s"""round(COALESCE(list_sum(list_transform(pb,
          |    x -> (x * $mult) % 256)), 0) * 1000.0 / (255.0 * m))""".stripMargin
     s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
        |s AS (SELECT doc_id, bs, len(bs) AS n,
-       |    greatest(4, len(bs) - (len(bs) % 4)) AS m FROM b),
+       |    $mExpr AS m FROM b),
        |p AS (SELECT doc_id, n, m,
        |    list_transform(range(1, m + 1),
        |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb

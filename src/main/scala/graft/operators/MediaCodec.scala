@@ -1986,9 +1986,15 @@ object MediaCodec {
     out.write(v & 0xff); out.write((v >> 8) & 0xff)
   }
 
-  /** Header + logical screen descriptor + global color table. */
+  /** Header + logical screen descriptor + global color table. The
+    * dimension fields are 16-BIT: oversized values would truncate
+    * mod 65536 through [[gifU16]] into a structurally corrupt file,
+    * so reject them here (the JPEG encoders' SOF-field stance). */
   private def gifScreen(out: java.io.ByteArrayOutputStream, width: Int,
       height: Int, table: Array[Byte]): Unit = {
+    require(width > 0 && width <= 0xffff && height > 0 && height <= 0xffff,
+      s"[GRAFT] gif: dimensions ${width}x$height exceed the 16-bit " +
+        "logical-screen fields (max 65535)")
     out.write("GIF89a".getBytes(StandardCharsets.US_ASCII))
     gifU16(out, width); gifU16(out, height)
     val sizeField = Integer.numberOfTrailingZeros(table.length / 3) - 1
@@ -2005,8 +2011,11 @@ object MediaCodec {
   private def gifImage(out: java.io.ByteArrayOutputStream,
       indices: Array[Byte], width: Int, height: Int, entries: Int,
       minCode: Int, interlaced: Boolean): Unit = {
-    require(width > 0 && height > 0 &&
-      indices.length == width * height,
+    require(width > 0 && width <= 0xffff && height > 0 &&
+      height <= 0xffff,
+      s"[GRAFT] gif: frame ${width}x$height exceeds the 16-bit " +
+        "image-descriptor fields (max 65535)")
+    require(indices.length == width * height,
       "[GRAFT] gif: indices must be width*height bytes")
     var i = 0
     while (i < indices.length) {

@@ -56,27 +56,11 @@ object Mining {
     require(k > 0, "[GRAFT] mining: k must be positive")
     val srcQ = src.select(col(idCol).as("qid"), col(vecCol).as("qvalues"))
     val tgtBase = tgt.select(col(idCol).as("id"), col(vecCol).as("values"))
-    // forward: each source against the target collection — persisted:
-    // the candidate set feeds the margin join, the per-source sums,
-    // AND the backward query list (3 consumers; the top-k scan must
-    // not rerun per consumer)
-    val fwd = simMicro(
-      Knn.exactBatch(tgtBase, srcQ, k, Metric.Cosine)).persist()
-    val fwdSum = fwd.groupBy(col("qid"))
-      .agg(sum(col("sim_micro")).as("fwd_sum"))
-    // backward: only the targets that appear as forward candidates
-    // need their neighborhood average — at scale this is the slim
-    // candidate set, not the whole target side
-    val candTgt = fwd.select(col("id")).distinct()
-      .join(tgtBase, "id")
-      .select(col("id").as("qid"), col("values").as("qvalues"))
     val srcBase = src.select(col(idCol).as("id"), col(vecCol).as("values"))
-    val bwdSum = simMicro(
-      Knn.exactBatch(srcBase, candTgt, k, Metric.Cosine))
-      .groupBy(col("qid"))
-      .agg(sum(col("sim_micro")).as("bwd_sum"))
-      .select(col("qid").as("bwd_id"), col("bwd_sum"))
-    withMargin(fwd, fwdSum, bwdSum, k)
+    mineCore(
+      simMicro(Knn.exactBatch(tgtBase, srcQ, k, Metric.Cosine)),
+      tgtBase,
+      q => simMicro(Knn.exactBatch(srcBase, q, k, Metric.Cosine)), k)
   }
 
   /** The mined pairs: each source's best-margin candidate, kept when
@@ -98,32 +82,29 @@ object Mining {
     * cosine the artifact stores L2-NORMALIZED vectors, whose
     * distances ulp-differ from the raw kernel and would leak into
     * the micro quantization. Which k candidates surface is
-    * approximate in exactly the nProbe way; their scores are exact,
-    * so with nProbe = nCentroids this equals [[marginPairs]]
-    * bit-for-bit BY CONSTRUCTION. */
+    * approximate in exactly the nProbe way; their scores are exact.
+    * With nProbe = nCentroids the candidate sets match the exact
+    * path's up to one degenerate tie (two raw vectors on the SAME
+    * ray quantize to one normalized copy, so an ulp-distinct raw
+    * pair can tie at the k boundary inside the artifact) — absent
+    * colinear duplicates, full-probe output equals [[marginPairs]]
+    * bit-for-bit (spec-pinned). Both artifacts must be cosine-metric;
+    * anything else fails loudly up front. */
   def marginPairsIvf(spark: SparkSession, srcPath: String,
       tgtPath: String, src: DataFrame, tgt: DataFrame, k: Int = 4,
       nProbe: Int = 4, minMarginMilli: Long = 1000L,
       idCol: String = "id", vecCol: String = "values"): DataFrame = {
     require(k > 0, "[GRAFT] mining: k must be positive")
+    requireCosine(srcPath); requireCosine(tgtPath)
     val srcQ = src.select(col(idCol).as("qid"), col(vecCol).as("qvalues"))
     val tgtBase = tgt.select(col(idCol).as("id"), col(vecCol).as("values"))
     val srcBase = src.select(col(idCol).as("id"), col(vecCol).as("values"))
-    val fwd = rescore(
-      IvfIndex.searchBatch(spark, tgtPath, srcQ, k, nProbe),
-      tgtBase, srcQ).persist()
-    val fwdSum = fwd.groupBy(col("qid"))
-      .agg(sum(col("sim_micro")).as("fwd_sum"))
-    val candTgt = fwd.select(col("id")).distinct()
-      .join(tgtBase, "id")
-      .select(col("id").as("qid"), col("values").as("qvalues"))
-    val bwdSum = rescore(
-      IvfIndex.searchBatch(spark, srcPath, candTgt, k, nProbe),
-      srcBase, candTgt)
-      .groupBy(col("qid"))
-      .agg(sum(col("sim_micro")).as("bwd_sum"))
-      .select(col("qid").as("bwd_id"), col("bwd_sum"))
-    bestPairs(withMargin(fwd, fwdSum, bwdSum, k), minMarginMilli)
+    bestPairs(mineCore(
+      rescore(IvfIndex.searchBatch(spark, tgtPath, srcQ, k, nProbe),
+        tgtBase, srcQ),
+      tgtBase,
+      q => rescore(IvfIndex.searchBatch(spark, srcPath, q, k, nProbe),
+        srcBase, q), k), minMarginMilli)
   }
 
   /** The INTERSECTION strategy — the paper's highest-precision
@@ -163,24 +144,48 @@ object Mining {
       minMarginMilli: Long = 1000L, idCol: String = "id",
       vecCol: String = "values"): DataFrame = {
     require(k > 0, "[GRAFT] mining: k must be positive")
+    requireCosine(tgtPath)
     val srcQ = batch.select(col(idCol).as("qid"), col(vecCol).as("qvalues"))
     val tgtBase = tgt.select(col(idCol).as("id"), col(vecCol).as("values"))
-    val fwd = rescore(
-      IvfIndex.searchBatch(spark, tgtPath, srcQ, k, nProbe),
-      tgtBase, srcQ).persist()
+    val srcBase = batch.select(col(idCol).as("id"),
+      col(vecCol).as("values"))
+    bestPairs(mineCore(
+      rescore(IvfIndex.searchBatch(spark, tgtPath, srcQ, k, nProbe),
+        tgtBase, srcQ),
+      tgtBase,
+      q => simMicro(Knn.exactBatch(srcBase, q, k, Metric.Cosine)),
+      k), minMarginMilli)
+  }
+
+  /** The ONE mining pipeline all entry points share — they differ
+    * only in candidate generation. The forward-scored candidates are
+    * persisted (they feed the margin join, the per-source sums, AND
+    * the backward query list — 3 consumers; the candidate scan must
+    * not rerun per consumer); backward sums score ONLY the targets
+    * that surfaced as forward candidates — at scale that is the slim
+    * candidate set, never the whole target side. */
+  private def mineCore(fwd0: DataFrame, tgtBase: DataFrame,
+      bwdScore: DataFrame => DataFrame, k: Int): DataFrame = {
+    val fwd = fwd0.persist()
     val fwdSum = fwd.groupBy(col("qid"))
       .agg(sum(col("sim_micro")).as("fwd_sum"))
     val candTgt = fwd.select(col("id")).distinct()
       .join(tgtBase, "id")
       .select(col("id").as("qid"), col("values").as("qvalues"))
-    val srcBase = batch.select(col(idCol).as("id"),
-      col(vecCol).as("values"))
-    val bwdSum = simMicro(
-      Knn.exactBatch(srcBase, candTgt, k, Metric.Cosine))
+    val bwdSum = bwdScore(candTgt)
       .groupBy(col("qid"))
       .agg(sum(col("sim_micro")).as("bwd_sum"))
       .select(col("qid").as("bwd_id"), col("bwd_sum"))
-    bestPairs(withMargin(fwd, fwdSum, bwdSum, k), minMarginMilli)
+    withMargin(fwd, fwdSum, bwdSum, k)
+  }
+
+  /** The margin arithmetic is cosine — probing an artifact built
+    * with another metric would silently mine wrong neighborhoods. */
+  private def requireCosine(path: String): Unit = {
+    val m = IvfIndex.readMeta(path).metric
+    require(Metric.parse(m) == Metric.Cosine,
+      s"[GRAFT] mining: IVF artifact at $path was built with metric " +
+        s"'$m' — margin mining is cosine-only")
   }
 
   /** sim_micro = round((1 − distance)·10⁶): the one similarity

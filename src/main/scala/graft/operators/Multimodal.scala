@@ -222,7 +222,18 @@ object Multimodal {
     * the 1-byte-per-pixel filter stride, and the index→RGB expansion
     * are all exact. */
   def synthesizePngPaletted(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): Dataset[MediaRecord] = {
+      idCol: String = "doc_id"): Dataset[MediaRecord] =
+    synthPaletted(docs, textCol, idCol, capBytes = Int.MaxValue,
+      format = "image/png",
+      enc = (p, w, h) => MediaCodec.encodePngPaletted(p, w, h,
+        SynthPalette))
+
+  /** The ONE paletted-synthesizer body the PNG and GIF twins share —
+    * the "4-wide, whole rows, one-row minimum" geometry contract the
+    * shared oracle derivation depends on lives here, once. */
+  private def synthPaletted(docs: DataFrame, textCol: String,
+      idCol: String, capBytes: Int, format: String,
+      enc: (Array[Byte], Int, Int) => Array[Byte]): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
     WorkCols.spread(docs)
@@ -231,11 +242,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val m = math.max(4, payload.length - payload.length % 4)
+          val m = math.min(
+            math.max(4, payload.length - payload.length % 4), capBytes)
           val p = java.util.Arrays.copyOf(payload, m)
-          val bytes = MediaCodec.encodePngPaletted(p, 4, p.length / 4,
-            SynthPalette)
-          MediaRecord(id, bytes, "image/png", bytes.length.toLong)
+          val bytes = enc(p, 4, p.length / 4)
+          MediaRecord(id, bytes, format, bytes.length.toLong)
         }
       }
   }
@@ -256,32 +267,22 @@ object Multimodal {
 
   /** GIF twin of [[synthesizePngPaletted]]: the payload bytes become
     * palette indices on a 4-wide GIF89a raster (4 bytes/row, truncated
-    * to whole rows, zero-padded to one row minimum) against
-    * [[SynthPalette]] — SAME geometry and palette formula, so the two
-    * formats share one oracle derivation. `interlaced = true` stores
-    * rows in the 4-pass order (means are row-order-invariant, so the
-    * de-interlace inversion is pinned by exact-pixel specs, not the
-    * stats oracle). Round-trip proves the logical-screen header, the
-    * global color table, LZW, and the index→RGB expansion are exact. */
+    * to whole rows, zero-padded to one row minimum, capped at 65535
+    * rows — the format's 16-bit height field; the oracle truncates
+    * identically) against [[SynthPalette]] — SAME geometry and palette
+    * formula, so the two formats share one oracle derivation.
+    * `interlaced = true` stores rows in the 4-pass order (means are
+    * row-order-invariant, so the de-interlace inversion is pinned by
+    * exact-pixel specs, not the stats oracle). Round-trip proves the
+    * logical-screen header, the global color table, LZW, and the
+    * index→RGB expansion are exact. */
   def synthesizeGif(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id",
-      interlaced: Boolean = false): Dataset[MediaRecord] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    WorkCols.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"),
-        encode(col(textCol), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          val m = math.max(4, payload.length - payload.length % 4)
-          val p = java.util.Arrays.copyOf(payload, m)
-          val bytes = MediaCodec.encodeGif(p, 4, p.length / 4,
-            SynthPalette, interlaced)
-          MediaRecord(id, bytes, "image/gif", bytes.length.toLong)
-        }
-      }
-  }
+      interlaced: Boolean = false): Dataset[MediaRecord] =
+    synthPaletted(docs, textCol, idCol, capBytes = 4 * 0xffff,
+      format = "image/gif",
+      enc = (p, w, h) => MediaCodec.encodeGif(p, w, h, SynthPalette,
+        interlaced))
 
   /** Animated-GIF twin of [[synthesizeVideo]]: the payload zero-padded
     * to whole 4×`frameRows` index frames (≥ 1 frame), each frame a
@@ -294,8 +295,8 @@ object Multimodal {
   def synthesizeGifAnimated(docs: DataFrame, frameRows: Int = 2,
       textCol: String = "text",
       idCol: String = "doc_id"): Dataset[MediaRecord] = {
-    require(frameRows > 0 && frameRows <= (1 << 16),
-      "[GRAFT] gif: bad frameRows")
+    require(frameRows > 0 && frameRows <= 0xffff,
+      "[GRAFT] gif: frameRows must fit the 16-bit height field (1..65535)")
     val frameBytes = 4 * frameRows
     val spark = docs.sparkSession
     import spark.implicits._

@@ -226,8 +226,9 @@ class GifSpec extends AnyFunSuite {
     val sig = good.clone(); sig(0) = 'J'.toByte
     assert(intercept[IllegalArgumentException](
       MediaCodec.decodeGif(sig)).getMessage.contains("[GRAFT]"))
-    // truncation at every prefix must throw, never mis-decode
-    for (n <- 1 until good.length - 1) {
+    // truncation at every prefix must throw, never mis-decode —
+    // including the prefix missing only the 0x3b trailer
+    for (n <- 1 until good.length) {
       val e = intercept[IllegalArgumentException](
         MediaCodec.decodeGif(good.take(n)))
       assert(e.getMessage.contains("[GRAFT]"), s"prefix $n")
@@ -258,6 +259,34 @@ class GifSpec extends AnyFunSuite {
     empty.write(0x3b)
     assert(intercept[IllegalArgumentException](
       MediaCodec.decodeGif(empty.toByteArray)).getMessage.contains("[GRAFT]"))
+  }
+
+  test("16-bit dimension guards: oversized encodes are rejected; the synthesizer caps at 65535 rows and the stats mirror the truncation") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    // encoder: width/height beyond the 16-bit fields must throw, not
+    // truncate mod 65536 into a structurally corrupt file
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.encodeGif(new Array[Byte](4 * 65536), 4, 65536,
+        palette768)).getMessage.contains("[GRAFT]"))
+    assert(intercept[IllegalArgumentException](
+      graft.operators.Multimodal.synthesizeGifAnimated(
+        Seq((1L, "x")).toDF("doc_id", "text"), frameRows = 65536))
+      .getMessage.contains("[GRAFT]"))
+    // synthesizer: a 300,000-byte doc would be height 75,000 pre-cap
+    // (gifU16 would write 75000 & 0xffff — a corrupt header); the cap
+    // truncates to 65535 rows and the decoded mean is the mean of the
+    // FIRST 262,140 payload bytes (the oracle mirrors with least())
+    val big = "abcdefgh" * 37500
+    val st = graft.operators.Multimodal.decodeStats(spark,
+        graft.operators.Multimodal.synthesizeGif(
+          Seq((1L, big)).toDF("doc_id", "text")))
+      .collect().head
+    assert(st.height === 65535 && st.n_samples === 4L * 65535)
+    val pb = big.getBytes("UTF-8").take(4 * 65535).map(_ & 0xff)
+    val expect = math.round(
+      pb.map(b => (b * 7 % 256).toLong).sum * 1000.0 / (255.0 * pb.length))
+    assert(st.c0_milli === expect)
   }
 
   // ---- animation round trip + ImageIO frame agreement ----
