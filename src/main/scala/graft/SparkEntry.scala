@@ -2863,6 +2863,37 @@ object SparkEntry {
         .orderBy(col("doc_id").asc, col("frame_idx").asc)
     }),
 
+    // ---- baseline TIFF (II, uncompressed, single strip): the same
+    // 4-wide RGB geometry as the truecolor PNG row, so the two share
+    // one oracle derivation — the row only hash-matches if the IFD
+    // walk, the tag decode, and the strip read are exact ----
+    "multimodal_tiff" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizeTiff(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.decodeStats(s, media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- PackBits TIFF, MULTI-STRIP (2 rows/strip): same pixels,
+    // but the bytes ride the run-length codec and a strip table with
+    // external offset/count arrays — IFD arrays, per-strip decode,
+    // and reassembly must all be exact ----
+    "multimodal_tiff_packbits" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizeTiff(s.read.parquet(s"$dir/documents.parquet"),
+          packBits = true)
+      graft.operators.Multimodal.decodeStats(s, media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- baseline JPEG decode (GRAYSCALE): every doc wrapped in a
     // real JFIF file — one CONSTANT 8×8 block per payload byte, flat
     // q=8, where the lossy codec is EXACT (DC quantizes losslessly,
@@ -5377,6 +5408,8 @@ object SparkEntry {
     "multimodal_png_rgba" -> multimodalPngRgbaOracle,
     "multimodal_gif" ->
       multimodalPalettedOracle("image/gif", cap = Some(4L * 0xffff)),
+    "multimodal_tiff" -> multimodalRgbRasterOracle("image/tiff"),
+    "multimodal_tiff_packbits" -> multimodalRgbRasterOracle("image/tiff"),
     "multimodal_gif_frames" -> multimodalGifFramesOracle,
     "multimodal_jpeg" -> multimodalJpegOracle,
     "multimodal_jpeg_color" -> multimodalJpegColorOracle(8),
@@ -6664,6 +6697,12 @@ object SparkEntry {
     * payload arithmetic — the engine only lands on them if the zlib
     * stream and all five scanline filters round-trip byte-exactly. */
   private def multimodalPngOracle: String =
+    multimodalRgbRasterOracle("image/png")
+
+  /** Shared by the RGB-raster rows (truecolor PNG and the TIFF
+    * twins) — the synthesizers use the SAME 4-wide 12-bytes/row
+    * geometry, so only the declared format differs. */
+  private def multimodalRgbRasterOracle(format: String): String =
     s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
        |s AS (SELECT doc_id, bs, len(bs) AS n,
        |    greatest(12, len(bs) - (len(bs) % 12)) AS m FROM b),
@@ -6671,7 +6710,7 @@ object SparkEntry {
        |    list_transform(range(1, m + 1),
        |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
        |  FROM s)
-       |SELECT doc_id, 'image/png' AS format,
+       |SELECT doc_id, '$format' AS format,
        |  CAST(4 AS INT) AS width,
        |  CAST(m // 12 AS INT) AS height,
        |  CAST(m // 3 AS BIGINT) AS n_samples,

@@ -2241,6 +2241,434 @@ object MediaCodec {
   def decodeGif(bytes: Array[Byte]): Raster = decodeGifFrames(bytes).head
 
   // ---------------------------------------------------------------
+  // TIFF (baseline 8-bit gray/RGB: II and MM byte orders, IFD walk,
+  // multi-strip, compression 1/5/32773 — none, LZW with the
+  // early-change width schedule, PackBits — horizontal predictor)
+  // ---------------------------------------------------------------
+
+  /** TIFF-variant LZW decode (spec section 13): MSB-first bit
+    * packing (the opposite of GIF), 8-bit alphabet with
+    * Clear = 256 / EOI = 257, first dynamic entry 258, and the
+    * EARLY-CHANGE width schedule — the code width bumps when the
+    * next entry to be ADDED is (1<<width)−1, one code earlier than
+    * GIF's convention (the classic interop trap between the two
+    * formats). Decodes exactly `expected` bytes. */
+  private[graft] def tiffLzwDecode(data: Array[Byte],
+      expected: Int): Array[Byte] = {
+    require(expected >= 0, "[GRAFT] tiff: bad LZW target")
+    val Clear = 256; val Eoi = 257
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var next = 258; var width = 9
+    var old = -1; var firstByte = 0
+    val out = new Array[Byte](expected)
+    var outPos = 0
+    var acc = 0L; var accBits = 0; var pos = 0
+    var done = false
+    while (!done && outPos < expected) {
+      while (accBits < width && pos < data.length) {
+        acc = (acc << 8) | (data(pos) & 0xff)
+        accBits += 8; pos += 1
+      }
+      require(accBits >= width, "[GRAFT] tiff: LZW stream truncated")
+      val code = ((acc >>> (accBits - width)) & ((1 << width) - 1)).toInt
+      accBits -= width
+      if (code == Clear) {
+        next = 258; width = 9; old = -1
+      } else if (code == Eoi) {
+        done = true
+      } else {
+        require(code < next || (code == next && old != -1),
+          s"[GRAFT] tiff: LZW code $code out of range (next $next)")
+        var sp = 0
+        var cur = code
+        if (code == next) { // KwKwK
+          stack(sp) = firstByte.toByte; sp += 1
+          cur = old
+        }
+        while (cur >= 258) {
+          stack(sp) = suffix(cur); sp += 1
+          cur = prefix(cur)
+        }
+        require(cur < 256, "[GRAFT] tiff: corrupt LZW chain")
+        firstByte = cur
+        stack(sp) = cur.toByte; sp += 1
+        while (sp > 0) {
+          sp -= 1
+          require(outPos < expected,
+            "[GRAFT] tiff: LZW output overruns the strip")
+          out(outPos) = stack(sp); outPos += 1
+        }
+        if (old != -1 && next < 4096) {
+          prefix(next) = old
+          suffix(next) = firstByte.toByte
+          next += 1
+          // EARLY CHANGE: bump when the NEXT add would be the last
+          // code expressible at this width
+          if (next == (1 << width) - 1 && width < 12) width += 1
+        }
+        old = code
+      }
+    }
+    require(outPos == expected,
+      s"[GRAFT] tiff: LZW produced $outPos of $expected bytes")
+    out
+  }
+
+  /** TIFF-variant LZW encode, the exact dual of [[tiffLzwDecode]]:
+    * starts with a Clear code and resets the table at 4094 entries
+    * (libtiff's margin). The CODE WIDTH is driven by a simulation of
+    * the DECODER's counter — the decoder adds one table entry per
+    * data code received after the first, and early-changes when its
+    * count hits (1<<width)−1; every emitted code must fit the width
+    * the decoder will be holding when it reads it, so the encoder
+    * replays exactly that bookkeeping after each emit (its own table
+    * counter runs one entry ahead and must NOT drive the width). */
+  private[graft] def tiffLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+    var acc = 0L; var accBits = 0; var width = 9
+    var decNext = 258        // the decoder's simulated entry counter
+    var firstAfterClear = true
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code
+      accBits += width
+      while (accBits >= 8) {
+        out.write(((acc >>> (accBits - 8)) & 0xff).toInt)
+        accBits -= 8
+      }
+    }
+    /** Emit a DATA code, then replay the decoder's add+bump. */
+    def emitData(code: Int): Unit = {
+      emit(code)
+      if (!firstAfterClear) {
+        decNext += 1
+        if (decNext == (1 << width) - 1 && width < 12) width += 1
+      }
+      firstAfterClear = false
+    }
+    // child(prefixCode * 4096 + byte) -> code, rebuilt on clear
+    var child = new java.util.HashMap[Integer, Integer]()
+    var encNext = 258
+    emit(256) // leading Clear, per spec
+    if (data.nonEmpty) {
+      var omega = data(0) & 0xff
+      var i = 1
+      while (i < data.length) {
+        val c = data(i) & 0xff
+        val key = Integer.valueOf(omega * 4096 + c)
+        val hit = child.get(key)
+        if (hit != null) omega = hit.intValue()
+        else {
+          emitData(omega)
+          child.put(key, Integer.valueOf(encNext))
+          encNext += 1
+          if (encNext == 4094) {
+            emit(256) // the decoder resets on receipt: mirror it
+            child = new java.util.HashMap[Integer, Integer]()
+            encNext = 258; decNext = 258; width = 9
+            firstAfterClear = true
+          }
+          omega = c
+        }
+        i += 1
+      }
+      emitData(omega)
+    }
+    emit(257) // EOI — read at the width the last data code left
+    if (accBits > 0) // flush: pad the tail byte with zero bits
+      out.write(((acc << (8 - accBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** PackBits (compression 32773) decode to exactly `expected`
+    * bytes: n in [0,127] copies n+1 literals, n in [-127,-1] repeats
+    * the next byte 1−n times, −128 is a no-op. */
+  private[graft] def packBitsDecode(data: Array[Byte],
+      expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outPos = 0; var pos = 0
+    while (outPos < expected) {
+      require(pos < data.length, "[GRAFT] tiff: PackBits truncated")
+      val n = data(pos); pos += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        require(pos + cnt <= data.length && outPos + cnt <= expected,
+          "[GRAFT] tiff: PackBits literal overrun")
+        System.arraycopy(data, pos, out, outPos, cnt)
+        pos += cnt; outPos += cnt
+      } else if (n != -128) {
+        val cnt = 1 - n
+        require(pos < data.length && outPos + cnt <= expected,
+          "[GRAFT] tiff: PackBits run overrun")
+        java.util.Arrays.fill(out, outPos, outPos + cnt, data(pos))
+        pos += 1; outPos += cnt
+      }
+    }
+    out
+  }
+
+  /** PackBits encode: maximal runs (≥2 repeats become a run packet,
+    * literals batch up to 128). */
+  private[graft] def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 &&
+        data(i + run) == data(i)) run += 1
+      if (run >= 2) {
+        out.write(1 - run); out.write(data(i)); i += run
+      } else {
+        var lit = 1
+        while (i + lit < data.length && lit < 128 &&
+          (i + lit + 1 >= data.length || data(i + lit) != data(i + lit + 1)))
+          lit += 1
+        out.write(lit - 1); out.write(data, i, lit); i += lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Decode a baseline TIFF: II or MM byte order, first IFD only,
+    * 8-bit grayscale (photometric 0 inverted / 1) or RGB
+    * (photometric 2), compression 1 (none), 5 (LZW) or 32773
+    * (PackBits), horizontal predictor (tag 317 = 2), any strip
+    * layout. Planar configuration 2, tiles, palette TIFFs and
+    * non-8-bit depths are rejected loudly. */
+  def decodeTiff(bytes: Array[Byte]): Raster = {
+    require(bytes.length >= 8, "[GRAFT] tiff: truncated file")
+    val le = (bytes(0), bytes(1)) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => throw new IllegalArgumentException(
+        "[GRAFT] tiff: missing II/MM byte-order mark")
+    }
+    def u16(off: Int): Int = {
+      require(off + 2 <= bytes.length, "[GRAFT] tiff: truncated file")
+      if (le) (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      else ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    }
+    def u32(off: Int): Long = {
+      require(off + 4 <= bytes.length, "[GRAFT] tiff: truncated file")
+      if (le) (u16(off) & 0xffffL) | ((u16(off + 2) & 0xffffL) << 16)
+      else ((u16(off) & 0xffffL) << 16) | (u16(off + 2) & 0xffffL)
+    }
+    require(u16(2) == 42, "[GRAFT] tiff: bad magic (want 42)")
+    val ifd = u32(4)
+    require(ifd >= 8 && ifd + 2 <= bytes.length,
+      "[GRAFT] tiff: IFD offset out of range")
+    val nEntries = u16(ifd.toInt)
+    // tag -> (type, count, valueOffsetField)
+    val entries = scala.collection.mutable.Map[Int, (Int, Long, Int)]()
+    var i = 0
+    while (i < nEntries) {
+      val e = ifd.toInt + 2 + 12 * i
+      require(e + 12 <= bytes.length, "[GRAFT] tiff: IFD truncated")
+      entries(u16(e)) = (u16(e + 2), u32(e + 4), e + 8)
+      i += 1
+    }
+    def typeSize(t: Int): Int = t match {
+      case 1 => 1 // BYTE
+      case 3 => 2 // SHORT
+      case 4 => 4 // LONG
+      case other => throw new IllegalArgumentException(
+        s"[GRAFT] tiff: unsupported tag type $other")
+    }
+    /** All values of a tag as longs (inline when they fit 4 bytes). */
+    def values(tag: Int): Option[IndexedSeq[Long]] =
+      entries.get(tag).map { case (t, count, vo) =>
+        val sz = typeSize(t)
+        require(count >= 1 && count <= (1 << 22),
+          s"[GRAFT] tiff: absurd count $count for tag $tag")
+        val base =
+          if (sz * count <= 4) vo.toLong
+          else {
+            val off = u32(vo)
+            require(off + sz * count <= bytes.length,
+              s"[GRAFT] tiff: tag $tag values out of range")
+            off
+          }
+        (0L until count).map { j =>
+          val o = (base + sz * j).toInt
+          t match {
+            case 1 => (bytes(o) & 0xff).toLong
+            case 3 => u16(o).toLong
+            case 4 => u32(o)
+          }
+        }
+      }
+    def one(tag: Int, default: => Long): Long =
+      values(tag).map(_.head).getOrElse(default)
+    def req(tag: Int, what: String): Long =
+      values(tag).map(_.head).getOrElse(throw new IllegalArgumentException(
+        s"[GRAFT] tiff: missing required tag $what ($tag)"))
+
+    val w = req(256, "ImageWidth")
+    val h = req(257, "ImageLength")
+    require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20) &&
+      w * h <= (1L << 26), "[GRAFT] tiff: bad dimensions (max 2^26 px)")
+    val spp = one(277, 1L).toInt
+    val photometric = one(262, 1L).toInt
+    val (channels, order) = photometric match {
+      case 0 | 1 =>
+        require(spp == 1, s"[GRAFT] tiff: gray with $spp samples")
+        (1, "GRAY")
+      case 2 =>
+        require(spp == 3,
+          s"[GRAFT] tiff: RGB needs 3 samples/pixel, got $spp")
+        (3, "RGB")
+      case other => throw new IllegalArgumentException(
+        s"[GRAFT] tiff: unsupported photometric $other")
+    }
+    values(258).foreach(bps => require(bps.forall(_ == 8L),
+      s"[GRAFT] tiff: only 8-bit samples supported, got ${bps.mkString(",")}"))
+    require(one(284, 1L) == 1L, "[GRAFT] tiff: planar config 2 unsupported")
+    val compression = one(259, 1L).toInt
+    require(compression == 1 || compression == 5 || compression == 32773,
+      s"[GRAFT] tiff: unsupported compression $compression")
+    val predictor = one(317, 1L).toInt
+    require(predictor == 1 || predictor == 2,
+      s"[GRAFT] tiff: unsupported predictor $predictor")
+    require(!entries.contains(322),
+      "[GRAFT] tiff: tiled layout unsupported (strips only)")
+    val offsets = values(273).getOrElse(throw new IllegalArgumentException(
+      "[GRAFT] tiff: missing StripOffsets"))
+    val counts = values(279).getOrElse(throw new IllegalArgumentException(
+      "[GRAFT] tiff: missing StripByteCounts"))
+    require(offsets.length == counts.length,
+      "[GRAFT] tiff: StripOffsets/StripByteCounts length mismatch")
+    val rps = math.min(one(278, h), h)
+    require(rps > 0, "[GRAFT] tiff: bad RowsPerStrip")
+    val nStrips = ((h + rps - 1) / rps).toInt
+    require(offsets.length == nStrips,
+      s"[GRAFT] tiff: ${offsets.length} strips, geometry wants $nStrips")
+    val rowBytes = (w * channels).toInt
+    val pixels = new Array[Byte]((w * h * channels).toInt)
+    var strip = 0
+    var row = 0
+    while (strip < nStrips) {
+      val rows = math.min(rps, h - strip * rps).toInt
+      val want = rows * rowBytes
+      val off = offsets(strip); val cnt = counts(strip)
+      require(off >= 0 && cnt >= 0 && off + cnt <= bytes.length,
+        s"[GRAFT] tiff: strip $strip out of range")
+      val raw = java.util.Arrays.copyOfRange(bytes, off.toInt,
+        (off + cnt).toInt)
+      val strip8 = compression match {
+        case 1 =>
+          require(raw.length == want,
+            s"[GRAFT] tiff: strip $strip is ${raw.length} bytes, want $want")
+          raw
+        case 5 => tiffLzwDecode(raw, want)
+        case _ => packBitsDecode(raw, want)
+      }
+      if (predictor == 2) {
+        // horizontal differencing: accumulate left-to-right per row,
+        // per sample channel
+        var r = 0
+        while (r < rows) {
+          var x = channels
+          while (x < rowBytes) {
+            strip8(r * rowBytes + x) =
+              (strip8(r * rowBytes + x) +
+                strip8(r * rowBytes + x - channels)).toByte
+            x += 1
+          }
+          r += 1
+        }
+      }
+      System.arraycopy(strip8, 0, pixels, row * rowBytes, want)
+      row += rows
+      strip += 1
+    }
+    if (photometric == 0) { // WhiteIsZero: invert to plain luma
+      var j = 0
+      while (j < pixels.length) {
+        pixels(j) = (255 - (pixels(j) & 0xff)).toByte
+        j += 1
+      }
+    }
+    Raster(w.toInt, h.toInt, order, pixels)
+  }
+
+  /** Encode a baseline little-endian TIFF: 8-bit grayscale
+    * (`channels = 1`, photometric 1) or RGB (`channels = 3`),
+    * compression none (1) or PackBits (32773), one strip per
+    * `rowsPerStrip` rows. The output is a bona fide file — ImageIO
+    * and desktop viewers open it. */
+  def encodeTiff(pixels: Array[Byte], width: Int, height: Int,
+      channels: Int = 3, packBits: Boolean = false,
+      rowsPerStrip: Int = 0): Array[Byte] = {
+    require(channels == 1 || channels == 3,
+      "[GRAFT] tiff: channels must be 1 or 3")
+    require(width > 0 && height > 0 &&
+      pixels.length == width.toLong * height * channels,
+      "[GRAFT] tiff: pixels must be width*height*channels bytes")
+    val rps = if (rowsPerStrip <= 0) height
+      else math.min(rowsPerStrip, height)
+    val nStrips = (height + rps - 1) / rps
+    val rowBytes = width * channels
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rps, height - s * rps)
+      val raw = java.util.Arrays.copyOfRange(pixels,
+        s * rps * rowBytes, (s * rps + rows) * rowBytes)
+      if (packBits) packBitsEncode(raw) else raw
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
+    out.write('I'); out.write('I'); u16(42)
+    // layout: header(8) | strips | [bps array] | IFD
+    var cursor = 8L
+    val stripOffsets = strips.map { s =>
+      val o = cursor; cursor += s.length; o
+    }
+    if (cursor % 2 != 0) cursor += 1 // word-align what follows
+    val bpsOffset = cursor
+    if (channels == 3) cursor += 6
+    val ifdOffset = cursor
+    u32(ifdOffset)
+    strips.foreach(out.write)
+    if ((8L + strips.map(_.length.toLong).sum) % 2 != 0) out.write(0)
+    if (channels == 3) { u16(8); u16(8); u16(8) }
+    // IFD: tags ascending (9 of them — the arrays land right after)
+    case class Tag(id: Int, typ: Int, count: Long, value: Long)
+    val nTags = 9
+    // strip offsets/counts: inline when a single strip (one LONG fits
+    // the 4-byte value field), external arrays after the IFD otherwise
+    val needArrays = nStrips > 1
+    val arraysOffset = ifdOffset + 2 + 12L * nTags + 4
+    val offArr = arraysOffset
+    val cntArr = arraysOffset + 4L * nStrips
+    val tags = Seq(
+      Tag(256, 4, 1, width),
+      Tag(257, 4, 1, height),
+      Tag(258, 3, channels, if (channels == 1) 8L else bpsOffset),
+      Tag(259, 3, 1, if (packBits) 32773L else 1L),
+      Tag(262, 3, 1, if (channels == 1) 1L else 2L),
+      Tag(273, 4, nStrips,
+        if (needArrays) offArr else stripOffsets.head),
+      Tag(277, 3, 1, channels),
+      Tag(278, 4, 1, rps),
+      Tag(279, 4, nStrips,
+        if (needArrays) cntArr else strips.head.length))
+    require(tags.length == nTags, "[GRAFT] tiff: tag count drifted")
+    u16(tags.length)
+    tags.sortBy(_.id).foreach { t =>
+      u16(t.id); u16(t.typ); u32(t.count)
+      if (t.typ == 3 && t.count == 1) { u16(t.value.toInt); u16(0) }
+      else u32(t.value)
+    }
+    u32(0) // next IFD
+    if (needArrays) {
+      stripOffsets.foreach(u32)
+      strips.foreach(s => u32(s.length))
+    }
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
   // Raster resize kernels + WAV resample
   // ---------------------------------------------------------------
 

@@ -62,12 +62,14 @@ object Multimodal {
     case "image/png" => MediaCodec.decodePng(bytes)
     case "image/jpeg" => MediaCodec.decodeJpeg(bytes)
     case "image/gif" => MediaCodec.decodeGif(bytes)
+    case "image/tiff" => MediaCodec.decodeTiff(bytes)
     case other => throw new IllegalArgumentException(
       s"[GRAFT] no raster decoder registered for format $other")
   }
 
   private[operators] val RasterFormats: Set[String] =
-    Set("image/bmp", "image/ppm", "image/png", "image/jpeg", "image/gif")
+    Set("image/bmp", "image/ppm", "image/png", "image/jpeg", "image/gif",
+      "image/tiff")
 
   /** Build a media table from the documents table: the text payload is
     * UTF-8-encoded as the stand-in binary blob. Every synthesizer
@@ -160,6 +162,35 @@ object Multimodal {
           val p = java.util.Arrays.copyOf(payload, m)
           val bytes = MediaCodec.encodePng(p, 4, p.length / 12)
           MediaRecord(id, bytes, "image/png", bytes.length.toLong)
+        }
+      }
+  }
+
+  /** TIFF twin of [[synthesizePng]]: the payload bytes become a
+    * 4-wide RGB raster (12 bytes/row, whole rows, one-row minimum —
+    * the SAME geometry, so the two formats share one oracle
+    * derivation) in a real little-endian baseline TIFF. With
+    * `packBits = true` the strips are PackBits-compressed AND split
+    * at 2 rows per strip, so the row only hash-matches if the IFD
+    * walk, the multi-strip geometry, and the run-length codec all
+    * round-trip byte-exactly. */
+  def synthesizeTiff(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id",
+      packBits: Boolean = false): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val m = math.max(12, payload.length - payload.length % 12)
+          val p = java.util.Arrays.copyOf(payload, m)
+          val bytes = MediaCodec.encodeTiff(p, 4, p.length / 12,
+            channels = 3, packBits = packBits,
+            rowsPerStrip = if (packBits) 2 else 0)
+          MediaRecord(id, bytes, "image/tiff", bytes.length.toLong)
         }
       }
   }
