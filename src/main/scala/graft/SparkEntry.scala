@@ -5408,8 +5408,10 @@ object SparkEntry {
     "multimodal_png_rgba" -> multimodalPngRgbaOracle,
     "multimodal_gif" ->
       multimodalPalettedOracle("image/gif", cap = Some(4L * 0xffff)),
-    "multimodal_tiff" -> multimodalRgbRasterOracle("image/tiff"),
-    "multimodal_tiff_packbits" -> multimodalRgbRasterOracle("image/tiff"),
+    "multimodal_tiff" ->
+      multimodalRgbRasterOracle("image/tiff", cap = Some(12L * (1 << 20))),
+    "multimodal_tiff_packbits" ->
+      multimodalRgbRasterOracle("image/tiff", cap = Some(12L * (1 << 20))),
     "multimodal_gif_frames" -> multimodalGifFramesOracle,
     "multimodal_jpeg" -> multimodalJpegOracle,
     "multimodal_jpeg_color" -> multimodalJpegColorOracle(8),
@@ -6697,15 +6699,21 @@ object SparkEntry {
     * payload arithmetic — the engine only lands on them if the zlib
     * stream and all five scanline filters round-trip byte-exactly. */
   private def multimodalPngOracle: String =
-    multimodalRgbRasterOracle("image/png")
+    multimodalRgbRasterOracle("image/png", cap = None)
 
   /** Shared by the RGB-raster rows (truecolor PNG and the TIFF
     * twins) — the synthesizers use the SAME 4-wide 12-bytes/row
-    * geometry, so only the declared format differs. */
-  private def multimodalRgbRasterOracle(format: String): String =
+    * geometry, so only the declared format (and TIFF's 2^20-row
+    * decode-guard cap: 12·2^20 payload bytes) differs. */
+  private def multimodalRgbRasterOracle(format: String,
+      cap: Option[Long]): String = {
+    val mExpr = cap match {
+      case Some(c) => s"least(greatest(12, len(bs) - (len(bs) % 12)), $c)"
+      case None => "greatest(12, len(bs) - (len(bs) % 12))"
+    }
     s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
        |s AS (SELECT doc_id, bs, len(bs) AS n,
-       |    greatest(12, len(bs) - (len(bs) % 12)) AS m FROM b),
+       |    $mExpr AS m FROM b),
        |p AS (SELECT doc_id, bs, n, m,
        |    list_transform(range(1, m + 1),
        |      i -> CASE WHEN i <= n THEN bs[i] ELSE 0 END) AS pb
@@ -6718,6 +6726,7 @@ object SparkEntry {
        |  CAST(${duckChannelMilli(1)} AS BIGINT) AS c1_milli,
        |  CAST(${duckChannelMilli(2)} AS BIGINT) AS c2_milli
        |FROM p ORDER BY doc_id ASC""".stripMargin
+  }
 
   /** Mirrors [[graft.operators.Multimodal.synthesizePngGray]] +
     * `decodeStats`: a 4-wide GRAYSCALE raster of the zero-padded

@@ -180,9 +180,15 @@ object Knn {
   def exactBatch(base: DataFrame, queries: DataFrame, k: Int,
       metric: Metric = Metric.Euclidean, vecCol: String = "values",
       idCol: String = "id", qidCol: String = "qid",
-      qvecCol: String = "qvalues"): DataFrame = {
+      qvecCol: String = "qvalues", persistQueries: Boolean = true): DataFrame = {
     import TopKByDistance.topk
-    val q = queries.persist()
+    // persistQueries = false is for CALLER-MANAGED lifetimes (the
+    // streaming mining loop): a DataFrame-level persist registers a
+    // CacheManager entry this method can never release (the result is
+    // lazy), which accumulates one plan entry per micro-batch on a
+    // long-running stream. Callers passing false must hand in queries
+    // that are cheap to evaluate twice (the sizing pass + the join).
+    val q = if (persistQueries) queries.persist() else queries
     val sized = q.agg(count(lit(1)).as("n"),
       coalesce(max(size(col(qvecCol))), lit(0)).as("dim")).head()
     val qSide = BroadcastGate.gated(q, sized.getLong(0), sized.getInt(1))

@@ -2408,22 +2408,30 @@ object MediaCodec {
     out
   }
 
-  /** PackBits encode: maximal runs (≥2 repeats become a run packet,
-    * literals batch up to 128). */
+  /** PackBits encode: runs of ≥3 repeats become a run packet (a
+    * 2-repeat run never beats folding into the neighboring literal —
+    * the spec's own recommendation), literals batch up to 128. */
   private[graft] def packBitsEncode(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length + 16)
+    def runLen(at: Int): Int = {
+      var run = 1
+      while (at + run < data.length && run < 128 &&
+        data(at + run) == data(at)) run += 1
+      run
+    }
     var i = 0
     while (i < data.length) {
-      var run = 1
-      while (i + run < data.length && run < 128 &&
-        data(i + run) == data(i)) run += 1
-      if (run >= 2) {
+      val run = runLen(i)
+      if (run >= 3) {
         out.write(1 - run); out.write(data(i)); i += run
       } else {
-        var lit = 1
+        // literal batch: extend past interior sub-3 repeats, stop
+        // where a real (≥3) run starts
+        var lit = run
         while (i + lit < data.length && lit < 128 &&
-          (i + lit + 1 >= data.length || data(i + lit) != data(i + lit + 1)))
-          lit += 1
+          runLen(i + lit) < 3)
+          lit += runLen(i + lit) min (128 - lit)
+        lit = math.min(lit, 128)
         out.write(lit - 1); out.write(data, i, lit); i += lit
       }
     }

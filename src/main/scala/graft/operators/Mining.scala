@@ -149,12 +149,23 @@ object Mining {
     val tgtBase = tgt.select(col(idCol).as("id"), col(vecCol).as("values"))
     val srcBase = batch.select(col(idCol).as("id"),
       col(vecCol).as("values"))
+    // STREAMING-SAFE materialization: this method runs once per
+    // micro-batch inside marginMineStream's foreachBatch, where a
+    // DataFrame-level persist would register one CacheManager plan
+    // entry per batch FOREVER (nothing downstream can release it —
+    // the result is lazy). localCheckpoint materializes the slim
+    // forward candidates to blocks with NO CacheManager entry, and
+    // the ContextCleaner reclaims the blocks once the frame is
+    // unreferenced; the backward exactBatch skips its query persist
+    // for the same reason (candTgt re-derives from the checkpointed
+    // frame — cheap to evaluate twice).
     bestPairs(mineCore(
       rescore(IvfIndex.searchBatch(spark, tgtPath, srcQ, k, nProbe),
         tgtBase, srcQ),
       tgtBase,
-      q => simMicro(Knn.exactBatch(srcBase, q, k, Metric.Cosine)),
-      k), minMarginMilli)
+      q => simMicro(Knn.exactBatch(srcBase, q, k, Metric.Cosine,
+        persistQueries = false)),
+      k, materialize = _.localCheckpoint()), minMarginMilli)
   }
 
   /** The ONE mining pipeline all entry points share — they differ
@@ -165,8 +176,9 @@ object Mining {
     * that surfaced as forward candidates — at scale that is the slim
     * candidate set, never the whole target side. */
   private def mineCore(fwd0: DataFrame, tgtBase: DataFrame,
-      bwdScore: DataFrame => DataFrame, k: Int): DataFrame = {
-    val fwd = fwd0.persist()
+      bwdScore: DataFrame => DataFrame, k: Int,
+      materialize: DataFrame => DataFrame = _.persist()): DataFrame = {
+    val fwd = materialize(fwd0)
     val fwdSum = fwd.groupBy(col("qid"))
       .agg(sum(col("sim_micro")).as("fwd_sum"))
     val candTgt = fwd.select(col("id")).distinct()

@@ -149,7 +149,18 @@ object Multimodal {
     * payload — and the DuckDB oracle pins the decoded channel stats
     * from payload arithmetic, proving the round trip end-to-end. */
   def synthesizePng(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): Dataset[MediaRecord] = {
+      idCol: String = "doc_id"): Dataset[MediaRecord] =
+    synthRgb(docs, textCol, idCol, capBytes = Int.MaxValue,
+      format = "image/png",
+      enc = (p, w, h) => MediaCodec.encodePng(p, w, h))
+
+  /** The ONE truecolor-synthesizer body the PNG and TIFF twins
+    * share — the "4-wide RGB, 12 bytes/row, whole rows, one-row
+    * minimum" geometry contract their shared oracle derivation
+    * depends on lives here, once. */
+  private def synthRgb(docs: DataFrame, textCol: String,
+      idCol: String, capBytes: Int, format: String,
+      enc: (Array[Byte], Int, Int) => Array[Byte]): Dataset[MediaRecord] = {
     val spark = docs.sparkSession
     import spark.implicits._
     WorkCols.spread(docs)
@@ -158,42 +169,30 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val m = math.max(12, payload.length - payload.length % 12)
+          val m = math.min(
+            math.max(12, payload.length - payload.length % 12), capBytes)
           val p = java.util.Arrays.copyOf(payload, m)
-          val bytes = MediaCodec.encodePng(p, 4, p.length / 12)
-          MediaRecord(id, bytes, "image/png", bytes.length.toLong)
+          val bytes = enc(p, 4, p.length / 12)
+          MediaRecord(id, bytes, format, bytes.length.toLong)
         }
       }
   }
 
   /** TIFF twin of [[synthesizePng]]: the payload bytes become a
-    * 4-wide RGB raster (12 bytes/row, whole rows, one-row minimum —
-    * the SAME geometry, so the two formats share one oracle
-    * derivation) in a real little-endian baseline TIFF. With
-    * `packBits = true` the strips are PackBits-compressed AND split
-    * at 2 rows per strip, so the row only hash-matches if the IFD
-    * walk, the multi-strip geometry, and the run-length codec all
-    * round-trip byte-exactly. */
+    * 4-wide RGB raster (12 bytes/row, whole rows, one-row minimum,
+    * capped at 2^20 rows — [[MediaCodec.decodeTiff]]'s own dimension
+    * guard; the oracle truncates identically) in a real little-endian
+    * baseline TIFF. With `packBits = true` the strips are
+    * PackBits-compressed AND split at 2 rows per strip, so the row
+    * only hash-matches if the IFD walk, the multi-strip geometry,
+    * and the run-length codec all round-trip byte-exactly. */
   def synthesizeTiff(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id",
-      packBits: Boolean = false): Dataset[MediaRecord] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    WorkCols.spread(docs)
-      .select(col(idCol).cast("long").as("doc_id"),
-        encode(col(textCol), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, payload) =>
-          val m = math.max(12, payload.length - payload.length % 12)
-          val p = java.util.Arrays.copyOf(payload, m)
-          val bytes = MediaCodec.encodeTiff(p, 4, p.length / 12,
-            channels = 3, packBits = packBits,
-            rowsPerStrip = if (packBits) 2 else 0)
-          MediaRecord(id, bytes, "image/tiff", bytes.length.toLong)
-        }
-      }
-  }
+      packBits: Boolean = false): Dataset[MediaRecord] =
+    synthRgb(docs, textCol, idCol, capBytes = 12 * (1 << 20),
+      format = "image/tiff",
+      enc = (p, w, h) => MediaCodec.encodeTiff(p, w, h, channels = 3,
+        packBits = packBits, rowsPerStrip = if (packBits) 2 else 0))
 
   /** 8-bit GRAYSCALE (color type 0) twin of [[synthesizePng]]: the
     * payload is one luma byte per pixel on a 4-wide raster (4 bytes

@@ -1068,13 +1068,16 @@ object Ingest {
       vecCol: String): Unit = {
     // PERSIST the micro-batch: it is both the forward query side and
     // the backward brute-force base — an un-persisted source subtree
-    // would re-read the batch per pass. The mining pipeline persists
-    // more under the hood (the forward candidates, the batch top-k
-    // query sides) — snapshot the persistent-RDD set and release the
-    // batch's NEW blocks after the write, or a long-running stream
-    // accumulates one cached candidate set per micro-batch forever.
-    val sc = batch0.sparkSession.sparkContext
-    val preexisting = sc.getPersistentRDDs.keySet
+    // would re-read the batch per pass. It is unpersisted in finally
+    // (a DataFrame-level unpersist, which also drops the CacheManager
+    // plan entry). Everything ELSE the per-batch pipeline
+    // materializes is deliberately CacheManager-free: marginPairsDelta
+    // localCheckpoints the slim forward candidates (blocks only, the
+    // ContextCleaner reclaims them once unreferenced) and skips the
+    // backward exactBatch's query persist — so a long-running stream
+    // accumulates neither plan-cache entries nor storage blocks, and
+    // nothing here can touch caches owned by concurrent queries
+    // sharing the SparkContext.
     val batch = batch0.persist()
     try {
       if (batch.isEmpty) return
@@ -1087,12 +1090,7 @@ object Ingest {
           tgtPath, tgt, batch, k, nProbe, minMarginMilli, idCol, vecCol)
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-    } finally {
-      batch.unpersist()
-      sc.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
-      }
-    }
+    } finally batch.unpersist()
     ()
   }
 

@@ -251,6 +251,25 @@ class TiffSpec extends AnyFunSuite {
       MediaCodec.decodeTiff(evil)).getMessage.contains("[GRAFT]"))
   }
 
+  test("synthesizer caps at 2^20 rows: an oversized doc truncates to the decoder's own dimension guard") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    // 13,000,000 bytes -> 1,083,333 rows pre-cap, beyond decodeTiff's
+    // h <= 2^20 guard; the cap keeps the synthesizer's output
+    // decodable and the oracle mirrors with least()
+    val big = "abcdefghijkl" * (13000000 / 12)
+    val st = graft.operators.Multimodal.decodeStats(spark,
+        graft.operators.Multimodal.synthesizeTiff(
+          Seq((1L, big)).toDF("doc_id", "text")))
+      .collect().head
+    assert(st.height === (1 << 20) && st.n_samples === 4L * (1 << 20))
+    val pb = big.getBytes("UTF-8").take(12 * (1 << 20)).map(_ & 0xff)
+    val expect = math.round(
+      pb.indices.collect { case i if i % 3 == 0 => pb(i).toLong }.sum
+        * 1000.0 / (255.0 * (pb.length / 3)))
+    assert(st.c0_milli === expect)
+  }
+
   test("Spark path: TIFF stats equal the truecolor-PNG stats (shared geometry); dHash is TIFF/PNG invariant") {
     val spark = GraftTest.spark
     import spark.implicits._
