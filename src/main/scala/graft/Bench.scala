@@ -360,6 +360,14 @@ object Bench {
     entry("jpeg_decode") { median {
       SparkEntry.queries("multimodal_jpeg_color")(spark, sfDir).count()
     } }
+    // GIF encode + LZW decode + palette expansion (per-partition)
+    entry("gif_decode") { median {
+      SparkEntry.queries("multimodal_gif")(spark, sfDir).count()
+    } }
+    // TIFF PackBits multi-strip encode + IFD walk + decode
+    entry("tiff_decode") { median {
+      SparkEntry.queries("multimodal_tiff_packbits")(spark, sfDir).count()
+    } }
     // decode -> NN resize -> PNG re-encode -> decode, the image
     // normalization shape (per-partition batch kernel, pure scan)
     entry("media_resize") { median {
