@@ -92,6 +92,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vfs_quantize", es => QuantizeVec(es(0), es(1), clamp = false))
     inject("vfs_dequantize", es => DequantizeVec(es(0), es(1)))
     inject("vfs_fingerprint", es => Fingerprint(es(0)))
+    inject("vfs_media_format", es => MediaFormat(es(0)))
     inject("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     inject("vfs_topk", es => TopKByDistance(es(0), es(1),
       es(2).eval().asInstanceOf[Int]).toAggregateExpression())

@@ -2863,6 +2863,34 @@ object SparkEntry {
         .orderBy(col("doc_id").asc, col("frame_idx").asc)
     }),
 
+    // ---- magic-byte media-format sniffing (vfs_media_format): a
+    // mixed-format frame — every container family on disjoint id
+    // lanes plus a RAW-payload lane — sniffed per row; container
+    // lanes must sniff to their declared format, and the raw lane's
+    // oracle reproduces the SAME magic-rule CASE chain over the
+    // document bytes (a text that happens to start with "BM" or
+    // "P6 " sniffs as that format ON BOTH SIDES) ----
+    "multimodal_sniff" -> ((s, dir) => {
+      import graft.operators.Multimodal
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      def lane(k: Int) = docs.select(
+        (col("doc_id") * 8 + k).as("doc_id"), col("text"))
+      val parts = Seq(
+        Multimodal.synthesizeMedia(lane(0)).toDF(),
+        Multimodal.synthesizePng(lane(1)).toDF(),
+        Multimodal.synthesizeJpeg(lane(2)).toDF(),
+        Multimodal.synthesizeGif(lane(3)).toDF(),
+        Multimodal.synthesizeTiff(lane(4), packBits = true).toDF(),
+        lane(5).select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("media"),
+          lit("application/octet-stream").as("format"),
+          lit(0L).as("n_bytes")))
+      parts.reduce(_.unionByName(_))
+        .select(col("doc_id"), col("format").as("declared"),
+          graft.functions.vfs_media_format(col("media")).as("sniffed"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- baseline TIFF (II, uncompressed, single strip): the same
     // 4-wide RGB geometry as the truecolor PNG row, so the two share
     // one oracle derivation — the row only hash-matches if the IFD
@@ -5408,6 +5436,7 @@ object SparkEntry {
     "multimodal_png_rgba" -> multimodalPngRgbaOracle,
     "multimodal_gif" ->
       multimodalPalettedOracle("image/gif", cap = Some(4L * 0xffff)),
+    "multimodal_sniff" -> multimodalSniffOracle,
     "multimodal_tiff" ->
       multimodalRgbRasterOracle("image/tiff", cap = Some(12L * (1 << 20))),
     "multimodal_tiff_packbits" ->
@@ -6727,6 +6756,52 @@ object SparkEntry {
        |  CAST(${duckChannelMilli(2)} AS BIGINT) AS c2_milli
        |FROM p ORDER BY doc_id ASC""".stripMargin
   }
+
+  /** Mirrors the `multimodal_sniff` lanes: container lanes sniff to
+    * their declared format (the synthesizers emit real magic bytes);
+    * the raw lane reproduces [[graft.functions.MediaSniff]]'s rule
+    * chain — same rules, SAME ORDER — over the document bytes. */
+  private def multimodalSniffOracle: String =
+    s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+       |containers AS (
+       |  SELECT doc_id * 8 AS mid,
+       |    CASE WHEN (doc_id * 8) % 3 = 0 THEN 'audio/wav'
+       |         WHEN (doc_id * 8) % 3 = 1 THEN 'image/bmp'
+       |         ELSE 'image/ppm' END AS declared FROM documents
+       |  UNION ALL SELECT doc_id * 8 + 1, 'image/png' FROM documents
+       |  UNION ALL SELECT doc_id * 8 + 2, 'image/jpeg' FROM documents
+       |  UNION ALL SELECT doc_id * 8 + 3, 'image/gif' FROM documents
+       |  UNION ALL SELECT doc_id * 8 + 4, 'image/tiff' FROM documents),
+       |raw AS (SELECT doc_id * 8 + 5 AS mid,
+       |    'application/octet-stream' AS declared,
+       |    CASE
+       |      WHEN len(bs) >= 8 AND bs[1] = 137 AND bs[2] = 80
+       |        AND bs[3] = 78 AND bs[4] = 71 AND bs[5] = 13
+       |        AND bs[6] = 10 AND bs[7] = 26 AND bs[8] = 10
+       |        THEN 'image/png'
+       |      WHEN len(bs) >= 3 AND bs[1] = 255 AND bs[2] = 216
+       |        AND bs[3] = 255 THEN 'image/jpeg'
+       |      WHEN len(bs) >= 6 AND bs[1] = 71 AND bs[2] = 73
+       |        AND bs[3] = 70 AND bs[4] = 56 AND bs[5] IN (55, 57)
+       |        AND bs[6] = 97 THEN 'image/gif'
+       |      WHEN len(bs) >= 4 AND ((bs[1] = 73 AND bs[2] = 73
+       |          AND bs[3] = 42 AND bs[4] = 0)
+       |        OR (bs[1] = 77 AND bs[2] = 77 AND bs[3] = 0
+       |          AND bs[4] = 42)) THEN 'image/tiff'
+       |      WHEN len(bs) >= 12 AND bs[1] = 82 AND bs[2] = 73
+       |        AND bs[3] = 70 AND bs[4] = 70 AND bs[9] = 87
+       |        AND bs[10] = 65 AND bs[11] = 86 AND bs[12] = 69
+       |        THEN 'audio/wav'
+       |      WHEN len(bs) >= 3 AND bs[1] = 80 AND bs[2] = 54
+       |        AND bs[3] IN (9, 10, 13, 32) THEN 'image/ppm'
+       |      WHEN len(bs) >= 2 AND bs[1] = 66 AND bs[2] = 77
+       |        THEN 'image/bmp'
+       |    END AS sniffed FROM b)
+       |SELECT mid AS doc_id, declared, declared AS sniffed
+       |FROM containers
+       |UNION ALL
+       |SELECT mid AS doc_id, declared, sniffed FROM raw
+       |ORDER BY doc_id ASC""".stripMargin
 
   /** Mirrors [[graft.operators.Multimodal.synthesizePngGray]] +
     * `decodeStats`: a 4-wide GRAYSCALE raster of the zero-padded

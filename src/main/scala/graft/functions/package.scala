@@ -52,6 +52,7 @@ package object functions {
 
   /** FNV-1a 64 content fingerprint (dedup hash key) */
   def vfs_fingerprint(text: Column): Column = col(Fingerprint(ex(text)))
+  def vfs_media_format(bin: Column): Column = col(MediaFormat(ex(bin)))
 
   /** native SimHash over the distinct whitespace tokens —
     * `portable = true` is the md5-top-60 DuckDB-reproducible hash,
@@ -108,6 +109,7 @@ package object functions {
     r1("vfs_binary_quantize", es => BinaryQuantizeVec(es(0)))
     r1("vfs_hamming", es => HammingDist(es(0), es(1)))
     r1("vfs_fingerprint", es => Fingerprint(es(0)))
+    r1("vfs_media_format", es => MediaFormat(es(0)))
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     r1("vfs_term_count", es => TermCount(es(0), es(1)))
     // varargs: vfs_term_counts(text, 'a', 'b', ...) — terms must be

@@ -90,6 +90,33 @@ object ScaleProbe {
         mineSrcDir, mineTgtDir, mineSrc, mineTgt, k = 4, nProbe = 2)
       println(s"[probe]   mined pairs: ${pairs.count()}")
     }
+    time("GIF encode + LZW decode + stats, 167k paletted assets " +
+        "(per-partition kernel)") {
+      import org.apache.spark.sql.functions.{col => c}
+      val docs = spark.range(167000)
+        .select(c("id").as("doc_id"),
+          org.apache.spark.sql.functions.concat_ws(" ",
+            c("id").cast("string"),
+            org.apache.spark.sql.functions.repeat(
+              org.apache.spark.sql.functions.lit("palette index text"),
+              8)).as("text"))
+      graft.operators.Multimodal.decodeStats(spark,
+        graft.operators.Multimodal.synthesizeGif(docs)).count()
+    }
+    time("TIFF PackBits multi-strip encode + IFD walk + decode, " +
+        "167k assets (per-partition kernel)") {
+      import org.apache.spark.sql.functions.{col => c}
+      val docs = spark.range(167000)
+        .select(c("id").as("doc_id"),
+          org.apache.spark.sql.functions.concat_ws(" ",
+            c("id").cast("string"),
+            org.apache.spark.sql.functions.repeat(
+              org.apache.spark.sql.functions.lit("strip payload text"),
+              8)).as("text"))
+      graft.operators.Multimodal.decodeStats(spark,
+        graft.operators.Multimodal.synthesizeTiff(docs,
+          packBits = true)).count()
+    }
     time("SemDeDup: 707 IVF centroids, cluster-scoped prune (tau=.05)") {
       val cents = spark.read.parquet(s"$ivfDir/centroids")
         .select($"cluster".cast("long").as("cid"), $"centroid".as("cv"))
