@@ -71,6 +71,36 @@ object Multimodal {
     Set("image/bmp", "image/ppm", "image/png", "image/jpeg", "image/gif",
       "image/tiff")
 
+  /** Route an UNLABELED binary column into the media family: sniff
+    * each blob's format from its magic bytes
+    * ([[graft.functions.MediaSniff]] — the `vfs_media_format`
+    * expression, codegen'd) and emit [[MediaRecord]] rows every
+    * downstream operator accepts. `onUnknown = "drop"` silently
+    * filters unrecognized blobs (the web-crawl stance: most bytes are
+    * not media); `"fail"` raises on the first unknown (the curated-
+    * ingest stance). One projection + one filter — no shuffle. */
+  def withSniffedFormat(df: DataFrame, idCol: String = "doc_id",
+      binCol: String = "media",
+      onUnknown: String = "drop"): Dataset[MediaRecord] = {
+    require(onUnknown == "drop" || onUnknown == "fail",
+      s"[GRAFT] withSniffedFormat: onUnknown must be drop|fail, " +
+        s"got $onUnknown")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sniffed = df.select(col(idCol).cast("long").as("doc_id"),
+      col(binCol).as("media"),
+      graft.functions.vfs_media_format(col(binCol)).as("format"),
+      length(col(binCol)).cast("long").as("n_bytes"))
+    val routed = if (onUnknown == "drop")
+      sniffed.filter(col("format").isNotNull)
+    else
+      sniffed.withColumn("format",
+        coalesce(col("format"), raise_error(concat(
+          lit("[GRAFT] withSniffedFormat: unrecognized media for id "),
+          col("doc_id").cast("string")))))
+    routed.as[MediaRecord]
+  }
+
   /** Build a media table from the documents table: the text payload is
     * UTF-8-encoded as the stand-in binary blob. Every synthesizer
     * [[WorkCols.spread]]s its docs input first: the decode/encode

@@ -44,6 +44,43 @@ class MediaSniffSpec extends AnyFunSuite {
       .toString === "image/ppm")
   }
 
+  test("withSniffedFormat routes an unlabeled mixed frame identically to the declared-format run; unknown stances hold") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Seq((1L, "sniff routing one"), (2L, "and two"),
+      (3L, "and a third document")).toDF("doc_id", "text")
+    // a mixed frame: png, gif, tiff (+ one unknown raw blob)
+    val labeled = Multimodal.synthesizePng(docs.filter($"doc_id" === 1))
+      .union(Multimodal.synthesizeGif(docs.filter($"doc_id" === 2)))
+      .union(Multimodal.synthesizeTiff(docs.filter($"doc_id" === 3)))
+    val unlabeled = labeled.toDF().select($"doc_id", $"media")
+      .unionByName(Seq((9L, "not media".getBytes("UTF-8")))
+        .toDF("doc_id", "media"))
+    val routed = Multimodal.withSniffedFormat(unlabeled)
+    // formats recovered purely from bytes; the unknown blob dropped
+    assert(routed.select($"doc_id", $"format").as[(Long, String)]
+      .collect().toMap ===
+      Map(1L -> "image/png", 2L -> "image/gif", 3L -> "image/tiff"))
+    // downstream stats identical to the declared-format run
+    val viaSniff = Multimodal.decodeStats(spark, routed)
+      .collect().map(s => s.doc_id -> s.c0_milli).toMap
+    val declared = Multimodal.decodeStats(spark, labeled)
+      .collect().map(s => s.doc_id -> s.c0_milli).toMap
+    assert(viaSniff === declared)
+    // fail stance raises on the unknown blob
+    val e = intercept[Exception] {
+      Multimodal.withSniffedFormat(unlabeled, onUnknown = "fail")
+        .collect()
+    }
+    assert(Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString.contains("unrecognized media for id 9"))
+    assert(intercept[IllegalArgumentException](
+      Multimodal.withSniffedFormat(unlabeled, onUnknown = "maybe"))
+      .getMessage.contains("[GRAFT]"))
+  }
+
   test("SQL surface and codegen: vfs_media_format runs inside WholeStageCodegen and returns NULL for unknowns") {
     val spark = GraftTest.spark
     import spark.implicits._
