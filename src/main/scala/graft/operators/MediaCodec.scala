@@ -2677,6 +2677,146 @@ object MediaCodec {
   }
 
   // ---------------------------------------------------------------
+  // EXIF orientation (JPEG APP1 "Exif" — an embedded TIFF IFD)
+  // ---------------------------------------------------------------
+
+  /** EXIF orientation (tag 274) of a JPEG, 1–8; 1 when the file has
+    * no APP1/Exif segment or the tag is absent. Walks the JPEG
+    * marker stream to APP1, then the embedded TIFF header (its own
+    * II/MM byte order) and the 0th IFD — tag-table only, no strips.
+    * A PRESENT-but-corrupt Exif block throws rather than silently
+    * reading garbage orientation. */
+  def jpegOrientation(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, "[GRAFT] exif: not a JPEG (no SOI)")
+    var pos = 2
+    while (pos + 4 <= bytes.length) {
+      if ((bytes(pos) & 0xff) != 0xff) return 1 // entropy data reached
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        pos += 2 // standalone markers
+      } else if (marker == 0xd9 || marker == 0xda) {
+        return 1 // EOI / start of scan: no APP1 seen
+      } else {
+        val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+        require(len >= 2 && pos + 2 + len <= bytes.length,
+          "[GRAFT] exif: truncated JPEG segment")
+        if (marker == 0xe1 && len >= 2 + 6 + 8 &&
+          bytes(pos + 4) == 'E' && bytes(pos + 5) == 'x' &&
+          bytes(pos + 6) == 'i' && bytes(pos + 7) == 'f' &&
+          bytes(pos + 8) == 0 && bytes(pos + 9) == 0) {
+          return exifOrientation(bytes, pos + 10, pos + 2 + len)
+        }
+        pos += 2 + len
+      }
+    }
+    1
+  }
+
+  /** Orientation from a TIFF-structured Exif blob in bytes[off,end). */
+  private def exifOrientation(bytes: Array[Byte], off: Int,
+      end: Int): Int = {
+    require(end - off >= 8, "[GRAFT] exif: truncated TIFF header")
+    val le = (bytes(off), bytes(off + 1)) match {
+      case ('I', 'I') => true
+      case ('M', 'M') => false
+      case _ => throw new IllegalArgumentException(
+        "[GRAFT] exif: bad TIFF byte-order mark")
+    }
+    def u16(o: Int): Int = {
+      require(o + 2 <= end, "[GRAFT] exif: truncated IFD")
+      if (le) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    }
+    def u32(o: Int): Long = {
+      require(o + 4 <= end, "[GRAFT] exif: truncated IFD")
+      if (le) (u16(o) & 0xffffL) | ((u16(o + 2) & 0xffffL) << 16)
+      else ((u16(o) & 0xffffL) << 16) | (u16(o + 2) & 0xffffL)
+    }
+    require(u16(off + 2) == 42, "[GRAFT] exif: bad TIFF magic")
+    val ifd = off + u32(off + 4).toInt
+    val n = u16(ifd)
+    var i = 0
+    while (i < n) {
+      val e = ifd + 2 + 12 * i
+      if (u16(e) == 274) {
+        require(u16(e + 2) == 3, "[GRAFT] exif: orientation not SHORT")
+        val v = u16(e + 8) // SHORT inline, left-justified both orders
+        require(v >= 1 && v <= 8,
+          s"[GRAFT] exif: orientation $v out of range")
+        return v
+      }
+      i += 1
+    }
+    1
+  }
+
+  /** Apply an EXIF orientation (1–8) to an RGB raster, returning the
+    * upright image: 1 identity, 2 mirror-H, 3 rotate 180, 4 mirror-V,
+    * 5 transpose, 6 rotate 90 CW, 7 transverse, 8 rotate 270 CW.
+    * (The tag names the stored→display transform; this applies it.) */
+  def orientRgb(pixels: Array[Byte], w: Int, h: Int,
+      orientation: Int): Raster = {
+    require(orientation >= 1 && orientation <= 8,
+      s"[GRAFT] exif: orientation $orientation out of range")
+    require(pixels.length == w * h * 3, "[GRAFT] exif: bad raster size")
+    if (orientation == 1) return Raster(w, h, "RGB", pixels)
+    val swap = orientation >= 5 // transposed family: dims swap
+    val (ow, oh) = if (swap) (h, w) else (w, h)
+    val out = new Array[Byte](pixels.length)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (ox, oy) = orientation match {
+          case 2 => (w - 1 - x, y)             // mirror horizontal
+          case 3 => (w - 1 - x, h - 1 - y)     // rotate 180
+          case 4 => (x, h - 1 - y)             // mirror vertical
+          case 5 => (y, x)                     // transpose
+          case 6 => (h - 1 - y, x)             // rotate 90 CW
+          case 7 => (h - 1 - y, w - 1 - x)     // transverse
+          case _ => (y, w - 1 - x)             // 8: rotate 270 CW
+        }
+        val si = (y * w + x) * 3
+        val di = (oy * ow + ox) * 3
+        out(di) = pixels(si)
+        out(di + 1) = pixels(si + 1)
+        out(di + 2) = pixels(si + 2)
+        x += 1
+      }
+      y += 1
+    }
+    Raster(ow, oh, "RGB", out)
+  }
+
+  /** Splice an APP1/Exif orientation segment into an encoded JPEG
+    * (right after SOI) — how rotated-capture files present in real
+    * crawls; the fixture-side dual of [[jpegOrientation]]. */
+  def withJpegOrientation(jpeg: Array[Byte], orientation: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"[GRAFT] exif: orientation $orientation out of range")
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "[GRAFT] exif: not a JPEG (no SOI)")
+    val out = new java.io.ByteArrayOutputStream(jpeg.length + 40)
+    out.write(jpeg, 0, 2)
+    // APP1 len 34: "Exif\0\0"(6) + II TIFF header(8) + count(2)
+    // + one 12-byte entry + next-IFD pointer(4), plus the 2 len bytes
+    out.write(0xff); out.write(0xe1); out.write(0); out.write(34)
+    out.write("Exif".getBytes(StandardCharsets.US_ASCII))
+    out.write(0); out.write(0)
+    out.write('I'); out.write('I'); out.write(42); out.write(0)
+    out.write(8); out.write(0); out.write(0); out.write(0)
+    out.write(1); out.write(0)                 // 1 entry
+    out.write(274 & 0xff); out.write(274 >> 8) // tag
+    out.write(3); out.write(0)                 // SHORT
+    out.write(1); out.write(0); out.write(0); out.write(0)
+    out.write(orientation); out.write(0); out.write(0); out.write(0)
+    out.write(0); out.write(0); out.write(0); out.write(0) // next IFD
+    out.write(jpeg, 2, jpeg.length - 2)
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
   // Raster resize kernels + WAV resample
   // ---------------------------------------------------------------
 

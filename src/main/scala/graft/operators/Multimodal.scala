@@ -803,14 +803,28 @@ object Multimodal {
     * (decode → RGB → NN index → luma → compare), so the DuckDB oracle
     * reproduces every bit from payload bytes. Per-partition kernel,
     * zero shuffle; media bytes collapse to 8 bytes before anything
-    * shuffles. Output: (doc_id, sig, width, height). */
+    * shuffles. Output: (doc_id, sig, width, height).
+    *
+    * `exifAware = true` additionally reads a JPEG's EXIF orientation
+    * ([[MediaCodec.jpegOrientation]]) and uprights the raster
+    * ([[MediaCodec.orientRgb]]) BEFORE hashing — a rotated-capture
+    * duplicate (same pixels, orientation tag 6) otherwise evades
+    * dHash entirely. Non-JPEG formats have no EXIF and pass through;
+    * the reported width/height are post-uprighting. */
   def imageFingerprint(spark: SparkSession,
-      media: Dataset[MediaRecord]): DataFrame = {
+      media: Dataset[MediaRecord],
+      exifAware: Boolean = false): DataFrame = {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val ras = decodeRaster(r.format, r.media)
-        val rgb = MediaCodec.toRgb(ras)
+        val ras0 = decodeRaster(r.format, r.media)
+        val rgb0 = MediaCodec.toRgb(ras0)
+        val rgb =
+          if (exifAware && r.format == "image/jpeg")
+            MediaCodec.orientRgb(rgb0.pixels, ras0.width, ras0.height,
+              MediaCodec.jpegOrientation(r.media))
+          else rgb0
+        val ras = rgb
         val small = MediaCodec.nnResizeRgb(rgb.pixels, ras.width,
           ras.height, 9, 8)
         val gray = new Array[Int](72)

@@ -467,4 +467,97 @@ class JpegSpec extends AnyFunSuite {
     assert(pairs === Set((1L, 2L)),
       s"expected exactly the re-encode pair, got $pairs")
   }
+
+  test("EXIF orientation: tag read from APP1 (both byte orders), all 8 transforms exact, corrupt blocks loud") {
+    val w = 4; val h = 2
+    // distinct pixel per position — any transform error shows
+    val px = rgb(w, h)((x, y) => (y * w * 3 + x * 3,
+      y * w * 3 + x * 3 + 1, y * w * 3 + x * 3 + 2))
+    def pxAt(ras: MediaCodec.Raster, x: Int, y: Int): Int =
+      ras.pixels((y * ras.width + x) * 3) & 0xff
+    // hand-check the geometric family: 6 = rotate 90 CW puts the
+    // input's bottom-left at the output's top-left
+    val r6 = MediaCodec.orientRgb(px, w, h, 6)
+    assert(r6.width === h && r6.height === w)
+    assert(pxAt(r6, 0, 0) === pxAt(MediaCodec.Raster(w, h, "RGB", px),
+      0, h - 1))
+    // every orientation round-trips through its inverse (1↔1, 2↔2,
+    // 3↔3, 4↔4, 5↔5, 6↔8, 7↔7, 8↔6)
+    val inverse = Map(1 -> 1, 2 -> 2, 3 -> 3, 4 -> 4, 5 -> 5,
+      6 -> 8, 7 -> 7, 8 -> 6)
+    for ((o, inv) <- inverse) {
+      val fwd = MediaCodec.orientRgb(px, w, h, o)
+      val back = MediaCodec.orientRgb(fwd.pixels, fwd.width,
+        fwd.height, inv)
+      assert(back.pixels.toSeq === px.toSeq, s"orientation $o")
+    }
+    // tag read: absent -> 1; spliced k -> k; decoder still parses the
+    // spliced file (APP1 is skipped by the marker walk)
+    val plain = MediaCodec.encodeJpeg(px, w, h)
+    assert(MediaCodec.jpegOrientation(plain) === 1)
+    for (k <- 1 to 8) {
+      val tagged = MediaCodec.withJpegOrientation(plain, k)
+      assert(MediaCodec.jpegOrientation(tagged) === k)
+      assert(MediaCodec.decodeJpeg(tagged).width === w)
+    }
+    // big-endian (MM) Exif blob: hand-swap the spliced APP1's TIFF
+    val le = MediaCodec.withJpegOrientation(plain, 6)
+    val be = le.clone()
+    // TIFF header starts at offset 12 (SOI 2 + APP1 hdr 4 + Exif\0\0 6)
+    val t = 12
+    be(t) = 'M'; be(t + 1) = 'M'
+    be(t + 2) = 0; be(t + 3) = 42          // magic
+    be(t + 4) = 0; be(t + 5) = 0; be(t + 6) = 0; be(t + 7) = 8
+    be(t + 8) = 0; be(t + 9) = 1           // count
+    be(t + 10) = 1; be(t + 11) = 18.toByte // tag 274
+    be(t + 12) = 0; be(t + 13) = 3         // SHORT
+    be(t + 14) = 0; be(t + 15) = 0; be(t + 16) = 0; be(t + 17) = 1
+    be(t + 18) = 0; be(t + 19) = 6; be(t + 20) = 0; be(t + 21) = 0
+    assert(MediaCodec.jpegOrientation(be) === 6)
+    // a PRESENT-but-corrupt Exif block throws
+    val bad = le.clone(); bad(t) = 'X'
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.jpegOrientation(bad)).getMessage.contains("[GRAFT]"))
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.jpegOrientation("GIF89a".getBytes("US-ASCII")))
+      .getMessage.contains("[GRAFT]"))
+  }
+
+  test("exifAware dHash: a rotated-capture duplicate fingerprints identically to the upright original; without it, it differs") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    import graft.operators.{MediaRecord, Multimodal}
+    // 32x32 block-constant (exact at q=8) with a 4x4 macro pattern
+    // whose cross term breaks rotational symmetry of the horizontal
+    // delta SIGNS (dHash reads only horizontal gradients — a plain
+    // two-gradient fixture keeps the same signs under rotation)
+    val w = 32; val h = 32
+    val px = rgb(w, h)((x, y) => {
+      val bx = x / 8; val by = y / 8
+      val v = (bx * 53 + by * 19 + bx * by * 31) % 200 + 20
+      (v, v, v)
+    })
+    val upright = MediaCodec.encodeJpeg(px, w, h)
+    // camera-rotated capture: stored pixels are the upright image
+    // rotated 270 CW (orientation 8's transform), tagged 6 so
+    // uprighting (rotate 90 CW) restores the original
+    val stored = MediaCodec.orientRgb(px, w, h, 8)
+    val rotated = MediaCodec.withJpegOrientation(
+      MediaCodec.encodeJpeg(stored.pixels, stored.width, stored.height),
+      6)
+    val media = Seq(
+      MediaRecord(1L, upright, "image/jpeg", upright.length.toLong),
+      MediaRecord(2L, rotated, "image/jpeg", rotated.length.toLong)).toDS()
+    val naive = Multimodal.imageFingerprint(spark, media)
+      .select($"doc_id", $"sig").as[(Long, Long)].collect().toMap
+    assert(naive(1L) !== naive(2L),
+      "rotation must change the naive dHash for this fixture")
+    val aware = Multimodal.imageFingerprint(spark, media,
+        exifAware = true)
+      .select($"doc_id", $"sig", $"width").as[(Long, Long, Int)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(aware(1L) === aware(2L),
+      "EXIF-aware dHash must match the upright original exactly")
+    assert(aware(2L)._2 === w, "reported dims are post-uprighting")
+  }
 }
