@@ -2692,6 +2692,11 @@ object MediaCodec {
     var pos = 2
     while (pos + 4 <= bytes.length) {
       if ((bytes(pos) & 0xff) != 0xff) return 1 // entropy data reached
+      // skip 0xFF fill bytes between markers (decodeJpeg tolerates
+      // them — this walk must accept every file the decoder does)
+      while (pos + 1 < bytes.length &&
+        (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 4 > bytes.length) return 1
       val marker = bytes(pos + 1) & 0xff
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
         pos += 2 // standalone markers
@@ -2712,6 +2717,11 @@ object MediaCodec {
     }
     1
   }
+
+  /** Orientation (tag 274) of a standalone TIFF file — the tag is
+    * native TIFF, no APP1 wrapper involved; 1 when absent. */
+  def tiffOrientation(bytes: Array[Byte]): Int =
+    exifOrientation(bytes, 0, bytes.length)
 
   /** Orientation from a TIFF-structured Exif blob in bytes[off,end). */
   private def exifOrientation(bytes: Array[Byte], off: Int,
@@ -2734,8 +2744,14 @@ object MediaCodec {
       else ((u16(o) & 0xffffL) << 16) | (u16(o + 2) & 0xffffL)
     }
     require(u16(off + 2) == 42, "[GRAFT] exif: bad TIFF magic")
-    val ifd = off + u32(off + 4).toInt
+    val rel = u32(off + 4)
+    // bound BOTH sides: a huge/garbage offset must throw the loud
+    // [GRAFT] error, never wrap negative into a raw AIOOBE
+    require(rel >= 8 && rel <= (end - off).toLong - 2,
+      s"[GRAFT] exif: IFD offset $rel out of range")
+    val ifd = off + rel.toInt
     val n = u16(ifd)
+    require(ifd + 2 + 12L * n <= end, "[GRAFT] exif: IFD truncated")
     var i = 0
     while (i < n) {
       val e = ifd + 2 + 12 * i
@@ -2762,26 +2778,37 @@ object MediaCodec {
     require(pixels.length == w * h * 3, "[GRAFT] exif: bad raster size")
     if (orientation == 1) return Raster(w, h, "RGB", pixels)
     val swap = orientation >= 5 // transposed family: dims swap
-    val (ow, oh) = if (swap) (h, w) else (w, h)
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    // every EXIF transform is affine in (x, y): the destination pixel
+    // index is base + x·colStep + y·rowStep — dispatch ONCE, keep the
+    // per-pixel loop pure index arithmetic (this runs per pixel per
+    // image in the fingerprint kernel)
+    val (a1, b1, c1, a2, b2, c2) = orientation match {
+      case 2 => (w - 1, -1, 0, 0, 0, 1)      // mirror horizontal
+      case 3 => (w - 1, -1, 0, h - 1, 0, -1) // rotate 180
+      case 4 => (0, 1, 0, h - 1, 0, -1)      // mirror vertical
+      case 5 => (0, 0, 1, 0, 1, 0)           // transpose
+      case 6 => (h - 1, 0, -1, 0, 1, 0)      // rotate 90 CW
+      case 7 => (h - 1, 0, -1, w - 1, -1, 0) // transverse
+      case _ => (0, 0, 1, w - 1, -1, 0)      // 8: rotate 270 CW
+    }
+    val base = a2 * ow + a1
+    val colStep = b2 * ow + b1
+    val rowStep = c2 * ow + c1
     val out = new Array[Byte](pixels.length)
+    var si = 0
     var y = 0
     while (y < h) {
+      var di = base + y * rowStep
       var x = 0
       while (x < w) {
-        val (ox, oy) = orientation match {
-          case 2 => (w - 1 - x, y)             // mirror horizontal
-          case 3 => (w - 1 - x, h - 1 - y)     // rotate 180
-          case 4 => (x, h - 1 - y)             // mirror vertical
-          case 5 => (y, x)                     // transpose
-          case 6 => (h - 1 - y, x)             // rotate 90 CW
-          case 7 => (h - 1 - y, w - 1 - x)     // transverse
-          case _ => (y, w - 1 - x)             // 8: rotate 270 CW
-        }
-        val si = (y * w + x) * 3
-        val di = (oy * ow + ox) * 3
-        out(di) = pixels(si)
-        out(di + 1) = pixels(si + 1)
-        out(di + 2) = pixels(si + 2)
+        val d3 = di * 3
+        out(d3) = pixels(si)
+        out(d3 + 1) = pixels(si + 1)
+        out(d3 + 2) = pixels(si + 2)
+        si += 3
+        di += colStep
         x += 1
       }
       y += 1

@@ -805,12 +805,14 @@ object Multimodal {
     * zero shuffle; media bytes collapse to 8 bytes before anything
     * shuffles. Output: (doc_id, sig, width, height).
     *
-    * `exifAware = true` additionally reads a JPEG's EXIF orientation
-    * ([[MediaCodec.jpegOrientation]]) and uprights the raster
-    * ([[MediaCodec.orientRgb]]) BEFORE hashing — a rotated-capture
-    * duplicate (same pixels, orientation tag 6) otherwise evades
-    * dHash entirely. Non-JPEG formats have no EXIF and pass through;
-    * the reported width/height are post-uprighting. */
+    * `exifAware = true` additionally reads the orientation tag — a
+    * JPEG's APP1/Exif ([[MediaCodec.jpegOrientation]]) or a TIFF's
+    * native tag 274 ([[MediaCodec.tiffOrientation]]) — and uprights
+    * the raster ([[MediaCodec.orientRgb]]) BEFORE hashing: a
+    * rotated-capture duplicate (same pixels, orientation tag 6)
+    * otherwise evades dHash entirely. Formats without an orientation
+    * tag pass through; the reported width/height are
+    * post-uprighting. */
   def imageFingerprint(spark: SparkSession,
       media: Dataset[MediaRecord],
       exifAware: Boolean = false): DataFrame = {
@@ -819,14 +821,17 @@ object Multimodal {
       it.map { r =>
         val ras0 = decodeRaster(r.format, r.media)
         val rgb0 = MediaCodec.toRgb(ras0)
-        val rgb =
-          if (exifAware && r.format == "image/jpeg")
-            MediaCodec.orientRgb(rgb0.pixels, ras0.width, ras0.height,
-              MediaCodec.jpegOrientation(r.media))
-          else rgb0
-        val ras = rgb
-        val small = MediaCodec.nnResizeRgb(rgb.pixels, ras.width,
-          ras.height, 9, 8)
+        val orientation =
+          if (!exifAware) 1
+          else r.format match {
+            case "image/jpeg" => MediaCodec.jpegOrientation(r.media)
+            case "image/tiff" => MediaCodec.tiffOrientation(r.media)
+            case _ => 1
+          }
+        val rgb = MediaCodec.orientRgb(rgb0.pixels, rgb0.width,
+          rgb0.height, orientation)
+        val small = MediaCodec.nnResizeRgb(rgb.pixels, rgb.width,
+          rgb.height, 9, 8)
         val gray = new Array[Int](72)
         var i = 0
         while (i < 72) {
@@ -843,7 +848,7 @@ object Multimodal {
           if (gray(y * 9 + x + 1) > gray(y * 9 + x)) sig |= (1L << j)
           j += 1
         }
-        (r.doc_id, sig, ras.width, ras.height)
+        (r.doc_id, sig, rgb.width, rgb.height)
       }
     }.toDF("doc_id", "sig", "width", "height")
   }
@@ -860,9 +865,10 @@ object Multimodal {
     * pathological corpora (solid-color/boilerplate images — surfaced
     * by exact dedup instead). Output: (a, b, hamming). */
   def imageNearDupPairs(spark: SparkSession, media: Dataset[MediaRecord],
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      exifAware: Boolean = false): DataFrame =
     Dedup.sigBandFoldPairs(
-      imageFingerprint(spark, media)
+      imageFingerprint(spark, media, exifAware)
         .select(col("doc_id").as("id"), col("sig")),
       maxHamming, maxBucket)
 

@@ -152,7 +152,8 @@ class TiffSpec extends AnyFunSuite {
     * predictor, and photometric — the tag combinations our encoder
     * doesn't emit. Single strip. */
   private def handTiff(w: Int, h: Int, strip: Array[Byte],
-      compression: Int, predictor: Int, photometric: Int): Array[Byte] = {
+      compression: Int, predictor: Int, photometric: Int,
+      orientation: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write("II".getBytes("US-ASCII")); out.write(u16le(42))
     val dataStart = 8
@@ -166,7 +167,10 @@ class TiffSpec extends AnyFunSuite {
     val tags = Seq(
       tag(256, 4, 1, w), tag(257, 4, 1, h), tag(258, 3, 1, 8),
       tag(259, 3, 1, compression), tag(262, 3, 1, photometric),
-      tag(273, 4, 1, dataStart), tag(277, 3, 1, 1),
+      tag(273, 4, 1, dataStart)) ++
+      (if (orientation > 0) Seq(tag(274, 3, 1, orientation))
+       else Seq.empty) ++ Seq(
+      tag(277, 3, 1, 1),
       tag(278, 4, 1, h), tag(279, 4, 1, strip.length),
       tag(317, 3, 1, predictor))
     out.write(u16le(tags.length))
@@ -268,6 +272,45 @@ class TiffSpec extends AnyFunSuite {
       pb.indices.collect { case i if i % 3 == 0 => pb(i).toLong }.sum
         * 1000.0 / (255.0 * (pb.length / 3)))
     assert(st.c0_milli === expect)
+  }
+
+  test("TIFF orientation: native tag 274 read; exifAware dHash uprights a rotated TIFF duplicate") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    import graft.operators.{MediaRecord, Multimodal}
+    // asymmetric gray content so rotation changes the naive dHash
+    val w = 6; val h = 4
+    val upright = Array.tabulate(w * h)(i =>
+      (((i % w) * 41 + (i / w) * 17 + (i % w) * (i / w) * 29) % 256).toByte)
+    // camera-stored: upright rotated 270 CW, tagged 6 (rotate 90 CW
+    // to display) — gray replicates to RGB before orientation, so
+    // build the stored gray by orienting the replicated raster and
+    // taking every third byte
+    val rep = new Array[Byte](w * h * 3)
+    for (i <- 0 until w * h) {
+      rep(3 * i) = upright(i); rep(3 * i + 1) = upright(i)
+      rep(3 * i + 2) = upright(i)
+    }
+    val storedRgb = MediaCodec.orientRgb(rep, w, h, 8)
+    val storedGray = Array.tabulate(storedRgb.width * storedRgb.height)(
+      i => storedRgb.pixels(3 * i))
+    val tagged = handTiff(storedRgb.width, storedRgb.height,
+      storedGray, compression = 1, predictor = 1, photometric = 1,
+      orientation = 6)
+    assert(MediaCodec.tiffOrientation(tagged) === 6)
+    val plain = MediaCodec.encodeTiff(upright, w, h, channels = 1)
+    assert(MediaCodec.tiffOrientation(plain) === 1)
+    val media = Seq(
+      MediaRecord(1L, plain, "image/tiff", plain.length.toLong),
+      MediaRecord(2L, tagged, "image/tiff", tagged.length.toLong)).toDS()
+    val naive = Multimodal.imageFingerprint(spark, media)
+      .select($"doc_id", $"sig").as[(Long, Long)].collect().toMap
+    assert(naive(1L) !== naive(2L))
+    val aware = Multimodal.imageFingerprint(spark, media,
+        exifAware = true)
+      .select($"doc_id", $"sig").as[(Long, Long)].collect().toMap
+    assert(aware(1L) === aware(2L),
+      "TIFF tag 274 must upright the rotated duplicate")
   }
 
   test("Spark path: TIFF stats equal the truecolor-PNG stats (shared geometry); dHash is TIFF/PNG invariant") {
