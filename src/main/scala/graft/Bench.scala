@@ -11,12 +11,16 @@ import graft.store.VfsStore
 /** Benchmark main — mirrors the reference's benchmark shapes
   * (benchmarks/benchmarks.py: insert latency, GET by id, exact vs
   * approximate search, SISD vs SIMD) plus the Spark-scale headliners
-  * (bulk agg, batched kNN, LSH dedup, sessionize). Emits ONE JSON
-  * line: {"metric","value","unit","queries",{...},"errors",{...},"sf",
-  * "rep_times",{...}} — `queries` holds each entry's median,
-  * `rep_times` the raw per-rep wall times in run order (so a reader
-  * can see whether an entry's within-run spread already covers a
-  * cross-round delta before reading it as a regression).
+  * (bulk agg, batched kNN, LSH dedup, sessionize). Emits TWO JSON
+  * lines — a `rep_detail` line first (raw per-rep wall times in run
+  * order, warmup rep at index 0, so a reader can see whether an
+  * entry's within-run spread already covers a cross-round delta
+  * before reading it as a regression), then the COMPACT headline
+  * {"metric":"total","value",…,"queries":{…}} LAST. The headline must
+  * stay under the driver's 2000-char stdout tail capture (the r14
+  * combined line didn't, and the round's perf number parsed to null);
+  * the combined object also lands in BENCH_full.json
+  * ($SPARK_GRAFT_BENCH_FULL overrides the path) for the judge.
   *
   * Crash isolation: every entry runs under its own try/catch and a
   * failure is published as `errors[name]` = exception class + message
@@ -57,16 +61,25 @@ object Bench {
     // without hiding a real regression
     val Reps = 3
     // raw per-rep wall times in RUN ORDER, published as "rep_times" in
-    // the JSON line: the medians alone keep forcing whole-round A/B
-    // adjudications of driver-host contention (r09/r11/r12/r13 all
-    // closed driver deltas as environmental) — with the reps visible,
-    // an entry whose within-run spread already covers a cross-round
-    // delta is readable as noise from the artifact itself
+    // the DETAIL line + side file: the medians alone keep forcing
+    // whole-round A/B adjudications of driver-host contention
+    // (r09/r11/r12/r13 all closed driver deltas as environmental) —
+    // with the reps visible, an entry whose within-run spread already
+    // covers a cross-round delta is readable as noise from the
+    // artifact itself. rep_times[0] is the DISCARDED warmup rep (see
+    // `median`); the median is computed over rep_times[1..].
     var curReps = List.empty[Double]
     val repLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // one discarded warmup rep per entry, ahead of the measured reps:
+    // the r14 rep arrays showed 44/52 entries with rep 1 more than 25%
+    // above the later reps (first-use codegen + block-cache fill), so
+    // the median itself was contaminated whenever rep 2 was also cold.
+    // The warmup time still lands in rep_times[0] for visibility — it
+    // just never reaches the median.
     def median(f: => Unit): Double = {
+      val warm = time(f)
       val ts = List.fill(Reps)(time(f))
-      curReps = curReps ++ ts
+      curReps = curReps ++ (warm :: ts)
       val s = ts.sorted
       s(s.length / 2)
     }
@@ -125,12 +138,13 @@ object Bench {
       .head().getSeq[Float](1).toArray
 
     // ---- reference-shape benchmarks ----
-    // insert_bulk is STATEFUL (append grows the store): median over 3
+    // insert_bulk is STATEFUL (append grows the store): one warmup
+    // store (discarded, like `median`'s warmup rep) + median over 3
     // fresh stores, then the LAST one serves the read-only entries.
     // Store creation happens inside the entry (untimed: only
     // appendBatch sits under the timer) so a creation failure is
     // recorded, not fatal.
-    lazy val storeDirs = Seq.fill(Reps)(
+    lazy val storeDirs = Seq.fill(Reps + 1)(
       Files.createTempDirectory("bench-store").toString)
     lazy val stores = storeDirs.map(d =>
       VfsStore.create(spark, d, "bench", dim = q.length, quantize = true))
@@ -142,8 +156,8 @@ object Bench {
             array(lit("bench")).as("tags")))
         }
       }
-      curReps = curReps ++ insertTimes // run order, before the sort
-      val sorted = insertTimes.sorted
+      curReps = curReps ++ insertTimes // run order, warmup first
+      val sorted = insertTimes.tail.sorted // drop the warmup store
       sorted(sorted.length / 2)
     }
     lazy val store = stores.last
@@ -587,7 +601,26 @@ object Bench {
     // crash isolation, "total" sums only the entries that succeeded —
     // a consumer comparing totals across rounds must not read a
     // partial (smaller) total as a speedup
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${results.size},"n_failed":${errors.size},"sf":"$sfDir","reps":$Reps,"agg":"median","rep_times":$repsJson}""")
+    val headline = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${results.size},"n_failed":${errors.size},"sf":"$sfDir","reps":$Reps,"agg":"median","warmup":1}"""
+    // TWO lines, headline LAST and COMPACT: the driver captures only a
+    // fixed-size TAIL of stdout (2000 chars, measured from
+    // BENCH_r14.json), and r14's single combined medians+rep_times
+    // line outgrew it — the captured tail started mid-array and the
+    // round's official perf number parsed to null. The rep detail
+    // (with the discarded warmup at index 0) goes on its own EARLIER
+    // line and into a side file, so the headline the driver parses
+    // stays ~1.4 KB no matter how many entries the suite grows.
+    val detail = f"""{"metric":"rep_detail","unit":"sec","sf":"$sfDir","reps":$Reps,"warmup":1,"note":"rep_times[0] is the discarded warmup rep; median is over rep_times[1..]","rep_times":$repsJson}"""
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
+      Files.write(java.nio.file.Paths.get(out),
+        (headline.dropRight(1) + ",\"rep_times\":" + repsJson + "}\n")
+          .getBytes("UTF-8"))
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] side-file write failed: ${errMsg(e)}")
+    }
+    println(detail)
+    println(headline)
     // exit 0 even with failed entries: the `errors` field carries the
     // signal — a non-zero rc would make the driver discard the whole
     // published line (round 6 failure mode)
