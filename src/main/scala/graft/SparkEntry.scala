@@ -93,7 +93,9 @@ object SparkEntry {
     * rank by raw distance (asc, id asc — the engine's top-k tie
     * convention), micro-quantize per neighbor BEFORE summing (exact
     * integer sums, no float order hazard), then the one pinned
-    * margin chain round(2000·k·sim_micro / (fwd_sum + bwd_sum)). */
+    * margin chain round(2000·sim_micro / (fwd_sum/fwd_n +
+    * bwd_sum/bwd_n)) — each side averaged over its ACTUAL neighbor
+    * count, so sub-k neighborhoods don't inflate the margin. */
   private def miningMarginCtes: String =
     s"WITH ${miningMarginCtesDir("", 0, 1)}"
 
@@ -111,7 +113,8 @@ object SparkEntry {
        |    CAST(round((1 - d) * 1000000) AS BIGINT) AS sim_micro,
        |    row_number() OVER (PARTITION BY sid ORDER BY d ASC, tid ASC) AS rk
        |  FROM ${p}fscore QUALIFY rk <= 4),
-       |${p}fsum AS (SELECT sid, CAST(sum(sim_micro) AS BIGINT) AS fwd_sum
+       |${p}fsum AS (SELECT sid, CAST(sum(sim_micro) AS BIGINT) AS fwd_sum,
+       |    count(*) AS fwd_n
        |  FROM ${p}f4 GROUP BY sid),
        |${p}bscore AS (SELECT t.tid, s.sid, ${duckCos("s.sv", "t.tv")} AS d
        |  FROM (SELECT DISTINCT tid FROM ${p}f4) c
@@ -120,12 +123,15 @@ object SparkEntry {
        |    CAST(round((1 - d) * 1000000) AS BIGINT) AS sim_micro,
        |    row_number() OVER (PARTITION BY tid ORDER BY d ASC, sid ASC) AS rk
        |  FROM ${p}bscore QUALIFY rk <= 4),
-       |${p}bsum AS (SELECT tid, CAST(sum(sim_micro) AS BIGINT) AS bwd_sum
+       |${p}bsum AS (SELECT tid, CAST(sum(sim_micro) AS BIGINT) AS bwd_sum,
+       |    count(*) AS bwd_n
        |  FROM ${p}b4 GROUP BY tid),
        |${p}m AS (SELECT f.sid AS src_id, f.tid AS tgt_id, f.sim_micro,
-       |    CASE WHEN fs.fwd_sum + bs.bwd_sum > 0 THEN
-       |      CAST(round(2000.0 * 4 * f.sim_micro
-       |        / (fs.fwd_sum + bs.bwd_sum)) AS BIGINT)
+       |    CASE WHEN CAST(fs.fwd_sum AS DOUBLE) / fs.fwd_n
+       |        + CAST(bs.bwd_sum AS DOUBLE) / bs.bwd_n > 0 THEN
+       |      CAST(round(2000.0 * f.sim_micro
+       |        / (CAST(fs.fwd_sum AS DOUBLE) / fs.fwd_n
+       |          + CAST(bs.bwd_sum AS DOUBLE) / bs.bwd_n)) AS BIGINT)
        |    END AS margin_milli
        |  FROM ${p}f4 f JOIN ${p}fsum fs USING (sid)
        |    JOIN ${p}bsum bs ON f.tid = bs.tid),

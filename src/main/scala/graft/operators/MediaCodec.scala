@@ -2103,8 +2103,16 @@ object MediaCodec {
     * The canvas starts at the background-color RGB (white when the
     * background index has no table entry). Structural damage —
     * truncated sub-blocks, out-of-range LZW codes or palette
-    * indices, frames exceeding the logical screen — throws. */
-  def decodeGifFrames(bytes: Array[Byte]): Seq[Raster] = {
+    * indices, frames exceeding the logical screen — throws.
+    *
+    * `maxTotalPixels` caps the ANIMATION (frames × canvas pixels):
+    * every frame clones the full canvas, so a crafted file with many
+    * frames multiplies memory inside a per-partition decode loop.
+    * The default 2^26 bounds the decoded output at ~192 MB of RGB —
+    * one executor-task-sized worst case for untrusted-crawl
+    * ingestion; raise it only for trusted corpora. */
+  def decodeGifFrames(bytes: Array[Byte],
+      maxTotalPixels: Long = 1L << 26): Seq[Raster] = {
     require(bytes.length >= 13, "[GRAFT] gif: truncated file")
     val sig = new String(bytes, 0, 6, StandardCharsets.US_ASCII)
     require(sig == "GIF87a" || sig == "GIF89a",
@@ -2222,8 +2230,9 @@ object MediaCodec {
             r += 1
           }
           nFrames += 1
-          require(nFrames.toLong * sw * sh <= (1L << 28),
-            "[GRAFT] gif: animation exceeds 2^28 total pixels")
+          require(nFrames.toLong * sw * sh <= maxTotalPixels,
+            s"[GRAFT] gif: animation exceeds $maxTotalPixels total " +
+              "pixels (frames x canvas)")
           frames += Raster(sw, sh, "RGB", canvas.clone())
           if (disposal == 2) fillBg(left, top, iw, ih)
           // a GCE scopes ONE image (spec 23): reset for the next

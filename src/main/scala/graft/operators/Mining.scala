@@ -25,9 +25,16 @@ import org.apache.spark.sql.functions._
   * oracle's scan order cannot disagree). The margin then reduces to
   * ONE pinned double chain over integers:
   *
-  *   margin_milli = round(2000·k·sim_micro / (fwdSum + bwdSum))
+  *   margin_milli = round(2000·sim_micro
+  *                        / (fwdSum/fwdN + bwdSum/bwdN))
   *
-  * (from margin = 2·sim / (avgF + avgB) with avg = sum/(k·10⁶)).
+  * (from margin = 2·sim / (avgF + avgB) with avg = sum/(n·10⁶)).
+  * Each side divides by its ACTUAL neighbor count, not k: a
+  * collection with fewer than k rows yields shorter neighborhoods,
+  * and dividing by k there would inflate every margin relative to
+  * the paper's neighborhood average. When both counts equal k the
+  * chain is value-identical to the 2000·k·sim/(fwdSum+bwdSum) form
+  * (micro sums stay exact in double, so the rewrite is exact).
   *
   * SCALE: the exact form rides [[Knn.exactBatch]] — a byte-gated
   * broadcast of the query side and the bounded partial top-k
@@ -60,7 +67,7 @@ object Mining {
     mineCore(
       simMicro(Knn.exactBatch(tgtBase, srcQ, k, Metric.Cosine)),
       tgtBase,
-      q => simMicro(Knn.exactBatch(srcBase, q, k, Metric.Cosine)), k)
+      q => simMicro(Knn.exactBatch(srcBase, q, k, Metric.Cosine)))
   }
 
   /** The mined pairs: each source's best-margin candidate, kept when
@@ -104,13 +111,13 @@ object Mining {
         tgtBase, srcQ),
       tgtBase,
       q => rescore(IvfIndex.searchBatch(spark, srcPath, q, k, nProbe),
-        srcBase, q), k), minMarginMilli)
+        srcBase, q)), minMarginMilli)
   }
 
   /** The INTERSECTION strategy — the paper's highest-precision
     * variant: keep a pair only when each side is the other's
     * best-margin candidate (both clearing the floor). The margin is
-    * direction-SYMMETRIC (margin(x,y) = 2k·sim / (avgNNk(x,tgt) +
+    * direction-SYMMETRIC (margin(x,y) = 2·sim / (avgNNk(x,tgt) +
     * avgNNk(y,src)) reads the same both ways), so this composes as
     * the two directional [[marginPairs]] runs joined on mutuality —
     * no new arithmetic to keep portable. */
@@ -153,42 +160,53 @@ object Mining {
     // micro-batch inside marginMineStream's foreachBatch, where a
     // DataFrame-level persist would register one CacheManager plan
     // entry per batch FOREVER (nothing downstream can release it —
-    // the result is lazy). localCheckpoint materializes the slim
-    // forward candidates to blocks with NO CacheManager entry, and
-    // the ContextCleaner reclaims the blocks once the frame is
-    // unreferenced; the backward exactBatch skips its query persist
-    // for the same reason (candTgt re-derives from the checkpointed
-    // frame — cheap to evaluate twice).
+    // the result is lazy). mineCore's default localCheckpoint
+    // materializes the slim forward candidates to blocks with NO
+    // CacheManager entry, and the ContextCleaner reclaims the blocks
+    // once the frame is unreferenced; the backward exactBatch skips
+    // its query persist for the same reason (candTgt re-derives from
+    // the checkpointed frame — cheap to evaluate twice).
     bestPairs(mineCore(
       rescore(IvfIndex.searchBatch(spark, tgtPath, srcQ, k, nProbe),
         tgtBase, srcQ),
       tgtBase,
       q => simMicro(Knn.exactBatch(srcBase, q, k, Metric.Cosine,
-        persistQueries = false)),
-      k, materialize = _.localCheckpoint()), minMarginMilli)
+        persistQueries = false))), minMarginMilli)
   }
 
   /** The ONE mining pipeline all entry points share — they differ
     * only in candidate generation. The forward-scored candidates are
-    * persisted (they feed the margin join, the per-source sums, AND
-    * the backward query list — 3 consumers; the candidate scan must
-    * not rerun per consumer); backward sums score ONLY the targets
-    * that surfaced as forward candidates — at scale that is the slim
-    * candidate set, never the whole target side. */
+    * materialized (they feed the margin join, the per-source sums,
+    * AND the backward query list — 3 consumers; the candidate scan
+    * must not rerun per consumer); backward sums score ONLY the
+    * targets that surfaced as forward candidates — at scale that is
+    * the slim candidate set, never the whole target side.
+    *
+    * The default materialization is localCheckpoint, NOT persist:
+    * the result is lazy, so a persist here would register a
+    * CacheManager plan entry that nothing downstream can release —
+    * repeated batch calls in one long-lived session would accumulate
+    * entries forever (and the streaming path runs this once per
+    * micro-batch). localCheckpoint materializes to blocks with no
+    * CacheManager entry; the ContextCleaner reclaims them once the
+    * frame is unreferenced. */
   private def mineCore(fwd0: DataFrame, tgtBase: DataFrame,
-      bwdScore: DataFrame => DataFrame, k: Int,
-      materialize: DataFrame => DataFrame = _.persist()): DataFrame = {
+      bwdScore: DataFrame => DataFrame,
+      materialize: DataFrame => DataFrame = _.localCheckpoint())
+      : DataFrame = {
     val fwd = materialize(fwd0)
     val fwdSum = fwd.groupBy(col("qid"))
-      .agg(sum(col("sim_micro")).as("fwd_sum"))
+      .agg(sum(col("sim_micro")).as("fwd_sum"),
+        count(lit(1)).as("fwd_n"))
     val candTgt = fwd.select(col("id")).distinct()
       .join(tgtBase, "id")
       .select(col("id").as("qid"), col("values").as("qvalues"))
     val bwdSum = bwdScore(candTgt)
       .groupBy(col("qid"))
-      .agg(sum(col("sim_micro")).as("bwd_sum"))
-      .select(col("qid").as("bwd_id"), col("bwd_sum"))
-    withMargin(fwd, fwdSum, bwdSum, k)
+      .agg(sum(col("sim_micro")).as("bwd_sum"),
+        count(lit(1)).as("bwd_n"))
+      .select(col("qid").as("bwd_id"), col("bwd_sum"), col("bwd_n"))
+    withMargin(fwd, fwdSum, bwdSum)
   }
 
   /** The margin arithmetic is cosine — probing an artifact built
@@ -225,14 +243,18 @@ object Mining {
           .as("distance")))
 
   private def withMargin(fwd: DataFrame, fwdSum: DataFrame,
-      bwdSum: DataFrame, k: Int): DataFrame = {
-    val denom = col("fwd_sum") + col("bwd_sum")
+      bwdSum: DataFrame): DataFrame = {
+    // per-side AVERAGES, each over its actual neighbor count: micro
+    // sums are exact in double (≤ k·10⁶ ≪ 2^53), so the two divisions
+    // and the add are one portable IEEE chain the oracle reproduces
+    val denom = col("fwd_sum") / col("fwd_n") +
+      col("bwd_sum") / col("bwd_n")
     fwd.join(fwdSum, "qid")
       .join(bwdSum, col("id") === col("bwd_id"))
       .select(col("qid").as("src_id"), col("id").as("tgt_id"),
         col("sim_micro"),
         when(denom > 0,
-          round(lit(2000.0) * lit(k) * col("sim_micro") / denom)
+          round(lit(2000.0) * col("sim_micro") / denom)
             .cast("long"))
           .as("margin_milli"))
       .filter(col("margin_milli").isNotNull)

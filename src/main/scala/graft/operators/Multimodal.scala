@@ -604,7 +604,12 @@ object Multimodal {
       it.flatMap { r =>
         val decoded = r.format match {
           case "video/ppm-stream" => MediaCodec.decodePpmStream(r.media)
-          case "video/gif" => MediaCodec.decodeGifFrames(r.media)
+          // "image/gif" too: the sniffer labels EVERY GIF image/gif
+          // (magic bytes can't see frame count), so sniffed crawl
+          // data must reach frame sampling without relabeling — a
+          // single-frame GIF just yields one frame here
+          case "video/gif" | "image/gif" =>
+            MediaCodec.decodeGifFrames(r.media)
           case other => throw new IllegalArgumentException(
             s"[GRAFT] sampleFrames: no frame decoder for format $other")
         }
@@ -764,7 +769,11 @@ object Multimodal {
       it.map { r =>
         val decoded = r.format match {
           case "video/ppm-stream" => MediaCodec.decodePpmStream(r.media)
-          case "video/gif" => MediaCodec.decodeGifFrames(r.media)
+          // sniffed GIFs carry "image/gif" (see sampleFrames) — a
+          // 1-frame GIF prints sig 0 with n_frames 1, same as a
+          // 1-frame ppm-stream
+          case "video/gif" | "image/gif" =>
+            MediaCodec.decodeGifFrames(r.media)
           case other => throw new IllegalArgumentException(
             s"[GRAFT] videoFingerprint: no frame decoder for " +
               s"format $other")

@@ -201,6 +201,35 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-k collections: each side's average divides by its actual neighbor count, not k") {
+    // tgt has ONE row and src has TWO with k = 3: forward
+    // neighborhoods carry 1 term (n=1), the backward one carries 2
+    // (n=2). A chain that divides by k would read each 1-term sum as
+    // a 3-neighbor average and inflate every margin ~3x.
+    val spark = GraftTest.spark
+    def u(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r), math.sin(r))
+    }
+    val src = vecs(1L -> u(0), 2L -> u(10))
+    val tgt = vecs(9L -> u(2))
+    val rows = Mining.marginCandidates(spark, src, tgt, k = 3).collect()
+    assert(rows.length === 2)
+    // derive expected margins from the engine's own sim_micro values
+    // (cosine is symmetric, so tgt's backward neighborhood over the
+    // two sources sums the same micro sims)
+    val bwdSum = rows.map(_.getAs[Long]("sim_micro")).sum
+    for (r <- rows) {
+      val s = r.getAs[Long]("sim_micro")
+      val exp = math.round(2000.0 * s / (s / 1.0 + bwdSum / 2.0))
+      assert(r.getAs[Long]("margin_milli") === exp,
+        s"per-count margin for src ${r.getAs[Long]("src_id")}")
+      val oldChain = math.round(2000.0 * 3 * s / (s + bwdSum))
+      assert(r.getAs[Long]("margin_milli") !== oldChain,
+        "the divide-by-k chain must NOT survive on sub-k neighborhoods")
+    }
+  }
+
   test("guards: k must be positive") {
     val spark = GraftTest.spark
     val v = vecs(1L -> Seq(1.0, 0.0))
