@@ -140,6 +140,25 @@ object SparkEntry {
        |      ORDER BY margin_milli DESC, tgt_id ASC) AS cand_rank
        |  FROM ${p}m WHERE margin_milli IS NOT NULL)""".stripMargin
 
+  /** The quarantine fixture both the batch and streaming rows share:
+    * the PPM image corpus (doc_id·3+2 → id % 3 = 2) with every 37th
+    * asset truncated to its first 20 bytes — the magic survives (a
+    * sniffer would still route it into the image family) but any PPM
+    * needs ≥ 23 bytes (11-byte header + one 12-byte row), so the
+    * decode of a truncated asset always throws. */
+  private def corruptedPpmCorpus(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.operators.MediaRecord] = {
+    import s.implicits._
+    val img = s.read.parquet(s"$dir/documents.parquet")
+      .select((col("doc_id") * 3 + 2).as("doc_id"), col("text"))
+    graft.operators.Multimodal.synthesizeMedia(img).toDF()
+      .withColumn("media",
+        when(col("doc_id") % 37 === 0, expr("substring(media, 1, 20)"))
+          .otherwise(col("media")))
+      .withColumn("n_bytes", length(col("media")).cast("long"))
+      .as[graft.operators.MediaRecord]
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- P1: point lookup (storage_manager.rs:235-296) ----
@@ -3167,6 +3186,41 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- per-asset decode QUARANTINE: every 37th asset's container
+    // is truncated to 20 bytes (sniff-valid magic, body-corrupt —
+    // the routine web-crawl failure), and the quarantined kernel
+    // routes those to (doc_id, err) rows instead of failing the
+    // stage; clean rows are bit-identical to the strict kernel ----
+    "multimodal_quarantine" -> ((s, dir) => {
+      graft.operators.Multimodal.imageFingerprintQuarantined(s,
+          corruptedPpmCorpus(s, dir))
+        .select(col("doc_id"),
+          coalesce(col("sig"), lit(-1L)).as("sig"),
+          coalesce(col("width"), lit(-1)).as("width"),
+          coalesce(col("height"), lit(-1)).as("height"),
+          col("err").isNotNull.as("quarantined"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the STREAMING twin: one micro-batch of the same corrupt
+    // corpus through mediaQuarantineBatch — clean prints land at
+    // ok/batch=3, failures at quarantine/batch=3 (written even when
+    // empty: a missing dir means "never ran", not "clean") ----
+    "stream_media_quarantine" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("verify-quarantine").toString
+      graft.streaming.Ingest.mediaQuarantineBatch(
+        corruptedPpmCorpus(s, dir).toDF(), 3L, out)
+      val ok = s.read.parquet(s"$out/ok/batch=3")
+        .select(col("doc_id"), col("sig"), col("width"), col("height"),
+          lit(false).as("quarantined"))
+      val bad = s.read.parquet(s"$out/quarantine/batch=3")
+        .select(col("doc_id"), lit(-1L).as("sig"), lit(-1).as("width"),
+          lit(-1).as("height"), lit(true).as("quarantined"))
+      ok.unionByName(bad).withColumn("batch_id", lit(3L))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- video near-dup: every doc wrapped in a real multi-frame
     // PPM-stream container (per-frame headers, genuine sequential
     // parse), collapsed to a 63-bit frame-intensity-delta fingerprint
@@ -5436,6 +5490,38 @@ object SparkEntry {
       s"""WITH $imageSigCtes,
         |${sigProbeTail("doc_id < 900000")}""".stripMargin,
 
+    // decode quarantine: every 37th asset is truncated (decode must
+    // throw → sentinel -1 columns + quarantined=true); clean assets
+    // re-derive the dHash sig from payload arithmetic — proving the
+    // quarantined kernel's clean half equals the strict kernel
+    "multimodal_quarantine" ->
+      s"""WITH ${imageSigCtesOver(
+              "SELECT doc_id * 3 + 2 AS doc_id, text FROM documents")}
+        |SELECT p.doc_id,
+        |  CASE WHEN p.doc_id % 37 = 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE sig.s END AS sig,
+        |  CASE WHEN p.doc_id % 37 = 0 THEN -1 ELSE 4 END AS width,
+        |  CASE WHEN p.doc_id % 37 = 0 THEN -1
+        |    ELSE CAST(p.h AS INTEGER) END AS height,
+        |  p.doc_id % 37 = 0 AS quarantined
+        |FROM p JOIN sig USING (doc_id)
+        |ORDER BY doc_id ASC""".stripMargin,
+
+    // the streaming twin lands the same rows batch-addressed
+    "stream_media_quarantine" ->
+      s"""WITH ${imageSigCtesOver(
+              "SELECT doc_id * 3 + 2 AS doc_id, text FROM documents")}
+        |SELECT p.doc_id,
+        |  CASE WHEN p.doc_id % 37 = 0 THEN CAST(-1 AS BIGINT)
+        |    ELSE sig.s END AS sig,
+        |  CASE WHEN p.doc_id % 37 = 0 THEN -1 ELSE 4 END AS width,
+        |  CASE WHEN p.doc_id % 37 = 0 THEN -1
+        |    ELSE CAST(p.h AS INTEGER) END AS height,
+        |  p.doc_id % 37 = 0 AS quarantined,
+        |  CAST(3 AS BIGINT) AS batch_id
+        |FROM p JOIN sig USING (doc_id)
+        |ORDER BY doc_id ASC""".stripMargin,
+
     "multimodal_png" -> multimodalPngOracle,
     "multimodal_png_gray" -> multimodalPngGrayOracle,
     "multimodal_png_palette" -> multimodalPngPaletteOracle,
@@ -5652,11 +5738,18 @@ object SparkEntry {
     * sy = (y·h) div 8), integer BT.601 luma
     * ((299r + 587g + 114b) div 1000), sign-of-horizontal-delta fold
     * (bit j = y·8+x set iff gray(y, x+1) > gray(y, x), 63 bits). */
-  private def imageSigCtes: String =
-    s"""d AS (SELECT doc_id * 3 + 2 AS doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id * 3 + 2 + 900000 AS doc_id, text FROM documents
-       |  WHERE doc_id % 10 = 0),
+  private def imageSigCtes: String = imageSigCtesOver(
+    """SELECT doc_id * 3 + 2 AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 3 + 2 + 900000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 10 = 0""".stripMargin)
+
+  /** The dHash derivation parameterized over the doc list `dBody`
+    * (a SELECT yielding (doc_id, text)) — the image sig CTEs are
+    * shared by the near-dup, incremental, streaming, AND quarantine
+    * oracles, which differ only in which docs feed the corpus. */
+  private def imageSigCtesOver(dBody: String): String =
+    s"""d AS ($dBody),
        |b AS (SELECT doc_id, ${duckUtf8BytesOf("text")} AS bs0 FROM d),
        |p AS (SELECT doc_id,
        |    list_resize(bs0[1:greatest(12, len(bs0) - (len(bs0) % 12))],

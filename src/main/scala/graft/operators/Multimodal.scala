@@ -485,41 +485,73 @@ object Multimodal {
     * per-row closure dispatch. */
   def decodeStats(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[MediaStats] = {
     import spark.implicits._
+    media.mapPartitions(it => it.map(decodeStatsOne))
+  }
+
+  /** The per-record [[decodeStats]] body — shared by the strict path
+    * and [[decodeStatsQuarantined]] so the two can never drift. */
+  private def decodeStatsOne(r: MediaRecord): MediaStats =
+    r.format match {
+      case "audio/wav" =>
+        val pcm = MediaCodec.decodeWav(r.media)
+        var sum = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
+        pcm.samples.foreach { s =>
+          sum += s; if (s > mx) mx = s; if (s < mn) mn = s
+        }
+        val n = pcm.samples.length.toLong
+        MediaStats(r.doc_id, r.format, 0, 0, n,
+          meanMilli(sum, n),
+          if (n == 0) 0L else meanMilli(mx * n, n),
+          if (n == 0) 0L else meanMilli(mn * n, n))
+      case f if RasterFormats(f) =>
+        val ras = decodeRaster(f, r.media)
+        // normalize to RGB first: swaps BGR, replicates GRAY,
+        // alpha-composites RGBA over white (stats are then
+        // alpha-aware — transparent pixels read as background)
+        val rgb = MediaCodec.toRgb(ras)
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < rgb.pixels.length) {
+          sums(i % 3) += (rgb.pixels(i) & 0xff)
+          i += 1
+        }
+        val px = (ras.width.toLong * ras.height)
+        MediaStats(r.doc_id, r.format, ras.width, ras.height, px,
+          meanMilli(sums(0), px), meanMilli(sums(1), px),
+          meanMilli(sums(2), px))
+      case other => throw new IllegalArgumentException(
+        s"[GRAFT] no decoder registered for format $other")
+    }
+
+  /** [[decodeStats]] with per-asset DECODE QUARANTINE — the
+    * untrusted-crawl stance: at web scale a sniff-valid,
+    * body-corrupt asset is routine, and the strict kernel's
+    * loud-error discipline (right for fixtures) would fail the whole
+    * stage on ONE truncated file. Each record decodes under its own
+    * Try; a failure emits (doc_id, format, nulls…, err) instead of
+    * killing the task, so a 100 TB decode job ships its survivors
+    * and a greppable quarantine list in one pass. `err` is null for
+    * clean rows — split with `filter(col("err").isNull)`. The
+    * per-record body is [[decodeStats]]'s own, so clean-row output
+    * is bit-identical to the strict kernel's. */
+  def decodeStatsQuarantined(spark: SparkSession,
+      media: Dataset[MediaRecord]): DataFrame = {
+    import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        r.format match {
-          case "audio/wav" =>
-            val pcm = MediaCodec.decodeWav(r.media)
-            var sum = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
-            pcm.samples.foreach { s =>
-              sum += s; if (s > mx) mx = s; if (s < mn) mn = s
-            }
-            val n = pcm.samples.length.toLong
-            MediaStats(r.doc_id, r.format, 0, 0, n,
-              meanMilli(sum, n),
-              if (n == 0) 0L else meanMilli(mx * n, n),
-              if (n == 0) 0L else meanMilli(mn * n, n))
-          case f if RasterFormats(f) =>
-            val ras = decodeRaster(f, r.media)
-            // normalize to RGB first: swaps BGR, replicates GRAY,
-            // alpha-composites RGBA over white (stats are then
-            // alpha-aware — transparent pixels read as background)
-            val rgb = MediaCodec.toRgb(ras)
-            val sums = new Array[Long](3)
-            var i = 0
-            while (i < rgb.pixels.length) {
-              sums(i % 3) += (rgb.pixels(i) & 0xff)
-              i += 1
-            }
-            val px = (ras.width.toLong * ras.height)
-            MediaStats(r.doc_id, r.format, ras.width, ras.height, px,
-              meanMilli(sums(0), px), meanMilli(sums(1), px),
-              meanMilli(sums(2), px))
-          case other => throw new IllegalArgumentException(
-            s"[GRAFT] no decoder registered for format $other")
+        try {
+          val s = decodeStatsOne(r)
+          (r.doc_id, r.format, Some(s.width), Some(s.height),
+            Some(s.n_samples), Some(s.c0_milli), Some(s.c1_milli),
+            Some(s.c2_milli), Option.empty[String])
+        } catch { case scala.util.control.NonFatal(e) =>
+          (r.doc_id, r.format, Option.empty[Int], Option.empty[Int],
+            Option.empty[Long], Option.empty[Long], Option.empty[Long],
+            Option.empty[Long], Some(graft.Verify.errHead(e)))
         }
       }
-    }
+    }.toDF("doc_id", "format", "width", "height", "n_samples",
+      "c0_milli", "c1_milli", "c2_milli", "err")
   }
 
   /** Fixed-dim feature vector per asset — real-decode formats get a
@@ -828,38 +860,73 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val ras0 = decodeRaster(r.format, r.media)
-        val rgb0 = MediaCodec.toRgb(ras0)
-        val orientation =
-          if (!exifAware) 1
-          else r.format match {
-            case "image/jpeg" => MediaCodec.jpegOrientation(r.media)
-            case "image/tiff" => MediaCodec.tiffOrientation(r.media)
-            case _ => 1
-          }
-        val rgb = MediaCodec.orientRgb(rgb0.pixels, rgb0.width,
-          rgb0.height, orientation)
-        val small = MediaCodec.nnResizeRgb(rgb.pixels, rgb.width,
-          rgb.height, 9, 8)
-        val gray = new Array[Int](72)
-        var i = 0
-        while (i < 72) {
-          gray(i) = (299 * (small(3 * i) & 0xff) +
-            587 * (small(3 * i + 1) & 0xff) +
-            114 * (small(3 * i + 2) & 0xff)) / 1000
-          i += 1
-        }
-        var sig = 0L
-        var j = 0
-        while (j < 63) {
-          val y = j / 8
-          val x = j % 8
-          if (gray(y * 9 + x + 1) > gray(y * 9 + x)) sig |= (1L << j)
-          j += 1
-        }
-        (r.doc_id, sig, rgb.width, rgb.height)
+        val (sig, w, h) = imageFingerprintOne(r, exifAware)
+        (r.doc_id, sig, w, h)
       }
     }.toDF("doc_id", "sig", "width", "height")
+  }
+
+  /** The per-record dHash body — shared by the strict path and
+    * [[imageFingerprintQuarantined]] so the two can never drift.
+    * Returns (sig, orientedWidth, orientedHeight). */
+  private def imageFingerprintOne(r: MediaRecord,
+      exifAware: Boolean): (Long, Int, Int) = {
+    val ras0 = decodeRaster(r.format, r.media)
+    val rgb0 = MediaCodec.toRgb(ras0)
+    val orientation =
+      if (!exifAware) 1
+      else r.format match {
+        case "image/jpeg" => MediaCodec.jpegOrientation(r.media)
+        case "image/tiff" => MediaCodec.tiffOrientation(r.media)
+        case _ => 1
+      }
+    val rgb = MediaCodec.orientRgb(rgb0.pixels, rgb0.width,
+      rgb0.height, orientation)
+    val small = MediaCodec.nnResizeRgb(rgb.pixels, rgb.width,
+      rgb.height, 9, 8)
+    val gray = new Array[Int](72)
+    var i = 0
+    while (i < 72) {
+      gray(i) = (299 * (small(3 * i) & 0xff) +
+        587 * (small(3 * i + 1) & 0xff) +
+        114 * (small(3 * i + 2) & 0xff)) / 1000
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 63) {
+      val y = j / 8
+      val x = j % 8
+      if (gray(y * 9 + x + 1) > gray(y * 9 + x)) sig |= (1L << j)
+      j += 1
+    }
+    (sig, rgb.width, rgb.height)
+  }
+
+  /** [[imageFingerprint]] with per-asset DECODE QUARANTINE (the
+    * [[decodeStatsQuarantined]] stance): one truncated container or
+    * garbage Exif block among a crawl batch routes to an
+    * (doc_id, err) row instead of failing the stage. Clean rows are
+    * bit-identical to the strict kernel's (shared per-record body);
+    * quarantined rows carry null sig/width/height and the failure
+    * head in `err`. Split with `filter(col("err").isNull)`; feed the
+    * clean half to [[Dedup.sigBandFoldPairs]] exactly like the
+    * strict path. */
+  def imageFingerprintQuarantined(spark: SparkSession,
+      media: Dataset[MediaRecord],
+      exifAware: Boolean = false): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          val (sig, w, h) = imageFingerprintOne(r, exifAware)
+          (r.doc_id, Some(sig), Some(w), Some(h), Option.empty[String])
+        } catch { case scala.util.control.NonFatal(e) =>
+          (r.doc_id, Option.empty[Long], Option.empty[Int],
+            Option.empty[Int], Some(graft.Verify.errHead(e)))
+        }
+      }
+    }.toDF("doc_id", "sig", "width", "height", "err")
   }
 
   /** Image near-dup pairs with fingerprint hamming ≤ `maxHamming` —

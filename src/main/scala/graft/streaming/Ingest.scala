@@ -591,6 +591,61 @@ object Ingest {
     ()
   }
 
+  /** Streaming media DECODE with per-asset quarantine — the
+    * untrusted-crawl ingest front door: each micro-batch of raw
+    * media rows (doc_id, media, format, n_bytes) runs the dHash
+    * fingerprint kernel under
+    * [[graft.operators.Multimodal.imageFingerprintQuarantined]], so
+    * ONE truncated container or garbage Exif blob quarantines that
+    * row instead of killing the stream. Clean prints land at
+    * `outDir/ok/batch=<id>` (ready for the
+    * [[mediaDedupIngestStream]] decontamination loop); failures land
+    * at `outDir/quarantine/batch=<id>` as (doc_id, err) — a
+    * greppable side channel, never silence. Both sinks are
+    * batch-addressed with overwrite, so at-least-once replays are
+    * idempotent (the [[dsirScoreStream]] sink contract). */
+  def mediaQuarantineIngestStream(stream: DataFrame, outDir: String,
+      checkpoint: String, exifAware: Boolean = false,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        mediaQuarantineBatch(batch, id, outDir, exifAware)
+      }
+      .start()
+
+  /** [[mediaQuarantineIngestStream]]'s per-batch body, separated so
+    * replay idempotence and strict-path parity are testable. ONE
+    * decode pass feeds both sinks: the quarantined frame is
+    * localCheckpointed (streaming-safe — no CacheManager entry, see
+    * [[graft.operators.Mining]] mineCore) before the two filtered
+    * writes, or the per-partition decode kernel would run twice. */
+  private[graft] def mediaQuarantineBatch(batch0: DataFrame,
+      batchId: Long, outDir: String,
+      exifAware: Boolean = false): Unit = {
+    val spark = batch0.sparkSession
+    import spark.implicits._
+    val media = batch0.select(col("doc_id").cast("long").as("doc_id"),
+        col("media"), col("format"),
+        col("n_bytes").cast("long").as("n_bytes"))
+      .as[graft.operators.MediaRecord]
+    if (media.isEmpty) return
+    val rows = graft.operators.Multimodal
+      .imageFingerprintQuarantined(spark, media, exifAware)
+      .localCheckpoint()
+    rows.filter(col("err").isNull)
+      .select(col("doc_id"), col("sig"), col("width"), col("height"))
+      .write.mode("overwrite").parquet(s"$outDir/ok/batch=$batchId")
+    val bad = rows.filter(col("err").isNotNull)
+      .select(col("doc_id"), col("err"))
+    // the quarantine dir is written EVEN WHEN EMPTY: a missing dir
+    // must mean "batch never ran", never "batch was clean" — the
+    // same no-silence stance as Verify's _errors.json
+    bad.write.mode("overwrite").parquet(s"$outDir/quarantine/batch=$batchId")
+    ()
+  }
+
   /** One micro-batch of the URL-dedup ingest loop, REPLAY-IDEMPOTENT
     * BY CONSTRUCTION (the [[boilerplateBatch]] stance — no crash
     * point needs a residue heuristic):
