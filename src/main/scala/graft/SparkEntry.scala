@@ -3186,6 +3186,24 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- EXIF-orientation-aware dedup, oracle-pinned: every doc's
+    // upright TIFF plus a camera-rotated twin (stored pixels
+    // transformed by the INVERSE of orientation k = id % 8 + 1, tag
+    // 274 = k) — the exif-aware fingerprint must upright the twin,
+    // so BOTH rows hash to the oracle's single upright derivation
+    // and the oriented dimensions come back 4 × h ----
+    "multimodal_exif" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val upright = graft.operators.Multimodal.synthesizeTiff(docs)
+      val rotated = graft.operators.Multimodal.synthesizeTiffRotated(
+        docs.select((col("doc_id") + 900000L).as("doc_id"),
+          col("text")))
+      graft.operators.Multimodal.imageFingerprint(s,
+          upright.unionByName(rotated), exifAware = true)
+        .select(col("doc_id"), col("sig"), col("width"), col("height"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- per-asset decode QUARANTINE: every 37th asset's container
     // is truncated to 20 bytes (sniff-valid magic, body-corrupt —
     // the routine web-crawl failure), and the quarantined kernel
@@ -5489,6 +5507,21 @@ object SparkEntry {
     "multimodal_image_incremental" ->
       s"""WITH $imageSigCtes,
         |${sigProbeTail("doc_id < 900000")}""".stripMargin,
+
+    // EXIF orientation: the rotated twin (+900000, tag 274 = k) must
+    // hash-match its upright original, so ONE derivation — the
+    // 4-wide dHash from payload bytes — covers both id ranges; the
+    // oriented dimensions must also come back upright (4 × h)
+    "multimodal_exif" ->
+      s"""WITH ${imageSigCtesOver(
+              """SELECT doc_id, text FROM documents
+                |  UNION ALL
+                |  SELECT doc_id + 900000 AS doc_id, text
+                |  FROM documents""".stripMargin)}
+        |SELECT sig.doc_id, sig.s AS sig,
+        |  4 AS width, CAST(p.h AS INTEGER) AS height
+        |FROM sig JOIN p USING (doc_id)
+        |ORDER BY doc_id ASC""".stripMargin,
 
     // decode quarantine: every 37th asset is truncated (decode must
     // throw → sentinel -1 columns + quarantined=true); clean assets

@@ -2612,13 +2612,19 @@ object MediaCodec {
   /** Encode a baseline little-endian TIFF: 8-bit grayscale
     * (`channels = 1`, photometric 1) or RGB (`channels = 3`),
     * compression none (1) or PackBits (32773), one strip per
-    * `rowsPerStrip` rows. The output is a bona fide file — ImageIO
-    * and desktop viewers open it. */
+    * `rowsPerStrip` rows. `orientation` != 1 writes tag 274 (SHORT)
+    * — TIFF's NATIVE Exif-orientation slot, read back by
+    * [[tiffOrientation]]; the stored pixels are then the
+    * camera-rotated raster and a viewer/[[orientRgb]] uprights them.
+    * The output is a bona fide file — ImageIO and desktop viewers
+    * open it. */
   def encodeTiff(pixels: Array[Byte], width: Int, height: Int,
       channels: Int = 3, packBits: Boolean = false,
-      rowsPerStrip: Int = 0): Array[Byte] = {
+      rowsPerStrip: Int = 0, orientation: Int = 1): Array[Byte] = {
     require(channels == 1 || channels == 3,
       "[GRAFT] tiff: channels must be 1 or 3")
+    require(orientation >= 1 && orientation <= 8,
+      "[GRAFT] tiff: orientation must be 1-8")
     require(width > 0 && height > 0 &&
       pixels.length == width.toLong * height * channels,
       "[GRAFT] tiff: pixels must be width*height*channels bytes")
@@ -2649,9 +2655,9 @@ object MediaCodec {
     strips.foreach(out.write)
     if ((8L + strips.map(_.length.toLong).sum) % 2 != 0) out.write(0)
     if (channels == 3) { u16(8); u16(8); u16(8) }
-    // IFD: tags ascending (9 of them — the arrays land right after)
+    // IFD: tags ascending (9 or 10 — the arrays land right after)
     case class Tag(id: Int, typ: Int, count: Long, value: Long)
-    val nTags = 9
+    val nTags = if (orientation != 1) 10 else 9
     // strip offsets/counts: inline when a single strip (one LONG fits
     // the 4-byte value field), external arrays after the IFD otherwise
     val needArrays = nStrips > 1
@@ -2669,7 +2675,8 @@ object MediaCodec {
       Tag(277, 3, 1, channels),
       Tag(278, 4, 1, rps),
       Tag(279, 4, nStrips,
-        if (needArrays) cntArr else strips.head.length))
+        if (needArrays) cntArr else strips.head.length)) ++
+      (if (orientation != 1) Seq(Tag(274, 3, 1, orientation)) else Nil)
     require(tags.length == nTags, "[GRAFT] tiff: tag count drifted")
     u16(tags.length)
     tags.sortBy(_.id).foreach { t =>

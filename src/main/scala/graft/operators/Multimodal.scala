@@ -224,6 +224,40 @@ object Multimodal {
       enc = (p, w, h) => MediaCodec.encodeTiff(p, w, h, channels = 3,
         packBits = packBits, rowsPerStrip = if (packBits) 2 else 0))
 
+  /** Camera-rotated twin of [[synthesizeTiff]] for EXIF-orientation
+    * testing: each doc's UPRIGHT 4-wide raster is transformed by the
+    * INVERSE of its per-doc orientation k = (doc_id % 8) + 1, and the
+    * TIFF carries tag 274 = k — so an exif-aware reader that uprights
+    * the stored pixels recovers exactly the [[synthesizeTiff]] image
+    * (and an exif-blind one does not, for k ∉ {1, 2}: 2 flips
+    * horizontally, which a width-4 constant-geometry dHash may or may
+    * not distinguish, but 5–8 swap the axes outright). Orientations
+    * 6 and 8 (rotate 90/270) are mutual inverses; the other six are
+    * self-inverse. */
+  def synthesizeTiffRotated(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val m = math.min(
+            math.max(12, payload.length - payload.length % 12),
+            12 * (1 << 20))
+          val p = java.util.Arrays.copyOf(payload, m)
+          val k = (id % 8).toInt + 1
+          val inv = k match { case 6 => 8; case 8 => 6; case o => o }
+          val stored = MediaCodec.orientRgb(p, 4, p.length / 12, inv)
+          val bytes = MediaCodec.encodeTiff(stored.pixels, stored.width,
+            stored.height, channels = 3, orientation = k)
+          MediaRecord(id, bytes, "image/tiff", bytes.length.toLong)
+        }
+      }
+  }
+
   /** 8-bit GRAYSCALE (color type 0) twin of [[synthesizePng]]: the
     * payload is one luma byte per pixel on a 4-wide raster (4 bytes
     * per row), truncated to whole rows and zero-padded up to one row

@@ -340,4 +340,48 @@ class TiffSpec extends AnyFunSuite {
       .select($"doc_id", $"sig").as[(Long, Long)].collect().toMap
     assert(sigs(1L) === sigs(2L))
   }
+
+  test("encoder orientation tag: written as 274, read back, ignored by decode; synthesizeTiffRotated twins hash-match their uprights for all 8 orientations") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val w = 4; val h = 6
+    val px = rgb(w, h)((x, y) => (x * 61 % 256, y * 37 % 256, (x + y) * 13 % 256))
+    for (k <- 1 to 8) {
+      val inv = k match { case 6 => 8; case 8 => 6; case o => o }
+      val stored = MediaCodec.orientRgb(px, w, h, inv)
+      val t = MediaCodec.encodeTiff(stored.pixels, stored.width,
+        stored.height, channels = 3, orientation = k)
+      assert(MediaCodec.tiffOrientation(t) === k, s"orientation $k")
+      // decode reads the STORED raster as-is (the tag is metadata)
+      val ras = MediaCodec.decodeTiff(t)
+      assert((ras.width, ras.height) === (stored.width, stored.height))
+      assert(ras.pixels.toSeq === stored.pixels.toSeq)
+      // uprighting restores the original exactly
+      val up = MediaCodec.orientRgb(ras.pixels, ras.width, ras.height, k)
+      assert(up.pixels.toSeq === px.toSeq, s"upright under $k")
+    }
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.encodeTiff(px, w, h, orientation = 9))
+      .getMessage.contains("[GRAFT]"))
+    // the synthesizer family: ids 0..7 cycle k = 1..8; every rotated
+    // twin must fingerprint identically to its upright original
+    val docs = (0L to 7L).map(i =>
+      (i, s"orientation fixture payload number $i with enough bytes"))
+      .toDF("doc_id", "text")
+    val upSigs = Multimodal.imageFingerprint(spark,
+        Multimodal.synthesizeTiff(docs), exifAware = true)
+      .select($"doc_id", $"sig").as[(Long, Long)].collect().toMap
+    val rotSigs = Multimodal.imageFingerprint(spark,
+        Multimodal.synthesizeTiffRotated(docs), exifAware = true)
+      .select($"doc_id", $"sig").as[(Long, Long)].collect().toMap
+    assert(rotSigs === upSigs)
+    // exif-blind, the axis-swapping orientations (id 4..7 -> k 5..8)
+    // must NOT all match — the tag is load-bearing
+    val blind = Multimodal.imageFingerprint(spark,
+        Multimodal.synthesizeTiffRotated(docs))
+      .select($"doc_id", $"sig").as[(Long, Long)].collect().toMap
+    assert((4L to 7L).exists(i => blind(i) !== upSigs(i)),
+      "an exif-blind read of axis-swapped storage must change some sig")
+  }
 }
