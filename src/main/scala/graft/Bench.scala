@@ -481,6 +481,15 @@ object Bench {
       graft.operators.Multimodal.imageNearDupPairs(spark, img,
         maxHamming = 3).count()
     } }
+    // the DCT pHash twin: same decode + banded fold, plus the 32×32
+    // fixed-point DCT per asset — the perceptual-robustness variant
+    entry("image_neardup_phash") { median {
+      val img = graft.operators.Multimodal.synthesizeMedia(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select((col("doc_id") * 3 + 2).as("doc_id"), col("text")))
+      graft.operators.Multimodal.imageNearDupPairs(spark, img,
+        maxHamming = 3, method = "phash").count()
+    } }
     // corpus boilerplate-line removal: line-key distinct + count
     // aggs, one occurrence join, one per-doc reassembly agg
     entry("boilerplate_strip") { median {

@@ -3186,6 +3186,35 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- DCT perceptual hash (pHash): 32×32 NN luma → fixed-point
+    // 2-D DCT → low-band median threshold — exact integer arithmetic,
+    // every bit pinned from payload bytes ----
+    "multimodal_phash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val img = docs.select((col("doc_id") * 3 + 2).as("doc_id"),
+        col("text"))
+      graft.operators.Multimodal.imagePHash(s,
+          graft.operators.Multimodal.synthesizeMedia(img))
+        .select(col("doc_id"), col("sig"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- pHash near-dup pairs through the SAME banded fold as the
+    // dHash family (method = "phash" opt-in): the +900000 twins
+    // guarantee hamming-0 pairs the oracle must also find ----
+    "multimodal_phash_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val img = docs.select((col("doc_id") * 3 + 2).as("doc_id"),
+          col("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") * 3 + 2 + lit(900000L)).as("doc_id"),
+            col("text")))
+      graft.operators.Multimodal.imageNearDupPairs(s,
+          graft.operators.Multimodal.synthesizeMedia(img),
+          maxHamming = 3, method = "phash")
+        .orderBy(col("a").asc, col("b").asc)
+    }),
+
     // ---- EXIF-orientation-aware dedup, oracle-pinned: every doc's
     // upright TIFF plus a camera-rotated twin (stored pixels
     // transformed by the INVERSE of orientation k = id % 8 + 1, tag
@@ -5508,6 +5537,25 @@ object SparkEntry {
       s"""WITH $imageSigCtes,
         |${sigProbeTail("doc_id < 900000")}""".stripMargin,
 
+    // pHash: every bit of the DCT low-band median-threshold hash
+    // re-derived from payload bytes (fixed-point cosine table shared
+    // with the engine via one Scala constant)
+    "multimodal_phash" ->
+      s"""WITH ${phashSigCtesOver(
+              "SELECT doc_id * 3 + 2 AS doc_id, text FROM documents")}
+        |SELECT doc_id, s AS sig FROM sig
+        |ORDER BY doc_id ASC""".stripMargin,
+
+    // pHash near-dup: the same banded 4×16 fold over the pHash sig
+    // table (pigeonhole makes banded = all-pairs at hamming ≤ 3)
+    "multimodal_phash_neardup" ->
+      s"""WITH ${phashSigCtesOver(
+              """SELECT doc_id * 3 + 2 AS doc_id, text FROM documents
+                |  UNION ALL
+                |  SELECT doc_id * 3 + 2 + 900000 AS doc_id, text
+                |  FROM documents WHERE doc_id % 10 = 0""".stripMargin)},
+        |${sigBandFoldTail(16)}""".stripMargin,
+
     // EXIF orientation: the rotated twin (+900000, tag 274 = k) must
     // hash-match its upright original, so ONE derivation — the
     // 4-wide dHash from payload bytes — covers both id ranges; the
@@ -5803,6 +5851,47 @@ object SparkEntry {
        |    THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
        |    ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
        |  FROM gl)""".stripMargin
+
+  /** pHash derivation over the 4-wide PPM geometry for the doc list
+    * `dBody`: payload bytes → 32×32 NN luma → 2-D fixed-point DCT
+    * (the cosine literal table is GENERATED from
+    * [[operators.Multimodal.PhashCos]] — one source of truth) → the
+    * 8×8 low band minus DC, thresholded at its median (sorted index
+    * 32, 1-based). Exact integer arithmetic end to end; yields
+    * `sig(doc_id, s)` for the shared band-fold/probe tails. */
+  private def phashSigCtesOver(dBody: String): String = {
+    val ct = graft.operators.Multimodal.PhashCos.mkString("[", ", ", "]")
+    s"""d AS ($dBody),
+       |b AS (SELECT doc_id, ${duckUtf8BytesOf("text")} AS bs0 FROM d),
+       |p AS (SELECT doc_id,
+       |    list_resize(bs0[1:greatest(12, len(bs0) - (len(bs0) % 12))],
+       |      greatest(12, len(bs0) - (len(bs0) % 12)), 0) AS bs,
+       |    greatest(12, len(bs0) - (len(bs0) % 12)) // 12 AS h
+       |  FROM b),
+       |ct AS (SELECT $ct AS c),
+       |gl AS (SELECT doc_id, list_transform(range(0, 1024), k ->
+       |    (299 * bs[CAST((((k // 32) * h) // 32 * 4 + (k % 32) // 8) * 3 + 1 AS INTEGER)]
+       |   + 587 * bs[CAST((((k // 32) * h) // 32 * 4 + (k % 32) // 8) * 3 + 2 AS INTEGER)]
+       |   + 114 * bs[CAST((((k // 32) * h) // 32 * 4 + (k % 32) // 8) * 3 + 3 AS INTEGER)]) // 1000) AS g
+       |  FROM p),
+       |tm AS (SELECT doc_id, g, c, list_transform(range(0, 256), t ->
+       |    list_sum(list_transform(range(0, 32), x ->
+       |      g[CAST((t % 32) * 32 + x + 1 AS INTEGER)]
+       |        * c[CAST((t // 32) * 32 + x + 1 AS INTEGER)]))) AS tv
+       |  FROM gl, ct),
+       |fcte AS (SELECT doc_id, c, list_transform(range(0, 64), q ->
+       |    list_sum(list_transform(range(0, 32), y ->
+       |      tv[CAST((q % 8) * 32 + y + 1 AS INTEGER)]
+       |        * c[CAST((q // 8) * 32 + y + 1 AS INTEGER)]))) AS fc
+       |  FROM tm),
+       |med AS (SELECT doc_id, fc, list_sort(fc[2:64])[32] AS m
+       |  FROM fcte),
+       |sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(1, 64),
+       |    j -> CASE WHEN fc[CAST(j + 1 AS INTEGER)] > m
+       |      THEN (CAST(1 AS BIGINT) << CAST(j - 1 AS INTEGER))
+       |      ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS s
+       |  FROM med)""".stripMargin
+  }
 
   /** Shared DuckDB tail reproducing [[operators.SigIndex.probe]]
     * over a `sig(doc_id, s)` CTE: the stored side is `corpusWhere`

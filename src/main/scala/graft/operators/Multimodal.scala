@@ -900,11 +900,10 @@ object Multimodal {
     }.toDF("doc_id", "sig", "width", "height")
   }
 
-  /** The per-record dHash body — shared by the strict path and
-    * [[imageFingerprintQuarantined]] so the two can never drift.
-    * Returns (sig, orientedWidth, orientedHeight). */
-  private def imageFingerprintOne(r: MediaRecord,
-      exifAware: Boolean): (Long, Int, Int) = {
+  /** Decode + RGB-normalize + (optionally) EXIF-upright — the shared
+    * prelude of every image fingerprint kernel. */
+  private def decodeOrientedRgb(r: MediaRecord,
+      exifAware: Boolean): MediaCodec.Raster = {
     val ras0 = decodeRaster(r.format, r.media)
     val rgb0 = MediaCodec.toRgb(ras0)
     val orientation =
@@ -914,8 +913,16 @@ object Multimodal {
         case "image/tiff" => MediaCodec.tiffOrientation(r.media)
         case _ => 1
       }
-    val rgb = MediaCodec.orientRgb(rgb0.pixels, rgb0.width,
-      rgb0.height, orientation)
+    MediaCodec.orientRgb(rgb0.pixels, rgb0.width, rgb0.height,
+      orientation)
+  }
+
+  /** The per-record dHash body — shared by the strict path and
+    * [[imageFingerprintQuarantined]] so the two can never drift.
+    * Returns (sig, orientedWidth, orientedHeight). */
+  private def imageFingerprintOne(r: MediaRecord,
+      exifAware: Boolean): (Long, Int, Int) = {
+    val rgb = decodeOrientedRgb(r, exifAware)
     val small = MediaCodec.nnResizeRgb(rgb.pixels, rgb.width,
       rgb.height, 9, 8)
     val gray = new Array[Int](72)
@@ -935,6 +942,102 @@ object Multimodal {
       j += 1
     }
     (sig, rgb.width, rgb.height)
+  }
+
+  /** Fixed-point cosine table for the pHash DCT:
+    * C(u, x) = round(cos((2x+1)·u·π/64) · 2^14), u ∈ 0..7 over 32
+    * sample positions. ONE Scala constant is the source of truth —
+    * the DuckDB oracle's literal table is GENERATED from it
+    * (the LangIdSeedCorpus pattern), so the two sides cannot drift
+    * and the whole transform is exact 64-bit integer arithmetic
+    * (|F| ≤ 32²·255·2^28 < 2^63 — no overflow, no float sums). */
+  private[graft] val PhashCos: Array[Int] = Array.tabulate(8 * 32) { i =>
+    val u = i / 32; val x = i % 32
+    math.round(math.cos((2 * x + 1) * u * math.Pi / 64) * 16384.0).toInt
+  }
+
+  /** The per-record pHash body: 32×32 NN resize (commutes with the
+    * per-pixel luma, the dHash stance) → BT.601 integer luma → 2-D
+    * fixed-point DCT ([[PhashCos]]) → the low-frequency 8×8 band in
+    * row-major order minus DC (63 coefficients) → threshold at the
+    * band's MEDIAN (sorted index 31 — exact integer compare): bit
+    * j−1 set iff F(j) > median. Bit 63 stays clear (the sig-family
+    * LONG-non-negative convention) and at most 31 bits are ever set.
+    * Perceptual rationale: dHash reads 8-cell-scale gradient SIGNS,
+    * which recompression noise flips wherever neighbors nearly tie;
+    * the DCT low band integrates each basis over all 1024 pixels, so
+    * block-level noise cancels and survives re-encode/rescale. */
+  private[graft] def pHash64FromRgb(pixels: Array[Byte], w: Int,
+      h: Int): Long = {
+    val small = MediaCodec.nnResizeRgb(pixels, w, h, 32, 32)
+    val g = new Array[Long](1024)
+    var i = 0
+    while (i < 1024) {
+      g(i) = (299 * (small(3 * i) & 0xff) +
+        587 * (small(3 * i + 1) & 0xff) +
+        114 * (small(3 * i + 2) & 0xff)) / 1000
+      i += 1
+    }
+    // tmp(u, y) = Σ_x g(y, x)·C(u, x) — exact integer sums
+    val tmp = new Array[Long](8 * 32)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < 32) {
+        var s = 0L
+        var x = 0
+        while (x < 32) { s += g(y * 32 + x) * PhashCos(u * 32 + x); x += 1 }
+        tmp(u * 32 + y) = s
+        y += 1
+      }
+      u += 1
+    }
+    // F(v·8 + u) = Σ_y tmp(u, y)·C(v, y)
+    val f = new Array[Long](64)
+    var v = 0
+    while (v < 8) {
+      u = 0
+      while (u < 8) {
+        var s = 0L
+        var y = 0
+        while (y < 32) { s += tmp(u * 32 + y) * PhashCos(v * 32 + y); y += 1 }
+        f(v * 8 + u) = s
+        u += 1
+      }
+      v += 1
+    }
+    val sorted = java.util.Arrays.copyOfRange(f, 1, 64)
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31)
+    var sig = 0L
+    var j = 1
+    while (j < 64) {
+      if (f(j) > med) sig |= 1L << (j - 1)
+      j += 1
+    }
+    sig
+  }
+
+  /** Per-asset 64-bit DCT PERCEPTUAL fingerprint (pHash) — the
+    * low-frequency twin of [[imageFingerprint]]'s dHash: where dHash
+    * keys on local gradient signs (fast, but recompression noise
+    * flips near-tie cells), pHash thresholds the 32×32 DCT's
+    * low-frequency band against its own median, so a JPEG-recompress
+    * or rescale of the same picture lands within a small hamming
+    * radius. Exact integer arithmetic end-to-end ([[pHash64FromRgb]])
+    * — the DuckDB oracle reproduces every bit from payload bytes.
+    * Output: (doc_id, sig, width, height), drop-in compatible with
+    * [[Dedup.sigBandFoldPairs]] and [[SigIndex]]. */
+  def imagePHash(spark: SparkSession, media: Dataset[MediaRecord],
+      exifAware: Boolean = false): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val rgb = decodeOrientedRgb(r, exifAware)
+        (r.doc_id, pHash64FromRgb(rgb.pixels, rgb.width, rgb.height),
+          rgb.width, rgb.height)
+      }
+    }.toDF("doc_id", "sig", "width", "height")
   }
 
   /** [[imageFingerprint]] with per-asset DECODE QUARANTINE (the
@@ -976,11 +1079,18 @@ object Multimodal {
     * by exact dedup instead). Output: (a, b, hamming). */
   def imageNearDupPairs(spark: SparkSession, media: Dataset[MediaRecord],
       maxHamming: Int = 3, maxBucket: Int = 1000,
-      exifAware: Boolean = false): DataFrame =
+      exifAware: Boolean = false, method: String = "dhash"): DataFrame = {
+    val prints = method match {
+      case "dhash" => imageFingerprint(spark, media, exifAware)
+      case "phash" => imagePHash(spark, media, exifAware)
+      case other => throw new IllegalArgumentException(
+        s"[GRAFT] imageNearDupPairs: method must be dhash|phash, " +
+          s"got $other")
+    }
     Dedup.sigBandFoldPairs(
-      imageFingerprint(spark, media, exifAware)
-        .select(col("doc_id").as("id"), col("sig")),
+      prints.select(col("doc_id").as("id"), col("sig")),
       maxHamming, maxBucket)
+  }
 
   /** Video near-dup pairs with fingerprint hamming ≤ `maxHamming` —
     * [[audioNearDupPairs]]' video twin, completing the per-modality
