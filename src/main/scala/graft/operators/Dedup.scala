@@ -464,6 +464,42 @@ object Dedup {
 
   /** Drop rows of band-key buckets larger than `maxBucket` — bounds
     * the worst-case self-join blowup on pathological corpora. */
+  /** Over-cap bucket REPORT — the no-silent-caps observability
+    * companion to [[capBuckets]]/[[emitBucketGroups]]: one row per
+    * bucket the pair emitters DROP (strictly more than `maxBucket`
+    * members), with its size. Same group keys, same threshold, so
+    * the report can never drift from the drop semantics. */
+  private[graft] def overCapBuckets(banded: DataFrame, maxBucket: Int,
+      keys: Seq[String]): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > maxBucket)
+
+  /** [[minHashLsh]]'s dropped-bucket report: the SAME banding
+    * ([[bandedRelation]]) and cap threshold as the pair run — run it
+    * alongside a dedup job to see WHICH buckets the `maxBucket` cap
+    * silently skipped and how big they were (a pathological corpus —
+    * boilerplate, near-empty docs — shows up here instead of just
+    * missing from the pair set). Output: (band, bsig, bucket_n),
+    * empty when nothing was dropped. One hash agg over the slim
+    * banded triples — cheaper than the pair run itself. */
+  def minHashDroppedBuckets(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 1000): DataFrame =
+    overCapBuckets(bandedRelation(docs, "id", textCol, idCol, bands,
+      rowsPerBand), maxBucket, Seq("band", "bsig"))
+
+  /** Dropped-bucket report for the 64-bit-signature family
+    * ([[sigPairs]]/[[sigBandFoldPairs]] — text simhash, audio/video/
+    * image prints): (band, bval, bucket_n) for every over-cap band
+    * bucket, with the same null exclusion as the pair fold. */
+  def sigDroppedBuckets(sigs: DataFrame,
+      maxBucket: Int = 1000): DataFrame =
+    overCapBuckets(
+      sigBands(sigs.filter(col("id").isNotNull && col("sig").isNotNull),
+        "id"),
+      maxBucket, Seq("band", "bval"))
+
   private[graft] def capBuckets(banded: DataFrame, maxBucket: Int,
       keys: Seq[String] = Seq("band", "bsig")): DataFrame = {
     val bucketW = Window.partitionBy(keys.map(col): _*)
