@@ -382,6 +382,10 @@ object Bench {
     entry("tiff_decode") { median {
       SparkEntry.queries("multimodal_tiff_packbits")(spark, sfDir).count()
     } }
+    // WebP VP8L lossless encode + prefix-decode (per-partition)
+    entry("webp_decode") { median {
+      SparkEntry.queries("multimodal_webp")(spark, sfDir).count()
+    } }
     // decode -> NN resize -> PNG re-encode -> decode, the image
     // normalization shape (per-partition batch kernel, pure scan)
     entry("media_resize") { median {

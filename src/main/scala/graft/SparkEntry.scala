@@ -2909,10 +2909,26 @@ object SparkEntry {
         lane(5).select(col("doc_id"),
           encode(col("text"), "UTF-8").as("media"),
           lit("application/octet-stream").as("format"),
-          lit(0L).as("n_bytes")))
+          lit(0L).as("n_bytes")),
+        Multimodal.synthesizeWebp(lane(6)).toDF())
       parts.reduce(_.unionByName(_))
         .select(col("doc_id"), col("format").as("declared"),
           graft.functions.vfs_media_format(col("media")).as("sniffed"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- WebP VP8L lossless: the same 4-wide RGB geometry in a
+    // real RIFF + VP8L container — the row only hash-matches if the
+    // chunk walk, the LSB-first bitstream, the code-length-code
+    // machinery, and the canonical prefix decode are all exact ----
+    "multimodal_webp" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizeWebp(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.decodeStats(s, media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
         .orderBy(col("doc_id").asc)
     }),
 
@@ -5612,6 +5628,8 @@ object SparkEntry {
     "multimodal_sniff" -> multimodalSniffOracle,
     "multimodal_tiff" ->
       multimodalRgbRasterOracle("image/tiff", cap = Some(12L * (1 << 20))),
+    "multimodal_webp" ->
+      multimodalRgbRasterOracle("image/webp", cap = Some(12L * 16384)),
     "multimodal_tiff_packbits" ->
       multimodalRgbRasterOracle("image/tiff", cap = Some(12L * (1 << 20))),
     "multimodal_gif_frames" -> multimodalGifFramesOracle,
@@ -6992,7 +7010,8 @@ object SparkEntry {
        |  UNION ALL SELECT doc_id * 8 + 1, 'image/png' FROM documents
        |  UNION ALL SELECT doc_id * 8 + 2, 'image/jpeg' FROM documents
        |  UNION ALL SELECT doc_id * 8 + 3, 'image/gif' FROM documents
-       |  UNION ALL SELECT doc_id * 8 + 4, 'image/tiff' FROM documents),
+       |  UNION ALL SELECT doc_id * 8 + 4, 'image/tiff' FROM documents
+       |  UNION ALL SELECT doc_id * 8 + 6, 'image/webp' FROM documents),
        |raw AS (SELECT doc_id * 8 + 5 AS mid,
        |    'application/octet-stream' AS declared,
        |    CASE
@@ -7013,6 +7032,10 @@ object SparkEntry {
        |        AND bs[3] = 70 AND bs[4] = 70 AND bs[9] = 87
        |        AND bs[10] = 65 AND bs[11] = 86 AND bs[12] = 69
        |        THEN 'audio/wav'
+       |      WHEN len(bs) >= 12 AND bs[1] = 82 AND bs[2] = 73
+       |        AND bs[3] = 70 AND bs[4] = 70 AND bs[9] = 87
+       |        AND bs[10] = 69 AND bs[11] = 66 AND bs[12] = 80
+       |        THEN 'image/webp'
        |      WHEN len(bs) >= 3 AND bs[1] = 80 AND bs[2] = 54
        |        AND bs[3] IN (9, 10, 13, 32) THEN 'image/ppm'
        |      WHEN len(bs) >= 2 AND bs[1] = 66 AND bs[2] = 77

@@ -14,7 +14,12 @@ import java.nio.charset.StandardCharsets
   *
   * Codec-scope stance (a decision, not an omission): baseline +
   * progressive Huffman JPEG covers essentially all real web-image
-  * corpora and is self-contained + deterministic, so it is IN. MP3 and H.264 decode
+  * corpora and is self-contained + deterministic, so it is IN; so
+  * are GIF, TIFF, and WebP's VP8L LOSSLESS stream (pure integer
+  * arithmetic, bit-exact by construction). Lossy VP8 is
+  * decoder-specified and in principle exact, but it is a full video
+  * intra codec (boolean coder, loop filter) — deferred, rejected
+  * loudly rather than half-decoded. MP3 and H.264 decode
   * are OUT of scope by design — both specify the bitstream, not the
   * decoder's arithmetic (float MDCT/synthesis filterbanks differ
   * across conformant decoders), so their output is not
@@ -2690,6 +2695,630 @@ object MediaCodec {
       strips.foreach(s => u32(s.length))
     }
     out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // WebP (RIFF container; VP8L lossless bitstream — canonical prefix
+  // codes with the DEFLATE bit convention, LZ77 with the 2-D
+  // near-distance map, color cache, and all four transforms:
+  // predictor, color, subtract-green, color-indexing incl. pixel
+  // bundling). VP8 (lossy) and VP8X (extended) payloads are rejected
+  // loudly: lossy VP8 is in principle bit-exact but is a full video
+  // intra codec (boolean arithmetic coder, loop filter) — the
+  // lossless stream is what the codec-scope stance admits today.
+  // No ImageIO referee exists for WebP in a stock JVM, so the spec
+  // fixtures pin the bitstream by hand instead (the one codec here
+  // without an independent decoder to cross-check against).
+  // ---------------------------------------------------------------
+
+  /** LSB-first bit reader over the VP8L payload (the DEFLATE byte
+    * convention: bit 0 of byte 0 first). Prefix-code bits are read
+    * one at a time MSB-of-code-first via [[bit]]. */
+  private final class Vp8lBitReader(bytes: Array[Byte], var pos: Int) {
+    private var bitPos = 0
+    def bit(): Int = {
+      require(pos < bytes.length, "[GRAFT] webp: bitstream truncated")
+      val b = (bytes(pos) >> bitPos) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; pos += 1 }
+      b
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v |= bit() << i; i += 1 }
+      v
+    }
+  }
+
+  /** LSB-first bit writer (the encoder's dual; also the spec
+    * fixtures' hand-stream builder). `putCode` emits a canonical
+    * prefix code MSB-first — the DEFLATE packing. */
+  private[graft] final class Vp8lBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var buf = 0
+    private var cnt = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        buf |= ((v >> i) & 1) << cnt
+        cnt += 1
+        if (cnt == 8) { out.write(buf); buf = 0; cnt = 0 }
+        i += 1
+      }
+    }
+    def putCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { putBits((code >> i) & 1, 1); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      if (cnt > 0) { out.write(buf); buf = 0; cnt = 0 }
+      out.toByteArray
+    }
+  }
+
+  /** Canonical prefix decoder (DEFLATE code assignment: by length
+    * ascending, then symbol ascending). `counts(len)` and `syms` in
+    * canonical order; a single-symbol code reads ZERO bits (the
+    * spec's special case). Codes must otherwise be COMPLETE —
+    * an over- or under-subscribed length set throws. */
+  private final class Vp8lPrefixCode(lengths: Array[Int]) {
+    val nSyms: Int = lengths.count(_ > 0)
+    private val MaxLen = 15
+    private val counts = new Array[Int](MaxLen + 1)
+    lengths.foreach { l =>
+      require(l >= 0 && l <= MaxLen, "[GRAFT] webp: bad code length")
+      if (l > 0) counts(l) += 1
+    }
+    private val syms: Array[Int] = {
+      val order = Array.ofDim[Int](nSyms)
+      var k = 0
+      var len = 1
+      while (len <= MaxLen) {
+        var s = 0
+        while (s < lengths.length) {
+          if (lengths(s) == len) { order(k) = s; k += 1 }
+          s += 1
+        }
+        len += 1
+      }
+      order
+    }
+    val single: Int = if (nSyms == 1) syms(0) else -1
+    if (nSyms > 1) {
+      var kraft = 0L
+      var len = 1
+      while (len <= MaxLen) {
+        kraft += counts(len).toLong << (MaxLen - len)
+        len += 1
+      }
+      require(kraft == (1L << MaxLen),
+        "[GRAFT] webp: prefix code is not complete")
+    } else require(nSyms == 1, "[GRAFT] webp: empty prefix code")
+    def read(br: Vp8lBitReader): Int = {
+      if (single >= 0) return single
+      var code = 0
+      var first = 0
+      var index = 0
+      var len = 1
+      while (len <= MaxLen) {
+        code = (code << 1) | br.bit()
+        val c = counts(len)
+        if (code - first < c) return syms(index + code - first)
+        index += c
+        first = (first + c) << 1
+        len += 1
+      }
+      throw new IllegalArgumentException("[GRAFT] webp: invalid prefix code word")
+    }
+  }
+
+  /** Code-length-code symbol order (spec 5.2.2). */
+  private[graft] val Vp8lClOrder: Array[Int] =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** The 120-entry near-distance map (spec 5.2.3): (dx, dy)
+    * neighbors with dy ∈ [0, 8], dx ∈ [-8, 8] (dy = 0 ⇒ dx > 0),
+    * ordered by squared distance, then |dx|, positive dx first —
+    * generated from the rule rather than transcribed, so the table
+    * cannot carry a typo. */
+  private val Vp8lDistMap: Array[(Int, Int)] = {
+    val all = for {
+      dy <- 0 to 8
+      dx <- -8 to 8
+      if dy > 0 || dx > 0
+    } yield (dx, dy)
+    all.sortBy { case (dx, dy) =>
+      (dx * dx + dy * dy, math.abs(dx), if (dx < 0) 1 else 0) }
+      .take(120).toArray
+  }
+
+  private def vp8lReadPrefixCode(alphabet: Int,
+      br: Vp8lBitReader): Vp8lPrefixCode = {
+    if (br.bit() == 1) { // simple code: 1 or 2 symbols
+      val numSyms = br.bit() + 1
+      val first8 = br.bit()
+      val s0 = br.bits(if (first8 == 1) 8 else 1)
+      val lengths = new Array[Int](alphabet)
+      require(s0 < alphabet, "[GRAFT] webp: simple-code symbol out of range")
+      lengths(s0) = 1
+      if (numSyms == 2) {
+        val s1 = br.bits(8)
+        require(s1 < alphabet && s1 != s0,
+          "[GRAFT] webp: bad second simple-code symbol")
+        lengths(s1) = 1
+      }
+      new Vp8lPrefixCode(lengths)
+    } else {
+      val numCl = 4 + br.bits(4)
+      val clLengths = new Array[Int](19)
+      var i = 0
+      while (i < numCl) { clLengths(Vp8lClOrder(i)) = br.bits(3); i += 1 }
+      val clCode = new Vp8lPrefixCode(clLengths)
+      var maxSymbol =
+        if (br.bit() == 1) {
+          val nbits = 2 + 2 * br.bits(3)
+          2 + br.bits(nbits)
+        } else alphabet
+      val lengths = new Array[Int](alphabet)
+      var symbol = 0
+      var prevLen = 8
+      while (symbol < alphabet && maxSymbol > 0) {
+        maxSymbol -= 1
+        val cl = clCode.read(br)
+        if (cl < 16) {
+          lengths(symbol) = cl
+          symbol += 1
+          if (cl != 0) prevLen = cl
+        } else {
+          val (repeat, value) = cl match {
+            case 16 => (3 + br.bits(2), prevLen)
+            case 17 => (3 + br.bits(3), 0)
+            case _ => (11 + br.bits(7), 0)
+          }
+          require(symbol + repeat <= alphabet,
+            "[GRAFT] webp: code-length repeat overruns the alphabet")
+          var r = 0
+          while (r < repeat) { lengths(symbol) = value; symbol += 1; r += 1 }
+        }
+      }
+      new Vp8lPrefixCode(lengths)
+    }
+  }
+
+  /** LZ77 length/distance prefix value (spec 5.2.3). */
+  private def vp8lLz77(code: Int, br: Vp8lBitReader): Int =
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      offset + br.bits(extra) + 1
+    }
+
+  /** One entropy-coded ARGB image (spec 5.2.2/5.2.3): color cache,
+    * optional meta prefix groups (main image only), the 5-code
+    * group(s), literals / backward references / cache hits. */
+  private def vp8lDecodeImage(w: Int, h: Int, isMain: Boolean,
+      br: Vp8lBitReader): Array[Int] = {
+    require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+      "[GRAFT] webp: bad image dimensions")
+    val cacheBits = if (br.bit() == 1) {
+      val b = br.bits(4)
+      require(b >= 1 && b <= 11, "[GRAFT] webp: cache bits must be 1-11")
+      b
+    } else 0
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    // meta prefix groups (main image only)
+    var metaBits = 0
+    var metaImg: Array[Int] = null
+    var metaW = 0
+    var nGroups = 1
+    if (isMain && br.bit() == 1) {
+      metaBits = 2 + br.bits(3)
+      metaW = (w + (1 << metaBits) - 1) >> metaBits
+      val metaH = (h + (1 << metaBits) - 1) >> metaBits
+      metaImg = vp8lDecodeImage(metaW, metaH, isMain = false, br)
+      var mx = 0
+      metaImg.foreach { p => val g = (p >> 8) & 0xffff; if (g > mx) mx = g }
+      nGroups = mx + 1
+    }
+    val greenAlphabet = 256 + 24 + cacheSize
+    val groups = Array.fill(nGroups) {
+      Array(vp8lReadPrefixCode(greenAlphabet, br),
+        vp8lReadPrefixCode(256, br),
+        vp8lReadPrefixCode(256, br),
+        vp8lReadPrefixCode(256, br),
+        vp8lReadPrefixCode(40, br))
+    }
+    val argb = new Array[Int](w * h)
+    def insert(p: Int): Unit = if (cache != null)
+      cache((0x1e35a7bd * p) >>> (32 - cacheBits)) = p
+    var pos = 0
+    val n = w * h
+    while (pos < n) {
+      val g = if (metaImg == null) groups(0)
+        else {
+          val x = pos % w; val y = pos / w
+          val mp = metaImg((y >> metaBits) * metaW + (x >> metaBits))
+          val gi = (mp >> 8) & 0xffff
+          groups(gi)
+        }
+      val s = g(0).read(br)
+      if (s < 256) {
+        val red = g(1).read(br)
+        val blue = g(2).read(br)
+        val alpha = g(3).read(br)
+        val p = (alpha << 24) | (red << 16) | (s << 8) | blue
+        argb(pos) = p
+        insert(p)
+        pos += 1
+      } else if (s < 280) {
+        val length = vp8lLz77(s - 256, br)
+        val distCode = vp8lLz77(g(4).read(br), br)
+        val dist =
+          if (distCode > 120) distCode - 120
+          else {
+            val (dx, dy) = Vp8lDistMap(distCode - 1)
+            math.max(1, dy * w + dx)
+          }
+        require(dist <= pos, "[GRAFT] webp: backward reference before start")
+        require(pos + length <= n, "[GRAFT] webp: backward reference overruns")
+        var i = 0
+        while (i < length) {
+          val p = argb(pos - dist)
+          argb(pos) = p
+          insert(p)
+          pos += 1
+          i += 1
+        }
+      } else {
+        require(cache != null && s - 280 < cacheSize,
+          "[GRAFT] webp: cache reference without a color cache")
+        val p = cache(s - 280)
+        argb(pos) = p
+        insert(p)
+        pos += 1
+      }
+    }
+    argb
+  }
+
+  /** Decode a WebP file: RIFF walk to the VP8L chunk, bitstream
+    * header, transforms (read forward, inverted in reverse), the
+    * entropy-coded image. Returns an RGBA raster (VP8L is ARGB
+    * internally). VP8 / VP8X chunks are rejected loudly. */
+  def decodeWebp(bytes: Array[Byte]): Raster = {
+    require(bytes.length >= 20 &&
+      new String(bytes, 0, 4, StandardCharsets.US_ASCII) == "RIFF" &&
+      new String(bytes, 8, 4, StandardCharsets.US_ASCII) == "WEBP",
+      "[GRAFT] webp: missing RIFF/WEBP header")
+    var off = 12
+    var payload: Array[Byte] = null
+    while (payload == null && off + 8 <= bytes.length) {
+      val tag = new String(bytes, off, 4, StandardCharsets.US_ASCII)
+      val size = (bytes(off + 4) & 0xff) | ((bytes(off + 5) & 0xff) << 8) |
+        ((bytes(off + 6) & 0xff) << 16) | ((bytes(off + 7) & 0xff) << 24)
+      require(size >= 0 && off + 8 + size <= bytes.length,
+        "[GRAFT] webp: chunk overruns the file")
+      tag match {
+        case "VP8L" =>
+          payload = java.util.Arrays.copyOfRange(bytes, off + 8,
+            off + 8 + size)
+        case "VP8 " | "VP8X" => throw new IllegalArgumentException(
+          s"[GRAFT] webp: $tag payloads (lossy/extended) are not " +
+            "supported — only VP8L lossless")
+        case _ => // skip unknown chunks (word-aligned)
+      }
+      off += 8 + size + (size & 1)
+    }
+    require(payload != null, "[GRAFT] webp: no VP8L chunk")
+    require(payload.length >= 5 && (payload(0) & 0xff) == 0x2f,
+      "[GRAFT] webp: bad VP8L signature byte")
+    val br = new Vp8lBitReader(payload, 1)
+    val w = br.bits(14) + 1
+    val h = br.bits(14) + 1
+    br.bit() // alpha hint — informational
+    require(br.bits(3) == 0, "[GRAFT] webp: unsupported VP8L version")
+    // transforms, in read order; each sized at the CURRENT width
+    // (color indexing reduces the coded width for everything after)
+    var curW = w
+    // (type, sizeBits, data, widthBeforeThisTransform)
+    val transforms = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Array[Int], Int)]
+    var seen = Set.empty[Int]
+    while (br.bit() == 1) {
+      val t = br.bits(2)
+      require(!seen(t), "[GRAFT] webp: duplicate transform")
+      seen += t
+      t match {
+        case 0 | 1 => // predictor / color: per-block sub-image
+          val sizeBits = br.bits(3) + 2
+          val tw = (curW + (1 << sizeBits) - 1) >> sizeBits
+          val th = (h + (1 << sizeBits) - 1) >> sizeBits
+          transforms += ((t, sizeBits,
+            vp8lDecodeImage(tw, th, isMain = false, br), curW))
+        case 2 => // subtract green
+          transforms += ((2, 0, null, curW))
+        case _ => // color indexing
+          val paletteSize = br.bits(8) + 1
+          val palette0 = vp8lDecodeImage(paletteSize, 1, isMain = false, br)
+          // palette entries are delta-coded per channel
+          val palette = new Array[Int](paletteSize)
+          var prev = 0
+          var i = 0
+          while (i < paletteSize) {
+            val d = palette0(i)
+            val p = (((prev >>> 24) + (d >>> 24)) & 0xff) << 24 |
+              ((((prev >> 16) & 0xff) + ((d >> 16) & 0xff)) & 0xff) << 16 |
+              ((((prev >> 8) & 0xff) + ((d >> 8) & 0xff)) & 0xff) << 8 |
+              (((prev & 0xff) + (d & 0xff)) & 0xff)
+            palette(i) = p
+            prev = p
+            i += 1
+          }
+          transforms += ((3, paletteSize, palette, curW))
+          val ppu = vp8lPixelsPerUnit(paletteSize)
+          curW = (curW + ppu - 1) / ppu
+      }
+    }
+    var img = vp8lDecodeImage(curW, h, isMain = true, br)
+    // invert in reverse read order
+    transforms.reverseIterator.foreach { case (t, aux, data, wBefore) =>
+      t match {
+        case 0 => img = vp8lInvPredictor(img, curW, h, data, aux)
+        case 1 => img = vp8lInvColorTransform(img, curW, h, data, aux)
+        case 2 =>
+          var i = 0
+          while (i < img.length) {
+            val p = img(i)
+            val gch = (p >> 8) & 0xff
+            img(i) = (p & 0xff00ff00.toInt) |
+              ((((p >> 16) & 0xff) + gch) & 0xff) << 16 |
+              (((p & 0xff) + gch) & 0xff)
+            i += 1
+          }
+        case _ =>
+          img = vp8lInvColorIndex(img, curW, h, data, aux, wBefore)
+          curW = wBefore
+      }
+    }
+    require(curW == w, "[GRAFT] webp: transform width bookkeeping broke")
+    val out = new Array[Byte](w * h * 4)
+    var i = 0
+    while (i < w * h) {
+      val p = img(i)
+      out(4 * i) = ((p >> 16) & 0xff).toByte
+      out(4 * i + 1) = ((p >> 8) & 0xff).toByte
+      out(4 * i + 2) = (p & 0xff).toByte
+      out(4 * i + 3) = ((p >>> 24) & 0xff).toByte
+      i += 1
+    }
+    Raster(w, h, "RGBA", out)
+  }
+
+  private def vp8lPixelsPerUnit(paletteSize: Int): Int =
+    if (paletteSize <= 2) 8 else if (paletteSize <= 4) 4
+    else if (paletteSize <= 16) 2 else 1
+
+  /** Inverse color-indexing: green channel carries the (possibly
+    * bundled) palette index; out-of-range indices throw. */
+  private def vp8lInvColorIndex(img: Array[Int], wB: Int, h: Int,
+      palette: Array[Int], paletteSize: Int, w: Int): Array[Int] = {
+    val ppu = vp8lPixelsPerUnit(paletteSize)
+    val bitsPer = 8 / ppu
+    val mask = (1 << bitsPer) - 1
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val unit = img(y * wB + x / ppu)
+        val idx = ((unit >> 8) >> ((x % ppu) * bitsPer)) & mask
+        require(idx < paletteSize,
+          s"[GRAFT] webp: palette index $idx out of range")
+        out(y * w + x) = palette(idx)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def vp8lAvg2(a: Int, b: Int): Int =
+    ((((a >>> 24) + (b >>> 24)) / 2) << 24) |
+      (((((a >> 16) & 0xff) + ((b >> 16) & 0xff)) / 2) << 16) |
+      (((((a >> 8) & 0xff) + ((b >> 8) & 0xff)) / 2) << 8) |
+      (((a & 0xff) + (b & 0xff)) / 2)
+
+  private def vp8lClamp255(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Inverse predictor transform (spec 5.2.1.1): 14 modes; the
+    * residual adds to the prediction per channel mod 256. Edge
+    * rules: (0,0) predicts opaque black, the rest of row 0 uses L,
+    * column 0 uses T; TR at the right edge reads the linear-memory
+    * neighbor (the first pixel of the CURRENT row), per the spec. */
+  private def vp8lInvPredictor(img: Array[Int], w: Int, h: Int,
+      sub: Array[Int], sizeBits: Int): Array[Int] = {
+    val subW = (w + (1 << sizeBits) - 1) >> sizeBits
+    val out = img // in place: predictions only read finished pixels
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pred: Int =
+          if (x == 0 && y == 0) 0xff000000
+          else if (y == 0) out(y * w + x - 1)
+          else if (x == 0) out((y - 1) * w)
+          else {
+            val mode = (sub((y >> sizeBits) * subW + (x >> sizeBits)) >> 8) & 0xff
+            require(mode < 14, s"[GRAFT] webp: bad predictor mode $mode")
+            val l = out(y * w + x - 1)
+            val t = out((y - 1) * w + x)
+            val tl = out((y - 1) * w + x - 1)
+            // at x = w-1 this linear index lands on the CURRENT
+            // row's first pixel (already decoded) — the spec's
+            // linear-memory top-right rule
+            val tr = out((y - 1) * w + x + 1)
+            mode match {
+              case 0 => 0xff000000
+              case 1 => l
+              case 2 => t
+              case 3 => tr
+              case 4 => tl
+              case 5 => vp8lAvg2(vp8lAvg2(l, tr), t)
+              case 6 => vp8lAvg2(l, tl)
+              case 7 => vp8lAvg2(l, t)
+              case 8 => vp8lAvg2(tl, t)
+              case 9 => vp8lAvg2(t, tr)
+              case 10 => vp8lAvg2(vp8lAvg2(l, tl), vp8lAvg2(t, tr))
+              case 11 => // Select
+                val pa = (l >>> 24) + (t >>> 24) - (tl >>> 24)
+                val pr = ((l >> 16) & 0xff) + ((t >> 16) & 0xff) - ((tl >> 16) & 0xff)
+                val pg = ((l >> 8) & 0xff) + ((t >> 8) & 0xff) - ((tl >> 8) & 0xff)
+                val pb = (l & 0xff) + (t & 0xff) - (tl & 0xff)
+                val pL = math.abs(pa - (l >>> 24).toInt) +
+                  math.abs(pr - ((l >> 16) & 0xff)) +
+                  math.abs(pg - ((l >> 8) & 0xff)) +
+                  math.abs(pb - (l & 0xff))
+                val pT = math.abs(pa - (t >>> 24).toInt) +
+                  math.abs(pr - ((t >> 16) & 0xff)) +
+                  math.abs(pg - ((t >> 8) & 0xff)) +
+                  math.abs(pb - (t & 0xff))
+                if (pL < pT) l else t
+              case 12 => // ClampAddSubtractFull
+                (vp8lClamp255((l >>> 24) + (t >>> 24) - (tl >>> 24)) << 24) |
+                  (vp8lClamp255(((l >> 16) & 0xff) + ((t >> 16) & 0xff) - ((tl >> 16) & 0xff)) << 16) |
+                  (vp8lClamp255(((l >> 8) & 0xff) + ((t >> 8) & 0xff) - ((tl >> 8) & 0xff)) << 8) |
+                  vp8lClamp255((l & 0xff) + (t & 0xff) - (tl & 0xff))
+              case _ => // 13: ClampAddSubtractHalf
+                val av = vp8lAvg2(l, t)
+                def half(a: Int, b: Int): Int = vp8lClamp255(a + (a - b) / 2)
+                (half((av >>> 24), (tl >>> 24)) << 24) |
+                  (half((av >> 16) & 0xff, (tl >> 16) & 0xff) << 16) |
+                  (half((av >> 8) & 0xff, (tl >> 8) & 0xff) << 8) |
+                  half(av & 0xff, tl & 0xff)
+            }
+          }
+        val r = out(y * w + x)
+        out(y * w + x) =
+          ((((r >>> 24) + (pred >>> 24)) & 0xff) << 24) |
+            (((((r >> 16) & 0xff) + ((pred >> 16) & 0xff)) & 0xff) << 16) |
+            (((((r >> 8) & 0xff) + ((pred >> 8) & 0xff)) & 0xff) << 8) |
+            (((r & 0xff) + (pred & 0xff)) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Inverse color transform (spec 5.2.1.2): per-block transform
+    * elements ride the sub-image's channels; deltas are products of
+    * SIGNED bytes, arithmetic-shifted. */
+  private def vp8lInvColorTransform(img: Array[Int], w: Int, h: Int,
+      sub: Array[Int], sizeBits: Int): Array[Int] = {
+    val subW = (w + (1 << sizeBits) - 1) >> sizeBits
+    def delta(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cte = sub((y >> sizeBits) * subW + (x >> sizeBits))
+        val g2r = cte & 0xff          // blue channel: green_to_red
+        val g2b = (cte >> 8) & 0xff   // green channel: green_to_blue
+        val r2b = (cte >> 16) & 0xff  // red channel: red_to_blue
+        val p = img(y * w + x)
+        val green = (p >> 8) & 0xff
+        val red = (((p >> 16) & 0xff) + delta(g2r, green)) & 0xff
+        val blue0 = ((p & 0xff) + delta(g2b, green)) & 0xff
+        val blue = (blue0 + delta(r2b, red)) & 0xff
+        img(y * w + x) = (p & 0xff00ff00.toInt) | (red << 16) | blue
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Wrap a raw VP8L bitstream (header bits onward, WITHOUT the
+    * 0x2f signature byte) into a complete WebP file — shared by the
+    * encoder and the spec's hand-built fixture streams. */
+  private[graft] def vp8lContainer(stream: Array[Byte]): Array[Byte] = {
+    val payload = new Array[Byte](1 + stream.length)
+    payload(0) = 0x2f
+    System.arraycopy(stream, 0, payload, 1, stream.length)
+    val padded = payload.length + (payload.length & 1)
+    val out = ByteBuffer.allocate(12 + 8 + padded)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes(StandardCharsets.US_ASCII))
+    out.putInt(4 + 8 + padded)
+    out.put("WEBP".getBytes(StandardCharsets.US_ASCII))
+    out.put("VP8L".getBytes(StandardCharsets.US_ASCII))
+    out.putInt(payload.length)
+    out.put(payload)
+    if (padded != payload.length) out.put(0.toByte)
+    out.array()
+  }
+
+  /** Encode an RGB raster as a LOSSLESS WebP (VP8L): no transforms,
+    * no color cache, literal-only coding with complete fixed 8-bit
+    * codes for green/red/blue (each built through the full
+    * code-length machinery: a single-symbol code-length code
+    * repeating "8" up to max_symbol = 256), a single-symbol alpha
+    * code (every pixel opaque — zero bits per pixel) and a
+    * single-symbol distance code (never read). A bona fide file any
+    * spec-conforming VP8L decoder accepts; dimensions cap at the
+    * format's 14-bit fields. */
+  def encodeWebpLossless(pixels: Array[Byte], width: Int,
+      height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 &&
+      pixels.length == width.toLong * height * 3,
+      "[GRAFT] webp: pixels must be width*height*3 bytes")
+    require(width <= 16384 && height <= 16384,
+      "[GRAFT] webp: dimensions exceed the 14-bit VP8L fields")
+    val bw = new Vp8lBitWriter
+    bw.putBits(width - 1, 14)
+    bw.putBits(height - 1, 14)
+    bw.putBits(0, 1) // no alpha
+    bw.putBits(0, 3) // version
+    bw.putBits(0, 1) // no transforms
+    bw.putBits(0, 1) // no color cache
+    bw.putBits(0, 1) // no meta prefix
+    // green/red/blue: the fixed 8-bit code via the full form
+    def fixed8(): Unit = {
+      bw.putBits(0, 1)      // not simple
+      bw.putBits(8, 4)      // num_code_lengths = 12 (covers symbol 8)
+      var i = 0
+      while (i < 12) {      // CL lengths: only symbol 8 (order pos 11)
+        bw.putBits(if (Vp8lClOrder(i) == 8) 1 else 0, 3)
+        i += 1
+      }
+      bw.putBits(1, 1)      // use max_symbol
+      bw.putBits(3, 3)      // length_nbits = 2 + 2*3 = 8
+      bw.putBits(254, 8)    // max_symbol = 2 + 254 = 256
+      // the 256 "8" symbols then cost zero bits (single-symbol code)
+    }
+    def single(sym: Int, is8: Boolean): Unit = {
+      bw.putBits(1, 1)                  // simple
+      bw.putBits(0, 1)                  // one symbol
+      bw.putBits(if (is8) 1 else 0, 1)
+      bw.putBits(sym, if (is8) 8 else 1)
+    }
+    fixed8() // green
+    fixed8() // red
+    fixed8() // blue
+    single(255, is8 = true) // alpha: always 255, zero bits per pixel
+    single(0, is8 = false)  // distance: never read
+    var i = 0
+    while (i < width * height) {
+      bw.putCode(pixels(3 * i + 1) & 0xff, 8) // green
+      bw.putCode(pixels(3 * i) & 0xff, 8)     // red
+      bw.putCode(pixels(3 * i + 2) & 0xff, 8) // blue
+      i += 1
+    }
+    vp8lContainer(bw.toBytes)
   }
 
   // ---------------------------------------------------------------

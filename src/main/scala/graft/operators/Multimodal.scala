@@ -63,13 +63,14 @@ object Multimodal {
     case "image/jpeg" => MediaCodec.decodeJpeg(bytes)
     case "image/gif" => MediaCodec.decodeGif(bytes)
     case "image/tiff" => MediaCodec.decodeTiff(bytes)
+    case "image/webp" => MediaCodec.decodeWebp(bytes)
     case other => throw new IllegalArgumentException(
       s"[GRAFT] no raster decoder registered for format $other")
   }
 
   private[operators] val RasterFormats: Set[String] =
     Set("image/bmp", "image/ppm", "image/png", "image/jpeg", "image/gif",
-      "image/tiff")
+      "image/tiff", "image/webp")
 
   /** Route an UNLABELED binary column into the media family: sniff
     * each blob's format from its magic bytes
@@ -223,6 +224,18 @@ object Multimodal {
       format = "image/tiff",
       enc = (p, w, h) => MediaCodec.encodeTiff(p, w, h, channels = 3,
         packBits = packBits, rowsPerStrip = if (packBits) 2 else 0))
+
+  /** WebP (VP8L lossless) twin of [[synthesizePng]]: the same 4-wide
+    * RGB geometry in a real RIFF + VP8L container — decoding walks
+    * the chunk layout, the LSB-first bitstream, the code-length
+    * machinery, and the canonical prefix codes. Capped at the
+    * format's 14-bit dimension fields (16384 rows; the oracle
+    * mirrors the cap). */
+  def synthesizeWebp(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): Dataset[MediaRecord] =
+    synthRgb(docs, textCol, idCol, capBytes = 12 * 16384,
+      format = "image/webp",
+      enc = (p, w, h) => MediaCodec.encodeWebpLossless(p, w, h))
 
   /** Camera-rotated twin of [[synthesizeTiff]] for EXIF-orientation
     * testing: each doc's UPRIGHT 4-wide raster is transformed by the
