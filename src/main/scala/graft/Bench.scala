@@ -386,6 +386,10 @@ object Bench {
     entry("webp_decode") { median {
       SparkEntry.queries("multimodal_webp")(spark, sfDir).count()
     } }
+    // FLAC multi-frame encode + subframe/Rice decode (per-partition)
+    entry("flac_decode") { median {
+      SparkEntry.queries("multimodal_flac")(spark, sfDir).count()
+    } }
     // decode -> NN resize -> PNG re-encode -> decode, the image
     // normalization shape (per-partition batch kernel, pure scan)
     entry("media_resize") { median {

@@ -3066,6 +3066,33 @@ object SparkEntry {
     // integer fold per 64-sample window (8-bit samples centered at
     // 128) — the oracle reproduces every value from the payload
     // characters, pinning the container round trip too ----
+    // ---- FLAC lossless audio: payload bytes as 16-bit samples
+    // through real multi-frame FLAC (sync + CRC-8/16, constant /
+    // verbatim / fixed-order-2 + Rice subframes picked per block) —
+    // the row only hash-matches if the whole frame walk decodes
+    // bit-exactly back to the payload ----
+    "multimodal_flac" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizeFlac(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.decodeStats(s, media)
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"),
+          col("height"), col("n_samples"), col("c0_milli"),
+          col("c1_milli"), col("c2_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- FLAC through the DSP family: windowed energy/peak over
+    // the decoded (signed, center-0) samples — the audio feature
+    // pass now runs on FLAC corpora unchanged ----
+    "multimodal_flac_energy" -> ((s, dir) => {
+      val media = graft.operators.Multimodal
+        .synthesizeFlac(s.read.parquet(s"$dir/documents.parquet"))
+      graft.operators.Multimodal.audioEnergyWindows(s, media,
+          window = 64)
+        .orderBy(col("doc_id").asc, col("win").asc)
+    }),
+
     "multimodal_audio_energy" -> ((s, dir) => {
       val media = graft.operators.Multimodal
         .synthesizeMedia(s.read.parquet(s"$dir/documents.parquet"))
@@ -5450,6 +5477,43 @@ object SparkEntry {
     // duckUtf8Bytes convention every byte-level multimodal/hash
     // oracle uses) — codepoint arithmetic would silently diverge from
     // the WAV byte stream on any non-ASCII corpus text
+    // FLAC: samples are payload bytes (encoded as 16-bit values
+    // 0..255), so the stats chain is the WAV byte arithmetic with
+    // the engine's exact meanMilli(sum, n) double chain
+    "multimodal_flac" ->
+      s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+        |s AS (SELECT doc_id, len(bs) AS n,
+        |    COALESCE(list_sum(bs), 0) AS sm,
+        |    COALESCE(list_max(bs), 0) AS mx,
+        |    COALESCE(list_min(bs), 0) AS mn FROM b)
+        |SELECT doc_id, 'audio/flac' AS format,
+        |  CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CASE WHEN n = 0 THEN 0
+        |    ELSE CAST(round(sm * 1000.0 / (255.0 * n)) AS BIGINT)
+        |  END AS c0_milli,
+        |  CASE WHEN n = 0 THEN 0
+        |    ELSE CAST(round((mx * n) * 1000.0 / (255.0 * n)) AS BIGINT)
+        |  END AS c1_milli,
+        |  CASE WHEN n = 0 THEN 0
+        |    ELSE CAST(round((mn * n) * 1000.0 / (255.0 * n)) AS BIGINT)
+        |  END AS c2_milli
+        |FROM s ORDER BY doc_id ASC""".stripMargin,
+
+    // FLAC energy windows: center 0 (signed samples), else the
+    // multimodal_audio_energy integer fold verbatim
+    "multimodal_flac_energy" ->
+      s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs FROM documents),
+        |s AS (SELECT doc_id, unnest(bs) AS v,
+        |    unnest(range(1, len(bs) + 1)) AS i
+        |  FROM b)
+        |SELECT doc_id, CAST((i - 1) // 64 AS BIGINT) AS win,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id, win
+        |ORDER BY doc_id ASC, win ASC""".stripMargin,
+
     "multimodal_audio_energy" ->
       s"""WITH b AS (SELECT doc_id, $duckUtf8Bytes AS bs
         |  FROM documents WHERE doc_id % 3 = 0),
@@ -7036,6 +7100,8 @@ object SparkEntry {
        |        AND bs[3] = 70 AND bs[4] = 70 AND bs[9] = 87
        |        AND bs[10] = 69 AND bs[11] = 66 AND bs[12] = 80
        |        THEN 'image/webp'
+       |      WHEN len(bs) >= 4 AND bs[1] = 102 AND bs[2] = 76
+       |        AND bs[3] = 97 AND bs[4] = 67 THEN 'audio/flac'
        |      WHEN len(bs) >= 3 AND bs[1] = 80 AND bs[2] = 54
        |        AND bs[3] IN (9, 10, 13, 32) THEN 'image/ppm'
        |      WHEN len(bs) >= 2 AND bs[1] = 66 AND bs[2] = 77

@@ -21,6 +21,7 @@ object MediaSniff {
   private val Tiff = UTF8String.fromString("image/tiff")
   private val Wav = UTF8String.fromString("audio/wav")
   private val Webp = UTF8String.fromString("image/webp")
+  private val Flac = UTF8String.fromString("audio/flac")
   private val Ppm = UTF8String.fromString("image/ppm")
   private val Bmp = UTF8String.fromString("image/bmp")
 
@@ -43,6 +44,8 @@ object MediaSniff {
     else if (b.length >= 12 && at(0) == 'R' && at(1) == 'I' &&
       at(2) == 'F' && at(3) == 'F' && at(8) == 'W' && at(9) == 'E' &&
       at(10) == 'B' && at(11) == 'P') Webp
+    else if (b.length >= 4 && at(0) == 'f' && at(1) == 'L' &&
+      at(2) == 'a' && at(3) == 'C') Flac
     else if (b.length >= 3 && at(0) == 'P' && at(1) == '6' &&
       (at(2) == ' ' || at(2) == '\t' || at(2) == '\n' ||
         at(2) == '\r')) Ppm

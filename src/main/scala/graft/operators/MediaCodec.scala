@@ -3322,6 +3322,513 @@ object MediaCodec {
   }
 
   // ---------------------------------------------------------------
+  // FLAC (lossless audio: STREAMINFO walk, frame sync + CRC-8/16,
+  // constant / verbatim / fixed / LPC subframes, partitioned Rice
+  // residuals, stereo decorrelation). FLAC is integer-exact by
+  // specification — squarely inside the codec-scope stance that
+  // keeps MP3 out — and speech corpora (LibriSpeech et al.) ship it.
+  // No stock-JVM referee exists (javax.sound reads WAV/AIFF/AU
+  // only), so the spec pins hand-built frames, the WebP stance.
+  // ---------------------------------------------------------------
+
+  /** MSB-first bit reader (FLAC packs big-endian). */
+  private final class FlacBitReader(bytes: Array[Byte], var pos: Int) {
+    private var bitPos = 0
+    def bytePos: Int = pos
+    def aligned: Boolean = bitPos == 0
+    def bit(): Int = {
+      require(pos < bytes.length, "[GRAFT] flac: bitstream truncated")
+      val b = (bytes(pos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; pos += 1 }
+      b
+    }
+    def bits(n: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def signedBits(n: Int): Long = {
+      val v = bits(n)
+      if (n > 0 && (v & (1L << (n - 1))) != 0) v - (1L << n) else v
+    }
+    def unary(): Int = {
+      var n = 0
+      while (bit() == 0) {
+        n += 1
+        require(n < (1 << 24), "[GRAFT] flac: runaway unary code")
+      }
+      n
+    }
+  }
+
+  /** MSB-first bit writer (the encoder's and the spec fixtures'). */
+  private[graft] final class FlacBitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var buf = 0
+    private var cnt = 0
+    def putBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        buf = (buf << 1) | ((v >> i) & 1).toInt
+        cnt += 1
+        if (cnt == 8) { out.write(buf); buf = 0; cnt = 0 }
+        i -= 1
+      }
+    }
+    def putUnary(q: Int): Unit = { var i = 0; while (i < q) { putBits(0, 1); i += 1 }; putBits(1, 1) }
+    def alignZero(): Unit = while (cnt != 0) putBits(0, 1)
+    def toBytes: Array[Byte] = {
+      require(cnt == 0, "[GRAFT] flac: writer not byte-aligned")
+      out.toByteArray
+    }
+  }
+
+  /** CRC-8, poly 0x07, init 0 — the FLAC frame-header checksum. */
+  private[graft] def flacCrc8(bytes: Array[Byte], from: Int,
+      until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= bytes(i) & 0xff
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff
+          else (crc << 1) & 0xff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, poly 0x8005, init 0 — the FLAC frame checksum. */
+  private[graft] def flacCrc16(bytes: Array[Byte], from: Int,
+      until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (bytes(i) & 0xff) << 8
+      var b = 0
+      while (b < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff
+          else (crc << 1) & 0xffff
+        b += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** FLAC's extended-UTF-8 frame/sample number coding. */
+  private[graft] def flacUtf8Encode(v: Long): Array[Byte] = {
+    require(v >= 0, "[GRAFT] flac: negative coded number")
+    if (v < 0x80) Array(v.toByte)
+    else {
+      // an n-byte form carries 5n+1 bits (the 7-byte form: 36)
+      var bytesNeeded = 2
+      while (bytesNeeded < 7 && v >= (1L << (5 * bytesNeeded + 1)))
+        bytesNeeded += 1
+      val out = new Array[Byte](bytesNeeded)
+      var rest = v
+      var i = bytesNeeded - 1
+      while (i > 0) {
+        out(i) = (0x80 | (rest & 0x3f)).toByte
+        rest >>= 6
+        i -= 1
+      }
+      val lead = (0xff << (8 - bytesNeeded)) & 0xff
+      out(0) = (lead | rest).toByte
+      out
+    }
+  }
+
+  private def flacUtf8Decode(br: FlacBitReader): Long = {
+    val first = br.bits(8).toInt
+    if ((first & 0x80) == 0) first.toLong
+    else {
+      var n = 0
+      var mask = 0x40
+      while ((first & mask) != 0) { n += 1; mask >>= 1 }
+      require(n >= 1 && n <= 6, "[GRAFT] flac: bad coded-number lead byte")
+      var v = (first & (mask - 1)).toLong
+      var i = 0
+      while (i < n) {
+        val c = br.bits(8).toInt
+        require((c & 0xc0) == 0x80, "[GRAFT] flac: bad coded-number continuation")
+        v = (v << 6) | (c & 0x3f)
+        i += 1
+      }
+      v
+    }
+  }
+
+  private val FlacBlockSizes = Array(-1, 192, 576, 1152, 2304, 4608,
+    -6, -7, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+  private val FlacSampleSizes = Array(0, 8, 12, -1, 16, 20, 24, 32)
+
+  /** Decode a FLAC stream to PCM (the [[decodeWav]] twin): walks the
+    * metadata blocks, then every frame — sync + CRC-8 header, the
+    * four subframe types, partitioned Rice residuals, stereo
+    * decorrelation, CRC-16 footer. Integer-exact per the spec.
+    * Mono/stereo, 8/16/24-bit. */
+  def decodeFlac(bytes: Array[Byte]): Pcm = {
+    require(bytes.length >= 42 &&
+      new String(bytes, 0, 4, StandardCharsets.US_ASCII) == "fLaC",
+      "[GRAFT] flac: missing fLaC magic")
+    var pos = 4
+    var sampleRate = 0
+    var channels = 0
+    var bps = 0
+    var totalSamples = 0L
+    var sawStreamInfo = false
+    var last = false
+    while (!last) {
+      require(pos + 4 <= bytes.length, "[GRAFT] flac: metadata truncated")
+      val hdr = bytes(pos) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val len = ((bytes(pos + 1) & 0xff) << 16) |
+        ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      pos += 4
+      require(pos + len <= bytes.length, "[GRAFT] flac: metadata overruns")
+      if (btype == 0) {
+        require(len == 34, "[GRAFT] flac: bad STREAMINFO length")
+        val br = new FlacBitReader(bytes, pos)
+        br.bits(16); br.bits(16) // min/max block size
+        br.bits(24); br.bits(24) // min/max frame size
+        sampleRate = br.bits(20).toInt
+        channels = br.bits(3).toInt + 1
+        bps = br.bits(5).toInt + 1
+        totalSamples = br.bits(36)
+        sawStreamInfo = true
+      }
+      pos += len
+    }
+    require(sawStreamInfo, "[GRAFT] flac: no STREAMINFO block")
+    require(sampleRate > 0, "[GRAFT] flac: bad sample rate")
+    require(channels >= 1 && channels <= 2,
+      s"[GRAFT] flac: $channels channels unsupported (mono/stereo only)")
+    require(bps == 8 || bps == 16 || bps == 24,
+      s"[GRAFT] flac: $bps bits/sample unsupported")
+    val outSamples = new scala.collection.mutable.ArrayBuffer[Int]()
+    while (pos < bytes.length) {
+      val frameStart = pos
+      val br = new FlacBitReader(bytes, pos)
+      require(br.bits(14) == 0x3ffe, "[GRAFT] flac: lost frame sync")
+      require(br.bit() == 0, "[GRAFT] flac: reserved bit set")
+      br.bit() // blocking strategy
+      val bsCode = br.bits(4).toInt
+      val srCode = br.bits(4).toInt
+      val chAsgn = br.bits(4).toInt
+      val ssCode = br.bits(3).toInt
+      require(br.bit() == 0, "[GRAFT] flac: reserved bit set")
+      flacUtf8Decode(br)
+      val blockSize = bsCode match {
+        case 0 => throw new IllegalArgumentException(
+          "[GRAFT] flac: reserved block-size code")
+        case 6 => br.bits(8).toInt + 1
+        case 7 => br.bits(16).toInt + 1
+        case c => FlacBlockSizes(c)
+      }
+      srCode match {
+        case 12 => br.bits(8)
+        case 13 | 14 => br.bits(16)
+        case 15 => throw new IllegalArgumentException(
+          "[GRAFT] flac: invalid sample-rate code")
+        case _ => ()
+      }
+      val frameBps = ssCode match {
+        case 0 => bps
+        case 3 | 7 => throw new IllegalArgumentException(
+          "[GRAFT] flac: reserved sample-size code")
+        case c => FlacSampleSizes(c)
+      }
+      require(br.aligned, "[GRAFT] flac: header must be byte-aligned")
+      val crc8At = br.bytePos
+      require(flacCrc8(bytes, frameStart, crc8At) == br.bits(8).toInt,
+        "[GRAFT] flac: frame header CRC-8 mismatch")
+      val nCh = if (chAsgn <= 7) chAsgn + 1 else 2
+      require(nCh == channels, "[GRAFT] flac: channel count drifted")
+      val chans = Array.ofDim[Array[Long]](nCh)
+      var ch = 0
+      while (ch < nCh) {
+        val extraBit = chAsgn match {
+          case 8 => if (ch == 1) 1 else 0  // left/side
+          case 9 => if (ch == 0) 1 else 0  // right/side
+          case 10 => if (ch == 1) 1 else 0 // mid/side
+          case _ => 0
+        }
+        chans(ch) = flacSubframe(br, blockSize, frameBps + extraBit)
+        ch += 1
+      }
+      // stereo decorrelation
+      chAsgn match {
+        case 8 => // left/side: right = left - side
+          var i = 0
+          while (i < blockSize) {
+            chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1
+          }
+        case 9 => // right/side: left = right + side
+          var i = 0
+          while (i < blockSize) {
+            val right = chans(1)(i)
+            chans(1)(i) = right
+            chans(0)(i) = right + chans(0)(i)
+            i += 1
+          }
+        case 10 => // mid/side
+          var i = 0
+          while (i < blockSize) {
+            val side = chans(1)(i)
+            val mid = (chans(0)(i) << 1) | (side & 1)
+            chans(0)(i) = (mid + side) >> 1
+            chans(1)(i) = (mid - side) >> 1
+            i += 1
+          }
+        case _ => ()
+      }
+      // align + frame CRC-16
+      val br2 = br
+      while (!br2.aligned) require(br2.bit() == 0,
+        "[GRAFT] flac: nonzero frame padding")
+      val crc16At = br2.bytePos
+      require(flacCrc16(bytes, frameStart, crc16At) == br2.bits(16).toInt,
+        "[GRAFT] flac: frame CRC-16 mismatch")
+      pos = br2.bytePos
+      var i = 0
+      while (i < blockSize) {
+        var c = 0
+        while (c < nCh) {
+          val v = chans(c)(i)
+          require(v >= -(1L << (bps - 1)) && v < (1L << (bps - 1)),
+            "[GRAFT] flac: decoded sample out of range")
+          outSamples += v.toInt
+          c += 1
+        }
+        i += 1
+      }
+    }
+    if (totalSamples > 0)
+      require(outSamples.length.toLong == totalSamples * channels,
+        "[GRAFT] flac: sample count differs from STREAMINFO")
+    Pcm(sampleRate, channels, bps, outSamples.toArray)
+  }
+
+  /** One subframe: constant / verbatim / fixed(0-4) / LPC. */
+  private def flacSubframe(br: FlacBitReader, blockSize: Int,
+      bps: Int): Array[Long] = {
+    require(br.bit() == 0, "[GRAFT] flac: subframe padding bit set")
+    val t = br.bits(6).toInt
+    val wasted = if (br.bit() == 1) br.unary() + 1 else 0
+    val effBps = bps - wasted
+    require(effBps > 0, "[GRAFT] flac: wasted bits exceed sample size")
+    val out = new Array[Long](blockSize)
+    if (t == 0) { // constant
+      val v = br.signedBits(effBps)
+      java.util.Arrays.fill(out, v)
+    } else if (t == 1) { // verbatim
+      var i = 0
+      while (i < blockSize) { out(i) = br.signedBits(effBps); i += 1 }
+    } else if (t >= 8 && t <= 12) { // fixed, order 0-4
+      val order = t - 8
+      var i = 0
+      while (i < order) { out(i) = br.signedBits(effBps); i += 1 }
+      flacResidual(br, blockSize, order, out)
+      i = order
+      while (i < blockSize) {
+        val p = order match {
+          case 0 => 0L
+          case 1 => out(i - 1)
+          case 2 => 2 * out(i - 1) - out(i - 2)
+          case 3 => 3 * out(i - 1) - 3 * out(i - 2) + out(i - 3)
+          case _ => 4 * out(i - 1) - 6 * out(i - 2) + 4 * out(i - 3) -
+            out(i - 4)
+        }
+        out(i) += p
+        i += 1
+      }
+    } else if (t >= 32) { // LPC, order 1-32
+      val order = (t & 0x1f) + 1
+      var i = 0
+      while (i < order) { out(i) = br.signedBits(effBps); i += 1 }
+      val precision = br.bits(4).toInt + 1
+      require(precision <= 15, "[GRAFT] flac: invalid LPC precision")
+      val shift = br.signedBits(5).toInt
+      require(shift >= 0, "[GRAFT] flac: negative LPC shift")
+      val coefs = new Array[Long](order)
+      i = 0
+      while (i < order) { coefs(i) = br.signedBits(precision); i += 1 }
+      flacResidual(br, blockSize, order, out)
+      i = order
+      while (i < blockSize) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coefs(j) * out(i - 1 - j); j += 1 }
+        out(i) += acc >> shift
+        i += 1
+      }
+    } else throw new IllegalArgumentException(
+      s"[GRAFT] flac: reserved subframe type $t")
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { out(i) <<= wasted; i += 1 }
+    }
+    out
+  }
+
+  /** Partitioned Rice residual into out(order until blockSize). */
+  private def flacResidual(br: FlacBitReader, blockSize: Int,
+      order: Int, out: Array[Long]): Unit = {
+    val method = br.bits(2).toInt
+    require(method <= 1, "[GRAFT] flac: reserved residual method")
+    val paramBits = if (method == 0) 4 else 5
+    val escape = (1 << paramBits) - 1
+    val pOrder = br.bits(4).toInt
+    val nPart = 1 << pOrder
+    require((blockSize >> pOrder) > order &&
+      (pOrder == 0 || blockSize % nPart == 0),
+      "[GRAFT] flac: bad partition order")
+    var idx = order
+    var part = 0
+    while (part < nPart) {
+      val count = (blockSize >> pOrder) - (if (part == 0) order else 0)
+      val param = br.bits(paramBits).toInt
+      if (param == escape) {
+        val raw = br.bits(5).toInt
+        var i = 0
+        while (i < count) { out(idx) = br.signedBits(raw); idx += 1; i += 1 }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = br.unary().toLong
+          val v = (q << param) | br.bits(param)
+          out(idx) = (v >> 1) ^ -(v & 1) // zigzag
+          idx += 1
+          i += 1
+        }
+      }
+      part += 1
+    }
+  }
+
+  /** Encode PCM as FLAC: mono/stereo, 8/16-bit; per-frame the
+    * encoder picks CONSTANT when the block is flat, else FIXED
+    * order 2 with a single-partition Rice residual (escape-coded
+    * when Rice would lose) — a bona fide subset-compliant file with
+    * real CRCs any FLAC decoder accepts. */
+  def encodeFlac(samples: Array[Int], bitsPerSample: Int = 16,
+      sampleRate: Int = 8000, channels: Int = 1,
+      blockSize: Int = 4096): Array[Byte] = {
+    require(channels == 1, "[GRAFT] flac: encoder is mono (decode is not)")
+    require(bitsPerSample == 8 || bitsPerSample == 16,
+      "[GRAFT] flac: encoder supports 8/16 bits")
+    require(blockSize >= 16 && blockSize <= 65535,
+      "[GRAFT] flac: bad block size")
+    require(sampleRate > 0 && sampleRate < (1 << 20),
+      "[GRAFT] flac: bad sample rate")
+    val lim = 1 << (bitsPerSample - 1)
+    samples.foreach(s => require(s >= -lim && s < lim,
+      "[GRAFT] flac: sample out of range"))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("fLaC".getBytes(StandardCharsets.US_ASCII))
+    // STREAMINFO (last metadata block)
+    val si = new FlacBitWriter
+    si.putBits(blockSize, 16); si.putBits(blockSize, 16)
+    si.putBits(0, 24); si.putBits(0, 24)
+    si.putBits(sampleRate, 20)
+    si.putBits(0, 3) // channels - 1
+    si.putBits(bitsPerSample - 1, 5)
+    si.putBits(samples.length, 36)
+    si.putBits(0, 64); si.putBits(0, 64) // md5: unset
+    val siBytes = si.toBytes
+    out.write(0x80); out.write(0); out.write(0); out.write(siBytes.length)
+    out.write(siBytes)
+    var frameIdx = 0L
+    var off = 0
+    // zero samples -> a STREAMINFO-only file with no frames (legal)
+    while (off < samples.length) {
+      val n = math.min(blockSize, samples.length - off)
+      val fw = new FlacBitWriter
+      fw.putBits(0x3ffe, 14)
+      fw.putBits(0, 1); fw.putBits(0, 1) // reserved, fixed-blocksize
+      fw.putBits(7, 4)                   // block size: 16-bit at end
+      fw.putBits(0, 4)                   // sample rate: STREAMINFO
+      fw.putBits(0, 4)                   // mono
+      fw.putBits(if (bitsPerSample == 16) 4 else 1, 3)
+      fw.putBits(0, 1)
+      flacUtf8Encode(frameIdx).foreach(b => fw.putBits(b & 0xff, 8))
+      fw.putBits(n - 1, 16)
+      val hdr = fw.toBytes
+      val withCrc8 = hdr :+ flacCrc8(hdr, 0, hdr.length).toByte
+      val bw = new FlacBitWriter
+      withCrc8.foreach(b => bw.putBits(b & 0xff, 8))
+      val block = java.util.Arrays.copyOfRange(samples, off, off + n)
+      val flat = block.forall(_ == block(0))
+      bw.putBits(0, 1)
+      if (flat) {
+        bw.putBits(0, 6)  // constant
+        bw.putBits(0, 1)  // no wasted bits
+        bw.putBits(block(0).toLong & ((1L << bitsPerSample) - 1),
+          bitsPerSample)
+      } else if (n <= 2) {
+        bw.putBits(1, 6)  // verbatim
+        bw.putBits(0, 1)
+        block.foreach(s =>
+          bw.putBits(s.toLong & ((1L << bitsPerSample) - 1),
+            bitsPerSample))
+      } else {
+        bw.putBits(10, 6) // fixed, order 2
+        bw.putBits(0, 1)
+        bw.putBits(block(0).toLong & ((1L << bitsPerSample) - 1),
+          bitsPerSample)
+        bw.putBits(block(1).toLong & ((1L << bitsPerSample) - 1),
+          bitsPerSample)
+        val res = new Array[Long](n - 2)
+        var i = 2
+        while (i < n) {
+          res(i - 2) = block(i).toLong - 2 * block(i - 1) + block(i - 2)
+          i += 1
+        }
+        bw.putBits(0, 2)  // 4-bit Rice params
+        bw.putBits(0, 4)  // partition order 0
+        // Rice parameter from the mean magnitude; escape to raw
+        // 17-bit when Rice would blow up (worst-case residual range)
+        var mean = 0L
+        res.foreach(r => mean += math.abs(r))
+        mean /= math.max(1, res.length)
+        var p = 0
+        while (p < 14 && (1L << p) < mean + 1) p += 1
+        val riceBits = res.map { r =>
+          val z = (r << 1) ^ (r >> 63)
+          (z >>> p) + 1 + p
+        }.sum
+        if (riceBits > res.length.toLong * 19) {
+          bw.putBits(15, 4) // escape
+          bw.putBits(18, 5) // raw width: covers 16-bit 2nd differences
+          res.foreach(r => bw.putBits(r & ((1L << 18) - 1), 18))
+        } else {
+          bw.putBits(p, 4)
+          res.foreach { r =>
+            val z = (r << 1) ^ (r >> 63)
+            bw.putUnary((z >>> p).toInt)
+            bw.putBits(z & ((1L << p) - 1), p)
+          }
+        }
+      }
+      bw.alignZero()
+      val body = bw.toBytes
+      val crc = flacCrc16(body, 0, body.length)
+      out.write(body)
+      out.write((crc >> 8) & 0xff); out.write(crc & 0xff)
+      frameIdx += 1
+      off += n
+    }
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
   // EXIF orientation (JPEG APP1 "Exif" — an embedded TIFF IFD)
   // ---------------------------------------------------------------
 

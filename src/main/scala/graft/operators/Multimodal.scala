@@ -40,15 +40,19 @@ case class MediaStats(doc_id: Long, format: String, width: Int,
   * from the payload byte arithmetic — so the decode is verified
   * end-to-end, not stubbed.
   *
-  * Compressed AUDIO/VIDEO (MP3/H.264) decode is out of scope BY
+  * LOSSY audio/video (MP3/H.264) decode is out of scope BY
   * DESIGN, permanently: those specs define the bitstream but not the
   * decoder's arithmetic (conformant float filterbanks disagree in
   * the low bits), so their output can't be oracle-pinned the way
-  * every kernel here is. The contract for those corpora is
-  * decode-to-PCM/PPM-frames upstream (ffmpeg-class tooling) and feed
-  * the deterministic WAV / concatenated-P6 paths — which is also the
-  * shape a 100 TB pipeline wants, since transcode is a separate
-  * embarrassingly-parallel stage. */
+  * every kernel here is. LOSSLESS compressed audio is in: FLAC is
+  * integer-exact by specification ([[MediaCodec.decodeFlac]]) and
+  * rides the same PCM dispatch as WAV, so speech corpora
+  * (LibriSpeech et al.) feed the audio family directly. The contract
+  * for lossy corpora is decode-to-PCM/PPM-frames upstream
+  * (ffmpeg-class tooling) and feed the deterministic WAV/FLAC /
+  * concatenated-P6 paths — which is also the shape a 100 TB pipeline
+  * wants, since transcode is a separate embarrassingly-parallel
+  * stage. */
 object Multimodal {
 
   /** Raster formats with a registered [[MediaCodec]] parser, in one
@@ -71,6 +75,25 @@ object Multimodal {
   private[operators] val RasterFormats: Set[String] =
     Set("image/bmp", "image/ppm", "image/png", "image/jpeg", "image/gif",
       "image/tiff", "image/webp")
+
+  /** PCM formats with a registered decoder — the audio-family twin
+    * of [[RasterFormats]]/[[decodeRaster]]: every audio site (stats,
+    * features, energy windows, fingerprint) shares this dispatch, so
+    * a new audio codec lights up the whole family at once. Returns
+    * the PCM and its CENTER: WAV 8-bit is UNSIGNED around 128; FLAC
+    * (all depths) and WAV 16-bit are signed around 0. */
+  private[operators] def decodePcmCentered(format: String,
+      bytes: Array[Byte]): (MediaCodec.Pcm, Int) = format match {
+    case "audio/wav" =>
+      val p = MediaCodec.decodeWav(bytes)
+      (p, if (p.bitsPerSample == 8) 128 else 0)
+    case "audio/flac" => (MediaCodec.decodeFlac(bytes), 0)
+    case other => throw new IllegalArgumentException(
+      s"[GRAFT] no PCM decoder registered for format $other")
+  }
+
+  private[operators] val PcmFormats: Set[String] =
+    Set("audio/wav", "audio/flac")
 
   /** Route an UNLABELED binary column into the media family: sniff
     * each blob's format from its magic bytes
@@ -236,6 +259,31 @@ object Multimodal {
     synthRgb(docs, textCol, idCol, capBytes = 12 * 16384,
       format = "image/webp",
       enc = (p, w, h) => MediaCodec.encodeWebpLossless(p, w, h))
+
+  /** FLAC twin of [[synthesizeMedia]]'s WAV branch: every payload
+    * byte becomes one 16-bit sample with VALUE 0..255 (so the stats
+    * oracle shares the WAV byte arithmetic), framed at a small block
+    * size so multi-frame files are routine — per block the encoder
+    * picks constant / verbatim / fixed-order-2 + Rice, exercising
+    * the subframe family at corpus scale. */
+  def synthesizeFlac(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id",
+      blockSize: Int = 256): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    WorkCols.spread(docs)
+      .select(col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val samples = payload.map(b => b & 0xff)
+          val bytes = MediaCodec.encodeFlac(samples,
+            bitsPerSample = 16, blockSize = blockSize)
+          MediaRecord(id, bytes, "audio/flac", bytes.length.toLong)
+        }
+      }
+  }
 
   /** Camera-rotated twin of [[synthesizeTiff]] for EXIF-orientation
     * testing: each doc's UPRIGHT 4-wide raster is transformed by the
@@ -539,8 +587,8 @@ object Multimodal {
     * and [[decodeStatsQuarantined]] so the two can never drift. */
   private def decodeStatsOne(r: MediaRecord): MediaStats =
     r.format match {
-      case "audio/wav" =>
-        val pcm = MediaCodec.decodeWav(r.media)
+      case f if PcmFormats(f) =>
+        val pcm = decodePcmCentered(f, r.media)._1
         var sum = 0L; var mx = Long.MinValue; var mn = Long.MaxValue
         pcm.samples.foreach { s =>
           sum += s; if (s > mx) mx = s; if (s < mn) mn = s
@@ -615,8 +663,8 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val feature = r.format match {
-            case "audio/wav" =>
-              val pcm = MediaCodec.decodeWav(r.media)
+            case f if PcmFormats(f) =>
+              val pcm = decodePcmCentered(f, r.media)._1
               val denom = if (pcm.bitsPerSample == 8) 255.0f else 32767.0f
               lerpResample(pcm.samples.map(_ / denom), dim)
             case f if RasterFormats(f) =>
@@ -727,10 +775,9 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        require(r.format == "audio/wav",
-          s"[GRAFT] audioEnergyWindows: not a wav asset: ${r.format}")
-        val pcm = MediaCodec.decodeWav(r.media)
-        val center = if (pcm.bitsPerSample == 8) 128 else 0
+        require(PcmFormats(r.format),
+          s"[GRAFT] audioEnergyWindows: not a PCM asset: ${r.format}")
+        val (pcm, center) = decodePcmCentered(r.format, r.media)
         pcm.samples.grouped(window).zipWithIndex.map { case (w, i) =>
           var e = 0L
           var p = 0L
@@ -768,10 +815,9 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        require(r.format == "audio/wav",
-          s"[GRAFT] audioFingerprint: not a wav asset: ${r.format}")
-        val pcm = MediaCodec.decodeWav(r.media)
-        val center = if (pcm.bitsPerSample == 8) 128 else 0
+        require(PcmFormats(r.format),
+          s"[GRAFT] audioFingerprint: not a PCM asset: ${r.format}")
+        val (pcm, center) = decodePcmCentered(r.format, r.media)
         val energies = pcm.samples.grouped(window).map { w =>
           var e = 0L
           var j = 0
