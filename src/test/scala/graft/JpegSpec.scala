@@ -523,6 +523,75 @@ class JpegSpec extends AnyFunSuite {
       .getMessage.contains("[GRAFT]"))
   }
 
+  test("marker-walk fuzz: APP1 at every non-canonical position real writers produce still yields the orientation") {
+    val w = 16; val h = 16
+    val px = rgb(w, h)((x, y) => { val v = (x * 9 + y * 5) % 200; (v, v, v) })
+    val plain = MediaCodec.encodeJpeg(px, w, h)
+    // the canonical splicer's APP1 segment: FFE1 + the 34-byte body
+    // (the length field counts itself) = 36 bytes total
+    def app1Of(o: Int): Array[Byte] = java.util.Arrays.copyOfRange(
+      MediaCodec.withJpegOrientation(plain, o), 2, 38)
+    def insertAt(jpeg: Array[Byte], pos: Int,
+        seg: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](jpeg.length + seg.length)
+      System.arraycopy(jpeg, 0, out, 0, pos)
+      System.arraycopy(seg, 0, out, pos, seg.length)
+      System.arraycopy(jpeg, pos, out, pos + seg.length,
+        jpeg.length - pos)
+      out
+    }
+    // position of the first occurrence of a marker in the header walk
+    def posOf(jpeg: Array[Byte], marker: Int): Int = {
+      var pos = 2
+      while (pos + 4 <= jpeg.length) {
+        val m = jpeg(pos + 1) & 0xff
+        if (m == marker) return pos
+        val len = ((jpeg(pos + 2) & 0xff) << 8) | (jpeg(pos + 3) & 0xff)
+        pos += 2 + len
+      }
+      fail(s"marker $marker not found")
+    }
+    val exif6 = app1Of(6)
+    // after DQT, after SOF, right before SOS — late-writer layouts
+    for (marker <- Seq(0xc0, 0xda)) {
+      val v = insertAt(plain, posOf(plain, marker), exif6)
+      assert(MediaCodec.jpegOrientation(v) === 6, f"before $marker%02x")
+      assert(MediaCodec.decodeJpeg(v).pixels.toSeq ===
+        MediaCodec.decodeJpeg(plain).pixels.toSeq, f"decode $marker%02x")
+    }
+    // a COM segment and a non-Exif APP1 (XMP) BEFORE the Exif APP1
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte, 0, 4, 'h', 'i')
+    val xmpBody = "http://ns.adobe.com/xap/1.0/ x".getBytes("US-ASCII")
+    val xmp = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((xmpBody.length + 2) >> 8).toByte,
+      ((xmpBody.length + 2) & 0xff).toByte) ++ xmpBody
+    val cluttered = insertAt(insertAt(
+      MediaCodec.withJpegOrientation(plain, 7), 2, com), 2, xmp)
+    assert(MediaCodec.jpegOrientation(cluttered) === 7)
+    assert(MediaCodec.decodeJpeg(cluttered).width === w)
+    // 0xFF fill bytes padding the marker
+    val fill = insertAt(MediaCodec.withJpegOrientation(plain, 3), 2,
+      Array[Byte](0xff.toByte, 0xff.toByte))
+    assert(MediaCodec.jpegOrientation(fill) === 3)
+    // duplicate Exif APP1s: the FIRST wins (the walk stops there)
+    val dup = insertAt(MediaCodec.withJpegOrientation(plain, 5), 2,
+      app1Of(2))
+    assert(MediaCodec.jpegOrientation(dup) === 2)
+    // and the exif-aware fingerprint is splice-position invariant
+    val spark = GraftTest.spark
+    import spark.implicits._
+    import graft.operators.{MediaRecord, Multimodal}
+    val canonical = MediaCodec.withJpegOrientation(plain, 6)
+    val late = insertAt(plain, posOf(plain, 0xda), exif6)
+    val media = Seq(
+      MediaRecord(1L, canonical, "image/jpeg", canonical.length.toLong),
+      MediaRecord(2L, late, "image/jpeg", late.length.toLong)).toDS()
+    val sigs = Multimodal.imageFingerprint(spark, media,
+        exifAware = true)
+      .select($"doc_id", $"sig").as[(Long, Long)].collect().toMap
+    assert(sigs(1L) === sigs(2L))
+  }
+
   test("exifAware dHash: a rotated-capture duplicate fingerprints identically to the upright original; without it, it differs") {
     val spark = GraftTest.spark
     import spark.implicits._

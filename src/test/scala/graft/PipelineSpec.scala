@@ -1238,8 +1238,8 @@ class PipelineSpec extends AnyFunSuite {
     val err = intercept[Exception] {
       Multimodal.audioEnergyWindows(spark, bad).collect()
     }
-    assert(err.getMessage.contains("not a wav asset") ||
-      err.getCause.getMessage.contains("not a wav asset"))
+    assert(err.getMessage.contains("not a PCM asset") ||
+      err.getCause.getMessage.contains("not a PCM asset"))
   }
 
   test("audio near-dup: energy-delta fingerprints pair crafted " +
