@@ -182,12 +182,12 @@ object Knn {
       idCol: String = "id", qidCol: String = "qid",
       qvecCol: String = "qvalues", persistQueries: Boolean = true): DataFrame = {
     import TopKByDistance.topk
-    // persistQueries = false is for CALLER-MANAGED lifetimes (the
-    // streaming mining loop): a DataFrame-level persist registers a
-    // CacheManager entry this method can never release (the result is
-    // lazy), which accumulates one plan entry per micro-batch on a
-    // long-running stream. Callers passing false must hand in queries
-    // that are cheap to evaluate twice (the sizing pass + the join).
+    // the query persist is GC-SCOPED ([[CacheScope]]): released when
+    // the caller drops the result frame, so long-lived sessions and
+    // streaming loops never accumulate CacheManager entries.
+    // persistQueries = false remains for callers whose queries are
+    // cheap to evaluate twice (the sizing pass + the join) and want
+    // no cache at all.
     val q = if (persistQueries) queries.persist() else queries
     val sized = q.agg(count(lit(1)).as("n"),
       coalesce(max(size(col(qvecCol))), lit(0)).as("dim")).head()
@@ -196,12 +196,13 @@ object Knn {
       .select(col(qidCol),
         col(idCol),
         metric.dist(col(vecCol), col(qvecCol)).as("distance"))
-    scored
+    val result = scored
       .groupBy(col(qidCol))
       .agg(topk(col("distance"), col(idCol), k).as("topk"))
       .select(col(qidCol), posexplode(col("topk")).as(Seq("pos", "r")))
       .select(col(qidCol), col("r.id").as(idCol),
         col("r.distance").as("distance"), (col("pos") + 1).as("rank"))
+    if (persistQueries) CacheScope.releaseWith(result, q) else result
   }
 
   /** Reciprocal-rank fusion (Cormack et al. 2009) of result lists —

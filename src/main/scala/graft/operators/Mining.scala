@@ -76,9 +76,19 @@ object Mining {
     * (src_id, tgt_id, sim_micro, margin_milli). */
   def marginPairs(spark: SparkSession, src: DataFrame, tgt: DataFrame,
       k: Int = 4, minMarginMilli: Long = 1000L, idCol: String = "id",
-      vecCol: String = "values"): DataFrame =
-    bestPairs(
-      marginCandidates(spark, src, tgt, k, idCol, vecCol), minMarginMilli)
+      vecCol: String = "values"): DataFrame = {
+    require(k > 0, "[GRAFT] mining: k must be positive")
+    val srcQ = src.select(col(idCol).as("qid"), col(vecCol).as("qvalues"))
+    val tgtBase = tgt.select(col(idCol).as("id"), col(vecCol).as("values"))
+    val srcBase = src.select(col(idCol).as("id"), col(vecCol).as("values"))
+    // bestPairs runs INSIDE mineCore (its `finish` hook) so only the
+    // ≤ |src| mined rows are materialized, not the k·|src| candidates
+    mineCore(
+      simMicro(Knn.exactBatch(tgtBase, srcQ, k, Metric.Cosine)),
+      tgtBase,
+      q => simMicro(Knn.exactBatch(srcBase, q, k, Metric.Cosine)),
+      finish = bestPairs(_, minMarginMilli))
+  }
 
   /** IVF-backed twin of [[marginPairs]] for collections too large to
     * brute-force: `srcPath`/`tgtPath` are persisted [[IvfIndex]]
@@ -106,12 +116,13 @@ object Mining {
     val srcQ = src.select(col(idCol).as("qid"), col(vecCol).as("qvalues"))
     val tgtBase = tgt.select(col(idCol).as("id"), col(vecCol).as("values"))
     val srcBase = src.select(col(idCol).as("id"), col(vecCol).as("values"))
-    bestPairs(mineCore(
+    mineCore(
       rescore(IvfIndex.searchBatch(spark, tgtPath, srcQ, k, nProbe),
         tgtBase, srcQ),
       tgtBase,
       q => rescore(IvfIndex.searchBatch(spark, srcPath, q, k, nProbe),
-        srcBase, q)), minMarginMilli)
+        srcBase, q),
+      finish = bestPairs(_, minMarginMilli))
   }
 
   /** The INTERSECTION strategy — the paper's highest-precision
@@ -156,45 +167,46 @@ object Mining {
     val tgtBase = tgt.select(col(idCol).as("id"), col(vecCol).as("values"))
     val srcBase = batch.select(col(idCol).as("id"),
       col(vecCol).as("values"))
-    // STREAMING-SAFE materialization: this method runs once per
-    // micro-batch inside marginMineStream's foreachBatch, where a
-    // DataFrame-level persist would register one CacheManager plan
-    // entry per batch FOREVER (nothing downstream can release it —
-    // the result is lazy). mineCore's default localCheckpoint
-    // materializes the slim forward candidates to blocks with NO
-    // CacheManager entry, and the ContextCleaner reclaims the blocks
-    // once the frame is unreferenced; the backward exactBatch skips
-    // its query persist for the same reason (candTgt re-derives from
-    // the checkpointed frame — cheap to evaluate twice).
-    bestPairs(mineCore(
+    // STREAMING-SAFE: this method runs once per micro-batch inside
+    // marginMineStream's foreachBatch, where a leaked DataFrame-level
+    // persist would register one CacheManager plan entry per batch
+    // FOREVER. mineCore releases its candidate persist inside the
+    // call (eager slim-result localCheckpoint, then unpersist), so
+    // nothing outlives the batch; the backward exactBatch skips its
+    // query persist for the same reason (candTgt derives from the
+    // cached candidates — cheap to evaluate twice while cached).
+    mineCore(
       rescore(IvfIndex.searchBatch(spark, tgtPath, srcQ, k, nProbe),
         tgtBase, srcQ),
       tgtBase,
       q => simMicro(Knn.exactBatch(srcBase, q, k, Metric.Cosine,
-        persistQueries = false))), minMarginMilli)
+        persistQueries = false)),
+      finish = bestPairs(_, minMarginMilli))
   }
 
   /** The ONE mining pipeline all entry points share — they differ
     * only in candidate generation. The forward-scored candidates are
-    * materialized (they feed the margin join, the per-source sums,
-    * AND the backward query list — 3 consumers; the candidate scan
-    * must not rerun per consumer); backward sums score ONLY the
-    * targets that surfaced as forward candidates — at scale that is
-    * the slim candidate set, never the whole target side.
+    * PERSISTED (they feed the margin join, the per-source sums, AND
+    * the backward query list — 3 consumers; the candidate scan must
+    * not rerun per consumer); backward sums score ONLY the targets
+    * that surfaced as forward candidates — at scale that is the slim
+    * candidate set, never the whole target side.
     *
-    * The default materialization is localCheckpoint, NOT persist:
-    * the result is lazy, so a persist here would register a
-    * CacheManager plan entry that nothing downstream can release —
-    * repeated batch calls in one long-lived session would accumulate
-    * entries forever (and the streaming path runs this once per
-    * micro-batch). localCheckpoint materializes to blocks with no
-    * CacheManager entry; the ContextCleaner reclaims them once the
-    * frame is unreferenced. */
+    * Cache lifetime — GC-SCOPED, leak-free ([[CacheScope]]): the
+    * candidate persist is released exactly when the caller drops the
+    * result frame. A bare persist would accumulate one CacheManager
+    * entry per call forever in a long-lived session (and one per
+    * micro-batch on the streaming path); the alternatives that avoid
+    * CacheManager outright all measured 1.5-1.8× slower
+    * whole-operator at sf0.1 (eager localCheckpoint adds a job on
+    * the hot path; RDD-level caches lose InMemoryRelation's columnar
+    * scan). `finish` is each entry point's final projection
+    * (bestPairs for the pair APIs, identity for the all-candidates
+    * API). */
   private def mineCore(fwd0: DataFrame, tgtBase: DataFrame,
       bwdScore: DataFrame => DataFrame,
-      materialize: DataFrame => DataFrame = _.localCheckpoint())
-      : DataFrame = {
-    val fwd = materialize(fwd0)
+      finish: DataFrame => DataFrame = identity): DataFrame = {
+    val fwd = fwd0.persist()
     val fwdSum = fwd.groupBy(col("qid"))
       .agg(sum(col("sim_micro")).as("fwd_sum"),
         count(lit(1)).as("fwd_n"))
@@ -206,7 +218,7 @@ object Mining {
       .agg(sum(col("sim_micro")).as("bwd_sum"),
         count(lit(1)).as("bwd_n"))
       .select(col("qid").as("bwd_id"), col("bwd_sum"), col("bwd_n"))
-    withMargin(fwd, fwdSum, bwdSum)
+    CacheScope.releaseWith(finish(withMargin(fwd, fwdSum, bwdSum)), fwd)
   }
 
   /** The margin arithmetic is cosine — probing an artifact built

@@ -541,6 +541,39 @@ object Explain {
           spark.read.parquet(s"$dir/documents.parquet")
             .select((col("doc_id") * 3 + 2).as("doc_id"), col("text"))))
     }
+    show("pHash near-dup pairs (expect: the dHash shape with the " +
+        "32x32 fixed-point DCT inside the SAME MapPartitions kernel " +
+        "— still 8 bytes per asset into the one pinned band/bval " +
+        "exchange; no new shuffle)") {
+      graft.operators.Multimodal.imageNearDupPairs(spark,
+        graft.operators.Multimodal.synthesizeMedia(
+          spark.read.parquet(s"$dir/documents.parquet")
+            .select((col("doc_id") * 3 + 2).as("doc_id"), col("text"))),
+        method = "phash")
+    }
+    show("quarantined fingerprint, clean half (expect: ONE " +
+        "MapPartitions decode kernel under a LocalTableScan-free " +
+        "plan; the err filter is a plain codegen Filter — failures " +
+        "route to rows, never to task retries)") {
+      graft.operators.Multimodal.imageFingerprintQuarantined(spark,
+          graft.operators.Multimodal.synthesizeMedia(
+            spark.read.parquet(s"$dir/documents.parquet")
+              .select((col("doc_id") * 3 + 2).as("doc_id"), col("text"))))
+        .filter(col("err").isNull)
+    }
+    show("webp decode stats (expect: spread exchange then ONE " +
+        "MapPartitions encode+decode kernel — the jpeg/gif/tiff " +
+        "shape; VP8L prefix decode is pure per-row compute)") {
+      graft.operators.Multimodal.decodeStats(spark,
+        graft.operators.Multimodal.synthesizeWebp(
+          spark.read.parquet(s"$dir/documents.parquet"))).toDF()
+    }
+    show("flac decode stats (expect: the same per-partition kernel " +
+        "shape — frame walk + Rice decode is pure per-row compute)") {
+      graft.operators.Multimodal.decodeStats(spark,
+        graft.operators.Multimodal.synthesizeFlac(
+          spark.read.parquet(s"$dir/documents.parquet"))).toDF()
+    }
     show("vfs_sig_pairs TVF over a persisted print table (expect: " +
         "ReadSchema (id, sig) only — 16 bytes per asset ever read; " +
         "band projection, pinned exchange, streaming bucket fold; " +

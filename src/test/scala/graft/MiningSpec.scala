@@ -230,6 +230,32 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("batch mining's candidate cache is GC-scoped: the CacheManager entry releases once the result is unreachable") {
+    val spark = GraftTest.spark
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def runAndDrop(): Unit = {
+      val src = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0))
+      val tgt = vecs(9L -> Seq(1.0, 0.1))
+      val result = Mining.marginPairs(spark, src, tgt, k = 1)
+      assert(result.count() >= 0)
+      // the candidate persist is live while the result is reachable
+      assert(spark.sparkContext.getPersistentRDDs.keySet
+        .diff(before).nonEmpty, "cache must be materialized")
+    }
+    runAndDrop() // result goes unreachable here
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var released = false
+    while (!released && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(200)
+      released = spark.sparkContext.getPersistentRDDs.keySet
+        .diff(before).isEmpty
+    }
+    assert(released,
+      "the Cleaner must unpersist the candidate cache after the " +
+        "result frame is dropped (no CacheManager leak)")
+  }
+
   test("guards: k must be positive") {
     val spark = GraftTest.spark
     val v = vecs(1L -> Seq(1.0, 0.0))
