@@ -390,6 +390,12 @@ object Bench {
     entry("flac_decode") { median {
       SparkEntry.queries("multimodal_flac")(spark, sfDir).count()
     } }
+    // HTML -> text extraction (codegen kernel; the md5 output column
+    // is aggregated so pruning can't skip the extraction)
+    entry("html_extract") { median {
+      SparkEntry.queries("web_html_extract")(spark, sfDir)
+        .agg(sum(length(col("text_md5")))).collect()
+    } }
     // decode -> NN resize -> PNG re-encode -> decode, the image
     // normalization shape (per-partition batch kernel, pure scan)
     entry("media_resize") { median {

@@ -93,6 +93,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("vfs_dequantize", es => DequantizeVec(es(0), es(1)))
     inject("vfs_fingerprint", es => Fingerprint(es(0)))
     inject("vfs_media_format", es => MediaFormat(es(0)))
+    inject("vfs_html_text", es => HtmlText(es(0)))
+    inject("vfs_html_title", es => HtmlTitle(es(0)))
+    inject("vfs_html_links", es => HtmlLinks(es(0)))
+    inject("vfs_robots_allowed", es => RobotsAllowed(es(0), es(1), es(2)))
     inject("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     inject("vfs_topk", es => TopKByDistance(es(0), es(1),
       es(2).eval().asInstanceOf[Int]).toAggregateExpression())

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
@@ -157,6 +157,30 @@ object SparkEntry {
           .otherwise(col("media")))
       .withColumn("n_bytes", length(col("media")).cast("long"))
       .as[graft.operators.MediaRecord]
+  }
+
+  /** The synthesized HTML page the `web_html_*` rows share: the
+    * document text ESCAPED into a page with every extractor hazard
+    * planted — a title with entities + newline, a style element, a
+    * comment, a script whose body contains markup-looking strings
+    * and `<` comparisons, numeric+hex character references, and two
+    * links (double- and single-quoted, one with an entity). The
+    * escaping is exactly invertible, so the oracle derives the
+    * expected extraction from the ORIGINAL text column. */
+  private def htmlPageOf(id: Column, text: Column): Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(text,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    concat(
+      lit("<!DOCTYPE html><html><head><title> Doc &amp;\n  "), id,
+      lit(" </title><style>p{color:red}</style></head>\n" +
+        "<body><!-- nav bar -->" +
+        "<script type=\"text/javascript\">if(a<b){x=\"<div>y</div>\";}" +
+        "</script>\n" +
+        "<div class=\"main\"><h1>Doc &#72;&#x65;ading</h1>\n<p>"),
+      esc,
+      lit("</p>\n<a href=\"https://ex.com/a?id="), id,
+      lit("&amp;x=1\">one</a> and <a href='/rel/"), id,
+      lit("'>two</a>\n</div></body></html>"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1094,6 +1118,71 @@ object SparkEntry {
     // — same construction in the oracle's wurl CTE ----
 
     // ---- canonical URL + host + registered domain per doc ----
+    // ---- HTML → text extraction (the WET-style step): markup
+    // dropped, script/style/comment content dropped, entities
+    // decoded, whitespace normalized — the oracle re-derives the
+    // expected prose from the ORIGINAL text column because the
+    // page synthesis is exactly invertible ----
+    "web_html_extract" -> ((s, dir) => {
+      val html = htmlPageOf(col("doc_id"), col("text"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.vfs_html_title(html).as("title"),
+          md5(graft.functions.vfs_html_text(html)).as("text_md5"),
+          size(graft.functions.vfs_html_links(html)).cast("long")
+            .as("n_links"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the link half: every <a href> in document order, feeding
+    // the URL-curation family straight from raw pages ----
+    "web_html_links" -> ((s, dir) => {
+      val html = htmlPageOf(col("doc_id"), col("text"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          posexplode(graft.functions.vfs_html_links(html))
+            .as(Seq("pos", "href")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("href"))
+        .orderBy(col("doc_id").asc, col("pos").asc)
+    }),
+
+    // ---- robots.txt gate (RFC 9309): six path shapes against a
+    // rules file exercising longest-match, allow-over-disallow ties,
+    // `*` wildcards, `$` anchors, multi-UA groups, and a
+    // blocked-everything group for OTHER agents — the oracle derives
+    // the surviving set from the residue class alone ----
+    "web_robots_filter" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val seg = element_at(array(lit("/private/x"),
+        lit("/private/ok/y"), lit("/tmp123"), lit("/docs/"),
+        lit("/public"), lit("/docs/a")),
+        (col("doc_id") % 6 + 1).cast("int"))
+      val urls = docs.select(col("doc_id"),
+        concat(lit("https://h"), col("doc_id") % 7, lit(".example"),
+          seg).as("url"))
+      val robotsTxt =
+        """# sample politeness file
+          |User-agent: other
+          |Disallow: /
+          |
+          |User-agent: GraftBot
+          |User-agent: second-bot
+          |Disallow: /private
+          |Allow: /private/ok
+          |Disallow: /tmp*3
+          |Allow: /docs/$
+          |Disallow: /docs
+          |""".stripMargin
+      val robots = urls
+        .select(lower(parse_url(col("url"), lit("HOST"))).as("host"))
+        .distinct()
+        .withColumn("robots_txt", lit(robotsTxt))
+      graft.operators.WebCuration.robotsFilter(urls, robots, "GraftBot")
+        .select(col("doc_id"), col("url"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     "web_url_normalize" -> ((s, dir) => {
       import graft.operators.WebCuration
       webUrls(s, dir).select(col("doc_id"),
@@ -4418,6 +4507,49 @@ object SparkEntry {
     "sql_tvf_curate" -> pipelineCurateOracle,
     "pipeline_curate_report" -> pipelineCurateReportOracle,
     "pipeline_clean_curate" -> pipelineCleanCurateOracle,
+
+    // HTML extraction: the page synthesis is invertible, so the
+    // expected prose derives from the raw text — title line, the
+    // decoded-entity heading, the whitespace-normalized document
+    // text (blank collapses away when empty), the link-text line
+    "web_html_extract" ->
+      s"""WITH n AS (SELECT doc_id,
+        |    array_to_string(list_filter(list_transform(
+        |      string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'),
+        |        chr(10)),
+        |      x -> trim(x, ' ')), x -> x <> ''), chr(10)) AS nt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'Doc & ' || doc_id AS title,
+        |  md5('Doc &' || chr(10) || doc_id || chr(10) || 'Doc Heading' ||
+        |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END ||
+        |    chr(10) || 'one and two') AS text_md5,
+        |  CAST(2 AS BIGINT) AS n_links
+        |FROM n ORDER BY doc_id ASC""".stripMargin,
+
+    "web_html_links" ->
+      s"""SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+        |  'https://ex.com/a?id=' || doc_id || '&x=1' AS href
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT), '/rel/' || doc_id
+        |FROM documents
+        |ORDER BY doc_id ASC, pos ASC""".stripMargin,
+
+    // robots gate: survivors by residue class — /private/ok/y beats
+    // /private on length, /docs/$ beats /docs with allow-on-tie...
+    // no: on LENGTH (6 > 5); /tmp*3 wildcards over /tmp123; /docs/a
+    // escapes the anchored allow and hits the /docs disallow
+    "web_robots_filter" ->
+      s"""SELECT doc_id,
+        |  'https://h' || (doc_id % 7) || '.example' ||
+        |    CASE doc_id % 6 WHEN 0 THEN '/private/x'
+        |      WHEN 1 THEN '/private/ok/y' WHEN 2 THEN '/tmp123'
+        |      WHEN 3 THEN '/docs/' WHEN 4 THEN '/public'
+        |      ELSE '/docs/a' END AS url
+        |FROM documents
+        |WHERE doc_id % 6 IN (1, 3, 4)
+        |ORDER BY doc_id ASC""".stripMargin,
 
     "web_url_normalize" ->
       s"""WITH $webUrlCtes

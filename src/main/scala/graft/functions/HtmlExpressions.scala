@@ -1,0 +1,294 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic HTML → text extraction — the WET-style step at the
+  * front of every web-corpus pipeline (strip markup, keep prose), as
+  * ONE pure per-row kernel shared by the interpreted and codegen
+  * paths. This is a tolerant extractor for UNTRUSTED markup, not a
+  * validator: malformed input (unclosed tags/comments/scripts) is
+  * handled silently and deterministically (drop to end-of-input),
+  * never loudly — a crawl page must never fail a stage. The exact
+  * contract, pinned by the oracle rows:
+  *
+  *   - `<!-- … -->` comments and the full content of
+  *     `<script>`/`<style>` elements are dropped (case-insensitive,
+  *     attribute-tolerant; an embedded `"</script>"` inside the
+  *     script text ends it — the HTML5 parsing rule);
+  *   - every other tag is dropped; BLOCK-level tags (p, div, br, li,
+  *     tr, h1–h6, table, ul, ol, dl, dt, dd, section, article,
+  *     header, footer, blockquote, pre, hr, form, nav, aside) emit a
+  *     newline so prose blocks stay separated; quoted attribute
+  *     values may contain `>` without ending the tag;
+  *   - character references decode: named amp/lt/gt/quot/apos
+  *     (+ nbsp → plain space) and numeric `&#NNN;` / `&#xHH;`
+  *     (any valid code point); an unrecognized or unterminated
+  *     reference passes through literally;
+  *   - whitespace normalizes: runs of spaces/tabs/CRs collapse to
+  *     one space, every line trims, blank lines drop, lines join
+  *     with single newlines.
+  */
+object HtmlKernel {
+  private val Block: Set[String] = Set("p", "div", "br", "li", "tr",
+    "h1", "h2", "h3", "h4", "h5", "h6", "table", "ul", "ol", "dl",
+    "dt", "dd", "section", "article", "header", "footer",
+    "blockquote", "pre", "hr", "form", "nav", "aside")
+
+  /** Lower-case tag name starting at `i` (after '<' and optional
+    * '/'), empty when none. */
+  private def tagNameAt(s: String, i: Int): String = {
+    var j = i
+    val sb = new java.lang.StringBuilder(8)
+    while (j < s.length && sb.length < 10 &&
+      (s.charAt(j).isLetterOrDigit)) {
+      sb.append(Character.toLowerCase(s.charAt(j)))
+      j += 1
+    }
+    sb.toString
+  }
+
+  /** Index just past the closing '>' of a tag starting at the '<',
+    * honoring quoted attribute values; s.length when unclosed. */
+  private def skipTag(s: String, from: Int): Int = {
+    var i = from + 1
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i + 1
+      i += 1
+    }
+    s.length
+  }
+
+  /** Index of the end of `</name` + '>' at or after `from`
+    * (case-insensitive); s.length when absent. */
+  private def skipRawElement(s: String, from: Int, name: String): Int = {
+    val close = "</" + name
+    var i = from
+    while (i < s.length) {
+      if (s.charAt(i) == '<' && i + close.length <= s.length &&
+        s.regionMatches(true, i, close, 0, close.length)) {
+        val after = i + close.length
+        // the close tag may carry whitespace before '>'
+        var j = after
+        while (j < s.length && s.charAt(j) != '>') j += 1
+        return if (j < s.length) j + 1 else s.length
+      }
+      i += 1
+    }
+    s.length
+  }
+
+  /** Decode one character reference starting at the '&' in s(i);
+    * appends to out and returns the index after the reference, or
+    * appends '&' and returns i+1 when it is not a valid reference. */
+  private def decodeRef(s: String, i: Int,
+      out: java.lang.StringBuilder): Int = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 12) { out.append('&'); return i + 1 }
+    val body = s.substring(i + 1, semi)
+    body match {
+      case "amp" => out.append('&'); semi + 1
+      case "lt" => out.append('<'); semi + 1
+      case "gt" => out.append('>'); semi + 1
+      case "quot" => out.append('"'); semi + 1
+      case "apos" => out.append('\''); semi + 1
+      case "nbsp" => out.append(' '); semi + 1
+      case b if b.length >= 2 && b.charAt(0) == '#' =>
+        val hex = b.charAt(1) == 'x' || b.charAt(1) == 'X'
+        val digits = if (hex) b.substring(2) else b.substring(1)
+        val cp = try {
+          if (digits.isEmpty) -1
+          else Integer.parseInt(digits, if (hex) 16 else 10)
+        } catch { case _: NumberFormatException => -1 }
+        if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(cp)) {
+          out.appendCodePoint(cp); semi + 1
+        } else { out.append('&'); i + 1 }
+      case _ => out.append('&'); i + 1
+    }
+  }
+
+  /** Raw extraction pass: markup dropped, entities decoded, block
+    * newlines inserted — BEFORE whitespace normalization. */
+  private def extractRaw(s: String): java.lang.StringBuilder = {
+    val out = new java.lang.StringBuilder(s.length / 2)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        if (s.regionMatches(false, i, "<!--", 0, 4)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) s.length else end + 3
+        } else if (i + 1 < s.length &&
+          (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '/' ||
+            s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+          val nameAt = if (s.charAt(i + 1) == '/') i + 2 else i + 1
+          val name = tagNameAt(s, nameAt)
+          val after = skipTag(s, i)
+          if ((name == "script" || name == "style") &&
+            s.charAt(i + 1) != '/')
+            i = skipRawElement(s, after, name)
+          else {
+            if (Block(name)) out.append('\n')
+            i = after
+          }
+        } else { out.append('<'); i += 1 }
+      } else if (c == '&') i = decodeRef(s, i, out)
+      else { out.append(c); i += 1 }
+    }
+    out
+  }
+
+  /** Whitespace normalization (see the contract above). */
+  private def normalize(raw: CharSequence): String = {
+    val sb = new java.lang.StringBuilder(raw.length)
+    val line = new java.lang.StringBuilder(80)
+    def flush(): Unit = {
+      // trim the collected line; emit when non-empty
+      var a = 0
+      var b = line.length
+      while (a < b && line.charAt(a) == ' ') a += 1
+      while (b > a && line.charAt(b - 1) == ' ') b -= 1
+      if (b > a) {
+        if (sb.length > 0) sb.append('\n')
+        sb.append(line, a, b)
+      }
+      line.setLength(0)
+    }
+    var i = 0
+    var pendingSpace = false
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == '\n') { flush(); pendingSpace = false }
+      else if (c == ' ' || c == '\t' || c == '\r') pendingSpace = true
+      else {
+        if (pendingSpace && line.length > 0) line.append(' ')
+        pendingSpace = false
+        line.append(c)
+      }
+      i += 1
+    }
+    flush()
+    sb.toString
+  }
+
+  def text(html: UTF8String): UTF8String =
+    UTF8String.fromString(normalize(extractRaw(html.toString)))
+
+  /** Content of the FIRST `<title>` element (entity-decoded,
+    * whitespace-normalized), or NULL when absent. */
+  def title(html: UTF8String): UTF8String = {
+    val s = html.toString
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '<' &&
+        s.regionMatches(true, i, "<title", 0, 6)) {
+        val after = skipTag(s, i)
+        val end = skipRawElement(s, after, "title")
+        // end points past "</title>"; body is [after, start-of-close)
+        val close = s.lastIndexOf('<', math.max(after, end - 1))
+        val body = if (close > after) s.substring(after, close)
+          else if (end == s.length) s.substring(after)
+          else ""
+        return UTF8String.fromString(
+          normalize(extractRaw(body)).replace('\n', ' '))
+      }
+      i += 1
+    }
+    null
+  }
+
+  /** Every href attribute value of an `<a>` tag, in document order
+    * (entity-decoded, untrimmed-quotes removed). */
+  def links(html: UTF8String): Array[UTF8String] = {
+    val s = html.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '<' && i + 2 < s.length &&
+        (s.charAt(i + 1) == 'a' || s.charAt(i + 1) == 'A') &&
+        !s.charAt(i + 2).isLetterOrDigit) {
+        val after = skipTag(s, i)
+        val tag = s.substring(i, math.min(after, s.length))
+        val m = LinkHref.findFirstMatchIn(tag)
+        m.foreach { g =>
+          val raw = Option(g.group(1)).getOrElse(g.group(2))
+          val dec = new java.lang.StringBuilder(raw.length)
+          var j = 0
+          while (j < raw.length) {
+            if (raw.charAt(j) == '&') j = decodeRef(raw, j, dec)
+            else { dec.append(raw.charAt(j)); j += 1 }
+          }
+          out += UTF8String.fromString(dec.toString)
+        }
+        i = after
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  private val LinkHref =
+    """(?is)href\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+}
+
+/** STRING → STRING extracted prose ([[HtmlKernel.text]]).
+  * Registered as `vfs_html_text`. */
+case class HtmlText(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "vfs_html_text"
+  override def nullSafeEval(v: Any): Any =
+    HtmlKernel.text(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlKernel.text($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** STRING → STRING first-title extraction, NULL when no `<title>`.
+  * Registered as `vfs_html_title`. */
+case class HtmlTitle(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vfs_html_title"
+  override def nullSafeEval(v: Any): Any =
+    HtmlKernel.title(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.HtmlKernel.title($c);
+      |${ev.isNull} = ${ev.value} == null;
+    """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** STRING → ARRAY<STRING> of `<a href>` values in document order.
+  * Registered as `vfs_html_links` — feeds the URL-curation family
+  * (normalize → dedup → domain caps) straight from raw pages. */
+case class HtmlLinks(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "vfs_html_links"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      HtmlKernel.links(v.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.HtmlKernel.links($c))")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}

@@ -84,6 +84,19 @@ package object functions {
   def vfs_term_counts(text: Column, terms: Seq[String]): Column =
     col(TermCounts(ex(text), terms))
 
+  /** extracted prose of an HTML page (markup dropped, entities
+    * decoded, whitespace normalized — the WET-style step) */
+  def vfs_html_text(html: Column): Column = col(HtmlText(ex(html)))
+  /** first <title> content, NULL when absent */
+  def vfs_html_title(html: Column): Column = col(HtmlTitle(ex(html)))
+  /** every <a href> value in document order → ARRAY<STRING> */
+  def vfs_html_links(html: Column): Column = col(HtmlLinks(ex(html)))
+
+  /** robots.txt fetchability (RFC 9309 longest-match semantics) */
+  def vfs_robots_allowed(robots: Column, userAgent: Column,
+      path: Column): Column =
+    col(RobotsAllowed(ex(robots), ex(userAgent), ex(path)))
+
   def vfs_hash_embedding(text: Column, dim: Int): Column =
     col(HashEmbedding(ex(text), dim, milli = false))
   def vfs_hash_embedding_milli(text: Column, dim: Int): Column =
@@ -110,6 +123,10 @@ package object functions {
     r1("vfs_hamming", es => HammingDist(es(0), es(1)))
     r1("vfs_fingerprint", es => Fingerprint(es(0)))
     r1("vfs_media_format", es => MediaFormat(es(0)))
+    r1("vfs_html_text", es => HtmlText(es(0)))
+    r1("vfs_html_title", es => HtmlTitle(es(0)))
+    r1("vfs_html_links", es => HtmlLinks(es(0)))
+    r1("vfs_robots_allowed", es => RobotsAllowed(es(0), es(1), es(2)))
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     r1("vfs_term_count", es => TermCount(es(0), es(1)))
     // varargs: vfs_term_counts(text, 'a', 'b', ...) — terms must be

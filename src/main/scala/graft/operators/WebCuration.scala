@@ -347,4 +347,37 @@ object WebCuration {
     df.join(side, urlDomain(col(urlCol)) === side("domain"),
       "left_anti")
   }
+
+  /** robots.txt fetchability gate (RFC 9309 — the crawl-politeness
+    * filter): keep URL rows whose path the host's robots rules allow
+    * for `userAgent`. `robots` is the per-host rules table
+    * (host, robots_txt) a fetcher maintains; hosts with NO robots
+    * row pass (the fetch-failed/absent default the RFC prescribes).
+    * One hash join on the lowercased host — robots bodies are
+    * KB-sized and one-per-domain, so the table broadcasts under AQE
+    * when small and stays a plain shuffled join when not; rule
+    * evaluation is the codegen'd
+    * [[graft.functions.RobotsAllowed]] kernel with a per-thread
+    * parse memo (domain-clustered crawl frames hit it row after
+    * row). The matched path includes the query string (`?…`) — RFC
+    * 9309 matches on the URI path-and-query. */
+  def robotsFilter(urls: DataFrame, robots: DataFrame,
+      userAgent: String, urlCol: String = "url"): DataFrame = {
+    require(robots.columns.contains("host") &&
+      robots.columns.contains("robots_txt"),
+      "[GRAFT] robotsFilter: robots needs (host, robots_txt) columns")
+    require(userAgent.nonEmpty, "[GRAFT] robotsFilter: empty user agent")
+    val host = lower(parse_url(col(urlCol), lit("HOST")))
+    val path = concat(
+      coalesce(parse_url(col(urlCol), lit("PATH")), lit("/")),
+      coalesce(concat(lit("?"),
+        parse_url(col(urlCol), lit("QUERY"))), lit("")))
+    val slim = robots.select(lower(col("host")).as("__rhost"),
+      col("robots_txt").as("__robots"))
+    urls.join(slim, host === col("__rhost"), "left")
+      .filter(col("__robots").isNull ||
+        graft.functions.vfs_robots_allowed(col("__robots"),
+          lit(userAgent), path))
+      .drop("__rhost", "__robots")
+  }
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.HtmlKernel
+
+/** HTML → text extraction: the tolerant-markup contract (script/
+  * style/comment drops, entity decoding, block newlines, whitespace
+  * normalization), title and link extraction, and the Spark
+  * surface. The corpus-scale arithmetic is oracle-pinned
+  * (web_html_extract / web_html_links). */
+class HtmlSpec extends AnyFunSuite {
+
+  private def text(s: String): String =
+    HtmlKernel.text(UTF8String.fromString(s)).toString
+  private def title(s: String): String =
+    Option(HtmlKernel.title(UTF8String.fromString(s)))
+      .map(_.toString).orNull
+  private def links(s: String): Seq[String] =
+    HtmlKernel.links(UTF8String.fromString(s)).map(_.toString).toSeq
+
+  test("entities: named, numeric, hex, nbsp; unknown and unterminated pass through literally") {
+    assert(text("a&amp;b &lt;x&gt; &quot;q&quot; &apos;s&apos;") ===
+      "a&b <x> \"q\" 's'")
+    assert(text("&#72;&#101;&#x6C;&#X6C;o") === "Hello")
+    assert(text("caf&#233;") === "café")
+    assert(text("snow &#x2603;") === "snow ☃") // BMP hex
+    assert(text("clef &#x1D11E;") === "clef 𝄞") // astral
+    assert(text("a&nbsp;&nbsp;b") === "a b") // nbsp -> space, collapsed
+    assert(text("5 &x; 6") === "5 &x; 6")    // unknown named
+    assert(text("fish &chips") === "fish &chips") // no semicolon
+    assert(text("&#xZZ; &#; &#x110000;") === "&#xZZ; &#; &#x110000;")
+  }
+
+  test("script/style content drops wholesale, including markup-looking strings; close tags may carry whitespace") {
+    assert(text("a<script>if(x<1){y=\"<p>no</p>\";}</script>b") === "ab")
+    assert(text("a<style>p>span{x:1}</style>b") === "ab")
+    assert(text("a<SCRIPT src=\"x.js\">z</SCRIPT\n>b") === "ab")
+    // unclosed script drops to end-of-input, silently
+    assert(text("a<script>forever") === "a")
+    // a CLOSE script tag alone is just a dropped tag
+    assert(text("a</script>b") === "ab")
+  }
+
+  test("comments, quoted '>' in attributes, unclosed structures: tolerant and deterministic") {
+    assert(text("a<!-- <p>gone</p> -->b") === "ab")
+    assert(text("a<!-- unclosed") === "a")
+    assert(text("""a<img alt="5 > 4">b""") === "ab")
+    assert(text("a<img alt='x>y'>b") === "ab")
+    assert(text("a<div unclosed") === "a")
+    assert(text("2 < 3 and <4") === "2 < 3 and <4") // bare '<' is text
+  }
+
+  test("block tags separate lines; inline tags do not; whitespace normalizes") {
+    assert(text("<p>one</p><p>two</p>") === "one\ntwo")
+    assert(text("a<b>bold</b>c") === "aboldc")
+    assert(text("x<br>y") === "x\ny")
+    assert(text("  lots \t of \r space  ") === "lots of space")
+    assert(text("<div>\n\n\n  a  \n\n<p></p>\n b </div>") === "a\nb")
+    assert(text("<ul><li>i1</li><li>i2</li></ul>") === "i1\ni2")
+  }
+
+  test("title: first wins, entities decode, absent is NULL, attributes tolerated") {
+    assert(title("<html><head><title>A &amp; B</title></head>") === "A & B")
+    assert(title("<title> x </title><title>y</title>") === "x")
+    assert(title("<TITLE lang=\"en\">hi\nthere</TITLE>") === "hi there")
+    assert(title("<p>no title</p>") === null)
+  }
+
+  test("links: both quote styles, entity decode, document order, anchors without href skipped") {
+    val html = """<a href="https://a.example/x?p=1&amp;q=2">1</a>
+      |<A HREF='/rel/path'>2</A> <a name="anchor">3</a>
+      |<a class="z" href="#frag">4</a>""".stripMargin
+    assert(links(html) ===
+      Seq("https://a.example/x?p=1&q=2", "/rel/path", "#frag"))
+    assert(links("<p>none</p>") === Seq.empty)
+  }
+
+  test("Spark surface: SQL registration, codegen over a parquet scan, links feed URL normalization") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    graft.functions.registerAll(spark)
+    val dir = java.nio.file.Files
+      .createTempDirectory("html-spec").toString + "/pages"
+    Seq((1L, "<p>Hello &amp; welcome</p><a href='https://ex.org/a'>x</a>"),
+      (2L, "<script>x</script><title>T</title><p>Body</p>"))
+      .toDF("doc_id", "html").write.parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("pages")
+    val rows = spark.sql(
+      "SELECT doc_id, vfs_html_text(html) AS t, vfs_html_title(html) " +
+        "AS ti, vfs_html_links(html) AS l FROM pages ORDER BY doc_id")
+      .collect()
+    assert(rows(0).getString(1) === "Hello & welcome\nx")
+    assert(rows(0).getString(2) === null)
+    assert(rows(0).getSeq[String](3) === Seq("https://ex.org/a"))
+    assert(rows(1).getString(1) === "T\nBody") // <p> is a block break
+    assert(rows(1).getString(2) === "T")
+    // codegen: the expression runs inside a WholeStageCodegen span
+    // over the parquet scan (the `*(n)` prefix marker)
+    val plan = spark.read.parquet(dir)
+      .select(graft.functions.vfs_html_text($"html"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected codegen span:\n$plan")
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.RobotsKernel
+
+/** robots.txt evaluation (RFC 9309): group selection, the
+  * longest-match rule with allow-on-tie, wildcards and anchors,
+  * tolerant parsing, and the join-shaped operator. */
+class RobotsSpec extends AnyFunSuite {
+
+  private def allowed(robots: String, ua: String, path: String): Boolean =
+    RobotsKernel.allowed(UTF8String.fromString(robots),
+      UTF8String.fromString(ua), UTF8String.fromString(path))
+
+  test("group selection: exact UA (case-insensitive) beats *, * is the fallback, no group allows everything; a UA line after rules starts a new group") {
+    val robots =
+      """User-agent: *
+        |Disallow: /all
+        |
+        |User-agent: FooBot
+        |User-agent: BarBot
+        |Disallow: /foo
+        |
+        |User-agent: QuxBot
+        |Disallow: /qux
+        |""".stripMargin
+    assert(!allowed(robots, "foobot", "/foo/x"))
+    assert(allowed(robots, "FOOBOT", "/all/x")) // its group, not *
+    assert(!allowed(robots, "BarBot", "/foo/x")) // multi-UA group
+    assert(!allowed(robots, "somebody", "/all/x")) // * fallback
+    assert(allowed(robots, "somebody", "/foo/x"))
+    assert(!allowed(robots, "QuxBot", "/qux")) // post-rules UA = new group
+    assert(allowed(robots, "QuxBot", "/foo/x"))
+    assert(allowed("# only comments\n", "anybot", "/anything"))
+  }
+
+  test("longest match wins; allow beats disallow on equal length; empty patterns are ignored") {
+    val robots =
+      """User-agent: *
+        |Disallow: /page
+        |Allow: /page/sub
+        |Disallow:
+        |Allow: /dual
+        |Disallow: /dual
+        |""".stripMargin
+    assert(!allowed(robots, "b", "/page"))
+    assert(!allowed(robots, "b", "/pagex")) // prefix match
+    assert(allowed(robots, "b", "/page/sub/deep")) // longer allow
+    assert(allowed(robots, "b", "/dual/x")) // tie -> allow
+    assert(allowed(robots, "b", "/elsewhere")) // no rule -> allowed
+  }
+
+  test("wildcards and anchors: * spans octets, $ pins the end, multiple stars compose; paths are case-sensitive") {
+    val robots =
+      """User-Agent: *
+        |Disallow: /*.pdf$
+        |Disallow: /a*b*c
+        |Disallow: /CASE
+        |""".stripMargin
+    assert(!allowed(robots, "b", "/docs/x.pdf"))
+    assert(allowed(robots, "b", "/docs/x.pdf?dl=1")) // $ pins the end
+    assert(!allowed(robots, "b", "/aXXbYYc"))
+    assert(!allowed(robots, "b", "/abc"))
+    assert(allowed(robots, "b", "/acb"))
+    assert(!allowed(robots, "b", "/CASE/f"))
+    assert(allowed(robots, "b", "/case/f")) // path case matters
+  }
+
+  test("tolerant parsing: comments strip, unknown directives skip, rules before any UA line are dropped") {
+    val robots =
+      """Disallow: /orphan
+        |Sitemap: https://x.example/sitemap.xml
+        |User-agent: bot # trailing comment
+        |Crawl-delay: 10
+        |Disallow: /x # comment after value
+        |""".stripMargin
+    assert(allowed(robots, "bot", "/orphan")) // orphan rule ignored
+    assert(!allowed(robots, "bot", "/x/y"))
+    assert(allowed(robots, "bot", "/y"))
+  }
+
+  test("robotsFilter operator: hosts without a robots row pass, the query string participates in matching, survivors are exact") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://a.example/keep"),
+      (2L, "https://a.example/private/x"),
+      (3L, "https://a.example/search?q=term"),
+      (4L, "https://norobots.example/anything")).toDF("doc_id", "url")
+    val robots = Seq(("a.example",
+      "User-agent: *\nDisallow: /private\nDisallow: /search?q=*\n"))
+      .toDF("host", "robots_txt")
+    val kept = graft.operators.WebCuration
+      .robotsFilter(urls, robots, "GraftBot")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L))
+    assert(intercept[IllegalArgumentException](
+      graft.operators.WebCuration.robotsFilter(urls,
+        robots.select($"host"), "x"))
+      .getMessage.contains("[GRAFT]"))
+  }
+}
