@@ -273,6 +273,54 @@ object ScaleProbe {
       graft.operators.Multimodal.imageFingerprint(spark, media)
         .agg(sum($"sig")).collect()
     }
+    time("WebP VP8L encode + prefix decode + stats, 500k assets " +
+        "(per-partition kernel, no shuffle)") {
+      val media = graft.operators.Multimodal.synthesizeWebp(mediaDocs)
+      graft.operators.Multimodal.decodeStats(spark, media).count()
+    }
+    time("FLAC multi-frame encode + subframe/Rice decode + stats, " +
+        "500k assets (per-partition kernel, no shuffle)") {
+      val media = graft.operators.Multimodal.synthesizeFlac(mediaDocs)
+      graft.operators.Multimodal.decodeStats(spark, media).count()
+    }
+    time("DCT pHash (32x32 fixed-point) over 500k PNG assets " +
+        "(per-partition kernel, no shuffle)") {
+      val media = graft.operators.Multimodal.synthesizePng(mediaDocs)
+      // sum MOD-reduced sigs: raw pHash values reach 2^62 and a
+      // 500k-row sum overflows ANSI long arithmetic
+      graft.operators.Multimodal.imagePHash(spark, media)
+        .agg(sum($"sig" % 1000003L)).collect()
+    }
+    time("quarantined fingerprint over 500k assets with 1-in-37 " +
+        "corrupt (per-row Try isolation; the strict kernel would " +
+        "fail the stage on the FIRST one)") {
+      import org.apache.spark.sql.Encoders
+      val media = graft.operators.Multimodal.synthesizePng(mediaDocs)
+        .toDF()
+        .withColumn("media",
+          when(col("doc_id") % 37 === 0,
+            expr("substring(media, 1, 20)")).otherwise(col("media")))
+        .as[graft.operators.MediaRecord](
+          Encoders.product[graft.operators.MediaRecord])
+      val r = graft.operators.Multimodal
+        .imageFingerprintQuarantined(spark, media)
+        .agg(sum(when(col("err").isNotNull, 1L).otherwise(0L)),
+          count(lit(1))).collect()
+      println(s"[scale-probe]   quarantined ${r.head.getLong(0)} " +
+        s"of ${r.head.getLong(1)} assets")
+    }
+    time("HTML extraction (text+title+links) over 500k synthesized " +
+        "pages (codegen kernel, pure scan)") {
+      val html = concat(lit("<html><head><title>t</title></head>" +
+        "<body><script>x<y</script><p>"),
+        regexp_replace($"text", "&", "&amp;"),
+        lit("</p><a href=\"https://x.example/"), $"doc_id",
+        lit("\">l</a></body></html>"))
+      mediaDocs.select(
+          length(graft.functions.vfs_html_text(html)).as("n"),
+          size(graft.functions.vfs_html_links(html)).as("l"))
+        .agg(sum($"n"), sum($"l")).collect()
+    }
     time("windowed audio energy/peak: 167k wav assets (1/3 of the " +
         "500k docs) decoded + folded (per-partition kernel, no shuffle)") {
       import org.apache.spark.sql.Encoders
