@@ -328,6 +328,48 @@ object QuickStart {
     println(s"[quickstart] vfs_quality_gate TVF: $tvfKept docs pass " +
       "both cascades from pure SQL")
 
+    // round-15 surface: new codecs, pHash, quarantine, html, robots
+    val webp = graft.operators.Multimodal.decodeStats(spark,
+      graft.operators.Multimodal.synthesizeWebp(docs.limit(50))).count()
+    val flac = graft.operators.Multimodal.decodeStats(spark,
+      graft.operators.Multimodal.synthesizeFlac(docs.limit(50))).count()
+    println(s"[quickstart] webp/flac decode: $webp + $flac assets " +
+      "through VP8L prefix codes and FLAC frames")
+    val corrupted = graft.operators.Multimodal
+      .synthesizeMedia(docs.limit(74)
+        .select(($"doc_id" * 3 + 2).as("doc_id"), $"text")).toDF()
+      .withColumn("media", when($"doc_id" % 37 === 0,
+        expr("substring(media, 1, 20)")).otherwise($"media"))
+      .as[graft.operators.MediaRecord]
+    val q15 = graft.operators.Multimodal
+      .imageFingerprintQuarantined(spark, corrupted)
+    println(s"[quickstart] quarantine: " +
+      s"${q15.filter($"err".isNotNull).count()} corrupt assets " +
+      s"routed aside, ${q15.filter($"err".isNull).count()} clean " +
+      "fingerprinted (pHash variant: " +
+      graft.operators.Multimodal.imagePHash(spark,
+        graft.operators.Multimodal.synthesizeMedia(docs.limit(3)
+          .select(($"doc_id" * 3 + 2).as("doc_id"), $"text")))
+        .count() + " sigs)")
+    val page = "<html><head><title>T &amp; U</title></head><body>" +
+      "<script>if(a<b){}</script><p>Hello &#87;orld</p>" +
+      "<a href=\"https://x.example/1\">l</a></body></html>"
+    val htmlRow = spark.sql(
+      s"""SELECT vfs_html_title(p) t, vfs_html_text(p) x,
+         |  size(vfs_html_links(p)) l
+         |FROM (SELECT '${page.replace("'", "''")}' AS p)""".stripMargin)
+      .head()
+    println(s"[quickstart] html: title='${htmlRow.getString(0)}' " +
+      s"text='${htmlRow.getString(1).replace("\n", " / ")}' " +
+      s"links=${htmlRow.getInt(2)}")
+    val robotsKept = graft.operators.WebCuration.robotsFilter(
+      Seq((1L, "https://a.example/ok"), (2L, "https://a.example/private/x"))
+        .toDF("doc_id", "url"),
+      Seq(("a.example", "User-agent: *\nDisallow: /private\n"))
+        .toDF("host", "robots_txt"),
+      "graftbot").count()
+    println(s"[quickstart] robots gate: $robotsKept of 2 urls fetchable")
+
     // API-parity surface: the reference's 7 endpoints as library calls
     val api = new graft.api.VfsApi(spark,
       java.nio.file.Files.createTempDirectory("graft-api").toString)
