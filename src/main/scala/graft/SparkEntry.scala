@@ -1147,6 +1147,27 @@ object SparkEntry {
         .orderBy(col("doc_id").asc, col("pos").asc)
     }),
 
+    // ---- the STREAMING page front door: one micro-batch of raw
+    // pages through pageExtractBatch — extracted docs and the link
+    // frontier land batch-addressed; the joined read-back must match
+    // the web_html_extract derivation ----
+    "stream_page_extract" -> ((s, dir) => {
+      val html = htmlPageOf(col("doc_id"), col("text"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), html.as("html"))
+      val out = java.nio.file.Files
+        .createTempDirectory("verify-pages").toString
+      graft.streaming.Ingest.pageExtractBatch(pages, 2L, out)
+      val docs = s.read.parquet(s"$out/docs/batch=2")
+        .select(col("doc_id"), col("title"),
+          md5(col("text")).as("text_md5"))
+      val nl = s.read.parquet(s"$out/links/batch=2")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_links"))
+      docs.join(nl, "doc_id")
+        .withColumn("batch_id", lit(2L))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- robots.txt gate (RFC 9309): six path shapes against a
     // rules file exercising longest-match, allow-over-disallow ties,
     // `*` wildcards, `$` anchors, multi-UA groups, and a
@@ -4535,6 +4556,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(1 AS BIGINT), '/rel/' || doc_id
         |FROM documents
         |ORDER BY doc_id ASC, pos ASC""".stripMargin,
+
+    // the streaming front door lands the same extraction
+    // batch-addressed
+    "stream_page_extract" ->
+      s"""WITH n AS (SELECT doc_id,
+        |    array_to_string(list_filter(list_transform(
+        |      string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'),
+        |        chr(10)),
+        |      x -> trim(x, ' ')), x -> x <> ''), chr(10)) AS nt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'Doc & ' || doc_id AS title,
+        |  md5('Doc &' || chr(10) || doc_id || chr(10) || 'Doc Heading' ||
+        |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END ||
+        |    chr(10) || 'one and two') AS text_md5,
+        |  CAST(2 AS BIGINT) AS n_links,
+        |  CAST(2 AS BIGINT) AS batch_id
+        |FROM n ORDER BY doc_id ASC""".stripMargin,
 
     // robots gate: survivors by residue class — /private/ok/y beats
     // /private on length, /docs/$ beats /docs with allow-on-tie...

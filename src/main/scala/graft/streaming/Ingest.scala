@@ -646,6 +646,53 @@ object Ingest {
     ()
   }
 
+  /** Streaming PAGE ingest — the crawl-processing front door: each
+    * micro-batch of raw HTML rows (doc_id, html) runs the codegen
+    * extraction kernels ONCE
+    * ([[graft.functions.HtmlText]]/Title/Links) and lands two
+    * batch-addressed sinks — `outDir/docs/batch=<id>` with
+    * (doc_id, title, text) ready for the quality/dedup family, and
+    * `outDir/links/batch=<id>` with (doc_id, pos, href) feeding the
+    * URL-frontier loop ([[urlIngestStream]]). Both sinks overwrite
+    * their batch dir, so at-least-once replays are idempotent (the
+    * [[dsirScoreStream]] contract). The extraction is tolerant of
+    * malformed markup by design (see [[graft.functions.HtmlKernel]])
+    * — a crawl page never fails the stream. */
+  def pageExtractStream(pages: DataFrame, outDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    pages.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        pageExtractBatch(batch, id, outDir)
+      }
+      .start()
+
+  /** [[pageExtractStream]]'s per-batch body, separated so replay
+    * idempotence and oracle parity are testable. The extracted frame
+    * is localCheckpointed (streaming-safe, no CacheManager entry) so
+    * the kernels run once while two sinks consume. */
+  private[graft] def pageExtractBatch(batch0: DataFrame, batchId: Long,
+      outDir: String): Unit = {
+    val batch = batch0.select(col("doc_id").cast("long").as("doc_id"),
+      col("html"))
+    if (batch.isEmpty) return
+    val ex = batch.select(col("doc_id"),
+        graft.functions.vfs_html_title(col("html")).as("title"),
+        graft.functions.vfs_html_text(col("html")).as("text"),
+        graft.functions.vfs_html_links(col("html")).as("links"))
+      .localCheckpoint()
+    ex.select(col("doc_id"), col("title"), col("text"))
+      .write.mode("overwrite").parquet(s"$outDir/docs/batch=$batchId")
+    ex.select(col("doc_id"),
+        posexplode(col("links")).as(Seq("pos", "href")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("href"))
+      .write.mode("overwrite").parquet(s"$outDir/links/batch=$batchId")
+    ()
+  }
+
   /** One micro-batch of the URL-dedup ingest loop, REPLAY-IDEMPOTENT
     * BY CONSTRUCTION (the [[boilerplateBatch]] stance — no crash
     * point needs a residue heuristic):

@@ -78,6 +78,46 @@ class HtmlSpec extends AnyFunSuite {
     assert(links("<p>none</p>") === Seq.empty)
   }
 
+  test("pageExtractStream: two micro-batches land docs + link frontier batch-addressed; replay overwrites identically") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files
+      .createTempDirectory("page-stream").toString
+    val ck = java.nio.file.Files
+      .createTempDirectory("page-stream-ck").toString
+    def page(n: Int) =
+      s"<html><title>t$n</title><p>body $n</p>" +
+        s"<a href='/l/$n'>x</a></html>"
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.Ingest.pageExtractStream(
+      stream.toDF().toDF("doc_id", "html"), out, ck,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      stream.addData((1L, page(1)), (2L, page(2)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$out/docs/batch=0")
+        .select($"doc_id", $"title", $"text")
+        .as[(Long, String, String)].collect().sorted.toSeq ===
+        Seq((1L, "t1", "t1\nbody 1\nx"), (2L, "t2", "t2\nbody 2\nx")))
+      assert(spark.read.parquet(s"$out/links/batch=0")
+        .select($"doc_id", $"href").as[(Long, String)]
+        .collect().sorted.toSeq === Seq((1L, "/l/1"), (2L, "/l/2")))
+      stream.addData((3L, page(3)))
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$out/links/batch=1").count() === 1L)
+    } finally q.stop()
+    // replay of batch 1 overwrites with identical rows
+    val before = spark.read.parquet(s"$out/docs/batch=1")
+      .collect().map(_.toSeq).toSeq
+    graft.streaming.Ingest.pageExtractBatch(
+      Seq((3L, page(3))).toDF("doc_id", "html"), 1L, out)
+    assert(spark.read.parquet(s"$out/docs/batch=1")
+      .collect().map(_.toSeq).toSeq === before)
+  }
+
   test("Spark surface: SQL registration, codegen over a parquet scan, links feed URL normalization") {
     val spark = GraftTest.spark
     import spark.implicits._
