@@ -396,6 +396,11 @@ object Bench {
       SparkEntry.queries("web_html_extract")(spark, sfDir)
         .agg(sum(length(col("text_md5")))).collect()
     } }
+    // WARC framing + gzip + HTTP split + the same HTML chain
+    entry("warc_extract") { median {
+      SparkEntry.queries("web_warc_extract")(spark, sfDir)
+        .agg(sum(length(col("text_md5")))).collect()
+    } }
     // decode -> NN resize -> PNG re-encode -> decode, the image
     // normalization shape (per-partition batch kernel, pure scan)
     entry("media_resize") { median {

@@ -1147,6 +1147,29 @@ object SparkEntry {
         .orderBy(col("doc_id").asc, col("pos").asc)
     }),
 
+    // ---- WARC (ISO 28500, the CommonCrawl format): every doc's
+    // page wrapped in a real warcinfo+request+response archive
+    // (every 3rd gzipped), parsed back and piped into the HTML
+    // kernel — the full crawl front end in one row ----
+    "web_warc_extract" -> ((s, dir) => {
+      val html = htmlPageOf(col("doc_id"), col("text"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://w"), col("doc_id") % 5,
+            lit(".example/p/"), col("doc_id")).as("uri"),
+          html.as("html"))
+      val recs = graft.operators.Warc
+        .records(s, graft.operators.Warc.synthesizeWarc(pages)).toDF()
+      val resp = recs.filter(col("rec_type") === "response")
+        .select(col("doc_id"), col("target_uri"),
+          col("http_status").cast("long").as("http_status"),
+          md5(graft.functions.vfs_html_text(
+            decode(col("body"), "UTF-8"))).as("text_md5"))
+      val counts = recs.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_records"))
+      resp.join(counts, "doc_id").orderBy(col("doc_id").asc)
+    }),
+
     // ---- the STREAMING page front door: one micro-batch of raw
     // pages through pageExtractBatch — extracted docs and the link
     // frontier land batch-addressed; the joined read-back must match
@@ -4556,6 +4579,26 @@ object SparkEntry {
         |SELECT doc_id, CAST(1 AS BIGINT), '/rel/' || doc_id
         |FROM documents
         |ORDER BY doc_id ASC, pos ASC""".stripMargin,
+
+    // WARC: response records must carry the page through framing
+    // (and every 3rd archive through gzip) byte-exactly — the md5
+    // chain is the web_html_extract derivation
+    "web_warc_extract" ->
+      s"""WITH n AS (SELECT doc_id,
+        |    array_to_string(list_filter(list_transform(
+        |      string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'),
+        |        chr(10)),
+        |      x -> trim(x, ' ')), x -> x <> ''), chr(10)) AS nt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'https://w' || (doc_id % 5) || '.example/p/' || doc_id
+        |    AS target_uri,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  md5('Doc &' || chr(10) || doc_id || chr(10) || 'Doc Heading' ||
+        |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END ||
+        |    chr(10) || 'one and two') AS text_md5,
+        |  CAST(3 AS BIGINT) AS n_records
+        |FROM n ORDER BY doc_id ASC""".stripMargin,
 
     // the streaming front door lands the same extraction
     // batch-addressed
