@@ -778,9 +778,9 @@ object IvfIndex {
     val existing = existingClusterDirs(spark, s"$path/assignments",
       touched.toIndexedSeq.sorted)
     if (existing.isEmpty)
-      return spark.emptyDataFrame
+      return CacheScope.releaseWith(spark.emptyDataFrame
         .select(lit(0L).as("qid"), lit(0L).as("id"),
-          lit(0.0).as("distance"), lit(0).as("rank")).limit(0)
+          lit(0.0).as("distance"), lit(0).as("rank")).limit(0), q)
     // basePath keeps the cluster partition column for the scoped join
     val rows0 = spark.read.option("basePath", s"$path/assignments")
       .parquet(existing.toIndexedSeq: _*)
@@ -811,12 +811,15 @@ object IvfIndex {
     // dedup shuffle is needed solely for multiprobe indexes
     val scored = if (meta.nAssign > 1)
       scored0.dropDuplicates("qid", "id") else scored0
-    scored
+    // the query cache is GC-scoped to the result ([[CacheScope]]) —
+    // no CacheManager entry outlives the caller's use of this frame
+    CacheScope.releaseWith(scored
       .groupBy(col("qid"))
       .agg(topk(col("distance"), col("id"), k).as("topk"))
       .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "r")))
       .select(col("qid"), col("r.id").as("id"),
-        col("r.distance").as("distance"), (col("pos") + 1).as("rank"))
+        col("r.distance").as("distance"), (col("pos") + 1).as("rank")),
+      q)
   }
 
   /** Metric string of a persisted index (for routing guards). */

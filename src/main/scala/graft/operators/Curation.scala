@@ -82,10 +82,16 @@ object Curation {
     }
     val coded = scored.select(col(idCol), code.as("lang_code"),
       col("__nt"))
-    Packing.packBinsNextFit(coded, col("lang_code"), col(idCol),
-        col("__nt"), binCapacity, idCol)
-      .select(col(idCol), col("shard").as("lang_code"),
-        col("n_tokens"), col("bin_id"), col("bin_off"), col("overflow"))
+    // both stage caches are GC-scoped to the result ([[CacheScope]]):
+    // the composition's consumers share them while the frame is
+    // reachable, and nothing lingers in the CacheManager afterwards
+    CacheScope.releaseWith(CacheScope.releaseWith(
+      Packing.packBinsNextFit(coded, col("lang_code"), col(idCol),
+          col("__nt"), binCapacity, idCol)
+        .select(col(idCol), col("shard").as("lang_code"),
+          col("n_tokens"), col("bin_id"), col("bin_off"),
+          col("overflow")),
+      q), surv)
   }
 
   /** The pipeline's AUDIT TRAIL — per-language-shard totals over the

@@ -769,7 +769,8 @@ object IvfPq {
       .collect().map(_.getInt(0)).sorted
     val existingCodes = IvfIndex.existingClusterDirs(spark,
       s"$path/codes", touched.toIndexedSeq)
-    if (existingCodes.isEmpty) return emptyOut()
+    if (existingCodes.isEmpty)
+      return CacheScope.releaseWith(emptyOut(), q)
     // one count sizes all three broadcast gates (the searchBatch
     // stance: hint only what plausibly fits executor memory, leave the
     // rest to the planner); bytes, not rows — dim from the index meta
@@ -839,7 +840,8 @@ object IvfPq {
     // broadcast side of the id join by construction) ----
     val existingAssign = IvfIndex.existingClusterDirs(spark,
       s"$ivfPath/assignments", touched.toIndexedSeq)
-    if (existingAssign.isEmpty) return emptyOut()
+    if (existingAssign.isEmpty)
+      return CacheScope.releaseWith(emptyOut(), q)
     val raw0 = spark.read
       .option("basePath", s"$ivfPath/assignments")
       .parquet(existingAssign: _*)
@@ -851,7 +853,8 @@ object IvfPq {
     // candidate rows are (qid, id) pairs — dim 0, overhead-sized
     val candSide = BroadcastGate.gated(cands,
       qCount * k * overfetch, 0)
-    raw.join(candSide, Seq("id"))
+    // the query cache is GC-scoped to the result ([[CacheScope]])
+    CacheScope.releaseWith(raw.join(candSide, Seq("id"))
       .join(qv2, Seq("qid"))
       .select(col("qid"), col("id"),
         metric.dist(col("values"), col("qv")).as("distance"))
@@ -859,6 +862,7 @@ object IvfPq {
       .agg(topk(col("distance"), col("id"), k).as("topk"))
       .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "r")))
       .select(col("qid"), col("r.id").as("id"),
-        col("r.distance").as("distance"), (col("pos") + 1).as("rank"))
+        col("r.distance").as("distance"), (col("pos") + 1).as("rank")),
+      q)
   }
 }
