@@ -665,6 +665,23 @@ object Explain {
         "then integer sums and one window row_number; NO cartesian)") {
       graft.SparkEntry.queries("mining_margin_pairs")(spark, dir)
     }
+    show("html extraction (expect: ONE codegen projection over the " +
+        "scan — vfs_html_text/title/links are pure per-row kernels, " +
+        "no shuffle)") {
+      graft.SparkEntry.queries("web_html_extract")(spark, dir)
+    }
+    show("warc -> records -> html chain (expect: MapPartitions " +
+        "record-explode kernel under the per-doc record-count " +
+        "aggregate + one doc_id join; the html kernel rides the " +
+        "response projection — no second pass over the archive " +
+        "bytes)") {
+      graft.SparkEntry.queries("web_warc_extract")(spark, dir)
+    }
+    show("robots gate (expect: ONE left join on the lowercased host " +
+        "(AQE broadcasts the KB-sized per-domain rules side) + the " +
+        "codegen'd vfs_robots_allowed filter — no other exchange)") {
+      graft.SparkEntry.queries("web_robots_filter")(spark, dir)
+    }
     spark.stop()
   }
 }
