@@ -67,13 +67,19 @@ object HtmlKernel {
   }
 
   /** Index of the end of `</name` + '>' at or after `from`
-    * (case-insensitive); s.length when absent. */
+    * (case-insensitive, with a NAME BOUNDARY: `</scripty>` must not
+    * close `<script>` — the char after the name has to be '>' or
+    * whitespace, the HTML5 end-tag rule); s.length when absent. */
   private def skipRawElement(s: String, from: Int, name: String): Int = {
     val close = "</" + name
     var i = from
     while (i < s.length) {
       if (s.charAt(i) == '<' && i + close.length <= s.length &&
-        s.regionMatches(true, i, close, 0, close.length)) {
+        s.regionMatches(true, i, close, 0, close.length) &&
+        (i + close.length == s.length || {
+          val c = s.charAt(i + close.length)
+          c == '>' || c == ' ' || c == '\t' || c == '\n' || c == '\r'
+        })) {
         val after = i + close.length
         // the close tag may carry whitespace before '>'
         var j = after
@@ -107,7 +113,12 @@ object HtmlKernel {
           if (digits.isEmpty) -1
           else Integer.parseInt(digits, if (hex) 16 else 10)
         } catch { case _: NumberFormatException => -1 }
-        if (cp >= 0 && cp <= 0x10ffff && Character.isValidCodePoint(cp)) {
+        if (cp == 0 || (cp >= 0xd800 && cp <= 0xdfff)) {
+          // HTML5 reference decoding: NUL and surrogate code points
+          // become U+FFFD — a lone surrogate would make the output
+          // ill-formed UTF-8 downstream
+          out.append('�'); semi + 1
+        } else if (cp > 0 && cp <= 0x10ffff) {
           out.appendCodePoint(cp); semi + 1
         } else { out.append('&'); i + 1 }
       case _ => out.append('&'); i + 1
@@ -129,7 +140,14 @@ object HtmlKernel {
           (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '/' ||
             s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
           val nameAt = if (s.charAt(i + 1) == '/') i + 2 else i + 1
-          val name = tagNameAt(s, nameAt)
+          val rawName = tagNameAt(s, nameAt)
+          // custom elements (<script-x>, <p-card>) are NOT the
+          // built-in tag their name prefixes — same boundary rule as
+          // the close-tag scan
+          val name =
+            if (nameAt + rawName.length < s.length &&
+              s.charAt(nameAt + rawName.length) == '-') ""
+            else rawName
           val after = skipTag(s, i)
           if ((name == "script" || name == "style") &&
             s.charAt(i + 1) != '/')
@@ -188,7 +206,12 @@ object HtmlKernel {
     var i = 0
     while (i < s.length) {
       if (s.charAt(i) == '<' &&
-        s.regionMatches(true, i, "<title", 0, 6)) {
+        s.regionMatches(true, i, "<title", 0, 6) &&
+        // NAME BOUNDARY: <title-bar>/<titlex> are different elements
+        (i + 6 >= s.length || {
+          val c = s.charAt(i + 6)
+          !c.isLetterOrDigit && c != '-'
+        })) {
         val after = skipTag(s, i)
         val end = skipRawElement(s, after, "title")
         // end points past "</title>"; body is [after, start-of-close)
@@ -213,7 +236,7 @@ object HtmlKernel {
     while (i < s.length) {
       if (s.charAt(i) == '<' && i + 2 < s.length &&
         (s.charAt(i + 1) == 'a' || s.charAt(i + 1) == 'A') &&
-        !s.charAt(i + 2).isLetterOrDigit) {
+        !s.charAt(i + 2).isLetterOrDigit && s.charAt(i + 2) != '-') {
         val after = skipTag(s, i)
         val tag = s.substring(i, math.min(after, s.length))
         val m = LinkHref.findFirstMatchIn(tag)
@@ -233,8 +256,10 @@ object HtmlKernel {
     out.toArray
   }
 
+  // the lookbehind guards against matching the 'href=' tail of a
+  // DIFFERENT attribute name (data-href=, xhref=)
   private val LinkHref =
-    """(?is)href\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+    """(?is)(?<![\w-])href\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
 }
 
 /** STRING → STRING extracted prose ([[HtmlKernel.text]]).

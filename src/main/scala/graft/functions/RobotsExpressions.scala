@@ -61,7 +61,13 @@ object RobotsKernel {
         key match {
           case "user-agent" =>
             if (inRules) { currentUas = Nil; inRules = false }
-            currentUas ::= value.toLowerCase
+            val ua = value.toLowerCase
+            currentUas ::= ua
+            // materialize the group even when every rule turns out
+            // empty: per RFC 9309 a matched group with an empty
+            // Disallow allows EVERYTHING — the agent must not fall
+            // through to the '*' group
+            groups(ua) = groups(ua)
           case "allow" | "disallow" =>
             inRules = true
             if (value.nonEmpty && currentUas.nonEmpty) {

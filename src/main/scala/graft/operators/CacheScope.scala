@@ -18,12 +18,30 @@ import org.apache.spark.sql.DataFrame
   * 1.5-1.8× slower whole-operator on the mining hot path at sf0.1. */
 private[graft] object CacheScope {
   private val cleaner = java.lang.ref.Cleaner.create()
+  // result -> its scoped caches, weakly keyed: lets releaseNow drop
+  // them deterministically; entries vanish with the result either way
+  private val pending = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[DataFrame, java.util.List[DataFrame]]())
 
   /** Unpersist `cached` once `result` becomes unreachable; returns
     * `result` for chaining. */
   def releaseWith(result: DataFrame, cached: DataFrame): DataFrame = {
     cleaner.register(result, new Release(cached))
+    pending.computeIfAbsent(result,
+      _ => new java.util.ArrayList[DataFrame]()).add(cached)
     result
+  }
+
+  /** Release every cache scoped to `result` NOW — for callers
+    * (streaming foreachBatch bodies) whose last action on the frame
+    * has completed and that must not wait for a driver GC. The
+    * Cleaner's later run is an idempotent no-op. */
+  def releaseNow(result: DataFrame): Unit = {
+    val l = pending.remove(result)
+    if (l != null) l.forEach { c =>
+      try { c.unpersist(blocking = false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
   }
 
   /** The cleanup action holds ONLY the cached frame — a lambda could

@@ -3549,6 +3549,8 @@ object MediaCodec {
       val crc8At = br.bytePos
       require(flacCrc8(bytes, frameStart, crc8At) == br.bits(8).toInt,
         "[GRAFT] flac: frame header CRC-8 mismatch")
+      require(chAsgn <= 10,
+        s"[GRAFT] flac: reserved channel assignment $chAsgn")
       val nCh = if (chAsgn <= 7) chAsgn + 1 else 2
       require(nCh == channels, "[GRAFT] flac: channel count drifted")
       val chans = Array.ofDim[Array[Long]](nCh)

@@ -170,8 +170,9 @@ object Mining {
     // STREAMING-SAFE: this method runs once per micro-batch inside
     // marginMineStream's foreachBatch, where a leaked DataFrame-level
     // persist would register one CacheManager plan entry per batch
-    // FOREVER. mineCore releases its candidate persist inside the
-    // call (eager slim-result localCheckpoint, then unpersist), so
+    // FOREVER. mineCore's candidate persist is GC-scoped to the
+    // result ([[CacheScope]]) AND the foreachBatch body drops it
+    // deterministically after the sink write (releaseNow), so
     // nothing outlives the batch; the backward exactBatch skips its
     // query persist for the same reason (candTgt derives from the
     // cached candidates — cheap to evaluate twice while cached).

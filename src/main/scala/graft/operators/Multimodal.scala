@@ -724,7 +724,8 @@ object Multimodal {
     * means. The 1→N batch kernel shape: one JVM loop per partition,
     * output rows ∝ frames kept. */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRecord],
-      everyN: Int = 4): Dataset[FrameStats] = {
+      everyN: Int = 4,
+      maxGifPixels: Long = 1L << 26): Dataset[FrameStats] = {
     require(everyN > 0, "[GRAFT] sampleFrames: everyN must be positive")
     import spark.implicits._
     media.mapPartitions { it =>
@@ -734,9 +735,12 @@ object Multimodal {
           // "image/gif" too: the sniffer labels EVERY GIF image/gif
           // (magic bytes can't see frame count), so sniffed crawl
           // data must reach frame sampling without relabeling — a
-          // single-frame GIF just yields one frame here
+          // single-frame GIF just yields one frame here.
+          // `maxGifPixels` passes the animation memory cap through
+          // (default = the untrusted-crawl bound; raise for trusted
+          // corpora with large canvases)
           case "video/gif" | "image/gif" =>
-            MediaCodec.decodeGifFrames(r.media)
+            MediaCodec.decodeGifFrames(r.media, maxGifPixels)
           case other => throw new IllegalArgumentException(
             s"[GRAFT] sampleFrames: no frame decoder for format $other")
         }
@@ -888,7 +892,8 @@ object Multimodal {
     * asset prints sig 0 with n_frames 1). Per-partition kernel, zero
     * shuffle. Output: (doc_id, sig, n_frames). */
   def videoFingerprint(spark: SparkSession,
-      media: Dataset[MediaRecord]): DataFrame = {
+      media: Dataset[MediaRecord],
+      maxGifPixels: Long = 1L << 26): DataFrame = {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
@@ -896,9 +901,10 @@ object Multimodal {
           case "video/ppm-stream" => MediaCodec.decodePpmStream(r.media)
           // sniffed GIFs carry "image/gif" (see sampleFrames) — a
           // 1-frame GIF prints sig 0 with n_frames 1, same as a
-          // 1-frame ppm-stream
+          // 1-frame ppm-stream; maxGifPixels passes the animation
+          // memory cap through
           case "video/gif" | "image/gif" =>
-            MediaCodec.decodeGifFrames(r.media)
+            MediaCodec.decodeGifFrames(r.media, maxGifPixels)
           case other => throw new IllegalArgumentException(
             s"[GRAFT] videoFingerprint: no frame decoder for " +
               s"format $other")

@@ -368,12 +368,21 @@ object WebCuration {
       "[GRAFT] robotsFilter: robots needs (host, robots_txt) columns")
     require(userAgent.nonEmpty, "[GRAFT] robotsFilter: empty user agent")
     val host = lower(parse_url(col(urlCol), lit("HOST")))
+    // bare-host URLs: parse_url PATH yields the EMPTY string (not
+    // NULL) — RFC 9309 matches the empty path as '/'
     val path = concat(
-      coalesce(parse_url(col(urlCol), lit("PATH")), lit("/")),
+      coalesce(nullif(parse_url(col(urlCol), lit("PATH")), lit("")),
+        lit("/")),
       coalesce(concat(lit("?"),
         parse_url(col(urlCol), lit("QUERY"))), lit("")))
     val slim = robots.select(lower(col("host")).as("__rhost"),
       col("robots_txt").as("__robots"))
+    // duplicate host rows would fan every URL row out (and carry
+    // conflicting verdicts) through the left join — fail loudly, the
+    // per-batch id-uniqueness stance of the ingest loops
+    require(slim.groupBy(col("__rhost")).count()
+        .filter(col("count") > 1).isEmpty,
+      "[GRAFT] robotsFilter: duplicate host rows in the robots table")
     urls.join(slim, host === col("__rhost"), "left")
       .filter(col("__robots").isNull ||
         graft.functions.vfs_robots_allowed(col("__robots"),

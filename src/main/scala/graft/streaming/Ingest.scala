@@ -1172,14 +1172,13 @@ object Ingest {
     // the backward brute-force base — an un-persisted source subtree
     // would re-read the batch per pass. It is unpersisted in finally
     // (a DataFrame-level unpersist, which also drops the CacheManager
-    // plan entry). Everything ELSE the per-batch pipeline
-    // materializes is deliberately CacheManager-free: marginPairsDelta
-    // localCheckpoints the slim forward candidates (blocks only, the
-    // ContextCleaner reclaims them once unreferenced) and skips the
-    // backward exactBatch's query persist — so a long-running stream
-    // accumulates neither plan-cache entries nor storage blocks, and
-    // nothing here can touch caches owned by concurrent queries
-    // sharing the SparkContext.
+    // plan entry). The pipeline's INTERNAL caches are GC-scoped
+    // ([[graft.operators.CacheScope]]); after the sink write — the
+    // frame's last action — releaseNow drops the candidate cache
+    // deterministically instead of waiting for a driver GC, so a
+    // long-running stream holds at most one batch's blocks. Nothing
+    // here touches caches owned by concurrent queries sharing the
+    // SparkContext.
     val batch = batch0.persist()
     try {
       if (batch.isEmpty) return
@@ -1188,10 +1187,13 @@ object Ingest {
       require(batch.groupBy(col(idCol)).count()
           .filter(col("count") > 1).isEmpty,
         s"[GRAFT] marginMineBatch: $idCol must be unique within a batch")
-      graft.operators.Mining.marginPairsDelta(batch.sparkSession,
-          tgtPath, tgt, batch, k, nProbe, minMarginMilli, idCol, vecCol)
-        .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      val pairs = graft.operators.Mining.marginPairsDelta(
+        batch.sparkSession, tgtPath, tgt, batch, k, nProbe,
+        minMarginMilli, idCol, vecCol)
+      try {
+        pairs.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+      } finally graft.operators.CacheScope.releaseNow(pairs)
     } finally batch.unpersist()
     ()
   }

@@ -174,13 +174,23 @@ class FlacSpec extends AnyFunSuite {
     assert(MediaCodec.decodeFlac(file).samples.toSeq === Seq.fill(5)(6))
   }
 
-  test("adversarial: bad magic, lossy-free rejects") {
+  test("adversarial: bad magic, garbage bytes, reserved channel assignment all reject loudly") {
     assert(intercept[IllegalArgumentException](
       MediaCodec.decodeFlac("flaC".getBytes("US-ASCII")))
       .getMessage.contains("[GRAFT]"))
     assert(intercept[IllegalArgumentException](
       MediaCodec.decodeFlac(Array.fill[Byte](64)(0x55)))
       .getMessage.contains("[GRAFT]"))
+    // chAsgn 11 is reserved: must throw, never decode as stereo
+    val reserved = handFile(2, 16, 2, 11, bw => {
+      bw.putBits(0, 1); bw.putBits(0, 6); bw.putBits(0, 1)
+      bw.putBits(1, 16)
+      bw.putBits(0, 1); bw.putBits(0, 6); bw.putBits(0, 1)
+      bw.putBits(2, 16)
+    })
+    assert(intercept[IllegalArgumentException](
+      MediaCodec.decodeFlac(reserved))
+      .getMessage.contains("reserved channel assignment"))
   }
 
   test("Spark path: FLAC stats equal the WAV stats for the same payload; fingerprints pair duplicates; sniff routes") {

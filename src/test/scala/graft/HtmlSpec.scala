@@ -62,6 +62,25 @@ class HtmlSpec extends AnyFunSuite {
     assert(text("<ul><li>i1</li><li>i2</li></ul>") === "i1\ni2")
   }
 
+  test("custom elements are not the built-ins they prefix; surrogate references become U+FFFD") {
+    // <script-x> is a CUSTOM element, not a raw-text script
+    assert(text("a<script-x>visible</script-x>b") === "avisibleb")
+    // </scripty> does not close <script>; the real close tag does
+    assert(text("a<script>x</scripty>y</script>b") === "ab")
+    // <title-bar> is not a title
+    assert(title("<title-bar>Menu</title-bar><title>Real</title>") ===
+      "Real")
+    assert(title("<title-bar>Menu</title-bar>") === null)
+    // <a-card> is not an anchor
+    assert(links("""<a-card href="/no">x</a-card>""") === Seq.empty)
+    // data-href must not shadow the real href
+    assert(links("""<a data-href="/pixel" href="/real">x</a>""") ===
+      Seq("/real"))
+    // NUL and surrogate numeric references: U+FFFD, never ill-formed
+    // UTF-8 in the output
+    assert(text("a&#xD800;b&#0;c") === "a�b�c")
+  }
+
   test("title: first wins, entities decode, absent is NULL, attributes tolerated") {
     assert(title("<html><head><title>A &amp; B</title></head>") === "A & B")
     assert(title("<title> x </title><title>y</title>") === "x")

@@ -82,6 +82,45 @@ class RobotsSpec extends AnyFunSuite {
     assert(allowed(robots, "bot", "/y"))
   }
 
+  test("an empty-Disallow group still claims its agent: allow-all, NOT fallthrough to *") {
+    val robots =
+      """User-agent: mybot
+        |Disallow:
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    // RFC 9309: mybot's matched group (one empty disallow = allow
+    // everything) applies; falling through to '*' would block all
+    assert(allowed(robots, "mybot", "/x"))
+    assert(!allowed(robots, "otherbot", "/x"))
+  }
+
+  test("bare-host URLs match as path '/' (parse_url yields the empty string, not NULL)") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val kept = graft.operators.WebCuration.robotsFilter(
+      Seq((1L, "https://blocked.example"),
+        (2L, "https://blocked.example/")).toDF("doc_id", "url"),
+      Seq(("blocked.example", "User-agent: *\nDisallow: /\n"))
+        .toDF("host", "robots_txt"), "bot")
+    assert(kept.count() === 0L,
+      "a fully-disallowed host must block its bare-host URL too")
+  }
+
+  test("duplicate host rows in the robots table fail loudly instead of fanning URLs out") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.WebCuration.robotsFilter(
+        Seq((1L, "https://a.example/x")).toDF("doc_id", "url"),
+        Seq(("a.example", "User-agent: *\nDisallow: /p\n"),
+          ("a.example", "User-agent: *\nAllow: /\n"))
+          .toDF("host", "robots_txt"), "bot")
+    }
+    assert(e.getMessage.contains("[GRAFT]"))
+  }
+
   test("robotsFilter operator: hosts without a robots row pass, the query string participates in matching, survivors are exact") {
     val spark = GraftTest.spark
     import spark.implicits._
