@@ -183,6 +183,28 @@ object SparkEntry {
       lit("'>two</a>\n</div></body></html>"))
   }
 
+  /** The chrome-laden page the `web_html_extract_main` row uses: a
+    * nav menu, header banner, aside, cookie-consent form, and footer
+    * around the invertible `<main>` payload. The chrome text is
+    * page-UNIQUE per doc (the footer carries the id), so the
+    * corpus-frequency boilerplate pass could not catch it — only
+    * container-scoped suppression can. */
+  private def chromePageOf(id: Column, text: Column): Column = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(text,
+      "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    concat(
+      lit("<html><head><title>Main "), id,
+      lit("</title></head><body>" +
+        "<nav><ul><li><a href=\"/\">Home</a></li><li>About</li></ul></nav>" +
+        "<header><h1>Site Chrome</h1></header>" +
+        "<aside>Related stuff</aside>" +
+        "<form action=\"/q\">We use cookies<input value=\"ok\"></form>" +
+        "<main><h1>Doc "), id,
+      lit("</h1><p>"), esc,
+      lit("</p></main><footer>(c) site "), id,
+      lit("</footer></body></html>"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- P1: point lookup (storage_manager.rs:235-296) ----
@@ -1134,6 +1156,21 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- main-content scoping: a chrome-laden page (nav menu,
+    // header banner, aside, cookie form, footer) around the same
+    // invertible payload — the main variant must drop every chrome
+    // line and keep title + <main> prose, while the WET-parity full
+    // extraction keeps the chrome; both md5s derive from the
+    // original text column ----
+    "web_html_extract_main" -> ((s, dir) => {
+      val page = chromePageOf(col("doc_id"), col("text"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          md5(graft.functions.vfs_html_main_text(page)).as("main_md5"),
+          md5(graft.functions.vfs_html_text(page)).as("full_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- the link half: every <a href> in document order, feeding
     // the URL-curation family straight from raw pages ----
     "web_html_links" -> ((s, dir) => {
@@ -1170,6 +1207,30 @@ object SparkEntry {
       resp.join(counts, "doc_id").orderBy(col("doc_id").asc)
     }),
 
+    // ---- non-identity response bodies (the wget/heritrix WARC
+    // shape): the body's wire coding rotates by doc_id % 4 —
+    // identity / chunked / gzip Content-Encoding / chunked OVER
+    // gzip — and the decode walk must return every page
+    // byte-identically to the identity case (same md5 chain for all
+    // four residues) ----
+    "web_warc_transfer_codings" -> ((s, dir) => {
+      val html = htmlPageOf(col("doc_id"), col("text"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://w"), col("doc_id") % 5,
+            lit(".example/p/"), col("doc_id")).as("uri"),
+          html.as("html"))
+      val recs = graft.operators.Warc
+        .records(s, graft.operators.Warc
+          .synthesizeWarc(pages, bodyCodings = true)).toDF()
+      recs.filter(col("rec_type") === "response")
+        .select(col("doc_id"), (col("doc_id") % 4).as("body_coding"),
+          col("http_status").cast("long").as("http_status"),
+          md5(graft.functions.vfs_html_text(
+            decode(col("body"), "UTF-8"))).as("text_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- the STREAMING page front door: one micro-batch of raw
     // pages through pageExtractBatch — extracted docs and the link
     // frontier land batch-addressed; the joined read-back must match
@@ -1195,7 +1256,11 @@ object SparkEntry {
     // rules file exercising longest-match, allow-over-disallow ties,
     // `*` wildcards, `$` anchors, multi-UA groups, and a
     // blocked-everything group for OTHER agents — the oracle derives
-    // the surviving set from the residue class alone ----
+    // the surviving set from the residue class alone. The crawler
+    // identifies as "GraftBot-News": no exact group exists, so the
+    // row also pins §2.2.1 most-specific matching (the GraftBot
+    // group must apply — exact-only selection would fall through to
+    // no group at all and keep every URL) ----
     "web_robots_filter" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val seg = element_at(array(lit("/private/x"),
@@ -1222,8 +1287,67 @@ object SparkEntry {
         .select(lower(parse_url(col("url"), lit("HOST"))).as("host"))
         .distinct()
         .withColumn("robots_txt", lit(robotsTxt))
-      graft.operators.WebCuration.robotsFilter(urls, robots, "GraftBot")
+      graft.operators.WebCuration.robotsFilter(urls, robots,
+          "GraftBot-News")
         .select(col("doc_id"), col("url"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- RFC 9309 §2.2.1 user-agent group selection: exact token
+    // beats prefix ("mybot-news" has its own group), prefix beats
+    // `*` ("mybot-img" obeys the "mybot" group), everyone else gets
+    // the blocked-everything `*` group — allowed derives from the
+    // (agent residue, path residue) pair alone ----
+    "web_robots_ua_match" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val robotsTxt =
+        """User-agent: mybot
+          |Disallow: /img
+          |
+          |User-agent: mybot-news
+          |Disallow: /news
+          |
+          |User-agent: *
+          |Disallow: /
+          |""".stripMargin
+      val agent = element_at(array(lit("mybot-news"),
+        lit("mybot-img"), lit("somebot")),
+        (col("doc_id") % 3 + 1).cast("int"))
+      val path = element_at(array(lit("/news/p"), lit("/img/p")),
+        (col("doc_id") % 2 + 1).cast("int"))
+      docs.select(col("doc_id"), agent.as("agent"), path.as("path"),
+          graft.functions.vfs_robots_allowed(lit(robotsTxt),
+            agent, path).as("allowed"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- crawl-delay + sitemap surfacing: group-scoped delay in
+    // milliseconds through the same most-specific UA walk (NULL when
+    // the selected group declares none), global sitemaps collected
+    // file-wide regardless of group position ----
+    "web_robots_crawl_delay" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val robotsTxt =
+        """Sitemap: https://x.example/s1.xml
+          |User-agent: mybot
+          |Crawl-delay: 1.5
+          |Disallow: /img
+          |
+          |User-agent: quietbot
+          |Disallow: /q
+          |
+          |User-agent: *
+          |Crawl-delay: 10
+          |Sitemap: https://x.example/s2.xml
+          |Disallow: /x
+          |""".stripMargin
+      val agent = element_at(array(lit("mybot-news"), lit("quietbot"),
+        lit("otherbot")), (col("doc_id") % 3 + 1).cast("int"))
+      docs.select(col("doc_id"), agent.as("agent"),
+          graft.functions.vfs_robots_crawl_delay(lit(robotsTxt), agent)
+            .as("delay_milli"),
+          size(graft.functions.vfs_robots_sitemaps(lit(robotsTxt)))
+            .cast("long").as("n_sitemaps"))
         .orderBy(col("doc_id").asc)
     }),
 
@@ -4571,6 +4695,28 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS n_links
         |FROM n ORDER BY doc_id ASC""".stripMargin,
 
+    // main-content scoping: the main variant keeps only the title
+    // and the <main> prose; the WET-parity full extraction keeps
+    // every chrome line too — both recomputed from the raw text
+    "web_html_extract_main" ->
+      s"""WITH n AS (SELECT doc_id,
+        |    array_to_string(list_filter(list_transform(
+        |      string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'),
+        |        chr(10)),
+        |      x -> trim(x, ' ')), x -> x <> ''), chr(10)) AS nt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  md5('Main ' || doc_id || chr(10) || 'Doc ' || doc_id ||
+        |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END)
+        |    AS main_md5,
+        |  md5('Main ' || doc_id || chr(10) || 'Home' || chr(10) ||
+        |    'About' || chr(10) || 'Site Chrome' || chr(10) ||
+        |    'Related stuff' || chr(10) || 'We use cookies' || chr(10) ||
+        |    'Doc ' || doc_id ||
+        |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END ||
+        |    chr(10) || '(c) site ' || doc_id) AS full_md5
+        |FROM n ORDER BY doc_id ASC""".stripMargin,
+
     "web_html_links" ->
       s"""SELECT doc_id, CAST(0 AS BIGINT) AS pos,
         |  'https://ex.com/a?id=' || doc_id || '&x=1' AS href
@@ -4598,6 +4744,23 @@ object SparkEntry {
         |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END ||
         |    chr(10) || 'one and two') AS text_md5,
         |  CAST(3 AS BIGINT) AS n_records
+        |FROM n ORDER BY doc_id ASC""".stripMargin,
+
+    // non-identity bodies: dechunk + gunzip must hand the HTML
+    // kernel the identity page for every coding residue — one md5
+    // chain regardless of doc_id % 4
+    "web_warc_transfer_codings" ->
+      s"""WITH n AS (SELECT doc_id,
+        |    array_to_string(list_filter(list_transform(
+        |      string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'),
+        |        chr(10)),
+        |      x -> trim(x, ' ')), x -> x <> ''), chr(10)) AS nt
+        |  FROM documents)
+        |SELECT doc_id, doc_id % 4 AS body_coding,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  md5('Doc &' || chr(10) || doc_id || chr(10) || 'Doc Heading' ||
+        |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END ||
+        |    chr(10) || 'one and two') AS text_md5
         |FROM n ORDER BY doc_id ASC""".stripMargin,
 
     // the streaming front door lands the same extraction
@@ -4632,6 +4795,31 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 6 IN (1, 3, 4)
         |ORDER BY doc_id ASC""".stripMargin,
+
+    // §2.2.1 group selection: exact beats prefix beats '*' — allowed
+    // derives from the (agent residue, path residue) pair
+    "web_robots_ua_match" ->
+      s"""SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'mybot-news'
+        |    WHEN 1 THEN 'mybot-img' ELSE 'somebot' END AS agent,
+        |  CASE doc_id % 2 WHEN 0 THEN '/news/p'
+        |    ELSE '/img/p' END AS path,
+        |  ((doc_id % 3 = 0 AND doc_id % 2 = 1) OR
+        |   (doc_id % 3 = 1 AND doc_id % 2 = 0)) AS allowed
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+
+    // crawl-delay through the same group walk: mybot-news inherits
+    // the mybot group's 1.5 s (prefix), quietbot's group declares
+    // none (NULL — not the '*' fallback), otherbot gets '*'; the two
+    // global sitemaps count for every row
+    "web_robots_crawl_delay" ->
+      s"""SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'mybot-news'
+        |    WHEN 1 THEN 'quietbot' ELSE 'otherbot' END AS agent,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 1500
+        |    WHEN 1 THEN NULL ELSE 10000 END AS BIGINT) AS delay_milli,
+        |  CAST(2 AS BIGINT) AS n_sitemaps
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
 
     "web_url_normalize" ->
       s"""WITH $webUrlCtes

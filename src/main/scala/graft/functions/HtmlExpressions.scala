@@ -38,6 +38,16 @@ object HtmlKernel {
     "dt", "dd", "section", "article", "header", "footer",
     "blockquote", "pre", "hr", "form", "nav", "aside")
 
+  /** Page-chrome containers whose TEXT the main-content variant
+    * suppresses (the WET-adjacent heuristic: menus, cookie banners,
+    * footers, search forms live here and would otherwise feed every
+    * downstream scorer). Depth-counted, so nested chrome and chrome
+    * inside chrome close correctly; an UNCLOSED chrome tag suppresses
+    * to end-of-input — the same tolerant drop-to-end stance as an
+    * unclosed script. */
+  private val Chrome: Set[String] =
+    Set("nav", "aside", "header", "footer", "form")
+
   /** Lower-case tag name starting at `i` (after '<' and optional
     * '/'), empty when none. */
   private def tagNameAt(s: String, i: Int): String = {
@@ -126,9 +136,17 @@ object HtmlKernel {
   }
 
   /** Raw extraction pass: markup dropped, entities decoded, block
-    * newlines inserted — BEFORE whitespace normalization. */
-  private def extractRaw(s: String): java.lang.StringBuilder = {
+    * newlines inserted — BEFORE whitespace normalization. With
+    * `mainOnly`, text inside [[Chrome]] containers is suppressed
+    * (tags still parse — script/style bodies inside chrome must not
+    * leak when the chrome closes mid-element). */
+  private def extractRaw(s: String,
+      mainOnly: Boolean = false): java.lang.StringBuilder = {
     val out = new java.lang.StringBuilder(s.length / 2)
+    // entity decodes while suppressed land here (the reference must
+    // still consume its input span) and are discarded
+    lazy val scratch = new java.lang.StringBuilder(4)
+    var chromeDepth = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
@@ -139,7 +157,8 @@ object HtmlKernel {
         } else if (i + 1 < s.length &&
           (s.charAt(i + 1).isLetter || s.charAt(i + 1) == '/' ||
             s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
-          val nameAt = if (s.charAt(i + 1) == '/') i + 2 else i + 1
+          val isClose = s.charAt(i + 1) == '/'
+          val nameAt = if (isClose) i + 2 else i + 1
           val rawName = tagNameAt(s, nameAt)
           // custom elements (<script-x>, <p-card>) are NOT the
           // built-in tag their name prefixes — same boundary rule as
@@ -149,16 +168,24 @@ object HtmlKernel {
               s.charAt(nameAt + rawName.length) == '-') ""
             else rawName
           val after = skipTag(s, i)
-          if ((name == "script" || name == "style") &&
-            s.charAt(i + 1) != '/')
+          if ((name == "script" || name == "style") && !isClose)
             i = skipRawElement(s, after, name)
           else {
-            if (Block(name)) out.append('\n')
+            if (mainOnly && Chrome(name)) {
+              // <nav/> self-closes: no depth change (rare but legal)
+              val selfClosing = !isClose && after - 2 >= i &&
+                after - 2 < s.length && s.charAt(after - 2) == '/'
+              if (isClose) { if (chromeDepth > 0) chromeDepth -= 1 }
+              else if (!selfClosing) chromeDepth += 1
+            }
+            if (Block(name) && chromeDepth == 0) out.append('\n')
             i = after
           }
-        } else { out.append('<'); i += 1 }
-      } else if (c == '&') i = decodeRef(s, i, out)
-      else { out.append(c); i += 1 }
+        } else { if (chromeDepth == 0) out.append('<'); i += 1 }
+      } else if (c == '&')
+        i = decodeRef(s, i, if (chromeDepth == 0) out
+          else { scratch.setLength(0); scratch })
+      else { if (chromeDepth == 0) out.append(c); i += 1 }
     }
     out
   }
@@ -198,6 +225,17 @@ object HtmlKernel {
 
   def text(html: UTF8String): UTF8String =
     UTF8String.fromString(normalize(extractRaw(html.toString)))
+
+  /** Main-content variant: identical contract to [[text]] except
+    * that text inside [[Chrome]] containers (nav, aside, header,
+    * footer, form) is suppressed. [[text]] stays the WET-parity
+    * extraction; this is the curation-default ([[Chrome]] outweighs
+    * prose on real crawl pages, and page-unique chrome — a cookie
+    * banner, a search form — escapes the corpus-frequency
+    * boilerplate pass by construction). */
+  def textMain(html: UTF8String): UTF8String =
+    UTF8String.fromString(
+      normalize(extractRaw(html.toString, mainOnly = true)))
 
   /** Content of the FIRST `<title>` element (entity-decoded,
     * whitespace-normalized), or NULL when absent. */
@@ -274,6 +312,24 @@ case class HtmlText(child: Expression) extends UnaryExpression
     HtmlKernel.text(v.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.HtmlKernel.text($c)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** STRING → STRING extracted prose with page chrome suppressed
+  * ([[HtmlKernel.textMain]] — nav/aside/header/footer/form text
+  * dropped, the curation-default scoping). Registered as
+  * `vfs_html_main_text`. */
+case class HtmlMainText(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "vfs_html_main_text"
+  override def nullSafeEval(v: Any): Any =
+    HtmlKernel.textMain(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HtmlKernel.textMain($c)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

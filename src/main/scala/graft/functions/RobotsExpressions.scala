@@ -1,8 +1,9 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BooleanType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** robots.txt evaluation (RFC 9309) — the crawl-politeness gate of a
@@ -12,15 +13,24 @@ import org.apache.spark.unsafe.types.UTF8String
   *     rules; comments (`#` to end of line) strip first; keys are
   *     case-insensitive; a user-agent line after rules starts a NEW
   *     group;
-  *   - group selection: every group naming the product token
-  *     (case-insensitive exact match) merges; when none match, the
-  *     `*` groups apply; when neither exists, everything is allowed;
+  *   - group selection (RFC 9309 §2.2.1 most-specific match): an
+  *     exact case-insensitive token match wins; otherwise the group
+  *     whose token is the LONGEST prefix of the crawler's product
+  *     token applies (`mybot-news` obeys a `User-agent: mybot` group
+  *     — a robots token LONGER than the crawler's token never
+  *     matches); when none match, the `*` groups apply; when neither
+  *     exists, everything is allowed;
   *   - rule matching: `*` matches any octet sequence, `$` anchors the
   *     pattern end; among matching rules the LONGEST pattern (in
   *     octets, `$` excluded) wins, allow beating disallow on ties —
   *     the RFC's most-specific-match rule; empty patterns are
   *     ignored; no matching rule means allowed;
-  *   - unknown directives (crawl-delay, sitemap) are skipped.
+  *   - `Crawl-delay:` is group-scoped like allow/disallow (decimal
+  *     seconds, surfaced as integer MILLIseconds; the last valid
+  *     value in the selected group wins); `Sitemap:` is a global
+  *     record per the sitemaps protocol — collected file-wide in
+  *     document order, never group-scoped, and it does NOT end a
+  *     user-agent run; other unknown directives are skipped.
   *
   * Parsing is memoized per thread on the robots text (a crawl frame
   * carries ONE robots body per domain across many URL rows, and
@@ -30,8 +40,11 @@ object RobotsKernel {
   final case class Rule(allow: Boolean, pattern: String,
       regex: java.util.regex.Pattern, weight: Int)
 
-  /** Rules per lowercase user-agent token ('*' included). */
-  final case class Parsed(groups: Map[String, Vector[Rule]])
+  /** Rules and crawl-delays per lowercase user-agent token ('*'
+    * included), plus the file-global sitemap URLs. `delayMilli`
+    * holds only groups that declared a valid Crawl-delay. */
+  final case class Parsed(groups: Map[String, Vector[Rule]],
+      delayMilli: Map[String, Long], sitemaps: Vector[String])
 
   private def compile(pattern: String): java.util.regex.Pattern = {
     val anchored = pattern.endsWith("$")
@@ -49,6 +62,8 @@ object RobotsKernel {
   private[graft] def parse(robots: String): Parsed = {
     val groups = scala.collection.mutable.Map
       .empty[String, Vector[Rule]].withDefaultValue(Vector.empty)
+    val delays = scala.collection.mutable.Map.empty[String, Long]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
     var currentUas = List.empty[String]
     var inRules = false
     robots.split("\n", -1).foreach { line0 =>
@@ -77,11 +92,41 @@ object RobotsKernel {
               val r = Rule(key == "allow", value, compile(value), weight)
               currentUas.foreach(ua => groups(ua) = groups(ua) :+ r)
             }
-          case _ => () // crawl-delay, sitemap, unknown: skipped
+          case "crawl-delay" =>
+            // group-scoped like allow/disallow; decimal seconds →
+            // milli, invalid values skipped (tolerant parse)
+            inRules = true
+            if (currentUas.nonEmpty) try {
+              val sec = java.lang.Double.parseDouble(value)
+              if (sec >= 0 && sec <= 1e6) {
+                val milli = math.round(sec * 1000.0)
+                currentUas.foreach(ua => delays(ua) = milli)
+              }
+            } catch { case _: NumberFormatException => () }
+          case "sitemap" =>
+            // a GLOBAL record (sitemaps protocol): collected
+            // file-wide and deliberately NOT ending a user-agent run
+            if (value.nonEmpty) sitemaps += value
+          case _ => () // unknown directives: skipped
         }
       }
     }
-    Parsed(groups.toMap)
+    Parsed(groups.toMap, delays.toMap, sitemaps.toVector)
+  }
+
+  /** RFC 9309 §2.2.1 group selection for a crawler product token
+    * (already lowercased): exact match, else the longest group token
+    * that is a PREFIX of the crawler token, else '*', else none. */
+  private def selectUa(parsed: Parsed, ua: String): Option[String] = {
+    if (parsed.groups.contains(ua)) return Some(ua)
+    var best: String = null
+    parsed.groups.keysIterator.foreach { t =>
+      if (t != "*" && t.length < ua.length && ua.startsWith(t) &&
+        (best == null || t.length > best.length)) best = t
+    }
+    if (best != null) Some(best)
+    else if (parsed.groups.contains("*")) Some("*")
+    else None
   }
 
   // per-thread single-entry memo: a curation frame carries one robots
@@ -104,8 +149,8 @@ object RobotsKernel {
       path: UTF8String): Boolean = {
     val parsed = parsedOf(robots.toString)
     val ua = userAgent.toString.toLowerCase
-    val rules = parsed.groups.getOrElse(ua,
-      parsed.groups.getOrElse("*", Vector.empty))
+    val rules = selectUa(parsed, ua)
+      .map(parsed.groups).getOrElse(Vector.empty)
     if (rules.isEmpty) return true
     val p = path.toString
     var best: Rule = null
@@ -117,6 +162,28 @@ object RobotsKernel {
     }
     best == null || best.allow
   }
+
+  /** Crawl-delay for `userAgent`'s selected group in integer
+    * MILLIseconds, or null when the group declares none (a
+    * politeness scheduler treats absence as "no constraint", which
+    * 0 must not alias). Group selection is the same most-specific
+    * walk [[allowed]] uses, so delay and fetchability can never
+    * disagree about which group applies. */
+  def crawlDelayMilli(robots: UTF8String,
+      userAgent: UTF8String): java.lang.Long = {
+    val parsed = parsedOf(robots.toString)
+    val ua = userAgent.toString.toLowerCase
+    selectUa(parsed, ua).flatMap(parsed.delayMilli.get) match {
+      case Some(m) => java.lang.Long.valueOf(m)
+      case None => null
+    }
+  }
+
+  /** Every `Sitemap:` URL in document order (global records — never
+    * scoped to a user-agent group). */
+  def sitemaps(robots: UTF8String): Array[UTF8String] =
+    parsedOf(robots.toString).sitemaps
+      .map(UTF8String.fromString).toArray
 }
 
 /** (robots_txt, user_agent, path) → BOOLEAN fetchable, per RFC 9309
@@ -139,4 +206,54 @@ case class RobotsAllowed(robots: Expression, userAgent: Expression,
   override protected def withNewChildrenInternal(f: Expression,
       s: Expression, t: Expression): Expression =
     copy(robots = f, userAgent = s, path = t)
+}
+
+/** (robots_txt, user_agent) → BIGINT crawl-delay in milliseconds for
+  * the agent's selected group, NULL when none is declared
+  * ([[RobotsKernel.crawlDelayMilli]]). Registered as
+  * `vfs_robots_crawl_delay`. */
+case class RobotsCrawlDelay(robots: Expression, userAgent: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = robots
+  override def right: Expression = userAgent
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vfs_robots_crawl_delay"
+  override def nullSafeEval(r: Any, ua: Any): Any = {
+    val v = RobotsKernel.crawlDelayMilli(r.asInstanceOf[UTF8String],
+      ua.asInstanceOf[UTF8String])
+    if (v == null) null else v.longValue()
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = ctx.freshName("graftDelay")
+    nullSafeCodeGen(ctx, ev, (r, ua) => s"""
+      |java.lang.Long $d =
+      |  graft.functions.RobotsKernel.crawlDelayMilli($r, $ua);
+      |${ev.isNull} = $d == null;
+      |${ev.value} = ${ev.isNull} ? -1L : $d.longValue();
+    """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(robots = l, userAgent = r)
+}
+
+/** robots_txt → ARRAY<STRING> of `Sitemap:` URLs in document order
+  * ([[RobotsKernel.sitemaps]]). Registered as `vfs_robots_sitemaps`. */
+case class RobotsSitemaps(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "vfs_robots_sitemaps"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      RobotsKernel.sitemaps(v.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.RobotsKernel.sitemaps($c))")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }

@@ -87,6 +87,9 @@ package object functions {
   /** extracted prose of an HTML page (markup dropped, entities
     * decoded, whitespace normalized — the WET-style step) */
   def vfs_html_text(html: Column): Column = col(HtmlText(ex(html)))
+  /** main-content prose: chrome containers (nav/aside/header/footer/
+    * form) suppressed — the curation-default extraction */
+  def vfs_html_main_text(html: Column): Column = col(HtmlMainText(ex(html)))
   /** first <title> content, NULL when absent */
   def vfs_html_title(html: Column): Column = col(HtmlTitle(ex(html)))
   /** every <a href> value in document order → ARRAY<STRING> */
@@ -96,6 +99,12 @@ package object functions {
   def vfs_robots_allowed(robots: Column, userAgent: Column,
       path: Column): Column =
     col(RobotsAllowed(ex(robots), ex(userAgent), ex(path)))
+  /** group-scoped Crawl-delay in milliseconds, NULL when absent */
+  def vfs_robots_crawl_delay(robots: Column, userAgent: Column): Column =
+    col(RobotsCrawlDelay(ex(robots), ex(userAgent)))
+  /** global `Sitemap:` URLs in document order → ARRAY<STRING> */
+  def vfs_robots_sitemaps(robots: Column): Column =
+    col(RobotsSitemaps(ex(robots)))
 
   def vfs_hash_embedding(text: Column, dim: Int): Column =
     col(HashEmbedding(ex(text), dim, milli = false))
@@ -124,9 +133,12 @@ package object functions {
     r1("vfs_fingerprint", es => Fingerprint(es(0)))
     r1("vfs_media_format", es => MediaFormat(es(0)))
     r1("vfs_html_text", es => HtmlText(es(0)))
+    r1("vfs_html_main_text", es => HtmlMainText(es(0)))
     r1("vfs_html_title", es => HtmlTitle(es(0)))
     r1("vfs_html_links", es => HtmlLinks(es(0)))
     r1("vfs_robots_allowed", es => RobotsAllowed(es(0), es(1), es(2)))
+    r1("vfs_robots_crawl_delay", es => RobotsCrawlDelay(es(0), es(1)))
+    r1("vfs_robots_sitemaps", es => RobotsSitemaps(es(0)))
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     r1("vfs_term_count", es => TermCount(es(0), es(1)))
     // varargs: vfs_term_counts(text, 'a', 'b', ...) — terms must be

@@ -204,9 +204,13 @@ object Mining {
     * scan). `finish` is each entry point's final projection
     * (bestPairs for the pair APIs, identity for the all-candidates
     * API). */
-  private def mineCore(fwd0: DataFrame, tgtBase: DataFrame,
+  // fwd0 is BY-NAME: the forward search is constructed inside the
+  // scoped block, so the query cache its exactBatch registers lands
+  // on this operator's result too (one releaseNow drains everything)
+  private def mineCore(fwd0: => DataFrame, tgtBase: DataFrame,
       bwdScore: DataFrame => DataFrame,
-      finish: DataFrame => DataFrame = identity): DataFrame = {
+      finish: DataFrame => DataFrame = identity): DataFrame =
+    CacheScope.scoped {
     val fwd = fwd0.persist()
     val fwdSum = fwd.groupBy(col("qid"))
       .agg(sum(col("sim_micro")).as("fwd_sum"),
@@ -220,7 +224,7 @@ object Mining {
         count(lit(1)).as("bwd_n"))
       .select(col("qid").as("bwd_id"), col("bwd_sum"), col("bwd_n"))
     CacheScope.releaseWith(finish(withMargin(fwd, fwdSum, bwdSum)), fwd)
-  }
+    }
 
   /** The margin arithmetic is cosine — probing an artifact built
     * with another metric would silently mine wrong neighborhoods. */

@@ -25,9 +25,15 @@ case class WarcRecordRow(doc_id: Long, rec_type: String,
   * come from crawl infrastructure, not from page authors — framing
   * damage means truncation or corruption, never routine dirt; route
   * untrusted inputs through a quarantining caller if needed, the
-  * [[Multimodal.decodeStatsQuarantined]] stance). Transfer encodings
-  * (chunked) and Content-Encoding are NOT decoded — CC WARC response
-  * payloads are stored identity-encoded. */
+  * [[Multimodal.decodeStatsQuarantined]] stance). Response bodies
+  * are decoded to identity: `Transfer-Encoding: chunked` is
+  * dechunked first (RFC 9112 §7.1 — hex size lines, chunk
+  * extensions ignored, trailers skipped), then
+  * `Content-Encoding: gzip`/`x-gzip`/`deflate` is decompressed —
+  * CommonCrawl stores payloads identity-encoded, but wget/heritrix
+  * archives keep the wire coding and would otherwise flow into the
+  * HTML kernel as binary garbage. An encoding this walk cannot
+  * decode (br, zstd) fails loudly naming it. */
 object Warc {
 
   /** Parse every record of one archive (plain or gzipped —
@@ -94,7 +100,9 @@ object Warc {
     (lines.toSeq, pos)
   }
 
-  /** HTTP response content → (status, body after the header block). */
+  /** HTTP response content → (status, IDENTITY body after the header
+    * block): chunked transfer coding removed, then gzip/deflate
+    * content coding decompressed. */
   private def splitHttp(content: Array[Byte]): (Int, Array[Byte]) = {
     val (lines, bodyAt) = headerBlock(content, 0)
     val statusLine = lines.headOption.getOrElse("")
@@ -102,8 +110,113 @@ object Warc {
       "[GRAFT] warc: response content without an HTTP status line")
     val parts = statusLine.split(" ")
     require(parts.length >= 2, "[GRAFT] warc: malformed status line")
-    (parts(1).toInt,
-      java.util.Arrays.copyOfRange(content, bodyAt, content.length))
+    val fields = lines.tail.flatMap { l =>
+      val c = l.indexOf(':')
+      if (c > 0) Some(l.substring(0, c).trim.toLowerCase ->
+        l.substring(c + 1).trim.toLowerCase)
+      else None
+    }.toMap
+    var body = java.util.Arrays.copyOfRange(content, bodyAt,
+      content.length)
+    // transfer coding is applied LAST on the wire, so it comes off
+    // first; only the final coding may be chunked (RFC 9112 §6.1)
+    if (fields.get("transfer-encoding").exists(_.contains("chunked")))
+      body = dechunk(body)
+    fields.getOrElse("content-encoding", "identity") match {
+      case "identity" | "" => ()
+      case "gzip" | "x-gzip" => body = gunzipAll(body)
+      case "deflate" => body = inflate(body)
+      case other => throw new IllegalArgumentException(
+        s"[GRAFT] warc: unsupported Content-Encoding '$other'")
+    }
+    (parts(1).toInt, body)
+  }
+
+  /** Remove the chunked transfer coding (RFC 9112 §7.1): hex size
+    * line (chunk extensions after ';' ignored) + data + CRLF,
+    * terminated by a zero-size chunk; trailer fields are skipped. */
+  private[graft] def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var pos = 0
+    var done = false
+    while (!done) {
+      var eol = pos
+      while (eol < body.length && body(eol) != '\n') eol += 1
+      require(eol < body.length, "[GRAFT] warc: chunk size line truncated")
+      val end = if (eol > pos && body(eol - 1) == '\r') eol - 1 else eol
+      val line = new String(body, pos, end - pos, StandardCharsets.US_ASCII)
+      val semi = line.indexOf(';')
+      val sizeHex = (if (semi >= 0) line.substring(0, semi) else line).trim
+      val size = try Integer.parseInt(sizeHex, 16)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"[GRAFT] warc: malformed chunk size '$sizeHex'")
+        }
+      require(size >= 0, "[GRAFT] warc: negative chunk size")
+      pos = eol + 1
+      if (size == 0) done = true // trailers (if any) are skipped
+      else {
+        require(pos + size <= body.length,
+          "[GRAFT] warc: chunk data overruns the body")
+        out.write(body, pos, size)
+        pos += size
+        // the CRLF after the chunk data
+        if (pos < body.length && body(pos) == '\r') pos += 1
+        if (pos < body.length && body(pos) == '\n') pos += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Apply the chunked transfer coding — the encoder twin of
+    * [[dechunk]]. Rotating chunk sizes force multi-chunk reassembly
+    * and the first chunk carries an extension (`;graft=1`) so the
+    * decoder's extension-skip path runs on every fixture. */
+  private[graft] def chunkEncode(body: Array[Byte]): Array[Byte] = {
+    val sizes = Array(7, 13, 29)
+    val out = new java.io.ByteArrayOutputStream(body.length + 64)
+    def ascii(s: String): Unit =
+      out.write(s.getBytes(StandardCharsets.US_ASCII))
+    var pos = 0
+    var i = 0
+    while (pos < body.length) {
+      val n = math.min(sizes(i % sizes.length), body.length - pos)
+      ascii(Integer.toHexString(n) + (if (i == 0) ";graft=1" else "") +
+        "\r\n")
+      out.write(body, pos, n)
+      ascii("\r\n")
+      pos += n
+      i += 1
+    }
+    ascii("0\r\n\r\n")
+    out.toByteArray
+  }
+
+  private def inflate(bytes: Array[Byte]): Array[Byte] = {
+    // some servers send raw-deflate under the 'deflate' token; retry
+    // nowrap on a zlib-header failure (the curl/browser behavior)
+    def run(nowrap: Boolean): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(nowrap)
+      inf.setInput(bytes)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput())
+          throw new java.util.zip.DataFormatException("truncated")
+        out.write(buf, 0, n)
+      }
+      inf.end()
+      out.toByteArray
+    }
+    try run(nowrap = false)
+    catch { case _: java.util.zip.DataFormatException =>
+      try run(nowrap = true)
+      catch { case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(
+          s"[GRAFT] warc: corrupt deflate body (${e.getMessage})")
+      }
+    }
   }
 
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
@@ -140,9 +253,12 @@ object Warc {
 
   /** Build a bona fide single-page WARC archive — warcinfo + request
     * + response records with real framing — for fixtures and the
-    * synthesizer (the encoder side every graft codec ships). */
+    * synthesizer (the encoder side every graft codec ships).
+    * `bodyCoding` selects the response body's wire coding: 0 identity
+    * (the CC layout), 1 chunked, 2 gzip Content-Encoding, 3 chunked
+    * OVER gzip (the full wget/heritrix shape). */
   private[graft] def encodeArchive(uri: String, html: Array[Byte],
-      gzip: Boolean = false): Array[Byte] = {
+      gzip: Boolean = false, bodyCoding: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def record(headers: Seq[(String, String)],
         content: Array[Byte]): Unit = {
@@ -160,11 +276,25 @@ object Warc {
     record(Seq("WARC-Type" -> "request", "WARC-Target-URI" -> uri),
       s"GET $uri HTTP/1.1\r\nHost: x\r\n\r\n"
         .getBytes(StandardCharsets.US_ASCII))
+    val gzipBody = bodyCoding == 2 || bodyCoding == 3
+    val chunked = bodyCoding == 1 || bodyCoding == 3
+    val coded0 =
+      if (!gzipBody) html
+      else {
+        val bo = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bo)
+        gz.write(html); gz.close()
+        bo.toByteArray
+      }
+    val coded = if (chunked) chunkEncode(coded0) else coded0
     val http = new java.io.ByteArrayOutputStream()
+    val codingHeaders =
+      (if (gzipBody) "Content-Encoding: gzip\r\n" else "") +
+        (if (chunked) "Transfer-Encoding: chunked\r\n"
+         else s"Content-Length: ${coded.length}\r\n")
     http.write(("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
-      s"Content-Length: ${html.length}\r\n\r\n")
-      .getBytes(StandardCharsets.US_ASCII))
-    http.write(html)
+      codingHeaders + "\r\n").getBytes(StandardCharsets.US_ASCII))
+    http.write(coded)
     record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri),
       http.toByteArray)
     val plain = out.toByteArray
@@ -179,10 +309,13 @@ object Warc {
 
   /** Wrap every document's page in a REAL WARC archive (warcinfo +
     * request + response records; `gzipEvery` > 0 gzips every n-th
-    * archive so the gzip path runs at corpus scale). */
+    * archive so the gzip path runs at corpus scale; `bodyCodings`
+    * rotates the response body's wire coding by doc_id % 4 —
+    * identity / chunked / gzip / chunked-over-gzip — so the decode
+    * walk runs at corpus scale too). */
   def synthesizeWarc(pages: DataFrame, uriCol: String = "uri",
       htmlCol: String = "html", idCol: String = "doc_id",
-      gzipEvery: Int = 3): DataFrame = {
+      gzipEvery: Int = 3, bodyCodings: Boolean = false): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     WorkCols.spread(pages)
@@ -193,7 +326,9 @@ object Warc {
       .mapPartitions { it =>
         it.map { case (id, uri, html) =>
           val gz = gzipEvery > 0 && id % gzipEvery == 0
-          (id, Warc.encodeArchive(uri, html, gzip = gz))
+          val coding = if (bodyCodings) (id % 4).toInt else 0
+          (id, Warc.encodeArchive(uri, html, gzip = gz,
+            bodyCoding = coding))
         }
       }.toDF("doc_id", "warc")
   }

@@ -43,6 +43,26 @@ object shims {
     spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
       name, builder, "built-in")
 
+  /** The ALREADY-MATERIALIZED cache-buffer RDDs backing `df`'s plan
+    * (cache substitution applied; never triggers a build — only
+    * loaded buffers are returned). CacheScope.releaseNow sweeps
+    * these: a non-cascading uncache that triggers an AQE recache of
+    * a dependent entry can leave the dependent's old buffer RDD
+    * persistent in the SparkContext with NO CacheManager entry left
+    * to release it — reachable only by the ContextCleaner, i.e. a GC
+    * wait, exactly what the deterministic release exists to avoid. */
+  def loadedCacheBufferRdds(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.rdd.RDD[_]] = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    // the CacheManager entry is the authority — the frame's own
+    // queryExecution.withCachedData is a LAZY VAL that goes
+    // permanently stale when forced before persist()
+    ds.sparkSession.sharedState.cacheManager.lookupCachedData(ds)
+      .toSeq.map(_.cachedRepresentation.cacheBuilder)
+      .filter(_.isCachedColumnBuffersLoaded)
+      .map(_.cachedColumnBuffers)
+  }
+
   /** Build a session with the given extensions on an EXISTING
     * SparkContext. `spark.sql.extensions` is a static conf, so the
     * builder path ignores it once a context is running — tests (and

@@ -20,6 +20,8 @@ class HtmlSpec extends AnyFunSuite {
       .map(_.toString).orNull
   private def links(s: String): Seq[String] =
     HtmlKernel.links(UTF8String.fromString(s)).map(_.toString).toSeq
+  private def mainText(s: String): String =
+    HtmlKernel.textMain(UTF8String.fromString(s)).toString
 
   test("entities: named, numeric, hex, nbsp; unknown and unterminated pass through literally") {
     assert(text("a&amp;b &lt;x&gt; &quot;q&quot; &apos;s&apos;") ===
@@ -79,6 +81,52 @@ class HtmlSpec extends AnyFunSuite {
     // NUL and surrogate numeric references: U+FFFD, never ill-formed
     // UTF-8 in the output
     assert(text("a&#xD800;b&#0;c") === "a�b�c")
+  }
+
+  test("main-content scoping: chrome containers drop (cookie form, nav, footer), <main> prose and title stay; full extraction is untouched") {
+    val page = "<html><head><title>T</title></head><body>" +
+      "<nav><a href=\"/\">Home</a> About</nav>" +
+      "<form>We use cookies <input value=\"ok\"> Accept</form>" +
+      "<main><h1>Head</h1><p>prose &amp; more</p></main>" +
+      "<footer>(c) site</footer></body></html>"
+    assert(mainText(page) === "T\nHead\nprose & more")
+    // the WET-parity extraction keeps every chrome line
+    assert(text(page) ===
+      "T\nHome About\nWe use cookies Accept\nHead\nprose & more\n(c) site")
+  }
+
+  test("main-content scoping: nested chrome depth-counts, script inside chrome never leaks, unclosed chrome drops to end, self-closing chrome is a no-op") {
+    // nested: the inner </nav> must not reopen the outer header
+    assert(mainText("<header>top <nav>menu</nav> still chrome</header>" +
+      "<p>kept</p>") === "kept")
+    // a script body inside chrome stays dropped even though the
+    // chrome closes mid-walk
+    assert(mainText("<aside>x<script>if(a<b){c()}</script>y</aside>" +
+      "<p>kept</p>") === "kept")
+    // unclosed chrome suppresses to end-of-input (the unclosed-script
+    // stance); a stray close tag at depth 0 is ignored
+    assert(mainText("<p>kept</p><nav>menu forever") === "kept")
+    assert(mainText("</footer><p>kept</p>") === "kept")
+    // self-closing chrome does not open a suppression scope
+    assert(mainText("<nav/><p>kept</p>") === "kept")
+    // entity inside chrome is consumed (not half-emitted) and dropped
+    assert(mainText("<nav>a&amp;b</nav><p>x&amp;y</p>") === "x&y")
+  }
+
+  test("Spark surface: vfs_html_main_text registers for SQL and matches the kernel") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    graft.functions.registerAll(spark)
+    val page = "<body><nav>menu</nav><p>prose</p></body>"
+    Seq(page).toDF("html").createOrReplaceTempView("html_main_t")
+    val got = spark.sql(
+      "SELECT vfs_html_main_text(html) AS t FROM html_main_t")
+      .as[String].head()
+    assert(got === "prose")
+    val col = Seq(page).toDF("html")
+      .select(graft.functions.vfs_html_main_text($"html").as("t"))
+      .as[String].head()
+    assert(col === "prose")
   }
 
   test("title: first wins, entities decode, absent is NULL, attributes tolerated") {

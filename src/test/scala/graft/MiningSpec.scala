@@ -256,6 +256,39 @@ class MiningSpec extends AnyFunSuite {
         "result frame is dropped (no CacheManager leak)")
   }
 
+  test("CacheScope.releaseNow drains a batch result's scoped caches immediately — no GC wait — and is idempotent/no-op-safe") {
+    val spark = GraftTest.spark
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val src = vecs(1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0))
+    val tgt = vecs(9L -> Seq(1.0, 0.1))
+    val result = Mining.marginPairs(spark, src, tgt, k = 1)
+    assert(result.count() >= 0)
+    assert(spark.sparkContext.getPersistentRDDs.keySet
+      .diff(before).nonEmpty, "cache must be materialized")
+    // the PUBLIC deterministic path: no System.gc, no Cleaner wait
+    graft.operators.CacheScope.releaseNow(result)
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var drained = false
+    while (!drained && System.nanoTime() < deadline) {
+      // unpersist(blocking=false) completes asynchronously; poll
+      // WITHOUT provoking GC — the hook itself must do the release
+      drained = spark.sparkContext.getPersistentRDDs.keySet
+        .diff(before).isEmpty
+      if (!drained) Thread.sleep(50)
+    }
+    assert(drained, "releaseNow must drain the persistent-RDD set " +
+      "without waiting for a driver GC; leftover: " +
+      spark.sparkContext.getPersistentRDDs.filterKeys(
+        k => !before.contains(k)).values.map(r =>
+        s"${r.id}:${r.name.linesIterator.next()}").mkString(", "))
+    // second call and a cache-less frame are both no-ops
+    graft.operators.CacheScope.releaseNow(result)
+    graft.operators.CacheScope.releaseNow(src)
+    // the result stays USABLE after release (cache was a hint):
+    // re-evaluation recomputes
+    assert(result.count() >= 0)
+  }
+
   test("guards: k must be positive") {
     val spark = GraftTest.spark
     val v = vecs(1L -> Seq(1.0, 0.0))

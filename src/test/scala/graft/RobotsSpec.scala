@@ -82,6 +82,92 @@ class RobotsSpec extends AnyFunSuite {
     assert(allowed(robots, "bot", "/y"))
   }
 
+  test("RFC 9309 §2.2.1 most-specific UA group: exact beats prefix, prefix beats *, a LONGER robots token never claims a shorter crawler token") {
+    val robots =
+      """User-agent: mybot
+        |Disallow: /img
+        |
+        |User-agent: mybot-news
+        |Disallow: /news
+        |
+        |User-agent: mybot-news-eu
+        |Disallow: /eu
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    // exact token match wins outright
+    assert(!allowed(robots, "mybot-news", "/news/x"))
+    assert(allowed(robots, "mybot-news", "/img/x"))
+    // no exact group: the LONGEST prefix group applies (mybot-news,
+    // not mybot) — exact-only selection would fall to '*' (block all)
+    assert(!allowed(robots, "mybot-news-de", "/news/x"))
+    assert(allowed(robots, "mybot-news-de", "/img/x"))
+    // a shorter prefix still beats '*'
+    assert(!allowed(robots, "mybot-img", "/img/x"))
+    assert(allowed(robots, "mybot-img", "/news/x"))
+    // robots token longer than the crawler token must NOT match:
+    // plain "mybot" obeys its own group, never mybot-news's
+    assert(allowed(robots, "mybot", "/news/x"))
+    // unrelated agents still get '*'
+    assert(!allowed(robots, "somebot", "/anything"))
+  }
+
+  test("crawl-delay: group-scoped via the same UA walk, decimal seconds to milli, NULL when the selected group declares none; sitemaps are global") {
+    def delay(robots: String, ua: String): Option[Long] =
+      Option(RobotsKernel.crawlDelayMilli(
+        UTF8String.fromString(robots), UTF8String.fromString(ua)))
+        .map(_.longValue())
+    val robots =
+      """Sitemap: https://x.example/s1.xml
+        |User-agent: mybot
+        |Crawl-delay: 1.5
+        |Disallow: /img
+        |
+        |User-agent: quietbot
+        |Disallow: /q
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |Sitemap: https://x.example/s2.xml
+        |Disallow: /x
+        |""".stripMargin
+    assert(delay(robots, "mybot") === Some(1500L))
+    assert(delay(robots, "MyBot-News") === Some(1500L)) // prefix walk
+    // quietbot's group exists but declares no delay: NULL, not '*'s
+    assert(delay(robots, "quietbot") === None)
+    assert(delay(robots, "otherbot") === Some(10000L)) // '*'
+    // the Sitemap line inside the '*' group must not end its run:
+    // the Disallow after it still belongs to '*'
+    assert(!allowed(robots, "otherbot", "/x/y"))
+    val maps = RobotsKernel.sitemaps(UTF8String.fromString(robots))
+      .map(_.toString).toSeq
+    assert(maps === Seq("https://x.example/s1.xml",
+      "https://x.example/s2.xml"))
+    // invalid delay values are skipped, not zeroed
+    assert(delay("User-agent: a\nCrawl-delay: soon\n", "a") === None)
+    // crawl-delay is rule-like: a UA line after it starts a NEW group
+    val split = "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nDisallow: /p\n"
+    assert(delay(split, "a") === Some(2000L))
+    assert(delay(split, "b") === None)
+    assert(allowed(split, "a", "/p/x")) // a's group has no rules
+    assert(!allowed(split, "b", "/p/x"))
+  }
+
+  test("Spark surface: vfs_robots_crawl_delay and vfs_robots_sitemaps register for SQL") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    graft.functions.registerAll(spark)
+    Seq("User-agent: *\nCrawl-delay: 0.25\nSitemap: https://s/a.xml\n")
+      .toDF("r").createOrReplaceTempView("robots_t")
+    val row = spark.sql(
+      """SELECT vfs_robots_crawl_delay(r, 'anybot') AS d,
+        |  size(vfs_robots_sitemaps(r)) AS n FROM robots_t""".stripMargin)
+      .head()
+    assert(row.getLong(0) === 250L)
+    assert(row.getInt(1) === 1)
+  }
+
   test("an empty-Disallow group still claims its agent: allow-all, NOT fallthrough to *") {
     val robots =
       """User-agent: mybot

@@ -52,6 +52,74 @@ class WarcSpec extends AnyFunSuite {
     loud(ok)
   }
 
+  test("non-identity bodies decode to identity: chunked, gzip Content-Encoding, chunked over gzip, deflate — byte-identical to the plain page") {
+    val html = ("<p>" + ("wiki " * 40) + "</p>").getBytes("UTF-8")
+    for (coding <- Seq(0, 1, 2, 3)) {
+      val recs = Warc.parseArchive(
+        Warc.encodeArchive("https://x/a", html, bodyCoding = coding))
+      val (_, _, status, body) = recs(2)
+      assert(status === 200)
+      assert(body.toSeq === html.toSeq, s"bodyCoding=$coding")
+    }
+    // deflate (zlib-wrapped) content coding decodes too
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(html); d.finish()
+      val buf = new Array[Byte](html.length * 2 + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val content = ("HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n" +
+      "\r\n").getBytes("US-ASCII") ++ defl
+    val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${content.length}\r\n\r\n").getBytes("US-ASCII") ++
+      content
+    val out = Warc.parseArchive(rec)
+    assert(out.head._4.toSeq === html.toSeq)
+  }
+
+  test("body-coding failures are loud: malformed chunk size, overrunning chunk, truncated terminal chunk, unsupported Content-Encoding") {
+    def response(body: Array[Byte], headers: String): Array[Byte] = {
+      val content = (s"HTTP/1.1 200 OK\r\n$headers\r\n")
+        .getBytes("US-ASCII") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"Content-Length: ${content.length}\r\n\r\n")
+        .getBytes("US-ASCII") ++ content
+    }
+    def loud(bytes: Array[Byte]): Unit = {
+      val e = intercept[Exception](Warc.parseArchive(bytes))
+      assert(e.getMessage != null && e.getMessage.contains("[GRAFT]"))
+    }
+    val te = "Transfer-Encoding: chunked\r\n"
+    loud(response("zz\r\nabc\r\n0\r\n\r\n".getBytes("US-ASCII"), te))
+    loud(response("ff\r\nshort\r\n0\r\n\r\n".getBytes("US-ASCII"), te))
+    loud(response("5\r\nhello\r\n".getBytes("US-ASCII"), te)) // no 0-chunk
+    loud(response("x".getBytes("US-ASCII"), "Content-Encoding: br\r\n"))
+    // chunk extensions and trailer fields are tolerated, not errors
+    val okBody = "3;graft=1\r\nabc\r\n0\r\nX-Trailer: t\r\n\r\n"
+    val recs = Warc.parseArchive(
+      response(okBody.getBytes("US-ASCII"), te))
+    assert(recs.head._4.toSeq === "abc".getBytes("US-ASCII").toSeq)
+  }
+
+  test("synthesizeWarc(bodyCodings=true) rotates codings by doc_id % 4 and every page survives the decode walk") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val pages = (0L to 7L).map(i =>
+      (i, s"https://w.example/$i", s"<p>page $i</p>"))
+      .toDF("doc_id", "uri", "html")
+    val recs = graft.operators.Warc.records(spark,
+        graft.operators.Warc.synthesizeWarc(pages, bodyCodings = true))
+      .toDF()
+      .filter($"rec_type" === "response")
+      .select($"doc_id", decode($"body", "UTF-8").as("page"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(recs.length === 8)
+    recs.foreach { case (id, page) =>
+      assert(page === s"<p>page $id</p>", s"doc $id")
+    }
+  }
+
   test("records() chains into the HTML kernel; the synthesizer gzips every 3rd archive") {
     val spark = GraftTest.spark
     import spark.implicits._
