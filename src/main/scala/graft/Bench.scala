@@ -22,6 +22,18 @@ import graft.store.VfsStore
   * the combined object also lands in BENCH_full.json
   * ($SPARK_GRAFT_BENCH_FULL overrides the path) for the judge.
   *
+  * SELF-CALIBRATING (round 16): six rounds of driver benches needed a
+  * judge-side same-host rerun to separate host contention from code
+  * regressions (r15: four untouched entries 10-36x inflated). The
+  * artifact now classifies that itself — `calib` in the headline
+  * holds a fixed-work pure-CPU spin and a fixed-size parquet
+  * write+read sampled at suite start/middle/end (rising io samples =
+  * contended host); `cpu_times` in the detail line/side file gives
+  * per-rep process-CPU deltas (a rep with wall >> cpu was stalled,
+  * not computing); `mins` gives the contention-robust min over the
+  * measured reps (a cross-round delta that vanishes in the mins is
+  * the host, not the code).
+  *
   * Crash isolation: every entry runs under its own try/catch and a
   * failure is published as `errors[name]` = exception class + message
   * head — the JSON line ALWAYS prints. (Round 6: one analysis error in
@@ -54,6 +66,69 @@ object Bench {
       f
       (System.nanoTime() - t0) / 1e9
     }
+    // process CPU time (all threads) — published per rep alongside
+    // wall time: an entry whose wall inflates while its CPU does not
+    // is the HOST stalling the process (IO contention, co-tenant
+    // load), not the code regressing. Six rounds of phantom driver
+    // regressions (r04/r08/r09/r11/r12/r13/r15 adjudications in
+    // BENCHREPORT.md) were exactly this signature.
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+    def processCpuSec: Double = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean =>
+        b.getProcessCpuTime / 1e9
+      case _ => -1.0
+    }
+    def timed(f: => Unit): (Double, Double) = {
+      val c0 = processCpuSec
+      val w = time(f)
+      (w, processCpuSec - c0)
+    }
+
+    // ---- self-calibration (the host-contention referee) ----
+    // Two fixed-work probes, run at suite START, MIDDLE, and END and
+    // published in the headline as `calib`: a single-threaded pure-CPU
+    // spin (sensitive to CPU steal/thermal state, immune to IO) and a
+    // fixed-size parquet write+read (sensitive to exactly the
+    // filesystem contention that inflated the shuffle/write-heavy
+    // entries in past rounds). A reader compares the three samples:
+    // flat calib + inflated entries = code; rising calib = host.
+    def calibCpuSec(): Double = time {
+      var x = 0x9e3779b97f4a7c15L
+      var acc = 0L
+      var i = 0
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += x; i += 1
+      }
+      // defeat dead-code elimination; never true for this seed
+      if (acc == 42L) System.err.println("[bench] calib sentinel")
+    }
+    lazy val calibDir = Files.createTempDirectory("bench-calib").toString
+    var calibRuns = 0
+    def calibIoSec(): Double = {
+      calibRuns += 1
+      val d = s"$calibDir/io$calibRuns"
+      time {
+        spark.range(0L, 2000000L, 1L, 8)
+          .selectExpr("id", "id * 7 AS v")
+          .write.mode("overwrite").parquet(d)
+        spark.read.parquet(d).agg(sum(col("v"))).collect()
+      }
+    }
+    val calibCpu = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val calibIo = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def calibrate(): Unit =
+      try {
+        // the first io probe pays one-time parquet committer/codegen
+        // init (~4x, measured) — discard it or the START sample would
+        // read as false contention in every run
+        if (calibRuns == 0) calibIoSec()
+        calibCpu += calibCpuSec(); calibIo += calibIoSec()
+      }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration FAILED: ${Verify.errHead(e)}")
+      }
 
     // median-of-3: single runs at this scale have a measured 20-25%
     // run-to-run variance band (JIT, GC, first-use codegen), which made
@@ -69,7 +144,11 @@ object Bench {
     // artifact itself. rep_times[0] is the DISCARDED warmup rep (see
     // `median`); the median is computed over rep_times[1..].
     var curReps = List.empty[Double]
+    var curCpuReps = List.empty[Double]
     val repLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-rep process-CPU deltas, same run order as rep_times — the
+    // wall≫cpu test that classifies a slow rep as host-side
+    val cpuLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // one discarded warmup rep per entry, ahead of the measured reps:
     // the r14 rep arrays showed 44/52 entries with rep 1 more than 25%
     // above the later reps (first-use codegen + block-cache fill), so
@@ -77,10 +156,11 @@ object Bench {
     // The warmup time still lands in rep_times[0] for visibility — it
     // just never reaches the median.
     def median(f: => Unit): Double = {
-      val warm = time(f)
-      val ts = List.fill(Reps)(time(f))
-      curReps = curReps ++ (warm :: ts)
-      val s = ts.sorted
+      val warm = timed(f)
+      val ts = List.fill(Reps)(timed(f))
+      curReps = curReps ++ ((warm :: ts).map(_._1))
+      curCpuReps = curCpuReps ++ ((warm :: ts).map(_._2))
+      val s = ts.map(_._1).sorted
       s(s.length / 2)
     }
 
@@ -102,9 +182,11 @@ object Bench {
       // never touches them.
       val before = spark.sparkContext.getPersistentRDDs.keySet
       curReps = Nil
+      curCpuReps = Nil
       try {
         results(name) = f
         if (curReps.nonEmpty) repLog(name) = curReps
+        if (curCpuReps.nonEmpty) cpuLog(name) = curCpuReps
       }
       catch { case e: Throwable =>
         errors(name) = errMsg(e)
@@ -131,6 +213,7 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup FAILED: ${errMsg(e)}")
     }
+    calibrate() // suite-START calibration sample
 
     lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("values"))
@@ -150,14 +233,15 @@ object Bench {
       VfsStore.create(spark, d, "bench", dim = q.length, quantize = true))
     entry("insert_bulk") {
       val insertTimes = stores.map { st =>
-        time {
+        timed {
           st.appendBatch(emb.select(col("values"),
             concat(lit("v"), col("id")).as("name"),
             array(lit("bench")).as("tags")))
         }
       }
-      curReps = curReps ++ insertTimes // run order, warmup first
-      val sorted = insertTimes.tail.sorted // drop the warmup store
+      curReps = curReps ++ insertTimes.map(_._1) // run order, warmup first
+      curCpuReps = curCpuReps ++ insertTimes.map(_._2)
+      val sorted = insertTimes.tail.map(_._1).sorted // drop the warmup store
       sorted(sorted.length / 2)
     }
     lazy val store = stores.last
@@ -365,6 +449,7 @@ object Bench {
         Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
           "src3" -> 0.10)).count()
     } }
+    calibrate() // suite-MIDDLE calibration sample
     entry("media_decode") { median {
       SparkEntry.queries("multimodal_features")(spark, sfDir).count()
     } }
@@ -617,19 +702,35 @@ object Bench {
         emb.filter(col("id") % 2 === 1), k = 4).count()
     } }
 
+    calibrate() // suite-END calibration sample
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val errs = errors.map { case (k, v) =>
       Verify.jsonStr(k) + ":" + Verify.jsonStr(v) }.mkString("{", ",", "}")
+    def secsArr(ts: Iterable[Double]): String =
+      ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     val repsJson = repLog.map { case (k, ts) =>
-      "\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + secsArr(ts)
     }.mkString("{", ",", "}")
+    val cpuJson = cpuLog.map { case (k, ts) =>
+      "\"" + k + "\":" + secsArr(ts)
+    }.mkString("{", ",", "}")
+    // min of the MEASURED reps (warmup excluded): far more robust to
+    // one-sided contention than the median — a cross-round delta that
+    // vanishes in the mins is the host, not the code
+    val minsJson = repLog.map { case (k, ts) =>
+      "\"" + k + "\":" + f"${ts.drop(1).min}%.3f"
+    }.mkString("{", ",", "}")
+    // start/middle/end fixed-work probes: flat cpu+io across the three
+    // samples certifies a quiet host from the artifact alone
+    val calibJson = s"""{"cpu":${secsArr(calibCpu)},"io":${secsArr(calibIo)}}"""
     val total = results.values.sum
     // n_ok/n_failed make partial runs self-describing: with per-entry
     // crash isolation, "total" sums only the entries that succeeded —
     // a consumer comparing totals across rounds must not read a
     // partial (smaller) total as a speedup
-    val headline = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${results.size},"n_failed":${errors.size},"sf":"$sfDir","reps":$Reps,"agg":"median","warmup":1}"""
+    val headline = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errs,"n_ok":${results.size},"n_failed":${errors.size},"sf":"$sfDir","reps":$Reps,"agg":"median","warmup":1,"calib":$calibJson}"""
     // TWO lines, headline LAST and COMPACT: the driver captures only a
     // fixed-size TAIL of stdout (2000 chars, measured from
     // BENCH_r14.json), and r14's single combined medians+rep_times
@@ -638,11 +739,12 @@ object Bench {
     // (with the discarded warmup at index 0) goes on its own EARLIER
     // line and into a side file, so the headline the driver parses
     // stays ~1.4 KB no matter how many entries the suite grows.
-    val detail = f"""{"metric":"rep_detail","unit":"sec","sf":"$sfDir","reps":$Reps,"warmup":1,"note":"rep_times[0] is the discarded warmup rep; median is over rep_times[1..]","rep_times":$repsJson}"""
+    val detail = f"""{"metric":"rep_detail","unit":"sec","sf":"$sfDir","reps":$Reps,"warmup":1,"note":"rep_times[0] is the discarded warmup rep; median is over rep_times[1..]; cpu_times are per-rep process-CPU deltas (wall >> cpu on a rep = host stall, not code); mins are min over rep_times[1..]","rep_times":$repsJson,"cpu_times":$cpuJson,"mins":$minsJson}"""
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
       Files.write(java.nio.file.Paths.get(out),
-        (headline.dropRight(1) + ",\"rep_times\":" + repsJson + "}\n")
+        (headline.dropRight(1) + ",\"rep_times\":" + repsJson +
+          ",\"cpu_times\":" + cpuJson + ",\"mins\":" + minsJson + "}\n")
           .getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] side-file write failed: ${errMsg(e)}")
