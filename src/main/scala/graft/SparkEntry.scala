@@ -1231,6 +1231,21 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- PDF text extraction: every doc's text wrapped in a REAL
+    // single-page PDF (every 2nd content stream Flate-compressed;
+    // the shows rotate literal / split-TJ / hex string forms) — the
+    // assembly contract makes extraction the exact inverse, so the
+    // md5 of the extracted text must equal the md5 of the raw text ----
+    "web_pdf_extract" -> ((s, dir) => {
+      val pdfs = graft.operators.Pdf.synthesizePdf(
+        s.read.parquet(s"$dir/documents.parquet"))
+      pdfs.select(col("doc_id"),
+          md5(graft.functions.vfs_pdf_text(col("pdf"))).as("text_md5"),
+          length(col("pdf")).cast("long").as("n_pdf_bytes") > 0)
+        .toDF("doc_id", "text_md5", "nonempty")
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- the STREAMING page front door: one micro-batch of raw
     // pages through pageExtractBatch — extracted docs and the link
     // frontier land batch-addressed; the joined read-back must match
@@ -2718,6 +2733,36 @@ object SparkEntry {
     "ann_ivfpq_pruned_sf01" -> ((s, dir) =>
       ivfpqPrunedGate(s, siblingSf(dir, "sf0.1"))),
 
+    // ---- CROSS-SCALE drift gate: the index artifact is built over
+    // the sf0.1 corpus (10×) but probed with the sf0.01 queries —
+    // the corpus-growth shape (an index built at one size keeps
+    // serving as the collection grows, and queries come from
+    // anywhere in the distribution). Recall@10 of the pruned probe
+    // vs the exact answer over the SAME large base must still clear
+    // 0.9. Falls back to same-dir when no sibling exists ----
+    "ann_ivfpq_cross_scale" -> ((s, dir) => {
+      val baseDir = siblingSf(dir, "sf0.1")
+      val e = emb(s, baseDir).select(col("vec_id").as("id"),
+        col("embedding").as("values"))
+      val queries = emb(s, dir).orderBy(col("vec_id").asc).limit(20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvalues"))
+      val ivf = java.nio.file.Files
+        .createTempDirectory("verify-xscale-i").toString
+      val pq = java.nio.file.Files
+        .createTempDirectory("verify-xscale-p").toString
+      graft.operators.IvfIndex.build(e, ivf, nCentroids = 45,
+        Metric.Cosine, nAssign = 3, assignEps = 0.5)
+      graft.operators.IvfPq.build(s, ivf, pq, m = 32, ks = 64)
+      val approx = graft.operators.IvfPq.searchBatch(s, ivf, pq,
+        queries, k = 10, nProbe = 16, overfetch = 8)
+        .select(col("qid"), col("id"))
+      val exact = graft.operators.Knn.exactBatch(e, queries, 10,
+        Metric.Cosine).select(col("qid"), col("id"))
+      val hits = approx.intersect(exact).count() // of 200 possible
+      s.range(1).select(lit(10L).as("k"),
+        lit(if (hits >= 180L) 1L else 0L).as("pass"))
+    }),
+
     // ---- MinHash-LSH global near-dup: the FULL pipeline (portable
     // FNV+affine signatures, slice banding, cap, jaccard verify) is
     // reproduced by minHashLshOracle and hash-matches ----
@@ -3319,6 +3364,32 @@ object SparkEntry {
         .orderBy(col("doc_id").asc, col("frame_idx").asc)
     }),
 
+    // ---- ISO-BMFF (MP4) box walk: every doc wrapped in a REAL
+    // single-video-track container (ftyp + mdat + moov with full
+    // stbl sample tables, chunks of 2 samples so stsc has runs);
+    // duration, handler/codec identity, and the stss keyframes
+    // resolved through stsc/stco/stsz to byte positions — every
+    // number recomputes from doc_id arithmetic alone ----
+    "multimodal_mp4_meta" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"))
+      graft.operators.Mp4.trackMeta(s,
+          graft.operators.Mp4.synthesizeMp4(docs))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the keyframe fetch plan (one row per sync sample with its
+    // byte range) — what a frame-sampling decode stage consumes ----
+    "multimodal_mp4_keyframes" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"))
+      graft.operators.Mp4.keyframeRanges(s,
+          graft.operators.Mp4.synthesizeMp4(docs))
+        .select(col("doc_id"), col("track_id"), col("sample_no"),
+          col("offset").as("kf_offset"), col("size").as("kf_size"))
+        .orderBy(col("doc_id").asc, col("sample_no").asc)
+    }),
+
     // ---- windowed audio energy/peak over decoded WAV PCM: exact
     // integer fold per 64-sample window (8-bit samples centered at
     // 128) — the oracle reproduces every value from the payload
@@ -3565,6 +3636,52 @@ object SparkEntry {
         .select(col("doc_id"), lit(-1L).as("sig"), lit(-1).as("width"),
           lit(-1).as("height"), lit(true).as("quarantined"))
       ok.unionByName(bad).withColumn("batch_id", lit(3L))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- AUDIO quarantine twin: FLAC corpus with every 37th asset
+    // truncated to 20 bytes (the fLaC magic survives, STREAMINFO is
+    // cut) — corrupt assets route to err rows, clean prints are
+    // bit-identical to the strict audioFingerprint (window 4, FLAC
+    // samples are the raw payload bytes, energies = Σ v²) ----
+    "multimodal_audio_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.operators.Multimodal
+        .synthesizeFlac(s.read.parquet(s"$dir/documents.parquet"))
+        .toDF()
+        .withColumn("media",
+          when(col("doc_id") % 37 === 0, expr("substring(media, 1, 20)"))
+            .otherwise(col("media")))
+        .withColumn("n_bytes", length(col("media")).cast("long"))
+        .as[graft.operators.MediaRecord]
+      graft.operators.Multimodal
+        .audioFingerprintQuarantined(s, media, window = 4)
+        .select(col("doc_id"),
+          coalesce(col("sig"), lit(-1L)).as("sig"),
+          coalesce(col("n_windows"), lit(-1L)).as("n_windows"),
+          col("err").isNotNull.as("quarantined"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- VIDEO quarantine twin: PPM-stream corpus with every 37th
+    // asset truncated mid-header — same stance for the temporal
+    // fingerprint path ----
+    "multimodal_video_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.operators.Multimodal
+        .synthesizeVideo(s.read.parquet(s"$dir/documents.parquet"),
+          frameRows = 2)
+        .toDF()
+        .withColumn("media",
+          when(col("doc_id") % 37 === 0, expr("substring(media, 1, 5)"))
+            .otherwise(col("media")))
+        .withColumn("n_bytes", length(col("media")).cast("long"))
+        .as[graft.operators.MediaRecord]
+      graft.operators.Multimodal.videoFingerprintQuarantined(s, media)
+        .select(col("doc_id"),
+          coalesce(col("sig"), lit(-1L)).as("sig"),
+          coalesce(col("n_frames"), lit(-1L)).as("n_frames"),
+          col("err").isNotNull.as("quarantined"))
         .orderBy(col("doc_id").asc)
     }),
 
@@ -4763,6 +4880,12 @@ object SparkEntry {
         |    chr(10) || 'one and two') AS text_md5
         |FROM n ORDER BY doc_id ASC""".stripMargin,
 
+    // PDF extraction is the exact inverse of the synthesis, so the
+    // oracle is simply the raw text's md5
+    "web_pdf_extract" ->
+      s"""SELECT doc_id, md5(text) AS text_md5, true AS nonempty
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+
     // the streaming front door lands the same extraction
     // batch-addressed
     "stream_page_extract" ->
@@ -5805,6 +5928,11 @@ object SparkEntry {
     "ann_ivfpq_pruned" ->
       "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
 
+    // cross-scale drift: sf0.1-built artifact probed with sf0.01
+    // queries still clears recall@10 >= 0.9
+    "ann_ivfpq_cross_scale" ->
+      "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
+
     // acceptance row: the same pruned-probe gate against the sf0.1
     // sibling corpus (10× the sweep's data) — pins recall at scale
     // every round, not just in ad-hoc probes
@@ -6085,6 +6213,53 @@ object SparkEntry {
         |FROM p JOIN sig USING (doc_id)
         |ORDER BY doc_id ASC""".stripMargin,
 
+    // AUDIO quarantine twin: clean FLAC prints recompute from
+    // payload bytes (raw v as 16-bit samples, window-4 energies,
+    // sign-of-delta fold); corrupt = doc_id % 37 rows carry the
+    // sentinel values; zero-sample clean docs emit no print row
+    // (the strict path's omit stance)
+    "multimodal_audio_quarantine" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+        |    WHERE doc_id % 37 <> 0),
+        |b AS (SELECT doc_id, ${duckUtf8BytesOf("text")} AS bs FROM d),
+        |st AS (SELECT doc_id, unnest(bs) AS v,
+        |    unnest(range(1, len(bs) + 1)) AS i FROM b),
+        |e AS (SELECT doc_id, (i - 1) // 4 AS win,
+        |    sum(v * v) AS en FROM st GROUP BY doc_id, win),
+        |el AS (SELECT doc_id, list(en ORDER BY win) AS es
+        |  FROM e GROUP BY doc_id),
+        |sig AS (SELECT doc_id, CAST(coalesce(list_sum(list_transform(
+        |    range(0, least(len(es) - 1, 63)),
+        |    j -> CASE WHEN es[CAST(j + 2 AS INTEGER)] > es[CAST(j + 1 AS INTEGER)]
+        |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+        |         ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS s,
+        |    CAST(len(es) AS BIGINT) AS nw
+        |  FROM el)
+        |SELECT doc_id, s AS sig, nw AS n_windows,
+        |  false AS quarantined FROM sig
+        |UNION ALL
+        |SELECT doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), true
+        |FROM documents WHERE doc_id % 37 = 0
+        |ORDER BY doc_id ASC""".stripMargin,
+
+    // VIDEO quarantine twin: the shared frame-intensity derivation
+    // over the clean docs (empty payload = one zero frame), corrupt
+    // rows by residue
+    "multimodal_video_quarantine" ->
+      s"""WITH ${videoSigCtesOver(
+              "SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0")},
+        |nf AS (SELECT d.doc_id,
+        |    CAST(greatest(1, (coalesce(len(b.bs), 0) + 23) // 24)
+        |      AS BIGINT) AS n
+        |  FROM d LEFT JOIN b ON b.doc_id = d.doc_id)
+        |SELECT sig.doc_id, sig.s AS sig, nf.n AS n_frames,
+        |  false AS quarantined
+        |FROM sig JOIN nf USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), true
+        |FROM documents WHERE doc_id % 37 = 0
+        |ORDER BY doc_id ASC""".stripMargin,
+
     "multimodal_png" -> multimodalPngOracle,
     "multimodal_png_gray" -> multimodalPngGrayOracle,
     "multimodal_png_palette" -> multimodalPngPaletteOracle,
@@ -6105,6 +6280,41 @@ object SparkEntry {
     "multimodal_jpeg_resize" -> multimodalJpegResizeOracle,
     "multimodal_resize" -> multimodalResizeOracle,
     "multimodal_frames" -> multimodalFramesOracle,
+
+    // MP4 box walk: n = 1 + doc_id % 7 samples of size
+    // 8 + (doc_id + i) % 5, keyframes every 3rd sample, 40 ms per
+    // sample, sample data starting at byte 32 (24-byte ftyp + mdat
+    // header) — duration, counts, and keyframe byte math all
+    // recompute from doc_id
+    "multimodal_mp4_meta" ->
+      s"""WITH p AS (SELECT doc_id, (1 + doc_id % 7) AS n FROM documents)
+        |SELECT doc_id,
+        |  CAST(n * 40 AS BIGINT) AS movie_duration_ms,
+        |  CAST(1 AS BIGINT) AS n_tracks,
+        |  CAST(1 AS BIGINT) AS track_id,
+        |  'vide' AS handler,
+        |  'gft1' AS codec,
+        |  CAST(n * 40 AS BIGINT) AS track_duration_ms,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST((n + 2) // 3 AS BIGINT) AS n_keyframes,
+        |  CAST(list_sum([8 + (doc_id + i) % 5
+        |    for i in range(0, n) if i % 3 = 0]) AS BIGINT) AS kf_bytes,
+        |  CAST(32 AS BIGINT) AS first_kf_offset,
+        |  CAST(32 + coalesce(list_sum([8 + (doc_id + i) % 5
+        |    for i in range(0, 3 * ((n - 1) // 3))]), 0) AS BIGINT)
+        |    AS last_kf_offset
+        |FROM p ORDER BY doc_id ASC""".stripMargin,
+
+    "multimodal_mp4_keyframes" ->
+      s"""WITH p AS (SELECT doc_id, (1 + doc_id % 7) AS n FROM documents),
+        |k AS (SELECT doc_id, n, unnest(range(1, n + 1)) AS s FROM p)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS track_id,
+        |  CAST(s AS BIGINT) AS sample_no,
+        |  CAST(32 + coalesce(list_sum([8 + (doc_id + i) % 5
+        |    for i in range(0, s - 1)]), 0) AS BIGINT) AS kf_offset,
+        |  CAST(8 + (doc_id + s - 1) % 5 AS BIGINT) AS kf_size
+        |FROM k WHERE (s - 1) % 3 = 0
+        |ORDER BY doc_id ASC, sample_no ASC""".stripMargin,
 
     // exact nearest-base-neighbor distance per delta vector; novel =
     // farther than τ = 1.140 from everything already ingested
@@ -6272,11 +6482,18 @@ object SparkEntry {
     * JOINs from d: an EMPTY text still synthesizes one all-zero
     * frame engine-side (sig 0, n_frames 1), so the oracle must emit
     * its sig-0 row too, not drop the doc. */
-  private def videoSigCtes: String =
-    s"""d AS (SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 900000 AS doc_id, text FROM documents
-       |  WHERE doc_id % 10 = 0),
+  private def videoSigCtes: String = videoSigCtesOver(
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 900000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 10 = 0""".stripMargin)
+
+  /** The video-sig derivation parameterized over the doc list
+    * `dBody` (the [[imageSigCtesOver]] convention) — shared by the
+    * near-dup/incremental oracles and the quarantine twin, which
+    * differ only in which docs feed the corpus. */
+  private def videoSigCtesOver(dBody: String): String =
+    s"""d AS ($dBody),
        |b AS (SELECT doc_id, ${duckUtf8BytesOf("text")} AS bs FROM d),
        |st AS (SELECT doc_id, unnest(bs) AS v,
        |    unnest(range(1, len(bs) + 1)) AS i

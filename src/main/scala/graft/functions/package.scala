@@ -95,6 +95,10 @@ package object functions {
   /** every <a href> value in document order → ARRAY<STRING> */
   def vfs_html_links(html: Column): Column = col(HtmlLinks(ex(html)))
 
+  /** extracted text of a PDF (raw/Flate content streams, BT…ET
+    * text operators — see [[PdfKernel]]'s scope stance) */
+  def vfs_pdf_text(pdf: Column): Column = col(PdfText(ex(pdf)))
+
   /** robots.txt fetchability (RFC 9309 longest-match semantics) */
   def vfs_robots_allowed(robots: Column, userAgent: Column,
       path: Column): Column =
@@ -134,6 +138,7 @@ package object functions {
     r1("vfs_media_format", es => MediaFormat(es(0)))
     r1("vfs_html_text", es => HtmlText(es(0)))
     r1("vfs_html_main_text", es => HtmlMainText(es(0)))
+    r1("vfs_pdf_text", es => PdfText(es(0)))
     r1("vfs_html_title", es => HtmlTitle(es(0)))
     r1("vfs_html_links", es => HtmlLinks(es(0)))
     r1("vfs_robots_allowed", es => RobotsAllowed(es(0), es(1), es(2)))

@@ -26,7 +26,11 @@ import java.nio.charset.StandardCharsets
   * oracle-pinnable the way every kernel here must be; audio/video
   * near-dup runs on the deterministic WAV-PCM and PPM-stream paths
   * (decode-to-PCM/frames upstream with ffmpeg-class tooling), which
-  * [[Multimodal]] documents as the permanent contract.
+  * [[Multimodal]] documents as the permanent contract. The ISO-BMFF
+  * (MP4) CONTAINER walk is IN ([[Mp4]]): duration, track identity,
+  * and keyframe byte ranges are integer-exact box parsing like
+  * WARC/RIFF, and they are the fetch plan the out-of-scope codec
+  * stage consumes.
   *
   * All decoders validate magic numbers and structure and throw
   * IllegalArgumentException with a [GRAFT] message on malformed input

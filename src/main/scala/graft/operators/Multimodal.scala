@@ -819,24 +819,58 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.flatMap { r =>
-        require(PcmFormats(r.format),
-          s"[GRAFT] audioFingerprint: not a PCM asset: ${r.format}")
-        val (pcm, center) = decodePcmCentered(r.format, r.media)
-        val energies = pcm.samples.grouped(window).map { w =>
-          var e = 0L
-          var j = 0
-          while (j < w.length) {
-            val c = (w(j) - center).toLong
-            e += c * c
-            j += 1
-          }
-          e
-        }.toArray
-        if (energies.isEmpty) Iterator.empty
-        else Iterator.single(
-          (r.doc_id, deltaSignSig(energies), energies.length.toLong))
+        audioFingerprintOne(r, window).map { case (sig, nw) =>
+          (r.doc_id, sig, nw)
+        }
       }
     }.toDF("doc_id", "sig", "n_windows")
+  }
+
+  /** The per-record audio-fingerprint body [[audioFingerprint]] and
+    * its quarantined twin share — clean output stays bit-identical
+    * between the two. None = a zero-sample asset (no print row, the
+    * omit-zero-sample stance). */
+  private def audioFingerprintOne(r: MediaRecord,
+      window: Int): Option[(Long, Long)] = {
+    require(PcmFormats(r.format),
+      s"[GRAFT] audioFingerprint: not a PCM asset: ${r.format}")
+    val (pcm, center) = decodePcmCentered(r.format, r.media)
+    val energies = pcm.samples.grouped(window).map { w =>
+      var e = 0L
+      var j = 0
+      while (j < w.length) {
+        val c = (w(j) - center).toLong
+        e += c * c
+        j += 1
+      }
+      e
+    }.toArray
+    if (energies.isEmpty) None
+    else Some((deltaSignSig(energies), energies.length.toLong))
+  }
+
+  /** [[audioFingerprint]] with per-asset decode QUARANTINE — the
+    * [[decodeStatsQuarantined]] stance for the audio print path: a
+    * body-corrupt asset (truncated FLAC, damaged RIFF) emits
+    * (doc_id, nulls…, err) instead of failing the stage. Clean rows
+    * are bit-identical to the strict kernel's (shared per-record
+    * body); zero-sample clean assets still emit NO row, matching the
+    * strict path. Split with `filter(col("err").isNull)`. */
+  def audioFingerprintQuarantined(spark: SparkSession,
+      media: Dataset[MediaRecord], window: Int = 64): DataFrame = {
+    require(window > 0, "[GRAFT] audioFingerprint: window must be positive")
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        try audioFingerprintOne(r, window).map { case (sig, nw) =>
+          (r.doc_id, Some(sig), Some(nw), Option.empty[String])
+        }
+        catch { case scala.util.control.NonFatal(e) =>
+          Some((r.doc_id, Option.empty[Long], Option.empty[Long],
+            Some(graft.Verify.errHead(e))))
+        }
+      }
+    }.toDF("doc_id", "sig", "n_windows", "err")
   }
 
   /** Sign-of-delta 63-bit signature over a value sequence — the ONE
@@ -897,30 +931,61 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { r =>
-        val decoded = r.format match {
-          case "video/ppm-stream" => MediaCodec.decodePpmStream(r.media)
-          // sniffed GIFs carry "image/gif" (see sampleFrames) — a
-          // 1-frame GIF prints sig 0 with n_frames 1, same as a
-          // 1-frame ppm-stream; maxGifPixels passes the animation
-          // memory cap through
-          case "video/gif" | "image/gif" =>
-            MediaCodec.decodeGifFrames(r.media, maxGifPixels)
-          case other => throw new IllegalArgumentException(
-            s"[GRAFT] videoFingerprint: no frame decoder for " +
-              s"format $other")
-        }
-        val sums = decoded.map { ras =>
-          var s = 0L
-          var i = 0
-          while (i < ras.pixels.length) {
-            s += (ras.pixels(i) & 0xff)
-            i += 1
-          }
-          s
-        }.toArray
-        (r.doc_id, deltaSignSig(sums), sums.length.toLong)
+        val (sig, n) = videoFingerprintOne(r, maxGifPixels)
+        (r.doc_id, sig, n)
       }
     }.toDF("doc_id", "sig", "n_frames")
+  }
+
+  /** The per-record video-fingerprint body [[videoFingerprint]] and
+    * its quarantined twin share — clean output stays bit-identical
+    * between the two. */
+  private def videoFingerprintOne(r: MediaRecord,
+      maxGifPixels: Long): (Long, Long) = {
+    val decoded = r.format match {
+      case "video/ppm-stream" => MediaCodec.decodePpmStream(r.media)
+      // sniffed GIFs carry "image/gif" (see sampleFrames) — a
+      // 1-frame GIF prints sig 0 with n_frames 1, same as a
+      // 1-frame ppm-stream; maxGifPixels passes the animation
+      // memory cap through
+      case "video/gif" | "image/gif" =>
+        MediaCodec.decodeGifFrames(r.media, maxGifPixels)
+      case other => throw new IllegalArgumentException(
+        s"[GRAFT] videoFingerprint: no frame decoder for " +
+          s"format $other")
+    }
+    val sums = decoded.map { ras =>
+      var s = 0L
+      var i = 0
+      while (i < ras.pixels.length) {
+        s += (ras.pixels(i) & 0xff)
+        i += 1
+      }
+      s
+    }.toArray
+    (deltaSignSig(sums), sums.length.toLong)
+  }
+
+  /** [[videoFingerprint]] with per-asset decode QUARANTINE — the
+    * [[decodeStatsQuarantined]] stance for the video print path: a
+    * container-corrupt stream (truncated frame, damaged header)
+    * emits (doc_id, nulls…, err) instead of failing the stage; clean
+    * rows are bit-identical to the strict kernel's. */
+  def videoFingerprintQuarantined(spark: SparkSession,
+      media: Dataset[MediaRecord],
+      maxGifPixels: Long = 1L << 26): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          val (sig, n) = videoFingerprintOne(r, maxGifPixels)
+          (r.doc_id, Some(sig), Some(n), Option.empty[String])
+        } catch { case scala.util.control.NonFatal(e) =>
+          (r.doc_id, Option.empty[Long], Option.empty[Long],
+            Some(graft.Verify.errHead(e)))
+        }
+      }
+    }.toDF("doc_id", "sig", "n_frames", "err")
   }
 
   /** Per-asset 64-bit IMAGE perceptual fingerprint — dHash (the

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.PdfKernel
+import graft.operators.Pdf
+
+/** PDF text extraction: the string grammar (escapes, octal, nested
+  * parens, continuations, hex), the operator walk (Tj/TJ/line
+  * moves, BT..ET scoping), stream decoding (raw, Flate, direct vs
+  * indirect Length, skipped filters), the encode/extract duality,
+  * and the Spark surface. */
+class PdfSpec extends AnyFunSuite {
+
+  private def extract(pdf: Array[Byte]): String =
+    PdfKernel.text(pdf).toString
+
+  private def rawPdf(content: String): Array[Byte] = {
+    val c = content.getBytes("UTF-8")
+    (s"%PDF-1.4\n1 0 obj << /Length ${c.length} >>\nstream\n")
+      .getBytes("US-ASCII") ++ c ++
+      "\nendstream\nendobj\n%%EOF\n".getBytes("US-ASCII")
+  }
+
+  test("encode/extract duals: literal, split-TJ, and hex shows all invert exactly, raw and Flate") {
+    val text = "first line\nsecond longer line\nthird (with) parens\n" +
+      "fourth \\ backslash\nfifth hex line\nlast"
+    for (flate <- Seq(false, true)) {
+      assert(extract(Pdf.encodePdf(text, flate)) === text,
+        s"flate=$flate")
+    }
+    // leading and trailing empty lines survive (the shown-flag rule)
+    assert(extract(Pdf.encodePdf("\nafter empty")) === "\nafter empty")
+    assert(extract(Pdf.encodePdf("before\n")) === "before\n")
+    assert(extract(Pdf.encodePdf("")) === "")
+  }
+
+  test("string grammar: escapes, octal (1-3 digits), nested parens, line continuation, unknown escape, hex odd-pad, whitespace in hex") {
+    assert(extract(rawPdf("BT (a\\(b\\)c\\\\d) Tj ET")) === "a(b)c\\d")
+    assert(extract(rawPdf("BT (x\\101\\12\\7y) Tj ET")) === "xA\ny")
+    assert(extract(rawPdf("BT (a(nested(deep))b) Tj ET")) ===
+      "a(nested(deep))b")
+    assert(extract(rawPdf("BT (cont\\\ninued) Tj ET")) === "continued")
+    assert(extract(rawPdf("BT (q\\zw) Tj ET")) === "qzw") // unknown esc
+    assert(extract(rawPdf("BT <48 65 6c6C6f> Tj ET")) === "Hello")
+    assert(extract(rawPdf("BT <487> Tj ET")) === "Hp") // odd pads 0
+    assert(extract(rawPdf("BT (tab\\there\\r) Tj ET")) === "tab\there\r")
+  }
+
+  test("operator walk: TJ arrays concatenate, quote ops line-move then show, Td/TD/T* line-move only after a show, strings outside BT..ET are ignored, comments and inline dicts skip") {
+    assert(extract(rawPdf("BT [(a) -5 (b) 3 (c)] TJ ET")) === "abc")
+    assert(extract(rawPdf("BT (l1) Tj (l2) ' ET")) === "l1\nl2")
+    assert(extract(rawPdf("BT (l1) Tj 2 4 (l2) \" ET")) === "l1\nl2")
+    // the initial positioning Td emits nothing; moves after a show do
+    assert(extract(rawPdf("BT 72 720 Td (a) Tj T* (b) Tj ET")) === "a\nb")
+    assert(extract(rawPdf("(orphan) Tj BT (kept) Tj ET (tail) Tj")) ===
+      "kept")
+    assert(extract(rawPdf("BT % comment (not text) Tj\n(real) Tj ET")) ===
+      "real")
+    assert(extract(rawPdf(
+      "BT BI << /W 4 /H (fake) >> ID xx EI (after) Tj ET")) === "after")
+    // operands of an unrelated operator never leak into the next show
+    assert(extract(rawPdf("BT (gone) Tz (shown) Tj ET")) === "shown")
+  }
+
+  test("stream decoding: indirect /Length falls back to the endstream scan, non-Flate filters skip silently, truncated Flate skips, multiple streams concatenate in document order") {
+    // indirect length: /Length 9 0 R — must scan to endstream
+    val c = "BT (ind) Tj ET"
+    val ind = (s"%PDF-1.4\n1 0 obj << /Length 9 0 R >>\nstream\n" +
+      c + "\nendstream\nendobj\n").getBytes("US-ASCII")
+    assert(extract(ind) === "ind")
+    // an LZW-filtered stream is skipped, the raw one still extracts
+    val mixed = (s"%PDF-1.4\n" +
+      s"1 0 obj << /Length 4 /Filter /LZWDecode >>\nstream\nXXXX\nendstream\nendobj\n" +
+      s"2 0 obj << /Length ${c.length} >>\nstream\n$c\nendstream\nendobj\n")
+      .getBytes("US-ASCII")
+    assert(extract(mixed) === "ind")
+    // corrupt Flate data: skipped, never thrown
+    val corrupt = ("%PDF-1.4\n1 0 obj " +
+      "<< /Length 4 /Filter /FlateDecode >>\nstream\nZZZZ\nendstream\n")
+      .getBytes("US-ASCII")
+    assert(extract(corrupt) === "") // tolerant, deterministic
+    // two raw streams in order
+    val two = (s"%PDF-1.4\n" +
+      s"1 0 obj << /Length 14 >>\nstream\nBT (a) Tj ET\nendstream\n" +
+      s"2 0 obj << /Length 14 >>\nstream\nBT (b) Tj ET\nendstream\n")
+      .getBytes("US-ASCII")
+    assert(extract(two) === "ab")
+  }
+
+  test("Spark surface: vfs_pdf_text registers for SQL; synthesizePdf is a zero-shuffle kernel whose extraction inverts the text column") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    graft.functions.registerAll(spark)
+    val docs = Seq((1L, "alpha\nbeta"), (2L, ""), (3L, "x(y)z\\w"))
+      .toDF("doc_id", "text")
+    val pdfs = graft.operators.Pdf.synthesizePdf(docs)
+    val back = pdfs
+      .select($"doc_id", graft.functions.vfs_pdf_text($"pdf").as("t"))
+      .join(docs, "doc_id")
+      .filter($"t" =!= $"text")
+    assert(back.count() === 0L, "extraction must invert the synthesis")
+    pdfs.createOrReplaceTempView("pdf_t")
+    val viaSql = spark.sql(
+      "SELECT vfs_pdf_text(pdf) AS t FROM pdf_t WHERE doc_id = 1")
+      .as[String].head()
+    assert(viaSql === "alpha\nbeta")
+  }
+}

@@ -48,6 +48,65 @@ class QuarantineSpec extends AnyFunSuite {
     assert(out(2L).exists(_.contains("[GRAFT]")))
   }
 
+  test("audioFingerprintQuarantined: a truncated FLAC quarantines while strict throws; clean prints are bit-identical; zero-sample assets emit no row on either path") {
+    val spark = GraftTest.spark
+    val pcm = Array.tabulate(32)(i => (i * 13 + 5) % 251)
+    val flac = MediaCodec.encodeFlac(pcm)
+    val wav = MediaCodec.encodeWav(Array.tabulate(24)(_.toByte))
+    val good = media((1L, flac, "audio/flac"), (2L, wav, "audio/wav"))
+    val strict = Multimodal.audioFingerprint(spark, good, window = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("sig"), r.getAs[Long]("n_windows"))).toSet
+    val viaQ = Multimodal
+      .audioFingerprintQuarantined(spark, good, window = 4)
+    assert(viaQ.filter(col("err").isNotNull).count() === 0L)
+    assert(viaQ.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("sig"), r.getAs[Long]("n_windows"))).toSet === strict)
+    // truncated FLAC (magic survives, STREAMINFO cut): strict fails
+    // the stage, quarantined routes it aside
+    val mixed = media((1L, flac, "audio/flac"),
+      (2L, flac.take(20), "audio/flac"))
+    assertThrows[org.apache.spark.SparkException](
+      Multimodal.audioFingerprint(spark, mixed, window = 4).collect())
+    val out = Multimodal
+      .audioFingerprintQuarantined(spark, mixed, window = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("err")))
+      .toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).exists(_.contains("[GRAFT]")))
+    // a zero-sample clean asset: NO row on either path (omit stance)
+    val empty = media((9L, MediaCodec.encodeWav(Array.emptyByteArray),
+      "audio/wav"))
+    assert(Multimodal.audioFingerprint(spark, empty, 4).count() === 0L)
+    assert(Multimodal.audioFingerprintQuarantined(spark, empty, 4)
+      .count() === 0L)
+  }
+
+  test("videoFingerprintQuarantined: a truncated PPM stream quarantines while strict throws; clean prints are bit-identical") {
+    val spark = GraftTest.spark
+    def stream(id: Long): Array[Byte] =
+      ppm(id) ++ ppm(id + 1) ++ ppm(id + 2)
+    val good = media((1L, stream(1), "video/ppm-stream"),
+      (2L, stream(5), "video/ppm-stream"))
+    val strict = Multimodal.videoFingerprint(spark, good).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("sig"),
+        r.getAs[Long]("n_frames"))).toSet
+    val viaQ = Multimodal.videoFingerprintQuarantined(spark, good)
+    assert(viaQ.filter(col("err").isNotNull).count() === 0L)
+    assert(viaQ.collect().map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("sig"), r.getAs[Long]("n_frames"))).toSet === strict)
+    val mixed = media((1L, stream(1), "video/ppm-stream"),
+      (2L, stream(5).take(5), "video/ppm-stream"))
+    assertThrows[org.apache.spark.SparkException](
+      Multimodal.videoFingerprint(spark, mixed).collect())
+    val out = Multimodal.videoFingerprintQuarantined(spark, mixed)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> Option(r.getAs[String]("err")))
+      .toMap
+    assert(out(1L).isEmpty)
+    assert(out(2L).exists(_.contains("[GRAFT]")))
+  }
+
   test("imageFingerprintQuarantined: a present-but-corrupt Exif block quarantines only on the exif-aware path (the blind path skips APP1)") {
     val spark = GraftTest.spark
     val px = Array.tabulate(32 * 32 * 3)(i => (((i / 3) * 7) % 200 + 20).toByte)
