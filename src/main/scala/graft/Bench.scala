@@ -486,6 +486,27 @@ object Bench {
       SparkEntry.queries("web_warc_extract")(spark, sfDir)
         .agg(sum(length(col("text_md5")))).collect()
     } }
+    // main-content scoping: the chrome-suppressing codegen kernel
+    // over chrome-laden pages (both md5 columns forced)
+    entry("html_extract_main") { median {
+      SparkEntry.queries("web_html_extract_main")(spark, sfDir)
+        .agg(sum(length(col("main_md5"))), sum(length(col("full_md5"))))
+        .collect()
+    } }
+    // non-identity WARC bodies: dechunk + gunzip on the decode walk
+    entry("warc_coded_extract") { median {
+      SparkEntry.queries("web_warc_transfer_codings")(spark, sfDir)
+        .agg(sum(length(col("text_md5")))).collect()
+    } }
+    // PDF synthesis + stream inflate + text-operator walk
+    entry("pdf_extract") { median {
+      SparkEntry.queries("web_pdf_extract")(spark, sfDir)
+        .agg(sum(length(col("text_md5")))).collect()
+    } }
+    // ISO-BMFF box walk: per-partition container parse, zero shuffle
+    entry("mp4_box_walk") { median {
+      SparkEntry.queries("multimodal_mp4_meta")(spark, sfDir).count()
+    } }
     // decode -> NN resize -> PNG re-encode -> decode, the image
     // normalization shape (per-partition batch kernel, pure scan)
     entry("media_resize") { median {

@@ -682,6 +682,32 @@ object Explain {
         "codegen'd vfs_robots_allowed filter — no other exchange)") {
       graft.SparkEntry.queries("web_robots_filter")(spark, dir)
     }
+    show("main-content html extraction (expect: the same ONE codegen " +
+        "projection shape as the full extraction — the chrome " +
+        "suppression is a depth counter inside the kernel, not a " +
+        "second pass)") {
+      graft.SparkEntry.queries("web_html_extract_main")(spark, dir)
+    }
+    show("warc non-identity bodies (expect: the records() " +
+        "MapPartitions kernel unchanged — dechunk + gunzip happen " +
+        "inside the per-record parse, zero extra operators)") {
+      graft.SparkEntry.queries("web_warc_transfer_codings")(spark, dir)
+    }
+    show("robots crawl-delay + sitemaps (expect: ONE codegen " +
+        "projection — both expressions are pure per-row kernels " +
+        "over the rules literal)") {
+      graft.SparkEntry.queries("web_robots_crawl_delay")(spark, dir)
+    }
+    show("mp4 box walk (expect: spread exchange then ONE " +
+        "MapPartitions parse kernel — the synthesize + trackMeta " +
+        "chain stays a scan, zero shuffle after the spread)") {
+      graft.SparkEntry.queries("multimodal_mp4_meta")(spark, dir)
+    }
+    show("pdf extraction (expect: the synthesize kernel feeding ONE " +
+        "codegen vfs_pdf_text projection — inflate + text-operator " +
+        "walk per row, no shuffle after the spread)") {
+      graft.SparkEntry.queries("web_pdf_extract")(spark, dir)
+    }
     spark.stop()
   }
 }
