@@ -6296,6 +6296,7 @@ object SparkEntry {
         |  'gft1' AS codec,
         |  CAST(n * 40 AS BIGINT) AS track_duration_ms,
         |  CAST(n AS BIGINT) AS n_samples,
+        |  false AS all_sync,
         |  CAST((n + 2) // 3 AS BIGINT) AS n_keyframes,
         |  CAST(list_sum([8 + (doc_id + i) % 5
         |    for i in range(0, n) if i % 3 = 0]) AS BIGINT) AS kf_bytes,

@@ -51,22 +51,25 @@ object PdfKernel {
     val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
     var pos = 0
     while (pos >= 0 && pos < pdf.length) {
-      val at = indexOfToken(pdf, "stream", pos)
+      val at = indexOfStreamKeyword(pdf, pos)
       if (at < 0) pos = -1
       else {
         var dataAt = at + "stream".length
         if (dataAt < pdf.length && pdf(dataAt) == '\r') dataAt += 1
         if (dataAt < pdf.length && pdf(dataAt) == '\n') dataAt += 1
-        // the governing dictionary: bytes between the nearest
-        // preceding "<<" run and the stream keyword
-        val dictAt = lastIndexOf(pdf, "<<", at)
+        // the governing dictionary: the OUTERMOST << balanced against
+        // the >> runs between it and the stream keyword — a plain
+        // nearest-<< scan would pick up a nested sub-dictionary
+        // (/DecodeParms << … >>) and miss the real /Filter
+        val dictAt = governingDictStart(pdf, at)
         val dict =
           if (dictAt < 0) ""
           else new String(pdf, dictAt, at - dictAt, "ISO-8859-1")
         val direct = DirectLength.findFirstMatchIn(dict)
           .map(_.group(1).toInt)
         val dataEnd = direct match {
-          case Some(n) if dataAt + n <= pdf.length => dataAt + n
+          case Some(n) if n >= 0 && dataAt + n.toLong <= pdf.length =>
+            dataAt + n
           case _ =>
             val e = indexOfToken(pdf, "endstream", dataAt)
             if (e < 0) pdf.length
@@ -83,10 +86,65 @@ object PdfKernel {
         if (!hasFilter) out += raw
         else if (flate) inflate(raw).foreach(out += _)
         // other filters: skipped (tolerant contract)
-        pos = dataEnd
+        // resume AFTER this stream's endstream keyword — resuming at
+        // dataEnd would re-match the "stream" suffix of "endstream"
+        // and the phantom could swallow the next real stream
+        val endAt = indexOfToken(pdf, "endstream", dataEnd)
+        pos = if (endAt < 0) pdf.length else endAt + "endstream".length
       }
     }
     out.toSeq
+  }
+
+  /** Next occurrence of the `stream` KEYWORD (not the tail of
+    * `endstream`) at or after `from`. */
+  private def indexOfStreamKeyword(pdf: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p >= 0) {
+      val at = indexOfToken(pdf, "stream", p)
+      if (at < 0) return -1
+      val isEnd = at >= 3 && pdf(at - 3) == 'e' && pdf(at - 2) == 'n' &&
+        pdf(at - 1) == 'd'
+      if (!isEnd) return at
+      p = at + "stream".length
+    }
+    -1
+  }
+
+  /** Start of the dictionary governing the stream keyword at `at`:
+    * walk BACKWARD balancing >> against <<; the first unmatched <<
+    * is the governing dict's opener (nested /DecodeParms-style
+    * sub-dictionaries balance out on the way). -1 when absent. */
+  private def governingDictStart(pdf: Array[Byte], at: Int): Int = {
+    var depth = 0
+    var i = at - 2
+    while (i >= 0) {
+      if (pdf(i) == '>' && pdf(i + 1) == '>') { depth += 1; i -= 2 }
+      else if (pdf(i) == '<' && pdf(i + 1) == '<') {
+        // the governing opener is the one matching the FIRST >> met
+        // on the backward walk (depth 1); depth 0 = an unclosed dict
+        // directly before the keyword (malformed, adopt it)
+        if (depth <= 1) return i
+        depth -= 1; i -= 2
+      } else if (pdf(i) == 'e' && depth == 0 &&
+        (tokenAt(pdf, i, "endobj") || tokenAt(pdf, i, "endstream"))) {
+        // crossed into the PREVIOUS object with no unmatched << yet:
+        // this stream has no governing dict (malformed) — do not
+        // adopt an earlier object's dictionary
+        return -1
+      } else i -= 1
+    }
+    -1
+  }
+
+  private def tokenAt(b: Array[Byte], at: Int, tok: String): Boolean = {
+    if (at + tok.length > b.length) return false
+    var j = 0
+    while (j < tok.length) {
+      if (b(at + j) != tok.charAt(j)) return false
+      j += 1
+    }
+    true
   }
 
   // a direct /Length 123 (not an indirect "123 0 R" reference)
@@ -103,18 +161,6 @@ object PdfKernel {
     }
     -1
   }
-  private def lastIndexOf(b: Array[Byte], tok: String, before: Int): Int = {
-    val t = tok.getBytes("US-ASCII")
-    var i = math.min(before, b.length) - t.length
-    while (i >= 0) {
-      var j = 0
-      while (j < t.length && b(i + j) == t(j)) j += 1
-      if (j == t.length) return i
-      i -= 1
-    }
-    -1
-  }
-
   private def inflate(bytes: Array[Byte]): Option[Array[Byte]] =
     try {
       val inf = new java.util.zip.Inflater()

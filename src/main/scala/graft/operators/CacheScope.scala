@@ -64,6 +64,19 @@ object CacheScope {
     result
   }
 
+  /** Register `cached` with the ENCLOSING [[scoped]] block directly —
+    * for persists a composite creates BEFORE its final releaseWith
+    * (a failure in between would otherwise leave them untracked:
+    * neither Cleaner nor pending entry). Outside any scope this is a
+    * deliberate no-op (a self-referencing Cleaner would pin the
+    * frame forever); such callers must releaseWith on their result
+    * as usual. Returns `cached` for chaining. */
+  private[graft] def defer(cached: DataFrame): DataFrame = {
+    val cap = capturing.get()
+    if (cap != null) cap.add(cached)
+    cached
+  }
+
   /** Run a composite operator's body and scope every cache any
     * NESTED operator registered during it to the body's result
     * frame, so one [[releaseNow]](result) — or the result's own GC —
@@ -73,7 +86,19 @@ object CacheScope {
     val prev = capturing.get()
     val mine = new java.util.ArrayList[DataFrame]()
     capturing.set(mine)
-    val result = try body finally capturing.set(prev)
+    val result =
+      try body
+      catch { case e: Throwable =>
+        // a failed composition has no result to scope to: release
+        // the nested caches NOW — deferring them silently would
+        // leave persisted frames with neither a Cleaner nor a
+        // pending entry, pinned for the SparkContext's lifetime
+        mine.forEach { c =>
+          try { c.unpersist(blocking = false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        throw e
+      } finally capturing.set(prev)
     mine.forEach(c => releaseWith(result, c))
     result
   }

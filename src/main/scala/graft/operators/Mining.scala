@@ -211,7 +211,9 @@ object Mining {
       bwdScore: DataFrame => DataFrame,
       finish: DataFrame => DataFrame = identity): DataFrame =
     CacheScope.scoped {
-    val fwd = fwd0.persist()
+    // defer the persist into the scope IMMEDIATELY: a failure before
+    // the final releaseWith must release it, not leak it
+    val fwd = CacheScope.defer(fwd0.persist())
     val fwdSum = fwd.groupBy(col("qid"))
       .agg(sum(col("sim_micro")).as("fwd_sum"),
         count(lit(1)).as("fwd_n"))

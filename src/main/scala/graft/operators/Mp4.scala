@@ -8,11 +8,24 @@ import org.apache.spark.sql.functions._
 /** One parsed MP4 track: identity, media handler, sample-entry
   * codec fourcc, duration (track timescale normalized to ms), the
   * sample count, and the sync-sample (keyframe) table resolved to
-  * BYTE RANGES via stsc/stco/stsz. */
+  * BYTE RANGES via stsc/stco/stsz.
+  *
+  * `allSync` marks a track with NO stss box — per ISO 14496-12
+  * every sample is then a sync sample (audio tracks routinely ship
+  * millions). For those the per-sample enumeration is deliberately
+  * NOT materialized (`keyframeSamples`/`keyframeRanges` stay empty —
+  * a 3-minute AAC track would otherwise allocate hundreds of MB of
+  * boxed tuples per record); the aggregate fields carry the summary
+  * (`nKeyframes` = nSamples, `kfBytes` = all sample bytes,
+  * first/last offsets), and there is no selective fetch plan — a
+  * consumer reads the whole track. */
 final case class Mp4Track(trackId: Long, handler: String,
     codec: String, durationMs: Long, nSamples: Long,
+    allSync: Boolean,
     keyframeSamples: Vector[Long],
-    keyframeRanges: Vector[(Long, Long)])
+    keyframeRanges: Vector[(Long, Long)],
+    nKeyframes: Long, kfBytes: Long,
+    firstKfOffset: Long, lastKfOffset: Long)
 
 /** Parsed movie-level metadata: mvhd duration (ms) + the tracks. */
 final case class Mp4Meta(durationMs: Long, timescale: Long,
@@ -129,6 +142,8 @@ object Mp4 {
             if (n > 0) t.codec = fourcc(bytes, at + 12) // first entry's fourcc
           case "stts" =>
             val n = u32(bytes, at + 4).toInt
+            require(at + 8 + 8L * n <= end,
+              "[GRAFT] mp4: stts table overruns its box")
             var i = 0
             var total = 0L
             while (i < n) {
@@ -239,21 +254,35 @@ object Mp4 {
           chunk += 1
         }
       }
-      val sync: Vector[Long] =
-        if (t.sawStss) t.syncSamples.toVector
-        else (1L to n.toLong).toVector // no stss = every sample is sync
-      sync.foreach(s => require(s >= 1 && s <= n,
-        s"[GRAFT] mp4: stss names sample $s of $n"))
-      val ranges = sync.map { s =>
-        val i = (s - 1).toInt
-        (offsets(i), sizeOf(i))
-      }
       val durMs =
         if (t.mediaTimescale > 0)
           t.mediaDuration * 1000L / t.mediaTimescale
         else 0L
-      tracks += Mp4Track(t.trackId, t.handler, t.codec, durMs,
-        t.nSamplesStsz, sync, ranges)
+      if (t.sawStss) {
+        val sync = t.syncSamples.toVector
+        sync.foreach(s => require(s >= 1 && s <= n,
+          s"[GRAFT] mp4: stss names sample $s of $n"))
+        val ranges = sync.map { s =>
+          val i = (s - 1).toInt
+          (offsets(i), sizeOf(i))
+        }
+        tracks += Mp4Track(t.trackId, t.handler, t.codec, durMs,
+          t.nSamplesStsz, allSync = false, sync, ranges,
+          nKeyframes = sync.length.toLong,
+          kfBytes = ranges.iterator.map(_._2).sum,
+          firstKfOffset = if (ranges.isEmpty) -1L else ranges.head._1,
+          lastKfOffset = if (ranges.isEmpty) -1L else ranges.last._1)
+      } else {
+        // no stss: every sample is sync — summarize, never enumerate
+        var total = 0L
+        var i = 0
+        while (i < n) { total += sizeOf(i); i += 1 }
+        tracks += Mp4Track(t.trackId, t.handler, t.codec, durMs,
+          t.nSamplesStsz, allSync = true, Vector.empty, Vector.empty,
+          nKeyframes = n.toLong, kfBytes = total,
+          firstKfOffset = if (n > 0) offsets(0) else -1L,
+          lastKfOffset = if (n > 0) offsets(n - 1) else -1L)
+      }
     }
 
     walkBoxes(bytes, 0, bytes.length) { (typ, at, end) =>
@@ -296,21 +325,25 @@ object Mp4 {
           val meta = parse(bytes)
           meta.tracks.map { t =>
             (id, meta.durationMs, meta.tracks.length.toLong, t.trackId,
-              t.handler, t.codec, t.durationMs, t.nSamples,
-              t.keyframeSamples.length.toLong,
-              t.keyframeRanges.map(_._2).sum,
-              if (t.keyframeRanges.isEmpty) -1L else t.keyframeRanges.head._1,
-              if (t.keyframeRanges.isEmpty) -1L else t.keyframeRanges.last._1)
+              t.handler, t.codec, t.durationMs, t.nSamples, t.allSync,
+              t.nKeyframes, t.kfBytes, t.firstKfOffset, t.lastKfOffset)
           }
         }
       }.toDF("doc_id", "movie_duration_ms", "n_tracks", "track_id",
         "handler", "codec", "track_duration_ms", "n_samples",
-        "n_keyframes", "kf_bytes", "first_kf_offset", "last_kf_offset")
+        "all_sync", "n_keyframes", "kf_bytes", "first_kf_offset",
+        "last_kf_offset")
   }
 
-  /** One row per keyframe: (doc_id, track_id, sample_no, offset,
-    * size) — the byte-range fetch plan a frame-sampling decode stage
-    * consumes. Rows ∝ keyframes; zero shuffle. */
+  /** One row per EXPLICIT keyframe (stss-declared): (doc_id,
+    * track_id, sample_no, offset, size) — the byte-range fetch plan
+    * a frame-sampling decode stage consumes. Tracks WITHOUT an stss
+    * box emit no rows here by contract: every sample is sync, there
+    * is no selective plan, and enumerating an 8M-sample audio track
+    * would be a rows-explosion, not a plan (consumers check
+    * [[trackMeta]]'s `all_sync` column and read the whole track).
+    * Rows ∝ declared keyframes; zero shuffle. */
+
   def keyframeRanges(spark: SparkSession, media: DataFrame,
       idCol: String = "doc_id", binCol: String = "mp4"): DataFrame = {
     import spark.implicits._

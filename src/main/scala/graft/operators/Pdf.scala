@@ -37,7 +37,11 @@ object Pdf {
         "<" + l.getBytes(StandardCharsets.UTF_8)
           .map(b => f"${b & 0xff}%02x").mkString + "> Tj"
       else if (i % 3 == 2 && l.length >= 2) {
-        val mid = l.length / 2
+        // never split a surrogate pair: each half UTF-8-encodes
+        // independently, and a lone surrogate would mojibake to '?'
+        val mid0 = l.length / 2
+        val mid = if (Character.isHighSurrogate(l.charAt(mid0 - 1)) &&
+          Character.isLowSurrogate(l.charAt(mid0))) mid0 + 1 else mid0
         s"[(${escape(l.substring(0, mid))}) -2 " +
           s"(${escape(l.substring(mid))})] TJ"
       } else s"(${escape(l)}) Tj"

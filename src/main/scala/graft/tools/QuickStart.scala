@@ -370,6 +370,33 @@ object QuickStart {
       "graftbot").count()
     println(s"[quickstart] robots gate: $robotsKept of 2 urls fetchable")
 
+    // round-16 web/front-end surfaces: main-content scoping drops the
+    // chrome, crawl-delay rides the same most-specific UA walk, PDFs
+    // and MP4 containers parse back to their construction
+    val chromePage = "<body><nav>Menu Home</nav>" +
+      "<form>We use cookies</form><main><p>the prose</p></main>" +
+      "<footer>(c) site</footer></body>"
+    val mainText = spark.sql(
+      s"""SELECT vfs_html_main_text(p) FROM
+         |  (SELECT '$chromePage' AS p)""".stripMargin).head().getString(0)
+    val delay = spark.sql(
+      """SELECT vfs_robots_crawl_delay(
+        |  'User-agent: graft\nCrawl-delay: 1.5\nDisallow: /x\n',
+        |  'graftbot-news')""".stripMargin).head().getLong(0)
+    println(s"[quickstart] main-content: '$mainText' (chrome dropped); " +
+      s"crawl-delay via prefix group: ${delay} ms")
+    val pdfBack = graft.operators.Pdf
+      .synthesizePdf(docs.limit(5))
+      .select($"doc_id", graft.functions.vfs_pdf_text($"pdf").as("t"))
+      .join(docs.limit(5), "doc_id")
+      .filter($"t" === $"text").count()
+    val mp4Meta = graft.operators.Mp4.trackMeta(spark,
+      graft.operators.Mp4.synthesizeMp4(docs.limit(5))).collect()
+    println(s"[quickstart] pdf: $pdfBack of 5 extractions invert the " +
+      s"synthesis; mp4: ${mp4Meta.length} tracks walked, " +
+      s"${mp4Meta.map(_.getAs[Long]("n_keyframes")).sum} keyframes " +
+      "byte-ranged")
+
     // API-parity surface: the reference's 7 endpoints as library calls
     val api = new graft.api.VfsApi(spark,
       java.nio.file.Files.createTempDirectory("graft-api").toString)

@@ -289,6 +289,30 @@ class MiningSpec extends AnyFunSuite {
     assert(result.count() >= 0)
   }
 
+  test("a failed scoped composition releases its captured caches instead of leaking them untracked") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[RuntimeException] {
+      graft.operators.CacheScope.scoped {
+        val c = graft.operators.CacheScope.defer(
+          Seq((1L, 2.0), (2L, 3.0)).toDF("id", "v").persist())
+        assert(c.count() === 2L) // materialize the cache
+        throw new RuntimeException("boom mid-composition")
+      }
+    }
+    val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+    var drained = false
+    while (!drained && System.nanoTime() < deadline) {
+      drained = spark.sparkContext.getPersistentRDDs.keySet
+        .diff(before).isEmpty
+      if (!drained) Thread.sleep(50)
+    }
+    assert(drained, "a throw inside scoped must unpersist the " +
+      "captured caches NOW — they have no Cleaner and no pending " +
+      "entry to release them later")
+  }
+
   test("guards: k must be positive") {
     val spark = GraftTest.spark
     val v = vecs(1L -> Seq(1.0, 0.0))

@@ -88,8 +88,15 @@ class Mp4Spec extends AnyFunSuite {
     assert(t.codec === "gfa1")
     assert(t.durationMs === 500L) // 4000 / 8000 * 1000
     assert(t.nSamples === 2L)
-    assert(t.keyframeSamples === Vector(1L, 2L)) // no stss = all sync
-    assert(t.keyframeRanges === Vector((40L, 6L), (46L, 6L)))
+    // no stss = every sample is sync, SUMMARIZED (never enumerated —
+    // an 8M-sample audio track would allocate hundreds of MB of
+    // boxed tuples per record if the vectors materialized)
+    assert(t.allSync)
+    assert(t.keyframeSamples.isEmpty && t.keyframeRanges.isEmpty)
+    assert(t.nKeyframes === 2L)
+    assert(t.kfBytes === 12L)
+    assert(t.firstKfOffset === 40L)
+    assert(t.lastKfOffset === 46L) // 40 + uniform size 6
   }
 
   test("malformed containers fail loudly: wrong first box, truncated header, box overrun, stts/stsz disagreement, stss out of range") {

@@ -82,11 +82,52 @@ class PdfSpec extends AnyFunSuite {
       .getBytes("US-ASCII")
     assert(extract(corrupt) === "") // tolerant, deterministic
     // two raw streams in order
+    val s1 = "BT (a) Tj ET"
+    val s2 = "BT (b) Tj ET"
     val two = (s"%PDF-1.4\n" +
-      s"1 0 obj << /Length 14 >>\nstream\nBT (a) Tj ET\nendstream\n" +
-      s"2 0 obj << /Length 14 >>\nstream\nBT (b) Tj ET\nendstream\n")
+      s"1 0 obj << /Length ${s1.length} >>\nstream\n$s1\nendstream\n" +
+      s"2 0 obj << /Length ${s2.length} >>\nstream\n$s2\nendstream\n")
       .getBytes("US-ASCII")
     assert(extract(two) === "ab")
+  }
+
+  test("stream-scan hazards: the keyword inside 'endstream' never opens a phantom stream, and a nested /DecodeParms sub-dict does not hide the governing /Filter") {
+    // TWO streams whose inter-object gap is LONGER than stream 1's
+    // /Length: a scanner resuming at dataEnd re-matches the "stream"
+    // tail of "endstream", adopts stream 1's dict, and its phantom
+    // extent swallows stream 2's keyword — losing (b) silently
+    val c1 = "BT (a) Tj ET"
+    val c2 = "BT (b) Tj ET"
+    val gap = "% a long comment padding the inter-object gap well " +
+      "past stream one's declared length\n"
+    val two = (s"%PDF-1.4\n" +
+      s"1 0 obj << /Length ${c1.length} >>\nstream\n$c1\nendstream\nendobj\n" +
+      gap +
+      s"2 0 obj << /Length ${c2.length} >>\nstream\n$c2\nendstream\nendobj\n")
+      .getBytes("US-ASCII")
+    assert(extract(two) === "ab")
+    // a Flate stream whose dict carries a NESTED sub-dictionary
+    // after /Filter: nearest-<< scanning would see only the sub-dict
+    // (no /Filter) and emit raw deflate bytes as text
+    val content = "BT (deep) Tj ET".getBytes("UTF-8")
+    val defl = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(content); d.finish()
+      val buf = new Array[Byte](256)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    val nested = (s"%PDF-1.4\n1 0 obj << /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 1 /Columns 5 >> " +
+      s"/Length ${defl.length} >>\nstream\n").getBytes("US-ASCII") ++
+      defl ++ "\nendstream\nendobj\n".getBytes("US-ASCII")
+    assert(extract(nested) === "deep")
+    // a dict-less stream must not adopt the PREVIOUS object's dict
+    val orphan = (s"%PDF-1.4\n" +
+      s"1 0 obj << /Length 4 /Filter /LZWDecode >> endobj\n" +
+      s"2 0 obj\nstream\nBT (raw) Tj ET\nendstream\nendobj\n")
+      .getBytes("US-ASCII")
+    assert(extract(orphan) === "raw") // treated as unfiltered
   }
 
   test("Spark surface: vfs_pdf_text registers for SQL; synthesizePdf is a zero-shuffle kernel whose extraction inverts the text column") {
