@@ -1267,6 +1267,47 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- sitemap XML: every doc carries a two-entry urlset whose
+    // <loc> values exercise entity decode (&amp;) and whitespace
+    // trim — the step between vfs_robots_sitemaps and the URL
+    // frontier ----
+    "web_sitemap_urls" -> ((s, dir) => {
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>https://s"),
+        col("doc_id") % 7, lit(".example/p/"), col("doc_id"),
+        lit("?a=1&amp;b=2</loc><lastmod>2026-01-01</lastmod></url>" +
+          "<url><loc>\n  https://s.example/"), col("doc_id"),
+        lit("\n</loc></url></urlset>"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          posexplode(graft.functions.vfs_sitemap_locs(xml))
+            .as(Seq("pos", "url")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("url"))
+        .orderBy(col("doc_id").asc, col("pos").asc)
+    }),
+
+    // ---- the streaming page front door in MAIN-CONTENT mode: the
+    // chrome-laden pages land with nav/form/footer text suppressed,
+    // while the link frontier still carries the nav link ----
+    "stream_page_extract_main" -> ((s, dir) => {
+      val page = chromePageOf(col("doc_id"), col("text"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), page.as("html"))
+      val out = java.nio.file.Files
+        .createTempDirectory("verify-pages-main").toString
+      graft.streaming.Ingest.pageExtractBatch(pages, 4L, out,
+        mainOnly = true)
+      val docs = s.read.parquet(s"$out/docs/batch=4")
+        .select(col("doc_id"), col("title"),
+          md5(col("text")).as("text_md5"))
+      val nl = s.read.parquet(s"$out/links/batch=4")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_links"))
+      docs.join(nl, "doc_id")
+        .withColumn("batch_id", lit(4L))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- robots.txt gate (RFC 9309): six path shapes against a
     // rules file exercising longest-match, allow-over-disallow ties,
     // `*` wildcards, `$` anchors, multi-UA groups, and a
@@ -4918,6 +4959,36 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 6 IN (1, 3, 4)
         |ORDER BY doc_id ASC""".stripMargin,
+
+    // sitemap <loc> extraction: entity decode + trim, document order
+    "web_sitemap_urls" ->
+      s"""SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+        |  'https://s' || (doc_id % 7) || '.example/p/' || doc_id ||
+        |    '?a=1&b=2' AS url
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS BIGINT),
+        |  'https://s.example/' || doc_id
+        |FROM documents
+        |ORDER BY doc_id ASC, pos ASC""".stripMargin,
+
+    // the main-content streaming front door: chrome suppressed in
+    // the landed text, the nav link still in the frontier
+    "stream_page_extract_main" ->
+      s"""WITH n AS (SELECT doc_id,
+        |    array_to_string(list_filter(list_transform(
+        |      string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'),
+        |        chr(10)),
+        |      x -> trim(x, ' ')), x -> x <> ''), chr(10)) AS nt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'Main ' || doc_id AS title,
+        |  md5('Main ' || doc_id || chr(10) || 'Doc ' || doc_id ||
+        |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END)
+        |    AS text_md5,
+        |  CAST(1 AS BIGINT) AS n_links,
+        |  CAST(4 AS BIGINT) AS batch_id
+        |FROM n ORDER BY doc_id ASC""".stripMargin,
 
     // §2.2.1 group selection: exact beats prefix beats '*' — allowed
     // derives from the (agent residue, path residue) pair

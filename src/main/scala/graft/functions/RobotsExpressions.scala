@@ -239,6 +239,97 @@ case class RobotsCrawlDelay(robots: Expression, userAgent: Expression)
       r: Expression): Expression = copy(robots = l, userAgent = r)
 }
 
+/** Sitemap XML parsing — the step AFTER [[RobotsKernel.sitemaps]]
+  * hands a politeness pipeline its sitemap URLs: extract every
+  * `<loc>` value from a urlset OR sitemapindex document
+  * (sitemaps.org protocol) in document order, XML entities decoded
+  * (amp/lt/gt/quot/apos + numeric), values trimmed. Tolerant of
+  * malformed markup like [[HtmlKernel]] (an unclosed loc runs to
+  * end-of-input; a crawl payload never fails a stage) — together
+  * with the URL-curation family this closes the crawl loop:
+  * robots → sitemaps → frontier → normalize/dedup/cap. */
+object SitemapKernel {
+  def locs(xml: UTF8String): Array[UTF8String] = {
+    val s = xml.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '<' &&
+        s.regionMatches(true, i, "<loc", 0, 4) &&
+        // NAME BOUNDARY: <location>/<loc-x> are different elements
+        (i + 4 >= s.length || {
+          val c = s.charAt(i + 4)
+          !c.isLetterOrDigit && c != '-' && c != '_'
+        })) {
+        // past the open tag's '>'
+        var j = i + 4
+        while (j < s.length && s.charAt(j) != '>') j += 1
+        val bodyAt = if (j < s.length) j + 1 else s.length
+        var end = s.indexOf("</", bodyAt)
+        if (end < 0) end = s.length
+        out += UTF8String.fromString(
+          decodeXml(s.substring(bodyAt, end)).trim)
+        i = end
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  private def decodeXml(v: String): String = {
+    if (v.indexOf('&') < 0) return v
+    val out = new java.lang.StringBuilder(v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '&') {
+        val semi = v.indexOf(';', i + 1)
+        if (semi < 0 || semi - i > 8) { out.append('&'); i += 1 }
+        else {
+          v.substring(i + 1, semi) match {
+            case "amp" => out.append('&'); i = semi + 1
+            case "lt" => out.append('<'); i = semi + 1
+            case "gt" => out.append('>'); i = semi + 1
+            case "quot" => out.append('"'); i = semi + 1
+            case "apos" => out.append('\''); i = semi + 1
+            case b if b.length >= 2 && b.charAt(0) == '#' =>
+              val hex = b.charAt(1) == 'x' || b.charAt(1) == 'X'
+              val digits = if (hex) b.substring(2) else b.substring(1)
+              val cp = try {
+                if (digits.isEmpty) -1
+                else Integer.parseInt(digits, if (hex) 16 else 10)
+              } catch { case _: NumberFormatException => -1 }
+              if (cp > 0 && cp <= 0x10ffff &&
+                !(cp >= 0xd800 && cp <= 0xdfff)) {
+                out.appendCodePoint(cp); i = semi + 1
+              } else { out.append('&'); i += 1 }
+            case _ => out.append('&'); i += 1
+          }
+        }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+}
+
+/** sitemap_xml → ARRAY<STRING> of `<loc>` URLs in document order
+  * ([[SitemapKernel.locs]]). Registered as `vfs_sitemap_locs`. */
+case class SitemapLocs(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "vfs_sitemap_locs"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      SitemapKernel.locs(v.asInstanceOf[UTF8String]).asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.SitemapKernel.locs($c))")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** robots_txt → ARRAY<STRING> of `Sitemap:` URLs in document order
   * ([[RobotsKernel.sitemaps]]). Registered as `vfs_robots_sitemaps`. */
 case class RobotsSitemaps(child: Expression) extends UnaryExpression

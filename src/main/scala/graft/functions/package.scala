@@ -109,6 +109,9 @@ package object functions {
   /** global `Sitemap:` URLs in document order → ARRAY<STRING> */
   def vfs_robots_sitemaps(robots: Column): Column =
     col(RobotsSitemaps(ex(robots)))
+  /** `<loc>` URLs of a sitemap/sitemapindex XML → ARRAY<STRING> */
+  def vfs_sitemap_locs(xml: Column): Column =
+    col(SitemapLocs(ex(xml)))
 
   def vfs_hash_embedding(text: Column, dim: Int): Column =
     col(HashEmbedding(ex(text), dim, milli = false))
@@ -144,6 +147,7 @@ package object functions {
     r1("vfs_robots_allowed", es => RobotsAllowed(es(0), es(1), es(2)))
     r1("vfs_robots_crawl_delay", es => RobotsCrawlDelay(es(0), es(1)))
     r1("vfs_robots_sitemaps", es => RobotsSitemaps(es(0)))
+    r1("vfs_sitemap_locs", es => SitemapLocs(es(0)))
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     r1("vfs_term_count", es => TermCount(es(0), es(1)))
     // varargs: vfs_term_counts(text, 'a', 'b', ...) — terms must be

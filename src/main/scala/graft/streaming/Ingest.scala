@@ -657,15 +657,23 @@ object Ingest {
     * their batch dir, so at-least-once replays are idempotent (the
     * [[dsirScoreStream]] contract). The extraction is tolerant of
     * malformed markup by design (see [[graft.functions.HtmlKernel]])
-    * — a crawl page never fails the stream. */
+    * — a crawl page never fails the stream.
+    *
+    * `mainOnly = true` lands the main-content extraction
+    * ([[graft.functions.HtmlMainText]] — nav/aside/header/footer/
+    * form text suppressed, the curation default; page-unique chrome
+    * escapes the corpus-frequency boilerplate pass) instead of the
+    * WET-parity full text. The link frontier is unaffected — chrome
+    * nav links are exactly what frontier discovery wants. */
   def pageExtractStream(pages: DataFrame, outDir: String,
       checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      mainOnly: Boolean = false): StreamingQuery =
     pages.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        pageExtractBatch(batch, id, outDir)
+        pageExtractBatch(batch, id, outDir, mainOnly)
       }
       .start()
 
@@ -674,13 +682,16 @@ object Ingest {
     * is localCheckpointed (streaming-safe, no CacheManager entry) so
     * the kernels run once while two sinks consume. */
   private[graft] def pageExtractBatch(batch0: DataFrame, batchId: Long,
-      outDir: String): Unit = {
+      outDir: String, mainOnly: Boolean = false): Unit = {
     val batch = batch0.select(col("doc_id").cast("long").as("doc_id"),
       col("html"))
     if (batch.isEmpty) return
+    val textOf =
+      if (mainOnly) graft.functions.vfs_html_main_text(col("html"))
+      else graft.functions.vfs_html_text(col("html"))
     val ex = batch.select(col("doc_id"),
         graft.functions.vfs_html_title(col("html")).as("title"),
-        graft.functions.vfs_html_text(col("html")).as("text"),
+        textOf.as("text"),
         graft.functions.vfs_html_links(col("html")).as("links"))
       .localCheckpoint()
     ex.select(col("doc_id"), col("title"), col("text"))

@@ -321,6 +321,49 @@ object ScaleProbe {
           size(graft.functions.vfs_html_links(html)).as("l"))
         .agg(sum($"n"), sum($"l")).collect()
     }
+    time("main-content HTML extraction over 500k chrome-laden pages " +
+        "(the suppression is a depth counter inside the same codegen " +
+        "kernel — cost ≈ full extraction)") {
+      val html = concat(lit("<html><body><nav>Home About Contact" +
+        "</nav><form>We use cookies ok?</form><main><p>"),
+        regexp_replace($"text", "&", "&amp;"),
+        lit("</p></main><footer>(c) site "), $"doc_id",
+        lit("</footer></body></html>"))
+      mediaDocs.select(
+          length(graft.functions.vfs_html_main_text(html)).as("m"),
+          length(graft.functions.vfs_html_text(html)).as("f"))
+        .agg(sum($"m"), sum($"f")).collect()
+    }
+    time("PDF synthesis + extraction over 500k docs (every 2nd " +
+        "Flate-compressed; inflate + text-operator walk per row, " +
+        "pure scan)") {
+      val pdfs = graft.operators.Pdf.synthesizePdf(mediaDocs)
+      pdfs.select(
+          length(graft.functions.vfs_pdf_text($"pdf")).as("n"))
+        .agg(sum($"n")).collect()
+    }
+    time("MP4 box walk over 500k synthesized containers (framing + " +
+        "sample tables -> keyframe byte ranges, per-partition " +
+        "kernel)") {
+      val meta = graft.operators.Mp4.trackMeta(spark,
+        graft.operators.Mp4.synthesizeMp4(mediaDocs))
+      val r = meta.agg(sum($"n_keyframes"), sum($"kf_bytes")).collect()
+      println(s"[scale-probe]   keyframes: ${r.head.getLong(0)}, " +
+        s"kf bytes: ${r.head.getLong(1)}")
+    }
+    time("WARC non-identity bodies over 500k archives (doc_id % 4 " +
+        "rotates identity/chunked/gzip/chunked-over-gzip; dechunk + " +
+        "gunzip inside the per-record parse)") {
+      val pages = mediaDocs.select($"doc_id",
+        concat(lit("https://w"), $"doc_id" % 5, lit(".example/p/"),
+          $"doc_id").as("uri"),
+        concat(lit("<p>"), $"text", lit("</p>")).as("html"))
+      graft.operators.Warc.records(spark,
+          graft.operators.Warc.synthesizeWarc(pages, bodyCodings = true))
+        .toDF()
+        .filter($"rec_type" === "response")
+        .agg(sum(length($"body"))).collect()
+    }
     time("windowed audio energy/peak: 167k wav assets (1/3 of the " +
         "500k docs) decoded + folded (per-partition kernel, no shuffle)") {
       import org.apache.spark.sql.Encoders

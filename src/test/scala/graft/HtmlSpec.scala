@@ -113,6 +113,33 @@ class HtmlSpec extends AnyFunSuite {
     assert(mainText("<nav>a&amp;b</nav><p>x&amp;y</p>") === "x&y")
   }
 
+  test("pageExtractBatch(mainOnly): chrome-suppressed text lands, the link frontier keeps nav links, replay overwrites identically") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<body><nav><a href=\"/x\">X</a> menu</nav>" +
+        "<main><p>prose one</p></main><footer>f1</footer></body>"),
+      (2L, "<body><form>cookies</form><p>prose two</p></body>"))
+      .toDF("doc_id", "html")
+    val out = java.nio.file.Files
+      .createTempDirectory("page-main").toString
+    graft.streaming.Ingest.pageExtractBatch(pages, 7L, out,
+      mainOnly = true)
+    val docs = spark.read.parquet(s"$out/docs/batch=7")
+      .select($"doc_id", $"text").as[(Long, String)]
+      .collect().toMap
+    assert(docs(1L) === "prose one") // nav + footer suppressed
+    assert(docs(2L) === "prose two") // form suppressed
+    // the frontier still carries the nav link (chrome-INDEPENDENT)
+    val links = spark.read.parquet(s"$out/links/batch=7")
+      .select($"href").as[String].collect().toSeq
+    assert(links === Seq("/x"))
+    // replay lands identical bytes
+    graft.streaming.Ingest.pageExtractBatch(pages, 7L, out,
+      mainOnly = true)
+    assert(spark.read.parquet(s"$out/docs/batch=7").count() === 2L)
+  }
+
   test("Spark surface: vfs_html_main_text registers for SQL and matches the kernel") {
     val spark = GraftTest.spark
     import spark.implicits._

@@ -154,6 +154,34 @@ class RobotsSpec extends AnyFunSuite {
     assert(!allowed(split, "b", "/p/x"))
   }
 
+  test("a full User-Agent string matches its product-token group naturally (the token is a prefix of the whole UA string)") {
+    val robots = "User-agent: mybot\nDisallow: /img\n" +
+      "User-agent: *\nDisallow: /\n"
+    assert(!allowed(robots, "MyBot/2.1 (+https://x.example/bot)", "/img/a"))
+    assert(allowed(robots, "MyBot/2.1 (+https://x.example/bot)", "/doc"))
+  }
+
+  test("sitemap XML: <loc> values in document order across urlset and sitemapindex, entity decode, trim, name boundary, unclosed loc to end") {
+    import graft.functions.SitemapKernel
+    def locs(xml: String): Seq[String] =
+      SitemapKernel.locs(UTF8String.fromString(xml)).map(_.toString).toSeq
+    assert(locs("""<?xml version="1.0"?><urlset>
+      |<url><loc>https://a/1?x=1&amp;y=2</loc></url>
+      |<url><loc>
+      |  https://a/2 </loc></url></urlset>""".stripMargin) ===
+      Seq("https://a/1?x=1&y=2", "https://a/2"))
+    // a sitemap INDEX lists child sitemaps through the same element
+    assert(locs("<sitemapindex><sitemap><loc>https://a/s1.xml</loc>" +
+      "</sitemap><sitemap><loc>https://a/s2.xml</loc></sitemap>" +
+      "</sitemapindex>") === Seq("https://a/s1.xml", "https://a/s2.xml"))
+    // <location>/<loc-x> are different elements; numeric refs decode
+    assert(locs("<location>no</location><loc>https://a/&#47;p</loc>") ===
+      Seq("https://a//p"))
+    // unclosed loc runs to end-of-input (tolerant, deterministic)
+    assert(locs("<loc>https://a/tail") === Seq("https://a/tail"))
+    assert(locs("<urlset></urlset>") === Seq.empty)
+  }
+
   test("Spark surface: vfs_robots_crawl_delay and vfs_robots_sitemaps register for SQL") {
     val spark = GraftTest.spark
     import spark.implicits._
