@@ -1267,6 +1267,24 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- RFC 3986 reference resolution: eight href shapes
+    // (relative, dot-relative, root-relative, parent, query-only,
+    // fragment-only, protocol-relative, absolute) against a
+    // deep-path base — the step between vfs_html_links (hrefs as
+    // written) and the URL frontier ----
+    "web_link_resolve" -> ((s, dir) => {
+      val base = concat(lit("https://h"), col("doc_id") % 7,
+        lit(".example/a/b/c?bq"))
+      val href = element_at(array(lit("g"), lit("./g"), lit("/g"),
+        lit("../g"), lit("?y"), lit("#s"),
+        lit("//other.example/p"), lit("http://abs.example/z?q#f")),
+        (col("doc_id") % 8 + 1).cast("int"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), href.as("href"),
+          graft.functions.vfs_url_resolve(base, href).as("abs_url"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- sitemap XML: every doc carries a two-entry urlset whose
     // <loc> values exercise entity decode (&amp;) and whitespace
     // trim — the step between vfs_robots_sitemaps and the URL
@@ -4959,6 +4977,24 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 6 IN (1, 3, 4)
         |ORDER BY doc_id ASC""".stripMargin,
+
+    // RFC 3986 resolution by residue class against the deep-path base
+    "web_link_resolve" ->
+      s"""SELECT doc_id,
+        |  CASE doc_id % 8 WHEN 0 THEN 'g' WHEN 1 THEN './g'
+        |    WHEN 2 THEN '/g' WHEN 3 THEN '../g' WHEN 4 THEN '?y'
+        |    WHEN 5 THEN '#s' WHEN 6 THEN '//other.example/p'
+        |    ELSE 'http://abs.example/z?q#f' END AS href,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'https://h' || (doc_id % 7) || '.example/a/b/g'
+        |    WHEN 1 THEN 'https://h' || (doc_id % 7) || '.example/a/b/g'
+        |    WHEN 2 THEN 'https://h' || (doc_id % 7) || '.example/g'
+        |    WHEN 3 THEN 'https://h' || (doc_id % 7) || '.example/a/g'
+        |    WHEN 4 THEN 'https://h' || (doc_id % 7) || '.example/a/b/c?y'
+        |    WHEN 5 THEN 'https://h' || (doc_id % 7) || '.example/a/b/c?bq#s'
+        |    WHEN 6 THEN 'https://other.example/p'
+        |    ELSE 'http://abs.example/z?q#f' END AS abs_url
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
 
     // sitemap <loc> extraction: entity decode + trim, document order
     "web_sitemap_urls" ->

@@ -112,6 +112,10 @@ package object functions {
   /** `<loc>` URLs of a sitemap/sitemapindex XML → ARRAY<STRING> */
   def vfs_sitemap_locs(xml: Column): Column =
     col(SitemapLocs(ex(xml)))
+  /** RFC 3986 §5 reference resolution: (base, href-as-written) →
+    * absolute URL — the step between vfs_html_links and the frontier */
+  def vfs_url_resolve(base: Column, ref: Column): Column =
+    col(UrlResolve(ex(base), ex(ref)))
 
   def vfs_hash_embedding(text: Column, dim: Int): Column =
     col(HashEmbedding(ex(text), dim, milli = false))
@@ -148,6 +152,7 @@ package object functions {
     r1("vfs_robots_crawl_delay", es => RobotsCrawlDelay(es(0), es(1)))
     r1("vfs_robots_sitemaps", es => RobotsSitemaps(es(0)))
     r1("vfs_sitemap_locs", es => SitemapLocs(es(0)))
+    r1("vfs_url_resolve", es => UrlResolve(es(0), es(1)))
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     r1("vfs_term_count", es => TermCount(es(0), es(1)))
     // varargs: vfs_term_counts(text, 'a', 'b', ...) — terms must be

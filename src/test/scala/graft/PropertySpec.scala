@@ -248,4 +248,68 @@ class PropertySpec extends AnyFunSuite {
         h(a, c) <= h(a, b) + h(b, c) // triangle inequality
     })
   }
+
+  test("PDF: extract(encodePdf(text)) == text for arbitrary multi-line content, raw and Flate") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // lines mix prose with the grammar's hazard characters: parens,
+    // backslashes, tabs, CRs, unicode incl. astral (surrogate pairs)
+    val lineChar = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('(', ')', '\\', ' ', '\t', '\r', '&', '<'),
+      1 -> Gen.oneOf('é', 'ß', '中', '\ud83d'.toString.charAt(0)))
+    // build lines from full CODE POINTS so arbitrary text stays
+    // well-formed UTF-16 (the encoder never repairs broken input)
+    val line = Gen.listOf(Gen.frequency(
+      8 -> lineChar.map(_.toString).suchThat(s =>
+        !Character.isHighSurrogate(s.charAt(0))),
+      1 -> Gen.const("😀"))).map(_.mkString)
+    val text = Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, line).map(_.mkString("\n")))
+    check("pdf roundtrip")(Prop.forAll(text, Gen.oneOf(true, false)) {
+      (t, flate) =>
+        graft.functions.PdfKernel.text(
+          graft.operators.Pdf.encodePdf(t, flate)).toString == t
+    })
+  }
+
+  test("WARC: every body coding (identity/chunked/gzip/chunked-over-gzip) round-trips arbitrary page bytes") {
+    val payload = Gen.listOf(Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray)
+    check("warc codings")(Prop.forAll(payload, Gen.chooseNum(0, 3)) {
+      (html, coding) =>
+        val recs = graft.operators.Warc.parseArchive(
+          graft.operators.Warc.encodeArchive("https://x/a", html,
+            bodyCoding = coding))
+        recs(2)._4.toSeq == html.toSeq
+    })
+  }
+
+  test("dechunk(chunkEncode(bytes)) is the identity for any byte content") {
+    val bytes = Gen.listOf(Gen.chooseNum(0, 255)).map(_.map(_.toByte).toArray)
+    check("chunk roundtrip")(Prop.forAll(bytes) { b =>
+      graft.operators.Warc.dechunk(
+        graft.operators.Warc.chunkEncode(b)).toSeq == b.toSeq
+    })
+  }
+
+  test("URL resolution: resolving an already-absolute reference is the identity, and every resolved relative ref is absolute under the base scheme") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def res(b: String, r: String) =
+      graft.functions.UrlResolveKernel.resolve(
+        UTF8String.fromString(b), UTF8String.fromString(r)).toString
+    val seg = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val base = for {
+      h <- seg; p <- Gen.listOf(seg)
+    } yield s"https://$h.example" + p.map("/" + _).mkString
+    val rel = for {
+      dots <- Gen.chooseNum(0, 3)
+      segs <- Gen.nonEmptyListOf(seg)
+    } yield (Seq.fill(dots)("..") ++ segs).mkString("/")
+    check("absolute identity")(Prop.forAll(base) { b =>
+      res(b, b) == b
+    })
+    check("relative becomes absolute")(Prop.forAll(base, rel) { (b, r) =>
+      val out = res(b, r)
+      out.startsWith("https://") && !out.contains("/../")
+    })
+  }
 }

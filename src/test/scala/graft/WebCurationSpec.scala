@@ -1,5 +1,86 @@
 package graft
 
+import org.apache.spark.sql.functions.explode
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RFC 3986 §5 reference resolution: the spec's own §5.4 example
+  * tables (normal AND abnormal) verbatim, plus the Spark surface. */
+class UrlResolveSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private def res(base: String, ref: String): String =
+    graft.functions.UrlResolveKernel.resolve(
+      UTF8String.fromString(base), UTF8String.fromString(ref)).toString
+
+  private val Base = "http://a/b/c/d;p?q"
+
+  test("RFC 3986 §5.4.1 normal examples, all 24") {
+    val cases = Seq(
+      "g:h" -> "g:h", "g" -> "http://a/b/c/g",
+      "./g" -> "http://a/b/c/g", "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g", "//g" -> "http://g",
+      "?y" -> "http://a/b/c/d;p?y", "g?y" -> "http://a/b/c/g?y",
+      "#s" -> "http://a/b/c/d;p?q#s", "g#s" -> "http://a/b/c/g#s",
+      "g?y#s" -> "http://a/b/c/g?y#s", ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x", "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+      "" -> "http://a/b/c/d;p?q", "." -> "http://a/b/c/",
+      "./" -> "http://a/b/c/", ".." -> "http://a/b/",
+      "../" -> "http://a/b/", "../g" -> "http://a/b/g",
+      "../.." -> "http://a/", "../../" -> "http://a/",
+      "../../g" -> "http://a/g")
+    cases.foreach { case (ref, want) =>
+      assert(res(Base, ref) === want, s"ref '$ref'")
+    }
+  }
+
+  test("RFC 3986 §5.4.2 abnormal examples, all 19 (incl. the strict-parser http:g)") {
+    val cases = Seq(
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g",
+      "g." -> "http://a/b/c/g.", ".g" -> "http://a/b/c/.g",
+      "g.." -> "http://a/b/c/g..", "..g" -> "http://a/b/c/..g",
+      "./../g" -> "http://a/b/g", "./g/." -> "http://a/b/c/g/",
+      "g/./h" -> "http://a/b/c/g/h", "g/../h" -> "http://a/b/c/h",
+      "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y",
+      "g?y/./x" -> "http://a/b/c/g?y/./x",
+      "g?y/../x" -> "http://a/b/c/g?y/../x",
+      "g#s/./x" -> "http://a/b/c/g#s/./x",
+      "g#s/../x" -> "http://a/b/c/g#s/../x",
+      "http:g" -> "http:g")
+    cases.foreach { case (ref, want) =>
+      assert(res(Base, ref) === want, s"ref '$ref'")
+    }
+  }
+
+  test("crawl shapes: empty base path, authority-only base, colon in a path segment, query-bearing base kept only for empty refs") {
+    assert(res("https://h.example", "g") === "https://h.example/g")
+    assert(res("https://h.example?q", "p/x") === "https://h.example/p/x")
+    // "b:c" IS a scheme per the grammar (why authors write ./b:c)
+    assert(res("https://h.example/d/", "b:c") === "b:c")
+    assert(res("https://h.example/d/", "./b:c") ===
+      "https://h.example/d/b:c")
+  }
+
+  test("Spark surface: vfs_url_resolve registers for SQL and composes with vfs_html_links into the frontier shape") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    graft.functions.registerAll(spark)
+    val pages = Seq((1L, "https://h.example/a/page",
+      "<a href=\"../up\">u</a><a href=\"sib\">s</a>"))
+      .toDF("doc_id", "page_url", "html")
+    val abs = pages.select(explode(
+        graft.functions.vfs_html_links($"html")).as("href"),
+        $"page_url")
+      .select(graft.functions.vfs_url_resolve($"page_url", $"href")
+        .as("abs"))
+      .as[String].collect().toSeq
+    assert(abs === Seq("https://h.example/up", "https://h.example/a/sib"))
+    val viaSql = spark.sql(
+      "SELECT vfs_url_resolve('http://a/b/c/d;p?q', '../g')").head()
+    assert(viaSql.getString(0) === "http://a/b/g")
+  }
+}
+
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Sampling, WebCuration}
