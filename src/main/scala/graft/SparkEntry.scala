@@ -1267,6 +1267,29 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- per-host politeness schedule: hosts h0/h1 declare
+    // crawl-delays (2 s via the graftbot group, 0.5 s via *), the
+    // rest fall to the 1 s default; fetch_seq within a host follows
+    // doc_id order, so every output column derives from doc_id
+    // arithmetic ----
+    "web_politeness_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val urls = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://h"), col("doc_id") % 5,
+            lit(".example/p/"), col("doc_id")).as("url"))
+      val robots = Seq(
+        ("h0.example",
+          "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /x\n"),
+        ("h1.example", "User-agent: *\nCrawl-delay: 0.5\n"))
+        .toDF("host", "robots_txt")
+      graft.operators.WebCuration
+        .politenessSchedule(urls, robots, "graftbot")
+        .select(col("doc_id"), col("host"), col("delay_milli"),
+          col("fetch_seq"), col("fetch_at_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- RFC 3986 reference resolution: eight href shapes
     // (relative, dot-relative, root-relative, parent, query-only,
     // fragment-only, protocol-relative, absolute) against a
@@ -4977,6 +5000,20 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 6 IN (1, 3, 4)
         |ORDER BY doc_id ASC""".stripMargin,
+
+    // politeness schedule: delay by host residue (declared 2000/500,
+    // default 1000), per-host ordinal = doc_id//5 + 1 on the
+    // consecutive-id corpus, offset = ordinal-1 times delay
+    "web_politeness_schedule" ->
+      s"""SELECT doc_id,
+        |  'h' || (doc_id % 5) || '.example' AS host,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 2000 WHEN 1 THEN 500
+        |    ELSE 1000 END AS BIGINT) AS delay_milli,
+        |  CAST(doc_id // 5 + 1 AS BIGINT) AS fetch_seq,
+        |  CAST((doc_id // 5) * (CASE doc_id % 5 WHEN 0 THEN 2000
+        |    WHEN 1 THEN 500 ELSE 1000 END) AS BIGINT)
+        |    AS fetch_at_milli
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
 
     // RFC 3986 resolution by residue class against the deep-path base
     "web_link_resolve" ->

@@ -389,4 +389,55 @@ object WebCuration {
           lit(userAgent), path))
       .drop("__rhost", "__robots")
   }
+
+  /** Per-host fetch schedule under each host's Crawl-delay — the
+    * step AFTER [[robotsFilter]] in a polite fetcher: every URL gets
+    * its host's delay (`vfs_robots_crawl_delay` through the same
+    * most-specific UA group walk; hosts with no robots row or no
+    * declared delay get `defaultDelayMilli`), a deterministic
+    * per-host ordinal `fetch_seq` (ordered by `orderCol` —
+    * discovery id, priority rank, whatever the frontier carries),
+    * and `fetch_at_milli` = (fetch_seq − 1) · delay, the earliest
+    * polite offset from the host's crawl start.
+    *
+    * Scale stance: the per-host ordinal is a genuine sequence (a
+    * window over the host partition — one exchange + per-host sort),
+    * and that is the RIGHT cost here because politeness itself
+    * bounds the useful fan: a host scheduled at 1 fetch/sec caps out
+    * at ~86k fetches/day, so cap the per-host frontier FIRST
+    * ([[capPerDomain]] / [[capPerDomainPsl]]) and schedule the
+    * survivors — composing the two is the documented recipe, not an
+    * optimization opportunity inside this operator. */
+  def politenessSchedule(urls: DataFrame, robots: DataFrame,
+      userAgent: String, defaultDelayMilli: Long = 1000L,
+      urlCol: String = "url",
+      orderCol: String = "doc_id"): DataFrame = {
+    require(robots.columns.contains("host") &&
+      robots.columns.contains("robots_txt"),
+      "[GRAFT] politenessSchedule: robots needs (host, robots_txt)")
+    require(userAgent.nonEmpty,
+      "[GRAFT] politenessSchedule: empty user agent")
+    require(defaultDelayMilli >= 0,
+      "[GRAFT] politenessSchedule: negative default delay")
+    val host = lower(parse_url(col(urlCol), lit("HOST")))
+    val slim = robots.select(lower(col("host")).as("__rhost"),
+      col("robots_txt").as("__robots"))
+    require(slim.groupBy(col("__rhost")).count()
+        .filter(col("count") > 1).isEmpty,
+      "[GRAFT] politenessSchedule: duplicate host rows in robots")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__host")).orderBy(col(orderCol).asc)
+    urls.withColumn("__host", host)
+      .join(slim, col("__host") === col("__rhost"), "left")
+      .withColumn("delay_milli",
+        coalesce(
+          graft.functions.vfs_robots_crawl_delay(col("__robots"),
+            lit(userAgent)),
+          lit(defaultDelayMilli)))
+      .withColumn("fetch_seq", row_number().over(w).cast("long"))
+      .withColumn("fetch_at_milli",
+        (col("fetch_seq") - 1L) * col("delay_milli"))
+      .withColumnRenamed("__host", "host")
+      .drop("__rhost", "__robots")
+  }
 }

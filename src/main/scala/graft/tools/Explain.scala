@@ -708,6 +708,16 @@ object Explain {
         "walk per row, no shuffle after the spread)") {
       graft.SparkEntry.queries("web_pdf_extract")(spark, dir)
     }
+    show("link resolution (expect: ONE codegen projection — " +
+        "vfs_url_resolve is a pure per-row kernel; normalization " +
+        "stays a separate downstream step)") {
+      graft.SparkEntry.queries("web_link_resolve")(spark, dir)
+    }
+    show("politeness schedule (expect: one left join on host + ONE " +
+        "host-keyed window sort for the per-host ordinals — the " +
+        "honest per-host sequence; cap the frontier first)") {
+      graft.SparkEntry.queries("web_politeness_schedule")(spark, dir)
+    }
     spark.stop()
   }
 }

@@ -545,6 +545,44 @@ class WebCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("politenessSchedule: per-host ordinals under each host's crawl-delay, default for undeclared/missing hosts, duplicate robots rows fail loudly") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://slow.example/a"),
+      (3L, "https://slow.example/b"),
+      (5L, "https://slow.example/c"),
+      (2L, "https://fast.example/x"),
+      (4L, "https://norobot.example/y"),
+      (6L, "https://norobot.example/z")).toDF("doc_id", "url")
+    val robots = Seq(
+      ("slow.example", "User-agent: graft\nCrawl-delay: 2\n"),
+      ("fast.example", "User-agent: *\nCrawl-delay: 0.25\n"),
+      // a delay-less group must fall to the DEFAULT, not to 0
+      ("nodelay.example", "User-agent: *\nDisallow: /x\n"))
+      .toDF("host", "robots_txt")
+    val out = graft.operators.WebCuration
+      .politenessSchedule(urls, robots, "graftbot", 1000L)
+      .select($"doc_id", $"delay_milli", $"fetch_seq",
+        $"fetch_at_milli")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // slow.example: graftbot prefix-matches the graft group, 2000 ms
+    assert(out(1L) === ((2000L, 1L, 0L)))
+    assert(out(3L) === ((2000L, 2L, 2000L)))
+    assert(out(5L) === ((2000L, 3L, 4000L)))
+    // fast.example via '*': 250 ms
+    assert(out(2L) === ((250L, 1L, 0L)))
+    // no robots row: the default delay
+    assert(out(4L) === ((1000L, 1L, 0L)))
+    assert(out(6L) === ((1000L, 2L, 1000L)))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.WebCuration.politenessSchedule(urls,
+        robots.unionAll(robots.limit(1)), "graftbot")
+    }
+    assert(e.getMessage.contains("[GRAFT]"))
+  }
+
   test("capPerDomainPsl: per-publisher caps on hosting platforms; pslFromTable gates the collect") {
     import graft.operators.BroadcastGate
     // 4 publishers on github.io, 3 pages each except u1 with 4 — the
