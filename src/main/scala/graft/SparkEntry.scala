@@ -1267,6 +1267,41 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the CRAWL FRONTIER pipeline as ONE declared query: link
+    // extraction (hrefs as written: one relative, one root-relative)
+    // → RFC 3986 resolution against the page URL → robots gate
+    // (h0 disallows /abs for graftbot) → politeness schedule (h0's
+    // declared 2 s, everyone else the 1 s default; per-host ordinals
+    // by url) — proving the round's web operators COMPOSE; the
+    // oracle replays every stage from the residue construction ----
+    "pipeline_crawl_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://h"), col("doc_id") % 5,
+            lit(".example/a/p"), col("doc_id")).as("page_url"),
+          concat(lit("<body><main><a href=\"g"), col("doc_id"),
+            lit("\">r</a> <a href=\"/abs/"), col("doc_id"),
+            lit("\">a</a></main></body>")).as("html"))
+      val links = pages.select(col("doc_id"), col("page_url"),
+          explode(graft.functions.vfs_html_links(col("html")))
+            .as("href"))
+        .select(col("doc_id"),
+          graft.functions.vfs_url_resolve(col("page_url"), col("href"))
+            .as("url"))
+      val robots = Seq(("h0.example",
+        "User-agent: graftbot\nDisallow: /abs\nCrawl-delay: 2\n"))
+        .toDF("host", "robots_txt")
+      val allowed = graft.operators.WebCuration
+        .robotsFilter(links, robots, "graftbot")
+      graft.operators.WebCuration
+        .politenessSchedule(allowed, robots, "graftbot", 1000L,
+          orderCol = "url")
+        .select(col("doc_id"), col("url"), col("host"),
+          col("delay_milli"), col("fetch_seq"), col("fetch_at_milli"))
+        .orderBy(col("doc_id").asc, col("url").asc)
+    }),
+
     // ---- per-host politeness schedule: hosts h0/h1 declare
     // crawl-delays (2 s via the graftbot group, 0.5 s via *), the
     // rest fall to the 1 s default; fetch_seq within a host follows
@@ -5000,6 +5035,30 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 6 IN (1, 3, 4)
         |ORDER BY doc_id ASC""".stripMargin,
+
+    // the frontier pipeline replayed stage by stage: construct both
+    // urls per doc, drop h0's /abs (the robots gate), rank within
+    // host by url, price with h0's 2 s / the 1 s default
+    "pipeline_crawl_frontier" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, 'https://h' || (doc_id % 5) ||
+        |    '.example/a/g' || doc_id AS url FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 'https://h' || (doc_id % 5) ||
+        |    '.example/abs/' || doc_id FROM documents),
+        |s AS (SELECT * FROM u
+        |  WHERE NOT (doc_id % 5 = 0 AND url LIKE '%/abs/%')),
+        |r AS (SELECT doc_id, url,
+        |    'h' || (doc_id % 5) || '.example' AS host,
+        |    CASE WHEN doc_id % 5 = 0 THEN 2000 ELSE 1000 END AS delay,
+        |    row_number() OVER (PARTITION BY doc_id % 5
+        |      ORDER BY url) AS seq
+        |  FROM s)
+        |SELECT doc_id, url, host,
+        |  CAST(delay AS BIGINT) AS delay_milli,
+        |  CAST(seq AS BIGINT) AS fetch_seq,
+        |  CAST((seq - 1) * delay AS BIGINT) AS fetch_at_milli
+        |FROM r ORDER BY doc_id ASC, url ASC""".stripMargin,
 
     // politeness schedule: delay by host residue (declared 2000/500,
     // default 1000), per-host ordinal = doc_id//5 + 1 on the
