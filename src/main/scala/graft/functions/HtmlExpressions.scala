@@ -103,8 +103,10 @@ object HtmlKernel {
 
   /** Decode one character reference starting at the '&' in s(i);
     * appends to out and returns the index after the reference, or
-    * appends '&' and returns i+1 when it is not a valid reference. */
-  private def decodeRef(s: String, i: Int,
+    * appends '&' and returns i+1 when it is not a valid reference.
+    * Shared with [[SitemapKernel]] — ONE entity decoder (a diverged
+    * copy already shipped an off-by-one once). */
+  private[functions] def decodeRef(s: String, i: Int,
       out: java.lang.StringBuilder): Int = {
     val semi = s.indexOf(';', i + 1)
     if (semi < 0 || semi - i > 12) { out.append('&'); return i + 1 }

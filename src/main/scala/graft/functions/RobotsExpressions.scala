@@ -264,48 +264,57 @@ object SitemapKernel {
         // past the open tag's '>'
         var j = i + 4
         while (j < s.length && s.charAt(j) != '>') j += 1
+        // a self-closed <loc/> has no body at all
+        val selfClosed = j < s.length && j > i && s.charAt(j - 1) == '/'
         val bodyAt = if (j < s.length) j + 1 else s.length
-        var end = s.indexOf("</", bodyAt)
+        // terminate at THIS element's close tag specifically — the
+        // first '</' would cut a CDATA-wrapped value short
+        var end = indexOfClose(s, bodyAt)
         if (end < 0) end = s.length
-        out += UTF8String.fromString(
-          decodeXml(s.substring(bodyAt, end)).trim)
+        if (selfClosed) end = bodyAt
+        val body = s.substring(bodyAt, end).trim
+        // CDATA content is literal per XML — no entity decode inside
+        val value =
+          if (body.startsWith("<![CDATA[")) {
+            val inner = body.substring(9)
+            (if (inner.endsWith("]]>")) inner.dropRight(3) else inner)
+              .trim
+          } else decodeXml(body).trim
+        // dangling/self-closed/empty loc elements carry no URL —
+        // never emit an empty-string frontier row
+        if (value.nonEmpty) out += UTF8String.fromString(value)
         i = end
       } else i += 1
     }
     out.toArray
   }
 
+  /** Index of `</loc` (case-insensitive, name-bounded) at or after
+    * `from`; -1 when absent. */
+  private def indexOfClose(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length) {
+      if (s.charAt(i) == '<' &&
+        s.regionMatches(true, i, "</loc", 0, 5) &&
+        (i + 5 >= s.length || {
+          val c = s.charAt(i + 5)
+          !c.isLetterOrDigit && c != '-' && c != '_'
+        })) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** XML entity decode via the ONE shared reference decoder
+    * ([[HtmlKernel.decodeRef]] — named + numeric/hex, full code-point
+    * range, unterminated refs pass through literally). */
   private def decodeXml(v: String): String = {
     if (v.indexOf('&') < 0) return v
     val out = new java.lang.StringBuilder(v.length)
     var i = 0
     while (i < v.length) {
-      val c = v.charAt(i)
-      if (c == '&') {
-        val semi = v.indexOf(';', i + 1)
-        if (semi < 0 || semi - i > 8) { out.append('&'); i += 1 }
-        else {
-          v.substring(i + 1, semi) match {
-            case "amp" => out.append('&'); i = semi + 1
-            case "lt" => out.append('<'); i = semi + 1
-            case "gt" => out.append('>'); i = semi + 1
-            case "quot" => out.append('"'); i = semi + 1
-            case "apos" => out.append('\''); i = semi + 1
-            case b if b.length >= 2 && b.charAt(0) == '#' =>
-              val hex = b.charAt(1) == 'x' || b.charAt(1) == 'X'
-              val digits = if (hex) b.substring(2) else b.substring(1)
-              val cp = try {
-                if (digits.isEmpty) -1
-                else Integer.parseInt(digits, if (hex) 16 else 10)
-              } catch { case _: NumberFormatException => -1 }
-              if (cp > 0 && cp <= 0x10ffff &&
-                !(cp >= 0xd800 && cp <= 0xdfff)) {
-                out.appendCodePoint(cp); i = semi + 1
-              } else { out.append('&'); i += 1 }
-            case _ => out.append('&'); i += 1
-          }
-        }
-      } else { out.append(c); i += 1 }
+      if (v.charAt(i) == '&') i = HtmlKernel.decodeRef(v, i, out)
+      else { out.append(v.charAt(i)); i += 1 }
     }
     out.toString
   }

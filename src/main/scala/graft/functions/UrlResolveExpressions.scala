@@ -39,8 +39,14 @@ object UrlResolveKernel {
     val colon = rest.indexOf(':')
     if (colon > 0) {
       val head = rest.substring(0, colon)
-      val ok = head.charAt(0).isLetter && head.forall(c =>
-        c.isLetterOrDigit || c == '+' || c == '-' || c == '.')
+      // RFC 3986 scheme is ASCII-ONLY ALPHA / DIGIT / +-. — a
+      // Unicode-aware isLetter would misread a non-ASCII first path
+      // segment containing ':' as an absolute URI
+      def alpha(c: Char) =
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+      val ok = alpha(head.charAt(0)) && head.forall(c =>
+        alpha(c) || (c >= '0' && c <= '9') ||
+          c == '+' || c == '-' || c == '.')
       // a colon BEFORE the first '/' with a valid scheme head is a
       // scheme; "a/b:c" is a path
       val firstSlash = rest.indexOf('/')

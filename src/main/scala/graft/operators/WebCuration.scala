@@ -419,6 +419,14 @@ object WebCuration {
       "[GRAFT] politenessSchedule: empty user agent")
     require(defaultDelayMilli >= 0,
       "[GRAFT] politenessSchedule: negative default delay")
+    // the output columns must not silently clobber (or duplicate)
+    // caller columns — a frontier frame that already carries `host`
+    // would otherwise come back with TWO host columns and fail on
+    // first reference downstream
+    Seq("host", "delay_milli", "fetch_seq", "fetch_at_milli")
+      .foreach(c => require(!urls.columns.contains(c),
+        s"[GRAFT] politenessSchedule: input already has a '$c' " +
+          "column — rename it first (the schedule emits that name)"))
     val host = lower(parse_url(col(urlCol), lit("HOST")))
     val slim = robots.select(lower(col("host")).as("__rhost"),
       col("robots_txt").as("__robots"))

@@ -180,6 +180,23 @@ class RobotsSpec extends AnyFunSuite {
     // unclosed loc runs to end-of-input (tolerant, deterministic)
     assert(locs("<loc>https://a/tail") === Seq("https://a/tail"))
     assert(locs("<urlset></urlset>") === Seq.empty)
+    // CDATA-wrapped values (real sitemap generators emit these) are
+    // literal per XML — no entity decode, the '</' inside must not
+    // cut the value short
+    assert(locs("<url><loc><![CDATA[https://a/x?y=1&z=2]]></loc></url>") ===
+      Seq("https://a/x?y=1&z=2"))
+    // 8-char numeric reference bodies and astral refs decode (the
+    // shared HtmlKernel decoder — a diverged cap-8 copy rejected
+    // &#0000038; once)
+    assert(locs("<loc>https://a/&#0000038;b</loc>") === Seq("https://a/&b"))
+    assert(locs("<loc>https://a/&#x10FFFF;</loc>") ===
+      Seq("https://a/" + new String(Character.toChars(0x10FFFF))))
+    // dangling '<loc' at EOF, self-closed, and empty elements emit
+    // NO frontier row (never an empty-string URL)
+    assert(locs("<urlset><url><loc") === Seq.empty)
+    assert(locs("<url><loc/></url>") === Seq.empty)
+    assert(locs("<loc></loc><loc>https://a/ok</loc>") ===
+      Seq("https://a/ok"))
   }
 
   test("Spark surface: vfs_robots_crawl_delay and vfs_robots_sitemaps register for SQL") {

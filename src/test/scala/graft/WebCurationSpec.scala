@@ -58,6 +58,11 @@ class UrlResolveSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(res("https://h.example/d/", "b:c") === "b:c")
     assert(res("https://h.example/d/", "./b:c") ===
       "https://h.example/d/b:c")
+    // scheme is ASCII-only ALPHA: a non-ASCII first segment with a
+    // colon is a RELATIVE path, not a scheme (Unicode isLetter would
+    // hand the frontier an unfetchable pseudo-absolute URL)
+    assert(res("https://h.example/a/", "файл:страница") ===
+      "https://h.example/a/файл:страница")
   }
 
   test("Spark surface: vfs_url_resolve registers for SQL and composes with vfs_html_links into the frontier shape") {
@@ -581,6 +586,13 @@ class WebCurationSpec extends AnyFunSuite {
         robots.unionAll(robots.limit(1)), "graftbot")
     }
     assert(e.getMessage.contains("[GRAFT]"))
+    // an input already carrying an output column name fails loudly
+    // instead of coming back with TWO 'host' columns
+    val clash = intercept[IllegalArgumentException] {
+      graft.operators.WebCuration.politenessSchedule(
+        urls.withColumn("host", $"url"), robots, "graftbot")
+    }
+    assert(clash.getMessage.contains("'host'"))
   }
 
   test("capPerDomainPsl: per-publisher caps on hosting platforms; pslFromTable gates the collect") {
