@@ -174,11 +174,13 @@ object HtmlKernel {
             i = skipRawElement(s, after, name)
           else {
             if (mainOnly && Chrome(name)) {
-              // <nav/> self-closes: no depth change (rare but legal)
-              val selfClosing = !isClose && after - 2 >= i &&
-                after - 2 < s.length && s.charAt(after - 2) == '/'
+              // <nav/> is NOT self-closing: HTML5 tree construction
+              // ignores the trailing slash on non-void elements (all
+              // chrome tags are non-void), so it OPENS the element —
+              // honoring it would also false-positive on an unquoted
+              // attribute value ending in '/'
               if (isClose) { if (chromeDepth > 0) chromeDepth -= 1 }
-              else if (!selfClosing) chromeDepth += 1
+              else chromeDepth += 1
             }
             if (Block(name) && chromeDepth == 0) out.append('\n')
             i = after

@@ -65,7 +65,11 @@ object PdfKernel {
         val dict =
           if (dictAt < 0) ""
           else new String(pdf, dictAt, at - dictAt, "ISO-8859-1")
-        val direct = DirectLength.findFirstMatchIn(dict)
+        // restrict the /Length scan to the dict's TOP-LEVEL keys: a
+        // nested sub-dictionary (/DecodeParms << /Length n >>) that
+        // precedes the stream's own /Length would otherwise win the
+        // regex and mis-size the stream extent
+        val direct = DirectLength.findFirstMatchIn(stripNestedDicts(dict))
           .map(_.group(1).toInt)
         val dataEnd = direct match {
           case Some(n) if n >= 0 && dataAt + n.toLong <= pdf.length =>
@@ -149,6 +153,31 @@ object PdfKernel {
 
   // a direct /Length 123 (not an indirect "123 0 R" reference)
   private val DirectLength = """/Length\s+(\d+)\s*(?![\d\s]*R)""".r
+
+  /** The dict text with every NESTED `<< … >>` span blanked to
+    * spaces (offsets preserved), so key scans see top-level entries
+    * only. The outermost `<<`/`>>` pair (byte 0, when present) is
+    * kept — `dict` as handed in starts at the governing opener. */
+  private def stripNestedDicts(dict: String): String = {
+    val sb = new java.lang.StringBuilder(dict)
+    var depth = 0
+    var i = 0
+    while (i + 1 < sb.length) {
+      if (sb.charAt(i) == '<' && sb.charAt(i + 1) == '<') {
+        depth += 1
+        if (depth > 1) { sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' ') }
+        i += 2
+      } else if (sb.charAt(i) == '>' && sb.charAt(i + 1) == '>') {
+        if (depth > 1) { sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' ') }
+        depth = math.max(0, depth - 1)
+        i += 2
+      } else {
+        if (depth > 1) sb.setCharAt(i, ' ')
+        i += 1
+      }
+    }
+    sb.toString
+  }
 
   private def indexOfToken(b: Array[Byte], tok: String, from: Int): Int = {
     val t = tok.getBytes("US-ASCII")

@@ -267,23 +267,41 @@ object SitemapKernel {
         // a self-closed <loc/> has no body at all
         val selfClosed = j < s.length && j > i && s.charAt(j - 1) == '/'
         val bodyAt = if (j < s.length) j + 1 else s.length
-        // terminate at THIS element's close tag specifically — the
-        // first '</' would cut a CDATA-wrapped value short
-        var end = indexOfClose(s, bodyAt)
-        if (end < 0) end = s.length
-        if (selfClosed) end = bodyAt
-        val body = s.substring(bodyAt, end).trim
-        // CDATA content is literal per XML — no entity decode inside
+        // CDATA is found BEFORE the close-tag scan: a CDATA section
+        // may itself contain the bytes '</loc' (its content is
+        // literal per XML), so the ']]>' terminator bounds the value
+        // and only then does the close-tag search resume
+        var cdAt = bodyAt
+        while (cdAt < s.length && s.charAt(cdAt).isWhitespace) cdAt += 1
+        val isCdata = !selfClosed &&
+          s.regionMatches(false, cdAt, "<![CDATA[", 0, 9)
         val value =
-          if (body.startsWith("<![CDATA[")) {
-            val inner = body.substring(9)
-            (if (inner.endsWith("]]>")) inner.dropRight(3) else inner)
-              .trim
-          } else decodeXml(body).trim
+          if (isCdata) {
+            val cdEnd = s.indexOf("]]>", cdAt + 9)
+            // an unterminated CDATA runs to end-of-input (the
+            // tolerant unclosed-loc stance)
+            (if (cdEnd < 0) s.substring(cdAt + 9)
+             else s.substring(cdAt + 9, cdEnd)).trim
+          } else {
+            // terminate at THIS element's close tag specifically —
+            // the first '</' would cut nested markup short
+            var end = indexOfClose(s, bodyAt)
+            if (end < 0) end = s.length
+            if (selfClosed) end = bodyAt
+            decodeXml(s.substring(bodyAt, end).trim).trim
+          }
         // dangling/self-closed/empty loc elements carry no URL —
         // never emit an empty-string frontier row
         if (value.nonEmpty) out += UTF8String.fromString(value)
-        i = end
+        // resume past the value: for CDATA that means past ']]>'
+        // first (a '</loc' inside it is content, not markup)
+        val resumeFrom =
+          if (isCdata) {
+            val cdEnd = s.indexOf("]]>", cdAt + 9)
+            if (cdEnd < 0) s.length else cdEnd + 3
+          } else bodyAt
+        val close = if (selfClosed) bodyAt else indexOfClose(s, resumeFrom)
+        i = if (close < 0) s.length else math.max(close, resumeFrom)
       } else i += 1
     }
     out.toArray

@@ -119,9 +119,19 @@ object Warc {
     var body = java.util.Arrays.copyOfRange(content, bodyAt,
       content.length)
     // transfer coding is applied LAST on the wire, so it comes off
-    // first; only the final coding may be chunked (RFC 9112 §6.1)
-    if (fields.get("transfer-encoding").exists(_.contains("chunked")))
-      body = dechunk(body)
+    // first; only the final coding may be chunked (RFC 9112 §6.1).
+    // The header is a COMMA LIST — 'gzip, chunked' dechunks and then
+    // still carries the gzip transfer coding, which this walk does
+    // not decode as a TRANSFER coding: fail loudly naming it rather
+    // than letting binary garbage flow into the HTML kernel
+    val te = fields.get("transfer-encoding").toSeq
+      .flatMap(_.split(',')).map(_.trim)
+      .filter(c => c.nonEmpty && c != "identity")
+    val teRest =
+      if (te.lastOption.contains("chunked")) { body = dechunk(body); te.init }
+      else te
+    teRest.foreach(c => throw new IllegalArgumentException(
+      s"[GRAFT] warc: unsupported Transfer-Encoding '$c'"))
     fields.getOrElse("content-encoding", "identity") match {
       case "identity" | "" => ()
       case "gzip" | "x-gzip" => body = gunzipAll(body)

@@ -361,6 +361,25 @@ object WebCuration {
     * parse memo (domain-clustered crawl frames hit it row after
     * row). The matched path includes the query string (`?…`) — RFC
     * 9309 matches on the URI path-and-query. */
+  /** The robots table slimmed to (`__rhost`, `__robots`), one row
+    * per lowercased host, with the uniqueness contract enforced
+    * INSIDE the returned plan: duplicate host rows would fan every
+    * URL row out (and carry conflicting verdicts) through the left
+    * join, so a per-host count feeds a `raise_error` branch that
+    * fires when the plan executes — no eager validation job at
+    * operator-construction time (robots frames can be large or
+    * expensive to recompute, and the returned plan may never run). */
+  private def slimRobots(robots: DataFrame, op: String): DataFrame =
+    robots.select(lower(col("host")).as("__rhost"),
+        col("robots_txt").as("__r0"))
+      .groupBy(col("__rhost"))
+      .agg(count(lit(1)).as("__rcnt"), first(col("__r0")).as("__r1"))
+      .select(col("__rhost"),
+        when(col("__rcnt") > 1, raise_error(concat(
+            lit(s"[GRAFT] $op: duplicate host rows in the robots " +
+              "table ("), col("__rhost"), lit(")"))))
+          .otherwise(col("__r1")).as("__robots"))
+
   def robotsFilter(urls: DataFrame, robots: DataFrame,
       userAgent: String, urlCol: String = "url"): DataFrame = {
     require(robots.columns.contains("host") &&
@@ -375,14 +394,7 @@ object WebCuration {
         lit("/")),
       coalesce(concat(lit("?"),
         parse_url(col(urlCol), lit("QUERY"))), lit("")))
-    val slim = robots.select(lower(col("host")).as("__rhost"),
-      col("robots_txt").as("__robots"))
-    // duplicate host rows would fan every URL row out (and carry
-    // conflicting verdicts) through the left join — fail loudly, the
-    // per-batch id-uniqueness stance of the ingest loops
-    require(slim.groupBy(col("__rhost")).count()
-        .filter(col("count") > 1).isEmpty,
-      "[GRAFT] robotsFilter: duplicate host rows in the robots table")
+    val slim = slimRobots(robots, "robotsFilter")
     urls.join(slim, host === col("__rhost"), "left")
       .filter(col("__robots").isNull ||
         graft.functions.vfs_robots_allowed(col("__robots"),
@@ -428,11 +440,7 @@ object WebCuration {
         s"[GRAFT] politenessSchedule: input already has a '$c' " +
           "column — rename it first (the schedule emits that name)"))
     val host = lower(parse_url(col(urlCol), lit("HOST")))
-    val slim = robots.select(lower(col("host")).as("__rhost"),
-      col("robots_txt").as("__robots"))
-    require(slim.groupBy(col("__rhost")).count()
-        .filter(col("count") > 1).isEmpty,
-      "[GRAFT] politenessSchedule: duplicate host rows in robots")
+    val slim = slimRobots(robots, "politenessSchedule")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__host")).orderBy(col(orderCol).asc)
     urls.withColumn("__host", host)

@@ -107,8 +107,13 @@ class HtmlSpec extends AnyFunSuite {
     // stance); a stray close tag at depth 0 is ignored
     assert(mainText("<p>kept</p><nav>menu forever") === "kept")
     assert(mainText("</footer><p>kept</p>") === "kept")
-    // self-closing chrome does not open a suppression scope
-    assert(mainText("<nav/><p>kept</p>") === "kept")
+    // '<nav/>' OPENS the element (HTML5 ignores the trailing slash
+    // on non-void elements) — suppression runs until its close tag
+    assert(mainText("<nav/>menu</nav><p>kept</p>") === "kept")
+    assert(mainText("<nav/><p>dropped</p>") === "")
+    // an unquoted attribute value ending in '/' must not be misread
+    // as self-closing either
+    assert(mainText("<nav data-x=a/>menu</nav><p>kept</p>") === "kept")
     // entity inside chrome is consumed (not half-emitted) and dropped
     assert(mainText("<nav>a&amp;b</nav><p>x&amp;y</p>") === "x&y")
   }

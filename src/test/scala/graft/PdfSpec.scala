@@ -122,6 +122,15 @@ class PdfSpec extends AnyFunSuite {
       s"/Length ${defl.length} >>\nstream\n").getBytes("US-ASCII") ++
       defl ++ "\nendstream\nendobj\n".getBytes("US-ASCII")
     assert(extract(nested) === "deep")
+    // a nested sub-dict whose own /Length PRECEDES the stream dict's
+    // top-level /Length must not win the extent scan (it would
+    // truncate the decoded text to the sub-dict's value)
+    val c3 = "BT (good) Tj ET"
+    val nestedLen = (s"%PDF-1.4\n1 0 obj << " +
+      s"/DecodeParms << /Length 3 /Columns 5 >> " +
+      s"/Length ${c3.length} >>\nstream\n$c3\nendstream\nendobj\n")
+      .getBytes("US-ASCII")
+    assert(extract(nestedLen) === "good")
     // a dict-less stream must not adopt the PREVIOUS object's dict
     val orphan = (s"%PDF-1.4\n" +
       s"1 0 obj << /Length 4 /Filter /LZWDecode >> endobj\n" +

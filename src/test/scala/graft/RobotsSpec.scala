@@ -185,6 +185,16 @@ class RobotsSpec extends AnyFunSuite {
     // cut the value short
     assert(locs("<url><loc><![CDATA[https://a/x?y=1&z=2]]></loc></url>") ===
       Seq("https://a/x?y=1&z=2"))
+    // a CDATA value CONTAINING the bytes '</loc' stays whole — the
+    // ']]>' terminator bounds the value, not the first '</loc'
+    assert(locs("<loc><![CDATA[https://a/p?t=</loc>x]]></loc>" +
+      "<loc>https://a/next</loc>") ===
+      Seq("https://a/p?t=</loc>x", "https://a/next"))
+    // whitespace before the CDATA section is tolerated; an
+    // unterminated CDATA runs to end-of-input
+    assert(locs("<loc>  <![CDATA[https://a/ws]]>  </loc>") ===
+      Seq("https://a/ws"))
+    assert(locs("<loc><![CDATA[https://a/open") === Seq("https://a/open"))
     // 8-char numeric reference bodies and astral refs decode (the
     // shared HtmlKernel decoder — a diverged cap-8 copy rejected
     // &#0000038; once)
@@ -242,14 +252,19 @@ class RobotsSpec extends AnyFunSuite {
   test("duplicate host rows in the robots table fail loudly instead of fanning URLs out") {
     val spark = GraftTest.spark
     import spark.implicits._
-    val e = intercept[IllegalArgumentException] {
-      graft.operators.WebCuration.robotsFilter(
-        Seq((1L, "https://a.example/x")).toDF("doc_id", "url"),
-        Seq(("a.example", "User-agent: *\nDisallow: /p\n"),
-          ("a.example", "User-agent: *\nAllow: /\n"))
-          .toDF("host", "robots_txt"), "bot")
-    }
-    assert(e.getMessage.contains("[GRAFT]"))
+    // the guard lives INSIDE the plan (no eager validation job at
+    // construction time) — it fires when the plan executes
+    val plan = graft.operators.WebCuration.robotsFilter(
+      Seq((1L, "https://a.example/x")).toDF("doc_id", "url"),
+      Seq(("a.example", "User-agent: *\nDisallow: /p\n"),
+        ("a.example", "User-agent: *\nAllow: /\n"))
+        .toDF("host", "robots_txt"), "bot")
+    val e = intercept[Exception] { plan.count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("[GRAFT]") &&
+      m.contains("duplicate host")))
   }
 
   test("robotsFilter operator: hosts without a robots row pass, the query string participates in matching, survivors are exact") {

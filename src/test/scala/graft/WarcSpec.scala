@@ -95,6 +95,19 @@ class WarcSpec extends AnyFunSuite {
     loud(response("ff\r\nshort\r\n0\r\n\r\n".getBytes("US-ASCII"), te))
     loud(response("5\r\nhello\r\n".getBytes("US-ASCII"), te)) // no 0-chunk
     loud(response("x".getBytes("US-ASCII"), "Content-Encoding: br\r\n"))
+    // Transfer-Encoding is a COMMA LIST: 'gzip, chunked' dechunks
+    // but the remaining gzip TRANSFER coding is unsupported — loud,
+    // not binary garbage into the HTML kernel
+    loud(response("3\r\nabc\r\n0\r\n\r\n".getBytes("US-ASCII"),
+      "Transfer-Encoding: gzip, chunked\r\n"))
+    loud(response("x".getBytes("US-ASCII"),
+      "Transfer-Encoding: gzip\r\n"))
+    // 'identity' paddings in the list are harmless
+    val idBody = "3\r\nabc\r\n0\r\n\r\n"
+    val idRecs = Warc.parseArchive(response(
+      idBody.getBytes("US-ASCII"),
+      "Transfer-Encoding: identity, chunked\r\n"))
+    assert(idRecs.head._4.toSeq === "abc".getBytes("US-ASCII").toSeq)
     // chunk extensions and trailer fields are tolerated, not errors
     val okBody = "3;graft=1\r\nabc\r\n0\r\nX-Trailer: t\r\n\r\n"
     val recs = Warc.parseArchive(
