@@ -1200,8 +1200,15 @@ object SparkEntry {
       val resp = recs.filter(col("rec_type") === "response")
         .select(col("doc_id"), col("target_uri"),
           col("http_status").cast("long").as("http_status"),
+          // charset-SNIFFED decode (the WHATWG transport tier reads
+          // the record's Content-Type header — the synthesizer
+          // declares charset=utf-8, the CC common case), surfaced as
+          // a column so pipelines can stratify by encoding
+          graft.functions.vfs_charset_detect(col("body"),
+            col("content_type")).as("charset"),
           md5(graft.functions.vfs_html_text(
-            decode(col("body"), "UTF-8"))).as("text_md5"))
+            graft.functions.vfs_charset_decode(col("body"),
+              col("content_type")))).as("text_md5"))
       val counts = recs.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_records"))
       resp.join(counts, "doc_id").orderBy(col("doc_id").asc)
@@ -1227,7 +1234,111 @@ object SparkEntry {
         .select(col("doc_id"), (col("doc_id") % 4).as("body_coding"),
           col("http_status").cast("long").as("http_status"),
           md5(graft.functions.vfs_html_text(
-            decode(col("body"), "UTF-8"))).as("text_md5"))
+            graft.functions.vfs_charset_decode(col("body"),
+              col("content_type")))).as("text_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- charset-aware body decode (the WHATWG sniff): five
+    // residue classes exercise every tier — BOM'd UTF-8, a declared
+    // windows-1252 transport header, a <meta charset=shift_jis>
+    // prescan, UNDECLARED cp1252 (the fallback), and declared UTF-8
+    // — each body built by the encoder twin in its real charset
+    // with a non-ASCII marker that would mojibake under a hard-coded
+    // UTF-8 decode; the oracle rebuilds the decoded string from the
+    // raw text via chr() codepoints ----
+    "web_charset_decode" -> ((s, dir) => {
+      import graft.functions._
+      val r = col("doc_id") % 5
+      val label = element_at(array(lit("utf-8"), lit("windows-1252"),
+        lit("shift_jis"), lit("windows-1252"), lit("utf-8")),
+        (r + 1).cast("int"))
+      val payload = concat(
+        when(r === 2, lit("<meta charset=\"shift_jis\">"))
+          .otherwise(lit("")),
+        col("text"),
+        element_at(array(lit(" é€"),
+          lit(" café €"),
+          lit(" 日本語"),
+          lit(" café €"), lit(" ascii")), (r + 1).cast("int")))
+      val bom = lit(Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte))
+      val encoded = vfs_charset_encode(payload, label)
+      val body = when(r === 0, concat(bom, encoded)).otherwise(encoded)
+      val ct = when(r === 1, lit("text/html; charset=windows-1252"))
+        .when(r === 2, lit("text/html"))
+        .when(r === 4, lit("text/html; charset=utf-8"))
+        .otherwise(lit(null).cast("string"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          vfs_charset_detect(body, ct).as("charset"),
+          md5(vfs_charset_decode(body, ct)).as("text_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- WARC quarantine twin: archives with per-residue damage —
+    // clean / truncated final record (framing overrun) / a declared
+    // br body this walk cannot decode / clean gzip — must yield err
+    // ROWS with recovered identity, never task failures; counts and
+    // the failing record's type derive from the residue alone ----
+    "web_warc_quarantine" -> ((s, dir) => {
+      import s.implicits._
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("<p>"), col("text"), lit("</p>")).as("html"))
+      val warcs = graft.operators.WorkCols.spread(pages)
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, html) =>
+            val uri = s"https://q${id % 7}.example/p/$id"
+            val bytes = html.getBytes("UTF-8")
+            val arc = (id % 4) match {
+              case 0 => graft.operators.Warc.encodeArchive(uri, bytes)
+              case 1 =>
+                val full = graft.operators.Warc.encodeArchive(uri, bytes)
+                java.util.Arrays.copyOf(full, full.length - 8)
+              case 2 => graft.operators.Warc.encodeArchive(uri, bytes,
+                bodyCoding = 4)
+              case _ => graft.operators.Warc.encodeArchive(uri, bytes,
+                gzip = true)
+            }
+            (id, arc)
+          }
+        }.toDF("doc_id", "warc")
+      graft.operators.Warc.recordsQuarantined(s, warcs).toDF()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("err").isNull, 1L).otherwise(0L)).as("n_ok"),
+          sum(when(col("err").isNotNull, 1L).otherwise(0L)).as("n_err"),
+          max(when(col("err").isNotNull, col("rec_type")))
+            .as("err_rec_type"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- charset SIGNAL PARITY through the dedup family: every
+    // doc's text round-trips a residue-rotated charset (BOM'd UTF-8 /
+    // cp1252 / Shift_JIS / GBK / declared UTF-8) through the
+    // sniff+decode chain BEFORE minhash signing — the signatures
+    // must equal the plain-text row's exactly (same oracle), proving
+    // near-dup signals do not degrade on a mixed-charset corpus ----
+    "dedup_minhash_charset" -> ((s, dir) => {
+      import graft.functions._
+      val r = col("doc_id") % 5
+      val label = element_at(array(lit("utf-8"), lit("windows-1252"),
+        lit("shift_jis"), lit("gbk"), lit("utf-8")),
+        (r + 1).cast("int"))
+      val encoded = vfs_charset_encode(col("text"), label)
+      val bom = lit(Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte))
+      val body = when(r === 0, concat(bom, encoded)).otherwise(encoded)
+      val ct = when(r === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("text/html; charset="), label))
+      val params = Dedup.minHashParams(32)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          Dedup.minHashPortableSig(
+            vfs_charset_decode(body, ct), params).as("sig"))
+        .select(col("doc_id"),
+          aggregate(col("sig"), lit(0L), (a, x) => a + x).as("sig_sum"),
+          array_min(col("sig")).as("sig_min"))
         .orderBy(col("doc_id").asc)
     }),
 
@@ -4974,6 +5085,7 @@ object SparkEntry {
         |  'https://w' || (doc_id % 5) || '.example/p/' || doc_id
         |    AS target_uri,
         |  CAST(200 AS BIGINT) AS http_status,
+        |  'UTF-8' AS charset,
         |  md5('Doc &' || chr(10) || doc_id || chr(10) || 'Doc Heading' ||
         |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END ||
         |    chr(10) || 'one and two') AS text_md5,
@@ -4996,6 +5108,42 @@ object SparkEntry {
         |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END ||
         |    chr(10) || 'one and two') AS text_md5
         |FROM n ORDER BY doc_id ASC""".stripMargin,
+
+    // charset sniff: the decoded string rebuilt from the raw text +
+    // the residue's non-ASCII marker via chr() codepoints
+    // (é=233, €=8364, 日本語=26085/26412/35486)
+    "web_charset_decode" ->
+      s"""SELECT doc_id,
+        |  CASE doc_id % 5 WHEN 0 THEN 'UTF-8'
+        |    WHEN 1 THEN 'windows-1252' WHEN 2 THEN 'Shift_JIS'
+        |    WHEN 3 THEN 'windows-1252' ELSE 'UTF-8' END AS charset,
+        |  md5(CASE doc_id % 5
+        |    WHEN 0 THEN text || ' ' || chr(233) || chr(8364)
+        |    WHEN 2 THEN '<meta charset="shift_jis">' || text || ' ' ||
+        |      chr(26085) || chr(26412) || chr(35486)
+        |    WHEN 4 THEN text || ' ascii'
+        |    ELSE text || ' caf' || chr(233) || ' ' || chr(8364) END)
+        |    AS text_md5
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+
+    // quarantine twin: record/err counts and the failing record's
+    // type derive from the damage residue (1 = truncated framing →
+    // type unrecovered, 2 = br body → identity kept)
+    "web_warc_quarantine" ->
+      s"""SELECT doc_id, CAST(3 AS BIGINT) AS n_records,
+        |  CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 2 ELSE 3 END
+        |    AS BIGINT) AS n_ok,
+        |  CAST(CASE WHEN doc_id % 4 IN (1, 2) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS n_err,
+        |  CASE WHEN doc_id % 4 = 1 THEN ''
+        |    WHEN doc_id % 4 = 2 THEN 'response' ELSE NULL END
+        |    AS err_rec_type
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+
+    // charset signal parity: the mixed-charset round-trip must leave
+    // minhash signatures EXACTLY equal to the plain-text row's —
+    // same oracle as dedup_minhash_sig
+    "dedup_minhash_charset" -> minHashSigOracle,
 
     // PDF extraction is the exact inverse of the synthesis, so the
     // oracle is simply the raw text's md5

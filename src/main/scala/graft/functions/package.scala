@@ -117,6 +117,25 @@ package object functions {
   def vfs_url_resolve(base: Column, ref: Column): Column =
     col(UrlResolve(ex(base), ex(ref)))
 
+  /** WHATWG charset sniff (BOM → Content-Type → meta prescan →
+    * windows-1252): the canonical charset name [[vfs_charset_decode]]
+    * will use; a NULL content type reads as absent */
+  def vfs_charset_detect(body: Column, contentType: Column): Column =
+    col(CharsetDetect(ex(body),
+      ex(org.apache.spark.sql.functions.coalesce(contentType,
+        org.apache.spark.sql.functions.lit("")))))
+  /** page body bytes → STRING through the sniffed charset (BOM
+    * stripped, malformed bytes → U+FFFD — a crawl payload never
+    * fails a stage); a NULL content type reads as absent */
+  def vfs_charset_decode(body: Column, contentType: Column): Column =
+    col(CharsetDecode(ex(body),
+      ex(org.apache.spark.sql.functions.coalesce(contentType,
+        org.apache.spark.sql.functions.lit("")))))
+  /** encoder twin: STRING → bytes in the labeled charset (fixture
+    * synthesis / corpus export; unknown labels fail loudly) */
+  def vfs_charset_encode(text: Column, label: Column): Column =
+    col(CharsetEncode(ex(text), ex(label)))
+
   def vfs_hash_embedding(text: Column, dim: Int): Column =
     col(HashEmbedding(ex(text), dim, milli = false))
   def vfs_hash_embedding_milli(text: Column, dim: Int): Column =
@@ -153,6 +172,15 @@ package object functions {
     r1("vfs_robots_sitemaps", es => RobotsSitemaps(es(0)))
     r1("vfs_sitemap_locs", es => SitemapLocs(es(0)))
     r1("vfs_url_resolve", es => UrlResolve(es(0), es(1)))
+    // the SQL forms coalesce a NULL content type to '' (absent) —
+    // same null tolerance as the Column builders
+    def ctOrEmpty(e: Expression): Expression =
+      org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(e,
+        org.apache.spark.sql.catalyst.expressions.Literal
+          .create("", org.apache.spark.sql.types.StringType)))
+    r1("vfs_charset_detect", es => CharsetDetect(es(0), ctOrEmpty(es(1))))
+    r1("vfs_charset_decode", es => CharsetDecode(es(0), ctOrEmpty(es(1))))
+    r1("vfs_charset_encode", es => CharsetEncode(es(0), es(1)))
     r1("vfs_min_shingle", es => MinShingleHash(es(0), es(1)))
     r1("vfs_term_count", es => TermCount(es(0), es(1)))
     // varargs: vfs_term_counts(text, 'a', 'b', ...) — terms must be

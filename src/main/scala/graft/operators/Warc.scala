@@ -7,10 +7,23 @@ import org.apache.spark.sql.functions._
 
 /** One parsed WARC record: its type, the target URI ("" when the
   * record carries none), the HTTP status (0 for non-response
-  * records), and the PAYLOAD — for `response` records the HTTP body
-  * after the header block, for everything else the raw content. */
+  * records), the response's Content-Type header value lowercased
+  * ("" when absent/non-response — the charset sniff's transport
+  * tier, [[graft.functions.CharsetKernel]]), and the PAYLOAD — for
+  * `response` records the HTTP body after the header block, for
+  * everything else the raw content. */
 case class WarcRecordRow(doc_id: Long, rec_type: String,
-    target_uri: String, http_status: Int, body: Array[Byte])
+    target_uri: String, http_status: Int, content_type: String,
+    body: Array[Byte])
+
+/** [[WarcRecordRow]] plus an `err` column — the quarantining twin's
+  * row shape ([[Warc.recordsQuarantined]]): err = null on success;
+  * on failure the row keeps whatever identity the walk recovered
+  * (rec_type/target_uri for body-decode failures, "" for framing
+  * damage) with an empty body. */
+case class WarcRecordQRow(doc_id: Long, rec_type: String,
+    target_uri: String, http_status: Int, content_type: String,
+    body: Array[Byte], err: String)
 
 /** WARC/1.0 container parsing (ISO 28500 — the CommonCrawl archive
   * format), pure JVM: record framing (header lines + Content-Length
@@ -38,46 +51,126 @@ object Warc {
 
   /** Parse every record of one archive (plain or gzipped —
     * multi-member gzip is read through, the CC layout). */
-  private[graft] def parseArchive(bytes0: Array[Byte]): Seq[(String, String, Int, Array[Byte])] = {
+  private[graft] def parseArchive(bytes0: Array[Byte]): Seq[(String, String, Int, String, Array[Byte])] = {
     val bytes =
       if (bytes0.length >= 2 && (bytes0(0) & 0xff) == 0x1f &&
         (bytes0(1) & 0xff) == 0x8b) gunzipAll(bytes0)
       else bytes0
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Int, Array[Byte])]
+      .empty[(String, String, Int, String, Array[Byte])]
     var pos = 0
     while (pos < bytes.length) {
       // tolerate the inter-record CRLF CRLF separators
       while (pos < bytes.length &&
         (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
       if (pos < bytes.length) {
-        val (headers, bodyAt) = headerBlock(bytes, pos)
-        require(headers.headOption.exists(_.startsWith("WARC/")),
-          "[GRAFT] warc: record must start with a WARC/ version line")
-        val fields = headers.tail.flatMap { l =>
-          val c = l.indexOf(':')
-          if (c > 0) Some(l.substring(0, c).trim.toLowerCase ->
-            l.substring(c + 1).trim)
-          else None
-        }.toMap
-        val len = fields.getOrElse("content-length",
-          throw new IllegalArgumentException(
-            "[GRAFT] warc: record without Content-Length")).toInt
-        require(len >= 0 && bodyAt + len <= bytes.length,
-          "[GRAFT] warc: content overruns the archive")
-        val content = java.util.Arrays.copyOfRange(bytes, bodyAt,
-          bodyAt + len)
-        val recType = fields.getOrElse("warc-type", "unknown")
-        val uri = fields.getOrElse("warc-target-uri", "")
-        val (status, payload) =
+        val (recType, uri, content, next) = recordAt(bytes, pos)
+        val (status, contentType, payload) =
           if (recType == "response") splitHttp(content)
-          else (0, content)
-        out += ((recType, uri, status, payload))
-        pos = bodyAt + len
+          else (0, "", content)
+        out += ((recType, uri, status, contentType, payload))
+        pos = next
       }
     }
     require(out.nonEmpty, "[GRAFT] warc: no records in the archive")
     out.toSeq
+  }
+
+  /** One record's FRAMING at `pos`: (rec_type, target_uri, content
+    * bytes, index past the record). Loud on framing damage — shared
+    * by the loud [[parseArchive]] and the per-record Try of
+    * [[parseArchiveQuarantined]]. */
+  private def recordAt(bytes: Array[Byte],
+      pos: Int): (String, String, Array[Byte], Int) = {
+    val (headers, bodyAt) = headerBlock(bytes, pos)
+    require(headers.headOption.exists(_.startsWith("WARC/")),
+      "[GRAFT] warc: record must start with a WARC/ version line")
+    val fields = headers.tail.flatMap { l =>
+      val c = l.indexOf(':')
+      if (c > 0) Some(l.substring(0, c).trim.toLowerCase ->
+        l.substring(c + 1).trim)
+      else None
+    }.toMap
+    val len = fields.getOrElse("content-length",
+      throw new IllegalArgumentException(
+        "[GRAFT] warc: record without Content-Length")).toInt
+    require(len >= 0 && bodyAt + len <= bytes.length,
+      "[GRAFT] warc: content overruns the archive")
+    val content = java.util.Arrays.copyOfRange(bytes, bodyAt,
+      bodyAt + len)
+    (fields.getOrElse("warc-type", "unknown"),
+      fields.getOrElse("warc-target-uri", ""), content, bodyAt + len)
+  }
+
+  /** Quarantining variant of [[parseArchive]]: every failure becomes
+    * an `err` ROW, never a task failure. A framing failure (damaged
+    * version line, missing/overrunning Content-Length) emits one err
+    * row and RESYNCS at the next `WARC/1.` magic — the rest of a
+    * multi-GB archive survives one truncated record; a BODY-decode
+    * failure (bad status line, malformed chunking, an unsupported
+    * br/zstd coding) keeps the record's identity (type + URI) with
+    * an empty body. A corrupt gzip envelope or an empty archive
+    * yields a single err row. Success rows carry err = null. */
+  private[graft] def parseArchiveQuarantined(bytes0: Array[Byte])
+      : Seq[(String, String, Int, String, Array[Byte], String)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, Int, String, Array[Byte], String)]
+    def errOf(e: Throwable): String =
+      e.getClass.getSimpleName + ": " +
+        Option(e.getMessage).getOrElse("").take(300)
+    val bytes =
+      try {
+        if (bytes0.length >= 2 && (bytes0(0) & 0xff) == 0x1f &&
+          (bytes0(1) & 0xff) == 0x8b) gunzipAll(bytes0)
+        else bytes0
+      } catch { case e: Exception =>
+        return Seq(("", "", 0, "", Array.emptyByteArray, errOf(e)))
+      }
+    var pos = 0
+    while (pos < bytes.length) {
+      while (pos < bytes.length &&
+        (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
+      if (pos < bytes.length) {
+        try {
+          val (recType, uri, content, next) = recordAt(bytes, pos)
+          try {
+            val (status, contentType, payload) =
+              if (recType == "response") splitHttp(content)
+              else (0, "", content)
+            out += ((recType, uri, status, contentType, payload, null))
+          } catch { case e: Exception =>
+            out += ((recType, uri, 0, "", Array.emptyByteArray,
+              errOf(e)))
+          }
+          pos = next
+        } catch { case e: Exception =>
+          out += (("", "", 0, "", Array.emptyByteArray, errOf(e)))
+          pos = resyncAt(bytes, pos + 1)
+        }
+      }
+    }
+    if (out.isEmpty)
+      out += (("", "", 0, "", Array.emptyByteArray,
+        "IllegalArgumentException: [GRAFT] warc: no records in the " +
+          "archive"))
+    out.toSeq
+  }
+
+  /** Index of the next `WARC/1.` magic at or after `from` (the
+    * resync point after a framing failure); `bytes.length` when none
+    * remains. Payload extents of HEALTHY records are skipped
+    * wholesale by the framing walk, so only damaged regions are ever
+    * scanned for the magic. */
+  private def resyncAt(bytes: Array[Byte], from: Int): Int = {
+    val magic = "WARC/1.".getBytes(StandardCharsets.US_ASCII)
+    var i = math.max(0, from)
+    while (i + magic.length <= bytes.length) {
+      var j = 0
+      while (j < magic.length && bytes(i + j) == magic(j)) j += 1
+      if (j == magic.length) return i
+      i += 1
+    }
+    bytes.length
   }
 
   /** ASCII header lines from `from` up to the blank line; returns
@@ -100,10 +193,10 @@ object Warc {
     (lines.toSeq, pos)
   }
 
-  /** HTTP response content → (status, IDENTITY body after the header
-    * block): chunked transfer coding removed, then gzip/deflate
-    * content coding decompressed. */
-  private def splitHttp(content: Array[Byte]): (Int, Array[Byte]) = {
+  /** HTTP response content → (status, lowercased Content-Type value
+    * or "", IDENTITY body after the header block): chunked transfer
+    * coding removed, then gzip/deflate content coding decompressed. */
+  private def splitHttp(content: Array[Byte]): (Int, String, Array[Byte]) = {
     val (lines, bodyAt) = headerBlock(content, 0)
     val statusLine = lines.headOption.getOrElse("")
     require(statusLine.startsWith("HTTP/"),
@@ -139,7 +232,7 @@ object Warc {
       case other => throw new IllegalArgumentException(
         s"[GRAFT] warc: unsupported Content-Encoding '$other'")
     }
-    (parts(1).toInt, body)
+    (parts(1).toInt, fields.getOrElse("content-type", ""), body)
   }
 
   /** Remove the chunked transfer coding (RFC 9112 §7.1): hex size
@@ -241,10 +334,11 @@ object Warc {
 
   /** Explode a frame of WARC archives (idCol, binCol) into records —
     * one per-partition parse kernel, zero shuffle; rows ∝ records.
-    * Typical chain:
+    * Typical chain (charset-sniffed decode — the content_type column
+    * feeds [[graft.functions.CharsetKernel]]'s transport tier):
     * {{{ Warc.records(spark, warcs).filter($"rec_type" === "response")
-    *       .select($"target_uri",
-    *         vfs_html_text(decode($"body", "UTF-8"))) }}} */
+    *       .select($"target_uri", vfs_html_text(
+    *         vfs_charset_decode($"body", $"content_type"))) }}} */
   def records(spark: SparkSession, warcs: DataFrame,
       idCol: String = "doc_id",
       binCol: String = "warc"): Dataset[WarcRecordRow] = {
@@ -254,8 +348,33 @@ object Warc {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          parseArchive(bytes).map { case (t, uri, status, body) =>
-            WarcRecordRow(id, t, uri, status, body)
+          parseArchive(bytes).map { case (t, uri, status, ct, body) =>
+            WarcRecordRow(id, t, uri, status, ct, body)
+          }
+        }
+      }
+  }
+
+  /** Quarantining twin of [[records]] for archives outside the CC
+    * trust boundary (heritrix/wget output, partial downloads): the
+    * [[Multimodal.decodeStatsQuarantined]] stance — corrupt records
+    * become `err` rows the caller routes aside, never task
+    * failures/retries; a framing failure costs ONE record (the walk
+    * resyncs at the next WARC/1. magic), an unsupported coding keeps
+    * the record's identity. Same kernel shape: one per-partition
+    * parse, zero shuffle. */
+  def recordsQuarantined(spark: SparkSession, warcs: DataFrame,
+      idCol: String = "doc_id",
+      binCol: String = "warc"): Dataset[WarcRecordQRow] = {
+    import spark.implicits._
+    warcs.select(col(idCol).cast("long").as("doc_id"),
+        col(binCol).as("warc"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parseArchiveQuarantined(bytes).map {
+            case (t, uri, status, ct, body, err) =>
+              WarcRecordQRow(id, t, uri, status, ct, body, err)
           }
         }
       }
@@ -266,9 +385,15 @@ object Warc {
     * synthesizer (the encoder side every graft codec ships).
     * `bodyCoding` selects the response body's wire coding: 0 identity
     * (the CC layout), 1 chunked, 2 gzip Content-Encoding, 3 chunked
-    * OVER gzip (the full wget/heritrix shape). */
+    * OVER gzip (the full wget/heritrix shape), 4 a DECLARED-br body
+    * carried raw (undecodable by this walk — the quarantine
+    * fixture's poison record). `contentType` is the response's
+    * declared Content-Type — the default declares charset=utf-8 (the
+    * CC common case, feeding the sniff's transport tier); callers
+    * synthesizing non-UTF-8 pages pass matching bytes + label. */
   private[graft] def encodeArchive(uri: String, html: Array[Byte],
-      gzip: Boolean = false, bodyCoding: Int = 0): Array[Byte] = {
+      gzip: Boolean = false, bodyCoding: Int = 0,
+      contentType: String = "text/html; charset=utf-8"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def record(headers: Seq[(String, String)],
         content: Array[Byte]): Unit = {
@@ -300,9 +425,10 @@ object Warc {
     val http = new java.io.ByteArrayOutputStream()
     val codingHeaders =
       (if (gzipBody) "Content-Encoding: gzip\r\n" else "") +
+        (if (bodyCoding == 4) "Content-Encoding: br\r\n" else "") +
         (if (chunked) "Transfer-Encoding: chunked\r\n"
          else s"Content-Length: ${coded.length}\r\n")
-    http.write(("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+    http.write((s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
       codingHeaders + "\r\n").getBytes(StandardCharsets.US_ASCII))
     http.write(coded)
     record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri),

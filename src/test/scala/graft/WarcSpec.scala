@@ -16,7 +16,7 @@ class WarcSpec extends AnyFunSuite {
       val recs = Warc.parseArchive(
         Warc.encodeArchive("https://x.example/a", html, gzip = gz))
       assert(recs.map(_._1) === Seq("warcinfo", "request", "response"))
-      val (_, uri, status, body) = recs(2)
+      val (_, uri, status, _, body) = recs(2)
       assert(uri === "https://x.example/a")
       assert(status === 200)
       assert(body.toSeq === html.toSeq, s"gzip=$gz")
@@ -57,7 +57,7 @@ class WarcSpec extends AnyFunSuite {
     for (coding <- Seq(0, 1, 2, 3)) {
       val recs = Warc.parseArchive(
         Warc.encodeArchive("https://x/a", html, bodyCoding = coding))
-      val (_, _, status, body) = recs(2)
+      val (_, _, status, _, body) = recs(2)
       assert(status === 200)
       assert(body.toSeq === html.toSeq, s"bodyCoding=$coding")
     }
@@ -75,7 +75,7 @@ class WarcSpec extends AnyFunSuite {
       s"Content-Length: ${content.length}\r\n\r\n").getBytes("US-ASCII") ++
       content
     val out = Warc.parseArchive(rec)
-    assert(out.head._4.toSeq === html.toSeq)
+    assert(out.head._5.toSeq === html.toSeq)
   }
 
   test("body-coding failures are loud: malformed chunk size, overrunning chunk, truncated terminal chunk, unsupported Content-Encoding") {
@@ -107,12 +107,12 @@ class WarcSpec extends AnyFunSuite {
     val idRecs = Warc.parseArchive(response(
       idBody.getBytes("US-ASCII"),
       "Transfer-Encoding: identity, chunked\r\n"))
-    assert(idRecs.head._4.toSeq === "abc".getBytes("US-ASCII").toSeq)
+    assert(idRecs.head._5.toSeq === "abc".getBytes("US-ASCII").toSeq)
     // chunk extensions and trailer fields are tolerated, not errors
     val okBody = "3;graft=1\r\nabc\r\n0\r\nX-Trailer: t\r\n\r\n"
     val recs = Warc.parseArchive(
       response(okBody.getBytes("US-ASCII"), te))
-    assert(recs.head._4.toSeq === "abc".getBytes("US-ASCII").toSeq)
+    assert(recs.head._5.toSeq === "abc".getBytes("US-ASCII").toSeq)
   }
 
   test("synthesizeWarc(bodyCodings=true) rotates codings by doc_id % 4 and every page survives the decode walk") {
@@ -131,6 +131,69 @@ class WarcSpec extends AnyFunSuite {
     recs.foreach { case (id, page) =>
       assert(page === s"<p>page $id</p>", s"doc $id")
     }
+  }
+
+  test("response records carry the lowercased Content-Type header; the synthesizer declares charset=utf-8") {
+    val recs = Warc.parseArchive(
+      Warc.encodeArchive("https://x/a", "<p>a</p>".getBytes("UTF-8")))
+    assert(recs(2)._4 === "text/html; charset=utf-8")
+    assert(recs(0)._4 === "" && recs(1)._4 === "") // non-response
+    val cp = Warc.parseArchive(Warc.encodeArchive("https://x/b",
+      "café".getBytes("windows-1252"),
+      contentType = "text/html; charset=Windows-1252"))
+    assert(cp(2)._4 === "text/html; charset=windows-1252")
+    // the charset chain end to end: sniff the header, decode
+    assert(graft.functions.CharsetKernel.decode(cp(2)._5,
+      org.apache.spark.unsafe.types.UTF8String
+        .fromString(cp(2)._4)).toString === "café")
+  }
+
+  test("recordsQuarantined: framing damage costs one record and resyncs, undecodable codings keep record identity, corrupt gzip quarantines the archive") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val clean = Warc.encodeArchive("https://q/0", "<p>ok</p>".getBytes("UTF-8"))
+    // truncate the final response record's body — its extent overruns
+    val truncated = java.util.Arrays.copyOf(clean, clean.length - 12)
+    // a br-coded response body this walk cannot decode
+    val br = Warc.encodeArchive("https://q/2", "xx".getBytes("UTF-8"),
+      bodyCoding = 4)
+    val corrupt = {
+      val gz = Warc.encodeArchive("https://q/3",
+        "<p>z</p>".getBytes("UTF-8"), gzip = true)
+      gz(10) = (gz(10) ^ 0x55).toByte; gz
+    }
+    val rows = graft.operators.Warc.recordsQuarantined(spark,
+        Seq((0L, clean), (1L, truncated), (2L, br), (3L, corrupt))
+          .toDF("doc_id", "warc"))
+      .collect().groupBy(_.doc_id)
+    // clean: 3 records, no err
+    assert(rows(0L).length === 3 && rows(0L).forall(_.err == null))
+    // truncated: warcinfo + request survive, ONE err row for the
+    // damaged response, nothing after (no phantom resync match)
+    assert(rows(1L).count(_.err == null) === 2)
+    val terr = rows(1L).filter(_.err != null)
+    assert(terr.length === 1 && terr.head.err.contains("overruns"))
+    // br: framing fine, body decode quarantined WITH identity kept
+    assert(rows(2L).count(_.err == null) === 2)
+    val berr = rows(2L).filter(_.err != null).head
+    assert(berr.rec_type === "response" &&
+      berr.target_uri === "https://q/2" && berr.err.contains("br") &&
+      berr.body.isEmpty)
+    // corrupt gzip: one err row for the whole archive
+    assert(rows(3L).length === 1 && rows(3L).head.err != null)
+
+    // resync: a damaged record in the MIDDLE loses only itself — the
+    // next record's WARC/1. magic recovers the walk
+    val a = Warc.encodeArchive("https://q/a", "<p>a</p>".getBytes("UTF-8"))
+    val b = Warc.encodeArchive("https://q/b", "<p>b</p>".getBytes("UTF-8"))
+    val damaged = ("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+      "Content-Leng").getBytes("US-ASCII") // no blank line → truncated
+    val mixed = a ++ damaged ++ "\r\n\r\n".getBytes("US-ASCII") ++ b
+    val recs = Warc.parseArchiveQuarantined(mixed)
+    assert(recs.count(_._6 == null) === 6) // both healthy archives
+    assert(recs.count(_._6 != null) === 1)
+    assert(recs.filter(_._1 == "response").map(_._2) ===
+      Seq("https://q/a", "https://q/b"))
   }
 
   test("records() chains into the HTML kernel; the synthesizer gzips every 3rd archive") {
