@@ -1413,6 +1413,74 @@ object SparkEntry {
         .orderBy(col("doc_id").asc, col("url").asc)
     }),
 
+    // ---- the SITEMAP two-hop frontier: sitemapindex → child
+    // sitemaps → urlset <loc>s (each hop through vfs_sitemap_locs;
+    // the child fetch is a join on the hop-1 URL), the visited-set
+    // anti-join (UrlIndex standing artifact: /q pages all visited,
+    // /p pages visited for doc_id % 3 == 0), the robots gate (h0
+    // disallows /r for graftbot), and the politeness schedule — the
+    // crawl loop's OTHER discovery path composed end to end; every
+    // stage replays from residue arithmetic ----
+    "pipeline_crawl_frontier_sitemap" -> ((s, dir) => {
+      import s.implicits._
+      val host = concat(lit("https://h"), col("doc_id") % 5,
+        lit(".example"))
+      val index = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>"),
+        host, lit("/sm/"), col("doc_id"),
+        lit("/a.xml</loc></sitemap><sitemap><loc>"),
+        host, lit("/sm/"), col("doc_id"),
+        lit("/b.xml</loc></sitemap></sitemapindex>"))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      // hop 1: the index's <loc>s are child-sitemap URLs
+      val hop1 = docs.select(col("doc_id"), index.as("xml"))
+        .select(col("doc_id"),
+          explode(graft.functions.vfs_sitemap_locs(col("xml")))
+            .as("sm_url"))
+      // the child-sitemap table a fetcher materializes (keyed by its
+      // URL): child a carries two pages (entity decode + whitespace
+      // trim), child b one CDATA-wrapped page
+      val childA = docs.select(
+        concat(host, lit("/sm/"), col("doc_id"), lit("/a.xml"))
+          .as("sm_url"),
+        concat(lit("<urlset><url><loc>"), host, lit("/p/"),
+          col("doc_id"), lit("?x=1&amp;y=2</loc></url><url><loc>\n  "),
+          host, lit("/q/"), col("doc_id"),
+          lit("\n</loc></url></urlset>")).as("sm_xml"))
+      val childB = docs.select(
+        concat(host, lit("/sm/"), col("doc_id"), lit("/b.xml"))
+          .as("sm_url"),
+        concat(lit("<urlset><url><loc><![CDATA["), host, lit("/r/"),
+          col("doc_id"), lit("?t=1]]></loc></url></urlset>"))
+          .as("sm_xml"))
+      // hop 2: fetch-join + extract the page URLs
+      val pages = hop1.join(childA.unionByName(childB), "sm_url")
+        .select(col("doc_id"),
+          explode(graft.functions.vfs_sitemap_locs(col("sm_xml")))
+            .as("url"))
+      // visited set: a standing UrlIndex artifact probes the delta
+      val visited = docs.select(
+          concat(host, lit("/q/"), col("doc_id")).as("url"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(concat(host, lit("/p/"), col("doc_id"),
+            lit("?x=1&y=2")).as("url")))
+      val idx = java.nio.file.Files
+        .createTempDirectory("verify-urlidx-sm").toString + "/visited"
+      graft.operators.UrlIndex.build(visited, idx)
+      val fresh = graft.operators.UrlIndex.filterNew(s, idx, pages)
+      val robots = Seq(("h0.example",
+        "User-agent: graftbot\nDisallow: /r\nCrawl-delay: 2\n"))
+        .toDF("host", "robots_txt")
+      val allowed = graft.operators.WebCuration
+        .robotsFilter(fresh, robots, "graftbot")
+      graft.operators.WebCuration
+        .politenessSchedule(allowed, robots, "graftbot", 1000L,
+          orderCol = "url")
+        .select(col("doc_id"), col("url"), col("host"),
+          col("delay_milli"), col("fetch_seq"), col("fetch_at_milli"))
+        .orderBy(col("doc_id").asc, col("url").asc)
+    }),
+
     // ---- per-host politeness schedule: hosts h0/h1 declare
     // crawl-delays (2 s via the graftbot group, 0.5 s via *), the
     // rest fall to the 1 s default; fetch_seq within a host follows
@@ -1431,6 +1499,30 @@ object SparkEntry {
         .toDF("host", "robots_txt")
       graft.operators.WebCuration
         .politenessSchedule(urls, robots, "graftbot")
+        .select(col("doc_id"), col("host"), col("delay_milli"),
+          col("fetch_seq"), col("fetch_at_milli"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the politeness schedule's STREAMING twin: the same
+    // per-host ordinal assignment as a stateful fold (state = one
+    // long per host, continuing across micro-batches) — batchMode
+    // runs the identical fold over the static frame, so the row
+    // replays web_politeness_schedule's arithmetic exactly (the
+    // established flatMapGroupsWithState oracle shape) ----
+    "stream_politeness_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val urls = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://h"), col("doc_id") % 5,
+            lit(".example/p/"), col("doc_id")).as("url"))
+      val robots = Seq(
+        ("h0.example",
+          "User-agent: graftbot\nCrawl-delay: 2\nDisallow: /x\n"),
+        ("h1.example", "User-agent: *\nCrawl-delay: 0.5\n"))
+        .toDF("host", "robots_txt")
+      graft.streaming.Ingest
+        .politenessStream(urls, robots, "graftbot", batchMode = true)
         .select(col("doc_id"), col("host"), col("delay_milli"),
           col("fetch_seq"), col("fetch_at_milli"))
         .orderBy(col("doc_id").asc)
@@ -2985,6 +3077,46 @@ object SparkEntry {
         queries, k = 10, nProbe = 16, overfetch = 8)
         .select(col("qid"), col("id"))
       val exact = graft.operators.Knn.exactBatch(e, queries, 10,
+        Metric.Cosine).select(col("qid"), col("id"))
+      val hits = approx.intersect(exact).count() // of 200 possible
+      s.range(1).select(lit(10L).as("k"),
+        lit(if (hits >= 180L) 1L else 0L).as("pass"))
+    }),
+
+    // ---- the REVERSE cross-scale direction, completing the drift
+    // matrix: the artifact is built over the SMALL corpus (the given
+    // dir) but probed with 20 queries drawn from the sf0.1 sibling
+    // OUTSIDE the small id range — the index-lag shape (an index
+    // built before the collection grew keeps serving queries from
+    // the wider distribution). Recall@10 vs the exact answer over
+    // the SAME small base must still clear 0.9 — out-of-corpus
+    // queries land in the right clusters or the probe prunes them
+    // away. Falls back to same-dir queries when no sibling exists ----
+    "ann_ivfpq_cross_scale_rev" -> ((s, dir) => {
+      val e = emb(s, dir).select(col("vec_id").as("id"),
+        col("embedding").as("values"))
+      val qDir = siblingSf(dir, "sf0.1")
+      val queries = emb(s, qDir)
+        .filter(col("vec_id") >= 1000L).orderBy(col("vec_id").asc)
+        .limit(20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvalues"))
+      // the sf0.01 standalone fallback: ids under 1000 only
+      val qs = if (queries.isEmpty)
+        emb(s, qDir).orderBy(col("vec_id").desc).limit(20)
+          .select(col("vec_id").as("qid"),
+            col("embedding").as("qvalues"))
+      else queries
+      val ivf = java.nio.file.Files
+        .createTempDirectory("verify-xscale-rev-i").toString
+      val pq = java.nio.file.Files
+        .createTempDirectory("verify-xscale-rev-p").toString
+      graft.operators.IvfIndex.build(e, ivf, nCentroids = 45,
+        Metric.Cosine, nAssign = 3, assignEps = 0.5)
+      graft.operators.IvfPq.build(s, ivf, pq, m = 32, ks = 64)
+      val approx = graft.operators.IvfPq.searchBatch(s, ivf, pq,
+        qs, k = 10, nProbe = 16, overfetch = 8)
+        .select(col("qid"), col("id"))
+      val exact = graft.operators.Knn.exactBatch(e, qs, 10,
         Metric.Cosine).select(col("qid"), col("id"))
       val hits = approx.intersect(exact).count() // of 200 possible
       s.range(1).select(lit(10L).as("k"),
@@ -5208,6 +5340,44 @@ object SparkEntry {
         |  CAST((seq - 1) * delay AS BIGINT) AS fetch_at_milli
         |FROM r ORDER BY doc_id ASC, url ASC""".stripMargin,
 
+    // the sitemap two-hop frontier replayed stage by stage: hop-2
+    // page URLs by residue (/p kept unless visited i.e. doc_id%3=0,
+    // /q always visited, /r robots-dropped on h0 i.e. doc_id%5=0),
+    // then the politeness pricing over the survivors
+    "pipeline_crawl_frontier_sitemap" ->
+      s"""WITH u AS (
+        |  SELECT doc_id, 'https://h' || (doc_id % 5) ||
+        |    '.example/p/' || doc_id || '?x=1&y=2' AS url
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, 'https://h' || (doc_id % 5) ||
+        |    '.example/r/' || doc_id || '?t=1'
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |r AS (SELECT doc_id, url,
+        |    'h' || (doc_id % 5) || '.example' AS host,
+        |    CASE WHEN doc_id % 5 = 0 THEN 2000 ELSE 1000 END AS delay,
+        |    row_number() OVER (PARTITION BY doc_id % 5
+        |      ORDER BY url) AS seq
+        |  FROM u)
+        |SELECT doc_id, url, host,
+        |  CAST(delay AS BIGINT) AS delay_milli,
+        |  CAST(seq AS BIGINT) AS fetch_seq,
+        |  CAST((seq - 1) * delay AS BIGINT) AS fetch_at_milli
+        |FROM r ORDER BY doc_id ASC, url ASC""".stripMargin,
+
+    // the streaming politeness fold in batchMode replays the batch
+    // window's arithmetic exactly
+    "stream_politeness_schedule" ->
+      s"""SELECT doc_id,
+        |  'h' || (doc_id % 5) || '.example' AS host,
+        |  CAST(CASE doc_id % 5 WHEN 0 THEN 2000 WHEN 1 THEN 500
+        |    ELSE 1000 END AS BIGINT) AS delay_milli,
+        |  CAST(doc_id // 5 + 1 AS BIGINT) AS fetch_seq,
+        |  CAST((doc_id // 5) * (CASE doc_id % 5 WHEN 0 THEN 2000
+        |    WHEN 1 THEN 500 ELSE 1000 END) AS BIGINT)
+        |    AS fetch_at_milli
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+
     // politeness schedule: delay by host residue (declared 2000/500,
     // default 1000), per-host ordinal = doc_id//5 + 1 on the
     // consecutive-id corpus, offset = ordinal-1 times delay
@@ -6288,6 +6458,9 @@ object SparkEntry {
     // sibling corpus (10× the sweep's data) — pins recall at scale
     // every round, not just in ad-hoc probes
     "ann_ivfpq_pruned_sf01" ->
+      "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
+
+    "ann_ivfpq_cross_scale_rev" ->
       "SELECT CAST(10 AS BIGINT) AS k, CAST(1 AS BIGINT) AS pass",
 
     "ann_ivf_fullprobe" ->

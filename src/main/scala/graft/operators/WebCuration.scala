@@ -419,11 +419,16 @@ object WebCuration {
     * at ~86k fetches/day, so cap the per-host frontier FIRST
     * ([[capPerDomain]] / [[capPerDomainPsl]]) and schedule the
     * survivors — composing the two is the documented recipe, not an
-    * optimization opportunity inside this operator. */
+    * optimization opportunity inside this operator. `maxPerHost`
+    * (> 0) turns that recipe into a LOUD contract: an in-plan
+    * raise_error fires when any host's ordinal exceeds it — the
+    * uncapped-mega-host mistake fails at execution naming the host
+    * instead of silently sorting a hundred-million-row partition. */
   def politenessSchedule(urls: DataFrame, robots: DataFrame,
       userAgent: String, defaultDelayMilli: Long = 1000L,
       urlCol: String = "url",
-      orderCol: String = "doc_id"): DataFrame = {
+      orderCol: String = "doc_id",
+      maxPerHost: Long = 0L): DataFrame = {
     require(robots.columns.contains("host") &&
       robots.columns.contains("robots_txt"),
       "[GRAFT] politenessSchedule: robots needs (host, robots_txt)")
@@ -439,10 +444,36 @@ object WebCuration {
       .foreach(c => require(!urls.columns.contains(c),
         s"[GRAFT] politenessSchedule: input already has a '$c' " +
           "column — rename it first (the schedule emits that name)"))
-    val host = lower(parse_url(col(urlCol), lit("HOST")))
-    val slim = slimRobots(robots, "politenessSchedule")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__host")).orderBy(col(orderCol).asc)
+    val seq0 = row_number().over(w).cast("long")
+    val seq =
+      if (maxPerHost <= 0) seq0
+      else when(seq0 > maxPerHost, raise_error(concat(
+          lit("[GRAFT] politenessSchedule: host "), col("__host"),
+          lit(s" exceeds maxPerHost=$maxPerHost — cap the frontier " +
+            "first (capPerDomain/capPerDomainPsl)"))))
+        .otherwise(seq0)
+    politenessStage(urls, robots, userAgent, defaultDelayMilli, urlCol,
+        "politenessSchedule")
+      .withColumn("fetch_seq", seq)
+      .withColumn("fetch_at_milli",
+        (col("fetch_seq") - 1L) * col("delay_milli"))
+      .withColumnRenamed("__host", "host")
+  }
+
+  /** The host + crawl-delay staging [[politenessSchedule]] and the
+    * streaming twin ([[graft.streaming.Ingest.politenessStream]])
+    * share: the lowercased host as `__host`, the resolved per-host
+    * delay as `delay_milli` (declared Crawl-delay through the UA
+    * group walk, else the default) — everything except the ordinal
+    * assignment, which is a batch window in one and stateful fold in
+    * the other. */
+  private[graft] def politenessStage(urls: DataFrame, robots: DataFrame,
+      userAgent: String, defaultDelayMilli: Long, urlCol: String,
+      op: String): DataFrame = {
+    val host = lower(parse_url(col(urlCol), lit("HOST")))
+    val slim = slimRobots(robots, op)
     urls.withColumn("__host", host)
       .join(slim, col("__host") === col("__rhost"), "left")
       .withColumn("delay_milli",
@@ -450,10 +481,6 @@ object WebCuration {
           graft.functions.vfs_robots_crawl_delay(col("__robots"),
             lit(userAgent)),
           lit(defaultDelayMilli)))
-      .withColumn("fetch_seq", row_number().over(w).cast("long"))
-      .withColumn("fetch_at_milli",
-        (col("fetch_seq") - 1L) * col("delay_milli"))
-      .withColumnRenamed("__host", "host")
       .drop("__rhost", "__robots")
   }
 }

@@ -1830,6 +1830,67 @@ object Ingest {
     }
   }
 
+  /** Per-host politeness scheduling as a STATEFUL streaming op — the
+    * frontier is naturally a stream ([[pageExtractBatch]] lands its
+    * head), and a polite fetcher needs the per-host ordinal to
+    * CONTINUE across micro-batches: batch N's first fetch for a host
+    * is scheduled after batch N−1's last, not back at offset 0. Same
+    * semantics as [[graft.operators.WebCuration.politenessSchedule]]
+    * (host from the URL, the host's declared Crawl-delay through the
+    * RFC 9309 UA-group walk, else `defaultDelayMilli`; ordinals by
+    * `orderCol` within the batch), with the window's per-host sort
+    * replaced by a flatMapGroupsWithState fold whose state is ONE
+    * LONG per host (the last assigned ordinal) — politeness itself
+    * bounds the useful host fan, so state stays host-sized. `robots`
+    * is a STATIC frame (stream-static joins are Spark-native).
+    * `batchMode = true` runs the same fold over a static frame in
+    * one pass — how the oracle row executes; batch parity with
+    * politenessSchedule is exact. Rows whose URL yields no host
+    * group under the empty-string host with default delay (the batch
+    * window's NULL-host group, made explicit so the state key is
+    * never null). */
+  def politenessStream(urls: DataFrame, robots: DataFrame,
+      userAgent: String, defaultDelayMilli: Long = 1000L,
+      urlCol: String = "url", orderCol: String = "doc_id",
+      batchMode: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    require(userAgent.nonEmpty,
+      "[GRAFT] politenessStream: empty user agent")
+    require(defaultDelayMilli >= 0,
+      "[GRAFT] politenessStream: negative default delay")
+    requireStatefulKey(urls, orderCol, "politenessStream")
+    Seq("host", "delay_milli", "fetch_seq", "fetch_at_milli")
+      .foreach(c => require(!urls.columns.contains(c),
+        s"[GRAFT] politenessStream: input already has a '$c' " +
+          "column — rename it first (the schedule emits that name)"))
+    val spark = urls.sparkSession
+    import spark.implicits._
+    graft.operators.WebCuration
+      .politenessStage(urls, robots, userAgent, defaultDelayMilli,
+        urlCol, "politenessStream")
+      .select(coalesce(col("__host"), lit("")).as("h"),
+        col(orderCol).cast("long").as("o"), col(urlCol).as("u"),
+        col("delay_milli").cast("long").as("d"))
+      .as[(String, Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long,
+          (String, Long, String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[(String, Long, String, Long)],
+            state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var seq = state.getOption.getOrElse(0L)
+          val out = sorted.map { case (_, o, u, d) =>
+            seq += 1
+            (h, o, u, d, seq, (seq - 1L) * d)
+          }
+          state.update(seq)
+          out.iterator
+      }
+      .toDF("host", orderCol, urlCol, "delay_milli", "fetch_seq",
+        "fetch_at_milli")
+  }
+
   /** Guard for the non-string keys of the stateful operators: a
     * `cast("long")` on an unsupported key type (a DOUBLE id, say)
     * silently rounds or overflows — and before string keys were

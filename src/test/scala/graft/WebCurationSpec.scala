@@ -581,11 +581,20 @@ class WebCurationSpec extends AnyFunSuite {
     // no robots row: the default delay
     assert(out(4L) === ((1000L, 1L, 0L)))
     assert(out(6L) === ((1000L, 2L, 1000L)))
-    val e = intercept[IllegalArgumentException] {
-      graft.operators.WebCuration.politenessSchedule(urls,
-        robots.unionAll(robots.limit(1)), "graftbot")
+    // the duplicate-host guard lives INSIDE the plan (no eager
+    // validation job) — it fires when the plan executes
+    val dup = graft.operators.WebCuration.politenessSchedule(urls,
+      robots.unionAll(robots.limit(1)), "graftbot")
+    // count() would PRUNE the guarded column — force delay_milli
+    val e = intercept[Exception] {
+      dup.agg(org.apache.spark.sql.functions.sum($"delay_milli"))
+        .collect()
     }
-    assert(e.getMessage.contains("[GRAFT]"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("[GRAFT]") &&
+      m.contains("duplicate host")))
     // an input already carrying an output column name fails loudly
     // instead of coming back with TWO 'host' columns
     val clash = intercept[IllegalArgumentException] {
@@ -593,6 +602,104 @@ class WebCurationSpec extends AnyFunSuite {
         urls.withColumn("host", $"url"), robots, "graftbot")
     }
     assert(clash.getMessage.contains("'host'"))
+  }
+
+  test("politeness at skew: the cap-first contract — capPerDomain bounds the window input, the maxPerHost guard fails loudly on an uncapped mega-host") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    // one mega-host (60 urls) drowning two small hosts (2 each)
+    val urls = ((1L to 60L).map(i =>
+        (i, s"https://mega.example/p/$i")) ++
+      Seq((100L, "https://a.example/x"), (101L, "https://a.example/y"),
+        (102L, "https://b.example/x"), (103L, "https://b.example/y")))
+      .toDF("doc_id", "url")
+    val robots = Seq(("mega.example", "User-agent: *\nCrawl-delay: 1\n"))
+      .toDF("host", "robots_txt")
+    // uncapped + maxPerHost: the guard fires AT EXECUTION naming the
+    // host — the silent mega-host sort becomes a loud contract
+    val uncapped = graft.operators.WebCuration.politenessSchedule(
+      urls, robots, "graftbot", maxPerHost = 5L)
+    // count() would PRUNE the guarded window column — force it
+    val e = intercept[Exception] {
+      uncapped.agg(org.apache.spark.sql.functions.sum($"fetch_seq"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("maxPerHost") &&
+      m.contains("mega.example")))
+    // the documented recipe: cap FIRST, then schedule — the window's
+    // input is <= cap per host, so every ordinal respects the guard
+    val capped = graft.operators.WebCuration.capPerDomain(
+      urls, "url", org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("doc_id"), n = 5)
+    val sched = graft.operators.WebCuration.politenessSchedule(
+      capped, robots, "graftbot", maxPerHost = 5L)
+    val perHost = sched.groupBy($"host")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.max($"fetch_seq").as("mx"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(perHost("mega.example") === ((5L, 5L))) // capped at 5
+    assert(perHost("a.example") === ((2L, 2L)))
+    assert(perHost("b.example") === ((2L, 2L)))
+    // the kept mega rows are the 5 smallest ranks, scheduled in order
+    val mega = sched.filter($"host" === "mega.example")
+      .select($"doc_id", $"fetch_seq", $"fetch_at_milli")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(mega.map(_._1).toSeq === (1L to 5L))
+    assert(mega.map(_._3).toSeq === Seq(0L, 1000L, 2000L, 3000L, 4000L))
+  }
+
+  test("politenessStream: per-host ordinals CONTINUE across micro-batches (state = last seq per host); batchMode matches the batch window") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val robots = Seq(("slow.example", "User-agent: *\nCrawl-delay: 2\n"))
+      .toDF("host", "robots_txt")
+    val stream = MemoryStream[(Long, String)]
+    val out = graft.streaming.Ingest.politenessStream(
+      stream.toDF().toDF("doc_id", "url"), robots, "graftbot")
+    val q = out.writeStream.format("memory")
+      .queryName("polite_stream").outputMode("append").start()
+    def landed() = spark.table("polite_stream")
+      .select($"doc_id", $"host", $"delay_milli", $"fetch_seq",
+        $"fetch_at_milli")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    try {
+      stream.addData((1L, "https://slow.example/a"),
+        (2L, "https://other.example/x"))
+      q.processAllAvailable()
+      assert(landed().toSeq === Seq(
+        (1L, "slow.example", 2000L, 1L, 0L),
+        (2L, "other.example", 1000L, 1L, 0L)))
+      // batch 2: slow.example's ordinal CONTINUES (2, 3), offsets
+      // keep pricing from the host's crawl start
+      stream.addData((3L, "https://slow.example/b"),
+        (4L, "https://slow.example/c"))
+      q.processAllAvailable()
+      assert(landed().toSeq === Seq(
+        (1L, "slow.example", 2000L, 1L, 0L),
+        (2L, "other.example", 1000L, 1L, 0L),
+        (3L, "slow.example", 2000L, 2L, 2000L),
+        (4L, "slow.example", 2000L, 3L, 4000L)))
+    } finally q.stop()
+    // batchMode over the same four rows = the batch window exactly
+    val urls = Seq((1L, "https://slow.example/a"),
+      (2L, "https://other.example/x"), (3L, "https://slow.example/b"),
+      (4L, "https://slow.example/c")).toDF("doc_id", "url")
+    val bm = graft.streaming.Ingest.politenessStream(urls, robots,
+        "graftbot", batchMode = true)
+      .select($"doc_id", $"fetch_seq", $"fetch_at_milli")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val bw = graft.operators.WebCuration.politenessSchedule(urls,
+        robots, "graftbot")
+      .select($"doc_id", $"fetch_seq", $"fetch_at_milli")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(bm === bw)
   }
 
   test("capPerDomainPsl: per-publisher caps on hosting platforms; pslFromTable gates the collect") {
