@@ -498,6 +498,24 @@ object Bench {
       SparkEntry.queries("web_warc_transfer_codings")(spark, sfDir)
         .agg(sum(length(col("text_md5")))).collect()
     } }
+    // WHATWG charset sniff + decode across all four tiers (pure
+    // per-row codegen kernels over encoder-twin bodies)
+    entry("charset_decode") { median {
+      SparkEntry.queries("web_charset_decode")(spark, sfDir)
+        .agg(sum(length(col("text_md5")))).collect()
+    } }
+    // quarantining WARC walk over damaged archives (err rows, magic
+    // resync, undecodable codings kept as identity-bearing err rows)
+    entry("warc_quarantine") { median {
+      SparkEntry.queries("web_warc_quarantine")(spark, sfDir)
+        .agg(sum(col("n_ok"))).collect()
+    } }
+    // per-host politeness pricing: robots join + crawl-delay kernel +
+    // the bounded per-host ordinal window
+    entry("politeness_schedule") { median {
+      SparkEntry.queries("web_politeness_schedule")(spark, sfDir)
+        .agg(sum(col("fetch_at_milli"))).collect()
+    } }
     // PDF synthesis + stream inflate + text-operator walk
     entry("pdf_extract") { median {
       SparkEntry.queries("web_pdf_extract")(spark, sfDir)

@@ -86,6 +86,32 @@ class CharsetSpec extends AnyFunSuite {
     assert(dec(bad, "text/html; charset=utf-8") === "ok �")
   }
 
+  test("UTF-8 well-formedness scan (the zero-copy fast-path guard): RFC 3629 edges") {
+    def wf(bytes: Int*): Boolean = CharsetKernel
+      .isWellFormedUtf8(bytes.map(_.toByte).toArray, 0)
+    assert(wf("plain ascii".getBytes("UTF-8").map(_ & 0xff).toSeq: _*))
+    assert(wf("日本語 café 😀".getBytes("UTF-8").map(_ & 0xff).toSeq: _*))
+    assert(!wf(0x80)) // bare continuation
+    assert(!wf(0xc0, 0xaf)) // overlong 2-byte
+    assert(!wf(0xc1, 0xbf)) // overlong 2-byte
+    assert(!wf(0xe0, 0x80, 0x80)) // overlong 3-byte
+    assert(wf(0xe0, 0xa0, 0x80)) // U+0800, minimal 3-byte
+    assert(!wf(0xed, 0xa0, 0x80)) // surrogate U+D800
+    assert(wf(0xed, 0x9f, 0xbf)) // U+D7FF, last before surrogates
+    assert(!wf(0xf0, 0x80, 0x80, 0x80)) // overlong 4-byte
+    assert(wf(0xf0, 0x90, 0x80, 0x80)) // U+10000, minimal 4-byte
+    assert(wf(0xf4, 0x8f, 0xbf, 0xbf)) // U+10FFFF, the ceiling
+    assert(!wf(0xf4, 0x90, 0x80, 0x80)) // > U+10FFFF
+    assert(!wf(0xf5, 0x80, 0x80, 0x80)) // F5 lead never valid
+    assert(!wf(0xc3)) // truncated tail
+    assert(!wf(0xe2, 0x82)) // truncated 3-byte
+    // decode parity: a well-formed body returns its exact bytes
+    // (zero copy), an ill-formed one goes through the replacing
+    // decoder — both visible through the public decode
+    val good = "mixed 日本 €".getBytes("UTF-8")
+    assert(dec(good, "text/html; charset=utf-8") === "mixed 日本 €")
+  }
+
   test("encoder twin round-trips every supported family; unknown labels fail loudly") {
     for ((text, label) <- Seq(
       ("naïve café €", "windows-1252"), ("日本語テスト", "shift_jis"),
