@@ -676,6 +676,12 @@ object Bench {
     entry("pipeline_curate") { median {
       SparkEntry.queries("pipeline_curate_e2e")(spark, sfDir).count()
     } }
+    // the full CC WET flow: WARC framing + gzip + charset sniff +
+    // HTML extraction UNDER the same curate stages — the crawl front
+    // end's whole-pipeline price relative to pipeline_curate
+    entry("pipeline_warc_curate") { median {
+      SparkEntry.queries("pipeline_warc_curate")(spark, sfDir).count()
+    } }
     // DSIR importance scoring against STANDING word models (trained +
     // persisted outside the timer — the nightly-scoring shape): word
     // explode + two slim model joins + one doc-keyed mean

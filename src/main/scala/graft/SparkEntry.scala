@@ -1134,6 +1134,36 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- the CommonCrawl WET flow end to end as ONE declared
+    // query: WARC archives (real framing, every 3rd gzipped) →
+    // response records → charset-sniffed decode → HTML text
+    // extraction → the FULL curation pipeline (quality gate →
+    // simhash keep-first → langid → per-language packing). The WARC
+    // synthesis is invertible, so the oracle derives the WET text
+    // from the raw column and replays the curate chain over it —
+    // proving the crawl front end and the curation stages compose
+    // without work-column collisions ----
+    "pipeline_warc_curate" -> ((s, dir) => {
+      import s.implicits._
+      val html = htmlPageOf(col("doc_id"), col("text"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://w"), col("doc_id") % 5,
+            lit(".example/p/"), col("doc_id")).as("uri"),
+          html.as("html"))
+      val wet = graft.operators.Warc
+        .records(s, graft.operators.Warc.synthesizeWarc(pages)).toDF()
+        .filter(col("rec_type") === "response")
+        .select(col("doc_id"),
+          graft.functions.vfs_html_text(
+            graft.functions.vfs_charset_decode(col("body"),
+              col("content_type"))).as("text"))
+      val model = graft.operators.TextAnalysis.trainLangId(
+        graft.operators.TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+      graft.operators.Curation.curateAndPack(wet, model)
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ======== URL-level web curation (CCNet/RefinedWeb stage 0) ====
     // the corpus has no URL column, so a deterministic per-doc URL is
     // built from (source, doc_id % 6) covering every normalizer rule
@@ -1564,6 +1594,51 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           col("url"))
         .orderBy(col("doc_id").asc, col("pos").asc)
+    }),
+
+    // ---- the streaming WARC front door: one micro-batch of RAW
+    // ARCHIVES (damage rotating by doc_id % 4 — clean / truncated
+    // framing / declared-br body / clean gzip) through the
+    // quarantining walk + charset-sniffed extraction; clean pages
+    // land in docs/ (charset surfaced), damaged records land in
+    // quarantine/ with their recovered identity — one output row per
+    // doc either way ----
+    "stream_warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val html = htmlPageOf(col("doc_id"), col("text"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://w"), col("doc_id") % 5,
+            lit(".example/p/"), col("doc_id")).as("uri"),
+          encode(html, "UTF-8").as("html"))
+      val warcs = graft.operators.WorkCols.spread(pages)
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, uri, page) =>
+            val arc = (id % 4) match {
+              case 1 =>
+                val f = graft.operators.Warc.encodeArchive(uri, page)
+                java.util.Arrays.copyOf(f, f.length - 8)
+              case 2 => graft.operators.Warc.encodeArchive(uri, page,
+                bodyCoding = 4)
+              case 3 => graft.operators.Warc.encodeArchive(uri, page,
+                gzip = true)
+              case _ => graft.operators.Warc.encodeArchive(uri, page)
+            }
+            (id, arc)
+          }
+        }.toDF("doc_id", "warc")
+      val out = java.nio.file.Files
+        .createTempDirectory("verify-warc-stream").toString
+      graft.streaming.Ingest.warcExtractBatch(warcs, 6L, out)
+      val docs = s.read.parquet(s"$out/docs/batch=6")
+        .select(col("doc_id"), lit("ok").as("status"),
+          col("charset").as("detail"), md5(col("text")).as("text_md5"))
+      val quarantined = s.read.parquet(s"$out/quarantine/batch=6")
+        .select(col("doc_id"), lit("err").as("status"),
+          col("rec_type").as("detail"),
+          lit(null).cast("string").as("text_md5"))
+      docs.unionByName(quarantined).orderBy(col("doc_id").asc)
     }),
 
     // ---- the streaming page front door in MAIN-CONTENT mode: the
@@ -5152,6 +5227,7 @@ object SparkEntry {
     "sql_tvf_curate" -> pipelineCurateOracle,
     "pipeline_curate_report" -> pipelineCurateReportOracle,
     "pipeline_clean_curate" -> pipelineCleanCurateOracle,
+    "pipeline_warc_curate" -> pipelineWarcCurateOracle,
 
     // HTML extraction: the page synthesis is invertible, so the
     // expected prose derives from the raw text — title line, the
@@ -5421,6 +5497,29 @@ object SparkEntry {
         |  'https://s.example/' || doc_id
         |FROM documents
         |ORDER BY doc_id ASC, pos ASC""".stripMargin,
+
+    // the streaming WARC front door: clean residues (0 = identity,
+    // 3 = gzip) land with the standard md5 chain and charset UTF-8;
+    // damaged residues (1 = truncated framing -> type unrecovered,
+    // 2 = br body -> identity kept) land in quarantine
+    "stream_warc_extract" ->
+      s"""WITH n AS (SELECT doc_id,
+        |    array_to_string(list_filter(list_transform(
+        |      string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'),
+        |        chr(10)),
+        |      x -> trim(x, ' ')), x -> x <> ''), chr(10)) AS nt
+        |  FROM documents)
+        |SELECT doc_id, 'ok' AS status, 'UTF-8' AS detail,
+        |  md5('Doc &' || chr(10) || doc_id || chr(10) || 'Doc Heading' ||
+        |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END ||
+        |    chr(10) || 'one and two') AS text_md5
+        |FROM n WHERE doc_id % 4 IN (0, 3)
+        |UNION ALL
+        |SELECT doc_id, 'err',
+        |  CASE WHEN doc_id % 4 = 1 THEN '' ELSE 'response' END,
+        |  NULL
+        |FROM documents WHERE doc_id % 4 IN (1, 2)
+        |ORDER BY doc_id ASC""".stripMargin,
 
     // the main-content streaming front door: chrome suppressed in
     // the landed text, the nav link still in the frontier
@@ -8813,6 +8912,30 @@ object SparkEntry {
        |    array_to_string(kept, chr(10)) AS text
        |  FROM bout WHERE len(kept) > 0),
        |${pipelineCurateChain("cleaned")}
+       |SELECT doc_id, CAST(lang_code AS BIGINT) AS lang_code,
+       |  n AS n_tokens, bin_id, bin_off,
+       |  CAST(CASE WHEN n > 256 THEN 1 ELSE 0 END AS BIGINT) AS overflow
+       |FROM f ORDER BY doc_id ASC""".stripMargin
+
+  /** The WARC-fed composition: the WET text (the web_warc_extract
+    * derivation — title/heading/normalized-prose/links chain, exact
+    * because the page synthesis is invertible) becomes the curate
+    * chain's input, so the whole CC front end (framing, gzip,
+    * charset sniff, HTML extraction) sits UNDER the quality gate,
+    * near-dup, langid, and packing stages of ONE oracle replay. */
+  private def pipelineWarcCurateOracle: String =
+    s"""WITH RECURSIVE nrm AS (SELECT doc_id,
+       |    array_to_string(list_filter(list_transform(
+       |      string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'),
+       |        chr(10)),
+       |      x -> trim(x, ' ')), x -> x <> ''), chr(10)) AS nt
+       |  FROM documents),
+       |wet AS (SELECT doc_id,
+       |    'Doc &' || chr(10) || doc_id || chr(10) || 'Doc Heading' ||
+       |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END ||
+       |    chr(10) || 'one and two' AS text
+       |  FROM nrm),
+       |${pipelineCurateChain("wet")}
        |SELECT doc_id, CAST(lang_code AS BIGINT) AS lang_code,
        |  n AS n_tokens, bin_id, bin_off,
        |  CAST(CASE WHEN n > 256 THEN 1 ELSE 0 END AS BIGINT) AS overflow

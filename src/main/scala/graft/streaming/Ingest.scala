@@ -704,6 +704,78 @@ object Ingest {
     ()
   }
 
+  /** Streaming WARC ingest — [[pageExtractStream]] moved up to RAW
+    * ARCHIVES, the true CommonCrawl front door: each micro-batch of
+    * (doc_id, warc) rows runs the quarantining container walk
+    * ([[graft.operators.Warc.recordsQuarantined]] — framing damage
+    * costs one record + a magic resync, undecodable codings keep
+    * their identity, never a task failure), decodes response bodies
+    * through the WHATWG charset sniff
+    * ([[graft.functions.CharsetKernel]] — the record's Content-Type
+    * header is the transport tier), extracts title/text/links once,
+    * and lands THREE batch-addressed sinks: `docs/batch=<id>`
+    * (doc_id, target_uri, charset, title, text), `links/batch=<id>`
+    * (doc_id, pos, href), and `quarantine/batch=<id>`
+    * (doc_id, rec_type, target_uri, err) — written EVEN WHEN EMPTY
+    * (a missing dir must mean "batch never ran", never "batch was
+    * clean"). All three overwrite their batch dir, so at-least-once
+    * replays are idempotent. `mainOnly` selects the main-content
+    * extraction; the link frontier always keeps chrome links. */
+  def warcExtractStream(warcs: DataFrame, outDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      mainOnly: Boolean = false): StreamingQuery =
+    warcs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        warcExtractBatch(batch, id, outDir, mainOnly)
+      }
+      .start()
+
+  /** [[warcExtractStream]]'s per-batch body (the testable-parity
+    * split). One localCheckpoint materializes the parsed records so
+    * the container walk runs once while three sinks consume. */
+  private[graft] def warcExtractBatch(batch0: DataFrame, batchId: Long,
+      outDir: String, mainOnly: Boolean = false): Unit = {
+    val spark = batch0.sparkSession
+    val batch = batch0.select(col("doc_id").cast("long").as("doc_id"),
+      col("warc"))
+    if (batch.isEmpty) return
+    val recs = graft.operators.Warc.recordsQuarantined(spark, batch)
+      .toDF().localCheckpoint()
+    val html = graft.functions.vfs_charset_decode(col("body"),
+      col("content_type"))
+    val textOf =
+      if (mainOnly) graft.functions.vfs_html_main_text(col("html"))
+      else graft.functions.vfs_html_text(col("html"))
+    val ex = recs
+      .filter(col("err").isNull && col("rec_type") === "response")
+      .select(col("doc_id"), col("target_uri"),
+        graft.functions.vfs_charset_detect(col("body"),
+          col("content_type")).as("charset"),
+        html.as("html"))
+      .select(col("doc_id"), col("target_uri"), col("charset"),
+        graft.functions.vfs_html_title(col("html")).as("title"),
+        textOf.as("text"),
+        graft.functions.vfs_html_links(col("html")).as("links"))
+      .localCheckpoint()
+    ex.select(col("doc_id"), col("target_uri"), col("charset"),
+        col("title"), col("text"))
+      .write.mode("overwrite").parquet(s"$outDir/docs/batch=$batchId")
+    ex.select(col("doc_id"),
+        posexplode(col("links")).as(Seq("pos", "href")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("href"))
+      .write.mode("overwrite").parquet(s"$outDir/links/batch=$batchId")
+    recs.filter(col("err").isNotNull)
+      .select(col("doc_id"), col("rec_type"), col("target_uri"),
+        col("err"))
+      .write.mode("overwrite")
+      .parquet(s"$outDir/quarantine/batch=$batchId")
+    ()
+  }
+
   /** One micro-batch of the URL-dedup ingest loop, REPLAY-IDEMPOTENT
     * BY CONSTRUCTION (the [[boilerplateBatch]] stance — no crash
     * point needs a residue heuristic):

@@ -718,6 +718,43 @@ object Explain {
         "honest per-host sequence; cap the frontier first)") {
       graft.SparkEntry.queries("web_politeness_schedule")(spark, dir)
     }
+    show("charset-sniffed decode (expect: ONE codegen projection — " +
+        "detect + decode are pure per-row kernels over the " +
+        "encoder-twin bodies; the UTF-8 fast path returns bytes " +
+        "zero-copy inside the same kernel, no plan change)") {
+      graft.SparkEntry.queries("web_charset_decode")(spark, dir)
+    }
+    show("warc quarantine walk (expect: spread exchange, ONE " +
+        "MapPartitions parse kernel emitting err rows, then one " +
+        "hash agg for the per-archive counts — damage routing adds " +
+        "zero operators over the strict walk)") {
+      graft.SparkEntry.queries("web_warc_quarantine")(spark, dir)
+    }
+    show("crawl frontier end to end (expect: link explode + resolve " +
+        "codegen, robots left join, ONE host window — no cartesian, " +
+        "no extra exchange between the gate and the schedule)") {
+      graft.SparkEntry.queries("pipeline_crawl_frontier")(spark, dir)
+    }
+    show("sitemap two-hop frontier (expect: two sitemap-locs " +
+        "explodes, the child fetch as a hash join on the hop-1 URL, " +
+        "LEFT ANTI against the UrlIndex stored keys, robots left " +
+        "join, ONE host window — the whole discovery path without a " +
+        "cartesian)") {
+      graft.SparkEntry.queries("pipeline_crawl_frontier_sitemap")(spark, dir)
+    }
+    show("warc -> wet -> curate, the full CC flow (expect: the " +
+        "records() MapPartitions kernel + ONE codegen " +
+        "charset+html projection feeding the curate stages' " +
+        "persisted-gate pipeline — the front end adds zero " +
+        "exchanges)") {
+      graft.SparkEntry.queries("pipeline_warc_curate")(spark, dir)
+    }
+    show("streaming politeness fold in batchMode (expect: the " +
+        "politeness stage join feeding ONE FlatMapGroupsWithState — " +
+        "per-host state replaces the window sort; no second " +
+        "exchange)") {
+      graft.SparkEntry.queries("stream_politeness_schedule")(spark, dir)
+    }
     spark.stop()
   }
 }

@@ -351,6 +351,60 @@ object ScaleProbe {
       println(s"[scale-probe]   keyframes: ${r.head.getLong(0)}, " +
         s"kf bytes: ${r.head.getLong(1)}")
     }
+    time("charset sniff + decode over 500k mixed-charset pages " +
+        "(doc_id % 5 rotates BOM'd UTF-8 / declared cp1252 / meta " +
+        "Shift_JIS / undeclared cp1252 / declared UTF-8; two pure " +
+        "per-row kernels, UTF-8 bodies return zero-copy)") {
+      import graft.functions._
+      val r = $"doc_id" % 5
+      val label = element_at(array(lit("utf-8"), lit("windows-1252"),
+        lit("shift_jis"), lit("windows-1252"), lit("utf-8")),
+        (r + 1).cast("int"))
+      val payload = concat(
+        when(r === 2, lit("<meta charset=\"shift_jis\">"))
+          .otherwise(lit("")), $"text", lit(" café €"))
+      val bom = lit(Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte))
+      val encoded = vfs_charset_encode(payload, label)
+      val body = when(r === 0, concat(bom, encoded)).otherwise(encoded)
+      val ct = when(r === 1, lit("text/html; charset=windows-1252"))
+        .when(r === 4, lit("text/html; charset=utf-8"))
+        .otherwise(lit(null).cast("string"))
+      mediaDocs.select(
+          length(vfs_charset_decode(body, ct)).as("n"),
+          length(vfs_charset_detect(body, ct)).as("c"))
+        .agg(sum($"n"), sum($"c")).collect()
+    }
+    time("WARC quarantine walk over 500k archives (1 in 4 damaged: " +
+        "truncated framing or a declared-br body; err rows + magic " +
+        "resync inside the per-partition parse, zero extra " +
+        "operators)") {
+      val pages = mediaDocs.select($"doc_id",
+        concat(lit("<p>"), $"text", lit("</p>")).as("html"))
+      val warcs = graft.operators.WorkCols.spread(pages)
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, html) =>
+            val bytes = html.getBytes("UTF-8")
+            val uri = s"https://q${id % 7}.example/p/$id"
+            val arc = (id % 4) match {
+              case 1 =>
+                val f = graft.operators.Warc.encodeArchive(uri, bytes)
+                java.util.Arrays.copyOf(f, f.length - 8)
+              case 2 => graft.operators.Warc.encodeArchive(uri, bytes,
+                bodyCoding = 4)
+              case _ => graft.operators.Warc.encodeArchive(uri, bytes)
+            }
+            (id, arc)
+          }
+        }.toDF("doc_id", "warc")
+      val rows = graft.operators.Warc.recordsQuarantined(spark, warcs)
+        .toDF()
+      val r = rows.agg(
+        sum(when($"err".isNull, 1L).otherwise(0L)),
+        sum(when($"err".isNotNull, 1L).otherwise(0L))).collect()
+      println(s"[scale-probe]   ok records: ${r.head.getLong(0)}, " +
+        s"err rows: ${r.head.getLong(1)}")
+    }
     time("WARC non-identity bodies over 500k archives (doc_id % 4 " +
         "rotates identity/chunked/gzip/chunked-over-gzip; dechunk + " +
         "gunzip inside the per-record parse)") {

@@ -196,6 +196,39 @@ class WarcSpec extends AnyFunSuite {
       Seq("https://q/a", "https://q/b"))
   }
 
+  test("warcExtractBatch: clean pages land with charset, damaged records land in quarantine (written even when empty), replays overwrite identically") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val page = "<title>T</title><p>body <a href=\"/x\">x</a></p>"
+      .getBytes("UTF-8")
+    val clean = Warc.encodeArchive("https://s/1", page)
+    val br = Warc.encodeArchive("https://s/2", page, bodyCoding = 4)
+    val out = java.nio.file.Files
+      .createTempDirectory("warc-stream").toString
+    val batch = Seq((1L, clean), (2L, br)).toDF("doc_id", "warc")
+    graft.streaming.Ingest.warcExtractBatch(batch, 0L, out)
+    val docs = spark.read.parquet(s"$out/docs/batch=0")
+      .select($"doc_id", $"charset", $"title", $"text")
+      .as[(Long, String, String, String)].collect().toSeq
+    assert(docs === Seq((1L, "UTF-8", "T", "T\nbody x")))
+    val links = spark.read.parquet(s"$out/links/batch=0")
+      .select($"doc_id", $"href").as[(Long, String)].collect().toSeq
+    assert(links === Seq((1L, "/x")))
+    val q = spark.read.parquet(s"$out/quarantine/batch=0")
+      .select($"doc_id", $"rec_type", $"target_uri")
+      .as[(Long, String, String)].collect().toSeq
+    assert(q === Seq((2L, "response", "https://s/2")))
+    // replay: identical bytes land (overwrite, not append)
+    graft.streaming.Ingest.warcExtractBatch(batch, 0L, out)
+    assert(spark.read.parquet(s"$out/docs/batch=0").count() === 1L)
+    assert(spark.read.parquet(s"$out/quarantine/batch=0").count() === 1L)
+    // an all-clean batch still writes its (empty) quarantine dir —
+    // a missing dir must mean "never ran", never "was clean"
+    graft.streaming.Ingest.warcExtractBatch(
+      Seq((3L, clean)).toDF("doc_id", "warc"), 1L, out)
+    assert(spark.read.parquet(s"$out/quarantine/batch=1").count() === 0L)
+  }
+
   test("records() chains into the HTML kernel; the synthesizer gzips every 3rd archive") {
     val spark = GraftTest.spark
     import spark.implicits._
