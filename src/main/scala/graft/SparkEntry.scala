@@ -1536,10 +1536,11 @@ object SparkEntry {
 
     // ---- the politeness schedule's STREAMING twin: the same
     // per-host ordinal assignment as a stateful fold (state = one
-    // long per host, continuing across micro-batches) — batchMode
-    // runs the identical fold over the static frame, so the row
-    // replays web_politeness_schedule's arithmetic exactly (the
-    // established flatMapGroupsWithState oracle shape) ----
+    // long per host, continuing across micro-batches) — over a
+    // static frame the fold runs in one pass with empty state, so
+    // the row replays web_politeness_schedule's arithmetic exactly
+    // (the flatMapGroupsWithState oracle shape, no mode flag — the
+    // fold has no watermark to gate) ----
     "stream_politeness_schedule" -> ((s, dir) => {
       import s.implicits._
       val urls = s.read.parquet(s"$dir/documents.parquet")
@@ -1552,7 +1553,7 @@ object SparkEntry {
         ("h1.example", "User-agent: *\nCrawl-delay: 0.5\n"))
         .toDF("host", "robots_txt")
       graft.streaming.Ingest
-        .politenessStream(urls, robots, "graftbot", batchMode = true)
+        .politenessStream(urls, robots, "graftbot")
         .select(col("doc_id"), col("host"), col("delay_milli"),
           col("fetch_seq"), col("fetch_at_milli"))
         .orderBy(col("doc_id").asc)

@@ -156,18 +156,44 @@ object PdfKernel {
 
   /** The dict text with every NESTED `<< … >>` span blanked to
     * spaces (offsets preserved), so key scans see top-level entries
-    * only. The outermost `<<`/`>>` pair (byte 0, when present) is
-    * kept — `dict` as handed in starts at the governing opener. */
+    * only. String literals `(…)` (balanced parens, backslash
+    * escapes) and hex strings `<…>` are blanked at EVERY depth and
+    * never counted as dict delimiters — a `<<` inside a string must
+    * not push the depth, and a top-level string containing the bytes
+    * "/Length 3" must not fool the key regex. The outermost
+    * `<<`/`>>` pair is kept — `dict` starts at the governing
+    * opener. */
   private def stripNestedDicts(dict: String): String = {
     val sb = new java.lang.StringBuilder(dict)
     var depth = 0
     var i = 0
-    while (i + 1 < sb.length) {
-      if (sb.charAt(i) == '<' && sb.charAt(i + 1) == '<') {
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (c == '(') {
+        // string literal: blank through the balanced close
+        var pd = 1
+        sb.setCharAt(i, ' '); i += 1
+        while (i < sb.length && pd > 0) {
+          val sc = sb.charAt(i)
+          if (sc == '\\' && i + 1 < sb.length) {
+            sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' '); i += 2
+          } else {
+            if (sc == '(') pd += 1
+            else if (sc == ')') pd -= 1
+            sb.setCharAt(i, ' '); i += 1
+          }
+        }
+      } else if (c == '<' && i + 1 < sb.length && sb.charAt(i + 1) == '<') {
         depth += 1
         if (depth > 1) { sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' ') }
         i += 2
-      } else if (sb.charAt(i) == '>' && sb.charAt(i + 1) == '>') {
+      } else if (c == '<') {
+        // hex string: blank to its '>'
+        while (i < sb.length && sb.charAt(i) != '>') {
+          sb.setCharAt(i, ' '); i += 1
+        }
+        if (i < sb.length) { sb.setCharAt(i, ' '); i += 1 }
+      } else if (c == '>' && i + 1 < sb.length && sb.charAt(i + 1) == '>') {
         if (depth > 1) { sb.setCharAt(i, ' '); sb.setCharAt(i + 1, ' ') }
         depth = math.max(0, depth - 1)
         i += 2

@@ -275,33 +275,30 @@ object SitemapKernel {
         while (cdAt < s.length && s.charAt(cdAt).isWhitespace) cdAt += 1
         val isCdata = !selfClosed &&
           s.regionMatches(false, cdAt, "<![CDATA[", 0, 9)
+        // an unterminated CDATA runs to end-of-input (the tolerant
+        // unclosed-loc stance)
+        val cdEnd = if (isCdata) s.indexOf("]]>", cdAt + 9) else -1
+        // the close-tag scan starts past the CDATA value (a '</loc'
+        // inside it is content, not markup) — ONE scan serves both
+        // the value slice and the loop advance
+        val scanFrom =
+          if (isCdata) { if (cdEnd < 0) s.length else cdEnd + 3 }
+          else bodyAt
+        val close = if (selfClosed) bodyAt else indexOfClose(s, scanFrom)
         val value =
-          if (isCdata) {
-            val cdEnd = s.indexOf("]]>", cdAt + 9)
-            // an unterminated CDATA runs to end-of-input (the
-            // tolerant unclosed-loc stance)
+          if (isCdata)
             (if (cdEnd < 0) s.substring(cdAt + 9)
              else s.substring(cdAt + 9, cdEnd)).trim
-          } else {
+          else if (selfClosed) ""
+          else
             // terminate at THIS element's close tag specifically —
             // the first '</' would cut nested markup short
-            var end = indexOfClose(s, bodyAt)
-            if (end < 0) end = s.length
-            if (selfClosed) end = bodyAt
-            decodeXml(s.substring(bodyAt, end).trim).trim
-          }
+            decodeXml(s.substring(bodyAt,
+              if (close < 0) s.length else close).trim).trim
         // dangling/self-closed/empty loc elements carry no URL —
         // never emit an empty-string frontier row
         if (value.nonEmpty) out += UTF8String.fromString(value)
-        // resume past the value: for CDATA that means past ']]>'
-        // first (a '</loc' inside it is content, not markup)
-        val resumeFrom =
-          if (isCdata) {
-            val cdEnd = s.indexOf("]]>", cdAt + 9)
-            if (cdEnd < 0) s.length else cdEnd + 3
-          } else bodyAt
-        val close = if (selfClosed) bodyAt else indexOfClose(s, resumeFrom)
-        i = if (close < 0) s.length else math.max(close, resumeFrom)
+        i = if (close < 0) s.length else close
       } else i += 1
     }
     out.toArray

@@ -156,18 +156,21 @@ object Warc {
     out.toSeq
   }
 
-  /** Index of the next `WARC/1.` magic at or after `from` (the
-    * resync point after a framing failure); `bytes.length` when none
-    * remains. Payload extents of HEALTHY records are skipped
-    * wholesale by the framing walk, so only damaged regions are ever
-    * scanned for the magic. */
+  /** Index of the next `WARC/<digit>` magic at or after `from` (the
+    * resync point after a framing failure — any version, matching
+    * [[recordAt]]'s own `WARC/` acceptance: a WARC/0.18 heritrix
+    * archive must resync too, or one damaged record silently drops
+    * every record after it); `bytes.length` when none remains.
+    * Payload extents of HEALTHY records are skipped wholesale by the
+    * framing walk, so only damaged regions are ever scanned. */
   private def resyncAt(bytes: Array[Byte], from: Int): Int = {
-    val magic = "WARC/1.".getBytes(StandardCharsets.US_ASCII)
+    val magic = "WARC/".getBytes(StandardCharsets.US_ASCII)
     var i = math.max(0, from)
-    while (i + magic.length <= bytes.length) {
+    while (i + magic.length + 1 <= bytes.length) {
       var j = 0
       while (j < magic.length && bytes(i + j) == magic(j)) j += 1
-      if (j == magic.length) return i
+      if (j == magic.length && bytes(i + magic.length) >= '0' &&
+        bytes(i + magic.length) <= '9') return i
       i += 1
     }
     bytes.length

@@ -714,13 +714,16 @@ object Ingest {
     * ([[graft.functions.CharsetKernel]] — the record's Content-Type
     * header is the transport tier), extracts title/text/links once,
     * and lands THREE batch-addressed sinks: `docs/batch=<id>`
-    * (doc_id, target_uri, charset, title, text), `links/batch=<id>`
-    * (doc_id, pos, href), and `quarantine/batch=<id>`
-    * (doc_id, rec_type, target_uri, err) — written EVEN WHEN EMPTY
-    * (a missing dir must mean "batch never ran", never "batch was
-    * clean"). All three overwrite their batch dir, so at-least-once
-    * replays are idempotent. `mainOnly` selects the main-content
-    * extraction; the link frontier always keeps chrome links. */
+    * (doc_id, target_uri, http_status, charset, title, text — the
+    * status rides along so error-page bodies stay filterable),
+    * `links/batch=<id>` (doc_id, pos, href), and
+    * `quarantine/batch=<id>` (doc_id, rec_type, target_uri, err).
+    * ALL THREE dirs are written EVEN WHEN EMPTY — including for a
+    * zero-row trigger — because a missing dir must mean "batch never
+    * ran", never "batch was clean". All three overwrite their batch
+    * dir, so at-least-once replays are idempotent. `mainOnly`
+    * selects the main-content extraction; the link frontier always
+    * keeps chrome links. */
   def warcExtractStream(warcs: DataFrame, outDir: String,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),
@@ -741,7 +744,9 @@ object Ingest {
     val spark = batch0.sparkSession
     val batch = batch0.select(col("doc_id").cast("long").as("doc_id"),
       col("warc"))
-    if (batch.isEmpty) return
+    // NO empty-batch early return: all three batch dirs land even
+    // for a zero-row trigger — a missing dir must mean "batch never
+    // ran", and Structured Streaming does fire empty batches
     val recs = graft.operators.Warc.recordsQuarantined(spark, batch)
       .toDF().localCheckpoint()
     val html = graft.functions.vfs_charset_decode(col("body"),
@@ -752,16 +757,22 @@ object Ingest {
     val ex = recs
       .filter(col("err").isNull && col("rec_type") === "response")
       .select(col("doc_id"), col("target_uri"),
+        col("http_status").cast("long").as("http_status"),
         graft.functions.vfs_charset_detect(col("body"),
           col("content_type")).as("charset"),
         html.as("html"))
-      .select(col("doc_id"), col("target_uri"), col("charset"),
+      .select(col("doc_id"), col("target_uri"), col("http_status"),
+        col("charset"),
         graft.functions.vfs_html_title(col("html")).as("title"),
         textOf.as("text"),
         graft.functions.vfs_html_links(col("html")).as("links"))
       .localCheckpoint()
-    ex.select(col("doc_id"), col("target_uri"), col("charset"),
-        col("title"), col("text"))
+    // http_status rides the docs sink so a consumer CAN filter error
+    // pages (404 boilerplate must be distinguishable corpus-side);
+    // landing every response is deliberate — status policy belongs
+    // to the reader, not the front door
+    ex.select(col("doc_id"), col("target_uri"), col("http_status"),
+        col("charset"), col("title"), col("text"))
       .write.mode("overwrite").parquet(s"$outDir/docs/batch=$batchId")
     ex.select(col("doc_id"),
         posexplode(col("links")).as(Seq("pos", "href")))
@@ -1914,17 +1925,24 @@ object Ingest {
     * replaced by a flatMapGroupsWithState fold whose state is ONE
     * LONG per host (the last assigned ordinal) — politeness itself
     * bounds the useful host fan, so state stays host-sized. `robots`
-    * is a STATIC frame (stream-static joins are Spark-native).
-    * `batchMode = true` runs the same fold over a static frame in
-    * one pass — how the oracle row executes; batch parity with
-    * politenessSchedule is exact. Rows whose URL yields no host
-    * group under the empty-string host with default delay (the batch
-    * window's NULL-host group, made explicit so the state key is
-    * never null). */
+    * is a STATIC frame (stream-static joins are Spark-native). The
+    * same call over a static frame runs the fold in one pass with
+    * empty initial state and matches the batch window's
+    * delay/seq/offset arithmetic exactly — no mode flag needed (the
+    * fold has no watermark or timeout to gate).
+    *
+    * Output contract — SLIM, unlike [[WebCuration
+    * .politenessSchedule]] which preserves every caller column: the
+    * stateful fold carries typed rows, so only (host, orderCol
+    * AS LONG, urlCol, delay_milli, fetch_seq, fetch_at_milli) come
+    * back; join extra frontier columns back on `orderCol`
+    * downstream. Rows whose URL yields no host group under the
+    * empty-string host with the default delay (the batch window's
+    * NULL-host group, made explicit so the state key is never
+    * null). */
   def politenessStream(urls: DataFrame, robots: DataFrame,
       userAgent: String, defaultDelayMilli: Long = 1000L,
-      urlCol: String = "url", orderCol: String = "doc_id",
-      batchMode: Boolean = false): DataFrame = {
+      urlCol: String = "url", orderCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     require(userAgent.nonEmpty,
       "[GRAFT] politenessStream: empty user agent")

@@ -65,6 +65,14 @@ class CharsetSpec extends AnyFunSuite {
     val commented = ("<!-- <meta charset=\"shift_jis\"> -->" +
       "<meta charset=\"windows-1252\"><p>x").getBytes("windows-1252")
     assert(detect(commented, null) === "windows-1252")
+    // an EARLIER non-declaration occurrence of the word "charset"
+    // in the same tag must not hide the real declaration behind it
+    val decoy = ("<meta data-x=\"charset note\" http-equiv=" +
+      "\"content-type\" content=\"text/html; charset=shift_jis\">" +
+      "<p>x").getBytes("Shift_JIS")
+    assert(detect(decoy, null) === "Shift_JIS")
+    assert(detect("abc".getBytes("UTF-8"),
+      "text/html; charset=klingon; charset=utf-8") === "UTF-8")
     // beyond the 1024-byte prescan window the meta is invisible
     val far = (" " * 1100 + "<meta charset=\"shift_jis\">")
       .getBytes("US-ASCII")

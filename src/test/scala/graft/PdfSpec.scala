@@ -131,6 +131,14 @@ class PdfSpec extends AnyFunSuite {
       s"/Length ${c3.length} >>\nstream\n$c3\nendstream\nendobj\n")
       .getBytes("US-ASCII")
     assert(extract(nestedLen) === "good")
+    // string literals inside the dict must not fool the top-level
+    // scan: a '<<' inside (…) is not a dict opener, and a string
+    // containing the bytes "/Length 3" is not a key
+    val c4 = "BT (strs) Tj ET"
+    val strLit = (s"%PDF-1.4\n1 0 obj << /T (note <<x>> \\) /Length 3) " +
+      s"/U <4142> /Length ${c4.length} >>\nstream\n$c4\nendstream\nendobj\n")
+      .getBytes("US-ASCII")
+    assert(extract(strLit) === "strs")
     // a dict-less stream must not adopt the PREVIOUS object's dict
     val orphan = (s"%PDF-1.4\n" +
       s"1 0 obj << /Length 4 /Filter /LZWDecode >> endobj\n" +

@@ -227,6 +227,30 @@ class WarcSpec extends AnyFunSuite {
     graft.streaming.Ingest.warcExtractBatch(
       Seq((3L, clean)).toDF("doc_id", "warc"), 1L, out)
     assert(spark.read.parquet(s"$out/quarantine/batch=1").count() === 0L)
+    // http_status rides the docs sink (error pages must stay
+    // filterable corpus-side)
+    assert(spark.read.parquet(s"$out/docs/batch=1")
+      .select($"http_status").as[Long].collect().toSeq === Seq(200L))
+    // a ZERO-ROW trigger still lands all three dirs
+    graft.streaming.Ingest.warcExtractBatch(
+      Seq.empty[(Long, Array[Byte])].toDF("doc_id", "warc"), 2L, out)
+    for (d <- Seq("docs", "links", "quarantine"))
+      assert(spark.read.parquet(s"$out/$d/batch=2").count() === 0L, d)
+  }
+
+  test("recordsQuarantined resyncs on ANY WARC version magic — a damaged record in a WARC/0.18 archive costs one record, not the rest") {
+    def record(version: String, body: String): Array[Byte] =
+      (s"WARC/$version\r\nWARC-Type: metadata\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n$body\r\n\r\n")
+        .getBytes("US-ASCII")
+    val damaged = "WARC/0.18\r\nWARC-Type: metadata\r\nnope\r\n\r\n"
+      .getBytes("US-ASCII") // no Content-Length → framing err
+    val mixed = record("0.18", "first") ++ damaged ++
+      record("0.18", "second")
+    val recs = Warc.parseArchiveQuarantined(mixed)
+    assert(recs.count(_._6 == null) === 2,
+      "both healthy 0.18 records must survive the resync")
+    assert(recs.count(_._6 != null) === 1)
   }
 
   test("records() chains into the HTML kernel; the synthesizer gzips every 3rd archive") {

@@ -653,7 +653,7 @@ class WebCurationSpec extends AnyFunSuite {
     assert(mega.map(_._3).toSeq === Seq(0L, 1000L, 2000L, 3000L, 4000L))
   }
 
-  test("politenessStream: per-host ordinals CONTINUE across micro-batches (state = last seq per host); batchMode matches the batch window") {
+  test("politenessStream: per-host ordinals CONTINUE across micro-batches (state = last seq per host); a static-frame run matches the batch window") {
     val spark = GraftTest.spark
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -692,7 +692,7 @@ class WebCurationSpec extends AnyFunSuite {
       (2L, "https://other.example/x"), (3L, "https://slow.example/b"),
       (4L, "https://slow.example/c")).toDF("doc_id", "url")
     val bm = graft.streaming.Ingest.politenessStream(urls, robots,
-        "graftbot", batchMode = true)
+        "graftbot")
       .select($"doc_id", $"fetch_seq", $"fetch_at_milli")
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     val bw = graft.operators.WebCuration.politenessSchedule(urls,
