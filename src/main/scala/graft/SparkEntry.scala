@@ -1534,6 +1534,54 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- redirect-chain resolution: half the archives are 301
+    // responses with a RELATIVE Location (surfaced by the WARC walk,
+    // absolutized via RFC 3986 against the record's own URI); docs
+    // with doc_id % 4 == 3 get a SECOND synthetic hop (the landing
+    // page itself moved) — resolveRedirects maps every crawled URL
+    // to its final destination with the hop count, all residue-
+    // derivable ----
+    "web_redirect_resolve" -> ((s, dir) => {
+      import s.implicits._
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://r"), col("doc_id") % 5,
+            lit(".example/a/x/"), col("doc_id")).as("uri"),
+          concat(lit("<p>"), col("text"), lit("</p>")).as("html"))
+      val warcs = graft.operators.WorkCols.spread(pages)
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          it.map { case (id, uri, html) =>
+            val arc =
+              if (id % 2 == 1) graft.operators.Warc.encodeArchive(uri,
+                Array.emptyByteArray, redirectTo = s"../p/$id")
+              else graft.operators.Warc.encodeArchive(uri,
+                html.getBytes("UTF-8"))
+            (id, arc)
+          }
+        }.toDF("doc_id", "warc")
+      val resp = graft.operators.Warc.records(s, warcs).toDF()
+        .filter(col("rec_type") === "response")
+      val crawlEdges = resp
+        .filter(col("http_status").between(300, 399) &&
+          col("location") =!= "")
+        .select(col("target_uri").as("from_url"),
+          graft.functions.vfs_url_resolve(col("target_uri"),
+            col("location")).as("to_url"))
+      val extra = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 4 === 3)
+        .select(concat(lit("https://r"), col("doc_id") % 5,
+            lit(".example/a/p/"), col("doc_id")).as("from_url"),
+          concat(lit("https://final.example/"), col("doc_id"))
+            .as("to_url"))
+      graft.operators.WebCuration.resolveRedirects(
+          resp.select(col("doc_id"), col("target_uri").as("url")),
+          crawlEdges.unionByName(extra), maxHops = 3)
+        .select(col("doc_id"), col("url"), col("final_url"),
+          col("n_hops"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- the politeness schedule's STREAMING twin: the same
     // per-host ordinal assignment as a stateful fold (state = one
     // long per host, continuing across micro-batches) — over a
@@ -5441,6 +5489,21 @@ object SparkEntry {
         |  CAST(seq AS BIGINT) AS fetch_seq,
         |  CAST((seq - 1) * delay AS BIGINT) AS fetch_at_milli
         |FROM r ORDER BY doc_id ASC, url ASC""".stripMargin,
+
+    // redirect resolution by residue: even docs stay put, odd docs
+    // hop once via the relative Location, doc_id % 4 == 3 hops twice
+    "web_redirect_resolve" ->
+      s"""SELECT doc_id,
+        |  'https://r' || (doc_id % 5) || '.example/a/x/' || doc_id
+        |    AS url,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |      'https://r' || (doc_id % 5) || '.example/a/x/' || doc_id
+        |    WHEN doc_id % 4 = 1 THEN
+        |      'https://r' || (doc_id % 5) || '.example/a/p/' || doc_id
+        |    ELSE 'https://final.example/' || doc_id END AS final_url,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+        |    WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS BIGINT) AS n_hops
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
 
     // the streaming politeness fold in batchMode replays the batch
     // window's arithmetic exactly

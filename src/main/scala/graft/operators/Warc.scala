@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * record carries none), the HTTP status (0 for non-response
   * records), the response's Content-Type header value lowercased
   * ("" when absent/non-response — the charset sniff's transport
-  * tier, [[graft.functions.CharsetKernel]]), and the PAYLOAD — for
-  * `response` records the HTTP body after the header block, for
-  * everything else the raw content. */
+  * tier, [[graft.functions.CharsetKernel]]), the Location header
+  * AS WRITTEN ("" when absent — redirect targets are URLs whose
+  * case matters, routinely RELATIVE: resolve against target_uri
+  * with `vfs_url_resolve`), and the PAYLOAD — for `response`
+  * records the HTTP body after the header block, for everything
+  * else the raw content. */
 case class WarcRecordRow(doc_id: Long, rec_type: String,
     target_uri: String, http_status: Int, content_type: String,
-    body: Array[Byte])
+    location: String, body: Array[Byte])
 
 /** [[WarcRecordRow]] plus an `err` column — the quarantining twin's
   * row shape ([[Warc.recordsQuarantined]]): err = null on success;
@@ -23,7 +26,7 @@ case class WarcRecordRow(doc_id: Long, rec_type: String,
   * damage) with an empty body. */
 case class WarcRecordQRow(doc_id: Long, rec_type: String,
     target_uri: String, http_status: Int, content_type: String,
-    body: Array[Byte], err: String)
+    location: String, body: Array[Byte], err: String)
 
 /** WARC/1.0 container parsing (ISO 28500 — the CommonCrawl archive
   * format), pure JVM: record framing (header lines + Content-Length
@@ -51,13 +54,13 @@ object Warc {
 
   /** Parse every record of one archive (plain or gzipped —
     * multi-member gzip is read through, the CC layout). */
-  private[graft] def parseArchive(bytes0: Array[Byte]): Seq[(String, String, Int, String, Array[Byte])] = {
+  private[graft] def parseArchive(bytes0: Array[Byte]): Seq[(String, String, Int, String, String, Array[Byte])] = {
     val bytes =
       if (bytes0.length >= 2 && (bytes0(0) & 0xff) == 0x1f &&
         (bytes0(1) & 0xff) == 0x8b) gunzipAll(bytes0)
       else bytes0
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Int, String, Array[Byte])]
+      .empty[(String, String, Int, String, String, Array[Byte])]
     var pos = 0
     while (pos < bytes.length) {
       // tolerate the inter-record CRLF CRLF separators
@@ -65,10 +68,10 @@ object Warc {
         (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
       if (pos < bytes.length) {
         val (recType, uri, content, next) = recordAt(bytes, pos)
-        val (status, contentType, payload) =
+        val (status, contentType, location, payload) =
           if (recType == "response") splitHttp(content)
-          else (0, "", content)
-        out += ((recType, uri, status, contentType, payload))
+          else (0, "", "", content)
+        out += ((recType, uri, status, contentType, location, payload))
         pos = next
       }
     }
@@ -112,9 +115,9 @@ object Warc {
     * an empty body. A corrupt gzip envelope or an empty archive
     * yields a single err row. Success rows carry err = null. */
   private[graft] def parseArchiveQuarantined(bytes0: Array[Byte])
-      : Seq[(String, String, Int, String, Array[Byte], String)] = {
+      : Seq[(String, String, Int, String, String, Array[Byte], String)] = {
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Int, String, Array[Byte], String)]
+      .empty[(String, String, Int, String, String, Array[Byte], String)]
     def errOf(e: Throwable): String =
       e.getClass.getSimpleName + ": " +
         Option(e.getMessage).getOrElse("").take(300)
@@ -124,7 +127,7 @@ object Warc {
           (bytes0(1) & 0xff) == 0x8b) gunzipAll(bytes0)
         else bytes0
       } catch { case e: Exception =>
-        return Seq(("", "", 0, "", Array.emptyByteArray, errOf(e)))
+        return Seq(("", "", 0, "", "", Array.emptyByteArray, errOf(e)))
       }
     var pos = 0
     while (pos < bytes.length) {
@@ -134,23 +137,24 @@ object Warc {
         try {
           val (recType, uri, content, next) = recordAt(bytes, pos)
           try {
-            val (status, contentType, payload) =
+            val (status, contentType, location, payload) =
               if (recType == "response") splitHttp(content)
-              else (0, "", content)
-            out += ((recType, uri, status, contentType, payload, null))
+              else (0, "", "", content)
+            out += ((recType, uri, status, contentType, location,
+              payload, null))
           } catch { case e: Exception =>
-            out += ((recType, uri, 0, "", Array.emptyByteArray,
+            out += ((recType, uri, 0, "", "", Array.emptyByteArray,
               errOf(e)))
           }
           pos = next
         } catch { case e: Exception =>
-          out += (("", "", 0, "", Array.emptyByteArray, errOf(e)))
+          out += (("", "", 0, "", "", Array.emptyByteArray, errOf(e)))
           pos = resyncAt(bytes, pos + 1)
         }
       }
     }
     if (out.isEmpty)
-      out += (("", "", 0, "", Array.emptyByteArray,
+      out += (("", "", 0, "", "", Array.emptyByteArray,
         "IllegalArgumentException: [GRAFT] warc: no records in the " +
           "archive"))
     out.toSeq
@@ -197,19 +201,22 @@ object Warc {
   }
 
   /** HTTP response content → (status, lowercased Content-Type value
-    * or "", IDENTITY body after the header block): chunked transfer
-    * coding removed, then gzip/deflate content coding decompressed. */
-  private def splitHttp(content: Array[Byte]): (Int, String, Array[Byte]) = {
+    * or "", Location header as written or "", IDENTITY body after
+    * the header block): chunked transfer coding removed, then
+    * gzip/deflate content coding decompressed. */
+  private def splitHttp(content: Array[Byte]): (Int, String, String, Array[Byte]) = {
     val (lines, bodyAt) = headerBlock(content, 0)
     val statusLine = lines.headOption.getOrElse("")
     require(statusLine.startsWith("HTTP/"),
       "[GRAFT] warc: response content without an HTTP status line")
     val parts = statusLine.split(" ")
     require(parts.length >= 2, "[GRAFT] warc: malformed status line")
+    // header VALUES stay as written — Location is a URL whose case
+    // matters; the coding/type lookups lowercase at their use sites
     val fields = lines.tail.flatMap { l =>
       val c = l.indexOf(':')
       if (c > 0) Some(l.substring(0, c).trim.toLowerCase ->
-        l.substring(c + 1).trim.toLowerCase)
+        l.substring(c + 1).trim)
       else None
     }.toMap
     var body = java.util.Arrays.copyOfRange(content, bodyAt,
@@ -221,21 +228,22 @@ object Warc {
     // not decode as a TRANSFER coding: fail loudly naming it rather
     // than letting binary garbage flow into the HTML kernel
     val te = fields.get("transfer-encoding").toSeq
-      .flatMap(_.split(',')).map(_.trim)
+      .flatMap(_.split(',')).map(_.trim.toLowerCase)
       .filter(c => c.nonEmpty && c != "identity")
     val teRest =
       if (te.lastOption.contains("chunked")) { body = dechunk(body); te.init }
       else te
     teRest.foreach(c => throw new IllegalArgumentException(
       s"[GRAFT] warc: unsupported Transfer-Encoding '$c'"))
-    fields.getOrElse("content-encoding", "identity") match {
+    fields.getOrElse("content-encoding", "identity").toLowerCase match {
       case "identity" | "" => ()
       case "gzip" | "x-gzip" => body = gunzipAll(body)
       case "deflate" => body = inflate(body)
       case other => throw new IllegalArgumentException(
         s"[GRAFT] warc: unsupported Content-Encoding '$other'")
     }
-    (parts(1).toInt, fields.getOrElse("content-type", ""), body)
+    (parts(1).toInt, fields.getOrElse("content-type", "").toLowerCase,
+      fields.getOrElse("location", ""), body)
   }
 
   /** Remove the chunked transfer coding (RFC 9112 §7.1): hex size
@@ -351,8 +359,9 @@ object Warc {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          parseArchive(bytes).map { case (t, uri, status, ct, body) =>
-            WarcRecordRow(id, t, uri, status, ct, body)
+          parseArchive(bytes).map {
+            case (t, uri, status, ct, loc, body) =>
+              WarcRecordRow(id, t, uri, status, ct, loc, body)
           }
         }
       }
@@ -376,8 +385,8 @@ object Warc {
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           parseArchiveQuarantined(bytes).map {
-            case (t, uri, status, ct, body, err) =>
-              WarcRecordQRow(id, t, uri, status, ct, body, err)
+            case (t, uri, status, ct, loc, body, err) =>
+              WarcRecordQRow(id, t, uri, status, ct, loc, body, err)
           }
         }
       }
@@ -396,7 +405,8 @@ object Warc {
     * synthesizing non-UTF-8 pages pass matching bytes + label. */
   private[graft] def encodeArchive(uri: String, html: Array[Byte],
       gzip: Boolean = false, bodyCoding: Int = 0,
-      contentType: String = "text/html; charset=utf-8"): Array[Byte] = {
+      contentType: String = "text/html; charset=utf-8",
+      redirectTo: String = null): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def record(headers: Seq[(String, String)],
         content: Array[Byte]): Unit = {
@@ -431,7 +441,12 @@ object Warc {
         (if (bodyCoding == 4) "Content-Encoding: br\r\n" else "") +
         (if (chunked) "Transfer-Encoding: chunked\r\n"
          else s"Content-Length: ${coded.length}\r\n")
-    http.write((s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n" +
+    // a redirect response: 301 + the Location header AS GIVEN
+    // (routinely relative on real servers)
+    val statusHead =
+      if (redirectTo == null) "HTTP/1.1 200 OK\r\n"
+      else s"HTTP/1.1 301 Moved Permanently\r\nLocation: $redirectTo\r\n"
+    http.write((statusHead + s"Content-Type: $contentType\r\n" +
       codingHeaders + "\r\n").getBytes(StandardCharsets.US_ASCII))
     http.write(coded)
     record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri),

@@ -462,6 +462,61 @@ object WebCuration {
       .withColumnRenamed("__host", "host")
   }
 
+  /** Redirect-chain resolution — the step between the WARC walk and
+    * URL canonicalization on a real crawl: 3xx responses carry a
+    * `Location` (surfaced by [[Warc.records]], routinely RELATIVE —
+    * absolutize with `vfs_url_resolve(target_uri, location)` when
+    * building the edge table), and corpus keys should be the FINAL
+    * destination, not the hop. Maps `urlCol` to `final_url` after up
+    * to `maxHops` hops plus the hops taken as `n_hops` (a row still
+    * sitting on an edge after `maxHops` is a too-deep-or-cyclic
+    * chain — n_hops == maxHops flags it; real crawlers cap at 5-10
+    * hops too, so the bound is the semantics, not a shortcut).
+    *
+    * Scale stance: `maxHops` LEFT JOINS against the slim (from, to)
+    * edge table — a STATIC plan, no driver iteration; the edge side
+    * is redirect-sized (≪ corpus) and broadcasts under AQE, so each
+    * hop is a map-side join at crawl scale. Duplicate from-URL edges
+    * fail loudly in-plan (the [[robotsFilter]] contract — they would
+    * fan rows out and carry conflicting destinations). */
+  def resolveRedirects(urls: DataFrame, redirects: DataFrame,
+      maxHops: Int = 3, urlCol: String = "url",
+      fromCol: String = "from_url", toCol: String = "to_url"): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 16,
+      "[GRAFT] resolveRedirects: maxHops must be in [1, 16] — each " +
+        "hop is one join in a static plan")
+    require(redirects.columns.contains(fromCol) &&
+      redirects.columns.contains(toCol),
+      s"[GRAFT] resolveRedirects: redirects needs ($fromCol, $toCol)")
+    Seq("final_url", "n_hops").foreach(c =>
+      require(!urls.columns.contains(c),
+        s"[GRAFT] resolveRedirects: input already has a '$c' column"))
+    WorkCols.requireFree(urls, "__cur", "__nh")
+    val slim = redirects
+      .select(col(fromCol).as("__rf0"), col(toCol).as("__rt0"))
+      .groupBy(col("__rf0"))
+      .agg(count(lit(1)).as("__rc"), first(col("__rt0")).as("__rt1"))
+      .select(col("__rf0").as("__rf"),
+        when(col("__rc") > 1, raise_error(concat(
+            lit("[GRAFT] resolveRedirects: duplicate from-URL edges " +
+              "for "), col("__rf0"))))
+          .otherwise(col("__rt1")).as("__rt"))
+    var cur = urls.withColumn("__cur", col(urlCol))
+      .withColumn("__nh", lit(0L))
+    var hop = 0
+    while (hop < maxHops) {
+      cur = cur.join(slim, col("__cur") === col("__rf"), "left")
+        .withColumn("__nh",
+          when(col("__rt").isNotNull, col("__nh") + 1L)
+            .otherwise(col("__nh")))
+        .withColumn("__cur", coalesce(col("__rt"), col("__cur")))
+        .drop("__rf", "__rt")
+      hop += 1
+    }
+    cur.withColumnRenamed("__cur", "final_url")
+      .withColumnRenamed("__nh", "n_hops")
+  }
+
   /** The host + crawl-delay staging [[politenessSchedule]] and the
     * streaming twin ([[graft.streaming.Ingest.politenessStream]])
     * share: the lowercased host as `__host`, the resolved per-host

@@ -702,6 +702,53 @@ class WebCurationSpec extends AnyFunSuite {
     assert(bm === bw)
   }
 
+  test("resolveRedirects: multi-hop chains resolve within maxHops, cycles stay bounded, duplicate edges and column clashes are loud") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val urls = Seq((1L, "https://a/1"), (2L, "https://a/2"),
+      (3L, "https://a/cyc1"), (4L, "https://a/deep0"))
+      .toDF("doc_id", "url")
+    val edges = Seq(
+      ("https://a/1", "https://a/1b"),          // 1 hop
+      ("https://a/cyc1", "https://a/cyc2"),     // 2-cycle
+      ("https://a/cyc2", "https://a/cyc1"),
+      ("https://a/deep0", "https://a/deep1"),   // 4 hops > maxHops=3
+      ("https://a/deep1", "https://a/deep2"),
+      ("https://a/deep2", "https://a/deep3"),
+      ("https://a/deep3", "https://a/deep4"))
+      .toDF("from_url", "to_url")
+    val out = graft.operators.WebCuration
+      .resolveRedirects(urls, edges, maxHops = 3)
+      .select($"doc_id", $"final_url", $"n_hops")
+      .as[(Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === (("https://a/1b", 1L)))
+    assert(out(2L) === (("https://a/2", 0L))) // no edge: stays put
+    // the 2-cycle advances maxHops times and STOPS — n_hops ==
+    // maxHops is the too-deep-or-cyclic flag
+    assert(out(3L)._2 === 3L)
+    assert(out(4L) === (("https://a/deep3", 3L))) // clipped at 3
+    // duplicate from-URL edges fail loudly AT EXECUTION (in-plan)
+    val dup = graft.operators.WebCuration.resolveRedirects(urls,
+      edges.unionAll(Seq(("https://a/1", "https://a/other"))
+        .toDF("from_url", "to_url")), maxHops = 2)
+    val e = intercept[Exception] {
+      dup.agg(org.apache.spark.sql.functions
+        .count($"final_url")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("[GRAFT]") &&
+      m.contains("duplicate from-URL")))
+    // output-column clash is loud at construction
+    val clash = intercept[IllegalArgumentException] {
+      graft.operators.WebCuration.resolveRedirects(
+        urls.withColumn("n_hops", $"doc_id"), edges)
+    }
+    assert(clash.getMessage.contains("n_hops"))
+  }
+
   test("capPerDomainPsl: per-publisher caps on hosting platforms; pslFromTable gates the collect") {
     import graft.operators.BroadcastGate
     // 4 publishers on github.io, 3 pages each except u1 with 4 — the
