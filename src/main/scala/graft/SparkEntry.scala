@@ -1534,6 +1534,44 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- sitemap-driven RECRAWL scheduling: each doc's urlset
+    // carries a /p page with a residue-rotated <lastmod> and a /q
+    // page without one; the last-crawl ledger has /p crawled at a
+    // fixed date and /q crawled only for even docs — the recrawl set
+    // keeps modified /p pages (lastmod postdates the crawl) and
+    // never-crawled /q pages, with the reason surfaced ----
+    "pipeline_recrawl" -> ((s, dir) => {
+      import s.implicits._
+      val host = concat(lit("https://s"), col("doc_id") % 7,
+        lit(".example"))
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>"),
+        host, lit("/p/"), col("doc_id"),
+        lit("</loc><lastmod>2026-0"), (col("doc_id") % 3) + 1,
+        lit("-15</lastmod></url><url><loc>"),
+        host, lit("/q/"), col("doc_id"),
+        lit("</loc></url></urlset>"))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val entries = docs.select(col("doc_id"),
+          graft.functions.vfs_sitemap_locs(xml).as("ls"),
+          graft.functions.vfs_sitemap_lastmods(xml).as("lm"))
+        .select(col("doc_id"),
+          posexplode(col("ls")).as(Seq("pos", "url")), col("lm"))
+        .select(col("doc_id"), col("url"),
+          element_at(col("lm"), col("pos").cast("int") + 1)
+            .as("lastmod"))
+      val crawled = docs.select(
+          concat(host, lit("/p/"), col("doc_id")).as("url"),
+          lit("2026-02-01").as("crawled_at"))
+        .unionByName(docs.filter(col("doc_id") % 2 === 0)
+          .select(concat(host, lit("/q/"), col("doc_id")).as("url"),
+            lit("2026-01-01").as("crawled_at")))
+      graft.operators.WebCuration.recrawlSet(entries, crawled)
+        .select(col("doc_id"), col("url"), col("lastmod"),
+          col("recrawl_reason"))
+        .orderBy(col("doc_id").asc, col("url").asc)
+    }),
+
     // ---- redirect-chain resolution: half the archives are 301
     // responses with a RELATIVE Location (surfaced by the WARC walk,
     // absolutized via RFC 3986 against the record's own URI); docs
@@ -5489,6 +5527,23 @@ object SparkEntry {
         |  CAST(seq AS BIGINT) AS fetch_seq,
         |  CAST((seq - 1) * delay AS BIGINT) AS fetch_at_milli
         |FROM r ORDER BY doc_id ASC, url ASC""".stripMargin,
+
+    // recrawl scheduling by residue: /p pages keep when their
+    // rotated lastmod postdates the 2026-02-01 crawl (months 2 and
+    // 3), /q pages keep when never crawled (odd docs)
+    "pipeline_recrawl" ->
+      s"""SELECT doc_id,
+        |  'https://s' || (doc_id % 7) || '.example/p/' || doc_id
+        |    AS url,
+        |  '2026-0' || ((doc_id % 3) + 1) || '-15' AS lastmod,
+        |  'modified' AS recrawl_reason
+        |FROM documents WHERE doc_id % 3 IN (1, 2)
+        |UNION ALL
+        |SELECT doc_id,
+        |  'https://s' || (doc_id % 7) || '.example/q/' || doc_id,
+        |  '', 'never_crawled'
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id ASC, url ASC""".stripMargin,
 
     // redirect resolution by residue: even docs stay put, odd docs
     // hop once via the relative Location, doc_id % 4 == 3 hops twice

@@ -249,9 +249,24 @@ case class RobotsCrawlDelay(robots: Expression, userAgent: Expression)
   * with the URL-curation family this closes the crawl loop:
   * robots → sitemaps → frontier → normalize/dedup/cap. */
 object SitemapKernel {
-  def locs(xml: UTF8String): Array[UTF8String] = {
+  def locs(xml: UTF8String): Array[UTF8String] =
+    entries(xml).map(_._1)
+
+  /** `<lastmod>` values POSITIONALLY ALIGNED with [[locs]] — "" when
+    * a loc carries none (containsNull-free arrays; zip the two with
+    * arrays_zip / posexplode). The pairing heuristic is the
+    * sitemaps.org element order: the lastmod claimed by a loc is the
+    * first `<lastmod>` between that loc's end and the NEXT `<loc`
+    * (lastmod follows loc inside the same url/sitemap container, and
+    * stopping at the next loc prevents claiming a sibling's). */
+  def lastmods(xml: UTF8String): Array[UTF8String] =
+    entries(xml).map(_._2)
+
+  /** The shared walk: (loc, lastmod-or-"") pairs in document order. */
+  private def entries(xml: UTF8String): Array[(UTF8String, UTF8String)] = {
     val s = xml.toString
-    val out = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(UTF8String, UTF8String)]
     var i = 0
     while (i < s.length) {
       if (s.charAt(i) == '<' &&
@@ -295,13 +310,48 @@ object SitemapKernel {
             // the first '</' would cut nested markup short
             decodeXml(s.substring(bodyAt,
               if (close < 0) s.length else close).trim).trim
+        val after = if (close < 0) s.length else close
         // dangling/self-closed/empty loc elements carry no URL —
         // never emit an empty-string frontier row
-        if (value.nonEmpty) out += UTF8String.fromString(value)
-        i = if (close < 0) s.length else close
+        if (value.nonEmpty)
+          out += ((UTF8String.fromString(value),
+            UTF8String.fromString(lastmodAfter(s, after))))
+        i = after
       } else i += 1
     }
     out.toArray
+  }
+
+  /** The first `<lastmod>` body between `from` and the next `<loc`
+    * open tag (name-bounded both), "" when absent — entities
+    * decoded, trimmed (ISO dates in practice, but authors escape). */
+  private def lastmodAfter(s: String, from: Int): String = {
+    var i = from
+    while (i < s.length) {
+      if (s.charAt(i) == '<') {
+        if (s.regionMatches(true, i, "<loc", 0, 4) &&
+          (i + 4 >= s.length || {
+            val c = s.charAt(i + 4)
+            !c.isLetterOrDigit && c != '-' && c != '_'
+          })) return "" // the next loc starts — nothing claimed
+        if (s.regionMatches(true, i, "<lastmod", 0, 8) &&
+          (i + 8 >= s.length || {
+            val c = s.charAt(i + 8)
+            !c.isLetterOrDigit && c != '-' && c != '_'
+          })) {
+          var j = i + 8
+          while (j < s.length && s.charAt(j) != '>') j += 1
+          val selfClosed = j < s.length && j > i && s.charAt(j - 1) == '/'
+          if (selfClosed) return ""
+          val bodyAt = if (j < s.length) j + 1 else s.length
+          var end = bodyAt
+          while (end < s.length && s.charAt(end) != '<') end += 1
+          return decodeXml(s.substring(bodyAt, end).trim).trim
+        }
+      }
+      i += 1
+    }
+    ""
   }
 
   /** Index of `</loc` (case-insensitive, name-bounded) at or after
@@ -350,6 +400,29 @@ case class SitemapLocs(child: Expression) extends UnaryExpression
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.functions.SitemapKernel.locs($c))")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** sitemap_xml → ARRAY<STRING> of `<lastmod>` values positionally
+  * aligned with [[SitemapLocs]]' output ("" when a loc carries none
+  * — zip the two with arrays_zip/posexplode); the recrawl
+  * scheduler's change signal ([[SitemapKernel.lastmods]]).
+  * Registered as `vfs_sitemap_lastmods`. */
+case class SitemapLastmods(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "vfs_sitemap_lastmods"
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      SitemapKernel.lastmods(v.asInstanceOf[UTF8String])
+        .asInstanceOf[Array[Any]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.SitemapKernel.lastmods($c))")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

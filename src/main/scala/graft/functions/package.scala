@@ -112,6 +112,10 @@ package object functions {
   /** `<loc>` URLs of a sitemap/sitemapindex XML → ARRAY<STRING> */
   def vfs_sitemap_locs(xml: Column): Column =
     col(SitemapLocs(ex(xml)))
+  /** `<lastmod>` values positionally aligned with vfs_sitemap_locs
+    * ("" when absent) — the recrawl scheduler's change signal */
+  def vfs_sitemap_lastmods(xml: Column): Column =
+    col(SitemapLastmods(ex(xml)))
   /** RFC 3986 §5 reference resolution: (base, href-as-written) →
     * absolute URL — the step between vfs_html_links and the frontier */
   def vfs_url_resolve(base: Column, ref: Column): Column =
@@ -171,6 +175,7 @@ package object functions {
     r1("vfs_robots_crawl_delay", es => RobotsCrawlDelay(es(0), es(1)))
     r1("vfs_robots_sitemaps", es => RobotsSitemaps(es(0)))
     r1("vfs_sitemap_locs", es => SitemapLocs(es(0)))
+    r1("vfs_sitemap_lastmods", es => SitemapLastmods(es(0)))
     r1("vfs_url_resolve", es => UrlResolve(es(0), es(1)))
     // the SQL forms coalesce a NULL content type to '' (absent) —
     // same null tolerance as the Column builders

@@ -517,6 +517,41 @@ object WebCuration {
       .withColumnRenamed("__nh", "n_hops")
   }
 
+  /** The recrawl set from sitemap change signals — the scheduling
+    * step a standing crawl runs daily: `entries` carries exploded
+    * (url, lastmod) pairs (from `vfs_sitemap_locs` zipped with
+    * `vfs_sitemap_lastmods`; lastmod "" when the loc declared none),
+    * `crawled` is the last-crawl ledger (url, crawled_at). Keeps
+    * URLs never crawled (reason `never_crawled`) or whose declared
+    * lastmod postdates the last crawl (reason `modified` — ISO-8601
+    * date strings compare lexicographically, the sitemaps.org
+    * format). A loc with NO lastmod is kept only when never crawled:
+    * absence is not change evidence. Duplicate ledger rows fold to
+    * the LATEST crawl (max crawled_at) — re-crawling bumps the
+    * ledger, so newest-wins is the semantics, not a tiebreak.
+    * One hash agg on the ledger + one left join — scales. */
+  def recrawlSet(entries: DataFrame, crawled: DataFrame,
+      urlCol: String = "url", lastmodCol: String = "lastmod",
+      crawledUrlCol: String = "url",
+      crawledAtCol: String = "crawled_at"): DataFrame = {
+    require(crawled.columns.contains(crawledUrlCol) &&
+      crawled.columns.contains(crawledAtCol),
+      s"[GRAFT] recrawlSet: crawled needs ($crawledUrlCol, $crawledAtCol)")
+    require(!entries.columns.contains("recrawl_reason"),
+      "[GRAFT] recrawlSet: input already has a 'recrawl_reason' column")
+    WorkCols.requireFree(entries, "__cu", "__ca")
+    val slim = crawled
+      .select(col(crawledUrlCol).as("__cu"), col(crawledAtCol).as("__ca0"))
+      .groupBy(col("__cu")).agg(max(col("__ca0")).as("__ca"))
+    entries.join(slim, col(urlCol) === col("__cu"), "left")
+      .filter(col("__ca").isNull ||
+        (col(lastmodCol) =!= "" && col(lastmodCol) > col("__ca")))
+      .withColumn("recrawl_reason",
+        when(col("__ca").isNull, lit("never_crawled"))
+          .otherwise(lit("modified")))
+      .drop("__cu", "__ca")
+  }
+
   /** The host + crawl-delay staging [[politenessSchedule]] and the
     * streaming twin ([[graft.streaming.Ingest.politenessStream]])
     * share: the lowercased host as `__host`, the resolved per-host

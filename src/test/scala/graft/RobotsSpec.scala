@@ -249,6 +249,36 @@ class RobotsSpec extends AnyFunSuite {
       "a fully-disallowed host must block its bare-host URL too")
   }
 
+  test("sitemap lastmods: positionally aligned with locs, claimed only within the same element, entities decoded, absent/self-closed/dangling safe") {
+    def lm(x: String): Seq[String] = graft.functions.SitemapKernel
+      .lastmods(UTF8String.fromString(x)).toSeq.map(_.toString)
+    def lc(x: String): Seq[String] = graft.functions.SitemapKernel
+      .locs(UTF8String.fromString(x)).toSeq.map(_.toString)
+    val two = "<urlset><url><loc>https://a/p</loc>" +
+      "<lastmod>2026-01-15</lastmod></url>" +
+      "<url><loc>https://a/q</loc></url></urlset>"
+    assert(lc(two) === Seq("https://a/p", "https://a/q"))
+    assert(lm(two) === Seq("2026-01-15", ""))
+    // a lastmod BEFORE the next loc belongs to the current one; one
+    // AFTER the next loc opens must not be claimed backward
+    assert(lm("<loc>https://a/1</loc><loc>https://a/2</loc>" +
+      "<lastmod>2026-03-01</lastmod>") === Seq("", "2026-03-01"))
+    // entity decode + trim; self-closed lastmod is absent
+    assert(lm("<loc>https://a/x</loc><lastmod> 2026&#45;02-01 " +
+      "</lastmod>") === Seq("2026-02-01"))
+    assert(lm("<loc>https://a/y</loc><lastmod/>") === Seq(""))
+    // dangling lastmod at EOF is tolerated
+    assert(lm("<loc>https://a/z</loc><lastmod>2026-04") ===
+      Seq("2026-04"))
+    // name boundary: <lastmodified> is a different element
+    assert(lm("<loc>https://a/w</loc>" +
+      "<lastmodified>nope</lastmodified>") === Seq(""))
+    // sitemapindex entries pair the same way
+    assert(lm("<sitemapindex><sitemap><loc>https://a/s.xml</loc>" +
+      "<lastmod>2026-05-01</lastmod></sitemap></sitemapindex>") ===
+      Seq("2026-05-01"))
+  }
+
   test("duplicate host rows in the robots table fail loudly instead of fanning URLs out") {
     val spark = GraftTest.spark
     import spark.implicits._
