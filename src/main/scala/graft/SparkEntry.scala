@@ -1616,7 +1616,7 @@ object SparkEntry {
           resp.select(col("doc_id"), col("target_uri").as("url")),
           crawlEdges.unionByName(extra), maxHops = 3)
         .select(col("doc_id"), col("url"), col("final_url"),
-          col("n_hops"))
+          col("n_hops"), col("redirect_unresolved"))
         .orderBy(col("doc_id").asc)
     }),
 
@@ -5557,7 +5557,8 @@ object SparkEntry {
         |      'https://r' || (doc_id % 5) || '.example/a/p/' || doc_id
         |    ELSE 'https://final.example/' || doc_id END AS final_url,
         |  CAST(CASE WHEN doc_id % 2 = 0 THEN 0
-        |    WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS BIGINT) AS n_hops
+        |    WHEN doc_id % 4 = 1 THEN 1 ELSE 2 END AS BIGINT) AS n_hops,
+        |  false AS redirect_unresolved
         |FROM documents ORDER BY doc_id ASC""".stripMargin,
 
     // the streaming politeness fold in batchMode replays the batch

@@ -116,29 +116,55 @@ object PdfKernel {
   }
 
   /** Start of the dictionary governing the stream keyword at `at`:
-    * walk BACKWARD balancing >> against <<; the first unmatched <<
-    * is the governing dict's opener (nested /DecodeParms-style
-    * sub-dictionaries balance out on the way). -1 when absent. */
+    * walk FORWARD from the previous object boundary, STRING-AWARE
+    * (a `>>` or `<<` inside a (…) string or <hex> literal is
+    * content, not a dict delimiter — a backward balance walk cannot
+    * know whether it stands inside a string, so it ran blind and a
+    * `(see >> here)` literal made it adopt the PREVIOUS object's
+    * dict): the governing opener is the last top-level `<<` whose
+    * dict closes before the keyword, or the innermost still-open
+    * `<<` (malformed unclosed dict — adopt it). -1 when the region
+    * holds no dict (do not adopt an earlier object's). */
   private def governingDictStart(pdf: Array[Byte], at: Int): Int = {
-    var depth = 0
-    var i = at - 2
-    while (i >= 0) {
-      if (pdf(i) == '>' && pdf(i + 1) == '>') { depth += 1; i -= 2 }
-      else if (pdf(i) == '<' && pdf(i + 1) == '<') {
-        // the governing opener is the one matching the FIRST >> met
-        // on the backward walk (depth 1); depth 0 = an unclosed dict
-        // directly before the keyword (malformed, adopt it)
-        if (depth <= 1) return i
-        depth -= 1; i -= 2
-      } else if (pdf(i) == 'e' && depth == 0 &&
-        (tokenAt(pdf, i, "endobj") || tokenAt(pdf, i, "endstream"))) {
-        // crossed into the PREVIOUS object with no unmatched << yet:
-        // this stream has no governing dict (malformed) — do not
-        // adopt an earlier object's dictionary
-        return -1
-      } else i -= 1
+    // previous object boundary (endobj/endstream) before the keyword
+    var b = at - 1
+    var scanStart = 0
+    while (b >= 0 && scanStart == 0) {
+      if (pdf(b) == 'e' &&
+        (tokenAt(pdf, b, "endobj") || tokenAt(pdf, b, "endstream")))
+        scanStart = b
+      b -= 1
     }
-    -1
+    var i = scanStart
+    var lastTop = -1 // opener of the last CLOSED top-level dict
+    val stack = new java.util.ArrayDeque[Integer]()
+    while (i < at) {
+      val c = pdf(i)
+      if (c == '(') {
+        var pd = 1
+        i += 1
+        while (i < at && pd > 0) {
+          if (pdf(i) == '\\' && i + 1 < at) i += 2
+          else {
+            if (pdf(i) == '(') pd += 1
+            else if (pdf(i) == ')') pd -= 1
+            i += 1
+          }
+        }
+      } else if (c == '<' && i + 1 < at && pdf(i + 1) == '<') {
+        stack.push(i); i += 2
+      } else if (c == '<') {
+        while (i < at && pdf(i) != '>') i += 1
+        if (i < at) i += 1
+      } else if (c == '>' && i + 1 < at && pdf(i + 1) == '>') {
+        if (!stack.isEmpty) {
+          val open = stack.pop()
+          if (stack.isEmpty) lastTop = open
+        }
+        i += 2
+      } else i += 1
+    }
+    if (!stack.isEmpty) stack.peek() else lastTop
   }
 
   private def tokenAt(b: Array[Byte], at: Int, tok: String): Boolean = {

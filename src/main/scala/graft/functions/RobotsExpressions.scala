@@ -262,8 +262,23 @@ object SitemapKernel {
   def lastmods(xml: UTF8String): Array[UTF8String] =
     entries(xml).map(_._2)
 
-  /** The shared walk: (loc, lastmod-or-"") pairs in document order. */
+  // per-thread single-entry memo (the RobotsKernel pattern): the
+  // documented usage pairs vfs_sitemap_locs with vfs_sitemap_lastmods
+  // over the SAME xml column, which would otherwise run the full
+  // document walk twice per row
+  private val memo = new ThreadLocal[(UTF8String, Array[(UTF8String, UTF8String)])]
+
+  /** The shared walk: (loc, lastmod-or-"") pairs in document order,
+    * memoized per thread on the xml value. */
   private def entries(xml: UTF8String): Array[(UTF8String, UTF8String)] = {
+    val m = memo.get()
+    if (m != null && m._1 == xml) return m._2
+    val computed = entriesWalk(xml)
+    memo.set((xml.clone(), computed))
+    computed
+  }
+
+  private def entriesWalk(xml: UTF8String): Array[(UTF8String, UTF8String)] = {
     val s = xml.toString
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(UTF8String, UTF8String)]

@@ -108,7 +108,7 @@ object Warc {
   /** Quarantining variant of [[parseArchive]]: every failure becomes
     * an `err` ROW, never a task failure. A framing failure (damaged
     * version line, missing/overrunning Content-Length) emits one err
-    * row and RESYNCS at the next `WARC/1.` magic — the rest of a
+    * row and RESYNCS at the next `WARC/<digit>` magic (ANY version) — the rest of a
     * multi-GB archive survives one truncated record; a BODY-decode
     * failure (bad status line, malformed chunking, an unsupported
     * br/zstd coding) keeps the record's identity (type + URI) with
@@ -372,7 +372,8 @@ object Warc {
     * [[Multimodal.decodeStatsQuarantined]] stance — corrupt records
     * become `err` rows the caller routes aside, never task
     * failures/retries; a framing failure costs ONE record (the walk
-    * resyncs at the next WARC/1. magic), an unsupported coding keeps
+    * resyncs at the next WARC/<digit> magic — any version, old
+    * heritrix WARC/0.x included), an unsupported coding keeps
     * the record's identity. Same kernel shape: one per-partition
     * parse, zero shuffle. */
   def recordsQuarantined(spark: SparkSession, warcs: DataFrame,

@@ -468,10 +468,13 @@ object WebCuration {
     * absolutize with `vfs_url_resolve(target_uri, location)` when
     * building the edge table), and corpus keys should be the FINAL
     * destination, not the hop. Maps `urlCol` to `final_url` after up
-    * to `maxHops` hops plus the hops taken as `n_hops` (a row still
-    * sitting on an edge after `maxHops` is a too-deep-or-cyclic
-    * chain — n_hops == maxHops flags it; real crawlers cap at 5-10
-    * hops too, so the bound is the semantics, not a shortcut).
+    * to `maxHops` hops, the hops taken as `n_hops`, and
+    * `redirect_unresolved` — true iff `final_url` STILL sits on an
+    * outgoing edge (one more join after the loop): a chain that
+    * legitimately resolves in exactly `maxHops` hops reads false,
+    * while a too-deep or cyclic one reads true — `n_hops` alone
+    * cannot tell them apart. Real crawlers cap at 5-10 hops too, so
+    * the bound is the semantics, not a shortcut.
     *
     * Scale stance: `maxHops` LEFT JOINS against the slim (from, to)
     * edge table — a STATIC plan, no driver iteration; the edge side
@@ -488,10 +491,10 @@ object WebCuration {
     require(redirects.columns.contains(fromCol) &&
       redirects.columns.contains(toCol),
       s"[GRAFT] resolveRedirects: redirects needs ($fromCol, $toCol)")
-    Seq("final_url", "n_hops").foreach(c =>
+    Seq("final_url", "n_hops", "redirect_unresolved").foreach(c =>
       require(!urls.columns.contains(c),
         s"[GRAFT] resolveRedirects: input already has a '$c' column"))
-    WorkCols.requireFree(urls, "__cur", "__nh")
+    WorkCols.requireFree(urls, "__cur", "__nh", "__rf", "__rt")
     val slim = redirects
       .select(col(fromCol).as("__rf0"), col(toCol).as("__rt0"))
       .groupBy(col("__rf0"))
@@ -513,7 +516,11 @@ object WebCuration {
         .drop("__rf", "__rt")
       hop += 1
     }
-    cur.withColumnRenamed("__cur", "final_url")
+    // the unresolved probe: does the FINAL url still redirect?
+    cur.join(slim, col("__cur") === col("__rf"), "left")
+      .withColumn("redirect_unresolved", col("__rt").isNotNull)
+      .drop("__rf", "__rt")
+      .withColumnRenamed("__cur", "final_url")
       .withColumnRenamed("__nh", "n_hops")
   }
 
@@ -523,13 +530,20 @@ object WebCuration {
     * `vfs_sitemap_lastmods`; lastmod "" when the loc declared none),
     * `crawled` is the last-crawl ledger (url, crawled_at). Keeps
     * URLs never crawled (reason `never_crawled`) or whose declared
-    * lastmod postdates the last crawl (reason `modified` — ISO-8601
-    * date strings compare lexicographically, the sitemaps.org
-    * format). A loc with NO lastmod is kept only when never crawled:
-    * absence is not change evidence. Duplicate ledger rows fold to
-    * the LATEST crawl (max crawled_at) — re-crawling bumps the
-    * ledger, so newest-wins is the semantics, not a tiebreak.
-    * One hash agg on the ledger + one left join — scales. */
+    * lastmod postdates the last crawl (reason `modified`). The
+    * comparison is on INSTANTS, not strings: both sides cast to
+    * timestamp (W3C datetime with a UTC offset — which sitemaps.org
+    * allows — orders correctly this way; plain dates read as
+    * midnight; lexicographic compare would mis-order mixed-offset
+    * values and silently skip a stale page). An unparseable lastmod
+    * is no change evidence (kept only when never crawled); an
+    * unparseable ledger date is treated as no usable crawl record —
+    * recrawl, conservatively, as `modified`. A loc with NO lastmod
+    * is kept only when never crawled: absence is not change
+    * evidence. Duplicate ledger rows fold to the LATEST crawl
+    * (max crawled_at) — re-crawling bumps the ledger, so newest-wins
+    * is the semantics, not a tiebreak. One hash agg on the ledger +
+    * one left join — scales. */
   def recrawlSet(entries: DataFrame, crawled: DataFrame,
       urlCol: String = "url", lastmodCol: String = "lastmod",
       crawledUrlCol: String = "url",
@@ -543,9 +557,14 @@ object WebCuration {
     val slim = crawled
       .select(col(crawledUrlCol).as("__cu"), col(crawledAtCol).as("__ca0"))
       .groupBy(col("__cu")).agg(max(col("__ca0")).as("__ca"))
+    // try_to_timestamp: malformed/absent values read NULL instead of
+    // throwing under ANSI mode ("" is the aligned-lastmods absent
+    // marker and must stay non-evidence, not an error)
+    val lmT = try_to_timestamp(col(lastmodCol))
+    val caT = try_to_timestamp(col("__ca"))
     entries.join(slim, col(urlCol) === col("__cu"), "left")
       .filter(col("__ca").isNull ||
-        (col(lastmodCol) =!= "" && col(lastmodCol) > col("__ca")))
+        (lmT.isNotNull && (caT.isNull || lmT > caT)))
       .withColumn("recrawl_reason",
         when(col("__ca").isNull, lit("never_crawled"))
           .otherwise(lit("modified")))

@@ -723,7 +723,10 @@ object Ingest {
     * ran", never "batch was clean". All three overwrite their batch
     * dir, so at-least-once replays are idempotent. `mainOnly`
     * selects the main-content extraction; the link frontier always
-    * keeps chrome links. */
+    * keeps chrome links. Sink-schema contract: columns are only ever
+    * ADDED (append-compatible); a reader scanning batches written
+    * across versions needs mergeSchema (or a full reland) for the
+    * new columns to appear on old batches. */
   def warcExtractStream(warcs: DataFrame, outDir: String,
       checkpoint: String,
       trigger: Trigger = Trigger.AvailableNow(),

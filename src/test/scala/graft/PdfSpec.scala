@@ -139,6 +139,15 @@ class PdfSpec extends AnyFunSuite {
       s"/U <4142> /Length ${c4.length} >>\nstream\n$c4\nendstream\nendobj\n")
       .getBytes("US-ASCII")
     assert(extract(strLit) === "strs")
+    // UNBALANCED dict tokens inside strings must not derail the
+    // governing-dict walk either — '(see >> here)' once pushed the
+    // backward balance into the previous object
+    val c5 = "BT (unb) Tj ET"
+    val unbal = (s"%PDF-1.4\n0 9 obj << /X 1 >> endobj\n" +
+      s"1 0 obj << /T (see >> here) /U (open <<) " +
+      s"/Length ${c5.length} >>\nstream\n$c5\nendstream\nendobj\n")
+      .getBytes("US-ASCII")
+    assert(extract(unbal) === "unb")
     // a dict-less stream must not adopt the PREVIOUS object's dict
     val orphan = (s"%PDF-1.4\n" +
       s"1 0 obj << /Length 4 /Filter /LZWDecode >> endobj\n" +

@@ -687,7 +687,7 @@ class WebCurationSpec extends AnyFunSuite {
         (3L, "slow.example", 2000L, 2L, 2000L),
         (4L, "slow.example", 2000L, 3L, 4000L)))
     } finally q.stop()
-    // batchMode over the same four rows = the batch window exactly
+    // the same fold over a static frame = the batch window exactly
     val urls = Seq((1L, "https://slow.example/a"),
       (2L, "https://other.example/x"), (3L, "https://slow.example/b"),
       (4L, "https://slow.example/c")).toDF("doc_id", "url")
@@ -719,15 +719,25 @@ class WebCurationSpec extends AnyFunSuite {
       .toDF("from_url", "to_url")
     val out = graft.operators.WebCuration
       .resolveRedirects(urls, edges, maxHops = 3)
-      .select($"doc_id", $"final_url", $"n_hops")
-      .as[(Long, String, Long)].collect()
-      .map(r => r._1 -> ((r._2, r._3))).toMap
-    assert(out(1L) === (("https://a/1b", 1L)))
-    assert(out(2L) === (("https://a/2", 0L))) // no edge: stays put
-    // the 2-cycle advances maxHops times and STOPS — n_hops ==
-    // maxHops is the too-deep-or-cyclic flag
-    assert(out(3L)._2 === 3L)
-    assert(out(4L) === (("https://a/deep3", 3L))) // clipped at 3
+      .select($"doc_id", $"final_url", $"n_hops",
+        $"redirect_unresolved")
+      .as[(Long, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === (("https://a/1b", 1L, false)))
+    assert(out(2L) === (("https://a/2", 0L, false))) // no edge
+    // the 2-cycle advances maxHops times and STOPS — the unresolved
+    // PROBE (does the final url still redirect?) flags it; n_hops
+    // alone cannot (a chain resolving in exactly maxHops also reads
+    // maxHops)
+    assert(out(3L)._2 === 3L && out(3L)._3 === true)
+    assert(out(4L) === (("https://a/deep3", 3L, true))) // clipped
+    // a chain resolving in EXACTLY maxHops hops is NOT flagged
+    val exact = graft.operators.WebCuration
+      .resolveRedirects(Seq((9L, "https://a/deep1"))
+        .toDF("doc_id", "url"), edges, maxHops = 3)
+      .select($"final_url", $"n_hops", $"redirect_unresolved")
+      .as[(String, Long, Boolean)].collect().head
+    assert(exact === (("https://a/deep4", 3L, false)))
     // duplicate from-URL edges fail loudly AT EXECUTION (in-plan)
     val dup = graft.operators.WebCuration.resolveRedirects(urls,
       edges.unionAll(Seq(("https://a/1", "https://a/other"))
@@ -747,6 +757,35 @@ class WebCurationSpec extends AnyFunSuite {
         urls.withColumn("n_hops", $"doc_id"), edges)
     }
     assert(clash.getMessage.contains("n_hops"))
+  }
+
+  test("recrawlSet: instant comparison across UTC offsets, newest-wins ledger duplicates, absent/unparseable lastmods are no change evidence") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val entries = Seq(
+      // changed AFTER the crawl in INSTANT terms, though the string
+      // sorts before it (offset -12:00 = 2026-02-02T11:59:59Z)
+      (1L, "https://a/offset", "2026-02-01T23:59:59-12:00"),
+      (2L, "https://a/stale", "2026-01-01"),
+      (3L, "https://a/fresh", "2026-03-01"),
+      (4L, "https://a/nolm", ""),
+      (5L, "https://a/new", "2026-01-01"),
+      (6L, "https://a/garbled", "not-a-date"))
+      .toDF("doc_id", "url", "lastmod")
+    val crawled = Seq(
+      ("https://a/offset", "2026-02-02T08:00:00Z"),
+      ("https://a/stale", "2026-02-01"),
+      // duplicate ledger rows: the LATEST crawl wins — the later
+      // 2026-03-05 crawl already saw the 2026-03-01 change
+      ("https://a/fresh", "2026-01-01"),
+      ("https://a/fresh", "2026-03-05"),
+      ("https://a/nolm", "2026-01-01"),
+      ("https://a/garbled", "2026-01-01"))
+      .toDF("url", "crawled_at")
+    val out = graft.operators.WebCuration.recrawlSet(entries, crawled)
+      .select($"doc_id", $"recrawl_reason")
+      .as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "modified", 5L -> "never_crawled"))
   }
 
   test("capPerDomainPsl: per-publisher caps on hosting platforms; pslFromTable gates the collect") {
