@@ -755,6 +755,17 @@ object Explain {
         "exchange)") {
       graft.SparkEntry.queries("stream_politeness_schedule")(spark, dir)
     }
+    show("redirect-chain resolution (expect: the WARC records kernel " +
+        "feeding maxHops+1 LEFT joins against the slim edge table — " +
+        "a STATIC plan, edge side broadcast under AQE, no iteration)") {
+      graft.SparkEntry.queries("web_redirect_resolve")(spark, dir)
+    }
+    show("sitemap recrawl scheduling (expect: ONE codegen projection " +
+        "for the loc/lastmod pair explode, one hash agg folding the " +
+        "ledger, one left join — the whole daily schedule in two " +
+        "exchanges)") {
+      graft.SparkEntry.queries("pipeline_recrawl")(spark, dir)
+    }
     spark.stop()
   }
 }
