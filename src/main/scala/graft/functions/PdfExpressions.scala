@@ -124,23 +124,62 @@ object PdfKernel {
     * dict): the governing opener is the last top-level `<<` whose
     * dict closes before the keyword, or the innermost still-open
     * `<<` (malformed unclosed dict — adopt it). -1 when the region
-    * holds no dict (do not adopt an earlier object's). */
+    * holds no dict (do not adopt an earlier object's).
+    *
+    * The boundary search itself is string-BLIND (backward scans
+    * cannot know they stand inside a literal), so a boundary token
+    * inside the dict's own string — `(see endstream here)` — can
+    * place the scan start MID-string and lose the dict; when a walk
+    * finds nothing, it RETRIES from the next-earlier boundary (the
+    * string-aware forward walk from a real boundary reads straight
+    * through such literals), a few boundaries deep. Perfect lexing
+    * of adversarial PDFs is out of scope (the kernel's tolerant
+    * contract); the retry covers the realistic accident. */
   private def governingDictStart(pdf: Array[Byte], at: Int): Int = {
-    // previous object boundary (endobj/endstream) before the keyword
-    var b = at - 1
-    var scanStart = 0
-    while (b >= 0 && scanStart == 0) {
-      if (pdf(b) == 'e' &&
-        (tokenAt(pdf, b, "endobj") || tokenAt(pdf, b, "endstream")))
-        scanStart = b
-      b -= 1
+    var bound = at
+    var tries = 0
+    while (tries < 4) {
+      // next object boundary (endobj/endstream) strictly before bound
+      var b = bound - 1
+      var scanStart = 0
+      var found = false
+      while (b >= 0 && !found) {
+        if (pdf(b) == 'e' &&
+          (tokenAt(pdf, b, "endobj") || tokenAt(pdf, b, "endstream"))) {
+          scanStart = b; found = true
+        }
+        b -= 1
+      }
+      val (hit, stray) = dictWalk(pdf, scanStart, at)
+      if (hit >= 0) return hit
+      // retry from an earlier boundary ONLY on mid-string evidence
+      // (a stray ')' or unmatched '>>' right of the boundary) — a
+      // dict-LESS stream from a REAL boundary must stay -1, never
+      // adopt the previous object's dict
+      if (!found || !stray) return -1
+      bound = scanStart
+      tries += 1
     }
-    var i = scanStart
+    -1
+  }
+
+  /** Forward string/hex/comment-aware dict scan over [from, at):
+    * (opener of the last closed top-level dict, else the innermost
+    * still-open one, else -1; whether a STRAY ')' or unmatched '>>'
+    * was seen — the signature of a scan that started inside a
+    * literal). */
+  private def dictWalk(pdf: Array[Byte], from: Int,
+      at: Int): (Int, Boolean) = {
+    var i = from
     var lastTop = -1 // opener of the last CLOSED top-level dict
+    var stray = false
     val stack = new java.util.ArrayDeque[Integer]()
     while (i < at) {
       val c = pdf(i)
-      if (c == '(') {
+      if (c == '%') {
+        // comment: to end of line (a '(' or '<' inside one is prose)
+        while (i < at && pdf(i) != '\n' && pdf(i) != '\r') i += 1
+      } else if (c == '(') {
         var pd = 1
         i += 1
         while (i < at && pd > 0) {
@@ -151,6 +190,8 @@ object PdfKernel {
             i += 1
           }
         }
+      } else if (c == ')') {
+        stray = true; i += 1
       } else if (c == '<' && i + 1 < at && pdf(i + 1) == '<') {
         stack.push(i); i += 2
       } else if (c == '<') {
@@ -160,11 +201,11 @@ object PdfKernel {
         if (!stack.isEmpty) {
           val open = stack.pop()
           if (stack.isEmpty) lastTop = open
-        }
+        } else stray = true
         i += 2
       } else i += 1
     }
-    if (!stack.isEmpty) stack.peek() else lastTop
+    (if (!stack.isEmpty) stack.peek() else lastTop, stray)
   }
 
   private def tokenAt(b: Array[Byte], at: Int, tok: String): Boolean = {

@@ -536,9 +536,10 @@ object WebCuration {
     * allows — orders correctly this way; plain dates read as
     * midnight; lexicographic compare would mis-order mixed-offset
     * values and silently skip a stale page). An unparseable lastmod
-    * is no change evidence (kept only when never crawled); an
-    * unparseable ledger date is treated as no usable crawl record —
-    * recrawl, conservatively, as `modified`. A loc with NO lastmod
+    * is no change evidence (kept only when never crawled); a URL
+    * whose ledger dates are ALL unparseable has no usable crawl
+    * record — recrawl, conservatively, as `never_crawled`. A loc
+    * with NO lastmod
     * is kept only when never crawled: absence is not change
     * evidence. Duplicate ledger rows fold to the LATEST crawl
     * (max crawled_at) — re-crawling bumps the ledger, so newest-wins
@@ -554,17 +555,20 @@ object WebCuration {
     require(!entries.columns.contains("recrawl_reason"),
       "[GRAFT] recrawlSet: input already has a 'recrawl_reason' column")
     WorkCols.requireFree(entries, "__cu", "__ca")
-    val slim = crawled
-      .select(col(crawledUrlCol).as("__cu"), col(crawledAtCol).as("__ca0"))
-      .groupBy(col("__cu")).agg(max(col("__ca0")).as("__ca"))
-    // try_to_timestamp: malformed/absent values read NULL instead of
+    // the ledger folds on INSTANTS too (a string max would let a
+    // +14:00-offset or garbage value outrank the real latest crawl);
+    // try_to_timestamp reads malformed values as NULL instead of
     // throwing under ANSI mode ("" is the aligned-lastmods absent
-    // marker and must stay non-evidence, not an error)
+    // marker and must stay non-evidence, not an error), and max
+    // ignores them — a URL whose ledger rows are ALL unparseable
+    // reads as never crawled (conservative: recrawl it)
+    val slim = crawled
+      .select(col(crawledUrlCol).as("__cu"),
+        try_to_timestamp(col(crawledAtCol)).as("__ca0"))
+      .groupBy(col("__cu")).agg(max(col("__ca0")).as("__ca"))
     val lmT = try_to_timestamp(col(lastmodCol))
-    val caT = try_to_timestamp(col("__ca"))
     entries.join(slim, col(urlCol) === col("__cu"), "left")
-      .filter(col("__ca").isNull ||
-        (lmT.isNotNull && (caT.isNull || lmT > caT)))
+      .filter(col("__ca").isNull || (lmT.isNotNull && lmT > col("__ca")))
       .withColumn("recrawl_reason",
         when(col("__ca").isNull, lit("never_crawled"))
           .otherwise(lit("modified")))

@@ -148,6 +148,22 @@ class PdfSpec extends AnyFunSuite {
       s"/Length ${c5.length} >>\nstream\n$c5\nendstream\nendobj\n")
       .getBytes("US-ASCII")
     assert(extract(unbal) === "unb")
+    // a BOUNDARY token inside the dict's own string: the string-blind
+    // boundary search lands mid-string, the walk detects the stray
+    // and retries from the real boundary
+    val c6 = "BT (bnd) Tj ET"
+    val bnd = (s"%PDF-1.4\n0 9 obj << /X 1 >> endobj\n" +
+      s"1 0 obj << /T (see endstream here) " +
+      s"/Length ${c6.length} >>\nstream\n$c6\nendstream\nendobj\n")
+      .getBytes("US-ASCII")
+    assert(extract(bnd) === "bnd")
+    // a % comment with an unmatched '(' or '<' before the dict is
+    // prose, not a string/hex opener
+    val c7 = "BT (cmt) Tj ET"
+    val cmt = (s"%PDF-1.4\n1 0 obj\n% note (draft <x\n<< " +
+      s"/Length ${c7.length} >>\nstream\n$c7\nendstream\nendobj\n")
+      .getBytes("US-ASCII")
+    assert(extract(cmt) === "cmt")
     // a dict-less stream must not adopt the PREVIOUS object's dict
     val orphan = (s"%PDF-1.4\n" +
       s"1 0 obj << /Length 4 /Filter /LZWDecode >> endobj\n" +

@@ -770,7 +770,9 @@ class WebCurationSpec extends AnyFunSuite {
       (3L, "https://a/fresh", "2026-03-01"),
       (4L, "https://a/nolm", ""),
       (5L, "https://a/new", "2026-01-01"),
-      (6L, "https://a/garbled", "not-a-date"))
+      (6L, "https://a/garbled", "not-a-date"),
+      (7L, "https://a/offmax", "2026-02-01T20:00:00Z"),
+      (8L, "https://a/badledger", "2026-02-01"))
       .toDF("doc_id", "url", "lastmod")
     val crawled = Seq(
       ("https://a/offset", "2026-02-02T08:00:00Z"),
@@ -780,12 +782,21 @@ class WebCurationSpec extends AnyFunSuite {
       ("https://a/fresh", "2026-01-01"),
       ("https://a/fresh", "2026-03-05"),
       ("https://a/nolm", "2026-01-01"),
-      ("https://a/garbled", "2026-01-01"))
+      ("https://a/garbled", "2026-01-01"),
+      // the ledger fold is on INSTANTS: the +14:00 row SORTS above
+      // the Z row as a string but is the EARLIER instant — the real
+      // latest crawl (23:00Z) already covers the 20:00Z change
+      ("https://a/offmax", "2026-02-02T01:00:00+14:00"),
+      ("https://a/offmax", "2026-02-01T23:00:00Z"),
+      // a URL whose ledger dates are ALL garbage has no usable
+      // crawl record — conservatively recrawl as never_crawled
+      ("https://a/badledger", "corrupt"))
       .toDF("url", "crawled_at")
     val out = graft.operators.WebCuration.recrawlSet(entries, crawled)
       .select($"doc_id", $"recrawl_reason")
       .as[(Long, String)].collect().toMap
-    assert(out === Map(1L -> "modified", 5L -> "never_crawled"))
+    assert(out === Map(1L -> "modified", 5L -> "never_crawled",
+      8L -> "never_crawled"))
   }
 
   test("capPerDomainPsl: per-publisher caps on hosting platforms; pslFromTable gates the collect") {
