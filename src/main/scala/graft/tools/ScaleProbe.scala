@@ -648,6 +648,49 @@ object ScaleProbe {
       println(s"[scale-probe]   capped rows: ${capped.count()} " +
         "(expect 50000)")
     }
+    // redirect-chain resolution at scale: 5M crawled URLs against a
+    // 500k-edge redirect table (10% of a crawl redirects — the CC
+    // ballpark), maxHops static joins; the edge side broadcasts, so
+    // each hop is map-side — cost ∝ corpus, not hops × shuffles
+    time("resolveRedirects: 5M urls x 500k-edge table, 3 hops " +
+        "(static broadcast joins + the unresolved probe)") {
+      val edges = spark.range(500000L).select(
+        concat(lit("https://r.example/hop/"), $"id".cast("string"))
+          .as("from_url"),
+        // every 10th edge chains one hop deeper
+        when($"id" % 10 === 0,
+          concat(lit("https://r.example/hop/"),
+            ($"id" + 1).cast("string")))
+          .otherwise(concat(lit("https://final.example/"),
+            $"id".cast("string"))).as("to_url"))
+      val crawl = spark.range(5000000L).select($"id".as("doc_id"),
+        concat(lit("https://r.example/hop/"),
+          ($"id" % 1000000).cast("string")).as("url"))
+      val out = graft.operators.WebCuration.resolveRedirects(
+        crawl, edges, maxHops = 3)
+      val r = out.agg(sum($"n_hops"),
+        sum(when($"redirect_unresolved", 1L).otherwise(0L))).head()
+      println(s"[scale-probe]   hops taken: ${r.getLong(0)}, " +
+        s"unresolved: ${r.getLong(1)} (expect 0)")
+    }
+    // recrawl scheduling at scale: 5M sitemap entries against a 4M-row
+    // crawl ledger — one instant-fold hash agg + one left join
+    time("recrawlSet: 5M sitemap entries x 4M-row ledger") {
+      val entries = spark.range(5000000L).select($"id".as("doc_id"),
+        concat(lit("https://s.example/p/"), $"id".cast("string"))
+          .as("url"),
+        when($"id" % 3 === 0, lit(""))
+          .otherwise(concat(lit("2026-0"),
+            ($"id" % 3 + 1).cast("string"), lit("-15"))).as("lastmod"))
+      val ledger = spark.range(4000000L).select(
+        concat(lit("https://s.example/p/"), $"id".cast("string"))
+          .as("url"),
+        lit("2026-02-01").as("crawled_at"))
+      val out = graft.operators.WebCuration.recrawlSet(entries, ledger)
+      val r = out.groupBy($"recrawl_reason").count()
+        .as[(String, Long)].collect().toMap
+      println(s"[scale-probe]   recrawl set: $r")
+    }
     // PSL suffix walk at scale: the hash-set expression must price
     // like the regex head (per-row codegen, zero shuffle) — this is
     // the derivation capPerDomainPsl materializes once
