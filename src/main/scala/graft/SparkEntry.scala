@@ -1534,6 +1534,62 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- opt-out compliance gate: meta robots directives rotate by
+    // residue (index / noindex / "noai, index" / absent / spaced-
+    // uppercase NOINDEX / header-only noai) — pages stating an
+    // opt-out drop BEFORE the corpus, the data-governance step; the
+    // survivors derive from the residue class alone ----
+    "web_optout_filter" -> ((s, dir) => {
+      val r = col("doc_id") % 6
+      val meta = element_at(array(
+        lit("<meta name=\"robots\" content=\"index, follow\">"),
+        lit("<meta name=\"robots\" content=\"noindex\">"),
+        lit("<meta name=\"robots\" content=\"noai, index\">"),
+        lit(""),
+        lit("<meta name='robots' content=' NOINDEX , nofollow'>"),
+        lit("")), (r + 1).cast("int"))
+      val page = concat(lit("<html><head>"), meta,
+        lit("</head><body><p>body "), col("doc_id"),
+        lit("</p></body></html>"))
+      val header = when(r === 5, lit("noai")).otherwise(lit(null)
+        .cast("string"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), page.as("html"),
+          header.as("x_robots_tag"))
+      graft.operators.WebCuration
+        .optOutFilter(pages, headerCol = "x_robots_tag")
+        .select(col("doc_id"),
+          md5(graft.functions.vfs_html_text(col("html")))
+            .as("text_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- canonical consolidation: a third of the pages declare a
+    // <link rel=canonical> pointing at a SHARED canonical URL (100
+    // pages per canonical — the syndication shape); the effective
+    // identity is coalesce(canonical, own url) and keep-first over
+    // it collapses each canonical group onto its smallest doc_id ----
+    "web_html_canonical" -> ((s, dir) => {
+      val ownUrl = concat(lit("https://c"), col("doc_id") % 5,
+        lit(".example/p/"), col("doc_id"))
+      val canon = when(col("doc_id") % 3 === 1,
+        concat(lit("<link rel=\"canonical\" href=\"https://canon" +
+          ".example/c/"), col("doc_id") % 100, lit("\">")))
+        .otherwise(lit(""))
+      val page = concat(lit("<html><head>"), canon,
+        lit("</head><body><p>p</p></body></html>"))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), ownUrl.as("url"), page.as("html"))
+        .withColumn("canonical",
+          graft.functions.vfs_html_canonical(col("html")))
+        .withColumn("effective_url",
+          coalesce(col("canonical"), col("url")))
+      graft.operators.WebCuration
+        .urlKeepFirst(docs, "effective_url")
+        .select(col("doc_id"), col("canonical"), col("effective_url"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- sitemap-driven RECRAWL scheduling: each doc's urlset
     // carries a /p page with a residue-rotated <lastmod> and a /q
     // page without one; the last-crawl ledger has /p crawled at a
@@ -5527,6 +5583,31 @@ object SparkEntry {
         |  CAST(seq AS BIGINT) AS fetch_seq,
         |  CAST((seq - 1) * delay AS BIGINT) AS fetch_at_milli
         |FROM r ORDER BY doc_id ASC, url ASC""".stripMargin,
+
+    // opt-out gate: survivors are the no-directive and
+    // index-only residues; extracted text is just the body line
+    "web_optout_filter" ->
+      s"""SELECT doc_id, md5('body ' || doc_id) AS text_md5
+        |FROM documents WHERE doc_id % 6 IN (0, 3)
+        |ORDER BY doc_id ASC""".stripMargin,
+
+    // canonical consolidation: non-declaring pages keep their own
+    // URL; each 100-page canonical group keeps its SMALLEST member
+    // (k_min = (1 - c) mod 3 picks the first doc_id = c + 100k with
+    // doc_id % 3 = 1)
+    "web_html_canonical" ->
+      s"""SELECT doc_id, NULL AS canonical,
+        |  'https://c' || (doc_id % 5) || '.example/p/' || doc_id
+        |    AS effective_url
+        |FROM documents WHERE doc_id % 3 <> 1
+        |UNION ALL
+        |SELECT doc_id,
+        |  'https://canon.example/c/' || (doc_id % 100),
+        |  'https://canon.example/c/' || (doc_id % 100)
+        |FROM documents
+        |WHERE doc_id % 3 = 1
+        |  AND doc_id // 100 = ((1 - (doc_id % 100)) % 3 + 3) % 3
+        |ORDER BY doc_id ASC""".stripMargin,
 
     // recrawl scheduling by residue: /p pages keep when their
     // rotated lastmod postdates the 2026-02-01 crawl (months 2 and

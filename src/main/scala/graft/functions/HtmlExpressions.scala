@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -302,6 +302,94 @@ object HtmlKernel {
   // DIFFERENT attribute name (data-href=, xhref=)
   private val LinkHref =
     """(?is)(?<![\w-])href\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+
+  /** content of the FIRST `<meta name="X" content="…">` whose name
+    * matches case-insensitively (entities decoded, quoted attrs,
+    * attribute order free), null when absent — the robots
+    * opt-out/noai directives, description, generator. `http-equiv`
+    * metas are NOT matched (different attribute, different
+    * semantics — charset handling owns those). */
+  def metaContent(html: UTF8String, name: UTF8String): UTF8String = {
+    val s = html.toString
+    val want = name.toString
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '<' &&
+        s.regionMatches(true, i, "<meta", 0, 5) &&
+        (i + 5 >= s.length || {
+          val c = s.charAt(i + 5)
+          !c.isLetterOrDigit && c != '-'
+        })) {
+        val after = skipTag(s, i)
+        val tag = s.substring(i, math.min(after, s.length))
+        val nm = MetaNameAttr.findFirstMatchIn(tag)
+          .map(g => Option(g.group(1)).getOrElse(g.group(2)))
+        if (nm.exists(_.equalsIgnoreCase(want))) {
+          return MetaContentAttr.findFirstMatchIn(tag)
+            .map { g =>
+              val raw = Option(g.group(1)).getOrElse(g.group(2))
+              UTF8String.fromString(decodeAttr(raw))
+            }.orNull
+        }
+        i = after
+      } else i += 1
+    }
+    null
+  }
+
+  /** href of the FIRST `<link>` whose rel list contains the token
+    * `canonical` (space-separated, case-insensitive — rel is a
+    * token LIST per HTML), entities decoded; null when absent. The
+    * canonical-consolidation dedup signal: the author's own
+    * statement of which URL is the page's identity. */
+  def canonical(html: UTF8String): UTF8String = {
+    val s = html.toString
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '<' &&
+        s.regionMatches(true, i, "<link", 0, 5) &&
+        (i + 5 >= s.length || {
+          val c = s.charAt(i + 5)
+          !c.isLetterOrDigit && c != '-'
+        })) {
+        val after = skipTag(s, i)
+        val tag = s.substring(i, math.min(after, s.length))
+        val rel = LinkRelAttr.findFirstMatchIn(tag)
+          .map(g => Option(g.group(1)).getOrElse(g.group(2)))
+        val isCanonical = rel.exists(_.split("\\s+")
+          .exists(_.equalsIgnoreCase("canonical")))
+        if (isCanonical) {
+          val href = LinkHref.findFirstMatchIn(tag)
+            .map(g => Option(g.group(1)).getOrElse(g.group(2)))
+          href match {
+            case Some(h) => return UTF8String.fromString(decodeAttr(h))
+            case None => () // rel=canonical without href: keep looking
+          }
+        }
+        i = after
+      } else i += 1
+    }
+    null
+  }
+
+  /** attribute-value entity decode shared by the meta/link readers
+    * (the [[links]] inline loop predates it). */
+  private def decodeAttr(raw: String): String = {
+    val dec = new java.lang.StringBuilder(raw.length)
+    var j = 0
+    while (j < raw.length) {
+      if (raw.charAt(j) == '&') j = decodeRef(raw, j, dec)
+      else { dec.append(raw.charAt(j)); j += 1 }
+    }
+    dec.toString
+  }
+
+  private val MetaNameAttr =
+    """(?is)(?<![\w-])name\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+  private val MetaContentAttr =
+    """(?is)(?<![\w-])content\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+  private val LinkRelAttr =
+    """(?is)(?<![\w-])rel\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
 }
 
 /** STRING → STRING extracted prose ([[HtmlKernel.text]]).
@@ -374,6 +462,53 @@ case class HtmlLinks(child: Expression) extends UnaryExpression
     defineCodeGen(ctx, ev, c =>
       s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
         s"graft.functions.HtmlKernel.links($c))")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** (html, meta_name) → STRING content of the first matching
+  * `<meta name=… content=…>`, NULL when absent ([[HtmlKernel
+  * .metaContent]]) — the robots/noai opt-out directives,
+  * description, generator. Registered as `vfs_html_meta`. */
+case class HtmlMeta(html: Expression, name: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = html
+  override def right: Expression = name
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vfs_html_meta"
+  override def nullSafeEval(h: Any, n: Any): Any =
+    HtmlKernel.metaContent(h.asInstanceOf[UTF8String],
+      n.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, n) => s"""
+      |${ev.value} = graft.functions.HtmlKernel.metaContent($h, $n);
+      |${ev.isNull} = ${ev.value} == null;
+    """.stripMargin)
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(html = l, name = r)
+}
+
+/** html → STRING href of the first `<link rel=canonical>`, NULL
+  * when absent ([[HtmlKernel.canonical]]) — the author-declared
+  * page identity, the canonical-consolidation dedup signal.
+  * Registered as `vfs_html_canonical`. */
+case class HtmlCanonical(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vfs_html_canonical"
+  override def nullSafeEval(v: Any): Any =
+    HtmlKernel.canonical(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.HtmlKernel.canonical($c);
+      |${ev.isNull} = ${ev.value} == null;
+    """.stripMargin)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }

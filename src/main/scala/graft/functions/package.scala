@@ -94,6 +94,14 @@ package object functions {
   def vfs_html_title(html: Column): Column = col(HtmlTitle(ex(html)))
   /** every <a href> value in document order → ARRAY<STRING> */
   def vfs_html_links(html: Column): Column = col(HtmlLinks(ex(html)))
+  /** first <meta name=… content=…> value for a name, NULL absent —
+    * the robots/noai opt-out directives, description, generator */
+  def vfs_html_meta(html: Column, name: Column): Column =
+    col(HtmlMeta(ex(html), ex(name)))
+  /** first <link rel=canonical> href, NULL absent — the
+    * author-declared page identity (canonical consolidation) */
+  def vfs_html_canonical(html: Column): Column =
+    col(HtmlCanonical(ex(html)))
 
   /** extracted text of a PDF (raw/Flate content streams, BT…ET
     * text operators — see [[PdfKernel]]'s scope stance) */
@@ -171,6 +179,8 @@ package object functions {
     r1("vfs_pdf_text", es => PdfText(es(0)))
     r1("vfs_html_title", es => HtmlTitle(es(0)))
     r1("vfs_html_links", es => HtmlLinks(es(0)))
+    r1("vfs_html_meta", es => HtmlMeta(es(0), es(1)))
+    r1("vfs_html_canonical", es => HtmlCanonical(es(0)))
     r1("vfs_robots_allowed", es => RobotsAllowed(es(0), es(1), es(2)))
     r1("vfs_robots_crawl_delay", es => RobotsCrawlDelay(es(0), es(1)))
     r1("vfs_robots_sitemaps", es => RobotsSitemaps(es(0)))

@@ -524,6 +524,39 @@ object WebCuration {
       .withColumnRenamed("__nh", "n_hops")
   }
 
+  /** Opt-out compliance gate — the data-governance step an LLM
+    * training pipeline runs BEFORE any content enters the corpus:
+    * drop pages whose robots DIRECTIVES ask out. Directives come
+    * from the page's `<meta name="robots">` (via `vfs_html_meta`)
+    * and, when the caller passes `headerCol`, an `X-Robots-Tag`
+    * response-header column; both are comma-separated token lists
+    * matched case-insensitively and whitespace-tolerantly. The
+    * default tokens are `noindex` plus the emerging AI opt-outs
+    * `noai`/`noimageai` — honoring an author's noindex for training
+    * data is the conservative reading of the directive. A page with
+    * NO directives passes (absence is not consent either way — the
+    * gate enforces stated opt-outs, it does not construct consent).
+    * One codegen projection + a filter: zero shuffle, scales as a
+    * scan. */
+  def optOutFilter(pages: DataFrame, htmlCol: String = "html",
+      headerCol: String = null,
+      tokens: Seq[String] = Seq("noindex", "noai", "noimageai")): DataFrame = {
+    require(tokens.nonEmpty, "[GRAFT] optOutFilter: empty token list")
+    require(pages.columns.contains(htmlCol),
+      s"[GRAFT] optOutFilter: no '$htmlCol' column")
+    if (headerCol != null) require(pages.columns.contains(headerCol),
+      s"[GRAFT] optOutFilter: no '$headerCol' column")
+    val toks = array(tokens.map(t => lit(t.toLowerCase)): _*)
+    def optedOut(c: Column): Column = c.isNotNull &&
+      arrays_overlap(transform(split(c, ","), x => lower(trim(x))),
+        toks)
+    val metaDirectives =
+      graft.functions.vfs_html_meta(col(htmlCol), lit("robots"))
+    val out = optedOut(metaDirectives) ||
+      (if (headerCol == null) lit(false) else optedOut(col(headerCol)))
+    pages.filter(!out)
+  }
+
   /** The recrawl set from sitemap change signals — the scheduling
     * step a standing crawl runs daily: `entries` carries exploded
     * (url, lastmod) pairs (from `vfs_sitemap_locs` zipped with

@@ -243,4 +243,75 @@ class HtmlSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"expected codegen span:\n$plan")
   }
+  test("metaContent: name match case-insensitive, attribute order free, entities decoded, http-equiv NOT matched, first wins") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def meta(h: String, n: String): String = {
+      val r = graft.functions.HtmlKernel.metaContent(
+        UTF8String.fromString(h), UTF8String.fromString(n))
+      if (r == null) null else r.toString
+    }
+    assert(meta("<meta name=\"robots\" content=\"noindex, noai\">",
+      "robots") === "noindex, noai")
+    // attribute order reversed + single quotes + case
+    assert(meta("<meta content='A &amp; B' NAME='Description'>",
+      "description") === "A & B")
+    // http-equiv is a DIFFERENT attribute — not matched by name
+    assert(meta("<meta http-equiv=\"robots\" content=\"x\">",
+      "robots") === null)
+    // first matching meta wins; a different name does not match
+    assert(meta("<meta name=\"robots\" content=\"first\">" +
+      "<meta name=\"robots\" content=\"second\">", "robots") ===
+      "first")
+    assert(meta("<meta name=\"viewport\" content=\"w\">",
+      "robots") === null)
+    // <metadata> is a different element (name boundary)
+    assert(meta("<metadata name=\"robots\" content=\"x\"/>",
+      "robots") === null)
+    assert(meta("<p>no metas</p>", "robots") === null)
+  }
+
+  test("canonical: rel token-list match, href extraction, entities, absent/hrefless safe") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def canon(h: String): String = {
+      val r = graft.functions.HtmlKernel.canonical(
+        UTF8String.fromString(h))
+      if (r == null) null else r.toString
+    }
+    assert(canon("<link rel=\"canonical\" href=\"https://a/c?x=1&amp;y=2\">")
+      === "https://a/c?x=1&y=2")
+    // rel is a token LIST; case-insensitive; attribute order free
+    assert(canon("<link href='https://a/c' rel='alternate CANONICAL'>")
+      === "https://a/c")
+    // stylesheet links and hrefless canonicals are skipped; the NEXT
+    // canonical still wins
+    assert(canon("<link rel=\"stylesheet\" href=\"/s.css\">" +
+      "<link rel=\"canonical\">" +
+      "<link rel=\"canonical\" href=\"https://a/real\">") ===
+      "https://a/real")
+    assert(canon("<link rel=\"alternate\" href=\"/x\">") === null)
+    assert(canon("<p>none</p>") === null)
+  }
+
+  test("optOutFilter: meta robots + header directives drop pages, token-exact and whitespace-tolerant; absence passes") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "<meta name=\"robots\" content=\"index, follow\"><p>a</p>", null),
+      (2L, "<meta name=\"robots\" content=\"noindex\"><p>b</p>", null),
+      (3L, "<meta name='robots' content=' NOAI , index'><p>c</p>", null),
+      (4L, "<p>d</p>", null),
+      (5L, "<p>e</p>", "noai"),
+      // token-EXACT: 'noindexing' is not 'noindex'
+      (6L, "<meta name=\"robots\" content=\"noindexing\"><p>f</p>", null))
+      .toDF("doc_id", "html", "x_robots_tag")
+    val kept = graft.operators.WebCuration
+      .optOutFilter(pages, headerCol = "x_robots_tag")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L, 6L))
+    // without the header column, header-only opt-outs pass through
+    val keptNoHdr = graft.operators.WebCuration
+      .optOutFilter(pages.drop("x_robots_tag"))
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(keptNoHdr === Seq(1L, 4L, 5L, 6L))
+  }
 }
