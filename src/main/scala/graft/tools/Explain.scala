@@ -760,6 +760,16 @@ object Explain {
         "a STATIC plan, edge side broadcast under AQE, no iteration)") {
       graft.SparkEntry.queries("web_redirect_resolve")(spark, dir)
     }
+    show("opt-out compliance gate (expect: ONE codegen projection — " +
+        "vfs_html_meta + the token-list overlap fold directly in the " +
+        "filter, zero shuffle)") {
+      graft.SparkEntry.queries("web_optout_filter")(spark, dir)
+    }
+    show("canonical consolidation (expect: the canonical extraction " +
+        "as codegen, then urlKeepFirst's ONE window over the " +
+        "normalized effective key)") {
+      graft.SparkEntry.queries("web_html_canonical")(spark, dir)
+    }
     show("sitemap recrawl scheduling (expect: ONE codegen projection " +
         "for the loc/lastmod pair explode, one hash agg folding the " +
         "ledger, one left join — the whole daily schedule in two " +
