@@ -1269,6 +1269,109 @@ object SparkEntry {
         .orderBy(col("doc_id").asc)
     }),
 
+    // ---- WARC response headers (the conditional-request
+    // validators + the header-level opt-out channel): the walk
+    // surfaces Last-Modified / ETag / X-Robots-Tag AS WRITTEN by
+    // residue — absent headers read "" (the content_type/location
+    // convention) ----
+    "web_warc_headers" -> ((s, dir) => {
+      import s.implicits._
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("<p>"), col("text"), lit("</p>")).as("html"))
+      val warcs = graft.operators.WorkCols.spread(pages)
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, html) =>
+            val uri = s"https://hd${id % 5}.example/p/$id"
+            val lm = s"Sat, 0${id % 7 + 1} Feb 2026 00:00:00 GMT"
+            val extras = (id % 4) match {
+              case 0 => Nil
+              case 1 => Seq("Last-Modified" -> lm)
+              case 2 => Seq("ETag" -> s"""\"v$id\"""")
+              case _ => Seq("Last-Modified" -> lm,
+                "ETag" -> s"""W/\"v$id\"""",
+                "X-Robots-Tag" -> "noai")
+            }
+            (id, graft.operators.Warc.encodeArchive(uri,
+              html.getBytes("UTF-8"), extraHeaders = extras))
+          }
+        }.toDF("doc_id", "warc")
+      graft.operators.Warc.records(s, warcs).toDF()
+        .filter(col("rec_type") === "response")
+        .select(col("doc_id"), col("target_uri"),
+          col("last_modified"), col("etag"), col("x_robots_tag"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- zstd Content-Encoding (decoded via zstd-jni, the codec
+    // Spark itself ships): odd docs carry zstd-coded bodies, even
+    // docs identity — the decode walk must hand the HTML kernel the
+    // SAME page either way (one md5 chain for both residues) ----
+    "web_warc_zstd" -> ((s, dir) => {
+      import s.implicits._
+      val html = htmlPageOf(col("doc_id"), col("text"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("https://z"), col("doc_id") % 5,
+            lit(".example/p/"), col("doc_id")).as("uri"),
+          html.as("html"))
+      val warcs = graft.operators.WorkCols.spread(pages)
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          it.map { case (id, uri, page) =>
+            val coding = if (id % 2 == 1) 5 else 0
+            (id, graft.operators.Warc.encodeArchive(uri,
+              page.getBytes("UTF-8"), bodyCoding = coding))
+          }
+        }.toDF("doc_id", "warc")
+      graft.operators.Warc.records(s, warcs).toDF()
+        .filter(col("rec_type") === "response")
+        .select(col("doc_id"), (col("doc_id") % 2).as("zstd_coded"),
+          col("http_status").cast("long").as("http_status"),
+          md5(graft.functions.vfs_html_text(
+            graft.functions.vfs_charset_decode(col("body"),
+              col("content_type")))).as("text_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
+
+    // ---- the opt-out gate fed from the WARC chain's OWN
+    // X-Robots-Tag column (not a caller-supplied one): noai headers
+    // drop their pages, non-listed directives pass ----
+    "web_optout_warc" -> ((s, dir) => {
+      import s.implicits._
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("<p>"), col("text"), lit("</p>")).as("html"))
+      val warcs = graft.operators.WorkCols.spread(pages)
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, html) =>
+            val uri = s"https://o${id % 5}.example/p/$id"
+            val extras = (id % 3) match {
+              case 0 => Nil
+              case 1 => Seq("X-Robots-Tag" -> "noai")
+              case _ => Seq("X-Robots-Tag" ->
+                "unavailable_after: 01 Jan 2027, nofollow")
+            }
+            (id, graft.operators.Warc.encodeArchive(uri,
+              html.getBytes("UTF-8"), extraHeaders = extras))
+          }
+        }.toDF("doc_id", "warc")
+      val resp = graft.operators.Warc.records(s, warcs).toDF()
+        .filter(col("rec_type") === "response")
+        .select(col("doc_id"),
+          graft.functions.vfs_charset_decode(col("body"),
+            col("content_type")).as("html"),
+          col("x_robots_tag"))
+      graft.operators.WebCuration
+        .optOutFilter(resp, headerCol = "x_robots_tag")
+        .select(col("doc_id"),
+          md5(graft.functions.vfs_html_text(col("html")))
+            .as("text_md5"))
+        .orderBy(col("doc_id").asc)
+    }),
+
     // ---- charset-aware body decode (the WHATWG sniff): five
     // residue classes exercise every tier — BOM'd UTF-8, a declared
     // windows-1252 transport header, a <meta charset=shift_jis>
@@ -1544,8 +1647,11 @@ object SparkEntry {
       val meta = element_at(array(
         lit("<meta name=\"robots\" content=\"index, follow\">"),
         lit("<meta name=\"robots\" content=\"noindex\">"),
-        lit("<meta name=\"robots\" content=\"noai, index\">"),
-        lit(""),
+        // UNQUOTED attribute values (valid HTML5): the stated
+        // opt-out must not slip the gate for want of quotes...
+        lit("<meta name=robots content=noai,index>"),
+        // ...and an unquoted NON-listed directive must still pass
+        lit("<meta name=robots content=nofollow>"),
         lit("<meta name='robots' content=' NOINDEX , nofollow'>"),
         lit("")), (r + 1).cast("int"))
       val page = concat(lit("<html><head>"), meta,
@@ -1626,6 +1732,103 @@ object SparkEntry {
         .select(col("doc_id"), col("url"), col("lastmod"),
           col("recrawl_reason"))
         .orderBy(col("doc_id").asc, col("url").asc)
+    }),
+
+    // ---- CONDITIONAL recrawl: the ledger and a fresh probe sweep
+    // both carry the fetch validators (Last-Modified/ETag, the
+    // web_warc_headers columns) — a matching ETag SKIPS the page
+    // even when the sitemap lastmod moved, a changed validator
+    // recrawls regardless, validator-less pages fall back to the
+    // sitemap arithmetic, /q pages are never in the ledger ----
+    "pipeline_recrawl_conditional" -> ((s, dir) => {
+      val host = concat(lit("https://t"), col("doc_id") % 7,
+        lit(".example"))
+      val pUrl = concat(host, lit("/p/"), col("doc_id"))
+      val qUrl = concat(host, lit("/q/"), col("doc_id"))
+      val lastmod = concat(lit("2026-0"), (col("doc_id") % 3) + 1,
+        lit("-15"))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val entries = docs.select(col("doc_id"), pUrl.as("url"),
+          lastmod.as("lastmod"))
+        .unionByName(docs.select(col("doc_id"), qUrl.as("url"),
+          lit("").as("lastmod")))
+      val v = col("doc_id") % 5
+      val lmOld = lit("Wed, 01 Jan 2026 00:00:00 GMT")
+      val lmNew = lit("Thu, 05 Feb 2026 00:00:00 GMT")
+      val crawled = docs.select(pUrl.as("url"),
+        lit("2026-02-01").as("crawled_at"),
+        when(v.isin(0L, 1L), concat(lit("\"e"), col("doc_id"),
+          lit("\""))).otherwise(lit("")).as("etag"),
+        when(v.isin(2L, 3L), lmOld).otherwise(lit(""))
+          .as("last_modified"))
+      val probes = docs.select(pUrl.as("url"),
+        when(v === 0, concat(lit("\"e"), col("doc_id"), lit("\"")))
+          .when(v === 1, concat(lit("\"f"), col("doc_id"), lit("\"")))
+          .otherwise(lit("")).as("etag"),
+        when(v === 2, lmOld).when(v === 3, lmNew).otherwise(lit(""))
+          .as("last_modified"))
+      graft.operators.WebCuration
+        .recrawlSetConditional(entries, crawled, probes)
+        .select(col("doc_id"), col("url"), col("lastmod"),
+          col("recrawl_reason"))
+        .orderBy(col("doc_id").asc, col("url").asc)
+    }),
+
+    // ---- the recrawl scheduler's STREAMING twin: the same
+    // instant-compare arithmetic as pipeline_recrawl riding a
+    // stream-static join, plus the per-URL emitted-guard state —
+    // over a static frame the fold replays the batch operator
+    // exactly (unique fixture urls make the dedup the identity);
+    // SLIM schema, the stream_politeness_schedule stance ----
+    "stream_recrawl" -> ((s, dir) => {
+      import s.implicits._
+      val host = concat(lit("https://s"), col("doc_id") % 7,
+        lit(".example"))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val entries = docs.select(col("doc_id"),
+          concat(host, lit("/p/"), col("doc_id")).as("url"),
+          concat(lit("2026-0"), (col("doc_id") % 3) + 1,
+            lit("-15")).as("lastmod"))
+        .unionByName(docs.select(col("doc_id"),
+          concat(host, lit("/q/"), col("doc_id")).as("url"),
+          lit("").as("lastmod")))
+      val crawled = docs.select(
+          concat(host, lit("/p/"), col("doc_id")).as("url"),
+          lit("2026-02-01").as("crawled_at"))
+        .unionByName(docs.filter(col("doc_id") % 2 === 0)
+          .select(concat(host, lit("/q/"), col("doc_id")).as("url"),
+            lit("2026-01-01").as("crawled_at")))
+      graft.streaming.Ingest.recrawlStream(entries, crawled)
+        .orderBy(col("url").asc)
+    }),
+
+    // ---- the governance drop report: blocklist → robots gate →
+    // opt-out directives, each stage's counts residue-derivable
+    // (the unquoted residue-3 meta pins the HTML5 attribute fix
+    // through the oracle) ----
+    "pipeline_governance_report" -> ((s, dir) => {
+      import s.implicits._
+      val url = concat(lit("https://g"), col("doc_id") % 5,
+        lit(".example"),
+        when(col("doc_id") % 2 === 1, lit("/x/")).otherwise(lit("/p/")),
+        col("doc_id"))
+      val meta = when(col("doc_id") % 6 === 2,
+          lit("<meta name=\"robots\" content=\"noindex\">"))
+        .when(col("doc_id") % 6 === 3,
+          lit("<meta name=robots content=noai>"))
+        .otherwise(lit(""))
+      val page = concat(lit("<html><head>"), meta,
+        lit("</head><body><p>b</p></body></html>"))
+      val header = when(col("doc_id") % 7 === 0, lit("noai"))
+        .otherwise(lit(null).cast("string"))
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), url.as("url"), page.as("html"),
+          header.as("x_robots_tag"))
+      val robots = Seq(("g0.example", "User-agent: *\nDisallow: /x\n"))
+        .toDF("host", "robots_txt")
+      graft.operators.WebCuration.governanceReport(pages, robots,
+          Seq("g4.example"), "graftbot", headerCol = "x_robots_tag")
+        .orderBy(col("stage").asc)
     }),
 
     // ---- redirect-chain resolution: half the archives are 301
@@ -5460,6 +5663,52 @@ object SparkEntry {
         |    chr(10) || 'one and two') AS text_md5
         |FROM n ORDER BY doc_id ASC""".stripMargin,
 
+    // response headers by residue: the validators and the opt-out
+    // header AS WRITTEN, "" when the synthesizer omitted them
+    "web_warc_headers" ->
+      s"""SELECT doc_id,
+        |  'https://hd' || (doc_id % 5) || '.example/p/' || doc_id
+        |    AS target_uri,
+        |  CASE WHEN doc_id % 4 IN (1, 3)
+        |    THEN 'Sat, 0' || (doc_id % 7 + 1) ||
+        |      ' Feb 2026 00:00:00 GMT'
+        |    ELSE '' END AS last_modified,
+        |  CASE WHEN doc_id % 4 = 2 THEN '"v' || doc_id || '"'
+        |    WHEN doc_id % 4 = 3 THEN 'W/"v' || doc_id || '"'
+        |    ELSE '' END AS etag,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'noai' ELSE '' END
+        |    AS x_robots_tag
+        |FROM documents ORDER BY doc_id ASC""".stripMargin,
+
+    // zstd bodies decode to the identity page — one md5 chain for
+    // both residues
+    "web_warc_zstd" ->
+      s"""WITH n AS (SELECT doc_id,
+        |    array_to_string(list_filter(list_transform(
+        |      string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'),
+        |        chr(10)),
+        |      x -> trim(x, ' ')), x -> x <> ''), chr(10)) AS nt
+        |  FROM documents)
+        |SELECT doc_id, doc_id % 2 AS zstd_coded,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  md5('Doc &' || chr(10) || doc_id || chr(10) || 'Doc Heading' ||
+        |    CASE WHEN nt = '' THEN '' ELSE chr(10) || nt END ||
+        |    chr(10) || 'one and two') AS text_md5
+        |FROM n ORDER BY doc_id ASC""".stripMargin,
+
+    // the WARC-fed opt-out gate: noai headers (residue 1) drop,
+    // absent and non-listed directives pass
+    "web_optout_warc" ->
+      s"""WITH n AS (SELECT doc_id,
+        |    array_to_string(list_filter(list_transform(
+        |      string_split(regexp_replace(text, '[ \\t\\r]+', ' ', 'g'),
+        |        chr(10)),
+        |      x -> trim(x, ' ')), x -> x <> ''), chr(10)) AS nt
+        |  FROM documents)
+        |SELECT doc_id, md5(nt) AS text_md5
+        |FROM n WHERE doc_id % 3 IN (0, 2)
+        |ORDER BY doc_id ASC""".stripMargin,
+
     // charset sniff: the decoded string rebuilt from the raw text +
     // the residue's non-ASCII marker via chr() codepoints
     // (é=233, €=8364, 日本語=26085/26412/35486)
@@ -5625,6 +5874,74 @@ object SparkEntry {
         |  '', 'never_crawled'
         |FROM documents WHERE doc_id % 2 = 1
         |ORDER BY doc_id ASC, url ASC""".stripMargin,
+
+    // conditional recrawl by residue: ETag/Last-Modified validator
+    // pairs decide first (changed → recrawl, matched → skip even
+    // when the sitemap lastmod moved), validator-less residue 4
+    // falls back to the sitemap arithmetic, /q pages are never in
+    // the ledger
+    "pipeline_recrawl_conditional" ->
+      s"""SELECT doc_id,
+        |  'https://t' || (doc_id % 7) || '.example/p/' || doc_id
+        |    AS url,
+        |  '2026-0' || ((doc_id % 3) + 1) || '-15' AS lastmod,
+        |  'validator_changed' AS recrawl_reason
+        |FROM documents WHERE doc_id % 5 IN (1, 3)
+        |UNION ALL
+        |SELECT doc_id,
+        |  'https://t' || (doc_id % 7) || '.example/p/' || doc_id,
+        |  '2026-0' || ((doc_id % 3) + 1) || '-15',
+        |  'modified'
+        |FROM documents WHERE doc_id % 5 = 4 AND doc_id % 3 IN (1, 2)
+        |UNION ALL
+        |SELECT doc_id,
+        |  'https://t' || (doc_id % 7) || '.example/q/' || doc_id,
+        |  '', 'never_crawled'
+        |FROM documents
+        |ORDER BY doc_id ASC, url ASC""".stripMargin,
+
+    // the streaming recrawl twin replays pipeline_recrawl's
+    // arithmetic over the slim schema (unique urls → the per-URL
+    // emitted-guard dedup is the identity)
+    "stream_recrawl" ->
+      s"""SELECT
+        |  'https://s' || (doc_id % 7) || '.example/p/' || doc_id
+        |    AS url,
+        |  '2026-0' || ((doc_id % 3) + 1) || '-15' AS lastmod,
+        |  'modified' AS recrawl_reason
+        |FROM documents WHERE doc_id % 3 IN (1, 2)
+        |UNION ALL
+        |SELECT
+        |  'https://s' || (doc_id % 7) || '.example/q/' || doc_id,
+        |  '', 'never_crawled'
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY url ASC""".stripMargin,
+
+    // governance drop accounting: blocklist (host g4), robots gate
+    // (g0's /x paths), opt-out (meta residues 2/3 — one quoted, one
+    // UNQUOTED — plus the noai header every 7th doc), sequential
+    "pipeline_governance_report" ->
+      s"""WITH a AS (SELECT count(*) AS n0,
+        |    sum(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END) AS d1,
+        |    sum(CASE WHEN doc_id % 5 = 0 AND doc_id % 2 = 1
+        |      THEN 1 ELSE 0 END) AS d2,
+        |    sum(CASE WHEN doc_id % 5 <> 4
+        |      AND NOT (doc_id % 5 = 0 AND doc_id % 2 = 1)
+        |      AND (doc_id % 6 IN (2, 3) OR doc_id % 7 = 0)
+        |      THEN 1 ELSE 0 END) AS d3
+        |  FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'blocklist' AS stage_name,
+        |  CAST(n0 AS BIGINT) AS rows_in,
+        |  CAST(n0 - d1 AS BIGINT) AS rows_out,
+        |  CAST(d1 AS BIGINT) AS dropped FROM a
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'robots', CAST(n0 - d1 AS BIGINT),
+        |  CAST(n0 - d1 - d2 AS BIGINT), CAST(d2 AS BIGINT) FROM a
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'optout',
+        |  CAST(n0 - d1 - d2 AS BIGINT),
+        |  CAST(n0 - d1 - d2 - d3 AS BIGINT), CAST(d3 AS BIGINT) FROM a
+        |ORDER BY stage ASC""".stripMargin,
 
     // redirect resolution by residue: even docs stay put, odd docs
     // hop once via the relative Location, doc_id % 4 == 3 hops twice

@@ -164,11 +164,17 @@ object CharsetKernel {
   }
 
   /** WHATWG prescan (simplified): within the first 1024 bytes read
-    * as ASCII-superset, a `charset=` attribute inside a `<meta` tag
-    * — covers both `<meta charset="x">` and the `http-equiv`
-    * `content="text/html; charset=x"` form (the `content` value
-    * carries the same `charset=` substring). Comments are skipped
-    * so a commented-out declaration cannot win. */
+    * as ASCII-superset, the FIRST `<meta` tag that declares an
+    * encoding the WHATWG way — a bare `charset` ATTRIBUTE
+    * (`<meta charset="x">`), or a `content` attribute's
+    * `charset=` parameter when the tag also carries
+    * `http-equiv=content-type` (the pragma form). A `charset=`
+    * substring anywhere ELSE — a description's prose, a data-
+    * attribute — is NOT a declaration and must not win the tier
+    * (WHATWG honors only those two attribute shapes). Comments are
+    * skipped so a commented-out declaration cannot win, and the
+    * tag's closing `>` is located QUOTE-AWARE — a `>` inside a
+    * quoted attribute value does not end the tag. */
   private def fromMeta(b: Array[Byte]): String = {
     val n = math.min(b.length, 1024)
     val sb = new java.lang.StringBuilder(n)
@@ -184,10 +190,8 @@ object CharsetKernel {
         val end = s.indexOf("-->", cm + 4)
         pos = if (end < 0) s.length else end + 3
       } else {
-        var end = s.indexOf('>', mt + 5)
-        if (end < 0) end = s.length
-        val tag = s.substring(mt, end)
-        val cs = fromContentType(tag) // same charset= grammar
+        val end = tagEnd(s, mt + 5)
+        val cs = metaTagCharset(s.substring(mt + 5, end))
         if (cs != null) {
           // a meta tag cannot declare UTF-16 — ASCII markup that
           // scanned this far is not UTF-16 (the WHATWG rule)
@@ -198,6 +202,86 @@ object CharsetKernel {
     }
     null
   }
+
+  /** Index of the tag-closing '>' at or after `from`, honoring
+    * quoted attribute values (a '>' inside quotes is content);
+    * s.length when unclosed. */
+  private def tagEnd(s: String, from: Int): Int = {
+    var i = from
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i
+      i += 1
+    }
+    s.length
+  }
+
+  /** The declared charset of ONE meta tag's attribute text
+    * (lowercased, between `<meta` and the closing '>'), or null:
+    * walks the attributes, then applies the WHATWG rule — a
+    * `charset` attribute's value wins; otherwise the `content`
+    * attribute's `charset=` parameter counts only when an
+    * `http-equiv` attribute says `content-type`. */
+  private def metaTagCharset(attrs: String): String = {
+    var charsetAttr: String = null
+    var contentAttr: String = null
+    var pragma = false
+    var i = 0
+    while (i < attrs.length) {
+      // skip to an attribute-name start
+      while (i < attrs.length && !isNameChar(attrs.charAt(i))) i += 1
+      if (i < attrs.length) {
+        val nameAt = i
+        while (i < attrs.length && isNameChar(attrs.charAt(i))) i += 1
+        val name = attrs.substring(nameAt, i)
+        // optional = value
+        var j = i
+        while (j < attrs.length &&
+          Character.isWhitespace(attrs.charAt(j))) j += 1
+        var value = ""
+        if (j < attrs.length && attrs.charAt(j) == '=') {
+          j += 1
+          while (j < attrs.length &&
+            Character.isWhitespace(attrs.charAt(j))) j += 1
+          if (j < attrs.length &&
+            (attrs.charAt(j) == '"' || attrs.charAt(j) == '\'')) {
+            val q = attrs.charAt(j)
+            var end = j + 1
+            while (end < attrs.length && attrs.charAt(end) != q) end += 1
+            value = attrs.substring(j + 1, end)
+            i = if (end < attrs.length) end + 1 else attrs.length
+          } else {
+            var end = j
+            while (end < attrs.length &&
+              !Character.isWhitespace(attrs.charAt(end)) &&
+              attrs.charAt(end) != '"' && attrs.charAt(end) != '\'')
+              end += 1
+            value = attrs.substring(j, end)
+            i = end
+          }
+        } else i = j
+        name match {
+          case "charset" if charsetAttr == null => charsetAttr = value
+          case "http-equiv" if value.trim == "content-type" =>
+            pragma = true
+          case "content" if contentAttr == null => contentAttr = value
+          case _ => ()
+        }
+      }
+    }
+    if (charsetAttr != null) canonical(charsetAttr)
+    else if (pragma && contentAttr != null) fromContentType(contentAttr)
+    else null
+  }
+
+  // attribute names: letters, digits, '-' (http-equiv), '_' — the
+  // shapes real markup uses; '/' and whitespace delimit
+  private def isNameChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == '-' ||
+      c == '_'
 
   /** The charset [[decode]] will use, as its WHATWG canonical name —
     * surfaced as a column so pipelines can stratify by encoding. */

@@ -283,7 +283,7 @@ object HtmlKernel {
         val tag = s.substring(i, math.min(after, s.length))
         val m = LinkHref.findFirstMatchIn(tag)
         m.foreach { g =>
-          val raw = Option(g.group(1)).getOrElse(g.group(2))
+          val raw = attrVal(g)
           val dec = new java.lang.StringBuilder(raw.length)
           var j = 0
           while (j < raw.length) {
@@ -299,9 +299,18 @@ object HtmlKernel {
   }
 
   // the lookbehind guards against matching the 'href=' tail of a
-  // DIFFERENT attribute name (data-href=, xhref=)
+  // DIFFERENT attribute name (data-href=, xhref=); the third
+  // alternative accepts UNQUOTED values (valid HTML5 — browsers
+  // parse `<meta name=robots content=noindex>`, and a compliance
+  // gate that misses a stated opt-out because the author skipped
+  // quotes is costlier than over-matching)
   private val LinkHref =
-    """(?is)(?<![\w-])href\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+    """(?is)(?<![\w-])href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""".r
+
+  /** The matched attribute value from any of the three alternatives
+    * (double-quoted / single-quoted / unquoted). */
+  private def attrVal(g: scala.util.matching.Regex.Match): String =
+    Option(g.group(1)).orElse(Option(g.group(2))).getOrElse(g.group(3))
 
   /** content of the FIRST `<meta name="X" content="…">` whose name
     * matches case-insensitively (entities decoded, quoted attrs,
@@ -322,14 +331,11 @@ object HtmlKernel {
         })) {
         val after = skipTag(s, i)
         val tag = s.substring(i, math.min(after, s.length))
-        val nm = MetaNameAttr.findFirstMatchIn(tag)
-          .map(g => Option(g.group(1)).getOrElse(g.group(2)))
+        val nm = MetaNameAttr.findFirstMatchIn(tag).map(attrVal)
         if (nm.exists(_.equalsIgnoreCase(want))) {
           return MetaContentAttr.findFirstMatchIn(tag)
-            .map { g =>
-              val raw = Option(g.group(1)).getOrElse(g.group(2))
-              UTF8String.fromString(decodeAttr(raw))
-            }.orNull
+            .map(g => UTF8String.fromString(decodeAttr(attrVal(g))))
+            .orNull
         }
         i = after
       } else i += 1
@@ -354,13 +360,11 @@ object HtmlKernel {
         })) {
         val after = skipTag(s, i)
         val tag = s.substring(i, math.min(after, s.length))
-        val rel = LinkRelAttr.findFirstMatchIn(tag)
-          .map(g => Option(g.group(1)).getOrElse(g.group(2)))
+        val rel = LinkRelAttr.findFirstMatchIn(tag).map(attrVal)
         val isCanonical = rel.exists(_.split("\\s+")
           .exists(_.equalsIgnoreCase("canonical")))
         if (isCanonical) {
-          val href = LinkHref.findFirstMatchIn(tag)
-            .map(g => Option(g.group(1)).getOrElse(g.group(2)))
+          val href = LinkHref.findFirstMatchIn(tag).map(attrVal)
           href match {
             case Some(h) => return UTF8String.fromString(decodeAttr(h))
             case None => () // rel=canonical without href: keep looking
@@ -384,12 +388,15 @@ object HtmlKernel {
     dec.toString
   }
 
+  // quoted-or-unquoted, like [[LinkHref]] (the unquoted alternative
+  // is load-bearing for the opt-out gate: valid-HTML5
+  // `<meta name=robots content=noindex>` must not slip through)
   private val MetaNameAttr =
-    """(?is)(?<![\w-])name\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+    """(?is)(?<![\w-])name\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""".r
   private val MetaContentAttr =
-    """(?is)(?<![\w-])content\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+    """(?is)(?<![\w-])content\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""".r
   private val LinkRelAttr =
-    """(?is)(?<![\w-])rel\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+    """(?is)(?<![\w-])rel\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""".r
 }
 
 /** STRING → STRING extracted prose ([[HtmlKernel.text]]).

@@ -327,44 +327,94 @@ object SitemapKernel {
               if (close < 0) s.length else close).trim).trim
         val after = if (close < 0) s.length else close
         // dangling/self-closed/empty loc elements carry no URL —
-        // never emit an empty-string frontier row
-        if (value.nonEmpty)
+        // never emit an empty-string frontier row. The lastmod claim
+        // tries the forward scan first (the XSD order: loc, then
+        // lastmod), then the backward within-container scan — real-
+        // world sitemaps write <lastmod> BEFORE <loc> inside a <url>
+        // entry and parsers accept it; without the backward claim
+        // every such lastmod would shift to the PREVIOUS entry.
+        if (value.nonEmpty) {
+          val fwd = lastmodAfter(s, after)
+          val lm = if (fwd.nonEmpty) fwd else lastmodBefore(s, i)
           out += ((UTF8String.fromString(value),
-            UTF8String.fromString(lastmodAfter(s, after))))
+            UTF8String.fromString(lm)))
+        }
         i = after
       } else i += 1
     }
     out.toArray
   }
 
-  /** The first `<lastmod>` body between `from` and the next `<loc`
-    * open tag (name-bounded both), "" when absent — entities
+  /** Case-insensitive open/close-tag token at `i` with a NAME
+    * BOUNDARY after it (`<url` must not match `<urlset`, `<sitemap`
+    * must not match `<sitemapindex`). */
+  private def tokenAt(s: String, i: Int, tok: String): Boolean =
+    s.regionMatches(true, i, tok, 0, tok.length) &&
+      (i + tok.length >= s.length || {
+        val c = s.charAt(i + tok.length)
+        !c.isLetterOrDigit && c != '-' && c != '_'
+      })
+
+  /** Decoded body of the `<lastmod>` element whose open tag starts
+    * at `i`; "" for self-closed/empty. */
+  private def lastmodBodyAt(s: String, i: Int): String = {
+    var j = i + 8
+    while (j < s.length && s.charAt(j) != '>') j += 1
+    val selfClosed = j < s.length && j > i && s.charAt(j - 1) == '/'
+    if (selfClosed) return ""
+    val bodyAt = if (j < s.length) j + 1 else s.length
+    var end = bodyAt
+    while (end < s.length && s.charAt(end) != '<') end += 1
+    decodeXml(s.substring(bodyAt, end).trim).trim
+  }
+
+  /** The first `<lastmod>` body after `from` WITHIN the current
+    * entry: the scan stops at the next `<loc` open tag AND at any
+    * entry-container boundary (`<url`/`</url`/`<sitemap`/
+    * `</sitemap`, name-bounded — `<urlset`/`<sitemapindex` are
+    * different elements), "" when absent — a lastmod in the NEXT
+    * container entry must not be claimed by this one. Entities
     * decoded, trimmed (ISO dates in practice, but authors escape). */
   private def lastmodAfter(s: String, from: Int): String = {
     var i = from
     while (i < s.length) {
       if (s.charAt(i) == '<') {
-        if (s.regionMatches(true, i, "<loc", 0, 4) &&
-          (i + 4 >= s.length || {
-            val c = s.charAt(i + 4)
-            !c.isLetterOrDigit && c != '-' && c != '_'
-          })) return "" // the next loc starts — nothing claimed
-        if (s.regionMatches(true, i, "<lastmod", 0, 8) &&
-          (i + 8 >= s.length || {
-            val c = s.charAt(i + 8)
-            !c.isLetterOrDigit && c != '-' && c != '_'
-          })) {
-          var j = i + 8
-          while (j < s.length && s.charAt(j) != '>') j += 1
-          val selfClosed = j < s.length && j > i && s.charAt(j - 1) == '/'
-          if (selfClosed) return ""
-          val bodyAt = if (j < s.length) j + 1 else s.length
-          var end = bodyAt
-          while (end < s.length && s.charAt(end) != '<') end += 1
-          return decodeXml(s.substring(bodyAt, end).trim).trim
-        }
+        if (tokenAt(s, i, "<loc") || tokenAt(s, i, "<url") ||
+          tokenAt(s, i, "</url") || tokenAt(s, i, "<sitemap") ||
+          tokenAt(s, i, "</sitemap"))
+          return "" // the entry's extent ends — nothing claimed
+        if (tokenAt(s, i, "<lastmod")) return lastmodBodyAt(s, i)
       }
       i += 1
+    }
+    ""
+  }
+
+  /** The backward claim: a `<lastmod>` BEFORE the loc within the
+    * same `<url>`/`<sitemap>` container (the accepted real-world
+    * order the XSD does not prescribe). Scans backward from the
+    * loc's open tag at `locAt` for the nearest boundary; only an
+    * entry-OPEN (`<url`/`<sitemap`) admits a claim — any other
+    * boundary (a previous entry's close, a sibling loc, flat
+    * container-less lists) yields "" so a flat
+    * `<loc/><lastmod/><loc/>` sequence can never double-claim. */
+  private def lastmodBefore(s: String, locAt: Int): String = {
+    var i = locAt - 1
+    while (i >= 0) {
+      if (s.charAt(i) == '<') {
+        if (tokenAt(s, i, "<url") || tokenAt(s, i, "<sitemap")) {
+          var j = i
+          while (j < locAt) {
+            if (s.charAt(j) == '<' && tokenAt(s, j, "<lastmod"))
+              return lastmodBodyAt(s, j)
+            j += 1
+          }
+          return ""
+        }
+        if (tokenAt(s, i, "</url") || tokenAt(s, i, "</sitemap") ||
+          tokenAt(s, i, "<loc") || tokenAt(s, i, "</loc")) return ""
+      }
+      i -= 1
     }
     ""
   }

@@ -799,20 +799,39 @@ object MediaCodec {
 
   private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
+  // The pinned JFIF color chains as SCALAR per-channel helpers —
+  // the per-PIXEL loops (encoder plane split, decoder RGB emit)
+  // call these primitive-returning forms: the tuple forms below
+  // box three Ints per pixel, and whether the JIT's escape
+  // analysis eliminates that allocation is host/profile-sensitive
+  // (the r17 driver host burned 2.3× the CPU of the builder host
+  // on identical code — a megapixel image is 3M boxed Integers per
+  // conversion pass when scalar replacement doesn't kick in).
+  private def yccY(r: Int, g: Int, b: Int): Int =
+    clamp255(jround(0.299 * r + 0.587 * g + 0.114 * b))
+  private def yccCb(r: Int, g: Int, b: Int): Int =
+    clamp255(jround(-0.168736 * r - 0.331264 * g + 0.5 * b + 128))
+  private def yccCr(r: Int, g: Int, b: Int): Int =
+    clamp255(jround(0.5 * r - 0.418688 * g - 0.081312 * b + 128))
+  private def rgbR(y: Int, cr: Int): Int =
+    clamp255(jround(y + 1.402 * (cr - 128)))
+  private def rgbG(y: Int, cb: Int, cr: Int): Int =
+    clamp255(jround(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)))
+  private def rgbB(y: Int, cb: Int): Int =
+    clamp255(jround(y + 1.772 * (cb - 128)))
+
   /** JFIF RGB→YCbCr, integer in/out: floor(x + 0.5) on the pinned
     * left-to-right double chain, clamped (Cb/Cr reach 255.5 at the
-    * gamut corners). */
-  private[graft] def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = (
-    clamp255(jround(0.299 * r + 0.587 * g + 0.114 * b)),
-    clamp255(jround(-0.168736 * r - 0.331264 * g + 0.5 * b + 128)),
-    clamp255(jround(0.5 * r - 0.418688 * g - 0.081312 * b + 128)))
+    * gamut corners). Tuple convenience over the scalar helpers —
+    * specs and cold paths; hot loops use the scalars directly. */
+  private[graft] def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) =
+    (yccY(r, g, b), yccCb(r, g, b), yccCr(r, g, b))
 
   /** JFIF YCbCr→RGB, the decoder's exact chain (mirrored by the
-    * DuckDB oracles): floor(x + 0.5), clamp. */
-  private[graft] def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = (
-    clamp255(jround(y + 1.402 * (cr - 128))),
-    clamp255(jround(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))),
-    clamp255(jround(y + 1.772 * (cb - 128))))
+    * DuckDB oracles): floor(x + 0.5), clamp. Tuple convenience over
+    * the scalar helpers, as [[rgbToYcc]]. */
+  private[graft] def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) =
+    (rgbR(y, cr), rgbG(y, cb, cr), rgbB(y, cb))
 
   /** Forward DCT of one level-shifted 8×8 block (row-major ints),
     * quantized by `q` per coefficient — separable double math. For a
@@ -1036,9 +1055,12 @@ object MediaCodec {
     val crP = new Array[Int](n)
     var i = 0
     while (i < n) {
-      val (yy, cb, cr) = rgbToYcc(payload(3 * i) & 0xff,
-        payload(3 * i + 1) & 0xff, payload(3 * i + 2) & 0xff)
-      yP(i) = yy; cbP(i) = cb; crP(i) = cr
+      // scalar helpers, not the tuple form — no per-pixel boxing
+      val r = payload(3 * i) & 0xff
+      val g = payload(3 * i + 1) & 0xff
+      val b = payload(3 * i + 2) & 0xff
+      yP(i) = yccY(r, g, b); cbP(i) = yccCb(r, g, b)
+      crP(i) = yccCr(r, g, b)
       i += 1
     }
     val mcu = if (subsample) 16 else 8
@@ -1815,9 +1837,11 @@ object MediaCodec {
           val yy = planes(0)((y * v0 / vMax) * planeW(0) + x * h0 / hMax)
           val cb = planes(1)((y * v1 / vMax) * planeW(1) + x * h1 / hMax)
           val cr = planes(2)((y * v2 / vMax) * planeW(2) + x * h2 / hMax)
-          val (rr, gg, bb) = yccToRgb(yy, cb, cr)
+          // scalar helpers, not the tuple form — no per-pixel boxing
           val o = (y * width + x) * 3
-          out(o) = rr.toByte; out(o + 1) = gg.toByte; out(o + 2) = bb.toByte
+          out(o) = rgbR(yy, cr).toByte
+          out(o + 1) = rgbG(yy, cb, cr).toByte
+          out(o + 2) = rgbB(yy, cb).toByte
           x += 1
         }
         y += 1

@@ -12,12 +12,19 @@ import org.apache.spark.sql.functions._
   * tier, [[graft.functions.CharsetKernel]]), the Location header
   * AS WRITTEN ("" when absent — redirect targets are URLs whose
   * case matters, routinely RELATIVE: resolve against target_uri
-  * with `vfs_url_resolve`), and the PAYLOAD — for `response`
-  * records the HTTP body after the header block, for everything
-  * else the raw content. */
+  * with `vfs_url_resolve`), the conditional-request validators
+  * `last_modified`/`etag` AS WRITTEN ("" when absent — ETag
+  * comparison is byte-exact per RFC 9110 §8.8.3, so the value must
+  * not be normalized; these feed the recrawl ledger,
+  * [[WebCuration.recrawlSetConditional]]), the `x_robots_tag`
+  * response header AS WRITTEN ("" when absent — the header-level
+  * opt-out channel, [[WebCuration.optOutFilter]]'s `headerCol`),
+  * and the PAYLOAD — for `response` records the HTTP body after
+  * the header block, for everything else the raw content. */
 case class WarcRecordRow(doc_id: Long, rec_type: String,
     target_uri: String, http_status: Int, content_type: String,
-    location: String, body: Array[Byte])
+    location: String, last_modified: String, etag: String,
+    x_robots_tag: String, body: Array[Byte])
 
 /** [[WarcRecordRow]] plus an `err` column — the quarantining twin's
   * row shape ([[Warc.recordsQuarantined]]): err = null on success;
@@ -26,7 +33,15 @@ case class WarcRecordRow(doc_id: Long, rec_type: String,
   * damage) with an empty body. */
 case class WarcRecordQRow(doc_id: Long, rec_type: String,
     target_uri: String, http_status: Int, content_type: String,
-    location: String, body: Array[Byte], err: String)
+    location: String, last_modified: String, etag: String,
+    x_robots_tag: String, body: Array[Byte], err: String)
+
+/** The parsed HTTP half of a response record — [[Warc]]'s internal
+  * carrier between `splitHttp` and the record rows (status 0 and
+  * empty fields for non-response records). */
+private[graft] case class HttpParts(status: Int, contentType: String,
+    location: String, lastModified: String, etag: String,
+    xRobotsTag: String, body: Array[Byte])
 
 /** WARC/1.0 container parsing (ISO 28500 — the CommonCrawl archive
   * format), pure JVM: record framing (header lines + Content-Length
@@ -45,22 +60,25 @@ case class WarcRecordQRow(doc_id: Long, rec_type: String,
   * are decoded to identity: `Transfer-Encoding: chunked` is
   * dechunked first (RFC 9112 §7.1 — hex size lines, chunk
   * extensions ignored, trailers skipped), then
-  * `Content-Encoding: gzip`/`x-gzip`/`deflate` is decompressed —
+  * `Content-Encoding: gzip`/`x-gzip`/`deflate`/`zstd` is
+  * decompressed (zstd via zstd-jni, the codec Spark itself ships) —
   * CommonCrawl stores payloads identity-encoded, but wget/heritrix
   * archives keep the wire coding and would otherwise flow into the
   * HTML kernel as binary garbage. An encoding this walk cannot
-  * decode (br, zstd) fails loudly naming it. */
+  * decode (`br` — no stock-JVM/Spark-shipped Brotli codec exists)
+  * fails loudly naming it. */
 object Warc {
 
   /** Parse every record of one archive (plain or gzipped —
     * multi-member gzip is read through, the CC layout). */
-  private[graft] def parseArchive(bytes0: Array[Byte]): Seq[(String, String, Int, String, String, Array[Byte])] = {
+  private[graft] def parseArchive(
+      bytes0: Array[Byte]): Seq[(String, String, HttpParts)] = {
     val bytes =
       if (bytes0.length >= 2 && (bytes0(0) & 0xff) == 0x1f &&
         (bytes0(1) & 0xff) == 0x8b) gunzipAll(bytes0)
       else bytes0
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Int, String, String, Array[Byte])]
+      .empty[(String, String, HttpParts)]
     var pos = 0
     while (pos < bytes.length) {
       // tolerate the inter-record CRLF CRLF separators
@@ -68,10 +86,10 @@ object Warc {
         (bytes(pos) == '\r' || bytes(pos) == '\n')) pos += 1
       if (pos < bytes.length) {
         val (recType, uri, content, next) = recordAt(bytes, pos)
-        val (status, contentType, location, payload) =
+        val http =
           if (recType == "response") splitHttp(content)
-          else (0, "", "", content)
-        out += ((recType, uri, status, contentType, location, payload))
+          else HttpParts(0, "", "", "", "", "", content)
+        out += ((recType, uri, http))
         pos = next
       }
     }
@@ -115,9 +133,10 @@ object Warc {
     * an empty body. A corrupt gzip envelope or an empty archive
     * yields a single err row. Success rows carry err = null. */
   private[graft] def parseArchiveQuarantined(bytes0: Array[Byte])
-      : Seq[(String, String, Int, String, String, Array[Byte], String)] = {
+      : Seq[(String, String, HttpParts, String)] = {
     val out = scala.collection.mutable.ArrayBuffer
-      .empty[(String, String, Int, String, String, Array[Byte], String)]
+      .empty[(String, String, HttpParts, String)]
+    val empty = HttpParts(0, "", "", "", "", "", Array.emptyByteArray)
     def errOf(e: Throwable): String =
       e.getClass.getSimpleName + ": " +
         Option(e.getMessage).getOrElse("").take(300)
@@ -127,7 +146,7 @@ object Warc {
           (bytes0(1) & 0xff) == 0x8b) gunzipAll(bytes0)
         else bytes0
       } catch { case e: Exception =>
-        return Seq(("", "", 0, "", "", Array.emptyByteArray, errOf(e)))
+        return Seq(("", "", empty, errOf(e)))
       }
     var pos = 0
     while (pos < bytes.length) {
@@ -137,24 +156,22 @@ object Warc {
         try {
           val (recType, uri, content, next) = recordAt(bytes, pos)
           try {
-            val (status, contentType, location, payload) =
+            val http =
               if (recType == "response") splitHttp(content)
-              else (0, "", "", content)
-            out += ((recType, uri, status, contentType, location,
-              payload, null))
+              else HttpParts(0, "", "", "", "", "", content)
+            out += ((recType, uri, http, null))
           } catch { case e: Exception =>
-            out += ((recType, uri, 0, "", "", Array.emptyByteArray,
-              errOf(e)))
+            out += ((recType, uri, empty, errOf(e)))
           }
           pos = next
         } catch { case e: Exception =>
-          out += (("", "", 0, "", "", Array.emptyByteArray, errOf(e)))
+          out += (("", "", empty, errOf(e)))
           pos = resyncAt(bytes, pos + 1)
         }
       }
     }
     if (out.isEmpty)
-      out += (("", "", 0, "", "", Array.emptyByteArray,
+      out += (("", "", empty,
         "IllegalArgumentException: [GRAFT] warc: no records in the " +
           "archive"))
     out.toSeq
@@ -200,11 +217,12 @@ object Warc {
     (lines.toSeq, pos)
   }
 
-  /** HTTP response content → (status, lowercased Content-Type value
-    * or "", Location header as written or "", IDENTITY body after
+  /** HTTP response content → [[HttpParts]] (status, lowercased
+    * Content-Type value or "", Location / Last-Modified / ETag /
+    * X-Robots-Tag headers as written or "", IDENTITY body after
     * the header block): chunked transfer coding removed, then
-    * gzip/deflate content coding decompressed. */
-  private def splitHttp(content: Array[Byte]): (Int, String, String, Array[Byte]) = {
+    * gzip/deflate/zstd content coding decompressed. */
+  private def splitHttp(content: Array[Byte]): HttpParts = {
     val (lines, bodyAt) = headerBlock(content, 0)
     val statusLine = lines.headOption.getOrElse("")
     require(statusLine.startsWith("HTTP/"),
@@ -239,11 +257,16 @@ object Warc {
       case "identity" | "" => ()
       case "gzip" | "x-gzip" => body = gunzipAll(body)
       case "deflate" => body = inflate(body)
+      case "zstd" => body = unzstd(body)
       case other => throw new IllegalArgumentException(
         s"[GRAFT] warc: unsupported Content-Encoding '$other'")
     }
-    (parts(1).toInt, fields.getOrElse("content-type", "").toLowerCase,
-      fields.getOrElse("location", ""), body)
+    HttpParts(parts(1).toInt,
+      fields.getOrElse("content-type", "").toLowerCase,
+      fields.getOrElse("location", ""),
+      fields.getOrElse("last-modified", ""),
+      fields.getOrElse("etag", ""),
+      fields.getOrElse("x-robots-tag", ""), body)
   }
 
   /** Remove the chunked transfer coding (RFC 9112 §7.1): hex size
@@ -333,6 +356,21 @@ object Warc {
     }
   }
 
+  /** Decode a `Content-Encoding: zstd` body via zstd-jni (the codec
+    * Spark itself ships for shuffle/parquet — offline-available on
+    * every executor). `br` (Brotli) has no stock-JVM or Spark-shipped
+    * codec and stays quarantined ([[recordsQuarantined]] emits an
+    * err row naming it). */
+  private def unzstd(bytes: Array[Byte]): Array[Byte] = {
+    val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes()
+    catch { case e: java.io.IOException =>
+      throw new IllegalArgumentException(
+        s"[GRAFT] warc: corrupt zstd stream (${e.getMessage})")
+    } finally in.close()
+  }
+
   private def gunzipAll(bytes: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -359,9 +397,9 @@ object Warc {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          parseArchive(bytes).map {
-            case (t, uri, status, ct, loc, body) =>
-              WarcRecordRow(id, t, uri, status, ct, loc, body)
+          parseArchive(bytes).map { case (t, uri, h) =>
+            WarcRecordRow(id, t, uri, h.status, h.contentType,
+              h.location, h.lastModified, h.etag, h.xRobotsTag, h.body)
           }
         }
       }
@@ -385,9 +423,10 @@ object Warc {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
-          parseArchiveQuarantined(bytes).map {
-            case (t, uri, status, ct, loc, body, err) =>
-              WarcRecordQRow(id, t, uri, status, ct, loc, body, err)
+          parseArchiveQuarantined(bytes).map { case (t, uri, h, err) =>
+            WarcRecordQRow(id, t, uri, h.status, h.contentType,
+              h.location, h.lastModified, h.etag, h.xRobotsTag,
+              h.body, err)
           }
         }
       }
@@ -400,14 +439,18 @@ object Warc {
     * (the CC layout), 1 chunked, 2 gzip Content-Encoding, 3 chunked
     * OVER gzip (the full wget/heritrix shape), 4 a DECLARED-br body
     * carried raw (undecodable by this walk — the quarantine
-    * fixture's poison record). `contentType` is the response's
+    * fixture's poison record), 5 zstd Content-Encoding (decoded via
+    * zstd-jni). `contentType` is the response's
     * declared Content-Type — the default declares charset=utf-8 (the
     * CC common case, feeding the sniff's transport tier); callers
-    * synthesizing non-UTF-8 pages pass matching bytes + label. */
+    * synthesizing non-UTF-8 pages pass matching bytes + label.
+    * `extraHeaders` are appended verbatim to the response header
+    * block (Last-Modified / ETag / X-Robots-Tag fixtures). */
   private[graft] def encodeArchive(uri: String, html: Array[Byte],
       gzip: Boolean = false, bodyCoding: Int = 0,
       contentType: String = "text/html; charset=utf-8",
-      redirectTo: String = null): Array[Byte] = {
+      redirectTo: String = null,
+      extraHeaders: Seq[(String, String)] = Nil): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def record(headers: Seq[(String, String)],
         content: Array[Byte]): Unit = {
@@ -426,19 +469,25 @@ object Warc {
       s"GET $uri HTTP/1.1\r\nHost: x\r\n\r\n"
         .getBytes(StandardCharsets.US_ASCII))
     val gzipBody = bodyCoding == 2 || bodyCoding == 3
+    val zstdBody = bodyCoding == 5
     val chunked = bodyCoding == 1 || bodyCoding == 3
     val coded0 =
-      if (!gzipBody) html
-      else {
+      if (gzipBody) {
         val bo = new java.io.ByteArrayOutputStream()
         val gz = new java.util.zip.GZIPOutputStream(bo)
         gz.write(html); gz.close()
         bo.toByteArray
-      }
+      } else if (zstdBody) {
+        val bo = new java.io.ByteArrayOutputStream()
+        val zo = new com.github.luben.zstd.ZstdOutputStreamNoFinalizer(bo)
+        zo.write(html); zo.close()
+        bo.toByteArray
+      } else html
     val coded = if (chunked) chunkEncode(coded0) else coded0
     val http = new java.io.ByteArrayOutputStream()
     val codingHeaders =
       (if (gzipBody) "Content-Encoding: gzip\r\n" else "") +
+        (if (zstdBody) "Content-Encoding: zstd\r\n" else "") +
         (if (bodyCoding == 4) "Content-Encoding: br\r\n" else "") +
         (if (chunked) "Transfer-Encoding: chunked\r\n"
          else s"Content-Length: ${coded.length}\r\n")
@@ -447,8 +496,11 @@ object Warc {
     val statusHead =
       if (redirectTo == null) "HTTP/1.1 200 OK\r\n"
       else s"HTTP/1.1 301 Moved Permanently\r\nLocation: $redirectTo\r\n"
+    val extras = extraHeaders
+      .map { case (k, v) => s"$k: $v\r\n" }.mkString
     http.write((statusHead + s"Content-Type: $contentType\r\n" +
-      codingHeaders + "\r\n").getBytes(StandardCharsets.US_ASCII))
+      extras + codingHeaders + "\r\n")
+      .getBytes(StandardCharsets.US_ASCII))
     http.write(coded)
     record(Seq("WARC-Type" -> "response", "WARC-Target-URI" -> uri),
       http.toByteArray)

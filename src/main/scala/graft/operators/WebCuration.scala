@@ -368,7 +368,19 @@ object WebCuration {
     * join, so a per-host count feeds a `raise_error` branch that
     * fires when the plan executes — no eager validation job at
     * operator-construction time (robots frames can be large or
-    * expensive to recompute, and the returned plan may never run). */
+    * expensive to recompute, and the returned plan may never run).
+    *
+    * PRUNING CAVEAT (applies to every in-plan raise_error guard in
+    * this file — here, [[politenessSchedule]]'s maxPerHost and
+    * [[resolveRedirects]]' duplicate-edge): the guard lives in the
+    * column it protects, so an action that lets Catalyst PRUNE that
+    * column (a bare `count()`, a select that drops the guarded
+    * output) skips the check — duplicate robots rows then resolve
+    * to an arbitrary `first()` verdict silently. [[robotsFilter]]
+    * always evaluates `__robots` in its filter, so IT cannot prune
+    * the guard; callers of the schedule/redirect operators get the
+    * contract exactly when they consume the operator's output
+    * columns, which is what the operators exist to produce. */
   private def slimRobots(robots: DataFrame, op: String): DataFrame =
     robots.select(lower(col("host")).as("__rhost"),
         col("robots_txt").as("__r0"))
@@ -423,7 +435,10 @@ object WebCuration {
     * (> 0) turns that recipe into a LOUD contract: an in-plan
     * raise_error fires when any host's ordinal exceeds it — the
     * uncapped-mega-host mistake fails at execution naming the host
-    * instead of silently sorting a hundred-million-row partition. */
+    * instead of silently sorting a hundred-million-row partition.
+    * The guard rides `fetch_seq`: an action that prunes that column
+    * skips it (see [[slimRobots]]' pruning caveat) — consume the
+    * schedule columns, which is what this operator is for. */
   def politenessSchedule(urls: DataFrame, robots: DataFrame,
       userAgent: String, defaultDelayMilli: Long = 1000L,
       urlCol: String = "url",
@@ -481,7 +496,9 @@ object WebCuration {
     * is redirect-sized (≪ corpus) and broadcasts under AQE, so each
     * hop is a map-side join at crawl scale. Duplicate from-URL edges
     * fail loudly in-plan (the [[robotsFilter]] contract — they would
-    * fan rows out and carry conflicting destinations). */
+    * fan rows out and carry conflicting destinations); the guard
+    * rides `final_url`, so an action that prunes that column skips
+    * it (see [[slimRobots]]' pruning caveat). */
   def resolveRedirects(urls: DataFrame, redirects: DataFrame,
       maxHops: Int = 3, urlCol: String = "url",
       fromCol: String = "from_url", toCol: String = "to_url"): DataFrame = {
@@ -606,6 +623,195 @@ object WebCuration {
         when(col("__ca").isNull, lit("never_crawled"))
           .otherwise(lit("modified")))
       .drop("__cu", "__ca")
+  }
+
+  /** [[recrawlSet]] extended with CONDITIONAL-REQUEST evidence — the
+    * stronger change signal a standing crawl has: the previous
+    * fetch's own `Last-Modified`/`ETag` response headers (the
+    * ledger's validators) against a fresh probe sweep's (both
+    * surfaced by [[Warc.records]]' `last_modified`/`etag` columns).
+    * `crawled` is the ledger (url, crawled_at, etag, last_modified);
+    * `probes` is the latest probe's headers per URL (url, etag,
+    * last_modified) — one row per URL, duplicate probe rows fail
+    * loudly in-plan (conflicting validator evidence; the
+    * [[robotsFilter]] contract). "" means absent on every validator
+    * column (the [[Warc.records]] convention; NULLs coalesce to "").
+    *
+    * Decision ladder per entry URL, most-authoritative first —
+    * validators are compared as OPAQUE BYTES (RFC 9110 §8.8.1: a
+    * changed validator means changed representation; parsing HTTP
+    * dates would add failure modes without evidence):
+    *
+    *   1. never in the ledger (or no parseable crawl date) → keep,
+    *      `never_crawled`;
+    *   2. both sides carry an ETag: differ → keep
+    *      `validator_changed`; match → SKIP even if the sitemap
+    *      lastmod moved (the strong validator outranks the sitemap's
+    *      self-declared hint);
+    *   3. else both sides carry Last-Modified: differ → keep
+    *      `validator_changed`; match → skip;
+    *   4. else the [[recrawlSet]] sitemap rule: parseable lastmod
+    *      postdating the last crawl → keep `modified`; else skip.
+    *
+    * Same shape as [[recrawlSet]]: one hash agg per side table + two
+    * left joins — scales. */
+  def recrawlSetConditional(entries: DataFrame, crawled: DataFrame,
+      probes: DataFrame, urlCol: String = "url",
+      lastmodCol: String = "lastmod", crawledUrlCol: String = "url",
+      crawledAtCol: String = "crawled_at",
+      crawledEtagCol: String = "etag",
+      crawledLastModCol: String = "last_modified",
+      probeUrlCol: String = "url", probeEtagCol: String = "etag",
+      probeLastModCol: String = "last_modified"): DataFrame = {
+    require(crawled.columns.contains(crawledUrlCol) &&
+      crawled.columns.contains(crawledAtCol) &&
+      crawled.columns.contains(crawledEtagCol) &&
+      crawled.columns.contains(crawledLastModCol),
+      s"[GRAFT] recrawlSetConditional: crawled needs ($crawledUrlCol, " +
+        s"$crawledAtCol, $crawledEtagCol, $crawledLastModCol)")
+    require(probes.columns.contains(probeUrlCol) &&
+      probes.columns.contains(probeEtagCol) &&
+      probes.columns.contains(probeLastModCol),
+      s"[GRAFT] recrawlSetConditional: probes needs ($probeUrlCol, " +
+        s"$probeEtagCol, $probeLastModCol)")
+    require(!entries.columns.contains("recrawl_reason"),
+      "[GRAFT] recrawlSetConditional: input already has a " +
+        "'recrawl_reason' column")
+    WorkCols.requireFree(entries, "__cu", "__ca", "__ce", "__cl",
+      "__pu", "__pe", "__pl")
+    // newest-wins ledger fold WITH the winning crawl's validators
+    // riding along: max over (instant, etag, lastmod) structs — the
+    // unparseable-date sentinel keeps struct fields non-null (cross-
+    // engine null-in-struct ordering differs), while the separate
+    // max(instant) keeps the all-unparseable → never_crawled stance
+    val caT = try_to_timestamp(col(crawledAtCol))
+    val slimC = crawled
+      .select(col(crawledUrlCol).as("__cu"), caT.as("__ca0"),
+        struct(
+          coalesce(caT, to_timestamp(lit("1900-01-01"))).as("t"),
+          coalesce(col(crawledEtagCol), lit("")).as("e"),
+          coalesce(col(crawledLastModCol), lit("")).as("l")).as("__s"))
+      .groupBy(col("__cu"))
+      .agg(max(col("__ca0")).as("__ca"), max(col("__s")).as("__sm"))
+      .select(col("__cu"), col("__ca"), col("__sm.e").as("__ce"),
+        col("__sm.l").as("__cl"))
+    val slimP = probes
+      .select(col(probeUrlCol).as("__pu0"),
+        coalesce(col(probeEtagCol), lit("")).as("__pe0"),
+        coalesce(col(probeLastModCol), lit("")).as("__pl0"))
+      .groupBy(col("__pu0"))
+      .agg(count(lit(1)).as("__pc"), max(col("__pe0")).as("__pe1"),
+        max(col("__pl0")).as("__pl1"))
+      .select(col("__pu0").as("__pu"),
+        when(col("__pc") > 1, raise_error(concat(
+            lit("[GRAFT] recrawlSetConditional: duplicate probe rows " +
+              "for "), col("__pu0"))))
+          .otherwise(col("__pe1")).as("__pe"),
+        col("__pl1").as("__pl"))
+    val lmT = try_to_timestamp(col(lastmodCol))
+    val pe = coalesce(col("__pe"), lit(""))
+    val ce = coalesce(col("__ce"), lit(""))
+    val pl = coalesce(col("__pl"), lit(""))
+    val cl = coalesce(col("__cl"), lit(""))
+    val etagPair = pe =!= "" && ce =!= ""
+    val lmPair = pl =!= "" && cl =!= ""
+    val decision =
+      when(col("__ca").isNull, lit("never_crawled"))
+        .when(etagPair && pe =!= ce, lit("validator_changed"))
+        .when(etagPair, lit(null).cast("string")) // matched → skip
+        .when(lmPair && pl =!= cl, lit("validator_changed"))
+        .when(lmPair, lit(null).cast("string")) // matched → skip
+        .when(lmT.isNotNull && lmT > col("__ca"), lit("modified"))
+        .otherwise(lit(null).cast("string"))
+    entries.join(slimC, col(urlCol) === col("__cu"), "left")
+      .join(slimP, col(urlCol) === col("__pu"), "left")
+      .withColumn("recrawl_reason", decision)
+      .filter(col("recrawl_reason").isNotNull)
+      .drop("__cu", "__ca", "__ce", "__cl", "__pu", "__pe", "__pl")
+  }
+
+  /** Per-stage drop accounting across the governance gates — the
+    * report a compliance review asks for (the [[Dedup]] DropReport
+    * pattern, applied to the three consent/policy filters): the
+    * pipeline order is domain blocklist → robots fetchability
+    * ([[robotsFilter]]'s RFC 9309 gate) → stated opt-out directives
+    * ([[optOutFilter]]'s meta/header tokens). Emits one row per
+    * stage with (stage ordinal, stage name, rows_in, rows_out,
+    * dropped) — sequential semantics, so each stage's `rows_in` is
+    * the previous stage's `rows_out` and a row dropped by an earlier
+    * gate is not re-counted by a later one.
+    *
+    * ONE scan: the three verdicts are computed as flags in a single
+    * projection (the robots verdict rides the same slim left join as
+    * [[robotsFilter]]), folded by one aggregate, and unpivoted to
+    * stage rows in-plan — no per-stage job, no collect. */
+  def governanceReport(pages: DataFrame, robots: DataFrame,
+      blocked: Seq[String], userAgent: String,
+      urlCol: String = "url", htmlCol: String = "html",
+      headerCol: String = null,
+      tokens: Seq[String] = Seq("noindex", "noai", "noimageai")): DataFrame = {
+    require(blocked.nonEmpty, "[GRAFT] governanceReport: empty blocklist")
+    require(tokens.nonEmpty, "[GRAFT] governanceReport: empty token list")
+    require(robots.columns.contains("host") &&
+      robots.columns.contains("robots_txt"),
+      "[GRAFT] governanceReport: robots needs (host, robots_txt)")
+    require(userAgent.nonEmpty,
+      "[GRAFT] governanceReport: empty user agent")
+    require(pages.columns.contains(urlCol) &&
+      pages.columns.contains(htmlCol),
+      s"[GRAFT] governanceReport: need '$urlCol' and '$htmlCol' columns")
+    if (headerCol != null) require(pages.columns.contains(headerCol),
+      s"[GRAFT] governanceReport: no '$headerCol' column")
+    val d = urlDomain(col(urlCol))
+    val isBlocked = d.isNotNull && d.isInCollection(blocked)
+    val host = lower(parse_url(col(urlCol), lit("HOST")))
+    val path = concat(
+      coalesce(nullif(parse_url(col(urlCol), lit("PATH")), lit("")),
+        lit("/")),
+      coalesce(concat(lit("?"),
+        parse_url(col(urlCol), lit("QUERY"))), lit("")))
+    val robotsAllowed = col("__robots").isNull ||
+      graft.functions.vfs_robots_allowed(col("__robots"),
+        lit(userAgent), path)
+    val toks = array(tokens.map(t => lit(t.toLowerCase)): _*)
+    def optedOut(c: Column): Column = c.isNotNull &&
+      arrays_overlap(transform(split(c, ","), x => lower(trim(x))),
+        toks)
+    val out = optedOut(
+        graft.functions.vfs_html_meta(col(htmlCol), lit("robots"))) ||
+      (if (headerCol == null) lit(false) else optedOut(col(headerCol)))
+    WorkCols.requireFree(pages, "__rhost", "__robots")
+    val slim = slimRobots(robots, "governanceReport")
+    val flagged = pages
+      .join(slim, host === col("__rhost"), "left")
+      .select(isBlocked.as("__b"), robotsAllowed.as("__ra"),
+        out.as("__o"))
+    // the sums coalesce so an EMPTY corpus reports three zero rows
+    // instead of NULL arithmetic
+    val agg = flagged.agg(
+      count(lit(1)).as("n0"),
+      coalesce(sum(when(col("__b"), 1L).otherwise(0L)), lit(0L))
+        .as("d1"),
+      coalesce(sum(when(!col("__b") && !col("__ra"), 1L)
+        .otherwise(0L)), lit(0L)).as("d2"),
+      coalesce(sum(when(!col("__b") && col("__ra") && col("__o"), 1L)
+        .otherwise(0L)), lit(0L)).as("d3"))
+    agg.select(explode(array(
+        struct(lit(1L).as("stage"), lit("blocklist").as("stage_name"),
+          col("n0").as("rows_in"),
+          (col("n0") - col("d1")).as("rows_out"),
+          col("d1").as("dropped")),
+        struct(lit(2L).as("stage"), lit("robots").as("stage_name"),
+          (col("n0") - col("d1")).as("rows_in"),
+          (col("n0") - col("d1") - col("d2")).as("rows_out"),
+          col("d2").as("dropped")),
+        struct(lit(3L).as("stage"), lit("optout").as("stage_name"),
+          (col("n0") - col("d1") - col("d2")).as("rows_in"),
+          (col("n0") - col("d1") - col("d2") - col("d3"))
+            .as("rows_out"),
+          col("d3").as("dropped")))).as("s"))
+      .select(col("s.stage"), col("s.stage_name"), col("s.rows_in"),
+        col("s.rows_out"), col("s.dropped"))
   }
 
   /** The host + crawl-delay staging [[politenessSchedule]] and the

@@ -1942,10 +1942,21 @@ object Ingest {
     * downstream. Rows whose URL yields no host group under the
     * empty-string host with the default delay (the batch window's
     * NULL-host group, made explicit so the state key is never
-    * null). */
+    * null).
+    *
+    * `maxPerHost` (> 0) is the SAME loud contract as the batch op's
+    * ([[graft.operators.WebCuration.politenessSchedule]]): the fold
+    * counts the host's LIFETIME ordinal (state + this batch) and
+    * fails the query naming the host as soon as the cap is crossed —
+    * enforced BEFORE the group materializes, so an uncapped
+    * mega-host in a streaming frontier costs at most `maxPerHost`
+    * buffered rows, never an executor OOM. Cap the frontier first
+    * (capPerDomain/capPerDomainPsl per batch) — the cap is the
+    * tripwire, not the mechanism. */
   def politenessStream(urls: DataFrame, robots: DataFrame,
       userAgent: String, defaultDelayMilli: Long = 1000L,
-      urlCol: String = "url", orderCol: String = "doc_id"): DataFrame = {
+      urlCol: String = "url", orderCol: String = "doc_id",
+      maxPerHost: Long = 0L): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     require(userAgent.nonEmpty,
       "[GRAFT] politenessStream: empty user agent")
@@ -1958,6 +1969,7 @@ object Ingest {
           "column — rename it first (the schedule emits that name)"))
     val spark = urls.sparkSession
     import spark.implicits._
+    val cap = maxPerHost
     graft.operators.WebCuration
       .politenessStage(urls, robots, userAgent, defaultDelayMilli,
         urlCol, "politenessStream")
@@ -1971,8 +1983,23 @@ object Ingest {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (h: String, rows: Iterator[(String, Long, String, Long)],
             state: org.apache.spark.sql.streaming.GroupState[Long]) =>
-          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
-          var seq = state.getOption.getOrElse(0L)
+          val seq0 = state.getOption.getOrElse(0L)
+          // the cap is checked WHILE draining the iterator — the
+          // over-cap host throws after buffering at most cap+1 rows
+          // (counting rows already scheduled in prior batches), so
+          // the guard itself is memory-bounded
+          val buf = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, String, Long)]
+          rows.foreach { r =>
+            buf += r
+            if (cap > 0 && seq0 + buf.length > cap)
+              throw new IllegalStateException(
+                s"[GRAFT] politenessStream: host $h exceeds " +
+                  s"maxPerHost=$cap — cap the frontier first " +
+                  "(capPerDomain/capPerDomainPsl)")
+          }
+          val sorted = buf.toArray.sortBy(r => (r._2, r._3))
+          var seq = seq0
           val out = sorted.map { case (_, o, u, d) =>
             seq += 1
             (h, o, u, d, seq, (seq - 1L) * d)
@@ -1982,6 +2009,56 @@ object Ingest {
       }
       .toDF("host", orderCol, urlCol, "delay_milli", "fetch_seq",
         "fetch_at_milli")
+  }
+
+  /** Sitemap-driven recrawl scheduling as a streaming op — the twin
+    * of [[graft.operators.WebCuration.recrawlSet]] for the standing
+    * daily crawl: fresh sitemap fetches land as micro-batches of
+    * exploded (url, lastmod) entries; `crawled` is the STATIC
+    * last-crawl ledger (stream-static joins are Spark-native, the
+    * ledger fold re-evaluates per batch against current data). The
+    * instant-compare arithmetic is [[graft.operators.WebCuration
+    * .recrawlSet]]'s verbatim (the decision rides the same plan);
+    * the stateful fold adds the piece a stream NEEDS and a batch
+    * does not — a per-URL emitted-guard (state = one boolean per
+    * url) so a URL surfacing in several batches (overlapping sitemap
+    * fetches, a sitemapindex revisit) is scheduled ONCE, not once
+    * per batch. Within a batch, duplicate entries fold to the
+    * smallest (lastmod, reason) pair — deterministic, order-free.
+    *
+    * Output contract — SLIM, the [[politenessStream]] stance: the
+    * typed fold carries (url, lastmod, recrawl_reason) only; join
+    * frontier columns back on `urlCol` downstream. A static-frame
+    * run folds with empty initial state and replays the batch
+    * operator exactly (per-URL dedup included). */
+  def recrawlStream(entries: DataFrame, crawled: DataFrame,
+      urlCol: String = "url", lastmodCol: String = "lastmod",
+      crawledUrlCol: String = "url",
+      crawledAtCol: String = "crawled_at"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = entries.sparkSession
+    import spark.implicits._
+    val decided = graft.operators.WebCuration.recrawlSet(
+        entries.select(col(urlCol), col(lastmodCol)), crawled,
+        urlCol, lastmodCol, crawledUrlCol, crawledAtCol)
+      .select(col(urlCol).cast("string").as("u"),
+        coalesce(col(lastmodCol).cast("string"), lit("")).as("l"),
+        col("recrawl_reason").as("r"))
+      .as[(String, String, String)]
+    decided.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (u: String, rows: Iterator[(String, String, String)],
+            state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val first = rows.min(Ordering.by(
+              (x: (String, String, String)) => (x._2, x._3)))
+            state.update(true)
+            Iterator.single((u, first._2, first._3))
+          }
+      }
+      .toDF(urlCol, lastmodCol, "recrawl_reason")
   }
 
   /** Guard for the non-string keys of the stateful operators: a

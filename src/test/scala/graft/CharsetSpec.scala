@@ -85,6 +85,36 @@ class CharsetSpec extends AnyFunSuite {
     assert(detect(metaSjis, "text/html; charset=utf-8") === "UTF-8")
   }
 
+  test("tier 3 honors ONLY the charset attribute or http-equiv=content-type content — decoy attributes and quoted '>' cannot fool the prescan") {
+    // a description meta whose CONTENT mentions charset= is NOT a
+    // declaration (WHATWG honors only the charset attribute or the
+    // http-equiv=content-type pragma's content)
+    val decoyMeta = ("<meta name=\"description\" content=\"use " +
+      "charset=gbk for fun\"><p>x").getBytes("windows-1252")
+    assert(detect(decoyMeta, null) === "windows-1252")
+    // a content attribute WITHOUT the pragma is not a declaration
+    val noPragma = ("<meta content=\"text/html; charset=gbk\">" +
+      "<p>x").getBytes("windows-1252")
+    assert(detect(noPragma, null) === "windows-1252")
+    // a '>' inside a quoted attribute value does not end the tag —
+    // the real declaration after it still wins
+    val gtInQuote = ("<meta data-x=\"a > b\" http-equiv=" +
+      "\"content-type\" content=\"text/html; charset=shift_jis\">" +
+      "<p>x").getBytes("Shift_JIS")
+    assert(detect(gtInQuote, null) === "Shift_JIS")
+    // unquoted attribute values (valid HTML5) parse in both shapes
+    assert(detect("<meta charset=shift_jis><p>x".getBytes("Shift_JIS"),
+      null) === "Shift_JIS")
+    assert(detect(("<meta http-equiv=content-type " +
+      "content=\"text/html; charset=shift_jis\"><p>x")
+      .getBytes("Shift_JIS"), null) === "Shift_JIS")
+    // the pragma match is exact: a different http-equiv value does
+    // not promote its content
+    assert(detect(("<meta http-equiv=\"refresh\" " +
+      "content=\"0; url=x?charset=gbk\"><p>x")
+      .getBytes("windows-1252"), null) === "windows-1252")
+  }
+
   test("tier 4 — windows-1252 fallback decodes undeclared bytes; malformed sequences replace, never fail") {
     val cp = "café €!".getBytes("windows-1252")
     assert(detect(cp, null) === "windows-1252")

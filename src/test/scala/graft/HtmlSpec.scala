@@ -292,6 +292,40 @@ class HtmlSpec extends AnyFunSuite {
     assert(canon("<p>none</p>") === null)
   }
 
+  test("unquoted attribute values (valid HTML5) parse in meta/link/href extraction — a quote-less stated opt-out cannot slip the gate") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def meta(h: String, n: String): String = {
+      val r = graft.functions.HtmlKernel.metaContent(
+        UTF8String.fromString(h), UTF8String.fromString(n))
+      if (r == null) null else r.toString
+    }
+    def canon(h: String): String = {
+      val r = graft.functions.HtmlKernel.canonical(
+        UTF8String.fromString(h))
+      if (r == null) null else r.toString
+    }
+    // browsers parse these; the opt-out gate must too
+    assert(meta("<meta name=robots content=noindex,noai>",
+      "robots") === "noindex,noai")
+    // unquoted values end at whitespace / '>' — trailing attrs and
+    // the tag close are not part of the value
+    assert(meta("<meta name=robots content=noindex data-x=1>",
+      "robots") === "noindex")
+    assert(canon("<link rel=canonical href=https://a/c>") ===
+      "https://a/c")
+    // mixed quoting within one tag
+    assert(canon("<link rel=canonical href=\"https://a/q\">") ===
+      "https://a/q")
+    assert(meta("<meta name=\"robots\" content=none>", "robots") ===
+      "none")
+    // unquoted href in the links walk
+    val links = graft.functions.HtmlKernel
+      .links(UTF8String.fromString(
+        "<a href=/x>x</a><a href=\"/y\">y</a>"))
+      .toSeq.map(_.toString)
+    assert(links === Seq("/x", "/y"))
+  }
+
   test("optOutFilter: meta robots + header directives drop pages, token-exact and whitespace-tolerant; absence passes") {
     val spark = GraftTest.spark
     import spark.implicits._

@@ -279,7 +279,7 @@ class PropertySpec extends AnyFunSuite {
         val recs = graft.operators.Warc.parseArchive(
           graft.operators.Warc.encodeArchive("https://x/a", html,
             bodyCoding = coding))
-        recs(2)._6.toSeq == html.toSeq
+        recs(2)._3.body.toSeq == html.toSeq
     })
   }
 

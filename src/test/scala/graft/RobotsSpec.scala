@@ -279,6 +279,40 @@ class RobotsSpec extends AnyFunSuite {
       Seq("2026-05-01"))
   }
 
+  test("sitemap lastmods: a <lastmod> BEFORE <loc> inside a <url>/<sitemap> container is claimed by ITS entry, never shifted to the previous one") {
+    def lm(x: String): Seq[String] = graft.functions.SitemapKernel
+      .lastmods(UTF8String.fromString(x)).toSeq.map(_.toString)
+    // lastmod-first in the SECOND entry: the pre-fix walk attributed
+    // it to the FIRST entry (forward scan stopped only at <loc)
+    assert(lm("<urlset><url><loc>https://a/p</loc></url>" +
+      "<url><lastmod>2026-06-01</lastmod><loc>https://a/q</loc>" +
+      "</url></urlset>") === Seq("", "2026-06-01"))
+    // both orders in one file pair correctly
+    assert(lm("<urlset><url><loc>https://a/p</loc>" +
+      "<lastmod>2026-01-01</lastmod></url>" +
+      "<url><lastmod>2026-02-01</lastmod><loc>https://a/q</loc>" +
+      "</url></urlset>") === Seq("2026-01-01", "2026-02-01"))
+    // sitemapindex containers admit the backward claim too (and the
+    // name boundary keeps <sitemapindex> from reading as <sitemap>)
+    assert(lm("<sitemapindex><sitemap><lastmod>2026-03-01</lastmod>" +
+      "<loc>https://a/s.xml</loc></sitemap></sitemapindex>") ===
+      Seq("2026-03-01"))
+    // flat container-less lists never claim backward — a preceding
+    // lastmod belongs to the PREVIOUS loc's forward extent or nothing
+    assert(lm("<lastmod>2026-04-01</lastmod><loc>https://a/x</loc>") ===
+      Seq(""))
+    // forward wins when an entry carries lastmods on both sides
+    assert(lm("<url><lastmod>2026-01-01</lastmod>" +
+      "<loc>https://a/p</loc><lastmod>2026-02-02</lastmod></url>") ===
+      Seq("2026-02-02"))
+    // the forward claim must not cross the entry's close into a
+    // FOLLOWING container's lastmod
+    assert(lm("<urlset><url><loc>https://a/p</loc></url>" +
+      "<url><loc>https://a/q</loc>" +
+      "<lastmod>2026-07-01</lastmod></url></urlset>") ===
+      Seq("", "2026-07-01"))
+  }
+
   test("duplicate host rows in the robots table fail loudly instead of fanning URLs out") {
     val spark = GraftTest.spark
     import spark.implicits._

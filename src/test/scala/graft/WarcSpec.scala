@@ -16,10 +16,10 @@ class WarcSpec extends AnyFunSuite {
       val recs = Warc.parseArchive(
         Warc.encodeArchive("https://x.example/a", html, gzip = gz))
       assert(recs.map(_._1) === Seq("warcinfo", "request", "response"))
-      val (_, uri, status, _, _, body) = recs(2)
+      val (_, uri, http) = recs(2)
       assert(uri === "https://x.example/a")
-      assert(status === 200)
-      assert(body.toSeq === html.toSeq, s"gzip=$gz")
+      assert(http.status === 200)
+      assert(http.body.toSeq === html.toSeq, s"gzip=$gz")
     }
   }
 
@@ -57,9 +57,9 @@ class WarcSpec extends AnyFunSuite {
     for (coding <- Seq(0, 1, 2, 3)) {
       val recs = Warc.parseArchive(
         Warc.encodeArchive("https://x/a", html, bodyCoding = coding))
-      val (_, _, status, _, _, body) = recs(2)
-      assert(status === 200)
-      assert(body.toSeq === html.toSeq, s"bodyCoding=$coding")
+      val (_, _, http) = recs(2)
+      assert(http.status === 200)
+      assert(http.body.toSeq === html.toSeq, s"bodyCoding=$coding")
     }
     // deflate (zlib-wrapped) content coding decodes too
     val defl = {
@@ -75,7 +75,7 @@ class WarcSpec extends AnyFunSuite {
       s"Content-Length: ${content.length}\r\n\r\n").getBytes("US-ASCII") ++
       content
     val out = Warc.parseArchive(rec)
-    assert(out.head._6.toSeq === html.toSeq)
+    assert(out.head._3.body.toSeq === html.toSeq)
   }
 
   test("body-coding failures are loud: malformed chunk size, overrunning chunk, truncated terminal chunk, unsupported Content-Encoding") {
@@ -107,12 +107,12 @@ class WarcSpec extends AnyFunSuite {
     val idRecs = Warc.parseArchive(response(
       idBody.getBytes("US-ASCII"),
       "Transfer-Encoding: identity, chunked\r\n"))
-    assert(idRecs.head._6.toSeq === "abc".getBytes("US-ASCII").toSeq)
+    assert(idRecs.head._3.body.toSeq === "abc".getBytes("US-ASCII").toSeq)
     // chunk extensions and trailer fields are tolerated, not errors
     val okBody = "3;graft=1\r\nabc\r\n0\r\nX-Trailer: t\r\n\r\n"
     val recs = Warc.parseArchive(
       response(okBody.getBytes("US-ASCII"), te))
-    assert(recs.head._6.toSeq === "abc".getBytes("US-ASCII").toSeq)
+    assert(recs.head._3.body.toSeq === "abc".getBytes("US-ASCII").toSeq)
   }
 
   test("synthesizeWarc(bodyCodings=true) rotates codings by doc_id % 4 and every page survives the decode walk") {
@@ -136,16 +136,17 @@ class WarcSpec extends AnyFunSuite {
   test("response records carry the lowercased Content-Type header; the synthesizer declares charset=utf-8") {
     val recs = Warc.parseArchive(
       Warc.encodeArchive("https://x/a", "<p>a</p>".getBytes("UTF-8")))
-    assert(recs(2)._4 === "text/html; charset=utf-8")
-    assert(recs(0)._4 === "" && recs(1)._4 === "") // non-response
+    assert(recs(2)._3.contentType === "text/html; charset=utf-8")
+    assert(recs(0)._3.contentType === "" &&
+      recs(1)._3.contentType === "") // non-response
     val cp = Warc.parseArchive(Warc.encodeArchive("https://x/b",
       "café".getBytes("windows-1252"),
       contentType = "text/html; charset=Windows-1252"))
-    assert(cp(2)._4 === "text/html; charset=windows-1252")
+    assert(cp(2)._3.contentType === "text/html; charset=windows-1252")
     // the charset chain end to end: sniff the header, decode
-    assert(graft.functions.CharsetKernel.decode(cp(2)._6,
+    assert(graft.functions.CharsetKernel.decode(cp(2)._3.body,
       org.apache.spark.unsafe.types.UTF8String
-        .fromString(cp(2)._4)).toString === "café")
+        .fromString(cp(2)._3.contentType)).toString === "café")
   }
 
   test("recordsQuarantined: framing damage costs one record and resyncs, undecodable codings keep record identity, corrupt gzip quarantines the archive") {
@@ -190,8 +191,8 @@ class WarcSpec extends AnyFunSuite {
       "Content-Leng").getBytes("US-ASCII") // no blank line → truncated
     val mixed = a ++ damaged ++ "\r\n\r\n".getBytes("US-ASCII") ++ b
     val recs = Warc.parseArchiveQuarantined(mixed)
-    assert(recs.count(_._7 == null) === 6) // both healthy archives
-    assert(recs.count(_._7 != null) === 1)
+    assert(recs.count(_._4 == null) === 6) // both healthy archives
+    assert(recs.count(_._4 != null) === 1)
     assert(recs.filter(_._1 == "response").map(_._2) ===
       Seq("https://q/a", "https://q/b"))
   }
@@ -248,9 +249,9 @@ class WarcSpec extends AnyFunSuite {
     val mixed = record("0.18", "first") ++ damaged ++
       record("0.18", "second")
     val recs = Warc.parseArchiveQuarantined(mixed)
-    assert(recs.count(_._7 == null) === 2,
+    assert(recs.count(_._4 == null) === 2,
       "both healthy 0.18 records must survive the resync")
-    assert(recs.count(_._7 != null) === 1)
+    assert(recs.count(_._4 != null) === 1)
   }
 
   test("records() chains into the HTML kernel; the synthesizer gzips every 3rd archive") {

@@ -702,6 +702,196 @@ class WebCurationSpec extends AnyFunSuite {
     assert(bm === bw)
   }
 
+  test("recrawlSetConditional: matched ETag skips despite a moved lastmod, changed validators recrawl, validator-less rows fall back to the sitemap rule; duplicate probes are loud") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.count
+    val entries = Seq(
+      (1L, "https://a/e-match", "2026-03-15"), // etag match -> skip
+      (2L, "https://a/e-diff", "2026-01-15"),  // etag differ -> keep
+      (3L, "https://a/lm-match", "2026-03-15"), // lm match -> skip
+      (4L, "https://a/lm-diff", ""),           // lm differ -> keep
+      (5L, "https://a/plain-new", "2026-03-15"), // sitemap -> modified
+      (6L, "https://a/plain-old", "2026-01-15"), // sitemap -> skip
+      (7L, "https://a/new", "2026-03-15"))     // no ledger row
+      .toDF("doc_id", "url", "lastmod")
+    val lmOld = "Wed, 01 Jan 2026 00:00:00 GMT"
+    val crawled = Seq(
+      ("https://a/e-match", "2026-02-01", "\"v1\"", ""),
+      ("https://a/e-diff", "2026-02-01", "\"v1\"", ""),
+      ("https://a/lm-match", "2026-02-01", "", lmOld),
+      ("https://a/lm-diff", "2026-02-01", "", lmOld),
+      ("https://a/plain-new", "2026-02-01", "", ""),
+      ("https://a/plain-old", "2026-02-01", "", ""))
+      .toDF("url", "crawled_at", "etag", "last_modified")
+    val probes = Seq(
+      ("https://a/e-match", "\"v1\"", ""),
+      ("https://a/e-diff", "\"v2\"", ""),
+      ("https://a/lm-match", "", lmOld),
+      ("https://a/lm-diff", "", "Thu, 05 Feb 2026 00:00:00 GMT"))
+      .toDF("url", "etag", "last_modified")
+    val out = graft.operators.WebCuration
+      .recrawlSetConditional(entries, crawled, probes)
+      .select($"url", $"recrawl_reason").as[(String, String)]
+      .collect().toMap
+    assert(out === Map(
+      "https://a/e-diff" -> "validator_changed",
+      "https://a/lm-diff" -> "validator_changed",
+      "https://a/plain-new" -> "modified",
+      "https://a/new" -> "never_crawled"))
+    // newest-wins ledger: an OLDER duplicate row with a stale etag
+    // must not outrank the latest crawl's matching validator
+    val crawled2 = crawled.unionAll(
+      Seq(("https://a/e-match", "2026-01-01", "\"stale\"", ""))
+        .toDF("url", "crawled_at", "etag", "last_modified"))
+    val out2 = graft.operators.WebCuration
+      .recrawlSetConditional(entries, crawled2, probes)
+      .select($"url", $"recrawl_reason").as[(String, String)]
+      .collect().toMap
+    assert(!out2.contains("https://a/e-match"))
+    // duplicate probe rows fail loudly when the plan executes (the
+    // decision filter always evaluates the guarded column)
+    val dup = graft.operators.WebCuration.recrawlSetConditional(
+      entries, crawled, probes.unionAll(
+        Seq(("https://a/e-match", "\"x\"", ""))
+          .toDF("url", "etag", "last_modified")))
+    val e = intercept[Exception] { dup.collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("[GRAFT]") &&
+      m.contains("duplicate probe")))
+  }
+
+  test("recrawlStream: stream-static ledger arithmetic + per-URL emitted-guard — a URL resurfacing in a later batch is scheduled once; in-batch duplicates fold deterministically") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val crawled = Seq(("https://a/p1", "2026-02-01"),
+      ("https://a/old", "2026-02-01")).toDF("url", "crawled_at")
+    val stream = MemoryStream[(String, String)]
+    val out = graft.streaming.Ingest.recrawlStream(
+      stream.toDF().toDF("url", "lastmod"), crawled)
+    val q = out.writeStream.format("memory")
+      .queryName("recrawl_stream").outputMode("append").start()
+    def landed() = spark.table("recrawl_stream")
+      .select($"url", $"lastmod", $"recrawl_reason")
+      .as[(String, String, String)].collect().sortBy(_._1).toSeq
+    try {
+      stream.addData(("https://a/p1", "2026-03-15"),
+        ("https://a/q", ""), ("https://a/old", "2026-01-01"))
+      q.processAllAvailable()
+      assert(landed() === Seq(
+        ("https://a/p1", "2026-03-15", "modified"),
+        ("https://a/q", "", "never_crawled")))
+      // batch 2: p1 resurfaces (suppressed by state), p2 is new,
+      // p3 appears twice in ONE batch (min (lastmod, reason) wins)
+      stream.addData(("https://a/p1", "2026-03-15"),
+        ("https://a/p2", "2026-03-20"),
+        ("https://a/p3", "2026-03-20"), ("https://a/p3", "2026-03-18"))
+      q.processAllAvailable()
+      assert(landed() === Seq(
+        ("https://a/p1", "2026-03-15", "modified"),
+        ("https://a/p2", "2026-03-20", "never_crawled"),
+        ("https://a/p3", "2026-03-18", "never_crawled"),
+        ("https://a/q", "", "never_crawled")))
+    } finally q.stop()
+    // a static-frame run replays the batch operator (dedup included)
+    val entries = Seq(("https://a/p1", "2026-03-15"),
+      ("https://a/q", ""), ("https://a/old", "2026-01-01"))
+      .toDF("url", "lastmod")
+    val bm = graft.streaming.Ingest.recrawlStream(entries, crawled)
+      .select($"url", $"recrawl_reason").as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    val bw = graft.operators.WebCuration.recrawlSet(entries, crawled)
+      .select($"url", $"recrawl_reason").as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(bm === bw)
+  }
+
+  test("governanceReport: sequential per-stage accounting in one scan — a row dropped early is not re-counted, the unquoted meta opt-out counts, header channel included") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://bad.example/p", "<p>a</p>", null),
+      (2L, "https://bad.example/x",
+        "<meta name=\"robots\" content=\"noindex\"><p>b</p>", null),
+      (3L, "https://r.example/x/1", "<p>c</p>", null),
+      (4L, "https://r.example/x/2",
+        "<meta name=\"robots\" content=\"noai\"><p>d</p>", null),
+      (5L, "https://ok.example/p",
+        "<meta name=robots content=noai><p>e</p>", null),
+      (6L, "https://ok.example/q", "<p>f</p>", "noai"),
+      (7L, "https://ok.example/r", "<p>g</p>", null))
+      .toDF("doc_id", "url", "html", "x_robots_tag")
+    val robots = Seq(("r.example", "User-agent: *\nDisallow: /x\n"))
+      .toDF("host", "robots_txt")
+    val rows = graft.operators.WebCuration.governanceReport(pages,
+        robots, Seq("bad.example"), "bot",
+        headerCol = "x_robots_tag")
+      .orderBy($"stage")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      (1L, "blocklist", 7L, 5L, 2L),
+      (2L, "robots", 5L, 3L, 2L),
+      (3L, "optout", 3L, 1L, 2L)))
+    // an empty corpus reports three zero rows, not NULL arithmetic
+    val zero = graft.operators.WebCuration.governanceReport(
+        pages.limit(0), robots, Seq("bad.example"), "bot")
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    assert(zero.map(r => (r._1, r._3, r._4, r._5)) ===
+      Seq((1L, 0L, 0L, 0L), (2L, 0L, 0L, 0L), (3L, 0L, 0L, 0L)))
+  }
+
+  test("politenessStream maxPerHost: an over-cap host fails the stream naming the host (lifetime count, state included); an at-cap host passes") {
+    val spark = GraftTest.spark
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val robots = Seq.empty[(String, String)]
+      .toDF("host", "robots_txt")
+    // at-cap: 2 rows for the host under maxPerHost = 2 pass
+    val okUrls = Seq((1L, "https://m.example/a"),
+      (2L, "https://m.example/b")).toDF("doc_id", "url")
+    val ok = graft.streaming.Ingest.politenessStream(okUrls, robots,
+        "bot", maxPerHost = 2L)
+      .select($"fetch_seq").as[Long].collect().sorted.toSeq
+    assert(ok === Seq(1L, 2L))
+    // over-cap in ONE batch (static run): the fold throws naming the
+    // host — same contract as the batch window's raise_error
+    val e = intercept[Exception] {
+      graft.streaming.Ingest.politenessStream(
+        okUrls.unionAll(Seq((3L, "https://m.example/c"))
+          .toDF("doc_id", "url")),
+        robots, "bot", maxPerHost = 2L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("[GRAFT]") &&
+      m.contains("m.example") && m.contains("maxPerHost=2")))
+    // streaming: the cap counts the host's LIFETIME ordinal — batch 1
+    // schedules 2 rows, batch 2's single row crosses the cap and
+    // fails the query even though the batch itself is under it
+    val stream = MemoryStream[(Long, String)]
+    val out = graft.streaming.Ingest.politenessStream(
+      stream.toDF().toDF("doc_id", "url"), robots, "bot",
+      maxPerHost = 2L)
+    val q = out.writeStream.format("memory")
+      .queryName("polite_cap_stream").outputMode("append").start()
+    try {
+      stream.addData((1L, "https://m.example/a"),
+        (2L, "https://m.example/b"))
+      q.processAllAvailable()
+      assert(spark.table("polite_cap_stream").count() === 2L)
+      stream.addData((3L, "https://m.example/c"))
+      val se = intercept[Exception] { q.processAllAvailable() }
+      assert(msgs(se).exists(m => m.contains("[GRAFT]") &&
+        m.contains("m.example")))
+    } finally q.stop()
+  }
+
   test("resolveRedirects: multi-hop chains resolve within maxHops, cycles stay bounded, duplicate edges and column clashes are loud") {
     val spark = GraftTest.spark
     import spark.implicits._
