@@ -1,0 +1,207 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `round(1000·|A∩B| / |A∪B|)` (jaccard) or
+  * `round(1000·|A∩B| / min(len A, len B))` (containment) over two
+  * arrays, in ONE hash pass — the kernel form of
+  * `round(size(array_intersect(a,b)) * 1000.0 / size(array_union(a,b)))
+  * .cast("long")`.
+  *
+  * Why a kernel: the column form materializes BOTH the intersection
+  * and the union as new arrays through two independent generic set
+  * builders per row — and the r18 JFR profile showed the minhash
+  * verify stage burning 35–41 process-CPU-seconds at sf0.1 almost
+  * entirely inside those set ops (the pair flood is large, the word
+  * sets small — per-pair overhead dominates). This expression counts
+  * distinct / intersecting elements in one pass over both arrays with
+  * no output arrays, no per-element type dispatch, and a primitive
+  * open-addressing table on the LONG path.
+  *
+  * Exact-parity contract (spec-pinned in SetOverlapParitySpec):
+  *  - distinct semantics: `array_intersect` / `array_union` dedup
+  *    their outputs, so duplicates in either input count once; the
+  *    kernel counts distinct occurrences the same way (inputs are NOT
+  *    assumed pre-deduped — dedup_ngram_jaccard feeds raw n-gram
+  *    arrays).
+  *  - null elements: both set ops treat null as equal to null — null
+  *    joins the intersection iff present on both sides and the union
+  *    iff present on either; the CONTAINMENT denominator is the RAW
+  *    `size()` (duplicates and nulls counted), as in the column form.
+  *  - rounding: `round(double)` is BigDecimal HALF_UP, NOT
+  *    `Math.round`; a zero denominator yields NaN whose `cast(long)`
+  *    is 0 — the kernel returns 0 there.
+  *  - nulls: either array NULL → NULL (size(null) is null under the
+  *    default non-legacy flag, which nulls the whole chain).
+  *
+  * Element types: LongType and StringType — the two shapes the dedup
+  * family produces (word sets, gram hashes). Anything else is
+  * refused at analysis time. */
+case class SetOverlapMilli(left: Expression, right: Expression,
+    containment: Boolean) extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String =
+    if (containment) "vfs_containment_milli" else "vfs_jaccard_milli"
+
+  private def elemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case _ => NullType
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(a, _), ArrayType(b, _))
+          if a == b && (a == LongType || a == StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs two array<long> or two array<string> " +
+            s"inputs, got ${left.dataType.sql} / ${right.dataType.sql}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    if (elemType == LongType) SetOverlapMilli.milliLong(aa, bb, containment)
+    else SetOverlapMilli.milliString(aa, bb, containment)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val fn = if (elemType == LongType) "milliLong" else "milliString"
+    val cm = containment.toString
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SetOverlapMilli.$fn($a, $b, $cm)")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
+object SetOverlapMilli {
+
+  /** `round(x)` parity with Spark's Round(double, 0) → cast(long):
+    * BigDecimal.valueOf + HALF_UP (callers guard denom == 0, the NaN
+    * case, which casts to 0). Inputs are in [0, 1000], so longValue
+    * after setScale(0) is exact. */
+  private def roundMilli(inter: Int, denom: Long): Long = {
+    if (denom == 0L) return 0L
+    val x = inter * 1000.0 / denom
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+  }
+
+  /** One-pass distinct/intersection counting for LONG arrays via a
+    * primitive open-addressing table: key array + state array
+    * (0 empty, 1 seen-in-A, 2 seen-in-B, 3 both). Returns the final
+    * milli value. */
+  def milliLong(a: ArrayData, b: ArrayData, containment: Boolean): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    // capacity: next pow2 ≥ 2·(na+nb) (worst case all distinct)
+    var cap = 8
+    while (cap < (na + nb) * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val state = new Array[Byte](cap)
+    val mask = cap - 1
+    var dA = 0
+    var dB = 0
+    var inter = 0
+    // null elements tracked out-of-table (0 is a valid key)
+    var nullA = false
+    var nullB = false
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) nullA = true
+      else {
+        val k = a.getLong(i)
+        var p = (java.lang.Long.hashCode(k) & 0x7fffffff) & mask
+        var done = false
+        while (!done) {
+          if (state(p) == 0) {
+            keys(p) = k; state(p) = 1; dA += 1; done = true
+          } else if (keys(p) == k) done = true
+          else p = (p + 1) & mask
+        }
+      }
+      i += 1
+    }
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) nullB = true
+      else {
+        val k = b.getLong(i)
+        var p = (java.lang.Long.hashCode(k) & 0x7fffffff) & mask
+        var done = false
+        while (!done) {
+          if (state(p) == 0) {
+            keys(p) = k; state(p) = 2; dB += 1; done = true
+          } else if (keys(p) == k) {
+            if (state(p) == 1) { state(p) = 3; dB += 1; inter += 1 }
+            done = true
+          } else p = (p + 1) & mask
+        }
+      }
+      i += 1
+    }
+    if (nullA) dA += 1
+    if (nullB) dB += 1
+    if (nullA && nullB) inter += 1
+    finish(inter, dA, dB, na, nb, containment)
+  }
+
+  /** Same pass for STRING arrays (UTF8String byte equality — exactly
+    * the set ops' ordering-free equality) via a HashMap with the same
+    * 1/2/3 state encoding. */
+  def milliString(a: ArrayData, b: ArrayData,
+      containment: Boolean): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val m = new java.util.HashMap[UTF8String, Array[Byte]](
+      math.max(8, (na + nb) * 2))
+    var dA = 0
+    var dB = 0
+    var inter = 0
+    var nullA = false
+    var nullB = false
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) nullA = true
+      else {
+        val k = a.getUTF8String(i)
+        val st = m.get(k)
+        if (st == null) { m.put(k, Array[Byte](1)); dA += 1 }
+      }
+      i += 1
+    }
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) nullB = true
+      else {
+        val k = b.getUTF8String(i)
+        val st = m.get(k)
+        if (st == null) { m.put(k, Array[Byte](2)); dB += 1 }
+        else if (st(0) == 1) { st(0) = 3; dB += 1; inter += 1 }
+      }
+      i += 1
+    }
+    if (nullA) dA += 1
+    if (nullB) dB += 1
+    if (nullA && nullB) inter += 1
+    finish(inter, dA, dB, na, nb, containment)
+  }
+
+  private def finish(inter: Int, dA: Int, dB: Int, rawA: Int, rawB: Int,
+      containment: Boolean): Long =
+    if (containment) roundMilli(inter, math.min(rawA, rawB).toLong)
+    else roundMilli(inter, (dA.toLong + dB.toLong) - inter.toLong)
+}

@@ -180,6 +180,236 @@ object PslDomain {
   }
 }
 
+/** STRING url → STRING lowercased scheme, NULL when the string has no
+  * `scheme://` prefix — the kernel form of
+  * [[graft.operators.WebCuration.urlScheme]]'s
+  * `regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)` chain.
+  *
+  * Why a kernel: the scheme/host/domain columns are built
+  * COMPOSITIONALLY (host references scheme three times, domain
+  * references host three times, …) and Catalyst expression trees
+  * share nothing — every reference re-inlines the whole subtree, so
+  * one `urlDomain` occurrence carried ~40 regexp nodes and a plan
+  * with a handful of occurrences (filter + window key + group key)
+  * blew Janino's 64 KB method limit and dropped the WHOLE STAGE to
+  * interpreted eval (measured on the r18 lap probe: the domain-cap
+  * stage at 17–24 process-CPU-seconds for 5 000 rows, with the "Code
+  * grows beyond 64 KB" fallback in the log). Each kernel is ONE
+  * scan of the string — constant generated-code size and no regex
+  * machinery on the hot path.
+  *
+  * Parity with the regex form (spec-pinned in UrlKernelParitySpec):
+  * the scheme class is ASCII, so the manual ASCII lowercase equals
+  * `lower()`; the greedy `[A-Za-z0-9+.-]*` run cannot contain ':',
+  * so the first non-class char must start `://` or there is no
+  * match. */
+case class UrlSchemeOf(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "vfs_url_scheme"
+  override def nullSafeEval(u: Any): Any =
+    UrlKernel.scheme(u.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlKernel.scheme($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** STRING url → STRING canonical host (lowercased, userinfo and the
+  * scheme's default port stripped, one leading `www.` stripped), NULL
+  * when there is no scheme or the host comes out empty — the kernel
+  * form of [[graft.operators.WebCuration.urlHost]]'s regex chain.
+  * See [[UrlSchemeOf]] for why a kernel; parity notes on
+  * [[UrlKernel.host]]. */
+case class UrlHostOf(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "vfs_url_host"
+  override def nullSafeEval(u: Any): Any =
+    UrlKernel.host(u.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlKernel.host($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** STRING host → STRING eTLD+1 under the frozen two-level-suffix
+  * head — the kernel form of
+  * [[graft.operators.WebCuration.registeredDomain]]'s two anchored
+  * regexes + CASE. Matching is CASE-SENSITIVE like the regexes (the
+  * suffix set is lowercase; [[UrlHostOf]] lowercases upstream).
+  * Suffixes ship inside the expression ([[PslDomain]]'s
+  * addReferenceObj pattern); every entry must be exactly two labels
+  * (that is what `SuffixAltRe` encodes — the regex alternation
+  * matches label + "." + entry at END, so the kernel probes the last
+  * TWO labels against the set and takes three when a non-empty label
+  * precedes). */
+case class RegisteredDomainHead(child: Expression,
+    suffixes: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(suffixes.nonEmpty &&
+      suffixes.forall(s => s.count(_ == '.') == 1 && !s.startsWith(".") &&
+        !s.endsWith(".") && s.nonEmpty),
+    "[GRAFT] vfs_registered_domain: two-label suffixes only")
+  private val lookup = new RegisteredDomainHead.Lookup(suffixes.toArray)
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "vfs_registered_domain"
+  override def nullSafeEval(h: Any): Any =
+    RegisteredDomainHead.domain(h.asInstanceOf[UTF8String], lookup)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rdLookup", lookup,
+      classOf[RegisteredDomainHead.Lookup].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RegisteredDomainHead.domain($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RegisteredDomainHead {
+  /** Serializable suffix snapshot, transient lazily-built set (the
+    * [[PslDomain.Lookup]] pattern — single-assignment publish, racing
+    * readers rebuild idempotently). */
+  final class Lookup(val entries: Array[String]) extends Serializable {
+    @transient private var built: java.util.HashSet[String] = _
+    private[RegisteredDomainHead] def set: java.util.HashSet[String] = {
+      var b = built
+      if (b == null) {
+        b = new java.util.HashSet[String](entries.length * 2)
+        entries.foreach(b.add)
+        built = b
+      }
+      b
+    }
+  }
+
+  /** static entry for codegen. Replicates, in order:
+    * `three = regexp_extract(host, "([^.]+\\.(?:alt))$", 1)` — last
+    * TWO labels equal a listed suffix AND a non-empty dot-free label
+    * precedes them;
+    * `two = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)` — last two
+    * labels, both non-empty;
+    * `CASE three≠'' → three, two≠'' → two, ELSE host`. */
+  def domain(host: UTF8String, lk: Lookup): UTF8String = {
+    val h = host.toString
+    val n = h.length
+    // last dot and second-last dot positions
+    val d1 = h.lastIndexOf('.')
+    if (d1 < 0) return host                  // no dot: two fails → host
+    val d2 = h.lastIndexOf('.', d1 - 1)
+    // two-label tail "a.b" with both labels non-empty and dot-free:
+    // label1 = (d2, d1), label2 = (d1, n)
+    val twoOk = d1 > d2 + 1 && d1 < n - 1
+    if (twoOk && lk.set.contains(h.substring(d2 + 1))) {
+      // listed suffix: take three labels when a non-empty label
+      // precedes (chars (d3, d2) with d3 the next dot leftward)
+      if (d2 >= 1) {
+        val d3 = h.lastIndexOf('.', d2 - 1)
+        if (d2 > d3 + 1)
+          return UTF8String.fromString(h.substring(d3 + 1))
+      }
+      // no preceding label: three fails, two matched (it IS listed)
+      return UTF8String.fromString(h.substring(d2 + 1))
+    }
+    if (twoOk) UTF8String.fromString(h.substring(d2 + 1))
+    else host                                // two fails → host
+  }
+}
+
+/** Shared per-row URL parsing for the kernel expressions. All
+  * delimiters are ASCII, so Java char indexing is safe on any UTF-16
+  * content; lowercasing of the HOST goes through
+  * `UTF8String.toLowerCase` — byte-for-byte what `lower()` produces —
+  * while the scheme's character class is pure ASCII and uses the
+  * manual table. */
+object UrlKernel {
+  /** end index (exclusive) of a leading `scheme` whose `://` follows,
+    * or -1 — `^[A-Za-z][A-Za-z0-9+.-]*://`. The class excludes ':',
+    * so the greedy run is the unique candidate. */
+  private def schemeEnd(s: String): Int = {
+    if (s.isEmpty) return -1
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'A' && c0 <= 'Z') || (c0 >= 'a' && c0 <= 'z')))
+      return -1
+    var i = 1
+    while (i < s.length && {
+      val c = s.charAt(i)
+      (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+    }) i += 1
+    if (s.regionMatches(i, "://", 0, 3)) i else -1
+  }
+
+  private def asciiLower(s: String): String = {
+    var i = 0
+    var needs = false
+    while (i < s.length && !needs) {
+      val c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') needs = true else i += 1
+    }
+    if (!needs) return s
+    val a = s.toCharArray
+    var j = i
+    while (j < a.length) {
+      val c = a(j)
+      if (c >= 'A' && c <= 'Z') a(j) = (c + 32).toChar
+      j += 1
+    }
+    new String(a)
+  }
+
+  def scheme(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val se = schemeEnd(s)
+    if (se < 0) null else UTF8String.fromString(asciiLower(s.substring(0, se)))
+  }
+
+  def host(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val se = schemeEnd(s)
+    if (se < 0) return null                  // no scheme → NULL
+    // authority = chars after "://" until '/', '?', '#' or end
+    val start = se + 3
+    var j = start
+    while (j < s.length && {
+      val c = s.charAt(j); c != '/' && c != '?' && c != '#'
+    }) j += 1
+    var auth = s.substring(start, j)
+    // strip userinfo through the FIRST '@' (`^[^@]*@` cannot cross
+    // an '@'); case-independent, so stripping before the lowercase
+    // matches the regex order exactly
+    val at = auth.indexOf('@')
+    if (at >= 0) auth = auth.substring(at + 1)
+    // lower() parity: UTF8String.toLowerCase, not Java's
+    var h = UTF8String.fromString(auth).toLowerCase.toString
+    val sch = asciiLower(s.substring(0, se))
+    if (sch == "http" && h.endsWith(":80"))
+      h = h.substring(0, h.length - 3)
+    else if (sch == "https" && h.endsWith(":443"))
+      h = h.substring(0, h.length - 4)
+    if (h.startsWith("www.")) h = h.substring(4)
+    if (h.isEmpty) null else UTF8String.fromString(h)
+  }
+}
+
 /** Per-JVM cache of table-backed PSL snapshots, keyed by the
   * `vfs_psl_domain_table` source string: Spark re-invokes a function
   * builder on every resolution of every occurrence, and each uncached

@@ -911,14 +911,33 @@ object Dedup {
         col("n_members"), (-col("best.neg")).as("score"))
   }
 
-  /** round(1000·|a∩b| / |a∪b|) over two distinct-element arrays */
+  /** round(1000·|a∩b| / |a∪b|) over two distinct-element arrays.
+    * One-pass counting kernel ([[graft.functions.SetOverlapMilli]] —
+    * the `array_intersect`/`array_union` column form materialized two
+    * result arrays per pair through generic set builders and owned
+    * 35–41 process-CPU-seconds of the sf0.1 minhash verify stage);
+    * [[jaccardMilliArrays]] keeps the original form as the parity
+    * oracle. */
   def jaccardMilli(wa: Column, wb: Column): Column =
+    shims.column(graft.functions.SetOverlapMilli(
+      shims.expression(wa), shims.expression(wb), containment = false))
+
+  /** The pre-r18 set-op form of [[jaccardMilli]] — parity oracle
+    * only (SetOverlapParitySpec). */
+  private[graft] def jaccardMilliArrays(wa: Column, wb: Column): Column =
     round(size(array_intersect(wa, wb)).cast("double") * 1000.0 /
       size(array_union(wa, wb))).cast("long")
 
   /** Containment in milli: 1000·|A∩B| / min(|A|,|B|) — 1000 when the
-    * smaller word set is a subset of the larger. */
+    * smaller word set is a subset of the larger. Same kernel as
+    * [[jaccardMilli]] with the raw-size denominator. */
   def containmentMilli(wa: Column, wb: Column): Column =
+    shims.column(graft.functions.SetOverlapMilli(
+      shims.expression(wa), shims.expression(wb), containment = true))
+
+  /** The pre-r18 set-op form of [[containmentMilli]] — parity oracle
+    * only (SetOverlapParitySpec). */
+  private[graft] def containmentMilliArrays(wa: Column, wb: Column): Column =
     round(size(array_intersect(wa, wb)).cast("double") * 1000.0 /
       least(size(wa), size(wb))).cast("long")
 

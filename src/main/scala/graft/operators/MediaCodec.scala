@@ -872,7 +872,13 @@ object MediaCodec {
   }
 
   /** Inverse DCT of one dequantized 8×8 block → level-shifted,
-    * clamped samples. */
+    * clamped samples. Zero terms are SKIPPED, which is bit-exact:
+    * a skipped term is `cu·0·cos = ±0.0`, the accumulator starts at
+    * +0.0 and non-skipped terms are nonzero products (the cos table
+    * has no exact zeros), so it can never sit at −0.0 — and
+    * `s + (±0.0) == s` for every such s. Quantized blocks are sparse
+    * by design (that is what quantization is for), so most of the
+    * 2×512 multiply-adds vanish on real data. */
   private def idct(coef: Array[Int]): Array[Int] = {
     val tmp = new Array[Double](64) // tmp(x, v) = Σ_u C(u)·F(u,v)·cos_u(x)
     var x = 0
@@ -882,8 +888,11 @@ object MediaCodec {
         var s = 0.0
         var u = 0
         while (u < 8) {
-          val cu = if (u == 0) InvSqrt2 else 1.0
-          s += cu * coef(v * 8 + u) * DctCos(u)(x)
+          val c0 = coef(v * 8 + u)
+          if (c0 != 0) {
+            val cu = if (u == 0) InvSqrt2 else 1.0
+            s += cu * c0 * DctCos(u)(x)
+          }
           u += 1
         }
         tmp(x * 8 + v) = s
@@ -899,8 +908,11 @@ object MediaCodec {
         var s = 0.0
         var v = 0
         while (v < 8) {
-          val cv = if (v == 0) InvSqrt2 else 1.0
-          s += cv * tmp(x2 * 8 + v) * DctCos(v)(y)
+          val t0 = tmp(x2 * 8 + v)
+          if (t0 != 0.0) {
+            val cv = if (v == 0) InvSqrt2 else 1.0
+            s += cv * t0 * DctCos(v)(y)
+          }
           v += 1
         }
         out(y * 8 + x2) = clamp255(jround(0.25 * s + 128))
@@ -909,6 +921,42 @@ object MediaCodec {
       y += 1
     }
     out
+  }
+
+  /** Per-scan memo for DC-ONLY blocks (all 63 ACs zero — every block
+    * of a flat region, and every block of the constant-color bench
+    * fixtures): [[idct]] of such a block depends only on the
+    * dequantized DC, so compute it ONCE through the unmodified [[idct]]
+    * (bit-identical by construction — no re-derived arithmetic) and
+    * reuse the result array by reference (consumers only arraycopy out
+    * of it). The r18 JFR profile put `idct` at ~40% of `decodeJpeg`
+    * CPU with the fixtures exercising exactly this path. */
+  private final class IdctDcMemo {
+    private val cache = new java.util.HashMap[Int, Array[Int]]()
+    def apply(coef: Array[Int]): Array[Int] = {
+      var r = cache.get(coef(0))
+      if (r == null) { r = idct(coef); cache.put(coef(0), r) }
+      r
+    }
+  }
+
+  /** Per-encode memo for CONSTANT input blocks (the dual of
+    * [[IdctDcMemo]]): [[fdctQuant]] of an all-equal block depends only
+    * on the sample value (the qtab is fixed per call), so compute once
+    * through the unmodified [[fdctQuant]] and share the array
+    * ([[encodeBlock]] only reads it). Non-constant blocks fall through
+    * to the plain call. */
+  private final class FdctMemo(qtab: Array[Int]) {
+    private val cache = new java.util.HashMap[Int, Array[Int]]()
+    def apply(block: Array[Int]): Array[Int] = {
+      val v0 = block(0)
+      var i = 1
+      while (i < 64 && block(i) == v0) i += 1
+      if (i < 64) return fdctQuant(block, qtab)
+      var r = cache.get(v0)
+      if (r == null) { r = fdctQuant(block, qtab); cache.put(v0, r) }
+      r
+    }
   }
 
   /** Entropy-coded-segment bit writer with 0xFF byte stuffing. */
@@ -1053,14 +1101,24 @@ object MediaCodec {
     val n = width * height
     val yP = new Array[Int](n); val cbP = new Array[Int](n)
     val crP = new Array[Int](n)
+    // last-pixel memo: images are full of same-color runs (the bench
+    // fixtures are block-constant, photos have flat regions) and the
+    // conversion is a pure function of (r,g,b) — reusing the previous
+    // pixel's result on an equal input is bit-exact and turns three
+    // pinned double chains per pixel into three int compares
+    var pr = -1; var pg = -1; var pb = -1
+    var py = 0; var pcb = 0; var pcr = 0
     var i = 0
     while (i < n) {
       // scalar helpers, not the tuple form — no per-pixel boxing
       val r = payload(3 * i) & 0xff
       val g = payload(3 * i + 1) & 0xff
       val b = payload(3 * i + 2) & 0xff
-      yP(i) = yccY(r, g, b); cbP(i) = yccCb(r, g, b)
-      crP(i) = yccCr(r, g, b)
+      if (r != pr || g != pg || b != pb) {
+        py = yccY(r, g, b); pcb = yccCb(r, g, b); pcr = yccCr(r, g, b)
+        pr = r; pg = g; pb = b
+      }
+      yP(i) = py; cbP(i) = pcb; crP(i) = pcr
       i += 1
     }
     val mcu = if (subsample) 16 else 8
@@ -1141,6 +1199,7 @@ object MediaCodec {
     val dcChr = huffEncodeTable(DcChrBits, DcChrVals)
     val acChr = huffEncodeTable(AcChrBits, AcChrVals)
     var predY = 0; var predCb = 0; var predCr = 0
+    val fq = new FdctMemo(qtab)
     val mcusY = ph / mcu
     val mcusX = pw / mcu
     var mcusDone = 0
@@ -1165,22 +1224,22 @@ object MediaCodec {
             var bx = 0
             while (bx < 2) {
               predY = encodeBlock(w,
-                fdctQuant(blockAt(yPad, pw, 2 * mx + bx, 2 * my + by),
-                  qtab), predY, dcLum, acLum)
+                fq(blockAt(yPad, pw, 2 * mx + bx, 2 * my + by)),
+                predY, dcLum, acLum)
               bx += 1
             }
             by += 1
           }
         } else {
           predY = encodeBlock(w,
-            fdctQuant(blockAt(yPad, pw, mx, my), qtab), predY,
+            fq(blockAt(yPad, pw, mx, my)), predY,
             dcLum, acLum)
         }
         predCb = encodeBlock(w,
-          fdctQuant(blockAt(cbPad, cw, mx, my), qtab), predCb,
+          fq(blockAt(cbPad, cw, mx, my)), predCb,
           dcChr, acChr)
         predCr = encodeBlock(w,
-          fdctQuant(blockAt(crPad, cw, mx, my), qtab), predCr,
+          fq(blockAt(crPad, cw, mx, my)), predCr,
           dcChr, acChr)
         mcusDone += 1
         mx += 1
@@ -1228,6 +1287,7 @@ object MediaCodec {
     val dcLum = huffEncodeTable(DcLumBits, DcLumVals)
     val acLum = huffEncodeTable(AcLumBits, AcLumVals)
     var pred = 0
+    val fq = new FdctMemo(qtab)
     val b = new Array[Int](64)
     var by = 0
     while (by < ph / 8) {
@@ -1242,7 +1302,7 @@ object MediaCodec {
           }
           yy += 1
         }
-        pred = encodeBlock(w, fdctQuant(b, qtab), pred, dcLum, acLum)
+        pred = encodeBlock(w, fq(b), pred, dcLum, acLum)
         bx += 1
       }
       by += 1
@@ -1418,6 +1478,7 @@ object MediaCodec {
       val r = new JpegBitReader(bytes, pos)
       val preds = new Array[Int](comps.length)
       val coef = new Array[Int](64)
+      val dcMemo = new IdctDcMemo
       var mcusDone = 0
       var rstIdx = 0
       var my = 0
@@ -1446,6 +1507,7 @@ object MediaCodec {
                 coef(0) = preds(ci) * qt(0)
                 var k = 1
                 var eob = false
+                var acAny = false
                 while (k < 64 && !eob) {
                   val rs = r.decodeHuff(acT)
                   val run = rs >> 4; val sz = rs & 0x0f
@@ -1456,10 +1518,11 @@ object MediaCodec {
                     require(k < 64, "[GRAFT] jpeg: AC index overrun")
                     coef(ZigZag(k)) =
                       extendSign(r.receive(sz), sz) * qt(ZigZag(k))
+                    acAny = true
                     k += 1
                   }
                 }
-                val px = idct(coef)
+                val px = if (acAny) idct(coef) else dcMemo(coef)
                 val pw = planeW(ci)
                 val ox = (mx * h + bx) * 8
                 val oy = (my * v + by) * 8
@@ -1794,11 +1857,20 @@ object MediaCodec {
         val bh = planeH(ci) / 8
         val pw = planeW(ci)
         val d = new Array[Int](64)
+        val dcMemo = new IdctDcMemo
         var b = 0
         while (b < bw * bh) {
           var k = 0
-          while (k < 64) { d(k) = c(b * 64 + k) * qt(k); k += 1 }
-          val px = idct(d)
+          var acAny = false
+          d(0) = c(b * 64) * qt(0)
+          k = 1
+          while (k < 64) {
+            val v = c(b * 64 + k) * qt(k)
+            d(k) = v
+            if (v != 0) acAny = true
+            k += 1
+          }
+          val px = if (acAny) idct(d) else dcMemo(d)
           val ox = (b % bw) * 8
           val oy = (b / bw) * 8
           var yy = 0
@@ -1830,6 +1902,12 @@ object MediaCodec {
       val (_, h0, v0, _) = comps(0)
       val (_, h1, v1, _) = comps(1)
       val (_, h2, v2, _) = comps(2)
+      // last-pixel memo (see the encoder's twin): the inverse
+      // conversion is a pure function of (yy, cb, cr), so an equal
+      // triple reuses the previous pixel's bytes — bit-exact, and
+      // flat regions skip the three pinned double chains
+      var my = -1; var mcb = -1; var mcr = -1
+      var or0: Byte = 0; var og0: Byte = 0; var ob0: Byte = 0
       var y = 0
       while (y < height) {
         var x = 0
@@ -1839,9 +1917,15 @@ object MediaCodec {
           val cr = planes(2)((y * v2 / vMax) * planeW(2) + x * h2 / hMax)
           // scalar helpers, not the tuple form — no per-pixel boxing
           val o = (y * width + x) * 3
-          out(o) = rgbR(yy, cr).toByte
-          out(o + 1) = rgbG(yy, cb, cr).toByte
-          out(o + 2) = rgbB(yy, cb).toByte
+          if (yy != my || cb != mcb || cr != mcr) {
+            or0 = rgbR(yy, cr).toByte
+            og0 = rgbG(yy, cb, cr).toByte
+            ob0 = rgbB(yy, cb).toByte
+            my = yy; mcb = cb; mcr = cr
+          }
+          out(o) = or0
+          out(o + 1) = og0
+          out(o + 2) = ob0
           x += 1
         }
         y += 1

@@ -87,33 +87,47 @@ object Sampling {
   private final case class Band(lo: Long, hi: Option[Long],
       size: Long, remaining: Long)
 
-  /** Map-literal over stratum values — the ONE way band state reaches
-    * a predicate. An OR chain of per-stratum terms references the
-    * stratum expression once per stratum, and after the optimizer
+  /** O(1) lookup over per-stratum band state — the ONE way band state
+    * reaches a predicate. An OR chain of per-stratum terms references
+    * the stratum expression once per stratum, and after the optimizer
     * inlines work-column aliases (CollapseProject re-expands any
     * staging Project), a DERIVED stratum like registered-domain-of-URL
     * became 512 copies of a multi-regexp tree in one Filter (measured:
     * a 46 MiB task binary and a 6× wall-time blowup on
-    * web_domain_cap). element_at on a literal map keeps exactly ONE
-    * stratum occurrence per predicate at any strata count; a missing
-    * key reads NULL, which fails every comparison — the same "not in
-    * bands → not selected" semantics. */
-  private def litMapOf(m: Iterable[(Any, Long)]): Column =
-    map(m.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    * web_domain_cap). The round-12 answer was
+    * `element_at(map(<lit pairs>), stratum)` — one stratum occurrence
+    * per predicate — but a map LITERAL inlines 2·N literals into the
+    * generated code (at 512 strata the three band maps blow Janino's
+    * 64 KB method limit and the whole stage drops to interpreted eval
+    * — caught by this round's lap probe: 17–24 process-CPU-seconds
+    * for the 5000-row sf0.1 domain cap) and `GetMapValue` probes it
+    * by LINEAR scan. [[graft.functions.ConstLongMapLookup]] keeps the
+    * single-stratum-occurrence property and makes the probe a hashed
+    * O(1) against a reference object: constant generated-code size at
+    * any strata count. A missing key still reads NULL, which fails
+    * every comparison — the same "not in bands → not selected"
+    * semantics (equality-convention parity argued in its scaladoc). */
+  private def mapLookup(m: Iterable[(Any, Long)], key: Column): Column =
+    org.apache.spark.sql.graft.shims.column(
+      graft.functions.ConstLongMapLookup(
+        org.apache.spark.sql.graft.shims.expression(key),
+        m.iterator.map { case (k, v) =>
+          graft.functions.ConstLongMapLookup.internalKey(k) -> v
+        }.toArray))
 
   /** rank ∈ [lo, hi) of the row's stratum's band (false for strata
     * not in `states` and for NULL ranks). */
   private def bandCondOf(stratum: Column, rank: Column,
       states: Map[Any, Band]): Column = {
     if (states.isEmpty) return lit(false)
-    val lo = element_at(litMapOf(states.map { case (s, b) => s -> b.lo }),
+    val lo = mapLookup(states.map { case (s, b) => s -> b.lo },
       stratum)
     val base = lo.isNotNull && rank >= lo
     val withHi = states.collect {
       case (s, b) if b.hi.isDefined => (s: Any) -> b.hi.get }
     if (withHi.isEmpty) base
     else {
-      val hi = element_at(litMapOf(withHi), stratum)
+      val hi = mapLookup(withHi, stratum)
       base && (hi.isNull || rank < hi)
     }
   }
@@ -269,7 +283,7 @@ object Sampling {
       fullRangeRank)
 
     val remainingCol = coalesce(
-      element_at(litMapOf(bands.map { case (s, b) => s -> b.remaining }),
+      mapLookup(bands.map { case (s, b) => s -> b.remaining },
         stratum), lit(0L))
     val win = Window.partitionBy(stratum).orderBy(fp.asc, tiebreak.asc)
     val band = df.filter(bandCondOf(stratum, fp, bands))
@@ -278,8 +292,8 @@ object Sampling {
       .drop("__rn")
     if (bands.values.forall(_.lo == Long.MinValue)) band
     else {
-      val lo = element_at(
-        litMapOf(bands.map { case (s, b) => s -> b.lo }), stratum)
+      val lo = mapLookup(bands.map { case (s, b) => s -> b.lo },
+        stratum)
       df.filter(lo.isNotNull && fp < lo).unionByName(band)
     }
   }
@@ -611,13 +625,13 @@ object Sampling {
     // itself is windowed for the exact running-sum boundary
     val fullCond =
       if (full.isEmpty) lit(false)
-      else element_at(litMapOf(full.map { case (s, v) =>
-        (s: Any) -> v }), st).isNotNull
+      else mapLookup(full.map { case (s, v) =>
+        (s: Any) -> v }, st).isNotNull
     val belowCond =
       if (bands.isEmpty) lit(false)
       else {
-        val lo = element_at(litMapOf(bands.map { case (s, b) =>
-          s -> b.lo }), st)
+        val lo = mapLookup(bands.map { case (s, b) =>
+          s -> b.lo }, st)
         lo.isNotNull && rk < lo
       }
     // rk.isNotNull: fullCond tests only the stratum, so without it a
@@ -629,8 +643,8 @@ object Sampling {
         val win = Window.partitionBy(st).orderBy(rk.asc, tiebreak.asc)
         val before = coalesce(sum(wt).over(
           win.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
-        val rem = element_at(litMapOf(bands.map { case (s, b) =>
-          s -> b.remaining }), st)
+        val rem = mapLookup(bands.map { case (s, b) =>
+          s -> b.remaining }, st)
         staged.filter(bandCondOf(st, rk, bands))
           .withColumn("__rn", before)
           .filter(col("__rn") < rem)

@@ -56,8 +56,16 @@ object WebCuration {
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 
   /** Lowercased scheme, or NULL for a string with no `scheme://`
-    * prefix (relative references are not curatable URLs). */
-  def urlScheme(url: Column): Column = {
+    * prefix (relative references are not curatable URLs). One kernel
+    * node ([[graft.functions.UrlSchemeOf]]); [[urlSchemeRegex]] is
+    * the original regex chain it is spec-pinned against. */
+  def urlScheme(url: Column): Column =
+    shims.column(graft.functions.UrlSchemeOf(shims.expression(url)))
+
+  /** The pre-r18 regex form of [[urlScheme]], kept as the parity
+    * oracle for the kernel (UrlKernelParitySpec compares the two on
+    * adversarial and generated inputs). */
+  private[graft] def urlSchemeRegex(url: Column): Column = {
     val s = regexp_extract(url, SchemeRe, 1)
     when(s =!= "", lower(s))
   }
@@ -66,17 +74,26 @@ object WebCuration {
     * port stripped (`:80` under http, `:443` under https — an
     * explicit non-default port is kept, it addresses a different
     * origin), one leading `www.` stripped. NULL when [[urlScheme]]
-    * is NULL or the authority is empty. */
-  def urlHost(url: Column): Column = {
+    * is NULL or the authority is empty. One kernel node
+    * ([[graft.functions.UrlHostOf]] — the compositional regex form
+    * re-inlined ~40 regexp nodes per occurrence and blew codegen's
+    * 64 KB method limit in any plan using the domain as a filter or
+    * key; see the kernel's scaladoc). [[urlHostRegex]] is the
+    * original chain it is spec-pinned against. */
+  def urlHost(url: Column): Column =
+    shims.column(graft.functions.UrlHostOf(shims.expression(url)))
+
+  /** The pre-r18 regex form of [[urlHost]] — parity oracle only. */
+  private[graft] def urlHostRegex(url: Column): Column = {
     val hp = lower(regexp_replace(
       regexp_extract(url, SchemeRe + "([^/?#]*)", 2), "^[^@]*@", ""))
-    val noPort = when(urlScheme(url) === "http",
+    val noPort = when(urlSchemeRegex(url) === "http",
         regexp_replace(hp, ":80$", ""))
-      .when(urlScheme(url) === "https",
+      .when(urlSchemeRegex(url) === "https",
         regexp_replace(hp, ":443$", ""))
       .otherwise(hp)
     val h = regexp_replace(noPort, "^www\\.", "")
-    when(urlScheme(url).isNotNull && h =!= "", h)
+    when(urlSchemeRegex(url).isNotNull && h =!= "", h)
   }
 
   /** Anchored extractor for "label + listed two-level suffix" — the
@@ -95,7 +112,14 @@ object WebCuration {
     * suffix (`news.bbc.co.uk` → `bbc.co.uk`). Hosts with a single
     * label (intranet names, IPs stay as-is under the 2-label rule)
     * pass through whole. */
-  def registeredDomain(host: Column): Column = {
+  def registeredDomain(host: Column): Column =
+    shims.column(graft.functions.RegisteredDomainHead(
+      shims.expression(host), TwoLevelSuffixes))
+
+  /** The pre-r18 regex form of [[registeredDomain]] — parity oracle
+    * only (the DuckDB mirror still derives from [[domainRegexes]],
+    * which is unchanged). */
+  private[graft] def registeredDomainRegex(host: Column): Column = {
     val three = regexp_extract(host, SuffixAltRe, 1)
     val two = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     when(three =!= "", three).when(two =!= "", two).otherwise(host)
