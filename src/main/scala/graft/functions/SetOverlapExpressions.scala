@@ -160,14 +160,24 @@ object SetOverlapMilli {
   }
 
   /** Same pass for STRING arrays (UTF8String byte equality — exactly
-    * the set ops' ordering-free equality) via a HashMap with the same
-    * 1/2/3 state encoding. */
+    * the set ops' ordering-free equality) via open addressing with
+    * the same 1/2/3 state encoding. Hand-rolled rather than
+    * java.util.HashMap: the r18 JFR profile showed the map path
+    * dominated by re-hashed UTF8String.hashCode calls (a get + put
+    * per element = two murmur passes over the bytes) plus node
+    * allocation and bucket treeification — here each element hashes
+    * ONCE, the hash is cached for the equality short-circuit, and no
+    * nodes are allocated. */
   def milliString(a: ArrayData, b: ArrayData,
       containment: Boolean): Long = {
     val na = a.numElements()
     val nb = b.numElements()
-    val m = new java.util.HashMap[UTF8String, Array[Byte]](
-      math.max(8, (na + nb) * 2))
+    var cap = 8
+    while (cap < (na + nb) * 2) cap <<= 1
+    val keys = new Array[UTF8String](cap)
+    val hashes = new Array[Int](cap)
+    val state = new Array[Byte](cap)
+    val mask = cap - 1
     var dA = 0
     var dB = 0
     var inter = 0
@@ -178,8 +188,16 @@ object SetOverlapMilli {
       if (a.isNullAt(i)) nullA = true
       else {
         val k = a.getUTF8String(i)
-        val st = m.get(k)
-        if (st == null) { m.put(k, Array[Byte](1)); dA += 1 }
+        val h = k.hashCode()
+        var p = (h & 0x7fffffff) & mask
+        var done = false
+        while (!done) {
+          if (state(p) == 0) {
+            keys(p) = k; hashes(p) = h; state(p) = 1; dA += 1
+            done = true
+          } else if (hashes(p) == h && keys(p).equals(k)) done = true
+          else p = (p + 1) & mask
+        }
       }
       i += 1
     }
@@ -188,9 +206,18 @@ object SetOverlapMilli {
       if (b.isNullAt(i)) nullB = true
       else {
         val k = b.getUTF8String(i)
-        val st = m.get(k)
-        if (st == null) { m.put(k, Array[Byte](2)); dB += 1 }
-        else if (st(0) == 1) { st(0) = 3; dB += 1; inter += 1 }
+        val h = k.hashCode()
+        var p = (h & 0x7fffffff) & mask
+        var done = false
+        while (!done) {
+          if (state(p) == 0) {
+            keys(p) = k; hashes(p) = h; state(p) = 2; dB += 1
+            done = true
+          } else if (hashes(p) == h && keys(p).equals(k)) {
+            if (state(p) == 1) { state(p) = 3; dB += 1; inter += 1 }
+            done = true
+          } else p = (p + 1) & mask
+        }
       }
       i += 1
     }

@@ -287,14 +287,22 @@ object Dedup {
     * map-side partial combine (count + min both algebraic) + one
     * shuffle join of occurrences back on the 8-byte gram hash. */
   private[graft] def keepFirstDupStarts(occ: DataFrame): DataFrame = {
-    val dups = occ.groupBy(col("__g"))
-      .agg(min(struct(col("__id"), col("__idx"))).as("__k"),
-        count(lit(1)).as("__cnt"))
-      .filter(col("__cnt") >= 2)
-      .select(col("__g"), col("__k"))
-    occ.join(dups, Seq("__g"))
-      .filter(col("__id") =!= col("__k")("__id") ||
-        col("__idx") =!= col("__k")("__idx"))
+    // ONE window: a row survives iff it is not its gram's
+    // (id, idx)-minimal occurrence — row_number() > 1 under exactly
+    // the min(struct) ordering (Catalyst struct comparison = field
+    // order = the window's orderBy), and a singleton gram has no
+    // rn > 1, which is the old cnt >= 2 gate. The previous shape
+    // (min-struct aggregate + join of occurrences back on the gram)
+    // paid a SORT aggregate — min over a struct has no mutable
+    // buffer, so HashAggregateExec refuses it — PLUS a second full
+    // shuffle of the occurrence stream for the join; the r18 profile
+    // put ~70% of substring-dedup CPU in that agg/join machinery.
+    // Per-gram placement (all of a gram's occurrences on one task)
+    // is the same in both shapes.
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__id").asc, col("__idx").asc)
+    occ.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
       .select(col("__id"), col("__idx"), col("__g"))
   }
 
@@ -307,13 +315,24 @@ object Dedup {
     * many-file inputs skip the branch). */
   private[graft] def gramOccurrences(docs: DataFrame, k: Int,
       textCol: String, idCol: String): DataFrame = {
-    val w = split(trim(col(textCol)), "\\s+")
-    val grams = when(size(w) >= k,
+    // one-pass kernel ([[graft.functions.WordGramHashes]]) — the
+    // interpreted HOF form (slice + concat_ws + xxhash64 per window)
+    // owned 11-17 CPU-s of the substring/gram stages at sf0.1;
+    // [[gramHashesHof]] keeps it as the parity oracle
+    val grams = shims.column(graft.functions.WordGramHashes(
+      shims.expression(col(textCol)), k))
+    spread(docs).select(col(idCol).as("__id"),
+      posexplode(grams).as(Seq("__idx", "__g")))
+  }
+
+  /** The pre-r18 HOF form of [[gramOccurrences]]' window hashes —
+    * parity oracle only (KernelParitySpec). */
+  private[graft] def gramHashesHof(textCol: Column, k: Int): Column = {
+    val w = split(trim(textCol), "\\s+")
+    when(size(w) >= k,
       transform(sequence(lit(0), size(w) - k),
         i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(k))))))
       .otherwise(array().cast("array<long>"))
-    spread(docs).select(col(idCol).as("__id"),
-      posexplode(grams).as(Seq("__idx", "__g")))
   }
 
   /** Fold duplicated start positions (__id, __idx) into maximal spans
@@ -321,17 +340,26 @@ object Dedup {
     * window [x, x+k) merges into the running span iff x <= its end.
     * State bounded by document length, never corpus size. */
   private[graft] def foldSpans(dupStarts: DataFrame, k: Int): DataFrame =
+    // merge kernel ([[graft.functions.MergeSpans]]) — the interpreted
+    // `aggregate` HOF rebuilt the accumulator array per element
+    // (O(spans²) allocation per doc); [[foldSpansHof]] keeps it as
+    // the parity oracle
     dupStarts.groupBy(col("__id"))
       .agg(array_sort(collect_list(col("__idx"))).as("__starts"))
-      .select(col("__id"), aggregate(col("__starts"),
-        array().cast("array<struct<s:int,e:int>>"),
-        (acc, x) => when(size(acc) === 0 ||
-            x > element_at(acc, -1)("e"),
-          concat(acc, array(struct(x.as("s"), (x + k).as("e")))))
-          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(element_at(acc, -1)("s").as("s"),
-              greatest(element_at(acc, -1)("e"), x + k).as("e"))))))
-        .as("__spans"))
+      .select(col("__id"), shims.column(graft.functions.MergeSpans(
+        shims.expression(col("__starts")), k)).as("__spans"))
+
+  /** The pre-r18 HOF fold of [[foldSpans]] — parity oracle only
+    * (KernelParitySpec). */
+  private[graft] def foldSpansHof(starts: Column, k: Int): Column =
+    aggregate(starts,
+      array().cast("array<struct<s:int,e:int>>"),
+      (acc, x) => when(size(acc) === 0 ||
+          x > element_at(acc, -1)("e"),
+        concat(acc, array(struct(x.as("s"), (x + k).as("e")))))
+        .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(element_at(acc, -1)("s").as("s"),
+            greatest(element_at(acc, -1)("e"), x + k).as("e"))))))
 
   /** Explode a (__id, __spans) frame into the public span rows. */
   private[graft] def explodeSpans(spans: DataFrame,
@@ -588,15 +616,26 @@ object Dedup {
   }
 
   /** [[idPairs]] with a signature riding along, hamming computed
-    * inline during emission. */
-  private def sigPairs[T](buf: scala.collection.mutable.ArrayBuffer[(T, Long)])(
+    * inline during emission — and FILTERED at emission: a pair's
+    * hamming is the same whichever band emits it, so dropping
+    * over-distance pairs here is row-for-row identical to the old
+    * post-dedup `filter(hamming <= maxHamming)` while never
+    * materializing, shuffling, or hash-agg-deduping the misses. The
+    * r18 JFR profile of image_neardup put ~80% of the operator's CPU
+    * in exactly that shuffle + dedup of pairs the filter then threw
+    * away (band collisions are mostly NOT near-dups). */
+  private def sigPairs[T](buf: scala.collection.mutable.ArrayBuffer[(T, Long)],
+      maxHamming: Int)(
       implicit ord: Ordering[T]): Iterator[(T, T, Long)] = {
     val xs = buf.sortBy(_._1)
-    Iterator.range(0, xs.length - 1).flatMap(i =>
+    Iterator.range(0, xs.length - 1).flatMap { i =>
+      val si = xs(i)._2
       Iterator.range(i + 1, xs.length)
-        .filter(j => xs(j)._1 != xs(i)._1)
+        .filter(j => java.lang.Long.bitCount(si ^ xs(j)._2) <= maxHamming &&
+          xs(j)._1 != xs(i)._1)
         .map(j => (xs(i)._1, xs(j)._1,
-          java.lang.Long.bitCount(xs(i)._2 ^ xs(j)._2).toLong)))
+          java.lang.Long.bitCount(si ^ xs(j)._2).toLong))
+    }
   }
 
   /** [[idPairs]] for STRING ids: a Schwartzian transform — each id's
@@ -615,16 +654,20 @@ object Dedup {
   }
 
   /** [[sigPairs]] for STRING ids, same precomputed-key sort as
-    * [[idPairsUtf8]]. */
+    * [[idPairsUtf8]] and the same emit-time hamming filter. */
   private def sigPairsUtf8(
-      buf: scala.collection.mutable.ArrayBuffer[(String, Long)]): Iterator[(String, String, Long)] = {
+      buf: scala.collection.mutable.ArrayBuffer[(String, Long)],
+      maxHamming: Int): Iterator[(String, String, Long)] = {
     val xs = buf.map { case (s, sig) => (utf8Key(s), s, sig) }
       .sortInPlaceBy(_._1)(utf8BytesOrd)
-    Iterator.range(0, xs.length - 1).flatMap(i =>
+    Iterator.range(0, xs.length - 1).flatMap { i =>
+      val si = xs(i)._3
       Iterator.range(i + 1, xs.length)
-        .filter(j => xs(j)._2 != xs(i)._2)
+        .filter(j => java.lang.Long.bitCount(si ^ xs(j)._3) <= maxHamming &&
+          xs(j)._2 != xs(i)._2)
         .map(j => (xs(i)._2, xs(j)._2,
-          java.lang.Long.bitCount(xs(i)._3 ^ xs(j)._3).toLong)))
+          java.lang.Long.bitCount(si ^ xs(j)._3).toLong))
+    }
   }
 
   /** Bucket-fold candidate-pair generation, shared by the self-pair
@@ -1155,23 +1198,25 @@ object Dedup {
           .as[(Int, Long, String, Long)]
           .mapPartitions(it => emitBucketGroups(
             it.map { case (band, bval, id, sig) => ((band, bval), (id, sig)) },
-            maxBucket)(sigPairsUtf8))
+            maxBucket)(sigPairsUtf8(_, maxHamming)))
           .toDF("a", "b", "hamming")
       case ByteType | ShortType | IntegerType | LongType =>
         keyed(col("id").cast("long"))
           .as[(Int, Long, Long, Long)]
           .mapPartitions(it => emitBucketGroups(
             it.map { case (band, bval, id, sig) => ((band, bval), (id, sig)) },
-            maxBucket)(sigPairs[Long]))
+            maxBucket)(sigPairs[Long](_, maxHamming)))
           .toDF("a", "b", "hamming")
       case other => throw new IllegalArgumentException(
         s"[GRAFT] simhash pair id column must be integral or string, " +
           s"got $other")
     }
+    // hamming filtering happened at EMISSION (pair-invariant across
+    // bands, so identical to filtering here) — only survivors reach
+    // the pinned shuffle + (a, b) dedup
     pairs
       .repartition(np, col("a"), col("b"))
       .dropDuplicates("a", "b")
-      .filter(col("hamming") <= maxHamming)
   }
 
 

@@ -1218,7 +1218,19 @@ object TextAnalysis {
     * short-text case BEFORE building the sequence —
     * `sequence(1, len-2)` DESCENDS for len < 3 (the round-8 gotcha)
     * and would emit phantom grams. */
+  /** Distinct char n-grams in one byte walk
+    * ([[graft.functions.CharNGrams]] — the interpreted HOF form
+    * re-walked the string per window, O(len²); see the kernel's
+    * scaladoc). [[charNGramsOfHof]] keeps the original as the parity
+    * oracle. */
   private def charNGramsOf(t: Column, n: Int): Column =
+    org.apache.spark.sql.graft.shims.column(
+      graft.functions.CharNGrams(
+        org.apache.spark.sql.graft.shims.expression(t), n))
+
+  /** The pre-r18 HOF form of [[charNGramsOf]] — parity oracle only
+    * (KernelParitySpec). */
+  private[graft] def charNGramsOfHof(t: Column, n: Int): Column =
     when(length(t) >= n,
       array_distinct(transform(
         sequence(lit(1), length(t) - (n - 1)),

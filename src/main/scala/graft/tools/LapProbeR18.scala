@@ -29,11 +29,14 @@ object LapProbeR18 {
       .getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
+    // GRAFT_LAP_REPS overrides the 2 measured reps — e.g. 20 to keep
+    // the JVM busy long enough for a jcmd JFR attach
+    val reps = sys.env.get("GRAFT_LAP_REPS").map(_.toInt).getOrElse(2)
     def lap(name: String)(f: => Unit): Unit = {
       if (which.nonEmpty && !which.exists(name.startsWith)) return
-      // warmup + 2 measured
+      // warmup + measured reps
       f
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to reps).map { _ =>
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         f
@@ -54,13 +57,8 @@ object LapProbeR18 {
       shims.column(graft.functions.MinHashSig(shims.expression(c), n))
     def wordSetC(c: org.apache.spark.sql.Column) =
       array_distinct(split(trim(lower(c)), "\\s+"))
-    def gramHashes(c: org.apache.spark.sql.Column, k: Int) = {
-      val w = split(trim(c), "\\s+")
-      when(size(w) >= k,
-        transform(sequence(lit(0), size(w) - k),
-          i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(k))))))
-        .otherwise(array().cast("array<long>"))
-    }
+    def gramHashes(c: org.apache.spark.sql.Column, k: Int) =
+      shims.column(graft.functions.WordGramHashes(shims.expression(c), k))
 
     // ---- pipeline_curate stage split ----
     spark.sparkContext.setJobDescription("curate: stage split")

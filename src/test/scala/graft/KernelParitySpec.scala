@@ -122,6 +122,90 @@ class KernelParitySpec extends AnyFunSuite {
       "urlDomain@sf0.001", urls)
   }
 
+  // ---- char-n-gram kernel ----
+
+  test("charNGrams kernel matches the HOF form (codepoints, dedup order, null/short stance)") {
+    import graft.operators.TextAnalysis
+    val cases = Seq(
+      "hello world", "aaa", "aa", "a", "", "  ", "abcabcabc",
+      "ünïcødé tëxt", "日本語のテキスト", "mixed 日本 ascii",
+      "𝔘𝔫𝔦𝔠 supplementary 𝔠𝔥𝔞𝔯𝔰", "a b", "tab\tsep\nnl",
+      "ababab", "xyzxyzxy") :+ null
+    val df = cases.toDF("u")
+    Seq(2, 3, 5).foreach { n =>
+      val diff = df.select(col("u"),
+          TextAnalysis.charNGrams(col("u"), n).as("k"),
+          TextAnalysis.charNGramsOfHof(lower(col("u")), n).as("r"))
+        .filter(!(col("k") <=> col("r")))
+        .collect()
+      assert(diff.isEmpty,
+        s"n=$n diverges on: ${diff.take(5).mkString("; ")}")
+    }
+    // corpus sweep at n=3 (the langid shape)
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+    val bad = docs.select(
+        TextAnalysis.charNGrams(col("text"), 3).as("k"),
+        TextAnalysis.charNGramsOfHof(lower(col("text")), 3).as("r"))
+      .filter(!(col("k") <=> col("r")))
+      .count()
+    assert(bad === 0L)
+  }
+
+  // ---- word-gram hash kernel ----
+
+  test("wordGramHashes kernel matches the HOF form (tokenize edges, xxhash parity)") {
+    import org.apache.spark.sql.graft.shims
+    def kernel(c: org.apache.spark.sql.Column, k: Int) =
+      shims.column(graft.functions.WordGramHashes(shims.expression(c), k))
+    val cases = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one", "one two", "one two three four",
+      "", " ", "   ", "\ttab\tlead", "trail space ",
+      " lead space", "a  double  space", "nl\nsep\nwords",
+      "ünïcødé tökens ünïcødé tökens more", "a b c a b c a b c",
+      "日本 語 の テキスト です") :+ null
+    val df = cases.toDF("u")
+    Seq(1, 2, 4).foreach { n =>
+      val diff = df.select(col("u"), kernel(col("u"), n).as("k"),
+          graft.operators.Dedup.gramHashesHof(col("u"), n).as("r"))
+        .filter(!(col("k") <=> col("r")))
+        .collect()
+      assert(diff.isEmpty,
+        s"k=$n diverges on: ${diff.take(5).mkString("; ")}")
+    }
+    // corpus sweep at k=4 (the substring-dedup shape)
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+    val bad = docs.select(kernel(col("text"), 4).as("k"),
+        graft.operators.Dedup.gramHashesHof(col("text"), 4).as("r"))
+      .filter(!(col("k") <=> col("r")))
+      .count()
+    assert(bad === 0L)
+  }
+
+  // ---- span-merge kernel ----
+
+  test("mergeSpans kernel matches the HOF fold on sorted start lists") {
+    import org.apache.spark.sql.graft.shims
+    def kernel(c: org.apache.spark.sql.Column, k: Int) =
+      shims.column(graft.functions.MergeSpans(shims.expression(c), k))
+    val cases: Seq[Seq[Int]] = Seq(
+      Seq(0), Seq(0, 1, 2, 3), Seq(0, 4), Seq(0, 3), Seq(0, 5, 6, 20),
+      Seq(2, 3, 9, 10, 11, 30), Seq(0, 1, 1, 2), // dup starts tolerated
+      (0 until 50).map(_ * 2), (0 until 50).map(_ * 5))
+    val df = cases.toDF("st")
+    Seq(2, 4).foreach { k =>
+      val diff = df.select(col("st"), kernel(col("st"), k).as("k"),
+          graft.operators.Dedup.foldSpansHof(col("st"), k).as("r"))
+        .filter(!(col("k").cast("array<struct<s:int,e:int>>") <=>
+          col("r").cast("array<struct<s:int,e:int>>")))
+        .collect()
+      assert(diff.isEmpty,
+        s"k=$k diverges on: ${diff.take(5).mkString("; ")}")
+    }
+  }
+
   // ---- set-overlap kernel ----
 
   // zero-denominator shapes (empty arrays) are EXCLUDED here: under
