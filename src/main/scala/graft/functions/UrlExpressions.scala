@@ -334,6 +334,45 @@ object RegisteredDomainHead {
   }
 }
 
+/** STRING url → STRING canonical dedup key — the kernel form of
+  * [[graft.operators.WebCuration.normalizeUrl]]: scheme + "://" +
+  * host + trailing-slash-stripped path + "?" + the sorted surviving
+  * query params (tracking params dropped), NULL for non-URLs. One
+  * pass over the string instead of the regex chain (whose
+  * scheme/host subtrees alone re-inlined ~30 regexp nodes) plus an
+  * INTERPRETED higher-order filter running one regex find per param.
+  *
+  * Exact-parity contract (spec-pinned in KernelParitySpec): the
+  * original chain's regexes use `$`, which in Java matches before a
+  * FINAL line terminator — so inputs containing any of the six Java
+  * line-terminator chars take a slow path built on the ORIGINAL
+  * pattern strings through the same java.util.regex engine
+  * (identical by construction); the fast path handles
+  * terminator-free strings (every real URL) with plain scans.
+  * Tracking-param matching replicates
+  * `^(utm_[^=&]*|fbclid|gclid|msclkid|ref|mc_eid)(=.*)?$`: the name
+  * (before the first '=') is utm_-prefixed or one of the listed
+  * literals. Param sort order is `array_sort`'s UTF8String BYTE
+  * order. */
+case class NormalizeUrlOf(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[org.apache.spark.sql.graft.shims.AbstractDataType] =
+    Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "vfs_normalize_url"
+  override def nullSafeEval(u: Any): Any =
+    UrlKernel.normalize(u.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.UrlKernel.normalize($c);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Shared per-row URL parsing for the kernel expressions. All
   * delimiters are ASCII, so Java char indexing is safe on any UTF-16
   * content; lowercasing of the HOST goes through
@@ -380,6 +419,105 @@ object UrlKernel {
     val s = u.toString
     val se = schemeEnd(s)
     if (se < 0) null else UTF8String.fromString(asciiLower(s.substring(0, se)))
+  }
+
+  // the ORIGINAL normalizeUrl patterns, for the rare slow path (the
+  // kernel's fast path requires a terminator-free string; these give
+  // bit-exact `$`/`.` line-terminator behavior through the same
+  // engine the column form used)
+  private val PathRe = java.util.regex.Pattern.compile("^([^?]*)")
+  private val TrailSlashRe = java.util.regex.Pattern.compile("/+$")
+  private val RawQRe = java.util.regex.Pattern.compile("\\?(.*)$")
+  private val TrackRe = java.util.regex.Pattern.compile(
+    graft.operators.WebCuration.TrackingParamRe)
+
+  private def hasLineTerminator(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\n' || c == '\r' || c == '\u0085' || c == '\u2028' ||
+        c == '\u2029') return true
+      i += 1
+    }
+    false
+  }
+
+  /** unsigned UTF-8 byte order — what array_sort does for strings */
+  private val utf8Ord: java.util.Comparator[String] =
+    (a: String, b: String) => java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def isTracking(p: String): Boolean = {
+    if (hasLineTerminator(p)) return TrackRe.matcher(p).find()
+    val eq = p.indexOf('=')
+    val name = if (eq >= 0) p.substring(0, eq) else p
+    name.startsWith("utm_") || name == "fbclid" || name == "gclid" ||
+      name == "msclkid" || name == "ref" || name == "mc_eid"
+  }
+
+  def normalize(u: UTF8String): UTF8String = {
+    val s = u.toString
+    val se = schemeEnd(s)
+    if (se < 0) return null
+    val hostU = host(u)
+    if (hostU == null) return null
+    val scheme = asciiLower(s.substring(0, se))
+    // pathq: after the authority, up to the fragment
+    var j = se + 3
+    while (j < s.length && {
+      val c = s.charAt(j); c != '/' && c != '?' && c != '#'
+    }) j += 1
+    var hEnd = s.indexOf('#', j)
+    if (hEnd < 0) hEnd = s.length
+    val pathq = s.substring(j, hEnd)
+    var path: String = null
+    var rawq: String = null
+    if (hasLineTerminator(pathq)) {
+      // slow path: the original regexes verbatim
+      val pm = PathRe.matcher(pathq)
+      val p0 = if (pm.find()) pm.group(1) else ""
+      path = TrailSlashRe.matcher(p0).replaceAll("")
+      val qm = RawQRe.matcher(pathq)
+      rawq = if (qm.find()) qm.group(1) else ""
+    } else {
+      val qi = pathq.indexOf('?')
+      var p0 = if (qi >= 0) pathq.substring(0, qi) else pathq
+      var e = p0.length
+      while (e > 0 && p0.charAt(e - 1) == '/') e -= 1
+      path = if (e == p0.length) p0 else p0.substring(0, e)
+      rawq = if (qi >= 0) pathq.substring(qi + 1) else ""
+    }
+    // split('&', keep empties) → drop empties + tracking → byte sort
+    val kept = new java.util.ArrayList[String]()
+    if (rawq.nonEmpty) {
+      var st = 0
+      var i = 0
+      while (i <= rawq.length) {
+        if (i == rawq.length || rawq.charAt(i) == '&') {
+          if (i > st) {
+            val p = rawq.substring(st, i)
+            if (!isTracking(p)) kept.add(p)
+          }
+          st = i + 1
+        }
+        i += 1
+      }
+    }
+    kept.sort(utf8Ord)
+    val sb = new java.lang.StringBuilder(
+      scheme.length + 3 + s.length)
+    sb.append(scheme).append("://").append(hostU.toString).append(path)
+    if (!kept.isEmpty) {
+      sb.append('?')
+      var i = 0
+      while (i < kept.size) {
+        if (i > 0) sb.append('&')
+        sb.append(kept.get(i))
+        i += 1
+      }
+    }
+    UTF8String.fromString(sb.toString)
   }
 
   def host(u: UTF8String): UTF8String = {

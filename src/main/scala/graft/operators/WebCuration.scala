@@ -239,9 +239,16 @@ object WebCuration {
     * so malformed rows never collapse with real ones. Pure per-row
     * projection; the query-param lambda runs interpreted (HOF), but
     * over an already-staged short string, not a re-derived one. */
-  def normalizeUrl(url: Column): Column = {
-    val scheme = urlScheme(url)
-    val host = urlHost(url)
+  def normalizeUrl(url: Column): Column =
+    shims.column(graft.functions.NormalizeUrlOf(shims.expression(url)))
+
+  /** The pre-r18 regex-chain form of [[normalizeUrl]] — parity oracle
+    * only (KernelParitySpec; the kernel's scaladoc argues the exact
+    * equivalence, including the Java `$`-before-final-terminator
+    * slow path). */
+  private[graft] def normalizeUrlRegex(url: Column): Column = {
+    val scheme = urlSchemeRegex(url)
+    val host = urlHostRegex(url)
     // path+query end at the fragment; path ends at the query
     val pathq = regexp_extract(url, SchemeRe + "[^/?#]*([^#]*)", 2)
     val path = regexp_replace(regexp_extract(pathq, "^([^?]*)", 1),

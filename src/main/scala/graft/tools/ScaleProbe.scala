@@ -768,9 +768,11 @@ object ScaleProbe {
     }
     // ExactSubstr at 500k near-identical docs: every 4-gram outside
     // the unique id token is duplicated corpus-wide — the worst case
-    // for the keep-first verdict. Cost must be ONE partial-combined
-    // hash agg over slim (hash, id, idx) triples + one shuffle join +
-    // a per-doc fold; the gram text itself never shuffles.
+    // for the keep-first verdict. Cost must be ONE shuffle of slim
+    // (hash, id, idx) triples into the per-gram keep-first window +
+    // a per-doc fold; the gram text itself never shuffles (r18: the
+    // previous min-struct aggregate + join-back shape paid a SORT
+    // aggregate and a second occurrence shuffle).
     time("ExactSubstr duplicate spans over 500k hyper-duplicated docs") {
       graft.operators.Dedup.duplicateSpans(mediaDocs, k = 4)
         .agg(sum($"span_tokens")).collect()

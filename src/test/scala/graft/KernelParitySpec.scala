@@ -122,6 +122,48 @@ class KernelParitySpec extends AnyFunSuite {
       "urlDomain@sf0.001", urls)
   }
 
+  // ---- normalize-url kernel ----
+
+  test("normalizeUrl kernel matches the regex chain (params, trackers, sort order, terminators)") {
+    val cases = urlCases ++ Seq(
+      "http://h/p?utm_source=x&b=1&a=2", "http://h/p?ref=rss",
+      "http://h/p?refx=1&ref=2&mc_eid=3&fbclid&gclid=",
+      "http://h/p?utm_=1&utm=2&UTM_A=3", // case-sensitive names
+      "http://h/p?&&a=1&&", "http://h/p?", "http://h/p?#f",
+      "http://h/p???a=1", "http://h/p?a=1?b=2",
+      "http://h/p?b=2&a=1&c=3&B=0&%41=x", // byte sort incl. %-escapes
+      "http://h/a/b///", "http://h//", "http://h/p/?",
+      "http://h/p?msclkid=1&keep=2#frag?notq",
+      "http://h/p?ü=1&a=2", "http://h/p?a=ü&a=b",
+      "http://h/p\n?a=1", "http://h/p?a=1\n", "http://h/p?a\n=1",
+      "http://h/p?a=1 b", "http://h/p?x=1\r")
+    val df = cases.toDF("u")
+    columnParity(WebCuration.normalizeUrl(col("u")),
+      WebCuration.normalizeUrlRegex(col("u")), "normalizeUrl", df)
+    // corpus-shaped sweep (the web_url_normalize fixture shapes)
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val id = col("doc_id").cast("string")
+    val m = pmod(col("doc_id"), lit(6))
+    val urls = docs.select(when(m === 0,
+        concat(lit("HTTP://WWW."), upper(col("source")),
+          lit(".COM:80/Articles/"), id,
+          lit("?utm_source=feed&ref=rss&id="), id, lit("#sec-2")))
+      .when(m === 1, concat(lit("https://news."), col("source"),
+        lit(".co.uk:443/posts/"), id, lit("/")))
+      .when(m === 2, concat(lit("https://"), col("source"),
+        lit(".org/a/b/?fbclid=x"), id))
+      .when(m === 3, concat(lit("http://"), col("source"),
+        lit(".com/landing")))
+      .when(m === 4, concat(lit("http://user@"), col("source"),
+        lit(".github.io:8080/p/"), id, lit("?z=1&y=2&x=3")))
+      .otherwise(concat(lit("not-a-url-"), id)).as("u"))
+    columnParity(WebCuration.normalizeUrl(col("u")),
+      WebCuration.normalizeUrlRegex(col("u")), "normalizeUrl@corpus",
+      urls)
+  }
+
   // ---- char-n-gram kernel ----
 
   test("charNGrams kernel matches the HOF form (codepoints, dedup order, null/short stance)") {
