@@ -89,11 +89,39 @@ case class SetOverlapMilli(left: Expression, right: Expression,
 
 object SetOverlapMilli {
 
-  /** `round(x)` parity with Spark's Round(double, 0) → cast(long):
-    * BigDecimal.valueOf + HALF_UP (callers guard denom == 0, the NaN
-    * case, which casts to 0). Inputs are in [0, 1000], so longValue
-    * after setScale(0) is exact. */
+  /** `round(x)` parity with Spark's Round(double, 0) → cast(long) in
+    * pure integer arithmetic — no BigDecimal / Double.toString per
+    * pair (r18: ~0.7 CPU-s of the sf0.1 minhash verify lap was this
+    * allocation).
+    *
+    * Equivalence proof against the previous
+    * `BigDecimal.valueOf(inter*1000.0/denom).setScale(0, HALF_UP)`
+    * (itself spec-pinned to Spark's Round): let r = inter·1000 and
+    * rem = r mod denom. Here 0 ≤ inter ≤ denom < 2^33, so r < 2^43
+    * and denom < 2^33 are both EXACT doubles, and the true ratio x*
+    * = r/denom lies in [0, 1000].
+    *  - If 2·rem = denom, x* = q + 1/2 is exactly representable
+    *    (q ≤ 1000), IEEE division returns it exactly, valueOf's
+    *    shortest-decimal is exactly "q.5", and HALF_UP rounds up —
+    *    the integer form's `2·rem >= denom` branch.
+    *  - Otherwise x*'s distance to the nearest rounding boundary
+    *    (k + 1/2) is ≥ 1/(2·denom) > 2^-34, while the double x and
+    *    its shortest-decimal rendering each sit within ulp/2 ≤ 2^-44
+    *    of x* (ulp ≤ 2^-43 for x ≤ 1000) — strictly the same side of
+    *    every boundary, so both forms round to the same integer.
+    * Callers guard denom == 0 (the NaN case, which casts to 0).
+    * Spec-pinned exhaustively for denom ≤ 2048 and randomized at
+    * 2^31-scale against the BigDecimal form (SetOverlapParitySpec). */
   private def roundMilli(inter: Int, denom: Long): Long = {
+    if (denom == 0L) return 0L
+    val r = inter * 1000L
+    val q = r / denom
+    if ((r - q * denom) * 2 >= denom) q + 1 else q
+  }
+
+  /** The pre-r18.2 BigDecimal form — retained as the parity oracle
+    * for [[roundMilli]] (test-only). */
+  private[graft] def roundMilliBigDecimal(inter: Int, denom: Long): Long = {
     if (denom == 0L) return 0L
     val x = inter * 1000.0 / denom
     java.math.BigDecimal.valueOf(x)
@@ -231,4 +259,168 @@ object SetOverlapMilli {
       containment: Boolean): Long =
     if (containment) roundMilli(inter, math.min(rawA, rawB).toLong)
     else roundMilli(inter, (dA.toLong + dB.toLong) - inter.toLong)
+
+  /** [[milliString]] with the per-element murmur hashes PRECOMPUTED
+    * per document ([[WordHashes]], evaluated once per doc-side row
+    * before the candidate join) instead of re-hashed per candidate
+    * pair — the r18 JFR profile put the per-pair hashing at ~30% of
+    * the minhash verify stage. Equality is still decided by
+    * UTF8String BYTE comparison; the hash only routes the probe, so
+    * the count (and the milli) is bit-identical to [[milliString]]
+    * by construction. `ha`/`hb` must be [[WordHashes]] of `a`/`b` —
+    * the operators build both from the same projection. */
+  def milliHashed(a: ArrayData, ha: ArrayData, b: ArrayData,
+      hb: ArrayData, containment: Boolean): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var cap = 8
+    while (cap < (na + nb) * 2) cap <<= 1
+    val keys = new Array[UTF8String](cap)
+    val hashes = new Array[Int](cap)
+    val state = new Array[Byte](cap)
+    val mask = cap - 1
+    var dA = 0
+    var dB = 0
+    var inter = 0
+    var nullA = false
+    var nullB = false
+    var i = 0
+    while (i < na) {
+      if (a.isNullAt(i)) nullA = true
+      else {
+        val k = a.getUTF8String(i)
+        val h = ha.getInt(i)
+        var p = (h & 0x7fffffff) & mask
+        var done = false
+        while (!done) {
+          if (state(p) == 0) {
+            keys(p) = k; hashes(p) = h; state(p) = 1; dA += 1
+            done = true
+          } else if (hashes(p) == h && keys(p).equals(k)) done = true
+          else p = (p + 1) & mask
+        }
+      }
+      i += 1
+    }
+    i = 0
+    while (i < nb) {
+      if (b.isNullAt(i)) nullB = true
+      else {
+        val k = b.getUTF8String(i)
+        val h = hb.getInt(i)
+        var p = (h & 0x7fffffff) & mask
+        var done = false
+        while (!done) {
+          if (state(p) == 0) {
+            keys(p) = k; hashes(p) = h; state(p) = 2; dB += 1
+            done = true
+          } else if (hashes(p) == h && keys(p).equals(k)) {
+            if (state(p) == 1) { state(p) = 3; dB += 1; inter += 1 }
+            done = true
+          } else p = (p + 1) & mask
+        }
+      }
+      i += 1
+    }
+    if (nullA) dA += 1
+    if (nullB) dB += 1
+    if (nullA && nullB) inter += 1
+    finish(inter, dA, dB, na, nb, containment)
+  }
+}
+
+/** Per-element murmur hashes of a string array, as array<int> — one
+  * [[UTF8String.hashCode]] per element, computed ONCE per document
+  * row so the pair-verify kernel ([[SetOverlapMilliHashed]]) probes
+  * with cached hashes instead of re-hashing every word of both sides
+  * per candidate pair. A NULL element hashes to 0 (the kernel never
+  * reads it — it checks the word array's null bit first). NULL array
+  * → NULL. */
+case class WordHashes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vfs_word_hashes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs an array<string> input, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    WordHashes.hashAll(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.WordHashes.hashAll($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WordHashes {
+  def hashAll(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (a.isNullAt(i)) 0 else a.getUTF8String(i).hashCode()
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+/** `round(1000·|A∩B| / denom)` over two string arrays with their
+  * [[WordHashes]] arrays riding alongside — the pair-verify form of
+  * [[SetOverlapMilli]] that skips per-pair hashing (see
+  * [[SetOverlapMilli.milliHashed]] for the exactness argument).
+  * Children: (words_a, hashes_a, words_b, hashes_b). */
+case class SetOverlapMilliHashed(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, containment: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String =
+    if (containment) "vfs_containment_milli_h" else "vfs_jaccard_milli_h"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(IntegerType, _),
+            ArrayType(StringType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<string>, array<int>, " +
+            s"array<string>, array<int>), got ${children.map(_.dataType.sql)}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, ha: Any, b: Any, hb: Any): Any =
+    SetOverlapMilli.milliHashed(a.asInstanceOf[ArrayData],
+      ha.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      hb.asInstanceOf[ArrayData], containment)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cm = containment.toString
+    defineCodeGen(ctx, ev, (a, ha, b, hb) =>
+      s"graft.functions.SetOverlapMilli.milliHashed($a, $ha, $b, $hb, $cm)")
+  }
+
+  override protected def withNewChildrenInternal(a: Expression,
+      b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
 }

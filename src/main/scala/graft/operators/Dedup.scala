@@ -761,8 +761,17 @@ object Dedup {
   private[graft] def verifyJaccard(candidates: DataFrame, aDocs: DataFrame,
       bDocs: DataFrame, aCol: String, bCol: String, textCol: String,
       idCol: String, threshold: Double): DataFrame = {
-    def words(docs: DataFrame, as: String, w: String) = docs
-      .select(col(idCol).as(as), wordSet(col(textCol)).as(w))
+    // word hashes ride the per-DOC projection (one murmur pass per
+    // document) so the per-PAIR kernel probes with cached hashes —
+    // r18: per-pair hashing was ~30% of the verify stage's CPU; the
+    // milli value is bit-identical (byte equality still decides,
+    // see SetOverlapMilli.milliHashed)
+    def words(docs: DataFrame, as: String, w: String) = {
+      val ws = wordSet(col(textCol))
+      docs.select(col(idCol).as(as), ws.as(w),
+        shims.column(graft.functions.WordHashes(shims.expression(ws)))
+          .as(w + "h"))
+    }
     // the kept set is rounded-milli >= round(t·1000), which admits
     // jaccard down to t − 0.0005 (round-half-up) — the prefilter must
     // use that loosened bound or it drops boundary pairs the milli
@@ -773,7 +782,8 @@ object Dedup {
       .join(words(bDocs, bCol, "wb"), Seq(bCol))
       .filter(size(col("wa")).cast("double") >= size(col("wb")) * tLoose &&
         size(col("wb")).cast("double") >= size(col("wa")) * tLoose)
-      .withColumn("jaccard_milli", jaccardMilli(col("wa"), col("wb")))
+      .withColumn("jaccard_milli", jaccardMilliHashed(
+        col("wa"), col("wah"), col("wb"), col("wbh")))
       .filter(col("jaccard_milli") >= math.round(threshold * 1000))
       .select(col(aCol), col(bCol), col("jaccard_milli"))
   }
@@ -984,6 +994,24 @@ object Dedup {
     round(size(array_intersect(wa, wb)).cast("double") * 1000.0 /
       least(size(wa), size(wb))).cast("long")
 
+  /** [[jaccardMilli]] with precomputed per-doc word hashes
+    * ([[graft.functions.WordHashes]]) — the pair-verify form (hash
+    * once per doc, probe per pair; bit-identical by construction). */
+  private[graft] def jaccardMilliHashed(wa: Column, wah: Column,
+      wb: Column, wbh: Column): Column =
+    shims.column(graft.functions.SetOverlapMilliHashed(
+      shims.expression(wa), shims.expression(wah),
+      shims.expression(wb), shims.expression(wbh),
+      containment = false))
+
+  /** [[containmentMilli]] with precomputed per-doc word hashes. */
+  private[graft] def containmentMilliHashed(wa: Column, wah: Column,
+      wb: Column, wbh: Column): Column =
+    shims.column(graft.functions.SetOverlapMilliHashed(
+      shims.expression(wa), shims.expression(wah),
+      shims.expression(wb), shims.expression(wbh),
+      containment = true))
+
   /** Containment near-dup pairs: flags a document swallowed by a
     * longer one — the case symmetric Jaccard structurally misses
     * (A ⊆ B gives J = |A|/|B|, arbitrarily small as B grows, while
@@ -1015,12 +1043,19 @@ object Dedup {
     // the single-agg form and the AQE-proof verify width matter
     // more, not less
     val candidates = foldBucketPairs(banded, "id", maxBucket)
-    def words(as: String, w: String) = docs
-      .select(col(idCol).as(as), wordSet(col(textCol)).as(w))
+    // per-doc word hashes for the pair-verify kernel (same shape as
+    // [[verifyJaccard]] — hash once per doc, probe per pair)
+    def words(as: String, w: String) = {
+      val ws = wordSet(col(textCol))
+      docs.select(col(idCol).as(as), ws.as(w),
+        shims.column(graft.functions.WordHashes(shims.expression(ws)))
+          .as(w + "h"))
+    }
     candidates
       .join(words("a", "wa"), Seq("a"))
       .join(words("b", "wb"), Seq("b"))
-      .withColumn("containment_milli", containmentMilli(col("wa"), col("wb")))
+      .withColumn("containment_milli", containmentMilliHashed(
+        col("wa"), col("wah"), col("wb"), col("wbh")))
       .filter(col("containment_milli") >= math.round(threshold * 1000))
       .select(col("a"), col("b"), col("containment_milli"))
   }

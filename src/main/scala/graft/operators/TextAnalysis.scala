@@ -1357,7 +1357,24 @@ object TextAnalysis {
     * the docs scan before any aggregate). */
   def scoreLangId(docs: DataFrame, model: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      carry: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame = {
+      carry: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame =
+    scoreLangIdImpl(docs, model, textCol, idCol, carry,
+      forceJoin = false)
+
+  /** The pre-r18 broadcast-join shape, callable directly — the
+    * over-budget fallback of [[scoreLangId]] and the kernel path's
+    * parity oracle (KernelParitySpec pins kernel == join on the seed
+    * corpus and adversarial docs). */
+  private[graft] def scoreLangIdJoin(docs: DataFrame, model: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      carry: Seq[(String, org.apache.spark.sql.Column)] = Nil): DataFrame =
+    scoreLangIdImpl(docs, model, textCol, idCol, carry,
+      forceJoin = true)
+
+  private def scoreLangIdImpl(docs: DataFrame, model: DataFrame,
+      textCol: String, idCol: String,
+      carry: Seq[(String, org.apache.spark.sql.Column)],
+      forceJoin: Boolean): DataFrame = {
     require(Seq("gram", "lang", "weight_milli")
         .forall(model.columns.contains),
       "[GRAFT] scoreLangId: model must have (gram, lang, weight_milli)")
@@ -1407,6 +1424,48 @@ object TextAnalysis {
               "language (trainLangId output is dense by " +
               "construction; do not filter model rows)"))))
           .as("__w"))
+    carry.foreach { case (n, _) =>
+      require(n != idCol && !Seq("lang_pred", "matched", "score_milli")
+          .contains(n),
+        s"[GRAFT] scoreLangId: carry name '$n' collides with an " +
+          "output column")
+    }
+    // KERNEL path (r18): when the pivoted model fits the driver
+    // collect budget — every trainLangId model does by construction —
+    // the whole explode → broadcast-join → per-doc aggregate chain
+    // collapses to ONE codegen projection over the docs scan
+    // ([[graft.functions.LangIdScoreOf]]): zero shuffles, no Generate
+    // row flood, same values bit-for-bit (KernelParitySpec). The
+    // gate reads the same counts the broadcast gate does — never
+    // data values — so the path choice is deterministic. Collecting
+    // `wide` evaluates the dense-model raise_error guard for every
+    // gram (the broadcast build did the same, just later).
+    if (!forceJoin && BroadcastGate.vectorBatchBytes(vocabRows,
+        2 * langs.length + 2) <= BroadcastGate.collectBudgetBytes) {
+      // cast(gram as binary) keeps the vocab's RAW UTF-8 bytes — a
+      // String round trip would U+FFFD-substitute ill-formed grams
+      // and break byte-equality with the doc-side slices
+      val rows = wide.select(col("gram").cast("binary"), col("__w"))
+        .collect()
+      val gramsB = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val flat = scala.collection.mutable.ArrayBuffer.empty[Long]
+      rows.foreach { r =>
+        val g = r.getAs[Array[Byte]](0)
+        if (g != null) { // a NULL gram can never equi-join — drop it
+          gramsB += g
+          flat ++= r.getSeq[Long](1)
+        }
+      }
+      val table = new graft.functions.LangIdTable(langs.toArray,
+        gramsB.toArray, flat.toArray)
+      val k = shims.column(graft.functions.LangIdScoreOf(
+        shims.expression(col(textCol)), table))
+      return WorkCols.spread(docs).select(Seq(col(idCol),
+        k.getField("lang_pred").as("lang_pred"),
+        k.getField("matched").as("matched"),
+        k.getField("score_milli").as("score_milli")) ++
+        carry.map { case (n, c) => c.as(n) }: _*)
+    }
     def evCol(i: Int) = sum(element_at(col("__w"), lit(i + 1)))
       .as(s"__ev_${langs(i)}")
     // byte-gated hint (vocab rows × L longs) — an over-budget model
@@ -1435,12 +1494,6 @@ object TextAnalysis {
       best.getField("lang").as("lang_pred"),
       col("__m").as("matched"),
       best.getField("score_milli").as("score_milli"))
-    carry.foreach { case (n, _) =>
-      require(n != idCol && !Seq("lang_pred", "matched", "score_milli")
-          .contains(n),
-        s"[GRAFT] scoreLangId: carry name '$n' collides with an " +
-          "output column")
-    }
     docs.select(col(idCol) +: carry.map { case (n, c) => c.as(n) }: _*)
       .join(scored, Seq(idCol), "left")
       .select(Seq(col(idCol),

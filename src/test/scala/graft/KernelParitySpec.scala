@@ -342,4 +342,198 @@ class KernelParitySpec extends AnyFunSuite {
       .count()
     assert(got === 0L)
   }
+
+  // ---- integer HALF_UP rounding vs the BigDecimal form ----
+
+  test("integer roundMilli matches the BigDecimal HALF_UP form exhaustively and at 2^31 scale") {
+    // exhaustive over every reachable (inter, denom) with denom ≤ 2048
+    // — covers every exact-half boundary in that range
+    var denom = 1L
+    while (denom <= 2048L) {
+      var inter = 0
+      while (inter <= denom) {
+        val a = graft.functions.SetOverlapMilli
+          .roundMilliBigDecimal(inter, denom)
+        val b = roundViaKernel(inter, denom)
+        assert(a === b, s"roundMilli($inter, $denom): bd=$a int=$b")
+        inter += 1
+      }
+      denom += 1L
+    }
+    // randomized at full magnitude (inter ≤ Int.MaxValue,
+    // denom ∈ [inter, 2^33)) incl. forced exact-half cases
+    val rnd = new scala.util.Random(42)
+    (1 to 200000).foreach { _ =>
+      val inter = rnd.nextInt(Int.MaxValue)
+      val denom = inter.toLong +
+        (rnd.nextLong() & ((1L << 33) - 1)) % (1L << 33)
+      val d = math.max(1L, denom)
+      val a = graft.functions.SetOverlapMilli.roundMilliBigDecimal(inter, d)
+      val b = roundViaKernel(inter, d)
+      assert(a === b, s"roundMilli($inter, $d): bd=$a int=$b")
+    }
+    // forced exact-half boundaries at large scale: denom = 2000·k,
+    // inter = k gives inter·1000/denom = 0.5 exactly
+    (1 to 2000).foreach { k =>
+      val d = 2000L * k
+      val a = graft.functions.SetOverlapMilli.roundMilliBigDecimal(k, d)
+      val b = roundViaKernel(k, d)
+      assert(a === b && a === 1L, s"half boundary k=$k: bd=$a int=$b")
+    }
+  }
+
+  /** The shipped integer rounding, reached reflectively: arbitrary
+    * (inter, denom) pairs are not constructible through the public
+    * array API (inter/denom are derived from set contents), and the
+    * method is deliberately private. */
+  private def roundViaKernel(inter: Int, denom: Long): Long = {
+    val m = graft.functions.SetOverlapMilli.getClass
+      .getDeclaredMethods.find(_.getName.endsWith("roundMilli")).get
+    m.setAccessible(true)
+    m.invoke(graft.functions.SetOverlapMilli,
+      Int.box(inter), Long.box(denom)).asInstanceOf[Long]
+  }
+
+  // ---- hashed pair-verify kernel vs the per-pair-hashing kernel ----
+
+  test("hashed set-overlap kernel matches the plain kernel over corpus cross pairs and null/dup edges") {
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+      .limit(60)
+      .select(col("doc_id"),
+        array_distinct(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val withH = docs.withColumn("h",
+      org.apache.spark.sql.graft.shims.column(
+        graft.functions.WordHashes(
+          org.apache.spark.sql.graft.shims.expression(col("w")))))
+    val a = withH.as("a")
+    val b = withH.as("b")
+    val joined = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.w").as("wa"), col("a.h").as("wah"),
+        col("b.w").as("wb"), col("b.h").as("wbh"))
+    val diff = joined.select(
+        Dedup.jaccardMilli(col("wa"), col("wb")).as("jp"),
+        Dedup.jaccardMilliHashed(col("wa"), col("wah"),
+          col("wb"), col("wbh")).as("jh"),
+        Dedup.containmentMilli(col("wa"), col("wb")).as("cp"),
+        Dedup.containmentMilliHashed(col("wa"), col("wah"),
+          col("wb"), col("wbh")).as("ch"))
+      .filter(!(col("jp") <=> col("jh")) || !(col("cp") <=> col("ch")))
+      .count()
+    assert(diff === 0L)
+    // null elements, duplicates, empty arrays, NULL arrays
+    val edges = spark.sql(
+      """select * from values
+        (array('a','b',cast(null as string),'a'), array('b', cast(null as string))),
+        (array('x'), array()),
+        (array(), array()),
+        (cast(null as array<string>), array('a')),
+        (array('a','a','a'), array('a'))
+        as t(wa, wb)""")
+      .withColumn("wah", org.apache.spark.sql.graft.shims.column(
+        graft.functions.WordHashes(
+          org.apache.spark.sql.graft.shims.expression(col("wa")))))
+      .withColumn("wbh", org.apache.spark.sql.graft.shims.column(
+        graft.functions.WordHashes(
+          org.apache.spark.sql.graft.shims.expression(col("wb")))))
+    val got = edges.select(
+        Dedup.jaccardMilli(col("wa"), col("wb")).as("jp"),
+        Dedup.jaccardMilliHashed(col("wa"), col("wah"),
+          col("wb"), col("wbh")).as("jh"),
+        Dedup.containmentMilli(col("wa"), col("wb")).as("cp"),
+        Dedup.containmentMilliHashed(col("wa"), col("wah"),
+          col("wb"), col("wbh")).as("ch"))
+      .filter(!(col("jp") <=> col("jh")) || !(col("cp") <=> col("ch")))
+      .count()
+    assert(got === 0L)
+  }
+
+  // ---- langid fold kernel vs the broadcast-join shape ----
+
+  private def langIdParity(docs: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame,
+      carry: Seq[(String, org.apache.spark.sql.Column)] = Nil): Unit = {
+    import graft.operators.TextAnalysis
+    val k = TextAnalysis.scoreLangId(docs, model, carry = carry)
+      .orderBy(col("doc_id")).collect().toSeq
+    val j = TextAnalysis.scoreLangIdJoin(docs, model, carry = carry)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(k === j, s"langid kernel diverges from the join form: " +
+      s"${k.zip(j).filter(p => p._1 != p._2).take(5).mkString("; ")}")
+  }
+
+  test("langid fold kernel matches the broadcast-join shape on adversarial docs") {
+    import graft.operators.TextAnalysis
+    val model = TextAnalysis.trainLangId(
+      TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+    val docs = Seq[(java.lang.Long, String)](
+      (1L, "bonjour tout le monde"),
+      (2L, "nachdenken"),
+      (3L, "children playing in the garden"),
+      (4L, "qqqq zzzz xxxx"),              // all-OOV
+      (5L, null),                          // NULL text
+      (6L, ""),                            // empty
+      (7L, "ab"),                          // < 3 codepoints
+      (8L, "abc"),                         // exactly one trigram
+      (9L, "ÉÉÉ der Der DER schnelle"),    // case folding
+      (10L, "der der der der der"),        // repeated gram dedup
+      (11L, "año señor épée œuvre"),       // multi-byte codepoints
+      (12L, "a😀b😀c"), // supplementary planes
+      (13L, "  der\tschnelle\nfuchs  "),   // whitespace shapes
+      (14L, "DER SCHNELLE BRAUNE FUCHS"))
+      .toDF("doc_id", "text")
+    langIdParity(docs, model)
+    // carry columns ride both paths identically
+    langIdParity(docs, model, carry = Seq(
+      "__nt" -> TextAnalysis.tokenCount(col("text")),
+      "len" -> length(col("text"))))
+  }
+
+  test("langid fold kernel matches the broadcast-join shape over the sf0.001 corpus") {
+    import graft.operators.TextAnalysis
+    val model = TextAnalysis.trainLangId(
+      TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    langIdParity(docs, model)
+  }
+
+  test("langid argmax ties keep the smaller language code in both shapes; collect-gate routes to the join shape above budget") {
+    import graft.operators.TextAnalysis
+    // hand-built DENSE model where 'zz ' evidence ties exactly
+    // between two languages — strict > must keep the UTF-8-smaller
+    val langs = Seq("aa", "bb")
+    val grams = Seq("abc", "bcd")
+    val tied = for { g <- grams; l <- langs } yield (g, l, 0L, 700L)
+    val model = tied.toDF("gram", "lang", "df", "weight_milli")
+    val docs = Seq((1L, "abcd"), (2L, "abc bcd")).toDF("doc_id", "text")
+    langIdParity(docs, model)
+    val pred = TextAnalysis.scoreLangId(docs, model)
+      .select(col("lang_pred")).distinct().collect().map(_.getString(0))
+    assert(pred.toSeq === Seq("aa")) // tie keeps the smaller code
+    // shrink the collect budget: scoreLangId must route to the join
+    // shape (observable: same results, and the plan contains a join)
+    val prop = "graft.collect.budget.bytes"
+    val old = sys.props.get(prop)
+    try {
+      sys.props(prop) = "1"
+      val viaJoin = TextAnalysis.scoreLangId(docs, model)
+      assert(viaJoin.queryExecution.executedPlan.toString
+        .toLowerCase.contains("join"),
+        "over-budget model must keep the broadcast-join shape")
+      assert(viaJoin.orderBy(col("doc_id")).collect().toSeq ===
+        TextAnalysis.scoreLangIdJoin(docs, model)
+          .orderBy(col("doc_id")).collect().toSeq)
+    } finally old match {
+      case Some(v) => sys.props(prop) = v
+      case None => sys.props -= prop
+    }
+    // the kernel plan has NO join and NO generate: one projection
+    val kernelPlan = TextAnalysis.scoreLangId(docs, model)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!kernelPlan.contains("join") && !kernelPlan.contains("generate"),
+      s"kernel path must be a pure projection, got:\n$kernelPlan")
+  }
 }
