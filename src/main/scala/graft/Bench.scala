@@ -79,10 +79,33 @@ object Bench {
         b.getProcessCpuTime / 1e9
       case _ => -1.0
     }
-    def timed(f: => Unit): (Double, Double) = {
+    // cumulative stop-the-world GC time (all collectors) — published
+    // per rep so a CPU-heavy rep can be attributed: cpu ≫ gc = the
+    // query itself burned it; cpu ≈ gc·(GC threads) = a collection
+    // storm, i.e. allocation pressure, not operator work (r18: the
+    // full-suite run showed identical entries alternating 18 vs 84
+    // CPU-s, invisible in wall/cpu alone)
+    import scala.jdk.CollectionConverters._
+    def gcSec: Double = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    // cumulative JIT compilation time — the OTHER intermittent-CPU
+    // attributor: a rep whose cpu spike rides a jit spike ran its hot
+    // loops interpreted while the C2 queue churned (fresh generated
+    // classes), which is JVM scheduling, not operator work (r18
+    // diagnosis: identical minhash reps at 18 vs 290 CPU-s, gc flat,
+    // spike gone under -XX:TieredStopAtLevel=1)
+    val compBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitSec: Double =
+      if (compBean != null && compBean.isCompilationTimeMonitoringSupported)
+        compBean.getTotalCompilationTime / 1e3
+      else -1.0
+    def timed(f: => Unit): (Double, Double, Double, Double) = {
       val c0 = processCpuSec
+      val g0 = gcSec
+      val j0 = jitSec
       val w = time(f)
-      (w, processCpuSec - c0)
+      (w, processCpuSec - c0, gcSec - g0, jitSec - j0)
     }
 
     // ---- self-calibration (the host-contention referee) ----
@@ -145,10 +168,16 @@ object Bench {
     // `median`); the median is computed over rep_times[1..].
     var curReps = List.empty[Double]
     var curCpuReps = List.empty[Double]
+    var curGcReps = List.empty[Double]
+    var curJitReps = List.empty[Double]
     val repLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // per-rep process-CPU deltas, same run order as rep_times — the
     // wall≫cpu test that classifies a slow rep as host-side
     val cpuLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-rep stop-the-world GC deltas (seconds), same run order
+    val gcLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // per-rep JIT compilation-time deltas (seconds), same run order
+    val jitLog = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     // one discarded warmup rep per entry, ahead of the measured reps:
     // the r14 rep arrays showed 44/52 entries with rep 1 more than 25%
     // above the later reps (first-use codegen + block-cache fill), so
@@ -160,6 +189,8 @@ object Bench {
       val ts = List.fill(Reps)(timed(f))
       curReps = curReps ++ ((warm :: ts).map(_._1))
       curCpuReps = curCpuReps ++ ((warm :: ts).map(_._2))
+      curGcReps = curGcReps ++ ((warm :: ts).map(_._3))
+      curJitReps = curJitReps ++ ((warm :: ts).map(_._4))
       val s = ts.map(_._1).sorted
       s(s.length / 2)
     }
@@ -181,12 +212,22 @@ object Bench {
       // are forced OUTSIDE entry bodies via preBuild, so the diff
       // never touches them.
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      // opt-in stderr trace (GRAFT_BENCH_TRACE=1): entry-start epoch
+      // millis, for correlating an external profiler (JFR/perf)
+      // recording with a specific entry's reps — diagnostics only,
+      // never part of the published JSON
+      if (sys.env.contains("GRAFT_BENCH_TRACE"))
+        System.err.println(s"[bench-trace] ${System.currentTimeMillis()} $name")
       curReps = Nil
       curCpuReps = Nil
+      curGcReps = Nil
+      curJitReps = Nil
       try {
         results(name) = f
         if (curReps.nonEmpty) repLog(name) = curReps
         if (curCpuReps.nonEmpty) cpuLog(name) = curCpuReps
+        if (curGcReps.nonEmpty) gcLog(name) = curGcReps
+        if (curJitReps.nonEmpty) jitLog(name) = curJitReps
       }
       catch { case e: Throwable =>
         errors(name) = errMsg(e)
@@ -761,6 +802,12 @@ object Bench {
     val cpuJson = cpuLog.map { case (k, ts) =>
       "\"" + k + "\":" + secsArr(ts)
     }.mkString("{", ",", "}")
+    val gcJson = gcLog.map { case (k, ts) =>
+      "\"" + k + "\":" + secsArr(ts)
+    }.mkString("{", ",", "}")
+    val jitJson = jitLog.map { case (k, ts) =>
+      "\"" + k + "\":" + secsArr(ts)
+    }.mkString("{", ",", "}")
     // min of the MEASURED reps (warmup excluded): far more robust to
     // one-sided contention than the median — a cross-round delta that
     // vanishes in the mins is the host, not the code
@@ -784,12 +831,13 @@ object Bench {
     // (with the discarded warmup at index 0) goes on its own EARLIER
     // line and into a side file, so the headline the driver parses
     // stays ~1.4 KB no matter how many entries the suite grows.
-    val detail = f"""{"metric":"rep_detail","unit":"sec","sf":"$sfDir","reps":$Reps,"warmup":1,"note":"rep_times[0] is the discarded warmup rep; median is over rep_times[1..]; cpu_times are per-rep process-CPU deltas (wall >> cpu on a rep = host stall, not code); mins are min over rep_times[1..]","rep_times":$repsJson,"cpu_times":$cpuJson,"mins":$minsJson}"""
+    val detail = f"""{"metric":"rep_detail","unit":"sec","sf":"$sfDir","reps":$Reps,"warmup":1,"note":"rep_times[0] is the discarded warmup rep; median is over rep_times[1..]; cpu_times are per-rep process-CPU deltas (wall >> cpu on a rep = host stall, not code); gc_times are per-rep stop-the-world GC seconds (cpu spike with gc spike = collection storm, not operator work); mins are min over rep_times[1..]","rep_times":$repsJson,"cpu_times":$cpuJson,"gc_times":$gcJson,"jit_times":$jitJson,"mins":$minsJson}"""
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "BENCH_full.json")
       Files.write(java.nio.file.Paths.get(out),
         (headline.dropRight(1) + ",\"rep_times\":" + repsJson +
-          ",\"cpu_times\":" + cpuJson + ",\"mins\":" + minsJson + "}\n")
+          ",\"cpu_times\":" + cpuJson + ",\"gc_times\":" + gcJson + ",\"jit_times\":" + jitJson +
+          ",\"mins\":" + minsJson + "}\n")
           .getBytes("UTF-8"))
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] side-file write failed: ${errMsg(e)}")

@@ -54,41 +54,64 @@ final class LangIdTable(
     "[GRAFT] LangIdTable: weights are not vocab × L")
 
   // probe table, rebuilt lazily per deserialized instance (the task
-  // binary is broadcast once per stage; the rebuild is O(vocab))
-  @transient @volatile private var keys: Array[UTF8String] = _
+  // binary is broadcast once per stage; the rebuild is O(vocab)).
+  // Keys are RAW byte arrays probed by a shared murmur over the raw
+  // bytes + explicit byte equality — the first cut wrapped every doc
+  // window in UTF8String.fromBytes just to reuse its hashCode/equals,
+  // and the r18 JFR profile showed those wrappers dominating the
+  // kernel whenever the JIT had not yet scalar-replaced them (the
+  // bimodal 1.4-vs-10 CPU-s langid reps in the full-suite bench).
+  // Equality is byte equality either way, and the hash only routes
+  // the probe (build and probe sides use the SAME function), so the
+  // scored output is bit-identical.
+  @transient @volatile private var built: Array[Int] = _ // slotIdx
   @transient private var hashes: Array[Int] = _
-  @transient private var slotIdx: Array[Int] = _
   @transient private var mask: Int = 0
   @transient private var langsU8: Array[UTF8String] = _
 
+  private def gramHash(base: Array[Byte], off: Int, len: Int): Int =
+    org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      base, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+      len, 42)
+
+  private def gramEquals(idx: Int, base: Array[Byte], off: Int,
+      len: Int): Boolean = {
+    val g = gramBytes(idx)
+    g.length == len &&
+      org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+        g, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        base, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off,
+        len)
+  }
+
   private def ensureBuilt(): Unit = {
-    if (keys != null) return
+    if (built != null) return
     synchronized {
-      if (keys != null) return
+      if (built != null) return
       val n = gramBytes.length
       var cap = 8
       while (cap < n * 2) cap <<= 1
-      val ks = new Array[UTF8String](cap)
       val hs = new Array[Int](cap)
       val si = new Array[Int](cap)
       java.util.Arrays.fill(si, -1)
       val m = cap - 1
       var i = 0
       while (i < n) {
-        val k = UTF8String.fromBytes(gramBytes(i))
-        val h = k.hashCode()
+        val gb = gramBytes(i)
+        val h = gramHash(gb, 0, gb.length)
         var p = h & 0x7fffffff & m
         var done = false
         while (!done) {
-          if (si(p) < 0) { ks(p) = k; hs(p) = h; si(p) = i; done = true }
-          else if (hs(p) == h && ks(p).equals(k)) done = true // dup gram: first wins (groupBy(gram) makes dups impossible upstream)
+          if (si(p) < 0) { hs(p) = h; si(p) = i; done = true }
+          else if (hs(p) == h && gramEquals(si(p), gb, 0, gb.length))
+            done = true // dup gram: first wins (groupBy(gram) makes dups impossible upstream)
           else p = (p + 1) & m
         }
         i += 1
       }
       langsU8 = langs.map(UTF8String.fromString)
-      hashes = hs; slotIdx = si; mask = m
-      keys = ks // last: the publication guard ensureBuilt checks
+      hashes = hs; mask = m
+      built = si // last: the publication guard ensureBuilt checks
     }
   }
 
@@ -135,18 +158,19 @@ final class LangIdTable(
     val smask = scap - 1
     val ev = new Array[Long](numLangs)
     var matched = 0L
+    val slotIdx = built
     var k = 0
     val last = nChars - 3
     while (k <= last) {
       val off = offsets(k)
-      val g = UTF8String.fromBytes(bytes, off, offsets(k + 3) - off)
-      val h = g.hashCode()
+      val len = offsets(k + 3) - off
+      val h = gramHash(bytes, off, len)
       var p = h & 0x7fffffff & mask
       var idx = -1
       var done = false
       while (!done) {
         if (slotIdx(p) < 0) done = true
-        else if (hashes(p) == h && keys(p).equals(g)) {
+        else if (hashes(p) == h && gramEquals(slotIdx(p), bytes, off, len)) {
           idx = slotIdx(p); done = true
         } else p = (p + 1) & mask
       }

@@ -270,7 +270,117 @@ object SetOverlapMilli {
     * by construction. `ha`/`hb` must be [[WordHashes]] of `a`/`b` —
     * the operators build both from the same projection. */
   def milliHashed(a: ArrayData, ha: ArrayData, b: ArrayData,
+      hb: ArrayData, containment: Boolean): Long = (a, b) match {
+    // both sides Unsafe (the shape every shuffled/joined row yields):
+    // probe by raw element bytes in place — ZERO allocation per pair.
+    // The first cut wrapped every element in the UTF8String the
+    // getter allocates and held them in an Object probe table; the
+    // r18 full-suite bench showed the verify stage's cost tripling on
+    // reps the JIT had not yet compiled (escape analysis never
+    // applies — the wrappers are STORED), with minhash_dedup rep CPU
+    // swinging 18 vs 290 s on identical work.
+    case (ua: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+          ub: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) =>
+      milliHashedUnsafe(ua, ha, ub, hb, containment)
+    case _ => milliHashedGeneric(a, ha, b, hb, containment)
+  }
+
+  /** [[milliHashed]] over two [[UnsafeArrayData]] string arrays: the
+    * element slot long is `(offset << 32) | size` relative to the
+    * array's base (exactly what getUTF8String decodes), so the probe
+    * table stores (hash, side, ordinal) primitives and equality
+    * compares the raw bytes via ByteArrayMethods — the same byte
+    * equality UTF8String.equals performs, with no wrapper objects. */
+  private def milliHashedUnsafe(
+      ua: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+      ha: ArrayData,
+      ub: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
       hb: ArrayData, containment: Boolean): Long = {
+    import org.apache.spark.unsafe.array.ByteArrayMethods
+    val na = ua.numElements()
+    val nb = ub.numElements()
+    var cap = 8
+    while (cap < (na + nb) * 2) cap <<= 1
+    val hashes = new Array[Int](cap)
+    val elems = new Array[Int](cap) // ordinal in its source array
+    val state = new Array[Byte](cap) // 0 empty, 1 A, 2 B, 3 both
+    val mask = cap - 1
+    val aBase = ua.getBaseObject
+    val aOff = ua.getBaseOffset
+    val bBase = ub.getBaseObject
+    val bOff = ub.getBaseOffset
+    var dA = 0
+    var dB = 0
+    var inter = 0
+    var nullA = false
+    var nullB = false
+    var i = 0
+    while (i < na) {
+      if (ua.isNullAt(i)) nullA = true
+      else {
+        val oas = ua.getLong(i)
+        val pAbs = aOff + (oas >> 32).toInt
+        val pLen = oas.toInt
+        val h = ha.getInt(i)
+        var p = (h & 0x7fffffff) & mask
+        var done = false
+        while (!done) {
+          if (state(p) == 0) {
+            hashes(p) = h; elems(p) = i; state(p) = 1; dA += 1
+            done = true
+          } else if (hashes(p) == h && {
+            // phase 1: every stored element is from A
+            val so = ua.getLong(elems(p))
+            so.toInt == pLen && ByteArrayMethods.arrayEquals(
+              aBase, aOff + (so >> 32).toInt, aBase, pAbs, pLen)
+          }) done = true
+          else p = (p + 1) & mask
+        }
+      }
+      i += 1
+    }
+    i = 0
+    while (i < nb) {
+      if (ub.isNullAt(i)) nullB = true
+      else {
+        val oas = ub.getLong(i)
+        val pAbs = bOff + (oas >> 32).toInt
+        val pLen = oas.toInt
+        val h = hb.getInt(i)
+        var p = (h & 0x7fffffff) & mask
+        var done = false
+        while (!done) {
+          val s = state(p)
+          if (s == 0) {
+            hashes(p) = h; elems(p) = i; state(p) = 2; dB += 1
+            done = true
+          } else if (hashes(p) == h && {
+            // stored element is from B iff state 2 (3 was stored by A)
+            val fromB = s == 2
+            val so = if (fromB) ub.getLong(elems(p)) else ua.getLong(elems(p))
+            so.toInt == pLen && ByteArrayMethods.arrayEquals(
+              if (fromB) bBase else aBase,
+              (if (fromB) bOff else aOff) + (so >> 32).toInt,
+              bBase, pAbs, pLen)
+          }) {
+            if (s == 1) { state(p) = 3; dB += 1; inter += 1 }
+            done = true
+          } else p = (p + 1) & mask
+        }
+      }
+      i += 1
+    }
+    if (nullA) dA += 1
+    if (nullB) dB += 1
+    if (nullA && nullB) inter += 1
+    finish(inter, dA, dB, na, nb, containment)
+  }
+
+  /** The wrapper-object form of [[milliHashed]] — any non-Unsafe
+    * input (literals, locally built test arrays) and the parity
+    * oracle for the Unsafe path. */
+  private[graft] def milliHashedGeneric(a: ArrayData, ha: ArrayData,
+      b: ArrayData, hb: ArrayData, containment: Boolean): Long = {
     val na = a.numElements()
     val nb = b.numElements()
     var cap = 8

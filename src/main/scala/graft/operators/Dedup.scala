@@ -605,15 +605,18 @@ object Dedup {
   /** Sorted strict a < b pair emission for one surviving bucket —
     * the capped self-join's `a.id < b.id` exclusion (duplicate ids
     * never self-pair), lazy so a cap-sized bucket's ~maxBucket²/2
-    * pairs never materialize at once. */
+    * pairs never materialize at once.
+    *
+    * Cursor iterators, not `Iterator.range(...).flatMap/filter/map`:
+    * the bucket loops are O(bucket²) and the generic-Iterator form
+    * paid a boxed Int plus two closure dispatches per INNER iteration
+    * — almost all of which are misses once the emit-time hamming
+    * filter ([[sigPairs]]) dropped the pair. The r18.2 rewrite holds
+    * the sorted ids/sigs in flat arrays and advances two int cursors;
+    * emission order and pair set are bit-identical. */
   private def idPairs[T](buf: scala.collection.mutable.ArrayBuffer[T])(
-      implicit ord: Ordering[T]): Iterator[(T, T)] = {
-    val ids = buf.sorted
-    Iterator.range(0, ids.length - 1).flatMap(i =>
-      Iterator.range(i + 1, ids.length)
-        .filter(j => ids(j) != ids(i))
-        .map(j => (ids(i), ids(j))))
-  }
+      implicit ord: Ordering[T]): Iterator[(T, T)] =
+    idPairsPreSorted(buf.sorted)
 
   /** [[idPairs]] with a signature riding along, hamming computed
     * inline during emission — and FILTERED at emission: a pair's
@@ -623,18 +626,40 @@ object Dedup {
     * materializing, shuffling, or hash-agg-deduping the misses. The
     * r18 JFR profile of image_neardup put ~80% of the operator's CPU
     * in exactly that shuffle + dedup of pairs the filter then threw
-    * away (band collisions are mostly NOT near-dups). */
+    * away (band collisions are mostly NOT near-dups). Signatures sit
+    * in a flat long[] so the xor+popcount miss path touches no boxed
+    * values (see [[idPairs]] for the cursor-iterator rationale). */
   private def sigPairs[T](buf: scala.collection.mutable.ArrayBuffer[(T, Long)],
       maxHamming: Int)(
       implicit ord: Ordering[T]): Iterator[(T, T, Long)] = {
     val xs = buf.sortBy(_._1)
-    Iterator.range(0, xs.length - 1).flatMap { i =>
-      val si = xs(i)._2
-      Iterator.range(i + 1, xs.length)
-        .filter(j => java.lang.Long.bitCount(si ^ xs(j)._2) <= maxHamming &&
-          xs(j)._1 != xs(i)._1)
-        .map(j => (xs(i)._1, xs(j)._1,
-          java.lang.Long.bitCount(si ^ xs(j)._2).toLong))
+    val n = xs.length
+    val ids = new Array[Any](n)
+    val sigs = new Array[Long](n)
+    var t = 0
+    while (t < n) { ids(t) = xs(t)._1; sigs(t) = xs(t)._2; t += 1 }
+    new Iterator[(T, T, Long)] {
+      private var i = 0
+      private var j = 1
+      private var have = false
+      private var ham = 0L
+      private def advance(): Unit =
+        while (!have && i < n - 1) {
+          val si = sigs(i)
+          while (!have && j < n) {
+            val h = java.lang.Long.bitCount(si ^ sigs(j))
+            if (h <= maxHamming && ids(j) != ids(i)) { have = true; ham = h }
+            else j += 1
+          }
+          if (!have) { i += 1; j = i + 1 }
+        }
+      def hasNext: Boolean = { advance(); have }
+      def next(): (T, T, Long) = {
+        advance()
+        if (!have) throw new NoSuchElementException
+        val r = (ids(i).asInstanceOf[T], ids(j).asInstanceOf[T], ham)
+        j += 1; have = false; r
+      }
     }
   }
 
@@ -646,11 +671,34 @@ object Dedup {
     * with [[utf8ByteOrdering]]. */
   private def idPairsUtf8(
       buf: scala.collection.mutable.ArrayBuffer[String]): Iterator[(String, String)] = {
-    val ids = buf.map(s => (utf8Key(s), s)).sortInPlaceBy(_._1)(utf8BytesOrd)
-    Iterator.range(0, ids.length - 1).flatMap(i =>
-      Iterator.range(i + 1, ids.length)
-        .filter(j => ids(j)._2 != ids(i)._2)
-        .map(j => (ids(i)._2, ids(j)._2)))
+    val keyed = buf.map(s => (utf8Key(s), s)).sortInPlaceBy(_._1)(utf8BytesOrd)
+    val ids = keyed.map(_._2)
+    idPairsPreSorted(ids)
+  }
+
+  /** Strict a < b emission over an ALREADY-SORTED id buffer — the
+    * shared cursor core of [[idPairsUtf8]]. */
+  private def idPairsPreSorted[T](
+      ids: scala.collection.mutable.ArrayBuffer[T]): Iterator[(T, T)] = {
+    val n = ids.length
+    new Iterator[(T, T)] {
+      private var i = 0
+      private var j = 1
+      private var have = false
+      private def advance(): Unit =
+        while (!have && i < n - 1) {
+          while (!have && j < n) {
+            if (ids(j) != ids(i)) have = true else j += 1
+          }
+          if (!have) { i += 1; j = i + 1 }
+        }
+      def hasNext: Boolean = { advance(); have }
+      def next(): (T, T) = {
+        advance()
+        if (!have) throw new NoSuchElementException
+        val r = (ids(i), ids(j)); j += 1; have = false; r
+      }
+    }
   }
 
   /** [[sigPairs]] for STRING ids, same precomputed-key sort as
@@ -660,13 +708,33 @@ object Dedup {
       maxHamming: Int): Iterator[(String, String, Long)] = {
     val xs = buf.map { case (s, sig) => (utf8Key(s), s, sig) }
       .sortInPlaceBy(_._1)(utf8BytesOrd)
-    Iterator.range(0, xs.length - 1).flatMap { i =>
-      val si = xs(i)._3
-      Iterator.range(i + 1, xs.length)
-        .filter(j => java.lang.Long.bitCount(si ^ xs(j)._3) <= maxHamming &&
-          xs(j)._2 != xs(i)._2)
-        .map(j => (xs(i)._2, xs(j)._2,
-          java.lang.Long.bitCount(si ^ xs(j)._3).toLong))
+    val n = xs.length
+    val ids = new Array[String](n)
+    val sigs = new Array[Long](n)
+    var t = 0
+    while (t < n) { ids(t) = xs(t)._2; sigs(t) = xs(t)._3; t += 1 }
+    new Iterator[(String, String, Long)] {
+      private var i = 0
+      private var j = 1
+      private var have = false
+      private var ham = 0L
+      private def advance(): Unit =
+        while (!have && i < n - 1) {
+          val si = sigs(i)
+          while (!have && j < n) {
+            val h = java.lang.Long.bitCount(si ^ sigs(j))
+            if (h <= maxHamming && ids(j) != ids(i)) { have = true; ham = h }
+            else j += 1
+          }
+          if (!have) { i += 1; j = i + 1 }
+        }
+      def hasNext: Boolean = { advance(); have }
+      def next(): (String, String, Long) = {
+        advance()
+        if (!have) throw new NoSuchElementException
+        val r = (ids(i), ids(j), ham)
+        j += 1; have = false; r
+      }
     }
   }
 

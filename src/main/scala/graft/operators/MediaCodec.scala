@@ -3624,7 +3624,17 @@ object MediaCodec {
       s"[GRAFT] flac: $channels channels unsupported (mono/stereo only)")
     require(bps == 8 || bps == 16 || bps == 24,
       s"[GRAFT] flac: $bps bits/sample unsupported")
-    val outSamples = new scala.collection.mutable.ArrayBuffer[Int]()
+    // primitive growable buffer — the generic ArrayBuffer[Int] boxed
+    // every decoded sample (one java.lang.Integer per sample per
+    // channel; the r18 JFR profile of the full-suite bench showed
+    // BoxesRunTime.boxToInteger + ArrayBuffer.addOne dominating the
+    // decode whenever the JIT had not yet compiled the loop — flac
+    // rep CPU 1.4 vs 10-14 s on identical work). Pre-sized from
+    // STREAMINFO when present.
+    var outBuf = new Array[Int](
+      if (totalSamples > 0 && totalSamples * channels < Int.MaxValue / 2)
+        (totalSamples * channels).toInt else 4096)
+    var outLen = 0
     while (pos < bytes.length) {
       val frameStart = pos
       val br = new FlacBitReader(bytes, pos)
@@ -3711,6 +3721,11 @@ object MediaCodec {
       require(flacCrc16(bytes, frameStart, crc16At) == br2.bits(16).toInt,
         "[GRAFT] flac: frame CRC-16 mismatch")
       pos = br2.bytePos
+      if (outLen + blockSize * nCh > outBuf.length) {
+        var ncap = outBuf.length * 2
+        while (ncap < outLen + blockSize * nCh) ncap *= 2
+        outBuf = java.util.Arrays.copyOf(outBuf, ncap)
+      }
       var i = 0
       while (i < blockSize) {
         var c = 0
@@ -3718,16 +3733,19 @@ object MediaCodec {
           val v = chans(c)(i)
           require(v >= -(1L << (bps - 1)) && v < (1L << (bps - 1)),
             "[GRAFT] flac: decoded sample out of range")
-          outSamples += v.toInt
+          outBuf(outLen) = v.toInt
+          outLen += 1
           c += 1
         }
         i += 1
       }
     }
     if (totalSamples > 0)
-      require(outSamples.length.toLong == totalSamples * channels,
+      require(outLen.toLong == totalSamples * channels,
         "[GRAFT] flac: sample count differs from STREAMINFO")
-    Pcm(sampleRate, channels, bps, outSamples.toArray)
+    Pcm(sampleRate, channels, bps,
+      if (outLen == outBuf.length) outBuf
+      else java.util.Arrays.copyOf(outBuf, outLen))
   }
 
   /** One subframe: constant / verbatim / fixed(0-4) / LPC. */

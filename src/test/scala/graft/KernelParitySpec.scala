@@ -449,6 +449,45 @@ class KernelParitySpec extends AnyFunSuite {
     assert(got === 0L)
   }
 
+  test("milliHashed Unsafe fast path equals the generic form on hand-built UnsafeArrayData") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType, IntegerType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val proj = UnsafeProjection.create(
+      Array[org.apache.spark.sql.types.DataType](
+        ArrayType(StringType), ArrayType(IntegerType)))
+    def mk(ws: Seq[String]): (org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+        org.apache.spark.sql.catalyst.util.ArrayData,
+        GenericArrayData, GenericArrayData) = {
+      val g = new GenericArrayData(ws.map(w =>
+        if (w == null) null else UTF8String.fromString(w)).toArray[Any])
+      val h = new GenericArrayData(ws.map(w =>
+        if (w == null) 0 else UTF8String.fromString(w).hashCode()).toArray[Any])
+      val u = proj.apply(InternalRow(g, h)).copy()
+      (u.getArray(0), u.getArray(1), g, h)
+    }
+    val cases = Seq(
+      (Seq("a", "b", null, "a"), Seq("b", null)),
+      (Seq("x"), Seq.empty[String]),
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a", "a", "a"), Seq("a")),
+      (Seq("", "a"), Seq("", "b")),
+      (Seq("日本", "語", "ab"), Seq("日本", "ab", "cd")),
+      (Seq("long-shared-prefix-1", "long-shared-prefix-2"),
+        Seq("long-shared-prefix-1", "long-shared-prefix-3")))
+    for ((wa, wb) <- cases; cont <- Seq(false, true)) {
+      val (ua, uha, ga, gha) = mk(wa)
+      val (ub, uhb, gb, ghb) = mk(wb)
+      val fast = graft.functions.SetOverlapMilli
+        .milliHashed(ua, uha, ub, uhb, cont)
+      val slow = graft.functions.SetOverlapMilli
+        .milliHashedGeneric(ga, gha, gb, ghb, cont)
+      assert(fast === slow, s"wa=$wa wb=$wb containment=$cont")
+    }
+  }
+
   // ---- langid fold kernel vs the broadcast-join shape ----
 
   private def langIdParity(docs: org.apache.spark.sql.DataFrame,
