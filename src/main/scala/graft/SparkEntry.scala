@@ -167,7 +167,7 @@ object SparkEntry {
     * links (double- and single-quoted, one with an entity). The
     * escaping is exactly invertible, so the oracle derives the
     * expected extraction from the ORIGINAL text column. */
-  private def htmlPageOf(id: Column, text: Column): Column = {
+  private[graft] def htmlPageOf(id: Column, text: Column): Column = {
     val esc = regexp_replace(regexp_replace(regexp_replace(text,
       "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
     concat(
@@ -8252,7 +8252,7 @@ object SparkEntry {
     * two unique content lines, a blank line, a unique doc footer) —
     * ONE construction shared by every boilerplate row; the oracle
     * builds the identical page in its `p` CTE. */
-  private def boilerplatePages(s: SparkSession, dir: String): DataFrame =
+  private[graft] def boilerplatePages(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), concat(
         lit("Home | About | Contact\n(c) "), col("source"),

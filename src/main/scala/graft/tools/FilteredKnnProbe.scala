@@ -56,6 +56,41 @@ object FilteredKnnProbe {
       case "fkp" => fkp
       case "lm" => () =>
         graft.SparkEntry.queries("text_lm_score")(spark, sfDir).count()
+      case "shstats" => () => {
+        // duplicate-emission factor of the simhash band fold: how many
+        // (band-collision, hamming<=3) pair rows reach the dedup
+        // exchange vs how many distinct pairs leave it
+        val q = docs.filter(
+          TextAnalysis.qualityMilli(col("text")) >= 650L &&
+          TextAnalysis.tokenCount(col("text")).between(20L, 90L))
+        val sigs = q.select(col("doc_id").as("id"),
+          graft.functions.vfs_simhash(col("text"), 60, portable = true)
+            .as("sig"))
+        val banded = sigs
+          .select(col("id"), col("sig"),
+            explode(sequence(lit(0), lit(3))).as("band"))
+          .select(col("id"), col("sig"), col("band"),
+            call_function("shiftright", col("sig"), col("band") * 16)
+              .bitwiseAND(0xffffL).as("bval"))
+        val bstats = banded.groupBy(col("band"), col("bval"))
+          .agg(count(lit(1)).as("n"))
+          .agg(sum(col("n")).as("rows"),
+            sum(col("n") * (col("n") - 1) / 2).as("cand_pairs"),
+            max(col("n")).as("max_bucket")).collect()(0)
+        println(s"[shstats] banded_rows=${bstats.getLong(0)} " +
+          s"cand_pairs=${bstats.getLong(1)} max_bucket=${bstats.getLong(2)}")
+        val a = banded.as("a"); val b = banded.as("b")
+        val emitted = a.join(b,
+            col("a.band") === col("b.band") && col("a.bval") === col("b.bval")
+              && col("a.id") < col("b.id"))
+          .filter(call_function("bit_count",
+            col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
+        val pre = emitted.count()
+        val post = emitted.select(col("a.id"), col("b.id")).distinct().count()
+        println(s"[shstats] emitted_pairs=$pre distinct_pairs=$post " +
+          f"dup_factor=${pre.toDouble / math.max(1, post)}%.2f")
+        post
+      }
       case other => sys.error(s"unknown probe $other")
     }
 

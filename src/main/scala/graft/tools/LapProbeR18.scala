@@ -169,6 +169,65 @@ object LapProbeR18 {
         .agg(sum(col("dup_tokens"))).collect()
     }
 
+    // ---- pipeline_warc_curate front-end split (session 2) ----
+    lap("warccurate/1-synthesize-only") {
+      val html = graft.SparkEntry.htmlPageOf(col("doc_id"), col("text"))
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://w"), col("doc_id") % 5,
+          lit(".example/p/"), col("doc_id")).as("uri"),
+        html.as("html"))
+      noop(Warc.synthesizeWarc(pages))
+    }
+    lap("warccurate/2-records") {
+      val html = graft.SparkEntry.htmlPageOf(col("doc_id"), col("text"))
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://w"), col("doc_id") % 5,
+          lit(".example/p/"), col("doc_id")).as("uri"),
+        html.as("html"))
+      noop(Warc.records(spark, Warc.synthesizeWarc(pages)).toDF())
+    }
+    lap("warccurate/3-wet-text") {
+      val html = graft.SparkEntry.htmlPageOf(col("doc_id"), col("text"))
+      val pages = docs.select(col("doc_id"),
+        concat(lit("https://w"), col("doc_id") % 5,
+          lit(".example/p/"), col("doc_id")).as("uri"),
+        html.as("html"))
+      val wet = Warc.records(spark, Warc.synthesizeWarc(pages)).toDF()
+        .filter(col("rec_type") === "response")
+        .select(col("doc_id"), graft.functions.vfs_html_text(
+          graft.functions.vfs_charset_decode(col("body"),
+            col("content_type"))).as("text"))
+      noop(wet)
+    }
+    lap("warccurate/4-full") {
+      graft.SparkEntry.queries("pipeline_warc_curate")(spark, sfDir).count()
+    }
+
+    // ---- boilerplate_strip split (session 2) ----
+    lap("boiler/1-pages-only") {
+      noop(graft.SparkEntry.boilerplatePages(spark, sfDir))
+    }
+    lap("boiler/2-full") {
+      graft.SparkEntry.queries("dedup_boilerplate_lines")(spark, sfDir)
+        .agg(sum(col("n_dropped"))).collect()
+    }
+
+    // ---- video/audio neardup split (session 2) ----
+    lap("videond/1-synthesize-only") {
+      noop(Multimodal.synthesizeVideo(
+        docs.select(col("doc_id"), col("text")), frameRows = 2).toDF())
+    }
+    lap("videond/2-full") {
+      graft.SparkEntry.queries("multimodal_video_neardup")(spark, sfDir)
+        .count()
+    }
+
+    // ---- gram_index_probe split (session 2) ----
+    lap("gramidx/full") {
+      graft.SparkEntry.queries("dedup_incremental_substring")(spark, sfDir)
+        .count()
+    }
+
     // ---- index_build split ----
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("values"))
