@@ -32,5 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Extra JVM flags for the forked run/test JVMs, passed via env —
+// the measurement hook for JIT/codecache experiments (r19): e.g.
+// GRAFT_JVM_EXTRA="-XX:+PrintCompilation" sbt "runMain graft.Bench"
+javaOptions ++= sys.env.get("GRAFT_JVM_EXTRA").map(_.trim)
+  .filter(_.nonEmpty).map(_.split("\\s+").toSeq)
+  .getOrElse(Seq.empty[String])
 // Spark suites share one JVM-wide SparkContext; run them serially.
 Test / parallelExecution := false

@@ -260,6 +260,144 @@ object SetOverlapMilli {
     if (containment) roundMilli(inter, math.min(rawA, rawB).toLong)
     else roundMilli(inter, (dA.toLong + dB.toLong) - inter.toLong)
 
+  /** [[milliHashed]] with SORTED packed (hash, ordinal) sidecars
+    * ([[WordHashesSorted]]) — intersection by a two-cursor merge,
+    * ZERO allocation per pair (the hashed kernel still built a
+    * 2·(|A|+|B|)-slot probe table per candidate pair). Byte equality
+    * decides on every hash match, so the count is bit-identical to
+    * [[milliString]]/[[milliHashed]] on precondition-satisfying
+    * input (distinct strings, no null elements — which
+    * [[WordHashesSorted]] verified per row while packing); a side
+    * whose sidecar length mismatches its word count (the
+    * precondition-violated signal) falls back to the exact unsorted
+    * kernel. Distinct counts are then exactly `numElements()`. */
+  def milliSorted(a: ArrayData, pa: ArrayData, b: ArrayData,
+      pb: ArrayData, containment: Boolean): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (pa.numElements() != na || pb.numElements() != nb)
+      return milliString(a, b, containment)
+    val inter = (a, b) match {
+      case (ua: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+            ub: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData) =>
+        mergeCountUnsafe(ua, pa, ub, pb)
+      case _ => mergeCountGeneric(a, pa, b, pb)
+    }
+    finish(inter, na, nb, na, nb, containment)
+  }
+
+  /** Merge-count of byte-equal elements over two presorted packed
+    * sidecars, raw-byte comparisons in place (the [[milliHashedUnsafe]]
+    * slot-long trick, without the table). Equal-hash RUNS (murmur
+    * collisions between distinct strings — rare) compare all-pairs
+    * within the run; each A element matches at most one distinct B
+    * element, so `inter` increments once per matched A element. */
+  private def mergeCountUnsafe(
+      ua: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+      pa: ArrayData,
+      ub: org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+      pb: ArrayData): Int = {
+    import org.apache.spark.unsafe.array.ByteArrayMethods
+    val na = pa.numElements()
+    val nb = pb.numElements()
+    val aBase = ua.getBaseObject
+    val aOff = ua.getBaseOffset
+    val bBase = ub.getBaseObject
+    val bOff = ub.getBaseOffset
+    var inter = 0
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val li = pa.getLong(i)
+      val lj = pb.getLong(j)
+      // compare hash fields in the ARRAY's sort order: packSorted
+      // sorts signed longs, so the ordinal-masked packed value is the
+      // order key (signed compare; equality is plain bit equality)
+      val ki = li & 0xffffffff00000000L
+      val kj = lj & 0xffffffff00000000L
+      if (ki < kj) i += 1
+      else if (ki > kj) j += 1
+      else {
+        var i2 = i + 1
+        while (i2 < na && (pa.getLong(i2) & 0xffffffff00000000L) == ki) i2 += 1
+        var j2 = j + 1
+        while (j2 < nb && (pb.getLong(j2) & 0xffffffff00000000L) == ki) j2 += 1
+        if (i2 == i + 1 && j2 == j + 1) {
+          // the overwhelmingly common 1×1 run
+          val sa = ua.getLong(li.toInt)
+          val sb = ub.getLong(lj.toInt)
+          if (sa.toInt == sb.toInt && ByteArrayMethods.arrayEquals(
+            aBase, aOff + (sa >> 32).toInt,
+            bBase, bOff + (sb >> 32).toInt, sa.toInt)) inter += 1
+        } else {
+          var x = i
+          while (x < i2) {
+            val sa = ua.getLong(pa.getLong(x).toInt)
+            val lenA = sa.toInt
+            var y = j
+            var matched = false
+            while (!matched && y < j2) {
+              val sb = ub.getLong(pb.getLong(y).toInt)
+              if (sb.toInt == lenA && ByteArrayMethods.arrayEquals(
+                aBase, aOff + (sa >> 32).toInt,
+                bBase, bOff + (sb >> 32).toInt, lenA)) {
+                inter += 1; matched = true
+              }
+              y += 1
+            }
+            x += 1
+          }
+        }
+        i = i2; j = j2
+      }
+    }
+    inter
+  }
+
+  /** [[mergeCountUnsafe]] through the generic ArrayData getters — any
+    * non-Unsafe input (literals, locally built test arrays) and the
+    * parity oracle for the Unsafe path. */
+  private[graft] def mergeCountGeneric(a: ArrayData, pa: ArrayData,
+      b: ArrayData, pb: ArrayData): Int = {
+    val na = pa.numElements()
+    val nb = pb.numElements()
+    var inter = 0
+    var i = 0
+    var j = 0
+    while (i < na && j < nb) {
+      val li = pa.getLong(i)
+      val lj = pb.getLong(j)
+      // compare hash fields in the ARRAY's sort order: packSorted
+      // sorts signed longs, so the ordinal-masked packed value is the
+      // order key (signed compare; equality is plain bit equality)
+      val ki = li & 0xffffffff00000000L
+      val kj = lj & 0xffffffff00000000L
+      if (ki < kj) i += 1
+      else if (ki > kj) j += 1
+      else {
+        var i2 = i + 1
+        while (i2 < na && (pa.getLong(i2) & 0xffffffff00000000L) == ki) i2 += 1
+        var j2 = j + 1
+        while (j2 < nb && (pb.getLong(j2) & 0xffffffff00000000L) == ki) j2 += 1
+        var x = i
+        while (x < i2) {
+          val wa = a.getUTF8String(pa.getLong(x).toInt)
+          var y = j
+          var matched = false
+          while (!matched && y < j2) {
+            if (wa.equals(b.getUTF8String(pb.getLong(y).toInt))) {
+              inter += 1; matched = true
+            }
+            y += 1
+          }
+          x += 1
+        }
+        i = i2; j = j2
+      }
+    }
+    inter
+  }
+
   /** [[milliString]] with the per-element murmur hashes PRECOMPUTED
     * per document ([[WordHashes]], evaluated once per doc-side row
     * before the candidate join) instead of re-hashed per candidate
@@ -528,6 +666,148 @@ case class SetOverlapMilliHashed(first: Expression, second: Expression,
     val cm = containment.toString
     defineCodeGen(ctx, ev, (a, ha, b, hb) =>
       s"graft.functions.SetOverlapMilli.milliHashed($a, $ha, $b, $hb, $cm)")
+  }
+
+  override protected def withNewChildrenInternal(a: Expression,
+      b: Expression, c: Expression, d: Expression): Expression =
+    copy(first = a, second = b, third = c, fourth = d)
+}
+
+/** Per-document SORTED (hash, ordinal) sidecar for the pair-verify
+  * merge kernel ([[SetOverlapMilliSorted]]): each element of the
+  * word array contributes one long `(murmur3(word) & 0xffffffffL)
+  * << 32 | ordinal`, and the array is sorted (signed-long ascending =
+  * (hash-as-signed-int, ordinal) lexicographic — any consistent total
+  * order works; both sides use this one). Computed ONCE per doc row,
+  * so the per-PAIR verify is a straight two-cursor merge with ZERO
+  * allocation — the r18 hashed kernel still built a 2·(|A|+|B|)-slot
+  * probe table per candidate pair (~9 KB of short-lived arrays per
+  * pair at corpus word counts), which both dominated the steady-state
+  * verify CPU and made the kernel's interpreted path (the r18 driver
+  * regression's C2-compile-storm window) disproportionately slow.
+  *
+  * PRECONDITION SIGNAL, not an assumption: the merge counts distinct
+  * elements as `numElements()`, which is only exact when the side has
+  * no duplicate strings and no null elements. Both hold for every
+  * caller ([[graft.operators.Dedup]] builds the sides with
+  * `array_distinct(split(...))`, which cannot emit nulls), but this
+  * expression VERIFIES it per row while packing (null check on the
+  * walk; duplicate check = byte-compare inside equal-hash runs of the
+  * sorted array, O(n + collisions)) and publishes an EMPTY array on
+  * violation — [[SetOverlapMilli.milliSorted]] sees the length
+  * mismatch and falls back to the exact unsorted kernel
+  * ([[SetOverlapMilli.milliString]]) for that pair. A legitimately
+  * empty word array (n = 0) trivially satisfies the precondition and
+  * the merge path handles it. NULL array → NULL. */
+case class WordHashesSorted(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vfs_word_hashes_sorted"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs an array<string> input, got ${other.sql}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    WordHashesSorted.packSorted(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.WordHashesSorted.packSorted($a)")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WordHashesSorted {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  private val Violated: UnsafeArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+
+  def packSorted(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return Violated
+      val h = a.getUTF8String(i).hashCode()
+      out(i) = ((h & 0xffffffffL) << 32) | i.toLong
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    // duplicate-string detection inside equal-hash runs (runs are
+    // almost always length 1 — this walk is O(n) plus rare compares)
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n && (out(j) >>> 32) == (out(i) >>> 32)) {
+        var x = i
+        while (x < j) {
+          if (a.getUTF8String(out(x).toInt)
+              .equals(a.getUTF8String(out(j).toInt))) return Violated
+          x += 1
+        }
+        j += 1
+      }
+      i = j
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** The pair-verify overlap milli over two word arrays with their
+  * [[WordHashesSorted]] sidecars riding alongside — a two-cursor
+  * merge over the presorted packed arrays, byte equality deciding on
+  * every hash match (the hash only ROUTES, exactly the
+  * [[SetOverlapMilliHashed]] stance), zero allocation per pair.
+  * `n > 0` side with a length-mismatched sidecar (the
+  * [[WordHashesSorted]] precondition-violated signal) falls back to
+  * the exact unsorted kernel — the milli is identical either way.
+  * Children: (words_a, packed_a, words_b, packed_b). */
+case class SetOverlapMilliSorted(first: Expression, second: Expression,
+    third: Expression, fourth: Expression, containment: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String =
+    if (containment) "vfs_containment_milli_s" else "vfs_jaccard_milli_s"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (first.dataType, second.dataType, third.dataType, fourth.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(LongType, _),
+            ArrayType(StringType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs (array<string>, array<long>, " +
+            s"array<string>, array<long>), got ${children.map(_.dataType.sql)}")
+    }
+  }
+
+  override def nullSafeEval(a: Any, pa: Any, b: Any, pb: Any): Any =
+    SetOverlapMilli.milliSorted(a.asInstanceOf[ArrayData],
+      pa.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      pb.asInstanceOf[ArrayData], containment)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val cm = containment.toString
+    defineCodeGen(ctx, ev, (a, pa, b, pb) =>
+      s"graft.functions.SetOverlapMilli.milliSorted($a, $pa, $b, $pb, $cm)")
   }
 
   override protected def withNewChildrenInternal(a: Expression,

@@ -829,16 +829,19 @@ object Dedup {
   private[graft] def verifyJaccard(candidates: DataFrame, aDocs: DataFrame,
       bDocs: DataFrame, aCol: String, bCol: String, textCol: String,
       idCol: String, threshold: Double): DataFrame = {
-    // word hashes ride the per-DOC projection (one murmur pass per
-    // document) so the per-PAIR kernel probes with cached hashes —
-    // r18: per-pair hashing was ~30% of the verify stage's CPU; the
-    // milli value is bit-identical (byte equality still decides,
-    // see SetOverlapMilli.milliHashed)
+    // SORTED (hash, ordinal) sidecars ride the per-DOC projection
+    // (one murmur pass + one sort per document) so the per-PAIR
+    // kernel is a straight two-cursor merge with zero allocation —
+    // r19: the hashed form still built a ~2·(|A|+|B|)-slot probe
+    // table per candidate pair, which dominated the verify stage's
+    // CPU and its interpreted-window (C2-storm) cost; the milli
+    // value is bit-identical (byte equality still decides, see
+    // SetOverlapMilli.milliSorted)
     def words(docs: DataFrame, as: String, w: String) = {
       val ws = wordSet(col(textCol))
       docs.select(col(idCol).as(as), ws.as(w),
-        shims.column(graft.functions.WordHashes(shims.expression(ws)))
-          .as(w + "h"))
+        shims.column(graft.functions.WordHashesSorted(shims.expression(ws)))
+          .as(w + "p"))
     }
     // the kept set is rounded-milli >= round(t·1000), which admits
     // jaccard down to t − 0.0005 (round-half-up) — the prefilter must
@@ -850,8 +853,8 @@ object Dedup {
       .join(words(bDocs, bCol, "wb"), Seq(bCol))
       .filter(size(col("wa")).cast("double") >= size(col("wb")) * tLoose &&
         size(col("wb")).cast("double") >= size(col("wa")) * tLoose)
-      .withColumn("jaccard_milli", jaccardMilliHashed(
-        col("wa"), col("wah"), col("wb"), col("wbh")))
+      .withColumn("jaccard_milli", jaccardMilliSorted(
+        col("wa"), col("wap"), col("wb"), col("wbp")))
       .filter(col("jaccard_milli") >= math.round(threshold * 1000))
       .select(col(aCol), col(bCol), col("jaccard_milli"))
   }
@@ -1080,6 +1083,30 @@ object Dedup {
       shims.expression(wb), shims.expression(wbh),
       containment = true))
 
+  /** [[jaccardMilli]] with SORTED per-doc (hash, ordinal) sidecars
+    * ([[graft.functions.WordHashesSorted]]) — the r19 pair-verify
+    * form: a two-cursor merge with zero allocation per candidate
+    * pair (the hashed form still built a probe table per pair, which
+    * dominated the verify stage's steady-state CPU and its
+    * interpreted-window cost). Byte equality still decides; milli
+    * values are bit-identical (SetOverlapParitySpec pins all three
+    * forms against each other on corpus-shaped and adversarial
+    * inputs). */
+  private[graft] def jaccardMilliSorted(wa: Column, wap: Column,
+      wb: Column, wbp: Column): Column =
+    shims.column(graft.functions.SetOverlapMilliSorted(
+      shims.expression(wa), shims.expression(wap),
+      shims.expression(wb), shims.expression(wbp),
+      containment = false))
+
+  /** [[containmentMilli]] with sorted per-doc sidecars. */
+  private[graft] def containmentMilliSorted(wa: Column, wap: Column,
+      wb: Column, wbp: Column): Column =
+    shims.column(graft.functions.SetOverlapMilliSorted(
+      shims.expression(wa), shims.expression(wap),
+      shims.expression(wb), shims.expression(wbp),
+      containment = true))
+
   /** Containment near-dup pairs: flags a document swallowed by a
     * longer one — the case symmetric Jaccard structurally misses
     * (A ⊆ B gives J = |A|/|B|, arbitrarily small as B grows, while
@@ -1111,19 +1138,20 @@ object Dedup {
     // the single-agg form and the AQE-proof verify width matter
     // more, not less
     val candidates = foldBucketPairs(banded, "id", maxBucket)
-    // per-doc word hashes for the pair-verify kernel (same shape as
-    // [[verifyJaccard]] — hash once per doc, probe per pair)
+    // per-doc SORTED sidecars for the pair-verify merge kernel (same
+    // shape as [[verifyJaccard]] — hash+sort once per doc, merge per
+    // pair)
     def words(as: String, w: String) = {
       val ws = wordSet(col(textCol))
       docs.select(col(idCol).as(as), ws.as(w),
-        shims.column(graft.functions.WordHashes(shims.expression(ws)))
-          .as(w + "h"))
+        shims.column(graft.functions.WordHashesSorted(shims.expression(ws)))
+          .as(w + "p"))
     }
     candidates
       .join(words("a", "wa"), Seq("a"))
       .join(words("b", "wb"), Seq("b"))
-      .withColumn("containment_milli", containmentMilliHashed(
-        col("wa"), col("wah"), col("wb"), col("wbh")))
+      .withColumn("containment_milli", containmentMilliSorted(
+        col("wa"), col("wap"), col("wb"), col("wbp")))
       .filter(col("containment_milli") >= math.round(threshold * 1000))
       .select(col("a"), col("b"), col("containment_milli"))
   }

@@ -488,6 +488,151 @@ class KernelParitySpec extends AnyFunSuite {
     }
   }
 
+  // ---- sorted-merge pair-verify kernel vs plain/hashed kernels ----
+
+  test("sorted set-overlap merge kernel matches the plain kernel over corpus cross pairs and edges") {
+    import graft.operators.Dedup
+    val docs = spark.read
+      .parquet(s"${GraftTest.sf0001}/documents.parquet")
+      .limit(60)
+      .select(col("doc_id"),
+        array_distinct(split(trim(lower(col("text"))), "\\s+")).as("w"))
+    val withP = docs.withColumn("p",
+      org.apache.spark.sql.graft.shims.column(
+        graft.functions.WordHashesSorted(
+          org.apache.spark.sql.graft.shims.expression(col("w")))))
+    val a = withP.as("a")
+    val b = withP.as("b")
+    val joined = a.join(b, col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.w").as("wa"), col("a.p").as("wap"),
+        col("b.w").as("wb"), col("b.p").as("wbp"))
+    val diff = joined.select(
+        Dedup.jaccardMilli(col("wa"), col("wb")).as("jp"),
+        Dedup.jaccardMilliSorted(col("wa"), col("wap"),
+          col("wb"), col("wbp")).as("js"),
+        Dedup.containmentMilli(col("wa"), col("wb")).as("cp"),
+        Dedup.containmentMilliSorted(col("wa"), col("wap"),
+          col("wb"), col("wbp")).as("cs"))
+      .filter(!(col("jp") <=> col("js")) || !(col("cp") <=> col("cs")))
+      .count()
+    assert(diff === 0L)
+    // null elements and duplicate strings make WordHashesSorted
+    // publish the precondition-violated signal (empty sidecar) and
+    // the pair kernel fall back to the exact unsorted kernel — the
+    // milli must still match the plain kernel on every edge
+    val edges = spark.sql(
+      """select * from values
+        (array('a','b',cast(null as string),'a'), array('b', cast(null as string))),
+        (array('x'), array()),
+        (array(), array()),
+        (cast(null as array<string>), array('a')),
+        (array('a','a','a'), array('a')),
+        (array('', 'a'), array('', 'b')),
+        (array('日本','語','ab'), array('日本','ab','cd'))
+        as t(wa, wb)""")
+      .withColumn("wap", org.apache.spark.sql.graft.shims.column(
+        graft.functions.WordHashesSorted(
+          org.apache.spark.sql.graft.shims.expression(col("wa")))))
+      .withColumn("wbp", org.apache.spark.sql.graft.shims.column(
+        graft.functions.WordHashesSorted(
+          org.apache.spark.sql.graft.shims.expression(col("wb")))))
+    val got = edges.select(
+        Dedup.jaccardMilli(col("wa"), col("wb")).as("jp"),
+        Dedup.jaccardMilliSorted(col("wa"), col("wap"),
+          col("wb"), col("wbp")).as("js"),
+        Dedup.containmentMilli(col("wa"), col("wb")).as("cp"),
+        Dedup.containmentMilliSorted(col("wa"), col("wap"),
+          col("wb"), col("wbp")).as("cs"))
+      .filter(!(col("jp") <=> col("js")) || !(col("cp") <=> col("cs")))
+      .count()
+    assert(got === 0L)
+  }
+
+  test("WordHashesSorted packs sorted and signals dup/null violations with an empty sidecar") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def pack(ws: Seq[String]): org.apache.spark.sql.catalyst.util.ArrayData =
+      graft.functions.WordHashesSorted.packSorted(new GenericArrayData(
+        ws.map(w => if (w == null) null else UTF8String.fromString(w))
+          .toArray[Any]))
+    // violations → empty sidecar
+    assert(pack(Seq("a", "b", "a")).numElements() === 0)
+    assert(pack(Seq("a", null, "b")).numElements() === 0)
+    // clean input → one packed long per word, sorted as signed longs,
+    // ordinals a permutation, hashes matching UTF8String.hashCode
+    val ws = Seq("a", "b", "日本", "", "long-shared-prefix-1", "zz9")
+    val p = pack(ws)
+    assert(p.numElements() === ws.length)
+    val longs = (0 until ws.length).map(p.getLong)
+    assert(longs === longs.sorted)
+    val ords = longs.map(_.toInt).sorted
+    assert(ords === (0 until ws.length))
+    longs.foreach { l =>
+      val ord = l.toInt
+      val h = (l >>> 32).toInt
+      assert(h === UTF8String.fromString(ws(ord)).hashCode())
+    }
+    // n = 0 is a legitimate empty, not a violation: the merge path
+    // handles it (and milliSorted's length check passes 0 == 0)
+    assert(pack(Seq.empty).numElements() === 0)
+  }
+
+  test("milliSorted Unsafe merge equals the generic merge incl. crafted equal-hash runs") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType, LongType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val proj = UnsafeProjection.create(
+      Array[org.apache.spark.sql.types.DataType](
+        ArrayType(StringType), ArrayType(LongType)))
+    // crafted sidecars: the kernel only uses packed values for
+    // ROUTING (byte equality decides), so forcing distinct words to
+    // share a fake hash exercises the equal-hash-run path exactly
+    def mk(ws: Seq[String], fakeHash: Seq[Int])
+        : (org.apache.spark.sql.catalyst.expressions.UnsafeArrayData,
+           org.apache.spark.sql.catalyst.util.ArrayData,
+           GenericArrayData, GenericArrayData) = {
+      val packed = ws.indices
+        .map(i => ((fakeHash(i) & 0xffffffffL) << 32) | i.toLong)
+        .sorted
+      val g = new GenericArrayData(
+        ws.map(UTF8String.fromString).toArray[Any])
+      val gp = new GenericArrayData(packed.toArray[Any])
+      val u = proj.apply(InternalRow(g, gp)).copy()
+      (u.getArray(0), u.getArray(1), g, gp)
+    }
+    def brute(wa: Seq[String], wb: Seq[String]): Int =
+      wa.count(wb.contains) // sides are string-distinct by contract
+    val cases = Seq(
+      // all share one hash: full-run all-pairs on both sides
+      (Seq("a", "b", "c"), Seq(0, 0, 0), Seq("b", "c", "d"), Seq(0, 0, 0)),
+      // negative hashes (sort-order edge) + partial runs
+      (Seq("x", "y"), Seq(-1, -1), Seq("y", "z"), Seq(-1, 5)),
+      // mixed signs: negative-hash entries sort before positives
+      (Seq("p", "q", "r"), Seq(-7, 3, -7), Seq("r", "p"), Seq(-7, -7)),
+      // disjoint hashes, ordinary 1x1 path
+      (Seq("m", "n"), Seq(1, 2), Seq("n", "o"), Seq(2, 3)),
+      // empties
+      (Seq.empty[String], Seq.empty[Int], Seq("a"), Seq(9)))
+    for ((wa, ha, wb, hb) <- cases; cont <- Seq(false, true)) {
+      val (ua, upa, ga, gpa) = mk(wa, ha)
+      val (ub, upb, gb, gpb) = mk(wb, hb)
+      val fast = graft.functions.SetOverlapMilli
+        .milliSorted(ua, upa, ub, upb, cont)
+      val slow = graft.functions.SetOverlapMilli
+        .milliSorted(ga, gpa, gb, gpb, cont)
+      assert(fast === slow, s"wa=$wa wb=$wb containment=$cont")
+      val inter = brute(wa, wb)
+      val expect =
+        if (cont) graft.functions.SetOverlapMilli
+          .roundMilliBigDecimal(inter, math.min(wa.size, wb.size).toLong)
+        else graft.functions.SetOverlapMilli
+          .roundMilliBigDecimal(inter, (wa.size + wb.size - inter).toLong)
+      assert(fast === expect, s"wa=$wa wb=$wb containment=$cont brute")
+    }
+  }
+
   // ---- langid fold kernel vs the broadcast-join shape ----
 
   private def langIdParity(docs: org.apache.spark.sql.DataFrame,
