@@ -254,6 +254,211 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup FAILED: ${errMsg(e)}")
     }
+    // ---- suite-level KERNEL warm-up (round 19, the r18-verdict item 1
+    // fix). r18 ground truth: 13 queries ran 2-9x slower at 32 cores
+    // than at 8 on the same binary (minhash_dedup 11.18 s vs 1.18 s
+    // medians). Measured mechanism (OPTIMIZATION_r19.md §1): one cold
+    // JVM run of this suite demands ~230 CPU-s of JIT compilation
+    // (CompilationMXBean; C2 alone compiled 3,489 methods = 47.8 CPU-s
+    // for a single-entry probe, ~95% of it Spark/JDK framework methods,
+    // not generated code), and that demand is paid DURING each entry's
+    // first reps. A method's uncompiled path costs 4-10x its compiled
+    // cost (minhash rep 0: 61 CPU-s vs 16 steady; jpeg: 63 vs 5), so
+    // 32 worker threads saturating every core starve the compiler
+    // exactly when its output is needed — on a quiet host the per-entry
+    // warmup rep absorbs most of it, on a contended host the queue lags
+    // into the MEASURED reps and the medians collapse. This block runs
+    // every kernel family once on tiny slices (64-2048 rows) BEFORE any
+    // timed region so the C1/C2 queue fills and drains while nothing is
+    // being measured. It computes nothing any entry reuses: results are
+    // discarded, every RDD it persists is unpersisted, the temp store
+    // is its own. Timed bodies, rep counts, the per-entry warmup rep
+    // and the median methodology are all UNCHANGED.
+    // GRAFT_BENCH_NO_KERNEL_WARMUP=1 skips the block — the A/B lever
+    // for measuring exactly what the warm-up buys (diagnostics only;
+    // the driver never sets it)
+    if (!sys.env.contains("GRAFT_BENCH_NO_KERNEL_WARMUP")) locally {
+      import graft.operators._
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      def warm(name: String)(f: => Unit): Unit =
+        try f catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] kernel-warmup $name skipped: ${errMsg(e)}")
+        }
+      val w0 = System.nanoTime()
+      warm("all") {
+        val docsW = spark.read.parquet(s"$sfDir/documents.parquet")
+          .limit(256).cache()
+        docsW.count()
+        val docs64 = docsW.limit(64)
+        // media codec family (per-partition encode+decode kernels: the
+        // worst uncompiled-to-compiled ratios in the suite)
+        warm("media") {
+          Seq[DataFrame => org.apache.spark.sql.Dataset[graft.operators.MediaRecord]](
+            d => Multimodal.synthesizeMedia(d),
+            d => Multimodal.synthesizePng(d),
+            d => Multimodal.synthesizeTiff(d, packBits = true),
+            d => Multimodal.synthesizeWebp(d),
+            d => Multimodal.synthesizeGif(d),
+            d => Multimodal.synthesizeJpeg(d),
+            d => Multimodal.synthesizeJpegColor(d),
+            d => Multimodal.synthesizeFlac(d)
+          ).foreach(s => warm("decode")(
+            Multimodal.decodeStats(spark, s(docs64)).toDF().count()))
+          warm("resize") {
+            Multimodal.decodeStats(spark, Multimodal.resizeMedia(spark,
+              Multimodal.synthesizePng(docs64), 2, 3)).toDF().count()
+          }
+          warm("frames") {
+            Multimodal.sampleFrames(spark,
+              Multimodal.synthesizeVideo(docs64, frameRows = 2),
+              everyN = 4).toDF().count()
+          }
+          warm("mp4") {
+            Mp4.trackMeta(spark,
+              Mp4.synthesizeMp4(docs64.select(col("doc_id")))).count()
+          }
+          // the synthesized format is doc_id-keyed: *3 lands on the
+          // PCM stratum, *3+2 on a raster one (same mapping the
+          // audio/image_neardup entries use)
+          warm("audio_fp") {
+            Multimodal.audioNearDupPairs(spark,
+              Multimodal.synthesizeMedia(docs64
+                .select((col("doc_id") * 3).as("doc_id"), col("text"))),
+              maxHamming = 3, window = 4).count()
+          }
+          warm("image_fp") {
+            Multimodal.imageNearDupPairs(spark,
+              Multimodal.synthesizeMedia(docs64
+                .select((col("doc_id") * 3 + 2).as("doc_id"), col("text"))),
+              maxHamming = 3).count()
+          }
+        }
+        // dedup family (wordSet/MinHashSig/banding/pair-verify merge,
+        // gram hash + span fold, simhash fold)
+        warm("minhash")(Dedup.minHashLsh(docsW, threshold = 0.8).count())
+        warm("substr")(Dedup.stripDuplicateSpans(docsW, k = 4)
+          .agg(sum(col("dup_tokens"))).collect())
+        warm("simhash")(Dedup.simHashPairs(docsW, maxHamming = 3).count())
+        // text-analysis family
+        warm("langid") {
+          import spark.implicits._
+          val m = TextAnalysis.trainLangId(
+            TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+          TextAnalysis.scoreLangId(docsW, m)
+            .agg(sum(col("score_milli"))).collect()
+        }
+        warm("curate") {
+          import spark.implicits._
+          val m = TextAnalysis.trainLangId(
+            TextAnalysis.LangIdSeedCorpus.toDF("lang", "text"))
+          Curation.curateAndPack(docsW, m).count()
+        }
+        warm("bm25")(TextAnalysis.bm25Scores(docsW,
+          Seq("vector", "join", "spark")).count())
+        warm("lm")(TextAnalysis.lmScore(docsW).count())
+        warm("dsir") {
+          val t = TextAnalysis.wordModel(docsW.filter(col("source") === "src0"))
+          val r = TextAnalysis.wordModel(docsW)
+          TextAnalysis.importanceMilli(docsW, t, r)
+            .agg(sum(col("imp_milli"))).collect()
+        }
+        warm("bpe") {
+          val m = Bpe.trainBpe(docsW, nMerges = 20)
+          Bpe.bpeEncode(docsW, m).count()
+        }
+        warm("classifier") {
+          val m = TextAnalysis.trainTokenClassifier(docsW,
+            col("lang") === "en", vocab = 8)
+          TextAnalysis.scoreTokenClassifier(docsW, m).count()
+        }
+        warm("gopher")(TextAnalysis.gopherSignals(docsW).count())
+        // web front end (warc framing + gzip, html, pdf, url kernels)
+        warm("warc") {
+          val pages = docsW.select(col("doc_id"),
+            concat(lit("https://w"), col("doc_id") % 5,
+              lit(".example/p/"), col("doc_id")).as("uri"),
+            SparkEntry.htmlPageOf(col("doc_id"), col("text")).as("html"))
+          Warc.records(spark, Warc.synthesizeWarc(pages)).toDF().count()
+        }
+        warm("html") {
+          val html = SparkEntry.htmlPageOf(col("doc_id"), col("text"))
+          docsW.select(md5(graft.functions.vfs_html_text(html)),
+              graft.functions.vfs_html_title(html))
+            .agg(count(lit(1))).collect()
+        }
+        warm("pdf") {
+          Pdf.synthesizePdf(docsW)
+            .select(md5(graft.functions.vfs_pdf_text(col("pdf"))))
+            .agg(count(lit(1))).collect()
+        }
+        warm("url") {
+          val urls = docsW.select(col("doc_id"), col("n_chars"),
+            concat(lit("https://w"), col("doc_id") % 7,
+              lit(".example/p/"), col("doc_id"), lit("?utm_source=x&b=2&a=1"))
+              .as("url"))
+          val norm = urls.select(col("doc_id"), col("n_chars"),
+            WebCuration.normalizeUrl(col("url")).as("url"))
+          WebCuration.urlDedup(norm).agg(sum(col("cnt"))).collect()
+          WebCuration.capPerDomain(norm, "url",
+            negate(col("n_chars")), col("doc_id"), n = 3).count()
+        }
+        // vector family + the store codec paths
+        warm("vectors") {
+          val e2k = spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .select(col("vec_id").as("id"), col("embedding").as("values"))
+            .limit(2048).cache()
+          val qs = e2k.filter(col("id") === 1L)
+            .head().getSeq[Float](1)
+          val qv = qs.toArray
+          Knn.exact(e2k, qv, 5, Metric.Cosine).collect()
+          val qp = graft.functions.vfs_binary_quantize(typedLit(qs))
+          e2k.select(graft.functions.vfs_hamming(
+              graft.functions.vfs_binary_quantize(col("values")), qp))
+            .agg(count(lit(1))).collect()
+          warm("mining")(Mining.marginPairs(spark,
+            e2k.filter(col("id") % 2 === 0),
+            e2k.filter(col("id") % 2 === 1), k = 2).count())
+          warm("store") {
+            val d = Files.createTempDirectory("bench-warm-store").toString
+            val st = VfsStore.create(spark, d, "warm", dim = qv.length,
+              quantize = true)
+            st.appendBatch(e2k.limit(256).select(col("values"),
+              concat(lit("w"), col("id")).as("name"),
+              array(lit("warm")).as("tags")))
+            st.snapshot("w0")
+            st.getById(1L)
+            Knn.search(st, qv, 5, Metric.Cosine).collect()
+          }
+          e2k.unpersist(blocking = false)
+        }
+        // analytics family (window/rolling/sketch/profile/sampling)
+        warm("events") {
+          val ev = SparkEntry.events(spark, sfDir).limit(20000).cache()
+          ev.count()
+          warm("rolling")(TimeSeries.rolling(ev, col("event_id"),
+              col("user_id"), col("ts"), col("value"), windowSec = 3600L)
+            .agg(sum(col("sum_win_c"))).collect())
+          warm("window")(graft.streaming.Ingest
+            .windowedEventCounts(ev, batchMode = true).count())
+          warm("hll")(Sketches.hllRegisters(ev,
+            col("user_id").cast("string"), p = 12).count())
+          ev.unpersist(blocking = false)
+        }
+        warm("profile")(Profile.profile(docsW,
+          Seq("doc_id", "lang", "source", "n_chars")).count())
+        warm("mixture")(Sampling.mixtureSample(docsW, col("source"),
+          col("text"), col("doc_id"),
+          Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.15,
+            "src3" -> 0.10)).count())
+        docsW.unpersist(blocking = false)
+      }
+      // drop anything the warm-up's composition operators persisted
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!persistedBefore.contains(id)) rdd.unpersist(blocking = false)
+      }
+      System.err.println(
+        f"[bench] kernel-warmup done in ${(System.nanoTime() - w0) / 1e9}%.1f s")
+    }
     calibrate() // suite-START calibration sample
 
     lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
