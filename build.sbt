@@ -31,6 +31,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JIT-compiled code headroom (r19): one bench/Verify run loads tens
+  // of thousands of classes (framework + per-plan generated code) and
+  // the default 240 MB ReservedCodeCacheSize runs its profiled-code
+  // segment into sweeper churn late in a long suite — evicted hot
+  // nmethods re-interpret until recompiled, the same storm the
+  // kernel warm-up fights. 512 MB is the standard setting for large
+  // JVM workloads (sbt itself recommends it); it is core-count- and
+  // host-independent, reserved (not committed) address space.
+  "-XX:ReservedCodeCacheSize=512m",
 )
 // Extra JVM flags for the forked run/test JVMs, passed via env —
 // the measurement hook for JIT/codecache experiments (r19): e.g.

@@ -13,12 +13,15 @@ import org.apache.spark.sql.functions._
   * (same fixtures, same operator arguments) — a plan for a different
   * shape would be evidence of nothing.
   *
-  * Usage: sbt "runMain graft.tools.PlanDumpR18 [sfDir] [suffix]"
+  * Usage: sbt "runMain graft.tools.PlanDumpR18 [sfDir] [suffix] [outDir]"
+  * (outDir defaults to plans/r18; round 19 passes plans/r19 so the
+  * r18 evidence files are never overwritten)
   */
 object PlanDumpR18 {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val suffix = if (args.length > 1) args(1) else "before"
+    val outDirName = if (args.length > 2) args(2) else "plans/r18"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,7 +33,7 @@ object PlanDumpR18 {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
 
-    val outDir = new File("plans/r18")
+    val outDir = new File(outDirName)
     outDir.mkdirs()
 
     def dump(name: String)(df: => DataFrame): Unit = {
@@ -221,6 +224,12 @@ object PlanDumpR18 {
       graft.operators.LshTextIndex.probe(spark, d,
         docs.filter(col("doc_id") < 500),
         docs.filter(col("doc_id") >= 500), threshold = 0.9)
+    }
+    // r19: the containment verify path shares the sorted-sidecar
+    // merge kernel with minhash_dedup — dumped so the claim is
+    // checkable on its own plan
+    dump("containment_pairs") {
+      graft.operators.Dedup.containmentPairs(docs, threshold = 0.9)
     }
 
     spark.stop()
