@@ -132,6 +132,49 @@ object JitProbe {
         emb.filter(col("id") % 2 === 0),
         emb.filter(col("id") % 2 === 1), k = 4).count()
     }
+    probe("exactbatch_persist") {
+      val queries = emb.limit(100)
+        .select(col("id").as("qid"), col("values").as("qvalues"))
+      graft.operators.Knn.exactBatch(emb, queries, 10,
+        graft.operators.Metric.Cosine).count()
+    }
+    probe("exactbatch_nopersist") {
+      val queries = emb.limit(100)
+        .select(col("id").as("qid"), col("values").as("qvalues"))
+      graft.operators.Knn.exactBatch(emb, queries, 10,
+        graft.operators.Metric.Cosine, persistQueries = false).count()
+    }
+
+    // codegen-diff mode: build the exactBatch frame twice (fresh
+    // DataFrames, identical logical query), hash every generated
+    // unit's source, and print which units' text CHANGES between
+    // builds — those are the per-rep Janino recompiles
+    if (which.contains("codegen_diff")) {
+      import org.apache.spark.sql.execution.debug._
+      def unitHashes(tag: String): Map[String, String] = {
+        val queries = emb.limit(100)
+          .select(col("id").as("qid"), col("values").as("qvalues"))
+        val df = graft.operators.Knn.exactBatch(emb, queries, 10,
+          graft.operators.Metric.Cosine, persistQueries = false)
+        df.count()
+        val s = df.queryExecution.debug.codegenToSeq()
+        s.zipWithIndex.map { case ((sub, code, _), i) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(code.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          (s"$tag-unit$i", md + "  " + sub.linesIterator.next().take(90))
+        }.toMap
+      }
+      val a = unitHashes("a")
+      val b = unitHashes("b")
+      val am = a.map { case (k, v) => (k.drop(2), v) }
+      val bm = b.map { case (k, v) => (k.drop(2), v) }
+      (am.keySet ++ bm.keySet).toSeq.sorted.foreach { k =>
+        val ha = am.getOrElse(k, "-")
+        val hb = bm.getOrElse(k, "-")
+        val mark = if (ha.take(32) == hb.take(32)) "same" else "DIFF"
+        println(s"[codegen-diff] $k $mark\n  a: $ha\n  b: $hb")
+      }
+    }
 
     lazy val gramIdxDir = {
       val d = java.nio.file.Files.createTempDirectory("jitprobe").toString
